@@ -1,0 +1,452 @@
+"""Deterministic synthetic fixture world (see FIXTURES.md).
+
+Everything here is a pure function of (seed, scale).  Two families:
+
+1. **Oracle-checkable derivations** — lon/lat/phash derived from integer
+   ids by *polynomial integer/double arithmetic only* (no trig, no
+   hashing), so the exact same values are computable in DuckDB SQL
+   (plasmap_ray.oracle builds the SQL mirror).  IEEE-754 doubles make
+   ``a + (m / 2^k) * span`` bit-identical between NumPy and DuckDB,
+   which makes floor/cell/tile assignments integer-exact across engines.
+
+2. **Rich geometry world** — polygonal cities assembled from unclosed
+   ways (ring assembly), holes, fuzzy-containment districts; mirrors the
+   reference's Essen/Duisburg/Muehlheim golden corpus
+   (util/src/test/resources/{city,districts}.*.geojson, QueriesSpec.scala:44-175).
+   Verified by pytest against construction-time ground truth, not SQL.
+
+World bbox: lon in [6.0, 8.0], lat in [50.5, 52.0] (a Ruhr-like patch,
+matching the reference corpus' region).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import geometry
+
+SEED = 42
+LON_MIN, LAT_MIN, LON_MAX, LAT_MAX = 6.0, 50.5, 8.0, 52.0
+LON_SPAN = LON_MAX - LON_MIN  # 2.0
+LAT_SPAN = LAT_MAX - LAT_MIN  # 1.5
+
+# Weyl/LCG-style integer mixes.  Multipliers fit products in int64 for
+# ids up to ~2^31 (id * 2654435761 < 2^63 for id < 3.4e9).
+LON_MULT = 2654435761
+LAT_MULT = 1103515245
+LAT_ADD = 12345
+POI_LON_MULT = 2246822519
+POI_LAT_MULT = 3266489917
+PHASH_MULT = 2654435761
+PHASH_ADD = 40503
+
+M32 = 1 << 32
+M31 = 1 << 31
+M62 = 1 << 62
+
+
+def derive_lon(ids) -> np.ndarray:
+    """id -> deterministic lon in [LON_MIN, LON_MAX) (SQL-mirrored)."""
+    m = (np.asarray(ids, dtype=np.int64) * LON_MULT) % M32
+    return LON_MIN + (m / M32) * LON_SPAN
+
+
+def derive_lat(ids) -> np.ndarray:
+    m = (np.asarray(ids, dtype=np.int64) * LAT_MULT + LAT_ADD) % M31
+    return LAT_MIN + (m / M31) * LAT_SPAN
+
+
+def derive_phash(ids) -> np.ndarray:
+    """Synthetic 62-bit 'phash' for relational dedup queries (SQL-mirrored)."""
+    return (np.asarray(ids, dtype=np.int64) * PHASH_MULT + PHASH_ADD) % M62
+
+
+# ---------------------------------------------------------------------------
+# Admin-boundary rectangles (oracle-checkable world)
+# ---------------------------------------------------------------------------
+# Three disjoint "cities" (admin_level=6) each subdivided into a 3x2 grid
+# of districts (admin_level=8).  Rectangles so containment is expressible
+# in ANSI SQL; the engine still runs its general polygon PiP path on them.
+# ~20% of derived points fall outside every city -> inner-join drops
+# (reference drop semantics, SURVEY.md §2.4).
+
+_CITIES = [
+    # (rel_id, name, lon0, lat0, lon1, lat1)
+    (100, "Essenheim", 6.20, 50.70, 6.90, 51.30),
+    (200, "Duisheim", 7.00, 50.80, 7.60, 51.40),
+    (300, "Muehltal", 6.30, 51.40, 7.00, 51.90),
+]
+_DISTRICT_GRID = (3, 2)  # 3 cols x 2 rows per city
+
+
+def admin_rects() -> list[dict]:
+    """All admin rectangles: 3 cities + 18 districts, with rel_id/name/level."""
+    out = []
+    for rel_id, name, lon0, lat0, lon1, lat1 in _CITIES:
+        out.append(
+            dict(rel_id=rel_id, name=name, admin_level=6, lon_min=lon0, lat_min=lat0, lon_max=lon1, lat_max=lat1)
+        )
+        cols, rows = _DISTRICT_GRID
+        dlon = (lon1 - lon0) / cols
+        dlat = (lat1 - lat0) / rows
+        k = 0
+        for r in range(rows):
+            for c in range(cols):
+                k += 1
+                out.append(
+                    dict(
+                        rel_id=rel_id + k,
+                        name=f"{name}-d{k}",
+                        admin_level=8,
+                        lon_min=lon0 + c * dlon,
+                        lat_min=lat0 + r * dlat,
+                        lon_max=lon0 + (c + 1) * dlon,
+                        lat_max=lat0 + (r + 1) * dlat,
+                    )
+                )
+    return out
+
+
+def admin_polygons() -> list[dict]:
+    """Admin rectangles as closed polygon rings for the generic PiP path.
+
+    Half-open semantics: a point on the max-lon/max-lat edge belongs to
+    the next rectangle (mirrored by SQL's ``>= min AND < max``).
+    """
+    polys = []
+    for r in admin_rects():
+        ring = np.array(
+            [
+                [r["lon_min"], r["lat_min"]],
+                [r["lon_max"], r["lat_min"]],
+                [r["lon_max"], r["lat_max"]],
+                [r["lon_min"], r["lat_max"]],
+            ]
+        )
+        polys.append(
+            dict(rel_id=r["rel_id"], name=r["name"], admin_level=r["admin_level"], outer=ring, holes=[], bbox=(r["lon_min"], r["lat_min"], r["lon_max"], r["lat_max"]))
+        )
+    return polys
+
+
+# ---------------------------------------------------------------------------
+# POI table (kNN / tag-query fixtures)
+# ---------------------------------------------------------------------------
+# (key, value) vocabulary drawn from the reference's POI registry
+# (query-engine/src/main/scala/io/plasmap/query/engine/POIs.scala:42-253).
+
+POI_KINDS = [
+    ("amenity", "restaurant"),
+    ("amenity", "theatre"),
+    ("amenity", "bar"),
+    ("amenity", "cafe"),
+    ("amenity", "pub"),
+    ("amenity", "fast_food"),
+    ("amenity", "library"),
+    ("amenity", "hospital"),
+    ("amenity", "pharmacy"),
+    ("amenity", "school"),
+    ("amenity", "university"),
+    ("amenity", "parking"),
+    ("amenity", "fuel"),
+    ("amenity", "bank"),
+    ("shop", "supermarket"),
+    ("shop", "bakery"),
+    ("shop", "butcher"),
+    ("leisure", "park"),
+    ("leisure", "sports_centre"),
+    ("tourism", "hotel"),
+]
+N_POIS = 500
+
+
+def derive_poi_lon(ids) -> np.ndarray:
+    m = (np.asarray(ids, dtype=np.int64) * POI_LON_MULT) % M32
+    return LON_MIN + (m / M32) * LON_SPAN
+
+
+def derive_poi_lat(ids) -> np.ndarray:
+    m = (np.asarray(ids, dtype=np.int64) * POI_LAT_MULT) % M32
+    return LAT_MIN + (m / M32) * LAT_SPAN
+
+
+def make_pois(n: int = N_POIS) -> pa.Table:
+    """Deterministic POI node table (poi_id, lon, lat, key, value, name)."""
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    kind_idx = (ids % len(POI_KINDS)).astype(np.int64)
+    keys = [POI_KINDS[i][0] for i in kind_idx]
+    values = [POI_KINDS[i][1] for i in kind_idx]
+    return pa.table(
+        {
+            "poi_id": ids,
+            "lon": derive_poi_lon(ids),
+            "lat": derive_poi_lat(ids),
+            "key": pa.array(keys, type=pa.string()),
+            "value": pa.array(values, type=pa.string()),
+            "name": pa.array([f"poi-{i}" for i in ids], type=pa.string()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rich polygon world (ring assembly / holes / fuzzy-within) — pytest only
+# ---------------------------------------------------------------------------
+
+
+def _regular_ring(cx: float, cy: float, r: float, n: int, phase: float = 0.0) -> np.ndarray:
+    ang = phase + np.arange(n) * (2 * np.pi / n)
+    return np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+
+
+def boundary_world() -> dict:
+    """Synthetic OSM-style normalized tables + golden assembled boundaries.
+
+    Returns dict with pyarrow tables ``nodes``, ``ways``, ``relations``
+    and golden data ``boundaries`` (list of polygon dicts) plus the
+    construction-time ``containment`` truth table, including the two
+    fuzzy-threshold districts (~92% in, ~80% out) reproducing
+    GeoCalculatorSpec.scala:88-98.
+    """
+    node_rows: list[tuple[int, float, float]] = []
+    way_rows: list[tuple[int, list[int]]] = []
+    rel_rows: list[dict] = []
+    boundaries: list[dict] = []
+    containment: list[tuple[int, int, bool]] = []  # (inner_rel, outer_rel, within)
+
+    next_node = [1]
+    next_way = [1]
+
+    def add_ring_as_ways(ring: np.ndarray, n_ways: int) -> list[int]:
+        """Split a closed ring into ``n_ways`` unclosed chained ways."""
+        n = ring.shape[0]
+        ids = []
+        for i in range(n):
+            node_rows.append((next_node[0] + i, float(ring[i, 0]), float(ring[i, 1])))
+        base = next_node[0]
+        next_node[0] += n
+        # way k covers vertex indices [k*step .. (k+1)*step] inclusive (wrap)
+        bounds = np.linspace(0, n, n_ways + 1).astype(int)
+        for k in range(n_ways):
+            lo, hi = bounds[k], bounds[k + 1]
+            nds = [base + (j % n) for j in range(lo, hi + 1)]
+            way_rows.append((next_way[0], nds))
+            ids.append(next_way[0])
+            next_way[0] += 1
+        return ids
+
+    # City P: convex octagon with a square hole, assembled from 4 outer ways
+    city_p_outer = _regular_ring(6.55, 51.00, 0.28, 8, phase=0.1)
+    city_p_hole = _regular_ring(6.55, 51.00, 0.05, 4, phase=0.3)
+    outer_ids = add_ring_as_ways(city_p_outer, 4)
+    hole_ids = add_ring_as_ways(city_p_hole, 2)
+    rel_rows.append(
+        dict(
+            rel_id=1000,
+            name="Polyessen",
+            admin_level=6,
+            members=[("way", w, "outer") for w in outer_ids] + [("way", w, "inner") for w in hole_ids],
+        )
+    )
+    boundaries.append(dict(rel_id=1000, name="Polyessen", admin_level=6, outer=city_p_outer, holes=[city_p_hole]))
+
+    # City Q: irregular convex hexagon, 3 outer ways, no hole
+    city_q_outer = _regular_ring(7.35, 51.55, 0.22, 6, phase=0.5)
+    q_ids = add_ring_as_ways(city_q_outer, 3)
+    rel_rows.append(dict(rel_id=2000, name="Polyduis", admin_level=6, members=[("way", w, "outer") for w in q_ids]))
+    boundaries.append(dict(rel_id=2000, name="Polyduis", admin_level=6, outer=city_q_outer, holes=[]))
+
+    # Districts of city P: small hexagons fully inside (avoiding the hole)
+    offsets = [(-0.13, -0.10), (0.13, -0.10), (-0.13, 0.10), (0.13, 0.10)]
+    for i, (dx, dy) in enumerate(offsets, start=1):
+        ring = _regular_ring(6.55 + dx, 51.00 + dy, 0.045, 6, phase=0.2)
+        wids = add_ring_as_ways(ring, 2)
+        rid = 1000 + i
+        rel_rows.append(
+            dict(rel_id=rid, name=f"Polyessen-d{i}", admin_level=8, members=[("way", w, "outer") for w in wids])
+        )
+        boundaries.append(dict(rel_id=rid, name=f"Polyessen-d{i}", admin_level=8, outer=ring, holes=[]))
+        containment.append((rid, 1000, True))
+        containment.append((rid, 2000, False))
+
+    # Fuzzy districts near city Q's border: shift a hexagon outward so a
+    # known fraction of its area leaves the city.  Fractions verified at
+    # generation time with the exact convex clip.
+    def fuzzy_district(rid: int, name: str, frac_target: tuple[float, float], shift: float) -> None:
+        # hexagon straddling city Q's right edge
+        cx = 7.35 + shift
+        ring = _regular_ring(cx, 51.55, 0.06, 6, phase=0.0)
+        inter = geometry.intersection_area(ring, city_q_outer)
+        frac = inter / geometry.polygon_area(ring)
+        lo, hi = frac_target
+        assert lo <= frac <= hi, f"{name}: overlap {frac:.3f} not in [{lo},{hi}]"
+        wids = add_ring_as_ways(ring, 2)
+        rel_rows.append(dict(rel_id=rid, name=name, admin_level=8, members=[("way", w, "outer") for w in wids]))
+        boundaries.append(dict(rel_id=rid, name=name, admin_level=8, outer=ring, holes=[]))
+        containment.append((rid, 2000, frac >= 0.9))
+
+    # ~93% inside -> fuzzy-within true; ~84% inside -> false
+    fuzzy_district(2001, "Polyduis-fuzzy-in", (0.905, 0.96), shift=0.150)
+    fuzzy_district(2002, "Polyduis-fuzzy-out", (0.70, 0.885), shift=0.160)
+
+    nodes = pa.table(
+        {
+            "node_id": pa.array([r[0] for r in node_rows], type=pa.int64()),
+            "lon": pa.array([r[1] for r in node_rows], type=pa.float64()),
+            "lat": pa.array([r[2] for r in node_rows], type=pa.float64()),
+        }
+    )
+    ways = pa.table(
+        {
+            "way_id": pa.array([r[0] for r in way_rows], type=pa.int64()),
+            "nds": pa.array([r[1] for r in way_rows], type=pa.list_(pa.int64())),
+        }
+    )
+    relations = pa.table(
+        {
+            "rel_id": pa.array([r["rel_id"] for r in rel_rows], type=pa.int64()),
+            "name": pa.array([r["name"] for r in rel_rows], type=pa.string()),
+            "admin_level": pa.array([r["admin_level"] for r in rel_rows], type=pa.int32()),
+            "members": pa.array(
+                [[{"type": t, "ref": w, "role": role} for (t, w, role) in r["members"]] for r in rel_rows],
+                type=pa.list_(pa.struct([("type", pa.string()), ("ref", pa.int64()), ("role", pa.string())])),
+            ),
+        }
+    )
+    return dict(nodes=nodes, ways=ways, relations=relations, boundaries=boundaries, containment=containment)
+
+
+# ---------------------------------------------------------------------------
+# Images table — exact driver input_hint shape
+# (image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+#  caption:string, phash:int64)
+# ---------------------------------------------------------------------------
+
+from . import codecs as _codecs  # noqa: E402
+
+_SIZE_CHOICES = (16, 32, 64)
+_FMT_CYCLE = ("raw", "pngz", "qnt8")
+NEAR_DUP_STRIDE = 97  # every 97th image duplicates its predecessor's pixels
+
+
+def _image_pixels(i: int, w: int, h: int, seed: int) -> "np.ndarray":
+    """Procedural RGB image: deterministic gradient + seeded noise."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [
+            (xx * 255 // max(w - 1, 1)),
+            (yy * 255 // max(h - 1, 1)),
+            ((xx + yy) * 255 // max(w + h - 2, 1)),
+        ],
+        axis=2,
+    ).astype(np.int64)
+    rng = np.random.default_rng(seed * 1_000_003 + i)
+    noise = rng.integers(-20, 21, size=(h, w, 3))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def district_name_for(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    """Ground-truth admin_level=8 district name per point ('' if none)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    out = np.full(lon.shape[0], "", dtype=object)
+    for r in admin_rects():
+        if r["admin_level"] != 8:
+            continue
+        m = (lon >= r["lon_min"]) & (lon < r["lon_max"]) & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+        out[m] = r["name"]
+    return out
+
+
+def make_images(
+    n: int,
+    seed: int = SEED,
+    size_choices: tuple[int, ...] = _SIZE_CHOICES,
+    skew_hot_frac: float = 0.0,
+) -> pa.Table:
+    """Deterministic images table of ``n`` rows (ids 1..n).
+
+    - position derived from the row ordinal by :func:`derive_lon`/`derive_lat`
+      (so spatial joins are oracle-checkable);
+    - caption references the ground-truth containing district, making
+      caption equality double as a join check (FIXTURES.md §1);
+    - every ``NEAR_DUP_STRIDE``-th row reuses the previous row's pixels
+      (planted exact-pixel near-dups -> equal phash);
+    - ``skew_hot_frac`` relocates that fraction of rows into one hot
+      ~20 km cell (district Essenheim-d1 corner) to exercise salting.
+    """
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    lon = derive_lon(ids)
+    lat = derive_lat(ids)
+    if skew_hot_frac > 0.0:
+        hot = (ids % np.int64(round(1.0 / skew_hot_frac))) == 0
+        # concentrate into a ~0.15 x 0.1 deg box inside Essenheim
+        lon = np.where(hot, 6.25 + (lon - LON_MIN) / LON_SPAN * 0.15, lon)
+        lat = np.where(hot, 50.75 + (lat - LAT_MIN) / LAT_SPAN * 0.10, lat)
+    district = district_name_for(lon, lat)
+    kind_idx = (ids % len(POI_KINDS)).astype(np.int64)
+
+    sizes = np.array(size_choices, dtype=np.int64)
+    w = sizes[(ids * 7) % len(sizes)].astype(np.int32)
+    h = sizes[(ids * 11) % len(sizes)].astype(np.int32)
+
+    payloads: list[bytes] = []
+    phashes = np.empty(n, dtype=np.int64)
+    captions: list[str] = []
+    fmts: list[str] = []
+    prev_pixels = None
+    for j, i in enumerate(ids):
+        i = int(i)
+        fmt = _FMT_CYCLE[i % len(_FMT_CYCLE)]
+        if j > 0 and i % NEAR_DUP_STRIDE == 0:
+            pixels = prev_pixels
+            w[j] = w[j - 1]
+            h[j] = h[j - 1]
+        else:
+            pixels = _image_pixels(i, int(w[j]), int(h[j]), seed)
+        prev_pixels = pixels
+        payloads.append(_codecs.encode_image(pixels, fmt))
+        phashes[j] = _codecs.phash64(pixels)
+        fmts.append(fmt)
+        kind = POI_KINDS[int(kind_idx[j])][1]
+        where = district[j] if district[j] else "the countryside"
+        captions.append(f"a photo of {kind} in {where}")
+
+    return pa.table(
+        {
+            "image_id": pa.array([f"img-{int(i):012d}" for i in ids], type=pa.string()),
+            "bytes": pa.array(payloads, type=pa.binary()),
+            "w": pa.array(w, type=pa.int32()),
+            "h": pa.array(h, type=pa.int32()),
+            "fmt": pa.array(fmts, type=pa.string()),
+            "caption": pa.array(captions, type=pa.string()),
+            "phash": pa.array(phashes, type=pa.int64()),
+        }
+    )
+
+
+def reference_pixels(image_id: str, w: int, h: int, seed: int = SEED) -> "np.ndarray":
+    """Regenerate the golden pixels for an image id (fidelity oracle).
+
+    Near-dup rows (id % NEAR_DUP_STRIDE == 0) reuse predecessor pixels.
+    """
+    i = int(image_id.split("-")[1])
+    if i > 1 and i % NEAR_DUP_STRIDE == 0:
+        return reference_pixels(f"img-{i-1:012d}", w, h, seed)
+    return _image_pixels(i, w, h, seed)
+
+
+def images_parquet_path(n: int, seed: int = SEED, skew_hot_frac: float = 0.0, root: str = "/tmp/plasmap_fixtures") -> str:
+    """Write-once cache of the images table as parquet; returns the path."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(root, exist_ok=True)
+    tag = f"images_n{n}_s{seed}" + (f"_hot{skew_hot_frac}" if skew_hot_frac else "")
+    path = os.path.join(root, tag + ".parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(make_images(n, seed=seed, skew_hot_frac=skew_hot_frac), tmp)
+        os.replace(tmp, path)
+    return path

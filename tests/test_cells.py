@@ -1,0 +1,89 @@
+"""Morton cell kernel tests — round-trips, precision reduce, covers.
+
+Mirrors the reference's geohash usage contracts (SURVEY.md §1.3):
+encode/reduce/cover (GeoCalculator.scala:63-93, OsmObjectMapper.scala:1031-1098).
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from plasmap_ray import cells, tiles
+
+lons = st.floats(min_value=-180.0, max_value=180.0, allow_nan=False)
+lats = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False)
+precisions = st.integers(min_value=1, max_value=31)
+
+
+@given(lons, lats, precisions)
+@settings(max_examples=200, deadline=None)
+def test_encode_decode_roundtrip(lon, lat, p):
+    code = cells.encode(np.array([lon]), np.array([lat]), p)
+    assert 0 <= int(code[0]) < (1 << (2 * p))
+    lon0, lat0, lon1, lat1 = cells.decode_bounds(code, p)
+    # the point lies in (or on the boundary of) its cell
+    assert lon0[0] - 1e-9 <= lon <= lon1[0] + 1e-9
+    assert lat0[0] - 1e-9 <= lat <= lat1[0] + 1e-9
+
+
+@given(lons, lats, st.integers(min_value=2, max_value=31), st.integers(min_value=1, max_value=30))
+@settings(max_examples=100, deadline=None)
+def test_reduce_precision_is_parent_prefix(lon, lat, p_hi, p_lo_raw):
+    p_lo = min(p_lo_raw, p_hi)
+    hi = cells.encode(np.array([lon]), np.array([lat]), p_hi)
+    lo = cells.encode(np.array([lon]), np.array([lat]), p_lo)
+    assert cells.reduce_precision(hi, p_hi, p_lo)[0] == lo[0]
+
+
+def test_interleave_bit_layout():
+    # x occupies even bits, y odd bits
+    assert cells.interleave(np.array([1]), np.array([0]))[0] == 0b01
+    assert cells.interleave(np.array([0]), np.array([1]))[0] == 0b10
+    assert cells.interleave(np.array([3]), np.array([3]))[0] == 0b1111
+    x, y = cells.deinterleave(np.array([0b1101]))
+    assert x[0] == 0b11 and y[0] == 0b10
+
+
+def test_cover_bbox_contains_all_member_points():
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(6.0, 6.5, 500)
+    lat = rng.uniform(50.0, 50.4, 500)
+    cover = set(cells.cover_bbox(6.0, 50.0, 6.5, 50.4, 11).tolist())
+    pts = cells.encode(lon, lat, 11)
+    assert set(pts.tolist()) <= cover
+
+
+def test_cover_radius_superset_of_circle_points():
+    rng = np.random.default_rng(8)
+    ang = rng.uniform(0, 2 * np.pi, 200)
+    r = rng.uniform(0, 10_000, 200)  # metres
+    lat0, lon0 = 51.0, 7.0
+    lat = lat0 + (r * np.sin(ang)) / 111_320.0
+    lon = lon0 + (r * np.cos(ang)) / (111_320.0 * np.cos(np.radians(lat0)))
+    cover = set(cells.cover_radius(lon0, lat0, 10_000, 11).tolist())
+    assert set(cells.encode(lon, lat, 11).tolist()) <= cover
+
+
+def test_quadkey_matches_tile_code_digits():
+    qk = cells.quadkey_str(np.array([0b_01_11_00_10]), 4)
+    assert qk[0] == "1302"
+
+
+def test_slippy_tile_known_values():
+    # openstreetmap.org reference points
+    x, y = tiles.tile_xy(np.array([13.4]), np.array([52.5]), 10)  # Berlin
+    assert (x[0], y[0]) == (550, 335)
+    x, y = tiles.tile_xy(np.array([0.0]), np.array([0.0]), 1)
+    assert (x[0], y[0]) == (1, 1)  # equator boundary floors southward
+    x, y = tiles.tile_xy(np.array([0.1]), np.array([0.1]), 1)
+    assert (x[0], y[0]) == (1, 0)  # strictly NE quadrant
+    x, y = tiles.tile_xy(np.array([-180.0]), np.array([85.0]), 3)
+    assert (x[0], y[0]) == (0, 0)
+
+
+def test_tile_bounds_roundtrip():
+    for z, tx, ty in [(10, 550, 335), (6, 33, 21), (14, 8800, 5373)]:
+        lon0, lat0, lon1, lat1 = tiles.tile_bounds(tx, ty, z)
+        cx, cy = (lon0 + lon1) / 2, (lat0 + lat1) / 2
+        x, y = tiles.tile_xy(np.array([cx]), np.array([cy]), z)
+        assert (x[0], y[0]) == (tx, ty)

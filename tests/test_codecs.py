@@ -1,0 +1,77 @@
+"""Image codec + fidelity-gate tests (driver input_hint invariants)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from plasmap_ray import codecs, fixtures
+
+
+def _rand_img(seed, h=24, w=36):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@given(st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=25, deadline=None)
+def test_lossless_roundtrip(seed):
+    img = _rand_img(seed)
+    for fmt in ("raw", "pngz"):
+        back = codecs.decode_image(codecs.encode_image(img, fmt), 36, 24, fmt)
+        assert np.array_equal(img, back)
+
+
+@given(st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=25, deadline=None)
+def test_lossy_psnr_gate(seed):
+    img = _rand_img(seed)
+    back = codecs.decode_image(codecs.encode_image(img, "qnt8"), 36, 24, "qnt8")
+    assert codecs.psnr_db(img, back) >= 40.0
+
+
+def test_unknown_format_raises():
+    img = _rand_img(0)
+    with pytest.raises(ValueError):
+        codecs.encode_image(img, "jpeg")
+    with pytest.raises(ValueError):
+        codecs.decode_image(b"", 1, 1, "jpeg")
+
+
+def test_phash_stability_and_near_dup():
+    img = _rand_img(3, 32, 32)
+    assert codecs.phash64(img) == codecs.phash64(img.copy())
+    # tiny perturbation -> small hamming distance
+    noisy = np.clip(img.astype(np.int16) + np.random.default_rng(4).integers(-2, 3, img.shape), 0, 255).astype(np.uint8)
+    d = codecs.hamming64(codecs.phash64(img), codecs.phash64(noisy))[0]
+    assert d <= 8
+    # different image -> large distance (probabilistically ~32)
+    other = _rand_img(99, 32, 32)
+    assert codecs.hamming64(codecs.phash64(img), codecs.phash64(other))[0] > 8
+
+
+def test_popcount():
+    vals = np.array([0, 1, 3, 255, -1], dtype=np.int64)
+    assert codecs.popcount64(vals).tolist() == [0, 1, 2, 8, 64]
+
+
+def test_images_table_fidelity_gates():
+    """FIXTURES.md §5: every row's payload decodes to reference pixels
+    (byte-exact for lossless, PSNR>=40 for qnt8); captions intact."""
+    t = fixtures.make_images(300)
+    for j in range(t.num_rows):
+        image_id = t["image_id"][j].as_py()
+        w, h, fmt = t["w"][j].as_py(), t["h"][j].as_py(), t["fmt"][j].as_py()
+        px = codecs.decode_image(t["bytes"][j].as_py(), w, h, fmt)
+        ref = fixtures.reference_pixels(image_id, w, h)
+        if fmt == "qnt8":
+            assert codecs.psnr_db(px, ref) >= 40.0
+        else:
+            assert np.array_equal(px, ref)
+        assert t["caption"][j].as_py().startswith("a photo of ")
+
+
+def test_planted_near_dups_share_phash():
+    t = fixtures.make_images(300)
+    ph = t["phash"].to_numpy()
+    for i in range(fixtures.NEAR_DUP_STRIDE, 300, fixtures.NEAR_DUP_STRIDE):
+        assert ph[i - 1] == ph[i - 2]  # row i duplicates row i-1 (1-based ids)

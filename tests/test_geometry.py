@@ -1,0 +1,108 @@
+"""Geometry kernel truth tables.
+
+Ports the reference's GeoCalculatorSpec structure
+(util/src/test/scala/io/plasmap/util/test/GeoCalculatorSpec.scala:55-114):
+quantified containment over the fixture world, fuzzy-within threshold
+cases, and ring-assembly semantics.
+"""
+
+import numpy as np
+import pytest
+
+from plasmap_ray import fixtures, geometry
+
+
+def test_haversine_known_distance():
+    # 1 degree of longitude at the equator ~= 111.19 km
+    assert geometry.haversine_m(0, 0, 1, 0) == pytest.approx(111_195, abs=30)
+    # symmetric
+    assert geometry.haversine_m(6.7, 51.4, 7.0, 51.5) == pytest.approx(
+        geometry.haversine_m(7.0, 51.5, 6.7, 51.4)
+    )
+    assert geometry.haversine_m(7.0, 51.0, 7.0, 51.0) == 0.0
+
+
+def test_point_in_ring_with_hole():
+    outer = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float)
+    hole = np.array([[1, 1], [3, 1], [3, 3], [1, 3]], float)
+    lon = np.array([0.5, 2.0, 3.5, 5.0])
+    lat = np.array([0.5, 2.0, 3.5, 2.0])
+    assert geometry.points_in_polygon(lon, lat, outer, [hole]).tolist() == [True, False, True, False]
+
+
+def test_convex_clip_exact_area():
+    a = np.array([[0, 0], [2, 0], [2, 2], [0, 2]], float)
+    b = np.array([[1, 1], [3, 1], [3, 3], [1, 3]], float)
+    assert geometry.intersection_area(a, b) == pytest.approx(1.0)
+    # disjoint
+    c = np.array([[10, 10], [11, 10], [11, 11], [10, 11]], float)
+    assert geometry.intersection_area(a, c) == 0.0
+    # contained
+    d = np.array([[0.5, 0.5], [1.5, 0.5], [1.5, 1.5], [0.5, 1.5]], float)
+    assert geometry.intersection_area(d, a) == pytest.approx(1.0)
+
+
+def test_fuzzy_within_threshold_truth_table():
+    """Reference truth table (GeoCalculatorSpec.scala:88-98): overlap
+    fractions straddling the 0.9 threshold classify in/out correctly."""
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    # inner shifted so exactly 80% of its area overlaps -> out
+    inner_out = np.array([[8, 0], [18, 0], [18, 2], [8, 2]], float)  # 20% in [8,10]
+    assert not geometry.fuzzy_within(inner_out, outer)
+    # 92% overlap -> in
+    inner_in = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 1.0], [0.0, 1.0]], float) + np.array([0.8, 0.0])
+    # ^ shifted 0.8 right: 9.2/10 of width inside -> 92%
+    assert geometry.fuzzy_within(inner_in, outer)
+    # full containment -> in
+    assert geometry.fuzzy_within(np.array([[1, 1], [2, 1], [2, 2], [1, 2]], float), outer)
+
+
+def test_grid_intersection_matches_exact_clip():
+    a = np.array([[0, 0], [2, 0], [2, 2], [0, 2]], float)
+    b = np.array([[1, 1], [3, 1], [3, 3], [1, 3]], float)
+    approx = geometry.intersection_area_grid(a, [], b, [], resolution=256)
+    assert approx == pytest.approx(1.0, rel=0.02)
+
+
+def test_assemble_rings_multiple_and_reversed():
+    sq1 = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], float)
+    sq2 = np.array([[5, 5], [6, 5], [6, 6], [5, 6]], float)
+    ways = [
+        sq1[[0, 1, 2]],  # open chain
+        sq1[[0, 3, 2]][::-1],  # needs reversal to chain
+        np.vstack([sq2, sq2[:1]]),  # already closed
+    ]
+    rings = geometry.assemble_rings(ways)
+    assert len(rings) == 2
+    areas = sorted(geometry.ring_area(r) for r in rings)
+    assert areas == pytest.approx([1.0, 1.0])
+
+
+def test_assemble_rings_open_raises():
+    with pytest.raises(ValueError):
+        geometry.assemble_rings([np.array([[0, 0], [1, 0]], float), np.array([[2, 2], [3, 3]], float)])
+
+
+def test_repair_ring_pads_degenerate():
+    r = geometry.repair_ring(np.array([[1.0, 1.0], [2.0, 2.0]]))
+    assert r.shape[0] >= 3
+
+
+def test_fixture_world_containment_truth_table():
+    """Every fixture district classifies against its city exactly as the
+    generator's ground truth says (the Essen/Duisburg quantified-suite
+    analogue, GeoCalculatorSpec.scala:55-86)."""
+    world = fixtures.boundary_world()
+    by_id = {b["rel_id"]: b for b in world["boundaries"]}
+    for inner_id, outer_id, expected in world["containment"]:
+        inner = by_id[inner_id]
+        outer = by_id[outer_id]
+        got = geometry.fuzzy_within(inner["outer"], outer["outer"], inner.get("holes"), outer.get("holes"))
+        assert got == expected, (inner_id, outer_id, expected)
+
+
+def test_envelope():
+    ring = np.array([[1, 2], [5, -1], [3, 7]], float)
+    assert geometry.envelope(ring) == (1.0, -1.0, 5.0, 7.0)
+    with pytest.raises(ValueError):
+        geometry.envelope(np.empty((0, 2)))
