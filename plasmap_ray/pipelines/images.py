@@ -1,0 +1,146 @@
+"""Image-payload pipelines: decode/verify fidelity, metadata stats,
+phash dedup — over the driver-shaped images table
+(image_id, bytes, w, h, fmt, caption, phash).
+
+The images table is generated deterministically per scale factor
+(fixtures.make_images) and cached as parquet under /tmp; the SAME file
+backs the Ray pipelines and any DuckDB oracle query, so metadata-level
+results are cross-checkable while decode-level checks (pixel fidelity)
+are Ray-only + pytest.
+
+Decode happens inside actor-pool batches on zero-copy Arrow buffers;
+`bytes` is projected away before any shuffle (SURVEY.md §7.3 wide-binary
+guidance).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+from .. import codecs, fixtures
+
+# images-per-scale policy: sized to keep test runtime sane while giving
+# each sf a distinct volume (documents.parquet doesn't scale with sf).
+IMAGES_PER_SF = {"sf0.001": 1_000, "sf0.01": 20_000, "sf0.1": 60_000}
+
+
+def images_count_for(sf_dir: str) -> int:
+    return IMAGES_PER_SF.get(os.path.basename(os.path.normpath(sf_dir)), 1_000)
+
+
+def images_path_for(sf_dir: str) -> str:
+    """Generate-once parquet for the sf-scaled images table."""
+    return fixtures.images_parquet_path(images_count_for(sf_dir))
+
+
+def read_images(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(images_path_for(sf_dir), columns=columns)
+
+
+class FidelityVerify:
+    """Actor-pool stage: decode every payload and verify the per-row
+    invariants (driver input_hint): decoded pixels match the reference
+    (byte-exact lossless / PSNR>=40 lossy), recomputed phash matches the
+    phash column, caption non-empty.  Emits status columns; never
+    raises on data errors (M9 error-router semantics — bad rows are
+    flagged for quarantine, the task never fails)."""
+
+    def __init__(self, check_reference: bool = True):
+        self.check_reference = check_reference
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ok = np.zeros(n, dtype=bool)
+        psnr = np.full(n, np.inf)
+        err = np.full(n, "", dtype=object)
+        w = batch["w"].to_numpy()
+        h = batch["h"].to_numpy()
+        ph = batch["phash"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        ids = batch["image_id"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        captions = batch["caption"].to_pylist()
+        for i in range(n):
+            try:
+                px = codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
+                if codecs.phash64(px) != ph[i] and fmts[i] != "qnt8":
+                    raise ValueError("phash mismatch")
+                if self.check_reference:
+                    ref = fixtures.reference_pixels(ids[i], int(w[i]), int(h[i]))
+                    p = codecs.psnr_db(px, ref)
+                    psnr[i] = p
+                    if fmts[i] == "qnt8":
+                        if p < 40.0:
+                            raise ValueError(f"psnr {p:.2f} < 40")
+                    elif not np.array_equal(px, ref):
+                        raise ValueError("lossless pixels differ")
+                if not captions[i]:
+                    raise ValueError("empty caption")
+                ok[i] = True
+            except Exception as e:  # noqa: BLE001 — data errors routed, not raised
+                err[i] = str(e)
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column("ok", pa.array(ok, type=pa.bool_()))
+        out = out.append_column("psnr_db", pa.array(np.where(np.isinf(psnr), 999.0, psnr), type=pa.float64()))
+        return out.append_column("error", pa.array(err, type=pa.string()))
+
+
+def fidelity_pipeline(sf_dir: str) -> rd.Dataset:
+    """Decode + verify every image; returns per-format pass/fail counts."""
+    ds = read_images(sf_dir)
+    verified = ds.map_batches(FidelityVerify, batch_format="pyarrow", batch_size=512, concurrency=(1, 8))
+    return verified.groupby("fmt").aggregate(
+        Count(alias_name="n_images"),
+        Sum("ok", alias_name="n_ok"),
+    )
+
+
+def quarantine_split(sf_dir: str, out_dir: str) -> tuple[rd.Dataset, str]:
+    """M9 error-router: verified-ok rows stream on; failed rows land in a
+    quarantine parquet for re-run (failure-topic analogue,
+    OsmPreprocessor.scala:54-93,96-99)."""
+    ds = read_images(sf_dir)
+    verified = ds.map_batches(FidelityVerify, batch_format="pyarrow", batch_size=512, concurrency=(1, 8))
+    bad = verified.filter(expr="ok == False")
+    qdir = os.path.join(out_dir, "quarantine")
+    bad.write_parquet(qdir)
+    good = verified.filter(expr="ok == True")
+    return good, qdir
+
+
+def image_meta_stats(sf_dir: str) -> rd.Dataset:
+    """Metadata histogram: per (fmt, w, h) counts + payload bytes (SQL-
+    checkable against the same parquet via DuckDB read_parquet)."""
+    ds = read_images(sf_dir, columns=["fmt", "w", "h", "bytes"])
+
+    import pyarrow.compute as pc
+
+    def sizes(t: pa.Table) -> pa.Table:
+        nbytes = pc.cast(pc.binary_length(t["bytes"]), pa.int64())
+        return t.drop_columns(["bytes"]).append_column("payload_bytes", nbytes)
+
+    return ds.map_batches(sizes, batch_format="pyarrow").groupby(["fmt", "w", "h"]).aggregate(
+        Count(alias_name="n_images"), Sum("payload_bytes", alias_name="total_bytes")
+    )
+
+
+def phash_dedup(sf_dir: str) -> rd.Dataset:
+    """Exact near-dup buckets by perceptual hash (D4): groups with >1
+    image are the planted duplicate pairs."""
+    ds = read_images(sf_dir, columns=["image_id", "phash"])
+    g = ds.groupby("phash").aggregate(Min("image_id", alias_name="first_image_id"), Count(alias_name="n_images"))
+    return g.filter(expr="n_images > 1")
+
+
+def phash_near_dup_pairs(sf_dir: str, max_dist: int = 8) -> rd.Dataset:
+    """Banded Hamming-LSH near-dup pairs over the phash column (D4+)."""
+    from . import dedup as _dedup
+
+    ds = read_images(sf_dir, columns=["image_id", "phash"])
+    return _dedup.hamming_pairs(ds, hash_col="phash", id_col="image_id", max_dist=max_dist)

@@ -1,0 +1,117 @@
+"""Relational pipelines: grouped reduces, equi-joins, per-group top-k.
+
+Rebuilds of the reference's generic stream combinators over tabular
+inputs: ``reduceByKey`` (A1, util/streams/Utilities.scala:11-20),
+lookup equi-joins (J1/J2 shape, WayFlow/RelationFlow) and per-group
+fold/top-k (A2).  All shuffles are Ray Data groupby/join; float outputs
+are rounded to fixed decimals in BOTH engines before compare (sum order
+is engine-dependent; rounding removes ulp noise).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..stages.common import cast_columns as _cast_cols
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+from ..stages.common import round_columns as _round_cols  # noqa: E402
+
+
+def pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1-flavoured grouped reduce over lineitem (A1).
+
+    Demonstrates partial aggregation: revenue computed per batch
+    (vectorized), then a small groupby over (returnflag, linestatus).
+    """
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def add_revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    out = (
+        ds.map_batches(add_revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("revenue", alias_name="sum_revenue"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="n_rows"),
+        )
+    )
+    return out.map_batches(
+        functools.partial(_round_cols, cols=("sum_qty", "sum_revenue"), ndigits=2), batch_format="pyarrow"
+    ).map_batches(functools.partial(_round_cols, cols=("avg_disc",), ndigits=6), batch_format="pyarrow")
+
+
+def orders_by_nation(sf_dir: str) -> rd.Dataset:
+    """orders ⋈ customer ⋈ nation -> per-nation order counts + revenue.
+
+    The J1/J2 equi-join shape (id lookups become hash joins).  The two
+    dimension tables are small: Ray's hash join is used for the big
+    side once, the nation attach is a second join over the already
+    aggregated (25-row) side — join placement mirrors broadcast logic.
+    """
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+    per_nation = joined.groupby("c_nationkey").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_revenue")
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).map_batches(
+        functools.partial(_cast_cols, casts={"n_nationkey": pa.int64()}), batch_format="pyarrow"
+    )
+    out = per_nation.join(nation, join_type="inner", num_partitions=2, on=("c_nationkey",), right_on=("n_nationkey",))
+    return out.select_columns(["n_name", "n_orders", "total_revenue"]).map_batches(
+        functools.partial(_round_cols, cols=("total_revenue",), ndigits=2), batch_format="pyarrow"
+    )
+
+
+def topk_orders_per_customer(sf_dir: str, k: int = 2) -> rd.Dataset:
+    """Per-group top-k (A2/§2.6): k highest-value orders per customer,
+    ties broken by orderkey — groupby().map_groups with vectorized sort."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def topk(g, k=k):
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["order_rank"] = range(1, len(g) + 1)
+        return g
+
+    out = orders.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+    return out.map_batches(
+        functools.partial(_round_cols, cols=("o_totalprice",), ndigits=2), batch_format="pyarrow"
+    )
+
+
+def filtered_stats(sf_dir: str) -> rd.Dataset:
+    """Predicate-pushdown scan + scalar stats (counters S8/A3 analogue):
+    per-brand part stats over a filtered read."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_brand", "p_size", "p_retailprice"],
+        filter=(pc.field("p_size") >= 20),
+    )
+    out = ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Min("p_retailprice", alias_name="min_price"),
+        Max("p_retailprice", alias_name="max_price"),
+    )
+    return out.map_batches(
+        functools.partial(_round_cols, cols=("min_price", "max_price"), ndigits=2), batch_format="pyarrow"
+    )

@@ -1,0 +1,191 @@
+"""Spatial pipelines: cell index, tiling, PiP join, kNN — Ray Data DAGs.
+
+Each function takes ``sf_dir`` (a testdata directory) and returns a lazy
+``ray.data.Dataset``; nothing here calls ``ray.init``.  Points are
+derived deterministically from the ``documents`` table's ``doc_id``
+(fixtures.derive_lon/lat) so every pipeline is verifiable against the
+DuckDB SQL mirrors in plasmap_ray.oracle.
+
+Scale design notes (10^12-row design point):
+- the boundary set and POI set are the SMALL sides: broadcast once via
+  ``ray.put``, probed map-side inside actor pools — the point side
+  never shuffles for joins;
+- the only all-to-all exchanges are the per-tile aggregations, which
+  pre-aggregate per batch (combiner) before the groupby and can salt
+  hot tiles (stages.geo.add_salt);
+- reads prune columns at the source (``columns=[...]``).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from .. import cells, fixtures
+from ..stages import geo
+
+DEFAULT_ZOOMS = (6, 10, 14)
+
+
+def points_from_documents(sf_dir: str) -> rd.Dataset:
+    """documents.doc_id -> (doc_id, lon, lat): the derived point cloud."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return ds.map_batches(geo.derive_position, batch_format="pyarrow")
+
+
+def points_from_orders(sf_dir: str) -> rd.Dataset:
+    """orders.o_orderkey -> point cloud (larger table for volume tests)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey"])
+    return ds.map_batches(functools.partial(geo.derive_position, id_col="o_orderkey"), batch_format="pyarrow")
+
+
+def cell_index_pipeline(sf_dir: str) -> rd.Dataset:
+    """Per-point Morton cell ids at the two reference precisions (M6)."""
+    return points_from_documents(sf_dir).map_batches(geo.cell_index, batch_format="pyarrow").select_columns(
+        ["doc_id", "cell_low", "cell_verylow"]
+    )
+
+
+def tile_assign_pipeline(sf_dir: str, z: int = 12) -> rd.Dataset:
+    """Per-point slippy tile assignment at one zoom."""
+    return (
+        points_from_documents(sf_dir)
+        .map_batches(functools.partial(geo.tile_assign, z=z), batch_format="pyarrow")
+        .select_columns(["doc_id", "z", "x", "y", "quadkey"])
+    )
+
+
+def tile_histogram_pipeline(sf_dir: str, zooms: tuple[int, ...] = DEFAULT_ZOOMS, salted: bool = False) -> rd.Dataset:
+    """Per-tile feature counts across zooms (A5) — the tiling aggregate.
+
+    ``salted=True`` runs the two-phase skew-guarded aggregation
+    (groupby (tile, salt) then re-aggregate by tile); results are
+    identical to the unsalted plan by construction.
+    """
+    pts = points_from_documents(sf_dir)
+    exploded = pts.map_batches(
+        functools.partial(geo.tile_explode, zooms=zooms, key_cols=("doc_id",)), batch_format="pyarrow"
+    )
+    if salted:
+        salted_ds = exploded.map_batches(
+            functools.partial(geo.add_salt, key_col="quadkey", id_col="doc_id", factor=8), batch_format="pyarrow"
+        )
+        partial = salted_ds.groupby(["z", "x", "y", "salt"]).aggregate(Count(alias_name="n_images"))
+        return partial.groupby(["z", "x", "y"]).aggregate(Sum("n_images", alias_name="n_images"))
+    return exploded.groupby(["z", "x", "y"]).aggregate(Count(alias_name="n_images"))
+
+
+def boundary_index_ref(admin_level: int | None = None) -> "ray.ObjectRef":
+    """Build + broadcast the fixture admin-polygon index (driver-side, once)."""
+    polys = fixtures.admin_polygons()
+    if admin_level is not None:
+        polys = [p for p in polys if p["admin_level"] == admin_level]
+    return ray.put(geo.PolygonIndex(polys, precision=cells.PRECISION_VERY_LOW))
+
+
+def pip_join_pipeline(sf_dir: str, source=points_from_documents) -> rd.Dataset:
+    """Broadcast point-in-polygon join (J3): one row per containing area."""
+    idx_ref = boundary_index_ref()
+    return source(sf_dir).map_batches(
+        geo.PiPJoinActor,
+        fn_constructor_kwargs=dict(index_ref=idx_ref, keep_cols=("doc_id",)),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=8192,
+    ).select_columns(["doc_id", "rel_id", "admin_level"])
+
+
+def pip_count_pipeline(sf_dir: str) -> rd.Dataset:
+    """Joined-row counts per admin area (A3 analogue)."""
+    return pip_join_pipeline(sf_dir).groupby("rel_id").aggregate(Count(alias_name="n_points"))
+
+
+def knn_pipeline(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """k nearest POIs per point (J7 kNN form; planar metric, oracle-exact)."""
+    pois = fixtures.make_pois()
+    pois_ref = ray.put({c: pois[c].to_numpy() for c in ("poi_id", "lon", "lat")})
+    out = points_from_documents(sf_dir).map_batches(
+        geo.KnnJoinActor,
+        fn_constructor_kwargs=dict(pois_ref=pois_ref, k=k, metric="sqdeg", keep_cols=("doc_id",)),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=8192,
+    )
+    return out.map_batches(lambda t: t.rename_columns(["doc_id", "knn_rank", "poi_id"]), batch_format="pyarrow")
+
+
+def radius_pipeline(sf_dir: str, radius_deg: float = 0.05) -> rd.Dataset:
+    """All POIs within a planar radius per point (J7 'nearby' form)."""
+    pois = fixtures.make_pois()
+    pois_ref = ray.put({c: pois[c].to_numpy() for c in ("poi_id", "lon", "lat")})
+    return points_from_documents(sf_dir).map_batches(
+        geo.RadiusJoinActor,
+        fn_constructor_kwargs=dict(pois_ref=pois_ref, radius=radius_deg, metric="sqdeg", keep_cols=("doc_id",)),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=8192,
+    )
+
+
+def poi_in_area_pipeline(sf_dir: str, value: str = "restaurant") -> rd.Dataset:
+    """POI-in-area join with tag pushdown (J5): count of one POI type per city.
+
+    The reference's '125 restaurants in Duisburg' query pattern
+    (QueriesSpec.scala:153): filter POIs by tag FIRST (pushdown), then
+    PiP against admin_level=6 cities, then count per city.
+    ``sf_dir`` is unused (the POI fixture is scale-free) but kept for
+    the uniform queries() signature.
+    """
+    pois = fixtures.make_pois()
+    mask = pa.compute.equal(pois["value"], value)
+    pois = pois.filter(mask)
+    ds = rd.from_arrow(pois)
+    idx_ref = boundary_index_ref(admin_level=6)
+    joined = ds.map_batches(
+        geo.PiPJoinActor,
+        fn_constructor_kwargs=dict(index_ref=idx_ref, keep_cols=("poi_id",)),
+        batch_format="pyarrow",
+        concurrency=1,
+        batch_size=4096,
+    )
+    return joined.groupby("rel_id").aggregate(Count(alias_name="n_pois"))
+
+
+def flagship_pipeline(sf_dir: str) -> rd.Dataset:
+    """The headline end-to-end DAG (north_rule shape):
+
+    points -> cell index -> broadcast PiP join -> kNN attach -> tile
+    explode -> per-tile aggregate.  Returns per (tile, admin area)
+    image counts at z=10 with a representative nearest-POI count.
+    """
+    idx_ref = boundary_index_ref()
+    pois = fixtures.make_pois()
+    pois_ref = ray.put({c: pois[c].to_numpy() for c in ("poi_id", "lon", "lat")})
+
+    pts = points_from_documents(sf_dir).map_batches(geo.cell_index, batch_format="pyarrow")
+    joined = pts.map_batches(
+        geo.PiPJoinActor,
+        fn_constructor_kwargs=dict(index_ref=idx_ref, keep_cols=("doc_id", "lon", "lat", "cell_low")),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=8192,
+    )
+    near = joined.map_batches(
+        geo.KnnJoinActor,
+        fn_constructor_kwargs=dict(pois_ref=pois_ref, k=1, metric="sqdeg", keep_cols=("doc_id", "lon", "lat", "rel_id", "admin_level")),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=8192,
+    )
+    tiled = near.map_batches(
+        functools.partial(geo.tile_assign, z=10), batch_format="pyarrow"
+    )
+    return tiled.groupby(["z", "x", "y", "rel_id"]).aggregate(
+        Count(alias_name="n_images"),
+    )

@@ -1,0 +1,76 @@
+"""Stream-shaped pipelines over the ``events`` table.
+
+The reference is an unbounded element-at-a-time ETL with no event-time
+windows (SURVEY.md §2.9); a training-data engine still needs them, so
+these translate stream semantics to batch Datasets: the events log is
+treated as a partitioned, timestamp-ordered table; windows become
+groupby + vectorized in-group logic (ray_guide 'Streaming-shaped
+workloads' pattern).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..stages.common import round_columns
+
+SESSION_GAP_MIN = 30
+
+
+def _read_events(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def tumbling_window(sf_dir: str) -> rd.Dataset:
+    """1-hour tumbling window counts + value sums per event_type."""
+    ds = _read_events(sf_dir, ["ts", "event_type", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        return t.append_column("window_start", pc.floor_temporal(t["ts"], unit="hour"))
+
+    out = (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+    return out.map_batches(functools.partial(round_columns, cols=("sum_value",), ndigits=4), batch_format="pyarrow")
+
+
+def sessionize(sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> rd.Dataset:
+    """Session windows per user (gap > ``gap_min`` starts a new session).
+
+    Partition by user (shuffle), order by ts within the group, cumulative
+    gap count = session ordinal.  Emits one row per session with start
+    timestamp and event count — SQL-mirrored via LAG + running SUM.
+    """
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_min)
+        sid = gap.cumsum().astype(np.int64) + 1
+        out = (
+            g.assign(session_id=sid)
+            .groupby("session_id", as_index=False)
+            .agg(session_start=("ts", "min"), session_end=("ts", "max"), n_events=("event_id", "count"))
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        return out[["user_id", "session_id", "session_start", "session_end", "n_events"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def event_type_rates(sf_dir: str) -> rd.Dataset:
+    """Global per-type event counts and mean value (M10 counters analogue)."""
+    ds = _read_events(sf_dir, ["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    return out.map_batches(functools.partial(round_columns, cols=("sum_value",), ndigits=4), batch_format="pyarrow")
