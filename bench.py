@@ -1,0 +1,293 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with headline + per-query times.
+
+Usage:
+    python bench.py              # single run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # fresh-process runs at 8 and 32 CPUs,
+                                 # reports both + scaling efficiency
+
+Input: $GRAFT_SF_DIR (default /root/testdata/sf0.1).  The HEADLINE is
+the fused image flagship (north-star shape): decode each image payload,
+verify the per-row fidelity invariant (reference pixels / PSNR>=40 /
+phash), derive the geo-tag, PiP join vs broadcast boundaries,
+nearest-POI attach, slippy-tile assign, per-tile aggregate — over
+$GRAFT_BENCH_IMAGES (default 600k) deterministic images generated once
+(Ray-parallel) under /tmp.  Secondary queries cover the point flagship
+(~14.4M derived points, x$GRAFT_BENCH_MULT fan-out), PiP, tiling
+histogram, kNN and MinHash dedup.  Progress goes to stderr; stdout
+carries exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+MULT = int(os.environ.get("GRAFT_BENCH_MULT", "24"))
+N_IMAGES_BENCH = int(os.environ.get("GRAFT_BENCH_IMAGES", "600000"))
+# actor pools must leave CPU headroom for upstream read/explode tasks,
+# or the pipeline deadlocks/serializes (pool reserving every CPU starves
+# the task operators feeding it)
+POOL = max(2, NUM_CPUS - 4)
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_points(sf_dir: str, mult: int):
+    """Point cloud: lineitem row ids fanned out x mult (vectorized)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from plasmap_ray import fixtures
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber"],
+        override_num_blocks=max(16, NUM_CPUS * 2),
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        base = t["l_orderkey"].to_numpy() * 100 + t["l_linenumber"].to_numpy()
+        ids = (base[:, None] * mult + np.arange(mult)[None, :]).ravel().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "lon": fixtures.derive_lon(ids),
+                "lat": fixtures.derive_lat(ids),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=16384)
+
+
+def ensure_bench_images(n: int) -> str:
+    """Generate-once (Ray-parallel) bench images table as partitioned
+    parquet under /tmp; returns the directory.  Sizes restricted to
+    16/32 px so generation stays cheap; contents are the deterministic
+    fixtures.make_images rows (near-dups, captions, phashes intact)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from plasmap_ray import fixtures
+
+    root = f"/tmp/plasmap_fixtures/images_bench_v2_n{n}"
+    marker = os.path.join(root, "_SUCCESS")
+    if os.path.exists(marker):
+        return root
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy() + 1
+        return fixtures.make_images_for_ids(np.asarray(ids, dtype=np.int64), size_choices=(16, 32))
+
+    ds = rd.range(n, override_num_blocks=max(32, NUM_CPUS * 4)).map_batches(gen, batch_format="pyarrow")
+    ds.write_parquet(root)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def run_queries() -> dict:
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+            log_to_driver=False,  # keep worker prints off stdout: the driver parses our ONE JSON line
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from ray.data.aggregate import Count
+
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import dedup, images, spatial
+    from plasmap_ray.stages import geo
+
+    times: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    import ray as _ray
+
+    idx_ref = spatial.boundary_index_ref()
+    pois = fixtures.make_pois()
+    pois_ref = _ray.put({c: pois[c].to_numpy() for c in ("poi_id", "lon", "lat")})
+
+    # warm (untimed): page cache, worker startup, per-worker kernel builds
+    log("warming...")
+    img_dir = ensure_bench_images(N_IMAGES_BENCH)  # generate-once, untimed
+    bench_points(SF_DIR, 1).map_batches(
+        functools.partial(geo.fused_flagship_fn, index_ref=idx_ref, pois_ref=pois_ref, k=1, z=10),
+        batch_format="pyarrow",
+        batch_size=16384,
+    ).count()
+    rd.read_parquet(img_dir).limit(4096).map_batches(
+        functools.partial(geo.fused_image_flagship_fn, index_ref=idx_ref, pois_ref=pois_ref, z=10),
+        batch_format="pyarrow",
+        batch_size=1024,
+    ).count()
+
+    only = {q for q in os.environ.get("GRAFT_BENCH_ONLY", "").split(",") if q}
+
+    def timed(name: str, fn):
+        if only and name not in only:
+            return
+        t0 = time.perf_counter()
+        n = fn()
+        dt = time.perf_counter() - t0
+        times[name] = round(dt, 3)
+        counts[name] = int(n)
+        log(f"  {name}: {dt:.2f}s ({n} rows)")
+
+    pts = bench_points(SF_DIR, MULT)
+
+    # HEADLINE: fused image flagship — the north-star pipeline: decode
+    # each image payload, verify the per-row fidelity invariant
+    # (reference pixels / PSNR>=40 / phash), derive the geo-tag, PiP
+    # join vs broadcast boundaries, nearest-POI attach, tile assign,
+    # partial per-tile counts.  ALU-dense (zlib + hashing + trig), so
+    # throughput scales with cores rather than memory bandwidth.
+    def image_flagship():
+        from ray.data.aggregate import Sum
+
+        partial = rd.read_parquet(img_dir, override_num_blocks=64).map_batches(
+            functools.partial(geo.fused_image_flagship_fn, index_ref=idx_ref, pois_ref=pois_ref, z=10),
+            batch_format="pyarrow",
+            batch_size=4096,
+        )
+        return partial.groupby(["z", "x", "y", "rel_id"]).aggregate(Sum("n_images", alias_name="n_images")).count()
+
+    timed("image_flagship", image_flagship)
+
+    # secondary: fused point flagship (cell+PiP+kNN+tile+partial-count)
+    def flagship():
+        from ray.data.aggregate import Sum
+
+        partial = pts.map_batches(
+            functools.partial(geo.fused_flagship_fn, index_ref=idx_ref, pois_ref=pois_ref, k=1, z=10),
+            batch_format="pyarrow",
+            batch_size=16384,
+        )
+        return partial.groupby(["z", "x", "y", "rel_id"]).aggregate(Sum("n_images", alias_name="n_images")).count()
+
+    timed("points_flagship", flagship)
+
+    def pip_join():
+        return (
+            pts.map_batches(
+                functools.partial(geo.pip_join_fn, index_ref=idx_ref, keep_cols=("doc_id",)),
+                batch_format="pyarrow",
+                batch_size=16384,
+            ).count()
+        )
+
+    timed("pip_join", pip_join)
+
+    def tile_histogram():
+        from ray.data.aggregate import Sum
+
+        partial = pts.map_batches(
+            functools.partial(geo.tile_count_partial, zooms=(6, 10, 14)),
+            batch_format="pyarrow",
+            batch_size=16384,
+        )
+        return partial.groupby(["z", "x", "y"]).aggregate(Sum("n_images", alias_name="n_images")).count()
+
+    timed("tile_histogram", tile_histogram)
+
+    def knn():
+        return (
+            pts.map_batches(
+                functools.partial(geo.knn_join_fn, pois_ref=pois_ref, k=3, metric="sqdeg", keep_cols=("doc_id",)),
+                batch_format="pyarrow",
+                batch_size=16384,
+            ).count()
+        )
+
+    timed("knn", knn)
+
+    def minhash():
+        return dedup.minhash_near_dup(SF_DIR).count()
+
+    timed("minhash_near_dup", minhash)
+
+    flagship_sec = times.get("image_flagship", 0.0)
+    result = {
+        "metric": "image flagship DAG (decode+fidelity+PiP+kNN+tile aggregate) wall time",
+        "value": flagship_sec,
+        "unit": "sec",
+        "queries": times,
+        "rows": counts,
+        "n_images": N_IMAGES_BENCH,
+        "images_per_sec": round(N_IMAGES_BENCH / flagship_sec, 1) if flagship_sec else None,
+        "n_points": int(pts.count()),
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    return result
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        lo, hi = int(os.environ.get("GRAFT_SCALE_LO", "8")), int(os.environ.get("GRAFT_SCALE_HI", "32"))
+        reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+        out = {}
+        for n in (lo, hi):
+            best = None
+            for rep in range(reps):
+                # headline-only, fresh process per rep; best-of-reps guards
+                # against co-tenant noise on the sandbox host
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_BENCH_ONLY="image_flagship")
+                log(f"=== scaling run: num_cpus={n} rep={rep} ===")
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
+                )
+                cand = json.loads(r.stdout.strip().splitlines()[-1])
+                if best is None or cand["images_per_sec"] > best["images_per_sec"]:
+                    best = cand
+            out[n] = best
+        rate_lo = out[lo]["images_per_sec"]
+        rate_hi = out[hi]["images_per_sec"]
+        eff = (rate_hi / rate_lo) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": f"scaling efficiency {lo}->{hi} cpus (image flagship images/sec)",
+                    "value": round(eff, 3),
+                    "unit": "efficiency",
+                    f"sec_{lo}": out[lo]["value"],
+                    f"sec_{hi}": out[hi]["value"],
+                    f"rate_{lo}": rate_lo,
+                    f"rate_{hi}": rate_hi,
+                    "queries": {f"cpus_{n}": out[n]["queries"] for n in (lo, hi)},
+                    "sf": SF_DIR,
+                }
+            )
+        )
+        return
+    import ray
+
+    result = run_queries()
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

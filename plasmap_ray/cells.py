@@ -152,17 +152,15 @@ def cover_radius(lon: float, lat: float, radius_m: float, precision: int) -> np.
 def quadkey_str(code, precision: int) -> np.ndarray:
     """Base-4 digit string of the Morton code (classic quadkey).
 
-    Note digit convention: digit = 2*ybit + xbit per level, most
-    significant level first.
+    Digit convention: digit = 2*ybit + xbit per level, most significant
+    level first.  Fully vectorized: digits -> uint8 char matrix ->
+    fixed-width bytes view -> unicode (no per-row Python).
     """
     code = np.atleast_1d(np.asarray(code, dtype=np.int64))
-    out = np.empty(code.shape[0], dtype=object)
-    digits = np.empty((precision, code.shape[0]), dtype=np.int64)
+    n = code.shape[0]
+    chars = np.empty((n, precision), dtype=np.uint8)
     c = code.copy()
     for lvl in range(precision - 1, -1, -1):
-        digits[lvl] = c & 3
+        chars[:, lvl] = (c & 3).astype(np.uint8) + ord("0")
         c >>= 2
-    chars = digits + ord("0")
-    for i in range(code.shape[0]):
-        out[i] = "".join(map(chr, chars[:, i]))
-    return out
+    return np.ascontiguousarray(chars).view(f"S{precision}").ravel().astype(f"U{precision}")

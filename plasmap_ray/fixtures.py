@@ -455,3 +455,57 @@ def images_parquet_path(n: int, seed: int = SEED, skew_hot_frac: float = 0.0, ro
         pq.write_table(make_images(n, seed=seed, skew_hot_frac=skew_hot_frac), tmp)
         os.replace(tmp, path)
     return path
+
+
+def make_images_range(lo: int, hi: int, seed: int = SEED, size_choices: tuple[int, ...] = _SIZE_CHOICES) -> pa.Table:
+    """Rows [lo, hi) of the images table (see make_images_for_ids)."""
+    return make_images_for_ids(np.arange(lo, hi, dtype=np.int64), seed=seed, size_choices=size_choices)
+
+
+def make_images_for_ids(ids: "np.ndarray", seed: int = SEED, size_choices: tuple[int, ...] = _SIZE_CHOICES) -> pa.Table:
+    """Images-table rows for arbitrary ids — the stateless shard form of
+    :func:`make_images` (identical rows), usable from parallel Ray tasks.
+    The near-dup rule (id %% NEAR_DUP_STRIDE == 0 copies id-1's pixels)
+    is honored statelessly by regenerating the predecessor's pixels."""
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    lon = derive_lon(ids)
+    lat = derive_lat(ids)
+    district = district_name_for(lon, lat)
+    kind_idx = (ids % len(POI_KINDS)).astype(np.int64)
+    sizes = np.array(size_choices, dtype=np.int64)
+    w = sizes[(ids * 7) % len(sizes)].astype(np.int32)
+    h = sizes[(ids * 11) % len(sizes)].astype(np.int32)
+
+    payloads: list[bytes] = []
+    phashes = np.empty(n, dtype=np.int64)
+    captions: list[str] = []
+    fmts: list[str] = []
+    for j in range(n):
+        i = int(ids[j])
+        fmt = _FMT_CYCLE[i % len(_FMT_CYCLE)]
+        if i > 1 and i % NEAR_DUP_STRIDE == 0:
+            src = i - 1
+            w[j] = sizes[(src * 7) % len(sizes)]
+            h[j] = sizes[(src * 11) % len(sizes)]
+            pixels = _image_pixels(src, int(w[j]), int(h[j]), seed)
+        else:
+            pixels = _image_pixels(i, int(w[j]), int(h[j]), seed)
+        payloads.append(_codecs.encode_image(pixels, fmt))
+        phashes[j] = _codecs.phash64(pixels)
+        fmts.append(fmt)
+        kind = POI_KINDS[int(kind_idx[j])][1]
+        where = district[j] if district[j] else "the countryside"
+        captions.append(f"a photo of {kind} in {where}")
+
+    return pa.table(
+        {
+            "image_id": pa.array([f"img-{int(i):012d}" for i in ids], type=pa.string()),
+            "bytes": pa.array(payloads, type=pa.binary()),
+            "w": pa.array(w, type=pa.int32()),
+            "h": pa.array(h, type=pa.int32()),
+            "fmt": pa.array(fmts, type=pa.string()),
+            "caption": pa.array(captions, type=pa.string()),
+            "phash": pa.array(phashes, type=pa.int64()),
+        }
+    )

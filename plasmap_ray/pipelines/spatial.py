@@ -69,16 +69,19 @@ def tile_histogram_pipeline(sf_dir: str, zooms: tuple[int, ...] = DEFAULT_ZOOMS,
     identical to the unsalted plan by construction.
     """
     pts = points_from_documents(sf_dir)
-    exploded = pts.map_batches(
-        functools.partial(geo.tile_explode, zooms=zooms, key_cols=("doc_id",)), batch_format="pyarrow"
-    )
     if salted:
+        exploded = pts.map_batches(
+            functools.partial(geo.tile_explode, zooms=zooms, key_cols=("doc_id",), with_quadkey=False),
+            batch_format="pyarrow",
+        )
         salted_ds = exploded.map_batches(
             functools.partial(geo.add_salt, key_col="quadkey", id_col="doc_id", factor=8), batch_format="pyarrow"
         )
         partial = salted_ds.groupby(["z", "x", "y", "salt"]).aggregate(Count(alias_name="n_images"))
         return partial.groupby(["z", "x", "y"]).aggregate(Sum("n_images", alias_name="n_images"))
-    return exploded.groupby(["z", "x", "y"]).aggregate(Count(alias_name="n_images"))
+    # map-side combiner: per-batch partial counts, then a tiny groupby
+    partial = pts.map_batches(functools.partial(geo.tile_count_partial, zooms=zooms), batch_format="pyarrow")
+    return partial.groupby(["z", "x", "y"]).aggregate(Sum("n_images", alias_name="n_images"))
 
 
 def boundary_index_ref(admin_level: int | None = None) -> "ray.ObjectRef":
