@@ -21,7 +21,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from plasmap_ray import oracle  # noqa: E402
-from plasmap_ray.pipelines import ann, dedup, images, relational, spatial, text, windows  # noqa: E402
+from plasmap_ray.pipelines import ann, dedup, denormalize, images, relational, spatial, text, windows  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 SF001 = "/root/testdata/sf0.01"
@@ -54,6 +54,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_join": lambda sf: spatial.radius_pipeline(sf, radius_deg=RADIUS_DEG),
         "poi_in_area": spatial.poi_in_area_pipeline,
         "flagship": spatial.flagship_pipeline,
+        # --- denormalization DAG (ways->rings->polygons, J1/J2) ---
+        "way_assembly": denormalize.way_assembly_query,
+        "boundary_assembly": denormalize.boundary_assembly_query,
         # --- relational / aggregation ---
         "pricing_summary": relational.pricing_summary,
         "orders_by_nation": relational.orders_by_nation,

@@ -1,0 +1,104 @@
+"""Denormalization DAG tests: ways->rings, relations->polygons vs the
+fixture world's golden boundaries (FIXTURES.md §6 test_assembly;
+reference WayFlowSpec.scala:45-84 / RelationFlowSpec.scala:44-162)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from plasmap_ray import fixtures, geometry
+from plasmap_ray.pipelines import denormalize
+
+
+@pytest.fixture(scope="module")
+def world():
+    return fixtures.boundary_world()
+
+
+@pytest.fixture(scope="module")
+def rings_df(ray_session, world):
+    return denormalize.boundaries_from_world(world).to_pandas()
+
+
+def _ring_set(ring: np.ndarray) -> set[tuple[float, float]]:
+    return {(round(float(a), 9), round(float(b), 9)) for a, b in ring}
+
+
+def test_every_relation_assembles(world, rings_df):
+    got_rels = set(rings_df["rel_id"].unique())
+    want_rels = {b["rel_id"] for b in world["boundaries"]}
+    assert got_rels == want_rels
+
+
+def test_rings_match_golden_vertices_and_area(world, rings_df):
+    by_rel = {b["rel_id"]: b for b in world["boundaries"]}
+    for rel_id, g in rings_df.groupby("rel_id"):
+        golden = by_rel[rel_id]
+        outers = g[g["role"] == "outer"]
+        inners = g[g["role"] == "inner"]
+        assert len(outers) == 1, rel_id
+        ring = np.column_stack([outers.iloc[0]["lons"], outers.iloc[0]["lats"]])
+        assert _ring_set(ring) == _ring_set(golden["outer"]), rel_id
+        assert geometry.ring_area(ring) == pytest.approx(geometry.ring_area(golden["outer"]), rel=1e-12)
+        golden_holes = golden.get("holes") or []
+        assert len(inners) == len(golden_holes), rel_id
+        for _, hole_row in inners.iterrows():
+            hole = np.column_stack([hole_row["lons"], hole_row["lats"]])
+            assert any(_ring_set(hole) == _ring_set(gh) for gh in golden_holes), rel_id
+
+
+def test_way_assembly_preserves_nds_order(ray_session, world):
+    """Coordinates must come back in nds order despite the shuffle."""
+    nodes = {r["node_id"]: (r["lon"], r["lat"]) for r in world["nodes"].to_pylist()}
+    way_geoms = denormalize.assemble_ways(
+        rd.from_arrow(world["nodes"]), rd.from_arrow(world["ways"])
+    ).to_pandas()
+    ways = {r["way_id"]: r["nds"] for r in world["ways"].to_pylist()}
+    assert set(way_geoms["way_id"]) == set(ways)
+    for _, row in way_geoms.iterrows():
+        nds = ways[row["way_id"]]
+        expect = np.array([nodes[n] for n in nds])
+        got = denormalize.unpack_geom(row["geom"])
+        assert np.allclose(got, expect), row["way_id"]
+
+
+def test_inner_join_drop_semantics(ray_session, world):
+    """A missing node drops silently (reference WayFlow.scala:38);
+    a way with zero resolvable nodes disappears."""
+    import pyarrow as pa
+
+    nodes_t = world["nodes"].slice(1)  # drop node_id=1
+    ways_t = pa.table(
+        {
+            "way_id": pa.array([901, 902], type=pa.int64()),
+            "nds": pa.array([[1, 2, 3], [1, 1]], type=pa.list_(pa.int64())),
+        }
+    )
+    out = denormalize.assemble_ways(rd.from_arrow(nodes_t), rd.from_arrow(ways_t)).to_pandas()
+    by_id = {r["way_id"]: r for _, r in out.iterrows()}
+    assert 902 not in by_id  # all nodes missing -> way dropped
+    assert denormalize.unpack_geom(by_id[901]["geom"]).shape[0] == 2  # node 1 dropped element-wise
+
+
+def test_assembled_polygons_drive_pip_join(ray_session, world, rings_df):
+    """End-to-end seam: DAG output -> PolygonIndex -> PiP results match
+    an index built from the golden boundaries."""
+    from plasmap_ray.stages import geo
+
+    polys = denormalize.polygons_from_rings(rings_df)
+    idx_a = geo.PolygonIndex(polys)
+    idx_b = geo.PolygonIndex(
+        [dict(rel_id=b["rel_id"], name=b["name"], admin_level=b["admin_level"], outer=b["outer"], holes=b.get("holes") or []) for b in world["boundaries"]]
+    )
+    ids = np.arange(1, 20001)
+    lon = fixtures.derive_lon(ids)
+    # stretch derived lats into the polygon world's band
+    lat = 50.6 + (fixtures.derive_lat(ids) - fixtures.LAT_MIN) * 0.9
+    pa_, qa = idx_a.query(lon, lat)
+    pb, qb = idx_b.query(lon, lat)
+    rel_a = np.array([idx_a.polygons[i]["rel_id"] for i in qa])
+    rel_b = np.array([idx_b.polygons[i]["rel_id"] for i in qb])
+    got = set(zip(pa_.tolist(), rel_a.tolist()))
+    want = set(zip(pb.tolist(), rel_b.tolist()))
+    assert got == want and len(got) > 0

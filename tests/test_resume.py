@@ -1,0 +1,97 @@
+"""Checkpoint/resume: killed mid-tiling -> resume -> byte-identical output.
+
+North-rule requirement (BASELINE.json): "resumable from checkpoint with
+per-partition lineage + metrics"; FIXTURES.md §6 test_resume.
+"""
+
+import glob
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from plasmap_ray import checkpoint, fixtures
+
+
+@pytest.fixture(scope="module")
+def images_dir(ray_session, tmp_path_factory):
+    """A small partitioned images table (8 parquet shards)."""
+    root = tmp_path_factory.mktemp("imgshards")
+    t = fixtures.make_images(800, size_choices=(16,))
+    for p in range(8):
+        pq.write_table(t.slice(p * 100, 100), os.path.join(root, f"shard-{p}.parquet"))
+    return str(root)
+
+
+def test_kill_resume_identical(ray_session, images_dir, tmp_path):
+    out_a = str(tmp_path / "run_a")
+    out_b = str(tmp_path / "run_b")
+
+    # single-shot reference run
+    stats = checkpoint.tiling_job(images_dir, out_a, n_partitions=4)
+    assert stats["complete"] and len(stats["processed"]) == 4
+    ref = pq.read_table(os.path.join(out_a, "_final", "tiles.parquet"))
+
+    # killed run: only 2 partitions complete
+    stats1 = checkpoint.tiling_job(images_dir, out_b, n_partitions=4, max_partitions=2)
+    assert not stats1["complete"]
+    assert len(stats1["processed"]) == 2
+    assert not os.path.exists(os.path.join(out_b, "_final"))
+
+    # resume: remaining partitions processed, completed ones skipped
+    stats2 = checkpoint.tiling_job(images_dir, out_b, n_partitions=4)
+    assert stats2["complete"]
+    assert sorted(stats2["skipped"]) == sorted(stats1["processed"])
+    assert len(stats2["processed"]) == 2
+
+    got = pq.read_table(os.path.join(out_b, "_final", "tiles.parquet"))
+    assert got.equals(ref), "resumed output differs from single-shot run"
+
+
+def test_manifest_lineage_and_metrics(ray_session, images_dir, tmp_path):
+    out = str(tmp_path / "run_m")
+    checkpoint.tiling_job(images_dir, out, n_partitions=4)
+    manifests = checkpoint.run_manifest(out)
+    assert len(manifests) == 4
+    seen_inputs: set[str] = set()
+    for m in manifests:
+        assert m["rows"] > 0
+        assert m["wall_s"] >= 0
+        assert len(m["input_fingerprint"]) == 24
+        assert len(m["checksum"]) == 24
+        assert m["inputs"], "manifest must name its input files (lineage)"
+        seen_inputs.update(m["inputs"])
+    # every input shard is covered by exactly one partition
+    all_files = set(glob.glob(os.path.join(images_dir, "*.parquet")))
+    assert seen_inputs == all_files
+
+
+def test_input_change_invalidates_partition(ray_session, images_dir, tmp_path):
+    out = str(tmp_path / "run_c")
+    src = str(tmp_path / "src")
+    shutil.copytree(images_dir, src)
+    checkpoint.tiling_job(src, out, n_partitions=4)
+
+    # touch one shard: its partition must recompute, others skip
+    victim = sorted(glob.glob(os.path.join(src, "*.parquet")))[0]
+    t = pq.read_table(victim)
+    pq.write_table(t.slice(0, 50), victim)  # content change
+    stats = checkpoint.tiling_job(src, out, n_partitions=4)
+    assert len(stats["processed"]) == 1
+    assert len(stats["skipped"]) == 3
+
+
+def test_atomic_commit_no_partials(ray_session, images_dir, tmp_path):
+    """A partition dir either exists completely (data+manifest) or not
+    at all — no .tmp leftovers after a successful run."""
+    out = str(tmp_path / "run_t")
+    checkpoint.tiling_job(images_dir, out, n_partitions=4)
+    for pdir in glob.glob(os.path.join(out, "part=*")):
+        assert not pdir.endswith(".tmp")
+        assert os.path.exists(os.path.join(pdir, "data.parquet"))
+        assert os.path.exists(os.path.join(pdir, "manifest.json"))
+        with open(os.path.join(pdir, "manifest.json")) as f:
+            json.load(f)
+    assert not glob.glob(os.path.join(out, "*.tmp"))
