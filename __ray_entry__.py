@@ -20,7 +20,7 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from plasmap_ray import oracle  # noqa: E402
+from plasmap_ray import oracle, queryast  # noqa: E402
 from plasmap_ray.pipelines import ann, dedup, denormalize, images, relational, spatial, text, windows  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
@@ -33,6 +33,35 @@ ANN_K = 10
 ANN_QUERY_ID = 1
 EMB_NEARDUP_T = 0.40  # pairs above this are "near" in this corpus (max sim ~0.48)
 EMB_TOP_PAIRS = 20
+
+# AST demo constants (the three canonical queries of SURVEY.md §7.2 #11)
+AST_PT = (6.5561, 51.0423)  # a point inside Essenheim / Essenheim-d1
+AST_K = 5
+# tile containing many fixture points, z=10 (computed from the kernel)
+from plasmap_ray import tiles as _tiles  # noqa: E402
+import numpy as _np  # noqa: E402
+
+_tx, _ty = _tiles.tile_xy(_np.array([AST_PT[0]]), _np.array([AST_PT[1]]), 10)
+AST_TILE = (10, int(_tx[0]), int(_ty[0]))
+
+
+def _ast_ctx(sf_dir: str) -> "queryast.EngineContext":
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import fixtures as _fx
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = docs["doc_id"].to_numpy()
+    import pyarrow as _pa
+
+    points = _pa.table(
+        {
+            "doc_id": _pa.array(ids, type=_pa.int64()),
+            "lon": _pa.array(_fx.derive_lon(ids)),
+            "lat": _pa.array(_fx.derive_lat(ids)),
+        }
+    )
+    return queryast.EngineContext(points=points)
 
 
 def entry() -> Any:
@@ -54,6 +83,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_join": lambda sf: spatial.radius_pipeline(sf, radius_deg=RADIUS_DEG),
         "poi_in_area": spatial.poi_in_area_pipeline,
         "flagship": spatial.flagship_pipeline,
+        # --- query AST / planner (PMQuery -> pipeline; QueryTranslator) ---
+        "ast_containing_areas": lambda sf: queryast.translate(
+            queryast.from_json(queryast.to_json(queryast.ContainingAreas(*AST_PT))), _ast_ctx(sf)
+        ),
+        "ast_nearest_pois": lambda sf: queryast.translate(queryast.NearestPois(*AST_PT, k=AST_K), _ast_ctx(sf)),
+        "ast_features_in_tile": lambda sf: queryast.translate(queryast.FeaturesInTile(*AST_TILE), _ast_ctx(sf)),
+        "ast_districts_of_area": lambda sf: queryast.translate(
+            queryast.DistrictsOfArea(queryast.AreaByName("Essenheim")), _ast_ctx(sf)
+        ),
+        "ast_pois_in_area": lambda sf: queryast.translate(
+            queryast.PoisInArea(queryast.AreaByName("Duisheim"), "restaurant"), _ast_ctx(sf)
+        ),
         # --- denormalization DAG (ways->rings->polygons, J1/J2) ---
         "way_assembly": denormalize.way_assembly_query,
         "boundary_assembly": denormalize.boundary_assembly_query,
@@ -206,6 +247,25 @@ WITH scored AS (
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
 SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_a, vec_b) AS BIGINT) AS pair_rank, vec_a, vec_b
 FROM scored ORDER BY sim DESC, vec_a, vec_b LIMIT {EMB_TOP_PAIRS}""",
+        "ast_containing_areas": f"""
+SELECT rel_id, name, admin_level FROM {rects}
+WHERE {AST_PT[0]!r} >= lon_min AND {AST_PT[0]!r} < lon_max AND {AST_PT[1]!r} >= lat_min AND {AST_PT[1]!r} < lat_max""",
+        "ast_nearest_pois": f"""
+SELECT CAST(row_number() OVER (ORDER BY {oracle.sql_sqdist_deg(repr(AST_PT[0]), repr(AST_PT[1]), 'p.lon', 'p.lat')}, p.poi_id) AS INTEGER) AS knn_rank,
+       p.poi_id
+FROM {pois} ORDER BY 1 LIMIT {AST_K}""",
+        "ast_features_in_tile": f"""
+WITH {_pts_cte()}
+SELECT doc_id, lon, lat FROM pts
+WHERE {oracle.sql_tile_x('lon', AST_TILE[0])} = {AST_TILE[1]} AND {oracle.sql_tile_y('lat', AST_TILE[0])} = {AST_TILE[2]}""",
+        "ast_districts_of_area": f"""
+SELECT c.rel_id, c.name, c.admin_level FROM {rects} , {rects.replace(') AS b(', ') AS c(')}
+WHERE b.name = 'Essenheim' AND c.admin_level > b.admin_level
+  AND c.lon_min >= b.lon_min AND c.lon_max <= b.lon_max AND c.lat_min >= b.lat_min AND c.lat_max <= b.lat_max""",
+        "ast_pois_in_area": f"""
+SELECT p.poi_id, p.lon, p.lat, p.key, p.value, p.name, b.rel_id FROM {pois} JOIN {rects}
+ON p.lon >= b.lon_min AND p.lon < b.lon_max AND p.lat >= b.lat_min AND p.lat < b.lat_max
+WHERE b.name = 'Duisheim' AND p.value = 'restaurant'""",
         "image_meta_stats": f"""
 SELECT fmt, w, h, count(*) AS n_images, sum(octet_length(bytes)) AS total_bytes FROM {img_pq} GROUP BY fmt, w, h""",
         "phash_dedup": f"""

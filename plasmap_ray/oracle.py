@@ -119,17 +119,30 @@ def sql_admin_rects_values(admin_level: int | None = None) -> str:
     )
 
 
+def sql_derive_poi_lon(id_expr: str) -> str:
+    return f"({fixtures.LON_MIN} + (((({id_expr} * {fixtures.POI_LON_MULT}) % {M32}) / {M32}) * {fixtures.LON_SPAN}))"
+
+
+def sql_derive_poi_lat(id_expr: str) -> str:
+    return f"({fixtures.LAT_MIN} + (((({id_expr} * {fixtures.POI_LAT_MULT}) % {M32}) / {M32}) * {fixtures.LAT_SPAN}))"
+
+
 def sql_pois_values() -> str:
-    """Inline VALUES table of the deterministic POI fixture (shared with
-    the Ray side's broadcast table — same generator)."""
+    """Inline table of the deterministic POI fixture (same rows as the
+    Ray side's broadcast table).  Coordinates are DERIVED in SQL via
+    the bit-exact integer mixes rather than embedded as decimal
+    literals — a printed double can parse back to a different ulp."""
     t = fixtures.make_pois()
     rows = []
     for i in range(t.num_rows):
         rows.append(
-            f"({t['poi_id'][i].as_py()}, {t['lon'][i].as_py()!r}, {t['lat'][i].as_py()!r}, "
-            f"'{t['key'][i].as_py()}', '{t['value'][i].as_py()}', '{t['name'][i].as_py()}')"
+            f"({t['poi_id'][i].as_py()}, '{t['key'][i].as_py()}', '{t['value'][i].as_py()}', '{t['name'][i].as_py()}')"
         )
-    return "(VALUES " + ", ".join(rows) + ") AS p(poi_id, lon, lat, key, value, name)"
+    vals = "(VALUES " + ", ".join(rows) + ") AS p0(poi_id, key, value, name)"
+    return (
+        f"(SELECT poi_id, {sql_derive_poi_lon('poi_id')} AS lon, {sql_derive_poi_lat('poi_id')} AS lat, "
+        f"key, value, name FROM {vals}) AS p"
+    )
 
 
 def sql_sqdist_deg(lon_a: str, lat_a: str, lon_b: str, lat_b: str) -> str:

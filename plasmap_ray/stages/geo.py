@@ -236,7 +236,7 @@ class PiPJoinActor:
         lon = _np(batch["lon"])
         lat = _np(batch["lat"])
         pt_idx, poly_idx = self.index.query(lon, lat)
-        keep = list(self.keep_cols) if self.keep_cols else [c for c in batch.column_names]
+        keep = list(self.keep_cols) if self.keep_cols is not None else list(batch.column_names)
         out = batch.select(keep).take(pa.array(pt_idx))
         out = out.append_column("rel_id", pa.array(self._rel_ids[poly_idx], type=pa.int64()))
         out = out.append_column("admin_level", pa.array(self._levels[poly_idx], type=pa.int32()))
@@ -397,11 +397,14 @@ class KnnJoinActor:
             out_poi[:] = id_c.ravel()[sel.ravel()].reshape(n, k)
 
         rows = np.repeat(np.arange(n), k)
-        keep = list(self.keep_cols) if self.keep_cols else [c for c in batch.column_names]
+        keep = list(self.keep_cols) if self.keep_cols is not None else list(batch.column_names)
+        rank_col = pa.array(np.tile(np.arange(1, k + 1), n), type=pa.int32())
+        poi_col = pa.array(out_poi.ravel(), type=pa.int64())
+        if not keep:
+            return pa.table({"rank": rank_col, "poi_id": poi_col})
         out = batch.select(keep).take(pa.array(rows))
-        out = out.append_column("rank", pa.array(np.tile(np.arange(1, k + 1), n), type=pa.int32()))
-        out = out.append_column("poi_id", pa.array(out_poi.ravel(), type=pa.int64()))
-        return out
+        out = out.append_column("rank", rank_col)
+        return out.append_column("poi_id", poi_col)
 
 
 class FlagshipFusedActor:
@@ -531,7 +534,7 @@ class RadiusJoinActor:
         else:
             mask = geometry.haversine_m(lon[:, None], lat[:, None], self.poi_lon[None, :], self.poi_lat[None, :]) <= self.radius
             rows, pois_idx = np.nonzero(mask)
-        keep = list(self.keep_cols) if self.keep_cols else [c for c in batch.column_names]
+        keep = list(self.keep_cols) if self.keep_cols is not None else list(batch.column_names)
         out = batch.select(keep).take(pa.array(rows))
         out = out.append_column("poi_id", pa.array(self.poi_id[pois_idx], type=pa.int64()))
         return out

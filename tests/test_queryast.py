@@ -1,0 +1,98 @@
+"""Query AST / planner tests (PMQuery + QueryTranslator rebuild;
+reference QueryTranslatorSpec.scala:29-52 + QueriesSpec golden counts)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from plasmap_ray import fixtures, pois, queryast, tiles
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    ids = np.arange(1, 5001, dtype=np.int64)
+    points = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "lon": pa.array(fixtures.derive_lon(ids)),
+            "lat": pa.array(fixtures.derive_lat(ids)),
+        }
+    )
+    return queryast.EngineContext(points=points)
+
+
+def test_json_roundtrip_composed():
+    q = queryast.PoisInArea(queryast.DistrictsOfArea(queryast.AreaByName("Essenheim")), "restaurant")
+    s = queryast.to_json(q)
+    back = queryast.from_json(s)
+    assert back == q
+    assert isinstance(back.parent, queryast.DistrictsOfArea)
+
+
+def test_containing_areas_nested_levels(ctx):
+    t = queryast.translate(queryast.ContainingAreas(6.5561, 51.0423), ctx)
+    levels = dict(zip(t["rel_id"].to_pylist(), t["admin_level"].to_pylist()))
+    assert 100 in levels and levels[100] == 6  # Essenheim city
+    assert any(lvl == 8 for lvl in levels.values())  # plus its district
+    t6 = queryast.translate(queryast.ContainingAreas(6.5561, 51.0423, admin_level=6), ctx)
+    assert t6["rel_id"].to_pylist() == [100]
+    # a point in the countryside matches nothing
+    none = queryast.translate(queryast.ContainingAreas(7.9, 51.99), ctx)
+    assert none.num_rows == 0
+
+
+def test_districts_composition(ctx):
+    t = queryast.translate(queryast.DistrictsOfArea(queryast.AreaByName("Essenheim")), ctx)
+    assert sorted(t["rel_id"].to_pylist()) == [101, 102, 103, 104, 105, 106]
+
+
+def test_pois_in_area_counts(ctx):
+    """The '125 restaurants in Duisburg' golden-count pattern
+    (QueriesSpec.scala:153): fixed expected counts per area/category."""
+    t = queryast.translate(queryast.PoisInArea(queryast.AreaByName("Duisheim"), "restaurant"), ctx)
+    assert t.num_rows == 4  # deterministic fixture count
+    assert set(t["value"].to_pylist()) == {"restaurant"}
+    assert set(t["rel_id"].to_pylist()) == {200}
+
+
+def test_nearest_pois_matches_brute(ctx):
+    q = queryast.NearestPois(6.5561, 51.0423, k=4)
+    t = queryast.translate(q, ctx)
+    pois_t = fixtures.make_pois()
+    d = (pois_t["lon"].to_numpy() - q.lon) ** 2 + (pois_t["lat"].to_numpy() - q.lat) ** 2
+    expect = pois_t["poi_id"].to_numpy()[np.lexsort((pois_t["poi_id"].to_numpy(), d))][:4]
+    assert t["poi_id"].to_pylist() == expect.tolist()
+    assert t["knn_rank"].to_pylist() == [1, 2, 3, 4]
+
+
+def test_nearest_pois_category_filter(ctx):
+    t = queryast.translate(queryast.NearestPois(6.5561, 51.0423, k=3, category="theatre"), ctx)
+    pois_t = fixtures.make_pois()
+    ids = t["poi_id"].to_pylist()
+    kinds = {pois_t["poi_id"][i].as_py(): pois_t["value"][i].as_py() for i in range(pois_t.num_rows)}
+    assert all(kinds[i] == "theatre" for i in ids)
+
+
+def test_features_in_tile_consistent_with_kernel(ctx):
+    z, x, y = 10, 530, 343
+    t = queryast.translate(queryast.FeaturesInTile(z, x, y), ctx)
+    if t.num_rows:
+        tx, ty = tiles.tile_xy(t["lon"].to_numpy(), t["lat"].to_numpy(), z)
+        assert (tx == x).all() and (ty == y).all()
+    # complement: every ctx point in that tile is returned
+    lon = ctx.points["lon"].to_numpy()
+    lat = ctx.points["lat"].to_numpy()
+    tx, ty = tiles.tile_xy(lon, lat, z)
+    assert t.num_rows == int(((tx == x) & (ty == y)).sum())
+
+
+def test_poi_registry():
+    assert len(pois.CATEGORIES) >= 60  # reference has 60+ macro instances
+    assert pois.tags_for("gym") == [("leisure", "fitness_centre"), ("leisure", "gym"), ("amenity", "gym")]
+    with pytest.raises(KeyError):
+        pois.tags_for("nonexistent_category")
+
+
+def test_features_in_tile_requires_points():
+    with pytest.raises(ValueError):
+        queryast.translate(queryast.FeaturesInTile(10, 1, 1), queryast.EngineContext())
