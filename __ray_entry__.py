@@ -21,7 +21,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from plasmap_ray import oracle, queryast  # noqa: E402
-from plasmap_ray.pipelines import ann, dedup, denormalize, images, relational, spatial, text, windows  # noqa: E402
+from plasmap_ray.pipelines import ann, dedup, denormalize, images, index, relational, spatial, text, windows  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 SF001 = "/root/testdata/sf0.01"
@@ -37,6 +37,7 @@ EMB_TOP_PAIRS = 20
 # AST demo constants (the three canonical queries of SURVEY.md §7.2 #11)
 AST_PT = (6.5561, 51.0423)  # a point inside Essenheim / Essenheim-d1
 AST_K = 5
+SEARCH_TOKEN = "spark"
 # tile containing many fixture points, z=10 (computed from the kernel)
 from plasmap_ray import tiles as _tiles  # noqa: E402
 import numpy as _np  # noqa: E402
@@ -107,11 +108,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": windows.tumbling_window,
         "sessionize": windows.sessionize,
         "event_type_rates": windows.event_type_rates,
+        "events_union": windows.union_event_streams,
+        "distinct_users": windows.distinct_users,
+        "distinct_users_approx": windows.distinct_users_approx,
         # --- text analysis ---
         "token_stats": text.token_stats,
         "lang_histogram": text.lang_histogram,
         "text_quality": text.quality_pipeline,
         "doc_fingerprint": text.fingerprint,
+        "search_by_token": lambda sf: index.search_by_token(sf, SEARCH_TOKEN),
+        "token_doc_frequency": lambda sf: index.token_doc_frequency(sf, min_docs=50),
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup_by_key,
         "text_md5_dedup": dedup.text_md5_dedup,
@@ -227,6 +233,18 @@ SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, co
 FROM sess GROUP BY user_id, session_id""",
         "event_type_rates": """
 SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events GROUP BY event_type""",
+        "events_union": """
+SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events
+WHERE event_type IN ('click', 'view') GROUP BY event_type""",
+        "distinct_users": """
+SELECT COUNT(DISTINCT user_id) AS n_users FROM events""",
+        "search_by_token": f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE list_contains(string_split(lower(text), ' '), '{SEARCH_TOKEN}')""",
+        "token_doc_frequency": """
+WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+d AS (SELECT token, count(DISTINCT doc_id) AS n_docs FROM toks GROUP BY token)
+SELECT token, n_docs FROM d WHERE n_docs >= 50""",
         "token_stats": """
 SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars FROM documents""",
         "lang_histogram": """

@@ -74,3 +74,39 @@ def event_type_rates(sf_dir: str) -> rd.Dataset:
     ds = _read_events(sf_dir, ["event_type", "value"])
     out = ds.groupby("event_type").aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
     return out.map_batches(functools.partial(round_columns, cols=("sum_value",), ndigits=4), batch_format="pyarrow")
+
+
+def union_event_streams(sf_dir: str, types: tuple[str, str] = ("click", "view")) -> rd.Dataset:
+    """D3 union: two filtered event streams recombined with ds.union,
+    then aggregated (counts identical to a single IN-filter by
+    construction — the SQL mirror)."""
+    ds = _read_events(sf_dir, ["event_type", "value"])
+    a = ds.filter(expr=f"event_type == '{types[0]}'")
+    b = ds.filter(expr=f"event_type == '{types[1]}'")
+    u = a.union(b)
+    out = u.groupby("event_type").aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    return out.map_batches(functools.partial(round_columns, cols=("sum_value",), ndigits=4), batch_format="pyarrow")
+
+
+def distinct_users(sf_dir: str) -> rd.Dataset:
+    """Exact COUNT(DISTINCT user_id) (S8/A3 counter; one-row result)."""
+    import pyarrow as pa
+    import ray.data as _rd
+
+    ds = _read_events(sf_dir, ["user_id"])
+    n = len(ds.unique("user_id"))
+    return _rd.from_arrow(pa.table({"n_users": pa.array([n], type=pa.int64())}))
+
+
+def distinct_users_approx(sf_dir: str, k: int = 1024) -> rd.Dataset:
+    """A4: KMV-sketch approximate distinct count (mergeable per-batch
+    sketches).  Exact below sketch saturation; rows-only checked, with
+    accuracy pinned against the exact count in tests."""
+    import pyarrow as pa
+    import ray.data as _rd
+
+    from ..stages.sketch import distinct_count_approx
+
+    ds = _read_events(sf_dir, ["user_id"])
+    est = distinct_count_approx(ds, "user_id", k=k)
+    return _rd.from_arrow(pa.table({"n_users_approx": pa.array([round(est, 1)], type=pa.float64())}))

@@ -1,0 +1,99 @@
+"""Tag normalization (M4/M5), KMV sketch (A4), inverted index (S11/J8)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from plasmap_ray.stages import sketch, tags
+
+
+def _tag_table():
+    return pa.table(
+        {
+            "id": pa.array([1, 2, 3], type=pa.int64()),
+            "tags": pa.array(
+                [
+                    [("amenity", "restaurant"), ("name", "Zur Post"), ("junk:key", "x"), ("amenity", "restaurant")],
+                    [("boundary", "administrative"), ("admin_level", "6"), ("addr:city", "Essen")],
+                    [("weird", "tag")],
+                ],
+                type=pa.map_(pa.string(), pa.string()),
+            ),
+        }
+    )
+
+
+def test_normalize_tags_vocabulary_intersection():
+    out = tags.normalize_tags(_tag_table())
+    rows = out["tags"].to_pylist()
+    assert rows[0] == [("amenity", "restaurant")]  # whitelist + distinct
+    assert sorted(rows[1]) == [("admin_level", "6"), ("boundary", "administrative")]
+    assert rows[2] == []  # fully out-of-vocabulary
+
+
+def test_project_index_tags_whitelist_and_drop():
+    out = tags.project_index_tags(_tag_table())
+    got = list(zip(out["id"].to_pylist(), out["key"].to_pylist(), out["value"].to_pylist()))
+    assert (1, "name", "Zur Post") in got
+    assert (2, "addr:city", "Essen") in got
+    assert all(k in tags.INDEX_KEYS for _, k, _v in got)
+    assert 3 not in {i for i, _, _ in got}  # no indexable tags -> no rows
+
+
+def test_has_tag_mask():
+    m = tags.has_tag_mask(_tag_table(), "amenity", "restaurant")
+    assert m.tolist() == [True, False, False]
+
+
+def test_canonical_vocabulary_size():
+    assert len(tags.CANONICAL_TAGS) >= 75
+
+
+def test_kmv_exact_below_saturation():
+    s = sketch.KMVSketch(k=256).update(np.arange(100, dtype=np.int64))
+    assert s.estimate() == 100.0
+    # duplicates don't inflate
+    s.update(np.arange(100, dtype=np.int64))
+    assert s.estimate() == 100.0
+
+
+def test_kmv_estimate_accuracy_and_merge():
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 1 << 62, 200_000, dtype=np.int64)
+    true = len(np.unique(vals))
+    whole = sketch.KMVSketch(k=1024).update(vals)
+    est = whole.estimate()
+    assert abs(est - true) / true < 0.1
+    # merge of halves == sketch of whole (associativity)
+    a = sketch.KMVSketch(k=1024).update(vals[:100_000])
+    b = sketch.KMVSketch(k=1024).update(vals[100_000:])
+    merged = a.merge(b)
+    assert np.array_equal(merged.mins, whole.mins)
+    # serialize round trip
+    back = sketch.KMVSketch.deserialize(merged.serialize(), k=1024)
+    assert back.estimate() == merged.estimate()
+
+
+def test_distinct_count_approx_on_dataset(ray_session):
+    import ray.data as rd
+
+    ids = np.repeat(np.arange(1000, dtype=np.int64), 5)  # 5000 rows, 1000 distinct
+    ds = rd.from_arrow(pa.table({"user_id": pa.array(ids)}))
+    est = sketch.distinct_count_approx(ds, "user_id", k=2048)
+    assert est == 1000.0  # below saturation -> exact
+
+
+def test_inverted_index_roundtrip(ray_session):
+    from plasmap_ray.pipelines import index
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["Spark beats spark", "plain words"], type=pa.string()),
+        }
+    )
+    out = index.tokenize_explode(t).to_pydict()
+    pairs = set(zip(out["token"], out["doc_id"]))
+    assert ("spark", 1) in pairs and ("beats", 1) in pairs
+    # per-doc dedup: 'spark' appears once for doc 1
+    assert sum(1 for tok, d in pairs if tok == "spark" and d == 1) == 1
