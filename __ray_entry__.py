@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": lambda sf: ann.embedding_near_dup(sf, threshold=EMB_NEARDUP_T),
         # --- image payload ---
         "image_fidelity": images.fidelity_pipeline,
+        "image_features": images.image_features,
         "image_meta_stats": images.image_meta_stats,
         "phash_dedup": images.phash_dedup,
         "phash_near_dup_pairs": images.phash_near_dup_pairs,

@@ -144,3 +144,13 @@ def phash_near_dup_pairs(sf_dir: str, max_dist: int = 8) -> rd.Dataset:
 
     ds = read_images(sf_dir, columns=["image_id", "phash"])
     return _dedup.hamming_pairs(ds, hash_col="phash", id_col="image_id", max_dist=max_dist)
+
+
+def image_features(sf_dir: str) -> rd.Dataset:
+    """Decode -> resize -> visual feature extraction (actor pool; ST5):
+    per-image color/luminance/edge stats + recomputed phash."""
+    from ..stages import media
+
+    ds = read_images(sf_dir)
+    feats = ds.map_batches(media.ImageFeatures, batch_format="pyarrow", batch_size=256, concurrency=(1, 8))
+    return feats.select_columns(["image_id", "fmt", "ok", "mean_r", "luminance", "edge_energy", "phash_recomputed"])

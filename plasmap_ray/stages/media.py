@@ -1,0 +1,174 @@
+"""Multimodal payload stages: image transform/feature-extract (real),
+audio/video decode (stubbed codecs, real Ray plumbing).
+
+Driver guidance: treat image/audio/video as opaque ``binary`` columns
+with typed metadata; decode / feature-extract / resize / frame-sample
+run as actor-pool ``map_batches`` stages.  The image path is fully real
+(our codecs).  Audio/video codec libraries are not installable in this
+sandbox, so their *decode* is a clearly-marked stub — deterministic
+fake samples behind the same batch/actor/schema plumbing — and the
+surrounding engine mechanics (schemas, batching, actor signature,
+output layout) are real and tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import codecs
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure NumPy index math)."""
+    h, w = pixels.shape[:2]
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return pixels[yi][:, xi]
+
+
+class ImageFeatures:
+    """Actor-pool stage: decode -> resize -> visual features per image.
+
+    Features: mean/std per RGB channel, luminance, edge energy
+    (gradient magnitude mean) and the recomputed phash — the typical
+    filter/quality columns of an image training-data pipeline.
+    """
+
+    def __init__(self, thumb: int = 16):
+        self.thumb = thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        w = batch["w"].to_numpy()
+        h = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        mean_rgb = np.zeros((n, 3))
+        std_rgb = np.zeros((n, 3))
+        luminance = np.zeros(n)
+        edge_energy = np.zeros(n)
+        phash = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                px = codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
+                thumb = resize_nearest(px, self.thumb, self.thumb).astype(np.float64)
+                mean_rgb[i] = thumb.mean(axis=(0, 1))
+                std_rgb[i] = thumb.std(axis=(0, 1))
+                gray = thumb.mean(axis=2)
+                luminance[i] = gray.mean()
+                gy, gx = np.gradient(gray)
+                edge_energy[i] = float(np.hypot(gx, gy).mean())
+                phash[i] = codecs.phash64(px)
+                ok[i] = True
+            except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
+                pass
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column("ok", pa.array(ok))
+        out = out.append_column("mean_r", pa.array(np.round(mean_rgb[:, 0], 4)))
+        out = out.append_column("mean_g", pa.array(np.round(mean_rgb[:, 1], 4)))
+        out = out.append_column("mean_b", pa.array(np.round(mean_rgb[:, 2], 4)))
+        out = out.append_column("luminance", pa.array(np.round(luminance, 4)))
+        out = out.append_column("edge_energy", pa.array(np.round(edge_energy, 4)))
+        return out.append_column("phash_recomputed", pa.array(phash))
+
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("sample_rate", pa.int32()),
+        ("n_samples", pa.int64()),
+        ("fmt", pa.string()),
+    ]
+)
+
+
+class AudioDecodeStub:
+    """Actor-pool stage for audio payloads — STUB CODEC.
+
+    Real audio decoders (ffmpeg/soundfile) are not available in this
+    container.  ``fmt='fake-pcm'`` decodes deterministically (seeded
+    sine + payload-hash phase) so the batch plumbing, feature schema
+    and downstream aggregation are fully exercised; any other fmt
+    raises ``NotImplementedError`` naming the missing codec.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        rms = np.zeros(n)
+        zcr = np.zeros(n)
+        dur = np.zeros(n)
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        sr = batch["sample_rate"].to_numpy()
+        ns = batch["n_samples"].to_numpy()
+        for i in range(n):
+            if fmts[i] != "fake-pcm":
+                raise NotImplementedError(
+                    f"audio codec {fmts[i]!r} not available in this environment; "
+                    "install a decoder and register it here (stub: 'fake-pcm')"
+                )
+            phase = (hash(payloads[i]) % 628) / 100.0
+            t = np.arange(int(ns[i])) / max(int(sr[i]), 1)
+            samples = np.sin(2 * np.pi * 440.0 * t + phase)
+            rms[i] = float(np.sqrt(np.mean(samples**2)))
+            zcr[i] = float(np.mean(np.abs(np.diff(np.sign(samples)))) / 2.0)
+            dur[i] = float(ns[i]) / max(int(sr[i]), 1)
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column("rms", pa.array(np.round(rms, 6)))
+        out = out.append_column("zero_crossing_rate", pa.array(np.round(zcr, 6)))
+        return out.append_column("duration_s", pa.array(np.round(dur, 6)))
+
+
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("n_frames", pa.int32()),
+        ("fmt", pa.string()),
+    ]
+)
+
+
+class VideoFrameSampleStub:
+    """Actor-pool stage for video payloads — STUB CODEC.
+
+    ``fmt='fake-raw'`` treats the payload as n_frames stacked raw RGB
+    frames and samples every ``stride``-th frame (real frame-sampling
+    output layout: one row per sampled frame).  Other fmts raise
+    ``NotImplementedError`` (no video codecs in this container).
+    """
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids: list[str] = []
+        frame_idx: list[int] = []
+        frames: list[bytes] = []
+        for i in range(batch.num_rows):
+            fmt = batch["fmt"][i].as_py()
+            if fmt != "fake-raw":
+                raise NotImplementedError(
+                    f"video codec {fmt!r} not available in this environment (stub: 'fake-raw')"
+                )
+            w = batch["w"][i].as_py()
+            h = batch["h"][i].as_py()
+            nf = batch["n_frames"][i].as_py()
+            payload = batch["bytes"][i].as_py()
+            frame_bytes = w * h * 3
+            for f in range(0, nf, self.stride):
+                ids.append(batch["media_id"][i].as_py())
+                frame_idx.append(f)
+                frames.append(payload[f * frame_bytes : (f + 1) * frame_bytes])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.string()),
+                "frame_idx": pa.array(frame_idx, type=pa.int32()),
+                "frame": pa.array(frames, type=pa.binary()),
+            }
+        )

@@ -1,0 +1,92 @@
+"""Multimodal stages: image features (real), audio/video stubs (plumbing)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from plasmap_ray import fixtures
+from plasmap_ray.stages import media
+
+
+def test_resize_nearest():
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = media.resize_nearest(px, 3, 2)
+    assert out.shape == (2, 3, 3)
+    assert np.array_equal(out[0, 0], px[0, 0])
+
+
+def test_image_features_pipeline(ray_session):
+    t = fixtures.make_images(200, size_choices=(16, 32))
+    ds = rd.from_arrow(t)
+    out = ds.map_batches(media.ImageFeatures, batch_format="pyarrow", batch_size=64, concurrency=2).to_pandas()
+    assert len(out) == 200
+    assert out["ok"].all()
+    assert ((out["mean_r"] >= 0) & (out["mean_r"] <= 255)).all()
+    assert (out["edge_energy"] >= 0).all()
+    # recomputed phash matches stored phash for lossless rows
+    lossless = out[out["fmt"] != "qnt8"]
+    assert (lossless["phash_recomputed"] == lossless["phash"]).all()
+
+
+def test_image_features_bad_payload_flagged():
+    t = pa.table(
+        {
+            "image_id": pa.array(["x"]),
+            "bytes": pa.array([b"corrupt"], type=pa.binary()),
+            "w": pa.array([16], type=pa.int32()),
+            "h": pa.array([16], type=pa.int32()),
+            "fmt": pa.array(["pngz"]),
+            "caption": pa.array(["c"]),
+            "phash": pa.array([0], type=pa.int64()),
+        }
+    )
+    out = media.ImageFeatures()(t)
+    assert out["ok"].to_pylist() == [False]
+
+
+def _audio_table(n=8, fmt="fake-pcm"):
+    return pa.table(
+        {
+            "media_id": pa.array([f"a{i}" for i in range(n)], type=pa.string()),
+            "bytes": pa.array([bytes([j % 256]) for j in range(n)], type=pa.binary()),
+            "sample_rate": pa.array([16000] * n, type=pa.int32()),
+            "n_samples": pa.array([16000] * n, type=pa.int64()),
+            "fmt": pa.array([fmt] * n, type=pa.string()),
+        }
+    )
+
+
+def test_audio_stub_features(ray_session):
+    out = rd.from_arrow(_audio_table()).map_batches(
+        media.AudioDecodeStub, batch_format="pyarrow", batch_size=4, concurrency=2
+    ).to_pandas()
+    assert len(out) == 8
+    assert (out["duration_s"] == 1.0).all()
+    assert ((out["rms"] > 0.6) & (out["rms"] < 0.8)).all()  # sine RMS ~ 0.707
+
+
+def test_audio_stub_unknown_codec_raises():
+    with pytest.raises(NotImplementedError, match="mp3"):
+        media.AudioDecodeStub()(_audio_table(n=1, fmt="mp3"))
+
+
+def test_video_stub_frame_sampling(ray_session):
+    w = h = 4
+    nf = 6
+    payload = bytes(range(w * h * 3)) * nf
+    t = pa.table(
+        {
+            "media_id": pa.array(["v1"], type=pa.string()),
+            "bytes": pa.array([payload], type=pa.binary()),
+            "w": pa.array([w], type=pa.int32()),
+            "h": pa.array([h], type=pa.int32()),
+            "n_frames": pa.array([nf], type=pa.int32()),
+            "fmt": pa.array(["fake-raw"], type=pa.string()),
+        }
+    )
+    out = rd.from_arrow(t).map_batches(media.VideoFrameSampleStub, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert out["frame_idx"].tolist() == [0, 2, 4]
+    assert all(len(f) == w * h * 3 for f in out["frame"])
+    with pytest.raises(NotImplementedError):
+        media.VideoFrameSampleStub()(t.set_column(5, "fmt", pa.array(["h264"])))
