@@ -1,0 +1,134 @@
+"""Ray-level pipeline tests per FIXTURES.md §6: expected_join,
+salted-vs-unsalted tiling under skew, kNN (both metrics), full-table
+fidelity, quarantine routing."""
+
+import functools
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from plasmap_ray import fixtures, geometry
+from plasmap_ray.stages import geo
+
+
+@pytest.fixture(scope="module")
+def skewed_points(ray_session):
+    """Point cloud with 25% of rows concentrated into one hot ~20km cell."""
+    ids = np.arange(1, 40001, dtype=np.int64)
+    lon = fixtures.derive_lon(ids)
+    lat = fixtures.derive_lat(ids)
+    hot = ids % 4 == 0
+    lon = np.where(hot, 6.25 + (lon - fixtures.LON_MIN) / fixtures.LON_SPAN * 0.05, lon)
+    lat = np.where(hot, 50.75 + (lat - fixtures.LAT_MIN) / fixtures.LAT_SPAN * 0.05, lat)
+    return pa.table({"doc_id": pa.array(ids), "lon": pa.array(lon), "lat": pa.array(lat)})
+
+
+def test_salted_equals_unsalted_under_skew(ray_session, skewed_points):
+    """Skew guard correctness: two-phase salted aggregation produces the
+    exact same tile histogram as the plain plan on a hot-cell dataset."""
+    ds = rd.from_arrow(skewed_points)
+    exploded = ds.map_batches(
+        functools.partial(geo.tile_explode, zooms=(10,), key_cols=("doc_id",), with_quadkey=True),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Count
+
+    plain = exploded.groupby(["z", "x", "y"]).aggregate(Count(alias_name="n")).to_pandas()
+    salted = (
+        exploded.map_batches(
+            functools.partial(geo.add_salt, key_col="quadkey", id_col="doc_id", factor=16), batch_format="pyarrow"
+        )
+        .groupby(["z", "x", "y", "salt"])
+        .aggregate(Count(alias_name="n"))
+        .groupby(["z", "x", "y"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    a = plain.sort_values(["z", "x", "y"]).reset_index(drop=True)
+    b = salted.sort_values(["z", "x", "y"]).reset_index(drop=True)
+    assert a[["z", "x", "y"]].equals(b[["z", "x", "y"]])
+    assert (a["n"].values == b["n"].values).all()
+    # the skew is real: the hot tile dominates
+    assert a["n"].max() > 0.2 * a["n"].sum()
+
+
+def test_expected_join_row_exact(ray_session):
+    """Engine PiP join == per-point rectangle oracle (expected_join)."""
+    ids = np.arange(1, 5001, dtype=np.int64)
+    lon = fixtures.derive_lon(ids)
+    lat = fixtures.derive_lat(ids)
+    expected = set()
+    for r in fixtures.admin_rects():
+        m = (lon >= r["lon_min"]) & (lon < r["lon_max"]) & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+        for i in np.nonzero(m)[0]:
+            expected.add((int(ids[i]), r["rel_id"]))
+    idx_ref = ray.put(geo.PolygonIndex(fixtures.admin_polygons()))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids), "lon": pa.array(lon), "lat": pa.array(lat)}))
+    out = ds.map_batches(
+        geo.PiPJoinActor,
+        fn_constructor_kwargs=dict(index_ref=idx_ref, keep_cols=("doc_id",)),
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()
+    got = set(zip(out["doc_id"], out["rel_id"]))
+    assert got == expected
+    # inner-join drop: some points are outside every polygon
+    assert len({d for d, _ in got}) < len(ids)
+
+
+def test_knn_haversine_metric(ray_session):
+    """kNN with the geodesic metric matches a brute-force haversine oracle."""
+    pois = fixtures.make_pois()
+    ref = {c: pois[c].to_numpy() for c in ("poi_id", "lon", "lat")}
+    actor = geo.KnnJoinActor(ref, k=3, metric="haversine", keep_cols=("doc_id",))
+    ids = np.arange(1, 501, dtype=np.int64)
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    out = actor(pa.table({"doc_id": pa.array(ids), "lon": pa.array(lon), "lat": pa.array(lat)}))
+    got = out["poi_id"].to_numpy().reshape(-1, 3)
+    d = geometry.haversine_m(lon[:, None], lat[:, None], ref["lon"][None, :], ref["lat"][None, :])
+    for r in range(0, 500, 61):
+        order = np.lexsort((ref["poi_id"], d[r]))[:3]
+        assert np.array_equal(ref["poi_id"][order], got[r]), r
+
+
+def test_full_table_fidelity_pipeline(ray_session):
+    """FIXTURES §5 over the whole t1-scale table via the Ray pipeline:
+    every row passes its decode/PSNR/caption gate."""
+    from plasmap_ray.pipelines import images
+
+    out = images.fidelity_pipeline("/root/testdata/sf0.001").to_pandas()
+    assert set(out["fmt"]) == {"raw", "pngz", "qnt8"}
+    assert (out["n_ok"] == out["n_images"]).all()
+    assert out["n_images"].sum() == images.images_count_for("/root/testdata/sf0.001")
+
+
+def test_quarantine_routes_bad_rows(ray_session, tmp_path):
+    """M9: corrupt payloads land in quarantine parquet; good rows flow on."""
+    t = fixtures.make_images(50, size_choices=(16,))
+    # corrupt two payloads
+    payloads = t["bytes"].to_pylist()
+    payloads[3] = b"garbage"
+    payloads[17] = b""
+    t = t.set_column(1, "bytes", pa.array(payloads, type=pa.binary()))
+    src = tmp_path / "imgs"
+    src.mkdir()
+    pq.write_table(t, str(src / "part.parquet"))
+
+    from plasmap_ray.pipelines.images import FidelityVerify
+
+    ds = rd.read_parquet(str(src))
+    verified = ds.map_batches(FidelityVerify, batch_format="pyarrow", concurrency=1)
+    bad_dir = str(tmp_path / "quarantine")
+    verified.filter(expr="ok == False").write_parquet(bad_dir)
+    good = verified.filter(expr="ok == True").count()
+    bad = pq.read_table(bad_dir)
+    assert bad.num_rows == 2
+    assert good == 48
+    assert set(bad["image_id"].to_pylist()) == {"img-000000000004", "img-000000000018"}
+    assert all(e for e in bad["error"].to_pylist())
