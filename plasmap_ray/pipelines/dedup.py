@@ -123,37 +123,40 @@ def _band_explode(batch: pa.Table, bands: int = BANDS, rows: int = ROWS_PER_BAND
 MAX_LSH_GROUP = 64  # cap quadratic pair expansion per bucket (logged, not silent)
 
 
-def _bucket_pairs(g: pd.DataFrame, sim_threshold: float) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket, verified by signature agreement."""
-    if len(g) < 2:
-        return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64), "est_jaccard": pd.Series(dtype=np.float64)})
-    if len(g) > MAX_LSH_GROUP:
-        g = g.nsmallest(MAX_LSH_GROUP, "doc_id")
-    ids = g["doc_id"].to_numpy()
-    sigs = np.stack(g["minhash"].to_numpy())
-    order = np.argsort(ids)
-    ids = ids[order]
-    sigs = sigs[order]
-    n = len(ids)
-    ai, bi = np.triu_indices(n, k=1)
-    est = (sigs[ai] == sigs[bi]).mean(axis=1)
-    keep = est >= sim_threshold
-    return pd.DataFrame({"doc_a": ids[ai[keep]], "doc_b": ids[bi[keep]], "est_jaccard": est[keep].round(6)})
-
-
 def minhash_near_dup(sf_dir: str, sim_threshold: float = 0.8) -> rd.Dataset:
     """MinHash+LSH near-duplicate pairs over documents.
 
-    shingle->minhash (actor pool) -> band explode -> groupby(band,key)
-    -> in-bucket verify -> distinct pairs.  The canonical guide pattern
-    (ray_guide 'Aggregation at scale').
+    shingle->minhash (actor pool) -> band explode -> per-BAND sort +
+    key-run scan -> signature-agreement verify -> distinct pairs.
+    (Per-band grouping instead of per-bucket: a groupby over thousands
+    of tiny (band,key) buckets spends its time in per-group dispatch.)
     """
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     sigs = ds.map_batches(MinHashSignature, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8))
     exploded = sigs.map_batches(_band_explode, batch_format="pyarrow")
-    pairs = exploded.groupby(["band", "band_key"]).map_groups(
-        functools.partial(_bucket_pairs, sim_threshold=sim_threshold), batch_format="pandas"
-    )
+
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["band_key"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        sig_m = np.stack(g["minhash"].to_numpy())
+
+        def verify(i, j):
+            return (sig_m[i] == sig_m[j]).mean(axis=1)
+
+        ia, ib, est = pairs_in_key_runs(keys, np.arange(len(ids)), sig_m, verify)
+        keep = est >= sim_threshold
+        a = ids[ia[keep]]
+        b = ids[ib[keep]]
+        swap = a > b
+        return pd.DataFrame(
+            {
+                "doc_a": np.where(swap, b, a),
+                "doc_b": np.where(swap, a, b),
+                "est_jaccard": np.round(est[keep], 6),
+            }
+        )
+
+    pairs = exploded.groupby("band").map_groups(band_pairs, batch_format="pandas")
     # a pair can surface from several bands -> keep one row per pair
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("est_jaccard", alias_name="est_jaccard"))
 
@@ -229,27 +232,73 @@ def hamming_band_explode(batch: pa.Table, hash_col: str, id_col: str, bands: int
     return pa.concat_tables(parts)
 
 
+def pairs_in_key_runs(
+    keys: np.ndarray, ids: np.ndarray, payload: np.ndarray, verify, max_group: int = MAX_LSH_GROUP
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Candidate pairs among rows sharing a key, via ONE sort + run
+    detection (replaces a groupby over millions of tiny buckets, whose
+    per-group overhead dominates at scale).  ``verify(i, j) -> value``
+    maps candidate index pairs to a verification metric; returns
+    (id_a, id_b, value) arrays for verified pairs (caller filters).
+    Runs larger than ``max_group`` are truncated (logged cap, SURVEY §4).
+    """
+    order = np.lexsort((ids, keys))
+    sk = keys[order]
+    boundaries = np.nonzero(np.diff(sk))[0] + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [len(sk)]])
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_v: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        n = e - s
+        if n < 2:
+            continue
+        if n > max_group:
+            e = s + max_group
+            n = max_group
+        run = order[s:e]
+        ai, bi = np.triu_indices(n, k=1)
+        v = verify(run[ai], run[bi])
+        out_a.append(run[ai])
+        out_b.append(run[bi])
+        out_v.append(np.asarray(v))
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0)
+    return np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_v)
+
+
 def hamming_pairs(sf_dir_or_ds, hash_col: str, id_col: str, max_dist: int = 8, bands: int = 4) -> rd.Dataset:
-    """Near-dup pairs by banded Hamming LSH + exact popcount verify."""
+    """Near-dup pairs by banded Hamming LSH + exact popcount verify.
+
+    Shuffle shape: repartition by ONE band per group (``bands`` groups),
+    then within each band a single sort + run scan finds same-key
+    candidates — the per-bucket groupby alternative spends more time in
+    per-group dispatch than in the comparisons.
+    """
     from .. import codecs
 
     ds = sf_dir_or_ds
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({id_col + "_a": pd.Series(dtype=g[id_col].dtype), id_col + "_b": pd.Series(dtype=g[id_col].dtype), "hamming": pd.Series(dtype=np.int64)})
-        if len(g) > MAX_LSH_GROUP:
-            g = g.nsmallest(MAX_LSH_GROUP, id_col) if np.issubdtype(g[id_col].dtype, np.number) else g.sort_values(id_col).head(MAX_LSH_GROUP)
-        g = g.sort_values(id_col)
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["band_key"].to_numpy()
         ids = g[id_col].to_numpy()
         hs = g[hash_col].to_numpy().astype(np.int64)
-        ai, bi = np.triu_indices(len(ids), k=1)
-        d = codecs.hamming64(hs[ai], hs[bi])
+
+        def verify(i, j):
+            return codecs.hamming64(hs[i], hs[j])
+
+        ia, ib, d = pairs_in_key_runs(keys, np.arange(len(ids)), hs, verify)
         keep = d <= max_dist
-        return pd.DataFrame({id_col + "_a": ids[ai[keep]], id_col + "_b": ids[bi[keep]], "hamming": d[keep]})
+        a = ids[ia[keep]]
+        b = ids[ib[keep]]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({id_col + "_a": a2, id_col + "_b": b2, "hamming": d[keep].astype(np.int64)})
 
     exploded = ds.map_batches(
         functools.partial(hamming_band_explode, hash_col=hash_col, id_col=id_col, bands=bands), batch_format="pyarrow"
     )
-    out = exploded.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pandas")
+    out = exploded.groupby("band").map_groups(band_pairs, batch_format="pandas")
     return out.groupby([id_col + "_a", id_col + "_b"]).aggregate(Min("hamming", alias_name="hamming"))
