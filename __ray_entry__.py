@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_histogram": spatial.tile_histogram_pipeline,
         "tile_histogram_salted": lambda sf: spatial.tile_histogram_pipeline(sf, salted=True),
         "pip_join": spatial.pip_join_pipeline,
+        "pip_join_shuffle": spatial.pip_join_shuffle_pipeline,
         "pip_count": spatial.pip_count_pipeline,
         "knn_pois": lambda sf: spatial.knn_pipeline(sf, k=KNN_K),
         "radius_join": lambda sf: spatial.radius_pipeline(sf, radius_deg=RADIUS_DEG),
@@ -174,6 +175,10 @@ SELECT doc_id, z, x, y, {oracle.sql_quadkey(TILE_Z)} AS quadkey FROM t""",
         "tile_histogram": tile_hist,
         "tile_histogram_salted": tile_hist,
         "pip_join": f"""
+WITH {_pts_cte()}
+SELECT doc_id, rel_id, admin_level FROM pts JOIN {rects}
+ON pts.lon >= b.lon_min AND pts.lon < b.lon_max AND pts.lat >= b.lat_min AND pts.lat < b.lat_max""",
+        "pip_join_shuffle": f"""
 WITH {_pts_cte()}
 SELECT doc_id, rel_id, admin_level FROM pts JOIN {rects}
 ON pts.lon >= b.lon_min AND pts.lon < b.lon_max AND pts.lat >= b.lat_min AND pts.lat < b.lat_max""",

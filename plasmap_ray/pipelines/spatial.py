@@ -192,3 +192,105 @@ def flagship_pipeline(sf_dir: str) -> rd.Dataset:
     return tiled.groupby(["z", "x", "y", "rel_id"]).aggregate(
         Count(alias_name="n_images"),
     )
+
+
+def _pack_polygon(outer: "np.ndarray", holes: list) -> bytes:
+    """Self-describing binary polygon: [n_rings][len_i...][ring floats...].
+
+    The transport form for shuffle joins — Arrow hash joins accept
+    binary payloads but not list/tensor columns.
+    """
+    rings = [np.asarray(outer, dtype=np.float64)] + [np.asarray(h, dtype=np.float64) for h in holes or []]
+    header = np.array([len(rings)] + [r.shape[0] for r in rings], dtype=np.int64)
+    return header.tobytes() + b"".join(r.tobytes() for r in rings)
+
+
+def _unpack_polygon(data: bytes) -> tuple["np.ndarray", list]:
+    n_rings = int(np.frombuffer(data, dtype=np.int64, count=1)[0])
+    lens = np.frombuffer(data, dtype=np.int64, count=n_rings, offset=8)
+    off = 8 * (1 + n_rings)
+    rings = []
+    for ln in lens:
+        rings.append(np.frombuffer(data, dtype=np.float64, count=int(ln) * 2, offset=off).reshape(-1, 2))
+        off += int(ln) * 16
+    return rings[0], rings[1:]
+
+
+def polygon_cover_table(polygons: list[dict], precision: int = cells.PRECISION_VERY_LOW) -> "pa.Table":
+    """(cell, rel_id, admin_level, geom) — one row per cover cell per
+    polygon: the shuffle-join side of the spatial index (geometry
+    travels WITH its cover rows, so no broadcast is needed)."""
+    cell_col, rel_col, lvl_col, geom_col = [], [], [], []
+    from .. import geometry
+
+    for p in polygons:
+        outer = np.asarray(p["outer"], dtype=np.float64)
+        holes = p.get("holes") or []
+        lon0, lat0, lon1, lat1 = geometry.envelope(outer)
+        packed = _pack_polygon(outer, holes)
+        for c in cells.cover_bbox(lon0, lat0, lon1, lat1, precision):
+            cell_col.append(int(c))
+            rel_col.append(int(p["rel_id"]))
+            lvl_col.append(int(p.get("admin_level", 0)))
+            geom_col.append(packed)
+    return pa.table(
+        {
+            "cell": pa.array(cell_col, type=pa.int64()),
+            "rel_id": pa.array(rel_col, type=pa.int64()),
+            "admin_level": pa.array(lvl_col, type=pa.int32()),
+            "geom": pa.array(geom_col, type=pa.binary()),
+        }
+    )
+
+
+def pip_join_shuffle_pipeline(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
+    """J3 at boundary-set scale: SHUFFLE spatial join (no broadcast).
+
+    When the polygon side is too large to broadcast (>> 10^4 polygons),
+    the broadcast PiP actor no longer works; the scalable plan is:
+
+        points  -> cell at the index precision          (map)
+        covers  -> (cell, rel_id, geom) explode          (map)
+        points ⋈ covers ON cell                          (hash shuffle)
+        exact PiP verify per candidate pair              (map; geometry
+                                                          decoded once
+                                                          per rel per
+                                                          batch)
+
+    Results are identical to the broadcast plan (same oracle SQL as
+    pip_join); candidate fan-out = points x avg covers per cell.
+    """
+    from .. import fixtures, geometry
+
+    cover = polygon_cover_table(fixtures.admin_polygons())
+    pts = points_from_documents(sf_dir).map_batches(
+        functools.partial(
+            geo.cell_index, outputs=(("cell", cells.PRECISION_VERY_LOW),)
+        ),
+        batch_format="pyarrow",
+    )
+    joined = pts.join(
+        rd.from_arrow(cover), join_type="inner", num_partitions=num_partitions, on=("cell",)
+    )
+
+    def verify(t: "pa.Table") -> "pa.Table":
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()), "rel_id": pa.array([], type=pa.int64()), "admin_level": pa.array([], type=pa.int32())})
+        lon = t["lon"].to_numpy()
+        lat = t["lat"].to_numpy()
+        rels = t["rel_id"].to_numpy()
+        keep = np.zeros(t.num_rows, dtype=bool)
+        geoms = t["geom"].to_pylist()
+        # decode each distinct polygon once per batch, verify its rows
+        order = np.argsort(rels, kind="stable")
+        sr = rels[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(sr))[0] + 1])
+        ends = np.concatenate([starts[1:], [len(sr)]])
+        for s, e in zip(starts, ends):
+            rows = order[s:e]
+            outer, holes = _unpack_polygon(geoms[rows[0]])
+            keep[rows] = geometry.points_in_polygon(lon[rows], lat[rows], outer, holes)
+        out = t.filter(pa.array(keep))
+        return out.select(["doc_id", "rel_id", "admin_level"])
+
+    return joined.map_batches(verify, batch_format="pyarrow")

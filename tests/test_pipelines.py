@@ -132,3 +132,16 @@ def test_quarantine_routes_bad_rows(ray_session, tmp_path):
     assert good == 48
     assert set(bad["image_id"].to_pylist()) == {"img-000000000004", "img-000000000018"}
     assert all(e for e in bad["error"].to_pylist())
+
+
+def test_shuffle_pip_equals_broadcast(ray_session):
+    """The no-broadcast shuffle spatial join returns exactly the
+    broadcast plan's rows (the huge-boundary-set scale path)."""
+    from plasmap_ray.pipelines import spatial
+
+    sf = "/root/testdata/sf0.001"
+    a = spatial.pip_join_pipeline(sf).to_pandas()
+    b = spatial.pip_join_shuffle_pipeline(sf).to_pandas()
+    sa = set(zip(a["doc_id"], a["rel_id"]))
+    sb = set(zip(b["doc_id"], b["rel_id"]))
+    assert sa == sb and len(sa) > 0
