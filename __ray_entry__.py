@@ -94,6 +94,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ast_districts_of_area": lambda sf: queryast.translate(
             queryast.DistrictsOfArea(queryast.AreaByName("Essenheim")), _ast_ctx(sf)
         ),
+        "ast_pois_near_point": lambda sf: queryast.translate(
+            queryast.PoisNearPoint(*AST_PT, radius_deg=0.2, category="cafe"), _ast_ctx(sf)
+        ),
         "ast_pois_in_area": lambda sf: queryast.translate(
             queryast.PoisInArea(queryast.AreaByName("Duisheim"), "restaurant"), _ast_ctx(sf)
         ),
@@ -108,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- stream-shaped ---
         "tumbling_window": windows.tumbling_window,
         "sessionize": windows.sessionize,
+        "sliding_window": windows.sliding_window,
+        "sampled_event_stats": windows.sampled_event_stats,
         "event_type_rates": windows.event_type_rates,
         "events_union": windows.union_event_streams,
         "distinct_users": windows.distinct_users,
@@ -237,6 +242,15 @@ sess AS (
   SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM flags)
 SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
 FROM sess GROUP BY user_id, session_id""",
+        "sliding_window": """
+WITH grid AS (
+  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS w0, event_type, value FROM events),
+u AS (
+  SELECT w0 AS window_start, event_type, value FROM grid
+  UNION ALL
+  SELECT w0 - INTERVAL 30 MINUTE AS window_start, event_type, value FROM grid)
+SELECT window_start, event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM u GROUP BY window_start, event_type""",
         "event_type_rates": """
 SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events GROUP BY event_type""",
         "events_union": """
@@ -286,6 +300,10 @@ WHERE {oracle.sql_tile_x('lon', AST_TILE[0])} = {AST_TILE[1]} AND {oracle.sql_ti
 SELECT c.rel_id, c.name, c.admin_level FROM {rects} , {rects.replace(') AS b(', ') AS c(')}
 WHERE b.name = 'Essenheim' AND c.admin_level > b.admin_level
   AND c.lon_min >= b.lon_min AND c.lon_max <= b.lon_max AND c.lat_min >= b.lat_min AND c.lat_max <= b.lat_max""",
+        "ast_pois_near_point": f"""
+SELECT p.poi_id, p.lon, p.lat, p.key, p.value, p.name FROM {pois}
+WHERE p.value = 'cafe'
+  AND {oracle.sql_sqdist_deg(repr(AST_PT[0]), repr(AST_PT[1]), 'p.lon', 'p.lat')} <= 0.04""",
         "ast_pois_in_area": f"""
 SELECT p.poi_id, p.lon, p.lat, p.key, p.value, p.name, b.rel_id FROM {pois} JOIN {rects}
 ON p.lon >= b.lon_min AND p.lon < b.lon_max AND p.lat >= b.lat_min AND p.lat < b.lat_max

@@ -110,3 +110,45 @@ def distinct_users_approx(sf_dir: str, k: int = 1024) -> rd.Dataset:
     ds = _read_events(sf_dir, ["user_id"])
     est = distinct_count_approx(ds, "user_id", k=k)
     return _rd.from_arrow(pa.table({"n_users_approx": pa.array([round(est, 1)], type=pa.float64())}))
+
+
+def sliding_window(sf_dir: str, width_min: int = 60, slide_min: int = 30) -> rd.Dataset:
+    """Sliding windows (width 60min, slide 30min): each event explodes
+    into the width/slide windows covering it, then a tumbling-style
+    aggregate per (window_start, event_type).  Window starts are
+    epoch-grid-aligned integers -> timestamps stay exact across engines.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    ds = _read_events(sf_dir, ["ts", "event_type", "value"])
+    n_windows = width_min // slide_min
+    slide_us = slide_min * 60 * 1_000_000
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy()  # microseconds since epoch
+        base = (ts // slide_us) * slide_us
+        parts = []
+        for k in range(n_windows):
+            start = base - k * slide_us
+            tt = t.drop_columns(["ts"]).append_column(
+                "window_start", pa.array(start, type=pa.int64()).cast(pa.timestamp("us"))
+            )
+            parts.append(tt)
+        return pa.concat_tables(parts)
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return out.map_batches(functools.partial(round_columns, cols=("sum_value",), ndigits=4), batch_format="pyarrow")
+
+
+def sampled_event_stats(sf_dir: str, frac: float = 0.2, seed: int = 7) -> rd.Dataset:
+    """§2.6 sampling: seeded random sample -> per-type counts.
+    Engine-specific RNG -> rows-only checked; determinism (same seed,
+    same result) asserted in tests."""
+    ds = _read_events(sf_dir, ["event_type"])
+    samp = ds.random_sample(frac, seed=seed)
+    return samp.groupby("event_type").aggregate(Count(alias_name="n_sampled"))

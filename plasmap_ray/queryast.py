@@ -85,6 +85,18 @@ class NearestPois(Query):
 
 
 @dataclass(frozen=True)
+class PoisNearPoint(Query):
+    """All POIs (optionally of a category) within a planar radius of a
+    point — the 'nearby' radius form (J6/J7, PointOfInterestQuery.nearby,
+    Queries.scala:211-262)."""
+
+    lon: float
+    lat: float
+    radius_deg: float
+    category: str | None = None
+
+
+@dataclass(frozen=True)
 class FeaturesInTile(Query):
     """Feature ids whose position falls in slippy tile z/x/y (the
     raster->vector lookup; tile ids are prefixes of the cell key)."""
@@ -96,7 +108,7 @@ class FeaturesInTile(Query):
 
 # --- JSON (de)serialization (PMSerialiser analogue) ------------------------
 
-_NODE_TYPES = {c.__name__: c for c in (ContainingAreas, AreaByName, DistrictsOfArea, PoisInArea, NearestPois, FeaturesInTile)}
+_NODE_TYPES = {c.__name__: c for c in (ContainingAreas, AreaByName, DistrictsOfArea, PoisInArea, NearestPois, PoisNearPoint, FeaturesInTile)}
 
 
 def to_json(q: Query) -> str:
@@ -223,6 +235,16 @@ def _nearest(q: NearestPois, ctx: EngineContext) -> pa.Table:
     return out.rename_columns(["knn_rank", "poi_id"])
 
 
+def _pois_near(q: PoisNearPoint, ctx: EngineContext) -> pa.Table:
+    t = ctx.poi_table
+    if q.category is not None:
+        t = t.filter(pa.array(_poi_mask(t, q.category)))
+    dlon = t["lon"].to_numpy() - q.lon
+    dlat = t["lat"].to_numpy() - q.lat
+    mask = dlon * dlon + dlat * dlat <= q.radius_deg * q.radius_deg
+    return t.filter(pa.array(mask))
+
+
 def _features_in_tile(q: FeaturesInTile, ctx: EngineContext) -> pa.Table:
     if ctx.points is None:
         raise ValueError("FeaturesInTile needs EngineContext.points (id, lon, lat)")
@@ -239,5 +261,6 @@ _DISPATCH = {
     DistrictsOfArea: _districts,
     PoisInArea: _pois_in_area,
     NearestPois: _nearest,
+    PoisNearPoint: _pois_near,
     FeaturesInTile: _features_in_tile,
 }
