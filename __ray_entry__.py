@@ -35,7 +35,7 @@ EMB_NEARDUP_T = 0.40  # pairs above this are "near" in this corpus (max sim ~0.4
 EMB_TOP_PAIRS = 20
 
 # AST demo constants (the three canonical queries of SURVEY.md §7.2 #11)
-AST_PT = (6.5561, 51.0423)  # a point inside Essenheim / Essenheim-d1
+AST_PT = (6.5561, 51.0423)  # a point inside Essenheim / Essenheim-d5
 AST_K = 5
 SEARCH_TOKEN = "spark"
 # tile containing many fixture points, z=10 (computed from the kernel)
@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text.fingerprint,
         "search_by_token": lambda sf: index.search_by_token(sf, SEARCH_TOKEN),
         "token_doc_frequency": lambda sf: index.token_doc_frequency(sf, min_docs=50),
+        "anti_search": lambda sf: index.anti_search(sf, SEARCH_TOKEN),
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup_by_key,
         "text_md5_dedup": dedup.text_md5_dedup,
@@ -261,6 +262,9 @@ SELECT COUNT(DISTINCT user_id) AS n_users FROM events""",
         "search_by_token": f"""
 SELECT doc_id, lang, n_chars FROM documents
 WHERE list_contains(string_split(lower(text), ' '), '{SEARCH_TOKEN}')""",
+        "anti_search": f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE NOT list_contains(string_split(lower(text), ' '), '{SEARCH_TOKEN}')""",
         "token_doc_frequency": """
 WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
 d AS (SELECT token, count(DISTINCT doc_id) AS n_docs FROM toks GROUP BY token)

@@ -68,6 +68,15 @@ def cmd_tile(args) -> int:
     return 0 if stats["complete"] else 3
 
 
+def cmd_ingest(args) -> int:
+    from .pipelines import ingest
+
+    _ray_session()
+    manifest = ingest.ingest_images(args.images_dir, args.out_root)
+    print(json.dumps(manifest))
+    return 0
+
+
 def cmd_bench_images(args) -> int:
     import os
 
@@ -96,6 +105,11 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("out_dir")
     t.add_argument("--partitions", type=int, default=16)
     t.set_defaults(fn=cmd_tile)
+
+    i = sub.add_parser("ingest", help="full ingest fan-out: data/mappings/index/tiles")
+    i.add_argument("images_dir")
+    i.add_argument("out_root")
+    i.set_defaults(fn=cmd_ingest)
 
     b = sub.add_parser("bench-images", help="generate the bench images table")
     b.add_argument("n", type=int)

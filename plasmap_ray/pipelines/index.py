@@ -65,3 +65,27 @@ def token_doc_frequency(sf_dir: str, min_docs: int = 50) -> rd.Dataset:
     idx = build_index(sf_dir)
     freq = idx.groupby("token").aggregate(Count(alias_name="n_docs"))
     return freq.filter(expr=f"n_docs >= {min_docs}")
+
+
+def anti_search(sf_dir: str, token: str) -> rd.Dataset:
+    """Anti-join: documents NOT containing ``token``.
+
+    The broadcast anti-join pattern (ray_guide 'Semi / anti join'):
+    collect the (small) matching id set once, ``ray.put`` it, and
+    filter the big side map-side against the broadcast set — no
+    shuffle.  Complements J8's semi-join."""
+    import ray
+
+    hit_ids = set(
+        build_index(sf_dir).filter(expr=f"token == '{token}'").unique("doc_id")
+    )
+    ref = ray.put(hit_ids)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        blocked = ray.get(ref)
+        mask = np.fromiter((int(i) not in blocked for i in ids), dtype=bool, count=len(ids))
+        return batch.filter(pa.array(mask))
+
+    docs = _read_docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    return docs.map_batches(anti, batch_format="pyarrow")

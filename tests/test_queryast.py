@@ -96,3 +96,13 @@ def test_poi_registry():
 def test_features_in_tile_requires_points():
     with pytest.raises(ValueError):
         queryast.translate(queryast.FeaturesInTile(10, 1, 1), queryast.EngineContext())
+
+
+def test_pois_near_point_radius(ctx):
+    q = queryast.PoisNearPoint(6.5561, 51.0423, radius_deg=0.2, category="cafe")
+    t = queryast.translate(q, ctx)
+    assert set(t["value"].to_pylist()) <= {"cafe"}
+    d2 = (t["lon"].to_numpy() - q.lon) ** 2 + (t["lat"].to_numpy() - q.lat) ** 2
+    assert (d2 <= 0.04 + 1e-15).all()
+    # wire round trip includes the new node type
+    assert queryast.from_json(queryast.to_json(q)) == q

@@ -97,3 +97,14 @@ def test_inverted_index_roundtrip(ray_session):
     assert ("spark", 1) in pairs and ("beats", 1) in pairs
     # per-doc dedup: 'spark' appears once for doc 1
     assert sum(1 for tok, d in pairs if tok == "spark" and d == 1) == 1
+
+
+def test_anti_search_complements_search(ray_session):
+    """semi-join + anti-join partition the corpus exactly."""
+    from plasmap_ray.pipelines import index
+
+    sf = "/root/testdata/sf0.001"
+    hits = index.search_by_token(sf, "spark").to_pandas()
+    misses = index.anti_search(sf, "spark").to_pandas()
+    assert len(hits) + len(misses) == 500
+    assert set(hits["doc_id"]).isdisjoint(set(misses["doc_id"]))
