@@ -246,7 +246,7 @@ def run_queries() -> dict:
 def main() -> None:
     if "--scaling" in sys.argv:
         lo, hi = int(os.environ.get("GRAFT_SCALE_LO", "8")), int(os.environ.get("GRAFT_SCALE_HI", "32"))
-        reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+        reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
         out = {}
         for n in (lo, hi):
             best = None
