@@ -329,6 +329,22 @@ _FMT_CYCLE = ("raw", "pngz", "qnt8")
 NEAR_DUP_STRIDE = 97  # every 97th image duplicates its predecessor's pixels
 
 
+# per-(w,h) normalized coordinate grids, cached: they are identical for
+# every image of a size, and regenerating them dominates the generator's
+# memory traffic at bench scale (values unchanged -> outputs unchanged)
+_GRID_CACHE: dict[tuple[int, int], tuple["np.ndarray", "np.ndarray"]] = {}
+
+
+def _uv_grid(w: int, h: int) -> tuple["np.ndarray", "np.ndarray"]:
+    key = (w, h)
+    got = _GRID_CACHE.get(key)
+    if got is None:
+        yy, xx = np.mgrid[0:h, 0:w]
+        got = (xx / max(w - 1, 1), yy / max(h - 1, 1))
+        _GRID_CACHE[key] = got
+    return got
+
+
 def _image_pixels(i: int, w: int, h: int, seed: int) -> "np.ndarray":
     """Procedural RGB image: per-image low-frequency sinusoid pattern +
     seeded noise.  The pattern's frequencies/phases are image-specific so
@@ -336,9 +352,7 @@ def _image_pixels(i: int, w: int, h: int, seed: int) -> "np.ndarray":
     image's 8x8 block-mean hash collide); only deliberately planted
     near-dups share a phash."""
     rng = np.random.default_rng(seed * 1_000_003 + i)
-    yy, xx = np.mgrid[0:h, 0:w]
-    u = xx / max(w - 1, 1)
-    v = yy / max(h - 1, 1)
+    u, v = _uv_grid(w, h)
     chans = []
     for _ in range(3):
         fx, fy = rng.uniform(0.5, 3.5, 2)
