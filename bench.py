@@ -89,10 +89,18 @@ def ensure_bench_images(n: int) -> str:
         ids = t["id"].to_numpy() + 1
         return fixtures.make_images_for_ids(np.asarray(ids, dtype=np.int64), size_choices=(16, 32))
 
+    # write to a tmp dir, rename atomically: a crashed prior run must not
+    # leave half-written shards that a retry would append to (dup rows)
+    import shutil
+
+    tmp = root + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
     ds = rd.range(n, override_num_blocks=max(32, NUM_CPUS * 4)).map_batches(gen, batch_format="pyarrow")
-    ds.write_parquet(root)
-    with open(marker, "w") as f:
+    ds.write_parquet(tmp)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok")
+    os.replace(tmp, root)
     return root
 
 

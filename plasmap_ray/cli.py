@@ -6,7 +6,7 @@ CLI suitable for ``ray job submit``:
 
     python -m plasmap_ray.cli query '<AST json>' [--sf-dir DIR] [--geojson]
     python -m plasmap_ray.cli tile  IMAGES_DIR OUT_DIR [--partitions N]
-    python -m plasmap_ray.cli bench-images N OUT_DIR
+    python -m plasmap_ray.cli bench-images N
 
 Owns its Ray session (guarded init + shutdown) per the driver contract.
 """
@@ -111,9 +111,8 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("out_root")
     i.set_defaults(fn=cmd_ingest)
 
-    b = sub.add_parser("bench-images", help="generate the bench images table")
+    b = sub.add_parser("bench-images", help="generate the bench images table (under /tmp/plasmap_fixtures)")
     b.add_argument("n", type=int)
-    b.add_argument("out_dir", nargs="?")
     b.set_defaults(fn=cmd_bench_images)
 
     args = p.parse_args(argv)

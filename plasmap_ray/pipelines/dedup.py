@@ -120,7 +120,11 @@ def _band_explode(batch: pa.Table, bands: int = BANDS, rows: int = ROWS_PER_BAND
     return pa.concat_tables(parts)
 
 
-MAX_LSH_GROUP = 64  # cap quadratic pair expansion per bucket (logged, not silent)
+import logging
+
+logger = logging.getLogger(__name__)
+
+MAX_LSH_GROUP = 64  # cap quadratic pair expansion per bucket (truncation is logged)
 
 
 def minhash_near_dup(sf_dir: str, sim_threshold: float = 0.8) -> rd.Dataset:
@@ -250,11 +254,13 @@ def pairs_in_key_runs(
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
     out_v: list[np.ndarray] = []
+    truncated = 0
     for s, e in zip(starts, ends):
         n = e - s
         if n < 2:
             continue
         if n > max_group:
+            truncated += 1
             e = s + max_group
             n = max_group
         run = order[s:e]
@@ -263,13 +269,27 @@ def pairs_in_key_runs(
         out_a.append(run[ai])
         out_b.append(run[bi])
         out_v.append(np.asarray(v))
+    if truncated:
+        logger.warning(
+            "pairs_in_key_runs: %d bucket(s) exceeded max_group=%d and were truncated — "
+            "pairs beyond the cap are NOT emitted (skew guard, SURVEY §4)",
+            truncated,
+            max_group,
+        )
     if not out_a:
         return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0)
     return np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_v)
 
 
-def hamming_pairs(sf_dir_or_ds, hash_col: str, id_col: str, max_dist: int = 8, bands: int = 4) -> rd.Dataset:
+def hamming_pairs(sf_dir_or_ds, hash_col: str, id_col: str, max_dist: int = 3, bands: int = 4) -> rd.Dataset:
     """Near-dup pairs by banded Hamming LSH + exact popcount verify.
+
+    RECALL CONTRACT: with ``bands`` equal-width bands, every pair within
+    Hamming distance < bands shares at least one exact band and is
+    guaranteed found; pairs at larger distances are found only when a
+    band happens to match.  The default ``max_dist = bands - 1`` keeps
+    the output's recall exact; raising it returns extra (non-exhaustive)
+    more-distant pairs.
 
     Shuffle shape: repartition by ONE band per group (``bands`` groups),
     then within each band a single sort + run scan finds same-key

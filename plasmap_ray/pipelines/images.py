@@ -106,10 +106,11 @@ def quarantine_split(sf_dir: str, out_dir: str) -> tuple[rd.Dataset, str]:
     quarantine parquet for re-run (failure-topic analogue,
     OsmPreprocessor.scala:54-93,96-99)."""
     ds = read_images(sf_dir)
-    verified = ds.map_batches(FidelityVerify, batch_format="pyarrow", batch_size=512, concurrency=(1, 8))
-    bad = verified.filter(expr="ok == False")
+    verified = ds.map_batches(
+        FidelityVerify, batch_format="pyarrow", batch_size=512, concurrency=(1, 8)
+    ).materialize()  # decode once; both filtered consumers reuse the blocks
     qdir = os.path.join(out_dir, "quarantine")
-    bad.write_parquet(qdir)
+    verified.filter(expr="ok == False").write_parquet(qdir)
     good = verified.filter(expr="ok == True")
     return good, qdir
 
@@ -138,8 +139,10 @@ def phash_dedup(sf_dir: str) -> rd.Dataset:
     return g.filter(expr="n_images > 1")
 
 
-def phash_near_dup_pairs(sf_dir: str, max_dist: int = 8) -> rd.Dataset:
-    """Banded Hamming-LSH near-dup pairs over the phash column (D4+)."""
+def phash_near_dup_pairs(sf_dir: str, max_dist: int = 3) -> rd.Dataset:
+    """Banded Hamming-LSH near-dup pairs over the phash column (D4+).
+    ``max_dist=3`` (= bands-1) is the exact-recall regime; see
+    dedup.hamming_pairs for the contract."""
     from . import dedup as _dedup
 
     ds = read_images(sf_dir, columns=["image_id", "phash"])

@@ -82,7 +82,9 @@ def ingest_images(images_dir: str, out_root: str, zooms: tuple[int, ...] = (6, 1
     os.makedirs(out_root, exist_ok=True)
 
     ds = rd.read_parquet(files).map_batches(_with_position, batch_format="pyarrow")
-    ds = ds.map_batches(geo.cell_index, batch_format="pyarrow")
+    # materialize once: five consumers (4 sinks + count) would otherwise
+    # each re-run the read+derive+encode DAG from scratch
+    ds = ds.map_batches(geo.cell_index, batch_format="pyarrow").materialize()
 
     # 1) data table: cell-partitioned payload rows (S6 cell-keyed layout)
     data_dir = os.path.join(out_root, "data")

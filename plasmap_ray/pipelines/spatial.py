@@ -187,7 +187,7 @@ def flagship_pipeline(sf_dir: str) -> rd.Dataset:
         batch_size=8192,
     )
     tiled = near.map_batches(
-        functools.partial(geo.tile_assign, z=10), batch_format="pyarrow"
+        functools.partial(geo.tile_assign, z=10, with_quadkey=False), batch_format="pyarrow"
     )
     return tiled.groupby(["z", "x", "y", "rel_id"]).aggregate(
         Count(alias_name="n_images"),

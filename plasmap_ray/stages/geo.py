@@ -388,12 +388,12 @@ class KnnJoinActor:
             out_poi[:] = id_c.ravel()[sel.ravel()].reshape(n, k)
         else:
             d = self._dists_approx(lon, lat)
-            kk = min(k, m)
-            cand = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            kk = min(k + 8, m)  # slack so exact ties at the k-th position break by poi_id
+            cand = np.argpartition(d, kk - 1, axis=1)[:, :kk] if kk < m else np.tile(np.arange(m), (n, 1))
             d_c = np.take_along_axis(d, cand, axis=1)
             id_c = self.poi_id[cand]
-            rows_kk = np.repeat(np.arange(n), kk)
-            sel = np.lexsort((id_c.ravel(), d_c.ravel(), rows_kk)).reshape(n, kk)[:, :k]
+            rows_kk = np.repeat(np.arange(n), cand.shape[1])
+            sel = np.lexsort((id_c.ravel(), d_c.ravel(), rows_kk)).reshape(n, cand.shape[1])[:, :k]
             out_poi[:] = id_c.ravel()[sel.ravel()].reshape(n, k)
 
         rows = np.repeat(np.arange(n), k)
@@ -438,17 +438,23 @@ class FlagshipFusedActor:
         sub = pa.table({"lon": pa.array(jlon), "lat": pa.array(jlat)})
         knn_out = self.knn(sub)  # rank/poi_id columns; order preserved per input row
         x, y = tiles.tile_xy(jlon, jlat, self.z)
-        key = (x << np.int64(40)) | (y << np.int64(16)) | (rel & np.int64(0xFFFF))
-        u, c = np.unique(key, return_counts=True)
+        u, c = _unique_tile_rel(x, y, rel)
         return pa.table(
             {
-                "z": pa.array(np.full(len(u), self.z, dtype=np.int32)),
-                "x": pa.array(u >> np.int64(40), type=pa.int64()),
-                "y": pa.array((u >> np.int64(16)) & np.int64(0xFFFFFF), type=pa.int64()),
-                "rel_id": pa.array(u & np.int64(0xFFFF), type=pa.int64()),
+                "z": pa.array(np.full(u.shape[0], self.z, dtype=np.int32)),
+                "x": pa.array(u[:, 0], type=pa.int64()),
+                "y": pa.array(u[:, 1], type=pa.int64()),
+                "rel_id": pa.array(u[:, 2], type=pa.int64()),
                 "n_images": pa.array(c.astype(np.int64)),
             }
         )
+
+
+def _unique_tile_rel(x: np.ndarray, y: np.ndarray, rel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """unique (x, y, rel_id) rows + counts — row-wise np.unique instead of
+    bit packing, which silently truncated real-world rel_ids >= 2^16."""
+    stacked = np.column_stack([x, y, rel]).astype(np.int64)
+    return np.unique(stacked, axis=0, return_counts=True)
 
 
 # Per-worker-process kernel cache for task-based stateful stages.  An
@@ -601,14 +607,13 @@ class ImageFlagshipFusedActor:
         jlat = lat[pt_idx]
         self.knn(pa.table({"lon": pa.array(jlon), "lat": pa.array(jlat)}))  # nearest-POI attach (aggregated away)
         x, y = tiles.tile_xy(jlon, jlat, self.z)
-        key = (x << np.int64(40)) | (y << np.int64(16)) | (rel & np.int64(0xFFFF))
-        u, c = np.unique(key, return_counts=True)
+        u, c = _unique_tile_rel(x, y, rel)
         return pa.table(
             {
-                "z": pa.array(np.full(len(u), self.z, dtype=np.int32)),
-                "x": pa.array(u >> np.int64(40), type=pa.int64()),
-                "y": pa.array((u >> np.int64(16)) & np.int64(0xFFFFFF), type=pa.int64()),
-                "rel_id": pa.array(u & np.int64(0xFFFF), type=pa.int64()),
+                "z": pa.array(np.full(u.shape[0], self.z, dtype=np.int32)),
+                "x": pa.array(u[:, 0], type=pa.int64()),
+                "y": pa.array(u[:, 1], type=pa.int64()),
+                "rel_id": pa.array(u[:, 2], type=pa.int64()),
                 "n_images": pa.array(c.astype(np.int64)),
             }
         )

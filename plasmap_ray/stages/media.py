@@ -96,6 +96,8 @@ class AudioDecodeStub:
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
         n = batch.num_rows
         rms = np.zeros(n)
         zcr = np.zeros(n)
@@ -110,7 +112,7 @@ class AudioDecodeStub:
                     f"audio codec {fmts[i]!r} not available in this environment; "
                     "install a decoder and register it here (stub: 'fake-pcm')"
                 )
-            phase = (hash(payloads[i]) % 628) / 100.0
+            phase = (zlib.crc32(payloads[i]) % 628) / 100.0  # deterministic across processes
             t = np.arange(int(ns[i])) / max(int(sr[i]), 1)
             samples = np.sin(2 * np.pi * 440.0 * t + phase)
             rms[i] = float(np.sqrt(np.mean(samples**2)))
