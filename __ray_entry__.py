@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": relational.orders_by_nation,
         "topk_orders_per_customer": relational.topk_orders_per_customer,
         "filtered_part_stats": relational.filtered_stats,
+        "top_unshipped_orders": relational.top_unshipped_orders,
         # --- stream-shaped ---
         "tumbling_window": windows.tumbling_window,
         "sessionize": windows.sessionize,
@@ -228,6 +229,12 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS order_rank
   FROM orders)
 SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice, order_rank FROM ranked WHERE order_rank <= 2""",
+        "top_unshipped_orders": """
+SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY sum(l_extendedprice * (1.0 - l_discount)) DESC, o_orderdate, l_orderkey LIMIT 10""",
         "filtered_part_stats": """
 SELECT p_brand, count(*) AS n_parts, round(min(p_retailprice), 2) AS min_price, round(max(p_retailprice), 2) AS max_price
 FROM part WHERE p_size >= 20 GROUP BY p_brand""",

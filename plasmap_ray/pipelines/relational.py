@@ -13,6 +13,7 @@ from __future__ import annotations
 import functools
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -115,3 +116,39 @@ def filtered_stats(sf_dir: str) -> rd.Dataset:
     return out.map_batches(
         functools.partial(_round_cols, cols=("min_price", "max_price"), ndigits=2), batch_format="pyarrow"
     )
+
+
+def top_unshipped_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> rd.Dataset:
+    """TPC-H Q3 shape: three-way join + filtered aggregate + global
+    top-k.  customer(segment) ⋈ orders(date<cut) ⋈ lineitem(ship>cut)
+    -> revenue per order -> top k by (revenue desc, orderdate).
+    """
+    cut = "1995-03-15"
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        expr=f"c_mktsegment == '{segment}'"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def date_filter_orders(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["o_orderdate"], pa.scalar(np.datetime64(cut, "us"))))
+
+    orders = orders.map_batches(date_filter_orders, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def li_filter_revenue(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(np.datetime64(cut, "us"))))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev).select(["l_orderkey", "revenue"])
+
+    li = li.map_batches(li_filter_revenue, batch_format="pyarrow")
+    oc = orders.join(cust, join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",))
+    j = li.join(
+        oc.select_columns(["o_orderkey", "o_orderdate"]),
+        join_type="inner",
+        num_partitions=4,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    agg = j.groupby(["l_orderkey", "o_orderdate"]).aggregate(Sum("revenue", alias_name="revenue"))
+    top = agg.sort(["revenue", "o_orderdate", "l_orderkey"], descending=[True, False, False]).limit(k)
+    return top.map_batches(functools.partial(_round_cols, cols=("revenue",), ndigits=2), batch_format="pyarrow")
