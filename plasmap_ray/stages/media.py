@@ -90,7 +90,7 @@ class AudioDecodeStub:
 
     Real audio decoders (ffmpeg/soundfile) are not available in this
     container.  ``fmt='fake-pcm'`` decodes deterministically (seeded
-    sine + payload-hash phase) so the batch plumbing, feature schema
+    sine with a crc32-of-payload phase) so the batch plumbing, feature schema
     and downstream aggregation are fully exercised; any other fmt
     raises ``NotImplementedError`` naming the missing codec.
     """
