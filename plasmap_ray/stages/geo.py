@@ -299,7 +299,11 @@ class KnnJoinActor:
         """Per-cell candidate index: precision chosen so the POI bbox
         holds roughly one POI per cell; each cell's candidate list =
         POIs within (k-th NN distance of cell center + cell diagonal),
-        a radius that provably covers the top-k of every interior point."""
+        a radius that provably covers the top-k of every interior point.
+
+        Built via POI grid buckets + expanding-ring search per cell —
+        memory stays O(m + cells), never the dense (cells x m) matrix
+        (which would be 149 GiB at 100k POIs / 200k cells)."""
         m = len(self.poi_id)
         lon0, lon1 = float(self.poi_lon.min()), float(self.poi_lon.max())
         lat0, lat1 = float(self.poi_lat.min()), float(self.poi_lat.max())
@@ -308,20 +312,65 @@ class KnnJoinActor:
             if n_cells >= m:
                 break
         self._grid_p = p
-        cover = cells.cover_bbox(lon0, lat0, lon1, lat1, p)
-        clon, clat = cells.decode_center(cover, p)
-        dlon_cell = 360.0 / (1 << p)
-        dlat_cell = 180.0 / (1 << p)
-        diag = float(np.hypot(dlon_cell, dlat_cell))
+        sx = 360.0 / (1 << p)
+        sy = 180.0 / (1 << p)
+        diag = float(np.hypot(sx, sy))
         k = min(self.k, m)
-        # distances cell-center -> all POIs (n_cells x m, built once)
-        d = (clon[:, None] - self.poi_lon[None, :]) ** 2 + (clat[:, None] - self.poi_lat[None, :]) ** 2
-        rk = np.sqrt(np.partition(d, k - 1, axis=1)[:, k - 1])
-        lim = (rk + diag) ** 2
+
+        # POI buckets keyed by grid (x, y)
+        px, py = cells.lonlat_to_xy(self.poi_lon, self.poi_lat, p)
+        pkey = (px << np.int64(32)) | py
+        order = np.argsort(pkey, kind="stable")
+        sk = pkey[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(sk))[0] + 1])
+        ends = np.concatenate([starts[1:], [len(sk)]])
+        buckets: dict[int, np.ndarray] = {
+            int(sk[s]): order[s:e] for s, e in zip(starts, ends)
+        }
+
+        def gather_rings(cx: int, cy: int, r_max: int) -> np.ndarray:
+            found = []
+            for r in range(r_max + 1):
+                if r == 0:
+                    keys = [(cx, cy)]
+                else:
+                    xs = range(cx - r, cx + r + 1)
+                    keys = [(x, cy - r) for x in xs] + [(x, cy + r) for x in xs]
+                    keys += [(cx - r, y) for y in range(cy - r + 1, cy + r)]
+                    keys += [(cx + r, y) for y in range(cy - r + 1, cy + r)]
+                for x, y in keys:
+                    b = buckets.get((int(x) << 32) | int(y))
+                    if b is not None:
+                        found.append(b)
+            return np.concatenate(found) if found else np.empty(0, np.int64)
+
+        cover = cells.cover_bbox(lon0, lat0, lon1, lat1, p)
+        ccx, ccy = cells.deinterleave(cover)
+        clon, clat = cells.decode_center(cover, p)
+        min_s = min(sx, sy)
         self._grid = {}
         for i, c in enumerate(cover):
-            cand = np.nonzero(d[i] <= lim[i])[0]
-            self._grid[int(c)] = cand.astype(np.int64)
+            cx, cy = int(ccx[i]), int(ccy[i])
+            # expand rings until >= k POIs found (rings <= r hold every POI
+            # within r*min_s of the center, so the k-th NN distance from
+            # the CENTER is bounded once k POIs are inside the ring set)
+            r = 0
+            cand = gather_rings(cx, cy, r)
+            while len(cand) < k:
+                r += 1
+                cand = gather_rings(cx, cy, r)
+            d = (self.poi_lon[cand] - clon[i]) ** 2 + (self.poi_lat[cand] - clat[i]) ** 2
+            rk = float(np.sqrt(np.partition(d, k - 1)[k - 1]))
+            # POIs outside rings <= r can still be closer than rk only if
+            # within rk of the center; widen the ring set to cover radius
+            # rk + diag, then filter exactly by the center-based rule
+            lim = rk + diag
+            r_need = int(np.ceil(lim / min_s)) + 1
+            if r_need > r:
+                cand = gather_rings(cx, cy, r_need)
+                d = (self.poi_lon[cand] - clon[i]) ** 2 + (self.poi_lat[cand] - clat[i]) ** 2
+            keep = d <= lim * lim
+            self._grid[int(c)] = cand[keep].astype(np.int64)
 
     def _dists_approx(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
         """Candidate distances: one float32 GEMM (abs. error ~1e-6 deg^2)."""

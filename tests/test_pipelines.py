@@ -145,3 +145,25 @@ def test_shuffle_pip_equals_broadcast(ray_session):
     sa = set(zip(a["doc_id"], a["rel_id"]))
     sb = set(zip(b["doc_id"], b["rel_id"]))
     assert sa == sb and len(sa) > 0
+
+
+def test_grid_knn_large_poi_set(ray_session):
+    """The grid build must stay O(m + cells) — a dense (cells x m)
+    matrix was 149 GiB at 100k POIs (regression for the bucketed
+    expanding-ring build); results stay exact."""
+    rng = np.random.default_rng(9)
+    n = 20_000
+    big = {
+        "poi_id": np.arange(1, n + 1, dtype=np.int64),
+        "lon": fixtures.LON_MIN + rng.random(n) * fixtures.LON_SPAN,
+        "lat": fixtures.LAT_MIN + rng.random(n) * fixtures.LAT_SPAN,
+    }
+    actor = geo.KnnJoinActor(big, k=3, metric="sqdeg", keep_cols=("doc_id",))
+    ids = np.arange(1, 2001, dtype=np.int64)
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    out = actor(pa.table({"doc_id": pa.array(ids), "lon": pa.array(lon), "lat": pa.array(lat)}))
+    got = out["poi_id"].to_numpy().reshape(-1, 3)
+    d = (lon[:, None] - big["lon"][None, :]) ** 2 + (lat[:, None] - big["lat"][None, :]) ** 2
+    for r in range(0, 2000, 97):
+        order = np.lexsort((big["poi_id"], d[r]))[:3]
+        assert np.array_equal(big["poi_id"][order], got[r]), r
