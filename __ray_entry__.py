@@ -45,6 +45,11 @@ import numpy as _np  # noqa: E402
 _tx, _ty = _tiles.tile_xy(_np.array([AST_PT[0]]), _np.array([AST_PT[1]]), 10)
 AST_TILE = (10, int(_tx[0]), int(_ty[0]))
 
+from plasmap_ray import cells as _cells  # noqa: E402
+
+# coarse quadtree cell (precision 6) for the prefix range-scan query
+PREFIX_CELL = int(_cells.encode(_np.array([6.55]), _np.array([51.0]), 6)[0])
+
 
 def _ast_ctx(sf_dir: str) -> "queryast.EngineContext":
     import pyarrow.parquet as pq
@@ -81,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join": spatial.pip_join_pipeline,
         "pip_join_shuffle": spatial.pip_join_shuffle_pipeline,
         "pip_count": spatial.pip_count_pipeline,
+        "cell_prefix_scan": spatial.cell_prefix_scan_pipeline,
         "knn_pois": lambda sf: spatial.knn_pipeline(sf, k=KNN_K),
         "radius_join": lambda sf: spatial.radius_pipeline(sf, radius_deg=RADIUS_DEG),
         "poi_in_area": spatial.poi_in_area_pipeline,
@@ -179,6 +185,11 @@ SELECT doc_id, cell_low, (cell_low >> 4) AS cell_verylow FROM m_out""",
 WITH {_pts_cte()},
 t AS (SELECT doc_id, {TILE_Z} AS z, {oracle.sql_tile_x('lon', TILE_Z)} AS x, {oracle.sql_tile_y('lat', TILE_Z)} AS y FROM pts)
 SELECT doc_id, z, x, y, {oracle.sql_quadkey(TILE_Z)} AS quadkey FROM t""",
+        "cell_prefix_scan": f"""
+WITH {_pts_cte()},
+{oracle.sql_morton_ctes('pts', 'doc_id', low, 'cell_low')}
+SELECT doc_id, cell_low FROM m_out
+WHERE cell_low >= ({PREFIX_CELL} << 10) AND cell_low < (({PREFIX_CELL} + 1) << 10)""",
         "tile_histogram": tile_hist,
         "tile_histogram_salted": tile_hist,
         "pip_join": f"""

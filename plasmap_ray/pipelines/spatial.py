@@ -294,3 +294,24 @@ def pip_join_shuffle_pipeline(sf_dir: str, num_partitions: int = 8) -> rd.Datase
         return out.select(["doc_id", "rel_id", "admin_level"])
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def cell_prefix_scan_pipeline(sf_dir: str, prefix_cell: int = None, prefix_precision: int = 6) -> rd.Dataset:
+    """Quadtree prefix range scan: all points whose fine cell id has the
+    given coarse cell as prefix.  Because the Morton code is a quadkey,
+    a coarse cell at precision q covers exactly the fine-id range
+    ``[c << 2(p-q), (c+1) << 2(p-q))`` — ONE contiguous integer range,
+    which is what makes cell-sorted storage range-scannable (the
+    'tile id = prefix of the cell key' property, SURVEY §1.3).
+    """
+    p = cells.PRECISION_LOW
+    if prefix_cell is None:
+        # the coarse cell containing the fixture world's busiest area
+        prefix_cell = int(cells.encode(np.array([6.55]), np.array([51.0]), prefix_precision)[0])
+    shift = 2 * (p - prefix_precision)
+    lo = prefix_cell << shift
+    hi = (prefix_cell + 1) << shift
+    pts = points_from_documents(sf_dir).map_batches(
+        functools.partial(geo.cell_index, outputs=(("cell_low", p),)), batch_format="pyarrow"
+    )
+    return pts.filter(expr=f"cell_low >= {lo} and cell_low < {hi}").select_columns(["doc_id", "cell_low"])
