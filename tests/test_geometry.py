@@ -106,3 +106,60 @@ def test_envelope():
     assert geometry.envelope(ring) == (1.0, -1.0, 5.0, 7.0)
     with pytest.raises(ValueError):
         geometry.envelope(np.empty((0, 2)))
+
+
+# --- property-based suites (hypothesis) -------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.floats(0.1, 5.0), st.floats(0.1, 5.0),  # rect A size
+    st.floats(-3.0, 3.0), st.floats(-3.0, 3.0),  # rect B offset
+    st.floats(0.1, 5.0), st.floats(0.1, 5.0),  # rect B size
+)
+@settings(max_examples=60, deadline=None)
+def test_rect_intersection_matches_analytic(aw, ah, bx, by, bw, bh):
+    """Convex clip against the closed-form rectangle overlap area."""
+    a = np.array([[0, 0], [aw, 0], [aw, ah], [0, ah]])
+    b = np.array([[bx, by], [bx + bw, by], [bx + bw, by + bh], [bx, by + bh]])
+    expect = max(0.0, min(aw, bx + bw) - max(0.0, bx)) * max(0.0, min(ah, by + bh) - max(0.0, by))
+    got = geometry.intersection_area(a, b)
+    assert got == pytest.approx(expect, abs=1e-9)
+
+
+@given(st.integers(3, 12), st.floats(0.05, 2.0), st.floats(-1.0, 1.0), st.floats(-1.0, 1.0))
+@settings(max_examples=40, deadline=None)
+def test_polygon_centroid_always_inside_convex(n, r, cx, cy):
+    """The vertex centroid of a convex regular polygon is inside it."""
+    ang = np.arange(n) * 2 * np.pi / n + 0.3
+    ring = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+    assert geometry.points_in_ring(np.array([cx]), np.array([cy]), ring)[0]
+
+
+@given(st.integers(3, 10), st.floats(0.1, 1.0))
+@settings(max_examples=40, deadline=None)
+def test_fuzzy_within_reflexive_and_scaled(n, r):
+    """A polygon is fuzzy-within itself; a half-area copy inside it too;
+    a disjoint translate is not."""
+    ang = np.arange(n) * 2 * np.pi / n
+    ring = np.column_stack([r * np.cos(ang), r * np.sin(ang)])
+    assert geometry.fuzzy_within(ring, ring)
+    assert geometry.fuzzy_within(ring * 0.5, ring)
+    assert not geometry.fuzzy_within(ring + 10 * r, ring)
+
+
+@given(st.lists(st.tuples(st.floats(-10, 10), st.floats(-10, 10)), min_size=4, max_size=4, unique=True))
+@settings(max_examples=40, deadline=None)
+def test_ring_area_translation_invariant(pts):
+    from hypothesis import assume
+
+    ring = np.array(pts)
+    a1 = geometry.ring_area(ring)
+    # the shoelace sum genuinely loses relative precision on
+    # near-degenerate rings once coordinates are offset; only assert
+    # invariance away from that regime
+    assume(a1 > 1e-3)
+    a2 = geometry.ring_area(ring + np.array([100.0, -50.0]))
+    assert a1 == pytest.approx(a2, rel=1e-9)
