@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": windows.sessionize,
         "sliding_window": windows.sliding_window,
         "sampled_event_stats": windows.sampled_event_stats,
+        "asof_join": windows.asof_join_purchases,
         "event_type_rates": windows.event_type_rates,
         "events_union": windows.union_event_streams,
         "distinct_users": windows.distinct_users,
@@ -270,6 +271,15 @@ u AS (
   SELECT w0 - INTERVAL 30 MINUTE AS window_start, event_type, value FROM grid)
 SELECT window_start, event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM u GROUP BY window_start, event_type""",
+        "asof_join": """
+WITH p AS (SELECT user_id, event_id AS pid, ts AS pts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS cid, ts AS cts FROM events WHERE event_type = 'click'),
+ranked AS (
+  SELECT p.user_id, p.pid, c.cid, epoch_us(p.pts) - epoch_us(c.cts) AS gap_us,
+         row_number() OVER (PARTITION BY p.pid ORDER BY c.cts DESC, c.cid DESC) AS rn
+  FROM p JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts)
+SELECT user_id, pid AS purchase_event_id, cid AS prior_click_event_id, gap_us
+FROM ranked WHERE rn = 1""",
         "event_type_rates": """
 SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events GROUP BY event_type""",
         "events_union": """

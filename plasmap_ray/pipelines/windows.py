@@ -152,3 +152,49 @@ def sampled_event_stats(sf_dir: str, frac: float = 0.2, seed: int = 7) -> rd.Dat
     ds = _read_events(sf_dir, ["event_type"])
     samp = ds.random_sample(frac, seed=seed)
     return samp.groupby("event_type").aggregate(Count(alias_name="n_sampled"))
+
+
+def asof_join_purchases(sf_dir: str) -> rd.Dataset:
+    """As-of join: each purchase event matched to the user's most recent
+    click at-or-before it (ray_guide 'As-of / range join': sort within
+    user partitions, pd.merge_asof per group).  Inner semantics —
+    purchases with no prior click drop.  Ties (equal ts) break toward
+    the larger click event_id; the gap travels as exact integer
+    microseconds so the SQL mirror is bit-robust.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    ds = _read_events(sf_dir, ["user_id", "event_id", "event_type", "ts"])
+    ds = ds.filter(expr="event_type == 'purchase' or event_type == 'click'")
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        c = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
+        if p.empty or c.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype=np.int64),
+                    "purchase_event_id": pd.Series(dtype=np.int64),
+                    "prior_click_event_id": pd.Series(dtype=np.int64),
+                    "gap_us": pd.Series(dtype=np.int64),
+                }
+            )
+        m = pd.merge_asof(
+            p[["ts", "event_id"]],
+            c[["ts", "event_id"]].rename(columns={"event_id": "click_id", "ts": "cts"}),
+            left_on="ts",
+            right_on="cts",
+            direction="backward",
+        )
+        m = m.dropna(subset=["click_id"])
+        return pd.DataFrame(
+            {
+                "user_id": np.full(len(m), g["user_id"].iloc[0], dtype=np.int64),
+                "purchase_event_id": m["event_id"].astype(np.int64),
+                "prior_click_event_id": m["click_id"].astype(np.int64),
+                "gap_us": (m["ts"].values.astype("datetime64[us]").astype(np.int64) - m["cts"].values.astype("datetime64[us]").astype(np.int64)),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
