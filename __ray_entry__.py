@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": windows.sliding_window,
         "sampled_event_stats": windows.sampled_event_stats,
         "asof_join": windows.asof_join_purchases,
+        "range_join_campaigns": windows.range_join_campaigns,
         "event_type_rates": windows.event_type_rates,
         "events_union": windows.union_event_streams,
         "distinct_users": windows.distinct_users,
@@ -280,6 +281,15 @@ ranked AS (
   FROM p JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts)
 SELECT user_id, pid AS purchase_event_id, cid AS prior_click_event_id, gap_us
 FROM ranked WHERE rn = 1""",
+        "range_join_campaigns": """
+WITH camp(campaign_id, cstart, cend) AS (VALUES
+  (1, TIMESTAMP '2024-01-03', TIMESTAMP '2024-01-06'),
+  (2, TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-09'),
+  (3, TIMESTAMP '2024-01-12', TIMESTAMP '2024-01-13'),
+  (4, TIMESTAMP '2024-01-20', TIMESTAMP '2024-01-27'))
+SELECT campaign_id, event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events JOIN camp ON ts >= cstart AND ts < cend
+GROUP BY campaign_id, event_type""",
         "event_type_rates": """
 SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events GROUP BY event_type""",
         "events_union": """

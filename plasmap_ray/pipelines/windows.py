@@ -198,3 +198,42 @@ def asof_join_purchases(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+CAMPAIGNS = [
+    # (campaign_id, start_us, end_us) on the epoch grid — deterministic,
+    # mirrored verbatim in the SQL oracle
+    (1, "2024-01-03", "2024-01-06"),
+    (2, "2024-01-05", "2024-01-09"),  # overlaps campaign 1
+    (3, "2024-01-12", "2024-01-13"),
+    (4, "2024-01-20", "2024-01-27"),
+]
+
+
+def range_join_campaigns(sf_dir: str) -> rd.Dataset:
+    """Interval/range join: events ⋈ campaign windows ON ts in
+    [start, end).  The campaign side is tiny -> broadcast as numpy
+    bounds, each batch emits one row per (event, covering campaign)
+    (overlapping windows fan out).  Counts + value sums per campaign.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    starts = np.array([np.datetime64(s, "us").astype(np.int64) for _, s, _ in CAMPAIGNS])
+    ends = np.array([np.datetime64(e, "us").astype(np.int64) for _, _, e in CAMPAIGNS])
+    cids = np.array([c for c, _, _ in CAMPAIGNS], dtype=np.int64)
+
+    ds = _read_events(sf_dir, ["ts", "event_type", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        mask = (ts[:, None] >= starts[None, :]) & (ts[:, None] < ends[None, :])
+        rows, camps = np.nonzero(mask)
+        out = t.take(pa.array(rows))
+        return out.append_column("campaign_id", pa.array(cids[camps], type=pa.int64()))
+
+    joined = ds.map_batches(explode, batch_format="pyarrow")
+    out = joined.groupby(["campaign_id", "event_type"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+    )
+    return out.map_batches(functools.partial(round_columns, cols=("sum_value",), ndigits=4), batch_format="pyarrow")
