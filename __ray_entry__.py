@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders_per_customer": relational.topk_orders_per_customer,
         "filtered_part_stats": relational.filtered_stats,
         "top_unshipped_orders": relational.top_unshipped_orders,
+        "customer_high_value_counts": relational.customer_high_value_counts,
+        "part_price_stats": relational.part_price_stats,
         # --- stream-shaped ---
         "tumbling_window": windows.tumbling_window,
         "sessionize": windows.sessionize,
@@ -251,6 +253,14 @@ ORDER BY sum(l_extendedprice * (1.0 - l_discount)) DESC, o_orderdate, l_orderkey
         "filtered_part_stats": """
 SELECT p_brand, count(*) AS n_parts, round(min(p_retailprice), 2) AS min_price, round(max(p_retailprice), 2) AS max_price
 FROM part WHERE p_size >= 20 GROUP BY p_brand""",
+        "customer_high_value_counts": """
+WITH hv AS (SELECT o_custkey, count(*) AS n_high FROM orders WHERE o_totalprice > 400000.0 GROUP BY o_custkey)
+SELECT c_custkey, c_name, COALESCE(hv.n_high, 0) AS n_high
+FROM customer LEFT JOIN hv ON c_custkey = o_custkey""",
+        "part_price_stats": """
+SELECT p_type, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price,
+       round(stddev_samp(p_retailprice), 4) AS std_price
+FROM part GROUP BY p_type""",
         "tumbling_window": """
 SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2""",

@@ -152,3 +152,37 @@ def top_unshipped_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) ->
     agg = j.groupby(["l_orderkey", "o_orderdate"]).aggregate(Sum("revenue", alias_name="revenue"))
     top = agg.sort(["revenue", "o_orderdate", "l_orderkey"], descending=[True, False, False]).limit(k)
     return top.map_batches(functools.partial(_round_cols, cols=("revenue",), ndigits=2), batch_format="pyarrow")
+
+
+def customer_high_value_counts(sf_dir: str, threshold: float = 400_000.0) -> rd.Dataset:
+    """LEFT OUTER join with null->0 coalesce: every customer with their
+    count of high-value orders (zero preserved — the 'keep and mark'
+    alternative to the reference's drop-misses inner joins)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
+        expr=f"o_totalprice > {threshold}"
+    )
+    per_cust = orders.groupby("o_custkey").aggregate(Count(alias_name="n_high"))
+    j = cust.join(per_cust, join_type="left_outer", num_partitions=4, on=("c_custkey",), right_on=("o_custkey",))
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        n = pc.coalesce(pc.cast(t["n_high"], pa.int64()), pa.scalar(0, type=pa.int64()))
+        return t.select(["c_custkey", "c_name"]).append_column("n_high", n)
+
+    return j.map_batches(coalesce, batch_format="pyarrow")
+
+
+def part_price_stats(sf_dir: str) -> rd.Dataset:
+    """Mean/Std aggregate family per part type (sample stddev, ddof=1 —
+    matches SQL stddev_samp; rounded identically in both engines)."""
+    from ray.data.aggregate import Std
+
+    ds = _read(sf_dir, "part", ["p_type", "p_retailprice"])
+    out = ds.groupby("p_type").aggregate(
+        Count(alias_name="n_parts"),
+        Mean("p_retailprice", alias_name="avg_price"),
+        Std("p_retailprice", alias_name="std_price"),
+    )
+    return out.map_batches(
+        functools.partial(_round_cols, cols=("avg_price", "std_price"), ndigits=4), batch_format="pyarrow"
+    )
