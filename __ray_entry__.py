@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_fidelity": images.fidelity_pipeline,
         "image_features": images.image_features,
         "image_meta_stats": images.image_meta_stats,
+        "caption_location_histogram": images.caption_location_histogram,
         "phash_dedup": images.phash_dedup,
         "phash_near_dup_pairs": images.phash_near_dup_pairs,
     }
@@ -360,6 +361,9 @@ WHERE p.value = 'cafe'
 SELECT p.poi_id, p.lon, p.lat, p.key, p.value, p.name, b.rel_id FROM {pois} JOIN {rects}
 ON p.lon >= b.lon_min AND p.lon < b.lon_max AND p.lat >= b.lat_min AND p.lat < b.lat_max
 WHERE b.name = 'Duisheim' AND p.value = 'restaurant'""",
+        "caption_location_histogram": f"""
+SELECT regexp_extract(caption, ' in (.+)$', 1) AS place, count(*) AS n_images
+FROM {img_pq} GROUP BY 1""",
         "image_meta_stats": f"""
 SELECT fmt, w, h, count(*) AS n_images, sum(octet_length(bytes)) AS total_bytes FROM {img_pq} GROUP BY fmt, w, h""",
         "phash_dedup": f"""

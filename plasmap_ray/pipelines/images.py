@@ -157,3 +157,20 @@ def image_features(sf_dir: str) -> rd.Dataset:
     ds = read_images(sf_dir)
     feats = ds.map_batches(media.ImageFeatures, batch_format="pyarrow", batch_size=256, concurrency=(1, 8))
     return feats.select_columns(["image_id", "fmt", "ok", "mean_r", "luminance", "edge_energy", "phash_recomputed"])
+
+
+def caption_location_histogram(sf_dir: str) -> rd.Dataset:
+    """Regex extraction over captions: pull the trailing 'in <place>'
+    clause and histogram places (M-family string ops; because captions
+    embed the ground-truth containing district, this doubles as a
+    cheap text-side check of the spatial join)."""
+    import pyarrow.compute as pc
+
+    ds = read_images(sf_dir, columns=["caption"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["caption"], r" in (?P<place>.+)$")
+        place = pc.struct_field(m, "place")
+        return pa.table({"place": place})
+
+    return ds.map_batches(extract, batch_format="pyarrow").groupby("place").aggregate(Count(alias_name="n_images"))
