@@ -271,7 +271,7 @@ WITH lagd AS (
 flags AS (
   SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM lagd),
 sess AS (
-  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM flags)
+  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM flags)
 SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
 FROM sess GROUP BY user_id, session_id""",
         "sliding_window": """
@@ -356,7 +356,7 @@ WHERE b.name = 'Essenheim' AND c.admin_level > b.admin_level
         "ast_pois_near_point": f"""
 SELECT p.poi_id, p.lon, p.lat, p.key, p.value, p.name FROM {pois}
 WHERE p.value = 'cafe'
-  AND {oracle.sql_sqdist_deg(repr(AST_PT[0]), repr(AST_PT[1]), 'p.lon', 'p.lat')} <= 0.04""",
+  AND {oracle.sql_sqdist_deg(repr(AST_PT[0]), repr(AST_PT[1]), 'p.lon', 'p.lat')} <= {0.2 * 0.2!r}""",
         "ast_pois_in_area": f"""
 SELECT p.poi_id, p.lon, p.lat, p.key, p.value, p.name, b.rel_id FROM {pois} JOIN {rects}
 ON p.lon >= b.lon_min AND p.lon < b.lon_max AND p.lat >= b.lat_min AND p.lat < b.lat_max

@@ -45,7 +45,7 @@ def input_fingerprint(files: list[str]) -> str:
         st = os.stat(f)
         h.update(f.encode())
         h.update(str(st.st_size).encode())
-        h.update(str(int(st.st_mtime)).encode())
+        h.update(str(st.st_mtime_ns).encode())
     return h.hexdigest()[:24]
 
 

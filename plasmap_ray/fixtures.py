@@ -289,6 +289,45 @@ def boundary_world() -> dict:
     fuzzy_district(2001, "Polyduis-fuzzy-in", (0.905, 0.96), shift=0.150)
     fuzzy_district(2002, "Polyduis-fuzzy-out", (0.70, 0.885), shift=0.160)
 
+    # City R: exercises the NON-way member types of relation assembly
+    # (RelationFlow.scala:43-49 partitions members into node / way /
+    # relation geometry maps).  rel 3100 is a standalone exclave ring;
+    # rel 3000 references it as a RELATION member (one-level recursion),
+    # plus a NODE member carrying the 'admin_centre' role.
+    exclave_ring = _regular_ring(7.70, 50.70, 0.04, 6, phase=0.25)
+    exclave_ids = add_ring_as_ways(exclave_ring, 2)
+    rel_rows.append(
+        dict(rel_id=3100, name="Polymulti-exclave", admin_level=8, members=[("way", w, "outer") for w in exclave_ids])
+    )
+    boundaries.append(dict(rel_id=3100, name="Polymulti-exclave", admin_level=8, outer=exclave_ring, holes=[]))
+
+    city_r_outer = _regular_ring(7.60, 51.20, 0.15, 6, phase=0.4)
+    r_ids = add_ring_as_ways(city_r_outer, 2)
+    centre_node = next_node[0]
+    node_rows.append((centre_node, 7.60, 51.20))
+    next_node[0] += 1
+    rel_rows.append(
+        dict(
+            rel_id=3000,
+            name="Polymulti",
+            admin_level=6,
+            members=[("way", w, "outer") for w in r_ids]
+            + [("node", centre_node, "admin_centre")]
+            + [("relation", 3100, "outer")],
+        )
+    )
+    boundaries.append(
+        dict(
+            rel_id=3000,
+            name="Polymulti",
+            admin_level=6,
+            outer=city_r_outer,
+            holes=[],
+            points=[("admin_centre", 7.60, 51.20)],
+            extra_outers=[exclave_ring],
+        )
+    )
+
     nodes = pa.table(
         {
             "node_id": pa.array([r[0] for r in node_rows], type=pa.int64()),

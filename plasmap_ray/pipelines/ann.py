@@ -3,12 +3,25 @@
 Baseline: brute-force cosine top-k per batch against a broadcast query
 matrix (numpy matmul — the scale-correct pattern: the query side is
 small and shipped once via ``ray.put``; the embedding side streams).
-Scale path: LSH-bucketed candidate pruning (random-hyperplane signs)
-so only same-bucket vectors are compared.
+
+Pair search comes in two flavours:
+
+- :func:`embedding_near_dup` — EXACT all-pairs above a threshold via a
+  distributed block-pair self-join: vectors hash into ``B`` blocks, each
+  row is replicated to the ``B`` unordered block-pair groups it belongs
+  to, and each group computes its cross/triangle similarities in one
+  vectorized GEMM.  No driver-side materialization, task memory bounded
+  by 2N/B rows; work is inherently O(N²) — the exact-complete path.
+- :func:`embedding_near_dup_lsh` — the 10^12-scale path: banded
+  random-hyperplane LSH (sketch -> (band, key-shard) shuffle -> run-scan
+  candidates -> exact cosine verify).  Probabilistic recall (measured in
+  tests against the exact path on a planted-near-dup corpus); exact
+  precision (every emitted pair is verified).
 """
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -16,7 +29,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min
+
+from ..stages.common import duckdb_round
 
 
 def _read_emb(sf_dir: str) -> rd.Dataset:
@@ -84,11 +98,88 @@ def ann_topk(sf_dir: str, k: int = 10, vec_id: int = 1) -> rd.Dataset:
     return top.map_batches(add_rank, batch_format="pandas", batch_size=k * 2)
 
 
+# ---------------------------------------------------------------------------
+# Exact all-pairs: distributed block-pair self-join
+# ---------------------------------------------------------------------------
+
+PAIR_BLOCKS = 4  # B: replication factor per row; B(B+1)/2 compare tasks
+
+
+def _pair_explode(t: pa.Table, blocks: int) -> pa.Table:
+    """Each row joins the ``blocks`` unordered block-pair groups that
+    contain its block: row replication = B, every unordered vector pair
+    meets in EXACTLY one group (block i ⊗ block j in group (i, j))."""
+    ids = t["vec_id"].to_numpy()
+    blk = (np.asarray(ids, dtype=np.int64) % blocks).astype(np.int64)
+    parts = []
+    for other in range(blocks):
+        lo = np.minimum(blk, other)
+        hi = np.maximum(blk, other)
+        tt = t.append_column("block", pa.array(blk, type=pa.int64()))
+        tt = tt.append_column("pair_id", pa.array(lo * blocks + hi, type=pa.int64()))
+        parts.append(tt)
+    return pa.concat_tables(parts)
+
+
+def _pair_sims(g: pd.DataFrame, blocks: int, threshold: float) -> pd.DataFrame:
+    """One block-pair group -> all its cross (or triangle) similarities
+    >= threshold, each unordered pair emitted exactly once."""
+    pid = int(g["pair_id"].iloc[0])
+    i, j = divmod(pid, blocks)
+    ids = g["vec_id"].to_numpy().astype(np.int64)
+    m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    mn = m / np.where(norms == 0, 1.0, norms)[:, None]
+    if i == j:
+        sims = mn @ mn.T
+        ai, bj = np.triu_indices(len(ids), k=1)
+        sv = sims[ai, bj]
+        a_ids, b_ids = ids[ai], ids[bj]
+    else:
+        ma = g["block"].to_numpy() == i
+        sims = mn[ma] @ mn[~ma].T
+        ai, bj = np.nonzero(sims >= threshold)
+        sv = sims[ai, bj]
+        a_ids, b_ids = ids[ma][ai], ids[~ma][bj]
+    keep = sv >= threshold
+    a, b, sv = a_ids[keep], b_ids[keep], sv[keep]
+    swap = a > b
+    return pd.DataFrame(
+        {
+            "vec_a": np.where(swap, b, a),
+            "vec_b": np.where(swap, a, b),
+            "sim": sv,  # unrounded float64 — round only in final projections
+        }
+    )
+
+
+def scored_pairs(sf_dir: str, threshold: float, blocks: int = PAIR_BLOCKS) -> rd.Dataset:
+    """All embedding pairs with cosine >= threshold, exactly, via the
+    block-pair self-join (no driver materialization, no full broadcast)."""
+    exploded = _read_emb(sf_dir).map_batches(functools.partial(_pair_explode, blocks=blocks), batch_format="pyarrow")
+    return exploded.groupby("pair_id").map_groups(
+        functools.partial(_pair_sims, blocks=blocks, threshold=threshold), batch_format="pandas"
+    )
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.95, blocks: int = PAIR_BLOCKS) -> rd.Dataset:
+    """All pairs with cosine similarity >= threshold (embedding near-dup),
+    exact.  Output (vec_a, vec_b, sim) with sim rounded only in this
+    final projection (internal sort/compare stays unrounded)."""
+    pairs = scored_pairs(sf_dir, threshold, blocks)
+
+    def finish(t: pa.Table) -> pa.Table:
+        sim = t["sim"].to_numpy(zero_copy_only=False)
+        return t.drop_columns(["sim"]).append_column("sim", pa.array(duckdb_round(sim, 6), type=pa.float64()))
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
 def embedding_top_pairs(sf_dir: str, k: int = 20) -> rd.Dataset:
     """Top-k most-similar embedding pairs (rank-based — robust across
     engines, unlike a raw similarity threshold whose float32/float64
     boundary behavior differs).  Output: (pair_rank, vec_a, vec_b)."""
-    pairs = embedding_near_dup(sf_dir, threshold=-1.1)  # all pairs, scored
+    pairs = scored_pairs(sf_dir, threshold=-1.1)  # all pairs, scored, unrounded
 
     def local_topk(t: pa.Table) -> pa.Table:
         # per-batch prune: global top-k is a subset of per-batch top-k
@@ -109,44 +200,113 @@ def embedding_top_pairs(sf_dir: str, k: int = 20) -> rd.Dataset:
     return top.map_batches(add_rank, batch_format="pandas", batch_size=k * 2)
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.95) -> rd.Dataset:
-    """All pairs with cosine similarity >= threshold (embedding near-dup).
+# ---------------------------------------------------------------------------
+# Scale path: banded hyperplane-LSH pair join (+ exact verify)
+# ---------------------------------------------------------------------------
 
-    The embedding table at oracle scale is small enough to broadcast
-    whole (N x D matrix via ray.put); each streaming batch compares its
-    rows against the broadcast side: an O(N*B) map-side join, pairs
-    emitted once (a < b).  For larger N swap in `lsh_buckets`.
+LSH_BANDS = 16
+LSH_PLANES = 8  # planes per band -> 2^8 buckets per band
+LSH_SHARDS = 32  # key-space shards per band (shuffle parallelism = bands*shards)
+
+
+class HyperplaneBands:
+    """Actor-pool stage: per-vector LSH band keys.
+
+    ``bands`` independent sets of ``planes`` random hyperplanes (seeded —
+    every actor derives the identical family in ``__init__``, the ST4
+    cold-start pattern).  Band key = sign-pattern integer of that band's
+    projections.  Two vectors at cosine s agree on one plane with
+    p = 1 - arccos(s)/pi; P(candidate) = 1 - (1 - p^planes)^bands.
     """
+
+    def __init__(self, dim: int, bands: int = LSH_BANDS, planes: int = LSH_PLANES, seed: int = 1117):
+        rng = np.random.default_rng(seed)
+        self.hyper = rng.standard_normal((bands * planes, dim))
+        self.bands = bands
+        self.planes = planes
+        self.weights = (1 << np.arange(planes, dtype=np.int64)).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        signs = (m @ self.hyper.T) > 0  # (n, bands*planes)
+        n = m.shape[0]
+        keys = signs.reshape(n, self.bands, self.planes).astype(np.int64) @ self.weights  # (n, bands)
+        band_col = np.broadcast_to(np.arange(self.bands, dtype=np.int32), (n, self.bands)).ravel()
+        out = batch.take(pa.array(np.repeat(np.arange(n), self.bands)))
+        out = out.append_column("band", pa.array(band_col, type=pa.int32()))
+        return out.append_column("band_key", pa.array(keys.ravel(), type=pa.int64()))
+
+
+def embedding_near_dup_lsh(
+    sf_dir_or_path: str,
+    threshold: float = 0.9,
+    bands: int = LSH_BANDS,
+    planes: int = LSH_PLANES,
+    shards: int = LSH_SHARDS,
+    seed: int = 1117,
+) -> rd.Dataset:
+    """Approximate near-dup pairs: banded hyperplane LSH -> sharded
+    shuffle -> run-scan candidates -> EXACT cosine verify >= threshold.
+
+    Shuffle key is (band, band_key % shards): parallelism = bands*shards
+    and per-task memory is bounded by one key shard — never the corpus
+    (the round-1 per-band grouping materialized the whole dataset in
+    ``bands`` tasks).  Precision is exact (verified); recall is the LSH
+    probability above, measured in tests against :func:`embedding_near_dup`.
+    """
+    from .dedup import pairs_in_key_runs
+    from ray.data.aggregate import Max
+
+    path = sf_dir_or_path if sf_dir_or_path.endswith(".parquet") else os.path.join(sf_dir_or_path, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    all_m = _emb_matrix(t)
-    all_ids = t["vec_id"].to_numpy()
-    norms = np.linalg.norm(all_m, axis=1)
-    all_mn = all_m / np.where(norms == 0, 1.0, norms)[:, None]
-    ref = ray.put((all_ids, all_mn))
+    dim = len(pq.read_table(path, columns=["embedding"]).slice(0, 1)["embedding"][0])
+    banded = ds.map_batches(
+        HyperplaneBands,
+        fn_constructor_kwargs=dict(dim=dim, bands=bands, planes=planes, seed=seed),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 8),
+    )
 
-    class PairFinder:
-        def __init__(self):
-            self.ids, self.mn = ray.get(ref)
+    def shard(t: pa.Table) -> pa.Table:
+        key = t["band_key"].to_numpy().view(np.uint64)
+        return t.append_column("shard", pa.array((key % np.uint64(shards)).astype(np.int64), type=pa.int64()))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _emb_matrix(batch)
-            bnorm = np.linalg.norm(m, axis=1)
-            mn = m / np.where(bnorm == 0, 1.0, bnorm)[:, None]
-            ids = batch["vec_id"].to_numpy()
-            sims = mn @ self.mn.T
-            bi, aj = np.nonzero(sims >= threshold)
-            keep = ids[bi] < self.ids[aj]
-            return pa.table(
-                {
-                    "vec_a": pa.array(ids[bi[keep]], type=pa.int64()),
-                    "vec_b": pa.array(self.ids[aj[keep]], type=pa.int64()),
-                    "sim": pa.array(np.round(sims[bi[keep], aj[keep]], 6), type=pa.float64()),
-                }
-            )
+    sharded = banded.map_batches(shard, batch_format="pyarrow")
 
-    return _read_emb(sf_dir).map_batches(PairFinder, batch_format="pyarrow", concurrency=(1, 4))
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["band_key"].to_numpy()
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        mn = m / np.where(norms == 0, 1.0, norms)[:, None]
+
+        def verify(i, j):
+            return (mn[i] * mn[j]).sum(axis=1)
+
+        ia, ib, sim = pairs_in_key_runs(keys, ids, mn, verify)
+        keep = sim >= threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        swap = a > b
+        return pd.DataFrame(
+            {
+                "vec_a": np.where(swap, b, a),
+                "vec_b": np.where(swap, a, b),
+                "sim": sim[keep],
+            }
+        )
+
+    pairs = sharded.groupby(["band", "shard"]).map_groups(shard_pairs, batch_format="pandas")
+    # a pair surfaces once per agreeing band -> dedup; sim identical each time
+    out = pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("sim", alias_name="sim"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sim = t["sim"].to_numpy(zero_copy_only=False)
+        return t.drop_columns(["sim"]).append_column("sim", pa.array(duckdb_round(sim, 6), type=pa.float64()))
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def lsh_bucket_topk(sf_dir: str, k: int = 10, vec_id: int = 1, planes: int = 6, seed: int = 11) -> rd.Dataset:
@@ -154,7 +314,9 @@ def lsh_bucket_topk(sf_dir: str, k: int = 10, vec_id: int = 1, planes: int = 6, 
 
     Vectors bucket by the sign pattern of ``planes`` random projections;
     only the query's bucket (plus Hamming-1 neighbor buckets) is scored.
-    Approximate — recall measured against `ann_topk` in tests.
+    Approximate — recall measured against `ann_topk` in tests.  Output
+    is rank-based (sim_rank, vec_id) like ann_topk, so the result is
+    oracle-checkable via a deterministic local recompute.
     """
     q = query_vector(sf_dir, vec_id)
     dim = q.shape[0]
@@ -184,4 +346,11 @@ def lsh_bucket_topk(sf_dir: str, k: int = 10, vec_id: int = 1, planes: int = 6, 
 
     scored = _read_emb(sf_dir).map_batches(BucketScore, batch_format="pyarrow", concurrency=(1, 4))
     scored = scored.filter(expr=f"vec_id != {vec_id}")
-    return scored.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
+    top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
+
+    def add_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).reset_index(drop=True)
+        df["sim_rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["sim_rank", "vec_id"]]
+
+    return top.map_batches(add_rank, batch_format="pandas", batch_size=k * 2)

@@ -127,27 +127,48 @@ logger = logging.getLogger(__name__)
 MAX_LSH_GROUP = 64  # cap quadratic pair expansion per bucket (truncation is logged)
 
 
+LSH_KEY_SHARDS = 32  # key-space shards per band: shuffle parallelism = bands*shards
+
+
+def _shard_band_key(t: pa.Table, shards: int = LSH_KEY_SHARDS) -> pa.Table:
+    """Shuffle key refinement: (band) -> (band, band_key % shards).
+
+    Rows sharing a band_key stay co-located (shard is a function of the
+    key), but one task now holds only a 1/shards slice of a band's key
+    space instead of the band's ENTIRE corpus — the round-1 per-band
+    grouping put the whole dataset into `bands` tasks, unbounded memory
+    and parallelism capped at 4-8.  Results are identical: the run scan
+    inside each task already handles many keys per partition."""
+    key = t["band_key"].to_numpy().view(np.uint64)
+    return t.append_column("shard", pa.array((key % np.uint64(shards)).astype(np.int64), type=pa.int64()))
+
+
 def minhash_near_dup(sf_dir: str, sim_threshold: float = 0.8) -> rd.Dataset:
     """MinHash+LSH near-duplicate pairs over documents.
 
-    shingle->minhash (actor pool) -> band explode -> per-BAND sort +
-    key-run scan -> signature-agreement verify -> distinct pairs.
-    (Per-band grouping instead of per-bucket: a groupby over thousands
-    of tiny (band,key) buckets spends its time in per-group dispatch.)
+    shingle->minhash (actor pool) -> band explode -> (band, key-shard)
+    shuffle -> sort + key-run scan per shard -> signature-agreement
+    verify -> distinct pairs.  (Run-scan per shard instead of a groupby
+    over thousands of tiny (band,key) buckets, whose per-group dispatch
+    dominates; shard count bounds per-task memory at scale.)
     """
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     sigs = ds.map_batches(MinHashSignature, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8))
-    exploded = sigs.map_batches(_band_explode, batch_format="pyarrow")
+    exploded = sigs.map_batches(_band_explode, batch_format="pyarrow").map_batches(
+        _shard_band_key, batch_format="pyarrow"
+    )
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
         keys = g["band_key"].to_numpy()
-        ids = g["doc_id"].to_numpy()
+        ids = g["doc_id"].to_numpy().astype(np.int64)
         sig_m = np.stack(g["minhash"].to_numpy())
 
         def verify(i, j):
             return (sig_m[i] == sig_m[j]).mean(axis=1)
 
-        ia, ib, est = pairs_in_key_runs(keys, np.arange(len(ids)), sig_m, verify)
+        # real doc ids as the in-run sort tiebreak -> deterministic pair
+        # order (and deterministic truncation under the skew cap)
+        ia, ib, est = pairs_in_key_runs(keys, ids, sig_m, verify)
         keep = est >= sim_threshold
         a = ids[ia[keep]]
         b = ids[ib[keep]]
@@ -160,7 +181,7 @@ def minhash_near_dup(sf_dir: str, sim_threshold: float = 0.8) -> rd.Dataset:
             }
         )
 
-    pairs = exploded.groupby("band").map_groups(band_pairs, batch_format="pandas")
+    pairs = exploded.groupby(["band", "shard"]).map_groups(band_pairs, batch_format="pandas")
     # a pair can surface from several bands -> keep one row per pair
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("est_jaccard", alias_name="est_jaccard"))
 
@@ -291,10 +312,12 @@ def hamming_pairs(sf_dir_or_ds, hash_col: str, id_col: str, max_dist: int = 3, b
     the output's recall exact; raising it returns extra (non-exhaustive)
     more-distant pairs.
 
-    Shuffle shape: repartition by ONE band per group (``bands`` groups),
-    then within each band a single sort + run scan finds same-key
-    candidates — the per-bucket groupby alternative spends more time in
-    per-group dispatch than in the comparisons.
+    Shuffle shape: (band, band_key %% shards) — rows sharing a key stay
+    co-located, each task holds only one key-space shard of one band
+    (bounded memory, parallelism = bands*shards), then a single sort +
+    run scan per task finds same-key candidates — the per-bucket groupby
+    alternative spends more time in per-group dispatch than in the
+    comparisons.
     """
     from .. import codecs
 
@@ -308,7 +331,8 @@ def hamming_pairs(sf_dir_or_ds, hash_col: str, id_col: str, max_dist: int = 3, b
         def verify(i, j):
             return codecs.hamming64(hs[i], hs[j])
 
-        ia, ib, d = pairs_in_key_runs(keys, np.arange(len(ids)), hs, verify)
+        # ids may be strings (image_id): order by them for determinism
+        ia, ib, d = pairs_in_key_runs(keys, ids, hs, verify)
         keep = d <= max_dist
         a = ids[ia[keep]]
         b = ids[ib[keep]]
@@ -319,6 +343,6 @@ def hamming_pairs(sf_dir_or_ds, hash_col: str, id_col: str, max_dist: int = 3, b
 
     exploded = ds.map_batches(
         functools.partial(hamming_band_explode, hash_col=hash_col, id_col=id_col, bands=bands), batch_format="pyarrow"
-    )
-    out = exploded.groupby("band").map_groups(band_pairs, batch_format="pandas")
+    ).map_batches(_shard_band_key, batch_format="pyarrow")
+    out = exploded.groupby(["band", "shard"]).map_groups(band_pairs, batch_format="pandas")
     return out.groupby([id_col + "_a", id_col + "_b"]).aggregate(Min("hamming", alias_name="hamming"))

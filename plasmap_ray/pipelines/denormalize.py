@@ -8,16 +8,26 @@ Distributed rebuild of the reference's preprocessing joins (SURVEY §3.2):
   the lookups become ONE hash-shuffle join:
       explode ways -> (way_id, node_id, pos)
       ⋈ nodes on node_id                       (inner: misses drop, :38)
-      groupby(way_id) -> coords back in nds order (pos column carries
-      the ordering through the shuffle — Ray does not preserve row order)
+      regroup -> coords back in nds order (pos column carries the
+      ordering through the shuffle — Ray does not preserve row order).
+  The regroup is NOT per-way map_groups (one task per parent drowns in
+  dispatch at 10^8 ways): rows shuffle on a coarse ``part = way_id % P``
+  key, and each task sorts its slice by (way_id, pos) and run-scans,
+  emitting ONE Arrow batch per partition.
 
 - J2 relation assembly (RelationFlow.denormalizeRelationFlow, :29-76):
-  members ⋈ way geometries, then per-relation ring assembly
-  (geow Denormalizer semantics: unclosed member ways chained into
-  closed rings; inner/outer roles -> holes).
+  members are PARTITIONED BY TYPE exactly as the reference partitions
+  into node/way/relation geometry maps (RelationFlow.scala:43-49):
+    * way members    ⋈ way geometries -> ring assembly (outer/inner roles
+      -> holes; unclosed member ways chained into closed rings, geow
+      Denormalizer semantics);
+    * node members   ⋈ nodes          -> single-point geometries carrying
+      the member role (e.g. 'admin_centre');
+    * relation members recurse ONE level: the sub-relation's own way
+      members are resolved and its rings emitted under the parent.
 
-Output: one row per assembled ring
-  (rel_id, name, admin_level, ring_idx, role, lons, lats)
+Output: one row per assembled ring / point
+  (rel_id, ring_idx, role, lons, lats)
 verified in tests against the fixture world's construction-time golden
 boundaries.
 """
@@ -30,6 +40,9 @@ import pyarrow as pa
 import ray.data as rd
 
 from .. import geometry
+
+WAY_REGROUP_PARTS = 64  # way_id % P shuffle key for the batched regroup
+REL_REGROUP_PARTS = 16
 
 
 def explode_way_nds(batch: pa.Table) -> pa.Table:
@@ -50,30 +63,50 @@ def explode_way_nds(batch: pa.Table) -> pa.Table:
     )
 
 
-def assemble_ways(nodes: rd.Dataset, ways: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
-    """J1: way geometries via explode -> hash join -> ordered regroup.
+def assemble_ways(
+    nodes: rd.Dataset, ways: rd.Dataset, num_partitions: int = 8, parts: int = WAY_REGROUP_PARTS
+) -> rd.Dataset:
+    """J1: way geometries via explode -> hash join -> batched regroup.
 
     Inner-join drop semantics: a way's missing node ids are dropped
     (reference filter(_.isDefined)); a way whose every node is missing
     disappears entirely.
+
+    Geometry is packed as binary (float64 lon,lat pairs): Arrow's hash
+    join supports neither list nor tensor payload columns, binary passes
+    through — the engine's WKB-like transport form.
     """
     flat = ways.map_batches(explode_way_nds, batch_format="pyarrow")
     joined = flat.join(nodes, join_type="inner", num_partitions=num_partitions, on=("node_id",))
 
+    def add_part(t: pa.Table) -> pa.Table:
+        wid = t["way_id"].to_numpy()
+        return t.append_column("part", pa.array((np.asarray(wid, np.int64) % parts), type=pa.int64()))
+
     def regroup(g: pa.Table) -> pa.Table:
-        g = g.sort_by("pos")
-        # geometry packed as binary (float64 lon,lat pairs): Arrow's
-        # hash join supports neither list nor tensor payload columns,
-        # binary passes through — the engine's WKB-like transport form
-        coords = np.column_stack([g["lon"].to_numpy(), g["lat"].to_numpy()])
+        # one task per coarse partition: sort by (way_id, pos), run-scan
+        # the way boundaries, emit ONE batch with one row per way —
+        # per-parent dispatch cost amortizes over the whole partition
+        g = g.sort_by([("way_id", "ascending"), ("pos", "ascending")])
+        wid = g["way_id"].to_numpy()
+        if len(wid) == 0:
+            return pa.table({"way_id": pa.array([], type=pa.int64()), "geom": pa.array([], type=pa.binary())})
+        coords = np.column_stack([g["lon"].to_numpy(), g["lat"].to_numpy()]).astype(np.float64)
+        buf = coords.tobytes()
+        bounds = np.nonzero(np.diff(wid))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(wid)]])
+        geoms = [buf[s * 16 : e * 16] for s, e in zip(starts, ends)]
         return pa.table(
             {
-                "way_id": pa.array([g["way_id"][0].as_py()], type=pa.int64()),
-                "geom": pa.array([coords.tobytes()], type=pa.binary()),
+                "way_id": pa.array(wid[starts], type=pa.int64()),
+                "geom": pa.array(geoms, type=pa.binary()),
             }
         )
 
-    return joined.groupby("way_id").map_groups(regroup, batch_format="pyarrow")
+    return joined.map_batches(add_part, batch_format="pyarrow").groupby("part").map_groups(
+        regroup, batch_format="pyarrow"
+    )
 
 
 def unpack_geom(geom: bytes) -> np.ndarray:
@@ -82,7 +115,7 @@ def unpack_geom(geom: bytes) -> np.ndarray:
 
 
 def explode_members(batch: pa.Table) -> pa.Table:
-    """relations(rel_id, members) -> (rel_id, way_id, role, mpos)."""
+    """relations(rel_id, members) -> (rel_id, ref, member_type, role, mpos)."""
     col = batch["members"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -103,49 +136,277 @@ def explode_members(batch: pa.Table) -> pa.Table:
     )
 
 
+# Unified geometry-request/geometry-row schema for the cogroup join.
+# gkey packs the id space: way_id*2 for way geometries, node_id*2+1 for
+# node points (way and node ids may collide numerically).
+_REQ_SCHEMA = pa.schema(
+    [
+        ("gkey", pa.int64()),
+        ("side", pa.int64()),  # 0 = geometry request (member ref), 1 = geometry row
+        ("rel_id", pa.int64()),
+        ("kind", pa.int64()),
+        ("mpos", pa.int64()),
+        ("sub_mpos", pa.int64()),
+        ("role", pa.string()),
+        ("sub_role", pa.string()),
+        ("geom", pa.binary()),
+    ]
+)
+
+
+def _req_rows(gkey, rel_id, kind, mpos, sub_mpos, role, sub_role) -> pa.Table:
+    n = len(gkey)
+    return pa.table(
+        {
+            "gkey": pa.array(np.asarray(gkey, np.int64)),
+            "side": pa.array(np.zeros(n, dtype=np.int64)),
+            "rel_id": pa.array(np.asarray(rel_id, np.int64)),
+            "kind": pa.array(np.full(n, kind, dtype=np.int64)),
+            "mpos": pa.array(np.asarray(mpos, np.int64)),
+            "sub_mpos": pa.array(np.asarray(sub_mpos, np.int64)),
+            "role": pa.array(list(role), type=pa.string()),
+            "sub_role": pa.array(list(sub_role), type=pa.string()),
+            "geom": pa.array([None] * n, type=pa.binary()),
+        },
+        schema=_REQ_SCHEMA,
+    )
+
+
+def _geom_rows(gkey, geom: pa.Array) -> pa.Table:
+    n = len(gkey)
+    z = np.zeros(n, dtype=np.int64)
+    return pa.table(
+        {
+            "gkey": pa.array(np.asarray(gkey, np.int64)),
+            "side": pa.array(np.ones(n, dtype=np.int64)),
+            "rel_id": pa.array(z),
+            "kind": pa.array(np.full(n, -1, dtype=np.int64)),
+            "mpos": pa.array(z),
+            "sub_mpos": pa.array(z),
+            "role": pa.array([""] * n, type=pa.string()),
+            "sub_role": pa.array([""] * n, type=pa.string()),
+            "geom": geom,
+        },
+        schema=_REQ_SCHEMA,
+    )
+
+
 def assemble_relations(
-    relations: rd.Dataset, way_geoms: rd.Dataset, rel_attrs: rd.Dataset | None = None, num_partitions: int = 4
+    relations: rd.Dataset,
+    way_geoms: rd.Dataset,
+    nodes: rd.Dataset | None = None,
+    rel_attrs: rd.Dataset | None = None,
+    num_partitions: int = 4,
+    parts: int = REL_REGROUP_PARTS,
 ) -> rd.Dataset:
-    """J2: relation polygons via member join + per-group ring assembly.
+    """J2: relation polygons via typed member joins + per-group assembly.
 
-    Output rows: (rel_id, ring_idx, role, lons, lats) — one per closed
-    ring; ``role`` is 'outer' or 'inner' per OSM multipolygon convention.
+    Members partition by type (RelationFlow.scala:43-49): way members
+    assemble into rings; node members (if a ``nodes`` table is given)
+    become single-point rows keeping their member role; relation members
+    recurse one level (the sub-relation's way members resolve against
+    ``way_geoms`` and its rings land under the PARENT rel_id).
+
+    The geometry lookup is a sort-shuffle COGROUP join (tag both sides,
+    union, shard on the key, match within each shard) rather than
+    ``Dataset.join``: Ray 2.49's hash-join operator intermittently
+    cross-wires HashShuffleAggregator inputs when several hash joins
+    execute in one session/plan (reproduced as ArrowInvalid "no match or
+    multiple matches for key field" with blocks from the wrong branch);
+    the sort-based groupby machinery underneath map_groups is the
+    engine's proven shuffle primitive.  Shuffle volume is the same as
+    the hash join's (both sides move once, keyed by gkey).
+
+    Output rows: (rel_id, ring_idx, role, lons, lats).  ring_idx orders
+    deterministically: direct rings (outer then inner), node points (in
+    member order), then each sub-relation's rings in member order.
     """
-    members = relations.map_batches(explode_members, batch_format="pyarrow")
-    members = members.filter(expr="member_type == 'way'")
-    joined = members.join(way_geoms, join_type="inner", num_partitions=num_partitions, on=("way_id",))
+    members = relations.map_batches(explode_members, batch_format="pyarrow").materialize()
 
-    def rings(g: pa.Table) -> pa.Table:
-        g = g.sort_by("mpos")
-        rel_id = g["rel_id"][0].as_py()
-        roles = g["role"].to_pylist()
-        geoms = g["geom"].to_pylist()
+    # --- geometry requests -------------------------------------------------
+    def direct_way_refs(t: pa.Table) -> pa.Table:
+        m = t.filter(pa.compute.equal(t["member_type"], "way"))
+        wid = m["way_id"].to_numpy()
+        return _req_rows(wid * 2, m["rel_id"].to_numpy(), 0, m["mpos"].to_numpy(),
+                         np.zeros(len(wid), np.int64), m["role"].to_pylist(), m["role"].to_pylist())
+
+    refs = [members.map_batches(direct_way_refs, batch_format="pyarrow")]
+
+    if nodes is not None and members.filter(expr="member_type == 'node'").count() > 0:
+
+        def node_refs(t: pa.Table) -> pa.Table:
+            m = t.filter(pa.compute.equal(t["member_type"], "node"))
+            nid = m["way_id"].to_numpy()  # ref column
+            return _req_rows(nid * 2 + 1, m["rel_id"].to_numpy(), 1, m["mpos"].to_numpy(),
+                             np.zeros(len(nid), np.int64), m["role"].to_pylist(), m["role"].to_pylist())
+
+        refs.append(members.map_batches(node_refs, batch_format="pyarrow"))
+
+    if members.filter(expr="member_type == 'relation'").count() > 0:
+        # one-level recursion, cogroup on the sub-relation id: parent
+        # links x the sub-relation's own way members -> virtual way refs
+        def tag_links(t: pa.Table) -> pa.Table:
+            m = t.filter(pa.compute.equal(t["member_type"], "relation"))
+            return pa.table(
+                {
+                    "k": m["way_id"],  # ref = sub-relation id
+                    "side": pa.array(np.zeros(m.num_rows, dtype=np.int64)),
+                    "rel_id": m["rel_id"],
+                    "role": m["role"],
+                    "mpos": m["mpos"],
+                    "way_id": pa.array(np.zeros(m.num_rows, dtype=np.int64)),
+                    "sub_role": pa.array([""] * m.num_rows, type=pa.string()),
+                    "sub_mpos": pa.array(np.zeros(m.num_rows, dtype=np.int64)),
+                }
+            )
+
+        def tag_sub_ways(t: pa.Table) -> pa.Table:
+            m = t.filter(pa.compute.equal(t["member_type"], "way"))
+            return pa.table(
+                {
+                    "k": m["rel_id"],
+                    "side": pa.array(np.ones(m.num_rows, dtype=np.int64)),
+                    "rel_id": pa.array(np.zeros(m.num_rows, dtype=np.int64)),
+                    "role": pa.array([""] * m.num_rows, type=pa.string()),
+                    "mpos": pa.array(np.zeros(m.num_rows, dtype=np.int64)),
+                    "way_id": m["way_id"],
+                    "sub_role": m["role"],
+                    "sub_mpos": m["mpos"],
+                }
+            )
+
+        tagged = members.map_batches(tag_links, batch_format="pyarrow").union(
+            members.map_batches(tag_sub_ways, batch_format="pyarrow")
+        )
+
+        def shard_k(t: pa.Table) -> pa.Table:
+            k = t["k"].to_numpy()
+            return t.append_column("shard", pa.array(np.asarray(k, np.int64) % parts, type=pa.int64()))
+
+        def resolve_links(g: pd.DataFrame) -> pa.Table:
+            L = g[g["side"] == 0][["k", "rel_id", "role", "mpos"]]
+            R = g[g["side"] == 1][["k", "way_id", "sub_role", "sub_mpos"]]
+            m = L.merge(R, on="k")  # cross product per sub-relation id
+            # return an Arrow table so the all-null geom column keeps its
+            # declared binary type (pandas inference would emit null type
+            # and break the union)
+            return _req_rows(
+                m["way_id"].to_numpy() * 2,
+                m["rel_id"].to_numpy(),
+                2,
+                m["mpos"].to_numpy(),
+                m["sub_mpos"].to_numpy(),
+                list(m["role"]),
+                list(m["sub_role"]),
+            )
+
+        sub_refs = (
+            tagged.map_batches(shard_k, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(resolve_links, batch_format="pandas")
+        )
+        refs.append(sub_refs)
+
+    # --- geometry rows -----------------------------------------------------
+    def way_geom_rows(t: pa.Table) -> pa.Table:
+        return _geom_rows(t["way_id"].to_numpy() * 2, t["geom"].combine_chunks() if isinstance(t["geom"], pa.ChunkedArray) else t["geom"])
+
+    geoms = [way_geoms.map_batches(way_geom_rows, batch_format="pyarrow")]
+    if nodes is not None:
+
+        def node_geom_rows(t: pa.Table) -> pa.Table:
+            pts = np.column_stack([t["lon"].to_numpy(), t["lat"].to_numpy()]).astype(np.float64)
+            buf = pts.tobytes()
+            geom = pa.array([buf[i * 16 : (i + 1) * 16] for i in range(len(pts))], type=pa.binary())
+            return _geom_rows(t["node_id"].to_numpy() * 2 + 1, geom)
+
+        geoms.append(nodes.map_batches(node_geom_rows, batch_format="pyarrow"))
+
+    both = refs[0].union(*refs[1:], *geoms)
+
+    # --- cogroup join: attach geometry to each request ---------------------
+    def shard_gkey(t: pa.Table) -> pa.Table:
+        k = t["gkey"].to_numpy()
+        return t.append_column("gshard", pa.array(np.asarray(k, np.int64) % parts, type=pa.int64()))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        lookup = g[g["side"] == 1].set_index("gkey")["geom"]
+        out = g[g["side"] == 0].copy()
+        out["geom"] = out["gkey"].map(lookup)
+        out = out.dropna(subset=["geom"])  # inner semantics: unresolved refs drop
+        return out[["rel_id", "kind", "mpos", "sub_mpos", "role", "sub_role", "geom"]]
+
+    all_rows = (
+        both.map_batches(shard_gkey, batch_format="pyarrow")
+        .groupby("gshard")
+        .map_groups(attach, batch_format="pandas")
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        rid = t["rel_id"].to_numpy()
+        return t.append_column("part", pa.array((np.asarray(rid, np.int64) % parts), type=pa.int64()))
+
+    def rings_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # one task per coarse partition — iterate the rel runs inside
+        g = g.sort_values(["rel_id", "kind", "mpos", "sub_mpos"], kind="mergesort")
+        out_rel: list[int] = []
         out_role: list[str] = []
         out_lons: list[list[float]] = []
         out_lats: list[list[float]] = []
-        for role in ("outer", "inner"):
-            polylines = [unpack_geom(geoms[i]) for i in range(len(roles)) if roles[i] == role]
-            if not polylines:
-                continue
-            try:
-                closed = geometry.assemble_rings(polylines)
-            except ValueError:
-                continue  # unclosable member set: drop (M9 skip-and-resume)
-            for ring in closed:
+        out_idx: list[int] = []
+        for rel_id, rg in g.groupby("rel_id", sort=True):
+            ring_idx = 0
+
+            def emit(role: str, ring: np.ndarray) -> None:
+                nonlocal ring_idx
+                out_rel.append(int(rel_id))
+                out_idx.append(ring_idx)
                 out_role.append(role)
                 out_lons.append(ring[:, 0].tolist())
                 out_lats.append(ring[:, 1].tolist())
-        return pa.table(
+                ring_idx += 1
+
+            # 1) direct way members -> rings, outer then inner
+            direct = rg[rg["kind"] == 0]
+            for role in ("outer", "inner"):
+                polylines = [unpack_geom(b) for b in direct[direct["role"] == role]["geom"]]
+                if not polylines:
+                    continue
+                try:
+                    closed = geometry.assemble_rings(polylines)
+                except ValueError:
+                    continue  # unclosable member set: drop (M9 skip-and-resume)
+                for ring in closed:
+                    emit(role, ring)
+            # 2) node members -> single-point rows keeping the member role
+            for _, row in rg[rg["kind"] == 1].iterrows():
+                emit(str(row["role"]), unpack_geom(row["geom"]))
+            # 3) sub-relation members, one ring set per sub in member order
+            subs = rg[rg["kind"] == 2]
+            for mpos, sg in subs.groupby("mpos", sort=True):
+                for role in ("outer", "inner"):
+                    polylines = [unpack_geom(b) for b in sg[sg["sub_role"] == role]["geom"]]
+                    if not polylines:
+                        continue
+                    try:
+                        closed = geometry.assemble_rings(polylines)
+                    except ValueError:
+                        continue
+                    for ring in closed:
+                        emit(role, ring)
+        return pd.DataFrame(
             {
-                "rel_id": pa.array([rel_id] * len(out_role), type=pa.int64()),
-                "ring_idx": pa.array(np.arange(len(out_role), dtype=np.int64)),
-                "role": pa.array(out_role, type=pa.string()),
-                "lons": pa.array(out_lons, type=pa.list_(pa.float64())),
-                "lats": pa.array(out_lats, type=pa.list_(pa.float64())),
+                "rel_id": pd.Series(out_rel, dtype=np.int64),
+                "ring_idx": pd.Series(out_idx, dtype=np.int64),
+                "role": pd.Series(out_role, dtype=object),
+                "lons": pd.Series(out_lons, dtype=object),
+                "lats": pd.Series(out_lats, dtype=object),
             }
         )
 
-    return joined.groupby("rel_id").map_groups(rings, batch_format="pyarrow")
+    return all_rows.map_batches(add_part, batch_format="pyarrow").groupby("part").map_groups(
+        rings_partition, batch_format="pandas"
+    )
 
 
 def boundaries_from_world(world: dict) -> rd.Dataset:
@@ -153,14 +414,18 @@ def boundaries_from_world(world: dict) -> rd.Dataset:
     nodes = rd.from_arrow(world["nodes"])
     ways = rd.from_arrow(world["ways"])
     relations = rd.from_arrow(world["relations"].select(["rel_id", "members"]))
-    way_geoms = assemble_ways(nodes, ways)
-    return assemble_relations(relations, way_geoms)
+    # way_geoms feeds TWO joins (direct way members + the sub-relation
+    # hop); materialize the bounded intermediate once instead of
+    # re-running the assembly DAG per consumer
+    way_geoms = assemble_ways(nodes, ways).materialize()
+    return assemble_relations(relations, way_geoms, nodes=nodes)
 
 
 def polygons_from_rings(rings_df: pd.DataFrame) -> list[dict]:
     """Collect assembled rings into PiP-index polygon dicts
     (rel_id, outer, holes) — the seam between the denormalization DAG
-    and the broadcast spatial join."""
+    and the broadcast spatial join.  Non-ring rows (node-member points,
+    role not outer/inner) don't form polygons and are skipped."""
     polys: list[dict] = []
     for rel_id, g in rings_df.groupby("rel_id"):
         outers = [np.column_stack([r["lons"], r["lats"]]) for _, r in g[g["role"] == "outer"].iterrows()]
@@ -172,7 +437,9 @@ def polygons_from_rings(rings_df: pd.DataFrame) -> list[dict]:
 
 def way_assembly_query(sf_dir: str) -> rd.Dataset:
     """queries() surface: way geometries of the fixture world as scalar
-    rows (way_id, n_points, first/last coords) — rows-only checked."""
+    rows (way_id, n_points, first/last coords) — golden-oracle checked
+    (the oracle derives the same rows locally from the construction
+    tables, independent of the distributed explode/join/regroup)."""
     from .. import fixtures
 
     world = fixtures.boundary_world()
@@ -195,7 +462,8 @@ def way_assembly_query(sf_dir: str) -> rd.Dataset:
 
 def boundary_assembly_query(sf_dir: str) -> rd.Dataset:
     """queries() surface: assembled relation rings as scalar rows
-    (rel_id, ring_idx, role, n_vertices, area) — rows-only checked."""
+    (rel_id, ring_idx, role, n_vertices, area_deg2) — golden-oracle
+    checked against construction-time boundary data."""
     from .. import fixtures
 
     world = fixtures.boundary_world()
@@ -204,7 +472,7 @@ def boundary_assembly_query(sf_dir: str) -> rd.Dataset:
     def summarize(t: pa.Table) -> pa.Table:
         lons = t["lons"].to_pylist()
         lats = t["lats"].to_pylist()
-        areas = [round(geometry.ring_area(np.column_stack([lo, la])), 9) for lo, la in zip(lons, lats)]
+        areas = [round(geometry.ring_area(np.column_stack([lo, la])), 9) if len(lo) >= 3 else 0.0 for lo, la in zip(lons, lats)]
         nv = [len(lo) for lo in lons]
         return pa.table(
             {

@@ -77,6 +77,11 @@ def ingest_images(images_dir: str, out_root: str, zooms: tuple[int, ...] = (6, 1
         if old.get("input_fingerprint") == fp:
             old["skipped"] = True
             return old
+    # invalidate the manifest BEFORE touching outputs: a crash mid-delete
+    # must never leave a manifest whose fingerprint matches intact-looking
+    # but missing outputs (resume would skip the rebuild)
+    if os.path.exists(mf_path):
+        os.remove(mf_path)
     for sub in ("data", "mappings", "index", "tiles"):
         shutil.rmtree(os.path.join(out_root, sub), ignore_errors=True)
     os.makedirs(out_root, exist_ok=True)

@@ -98,10 +98,13 @@ def distinct_users(sf_dir: str) -> rd.Dataset:
     return _rd.from_arrow(pa.table({"n_users": pa.array([n], type=pa.int64())}))
 
 
-def distinct_users_approx(sf_dir: str, k: int = 1024) -> rd.Dataset:
-    """A4: KMV-sketch approximate distinct count (mergeable per-batch
-    sketches).  Exact below sketch saturation; rows-only checked, with
-    accuracy pinned against the exact count in tests."""
+def distinct_users_approx(sf_dir: str, k: int = 4096) -> rd.Dataset:
+    """A4: KMV-sketch approximate distinct count, folded inside Ray's
+    aggregation tree (stages.sketch.distinct_count_approx).  A KMV
+    sketch is EXACT below saturation (fewer than k distinct values keep
+    every hash), which makes this oracle-checkable against DuckDB's
+    exact COUNT(DISTINCT) at the test scale factors; saturated-regime
+    accuracy is pinned separately in tests."""
     import pyarrow as pa
     import ray.data as _rd
 

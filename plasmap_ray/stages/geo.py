@@ -517,7 +517,13 @@ _WORKER_KERNELS: dict = {}
 
 
 def fused_flagship_fn(batch: pa.Table, index_ref=None, pois_ref=None, k: int = 1, z: int = 10) -> pa.Table:
-    key = ("flagship", getattr(index_ref, "hex", lambda: id(index_ref))(), k, z)
+    key = (
+        "flagship",
+        getattr(index_ref, "hex", lambda: id(index_ref))(),
+        getattr(pois_ref, "hex", lambda: id(pois_ref))(),
+        k,
+        z,
+    )
     kern = _WORKER_KERNELS.get(key)
     if kern is None:
         kern = FlagshipFusedActor(index_ref, pois_ref, k=k, z=z)

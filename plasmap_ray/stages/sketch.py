@@ -60,16 +60,20 @@ class KMVSketch:
 
 
 def distinct_count_approx(ds, column: str, k: int = 1024) -> float:
-    """Approximate COUNT(DISTINCT column) via per-batch KMV sketches
-    merged on the driver (sketch rows are tiny: <= 8k bytes each)."""
-    import pyarrow as pa
+    """Approximate COUNT(DISTINCT column) via KMV sketches folded inside
+    Ray's aggregation tree (``Dataset.aggregate`` with a custom
+    ``AggregateFn``): sketches accumulate per block and MERGE on the
+    workers — the driver receives ONE k-value sketch, never the
+    per-batch sketch stream (the round-1 ``take_all()`` fold collected
+    a row per batch, unbounded in batch count at 10^12 rows)."""
+    from ray.data.aggregate import AggregateFn
 
-    def sketch_batch(t: pa.Table) -> pa.Table:
-        s = KMVSketch(k).update(t[column].to_numpy())
-        return pa.table({"sketch": pa.array([s.serialize()], type=pa.binary())})
-
-    parts = ds.map_batches(sketch_batch, batch_format="pyarrow").take_all()
-    acc = KMVSketch(k)
-    for row in parts:
-        acc = acc.merge(KMVSketch.deserialize(row["sketch"], k))
-    return acc.estimate()
+    agg = AggregateFn(
+        init=lambda _key: KMVSketch(k),
+        accumulate_block=lambda acc, block: acc.update(block[column].to_numpy()),
+        merge=lambda a, b: a.merge(b),
+        finalize=lambda acc: acc.estimate(),
+        name="kmv_distinct",
+    )
+    out = ds.aggregate(agg)
+    return float(out["kmv_distinct"])

@@ -37,15 +37,30 @@ def test_rings_match_golden_vertices_and_area(world, rings_df):
         golden = by_rel[rel_id]
         outers = g[g["role"] == "outer"]
         inners = g[g["role"] == "inner"]
-        assert len(outers) == 1, rel_id
-        ring = np.column_stack([outers.iloc[0]["lons"], outers.iloc[0]["lats"]])
-        assert _ring_set(ring) == _ring_set(golden["outer"]), rel_id
-        assert geometry.ring_area(ring) == pytest.approx(geometry.ring_area(golden["outer"]), rel=1e-12)
+        golden_outers = [golden["outer"]] + list(golden.get("extra_outers") or [])
+        assert len(outers) == len(golden_outers), rel_id
+        for _, outer_row in outers.iterrows():
+            ring = np.column_stack([outer_row["lons"], outer_row["lats"]])
+            match = [go for go in golden_outers if _ring_set(ring) == _ring_set(go)]
+            assert match, rel_id
+            assert geometry.ring_area(ring) == pytest.approx(geometry.ring_area(match[0]), rel=1e-12)
         golden_holes = golden.get("holes") or []
         assert len(inners) == len(golden_holes), rel_id
         for _, hole_row in inners.iterrows():
             hole = np.column_stack([hole_row["lons"], hole_row["lats"]])
             assert any(_ring_set(hole) == _ring_set(gh) for gh in golden_holes), rel_id
+        # node members surface as single-point rows keeping their role
+        golden_points = golden.get("points") or []
+        pts = g[~g["role"].isin(["outer", "inner"])]
+        assert len(pts) == len(golden_points), rel_id
+        for _, prow in pts.iterrows():
+            assert any(
+                prow["role"] == role
+                and len(prow["lons"]) == 1
+                and float(prow["lons"][0]) == lon
+                and float(prow["lats"][0]) == lat
+                for role, lon, lat in golden_points
+            ), rel_id
 
 
 def test_way_assembly_preserves_nds_order(ray_session, world):
@@ -88,9 +103,19 @@ def test_assembled_polygons_drive_pip_join(ray_session, world, rings_df):
 
     polys = denormalize.polygons_from_rings(rings_df)
     idx_a = geo.PolygonIndex(polys)
-    idx_b = geo.PolygonIndex(
-        [dict(rel_id=b["rel_id"], name=b["name"], admin_level=b["admin_level"], outer=b["outer"], holes=b.get("holes") or []) for b in world["boundaries"]]
-    )
+    golden_polys = []
+    for b in world["boundaries"]:
+        for i, outer in enumerate([b["outer"]] + list(b.get("extra_outers") or [])):
+            golden_polys.append(
+                dict(
+                    rel_id=b["rel_id"],
+                    name=b["name"],
+                    admin_level=b["admin_level"],
+                    outer=outer,
+                    holes=(b.get("holes") or []) if i == 0 else [],
+                )
+            )
+    idx_b = geo.PolygonIndex(golden_polys)
     ids = np.arange(1, 20001)
     lon = fixtures.derive_lon(ids)
     # stretch derived lats into the polygon world's band
