@@ -20,7 +20,7 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from plasmap_ray import oracle, queryast  # noqa: E402
+from plasmap_ray import golden, oracle, queryast  # noqa: E402
 from plasmap_ray.pipelines import ann, dedup, denormalize, images, index, relational, spatial, text, windows  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
@@ -33,6 +33,8 @@ ANN_K = 10
 ANN_QUERY_ID = 1
 EMB_NEARDUP_T = 0.40  # pairs above this are "near" in this corpus (max sim ~0.48)
 EMB_TOP_PAIRS = 20
+SEARCH_TOKENS = ("spark", "data")  # TF-IDF ranked-search query terms
+SEARCH_K = 20
 
 # AST demo constants (the three canonical queries of SURVEY.md §7.2 #11)
 AST_PT = (6.5561, 51.0423)  # a point inside Essenheim / Essenheim-d5
@@ -134,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": text.quality_pipeline,
         "doc_fingerprint": text.fingerprint,
         "search_by_token": lambda sf: index.search_by_token(sf, SEARCH_TOKEN),
+        "search_ranked": lambda sf: index.search_ranked(sf, tokens=SEARCH_TOKENS, k=SEARCH_K),
         "token_doc_frequency": lambda sf: index.token_doc_frequency(sf, min_docs=50),
         "anti_search": lambda sf: index.anti_search(sf, SEARCH_TOKEN),
         # --- dedup ---
@@ -146,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": lambda sf: ann.lsh_bucket_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
         "embedding_top_pairs": lambda sf: ann.embedding_top_pairs(sf, k=EMB_TOP_PAIRS),
         "embedding_near_dup": lambda sf: ann.embedding_near_dup(sf, threshold=EMB_NEARDUP_T),
+        "embedding_near_dup_lsh": lambda sf: ann.embedding_near_dup_lsh(sf, threshold=EMB_NEARDUP_T),
         # --- image payload ---
         "image_fidelity": images.fidelity_pipeline,
         "image_features": images.image_features,
@@ -365,7 +369,55 @@ WHERE b.name = 'Duisheim' AND p.value = 'restaurant'""",
 SELECT regexp_extract(caption, ' in (.+)$', 1) AS place, count(*) AS n_images
 FROM {img_pq} GROUP BY 1""",
         "image_meta_stats": f"""
-SELECT fmt, w, h, count(*) AS n_images, sum(octet_length(bytes)) AS total_bytes FROM {img_pq} GROUP BY fmt, w, h""",
+SELECT fmt, w, h, count(*) AS n_images, CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes FROM {img_pq} GROUP BY fmt, w, h""",
         "phash_dedup": f"""
 SELECT phash, min(image_id) AS first_image_id, count(*) AS n_images FROM {img_pq} GROUP BY phash HAVING count(*) > 1""",
+        # --- golden-table oracles (local non-Ray recompute; see plasmap_ray.golden) ---
+        "way_assembly": f"SELECT * FROM read_parquet('{golden.way_assembly_path()}')",
+        "boundary_assembly": f"SELECT * FROM read_parquet('{golden.boundary_assembly_path()}')",
+        "doc_fingerprint": f"SELECT * FROM read_parquet('{golden.doc_fingerprint_path(SF001)}')",
+        "simhash": f"SELECT * FROM read_parquet('{golden.simhash_path(SF001)}')",
+        "text_quality": f"SELECT * FROM read_parquet('{golden.text_quality_path(SF001)}')",
+        "minhash_near_dup": f"SELECT * FROM read_parquet('{golden.minhash_near_dup_path(SF001)}')",
+        "ann_lsh_topk": f"SELECT * FROM read_parquet('{golden.ann_lsh_topk_path(SF001, k=ANN_K, vec_id=ANN_QUERY_ID)}')",
+        "embedding_near_dup_lsh": (
+            "SELECT * FROM read_parquet('"
+            + golden.embedding_near_dup_lsh_path(
+                SF001, threshold=EMB_NEARDUP_T, bands=ann.LSH_BANDS, planes=ann.LSH_PLANES, seed=1117
+            )
+            + "')"
+        ),
+        "image_features": (
+            "SELECT * FROM read_parquet('" + golden.image_features_path(images.images_path_for(SF001)) + "')"
+        ),
+        # --- SQL-expressible oracles for the formerly-unchecked queries ---
+        "sampled_event_stats": f"""
+SELECT event_type, count(*) AS n_sampled FROM events
+WHERE (event_id * {windows.SAMPLE_MULT}) % {windows.SAMPLE_MOD} < {int(0.2 * windows.SAMPLE_MOD)}
+GROUP BY event_type""",
+        "distinct_users_approx": """
+SELECT round(CAST(COUNT(DISTINCT user_id) AS DOUBLE), 1) AS n_users_approx FROM events""",
+        "embedding_near_dup": f"""
+WITH scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, round(sim, 6) AS sim FROM scored WHERE sim >= {EMB_NEARDUP_T!r}""",
+        "search_ranked": f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+       WHERE token IN ({", ".join(f"'{t}'" for t in SEARCH_TOKENS)}) GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n FROM documents),
+sc AS (SELECT tf.doc_id, round(sum(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)), 6) AS score
+       FROM tf JOIN df ON tf.token = df.token CROSS JOIN n GROUP BY tf.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS search_rank, doc_id, score
+FROM sc ORDER BY score DESC, doc_id LIMIT {SEARCH_K}""",
+        "image_fidelity": f"""
+SELECT fmt, count(*) AS n_images, count(*) AS n_ok FROM {img_pq} GROUP BY fmt""",
+        "phash_near_dup_pairs": f"""
+SELECT a.image_id AS image_id_a, b.image_id AS image_id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM {img_pq} a JOIN {img_pq} b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3""",
     }

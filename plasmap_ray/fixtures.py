@@ -510,6 +510,44 @@ def images_parquet_path(n: int, seed: int = SEED, skew_hot_frac: float = 0.0, ro
     return path
 
 
+# ---------------------------------------------------------------------------
+# Embeddings with PLANTED near-duplicates (LSH recall fixtures)
+# ---------------------------------------------------------------------------
+# The driver's embeddings.parquet has no true near-dups (max cosine
+# ~0.48), which is the wrong regime for LSH recall measurement; this
+# corpus plants perturbed copies at cosine >= ~0.98.
+
+
+def make_embeddings(n: int = 400, dim: int = 32, dup_every: int = 10, seed: int = 123) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim))
+    for i in range(dup_every, n, dup_every):
+        m[i] = m[i - 1] + 0.08 * rng.standard_normal(dim)  # cosine ~0.99 vs predecessor
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([row.astype(np.float32) for row in m], type=pa.list_(pa.float32())),
+        }
+    )
+
+
+def embeddings_parquet_path(
+    n: int = 400, dim: int = 32, dup_every: int = 10, seed: int = 123, root: str = "/tmp/plasmap_fixtures"
+) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"embdup_n{n}_d{dim}_e{dup_every}_s{seed}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(make_embeddings(n, dim, dup_every, seed), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def make_images_range(lo: int, hi: int, seed: int = SEED, size_choices: tuple[int, ...] = _SIZE_CHOICES) -> pa.Table:
     """Rows [lo, hi) of the images table (see make_images_for_ids)."""
     return make_images_for_ids(np.arange(lo, hi, dtype=np.int64), seed=seed, size_choices=size_choices)

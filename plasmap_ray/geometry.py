@@ -219,6 +219,93 @@ def fuzzy_within(
     return a_int / a_inner >= threshold
 
 
+def _orient_grid(a0: np.ndarray, a1: np.ndarray, p: np.ndarray) -> np.ndarray:
+    """Cross product orientation of every point in ``p`` (m,2) against
+    every directed segment (a0[i] -> a1[i]) (n,2): result (n, m)."""
+    d = a1 - a0
+    return d[:, None, 0] * (p[None, :, 1] - a0[:, None, 1]) - d[:, None, 1] * (p[None, :, 0] - a0[:, None, 0])
+
+
+def _ring_segments(ring: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    ring = _as_ring(ring)
+    return ring, np.roll(ring, -1, axis=0)
+
+
+def rings_properly_cross(a: np.ndarray, b: np.ndarray) -> bool:
+    """True iff any edge of ring ``a`` PROPERLY crosses an edge of ring
+    ``b`` (transversal interior crossing; shared vertices, touching and
+    collinear overlap do NOT count — rectangles tiling a city share
+    edges without crossing)."""
+    a0, a1 = _ring_segments(a)
+    b0, b1 = _ring_segments(b)
+    d1 = _orient_grid(b0, b1, a0)  # (nb, na)
+    d2 = _orient_grid(b0, b1, a1)
+    d3 = _orient_grid(a0, a1, b0)  # (na, nb)
+    d4 = _orient_grid(a0, a1, b1)
+    return bool(np.any((d1 * d2 < 0) & (d3 * d4 < 0).T))
+
+
+def points_on_ring(lon: np.ndarray, lat: np.ndarray, ring: np.ndarray, eps: float = 0.0) -> np.ndarray:
+    """True per point iff the point lies ON the ring boundary (collinear
+    with a segment and inside its bbox)."""
+    a0, a1 = _ring_segments(ring)
+    p = np.column_stack([np.asarray(lon, np.float64), np.asarray(lat, np.float64)])
+    cross = _orient_grid(a0, a1, p)  # (n_seg, n_pt)
+    lo = np.minimum(a0, a1)
+    hi = np.maximum(a0, a1)
+    inbox = (
+        (p[None, :, 0] >= lo[:, None, 0] - eps)
+        & (p[None, :, 0] <= hi[:, None, 0] + eps)
+        & (p[None, :, 1] >= lo[:, None, 1] - eps)
+        & (p[None, :, 1] <= hi[:, None, 1] + eps)
+    )
+    return np.any((np.abs(cross) <= eps) & inbox, axis=0)
+
+
+def polygon_within(
+    inner_outer: np.ndarray,
+    outer_outer: np.ndarray,
+    inner_holes: list[np.ndarray] | None = None,
+    outer_holes: list[np.ndarray] | None = None,
+) -> bool:
+    """EXACT polygon ⊇ polygon containment (closed semantics: boundary
+    contact allowed).  Reference: GeoCalculator.within dispatch for
+    GeometryCollection ⊇ GeometryCollection, which tests every inner
+    polygon against the outer polygons before the fuzzy fallback
+    (util/.../GeoCalculator.scala:111-129).
+
+    Conditions: every inner vertex inside-or-on the outer ring; no edge
+    of the inner ring properly crosses the outer ring (a proper crossing
+    would take the inner boundary outside even with all vertices in —
+    the case bbox/vertex-only containment gets wrong on concave
+    outers); and the inner polygon avoids the outer's holes (no vertex
+    strictly inside a hole, no proper crossing, hole not strictly inside
+    the inner ring).
+    """
+    inner = _as_ring(inner_outer)
+    v_in = points_in_ring(inner[:, 0], inner[:, 1], outer_outer)
+    v_on = points_on_ring(inner[:, 0], inner[:, 1], outer_outer)
+    if not np.all(v_in | v_on):
+        return False
+    if rings_properly_cross(inner, outer_outer):
+        return False
+    for hole in outer_holes or []:
+        hole = _as_ring(hole)
+        strictly_in_hole = points_in_ring(inner[:, 0], inner[:, 1], hole) & ~points_on_ring(
+            inner[:, 0], inner[:, 1], hole
+        )
+        if np.any(strictly_in_hole):
+            return False
+        if rings_properly_cross(inner, hole):
+            return False
+        hole_in_inner = points_in_ring(hole[:, 0], hole[:, 1], inner) & ~points_on_ring(
+            hole[:, 0], hole[:, 1], inner
+        )
+        if np.any(hole_in_inner):
+            return False
+    return True
+
+
 def envelope(*rings: np.ndarray) -> tuple[float, float, float, float]:
     """(lon_min, lat_min, lon_max, lat_max) over all vertices.
 

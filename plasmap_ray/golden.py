@@ -1,0 +1,335 @@
+"""Golden-oracle builders — LOCAL, non-Ray recomputes for queries whose
+semantics ANSI SQL cannot express directly (hand-rolled hashes, LSH
+banding, image decodes, fixture-world assembly).
+
+Each builder computes the expected result table on the driver with
+plain numpy/pandas/Python (no Ray, no Dataset machinery) and caches it
+as parquet under /tmp; ``oracle_sql()`` then mirrors the query as
+``SELECT ... FROM read_parquet('<golden path>')``.  What the driver's
+compare then verifies is the DISTRIBUTED path: shuffle correctness,
+batching invariance, actor-pool state, schema — the same pattern the
+reference uses for its golden extracts (WayFlowSpec.scala:45-84,
+RelationFlowSpec.scala:44-162, QueriesSpec.scala:153,173).
+
+Where practical the recompute is algorithmically independent too:
+``doc_fingerprint`` uses pure-Python Horner big-int arithmetic vs the
+engine's vectorized cumprod; ``simhash`` a per-token Python loop vs the
+engine's bit-matrix numpy; assembly goldens read construction-time
+world tables, never the assembly DAG.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+GOLDEN_ROOT = "/tmp/plasmap_fixtures/golden"
+
+M64 = 1 << 64
+
+
+def _cache(name: str, build) -> str:
+    """Write-once parquet cache; returns the path for read_parquet()."""
+    os.makedirs(GOLDEN_ROOT, exist_ok=True)
+    path = os.path.join(GOLDEN_ROOT, f"{name}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(build(), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Fixture-world assembly goldens (from construction tables, NOT the DAG)
+# ---------------------------------------------------------------------------
+
+
+def way_assembly_path() -> str:
+    def build() -> pa.Table:
+        from . import fixtures
+
+        world = fixtures.boundary_world()
+        nodes = {r["node_id"]: (r["lon"], r["lat"]) for r in world["nodes"].to_pylist()}
+        rows = []
+        for r in world["ways"].to_pylist():
+            nds = r["nds"]
+            rows.append(
+                (r["way_id"], len(nds), nodes[nds[0]][0], nodes[nds[-1]][1])
+            )
+        return pa.table(
+            {
+                "way_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "n_points": pa.array([r[1] for r in rows], type=pa.int64()),
+                "lon_first": pa.array([r[2] for r in rows], type=pa.float64()),
+                "lat_last": pa.array([r[3] for r in rows], type=pa.float64()),
+            }
+        )
+
+    return _cache("way_assembly", build)
+
+
+def boundary_assembly_path() -> str:
+    def build() -> pa.Table:
+        from . import fixtures, geometry
+
+        world = fixtures.boundary_world()
+        rows = []
+        for b in world["boundaries"]:
+            idx = 0
+
+            def emit(role: str, nv: int, area: float) -> None:
+                nonlocal idx
+                rows.append((b["rel_id"], idx, role, nv, area))
+                idx += 1
+
+            emit("outer", b["outer"].shape[0], round(geometry.ring_area(b["outer"]), 9))
+            for h in b.get("holes") or []:
+                emit("inner", h.shape[0], round(geometry.ring_area(h), 9))
+            for role, _lon, _lat in b.get("points") or []:
+                emit(role, 1, 0.0)
+            for eo in b.get("extra_outers") or []:
+                emit("outer", eo.shape[0], round(geometry.ring_area(eo), 9))
+        return pa.table(
+            {
+                "rel_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ring_idx": pa.array([r[1] for r in rows], type=pa.int64()),
+                "role": pa.array([r[2] for r in rows], type=pa.string()),
+                "n_vertices": pa.array([r[3] for r in rows], type=pa.int64()),
+                "area_deg2": pa.array([r[4] for r in rows], type=pa.float64()),
+            }
+        )
+
+    return _cache("boundary_assembly", build)
+
+
+# ---------------------------------------------------------------------------
+# Text goldens over documents.parquet
+# ---------------------------------------------------------------------------
+
+
+def doc_fingerprint_path(sf_dir: str) -> str:
+    def build() -> pa.Table:
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        B = 1099511628211
+        out = []
+        for s in t["text"].to_pylist():
+            data = s.encode("utf-8")
+            if not data:
+                out.append(0)
+                continue
+            # independent recompute: Horner fold in Python big ints,
+            # h = (sum b[j]*B^(n-j)) mod 2^64 (engine: cumprod powers)
+            h = 0
+            for byte in data:
+                h = (h * B + byte) % M64
+            h = (h * B) % M64
+            out.append(h - M64 if h >= (1 << 63) else h)
+        return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(out, type=pa.int64())})
+
+    return _cache(f"doc_fingerprint_{_sf_tag(sf_dir)}", build)
+
+
+def simhash_path(sf_dir: str) -> str:
+    def build() -> pa.Table:
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        word_re = re.compile(r"[\w']+", re.UNICODE)
+        out = []
+        for s in t["text"].to_pylist():
+            toks = word_re.findall(s.lower())
+            if not toks:
+                out.append(0)
+                continue
+            acc = [0] * 64
+            for tok in toks:
+                # splitmix64 of crc32, in plain Python ints
+                x = (zlib.crc32(tok.encode("utf-8")) + 0x9E3779B97F4A7C15) % M64
+                x = (x * 0xBF58476D1CE4E5B9) % M64
+                x ^= x >> 27
+                x = (x * 0x94D049BB133111EB) % M64
+                x ^= x >> 31
+                for i in range(64):
+                    acc[i] += 1 if (x >> i) & 1 else -1
+            v = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    v |= 1 << i
+            out.append(v - M64 if v >= (1 << 63) else v)
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out, type=pa.int64())})
+
+    return _cache(f"simhash_{_sf_tag(sf_dir)}", build)
+
+
+def text_quality_path(sf_dir: str) -> str:
+    def build() -> pa.Table:
+        from .pipelines.text import _STOPWORDS
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"])
+        word_re = re.compile(r"[\w']+", re.UNICODE)
+        stop = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        stop_all = frozenset().union(*stop.values())
+        df = t.to_pandas()
+        text = df["text"].astype(str)
+        tokens = text.str.lower().map(word_re.findall)
+        n_tok = tokens.map(len).astype(np.int64)
+        n_chars = text.str.len().astype(np.int64)
+
+        def vote(toks: list[str]) -> str:
+            if not toks:
+                return "und"
+            best, best_n = "und", 0
+            for lang, ws in stop.items():
+                n = sum(1 for tk in toks if tk in ws)
+                if n > best_n:
+                    best, best_n = lang, n
+            return best
+
+        df["pred_lang"] = tokens.map(vote)
+        df["n_tokens"] = n_tok
+        df["mean_token_len"] = tokens.map(lambda ts: float(np.mean([len(tk) for tk in ts])) if ts else 0.0)
+        alpha = text.str.count(r"[A-Za-z]")
+        df["alpha_ratio"] = (alpha / n_chars.clip(lower=1)).astype(np.float64)
+        df["stop_ratio"] = tokens.map(lambda ts: sum(tk in stop_all for tk in ts) / max(1, len(ts)))
+        length_ok = ((n_tok >= 10) & (n_tok <= 5000)).astype(float)
+        df["quality"] = (
+            0.4 * length_ok + 0.3 * df["alpha_ratio"].clip(0, 1) + 0.3 * df["stop_ratio"].clip(0, 1)
+        ).round(6)
+        return pa.Table.from_pandas(df.drop(columns=["text"]), preserve_index=False)
+
+    return _cache(f"text_quality_{_sf_tag(sf_dir)}", build)
+
+
+# ---------------------------------------------------------------------------
+# LSH goldens (deterministic seeded families -> local bucket recompute)
+# ---------------------------------------------------------------------------
+
+
+def minhash_near_dup_path(sf_dir: str, sim_threshold: float = 0.8) -> str:
+    def build() -> pa.Table:
+        from .pipelines.dedup import BANDS, ROWS_PER_BAND, MinHashSignature, _band_explode
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        sigs_t = MinHashSignature()(t)  # kernel call, no Ray
+        exploded = _band_explode(sigs_t, BANDS, ROWS_PER_BAND)
+        ids = exploded["doc_id"].to_numpy()
+        bands = exploded["band"].to_numpy()
+        keys = exploded["band_key"].to_numpy()
+        sig_m = np.stack(sigs_t["minhash"].to_numpy(zero_copy_only=False))
+        sig_by_id = {int(i): sig_m[j] for j, i in enumerate(sigs_t["doc_id"].to_numpy())}
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i, b, k in zip(ids, bands, keys):
+            buckets.setdefault((int(b), int(k)), []).append(int(i))
+        pairs: dict[tuple[int, int], float] = {}
+        for members in buckets.values():
+            if len(members) < 2:
+                continue
+            members = sorted(members)
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    a, b2 = members[x], members[y]
+                    est = float(np.round((sig_by_id[a] == sig_by_id[b2]).mean(), 6))
+                    if est >= sim_threshold:
+                        pairs[(a, b2)] = est
+        items = sorted(pairs.items())
+        return pa.table(
+            {
+                "doc_a": pa.array([p[0][0] for p in items], type=pa.int64()),
+                "doc_b": pa.array([p[0][1] for p in items], type=pa.int64()),
+                "est_jaccard": pa.array([p[1] for p in items], type=pa.float64()),
+            }
+        )
+
+    return _cache(f"minhash_near_dup_{_sf_tag(sf_dir)}", build)
+
+
+def ann_lsh_topk_path(sf_dir: str, k: int = 10, vec_id: int = 1, planes: int = 6, seed: int = 11) -> str:
+    def build() -> pa.Table:
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        q = m[list(ids).index(vec_id)]
+        rng = np.random.default_rng(seed)
+        hyper = rng.standard_normal((planes, m.shape[1]))
+        qsig = int((hyper @ q > 0).astype(np.int64) @ (1 << np.arange(planes)))
+        probe = {qsig} | {qsig ^ (1 << i) for i in range(planes)}
+        sigs = ((hyper @ m.T > 0).astype(np.int64).T @ (1 << np.arange(planes))).astype(np.int64)
+        mask = np.isin(sigs, list(probe)) & (ids != vec_id)
+        cand_ids = ids[mask]
+        cand = m[mask]
+        norms = np.linalg.norm(cand, axis=1)
+        sims = (cand @ (q / np.linalg.norm(q))) / np.where(norms == 0, 1.0, norms)
+        order = np.lexsort((cand_ids, -sims))[:k]
+        return pa.table(
+            {
+                "sim_rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "vec_id": pa.array(cand_ids[order], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"ann_lsh_topk_{_sf_tag(sf_dir)}_k{k}_v{vec_id}", build)
+
+
+def embedding_near_dup_lsh_path(
+    sf_dir: str, threshold: float, bands: int, planes: int, seed: int
+) -> str:
+    def build() -> pa.Table:
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        mn = m / np.where(norms == 0, 1.0, norms)[:, None]
+        rng = np.random.default_rng(seed)
+        hyper = rng.standard_normal((bands * planes, m.shape[1]))
+        signs = (m @ hyper.T) > 0
+        weights = (1 << np.arange(planes, dtype=np.int64)).astype(np.int64)
+        keys = signs.reshape(len(ids), bands, planes).astype(np.int64) @ weights
+        pairs: dict[tuple[int, int], float] = {}
+        for band in range(bands):
+            buckets: dict[int, list[int]] = {}
+            for j, key in enumerate(keys[:, band]):
+                buckets.setdefault(int(key), []).append(j)
+            for members in buckets.values():
+                for x in range(len(members)):
+                    for y in range(x + 1, len(members)):
+                        i, j = members[x], members[y]
+                        sim = float((mn[i] * mn[j]).sum())
+                        if sim >= threshold:
+                            a, b = sorted((int(ids[i]), int(ids[j])))
+                            pairs[(a, b)] = sim
+        items = sorted(pairs.items())
+        return pa.table(
+            {
+                "vec_a": pa.array([p[0][0] for p in items], type=pa.int64()),
+                "vec_b": pa.array([p[0][1] for p in items], type=pa.int64()),
+                "sim": pa.array(duckdb_round(np.array([p[1] for p in items]), 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"emb_lsh_{_sf_tag(sf_dir)}_t{threshold}_b{bands}_p{planes}", build)
+
+
+# ---------------------------------------------------------------------------
+# Image goldens (local per-row kernel over the same cached parquet)
+# ---------------------------------------------------------------------------
+
+
+def image_features_path(images_parquet: str) -> str:
+    def build() -> pa.Table:
+        from .stages.media import ImageFeatures
+
+        t = pq.read_table(images_parquet)
+        out = ImageFeatures()(t)  # kernel call on the whole table, no Ray
+        return out.select(["image_id", "fmt", "ok", "mean_r", "luminance", "edge_energy", "phash_recomputed"])
+
+    return _cache(f"image_features_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)

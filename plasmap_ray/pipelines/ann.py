@@ -33,8 +33,16 @@ import ray.data as rd
 from ..stages.common import duckdb_round
 
 
+def _emb_path(sf_dir_or_path: str) -> str:
+    """Accept an sf dir (-> its embeddings.parquet) or a direct .parquet
+    path (e.g. the planted-near-dup fixture corpus)."""
+    if sf_dir_or_path.endswith(".parquet"):
+        return sf_dir_or_path
+    return os.path.join(sf_dir_or_path, "embeddings.parquet")
+
+
 def _read_emb(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    return rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
 
 
 def _emb_matrix(batch: pa.Table) -> np.ndarray:
@@ -50,7 +58,7 @@ def query_vector(sf_dir: str, vec_id: int = 1) -> np.ndarray:
     to the SQL oracle via a scalar subquery)."""
     import pyarrow.dataset as pads
 
-    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+    t = pads.dataset(_emb_path(sf_dir)).to_table(
         columns=["vec_id", "embedding"], filter=pads.field("vec_id") == vec_id
     )
     return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
@@ -257,7 +265,7 @@ def embedding_near_dup_lsh(
     from .dedup import pairs_in_key_runs
     from ray.data.aggregate import Max
 
-    path = sf_dir_or_path if sf_dir_or_path.endswith(".parquet") else os.path.join(sf_dir_or_path, "embeddings.parquet")
+    path = _emb_path(sf_dir_or_path)
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     import pyarrow.parquet as pq
 

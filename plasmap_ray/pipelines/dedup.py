@@ -124,7 +124,8 @@ import logging
 
 logger = logging.getLogger(__name__)
 
-MAX_LSH_GROUP = 64  # cap quadratic pair expansion per bucket (truncation is logged)
+MAX_LSH_GROUP = 4096  # cap quadratic pair expansion per bucket (truncation is logged)
+PAIR_CHUNK = 1 << 21  # candidate pairs verified per vectorized slice (bounds task memory)
 
 
 LSH_KEY_SHARDS = 32  # key-space shards per band: shuffle parallelism = bands*shards
@@ -265,7 +266,14 @@ def pairs_in_key_runs(
     per-group overhead dominates at scale).  ``verify(i, j) -> value``
     maps candidate index pairs to a verification metric; returns
     (id_a, id_b, value) arrays for verified pairs (caller filters).
-    Runs larger than ``max_group`` are truncated (logged cap, SURVEY §4).
+    ``ids`` orders rows within a run, so output (and the skew cap) is
+    deterministic across shuffles.
+
+    Verification is sliced into ``PAIR_CHUNK``-pair blocks so a large
+    bucket costs bounded MEMORY (quadratic WORK is inherent to emitting
+    every pair); only runs beyond ``max_group`` rows — degenerate skew,
+    e.g. one constant hash band across millions of images — are
+    truncated, and that truncation is logged (SURVEY §4).
     """
     order = np.lexsort((ids, keys))
     sk = keys[order]
@@ -286,10 +294,12 @@ def pairs_in_key_runs(
             n = max_group
         run = order[s:e]
         ai, bi = np.triu_indices(n, k=1)
-        v = verify(run[ai], run[bi])
-        out_a.append(run[ai])
-        out_b.append(run[bi])
-        out_v.append(np.asarray(v))
+        for lo in range(0, len(ai), PAIR_CHUNK):
+            sl = slice(lo, lo + PAIR_CHUNK)
+            v = verify(run[ai[sl]], run[bi[sl]])
+            out_a.append(run[ai[sl]])
+            out_b.append(run[bi[sl]])
+            out_v.append(np.asarray(v))
     if truncated:
         logger.warning(
             "pairs_in_key_runs: %d bucket(s) exceeded max_group=%d and were truncated — "

@@ -92,13 +92,27 @@ class FidelityVerify:
 
 
 def fidelity_pipeline(sf_dir: str) -> rd.Dataset:
-    """Decode + verify every image; returns per-format pass/fail counts."""
+    """Decode + verify every image; returns per-format pass/fail counts.
+
+    Oracle: the fixture generator GUARANTEES every row decodes clean
+    (pixels byte-exact for lossless, PSNR>=40 for qnt8, caption
+    non-empty), so the expected result is n_ok == n_images per format —
+    the SQL mirror states that invariant and the driver's compare
+    verifies the distributed decode+verify path reproduces it."""
     ds = read_images(sf_dir)
     verified = ds.map_batches(FidelityVerify, batch_format="pyarrow", batch_size=512, concurrency=(1, 8))
-    return verified.groupby("fmt").aggregate(
+    out = verified.groupby("fmt").aggregate(
         Count(alias_name="n_images"),
         Sum("ok", alias_name="n_ok"),
     )
+
+    import pyarrow.compute as pc
+
+    def cast_ok(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("n_ok")
+        return t.set_column(i, "n_ok", pc.cast(t["n_ok"], pa.int64()))
+
+    return out.map_batches(cast_ok, batch_format="pyarrow")
 
 
 def quarantine_split(sf_dir: str, out_dir: str) -> tuple[rd.Dataset, str]:

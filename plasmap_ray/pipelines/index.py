@@ -39,9 +39,9 @@ def tokenize_explode(batch: pa.Table, text_col: str = "text", id_col: str = "doc
         toks = toks.combine_chunks()
     lengths = pc.list_value_length(toks).to_numpy()
     ids = np.repeat(batch[id_col].to_numpy(), lengths)
-    flat = toks.flatten().to_pylist()
+    # stay columnar: list-flatten keeps the token strings zero-copy
+    tab = pa.table({"token": toks.flatten(), id_col: pa.array(ids, type=pa.int64())})
     # per-doc dedup (a token counts once per document)
-    tab = pa.table({"token": pa.array(flat, type=pa.string()), id_col: pa.array(ids, type=pa.int64())})
     return tab.group_by(["token", id_col]).aggregate([]).select(["token", id_col])
 
 
@@ -52,11 +52,112 @@ def build_index(sf_dir: str) -> rd.Dataset:
 
 
 def search_by_token(sf_dir: str, token: str) -> rd.Dataset:
-    """J8: index filter -> id semi-join back to the source table."""
-    hits = build_index(sf_dir).filter(expr=f"token == '{token}'")
+    """J8: index filter -> broadcast id SEMI-join back to the source
+    table.  The hit-id set is small (one token's postings) — collect it
+    once, ship via ray.put, filter the big side map-side: no shuffle
+    (the round-1 hash-shuffle join moved the whole docs table for a
+    385-row hit set)."""
+    import ray
+
+    hit_ids = set(build_index(sf_dir).filter(expr=f"token == '{token}'").unique("doc_id"))
+    ref = ray.put(hit_ids)
+
+    def semi(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        wanted = ray.get(ref)
+        mask = np.fromiter((int(i) in wanted for i in ids), dtype=bool, count=len(ids))
+        return batch.filter(pa.array(mask))
+
     docs = _read_docs(sf_dir, ["doc_id", "lang", "n_chars"])
-    joined = hits.join(docs, join_type="inner", num_partitions=4, on=("doc_id",))
-    return joined.select_columns(["doc_id", "lang", "n_chars"])
+    return docs.map_batches(semi, batch_format="pyarrow")
+
+
+def search_ranked(sf_dir: str, tokens: tuple[str, ...] = ("spark", "data"), k: int = 20) -> rd.Dataset:
+    """J8 with relevance: TF-IDF-scored search (reference parity with
+    ``IndexSearchHit(id, score)``, dal/.../IndexingService.scala:12-14;
+    the reference's ES search returns scored hits, the round-1 rebuild
+    was a boolean filter).
+
+    score(doc) = Σ_q tf(q, doc) · ln(N / df(q)); per-doc term counts
+    stream map-side (the query token set is broadcast-tiny, so no index
+    shuffle); df comes from one tiny aggregate; ranking is by the
+    ROUNDED score (6 dp) with doc_id tiebreak so the ordering is
+    bit-robust across engines.
+    """
+    import functools
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.common import duckdb_round
+
+    qtokens = list(tokens)
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(batch["text"]), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy()
+        ids = np.repeat(batch["doc_id"].to_numpy(), lengths)
+        flat = toks.flatten()
+        out_ids, out_tok, out_tf = [], [], []
+        for q in qtokens:
+            hit = pc.equal(flat, q).to_numpy(zero_copy_only=False)
+            if not hit.any():
+                continue
+            doc_hits, counts = np.unique(ids[hit], return_counts=True)
+            out_ids.append(doc_hits)
+            out_tok.extend([q] * len(doc_hits))
+            out_tf.append(counts)
+        if not out_ids:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "token": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_ids), type=pa.int64()),
+                "token": pa.array(out_tok, type=pa.string()),
+                "tf": pa.array(np.concatenate(out_tf).astype(np.int64)),
+            }
+        )
+
+    tf_rows = docs.map_batches(term_counts, batch_format="pyarrow").materialize()
+    n_docs = docs.count()
+    dfs = {r["token"]: r["n_docs"] for r in tf_rows.groupby("token").aggregate(Count(alias_name="n_docs")).take_all()}
+    idf = {t: math.log(n_docs / dfs[t]) for t in dfs}
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfv = batch["tf"].to_numpy().astype(np.float64)
+        idfv = np.array([idf[t] for t in batch["token"].to_pylist()])
+        return pa.table({"doc_id": batch["doc_id"], "partial": pa.array(tfv * idfv, type=pa.float64())})
+
+    scored = (
+        tf_rows.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("partial", alias_name="score"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = duckdb_round(t["score"].to_numpy(zero_copy_only=False), 6)
+        return pa.table({"doc_id": t["doc_id"], "score": pa.array(s, type=pa.float64())})
+
+    top = (
+        scored.map_batches(finish, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+    def add_rank(df):
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+        df["search_rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["search_rank", "doc_id", "score"]]
+
+    return top.map_batches(add_rank, batch_format="pandas", batch_size=k * 2)
 
 
 def token_doc_frequency(sf_dir: str, min_docs: int = 50) -> rd.Dataset:

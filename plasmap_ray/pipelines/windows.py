@@ -148,13 +148,31 @@ def sliding_window(sf_dir: str, width_min: int = 60, slide_min: int = 30) -> rd.
     return out.map_batches(functools.partial(round_columns, cols=("sum_value",), ndigits=4), batch_format="pyarrow")
 
 
-def sampled_event_stats(sf_dir: str, frac: float = 0.2, seed: int = 7) -> rd.Dataset:
-    """§2.6 sampling: seeded random sample -> per-type counts.
-    Engine-specific RNG -> rows-only checked; determinism (same seed,
-    same result) asserted in tests."""
-    ds = _read_events(sf_dir, ["event_type"])
-    samp = ds.random_sample(frac, seed=seed)
-    return samp.groupby("event_type").aggregate(Count(alias_name="n_sampled"))
+SAMPLE_MULT = 2654435761  # Weyl multiplier (same family as fixtures.LON_MULT)
+SAMPLE_MOD = 1 << 32
+
+
+def sampled_event_stats(sf_dir: str, frac: float = 0.2) -> rd.Dataset:
+    """§2.6 sampling: DETERMINISTIC hash sample -> per-type counts.
+
+    keep iff (event_id * MULT) mod 2^32 < frac·2^32 — a content-keyed
+    Bernoulli sample that is reproducible across engines, batch splits
+    and cluster sizes (an engine-RNG ``random_sample`` gives a different
+    sample per run/partitioning, which is both un-oracle-checkable and
+    operationally worse at scale: re-runs of a resumable job would
+    sample different rows).  SQL-mirrored exactly.
+    """
+    ds = _read_events(sf_dir, ["event_id", "event_type"])
+    thresh = int(frac * SAMPLE_MOD)
+
+    def samp(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        keep = (np.asarray(ids, np.int64) * SAMPLE_MULT) % SAMPLE_MOD < thresh
+        return t.filter(pa.array(keep)).drop_columns(["event_id"])
+
+    return ds.map_batches(samp, batch_format="pyarrow").groupby("event_type").aggregate(
+        Count(alias_name="n_sampled")
+    )
 
 
 def asof_join_purchases(sf_dir: str) -> rd.Dataset:

@@ -184,16 +184,21 @@ def _resolve_areas(q: Query, ctx: EngineContext) -> list[dict]:
 
 
 def _districts(q: DistrictsOfArea, ctx: EngineContext) -> pa.Table:
-    """Containment join (J4): candidate sub-areas whose polygon is
-    (fuzzy->=0.9) within the parent — exact within first, fuzzy fallback
-    (Queries.scala:320-341 + GeoCalculator.fuzzyWithin)."""
+    """Containment join (J4): candidate sub-areas within the parent —
+    EXACT polygon⊇polygon first (vertex + proper-edge-crossing test,
+    geometry.polygon_within — the case vertex/bbox-only containment
+    gets wrong on concave parents), then the fuzzy >=0.9 area fallback,
+    mirroring GeoCalculator.within -> fuzzyWithin
+    (GeoCalculator.scala:111-149; Queries.scala:320-341)."""
     parents = _resolve_areas(q.parent, ctx)
     out = []
     for parent in parents:
         for cand in ctx.polygons:
             if cand["rel_id"] == parent["rel_id"] or cand["admin_level"] <= parent["admin_level"]:
                 continue
-            if geometry.fuzzy_within(cand["outer"], parent["outer"], cand.get("holes"), parent.get("holes")):
+            if geometry.polygon_within(
+                cand["outer"], parent["outer"], cand.get("holes"), parent.get("holes")
+            ) or geometry.fuzzy_within(cand["outer"], parent["outer"], cand.get("holes"), parent.get("holes")):
                 out.append(cand)
     return _areas_table(out)
 

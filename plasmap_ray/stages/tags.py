@@ -20,18 +20,24 @@ import pyarrow.compute as pc
 
 from .. import pois as poireg
 
-# Canonical (key, value) vocabulary: every registry category tag plus
+# Canonical (key, value) vocabulary: the reference's full 862-pair
+# canonical mapping list (tag_vocab.py, extracted from
+# OsmObjectMapper.scala:14-1010) plus every registry category tag and
 # the admin-boundary tags the spatial pipelines rely on.
-CANONICAL_TAGS: frozenset[tuple[str, str]] = frozenset(
-    tag for tags in poireg.CATEGORIES.values() for tag in tags
-) | frozenset(
-    [
-        ("boundary", "administrative"),
-        ("admin_level", "6"),
-        ("admin_level", "8"),
-        ("admin_level", "10"),
-        ("type", "multipolygon"),
-    ]
+from .tag_vocab import CANONICAL_VOCAB
+
+CANONICAL_TAGS: frozenset[tuple[str, str]] = (
+    CANONICAL_VOCAB
+    | frozenset(tag for tags in poireg.CATEGORIES.values() for tag in tags)
+    | frozenset(
+        [
+            ("boundary", "administrative"),
+            ("admin_level", "6"),
+            ("admin_level", "8"),
+            ("admin_level", "10"),
+            ("type", "multipolygon"),
+        ]
+    )
 )
 
 # M5: keys whose values feed the name index (reference whitelist of 21

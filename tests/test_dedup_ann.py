@@ -1,0 +1,134 @@
+"""Round-2 operator tests: exact block-pair embedding near-dup, the
+banded hyperplane-LSH scale path (recall on a planted-near-dup corpus),
+TF-IDF ranked search, deterministic sampling, KMV AggregateFn fold, and
+exact polygon containment."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from plasmap_ray import fixtures, geometry
+from plasmap_ray.pipelines import ann, index, windows
+
+SF0001 = "/root/testdata/sf0.001"
+SF001 = "/root/testdata/sf0.01"
+
+
+def _brute_pairs(path: str, threshold: float) -> dict[tuple[int, int], float]:
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    mn = m / np.where(norms == 0, 1.0, norms)[:, None]
+    sims = mn @ mn.T
+    ai, bj = np.triu_indices(len(ids), k=1)
+    keep = sims[ai, bj] >= threshold
+    return {
+        (int(min(ids[a], ids[b])), int(max(ids[a], ids[b]))): float(sims[a, b])
+        for a, b in zip(ai[keep], bj[keep])
+    }
+
+
+def test_block_pair_join_matches_brute(ray_session):
+    """The distributed block-pair self-join emits EXACTLY the brute-force
+    pair set (each unordered pair met in exactly one block-pair group)."""
+    want = _brute_pairs(f"{SF0001}/embeddings.parquet", 0.40)
+    got = ann.embedding_near_dup(SF0001, threshold=0.40).to_pandas()
+    got_pairs = {(int(r.vec_a), int(r.vec_b)) for r in got.itertuples()}
+    assert got_pairs == set(want)
+    # sims match to the rounding applied in the final projection
+    for r in got.itertuples():
+        assert abs(r.sim - want[(int(r.vec_a), int(r.vec_b))]) < 1e-6
+
+
+def test_lsh_pair_join_recall_and_precision(ray_session):
+    """Scale path on the planted-near-dup corpus: precision is exact
+    (every emitted pair is cosine-verified) and recall at the 0.9
+    threshold is high (banded hyperplane LSH, 16 bands x 8 planes)."""
+    path = fixtures.embeddings_parquet_path()
+    want = _brute_pairs(path, 0.9)
+    assert len(want) >= 30  # the corpus really plants near-dups
+    got = ann.embedding_near_dup_lsh(path, threshold=0.9).to_pandas()
+    got_pairs = {(int(r.vec_a), int(r.vec_b)) for r in got.itertuples()}
+    assert got_pairs <= set(want)  # exact precision
+    recall = len(got_pairs) / len(want)
+    assert recall >= 0.95, f"LSH recall {recall:.3f}"
+
+
+def test_search_ranked_scores(ray_session):
+    """TF-IDF ranking: ranks are 1..k, scores non-increasing, and the
+    top hit's score equals a locally recomputed tf*idf."""
+    df = index.search_ranked(SF001, tokens=("spark", "data"), k=20).to_pandas()
+    assert list(df["search_rank"]) == list(range(1, len(df) + 1))
+    assert (np.diff(df["score"]) <= 1e-12).all()
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, lower(text) AS t FROM read_parquet('{SF001}/documents.parquet')"
+    ).fetchdf()
+    toks = docs["t"].str.split(" ")
+    tf_spark = toks.map(lambda ts: ts.count("spark"))
+    tf_data = toks.map(lambda ts: ts.count("data"))
+    n = len(docs)
+    idf_s = np.log(n / (tf_spark > 0).sum())
+    idf_d = np.log(n / (tf_data > 0).sum())
+    score = tf_spark * idf_s + tf_data * idf_d
+    top_doc = int(df.iloc[0]["doc_id"])
+    local = float(score[docs["doc_id"] == top_doc].iloc[0])
+    assert abs(df.iloc[0]["score"] - round(local, 6)) < 1e-9
+
+
+def test_sampled_event_stats_deterministic(ray_session):
+    a = windows.sampled_event_stats(SF0001).to_pandas().sort_values("event_type").reset_index(drop=True)
+    b = windows.sampled_event_stats(SF0001).to_pandas().sort_values("event_type").reset_index(drop=True)
+    assert a.equals(b)
+    total = a["n_sampled"].sum()
+    assert 0.1 < total / 1000 < 0.3  # ~frac of the sf0.001 events table
+
+
+def test_kmv_aggregate_fold(ray_session):
+    """AggregateFn-folded KMV: exact below saturation, bounded error
+    above (no driver-side per-batch collection)."""
+    from plasmap_ray.stages.sketch import distinct_count_approx
+
+    ids = pa.table({"v": pa.array(np.arange(10_000, dtype=np.int64) % 3000)})
+    ds = rd.from_arrow(ids)
+    exact_regime = distinct_count_approx(ds, "v", k=4096)
+    assert exact_regime == 3000.0
+    approx = distinct_count_approx(ds, "v", k=256)
+    assert abs(approx - 3000) / 3000 < 0.15
+
+
+def test_polygon_within_concave_outer():
+    """The case bbox/vertex-only containment gets wrong: a U-shaped
+    (concave) outer whose bbox contains a square sitting in the notch."""
+    outer = np.array(
+        [[0, 0], [10, 0], [10, 10], [7, 10], [7, 3], [3, 3], [3, 10], [0, 10]], dtype=float
+    )
+    notch_square = np.array([[4, 6], [6, 6], [6, 8], [4, 8]], dtype=float)  # inside bbox, in the notch
+    left_arm = np.array([[0.5, 4], [2.5, 4], [2.5, 9], [0.5, 9]], dtype=float)  # genuinely inside
+    straddler = np.array([[2, 5], [5, 5], [5, 7], [2, 7]], dtype=float)  # crosses the notch wall
+    assert not geometry.polygon_within(notch_square, outer)
+    assert geometry.polygon_within(left_arm, outer)
+    assert not geometry.polygon_within(straddler, outer)
+    # bbox containment would claim all three
+    env = geometry.envelope(outer)
+    for ring in (notch_square, left_arm, straddler):
+        e = geometry.envelope(ring)
+        assert e[0] >= env[0] and e[1] >= env[1] and e[2] <= env[2] and e[3] <= env[3]
+
+
+def test_polygon_within_shared_edges_and_holes():
+    outer = np.array([[0, 0], [6, 0], [6, 6], [0, 6]], dtype=float)
+    shared_edge = np.array([[0, 0], [3, 0], [3, 3], [0, 3]], dtype=float)  # touches boundary
+    assert geometry.polygon_within(shared_edge, outer)
+    hole = np.array([[2, 2], [4, 2], [4, 4], [2, 4]], dtype=float)
+    in_hole = np.array([[2.5, 2.5], [3.5, 2.5], [3.5, 3.5], [2.5, 3.5]], dtype=float)
+    beside_hole = np.array([[4.5, 0.5], [5.5, 0.5], [5.5, 5.5], [4.5, 5.5]], dtype=float)
+    assert not geometry.polygon_within(in_hole, outer, outer_holes=[hole])
+    assert geometry.polygon_within(beside_hole, outer, outer_holes=[hole])
+    around_hole = np.array([[1, 1], [5, 1], [5, 5], [1, 5]], dtype=float)  # hole inside inner
+    assert not geometry.polygon_within(around_hole, outer, outer_holes=[hole])
