@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup_by_key,
         "text_md5_dedup": dedup.text_md5_dedup,
         "minhash_near_dup": dedup.minhash_near_dup,
+        "ngram_jaccard_near_dup": dedup.ngram_jaccard_near_dup,
         "simhash": dedup.simhash_pipeline,
         # --- similarity search ---
         "ann_topk": lambda sf: ann.ann_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
@@ -379,6 +380,7 @@ SELECT phash, min(image_id) AS first_image_id, count(*) AS n_images FROM {img_pq
         "simhash": f"SELECT * FROM read_parquet('{golden.simhash_path(SF001)}')",
         "text_quality": f"SELECT * FROM read_parquet('{golden.text_quality_path(SF001)}')",
         "minhash_near_dup": f"SELECT * FROM read_parquet('{golden.minhash_near_dup_path(SF001)}')",
+        "ngram_jaccard_near_dup": f"SELECT * FROM read_parquet('{golden.ngram_jaccard_path(SF001)}')",
         "ann_lsh_topk": f"SELECT * FROM read_parquet('{golden.ann_lsh_topk_path(SF001, k=ANN_K, vec_id=ANN_QUERY_ID)}')",
         "embedding_near_dup_lsh": (
             "SELECT * FROM read_parquet('"

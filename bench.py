@@ -235,6 +235,51 @@ def run_queries() -> dict:
 
     timed("minhash_near_dup", minhash)
 
+    # J1 way assembly at volume: synthetic chained ways (explode ->
+    # node-id hash join -> key-sharded batched regroup); judge-requested
+    # throughput row for the batched regroup
+    def way_assembly():
+        import numpy as np
+        import pyarrow as pa
+
+        from plasmap_ray.pipelines import denormalize
+
+        n_ways = int(os.environ.get("GRAFT_BENCH_WAYS", "200000"))
+        nds_per = 10
+        blocks = max(16, NUM_CPUS * 2)
+
+        def gen_nodes(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_numpy() + 1
+            return pa.table(
+                {
+                    "node_id": pa.array(ids.astype(np.int64)),
+                    "lon": pa.array(fixtures.derive_lon(ids)),
+                    "lat": pa.array(fixtures.derive_lat(ids)),
+                }
+            )
+
+        nodes = rd.range(n_ways * nds_per + 1, override_num_blocks=blocks).map_batches(
+            gen_nodes, batch_format="pyarrow"
+        )
+
+        def gen_ways(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_numpy().astype(np.int64)
+            base = ids * nds_per
+            nds = (base[:, None] + np.arange(1, nds_per + 2)[None, :]).astype(np.int64)
+            return pa.table(
+                {
+                    "way_id": pa.array(ids + 1),
+                    "nds": pa.array(list(nds), type=pa.list_(pa.int64())),
+                }
+            )
+
+        ways = rd.range(n_ways, override_num_blocks=blocks).map_batches(gen_ways, batch_format="pyarrow")
+        return denormalize.assemble_ways(
+            nodes, ways, num_partitions=max(8, NUM_CPUS // 2), parts=max(64, NUM_CPUS * 4)
+        ).count()
+
+    timed("way_assembly", way_assembly)
+
     flagship_sec = times.get("image_flagship", 0.0)
     result = {
         "metric": "image flagship DAG (decode+fidelity+PiP+kNN+tile aggregate) wall time",

@@ -251,6 +251,46 @@ def minhash_near_dup_path(sf_dir: str, sim_threshold: float = 0.8) -> str:
     return _cache(f"minhash_near_dup_{_sf_tag(sf_dir)}", build)
 
 
+def ngram_jaccard_path(sf_dir: str, threshold: float = 0.8) -> str:
+    def build() -> pa.Table:
+        from .pipelines.dedup import BANDS, ROWS_PER_BAND, MinHashSignature, _band_explode
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        kern = MinHashSignature()
+        ids = t["doc_id"].to_numpy()
+        shingle_sets = {int(i): kern.shingle_hashes(s) for i, s in zip(ids, t["text"].to_pylist())}
+        sigs_t = kern(t)
+        exploded = _band_explode(sigs_t, BANDS, ROWS_PER_BAND)
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i, b, k in zip(
+            exploded["doc_id"].to_numpy(), exploded["band"].to_numpy(), exploded["band_key"].to_numpy()
+        ):
+            buckets.setdefault((int(b), int(k)), []).append(int(i))
+        pairs: dict[tuple[int, int], float] = {}
+        for members in buckets.values():
+            if len(members) < 2:
+                continue
+            members = sorted(members)
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    a, b2 = members[x], members[y]
+                    sa, sb = shingle_sets[a], shingle_sets[b2]
+                    inter = np.intersect1d(sa, sb, assume_unique=True).size
+                    jac = float(np.round(inter / (sa.size + sb.size - inter), 6))
+                    if jac >= threshold:
+                        pairs[(a, b2)] = jac
+        items = sorted(pairs.items())
+        return pa.table(
+            {
+                "doc_a": pa.array([p[0][0] for p in items], type=pa.int64()),
+                "doc_b": pa.array([p[0][1] for p in items], type=pa.int64()),
+                "jaccard": pa.array([p[1] for p in items], type=pa.float64()),
+            }
+        )
+
+    return _cache(f"ngram_jaccard_{_sf_tag(sf_dir)}", build)
+
+
 def ann_lsh_topk_path(sf_dir: str, k: int = 10, vec_id: int = 1, planes: int = 6, seed: int = 11) -> str:
     def build() -> pa.Table:
         t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
