@@ -45,15 +45,25 @@ WAY_REGROUP_PARTS = 64  # way_id % P shuffle key for the batched regroup
 REL_REGROUP_PARTS = 16
 
 
+def _within_list_ordinals(lengths: np.ndarray) -> np.ndarray:
+    """Vectorized 0..len-1 ordinals per list (replaces a per-list
+    np.arange loop — 10^8 parents would mean 10^8 Python iterations)."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
+    return np.arange(total, dtype=np.int64) - starts
+
+
 def explode_way_nds(batch: pa.Table) -> pa.Table:
     """ways(way_id, nds) -> (way_id, node_id, pos) — the join fan-out."""
     col = batch["nds"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    lengths = pa.compute.list_value_length(col).to_numpy()
+    lengths = pa.compute.list_value_length(col).to_numpy().astype(np.int64)
     way_ids = np.repeat(batch["way_id"].to_numpy(), lengths)
     node_ids = col.flatten().to_numpy()
-    pos = np.concatenate([np.arange(n, dtype=np.int64) for n in lengths]) if len(lengths) else np.empty(0, np.int64)
+    pos = _within_list_ordinals(lengths)
     return pa.table(
         {
             "way_id": pa.array(way_ids, type=pa.int64()),
@@ -119,12 +129,12 @@ def explode_members(batch: pa.Table) -> pa.Table:
     col = batch["members"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    lengths = pa.compute.list_value_length(col).to_numpy()
+    lengths = pa.compute.list_value_length(col).to_numpy().astype(np.int64)
     rel_ids = np.repeat(batch["rel_id"].to_numpy(), lengths)
     flat = col.flatten()
     refs = flat.field("ref").to_numpy()
     roles = flat.field("type").to_pylist(), flat.field("role").to_pylist()
-    mpos = np.concatenate([np.arange(n, dtype=np.int64) for n in lengths]) if len(lengths) else np.empty(0, np.int64)
+    mpos = _within_list_ordinals(lengths)
     return pa.table(
         {
             "rel_id": pa.array(rel_ids, type=pa.int64()),

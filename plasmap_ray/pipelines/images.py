@@ -40,7 +40,9 @@ def images_path_for(sf_dir: str) -> str:
 
 
 def read_images(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(images_path_for(sf_dir), columns=columns)
+    from ..sources.storage import read_image_table
+
+    return read_image_table(images_path_for(sf_dir), columns=columns)
 
 
 class FidelityVerify:

@@ -80,3 +80,27 @@ class ParquetTable:
         for f in glob.glob(os.path.join(self.root, f"{self.partition_col}={value}", "*.parquet")):
             total += pads.dataset(f).count_rows()
         return total
+
+
+def read_image_table(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Read the image+caption table (input_hint schema: image_id, bytes,
+    w, h, fmt, caption, phash) from Lance or Parquet by extension.
+
+    The production contract stores image corpora as LANCE tables
+    (``ray.data.read_lance`` streams fragments with column projection,
+    the same pruned-scan shape as the parquet path).  The ``lance``
+    package is not installable in this sandbox, so the parquet branch
+    carries all tests/benches; the Lance branch is the same two lines
+    with the reader swapped and fails with a clear message when the
+    dependency is absent.
+    """
+    if path.endswith(".lance"):
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:  # pragma: no cover - dependency absent in sandbox
+            raise ImportError(
+                "reading .lance tables requires the 'lance' package "
+                "(pip install pylance); this environment ships parquet fixtures instead"
+            ) from e
+        return rd.read_lance(path, columns=columns)
+    return rd.read_parquet(path, columns=columns)

