@@ -21,7 +21,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from plasmap_ray import golden, oracle, queryast  # noqa: E402
-from plasmap_ray.pipelines import ann, dedup, denormalize, images, index, relational, spatial, text, windows  # noqa: E402
+from plasmap_ray.pipelines import ann, dedup, denormalize, images, index, multimodal, relational, spatial, text, windows  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 SF001 = "/root/testdata/sf0.01"
@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": lambda sf: ann.ann_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
         "ann_lsh_topk": lambda sf: ann.lsh_bucket_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
+        "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
         "embedding_top_pairs": lambda sf: ann.embedding_top_pairs(sf, k=EMB_TOP_PAIRS),
         "embedding_near_dup": lambda sf: ann.embedding_near_dup(sf, threshold=EMB_NEARDUP_T),
         "embedding_near_dup_lsh": lambda sf: ann.embedding_near_dup_lsh(sf, threshold=EMB_NEARDUP_T),
@@ -158,6 +159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_location_histogram": images.caption_location_histogram,
         "phash_dedup": images.phash_dedup,
         "phash_near_dup_pairs": images.phash_near_dup_pairs,
+        # --- audio / video payloads (real WAV decode; raw frame sampling) ---
+        "audio_features": multimodal.audio_features,
+        "video_frame_stats": multimodal.video_frame_stats,
     }
 
 
@@ -382,6 +386,7 @@ SELECT phash, min(image_id) AS first_image_id, count(*) AS n_images FROM {img_pq
         "minhash_near_dup": f"SELECT * FROM read_parquet('{golden.minhash_near_dup_path(SF001)}')",
         "ngram_jaccard_near_dup": f"SELECT * FROM read_parquet('{golden.ngram_jaccard_path(SF001)}')",
         "ann_lsh_topk": f"SELECT * FROM read_parquet('{golden.ann_lsh_topk_path(SF001, k=ANN_K, vec_id=ANN_QUERY_ID)}')",
+        "ann_ivf_topk": f"SELECT * FROM read_parquet('{golden.ann_ivf_topk_path(SF001, k=ANN_K, vec_id=ANN_QUERY_ID)}')",
         "embedding_near_dup_lsh": (
             "SELECT * FROM read_parquet('"
             + golden.embedding_near_dup_lsh_path(
@@ -391,6 +396,12 @@ SELECT phash, min(image_id) AS first_image_id, count(*) AS n_images FROM {img_pq
         ),
         "image_features": (
             "SELECT * FROM read_parquet('" + golden.image_features_path(images.images_path_for(SF001)) + "')"
+        ),
+        "audio_features": (
+            "SELECT * FROM read_parquet('" + golden.audio_features_path(multimodal.audio_path_for(SF001)) + "')"
+        ),
+        "video_frame_stats": (
+            "SELECT * FROM read_parquet('" + golden.video_frame_stats_path(multimodal.video_path_for(SF001)) + "')"
         ),
         # --- SQL-expressible oracles for the formerly-unchecked queries ---
         "sampled_event_stats": f"""

@@ -522,6 +522,87 @@ def images_parquet_path(n: int, seed: int = SEED, skew_hot_frac: float = 0.0, ro
 
 
 # ---------------------------------------------------------------------------
+# Audio / video tables (multimodal payload fixtures)
+# ---------------------------------------------------------------------------
+# Audio payloads are REAL RIFF/WAV PCM16 files (stdlib `wave` container;
+# media.decode_wav_pcm16 parses them back).  Video payloads are raw
+# frame-packed RGB (w*h*3 bytes per frame) — the layout VideoFrameSample
+# slices without any codec.
+
+
+def make_audio(n: int, seed: int = 77) -> pa.Table:
+    import io
+    import wave
+
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    rows_bytes: list[bytes] = []
+    srs = np.where(ids % 2 == 0, 16000, 8000).astype(np.int32)
+    n_samps = (srs // 4 + (ids % 5) * (srs // 16)).astype(np.int64)
+    for i, sr, ns in zip(ids, srs, n_samps):
+        f0 = 200.0 + (int(i) * 37) % 1800
+        t = np.arange(int(ns)) / int(sr)
+        s = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.25 * np.sin(2 * np.pi * 2.5 * f0 * t + 1.0)
+        s16 = np.clip(np.round(s * 32767.0), -32768, 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(int(sr))
+            wf.writeframes(s16.tobytes())
+        rows_bytes.append(buf.getvalue())
+    return pa.table(
+        {
+            "media_id": pa.array([f"au-{int(i):08d}" for i in ids], type=pa.string()),
+            "bytes": pa.array(rows_bytes, type=pa.binary()),
+            "sample_rate": pa.array(srs, type=pa.int32()),
+            "n_samples": pa.array(n_samps, type=pa.int64()),
+            "fmt": pa.array(["wav-pcm16"] * n, type=pa.string()),
+        }
+    )
+
+
+def make_video(n: int, seed: int = 88) -> pa.Table:
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    ws = np.where(ids % 3 == 0, 16, 8).astype(np.int32)
+    n_frames = (4 + ids % 5).astype(np.int32)
+    payloads: list[bytes] = []
+    for i, w, nf in zip(ids, ws, n_frames):
+        w = int(w)
+        frames = []
+        yy, xx = np.mgrid[0:w, 0:w]
+        for f in range(int(nf)):
+            # per-frame deterministic gradient pattern, id/f dependent
+            base = (xx * 7 + yy * 13 + int(i) * 31 + f * 17) % 256
+            frames.append(np.stack([base, (base * 2) % 256, (base * 3) % 256], axis=2).astype(np.uint8).tobytes())
+        payloads.append(b"".join(frames))
+    return pa.table(
+        {
+            "media_id": pa.array([f"vid-{int(i):08d}" for i in ids], type=pa.string()),
+            "bytes": pa.array(payloads, type=pa.binary()),
+            "w": pa.array(ws, type=pa.int32()),
+            "h": pa.array(ws, type=pa.int32()),
+            "n_frames": pa.array(n_frames, type=pa.int32()),
+            "fmt": pa.array(["fake-raw"] * n, type=pa.string()),
+        }
+    )
+
+
+def media_parquet_path(kind: str, n: int, root: str = "/tmp/plasmap_fixtures") -> str:
+    """Write-once cache for the audio/video fixture tables."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"{kind}_v1_n{n}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(make_audio(n) if kind == "audio" else make_video(n), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+# ---------------------------------------------------------------------------
 # Embeddings with PLANTED near-duplicates (LSH recall fixtures)
 # ---------------------------------------------------------------------------
 # The driver's embeddings.parquet has no true near-dups (max cosine

@@ -318,6 +318,37 @@ def ann_lsh_topk_path(sf_dir: str, k: int = 10, vec_id: int = 1, planes: int = 6
     return _cache(f"ann_lsh_topk_{_sf_tag(sf_dir)}_k{k}_v{vec_id}", build)
 
 
+def ann_ivf_topk_path(
+    sf_dir: str, k: int = 10, vec_id: int = 1, n_centroids: int = 16, nprobe: int = 4, iters: int = 8, seed: int = 5
+) -> str:
+    def build() -> pa.Table:
+        from .pipelines.ann import kmeans_centroids
+
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        cents = kmeans_centroids(m, n_centroids, iters=iters, seed=seed)
+        q = m[list(ids).index(vec_id)]
+        qd = ((cents - q[None, :]) ** 2).sum(axis=1)
+        probe = np.argsort(qd, kind="stable")[:nprobe]
+        d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (m @ cents.T)
+        assign = d.argmin(axis=1)
+        mask = np.isin(assign, probe) & (ids != vec_id)
+        cand_ids = ids[mask]
+        cand = m[mask]
+        norms = np.linalg.norm(cand, axis=1)
+        sims = (cand @ (q / np.linalg.norm(q))) / np.where(norms == 0, 1.0, norms)
+        order = np.lexsort((cand_ids, -sims))[:k]
+        return pa.table(
+            {
+                "sim_rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "vec_id": pa.array(cand_ids[order], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"ann_ivf_{_sf_tag(sf_dir)}_k{k}_v{vec_id}_c{n_centroids}_p{nprobe}", build)
+
+
 def embedding_near_dup_lsh_path(
     sf_dir: str, threshold: float, bands: int, planes: int, seed: int
 ) -> str:
@@ -362,6 +393,48 @@ def embedding_near_dup_lsh_path(
 # ---------------------------------------------------------------------------
 # Image goldens (local per-row kernel over the same cached parquet)
 # ---------------------------------------------------------------------------
+
+
+def audio_features_path(audio_parquet: str) -> str:
+    def build() -> pa.Table:
+        from .stages.media import AudioFeatures
+
+        return AudioFeatures()(pq.read_table(audio_parquet))  # kernel call, no Ray
+
+    return _cache(f"audio_features_{os.path.basename(audio_parquet).rsplit('.', 1)[0]}", build)
+
+
+def video_frame_stats_path(video_parquet: str, stride: int = 2) -> str:
+    def build() -> pa.Table:
+        t = pq.read_table(video_parquet)
+        rows = []
+        for i in range(t.num_rows):
+            w = t["w"][i].as_py()
+            h = t["h"][i].as_py()
+            nf = t["n_frames"][i].as_py()
+            payload = t["bytes"][i].as_py()
+            fb = w * h * 3
+            sampled = list(range(0, nf, stride))
+            total = 0
+            nb = 0
+            for f in sampled:
+                chunk = np.frombuffer(payload[f * fb : (f + 1) * fb], dtype=np.uint8)
+                total += int(chunk.sum(dtype=np.int64))
+                nb += chunk.size
+            rows.append((t["media_id"][i].as_py(), len(sampled), total / nb))
+        from .stages.common import duckdb_round
+
+        return pa.table(
+            {
+                "media_id": pa.array([r[0] for r in rows], type=pa.string()),
+                "n_frames_sampled": pa.array([r[1] for r in rows], type=pa.int64()),
+                "mean_pixel_value": pa.array(
+                    duckdb_round(np.array([r[2] for r in rows]), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    return _cache(f"video_frame_stats_{os.path.basename(video_parquet).rsplit('.', 1)[0]}_s{stride}", build)
 
 
 def image_features_path(images_parquet: str) -> str:

@@ -317,6 +317,88 @@ def embedding_near_dup_lsh(
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def kmeans_centroids(m: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 5) -> np.ndarray:
+    """Deterministic Lloyd k-means (seeded init, fixed iterations) —
+    the IVF coarse quantizer.  Trained on a driver-side sample; at
+    10^12 vectors the sample IS the training set and the full corpus
+    only ever sees the assign step."""
+    rng = np.random.default_rng(seed)
+    c = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)].copy()
+    for _ in range(iters):
+        # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2; argmin ignores ||v||^2
+        d = (c * c).sum(axis=1)[None, :] - 2.0 * (m @ c.T)
+        a = d.argmin(axis=1)
+        for j in range(len(c)):
+            sel = m[a == j]
+            if len(sel):
+                c[j] = sel.mean(axis=0)
+    return c
+
+
+def ivf_topk(
+    sf_dir: str,
+    k: int = 10,
+    vec_id: int = 1,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 8,
+    seed: int = 5,
+) -> rd.Dataset:
+    """IVF (inverted-file) ANN: k-means coarse quantizer -> probe the
+    ``nprobe`` centroids nearest the query -> exact cosine on the
+    surviving vectors only.
+
+    Scale shape: centroids train once on a driver-side sample and
+    broadcast via ``ray.put``; the assign+filter runs map-side per
+    batch (no shuffle — at 10^12 rows you would PERSIST the assignment
+    as the partition key so probing reads only nprobe/n_centroids of
+    the corpus; here the filter expresses the same pruning).
+    Approximate — recall vs :func:`ann_topk` measured in tests; output
+    is rank-based like ann_topk so a deterministic local recompute can
+    oracle-check it.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    sample = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    cents = kmeans_centroids(sample, n_centroids, iters=iters, seed=seed)
+    q = query_vector(sf_dir, vec_id)
+    qd = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe = set(np.argsort(qd, kind="stable")[:nprobe].tolist())
+    cref = ray.put(cents)
+    qref = ray.put(q / np.linalg.norm(q))
+
+    class ProbeScore:
+        def __init__(self):
+            self.c = ray.get(cref)
+            self.qn = ray.get(qref)
+            self.cn2 = (self.c * self.c).sum(axis=1)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _emb_matrix(batch)
+            d = self.cn2[None, :] - 2.0 * (m @ self.c.T)
+            assign = d.argmin(axis=1)
+            mask = np.isin(assign, list(probe))
+            ids = batch["vec_id"].to_numpy()[mask]
+            m = m[mask]
+            if m.shape[0] == 0:
+                return pa.table({"vec_id": pa.array([], type=pa.int64()), "sim": pa.array([], type=pa.float64())})
+            norms = np.linalg.norm(m, axis=1)
+            sims = (m @ self.qn) / np.where(norms == 0, 1.0, norms)
+            return pa.table({"vec_id": pa.array(ids, type=pa.int64()), "sim": pa.array(sims, type=pa.float64())})
+
+    scored = _read_emb(sf_dir).map_batches(ProbeScore, batch_format="pyarrow", concurrency=(1, 4))
+    scored = scored.filter(expr=f"vec_id != {vec_id}")
+    top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
+
+    def add_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).reset_index(drop=True)
+        df["sim_rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["sim_rank", "vec_id"]]
+
+    return top.map_batches(add_rank, batch_format="pandas", batch_size=k * 2)
+
+
 def lsh_bucket_topk(sf_dir: str, k: int = 10, vec_id: int = 1, planes: int = 6, seed: int = 11) -> rd.Dataset:
     """Scale-path ANN: random-hyperplane LSH bucket pruning.
 

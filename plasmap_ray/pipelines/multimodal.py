@@ -1,0 +1,95 @@
+"""Audio / video payload pipelines (ST5 multimodal surface).
+
+Audio: REAL RIFF/WAV PCM16 decode (stdlib container parser, numpy DSP)
+in an actor pool — rms / zero-crossing rate / duration / spectral
+centroid per clip.  Video: raw frame-packed RGB payloads frame-sampled
+(one row per sampled frame) then reduced to per-clip pixel statistics.
+Compressed codecs (mp3/h264/...) are not installable in this container
+and raise NotImplementedError inside the kernels (stages/media.py).
+
+Aggregation discipline: the per-clip video reduction sums INTEGER pixel
+values (order-free, exact) and derives the mean in the final projection
+— a float Mean aggregate would accumulate in nondeterministic block
+order and drift ulps vs the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from .. import fixtures
+from ..stages import media
+from ..stages.common import duckdb_round
+
+AUDIO_PER_SF = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 8000}
+VIDEO_PER_SF = {"sf0.001": 100, "sf0.01": 1000, "sf0.1": 4000}
+
+
+def _n_for(sf_dir: str, table: dict[str, int]) -> int:
+    return table.get(os.path.basename(os.path.normpath(sf_dir)), min(table.values()))
+
+
+def audio_path_for(sf_dir: str) -> str:
+    return fixtures.media_parquet_path("audio", _n_for(sf_dir, AUDIO_PER_SF))
+
+
+def video_path_for(sf_dir: str) -> str:
+    return fixtures.media_parquet_path("video", _n_for(sf_dir, VIDEO_PER_SF))
+
+
+def audio_features(sf_dir: str) -> rd.Dataset:
+    """Per-clip audio features via real WAV decode in an actor pool."""
+    ds = rd.read_parquet(audio_path_for(sf_dir))
+    return ds.map_batches(media.AudioFeatures, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+
+
+def frame_pixel_stats(batch: pa.Table) -> pa.Table:
+    """(media_id, frame) -> per-frame integer pixel sum + byte count."""
+    ids = batch["media_id"]
+    frames = batch["frame"].to_pylist()
+    sums = np.array([int(np.frombuffer(f, dtype=np.uint8).sum(dtype=np.int64)) for f in frames], dtype=np.int64)
+    nbytes = np.array([len(f) for f in frames], dtype=np.int64)
+    return pa.table(
+        {
+            "media_id": ids,
+            "frame_idx": batch["frame_idx"],
+            "pixel_sum": pa.array(sums),
+            "n_bytes": pa.array(nbytes),
+        }
+    )
+
+
+def video_frame_stats(sf_dir: str, stride: int = 2) -> rd.Dataset:
+    """Frame-sample each clip, reduce to per-clip stats:
+    (media_id, n_frames_sampled, mean_pixel_value)."""
+    ds = rd.read_parquet(video_path_for(sf_dir))
+    frames = ds.map_batches(
+        media.VideoFrameSampleStub,
+        fn_constructor_kwargs=dict(stride=stride),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+    stats = frames.map_batches(frame_pixel_stats, batch_format="pyarrow")
+    agg = stats.groupby("media_id").aggregate(
+        Count(alias_name="n_frames_sampled"),
+        Sum("pixel_sum", alias_name="pixel_sum"),
+        Sum("n_bytes", alias_name="n_bytes"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        mean = t["pixel_sum"].to_numpy().astype(np.float64) / t["n_bytes"].to_numpy()
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "n_frames_sampled": t["n_frames_sampled"].cast(pa.int64()),
+                "mean_pixel_value": pa.array(duckdb_round(mean, 4), type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

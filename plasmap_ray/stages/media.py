@@ -85,14 +85,32 @@ AUDIO_SCHEMA = pa.schema(
 )
 
 
-class AudioDecodeStub:
-    """Actor-pool stage for audio payloads — STUB CODEC.
+def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
+    """REAL audio decode: RIFF/WAV PCM16 mono via the stdlib ``wave``
+    module -> (sample_rate, int16 samples).  No external codec needed —
+    WAV is a plain container; compressed formats (mp3/ogg/flac) would
+    need ffmpeg/soundfile and raise in :class:`AudioFeatures`."""
+    import io
+    import wave
 
-    Real audio decoders (ffmpeg/soundfile) are not available in this
-    container.  ``fmt='fake-pcm'`` decodes deterministically (seeded
-    sine with a crc32-of-payload phase) so the batch plumbing, feature schema
-    and downstream aggregation are fully exercised; any other fmt
-    raises ``NotImplementedError`` naming the missing codec.
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+            raise ValueError("only PCM16 mono WAV supported")
+        sr = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    return sr, np.frombuffer(raw, dtype="<i2")
+
+
+class AudioFeatures:
+    """Actor-pool stage for audio payloads.
+
+    ``fmt='wav-pcm16'`` decodes FOR REAL (stdlib RIFF/WAV parser, pure
+    numpy afterwards) and extracts rms / zero-crossing rate / duration /
+    spectral centroid.  ``fmt='fake-pcm'`` keeps the deterministic
+    synthetic path (seeded sine with a crc32-of-payload phase) used by
+    the plumbing tests.  Compressed codecs (mp3/ogg/flac) are NOT
+    available in this container and raise ``NotImplementedError``
+    naming the missing decoder.
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -102,26 +120,44 @@ class AudioDecodeStub:
         rms = np.zeros(n)
         zcr = np.zeros(n)
         dur = np.zeros(n)
+        cent = np.zeros(n)
         fmts = batch["fmt"].to_pylist()
         payloads = batch["bytes"].to_pylist()
-        sr = batch["sample_rate"].to_numpy()
+        sr_col = batch["sample_rate"].to_numpy()
         ns = batch["n_samples"].to_numpy()
         for i in range(n):
-            if fmts[i] != "fake-pcm":
+            if fmts[i] == "wav-pcm16":
+                sr, s16 = decode_wav_pcm16(payloads[i])
+                samples = s16.astype(np.float64) / 32768.0
+            elif fmts[i] == "fake-pcm":
+                sr = max(int(sr_col[i]), 1)
+                phase = (zlib.crc32(payloads[i]) % 628) / 100.0  # deterministic across processes
+                t = np.arange(int(ns[i])) / sr
+                samples = np.sin(2 * np.pi * 440.0 * t + phase)
+            else:
                 raise NotImplementedError(
                     f"audio codec {fmts[i]!r} not available in this environment; "
-                    "install a decoder and register it here (stub: 'fake-pcm')"
+                    "install a decoder (ffmpeg/soundfile) and register it here "
+                    "(real: 'wav-pcm16'; synthetic: 'fake-pcm')"
                 )
-            phase = (zlib.crc32(payloads[i]) % 628) / 100.0  # deterministic across processes
-            t = np.arange(int(ns[i])) / max(int(sr[i]), 1)
-            samples = np.sin(2 * np.pi * 440.0 * t + phase)
             rms[i] = float(np.sqrt(np.mean(samples**2)))
             zcr[i] = float(np.mean(np.abs(np.diff(np.sign(samples)))) / 2.0)
-            dur[i] = float(ns[i]) / max(int(sr[i]), 1)
+            dur[i] = samples.size / sr
+            spec = np.abs(np.fft.rfft(samples))
+            tot = spec.sum()
+            if tot > 0:
+                freqs = np.fft.rfftfreq(samples.size, d=1.0 / sr)
+                cent[i] = float((freqs * spec).sum() / tot)
         out = batch.drop_columns(["bytes"])
         out = out.append_column("rms", pa.array(np.round(rms, 6)))
         out = out.append_column("zero_crossing_rate", pa.array(np.round(zcr, 6)))
-        return out.append_column("duration_s", pa.array(np.round(dur, 6)))
+        out = out.append_column("duration_s", pa.array(np.round(dur, 6)))
+        return out.append_column("spectral_centroid_hz", pa.array(np.round(cent, 4)))
+
+
+# Back-compat alias: the round-1 stub name (fake-pcm path unchanged;
+# wav-pcm16 is now a real decode)
+AudioDecodeStub = AudioFeatures
 
 
 VIDEO_SCHEMA = pa.schema(

@@ -57,6 +57,17 @@ def test_lsh_pair_join_recall_and_precision(ray_session):
     assert recall >= 0.95, f"LSH recall {recall:.3f}"
 
 
+def test_ivf_topk_recall(ray_session):
+    """IVF coarse-quantizer ANN: recall vs the exact top-k rises with
+    nprobe (weakly clustered corpus -> partial recall by design)."""
+    exact = set(ann.ann_topk(SF001, k=10, vec_id=1).to_pandas()["vec_id"])
+    r4 = len(exact & set(ann.ivf_topk(SF001, k=10, vec_id=1, nprobe=4).to_pandas()["vec_id"])) / 10
+    r8 = len(exact & set(ann.ivf_topk(SF001, k=10, vec_id=1, nprobe=8).to_pandas()["vec_id"])) / 10
+    assert r4 >= 0.4
+    assert r8 >= r4
+    assert r8 >= 0.7
+
+
 def test_search_ranked_scores(ray_session):
     """TF-IDF ranking: ranks are 1..k, scores non-increasing, and the
     top hit's score equals a locally recomputed tf*idf."""
