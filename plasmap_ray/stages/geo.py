@@ -84,8 +84,9 @@ def tile_explode(
     lon = _np(batch[lon_col])
     lat = _np(batch[lat_col])
     parts = []
+    xy = tiles.tile_xy_multi(lon, lat, zooms)  # one trig pass, exact shifts
     for z in zooms:
-        x, y = tiles.tile_xy(lon, lat, z)
+        x, y = xy[z]
         cols = {k: batch[k] for k in key_cols}
         cols["z"] = pa.array(np.full(len(x), z, dtype=np.int32))
         cols["x"] = pa.array(x, type=pa.int64())
@@ -108,8 +109,9 @@ def tile_count_partial(
     lon = _np(batch[lon_col])
     lat = _np(batch[lat_col])
     zs, xs, ys, ns = [], [], [], []
+    xy = tiles.tile_xy_multi(lon, lat, zooms)  # one trig pass, exact shifts
     for z in zooms:
-        x, y = tiles.tile_xy(lon, lat, z)
+        x, y = xy[z]
         key = (x << np.int64(32)) | y
         u, c = np.unique(key, return_counts=True)
         zs.append(np.full(len(u), z, dtype=np.int32))

@@ -39,6 +39,27 @@ def tile_xy(lon, lat, z: int) -> tuple[np.ndarray, np.ndarray]:
     return x, y
 
 
+def tile_xy_multi(lon, lat, zooms: tuple[int, ...]) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+    """Tile (x, y) at several zooms from ONE trig pass.
+
+    Computes the deepest zoom once and derives shallower zooms by bit
+    shift.  This is EXACT, not approximate: multiplying by a power of
+    two only changes a float's exponent (no mantissa rounding), so
+    u*2^zmax == (u*2^z)*2^(zmax-z) bit-for-bit and the nested-floor
+    identity floor(u*2^zmax) >> (zmax-z) == floor(u*2^z) carries over;
+    the clamp endpoints shift consistently ((2^zmax-1) >> d == 2^z-1).
+    Saves the arcsinh/tan pass per extra zoom (the tiling explode's
+    dominant ALU cost).
+    """
+    zmax = max(zooms)
+    x, y = tile_xy(lon, lat, zmax)
+    out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for z in zooms:
+        s = zmax - z
+        out[z] = (x, y) if s == 0 else (x >> np.int64(s), y >> np.int64(s))
+    return out
+
+
 def tile_code(x, y) -> np.ndarray:
     """Morton code of a tile (x, y) — sortable int64 quadkey."""
     return interleave(np.asarray(x, dtype=np.int64), np.asarray(y, dtype=np.int64))

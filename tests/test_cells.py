@@ -87,3 +87,21 @@ def test_tile_bounds_roundtrip():
         cx, cy = (lon0 + lon1) / 2, (lat0 + lat1) / 2
         x, y = tiles.tile_xy(np.array([cx]), np.array([cy]), z)
         assert (x[0], y[0]) == (tx, ty)
+
+
+def test_tile_xy_multi_exact_shift_identity():
+    """tile_xy_multi derives shallow zooms by bit shift from the deepest
+    zoom; must equal the direct per-zoom computation bit-for-bit
+    (power-of-two float scaling is mantissa-exact)."""
+    import numpy as np
+
+    from plasmap_ray import tiles
+
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 100_000)
+    lat = rng.uniform(-89.9, 89.9, 100_000)
+    xy = tiles.tile_xy_multi(lon, lat, (6, 10, 14))
+    for z in (6, 10, 14):
+        x, y = tiles.tile_xy(lon, lat, z)
+        assert np.array_equal(x, xy[z][0])
+        assert np.array_equal(y, xy[z][1])
