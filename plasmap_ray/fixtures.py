@@ -530,7 +530,7 @@ def images_parquet_path(n: int, seed: int = SEED, skew_hot_frac: float = 0.0, ro
 # slices without any codec.
 
 
-def make_audio(n: int, seed: int = 77) -> pa.Table:
+def make_audio(n: int) -> pa.Table:
     import io
     import wave
 
@@ -561,7 +561,7 @@ def make_audio(n: int, seed: int = 77) -> pa.Table:
     )
 
 
-def make_video(n: int, seed: int = 88) -> pa.Table:
+def make_video(n: int) -> pa.Table:
     ids = np.arange(1, n + 1, dtype=np.int64)
     ws = np.where(ids % 3 == 0, 16, 8).astype(np.int32)
     n_frames = (4 + ids % 5).astype(np.int32)

@@ -302,7 +302,16 @@ def polygon_within(
             hole[:, 0], hole[:, 1], inner
         )
         if np.any(hole_in_inner):
-            return False
+            # the outer's hole punches into the inner ring's interior —
+            # still within ONLY if one of the inner polygon's OWN holes
+            # covers it (the punched-out area was never inner area)
+            def covers(ih: np.ndarray) -> bool:
+                ih = _as_ring(ih)
+                inside = points_in_ring(hole[:, 0], hole[:, 1], ih) | points_on_ring(hole[:, 0], hole[:, 1], ih)
+                return bool(np.all(inside)) and not rings_properly_cross(hole, ih)
+
+            if not any(covers(ih) for ih in inner_holes or []):
+                return False
     return True
 
 

@@ -31,13 +31,18 @@ import pyarrow.parquet as pq
 
 GOLDEN_ROOT = "/tmp/plasmap_fixtures/golden"
 
+# bump when ANY golden builder's algorithm changes: the parquet cache is
+# write-once, and a stale expected table makes oracle checks pass/fail
+# for the wrong reason
+GOLDEN_VERSION = "g2"
+
 M64 = 1 << 64
 
 
 def _cache(name: str, build) -> str:
     """Write-once parquet cache; returns the path for read_parquet()."""
     os.makedirs(GOLDEN_ROOT, exist_ok=True)
-    path = os.path.join(GOLDEN_ROOT, f"{name}.parquet")
+    path = os.path.join(GOLDEN_ROOT, f"{name}_{GOLDEN_VERSION}.parquet")
     if not os.path.exists(path):
         tmp = path + ".tmp"
         pq.write_table(build(), tmp)
@@ -248,7 +253,7 @@ def minhash_near_dup_path(sf_dir: str, sim_threshold: float = 0.8) -> str:
             }
         )
 
-    return _cache(f"minhash_near_dup_{_sf_tag(sf_dir)}", build)
+    return _cache(f"minhash_near_dup_{_sf_tag(sf_dir)}_t{sim_threshold}", build)
 
 
 def ngram_jaccard_path(sf_dir: str, threshold: float = 0.8) -> str:
@@ -288,7 +293,7 @@ def ngram_jaccard_path(sf_dir: str, threshold: float = 0.8) -> str:
             }
         )
 
-    return _cache(f"ngram_jaccard_{_sf_tag(sf_dir)}", build)
+    return _cache(f"ngram_jaccard_{_sf_tag(sf_dir)}_t{threshold}", build)
 
 
 def ann_lsh_topk_path(sf_dir: str, k: int = 10, vec_id: int = 1, planes: int = 6, seed: int = 11) -> str:
@@ -315,7 +320,7 @@ def ann_lsh_topk_path(sf_dir: str, k: int = 10, vec_id: int = 1, planes: int = 6
             }
         )
 
-    return _cache(f"ann_lsh_topk_{_sf_tag(sf_dir)}_k{k}_v{vec_id}", build)
+    return _cache(f"ann_lsh_topk_{_sf_tag(sf_dir)}_k{k}_v{vec_id}_p{planes}_s{seed}", build)
 
 
 def ann_ivf_topk_path(
@@ -346,7 +351,7 @@ def ann_ivf_topk_path(
             }
         )
 
-    return _cache(f"ann_ivf_{_sf_tag(sf_dir)}_k{k}_v{vec_id}_c{n_centroids}_p{nprobe}", build)
+    return _cache(f"ann_ivf_{_sf_tag(sf_dir)}_k{k}_v{vec_id}_c{n_centroids}_p{nprobe}_i{iters}_s{seed}", build)
 
 
 def embedding_near_dup_lsh_path(
@@ -387,7 +392,7 @@ def embedding_near_dup_lsh_path(
             }
         )
 
-    return _cache(f"emb_lsh_{_sf_tag(sf_dir)}_t{threshold}_b{bands}_p{planes}", build)
+    return _cache(f"emb_lsh_{_sf_tag(sf_dir)}_t{threshold}_b{bands}_p{planes}_s{seed}", build)
 
 
 # ---------------------------------------------------------------------------

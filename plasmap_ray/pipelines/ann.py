@@ -64,6 +64,24 @@ def query_vector(sf_dir: str, vec_id: int = 1) -> np.ndarray:
     return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
 
 
+
+def ranked_head(scored, sort_cols: list[str], rank_name: str, k: int, keep: list[str] | None = None):
+    """Global top-k + dense 1..k rank projection (shared by every ranked
+    query surface so tie-break ordering can never diverge between
+    pipelines that must stay oracle-identical): sort descending on the
+    first column, ascending tie-break on the rest, limit k, then rank
+    the k-row remainder driver-side."""
+    keep = keep if keep is not None else sort_cols[1:]
+    top = scored.sort(sort_cols, descending=[True] + [False] * (len(sort_cols) - 1)).limit(k)
+
+    def add_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, ascending=[False] + [True] * (len(sort_cols) - 1)).reset_index(drop=True)
+        df[rank_name] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[[rank_name] + keep]
+
+    return top.map_batches(add_rank, batch_format="pandas", batch_size=k * 2)
+
+
 class CosineTopK:
     """Actor-pool stage: per-batch cosine similarity vs a broadcast query."""
 
@@ -95,15 +113,8 @@ def ann_topk(sf_dir: str, k: int = 10, vec_id: int = 1) -> rd.Dataset:
         CosineTopK, fn_constructor_kwargs=dict(query_ref=qref, k=k), batch_format="pyarrow", concurrency=(1, 4)
     )
     scored = scored.filter(expr=f"vec_id != {vec_id}")
-    top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
-
-    def add_rank(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).reset_index(drop=True)
-        df["sim_rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df[["sim_rank", "vec_id"]]
-
     # k rows: a driver-side pandas finish is fine (small result)
-    return top.map_batches(add_rank, batch_format="pandas", batch_size=k * 2)
+    return ranked_head(scored, ["sim", "vec_id"], "sim_rank", k)
 
 
 # ---------------------------------------------------------------------------
@@ -196,16 +207,9 @@ def embedding_top_pairs(sf_dir: str, k: int = 20) -> rd.Dataset:
         idx = t.sort_by([("sim", "descending"), ("vec_a", "ascending"), ("vec_b", "ascending")])
         return idx.slice(0, k)
 
-    top = pairs.map_batches(local_topk, batch_format="pyarrow").sort(
-        ["sim", "vec_a", "vec_b"], descending=[True, False, False]
-    ).limit(k)
-
-    def add_rank(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["sim", "vec_a", "vec_b"], ascending=[False, True, True]).reset_index(drop=True)
-        df["pair_rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df[["pair_rank", "vec_a", "vec_b"]]
-
-    return top.map_batches(add_rank, batch_format="pandas", batch_size=k * 2)
+    return ranked_head(
+        pairs.map_batches(local_topk, batch_format="pyarrow"), ["sim", "vec_a", "vec_b"], "pair_rank", k
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -262,14 +266,16 @@ def embedding_near_dup_lsh(
     ``bands`` tasks).  Precision is exact (verified); recall is the LSH
     probability above, measured in tests against :func:`embedding_near_dup`.
     """
-    from .dedup import pairs_in_key_runs
     from ray.data.aggregate import Max
+
+    from .dedup import _shard_band_key, pairs_in_key_runs
 
     path = _emb_path(sf_dir_or_path)
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     import pyarrow.parquet as pq
 
-    dim = len(pq.read_table(path, columns=["embedding"]).slice(0, 1)["embedding"][0])
+    # one row group, one row — never the whole column — just for dim
+    dim = len(pq.ParquetFile(path).read_row_group(0, columns=["embedding"])["embedding"][0])
     banded = ds.map_batches(
         HyperplaneBands,
         fn_constructor_kwargs=dict(dim=dim, bands=bands, planes=planes, seed=seed),
@@ -278,11 +284,9 @@ def embedding_near_dup_lsh(
         concurrency=(1, 8),
     )
 
-    def shard(t: pa.Table) -> pa.Table:
-        key = t["band_key"].to_numpy().view(np.uint64)
-        return t.append_column("shard", pa.array((key % np.uint64(shards)).astype(np.int64), type=pa.int64()))
-
-    sharded = banded.map_batches(shard, batch_format="pyarrow")
+    sharded = banded.map_batches(
+        functools.partial(_shard_band_key, shards=shards), batch_format="pyarrow"
+    )
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
         keys = g["band_key"].to_numpy()
@@ -294,7 +298,7 @@ def embedding_near_dup_lsh(
         def verify(i, j):
             return (mn[i] * mn[j]).sum(axis=1)
 
-        ia, ib, sim = pairs_in_key_runs(keys, ids, mn, verify)
+        ia, ib, sim = pairs_in_key_runs(keys, ids, verify)
         keep = sim >= threshold
         a, b = ids[ia[keep]], ids[ib[keep]]
         swap = a > b
@@ -389,14 +393,7 @@ def ivf_topk(
 
     scored = _read_emb(sf_dir).map_batches(ProbeScore, batch_format="pyarrow", concurrency=(1, 4))
     scored = scored.filter(expr=f"vec_id != {vec_id}")
-    top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
-
-    def add_rank(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).reset_index(drop=True)
-        df["sim_rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df[["sim_rank", "vec_id"]]
-
-    return top.map_batches(add_rank, batch_format="pandas", batch_size=k * 2)
+    return ranked_head(scored, ["sim", "vec_id"], "sim_rank", k)
 
 
 def lsh_bucket_topk(sf_dir: str, k: int = 10, vec_id: int = 1, planes: int = 6, seed: int = 11) -> rd.Dataset:
@@ -436,11 +433,4 @@ def lsh_bucket_topk(sf_dir: str, k: int = 10, vec_id: int = 1, planes: int = 6, 
 
     scored = _read_emb(sf_dir).map_batches(BucketScore, batch_format="pyarrow", concurrency=(1, 4))
     scored = scored.filter(expr=f"vec_id != {vec_id}")
-    top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
-
-    def add_rank(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).reset_index(drop=True)
-        df["sim_rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df[["sim_rank", "vec_id"]]
-
-    return top.map_batches(add_rank, batch_format="pandas", batch_size=k * 2)
+    return ranked_head(scored, ["sim", "vec_id"], "sim_rank", k)

@@ -169,7 +169,7 @@ def minhash_near_dup(sf_dir: str, sim_threshold: float = 0.8) -> rd.Dataset:
 
         # real doc ids as the in-run sort tiebreak -> deterministic pair
         # order (and deterministic truncation under the skew cap)
-        ia, ib, est = pairs_in_key_runs(keys, ids, sig_m, verify)
+        ia, ib, est = pairs_in_key_runs(keys, ids, verify)
         keep = est >= sim_threshold
         a = ids[ia[keep]]
         b = ids[ib[keep]]
@@ -235,7 +235,7 @@ def ngram_jaccard_near_dup(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
                 out[t] = inter / (sets[a].size + sets[b].size - inter)
             return out
 
-        ia, ib, jac = pairs_in_key_runs(keys, ids, None, verify)
+        ia, ib, jac = pairs_in_key_runs(keys, ids, verify)
         keep = jac >= threshold
         a = ids[ia[keep]]
         b = ids[ib[keep]]
@@ -324,7 +324,7 @@ def hamming_band_explode(batch: pa.Table, hash_col: str, id_col: str, bands: int
 
 
 def pairs_in_key_runs(
-    keys: np.ndarray, ids: np.ndarray, payload: np.ndarray, verify, max_group: int = MAX_LSH_GROUP
+    keys: np.ndarray, ids: np.ndarray, verify, max_group: int = MAX_LSH_GROUP
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Candidate pairs among rows sharing a key, via ONE sort + run
     detection (replaces a groupby over millions of tiny buckets, whose
@@ -407,7 +407,7 @@ def hamming_pairs(sf_dir_or_ds, hash_col: str, id_col: str, max_dist: int = 3, b
             return codecs.hamming64(hs[i], hs[j])
 
         # ids may be strings (image_id): order by them for determinism
-        ia, ib, d = pairs_in_key_runs(keys, ids, hs, verify)
+        ia, ib, d = pairs_in_key_runs(keys, ids, verify)
         keep = d <= max_dist
         a = ids[ia[keep]]
         b = ids[ib[keep]]

@@ -233,6 +233,15 @@ def assemble_relations(
     """
     members = relations.map_batches(explode_members, batch_format="pyarrow").materialize()
 
+    # which member types exist, in ONE pass (branch pruning for the
+    # optional node / sub-relation sides)
+    from ray.data.aggregate import Count as _Count
+
+    present = {
+        r["member_type"]
+        for r in members.groupby("member_type").aggregate(_Count(alias_name="n")).take_all()
+    }
+
     # --- geometry requests -------------------------------------------------
     def direct_way_refs(t: pa.Table) -> pa.Table:
         m = t.filter(pa.compute.equal(t["member_type"], "way"))
@@ -242,7 +251,7 @@ def assemble_relations(
 
     refs = [members.map_batches(direct_way_refs, batch_format="pyarrow")]
 
-    if nodes is not None and members.filter(expr="member_type == 'node'").count() > 0:
+    if nodes is not None and "node" in present:
 
         def node_refs(t: pa.Table) -> pa.Table:
             m = t.filter(pa.compute.equal(t["member_type"], "node"))
@@ -252,7 +261,7 @@ def assemble_relations(
 
         refs.append(members.map_batches(node_refs, batch_format="pyarrow"))
 
-    if members.filter(expr="member_type == 'relation'").count() > 0:
+    if "relation" in present:
         # one-level recursion, cogroup on the sub-relation id: parent
         # links x the sub-relation's own way members -> virtual way refs
         def tag_links(t: pa.Table) -> pa.Table:

@@ -146,18 +146,12 @@ def search_ranked(sf_dir: str, tokens: tuple[str, ...] = ("spark", "data"), k: i
         s = duckdb_round(t["score"].to_numpy(zero_copy_only=False), 6)
         return pa.table({"doc_id": t["doc_id"], "score": pa.array(s, type=pa.float64())})
 
-    top = (
-        scored.map_batches(finish, batch_format="pyarrow")
-        .sort(["score", "doc_id"], descending=[True, False])
-        .limit(k)
+    from .ann import ranked_head
+
+    return ranked_head(
+        scored.map_batches(finish, batch_format="pyarrow"), ["score", "doc_id"], "search_rank", k,
+        keep=["doc_id", "score"],
     )
-
-    def add_rank(df):
-        df = df.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
-        df["search_rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df[["search_rank", "doc_id", "score"]]
-
-    return top.map_batches(add_rank, batch_format="pandas", batch_size=k * 2)
 
 
 def token_doc_frequency(sf_dir: str, min_docs: int = 50) -> rd.Dataset:

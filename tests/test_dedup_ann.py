@@ -143,3 +143,9 @@ def test_polygon_within_shared_edges_and_holes():
     assert geometry.polygon_within(beside_hole, outer, outer_holes=[hole])
     around_hole = np.array([[1, 1], [5, 1], [5, 5], [1, 5]], dtype=float)  # hole inside inner
     assert not geometry.polygon_within(around_hole, outer, outer_holes=[hole])
+    # ...unless the inner polygon's OWN hole covers the outer's hole:
+    # the punched-out area was never inner area, so containment holds
+    big_own_hole = np.array([[1.5, 1.5], [4.5, 1.5], [4.5, 4.5], [1.5, 4.5]], dtype=float)
+    assert geometry.polygon_within(around_hole, outer, inner_holes=[big_own_hole], outer_holes=[hole])
+    small_own_hole = np.array([[2.2, 2.2], [3.0, 2.2], [3.0, 3.0], [2.2, 3.0]], dtype=float)
+    assert not geometry.polygon_within(around_hole, outer, inner_holes=[small_own_hole], outer_holes=[hole])
