@@ -108,6 +108,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ast_pois_in_area": lambda sf: queryast.translate(
             queryast.PoisInArea(queryast.AreaByName("Duisheim"), "restaurant"), _ast_ctx(sf)
         ),
+        # typed area ladder (CityQuery / DistrictQuery analogues)
+        "ast_city_of_point": lambda sf: queryast.translate(
+            queryast.from_json(queryast.to_json(queryast.TypedAreaAt("city", *AST_PT))), _ast_ctx(sf)
+        ),
+        "ast_district_of_point": lambda sf: queryast.translate(
+            queryast.TypedAreaAt("district", *AST_PT), _ast_ctx(sf)
+        ),
         # --- denormalization DAG (ways->rings->polygons, J1/J2) ---
         "way_assembly": denormalize.way_assembly_query,
         "boundary_assembly": denormalize.boundary_assembly_query,
@@ -350,6 +357,14 @@ FROM scored ORDER BY sim DESC, vec_a, vec_b LIMIT {EMB_TOP_PAIRS}""",
         "ast_containing_areas": f"""
 SELECT rel_id, name, admin_level FROM {rects}
 WHERE {AST_PT[0]!r} >= lon_min AND {AST_PT[0]!r} < lon_max AND {AST_PT[1]!r} >= lat_min AND {AST_PT[1]!r} < lat_max""",
+        "ast_city_of_point": f"""
+SELECT rel_id, name, admin_level FROM {rects}
+WHERE admin_level = 6
+  AND {AST_PT[0]!r} >= lon_min AND {AST_PT[0]!r} < lon_max AND {AST_PT[1]!r} >= lat_min AND {AST_PT[1]!r} < lat_max""",
+        "ast_district_of_point": f"""
+SELECT rel_id, name, admin_level FROM {rects}
+WHERE admin_level = 8
+  AND {AST_PT[0]!r} >= lon_min AND {AST_PT[0]!r} < lon_max AND {AST_PT[1]!r} >= lat_min AND {AST_PT[1]!r} < lat_max""",
         "ast_nearest_pois": f"""
 SELECT CAST(row_number() OVER (ORDER BY {oracle.sql_sqdist_deg(repr(AST_PT[0]), repr(AST_PT[1]), 'p.lon', 'p.lat')}, p.poi_id) AS INTEGER) AS knn_rank,
        p.poi_id

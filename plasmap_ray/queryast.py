@@ -106,9 +106,39 @@ class FeaturesInTile(Query):
     y: int
 
 
+# The reference's TYPED area-query ladder (CountryQuery/StateQuery/
+# RegionQuery/CityQuery/TownshipQuery/DistrictQuery/VillageQuery/
+# CommunityQuery, Queries.scala:47-148) — each kind is an admin_level
+# (BoundingBoxGrid admin-level mapping).  TypedAreaAt desugars to a
+# ContainingAreas with the ladder's level pinned.
+AREA_LADDER = {
+    "country": 2,
+    "state": 4,
+    "region": 5,
+    "city": 6,
+    "township": 7,
+    "district": 8,
+    "village": 9,
+    "community": 10,
+}
+
+
+@dataclass(frozen=True)
+class TypedAreaAt(Query):
+    """Typed area containing a point — e.g. TypedAreaAt('city', lon, lat)
+    is the reference's CityQuery-from-coordinates (Queries.scala:89-102)."""
+
+    kind: str
+    lon: float
+    lat: float
+
+
 # --- JSON (de)serialization (PMSerialiser analogue) ------------------------
 
-_NODE_TYPES = {c.__name__: c for c in (ContainingAreas, AreaByName, DistrictsOfArea, PoisInArea, NearestPois, PoisNearPoint, FeaturesInTile)}
+_NODE_TYPES = {
+    c.__name__: c
+    for c in (ContainingAreas, AreaByName, DistrictsOfArea, PoisInArea, NearestPois, PoisNearPoint, FeaturesInTile, TypedAreaAt)
+}
 
 
 def to_json(q: Query) -> str:
@@ -260,8 +290,14 @@ def _features_in_tile(q: FeaturesInTile, ctx: EngineContext) -> pa.Table:
     return ctx.points.filter(pa.array(mask))
 
 
+def _typed_area(q: TypedAreaAt, ctx: EngineContext) -> pa.Table:
+    level = AREA_LADDER[q.kind]
+    return _containing(ContainingAreas(q.lon, q.lat, admin_level=level), ctx)
+
+
 _DISPATCH = {
     ContainingAreas: _containing,
+    TypedAreaAt: _typed_area,
     AreaByName: _by_name,
     DistrictsOfArea: _districts,
     PoisInArea: _pois_in_area,
