@@ -21,7 +21,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from plasmap_ray import golden, oracle, queryast  # noqa: E402
-from plasmap_ray.pipelines import ann, dedup, denormalize, images, index, multimodal, relational, spatial, text, windows  # noqa: E402
+from plasmap_ray.pipelines import ann, dedup, denormalize, images, index, multimodal, raster, relational, spatial, text, windows  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 SF001 = "/root/testdata/sf0.01"
@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join": spatial.pip_join_pipeline,
         "pip_join_shuffle": spatial.pip_join_shuffle_pipeline,
         "pip_count": spatial.pip_count_pipeline,
+        "tile_raster": lambda sf: raster.tile_raster_pipeline(sf, z=10),
         "cell_prefix_scan": spatial.cell_prefix_scan_pipeline,
         "knn_pois": lambda sf: spatial.knn_pipeline(sf, k=KNN_K),
         "radius_join": lambda sf: spatial.radius_pipeline(sf, radius_deg=RADIUS_DEG),
@@ -213,6 +214,7 @@ SELECT doc_id, cell_low FROM m_out
 WHERE cell_low >= ({PREFIX_CELL} << 10) AND cell_low < (({PREFIX_CELL} + 1) << 10)""",
         "tile_histogram": tile_hist,
         "tile_histogram_salted": tile_hist,
+        "tile_raster": f"SELECT * FROM read_parquet('{golden.tile_raster_path(SF001, z=10)}')",
         "pip_join": f"""
 WITH {_pts_cte()}
 SELECT doc_id, rel_id, admin_level FROM pts JOIN {rects}

@@ -395,6 +395,58 @@ def embedding_near_dup_lsh_path(
     return _cache(f"emb_lsh_{_sf_tag(sf_dir)}_t{threshold}_b{bands}_p{planes}_s{seed}", build)
 
 
+def tile_raster_path(sf_dir: str, z: int = 10, tile_px: int = 16) -> str:
+    def build() -> pa.Table:
+        import hashlib
+
+        from . import codecs, fixtures, tiles
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        ids = t["doc_id"].to_numpy()
+        lon = fixtures.derive_lon(ids)
+        lat = fixtures.derive_lat(ids)
+        x, y = tiles.tile_xy(lon, lat, z)
+        n = np.int64(1) << z
+        u = (lon + 180.0) / 360.0 * n - x
+        lat_c = np.clip(lat, -tiles.MERC_LAT_LIMIT, tiles.MERC_LAT_LIMIT)
+        merc = (1.0 - np.arcsinh(np.tan(np.radians(lat_c))) / np.pi) / 2.0 * n - y
+        px = np.clip(np.floor(u * tile_px), 0, tile_px - 1).astype(np.int64)
+        py = np.clip(np.floor(merc * tile_px), 0, tile_px - 1).astype(np.int64)
+        key = (x << np.int64(32)) | y
+        pix = py * tile_px + px
+        rows = []
+        for k in np.unique(key):
+            sel = key == k
+            counts = np.bincount(pix[sel], minlength=tile_px * tile_px)
+            grid = np.minimum(counts, 255).astype(np.uint8).reshape(tile_px, tile_px)
+            rgb = np.repeat(grid[:, :, None], 3, axis=2)
+            payload = codecs.encode_image(rgb, "pngz")
+            rows.append(
+                (
+                    int(k >> np.int64(32)),
+                    int(k & np.int64(0xFFFFFFFF)),
+                    int(sel.sum()),
+                    len(payload),
+                    hashlib.md5(payload).hexdigest(),
+                    int(grid.sum(dtype=np.int64)) * 3,
+                    z,
+                )
+            )
+        return pa.table(
+            {
+                "x": pa.array([r[0] for r in rows], type=pa.int64()),
+                "y": pa.array([r[1] for r in rows], type=pa.int64()),
+                "n_points": pa.array([r[2] for r in rows], type=pa.int64()),
+                "n_bytes": pa.array([r[3] for r in rows], type=pa.int64()),
+                "payload_md5": pa.array([r[4] for r in rows], type=pa.string()),
+                "pixel_sum": pa.array([r[5] for r in rows], type=pa.int64()),
+                "z": pa.array([r[6] for r in rows], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"tile_raster_{_sf_tag(sf_dir)}_z{z}_p{tile_px}", build)
+
+
 # ---------------------------------------------------------------------------
 # Image goldens (local per-row kernel over the same cached parquet)
 # ---------------------------------------------------------------------------

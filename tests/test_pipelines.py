@@ -167,3 +167,32 @@ def test_grid_knn_large_poi_set(ray_session):
     for r in range(0, 2000, 97):
         order = np.lexsort((big["poi_id"], d[r]))[:3]
         assert np.array_equal(big["poi_id"][order], got[r]), r
+
+
+def test_tile_raster_render_roundtrip(ray_session):
+    """Rendered heat tiles decode back (through the engine codec) to the
+    exact per-pixel point counts, and the pipeline's metadata rows agree
+    with a direct recompute."""
+    import hashlib
+
+    import pandas as pd
+
+    from plasmap_ray import codecs
+    from plasmap_ray.pipelines import raster
+
+    ids = np.arange(1, 2001, dtype=np.int64)
+    pts = pa.table({"doc_id": ids, "lon": fixtures.derive_lon(ids), "lat": fixtures.derive_lat(ids)})
+    exploded = raster._explode_bins(pts, z=10, tile_px=16)
+    df = exploded.to_pandas()
+    rendered = raster._render_shard(df, z=10, tile_px=16)
+    assert rendered["n_points"].sum() == 2000
+    # pick the densest tile, re-render its payload and decode it back
+    top = rendered.sort_values("n_points", ascending=False).iloc[0]
+    key = (int(top["x"]) << 32) | int(top["y"])
+    sel = df[df["tile_key"] == key]
+    counts = np.bincount(sel["pix"].to_numpy(), minlength=256)
+    grid = np.minimum(counts, 255).astype(np.uint8).reshape(16, 16)
+    payload = codecs.encode_image(np.repeat(grid[:, :, None], 3, axis=2), "pngz")
+    assert hashlib.md5(payload).hexdigest() == top["payload_md5"]
+    decoded = codecs.decode_image(payload, 16, 16, "pngz")
+    assert np.array_equal(decoded[:, :, 0], grid)
