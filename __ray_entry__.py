@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": windows.sessionize,
         "sliding_window": windows.sliding_window,
         "sampled_event_stats": windows.sampled_event_stats,
+        "late_event_stats": windows.late_event_stats,
         "asof_join": windows.asof_join_purchases,
         "range_join_campaigns": windows.range_join_campaigns,
         "event_type_rates": windows.event_type_rates,
@@ -301,6 +302,14 @@ u AS (
   SELECT w0 - INTERVAL 30 MINUTE AS window_start, event_type, value FROM grid)
 SELECT window_start, event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM u GROUP BY window_start, event_type""",
+        "late_event_stats": """
+WITH w AS (
+  SELECT event_type, ts,
+         max(ts) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN wm IS NOT NULL AND ts < wm - INTERVAL 60 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM w GROUP BY event_type""",
         "asof_join": """
 WITH p AS (SELECT user_id, event_id AS pid, ts AS pts FROM events WHERE event_type = 'purchase'),
 c AS (SELECT user_id, event_id AS cid, ts AS cts FROM events WHERE event_type = 'click'),

@@ -175,6 +175,60 @@ def sampled_event_stats(sf_dir: str, frac: float = 0.2) -> rd.Dataset:
     )
 
 
+def late_event_stats(sf_dir: str, lag_min: int = 60, parts: int = 32) -> rd.Dataset:
+    """Watermark semantics in batch form: an event is LATE iff its
+    event time trails the running watermark (max event time seen over
+    the arrival order so far, exclusive) by more than ``lag_min``.
+    Arrival order = event_id (the log's append sequence).
+
+    This is a DISTRIBUTED PREFIX-MAX scan — the pattern a streaming
+    engine's watermark tracker needs in replay/backfill form:
+      1. partition the arrival axis into ``parts`` contiguous ranges and
+         aggregate each range's max event time (partial-aggregate
+         shuffle, KB-sized);
+      2. exclusive prefix-max over the 32-row partition table on the
+         driver (broadcast back);
+      3. one partition-grouped pass computes the within-range running
+         max on top of its prefix base — no sequential global pass.
+    Output: per event_type (n_events, n_late); SQL-mirrored with a
+    windowed MAX OVER (ORDER BY event_id ROWS ... 1 PRECEDING).
+    """
+    from ray.data.aggregate import Max
+
+    ds = _read_events(sf_dir, ["event_id", "ts", "event_type"])
+    n = ds.count()
+    span = max(1, -(-n // parts))
+    lag_us = lag_min * 60 * 1_000_000
+
+    def add_part(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        t = t.append_column("part", pa.array((np.asarray(eid, np.int64) // span), type=pa.int64()))
+        return t.append_column("ts_us", t["ts"].cast(pa.int64()))
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow")
+    maxes = {r["part"]: r["max_ts"] for r in parted.groupby("part").aggregate(Max("ts_us", alias_name="max_ts")).take_all()}
+    base = np.full(max(maxes) + 2, np.iinfo(np.int64).min, dtype=np.int64)
+    for p in sorted(maxes):
+        base[p + 1] = max(base[p], maxes[p])  # exclusive prefix-max per partition
+
+    def flag_late(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="mergesort")
+        ts = g["ts_us"].to_numpy()
+        p = int(g["part"].iloc[0])
+        running = np.maximum.accumulate(ts)
+        wm = np.concatenate([[base[p]], running[:-1]])  # exclusive of the current row
+        wm = np.maximum(wm, base[p])
+        # ts + lag < wm (NOT ts < wm - lag: subtracting from the int64-min
+        # "-inf" sentinel wraps around and marks the first event late)
+        late = ts + lag_us < wm
+        return pd.DataFrame({"event_type": g["event_type"].to_numpy(), "late": late.astype(np.int64)})
+
+    flagged = parted.groupby("part").map_groups(flag_late, batch_format="pandas")
+    return flagged.groupby("event_type").aggregate(
+        Count(alias_name="n_events"), Sum("late", alias_name="n_late")
+    )
+
+
 def asof_join_purchases(sf_dir: str) -> rd.Dataset:
     """As-of join: each purchase event matched to the user's most recent
     click at-or-before it (ray_guide 'As-of / range join': sort within
