@@ -193,23 +193,32 @@ def late_event_stats(sf_dir: str, lag_min: int = 60, parts: int = 32) -> rd.Data
     Output: per event_type (n_events, n_late); SQL-mirrored with a
     windowed MAX OVER (ORDER BY event_id ROWS ... 1 PRECEDING).
     """
-    from ray.data.aggregate import Max
+    from ray.data.aggregate import Max, Min
 
     ds = _read_events(sf_dir, ["event_id", "ts", "event_type"])
-    n = ds.count()
-    span = max(1, -(-n // parts))
+    # partition the ARRIVAL-ID VALUE RANGE (not the row count): works for
+    # sparse / offset id spaces, and the prefix table stays `parts` rows
+    # no matter how large the ids are
+    id_stats = ds.aggregate(Min("event_id"), Max("event_id"))
+    lo, hi = int(id_stats["min(event_id)"]), int(id_stats["max(event_id)"])
+    span = max(1, -(-(hi - lo + 1) // parts))
     lag_us = lag_min * 60 * 1_000_000
 
     def add_part(t: pa.Table) -> pa.Table:
         eid = t["event_id"].to_numpy()
-        t = t.append_column("part", pa.array((np.asarray(eid, np.int64) // span), type=pa.int64()))
+        t = t.append_column("part", pa.array(((np.asarray(eid, np.int64) - lo) // span), type=pa.int64()))
         return t.append_column("ts_us", t["ts"].cast(pa.int64()))
 
-    parted = ds.map_batches(add_part, batch_format="pyarrow")
+    # TWO consumers below (the max aggregate and the grouped scan):
+    # materialize once, don't re-run the read+map DAG per consumer
+    parted = ds.map_batches(add_part, batch_format="pyarrow").materialize()
     maxes = {r["part"]: r["max_ts"] for r in parted.groupby("part").aggregate(Max("ts_us", alias_name="max_ts")).take_all()}
-    base = np.full(max(maxes) + 2, np.iinfo(np.int64).min, dtype=np.int64)
-    for p in sorted(maxes):
-        base[p + 1] = max(base[p], maxes[p])  # exclusive prefix-max per partition
+    sentinel = np.iinfo(np.int64).min
+    base = np.full(parts + 1, sentinel, dtype=np.int64)
+    for p in range(parts):
+        # chain through EMPTY partitions too — skipping them would drop
+        # every earlier partition's maxima from the exclusive prefix
+        base[p + 1] = max(base[p], maxes.get(p, sentinel))
 
     def flag_late(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("event_id", kind="mergesort")

@@ -132,6 +132,13 @@ class TypedAreaAt(Query):
     lon: float
     lat: float
 
+    def __post_init__(self) -> None:
+        # the AST is the deserialization boundary for client queries —
+        # reject unknown kinds here with the allowed ladder, not as a
+        # KeyError deep inside the planner
+        if self.kind not in AREA_LADDER:
+            raise ValueError(f"unknown area kind {self.kind!r}; expected one of {sorted(AREA_LADDER)}")
+
 
 # --- JSON (de)serialization (PMSerialiser analogue) ------------------------
 

@@ -149,3 +149,48 @@ def test_polygon_within_shared_edges_and_holes():
     assert geometry.polygon_within(around_hole, outer, inner_holes=[big_own_hole], outer_holes=[hole])
     small_own_hole = np.array([[2.2, 2.2], [3.0, 2.2], [3.0, 3.0], [2.2, 3.0]], dtype=float)
     assert not geometry.polygon_within(around_hole, outer, inner_holes=[small_own_hole], outer_holes=[hole])
+
+
+def test_late_event_stats_gapped_sparse_ids(ray_session, tmp_path):
+    """Watermark prefix chain must survive EMPTY partitions (gapped /
+    offset arrival-id spaces), matching the SQL windowed-MAX semantics."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    # sparse, offset, gapped ids: two far-apart clusters
+    ids = np.concatenate([np.arange(5_000_000, 5_000_400), np.arange(9_000_000, 9_000_600)])
+    base_ts = np.datetime64("2024-01-01", "us").astype(np.int64)
+    ts = base_ts + rng.integers(0, 7 * 24 * 3600, size=len(ids)) * 1_000_000
+    t = pa.table(
+        {
+            "event_id": pa.array(ids, type=pa.int64()),
+            "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(["click", "view"] * (len(ids) // 2), type=pa.string()),
+        }
+    )
+    p = str(tmp_path / "events.parquet")
+    pq.write_table(t, p)
+    got = (
+        windows.late_event_stats(str(tmp_path), lag_min=60)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.connect()
+        .execute(
+            f"""
+WITH w AS (
+  SELECT event_type, ts,
+         max(ts) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM read_parquet('{p}'))
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN wm IS NOT NULL AND ts < wm - INTERVAL 60 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM w GROUP BY event_type ORDER BY event_type"""
+        )
+        .fetchdf()
+    )
+    assert list(got["n_events"]) == list(want["n_events"])
+    assert list(got["n_late"]) == list(want["n_late"])
+    assert got["n_late"].sum() > 0  # the scenario actually has late events
