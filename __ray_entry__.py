@@ -21,7 +21,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from plasmap_ray import golden, oracle, queryast  # noqa: E402
-from plasmap_ray.pipelines import ann, dedup, denormalize, images, index, multimodal, raster, relational, spatial, text, windows  # noqa: E402
+from plasmap_ray.pipelines import ann, cluster, dedup, denormalize, images, index, multimodal, raster, relational, spatial, text, windows  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 SF001 = "/root/testdata/sf0.01"
@@ -35,6 +35,9 @@ EMB_NEARDUP_T = 0.40  # pairs above this are "near" in this corpus (max sim ~0.4
 EMB_TOP_PAIRS = 20
 SEARCH_TOKENS = ("spark", "data")  # TF-IDF ranked-search query terms
 SEARCH_K = 20
+HH_K = 20  # heavy-hitter top-k
+MULTI_VEC_IDS = (1, 2, 3, 4, 5, 6, 7, 8)  # batched-ANN query set
+BLOOM_N, BLOOM_FP, BLOOM_PARTS = 1000, 0.01, 32  # reference budget, Queries.scala:297
 
 # AST demo constants (the three canonical queries of SURVEY.md §7.2 #11)
 AST_PT = (6.5561, 51.0423)  # a point inside Essenheim / Essenheim-d5
@@ -154,8 +157,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": dedup.minhash_near_dup,
         "ngram_jaccard_near_dup": dedup.ngram_jaccard_near_dup,
         "simhash": dedup.simhash_pipeline,
+        "near_dup_clusters": cluster.near_dup_clusters,
+        "bloom_dedup": lambda sf: cluster.bloom_dedup(sf, BLOOM_N, BLOOM_FP, BLOOM_PARTS),
+        "heavy_hitters": lambda sf: text.heavy_hitters(sf, k=HH_K),
         # --- similarity search ---
         "ann_topk": lambda sf: ann.ann_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
+        "ann_multi_topk": lambda sf: ann.ann_multi_topk(sf, k=ANN_K, vec_ids=MULTI_VEC_IDS),
         "ann_lsh_topk": lambda sf: ann.lsh_bucket_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
         "embedding_top_pairs": lambda sf: ann.embedding_top_pairs(sf, k=EMB_TOP_PAIRS),
@@ -410,6 +417,12 @@ SELECT phash, min(image_id) AS first_image_id, count(*) AS n_images FROM {img_pq
         "simhash": f"SELECT * FROM read_parquet('{golden.simhash_path(SF001)}')",
         "text_quality": f"SELECT * FROM read_parquet('{golden.text_quality_path(SF001)}')",
         "minhash_near_dup": f"SELECT * FROM read_parquet('{golden.minhash_near_dup_path(SF001)}')",
+        "near_dup_clusters": f"SELECT * FROM read_parquet('{golden.near_dup_clusters_path(SF001)}')",
+        "bloom_dedup": (
+            "SELECT * FROM read_parquet('"
+            + golden.bloom_dedup_path(SF001, BLOOM_N, BLOOM_FP, BLOOM_PARTS)
+            + "')"
+        ),
         "ngram_jaccard_near_dup": f"SELECT * FROM read_parquet('{golden.ngram_jaccard_path(SF001)}')",
         "ann_lsh_topk": f"SELECT * FROM read_parquet('{golden.ann_lsh_topk_path(SF001, k=ANN_K, vec_id=ANN_QUERY_ID)}')",
         "ann_ivf_topk": f"SELECT * FROM read_parquet('{golden.ann_ivf_topk_path(SF001, k=ANN_K, vec_id=ANN_QUERY_ID)}')",
@@ -442,6 +455,22 @@ WITH scored AS (
          list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, round(sim, 6) AS sim FROM scored WHERE sim >= {EMB_NEARDUP_T!r}""",
+        "heavy_hitters": f"""
+WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+c AS (SELECT token, count(*) AS n FROM toks GROUP BY token)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS hh_rank, token, n,
+       CAST(0 AS BIGINT) AS max_err
+FROM c ORDER BY n DESC, token LIMIT {HH_K}""",
+        "ann_multi_topk": f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({", ".join(str(v) for v in MULTI_VEC_IDS)})),
+scored AS (SELECT q.qid AS query_vec_id, e.vec_id,
+                  list_cosine_similarity(e.embedding, q.qv) AS sim
+           FROM embeddings e JOIN q ON e.vec_id != q.qid),
+ranked AS (SELECT query_vec_id, vec_id,
+                  CAST(row_number() OVER (PARTITION BY query_vec_id ORDER BY sim DESC, vec_id) AS BIGINT) AS sim_rank
+           FROM scored)
+SELECT query_vec_id, sim_rank, vec_id FROM ranked WHERE sim_rank <= {ANN_K}""",
         "search_ranked": f"""
 WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM toks

@@ -296,6 +296,94 @@ def ngram_jaccard_path(sf_dir: str, threshold: float = 0.8) -> str:
     return _cache(f"ngram_jaccard_{_sf_tag(sf_dir)}_t{threshold}", build)
 
 
+def near_dup_clusters_path(sf_dir: str, sim_threshold: float = 0.8) -> str:
+    """Expected (doc_id, cluster_id, keep): UNION-FIND over the golden
+    minhash pair set (algorithmically independent of the engine's
+    iterative label propagation) + singleton clusters for unpaired docs."""
+
+    def build() -> pa.Table:
+        pairs = pq.read_table(minhash_near_dup_path(sf_dir, sim_threshold))
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        ids = sorted(int(i) for i in docs["doc_id"].to_numpy())
+        clusters = [find(i) if i in parent else i for i in ids]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "cluster_id": pa.array(clusters, type=pa.int64()),
+                "keep": pa.array([c == i for i, c in zip(ids, clusters)], type=pa.bool_()),
+            }
+        )
+
+    return _cache(f"near_dup_clusters_{_sf_tag(sf_dir)}_t{sim_threshold}", build)
+
+
+def bloom_dedup_path(sf_dir: str, expected_n: int, fp_rate: float, partitions: int) -> str:
+    """Expected bloom-dedup output, recomputed in pure-Python big-int
+    arithmetic (independent of the engine's vectorized numpy kernels)."""
+
+    def build() -> pa.Table:
+        import hashlib
+
+        from .pipelines.cluster import bloom_params
+
+        m_bits, k_hashes = bloom_params(expected_n, fp_rate)
+
+        def smix(x: int) -> int:
+            x = ((x + 0x9E3779B97F4A7C15) * 0xBF58476D1CE4E5B9) % M64
+            x ^= x >> 27
+            x = (x * 0x94D049BB133111EB) % M64
+            x ^= x >> 31
+            return x
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        rows = []
+        for i, s in zip(t["doc_id"].to_numpy(), t["text"].to_pylist()):
+            key = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+            rows.append((key % partitions, int(i), key))
+        by_part: dict[int, list[tuple[int, int]]] = {}
+        for part, i, key in rows:
+            by_part.setdefault(part, []).append((i, key))
+        out: list[tuple[int, int, bool, bool]] = []
+        for part in sorted(by_part):
+            bits: set[int] = set()
+            seen: set[int] = set()
+            for i, key in sorted(by_part[part]):
+                h1 = smix(key)
+                h2 = smix(h1) | 1
+                # match the engine's uint64-wraparound h1 + j*h2 exactly
+                pos = [((h1 + j * h2) % M64) % m_bits for j in range(k_hashes)]
+                maybe = all(p in bits for p in pos)
+                kept = not maybe
+                false_drop = maybe and key not in seen
+                if kept:
+                    bits.update(pos)
+                out.append((i, key - M64 if key >= (1 << 63) else key, kept, false_drop))
+                seen.add(key)
+        out.sort()
+        return pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in out], type=pa.int64()),
+                "dup_key": pa.array([r[1] for r in out], type=pa.int64()),
+                "kept": pa.array([r[2] for r in out], type=pa.bool_()),
+                "false_drop": pa.array([r[3] for r in out], type=pa.bool_()),
+            }
+        )
+
+    return _cache(f"bloom_dedup_{_sf_tag(sf_dir)}_n{expected_n}_p{fp_rate}_P{partitions}", build)
+
+
 def ann_lsh_topk_path(sf_dir: str, k: int = 10, vec_id: int = 1, planes: int = 6, seed: int = 11) -> str:
     def build() -> pa.Table:
         t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])

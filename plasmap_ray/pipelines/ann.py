@@ -117,6 +117,81 @@ def ann_topk(sf_dir: str, k: int = 10, vec_id: int = 1) -> rd.Dataset:
     return ranked_head(scored, ["sim", "vec_id"], "sim_rank", k)
 
 
+class MultiCosineTopK:
+    """Actor-pool stage: per-batch cosine vs a broadcast QUERY MATRIX.
+
+    The batched form of :class:`CosineTopK`: Q query vectors ship once
+    via ``ray.put`` (normalized float64 (Q, D) matrix + id vector); per
+    batch ONE GEMM scores all queries at once, then a per-query local
+    top-k prune keeps only k candidate rows per query per batch — the
+    rows reaching the final per-query selection number Q·k·n_batches,
+    never n·Q.
+    """
+
+    def __init__(self, qref, k: int = 10):
+        qids, qn = ray.get(qref) if not isinstance(qref, tuple) else qref
+        self.qids = qids  # (Q,) int64
+        self.qn = qn  # (Q, D) normalized float64
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        ids = np.asarray(batch["vec_id"].to_numpy(), dtype=np.int64)
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ self.qn.T) / np.where(norms == 0, 1.0, norms)[:, None]  # (n, Q)
+        out_q, out_id, out_sim = [], [], []
+        for qi, qid in enumerate(self.qids):
+            s = sims[:, qi]
+            mask = ids != qid
+            cand_ids, cand_s = ids[mask], s[mask]
+            # local prune by the SAME composite order as the global
+            # selection (sim desc, vec_id asc) -> prune-safe under ties
+            top = np.lexsort((cand_ids, -cand_s))[: self.k]
+            out_q.append(np.full(len(top), qid, dtype=np.int64))
+            out_id.append(cand_ids[top])
+            out_sim.append(cand_s[top])
+        return pa.table(
+            {
+                "query_vec_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                "sim": pa.array(np.concatenate(out_sim), type=pa.float64()),
+            }
+        )
+
+
+def ann_multi_topk(sf_dir: str, k: int = 10, vec_ids: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8)) -> rd.Dataset:
+    """Batched similarity search: top-k neighbors for EVERY query in a
+    broadcast query set, in one pass over the corpus (the production
+    shape of ann_topk — real retrieval scores thousands of queries per
+    scan, not one).  Output: (query_vec_id, sim_rank, vec_id).
+    """
+    import pyarrow.dataset as pads
+
+    t = (
+        pads.dataset(_emb_path(sf_dir))
+        .to_table(columns=["vec_id", "embedding"], filter=pads.field("vec_id").isin(list(vec_ids)))
+        .sort_by("vec_id")
+    )
+    qids = np.asarray(t["vec_id"].to_numpy(), dtype=np.int64)
+    q = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    qn = q / np.linalg.norm(q, axis=1)[:, None]
+    qref = ray.put((qids, qn))
+
+    scored = _read_emb(sf_dir).map_batches(
+        MultiCosineTopK,
+        fn_constructor_kwargs=dict(qref=qref, k=k),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def per_query_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
+        df["sim_rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["query_vec_id", "sim_rank", "vec_id"]]
+
+    return scored.groupby("query_vec_id").map_groups(per_query_rank, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Exact all-pairs: distributed block-pair self-join
 # ---------------------------------------------------------------------------

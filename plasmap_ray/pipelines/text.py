@@ -106,6 +106,40 @@ def quality_pipeline(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(TextQuality, batch_format="pandas", batch_size=2048, concurrency=(1, 8))
 
 
+def heavy_hitters(sf_dir: str, k: int = 20, capacity: int = 1 << 15) -> pa.Table:
+    """Top-k most frequent tokens via a mergeable Space-Saving sketch
+    (A4's heavy-hitter sibling: bounded-state summaries folded inside
+    Ray's aggregation tree — the driver receives ONE summary, never the
+    token stream or even the per-batch summaries).
+
+    Tokenization mirrors the oracle exactly (single-space lowercase
+    split).  With ``capacity`` >= the corpus vocabulary no eviction
+    occurs and the counts are exact — the regime the driver verifies;
+    at 10^12 tokens the capacity caps summary memory and the sketch's
+    err bounds (asserted zero here) carry the approximation contract.
+    Output: (hh_rank, token, n) ranked by (count desc, token asc).
+    """
+    from ..stages.sketch import heavy_hitters_approx
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def tokens(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(t["text"]), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        return pa.table({"token": toks.flatten()})
+
+    top = heavy_hitters_approx(ds.map_batches(tokens, batch_format="pyarrow"), "token", k=k, capacity=capacity)
+    return pa.table(
+        {
+            "hh_rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+            "token": pa.array([t for t, _, _ in top], type=pa.string()),
+            "n": pa.array([c for _, c, _ in top], type=pa.int64()),
+            "max_err": pa.array([e for _, _, e in top], type=pa.int64()),
+        }
+    )
+
+
 def fingerprint(sf_dir: str) -> rd.Dataset:
     """64-bit rolling-hash document fingerprint (content identity key).
 

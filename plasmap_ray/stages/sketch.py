@@ -59,6 +59,102 @@ class KMVSketch:
         return cls(k, np.frombuffer(data, dtype=np.uint64).copy())
 
 
+class SpaceSaving:
+    """Mergeable Space-Saving heavy-hitters summary (Metwally et al.;
+    merge shape from Agarwal et al., "Mergeable Summaries").
+
+    Bounded state: at most ``capacity`` counters.  ``err[key]`` bounds
+    the overcount of ``count[key]`` (true count ∈ [count-err, count]).
+    While no eviction/truncation has occurred the summary is EXACT —
+    the regime the oracle checks at fixture scale; at 10^12 tokens the
+    capacity bounds memory and the error columns carry the guarantee.
+    """
+
+    def __init__(self, capacity: int = 1 << 15):
+        self.capacity = capacity
+        self.counts: dict[str, int] = {}
+        self.errs: dict[str, int] = {}
+
+    def _evict_to_capacity(self) -> None:
+        if len(self.counts) <= self.capacity:
+            return
+        # keep the top-capacity by (count desc, key asc); every dropped
+        # counter inflates the floor future inserts start from
+        order = sorted(self.counts, key=lambda t: (-self.counts[t], t))
+        dropped = order[self.capacity :]
+        floor = max(self.counts[t] for t in dropped)
+        for t in dropped:
+            del self.counts[t]
+            del self.errs[t]
+        self._floor = max(getattr(self, "_floor", 0), floor)
+
+    def offer(self, key: str, n: int) -> None:
+        if key in self.counts:
+            self.counts[key] += n
+            return
+        floor = getattr(self, "_floor", 0)
+        if len(self.counts) < self.capacity and floor == 0:
+            self.counts[key] = n
+            self.errs[key] = 0
+            return
+        if len(self.counts) < self.capacity:
+            self.counts[key] = floor + n
+            self.errs[key] = floor
+            return
+        victim = min(self.counts, key=lambda t: (self.counts[t], t))
+        m = self.counts.pop(victim)
+        self.errs.pop(victim)
+        self.counts[key] = m + n
+        self.errs[key] = m
+
+    def update(self, keys, counts) -> "SpaceSaving":
+        for key, n in zip(keys, counts):
+            self.offer(key, int(n))
+        return self
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        out = SpaceSaving(self.capacity)
+        out.counts = dict(self.counts)
+        out.errs = dict(self.errs)
+        for key, n in other.counts.items():
+            if key in out.counts:
+                out.counts[key] += n
+                out.errs[key] += other.errs[key]
+            else:
+                out.counts[key] = n
+                out.errs[key] = other.errs[key]
+        out._floor = max(getattr(self, "_floor", 0), getattr(other, "_floor", 0))
+        out._evict_to_capacity()
+        return out
+
+    def top(self, k: int) -> list[tuple[str, int, int]]:
+        order = sorted(self.counts, key=lambda t: (-self.counts[t], t))[:k]
+        return [(t, self.counts[t], self.errs[t]) for t in order]
+
+
+def heavy_hitters_approx(ds, column: str, k: int = 20, capacity: int = 1 << 15):
+    """Top-k heavy hitters via Space-Saving summaries folded inside
+    Ray's aggregation tree (one summary per block, merged on workers —
+    the driver receives ONE capacity-bounded summary).  Returns
+    [(key, count, err), ...] ranked by (count desc, key asc); err == 0
+    everywhere means the answer is exact (no eviction happened)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import AggregateFn
+
+    def accumulate(acc: SpaceSaving, block) -> SpaceSaving:
+        vc = pc.value_counts(block[column])
+        return acc.update(vc.field("values").to_pylist(), vc.field("counts").to_numpy())
+
+    agg = AggregateFn(
+        init=lambda _key: SpaceSaving(capacity),
+        accumulate_block=accumulate,
+        merge=lambda a, b: a.merge(b),
+        finalize=lambda acc: acc.top(k),
+        name="heavy_hitters",
+    )
+    return ds.aggregate(agg)["heavy_hitters"]
+
+
 def distinct_count_approx(ds, column: str, k: int = 1024) -> float:
     """Approximate COUNT(DISTINCT column) via KMV sketches folded inside
     Ray's aggregation tree (``Dataset.aggregate`` with a custom

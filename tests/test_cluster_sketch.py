@@ -1,0 +1,137 @@
+"""Tests for the dedup last-mile operators: connected components /
+cluster assignment, deterministic bloom dedup (ST3 parity), the
+mergeable Space-Saving heavy-hitter sketch, and batched multi-query
+ANN."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from plasmap_ray import golden
+from plasmap_ray.pipelines import ann, cluster
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(ray_session):
+    # a long path (forces several propagation rounds), a clique, a pair
+    edges = [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15)]
+    edges += [(20, 21), (20, 22), (21, 22)]
+    edges += [(30, 31)]
+    t = pa.table(
+        {
+            "doc_a": pa.array([a for a, _ in edges], type=pa.int64()),
+            "doc_b": pa.array([b for _, b in edges], type=pa.int64()),
+        }
+    )
+    got = {
+        int(r["node"]): int(r["label"])
+        for r in cluster.connected_components(rd.from_arrow(t), num_partitions=2).take_all()
+    }
+    assert got == _union_find(edges)
+
+
+def test_near_dup_clusters_invariants(ray_session):
+    df = cluster.near_dup_clusters(SF0001).to_pandas()
+    docs = pq.read_table(f"{SF0001}/documents.parquet", columns=["doc_id"])
+    assert len(df) == docs.num_rows  # every doc assigned, incl. singletons
+    # survivor = cluster min; one survivor per cluster
+    mins = df.groupby("cluster_id")["doc_id"].min().sort_index()
+    survivors = df[df.keep].set_index("cluster_id")["doc_id"].sort_index()
+    assert mins.index.equals(survivors.index)
+    assert (mins.to_numpy() == survivors.to_numpy()).all()
+    assert df.keep.sum() == df.cluster_id.nunique()
+    # matches the union-find golden recompute
+    exp = pq.read_table(golden.near_dup_clusters_path(SF0001)).to_pandas()
+    got = df.sort_values("doc_id").reset_index(drop=True)
+    assert (got["cluster_id"].to_numpy() == exp["cluster_id"].to_numpy()).all()
+
+
+def test_bloom_dedup_deterministic_and_first_wins(ray_session):
+    df = cluster.bloom_dedup(SF0001, 1000, 0.01, 8).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # first occurrence of every key is always kept (no false drop can
+    # hit the first row of a key within its partition scan)
+    firsts = df.groupby("dup_key")["doc_id"].min()
+    kept_ids = set(df[df.kept]["doc_id"])
+    assert set(firsts).issubset(kept_ids)
+    # exact later-duplicates are dropped with false_drop == False
+    later_dups = df.merge(firsts.rename("first_id"), on="dup_key")
+    later_dups = later_dups[later_dups.doc_id != later_dups.first_id]
+    assert (~later_dups.kept).all()
+    assert (~later_dups.false_drop).all()
+    # matches the pure-Python golden recompute bit-for-bit
+    exp = pq.read_table(golden.bloom_dedup_path(SF0001, 1000, 0.01, 8)).to_pandas()
+    for c in ["doc_id", "dup_key", "kept", "false_drop"]:
+        assert (df[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_space_saving_exact_under_capacity():
+    from plasmap_ray.stages.sketch import SpaceSaving
+
+    rng = np.random.default_rng(3)
+    stream = rng.choice([f"t{i}" for i in range(50)], p=np.linspace(1, 5, 50) / np.linspace(1, 5, 50).sum(), size=5000)
+    truth = collections.Counter(stream)
+    # sharded accumulate + tree merge, capacity > vocabulary -> exact
+    parts = [SpaceSaving(64) for _ in range(7)]
+    for i, tok in enumerate(stream):
+        parts[i % 7].offer(str(tok), 1)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    top = merged.top(10)
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(t, c) for t, c, e in top] == want
+    assert all(e == 0 for _, _, e in top)
+
+
+def test_space_saving_error_bound_under_eviction():
+    from plasmap_ray.stages.sketch import SpaceSaving
+
+    rng = np.random.default_rng(11)
+    stream = ["hot"] * 500 + [f"cold{i}" for i in rng.integers(0, 400, size=1500)]
+    rng.shuffle(stream)
+    sk = SpaceSaving(32)
+    for tok in stream:
+        sk.offer(tok, 1)
+    truth = collections.Counter(stream)
+    for tok, count, err in sk.top(5):
+        assert count >= truth[tok] >= count - err  # classic SS bracket
+    # the heavy key survives eviction pressure
+    assert sk.top(1)[0][0] == "hot"
+
+
+def test_ann_multi_topk_matches_brute(ray_session):
+    vec_ids = (1, 2, 3)
+    k = 5
+    got = ann.ann_multi_topk(SF0001, k=k, vec_ids=vec_ids).to_pandas()
+    t = pq.read_table(f"{SF0001}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    for qid in vec_ids:
+        q = m[list(ids).index(qid)]
+        sims = (m @ (q / np.linalg.norm(q))) / np.where(norms == 0, 1.0, norms)
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -sims[mask]))[:k]
+        want = ids[mask][order].tolist()
+        sub = got[got.query_vec_id == qid].sort_values("sim_rank")
+        assert sub["vec_id"].tolist() == want

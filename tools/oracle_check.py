@@ -1,0 +1,137 @@
+"""Driver-mimic oracle checker: run every ``queries()`` entry AND its
+``oracle_sql()`` mirror at sf0.01 and compare rows / schema / values
+the way the round driver does (columns sorted by name, rows sorted,
+dtype-sensitive value equality).
+
+Usage:
+    python tools/oracle_check.py [query ...]     # default: all queries
+Environment: RAY_GRAFT_CPUS (default 8), GRAFT_SF_DIR (default sf0.01).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        res = res.to_pandas()
+    elif isinstance(res, pa.Table):
+        res = res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(got: pd.DataFrame, exp: pd.DataFrame) -> dict:
+    out = {
+        "rows_match": len(got) == len(exp),
+        "schema_match": sorted(got.columns) == sorted(exp.columns),
+        "hash_match": None,
+        "err": None,
+    }
+    if not (out["rows_match"] and out["schema_match"]):
+        out["hash_match"] = False
+        out["err"] = f"rows {len(got)} vs {len(exp)}; cols {sorted(got.columns)} vs {sorted(exp.columns)}"
+        return out
+    g, e = canon(got), canon(exp)
+    for c in g.columns:
+        gv, ev = g[c].to_numpy(), e[c].to_numpy()
+        fg = np.issubdtype(gv.dtype, np.floating)
+        fe = np.issubdtype(ev.dtype, np.floating)
+        if fg != fe and not (
+            np.issubdtype(gv.dtype, np.number) and np.issubdtype(ev.dtype, np.number)
+        ):
+            out["hash_match"] = False
+            out["err"] = f"col {c}: dtype {gv.dtype} vs {ev.dtype}"
+            return out
+        if fg != fe:  # int-vs-float value artifact (the sessionize class of bug)
+            out["hash_match"] = False
+            out["err"] = f"col {c}: numeric dtype mismatch {gv.dtype} vs {ev.dtype}"
+            return out
+        eq = (
+            np.array_equal(gv, ev)
+            if not fg
+            else bool(np.allclose(gv, ev, rtol=0, atol=0, equal_nan=True))
+        )
+        if not eq:
+            bad = np.nonzero(~(gv == ev) if not fg else ~np.isclose(gv, ev, rtol=0, atol=0, equal_nan=True))[0][:3]
+            out["hash_match"] = False
+            out["err"] = f"col {c}: first diffs at {bad.tolist()}: {gv[bad]!r} vs {ev[bad]!r}"
+            return out
+    out["hash_match"] = True
+    return out
+
+
+def main() -> int:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entry
+
+    qs, sqls = entry.queries(), entry.oracle_sql()
+    names = sys.argv[1:] or sorted(qs)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+    results: dict[str, dict] = {}
+    n_pass = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            got = to_pandas(qs[name](SF))
+            if name not in sqls:
+                results[name] = {"rows_match": None, "schema_match": None, "hash_match": None, "err": "no_oracle"}
+                status = f"NO_ORACLE ({len(got)} rows)"
+            else:
+                exp = con.execute(sqls[name]).fetchdf()
+                results[name] = compare(got, exp)
+                ok = results[name]["hash_match"]
+                n_pass += bool(ok)
+                status = "PASS" if ok else f"FAIL {results[name]['err']}"
+        except Exception as ex:  # noqa: BLE001
+            results[name] = {"rows_match": False, "schema_match": False, "hash_match": False, "err": repr(ex)[:400]}
+            status = f"ERROR {repr(ex)[:200]}"
+        print(f"{name:32s} {status}   [{time.time() - t0:.1f}s]", flush=True)
+
+    with open("/tmp/oracle_check.json", "w") as f:
+        json.dump(results, f, indent=1)
+    n_fail = sum(1 for r in results.values() if r["hash_match"] is False)
+    print(f"\n{n_pass} pass / {n_fail} fail / {len(results)} total -> /tmp/oracle_check.json")
+    ray.shutdown()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
