@@ -237,8 +237,9 @@ def run_queries() -> dict:
 
     # J1 way assembly at volume: synthetic chained ways (explode ->
     # node-id hash join -> key-sharded batched regroup); judge-requested
-    # throughput row for the batched regroup
-    def way_assembly():
+    # throughput row for the batched regroup.  Inputs are generated AND
+    # MATERIALIZED untimed so the row measures the assembly DAG itself.
+    if not only or "way_assembly" in only:
         import numpy as np
         import pyarrow as pa
 
@@ -258,8 +259,10 @@ def run_queries() -> dict:
                 }
             )
 
-        nodes = rd.range(n_ways * nds_per + 1, override_num_blocks=blocks).map_batches(
-            gen_nodes, batch_format="pyarrow"
+        nodes = (
+            rd.range(n_ways * nds_per + 1, override_num_blocks=blocks)
+            .map_batches(gen_nodes, batch_format="pyarrow")
+            .materialize()
         )
 
         def gen_ways(t: pa.Table) -> pa.Table:
@@ -273,12 +276,18 @@ def run_queries() -> dict:
                 }
             )
 
-        ways = rd.range(n_ways, override_num_blocks=blocks).map_batches(gen_ways, batch_format="pyarrow")
-        return denormalize.assemble_ways(
-            nodes, ways, num_partitions=max(8, NUM_CPUS // 2), parts=max(64, NUM_CPUS * 4)
-        ).count()
+        ways = (
+            rd.range(n_ways, override_num_blocks=blocks)
+            .map_batches(gen_ways, batch_format="pyarrow")
+            .materialize()
+        )
 
-    timed("way_assembly", way_assembly)
+        def way_assembly():
+            return denormalize.assemble_ways(
+                nodes, ways, num_partitions=max(8, NUM_CPUS // 2), parts=max(64, NUM_CPUS * 4)
+            ).count()
+
+        timed("way_assembly", way_assembly)
 
     flagship_sec = times.get("image_flagship", 0.0)
     result = {

@@ -91,6 +91,12 @@ def connected_components(
     needs "changed vs unchanged").
     """
     edges = _sym_edges(pairs, a_col, b_col).materialize()
+    if edges.count() == 0:
+        # no edges -> no paired nodes; a typed empty (node, label) table
+        # keeps downstream joins schema-stable
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], type=pa.int64()), "label": pa.array([], type=pa.int64())})
+        )
 
     labels = edges.groupby("src").aggregate(Min("dst", alias_name="nbr_min"))
 
@@ -138,6 +144,18 @@ def near_dup_clusters(sf_dir: str, sim_threshold: float = 0.8) -> rd.Dataset:
     pairs = minhash_near_dup(sf_dir, sim_threshold=sim_threshold)
     cc = connected_components(pairs)
     docs = _read_docs(sf_dir, ["doc_id"])
+    if cc.count() == 0:  # no near-dups: every doc is its own singleton
+
+        def singletons(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "cluster_id": t["doc_id"],
+                    "keep": pa.array(np.ones(t.num_rows, dtype=bool)),
+                }
+            )
+
+        return docs.map_batches(singletons, batch_format="pyarrow")
     j = docs.join(cc, join_type="left_outer", num_partitions=8, on=("doc_id",), right_on=("node",))
 
     def finish(t: pa.Table) -> pa.Table:

@@ -50,6 +50,36 @@ def test_connected_components_matches_union_find(ray_session):
     assert got == _union_find(edges)
 
 
+def test_connected_components_empty_edges(ray_session):
+    empty = pa.table(
+        {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
+    )
+    out = cluster.connected_components(rd.from_arrow(empty))
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node", "label"}
+
+
+def test_near_dup_clusters_no_pairs(ray_session, tmp_path):
+    # a corpus with pairwise-distinct texts -> every doc is a singleton
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha bravo charlie delta echo foxtrot",
+                    "golf hotel india juliet kilo lima",
+                    "mike november oscar papa quebec romeo",
+                    "sierra tango uniform victor whiskey xray",
+                ]
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    df = cluster.near_dup_clusters(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert (df["cluster_id"].to_numpy() == df["doc_id"].to_numpy()).all()
+    assert df["keep"].all()
+
+
 def test_near_dup_clusters_invariants(ray_session):
     df = cluster.near_dup_clusters(SF0001).to_pandas()
     docs = pq.read_table(f"{SF0001}/documents.parquet", columns=["doc_id"])
