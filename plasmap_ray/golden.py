@@ -535,6 +535,59 @@ def tile_raster_path(sf_dir: str, z: int = 10, tile_px: int = 16) -> str:
     return _cache(f"tile_raster_{_sf_tag(sf_dir)}_z{z}_p{tile_px}", build)
 
 
+def raster_vector_path(sf_dir: str, z: int = 10, tile_px: int = 16) -> str:
+    """Expected raster->vector features, recomputed WITHOUT the codec
+    round-trip (grids binned directly from the fixture points — the
+    engine's encode->decode is lossless pngz, so the decoded grid must
+    equal the direct one; a codec bug would surface as a diff here)."""
+
+    def build() -> pa.Table:
+        from . import fixtures, tiles
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        ids = t["doc_id"].to_numpy()
+        lon = fixtures.derive_lon(ids)
+        lat = fixtures.derive_lat(ids)
+        x, y = tiles.tile_xy(lon, lat, z)
+        n = np.int64(1) << z
+        u = (lon + 180.0) / 360.0 * n - x
+        lat_c = np.clip(lat, -tiles.MERC_LAT_LIMIT, tiles.MERC_LAT_LIMIT)
+        merc = (1.0 - np.arcsinh(np.tan(np.radians(lat_c))) / np.pi) / 2.0 * n - y
+        px = np.clip(np.floor(u * tile_px), 0, tile_px - 1).astype(np.int64)
+        py = np.clip(np.floor(merc * tile_px), 0, tile_px - 1).astype(np.int64)
+        key = (x << np.int64(32)) | y
+        pix = py * tile_px + px
+        rows = {k: [] for k in ("x", "y", "px", "py", "n_points", "lon", "lat")}
+        for k in np.unique(key):
+            sel = key == k
+            counts = np.minimum(np.bincount(pix[sel], minlength=tile_px * tile_px), 255)
+            ppy, ppx = np.nonzero(counts.reshape(tile_px, tile_px))
+            tx, ty = int(k >> np.int64(32)), int(k & np.int64(0xFFFFFFFF))
+            X = tx + (ppx + 0.5) / tile_px
+            Y = ty + (ppy + 0.5) / tile_px
+            rows["x"].append(np.full(len(ppx), tx, dtype=np.int64))
+            rows["y"].append(np.full(len(ppx), ty, dtype=np.int64))
+            rows["px"].append(ppx.astype(np.int64))
+            rows["py"].append(ppy.astype(np.int64))
+            rows["n_points"].append(counts.reshape(tile_px, tile_px)[ppy, ppx].astype(np.int64))
+            rows["lon"].append(X / n * 360.0 - 180.0)
+            rows["lat"].append(np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * Y / n)))))
+        return pa.table(
+            {
+                "x": pa.array(np.concatenate(rows["x"]), type=pa.int64()),
+                "y": pa.array(np.concatenate(rows["y"]), type=pa.int64()),
+                "px": pa.array(np.concatenate(rows["px"]), type=pa.int64()),
+                "py": pa.array(np.concatenate(rows["py"]), type=pa.int64()),
+                "n_points": pa.array(np.concatenate(rows["n_points"]), type=pa.int64()),
+                "lon": pa.array(duckdb_round(np.concatenate(rows["lon"]), 9), type=pa.float64()),
+                "lat": pa.array(duckdb_round(np.concatenate(rows["lat"]), 9), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"raster_vector_{_sf_tag(sf_dir)}_z{z}_p{tile_px}", build)
+
+
 # ---------------------------------------------------------------------------
 # Image goldens (local per-row kernel over the same cached parquet)
 # ---------------------------------------------------------------------------

@@ -55,7 +55,7 @@ def _explode_bins(batch: pa.Table, z: int, tile_px: int) -> pa.Table:
     )
 
 
-def _render_shard(g: pd.DataFrame, z: int, tile_px: int) -> pd.DataFrame:
+def _render_shard(g: pd.DataFrame, z: int, tile_px: int, keep_payload: bool = False) -> pd.DataFrame:
     g = g.sort_values(["tile_key", "pix"], kind="mergesort")
     keys = g["tile_key"].to_numpy()
     pix = g["pix"].to_numpy()
@@ -63,6 +63,7 @@ def _render_shard(g: pd.DataFrame, z: int, tile_px: int) -> pd.DataFrame:
     starts = np.concatenate([[0], bounds])
     ends = np.concatenate([bounds, [len(keys)]])
     out = {"x": [], "y": [], "n_points": [], "n_bytes": [], "payload_md5": [], "pixel_sum": []}
+    payloads: list[bytes] = []
     for s, e in zip(starts, ends):
         key = int(keys[s])
         counts = np.bincount(pix[s:e], minlength=tile_px * tile_px)
@@ -75,7 +76,9 @@ def _render_shard(g: pd.DataFrame, z: int, tile_px: int) -> pd.DataFrame:
         out["n_bytes"].append(len(payload))
         out["payload_md5"].append(hashlib.md5(payload).hexdigest())
         out["pixel_sum"].append(int(grid.sum(dtype=np.int64)) * 3)
-    return pd.DataFrame(
+        if keep_payload:
+            payloads.append(payload)
+    df = pd.DataFrame(
         {
             "x": pd.Series(out["x"], dtype=np.int64),
             "y": pd.Series(out["y"], dtype=np.int64),
@@ -85,20 +88,106 @@ def _render_shard(g: pd.DataFrame, z: int, tile_px: int) -> pd.DataFrame:
             "pixel_sum": pd.Series(out["pixel_sum"], dtype=np.int64),
         }
     )
+    if keep_payload:
+        df["payload"] = pd.Series(payloads, dtype=object)
+    return df
 
 
-def tile_raster_pipeline(sf_dir: str, z: int = 10, tile_px: int = 16) -> rd.Dataset:
+def tile_raster_pipeline(
+    sf_dir: str, z: int = 10, tile_px: int = 16, keep_payload: bool = False
+) -> rd.Dataset:
     """Render every non-empty z-level tile as a pngz heat image; output
     one row of tile metadata per rendered tile (z, x, y, n_points,
     n_bytes, payload_md5, pixel_sum) — the md5 pins the encoded BYTES,
-    so the oracle checks the full raster path end-to-end."""
+    so the oracle checks the full raster path end-to-end.
+
+    ``keep_payload=True`` additionally carries the encoded tile bytes
+    (the input side of :func:`raster_to_vector`)."""
     pts = points_from_documents(sf_dir)
     exploded = pts.map_batches(functools.partial(_explode_bins, z=z, tile_px=tile_px), batch_format="pyarrow")
     rendered = exploded.groupby("shard").map_groups(
-        functools.partial(_render_shard, z=z, tile_px=tile_px), batch_format="pandas"
+        functools.partial(_render_shard, z=z, tile_px=tile_px, keep_payload=keep_payload),
+        batch_format="pandas",
     )
 
     def add_z(t: pa.Table) -> pa.Table:
         return t.append_column("z", pa.array(np.full(t.num_rows, z, dtype=np.int64)))
 
     return rendered.map_batches(add_z, batch_format="pyarrow")
+
+
+class TileVectorize:
+    """Actor-pool stage: raster -> vector.  Decode each tile image
+    through the engine codec and emit one feature row per NON-ZERO
+    pixel with its geographic centroid (inverse Web-Mercator of the
+    pixel center) and count — the reverse leg of the raster↔vector
+    loop (GeoJSON-able via sources.geojson.points_to_geojson).
+    """
+
+    def __init__(self, z: int, tile_px: int):
+        self.z = z
+        self.tile_px = tile_px
+        self.n = np.int64(1) << z
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px_n = self.tile_px
+        out = {k: [] for k in ("x", "y", "px", "py", "n_points", "lon", "lat")}
+        for i in range(batch.num_rows):
+            rgb = codecs.decode_image(batch["payload"][i].as_py(), px_n, px_n, "pngz")
+            grid = rgb[:, :, 0].astype(np.int64)  # grayscale heat: R=G=B
+            py, px = np.nonzero(grid)
+            if len(px) == 0:
+                continue
+            x = int(batch["x"][i].as_py())
+            y = int(batch["y"][i].as_py())
+            X = x + (px + 0.5) / px_n
+            Y = y + (py + 0.5) / px_n
+            out["x"].append(np.full(len(px), x, dtype=np.int64))
+            out["y"].append(np.full(len(px), y, dtype=np.int64))
+            out["px"].append(px.astype(np.int64))
+            out["py"].append(py.astype(np.int64))
+            out["n_points"].append(grid[py, px])
+            out["lon"].append(X / self.n * 360.0 - 180.0)
+            out["lat"].append(np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * Y / self.n)))))
+        if not out["x"]:
+            return pa.table(
+                {
+                    "x": pa.array([], type=pa.int64()),
+                    "y": pa.array([], type=pa.int64()),
+                    "px": pa.array([], type=pa.int64()),
+                    "py": pa.array([], type=pa.int64()),
+                    "n_points": pa.array([], type=pa.int64()),
+                    "lon": pa.array([], type=pa.float64()),
+                    "lat": pa.array([], type=pa.float64()),
+                }
+            )
+        from ..stages.common import duckdb_round
+
+        return pa.table(
+            {
+                "x": pa.array(np.concatenate(out["x"]), type=pa.int64()),
+                "y": pa.array(np.concatenate(out["y"]), type=pa.int64()),
+                "px": pa.array(np.concatenate(out["px"]), type=pa.int64()),
+                "py": pa.array(np.concatenate(out["py"]), type=pa.int64()),
+                "n_points": pa.array(np.concatenate(out["n_points"]), type=pa.int64()),
+                "lon": pa.array(duckdb_round(np.concatenate(out["lon"]), 9), type=pa.float64()),
+                "lat": pa.array(duckdb_round(np.concatenate(out["lat"]), 9), type=pa.float64()),
+            }
+        )
+
+
+def raster_to_vector(sf_dir: str, z: int = 10, tile_px: int = 16) -> rd.Dataset:
+    """Raster -> vector: render the z-level tile layer, then DECODE the
+    tile images back into per-pixel point features (x, y, px, py,
+    n_points, lon, lat) — centroid coordinates from the inverse
+    Web-Mercator of each pixel center, counts from the decoded pixel
+    values.  At scale the decode is an actor-pool map over the stored
+    tile table (tiles stream; no extra shuffle beyond the render's)."""
+    rendered = tile_raster_pipeline(sf_dir, z=z, tile_px=tile_px, keep_payload=True)
+    return rendered.map_batches(
+        TileVectorize,
+        fn_constructor_kwargs=dict(z=z, tile_px=tile_px),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 8),
+    )

@@ -196,3 +196,20 @@ def test_tile_raster_render_roundtrip(ray_session):
     assert hashlib.md5(payload).hexdigest() == top["payload_md5"]
     decoded = codecs.decode_image(payload, 16, 16, "pngz")
     assert np.array_equal(decoded[:, :, 0], grid)
+
+
+def test_raster_to_vector_roundtrip(ray_session):
+    """raster -> vector inverts the render: per-pixel counts decoded
+    from the tile images sum back to the corpus size (no clipping at
+    this density) and every centroid lies inside its pixel's tile."""
+    from plasmap_ray.pipelines import raster, spatial
+    from plasmap_ray import tiles
+
+    sf = "/root/testdata/sf0.001"
+    vec = raster.raster_to_vector(sf, z=10).to_pandas()
+    n_docs = pq.read_metadata(os.path.join(sf, "documents.parquet")).num_rows
+    assert vec["n_points"].sum() == n_docs
+    # each centroid maps back to its own tile and pixel
+    x, y = tiles.tile_xy(vec["lon"].to_numpy(), vec["lat"].to_numpy(), 10)
+    assert np.array_equal(x, vec["x"].to_numpy())
+    assert np.array_equal(y, vec["y"].to_numpy())
