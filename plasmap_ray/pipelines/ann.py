@@ -49,6 +49,10 @@ def _emb_matrix(batch: pa.Table) -> np.ndarray:
     col = batch["embedding"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if batch.num_rows == 0:
+        # reshape(0, -1) raises; recover dim from the list type if fixed
+        dim = getattr(col.type, "list_size", None) or 0
+        return np.empty((0, dim), dtype=np.float64)
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(batch.num_rows, -1)
 

@@ -156,7 +156,9 @@ def near_dup_clusters(sf_dir: str, sim_threshold: float = 0.8) -> rd.Dataset:
             )
 
         return docs.map_batches(singletons, batch_format="pyarrow")
-    j = docs.join(cc, join_type="left_outer", num_partitions=8, on=("doc_id",), right_on=("node",))
+    j = docs.join(
+        cc, join_type="left_outer", num_partitions=CC_JOIN_PARTITIONS, on=("doc_id",), right_on=("node",)
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         cluster = pc.coalesce(pc.cast(t["label"], pa.int64()), t["doc_id"])

@@ -106,7 +106,7 @@ def quality_pipeline(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(TextQuality, batch_format="pandas", batch_size=2048, concurrency=(1, 8))
 
 
-def heavy_hitters(sf_dir: str, k: int = 20, capacity: int = 1 << 15) -> pa.Table:
+def heavy_hitters(sf_dir: str, k: int = 20, capacity: int = 1 << 15) -> rd.Dataset:
     """Top-k most frequent tokens via a mergeable Space-Saving sketch
     (A4's heavy-hitter sibling: bounded-state summaries folded inside
     Ray's aggregation tree — the driver receives ONE summary, never the
@@ -130,13 +130,17 @@ def heavy_hitters(sf_dir: str, k: int = 20, capacity: int = 1 << 15) -> pa.Table
         return pa.table({"token": toks.flatten()})
 
     top = heavy_hitters_approx(ds.map_batches(tokens, batch_format="pyarrow"), "token", k=k, capacity=capacity)
-    return pa.table(
-        {
-            "hh_rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
-            "token": pa.array([t for t, _, _ in top], type=pa.string()),
-            "n": pa.array([c for _, c, _ in top], type=pa.int64()),
-            "max_err": pa.array([e for _, _, e in top], type=pa.int64()),
-        }
+    # wrap the k-row result as a Dataset: every queries() entry is
+    # fn(sf_dir) -> Dataset (driver contract)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "hh_rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+                "token": pa.array([t for t, _, _ in top], type=pa.string()),
+                "n": pa.array([c for _, c, _ in top], type=pa.int64()),
+                "max_err": pa.array([e for _, _, e in top], type=pa.int64()),
+            }
+        )
     )
 
 

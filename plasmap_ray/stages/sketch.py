@@ -74,38 +74,73 @@ class SpaceSaving:
         self.capacity = capacity
         self.counts: dict[str, int] = {}
         self.errs: dict[str, int] = {}
+        # upper bound on the true count of any key ABSENT from this
+        # summary (mass lost to merge truncation); eviction bounds come
+        # from the min counter, per the classic SS invariant
+        self._floor = 0
+        self._heap: list[tuple[int, str]] = []  # lazy (count, key) min-heap
+
+    def absent_bound(self) -> int:
+        """Upper bound on the true count of a key NOT in this summary:
+        the min counter once the summary is saturated (any evicted key
+        left with at most that), else the truncation floor."""
+        if len(self.counts) >= self.capacity and self.counts:
+            return max(self._floor, min(self.counts.values()))
+        return self._floor
 
     def _evict_to_capacity(self) -> None:
         if len(self.counts) <= self.capacity:
             return
         # keep the top-capacity by (count desc, key asc); every dropped
-        # counter inflates the floor future inserts start from
+        # counter raises the absent-key floor (dropped counts <= kept)
         order = sorted(self.counts, key=lambda t: (-self.counts[t], t))
         dropped = order[self.capacity :]
         floor = max(self.counts[t] for t in dropped)
         for t in dropped:
             del self.counts[t]
             del self.errs[t]
-        self._floor = max(getattr(self, "_floor", 0), floor)
+        self._floor = max(self._floor, floor)
+        self._heap = []
+
+    def _pop_victim(self) -> tuple[str, int]:
+        """Current min counter via a lazy heap (stale entries skipped) —
+        O(log c) amortized instead of an O(c) dict scan per eviction."""
+        import heapq
+
+        if not self._heap:
+            self._heap = [(c, k) for k, c in self.counts.items()]
+            heapq.heapify(self._heap)
+        while True:
+            c, k = heapq.heappop(self._heap)
+            if self.counts.get(k) == c:
+                del self.counts[k]
+                del self.errs[k]
+                return k, c
 
     def offer(self, key: str, n: int) -> None:
+        import heapq
+
         if key in self.counts:
             self.counts[key] += n
+            if self._heap:
+                heapq.heappush(self._heap, (self.counts[key], key))
             return
-        floor = getattr(self, "_floor", 0)
-        if len(self.counts) < self.capacity and floor == 0:
+        if len(self.counts) < self.capacity and self._floor == 0:
             self.counts[key] = n
             self.errs[key] = 0
+            if self._heap:
+                heapq.heappush(self._heap, (n, key))
             return
         if len(self.counts) < self.capacity:
-            self.counts[key] = floor + n
-            self.errs[key] = floor
+            self.counts[key] = self._floor + n
+            self.errs[key] = self._floor
+            if self._heap:
+                heapq.heappush(self._heap, (self.counts[key], key))
             return
-        victim = min(self.counts, key=lambda t: (self.counts[t], t))
-        m = self.counts.pop(victim)
-        self.errs.pop(victim)
+        _victim, m = self._pop_victim()
         self.counts[key] = m + n
         self.errs[key] = m
+        heapq.heappush(self._heap, (m + n, key))
 
     def update(self, keys, counts) -> "SpaceSaving":
         for key, n in zip(keys, counts):
@@ -113,17 +148,29 @@ class SpaceSaving:
         return self
 
     def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        """Guarantee-preserving merge: a key present in only one summary
+        may have accumulated up to the OTHER side's absent_bound there,
+        so that bound is added to both its count (upper bound) and its
+        err (uncertainty).  Keys absent from both can total up to
+        bound_a + bound_b — the merged floor is additive."""
+        bound_self = self.absent_bound()
+        bound_other = other.absent_bound()
         out = SpaceSaving(self.capacity)
         out.counts = dict(self.counts)
         out.errs = dict(self.errs)
+        if bound_other:
+            for key in out.counts:
+                out.counts[key] += bound_other
+                out.errs[key] += bound_other
         for key, n in other.counts.items():
             if key in out.counts:
-                out.counts[key] += n
-                out.errs[key] += other.errs[key]
+                # undo the conservative bound_other: the key WAS present
+                out.counts[key] += n - bound_other
+                out.errs[key] += other.errs[key] - bound_other
             else:
-                out.counts[key] = n
-                out.errs[key] = other.errs[key]
-        out._floor = max(getattr(self, "_floor", 0), getattr(other, "_floor", 0))
+                out.counts[key] = n + bound_self
+                out.errs[key] = other.errs[key] + bound_self
+        out._floor = bound_self + bound_other
         out._evict_to_capacity()
         return out
 
