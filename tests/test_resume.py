@@ -95,3 +95,33 @@ def test_atomic_commit_no_partials(ray_session, images_dir, tmp_path):
         with open(os.path.join(pdir, "manifest.json")) as f:
             json.load(f)
     assert not glob.glob(os.path.join(out, "*.tmp"))
+
+
+def test_task_retry_after_worker_crash_is_exact(ray_session, tmp_path):
+    """Mid-pipeline worker death -> Ray retries the task and the result
+    is EXACTLY what an undisturbed run produces (kernels are pure
+    functions of their batch, so task retries are idempotent — the
+    property that makes lineage-based recovery safe at cluster scale)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    sentinel = str(tmp_path / "crashed_once")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy()
+        return pa.table({"id": pa.array(ids), "sq": pa.array(ids.astype(np.int64) ** 2)})
+
+    def crashy(t: pa.Table) -> pa.Table:
+        if not os.path.exists(sentinel):
+            with open(sentinel, "w") as f:
+                f.write("x")
+            os._exit(1)  # hard worker death, not an exception
+        return kernel(t)
+
+    want = sorted(r["sq"] for r in rd.range(5000, override_num_blocks=8).map_batches(kernel, batch_format="pyarrow").take_all())
+    got = sorted(r["sq"] for r in rd.range(5000, override_num_blocks=8).map_batches(crashy, batch_format="pyarrow").take_all())
+    assert os.path.exists(sentinel)  # the crash really happened
+    assert got == want
