@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": text.token_stats,
         "lang_histogram": text.lang_histogram,
         "text_quality": text.quality_pipeline,
+        "redact_pii": text.redact_pii,
         "doc_fingerprint": text.fingerprint,
         "search_by_token": lambda sf: index.search_by_token(sf, SEARCH_TOKEN),
         "search_ranked": lambda sf: index.search_ranked(sf, tokens=SEARCH_TOKENS, k=SEARCH_K),
@@ -356,6 +357,18 @@ d AS (SELECT token, count(DISTINCT doc_id) AS n_docs FROM toks GROUP BY token)
 SELECT token, n_docs FROM d WHERE n_docs >= 50""",
         "token_stats": """
 SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars FROM documents""",
+        "redact_pii": f"""
+WITH c1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{text.EMAIL_RE}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '{text.EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM documents),
+c2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '{text.PHONE_RE}')) AS BIGINT) AS n_phones,
+         regexp_replace(t1, '{text.PHONE_RE}', '<PHONE>', 'g') AS t2
+  FROM c1)
+SELECT doc_id, n_emails, n_phones, CAST(length(t2) AS BIGINT) AS clean_len FROM c2""",
         "lang_histogram": """
 SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars FROM documents GROUP BY lang""",
         "exact_dedup": """

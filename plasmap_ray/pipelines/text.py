@@ -144,6 +144,39 @@ def heavy_hitters(sf_dir: str, k: int = 20, capacity: int = 1 << 15) -> rd.Datas
     )
 
 
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\. ]{7,}[0-9]"
+
+
+def redact_pii(sf_dir: str) -> rd.Dataset:
+    """Training-data cleaning: redact email/phone-shaped spans and
+    report per-doc hit counts (the scrub every corpus pipeline runs
+    before tokenization).  Vectorized Arrow regex kernels
+    (``pc.count_substring_regex`` / ``pc.replace_substring_regex``) —
+    no Python-level row loop; patterns mirror the DuckDB oracle's
+    ``regexp_matches``/``regexp_replace(..., 'g')`` exactly.
+    Output: (doc_id, n_emails, n_phones, clean_len).
+    """
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_emails = pc.cast(pc.count_substring_regex(text, EMAIL_RE), pa.int64())
+        cleaned = pc.replace_substring_regex(text, EMAIL_RE, "<EMAIL>")
+        n_phones = pc.cast(pc.count_substring_regex(cleaned, PHONE_RE), pa.int64())
+        cleaned = pc.replace_substring_regex(cleaned, PHONE_RE, "<PHONE>")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_emails": n_emails,
+                "n_phones": n_phones,
+                "clean_len": pc.cast(pc.utf8_length(cleaned), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
 def fingerprint(sf_dir: str) -> rd.Dataset:
     """64-bit rolling-hash document fingerprint (content identity key).
 

@@ -188,3 +188,32 @@ def test_ann_multi_topk_matches_brute(ray_session):
         want = ids[mask][order].tolist()
         sub = got[got.query_vec_id == qid].sort_values("sim_rank")
         assert sub["vec_id"].tolist() == want
+
+
+def test_redact_pii_counts_and_redacts(ray_session, tmp_path):
+    """The fixture corpus contains no PII-shaped spans (the oracle row
+    is all-zero there), so exercise the kernel on planted emails/phones:
+    counts, replacement, and post-redaction length must all agree."""
+    from plasmap_ray.pipelines import text as text_pipe
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "contact alice@example.com or bob.smith+tag@mail.co.uk today",
+                    "call +1 (555) 123-4567 or 030 1234 5678 now",
+                    "clean text with no identifiers at all",
+                ]
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    df = text_pipe.redact_pii(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert df["n_emails"].tolist() == [2, 0, 0]
+    assert df["n_phones"].tolist() == [0, 2, 0]
+    # doc 3 untouched -> clean_len == original length
+    assert df["clean_len"][2] == len(t["text"][2].as_py())
+    # doc 1: both emails replaced by the 7-char token
+    orig = t["text"][0].as_py()
+    assert df["clean_len"][0] == len(orig) - len("alice@example.com") - len("bob.smith+tag@mail.co.uk") + 2 * len("<EMAIL>")
