@@ -21,7 +21,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from plasmap_ray import golden, oracle, queryast  # noqa: E402
-from plasmap_ray.pipelines import ann, cluster, dedup, denormalize, images, index, multimodal, raster, relational, spatial, text, windows  # noqa: E402
+from plasmap_ray.pipelines import ann, cluster, dedup, denormalize, images, index, multimodal, raster, relational, spatial, stats, text, windows  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 SF001 = "/root/testdata/sf0.01"
@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_rates": windows.event_type_rates,
         "events_union": windows.union_event_streams,
         "distinct_users": windows.distinct_users,
+        "value_quantiles": stats.value_quantiles,
+        "event_value_quantiles": stats.event_value_quantiles,
         "distinct_users_approx": windows.distinct_users_approx,
         # --- text analysis ---
         "token_stats": text.token_stats,
@@ -345,6 +347,14 @@ SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value FROM 
 WHERE event_type IN ('click', 'view') GROUP BY event_type""",
         "distinct_users": """
 SELECT COUNT(DISTINCT user_id) AS n_users FROM events""",
+        "value_quantiles": """
+SELECT CAST(0.5 AS DOUBLE) AS q, quantile_disc(value, 0.5) AS value FROM events
+UNION ALL SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events
+UNION ALL SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events""",
+        "event_value_quantiles": """
+SELECT event_type, CAST(0.5 AS DOUBLE) AS q, quantile_disc(value, 0.5) AS value FROM events GROUP BY event_type
+UNION ALL SELECT event_type, CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events GROUP BY event_type
+UNION ALL SELECT event_type, CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events GROUP BY event_type""",
         "search_by_token": f"""
 SELECT doc_id, lang, n_chars FROM documents
 WHERE list_contains(string_split(lower(text), ' '), '{SEARCH_TOKEN}')""",

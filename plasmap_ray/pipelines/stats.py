@@ -1,0 +1,137 @@
+"""Distributed EXACT quantiles — the scale-correct two-pass pattern.
+
+Naive exact quantiles need a global sort (all-to-all over every row) or
+a driver-side collect (doesn't scale).  The bin-refine pattern gets the
+exact answer with two cheap passes:
+
+  pass 1: per-batch histogram partials over ``bins`` fixed-width bins
+          -> groupby sum: ONE small table (bins rows) leaves the data.
+  locate: cumulative counts find, for each q, the bin holding the
+          ceil(q*n)-th smallest value (DuckDB ``quantile_disc``'s
+          index convention, verified empirically) and its in-bin rank.
+  pass 2: re-scan filtering to ONLY the (few) target bins — expected
+          n/bins rows per bin reach the driver, where the exact k-th
+          smallest is picked.  At 10^12 rows with 2^14 bins the refine
+          set is ~10^8 — recurse the same pattern per bin if that is
+          still too large (one extra pass per 10^4 reduction).
+
+Per-group quantiles (``event_value_quantiles``) use key-partitioned
+``groupby().map_groups`` instead — the per-key row count bounds task
+memory (the sessionize-shaped contract).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min
+
+
+def _read_events(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def _disc_rank(q: float, n: int) -> int:
+    """1-indexed rank of quantile_disc(q) over n values (DuckDB
+    convention: ceil(q*n), floored at 1)."""
+    return max(1, math.ceil(q * n))
+
+
+def value_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99), bins: int = 512) -> rd.Dataset:
+    """Exact global quantiles of events.value via histogram + refine.
+
+    Output: (q, value) — bit-identical to DuckDB ``quantile_disc``
+    (the result is an ELEMENT of the data, no interpolation artifacts).
+    """
+    ds = _read_events(sf_dir, ["value"])
+    stats = ds.aggregate(Count(), Min("value"), Max("value"))
+    n, vmin, vmax = int(stats["count()"]), float(stats["min(value)"]), float(stats["max(value)"])
+    if n == 0:
+        return rd.from_arrow(
+            pa.table({"q": pa.array([], type=pa.float64()), "value": pa.array([], type=pa.float64())})
+        )
+    width = (vmax - vmin) / bins or 1.0
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        b = np.clip(((v - vmin) / width).astype(np.int64), 0, bins - 1)
+        counts = np.bincount(b, minlength=bins)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {"bin": pa.array(nz.astype(np.int64)), "n_rows": pa.array(counts[nz].astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = {
+        int(r["bin"]): int(r["n_rows"])
+        for r in ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n_rows", alias_name="n_rows"))
+        .take_all()
+    }
+    cum = 0
+    cum_before: dict[int, int] = {}
+    for b in range(bins):
+        cum_before[b] = cum
+        cum += hist.get(b, 0)
+
+    targets: dict[int, list[tuple[float, int]]] = {}  # bin -> [(q, in-bin rank)]
+    for q in qs:
+        k = _disc_rank(q, n)
+        for b in range(bins):
+            if cum_before[b] + hist.get(b, 0) >= k:
+                targets.setdefault(b, []).append((q, k - cum_before[b]))
+                break
+
+    needed = sorted(targets)
+    needed_arr = np.array(needed, dtype=np.int64)
+
+    def refine(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        b = np.clip(((v - vmin) / width).astype(np.int64), 0, bins - 1)
+        mask = np.isin(b, needed_arr)
+        return pa.table(
+            {"bin": pa.array(b[mask].astype(np.int64)), "value": pa.array(v[mask], type=pa.float64())}
+        )
+
+    small = ds.map_batches(refine, batch_format="pyarrow").to_pandas()
+    out_q, out_v = [], []
+    for b in needed:
+        vals = np.sort(small[small["bin"] == b]["value"].to_numpy(), kind="stable")
+        for q, rank in targets[b]:
+            out_q.append(q)
+            out_v.append(float(vals[rank - 1]))
+    order = np.argsort(out_q, kind="stable")
+    return rd.from_arrow(
+        pa.table(
+            {
+                "q": pa.array(np.asarray(out_q, dtype=np.float64)[order]),
+                "value": pa.array(np.asarray(out_v, dtype=np.float64)[order]),
+            }
+        )
+    )
+
+
+def event_value_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> rd.Dataset:
+    """Per-event-type exact quantiles (key-partitioned map_groups; the
+    per-key row count bounds task memory).  Output (event_type, q, value)."""
+    ds = _read_events(sf_dir, ["event_type", "value"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(), kind="stable")
+        n = len(v)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]] * len(qs),
+                "q": np.asarray(qs, dtype=np.float64),
+                "value": [float(v[_disc_rank(q, n) - 1]) for q in qs],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(per_type, batch_format="pandas")

@@ -217,3 +217,27 @@ def test_redact_pii_counts_and_redacts(ray_session, tmp_path):
     # doc 1: both emails replaced by the 7-char token
     orig = t["text"][0].as_py()
     assert df["clean_len"][0] == len(orig) - len("alice@example.com") - len("bob.smith+tag@mail.co.uk") + 2 * len("<EMAIL>")
+
+
+def test_value_quantiles_bin_refine_exact(ray_session, tmp_path, monkeypatch):
+    """The two-pass bin-refine quantile equals a full sort on a skewed
+    corpus with heavy ties (including ties ACROSS bin boundaries)."""
+    from plasmap_ray.pipelines import stats
+
+    rng = np.random.default_rng(7)
+    v = np.concatenate(
+        [
+            rng.exponential(5.0, 5000).round(1),  # heavy ties after rounding
+            np.full(2000, 3.0),  # one massive tie run
+            rng.uniform(0, 100, 3000).round(0),
+        ]
+    )
+    t = pa.table({"event_type": pa.array(["x"] * len(v)), "value": pa.array(v, type=pa.float64()), "ts": pa.array(np.arange(len(v)))})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    qs = (0.1, 0.5, 0.9, 0.99)
+    got = stats.value_quantiles(str(tmp_path), qs=qs, bins=64).to_pandas().sort_values("q")
+    s = np.sort(v, kind="stable")
+    import math
+
+    want = [float(s[max(1, math.ceil(q * len(s))) - 1]) for q in qs]
+    assert got["value"].tolist() == want
