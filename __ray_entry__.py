@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_count": spatial.pip_count_pipeline,
         "tile_raster": lambda sf: raster.tile_raster_pipeline(sf, z=10),
         "raster_to_vector": lambda sf: raster.raster_to_vector(sf, z=10),
+        "boundary_simplify": raster.boundary_simplify_query,
         "cell_prefix_scan": spatial.cell_prefix_scan_pipeline,
         "knn_pois": lambda sf: spatial.knn_pipeline(sf, k=KNN_K),
         "radius_join": lambda sf: spatial.radius_pipeline(sf, radius_deg=RADIUS_DEG),
@@ -228,6 +229,11 @@ WHERE cell_low >= ({PREFIX_CELL} << 10) AND cell_low < (({PREFIX_CELL} + 1) << 1
         "tile_histogram_salted": tile_hist,
         "tile_raster": f"SELECT * FROM read_parquet('{golden.tile_raster_path(SF001, z=10)}')",
         "raster_to_vector": f"SELECT * FROM read_parquet('{golden.raster_vector_path(SF001, z=10)}')",
+        "boundary_simplify": (
+            "SELECT * FROM read_parquet('"
+            + golden.boundary_simplify_path(raster.SIMPLIFY_TOL, raster.DENSIFY_PER_EDGE)
+            + "')"
+        ),
         "pip_join": f"""
 WITH {_pts_cte()}
 SELECT doc_id, rel_id, admin_level FROM pts JOIN {rects}

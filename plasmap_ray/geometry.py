@@ -360,3 +360,43 @@ def assemble_rings(ways: list[np.ndarray]) -> list[np.ndarray]:
                 raise ValueError("open ring: ways do not chain into a closed ring")
         rings.append(cur[:-1])  # store open form (closure implied)
     return rings
+
+
+def simplify_polyline(coords: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker polyline simplification; returns the SORTED kept
+    indices (endpoints always kept).  Iterative stack (no recursion
+    depth limit); per-segment perpendicular distances are vectorized.
+
+    Rebuild extension for the tile-rendering path (the reference's tile
+    layer implies geometry generalization per zoom); deterministic:
+    ties split at the FIRST farthest vertex.
+    """
+    n = len(coords)
+    if n <= 2:
+        return np.arange(n, dtype=np.int64)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    x = coords[:, 0]
+    y = coords[:, 1]
+    while stack:
+        s, e = stack.pop()
+        if e - s < 2:
+            continue
+        dx = x[e] - x[s]
+        dy = y[e] - y[s]
+        px = x[s + 1 : e] - x[s]
+        py = y[s + 1 : e] - y[s]
+        norm = np.hypot(dx, dy)
+        if norm == 0.0:
+            # degenerate chord: distance to the (coincident) endpoints
+            d = np.hypot(px, py)
+        else:
+            d = np.abs(px * dy - py * dx) / norm
+        i = int(np.argmax(d))
+        if d[i] > tol:
+            split = s + 1 + i
+            keep[split] = True
+            stack.append((s, split))
+            stack.append((split, e))
+    return np.nonzero(keep)[0].astype(np.int64)

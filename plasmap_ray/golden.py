@@ -535,6 +535,35 @@ def tile_raster_path(sf_dir: str, z: int = 10, tile_px: int = 16) -> str:
     return _cache(f"tile_raster_{_sf_tag(sf_dir)}_z{z}_p{tile_px}", build)
 
 
+def boundary_simplify_path(tol: float, per_edge: int) -> str:
+    """Expected Douglas-Peucker results over the densified admin rings
+    (kernel call per ring, no Ray — the oracle pins the distributed
+    map_batches path; the corners-recovered invariant is additionally
+    asserted analytically in pytest)."""
+
+    def build() -> pa.Table:
+        from . import geometry
+        from .pipelines.raster import densified_boundary_rings
+
+        dense = densified_boundary_rings(per_edge)
+        n_dense, n_simpl = [], []
+        for i in range(dense.num_rows):
+            coords = np.column_stack([dense["lons"][i].as_py(), dense["lats"][i].as_py()])
+            keep = geometry.simplify_polyline(coords, tol)
+            n_dense.append(coords.shape[0])
+            n_simpl.append(len(keep))
+        return pa.table(
+            {
+                "rel_id": dense["rel_id"],
+                "n_densified": pa.array(n_dense, type=pa.int64()),
+                "n_simplified": pa.array(n_simpl, type=pa.int64()),
+                "n_corners": dense["n_corners"],
+            }
+        )
+
+    return _cache(f"boundary_simplify_t{tol}_e{per_edge}", build)
+
+
 def raster_vector_path(sf_dir: str, z: int = 10, tile_px: int = 16) -> str:
     """Expected raster->vector features, recomputed WITHOUT the codec
     round-trip (grids binned directly from the fixture points — the

@@ -176,6 +176,70 @@ class TileVectorize:
         )
 
 
+DENSIFY_PER_EDGE = 8
+SIMPLIFY_TOL = 1e-6  # degrees; interpolated points are EXACTLY collinear
+
+
+def densified_boundary_rings(per_edge: int = DENSIFY_PER_EDGE) -> pa.Table:
+    """The fixture admin rings with ``per_edge`` linearly interpolated
+    (exactly collinear) points inserted per edge — a deterministic
+    stand-in for high-resolution survey boundaries."""
+    from .. import fixtures
+
+    rows_id, rows_lons, rows_lats, rows_n = [], [], [], []
+    for p in fixtures.admin_polygons():
+        ring = np.asarray(p["outer"], dtype=np.float64)
+        if np.array_equal(ring[0], ring[-1]):
+            ring = ring[:-1]
+        t = (np.arange(per_edge + 1) / (per_edge + 1))[:, None]  # [0, 1)
+        nxt = np.roll(ring, -1, axis=0)
+        dense = (ring[:, None, :] * (1 - t[None]) + nxt[:, None, :] * t[None]).reshape(-1, 2)
+        dense = np.vstack([dense, ring[:1]])  # close
+        rows_id.append(p["rel_id"])
+        rows_lons.append(dense[:, 0])
+        rows_lats.append(dense[:, 1])
+        rows_n.append(ring.shape[0])
+    return pa.table(
+        {
+            "rel_id": pa.array(rows_id, type=pa.int64()),
+            "n_corners": pa.array(rows_n, type=pa.int64()),
+            "lons": pa.array([list(v) for v in rows_lons], type=pa.list_(pa.float64())),
+            "lats": pa.array([list(v) for v in rows_lats], type=pa.list_(pa.float64())),
+        }
+    )
+
+
+def boundary_simplify_query(sf_dir: str, tol: float = SIMPLIFY_TOL, per_edge: int = DENSIFY_PER_EDGE) -> rd.Dataset:
+    """Geometry generalization (Douglas-Peucker) over densified admin
+    rings: the interpolated points are exactly collinear, so
+    simplification must recover EXACTLY the original corners — a
+    self-checking invariant (asserted in pytest; golden-oracle checked
+    row-for-row).  Output: (rel_id, n_densified, n_simplified,
+    n_corners).  At scale this runs per-geometry inside map_batches —
+    embarrassingly parallel, no shuffle."""
+    from .. import geometry
+
+    dense = densified_boundary_rings(per_edge)
+
+    def simplify(t: pa.Table) -> pa.Table:
+        n_dense, n_simpl = [], []
+        for i in range(t.num_rows):
+            coords = np.column_stack([t["lons"][i].as_py(), t["lats"][i].as_py()])
+            keep = geometry.simplify_polyline(coords, tol)
+            n_dense.append(coords.shape[0])
+            n_simpl.append(len(keep))
+        return pa.table(
+            {
+                "rel_id": t["rel_id"],
+                "n_densified": pa.array(n_dense, type=pa.int64()),
+                "n_simplified": pa.array(n_simpl, type=pa.int64()),
+                "n_corners": t["n_corners"],
+            }
+        )
+
+    return rd.from_arrow(dense).map_batches(simplify, batch_format="pyarrow")
+
+
 def raster_to_vector(sf_dir: str, z: int = 10, tile_px: int = 16) -> rd.Dataset:
     """Raster -> vector: render the z-level tile layer, then DECODE the
     tile images back into per-pixel point features (x, y, px, py,

@@ -163,3 +163,31 @@ def test_ring_area_translation_invariant(pts):
     assume(a1 > 1e-3)
     a2 = geometry.ring_area(ring + np.array([100.0, -50.0]))
     assert a1 == pytest.approx(a2, rel=1e-9)
+
+
+def test_simplify_polyline_douglas_peucker():
+    import numpy as np
+
+    from plasmap_ray import geometry
+
+    # collinear run with one real corner and tiny noise
+    c = np.array([[0, 0], [1, 0.0], [2, 0.0], [3, 1.0], [4, 0.0]], dtype=float)
+    assert geometry.simplify_polyline(c, 0.1).tolist() == [0, 2, 3, 4]
+    assert geometry.simplify_polyline(c, 2.0).tolist() == [0, 4]
+    # endpoints always survive; <=2 points pass through
+    assert geometry.simplify_polyline(c[:2], 0.5).tolist() == [0, 1]
+    # degenerate closed chord (first == last) still splits at the
+    # farthest vertex instead of dividing by zero
+    ring = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)
+    kept = geometry.simplify_polyline(ring, 1e-9)
+    assert kept.tolist() == [0, 1, 2, 3, 4]
+
+
+def test_boundary_simplify_recovers_corners(ray_session):
+    from plasmap_ray.pipelines import raster
+
+    df = raster.boundary_simplify_query("/root/testdata/sf0.001").to_pandas()
+    # densified rings: interpolated points are exactly collinear, so
+    # Douglas-Peucker must recover the corners (plus the closing dup)
+    assert (df["n_simplified"] == df["n_corners"] + 1).all()
+    assert (df["n_densified"] > df["n_simplified"]).all()
