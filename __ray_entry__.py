@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_raster": lambda sf: raster.tile_raster_pipeline(sf, z=10),
         "raster_to_vector": lambda sf: raster.raster_to_vector(sf, z=10),
         "boundary_simplify": raster.boundary_simplify_query,
+        "zonal_stats": lambda sf: raster.zonal_stats(sf, z=10),
         "cell_prefix_scan": spatial.cell_prefix_scan_pipeline,
         "knn_pois": lambda sf: spatial.knn_pipeline(sf, k=KNN_K),
         "radius_join": lambda sf: spatial.radius_pipeline(sf, radius_deg=RADIUS_DEG),
@@ -234,6 +235,14 @@ WHERE cell_low >= ({PREFIX_CELL} << 10) AND cell_low < (({PREFIX_CELL} + 1) << 1
             + golden.boundary_simplify_path(raster.SIMPLIFY_TOL, raster.DENSIFY_PER_EDGE)
             + "')"
         ),
+        # raster×vector fusion: pixel features (golden raster_to_vector
+        # table — rounded centroids identical to the engine's output)
+        # PiP-joined to the rect boundaries, aggregated per zone
+        "zonal_stats": f"""
+SELECT rel_id, count(*) AS n_pixels, CAST(sum(n_points) AS BIGINT) AS n_points
+FROM read_parquet('{golden.raster_vector_path(SF001, z=10)}') v JOIN {rects}
+ON v.lon >= b.lon_min AND v.lon < b.lon_max AND v.lat >= b.lat_min AND v.lat < b.lat_max
+GROUP BY rel_id""",
         "pip_join": f"""
 WITH {_pts_cte()}
 SELECT doc_id, rel_id, admin_level FROM pts JOIN {rects}

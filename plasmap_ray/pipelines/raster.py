@@ -255,3 +255,35 @@ def raster_to_vector(sf_dir: str, z: int = 10, tile_px: int = 16) -> rd.Dataset:
         batch_size=256,
         concurrency=(1, 8),
     )
+
+
+def zonal_stats(sf_dir: str, z: int = 10, tile_px: int = 16) -> rd.Dataset:
+    """Zonal statistics — the raster×vector fusion: decoded pixel
+    features (raster_to_vector) PiP-joined against the broadcast admin
+    polygon index, aggregated per zone.  Output per admin area:
+    (rel_id, n_pixels, n_points) — pixel CELLS contributing and the
+    total point mass they carry.  Shuffle shape: the pixel stream is
+    map-joined (broadcast index), only the per-zone partial counts
+    aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages import geo
+    from .spatial import boundary_index_ref
+
+    vec = raster_to_vector(sf_dir, z=z, tile_px=tile_px)
+    idx_ref = boundary_index_ref()
+    joined = vec.map_batches(
+        geo.PiPJoinActor,
+        fn_constructor_kwargs=dict(index_ref=idx_ref, keep_cols=("n_points",)),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    out = joined.groupby("rel_id").aggregate(
+        Count(alias_name="n_pixels"), Sum("n_points", alias_name="n_points")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("n_points"), "n_points", pa.compute.cast(t["n_points"], pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
