@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign": lambda sf: spatial.tile_assign_pipeline(sf, z=TILE_Z),
         "tile_histogram": spatial.tile_histogram_pipeline,
         "tile_histogram_salted": lambda sf: spatial.tile_histogram_pipeline(sf, salted=True),
+        "tile_pyramid": lambda sf: spatial.tile_pyramid_pipeline(sf, z_base=10, z_top=6),
         "pip_join": spatial.pip_join_pipeline,
         "pip_join_shuffle": spatial.pip_join_shuffle_pipeline,
         "pip_count": spatial.pip_count_pipeline,
@@ -228,6 +229,12 @@ SELECT doc_id, cell_low FROM m_out
 WHERE cell_low >= ({PREFIX_CELL} << 10) AND cell_low < (({PREFIX_CELL} + 1) << 10)""",
         "tile_histogram": tile_hist,
         "tile_histogram_salted": tile_hist,
+        # each zoom computed DIRECTLY from the points — must equal the
+        # engine's roll-up exactly because slippy tiles nest (x>>1, y>>1)
+        "tile_pyramid": (
+            f"WITH {_pts_cte()}, u AS ({_tile_union(zooms=(6, 7, 8, 9, 10))}) "
+            "SELECT z, x, y, count(*) AS n_images FROM u GROUP BY z, x, y"
+        ),
         "tile_raster": f"SELECT * FROM read_parquet('{golden.tile_raster_path(SF001, z=10)}')",
         "raster_to_vector": f"SELECT * FROM read_parquet('{golden.raster_vector_path(SF001, z=10)}')",
         "boundary_simplify": (

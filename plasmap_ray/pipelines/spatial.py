@@ -84,6 +84,41 @@ def tile_histogram_pipeline(sf_dir: str, zooms: tuple[int, ...] = DEFAULT_ZOOMS,
     return partial.groupby(["z", "x", "y"]).aggregate(Sum("n_images", alias_name="n_images"))
 
 
+def tile_pyramid_pipeline(sf_dir: str, z_base: int = 10, z_top: int = 6) -> rd.Dataset:
+    """Tile-pyramid roll-up: compute the per-tile histogram ONCE at
+    ``z_base``, then derive every coarser zoom by summing each tile's
+    four children (slippy tiles nest: parent (x,y) = (x>>1, y>>1)) —
+    the hierarchical-aggregation pattern every tile server uses.  Each
+    roll-up step shuffles only the previous LEVEL'S AGGREGATE (tiles
+    rows, not input rows); the base level uses the map-side combiner.
+    Output: (z, x, y, n_images) for z_top..z_base."""
+    base = tile_histogram_pipeline(sf_dir, zooms=(z_base,))
+    levels = [base]
+    cur = base
+    for z in range(z_base - 1, z_top - 1, -1):
+        def parent(t: pa.Table, _z=z) -> pa.Table:
+            # z stays int32 to match the base histogram's schema
+            return pa.table(
+                {
+                    "z": pa.array(np.full(t.num_rows, _z, dtype=np.int32)),
+                    "x": pa.compute.shift_right(t["x"], 1),
+                    "y": pa.compute.shift_right(t["y"], 1),
+                    "n_images": t["n_images"],
+                }
+            )
+
+        cur = (
+            cur.map_batches(parent, batch_format="pyarrow")
+            .groupby(["z", "x", "y"])
+            .aggregate(Sum("n_images", alias_name="n_images"))
+        )
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
 def boundary_index_ref(admin_level: int | None = None) -> "ray.ObjectRef":
     """Build + broadcast the fixture admin-polygon index (driver-side, once)."""
     polys = fixtures.admin_polygons()
