@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # --- denormalization DAG (ways->rings->polygons, J1/J2) ---
         "way_assembly": denormalize.way_assembly_query,
+        "way_lengths": denormalize.way_lengths_query,
         "boundary_assembly": denormalize.boundary_assembly_query,
         # --- relational / aggregation ---
         "pricing_summary": relational.pricing_summary,
@@ -178,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- image payload ---
         "image_fidelity": images.fidelity_pipeline,
         "image_features": images.image_features,
+        "image_thumbnails": images.image_thumbnails,
         "image_meta_stats": images.image_meta_stats,
         "caption_location_histogram": images.caption_location_histogram,
         "phash_dedup": images.phash_dedup,
@@ -459,6 +461,7 @@ SELECT fmt, w, h, count(*) AS n_images, CAST(sum(octet_length(bytes)) AS BIGINT)
 SELECT phash, min(image_id) AS first_image_id, count(*) AS n_images FROM {img_pq} GROUP BY phash HAVING count(*) > 1""",
         # --- golden-table oracles (local non-Ray recompute; see plasmap_ray.golden) ---
         "way_assembly": f"SELECT * FROM read_parquet('{golden.way_assembly_path()}')",
+        "way_lengths": f"SELECT * FROM read_parquet('{golden.way_lengths_path()}')",
         "boundary_assembly": f"SELECT * FROM read_parquet('{golden.boundary_assembly_path()}')",
         "doc_fingerprint": f"SELECT * FROM read_parquet('{golden.doc_fingerprint_path(SF001)}')",
         "simhash": f"SELECT * FROM read_parquet('{golden.simhash_path(SF001)}')",
@@ -482,6 +485,9 @@ SELECT phash, min(image_id) AS first_image_id, count(*) AS n_images FROM {img_pq
         ),
         "image_features": (
             "SELECT * FROM read_parquet('" + golden.image_features_path(images.images_path_for(SF001)) + "')"
+        ),
+        "image_thumbnails": (
+            "SELECT * FROM read_parquet('" + golden.image_thumbnails_path(images.images_path_for(SF001)) + "')"
         ),
         "audio_features": (
             "SELECT * FROM read_parquet('" + golden.audio_features_path(multimodal.audio_path_for(SF001)) + "')"

@@ -122,6 +122,41 @@ def boundary_assembly_path() -> str:
 # ---------------------------------------------------------------------------
 
 
+def way_lengths_path() -> str:
+    """Expected per-way geodesic lengths: pure-Python math.* haversine
+    over the construction tables (independent of the engine's numpy
+    kernel AND of the assembly DAG; identical float64 op order, and
+    ways are short enough that np.sum stays sequential)."""
+
+    def build() -> pa.Table:
+        import math
+
+        from . import fixtures
+        from .stages.common import duckdb_round
+
+        R = 6_371_000.0
+        world = fixtures.boundary_world()
+        nodes = {r["node_id"]: (r["lon"], r["lat"]) for r in world["nodes"].to_pylist()}
+        ids, lens = [], []
+        for r in world["ways"].to_pylist():
+            pts = [nodes[n] for n in r["nds"] if n in nodes]
+            total = 0.0
+            for (lo1, la1), (lo2, la2) in zip(pts[:-1], pts[1:]):
+                p1, q1, p2, q2 = (math.radians(v) for v in (lo1, la1, lo2, la2))
+                h = math.sin((q2 - q1) / 2.0) ** 2 + math.cos(q1) * math.cos(q2) * math.sin((p2 - p1) / 2.0) ** 2
+                total += 2.0 * R * math.asin(math.sqrt(min(max(h, 0.0), 1.0)))
+            ids.append(r["way_id"])
+            lens.append(total)
+        return pa.table(
+            {
+                "way_id": pa.array(ids, type=pa.int64()),
+                "length_m": pa.array(duckdb_round(np.asarray(lens), 4), type=pa.float64()),
+            }
+        )
+
+    return _cache("way_lengths", build)
+
+
 def doc_fingerprint_path(sf_dir: str) -> str:
     def build() -> pa.Table:
         t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
@@ -662,6 +697,17 @@ def video_frame_stats_path(video_parquet: str, stride: int = 2) -> str:
         )
 
     return _cache(f"video_frame_stats_{os.path.basename(video_parquet).rsplit('.', 1)[0]}_s{stride}", build)
+
+
+def image_thumbnails_path(images_parquet: str, side: int = 8) -> str:
+    def build() -> pa.Table:
+        from .pipelines.images import ThumbnailStage
+
+        return ThumbnailStage(side=side)(pq.read_table(images_parquet))  # kernel call, no Ray
+
+    return _cache(
+        f"image_thumbnails_{os.path.basename(images_parquet).rsplit('.', 1)[0]}_s{side}", build
+    )
 
 
 def image_features_path(images_parquet: str) -> str:

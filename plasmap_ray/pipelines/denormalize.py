@@ -504,3 +504,34 @@ def boundary_assembly_query(sf_dir: str) -> rd.Dataset:
         )
 
     return rings.map_batches(summarize, batch_format="pyarrow")
+
+
+def way_lengths_query(sf_dir: str) -> rd.Dataset:
+    """queries() surface: geodesic path length per assembled way (ST1's
+    haversine applied along the J1 assembly output — meters, rounded
+    4dp).  Golden-oracle checked against an independent pure-Python
+    great-circle recompute from the construction tables."""
+    from .. import fixtures, geometry
+
+    world = fixtures.boundary_world()
+    geoms = assemble_ways(rd.from_arrow(world["nodes"]), rd.from_arrow(world["ways"]))
+
+    def lengths(t: pa.Table) -> pa.Table:
+        from ..stages.common import duckdb_round
+
+        out = []
+        for g in t["geom"].to_pylist():
+            c = unpack_geom(g)
+            if c.shape[0] < 2:
+                out.append(0.0)
+                continue
+            seg = geometry.haversine_m(c[:-1, 0], c[:-1, 1], c[1:, 0], c[1:, 1])
+            out.append(float(np.sum(seg)))
+        return pa.table(
+            {
+                "way_id": t["way_id"],
+                "length_m": pa.array(duckdb_round(np.asarray(out), 4), type=pa.float64()),
+            }
+        )
+
+    return geoms.map_batches(lengths, batch_format="pyarrow")

@@ -190,3 +190,53 @@ def caption_location_histogram(sf_dir: str) -> rd.Dataset:
         return pa.table({"place": place})
 
     return ds.map_batches(extract, batch_format="pyarrow").groupby("place").aggregate(Count(alias_name="n_images"))
+
+
+class ThumbnailStage:
+    """Actor-pool stage: decode -> nearest-neighbor resize -> re-encode
+    (pngz) — the standard multimodal preprocessing step (thumbnail /
+    resolution normalization) with deterministic output bytes, so the
+    thumbnail payload md5 is oracle-checkable.  The large ``bytes``
+    column is consumed HERE and only the (small) thumbnail metadata
+    leaves the stage."""
+
+    def __init__(self, side: int = 8):
+        from .. import codecs
+
+        self.side = side
+        self.codecs = codecs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        from ..stages.media import resize_nearest
+
+        ids, md5s, nbytes, means = [], [], [], []
+        for i in range(batch.num_rows):
+            fmt = batch["fmt"][i].as_py()
+            w = batch["w"][i].as_py()
+            h = batch["h"][i].as_py()
+            px = self.codecs.decode_image(batch["bytes"][i].as_py(), w, h, fmt)
+            thumb = resize_nearest(px, self.side, self.side)
+            payload = self.codecs.encode_image(thumb, "pngz")
+            ids.append(batch["image_id"][i].as_py())
+            md5s.append(hashlib.md5(payload).hexdigest())
+            nbytes.append(len(payload))
+            means.append(round(float(thumb.mean()), 4))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, type=pa.string()),
+                "thumb_md5": pa.array(md5s, type=pa.string()),
+                "thumb_bytes": pa.array(nbytes, type=pa.int64()),
+                "thumb_mean": pa.array(means, type=pa.float64()),
+            }
+        )
+
+
+def image_thumbnails(sf_dir: str, side: int = 8) -> rd.Dataset:
+    """Thumbnail pipeline over the images table (decode/resize/encode in
+    an actor pool; output = metadata only, payload bytes never shuffle)."""
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    return ds.map_batches(
+        ThumbnailStage, fn_constructor_kwargs=dict(side=side), batch_format="pyarrow", batch_size=512, concurrency=(1, 8)
+    )
