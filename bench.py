@@ -305,6 +305,89 @@ def run_queries() -> dict:
 
         timed("way_assembly", way_assembly)
 
+    # J2 relation assembly at volume: synthetic square-ring relations
+    # (4 member ways each, chained by shared corner nodes).  Inputs and
+    # the way-geometry join are pre-materialized untimed; the row times
+    # the typed-member cogroup join + ring assembly itself.
+    if not only or "relation_assembly" in only:
+        import numpy as np
+        import pyarrow as pa
+
+        from plasmap_ray.pipelines import denormalize
+
+        n_rels = int(os.environ.get("GRAFT_BENCH_RELS", "20000"))
+        blocks = max(16, NUM_CPUS * 2)
+
+        def gen_rel_nodes(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_numpy().astype(np.int64)  # node_id = rel*4 + corner
+            rel = ids // 4
+            c = ids % 4
+            lon = 6.0 + (rel % 1000) * 0.001 + np.where((c == 1) | (c == 2), 0.0005, 0.0)
+            lat = 50.0 + (rel // 1000) * 0.001 + np.where(c >= 2, 0.0005, 0.0)
+            return pa.table(
+                {
+                    "node_id": pa.array(ids),
+                    "lon": pa.array(lon, type=pa.float64()),
+                    "lat": pa.array(lat, type=pa.float64()),
+                }
+            )
+
+        def gen_rel_ways(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_numpy().astype(np.int64)  # way_id = rel*4 + edge
+            rel = ids // 4
+            e = ids % 4
+            a = rel * 4 + e
+            b = rel * 4 + (e + 1) % 4
+            nds = np.column_stack([a, b]).astype(np.int64)
+            return pa.table({"way_id": pa.array(ids), "nds": pa.array(list(nds), type=pa.list_(pa.int64()))})
+
+        def gen_rels(t: pa.Table) -> pa.Table:
+            rels = t["id"].to_numpy().astype(np.int64)
+            member_type = pa.array(["way"] * 4, type=pa.string())
+            role = pa.array(["outer"] * 4, type=pa.string())
+            members = [
+                [
+                    {"ref": int(r * 4 + e), "type": "way", "role": "outer"}
+                    for e in range(4)
+                ]
+                for r in rels
+            ]
+            mt = pa.array(
+                members,
+                type=pa.list_(pa.struct([("ref", pa.int64()), ("type", pa.string()), ("role", pa.string())])),
+            )
+            _ = (member_type, role)
+            return pa.table({"rel_id": pa.array(rels), "members": mt})
+
+        rel_nodes = (
+            rd.range(n_rels * 4, override_num_blocks=blocks)
+            .map_batches(gen_rel_nodes, batch_format="pyarrow")
+            .materialize()
+        )
+        rel_ways = (
+            rd.range(n_rels * 4, override_num_blocks=blocks)
+            .map_batches(gen_rel_ways, batch_format="pyarrow")
+            .materialize()
+        )
+        rels = (
+            rd.range(n_rels, override_num_blocks=blocks)
+            .map_batches(gen_rels, batch_format="pyarrow")
+            .materialize()
+        )
+        way_geoms = denormalize.assemble_ways(
+            rel_nodes, rel_ways, num_partitions=max(8, min(64, n_rels // 30_000 + 8)), parts=max(16, min(256, n_rels // 1_500))
+        ).materialize()
+
+        def relation_assembly():
+            return denormalize.assemble_relations(
+                rels,
+                way_geoms,
+                num_partitions=max(4, min(32, n_rels // 5_000)),
+                parts=max(16, min(128, n_rels // 1_500)),
+            ).count()
+
+        timed("relation_assembly", relation_assembly)
+
     flagship_sec = times.get("image_flagship", 0.0)
     result = {
         "metric": "image flagship DAG (decode+fidelity+PiP+kNN+tile aggregate) wall time",
