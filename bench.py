@@ -343,8 +343,6 @@ def run_queries() -> dict:
 
         def gen_rels(t: pa.Table) -> pa.Table:
             rels = t["id"].to_numpy().astype(np.int64)
-            member_type = pa.array(["way"] * 4, type=pa.string())
-            role = pa.array(["outer"] * 4, type=pa.string())
             members = [
                 [
                     {"ref": int(r * 4 + e), "type": "way", "role": "outer"}
@@ -356,7 +354,6 @@ def run_queries() -> dict:
                 members,
                 type=pa.list_(pa.struct([("ref", pa.int64()), ("type", pa.string()), ("role", pa.string())])),
             )
-            _ = (member_type, role)
             return pa.table({"rel_id": pa.array(rels), "members": mt})
 
         rel_nodes = (

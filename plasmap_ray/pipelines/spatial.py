@@ -91,8 +91,14 @@ def tile_pyramid_pipeline(sf_dir: str, z_base: int = 10, z_top: int = 6) -> rd.D
     the hierarchical-aggregation pattern every tile server uses.  Each
     roll-up step shuffles only the previous LEVEL'S AGGREGATE (tiles
     rows, not input rows); the base level uses the map-side combiner.
-    Output: (z, x, y, n_images) for z_top..z_base."""
-    base = tile_histogram_pipeline(sf_dir, zooms=(z_base,))
+    Output: (z, x, y, n_images) for z_top..z_base.
+
+    Every level is MATERIALIZED before the union: Ray Data does not
+    dedupe shared upstream plans across union branches, so un-cached
+    levels would re-run the base scan once per branch.  The levels are
+    tiny aggregates (tiles rows), so pinning them is cheap and keeps
+    the input-touched-once property true."""
+    base = tile_histogram_pipeline(sf_dir, zooms=(z_base,)).materialize()
     levels = [base]
     cur = base
     for z in range(z_base - 1, z_top - 1, -1):
@@ -111,6 +117,7 @@ def tile_pyramid_pipeline(sf_dir: str, z_base: int = 10, z_top: int = 6) -> rd.D
             cur.map_batches(parent, batch_format="pyarrow")
             .groupby(["z", "x", "y"])
             .aggregate(Sum("n_images", alias_name="n_images"))
+            .materialize()
         )
         levels.append(cur)
     out = levels[0]

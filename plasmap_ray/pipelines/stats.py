@@ -49,6 +49,15 @@ def value_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99), bins:
     (the result is an ELEMENT of the data, no interpolation artifacts).
     """
     ds = _read_events(sf_dir, ["value"])
+
+    def drop_invalid(t: pa.Table) -> pa.Table:
+        # mirror quantile_disc's NULL skip (NaN/null would poison the
+        # min/max, the bin arithmetic, and the rank count)
+        v = t["value"]
+        mask = pa.compute.and_(pa.compute.is_valid(v), pa.compute.invert(pa.compute.is_nan(v)))
+        return t.filter(mask)
+
+    ds = ds.map_batches(drop_invalid, batch_format="pyarrow")
     stats = ds.aggregate(Count(), Min("value"), Max("value"))
     n, vmin, vmax = int(stats["count()"]), float(stats["min(value)"]), float(stats["max(value)"])
     if n == 0:

@@ -219,7 +219,7 @@ def test_redact_pii_counts_and_redacts(ray_session, tmp_path):
     assert df["clean_len"][0] == len(orig) - len("alice@example.com") - len("bob.smith+tag@mail.co.uk") + 2 * len("<EMAIL>")
 
 
-def test_value_quantiles_bin_refine_exact(ray_session, tmp_path, monkeypatch):
+def test_value_quantiles_bin_refine_exact(ray_session, tmp_path):
     """The two-pass bin-refine quantile equals a full sort on a skewed
     corpus with heavy ties (including ties ACROSS bin boundaries)."""
     from plasmap_ray.pipelines import stats
@@ -241,3 +241,23 @@ def test_value_quantiles_bin_refine_exact(ray_session, tmp_path, monkeypatch):
 
     want = [float(s[max(1, math.ceil(q * len(s))) - 1]) for q in qs]
     assert got["value"].tolist() == want
+
+
+def test_value_quantiles_skips_nulls_and_nans(ray_session, tmp_path):
+    """NULL/NaN values must be skipped exactly like quantile_disc does
+    (they would otherwise poison min/max, the bin arithmetic, and the
+    rank count)."""
+    from plasmap_ray.pipelines import stats
+
+    v = [1.0, 2.0, None, float("nan"), 3.0, 4.0, None]
+    t = pa.table(
+        {
+            "event_type": pa.array(["x"] * len(v)),
+            "value": pa.array(v, type=pa.float64()),
+            "ts": pa.array(np.arange(len(v))),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = stats.value_quantiles(str(tmp_path), qs=(0.5, 1.0), bins=8).to_pandas().sort_values("q")
+    # valid set is [1,2,3,4]: disc(0.5) = ceil(0.5*4)=2nd -> 2.0; disc(1.0) -> 4.0
+    assert got["value"].tolist() == [2.0, 4.0]
