@@ -285,6 +285,21 @@ def polygon_cover_table(polygons: list[dict], precision: int = cells.PRECISION_V
     )
 
 
+BROADCAST_MAX_POLYGONS = 10_000  # measured: ~1.8 MB pickled index at 10k
+
+
+def pip_join_auto(sf_dir: str, broadcast_max_polygons: int = BROADCAST_MAX_POLYGONS) -> rd.Dataset:
+    """Planner heuristic for J3: pick the broadcast PiP path while the
+    polygon side fits a per-worker index (<= ``broadcast_max_polygons``,
+    sized from the measured index footprint in BASELINE.md), else the
+    cell-keyed shuffle join.  Both paths are oracle-identical — the
+    choice is purely physical (the planner pattern the reference buries
+    in per-stage dispatcher config, reference.conf:1-43)."""
+    if len(fixtures.admin_polygons()) <= broadcast_max_polygons:
+        return pip_join_pipeline(sf_dir)
+    return pip_join_shuffle_pipeline(sf_dir)
+
+
 def pip_join_shuffle_pipeline(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
     """J3 at boundary-set scale: SHUFFLE spatial join (no broadcast).
 

@@ -213,3 +213,17 @@ def test_raster_to_vector_roundtrip(ray_session):
     x, y = tiles.tile_xy(vec["lon"].to_numpy(), vec["lat"].to_numpy(), 10)
     assert np.array_equal(x, vec["x"].to_numpy())
     assert np.array_equal(y, vec["y"].to_numpy())
+
+
+def test_pip_join_auto_both_paths_identical(ray_session):
+    """The planner heuristic picks broadcast under the threshold and the
+    shuffle join above it; both paths return identical joined rows."""
+    from plasmap_ray.pipelines import spatial
+
+    sf = "/root/testdata/sf0.001"
+    a = spatial.pip_join_auto(sf).to_pandas()  # broadcast path (fixture fits)
+    b = spatial.pip_join_auto(sf, broadcast_max_polygons=0).to_pandas()  # forced shuffle path
+    key = ["doc_id", "rel_id", "admin_level"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b[key].sort_values(key).reset_index(drop=True)
+    assert a[key].equals(b)
