@@ -214,14 +214,9 @@ def run_queries() -> dict:
     timed("pip_join", pip_join)
 
     def tile_histogram():
-        from ray.data.aggregate import Sum
-
-        partial = pts.map_batches(
-            functools.partial(geo.tile_count_partial, zooms=(6, 10, 14)),
-            batch_format="pyarrow",
-            batch_size=16384,
-        )
-        return partial.groupby(["z", "x", "y"]).aggregate(Sum("n_images", alias_name="n_images")).count()
+        # base-zoom partials + roll-up: only z14 partials shuffle against
+        # the input; z10/z6 derive from the z14 aggregate (tiles rows)
+        return spatial.tile_histogram_from_points(pts, zooms=(6, 10, 14)).count()
 
     timed("tile_histogram", tile_histogram)
 

@@ -61,6 +61,44 @@ def tile_assign_pipeline(sf_dir: str, z: int = 12) -> rd.Dataset:
     )
 
 
+def tile_histogram_from_points(pts: rd.Dataset, zooms: tuple[int, ...] = DEFAULT_ZOOMS) -> rd.Dataset:
+    """Per-tile counts across zooms via base-zoom partials + roll-up.
+
+    Slippy zooms NEST (parent x = x >> dz), so only the FINEST zoom's
+    per-batch partial counts ever shuffle against the input; every
+    coarser zoom derives from the base aggregate by shifting tile
+    coordinates and re-summing (tiles rows, not input rows).  Versus
+    per-zoom partials this cuts the input-side shuffle to 1/len(zooms)
+    — the z14 partials dominate because scattered points barely
+    compress at fine zooms.  The base aggregate is materialized: union
+    branches do not share upstream plans.
+    """
+    z_base = max(zooms)
+    partial = pts.map_batches(functools.partial(geo.tile_count_partial, zooms=(z_base,)), batch_format="pyarrow")
+    base = partial.groupby(["z", "x", "y"]).aggregate(Sum("n_images", alias_name="n_images")).materialize()
+    out = base
+    for z in sorted((z for z in zooms if z != z_base), reverse=True):
+        dz = z_base - z
+
+        def parent(t: pa.Table, _z=z, _dz=dz) -> pa.Table:
+            return pa.table(
+                {
+                    "z": pa.array(np.full(t.num_rows, _z, dtype=np.int32)),
+                    "x": pa.compute.shift_right(t["x"], _dz),
+                    "y": pa.compute.shift_right(t["y"], _dz),
+                    "n_images": t["n_images"],
+                }
+            )
+
+        level = (
+            base.map_batches(parent, batch_format="pyarrow")
+            .groupby(["z", "x", "y"])
+            .aggregate(Sum("n_images", alias_name="n_images"))
+        )
+        out = out.union(level)
+    return out
+
+
 def tile_histogram_pipeline(sf_dir: str, zooms: tuple[int, ...] = DEFAULT_ZOOMS, salted: bool = False) -> rd.Dataset:
     """Per-tile feature counts across zooms (A5) — the tiling aggregate.
 
@@ -79,9 +117,7 @@ def tile_histogram_pipeline(sf_dir: str, zooms: tuple[int, ...] = DEFAULT_ZOOMS,
         )
         partial = salted_ds.groupby(["z", "x", "y", "salt"]).aggregate(Count(alias_name="n_images"))
         return partial.groupby(["z", "x", "y"]).aggregate(Sum("n_images", alias_name="n_images"))
-    # map-side combiner: per-batch partial counts, then a tiny groupby
-    partial = pts.map_batches(functools.partial(geo.tile_count_partial, zooms=zooms), batch_format="pyarrow")
-    return partial.groupby(["z", "x", "y"]).aggregate(Sum("n_images", alias_name="n_images"))
+    return tile_histogram_from_points(pts, zooms)
 
 
 def tile_pyramid_pipeline(sf_dir: str, z_base: int = 10, z_top: int = 6) -> rd.Dataset:
