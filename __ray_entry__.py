@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_near_dup_pairs": images.phash_near_dup_pairs,
         # --- audio / video payloads (real WAV decode; raw frame sampling) ---
         "audio_features": multimodal.audio_features,
+        "cell_modality_mix": multimodal.cell_modality_mix,
         "video_frame_stats": multimodal.video_frame_stats,
     }
 
@@ -460,6 +461,16 @@ WHERE b.name = 'Duisheim' AND p.value = 'restaurant'""",
         "caption_location_histogram": f"""
 SELECT regexp_extract(caption, ' in (.+)$', 1) AS place, count(*) AS n_images
 FROM {img_pq} GROUP BY 1""",
+        "cell_modality_mix": f"""
+WITH {_pts_cte()},
+{oracle.sql_morton_ctes('pts', 'doc_id', 11, 'cell_low', prefix='md')},
+iid AS (SELECT CAST(substr(image_id, 5, 12) AS BIGINT) AS img_id FROM {img_pq}),
+ipts AS (SELECT img_id, {oracle.sql_derive_lon('img_id')} AS lon, {oracle.sql_derive_lat('img_id')} AS lat FROM iid),
+{oracle.sql_morton_ctes('ipts', 'img_id', 11, 'cell_low', prefix='mi')},
+u AS (SELECT cell_low, 1 AS n_docs, 0 AS n_images FROM md_out
+      UNION ALL SELECT cell_low, 0, 1 FROM mi_out)
+SELECT cell_low, CAST(sum(n_docs) AS BIGINT) AS n_docs, CAST(sum(n_images) AS BIGINT) AS n_images
+FROM u GROUP BY cell_low""",
         "image_meta_stats": f"""
 SELECT fmt, w, h, count(*) AS n_images, CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes FROM {img_pq} GROUP BY fmt, w, h""",
         "phash_dedup": f"""

@@ -93,3 +93,58 @@ def video_frame_stats(sf_dir: str, stride: int = 2) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def cell_modality_mix(sf_dir: str) -> "rd.Dataset":
+    """Cross-modal spatial join: documents AND images bucketed by the
+    shared Morton cell (PRECISION_LOW, the engine-wide partition key),
+    counted per modality — the corpus-balance view a multimodal
+    training pipeline uses to spot modality-sparse regions.
+
+    Shuffle shape: both sources map to (cell, indicator) rows, ONE
+    union + ONE groupby sum; neither payload column is read (ids only).
+    Output: (cell_low, n_docs, n_images).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .. import cells, fixtures
+    from .images import images_path_for
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        cell = cells.encode(fixtures.derive_lon(ids), fixtures.derive_lat(ids), cells.PRECISION_LOW)
+        return pa.table(
+            {
+                "cell_low": pa.array(cell, type=pa.int64()),
+                "n_docs": pa.array(np.ones(len(ids), dtype=np.int64)),
+                "n_images": pa.array(np.zeros(len(ids), dtype=np.int64)),
+            }
+        )
+
+    def img_rows(t: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4, 16), pa.int64()).to_numpy()
+        cell = cells.encode(fixtures.derive_lon(ids), fixtures.derive_lat(ids), cells.PRECISION_LOW)
+        return pa.table(
+            {
+                "cell_low": pa.array(cell, type=pa.int64()),
+                "n_docs": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                "n_images": pa.array(np.ones(len(ids), dtype=np.int64)),
+            }
+        )
+
+    import os
+
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]).map_batches(
+        doc_rows, batch_format="pyarrow"
+    )
+    imgs = rd.read_parquet(images_path_for(sf_dir), columns=["image_id"]).map_batches(
+        img_rows, batch_format="pyarrow"
+    )
+    return docs.union(imgs).groupby("cell_low").aggregate(
+        Sum("n_docs", alias_name="n_docs"), Sum("n_images", alias_name="n_images")
+    )
