@@ -103,12 +103,11 @@ def cell_modality_mix(sf_dir: str) -> "rd.Dataset":
 
     Shuffle shape: both sources map to (cell, indicator) rows, ONE
     union + ONE groupby sum; neither payload column is read (ids only).
-    Output: (cell_low, n_docs, n_images).
+    Output: (cell_low, n_docs, n_images).  Cell derivation goes through
+    the shared ``cells.encode`` kernel at the engine-wide partition
+    precision (the same convention stages/geo.cell_index applies).
     """
-    import numpy as np
-    import pyarrow as pa
     import pyarrow.compute as pc
-    import ray.data as rd
 
     from .. import cells, fixtures
     from .images import images_path_for
@@ -134,10 +133,6 @@ def cell_modality_mix(sf_dir: str) -> "rd.Dataset":
                 "n_images": pa.array(np.ones(len(ids), dtype=np.int64)),
             }
         )
-
-    import os
-
-    from ray.data.aggregate import Sum
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]).map_batches(
         doc_rows, batch_format="pyarrow"

@@ -61,7 +61,9 @@ def tile_assign_pipeline(sf_dir: str, z: int = 12) -> rd.Dataset:
     )
 
 
-def tile_histogram_from_points(pts: rd.Dataset, zooms: tuple[int, ...] = DEFAULT_ZOOMS) -> rd.Dataset:
+def tile_histogram_from_points(
+    pts: rd.Dataset, zooms: tuple[int, ...] = DEFAULT_ZOOMS, batch_size: int | None = 16384
+) -> rd.Dataset:
     """Per-tile counts across zooms via base-zoom partials + roll-up.
 
     Slippy zooms NEST (parent x = x >> dz), so only the FINEST zoom's
@@ -74,8 +76,15 @@ def tile_histogram_from_points(pts: rd.Dataset, zooms: tuple[int, ...] = DEFAULT
     branches do not share upstream plans.
     """
     z_base = max(zooms)
-    partial = pts.map_batches(functools.partial(geo.tile_count_partial, zooms=(z_base,)), batch_format="pyarrow")
-    base = partial.groupby(["z", "x", "y"]).aggregate(Sum("n_images", alias_name="n_images")).materialize()
+    partial = pts.map_batches(
+        functools.partial(geo.tile_count_partial, zooms=(z_base,)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    base = partial.groupby(["z", "x", "y"]).aggregate(Sum("n_images", alias_name="n_images"))
+    if len(set(zooms)) == 1:
+        return base  # nothing to roll up; let the caller decide on pinning
+    base = base.materialize()
     out = base
     for z in sorted((z for z in zooms if z != z_base), reverse=True):
         dz = z_base - z
@@ -162,17 +171,22 @@ def tile_pyramid_pipeline(sf_dir: str, z_base: int = 10, z_top: int = 6) -> rd.D
     return out
 
 
-def boundary_index_ref(admin_level: int | None = None) -> "ray.ObjectRef":
-    """Build + broadcast the fixture admin-polygon index (driver-side, once)."""
-    polys = fixtures.admin_polygons()
+def boundary_index_ref(admin_level: int | None = None, polys: list | None = None) -> "ray.ObjectRef":
+    """Build + broadcast the fixture admin-polygon index (driver-side, once).
+
+    ``polys`` lets a caller that already constructed the boundary list
+    (e.g. the auto planner's cardinality check) avoid rebuilding it."""
+    if polys is None:
+        polys = fixtures.admin_polygons()
     if admin_level is not None:
         polys = [p for p in polys if p["admin_level"] == admin_level]
     return ray.put(geo.PolygonIndex(polys, precision=cells.PRECISION_VERY_LOW))
 
 
-def pip_join_pipeline(sf_dir: str, source=points_from_documents) -> rd.Dataset:
+def pip_join_pipeline(sf_dir: str, source=points_from_documents, idx_ref=None) -> rd.Dataset:
     """Broadcast point-in-polygon join (J3): one row per containing area."""
-    idx_ref = boundary_index_ref()
+    if idx_ref is None:
+        idx_ref = boundary_index_ref()
     return source(sf_dir).map_batches(
         geo.PiPJoinActor,
         fn_constructor_kwargs=dict(index_ref=idx_ref, keep_cols=("doc_id",)),
@@ -331,8 +345,9 @@ def pip_join_auto(sf_dir: str, broadcast_max_polygons: int = BROADCAST_MAX_POLYG
     cell-keyed shuffle join.  Both paths are oracle-identical — the
     choice is purely physical (the planner pattern the reference buries
     in per-stage dispatcher config, reference.conf:1-43)."""
-    if len(fixtures.admin_polygons()) <= broadcast_max_polygons:
-        return pip_join_pipeline(sf_dir)
+    polys = fixtures.admin_polygons()  # built once; reused by the chosen path
+    if len(polys) <= broadcast_max_polygons:
+        return pip_join_pipeline(sf_dir, idx_ref=boundary_index_ref(polys=polys))
     return pip_join_shuffle_pipeline(sf_dir)
 
 
