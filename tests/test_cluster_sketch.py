@@ -261,3 +261,38 @@ def test_value_quantiles_skips_nulls_and_nans(ray_session, tmp_path):
     got = stats.value_quantiles(str(tmp_path), qs=(0.5, 1.0), bins=8).to_pandas().sort_values("q")
     # valid set is [1,2,3,4]: disc(0.5) = ceil(0.5*4)=2nd -> 2.0; disc(1.0) -> 4.0
     assert got["value"].tolist() == [2.0, 4.0]
+
+
+# --- property-based suite (hypothesis) --------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    stream=st.lists(st.integers(0, 30), min_size=1, max_size=400),
+    capacity=st.integers(2, 16),
+    shards=st.integers(1, 5),
+)
+def test_space_saving_bracket_property(stream, capacity, shards):
+    """For ANY stream, sharding, and capacity: every reported counter
+    brackets its true count ([count-err, count]) and every absent key is
+    bounded by absent_bound() — the mergeable-summary contract under
+    arbitrary eviction/truncation interleavings."""
+    from plasmap_ray.stages.sketch import SpaceSaving
+
+    truth = collections.Counter(f"k{v}" for v in stream)
+    parts = [SpaceSaving(capacity) for _ in range(shards)]
+    for i, v in enumerate(stream):
+        parts[i % shards].offer(f"k{v}", 1)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    for key, count in merged.counts.items():
+        err = merged.errs[key]
+        assert count >= truth[key] >= count - err, (key, count, err, truth[key])
+    bound = merged.absent_bound()
+    for key, n in truth.items():
+        if key not in merged.counts:
+            assert n <= bound, (key, n, bound)
