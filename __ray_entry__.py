@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": windows.asof_join_purchases,
         "range_join_campaigns": windows.range_join_campaigns,
         "event_type_rates": windows.event_type_rates,
+        "conversion_funnel": windows.conversion_funnel,
         "events_union": windows.union_event_streams,
         "distinct_users": windows.distinct_users,
         "value_quantiles": stats.value_quantiles,
@@ -372,6 +373,29 @@ FROM events JOIN camp ON ts >= cstart AND ts < cend
 GROUP BY campaign_id, event_type""",
         "event_type_rates": """
 SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events GROUP BY event_type""",
+        "conversion_funnel": """
+WITH v AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'view') WHERE rn = 1),
+c AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT e.user_id, e.ts, e.event_id,
+           row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+    FROM events e JOIN v ON e.user_id = v.user_id
+     AND (e.ts > v.ts OR (e.ts = v.ts AND e.event_id > v.event_id))
+    WHERE e.event_type = 'click') WHERE rn = 1),
+p AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT e.user_id, e.ts, e.event_id,
+           row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+    FROM events e JOIN c ON e.user_id = c.user_id
+     AND (e.ts > c.ts OR (e.ts = c.ts AND e.event_id > c.event_id))
+    WHERE e.event_type = 'purchase') WHERE rn = 1)
+SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, count(*) AS n_users FROM v
+UNION ALL SELECT 2, 'click', count(*) FROM c
+UNION ALL SELECT 3, 'purchase', count(*) FROM p""",
         "events_union": """
 SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value FROM events
 WHERE event_type IN ('click', 'view') GROUP BY event_type""",

@@ -321,3 +321,53 @@ def range_join_campaigns(sf_dir: str) -> rd.Dataset:
         Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
     )
     return out.map_batches(functools.partial(round_columns, cols=("sum_value",), ndigits=4), batch_format="pyarrow")
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def conversion_funnel(sf_dir: str, stages: tuple[str, ...] = FUNNEL_STAGES) -> rd.Dataset:
+    """Ordered conversion funnel: per user, each stage must occur
+    STRICTLY AFTER the previous stage's first qualifying event (ordering
+    key = (ts, event_id), the engine-wide tiebreak).  Output one row per
+    stage: (stage_idx, stage, n_users) — users whose journey reaches it.
+
+    Shuffle shape: one user-key partition + per-group ordered scan (the
+    sessionize contract); the result is a ``stages``-row table.  The SQL
+    mirror chains row_number picks with the identical tuple comparison.
+    """
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+    stage_list = list(stages)
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        reached = 0
+        last_ts, last_id = None, None
+        for stage in stage_list:
+            sub = g[g["event_type"] == stage]
+            if last_ts is not None:
+                after = (sub["ts"] > last_ts) | ((sub["ts"] == last_ts) & (sub["event_id"] > last_id))
+                sub = sub[after]
+            if len(sub) == 0:
+                break
+            first = sub.iloc[0]
+            last_ts, last_id = first["ts"], first["event_id"]
+            reached += 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "reached": [np.int64(reached)]})
+
+    per_user = ds.groupby("user_id").map_groups(funnel, batch_format="pandas")
+
+    def to_stage_rows(t: pa.Table) -> pa.Table:
+        r = t["reached"].to_numpy()
+        # per-batch partial: count users at/above each stage depth
+        counts = [(r >= i + 1).sum() for i in range(len(stage_list))]
+        return pa.table(
+            {
+                "stage_idx": pa.array(np.arange(1, len(stage_list) + 1, dtype=np.int64)),
+                "stage": pa.array(stage_list, type=pa.string()),
+                "n_users": pa.array(np.asarray(counts, dtype=np.int64)),
+            }
+        )
+
+    out = per_user.map_batches(to_stage_rows, batch_format="pyarrow")
+    return out.groupby(["stage_idx", "stage"]).aggregate(Sum("n_users", alias_name="n_users"))

@@ -296,3 +296,36 @@ def test_space_saving_bracket_property(stream, capacity, shards):
     for key, n in truth.items():
         if key not in merged.counts:
             assert n <= bound, (key, n, bound)
+
+
+def test_conversion_funnel_strict_ordering(ray_session, tmp_path):
+    """Hand-crafted journeys pin the strict-after semantics: a click
+    BEFORE the first view does not count, ties on ts fall back to
+    event_id order, and stages cannot share the qualifying event."""
+    import pandas as pd
+
+    from plasmap_ray.pipelines import windows as w
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        # u1: full funnel in order -> reaches 3
+        (1, t0, 1, "view"), (1, t0 + pd.Timedelta("1min"), 2, "click"), (1, t0 + pd.Timedelta("2min"), 3, "purchase"),
+        # u2: click before view -> only stage 1
+        (2, t0, 10, "click"), (2, t0 + pd.Timedelta("1min"), 11, "view"),
+        # u3: view and click at the SAME ts -> event_id breaks the tie (click after view)
+        (3, t0, 20, "view"), (3, t0, 21, "click"),
+        # u4: no view at all -> reaches 0
+        (4, t0, 30, "purchase"),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows]),
+            "event_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+            "value": pa.array([0.0] * len(rows)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = w.conversion_funnel(str(tmp_path)).to_pandas().sort_values("stage_idx")
+    assert got["n_users"].tolist() == [3, 2, 1]  # view: u1,u2,u3; click: u1,u3; purchase: u1
