@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid": lambda sf: spatial.tile_pyramid_pipeline(sf, z_base=10, z_top=6),
         "pip_join": spatial.pip_join_pipeline,
         "pip_join_shuffle": spatial.pip_join_shuffle_pipeline,
+        "pip_join_strtree": spatial.pip_join_strtree,
         "pip_join_auto": spatial.pip_join_auto,
         "pip_count": spatial.pip_count_pipeline,
         "tile_raster": lambda sf: raster.tile_raster_pipeline(sf, z=10),
@@ -264,6 +265,10 @@ WITH {_pts_cte()}
 SELECT doc_id, rel_id, admin_level FROM pts JOIN {rects}
 ON pts.lon >= b.lon_min AND pts.lon < b.lon_max AND pts.lat >= b.lat_min AND pts.lat < b.lat_max""",
         "pip_join_auto": f"""
+WITH {_pts_cte()}
+SELECT doc_id, rel_id, admin_level FROM pts JOIN {rects}
+ON pts.lon >= b.lon_min AND pts.lon < b.lon_max AND pts.lat >= b.lat_min AND pts.lat < b.lat_max""",
+        "pip_join_strtree": f"""
 WITH {_pts_cte()}
 SELECT doc_id, rel_id, admin_level FROM pts JOIN {rects}
 ON pts.lon >= b.lon_min AND pts.lon < b.lon_max AND pts.lat >= b.lat_min AND pts.lat < b.lat_max""",

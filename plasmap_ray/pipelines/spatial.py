@@ -183,6 +183,25 @@ def boundary_index_ref(admin_level: int | None = None, polys: list | None = None
     return ray.put(geo.PolygonIndex(polys, precision=cells.PRECISION_VERY_LOW))
 
 
+def strtree_index_ref(admin_level: int | None = None, node_capacity: int = 8) -> "ray.ObjectRef":
+    """Build + broadcast the packed STRtree over the fixture boundaries.
+
+    The north-star's literal index structure; drop-in for PolygonIndex
+    (same .query contract), so pip joins through it are
+    result-identical by construction."""
+    from ..stages.rtree import STRtreeIndex
+
+    polys = fixtures.admin_polygons()
+    if admin_level is not None:
+        polys = [p for p in polys if p["admin_level"] == admin_level]
+    return ray.put(STRtreeIndex(polys, node_capacity=node_capacity))
+
+
+def pip_join_strtree(sf_dir: str) -> rd.Dataset:
+    """Broadcast PiP join probing the packed STRtree (J3 variant)."""
+    return pip_join_pipeline(sf_dir, idx_ref=strtree_index_ref())
+
+
 def pip_join_pipeline(sf_dir: str, source=points_from_documents, idx_ref=None) -> rd.Dataset:
     """Broadcast point-in-polygon join (J3): one row per containing area."""
     if idx_ref is None:
