@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- spatial core (cell index / tiles / PiP / kNN) ---
         "cell_index": spatial.cell_index_pipeline,
+        "s2_cell_index": spatial.s2_cell_index_pipeline,
+        "s2_cell_histogram": spatial.s2_cell_histogram_pipeline,
         "tile_assign": lambda sf: spatial.tile_assign_pipeline(sf, z=TILE_Z),
         "tile_histogram": spatial.tile_histogram_pipeline,
         "tile_histogram_salted": lambda sf: spatial.tile_histogram_pipeline(sf, salted=True),
@@ -505,6 +507,10 @@ SELECT fmt, w, h, count(*) AS n_images, CAST(sum(octet_length(bytes)) AS BIGINT)
         "phash_dedup": f"""
 SELECT phash, min(image_id) AS first_image_id, count(*) AS n_images FROM {img_pq} GROUP BY phash HAVING count(*) > 1""",
         # --- golden-table oracles (local non-Ray recompute; see plasmap_ray.golden) ---
+        "s2_cell_index": f"SELECT * FROM read_parquet('{golden.s2_cells_path(SF001)}')",
+        "s2_cell_histogram": f"""
+SELECT s2_cell_coarse, count(*) AS n_points
+FROM read_parquet('{golden.s2_cells_path(SF001)}') GROUP BY s2_cell_coarse""",
         "way_assembly": f"SELECT * FROM read_parquet('{golden.way_assembly_path()}')",
         "way_lengths": f"SELECT * FROM read_parquet('{golden.way_lengths_path()}')",
         "boundary_assembly": f"SELECT * FROM read_parquet('{golden.boundary_assembly_path()}')",

@@ -157,6 +157,79 @@ def way_lengths_path() -> str:
     return _cache("way_lengths", build)
 
 
+def s2_cells_path(sf_dir: str, level: int = 12, coarse: int = 8) -> str:
+    """Expected (doc_id, s2_cell, s2_cell_coarse): scalar per-point
+    recompute — plain-`math` cube-face projection + the classic
+    loop-per-point Hilbert xy2d, independent of the engine's vectorized
+    bit kernels."""
+
+    def build() -> pa.Table:
+        import math
+
+        from . import fixtures
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        ids = t["doc_id"].to_numpy()
+        lons = fixtures.derive_lon(ids)
+        lats = fixtures.derive_lat(ids)
+
+        def xy2d(order: int, x: int, y: int) -> int:
+            d = 0
+            s = 1 << (order - 1)
+            while s > 0:
+                rx = 1 if (x & s) else 0
+                ry = 1 if (y & s) else 0
+                d += s * s * ((3 * rx) ^ ry)
+                x &= s - 1
+                y &= s - 1
+                if ry == 0:
+                    if rx == 1:
+                        x, y = s - 1 - x, s - 1 - y
+                    x, y = y, x
+                s >>= 1
+            return d
+
+        def st(u: float) -> float:
+            return 0.5 * math.sqrt(1.0 + 3.0 * u) if u >= 0 else 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * u)
+
+        fine_out, coarse_out = [], []
+        for lon, lat in zip(lons.tolist(), lats.tolist()):
+            lam, phi = math.radians(lon), math.radians(lat)
+            x = math.cos(phi) * math.cos(lam)
+            y = math.cos(phi) * math.sin(lam)
+            z = math.sin(phi)
+            ax, ay, az = abs(x), abs(y), abs(z)
+            if ax >= ay and ax >= az:
+                face = 0 if x >= 0 else 3
+            elif ay >= az:
+                face = 1 if y >= 0 else 4
+            else:
+                face = 2 if z >= 0 else 5
+            u, v = {
+                0: (y / x, z / x),
+                1: (-x / y, z / y),
+                2: (-x / z, -y / z),
+                3: (z / x, y / x),
+                4: (z / y, -x / y),
+                5: (-y / z, -x / z),
+            }[face]
+            n = 1 << level
+            i = min(max(int(math.floor(st(u) * n)), 0), n - 1)
+            j = min(max(int(math.floor(st(v) * n)), 0), n - 1)
+            cell = (face << (2 * level)) | xy2d(level, i, j)
+            fine_out.append(cell)
+            coarse_out.append(cell >> (2 * (level - coarse)))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "s2_cell": pa.array(fine_out, type=pa.int64()),
+                "s2_cell_coarse": pa.array(coarse_out, type=pa.int64()),
+            }
+        )
+
+    return _cache(f"s2_cells_{_sf_tag(sf_dir)}", build)
+
+
 def doc_fingerprint_path(sf_dir: str) -> str:
     def build() -> pa.Table:
         t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])

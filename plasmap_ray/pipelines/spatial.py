@@ -52,6 +52,42 @@ def cell_index_pipeline(sf_dir: str) -> rd.Dataset:
     )
 
 
+def s2_cell_index_pipeline(sf_dir: str) -> rd.Dataset:
+    """Per-point S2-style cell ids (face+Hilbert) at fine+coarse levels.
+
+    The H3/S2 leg of the cell-encoding surface: same streaming shape as
+    ``cell_index_pipeline`` (map-only, no shuffle), different curve.
+    Golden-oracle-checked against a scalar per-point recompute."""
+    from .. import s2
+
+    def fn(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        fine = s2.encode(lon, lat, s2.DEFAULT_LEVEL)
+        t = t.append_column("s2_cell", pa.array(fine, type=pa.int64()))
+        return t.append_column(
+            "s2_cell_coarse",
+            pa.array(s2.reduce_level(fine, s2.DEFAULT_LEVEL, s2.COARSE_LEVEL), type=pa.int64()),
+        )
+
+    return (
+        points_from_documents(sf_dir)
+        .map_batches(fn, batch_format="pyarrow")
+        .select_columns(["doc_id", "s2_cell", "s2_cell_coarse"])
+    )
+
+
+def s2_cell_histogram_pipeline(sf_dir: str) -> rd.Dataset:
+    """Counts per coarse S2 cell — the Hilbert-keyed shuffle analogue of
+    the Morton tile histogram (contiguous key ranges are spatially
+    compact, the property range-partitioned shuffles want)."""
+    return (
+        s2_cell_index_pipeline(sf_dir)
+        .groupby("s2_cell_coarse")
+        .aggregate(Count(alias_name="n_points"))
+    )
+
+
 def tile_assign_pipeline(sf_dir: str, z: int = 12) -> rd.Dataset:
     """Per-point slippy tile assignment at one zoom."""
     return (
