@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_index": spatial.cell_index_pipeline,
         "s2_cell_index": spatial.s2_cell_index_pipeline,
         "s2_cell_histogram": spatial.s2_cell_histogram_pipeline,
+        "hex_bin_index": spatial.hex_bin_index_pipeline,
+        "hex_hot_cells": spatial.hex_hot_cells_pipeline,
         "tile_assign": lambda sf: spatial.tile_assign_pipeline(sf, z=TILE_Z),
         "tile_histogram": spatial.tile_histogram_pipeline,
         "tile_histogram_salted": lambda sf: spatial.tile_histogram_pipeline(sf, salted=True),
@@ -511,6 +513,21 @@ SELECT phash, min(image_id) AS first_image_id, count(*) AS n_images FROM {img_pq
         "s2_cell_histogram": f"""
 SELECT s2_cell_coarse, count(*) AS n_points
 FROM read_parquet('{golden.s2_cells_path(SF001)}') GROUP BY s2_cell_coarse""",
+        "hex_bin_index": f"SELECT * FROM read_parquet('{golden.hex_cells_path(SF001)}')",
+        # ring-1 mass: scatter each hex count to self + 6 axial
+        # neighbors in SQL (same packing arithmetic as hexgrid.py)
+        "hex_hot_cells": f"""
+WITH counts AS (
+  SELECT hex_cell, count(*) AS n FROM read_parquet('{golden.hex_cells_path(SF001)}') GROUP BY hex_cell),
+qr AS (
+  SELECT hex_cell, (hex_cell >> 32) - 1073741824 AS q,
+         (hex_cell & 4294967295) - 1073741824 AS r, n FROM counts),
+offs(dq, dr) AS (VALUES (0,0),(1,0),(1,-1),(0,-1),(-1,0),(-1,1),(0,1)),
+scat AS (
+  SELECT ((q + dq + 1073741824) << 32) | (r + dr + 1073741824) AS cell, n FROM qr, offs),
+ring AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_ring1 FROM scat GROUP BY cell)
+SELECT c.hex_cell, c.n AS n_points, ring.n_ring1
+FROM counts c JOIN ring ON ring.cell = c.hex_cell""",
         "way_assembly": f"SELECT * FROM read_parquet('{golden.way_assembly_path()}')",
         "way_lengths": f"SELECT * FROM read_parquet('{golden.way_lengths_path()}')",
         "boundary_assembly": f"SELECT * FROM read_parquet('{golden.boundary_assembly_path()}')",

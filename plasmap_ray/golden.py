@@ -230,6 +230,36 @@ def s2_cells_path(sf_dir: str, level: int = 12, coarse: int = 8) -> str:
     return _cache(f"s2_cells_{_sf_tag(sf_dir)}", build)
 
 
+def hex_cells_path(sf_dir: str) -> str:
+    """Expected (doc_id, hex_cell): scalar cube-rounding recompute per
+    point, independent of the engine's vectorized kernels."""
+
+    def build() -> pa.Table:
+        from . import fixtures, hexgrid
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        ids = t["doc_id"].to_numpy()
+        lons = fixtures.derive_lon(ids).tolist()
+        lats = fixtures.derive_lat(ids).tolist()
+        size = hexgrid.DEFAULT_SIZE_DEG
+        s3 = 3.0**0.5
+        out = []
+        for lon, lat in zip(lons, lats):
+            q = (s3 / 3.0 * lon - lat / 3.0) / size
+            r = (2.0 / 3.0 * lat) / size
+            s = -q - r
+            rq, rr, rs = round(q), round(r), round(s)
+            dq, dr, ds = abs(rq - q), abs(rr - r), abs(rs - s)
+            if dq > dr and dq > ds:
+                rq = -rr - rs
+            elif dr > ds:
+                rr = -rq - rs
+            out.append(((int(rq) + (1 << 30)) << 32) | (int(rr) + (1 << 30)))
+        return pa.table({"doc_id": t["doc_id"], "hex_cell": pa.array(out, type=pa.int64())})
+
+    return _cache(f"hex_cells_{_sf_tag(sf_dir)}", build)
+
+
 def doc_fingerprint_path(sf_dir: str) -> str:
     def build() -> pa.Table:
         t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])

@@ -88,6 +88,84 @@ def s2_cell_histogram_pipeline(sf_dir: str) -> rd.Dataset:
     )
 
 
+def hex_bin_index_pipeline(sf_dir: str) -> rd.Dataset:
+    """Per-point hex-lattice cell ids (the H3-analogue encoding leg).
+
+    Map-only; golden oracle = scalar cube-rounding recompute."""
+    from .. import hexgrid
+
+    def fn(t: pa.Table) -> pa.Table:
+        cell = hexgrid.encode(
+            t["lon"].to_numpy(zero_copy_only=False), t["lat"].to_numpy(zero_copy_only=False)
+        )
+        return t.append_column("hex_cell", pa.array(cell, type=pa.int64()))
+
+    return (
+        points_from_documents(sf_dir)
+        .map_batches(fn, batch_format="pyarrow")
+        .select_columns(["doc_id", "hex_cell"])
+    )
+
+
+def hex_hot_cells_pipeline(sf_dir: str) -> rd.Dataset:
+    """Hex density + ring-1 neighborhood mass — hot-cell detection with
+    the isotropic neighborhoods hexes exist for.
+
+    Shuffle shape: per-batch partial counts -> one small groupby;
+    the ring sum then SCATTERS each aggregated hex count to its 6
+    neighbors (aggregate-sized fan-out, 7x #distinct hexes, never the
+    input) and re-groups — union + groupby instead of a self-join, so
+    the whole DAG is Dataset-native with no driver materialization.
+    Output: (hex_cell, n_points, n_ring1) for hexes that contain
+    points; n_ring1 includes the hex's own count.
+    """
+    from .. import hexgrid
+
+    def partial(t: pa.Table) -> pa.Table:
+        cell = hexgrid.encode(
+            t["lon"].to_numpy(zero_copy_only=False), t["lat"].to_numpy(zero_copy_only=False)
+        )
+        uniq, cnt = np.unique(cell, return_counts=True)
+        return pa.table({"hex_cell": pa.array(uniq, type=pa.int64()), "n": pa.array(cnt.astype(np.int64))})
+
+    counts = (
+        points_from_documents(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("hex_cell")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # tiny aggregate; reused by both union branches
+    )
+
+    def self_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hex_cell": t["hex_cell"],
+                "n_points": t["n"],
+                "n_ring1": t["n"],
+            }
+        )
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cells_ = t["hex_cell"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        neigh = hexgrid.neighbors(cells_)  # (m, 6)
+        return pa.table(
+            {
+                "hex_cell": pa.array(neigh.ravel(), type=pa.int64()),
+                "n_points": pa.array(np.zeros(neigh.size, dtype=np.int64)),
+                "n_ring1": pa.array(np.repeat(n, 6).astype(np.int64)),
+            }
+        )
+
+    both = counts.map_batches(self_rows, batch_format="pyarrow").union(
+        counts.map_batches(scatter, batch_format="pyarrow")
+    )
+    out = both.groupby("hex_cell").aggregate(
+        Sum("n_points", alias_name="n_points"), Sum("n_ring1", alias_name="n_ring1")
+    )
+    return out.filter(expr="n_points > 0")
+
+
 def tile_assign_pipeline(sf_dir: str, z: int = 12) -> rd.Dataset:
     """Per-point slippy tile assignment at one zoom."""
     return (
