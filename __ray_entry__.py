@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_cell_histogram": spatial.s2_cell_histogram_pipeline,
         "hex_bin_index": spatial.hex_bin_index_pipeline,
         "hex_hot_cells": spatial.hex_hot_cells_pipeline,
+        "kmeans_clusters": ann.kmeans_embeddings,
+        "kmeans_cluster_sizes": ann.kmeans_cluster_sizes,
         "tile_assign": lambda sf: spatial.tile_assign_pipeline(sf, z=TILE_Z),
         "tile_histogram": spatial.tile_histogram_pipeline,
         "tile_histogram_salted": lambda sf: spatial.tile_histogram_pipeline(sf, salted=True),
@@ -513,6 +515,10 @@ SELECT phash, min(image_id) AS first_image_id, count(*) AS n_images FROM {img_pq
         "s2_cell_histogram": f"""
 SELECT s2_cell_coarse, count(*) AS n_points
 FROM read_parquet('{golden.s2_cells_path(SF001)}') GROUP BY s2_cell_coarse""",
+        "kmeans_clusters": f"SELECT * FROM read_parquet('{golden.kmeans_clusters_path(SF001)}')",
+        "kmeans_cluster_sizes": f"""
+SELECT cluster, count(*) AS n_vecs
+FROM read_parquet('{golden.kmeans_clusters_path(SF001)}') GROUP BY cluster""",
         "hex_bin_index": f"SELECT * FROM read_parquet('{golden.hex_cells_path(SF001)}')",
         # ring-1 mass: scatter each hex count to self + 6 axial
         # neighbors in SQL (same packing arithmetic as hexgrid.py)

@@ -260,6 +260,44 @@ def hex_cells_path(sf_dir: str) -> str:
     return _cache(f"hex_cells_{_sf_tag(sf_dir)}", build)
 
 
+def kmeans_clusters_path(sf_dir: str, k: int = 8, iters: int = 5) -> str:
+    """Expected (vec_id, cluster) of the distributed Lloyd k-means:
+    single-process numpy recompute.  Bit-equality with the engine holds
+    because both sides accumulate FIXED-POINT int64 partial sums
+    (round(v * 2^20)) — integer addition is order-independent, so the
+    engine's aggregation-tree merge and this sequential loop produce
+    identical centroids every iteration."""
+
+    def build() -> pa.Table:
+        scale = 1 << 20
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        sel = ids < k
+        sub_ids = ids[sel]
+        cents = m[sel][np.argsort(sub_ids, kind="stable")].copy()
+        assert cents.shape[0] == k
+        q = np.rint(m * scale).astype(np.int64)
+        for _ in range(iters):
+            dist = (cents * cents).sum(axis=1)[None, :] - 2.0 * (m @ cents.T)
+            assign = dist.argmin(axis=1)
+            counts = np.bincount(assign, minlength=k)
+            sums = np.zeros((k, m.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, q)
+            nonempty = counts > 0
+            upd = sums.astype(np.float64) / (scale * np.where(nonempty, counts, 1))[:, None]
+            cents = np.where(nonempty[:, None], upd, cents)
+        dist = (cents * cents).sum(axis=1)[None, :] - 2.0 * (m @ cents.T)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "cluster": pa.array(dist.argmin(axis=1).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return _cache(f"kmeans_{_sf_tag(sf_dir)}_{k}_{iters}", build)
+
+
 def doc_fingerprint_path(sf_dir: str) -> str:
     def build() -> pa.Table:
         t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])

@@ -400,6 +400,100 @@ def embedding_near_dup_lsh(
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+KMEANS_SCALE = 1 << 20  # fixed-point quantum for exact partial sums
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5) -> rd.Dataset:
+    """DISTRIBUTED Lloyd k-means over the embeddings Dataset — the
+    corpus-clustering operator (vs :func:`kmeans_centroids`, which
+    trains the IVF quantizer on a driver-side sample).
+
+    Each iteration is ONE streaming pass: map-side assign + per-block
+    partial sums folded through ``Dataset.aggregate`` with a custom
+    ``AggregateFn`` — only a (k, d+1) array ever moves, never vectors.
+    Partials are FIXED-POINT int64 (``round(v * 2^20)``), so the
+    aggregation-tree merge is exact integer addition and the updated
+    centroids are bit-identical regardless of Ray's merge order — what
+    makes a distributed iterative algorithm oracle-checkable at all.
+    (Headroom: int64 overflows past ~2^43 rows per cluster at unit-norm
+    scale; shard the accumulator or drop to 2^14 quanta beyond that.)
+
+    Init is the ``k`` lowest-vec_id vectors (deterministic, no RNG).
+    Empty clusters keep their previous centroid.  Output: one row per
+    vector (vec_id, cluster) from a final assign pass.
+    """
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import AggregateFn
+
+    init_t = pads.dataset(_emb_path(sf_dir)).to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < k
+    )
+    order = np.argsort(init_t["vec_id"].to_numpy(), kind="stable")
+    cents = np.stack(init_t["embedding"].to_numpy(zero_copy_only=False)[order]).astype(np.float64)
+    if cents.shape[0] < k:
+        raise ValueError(f"need vec_ids 0..{k-1} for deterministic init")
+    d = cents.shape[1]
+    ds = _read_emb(sf_dir)
+
+    def make_agg(cref):
+        def accumulate(acc: np.ndarray, block: pa.Table) -> np.ndarray:
+            c = ray.get(cref)
+            m = _emb_matrix(block)
+            if m.shape[0] == 0:
+                return acc
+            dist = (c * c).sum(axis=1)[None, :] - 2.0 * (m @ c.T)
+            assign = dist.argmin(axis=1)
+            q = np.rint(m * KMEANS_SCALE).astype(np.int64)
+            acc = acc.copy()
+            acc[:, 0] += np.bincount(assign, minlength=c.shape[0])
+            np.add.at(acc[:, 1:], assign, q)
+            return acc
+
+        return AggregateFn(
+            init=lambda _key: np.zeros((k, d + 1), dtype=np.int64),
+            accumulate_block=accumulate,
+            merge=lambda a, b: a + b,
+            finalize=lambda acc: acc,
+            name="kmeans_partial",
+        )
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+        part = ds.aggregate(make_agg(cref))["kmeans_partial"]
+        counts = part[:, 0].astype(np.float64)
+        nonempty = counts > 0
+        upd = part[:, 1:].astype(np.float64) / (KMEANS_SCALE * np.where(nonempty, counts, 1.0))[:, None]
+        cents = np.where(nonempty[:, None], upd, cents)
+
+    cref = ray.put(cents)
+
+    class FinalAssign:
+        def __init__(self):
+            self.c = ray.get(cref)
+            self.cn2 = (self.c * self.c).sum(axis=1)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _emb_matrix(batch)
+            dist = self.cn2[None, :] - 2.0 * (m @ self.c.T)
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"],
+                    "cluster": pa.array(dist.argmin(axis=1).astype(np.int64), type=pa.int64()),
+                }
+            )
+
+    return ds.map_batches(FinalAssign, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def kmeans_cluster_sizes(sf_dir: str, k: int = 8, iters: int = 5) -> rd.Dataset:
+    """Per-cluster member counts of the distributed k-means."""
+    from ray.data.aggregate import Count
+
+    return kmeans_embeddings(sf_dir, k=k, iters=iters).groupby("cluster").aggregate(
+        Count(alias_name="n_vecs")
+    )
+
+
 def kmeans_centroids(m: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 5) -> np.ndarray:
     """Deterministic Lloyd k-means (seeded init, fixed iterations) —
     the IVF coarse quantizer.  Trained on a driver-side sample; at

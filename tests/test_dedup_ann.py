@@ -194,3 +194,63 @@ FROM w GROUP BY event_type ORDER BY event_type"""
     assert list(got["n_events"]) == list(want["n_events"])
     assert list(got["n_late"]) == list(want["n_late"])
     assert got["n_late"].sum() > 0  # the scenario actually has late events
+
+
+def test_kmeans_fixed_point_merge_order_independent():
+    """The determinism keystone: int64 fixed-point partials sum to the
+    same totals under ANY merge order, so distributed centroids match
+    the sequential golden bit-for-bit."""
+    import numpy as np
+
+    from plasmap_ray.pipelines import ann
+
+    rng = np.random.default_rng(1)
+    m = rng.standard_normal((300, 8))
+    q = np.rint(m * ann.KMEANS_SCALE).astype(np.int64)
+    assign = rng.integers(0, 4, 300)
+    # sequential
+    seq = np.zeros((4, 9), dtype=np.int64)
+    seq[:, 0] = np.bincount(assign, minlength=4)
+    np.add.at(seq[:, 1:], assign, q)
+    # three shards merged in both orders
+    shards = []
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        s = np.zeros((4, 9), dtype=np.int64)
+        s[:, 0] = np.bincount(assign[lo:hi], minlength=4)
+        np.add.at(s[:, 1:], assign[lo:hi], q[lo:hi])
+        shards.append(s)
+    np.testing.assert_array_equal(seq, shards[0] + (shards[1] + shards[2]))
+    np.testing.assert_array_equal(seq, (shards[2] + shards[0]) + shards[1])
+
+
+def test_kmeans_partitions_and_improves(ray_session):
+    """Distributed k-means: every vector gets exactly one cluster, all
+    k clusters are used on the fixture corpus, and more Lloyd
+    iterations never worsen the quantization objective."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import ann
+
+    sf = "/root/testdata/sf0.001"
+    got = ann.kmeans_embeddings(sf, k=4, iters=3).to_pandas()
+    t = pq.read_table(sf + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    assert sorted(got["vec_id"]) == sorted(t["vec_id"].to_numpy().tolist())
+    assert set(got["cluster"]) == set(range(4))
+
+    m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    ids = t["vec_id"].to_numpy()
+
+    def objective(assign_df, iters):
+        # recompute final centroids as the mean of members, then sum of
+        # squared distances (the Lloyd objective)
+        a = assign_df.set_index("vec_id")["cluster"].reindex(ids).to_numpy()
+        obj = 0.0
+        for c in range(4):
+            sel = m[a == c]
+            if len(sel):
+                obj += ((sel - sel.mean(axis=0)) ** 2).sum()
+        return obj
+
+    few = ann.kmeans_embeddings(sf, k=4, iters=1).to_pandas()
+    assert objective(got, 3) <= objective(few, 1) + 1e-9
