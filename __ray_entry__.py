@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text.fingerprint,
         "search_by_token": lambda sf: index.search_by_token(sf, SEARCH_TOKEN),
         "search_ranked": lambda sf: index.search_ranked(sf, tokens=SEARCH_TOKENS, k=SEARCH_K),
+        "search_bm25": lambda sf: index.search_bm25(sf, tokens=SEARCH_TOKENS, k=SEARCH_K),
         "token_doc_frequency": lambda sf: index.token_doc_frequency(sf, min_docs=50),
         "anti_search": lambda sf: index.anti_search(sf, SEARCH_TOKEN),
         # --- dedup ---
@@ -607,6 +608,22 @@ n AS (SELECT count(*) AS n FROM documents),
 sc AS (SELECT tf.doc_id, round(sum(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)), 6) AS score
        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n GROUP BY tf.doc_id)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS search_rank, doc_id, score
+FROM sc ORDER BY score DESC, doc_id LIMIT {SEARCH_K}""",
+        # BM25: every float expression associated exactly as the engine
+        # computes it (literals written as the same sums, no pre-folding)
+        "search_bm25": f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT count(*) FROM toks) AS total),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+       WHERE token IN ({", ".join(f"'{t}'" for t in SEARCH_TOKENS)}) GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+sc AS (SELECT tf.doc_id,
+       round(sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / (CAST(stats.total AS DOUBLE) / stats.n))))), 6) AS score
+       FROM tf JOIN df ON tf.token = df.token JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+       GROUP BY tf.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bm25_rank, doc_id, score
 FROM sc ORDER BY score DESC, doc_id LIMIT {SEARCH_K}""",
         "image_fidelity": f"""
 SELECT fmt, count(*) AS n_images, count(*) AS n_ok FROM {img_pq} GROUP BY fmt""",

@@ -154,6 +154,108 @@ def search_ranked(sf_dir: str, tokens: tuple[str, ...] = ("spark", "data"), k: i
     )
 
 
+def search_bm25(
+    sf_dir: str,
+    tokens: tuple[str, ...] = ("spark", "data"),
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> rd.Dataset:
+    """J8 ranked search, BM25 scoring — TF-IDF (:func:`search_ranked`)
+    plus term-frequency saturation and document-length normalization:
+
+        score(d) = Σ_q idf(q) · tf·(k1+1) / (tf + k1·((1-b) + b·dl/avgdl))
+        idf(q)   = ln((N - df + 0.5) / (df + 0.5) + 1)
+
+    Same streaming shape as search_ranked: the query token set is
+    broadcast-tiny so term counts stream map-side (with the doc length
+    attached in the same pass); N / avgdl / df are aggregate-sized.
+    Every float expression is associated identically in the SQL mirror
+    (literals written as the same sums, e.g. ``(1.2 + 1.0)``, never a
+    pre-folded constant) and the ranking key is the 6-dp-rounded score
+    with doc_id tiebreak — the bit-robust ranked-query contract.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.common import duckdb_round
+
+    qtokens = list(tokens)
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def term_counts_dl(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(batch["text"]), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        ids_arr = batch["doc_id"].to_numpy()
+        ids = np.repeat(ids_arr, lengths)
+        flat = toks.flatten()
+        order = np.argsort(ids_arr, kind="stable")
+        out = []
+        for q in qtokens:
+            hit = pc.equal(flat, q).to_numpy(zero_copy_only=False)
+            if not hit.any():
+                continue
+            doc_hits, counts = np.unique(ids[hit], return_counts=True)
+            pos = order[np.searchsorted(ids_arr[order], doc_hits)]
+            out.append((doc_hits, counts.astype(np.int64), lengths[pos], q))
+        if not out:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "token": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "dl": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([o[0] for o in out]), type=pa.int64()),
+                "token": pa.array(sum(([o[3]] * len(o[0]) for o in out), []), type=pa.string()),
+                "tf": pa.array(np.concatenate([o[1] for o in out])),
+                "dl": pa.array(np.concatenate([o[2] for o in out])),
+            }
+        )
+
+    def dl_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(batch["text"]), " ")
+        n = int(pc.sum(pc.list_value_length(toks)).as_py() or 0)
+        return pa.table({"dl": pa.array([n], type=pa.int64())})
+
+    tf_rows = docs.map_batches(term_counts_dl, batch_format="pyarrow").materialize()
+    n_docs = docs.count()
+    total_tokens = int(docs.map_batches(dl_partial, batch_format="pyarrow").sum("dl"))
+    avgdl = total_tokens / n_docs  # exact ints -> one float64 division
+    dfs = {r["token"]: r["n_docs"] for r in tf_rows.groupby("token").aggregate(Count(alias_name="n_docs")).take_all()}
+    idf = {t: math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0) for t in dfs}
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfv = batch["tf"].to_numpy().astype(np.float64)
+        dlv = batch["dl"].to_numpy().astype(np.float64)
+        idfv = np.array([idf[t] for t in batch["token"].to_pylist()])
+        partial = idfv * tfv * (k1 + 1.0) / (tfv + k1 * ((1.0 - b) + b * (dlv / avgdl)))
+        return pa.table({"doc_id": batch["doc_id"], "partial": pa.array(partial, type=pa.float64())})
+
+    scored = (
+        tf_rows.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("partial", alias_name="score"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = duckdb_round(t["score"].to_numpy(zero_copy_only=False), 6)
+        return pa.table({"doc_id": t["doc_id"], "score": pa.array(s, type=pa.float64())})
+
+    from .ann import ranked_head
+
+    return ranked_head(
+        scored.map_batches(finish, batch_format="pyarrow"), ["score", "doc_id"], "bm25_rank", k,
+        keep=["doc_id", "score"],
+    )
+
+
 def token_doc_frequency(sf_dir: str, min_docs: int = 50) -> rd.Dataset:
     """Index statistics: tokens by document frequency (the index's own
     aggregate; S8 counter analogue over the sidecar)."""

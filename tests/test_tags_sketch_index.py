@@ -108,3 +108,36 @@ def test_anti_search_complements_search(ray_session):
     misses = index.anti_search(sf, "spark").to_pandas()
     assert len(hits) + len(misses) == 500
     assert set(hits["doc_id"]).isdisjoint(set(misses["doc_id"]))
+
+
+def test_bm25_saturation_and_length_norm(ray_session, tmp_path):
+    """BM25 semantics pinned on a hand-built corpus: (a) term-frequency
+    saturates (score < idf*(k1+1) no matter how stuffed the doc), and
+    (b) with equal tf, the SHORTER document outranks the longer one."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import index as idx
+
+    texts = [
+        "spark " * 50 + "x",          # doc 0: stuffed
+        "spark data",                  # doc 1: short, tf=1
+        "spark " + "pad " * 30,        # doc 2: long, tf=1
+        "nothing here",                # doc 3: no hit
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), type=pa.int64()),
+            "text": pa.array([s.strip() for s in texts]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = idx.search_bm25(str(tmp_path), tokens=("spark",), k=4).to_pandas()
+    got = got.set_index("doc_id")["score"]
+    assert 3 not in got.index
+    k1 = 1.2
+    n, df = 4, 3
+    idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    assert got[0] < idf * (k1 + 1.0)  # saturation bound
+    assert got[1] > got[2]  # equal tf, shorter doc wins
