@@ -21,7 +21,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from plasmap_ray import golden, oracle, queryast  # noqa: E402
-from plasmap_ray.pipelines import ann, cluster, dedup, denormalize, images, index, multimodal, raster, relational, spatial, stats, text, windows  # noqa: E402
+from plasmap_ray.pipelines import ann, cluster, dedup, denormalize, images, index, multimodal, raster, relational, spatial, stats, text, trajectory, windows  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 SF001 = "/root/testdata/sf0.01"
@@ -198,6 +198,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": multimodal.audio_features,
         "cell_modality_mix": multimodal.cell_modality_mix,
         "video_frame_stats": multimodal.video_frame_stats,
+        # --- trajectory / movement analytics ---
+        "trajectory_stats": trajectory.trajectory_stats,
+        "od_matrix": trajectory.od_matrix,
+        "spatial_self_join": trajectory.spatial_self_join,
+        "stratified_sample": trajectory.stratified_sample,
     }
 
 
@@ -225,6 +230,18 @@ def oracle_sql() -> dict[str, str]:
     img_pq = f"read_parquet('{images.images_path_for(SF001)}')"
 
     tile_hist = f"WITH {_pts_cte()}, u AS ({_tile_union()}) SELECT z, x, y, count(*) AS n_images FROM u GROUP BY z, x, y"
+
+    # event points with user/ts carried (trajectory family)
+    _epts = (
+        f"epts AS (SELECT event_id, user_id, ts, {oracle.sql_derive_lon('event_id')} AS lon, "
+        f"{oracle.sql_derive_lat('event_id')} AS lat FROM events)"
+    )
+
+    def _fp_sql(dlon: str, dlat: str) -> str:
+        """Fixed-point planar length == trajectory._seg_fp bit-for-bit."""
+        return (
+            f"CAST(floor(sqrt({dlon} * {dlon} + {dlat} * {dlat}) * {trajectory.FP_SCALE!r} + 0.5) AS BIGINT)"
+        )
 
     return {
         "cell_index": f"""
@@ -632,4 +649,47 @@ SELECT a.image_id AS image_id_a, b.image_id AS image_id_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
 FROM {img_pq} a JOIN {img_pq} b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 3""",
+        # --- trajectory / movement (planar-degree fixed-point: + * sqrt
+        # are correctly rounded IEEE ops, int64 sums are order-free) ---
+        "trajectory_stats": f"""
+WITH {_epts},
+w AS (SELECT user_id, lon, lat,
+        lag(lon) OVER uw AS plon, lag(lat) OVER uw AS plat,
+        first_value(lon) OVER uwf AS flon, first_value(lat) OVER uwf AS flat,
+        last_value(lon) OVER uwf AS llon, last_value(lat) OVER uwf AS llat
+      FROM epts
+      WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id),
+             uwf AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+SELECT user_id, count(*) AS n_events,
+  CAST(sum(CASE WHEN plon IS NULL THEN 0
+       ELSE {_fp_sql('(lon - plon)', '(lat - plat)')} END) AS BIGINT) AS path_fp,
+  max({_fp_sql('(llon - flon)', '(llat - flat)')}) AS disp_fp
+FROM w GROUP BY user_id""",
+        "od_matrix": f"""
+WITH {_epts},
+w AS (SELECT user_id,
+        first_value(lon) OVER uwf AS flon, first_value(lat) OVER uwf AS flat,
+        last_value(lon) OVER uwf AS llon, last_value(lat) OVER uwf AS llat
+      FROM epts
+      WINDOW uwf AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+u AS (SELECT user_id, max(flon) AS flon, max(flat) AS flat,
+             max(llon) AS llon, max(llat) AS llat FROM w GROUP BY user_id),
+{oracle.sql_morton_ctes('u', 'user_id, llon, llat', trajectory.OD_PRECISION, 'o_cell', lon_col='flon', lat_col='flat', prefix='mo')},
+{oracle.sql_morton_ctes('mo_out', 'user_id, o_cell', trajectory.OD_PRECISION, 'd_cell', lon_col='llon', lat_col='llat', prefix='md')}
+SELECT o_cell, d_cell, count(*) AS n_users FROM md_out GROUP BY o_cell, d_cell""",
+        "spatial_self_join": f"""
+WITH {_epts}
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+  {_fp_sql('(b.lon - a.lon)', '(b.lat - a.lat)')} AS dist_fp
+FROM epts a JOIN epts b
+ON a.event_id < b.event_id
+AND b.lon >= a.lon - {2 * trajectory.EPS_DEG!r} AND b.lon <= a.lon + {2 * trajectory.EPS_DEG!r}
+WHERE (b.lon - a.lon) * (b.lon - a.lon) + (b.lat - a.lat) * (b.lat - a.lat)
+      <= {trajectory.EPS_DEG * trajectory.EPS_DEG!r}""",
+        "stratified_sample": f"""
+SELECT event_id, user_id, event_type, value FROM events
+WHERE ((event_id * {trajectory.SAMPLE_MULT} + {trajectory.SAMPLE_ADD}) % {trajectory.M31}) / {trajectory.M31}
+  < CASE event_type {' '.join(f"WHEN '{k}' THEN CAST({v!r} AS DOUBLE)" for k, v in trajectory.SAMPLE_RATES.items())} ELSE CAST(0.0 AS DOUBLE) END""",
     }

@@ -1,0 +1,337 @@
+"""Trajectory / movement analytics over the ``events`` table.
+
+The reference's stream is element-at-a-time with no movement operators
+(SURVEY.md §2.9); a geo training-data engine wants them.  Four
+operators, all Ray-Data-first and all bit-exact against a DuckDB
+mirror:
+
+- ``trajectory_stats`` — per-user path length / net displacement /
+  event count.  The per-user regroup is the coarse-partition run-scan
+  of ``denormalize.assemble_ways`` (pipelines/denormalize.py:96): one
+  task per ``user_id % parts`` slice sorts its slice and run-scans the
+  user boundaries — NOT one task per user, so per-parent dispatch cost
+  amortizes over the partition at 10^9-user scale.
+- ``od_matrix`` — origin→destination Morton-cell flow counts.  A
+  map-side combiner keeps only each user's per-batch extreme rows
+  (first/last by (ts, event_id)), collapsing the shuffle payload to
+  ≤2 rows × users per batch before the per-user regroup; the final
+  (o_cell, d_cell) groupby is tiny (cells², not rows).
+- ``spatial_self_join`` — all event pairs within ``eps`` degrees.
+  Points are bucketed into eps-sized grid cells; same-cell pairs come
+  from a self equi-join on the cell key and cross-cell pairs from a
+  *half-neighborhood* join (4 of the 8 neighbor offsets), so every
+  unordered pair is generated exactly once — no global dedup, no
+  O(N²) candidate set; candidates are bounded by local density.
+- ``stratified_sample`` — deterministic per-stratum Bernoulli sample
+  via the fixture world's LCG-mix trick (fixtures.derive_lon):
+  ``(event_id * MULT + ADD) % 2^31 / 2^31 < rate`` is pure integer +
+  double arithmetic, so the engine and the SQL oracle select the
+  identical row set with zero RNG state.
+
+Distances are planar-degree Euclidean: ``+ * sqrt`` are correctly
+rounded IEEE-754 ops, so segment lengths are bit-identical across
+engines; each segment is fixed-pointed to int64
+(``floor(seg * 1e9 + 0.5)``) before summing so partial-sum order can
+never flip a double ulp (the k-means partial-sum trick,
+pipelines/cluster.py).  Geodesic lengths for real use come from
+``geometry.haversine_m`` (see ``denormalize.way_lengths``); the planar
+metric here is what makes the independent SQL oracle possible.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count
+
+from .. import cells, fixtures
+
+FP_SCALE = 1e9  # fixed-point: 1e-9 deg ~ 0.1 mm — far below any ulp drift
+TRAJ_PARTS = 32  # coarse regroup partitions (≈ cluster cores at scale)
+OD_PRECISION = cells.PRECISION_VERY_LOW  # ~80 km OD cells
+EPS_DEG = 0.01  # self-join radius (~1.1 km N-S)
+SAMPLE_MULT = 22695477  # Borland LCG multiplier — disjoint from fixture mixes
+SAMPLE_ADD = 1
+M31 = 1 << 31
+# half neighborhood: each unordered adjacent-cell pair appears exactly once
+HALF_OFFSETS = ((1, 0), (-1, 1), (0, 1), (1, 1))
+
+
+def _read_events(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def _derive_positions(t: pa.Table) -> pa.Table:
+    ids = t["event_id"].to_numpy()
+    t = t.append_column("lon", pa.array(fixtures.derive_lon(ids), type=pa.float64()))
+    return t.append_column("lat", pa.array(fixtures.derive_lat(ids), type=pa.float64()))
+
+
+def _seg_fp(dlon: np.ndarray, dlat: np.ndarray) -> np.ndarray:
+    """Fixed-point planar segment length; floor(x*1e9+0.5) == DuckDB's
+    CAST(floor(sqrt(...)*1e9+0.5) AS BIGINT) bit-for-bit (x >= 0)."""
+    seg = np.sqrt(dlon * dlon + dlat * dlat)
+    return np.floor(seg * FP_SCALE + 0.5).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# trajectory_stats
+# ---------------------------------------------------------------------------
+
+
+def trajectory_stats(sf_dir: str, parts: int = TRAJ_PARTS) -> rd.Dataset:
+    """Per-user trajectory: n_events, path length, net displacement.
+
+    Order within a user is (ts, event_id) — the same total order the
+    sessionizer uses.  Output fixed-point int64 columns so the sum is
+    order-independent across partitions.
+    """
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _derive_positions(t)
+        uid = t["user_id"].to_numpy()
+        return t.append_column("part", pa.array(np.asarray(uid, np.int64) % parts, type=pa.int64()))
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+            "path_fp": pa.array([], type=pa.int64()),
+            "disp_fp": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def regroup(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        if len(uid) == 0:
+            return empty
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        bounds = np.nonzero(np.diff(uid))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(uid)]])
+        fp = _seg_fp(np.diff(lon), np.diff(lat))
+        if len(bounds):
+            fp[bounds - 1] = 0  # cross-user segments don't exist
+        csum = np.concatenate([[0], np.cumsum(fp)])
+        path_fp = csum[ends - 1] - csum[starts]  # segments s..e-2 of run [s,e)
+        disp_fp = _seg_fp(lon[ends - 1] - lon[starts], lat[ends - 1] - lat[starts])
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], type=pa.int64()),
+                "n_events": pa.array(ends - starts, type=pa.int64()),
+                "path_fp": pa.array(path_fp, type=pa.int64()),
+                "disp_fp": pa.array(disp_fp, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(regroup, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# od_matrix
+# ---------------------------------------------------------------------------
+
+
+def od_matrix(sf_dir: str, precision: int = OD_PRECISION, parts: int = TRAJ_PARTS) -> rd.Dataset:
+    """Origin→destination flows: users counted per (first-cell, last-cell).
+
+    Stage 1 (combiner): per batch, keep only each user's first and last
+    row by (ts, event_id) — the global first/last is among the per-batch
+    extremes, so the shuffle moves ≤ 2·users·batches rows, not all events.
+    Stage 2: coarse-partition run-scan picks the global extremes per user.
+    Stage 3: Morton-encode both endpoints, tiny (o_cell, d_cell) count.
+    """
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def extremes(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+        uid = t["user_id"].to_numpy()
+        if len(uid) == 0:
+            return t.append_column("part", pa.array([], type=pa.int64()))
+        bounds = np.nonzero(np.diff(uid))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(uid)]])
+        keep = np.unique(np.concatenate([starts, ends - 1]))
+        t = t.take(pa.array(keep))
+        part = np.asarray(t["user_id"].to_numpy(), np.int64) % parts
+        return t.append_column("part", pa.array(part, type=pa.int64()))
+
+    def od_pairs(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        if len(uid) == 0:
+            return pa.table(
+                {"o_cell": pa.array([], type=pa.int64()), "d_cell": pa.array([], type=pa.int64())}
+            )
+        ids = g["event_id"].to_numpy()
+        bounds = np.nonzero(np.diff(uid))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(uid)]])
+        o_ids, d_ids = ids[starts], ids[ends - 1]
+        o_cell = cells.encode(fixtures.derive_lon(o_ids), fixtures.derive_lat(o_ids), precision)
+        d_cell = cells.encode(fixtures.derive_lon(d_ids), fixtures.derive_lat(d_ids), precision)
+        return pa.table(
+            {
+                "o_cell": pa.array(o_cell, type=pa.int64()),
+                "d_cell": pa.array(d_cell, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(extremes, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(od_pairs, batch_format="pyarrow")
+        .groupby(["o_cell", "d_cell"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# spatial_self_join
+# ---------------------------------------------------------------------------
+
+
+def _cell_key(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+    # +1 guard band keeps expanded neighbor coords non-negative; 2^21
+    # rows per axis covers eps down to ~1.7e-4 deg over the world bbox
+    return (cx + 1) * (1 << 21) + (cy + 1)
+
+
+def spatial_self_join(
+    sf_dir: str, eps: float = EPS_DEG, num_partitions: int = 8
+) -> rd.Dataset:
+    """All unordered event pairs within ``eps`` planar degrees.
+
+    Grid cells are exactly ``eps`` wide, so any pair within ``eps``
+    lands in the same or an adjacent cell.  ONE hash join: the probe
+    side carries each point under 5 cell keys — its own cell (flagged
+    ``own=1``) plus the 4 half-neighborhood offsets — against the build
+    side keyed by own cell only.  Same-cell candidates arrive in both
+    orders (dedup by ``id_a < id_b``); each adjacent-cell pair's cells
+    satisfy exactly one half offset, so those candidates arrive exactly
+    once (no dedup, order normalized after the distance filter).
+    Output: (id_a, id_b, dist_fp) with id_a < id_b.
+
+    At cluster scale the join is hash-partitioned on the cell key;
+    candidate volume is the sum of products of adjacent-cell counts —
+    bounded by local density, never O(N²).  Skewed hot cells shard the
+    same way the salted tiling path does (spatial.tile_histogram_salted).
+    """
+    ds = _read_events(sf_dir, ["event_id"])
+    eps2 = eps * eps
+
+    def keyed(t: pa.Table, side: str) -> pa.Table:
+        t = _derive_positions(t)
+        lon, lat = t["lon"].to_numpy(), t["lat"].to_numpy()
+        cx = np.floor((lon - fixtures.LON_MIN) / eps).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / eps).astype(np.int64)
+        return pa.table(
+            {
+                f"id_{side}": t["event_id"],
+                f"lon_{side}": t["lon"],
+                f"lat_{side}": t["lat"],
+                "cx": pa.array(cx, type=pa.int64()),
+                "cy": pa.array(cy, type=pa.int64()),
+            }
+        )
+
+    def own_cell(t: pa.Table) -> pa.Table:
+        ck = _cell_key(t["cx"].to_numpy(), t["cy"].to_numpy())
+        return t.drop_columns(["cx", "cy"]).append_column("ck", pa.array(ck, type=pa.int64()))
+
+    def probe_expand(t: pa.Table) -> pa.Table:
+        cx, cy = t["cx"].to_numpy(), t["cy"].to_numpy()
+        t = t.drop_columns(["cx", "cy"])
+        out = []
+        for dx, dy in ((0, 0),) + HALF_OFFSETS:
+            ck = _cell_key(cx + dx, cy + dy)
+            own = np.full(len(ck), 1 if (dx, dy) == (0, 0) else 0, dtype=np.int8)
+            out.append(
+                t.append_column("ck", pa.array(ck, type=pa.int64())).append_column(
+                    "own", pa.array(own, type=pa.int8())
+                )
+            )
+        return pa.concat_tables(out)
+
+    build = ds.map_batches(functools.partial(keyed, side="b"), batch_format="pyarrow").map_batches(
+        own_cell, batch_format="pyarrow"
+    )
+    probe = ds.map_batches(functools.partial(keyed, side="a"), batch_format="pyarrow").map_batches(
+        probe_expand, batch_format="pyarrow"
+    )
+
+    cand = probe.join(build, join_type="inner", num_partitions=num_partitions, on=("ck",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ia = np.asarray(t["id_a"].to_numpy(), np.int64)
+        ib = np.asarray(t["id_b"].to_numpy(), np.int64)
+        own = t["own"].to_numpy()
+        dlon = t["lon_b"].to_numpy() - t["lon_a"].to_numpy()
+        dlat = t["lat_b"].to_numpy() - t["lat_a"].to_numpy()
+        d2 = dlon * dlon + dlat * dlat
+        keep = (d2 <= eps2) & ((own == 0) | (ia < ib))
+        ia, ib, d2 = ia[keep], ib[keep], d2[keep]
+        dist_fp = np.floor(np.sqrt(d2) * FP_SCALE + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(np.minimum(ia, ib), type=pa.int64()),
+                "id_b": pa.array(np.maximum(ia, ib), type=pa.int64()),
+                "dist_fp": pa.array(dist_fp, type=pa.int64()),
+            }
+        )
+
+    return cand.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES = {
+    "click": 0.5,
+    "view": 0.25,
+    "purchase": 1.0,
+    "signup": 0.1,
+    "error": 0.05,
+}
+
+
+def sample_u(ids: np.ndarray) -> np.ndarray:
+    """Deterministic uniform in [0,1) from the event id (SQL-mirrored)."""
+    m = (np.asarray(ids, dtype=np.int64) * SAMPLE_MULT + SAMPLE_ADD) % M31
+    return m / M31
+
+
+def stratified_sample(sf_dir: str, rates: dict[str, float] | None = None) -> rd.Dataset:
+    """Per-stratum deterministic Bernoulli sample of events.
+
+    ``rates`` maps event_type → keep probability; unlisted types are
+    dropped.  Pure map-side filter — no shuffle, no RNG state, and the
+    identical row set falls out of the SQL mirror (the engine-vs-oracle
+    check the seeded `sampled_event_stats` query cannot get from Ray's
+    own `random_sample`).
+    """
+    rates = SAMPLE_RATES if rates is None else rates
+    ds = _read_events(sf_dir, ["event_id", "user_id", "event_type", "value"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        u = sample_u(t["event_id"].to_numpy())
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        rate = np.zeros(len(u), dtype=np.float64)
+        for k, r in rates.items():
+            rate[et == k] = r
+        return t.filter(pa.array(u < rate))
+
+    return ds.map_batches(pick, batch_format="pyarrow")

@@ -1,0 +1,71 @@
+"""Trajectory family: run-scan path stats, OD flows, the half-neighborhood
+spatial self-join vs an O(N^2) brute force, and the deterministic
+stratified sample vs its direct predicate."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from plasmap_ray import fixtures
+from plasmap_ray.pipelines import trajectory
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(ray_session):
+    return pq.read_table(os.path.join(SF, "events.parquet"))
+
+
+def test_trajectory_stats_invariants(ray_session, events):
+    out = trajectory.trajectory_stats(SF).to_pandas()
+    n_users = len(np.unique(events["user_id"].to_numpy()))
+    assert len(out) == n_users
+    assert out["user_id"].is_unique
+    assert int(out["n_events"].sum()) == events.num_rows
+    # triangle inequality, with <=0.5 fixed-point rounding slack per segment
+    slack = out["n_events"].to_numpy()  # n-1 segments + 1 disp rounding
+    assert (out["path_fp"].to_numpy() + slack >= out["disp_fp"].to_numpy()).all()
+    single = out[out["n_events"] == 1]
+    assert (single["path_fp"] == 0).all() and (single["disp_fp"] == 0).all()
+
+
+def test_od_matrix_totals(ray_session, events):
+    out = trajectory.od_matrix(SF).to_pandas()
+    n_users = len(np.unique(events["user_id"].to_numpy()))
+    assert int(out["n_users"].sum()) == n_users
+    assert (out["n_users"] > 0).all()
+
+
+def test_spatial_self_join_matches_bruteforce(ray_session, events):
+    ids = np.sort(events["event_id"].to_numpy())
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    eps2 = trajectory.EPS_DEG * trajectory.EPS_DEG
+    d2 = (lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
+    ii, jj = np.nonzero((d2 <= eps2) & (ids[:, None] < ids[None, :]))
+    expected = set(zip(ids[ii].tolist(), ids[jj].tolist()))
+
+    out = trajectory.spatial_self_join(SF).to_pandas()
+    got = set(zip(out["id_a"].tolist(), out["id_b"].tolist()))
+    assert len(out) == len(got), "self-join emitted duplicate pairs"
+    assert got == expected
+    assert (out["id_a"] < out["id_b"]).all()
+    assert (out["dist_fp"] <= int(trajectory.EPS_DEG * trajectory.FP_SCALE + 0.5)).all()
+
+
+def test_stratified_sample_matches_predicate(ray_session, events):
+    out = trajectory.stratified_sample(SF).to_pandas()
+    ids = events["event_id"].to_numpy()
+    et = events["event_type"].to_numpy(zero_copy_only=False)
+    u = trajectory.sample_u(ids)
+    rate = np.array([trajectory.SAMPLE_RATES.get(t, 0.0) for t in et])
+    expected = set(ids[u < rate].tolist())
+    assert set(out["event_id"].tolist()) == expected
+    # full-rate stratum survives intact, low-rate stratum shrinks
+    n_purchase = int((et == "purchase").sum())
+    assert int((out["event_type"] == "purchase").sum()) == n_purchase
+    n_err_in = int((et == "error").sum())
+    n_err_out = int((out["event_type"] == "error").sum())
+    assert n_err_out < n_err_in * 0.25
