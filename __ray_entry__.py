@@ -203,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_matrix": trajectory.od_matrix,
         "spatial_self_join": trajectory.spatial_self_join,
         "stratified_sample": trajectory.stratified_sample,
+        "rolling_window": windows.rolling_window,
+        "decontaminate": dedup.decontaminate,
     }
 
 
@@ -692,4 +694,18 @@ WHERE (b.lon - a.lon) * (b.lon - a.lon) + (b.lat - a.lat) * (b.lat - a.lat)
 SELECT event_id, user_id, event_type, value FROM events
 WHERE ((event_id * {trajectory.SAMPLE_MULT} + {trajectory.SAMPLE_ADD}) % {trajectory.M31}) / {trajectory.M31}
   < CASE event_type {' '.join(f"WHEN '{k}' THEN CAST({v!r} AS DOUBLE)" for k, v in trajectory.SAMPLE_RATES.items())} ELSE CAST(0.0 AS DOUBLE) END""",
+        "rolling_window": f"""
+WITH f AS (SELECT event_id, user_id, ts,
+           CAST(floor(value * {windows.ROLL_FP!r} + 0.5) AS BIGINT) AS fp FROM events)
+SELECT event_id, user_id,
+  CAST(sum(fp) OVER w AS BIGINT) AS w_sum_fp,
+  CAST(count(*) OVER w AS BIGINT) AS w_n
+FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN {windows.ROLL_WINDOW} PRECEDING AND CURRENT ROW)""",
+        "decontaminate": f"""
+WITH bench AS (SELECT md5(text) AS h FROM documents
+  WHERE ((doc_id * {trajectory.SAMPLE_MULT} + {trajectory.SAMPLE_ADD}) % {trajectory.M31}) / {trajectory.M31}
+        < CAST({dedup.DECON_FRAC!r} AS DOUBLE))
+SELECT doc_id, lang, source FROM documents
+WHERE md5(text) NOT IN (SELECT h FROM bench)""",
     }

@@ -44,6 +44,46 @@ def exact_dedup_by_key(sf_dir: str, buckets: int = 400) -> rd.Dataset:
     return ds.groupby("dup_key").aggregate(Min("doc_id", alias_name="first_doc_id"), Count(alias_name="n_dups"))
 
 
+DECON_FRAC = 0.1  # fraction of docs standing in for the benchmark corpus
+
+
+def decontaminate(sf_dir: str, frac: float = DECON_FRAC) -> rd.Dataset:
+    """Benchmark decontamination: drop every document whose md5(text)
+    appears in the held-out 'benchmark' slice of the corpus.
+
+    The benchmark slice is the deterministic LCG-mix Bernoulli sample
+    (trajectory.sample_u) of doc_ids — at real scale this is the
+    external eval-set table.  Its content hashes are collected ONCE
+    (small side), ``ray.put`` broadcast, and the corpus is filtered
+    map-side against the set — the anti_search broadcast anti-join
+    pattern, no shuffle.  Content-level: a non-benchmark doc whose text
+    duplicates a benchmark doc is dropped too.
+    """
+    import ray
+
+    from .trajectory import sample_u
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def bench_hashes(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        t = t.filter(pa.array(sample_u(ids) < frac))
+        h = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t["text"].to_pylist()]
+        return pa.table({"h": pa.array(h, type=pa.string())})
+
+    blocked = set(docs.map_batches(bench_hashes, batch_format="pyarrow").unique("h"))
+    ref = ray.put(blocked)
+
+    def scrub(t: pa.Table) -> pa.Table:
+        bl = ray.get(ref)
+        h = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t["text"].to_pylist()]
+        mask = np.fromiter((x not in bl for x in h), dtype=bool, count=len(h))
+        return t.drop_columns(["text"]).filter(pa.array(mask))
+
+    full = _read_docs(sf_dir, ["doc_id", "text", "lang", "source"])
+    return full.map_batches(scrub, batch_format="pyarrow")
+
+
 def text_md5_dedup(sf_dir: str) -> rd.Dataset:
     """Exact content dedup by md5(text) (SQL mirror: DuckDB ``md5``)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])

@@ -69,6 +69,65 @@ def sessionize(sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> rd.Dataset:
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+ROLL_WINDOW = 3  # preceding rows in the per-user rolling frame
+ROLL_FP = 1e6  # fixed-point scale for value sums (order-free int64)
+ROLL_PARTS = 32
+
+
+def rolling_window(sf_dir: str, window: int = ROLL_WINDOW, parts: int = ROLL_PARTS) -> rd.Dataset:
+    """Per-event rolling sum/count over the user's last ``window``+1
+    events (ROWS BETWEEN window PRECEDING AND CURRENT ROW).
+
+    Values are fixed-pointed to int64 (``floor(v * 1e6 + 0.5)``) BEFORE
+    windowing, so the frame sum is integer-exact and independent of
+    evaluation order — the same trick trajectory path sums use; the SQL
+    mirror applies the identical window over the identical fixed-point
+    column.  The regroup is the coarse-partition run-scan (one task per
+    ``user_id % parts`` slice), never one task per user.
+    """
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        fp = np.floor(t["value"].to_numpy() * ROLL_FP + 0.5).astype(np.int64)
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        t = t.drop_columns(["value"]).append_column("fp", pa.array(fp, type=pa.int64()))
+        return t.append_column("part", pa.array(uid % parts, type=pa.int64()))
+
+    def roll(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "w_sum_fp": pa.array([], type=pa.int64()),
+                    "w_n": pa.array([], type=pa.int64()),
+                }
+            )
+        fp = g["fp"].to_numpy()
+        bounds = np.nonzero(np.diff(uid))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        run_start = np.repeat(starts, np.diff(np.concatenate([starts, [n]])))
+        lo = np.maximum(run_start, np.arange(n) - window)  # frame start per row
+        csum = np.concatenate([[0], np.cumsum(fp)])
+        w_sum = csum[np.arange(n) + 1] - csum[lo]
+        w_n = np.arange(n) - lo + 1
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "w_sum_fp": pa.array(w_sum, type=pa.int64()),
+                "w_n": pa.array(w_n, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow").groupby("part").map_groups(
+        roll, batch_format="pyarrow"
+    )
+
+
 def event_type_rates(sf_dir: str) -> rd.Dataset:
     """Global per-type event counts and mean value (M10 counters analogue)."""
     ds = _read_events(sf_dir, ["event_type", "value"])

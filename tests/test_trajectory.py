@@ -69,3 +69,41 @@ def test_stratified_sample_matches_predicate(ray_session, events):
     n_err_in = int((et == "error").sum())
     n_err_out = int((out["event_type"] == "error").sum())
     assert n_err_out < n_err_in * 0.25
+
+
+def test_rolling_window_matches_pandas(ray_session, events):
+    from plasmap_ray.pipelines import windows as w
+
+    got = w.rolling_window(SF).to_pandas().sort_values("event_id").reset_index(drop=True)
+    df = events.to_pandas()
+    df["fp"] = np.floor(df["value"].to_numpy() * w.ROLL_FP + 0.5).astype(np.int64)
+    df = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    g = df.groupby("user_id")["fp"]
+    exp_sum = g.rolling(w.ROLL_WINDOW + 1, min_periods=1).sum().reset_index(level=0, drop=True)
+    exp_n = g.rolling(w.ROLL_WINDOW + 1, min_periods=1).count().reset_index(level=0, drop=True)
+    df["w_sum_fp"] = exp_sum.astype(np.int64)
+    df["w_n"] = exp_n.astype(np.int64)
+    exp = df.sort_values("event_id").reset_index(drop=True)
+    assert (got["event_id"].to_numpy() == exp["event_id"].to_numpy()).all()
+    assert (got["w_sum_fp"].to_numpy() == exp["w_sum_fp"].to_numpy()).all()
+    assert (got["w_n"].to_numpy() == exp["w_n"].to_numpy()).all()
+    assert got["w_n"].max() == w.ROLL_WINDOW + 1
+
+
+def test_decontaminate_removes_benchmark_content(ray_session):
+    import hashlib
+
+    from plasmap_ray.pipelines import dedup
+
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"), columns=["doc_id", "text"]).to_pandas()
+    bench = docs[trajectory.sample_u(docs["doc_id"].to_numpy()) < dedup.DECON_FRAC]
+    assert 0 < len(bench) < len(docs)
+    blocked = {hashlib.md5(s.encode()).hexdigest() for s in bench["text"]}
+    expected = {
+        int(r.doc_id)
+        for r in docs.itertuples()
+        if hashlib.md5(r.text.encode()).hexdigest() not in blocked
+    }
+    out = dedup.decontaminate(SF).to_pandas()
+    assert set(out["doc_id"].tolist()) == expected
+    assert set(bench["doc_id"]).isdisjoint(set(out["doc_id"]))
