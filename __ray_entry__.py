@@ -21,7 +21,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from plasmap_ray import golden, oracle, queryast  # noqa: E402
-from plasmap_ray.pipelines import ann, cluster, dedup, denormalize, images, index, multimodal, raster, relational, spatial, stats, text, trajectory, windows  # noqa: E402
+from plasmap_ray.pipelines import ann, cluster, dedup, denormalize, images, index, multimodal, raster, relational, snap, spatial, stats, text, trajectory, windows  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 SF001 = "/root/testdata/sf0.01"
@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": trajectory.stratified_sample,
         "rolling_window": windows.rolling_window,
         "decontaminate": dedup.decontaminate,
+        # --- map-matching ---
+        "snap_to_ways": snap.snap_to_ways,
     }
 
 
@@ -708,4 +710,17 @@ WITH bench AS (SELECT md5(text) AS h FROM documents
         < CAST({dedup.DECON_FRAC!r} AS DOUBLE))
 SELECT doc_id, lang, source FROM documents
 WHERE md5(text) NOT IN (SELECT h FROM bench)""",
+        "snap_to_ways": f"""
+WITH {_pts_cte()},
+segs AS (SELECT * FROM {oracle.sql_way_segments_values()}),
+c0 AS (SELECT doc_id, way_id, seg_idx, pts.lon AS px, pts.lat AS py,
+              x1, y1, (x2 - x1) AS dx, (y2 - y1) AS dy
+       FROM pts CROSS JOIN segs),
+c1 AS (SELECT *, least(greatest(((px - x1) * dx + (py - y1) * dy) / (dx * dx + dy * dy), 0.0), 1.0) AS t
+       FROM c0),
+c2 AS (SELECT doc_id, way_id, seg_idx, px, py, (x1 + t * dx) AS qx, (y1 + t * dy) AS qy FROM c1),
+c3 AS (SELECT doc_id, way_id, seg_idx, qx AS snap_lon, qy AS snap_lat,
+              ((px - qx) * (px - qx) + (py - qy) * (py - qy)) AS dist2 FROM c2),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist2, way_id, seg_idx) AS rn FROM c3)
+SELECT doc_id, way_id, seg_idx, snap_lon, snap_lat, dist2 FROM r WHERE rn = 1""",
     }

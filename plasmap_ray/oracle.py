@@ -145,6 +145,28 @@ def sql_pois_values() -> str:
     )
 
 
+def sql_way_segments_values() -> str:
+    """Inline VALUES table of the fixture-world way segments —
+    identical rows (and row order) to pipelines.snap.way_segments().
+    Coordinates are emitted as CAST('repr' AS DOUBLE): repr() is
+    Python's shortest round-trip double literal, and the STRING cast
+    goes through DuckDB's correctly-rounded string->double parser.  A
+    bare numeric literal would be typed DECIMAL (ulp drift in
+    arithmetic), and CAST(numeric-literal AS DOUBLE) still parses
+    DECIMAL first, truncating 17-significant-digit values."""
+    from .pipelines.snap import way_segments
+
+    t = way_segments()
+    rows = []
+    for i in range(t.num_rows):
+        rows.append(
+            f"({t['way_id'][i].as_py()}, {t['seg_idx'][i].as_py()}, "
+            f"CAST('{t['x1'][i].as_py()!r}' AS DOUBLE), CAST('{t['y1'][i].as_py()!r}' AS DOUBLE), "
+            f"CAST('{t['x2'][i].as_py()!r}' AS DOUBLE), CAST('{t['y2'][i].as_py()!r}' AS DOUBLE))"
+        )
+    return "(VALUES " + ", ".join(rows) + ") AS s(way_id, seg_idx, x1, y1, x2, y2)"
+
+
 def sql_sqdist_deg(lon_a: str, lat_a: str, lon_b: str, lat_b: str) -> str:
     """Planar squared distance in degrees — polynomial, hence bit-exact
     across engines (used for oracle-checked kNN ordering)."""
