@@ -205,8 +205,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": trajectory.stratified_sample,
         "rolling_window": windows.rolling_window,
         "decontaminate": dedup.decontaminate,
-        # --- map-matching ---
+        # --- map-matching / geofencing ---
         "snap_to_ways": snap.snap_to_ways,
+        "dwell_in_zone": trajectory.dwell_in_zone,
     }
 
 
@@ -723,4 +724,15 @@ c3 AS (SELECT doc_id, way_id, seg_idx, qx AS snap_lon, qy AS snap_lat,
               ((px - qx) * (px - qx) + (py - qy) * (py - qy)) AS dist2 FROM c2),
 r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist2, way_id, seg_idx) AS rn FROM c3)
 SELECT doc_id, way_id, seg_idx, snap_lon, snap_lat, dist2 FROM r WHERE rn = 1""",
+        "dwell_in_zone": f"""
+WITH {_epts},
+w AS (SELECT user_id, lon, lat,
+        lead(lon) OVER uw AS nlon, lead(lat) OVER uw AS nlat,
+        lead(epoch_us(ts)) OVER uw - epoch_us(ts) AS dur_us
+      FROM epts WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)),
+j AS (SELECT user_id, rel_id, dur_us FROM w JOIN {rects}
+      ON w.lon >= b.lon_min AND w.lon < b.lon_max AND w.lat >= b.lat_min AND w.lat < b.lat_max
+     AND w.nlon >= b.lon_min AND w.nlon < b.lon_max AND w.nlat >= b.lat_min AND w.nlat < b.lat_max)
+SELECT user_id, rel_id, CAST(sum(dur_us) AS BIGINT) AS dwell_us, count(*) AS n_segments
+FROM j GROUP BY user_id, rel_id""",
     }

@@ -335,3 +335,81 @@ def stratified_sample(sf_dir: str, rates: dict[str, float] | None = None) -> rd.
         return t.filter(pa.array(u < rate))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# dwell_in_zone
+# ---------------------------------------------------------------------------
+
+
+def dwell_in_zone(sf_dir: str, parts: int = TRAJ_PARTS) -> rd.Dataset:
+    """Time-in-zone: per (user, admin area), total dwell time.
+
+    A trajectory segment (consecutive pings of one user, ordered by
+    (ts, event_id)) contributes its duration to every zone containing
+    BOTH endpoints — the geofence-dwell rule used for visit-duration
+    and exposure analytics.  Zones here are the fixture admin rects
+    with the same half-open containment the PiP oracle mirrors
+    (lon >= min and < max); polygon zones route the endpoint test
+    through stages.geo.PiPJoinActor instead, rest of the DAG unchanged.
+
+    Scale shape: the per-user regroup is the coarse-partition run-scan
+    (one task per ``user_id % parts`` slice, like trajectory_stats);
+    the zone table is tiny and travels inside the task closure; the
+    final (user, zone) groupby moves one row per (segment, zone) hit —
+    durations are exact int64 microseconds so partial-sum order can
+    never flip a value.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+    rects = fixtures.admin_rects()
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _derive_positions(t)
+        uid = t["user_id"].to_numpy()
+        return t.append_column("part", pa.array(np.asarray(uid, np.int64) % parts, type=pa.int64()))
+
+    def segments(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        out = {
+            "user_id": pa.array([], type=pa.int64()),
+            "rel_id": pa.array([], type=pa.int64()),
+            "dur_us": pa.array([], type=pa.int64()),
+        }
+        if len(uid) < 2:
+            return pa.table(out)
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = uid[:-1] == uid[1:]  # segment i -> i+1 exists within a user
+        dur = ts_us[1:] - ts_us[:-1]
+        u_col, r_col, d_col = [], [], []
+        for r in rects:
+            inside = (
+                (lon >= r["lon_min"]) & (lon < r["lon_max"])
+                & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+            )
+            hit = same & inside[:-1] & inside[1:]
+            if hit.any():
+                u_col.append(uid[:-1][hit])
+                r_col.append(np.full(int(hit.sum()), r["rel_id"], dtype=np.int64))
+                d_col.append(dur[hit])
+        if not u_col:
+            return pa.table(out)
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate(u_col), type=pa.int64()),
+                "rel_id": pa.array(np.concatenate(r_col), type=pa.int64()),
+                "dur_us": pa.array(np.concatenate(d_col), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(segments, batch_format="pyarrow")
+        .groupby(["user_id", "rel_id"])
+        .aggregate(Sum("dur_us", alias_name="dwell_us"), Count(alias_name="n_segments"))
+    )

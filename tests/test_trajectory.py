@@ -107,3 +107,26 @@ def test_decontaminate_removes_benchmark_content(ray_session):
     out = dedup.decontaminate(SF).to_pandas()
     assert set(out["doc_id"].tolist()) == expected
     assert set(bench["doc_id"]).isdisjoint(set(out["doc_id"]))
+
+
+def test_dwell_in_zone_matches_bruteforce(ray_session, events):
+    out = trajectory.dwell_in_zone(SF).to_pandas()
+    # brute force: per user sorted by (ts, event_id), both-endpoint rect rule
+    df = events.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    expected = {}
+    for uid, g in df.groupby("user_id"):
+        ids = g["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        for r in fixtures.admin_rects():
+            ins = (lon >= r["lon_min"]) & (lon < r["lon_max"]) & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+            hit = ins[:-1] & ins[1:]
+            if hit.any():
+                key = (int(uid), r["rel_id"])
+                expected[key] = (int((ts[1:] - ts[:-1])[hit].sum()), int(hit.sum()))
+    got = {
+        (int(r.user_id), int(r.rel_id)): (int(r.dwell_us), int(r.n_segments))
+        for r in out.itertuples()
+    }
+    assert got == expected
+    assert (out["dwell_us"] >= 0).all()
