@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "way_assembly": denormalize.way_assembly_query,
         "way_lengths": denormalize.way_lengths_query,
         "boundary_assembly": denormalize.boundary_assembly_query,
+        "boundary_stats": denormalize.boundary_stats_query,
         # --- relational / aggregation ---
         "pricing_summary": relational.pricing_summary,
         "orders_by_nation": relational.orders_by_nation,
@@ -560,6 +561,29 @@ FROM counts c JOIN ring ON ring.cell = c.hex_cell""",
         "way_assembly": f"SELECT * FROM read_parquet('{golden.way_assembly_path()}')",
         "way_lengths": f"SELECT * FROM read_parquet('{golden.way_lengths_path()}')",
         "boundary_assembly": f"SELECT * FROM read_parquet('{golden.boundary_assembly_path()}')",
+        "boundary_stats": f"""
+WITH v AS (SELECT * FROM read_parquet('{golden.boundary_vertices_path()}')),
+e AS (SELECT rel_id, ring_idx, lon AS x1, lat AS y1,
+        coalesce(lead(lon) OVER w, first_value(lon) OVER w2) AS x2,
+        coalesce(lead(lat) OVER w, first_value(lat) OVER w2) AS y2
+      FROM v WINDOW w AS (PARTITION BY rel_id, ring_idx ORDER BY vtx_idx),
+        w2 AS (PARTITION BY rel_id, ring_idx ORDER BY vtx_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+t2 AS (SELECT e.rel_id, e.ring_idx,
+        CAST(floor((e.x1 * e.y2 - e.x2 * e.y1) * {denormalize.SHOELACE_FP!r} + 0.5) AS BIGINT) AS a_fp,
+        CAST(floor(((e.x1 + e.x2) * (e.x1 * e.y2 - e.x2 * e.y1)) * {denormalize.SHOELACE_FP!r} + 0.5) AS BIGINT) AS cx_fp,
+        CAST(floor(((e.y1 + e.y2) * (e.x1 * e.y2 - e.x2 * e.y1)) * {denormalize.SHOELACE_FP!r} + 0.5) AS BIGINT) AS cy_fp
+      FROM e),
+s AS (SELECT rel_id, ring_idx, count(*) AS n_vertices,
+        CAST(sum(a_fp) AS BIGINT) AS area_fp,
+        CAST(sum(cx_fp) AS BIGINT) AS cx_fp,
+        CAST(sum(cy_fp) AS BIGINT) AS cy_fp
+      FROM t2 GROUP BY rel_id, ring_idx)
+SELECT rel_id, ring_idx, n_vertices, area_fp, cx_fp, cy_fp,
+  CAST(area_fp AS DOUBLE) / {2.0 * denormalize.SHOELACE_FP!r} AS area_deg2,
+  CAST(cx_fp AS DOUBLE) / (3.0 * CAST(area_fp AS DOUBLE)) AS centroid_lon,
+  CAST(cy_fp AS DOUBLE) / (3.0 * CAST(area_fp AS DOUBLE)) AS centroid_lat
+FROM s""",
         "doc_fingerprint": f"SELECT * FROM read_parquet('{golden.doc_fingerprint_path(SF001)}')",
         "simhash": f"SELECT * FROM read_parquet('{golden.simhash_path(SF001)}')",
         "text_quality": f"SELECT * FROM read_parquet('{golden.text_quality_path(SF001)}')",

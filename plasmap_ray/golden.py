@@ -117,6 +117,57 @@ def boundary_assembly_path() -> str:
     return _cache("boundary_assembly", build)
 
 
+def boundary_vertices_path() -> str:
+    """Per-vertex ring table (rel_id, ring_idx, vtx_idx, lon, lat) of
+    the fixture boundaries, straight from the CONSTRUCTION arrays (the
+    ring_idx numbering mirrors boundary_assembly_path exactly; point
+    members and degenerate rings are skipped).  The boundary_stats
+    oracle computes shoelace area / centroid over THIS table in SQL —
+    the engine side runs over the DAG-assembled rings, so the compare
+    verifies assembly + the distributed stats kernel at once.  Both
+    sides fixed-point each edge term, and per-edge terms are
+    start-vertex invariant, so the int64 sums are rotation- and
+    order-free."""
+
+    def build() -> pa.Table:
+        from . import fixtures
+
+        world = fixtures.boundary_world()
+        rel, ridx, vidx, lons, lats = [], [], [], [], []
+
+        for b in world["boundaries"]:
+            idx = 0
+
+            def emit_ring(ring) -> None:
+                nonlocal idx
+                if ring.shape[0] >= 3:
+                    for v in range(ring.shape[0]):
+                        rel.append(b["rel_id"])
+                        ridx.append(idx)
+                        vidx.append(v)
+                        lons.append(float(ring[v, 0]))
+                        lats.append(float(ring[v, 1]))
+                idx += 1
+
+            emit_ring(b["outer"])
+            for h in b.get("holes") or []:
+                emit_ring(h)
+            idx += len(b.get("points") or [])  # point members consume ring_idx
+            for eo in b.get("extra_outers") or []:
+                emit_ring(eo)
+        return pa.table(
+            {
+                "rel_id": pa.array(rel, type=pa.int64()),
+                "ring_idx": pa.array(ridx, type=pa.int64()),
+                "vtx_idx": pa.array(vidx, type=pa.int64()),
+                "lon": pa.array(lons, type=pa.float64()),
+                "lat": pa.array(lats, type=pa.float64()),
+            }
+        )
+
+    return _cache("boundary_vertices", build)
+
+
 # ---------------------------------------------------------------------------
 # Text goldens over documents.parquet
 # ---------------------------------------------------------------------------

@@ -535,3 +535,73 @@ def way_lengths_query(sf_dir: str) -> rd.Dataset:
         )
 
     return geoms.map_batches(lengths, batch_format="pyarrow")
+
+
+SHOELACE_FP = 1e9  # fixed-point scale for per-edge shoelace terms
+
+
+def boundary_stats_query(sf_dir: str) -> rd.Dataset:
+    """queries() surface: shoelace area + centroid per assembled ring
+    (rel_id, ring_idx, n_vertices, area_fp, cx_fp, cy_fp, area_deg2,
+    centroid_lon, centroid_lat).
+
+    Every edge term — cross = x1*y2 - x2*y1, (x1+x2)*cross,
+    (y1+y2)*cross — is computed in float64 with the oracle's exact
+    association, then fixed-pointed (floor(v*1e9 + 0.5), round-half-up
+    for negatives too) so the per-ring int64 sums are independent of
+    edge order; derived floats divide the summed BIGINTs identically
+    in both engines.  The oracle recomputes over the construction-time
+    vertex table (golden.boundary_vertices_path), so this checks the
+    J2 assembly DAG AND the stats kernel against pre-assembly truth.
+
+    Edges wrap (v_i -> v_{i+1 mod n}); point members and rings with
+    fewer than 3 vertices are skipped on both sides.
+    """
+    from .. import fixtures
+
+    world = fixtures.boundary_world()
+    rings = boundaries_from_world(world)
+    S = SHOELACE_FP
+
+    def stats(t: pa.Table) -> pa.Table:
+        roles = t["role"].to_pylist()
+        lons = t["lons"].to_pylist()
+        lats = t["lats"].to_pylist()
+        rels = t["rel_id"].to_pylist()
+        ridx = t["ring_idx"].to_pylist()
+        out = {k: [] for k in ("rel_id", "ring_idx", "n_vertices", "area_fp", "cx_fp", "cy_fp")}
+        for rel, ri, role, lo, la in zip(rels, ridx, roles, lons, lats):
+            if role not in ("outer", "inner") or len(lo) < 3:
+                continue
+            x1 = np.asarray(lo, dtype=np.float64)
+            y1 = np.asarray(la, dtype=np.float64)
+            x2 = np.roll(x1, -1)
+            y2 = np.roll(y1, -1)
+            cross = x1 * y2 - x2 * y1
+            a_fp = np.floor(cross * S + 0.5).astype(np.int64)
+            cx_fp = np.floor(((x1 + x2) * cross) * S + 0.5).astype(np.int64)
+            cy_fp = np.floor(((y1 + y2) * cross) * S + 0.5).astype(np.int64)
+            out["rel_id"].append(rel)
+            out["ring_idx"].append(ri)
+            out["n_vertices"].append(len(lo))
+            out["area_fp"].append(int(a_fp.sum()))
+            out["cx_fp"].append(int(cx_fp.sum()))
+            out["cy_fp"].append(int(cy_fp.sum()))
+        a = np.asarray(out["area_fp"], dtype=np.float64)
+        cx = np.asarray(out["cx_fp"], dtype=np.float64)
+        cy = np.asarray(out["cy_fp"], dtype=np.float64)
+        return pa.table(
+            {
+                "rel_id": pa.array(out["rel_id"], type=pa.int64()),
+                "ring_idx": pa.array(out["ring_idx"], type=pa.int64()),
+                "n_vertices": pa.array(out["n_vertices"], type=pa.int64()),
+                "area_fp": pa.array(out["area_fp"], type=pa.int64()),
+                "cx_fp": pa.array(out["cx_fp"], type=pa.int64()),
+                "cy_fp": pa.array(out["cy_fp"], type=pa.int64()),
+                "area_deg2": pa.array(a / (2.0 * S), type=pa.float64()),
+                "centroid_lon": pa.array(cx / (3.0 * a), type=pa.float64()),
+                "centroid_lat": pa.array(cy / (3.0 * a), type=pa.float64()),
+            }
+        )
+
+    return rings.map_batches(stats, batch_format="pyarrow")

@@ -127,3 +127,35 @@ def test_assembled_polygons_drive_pip_join(ray_session, world, rings_df):
     got = set(zip(pa_.tolist(), rel_a.tolist()))
     want = set(zip(pb.tolist(), rel_b.tolist()))
     assert got == want and len(got) > 0
+
+
+def test_boundary_stats_matches_construction_rings(ray_session):
+    """Shoelace area/centroid per assembled ring vs a direct recompute
+    on the construction arrays; centroid falls inside the ring bbox."""
+    import numpy as np
+
+    from plasmap_ray import fixtures, geometry
+    from plasmap_ray.pipelines import denormalize
+
+    out = denormalize.boundary_stats_query("/root/testdata/sf0.001").to_pandas()
+    assert (out["n_vertices"] >= 3).all()
+    world = fixtures.boundary_world()
+    rings = {}
+    for b in world["boundaries"]:
+        idx = 0
+        for ring in [b["outer"], *(b.get("holes") or [])]:
+            rings[(b["rel_id"], idx)] = ring
+            idx += 1
+        idx += len(b.get("points") or [])
+        for eo in b.get("extra_outers") or []:
+            rings[(b["rel_id"], idx)] = eo
+            idx += 1
+    checked = 0
+    for row in out.itertuples():
+        ring = rings.get((int(row.rel_id), int(row.ring_idx)))
+        assert ring is not None, (row.rel_id, row.ring_idx)
+        assert abs(abs(row.area_deg2) - abs(geometry.ring_area(ring))) < 1e-6
+        assert ring[:, 0].min() <= row.centroid_lon <= ring[:, 0].max()
+        assert ring[:, 1].min() <= row.centroid_lat <= ring[:, 1].max()
+        checked += 1
+    assert checked == len(rings) == len(out)
