@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_near_dup": dedup.ngram_jaccard_near_dup,
         "simhash": dedup.simhash_pipeline,
         "near_dup_clusters": cluster.near_dup_clusters,
+        "dbscan_clusters": cluster.dbscan_clusters,
         "bloom_dedup": lambda sf: cluster.bloom_dedup(sf, BLOOM_N, BLOOM_FP, BLOOM_PARTS),
         "heavy_hitters": lambda sf: text.heavy_hitters(sf, k=HH_K),
         # --- similarity search ---
@@ -589,6 +590,7 @@ FROM s""",
         "text_quality": f"SELECT * FROM read_parquet('{golden.text_quality_path(SF001)}')",
         "minhash_near_dup": f"SELECT * FROM read_parquet('{golden.minhash_near_dup_path(SF001)}')",
         "near_dup_clusters": f"SELECT * FROM read_parquet('{golden.near_dup_clusters_path(SF001)}')",
+        "dbscan_clusters": f"SELECT * FROM read_parquet('{golden.dbscan_path(SF001, cluster.DBSCAN_EPS, cluster.DBSCAN_MIN_PTS)}')",
         "bloom_dedup": (
             "SELECT * FROM read_parquet('"
             + golden.bloom_dedup_path(SF001, BLOOM_N, BLOOM_FP, BLOOM_PARTS)

@@ -911,3 +911,60 @@ def image_features_path(images_parquet: str) -> str:
         return out.select(["image_id", "fmt", "ok", "mean_r", "luminance", "edge_energy", "phash_recomputed"])
 
     return _cache(f"image_features_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
+
+
+def dbscan_path(sf_dir: str, eps: float, min_pts: int) -> str:
+    """Expected DBSCAN labels: independent O(N^2) + BFS recompute on
+    the driver (dense distance matrix, python BFS over core-core
+    adjacency) — no grid, no joins, no Ray.  Mirrors the deterministic
+    border rule (min label among core neighbors; see
+    pipelines/cluster.dbscan_clusters)."""
+
+    def build() -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from . import fixtures
+
+        ids = np.sort(
+            pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])["doc_id"].to_numpy()
+        )
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        n = len(ids)
+        d2 = (lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
+        nbr = d2 <= eps * eps  # includes self on the diagonal
+        is_core = nbr.sum(axis=1) >= min_pts
+        # components over core-core adjacency, label = min core doc_id
+        label = np.full(n, -1, dtype=np.int64)
+        seen = np.zeros(n, dtype=bool)
+        for s in range(n):
+            if not is_core[s] or seen[s]:
+                continue
+            comp = [s]
+            seen[s] = True
+            stack = [s]
+            while stack:
+                u = stack.pop()
+                for v in np.nonzero(nbr[u] & is_core & ~seen)[0]:
+                    seen[v] = True
+                    comp.append(int(v))
+                    stack.append(int(v))
+            lab = int(ids[comp].min())
+            label[comp] = lab
+        kind = np.full(n, "noise", dtype=object)
+        kind[is_core] = "core"
+        for i in range(n):
+            if is_core[i]:
+                continue
+            core_nbrs = np.nonzero(nbr[i] & is_core)[0]
+            if len(core_nbrs):
+                kind[i] = "border"
+                label[i] = int(label[core_nbrs].min())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "cluster_id": pa.array(label, type=pa.int64()),
+                "kind": pa.array(kind.tolist(), type=pa.string()),
+            }
+        )
+
+    return _cache(f"dbscan_{_sf_tag(sf_dir)}_{eps!r}_{min_pts}", build)

@@ -110,13 +110,42 @@ def connected_components(
     def relay(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["dst"], "label": t["label"]})
 
+    def as_ptr(t: pa.Table) -> pa.Table:
+        return pa.table({"pnode": t["node"], "plabel": t["label"]})
+
+    def hop_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "label": t["plabel"]})
+
+
     for it in range(max_iters):
+        # one-hop propagation along edges ...
         cand = edges.join(labels, join_type="inner", num_partitions=num_partitions, on=("src",), right_on=("node",))
         cand = cand.map_batches(relay, batch_format="pyarrow")
+        # ... plus pointer jumping (label doubling): label(v) <-
+        # label(label(v)).  Every label value is itself a node id, so
+        # the inner self-join hits; this halves the remaining distance
+        # to the component min each round — convergence in
+        # O(log diameter) rounds instead of O(diameter), the same
+        # round shape (join + groupby-min), just one more tiny join of
+        # the labels table against itself.
+        ptr = labels.map_batches(as_ptr, batch_format="pyarrow")
+        hop = labels.join(ptr, join_type="inner", num_partitions=num_partitions, on=("label",), right_on=("pnode",))
+        # materialized so the union's schema is concrete — an unknown
+        # lazy join schema makes the aggregate emit zero-column blocks
+        # for empty partitions, which poison next round's join
+        hop = hop.map_batches(hop_rows, batch_format="pyarrow").materialize()
+        # the trailing repartition coalesces the aggregate's empty
+        # partitions: they materialize as ZERO-COLUMN blocks (the
+        # fused multi-join round leaves their schema uninferred),
+        # which next round's pyarrow join rejects with "No match for
+        # FieldRef"; repartition rebuilds every block with the real
+        # schema (a map_batches normalizer does NOT run on them)
         labels = (
-            cand.union(labels)
+            cand.union(hop)
+            .union(labels)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
+            .repartition(num_partitions)
             .materialize()
         )
         s = labels.sum("label")
@@ -286,3 +315,223 @@ def bloom_dedup(
         )
 
     return keyed.groupby("part").map_groups(scan, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN (deterministic variant) over document points
+# ---------------------------------------------------------------------------
+
+DBSCAN_EPS = 0.1
+DBSCAN_MIN_PTS = 5
+NOISE = -1
+
+
+def eps_pairs(points: rd.Dataset, id_col: str, eps: float, num_partitions: int = 8) -> rd.Dataset:
+    """All unordered point pairs within ``eps`` planar degrees —
+    the half-neighborhood grid join of trajectory.spatial_self_join
+    (pipelines/trajectory.py:212), generalized to any (id, lon, lat)
+    Dataset.  Output: (id_a, id_b), id_a < id_b, each pair once."""
+    import functools
+
+    from .. import fixtures
+
+    eps2 = eps * eps
+    half_offsets = ((1, 0), (-1, 1), (0, 1), (1, 1))
+
+    def key(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+        return (cx + 1) * (1 << 21) + (cy + 1)
+
+    def keyed(t: pa.Table, side: str) -> pa.Table:
+        lon, lat = t["lon"].to_numpy(), t["lat"].to_numpy()
+        cx = np.floor((lon - fixtures.LON_MIN) / eps).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / eps).astype(np.int64)
+        return pa.table(
+            {
+                f"id_{side}": t[id_col],
+                f"lon_{side}": t["lon"],
+                f"lat_{side}": t["lat"],
+                "cx": pa.array(cx, type=pa.int64()),
+                "cy": pa.array(cy, type=pa.int64()),
+            }
+        )
+
+    def own_cell(t: pa.Table) -> pa.Table:
+        ck = key(t["cx"].to_numpy(), t["cy"].to_numpy())
+        return t.drop_columns(["cx", "cy"]).append_column("ck", pa.array(ck, type=pa.int64()))
+
+    def probe_expand(t: pa.Table) -> pa.Table:
+        cx, cy = t["cx"].to_numpy(), t["cy"].to_numpy()
+        t = t.drop_columns(["cx", "cy"])
+        out = []
+        for dx, dy in ((0, 0),) + half_offsets:
+            ck = key(cx + dx, cy + dy)
+            own = np.full(len(ck), 1 if (dx, dy) == (0, 0) else 0, dtype=np.int8)
+            out.append(
+                t.append_column("ck", pa.array(ck, type=pa.int64())).append_column(
+                    "own", pa.array(own, type=pa.int8())
+                )
+            )
+        return pa.concat_tables(out)
+
+    build = points.map_batches(functools.partial(keyed, side="b"), batch_format="pyarrow").map_batches(
+        own_cell, batch_format="pyarrow"
+    )
+    probe = points.map_batches(functools.partial(keyed, side="a"), batch_format="pyarrow").map_batches(
+        probe_expand, batch_format="pyarrow"
+    )
+    cand = probe.join(build, join_type="inner", num_partitions=num_partitions, on=("ck",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ia = np.asarray(t["id_a"].to_numpy(), np.int64)
+        ib = np.asarray(t["id_b"].to_numpy(), np.int64)
+        own = t["own"].to_numpy()
+        dlon = t["lon_b"].to_numpy() - t["lon_a"].to_numpy()
+        dlat = t["lat_b"].to_numpy() - t["lat_a"].to_numpy()
+        d2 = dlon * dlon + dlat * dlat
+        keep = (d2 <= eps2) & ((own == 0) | (ia < ib))
+        ia, ib = ia[keep], ib[keep]
+        return pa.table(
+            {
+                "id_a": pa.array(np.minimum(ia, ib), type=pa.int64()),
+                "id_b": pa.array(np.maximum(ia, ib), type=pa.int64()),
+            }
+        )
+
+    return cand.map_batches(finish, batch_format="pyarrow")
+
+
+def dbscan_clusters(
+    sf_dir: str,
+    eps: float = DBSCAN_EPS,
+    min_pts: int = DBSCAN_MIN_PTS,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Deterministic distributed DBSCAN over the document points.
+
+    Composition of scale-safe pieces: eps grid self-join (candidates
+    bounded by local density) -> per-node degree count -> core mask
+    (|N_eps(p)| >= min_pts, p included) -> connected components over
+    CORE-CORE edges (min-label propagation) -> border points attach to
+    the MINIMUM label among their core neighbors.  The border rule is
+    the one order-dependent step of textbook DBSCAN (a border point in
+    reach of two clusters goes to whichever was scanned first); taking
+    the min label instead makes the output schedule-independent —
+    cluster membership of core points and the noise set are identical
+    to the textbook algorithm.
+
+    Output: (doc_id, cluster_id, kind) for every document; noise rows
+    carry cluster_id = -1; cluster_id is the minimum CORE doc_id of
+    the cluster.  Oracle: independent O(N^2) BFS recompute
+    (golden.dbscan_path).
+    """
+    import os
+
+    from .. import fixtures
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def pts(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lon": pa.array(fixtures.derive_lon(ids), type=pa.float64()),
+                "lat": pa.array(fixtures.derive_lat(ids), type=pa.float64()),
+            }
+        )
+
+    points = ds.map_batches(pts, batch_format="pyarrow")
+    pairs = eps_pairs(points, "doc_id", eps, num_partitions).materialize()
+
+    # degree per node (pair -> both endpoints), core = degree+1 >= min_pts
+    from ray.data.aggregate import Count
+
+    deg = _sym_edges(pairs, "id_a", "id_b").groupby("src").aggregate(Count(alias_name="n_nbrs"))
+
+    def core_mask(t: pa.Table) -> pa.Table:
+        n = t["n_nbrs"].to_numpy()
+        return pa.table(
+            {
+                "node": t["src"],
+                "is_core": pa.array(n + 1 >= min_pts),
+            }
+        )
+
+    core = deg.map_batches(core_mask, batch_format="pyarrow").materialize()
+
+    # annotate pair endpoints with coreness (two hash joins on node id)
+    def rn(src: str, dst: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([dst if c == src else c for c in t.column_names])
+
+        return f
+
+    p1 = pairs.join(core, join_type="inner", num_partitions=num_partitions, on=("id_a",), right_on=("node",))
+    p1 = p1.map_batches(rn("is_core", "core_a"), batch_format="pyarrow")
+    p2 = p1.join(core, join_type="inner", num_partitions=num_partitions, on=("id_b",), right_on=("node",))
+    p2 = p2.map_batches(rn("is_core", "core_b"), batch_format="pyarrow").materialize()
+
+    cc_edges = p2.filter(expr="core_a and core_b")
+    labels = connected_components(cc_edges, a_col="id_a", b_col="id_b", num_partitions=num_partitions)
+
+    # isolated cores (min_pts <= 1 edge case): no core-core edge, own label
+    # border candidates: exactly one endpoint core -> (border node, core node)
+    def border_rows(t: pa.Table) -> pa.Table:
+        ia = np.asarray(t["id_a"].to_numpy(), np.int64)
+        ib = np.asarray(t["id_b"].to_numpy(), np.int64)
+        ca = np.asarray(t["core_a"].to_numpy(zero_copy_only=False), bool)
+        cb = np.asarray(t["core_b"].to_numpy(zero_copy_only=False), bool)
+        m_a = (~ca) & cb  # a is border, b core
+        m_b = ca & (~cb)
+        return pa.table(
+            {
+                "bnode": pa.array(np.concatenate([ia[m_a], ib[m_b]]), type=pa.int64()),
+                "cnode": pa.array(np.concatenate([ib[m_a], ia[m_b]]), type=pa.int64()),
+            }
+        )
+
+    border_cand = p2.map_batches(border_rows, batch_format="pyarrow")
+    # a core neighbor with no core-core edge (isolated core) labels itself
+    b2 = border_cand.join(labels, join_type="left_outer", num_partitions=num_partitions, on=("cnode",), right_on=("node",))
+
+    def own_core_label(t: pa.Table) -> pa.Table:
+        lab = pc.coalesce(pc.cast(t["label"], pa.int64()), t["cnode"])
+        return pa.table({"node": t["bnode"], "blabel": pc.cast(lab, pa.int64())})
+
+    border_labels = (
+        b2.map_batches(own_core_label, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("blabel", alias_name="blabel"))
+        .repartition(num_partitions)
+        .materialize()
+    )
+
+    # assemble: every point -> (cluster_id, kind)
+    j = points.join(core, join_type="left_outer", num_partitions=num_partitions, on=("doc_id",), right_on=("node",))
+    j = j.join(labels, join_type="left_outer", num_partitions=num_partitions, on=("doc_id",), right_on=("node",))
+    j = j.join(border_labels, join_type="left_outer", num_partitions=num_partitions, on=("doc_id",), right_on=("node",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(), np.int64)
+        is_core = np.asarray(t["is_core"].to_numpy(zero_copy_only=False) == True, bool)  # noqa: E712
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        blab = t["blabel"].to_numpy(zero_copy_only=False)
+        cluster = np.full(len(ids), NOISE, dtype=np.int64)
+        kind = np.full(len(ids), "noise", dtype=object)
+        # core: component label, or own id if isolated core
+        core_lab = np.where(np.isnan(lab.astype(np.float64)), ids, np.nan_to_num(lab.astype(np.float64))).astype(np.int64)
+        cluster[is_core] = core_lab[is_core]
+        kind[is_core] = "core"
+        has_b = ~np.isnan(blab.astype(np.float64))
+        m_border = (~is_core) & has_b
+        cluster[m_border] = blab.astype(np.float64)[m_border].astype(np.int64)
+        kind[m_border] = "border"
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "cluster_id": pa.array(cluster, type=pa.int64()),
+                "kind": pa.array(kind.tolist(), type=pa.string()),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")

@@ -329,3 +329,49 @@ def test_conversion_funnel_strict_ordering(ray_session, tmp_path):
     pq.write_table(t, str(tmp_path / "events.parquet"))
     got = w.conversion_funnel(str(tmp_path)).to_pandas().sort_values("stage_idx")
     assert got["n_users"].tolist() == [3, 2, 1]  # view: u1,u2,u3; click: u1,u3; purchase: u1
+
+
+def test_connected_components_long_path(ray_session):
+    """Pointer jumping must resolve a diameter-9 path to one label in
+    O(log d) rounds (would exceed CC_MAX_ITERS only if propagation
+    were broken)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from plasmap_ray.pipelines import cluster as cl
+
+    nodes = list(range(10, 20))
+    pairs = rd.from_arrow(
+        pa.table({"doc_a": nodes[:-1], "doc_b": nodes[1:]})
+    )
+    out = cl.connected_components(pairs).to_pandas()
+    assert sorted(out["node"]) == nodes
+    assert (out["label"] == 10).all()
+
+
+def test_dbscan_matches_bruteforce(ray_session):
+    """Engine DBSCAN at sf0.001 vs a direct O(N^2)+BFS recompute with
+    the same deterministic border rule."""
+    import duckdb  # noqa: F401  (parity with oracle harness env)
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import golden
+    from plasmap_ray.pipelines import cluster as cl
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        cl.dbscan_clusters(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pq.read_table(golden.dbscan_path(sf, cl.DBSCAN_EPS, cl.DBSCAN_MIN_PTS))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.shape == exp.shape
+    assert (got["doc_id"] == exp["doc_id"]).all()
+    assert (got["cluster_id"] == exp["cluster_id"]).all()
+    assert (got["kind"] == exp["kind"]).all()
