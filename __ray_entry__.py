@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boundary_simplify": raster.boundary_simplify_query,
         "zonal_stats": lambda sf: raster.zonal_stats(sf, z=10),
         "cell_prefix_scan": spatial.cell_prefix_scan_pipeline,
+        "convex_hull_per_area": spatial.convex_hull_per_area,
         "knn_pois": lambda sf: spatial.knn_pipeline(sf, k=KNN_K),
         "radius_join": lambda sf: spatial.radius_pipeline(sf, radius_deg=RADIUS_DEG),
         "poi_in_area": spatial.poi_in_area_pipeline,
@@ -591,6 +592,7 @@ FROM s""",
         "minhash_near_dup": f"SELECT * FROM read_parquet('{golden.minhash_near_dup_path(SF001)}')",
         "near_dup_clusters": f"SELECT * FROM read_parquet('{golden.near_dup_clusters_path(SF001)}')",
         "dbscan_clusters": f"SELECT * FROM read_parquet('{golden.dbscan_path(SF001, cluster.DBSCAN_EPS, cluster.DBSCAN_MIN_PTS)}')",
+        "convex_hull_per_area": f"SELECT * FROM read_parquet('{golden.convex_hull_path(SF001)}')",
         "bloom_dedup": (
             "SELECT * FROM read_parquet('"
             + golden.bloom_dedup_path(SF001, BLOOM_N, BLOOM_FP, BLOOM_PARTS)

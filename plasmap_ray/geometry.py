@@ -400,3 +400,37 @@ def simplify_polyline(coords: np.ndarray, tol: float) -> np.ndarray:
             stack.append((s, split))
             stack.append((split, e))
     return np.nonzero(keep)[0].astype(np.int64)
+
+
+def convex_hull(pts: "np.ndarray") -> "np.ndarray":
+    """Andrew monotone-chain convex hull of an (n, 2) float64 array.
+
+    Returns hull vertices counter-clockwise starting at the
+    lexicographically smallest (lon, lat) point; strictly convex
+    (collinear interior points dropped).  Duplicates are removed
+    first, so the result is canonical for any input order — turn
+    tests are float64 cross products computed with one expression
+    shape, deterministic across engines.  Hull-of-union equals
+    hull-of-partial-hulls, which is what makes the map-side combiner
+    in the per-area hull pipeline exact.
+    """
+    p = np.unique(np.asarray(pts, dtype=np.float64), axis=0)  # sorts lexicographically
+    n = p.shape[0]
+    if n <= 2:
+        return p
+
+    def cross(o, a, b) -> float:
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list = []
+    for i in range(n):
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p[i]) <= 0.0:
+            lower.pop()
+        lower.append(p[i])
+    upper: list = []
+    for i in range(n - 1, -1, -1):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p[i]) <= 0.0:
+            upper.pop()
+        upper.append(p[i])
+    hull = lower[:-1] + upper[:-1]
+    return np.asarray(hull, dtype=np.float64)

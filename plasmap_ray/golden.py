@@ -968,3 +968,63 @@ def dbscan_path(sf_dir: str, eps: float, min_pts: int) -> str:
         )
 
     return _cache(f"dbscan_{_sf_tag(sf_dir)}_{eps!r}_{min_pts}", build)
+
+
+def convex_hull_path(sf_dir: str) -> str:
+    """Expected per-area hulls: pure-Python monotone chain (list/tuple
+    loops, no numpy) over ALL in-area points at once — independent of
+    the engine's partial-hull combiner and its vectorized kernel; the
+    turn test uses the identical float64 cross expression, so vertex
+    sets match exactly."""
+
+    def build() -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from . import fixtures
+
+        ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])["doc_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        rel_c, idx_c, lon_c, lat_c = [], [], [], []
+        for r in fixtures.admin_rects():
+            pts = sorted(
+                {
+                    (float(x), float(y))
+                    for x, y in zip(lon, lat)
+                    if r["lon_min"] <= x < r["lon_max"] and r["lat_min"] <= y < r["lat_max"]
+                }
+            )
+            if not pts:
+                continue
+            if len(pts) <= 2:
+                hull = pts
+            else:
+
+                def cross(o, a, b):
+                    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+                lower = []
+                for p in pts:
+                    while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0.0:
+                        lower.pop()
+                    lower.append(p)
+                upper = []
+                for p in reversed(pts):
+                    while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0.0:
+                        upper.pop()
+                    upper.append(p)
+                hull = lower[:-1] + upper[:-1]
+            for i, (x, y) in enumerate(hull):
+                rel_c.append(r["rel_id"])
+                idx_c.append(i)
+                lon_c.append(x)
+                lat_c.append(y)
+        return pa.table(
+            {
+                "rel_id": pa.array(rel_c, type=pa.int64()),
+                "hull_idx": pa.array(idx_c, type=pa.int64()),
+                "lon": pa.array(lon_c, type=pa.float64()),
+                "lat": pa.array(lat_c, type=pa.float64()),
+            }
+        )
+
+    return _cache(f"convex_hull_{_sf_tag(sf_dir)}", build)

@@ -556,3 +556,74 @@ def cell_prefix_scan_pipeline(sf_dir: str, prefix_cell: int = None, prefix_preci
         functools.partial(geo.cell_index, outputs=(("cell_low", p),)), batch_format="pyarrow"
     )
     return pts.filter(expr=f"cell_low >= {lo} and cell_low < {hi}").select_columns(["doc_id", "cell_low"])
+
+
+def convex_hull_per_area(sf_dir: str) -> rd.Dataset:
+    """queries() surface: convex hull of the document points inside
+    each admin area — (rel_id, hull_idx, lon, lat), hull CCW from the
+    lexicographically smallest vertex.
+
+    Scale shape: a map-side combiner computes the PARTIAL hull of each
+    (batch, area) slice — hull(union) == hull(union of partial hulls),
+    so only O(hull size) points per batch-area reach the shuffle; the
+    per-area regroup then hulls the combined partials.  Containment is
+    the same half-open rect rule the PiP oracle mirrors.  Oracle:
+    independent pure-Python monotone chain over all in-area points
+    (golden.convex_hull_path).
+    """
+    from .. import fixtures as _fx
+    from .. import geometry
+
+    rects = _fx.admin_rects()
+    ds = points_from_documents(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy()
+        lat = t["lat"].to_numpy()
+        rel_out, lon_out, lat_out = [], [], []
+        for r in rects:
+            m = (
+                (lon >= r["lon_min"]) & (lon < r["lon_max"])
+                & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+            )
+            if not m.any():
+                continue
+            h = geometry.convex_hull(np.column_stack([lon[m], lat[m]]))
+            rel_out.append(np.full(h.shape[0], r["rel_id"], dtype=np.int64))
+            lon_out.append(h[:, 0])
+            lat_out.append(h[:, 1])
+        if not rel_out:
+            return pa.table(
+                {
+                    "rel_id": pa.array([], type=pa.int64()),
+                    "lon": pa.array([], type=pa.float64()),
+                    "lat": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "rel_id": pa.array(np.concatenate(rel_out), type=pa.int64()),
+                "lon": pa.array(np.concatenate(lon_out), type=pa.float64()),
+                "lat": pa.array(np.concatenate(lat_out), type=pa.float64()),
+            }
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        rel = int(g["rel_id"][0].as_py())
+        h = geometry.convex_hull(
+            np.column_stack([g["lon"].to_numpy(), g["lat"].to_numpy()])
+        )
+        return pa.table(
+            {
+                "rel_id": pa.array(np.full(h.shape[0], rel), type=pa.int64()),
+                "hull_idx": pa.array(np.arange(h.shape[0]), type=pa.int64()),
+                "lon": pa.array(h[:, 0], type=pa.float64()),
+                "lat": pa.array(h[:, 1], type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("rel_id")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -82,3 +82,33 @@ def test_snap_pipeline_end_to_end(ray_session):
         min(t["x1"].to_numpy().min(), t["x2"].to_numpy().min()),
         max(t["x1"].to_numpy().max(), t["x2"].to_numpy().max()),
     ).all()
+
+
+def test_convex_hull_kernel_and_pipeline(ray_session):
+    """Kernel: canonical CCW strict hull; pipeline: partial-hull
+    combiner result equals the single-shot hull per area."""
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import fixtures as fx
+    from plasmap_ray import geometry
+    from plasmap_ray.pipelines import spatial
+
+    # kernel: unit square + interior + collinear edge point
+    pts = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0.5, 0.5], [0.5, 0.0]])
+    h = geometry.convex_hull(pts)
+    assert h.tolist() == [[0, 0], [1, 0], [1, 1], [0, 1]]  # CCW from lex-min, collinear dropped
+    # order invariance
+    h2 = geometry.convex_hull(pts[::-1])
+    assert (h == h2).all()
+
+    out = spatial.convex_hull_per_area(SF).to_pandas()
+    ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    lon, lat = fx.derive_lon(ids), fx.derive_lat(ids)
+    for r in fx.admin_rects():
+        m = (lon >= r["lon_min"]) & (lon < r["lon_max"]) & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+        sub = out[out["rel_id"] == r["rel_id"]].sort_values("hull_idx")
+        if not m.any():
+            assert len(sub) == 0
+            continue
+        direct = geometry.convex_hull(np.column_stack([lon[m], lat[m]]))
+        assert (sub[["lon", "lat"]].to_numpy() == direct).all()
