@@ -21,7 +21,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from plasmap_ray import golden, oracle, queryast  # noqa: E402
-from plasmap_ray.pipelines import ann, cluster, dedup, denormalize, images, index, multimodal, raster, relational, snap, spatial, stats, text, trajectory, windows  # noqa: E402
+from plasmap_ray.pipelines import ann, cluster, dedup, denormalize, images, index, multimodal, raster, relational, routing, snap, spatial, stats, text, trajectory, windows  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 SF001 = "/root/testdata/sf0.01"
@@ -106,6 +106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": lambda sf: raster.zonal_stats(sf, z=10),
         "cell_prefix_scan": spatial.cell_prefix_scan_pipeline,
         "convex_hull_per_area": spatial.convex_hull_per_area,
+        # --- routing over the road graph (block-synchronous SSSP) ---
+        "sssp_dists": routing.sssp_dists_query,
+        "isochrone_bands": routing.isochrone_bands_query,
         "knn_pois": lambda sf: spatial.knn_pipeline(sf, k=KNN_K),
         "radius_join": lambda sf: spatial.radius_pipeline(sf, radius_deg=RADIUS_DEG),
         "poi_in_area": spatial.poi_in_area_pipeline,
@@ -593,6 +596,11 @@ FROM s""",
         "near_dup_clusters": f"SELECT * FROM read_parquet('{golden.near_dup_clusters_path(SF001)}')",
         "dbscan_clusters": f"SELECT * FROM read_parquet('{golden.dbscan_path(SF001, cluster.DBSCAN_EPS, cluster.DBSCAN_MIN_PTS)}')",
         "convex_hull_per_area": f"SELECT * FROM read_parquet('{golden.convex_hull_path(SF001)}')",
+        "sssp_dists": f"SELECT * FROM read_parquet('{golden.sssp_dists_path()}')",
+        "isochrone_bands": f"""
+SELECT dist // {routing.ISO_BAND} AS band, count(*) AS n_nodes
+FROM read_parquet('{golden.sssp_dists_path()}')
+WHERE dist <= {routing.ISO_BUDGET} GROUP BY band""",
         "bloom_dedup": (
             "SELECT * FROM read_parquet('"
             + golden.bloom_dedup_path(SF001, BLOOM_N, BLOOM_FP, BLOOM_PARTS)

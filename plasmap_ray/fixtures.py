@@ -692,3 +692,61 @@ def make_images_for_ids(ids: "np.ndarray", seed: int = SEED, size_choices: tuple
             "phash": pa.array(phashes, type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Road network world (routing family)
+# ---------------------------------------------------------------------------
+
+ROAD_N = 24  # grid side: ROAD_N^2 nodes over the world bbox
+ROAD_BASE_W = 1000  # minimum edge weight (fixed-point "cost" units)
+ROAD_W_SPREAD = 977  # prime spread so weights are non-uniform
+
+
+def road_world(n: int = ROAD_N) -> dict:
+    """Deterministic road-grid network over the world bbox.
+
+    An ``n x n`` lattice of nodes (4-neighbor connectivity) with
+    non-uniform INTEGER edge weights derived from the canonical
+    (src, dst) pair by a murmur-style integer mix — no floats anywhere
+    in the cost model, so shortest-path distances are exact int64 sums
+    regardless of relaxation order or engine.  Node ids are 1-based
+    row-major: node (i, j) = j*n + i + 1; lon/lat place the lattice on
+    the fixture world so routing results can join the geo layer.
+
+    Returns ``{"nodes": Table(node_id, lon, lat, gx, gy),
+    "edges": Table(src, dst, w), "n": n}``; edges are stored once per
+    undirected pair (src < dst), symmetrize at use.
+    """
+    ids = np.arange(n * n, dtype=np.int64)
+    gx = ids % n
+    gy = ids // n
+    node_id = ids + 1
+    lon = LON_MIN + (gx.astype(np.float64) / (n - 1)) * LON_SPAN
+    lat = LAT_MIN + (gy.astype(np.float64) / (n - 1)) * LAT_SPAN
+    nodes = pa.table(
+        {
+            "node_id": pa.array(node_id, type=pa.int64()),
+            "lon": pa.array(lon, type=pa.float64()),
+            "lat": pa.array(lat, type=pa.float64()),
+            "gx": pa.array(gx, type=pa.int64()),
+            "gy": pa.array(gy, type=pa.int64()),
+        }
+    )
+    right = node_id[gx < n - 1]
+    up = node_id[gy < n - 1]
+    src = np.concatenate([right, up])
+    dst = np.concatenate([right + 1, up + n])
+    key = src.astype(np.uint64) * np.uint64(2654435761) + dst.astype(np.uint64) * np.uint64(40503)
+    key ^= key >> np.uint64(33)
+    key *= np.uint64(0xFF51AFD7ED558CCD)
+    key ^= key >> np.uint64(33)
+    w = (np.int64(ROAD_BASE_W) + (key % np.uint64(ROAD_W_SPREAD)).astype(np.int64)).astype(np.int64)
+    edges = pa.table(
+        {
+            "src": pa.array(src, type=pa.int64()),
+            "dst": pa.array(dst, type=pa.int64()),
+            "w": pa.array(w, type=pa.int64()),
+        }
+    )
+    return {"nodes": nodes, "edges": edges, "n": n}

@@ -1028,3 +1028,48 @@ def convex_hull_path(sf_dir: str) -> str:
         )
 
     return _cache(f"convex_hull_{_sf_tag(sf_dir)}", build)
+
+
+def sssp_dists_path(n: int = None, source: int = 1) -> str:
+    """Golden single-source shortest-path distances over the road grid:
+    a pure-Python heapq Dijkstra straight from the construction edge
+    table (fixtures.road_world) — independent of the engine's
+    block-synchronous partitioned solve.  (node, dist) int64, every
+    node (the grid is connected)."""
+    from . import fixtures
+
+    if n is None:
+        n = fixtures.ROAD_N
+
+    def build() -> pa.Table:
+        import heapq
+
+        world = fixtures.road_world(n)
+        e = world["edges"]
+        srcs = e["src"].to_pylist()
+        dsts = e["dst"].to_pylist()
+        ws = e["w"].to_pylist()
+        adj: dict[int, list[tuple[int, int]]] = {}
+        for s, d, w in zip(srcs, dsts, ws):
+            adj.setdefault(s, []).append((d, w))
+            adj.setdefault(d, []).append((s, w))
+        dist = {source: 0}
+        heap = [(0, source)]
+        while heap:
+            du, u = heapq.heappop(heap)
+            if du > dist.get(u, 1 << 62):
+                continue
+            for v, w in adj.get(u, ()):
+                nd = du + w
+                if nd < dist.get(v, 1 << 62):
+                    dist[v] = nd
+                    heapq.heappush(heap, (nd, v))
+        nodes = sorted(dist)
+        return pa.table(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "dist": pa.array([dist[x] for x in nodes], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"sssp_n{n}_s{source}", build)

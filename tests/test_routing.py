@@ -1,0 +1,85 @@
+"""Routing family: block-synchronous SSSP vs pure-Python Dijkstra."""
+
+import heapq
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from plasmap_ray import fixtures, golden
+from plasmap_ray.pipelines import routing
+
+
+def _brute_dijkstra(n: int, source: int = 1) -> dict[int, int]:
+    world = fixtures.road_world(n)
+    e = world["edges"]
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for s, d, w in zip(e["src"].to_pylist(), e["dst"].to_pylist(), e["w"].to_pylist()):
+        adj.setdefault(s, []).append((d, w))
+        adj.setdefault(d, []).append((s, w))
+    dist = {source: 0}
+    heap = [(0, source)]
+    while heap:
+        du, u = heapq.heappop(heap)
+        if du > dist.get(u, 1 << 62):
+            continue
+        for v, w in adj.get(u, ()):
+            if du + w < dist.get(v, 1 << 62):
+                dist[v] = du + w
+                heapq.heappush(heap, (du + w, v))
+    return dist
+
+
+def test_road_world_deterministic():
+    a = fixtures.road_world(8)
+    b = fixtures.road_world(8)
+    assert a["edges"].equals(b["edges"])
+    assert a["nodes"].num_rows == 64
+    # weights are non-uniform ints in [BASE, BASE+SPREAD)
+    w = np.asarray(a["edges"]["w"].to_numpy())
+    assert w.min() >= fixtures.ROAD_BASE_W
+    assert w.max() < fixtures.ROAD_BASE_W + fixtures.ROAD_W_SPREAD
+    assert len(np.unique(w)) > 10
+
+
+def test_sssp_small_grid_multi_partition(ray_session):
+    # n=8, pg=2: four partitions, several exchange rounds
+    got = {r["node"]: r["dist"] for r in routing.sssp(n=8, pg=2).take_all()}
+    want = _brute_dijkstra(8)
+    assert got == want
+
+
+def test_sssp_single_partition_equivalent(ray_session):
+    # pg=1 degenerates to one local solve; must agree with pg=2
+    a = {r["node"]: r["dist"] for r in routing.sssp(n=6, pg=1).take_all()}
+    b = {r["node"]: r["dist"] for r in routing.sssp(n=6, pg=2).take_all()}
+    assert a == b == _brute_dijkstra(6)
+
+
+def test_sssp_other_source(ray_session):
+    src = 29  # interior node
+    got = {r["node"]: r["dist"] for r in routing.sssp(n=8, pg=2, source=src).take_all()}
+    want = _brute_dijkstra(8, source=src)
+    assert got == want
+    assert got[src] == 0
+
+
+def test_sssp_query_matches_golden(ray_session):
+    eng = sorted(
+        (r["node"], r["dist"]) for r in routing.sssp_dists_query("unused").take_all()
+    )
+    gold = pq.read_table(golden.sssp_dists_path()).sort_by("node")
+    want = list(zip(gold["node"].to_pylist(), gold["dist"].to_pylist()))
+    assert eng == want
+
+
+def test_isochrone_bands(ray_session):
+    rows = routing.isochrone_bands_query("unused").take_all()
+    gold = pq.read_table(golden.sssp_dists_path())
+    d = np.asarray(gold["dist"].to_numpy())
+    within = d[d <= routing.ISO_BUDGET]
+    want: dict[int, int] = {}
+    for b in within // routing.ISO_BAND:
+        want[int(b)] = want.get(int(b), 0) + 1
+    got = {r["band"]: r["n_nodes"] for r in rows}
+    assert got == want
+    assert sum(got.values()) == within.shape[0]
