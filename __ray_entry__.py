@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trajectory_stats": trajectory.trajectory_stats,
         "od_matrix": trajectory.od_matrix,
         "spatial_self_join": trajectory.spatial_self_join,
+        "colocation_join": trajectory.colocation_join,
         "stratified_sample": trajectory.stratified_sample,
         "rolling_window": windows.rolling_window,
         "decontaminate": dedup.decontaminate,
@@ -729,6 +730,19 @@ ON a.event_id < b.event_id
 AND b.lon >= a.lon - {2 * trajectory.EPS_DEG!r} AND b.lon <= a.lon + {2 * trajectory.EPS_DEG!r}
 WHERE (b.lon - a.lon) * (b.lon - a.lon) + (b.lat - a.lat) * (b.lat - a.lat)
       <= {trajectory.EPS_DEG * trajectory.EPS_DEG!r}""",
+        "colocation_join": f"""
+WITH {_epts},
+pairs AS (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM epts a JOIN epts b
+  ON a.event_id < b.event_id AND a.user_id <> b.user_id
+  AND b.lon >= a.lon - {2 * trajectory.COLOC_EPS!r} AND b.lon <= a.lon + {2 * trajectory.COLOC_EPS!r}
+  WHERE (b.lon - a.lon) * (b.lon - a.lon) + (b.lat - a.lat) * (b.lat - a.lat)
+        <= {trajectory.COLOC_EPS * trajectory.COLOC_EPS!r}
+    AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {trajectory.COLOC_TAU_US}
+)
+SELECT least(ua, ub) AS user_a, greatest(ua, ub) AS user_b, count(*) AS n_contacts
+FROM pairs GROUP BY 1, 2""",
         "stratified_sample": f"""
 SELECT event_id, user_id, event_type, value FROM events
 WHERE ((event_id * {trajectory.SAMPLE_MULT} + {trajectory.SAMPLE_ADD}) % {trajectory.M31}) / {trajectory.M31}

@@ -413,3 +413,129 @@ def dwell_in_zone(sf_dir: str, parts: int = TRAJ_PARTS) -> rd.Dataset:
         .groupby(["user_id", "rel_id"])
         .aggregate(Sum("dur_us", alias_name="dwell_us"), Count(alias_name="n_segments"))
     )
+
+
+# ---------------------------------------------------------------------------
+# colocation_join (spatio-temporal contact pairs)
+# ---------------------------------------------------------------------------
+
+COLOC_EPS = 0.1  # spatial radius, planar degrees (~11 km N-S; the fixture
+# lon/lat lattice pitch is ~0.06 deg, so smaller radii find no pairs)
+COLOC_TAU_US = 259_200_000_000  # temporal radius: 72 h, microseconds (the
+# fixture's per-user event cadence is ~days apart at sf0.001, so shorter
+# windows yield zero cross-user contacts there; 72 h gives 784 pairs at
+# sf0.001 and 85k at sf0.01 — real signal at both test scales)
+# 3-D half neighborhood over (dx, dy, dt): the 13 offsets that are
+# lexicographically positive in (dt, dy, dx) order.  Own-bucket pairs
+# arrive in both orders (dedup by id_a < id_b); every unordered
+# adjacent-bucket pair satisfies exactly one half offset, so those
+# candidates arrive exactly once — the 2-D discipline of
+# spatial_self_join lifted one dimension.
+COLOC_HALF_OFFSETS = tuple(
+    (dx, dy, dt)
+    for dt in (0, 1)
+    for dy in (-1, 0, 1)
+    for dx in (-1, 0, 1)
+    if (dt, dy, dx) > (0, 0, 0)
+)
+
+
+def _coloc_key(cx: np.ndarray, cy: np.ndarray, tb: np.ndarray) -> np.ndarray:
+    # (time bucket, x, y) packed: 2^21 per spatial axis (matches
+    # _cell_key's guard-band scheme), time buckets in the high bits
+    return ((tb + 1) * (1 << 42)) + ((cx + 1) * (1 << 21)) + (cy + 1)
+
+
+def colocation_join(
+    sf_dir: str,
+    eps: float = COLOC_EPS,
+    tau_us: int = COLOC_TAU_US,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Spatio-temporal co-location: how often each pair of DISTINCT
+    users was observed within ``eps`` planar degrees AND ``tau_us``
+    microseconds (the contact-tracing / companionship-mining join).
+
+    Events bucket by (eps-wide spatial cell, tau-wide time bucket); a
+    qualifying pair's buckets differ by at most 1 on every axis, so ONE
+    hash join over the 3-D half-neighborhood expansion generates each
+    unordered event pair exactly once — candidates are bounded by local
+    spatio-temporal density, never O(N²).  The contact matrix then
+    aggregates with user_a < user_b normalization.
+
+    Output: (user_a, user_b, n_contacts) — one row per user pair,
+    counting unordered EVENT pairs that qualified.
+    """
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+    eps2 = eps * eps
+
+    def keyed(t: pa.Table, side: str) -> pa.Table:
+        t = _derive_positions(t)
+        lon, lat = t["lon"].to_numpy(), t["lat"].to_numpy()
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        cx = np.floor((lon - fixtures.LON_MIN) / eps).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / eps).astype(np.int64)
+        tb = ts // tau_us
+        return pa.table(
+            {
+                f"id_{side}": t["event_id"],
+                f"u_{side}": t["user_id"],
+                f"ts_{side}": pa.array(ts, type=pa.int64()),
+                f"lon_{side}": t["lon"],
+                f"lat_{side}": t["lat"],
+                "cx": pa.array(cx, type=pa.int64()),
+                "cy": pa.array(cy, type=pa.int64()),
+                "tb": pa.array(tb, type=pa.int64()),
+            }
+        )
+
+    def own_bucket(t: pa.Table) -> pa.Table:
+        ck = _coloc_key(t["cx"].to_numpy(), t["cy"].to_numpy(), t["tb"].to_numpy())
+        return t.drop_columns(["cx", "cy", "tb"]).append_column("ck", pa.array(ck, type=pa.int64()))
+
+    def probe_expand(t: pa.Table) -> pa.Table:
+        cx, cy, tb = t["cx"].to_numpy(), t["cy"].to_numpy(), t["tb"].to_numpy()
+        t = t.drop_columns(["cx", "cy", "tb"])
+        out = []
+        for dx, dy, dt in ((0, 0, 0),) + COLOC_HALF_OFFSETS:
+            ck = _coloc_key(cx + dx, cy + dy, tb + dt)
+            own = np.full(len(ck), 1 if (dx, dy, dt) == (0, 0, 0) else 0, dtype=np.int8)
+            out.append(
+                t.append_column("ck", pa.array(ck, type=pa.int64())).append_column(
+                    "own", pa.array(own, type=pa.int8())
+                )
+            )
+        return pa.concat_tables(out)
+
+    build = ds.map_batches(functools.partial(keyed, side="b"), batch_format="pyarrow").map_batches(
+        own_bucket, batch_format="pyarrow"
+    )
+    probe = ds.map_batches(functools.partial(keyed, side="a"), batch_format="pyarrow").map_batches(
+        probe_expand, batch_format="pyarrow"
+    )
+    cand = probe.join(build, join_type="inner", num_partitions=num_partitions, on=("ck",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ia = np.asarray(t["id_a"].to_numpy(), np.int64)
+        ib = np.asarray(t["id_b"].to_numpy(), np.int64)
+        ua = np.asarray(t["u_a"].to_numpy(), np.int64)
+        ub = np.asarray(t["u_b"].to_numpy(), np.int64)
+        own = t["own"].to_numpy()
+        dlon = t["lon_b"].to_numpy() - t["lon_a"].to_numpy()
+        dlat = t["lat_b"].to_numpy() - t["lat_a"].to_numpy()
+        dts = np.abs(t["ts_b"].to_numpy() - t["ts_a"].to_numpy())
+        d2 = dlon * dlon + dlat * dlat
+        keep = (d2 <= eps2) & (dts <= tau_us) & (ua != ub) & ((own == 0) | (ia < ib))
+        ua, ub = ua[keep], ub[keep]
+        return pa.table(
+            {
+                "user_a": pa.array(np.minimum(ua, ub), type=pa.int64()),
+                "user_b": pa.array(np.maximum(ua, ub), type=pa.int64()),
+            }
+        )
+
+    return (
+        cand.map_batches(finish, batch_format="pyarrow")
+        .groupby(["user_a", "user_b"])
+        .aggregate(Count(alias_name="n_contacts"))
+    )

@@ -130,3 +130,32 @@ def test_dwell_in_zone_matches_bruteforce(ray_session, events):
     }
     assert got == expected
     assert (out["dwell_us"] >= 0).all()
+
+def test_colocation_join_matches_bruteforce(ray_session, events):
+    ids = np.sort(events["event_id"].to_numpy())
+    t = events.sort_by("event_id")
+    users = t["user_id"].to_numpy()
+    ts = t["ts"].cast("int64").to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    eps2 = trajectory.COLOC_EPS * trajectory.COLOC_EPS
+    d2 = (lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
+    dt = np.abs(ts[:, None] - ts[None, :])
+    ok = (
+        (d2 <= eps2)
+        & (dt <= trajectory.COLOC_TAU_US)
+        & (ids[:, None] < ids[None, :])
+        & (users[:, None] != users[None, :])
+    )
+    ii, jj = np.nonzero(ok)
+    expected: dict[tuple[int, int], int] = {}
+    for a, b in zip(users[ii].tolist(), users[jj].tolist()):
+        k = (min(a, b), max(a, b))
+        expected[k] = expected.get(k, 0) + 1
+
+    out = trajectory.colocation_join(SF).to_pandas()
+    got = {
+        (ua, ub): n
+        for ua, ub, n in zip(out["user_a"], out["user_b"], out["n_contacts"])
+    }
+    assert got == expected
+    assert (out["user_a"] < out["user_b"]).all()
