@@ -20,8 +20,8 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from plasmap_ray import golden, oracle, queryast  # noqa: E402
-from plasmap_ray.pipelines import ann, cluster, dedup, denormalize, images, index, multimodal, raster, relational, routing, snap, spatial, stats, text, trajectory, windows  # noqa: E402
+from plasmap_ray import fixtures, golden, oracle, queryast  # noqa: E402
+from plasmap_ray.pipelines import ann, cluster, dedup, denormalize, hotspot, images, index, multimodal, raster, relational, routing, snap, spatial, stats, text, trajectory, windows  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 SF001 = "/root/testdata/sf0.01"
@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_matrix": trajectory.od_matrix,
         "spatial_self_join": trajectory.spatial_self_join,
         "colocation_join": trajectory.colocation_join,
+        "getis_ord_hotspots": hotspot.getis_ord_hotspots,
         "stratified_sample": trajectory.stratified_sample,
         "rolling_window": windows.rolling_window,
         "decontaminate": dedup.decontaminate,
@@ -743,6 +744,31 @@ pairs AS (
 )
 SELECT least(ua, ub) AS user_a, greatest(ua, ub) AS user_b, count(*) AS n_contacts
 FROM pairs GROUP BY 1, 2""",
+        "getis_ord_hotspots": f"""
+WITH {_epts},
+gcells AS (
+  SELECT CAST(floor((lon - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy
+  FROM epts),
+counts AS (SELECT cx, cy, count(*) AS n FROM gcells GROUP BY cx, cy),
+gmom AS (SELECT CAST(sum(n) AS DOUBLE) AS tot, CAST(sum(n * n) AS DOUBLE) AS ssq FROM counts),
+offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+scat AS (
+  SELECT cx + dx AS cx, cy + dy AS cy, n FROM counts, offs
+  WHERE cx + dx BETWEEN 0 AND {hotspot.GI_GX - 1} AND cy + dy BETWEEN 0 AND {hotspot.GI_GY - 1}),
+nbr AS (SELECT cx, cy, CAST(sum(n) AS BIGINT) AS nbr_sum FROM scat GROUP BY cx, cy),
+wct AS (
+  SELECT cx, cy, nbr_sum,
+         (least(cx + 1, {hotspot.GI_GX - 1}) - greatest(cx - 1, 0) + 1)
+         * (least(cy + 1, {hotspot.GI_GY - 1}) - greatest(cy - 1, 0) + 1) AS w
+  FROM nbr)
+SELECT cx, cy, nbr_sum, w,
+       round((CAST(nbr_sum AS DOUBLE) - (tot / {float(hotspot.GI_NCELLS)!r}) * CAST(w AS DOUBLE))
+             / (sqrt(ssq / {float(hotspot.GI_NCELLS)!r}
+                     - (tot / {float(hotspot.GI_NCELLS)!r}) * (tot / {float(hotspot.GI_NCELLS)!r}))
+                * sqrt(({float(hotspot.GI_NCELLS)!r} * CAST(w AS DOUBLE) - CAST(w AS DOUBLE) * CAST(w AS DOUBLE))
+                       / {float(hotspot.GI_NCELLS - 1)!r})), 6) AS gi_z
+FROM wct, gmom""",
         "stratified_sample": f"""
 SELECT event_id, user_id, event_type, value FROM events
 WHERE ((event_id * {trajectory.SAMPLE_MULT} + {trajectory.SAMPLE_ADD}) % {trajectory.M31}) / {trajectory.M31}

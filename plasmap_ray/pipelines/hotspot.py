@@ -1,0 +1,160 @@
+"""Spatial statistics: Getis-Ord Gi* hotspot detection over a fixed
+cell lattice.
+
+The classic "where are the statistically hot tiles" question a tiling
+engine answers before rendering heatmaps (reference analogue: the
+per-cell counters of A3/A5, `counter/src/main/scala` — this adds the
+inferential layer on top).  Gi* for cell i with a 3x3 neighborhood
+window:
+
+    Gi* = (S_i - x̄·W_i) / (s · sqrt((n·W_i - W_i²) / (n - 1)))
+
+where S_i = sum of counts over i's in-bounds neighbors (incl. itself),
+W_i = that window's cell count (9 interior, 6 edge, 4 corner),
+n = total lattice cells, x̄/s = global mean/std of per-cell counts
+(empty cells count as zero — the lattice is FIXED by the fixture
+world bounds, so n is a compile-time constant, not data-dependent).
+
+Scale shape (10^12 rows):
+- pass 1 is a map-side per-batch cell-count combiner -> one small
+  groupby: only (cell, n) partials shuffle, never rows;
+- the global moments (N, Σn²) reduce to TWO scalars via a second
+  tiny aggregate over the per-cell table;
+- the neighbor sums scatter each per-cell row to ≤9 neighbor keys —
+  a constant-factor explode of the CELL table (bounded by lattice
+  size, not row count) followed by one more tiny groupby;
+- the z-score projection is stateless vectorized math.
+
+Float discipline: all shuffled quantities are int64 (exact); the
+z-score is computed in ONE fixed expression-tree order mirrored
+literally by the SQL oracle (all inputs exact integers -> correctly
+rounded IEEE ops are bit-identical), then duckdb_round(6)-ed on both
+sides.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from .. import fixtures
+from ..stages.common import duckdb_round
+
+GI_EPS = 0.1  # lattice pitch, planar degrees
+# lattice dimensions are fixed by the fixture world bounds: derive_lon
+# lands in [LON_MIN, LON_MAX) so floor((lon-LON_MIN)/eps) is in [0, GX)
+GI_GX = int(round(fixtures.LON_SPAN / GI_EPS))  # 20
+GI_GY = int(round(fixtures.LAT_SPAN / GI_EPS))  # 15
+GI_NCELLS = GI_GX * GI_GY  # 300
+_OFFSETS = tuple((dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+
+
+def _read_events(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def _cell_counts(sf_dir: str, eps: float) -> rd.Dataset:
+    """(cx, cy, n) per occupied lattice cell; map-side combiner first."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon = fixtures.derive_lon(ids)
+        lat = fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / eps).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / eps).astype(np.int64)
+        key = cx * GI_GY + cy
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "cx": pa.array(uniq // GI_GY, type=pa.int64()),
+                "cy": pa.array(uniq % GI_GY, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        _read_events(sf_dir, ["event_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["cx", "cy"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def getis_ord_hotspots(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
+    """Gi* z-score per occupied-neighborhood lattice cell.
+
+    Output: (cx, cy, nbr_sum, w, gi_z) — one row per cell whose 3x3
+    window contains at least one event (cells with an all-zero window
+    have Gi* numerator = -x̄·W and carry no signal a heatmap wants).
+    """
+    counts = _cell_counts(sf_dir, eps).materialize()  # ≤ GI_NCELLS rows
+
+    # global moments: two scalars off the (tiny) per-cell table
+    def moments(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy()
+        return pa.table(
+            {
+                "tot": pa.array([int(n.sum())], type=pa.int64()),
+                "ssq": pa.array([int((n * n).sum())], type=pa.int64()),
+            }
+        )
+
+    agg = counts.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("tot", alias_name="tot"), Sum("ssq", alias_name="ssq")
+    )
+    tot, ssq = float(agg["tot"]), float(agg["ssq"])
+    mean = tot / float(GI_NCELLS)
+    s = np.sqrt(ssq / float(GI_NCELLS) - mean * mean)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cx = t["cx"].to_numpy()
+        cy = t["cy"].to_numpy()
+        n = t["n"].to_numpy()
+        outs = []
+        for dx, dy in _OFFSETS:
+            nx, ny = cx + dx, cy + dy
+            m = (nx >= 0) & (nx < GI_GX) & (ny >= 0) & (ny < GI_GY)
+            outs.append(
+                pa.table(
+                    {
+                        "cx": pa.array(nx[m], type=pa.int64()),
+                        "cy": pa.array(ny[m], type=pa.int64()),
+                        "n": pa.array(n[m], type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    nbr = (
+        counts.map_batches(scatter, batch_format="pyarrow")
+        .groupby(["cx", "cy"])
+        .aggregate(Sum("n", alias_name="nbr_sum"))
+    )
+
+    def zscore(t: pa.Table) -> pa.Table:
+        cx = t["cx"].to_numpy()
+        cy = t["cy"].to_numpy()
+        snb = t["nbr_sum"].to_numpy().astype(np.float64)
+        # in-bounds 3x3 window size: interior 9, edge 6, corner 4
+        wx = np.minimum(cx + 1, GI_GX - 1) - np.maximum(cx - 1, 0) + 1
+        wy = np.minimum(cy + 1, GI_GY - 1) - np.maximum(cy - 1, 0) + 1
+        w = (wx * wy).astype(np.int64)
+        wf = w.astype(np.float64)
+        num = snb - mean * wf
+        den = s * np.sqrt((float(GI_NCELLS) * wf - wf * wf) / float(GI_NCELLS - 1))
+        z = duckdb_round(num / den, 6)
+        return pa.table(
+            {
+                "cx": pa.array(cx, type=pa.int64()),
+                "cy": pa.array(cy, type=pa.int64()),
+                "nbr_sum": t["nbr_sum"],
+                "w": pa.array(w, type=pa.int64()),
+                "gi_z": pa.array(z, type=pa.float64()),
+            }
+        )
+
+    return nbr.map_batches(zscore, batch_format="pyarrow")

@@ -1,0 +1,55 @@
+"""Getis-Ord Gi* hotspots vs a dense-lattice numpy recompute."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from plasmap_ray import fixtures
+from plasmap_ray.pipelines import hotspot
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_ids():
+    return pq.read_table(os.path.join(SF, "events.parquet"), columns=["event_id"])["event_id"].to_numpy()
+
+
+def test_getis_ord_matches_dense_recompute(ray_session, event_ids):
+    lon, lat = fixtures.derive_lon(event_ids), fixtures.derive_lat(event_ids)
+    cx = np.floor((lon - fixtures.LON_MIN) / hotspot.GI_EPS).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / hotspot.GI_EPS).astype(np.int64)
+    dense = np.zeros((hotspot.GI_GX, hotspot.GI_GY), dtype=np.int64)
+    np.add.at(dense, (cx, cy), 1)
+    n = float(hotspot.GI_NCELLS)
+    mean = dense.sum() / n
+    s = np.sqrt((dense.astype(np.float64) ** 2).sum() / n - mean * mean)
+
+    out = hotspot.getis_ord_hotspots(SF).to_pandas()
+    # every cell whose 3x3 window holds >=1 event appears exactly once
+    padded = np.zeros((hotspot.GI_GX + 2, hotspot.GI_GY + 2), dtype=np.int64)
+    padded[1:-1, 1:-1] = dense
+    win = sum(
+        padded[1 + dx : hotspot.GI_GX + 1 + dx, 1 + dy : hotspot.GI_GY + 1 + dy]
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    exp_cells = {(int(x), int(y)) for x, y in zip(*np.nonzero(win))}
+    assert {(x, y) for x, y in zip(out["cx"], out["cy"])} == exp_cells
+    assert out[["cx", "cy"]].drop_duplicates().shape[0] == len(out)
+
+    for _, r in out.sample(n=min(50, len(out)), random_state=7).iterrows():
+        x, y = int(r["cx"]), int(r["cy"])
+        assert r["nbr_sum"] == win[x, y]
+        wx = min(x + 1, hotspot.GI_GX - 1) - max(x - 1, 0) + 1
+        wy = min(y + 1, hotspot.GI_GY - 1) - max(y - 1, 0) + 1
+        w = wx * wy
+        assert r["w"] == w
+        z = (win[x, y] - mean * w) / (s * np.sqrt((n * w - w * w) / (n - 1.0)))
+        assert abs(r["gi_z"] - z) < 1e-6
+
+    # the fixture LCG spreads points near-uniformly, so z-scores stay
+    # modest — but both hot and cold deviations must be present
+    assert out["gi_z"].max() > 0.0 > out["gi_z"].min()
