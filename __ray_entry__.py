@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": images.image_features,
         "image_thumbnails": images.image_thumbnails,
         "image_meta_stats": images.image_meta_stats,
+        "best_image_per_tile": images.best_image_per_tile,
         "caption_location_histogram": images.caption_location_histogram,
         "phash_dedup": images.phash_dedup,
         "phash_near_dup_pairs": images.phash_near_dup_pairs,
@@ -537,6 +538,19 @@ u AS (SELECT cell_low, 1 AS n_docs, 0 AS n_images FROM md_out
       UNION ALL SELECT cell_low, 0, 1 FROM mi_out)
 SELECT cell_low, CAST(sum(n_docs) AS BIGINT) AS n_docs, CAST(sum(n_images) AS BIGINT) AS n_images
 FROM u GROUP BY cell_low""",
+        "best_image_per_tile": f"""
+WITH iid AS (
+  SELECT image_id, CAST(substr(image_id, 5, 12) AS BIGINT) AS img_id,
+         CAST(octet_length(bytes) AS BIGINT) AS payload_bytes FROM {img_pq}),
+ipts AS (
+  SELECT image_id, payload_bytes, {oracle.sql_derive_lon('img_id')} AS lon,
+         {oracle.sql_derive_lat('img_id')} AS lat FROM iid),
+tl AS (
+  SELECT image_id, payload_bytes, {oracle.sql_tile_x('lon', images.MOSAIC_Z)} AS x,
+         {oracle.sql_tile_y('lat', images.MOSAIC_Z)} AS y FROM ipts),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY x, y ORDER BY payload_bytes DESC, image_id) AS rn FROM tl)
+SELECT {images.MOSAIC_Z} AS z, x, y, image_id, payload_bytes FROM r WHERE rn = 1""",
         "image_meta_stats": f"""
 SELECT fmt, w, h, count(*) AS n_images, CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes FROM {img_pq} GROUP BY fmt, w, h""",
         "phash_dedup": f"""

@@ -192,6 +192,80 @@ def caption_location_histogram(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(extract, batch_format="pyarrow").groupby("place").aggregate(Count(alias_name="n_images"))
 
 
+MOSAIC_Z = 10
+
+
+def best_image_per_tile(sf_dir: str, z: int = MOSAIC_Z, parts: int = 32) -> rd.Dataset:
+    """Mosaic selection: the single best image per slippy tile, ranked
+    by payload size (bitrate proxy) with image_id as the deterministic
+    tiebreak — the representative-picker a tiled image-map serves from.
+
+    Scale shape: a per-batch argmax combiner collapses each batch to
+    ≤1 row per tile BEFORE the shuffle (the tile_count_partial
+    discipline), so the groupby moves tiles×batches rows, never images;
+    the final reduce is a coarse-partition run-scan (one task per
+    ``tile_key % parts`` slice), not one task per tile.  ``bytes`` is
+    reduced to its length map-side and never shuffles.
+    """
+    import pyarrow.compute as pc
+
+    from .. import tiles
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes"])
+
+    def argmax_runs(t: pa.Table) -> pa.Table:
+        """First row per (x, y) after (payload DESC, image_id ASC) sort."""
+        t = t.sort_by(
+            [
+                ("x", "ascending"),
+                ("y", "ascending"),
+                ("payload_bytes", "descending"),
+                ("image_id", "ascending"),
+            ]
+        )
+        key = t["x"].to_numpy() * (1 << z) + t["y"].to_numpy()
+        if len(key) == 0:
+            return t
+        starts = np.concatenate([[0], np.nonzero(np.diff(key))[0] + 1])
+        return t.take(pa.array(starts))
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4, 16), pa.int64()).to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        x, y = tiles.tile_xy(lon, lat, z)
+        nb = pc.cast(pc.binary_length(t["bytes"]), pa.int64())
+        tbl = pa.table(
+            {
+                "image_id": t["image_id"],
+                "x": pa.array(x, type=pa.int64()),
+                "y": pa.array(y, type=pa.int64()),
+                "payload_bytes": nb,
+            }
+        )
+        tbl = argmax_runs(tbl)  # map-side combiner
+        part = (tbl["x"].to_numpy() * (1 << z) + tbl["y"].to_numpy()) % parts
+        return tbl.append_column("part", pa.array(part, type=pa.int64()))
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        g = argmax_runs(g.drop_columns(["part"]))
+        zc = pa.array(np.full(g.num_rows, z, dtype=np.int64), type=pa.int64())
+        return pa.table(
+            {
+                "z": zc,
+                "x": g["x"],
+                "y": g["y"],
+                "image_id": g["image_id"],
+                "payload_bytes": g["payload_bytes"],
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )
+
+
 class ThumbnailStage:
     """Actor-pool stage: decode -> nearest-neighbor resize -> re-encode
     (pngz) — the standard multimodal preprocessing step (thumbnail /

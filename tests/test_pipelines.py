@@ -227,3 +227,29 @@ def test_pip_join_auto_both_paths_identical(ray_session):
     a = a.sort_values(key).reset_index(drop=True)
     b = b[key].sort_values(key).reset_index(drop=True)
     assert a[key].equals(b)
+
+
+def test_best_image_per_tile_matches_bruteforce(ray_session):
+    """Mosaic argmax: per-tile winner equals the pandas groupby idxmax
+    with (payload DESC, image_id ASC) ranking; every occupied tile
+    appears exactly once."""
+    from plasmap_ray import fixtures, tiles
+    from plasmap_ray.pipelines import images
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(images.images_path_for(sf), columns=["image_id", "bytes"])
+    df = t.to_pandas()
+    df["payload_bytes"] = df["bytes"].map(len)
+    ids = df["image_id"].str.slice(4).astype("int64").to_numpy()
+    x, y = tiles.tile_xy(fixtures.derive_lon(ids), fixtures.derive_lat(ids), images.MOSAIC_Z)
+    df["x"], df["y"] = x, y
+    exp = (
+        df.sort_values(["x", "y", "payload_bytes", "image_id"], ascending=[True, True, False, True])
+        .groupby(["x", "y"], as_index=False)
+        .first()[["x", "y", "image_id", "payload_bytes"]]
+    )
+    out = images.best_image_per_tile(sf).to_pandas().sort_values(["x", "y"]).reset_index(drop=True)
+    assert (out["z"] == images.MOSAIC_Z).all()
+    assert out[["x", "y", "image_id", "payload_bytes"]].reset_index(drop=True).equals(
+        exp.sort_values(["x", "y"]).reset_index(drop=True)
+    )
