@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_matrix": trajectory.od_matrix,
         "spatial_self_join": trajectory.spatial_self_join,
         "colocation_join": trajectory.colocation_join,
+        "stay_points": trajectory.stay_points,
         "getis_ord_hotspots": hotspot.getis_ord_hotspots,
         "stratified_sample": trajectory.stratified_sample,
         "rolling_window": windows.rolling_window,
@@ -758,6 +759,19 @@ pairs AS (
 )
 SELECT least(ua, ub) AS user_a, greatest(ua, ub) AS user_b, count(*) AS n_contacts
 FROM pairs GROUP BY 1, 2""",
+        "stay_points": f"""
+WITH {_epts},
+sc AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         CAST(floor((lon - {fixtures.LON_MIN!r}) / {trajectory.STAY_PITCH!r}) AS BIGINT) AS cx,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) / {trajectory.STAY_PITCH!r}) AS BIGINT) AS cy
+  FROM epts),
+runs AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id)
+          - row_number() OVER (PARTITION BY user_id, cx, cy ORDER BY tus, event_id) AS grp
+  FROM sc)
+SELECT user_id, cx, cy, min(tus) AS enter_us, max(tus) AS exit_us, count(*) AS n_fixes
+FROM runs GROUP BY user_id, cx, cy, grp HAVING count(*) >= {trajectory.STAY_MIN_FIXES}""",
         "getis_ord_hotspots": f"""
 WITH {_epts},
 gcells AS (

@@ -416,6 +416,91 @@ def dwell_in_zone(sf_dir: str, parts: int = TRAJ_PARTS) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# stay_points (per-user dwell runs, gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+STAY_PITCH = 0.5  # stay-cell pitch, planar degrees (coarse: a "place")
+STAY_MIN_FIXES = 2
+
+
+def stay_points(sf_dir: str, pitch: float = STAY_PITCH, min_fixes: int = STAY_MIN_FIXES, parts: int = TRAJ_PARTS) -> rd.Dataset:
+    """Stay-point detection: maximal runs of CONSECUTIVE fixes (per
+    user, (ts, event_id) order) inside one coarse lattice cell, kept
+    when the run has >= ``min_fixes`` fixes — the visits/dwells
+    extractor every mobility pipeline runs before POI matching.
+
+    Same-cell runs are gaps-and-islands: the engine finds them with
+    ONE coarse-partition run-scan (user_id % parts slices; sort the
+    slice, diff on (user, cell), cumulative boundaries) — never one
+    task per user, and only (user, cell, ts) triples shuffle.
+
+    Output: (user_id, cx, cy, enter_us, exit_us, n_fixes); a user
+    revisiting a cell after leaving yields DISTINCT rows (run
+    identity, not (user, cell) identity).
+    """
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _derive_positions(t)
+        lon, lat = t["lon"].to_numpy(), t["lat"].to_numpy()
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        cx = np.floor((lon - fixtures.LON_MIN) / pitch).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / pitch).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, type=pa.int64()),
+                "event_id": t["event_id"],
+                "tus": pa.array(ts, type=pa.int64()),
+                "cx": pa.array(cx, type=pa.int64()),
+                "cy": pa.array(cy, type=pa.int64()),
+                "part": pa.array(uid % parts, type=pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "cx": pa.array([], type=pa.int64()),
+            "cy": pa.array([], type=pa.int64()),
+            "enter_us": pa.array([], type=pa.int64()),
+            "exit_us": pa.array([], type=pa.int64()),
+            "n_fixes": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def runs(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("tus", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        if len(uid) == 0:
+            return empty
+        cx, cy = g["cx"].to_numpy(), g["cy"].to_numpy()
+        tus = g["tus"].to_numpy()
+        brk = (np.diff(uid) != 0) | (np.diff(cx) != 0) | (np.diff(cy) != 0)
+        starts = np.concatenate([[0], np.nonzero(brk)[0] + 1])
+        ends = np.concatenate([starts[1:], [len(uid)]])
+        n = ends - starts
+        keep = n >= min_fixes
+        s, e = starts[keep], ends[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[s], type=pa.int64()),
+                "cx": pa.array(cx[s], type=pa.int64()),
+                "cy": pa.array(cy[s], type=pa.int64()),
+                "enter_us": pa.array(tus[s], type=pa.int64()),
+                "exit_us": pa.array(tus[e - 1], type=pa.int64()),
+                "n_fixes": pa.array(n[keep], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(runs, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # colocation_join (spatio-temporal contact pairs)
 # ---------------------------------------------------------------------------
 

@@ -159,3 +159,29 @@ def test_colocation_join_matches_bruteforce(ray_session, events):
     }
     assert got == expected
     assert (out["user_a"] < out["user_b"]).all()
+
+def test_stay_points_matches_bruteforce(ray_session, events):
+    t = events.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+    uid = t["user_id"].to_numpy()
+    ids = t["event_id"].to_numpy()
+    tus = t["ts"].cast("int64").to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    cx = np.floor((lon - fixtures.LON_MIN) / trajectory.STAY_PITCH).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / trajectory.STAY_PITCH).astype(np.int64)
+    expected = set()
+    i = 0
+    while i < len(uid):
+        j = i
+        while j < len(uid) and uid[j] == uid[i] and cx[j] == cx[i] and cy[j] == cy[i]:
+            j += 1
+        if j - i >= trajectory.STAY_MIN_FIXES:
+            expected.add((int(uid[i]), int(cx[i]), int(cy[i]), int(tus[i]), int(tus[j - 1]), j - i))
+        i = j
+
+    out = trajectory.stay_points(SF).to_pandas()
+    got = {
+        tuple(int(v) for v in row)
+        for row in out[["user_id", "cx", "cy", "enter_us", "exit_us", "n_fixes"]].itertuples(index=False)
+    }
+    assert got == expected
+    assert len(expected) > 0  # fixture density must actually produce stays
