@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_self_join": trajectory.spatial_self_join,
         "colocation_join": trajectory.colocation_join,
         "stay_points": trajectory.stay_points,
+        "heading_histogram": trajectory.heading_histogram,
         "getis_ord_hotspots": hotspot.getis_ord_hotspots,
         "stratified_sample": trajectory.stratified_sample,
         "rolling_window": windows.rolling_window,
@@ -772,6 +773,29 @@ runs AS (
   FROM sc)
 SELECT user_id, cx, cy, min(tus) AS enter_us, max(tus) AS exit_us, count(*) AS n_fixes
 FROM runs GROUP BY user_id, cx, cy, grp HAVING count(*) >= {trajectory.STAY_MIN_FIXES}""",
+        "heading_histogram": f"""
+WITH {_epts},
+seq AS (
+  SELECT user_id, lon, lat,
+         lag(lon) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS plon,
+         lag(lat) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS plat
+  FROM epts),
+seg AS (
+  SELECT user_id, lon - plon AS dx, lat - plat AS dy FROM seq
+  WHERE plon IS NOT NULL AND NOT (lon = plon AND lat = plat))
+SELECT user_id,
+       CASE
+         WHEN dx >= 0 AND dy >= 0 AND abs(dx) >= abs(dy) THEN 0
+         WHEN dx >= 0 AND dy >= 0 THEN 1
+         WHEN dx < 0 AND dy >= 0 AND abs(dy) > abs(dx) THEN 2
+         WHEN dx < 0 AND dy >= 0 THEN 3
+         WHEN dx < 0 AND dy < 0 AND abs(dx) >= abs(dy) THEN 4
+         WHEN dx < 0 AND dy < 0 THEN 5
+         WHEN dx >= 0 AND dy < 0 AND abs(dy) > abs(dx) THEN 6
+         ELSE 7
+       END AS octant,
+       count(*) AS n_segments
+FROM seg GROUP BY 1, 2""",
         "getis_ord_hotspots": f"""
 WITH {_epts},
 gcells AS (

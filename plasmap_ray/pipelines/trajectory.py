@@ -47,7 +47,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count
+from ray.data.aggregate import Count, Sum
 
 from .. import cells, fixtures
 
@@ -497,6 +497,96 @@ def stay_points(sf_dir: str, pitch: float = STAY_PITCH, min_fixes: int = STAY_MI
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("part")
         .map_groups(runs, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# heading_histogram (per-user compass-octant distribution)
+# ---------------------------------------------------------------------------
+
+
+def _octants(dx: np.ndarray, dy: np.ndarray) -> np.ndarray:
+    """8-way heading sector from exact comparisons (NO atan2 — libm
+    results differ across engines by ulps; sign/magnitude comparisons
+    are bit-exact everywhere).  Octant 0 = E..ENE, counter-clockwise.
+    Zero-length segments must be filtered by the caller."""
+    px, py = dx >= 0, dy >= 0
+    ax, ay = np.abs(dx), np.abs(dy)
+    conds = [
+        px & py & (ax >= ay),
+        px & py,
+        ~px & py & (ay > ax),
+        ~px & py,
+        ~px & ~py & (ax >= ay),
+        ~px & ~py,
+        px & ~py & (ay > ax),
+    ]
+    return np.select(conds, list(range(7)), default=7).astype(np.int64)
+
+
+def heading_histogram(sf_dir: str, parts: int = TRAJ_PARTS) -> rd.Dataset:
+    """Per-user travel-direction histogram: consecutive fixes (the
+    (ts, event_id) order) become movement vectors, binned into 8
+    compass octants — the bearing-distribution feature mobility models
+    train on.  Zero-displacement steps are dropped (no direction).
+
+    Segment formation is the coarse-partition run-scan (one task per
+    ``user_id % parts`` slice); per-partition octant counts are
+    combined map-side so the final groupby moves ≤ users×8×parts rows.
+    """
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _derive_positions(t)
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, type=pa.int64()),
+                "event_id": t["event_id"],
+                "tus": pa.array(t["ts"].cast(pa.int64()).to_numpy(), type=pa.int64()),
+                "lon": t["lon"],
+                "lat": t["lat"],
+                "part": pa.array(uid % parts, type=pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "octant": pa.array([], type=pa.int64()),
+            "n_segments": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def segments(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("tus", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        if len(uid) < 2:
+            return empty
+        lon, lat = g["lon"].to_numpy(), g["lat"].to_numpy()
+        dx, dy = np.diff(lon), np.diff(lat)
+        same_user = np.diff(uid) == 0
+        moved = ~((dx == 0) & (dy == 0))
+        m = same_user & moved
+        if not m.any():
+            return empty
+        u, oc = uid[1:][m], _octants(dx[m], dy[m])
+        key = u * 8 + oc
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq // 8, type=pa.int64()),
+                "octant": pa.array(uniq % 8, type=pa.int64()),
+                "n_segments": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    # each user lives wholly in one part-group, so per-group counts are
+    # already global — no second aggregate needed
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(segments, batch_format="pyarrow")
     )
 
 

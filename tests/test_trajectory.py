@@ -185,3 +185,23 @@ def test_stay_points_matches_bruteforce(ray_session, events):
     }
     assert got == expected
     assert len(expected) > 0  # fixture density must actually produce stays
+
+def test_heading_histogram_matches_bruteforce(ray_session, events):
+    t = events.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+    uid = t["user_id"].to_numpy()
+    ids = t["event_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    dx, dy = np.diff(lon), np.diff(lat)
+    m = (np.diff(uid) == 0) & ~((dx == 0) & (dy == 0))
+    oc = trajectory._octants(dx[m], dy[m])
+    u = uid[1:][m]
+    expected = {}
+    for a, b in zip(u.tolist(), oc.tolist()):
+        expected[(a, b)] = expected.get((a, b), 0) + 1
+
+    out = trajectory.heading_histogram(SF).to_pandas()
+    got = {(a, b): n for a, b, n in zip(out["user_id"], out["octant"], out["n_segments"])}
+    assert got == expected
+    assert set(out["octant"]) <= set(range(8))
+    # every user moves in several directions at fixture volumes
+    assert out.groupby("user_id")["octant"].nunique().min() >= 4
