@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "colocation_join": trajectory.colocation_join,
         "stay_points": trajectory.stay_points,
         "heading_histogram": trajectory.heading_histogram,
+        "route_conformance": trajectory.route_conformance,
         "getis_ord_hotspots": hotspot.getis_ord_hotspots,
         "stratified_sample": trajectory.stratified_sample,
         "rolling_window": windows.rolling_window,
@@ -796,6 +797,16 @@ SELECT user_id,
        END AS octant,
        count(*) AS n_segments
 FROM seg GROUP BY 1, 2""",
+        "route_conformance": f"""
+WITH {_epts},
+rpath(vx, vy) AS (VALUES {', '.join(f'({x!r}, {y!r})' for x, y in trajectory.ROUTE_PATH)}),
+md AS (
+  SELECT event_id, user_id,
+         min((lon - vx) * (lon - vx) + (lat - vy) * (lat - vy)) AS d2
+  FROM epts CROSS JOIN rpath GROUP BY event_id, user_id),
+fp AS (SELECT user_id, CAST(floor(sqrt(d2) * {trajectory.FP_SCALE!r} + 0.5) AS BIGINT) AS dev FROM md)
+SELECT user_id, count(*) AS n_events, max(dev) AS max_dev_fp, CAST(sum(dev) AS BIGINT) AS sum_dev_fp
+FROM fp GROUP BY user_id""",
         "getis_ord_hotspots": f"""
 WITH {_epts},
 gcells AS (

@@ -591,6 +591,76 @@ def heading_histogram(sf_dir: str, parts: int = TRAJ_PARTS) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# route_conformance (directed Hausdorff to a broadcast reference path)
+# ---------------------------------------------------------------------------
+
+# reference route: a polyline crossing the fixture world diagonally
+ROUTE_PATH = (
+    (6.1, 50.6),
+    (6.4, 50.8),
+    (6.7, 51.0),
+    (7.0, 51.2),
+    (7.3, 51.4),
+    (7.6, 51.7),
+    (7.9, 51.9),
+)
+
+
+def route_conformance(sf_dir: str) -> rd.Dataset:
+    """How far each user strays from a reference route: per-event
+    distance to the nearest route VERTEX, reduced per user to the max
+    (= directed Hausdorff trajectory→route) and the sum (for mean
+    deviation) — the map-matching QA metric.
+
+    The route is the SMALL side: a constant broadcast into every task
+    (never shuffled, never re-shipped per batch); each batch computes
+    an (n_rows × n_vertices) vectorized distance matrix and reduces
+    map-side to per-user (count, max, sum) partials, so the single
+    groupby moves ≤ users×batches tiny rows.  Deviations are
+    fixed-point int64 (``_seg_fp``), keeping max/sum order-free exact.
+    """
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+    vx = np.array([p[0] for p in ROUTE_PATH], dtype=np.float64)
+    vy = np.array([p[1] for p in ROUTE_PATH], dtype=np.float64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = _derive_positions(t)
+        lon, lat = t["lon"].to_numpy(), t["lat"].to_numpy()
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        dx = lon[:, None] - vx[None, :]
+        dy = lat[:, None] - vy[None, :]
+        d2 = (dx * dx + dy * dy).min(axis=1)
+        dev = np.floor(np.sqrt(d2) * FP_SCALE + 0.5).astype(np.int64)
+        order = np.argsort(uid, kind="stable")
+        uid, dev = uid[order], dev[order]
+        bounds = np.nonzero(np.diff(uid))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(uid)]])
+        mx = np.maximum.reduceat(dev, starts) if len(uid) else np.array([], np.int64)
+        csum = np.concatenate([[0], np.cumsum(dev)])
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts] if len(uid) else np.array([], np.int64), type=pa.int64()),
+                "n_events": pa.array(ends - starts, type=pa.int64()),
+                "max_dev_fp": pa.array(mx, type=pa.int64()),
+                "sum_dev_fp": pa.array(csum[ends] - csum[starts], type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Max("max_dev_fp", alias_name="max_dev_fp"),
+            Sum("sum_dev_fp", alias_name="sum_dev_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # colocation_join (spatio-temporal contact pairs)
 # ---------------------------------------------------------------------------
 

@@ -205,3 +205,20 @@ def test_heading_histogram_matches_bruteforce(ray_session, events):
     assert set(out["octant"]) <= set(range(8))
     # every user moves in several directions at fixture volumes
     assert out.groupby("user_id")["octant"].nunique().min() >= 4
+
+def test_route_conformance_matches_bruteforce(ray_session, events):
+    ids = events["event_id"].to_numpy()
+    uid = events["user_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    vx = np.array([p[0] for p in trajectory.ROUTE_PATH])
+    vy = np.array([p[1] for p in trajectory.ROUTE_PATH])
+    d2 = ((lon[:, None] - vx) ** 2 + (lat[:, None] - vy) ** 2).min(axis=1)
+    dev = np.floor(np.sqrt(d2) * trajectory.FP_SCALE + 0.5).astype(np.int64)
+
+    out = trajectory.route_conformance(SF).to_pandas().set_index("user_id").sort_index()
+    for u in np.unique(uid):
+        m = uid == u
+        assert out.loc[u, "n_events"] == m.sum()
+        assert out.loc[u, "max_dev_fp"] == dev[m].max()
+        assert out.loc[u, "sum_dev_fp"] == dev[m].sum()
+    assert len(out) == len(np.unique(uid))
