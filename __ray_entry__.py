@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_to_vector": lambda sf: raster.raster_to_vector(sf, z=10),
         "boundary_simplify": raster.boundary_simplify_query,
         "zonal_stats": lambda sf: raster.zonal_stats(sf, z=10),
+        "cell_coverage_weights": raster.cell_coverage_weights,
         "cell_prefix_scan": spatial.cell_prefix_scan_pipeline,
         "convex_hull_per_area": spatial.convex_hull_per_area,
         # --- routing over the road graph (block-synchronous SSSP) ---
@@ -797,6 +798,24 @@ SELECT user_id,
        END AS octant,
        count(*) AS n_segments
 FROM seg GROUP BY 1, 2""",
+        "cell_coverage_weights": f"""
+WITH cellgrid AS (
+  SELECT i.i AS cx, j.j AS cy,
+         {fixtures.LON_MIN!r} + i.i * {raster.COVERAGE_EPS!r} AS clon0,
+         {fixtures.LON_MIN!r} + (i.i + 1) * {raster.COVERAGE_EPS!r} AS clon1,
+         {fixtures.LAT_MIN!r} + j.j * {raster.COVERAGE_EPS!r} AS clat0,
+         {fixtures.LAT_MIN!r} + (j.j + 1) * {raster.COVERAGE_EPS!r} AS clat1
+  FROM generate_series(0, {hotspot.GI_GX - 1}) AS i(i)
+  CROSS JOIN generate_series(0, {hotspot.GI_GY - 1}) AS j(j)),
+ia AS (
+  SELECT b.rel_id, b.name, b.admin_level, g.cx, g.cy,
+         greatest(0.0, least(b.lon_max, g.clon1) - greatest(b.lon_min, g.clon0))
+         * greatest(0.0, least(b.lat_max, g.clat1) - greatest(b.lat_min, g.clat0)) AS area
+  FROM {rects} CROSS JOIN cellgrid g),
+fp AS (
+  SELECT rel_id, name, admin_level, cx, cy,
+         CAST(floor(area * 1e9 + 0.5) AS BIGINT) AS area_fp FROM ia)
+SELECT * FROM fp WHERE area_fp > 0""",
         "route_conformance": f"""
 WITH {_epts},
 rpath(vx, vy) AS (VALUES {', '.join(f'({x!r}, {y!r})' for x, y in trajectory.ROUTE_PATH)}),

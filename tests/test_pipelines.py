@@ -253,3 +253,23 @@ def test_best_image_per_tile_matches_bruteforce(ray_session):
     assert out[["x", "y", "image_id", "payload_bytes"]].reset_index(drop=True).equals(
         exp.sort_values(["x", "y"]).reset_index(drop=True)
     )
+
+
+def test_cell_coverage_weights_partitions_polygon_area(ray_session):
+    """The lattice partitions the plane, so each polygon's cell weights
+    must sum back to its exact area (fixed-point, zero tolerance beyond
+    the per-cell half-ulp rounding)."""
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import raster
+
+    out = raster.cell_coverage_weights("/root/testdata/sf0.001").to_pandas()
+    sums = out.groupby("rel_id")["area_fp"].sum()
+    for p in fixtures.admin_polygons():
+        lon0, lat0, lon1, lat1 = p["bbox"]
+        exact = (lon1 - lon0) * (lat1 - lat0)
+        n_cells = (out["rel_id"] == p["rel_id"]).sum()
+        # each cell contributes <=0.5 fp rounding error
+        assert abs(sums[p["rel_id"]] - exact * 1e9) <= 0.5 * n_cells + 1
+    # a district never overlaps more cells than its bbox cover
+    assert (out.groupby("rel_id").size() <= (20 * 15)).all()
+    assert (out["area_fp"] > 0).all()
