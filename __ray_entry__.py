@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heading_histogram": trajectory.heading_histogram,
         "route_conformance": trajectory.route_conformance,
         "getis_ord_hotspots": hotspot.getis_ord_hotspots,
+        "idw_interpolation": hotspot.idw_interpolation,
         "stratified_sample": trajectory.stratified_sample,
         "rolling_window": windows.rolling_window,
         "decontaminate": dedup.decontaminate,
@@ -798,6 +799,27 @@ SELECT user_id,
        END AS octant,
        count(*) AS n_segments
 FROM seg GROUP BY 1, 2""",
+        "idw_interpolation": f"""
+WITH evv AS (
+  SELECT value, {oracle.sql_derive_lon('event_id')} AS lon, {oracle.sql_derive_lat('event_id')} AS lat
+  FROM events),
+sites AS (
+  SELECT i.i AS cx, j.j AS cy,
+         {fixtures.LON_MIN!r} + (i.i + 0.5) * {hotspot.GI_EPS!r} AS sx,
+         {fixtures.LAT_MIN!r} + (j.j + 0.5) * {hotspot.GI_EPS!r} AS sy
+  FROM generate_series(0, {hotspot.GI_GX - 1}) AS i(i)
+  CROSS JOIN generate_series(0, {hotspot.GI_GY - 1}) AS j(j)),
+pw AS (
+  SELECT s.cx, s.cy, e.value,
+         1.0 / ((e.lon - s.sx) * (e.lon - s.sx) + (e.lat - s.sy) * (e.lat - s.sy) + {hotspot.IDW_SOFT!r}) AS w
+  FROM evv e JOIN sites s
+  ON e.lon >= s.sx - {hotspot.IDW_RADIUS!r} AND e.lon <= s.sx + {hotspot.IDW_RADIUS!r}
+  WHERE (e.lon - s.sx) * (e.lon - s.sx) + (e.lat - s.sy) * (e.lat - s.sy)
+        <= {hotspot.IDW_RADIUS * hotspot.IDW_RADIUS!r})
+SELECT cx, cy, count(*) AS n_events,
+       CAST(sum(CAST(floor(w * {hotspot.IDW_FP!r} + 0.5) AS BIGINT)) AS BIGINT) AS sum_w_fp,
+       CAST(sum(CAST(floor(w * value * {hotspot.IDW_FP!r} + 0.5) AS BIGINT)) AS BIGINT) AS sum_wv_fp
+FROM pw GROUP BY cx, cy""",
         "cell_coverage_weights": f"""
 WITH cellgrid AS (
   SELECT i.i AS cx, j.j AS cy,

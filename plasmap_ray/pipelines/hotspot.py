@@ -158,3 +158,69 @@ def getis_ord_hotspots(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
         )
 
     return nbr.map_batches(zscore, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# idw_interpolation (inverse-distance-weighted field at lattice sites)
+# ---------------------------------------------------------------------------
+
+IDW_RADIUS = 0.3  # influence radius, planar degrees
+IDW_SOFT = 1e-4  # softening term: caps the weight of coincident points
+IDW_FP = 1e6  # per-pair fixed-point scale (weights and weighted values)
+
+
+def idw_interpolation(sf_dir: str, radius: float = IDW_RADIUS) -> rd.Dataset:
+    """Inverse-distance-weighted interpolation of ``events.value`` at
+    every lattice cell center — the raster-field estimator (kriging's
+    cheap cousin) behind heatmap / surface layers.
+
+    Per batch the engine computes the (rows × sites) squared-distance
+    matrix against the BROADCAST site lattice (a constant — never
+    shuffled), masks to the radius, fixed-points each pair's weight
+    w = 1/(d2+soft) and weighted value w·v to int64, and emits
+    per-site partial sums — so the single groupby moves ≤ sites×batches
+    rows and the sums are bit-exact in any order.  Final field value =
+    sum_wv_fp / sum_w_fp, a driver-side division the consumer applies.
+
+    Output: (cx, cy, n_events, sum_w_fp, sum_wv_fp) per site with ≥1
+    in-radius event.
+    """
+    sx = (fixtures.LON_MIN + (np.arange(GI_GX) + 0.5) * GI_EPS).repeat(GI_GY)
+    sy = np.tile(fixtures.LAT_MIN + (np.arange(GI_GY) + 0.5) * GI_EPS, GI_GX)
+    scx = np.arange(GI_GX).repeat(GI_GY).astype(np.int64)
+    scy = np.tile(np.arange(GI_GY), GI_GX).astype(np.int64)
+    r2 = radius * radius
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        v = t["value"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        dx = lon[:, None] - sx[None, :]
+        dy = lat[:, None] - sy[None, :]
+        d2 = dx * dx + dy * dy
+        m = d2 <= r2
+        w = 1.0 / (d2 + IDW_SOFT)
+        fw = np.floor(w * IDW_FP + 0.5).astype(np.int64)
+        fwv = np.floor(w * v[:, None] * IDW_FP + 0.5).astype(np.int64)
+        n = m.sum(axis=0).astype(np.int64)
+        keep = n > 0
+        return pa.table(
+            {
+                "cx": pa.array(scx[keep], type=pa.int64()),
+                "cy": pa.array(scy[keep], type=pa.int64()),
+                "n_events": pa.array(n[keep], type=pa.int64()),
+                "sum_w_fp": pa.array(np.where(m, fw, 0).sum(axis=0)[keep], type=pa.int64()),
+                "sum_wv_fp": pa.array(np.where(m, fwv, 0).sum(axis=0)[keep], type=pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["cx", "cy"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_w_fp", alias_name="sum_w_fp"),
+            Sum("sum_wv_fp", alias_name="sum_wv_fp"),
+        )
+    )

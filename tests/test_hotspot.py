@@ -53,3 +53,35 @@ def test_getis_ord_matches_dense_recompute(ray_session, event_ids):
     # the fixture LCG spreads points near-uniformly, so z-scores stay
     # modest — but both hot and cold deviations must be present
     assert out["gi_z"].max() > 0.0 > out["gi_z"].min()
+
+
+def test_idw_interpolation_matches_bruteforce(ray_session, event_ids):
+    import pyarrow.parquet as pq2
+
+    t = pq2.read_table(os.path.join(SF, "events.parquet"), columns=["event_id", "value"])
+    ids, v = t["event_id"].to_numpy(), t["value"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    sx = (fixtures.LON_MIN + (np.arange(hotspot.GI_GX) + 0.5) * hotspot.GI_EPS).repeat(hotspot.GI_GY)
+    sy = np.tile(fixtures.LAT_MIN + (np.arange(hotspot.GI_GY) + 0.5) * hotspot.GI_EPS, hotspot.GI_GX)
+    d2 = (lon[:, None] - sx) ** 2 + (lat[:, None] - sy) ** 2
+    m = d2 <= hotspot.IDW_RADIUS * hotspot.IDW_RADIUS
+    w = 1.0 / (d2 + hotspot.IDW_SOFT)
+    fw = np.floor(w * hotspot.IDW_FP + 0.5).astype(np.int64)
+    fwv = np.floor(w * v[:, None] * hotspot.IDW_FP + 0.5).astype(np.int64)
+
+    out = hotspot.idw_interpolation(SF).to_pandas()
+    assert (out["n_events"] > 0).all()
+    got = {(r.cx, r.cy): (r.n_events, r.sum_w_fp, r.sum_wv_fp) for r in out.itertuples()}
+    for k in range(len(sx)):
+        exp_n = int(m[:, k].sum())
+        key = (k // hotspot.GI_GY, k % hotspot.GI_GY)
+        if exp_n == 0:
+            assert key not in got
+            continue
+        n, swf, swv = got[key]
+        assert n == exp_n
+        assert swf == int(np.where(m[:, k], fw[:, k], 0).sum())
+        assert swv == int(np.where(m[:, k], fwv[:, k], 0).sum())
+    # field sanity: the interpolated value stays inside the data range
+    est = out["sum_wv_fp"] / out["sum_w_fp"]
+    assert est.min() >= v.min() - 1e-3 and est.max() <= v.max() + 1e-3
