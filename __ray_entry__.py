@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_conformance": trajectory.route_conformance,
         "getis_ord_hotspots": hotspot.getis_ord_hotspots,
         "idw_interpolation": hotspot.idw_interpolation,
+        "space_time_cube": hotspot.space_time_cube,
         "stratified_sample": trajectory.stratified_sample,
         "rolling_window": windows.rolling_window,
         "decontaminate": dedup.decontaminate,
@@ -799,6 +800,13 @@ SELECT user_id,
        END AS octant,
        count(*) AS n_segments
 FROM seg GROUP BY 1, 2""",
+        "space_time_cube": f"""
+WITH {_epts}
+SELECT CAST(floor((lon - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+       CAST(floor((lat - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy,
+       epoch_us(ts) // {hotspot.DAY_US} AS day,
+       count(*) AS n_events
+FROM epts GROUP BY 1, 2, 3""",
         "idw_interpolation": f"""
 WITH evv AS (
   SELECT value, {oracle.sql_derive_lon('event_id')} AS lon, {oracle.sql_derive_lat('event_id')} AS lat

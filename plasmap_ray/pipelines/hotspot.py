@@ -224,3 +224,46 @@ def idw_interpolation(sf_dir: str, radius: float = IDW_RADIUS) -> rd.Dataset:
             Sum("sum_wv_fp", alias_name="sum_wv_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# space_time_cube (cell x day occupancy counts)
+# ---------------------------------------------------------------------------
+
+DAY_US = 86_400_000_000
+
+
+def space_time_cube(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
+    """The space-time cube: event counts per (lattice cell, UTC day) —
+    the input layer for emerging-hotspot / trend analysis over tiles.
+
+    Map-side combiner packs (cx, cy, day) into one int64 key and
+    np.unique-counts per batch, so the groupby moves per-batch
+    distinct keys only.  Output: (cx, cy, day, n_events) with day =
+    epoch_us // 86400e6 (integer — no timezone/float ambiguity).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / eps).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / eps).astype(np.int64)
+        day = ts // DAY_US
+        key = (day * GI_GX + cx) * GI_GY + cy
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "cx": pa.array((uniq // GI_GY) % GI_GX, type=pa.int64()),
+                "cy": pa.array(uniq % GI_GY, type=pa.int64()),
+                "day": pa.array(uniq // (GI_GX * GI_GY), type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        _read_events(sf_dir, ["event_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["cx", "cy", "day"])
+        .aggregate(Sum("n", alias_name="n_events"))
+    )

@@ -85,3 +85,13 @@ def test_idw_interpolation_matches_bruteforce(ray_session, event_ids):
     # field sanity: the interpolated value stays inside the data range
     est = out["sum_wv_fp"] / out["sum_w_fp"]
     assert est.min() >= v.min() - 1e-3 and est.max() <= v.max() + 1e-3
+
+
+def test_space_time_cube_totals(ray_session, event_ids):
+    out = hotspot.space_time_cube(SF).to_pandas()
+    assert out["n_events"].sum() == len(event_ids)
+    assert out[["cx", "cy", "day"]].drop_duplicates().shape[0] == len(out)
+    assert out["cx"].between(0, hotspot.GI_GX - 1).all()
+    assert out["cy"].between(0, hotspot.GI_GY - 1).all()
+    # fixture events span ~30 days starting 2024-01-01 (epoch day 19723)
+    assert out["day"].min() >= 19700 and out["day"].nunique() >= 28
