@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "getis_ord_hotspots": hotspot.getis_ord_hotspots,
         "idw_interpolation": hotspot.idw_interpolation,
         "space_time_cube": hotspot.space_time_cube,
+        "cell_entropy": hotspot.cell_entropy,
         "stratified_sample": trajectory.stratified_sample,
         "rolling_window": windows.rolling_window,
         "decontaminate": dedup.decontaminate,
@@ -800,6 +801,24 @@ SELECT user_id,
        END AS octant,
        count(*) AS n_segments
 FROM seg GROUP BY 1, 2""",
+        "cell_entropy": f"""
+WITH etc AS (
+  SELECT event_type,
+         CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy
+  FROM events),
+ct AS (SELECT cx, cy, event_type, count(*) AS ni FROM etc GROUP BY 1, 2, 3),
+fpt AS (
+  SELECT cx, cy, ni,
+         CAST(floor(ni * ln(CAST(ni AS DOUBLE)) * {hotspot.ENTROPY_FP!r} + 0.5) AS BIGINT) AS f
+  FROM ct),
+agg AS (
+  SELECT cx, cy, CAST(sum(ni) AS BIGINT) AS n_events, CAST(sum(f) AS BIGINT) AS sum_nlogn_fp
+  FROM fpt GROUP BY cx, cy)
+SELECT cx, cy, n_events, sum_nlogn_fp,
+       round(ln(CAST(n_events AS DOUBLE))
+             - (CAST(sum_nlogn_fp AS DOUBLE) / {hotspot.ENTROPY_FP!r}) / CAST(n_events AS DOUBLE), 6) AS entropy
+FROM agg""",
         "space_time_cube": f"""
 WITH {_epts}
 SELECT CAST(floor((lon - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,

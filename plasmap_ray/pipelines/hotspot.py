@@ -267,3 +267,80 @@ def space_time_cube(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
         .groupby(["cx", "cy", "day"])
         .aggregate(Sum("n", alias_name="n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# cell_entropy (event-type Shannon entropy per cell)
+# ---------------------------------------------------------------------------
+
+ENTROPY_FP = 1e9
+
+
+def cell_entropy(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
+    """Per-cell Shannon entropy of the event-type mix — the diversity
+    layer (H = ln n - (Σ nᵢ·ln nᵢ)/n over type counts nᵢ).
+
+    Order discipline: a float Σ pᵢ·ln pᵢ would accumulate in
+    engine-specific order; instead each (cell, type) row fixes
+    nᵢ·ln(nᵢ) to int64 ONCE (inputs are exact integers, ln is the
+    same libm call in both engines) and the remaining sums are
+    integer — order-free.  Entropy is derived from those exact ints
+    in one mirrored expression and rounded to 6 decimals.
+
+    Output: (cx, cy, n_events, sum_nlogn_fp, entropy).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / eps).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / eps).astype(np.int64)
+        key = cx * GI_GY + cy
+        return pa.table(
+            {
+                "key": pa.array(key, type=pa.int64()),
+                "event_type": t["event_type"],
+                "n": pa.array(np.ones(len(key), dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        _read_events(sf_dir, ["event_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["key", "event_type"])
+        .aggregate(Sum("n", alias_name="ni"))
+    )
+
+    def nlogn(t: pa.Table) -> pa.Table:
+        ni = t["ni"].to_numpy().astype(np.float64)
+        f = np.floor(t["ni"].to_numpy() * np.log(ni) * ENTROPY_FP + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "key": t["key"],
+                "ni": t["ni"],
+                "f": pa.array(f, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        counts.map_batches(nlogn, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("ni", alias_name="n_events"), Sum("f", alias_name="sum_nlogn_fp"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        n = t["n_events"].to_numpy().astype(np.float64)
+        sfp = t["sum_nlogn_fp"].to_numpy().astype(np.float64)
+        h = duckdb_round(np.log(n) - (sfp / ENTROPY_FP) / n, 6)
+        return pa.table(
+            {
+                "cx": pa.array(key // GI_GY, type=pa.int64()),
+                "cy": pa.array(key % GI_GY, type=pa.int64()),
+                "n_events": t["n_events"],
+                "sum_nlogn_fp": t["sum_nlogn_fp"],
+                "entropy": pa.array(h, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

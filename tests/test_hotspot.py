@@ -95,3 +95,27 @@ def test_space_time_cube_totals(ray_session, event_ids):
     assert out["cy"].between(0, hotspot.GI_GY - 1).all()
     # fixture events span ~30 days starting 2024-01-01 (epoch day 19723)
     assert out["day"].min() >= 19700 and out["day"].nunique() >= 28
+
+
+def test_cell_entropy_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq2
+
+    t = pq2.read_table(os.path.join(SF, "events.parquet"), columns=["event_id", "event_type"])
+    ids = t["event_id"].to_numpy()
+    types = np.array(t["event_type"].to_pylist())
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    cx = np.floor((lon - fixtures.LON_MIN) / hotspot.GI_EPS).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / hotspot.GI_EPS).astype(np.int64)
+
+    out = hotspot.cell_entropy(SF).to_pandas()
+    assert out["n_events"].sum() == len(ids)
+    for _, r in out.sample(n=min(40, len(out)), random_state=3).iterrows():
+        m = (cx == r["cx"]) & (cy == r["cy"])
+        assert m.sum() == r["n_events"]
+        _, cnt = np.unique(types[m], return_counts=True)
+        p = cnt / cnt.sum()
+        h = -(p * np.log(p)).sum()
+        assert abs(r["entropy"] - h) < 1e-6
+    # entropy bounded by ln(#types)
+    assert (out["entropy"] <= np.log(len(np.unique(types))) + 1e-9).all()
+    assert (out["entropy"] >= -1e-9).all()
