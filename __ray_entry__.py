@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boundary_simplify": raster.boundary_simplify_query,
         "zonal_stats": lambda sf: raster.zonal_stats(sf, z=10),
         "cell_coverage_weights": raster.cell_coverage_weights,
+        "segment_cell_lengths": raster.segment_cell_lengths,
         "cell_prefix_scan": spatial.cell_prefix_scan_pipeline,
         "convex_hull_per_area": spatial.convex_hull_per_area,
         # --- routing over the road graph (block-synchronous SSSP) ---
@@ -847,6 +848,44 @@ SELECT cx, cy, count(*) AS n_events,
        CAST(sum(CAST(floor(w * {hotspot.IDW_FP!r} + 0.5) AS BIGINT)) AS BIGINT) AS sum_w_fp,
        CAST(sum(CAST(floor(w * value * {hotspot.IDW_FP!r} + 0.5) AS BIGINT)) AS BIGINT) AS sum_wv_fp
 FROM pw GROUP BY cx, cy""",
+        "segment_cell_lengths": f"""
+WITH {_epts},
+seq AS (
+  SELECT user_id, lon, lat,
+         lag(lon) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS plon,
+         lag(lat) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS plat
+  FROM epts),
+seg AS (
+  SELECT plon AS x0, plat AS y0, lon - plon AS dx, lat - plat AS dy,
+         sqrt((lon - plon) * (lon - plon) + (lat - plat) * (lat - plat)) AS seglen
+  FROM seq WHERE plon IS NOT NULL AND NOT (lon = plon AND lat = plat)),
+cellgrid AS (
+  SELECT i.i AS cx, j.j AS cy,
+         {fixtures.LON_MIN!r} + i.i * {raster.COVERAGE_EPS!r} AS c0x,
+         {fixtures.LON_MIN!r} + (i.i + 1) * {raster.COVERAGE_EPS!r} AS c1x,
+         {fixtures.LAT_MIN!r} + j.j * {raster.COVERAGE_EPS!r} AS c0y,
+         {fixtures.LAT_MIN!r} + (j.j + 1) * {raster.COVERAGE_EPS!r} AS c1y
+  FROM generate_series(0, {hotspot.GI_GX - 1}) AS i(i)
+  CROSS JOIN generate_series(0, {hotspot.GI_GY - 1}) AS j(j)),
+tint AS (
+  SELECT cx, cy, seglen,
+         greatest(0.0, greatest(
+           CASE WHEN dx > 0 THEN (c0x - x0) / dx WHEN dx < 0 THEN (c1x - x0) / dx
+                WHEN x0 >= c0x AND x0 < c1x THEN 0.0 ELSE 1.0 END,
+           CASE WHEN dy > 0 THEN (c0y - y0) / dy WHEN dy < 0 THEN (c1y - y0) / dy
+                WHEN y0 >= c0y AND y0 < c1y THEN 0.0 ELSE 1.0 END)) AS tlo,
+         least(1.0, least(
+           CASE WHEN dx > 0 THEN (c1x - x0) / dx WHEN dx < 0 THEN (c0x - x0) / dx
+                WHEN x0 >= c0x AND x0 < c1x THEN 1.0 ELSE 0.0 END,
+           CASE WHEN dy > 0 THEN (c1y - y0) / dy WHEN dy < 0 THEN (c0y - y0) / dy
+                WHEN y0 >= c0y AND y0 < c1y THEN 1.0 ELSE 0.0 END)) AS thi
+  FROM seg CROSS JOIN cellgrid),
+fpl AS (
+  SELECT cx, cy, tlo, thi,
+         CAST(floor((thi - tlo) * seglen * {raster.SEGLEN_FP!r} + 0.5) AS BIGINT) AS f
+  FROM tint)
+SELECT cx, cy, count(*) AS n_segments, CAST(sum(f) AS BIGINT) AS len_fp
+FROM fpl WHERE thi > tlo AND f > 0 GROUP BY cx, cy""",
         "cell_coverage_weights": f"""
 WITH cellgrid AS (
   SELECT i.i AS cx, j.j AS cy,

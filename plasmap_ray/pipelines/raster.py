@@ -370,3 +370,120 @@ def cell_coverage_weights(sf_dir: str, eps: float = COVERAGE_EPS) -> rd.Dataset:
         )
 
     return rd.from_items(items).map_batches(clip_expand, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# segment_cell_lengths (polyline x lattice overlay: density raster)
+# ---------------------------------------------------------------------------
+
+SEGLEN_FP = 1e9
+SEG_PARTS = 32
+
+
+def segment_cell_lengths(sf_dir: str, eps: float = COVERAGE_EPS, parts: int = SEG_PARTS) -> rd.Dataset:
+    """Line density raster: total trajectory length inside each lattice
+    cell — every consecutive same-user movement segment is clipped
+    against the cell grid parametrically (the Liang-Barsky t-interval:
+    enter/exit parameters per axis, intersected, times segment length).
+
+    Engine shape: segments form in the per-user coarse-partition
+    run-scan (no per-user tasks); each partition then computes, per
+    lattice cell, the VECTORIZED t-interval over all its segments —
+    map-side fixed-point partial sums, one tiny groupby.  Lengths are
+    fixed-point int64 per (segment, cell) so sums are order-free.
+
+    Output: (cx, cy, n_segments, len_fp) for cells crossed by ≥1
+    segment; n_segments counts segments with positive in-cell length.
+    """
+    from . import hotspot
+    from .. import fixtures
+
+    import os as _os
+
+    ds = rd.read_parquet(_os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        uid = t["user_id"].to_numpy()
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "tus": pa.array(t["ts"].cast(pa.int64()).to_numpy(), type=pa.int64()),
+                "lon": pa.array(fixtures.derive_lon(ids), type=pa.float64()),
+                "lat": pa.array(fixtures.derive_lat(ids), type=pa.float64()),
+                "part": pa.array(np.asarray(uid, np.int64) % parts, type=pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "cx": pa.array([], type=pa.int64()),
+            "cy": pa.array([], type=pa.int64()),
+            "n_segments": pa.array([], type=pa.int64()),
+            "len_fp": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def clip_cells(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("tus", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        if len(uid) < 2:
+            return empty
+        lon, lat = g["lon"].to_numpy(), g["lat"].to_numpy()
+        dx, dy = np.diff(lon), np.diff(lat)
+        m = (np.diff(uid) == 0) & ~((dx == 0) & (dy == 0))
+        if not m.any():
+            return empty
+        x0, y0 = lon[:-1][m], lat[:-1][m]
+        dx, dy = dx[m], dy[m]
+        seglen = np.sqrt(dx * dx + dy * dy)
+        out_cx, out_cy, out_n, out_fp = [], [], [], []
+        for cx in range(hotspot.GI_GX):
+            c0x = fixtures.LON_MIN + cx * eps
+            c1x = fixtures.LON_MIN + (cx + 1) * eps
+            in_x = (x0 >= c0x) & (x0 < c1x)
+            tx_lo = np.where(dx > 0, (c0x - x0) / np.where(dx != 0, dx, 1.0),
+                             np.where(dx < 0, (c1x - x0) / np.where(dx != 0, dx, 1.0),
+                                      np.where(in_x, 0.0, 1.0)))
+            tx_hi = np.where(dx > 0, (c1x - x0) / np.where(dx != 0, dx, 1.0),
+                             np.where(dx < 0, (c0x - x0) / np.where(dx != 0, dx, 1.0),
+                                      np.where(in_x, 1.0, 0.0)))
+            for cy in range(hotspot.GI_GY):
+                c0y = fixtures.LAT_MIN + cy * eps
+                c1y = fixtures.LAT_MIN + (cy + 1) * eps
+                in_y = (y0 >= c0y) & (y0 < c1y)
+                ty_lo = np.where(dy > 0, (c0y - y0) / np.where(dy != 0, dy, 1.0),
+                                 np.where(dy < 0, (c1y - y0) / np.where(dy != 0, dy, 1.0),
+                                          np.where(in_y, 0.0, 1.0)))
+                ty_hi = np.where(dy > 0, (c1y - y0) / np.where(dy != 0, dy, 1.0),
+                                 np.where(dy < 0, (c0y - y0) / np.where(dy != 0, dy, 1.0),
+                                          np.where(in_y, 1.0, 0.0)))
+                tlo = np.maximum(0.0, np.maximum(tx_lo, ty_lo))
+                thi = np.minimum(1.0, np.minimum(tx_hi, ty_hi))
+                contrib = (thi - tlo) * seglen
+                fp = np.floor(contrib * SEGLEN_FP + 0.5).astype(np.int64)
+                keep = (thi > tlo) & (fp > 0)
+                if keep.any():
+                    out_cx.append(cx)
+                    out_cy.append(cy)
+                    out_n.append(int(keep.sum()))
+                    out_fp.append(int(fp[keep].sum()))
+        return pa.table(
+            {
+                "cx": pa.array(out_cx, type=pa.int64()),
+                "cy": pa.array(out_cy, type=pa.int64()),
+                "n_segments": pa.array(out_n, type=pa.int64()),
+                "len_fp": pa.array(out_fp, type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(clip_cells, batch_format="pyarrow")
+        .groupby(["cx", "cy"])
+        .aggregate(_Sum("n_segments", alias_name="n_segments"), _Sum("len_fp", alias_name="len_fp"))
+    )

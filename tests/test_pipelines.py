@@ -273,3 +273,26 @@ def test_cell_coverage_weights_partitions_polygon_area(ray_session):
     # a district never overlaps more cells than its bbox cover
     assert (out.groupby("rel_id").size() <= (20 * 15)).all()
     assert (out["area_fp"] > 0).all()
+
+
+def test_segment_cell_lengths_conserves_path_length(ray_session):
+    """Cell-clipped lengths must sum back to each total path length
+    (the lattice partitions the plane) within per-pair rounding."""
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import raster
+
+    sf = "/root/testdata/sf0.001"
+    ev = pq.read_table(os.path.join(sf, "events.parquet"), columns=["event_id", "user_id", "ts"])
+    ev = ev.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+    ids, uid = ev["event_id"].to_numpy(), ev["user_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    dx, dy = np.diff(lon), np.diff(lat)
+    m = (np.diff(uid) == 0) & ~((dx == 0) & (dy == 0))
+    total = np.sqrt(dx[m] ** 2 + dy[m] ** 2).sum()
+
+    out = raster.segment_cell_lengths(sf).to_pandas()
+    # each (segment, cell) pair rounds by <=0.5 fp units; pairs <= segments * crossings
+    n_pairs = out["n_segments"].sum()
+    assert abs(out["len_fp"].sum() - total * raster.SEGLEN_FP) <= 0.5 * n_pairs + 1
+    assert (out["len_fp"] > 0).all()
+    assert out[["cx", "cy"]].drop_duplicates().shape[0] == len(out)
