@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join_strtree": spatial.pip_join_strtree,
         "pip_join_auto": spatial.pip_join_auto,
         "pip_count": spatial.pip_count_pipeline,
+        "pip_anti_join": spatial.pip_anti_join_pipeline,
         "tile_raster": lambda sf: raster.tile_raster_pipeline(sf, z=10),
         "raster_to_vector": lambda sf: raster.raster_to_vector(sf, z=10),
         "boundary_simplify": raster.boundary_simplify_query,
@@ -310,6 +311,12 @@ ON pts.lon >= b.lon_min AND pts.lon < b.lon_max AND pts.lat >= b.lat_min AND pts
 WITH {_pts_cte()}
 SELECT doc_id, rel_id, admin_level FROM pts JOIN {rects}
 ON pts.lon >= b.lon_min AND pts.lon < b.lon_max AND pts.lat >= b.lat_min AND pts.lat < b.lat_max""",
+        "pip_anti_join": f"""
+WITH {_pts_cte()}
+SELECT doc_id, lon, lat FROM pts
+WHERE NOT EXISTS (
+  SELECT 1 FROM {rects}
+  WHERE pts.lon >= b.lon_min AND pts.lon < b.lon_max AND pts.lat >= b.lat_min AND pts.lat < b.lat_max)""",
         "pip_join_auto": f"""
 WITH {_pts_cte()}
 SELECT doc_id, rel_id, admin_level FROM pts JOIN {rects}

@@ -329,6 +329,21 @@ def pip_join_pipeline(sf_dir: str, source=points_from_documents, idx_ref=None) -
     ).select_columns(["doc_id", "rel_id", "admin_level"])
 
 
+def pip_anti_join_pipeline(sf_dir: str, source=points_from_documents, idx_ref=None) -> rd.Dataset:
+    """Points outside EVERY boundary polygon (left-anti PiP): the
+    coverage-gap stream the inner join drops.  Same broadcast index as
+    pip_join_pipeline; map-only, no shuffle."""
+    if idx_ref is None:
+        idx_ref = boundary_index_ref()
+    return source(sf_dir).map_batches(
+        geo.PiPAntiJoinActor,
+        fn_constructor_kwargs=dict(index_ref=idx_ref, keep_cols=("doc_id", "lon", "lat")),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=8192,
+    )
+
+
 def pip_count_pipeline(sf_dir: str) -> rd.Dataset:
     """Joined-row counts per admin area (A3 analogue)."""
     return pip_join_pipeline(sf_dir).groupby("rel_id").aggregate(Count(alias_name="n_points"))

@@ -246,6 +246,29 @@ class PiPJoinActor:
         return out
 
 
+class PiPAntiJoinActor:
+    """Actor-pool stage: the LEFT-ANTI complement of PiPJoinActor —
+    points contained by NO boundary polygon (coverage-gap QA: the rows
+    the reference's inner-join drop semantics silently discard,
+    WayFlow.scala:38, surfaced as their own stream).  Same broadcast
+    index, same half-open edge semantics; emits input columns only."""
+
+    def __init__(self, index_ref, keep_cols: tuple[str, ...] | None = None):
+        import ray
+
+        self.index: PolygonIndex = ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+        self.keep_cols = keep_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = _np(batch["lon"])
+        lat = _np(batch["lat"])
+        pt_idx, _ = self.index.query(lon, lat)
+        covered = np.zeros(batch.num_rows, dtype=bool)
+        covered[pt_idx] = True
+        keep = list(self.keep_cols) if self.keep_cols is not None else list(batch.column_names)
+        return batch.select(keep).filter(pa.array(~covered))
+
+
 class KnnJoinActor:
     """Actor-pool stage: k-nearest-POI join against a broadcast POI set.
 

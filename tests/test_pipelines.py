@@ -296,3 +296,16 @@ def test_segment_cell_lengths_conserves_path_length(ray_session):
     assert abs(out["len_fp"].sum() - total * raster.SEGLEN_FP) <= 0.5 * n_pairs + 1
     assert (out["len_fp"] > 0).all()
     assert out[["cx", "cy"]].drop_duplicates().shape[0] == len(out)
+
+
+def test_pip_anti_join_complements_pip_join(ray_session):
+    """anti ∪ joined-doc-ids = all docs; anti ∩ joined = ∅."""
+    from plasmap_ray.pipelines import spatial
+
+    sf = "/root/testdata/sf0.001"
+    joined = set(spatial.pip_join_pipeline(sf).to_pandas()["doc_id"])
+    anti = set(spatial.pip_anti_join_pipeline(sf).to_pandas()["doc_id"])
+    n_docs = pq.read_metadata(os.path.join(sf, "documents.parquet")).num_rows
+    assert joined | anti == set(range(n_docs))
+    assert not (joined & anti)
+    assert len(anti) > 0  # the fixture world has open countryside
