@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stay_points": trajectory.stay_points,
         "heading_histogram": trajectory.heading_histogram,
         "route_conformance": trajectory.route_conformance,
+        "radius_of_gyration": trajectory.radius_of_gyration,
         "getis_ord_hotspots": hotspot.getis_ord_hotspots,
         "idw_interpolation": hotspot.idw_interpolation,
         "space_time_cube": hotspot.space_time_cube,
@@ -911,6 +912,28 @@ fp AS (
   SELECT rel_id, name, admin_level, cx, cy,
          CAST(floor(area * 1e9 + 0.5) AS BIGINT) AS area_fp FROM ia)
 SELECT * FROM fp WHERE area_fp > 0""",
+        "radius_of_gyration": f"""
+WITH {_epts},
+fx AS (
+  SELECT user_id, lon, lat,
+         CAST(floor((lon - {fixtures.LON_MIN!r}) * {trajectory.ROG_FP!r} + 0.5) AS BIGINT) AS fxl,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) * {trajectory.ROG_FP!r} + 0.5) AS BIGINT) AS fyl
+  FROM epts),
+cent AS (
+  SELECT user_id, count(*) AS n, CAST(sum(fxl) AS BIGINT) AS sx, CAST(sum(fyl) AS BIGINT) AS sy
+  FROM fx GROUP BY user_id),
+j AS (
+  SELECT f.user_id, f.lon, f.lat,
+         {fixtures.LON_MIN!r} + CAST(c.sx AS DOUBLE) / {trajectory.ROG_FP!r} / c.n AS mlon,
+         {fixtures.LAT_MIN!r} + CAST(c.sy AS DOUBLE) / {trajectory.ROG_FP!r} / c.n AS mlat
+  FROM fx f JOIN cent c USING (user_id)),
+d AS (
+  SELECT user_id,
+         CAST(floor(((lon - mlon) * (lon - mlon) + (lat - mlat) * (lat - mlat)) * {trajectory.ROG_FP!r} + 0.5) AS BIGINT) AS d2fp
+  FROM j)
+SELECT user_id, count(*) AS n_events, CAST(sum(d2fp) AS BIGINT) AS sum_d2_fp,
+       round(sqrt(CAST(sum(d2fp) AS DOUBLE) / {trajectory.ROG_FP!r} / count(*)), 6) AS rog
+FROM d GROUP BY user_id""",
         "route_conformance": f"""
 WITH {_epts},
 rpath(vx, vy) AS (VALUES {', '.join(f'({x!r}, {y!r})' for x, y in trajectory.ROUTE_PATH)}),

@@ -784,3 +784,84 @@ def colocation_join(
         .groupby(["user_a", "user_b"])
         .aggregate(Count(alias_name="n_contacts"))
     )
+
+
+# ---------------------------------------------------------------------------
+# radius_of_gyration (the canonical mobility-range metric)
+# ---------------------------------------------------------------------------
+
+ROG_FP = 1e9
+
+
+def radius_of_gyration(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
+    """Per-user radius of gyration: sqrt(mean squared distance of the
+    user's fixes to their own centroid) — THE mobility-range feature
+    (González et al., "Understanding individual human mobility
+    patterns", Nature 453, 2008 — public).
+
+    Two passes, both exact: (1) per-user centroid from fixed-point
+    int64 coordinate sums (order-free, so the groupby tree can merge
+    partials in any order); (2) a HASH JOIN of events against the
+    (small) centroid table — never a driver-side collect — then
+    per-event squared deviations fixed-pointed BEFORE the final sum,
+    making the per-user reduction order-free too.  The only floats
+    cross exactly one mirrored expression each.
+
+    Output: (user_id, n_events, sum_d2_fp, rog) with rog rounded 6.
+    """
+    ds = _read_events(sf_dir, ["event_id", "user_id"])
+
+    def fx(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "lon": pa.array(lon, type=pa.float64()),
+                "lat": pa.array(lat, type=pa.float64()),
+                "fxl": pa.array(np.floor((lon - fixtures.LON_MIN) * ROG_FP + 0.5).astype(np.int64), type=pa.int64()),
+                "fyl": pa.array(np.floor((lat - fixtures.LAT_MIN) * ROG_FP + 0.5).astype(np.int64), type=pa.int64()),
+                "one": pa.array(np.ones(len(ids), dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    pts = ds.map_batches(fx, batch_format="pyarrow")
+    cent = (
+        pts.select_columns(["user_id", "fxl", "fyl", "one"])
+        .groupby("user_id")
+        .aggregate(Sum("one", alias_name="n"), Sum("fxl", alias_name="sx"), Sum("fyl", alias_name="sy"))
+    )
+    joined = pts.select_columns(["user_id", "lon", "lat"]).join(
+        cent, join_type="inner", num_partitions=num_partitions, on=("user_id",)
+    )
+
+    def dev(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.float64)
+        mlon = fixtures.LON_MIN + t["sx"].to_numpy().astype(np.float64) / ROG_FP / n
+        mlat = fixtures.LAT_MIN + t["sy"].to_numpy().astype(np.float64) / ROG_FP / n
+        dlon = t["lon"].to_numpy() - mlon
+        dlat = t["lat"].to_numpy() - mlat
+        d2fp = np.floor((dlon * dlon + dlat * dlat) * ROG_FP + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "one": pa.array(np.ones(len(n), dtype=np.int64), type=pa.int64()),
+                "d2fp": pa.array(d2fp, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(dev, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("one", alias_name="n_events"), Sum("d2fp", alias_name="sum_d2_fp"))
+    )
+
+    from ..stages.common import duckdb_round as _rnd
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["sum_d2_fp"].to_numpy().astype(np.float64)
+        n = t["n_events"].to_numpy().astype(np.float64)
+        rog = _rnd(np.sqrt(s / ROG_FP / n), 6)
+        return t.append_column("rog", pa.array(rog, type=pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -222,3 +222,24 @@ def test_route_conformance_matches_bruteforce(ray_session, events):
         assert out.loc[u, "max_dev_fp"] == dev[m].max()
         assert out.loc[u, "sum_dev_fp"] == dev[m].sum()
     assert len(out) == len(np.unique(uid))
+
+def test_radius_of_gyration_matches_bruteforce(ray_session, events):
+    ids = events["event_id"].to_numpy()
+    uid = events["user_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    fxl = np.floor((lon - fixtures.LON_MIN) * trajectory.ROG_FP + 0.5).astype(np.int64)
+    fyl = np.floor((lat - fixtures.LAT_MIN) * trajectory.ROG_FP + 0.5).astype(np.int64)
+
+    out = trajectory.radius_of_gyration(SF).to_pandas().set_index("user_id").sort_index()
+    for u in np.unique(uid):
+        m = uid == u
+        n = m.sum()
+        mlon = fixtures.LON_MIN + fxl[m].sum() / trajectory.ROG_FP / n
+        mlat = fixtures.LAT_MIN + fyl[m].sum() / trajectory.ROG_FP / n
+        d2fp = np.floor(((lon[m] - mlon) ** 2 + (lat[m] - mlat) ** 2) * trajectory.ROG_FP + 0.5).astype(np.int64)
+        assert out.loc[u, "n_events"] == n
+        assert out.loc[u, "sum_d2_fp"] == d2fp.sum()
+        # rog approximates the true (unquantized) radius of gyration
+        true_rog = np.sqrt((((lon[m] - lon[m].mean()) ** 2 + (lat[m] - lat[m].mean()) ** 2)).mean())
+        assert abs(out.loc[u, "rog"] - true_rog) < 1e-6
+    assert len(out) == len(np.unique(uid))
