@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_thumbnails": images.image_thumbnails,
         "image_meta_stats": images.image_meta_stats,
         "best_image_per_tile": images.best_image_per_tile,
+        "zone_image_stats": images.zone_image_stats,
         "caption_location_histogram": images.caption_location_histogram,
         "phash_dedup": images.phash_dedup,
         "phash_near_dup_pairs": images.phash_near_dup_pairs,
@@ -554,6 +555,18 @@ u AS (SELECT cell_low, 1 AS n_docs, 0 AS n_images FROM md_out
       UNION ALL SELECT cell_low, 0, 1 FROM mi_out)
 SELECT cell_low, CAST(sum(n_docs) AS BIGINT) AS n_docs, CAST(sum(n_images) AS BIGINT) AS n_images
 FROM u GROUP BY cell_low""",
+        "zone_image_stats": f"""
+WITH iid AS (
+  SELECT CAST(substr(image_id, 5, 12) AS BIGINT) AS img_id,
+         CAST(octet_length(bytes) AS BIGINT) AS payload_bytes FROM {img_pq}),
+ipts AS (
+  SELECT payload_bytes, {oracle.sql_derive_lon('img_id')} AS lon,
+         {oracle.sql_derive_lat('img_id')} AS lat FROM iid)
+SELECT b.rel_id, b.admin_level, count(*) AS n_images,
+       CAST(sum(p.payload_bytes) AS BIGINT) AS total_bytes
+FROM ipts p JOIN {rects}
+ON p.lon >= b.lon_min AND p.lon < b.lon_max AND p.lat >= b.lat_min AND p.lat < b.lat_max
+GROUP BY 1, 2""",
         "best_image_per_tile": f"""
 WITH iid AS (
   SELECT image_id, CAST(substr(image_id, 5, 12) AS BIGINT) AS img_id,

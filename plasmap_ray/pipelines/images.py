@@ -266,6 +266,50 @@ def best_image_per_tile(sf_dir: str, z: int = MOSAIC_Z, parts: int = 32) -> rd.D
     )
 
 
+def zone_image_stats(sf_dir: str) -> rd.Dataset:
+    """Per-admin-zone image inventory: count + payload volume of the
+    images geolocated inside each boundary polygon (the capacity-
+    planning view of the image corpus, and the cross-modal PiP join
+    over the IMAGE table rather than documents).
+
+    Broadcast boundary index (ray.put once, probed in the actor pool);
+    ``bytes`` is reduced to its length BEFORE the join so the shuffle
+    to the per-zone aggregate carries int64s only.
+    Output: (rel_id, admin_level, n_images, total_bytes).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count as _Count
+
+    from ..pipelines.spatial import boundary_index_ref
+    from ..stages import geo
+
+    idx_ref = boundary_index_ref()
+    ds = read_images(sf_dir, columns=["image_id", "bytes"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4, 16), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "lon": pa.array(fixtures.derive_lon(ids), type=pa.float64()),
+                "lat": pa.array(fixtures.derive_lat(ids), type=pa.float64()),
+                "payload_bytes": pc.cast(pc.binary_length(t["bytes"]), pa.int64()),
+            }
+        )
+
+    joined = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        geo.PiPJoinActor,
+        fn_constructor_kwargs=dict(index_ref=idx_ref, keep_cols=("payload_bytes",)),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=8192,
+    )
+    return (
+        joined.select_columns(["rel_id", "admin_level", "payload_bytes"])
+        .groupby(["rel_id", "admin_level"])
+        .aggregate(_Count(alias_name="n_images"), Sum("payload_bytes", alias_name="total_bytes"))
+    )
+
+
 class ThumbnailStage:
     """Actor-pool stage: decode -> nearest-neighbor resize -> re-encode
     (pngz) — the standard multimodal preprocessing step (thumbnail /

@@ -309,3 +309,23 @@ def test_pip_anti_join_complements_pip_join(ray_session):
     assert joined | anti == set(range(n_docs))
     assert not (joined & anti)
     assert len(anti) > 0  # the fixture world has open countryside
+
+
+def test_zone_image_stats_matches_bruteforce(ray_session):
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import images
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(images.images_path_for(sf), columns=["image_id", "bytes"]).to_pandas()
+    ids = t["image_id"].str.slice(4).astype("int64").to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    nbytes = t["bytes"].map(len).to_numpy()
+
+    out = images.zone_image_stats(sf).to_pandas().set_index("rel_id").sort_index()
+    for r in fixtures.admin_rects():
+        m = (lon >= r["lon_min"]) & (lon < r["lon_max"]) & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+        if m.sum() == 0:
+            assert r["rel_id"] not in out.index
+            continue
+        assert out.loc[r["rel_id"], "n_images"] == m.sum()
+        assert out.loc[r["rel_id"], "total_bytes"] == nbytes[m].sum()
