@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_interpolation": hotspot.idw_interpolation,
         "space_time_cube": hotspot.space_time_cube,
         "cell_entropy": hotspot.cell_entropy,
+        "ripley_k": hotspot.ripley_k,
         "stratified_sample": trajectory.stratified_sample,
         "rolling_window": windows.rolling_window,
         "decontaminate": dedup.decontaminate,
@@ -823,6 +824,15 @@ SELECT user_id,
        END AS octant,
        count(*) AS n_segments
 FROM seg GROUP BY 1, 2""",
+        "ripley_k": f"""
+WITH {_epts},
+pr AS (
+  SELECT (b.lon - a.lon) * (b.lon - a.lon) + (b.lat - a.lat) * (b.lat - a.lat) AS d2
+  FROM epts a JOIN epts b
+  ON a.event_id < b.event_id
+  AND b.lon >= a.lon - {max(hotspot.RIPLEY_RADII)!r} AND b.lon <= a.lon + {max(hotspot.RIPLEY_RADII)!r}
+  AND b.lat >= a.lat - {max(hotspot.RIPLEY_RADII)!r} AND b.lat <= a.lat + {max(hotspot.RIPLEY_RADII)!r})
+{' UNION ALL '.join(f"SELECT CAST({r!r} AS DOUBLE) AS r, count(*) AS n_pairs FROM pr WHERE d2 <= {r * r!r}" for r in hotspot.RIPLEY_RADII)}""",
         "cell_entropy": f"""
 WITH etc AS (
   SELECT event_type,

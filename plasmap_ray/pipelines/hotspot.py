@@ -344,3 +344,97 @@ def cell_entropy(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# ripley_k (point-pattern pair counts at nested radii)
+# ---------------------------------------------------------------------------
+
+RIPLEY_RADII = (0.05, 0.1, 0.2)
+# 2-D half neighborhood (spatial_self_join discipline): own bucket via
+# id ordering, each unordered adjacent-bucket pair via exactly one offset
+_HALF_2D = ((1, 0), (-1, 1), (0, 1), (1, 1))
+
+
+def ripley_k(sf_dir: str, radii: tuple[float, ...] = RIPLEY_RADII, num_partitions: int = 8) -> rd.Dataset:
+    """Ripley's K numerator: the number of unordered event pairs within
+    each radius r — the clustering-vs-dispersion diagnostic (K(r) =
+    area·n_pairs·2/n² under CSR; the exact pair counts are the hard
+    distributed part, the normalization is driver arithmetic).
+
+    Buckets at pitch r_max; ONE hash join with the half-neighborhood
+    probe expansion generates every unordered candidate pair exactly
+    once (candidates bounded by local density, never O(N²)); each
+    batch then mask-counts per radius, so the final aggregate moves
+    len(radii) rows per batch.
+
+    Output: (r, n_pairs), one row per radius.
+    """
+    rmax = max(radii)
+    ds = _read_events(sf_dir, ["event_id"])
+
+    def keyed(t: pa.Table, side: str) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / rmax).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / rmax).astype(np.int64)
+        return pa.table(
+            {
+                f"id_{side}": t["event_id"],
+                f"lon_{side}": pa.array(lon, type=pa.float64()),
+                f"lat_{side}": pa.array(lat, type=pa.float64()),
+                "cx": pa.array(cx, type=pa.int64()),
+                "cy": pa.array(cy, type=pa.int64()),
+            }
+        )
+
+    def own_key(t: pa.Table) -> pa.Table:
+        ck = (t["cx"].to_numpy() + 1) * (1 << 21) + (t["cy"].to_numpy() + 1)
+        return t.drop_columns(["cx", "cy"]).append_column("ck", pa.array(ck, type=pa.int64()))
+
+    def probe_expand(t: pa.Table) -> pa.Table:
+        cx, cy = t["cx"].to_numpy(), t["cy"].to_numpy()
+        t = t.drop_columns(["cx", "cy"])
+        out = []
+        for dx, dy in ((0, 0),) + _HALF_2D:
+            ck = (cx + dx + 1) * (1 << 21) + (cy + dy + 1)
+            own = np.full(len(ck), 1 if (dx, dy) == (0, 0) else 0, dtype=np.int8)
+            out.append(
+                t.append_column("ck", pa.array(ck, type=pa.int64())).append_column(
+                    "own", pa.array(own, type=pa.int8())
+                )
+            )
+        return pa.concat_tables(out)
+
+    import functools as _ft
+
+    build = ds.map_batches(_ft.partial(keyed, side="b"), batch_format="pyarrow").map_batches(
+        own_key, batch_format="pyarrow"
+    )
+    probe = ds.map_batches(_ft.partial(keyed, side="a"), batch_format="pyarrow").map_batches(
+        probe_expand, batch_format="pyarrow"
+    )
+    cand = probe.join(build, join_type="inner", num_partitions=num_partitions, on=("ck",))
+
+    def count_radii(t: pa.Table) -> pa.Table:
+        ia = np.asarray(t["id_a"].to_numpy(), np.int64)
+        ib = np.asarray(t["id_b"].to_numpy(), np.int64)
+        own = t["own"].to_numpy()
+        dlon = t["lon_b"].to_numpy() - t["lon_a"].to_numpy()
+        dlat = t["lat_b"].to_numpy() - t["lat_a"].to_numpy()
+        d2 = dlon * dlon + dlat * dlat
+        # own-bucket pairs arrive in both orders (and as self-pairs):
+        # ia < ib dedups and drops self; cross-bucket pairs arrive
+        # exactly once via their unique half offset — no filter needed
+        base = (own == 0) | (ia < ib)
+        rs, ns = [], []
+        for r in radii:
+            rs.append(r)
+            ns.append(int(((d2 <= r * r) & base).sum()))
+        return pa.table({"r": pa.array(rs, type=pa.float64()), "n": pa.array(ns, type=pa.int64())})
+
+    return (
+        cand.map_batches(count_radii, batch_format="pyarrow")
+        .groupby("r")
+        .aggregate(Sum("n", alias_name="n_pairs"))
+    )

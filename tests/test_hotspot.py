@@ -119,3 +119,16 @@ def test_cell_entropy_matches_bruteforce(ray_session):
     # entropy bounded by ln(#types)
     assert (out["entropy"] <= np.log(len(np.unique(types))) + 1e-9).all()
     assert (out["entropy"] >= -1e-9).all()
+
+
+def test_ripley_k_matches_bruteforce(ray_session, event_ids):
+    lon, lat = fixtures.derive_lon(event_ids), fixtures.derive_lat(event_ids)
+    d2 = (lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
+    upper = event_ids[:, None] < event_ids[None, :]
+
+    out = hotspot.ripley_k(SF).to_pandas().set_index("r").sort_index()
+    assert len(out) == len(hotspot.RIPLEY_RADII)
+    for r in hotspot.RIPLEY_RADII:
+        assert out.loc[r, "n_pairs"] == int(((d2 <= r * r) & upper).sum())
+    # monotone in r
+    assert out["n_pairs"].is_monotonic_increasing
