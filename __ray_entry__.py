@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heading_histogram": trajectory.heading_histogram,
         "route_conformance": trajectory.route_conformance,
         "radius_of_gyration": trajectory.radius_of_gyration,
+        "cell_transition_matrix": trajectory.cell_transition_matrix,
         "getis_ord_hotspots": hotspot.getis_ord_hotspots,
         "idw_interpolation": hotspot.idw_interpolation,
         "space_time_cube": hotspot.space_time_cube,
@@ -935,6 +936,20 @@ fp AS (
   SELECT rel_id, name, admin_level, cx, cy,
          CAST(floor(area * 1e9 + 0.5) AS BIGINT) AS area_fp FROM ia)
 SELECT * FROM fp WHERE area_fp > 0""",
+        "cell_transition_matrix": f"""
+WITH {_epts},
+sc AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id,
+         CAST(floor((lon - {fixtures.LON_MIN!r}) / {trajectory.TRANS_PITCH!r}) AS BIGINT) AS cx,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) / {trajectory.TRANS_PITCH!r}) AS BIGINT) AS cy
+  FROM epts),
+st AS (
+  SELECT cx, cy,
+         lag(cx) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS px,
+         lag(cy) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS py
+  FROM sc)
+SELECT px AS fx, py AS fy, cx AS tx, cy AS ty, count(*) AS n_steps
+FROM st WHERE px IS NOT NULL GROUP BY 1, 2, 3, 4""",
         "radius_of_gyration": f"""
 WITH {_epts},
 fx AS (

@@ -865,3 +865,86 @@ def radius_of_gyration(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
         return t.append_column("rog", pa.array(rog, type=pa.float64()))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# cell_transition_matrix (step-level Markov mobility model)
+# ---------------------------------------------------------------------------
+
+TRANS_PITCH = 0.5  # transition cells (coarse "places", stay_points pitch)
+
+
+def cell_transition_matrix(sf_dir: str, pitch: float = TRANS_PITCH, parts: int = TRAJ_PARTS) -> rd.Dataset:
+    """First-order mobility transition counts: for every consecutive
+    same-user step ((ts, event_id) order), the (from-cell → to-cell)
+    pair — the empirical Markov kernel mobility prediction trains on
+    (od_matrix generalized from endpoints to every step).
+
+    Engine shape: the per-user coarse-partition run-scan forms steps;
+    per-partition packed-key np.unique pre-aggregates, so the final
+    groupby moves distinct transitions only.  Self-transitions (staying
+    in the cell) are kept — they ARE the diagonal of the kernel.
+
+    Output: (fx, fy, tx, ty, n_steps).
+    """
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+    gx = int(round(fixtures.LON_SPAN / pitch))
+    gy = int(round(fixtures.LAT_SPAN / pitch))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _derive_positions(t)
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        lon, lat = t["lon"].to_numpy(), t["lat"].to_numpy()
+        cx = np.floor((lon - fixtures.LON_MIN) / pitch).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / pitch).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, type=pa.int64()),
+                "event_id": t["event_id"],
+                "tus": pa.array(t["ts"].cast(pa.int64()).to_numpy(), type=pa.int64()),
+                "cell": pa.array(cx * gy + cy, type=pa.int64()),
+                "part": pa.array(uid % parts, type=pa.int64()),
+            }
+        )
+
+    ncell = gx * gy
+    empty = pa.table(
+        {
+            "fx": pa.array([], type=pa.int64()),
+            "fy": pa.array([], type=pa.int64()),
+            "tx": pa.array([], type=pa.int64()),
+            "ty": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def steps(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("tus", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        if len(uid) < 2:
+            return empty
+        cell = g["cell"].to_numpy()
+        m = np.diff(uid) == 0
+        if not m.any():
+            return empty
+        frm, to = cell[:-1][m], cell[1:][m]
+        key = frm * ncell + to
+        uniq, cnt = np.unique(key, return_counts=True)
+        frm, to = uniq // ncell, uniq % ncell
+        return pa.table(
+            {
+                "fx": pa.array(frm // gy, type=pa.int64()),
+                "fy": pa.array(frm % gy, type=pa.int64()),
+                "tx": pa.array(to // gy, type=pa.int64()),
+                "ty": pa.array(to % gy, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(steps, batch_format="pyarrow")
+        .groupby(["fx", "fy", "tx", "ty"])
+        .aggregate(Sum("n", alias_name="n_steps"))
+    )

@@ -243,3 +243,24 @@ def test_radius_of_gyration_matches_bruteforce(ray_session, events):
         true_rog = np.sqrt((((lon[m] - lon[m].mean()) ** 2 + (lat[m] - lat[m].mean()) ** 2)).mean())
         assert abs(out.loc[u, "rog"] - true_rog) < 1e-6
     assert len(out) == len(np.unique(uid))
+
+def test_cell_transition_matrix_matches_bruteforce(ray_session, events):
+    t = events.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+    uid = t["user_id"].to_numpy()
+    ids = t["event_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    cx = np.floor((lon - fixtures.LON_MIN) / trajectory.TRANS_PITCH).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / trajectory.TRANS_PITCH).astype(np.int64)
+    m = np.diff(uid) == 0
+    expected = {}
+    for f_x, f_y, t_x, t_y in zip(cx[:-1][m], cy[:-1][m], cx[1:][m], cy[1:][m]):
+        k = (int(f_x), int(f_y), int(t_x), int(t_y))
+        expected[k] = expected.get(k, 0) + 1
+
+    out = trajectory.cell_transition_matrix(SF).to_pandas()
+    got = {
+        (r.fx, r.fy, r.tx, r.ty): r.n_steps for r in out.itertuples()
+    }
+    assert got == expected
+    # total steps = events - users (each user contributes n_i - 1 steps)
+    assert out["n_steps"].sum() == len(uid) - len(np.unique(uid))
