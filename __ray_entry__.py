@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "space_time_cube": hotspot.space_time_cube,
         "cell_entropy": hotspot.cell_entropy,
         "ripley_k": hotspot.ripley_k,
+        "change_detection": hotspot.change_detection,
         "stratified_sample": trajectory.stratified_sample,
         "rolling_window": windows.rolling_window,
         "decontaminate": dedup.decontaminate,
@@ -825,6 +826,18 @@ SELECT user_id,
        END AS octant,
        count(*) AS n_segments
 FROM seg GROUP BY 1, 2""",
+        "change_detection": f"""
+WITH {_epts},
+sc AS (
+  SELECT CAST(floor((lon - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy,
+         CASE WHEN epoch_us(ts) < {hotspot.CHANGE_SPLIT_US} THEN 1 ELSE 0 END AS before
+  FROM epts)
+SELECT cx, cy,
+       CAST(sum(before) AS BIGINT) AS n_before,
+       CAST(sum(1 - before) AS BIGINT) AS n_after,
+       CAST(sum(1 - before) - sum(before) AS BIGINT) AS delta
+FROM sc GROUP BY cx, cy""",
         "ripley_k": f"""
 WITH {_epts},
 pr AS (

@@ -438,3 +438,60 @@ def ripley_k(sf_dir: str, radii: tuple[float, ...] = RIPLEY_RADII, num_partition
         .groupby("r")
         .aggregate(Sum("n", alias_name="n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# change_detection (two-epoch raster difference)
+# ---------------------------------------------------------------------------
+
+# fixture events span 2024-01: split at Jan 16 00:00 UTC
+CHANGE_SPLIT_US = 1_705_363_200_000_000
+
+
+def change_detection(sf_dir: str, eps: float = GI_EPS, split_us: int = CHANGE_SPLIT_US) -> rd.Dataset:
+    """Temporal change raster: per-cell event counts before/after a
+    split instant plus the delta — the before/after diff layer change
+    detection and trend alerts read.
+
+    One pass, one tiny groupby: each batch emits per-cell
+    (n_before, n_after) indicator partials (the cell_modality_mix
+    union-free pattern — both epochs counted in the same row).
+    Output: (cx, cy, n_before, n_after, delta).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / eps).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / eps).astype(np.int64)
+        key = cx * GI_GY + cy
+        before = ts < split_us
+        kb, cb = np.unique(key[before], return_counts=True)
+        ka, ca = np.unique(key[~before], return_counts=True)
+        allk = np.union1d(kb, ka)
+        nb = np.zeros(len(allk), dtype=np.int64)
+        na = np.zeros(len(allk), dtype=np.int64)
+        nb[np.searchsorted(allk, kb)] = cb
+        na[np.searchsorted(allk, ka)] = ca
+        return pa.table(
+            {
+                "cx": pa.array(allk // GI_GY, type=pa.int64()),
+                "cy": pa.array(allk % GI_GY, type=pa.int64()),
+                "n_before": pa.array(nb, type=pa.int64()),
+                "n_after": pa.array(na, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        _read_events(sf_dir, ["event_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["cx", "cy"])
+        .aggregate(Sum("n_before", alias_name="n_before"), Sum("n_after", alias_name="n_after"))
+    )
+
+    def delta(t: pa.Table) -> pa.Table:
+        d = t["n_after"].to_numpy() - t["n_before"].to_numpy()
+        return t.append_column("delta", pa.array(d, type=pa.int64()))
+
+    return agg.map_batches(delta, batch_format="pyarrow")

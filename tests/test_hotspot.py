@@ -132,3 +132,14 @@ def test_ripley_k_matches_bruteforce(ray_session, event_ids):
         assert out.loc[r, "n_pairs"] == int(((d2 <= r * r) & upper).sum())
     # monotone in r
     assert out["n_pairs"].is_monotonic_increasing
+
+
+def test_change_detection_totals(ray_session, event_ids):
+    import pyarrow.parquet as pq2
+
+    ts = pq2.read_table(os.path.join(SF, "events.parquet"), columns=["ts"])["ts"].cast("int64").to_numpy()
+    out = hotspot.change_detection(SF).to_pandas()
+    assert out["n_before"].sum() == (ts < hotspot.CHANGE_SPLIT_US).sum()
+    assert out["n_after"].sum() == (ts >= hotspot.CHANGE_SPLIT_US).sum()
+    assert (out["delta"] == out["n_after"] - out["n_before"]).all()
+    assert out[["cx", "cy"]].drop_duplicates().shape[0] == len(out)
