@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_entropy": hotspot.cell_entropy,
         "ripley_k": hotspot.ripley_k,
         "change_detection": hotspot.change_detection,
+        "spatial_thinning": hotspot.spatial_thinning,
         "stratified_sample": trajectory.stratified_sample,
         "rolling_window": windows.rolling_window,
         "decontaminate": dedup.decontaminate,
@@ -826,6 +827,19 @@ SELECT user_id,
        END AS octant,
        count(*) AS n_segments
 FROM seg GROUP BY 1, 2""",
+        "spatial_thinning": f"""
+WITH {_epts},
+hk AS (
+  SELECT event_id,
+         CAST(floor((lon - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy,
+         (event_id * {hotspot.THIN_MULT} + {hotspot.THIN_ADD}) % {hotspot.M31} AS h
+  FROM epts),
+rk AS (
+  SELECT cx, cy, event_id,
+         row_number() OVER (PARTITION BY cx, cy ORDER BY h, event_id) AS thin_rank
+  FROM hk)
+SELECT cx, cy, event_id, thin_rank FROM rk WHERE thin_rank <= {hotspot.THIN_K}""",
         "change_detection": f"""
 WITH {_epts},
 sc AS (

@@ -495,3 +495,73 @@ def change_detection(sf_dir: str, eps: float = GI_EPS, split_us: int = CHANGE_SP
         return t.append_column("delta", pa.array(d, type=pa.int64()))
 
     return agg.map_batches(delta, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# spatial_thinning (deterministic per-cell k-sample)
+# ---------------------------------------------------------------------------
+
+THIN_K = 5
+THIN_MULT = 1103515245  # glibc LCG — disjoint from every fixture mix
+THIN_ADD = 12345
+M31 = 1 << 31
+
+
+def spatial_thinning(sf_dir: str, k: int = THIN_K, eps: float = GI_EPS) -> rd.Dataset:
+    """Density-capped spatial sample: at most ``k`` events per lattice
+    cell, selected by an LCG hash of the event id — the deterministic
+    reservoir every renderer / training-data balancer needs (same rows
+    on every run, every engine, no RNG state; the stratified_sample
+    trick turned into a per-stratum TOP-K).
+
+    Scale shape: a per-batch combiner keeps each batch's k best rows
+    per cell (run-scan over the (cell, hash) sort), so the groupby
+    moves ≤ k·cells·batches rows; the final per-cell selection is a
+    coarse-partition run-scan over those survivors.
+
+    Output: (cx, cy, event_id, thin_rank) with thin_rank in [1, k].
+    """
+
+    def hash_keyed(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / eps).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / eps).astype(np.int64)
+        h = (ids * THIN_MULT + THIN_ADD) % M31
+        return pa.table(
+            {
+                "key": pa.array(cx * GI_GY + cy, type=pa.int64()),
+                "event_id": t["event_id"],
+                "h": pa.array(h, type=pa.int64()),
+            }
+        )
+
+    def topk_runs(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("key", "ascending"), ("h", "ascending"), ("event_id", "ascending")])
+        key = t["key"].to_numpy()
+        if len(key) == 0:
+            return t.append_column("thin_rank", pa.array([], type=pa.int64()))
+        starts = np.concatenate([[0], np.nonzero(np.diff(key))[0] + 1])
+        ends = np.concatenate([starts[1:], [len(key)]])
+        rank = np.arange(len(key)) - np.repeat(starts, ends - starts) + 1
+        t = t.append_column("thin_rank", pa.array(rank, type=pa.int64()))
+        return t.filter(pa.array(rank <= k))
+
+    def strip(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        return pa.table(
+            {
+                "cx": pa.array(key // GI_GY, type=pa.int64()),
+                "cy": pa.array(key % GI_GY, type=pa.int64()),
+                "event_id": t["event_id"],
+                "thin_rank": t["thin_rank"],
+            }
+        )
+
+    return (
+        _read_events(sf_dir, ["event_id"])
+        .map_batches(hash_keyed, batch_format="pyarrow")
+        .map_batches(topk_runs, batch_format="pyarrow")  # combiner: k per cell per batch
+        .groupby("key")
+        .map_groups(lambda g: strip(topk_runs(g.drop_columns(["thin_rank"]))), batch_format="pyarrow")
+    )

@@ -143,3 +143,21 @@ def test_change_detection_totals(ray_session, event_ids):
     assert out["n_after"].sum() == (ts >= hotspot.CHANGE_SPLIT_US).sum()
     assert (out["delta"] == out["n_after"] - out["n_before"]).all()
     assert out[["cx", "cy"]].drop_duplicates().shape[0] == len(out)
+
+
+def test_spatial_thinning_matches_bruteforce(ray_session, event_ids):
+    lon, lat = fixtures.derive_lon(event_ids), fixtures.derive_lat(event_ids)
+    cx = np.floor((lon - fixtures.LON_MIN) / hotspot.GI_EPS).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / hotspot.GI_EPS).astype(np.int64)
+    h = (event_ids * hotspot.THIN_MULT + hotspot.THIN_ADD) % hotspot.M31
+    expected = set()
+    for key in np.unique(cx * hotspot.GI_GY + cy):
+        m = (cx * hotspot.GI_GY + cy) == key
+        order = np.lexsort((event_ids[m], h[m]))
+        for rank, i in enumerate(np.nonzero(m)[0][order][: hotspot.THIN_K], 1):
+            expected.add((int(cx[i]), int(cy[i]), int(event_ids[i]), rank))
+
+    out = hotspot.spatial_thinning(SF).to_pandas()
+    got = {(r.cx, r.cy, r.event_id, r.thin_rank) for r in out.itertuples()}
+    assert got == expected
+    assert out.groupby(["cx", "cy"]).size().max() <= hotspot.THIN_K
