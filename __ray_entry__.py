@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ripley_k": hotspot.ripley_k,
         "change_detection": hotspot.change_detection,
         "spatial_thinning": hotspot.spatial_thinning,
+        "zone_dispersion": hotspot.zone_dispersion,
         "stratified_sample": trajectory.stratified_sample,
         "rolling_window": windows.rolling_window,
         "decontaminate": dedup.decontaminate,
@@ -827,6 +828,29 @@ SELECT user_id,
        END AS octant,
        count(*) AS n_segments
 FROM seg GROUP BY 1, 2""",
+        "zone_dispersion": f"""
+WITH {_epts},
+fq AS (
+  SELECT lon, lat,
+         CAST(floor((lon - {fixtures.LON_MIN!r}) * {hotspot.DISP_FP!r} + 0.5) AS BIGINT) AS fx,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) * {hotspot.DISP_FP!r} + 0.5) AS BIGINT) AS fy
+  FROM epts),
+jn AS (
+  SELECT b.rel_id, b.admin_level, f.fx, f.fy FROM fq f JOIN {rects}
+  ON f.lon >= b.lon_min AND f.lon < b.lon_max AND f.lat >= b.lat_min AND f.lat < b.lat_max),
+agg AS (
+  SELECT rel_id, admin_level, count(*) AS n,
+         CAST(sum(fx) AS BIGINT) AS sx, CAST(sum(fy) AS BIGINT) AS sy,
+         CAST(sum(fx * fx) AS BIGINT) AS sxx, CAST(sum(fy * fy) AS BIGINT) AS syy,
+         CAST(sum(fx * fy) AS BIGINT) AS sxy
+  FROM jn GROUP BY 1, 2)
+SELECT rel_id, admin_level, n AS n_events,
+       round({fixtures.LON_MIN!r} + CAST(sx AS DOUBLE) / {hotspot.DISP_FP!r} / n, 6) AS mean_lon,
+       round({fixtures.LAT_MIN!r} + CAST(sy AS DOUBLE) / {hotspot.DISP_FP!r} / n, 6) AS mean_lat,
+       round(sqrt((CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) / ({hotspot.DISP_FP!r} * {hotspot.DISP_FP!r})
+                + (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) / ({hotspot.DISP_FP!r} * {hotspot.DISP_FP!r})), 6) AS std_dist,
+       round((CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) / ({hotspot.DISP_FP!r} * {hotspot.DISP_FP!r}), 6) AS cov_xy
+FROM agg""",
         "spatial_thinning": f"""
 WITH {_epts},
 hk AS (

@@ -565,3 +565,113 @@ def spatial_thinning(sf_dir: str, k: int = THIN_K, eps: float = GI_EPS) -> rd.Da
         .groupby("key")
         .map_groups(lambda g: strip(topk_runs(g.drop_columns(["thin_rank"]))), batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# zone_dispersion (mean center / standard distance / covariance per zone)
+# ---------------------------------------------------------------------------
+
+DISP_FP = 1e6  # coordinate quantum for moment sums (int64-safe squares)
+
+
+def zone_dispersion(sf_dir: str) -> rd.Dataset:
+    """Per-admin-zone dispersion statistics over the events inside it:
+    mean center, standard distance, and the covariance term (the
+    inputs of a standard deviational ellipse) — the point-pattern
+    summary GIS dashboards draw per district.
+
+    Coordinates are quantized to DISP_FP once (offset from the world
+    corner so squares fit int64); ALL moments (n, Σx, Σy, Σx², Σy²,
+    Σxy) are then exact integers — shuffle-order-free — and the float
+    projections happen in one mirrored expression each.  The PiP side
+    is the broadcast boundary index in an actor pool.
+
+    Output: (rel_id, admin_level, n_events, mean_lon, mean_lat,
+    std_dist, cov_xy), floats rounded to 6.
+    """
+    from ..pipelines.spatial import boundary_index_ref
+    from ..stages import geo
+
+    idx_ref = boundary_index_ref()
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        fx = np.floor((lon - fixtures.LON_MIN) * DISP_FP + 0.5).astype(np.int64)
+        fy = np.floor((lat - fixtures.LAT_MIN) * DISP_FP + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "lon": pa.array(lon, type=pa.float64()),
+                "lat": pa.array(lat, type=pa.float64()),
+                "fx": pa.array(fx, type=pa.int64()),
+                "fy": pa.array(fy, type=pa.int64()),
+            }
+        )
+
+    joined = (
+        _read_events(sf_dir, ["event_id"])
+        .map_batches(prep, batch_format="pyarrow")
+        .map_batches(
+            geo.PiPJoinActor,
+            fn_constructor_kwargs=dict(index_ref=idx_ref, keep_cols=("fx", "fy")),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+            batch_size=8192,
+        )
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        fx = t["fx"].to_numpy()
+        fy = t["fy"].to_numpy()
+        return pa.table(
+            {
+                "rel_id": t["rel_id"],
+                "admin_level": t["admin_level"],
+                "one": pa.array(np.ones(len(fx), dtype=np.int64), type=pa.int64()),
+                "sx": t["fx"],
+                "sy": t["fy"],
+                "sxx": pa.array(fx * fx, type=pa.int64()),
+                "syy": pa.array(fy * fy, type=pa.int64()),
+                "sxy": pa.array(fx * fy, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(moments, batch_format="pyarrow")
+        .groupby(["rel_id", "admin_level"])
+        .aggregate(
+            Sum("one", alias_name="n_events"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_events"].to_numpy().astype(np.float64)
+        sx = t["sx"].to_numpy().astype(np.float64)
+        sy = t["sy"].to_numpy().astype(np.float64)
+        sxx = t["sxx"].to_numpy().astype(np.float64)
+        syy = t["syy"].to_numpy().astype(np.float64)
+        sxy = t["sxy"].to_numpy().astype(np.float64)
+        mean_lon = duckdb_round(fixtures.LON_MIN + sx / DISP_FP / n, 6)
+        mean_lat = duckdb_round(fixtures.LAT_MIN + sy / DISP_FP / n, 6)
+        var_x = (sxx / n - (sx / n) * (sx / n)) / (DISP_FP * DISP_FP)
+        var_y = (syy / n - (sy / n) * (sy / n)) / (DISP_FP * DISP_FP)
+        cov = duckdb_round((sxy / n - (sx / n) * (sy / n)) / (DISP_FP * DISP_FP), 6)
+        std_dist = duckdb_round(np.sqrt(var_x + var_y), 6)
+        return pa.table(
+            {
+                "rel_id": t["rel_id"],
+                "admin_level": t["admin_level"],
+                "n_events": t["n_events"],
+                "mean_lon": pa.array(mean_lon, type=pa.float64()),
+                "mean_lat": pa.array(mean_lat, type=pa.float64()),
+                "std_dist": pa.array(std_dist, type=pa.float64()),
+                "cov_xy": pa.array(cov, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -161,3 +161,28 @@ def test_spatial_thinning_matches_bruteforce(ray_session, event_ids):
     got = {(r.cx, r.cy, r.event_id, r.thin_rank) for r in out.itertuples()}
     assert got == expected
     assert out.groupby(["cx", "cy"]).size().max() <= hotspot.THIN_K
+
+
+def test_zone_dispersion_matches_bruteforce(ray_session, event_ids):
+    from plasmap_ray import fixtures as fx
+
+    lon, lat = fx.derive_lon(event_ids), fx.derive_lat(event_ids)
+    out = hotspot.zone_dispersion(SF).to_pandas().set_index("rel_id")
+    seen = 0
+    for r in fx.admin_rects():
+        m = (lon >= r["lon_min"]) & (lon < r["lon_max"]) & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+        if m.sum() == 0:
+            assert r["rel_id"] not in out.index
+            continue
+        seen += 1
+        row = out.loc[r["rel_id"]]
+        assert row["n_events"] == m.sum()
+        # quantization error <= 5e-7 deg; compare at 1e-5
+        assert abs(row["mean_lon"] - lon[m].mean()) < 1e-5
+        assert abs(row["mean_lat"] - lat[m].mean()) < 1e-5
+        sd = np.sqrt(lon[m].var() + lat[m].var())
+        assert abs(row["std_dist"] - sd) < 1e-4
+        # the mean center lies inside its own zone
+        assert r["lon_min"] <= row["mean_lon"] <= r["lon_max"]
+        assert r["lat_min"] <= row["mean_lat"] <= r["lat_max"]
+    assert seen == len(out)
