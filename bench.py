@@ -236,6 +236,16 @@ def run_queries() -> dict:
 
     timed("minhash_near_dup", minhash)
 
+    # spatial-statistics family at volume: IDW field over the full
+    # point cloud against the broadcast 300-site lattice (the rows ×
+    # sites masked GEMM + fixed-point partial-sum pattern)
+    def idw_field():
+        from plasmap_ray.pipelines import hotspot
+
+        return hotspot.idw_field_from_points(pts, value_col="lon").count()
+
+    timed("idw_field", idw_field)
+
     # J1 way assembly at volume: synthetic chained ways (explode ->
     # node-id hash join -> key-sharded batched regroup); judge-requested
     # throughput row for the batched regroup.  Inputs are generated AND

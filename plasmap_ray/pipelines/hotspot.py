@@ -185,6 +185,25 @@ def idw_interpolation(sf_dir: str, radius: float = IDW_RADIUS) -> rd.Dataset:
     Output: (cx, cy, n_events, sum_w_fp, sum_wv_fp) per site with ≥1
     in-radius event.
     """
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        return pa.table(
+            {
+                "lon": pa.array(fixtures.derive_lon(ids), type=pa.float64()),
+                "lat": pa.array(fixtures.derive_lat(ids), type=pa.float64()),
+                "value": t["value"],
+            }
+        )
+
+    pts = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return idw_field_from_points(pts, radius=radius)
+
+
+def idw_field_from_points(pts: rd.Dataset, value_col: str = "value", radius: float = IDW_RADIUS) -> rd.Dataset:
+    """Core IDW reduction over a (lon, lat, value) point Dataset —
+    shared by the oracle query and the volume benchmark."""
     sx = (fixtures.LON_MIN + (np.arange(GI_GX) + 0.5) * GI_EPS).repeat(GI_GY)
     sy = np.tile(fixtures.LAT_MIN + (np.arange(GI_GY) + 0.5) * GI_EPS, GI_GX)
     scx = np.arange(GI_GX).repeat(GI_GY).astype(np.int64)
@@ -192,9 +211,8 @@ def idw_interpolation(sf_dir: str, radius: float = IDW_RADIUS) -> rd.Dataset:
     r2 = radius * radius
 
     def partial(t: pa.Table) -> pa.Table:
-        ids = t["event_id"].to_numpy()
-        v = t["value"].to_numpy()
-        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        v = t[value_col].to_numpy()
+        lon, lat = t["lon"].to_numpy(), t["lat"].to_numpy()
         dx = lon[:, None] - sx[None, :]
         dy = lat[:, None] - sy[None, :]
         d2 = dx * dx + dy * dy
@@ -215,8 +233,7 @@ def idw_interpolation(sf_dir: str, radius: float = IDW_RADIUS) -> rd.Dataset:
         )
 
     return (
-        rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"])
-        .map_batches(partial, batch_format="pyarrow")
+        pts.map_batches(partial, batch_format="pyarrow")
         .groupby(["cx", "cy"])
         .aggregate(
             Sum("n_events", alias_name="n_events"),
