@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_of_gyration": trajectory.radius_of_gyration,
         "cell_transition_matrix": trajectory.cell_transition_matrix,
         "getis_ord_hotspots": hotspot.getis_ord_hotspots,
+        "local_moran": hotspot.local_moran,
         "idw_interpolation": hotspot.idw_interpolation,
         "space_time_cube": hotspot.space_time_cube,
         "cell_entropy": hotspot.cell_entropy,
@@ -1058,6 +1059,42 @@ SELECT cx, cy, nbr_sum, w,
                 * sqrt(({float(hotspot.GI_NCELLS)!r} * CAST(w AS DOUBLE) - CAST(w AS DOUBLE) * CAST(w AS DOUBLE))
                        / {float(hotspot.GI_NCELLS - 1)!r})), 6) AS gi_z
 FROM wct, gmom""",
+        "local_moran": f"""
+WITH {_epts},
+gcells AS (
+  SELECT CAST(floor((lon - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy
+  FROM epts),
+counts AS (SELECT cx, cy, count(*) AS n FROM gcells GROUP BY cx, cy),
+gmom AS (SELECT CAST(sum(n) AS DOUBLE) AS tot, CAST(sum(n * n) AS DOUBLE) AS ssq FROM counts),
+offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+scat AS (
+  SELECT cx + dx AS cx, cy + dy AS cy,
+         CASE WHEN dx = 0 AND dy = 0 THEN n ELSE 0 END AS n_own,
+         CASE WHEN dx = 0 AND dy = 0 THEN 0 ELSE n END AS n_nbr
+  FROM counts, offs
+  WHERE cx + dx BETWEEN 0 AND {hotspot.GI_GX - 1} AND cy + dy BETWEEN 0 AND {hotspot.GI_GY - 1}),
+mrg AS (SELECT cx, cy, CAST(sum(n_own) AS BIGINT) AS n_own, CAST(sum(n_nbr) AS BIGINT) AS nbr_sum
+        FROM scat GROUP BY cx, cy),
+expr AS (
+  SELECT cx, cy, n_own, nbr_sum,
+         (least(cx + 1, {hotspot.GI_GX - 1}) - greatest(cx - 1, 0) + 1)
+         * (least(cy + 1, {hotspot.GI_GY - 1}) - greatest(cy - 1, 0) + 1) - 1 AS w,
+         CAST(n_own AS DOUBLE) - (tot / {float(hotspot.GI_NCELLS)!r}) AS z,
+         ssq / {float(hotspot.GI_NCELLS)!r}
+           - (tot / {float(hotspot.GI_NCELLS)!r}) * (tot / {float(hotspot.GI_NCELLS)!r}) AS m2
+  FROM mrg, gmom),
+lagd AS (
+  SELECT cx, cy, n_own, nbr_sum, w, z, m2,
+         CAST(nbr_sum AS DOUBLE) - (tot / {float(hotspot.GI_NCELLS)!r}) * CAST(w AS DOUBLE) AS lag
+  FROM expr, gmom)
+SELECT cx, cy, n_own, nbr_sum, w,
+       round(z * lag / m2, 6) AS moran_i,
+       CASE WHEN z >= 0 AND lag >= 0 THEN 'HH'
+            WHEN z >= 0 THEN 'HL'
+            WHEN lag >= 0 THEN 'LH'
+            ELSE 'LL' END AS quad
+FROM lagd""",
         "stratified_sample": f"""
 SELECT event_id, user_id, event_type, value FROM events
 WHERE ((event_id * {trajectory.SAMPLE_MULT} + {trajectory.SAMPLE_ADD}) % {trajectory.M31}) / {trajectory.M31}

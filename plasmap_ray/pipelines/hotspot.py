@@ -692,3 +692,116 @@ def zone_dispersion(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# local_moran (Anselin LISA: local spatial autocorrelation per lattice cell)
+# ---------------------------------------------------------------------------
+
+
+def local_moran(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
+    """Local Moran's I per lattice cell with LISA quadrant labels.
+
+    The companion statistic to :func:`getis_ord_hotspots` (reference
+    analogue: the same A3/A5 per-cell counter layer — this adds
+    Anselin's local autocorrelation on top): Gi* finds hot/cold
+    intensity, LISA classifies each cell's relation to its neighbors
+    (HH cluster, LL cluster, HL/LH outliers).  For cell i with the
+    8-neighbor rook+bishop window (self EXCLUDED, unlike Gi*):
+
+        z_i   = x_i - x̄
+        lag_i = Σ_{j∈nbr(i)} x_j - x̄·w_i     (w_i = in-bounds nbrs)
+        I_i   = z_i · lag_i / m2,  m2 = Σx²/n - x̄²
+
+    Scale shape (identical to Gi*, exchange volume bounded by the
+    LATTICE, never by input rows):
+    - pass 1: map-side per-batch cell-count combiner -> tiny groupby;
+    - global moments (Σn, Σn²) -> two scalars via the aggregate tree;
+    - ONE scatter of the per-cell table to its 9 window keys carrying
+      split (n_own, n_nbr) columns, so a single groupby recovers both
+      the cell's own count and its neighbor sum (no outer join);
+    - stateless vectorized projection.
+
+    Float discipline: shuffled quantities are int64; the I_i
+    expression tree is mirrored literally by the SQL oracle, then
+    duckdb_round(6)-ed on both sides.  Quadrant labels derive from
+    sign tests on those exact floats (>= 0 is "high") so they are
+    engine-independent.
+
+    Output: (cx, cy, n_own, nbr_sum, w, moran_i, quad) — one row per
+    cell whose 3x3 window holds >=1 event.
+    """
+    counts = _cell_counts(sf_dir, eps).materialize()  # <= GI_NCELLS rows
+
+    def moments(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy()
+        return pa.table(
+            {
+                "tot": pa.array([int(n.sum())], type=pa.int64()),
+                "ssq": pa.array([int((n * n).sum())], type=pa.int64()),
+            }
+        )
+
+    agg = counts.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("tot", alias_name="tot"), Sum("ssq", alias_name="ssq")
+    )
+    tot, ssq = float(agg["tot"]), float(agg["ssq"])
+    mean = tot / float(GI_NCELLS)
+    m2 = ssq / float(GI_NCELLS) - mean * mean
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cx = t["cx"].to_numpy()
+        cy = t["cy"].to_numpy()
+        n = t["n"].to_numpy()
+        zero = np.zeros_like(n)
+        outs = []
+        for dx, dy in _OFFSETS:
+            nx, ny = cx + dx, cy + dy
+            m = (nx >= 0) & (nx < GI_GX) & (ny >= 0) & (ny < GI_GY)
+            own = dx == 0 and dy == 0
+            outs.append(
+                pa.table(
+                    {
+                        "cx": pa.array(nx[m], type=pa.int64()),
+                        "cy": pa.array(ny[m], type=pa.int64()),
+                        "n_own": pa.array((n if own else zero)[m], type=pa.int64()),
+                        "n_nbr": pa.array((zero if own else n)[m], type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    merged = (
+        counts.map_batches(scatter, batch_format="pyarrow")
+        .groupby(["cx", "cy"])
+        .aggregate(Sum("n_own", alias_name="n_own"), Sum("n_nbr", alias_name="nbr_sum"))
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        cx = t["cx"].to_numpy()
+        cy = t["cy"].to_numpy()
+        own = t["n_own"].to_numpy().astype(np.float64)
+        snb = t["nbr_sum"].to_numpy().astype(np.float64)
+        # in-bounds 8-neighbor count: window size minus self
+        wx = np.minimum(cx + 1, GI_GX - 1) - np.maximum(cx - 1, 0) + 1
+        wy = np.minimum(cy + 1, GI_GY - 1) - np.maximum(cy - 1, 0) + 1
+        w = (wx * wy - 1).astype(np.int64)
+        wf = w.astype(np.float64)
+        z = own - mean
+        lag = snb - mean * wf
+        moran = duckdb_round(z * lag / m2, 6)
+        hi_z, hi_lag = z >= 0.0, lag >= 0.0
+        quad = np.where(hi_z, np.where(hi_lag, "HH", "HL"), np.where(hi_lag, "LH", "LL"))
+        return pa.table(
+            {
+                "cx": pa.array(cx, type=pa.int64()),
+                "cy": pa.array(cy, type=pa.int64()),
+                "n_own": t["n_own"],
+                "nbr_sum": t["nbr_sum"],
+                "w": pa.array(w, type=pa.int64()),
+                "moran_i": pa.array(moran, type=pa.float64()),
+                "quad": pa.array(quad.tolist(), type=pa.string()),
+            }
+        )
+
+    return merged.map_batches(project, batch_format="pyarrow")

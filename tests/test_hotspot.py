@@ -186,3 +186,44 @@ def test_zone_dispersion_matches_bruteforce(ray_session, event_ids):
         assert r["lon_min"] <= row["mean_lon"] <= r["lon_max"]
         assert r["lat_min"] <= row["mean_lat"] <= r["lat_max"]
     assert seen == len(out)
+
+
+def test_local_moran_matches_dense_recompute(ray_session, event_ids):
+    lon, lat = fixtures.derive_lon(event_ids), fixtures.derive_lat(event_ids)
+    cx = np.floor((lon - fixtures.LON_MIN) / hotspot.GI_EPS).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / hotspot.GI_EPS).astype(np.int64)
+    dense = np.zeros((hotspot.GI_GX, hotspot.GI_GY), dtype=np.int64)
+    np.add.at(dense, (cx, cy), 1)
+    n = float(hotspot.GI_NCELLS)
+    mean = dense.sum() / n
+    m2 = (dense.astype(np.float64) ** 2).sum() / n - mean * mean
+
+    out = hotspot.local_moran(SF).to_pandas()
+    padded = np.zeros((hotspot.GI_GX + 2, hotspot.GI_GY + 2), dtype=np.int64)
+    padded[1:-1, 1:-1] = dense
+    win = sum(
+        padded[1 + dx : hotspot.GI_GX + 1 + dx, 1 + dy : hotspot.GI_GY + 1 + dy]
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    exp_cells = {(int(x), int(y)) for x, y in zip(*np.nonzero(win))}
+    assert {(x, y) for x, y in zip(out["cx"], out["cy"])} == exp_cells
+    assert out[["cx", "cy"]].drop_duplicates().shape[0] == len(out)
+
+    for _, r in out.sample(n=min(50, len(out)), random_state=7).iterrows():
+        x, y = int(r["cx"]), int(r["cy"])
+        assert r["n_own"] == dense[x, y]
+        assert r["nbr_sum"] == win[x, y] - dense[x, y]
+        wx = min(x + 1, hotspot.GI_GX - 1) - max(x - 1, 0) + 1
+        wy = min(y + 1, hotspot.GI_GY - 1) - max(y - 1, 0) + 1
+        w = wx * wy - 1
+        assert r["w"] == w
+        z = dense[x, y] - mean
+        lag = (win[x, y] - dense[x, y]) - mean * w
+        assert abs(r["moran_i"] - z * lag / m2) < 1e-6
+        exp_quad = ("HH" if lag >= 0 else "HL") if z >= 0 else ("LH" if lag >= 0 else "LL")
+        assert r["quad"] == exp_quad
+
+    # the near-uniform fixture field is positively autocorrelated at
+    # the lattice scale in aggregate, but all four quadrants occur
+    assert set(out["quad"]) == {"HH", "HL", "LH", "LL"}
