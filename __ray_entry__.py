@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_transition_matrix": trajectory.cell_transition_matrix,
         "getis_ord_hotspots": hotspot.getis_ord_hotspots,
         "local_moran": hotspot.local_moran,
+        "kde_density": hotspot.kde_density,
         "idw_interpolation": hotspot.idw_interpolation,
         "space_time_cube": hotspot.space_time_cube,
         "cell_entropy": hotspot.cell_entropy,
@@ -1095,6 +1096,30 @@ SELECT cx, cy, n_own, nbr_sum, w,
             WHEN lag >= 0 THEN 'LH'
             ELSE 'LL' END AS quad
 FROM lagd""",
+        "kde_density": f"""
+WITH evv AS (
+  SELECT {oracle.sql_derive_lon('event_id')} AS lon, {oracle.sql_derive_lat('event_id')} AS lat
+  FROM events),
+sites AS (
+  SELECT i.i AS cx, j.j AS cy,
+         {fixtures.LON_MIN!r} + (i.i + 0.5) * {hotspot.GI_EPS!r} AS sx,
+         {fixtures.LAT_MIN!r} + (j.j + 0.5) * {hotspot.GI_EPS!r} AS sy
+  FROM generate_series(0, {hotspot.GI_GX - 1}) AS i(i)
+  CROSS JOIN generate_series(0, {hotspot.GI_GY - 1}) AS j(j)),
+pw AS (
+  SELECT s.cx, s.cy,
+         1.0 - ((e.lon - s.sx) * (e.lon - s.sx) + (e.lat - s.sy) * (e.lat - s.sy)) / {hotspot.KDE_H * hotspot.KDE_H!r} AS w
+  FROM evv e JOIN sites s
+  ON e.lon >= s.sx - {hotspot.KDE_H!r} AND e.lon <= s.sx + {hotspot.KDE_H!r}
+  WHERE (e.lon - s.sx) * (e.lon - s.sx) + (e.lat - s.sy) * (e.lat - s.sy)
+        <= {hotspot.KDE_H * hotspot.KDE_H!r}),
+sw AS (
+  SELECT cx, cy, count(*) AS n_events,
+         CAST(sum(CAST(floor(w * {hotspot.KDE_FP!r} + 0.5) AS BIGINT)) AS BIGINT) AS sum_w_fp
+  FROM pw GROUP BY cx, cy)
+SELECT cx, cy, n_events, sum_w_fp,
+       round(CAST(sum_w_fp AS DOUBLE) / {hotspot.KDE_FP!r} * {hotspot.KDE_NORM!r}, 6) AS intensity
+FROM sw""",
         "stratified_sample": f"""
 SELECT event_id, user_id, event_type, value FROM events
 WHERE ((event_id * {trajectory.SAMPLE_MULT} + {trajectory.SAMPLE_ADD}) % {trajectory.M31}) / {trajectory.M31}

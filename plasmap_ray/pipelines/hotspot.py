@@ -805,3 +805,85 @@ def local_moran(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
         )
 
     return merged.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# kde_density (Epanechnikov kernel density raster at lattice sites)
+# ---------------------------------------------------------------------------
+
+KDE_H = 0.25  # kernel bandwidth, planar degrees
+KDE_FP = 1e6  # per-pair fixed-point scale for kernel weights
+# 2-D Epanechnikov normalization 2/(pi h^2); python-computed once so the
+# engine and the SQL oracle share the identical float64 literal
+KDE_NORM = 2.0 / (3.141592653589793 * KDE_H * KDE_H)
+
+
+def kde_density(sf_dir: str, h: float = KDE_H) -> rd.Dataset:
+    """Kernel density raster: Epanechnikov KDE evaluated at the 300
+    lattice site centers (the heatmap layer a tile server renders on
+    top of the reference's A3/A5 per-cell counters; density complement
+    to :func:`idw_interpolation`'s value interpolation).
+
+    The Epanechnikov kernel K(u) = 1 - u² on u ≤ 1 is chosen over a
+    Gaussian deliberately: its weight is a rational function of exact
+    inputs, so per-pair fixed-point quantization (floor(w·FP + 0.5))
+    makes the partial sums order-free int64 — bit-stable under any
+    batch split — where exp() would drift across libm versions.
+
+    Scale shape: identical to IDW — rows × 300-site masked kernel
+    matrix per batch (one BLAS-free vectorized pass), only (site,
+    count, sum_w) int64 partials shuffle, one lattice-bounded groupby.
+
+    Output: (cx, cy, n_events, sum_w_fp, intensity) per site with ≥1
+    in-bandwidth event; intensity = Σw/FP · 2/(πh²), rounded 6.
+    """
+    sx = (fixtures.LON_MIN + (np.arange(GI_GX) + 0.5) * GI_EPS).repeat(GI_GY)
+    sy = np.tile(fixtures.LAT_MIN + (np.arange(GI_GY) + 0.5) * GI_EPS, GI_GX)
+    scx = np.arange(GI_GX).repeat(GI_GY).astype(np.int64)
+    scy = np.tile(np.arange(GI_GY), GI_GX).astype(np.int64)
+    h2 = h * h
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        dx = lon[:, None] - sx[None, :]
+        dy = lat[:, None] - sy[None, :]
+        d2 = dx * dx + dy * dy
+        m = d2 <= h2
+        w = 1.0 - d2 / h2
+        fw = np.floor(w * KDE_FP + 0.5).astype(np.int64)
+        n = m.sum(axis=0).astype(np.int64)
+        keep = n > 0
+        return pa.table(
+            {
+                "cx": pa.array(scx[keep], type=pa.int64()),
+                "cy": pa.array(scy[keep], type=pa.int64()),
+                "n_events": pa.array(n[keep], type=pa.int64()),
+                "sum_w_fp": pa.array(np.where(m, fw, 0).sum(axis=0)[keep], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        _read_events(sf_dir, ["event_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["cx", "cy"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_w_fp", alias_name="sum_w_fp"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sw = t["sum_w_fp"].to_numpy().astype(np.float64)
+        intensity = duckdb_round(sw / KDE_FP * KDE_NORM, 6)
+        return pa.table(
+            {
+                "cx": t["cx"],
+                "cy": t["cy"],
+                "n_events": t["n_events"],
+                "sum_w_fp": t["sum_w_fp"],
+                "intensity": pa.array(intensity, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

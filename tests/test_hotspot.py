@@ -227,3 +227,29 @@ def test_local_moran_matches_dense_recompute(ray_session, event_ids):
     # the near-uniform fixture field is positively autocorrelated at
     # the lattice scale in aggregate, but all four quadrants occur
     assert set(out["quad"]) == {"HH", "HL", "LH", "LL"}
+
+
+def test_kde_density_matches_bruteforce(ray_session, event_ids):
+    lon, lat = fixtures.derive_lon(event_ids), fixtures.derive_lat(event_ids)
+    sx = (fixtures.LON_MIN + (np.arange(hotspot.GI_GX) + 0.5) * hotspot.GI_EPS).repeat(hotspot.GI_GY)
+    sy = np.tile(fixtures.LAT_MIN + (np.arange(hotspot.GI_GY) + 0.5) * hotspot.GI_EPS, hotspot.GI_GX)
+    h2 = hotspot.KDE_H * hotspot.KDE_H
+    d2 = (lon[:, None] - sx) ** 2 + (lat[:, None] - sy) ** 2
+    m = d2 <= h2
+    fw = np.floor((1.0 - d2 / h2) * hotspot.KDE_FP + 0.5).astype(np.int64)
+
+    out = hotspot.kde_density(SF).to_pandas()
+    assert (out["n_events"] > 0).all()
+    got = {(r.cx, r.cy): (r.n_events, r.sum_w_fp, r.intensity) for r in out.itertuples()}
+    for k in range(len(sx)):
+        key = (k // hotspot.GI_GY, k % hotspot.GI_GY)
+        n = int(m[:, k].sum())
+        if n == 0:
+            assert key not in got
+            continue
+        sw = int(np.where(m[:, k], fw[:, k], 0).sum())
+        assert got[key][0] == n
+        assert got[key][1] == sw
+        assert abs(got[key][2] - sw / hotspot.KDE_FP * hotspot.KDE_NORM) < 1e-6
+    # intensity integrates to ~len(events) over the window interior
+    assert out["intensity"].max() > 0.0
