@@ -21,7 +21,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from plasmap_ray import fixtures, golden, oracle, queryast  # noqa: E402
-from plasmap_ray.pipelines import ann, cluster, dedup, denormalize, hotspot, images, index, multimodal, raster, relational, routing, snap, spatial, stats, text, trajectory, windows  # noqa: E402
+from plasmap_ray.pipelines import ann, cluster, dedup, denormalize, hotspot, images, index, multimodal, privacy, raster, relational, routing, snap, spatial, stats, text, trajectory, windows  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 SF001 = "/root/testdata/sf0.01"
@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "getis_ord_hotspots": hotspot.getis_ord_hotspots,
         "local_moran": hotspot.local_moran,
         "kde_density": hotspot.kde_density,
+        "k_anonymity": privacy.k_anonymity,
         "idw_interpolation": hotspot.idw_interpolation,
         "space_time_cube": hotspot.space_time_cube,
         "cell_entropy": hotspot.cell_entropy,
@@ -1120,6 +1121,38 @@ sw AS (
 SELECT cx, cy, n_events, sum_w_fp,
        round(CAST(sum_w_fp AS DOUBLE) / {hotspot.KDE_FP!r} * {hotspot.KDE_NORM!r}, 6) AS intensity
 FROM sw""",
+        "k_anonymity": f"""
+WITH {_pts_cte()},
+t12 AS (SELECT doc_id, {oracle.sql_tile_x('lon', privacy.KANON_ZOOMS[0])} AS x,
+               {oracle.sql_tile_y('lat', privacy.KANON_ZOOMS[0])} AS y FROM pts),
+c12 AS (SELECT x, y, count(*) AS n FROM t12 GROUP BY x, y),
+c10 AS (SELECT x >> {privacy.KANON_ZOOMS[0] - privacy.KANON_ZOOMS[1]} AS x,
+               y >> {privacy.KANON_ZOOMS[0] - privacy.KANON_ZOOMS[1]} AS y,
+               CAST(sum(n) AS BIGINT) AS n FROM c12 GROUP BY 1, 2),
+c8 AS (SELECT x >> {privacy.KANON_ZOOMS[1] - privacy.KANON_ZOOMS[2]} AS x,
+              y >> {privacy.KANON_ZOOMS[1] - privacy.KANON_ZOOMS[2]} AS y,
+              CAST(sum(n) AS BIGINT) AS n FROM c10 GROUP BY 1, 2),
+m AS (
+  SELECT b.x, b.y,
+         CAST(CASE WHEN b.n >= {privacy.KANON_K} THEN {privacy.KANON_ZOOMS[0]}
+                   WHEN p10.n >= {privacy.KANON_K} THEN {privacy.KANON_ZOOMS[1]}
+                   WHEN p8.n >= {privacy.KANON_K} THEN {privacy.KANON_ZOOMS[2]}
+                   ELSE -1 END AS BIGINT) AS anon_z
+  FROM c12 b
+  JOIN c10 p10 ON p10.x = b.x >> {privacy.KANON_ZOOMS[0] - privacy.KANON_ZOOMS[1]}
+              AND p10.y = b.y >> {privacy.KANON_ZOOMS[0] - privacy.KANON_ZOOMS[1]}
+  JOIN c8 p8 ON p8.x = b.x >> {privacy.KANON_ZOOMS[0] - privacy.KANON_ZOOMS[2]}
+            AND p8.y = b.y >> {privacy.KANON_ZOOMS[0] - privacy.KANON_ZOOMS[2]})
+SELECT t.doc_id, m.anon_z,
+       CASE m.anon_z WHEN {privacy.KANON_ZOOMS[0]} THEN t.x
+                     WHEN {privacy.KANON_ZOOMS[1]} THEN t.x >> {privacy.KANON_ZOOMS[0] - privacy.KANON_ZOOMS[1]}
+                     WHEN {privacy.KANON_ZOOMS[2]} THEN t.x >> {privacy.KANON_ZOOMS[0] - privacy.KANON_ZOOMS[2]}
+                     ELSE CAST(-1 AS BIGINT) END AS anon_x,
+       CASE m.anon_z WHEN {privacy.KANON_ZOOMS[0]} THEN t.y
+                     WHEN {privacy.KANON_ZOOMS[1]} THEN t.y >> {privacy.KANON_ZOOMS[0] - privacy.KANON_ZOOMS[1]}
+                     WHEN {privacy.KANON_ZOOMS[2]} THEN t.y >> {privacy.KANON_ZOOMS[0] - privacy.KANON_ZOOMS[2]}
+                     ELSE CAST(-1 AS BIGINT) END AS anon_y
+FROM t12 t JOIN m ON m.x = t.x AND m.y = t.y""",
         "stratified_sample": f"""
 SELECT event_id, user_id, event_type, value FROM events
 WHERE ((event_id * {trajectory.SAMPLE_MULT} + {trajectory.SAMPLE_ADD}) % {trajectory.M31}) / {trajectory.M31}

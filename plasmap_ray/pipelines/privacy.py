@@ -1,0 +1,221 @@
+"""Geo-privacy: k-anonymity location generalization over the tile
+pyramid.
+
+Before geo-tagged image records leave a training-data pipeline, raw
+positions must be coarsened so no published cell isolates fewer than
+``k`` records (the standard k-anonymity contract for location data).
+Each point is published at the FINEST slippy-tile ancestor whose
+global occupancy is ≥ k, walking a fixed zoom ladder fine→coarse;
+points whose coarsest-ladder cell still holds < k records are
+suppressed.  (Reference analogue: the per-cell counters of A3/A5 and
+the tile assignment of M8 — this composes them into the release
+policy layer; slippy math is `plasmap_ray/tiles.py`, proven
+bit-identical to the SQL oracle by the tile_* query family.)
+
+Scale shape (10^12 rows):
+- base occupancy at the finest zoom: map-side per-batch combiner →
+  one groupby — only (tile, n) int64 partials shuffle;
+- coarser levels roll up the previous LEVEL'S AGGREGATE (tiles rows,
+  shrinking 4× per level — the tile_pyramid pattern);
+- the per-base-tile policy (finest qualifying zoom) is computed by
+  cogrouping each level's aggregate with the base table on the
+  ancestor key — tile-bounded shuffles, never input rows;
+- the point-assignment join broadcasts the finished mapping
+  (tiles-bounded; ≤ a few MB at city scale).  At planet scale with a
+  z12+ base the mapping outgrows a broadcast — switch the final step
+  to the cell-keyed shuffle join (`pip_join_shuffle_pipeline`
+  pattern: points and mapping rows co-partition on the base tile),
+  which needs no new machinery.
+
+Determinism: everything that moves is int64 (tile ids, counts);
+the only floats are the already-proven tile_xy trig inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from .. import tiles
+from .spatial import points_from_documents
+
+KANON_K = 30
+KANON_ZOOMS = (12, 10, 8)  # fine -> coarse ladder
+
+
+def _base_counts(pts: rd.Dataset, z: int) -> rd.Dataset:
+    """(x, y, n) occupancy at zoom ``z`` with a map-side combiner."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        x, y = tiles.tile_xy(t["lon"].to_numpy(), t["lat"].to_numpy(), z)
+        key = (x << np.int64(z)) | y
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "x": pa.array(uniq >> np.int64(z), type=pa.int64()),
+                "y": pa.array(uniq & np.int64((1 << z) - 1), type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return pts.map_batches(partial, batch_format="pyarrow").groupby(["x", "y"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
+def _attach_level(base: rd.Dataset, level: rd.Dataset, shift: int, col: str) -> rd.Dataset:
+    """Attach ``level``'s count to every base row whose ancestor
+    (x >> shift, y >> shift) matches — a tagged-union cogroup (both
+    sides are tile-bounded aggregates, so this shuffle never sees
+    input rows)."""
+
+    base_cols = list(base.schema().names)
+
+    def tag_base(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy()
+        y = t["y"].to_numpy()
+        out = {
+            "kx": pa.array(x >> shift, type=pa.int64()),
+            "ky": pa.array(y >> shift, type=pa.int64()),
+            "side": pa.array(np.zeros(len(x), dtype=np.int8)),
+            col: pa.array(np.zeros(len(x), dtype=np.int64)),
+        }
+        for c in base_cols:
+            out[c] = t[c]
+        return pa.table(out)
+
+    def tag_level(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "kx": t["x"],
+            "ky": t["y"],
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            col: t["n"],
+        }
+        for c in base_cols:  # same order as tag_base so union schemas align
+            if c in ("x", "y"):
+                cols[c] = pa.array(np.full(n, -1, dtype=np.int64))
+            else:
+                cols[c] = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.table(cols)
+
+    tagged = base.map_batches(tag_base, batch_format="pyarrow").union(
+        level.map_batches(tag_level, batch_format="pyarrow")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lv = g[g["side"] == 1]
+        val = int(lv[col].iloc[0]) if len(lv) else 0
+        out = g[g["side"] == 0].copy()
+        out[col] = val
+        return out.drop(columns=["kx", "ky", "side"])
+
+    return tagged.groupby(["kx", "ky"]).map_groups(merge, batch_format="pandas")
+
+
+def k_anonymity_mapping(
+    pts: rd.Dataset, k: int = KANON_K, zooms: tuple[int, ...] = KANON_ZOOMS
+) -> rd.Dataset:
+    """Per-base-tile release policy: (x, y, anon_z, anon_x, anon_y).
+
+    ``anon_z`` is the finest ladder zoom whose ancestor holds ≥ k
+    points, or -1 (suppressed, anon_x/anon_y = -1 too).
+    """
+    z_base = zooms[0]
+    levels = [_base_counts(pts, z_base).materialize()]
+    cur = levels[0]
+    for z_prev, z in zip(zooms, zooms[1:]):
+        s = z_prev - z
+
+        def parent(t: pa.Table, _s=s) -> pa.Table:
+            return pa.table(
+                {
+                    "x": pa.compute.shift_right(t["x"], _s),
+                    "y": pa.compute.shift_right(t["y"], _s),
+                    "n": t["n"],
+                }
+            )
+
+        cur = (
+            cur.map_batches(parent, batch_format="pyarrow")
+            .groupby(["x", "y"])
+            .aggregate(Sum("n", alias_name="n"))
+            .materialize()
+        )
+        levels.append(cur)
+
+    merged = levels[0]
+    for i, z in enumerate(zooms[1:], start=1):
+        merged = _attach_level(merged, levels[i], shift=z_base - z, col=f"n_z{z}")
+
+    def policy(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy()
+        y = t["y"].to_numpy()
+        anon_z = np.full(len(x), -1, dtype=np.int64)
+        anon_x = np.full(len(x), -1, dtype=np.int64)
+        anon_y = np.full(len(x), -1, dtype=np.int64)
+        # coarse -> fine so the finest qualifying zoom wins
+        for z in reversed(zooms):
+            n = t["n"].to_numpy() if z == z_base else t[f"n_z{z}"].to_numpy()
+            s = z_base - z
+            ok = n >= k
+            anon_z[ok] = z
+            anon_x[ok] = x[ok] >> s
+            anon_y[ok] = y[ok] >> s
+        return pa.table(
+            {
+                "x": t["x"],
+                "y": t["y"],
+                "anon_z": pa.array(anon_z, type=pa.int64()),
+                "anon_x": pa.array(anon_x, type=pa.int64()),
+                "anon_y": pa.array(anon_y, type=pa.int64()),
+            }
+        )
+
+    return merged.map_batches(policy, batch_format="pyarrow")
+
+
+def k_anonymity_from_points(
+    pts: rd.Dataset, k: int = KANON_K, zooms: tuple[int, ...] = KANON_ZOOMS
+) -> rd.Dataset:
+    """(doc_id, anon_z, anon_x, anon_y) per point — the release table."""
+    z_base = zooms[0]
+    mapping = k_anonymity_mapping(pts, k=k, zooms=zooms)
+    mt = pa.concat_tables(
+        [b for b in mapping.iter_batches(batch_format="pyarrow")]
+    )  # tile-bounded policy table, never input rows
+    keys = (mt["x"].to_numpy() << np.int64(z_base)) | mt["y"].to_numpy()
+    order = np.argsort(keys)
+    lut_ref = ray.put(
+        (
+            keys[order],
+            mt["anon_z"].to_numpy()[order],
+            mt["anon_x"].to_numpy()[order],
+            mt["anon_y"].to_numpy()[order],
+        )
+    )
+
+    def assign(t: pa.Table, _ref=lut_ref) -> pa.Table:
+        kk, az, ax, ay = ray.get(_ref) if not isinstance(_ref, tuple) else _ref
+        x, y = tiles.tile_xy(t["lon"].to_numpy(), t["lat"].to_numpy(), z_base)
+        key = (x << np.int64(z_base)) | y
+        pos = np.searchsorted(kk, key)  # every point's tile is in the map
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "anon_z": pa.array(az[pos], type=pa.int64()),
+                "anon_x": pa.array(ax[pos], type=pa.int64()),
+                "anon_y": pa.array(ay[pos], type=pa.int64()),
+            }
+        )
+
+    return pts.map_batches(assign, batch_format="pyarrow")
+
+
+def k_anonymity(sf_dir: str, k: int = KANON_K, zooms: tuple[int, ...] = KANON_ZOOMS) -> rd.Dataset:
+    """Driver-contract query over the documents point cloud."""
+    return k_anonymity_from_points(points_from_documents(sf_dir), k=k, zooms=zooms)

@@ -1,0 +1,87 @@
+"""k-anonymity location generalization: guarantee + suppression tests."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from plasmap_ray import tiles
+from plasmap_ray.pipelines import privacy, spatial
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_k_anonymity_guarantee_and_ancestry(ray_session):
+    pts = spatial.points_from_documents(SF)
+    raw = pts.to_pandas()
+    out = privacy.k_anonymity(SF).to_pandas()
+    assert len(out) == len(raw)
+    assert set(out.columns) == {"doc_id", "anon_z", "anon_x", "anon_y"}
+
+    merged = out.merge(raw, on="doc_id")
+    zb = privacy.KANON_ZOOMS[0]
+    bx, by = tiles.tile_xy(merged["lon"].to_numpy(), merged["lat"].to_numpy(), zb)
+
+    # published cells: >= k members each, and each is the point's ancestor
+    pub = merged[merged["anon_z"] >= 0]
+    sizes = pub.groupby(["anon_z", "anon_x", "anon_y"]).size()
+    assert (sizes >= privacy.KANON_K).all()
+    for z in privacy.KANON_ZOOMS:
+        sel = (pub["anon_z"] == z).to_numpy()
+        if not sel.any():
+            continue
+        s = zb - z
+        assert (pub.loc[sel, "anon_x"].to_numpy() == (bx[merged["anon_z"].to_numpy() >= 0][sel] >> s)).all()
+        assert (pub.loc[sel, "anon_y"].to_numpy() == (by[merged["anon_z"].to_numpy() >= 0][sel] >> s)).all()
+
+    # finest-qualifying property: a point published at a coarse zoom must
+    # have a fine-zoom cell that genuinely fails the k threshold
+    import collections
+
+    cnt = collections.Counter(zip(bx.tolist(), by.tolist()))
+    coarse = merged[merged["anon_z"].to_numpy() < zb]
+    cb = zip(bx[(merged["anon_z"] < zb).to_numpy()], by[(merged["anon_z"] < zb).to_numpy()])
+    assert all(cnt[t] < privacy.KANON_K for t in cb)
+
+
+def test_k_anonymity_suppression_synthetic(ray_session):
+    # 5 points all in one corner: below k at EVERY ladder zoom -> suppressed
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(5, dtype=np.int64)),
+            "lon": pa.array(np.full(5, 10.01)),
+            "lat": pa.array(np.full(5, 45.01)),
+        }
+    )
+    out = privacy.k_anonymity_from_points(rd.from_arrow(t), k=30).to_pandas()
+    assert (out["anon_z"] == -1).all()
+    assert (out["anon_x"] == -1).all()
+    assert (out["anon_y"] == -1).all()
+
+    # with k=5 the same cloud publishes at the FINEST ladder zoom
+    out2 = privacy.k_anonymity_from_points(rd.from_arrow(t), k=5).to_pandas()
+    assert (out2["anon_z"] == privacy.KANON_ZOOMS[0]).all()
+    x, y = tiles.tile_xy(np.array([10.01]), np.array([45.01]), privacy.KANON_ZOOMS[0])
+    assert (out2["anon_x"] == x[0]).all() and (out2["anon_y"] == y[0]).all()
+
+
+def test_k_anonymity_mid_ladder(ray_session):
+    # two z12 sibling tiles with 20 points each: each fails k=30 alone but
+    # their shared z10 ancestor (40 points) passes -> published at z10
+    zb = privacy.KANON_ZOOMS[0]
+    # pick two lon values in adjacent z12 tiles sharing a z10 parent
+    n = np.int64(1) << zb
+    x0 = int((10.0 + 180.0) / 360.0 * int(n))
+    x0 -= x0 % 4  # align to the z10 parent boundary
+    lon_a = (x0 + 0.5) / float(n) * 360.0 - 180.0
+    lon_b = (x0 + 1.5) / float(n) * 360.0 - 180.0
+    lons = np.array([lon_a] * 20 + [lon_b] * 20)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(40, dtype=np.int64)),
+            "lon": pa.array(lons),
+            "lat": pa.array(np.full(40, 45.0)),
+        }
+    )
+    out = privacy.k_anonymity_from_points(rd.from_arrow(t), k=30).to_pandas()
+    assert (out["anon_z"] == privacy.KANON_ZOOMS[1]).all()
+    assert out[["anon_x", "anon_y"]].drop_duplicates().shape[0] == 1
