@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_moran": hotspot.local_moran,
         "kde_density": hotspot.kde_density,
         "k_anonymity": privacy.k_anonymity,
+        "geo_inconsistent_dups": images.geo_inconsistent_dups,
         "idw_interpolation": hotspot.idw_interpolation,
         "space_time_cube": hotspot.space_time_cube,
         "cell_entropy": hotspot.cell_entropy,
@@ -592,6 +593,15 @@ SELECT {images.MOSAIC_Z} AS z, x, y, image_id, payload_bytes FROM r WHERE rn = 1
 SELECT fmt, w, h, count(*) AS n_images, CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes FROM {img_pq} GROUP BY fmt, w, h""",
         "phash_dedup": f"""
 SELECT phash, min(image_id) AS first_image_id, count(*) AS n_images FROM {img_pq} GROUP BY phash HAVING count(*) > 1""",
+        "geo_inconsistent_dups": f"""
+WITH iid AS (SELECT CAST(substr(image_id, 5, 12) AS BIGINT) AS img_id, phash FROM {img_pq}),
+ip AS (SELECT img_id, phash, {oracle.sql_derive_lon('img_id')} AS lon,
+              {oracle.sql_derive_lat('img_id')} AS lat FROM iid),
+pr AS (
+  SELECT a.img_id AS img_a, b.img_id AS img_b, a.phash AS phash,
+         {_fp_sql('(a.lon - b.lon)', '(a.lat - b.lat)')} AS dist_fp
+  FROM ip a JOIN ip b ON a.phash = b.phash AND a.img_id < b.img_id)
+SELECT img_a, img_b, phash, dist_fp FROM pr WHERE dist_fp >= {images.GEO_DUP_THRESH_FP}""",
         # --- golden-table oracles (local non-Ray recompute; see plasmap_ray.golden) ---
         "s2_cell_index": f"SELECT * FROM read_parquet('{golden.s2_cells_path(SF001)}')",
         "s2_cell_histogram": f"""

@@ -358,3 +358,75 @@ def image_thumbnails(sf_dir: str, side: int = 8) -> rd.Dataset:
     return ds.map_batches(
         ThumbnailStage, fn_constructor_kwargs=dict(side=side), batch_format="pyarrow", batch_size=512, concurrency=(1, 8)
     )
+
+
+# ---------------------------------------------------------------------------
+# geo_inconsistent_dups (same phash, far-apart locations — dataset QA)
+# ---------------------------------------------------------------------------
+
+GEO_DUP_SHARDS = 32
+# planar-degree fixed-point threshold (0.2 deg) on trajectory.FP_SCALE
+GEO_DUP_THRESH_FP = 200_000_000
+
+
+def geo_inconsistent_dups(sf_dir: str, thresh_fp: int = GEO_DUP_THRESH_FP) -> rd.Dataset:
+    """Duplicate-image geo-consistency audit: pairs of images with the
+    SAME phash whose recorded positions are far apart — the classic
+    web-scrape poisoning signature (one stock photo geo-tagged in many
+    cities) a training-data pipeline flags before sampling.
+
+    Shuffle shape: ONE hash shuffle on ``phash % shards`` (exact-bucket
+    discipline of ``phash_dedup``), then a single sort + run scan per
+    shard emits each unordered same-phash pair once (`dedup.
+    pairs_in_key_runs` — bounded memory, no per-bucket dispatch).
+    Distances are fixed-point int64 (floor(sqrt(d2)·1e9 + 0.5), the
+    trajectory _seg_fp contract) so the threshold compare is exact and
+    the SQL oracle mirrors it bit-for-bit.
+
+    Output: (img_a, img_b, phash, dist_fp) for pairs at or beyond
+    ``thresh_fp``, img_a < img_b (numeric image ids).
+    """
+    import pyarrow.compute as pc
+
+    from .dedup import pairs_in_key_runs
+    from .trajectory import FP_SCALE
+
+    ds = read_images(sf_dir, columns=["image_id", "phash"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        img_id = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4, 16), pa.int64())
+        ph = t["phash"].to_numpy()
+        return pa.table(
+            {
+                "img_id": img_id,
+                "phash": t["phash"],
+                "shard": pa.array(ph % GEO_DUP_SHARDS, type=pa.int64()),
+            }
+        )
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["img_id"].to_numpy()
+        ph = g["phash"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+
+        def verify(i, j):
+            dlon = lon[i] - lon[j]
+            dlat = lat[i] - lat[j]
+            return np.floor(np.sqrt(dlon * dlon + dlat * dlat) * FP_SCALE + 0.5).astype(np.int64)
+
+        ia, ib, d = pairs_in_key_runs(ph, ids, verify)
+        keep = d >= thresh_fp
+        return pd.DataFrame(
+            {
+                "img_a": ids[ia[keep]],
+                "img_b": ids[ib[keep]],
+                "phash": ph[ia[keep]],
+                "dist_fp": d[keep].astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_pairs, batch_format="pandas")
+    )

@@ -119,3 +119,38 @@ def test_video_stub_frame_sampling(ray_session):
     assert all(len(f) == w * h * 3 for f in out["frame"])
     with pytest.raises(NotImplementedError):
         media.VideoFrameSampleStub()(t.set_column(5, "fmt", pa.array(["h264"])))
+
+
+def test_geo_inconsistent_dups_matches_bruteforce(ray_session):
+    import itertools
+
+    import numpy as np
+
+    from plasmap_ray.pipelines import images as img_p
+    from plasmap_ray.pipelines.trajectory import FP_SCALE
+
+    sf = "/root/testdata/sf0.001"
+    out = img_p.geo_inconsistent_dups(sf).to_pandas()
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(img_p.images_path_for(sf), columns=["image_id", "phash"])
+    ids = np.array([int(s[4:16]) for s in t["image_id"].to_pylist()], dtype=np.int64)
+    ph = t["phash"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+
+    expected = set()
+    by_hash = {}
+    for i, h in enumerate(ph):
+        by_hash.setdefault(int(h), []).append(i)
+    for h, idxs in by_hash.items():
+        for i, j in itertools.combinations(sorted(idxs, key=lambda k: ids[k]), 2):
+            dlon, dlat = lon[i] - lon[j], lat[i] - lat[j]
+            d = int(np.floor(np.sqrt(dlon * dlon + dlat * dlat) * FP_SCALE + 0.5))
+            if d >= img_p.GEO_DUP_THRESH_FP:
+                expected.add((ids[i], ids[j], h, d))
+
+    got = {(r.img_a, r.img_b, r.phash, r.dist_fp) for r in out.itertuples()}
+    assert got == expected
+    assert len(expected) > 0  # the fixture plants phash clones at scattered positions
+    assert (out["img_a"] < out["img_b"]).all()
