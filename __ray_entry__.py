@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kde_density": hotspot.kde_density,
         "k_anonymity": privacy.k_anonymity,
         "geo_inconsistent_dups": images.geo_inconsistent_dups,
+        "caption_spam": images.caption_spam,
         "idw_interpolation": hotspot.idw_interpolation,
         "space_time_cube": hotspot.space_time_cube,
         "cell_entropy": hotspot.cell_entropy,
@@ -602,6 +603,9 @@ pr AS (
          {_fp_sql('(a.lon - b.lon)', '(a.lat - b.lat)')} AS dist_fp
   FROM ip a JOIN ip b ON a.phash = b.phash AND a.img_id < b.img_id)
 SELECT img_a, img_b, phash, dist_fp FROM pr WHERE dist_fp >= {images.GEO_DUP_THRESH_FP}""",
+        "caption_spam": f"""
+SELECT caption, count(*) AS n_images, count(DISTINCT phash) AS n_phashes
+FROM {img_pq} GROUP BY caption HAVING count(DISTINCT phash) >= {images.CAPTION_SPAM_MIN_PHASHES}""",
         # --- golden-table oracles (local non-Ray recompute; see plasmap_ray.golden) ---
         "s2_cell_index": f"SELECT * FROM read_parquet('{golden.s2_cells_path(SF001)}')",
         "s2_cell_histogram": f"""

@@ -430,3 +430,61 @@ def geo_inconsistent_dups(sf_dir: str, thresh_fp: int = GEO_DUP_THRESH_FP) -> rd
         .groupby("shard")
         .map_groups(shard_pairs, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# caption_spam (one caption, many distinct images — boilerplate detection)
+# ---------------------------------------------------------------------------
+
+CAPTION_SPAM_MIN_PHASHES = 10
+
+
+def caption_spam(sf_dir: str, min_phashes: int = CAPTION_SPAM_MIN_PHASHES) -> rd.Dataset:
+    """Boilerplate-caption audit: captions attached to at least
+    ``min_phashes`` DISTINCT images (by phash) — the alt-text spam /
+    template-caption signature a caption-training pipeline filters
+    before contrastive training (complement of
+    :func:`geo_inconsistent_dups`: there one image spans many places,
+    here one caption spans many images).
+
+    Shuffle shape: map-side (caption, phash) pair combiner → groupby
+    the pair (distinct) → groupby caption — both exchanges carry only
+    key + int64 count rows, bounded by the distinct-pair space, never
+    image payloads.
+
+    Output: (caption, n_images, n_phashes), n_phashes ≥ min_phashes.
+    """
+    ds = read_images(sf_dir, columns=["caption", "phash"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"caption": t["caption"].to_pylist(), "phash": t["phash"].to_numpy()})
+        g = df.groupby(["caption", "phash"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "caption": pa.array(g["caption"], type=pa.string()),
+                "phash": pa.array(g["phash"], type=pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["caption", "phash"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "caption": t["caption"],
+                "n": t["n"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    per_caption = (
+        pairs.map_batches(one, batch_format="pyarrow")
+        .groupby("caption")
+        .aggregate(Sum("n", alias_name="n_images"), Sum("one", alias_name="n_phashes"))
+    )
+    return per_caption.filter(expr=f"n_phashes >= {min_phashes}")

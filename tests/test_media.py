@@ -154,3 +154,21 @@ def test_geo_inconsistent_dups_matches_bruteforce(ray_session):
     assert got == expected
     assert len(expected) > 0  # the fixture plants phash clones at scattered positions
     assert (out["img_a"] < out["img_b"]).all()
+
+
+def test_caption_spam_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import images as img_p
+
+    sf = "/root/testdata/sf0.001"
+    out = img_p.caption_spam(sf).to_pandas()
+
+    t = pq.read_table(img_p.images_path_for(sf), columns=["caption", "phash"]).to_pandas()
+    g = t.groupby("caption").agg(n_images=("phash", "size"), n_phashes=("phash", "nunique"))
+    exp = g[g["n_phashes"] >= img_p.CAPTION_SPAM_MIN_PHASHES]
+    assert len(exp) > 0
+    got = out.set_index("caption").sort_index()
+    assert list(got.index) == sorted(exp.index)
+    assert (got["n_images"] == exp.sort_index()["n_images"]).all()
+    assert (got["n_phashes"] == exp.sort_index()["n_phashes"]).all()
