@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": privacy.k_anonymity,
         "geo_inconsistent_dups": images.geo_inconsistent_dups,
         "caption_spam": images.caption_spam,
+        "dissolve_zones": cluster.dissolve_zones,
         "idw_interpolation": hotspot.idw_interpolation,
         "space_time_cube": hotspot.space_time_cube,
         "cell_entropy": hotspot.cell_entropy,
@@ -606,6 +607,24 @@ SELECT img_a, img_b, phash, dist_fp FROM pr WHERE dist_fp >= {images.GEO_DUP_THR
         "caption_spam": f"""
 SELECT caption, count(*) AS n_images, count(DISTINCT phash) AS n_phashes
 FROM {img_pq} GROUP BY caption HAVING count(DISTINCT phash) >= {images.CAPTION_SPAM_MIN_PHASHES}""",
+        "dissolve_zones": f"""
+WITH RECURSIVE rects AS (SELECT * FROM {rects}),
+e AS (
+  SELECT a.rel_id AS src, b.rel_id AS dst FROM rects a JOIN rects b
+  ON a.admin_level = b.admin_level AND a.rel_id <> b.rel_id
+  AND a.lon_min <= b.lon_max AND b.lon_min <= a.lon_max
+  AND a.lat_min <= b.lat_max AND b.lat_min <= a.lat_max),
+walk(node, lab) AS (
+  SELECT rel_id, rel_id FROM rects
+  UNION
+  SELECT e.src, w.lab FROM walk w JOIN e ON e.dst = w.node),
+lbl AS (SELECT node, min(lab) AS region_id FROM walk GROUP BY node)
+SELECT l.region_id, r.admin_level, count(*) AS n_zones,
+       min(r.lon_min) AS lon_min, min(r.lat_min) AS lat_min,
+       max(r.lon_max) AS lon_max, max(r.lat_max) AS lat_max,
+       CAST(sum(CAST(floor((CAST(r.lon_max AS DOUBLE) - CAST(r.lon_min AS DOUBLE)) * (CAST(r.lat_max AS DOUBLE) - CAST(r.lat_min AS DOUBLE)) * {cluster.DISSOLVE_AREA_FP!r} + 0.5) AS BIGINT)) AS BIGINT) AS area_fp
+FROM rects r JOIN lbl l ON l.node = r.rel_id
+GROUP BY 1, 2""",
         # --- golden-table oracles (local non-Ray recompute; see plasmap_ray.golden) ---
         "s2_cell_index": f"SELECT * FROM read_parquet('{golden.s2_cells_path(SF001)}')",
         "s2_cell_histogram": f"""

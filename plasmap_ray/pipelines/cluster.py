@@ -42,10 +42,13 @@ from __future__ import annotations
 import logging
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Min
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from .. import cells, fixtures
 
 logger = logging.getLogger(__name__)
 
@@ -535,3 +538,132 @@ def dbscan_clusters(
         )
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# dissolve_zones (classic GIS dissolve: merge touching same-level zones)
+# ---------------------------------------------------------------------------
+
+DISSOLVE_AREA_FP = 1e9  # fixed-point scale for per-zone bbox areas
+
+
+def dissolve_zones(sf_dir: str | None = None, admin_level: int | None = None) -> rd.Dataset:
+    """Polygon dissolve over the boundary table: zones of the SAME
+    admin_level whose rectangles touch merge into one region (the GIS
+    "dissolve by attribute" operator every boundary-simplification
+    pass runs before tiling; reference analogue: the relation
+    boundaries of J2 consumed as one region per admin area).
+
+    Pipeline shape (all sides bounded by the ZONE table, never points):
+    - each zone explodes to its ~80 km cover cells
+      (`cells.cover_bbox` — M13's rectangle-of-cells);
+    - a per-cell bucket join emits candidate pairs, verified by exact
+      closed-interval rectangle touch, deduped by one tiny groupby;
+    - :func:`connected_components` merges touching groups (O(diameter)
+      rounds of join+min);
+    - unpaired zones become singleton regions; one final groupby emits
+      per-region stats.
+
+    Output: (region_id, admin_level, n_zones, lon_min, lat_min,
+    lon_max, lat_max, area_fp) — region_id = min rel_id in the
+    component; area_fp = Σ floor(zone_area·1e9 + 0.5) (int64, exact,
+    overlap double-counted by contract — this is attribute dissolve,
+    not geometric union).
+    """
+    rects = fixtures.admin_rects()
+    if admin_level is not None:
+        rects = [r for r in rects if r["admin_level"] == admin_level]
+    zt = pa.table(
+        {
+            "rel_id": pa.array([r["rel_id"] for r in rects], type=pa.int64()),
+            "admin_level": pa.array([r["admin_level"] for r in rects], type=pa.int64()),
+            "lon_min": pa.array([r["lon_min"] for r in rects], type=pa.float64()),
+            "lat_min": pa.array([r["lat_min"] for r in rects], type=pa.float64()),
+            "lon_max": pa.array([r["lon_max"] for r in rects], type=pa.float64()),
+            "lat_max": pa.array([r["lat_max"] for r in rects], type=pa.float64()),
+        }
+    )
+    zones = rd.from_arrow(zt)
+
+    def explode(t: pa.Table) -> pa.Table:
+        cols = {c: [] for c in t.column_names}
+        cell_col: list[np.ndarray] = []
+        for i in range(t.num_rows):
+            cc = cells.cover_bbox(
+                t["lon_min"][i].as_py(),
+                t["lat_min"][i].as_py(),
+                t["lon_max"][i].as_py(),
+                t["lat_max"][i].as_py(),
+                cells.PRECISION_VERY_LOW,
+            )
+            cell_col.append(cc)
+            for c in t.column_names:
+                cols[c].extend([t[c][i].as_py()] * len(cc))
+        out = {"cell": pa.array(np.concatenate(cell_col) if cell_col else [], type=pa.int64())}
+        for c in t.column_names:
+            typ = pa.int64() if c in ("rel_id", "admin_level") else pa.float64()
+            out[c] = pa.array(cols[c], type=typ)
+        return pa.table(out)
+
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        src: list[int] = []
+        dst: list[int] = []
+        rows = g.sort_values("rel_id").to_dict("records")
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = rows[i], rows[j]
+                if a["admin_level"] != b["admin_level"]:
+                    continue
+                if (
+                    a["lon_min"] <= b["lon_max"]
+                    and b["lon_min"] <= a["lon_max"]
+                    and a["lat_min"] <= b["lat_max"]
+                    and b["lat_min"] <= a["lat_max"]
+                ):
+                    src.append(a["rel_id"])
+                    dst.append(b["rel_id"])
+        return pd.DataFrame({"src": np.array(src, dtype=np.int64), "dst": np.array(dst, dtype=np.int64)})
+
+    pairs = (
+        zones.map_batches(explode, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(cell_pairs, batch_format="pandas")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    labels = connected_components(pairs, a_col="src", b_col="dst")
+
+    j = zones.join(labels, join_type="left_outer", num_partitions=4, on=("rel_id",), right_on=("node",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        rel = t["rel_id"].to_numpy()
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        lab = np.where(pd.isna(lab), rel, lab).astype(np.int64)
+        w = t["lon_max"].to_numpy() - t["lon_min"].to_numpy()
+        h = t["lat_max"].to_numpy() - t["lat_min"].to_numpy()
+        area_fp = np.floor(w * h * DISSOLVE_AREA_FP + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "region_id": pa.array(lab, type=pa.int64()),
+                "admin_level": t["admin_level"],
+                "lon_min": t["lon_min"],
+                "lat_min": t["lat_min"],
+                "lon_max": t["lon_max"],
+                "lat_max": t["lat_max"],
+                "area_fp": pa.array(area_fp, type=pa.int64()),
+            }
+        )
+
+    return (
+        j.map_batches(finish, batch_format="pyarrow")
+        .groupby(["region_id", "admin_level"])
+        .aggregate(
+            Count(alias_name="n_zones"),
+            Min("lon_min", alias_name="lon_min"),
+            Min("lat_min", alias_name="lat_min"),
+            Max("lon_max", alias_name="lon_max"),
+            Max("lat_max", alias_name="lat_max"),
+            Sum("area_fp", alias_name="area_fp"),
+        )
+    )

@@ -375,3 +375,58 @@ def test_dbscan_matches_bruteforce(ray_session):
     assert (got["doc_id"] == exp["doc_id"]).all()
     assert (got["cluster_id"] == exp["cluster_id"]).all()
     assert (got["kind"] == exp["kind"]).all()
+
+
+def test_dissolve_zones_matches_union_find(ray_session):
+    import itertools
+
+    import numpy as np
+
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import cluster
+
+    rects = fixtures.admin_rects()
+    parent = {r["rel_id"]: r["rel_id"] for r in rects}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(rects, 2):
+        if a["admin_level"] != b["admin_level"]:
+            continue
+        if (
+            a["lon_min"] <= b["lon_max"]
+            and b["lon_min"] <= a["lon_max"]
+            and a["lat_min"] <= b["lat_max"]
+            and b["lat_min"] <= a["lat_max"]
+        ):
+            ra, rb = find(a["rel_id"]), find(b["rel_id"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    exp = {}
+    for r in rects:
+        lab = find(r["rel_id"])
+        e = exp.setdefault(lab, {"n": 0, "area": 0, "lv": r["admin_level"],
+                                 "lon_min": np.inf, "lat_min": np.inf,
+                                 "lon_max": -np.inf, "lat_max": -np.inf})
+        e["n"] += 1
+        w = r["lon_max"] - r["lon_min"]
+        h = r["lat_max"] - r["lat_min"]
+        e["area"] += int(np.floor(w * h * cluster.DISSOLVE_AREA_FP + 0.5))
+        e["lon_min"] = min(e["lon_min"], r["lon_min"])
+        e["lat_min"] = min(e["lat_min"], r["lat_min"])
+        e["lon_max"] = max(e["lon_max"], r["lon_max"])
+        e["lat_max"] = max(e["lat_max"], r["lat_max"])
+
+    out = cluster.dissolve_zones().to_pandas()
+    assert len(out) == len(exp)
+    assert len(out) < len(rects)  # something actually merged
+    for r in out.itertuples():
+        e = exp[r.region_id]
+        assert (r.n_zones, r.admin_level, r.area_fp) == (e["n"], e["lv"], e["area"])
+        assert (r.lon_min, r.lat_min, r.lon_max, r.lat_max) == (
+            e["lon_min"], e["lat_min"], e["lon_max"], e["lat_max"])
