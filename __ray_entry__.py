@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "getis_ord_hotspots": hotspot.getis_ord_hotspots,
         "local_moran": hotspot.local_moran,
         "kde_density": hotspot.kde_density,
+        "cross_k": hotspot.cross_k,
         "k_anonymity": privacy.k_anonymity,
         "geo_inconsistent_dups": images.geo_inconsistent_dups,
         "caption_spam": images.caption_spam,
@@ -1154,6 +1155,17 @@ sw AS (
 SELECT cx, cy, n_events, sum_w_fp,
        round(CAST(sum_w_fp AS DOUBLE) / {hotspot.KDE_FP!r} * {hotspot.KDE_NORM!r}, 6) AS intensity
 FROM sw""",
+        "cross_k": f"""
+WITH et AS (SELECT event_id, event_type, {oracle.sql_derive_lon('event_id')} AS lon,
+                   {oracle.sql_derive_lat('event_id')} AS lat FROM events),
+pr AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         (b.lon - a.lon) * (b.lon - a.lon) + (b.lat - a.lat) * (b.lat - a.lat) AS d2
+  FROM et a JOIN et b
+  ON a.event_id <> b.event_id
+  AND b.lon >= a.lon - {max(hotspot.RIPLEY_RADII)!r} AND b.lon <= a.lon + {max(hotspot.RIPLEY_RADII)!r}
+  AND b.lat >= a.lat - {max(hotspot.RIPLEY_RADII)!r} AND b.lat <= a.lat + {max(hotspot.RIPLEY_RADII)!r})
+{' UNION ALL '.join(f"SELECT type_a, type_b, CAST({r!r} AS DOUBLE) AS r, count(*) AS n_pairs FROM pr WHERE d2 <= {r * r!r} GROUP BY type_a, type_b" for r in hotspot.RIPLEY_RADII)}""",
         "k_anonymity": f"""
 WITH {_pts_cte()},
 t12 AS (SELECT doc_id, {oracle.sql_tile_x('lon', privacy.KANON_ZOOMS[0])} AS x,

@@ -887,3 +887,119 @@ def kde_density(sf_dir: str, h: float = KDE_H) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# cross_k (bivariate colocation: ordered cross-type pair counts per radius)
+# ---------------------------------------------------------------------------
+
+_FULL_2D = ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (1, -1), (-1, 1), (-1, -1))
+
+
+def cross_k(sf_dir: str, radii: tuple[float, ...] = RIPLEY_RADII, num_partitions: int = 8) -> rd.Dataset:
+    """Bivariate (cross-type) K pair counts: for every ORDERED pair of
+    event types (ta, tb), the number of ordered point pairs (a, b),
+    a ≠ b, with type(a)=ta, type(b)=tb and distance ≤ r — the
+    colocation diagnostic ("are cafes near bus stops?") that
+    complements :func:`ripley_k`'s univariate clustering measure.
+
+    Same bucket-join discipline as ripley_k, with a FULL 3x3 probe
+    neighborhood instead of the half one (pairs are ordered here, so
+    each (a, b) must be generated exactly once rather than each
+    unordered pair): buckets at pitch r_max, ONE hash join, per-batch
+    mask-counts — the aggregate moves (types² × radii) rows per batch,
+    candidates stay bounded by local density.
+
+    Output: (type_a, type_b, r, n_pairs), rows only for combinations
+    with ≥ 1 pair.
+    """
+    rmax = max(radii)
+    ds = _read_events(sf_dir, ["event_id", "event_type"])
+
+    def keyed(t: pa.Table, side: str) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / rmax).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / rmax).astype(np.int64)
+        return pa.table(
+            {
+                f"id_{side}": t["event_id"],
+                f"type_{side}": t["event_type"],
+                f"lon_{side}": pa.array(lon, type=pa.float64()),
+                f"lat_{side}": pa.array(lat, type=pa.float64()),
+                "cx": pa.array(cx, type=pa.int64()),
+                "cy": pa.array(cy, type=pa.int64()),
+            }
+        )
+
+    def own_key(t: pa.Table) -> pa.Table:
+        ck = (t["cx"].to_numpy() + 1) * (1 << 21) + (t["cy"].to_numpy() + 1)
+        return t.drop_columns(["cx", "cy"]).append_column("ck", pa.array(ck, type=pa.int64()))
+
+    def probe_expand(t: pa.Table) -> pa.Table:
+        cx, cy = t["cx"].to_numpy(), t["cy"].to_numpy()
+        t = t.drop_columns(["cx", "cy"])
+        out = []
+        for dx, dy in _FULL_2D:
+            ck = (cx + dx + 1) * (1 << 21) + (cy + dy + 1)
+            out.append(t.append_column("ck", pa.array(ck, type=pa.int64())))
+        return pa.concat_tables(out)
+
+    import functools as _ft
+
+    build = ds.map_batches(_ft.partial(keyed, side="b"), batch_format="pyarrow").map_batches(
+        own_key, batch_format="pyarrow"
+    )
+    probe = ds.map_batches(_ft.partial(keyed, side="a"), batch_format="pyarrow").map_batches(
+        probe_expand, batch_format="pyarrow"
+    )
+    cand = probe.join(build, join_type="inner", num_partitions=num_partitions, on=("ck",))
+
+    def count_radii(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ia = np.asarray(t["id_a"].to_numpy(), np.int64)
+        ib = np.asarray(t["id_b"].to_numpy(), np.int64)
+        dlon = t["lon_b"].to_numpy() - t["lon_a"].to_numpy()
+        dlat = t["lat_b"].to_numpy() - t["lat_a"].to_numpy()
+        d2 = dlon * dlon + dlat * dlat
+        base = ia != ib
+        frames = []
+        ta = t["type_a"].to_pandas()
+        tb = t["type_b"].to_pandas()
+        for r in radii:
+            m = base & (d2 <= r * r)
+            if not m.any():
+                continue
+            g = (
+                pd.DataFrame({"type_a": ta[m], "type_b": tb[m]})
+                .groupby(["type_a", "type_b"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+            g["r"] = r
+            frames.append(g)
+        if not frames:
+            return pa.table(
+                {
+                    "type_a": pa.array([], type=pa.string()),
+                    "type_b": pa.array([], type=pa.string()),
+                    "r": pa.array([], type=pa.float64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return pa.table(
+            {
+                "type_a": pa.array(out["type_a"], type=pa.string()),
+                "type_b": pa.array(out["type_b"], type=pa.string()),
+                "r": pa.array(out["r"].to_numpy(), type=pa.float64()),
+                "n": pa.array(out["n"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        cand.map_batches(count_radii, batch_format="pyarrow")
+        .groupby(["type_a", "type_b", "r"])
+        .aggregate(Sum("n", alias_name="n_pairs"))
+    )

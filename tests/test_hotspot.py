@@ -253,3 +253,29 @@ def test_kde_density_matches_bruteforce(ray_session, event_ids):
         assert abs(got[key][2] - sw / hotspot.KDE_FP * hotspot.KDE_NORM) < 1e-6
     # intensity integrates to ~len(events) over the window interior
     assert out["intensity"].max() > 0.0
+
+
+def test_cross_k_matches_bruteforce(ray_session, event_ids):
+    import pyarrow.parquet as pq3
+
+    t = pq3.read_table(os.path.join(SF, "events.parquet"), columns=["event_id", "event_type"])
+    ids, types = t["event_id"].to_numpy(), t["event_type"].to_pylist()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    d2 = (lon[:, None] - lon) ** 2 + (lat[:, None] - lat) ** 2
+    np.fill_diagonal(d2, np.inf)
+
+    out = hotspot.cross_k(SF).to_pandas()
+    got = {(r.type_a, r.type_b, r.r): r.n_pairs for r in out.itertuples()}
+
+    import collections
+
+    exp = collections.Counter()
+    for r in hotspot.RIPLEY_RADII:
+        ii, jj = np.nonzero(d2 <= r * r)
+        for i, j in zip(ii, jj):
+            exp[(types[i], types[j], r)] += 1
+    assert got == dict(exp)
+    assert len(got) > 0
+    # ordered symmetry: (ta, tb, r) total pairs == (tb, ta, r)
+    for (ta, tb, r), n in got.items():
+        assert got[(tb, ta, r)] == n
