@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_moran": hotspot.local_moran,
         "kde_density": hotspot.kde_density,
         "cross_k": hotspot.cross_k,
+        "nearest_neighbor": hotspot.nearest_neighbor,
         "k_anonymity": privacy.k_anonymity,
         "geo_inconsistent_dups": images.geo_inconsistent_dups,
         "caption_spam": images.caption_spam,
@@ -1166,6 +1167,21 @@ pr AS (
   AND b.lon >= a.lon - {max(hotspot.RIPLEY_RADII)!r} AND b.lon <= a.lon + {max(hotspot.RIPLEY_RADII)!r}
   AND b.lat >= a.lat - {max(hotspot.RIPLEY_RADII)!r} AND b.lat <= a.lat + {max(hotspot.RIPLEY_RADII)!r})
 {' UNION ALL '.join(f"SELECT type_a, type_b, CAST({r!r} AS DOUBLE) AS r, count(*) AS n_pairs FROM pr WHERE d2 <= {r * r!r} GROUP BY type_a, type_b" for r in hotspot.RIPLEY_RADII)}""",
+        "nearest_neighbor": f"""
+WITH {_epts},
+pr AS (
+  SELECT a.event_id AS event_id, b.event_id AS nn_id,
+         {_fp_sql('(b.lon - a.lon)', '(b.lat - a.lat)')} AS dist_fp,
+         (b.lon - a.lon) * (b.lon - a.lon) + (b.lat - a.lat) * (b.lat - a.lat) AS d2
+  FROM epts a JOIN epts b
+  ON a.event_id <> b.event_id
+  AND b.lon >= a.lon - {hotspot.NN_RADIUS!r} AND b.lon <= a.lon + {hotspot.NN_RADIUS!r}
+  AND b.lat >= a.lat - {hotspot.NN_RADIUS!r} AND b.lat <= a.lat + {hotspot.NN_RADIUS!r}),
+f AS (
+  SELECT event_id, nn_id, dist_fp,
+         row_number() OVER (PARTITION BY event_id ORDER BY dist_fp, nn_id) AS rn
+  FROM pr WHERE d2 <= {hotspot.NN_RADIUS * hotspot.NN_RADIUS!r})
+SELECT event_id, nn_id, dist_fp FROM f WHERE rn = 1""",
         "k_anonymity": f"""
 WITH {_pts_cte()},
 t12 AS (SELECT doc_id, {oracle.sql_tile_x('lon', privacy.KANON_ZOOMS[0])} AS x,

@@ -1003,3 +1003,119 @@ def cross_k(sf_dir: str, radii: tuple[float, ...] = RIPLEY_RADII, num_partitions
         .groupby(["type_a", "type_b", "r"])
         .aggregate(Sum("n", alias_name="n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# nearest_neighbor (self-NN join within a radius bound)
+# ---------------------------------------------------------------------------
+
+NN_RADIUS = 0.05  # search bound, planar degrees
+
+
+def nearest_neighbor(sf_dir: str, radius: float = NN_RADIUS, num_partitions: int = 8) -> rd.Dataset:
+    """Radius-bounded self nearest-neighbor join: for every event, its
+    closest OTHER event within ``radius`` (the per-point primitive
+    behind mean-NN-distance / Clark-Evans dispersion tests, and the
+    J7 family's self-join form).  Points with no neighbor inside the
+    bound emit no row — the radius contract that keeps the search a
+    ONE-shot bucket join instead of an unbounded expanding-ring probe.
+
+    Shape: pitch-``radius`` buckets, full 3x3 probe join (ordered
+    pairs), then argmin per event in two stages — a per-batch
+    keep-best combiner (≤1 row per event per batch, the mosaic argmax
+    discipline) and a coarse-partition run-scan reduce — so the final
+    shuffle carries ≤ events×batches best-rows, never candidates.
+
+    Determinism: distances are fixed-point int64 (trajectory _seg_fp
+    contract); ties break on (dist_fp, nn_id) exactly like the SQL
+    oracle's ORDER BY.
+
+    Output: (event_id, nn_id, dist_fp).
+    """
+    from .trajectory import FP_SCALE
+
+    ds = _read_events(sf_dir, ["event_id"])
+
+    def keyed(t: pa.Table, side: str) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / radius).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / radius).astype(np.int64)
+        return pa.table(
+            {
+                f"id_{side}": t["event_id"],
+                f"lon_{side}": pa.array(lon, type=pa.float64()),
+                f"lat_{side}": pa.array(lat, type=pa.float64()),
+                "cx": pa.array(cx, type=pa.int64()),
+                "cy": pa.array(cy, type=pa.int64()),
+            }
+        )
+
+    def own_key(t: pa.Table) -> pa.Table:
+        ck = (t["cx"].to_numpy() + 1) * (1 << 21) + (t["cy"].to_numpy() + 1)
+        return t.drop_columns(["cx", "cy"]).append_column("ck", pa.array(ck, type=pa.int64()))
+
+    def probe_expand(t: pa.Table) -> pa.Table:
+        cx, cy = t["cx"].to_numpy(), t["cy"].to_numpy()
+        t = t.drop_columns(["cx", "cy"])
+        out = []
+        for dx, dy in _FULL_2D:
+            ck = (cx + dx + 1) * (1 << 21) + (cy + dy + 1)
+            out.append(t.append_column("ck", pa.array(ck, type=pa.int64())))
+        return pa.concat_tables(out)
+
+    import functools as _ft
+
+    build = ds.map_batches(_ft.partial(keyed, side="b"), batch_format="pyarrow").map_batches(
+        own_key, batch_format="pyarrow"
+    )
+    probe = ds.map_batches(_ft.partial(keyed, side="a"), batch_format="pyarrow").map_batches(
+        probe_expand, batch_format="pyarrow"
+    )
+    cand = probe.join(build, join_type="inner", num_partitions=num_partitions, on=("ck",))
+
+    r2 = radius * radius
+
+    def best_per_batch(t: pa.Table) -> pa.Table:
+        ia = np.asarray(t["id_a"].to_numpy(), np.int64)
+        ib = np.asarray(t["id_b"].to_numpy(), np.int64)
+        dlon = t["lon_b"].to_numpy() - t["lon_a"].to_numpy()
+        dlat = t["lat_b"].to_numpy() - t["lat_a"].to_numpy()
+        d2 = dlon * dlon + dlat * dlat
+        m = (ia != ib) & (d2 <= r2)
+        ia, ib, d2 = ia[m], ib[m], d2[m]
+        dfp = np.floor(np.sqrt(d2) * FP_SCALE + 0.5).astype(np.int64)
+        # keep best (dist_fp, nn_id) per event within this batch
+        order = np.lexsort((ib, dfp, ia))
+        ia, ib, dfp = ia[order], ib[order], dfp[order]
+        first = np.concatenate([[True], np.diff(ia) != 0]) if len(ia) else np.array([], dtype=bool)
+        part = ia[first] % num_partitions if len(ia) else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(ia[first], type=pa.int64()),
+                "nn_id": pa.array(ib[first], type=pa.int64()),
+                "dist_fp": pa.array(dfp[first], type=pa.int64()),
+                "part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    def reduce_best(g: pa.Table) -> pa.Table:
+        ia = g["event_id"].to_numpy()
+        ib = g["nn_id"].to_numpy()
+        dfp = g["dist_fp"].to_numpy()
+        order = np.lexsort((ib, dfp, ia))
+        ia, ib, dfp = ia[order], ib[order], dfp[order]
+        first = np.concatenate([[True], np.diff(ia) != 0]) if len(ia) else np.array([], dtype=bool)
+        return pa.table(
+            {
+                "event_id": pa.array(ia[first], type=pa.int64()),
+                "nn_id": pa.array(ib[first], type=pa.int64()),
+                "dist_fp": pa.array(dfp[first], type=pa.int64()),
+            }
+        )
+
+    return (
+        cand.map_batches(best_per_batch, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_best, batch_format="pyarrow")
+    )

@@ -279,3 +279,29 @@ def test_cross_k_matches_bruteforce(ray_session, event_ids):
     # ordered symmetry: (ta, tb, r) total pairs == (tb, ta, r)
     for (ta, tb, r), n in got.items():
         assert got[(tb, ta, r)] == n
+
+
+def test_nearest_neighbor_matches_bruteforce(ray_session, event_ids):
+    from plasmap_ray.pipelines.trajectory import FP_SCALE
+
+    lon, lat = fixtures.derive_lon(event_ids), fixtures.derive_lat(event_ids)
+    d2 = (lon[:, None] - lon) ** 2 + (lat[:, None] - lat) ** 2
+    np.fill_diagonal(d2, np.inf)
+
+    out = hotspot.nearest_neighbor(SF).to_pandas()
+    r2 = hotspot.NN_RADIUS * hotspot.NN_RADIUS
+    got = {r.event_id: (r.nn_id, r.dist_fp) for r in out.itertuples()}
+    assert len(got) == len(out)  # one row per event
+
+    n_with = 0
+    for i, eid in enumerate(event_ids):
+        cand = np.nonzero(d2[i] <= r2)[0]
+        if len(cand) == 0:
+            assert eid not in got
+            continue
+        n_with += 1
+        dfp = np.floor(np.sqrt(d2[i][cand]) * FP_SCALE + 0.5).astype(np.int64)
+        order = np.lexsort((event_ids[cand], dfp))
+        j = cand[order[0]]
+        assert got[eid] == (event_ids[j], dfp[order[0]])
+    assert n_with == len(out) and n_with > 0
