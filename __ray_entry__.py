@@ -212,6 +212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- trajectory / movement analytics ---
         "trajectory_stats": trajectory.trajectory_stats,
         "od_matrix": trajectory.od_matrix,
+        "od_gravity": trajectory.od_gravity,
+        "speed_audit": trajectory.speed_audit,
         "spatial_self_join": trajectory.spatial_self_join,
         "colocation_join": trajectory.colocation_join,
         "stay_points": trajectory.stay_points,
@@ -280,6 +282,21 @@ def oracle_sql() -> dict[str, str]:
         return (
             f"CAST(floor(sqrt({dlon} * {dlon} + {dlat} * {dlat}) * {trajectory.FP_SCALE!r} + 0.5) AS BIGINT)"
         )
+
+    # OD matrix body (shared by od_matrix and od_gravity)
+    _od_body = f"""
+WITH {_epts},
+w AS (SELECT user_id,
+        first_value(lon) OVER uwf AS flon, first_value(lat) OVER uwf AS flat,
+        last_value(lon) OVER uwf AS llon, last_value(lat) OVER uwf AS llat
+      FROM epts
+      WINDOW uwf AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+u AS (SELECT user_id, max(flon) AS flon, max(flat) AS flat,
+             max(llon) AS llon, max(llat) AS llat FROM w GROUP BY user_id),
+{oracle.sql_morton_ctes('u', 'user_id, llon, llat', trajectory.OD_PRECISION, 'o_cell', lon_col='flon', lat_col='flat', prefix='mo')},
+{oracle.sql_morton_ctes('mo_out', 'user_id, o_cell', trajectory.OD_PRECISION, 'd_cell', lon_col='llon', lat_col='llat', prefix='md')}
+SELECT o_cell, d_cell, count(*) AS n_users FROM md_out GROUP BY o_cell, d_cell"""
 
     return {
         "cell_index": f"""
@@ -795,19 +812,32 @@ SELECT user_id, count(*) AS n_events,
        ELSE {_fp_sql('(lon - plon)', '(lat - plat)')} END) AS BIGINT) AS path_fp,
   max({_fp_sql('(llon - flon)', '(llat - flat)')}) AS disp_fp
 FROM w GROUP BY user_id""",
-        "od_matrix": f"""
+        "od_matrix": _od_body,
+        "od_gravity": f"""
+WITH od AS ({_od_body}),
+m AS (SELECT o_cell, d_cell, n_users,
+        SUM(n_users) OVER (PARTITION BY o_cell) AS mo,
+        SUM(n_users) OVER (PARTITION BY d_cell) AS md,
+        SUM(n_users) OVER () AS tot FROM od),
+e AS (SELECT o_cell, d_cell, n_users,
+        CAST(mo AS BIGINT) AS n_o, CAST(md AS BIGINT) AS n_d,
+        CAST(mo AS DOUBLE) * CAST(md AS DOUBLE) / CAST(tot AS DOUBLE) AS expected FROM m)
+SELECT o_cell, d_cell, n_users, n_o, n_d, expected,
+  CAST(n_users AS DOUBLE) - expected AS resid,
+  (CAST(n_users AS DOUBLE) - expected) * (CAST(n_users AS DOUBLE) - expected) / expected AS chi2
+FROM e""",
+        "speed_audit": f"""
 WITH {_epts},
-w AS (SELECT user_id,
-        first_value(lon) OVER uwf AS flon, first_value(lat) OVER uwf AS flat,
-        last_value(lon) OVER uwf AS llon, last_value(lat) OVER uwf AS llat
-      FROM epts
-      WINDOW uwf AS (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
-u AS (SELECT user_id, max(flon) AS flon, max(flat) AS flat,
-             max(llon) AS llon, max(llat) AS llat FROM w GROUP BY user_id),
-{oracle.sql_morton_ctes('u', 'user_id, llon, llat', trajectory.OD_PRECISION, 'o_cell', lon_col='flon', lat_col='flat', prefix='mo')},
-{oracle.sql_morton_ctes('mo_out', 'user_id, o_cell', trajectory.OD_PRECISION, 'd_cell', lon_col='llon', lat_col='llat', prefix='md')}
-SELECT o_cell, d_cell, count(*) AS n_users FROM md_out GROUP BY o_cell, d_cell""",
+w AS (SELECT user_id, lon, lat,
+        lag(lon) OVER uw AS plon, lag(lat) OVER uw AS plat,
+        epoch_us(ts) - lag(epoch_us(ts)) OVER uw AS dt_us
+      FROM epts WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, {_fp_sql('(lon - plon)', '(lat - plat)')} AS dist_fp, dt_us
+      FROM w WHERE plon IS NOT NULL)
+SELECT user_id, count(*) AS n_steps,
+  CAST(sum(CASE WHEN dist_fp * {trajectory.US_PER_S} > {trajectory.SPEED_VMAX_FP} * dt_us THEN 1 ELSE 0 END) AS BIGINT) AS n_teleports,
+  CAST(max(CASE WHEN dist_fp * {trajectory.US_PER_S} > {trajectory.SPEED_VMAX_FP} * dt_us THEN dist_fp ELSE 0 END) AS BIGINT) AS max_jump_fp
+FROM s GROUP BY user_id""",
         "spatial_self_join": f"""
 WITH {_epts}
 SELECT a.event_id AS id_a, b.event_id AS id_b,

@@ -948,3 +948,137 @@ def cell_transition_matrix(sf_dir: str, pitch: float = TRANS_PITCH, parts: int =
         .groupby(["fx", "fy", "tx", "ty"])
         .aggregate(Sum("n", alias_name="n_steps"))
     )
+
+
+# ---------------------------------------------------------------------------
+# speed_audit (teleportation / GPS-glitch detection)
+# ---------------------------------------------------------------------------
+
+# max plausible speed, fixed-point 1e9 deg/s.  1e-4 deg/s ~ 11 m/s N-S:
+# ~p80 of the fixture world's implied step speeds, so the audit flags a
+# non-trivial teleport/ok mix (about 1 in 5 steps at sf0.01).
+SPEED_VMAX_FP = 100_000
+US_PER_S = 1_000_000
+
+
+def speed_audit(sf_dir: str, vmax_fp: int = SPEED_VMAX_FP, parts: int = TRAJ_PARTS) -> rd.Dataset:
+    """Per-user teleportation audit: consecutive steps whose implied
+    speed exceeds ``vmax_fp`` (fixed-point deg/s) — the GPS-glitch /
+    impossible-travel data-quality screen run before any trajectory
+    model trains on the corpus.
+
+    The speed test is pure int64: a step of length ``dist_fp`` (1e-9
+    deg units) over ``dt_us`` microseconds teleports iff
+
+        dist_fp * 1_000_000 > vmax_fp * dt_us
+
+    (both products < 2^63 for the world bbox and any us-epoch gap), so
+    the engine and the SQL mirror flag the identical step set — no
+    division, no float speed.  A zero-duration step with nonzero
+    distance is a teleport by this rule, which is the right answer for
+    duplicate-timestamp glitches.
+
+    Scale shape: same coarse-partition run-scan as trajectory_stats
+    (one task per ``user_id % parts`` slice — per-user dispatch
+    amortized); output is one row per user with >= 1 step.
+    """
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _derive_positions(t)
+        uid = t["user_id"].to_numpy()
+        tus = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        t = t.drop_columns(["ts"]).append_column("tus", pa.array(tus, type=pa.int64()))
+        return t.append_column("part", pa.array(np.asarray(uid, np.int64) % parts, type=pa.int64()))
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "n_steps": pa.array([], type=pa.int64()),
+            "n_teleports": pa.array([], type=pa.int64()),
+            "max_jump_fp": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def audit(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("tus", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        if len(uid) < 2:
+            return empty
+        m = np.diff(uid) == 0  # step i -> i+1 stays within one user
+        if not m.any():
+            return empty
+        lon, lat = g["lon"].to_numpy(), g["lat"].to_numpy()
+        tus = g["tus"].to_numpy()
+        dist_fp = _seg_fp(np.diff(lon), np.diff(lat))[m]
+        dt_us = np.diff(tus)[m]
+        tele = dist_fp * US_PER_S > vmax_fp * dt_us
+        su = uid[:-1][m]
+        bounds = np.nonzero(np.diff(su))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(su)]])
+        cs_t = np.concatenate([[0], np.cumsum(tele.astype(np.int64))])
+        jump = np.where(tele, dist_fp, 0)
+        mx = np.maximum.reduceat(jump, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(su[starts], type=pa.int64()),
+                "n_steps": pa.array(ends - starts, type=pa.int64()),
+                "n_teleports": pa.array(cs_t[ends] - cs_t[starts], type=pa.int64()),
+                "max_jump_fp": pa.array(mx.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(audit, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# od_gravity (gravity-model expected flows + residuals)
+# ---------------------------------------------------------------------------
+
+
+def od_gravity(sf_dir: str, precision: int = OD_PRECISION) -> rd.Dataset:
+    """Gravity-model screen over the OD matrix: for every observed
+    (o_cell, d_cell) flow, the independence-model expectation
+    ``n_o * n_d / total`` (row marginal x column marginal / grand
+    total), the residual, and the chi-square contribution — the
+    anomalous-corridor detector run on top of :func:`od_matrix`.
+
+    Float discipline: marginals and the total are exact int64 sums;
+    ``expected`` is the single IEEE expression
+    ``(double)n_o * (double)n_d / (double)total`` evaluated in the
+    same association order by the engine (NumPy) and the oracle
+    (DuckDB), so resid/chi2 are bit-identical too.
+
+    Scale shape: the OD matrix is an aggregate (rows bounded by
+    observed cell pairs); marginals are two tiny groupbys of it
+    (rows bounded by #cells) broadcast back as dicts — no second
+    shuffle of the matrix.
+    """
+    od = od_matrix(sf_dir, precision=precision).materialize()
+    o_marg = {r["o_cell"]: r["sum(n_users)"] for r in od.groupby("o_cell").aggregate(Sum("n_users")).take_all()}
+    d_marg = {r["d_cell"]: r["sum(n_users)"] for r in od.groupby("d_cell").aggregate(Sum("n_users")).take_all()}
+    total = float(sum(o_marg.values()))
+
+    def enrich(t: pa.Table) -> pa.Table:
+        o = t["o_cell"].to_numpy()
+        d = t["d_cell"].to_numpy()
+        n = t["n_users"].to_numpy().astype(np.float64)
+        n_o = np.array([o_marg[v] for v in o], dtype=np.int64)
+        n_d = np.array([d_marg[v] for v in d], dtype=np.int64)
+        expected = n_o.astype(np.float64) * n_d.astype(np.float64) / total
+        resid = n - expected
+        chi2 = resid * resid / expected
+        return (
+            t.append_column("n_o", pa.array(n_o, type=pa.int64()))
+            .append_column("n_d", pa.array(n_d, type=pa.int64()))
+            .append_column("expected", pa.array(expected, type=pa.float64()))
+            .append_column("resid", pa.array(resid, type=pa.float64()))
+            .append_column("chi2", pa.array(chi2, type=pa.float64()))
+        )
+
+    return od.map_batches(enrich, batch_format="pyarrow")

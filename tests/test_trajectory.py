@@ -264,3 +264,55 @@ def test_cell_transition_matrix_matches_bruteforce(ray_session, events):
     assert got == expected
     # total steps = events - users (each user contributes n_i - 1 steps)
     assert out["n_steps"].sum() == len(uid) - len(np.unique(uid))
+
+
+def test_speed_audit_matches_bruteforce(ray_session, events):
+    out = trajectory.speed_audit(SF).to_pandas().sort_values("user_id").reset_index(drop=True)
+
+    df = events.to_pandas()
+    df["lon"] = fixtures.derive_lon(df["event_id"].to_numpy())
+    df["lat"] = fixtures.derive_lat(df["event_id"].to_numpy())
+    df["tus"] = df["ts"].astype("datetime64[us]").astype("int64")
+    df = df.sort_values(["user_id", "tus", "event_id"]).reset_index(drop=True)
+    uid = df["user_id"].to_numpy()
+    same = uid[:-1] == uid[1:]
+    dist_fp = trajectory._seg_fp(np.diff(df["lon"].to_numpy()), np.diff(df["lat"].to_numpy()))[same]
+    dt_us = np.diff(df["tus"].to_numpy())[same]
+    tele = dist_fp * trajectory.US_PER_S > trajectory.SPEED_VMAX_FP * dt_us
+    import pandas as pd
+
+    exp = (
+        pd.DataFrame(
+            {"user_id": uid[:-1][same], "tele": tele.astype(np.int64),
+             "jump": np.where(tele, dist_fp, 0)}
+        )
+        .groupby("user_id")
+        .agg(n_steps=("tele", "size"), n_teleports=("tele", "sum"), max_jump_fp=("jump", "max"))
+        .reset_index()
+    )
+    assert len(out) == len(exp)
+    for col in ("n_steps", "n_teleports", "max_jump_fp"):
+        assert (out[col].to_numpy() == exp[col].to_numpy()).all(), col
+    # threshold splits the corpus: both classes present
+    assert 0 < int(out["n_teleports"].sum()) < int(out["n_steps"].sum())
+
+
+def test_od_gravity_matches_marginals(ray_session, events):
+    out = trajectory.od_gravity(SF).to_pandas()
+    od = trajectory.od_matrix(SF).to_pandas()
+    tot = od["n_users"].sum()
+    n_o = od.groupby("o_cell")["n_users"].sum()
+    n_d = od.groupby("d_cell")["n_users"].sum()
+    assert len(out) == len(od)
+    got = out.set_index(["o_cell", "d_cell"])
+    for (o, d), n in od.set_index(["o_cell", "d_cell"])["n_users"].items():
+        row = got.loc[(o, d)]
+        assert row["n_o"] == n_o[o] and row["n_d"] == n_d[d]
+        exp = float(n_o[o]) * float(n_d[d]) / float(tot)
+        assert row["expected"] == exp
+        assert row["resid"] == float(n) - exp
+    # chi-square contributions are non-negative; the independence model
+    # conserves mass over the FULL o x d cross product (not the observed
+    # pairs): sum_o n_o * sum_d n_d / tot == tot
+    assert (out["chi2"].to_numpy() >= 0).all()
+    assert float(n_o.sum()) * float(n_d.sum()) / float(tot) == pytest.approx(float(tot))
