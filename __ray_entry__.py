@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_histogram": spatial.tile_histogram_pipeline,
         "tile_histogram_salted": lambda sf: spatial.tile_histogram_pipeline(sf, salted=True),
         "tile_pyramid": lambda sf: spatial.tile_pyramid_pipeline(sf, z_base=10, z_top=6),
+        "quadtree_leaves": lambda sf: spatial.quadtree_leaves(sf, z_top=6, z_base=10),
         "pip_join": spatial.pip_join_pipeline,
         "pip_join_shuffle": spatial.pip_join_shuffle_pipeline,
         "pip_join_strtree": spatial.pip_join_strtree,
@@ -151,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_unshipped_orders": relational.top_unshipped_orders,
         "customer_high_value_counts": relational.customer_high_value_counts,
         "part_price_stats": relational.part_price_stats,
+        "skyline_parts": relational.skyline_parts,
         # --- stream-shaped ---
         "tumbling_window": windows.tumbling_window,
         "sessionize": windows.sessionize,
@@ -233,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_interpolation": hotspot.idw_interpolation,
         "space_time_cube": hotspot.space_time_cube,
         "cell_entropy": hotspot.cell_entropy,
+        "burst_cells": hotspot.burst_cells,
         "ripley_k": hotspot.ripley_k,
         "change_detection": hotspot.change_detection,
         "spatial_thinning": hotspot.spatial_thinning,
@@ -243,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- map-matching / geofencing ---
         "snap_to_ways": snap.snap_to_ways,
         "dwell_in_zone": trajectory.dwell_in_zone,
+        "geofence_transitions": trajectory.geofence_transitions,
     }
 
 
@@ -320,6 +324,18 @@ WHERE cell_low >= ({PREFIX_CELL} << 10) AND cell_low < (({PREFIX_CELL} + 1) << 1
             f"WITH {_pts_cte()}, u AS ({_tile_union(zooms=(6, 7, 8, 9, 10))}) "
             "SELECT z, x, y, count(*) AS n_images FROM u GROUP BY z, x, y"
         ),
+        # adaptive quadtree: a tile with data is a leaf iff it fits (or is
+        # at z_base) and NO ancestor in (z_top..z-1] fit — mirrors the
+        # engine's top-down split walk exactly (slippy ancestors nest by
+        # right-shift)
+        "quadtree_leaves": f"""
+WITH {_pts_cte()}, u AS ({_tile_union(zooms=(6, 7, 8, 9, 10))}),
+l AS (SELECT z, x, y, count(*) AS n_images FROM u GROUP BY z, x, y)
+SELECT t.z, t.x, t.y, t.n_images FROM l t
+WHERE (t.n_images <= {spatial.QUAD_THRESHOLD} OR t.z = 10)
+  AND NOT EXISTS (SELECT 1 FROM l a WHERE a.z >= 6 AND a.z < t.z
+      AND a.x = (t.x >> (t.z - a.z)) AND a.y = (t.y >> (t.z - a.z))
+      AND a.n_images <= {spatial.QUAD_THRESHOLD})""",
         "tile_raster": f"SELECT * FROM read_parquet('{golden.tile_raster_path(SF001, z=10)}')",
         "raster_to_vector": f"SELECT * FROM read_parquet('{golden.raster_vector_path(SF001, z=10)}')",
         "boundary_simplify": (
@@ -1286,4 +1302,33 @@ j AS (SELECT user_id, rel_id, dur_us FROM w JOIN {rects}
      AND w.nlon >= b.lon_min AND w.nlon < b.lon_max AND w.nlat >= b.lat_min AND w.nlat < b.lat_max)
 SELECT user_id, rel_id, CAST(sum(dur_us) AS BIGINT) AS dwell_us, count(*) AS n_segments
 FROM j GROUP BY user_id, rel_id""",
+        "geofence_transitions": f"""
+WITH {_epts},
+z AS (SELECT e.event_id, e.user_id, e.ts, CAST(coalesce(min(b.rel_id), -1) AS BIGINT) AS zone
+      FROM epts e LEFT JOIN {rects}
+        ON e.lon >= b.lon_min AND e.lon < b.lon_max AND e.lat >= b.lat_min AND e.lat < b.lat_max
+      GROUP BY e.event_id, e.user_id, e.ts),
+w AS (SELECT user_id, ts, zone,
+        lag(zone) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM z)
+SELECT user_id, ts, prev AS from_zone, zone AS to_zone
+FROM w WHERE prev IS NOT NULL AND prev <> zone""",
+        "skyline_parts": """
+SELECT p_partkey, p_size, p_retailprice FROM part t
+WHERE NOT EXISTS (SELECT 1 FROM part u
+  WHERE u.p_retailprice >= t.p_retailprice AND u.p_size <= t.p_size
+    AND (u.p_retailprice > t.p_retailprice OR u.p_size < t.p_size))""",
+        "burst_cells": f"""
+WITH ec AS (
+  SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy,
+         CAST(floor(epoch_us(ts) / {hotspot.DAY_US}) AS BIGINT) AS day
+  FROM events),
+d AS (SELECT cx, cy, day, count(*) AS n_events FROM ec GROUP BY 1, 2, 3),
+s AS (SELECT cx, cy, count(*) AS dd, CAST(sum(n_events) AS BIGINT) AS ss,
+             CAST(sum(n_events * n_events) AS BIGINT) AS qq
+      FROM d GROUP BY 1, 2)
+SELECT d.cx, d.cy, d.day, d.n_events FROM d JOIN s USING (cx, cy)
+WHERE s.dd >= {hotspot.BURST_MIN_DAYS} AND d.n_events * s.dd - s.ss > 0
+  AND (d.n_events * s.dd - s.ss) * (d.n_events * s.dd - s.ss)
+      > {hotspot.BURST_K * hotspot.BURST_K} * (s.qq * s.dd - s.ss * s.ss)""",
     }

@@ -1119,3 +1119,89 @@ def nearest_neighbor(sf_dir: str, radius: float = NN_RADIUS, num_partitions: int
         .groupby("part")
         .map_groups(reduce_best, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# burst_cells (temporal anomaly detection per lattice cell)
+# ---------------------------------------------------------------------------
+
+BURST_K = 2  # flag days > k sigma above the cell's own mean
+BURST_MIN_DAYS = 3  # cells observed on fewer days have no baseline
+DAY_US = 86_400_000_000
+
+
+def burst_cells(
+    sf_dir: str, eps: float = GI_EPS, k: int = BURST_K, min_days: int = BURST_MIN_DAYS
+) -> rd.Dataset:
+    """Temporal burst detection: days where a cell's event count sits
+    more than ``k`` standard deviations above that cell's own daily
+    baseline — the "something happened HERE on THIS day" screen run
+    before event attribution (reference analogue: the per-cell
+    counters of A3 gain a time axis and an anomaly test).
+
+    Exactness: with D = observed days, S = Σ n_d, Q = Σ n_d² (all
+    int64), the test  n > S/D + k·σ  (population σ) is equivalent to
+
+        n·D - S > 0  AND  (n·D - S)² > k²·(Q·D - S²)
+
+    — pure integer arithmetic, so no float ever crosses an engine
+    boundary and the SQL oracle mirrors it literally.
+
+    Scale shape: pass 1 is the per-batch (cell, day) count combiner →
+    one groupby over (cell, day) keys (lattice × active days, never
+    input rows); the baseline join is a per-CELL regroup of that tiny
+    table.  Output: (cx, cy, day, n_events) for burst days only.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / eps).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / eps).astype(np.int64)
+        day = t["ts"].cast(pa.int64()).to_numpy() // DAY_US
+        return pa.table(
+            {
+                "key": pa.array(cx * GI_GY + cy, type=pa.int64()),
+                "day": pa.array(day, type=pa.int64()),
+                "n": pa.array(np.ones(len(ids), dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    daily = (
+        _read_events(sf_dir, ["event_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["key", "day"])
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+
+    empty = pa.table(
+        {
+            "cx": pa.array([], type=pa.int64()),
+            "cy": pa.array([], type=pa.int64()),
+            "day": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def flag(g: pa.Table) -> pa.Table:
+        n = g["n_events"].to_numpy()
+        d = np.int64(len(n))
+        if d < min_days:
+            return empty
+        s = np.int64(n.sum())
+        q = np.int64((n * n).sum())
+        dev = n * d - s
+        hot = (dev > 0) & (dev * dev > k * k * (q * d - s * s))
+        if not hot.any():
+            return empty
+        key = g["key"].to_numpy()[hot]
+        return pa.table(
+            {
+                "cx": pa.array(key // GI_GY, type=pa.int64()),
+                "cy": pa.array(key % GI_GY, type=pa.int64()),
+                "day": pa.array(g["day"].to_numpy()[hot], type=pa.int64()),
+                "n_events": pa.array(n[hot], type=pa.int64()),
+            }
+        )
+
+    return daily.groupby("key").map_groups(flag, batch_format="pyarrow")

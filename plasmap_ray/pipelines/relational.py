@@ -186,3 +186,55 @@ def part_price_stats(sf_dir: str) -> rd.Dataset:
     return out.map_batches(
         functools.partial(_round_cols, cols=("avg_price", "std_price"), ndigits=4), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# skyline (multi-criteria dominance filter)
+# ---------------------------------------------------------------------------
+
+
+def _local_skyline(t: pa.Table, max_col: str, min_col: str) -> pa.Table:
+    """Vectorized 2-D skyline: rows not strictly dominated by any other
+    row in ``t`` (dominance = >= on max_col, <= on min_col, strict on
+    at least one).  Rows tied on BOTH coordinates all survive."""
+    if t.num_rows == 0:
+        return t
+    hi = t[max_col].to_numpy()
+    lo = t[min_col].to_numpy()
+    order = np.lexsort((lo, -hi))  # max_col desc, min_col asc
+    hi_s, lo_s = hi[order], lo[order]
+    new_grp = np.concatenate([[True], hi_s[1:] != hi_s[:-1]])
+    gid = np.cumsum(new_grp) - 1
+    gmin = lo_s[new_grp]  # per-group min (first row: min_col asc within group)
+    prev_best = np.concatenate([[np.inf], np.minimum.accumulate(gmin)[:-1]])
+    grp_alive = gmin < prev_best
+    keep = grp_alive[gid] & (lo_s == gmin[gid])
+    return t.take(pa.array(order[keep], type=pa.int64()))
+
+
+def skyline_parts(sf_dir: str) -> rd.Dataset:
+    """Pareto skyline of the part table: parts for which no other part
+    has retail price >= AND size <= (strict on one) — the classic
+    multi-criteria dominance query ("cheapest-to-carry, priciest"
+    frontier).  The reference has no analogue; a data engine's
+    recommendation/index-pruning layer wants it.
+
+    Scale shape: the skyline operator admits a perfect combiner —
+    skyline(A ∪ B) ⊆ skyline(A) ∪ skyline(B) — so each batch reduces
+    to its local frontier map-side (typically O(log n) survivors on
+    independent dimensions) and only frontiers shuffle to the final
+    single-task merge.  For adversarial anti-correlated inputs whose
+    global skyline is itself huge, insert intermediate repartition
+    rounds (frontier-of-frontiers is associative); the fixture world
+    terminates in one.
+
+    Output: (p_partkey, p_size, p_retailprice).
+    """
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def local(t: pa.Table) -> pa.Table:
+        return _local_skyline(t, "p_retailprice", "p_size")
+
+    return ds.map_batches(local, batch_format="pyarrow").repartition(1).map_batches(
+        local, batch_format="pyarrow"
+    )

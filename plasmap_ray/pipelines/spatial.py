@@ -243,22 +243,20 @@ def tile_histogram_pipeline(sf_dir: str, zooms: tuple[int, ...] = DEFAULT_ZOOMS,
     return tile_histogram_from_points(pts, zooms)
 
 
-def tile_pyramid_pipeline(sf_dir: str, z_base: int = 10, z_top: int = 6) -> rd.Dataset:
-    """Tile-pyramid roll-up: compute the per-tile histogram ONCE at
-    ``z_base``, then derive every coarser zoom by summing each tile's
-    four children (slippy tiles nest: parent (x,y) = (x>>1, y>>1)) —
-    the hierarchical-aggregation pattern every tile server uses.  Each
-    roll-up step shuffles only the previous LEVEL'S AGGREGATE (tiles
-    rows, not input rows); the base level uses the map-side combiner.
-    Output: (z, x, y, n_images) for z_top..z_base.
+def _pyramid_levels(sf_dir: str, z_base: int, z_top: int) -> dict[int, rd.Dataset]:
+    """Per-zoom tile-count aggregates z_base..z_top via hierarchical
+    roll-up: the input is touched ONCE (base histogram with combiner);
+    each coarser zoom shuffles only the previous LEVEL'S AGGREGATE
+    (tiles rows, shrinking 4x per step; slippy tiles nest:
+    parent (x,y) = (x>>1, y>>1)).
 
-    Every level is MATERIALIZED before the union: Ray Data does not
-    dedupe shared upstream plans across union branches, so un-cached
-    levels would re-run the base scan once per branch.  The levels are
-    tiny aggregates (tiles rows), so pinning them is cheap and keeps
-    the input-touched-once property true."""
+    Every level is MATERIALIZED: Ray Data does not dedupe shared
+    upstream plans across branches, so un-cached levels would re-run
+    the base scan per consumer.  The levels are tiny aggregates
+    (tiles rows), so pinning them is cheap and keeps the
+    input-touched-once property true."""
     base = tile_histogram_pipeline(sf_dir, zooms=(z_base,)).materialize()
-    levels = [base]
+    levels = {z_base: base}
     cur = base
     for z in range(z_base - 1, z_top - 1, -1):
         def parent(t: pa.Table, _z=z) -> pa.Table:
@@ -278,9 +276,81 @@ def tile_pyramid_pipeline(sf_dir: str, z_base: int = 10, z_top: int = 6) -> rd.D
             .aggregate(Sum("n_images", alias_name="n_images"))
             .materialize()
         )
-        levels.append(cur)
-    out = levels[0]
-    for lv in levels[1:]:
+        levels[z] = cur
+    return levels
+
+
+def tile_pyramid_pipeline(sf_dir: str, z_base: int = 10, z_top: int = 6) -> rd.Dataset:
+    """Tile-pyramid roll-up: (z, x, y, n_images) for z_top..z_base,
+    derived by the hierarchical aggregation in ``_pyramid_levels``."""
+    levels = _pyramid_levels(sf_dir, z_base, z_top)
+    out = levels[z_base]
+    for z in range(z_base - 1, z_top - 1, -1):
+        out = out.union(levels[z])
+    return out
+
+
+QUAD_THRESHOLD = 64  # max points per leaf before a tile splits
+_QUAD_PACK = np.int64(1) << np.int64(32)  # (x, y) -> one int64 key
+
+
+def quadtree_leaves(
+    sf_dir: str, z_top: int = 6, z_base: int = 10, threshold: int = QUAD_THRESHOLD
+) -> rd.Dataset:
+    """Adaptive quadtree partitioning: starting from the ``z_top``
+    tiles, split every tile holding more than ``threshold`` points
+    until the count fits or ``z_base`` is reached.  The leaf set is a
+    complete, non-overlapping cover of the data — the data-dependent
+    partition map used to even out skew before a spatial shuffle
+    (dense cities get deep small tiles, oceans stay coarse).
+
+    Leaf rule: a tile with data at zoom z is a leaf iff all its
+    ancestors in (z_top..z-1] were splitters (count > threshold) and
+    it either fits (count <= threshold) or is at z_base.  Every point
+    therefore lands in EXACTLY one leaf (Σ leaf counts = N).
+
+    Scale shape: counts come from the pyramid roll-up (input touched
+    once; every exchange is tile-bounded).  The top-down walk filters
+    each level against the previous level's splitter set, broadcast
+    once per level via ``ray.put`` — splitter sets are bounded by the
+    occupied-tile count at that zoom (≤4^z), and each take_all() pulls
+    only one filtered AGGREGATE level, never input rows.  At planet
+    scale with a deep z_base, swap the broadcast set for a hash
+    semi-join on the packed parent key — same level-at-a-time walk.
+
+    Output: (z, x, y, n_images) — the leaves.
+    """
+    levels = _pyramid_levels(sf_dir, z_base, z_top)
+    leaves: list[rd.Dataset] = []
+    split: frozenset[int] = frozenset()
+    for z in range(z_top, z_base + 1):
+        lv = levels[z]
+        if z == z_top:
+            active = lv
+        else:
+            if not split:
+                break
+            split_ref = ray.put(split)
+
+            def in_split(t: pa.Table, _ref=split_ref) -> pa.Table:
+                ks = ray.get(_ref)
+                x = t["x"].to_numpy().astype(np.int64)
+                y = t["y"].to_numpy().astype(np.int64)
+                pk = (x >> 1) * _QUAD_PACK + (y >> 1)
+                mask = np.fromiter((int(k) in ks for k in pk), bool, len(pk))
+                return t.filter(pa.array(mask))
+
+            active = lv.map_batches(in_split, batch_format="pyarrow").materialize()
+        if z == z_base:
+            leaves.append(active)
+            break
+        leaves.append(active.filter(expr=f"n_images <= {threshold}").materialize())
+        split = frozenset(
+            int(r["x"]) * int(_QUAD_PACK) + int(r["y"])
+            for r in active.filter(expr=f"n_images > {threshold}").select_columns(["x", "y"]).take_all()
+        )
+    out = leaves[0]
+    for lv in leaves[1:]:
         out = out.union(lv)
     return out
 

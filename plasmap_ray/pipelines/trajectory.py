@@ -1082,3 +1082,88 @@ def od_gravity(sf_dir: str, precision: int = OD_PRECISION) -> rd.Dataset:
         )
 
     return od.map_batches(enrich, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# geofence_transitions (zone enter/exit event stream)
+# ---------------------------------------------------------------------------
+
+
+def geofence_transitions(sf_dir: str, parts: int = TRAJ_PARTS) -> rd.Dataset:
+    """Geofence transition stream: one row per ping where a user's
+    containing zone CHANGED since their previous ping — the enter/exit
+    event feed geofencing products emit (reference analogue: plasmap's
+    per-area containment queries gain the temporal derivative).
+
+    Zone per ping = the smallest ``rel_id`` among containing fixture
+    admin rects, else -1 (outside every fence); overlapping fences
+    resolve deterministically by that min rule on BOTH engines.
+
+    Scale shape: zone assignment is a stateless vectorized probe of
+    the broadcast fence table inside ``map_batches`` (the fence set is
+    small; a planet-scale fence set routes through
+    ``stages.geo.PiPJoinActor`` instead, rest unchanged); the
+    per-user ordering is the coarse-partition run-scan
+    (``user_id % parts`` — one task per slice, not per user).
+
+    Output: (user_id, ts, from_zone, to_zone).
+    """
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+    rects = fixtures.admin_rects()
+    sentinel = np.iinfo(np.int64).max
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _derive_positions(t)
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        lon, lat = t["lon"].to_numpy(), t["lat"].to_numpy()
+        best = np.full(len(uid), sentinel, dtype=np.int64)
+        for r in rects:
+            inside = (
+                (lon >= r["lon_min"]) & (lon < r["lon_max"])
+                & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+            )
+            np.minimum(best, np.where(inside, np.int64(r["rel_id"]), sentinel), out=best)
+        zone = np.where(best == sentinel, np.int64(-1), best)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "zone": pa.array(zone, type=pa.int64()),
+                "part": pa.array(uid % parts, type=pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.timestamp("us")),
+            "from_zone": pa.array([], type=pa.int64()),
+            "to_zone": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        if len(uid) < 2:
+            return empty
+        zone = g["zone"].to_numpy()
+        chg = (uid[1:] == uid[:-1]) & (zone[1:] != zone[:-1])
+        idx = np.nonzero(chg)[0] + 1
+        if len(idx) == 0:
+            return empty
+        return pa.table(
+            {
+                "user_id": pa.array(uid[idx], type=pa.int64()),
+                "ts": g["ts"].take(pa.array(idx, type=pa.int64())),
+                "from_zone": pa.array(zone[idx - 1], type=pa.int64()),
+                "to_zone": pa.array(zone[idx], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(scan, batch_format="pyarrow")
+    )

@@ -305,3 +305,37 @@ def test_nearest_neighbor_matches_bruteforce(ray_session, event_ids):
         j = cand[order[0]]
         assert got[eid] == (event_ids[j], dfp[order[0]])
     assert n_with == len(out) and n_with > 0
+
+
+def test_burst_cells_matches_bruteforce(ray_session, event_ids):
+    import collections
+    import os
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines.hotspot import BURST_K, BURST_MIN_DAYS, DAY_US, GI_EPS, GI_GY
+
+    out = hotspot.burst_cells("/root/testdata/sf0.01").to_pandas()
+    ev = pq.read_table("/root/testdata/sf0.01/events.parquet", columns=["event_id", "ts"])
+    ids = ev["event_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    cx = np.floor((lon - fixtures.LON_MIN) / GI_EPS).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / GI_EPS).astype(np.int64)
+    day = ev["ts"].cast("int64").to_numpy() // DAY_US
+    cnt = collections.Counter(zip((cx * GI_GY + cy).tolist(), day.tolist()))
+    per_cell = collections.defaultdict(dict)
+    for (k, d), n in cnt.items():
+        per_cell[k][d] = n
+    exp = set()
+    for k, days in per_cell.items():
+        ns = np.array(list(days.values()), dtype=np.int64)
+        dd = np.int64(len(ns))
+        if dd < BURST_MIN_DAYS:
+            continue
+        s, q = ns.sum(), (ns * ns).sum()
+        for d, n in days.items():
+            dev = n * dd - s
+            if dev > 0 and dev * dev > BURST_K * BURST_K * (q * dd - s * s):
+                exp.add((int(k // GI_GY), int(k % GI_GY), int(d), int(n)))
+    got = {(int(r.cx), int(r.cy), int(r.day), int(r.n_events)) for r in out.itertuples()}
+    assert got == exp
+    assert len(exp) > 0  # threshold calibrated to be non-trivial at sf0.01

@@ -329,3 +329,53 @@ def test_zone_image_stats_matches_bruteforce(ray_session):
             continue
         assert out.loc[r["rel_id"], "n_images"] == m.sum()
         assert out.loc[r["rel_id"], "total_bytes"] == nbytes[m].sum()
+
+
+def test_quadtree_leaves_partition_exactly(ray_session):
+    """Leaves form a complete non-overlapping cover: every point lands in
+    exactly one leaf, no leaf overshoots the threshold unless at z_base,
+    and every leaf's ancestors were genuine splitters."""
+    from plasmap_ray.pipelines import spatial
+
+    sf = "/root/testdata/sf0.01"
+    t = 16
+    leaves = spatial.quadtree_leaves(sf, z_top=6, z_base=10, threshold=t).to_pandas()
+    total = pq.read_metadata(os.path.join(sf, "documents.parquet")).num_rows
+    assert int(leaves["n_images"].sum()) == total
+    assert (leaves[leaves.z < 10].n_images <= t).all()
+    # no leaf is an ancestor of another leaf (disjoint cover)
+    cells = {(int(r.z), int(r.x), int(r.y)) for r in leaves.itertuples()}
+    assert len(cells) == len(leaves)
+    for z, x, y in cells:
+        for za in range(6, z):
+            assert (za, x >> (z - za), y >> (z - za)) not in cells
+    # counts agree with the pyramid level values
+    pyr = spatial.tile_pyramid_pipeline(sf, z_base=10, z_top=6).to_pandas()
+    pv = {(int(r.z), int(r.x), int(r.y)): int(r.n_images) for r in pyr.itertuples()}
+    for r in leaves.itertuples():
+        assert pv[(int(r.z), int(r.x), int(r.y))] == int(r.n_images)
+
+
+def test_skyline_matches_bruteforce(ray_session):
+    from plasmap_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.01"
+    got = relational.skyline_parts(sf).to_pandas()
+    part = pq.read_table(os.path.join(sf, "part.parquet")).to_pandas()
+    hi = part["p_retailprice"].to_numpy()
+    lo = part["p_size"].to_numpy()
+    keep = []
+    for i in range(len(part)):
+        dom = (hi >= hi[i]) & (lo <= lo[i]) & ((hi > hi[i]) | (lo < lo[i]))
+        if not dom.any():
+            keep.append(i)
+    exp = part.iloc[keep][["p_partkey", "p_size", "p_retailprice"]]
+    g = got.sort_values(list(got.columns)).reset_index(drop=True)
+    e = exp.sort_values(list(got.columns)).reset_index(drop=True)
+    assert g.equals(e)
+    # local-skyline combiner is idempotent and order-insensitive: tiny batches
+    import plasmap_ray.pipelines.relational as rel
+    small = rd.read_parquet(os.path.join(sf, "part.parquet"), columns=["p_partkey", "p_size", "p_retailprice"], override_num_blocks=13)
+    two = small.map_batches(lambda b: rel._local_skyline(b, "p_retailprice", "p_size"), batch_format="pyarrow", batch_size=17).repartition(1).map_batches(lambda b: rel._local_skyline(b, "p_retailprice", "p_size"), batch_format="pyarrow").to_pandas()
+    g2 = two.sort_values(list(got.columns)).reset_index(drop=True)
+    assert g2.equals(e)

@@ -316,3 +316,35 @@ def test_od_gravity_matches_marginals(ray_session, events):
     # pairs): sum_o n_o * sum_d n_d / tot == tot
     assert (out["chi2"].to_numpy() >= 0).all()
     assert float(n_o.sum()) * float(n_d.sum()) / float(tot) == pytest.approx(float(tot))
+
+
+def test_geofence_transitions_matches_bruteforce(ray_session, events):
+    out = trajectory.geofence_transitions(SF).to_pandas()
+    ids = events["event_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    zone = np.full(len(ids), -1, dtype=np.int64)
+    best = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in fixtures.admin_rects():
+        inside = (
+            (lon >= r["lon_min"]) & (lon < r["lon_max"])
+            & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+        )
+        best = np.minimum(best, np.where(inside, np.int64(r["rel_id"]), best))
+    zone = np.where(best == np.iinfo(np.int64).max, -1, best)
+    uid = events["user_id"].to_numpy()
+    ts = events["ts"].to_numpy()
+    order = np.lexsort((ids, ts.astype("datetime64[us]").astype(np.int64), uid))
+    u_s, z_s, t_s = uid[order], zone[order], ts[order]
+    chg = (u_s[1:] == u_s[:-1]) & (z_s[1:] != z_s[:-1])
+    idx = np.nonzero(chg)[0] + 1
+    exp = {
+        (int(u_s[i]), np.datetime64(t_s[i], "us"), int(z_s[i - 1]), int(z_s[i]))
+        for i in idx
+    }
+    got = {
+        (int(r.user_id), np.datetime64(r.ts, "us"), int(r.from_zone), int(r.to_zone))
+        for r in out.itertuples()
+    }
+    assert got == exp
+    # every transition actually changes zone
+    assert (out["from_zone"] != out["to_zone"]).all()
