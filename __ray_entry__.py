@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "space_time_cube": hotspot.space_time_cube,
         "cell_entropy": hotspot.cell_entropy,
         "burst_cells": hotspot.burst_cells,
+        "kde_contours": hotspot.kde_contours,
         "ripley_k": hotspot.ripley_k,
         "change_detection": hotspot.change_detection,
         "spatial_thinning": hotspot.spatial_thinning,
@@ -274,6 +275,29 @@ def oracle_sql() -> dict[str, str]:
     img_pq = f"read_parquet('{images.images_path_for(SF001)}')"
 
     tile_hist = f"WITH {_pts_cte()}, u AS ({_tile_union()}) SELECT z, x, y, count(*) AS n_images FROM u GROUP BY z, x, y"
+
+    # KDE raster CTE chain (shared by kde_density and kde_contours):
+    # ends at `sw(cx, cy, n_events, sum_w_fp)`
+    _kde_cte = f"""evv AS (
+  SELECT {oracle.sql_derive_lon('event_id')} AS lon, {oracle.sql_derive_lat('event_id')} AS lat
+  FROM events),
+sites AS (
+  SELECT i.i AS cx, j.j AS cy,
+         {fixtures.LON_MIN!r} + (i.i + 0.5) * {hotspot.GI_EPS!r} AS sx,
+         {fixtures.LAT_MIN!r} + (j.j + 0.5) * {hotspot.GI_EPS!r} AS sy
+  FROM generate_series(0, {hotspot.GI_GX - 1}) AS i(i)
+  CROSS JOIN generate_series(0, {hotspot.GI_GY - 1}) AS j(j)),
+pw AS (
+  SELECT s.cx, s.cy,
+         1.0 - ((e.lon - s.sx) * (e.lon - s.sx) + (e.lat - s.sy) * (e.lat - s.sy)) / {hotspot.KDE_H * hotspot.KDE_H!r} AS w
+  FROM evv e JOIN sites s
+  ON e.lon >= s.sx - {hotspot.KDE_H!r} AND e.lon <= s.sx + {hotspot.KDE_H!r}
+  WHERE (e.lon - s.sx) * (e.lon - s.sx) + (e.lat - s.sy) * (e.lat - s.sy)
+        <= {hotspot.KDE_H * hotspot.KDE_H!r}),
+sw AS (
+  SELECT cx, cy, count(*) AS n_events,
+         CAST(sum(CAST(floor(w * {hotspot.KDE_FP!r} + 0.5) AS BIGINT)) AS BIGINT) AS sum_w_fp
+  FROM pw GROUP BY cx, cy)"""
 
     # event points with user/ts carried (trajectory family)
     _epts = (
@@ -1179,29 +1203,21 @@ SELECT cx, cy, n_own, nbr_sum, w,
             ELSE 'LL' END AS quad
 FROM lagd""",
         "kde_density": f"""
-WITH evv AS (
-  SELECT {oracle.sql_derive_lon('event_id')} AS lon, {oracle.sql_derive_lat('event_id')} AS lat
-  FROM events),
-sites AS (
-  SELECT i.i AS cx, j.j AS cy,
-         {fixtures.LON_MIN!r} + (i.i + 0.5) * {hotspot.GI_EPS!r} AS sx,
-         {fixtures.LAT_MIN!r} + (j.j + 0.5) * {hotspot.GI_EPS!r} AS sy
-  FROM generate_series(0, {hotspot.GI_GX - 1}) AS i(i)
-  CROSS JOIN generate_series(0, {hotspot.GI_GY - 1}) AS j(j)),
-pw AS (
-  SELECT s.cx, s.cy,
-         1.0 - ((e.lon - s.sx) * (e.lon - s.sx) + (e.lat - s.sy) * (e.lat - s.sy)) / {hotspot.KDE_H * hotspot.KDE_H!r} AS w
-  FROM evv e JOIN sites s
-  ON e.lon >= s.sx - {hotspot.KDE_H!r} AND e.lon <= s.sx + {hotspot.KDE_H!r}
-  WHERE (e.lon - s.sx) * (e.lon - s.sx) + (e.lat - s.sy) * (e.lat - s.sy)
-        <= {hotspot.KDE_H * hotspot.KDE_H!r}),
-sw AS (
-  SELECT cx, cy, count(*) AS n_events,
-         CAST(sum(CAST(floor(w * {hotspot.KDE_FP!r} + 0.5) AS BIGINT)) AS BIGINT) AS sum_w_fp
-  FROM pw GROUP BY cx, cy)
+WITH {_kde_cte}
 SELECT cx, cy, n_events, sum_w_fp,
        round(CAST(sum_w_fp AS DOUBLE) / {hotspot.KDE_FP!r} * {hotspot.KDE_NORM!r}, 6) AS intensity
 FROM sw""",
+        # raster -> vector: an edge of cell r at level L exists iff
+        # r >= L and its 4-neighbor (0 when off-lattice/empty) < L —
+        # exact integer thresholds, mirrors hotspot.kde_contours
+        "kde_contours": f"""
+WITH {_kde_cte},
+lv(lvl, l_fp) AS (VALUES {", ".join(f"({i}, {l})" for i, l in enumerate(hotspot.CONTOUR_LEVELS_FP))}),
+sd(side, dx, dy) AS (VALUES (0, -1, 0), (1, 1, 0), (2, 0, -1), (3, 0, 1))
+SELECT CAST(lv.lvl AS BIGINT) AS lvl, r.cx, r.cy, CAST(sd.side AS BIGINT) AS side
+FROM sw r CROSS JOIN lv CROSS JOIN sd
+LEFT JOIN sw n ON n.cx = r.cx + sd.dx AND n.cy = r.cy + sd.dy
+WHERE r.sum_w_fp >= lv.l_fp AND coalesce(n.sum_w_fp, 0) < lv.l_fp""",
         "cross_k": f"""
 WITH et AS (SELECT event_id, event_type, {oracle.sql_derive_lon('event_id')} AS lon,
                    {oracle.sql_derive_lat('event_id')} AS lat FROM events),

@@ -855,29 +855,37 @@ def kde_density(sf_dir: str, h: float = KDE_H) -> rd.Dataset:
     scy = np.tile(np.arange(GI_GY), GI_GX).astype(np.int64)
     h2 = h * h
 
+    n_sites = len(sx)
+
     def partial(t: pa.Table) -> pa.Table:
+        # kernel weights + fixed-point floors only on in-bandwidth pairs
+        # (the masked-IDW trick above) — bit-identical, the dense matrix
+        # only pays for the distance computation itself
         ids = t["event_id"].to_numpy()
         lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
         dx = lon[:, None] - sx[None, :]
         dy = lat[:, None] - sy[None, :]
-        d2 = dx * dx + dy * dy
-        m = d2 <= h2
-        w = 1.0 - d2 / h2
+        d2 = dx * dx
+        d2 += dy * dy
+        pi, si = np.nonzero(d2 <= h2)
+        w = 1.0 - d2[pi, si] / h2
         fw = np.floor(w * KDE_FP + 0.5).astype(np.int64)
-        n = m.sum(axis=0).astype(np.int64)
+        n = np.bincount(si, minlength=n_sites).astype(np.int64)
+        sum_w = np.zeros(n_sites, dtype=np.int64)
+        np.add.at(sum_w, si, fw)
         keep = n > 0
         return pa.table(
             {
                 "cx": pa.array(scx[keep], type=pa.int64()),
                 "cy": pa.array(scy[keep], type=pa.int64()),
                 "n_events": pa.array(n[keep], type=pa.int64()),
-                "sum_w_fp": pa.array(np.where(m, fw, 0).sum(axis=0)[keep], type=pa.int64()),
+                "sum_w_fp": pa.array(sum_w[keep], type=pa.int64()),
             }
         )
 
     agg = (
         _read_events(sf_dir, ["event_id"])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=32768)
         .groupby(["cx", "cy"])
         .aggregate(
             Sum("n_events", alias_name="n_events"),
@@ -1217,3 +1225,114 @@ def burst_cells(
         )
 
     return daily.groupby("key").map_groups(flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# kde_contours (raster -> vector: iso-level boundary edges)
+# ---------------------------------------------------------------------------
+
+# contour levels in exact fixed-point sum_w_fp units (integers, so the
+# threshold test never touches a float)
+CONTOUR_LEVELS_FP = (250_000_000, 300_000_000, 325_000_000)
+_CONTOUR_SIDES = ((0, -1, 0), (1, 1, 0), (2, 0, -1), (3, 0, 1))  # (side, dx, dy)
+
+
+def kde_contours(sf_dir: str, levels_fp: tuple[int, ...] = CONTOUR_LEVELS_FP) -> rd.Dataset:
+    """Raster→vector contour extraction: for each iso level L, every
+    lattice-cell edge where the density crosses L — cell value ≥ L on
+    the inside, 4-neighbor value < L (or off-lattice/empty = 0) on the
+    outside.  Chaining these edges is how a tile server polygonizes a
+    heatmap into vector iso-bands; the edge set itself is the exact,
+    order-free representation (binary marching squares on the cell
+    graph).
+
+    Thresholds are INTEGER fixed-point sum_w_fp values, so no float
+    ever enters the comparison and the SQL oracle mirrors it with a
+    plain coalesce-join.
+
+    Scale shape: rides the KDE raster aggregate (lattice-bounded);
+    the neighbor lookup is the Gi* scatter — each raster row scatters
+    its value to its 4 neighbors (constant-factor explode of the CELL
+    table), one more lattice-keyed groupby assembles (self, neighbor)
+    values, the level sweep is stateless vectorized math.
+
+    Output: (lvl, cx, cy, side) — side 0/1/2/3 = W/E/S/N edge of the
+    inside cell.
+    """
+    raster = kde_density(sf_dir).select_columns(["cx", "cy", "sum_w_fp"])
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cx = t["cx"].to_numpy()
+        cy = t["cy"].to_numpy()
+        v = t["sum_w_fp"].to_numpy()
+        # dir = -1 carries the cell's own value; dir = s carries the
+        # value of the cell's side-s neighbor (scattered FROM there)
+        out_cx = [cx]
+        out_cy = [cy]
+        out_dir = [np.full(len(cx), -1, dtype=np.int64)]
+        out_v = [v]
+        for side, dx, dy in _CONTOUR_SIDES:
+            # the source cell is the TARGET's neighbor on the opposite
+            # side: scattering (cx+dx, cy+dy) <- v tags the target's
+            # side (-dx,-dy)... i.e. opposite of (dx, dy)
+            opp = {0: 1, 1: 0, 2: 3, 3: 2}[side]
+            out_cx.append(cx + dx)
+            out_cy.append(cy + dy)
+            out_dir.append(np.full(len(cx), opp, dtype=np.int64))
+            out_v.append(v)
+        return pa.table(
+            {
+                "cx": pa.array(np.concatenate(out_cx), type=pa.int64()),
+                "cy": pa.array(np.concatenate(out_cy), type=pa.int64()),
+                "dir": pa.array(np.concatenate(out_dir), type=pa.int64()),
+                "v": pa.array(np.concatenate(out_v), type=pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "lvl": pa.array([], type=pa.int64()),
+            "cx": pa.array([], type=pa.int64()),
+            "cy": pa.array([], type=pa.int64()),
+            "side": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def edges(g: pa.Table) -> pa.Table:
+        d = g["dir"].to_numpy()
+        self_rows = d == -1
+        if not self_rows.any():
+            return empty  # scatter-only cell: value 0, never inside
+        cx = int(g["cx"].to_numpy()[0])
+        cy = int(g["cy"].to_numpy()[0])
+        v_self = int(g["v"].to_numpy()[self_rows][0])
+        nbr = np.zeros(4, dtype=np.int64)
+        for side in range(4):
+            m = d == side
+            if m.any():
+                nbr[side] = g["v"].to_numpy()[m][0]
+        lvl_col, side_col = [], []
+        for li, level in enumerate(levels_fp):
+            if v_self < level:
+                continue
+            for side in range(4):
+                if nbr[side] < level:
+                    lvl_col.append(li)
+                    side_col.append(side)
+        if not lvl_col:
+            return empty
+        k = len(lvl_col)
+        return pa.table(
+            {
+                "lvl": pa.array(lvl_col, type=pa.int64()),
+                "cx": pa.array(np.full(k, cx), type=pa.int64()),
+                "cy": pa.array(np.full(k, cy), type=pa.int64()),
+                "side": pa.array(side_col, type=pa.int64()),
+            }
+        )
+
+    return (
+        raster.map_batches(scatter, batch_format="pyarrow")
+        .groupby(["cx", "cy"])
+        .map_groups(edges, batch_format="pyarrow")
+    )

@@ -339,3 +339,39 @@ def test_burst_cells_matches_bruteforce(ray_session, event_ids):
     got = {(int(r.cx), int(r.cy), int(r.day), int(r.n_events)) for r in out.itertuples()}
     assert got == exp
     assert len(exp) > 0  # threshold calibrated to be non-trivial at sf0.01
+
+
+def test_kde_contours_enclose_interior(ray_session, event_ids):
+    """Contour edges separate >= level cells from < level cells: walking
+    from any inside cell, every path off the lattice crosses an edge —
+    verified cell-wise against a dense raster recompute."""
+    from plasmap_ray.pipelines.hotspot import (
+        CONTOUR_LEVELS_FP, GI_EPS, GI_GX, GI_GY, KDE_FP, KDE_H,
+    )
+
+    out = hotspot.kde_contours("/root/testdata/sf0.01").to_pandas()
+    import pyarrow.parquet as pq
+    ids = pq.read_table("/root/testdata/sf0.01/events.parquet", columns=["event_id"])["event_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    sx = fixtures.LON_MIN + (np.arange(GI_GX) + 0.5) * GI_EPS
+    sy = fixtures.LAT_MIN + (np.arange(GI_GY) + 0.5) * GI_EPS
+    dense = np.zeros((GI_GX, GI_GY), dtype=np.int64)
+    for i in range(GI_GX):
+        for j in range(GI_GY):
+            d2 = (lon - sx[i]) ** 2 + (lat - sy[j]) ** 2
+            m = d2 <= KDE_H * KDE_H
+            w = 1.0 - d2[m] / (KDE_H * KDE_H)
+            dense[i, j] = np.floor(w * KDE_FP + 0.5).astype(np.int64).sum()
+    exp = set()
+    for li, level in enumerate(CONTOUR_LEVELS_FP):
+        for i in range(GI_GX):
+            for j in range(GI_GY):
+                if dense[i, j] < level:
+                    continue
+                for side, (dx, dy) in enumerate(((-1, 0), (1, 0), (0, -1), (0, 1))):
+                    ni, nj = i + dx, j + dy
+                    nv = dense[ni, nj] if 0 <= ni < GI_GX and 0 <= nj < GI_GY else 0
+                    if nv < level:
+                        exp.add((li, i, j, side))
+    got = {(int(r.lvl), int(r.cx), int(r.cy), int(r.side)) for r in out.itertuples()}
+    assert got == exp and len(exp) > 0
