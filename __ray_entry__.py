@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": images.image_features,
         "image_thumbnails": images.image_thumbnails,
         "image_meta_stats": images.image_meta_stats,
+        "shard_manifest": images.shard_manifest,
         "best_image_per_tile": images.best_image_per_tile,
         "zone_image_stats": images.zone_image_stats,
         "caption_location_histogram": images.caption_location_histogram,
@@ -650,6 +651,17 @@ tl AS (
 r AS (
   SELECT *, row_number() OVER (PARTITION BY x, y ORDER BY payload_bytes DESC, image_id) AS rn FROM tl)
 SELECT {images.MOSAIC_Z} AS z, x, y, image_id, payload_bytes FROM r WHERE rn = 1""",
+        "shard_manifest": f"""
+WITH im AS (SELECT image_id, CAST(octet_length(bytes) AS BIGINT) AS nbytes,
+                   CAST(substr(image_id, 5, 12) AS BIGINT) AS img_id FROM {img_pq}),
+ip AS (SELECT image_id, nbytes, {oracle.sql_derive_lon('img_id')} AS lon,
+              {oracle.sql_derive_lat('img_id')} AS lat FROM im),
+t AS (SELECT image_id, nbytes, {oracle.sql_tile_x('lon', images.SHARD_Z)} AS x,
+             {oracle.sql_tile_y('lat', images.SHARD_Z)} AS y FROM ip),
+c AS (SELECT *, CAST(coalesce(sum(nbytes) OVER (PARTITION BY x, y ORDER BY image_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o FROM t)
+SELECT x, y, image_id, (o // {images.SHARD_BYTES}) AS shard_seq,
+       o AS byte_offset, nbytes FROM c""",
         "image_meta_stats": f"""
 SELECT fmt, w, h, count(*) AS n_images, CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes FROM {img_pq} GROUP BY fmt, w, h""",
         "phash_dedup": f"""

@@ -488,3 +488,93 @@ def caption_spam(sf_dir: str, min_phashes: int = CAPTION_SPAM_MIN_PHASHES) -> rd
         .aggregate(Sum("n", alias_name="n_images"), Sum("one", alias_name="n_phashes"))
     )
     return per_caption.filter(expr=f"n_phashes >= {min_phashes}")
+
+
+# ---------------------------------------------------------------------------
+# shard_manifest (training-shard packing with spatial locality)
+# ---------------------------------------------------------------------------
+
+SHARD_Z = 10  # shard key: slippy tile (spatial locality for training reads)
+SHARD_BYTES = 262_144  # byte budget per sub-shard window (256 KiB)
+_SHARD_PACK = np.int64(1) << np.int64(32)
+
+
+def shard_manifest(sf_dir: str, z: int = SHARD_Z, shard_bytes: int = SHARD_BYTES, parts: int = 32) -> rd.Dataset:
+    """WebDataset-style packing manifest: assign every image to a
+    spatially-local training shard (its z10 slippy tile), order
+    deterministically by image_id within the tile, and emit each
+    payload's byte OFFSET plus its budgeted sub-shard index
+    (cum_bytes // shard_bytes — fixed byte windows over the tile
+    stream).  A training job reads one shard sequentially and gets
+    spatially-coherent samples; the manifest is all a packer needs to
+    lay the bytes out.
+
+    Scale shape: ``bytes`` reduces to its LENGTH map-side (the payload
+    never shuffles); the per-tile regroup is the coarse-partition
+    run-scan (tile-key % parts — one task per slice, cumsums reset at
+    tile boundaries), so manifest construction shuffles only
+    (image_id, tile, nbytes) rows.
+
+    Output: (x, y, image_id, shard_seq, byte_offset, nbytes).
+    """
+    import pyarrow.compute as pc
+
+    from .. import tiles
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        img_id = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4, 16), pa.int64()).to_numpy()
+        lon, lat = fixtures.derive_lon(img_id), fixtures.derive_lat(img_id)
+        x, y = tiles.tile_xy(lon, lat, z)
+        key = x.astype(np.int64) * _SHARD_PACK + y.astype(np.int64)
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "x": pa.array(x, type=pa.int64()),
+                "y": pa.array(y, type=pa.int64()),
+                "nbytes": pc.cast(pc.binary_length(t["bytes"]), pa.int64()),
+                "part": pa.array(key % parts, type=pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "x": pa.array([], type=pa.int64()),
+            "y": pa.array([], type=pa.int64()),
+            "image_id": pa.array([], type=pa.string()),
+            "shard_seq": pa.array([], type=pa.int64()),
+            "byte_offset": pa.array([], type=pa.int64()),
+            "nbytes": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def pack(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("x", "ascending"), ("y", "ascending"), ("image_id", "ascending")])
+        if g.num_rows == 0:
+            return empty
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        nb = g["nbytes"].to_numpy()
+        key = x * _SHARD_PACK + y
+        # cumulative bytes BEFORE each row, reset at tile boundaries
+        cum = np.concatenate([[0], np.cumsum(nb)[:-1]])
+        starts = np.concatenate([[0], np.nonzero(np.diff(key))[0] + 1])
+        base = np.repeat(cum[starts], np.diff(np.concatenate([starts, [len(key)]])))
+        off = cum - base
+        return pa.table(
+            {
+                "x": g["x"],
+                "y": g["y"],
+                "image_id": g["image_id"],
+                "shard_seq": pa.array(off // shard_bytes, type=pa.int64()),
+                "byte_offset": pa.array(off, type=pa.int64()),
+                "nbytes": g["nbytes"],
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pack, batch_format="pyarrow")
+    )

@@ -379,3 +379,20 @@ def test_skyline_matches_bruteforce(ray_session):
     two = small.map_batches(lambda b: rel._local_skyline(b, "p_retailprice", "p_size"), batch_format="pyarrow", batch_size=17).repartition(1).map_batches(lambda b: rel._local_skyline(b, "p_retailprice", "p_size"), batch_format="pyarrow").to_pandas()
     g2 = two.sort_values(list(got.columns)).reset_index(drop=True)
     assert g2.equals(e)
+
+
+def test_shard_manifest_packs_contiguously(ray_session):
+    """Within each tile the manifest lays payloads out back-to-back in
+    image_id order: offsets are the exact prefix sums, sub-shard indices
+    are the fixed byte windows, and every image appears exactly once."""
+    from plasmap_ray.pipelines import images as img_p
+
+    sf = "/root/testdata/sf0.001"
+    df = img_p.shard_manifest(sf).to_pandas()
+    total = img_p.images_count_for(sf)
+    assert len(df) == total and df["image_id"].is_unique
+    for (_, _), g in df.groupby(["x", "y"]):
+        g = g.sort_values("image_id").reset_index(drop=True)
+        expect_off = np.concatenate([[0], np.cumsum(g["nbytes"].to_numpy())[:-1]])
+        assert (g["byte_offset"].to_numpy() == expect_off).all()
+        assert (g["shard_seq"].to_numpy() == expect_off // img_p.SHARD_BYTES).all()
