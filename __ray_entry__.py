@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_histogram_salted": lambda sf: spatial.tile_histogram_pipeline(sf, salted=True),
         "tile_pyramid": lambda sf: spatial.tile_pyramid_pipeline(sf, z_base=10, z_top=6),
         "quadtree_leaves": lambda sf: spatial.quadtree_leaves(sf, z_top=6, z_base=10),
+        "spatial_split": spatial.spatial_split,
         "pip_join": spatial.pip_join_pipeline,
         "pip_join_shuffle": spatial.pip_join_shuffle_pipeline,
         "pip_join_strtree": spatial.pip_join_strtree,
@@ -214,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_stats": multimodal.video_frame_stats,
         # --- trajectory / movement analytics ---
         "trajectory_stats": trajectory.trajectory_stats,
+        "trip_stats": trajectory.trip_stats,
         "od_matrix": trajectory.od_matrix,
         "od_gravity": trajectory.od_gravity,
         "speed_audit": trajectory.speed_audit,
@@ -332,6 +334,14 @@ SELECT o_cell, d_cell, count(*) AS n_users FROM md_out GROUP BY o_cell, d_cell""
 WITH {_pts_cte()},
 {oracle.sql_morton_ctes('pts', 'doc_id', low, 'cell_low')}
 SELECT doc_id, cell_low, (cell_low >> 4) AS cell_verylow FROM m_out""",
+        "spatial_split": f"""
+WITH {_pts_cte()},
+{oracle.sql_morton_ctes('pts', 'doc_id', low, 'cell_low')}
+SELECT doc_id, cell_low,
+  CASE WHEN ((cell_low * {spatial.SPLIT_MULT} + {spatial.SPLIT_ADD}) % {spatial.SPLIT_M31})
+            / {spatial.SPLIT_M31} < {spatial.SPLIT_TEST_FRAC!r}
+       THEN 'test' ELSE 'train' END AS split
+FROM m_out""",
         "tile_assign": f"""
 WITH {_pts_cte()},
 t AS (SELECT doc_id, {TILE_Z} AS z, {oracle.sql_tile_x('lon', TILE_Z)} AS x, {oracle.sql_tile_y('lat', TILE_Z)} AS y FROM pts)
@@ -864,6 +874,24 @@ SELECT user_id, count(*) AS n_events,
        ELSE {_fp_sql('(lon - plon)', '(lat - plat)')} END) AS BIGINT) AS path_fp,
   max({_fp_sql('(llon - flon)', '(llat - flat)')}) AS disp_fp
 FROM w GROUP BY user_id""",
+        "trip_stats": f"""
+WITH {_epts},
+w AS (SELECT user_id, event_id, ts, lon, lat,
+        lag(ts) OVER uw AS pts, lag(lon) OVER uw AS plon, lag(lat) OVER uw AS plat
+      FROM epts WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)),
+m AS (SELECT *, CASE WHEN pts IS NULL
+        OR epoch_us(ts) - epoch_us(pts) > {trajectory.TRIP_GAP_MIN * 60_000_000}
+        THEN 1 ELSE 0 END AS new_t FROM w),
+s AS (SELECT *, CAST(SUM(new_t) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS trip_seq FROM m),
+seg AS (SELECT user_id, trip_seq, ts,
+          CASE WHEN new_t = 1 THEN 0
+               ELSE {_fp_sql('(lon - plon)', '(lat - plat)')} END AS fp
+        FROM s)
+SELECT user_id, trip_seq, count(*) AS n_events,
+       CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS dur_us,
+       CAST(sum(fp) AS BIGINT) AS path_fp
+FROM seg GROUP BY user_id, trip_seq""",
         "od_matrix": _od_body,
         "od_gravity": f"""
 WITH od AS ({_od_body}),

@@ -712,3 +712,48 @@ def convex_hull_per_area(sf_dir: str) -> rd.Dataset:
         .groupby("rel_id")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# spatial_split (leakage-safe train/test assignment by cell)
+# ---------------------------------------------------------------------------
+
+SPLIT_MULT = 1664525  # Numerical-Recipes LCG — disjoint from fixture mixes
+SPLIT_ADD = 1013904223
+SPLIT_M31 = 1 << 31
+SPLIT_TEST_FRAC = 0.2
+
+
+def spatial_split(sf_dir: str, test_frac: float = SPLIT_TEST_FRAC) -> rd.Dataset:
+    """Group-wise train/test split keyed on the spatial CELL, not the
+    row: every point in a Morton cell lands on the same side, so near-
+    duplicate neighbors can never straddle the split (the spatial-
+    leakage guard every geo ML pipeline needs; row-wise random splits
+    leak because adjacent images share content).
+
+    The fold is the fixture world's LCG-mix trick on the CELL id —
+    pure integer + double arithmetic, so the engine and the SQL oracle
+    assign the identical side to every row with zero RNG state, under
+    any partitioning.
+
+    Scale shape: map-only (cell encode + integer hash per batch); no
+    shuffle at all — the split column rides with the row.
+
+    Output: (doc_id, cell_low, split) with split ∈ {'train', 'test'}.
+    """
+    pts = points_from_documents(sf_dir)
+
+    def assign(t: pa.Table) -> pa.Table:
+        t = geo.cell_index(t)
+        cell = t["cell_low"].to_numpy()
+        frac = ((cell * SPLIT_MULT + SPLIT_ADD) % SPLIT_M31) / SPLIT_M31
+        split = np.where(frac < test_frac, "test", "train")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cell_low": t["cell_low"],
+                "split": pa.array(split, type=pa.string()),
+            }
+        )
+
+    return pts.map_batches(assign, batch_format="pyarrow")

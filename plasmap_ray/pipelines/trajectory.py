@@ -1167,3 +1167,91 @@ def geofence_transitions(sf_dir: str, parts: int = TRAJ_PARTS) -> rd.Dataset:
         .groupby("part")
         .map_groups(scan, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# trip_stats (gap-segmented per-trip movement summaries)
+# ---------------------------------------------------------------------------
+
+TRIP_GAP_MIN = 30  # a silence longer than this starts a new trip
+
+
+def trip_stats(sf_dir: str, gap_min: int = TRIP_GAP_MIN, parts: int = TRAJ_PARTS) -> rd.Dataset:
+    """Trip segmentation + per-trip summary: a user's pings split into
+    trips wherever the inter-ping silence exceeds ``gap_min`` minutes
+    (the sessionizer's rule applied to movement), then each trip
+    reduces to its event count, duration, and fixed-point path length
+    — the feed for mode-inference / travel-demand models.
+
+    Scale shape: the same coarse-partition per-user run-scan as
+    ``trajectory_stats`` (one task per ``user_id % parts`` slice); trip
+    boundaries and segment sums are vectorized run arithmetic inside
+    the slice, and the output is one row per trip, never per ping.
+
+    Output: (user_id, trip_seq, n_events, dur_us, path_fp) with
+    trip_seq numbered 1.. per user in time order.
+    """
+    gap_us = gap_min * 60_000_000
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _derive_positions(t)
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        return t.append_column("part", pa.array(uid % parts, type=pa.int64()))
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "trip_seq": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+            "dur_us": pa.array([], type=pa.int64()),
+            "path_fp": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        n = len(uid)
+        if n == 0:
+            return empty
+        ts = g["ts"].cast(pa.int64()).to_numpy()
+        lon, lat = g["lon"].to_numpy(), g["lat"].to_numpy()
+        same = np.concatenate([[False], uid[1:] == uid[:-1]])
+        gap_ok = np.concatenate([[False], (ts[1:] - ts[:-1]) <= gap_us])
+        # a row CONTINUES the previous trip iff same user and small gap
+        cont = same & gap_ok
+        trip_start = ~cont
+        trip_id = np.cumsum(trip_start) - 1  # 0.. over the whole slice
+        # per-user trip ordinal: trips are contiguous and time-ordered
+        starts = np.nonzero(trip_start)[0]
+        start_uid = uid[starts]
+        first_of_user = np.concatenate([[True], start_uid[1:] != start_uid[:-1]])
+        base = np.maximum.accumulate(np.where(first_of_user, np.arange(len(starts)), 0))
+        trip_seq = (np.arange(len(starts)) - base + 1).astype(np.int64)
+        # segment contributions: segment i-1 -> i belongs to trip_id[i] iff cont[i]
+        seg = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            fp = _seg_fp(np.diff(lon), np.diff(lat))
+            seg[1:] = np.where(cont[1:], fp, 0)
+        # exact int64 path sums (bincount weights would round-trip float)
+        path_i = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(path_i, trip_id, seg)
+        cnt = np.bincount(trip_id, minlength=len(starts)).astype(np.int64)
+        ends = np.concatenate([starts[1:], [n]]) - 1
+        dur = ts[ends] - ts[starts]
+        return pa.table(
+            {
+                "user_id": pa.array(start_uid, type=pa.int64()),
+                "trip_seq": pa.array(trip_seq, type=pa.int64()),
+                "n_events": pa.array(cnt, type=pa.int64()),
+                "dur_us": pa.array(dur, type=pa.int64()),
+                "path_fp": pa.array(path_i, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(scan, batch_format="pyarrow")
+    )

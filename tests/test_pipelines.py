@@ -396,3 +396,13 @@ def test_shard_manifest_packs_contiguously(ray_session):
         expect_off = np.concatenate([[0], np.cumsum(g["nbytes"].to_numpy())[:-1]])
         assert (g["byte_offset"].to_numpy() == expect_off).all()
         assert (g["shard_seq"].to_numpy() == expect_off // img_p.SHARD_BYTES).all()
+
+
+def test_spatial_split_is_cell_coherent(ray_session):
+    from plasmap_ray.pipelines import spatial
+
+    df = spatial.spatial_split("/root/testdata/sf0.01").to_pandas()
+    # every cell lands entirely on one side (the leakage guard)
+    assert (df.groupby("cell_low")["split"].nunique() == 1).all()
+    frac = (df["split"] == "test").mean()
+    assert 0.05 < frac < 0.4  # close to the 0.2 target at cell granularity

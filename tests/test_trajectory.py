@@ -348,3 +348,22 @@ def test_geofence_transitions_matches_bruteforce(ray_session, events):
     assert got == exp
     # every transition actually changes zone
     assert (out["from_zone"] != out["to_zone"]).all()
+
+
+def test_trip_stats_consistency(ray_session, events):
+    """Trips partition each user's pings; per-user totals agree with
+    trajectory_stats (path sums only lose the inter-trip segments)."""
+    out = trajectory.trip_stats(SF).to_pandas()
+    assert int(out["n_events"].sum()) == events.num_rows
+    per_user = out.groupby("user_id").agg(
+        n=("n_events", "sum"), path=("path_fp", "sum"), trips=("trip_seq", "max")
+    )
+    traj = trajectory.trajectory_stats(SF).to_pandas().set_index("user_id")
+    assert (per_user["n"] == traj["n_events"]).all()
+    assert (per_user["path"] <= traj["path_fp"]).all()
+    # trip_seq is dense 1..n_trips per user
+    for uid, g in out.groupby("user_id"):
+        assert sorted(g["trip_seq"]) == list(range(1, len(g) + 1))
+    # single-ping trips have zero duration and length
+    single = out[out["n_events"] == 1]
+    assert (single["dur_us"] == 0).all() and (single["path_fp"] == 0).all()
