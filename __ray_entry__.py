@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hex_bin_index": spatial.hex_bin_index_pipeline,
         "hex_hot_cells": spatial.hex_hot_cells_pipeline,
         "kmeans_clusters": ann.kmeans_embeddings,
+        "zone_embedding_centroid": ann.zone_embedding_centroid,
         "kmeans_cluster_sizes": ann.kmeans_cluster_sizes,
         "tile_assign": lambda sf: spatial.tile_assign_pipeline(sf, z=TILE_Z),
         "tile_histogram": spatial.tile_histogram_pipeline,
@@ -580,6 +581,21 @@ SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars FROM docume
 SELECT doc_id % 400 AS dup_key, min(doc_id) AS first_doc_id, count(*) AS n_dups FROM documents GROUP BY 1""",
         "text_md5_dedup": """
 SELECT md5(text) AS text_md5, min(doc_id) AS first_doc_id, count(*) AS n_copies FROM documents GROUP BY 1""",
+        "zone_embedding_centroid": f"""
+WITH ev AS (SELECT vec_id, {oracle.sql_derive_lon('vec_id')} AS lon,
+                   {oracle.sql_derive_lat('vec_id')} AS lat FROM embeddings),
+z AS (SELECT e.vec_id, CAST(coalesce(min(b.rel_id), -1) AS BIGINT) AS rel_id
+      FROM ev e LEFT JOIN {rects}
+        ON e.lon >= b.lon_min AND e.lon < b.lon_max AND e.lat >= b.lat_min AND e.lat < b.lat_max
+      GROUP BY e.vec_id),
+u AS (SELECT vec_id, unnest(embedding) AS val, generate_subscripts(embedding, 1) AS dim
+      FROM embeddings),
+f AS (SELECT z.rel_id, CAST(u.dim - 1 AS BIGINT) AS dim,
+             CAST(floor(CAST(u.val AS DOUBLE) * {ann.CENTROID_FP} + 0.5) AS BIGINT) AS fpv
+      FROM u JOIN z USING (vec_id))
+SELECT rel_id, dim, count(*) AS n_vecs,
+       round(CAST(sum(fpv) AS DOUBLE) / {ann.CENTROID_FP} / count(*), 6) AS mean
+FROM f GROUP BY rel_id, dim""",
         "ann_topk": f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID}),
 scored AS (SELECT e.vec_id, list_cosine_similarity(e.embedding, q.qv) AS sim FROM embeddings e, q

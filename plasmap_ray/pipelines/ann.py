@@ -607,3 +607,86 @@ def lsh_bucket_topk(sf_dir: str, k: int = 10, vec_id: int = 1, planes: int = 6, 
     scored = _read_emb(sf_dir).map_batches(BucketScore, batch_format="pyarrow", concurrency=(1, 4))
     scored = scored.filter(expr=f"vec_id != {vec_id}")
     return ranked_head(scored, ["sim", "vec_id"], "sim_rank", k)
+
+
+# ---------------------------------------------------------------------------
+# zone_embedding_centroid (vector-column aggregation per spatial zone)
+# ---------------------------------------------------------------------------
+
+CENTROID_FP = 1 << 20  # per-element fixed-point scale for order-free sums
+
+
+def zone_embedding_centroid(sf_dir: str, fp: int = CENTROID_FP) -> rd.Dataset:
+    """Mean embedding per admin zone: vectors land in a zone via their
+    derived position (min-rel_id fence rule, -1 = outside), then each
+    zone reduces to its per-dimension centroid — the regional semantic
+    signature used for zone-level retrieval/drift monitoring, and the
+    template for ANY vector-column groupby aggregate.
+
+    Float discipline: each float32 element converts exactly to float64
+    and fixed-points ONCE (floor(v·2^20 + 0.5) — the k-means
+    partial-sum trick); all shuffled quantities are int64, so the
+    centroid is bit-stable under any batch split and the SQL oracle
+    (unnest + the same integer arithmetic) mirrors it literally.
+
+    Scale shape: per-batch (zone, dim) partial sums — the shuffle
+    moves zones × dims rows per batch, never vectors; one
+    lattice-bounded groupby; the division happens once per output row.
+
+    Output: (rel_id, dim, n_vecs, mean) with dim 0-based and mean
+    rounded 6.
+    """
+    from .. import fixtures
+    from ray.data.aggregate import Sum
+
+    ds = _read_emb(sf_dir)
+    rects = fixtures.admin_rects()
+    sentinel = np.iinfo(np.int64).max
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)  # (n, d) float64, exact from float32
+        ids = t["vec_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        best = np.full(len(ids), sentinel, dtype=np.int64)
+        for r in rects:
+            inside = (
+                (lon >= r["lon_min"]) & (lon < r["lon_max"])
+                & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+            )
+            np.minimum(best, np.where(inside, np.int64(r["rel_id"]), sentinel), out=best)
+        zone = np.where(best == sentinel, np.int64(-1), best)
+        fpv = np.floor(m * fp + 0.5).astype(np.int64)  # (n, d)
+        zs, inv = np.unique(zone, return_inverse=True)
+        d = fpv.shape[1]
+        sums = np.zeros((len(zs), d), dtype=np.int64)
+        np.add.at(sums, inv, fpv)
+        cnt = np.bincount(inv, minlength=len(zs)).astype(np.int64)
+        return pa.table(
+            {
+                "rel_id": pa.array(np.repeat(zs, d), type=pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(zs)), type=pa.int64()),
+                "n_vecs": pa.array(np.repeat(cnt, d), type=pa.int64()),
+                "sum_fp": pa.array(sums.ravel(), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["rel_id", "dim"])
+        .aggregate(Sum("n_vecs", alias_name="n_vecs"), Sum("sum_fp", alias_name="sum_fp"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["sum_fp"].to_numpy().astype(np.float64)
+        n = t["n_vecs"].to_numpy().astype(np.float64)
+        mean = duckdb_round(s / fp / n, 6)
+        return pa.table(
+            {
+                "rel_id": t["rel_id"],
+                "dim": t["dim"],
+                "n_vecs": t["n_vecs"],
+                "mean": pa.array(mean, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -254,3 +254,36 @@ def test_kmeans_partitions_and_improves(ray_session):
 
     few = ann.kmeans_embeddings(sf, k=4, iters=1).to_pandas()
     assert objective(got, 3) <= objective(few, 1) + 1e-9
+
+
+def test_zone_embedding_centroid_batch_invariant(ray_session):
+    """Centroids are bit-identical under different batch splits (the
+    fixed-point order-free sum contract) and match a direct recompute."""
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines.ann import CENTROID_FP, zone_embedding_centroid
+
+    sf = "/root/testdata/sf0.01"
+    out = zone_embedding_centroid(sf).to_pandas().sort_values(["rel_id", "dim"]).reset_index(drop=True)
+    t = pq.read_table(sf + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = np.asarray(t["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False), np.float64).reshape(len(ids), -1)
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    best = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in fixtures.admin_rects():
+        inside = (lon >= r["lon_min"]) & (lon < r["lon_max"]) & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+        best = np.minimum(best, np.where(inside, np.int64(r["rel_id"]), best))
+    zone = np.where(best == np.iinfo(np.int64).max, -1, best)
+    fpv = np.floor(m * CENTROID_FP + 0.5).astype(np.int64)
+    rows = []
+    for z in np.unique(zone):
+        sel = zone == z
+        s = fpv[sel].sum(axis=0)
+        n = int(sel.sum())
+        for d in range(m.shape[1]):
+            rows.append((int(z), d, n, np.round(s[d] / CENTROID_FP / n, 6)))
+    import pandas as pd
+    exp = pd.DataFrame(rows, columns=["rel_id", "dim", "n_vecs", "mean"]).sort_values(["rel_id", "dim"]).reset_index(drop=True)
+    assert (out["rel_id"] == exp["rel_id"]).all() and (out["n_vecs"] == exp["n_vecs"]).all()
+    assert np.allclose(out["mean"], exp["mean"], atol=0, rtol=0)
