@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_entropy": hotspot.cell_entropy,
         "burst_cells": hotspot.burst_cells,
         "kde_contours": hotspot.kde_contours,
+        "distance_raster": hotspot.distance_raster,
         "ripley_k": hotspot.ripley_k,
         "change_detection": hotspot.change_detection,
         "spatial_thinning": hotspot.spatial_thinning,
@@ -1258,6 +1259,22 @@ SELECT cx, cy, n_own, nbr_sum, w,
             WHEN lag >= 0 THEN 'LH'
             ELSE 'LL' END AS quad
 FROM lagd""",
+        # min(floor(x)) == floor(min(x)) for monotone floor, so the
+        # per-batch quantize-then-min order matches this global form
+        "distance_raster": f"""
+WITH evv AS (
+  SELECT {oracle.sql_derive_lon('event_id')} AS lon, {oracle.sql_derive_lat('event_id')} AS lat
+  FROM events),
+sites AS (
+  SELECT i.i AS cx, j.j AS cy,
+         {fixtures.LON_MIN!r} + (i.i + 0.5) * {hotspot.GI_EPS!r} AS sx,
+         {fixtures.LAT_MIN!r} + (j.j + 0.5) * {hotspot.GI_EPS!r} AS sy
+  FROM generate_series(0, {hotspot.GI_GX - 1}) AS i(i)
+  CROSS JOIN generate_series(0, {hotspot.GI_GY - 1}) AS j(j))
+SELECT s.cx, s.cy,
+       min(CAST(floor(((e.lon - s.sx) * (e.lon - s.sx) + (e.lat - s.sy) * (e.lat - s.sy))
+                      * {hotspot.DIST_FP!r} + 0.5) AS BIGINT)) AS min_d2_fp
+FROM sites s CROSS JOIN evv e GROUP BY s.cx, s.cy""",
         "kde_density": f"""
 WITH {_kde_cte}
 SELECT cx, cy, n_events, sum_w_fp,

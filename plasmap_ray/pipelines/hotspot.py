@@ -1336,3 +1336,62 @@ def kde_contours(sf_dir: str, levels_fp: tuple[int, ...] = CONTOUR_LEVELS_FP) ->
         .groupby(["cx", "cy"])
         .map_groups(edges, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# distance_raster (distance transform: nearest event per lattice site)
+# ---------------------------------------------------------------------------
+
+DIST_FP = 1e12  # squared-degree fixed point (min is order-free anyway;
+# fixing the value once makes the engine/oracle compare integer-exact)
+
+
+def distance_raster(sf_dir: str) -> rd.Dataset:
+    """Distance transform over the lattice: for every cell center, the
+    squared distance to the NEAREST event — the coverage-gap raster
+    (where is the closest observation?) behind sensor-placement and
+    sampling-bias audits; complement of the KDE density layer.
+
+    MIN is idempotent and order-free, so unlike the sum-based rasters
+    no accumulation discipline is needed: each batch emits its local
+    per-site minimum (300 rows), the groupby keeps the global minimum,
+    and the single fixed-point quantization (floor(d2·1e12 + 0.5),
+    applied BEFORE the min) makes the compare integer-exact.
+
+    Scale shape: identical to IDW/KDE — per-batch (rows × sites)
+    distance pass, per-site partials only; at planet-lattice sizes
+    swap the dense site sweep for the event-bucketed expanding-ring
+    search (stages.geo grid pattern), same output contract.
+
+    Output: (cx, cy, min_d2_fp) for ALL lattice sites.
+    """
+    from ray.data.aggregate import Min
+
+    sx = (fixtures.LON_MIN + (np.arange(GI_GX) + 0.5) * GI_EPS).repeat(GI_GY)
+    sy = np.tile(fixtures.LAT_MIN + (np.arange(GI_GY) + 0.5) * GI_EPS, GI_GX)
+    scx = np.arange(GI_GX).repeat(GI_GY).astype(np.int64)
+    scy = np.tile(np.arange(GI_GY), GI_GX).astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        dx = lon[:, None] - sx[None, :]
+        dy = lat[:, None] - sy[None, :]
+        d2 = dx * dx
+        d2 += dy * dy
+        dmin = d2.min(axis=0)
+        fp = np.floor(dmin * DIST_FP + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "cx": pa.array(scx, type=pa.int64()),
+                "cy": pa.array(scy, type=pa.int64()),
+                "min_d2_fp": pa.array(fp, type=pa.int64()),
+            }
+        )
+
+    return (
+        _read_events(sf_dir, ["event_id"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=32768)
+        .groupby(["cx", "cy"])
+        .aggregate(Min("min_d2_fp", alias_name="min_d2_fp"))
+    )

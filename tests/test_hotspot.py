@@ -375,3 +375,21 @@ def test_kde_contours_enclose_interior(ray_session, event_ids):
                         exp.add((li, i, j, side))
     got = {(int(r.lvl), int(r.cx), int(r.cy), int(r.side)) for r in out.itertuples()}
     assert got == exp and len(exp) > 0
+
+
+def test_distance_raster_matches_bruteforce(ray_session, event_ids):
+    from plasmap_ray.pipelines.hotspot import DIST_FP, GI_EPS, GI_GX, GI_GY
+
+    out = hotspot.distance_raster("/root/testdata/sf0.01").to_pandas()
+    assert len(out) == GI_GX * GI_GY
+    import pyarrow.parquet as pq
+    ids = pq.read_table("/root/testdata/sf0.01/events.parquet", columns=["event_id"])["event_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    got = {(int(r.cx), int(r.cy)): int(r.min_d2_fp) for r in out.itertuples()}
+    for i in range(0, GI_GX, 3):
+        for j in range(0, GI_GY, 2):
+            sxi = fixtures.LON_MIN + (i + 0.5) * GI_EPS
+            syj = fixtures.LAT_MIN + (j + 0.5) * GI_EPS
+            d2 = (lon - sxi) ** 2 + (lat - syj) ** 2
+            exp = int(np.floor(d2.min() * DIST_FP + 0.5))
+            assert got[(i, j)] == exp
