@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "best_image_per_tile": images.best_image_per_tile,
         "zone_image_stats": images.zone_image_stats,
         "caption_location_histogram": images.caption_location_histogram,
+        "zone_top_terms": images.zone_top_terms,
         "phash_dedup": images.phash_dedup,
         "phash_near_dup_pairs": images.phash_near_dup_pairs,
         # --- audio / video payloads (real WAV decode; raw frame sampling) ---
@@ -242,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_cells": hotspot.burst_cells,
         "kde_contours": hotspot.kde_contours,
         "distance_raster": hotspot.distance_raster,
+        "voronoi_assign": hotspot.voronoi_assign,
         "ripley_k": hotspot.ripley_k,
         "change_detection": hotspot.change_detection,
         "spatial_thinning": hotspot.spatial_thinning,
@@ -665,6 +667,20 @@ SELECT b.rel_id, b.admin_level, count(*) AS n_images,
 FROM ipts p JOIN {rects}
 ON p.lon >= b.lon_min AND p.lon < b.lon_max AND p.lat >= b.lat_min AND p.lat < b.lat_max
 GROUP BY 1, 2""",
+        "zone_top_terms": f"""
+WITH iid AS (
+  SELECT CAST(substr(image_id, 5, 12) AS BIGINT) AS img_id, caption FROM {img_pq}),
+ipts AS (
+  SELECT caption, {oracle.sql_derive_lon('img_id')} AS lon,
+         {oracle.sql_derive_lat('img_id')} AS lat FROM iid),
+j AS (
+  SELECT b.rel_id, p.caption FROM ipts p JOIN {rects}
+  ON p.lon >= b.lon_min AND p.lon < b.lon_max AND p.lat >= b.lat_min AND p.lat < b.lat_max),
+toks AS (SELECT rel_id, unnest(string_split(lower(caption), ' ')) AS token FROM j),
+cnt AS (SELECT rel_id, token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2),
+rk AS (SELECT rel_id, token, n,
+       row_number() OVER (PARTITION BY rel_id ORDER BY n DESC, token ASC) AS rank FROM cnt)
+SELECT rel_id, token, n, CAST(rank AS BIGINT) AS rank FROM rk WHERE rank <= 5""",
         "best_image_per_tile": f"""
 WITH iid AS (
   SELECT image_id, CAST(substr(image_id, 5, 12) AS BIGINT) AS img_id,
@@ -1275,6 +1291,27 @@ SELECT s.cx, s.cy,
        min(CAST(floor(((e.lon - s.sx) * (e.lon - s.sx) + (e.lat - s.sy) * (e.lat - s.sy))
                       * {hotspot.DIST_FP!r} + 0.5) AS BIGINT)) AS min_d2_fp
 FROM sites s CROSS JOIN evv e GROUP BY s.cx, s.cy""",
+        # lexicographic (d2_fp, event_id) min: join back to the per-site
+        # min distance, then take the smallest id among the achievers
+        "voronoi_assign": f"""
+WITH evv AS (
+  SELECT event_id, {oracle.sql_derive_lon('event_id')} AS lon, {oracle.sql_derive_lat('event_id')} AS lat
+  FROM events),
+sites AS (
+  SELECT i.i AS cx, j.j AS cy,
+         {fixtures.LON_MIN!r} + (i.i + 0.5) * {hotspot.GI_EPS!r} AS sx,
+         {fixtures.LAT_MIN!r} + (j.j + 0.5) * {hotspot.GI_EPS!r} AS sy
+  FROM generate_series(0, {hotspot.GI_GX - 1}) AS i(i)
+  CROSS JOIN generate_series(0, {hotspot.GI_GY - 1}) AS j(j)),
+d AS (
+  SELECT s.cx, s.cy, e.event_id,
+         CAST(floor(((e.lon - s.sx) * (e.lon - s.sx) + (e.lat - s.sy) * (e.lat - s.sy))
+                    * {hotspot.DIST_FP!r} + 0.5) AS BIGINT) AS d2_fp
+  FROM sites s CROSS JOIN evv e),
+m AS (SELECT cx, cy, min(d2_fp) AS min_d2_fp FROM d GROUP BY cx, cy)
+SELECT m.cx, m.cy, m.min_d2_fp, min(d.event_id) AS nn_event
+FROM m JOIN d ON d.cx = m.cx AND d.cy = m.cy AND d.d2_fp = m.min_d2_fp
+GROUP BY m.cx, m.cy, m.min_d2_fp""",
         "kde_density": f"""
 WITH {_kde_cte}
 SELECT cx, cy, n_events, sum_w_fp,

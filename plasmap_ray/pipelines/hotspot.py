@@ -1395,3 +1395,81 @@ def distance_raster(sf_dir: str) -> rd.Dataset:
         .groupby(["cx", "cy"])
         .aggregate(Min("min_d2_fp", alias_name="min_d2_fp"))
     )
+
+
+# ---------------------------------------------------------------------------
+# voronoi_assign (discrete Voronoi: nearest-event id per lattice site)
+# ---------------------------------------------------------------------------
+
+
+def voronoi_assign(sf_dir: str) -> rd.Dataset:
+    """Discrete Voronoi partition of the lattice: for every cell
+    center, the id of the NEAREST event (ties broken by smaller
+    event_id) plus its quantized squared distance — the assignment
+    layer on top of :func:`distance_raster` (which event claims this
+    site?), the primitive behind nearest-facility allocation and
+    label-propagation rasters.
+
+    Correctness shape: the per-site reduction is a lexicographic MIN
+    over (d2_fp, event_id) — idempotent, order-free, exact in int64 —
+    so per-batch partials (one candidate row per site) compose under
+    any grouping.  Each batch emits its local argmin per site; the
+    300-group ``map_groups`` keeps the global lexicographic min.
+    Group input is bounded by (#batches x sites), never by row count.
+
+    Scale shape: identical to distance_raster — per-batch
+    (rows x sites) vectorized distance pass, per-site partials only;
+    at planet-lattice sizes swap the dense sweep for the
+    event-bucketed expanding-ring search.
+
+    Output: (cx, cy, min_d2_fp, nn_event) for ALL lattice sites.
+    """
+    sx = (fixtures.LON_MIN + (np.arange(GI_GX) + 0.5) * GI_EPS).repeat(GI_GY)
+    sy = np.tile(fixtures.LAT_MIN + (np.arange(GI_GY) + 0.5) * GI_EPS, GI_GX)
+    scx = np.arange(GI_GX).repeat(GI_GY).astype(np.int64)
+    scy = np.tile(np.arange(GI_GY), GI_GX).astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        dx = lon[:, None] - sx[None, :]
+        dy = lat[:, None] - sy[None, :]
+        d2 = dx * dx
+        d2 += dy * dy
+        fp = np.floor(d2 * DIST_FP + 0.5).astype(np.int64)
+        # lexicographic argmin per site: smallest d2_fp, then smallest id.
+        # Sort ids once so that among equal-fp rows argmin picks the
+        # first = smallest event_id (np.argmin returns the first min).
+        order = np.argsort(ids, kind="stable")
+        fp = fp[order]
+        ids_sorted = ids[order]
+        best = np.argmin(fp, axis=0)
+        return pa.table(
+            {
+                "cx": pa.array(scx, type=pa.int64()),
+                "cy": pa.array(scy, type=pa.int64()),
+                "min_d2_fp": pa.array(fp[best, np.arange(fp.shape[1])], type=pa.int64()),
+                "nn_event": pa.array(ids_sorted[best], type=pa.int64()),
+            }
+        )
+
+    def reduce(t: pa.Table) -> pa.Table:
+        fp = t["min_d2_fp"].to_numpy()
+        ev = t["nn_event"].to_numpy()
+        m = fp.min()
+        at = ev[fp == m].min()
+        return pa.table(
+            {
+                "cx": t["cx"][:1],
+                "cy": t["cy"][:1],
+                "min_d2_fp": pa.array([int(m)], type=pa.int64()),
+                "nn_event": pa.array([int(at)], type=pa.int64()),
+            }
+        )
+
+    return (
+        _read_events(sf_dir, ["event_id"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=32768)
+        .groupby(["cx", "cy"])
+        .map_groups(reduce, batch_format="pyarrow")
+    )

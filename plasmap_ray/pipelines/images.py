@@ -192,6 +192,74 @@ def caption_location_histogram(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(extract, batch_format="pyarrow").groupby("place").aggregate(Count(alias_name="n_images"))
 
 
+def zone_top_terms(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Regional vocabulary: the top-k caption tokens per admin zone —
+    the geo x text cross-family query behind per-region prompt/label
+    audits (what does the corpus SAY about each place?).  PiP-assign
+    every image to its containing zones, tokenize captions with the
+    canonical single-space-lowercase split (pipelines.index contract),
+    count per (zone, token), keep the k most frequent per zone with
+    (count desc, token asc) deterministic ordering.
+
+    Scale shape: the broadcast boundary index rides the actor pool;
+    tokens are counted map-side per batch (a (zone, token, n) combiner)
+    so the shuffle carries distinct-key partials, never per-image
+    rows; the per-zone top-k reduce is bounded by the zone count.
+
+    Output: (rel_id, token, n, rank), rank in [1, k].
+    """
+    import pyarrow.compute as pc
+
+    from ..pipelines.spatial import boundary_index_ref
+    from ..stages import geo
+
+    idx_ref = boundary_index_ref()
+    ds = read_images(sf_dir, columns=["image_id", "caption"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4, 16), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "lon": pa.array(fixtures.derive_lon(ids), type=pa.float64()),
+                "lat": pa.array(fixtures.derive_lat(ids), type=pa.float64()),
+                "caption": t["caption"],
+            }
+        )
+
+    joined = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        geo.PiPJoinActor,
+        fn_constructor_kwargs=dict(index_ref=idx_ref, keep_cols=("caption",)),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=8192,
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(t["caption"]), " ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        rel = np.repeat(t["rel_id"].to_numpy(), lens)
+        flat = pa.table({"rel_id": pa.array(rel, type=pa.int64()), "token": pc.list_flatten(toks)})
+        return (
+            flat.group_by(["rel_id", "token"])
+            .aggregate([("token", "count")])
+            .rename_columns(["rel_id", "token", "n"])
+        )
+
+    counts = (
+        joined.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["rel_id", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def topk(g, k=k):
+        g = g.sort_values(["n", "token"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return counts.groupby("rel_id").map_groups(topk, batch_format="pandas")
+
+
 MOSAIC_Z = 10
 
 

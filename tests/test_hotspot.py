@@ -377,6 +377,25 @@ def test_kde_contours_enclose_interior(ray_session, event_ids):
     assert got == exp and len(exp) > 0
 
 
+def test_voronoi_assign_matches_bruteforce(ray_session, event_ids):
+    from plasmap_ray.pipelines.hotspot import DIST_FP, GI_EPS, GI_GX, GI_GY
+
+    out = hotspot.voronoi_assign("/root/testdata/sf0.01").to_pandas()
+    assert len(out) == GI_GX * GI_GY
+    import pyarrow.parquet as pq
+    ids = pq.read_table("/root/testdata/sf0.01/events.parquet", columns=["event_id"])["event_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    got = {(int(r.cx), int(r.cy)): (int(r.min_d2_fp), int(r.nn_event)) for r in out.itertuples()}
+    for i in range(0, GI_GX, 4):
+        for j in range(0, GI_GY, 3):
+            sxi = fixtures.LON_MIN + (i + 0.5) * GI_EPS
+            syj = fixtures.LAT_MIN + (j + 0.5) * GI_EPS
+            fp = np.floor(((lon - sxi) ** 2 + (lat - syj) ** 2) * DIST_FP + 0.5).astype(np.int64)
+            m = fp.min()
+            exp = (int(m), int(ids[fp == m].min()))
+            assert got[(i, j)] == exp
+
+
 def test_distance_raster_matches_bruteforce(ray_session, event_ids):
     from plasmap_ray.pipelines.hotspot import DIST_FP, GI_EPS, GI_GX, GI_GY
 

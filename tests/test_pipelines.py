@@ -331,6 +331,30 @@ def test_zone_image_stats_matches_bruteforce(ray_session):
         assert out.loc[r["rel_id"], "total_bytes"] == nbytes[m].sum()
 
 
+def test_zone_top_terms_matches_bruteforce(ray_session):
+    from collections import Counter
+
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import images
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(images.images_path_for(sf), columns=["image_id", "caption"]).to_pandas()
+    ids = t["image_id"].str.slice(4).astype("int64").to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    caps = t["caption"].str.lower().to_numpy()
+
+    out = images.zone_top_terms(sf, k=5).to_pandas()
+    assert (out["rank"] >= 1).all() and (out["rank"] <= 5).all()
+    for r in fixtures.admin_rects():
+        m = (lon >= r["lon_min"]) & (lon < r["lon_max"]) & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+        cnt = Counter()
+        for c in caps[m]:
+            cnt.update(c.split(" "))
+        exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got = out[out.rel_id == r["rel_id"]].sort_values("rank")
+        assert [(tok, n) for tok, n in zip(got["token"], got["n"])] == exp
+
+
 def test_quadtree_leaves_partition_exactly(ray_session):
     """Leaves form a complete non-overlapping cover: every point lands in
     exactly one leaf, no leaf overshoots the threshold unless at z_base,
