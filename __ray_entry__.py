@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- denormalization DAG (ways->rings->polygons, J1/J2) ---
         "way_assembly": denormalize.way_assembly_query,
         "way_lengths": denormalize.way_lengths_query,
+        "way_junctions": denormalize.way_junctions_query,
         "boundary_assembly": denormalize.boundary_assembly_query,
         "boundary_stats": denormalize.boundary_stats_query,
         # --- relational / aggregation ---
@@ -765,6 +766,7 @@ SELECT c.hex_cell, c.n AS n_points, ring.n_ring1
 FROM counts c JOIN ring ON ring.cell = c.hex_cell""",
         "way_assembly": f"SELECT * FROM read_parquet('{golden.way_assembly_path()}')",
         "way_lengths": f"SELECT * FROM read_parquet('{golden.way_lengths_path()}')",
+        "way_junctions": f"SELECT * FROM read_parquet('{golden.way_junctions_path()}')",
         "boundary_assembly": f"SELECT * FROM read_parquet('{golden.boundary_assembly_path()}')",
         "boundary_stats": f"""
 WITH v AS (SELECT * FROM read_parquet('{golden.boundary_vertices_path()}')),

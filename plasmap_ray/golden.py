@@ -83,6 +83,31 @@ def way_assembly_path() -> str:
     return _cache("way_assembly", build)
 
 
+def way_junctions_path() -> str:
+    def build() -> pa.Table:
+        from collections import defaultdict
+
+        from . import fixtures
+
+        world = fixtures.boundary_world()
+        ways_of: dict[int, set[int]] = defaultdict(set)
+        for r in world["ways"].to_pylist():
+            for nd in r["nds"]:
+                ways_of[nd].add(r["way_id"])
+        coords = {r["node_id"]: (r["lon"], r["lat"]) for r in world["nodes"].to_pylist()}
+        rows = sorted((nd, len(ws)) for nd, ws in ways_of.items() if len(ws) >= 2)
+        return pa.table(
+            {
+                "node_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "n_ways": pa.array([r[1] for r in rows], type=pa.int64()),
+                "lon": pa.array([coords[r[0]][0] for r in rows], type=pa.float64()),
+                "lat": pa.array([coords[r[0]][1] for r in rows], type=pa.float64()),
+            }
+        )
+
+    return _cache("way_junctions", build)
+
+
 def boundary_assembly_path() -> str:
     def build() -> pa.Table:
         from . import fixtures, geometry

@@ -605,3 +605,50 @@ def boundary_stats_query(sf_dir: str) -> rd.Dataset:
         )
 
     return rings.map_batches(stats, batch_format="pyarrow")
+
+
+def way_junctions_query(sf_dir: str) -> rd.Dataset:
+    """queries() surface: junction nodes — nodes referenced by >= 2
+    DISTINCT ways (the fixture world's chained boundary ways share
+    their endpoint nodes, exactly like consecutive OSM boundary
+    segments; the reference walks these shared endpoints when chaining
+    member ways into rings, geow Denormalizer semantics).  Junction
+    degree is the connectivity primitive behind route-network
+    extraction and intersection detection.
+
+    Scale shape: the explode is the same J1 fan-out as assemble_ways;
+    a per-batch (node_id, way_id) dedup collapses within-way repeats
+    map-side, so the shuffle carries distinct pairs; degree is then a
+    two-level groupby (pairs -> node), and coordinates come back via
+    the same hash join J1 uses.  No stage holds more than a partition.
+
+    Output: (node_id, n_ways, lon, lat) for nodes with n_ways >= 2.
+    Golden-oracle checked against a local recompute from the
+    construction tables.
+    """
+    from ray.data.aggregate import Count
+
+    from .. import fixtures
+
+    world = fixtures.boundary_world()
+    ways = rd.from_arrow(world["ways"])
+    nodes = rd.from_arrow(world["nodes"])
+
+    def pair_distinct(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["node_id", "way_id"])
+            .group_by(["node_id", "way_id"])
+            .aggregate([])
+        )
+
+    deg = (
+        ways.map_batches(explode_way_nds, batch_format="pyarrow")
+        .map_batches(pair_distinct, batch_format="pyarrow")
+        .groupby(["node_id", "way_id"])
+        .aggregate(Count(alias_name="dup"))
+        .groupby("node_id")
+        .aggregate(Count(alias_name="n_ways"))
+        .filter(expr="n_ways >= 2")
+    )
+    joined = deg.join(nodes, join_type="inner", num_partitions=4, on=("node_id",))
+    return joined.select_columns(["node_id", "n_ways", "lon", "lat"])

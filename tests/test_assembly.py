@@ -159,3 +159,21 @@ def test_boundary_stats_matches_construction_rings(ray_session):
         assert ring[:, 1].min() <= row.centroid_lat <= ring[:, 1].max()
         checked += 1
     assert checked == len(rings) == len(out)
+
+
+def test_way_junctions_match_bruteforce(ray_session, world):
+    """Junction degrees equal a local recompute; chained boundary ways
+    must share endpoints, so every multi-way ring yields junctions."""
+    from collections import defaultdict
+
+    out = denormalize.way_junctions_query("/root/testdata/sf0.001").to_pandas()
+    ways_of = defaultdict(set)
+    for r in world["ways"].to_pylist():
+        for nd in r["nds"]:
+            ways_of[nd].add(r["way_id"])
+    exp = {nd: len(ws) for nd, ws in ways_of.items() if len(ws) >= 2}
+    got = dict(zip(out["node_id"], out["n_ways"]))
+    assert got == exp and len(exp) > 0
+    coords = {r["node_id"]: (r["lon"], r["lat"]) for r in world["nodes"].to_pylist()}
+    for r in out.itertuples():
+        assert (r.lon, r.lat) == coords[r.node_id]
