@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hex_hot_cells": spatial.hex_hot_cells_pipeline,
         "kmeans_clusters": ann.kmeans_embeddings,
         "zone_embedding_centroid": ann.zone_embedding_centroid,
+        "zone_embedding_dispersion": ann.zone_embedding_dispersion,
         "kmeans_cluster_sizes": ann.kmeans_cluster_sizes,
         "tile_assign": lambda sf: spatial.tile_assign_pipeline(sf, z=TILE_Z),
         "tile_histogram": spatial.tile_histogram_pipeline,
@@ -600,6 +601,27 @@ f AS (SELECT z.rel_id, CAST(u.dim - 1 AS BIGINT) AS dim,
 SELECT rel_id, dim, count(*) AS n_vecs,
        round(CAST(sum(fpv) AS DOUBLE) / {ann.CENTROID_FP} / count(*), 6) AS mean
 FROM f GROUP BY rel_id, dim""",
+        # same zone/fixed-point CTEs; variance = (n*Σq² − (Σq)²)/(n²·fp²)
+        # in ONE float64 expression with the engine's exact association
+        "zone_embedding_dispersion": f"""
+WITH ev AS (SELECT vec_id, {oracle.sql_derive_lon('vec_id')} AS lon,
+                   {oracle.sql_derive_lat('vec_id')} AS lat FROM embeddings),
+z AS (SELECT e.vec_id, CAST(coalesce(min(b.rel_id), -1) AS BIGINT) AS rel_id
+      FROM ev e LEFT JOIN {rects}
+        ON e.lon >= b.lon_min AND e.lon < b.lon_max AND e.lat >= b.lat_min AND e.lat < b.lat_max
+      GROUP BY e.vec_id),
+u AS (SELECT vec_id, unnest(embedding) AS val, generate_subscripts(embedding, 1) AS dim
+      FROM embeddings),
+f AS (SELECT z.rel_id, CAST(u.dim - 1 AS BIGINT) AS dim,
+             CAST(floor(CAST(u.val AS DOUBLE) * {ann.CENTROID_FP} + 0.5) AS BIGINT) AS q
+      FROM u JOIN z USING (vec_id)),
+mo AS (SELECT rel_id, dim, count(*) AS n_vecs,
+              CAST(sum(q) AS BIGINT) AS s, CAST(sum(q * q) AS BIGINT) AS sq
+       FROM f GROUP BY rel_id, dim)
+SELECT rel_id, dim, n_vecs,
+       round((CAST(n_vecs AS DOUBLE) * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs AS DOUBLE) * {float(ann.CENTROID_FP) * float(ann.CENTROID_FP)!r}), 6) AS var
+FROM mo""",
         "ann_topk": f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID}),
 scored AS (SELECT e.vec_id, list_cosine_similarity(e.embedding, q.qv) AS sim FROM embeddings e, q

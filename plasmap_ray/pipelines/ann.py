@@ -690,3 +690,88 @@ def zone_embedding_centroid(sf_dir: str, fp: int = CENTROID_FP) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def zone_embedding_dispersion(sf_dir: str, fp: int = CENTROID_FP) -> rd.Dataset:
+    """Per-zone per-dimension embedding variance — the semantic
+    DIVERSITY audit beside :func:`zone_embedding_centroid`'s signature
+    (a zone whose vectors all collapse to the centroid is a template
+    farm; a high-variance zone is heterogeneous).  Population variance
+    per (zone, dim): (n·Σq² − (Σq)²) / (n²·fp²) over the fixed-point
+    element values q = floor(v·2^20 + 0.5).
+
+    Float discipline: the shuffled moments (n, Σq, Σq²) are exact
+    int64 (Σq² stays < 2^62 for |v| ≤ 2 up to ~10^6 vectors per zone —
+    beyond that, rescale fp or widen to two-limb sums); the variance
+    is ONE float64 expression evaluated in the same association on
+    both engines, then rounded 6.
+
+    Scale shape: identical to the centroid — per-batch (zone, dim)
+    moment partials, one zone×dim-bounded groupby, stateless finish.
+
+    Output: (rel_id, dim, n_vecs, var) with dim 0-based.
+    """
+    from ray.data.aggregate import Sum
+
+    from .. import fixtures
+
+    ds = _read_emb(sf_dir)
+    rects = fixtures.admin_rects()
+    sentinel = np.iinfo(np.int64).max
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)
+        ids = t["vec_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        best = np.full(len(ids), sentinel, dtype=np.int64)
+        for r in rects:
+            inside = (
+                (lon >= r["lon_min"]) & (lon < r["lon_max"])
+                & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+            )
+            np.minimum(best, np.where(inside, np.int64(r["rel_id"]), sentinel), out=best)
+        zone = np.where(best == sentinel, np.int64(-1), best)
+        q = np.floor(m * fp + 0.5).astype(np.int64)
+        zs, inv = np.unique(zone, return_inverse=True)
+        d = q.shape[1]
+        s = np.zeros((len(zs), d), dtype=np.int64)
+        sq = np.zeros((len(zs), d), dtype=np.int64)
+        np.add.at(s, inv, q)
+        np.add.at(sq, inv, q * q)
+        cnt = np.bincount(inv, minlength=len(zs)).astype(np.int64)
+        return pa.table(
+            {
+                "rel_id": pa.array(np.repeat(zs, d), type=pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(zs)), type=pa.int64()),
+                "n_vecs": pa.array(np.repeat(cnt, d), type=pa.int64()),
+                "sum_fp": pa.array(s.ravel(), type=pa.int64()),
+                "sumsq_fp": pa.array(sq.ravel(), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["rel_id", "dim"])
+        .aggregate(
+            Sum("n_vecs", alias_name="n_vecs"),
+            Sum("sum_fp", alias_name="sum_fp"),
+            Sum("sumsq_fp", alias_name="sumsq_fp"),
+        )
+    )
+    fp2 = float(fp) * float(fp)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_vecs"].to_numpy().astype(np.float64)
+        s = t["sum_fp"].to_numpy().astype(np.float64)
+        sq = t["sumsq_fp"].to_numpy().astype(np.float64)
+        var = duckdb_round((n * sq - s * s) / (n * n * fp2), 6)
+        return pa.table(
+            {
+                "rel_id": t["rel_id"],
+                "dim": t["dim"],
+                "n_vecs": t["n_vecs"],
+                "var": pa.array(var, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -287,3 +287,40 @@ def test_zone_embedding_centroid_batch_invariant(ray_session):
     exp = pd.DataFrame(rows, columns=["rel_id", "dim", "n_vecs", "mean"]).sort_values(["rel_id", "dim"]).reset_index(drop=True)
     assert (out["rel_id"] == exp["rel_id"]).all() and (out["n_vecs"] == exp["n_vecs"]).all()
     assert np.allclose(out["mean"], exp["mean"], atol=0, rtol=0)
+
+
+def test_zone_embedding_dispersion_matches_bruteforce(ray_session):
+    """Per-(zone, dim) variance matches an exact-moment recompute and is
+    nonnegative; a zone with >= 2 distinct vectors has some variance."""
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines.ann import CENTROID_FP, zone_embedding_dispersion
+
+    sf = "/root/testdata/sf0.01"
+    out = zone_embedding_dispersion(sf).to_pandas().sort_values(["rel_id", "dim"]).reset_index(drop=True)
+    t = pq.read_table(sf + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = np.asarray(t["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False), np.float64).reshape(len(ids), -1)
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    best = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in fixtures.admin_rects():
+        inside = (lon >= r["lon_min"]) & (lon < r["lon_max"]) & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+        best = np.minimum(best, np.where(inside, np.int64(r["rel_id"]), best))
+    zone = np.where(best == np.iinfo(np.int64).max, -1, best)
+    q = np.floor(m * CENTROID_FP + 0.5).astype(np.int64)
+    fp2 = float(CENTROID_FP) * float(CENTROID_FP)
+    got = {(int(r.rel_id), int(r.dim)): (int(r.n_vecs), r.var) for r in out.itertuples()}
+    assert (out["var"] >= 0).all()
+    saw_positive = False
+    for z in np.unique(zone):
+        sel = zone == z
+        n = float(sel.sum())
+        s = q[sel].sum(axis=0).astype(np.float64)
+        sq = (q[sel] * q[sel]).sum(axis=0).astype(np.float64)
+        var = np.round((n * sq - s * s) / (n * n * fp2), 6)
+        for d in range(m.shape[1]):
+            gn, gv = got[(int(z), d)]
+            assert gn == int(n) and gv == var[d]
+            saw_positive = saw_positive or var[d] > 0
+    assert saw_positive
