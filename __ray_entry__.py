@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_unshipped_orders": relational.top_unshipped_orders,
         "customer_high_value_counts": relational.customer_high_value_counts,
         "part_price_stats": relational.part_price_stats,
+        "local_supplier_volume": relational.local_supplier_volume,
         "skyline_parts": relational.skyline_parts,
         # --- stream-shaped ---
         "tumbling_window": windows.tumbling_window,
@@ -447,6 +448,16 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "orders_by_nation": """
 SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_revenue
 FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+        "local_supplier_volume": """
+SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
 GROUP BY n_name""",
         "topk_orders_per_customer": """
 WITH ranked AS (

@@ -172,6 +172,75 @@ def customer_high_value_counts(sf_dir: str, threshold: float = 400_000.0) -> rd.
     return j.map_batches(coalesce, batch_format="pyarrow")
 
 
+def local_supplier_volume(sf_dir: str, region: str = "ASIA", year: int = 1996) -> rd.Dataset:
+    """TPC-H Q5 shape: the six-table join — revenue by nation where the
+    ordering customer and the line's supplier share a nation, customers
+    restricted to one region, orders to one year.
+
+    Join planning (the 100-TB shapes): region ⋈ nation collapses to a
+    BROADCAST dict (both tables are bounded small-side lookups — no
+    shuffle); customer/orders/lineitem/supplier are hash joins keyed on
+    their FKs with filters pushed to the reads.  The same-nation
+    predicate (c_nationkey == s_nationkey) applies AFTER the supplier
+    join, as a stateless filter.  Output: (n_name, revenue) sorted by
+    revenue desc.
+    """
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg[reg["r_name"] == region]["r_regionkey"])
+    name_of = {
+        int(r.n_nationkey): r.n_name for r in nat.itertuples() if r.n_regionkey in rkeys
+    }
+    keys = ",".join(str(k) for k in sorted(name_of)) or "-1"
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).filter(
+        expr=f"c_nationkey in [{keys}]"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def year_filter(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64(f"{year}-01-01", "us"))
+        hi = pa.scalar(np.datetime64(f"{year + 1}-01-01", "us"))
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi)))
+        return t.select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(year_filter, batch_format="pyarrow")
+    oc = orders.join(cust, join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def add_revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.select(["l_orderkey", "l_suppkey"]).append_column("revenue", rev)
+
+    li = li.map_batches(add_revenue, batch_format="pyarrow")
+    j = li.join(
+        oc.select_columns(["o_orderkey", "c_nationkey"]),
+        join_type="inner",
+        num_partitions=4,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).filter(
+        expr=f"s_nationkey in [{keys}]"
+    )
+    j2 = j.join(supp, join_type="inner", num_partitions=4, on=("l_suppkey",), right_on=("s_suppkey",))
+    j2 = j2.filter(expr="c_nationkey == s_nationkey")
+
+    def name_nation(t: pa.Table) -> pa.Table:
+        nk = t["s_nationkey"].to_numpy()
+        names = pa.array([name_of[int(k)] for k in nk], type=pa.string())
+        return pa.table({"n_name": names, "revenue": t["revenue"]})
+
+    out = (
+        j2.map_batches(name_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .sort("revenue", descending=True)
+    )
+    return out.map_batches(functools.partial(_round_cols, cols=("revenue",), ndigits=2), batch_format="pyarrow")
+
+
 def part_price_stats(sf_dir: str) -> rd.Dataset:
     """Mean/Std aggregate family per part type (sample stddev, ddof=1 —
     matches SQL stddev_samp; rounded identically in both engines)."""

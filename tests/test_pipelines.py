@@ -430,3 +430,39 @@ def test_spatial_split_is_cell_coherent(ray_session):
     assert (df.groupby("cell_low")["split"].nunique() == 1).all()
     frac = (df["split"] == "test").mean()
     assert 0.05 < frac < 0.4  # close to the 0.2 target at cell granularity
+
+
+def test_local_supplier_volume_q5_shape(ray_session):
+    """Six-table Q5 matches a DuckDB recompute; same-nation predicate
+    actually bites (revenue strictly below the any-nation variant)."""
+    import duckdb
+
+    from plasmap_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.01"
+    out = relational.local_supplier_volume(sf).to_pandas()
+    con = duckdb.connect()
+    for tbl in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf}/{tbl}.parquet')")
+    exp = con.execute("""
+        SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC""").df()
+    loose = con.execute("""
+        SELECT sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'""").fetchone()[0]
+    assert list(out["n_name"]) == list(exp["n_name"])
+    assert np.allclose(out["revenue"], exp["revenue"], atol=0.011)
+    assert out["revenue"].sum() < loose
