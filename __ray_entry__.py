@@ -157,6 +157,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_high_value_counts": relational.customer_high_value_counts,
         "part_price_stats": relational.part_price_stats,
         "local_supplier_volume": relational.local_supplier_volume,
+        "nation_trade_volume": relational.nation_trade_volume,
+        "returned_revenue": relational.returned_revenue,
+        "promo_revenue": relational.promo_revenue,
+        "large_orders": relational.large_orders,
+        "order_priority_counts": relational.order_priority_counts,
         "skyline_parts": relational.skyline_parts,
         # --- stream-shaped ---
         "tumbling_window": windows.tumbling_window,
@@ -459,6 +464,47 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
   AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
 GROUP BY n_name""",
+        "nation_trade_volume": """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1','NATION_2') AND cn.n_name IN ('NATION_1','NATION_2')
+  AND sn.n_name <> cn.n_name
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+GROUP BY 1, 2, 3""",
+        "returned_revenue": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "promo_revenue": """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1.0 - l_discount)), 2) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'""",
+        "large_orders": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       o_orderdate, o_totalprice, sum(l_quantity) AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1, 2, 3, 4, 5
+HAVING sum(l_quantity) > 300.0""",
+        "order_priority_counts": """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority""",
         "topk_orders_per_customer": """
 WITH ranked AS (
   SELECT o_orderkey, o_custkey, o_totalprice,

@@ -307,3 +307,306 @@ def skyline_parts(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(local, batch_format="pyarrow").repartition(1).map_batches(
         local, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q7/Q10/Q14/Q18/Q4-shaped join-aggregate pipelines (round 2): each one
+# exercises a distinct distributed-join discipline over the fixture
+# TPC-H tables — cross-nation volume (two selective dimension filters +
+# fact-fact join), top-k revenue with deterministic tiebreak, single-row
+# ratio aggregate, HAVING-filtered group join-back, and a distinct
+# semi-join.  All reuse the A1/J1 shapes (util/streams/Utilities.scala:
+# 11-20, WayFlow.scala:36) over relational inputs.
+# ---------------------------------------------------------------------------
+
+
+def nation_trade_volume(
+    sf_dir: str,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    y0: int = 1996,
+    y1: int = 1997,
+) -> rd.Dataset:
+    """TPC-H Q7 shape: shipped revenue between two nations by direction
+    and ship year — customer in one nation, supplier in the other.
+
+    Scale plan: the two-nation filter makes supplier and customer
+    BOUNDED small sides (2/25 of their tables), so both attach as
+    broadcast sorted-key lookups (np.searchsorted inside map_batches —
+    the repo's standard small-side discipline; swap to the hash join
+    when the filtered side outgrows worker heaps).  lineitem is
+    date-pruned at the read boundary; the one remaining exchange is the
+    fact-fact hash join on orderkey.  Output: (supp_nation,
+    cust_nation, l_year, revenue).
+    """
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    keys = sorted(int(k) for k, v in name_of.items() if v in (nation_a, nation_b))
+    key_list = ",".join(str(k) for k in keys) or "-1"
+
+    def _dim(table: str, cols: list[str], key_col: str, filt: str) -> tuple[np.ndarray, np.ndarray]:
+        df = _read(sf_dir, table, cols).filter(expr=filt).to_pandas()
+        if len(df) == 0:  # an empty Dataset drops its schema in to_pandas
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        df = df.sort_values(key_col)
+        return df[cols[0]].to_numpy(dtype=np.int64), df[cols[1]].to_numpy(dtype=np.int64)
+
+    s_keys, s_nat = _dim("supplier", ["s_suppkey", "s_nationkey"], "s_suppkey", f"s_nationkey in [{key_list}]")
+    c_keys, c_nat = _dim("customer", ["c_custkey", "c_nationkey"], "c_custkey", f"c_nationkey in [{key_list}]")
+    if len(s_keys) == 0 or len(c_keys) == 0:
+        # no supplier/customer in the two nations: empty result, returned
+        # as a pa.Table so the schema survives (an all-empty join side
+        # loses its schema inside Ray's hash join, and an empty Dataset
+        # loses its schema in to_pandas)
+        return pa.table(
+            {
+                "supp_nation": pa.array([], type=pa.string()),
+                "cust_nation": pa.array([], type=pa.string()),
+                "l_year": pa.array([], type=pa.int64()),
+                "revenue": pa.array([], type=pa.float64()),
+            }
+        )
+
+    def _lookup(vals: np.ndarray, keys_arr: np.ndarray, out_arr: np.ndarray):
+        """vals -> (mask, out) via sorted-key binary search (semi-join +
+        attach in one vectorized pass; misses masked out)."""
+        if len(keys_arr) == 0:
+            return np.zeros(len(vals), dtype=bool), np.empty(0, dtype=np.int64)
+        idx = np.searchsorted(keys_arr, vals)
+        idx_c = np.minimum(idx, len(keys_arr) - 1)
+        mask = keys_arr[idx_c] == vals
+        return mask, out_arr[idx_c[mask]]
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def attach_cust(t: pa.Table) -> pa.Table:
+        mask, nk = _lookup(t["o_custkey"].to_numpy().astype(np.int64), c_keys, c_nat)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(t["o_orderkey"].to_numpy()[mask]),
+                "c_nationkey": pa.array(nk, type=pa.int64()),
+            }
+        )
+
+    oc = orders.map_batches(attach_cust, batch_format="pyarrow")
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def date_rev_supp(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64(f"{y0}-01-01", "us"))
+        hi = pa.scalar(np.datetime64(f"{y1 + 1}-01-01", "us"))
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)))
+        mask, nk = _lookup(t["l_suppkey"].to_numpy().astype(np.int64), s_keys, s_nat)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        year = pc.cast(pc.year(t["l_shipdate"]), pa.int64())
+        sel = pa.table(
+            {
+                "l_orderkey": pa.array(t["l_orderkey"].to_numpy()[mask]),
+                "s_nationkey": pa.array(nk, type=pa.int64()),
+                "revenue": pa.array(rev.to_numpy(zero_copy_only=False)[mask], type=pa.float64()),
+                "l_year": pa.array(year.to_numpy(zero_copy_only=False)[mask], type=pa.int64()),
+            }
+        )
+        return sel
+
+    li = li.map_batches(date_rev_supp, batch_format="pyarrow")
+    j2 = li.join(oc, join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",))
+    j2 = j2.filter(expr="s_nationkey != c_nationkey")
+
+    def name_pair(t: pa.Table) -> pa.Table:
+        sn = pa.array([name_of[int(k)] for k in t["s_nationkey"].to_numpy()], type=pa.string())
+        cn = pa.array([name_of[int(k)] for k in t["c_nationkey"].to_numpy()], type=pa.string())
+        return pa.table(
+            {"supp_nation": sn, "cust_nation": cn, "l_year": t["l_year"], "revenue": t["revenue"]}
+        )
+
+    out = (
+        j2.map_batches(name_pair, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .sort(["supp_nation", "cust_nation", "l_year"])
+    )
+    return out.map_batches(functools.partial(_round_cols, cols=("revenue",), ndigits=2), batch_format="pyarrow")
+
+
+def returned_revenue(sf_dir: str, date0: str = "1996-01-01", months: int = 3, k: int = 20) -> rd.Dataset:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returns in a
+    quarter.  Deterministic top-k: both engines sort on the ROUNDED
+    revenue with c_custkey as the total-order tiebreak (an unrounded
+    sort could order sub-ulp-different sums differently per engine).
+
+    Scale plan: orders date-pruned at the read; lineitem filtered to
+    returnflag='R' at the read; fact-fact hash join on orderkey; the
+    customer attach joins AFTER aggregation (k-bounded left side).
+    """
+    import datetime as _dt
+
+    d0 = _dt.date.fromisoformat(date0)
+    m = d0.month - 1 + months
+    d1 = _dt.date(d0.year + m // 12, m % 12 + 1, 1)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def date_filter(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64(str(d0), "us"))
+        hi = pa.scalar(np.datetime64(str(d1), "us"))
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi)))
+        return t.select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(date_filter, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]).filter(
+        expr="l_returnflag == 'R'"
+    )
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+
+    li = li.map_batches(add_rev, batch_format="pyarrow")
+    j = li.join(orders, join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",))
+    per_cust = j.groupby("o_custkey").aggregate(Sum("revenue", alias_name="revenue"))
+    per_cust = per_cust.map_batches(
+        functools.partial(_round_cols, cols=("revenue",), ndigits=2), batch_format="pyarrow"
+    )
+    topk = per_cust.sort(["revenue", "o_custkey"], descending=[True, False]).limit(k)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    out = topk.join(cust, join_type="inner", num_partitions=1, on=("o_custkey",), right_on=("c_custkey",))
+
+    def attach_nation(t: pa.Table) -> pa.Table:
+        nn = pa.array([name_of[int(x)] for x in t["c_nationkey"].to_numpy()], type=pa.string())
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "c_name": t["c_name"],
+                "c_acctbal": t["c_acctbal"],
+                "n_name": nn,
+                "revenue": t["revenue"],
+            }
+        )
+
+    return out.map_batches(attach_nation, batch_format="pyarrow")
+
+
+def promo_revenue(sf_dir: str, month: str = "1996-09") -> "pa.Table":
+    """TPC-H Q14 shape: % of one month's revenue from PROMO parts.
+
+    Scale plan: lineitem month-pruned before the exchange; part is
+    projected to (p_partkey, p_type) and hash-joined (200k rows/SF —
+    broadcast would not hold at the target SF); the ratio reduces via
+    two global sums (order-free after rounding).  Single-row output
+    (promo_pct,).
+    """
+    import datetime as _dt
+
+    y, m = (int(x) for x in month.split("-"))
+    d0 = _dt.date(y, m, 1)
+    d1 = _dt.date(y + (m // 12), m % 12 + 1, 1)
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def date_rev(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64(str(d0), "us"))
+        hi = pa.scalar(np.datetime64(str(d1), "us"))
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_partkey": t["l_partkey"], "revenue": rev})
+
+    li = li.map_batches(date_rev, batch_format="pyarrow")
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    j = li.join(part, join_type="inner", num_partitions=4, on=("l_partkey",), right_on=("p_partkey",))
+
+    def split_rev(t: pa.Table) -> pa.Table:
+        promo = pc.if_else(
+            pc.equal(t["p_type"], pa.scalar("PROMO")), t["revenue"], pa.scalar(0.0)
+        )
+        return pa.table({"promo_rev": promo, "revenue": t["revenue"]})
+
+    sums = j.map_batches(split_rev, batch_format="pyarrow").aggregate(
+        Sum("promo_rev", alias_name="promo"), Sum("revenue", alias_name="total")
+    )
+    from ..stages.common import duckdb_round as _dr
+
+    pct = float(_dr(np.array([100.0 * sums["promo"] / sums["total"]]), 2)[0])
+    return pa.table({"promo_pct": pa.array([pct], type=pa.float64())})
+
+
+def large_orders(sf_dir: str, threshold: float = 300.0) -> rd.Dataset:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with customer attached — the HAVING-filtered group + join-back
+    discipline (aggregate first, then join the SMALL surviving side
+    against the dimension tables).
+
+    Output: (c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+    sum_qty) ordered by (o_totalprice desc, o_orderkey).
+    """
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    big = (
+        li.groupby("l_orderkey")
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"))
+        .filter(expr=f"sum_qty > {threshold!r}")
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    j = big.join(orders, join_type="inner", num_partitions=2, on=("l_orderkey",), right_on=("o_orderkey",))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    j2 = j.join(cust, join_type="inner", num_partitions=2, on=("o_custkey",), right_on=("c_custkey",))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "c_name": t["c_name"],
+                "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "o_orderdate": t["o_orderdate"],
+                "o_totalprice": t["o_totalprice"],
+                "sum_qty": t["sum_qty"],
+            }
+        )
+
+    return j2.map_batches(project, batch_format="pyarrow").sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    )
+
+
+def order_priority_counts(sf_dir: str, date0: str = "1996-07-01", months: int = 3) -> rd.Dataset:
+    """TPC-H Q4 shape: order counts per priority for one quarter,
+    restricted to orders with at least one RETURNED line — a distinct
+    SEMI-JOIN (the EXISTS subquery becomes groupby-distinct on the
+    probe side, then an inner join that cannot fan out).
+
+    Scale plan: the distinct-orderkey reduction happens BEFORE the join
+    (probe side shrinks to unique keys map-side via groupby), so the
+    join moves at most one row per distinct order.
+    """
+    import datetime as _dt
+
+    d0 = _dt.date.fromisoformat(date0)
+    m = d0.month - 1 + months
+    d1 = _dt.date(d0.year + m // 12, m % 12 + 1, 1)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def date_filter(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64(str(d0), "us"))
+        hi = pa.scalar(np.datetime64(str(d1), "us"))
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi)))
+        return t.select(["o_orderkey", "o_orderpriority"])
+
+    orders = orders.map_batches(date_filter, batch_format="pyarrow")
+    returned = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+        .filter(expr="l_returnflag == 'R'")
+        .groupby("l_orderkey")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["l_orderkey"])
+    )
+    j = orders.join(returned, join_type="inner", num_partitions=2, on=("o_orderkey",), right_on=("l_orderkey",))
+    return (
+        j.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+        .sort("o_orderpriority")
+    )
