@@ -163,6 +163,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": relational.large_orders,
         "order_priority_counts": relational.order_priority_counts,
         "skyline_parts": relational.skyline_parts,
+        "forecast_revenue": relational.forecast_revenue,
+        "market_share": relational.market_share,
+        "important_parts": relational.important_parts,
+        "line_priority_counts": relational.line_priority_counts,
+        "customer_distribution": relational.customer_distribution,
+        "top_supplier": relational.top_supplier,
+        "small_quantity_revenue": relational.small_quantity_revenue,
+        "disjunctive_revenue": relational.disjunctive_revenue,
+        "exclusive_return_suppliers": relational.exclusive_return_suppliers,
+        "idle_customers": relational.idle_customers,
         # --- stream-shaped ---
         "tumbling_window": windows.tumbling_window,
         "sessionize": windows.sessionize,
@@ -499,6 +509,88 @@ SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, CAST(o_orderkey AS BIGINT
 FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY 1, 2, 3, 4, 5
 HAVING sum(l_quantity) > 300.0""",
+        "forecast_revenue": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""",
+        "market_share": """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(round(sum(CASE WHEN sn.n_name = 'NATION_2' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+             / round(sum(l_extendedprice * (1.0 - l_discount)), 2), 6) AS mkt_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+GROUP BY 1 ORDER BY 1""",
+        "important_parts": """
+WITH pp AS (
+  SELECT l_partkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY 1)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name, revenue
+FROM pp JOIN part ON p_partkey = l_partkey
+WHERE revenue > (SELECT round(sum(revenue), 2) * 0.00075 FROM pp)
+ORDER BY revenue DESC, p_partkey""",
+        "line_priority_counts": """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus ORDER BY l_linestatus""",
+        "customer_distribution": """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+  SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderdate >= DATE '2001-01-01'
+  GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+        "top_supplier": """
+WITH pp AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue
+FROM pp JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM pp)
+ORDER BY s_suppkey""",
+        "small_quantity_revenue": """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < 0.2 * (
+    SELECT sum(l2.l_quantity) / count(*) FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""",
+        "disjunctive_revenue": """
+SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1.0 AND 11.0)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10.0 AND 20.0)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20.0 AND 30.0)""",
+        "exclusive_return_suppliers": """
+WITH pairs AS (
+  SELECT l_orderkey, l_suppkey, max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS any_r
+  FROM lineitem GROUP BY 1, 2),
+per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(any_r) AS n_returning
+  FROM pairs GROUP BY 1)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM pairs JOIN per_order USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE any_r = 1 AND n_supp > 1 AND n_returning = 1
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+        "idle_customers": """
+WITH thr AS (SELECT round(avg(c_acctbal), 2) AS t FROM customer WHERE c_acctbal > 0.0)
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs, round(sum(c_acctbal), 2) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey CROSS JOIN thr
+WHERE c_acctbal > t
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2001-01-01')
+GROUP BY n_name ORDER BY n_name""",
         "order_priority_counts": """
 SELECT o_orderpriority, count(*) AS n_orders
 FROM orders

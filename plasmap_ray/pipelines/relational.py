@@ -610,3 +610,446 @@ def order_priority_counts(sf_dir: str, date0: str = "1996-07-01", months: int = 
         .aggregate(Count(alias_name="n_orders"))
         .sort("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q6/Q8/Q11/Q12/Q13/Q15/Q17/Q19/Q21/Q22-shaped pipelines (round 2 session 8):
+# the remaining classic join-aggregate disciplines, reinterpreted onto the
+# fixture schema where TPC-H columns are absent (no partsupp / shipmode /
+# receiptdate tables): correlated-subquery -> broadcast aggregate join,
+# global-threshold HAVING, CASE-split counts, zero-preserving distribution,
+# max-equality selection, disjunctive join predicates, exclusive-witness
+# anti-semi join, and avg-threshold anti-join.  All-integer outputs are
+# bit-exact; float sums are rounded identically in both engines BEFORE any
+# comparison or ordering so summation-order ulps cannot flip a predicate.
+# ---------------------------------------------------------------------------
+
+
+def forecast_revenue(sf_dir: str, year: int = 1996, d0: float = 0.05, d1: float = 0.07, qty: float = 24.0) -> pa.Table:
+    """TPC-H Q6 shape: revenue gain from discount-band lines of one year.
+
+    Pure filter + single global sum: the predicate is evaluated
+    vectorized per batch at the read boundary, only the revenue column
+    crosses to the (driver-side, single-scalar) reduce.  The cheapest
+    possible DAG — no shuffle at all.
+    """
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64(f"{year}-01-01", "us"))
+        hi = pa.scalar(np.datetime64(f"{year + 1}-01-01", "us"))
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi))
+        m = pc.and_(m, pc.greater_equal(t["l_discount"], pa.scalar(d0)))
+        m = pc.and_(m, pc.less_equal(t["l_discount"], pa.scalar(d1)))
+        m = pc.and_(m, pc.less(t["l_quantity"], pa.scalar(qty)))
+        t = t.filter(m)
+        return pa.table({"gain": pc.multiply(t["l_extendedprice"], t["l_discount"])})
+
+    s = li.map_batches(filt, batch_format="pyarrow").aggregate(Sum("gain", alias_name="revenue"))
+    from ..stages.common import duckdb_round as _dr
+
+    val = float(_dr(np.array([s["revenue"] if s["revenue"] is not None else 0.0]), 2)[0])
+    return pa.table({"revenue": pa.array([val], type=pa.float64())})
+
+
+def market_share(
+    sf_dir: str,
+    region: str = "ASIA",
+    nation: str = "NATION_2",
+    ptype: str = "PROMO",
+    y0: int = 1996,
+    y1: int = 1997,
+) -> rd.Dataset:
+    """TPC-H Q8 shape: the target nation's share of the region's market
+    for one part type, per order year.
+
+    Join plan at scale: part(type) is a selective fact-side prune ->
+    hash join on partkey (a planet-scale type slice outgrows broadcast);
+    orders are date-pruned then hash-joined on orderkey; the customer
+    region test and the supplier->nation attach are BROADCAST sorted-key
+    lookups (both dimensions are bounded); the share divides two
+    identically-rounded group sums so the quotient is reproducible.
+    """
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg[reg["r_name"] == region]["r_regionkey"])
+    region_nations = sorted(int(k) for k, rk in zip(nat["n_nationkey"], nat["n_regionkey"]) if rk in rkeys)
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    rn_keys = ",".join(str(k) for k in region_nations) or "-1"
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas().sort_values("s_suppkey")
+    s_keys = supp["s_suppkey"].to_numpy(dtype=np.int64)
+    s_nat = supp["s_nationkey"].to_numpy(dtype=np.int64)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).filter(expr=f"p_type == '{ptype}'").select_columns(["p_partkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    li = li.join(part, join_type="inner", num_partitions=4, on=("l_partkey",), right_on=("p_partkey",))
+
+    def vol_nat(t: pa.Table) -> pa.Table:
+        vol = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)
+        idx = np.minimum(np.searchsorted(s_keys, sk), len(s_keys) - 1)
+        nk = np.where(s_keys[idx] == sk, s_nat[idx], -1)
+        return pa.table({"l_orderkey": t["l_orderkey"], "volume": vol,
+                         "s_nationkey": pa.array(nk, type=pa.int64())})
+
+    li = li.map_batches(vol_nat, batch_format="pyarrow").filter(expr="s_nationkey >= 0")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def year_window(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64(f"{y0}-01-01", "us"))
+        hi = pa.scalar(np.datetime64(f"{y1 + 1}-01-01", "us"))
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi)))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"],
+            "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+        })
+
+    orders = orders.map_batches(year_window, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).filter(
+        expr=f"c_nationkey in [{rn_keys}]"
+    ).select_columns(["c_custkey"])
+    oc = orders.join(cust, join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",))
+    j = li.join(
+        oc.select_columns(["o_orderkey", "o_year"]),
+        join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    target = int(next(k for k, v in name_of.items() if v == nation))
+
+    def split(t: pa.Table) -> pa.Table:
+        hit = pc.if_else(pc.equal(t["s_nationkey"], pa.scalar(target, type=pa.int64())), t["volume"], pa.scalar(0.0))
+        return pa.table({"o_year": t["o_year"], "nation_vol": hit, "volume": t["volume"]})
+
+    agg = (
+        j.map_batches(split, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(Sum("nation_vol", alias_name="nation_vol"), Sum("volume", alias_name="total_vol"))
+    )
+
+    def share(t: pa.Table) -> pa.Table:
+        from ..stages.common import duckdb_round as _dr
+
+        nv = _dr(t["nation_vol"].to_numpy(zero_copy_only=False), 2)
+        tv = _dr(t["total_vol"].to_numpy(zero_copy_only=False), 2)
+        return pa.table({"o_year": t["o_year"],
+                         "mkt_share": pa.array(_dr(nv / tv, 6), type=pa.float64())})
+
+    return agg.map_batches(share, batch_format="pyarrow").sort("o_year")
+
+
+def important_parts(sf_dir: str, frac: float = 0.00075) -> rd.Dataset:
+    """TPC-H Q11 shape (no partsupp in the fixture schema): parts whose
+    revenue exceeds ``frac`` of GLOBAL revenue — the global-threshold
+    HAVING discipline.
+
+    Two-phase: one shuffle builds per-part sums; the scalar threshold
+    is the (driver-side) sum OF THOSE PARTIAL SUMS — no second pass
+    over the fact table; the filtered survivor set is tiny and joins
+    back to the part dimension.  Both engines round the per-part sums
+    and the total to 2 decimals before the strict > so ulp noise
+    cannot flip a boundary row.
+    """
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_partkey": t["l_partkey"], "revenue": rev})
+
+    per_part = (
+        li.map_batches(add_rev, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .map_batches(functools.partial(_round_cols, cols=("revenue",), ndigits=2), batch_format="pyarrow")
+    )
+    per_part = per_part.materialize()  # reused for threshold AND filter
+    from ..stages.common import duckdb_round as _dr
+
+    total = per_part.aggregate(Sum("revenue", alias_name="t"))["t"]
+    thr = float(_dr(np.array([total]), 2)[0]) * frac
+    # Survivors are BOUNDED by construction (each exceeds frac of the
+    # total, so there are < 1/frac of them): collect, then attach names
+    # via a predicate-pushdown read of part — a shuffle join here would
+    # move the whole dimension for a few hundred keys (and Ray's hash
+    # join chokes on the schema-less empty blocks a sparse filter
+    # produces).
+    big = per_part.filter(expr=f"revenue > {thr!r}").to_pandas()
+    if len(big) == 0:  # empty to_pandas loses columns: rebuild schema
+        return pa.table({
+            "p_partkey": pa.array([], type=pa.int64()),
+            "p_name": pa.array([], type=pa.string()),
+            "revenue": pa.array([], type=pa.float64()),
+        })
+    keys = sorted(int(k) for k in big["l_partkey"])
+    names = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name"],
+        filter=pc.field("p_partkey").isin(keys),
+    ).to_pandas().set_index("p_partkey")["p_name"]
+    big = big.sort_values(["revenue", "l_partkey"], ascending=[False, True])
+    return pa.table({
+        "p_partkey": pa.array(big["l_partkey"].to_numpy(dtype=np.int64)),
+        "p_name": pa.array([names[k] for k in big["l_partkey"]], type=pa.string()),
+        "revenue": pa.array(big["revenue"].to_numpy(), type=pa.float64()),
+    })
+
+
+def line_priority_counts(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q12 shape (no shipmode column): per line status, how many
+    lines belong to critical-priority orders vs the rest — the
+    CASE-split count discipline over a fact-fact join.  All-integer
+    output: bit-exact, no rounding."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus"])
+    j = li.join(orders, join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def split(t: pa.Table) -> pa.Table:
+        crit = pc.or_(
+            pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT")),
+            pc.equal(t["o_orderpriority"], pa.scalar("2-HIGH")),
+        )
+        one = pa.scalar(1, type=pa.int64())
+        zero = pa.scalar(0, type=pa.int64())
+        return pa.table({
+            "l_linestatus": t["l_linestatus"],
+            "high_line_count": pc.if_else(crit, one, zero),
+            "low_line_count": pc.if_else(crit, zero, one),
+        })
+
+    return (
+        j.map_batches(split, batch_format="pyarrow")
+        .groupby("l_linestatus")
+        .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                   Sum("low_line_count", alias_name="low_line_count"))
+        .sort("l_linestatus")
+    )
+
+
+def customer_distribution(sf_dir: str, since: str = "2001-01-01") -> rd.Dataset:
+    """TPC-H Q13 shape: distribution of customers by their recent order
+    count, INCLUDING the zero bucket — the zero-preserving left join +
+    double groupby discipline.  The recency filter makes the zero
+    bucket non-degenerate in the fixture world (every customer has
+    SOME order).  All-integer output."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def date_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["o_orderdate"], pa.scalar(np.datetime64(since, "us")))).select(["o_custkey"])
+
+    per_cust = (
+        orders.map_batches(date_filter, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="c_count"))
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    j = cust.join(per_cust, join_type="left_outer", num_partitions=4, on=("c_custkey",), right_on=("o_custkey",))
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        n = pc.coalesce(pc.cast(t["c_count"], pa.int64()), pa.scalar(0, type=pa.int64()))
+        return pa.table({"c_count": n})
+
+    return (
+        j.map_batches(coalesce, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Count(alias_name="custdist"))
+        .sort(["custdist", "c_count"], descending=[True, True])
+    )
+
+
+def top_supplier(sf_dir: str, date0: str = "1996-01-01", months: int = 3) -> rd.Dataset:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarter revenue —
+    max-equality selection keeps ALL ties (the reference view+max
+    semantics), which only works if both engines agree on the compared
+    value: per-supplier sums are rounded to 2 decimals BEFORE the max
+    and the equality."""
+    import datetime as _dt
+
+    d0 = _dt.date.fromisoformat(date0)
+    m = d0.month - 1 + months
+    d1 = _dt.date(d0.year + m // 12, m % 12 + 1, 1)
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def win_rev(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64(str(d0), "us"))
+        hi = pa.scalar(np.datetime64(str(d1), "us"))
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_suppkey": t["l_suppkey"], "revenue": rev})
+
+    per_supp = (
+        li.map_batches(win_rev, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("revenue", alias_name="total_revenue"))
+        .map_batches(functools.partial(_round_cols, cols=("total_revenue",), ndigits=2), batch_format="pyarrow")
+    )
+    per_supp = per_supp.materialize()  # reused for max AND the equality filter
+    best = per_supp.aggregate(Max("total_revenue", alias_name="m"))["m"]
+    winners = per_supp.filter(expr=f"total_revenue == {best!r}")
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = winners.join(supp, join_type="inner", num_partitions=1, on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "s_name": t["s_name"], "total_revenue": t["total_revenue"],
+        })
+
+    return out.map_batches(project, batch_format="pyarrow").sort("s_suppkey")
+
+
+def small_quantity_revenue(sf_dir: str, brand: str = "Brand#3") -> pa.Table:
+    """TPC-H Q17 shape: weekly revenue from hard-to-stock lines — lines
+    of one brand whose quantity is below 20% of that part's average.
+    The correlated scalar subquery becomes an aggregate-then-join:
+    per-part (sum_qty, n) reduces first, the quotient re-joins the
+    SAME fact slice.  Quantities are integer-valued doubles, so the
+    average is bit-identical in both engines (exact fp64 sums) and the
+    0.2*avg threshold cannot drift."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).filter(expr=f"p_brand == '{brand}'").select_columns(["p_partkey"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+    sl = li.join(part, join_type="inner", num_partitions=4, on=("l_partkey",), right_on=("p_partkey",))
+    sl = sl.materialize()  # brand slice reused: per-part avg AND the final filter
+    per_part = sl.groupby("l_partkey").aggregate(
+        Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n_lines")
+    )
+
+    def avg(t: pa.Table) -> pa.Table:
+        a = pc.divide(pc.cast(t["sum_qty"], pa.float64()), pc.cast(t["n_lines"], pa.float64()))
+        return pa.table({"avg_partkey": t["l_partkey"], "avg_qty": a})
+
+    per_part = per_part.map_batches(avg, batch_format="pyarrow")
+    j = sl.join(per_part, join_type="inner", num_partitions=2, on=("l_partkey",), right_on=("avg_partkey",))
+
+    def below(t: pa.Table) -> pa.Table:
+        m = pc.less(t["l_quantity"], pc.multiply(pa.scalar(0.2), t["avg_qty"]))
+        return pa.table({"l_extendedprice": t.filter(m)["l_extendedprice"]})
+
+    s = j.map_batches(below, batch_format="pyarrow").aggregate(Sum("l_extendedprice", alias_name="s"))
+    from ..stages.common import duckdb_round as _dr
+
+    val = float(_dr(np.array([(s["s"] or 0.0) / 7.0]), 2)[0])
+    return pa.table({"avg_yearly": pa.array([val], type=pa.float64())})
+
+
+def disjunctive_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q19 shape: revenue under an OR-of-conjunctions predicate
+    spanning both join sides (brand x size x quantity bands) — the
+    disjunctive-pushdown discipline: the part side prunes to the brand
+    UNION before the join, the full disjunction evaluates vectorized
+    after it.  Single-row sum, rounded identically."""
+    bands = (
+        ("Brand#1", 1, 5, 1.0, 11.0),
+        ("Brand#2", 1, 10, 10.0, 20.0),
+        ("Brand#3", 1, 15, 20.0, 30.0),
+    )
+    brands = ",".join(f"'{b}'" for b, *_ in bands)
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).filter(expr=f"p_brand in [{brands}]")
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    j = li.join(part, join_type="inner", num_partitions=4, on=("l_partkey",), right_on=("p_partkey",))
+
+    def pred_rev(t: pa.Table) -> pa.Table:
+        m = pa.array(np.zeros(t.num_rows, dtype=bool))
+        for b, s0, s1, q0, q1 in bands:
+            c = pc.and_(pc.equal(t["p_brand"], pa.scalar(b)),
+                        pc.and_(pc.greater_equal(t["p_size"], pa.scalar(s0, type=pa.int32())),
+                                pc.less_equal(t["p_size"], pa.scalar(s1, type=pa.int32()))))
+            c = pc.and_(c, pc.and_(pc.greater_equal(t["l_quantity"], pa.scalar(q0)),
+                                   pc.less_equal(t["l_quantity"], pa.scalar(q1))))
+            m = pc.or_(m, c)
+        t = t.filter(m)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"revenue": rev})
+
+    s = j.map_batches(pred_rev, batch_format="pyarrow").aggregate(Sum("revenue", alias_name="s"))
+    from ..stages.common import duckdb_round as _dr
+
+    val = float(_dr(np.array([s["s"] or 0.0]), 2)[0])
+    return pa.table({"revenue": pa.array([val], type=pa.float64())})
+
+
+def exclusive_return_suppliers(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """TPC-H Q21 shape (no receipt/commit dates in the fixture schema):
+    for multi-supplier orders, the supplier who is the ONLY one with a
+    returned line — the exclusive-witness EXISTS / NOT-EXISTS pair as
+    two grouped reduces plus a join-back.
+
+    Scale plan: lineitem collapses to one row per (order, supplier)
+    map-side; order-level totals (distinct suppliers, returning
+    suppliers) are a second small reduce keyed on the same column, so
+    the join-back moves only distinct pairs.  All-integer: bit-exact.
+    """
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def pair_flag(t: pa.Table) -> pa.Table:
+        r = pc.cast(pc.equal(t["l_returnflag"], pa.scalar("R")), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"], "l_suppkey": t["l_suppkey"], "is_r": r})
+
+    pairs = (
+        li.map_batches(pair_flag, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Max("is_r", alias_name="any_r"))
+    )
+    pairs = pairs.materialize()  # reused: order-level totals + the witness filter
+    per_order = pairs.groupby("l_orderkey").aggregate(
+        Count(alias_name="n_supp"), Sum("any_r", alias_name="n_returning")
+    )
+    culprits = per_order.filter(expr="n_supp > 1 and n_returning == 1").select_columns(["l_orderkey", "n_supp"])
+    j = pairs.filter(expr="any_r == 1").join(
+        culprits, join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("l_orderkey",)
+    )
+    per_supp = j.groupby("l_suppkey").aggregate(Count(alias_name="numwait"))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = per_supp.join(supp, join_type="inner", num_partitions=1, on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"s_name": t["s_name"], "numwait": t["numwait"]})
+
+    return out.map_batches(project, batch_format="pyarrow").sort(
+        ["numwait", "s_name"], descending=[True, False]
+    ).limit(k)
+
+
+def idle_customers(sf_dir: str, since: str = "2001-01-01") -> rd.Dataset:
+    """TPC-H Q22 shape: wealthy-but-recently-idle customers per nation —
+    a global-average threshold (broadcast scalar) plus an anti-join
+    against recent orders.
+
+    The threshold is the positive-balance average rounded to 2 decimals
+    in BOTH engines before the strict >, so summation-order ulps in the
+    average cannot flip a membership; account balances themselves are
+    stored doubles compared verbatim.  The anti-join is a left join +
+    null filter keyed on custkey (the recent-customer side stays
+    distinct-reduced map-side).
+    """
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_nationkey"])
+    from ..stages.common import duckdb_round as _dr
+
+    pos = cust.filter(expr="c_acctbal > 0.0").aggregate(
+        Sum("c_acctbal", alias_name="s"), Count(alias_name="n")
+    )
+    thr = float(_dr(np.array([pos["s"] / pos["n"]]), 2)[0])
+    rich = cust.filter(expr=f"c_acctbal > {thr!r}")
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def recent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["o_orderdate"], pa.scalar(np.datetime64(since, "us")))).select(["o_custkey"])
+
+    active = orders.map_batches(recent, batch_format="pyarrow").groupby("o_custkey").aggregate(Count(alias_name="_n"))
+    j = rich.join(active, join_type="left_outer", num_partitions=4, on=("c_custkey",), right_on=("o_custkey",))
+    idle = j.map_batches(lambda t: t.filter(pc.is_null(t["_n"])), batch_format="pyarrow")
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    def attach(t: pa.Table) -> pa.Table:
+        nn = pa.array([name_of[int(x)] for x in t["c_nationkey"].to_numpy()], type=pa.string())
+        return pa.table({"n_name": nn, "c_acctbal": t["c_acctbal"]})
+
+    out = (
+        idle.map_batches(attach, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_custs"), Sum("c_acctbal", alias_name="total_bal"))
+        .sort("n_name")
+    )
+    return out.map_batches(functools.partial(_round_cols, cols=("total_bal",), ndigits=2), batch_format="pyarrow")

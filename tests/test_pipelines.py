@@ -466,3 +466,54 @@ def test_local_supplier_volume_q5_shape(ray_session):
     assert list(out["n_name"]) == list(exp["n_name"])
     assert np.allclose(out["revenue"], exp["revenue"], atol=0.011)
     assert out["revenue"].sum() < loose
+
+
+def test_exclusive_return_suppliers_bruteforce(ray_session):
+    """Q21-shape exclusive-witness semi-join matches a pandas recompute."""
+    import pandas as pd
+
+    from plasmap_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    got = relational.exclusive_return_suppliers(sf, k=100).to_pandas()
+
+    li = pd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+    supp = pd.read_parquet(f"{sf}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    pairs = (
+        li.assign(is_r=(li["l_returnflag"] == "R").astype(int))
+        .groupby(["l_orderkey", "l_suppkey"], as_index=False)["is_r"].max()
+    )
+    per_order = pairs.groupby("l_orderkey").agg(n_supp=("l_suppkey", "size"), n_r=("is_r", "sum"))
+    culprit_orders = per_order[(per_order["n_supp"] > 1) & (per_order["n_r"] == 1)].index
+    culprits = pairs[(pairs["is_r"] == 1) & pairs["l_orderkey"].isin(culprit_orders)]
+    exp = (
+        culprits.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .groupby("s_name", as_index=False).size().rename(columns={"size": "numwait"})
+        .sort_values(["numwait", "s_name"], ascending=[False, True]).head(100)
+    )
+    assert list(got["s_name"]) == list(exp["s_name"])
+    assert list(got["numwait"]) == list(exp["numwait"])
+
+
+def test_customer_distribution_zero_bucket(ray_session):
+    """Q13-shape keeps customers with NO recent orders (zero bucket) and
+    the bucket-weighted total equals the customer count."""
+    from plasmap_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    out = relational.customer_distribution(sf).to_pandas()
+    import pandas as pd
+
+    n_cust = len(pd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey"]))
+    assert out["custdist"].sum() == n_cust
+    assert 0 in set(out["c_count"])  # recency cut leaves idle customers
+
+
+def test_top_supplier_keeps_all_ties(ray_session):
+    """Q15-shape max-equality selection returns every supplier at the
+    rounded maximum (>=1 row, all revenues equal)."""
+    from plasmap_ray.pipelines import relational
+
+    out = relational.top_supplier("/root/testdata/sf0.001").to_pandas()
+    assert len(out) >= 1
+    assert out["total_revenue"].nunique() == 1
