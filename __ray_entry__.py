@@ -194,6 +194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": text.quality_pipeline,
         "redact_pii": text.redact_pii,
         "doc_fingerprint": text.fingerprint,
+        "repetition_ratio": text.repetition_ratio,
+        "unigram_logprob": text.unigram_logprob,
+        "common_ngram_fraction": text.common_ngram_fraction,
         "search_by_token": lambda sf: index.search_by_token(sf, SEARCH_TOKEN),
         "search_ranked": lambda sf: index.search_ranked(sf, tokens=SEARCH_TOKENS, k=SEARCH_K),
         "search_bm25": lambda sf: index.search_bm25(sf, tokens=SEARCH_TOKENS, k=SEARCH_K),
@@ -731,6 +734,28 @@ c2 AS (
 SELECT doc_id, n_emails, n_phones, CAST(length(t2) AS BIGINT) AS clean_len FROM c2""",
         "lang_histogram": """
 SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars FROM documents GROUP BY lang""",
+        "repetition_ratio": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+grams AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+          FROM toks CROSS JOIN UNNEST(range(1, len(ts)-1)) AS t(i))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+       round(1.0 - count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) AS rep_ratio
+FROM grams GROUP BY doc_id""",
+        "unigram_logprob": """
+WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, round(avg(ln(c / t)), 6) AS lm_score
+FROM toks JOIN cnt USING (token) CROSS JOIN tot GROUP BY doc_id""",
+        "common_ngram_fraction": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+grams AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+          FROM toks CROSS JOIN UNNEST(range(1, len(ts)-1)) AS t(i)),
+gc AS (SELECT g, count(*) AS nd FROM grams GROUP BY g)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(count(*) FILTER (nd >= 2) AS BIGINT) AS n_common,
+       round(count(*) FILTER (nd >= 2) / CAST(count(*) AS DOUBLE), 6) AS common_frac
+FROM grams JOIN gc USING (g) GROUP BY doc_id""",
         "exact_dedup": """
 SELECT doc_id % 400 AS dup_key, min(doc_id) AS first_doc_id, count(*) AS n_dups FROM documents GROUP BY 1""",
         "text_md5_dedup": """

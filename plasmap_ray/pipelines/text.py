@@ -203,3 +203,173 @@ def fingerprint(sf_dir: str) -> rd.Dataset:
         return t.drop_columns(["text"]).append_column("fingerprint", pa.array(out, type=pa.int64()))
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-quality operators (round 2 session 8): intra-doc repetition,
+# corpus-LM scoring, cross-doc n-gram duplication — the Gopher/C4-style
+# quality-filter signals a training-data pipeline runs before dedup.
+# ---------------------------------------------------------------------------
+
+
+def _doc_trigrams(texts: list[str]) -> list[list[str]]:
+    """Per-doc word 3-grams, joined with a single space — exactly
+    DuckDB's ``ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]`` over
+    ``string_split(text, ' ')``."""
+    out = []
+    for s in texts:
+        toks = s.split(" ")
+        out.append([" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)])
+    return out
+
+
+def repetition_ratio(sf_dir: str) -> rd.Dataset:
+    """Intra-document repetition: fraction of a doc's word 3-grams that
+    are duplicates of an earlier 3-gram in the SAME doc (the Gopher
+    rep-signal; template/spam text scores high).  Map-only — no
+    shuffle; the per-doc loop is inherent (like simhash) and the
+    integer distinct/total quotient is bit-exact across engines.
+    Docs with <3 tokens have no grams and drop (inner semantics,
+    mirroring the SQL unnest)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        grams = _doc_trigrams(t["text"].to_pylist())
+        keep, n_g, n_d = [], [], []
+        for i, g in enumerate(grams):
+            if not g:
+                continue
+            keep.append(ids[i])
+            n_g.append(len(g))
+            n_d.append(len(set(g)))
+        n_g_arr = np.asarray(n_g, dtype=np.int64)
+        n_d_arr = np.asarray(n_d, dtype=np.int64)
+        from ..stages.common import duckdb_round
+
+        ratio = duckdb_round(1.0 - n_d_arr / n_g_arr.astype(np.float64), 6) if len(n_g) else np.empty(0)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(keep, dtype=np.int64)),
+                "n_grams": pa.array(n_g_arr),
+                "n_distinct": pa.array(n_d_arr),
+                "rep_ratio": pa.array(ratio, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(per_doc, batch_format="pyarrow")
+
+
+def unigram_logprob(sf_dir: str) -> rd.Dataset:
+    """Corpus-LM scoring: per-doc mean unigram log-probability under the
+    corpus's own token distribution — the classic perplexity-proxy
+    quality filter (gibberish scores low, stop-wordy boilerplate high).
+
+    Two-phase: pass 1 reduces the corpus to (token, count) with
+    map-side Counter combiners (one bounded shuffle: vocabulary, not
+    tokens); the vocab log-prob table broadcasts to pass 2's map-only
+    scoring stage.  At planet scale the vocab dict travels via ray.put
+    (it is already built once per worker here through the batch-fn
+    closure).  ln is libm in both engines; round-6 absorbs the
+    summation-order ulp in the mean (the search_bm25 discipline).
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            c.update(s.lower().split(" "))
+        toks = list(c.keys())
+        return pa.table({"token": pa.array(toks, type=pa.string()),
+                         "n": pa.array([c[k] for k in toks], type=pa.int64())})
+
+    vocab_tbl = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    total = float(vocab_tbl["n"].sum())
+    logprob = {t: float(np.log(n / total)) for t, n in zip(vocab_tbl["token"], vocab_tbl["n"])}
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        n_toks = np.empty(len(ids), dtype=np.int64)
+        means = np.empty(len(ids), dtype=np.float64)
+        for i, s in enumerate(t["text"].to_pylist()):
+            toks = s.lower().split(" ")
+            n_toks[i] = len(toks)
+            means[i] = sum(logprob[w] for w in toks) / len(toks)
+        from ..stages.common import duckdb_round
+
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(n_toks),
+            "lm_score": pa.array(duckdb_round(means, 6), type=pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def common_ngram_fraction(sf_dir: str) -> rd.Dataset:
+    """Cross-document duplication: per doc, the fraction of its DISTINCT
+    word 3-grams that also occur in at least one OTHER doc (>=2 docs
+    total) — the C4 repeated-substring corpus filter, and the
+    gram-level view of near-duplication that MinHash approximates.
+
+    Shape: per-doc distinct grams explode to (doc_id, gram) pairs
+    (map-side set() keeps the explosion distinct); one gram-keyed
+    shuffle counts documents per gram; a hash join back on gram tags
+    each pair with its doc count; a doc-keyed reduce emits the
+    fraction.  The pair table is materialized once and reused for
+    both sides of the join (object-store blocks, spillable); at
+    planet scale swap the gram string for its 64-bit hash before the
+    exchange (collision-correctable) — the string key is kept here
+    for the bit-exact SQL mirror.
+    """
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode_distinct(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        grams = _doc_trigrams(t["text"].to_pylist())
+        out_ids, out_g = [], []
+        for i, g in enumerate(grams):
+            for x in set(g):
+                out_ids.append(ids[i])
+                out_g.append(x)
+        return pa.table({"doc_id": pa.array(np.asarray(out_ids, dtype=np.int64)),
+                         "g": pa.array(out_g, type=pa.string())})
+
+    pairs = ds.map_batches(explode_distinct, batch_format="pyarrow").materialize()
+    gram_docs = pairs.groupby("g").aggregate(_Count(alias_name="nd"))
+    tagged = pairs.join(gram_docs, join_type="inner", num_partitions=8, on=("g",), right_on=("g",))
+
+    def flag(t: pa.Table) -> pa.Table:
+        common = pc.cast(pc.greater_equal(t["nd"], pa.scalar(2, type=pa.int64())), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "is_common": common})
+
+    per_doc = (
+        tagged.map_batches(flag, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(_Count(alias_name="n_distinct"), _Sum("is_common", alias_name="n_common"))
+    )
+
+    def ratio(t: pa.Table) -> pa.Table:
+        from ..stages.common import duckdb_round
+
+        f = t["n_common"].to_numpy().astype(np.float64) / t["n_distinct"].to_numpy().astype(np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_distinct": pc.cast(t["n_distinct"], pa.int64()),
+            "n_common": pc.cast(t["n_common"], pa.int64()),
+            "common_frac": pa.array(duckdb_round(f, 6), type=pa.float64()),
+        })
+
+    return per_doc.map_batches(ratio, batch_format="pyarrow")

@@ -141,3 +141,58 @@ def test_bm25_saturation_and_length_norm(ray_session, tmp_path):
     idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
     assert got[0] < idf * (k1 + 1.0)  # saturation bound
     assert got[1] > got[2]  # equal tf, shorter doc wins
+
+
+def test_repetition_ratio_planted_template(ray_session, tmp_path):
+    """A doc that repeats one 3-gram scores high; a no-repeat doc scores 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import text as textmod
+
+    spam = " ".join(["buy cheap pills"] * 10)  # 30 tokens, 28 grams, few distinct
+    clean = " ".join(f"w{i}" for i in range(30))
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], type=pa.int64()), "text": [spam, clean]}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = textmod.repetition_ratio(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[2, "rep_ratio"] == 0.0
+    assert out.loc[1, "rep_ratio"] > 0.8
+    assert out.loc[1, "n_grams"] == 28
+
+
+def test_common_ngram_fraction_exact_dup_is_one(ray_session, tmp_path):
+    """Two identical docs share every 3-gram (frac 1.0); a unique doc shares none."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import text as textmod
+
+    a = " ".join(f"a{i}" for i in range(20))
+    b = " ".join(f"b{i}" for i in range(20))
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()), "text": [a, a, b]}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = textmod.common_ngram_fraction(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "common_frac"] == 1.0
+    assert out.loc[2, "common_frac"] == 1.0
+    assert out.loc[3, "common_frac"] == 0.0
+
+
+def test_unigram_logprob_orders_rarity(ray_session, tmp_path):
+    """Docs made of corpus-frequent tokens outscore docs of rare tokens."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import text as textmod
+
+    common = " ".join(["the"] * 20)
+    rare = " ".join(f"zq{i}" for i in range(20))  # each token appears once
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], type=pa.int64()), "text": [common, rare]}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = textmod.unigram_logprob(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "lm_score"] > out.loc[2, "lm_score"]
