@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_location_histogram": images.caption_location_histogram,
         "zone_top_terms": images.zone_top_terms,
         "phash_dedup": images.phash_dedup,
+        "phash_pixel_verify": images.phash_pixel_verify,
+        "tile_montage": images.tile_montage,
         "phash_near_dup_pairs": images.phash_near_dup_pairs,
         # --- audio / video payloads (real WAV decode; raw frame sampling) ---
         "audio_features": multimodal.audio_features,
@@ -960,6 +962,8 @@ scat AS (
 ring AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_ring1 FROM scat GROUP BY cell)
 SELECT c.hex_cell, c.n AS n_points, ring.n_ring1
 FROM counts c JOIN ring ON ring.cell = c.hex_cell""",
+        "phash_pixel_verify": f"SELECT * FROM read_parquet('{golden.phash_pixel_verify_path(SF001)}')",
+        "tile_montage": f"SELECT * FROM read_parquet('{golden.tile_montage_path(SF001)}')",
         "way_assembly": f"SELECT * FROM read_parquet('{golden.way_assembly_path()}')",
         "way_lengths": f"SELECT * FROM read_parquet('{golden.way_lengths_path()}')",
         "way_junctions": f"SELECT * FROM read_parquet('{golden.way_junctions_path()}')",

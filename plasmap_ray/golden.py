@@ -1098,3 +1098,121 @@ def sssp_dists_path(n: int = None, source: int = 1) -> str:
         )
 
     return _cache(f"sssp_n{n}_s{source}", build)
+
+
+# ---------------------------------------------------------------------------
+# phash pair pixel verification (north-rule fidelity applied to dedup)
+# ---------------------------------------------------------------------------
+
+
+def phash_pixel_verify_path(sf_dir: str, psnr_min: float = 40.0) -> str:
+    """Golden pixel-level verification of every same-phash candidate
+    pair: decode both payloads, integer-SSE PSNR (codecs.psnr_db — the
+    bit-exact sum-of-squares form), verified iff PSNR >= psnr_min.
+    Local recompute without Ray; the driver compare then checks the
+    distributed decode path against it."""
+    from .pipelines.images import images_path_for
+
+    def build() -> pa.Table:
+        import collections
+
+        from . import codecs as _codecs
+
+        t = pq.read_table(images_path_for(sf_dir))
+        ph = t["phash"].to_numpy()
+        buckets: dict[int, list[int]] = collections.defaultdict(list)
+        for i, p in enumerate(ph):
+            buckets[int(p)].append(i)
+        ids = [int(s[4:]) for s in t["image_id"].to_pylist()]
+        rows = {"img_a": [], "img_b": [], "phash": [], "sse": [], "psnr_db": [], "verified": []}
+        from .stages.common import duckdb_round as _dr
+
+        for p, idxs in sorted(buckets.items()):
+            if len(idxs) < 2:
+                continue
+            idxs = sorted(idxs, key=lambda i: ids[i])
+            pix = {}
+            for i in idxs:
+                pix[i] = _codecs.decode_image(
+                    t["bytes"][i].as_py(), int(t["w"][i].as_py()), int(t["h"][i].as_py()), t["fmt"][i].as_py()
+                )
+            for a in range(len(idxs)):
+                for b in range(a + 1, len(idxs)):
+                    i, j = idxs[a], idxs[b]
+                    if pix[i].shape != pix[j].shape:
+                        sse, db = -1, float("-inf")  # shape mismatch: unverifiable pair
+                    else:
+                        d = pix[i].astype(np.int64) - pix[j].astype(np.int64)
+                        sse = int((d * d).sum())
+                        db = _codecs.psnr_db(pix[i], pix[j])
+                    rows["img_a"].append(ids[i])
+                    rows["img_b"].append(ids[j])
+                    rows["phash"].append(p)
+                    rows["sse"].append(sse)
+                    rows["psnr_db"].append(float(_dr(np.array([db]), 4)[0]) if np.isfinite(db) else db)
+                    rows["verified"].append(bool(db >= psnr_min))
+        return pa.table(
+            {
+                "img_a": pa.array(rows["img_a"], type=pa.int64()),
+                "img_b": pa.array(rows["img_b"], type=pa.int64()),
+                "phash": pa.array(rows["phash"], type=pa.int64()),
+                "sse": pa.array(rows["sse"], type=pa.int64()),
+                "psnr_db": pa.array(rows["psnr_db"], type=pa.float64()),
+                "verified": pa.array(rows["verified"], type=pa.bool_()),
+            }
+        )
+
+    return _cache(f"phash_pixel_verify_{_sf_tag(sf_dir)}_p{int(psnr_min)}", build)
+
+
+def tile_montage_path(sf_dir: str, z: int = 10, k: int = 4, side: int = 8) -> str:
+    """Golden per-tile montage recompute (local, no Ray): same top-k
+    selection (payload size desc, image_id asc), same NN-resize and
+    row-major composition, md5 over the raw RGB canvas."""
+    from .pipelines.images import images_path_for
+
+    def build() -> pa.Table:
+        import collections
+        import hashlib
+
+        from . import codecs as _codecs
+        from . import fixtures
+        from . import tiles as _tiles
+        from .stages.media import resize_nearest
+
+        t = pq.read_table(images_path_for(sf_dir))
+        ids = np.array([int(s[4:]) for s in t["image_id"].to_pylist()], dtype=np.int64)
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        x, y = _tiles.tile_xy(lon, lat, z)
+        nb = np.array([len(b.as_py()) for b in t["bytes"]], dtype=np.int64)
+        by_tile: dict[tuple[int, int], list[int]] = collections.defaultdict(list)
+        for i in range(len(ids)):
+            by_tile[(int(x[i]), int(y[i]))].append(i)
+        g_side = int(np.ceil(np.sqrt(k)))
+        rows = {"z": [], "x": [], "y": [], "n_slots": [], "montage_md5": []}
+        for (tx, ty), idxs in sorted(by_tile.items()):
+            idxs = sorted(idxs, key=lambda i: (-nb[i], t["image_id"][i].as_py()))[:k]
+            canvas = np.zeros((g_side * side, g_side * side, 3), dtype=np.uint8)
+            for n, i in enumerate(idxs):
+                px = _codecs.decode_image(
+                    t["bytes"][i].as_py(), int(t["w"][i].as_py()), int(t["h"][i].as_py()), t["fmt"][i].as_py()
+                )
+                thumb = resize_nearest(px, side, side)
+                ry, rx = divmod(n, g_side)
+                canvas[ry * side : (ry + 1) * side, rx * side : (rx + 1) * side] = thumb
+            rows["z"].append(z)
+            rows["x"].append(tx)
+            rows["y"].append(ty)
+            rows["n_slots"].append(len(idxs))
+            rows["montage_md5"].append(hashlib.md5(canvas.tobytes()).hexdigest())
+        return pa.table(
+            {
+                "z": pa.array(rows["z"], type=pa.int64()),
+                "x": pa.array(rows["x"], type=pa.int64()),
+                "y": pa.array(rows["y"], type=pa.int64()),
+                "n_slots": pa.array(rows["n_slots"], type=pa.int64()),
+                "montage_md5": pa.array(rows["montage_md5"], type=pa.string()),
+            }
+        )
+
+    return _cache(f"tile_montage_{_sf_tag(sf_dir)}_z{z}_k{k}_s{side}", build)

@@ -646,3 +646,199 @@ def shard_manifest(sf_dir: str, z: int = SHARD_Z, shard_bytes: int = SHARD_BYTES
         .groupby("part")
         .map_groups(pack, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# phash pair pixel verification (dedup -> fidelity loop closure)
+# ---------------------------------------------------------------------------
+
+
+def phash_pixel_verify(sf_dir: str, psnr_min: float = 40.0) -> rd.Dataset:
+    """Pixel-level verification of phash near-dup CANDIDATES: the
+    north-rule per-row fidelity invariant (decoded-pixel equality /
+    PSNR>=40 for lossy codecs) applied at PAIR level, closing the
+    dedup loop — a phash match is a hypothesis, the decode is the
+    proof (a training pipeline drops only verified duplicates).
+
+    Shape: one cheap metadata pass finds candidate phashes (buckets
+    with >1 image — bounded: planted dups + hash collisions, NOT
+    corpus-sized); payloads re-attach via a predicate-pushdown read of
+    ONLY those buckets (`bytes` for non-candidates never leaves
+    storage); one phash-keyed exchange co-locates each bucket, whose
+    group task decodes (ST5 actor path) and emits every unordered pair
+    with its integer SSE, PSNR and verdict.  PSNR uses the exact
+    integer sum-of-squares (codecs.psnr_db), so engine and golden agree
+    bit-for-bit.
+
+    Output: (img_a, img_b, phash, sse, psnr_db, verified), img_a<img_b.
+    """
+    from .. import codecs as _codecs
+    from ..stages.common import duckdb_round as _dr
+
+    meta = read_images(sf_dir, columns=["image_id", "phash"])
+    cand = (
+        meta.groupby("phash")
+        .aggregate(Count(alias_name="n"))
+        .filter(expr="n > 1")
+        .to_pandas()
+    )
+    if len(cand) == 0:
+        return pa.table({
+            "img_a": pa.array([], type=pa.int64()), "img_b": pa.array([], type=pa.int64()),
+            "phash": pa.array([], type=pa.int64()), "sse": pa.array([], type=pa.int64()),
+            "psnr_db": pa.array([], type=pa.float64()), "verified": pa.array([], type=pa.bool_()),
+        })
+    phashes = sorted(int(p) for p in cand["phash"])
+
+    import pyarrow.compute as pc
+
+    full = rd.read_parquet(
+        images_path_for(sf_dir),
+        columns=["image_id", "bytes", "w", "h", "fmt", "phash"],
+        filter=pc.field("phash").isin(phashes),
+    )
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_nid=g["image_id"].str.slice(4).astype(np.int64)).sort_values("_nid")
+        ids = g["_nid"].to_numpy()
+        pix = [
+            _codecs.decode_image(b, int(w), int(h), f)
+            for b, w, h, f in zip(g["bytes"], g["w"], g["h"], g["fmt"])
+        ]
+        ph = int(g["phash"].iloc[0])
+        rows = {"img_a": [], "img_b": [], "phash": [], "sse": [], "psnr_db": [], "verified": []}
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                if pix[a].shape != pix[b].shape:
+                    sse, db = -1, float("-inf")
+                else:
+                    d = pix[a].astype(np.int64) - pix[b].astype(np.int64)
+                    sse = int((d * d).sum())
+                    db = _codecs.psnr_db(pix[a], pix[b])
+                rows["img_a"].append(int(ids[a]))
+                rows["img_b"].append(int(ids[b]))
+                rows["phash"].append(ph)
+                rows["sse"].append(sse)
+                rows["psnr_db"].append(float(_dr(np.array([db]), 4)[0]) if np.isfinite(db) else db)
+                rows["verified"].append(bool(db >= psnr_min))
+        return pd.DataFrame(rows)
+
+    return full.groupby("phash").map_groups(verify_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# tile montage (rendered per-tile contact sheet — the visual mosaic layer)
+# ---------------------------------------------------------------------------
+
+MONTAGE_K = 4  # 2x2 grid
+MONTAGE_SIDE = 8  # thumbnail side (px)
+
+
+def _topk_runs(t: pa.Table, z: int, k: int) -> pa.Table:
+    """Top-k rows per (x, y) after (payload DESC, image_id ASC) sort —
+    the argmax_runs combiner generalized to k survivors per run."""
+    t = t.sort_by(
+        [("x", "ascending"), ("y", "ascending"), ("payload_bytes", "descending"), ("image_id", "ascending")]
+    )
+    key = t["x"].to_numpy() * (1 << z) + t["y"].to_numpy()
+    if len(key) == 0:
+        return t
+    starts = np.concatenate([[0], np.nonzero(np.diff(key))[0] + 1])
+    rank = np.arange(len(key)) - np.repeat(starts, np.diff(np.concatenate([starts, [len(key)]])))
+    return t.take(pa.array(np.nonzero(rank < k)[0]))
+
+
+def tile_montage(
+    sf_dir: str, z: int = MOSAIC_Z, k: int = MONTAGE_K, side: int = MONTAGE_SIDE, parts: int = 32
+) -> rd.Dataset:
+    """Rendered per-tile contact sheet: the top-``k`` images of each
+    slippy tile (payload-size rank, image_id tiebreak — the
+    best_image_per_tile ordering) decoded, NN-resized to
+    ``side``x``side`` and composed row-major into a sqrt(k)-square RGB
+    montage; emitted as (z, x, y, n_slots, montage_md5) with the md5
+    over the raw RGB buffer (rendering is bit-deterministic, so the
+    hash IS the image).  Empty slots stay zero (black).
+
+    Scale shape: selection runs on metadata only (per-batch top-k
+    combiner -> tile-sharded run-scan; ``bytes`` reduced to its length
+    map-side); the SELECTED ids (<= k x tiles, output-bounded) re-attach
+    payloads via a predicate-pushdown read, so non-selected payloads
+    never leave storage; decode+compose runs per tile group (<= k
+    images each).
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from .. import codecs as _codecs
+    from .. import tiles
+    from ..stages.media import resize_nearest
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4, 16), pa.int64()).to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        x, y = tiles.tile_xy(lon, lat, z)
+        nb = pc.cast(pc.binary_length(t["bytes"]), pa.int64())
+        tbl = pa.table(
+            {
+                "image_id": t["image_id"],
+                "x": pa.array(x, type=pa.int64()),
+                "y": pa.array(y, type=pa.int64()),
+                "payload_bytes": nb,
+            }
+        )
+        tbl = _topk_runs(tbl, z, k)  # map-side combiner
+        part = (tbl["x"].to_numpy() * (1 << z) + tbl["y"].to_numpy()) % parts
+        return tbl.append_column("part", pa.array(part, type=pa.int64()))
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        return _topk_runs(g.drop_columns(["part"]), z, k)
+
+    selected = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+        .to_pandas()  # output-bounded: <= k rows per occupied tile
+    )
+    sel_ids = sorted(selected["image_id"])
+    rank_of = {r.image_id: (int(r.x), int(r.y)) for r in selected.itertuples()}
+
+    full = rd.read_parquet(
+        images_path_for(sf_dir),
+        columns=["image_id", "bytes", "w", "h", "fmt"],
+        filter=pc.field("image_id").isin(sel_ids),
+    )
+
+    def attach_tile(t: pa.Table) -> pa.Table:
+        xs = np.array([rank_of[i][0] for i in t["image_id"].to_pylist()], dtype=np.int64)
+        ys = np.array([rank_of[i][1] for i in t["image_id"].to_pylist()], dtype=np.int64)
+        return t.append_column("x", pa.array(xs)).append_column("y", pa.array(ys))
+
+    g_side = int(np.ceil(np.sqrt(k)))
+
+    def montage(gdf: pd.DataFrame) -> pd.DataFrame:
+        nb = gdf["bytes"].map(len).astype(np.int64)
+        gdf = gdf.assign(_nb=nb).sort_values(["_nb", "image_id"], ascending=[False, True])
+        canvas = np.zeros((g_side * side, g_side * side, 3), dtype=np.uint8)
+        n = 0
+        for _, r in gdf.head(k).iterrows():
+            px = _codecs.decode_image(r["bytes"], int(r["w"]), int(r["h"]), r["fmt"])
+            thumb = resize_nearest(px, side, side)
+            ry, rx = divmod(n, g_side)
+            canvas[ry * side : (ry + 1) * side, rx * side : (rx + 1) * side] = thumb
+            n += 1
+        return pd.DataFrame(
+            {
+                "z": [z],
+                "x": [int(gdf["x"].iloc[0])],
+                "y": [int(gdf["y"].iloc[0])],
+                "n_slots": [n],
+                "montage_md5": [hashlib.md5(canvas.tobytes()).hexdigest()],
+            }
+        )
+
+    return full.map_batches(attach_tile, batch_format="pyarrow").groupby(["x", "y"]).map_groups(
+        montage, batch_format="pandas"
+    )

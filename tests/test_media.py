@@ -172,3 +172,36 @@ def test_caption_spam_matches_bruteforce(ray_session):
     assert list(got.index) == sorted(exp.index)
     assert (got["n_images"] == exp.sort_index()["n_images"]).all()
     assert (got["n_phashes"] == exp.sort_index()["n_phashes"]).all()
+
+
+def test_phash_pixel_verify_planted_dups(ray_session):
+    """Every planted exact-pixel dup pair verifies (PSNR inf or >=40);
+    pair count matches the NEAR_DUP_STRIDE planting at sf0.001."""
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import images
+
+    sf = "/root/testdata/sf0.001"
+    out = images.phash_pixel_verify(sf).to_pandas()
+    n = images.images_count_for(sf)
+    planted = {(i - 1, i) for i in range(fixtures.NEAR_DUP_STRIDE, n + 1, fixtures.NEAR_DUP_STRIDE) if i > 1}
+    got_pairs = set(zip(out["img_a"], out["img_b"]))
+    assert planted <= got_pairs  # every planted pair is found...
+    planted_rows = out[[(a, b) in planted for a, b in zip(out["img_a"], out["img_b"])]]
+    assert planted_rows["verified"].all()  # ...and pixel-verifies
+    assert (planted_rows["sse"] >= 0).all()
+
+
+def test_tile_montage_matches_golden(ray_session):
+    """Distributed montage rendering is bit-identical to the local
+    recompute (md5 over the raw RGB canvas)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import golden
+    from plasmap_ray.pipelines import images
+
+    sf = "/root/testdata/sf0.001"
+    got = images.tile_montage(sf).to_pandas().sort_values(["x", "y"]).reset_index(drop=True)
+    exp = pq.read_table(golden.tile_montage_path(sf)).to_pandas().sort_values(["x", "y"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["z", "x", "y", "n_slots", "montage_md5"]], exp)
+    assert got["n_slots"].between(1, images.MONTAGE_K).all()
