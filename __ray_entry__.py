@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_multi_topk": lambda sf: ann.ann_multi_topk(sf, k=ANN_K, vec_ids=MULTI_VEC_IDS),
         "ann_lsh_topk": lambda sf: ann.lsh_bucket_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
+        "pq_encode": ann.pq_encode,
         "embedding_top_pairs": lambda sf: ann.embedding_top_pairs(sf, k=EMB_TOP_PAIRS),
         "embedding_near_dup": lambda sf: ann.embedding_near_dup(sf, threshold=EMB_NEARDUP_T),
         "embedding_near_dup_lsh": lambda sf: ann.embedding_near_dup_lsh(sf, threshold=EMB_NEARDUP_T),
@@ -249,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stay_points": trajectory.stay_points,
         "heading_histogram": trajectory.heading_histogram,
         "route_conformance": trajectory.route_conformance,
+        "frechet_conformance": trajectory.frechet_conformance,
         "radius_of_gyration": trajectory.radius_of_gyration,
         "cell_transition_matrix": trajectory.cell_transition_matrix,
         "getis_ord_hotspots": hotspot.getis_ord_hotspots,
@@ -261,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_spam": images.caption_spam,
         "dissolve_zones": cluster.dissolve_zones,
         "idw_interpolation": hotspot.idw_interpolation,
+        "idw_loocv": hotspot.idw_loocv,
         "space_time_cube": hotspot.space_time_cube,
         "cell_entropy": hotspot.cell_entropy,
         "burst_cells": hotspot.burst_cells,
@@ -964,6 +967,8 @@ SELECT c.hex_cell, c.n AS n_points, ring.n_ring1
 FROM counts c JOIN ring ON ring.cell = c.hex_cell""",
         "phash_pixel_verify": f"SELECT * FROM read_parquet('{golden.phash_pixel_verify_path(SF001)}')",
         "tile_montage": f"SELECT * FROM read_parquet('{golden.tile_montage_path(SF001)}')",
+        "frechet_conformance": f"SELECT * FROM read_parquet('{golden.frechet_conformance_path(SF001)}')",
+        "pq_encode": f"SELECT * FROM read_parquet('{golden.pq_encode_path(SF001)}')",
         "way_assembly": f"SELECT * FROM read_parquet('{golden.way_assembly_path()}')",
         "way_lengths": f"SELECT * FROM read_parquet('{golden.way_lengths_path()}')",
         "way_junctions": f"SELECT * FROM read_parquet('{golden.way_junctions_path()}')",
@@ -1293,6 +1298,27 @@ SELECT CAST(floor((lon - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) 
        epoch_us(ts) // {hotspot.DAY_US} AS day,
        count(*) AS n_events
 FROM epts GROUP BY 1, 2, 3""",
+        "idw_loocv": f"""
+WITH e AS (
+  SELECT event_id, value, {oracle.sql_derive_lon('event_id')} AS lon, {oracle.sql_derive_lat('event_id')} AS lat
+  FROM events),
+pw AS (
+  SELECT a.event_id, a.value,
+         1.0 / ((b.lon - a.lon) * (b.lon - a.lon) + (b.lat - a.lat) * (b.lat - a.lat) + {hotspot.IDW_SOFT!r}) AS w,
+         b.value AS vb
+  FROM e a JOIN e b
+  ON b.lon >= a.lon - {hotspot.LOOCV_RADIUS!r} AND b.lon <= a.lon + {hotspot.LOOCV_RADIUS!r}
+  WHERE a.event_id <> b.event_id
+    AND (b.lon - a.lon) * (b.lon - a.lon) + (b.lat - a.lat) * (b.lat - a.lat)
+        <= {hotspot.LOOCV_RADIUS * hotspot.LOOCV_RADIUS!r}),
+s AS (
+  SELECT event_id, value, CAST(count(*) AS BIGINT) AS n_neigh,
+         CAST(sum(CAST(floor(w * {hotspot.IDW_FP!r} + 0.5) AS BIGINT)) AS BIGINT) AS sum_w_fp,
+         CAST(sum(CAST(floor(w * vb * {hotspot.IDW_FP!r} + 0.5) AS BIGINT)) AS BIGINT) AS sum_wv_fp
+  FROM pw GROUP BY 1, 2)
+SELECT event_id, n_neigh, sum_w_fp, sum_wv_fp,
+       CAST(floor((value - CAST(sum_wv_fp AS DOUBLE) / sum_w_fp) * 1e6 + 0.5) AS BIGINT) AS resid_fp
+FROM s""",
         "idw_interpolation": f"""
 WITH evv AS (
   SELECT value, {oracle.sql_derive_lon('event_id')} AS lon, {oracle.sql_derive_lat('event_id')} AS lat

@@ -1216,3 +1216,55 @@ def tile_montage_path(sf_dir: str, z: int = 10, k: int = 4, side: int = 8) -> st
         )
 
     return _cache(f"tile_montage_{_sf_tag(sf_dir)}_z{z}_k{k}_s{side}", build)
+
+
+def frechet_conformance_path(sf_dir: str) -> str:
+    """Golden per-user discrete-Fréchet recompute (local, no Ray):
+    identical fixed-point DP over the (ts, event_id)-ordered events."""
+
+    def build() -> pa.Table:
+        from . import fixtures
+        from .pipelines.trajectory import FP_SCALE, ROUTE_PATH, _frechet_fp
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
+        )
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        ids = df["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        vx = np.array([p[0] for p in ROUTE_PATH], dtype=np.float64)
+        vy = np.array([p[1] for p in ROUTE_PATH], dtype=np.float64)
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        bounds = np.nonzero(np.diff(uid))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(uid)]])
+        vals = [_frechet_fp(lon[s:e], lat[s:e], vx, vy) for s, e in zip(starts, ends)]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], type=pa.int64()),
+                "n_events": pa.array(ends - starts, type=pa.int64()),
+                "frechet_fp": pa.array(np.asarray(vals, dtype=np.int64)),
+            }
+        )
+
+    return _cache(f"frechet_{_sf_tag(sf_dir)}", build)
+
+
+def pq_encode_path(sf_dir: str, m: int = 4, ksub: int = 16, iters: int = 8, seed: int = 5) -> str:
+    """Golden PQ recompute (local, no Ray): identical codebook training
+    and encode expression over the whole embeddings table."""
+
+    def build() -> pa.Table:
+        from .pipelines.ann import _pq_encode_matrix, pq_codebooks
+
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        books = pq_codebooks(mat, m=m, ksub=ksub, iters=iters, seed=seed)
+        codes, recon = _pq_encode_matrix(mat, books)
+        cols = {"vec_id": pa.array(t["vec_id"].to_numpy().astype(np.int64), type=pa.int64())}
+        for j in range(m):
+            cols[f"code_{j}"] = pa.array(codes[:, j], type=pa.int64())
+        cols["recon_fp"] = pa.array(recon, type=pa.int64())
+        return pa.table(cols)
+
+    return _cache(f"pq_{_sf_tag(sf_dir)}_m{m}_k{ksub}_i{iters}_s{seed}", build)

@@ -775,3 +775,74 @@ def zone_embedding_dispersion(sf_dir: str, fp: int = CENTROID_FP) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# pq_encode (product quantization — the compressed-ANN scale path)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_KSUB = 16  # centroids per subspace (4-bit codes)
+
+
+def pq_codebooks(sample: np.ndarray, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = 8, seed: int = 5) -> list[np.ndarray]:
+    """Per-subspace Lloyd codebooks (deterministic seeded init, fixed
+    iterations — the kmeans_centroids contract, one seed per subspace)."""
+    d = sample.shape[1]
+    ds_sub = d // m
+    return [
+        kmeans_centroids(sample[:, j * ds_sub : (j + 1) * ds_sub], ksub, iters=iters, seed=seed + j)
+        for j in range(m)
+    ]
+
+
+def _pq_encode_matrix(mat: np.ndarray, books: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """(codes[n, m] int64, recon_fp[n] int64): per-subspace argmin code
+    + fixed-point total reconstruction SSE.  Identical numpy expression
+    in engine and golden -> bit-identical doubles -> identical ints."""
+    n = mat.shape[0]
+    m = len(books)
+    ds_sub = mat.shape[1] // m
+    codes = np.empty((n, m), dtype=np.int64)
+    sse = np.zeros(n, dtype=np.float64)
+    for j, c in enumerate(books):
+        x = mat[:, j * ds_sub : (j + 1) * ds_sub]
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        codes[:, j] = a
+        sse += d2[np.arange(n), a]
+    return codes, np.floor(sse * 1e9 + 0.5).astype(np.int64)
+
+
+def pq_encode(sf_dir: str, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = 8, seed: int = 5) -> rd.Dataset:
+    """Product-quantization encoding of the embedding corpus: split each
+    vector into ``m`` subspaces, Lloyd-train a ``ksub``-entry codebook
+    per subspace, emit each vector's code word + fixed-point
+    reconstruction error — the memory-compressed ANN representation
+    (m=4, ksub=16 -> 16 bits/vector vs 1024 for float32 D=32).
+
+    Scale shape: codebooks train on a driver-side sample (the ivf_topk
+    discipline — at 10^12 vectors the sample IS the training set) and
+    broadcast once per worker; the encode pass is map-ONLY (no
+    shuffle), emitting (vec_id, code_0..code_{m-1}, recon_fp).  The
+    deterministic init + fixed iteration count make the codebooks, and
+    therefore every code, engine-independent.
+    """
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(_emb_path(sf_dir), columns=["embedding"])
+    sample = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    books = pq_codebooks(sample, m=m, ksub=ksub, iters=iters, seed=seed)
+    bref = ray.put(books)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        bks = ray.get(bref)
+        mat = _emb_matrix(batch)
+        codes, recon = _pq_encode_matrix(mat, bks)
+        cols = {"vec_id": batch["vec_id"]}
+        for j in range(len(bks)):
+            cols[f"code_{j}"] = pa.array(codes[:, j], type=pa.int64())
+        cols["recon_fp"] = pa.array(recon, type=pa.int64())
+        return pa.table(cols)
+
+    return _read_emb(sf_dir).map_batches(encode, batch_format="pyarrow")

@@ -1473,3 +1473,139 @@ def voronoi_assign(sf_dir: str) -> rd.Dataset:
         .groupby(["cx", "cy"])
         .map_groups(reduce, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# idw_loocv (leave-one-out cross-validation of the IDW field)
+# ---------------------------------------------------------------------------
+
+LOOCV_RADIUS = 0.05  # planar degrees (~26 neighbors/point in the fixture)
+
+
+def idw_loocv(sf_dir: str, radius: float = LOOCV_RADIUS, num_partitions: int = 8) -> rd.Dataset:
+    """Leave-one-out cross-validation of the IDW interpolator: each
+    event's value predicted from its OTHER in-radius neighbors, with the
+    fixed-point residual — the spatial-model QA layer (a field whose
+    LOOCV residuals blow up is over-smoothed or under-sampled).
+
+    Same bucket-join discipline as cross_k (pitch = radius, FULL 3x3
+    probe neighborhood — pairs are ordered target<-source); per-batch
+    candidate groups reduce to per-target int64 partial sums
+    (floor-fixed-point weights, the idw_interpolation contract), one
+    target-keyed groupby folds them, and the residual is a single
+    mirrored float expression over the folded integers.
+
+    Output: (event_id, n_neigh, sum_w_fp, sum_wv_fp, resid_fp) for
+    events with >=1 in-radius neighbor.
+    """
+    import functools as _ft
+
+    from ray.data.aggregate import Max as _Max
+
+    ds = _read_events(sf_dir, ["event_id", "value"])
+    r2 = radius * radius
+
+    def keyed(t: pa.Table, side: str) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / radius).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / radius).astype(np.int64)
+        return pa.table(
+            {
+                f"id_{side}": t["event_id"],
+                f"val_{side}": t["value"],
+                f"lon_{side}": pa.array(lon, type=pa.float64()),
+                f"lat_{side}": pa.array(lat, type=pa.float64()),
+                "cx": pa.array(cx, type=pa.int64()),
+                "cy": pa.array(cy, type=pa.int64()),
+            }
+        )
+
+    def own_key(t: pa.Table) -> pa.Table:
+        ck = (t["cx"].to_numpy() + 1) * (1 << 21) + (t["cy"].to_numpy() + 1)
+        return t.drop_columns(["cx", "cy"]).append_column("ck", pa.array(ck, type=pa.int64()))
+
+    def probe_expand(t: pa.Table) -> pa.Table:
+        cx, cy = t["cx"].to_numpy(), t["cy"].to_numpy()
+        t = t.drop_columns(["cx", "cy"])
+        out = []
+        for dx, dy in _FULL_2D:
+            ck = (cx + dx + 1) * (1 << 21) + (cy + dy + 1)
+            out.append(t.append_column("ck", pa.array(ck, type=pa.int64())))
+        return pa.concat_tables(out)
+
+    build = ds.map_batches(_ft.partial(keyed, side="b"), batch_format="pyarrow").map_batches(
+        own_key, batch_format="pyarrow"
+    )
+    probe = ds.map_batches(_ft.partial(keyed, side="a"), batch_format="pyarrow").map_batches(
+        probe_expand, batch_format="pyarrow"
+    )
+    cand = probe.join(build, join_type="inner", num_partitions=num_partitions, on=("ck",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ia = np.asarray(t["id_a"].to_numpy(), np.int64)
+        ib = np.asarray(t["id_b"].to_numpy(), np.int64)
+        dlon = t["lon_b"].to_numpy() - t["lon_a"].to_numpy()
+        dlat = t["lat_b"].to_numpy() - t["lat_a"].to_numpy()
+        d2 = dlon * dlon + dlat * dlat
+        m = (ia != ib) & (d2 <= r2)
+        if not m.any():
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "value": pa.array([], type=pa.float64()),
+                    "n_neigh": pa.array([], type=pa.int64()),
+                    "sum_w_fp": pa.array([], type=pa.int64()),
+                    "sum_wv_fp": pa.array([], type=pa.int64()),
+                }
+            )
+        ia, d2 = ia[m], d2[m]
+        va = t["val_a"].to_numpy()[m]
+        vb = t["val_b"].to_numpy()[m]
+        w = 1.0 / (d2 + IDW_SOFT)
+        fw = np.floor(w * IDW_FP + 0.5).astype(np.int64)
+        fwv = np.floor(w * vb * IDW_FP + 0.5).astype(np.int64)
+        uniq, inv = np.unique(ia, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        sw = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sw, inv, fw)
+        swv = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(swv, inv, fwv)
+        first = np.zeros(len(uniq), dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(ia) - 1, -1, -1)
+        return pa.table(
+            {
+                "event_id": pa.array(uniq, type=pa.int64()),
+                "value": pa.array(va[first], type=pa.float64()),
+                "n_neigh": pa.array(n, type=pa.int64()),
+                "sum_w_fp": pa.array(sw, type=pa.int64()),
+                "sum_wv_fp": pa.array(swv, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        cand.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_id")
+        .aggregate(
+            _Max("value", alias_name="value"),
+            Sum("n_neigh", alias_name="n_neigh"),
+            Sum("sum_w_fp", alias_name="sum_w_fp"),
+            Sum("sum_wv_fp", alias_name="sum_wv_fp"),
+        )
+    )
+
+    def resid(t: pa.Table) -> pa.Table:
+        sw = t["sum_w_fp"].to_numpy().astype(np.float64)
+        swv = t["sum_wv_fp"].to_numpy().astype(np.float64)
+        r = np.floor((t["value"].to_numpy() - swv / sw) * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "n_neigh": t["n_neigh"],
+                "sum_w_fp": t["sum_w_fp"],
+                "sum_wv_fp": t["sum_wv_fp"],
+                "resid_fp": pa.array(r, type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(resid, batch_format="pyarrow")

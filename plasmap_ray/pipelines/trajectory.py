@@ -1255,3 +1255,86 @@ def trip_stats(sf_dir: str, gap_min: int = TRIP_GAP_MIN, parts: int = TRAJ_PARTS
         .groupby("part")
         .map_groups(scan, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# frechet_conformance (discrete Fréchet distance to the reference route)
+# ---------------------------------------------------------------------------
+
+
+def _frechet_fp(lon: np.ndarray, lat: np.ndarray, vx: np.ndarray, vy: np.ndarray) -> int:
+    """Discrete Fréchet distance (fixed-point int64) between one user's
+    ordered trajectory and the reference path — the classic coupled-walk
+    DP; all comparisons on exact int64 distances, so the result is
+    schedule- and engine-independent."""
+    dx = lon[:, None] - vx[None, :]
+    dy = lat[:, None] - vy[None, :]
+    d = np.floor(np.sqrt(dx * dx + dy * dy) * FP_SCALE + 0.5).astype(np.int64)
+    m = d.shape[1]
+    ca = np.empty(m, dtype=np.int64)
+    ca[0] = d[0, 0]
+    for j in range(1, m):
+        ca[j] = max(ca[j - 1], d[0, j])
+    for i in range(1, d.shape[0]):
+        prev = ca.copy()
+        ca[0] = max(prev[0], d[i, 0])
+        for j in range(1, m):
+            ca[j] = max(d[i, j], min(ca[j - 1], prev[j], prev[j - 1]))
+    return int(ca[m - 1])
+
+
+def frechet_conformance(sf_dir: str, parts: int = TRAJ_PARTS) -> rd.Dataset:
+    """Route conformance, order-aware: the discrete Fréchet distance of
+    each user's (ts, event_id)-ordered trajectory to the broadcast
+    reference route — unlike the Hausdorff view (route_conformance),
+    Fréchet penalizes walking the route BACKWARDS or skipping ahead,
+    which is what map-matching QA actually wants.
+
+    Shape: the DP needs each user's full ordered sequence, so users
+    regroup via the coarse-partition run-scan (one task per
+    ``user_id %% parts`` slice, never one task per user); the route is
+    a broadcast constant.  Distances are fixed-point int64, making the
+    max/min DP bit-exact — the golden oracle replays the identical DP
+    locally.  Output: (user_id, n_events, frechet_fp).
+    """
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+    vx = np.array([p[0] for p in ROUTE_PATH], dtype=np.float64)
+    vy = np.array([p[1] for p in ROUTE_PATH], dtype=np.float64)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _derive_positions(t)
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        return t.append_column("part", pa.array(uid % parts, type=pa.int64()))
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+            "frechet_fp": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def regroup(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+        uid = np.asarray(g["user_id"].to_numpy(), np.int64)
+        if len(uid) == 0:
+            return empty
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        bounds = np.nonzero(np.diff(uid))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(uid)]])
+        vals = [ _frechet_fp(lon[s:e], lat[s:e], vx, vy) for s, e in zip(starts, ends) ]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], type=pa.int64()),
+                "n_events": pa.array(ends - starts, type=pa.int64()),
+                "frechet_fp": pa.array(np.asarray(vals, dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(regroup, batch_format="pyarrow")
+    )

@@ -324,3 +324,22 @@ def test_zone_embedding_dispersion_matches_bruteforce(ray_session):
             assert gn == int(n) and gv == var[d]
             saw_positive = saw_positive or var[d] > 0
     assert saw_positive
+
+
+def test_pq_encode_compresses_and_reconstructs(ray_session):
+    """PQ codes are in range and beat the 1-centroid quantizer on
+    reconstruction error (the codebooks actually learned something)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import ann
+
+    sf = "/root/testdata/sf0.001"
+    out = ann.pq_encode(sf).to_pandas()
+    for j in range(ann.PQ_M):
+        assert out[f"code_{j}"].between(0, ann.PQ_KSUB - 1).all()
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    trivial_sse = ((mat - mat.mean(axis=0)) ** 2).sum(axis=1)
+    assert out["recon_fp"].sum() / 1e9 < trivial_sse.sum()
+    assert (out["recon_fp"] >= 0).all()

@@ -367,3 +367,54 @@ def test_trip_stats_consistency(ray_session, events):
     # single-ping trips have zero duration and length
     single = out[out["n_events"] == 1]
     assert (single["dur_us"] == 0).all() and (single["path_fp"] == 0).all()
+
+
+def test_frechet_penalizes_backwards_walk(ray_session):
+    """Discrete Fréchet distinguishes forward from reversed traversal of
+    the same vertex set (Hausdorff cannot)."""
+    import numpy as np
+
+    from plasmap_ray.pipelines.trajectory import ROUTE_PATH, _frechet_fp
+
+    vx = np.array([p[0] for p in ROUTE_PATH])
+    vy = np.array([p[1] for p in ROUTE_PATH])
+    fwd = _frechet_fp(vx, vy, vx, vy)
+    back = _frechet_fp(vx[::-1].copy(), vy[::-1].copy(), vx, vy)
+    assert fwd == 0
+    assert back > 0
+
+
+def test_idw_loocv_bruteforce(ray_session):
+    """Distributed LOOCV equals an O(N^2) local recompute at sf0.001."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import hotspot
+
+    sf = "/root/testdata/sf0.001"
+    got = hotspot.idw_loocv(sf).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    t = pq.read_table(f"{sf}/events.parquet", columns=["event_id", "value"])
+    ids = t["event_id"].to_numpy()
+    v = t["value"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    r2 = hotspot.LOOCV_RADIUS ** 2
+    d2 = (lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
+    rows = []
+    for i in range(len(ids)):
+        m = (d2[i] <= r2) & (np.arange(len(ids)) != i)
+        if not m.any():
+            continue
+        w = 1.0 / (d2[i][m] + hotspot.IDW_SOFT)
+        fw = np.floor(w * hotspot.IDW_FP + 0.5).astype(np.int64)
+        fwv = np.floor(w * v[m] * hotspot.IDW_FP + 0.5).astype(np.int64)
+        pred = float(fwv.sum()) / float(fw.sum())
+        rows.append((int(ids[i]), int(m.sum()), int(fw.sum()), int(fwv.sum()),
+                     int(np.floor((v[i] - pred) * 1e6 + 0.5))))
+    rows.sort()
+    assert len(got) == len(rows)
+    assert list(got["event_id"]) == [r[0] for r in rows]
+    assert list(got["n_neigh"]) == [r[1] for r in rows]
+    assert list(got["sum_w_fp"]) == [r[2] for r in rows]
+    assert list(got["resid_fp"]) == [r[4] for r in rows]
