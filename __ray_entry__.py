@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- routing over the road graph (block-synchronous SSSP) ---
         "sssp_dists": routing.sssp_dists_query,
         "isochrone_bands": routing.isochrone_bands_query,
+        "pagerank": routing.pagerank_query,
         "knn_pois": lambda sf: spatial.knn_pipeline(sf, k=KNN_K),
         "radius_join": lambda sf: spatial.radius_pipeline(sf, radius_deg=RADIUS_DEG),
         "poi_in_area": spatial.poi_in_area_pipeline,
@@ -969,6 +970,7 @@ FROM counts c JOIN ring ON ring.cell = c.hex_cell""",
         "tile_montage": f"SELECT * FROM read_parquet('{golden.tile_montage_path(SF001)}')",
         "frechet_conformance": f"SELECT * FROM read_parquet('{golden.frechet_conformance_path(SF001)}')",
         "pq_encode": f"SELECT * FROM read_parquet('{golden.pq_encode_path(SF001)}')",
+        "pagerank": f"SELECT * FROM read_parquet('{golden.pagerank_path()}')",
         "way_assembly": f"SELECT * FROM read_parquet('{golden.way_assembly_path()}')",
         "way_lengths": f"SELECT * FROM read_parquet('{golden.way_lengths_path()}')",
         "way_junctions": f"SELECT * FROM read_parquet('{golden.way_junctions_path()}')",

@@ -1268,3 +1268,36 @@ def pq_encode_path(sf_dir: str, m: int = 4, ksub: int = 16, iters: int = 8, seed
         return pa.table(cols)
 
     return _cache(f"pq_{_sf_tag(sf_dir)}_m{m}_k{ksub}_i{iters}_s{seed}", build)
+
+
+def pagerank_path(n: int | None = None, iters: int = 10) -> str:
+    """Golden integer-PageRank recompute (local, no Ray): the identical
+    fixed-point power iteration over the symmetrized road edges."""
+
+    def build() -> pa.Table:
+        from . import fixtures
+        from .pipelines.routing import PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE
+
+        nn = n or fixtures.ROAD_N
+        e = fixtures.road_world(nn)["edges"]
+        s0 = e["src"].to_numpy()
+        d0 = e["dst"].to_numpy()
+        src = np.concatenate([s0, d0]) - 1
+        dst = np.concatenate([d0, s0]) - 1
+        n_nodes = nn * nn
+        deg = np.bincount(src, minlength=n_nodes).astype(np.int64)
+        base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n_nodes)
+        r = np.full(n_nodes, PR_SCALE // n_nodes, dtype=np.int64)
+        for _ in range(iters):
+            c = r // deg
+            acc = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(acc, dst, c[src])
+            r = base + (PR_DAMP_NUM * acc) // PR_DAMP_DEN
+        return pa.table(
+            {
+                "node": pa.array(np.arange(1, n_nodes + 1, dtype=np.int64)),
+                "rank_fp": pa.array(r, type=pa.int64()),
+            }
+        )
+
+    return _cache(f"pagerank_n{n or 'def'}_i{iters}", build)

@@ -216,3 +216,105 @@ def isochrone_bands_query(
         .groupby("band")
         .aggregate(Count(alias_name="n_nodes"))
     )
+
+
+# ---------------------------------------------------------------------------
+# pagerank (integer-exact Pregel-style power iteration)
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 10**12  # rank fixed-point scale
+PR_ITERS = 10
+# damping 0.85 as an exact integer ratio; integer division makes every
+# iteration's rank vector identical regardless of partial-sum order
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+
+
+def pagerank(
+    n: int | None = None,
+    iters: int = PR_ITERS,
+    pg: int = PART_GRID,
+    num_partitions: int = NUM_PARTS,
+) -> rd.Dataset:
+    """Distributed PageRank over the road graph — INTEGER-EXACT power
+    iteration: ranks live as int64 fixed-point, each node's per-edge
+    contribution is ``r_fp // deg`` (integer division), and the update
+    is ``base + (85 * Σ contrib) // 100``.  Every operation is integer,
+    so the rank vector after any number of rounds is bit-identical in
+    any engine and under any aggregation-tree order (the kmeans/SSSP
+    determinism discipline applied to the third classic iterative
+    algorithm).  The sub-ulp mass lost to the floor divisions just
+    damps slightly harder — documented, reproducible.
+
+    Shape per round: the rank table shards by the SAME spatial
+    partition as the edges (edges never move — the SSSP discipline);
+    each partition task streams its nodes' contributions over its local
+    CSR; one node-keyed integer-sum fold builds the next table.
+    Rounds = ``iters`` (fixed — what makes the result checkable).
+
+    Output: (node, rank_fp) int64 for all n² nodes.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    if n is None:
+        n = fixtures.ROAD_N
+    refs = _shard_refs(n, pg)
+    n_nodes = n * n
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n_nodes)
+
+    def tag(t: pa.Table) -> pa.Table:
+        cells = _pcell_np(t["node"].to_numpy(), n, pg)
+        return t.append_column("pcell", pa.array(cells, type=pa.int64()))
+
+    def contrib(g: pa.Table) -> pa.Table:
+        cell = int(g["pcell"][0].as_py())
+        csr = _csr_for(refs[cell])
+        index, dsts = csr["index"], csr["dst"]
+        nodes = g["node"].to_numpy()
+        r = g["rank_fp"].to_numpy()
+        out_dst, out_c = [], []
+        for u, ru in zip(nodes, r):
+            rng = index.get(int(u))
+            if rng is None:
+                continue
+            a, b = rng
+            c = int(ru) // (b - a)
+            out_dst.append(dsts[a:b])
+            out_c.append(np.full(b - a, c, dtype=np.int64))
+        if not out_dst:
+            return pa.table({"node": pa.array([], type=pa.int64()), "c": pa.array([], type=pa.int64())})
+        dst = np.concatenate(out_dst)
+        cs = np.concatenate(out_c)
+        # local combine: one row per target per partition
+        uniq, inv = np.unique(dst, return_inverse=True)
+        summed = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(summed, inv, cs)
+        return pa.table({"node": pa.array(uniq, type=pa.int64()), "c": pa.array(summed, type=pa.int64())})
+
+    ranks = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(np.arange(1, n_nodes + 1, dtype=np.int64)),
+                "rank_fp": pa.array(np.full(n_nodes, PR_SCALE // n_nodes, dtype=np.int64)),
+            }
+        )
+    ).repartition(num_partitions)
+    for _ in range(iters):
+        parts = (
+            ranks.map_batches(tag, batch_format="pyarrow")
+            .groupby("pcell")
+            .map_groups(contrib, batch_format="pyarrow")
+        )
+        summed = parts.groupby("node").aggregate(_Sum("c", alias_name="c"))
+
+        def update(t: pa.Table) -> pa.Table:
+            nr = base + (PR_DAMP_NUM * t["c"].to_numpy().astype(np.int64)) // PR_DAMP_DEN
+            return pa.table({"node": t["node"], "rank_fp": pa.array(nr, type=pa.int64())})
+
+        ranks = summed.map_batches(update, batch_format="pyarrow").repartition(num_partitions).materialize()
+    return ranks
+
+
+def pagerank_query(sf_dir: str) -> rd.Dataset:
+    """queries() surface: full (node, rank_fp) table — golden-checked
+    against the identical integer iteration run locally."""
+    return pagerank()

@@ -83,3 +83,27 @@ def test_isochrone_bands(ray_session):
     got = {r["band"]: r["n_nodes"] for r in rows}
     assert got == want
     assert sum(got.values()) == within.shape[0]
+
+
+def test_pagerank_integer_invariants(ray_session):
+    """Integer PageRank: all n^2 nodes ranked, total mass conserved up
+    to the documented floor losses, every rank >= the teleport base,
+    and interior nodes outrank the degree-2 corners."""
+    import numpy as np
+
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import routing
+
+    out = routing.pagerank().to_pandas().set_index("node")["rank_fp"]
+    n = fixtures.ROAD_N
+    assert len(out) == n * n
+    base = (routing.PR_SCALE * (routing.PR_DAMP_DEN - routing.PR_DAMP_NUM)) // (
+        routing.PR_DAMP_DEN * n * n
+    )
+    assert (out >= base).all()
+    total = out.sum()
+    assert 0.95 * routing.PR_SCALE < total <= routing.PR_SCALE
+    corners = [1, n, n * n - n + 1, n * n]
+    center = (n // 2) * n + n // 2 + 1
+    assert out[center] > max(out[c] for c in corners) * 0.9  # grid ranks are near-uniform; corners can't dominate
+    assert np.unique(out.index).shape[0] == n * n
