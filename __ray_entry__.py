@@ -198,6 +198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_ratio": text.repetition_ratio,
         "unigram_logprob": text.unigram_logprob,
         "common_ngram_fraction": text.common_ngram_fraction,
+        "subword_stats": text.subword_stats,
+        "bigram_pmi": text.bigram_pmi,
         "search_by_token": lambda sf: index.search_by_token(sf, SEARCH_TOKEN),
         "search_ranked": lambda sf: index.search_ranked(sf, tokens=SEARCH_TOKENS, k=SEARCH_K),
         "search_bm25": lambda sf: index.search_bm25(sf, tokens=SEARCH_TOKENS, k=SEARCH_K),
@@ -747,6 +749,28 @@ grams AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
        round(1.0 - count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) AS rep_ratio
 FROM grams GROUP BY doc_id""",
+        "subword_stats": f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{text.SUBWORD_ALPHA}')) AS BIGINT) AS n_alpha,
+       CAST(len(regexp_extract_all(lower(text), '{text.SUBWORD_DIGIT}')) AS BIGINT) AS n_digit,
+       CAST(len(regexp_extract_all(lower(text), '{text.SUBWORD_PUNCT}')) AS BIGINT) AS n_punct,
+       CAST(len(regexp_extract_all(lower(text), '{text.SUBWORD_ALPHA}'))
+          + len(regexp_extract_all(lower(text), '{text.SUBWORD_DIGIT}'))
+          + len(regexp_extract_all(lower(text), '{text.SUBWORD_PUNCT}')) AS BIGINT) AS n_subwords
+FROM documents""",
+        "bigram_pmi": """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+bi AS (SELECT ts[i] AS w1, ts[i+1] AS w2 FROM toks CROSS JOIN UNNEST(range(1, len(ts))) AS t(i)),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM bi GROUP BY 1, 2),
+uni AS (SELECT unnest(ts) AS w FROM toks),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS n_uni,
+               (SELECT CAST(count(*) AS DOUBLE) FROM bi) AS n_bi)
+SELECT w1, w2, c_xy,
+       round(ln(c_xy * n_uni * n_uni / (n_bi * u1.c * u2.c)), 6) AS pmi
+FROM bc JOIN uc u1 ON w1 = u1.w JOIN uc u2 ON w2 = u2.w CROSS JOIN tot
+WHERE c_xy >= 30
+ORDER BY pmi DESC, w1, w2 LIMIT 50""",
         "unigram_logprob": """
 WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
 cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),

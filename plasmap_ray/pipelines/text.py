@@ -373,3 +373,108 @@ def common_ngram_fraction(sf_dir: str) -> rd.Dataset:
         })
 
     return per_doc.map_batches(ratio, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# subword_stats + bigram_pmi (tokenizer-facing corpus statistics)
+# ---------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer classes (RE2 in BOTH engines: Arrow kernels and
+# DuckDB regexp_* share the dialect, so counts agree bit-for-bit)
+SUBWORD_ALPHA = "[a-z]+"
+SUBWORD_DIGIT = "[0-9]+"
+SUBWORD_PUNCT = "[^a-z0-9 ]"
+
+
+def subword_stats(sf_dir: str) -> rd.Dataset:
+    """Per-document BPE-ish pre-tokenization counts: alpha runs, digit
+    runs, punctuation marks and their total — the tokenizer-budget
+    profile (SURVEY §2's 'BPE-ish regex' token counting).  Map-only;
+    all counting via vectorized RE2 kernels (pc.count_substring_regex),
+    integer outputs bit-exact against DuckDB's regexp_extract_all."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        a = pc.cast(pc.count_substring_regex(low, SUBWORD_ALPHA), pa.int64())
+        d = pc.cast(pc.count_substring_regex(low, SUBWORD_DIGIT), pa.int64())
+        p = pc.cast(pc.count_substring_regex(low, SUBWORD_PUNCT), pa.int64())
+        tot = pc.add(pc.add(a, d), p)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_alpha": a, "n_digit": d, "n_punct": p, "n_subwords": tot}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def bigram_pmi(sf_dir: str, min_count: int = 30, k: int = 50) -> rd.Dataset:
+    """Collocation mining: top-k adjacent-token bigrams by pointwise
+    mutual information — the phrase detector a tokenizer/vocab builder
+    runs over the corpus (word2vec-phrases style).
+
+    Two bounded shuffles: bigram counts and unigram counts, both with
+    map-side Counter combiners (shuffle volume = vocabulary, never
+    tokens); the unigram table broadcasts back as a lookup dict and the
+    PMI is one mirrored float expression over integer counts, rounded
+    before the (pmi desc, w1, w2) top-k so ordering cannot diverge.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            toks = s.lower().split(" ")
+            c.update(zip(toks[:-1], toks[1:]))
+        keys = list(c.keys())
+        return pa.table({
+            "w1": pa.array([a for a, _ in keys], type=pa.string()),
+            "w2": pa.array([b for _, b in keys], type=pa.string()),
+            "n": pa.array([c[x] for x in keys], type=pa.int64()),
+        })
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            c.update(s.lower().split(" "))
+        keys = list(c.keys())
+        return pa.table({
+            "w": pa.array(keys, type=pa.string()),
+            "n": pa.array([c[x] for x in keys], type=pa.int64()),
+        })
+
+    bi = (
+        ds.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(_Sum("n", alias_name="c_xy"))
+    )
+    uni_df = (
+        ds.map_batches(unigram_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(_Sum("n", alias_name="c"))
+        .to_pandas()
+    )
+    uni = dict(zip(uni_df["w"], uni_df["c"].astype(np.int64)))
+    n_uni = float(sum(uni.values()))
+    bi = bi.filter(expr=f"c_xy >= {min_count}")
+    n_bi = float(n_uni - _read_docs(sf_dir, ["doc_id"]).count())  # Σ(len-1) = Σlen - n_docs
+
+    def pmi(t: pa.Table) -> pa.Table:
+        from ..stages.common import duckdb_round
+
+        c_xy = t["c_xy"].to_numpy().astype(np.float64)
+        c1 = np.array([uni[w] for w in t["w1"].to_pylist()], dtype=np.float64)
+        c2 = np.array([uni[w] for w in t["w2"].to_pylist()], dtype=np.float64)
+        val = duckdb_round(np.log(c_xy * n_uni * n_uni / (n_bi * c1 * c2)), 6)
+        return pa.table({
+            "w1": t["w1"], "w2": t["w2"],
+            "c_xy": pc.cast(t["c_xy"], pa.int64()),
+            "pmi": pa.array(val, type=pa.float64()),
+        })
+
+    return bi.map_batches(pmi, batch_format="pyarrow").sort(
+        ["pmi", "w1", "w2"], descending=[True, False, False]
+    ).limit(k)

@@ -196,3 +196,40 @@ def test_unigram_logprob_orders_rarity(ray_session, tmp_path):
     )
     out = textmod.unigram_logprob(str(tmp_path)).to_pandas().set_index("doc_id")
     assert out.loc[1, "lm_score"] > out.loc[2, "lm_score"]
+
+
+def test_bigram_pmi_finds_planted_collocation(ray_session, tmp_path):
+    """A bigram that always co-occurs outranks independent pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import text as textmod
+
+    rng_words = [f"w{i}" for i in range(20)]
+    docs = []
+    for i in range(40):
+        base = " ".join(rng_words[j % 20] for j in range(i, i + 15))
+        docs.append(base + " new york")  # planted collocation every doc
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()), "text": docs}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = textmod.bigram_pmi(str(tmp_path), min_count=30, k=5).to_pandas()
+    assert (out["w1"].iloc[0], out["w2"].iloc[0]) == ("new", "york")
+
+
+def test_subword_stats_classes(ray_session, tmp_path):
+    """Alpha/digit/punct run counts match hand counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import text as textmod
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], type=pa.int64()), "text": ["Hello world42, x-9!"]}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = textmod.subword_stats(str(tmp_path)).to_pandas().iloc[0]
+    # lower: "hello world42, x-9!" -> alpha: hello, world, x (3); digit: 42, 9 (2); punct: , - ! (3)
+    assert out["n_alpha"] == 3 and out["n_digit"] == 2 and out["n_punct"] == 3
+    assert out["n_subwords"] == 8
