@@ -270,6 +270,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "space_time_cube": hotspot.space_time_cube,
         "cell_entropy": hotspot.cell_entropy,
         "burst_cells": hotspot.burst_cells,
+        "cell_trend": hotspot.cell_trend,
+        "dp_tile_counts": privacy.dp_tile_counts,
+        "latest_event_per_user": windows.latest_event_per_user,
         "kde_contours": hotspot.kde_contours,
         "distance_raster": hotspot.distance_raster,
         "voronoi_assign": hotspot.voronoi_assign,
@@ -1697,6 +1700,37 @@ SELECT p_partkey, p_size, p_retailprice FROM part t
 WHERE NOT EXISTS (SELECT 1 FROM part u
   WHERE u.p_retailprice >= t.p_retailprice AND u.p_size <= t.p_size
     AND (u.p_retailprice > t.p_retailprice OR u.p_size < t.p_size))""",
+        "cell_trend": f"""
+WITH ec AS (
+  SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy,
+         CAST(floor(epoch_us(ts) / {hotspot.DAY_US}) AS BIGINT) AS day
+  FROM events),
+d AS (SELECT cx, cy, day, CAST(count(*) AS BIGINT) AS y FROM ec GROUP BY 1, 2, 3),
+m AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(day) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(day * y) AS BIGINT) AS sxy, CAST(sum(day * day) AS BIGINT) AS sx2
+      FROM d GROUP BY 1, 2)
+SELECT cx, cy, n_days,
+       n_days * sxy - sx * sy AS slope_num,
+       n_days * sx2 - sx * sx AS slope_den,
+       round(CAST(n_days * sxy - sx * sy AS DOUBLE) / CAST(n_days * sx2 - sx * sx AS DOUBLE), 9) AS slope
+FROM m WHERE n_days >= {hotspot.TREND_MIN_DAYS} AND n_days * sx2 - sx * sx > 0""",
+        "dp_tile_counts": f"""
+WITH tc AS (
+  SELECT CAST({oracle.sql_tile_x(oracle.sql_derive_lon('doc_id'), privacy.DP_Z)} AS BIGINT) AS x,
+         CAST({oracle.sql_tile_y(oracle.sql_derive_lat('doc_id'), privacy.DP_Z)} AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2)
+SELECT {privacy.DP_Z} AS z, x, y,
+       greatest(n + ((x * {1 << privacy.DP_Z} + y) * {privacy.DP_MULT} + {privacy.DP_ADD})
+                    % {privacy.DP_M31} % {2 * privacy.DP_BOUND + 1} - {privacy.DP_BOUND}, 0) AS n_noised
+FROM tc""",
+        "latest_event_per_user": """
+SELECT user_id, ts, event_id, value FROM (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1""",
         "burst_cells": f"""
 WITH ec AS (
   SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,

@@ -1609,3 +1609,105 @@ def idw_loocv(sf_dir: str, radius: float = LOOCV_RADIUS, num_partitions: int = 8
         )
 
     return agg.map_batches(resid, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# cell_trend (per-cell least-squares daily trend — integer-exact)
+# ---------------------------------------------------------------------------
+
+TREND_MIN_DAYS = 5
+
+
+def cell_trend(sf_dir: str, eps: float = GI_EPS, min_days: int = TREND_MIN_DAYS) -> rd.Dataset:
+    """Per-cell temporal trend: the least-squares slope of daily event
+    counts over observed days — "is activity here growing or dying?",
+    the screening layer between burst detection (one anomalous day)
+    and change detection (two fixed epochs).
+
+    Exactness: with x = epoch day, y = daily count, the closed form
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) is a ratio of int64
+    sums; both engines build the SAME integers and divide once, so the
+    rounded slope is identical.  Observed days only (a day with zero
+    events contributes no sample — documented; densify against a day
+    range join where zeros must count).
+
+    Scale: one (cell, day) count shuffle (lattice × active days), then
+    a cell-keyed reduce of 4 integer moments.  Output: (cx, cy,
+    n_days, slope_num, slope_den, slope) for cells with >= min_days
+    and a non-degenerate denominator.
+    """
+    daily = (
+        _read_events(sf_dir, ["event_id", "ts"])
+        .map_batches(_daily_partial_factory(eps), batch_format="pyarrow")
+        .groupby(["key", "day"])
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t["day"].to_numpy().astype(np.int64)
+        y = t["n_events"].to_numpy().astype(np.int64)
+        one = np.ones(len(x), dtype=np.int64)
+        return pa.table(
+            {
+                "key": t["key"],
+                "n": pa.array(one),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sx2": pa.array(x * x),
+            }
+        )
+
+    agg = (
+        daily.map_batches(moments, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(
+            Sum("n", alias_name="n_days"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sx2", alias_name="sx2"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        from ..stages.common import duckdb_round
+
+        n = t["n_days"].to_numpy().astype(np.int64)
+        sx = t["sx"].to_numpy().astype(np.int64)
+        sy = t["sy"].to_numpy().astype(np.int64)
+        num = n * t["sxy"].to_numpy().astype(np.int64) - sx * sy
+        den = n * t["sx2"].to_numpy().astype(np.int64) - sx * sx
+        keep = (n >= min_days) & (den > 0)
+        key = t["key"].to_numpy().astype(np.int64)[keep]
+        slope = duckdb_round(num[keep].astype(np.float64) / den[keep].astype(np.float64), 9)
+        return pa.table(
+            {
+                "cx": pa.array(key // GI_GY, type=pa.int64()),
+                "cy": pa.array(key % GI_GY, type=pa.int64()),
+                "n_days": pa.array(n[keep]),
+                "slope_num": pa.array(num[keep]),
+                "slope_den": pa.array(den[keep]),
+                "slope": pa.array(slope, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _daily_partial_factory(eps: float):
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / eps).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / eps).astype(np.int64)
+        day = t["ts"].cast(pa.int64()).to_numpy() // DAY_US
+        return pa.table(
+            {
+                "key": pa.array(cx * GI_GY + cy, type=pa.int64()),
+                "day": pa.array(day, type=pa.int64()),
+                "n": pa.array(np.ones(len(ids), dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    return partial

@@ -219,3 +219,64 @@ def k_anonymity_from_points(
 def k_anonymity(sf_dir: str, k: int = KANON_K, zooms: tuple[int, ...] = KANON_ZOOMS) -> rd.Dataset:
     """Driver-contract query over the documents point cloud."""
     return k_anonymity_from_points(points_from_documents(sf_dir), k=k, zooms=zooms)
+
+
+# ---------------------------------------------------------------------------
+# dp_tile_counts (noised aggregate release)
+# ---------------------------------------------------------------------------
+
+DP_Z = 10
+DP_BOUND = 5  # noise bound B: additive noise uniform in [-B, B]
+DP_MULT = 1_103_515_245  # glibc LCG multiplier — disjoint from other fixture mixes
+DP_ADD = 12345
+DP_M31 = 1 << 31
+
+
+def dp_tile_counts(sf_dir: str, z: int = DP_Z, bound: int = DP_BOUND) -> rd.Dataset:
+    """Noised per-tile count release: the privacy-layer complement to
+    k_anonymity — instead of coarsening the location, perturb the
+    aggregate.  Noise is a DETERMINISTIC integer function of the tile
+    key (seeded LCG mix -> uniform in [-B, B]), which keeps the release
+    engine-reproducible and SQL-mirrorable; a production DP deployment
+    swaps the sampler for a two-sided geometric at the same call site
+    (the release shape — aggregate, perturb, clamp at zero — is what
+    this operator pins).
+
+    Scale: the tile histogram's combiner + one lattice-bounded groupby;
+    the noise map is stateless.  Output: (z, x, y, n_noised).
+    """
+    import os as _os
+
+    import pyarrow.compute as _pc
+
+    from .. import fixtures as _fx
+    from .. import tiles as _tiles
+
+    ds = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        x, y = _tiles.tile_xy(_fx.derive_lon(ids), _fx.derive_lat(ids), z)
+        key = x.astype(np.int64) * (1 << z) + y
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uniq, type=pa.int64()), "n": pa.array(cnt.astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("key").aggregate(
+        Sum("n", alias_name="n")
+    )
+
+    def release(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy().astype(np.int64)
+        n = t["n"].to_numpy().astype(np.int64)
+        noise = ((key * DP_MULT + DP_ADD) % DP_M31) % (2 * bound + 1) - bound
+        rel = np.maximum(n + noise, 0)
+        return pa.table(
+            {
+                "z": pa.array(np.full(len(key), z, dtype=np.int64)),
+                "x": pa.array(key // (1 << z), type=pa.int64()),
+                "y": pa.array(key % (1 << z), type=pa.int64()),
+                "n_noised": pa.array(rel, type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(release, batch_format="pyarrow")

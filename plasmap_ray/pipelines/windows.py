@@ -430,3 +430,51 @@ def conversion_funnel(sf_dir: str, stages: tuple[str, ...] = FUNNEL_STAGES) -> r
 
     out = per_user.map_batches(to_stage_rows, batch_format="pyarrow")
     return out.groupby(["stage_idx", "stage"]).aggregate(Sum("n_users", alias_name="n_users"))
+
+
+# ---------------------------------------------------------------------------
+# latest_event_per_user (CDC upsert / snapshot compaction)
+# ---------------------------------------------------------------------------
+
+
+def latest_event_per_user(sf_dir: str) -> rd.Dataset:
+    """Snapshot compaction: each user's LATEST event by (ts, event_id)
+    — the upsert/CDC-merge operator every incremental table needs
+    (events as a change stream, this as the merged current-state view).
+
+    Scale shape: a per-batch argmax combiner collapses every batch to
+    <= 1 row per user BEFORE the shuffle (the od_matrix first/last
+    discipline), so the groupby moves users x batches rows; the final
+    reduce reuses the same vectorized run-scan.  All-integer ordering
+    keys: bit-exact.  Output: (user_id, ts, event_id, value).
+    """
+    import os as _os
+
+    ds = rd.read_parquet(
+        _os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def last_per_user(t: pa.Table) -> pa.Table:
+        t = t.sort_by(
+            [("user_id", "ascending"), ("ts", "descending"), ("event_id", "descending")]
+        )
+        uid = t["user_id"].to_numpy()
+        if len(uid) == 0:
+            return t
+        starts = np.concatenate([[0], np.nonzero(np.diff(uid))[0] + 1])
+        return t.take(pa.array(starts))
+
+    def add_part(t: pa.Table, parts: int = 32) -> pa.Table:
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        return t.append_column("part", pa.array(uid % parts, type=pa.int64()))
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        return last_per_user(g.drop_columns(["part"]))
+
+    return (
+        ds.map_batches(last_per_user, batch_format="pyarrow")  # map-side combiner
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")  # coarse regroup, not one task per user
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )

@@ -412,3 +412,30 @@ def test_distance_raster_matches_bruteforce(ray_session, event_ids):
             d2 = (lon - sxi) ** 2 + (lat - syj) ** 2
             exp = int(np.floor(d2.min() * DIST_FP + 0.5))
             assert got[(i, j)] == exp
+
+
+def test_cell_trend_detects_planted_growth(ray_session):
+    """Least-squares slope signs: integer num/den agree with numpy
+    polyfit on a per-cell recompute at sf0.001."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import hotspot
+
+    sf = "/root/testdata/sf0.001"
+    out = hotspot.cell_trend(sf).to_pandas()
+    assert len(out) > 0
+    assert (out["slope_den"] > 0).all()
+    # spot-check one cell against polyfit
+    r = out.iloc[0]
+    t = pq.read_table(f"{sf}/events.parquet", columns=["event_id", "ts"]).to_pandas()
+    ids = t["event_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    cx = np.floor((lon - fixtures.LON_MIN) / hotspot.GI_EPS).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / hotspot.GI_EPS).astype(np.int64)
+    day = (t["ts"].astype("int64") // hotspot.DAY_US).to_numpy()
+    m = (cx == r["cx"]) & (cy == r["cy"])
+    days, counts = np.unique(day[m], return_counts=True)
+    slope = np.polyfit(days.astype(float), counts.astype(float), 1)[0]
+    assert abs(slope - r["slope_num"] / r["slope_den"]) < 1e-9

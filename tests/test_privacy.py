@@ -85,3 +85,26 @@ def test_k_anonymity_mid_ladder(ray_session):
     out = privacy.k_anonymity_from_points(rd.from_arrow(t), k=30).to_pandas()
     assert (out["anon_z"] == privacy.KANON_ZOOMS[1]).all()
     assert out[["anon_x", "anon_y"]].drop_duplicates().shape[0] == 1
+
+
+def test_dp_tile_counts_bounded_perturbation(ray_session):
+    """Noised release stays within the bound of the true counts and
+    never goes negative."""
+    import numpy as np
+
+    from plasmap_ray import fixtures, tiles
+    from plasmap_ray.pipelines import privacy
+
+    sf = "/root/testdata/sf0.001"
+    out = privacy.dp_tile_counts(sf).to_pandas()
+    assert (out["n_noised"] >= 0).all()
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    x, y = tiles.tile_xy(fixtures.derive_lon(ids), fixtures.derive_lat(ids), privacy.DP_Z)
+    key = x.astype(np.int64) * (1 << privacy.DP_Z) + y
+    uniq, cnt = np.unique(key, return_counts=True)
+    true = dict(zip(uniq, cnt))
+    for r in out.itertuples():
+        t = true[int(r.x) * (1 << privacy.DP_Z) + int(r.y)]
+        assert abs(r.n_noised - t) <= privacy.DP_BOUND or (r.n_noised == 0 and t <= privacy.DP_BOUND)
