@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_event_stats": windows.late_event_stats,
         "asof_join": windows.asof_join_purchases,
         "range_join_campaigns": windows.range_join_campaigns,
+        "session_campaign_overlap": windows.session_campaign_overlap,
+        "winsorize_stats": stats.winsorize_stats,
         "event_type_rates": windows.event_type_rates,
         "conversion_funnel": windows.conversion_funnel,
         "events_union": windows.union_event_streams,
@@ -646,6 +648,34 @@ sess AS (
   SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM flags)
 SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
 FROM sess GROUP BY user_id, session_id""",
+        "session_campaign_overlap": f"""
+WITH lagd AS (
+  SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+flags AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM lagd),
+sess AS (
+  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM flags),
+sw AS (
+  SELECT user_id, session_id, epoch_us(min(ts)) AS s0, epoch_us(max(ts)) AS s1
+  FROM sess GROUP BY 1, 2),
+camp AS (
+  SELECT * FROM (VALUES {", ".join(f"({c}, epoch_us(TIMESTAMP '{s}'), epoch_us(TIMESTAMP '{e}'))" for c, s, e in windows.CAMPAIGNS)})
+  t(campaign_id, c0, c1)),
+ov AS (
+  SELECT campaign_id, least(s1, c1) - greatest(s0, c0) AS overlap_us
+  FROM sw CROSS JOIN camp
+  WHERE least(s1, c1) - greatest(s0, c0) > 0)
+SELECT CAST(campaign_id AS BIGINT) AS campaign_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(overlap_us) AS BIGINT) AS total_overlap_us
+FROM ov GROUP BY 1 ORDER BY 1""",
+        "winsorize_stats": f"""
+WITH b AS (SELECT quantile_disc(value, {stats.WINSOR_LO!r}) AS vlo,
+                  quantile_disc(value, {stats.WINSOR_HI!r}) AS vhi FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN value < vlo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+       CAST(sum(CASE WHEN value > vhi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+       round(sum(least(greatest(value, vlo), vhi)), 4) AS sum_winsor
+FROM events CROSS JOIN b GROUP BY event_type ORDER BY event_type""",
         "sliding_window": """
 WITH grid AS (
   SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS w0, event_type, value FROM events),

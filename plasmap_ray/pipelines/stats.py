@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min
+from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _read_events(sf_dir: str, columns: list[str]) -> rd.Dataset:
@@ -144,3 +144,61 @@ def event_value_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99))
         )
 
     return ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# winsorize_stats (outlier clipping against exact global quantiles)
+# ---------------------------------------------------------------------------
+
+WINSOR_LO, WINSOR_HI = 0.01, 0.99
+
+
+def winsorize_stats(sf_dir: str, lo: float = WINSOR_LO, hi: float = WINSOR_HI) -> rd.Dataset:
+    """Winsorized per-type value statistics: clamp every value to the
+    corpus's exact [p_lo, p_hi] quantiles, then aggregate — the outlier-
+    clipping normalization a training pipeline applies before loss
+    weighting (heavy-tail defense with pinned, reproducible bounds).
+
+    Two passes: the exact-quantile machinery (histogram + refine — no
+    global sort) yields the two thresholds as ELEMENTS of the data
+    (quantile_disc semantics, bit-identical to DuckDB); the clamp pass
+    is map-only against the broadcast scalars.  Counts are exact;
+    the clamped sum is rounded identically in both engines.
+
+    Output per event_type: (event_type, n_events, n_lo, n_hi, sum_winsor).
+    """
+    import functools as _ft
+
+    from ..stages.common import round_columns as _rc
+
+    qdf = value_quantiles(sf_dir, qs=(lo, hi)).to_pandas().set_index("q")["value"]
+    vlo, vhi = float(qdf[lo]), float(qdf[hi])
+
+    ds = _read_events(sf_dir, ["event_type", "value"])
+
+    def clamp(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        low = (v < vlo).astype(np.int64)
+        high = (v > vhi).astype(np.int64)
+        w = np.minimum(np.maximum(v, vlo), vhi)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_lo": pa.array(low, type=pa.int64()),
+                "n_hi": pa.array(high, type=pa.int64()),
+                "w": pa.array(w, type=pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(clamp, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("n_lo", alias_name="n_lo"),
+            Sum("n_hi", alias_name="n_hi"),
+            Sum("w", alias_name="sum_winsor"),
+        )
+        .sort("event_type")
+    )
+    return out.map_batches(_ft.partial(_rc, cols=("sum_winsor",), ndigits=4), batch_format="pyarrow")

@@ -478,3 +478,46 @@ def latest_event_per_user(sf_dir: str) -> rd.Dataset:
         .groupby("part")  # coarse regroup, not one task per user
         .map_groups(reduce_part, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# session_campaign_overlap (interval x interval join)
+# ---------------------------------------------------------------------------
+
+
+def session_campaign_overlap(sf_dir: str) -> rd.Dataset:
+    """Interval-INTERVAL overlap join: user sessions (from the
+    sessionizer) against campaign windows, attributing each session's
+    overlap DURATION — the attribution operator one step past
+    range_join_campaigns' point-in-interval shape.
+
+    overlap_us = least(session_end, c_end) - greatest(session_start,
+    c_start), kept where > 0 — exact int64 microseconds, so the per-
+    campaign sum is order-free.  The campaign side broadcasts (tiny);
+    sessions fan out at most |campaigns| ways.  Output: (campaign_id,
+    n_sessions, total_overlap_us).
+    """
+    starts = np.array([np.datetime64(s, "us").astype(np.int64) for _, s, _ in CAMPAIGNS])
+    ends = np.array([np.datetime64(e, "us").astype(np.int64) for _, _, e in CAMPAIGNS])
+    cids = np.array([c for c, _, _ in CAMPAIGNS], dtype=np.int64)
+
+    sessions = sessionize(sf_dir)
+
+    def explode(t: pa.Table) -> pa.Table:
+        s0 = t["session_start"].cast(pa.int64()).to_numpy()
+        s1 = t["session_end"].cast(pa.int64()).to_numpy()
+        ov = np.minimum(s1[:, None], ends[None, :]) - np.maximum(s0[:, None], starts[None, :])
+        rows, camps = np.nonzero(ov > 0)
+        return pa.table(
+            {
+                "campaign_id": pa.array(cids[camps], type=pa.int64()),
+                "overlap_us": pa.array(ov[rows, camps].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        sessions.map_batches(explode, batch_format="pyarrow")
+        .groupby("campaign_id")
+        .aggregate(Count(alias_name="n_sessions"), Sum("overlap_us", alias_name="total_overlap_us"))
+        .sort("campaign_id")
+    )

@@ -517,3 +517,31 @@ def test_top_supplier_keeps_all_ties(ray_session):
     out = relational.top_supplier("/root/testdata/sf0.001").to_pandas()
     assert len(out) >= 1
     assert out["total_revenue"].nunique() == 1
+
+
+def test_session_campaign_overlap_conservation(ray_session):
+    """Every overlap is positive and bounded by its campaign length."""
+    import numpy as np
+
+    from plasmap_ray.pipelines import windows
+
+    out = windows.session_campaign_overlap("/root/testdata/sf0.001").to_pandas()
+    assert len(out) >= 1
+    lens = {
+        c: (np.datetime64(e, "us") - np.datetime64(s, "us")).astype(np.int64)
+        for c, s, e in windows.CAMPAIGNS
+    }
+    for r in out.itertuples():
+        assert 0 < r.total_overlap_us  # positive overlap only
+        assert r.total_overlap_us <= r.n_sessions * lens[r.campaign_id]
+
+
+def test_winsorize_bounds_and_counts(ray_session):
+    """Clamp counts match the quantile definition: ~1% each side."""
+    from plasmap_ray.pipelines import stats
+
+    out = stats.winsorize_stats("/root/testdata/sf0.001").to_pandas()
+    n = out["n_events"].sum()
+    assert out["n_lo"].sum() <= 0.011 * n + 1
+    assert out["n_hi"].sum() <= 0.011 * n + 1
+    assert (out["n_lo"] >= 0).all() and (out["n_hi"] >= 0).all()
