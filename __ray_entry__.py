@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boundary_simplify": raster.boundary_simplify_query,
         "zonal_stats": lambda sf: raster.zonal_stats(sf, z=10),
         "cell_coverage_weights": raster.cell_coverage_weights,
+        "areal_interpolation": raster.areal_interpolation,
         "segment_cell_lengths": raster.segment_cell_lengths,
         "cell_prefix_scan": spatial.cell_prefix_scan_pipeline,
         "convex_hull_per_area": spatial.convex_hull_per_area,
@@ -258,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frechet_conformance": trajectory.frechet_conformance,
         "radius_of_gyration": trajectory.radius_of_gyration,
         "cell_transition_matrix": trajectory.cell_transition_matrix,
+        "cotravel_pairs": trajectory.cotravel_pairs,
         "getis_ord_hotspots": hotspot.getis_ord_hotspots,
         "local_moran": hotspot.local_moran,
         "kde_density": hotspot.kde_density,
@@ -1437,6 +1439,32 @@ fpl AS (
   FROM tint)
 SELECT cx, cy, count(*) AS n_segments, CAST(sum(f) AS BIGINT) AS len_fp
 FROM fpl WHERE thi > tlo AND f > 0 GROUP BY cx, cy""",
+        "areal_interpolation": f"""
+WITH cellgrid AS (
+  SELECT i.i AS cx, j.j AS cy,
+         {fixtures.LON_MIN!r} + i.i * {raster.COVERAGE_EPS!r} AS clon0,
+         {fixtures.LON_MIN!r} + (i.i + 1) * {raster.COVERAGE_EPS!r} AS clon1,
+         {fixtures.LAT_MIN!r} + j.j * {raster.COVERAGE_EPS!r} AS clat0,
+         {fixtures.LAT_MIN!r} + (j.j + 1) * {raster.COVERAGE_EPS!r} AS clat1
+  FROM generate_series(0, {hotspot.GI_GX - 1}) AS i(i)
+  CROSS JOIN generate_series(0, {hotspot.GI_GY - 1}) AS j(j)),
+fp AS (
+  SELECT b.rel_id, b.name, b.admin_level, g.cx, g.cy,
+         CAST(floor(greatest(0.0, least(b.lon_max, g.clon1) - greatest(b.lon_min, g.clon0))
+                    * greatest(0.0, least(b.lat_max, g.clat1) - greatest(b.lat_min, g.clat0)) * 1e9 + 0.5) AS BIGINT) AS area_fp
+  FROM {oracle.sql_admin_rects_values()} CROSS JOIN cellgrid g),
+ec AS (
+  SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {raster.COVERAGE_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / {raster.COVERAGE_EPS!r}) AS BIGINT) AS cy
+  FROM events),
+cc AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n FROM ec GROUP BY 1, 2)
+SELECT fp.rel_id, fp.name, fp.admin_level,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(cc.n * fp.area_fp) AS BIGINT) AS est_num_fp,
+       round(CAST(sum(cc.n * fp.area_fp) AS DOUBLE) / floor({raster.COVERAGE_EPS * raster.COVERAGE_EPS!r} * 1e9 + 0.5), 6) AS est
+FROM fp JOIN cc USING (cx, cy)
+WHERE fp.area_fp > 0
+GROUP BY 1, 2, 3""",
         "cell_coverage_weights": f"""
 WITH cellgrid AS (
   SELECT i.i AS cx, j.j AS cy,
@@ -1455,6 +1483,18 @@ fp AS (
   SELECT rel_id, name, admin_level, cx, cy,
          CAST(floor(area * 1e9 + 0.5) AS BIGINT) AS area_fp FROM ia)
 SELECT * FROM fp WHERE area_fp > 0""",
+        "cotravel_pairs": f"""
+WITH slots AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {trajectory.COTRAVEL_PITCH!r}) AS BIGINT) AS cx,
+         CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / {trajectory.COTRAVEL_PITCH!r}) AS BIGINT) AS cy,
+         CAST(floor(epoch_us(ts) / {trajectory.DAY_US if hasattr(trajectory, 'DAY_US') else 86_400_000_000}) AS BIGINT) AS day
+  FROM events)
+SELECT a.user_id AS user_a, b.user_id AS user_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM slots a JOIN slots b USING (cx, cy, day)
+WHERE a.user_id < b.user_id
+GROUP BY 1, 2 HAVING count(*) >= {trajectory.COTRAVEL_MIN_SHARED}
+ORDER BY 1, 2""",
         "cell_transition_matrix": f"""
 WITH {_epts},
 sc AS (

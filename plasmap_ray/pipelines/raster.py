@@ -20,10 +20,12 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from .. import codecs, tiles
@@ -487,3 +489,87 @@ def segment_cell_lengths(sf_dir: str, eps: float = COVERAGE_EPS, parts: int = SE
         .groupby(["cx", "cy"])
         .aggregate(_Sum("n_segments", alias_name="n_segments"), _Sum("len_fp", alias_name="len_fp"))
     )
+
+
+# ---------------------------------------------------------------------------
+# areal_interpolation (dasymetric transfer: lattice counts -> zones)
+# ---------------------------------------------------------------------------
+
+
+def areal_interpolation(sf_dir: str, eps: float = COVERAGE_EPS) -> rd.Dataset:
+    """Areal (dasymetric) interpolation: transfer per-lattice-cell event
+    counts onto the admin zones by exact intersection-area weights —
+    the estimate a GIS makes when source statistics live on one
+    partition (the raster lattice) and the question lives on another
+    (the zone polygons): est(zone) = Σ_cells n(cell)·area(zone∩cell)/area(cell).
+
+    Composition of two oracle-green layers: cell_coverage_weights (the
+    generic Sutherland-Hodgman clip, map-only) hash-joins the per-cell
+    counts (one lattice-bounded shuffle), then a zone-keyed reduce of
+    int64 (count × area_fp) products — exact until the single final
+    division.  Output: (rel_id, name, admin_level, n_cells,
+    est_num_fp, est).
+    """
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    from .. import fixtures
+    from ..pipelines import hotspot
+    from ..stages.common import duckdb_round as _dr
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / eps).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / eps).astype(np.int64)
+        key = cx * hotspot.GI_GY + cy
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uniq, type=pa.int64()), "n": pa.array(cnt.astype(np.int64))})
+
+    per_cell = ds.map_batches(counts, batch_format="pyarrow").groupby("key").aggregate(
+        _Sum("n", alias_name="n")
+    )
+
+    cov = cell_coverage_weights(sf_dir, eps=eps)
+
+    def cov_key(t: pa.Table) -> pa.Table:
+        key = t["cx"].to_numpy() * hotspot.GI_GY + t["cy"].to_numpy()
+        return t.append_column("key", pa.array(key, type=pa.int64()))
+
+    cov = cov.map_batches(cov_key, batch_format="pyarrow")
+    j = cov.join(per_cell, join_type="inner", num_partitions=4, on=("key",))
+
+    def product(t: pa.Table) -> pa.Table:
+        p = t["n"].to_numpy().astype(np.int64) * t["area_fp"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "rel_id": t["rel_id"],
+                "name": t["name"],
+                "admin_level": t["admin_level"],
+                "prod": pa.array(p, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        j.map_batches(product, batch_format="pyarrow")
+        .groupby(["rel_id", "name", "admin_level"])
+        .aggregate(_Count(alias_name="n_cells"), _Sum("prod", alias_name="est_num_fp"))
+    )
+    cell_area_fp = float(np.floor(eps * eps * 1e9 + 0.5))
+
+    def finish(t: pa.Table) -> pa.Table:
+        est = _dr(t["est_num_fp"].to_numpy().astype(np.float64) / cell_area_fp, 6)
+        return pa.table(
+            {
+                "rel_id": pc.cast(t["rel_id"], pa.int64()),
+                "name": t["name"],
+                "admin_level": pc.cast(t["admin_level"], pa.int64()),
+                "n_cells": pc.cast(t["n_cells"], pa.int64()),
+                "est_num_fp": t["est_num_fp"],
+                "est": pa.array(est, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

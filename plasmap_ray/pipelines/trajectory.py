@@ -1338,3 +1338,82 @@ def frechet_conformance(sf_dir: str, parts: int = TRAJ_PARTS) -> rd.Dataset:
         .groupby("part")
         .map_groups(regroup, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# cotravel_pairs (user-pair co-occurrence over (cell, day) slots)
+# ---------------------------------------------------------------------------
+
+COTRAVEL_PITCH = 0.1  # cell pitch, planar degrees (the GI lattice)
+COTRAVEL_MIN_SHARED = 2
+DAY_US = 86_400_000_000
+
+
+def cotravel_pairs(
+    sf_dir: str, pitch: float = COTRAVEL_PITCH, min_shared: int = COTRAVEL_MIN_SHARED, parts: int = TRAJ_PARTS
+) -> rd.Dataset:
+    """Co-travel detection: user PAIRS who share at least ``min_shared``
+    distinct (cell, day) slots — the aggregate-level companion to
+    colocation_join (which emits event pairs): "who moves together?",
+    the contact-graph builder.
+
+    Shape: events reduce to DISTINCT (user, cell, day) slots (one
+    slot-keyed groupby); slot-sharded run-scans emit each unordered
+    user pair once per shared slot (pairs_in_key_runs — bounded by slot
+    occupancy², never users²); one pair-keyed count + threshold.
+    All-integer: bit-exact.  Output (user_a, user_b, n_shared).
+    """
+    from ray.data.aggregate import Count as _Count
+
+    from .dedup import pairs_in_key_runs
+
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def slots(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / pitch).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / pitch).astype(np.int64)
+        day = t["ts"].cast(pa.int64()).to_numpy() // DAY_US
+        key = (cx * 1024 + cy) * 131072 + day  # day < 2^17 until year 2328
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        tbl = pa.table({"key": pa.array(key, type=pa.int64()), "user_id": pa.array(uid)})
+        # batch-local distinct before the shuffle
+        import pandas as _pd
+
+        df = tbl.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = (
+        ds.map_batches(slots, batch_format="pyarrow")
+        .groupby(["key", "user_id"])
+        .aggregate(_Count(alias_name="_n"))
+        .select_columns(["key", "user_id"])
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = t["key"].to_numpy().astype(np.int64) % parts
+        return t.append_column("part", pa.array(part, type=pa.int64()))
+
+    def shard_pairs(g: pa.Table) -> pa.Table:
+        keys = g["key"].to_numpy().astype(np.int64)
+        uids = g["user_id"].to_numpy().astype(np.int64)
+        ia, ib, _ = pairs_in_key_runs(keys, uids, lambda i, j: np.zeros(len(i), dtype=np.int64))
+        return pa.table(
+            {
+                "user_a": pa.array(uids[ia], type=pa.int64()),
+                "user_b": pa.array(uids[ib], type=pa.int64()),
+            }
+        )
+
+    pairs = (
+        distinct.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(shard_pairs, batch_format="pyarrow")
+    )
+    return (
+        pairs.groupby(["user_a", "user_b"])
+        .aggregate(_Count(alias_name="n_shared"))
+        .filter(expr=f"n_shared >= {min_shared}")
+        .sort(["user_a", "user_b"])
+    )

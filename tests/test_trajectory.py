@@ -418,3 +418,49 @@ def test_idw_loocv_bruteforce(ray_session):
     assert list(got["n_neigh"]) == [r[1] for r in rows]
     assert list(got["sum_w_fp"]) == [r[2] for r in rows]
     assert list(got["resid_fp"]) == [r[4] for r in rows]
+
+
+def test_cotravel_pairs_bruteforce(ray_session):
+    """Distributed co-travel pairs equal an O(N^2) recompute at sf0.001."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import trajectory
+
+    sf = "/root/testdata/sf0.01"
+    got = trajectory.cotravel_pairs(sf).to_pandas()
+
+    t = pq.read_table(f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]).to_pandas()
+    ids = t["event_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    cx = np.floor((lon - fixtures.LON_MIN) / trajectory.COTRAVEL_PITCH).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / trajectory.COTRAVEL_PITCH).astype(np.int64)
+    day = (t["ts"].astype("int64") // trajectory.DAY_US).to_numpy()
+    slots = pd.DataFrame({"u": t["user_id"], "cx": cx, "cy": cy, "d": day}).drop_duplicates()
+    m = slots.merge(slots, on=["cx", "cy", "d"])
+    m = m[m["u_x"] < m["u_y"]]
+    exp = (
+        m.groupby(["u_x", "u_y"], as_index=False).size().rename(columns={"size": "n"})
+    )
+    exp = exp[exp["n"] >= trajectory.COTRAVEL_MIN_SHARED].sort_values(["u_x", "u_y"])
+    assert len(exp) > 0  # the fixture must exercise the operator
+    assert list(got["user_a"]) == list(exp["u_x"])
+    assert list(got["user_b"]) == list(exp["u_y"])
+    assert list(got["n_shared"]) == list(exp["n"])
+
+
+def test_areal_interpolation_conserves_mass(ray_session):
+    """Zone estimates are bounded by the total event count (zones are
+    disjoint within one admin level and cells partition the extent)."""
+    from plasmap_ray.pipelines import raster
+
+    sf = "/root/testdata/sf0.001"
+    out = raster.areal_interpolation(sf).to_pandas()
+    assert len(out) > 0
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf}/events.parquet").num_rows
+    for lvl, grp in out.groupby("admin_level"):
+        assert grp["est"].sum() <= n * 1.001
