@@ -175,6 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": relational.disjunctive_revenue,
         "exclusive_return_suppliers": relational.exclusive_return_suppliers,
         "idle_customers": relational.idle_customers,
+        "revenue_rollup": relational.revenue_rollup,
+        "customer_value_rank": relational.customer_value_rank,
+        "window_distinct_users": windows.window_distinct_users,
         # --- stream-shaped ---
         "tumbling_window": windows.tumbling_window,
         "sessionize": windows.sessionize,
@@ -609,6 +612,23 @@ WHERE c_acctbal > t
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2001-01-01')
 GROUP BY n_name ORDER BY n_name""",
+        "revenue_rollup": """
+WITH f AS (
+  SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey)
+SELECT n_name, o_year, CAST(sum(cents) AS DOUBLE) / 100 AS revenue
+FROM f GROUP BY ROLLUP (n_name, o_year)""",
+        "customer_value_rank": """
+SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal,
+       CAST(dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS BIGINT) AS bal_rank
+FROM customer""",
+        "window_distinct_users": """
+SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1 ORDER BY 1""",
         "order_priority_counts": """
 SELECT o_orderpriority, count(*) AS n_orders
 FROM orders

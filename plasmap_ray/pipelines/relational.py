@@ -1053,3 +1053,95 @@ def idle_customers(sf_dir: str, since: str = "2001-01-01") -> rd.Dataset:
         .sort("n_name")
     )
     return out.map_batches(functools.partial(_round_cols, cols=("total_bal",), ndigits=2), batch_format="pyarrow")
+
+
+def revenue_rollup(sf_dir: str) -> rd.Dataset:
+    """GROUP BY ROLLUP (nation, year): revenue at three grains —
+    (nation, year), per-nation subtotal, grand total — the OLAP
+    subtotal lattice, computed as ONE fine-grain shuffle plus two
+    in-memory re-reduces of the (tiny) aggregate (never a second pass
+    over the fact table).  NULL grouping keys mark the rolled-up
+    levels exactly as SQL ROLLUP does.
+
+    Output: (n_name, o_year, revenue) with NULLs for subtotal rows.
+    """
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def year_of(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"],
+            "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+        })
+
+    orders = orders.map_batches(year_of, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    oc = orders.join(cust, join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",))
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        # per-LINE integer cents BEFORE any sum: every grain of the
+        # rollup is then an exact int64 sum — no half-cent boundary can
+        # flip between engines (round-after-float-sum flips ~4% of the
+        # 180 large fine groups here)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        cents = np.floor(rev.to_numpy(zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"], "cents": pa.array(cents, type=pa.int64())})
+
+    li = li.map_batches(add_rev, batch_format="pyarrow")
+    j = li.join(
+        oc.select_columns(["o_orderkey", "o_year", "c_nationkey"]),
+        join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    fine = j.groupby(["c_nationkey", "o_year"]).aggregate(Sum("cents", alias_name="cents")).to_pandas()
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    fine["n_name"] = [name_of[int(k)] for k in fine["c_nationkey"]]
+    fine["revenue"] = fine["cents"].to_numpy().astype(np.float64) / 100.0
+    rows_name, rows_year, rows_rev = [], [], []
+    for r in fine.itertuples():
+        rows_name.append(r.n_name)
+        rows_year.append(int(r.o_year))
+        rows_rev.append(float(r.revenue))
+    for nname, g in fine.groupby("n_name"):
+        rows_name.append(nname)
+        rows_year.append(None)
+        rows_rev.append(float(g["cents"].sum()) / 100.0)
+    rows_name.append(None)
+    rows_year.append(None)
+    rows_rev.append(float(fine["cents"].sum()) / 100.0)
+    return pa.table(
+        {
+            "n_name": pa.array(rows_name, type=pa.string()),
+            "o_year": pa.array(rows_year, type=pa.int64()),
+            "revenue": pa.array(np.array(rows_rev), type=pa.float64()),
+        }
+    )
+
+
+def customer_value_rank(sf_dir: str) -> rd.Dataset:
+    """Per-nation dense rank of customers by account balance — the
+    window-function ranking shape (dense_rank over PARTITION BY
+    nation).  Rank assignment is a per-nation regroup (25 bounded
+    groups); ordering key (c_acctbal desc, c_custkey) is total, so
+    ranks are engine-independent integers."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True]).reset_index(drop=True)
+        new_val = g["c_acctbal"].ne(g["c_acctbal"].shift()).astype(np.int64)
+        g["bal_rank"] = new_val.cumsum()
+        return g[["c_custkey", "c_nationkey", "c_acctbal", "bal_rank"]]
+
+    out = cust.groupby("c_nationkey").map_groups(ranks, batch_format="pandas")
+
+    def cast_keys(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            "c_acctbal": t["c_acctbal"],
+            "bal_rank": pc.cast(t["bal_rank"], pa.int64()),
+        })
+
+    return out.map_batches(cast_keys, batch_format="pyarrow")

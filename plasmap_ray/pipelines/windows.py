@@ -521,3 +521,27 @@ def session_campaign_overlap(sf_dir: str) -> rd.Dataset:
         .aggregate(Count(alias_name="n_sessions"), Sum("overlap_us", alias_name="total_overlap_us"))
         .sort("campaign_id")
     )
+
+
+def window_distinct_users(sf_dir: str) -> rd.Dataset:
+    """Distinct users per 1-hour tumbling window — windowed COUNT
+    DISTINCT, the dedup-inside-a-window shape tumbling_window's plain
+    counts don't exercise.  Two-level reduce: (window, user) distinct
+    first (map-side combinable), then the per-window count — both
+    key-bounded.  Output: (window_start, n_users)."""
+    ds = _read_events(sf_dir, ["ts", "user_id"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+            "user_id": t["user_id"],
+        })
+
+    return (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["window_start", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n_users"))
+        .sort("window_start")
+    )

@@ -545,3 +545,39 @@ def test_winsorize_bounds_and_counts(ray_session):
     assert out["n_lo"].sum() <= 0.011 * n + 1
     assert out["n_hi"].sum() <= 0.011 * n + 1
     assert (out["n_lo"] >= 0).all() and (out["n_hi"] >= 0).all()
+
+
+def test_revenue_rollup_levels_consistent(ray_session):
+    """Rollup algebra: fine rows sum (in cents) to their nation subtotal,
+    subtotals to the grand total."""
+    import numpy as np
+
+    from plasmap_ray.pipelines import relational
+
+    out = relational.revenue_rollup("/root/testdata/sf0.001")
+    df = out.to_pandas() if not hasattr(out, "columns") else out
+    import pandas as pd
+
+    if not isinstance(df, pd.DataFrame):
+        df = df.to_pandas()
+    cents = np.floor(df["revenue"].to_numpy() * 100 + 0.5).astype(np.int64)
+    df = df.assign(cents=cents)
+    fine = df[df["o_year"].notna() & df["n_name"].notna()]
+    subs = df[df["o_year"].isna() & df["n_name"].notna()]
+    grand = df[df["n_name"].isna()]
+    assert len(grand) == 1
+    assert fine["cents"].sum() == grand["cents"].iloc[0]
+    assert subs["cents"].sum() == grand["cents"].iloc[0]
+    per_nation = fine.groupby("n_name")["cents"].sum()
+    for r in subs.itertuples():
+        assert per_nation[r.n_name] == r.cents
+
+
+def test_customer_value_rank_dense(ray_session):
+    """Dense ranks start at 1 per nation and have no gaps."""
+    from plasmap_ray.pipelines import relational
+
+    out = relational.customer_value_rank("/root/testdata/sf0.001").to_pandas()
+    for _, g in out.groupby("c_nationkey"):
+        ranks = sorted(set(g["bal_rank"]))
+        assert ranks[0] == 1 and ranks == list(range(1, len(ranks) + 1))
