@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": ann.kmeans_embeddings,
         "zone_embedding_centroid": ann.zone_embedding_centroid,
         "zone_embedding_dispersion": ann.zone_embedding_dispersion,
+        "embedding_label_outliers": ann.embedding_label_outliers,
+        "zone_label_purity": ann.zone_label_purity,
         "kmeans_cluster_sizes": ann.kmeans_cluster_sizes,
         "tile_assign": lambda sf: spatial.tile_assign_pipeline(sf, z=TILE_Z),
         "tile_histogram": spatial.tile_histogram_pipeline,
@@ -881,6 +883,34 @@ SELECT rel_id, dim, n_vecs,
        round((CAST(n_vecs AS DOUBLE) * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
              / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs AS DOUBLE) * {float(ann.CENTROID_FP) * float(ann.CENTROID_FP)!r}), 6) AS var
 FROM mo""",
+        "embedding_label_outliers": f"""
+WITH u AS (SELECT vec_id, CAST(label AS BIGINT) AS label, unnest(embedding) AS val,
+                  generate_subscripts(embedding, 1) AS dim FROM embeddings),
+q AS (SELECT vec_id, label, dim,
+             CAST(floor(CAST(val AS DOUBLE) * {ann.CENTROID_FP} + 0.5) AS BIGINT) AS q FROM u),
+cen AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS s
+        FROM q GROUP BY 1, 2),
+d AS (SELECT q.vec_id, q.label,
+             CAST(sum((cen.n * q.q - cen.s) * (cen.n * q.q - cen.s)) AS BIGINT) AS d2_fp
+      FROM q JOIN cen USING (label, dim) GROUP BY 1, 2),
+r AS (SELECT label, vec_id, d2_fp,
+             CAST(row_number() OVER (PARTITION BY label ORDER BY d2_fp DESC, vec_id) AS BIGINT) AS outlier_rank
+      FROM d)
+SELECT label, vec_id, d2_fp, outlier_rank FROM r WHERE outlier_rank <= {ann.OUTLIER_K}""",
+        "zone_label_purity": f"""
+WITH ev AS (SELECT vec_id, CAST(label AS BIGINT) AS label, {oracle.sql_derive_lon('vec_id')} AS lon,
+                   {oracle.sql_derive_lat('vec_id')} AS lat FROM embeddings),
+z AS (SELECT e.vec_id, e.label, CAST(coalesce(min(b.rel_id), -1) AS BIGINT) AS rel_id
+      FROM ev e LEFT JOIN {rects}
+        ON e.lon >= b.lon_min AND e.lon < b.lon_max AND e.lat >= b.lat_min AND e.lat < b.lat_max
+      GROUP BY 1, 2),
+zl AS (SELECT rel_id, label, CAST(count(*) AS BIGINT) AS n FROM z GROUP BY 1, 2),
+tot AS (SELECT rel_id, CAST(sum(n) AS BIGINT) AS n_vecs FROM zl GROUP BY 1),
+r AS (SELECT rel_id, label, n,
+             row_number() OVER (PARTITION BY rel_id ORDER BY n DESC, label) AS rk FROM zl)
+SELECT r.rel_id, tot.n_vecs, r.label AS top_label, r.n AS top_n,
+       round(CAST(r.n AS DOUBLE) / tot.n_vecs, 6) AS purity
+FROM r JOIN tot USING (rel_id) WHERE rk = 1""",
         "ann_topk": f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID}),
 scored AS (SELECT e.vec_id, list_cosine_similarity(e.embedding, q.qv) AS sim FROM embeddings e, q

@@ -846,3 +846,145 @@ def pq_encode(sf_dir: str, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = 8, s
         return pa.table(cols)
 
     return _read_emb(sf_dir).map_batches(encode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding_label_outliers (mislabel screen) + zone_label_purity
+# ---------------------------------------------------------------------------
+
+OUTLIER_K = 5
+
+
+def embedding_label_outliers(sf_dir: str, k: int = OUTLIER_K, fp: int = CENTROID_FP) -> rd.Dataset:
+    """Mislabeled-sample screen: per label, the k vectors FARTHEST from
+    their own label's centroid — the embedding-space data-quality audit
+    a labeled corpus runs before training (a far outlier is a mislabel
+    or a corrupt sample).
+
+    Integer-exact: with q = floor(v·2^20 + 0.5) per element and the
+    label moments (n, s_d = Σq), the scaled squared deviation
+    d2_fp = Σ_d (n·q_d − s_d)² is a pure int64 sum (headroom: |n·q| <
+    2^41 per term at 10^3 vectors/label — rescale fp beyond ~10^5/label),
+    so the per-label (d2_fp desc, vec_id) ranking cannot diverge.
+
+    Shape: one (label, dim)-bounded moment shuffle; the centroid table
+    broadcasts back; the scoring pass is map-only; the final top-k is a
+    label-bounded regroup.  Output: (label, vec_id, d2_fp, outlier_rank).
+    """
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding", "label"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)
+        q = np.floor(m * fp + 0.5).astype(np.int64)
+        lab = t["label"].to_numpy().astype(np.int64)
+        n, d = q.shape
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(lab, d), type=pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+                "one": pa.array(np.ones(n * d, dtype=np.int64)),
+                "q": pa.array(q.ravel()),
+            }
+        )
+
+    cen = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(_Count(alias_name="n"), _Sum("q", alias_name="s"))
+        .to_pandas()
+        .sort_values(["label", "dim"])
+    )
+    labels = sorted(set(int(x) for x in cen["label"]))
+    dims = cen["dim"].max() + 1
+    n_of = {}
+    s_of = {}
+    for lb in labels:
+        g = cen[cen["label"] == lb]
+        n_of[lb] = int(g["n"].iloc[0])
+        s_of[lb] = g["s"].to_numpy().astype(np.int64)
+
+    def score(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)
+        q = np.floor(m * fp + 0.5).astype(np.int64)
+        lab = t["label"].to_numpy().astype(np.int64)
+        d2 = np.empty(len(lab), dtype=np.int64)
+        for i, lb in enumerate(lab):
+            diff = n_of[int(lb)] * q[i] - s_of[int(lb)]
+            d2[i] = int((diff * diff).sum())
+        return pa.table(
+            {
+                "label": pa.array(lab, type=pa.int64()),
+                "vec_id": pa.array(t["vec_id"].to_numpy().astype(np.int64), type=pa.int64()),
+                "d2_fp": pa.array(d2, type=pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["d2_fp", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
+        g["outlier_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return scored.groupby("label").map_groups(topk, batch_format="pandas")
+
+
+def zone_label_purity(sf_dir: str) -> rd.Dataset:
+    """Per-admin-zone label purity: majority embedding label and its
+    share — the geography x taxonomy consistency audit (a zone whose
+    vectors span many labels is heterogeneous or mis-geocoded).
+    All-integer counts; the share is one mirrored division rounded 6.
+    Zone assignment = min-rel_id containing rect (the dispersion rule).
+    Output: (rel_id, n_vecs, top_label, top_n, purity)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .. import fixtures
+
+    rects = fixtures.admin_rects()
+    sentinel = np.iinfo(np.int64).max
+
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "label"])
+
+    def zl_counts(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        zone = np.full(len(ids), sentinel, dtype=np.int64)
+        for r in rects:
+            m = (lon >= r["lon_min"]) & (lon < r["lon_max"]) & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+            zone[m] = np.minimum(zone[m], r["rel_id"])
+        zone = np.where(zone == sentinel, -1, zone)
+        lab = t["label"].to_numpy().astype(np.int64)
+        key = zone * 1024 + lab
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "rel_id": pa.array(np.where(uniq >= 0, uniq // 1024, -1), type=pa.int64()),
+                "label": pa.array(np.where(uniq >= 0, uniq % 1024, (uniq + 1024) % 1024), type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    zl = ds.map_batches(zl_counts, batch_format="pyarrow").groupby(["rel_id", "label"]).aggregate(
+        _Sum("n", alias_name="n")
+    )
+
+    def purity(g: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.common import duckdb_round as _dr
+
+        g = g.sort_values(["n", "label"], ascending=[False, True])
+        total = int(g["n"].sum())
+        top = g.iloc[0]
+        return pd.DataFrame(
+            {
+                "rel_id": [int(top["rel_id"])],
+                "n_vecs": [total],
+                "top_label": [int(top["label"])],
+                "top_n": [int(top["n"])],
+                "purity": [float(_dr(np.array([top["n"] / total]), 6)[0])],
+            }
+        )
+
+    return zl.groupby("rel_id").map_groups(purity, batch_format="pandas")

@@ -343,3 +343,40 @@ def test_pq_encode_compresses_and_reconstructs(ray_session):
     trivial_sse = ((mat - mat.mean(axis=0)) ** 2).sum(axis=1)
     assert out["recon_fp"].sum() / 1e9 < trivial_sse.sum()
     assert (out["recon_fp"] >= 0).all()
+
+
+def test_embedding_label_outliers_planted(ray_session, tmp_path):
+    """A vector planted far from its label's cluster ranks as the #1
+    outlier for that label."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import ann
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(0, 0.05, size=(40, 8)).astype(np.float32)
+    labels = np.array([0] * 20 + [1] * 20, dtype=np.int32)
+    vecs[:20] += 1.0   # label-0 cluster center
+    vecs[20:] -= 1.0   # label-1 cluster center
+    vecs[5] = -1.0     # planted mislabel: label 0, sitting in cluster 1
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(np.arange(40), type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], type=pa.list_(pa.float32())),
+            "label": pa.array(labels, type=pa.int32()),
+        }),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = ann.embedding_label_outliers(str(tmp_path)).to_pandas()
+    top0 = out[(out["label"] == 0) & (out["outlier_rank"] == 1)]
+    assert list(top0["vec_id"]) == [5]
+
+
+def test_zone_label_purity_shares(ray_session):
+    """Purity is a valid share and top_n is the modal count."""
+    from plasmap_ray.pipelines import ann
+
+    out = ann.zone_label_purity("/root/testdata/sf0.001").to_pandas()
+    assert (out["purity"] > 0).all() and (out["purity"] <= 1).all()
+    assert (out["top_n"] <= out["n_vecs"]).all()
