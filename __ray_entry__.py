@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- denormalization DAG (ways->rings->polygons, J1/J2) ---
         "way_assembly": denormalize.way_assembly_query,
         "way_lengths": denormalize.way_lengths_query,
+        "zone_way_length": denormalize.zone_way_length_query,
         "way_junctions": denormalize.way_junctions_query,
         "boundary_assembly": denormalize.boundary_assembly_query,
         "boundary_stats": denormalize.boundary_stats_query,
@@ -1082,6 +1083,7 @@ FROM counts c JOIN ring ON ring.cell = c.hex_cell""",
         "pagerank": f"SELECT * FROM read_parquet('{golden.pagerank_path()}')",
         "way_assembly": f"SELECT * FROM read_parquet('{golden.way_assembly_path()}')",
         "way_lengths": f"SELECT * FROM read_parquet('{golden.way_lengths_path()}')",
+        "zone_way_length": f"SELECT * FROM read_parquet('{golden.zone_way_length_path()}')",
         "way_junctions": f"SELECT * FROM read_parquet('{golden.way_junctions_path()}')",
         "boundary_assembly": f"SELECT * FROM read_parquet('{golden.boundary_assembly_path()}')",
         "boundary_stats": f"""

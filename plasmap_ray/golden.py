@@ -1301,3 +1301,38 @@ def pagerank_path(n: int | None = None, iters: int = 10) -> str:
         )
 
     return _cache(f"pagerank_n{n or 'def'}_i{iters}", build)
+
+
+def zone_way_length_path() -> str:
+    """Golden per-zone way-length recompute (local, no Ray): ways
+    assembled directly from the construction tables, clipped with the
+    shared Liang-Barsky kernel."""
+
+    def build() -> pa.Table:
+        from collections import defaultdict
+
+        from . import fixtures
+        from .pipelines.denormalize import zone_seg_len_fp
+
+        world = fixtures.boundary_world()
+        nodes = {r["node_id"]: (r["lon"], r["lat"]) for r in world["nodes"].to_pylist()}
+        acc: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+        for w in world["ways"].to_pylist():
+            coords = np.array([nodes[nd] for nd in w["nds"] if nd in nodes], dtype=np.float64)
+            if coords.shape[0] < 2:
+                continue
+            for r in fixtures.admin_rects():
+                n, s = zone_seg_len_fp(coords, r)
+                if n:
+                    acc[r["rel_id"]][0] += n
+                    acc[r["rel_id"]][1] += s
+        rel = sorted(acc)
+        return pa.table(
+            {
+                "rel_id": pa.array(rel, type=pa.int64()),
+                "n_segments": pa.array([acc[k][0] for k in rel], type=pa.int64()),
+                "len_fp": pa.array([acc[k][1] for k in rel], type=pa.int64()),
+            }
+        )
+
+    return _cache("zone_way_length", build)

@@ -652,3 +652,88 @@ def way_junctions_query(sf_dir: str) -> rd.Dataset:
     )
     joined = deg.join(nodes, join_type="inner", num_partitions=4, on=("node_id",))
     return joined.select_columns(["node_id", "n_ways", "lon", "lat"])
+
+
+# ---------------------------------------------------------------------------
+# zone_way_length (per-admin-zone road length: J1 assembly x zone overlay)
+# ---------------------------------------------------------------------------
+
+ZWL_FP = 1e9  # fixed-point scale for clipped lengths (planar degrees)
+
+
+def zone_seg_len_fp(coords: "np.ndarray", rect: dict) -> tuple[int, int]:
+    """(n_segments_touching, Σ clipped-length fp) of one way polyline
+    inside one axis-aligned zone rect — Liang-Barsky parametric clip per
+    segment, vectorized; the SAME kernel backs the engine stage and the
+    golden recompute, so the compare verifies the distributed J1
+    assembly + shuffle, not scalar arithmetic."""
+    x0, y0 = coords[:-1, 0], coords[:-1, 1]
+    x1, y1 = coords[1:, 0], coords[1:, 1]
+    dx, dy = x1 - x0, y1 - y0
+    seglen = np.sqrt(dx * dx + dy * dy)
+    t0 = np.zeros(len(dx))
+    t1 = np.ones(len(dx))
+    for d, o, lo, hi in ((dx, x0, rect["lon_min"], rect["lon_max"]), (dy, y0, rect["lat_min"], rect["lat_max"])):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ta = (lo - o) / d
+            tb = (hi - o) / d
+        enter = np.where(d > 0, ta, np.where(d < 0, tb, 0.0))
+        exit_ = np.where(d > 0, tb, np.where(d < 0, ta, 1.0))
+        inside0 = (d != 0) | ((o >= lo) & (o <= hi))
+        t0 = np.where(inside0, np.maximum(t0, enter), 2.0)  # empty interval when outside
+        t1 = np.where(inside0, np.minimum(t1, exit_), -1.0)
+    frac = np.maximum(0.0, t1 - t0)
+    clipped = frac * seglen
+    touch = clipped > 0
+    fp = np.floor(clipped[touch] * ZWL_FP + 0.5).astype(np.int64)
+    return int(touch.sum()), int(fp.sum())
+
+
+def zone_way_length_query(sf_dir: str) -> rd.Dataset:
+    """queries() surface: total way (road) length inside each admin
+    zone — the line x polygon overlay at ZONE granularity (the district
+    road-density statistic; segment_cell_lengths is the same overlay at
+    lattice granularity).
+
+    Shape: the J1 assembly DAG produces way geometries; each way row
+    clips against the BROADCAST zone rects map-side (Liang-Barsky
+    t-intervals, fixed-point int64 lengths), so the only exchange after
+    assembly is a zone-keyed int64 reduce.  Polygon zones would swap
+    the rect clip for clip_ring_convex, DAG unchanged.  Golden oracle =
+    identical kernel over the construction tables (no Ray, no DAG).
+    Output: (rel_id, n_segments, len_fp).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    from .. import fixtures
+
+    world = fixtures.boundary_world()
+    geoms = assemble_ways(rd.from_arrow(world["nodes"]), rd.from_arrow(world["ways"]))
+    rects = fixtures.admin_rects()
+
+    def overlay(t: pa.Table) -> pa.Table:
+        rel, nseg, fp = [], [], []
+        for g in t["geom"].to_pylist():
+            coords = unpack_geom(g)
+            if coords.shape[0] < 2:
+                continue
+            for r in rects:
+                n, s = zone_seg_len_fp(coords, r)
+                if n:
+                    rel.append(r["rel_id"])
+                    nseg.append(n)
+                    fp.append(s)
+        return pa.table(
+            {
+                "rel_id": pa.array(rel, type=pa.int64()),
+                "n_segments": pa.array(nseg, type=pa.int64()),
+                "len_fp": pa.array(fp, type=pa.int64()),
+            }
+        )
+
+    return (
+        geoms.map_batches(overlay, batch_format="pyarrow")
+        .groupby("rel_id")
+        .aggregate(_Sum("n_segments", alias_name="n_segments"), _Sum("len_fp", alias_name="len_fp"))
+        .sort("rel_id")
+    )

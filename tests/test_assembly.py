@@ -177,3 +177,26 @@ def test_way_junctions_match_bruteforce(ray_session, world):
     coords = {r["node_id"]: (r["lon"], r["lat"]) for r in world["nodes"].to_pylist()}
     for r in out.itertuples():
         assert (r.lon, r.lat) == coords[r.node_id]
+
+
+def test_zone_way_length_conserves_inside_length(ray_session):
+    """Clipped per-zone way length: zone totals are bounded by total
+    path length, and disjoint same-level zones never double-count a
+    segment interior (level-8 districts tile their cities)."""
+    import numpy as np
+
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import denormalize
+
+    out = denormalize.zone_way_length_query("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    world = fixtures.boundary_world()
+    nodes = {r["node_id"]: (r["lon"], r["lat"]) for r in world["nodes"].to_pylist()}
+    total = 0.0
+    for w in world["ways"].to_pylist():
+        c = np.array([nodes[nd] for nd in w["nds"]], dtype=np.float64)
+        total += float(np.sqrt((np.diff(c, axis=0) ** 2).sum(axis=1)).sum())
+    level_of = {r["rel_id"]: r["admin_level"] for r in fixtures.admin_rects()}
+    lv = out["rel_id"].map(level_of)
+    for level, g in out.groupby(lv):
+        assert g["len_fp"].sum() / denormalize.ZWL_FP <= total * 1.000001
