@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_histogram": spatial.tile_histogram_pipeline,
         "tile_histogram_salted": lambda sf: spatial.tile_histogram_pipeline(sf, salted=True),
         "tile_pyramid": lambda sf: spatial.tile_pyramid_pipeline(sf, z_base=10, z_top=6),
+        "incremental_tile_counts": spatial.incremental_tile_counts,
+        "tile_gini": spatial.tile_gini,
         "quadtree_leaves": lambda sf: spatial.quadtree_leaves(sf, z_top=6, z_base=10),
         "spatial_split": spatial.spatial_split,
         "pip_join": spatial.pip_join_pipeline,
@@ -1838,6 +1840,25 @@ SELECT cx, cy, n_days,
        n_days * sx2 - sx * sx AS slope_den,
        round(CAST(n_days * sxy - sx * sy AS DOUBLE) / CAST(n_days * sx2 - sx * sx AS DOUBLE), 9) AS slope
 FROM m WHERE n_days >= {hotspot.TREND_MIN_DAYS} AND n_days * sx2 - sx * sx > 0""",
+        "incremental_tile_counts": f"""
+WITH tc AS (
+  SELECT CAST({oracle.sql_tile_x(oracle.sql_derive_lon('event_id'), spatial.GINI_Z)} AS BIGINT) AS x,
+         CAST({oracle.sql_tile_y(oracle.sql_derive_lat('event_id'), spatial.GINI_Z)} AS BIGINT) AS y,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{spatial.IVM_CUT}' THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{spatial.IVM_CUT}' THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+  FROM events GROUP BY 1, 2)
+SELECT {spatial.GINI_Z} AS z, x, y, n_base, n_delta, n_base + n_delta AS n_total FROM tc""",
+        "tile_gini": f"""
+WITH tc AS (
+  SELECT CAST({oracle.sql_tile_x(oracle.sql_derive_lon("CAST(substr(image_id, 5) AS BIGINT)"), spatial.GINI_Z)} AS BIGINT) AS x,
+         CAST({oracle.sql_tile_y(oracle.sql_derive_lat("CAST(substr(image_id, 5) AS BIGINT)"), spatial.GINI_Z)} AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS n
+  FROM {img_pq} GROUP BY 1, 2),
+r AS (SELECT n, CAST(row_number() OVER (ORDER BY n, x, y) AS BIGINT) AS i FROM tc),
+s AS (SELECT CAST(count(*) AS BIGINT) AS nt, CAST(sum(n) AS BIGINT) AS sx,
+             CAST(sum(i * n) AS BIGINT) AS swx FROM r)
+SELECT nt AS n_tiles, sx AS n_images,
+       round(2.0 * swx / (CAST(nt AS DOUBLE) * sx) - (nt + 1.0) / nt, 6) AS gini FROM s""",
         "dp_tile_counts": f"""
 WITH tc AS (
   SELECT CAST({oracle.sql_tile_x(oracle.sql_derive_lon('doc_id'), privacy.DP_Z)} AS BIGINT) AS x,

@@ -757,3 +757,116 @@ def spatial_split(sf_dir: str, test_frac: float = SPLIT_TEST_FRAC) -> rd.Dataset
         )
 
     return pts.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance + spatial concentration
+# ---------------------------------------------------------------------------
+
+IVM_CUT = "2024-01-20"  # base/delta split for the incremental demo
+GINI_Z = 10
+
+
+def incremental_tile_counts(sf_dir: str, z: int = GINI_Z, cut: str = IVM_CUT) -> rd.Dataset:
+    """Incremental view maintenance: per-tile event counts computed as
+    BASE (ts < cut) plus DELTA (ts >= cut), merged by integer addition —
+    the streaming-refresh pattern (a nightly base + an hourly delta)
+    that works because the count aggregate is a commutative monoid; the
+    oracle computes the same view in one pass, so the compare PROVES
+    merge == recompute.  Output: (z, x, y, n_base, n_delta, n_total).
+    """
+    import pyarrow.compute as _pc
+
+    from .. import fixtures as _fx
+    from .. import tiles as _tiles
+    from ray.data.aggregate import Sum as _Sum
+
+    cut_us = pa.scalar(np.datetime64(cut, "us"))
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"])
+
+    def tile_partial(t: pa.Table, which: str) -> pa.Table:
+        m = _pc.less(t["ts"], cut_us) if which == "base" else _pc.greater_equal(t["ts"], cut_us)
+        t = t.filter(m)
+        ids = t["event_id"].to_numpy()
+        x, y = _tiles.tile_xy(_fx.derive_lon(ids), _fx.derive_lat(ids), z)
+        key = x.astype(np.int64) * (1 << z) + y
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uniq, type=pa.int64()), "n": pa.array(cnt.astype(np.int64))})
+
+    import functools as _ft
+
+    base = ds.map_batches(_ft.partial(tile_partial, which="base"), batch_format="pyarrow").groupby(
+        "key"
+    ).aggregate(_Sum("n", alias_name="n_base"))
+    delta = ds.map_batches(_ft.partial(tile_partial, which="delta"), batch_format="pyarrow").groupby(
+        "key"
+    ).aggregate(_Sum("n", alias_name="n_delta"))
+    merged = base.join(delta, join_type="full_outer", num_partitions=4, on=("key",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        nb = _pc.coalesce(_pc.cast(t["n_base"], pa.int64()), pa.scalar(0, type=pa.int64())).to_numpy(zero_copy_only=False)
+        nd = _pc.coalesce(_pc.cast(t["n_delta"], pa.int64()), pa.scalar(0, type=pa.int64())).to_numpy(zero_copy_only=False)
+        key = key.astype(np.int64)
+        return pa.table(
+            {
+                "z": pa.array(np.full(len(key), z, dtype=np.int64)),
+                "x": pa.array(key // (1 << z), type=pa.int64()),
+                "y": pa.array(key % (1 << z), type=pa.int64()),
+                "n_base": pa.array(nb, type=pa.int64()),
+                "n_delta": pa.array(nd, type=pa.int64()),
+                "n_total": pa.array(nb + nd, type=pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def tile_gini(sf_dir: str, z: int = GINI_Z) -> pa.Table:
+    """Spatial concentration: the Gini coefficient of per-tile image
+    counts — ONE scalar describing how unevenly the corpus covers the
+    map (0 = uniform, ->1 = everything in one tile); the skew statistic
+    that motivates salted tiling.
+
+    Exact arithmetic: with tile counts x_(1..n) sorted ascending,
+    G = (2·Σ i·x_i) / (n·Σ x_i) − (n+1)/n — both Σ are int64; the two
+    divisions happen once, in the same association, in both engines.
+    The per-tile reduce is the tile-histogram combiner; the final sort
+    is over TILES (output-bounded), not rows.
+    """
+    from .. import fixtures as _fx
+    from .. import tiles as _tiles
+    from ray.data.aggregate import Sum as _Sum
+    from ..stages.common import duckdb_round as _dr
+
+    from .images import images_path_for
+
+    ds = rd.read_parquet(images_path_for(sf_dir), columns=["image_id"])
+
+    def tile_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        ids = _pc.cast(_pc.utf8_slice_codeunits(t["image_id"], 4, 16), pa.int64()).to_numpy()
+        x, y = _tiles.tile_xy(_fx.derive_lon(ids), _fx.derive_lat(ids), z)
+        key = x.astype(np.int64) * (1 << z) + y
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uniq, type=pa.int64()), "n": pa.array(cnt.astype(np.int64))})
+
+    per_tile = (
+        ds.map_batches(tile_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()  # output-bounded: occupied tiles
+    )
+    xs = np.sort(per_tile["n"].to_numpy().astype(np.int64))
+    n = len(xs)
+    swx = int((np.arange(1, n + 1, dtype=np.int64) * xs).sum())
+    sx = int(xs.sum())
+    g = float(_dr(np.array([2.0 * swx / (float(n) * sx) - (n + 1.0) / n]), 6)[0])
+    return pa.table(
+        {
+            "n_tiles": pa.array([n], type=pa.int64()),
+            "n_images": pa.array([sx], type=pa.int64()),
+            "gini": pa.array([g], type=pa.float64()),
+        }
+    )

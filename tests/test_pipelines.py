@@ -581,3 +581,26 @@ def test_customer_value_rank_dense(ray_session):
     for _, g in out.groupby("c_nationkey"):
         ranks = sorted(set(g["bal_rank"]))
         assert ranks[0] == 1 and ranks == list(range(1, len(ranks) + 1))
+
+
+def test_incremental_merge_equals_recompute(ray_session):
+    """IVM invariant: base + delta == one-pass recompute per tile."""
+    from plasmap_ray.pipelines import spatial
+
+    sf = "/root/testdata/sf0.001"
+    out = spatial.incremental_tile_counts(sf).to_pandas()
+    assert (out["n_total"] == out["n_base"] + out["n_delta"]).all()
+    assert out["n_delta"].sum() > 0 and out["n_base"].sum() > 0  # cut splits the stream
+    import pyarrow.parquet as pq
+
+    assert out["n_total"].sum() == pq.read_metadata(f"{sf}/events.parquet").num_rows
+
+
+def test_tile_gini_bounds_and_skew_direction(ray_session):
+    """Gini is in [0, 1) and increases when the corpus is skewed into a
+    hot cell."""
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import spatial
+
+    base = spatial.tile_gini("/root/testdata/sf0.001")["gini"][0].as_py()
+    assert 0.0 <= base < 1.0
