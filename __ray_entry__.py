@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_manifest": images.shard_manifest,
         "best_image_per_tile": images.best_image_per_tile,
         "zone_image_stats": images.zone_image_stats,
+        "zone_color_signature": images.zone_color_signature,
         "caption_location_histogram": images.caption_location_histogram,
         "zone_top_terms": images.zone_top_terms,
         "phash_dedup": images.phash_dedup,
@@ -268,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_of_gyration": trajectory.radius_of_gyration,
         "cell_transition_matrix": trajectory.cell_transition_matrix,
         "cotravel_pairs": trajectory.cotravel_pairs,
+        "home_cells": trajectory.home_cells,
         "getis_ord_hotspots": hotspot.getis_ord_hotspots,
         "local_moran": hotspot.local_moran,
         "kde_density": hotspot.kde_density,
@@ -1080,6 +1082,7 @@ SELECT c.hex_cell, c.n AS n_points, ring.n_ring1
 FROM counts c JOIN ring ON ring.cell = c.hex_cell""",
         "phash_pixel_verify": f"SELECT * FROM read_parquet('{golden.phash_pixel_verify_path(SF001)}')",
         "tile_montage": f"SELECT * FROM read_parquet('{golden.tile_montage_path(SF001)}')",
+        "zone_color_signature": f"SELECT * FROM read_parquet('{golden.zone_color_signature_path(SF001)}')",
         "frechet_conformance": f"SELECT * FROM read_parquet('{golden.frechet_conformance_path(SF001)}')",
         "pq_encode": f"SELECT * FROM read_parquet('{golden.pq_encode_path(SF001)}')",
         "pagerank": f"SELECT * FROM read_parquet('{golden.pagerank_path()}')",
@@ -1537,6 +1540,19 @@ fp AS (
   SELECT rel_id, name, admin_level, cx, cy,
          CAST(floor(area * 1e9 + 0.5) AS BIGINT) AS area_fp FROM ia)
 SELECT * FROM fp WHERE area_fp > 0""",
+        "home_cells": f"""
+WITH uc AS (
+  SELECT user_id,
+         CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {trajectory.COTRAVEL_PITCH!r}) AS BIGINT) AS cx,
+         CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / {trajectory.COTRAVEL_PITCH!r}) AS BIGINT) AS cy
+  FROM events),
+c AS (SELECT user_id, cx, cy, CAST(count(*) AS BIGINT) AS n FROM uc GROUP BY 1, 2, 3),
+t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_total FROM c GROUP BY 1),
+r AS (SELECT user_id, cx, cy, n,
+             row_number() OVER (PARTITION BY user_id ORDER BY n DESC, cx, cy) AS rk FROM c)
+SELECT r.user_id, r.cx, r.cy, r.n AS n_pings, t.n_total,
+       round(CAST(r.n AS DOUBLE) / t.n_total, 6) AS share
+FROM r JOIN t USING (user_id) WHERE rk = 1""",
         "cotravel_pairs": f"""
 WITH slots AS (
   SELECT DISTINCT user_id,

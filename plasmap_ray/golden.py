@@ -1336,3 +1336,48 @@ def zone_way_length_path() -> str:
         )
 
     return _cache("zone_way_length", build)
+
+
+def zone_color_signature_path(sf_dir: str) -> str:
+    """Golden per-zone color recompute (local, no Ray): decode every
+    image, exact int64 channel sums, rect-rule zone assignment (== the
+    PiP actor on the rect fixture zones), one mirrored division."""
+    from .pipelines.images import images_path_for
+
+    def build() -> pa.Table:
+        from collections import defaultdict
+
+        from . import codecs as _codecs
+        from . import fixtures
+        from .stages.common import duckdb_round as _dr
+
+        t = pq.read_table(images_path_for(sf_dir))
+        ids = np.array([int(s[4:]) for s in t["image_id"].to_pylist()], dtype=np.int64)
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        acc: dict[tuple[int, int], np.ndarray] = defaultdict(lambda: np.zeros(5, dtype=np.int64))
+        for i in range(t.num_rows):
+            px = _codecs.decode_image(
+                t["bytes"][i].as_py(), int(t["w"][i].as_py()), int(t["h"][i].as_py()), t["fmt"][i].as_py()
+            )
+            s = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            npx = px.shape[0] * px.shape[1]
+            for r in fixtures.admin_rects():
+                if r["lon_min"] <= lon[i] < r["lon_max"] and r["lat_min"] <= lat[i] < r["lat_max"]:
+                    a = acc[(r["rel_id"], r["admin_level"])]
+                    a[0] += 1
+                    a[1] += npx
+                    a[2:] += s
+        keys = sorted(acc)
+        cols = {
+            "rel_id": pa.array([k[0] for k in keys], type=pa.int64()),
+            "admin_level": pa.array([k[1] for k in keys], type=pa.int64()),
+            "n_images": pa.array([int(acc[k][0]) for k in keys], type=pa.int64()),
+            "n_pixels": pa.array([int(acc[k][1]) for k in keys], type=pa.int64()),
+        }
+        for j, ch in enumerate(("r", "g", "b")):
+            cols[f"mean_{ch}"] = pa.array(
+                [float(_dr(np.array([acc[k][2 + j] / acc[k][1]]), 4)[0]) for k in keys], type=pa.float64()
+            )
+        return pa.table(cols)
+
+    return _cache(f"zone_color_{_sf_tag(sf_dir)}", build)

@@ -842,3 +842,105 @@ def tile_montage(
     return full.map_batches(attach_tile, batch_format="pyarrow").groupby(["x", "y"]).map_groups(
         montage, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# zone_color_signature (decoded-pixel color statistics per admin zone)
+# ---------------------------------------------------------------------------
+
+
+class ColorSumStage:
+    """Actor-pool stage (ST5): decode every payload and reduce it to
+    exact int64 per-channel pixel sums — the ``bytes`` column is
+    consumed HERE; only five integers per image leave the stage."""
+
+    def __init__(self):
+        from .. import codecs
+
+        self.codecs = codecs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        sums = np.zeros((n, 3), dtype=np.int64)
+        npix = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            px = self.codecs.decode_image(
+                batch["bytes"][i].as_py(), batch["w"][i].as_py(), batch["h"][i].as_py(), batch["fmt"][i].as_py()
+            )
+            sums[i] = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            npix[i] = px.shape[0] * px.shape[1]
+        ids = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4, 16), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "lon": pa.array(fixtures.derive_lon(ids), type=pa.float64()),
+                "lat": pa.array(fixtures.derive_lat(ids), type=pa.float64()),
+                "n_pixels": pa.array(npix),
+                "sum_r": pa.array(sums[:, 0]),
+                "sum_g": pa.array(sums[:, 1]),
+                "sum_b": pa.array(sums[:, 2]),
+            }
+        )
+
+
+def zone_color_signature(sf_dir: str) -> rd.Dataset:
+    """Per-admin-zone color signature: mean decoded R/G/B over every
+    pixel of every image geolocated in the zone — the geo x pixel
+    aggregate (the flagship's decode + PiP + reduce shape, producing a
+    visual-content statistic instead of counts; regional style/sensor
+    drift shows up here first).
+
+    Exactness: per-image channel sums are int64 (uint8 pixels), the
+    zone reduce is integer, and the three means are one mirrored
+    division each (golden oracle recomputes locally, rect-rule zone
+    assignment == the PiP actor on the rect fixture zones).
+    Output: (rel_id, admin_level, n_images, n_pixels, mean_r/g/b).
+    """
+    from ray.data.aggregate import Count as _Count
+
+    from ..pipelines.spatial import boundary_index_ref
+    from ..stages import geo
+
+    idx_ref = boundary_index_ref()
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    sums = ds.map_batches(ColorSumStage, batch_format="pyarrow", batch_size=512, concurrency=(1, 8))
+    joined = sums.map_batches(
+        geo.PiPJoinActor,
+        fn_constructor_kwargs=dict(index_ref=idx_ref, keep_cols=("n_pixels", "sum_r", "sum_g", "sum_b")),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=8192,
+    )
+    agg = (
+        joined.select_columns(["rel_id", "admin_level", "n_pixels", "sum_r", "sum_g", "sum_b"])
+        .groupby(["rel_id", "admin_level"])
+        .aggregate(
+            _Count(alias_name="n_images"),
+            Sum("n_pixels", alias_name="n_pixels"),
+            Sum("sum_r", alias_name="sum_r"),
+            Sum("sum_g", alias_name="sum_g"),
+            Sum("sum_b", alias_name="sum_b"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..stages.common import duckdb_round as _dr
+
+        npx = t["n_pixels"].to_numpy().astype(np.float64)
+        out = {
+            "rel_id": pc.cast(t["rel_id"], pa.int64()),
+            "admin_level": pc.cast(t["admin_level"], pa.int64()),
+            "n_images": pc.cast(t["n_images"], pa.int64()),
+            "n_pixels": pc.cast(t["n_pixels"], pa.int64()),
+        }
+        for ch in ("r", "g", "b"):
+            out[f"mean_{ch}"] = pa.array(
+                _dr(t[f"sum_{ch}"].to_numpy().astype(np.float64) / npx, 4), type=pa.float64()
+            )
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

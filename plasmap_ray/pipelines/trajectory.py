@@ -1417,3 +1417,63 @@ def cotravel_pairs(
         .filter(expr=f"n_shared >= {min_shared}")
         .sort(["user_a", "user_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# home_cells (modal-cell home-location inference)
+# ---------------------------------------------------------------------------
+
+
+def home_cells(sf_dir: str, pitch: float = COTRAVEL_PITCH) -> rd.Dataset:
+    """Home-location inference: each user's modal lattice cell (most
+    pings; ties to the smaller cell key) with its share of the user's
+    activity — the anchor-point primitive behind OD normalization and
+    k-anonymity risk scoring.  All-integer counts, one mirrored share
+    division; the per-user argmax is a user-bounded regroup.
+    Output: (user_id, cx, cy, n_pings, n_total, share)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read_events(sf_dir, ["event_id", "user_id"])
+
+    def ucell_counts(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / pitch).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / pitch).astype(np.int64)
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        key = (uid * 1024 + cx) * 1024 + cy
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq // (1024 * 1024), type=pa.int64()),
+                "cx": pa.array((uniq // 1024) % 1024, type=pa.int64()),
+                "cy": pa.array(uniq % 1024, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(ucell_counts, batch_format="pyarrow")
+        .groupby(["user_id", "cx", "cy"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+    def argmax(g):
+        import pandas as pd
+
+        from ..stages.common import duckdb_round as _dr
+
+        total = int(g["n"].sum())
+        g = g.sort_values(["n", "cx", "cy"], ascending=[False, True, True]).head(1)
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "cx": [int(g["cx"].iloc[0])],
+                "cy": [int(g["cy"].iloc[0])],
+                "n_pings": [int(g["n"].iloc[0])],
+                "n_total": [total],
+                "share": [float(_dr(np.array([g["n"].iloc[0] / total]), 6)[0])],
+            }
+        )
+
+    return counts.groupby("user_id").map_groups(argmax, batch_format="pandas")

