@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": relational.revenue_rollup,
         "customer_value_rank": relational.customer_value_rank,
         "window_distinct_users": windows.window_distinct_users,
+        "bloom_semi_join": relational.bloom_semi_join,
+        "hourly_gap_fill": windows.hourly_gap_fill,
         # --- stream-shaped ---
         "tumbling_window": windows.tumbling_window,
         "sessionize": windows.sessionize,
@@ -632,6 +634,22 @@ FROM f GROUP BY ROLLUP (n_name, o_year)""",
 SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal,
        CAST(dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS BIGINT) AS bal_rank
 FROM customer""",
+        "bloom_semi_join": """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1 ORDER BY 1""",
+        "hourly_gap_fill": """
+WITH agg AS (
+  SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+grid AS (
+  SELECT unnest(generate_series((SELECT min(window_start) FROM agg),
+                                (SELECT max(window_start) FROM agg),
+                                INTERVAL 1 HOUR)) AS window_start)
+SELECT g.window_start, CAST(coalesce(a.n_events, 0) AS BIGINT) AS n_events
+FROM grid g LEFT JOIN agg a USING (window_start) ORDER BY 1""",
         "window_distinct_users": """
 SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

@@ -1145,3 +1145,59 @@ def customer_value_rank(sf_dir: str) -> rd.Dataset:
         })
 
     return out.map_batches(cast_keys, batch_format="pyarrow")
+
+
+def bloom_semi_join(sf_dir: str, segment: str = "BUILDING", expected_n: int = 400, fp_rate: float = 0.01) -> rd.Dataset:
+    """Runtime-filter semi-join: per-nation order counts for customers of
+    one market segment, with a BLOOM prefilter of the (small) customer
+    key set pushed into the fact scan BEFORE the shuffle — the
+    runtime-filter optimization every distributed optimizer applies to
+    selective dimension joins.
+
+    Soundness by construction: a Bloom filter has no false NEGATIVES,
+    so prefilter -> exact join ≡ exact join; the oracle computes the
+    plain semi-join and the compare PROVES the optimized plan loses
+    nothing (false positives only cost shuffle rows, removed by the
+    exact join).  The filter is deterministic (splitmix64 double
+    hashing) and ~1.2 KB — broadcast once via the batch-fn closure.
+
+    Output: (c_nationkey, n_orders).
+    """
+    from ray.data.aggregate import Count as _Count
+
+    from .cluster import bloom_bit_positions, bloom_params
+
+    m_bits, k_hashes = bloom_params(expected_n, fp_rate)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"]).filter(
+        expr=f"c_mktsegment == '{segment}'"
+    )
+    cust_df = cust.to_pandas()
+    keys = cust_df["c_custkey"].to_numpy().astype(np.uint64)
+    bits = np.zeros(m_bits, dtype=bool)
+    bits[bloom_bit_positions(keys, m_bits, k_hashes).ravel()] = True
+    nat_of = dict(zip(cust_df["c_custkey"].astype(np.int64), cust_df["c_nationkey"].astype(np.int64)))
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy().astype(np.uint64)
+        pos = bloom_bit_positions(ck, m_bits, k_hashes)
+        passed = bits[pos].all(axis=1)
+        return t.filter(pa.array(passed))
+
+    pre = orders.map_batches(prefilter, batch_format="pyarrow")
+
+    def exact_attach(t: pa.Table) -> pa.Table:
+        # the exact join removes bloom false positives; the dim side is
+        # the already-filtered segment (bounded), attached via dict
+        ck = t["o_custkey"].to_numpy().astype(np.int64)
+        nk = np.array([nat_of.get(int(c), -1) for c in ck], dtype=np.int64)
+        keep = nk >= 0
+        return pa.table({"c_nationkey": pa.array(nk[keep], type=pa.int64())})
+
+    return (
+        pre.map_batches(exact_attach, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(_Count(alias_name="n_orders"))
+        .sort("c_nationkey")
+    )

@@ -545,3 +545,37 @@ def window_distinct_users(sf_dir: str) -> rd.Dataset:
         .aggregate(Count(alias_name="n_users"))
         .sort("window_start")
     )
+
+
+def hourly_gap_fill(sf_dir: str, event_type: str = "purchase") -> rd.Dataset:
+    """Dense hourly series for one event type with ZERO-filled gaps —
+    the resampling/densification step before any time-series model
+    (sparse aggregates lie about quiet hours).  The aggregate is the
+    tumbling combiner; the densification joins it against a generated
+    hour grid spanning [min, max] (grid size is bounded by the time
+    range, not the data — driver-side generate_series).
+    Output: (window_start, n_events) for EVERY hour in range."""
+    ds = _read_events(sf_dir, ["ts", "event_type"]).filter(expr=f"event_type == '{event_type}'")
+
+    def hour_of(t: pa.Table) -> pa.Table:
+        return pa.table({"window_start": pc.floor_temporal(t["ts"], unit="hour")})
+
+    agg = (
+        ds.map_batches(hour_of, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n_events"))
+        .to_pandas()  # bounded: hours in range
+    )
+    lo, hi = agg["window_start"].min(), agg["window_start"].max()
+    grid = pd.date_range(lo, hi, freq="1h")
+    dense = (
+        pd.DataFrame({"window_start": grid})
+        .merge(agg, on="window_start", how="left")
+        .fillna({"n_events": 0})
+    )
+    return pa.table(
+        {
+            "window_start": pa.array(dense["window_start"], type=pa.timestamp("us")),
+            "n_events": pa.array(dense["n_events"].astype(np.int64), type=pa.int64()),
+        }
+    )

@@ -604,3 +604,47 @@ def test_tile_gini_bounds_and_skew_direction(ray_session):
 
     base = spatial.tile_gini("/root/testdata/sf0.001")["gini"][0].as_py()
     assert 0.0 <= base < 1.0
+
+
+def test_bloom_prefilter_reduces_and_is_sound(ray_session):
+    """The runtime filter actually prunes the fact scan (selectivity
+    bites) AND loses no qualifying rows (soundness vs exact)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import relational
+    from plasmap_ray.pipelines.cluster import bloom_bit_positions, bloom_params
+
+    sf = "/root/testdata/sf0.001"
+    out = relational.bloom_semi_join(sf).to_pandas()
+
+    cust = pq.read_table(f"{sf}/customer.parquet").to_pandas()
+    seg = cust[cust["c_mktsegment"] == "BUILDING"]
+    orders = pq.read_table(f"{sf}/orders.parquet", columns=["o_custkey"]).to_pandas()
+    exact = orders.merge(seg, left_on="o_custkey", right_on="c_custkey")
+    expg = exact.groupby("c_nationkey").size()
+    got = dict(zip(out["c_nationkey"], out["n_orders"]))
+    assert got == {int(k): int(v) for k, v in expg.items()}
+    # the bloom alone (before the exact attach) passes fewer rows than the scan
+    m_bits, k = bloom_params(400, 0.01)
+    bits = np.zeros(m_bits, dtype=bool)
+    bits[bloom_bit_positions(seg["c_custkey"].to_numpy().astype(np.uint64), m_bits, k).ravel()] = True
+    passed = bits[bloom_bit_positions(orders["o_custkey"].to_numpy().astype(np.uint64), m_bits, k)].all(axis=1)
+    assert len(exact) <= passed.sum() < len(orders)
+
+
+def test_hourly_gap_fill_dense(ray_session):
+    """The filled series has one row per hour, zeros included, and
+    conserves the event total."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import windows
+
+    sf = "/root/testdata/sf0.001"
+    out = windows.hourly_gap_fill(sf).to_pandas()
+    span = (out["window_start"].max() - out["window_start"].min()) / pd.Timedelta(hours=1)
+    assert len(out) == int(span) + 1
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["event_type"]).to_pandas()
+    assert out["n_events"].sum() == (ev["event_type"] == "purchase").sum()
+    assert (out["n_events"] == 0).any()  # gaps exist and are zero-filled
