@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_outliers": ann.embedding_label_outliers,
         "zone_label_purity": ann.zone_label_purity,
         "kmeans_cluster_sizes": ann.kmeans_cluster_sizes,
+        "cluster_label_confusion": ann.cluster_label_confusion,
         "tile_assign": lambda sf: spatial.tile_assign_pipeline(sf, z=TILE_Z),
         "tile_histogram": spatial.tile_histogram_pipeline,
         "tile_histogram_salted": lambda sf: spatial.tile_histogram_pipeline(sf, salted=True),
@@ -1080,6 +1081,11 @@ GROUP BY 1, 2""",
 SELECT s2_cell_coarse, count(*) AS n_points
 FROM read_parquet('{golden.s2_cells_path(SF001)}') GROUP BY s2_cell_coarse""",
         "kmeans_clusters": f"SELECT * FROM read_parquet('{golden.kmeans_clusters_path(SF001)}')",
+        "cluster_label_confusion": f"""
+SELECT g.cluster, CAST(e.label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs
+FROM read_parquet('{golden.kmeans_clusters_path(SF001)}') g
+JOIN embeddings e USING (vec_id)
+GROUP BY 1, 2 ORDER BY 1, 2""",
         "kmeans_cluster_sizes": f"""
 SELECT cluster, count(*) AS n_vecs
 FROM read_parquet('{golden.kmeans_clusters_path(SF001)}') GROUP BY cluster""",

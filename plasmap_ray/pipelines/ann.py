@@ -988,3 +988,36 @@ def zone_label_purity(sf_dir: str) -> rd.Dataset:
         )
 
     return zl.groupby("rel_id").map_groups(purity, batch_format="pandas")
+
+
+def cluster_label_confusion(sf_dir: str, k: int = 8, iters: int = 5) -> rd.Dataset:
+    """Clustering evaluation: the (kmeans cluster x ground-truth label)
+    confusion matrix — the purity/NMI input every unsupervised-quality
+    audit starts from.  The assignment pass re-attaches each vector's
+    stored label map-side (one read carries both columns), so the only
+    exchange is the (cluster, label)-bounded count reduce.  Integer
+    counts over a bit-deterministic clustering (fixed-point Lloyd):
+    engine == golden recompute exactly.
+    Output: (cluster, label, n_vecs)."""
+    from ray.data.aggregate import Count as _Count
+
+    assigned = kmeans_embeddings(sf_dir, k=k, iters=iters)
+    labels = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "label"])
+    j = assigned.join(labels, join_type="inner", num_partitions=2, on=("vec_id",))
+
+    def norm(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "cluster": pc.cast(t["cluster"], pa.int64()),
+                "label": pc.cast(t["label"], pa.int64()),
+            }
+        )
+
+    return (
+        j.map_batches(norm, batch_format="pyarrow")
+        .groupby(["cluster", "label"])
+        .aggregate(_Count(alias_name="n_vecs"))
+        .sort(["cluster", "label"])
+    )

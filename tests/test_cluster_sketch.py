@@ -430,3 +430,18 @@ def test_dissolve_zones_matches_union_find(ray_session):
         assert (r.n_zones, r.admin_level, r.area_fp) == (e["n"], e["lv"], e["area"])
         assert (r.lon_min, r.lat_min, r.lon_max, r.lat_max) == (
             e["lon_min"], e["lat_min"], e["lon_max"], e["lat_max"])
+
+
+def test_cluster_label_confusion_marginals(ray_session):
+    """Confusion-matrix marginals equal cluster sizes and corpus size."""
+    from plasmap_ray.pipelines import ann
+
+    sf = "/root/testdata/sf0.001"
+    cm = ann.cluster_label_confusion(sf).to_pandas()
+    sizes = ann.kmeans_cluster_sizes(sf).to_pandas().set_index("cluster")["n_vecs"]
+    per_cluster = cm.groupby("cluster")["n_vecs"].sum()
+    for c, n in per_cluster.items():
+        assert int(sizes[c]) == int(n)
+    import pyarrow.parquet as pq
+
+    assert cm["n_vecs"].sum() == pq.read_metadata(f"{sf}/embeddings.parquet").num_rows
