@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_cells": hotspot.burst_cells,
         "cell_trend": hotspot.cell_trend,
         "dp_tile_counts": privacy.dp_tile_counts,
+        "location_unicity": privacy.location_unicity,
         "latest_event_per_user": windows.latest_event_per_user,
         "kde_contours": hotspot.kde_contours,
         "distance_raster": hotspot.distance_raster,
@@ -1899,6 +1900,26 @@ s AS (SELECT CAST(count(*) AS BIGINT) AS nt, CAST(sum(n) AS BIGINT) AS sx,
              CAST(sum(i * n) AS BIGINT) AS swx FROM r)
 SELECT nt AS n_tiles, sx AS n_images,
        round(2.0 * swx / (CAST(nt AS DOUBLE) * sx) - (nt + 1.0) / nt, 6) AS gini FROM s""",
+        "location_unicity": f"""
+WITH uc AS (
+  SELECT user_id,
+         CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {privacy.UNICITY_PITCH!r}) AS BIGINT) * 1024
+       + CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / {privacy.UNICITY_PITCH!r}) AS BIGINT) AS cell
+  FROM events),
+c AS (SELECT user_id, cell, count(*) AS n FROM uc GROUP BY 1, 2),
+r AS (SELECT user_id, cell,
+             row_number() OVER (PARTITION BY user_id ORDER BY n DESC, cell) AS rk FROM c),
+sigs AS (
+  SELECT k.k, r.user_id,
+         string_agg(CAST(r.cell AS VARCHAR), '|' ORDER BY r.rk) AS sig
+  FROM r CROSS JOIN (VALUES (1), (2), (3)) k(k)
+  WHERE r.rk <= k.k GROUP BY 1, 2),
+per_sig AS (SELECT k, sig, CAST(count(*) AS BIGINT) AS n_users_sig FROM sigs GROUP BY 1, 2)
+SELECT CAST(k AS BIGINT) AS k, CAST(sum(n_users_sig) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN n_users_sig = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       round(sum(CASE WHEN n_users_sig = 1 THEN 1 ELSE 0 END)
+             / CAST(sum(n_users_sig) AS DOUBLE), 6) AS unicity
+FROM per_sig GROUP BY 1 ORDER BY 1""",
         "dp_tile_counts": f"""
 WITH tc AS (
   SELECT CAST({oracle.sql_tile_x(oracle.sql_derive_lon('doc_id'), privacy.DP_Z)} AS BIGINT) AS x,

@@ -33,6 +33,8 @@ the only floats are the already-proven tile_xy trig inputs.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -280,3 +282,95 @@ def dp_tile_counts(sf_dir: str, z: int = DP_Z, bound: int = DP_BOUND) -> rd.Data
         )
 
     return agg.map_batches(release, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# location_unicity (re-identification risk of top-k location signatures)
+# ---------------------------------------------------------------------------
+
+UNICITY_PITCH = 0.1
+UNICITY_KS = (1, 2, 3)
+
+
+def location_unicity(sf_dir: str, pitch: float = UNICITY_PITCH, ks: tuple[int, ...] = UNICITY_KS) -> rd.Dataset:
+    """Re-identification risk audit: for each k, the share of users whose
+    top-k most-visited cells form a UNIQUE signature in the corpus — the
+    de Montjoye unicity metric ("how many points identify you") that
+    motivates k_anonymity / dp_tile_counts before any location release.
+
+    Shape: one (user, cell) count shuffle; a user-bounded regroup emits
+    each user's canonical top-k signature string (count desc, cell-key
+    tiebreak — a total order, so signatures are engine-independent);
+    a signature-keyed count + a k-keyed reduce produce three integers
+    and one mirrored share division per k.
+    Output: (k, n_users, n_unique, unicity).
+    """
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    from .. import fixtures
+    from ..stages.common import duckdb_round as _dr
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id"])
+
+    def ucell_counts(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / pitch).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / pitch).astype(np.int64)
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        key = (uid * 1024 + cx) * 1024 + cy
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq // (1024 * 1024), type=pa.int64()),
+                "cell": pa.array(uniq % (1024 * 1024), type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(ucell_counts, batch_format="pyarrow")
+        .groupby(["user_id", "cell"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+    def signatures(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "cell"], ascending=[False, True])
+        cells = g["cell"].to_list()
+        rows = []
+        for k in ks:
+            rows.append({"k": k, "sig": "|".join(str(c) for c in cells[:k])})
+        return pd.DataFrame(rows)
+
+    sigs = counts.groupby("user_id").map_groups(signatures, batch_format="pandas")
+    per_sig = sigs.groupby(["k", "sig"]).aggregate(_Count(alias_name="n_users_sig"))
+
+    def flags(t: pa.Table) -> pa.Table:
+        nu = t["n_users_sig"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "k": t["k"],
+                "n_users": pa.array(nu, type=pa.int64()),
+                "n_unique": pa.array((nu == 1).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        per_sig.map_batches(flags, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(_Sum("n_users", alias_name="n_users"), _Sum("n_unique", alias_name="n_unique"))
+    )
+
+    def share(t: pa.Table) -> pa.Table:
+        u = t["n_unique"].to_numpy().astype(np.float64) / t["n_users"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "k": pa.array(t["k"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n_users": t["n_users"],
+                "n_unique": t["n_unique"],
+                "unicity": pa.array(_dr(u, 6), type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(share, batch_format="pyarrow").sort("k")

@@ -108,3 +108,21 @@ def test_dp_tile_counts_bounded_perturbation(ray_session):
     for r in out.itertuples():
         t = true[int(r.x) * (1 << privacy.DP_Z) + int(r.y)]
         assert abs(r.n_noised - t) <= privacy.DP_BOUND or (r.n_noised == 0 and t <= privacy.DP_BOUND)
+
+
+def test_location_unicity_monotone_in_k(ray_session):
+    """More signature points can only increase unicity, and every share
+    is a valid fraction over the full user population."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import privacy
+
+    sf = "/root/testdata/sf0.001"
+    out = privacy.location_unicity(sf).to_pandas().sort_values("k")
+    n_users = len(
+        np.unique(pq.read_table(f"{sf}/events.parquet", columns=["user_id"])["user_id"].to_numpy())
+    )
+    assert (out["n_users"] == n_users).all()
+    assert (out["unicity"].diff().dropna() >= 0).all()
+    assert out["unicity"].between(0, 1).all()
