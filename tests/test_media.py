@@ -217,3 +217,14 @@ def test_zone_color_signature_valid_means(ray_session):
     for ch in ("mean_r", "mean_g", "mean_b"):
         assert out[ch].between(0, 255).all()
     assert (out["n_pixels"] >= out["n_images"]).all()
+
+
+def test_format_migration_lossless_roundtrip(ray_session):
+    """Every migrated payload round-trips losslessly to pngz."""
+    from plasmap_ray.pipelines import images
+
+    out = images.image_format_migration("/root/testdata/sf0.001").to_pandas()
+    assert (out["n_lossless"] == out["n_images"]).all()
+    assert set(out["fmt"]) == {"raw", "pngz", "qnt8"}
+    # the synthetic noise payloads barely compress — just pin sane totals
+    assert (out["old_bytes"] > 0).all() and (out["new_bytes"] > 0).all()
