@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": text.token_stats,
         "lang_histogram": text.lang_histogram,
         "text_quality": text.quality_pipeline,
+        "langid_confusion": text.langid_confusion,
         "redact_pii": text.redact_pii,
         "doc_fingerprint": text.fingerprint,
         "repetition_ratio": text.repetition_ratio,
@@ -1160,6 +1161,10 @@ FROM s""",
         "doc_fingerprint": f"SELECT * FROM read_parquet('{golden.doc_fingerprint_path(SF001)}')",
         "simhash": f"SELECT * FROM read_parquet('{golden.simhash_path(SF001)}')",
         "text_quality": f"SELECT * FROM read_parquet('{golden.text_quality_path(SF001)}')",
+        "langid_confusion": f"""
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM read_parquet('{golden.text_quality_path(SF001)}')
+GROUP BY 1, 2 ORDER BY 1, 2""",
         "minhash_near_dup": f"SELECT * FROM read_parquet('{golden.minhash_near_dup_path(SF001)}')",
         "near_dup_clusters": f"SELECT * FROM read_parquet('{golden.near_dup_clusters_path(SF001)}')",
         "dbscan_clusters": f"SELECT * FROM read_parquet('{golden.dbscan_path(SF001, cluster.DBSCAN_EPS, cluster.DBSCAN_MIN_PTS)}')",

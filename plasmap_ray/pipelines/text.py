@@ -478,3 +478,21 @@ def bigram_pmi(sf_dir: str, min_count: int = 30, k: int = 50) -> rd.Dataset:
     return bi.map_batches(pmi, batch_format="pyarrow").sort(
         ["pmi", "w1", "w2"], descending=[True, False, False]
     ).limit(k)
+
+
+def langid_confusion(sf_dir: str) -> rd.Dataset:
+    """Classifier evaluation for the language-ID stage: the (stored
+    lang x predicted lang) confusion matrix — per-language precision/
+    recall fall straight out, and a drifting corpus shows up as
+    off-diagonal mass.  Reuses the TextQuality actor (ST4 state) and
+    reduces to a (langs² )-bounded integer count.
+    Output: (lang, pred_lang, n_docs)."""
+    from ray.data.aggregate import Count as _Count
+
+    preds = quality_pipeline(sf_dir)
+    return (
+        preds.select_columns(["lang", "pred_lang"])
+        .groupby(["lang", "pred_lang"])
+        .aggregate(_Count(alias_name="n_docs"))
+        .sort(["lang", "pred_lang"])
+    )

@@ -233,3 +233,19 @@ def test_subword_stats_classes(ray_session, tmp_path):
     # lower: "hello world42, x-9!" -> alpha: hello, world, x (3); digit: 42, 9 (2); punct: , - ! (3)
     assert out["n_alpha"] == 3 and out["n_digit"] == 2 and out["n_punct"] == 3
     assert out["n_subwords"] == 8
+
+
+def test_langid_confusion_marginals(ray_session):
+    """Confusion-matrix row sums equal the per-language doc counts."""
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import text as textmod
+
+    sf = "/root/testdata/sf0.001"
+    cm = textmod.langid_confusion(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["lang"]).to_pandas()
+    truth = docs["lang"].value_counts()
+    rows = cm.groupby("lang")["n_docs"].sum()
+    for lang, n in truth.items():
+        assert int(rows[lang]) == int(n)
+    assert cm["n_docs"].sum() == len(docs)
