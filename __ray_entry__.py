@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": windows.distinct_users,
         "value_quantiles": stats.value_quantiles,
         "event_value_quantiles": stats.event_value_quantiles,
+        "corpus_summary": stats.corpus_summary,
         "distinct_users_approx": windows.distinct_users_approx,
         # --- text analysis ---
         "token_stats": text.token_stats,
@@ -1127,6 +1128,14 @@ FROM counts c JOIN ring ON ring.cell = c.hex_cell""",
         "tile_montage": f"SELECT * FROM read_parquet('{golden.tile_montage_path(SF001)}')",
         "zone_color_signature": f"SELECT * FROM read_parquet('{golden.zone_color_signature_path(SF001)}')",
         "image_format_migration": f"SELECT * FROM read_parquet('{golden.image_format_migration_path(SF001)}')",
+        "corpus_summary": f"""
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
+       (SELECT CAST(sum(octet_length(bytes)) AS BIGINT) FROM {img_pq}) AS image_bytes,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_events,
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_embeddings,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_lineitems""",
         "frechet_conformance": f"SELECT * FROM read_parquet('{golden.frechet_conformance_path(SF001)}')",
         "pq_encode": f"SELECT * FROM read_parquet('{golden.pq_encode_path(SF001)}')",
         "pagerank": f"SELECT * FROM read_parquet('{golden.pagerank_path()}')",

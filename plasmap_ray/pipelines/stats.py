@@ -202,3 +202,44 @@ def winsorize_stats(sf_dir: str, lo: float = WINSOR_LO, hi: float = WINSOR_HI) -
         .sort("event_type")
     )
     return out.map_batches(_ft.partial(_rc, cols=("sum_winsor",), ndigits=4), batch_format="pyarrow")
+
+
+def corpus_summary(sf_dir: str) -> pa.Table:
+    """One-row corpus catalog: row counts of every logical table plus
+    total image payload bytes — the health-check dashboard a pipeline
+    run opens with (and the cheapest possible scan: parquet metadata
+    for counts, one projected column for the byte sum).
+    Output: (n_images, image_bytes, n_docs, n_events, n_embeddings,
+    n_orders, n_lineitems)."""
+    import pyarrow.parquet as pq
+
+    from .images import images_path_for
+
+    def meta_rows(name: str) -> int:
+        return pq.read_metadata(os.path.join(sf_dir, f"{name}.parquet")).num_rows
+
+    img_path = images_path_for(sf_dir)
+    n_images = pq.read_metadata(img_path).num_rows
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum as _Sum
+
+    nb = (
+        rd.read_parquet(img_path, columns=["bytes"])
+        .map_batches(
+            lambda t: pa.table({"nb": pc.cast(pc.binary_length(t["bytes"]), pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .aggregate(_Sum("nb", alias_name="nb"))["nb"]
+    )
+    return pa.table(
+        {
+            "n_images": pa.array([n_images], type=pa.int64()),
+            "image_bytes": pa.array([int(nb)], type=pa.int64()),
+            "n_docs": pa.array([meta_rows("documents")], type=pa.int64()),
+            "n_events": pa.array([meta_rows("events")], type=pa.int64()),
+            "n_embeddings": pa.array([meta_rows("embeddings")], type=pa.int64()),
+            "n_orders": pa.array([meta_rows("orders")], type=pa.int64()),
+            "n_lineitems": pa.array([meta_rows("lineitem")], type=pa.int64()),
+        }
+    )

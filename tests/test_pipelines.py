@@ -648,3 +648,16 @@ def test_hourly_gap_fill_dense(ray_session):
     ev = pq.read_table(f"{sf}/events.parquet", columns=["event_type"]).to_pandas()
     assert out["n_events"].sum() == (ev["event_type"] == "purchase").sum()
     assert (out["n_events"] == 0).any()  # gaps exist and are zero-filled
+
+
+def test_corpus_summary_counts(ray_session):
+    """Catalog counts match parquet metadata exactly."""
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import images, stats
+
+    sf = "/root/testdata/sf0.001"
+    out = stats.corpus_summary(sf)
+    assert out["n_docs"][0].as_py() == pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert out["n_images"][0].as_py() == images.images_count_for(sf)
+    assert out["image_bytes"][0].as_py() > 0
