@@ -182,6 +182,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": relational.disjunctive_revenue,
         "exclusive_return_suppliers": relational.exclusive_return_suppliers,
         "idle_customers": relational.idle_customers,
+        "min_cost_supplier": relational.min_cost_supplier,
+        "product_profit": relational.product_profit,
+        "supplier_part_variety": relational.supplier_part_variety,
+        "dominant_part_suppliers": relational.dominant_part_suppliers,
         "revenue_rollup": relational.revenue_rollup,
         "customer_value_rank": relational.customer_value_rank,
         "window_distinct_users": windows.window_distinct_users,
@@ -627,6 +631,54 @@ WHERE c_acctbal > t
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2001-01-01')
 GROUP BY n_name ORDER BY n_name""",
+        "min_cost_supplier": """
+WITH pf AS (SELECT p_partkey, p_name FROM part WHERE p_size = 15 AND p_type = 'SMALL'),
+sr AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+uc AS (SELECT l_partkey, l_suppkey, min(round(l_extendedprice / l_quantity, 2)) AS unit_cost
+       FROM lineitem JOIN pf ON l_partkey = p_partkey JOIN sr ON l_suppkey = s_suppkey
+       GROUP BY 1, 2),
+mins AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM uc GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, CAST(uc.l_partkey AS BIGINT) AS p_partkey, p_name, min_cost
+FROM uc JOIN mins ON uc.l_partkey = mins.l_partkey AND uc.unit_cost = mins.min_cost
+JOIN sr ON uc.l_suppkey = sr.s_suppkey
+JOIN pf ON uc.l_partkey = pf.p_partkey
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+        "product_profit": """
+SELECT n_name, CAST(o_year AS BIGINT) AS o_year, CAST(sum(cents) AS DOUBLE) / 100 AS profit
+FROM (
+  SELECT n_name, year(o_orderdate) AS o_year,
+         CAST(round((l_extendedprice * (1.0 - l_discount) - 0.6 * p_retailprice * l_quantity) * 100.0, 0) AS BIGINT) AS cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_name LIKE '%bolt%')
+GROUP BY 1, 2 ORDER BY n_name, o_year DESC""",
+        "supplier_part_variety": """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 16, 25, 36)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+        "dominant_part_suppliers": """
+WITH f AS (
+  SELECT l_partkey, l_suppkey, CAST(round(l_quantity * 100.0, 0) AS BIGINT) AS qc
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'),
+pair AS (SELECT l_partkey, l_suppkey, sum(qc) AS supp_qc FROM f GROUP BY 1, 2),
+tot AS (SELECT l_partkey, sum(supp_qc) AS total_qc FROM pair GROUP BY 1)
+SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name
+FROM pair JOIN tot USING (l_partkey)
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE 2 * supp_qc > total_qc
+ORDER BY s_suppkey""",
         "revenue_rollup": """
 WITH f AS (
   SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,

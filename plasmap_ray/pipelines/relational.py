@@ -20,6 +20,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..stages.common import cast_columns as _cast_cols
+from ..stages.common import duckdb_round
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -1201,3 +1202,317 @@ def bloom_semi_join(sf_dir: str, segment: str = "BUILDING", expected_n: int = 40
         .aggregate(_Count(alias_name="n_orders"))
         .sort("c_nationkey")
     )
+
+
+def min_cost_supplier(sf_dir: str, size: int = 15, ptype: str = "SMALL", region: str = "EUROPE", k: int = 100) -> rd.Dataset:
+    """TPC-H Q2 shape: per-part minimum-cost supplier with a correlated
+    min subquery.  The schema has no partsupp table, so unit cost is
+    DERIVED from observed trade: per (part, supplier), the minimum
+    round(l_extendedprice / l_quantity, 2) over that pair's lineitems
+    (division is IEEE-identical across engines; min of rounded values
+    is order-independent, so no summation ulps).
+
+    Scale plan: both filters are broadcast small sides — the part
+    predicate (p_size, p_type) keeps a bounded id set, the region
+    keeps a bounded supplier set — applied INSIDE the fact scan (no
+    shuffle until the (part,supp) groupby, whose cardinality is
+    bounded by |parts_f| x |supps_f|, far below the fact).  The
+    correlated min is a second tiny groupby + equality join on partkey.
+
+    Output: (s_acctbal, s_name, n_name, p_partkey, p_name, min_cost)
+    ordered by s_acctbal desc with full tiebreak, limit k.
+    """
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_size", "p_type"]).filter(
+        expr=f"p_size == {size} and p_type == '{ptype}'"
+    ).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg[reg["r_name"] == region]["r_regionkey"].astype(int))
+    nat = nat[nat["n_regionkey"].isin(rkeys)]
+    nname_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(set(nname_of))]
+    sinfo = {
+        int(r.s_suppkey): (float(r.s_acctbal), r.s_name, nname_of[int(r.s_nationkey)])
+        for r in supp.itertuples()
+    }
+    pname_of = dict(zip(part["p_partkey"].astype(int), part["p_name"]))
+    pk = np.sort(part["p_partkey"].to_numpy(dtype=np.int64))
+    sk = np.sort(supp["s_suppkey"].to_numpy(dtype=np.int64))
+    if len(pk) == 0 or len(sk) == 0:
+        return pa.table({
+            "s_acctbal": pa.array([], type=pa.float64()), "s_name": pa.array([], type=pa.string()),
+            "n_name": pa.array([], type=pa.string()), "p_partkey": pa.array([], type=pa.int64()),
+            "p_name": pa.array([], type=pa.string()), "min_cost": pa.array([], type=pa.float64()),
+        })
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+
+    def unit_cost(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy().astype(np.int64)
+        s = t["l_suppkey"].to_numpy().astype(np.int64)
+        keep = (pk[np.minimum(np.searchsorted(pk, p), len(pk) - 1)] == p) & (
+            sk[np.minimum(np.searchsorted(sk, s), len(sk) - 1)] == s
+        )
+        cost = duckdb_round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            / t["l_quantity"].to_numpy(zero_copy_only=False)[keep],
+            2,
+        )
+        return pa.table({
+            "l_partkey": pa.array(p[keep], type=pa.int64()),
+            "l_suppkey": pa.array(s[keep], type=pa.int64()),
+            "unit_cost": pa.array(cost, type=pa.float64()),
+        })
+
+    pair_cost = (
+        li.map_batches(unit_cost, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Min("unit_cost", alias_name="unit_cost"))
+    )
+    # the (part,supp) aggregate is the bounded dimension-sized side —
+    # materialize so the emptiness guard costs nothing extra (an empty
+    # shuffle output loses its schema and would break the min join)
+    pair_cost = pair_cost.materialize()
+    if pair_cost.count() == 0:
+        return pa.table({
+            "s_acctbal": pa.array([], type=pa.float64()), "s_name": pa.array([], type=pa.string()),
+            "n_name": pa.array([], type=pa.string()), "p_partkey": pa.array([], type=pa.int64()),
+            "p_name": pa.array([], type=pa.string()), "min_cost": pa.array([], type=pa.float64()),
+        })
+    # per-part min map: cardinality == |filtered parts| (small by the
+    # predicate) -> broadcast dict beats a shuffle join on this side
+    part_min = pair_cost.groupby("l_partkey").aggregate(Min("unit_cost", alias_name="min_cost")).to_pandas()
+    min_of = dict(zip(part_min["l_partkey"].astype(np.int64), part_min["min_cost"].astype(np.float64)))
+
+    def keep_winners(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy().astype(np.int64)
+        mc = np.array([min_of[int(x)] for x in p], dtype=np.float64)
+        keep = t["unit_cost"].to_numpy(zero_copy_only=False) == mc
+        t = t.filter(pa.array(keep))
+        return t.append_column("min_cost", pa.array(mc[keep], type=pa.float64()))
+
+    winners = pair_cost.map_batches(keep_winners, batch_format="pyarrow")
+
+    def attach(t: pa.Table) -> pa.Table:
+        s = t["l_suppkey"].to_numpy().astype(np.int64)
+        p = t["l_partkey"].to_numpy().astype(np.int64)
+        bal = np.array([sinfo[int(x)][0] for x in s], dtype=np.float64)
+        return pa.table({
+            "s_acctbal": pa.array(bal, type=pa.float64()),
+            "s_name": pa.array([sinfo[int(x)][1] for x in s], type=pa.string()),
+            "n_name": pa.array([sinfo[int(x)][2] for x in s], type=pa.string()),
+            "p_partkey": pa.array(p, type=pa.int64()),
+            "p_name": pa.array([pname_of[int(x)] for x in p], type=pa.string()),
+            "min_cost": t["min_cost"],
+        })
+
+    return (
+        winners.map_batches(attach, batch_format="pyarrow")
+        .sort(["s_acctbal", "n_name", "s_name", "p_partkey"], descending=[True, False, False, False])
+        .limit(k)
+    )
+
+
+def product_profit(sf_dir: str, name_sub: str = "bolt", cost_frac: float = 0.6) -> rd.Dataset:
+    """TPC-H Q9 shape: profit by supplier nation and order year for parts
+    whose name contains a substring.  No partsupp.ps_supplycost exists in
+    the schema; the documented stand-in is cost = cost_frac *
+    p_retailprice * l_quantity (deterministic, join-shape preserving).
+
+    Exactness: per-row amount is rounded to integer CENTS with the
+    shared duckdb_round kernel, summed as int64 (order-independent),
+    divided by 100 in the final projection — the repo's standard
+    fixed-point discipline for multi-engine sum equality.
+
+    Scale plan: part attributes (name filter + retailprice) broadcast
+    as sorted arrays into the fact scan; supplier→nation broadcast; the
+    only exchange is the fact↔orders hash join on orderkey, then a
+    25x|years| groupby.
+    """
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+    part = part[part["p_name"].str.contains(name_sub, regex=False)]
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)
+    order_idx = np.argsort(pk)
+    pk = pk[order_idx]
+    pprice = part["p_retailprice"].to_numpy(dtype=np.float64)[order_idx]
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
+    s_idx = np.argsort(sk)
+    sk = sk[s_idx]
+    snat = supp["s_nationkey"].to_numpy(dtype=np.int64)[s_idx]
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_quantity"],
+    )
+
+    def amount_cents(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy().astype(np.int64)
+        i = np.minimum(np.searchsorted(pk, p), len(pk) - 1) if len(pk) else np.zeros(len(p), dtype=np.int64)
+        keep = (pk[i] == p) if len(pk) else np.zeros(len(p), dtype=bool)
+        price = pprice[i[keep]] if len(pk) else np.empty(0)
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+        s = t["l_suppkey"].to_numpy().astype(np.int64)[keep]
+        j = np.minimum(np.searchsorted(sk, s), len(sk) - 1)
+        amount = ext * (1.0 - disc) - cost_frac * price * qty
+        cents = duckdb_round(amount * 100.0, 0).astype(np.int64)
+        return pa.table({
+            "l_orderkey": pa.array(t["l_orderkey"].to_numpy()[keep]),
+            "n_name": pa.array([name_of[int(x)] for x in snat[j]], type=pa.string()),
+            "cents": pa.array(cents, type=pa.int64()),
+        })
+
+    facts = li.map_batches(amount_cents, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def year_of(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+        })
+
+    j = facts.join(
+        orders.map_batches(year_of, batch_format="pyarrow"),
+        join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    out = j.groupby(["n_name", "o_year"]).aggregate(Sum("cents", alias_name="cents"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        profit = t["cents"].to_numpy(zero_copy_only=False).astype(np.float64) / 100.0
+        return pa.table({
+            "n_name": t["n_name"], "o_year": t["o_year"],
+            "profit": pa.array(profit, type=pa.float64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort(["n_name", "o_year"], descending=[False, True])
+
+
+def supplier_part_variety(sf_dir: str, excl_brand: str = "Brand#1", sizes: tuple = (1, 4, 9, 16, 25, 36)) -> rd.Dataset:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size).
+    partsupp is absent, so the part↔supplier relation is the OBSERVED
+    trading relation: distinct (l_partkey, l_suppkey) pairs from
+    lineitem.  The 'customer complaints' supplier exclusion is replaced
+    by the schema's available negative signal: suppliers with
+    s_acctbal < 0 are excluded.
+
+    Scale plan: part attrs + excluded-supplier set broadcast into the
+    fact scan; the distinct is a (brand,type,size,supp) groupby (count
+    discarded) feeding a (brand,type,size) count — two bounded
+    exchanges over dimension-sized keys, never the raw fact.
+    """
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    size_set = set(int(s) for s in sizes)
+    part = part[(part["p_brand"] != excl_brand) & part["p_size"].isin(size_set)]
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)
+    o = np.argsort(pk)
+    pk = pk[o]
+    pbrand = part["p_brand"].to_numpy()[o]
+    ptype = part["p_type"].to_numpy()[o]
+    psize = part["p_size"].to_numpy(dtype=np.int64)[o]
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = np.sort(supp[supp["s_acctbal"] < 0]["s_suppkey"].to_numpy(dtype=np.int64))
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy().astype(np.int64)
+        s = t["l_suppkey"].to_numpy().astype(np.int64)
+        i = np.minimum(np.searchsorted(pk, p), len(pk) - 1) if len(pk) else np.zeros(len(p), dtype=np.int64)
+        keep = (pk[i] == p) if len(pk) else np.zeros(len(p), dtype=bool)
+        if len(bad):
+            bi = np.minimum(np.searchsorted(bad, s), len(bad) - 1)
+            keep &= bad[bi] != s
+        ii = i[keep]
+        return pa.table({
+            "p_brand": pa.array(pbrand[ii], type=pa.string()),
+            "p_type": pa.array(ptype[ii], type=pa.string()),
+            "p_size": pa.array(psize[ii], type=pa.int64()),
+            "l_suppkey": pa.array(s[keep], type=pa.int64()),
+        })
+
+    pairs = (
+        li.map_batches(attach, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    out = (
+        pairs.groupby(["p_brand", "p_type", "p_size"])
+        .aggregate(Count(alias_name="supplier_cnt"))
+        .sort(["supplier_cnt", "p_brand", "p_type", "p_size"], descending=[True, False, False, False])
+    )
+    return out.select_columns(["p_brand", "p_type", "p_size", "supplier_cnt"])
+
+
+def dominant_part_suppliers(sf_dir: str, name_prefix: str = "red", year: int = 1996) -> rd.Dataset:
+    """TPC-H Q20 shape: suppliers holding a dominant position in a part
+    family during one year.  ps_availqty is absent; the stand-in
+    predicate keeps suppliers whose shipped quantity of a filtered part
+    exceeds 50% of ALL shipments of that part that year (the analogous
+    'more than half' correlated-threshold semi-join chain).
+
+    Exactness: quantities are summed as fixed-point int64 centi-units
+    (duckdb_round(q*100)), so the >0.5*total compare is integer math
+    (2*supp > total) — immune to float summation order in both engines.
+
+    Output: distinct (s_suppkey, s_name, n_name) ordered by s_suppkey.
+    """
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    part = part[part["p_name"].str.startswith(name_prefix)]
+    pk = np.sort(part["p_partkey"].to_numpy(dtype=np.int64))
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    sinfo = {int(r.s_suppkey): (r.s_name, name_of[int(r.s_nationkey)]) for r in supp.itertuples()}
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64(f"{year}-01-01", "us"))
+        hi = pa.scalar(np.datetime64(f"{year + 1}-01-01", "us"))
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)))
+        p = t["l_partkey"].to_numpy().astype(np.int64)
+        if len(pk) == 0:
+            keep = np.zeros(len(p), dtype=bool)
+        else:
+            keep = pk[np.minimum(np.searchsorted(pk, p), len(pk) - 1)] == p
+        qc = duckdb_round(t["l_quantity"].to_numpy(zero_copy_only=False)[keep] * 100.0, 0).astype(np.int64)
+        return pa.table({
+            "l_partkey": pa.array(p[keep], type=pa.int64()),
+            "l_suppkey": pa.array(t["l_suppkey"].to_numpy()[keep], type=pa.int64()),
+            "qc": pa.array(qc, type=pa.int64()),
+        })
+
+    facts = li.map_batches(filt, batch_format="pyarrow")
+    per_pair = facts.groupby(["l_partkey", "l_suppkey"]).aggregate(Sum("qc", alias_name="supp_qc"))
+    per_pair = per_pair.materialize()  # bounded (part,supp) side; see min_cost_supplier
+    if per_pair.count() == 0:
+        return pa.table({
+            "s_suppkey": pa.array([], type=pa.int64()),
+            "s_name": pa.array([], type=pa.string()),
+            "n_name": pa.array([], type=pa.string()),
+        })
+    per_part = per_pair.groupby("l_partkey").aggregate(Sum("supp_qc", alias_name="total_qc"))
+    joined = per_pair.join(per_part, join_type="inner", num_partitions=2, on=("l_partkey",))
+
+    def dominant(t: pa.Table) -> pa.Table:
+        keep = 2 * t["supp_qc"].to_numpy() > t["total_qc"].to_numpy()
+        return t.filter(pa.array(keep))
+
+    dom = joined.map_batches(dominant, batch_format="pyarrow")
+    supp_ids = dom.groupby("l_suppkey").aggregate(Count(alias_name="_n"))
+
+    def attach(t: pa.Table) -> pa.Table:
+        s = t["l_suppkey"].to_numpy().astype(np.int64)
+        return pa.table({
+            "s_suppkey": pa.array(s, type=pa.int64()),
+            "s_name": pa.array([sinfo[int(x)][0] for x in s], type=pa.string()),
+            "n_name": pa.array([sinfo[int(x)][1] for x in s], type=pa.string()),
+        })
+
+    return supp_ids.map_batches(attach, batch_format="pyarrow").sort("s_suppkey")

@@ -661,3 +661,35 @@ def test_corpus_summary_counts(ray_session):
     assert out["n_docs"][0].as_py() == pq.read_metadata(f"{sf}/documents.parquet").num_rows
     assert out["n_images"][0].as_py() == images.images_count_for(sf)
     assert out["image_bytes"][0].as_py() > 0
+
+
+def test_tpch_completion_family_invariants(ray_session):
+    """Q2/Q9/Q16/Q20 shapes: structural invariants at sf0.001 (the
+    value-exact gate is the DuckDB oracle at sf0.01; these tests pin
+    the semi-join semantics that survive scale changes)."""
+    from plasmap_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+
+    mc = relational.min_cost_supplier(sf).to_pandas()
+    if len(mc):
+        # every winner's unit cost is the per-part minimum: no part may
+        # appear with two different min_cost values
+        assert mc.groupby("p_partkey")["min_cost"].nunique().max() == 1
+        assert (mc["s_acctbal"].values[:-1] >= mc["s_acctbal"].values[1:]).all()
+
+    pp = relational.product_profit(sf).to_pandas()
+    assert set(pp.columns) == {"n_name", "o_year", "profit"}
+    assert pp.groupby(["n_name", "o_year"]).size().max() == 1
+
+    spv = relational.supplier_part_variety(sf).to_pandas()
+    if len(spv):
+        assert (spv["supplier_cnt"] > 0).all()
+        assert not (spv["p_brand"] == "Brand#1").any()
+        assert set(spv["p_size"]).issubset({1, 4, 9, 16, 25, 36})
+
+    dps = relational.dominant_part_suppliers(sf).to_pandas()
+    # dominance is >50%: at most one dominant supplier per part, so the
+    # supplier list is a set (already distinct) and sorted
+    assert dps["s_suppkey"].is_monotonic_increasing
+    assert dps["s_suppkey"].is_unique
