@@ -308,6 +308,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_dispersion": hotspot.zone_dispersion,
         "stratified_sample": trajectory.stratified_sample,
         "rolling_window": windows.rolling_window,
+        "scd2_intervals": windows.scd2_intervals,
+        "recency_weighted_value": windows.recency_weighted_value,
+        "value_hour_correlation": stats.value_hour_correlation,
+        "label_class_weights": stats.label_class_weights,
+        "image_augment": images.image_augment,
         "decontaminate": dedup.decontaminate,
         # --- map-matching / geofencing ---
         "snap_to_ways": snap.snap_to_ways,
@@ -1180,6 +1185,7 @@ FROM counts c JOIN ring ON ring.cell = c.hex_cell""",
         "tile_montage": f"SELECT * FROM read_parquet('{golden.tile_montage_path(SF001)}')",
         "zone_color_signature": f"SELECT * FROM read_parquet('{golden.zone_color_signature_path(SF001)}')",
         "image_format_migration": f"SELECT * FROM read_parquet('{golden.image_format_migration_path(SF001)}')",
+        "image_augment": f"SELECT * FROM read_parquet('{golden.image_augment_path(images.images_path_for(SF001))}')",
         "corpus_summary": f"""
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
        (SELECT CAST(sum(octet_length(bytes)) AS BIGINT) FROM {img_pq}) AS image_bytes,
@@ -1904,6 +1910,46 @@ SELECT event_id, user_id,
   CAST(count(*) OVER w AS BIGINT) AS w_n
 FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN {windows.ROLL_WINDOW} PRECEDING AND CURRENT ROW)""",
+        "scd2_intervals": """
+SELECT user_id, event_id, ts AS valid_from,
+       COALESCE(LEAD(ts) OVER w, TIMESTAMP '2100-01-01') AS valid_to,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "recency_weighted_value": f"""
+WITH r AS (
+  SELECT user_id, CAST(round(value * 100.0, 0) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+w AS (SELECT user_id,
+             cents * (CAST(1 AS BIGINT) << ({windows.RECENCY_K} - CAST(rn AS INTEGER))) AS wc
+      FROM r WHERE rn <= {windows.RECENCY_K}),
+a AS (SELECT user_id, CAST(sum(wc) AS BIGINT) AS ws, CAST(count(*) AS BIGINT) AS m
+      FROM w GROUP BY 1)
+SELECT user_id, m AS n_recent,
+       CAST(ws AS DOUBLE)
+       / ((CAST(1 AS BIGINT) << {windows.RECENCY_K}) - (CAST(1 AS BIGINT) << ({windows.RECENCY_K} - CAST(m AS INTEGER))))
+       / 100.0 AS rw_value
+FROM a""",
+        "value_hour_correlation": """
+WITH b AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+                  CAST(round(value * 100.0, 0) AS BIGINT) AS cents FROM events),
+m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(hr) AS BIGINT) AS sx, CAST(sum(cents) AS BIGINT) AS sy,
+             CAST(sum(hr * cents) AS BIGINT) AS sxy,
+             CAST(sum(hr * hr) AS BIGINT) AS sxx,
+             CAST(sum(cents * cents) AS BIGINT) AS syy
+      FROM b GROUP BY 1)
+SELECT event_type, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson_r
+FROM m ORDER BY event_type""",
+        "label_class_weights": """
+WITH c AS (SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
+           FROM embeddings GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS k FROM c)
+SELECT label, n, CAST(total AS DOUBLE) / CAST(k * n AS DOUBLE) AS class_weight
+FROM c, t ORDER BY label""",
         "decontaminate": f"""
 WITH bench AS (SELECT md5(text) AS h FROM documents
   WHERE ((doc_id * {trajectory.SAMPLE_MULT} + {trajectory.SAMPLE_ADD}) % {trajectory.M31}) / {trajectory.M31}

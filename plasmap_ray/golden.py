@@ -1418,3 +1418,52 @@ def image_format_migration_path(sf_dir: str, target_fmt: str = "pngz") -> str:
         )
 
     return _cache(f"fmt_migration_{_sf_tag(sf_dir)}_{target_fmt}", build)
+
+
+def image_augment_path(images_parquet: str) -> str:
+    """Expected augmentation checksums: an INDEPENDENT recompute on the
+    driver (no Ray, and deliberately different numpy expressions from
+    the pipeline kernel — np.fliplr / np.rot90(k) here vs slice-reverse
+    views there) so a sign/axis bug in either side breaks the match."""
+
+    def build() -> pa.Table:
+        import zlib
+
+        from . import codecs
+
+        t = pq.read_table(images_parquet)
+        names = ("identity", "hflip", "rot90", "rot180")
+        rows = {"image_id": [], "aug": [], "out_w": [], "out_h": [], "pix_crc": [], "ok": []}
+        for i in range(t.num_rows):
+            iid = t["image_id"][i].as_py()
+            a = int(iid.rsplit("-", 1)[-1]) % 4
+            px = codecs.decode_image(
+                t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(), t["fmt"][i].as_py()
+            )
+            if a == 1:
+                apx = np.fliplr(px)
+            elif a == 2:
+                apx = np.rot90(px, 1)
+            elif a == 3:
+                apx = np.rot90(px, 2)
+            else:
+                apx = px
+            apx = np.ascontiguousarray(apx)
+            rows["image_id"].append(iid)
+            rows["aug"].append(names[a])
+            rows["out_h"].append(apx.shape[0])
+            rows["out_w"].append(apx.shape[1])
+            rows["pix_crc"].append(zlib.crc32(apx.tobytes()))
+            rows["ok"].append(True)
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], type=pa.string()),
+                "aug": pa.array(rows["aug"], type=pa.string()),
+                "out_w": pa.array(rows["out_w"], type=pa.int64()),
+                "out_h": pa.array(rows["out_h"], type=pa.int64()),
+                "pix_crc": pa.array(rows["pix_crc"], type=pa.int64()),
+                "ok": pa.array(rows["ok"]),
+            }
+        )
+
+    return _cache(f"image_augment_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)

@@ -1034,3 +1034,82 @@ def image_format_migration(sf_dir: str, target_fmt: str = "pngz") -> rd.Dataset:
         )
         .sort("fmt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic augmentation (flip / rotate) with checksum verification
+# ---------------------------------------------------------------------------
+
+AUG_NAMES = ("identity", "hflip", "rot90", "rot180")
+
+
+def augment_pixels(px: np.ndarray, aug: int) -> np.ndarray:
+    """Apply the aug-th deterministic geometric augmentation to an
+    (h, w, 3) uint8 array.  0=identity, 1=horizontal flip, 2=rot90
+    counter-clockwise (swaps dims), 3=rot180.  Pure NumPy views +
+    one contiguous copy — the cheapest possible per-image kernel."""
+    if aug == 0:
+        return px
+    if aug == 1:
+        return np.ascontiguousarray(px[:, ::-1])
+    if aug == 2:
+        return np.ascontiguousarray(np.rot90(px))
+    if aug == 3:
+        return np.ascontiguousarray(px[::-1, ::-1])
+    raise ValueError(f"unknown aug {aug}")
+
+
+def _augment_table(batch: pa.Table) -> pa.Table:
+    """Decode → augment (choice keyed by image_id % 4, so the plan is
+    reproducible under any repartitioning) → checksum the augmented
+    pixel buffer.  ``bytes`` never leaves the task."""
+    import zlib
+
+    n = batch.num_rows
+    w = batch["w"].to_numpy()
+    h = batch["h"].to_numpy()
+    ids = batch["image_id"].to_pylist()
+    fmts = batch["fmt"].to_pylist()
+    payloads = batch["bytes"].to_pylist()
+    aug_id = np.zeros(n, dtype=np.int64)
+    out_w = np.zeros(n, dtype=np.int64)
+    out_h = np.zeros(n, dtype=np.int64)
+    crc = np.zeros(n, dtype=np.int64)
+    ok = np.zeros(n, dtype=bool)
+    for i in range(n):
+        try:
+            a = int(ids[i].rsplit("-", 1)[-1]) % 4 if isinstance(ids[i], str) else int(ids[i]) % 4
+            px = codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
+            apx = augment_pixels(px, a)
+            aug_id[i] = a
+            out_h[i], out_w[i] = apx.shape[0], apx.shape[1]
+            crc[i] = zlib.crc32(apx.tobytes())
+            ok[i] = True
+        except Exception:  # noqa: BLE001 — M9: flag, don't fail the task
+            pass
+    return pa.table(
+        {
+            "image_id": batch["image_id"],
+            "aug": pa.array([AUG_NAMES[a] for a in aug_id], type=pa.string()),
+            "out_w": pa.array(out_w, type=pa.int64()),
+            "out_h": pa.array(out_h, type=pa.int64()),
+            "pix_crc": pa.array(crc, type=pa.int64()),
+            "ok": pa.array(ok),
+        }
+    )
+
+
+def image_augment(sf_dir: str) -> rd.Dataset:
+    """Deterministic geometric augmentation pass over the images table
+    — the dataset-expansion stage of an image training pipeline, made
+    verifiable: each image gets the augmentation keyed by its id, and
+    the output carries the CRC32 of the augmented pixel buffer plus the
+    (possibly swapped) output dims, so the golden oracle pins every
+    byte of every augmented image without shipping pixels anywhere.
+
+    Scale shape: map-ONLY (decode + flip + checksum fused in one
+    stage); `bytes` is projected away before results leave the task.
+    Output: (image_id, aug, out_w, out_h, pix_crc, ok).
+    """
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    return ds.map_batches(_augment_table, batch_format="pyarrow", batch_size=512)

@@ -243,3 +243,115 @@ def corpus_summary(sf_dir: str) -> pa.Table:
             "n_lineitems": pa.array([meta_rows("lineitem")], type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation via exact integer moments / label-balance audit
+# ---------------------------------------------------------------------------
+
+
+def value_hour_correlation(sf_dir: str) -> rd.Dataset:
+    """Per-event-type Pearson correlation between event value and
+    hour-of-day — the 'is this feature time-confounded?' audit every
+    training-data pipeline runs before using a column as a label.
+
+    Exactness: both variables are integers (hour 0..23; value fixed-
+    pointed to int64 cents), so the five moment sums (Σx, Σy, Σxy,
+    Σx², Σy²) are exact int64 in any accumulation order; the final r is
+    ONE float expression over the moments, mirrored verbatim in the SQL
+    oracle (every int64→float64 cast here is < 2^53, hence exact).  At
+    10^12 rows Σy² would need int128 — split cents into hi/lo 32-bit
+    halves and carry two sums (same discipline, noted not needed at
+    bench scale).
+
+    Scale shape: per-batch moment partials (5 ints per type per batch)
+    → one tiny groupby — nothing but the partials ever shuffles.
+    Output: (event_type, n, pearson_r).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hr = (t["ts"].to_numpy().astype("datetime64[h]").astype(np.int64) % 24).astype(np.int64)
+        cents = duckdb_round(t["value"].to_numpy() * 100.0, 0).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.argsort(et, kind="stable")
+        et, hr, cents = et[order], hr[order], cents[order]
+        bounds = np.nonzero(et[1:] != et[:-1])[0] + 1
+        starts = np.concatenate([[0], bounds])
+        red = lambda v: np.add.reduceat(v, starts)  # noqa: E731
+        ones = np.ones(len(et), dtype=np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(et[starts], type=pa.string()),
+                "n": pa.array(red(ones), type=pa.int64()),
+                "sx": pa.array(red(hr), type=pa.int64()),
+                "sy": pa.array(red(cents), type=pa.int64()),
+                "sxy": pa.array(red(hr * cents), type=pa.int64()),
+                "sxx": pa.array(red(hr * hr), type=pa.int64()),
+                "syy": pa.array(red(cents * cents), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.float64)
+        sx = t["sx"].to_numpy().astype(np.float64)
+        sy = t["sy"].to_numpy().astype(np.float64)
+        sxy = t["sxy"].to_numpy().astype(np.float64)
+        sxx = t["sxx"].to_numpy().astype(np.float64)
+        syy = t["syy"].to_numpy().astype(np.float64)
+        r = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy))
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": t["n"],
+                "pearson_r": pa.array(r, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("event_type")
+
+
+def label_class_weights(sf_dir: str) -> rd.Dataset:
+    """Class-balance audit over the embeddings table: per-label count
+    and the inverse-frequency training weight total/(k·n) (sklearn's
+    'balanced' convention) — the first thing a trainer computes from a
+    labeled corpus.
+
+    Scale shape: ONE label-keyed count groupby (labels are the bounded
+    dimension); the weight is computed on the label-sized aggregate.
+    The single float division is mirrored verbatim in the oracle.
+    Output: (label, n, class_weight).
+    """
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["label"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table({"label": pa.array(t["label"].to_numpy().astype(np.int64), type=pa.int64())})
+
+    counts = ds.map_batches(widen, batch_format="pyarrow").groupby("label").aggregate(Count(alias_name="n"))
+    pdf = counts.to_pandas()  # label-sized: k rows
+    total = np.int64(pdf["n"].sum())
+    kk = np.int64(len(pdf))
+    pdf = pdf.sort_values("label").reset_index(drop=True)
+    weight = np.float64(total) / (kk * pdf["n"].to_numpy()).astype(np.float64)
+    return pa.table(
+        {
+            "label": pa.array(pdf["label"].to_numpy(), type=pa.int64()),
+            "n": pa.array(pdf["n"].to_numpy(), type=pa.int64()),
+            "class_weight": pa.array(weight, type=pa.float64()),
+        }
+    )

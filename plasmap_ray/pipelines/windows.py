@@ -579,3 +579,168 @@ def hourly_gap_fill(sf_dir: str, event_type: str = "purchase") -> rd.Dataset:
             "n_events": pa.array(dense["n_events"].astype(np.int64), type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 validity intervals / recency-weighted value
+# ---------------------------------------------------------------------------
+
+
+def scd2_intervals(sf_dir: str, parts: int = 32) -> rd.Dataset:
+    """Slowly-changing-dimension type-2 build: turn the per-user change
+    stream into validity intervals — each event becomes a version row
+    valid from its own timestamp until the user's NEXT event (the
+    warehouse-side dual of ``latest_event_per_user``'s current-state
+    snapshot; reference analogue: the upsert stores S9/S10 keep only
+    the snapshot, this keeps full history).
+
+    The open interval of each user's final version is closed with a
+    far-future sentinel (2100-01-01) so the output column is
+    non-nullable and the oracle compare is dtype-exact.  Ordering keys
+    are all-integer (ts, event_id) — bit-exact across engines.
+
+    Scale shape: the coarse-partition run-scan (``user_id % parts``
+    groups, vectorized shift within each sorted slice) — one exchange,
+    no per-user tasks, no window-function materialization.
+    Output: (user_id, event_id, valid_from, valid_to, version).
+    """
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    sentinel = np.datetime64("2100-01-01", "us")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        return t.append_column("part", pa.array(uid % parts, type=pa.int64()))
+
+    def build(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "event_id": pa.array([], type=pa.int64()),
+                    "valid_from": pa.array([], type=pa.timestamp("us")),
+                    "valid_to": pa.array([], type=pa.timestamp("us")),
+                    "version": pa.array([], type=pa.int64()),
+                }
+            )
+        ts = g["ts"].to_numpy()  # datetime64[us]
+        valid_to = np.empty(n, dtype=ts.dtype)
+        valid_to[:-1] = ts[1:]
+        valid_to[-1] = sentinel
+        # close the last version of every user run with the sentinel
+        run_end = np.nonzero(np.diff(uid))[0]
+        valid_to[run_end] = sentinel
+        starts = np.concatenate([[0], run_end + 1])
+        run_start = np.repeat(starts, np.diff(np.concatenate([starts, [n]])))
+        version = np.arange(n, dtype=np.int64) - run_start + 1
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "event_id": g["event_id"],
+                "valid_from": pa.array(ts, type=pa.timestamp("us")),
+                "valid_to": pa.array(valid_to, type=pa.timestamp("us")),
+                "version": pa.array(version, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby("part").map_groups(
+        build, batch_format="pyarrow"
+    )
+
+
+RECENCY_K = 16
+
+
+def recency_weighted_value(sf_dir: str, k: int = RECENCY_K, parts: int = 32) -> rd.Dataset:
+    """Per-user exponentially-weighted recent value (truncated binary
+    EWMA): over each user's last ``k`` events by (ts, event_id), weight
+    the i-th most recent by 2^(k-i) and normalize — the streaming
+    feature-store aggregate (recent-activity score) expressed exactly.
+
+    Exactness: values are fixed-pointed to int64 cents, weights are
+    exact powers of two, so the weighted sum is integer math in any
+    order; the single normalization ``ws / denom / 100.0`` is the one
+    float expression, mirrored verbatim in the SQL oracle (numerator
+    and denominator both < 2^53, so the int64→float64 casts are exact).
+
+    Scale shape: a per-batch top-k combiner first collapses every batch
+    to ≤ k rows per user, then the coarse-partition run-scan reduces —
+    the groupby moves users × batches × k rows, never the raw stream.
+    Output: (user_id, n_recent, rw_value).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def topk_local(t: pa.Table) -> pa.Table:
+        t = t.sort_by(
+            [("user_id", "ascending"), ("ts", "descending"), ("event_id", "descending")]
+        )
+        uid = t["user_id"].to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "ts": pa.array([], type=pa.timestamp("us")),
+                    "event_id": pa.array([], type=pa.int64()),
+                    "cents": pa.array([], type=pa.int64()),
+                    "part": pa.array([], type=pa.int64()),
+                }
+            )
+        cents = duckdb_round(t["value"].to_numpy() * 100.0, 0).astype(np.int64)
+        run_end = np.nonzero(np.diff(uid))[0]
+        starts = np.concatenate([[0], run_end + 1])
+        run_start = np.repeat(starts, np.diff(np.concatenate([starts, [n]])))
+        rank = np.arange(n) - run_start  # 0 = newest within this batch's run
+        keep = rank < k
+        return pa.table(
+            {
+                "user_id": pa.array(uid[keep], type=pa.int64()),
+                "ts": pa.array(t["ts"].to_numpy()[keep], type=pa.timestamp("us")),
+                "event_id": pa.array(t["event_id"].to_numpy()[keep], type=pa.int64()),
+                "cents": pa.array(cents[keep], type=pa.int64()),
+                "part": pa.array(np.asarray(uid[keep], np.int64) % parts, type=pa.int64()),
+            }
+        )
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        g = g.sort_by(
+            [("user_id", "ascending"), ("ts", "descending"), ("event_id", "descending")]
+        )
+        uid = g["user_id"].to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n_recent": pa.array([], type=pa.int64()),
+                    "rw_value": pa.array([], type=pa.float64()),
+                }
+            )
+        cents = g["cents"].to_numpy()
+        run_end = np.nonzero(np.diff(uid))[0]
+        starts = np.concatenate([[0], run_end + 1])
+        lens = np.diff(np.concatenate([starts, [n]]))
+        run_start = np.repeat(starts, lens)
+        rank = np.arange(n) - run_start  # 0 = newest
+        keep = rank < k
+        w = np.zeros(n, dtype=np.int64)
+        w[keep] = np.int64(1) << (k - 1 - rank[keep])
+        ws = np.add.reduceat(w * cents, starts)
+        m = np.minimum(lens, k).astype(np.int64)
+        denom = (np.int64(1) << k) - (np.int64(1) << (k - m))
+        rw = ws.astype(np.float64) / denom.astype(np.float64) / 100.0
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], type=pa.int64()),
+                "n_recent": pa.array(m, type=pa.int64()),
+                "rw_value": pa.array(rw, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(topk_local, batch_format="pyarrow").groupby("part").map_groups(
+        reduce_part, batch_format="pyarrow"
+    )

@@ -6,6 +6,7 @@ import functools
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -693,3 +694,61 @@ def test_tpch_completion_family_invariants(ray_session):
     # supplier list is a set (already distinct) and sorted
     assert dps["s_suppkey"].is_monotonic_increasing
     assert dps["s_suppkey"].is_unique
+
+
+def test_scd2_and_recency_invariants(ray_session):
+    from plasmap_ray.pipelines import windows
+
+    sf = "/root/testdata/sf0.001"
+    iv = windows.scd2_intervals(sf).to_pandas()
+    # intervals are half-open and chain per user: version 1..n, each
+    # valid_to equals the next version's valid_from (or the sentinel)
+    g = iv.sort_values(["user_id", "version"])
+    for _, grp in list(g.groupby("user_id"))[:20]:
+        assert (grp["version"].values == range(1, len(grp) + 1)).all()
+        assert (grp["valid_to"].values[:-1] == grp["valid_from"].values[1:]).all()
+        assert grp["valid_to"].values[-1] == pd.Timestamp("2100-01-01").to_datetime64()
+
+    rw = windows.recency_weighted_value(sf).to_pandas()
+    assert rw["user_id"].is_unique
+    assert (rw["n_recent"] <= windows.RECENCY_K).all() and (rw["n_recent"] >= 1).all()
+    # weighted mean lies within the user's recent value range
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    u = int(rw["user_id"].iloc[0])
+    recent = ev[ev["user_id"] == u].sort_values(["ts", "event_id"]).tail(windows.RECENCY_K)
+    got = float(rw[rw["user_id"] == u]["rw_value"].iloc[0])
+    assert recent["value"].min() - 0.01 <= got <= recent["value"].max() + 0.01
+
+
+def test_augment_pixels_truth():
+    """Hand-built 1x2 pixel truth: independent of both the pipeline
+    kernel and the golden builder."""
+    from plasmap_ray.pipelines.images import augment_pixels
+
+    px = np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8)  # (1,2,3): A B
+    np.testing.assert_array_equal(augment_pixels(px, 0), px)
+    np.testing.assert_array_equal(  # hflip: B A
+        augment_pixels(px, 1), np.array([[[4, 5, 6], [1, 2, 3]]], dtype=np.uint8)
+    )
+    np.testing.assert_array_equal(  # rot90 ccw: col B on top -> (2,1,3)
+        augment_pixels(px, 2), np.array([[[4, 5, 6]], [[1, 2, 3]]], dtype=np.uint8)
+    )
+    np.testing.assert_array_equal(  # rot180: B A flipped vertically (h=1)
+        augment_pixels(px, 3), np.array([[[4, 5, 6], [1, 2, 3]]], dtype=np.uint8)
+    )
+
+
+def test_correlation_and_class_weights(ray_session):
+    from plasmap_ray.pipelines import stats
+
+    sf = "/root/testdata/sf0.001"
+    r = stats.value_hour_correlation(sf).to_pandas()
+    assert (r["pearson_r"].abs() <= 1.0).all()
+    assert r["n"].sum() == len(pd.read_parquet(f"{sf}/events.parquet"))
+
+    w = stats.label_class_weights(sf)
+    w = w.to_pandas() if hasattr(w, "to_pandas") else w
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    assert w["n"].sum() == len(emb)
+    # balanced-weight identity: sum(n * weight) == total
+    assert abs((w["n"] * w["class_weight"]).sum() - len(emb)) < 1e-6
