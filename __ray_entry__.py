@@ -310,6 +310,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_window": windows.rolling_window,
         "scd2_intervals": windows.scd2_intervals,
         "recency_weighted_value": windows.recency_weighted_value,
+        "user_retention": windows.user_retention,
+        "road_components": routing.road_cheap_components,
+        "embedding_dim_stats": ann.embedding_dim_stats,
         "value_hour_correlation": stats.value_hour_correlation,
         "label_class_weights": stats.label_class_weights,
         "image_augment": images.image_augment,
@@ -1197,6 +1200,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "frechet_conformance": f"SELECT * FROM read_parquet('{golden.frechet_conformance_path(SF001)}')",
         "pq_encode": f"SELECT * FROM read_parquet('{golden.pq_encode_path(SF001)}')",
         "pagerank": f"SELECT * FROM read_parquet('{golden.pagerank_path()}')",
+        "road_components": f"SELECT * FROM read_parquet('{golden.road_components_path(routing.CHEAP_W_CUT)}')",
         "way_assembly": f"SELECT * FROM read_parquet('{golden.way_assembly_path()}')",
         "way_lengths": f"SELECT * FROM read_parquet('{golden.way_lengths_path()}')",
         "zone_way_length": f"SELECT * FROM read_parquet('{golden.zone_way_length_path()}')",
@@ -1915,6 +1919,28 @@ SELECT user_id, event_id, ts AS valid_from,
        COALESCE(LEAD(ts) OVER w, TIMESTAMP '2100-01-01') AS valid_to,
        CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "user_retention": f"""
+WITH uw AS (SELECT DISTINCT user_id,
+                   CAST(floor(epoch_us(ts) / {windows.WEEK_US}) AS BIGINT) AS wk FROM events),
+c AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1)
+SELECT cohort_week, wk - cohort_week AS week_offset, count(*) AS n_users
+FROM uw JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""",
+        "embedding_dim_stats": f"""
+WITH u AS (SELECT vec_id, unnest(embedding) AS val, generate_subscripts(embedding, 1) AS dim
+           FROM embeddings),
+qq AS (SELECT CAST(dim - 1 AS BIGINT) AS dim,
+              CAST(floor(CAST(val AS DOUBLE) * {ann.CENTROID_FP} + 0.5) AS BIGINT) AS q FROM u),
+m AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(q) AS BIGINT) AS s, CAST(sum(q * q) AS BIGINT) AS sq,
+             CAST(min(q) AS BIGINT) AS mn, CAST(max(q) AS BIGINT) AS mx
+      FROM qq GROUP BY 1)
+SELECT dim, n_vecs,
+       round(CAST(s AS DOUBLE) / {ann.CENTROID_FP} / n_vecs, 6) AS mean,
+       round((CAST(n_vecs AS DOUBLE) * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs AS DOUBLE) * {float(ann.CENTROID_FP) * float(ann.CENTROID_FP)!r}), 6) AS var,
+       round(CAST(mn AS DOUBLE) / {ann.CENTROID_FP}, 6) AS vmin,
+       round(CAST(mx AS DOUBLE) / {ann.CENTROID_FP}, 6) AS vmax
+FROM m ORDER BY dim""",
         "recency_weighted_value": f"""
 WITH r AS (
   SELECT user_id, CAST(round(value * 100.0, 0) AS BIGINT) AS cents,

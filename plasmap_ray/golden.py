@@ -1467,3 +1467,46 @@ def image_augment_path(images_parquet: str) -> str:
         )
 
     return _cache(f"image_augment_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
+
+
+def road_components_path(w_cut: int) -> str:
+    """Expected percolation components: independent driver-side BFS over
+    the filtered edge list (python adjacency sets, no Ray, no joins) —
+    pins the distributed min-label propagation end to end."""
+
+    def build() -> pa.Table:
+        from . import fixtures
+
+        e = fixtures.road_world()["edges"]
+        src = e["src"].to_numpy()
+        dst = e["dst"].to_numpy()
+        w = e["w"].to_numpy()
+        keep = w < w_cut
+        adj: dict[int, set[int]] = {}
+        for a, b in zip(src[keep].tolist(), dst[keep].tolist()):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        seen: set[int] = set()
+        comps: list[tuple[int, int]] = []
+        for start in sorted(adj):
+            if start in seen:
+                continue
+            stack, members = [start], {start}
+            seen.add(start)
+            while stack:
+                u = stack.pop()
+                for v in adj[u]:
+                    if v not in seen:
+                        seen.add(v)
+                        members.add(v)
+                        stack.append(v)
+            comps.append((min(members), len(members)))
+        comps.sort()
+        return pa.table(
+            {
+                "component": pa.array([c for c, _ in comps], type=pa.int64()),
+                "n_nodes": pa.array([n for _, n in comps], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"road_components_w{w_cut}", build)

@@ -1093,3 +1093,76 @@ def knn_classify(sf_dir: str, k: int = 5) -> rd.Dataset:
         )
 
     return agg.map_batches(acc, batch_format="pyarrow").sort("label")
+
+
+def embedding_dim_stats(sf_dir: str, fp: int = CENTROID_FP) -> rd.Dataset:
+    """Corpus-wide per-dimension distribution stats (n, mean, var,
+    min, max) — the normalization constants a trainer derives before
+    standardizing a vector column, and the drift fingerprint compared
+    between corpus snapshots.
+
+    Float discipline: the zone_embedding_centroid fixed-point template
+    — every float32 element converts exactly to float64 and quantizes
+    ONCE to int64; all shuffled partials (Σq, Σq², min q, max q, n)
+    are integers, so every stat is bit-stable under any batch split and
+    the unnest-based SQL oracle mirrors the arithmetic literally.  At
+    10^9+ vectors Σq² needs the int128 hi/lo split (noted, not needed
+    at bench scale).
+
+    Scale shape: per-batch per-dim partials — 5 ints × dims per batch
+    shuffle, never vectors; one dim-bounded groupby.
+    Output: (dim, n_vecs, mean, var, vmin, vmax).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..stages.common import duckdb_round
+
+    ds = _read_emb(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)  # (n, d) float64, exact from float32
+        q = np.floor(m * fp + 0.5).astype(np.int64)
+        d = q.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64), type=pa.int64()),
+                "n_vecs": pa.array(np.full(d, q.shape[0], dtype=np.int64), type=pa.int64()),
+                "sum_fp": pa.array(q.sum(axis=0, dtype=np.int64), type=pa.int64()),
+                "sumsq_fp": pa.array((q * q).sum(axis=0, dtype=np.int64), type=pa.int64()),
+                "min_fp": pa.array(q.min(axis=0), type=pa.int64()),
+                "max_fp": pa.array(q.max(axis=0), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum("n_vecs", alias_name="n_vecs"),
+            Sum("sum_fp", alias_name="sum_fp"),
+            Sum("sumsq_fp", alias_name="sumsq_fp"),
+            Min("min_fp", alias_name="min_fp"),
+            Max("max_fp", alias_name="max_fp"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_vecs"].to_numpy().astype(np.float64)
+        s = t["sum_fp"].to_numpy().astype(np.float64)
+        sq = t["sumsq_fp"].to_numpy().astype(np.float64)
+        mean = duckdb_round(s / fp / n, 6)
+        var = duckdb_round((n * sq - s * s) / (n * n * (float(fp) * float(fp))), 6)
+        vmin = duckdb_round(t["min_fp"].to_numpy().astype(np.float64) / fp, 6)
+        vmax = duckdb_round(t["max_fp"].to_numpy().astype(np.float64) / fp, 6)
+        return pa.table(
+            {
+                "dim": t["dim"],
+                "n_vecs": t["n_vecs"],
+                "mean": pa.array(mean, type=pa.float64()),
+                "var": pa.array(var, type=pa.float64()),
+                "vmin": pa.array(vmin, type=pa.float64()),
+                "vmax": pa.array(vmax, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("dim")

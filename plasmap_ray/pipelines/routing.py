@@ -318,3 +318,46 @@ def pagerank_query(sf_dir: str) -> rd.Dataset:
     """queries() surface: full (node, rank_fp) table — golden-checked
     against the identical integer iteration run locally."""
     return pagerank()
+
+
+CHEAP_W_CUT = 1300  # keep edges with w < cut: ~30% of [1000, 1977) -> percolation islands
+
+
+def road_cheap_components(sf_dir: str, w_cut: int = CHEAP_W_CUT) -> rd.Dataset:
+    """Percolation components of the road network: keep only edges
+    cheaper than ``w_cut`` and label the surviving connectivity islands
+    — the sub-threshold connectivity question ('what can I reach on
+    cheap roads alone?') behind toll-free routing and network-
+    resilience audits, and the pipeline exercise of DISTRIBUTED
+    connected components on a graph that genuinely fragments (the full
+    lattice is one component; the cheap subgraph is hundreds).
+
+    Scale shape: the edge filter is map-only; components come from
+    cluster.connected_components' min-label propagation (each round =
+    one key-partitioned join + min reduce, O(diameter) rounds); the
+    final size histogram is one label-keyed count.  Nodes with no cheap
+    edge form no row (documented: singletons are excluded).
+
+    Output: (component, n_nodes) sorted by component — component id is
+    the minimum node id of the island.
+    """
+    from .cluster import connected_components
+
+    e = fixtures.road_world()["edges"]
+    pairs = rd.from_arrow(e).filter(expr=f"w < {w_cut}")
+    # num_partitions sizes the per-round label join: 2 fits the fixture
+    # lattice (576 nodes); at planet scale raise toward cluster cores
+    labels = connected_components(pairs, a_col="src", b_col="dst", num_partitions=2)
+    from ray.data.aggregate import Count
+
+    out = labels.groupby("label").aggregate(Count(alias_name="n_nodes")).sort("label")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "component": pa.array(t["label"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n_nodes": pa.array(t["n_nodes"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")

@@ -744,3 +744,78 @@ def recency_weighted_value(sf_dir: str, k: int = RECENCY_K, parts: int = 32) -> 
     return ds.map_batches(topk_local, batch_format="pyarrow").groupby("part").map_groups(
         reduce_part, batch_format="pyarrow"
     )
+
+
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def user_retention(sf_dir: str, parts: int = 32) -> rd.Dataset:
+    """Cohort retention triangle: users are cohorted by the week of
+    their FIRST event; for every (cohort_week, week_offset) the output
+    counts how many of that cohort were active offset weeks later —
+    the product-analytics staple, and the canonical two-level
+    'per-entity anchor then re-aggregate' shape.
+
+    All arithmetic is integer (epoch_us // week): bit-exact.
+
+    Scale shape: a per-batch (user, week) dedup combiner collapses each
+    batch before the single user-keyed exchange; the per-user anchor
+    (min week) and the offset fan-out happen in the coarse-partition
+    run-scan, whose output partials are (cohort, offset)-bounded —
+    the second groupby moves cohort × offset rows, never users.
+    Output: (cohort_week, week_offset, n_users).
+    """
+    ds = _read_events(sf_dir, ["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        wk = t["ts"].to_numpy().astype(np.int64) // WEEK_US
+        key = np.stack([uid, wk], axis=1)
+        key = np.unique(key, axis=0)  # per-batch (user, week) dedup
+        return pa.table(
+            {
+                "user_id": pa.array(key[:, 0], type=pa.int64()),
+                "wk": pa.array(key[:, 1], type=pa.int64()),
+                "part": pa.array(key[:, 0] % parts, type=pa.int64()),
+            }
+        )
+
+    def cohort_offsets(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("wk", "ascending")])
+        uid = g["user_id"].to_numpy()
+        wk = g["wk"].to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "cohort_week": pa.array([], type=pa.int64()),
+                    "week_offset": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        # dedup across batches, then anchor each user at its min week
+        key = np.stack([uid, wk], axis=1)
+        key = np.unique(key, axis=0)
+        uid, wk = key[:, 0], key[:, 1]
+        starts = np.concatenate([[0], np.nonzero(np.diff(uid))[0] + 1])
+        lens = np.diff(np.concatenate([starts, [len(uid)]]))
+        cohort = np.repeat(wk[starts], lens)
+        off = wk - cohort
+        pair = np.stack([cohort, off], axis=1)
+        upair, cnt = np.unique(pair, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "cohort_week": pa.array(upair[:, 0], type=pa.int64()),
+                "week_offset": pa.array(upair[:, 1], type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(cohort_offsets, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n", alias_name="n_users"))
+        .sort(["cohort_week", "week_offset"])
+    )

@@ -752,3 +752,52 @@ def test_correlation_and_class_weights(ray_session):
     assert w["n"].sum() == len(emb)
     # balanced-weight identity: sum(n * weight) == total
     assert abs((w["n"] * w["class_weight"]).sum() - len(emb)) < 1e-6
+
+
+def test_user_retention_invariants(ray_session):
+    from plasmap_ray.pipelines import windows
+
+    sf = "/root/testdata/sf0.001"
+    rt = windows.user_retention(sf).to_pandas()
+    assert (rt["week_offset"] >= 0).all()
+    # offset-0 row of each cohort counts every user of that cohort, so
+    # it must be the cohort's maximum across offsets
+    base = rt[rt["week_offset"] == 0].set_index("cohort_week")["n_users"]
+    assert set(rt["cohort_week"]) == set(base.index)
+    for cw, grp in rt.groupby("cohort_week"):
+        assert grp["n_users"].max() == base[cw]
+    # total distinct users conserved: sum of offset-0 rows == n users
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    assert base.sum() == ev["user_id"].nunique()
+
+
+def test_road_components_invariants(ray_session):
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import routing
+
+    out = routing.road_cheap_components("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 1, "cheap subgraph must fragment the lattice"
+    assert out["component"].is_monotonic_increasing and out["component"].is_unique
+    assert (out["n_nodes"] >= 2).all()  # singletons excluded by contract
+    e = fixtures.road_world()["edges"].to_pandas()
+    kept = e[e["w"] < routing.CHEAP_W_CUT]
+    touched = len(set(kept["src"]) | set(kept["dst"]))
+    assert out["n_nodes"].sum() == touched
+
+
+def test_embedding_dim_stats_invariants(ray_session):
+    from plasmap_ray.pipelines import ann
+
+    sf = "/root/testdata/sf0.001"
+    st = ann.embedding_dim_stats(sf).to_pandas()
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    d = len(emb["embedding"].iloc[0])
+    assert list(st["dim"]) == list(range(d))
+    assert (st["n_vecs"] == len(emb)).all()
+    assert (st["vmin"] <= st["mean"]).all() and (st["mean"] <= st["vmax"]).all()
+    assert (st["var"] >= 0).all()
+    # spot-check dim 0 against a direct numpy recompute (tolerance: the
+    # engine quantizes at 2^20, numpy here does not)
+    v0 = np.array([v[0] for v in emb["embedding"]], dtype=np.float64)
+    assert abs(st["mean"].iloc[0] - v0.mean()) < 1e-4
+    assert abs(st["var"].iloc[0] - v0.var()) < 1e-4
