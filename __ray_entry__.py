@@ -313,6 +313,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": windows.user_retention,
         "road_components": routing.road_cheap_components,
         "embedding_dim_stats": ann.embedding_dim_stats,
+        "route_corridor": snap.route_corridor,
+        "aspect_buckets": images.aspect_buckets,
+        "user_burstiness": stats.user_burstiness,
         "value_hour_correlation": stats.value_hour_correlation,
         "label_class_weights": stats.label_class_weights,
         "image_augment": images.image_augment,
@@ -1123,6 +1126,13 @@ SELECT x, y, image_id, (o // {images.SHARD_BYTES}) AS shard_seq,
        o AS byte_offset, nbytes FROM c""",
         "image_meta_stats": f"""
 SELECT fmt, w, h, count(*) AS n_images, CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes FROM {img_pq} GROUP BY fmt, w, h""",
+        "aspect_buckets": f"""
+SELECT CASE WHEN 3 * w >= 4 * h THEN 'wide'
+            WHEN 3 * h >= 4 * w THEN 'tall'
+            ELSE 'squarish' END AS bucket,
+       fmt, count(*) AS n_images,
+       CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS total_px
+FROM {img_pq} GROUP BY 1, 2 ORDER BY 1, 2""",
         "phash_dedup": f"""
 SELECT phash, min(image_id) AS first_image_id, count(*) AS n_images FROM {img_pq} GROUP BY phash HAVING count(*) > 1""",
         "geo_inconsistent_dups": f"""
@@ -1995,6 +2005,34 @@ c3 AS (SELECT doc_id, way_id, seg_idx, qx AS snap_lon, qy AS snap_lat,
               ((px - qx) * (px - qx) + (py - qy) * (py - qy)) AS dist2 FROM c2),
 r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist2, way_id, seg_idx) AS rn FROM c3)
 SELECT doc_id, way_id, seg_idx, snap_lon, snap_lat, dist2 FROM r WHERE rn = 1""",
+        "route_corridor": f"""
+WITH {_pts_cte()},
+segs AS (SELECT * FROM {oracle.sql_way_segments_values()}
+         WHERE way_id IN {snap.CORRIDOR_WAYS!r}),
+c0 AS (SELECT doc_id, way_id, seg_idx, pts.lon AS px, pts.lat AS py,
+              x1, y1, (x2 - x1) AS dx, (y2 - y1) AS dy
+       FROM pts CROSS JOIN segs),
+c1 AS (SELECT *, least(greatest(((px - x1) * dx + (py - y1) * dy) / (dx * dx + dy * dy), 0.0), 1.0) AS t
+       FROM c0),
+c2 AS (SELECT doc_id, way_id, seg_idx, px, py, (x1 + t * dx) AS qx, (y1 + t * dy) AS qy FROM c1),
+c3 AS (SELECT doc_id, way_id, seg_idx,
+              ((px - qx) * (px - qx) + (py - qy) * (py - qy)) AS dist2 FROM c2),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist2, way_id, seg_idx) AS rn FROM c3)
+SELECT doc_id, way_id, seg_idx, dist2 FROM r
+WHERE rn = 1 AND dist2 < CAST('{snap.CORRIDOR_R * snap.CORRIDOR_R!r}' AS DOUBLE)""",
+        "user_burstiness": """
+WITH o AS (SELECT user_id, epoch_us(ts) AS t,
+                  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt
+           FROM events),
+g AS (SELECT user_id, (nt - t) // 1000000 AS gap FROM o WHERE nt IS NOT NULL),
+m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) AS BIGINT) AS s, CAST(sum(gap * gap) AS BIGINT) AS sq
+      FROM g GROUP BY 1)
+SELECT user_id, n_gaps,
+       CAST(s AS DOUBLE) / n_gaps AS mean_gap_s,
+       (sqrt(CAST(n_gaps AS DOUBLE) * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) - CAST(s AS DOUBLE))
+       / (sqrt(CAST(n_gaps AS DOUBLE) * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) + CAST(s AS DOUBLE)) AS burstiness
+FROM m""",
         "dwell_in_zone": f"""
 WITH {_epts},
 w AS (SELECT user_id, lon, lat,

@@ -1113,3 +1113,37 @@ def image_augment(sf_dir: str) -> rd.Dataset:
     """
     ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
     return ds.map_batches(_augment_table, batch_format="pyarrow", batch_size=512)
+
+
+def aspect_buckets(sf_dir: str) -> rd.Dataset:
+    """Aspect-ratio bucketing over image METADATA only — the batch-
+    composition pass of aspect-bucketed training (group images whose
+    shapes batch together without letterboxing).  Buckets by exact
+    integer cross-multiplication (no float aspect): wide if 3w ≥ 4h,
+    tall if 3h ≥ 4w, else square-ish.
+
+    Scale shape: reads only (w, h, fmt) columns — the multi-GB bytes
+    column never leaves storage (the prune-at-the-read rule); one
+    (bucket, fmt)-bounded count groupby.
+    Output: (bucket, fmt, n_images, total_px).
+    """
+    ds = read_images(sf_dir, columns=["w", "h", "fmt"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy().astype(np.int64)
+        h = t["h"].to_numpy().astype(np.int64)
+        bucket = np.where(3 * w >= 4 * h, "wide", np.where(3 * h >= 4 * w, "tall", "squarish"))
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, type=pa.string()),
+                "fmt": t["fmt"],
+                "px": pa.array(w * h, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby(["bucket", "fmt"])
+        .aggregate(Count(alias_name="n_images"), Sum("px", alias_name="total_px"))
+        .sort(["bucket", "fmt"])
+    )

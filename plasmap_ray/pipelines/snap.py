@@ -301,3 +301,61 @@ def snap_to_ways(sf_dir: str) -> rd.Dataset:
         batch_size=SNAP_BATCH,
         concurrency=SNAP_CONCURRENCY,
     )
+
+
+CORRIDOR_WAYS = (3, 7, 12)  # the fixture "route": three ways' polylines
+CORRIDOR_R = 0.06  # corridor half-width in degrees
+
+
+def route_corridor(sf_dir: str, way_ids: tuple[int, ...] = CORRIDOR_WAYS, radius: float = CORRIDOR_R) -> rd.Dataset:
+    """Corridor semi-join: keep every point within ``radius`` of ANY
+    segment of a chosen route (a set of way polylines) and report its
+    closest route segment — the 'what's along this road?' query behind
+    corridor POI search and route-adjacent training-data selection
+    (snap_to_ways' nearest-1 sibling with a radius gate and a
+    restricted small side).
+
+    The route side is tiny by construction (a route is one path), so
+    it broadcasts as a constant into a map-only pass — each batch does
+    one vectorized points x route-segments distance block, keeps rows
+    with min dist2 < radius², and never shuffles.  Exactness: the
+    clamped-projection dist2 uses the same float64 expression as the
+    SQL mirror; ties break (dist2, way_id, seg_idx).
+
+    Output: (doc_id, way_id, seg_idx, dist2).
+    """
+    segs = way_segments()
+    keep = np.isin(segs["way_id"].to_numpy(), np.asarray(way_ids, dtype=np.int64))
+    segs = segs.filter(pa.array(keep))
+    x1 = segs["x1"].to_numpy()
+    y1 = segs["y1"].to_numpy()
+    dx = segs["x2"].to_numpy() - x1
+    dy = segs["y2"].to_numpy() - y1
+    wid = segs["way_id"].to_numpy().astype(np.int64)
+    sid = segs["seg_idx"].to_numpy().astype(np.int64)
+    r2 = radius * radius
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def corridor(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        px = fixtures.derive_lon(ids)[:, None]
+        py = fixtures.derive_lat(ids)[:, None]
+        tt = ((px - x1) * dx + (py - y1) * dy) / (dx * dx + dy * dy)
+        tt = np.minimum(np.maximum(tt, 0.0), 1.0)
+        qx = x1 + tt * dx
+        qy = y1 + tt * dy
+        d2 = (px - qx) * (px - qx) + (py - qy) * (py - qy)
+        j = np.argmin(d2, axis=1)  # first minimum: segs pre-sorted (way_id, seg_idx)
+        best = d2[np.arange(len(ids)), j]
+        m = best < r2
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[m], type=pa.int64()),
+                "way_id": pa.array(wid[j[m]], type=pa.int64()),
+                "seg_idx": pa.array(sid[j[m]], type=pa.int64()),
+                "dist2": pa.array(best[m], type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(corridor, batch_format="pyarrow")

@@ -355,3 +355,69 @@ def label_class_weights(sf_dir: str) -> rd.Dataset:
             "class_weight": pa.array(weight, type=pa.float64()),
         }
     )
+
+
+def user_burstiness(sf_dir: str, parts: int = 32) -> rd.Dataset:
+    """Per-user inter-event-time statistics: mean gap and the
+    Goh–Barabási burstiness B = (σ−μ)/(σ+μ) ∈ [−1, 1] — the point-
+    process fingerprint separating periodic users (B→−1) from bursty
+    ones (B→+1); the behavioral-bot screen beside speed_audit's
+    spatial one.
+
+    Exactness: gaps are exact integer SECONDS (µs difference // 10⁶ —
+    floor division mirrored by DuckDB's // on epoch integers), so the
+    per-user moments (n, Σg, Σg²) are order-free int64; μ, σ and B are
+    mirrored float expressions over those integers.  Users with one
+    event have no gap and emit no row (documented).
+
+    Scale shape: the coarse-partition run-scan (user_id % parts)
+    computes per-user moments in one pass; only (user, 3 ints) rows
+    leave the scan.  Output: (user_id, n_gaps, mean_gap_s, burstiness).
+    """
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        return t.append_column("part", pa.array(uid % parts, type=pa.int64()))
+
+    def moments(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        n = len(uid)
+        empty = pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "n_gaps": pa.array([], type=pa.int64()),
+                "mean_gap_s": pa.array([], type=pa.float64()),
+                "burstiness": pa.array([], type=pa.float64()),
+            }
+        )
+        if n == 0:
+            return empty
+        ts = g["ts"].to_numpy().astype(np.int64)
+        gap = (ts[1:] - ts[:-1]) // 1_000_000  # integer seconds
+        same = uid[1:] == uid[:-1]  # gap belongs to a user iff both ends do
+        if not same.any():
+            return empty
+        u = uid[1:][same]
+        gv = gap[same]
+        starts = np.concatenate([[0], np.nonzero(np.diff(u))[0] + 1])
+        cnt = np.diff(np.concatenate([starts, [len(u)]])).astype(np.int64)
+        s = np.add.reduceat(gv, starts).astype(np.float64)
+        sq = np.add.reduceat(gv * gv, starts).astype(np.float64)
+        nf = cnt.astype(np.float64)
+        mean = s / nf
+        sig = np.sqrt(nf * sq - s * s)  # n·σ (shared subexpression)
+        burst = (sig - s) / (sig + s)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], type=pa.int64()),
+                "n_gaps": pa.array(cnt, type=pa.int64()),
+                "mean_gap_s": pa.array(mean, type=pa.float64()),
+                "burstiness": pa.array(burst, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby("part").map_groups(
+        moments, batch_format="pyarrow"
+    )

@@ -801,3 +801,39 @@ def test_embedding_dim_stats_invariants(ray_session):
     v0 = np.array([v[0] for v in emb["embedding"]], dtype=np.float64)
     assert abs(st["mean"].iloc[0] - v0.mean()) < 1e-4
     assert abs(st["var"].iloc[0] - v0.var()) < 1e-4
+
+
+def test_route_corridor_invariants(ray_session):
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import snap
+
+    sf = "/root/testdata/sf0.001"
+    out = snap.route_corridor(sf).to_pandas()
+    assert len(out) > 0
+    assert set(out["way_id"]).issubset(set(snap.CORRIDOR_WAYS))
+    assert (out["dist2"] < snap.CORRIDOR_R * snap.CORRIDOR_R).all()
+    assert out["doc_id"].is_unique  # nearest-1 per point
+    # corridor rows agree with snap_to_ways when the global nearest
+    # segment happens to belong to the route
+    snapped = snap.snap_to_ways(sf).to_pandas()
+    both = out.merge(snapped, on="doc_id", suffixes=("_c", "_s"))
+    sub = both[both["way_id_s"].isin(snap.CORRIDOR_WAYS)]
+    assert (sub["way_id_c"] == sub["way_id_s"]).all()
+    assert (sub["seg_idx_c"] == sub["seg_idx_s"]).all()
+
+
+def test_aspect_buckets_and_burstiness(ray_session):
+    from plasmap_ray.pipelines import images, stats
+
+    sf = "/root/testdata/sf0.001"
+    ab = images.aspect_buckets(sf).to_pandas()
+    assert ab["n_images"].sum() == images.images_count_for(sf)
+    assert set(ab["bucket"]).issubset({"wide", "tall", "squarish"})
+
+    ub = stats.user_burstiness(sf).to_pandas()
+    assert ub["user_id"].is_unique
+    assert (ub["burstiness"].abs() <= 1.0).all()
+    assert (ub["mean_gap_s"] >= 0).all()
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    multi = (ev.groupby("user_id").size() >= 2).sum()
+    assert len(ub) == multi
