@@ -316,6 +316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_corridor": snap.route_corridor,
         "aspect_buckets": images.aspect_buckets,
         "user_burstiness": stats.user_burstiness,
+        "ngram_decontaminate": dedup.ngram_decontaminate,
+        "price_band_pairs": relational.price_band_pairs,
+        "compression_stats": images.compression_stats,
         "value_hour_correlation": stats.value_hour_correlation,
         "label_class_weights": stats.label_class_weights,
         "image_augment": images.image_augment,
@@ -1133,6 +1136,13 @@ SELECT CASE WHEN 3 * w >= 4 * h THEN 'wide'
        fmt, count(*) AS n_images,
        CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS total_px
 FROM {img_pq} GROUP BY 1, 2 ORDER BY 1, 2""",
+        "compression_stats": f"""
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(octet_length(bytes)) AS BIGINT) AS payload_bytes,
+       CAST(sum(3 * CAST(w AS BIGINT) * h) AS BIGINT) AS raw_bytes,
+       round(CAST(sum(octet_length(bytes)) AS DOUBLE)
+             / CAST(sum(3 * CAST(w AS BIGINT) * h) AS DOUBLE), 6) AS ratio
+FROM {img_pq} GROUP BY 1 ORDER BY 1""",
         "phash_dedup": f"""
 SELECT phash, min(image_id) AS first_image_id, count(*) AS n_images FROM {img_pq} GROUP BY phash HAVING count(*) > 1""",
         "geo_inconsistent_dups": f"""
@@ -1992,6 +2002,27 @@ WITH bench AS (SELECT md5(text) AS h FROM documents
         < CAST({dedup.DECON_FRAC!r} AS DOUBLE))
 SELECT doc_id, lang, source FROM documents
 WHERE md5(text) NOT IN (SELECT h FROM bench)""",
+        "ngram_decontaminate": f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+gi AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {dedup.DECON_NGRAM_N - 1})) AS i FROM t),
+g AS (SELECT doc_id, array_to_string(toks[i:i+{dedup.DECON_NGRAM_N - 1}], ' ') AS ng FROM gi),
+bench AS (SELECT DISTINCT ng FROM g
+          WHERE ((doc_id * {trajectory.SAMPLE_MULT} + {trajectory.SAMPLE_ADD}) % {trajectory.M31}) / {trajectory.M31}
+                < CAST({dedup.DECON_FRAC!r} AS DOUBLE))
+SELECT doc_id, CAST(count(DISTINCT g.ng) AS BIGINT) AS n_hits
+FROM g JOIN bench ON g.ng = bench.ng
+WHERE ((doc_id * {trajectory.SAMPLE_MULT} + {trajectory.SAMPLE_ADD}) % {trajectory.M31}) / {trajectory.M31}
+      >= CAST({dedup.DECON_FRAC!r} AS DOUBLE)
+GROUP BY 1 ORDER BY doc_id""",
+        "price_band_pairs": f"""
+WITH j AS (SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey),
+o AS (SELECT o_orderkey AS rid, n_name, CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS c
+      FROM orders JOIN j ON o_custkey = c_custkey)
+SELECT a.n_name, CAST(count(*) AS BIGINT) AS n_pairs
+FROM o a JOIN o b ON a.n_name = b.n_name
+  AND (b.c > a.c OR (b.c = a.c AND b.rid > a.rid))
+  AND b.c - a.c <= {relational.PRICE_BAND_CENTS}
+GROUP BY 1 ORDER BY 1""",
         "snap_to_ways": f"""
 WITH {_pts_cte()},
 segs AS (SELECT * FROM {oracle.sql_way_segments_values()}),

@@ -461,3 +461,67 @@ def hamming_pairs(sf_dir_or_ds, hash_col: str, id_col: str, max_dist: int = 3, b
     ).map_batches(_shard_band_key, batch_format="pyarrow")
     out = exploded.groupby(["band", "shard"]).map_groups(band_pairs, batch_format="pandas")
     return out.groupby([id_col + "_a", id_col + "_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+DECON_NGRAM_N = 8  # contamination n-gram width (Dolma/GPT-3 discipline)
+
+
+def ngram_decontaminate(sf_dir: str, frac: float = DECON_FRAC, n: int = DECON_NGRAM_N) -> rd.Dataset:
+    """Substring-level benchmark contamination screen: flag every
+    NON-benchmark document sharing at least one ``n``-token n-gram with
+    the benchmark slice — the decontamination step real LLM corpora run
+    (exact-hash ``decontaminate`` misses paraphrased inclusions; this
+    catches any verbatim n-token span).
+
+    The benchmark slice is the same deterministic LCG Bernoulli sample
+    as :func:`decontaminate`; its DISTINCT n-grams are collected once
+    (benchmark-sized, not corpus-sized), broadcast via ``ray.put``, and
+    the corpus scan counts per-doc distinct overlapping n-grams
+    map-side — the broadcast anti-join pattern, no shuffle.  At real
+    scale the broadcast set holds 64-bit n-gram hashes (+ a Bloom front)
+    rather than strings; the fixture corpus ships strings so the SQL
+    mirror is direct.
+
+    Output: (doc_id, n_hits) for contaminated docs only, sorted.
+    """
+    import ray
+
+    from .trajectory import sample_u
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def doc_ngrams(text: str) -> set:
+        toks = text.split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    def bench_ngrams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        t = t.filter(pa.array(sample_u(ids) < frac))
+        out: set = set()
+        for s in t["text"].to_pylist():
+            out |= doc_ngrams(s)
+        return pa.table({"ng": pa.array(sorted(out), type=pa.string())})
+
+    blocked = set(docs.map_batches(bench_ngrams, batch_format="pyarrow").unique("ng"))
+    ref = ray.put(blocked)
+
+    def scan(t: pa.Table) -> pa.Table:
+        bl = ray.get(ref)
+        ids = t["doc_id"].to_numpy()
+        keep = sample_u(ids) >= frac  # benchmark docs are not re-flagged
+        ids = ids[keep]
+        texts = [s for s, k in zip(t["text"].to_pylist(), keep) if k]
+        hit_ids, hits = [], []
+        for did, s in zip(ids, texts):
+            c = len(doc_ngrams(s) & bl)
+            if c:
+                hit_ids.append(int(did))
+                hits.append(c)
+        return pa.table(
+            {
+                "doc_id": pa.array(hit_ids, type=pa.int64()),
+                "n_hits": pa.array(hits, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow").sort("doc_id")

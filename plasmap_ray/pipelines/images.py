@@ -1147,3 +1147,55 @@ def aspect_buckets(sf_dir: str) -> rd.Dataset:
         .aggregate(Count(alias_name="n_images"), Sum("px", alias_name="total_px"))
         .sort(["bucket", "fmt"])
     )
+
+
+def compression_stats(sf_dir: str) -> rd.Dataset:
+    """Per-format storage efficiency: payload bytes vs raw RGB bytes
+    and their ratio — the codec-selection report behind
+    image_format_migration (which format earns its decode cost?).
+
+    Scale shape: reads (fmt, w, h, bytes) and collapses each batch to
+    per-format int64 sums map-side (binary_length only — payloads are
+    never decoded); one format-bounded groupby; the ratio is a single
+    mirrored division.  Output: (fmt, n_images, payload_bytes,
+    raw_bytes, ratio).
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.common import duckdb_round
+
+    ds = read_images(sf_dir, columns=["fmt", "w", "h", "bytes"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pb = pc.cast(pc.binary_length(t["bytes"]), pa.int64()).to_numpy()
+        raw = 3 * t["w"].to_numpy().astype(np.int64) * t["h"].to_numpy().astype(np.int64)
+        fmt = t["fmt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(fmt, kind="stable")
+        fmt, pb, raw = fmt[order], pb[order], raw[order]
+        starts = np.concatenate([[0], np.nonzero(fmt[1:] != fmt[:-1])[0] + 1])
+        return pa.table(
+            {
+                "fmt": pa.array(fmt[starts], type=pa.string()),
+                "n_images": pa.array(np.diff(np.concatenate([starts, [len(fmt)]])), type=pa.int64()),
+                "payload_bytes": pa.array(np.add.reduceat(pb, starts), type=pa.int64()),
+                "raw_bytes": pa.array(np.add.reduceat(raw, starts), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("payload_bytes", alias_name="payload_bytes"),
+            Sum("raw_bytes", alias_name="raw_bytes"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ratio = duckdb_round(
+            t["payload_bytes"].to_numpy().astype(np.float64) / t["raw_bytes"].to_numpy().astype(np.float64), 6
+        )
+        return t.append_column("ratio", pa.array(ratio, type=pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("fmt")

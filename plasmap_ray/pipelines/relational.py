@@ -1516,3 +1516,69 @@ def dominant_part_suppliers(sf_dir: str, name_prefix: str = "red", year: int = 1
         })
 
     return supp_ids.map_batches(attach, batch_format="pyarrow").sort("s_suppkey")
+
+
+PRICE_BAND_CENTS = 1_000_000  # $10,000 band half-width in cents
+
+
+def price_band_pairs(sf_dir: str, band_cents: int = PRICE_BAND_CENTS) -> rd.Dataset:
+    """Numeric band self-join: count order pairs within the same nation
+    whose total prices differ by at most the band — the 1-D similarity
+    self-join (near-duplicate detection on a numeric key) expressed as
+    sort + two-pointer instead of the O(n²) hash self-join a naive
+    engine would run.
+
+    Exactness: prices are int64 cents; the per-nation pair count is
+    pure integer comparison, bit-exact.  Each unordered pair counts
+    once (position order within the sorted run breaks cents ties —
+    mirrored by the oracle's (c, rid) lexicographic condition).
+
+    Scale shape: nation attaches via a broadcast customer→nation map
+    inside the fact scan; ONE nation-keyed exchange; the per-nation
+    reduce sorts its run and counts via vectorized searchsorted —
+    O(n log n) per group, memory bounded by the group.  At skewed key
+    scale, range-partition each nation's sorted cents with band-width
+    overlap and sum per-range counts (noted; nations are balanced
+    here).  Output: (n_name, n_pairs).
+    """
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    nation_of = {int(r.c_custkey): nname[int(r.c_nationkey)] for r in cust.itertuples()}
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy().astype(np.int64)
+        cents = duckdb_round(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0, 0).astype(np.int64)
+        return pa.table(
+            {
+                "n_name": pa.array([nation_of[int(c)] for c in ck], type=pa.string()),
+                "c": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    def count_pairs(g: pa.Table) -> pa.Table:
+        c = np.sort(g["c"].to_numpy())
+        hi = np.searchsorted(c, c + band_cents, side="right")
+        n_pairs = int((hi - np.arange(len(c)) - 1).sum())
+        if n_pairs == 0:  # pairless nations emit no row (oracle join semantics)
+            return pa.table(
+                {
+                    "n_name": pa.array([], type=pa.string()),
+                    "n_pairs": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "n_name": pa.array([g["n_name"][0].as_py()], type=pa.string()),
+                "n_pairs": pa.array([n_pairs], type=pa.int64()),
+            }
+        )
+
+    return (
+        orders.map_batches(attach, batch_format="pyarrow")
+        .groupby("n_name")
+        .map_groups(count_pairs, batch_format="pyarrow")
+        .sort("n_name")
+    )

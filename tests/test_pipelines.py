@@ -837,3 +837,44 @@ def test_aspect_buckets_and_burstiness(ray_session):
     ev = pd.read_parquet(f"{sf}/events.parquet")
     multi = (ev.groupby("user_id").size() >= 2).sum()
     assert len(ub) == multi
+
+
+def test_batch4_invariants(ray_session):
+    from plasmap_ray.pipelines import dedup, images, relational
+    from plasmap_ray.pipelines.trajectory import sample_u
+
+    sf = "/root/testdata/sf0.001"
+
+    nd = dedup.ngram_decontaminate(sf).to_pandas()
+    assert (nd["n_hits"] >= 1).all()
+    # flagged docs are never benchmark docs
+    assert (sample_u(nd["doc_id"].to_numpy()) >= dedup.DECON_FRAC).all()
+    # exact-dup contamination implies ngram contamination: every
+    # non-benchmark doc whose md5 matches a benchmark doc must be here
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    import hashlib
+    docs["h"] = [hashlib.md5(t.encode()).hexdigest() for t in docs["text"]]
+    bench = docs[sample_u(docs["doc_id"].to_numpy()) < dedup.DECON_FRAC]
+    rest = docs[sample_u(docs["doc_id"].to_numpy()) >= dedup.DECON_FRAC]
+    exact_contam = set(rest[rest["h"].isin(set(bench["h"]))]["doc_id"])
+    assert exact_contam.issubset(set(nd["doc_id"]))
+
+    pb = relational.price_band_pairs(sf).to_pandas()
+    assert pb["n_name"].is_unique and (pb["n_pairs"] > 0).all()
+    # brute-force recompute for one nation
+    cust = pd.read_parquet(f"{sf}/customer.parquet")[["c_custkey", "c_nationkey"]]
+    natt = pd.read_parquet(f"{sf}/nation.parquet")[["n_nationkey", "n_name"]]
+    orders = pd.read_parquet(f"{sf}/orders.parquet")[["o_custkey", "o_totalprice"]]
+    m = orders.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        natt, left_on="c_nationkey", right_on="n_nationkey")
+    nn = pb["n_name"].iloc[0]
+    c = np.floor(np.abs(m[m["n_name"] == nn]["o_totalprice"].to_numpy() * 100.0) + 0.5).astype(np.int64)
+    brute = sum(1 for i in range(len(c)) for j in range(i + 1, len(c))
+                if abs(int(c[i]) - int(c[j])) <= relational.PRICE_BAND_CENTS)
+    assert int(pb[pb["n_name"] == nn]["n_pairs"].iloc[0]) == brute
+
+    cs = images.compression_stats(sf).to_pandas()
+    assert set(cs["fmt"]) == {"raw", "pngz", "qnt8"}
+    raw = cs[cs["fmt"] == "raw"].iloc[0]
+    assert raw["payload_bytes"] == raw["raw_bytes"] and raw["ratio"] == 1.0
+    assert (cs[cs["fmt"] != "raw"]["ratio"] < 1.0).all()
