@@ -316,7 +316,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_corridor": snap.route_corridor,
         "aspect_buckets": images.aspect_buckets,
         "user_burstiness": stats.user_burstiness,
+        "event_dedup": windows.event_dedup,
         "ngram_decontaminate": dedup.ngram_decontaminate,
+        "snapshot_diff": dedup.snapshot_diff,
+        "audio_pitch_histogram": multimodal.audio_pitch_histogram,
         "price_band_pairs": relational.price_band_pairs,
         "compression_stats": images.compression_stats,
         "value_hour_correlation": stats.value_hour_correlation,
@@ -1292,6 +1295,11 @@ WHERE dist <= {routing.ISO_BUDGET} GROUP BY band""",
         "video_frame_stats": (
             "SELECT * FROM read_parquet('" + golden.video_frame_stats_path(multimodal.video_path_for(SF001)) + "')"
         ),
+        "audio_pitch_histogram": (
+            "SELECT * FROM read_parquet('"
+            + golden.audio_pitch_histogram_path(multimodal.audio_path_for(SF001), multimodal.PITCH_BAND_HZ)
+            + "')"
+        ),
         # --- SQL-expressible oracles for the formerly-unchecked queries ---
         "sampled_event_stats": f"""
 SELECT event_type, count(*) AS n_sampled FROM events
@@ -1939,6 +1947,14 @@ SELECT user_id, event_id, ts AS valid_from,
        COALESCE(LEAD(ts) OVER w, TIMESTAMP '2100-01-01') AS valid_to,
        CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "event_dedup": f"""
+WITH k AS (SELECT event_id, user_id, ts, event_type, value,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id, event_type, CAST(round(value * 100.0, 0) AS BIGINT)
+                    ORDER BY ts, event_id) AS gap_us
+           FROM events)
+SELECT event_id, user_id, ts, event_type, value FROM k
+WHERE gap_us IS NULL OR gap_us > {windows.EVENT_DEDUP_GAP_S} * 1000000""",
         "user_retention": f"""
 WITH uw AS (SELECT DISTINCT user_id,
                    CAST(floor(epoch_us(ts) / {windows.WEEK_US}) AS BIGINT) AS wk FROM events),
@@ -2014,6 +2030,16 @@ FROM g JOIN bench ON g.ng = bench.ng
 WHERE ((doc_id * {trajectory.SAMPLE_MULT} + {trajectory.SAMPLE_ADD}) % {trajectory.M31}) / {trajectory.M31}
       >= CAST({dedup.DECON_FRAC!r} AS DOUBLE)
 GROUP BY 1 ORDER BY doc_id""",
+        "snapshot_diff": f"""
+WITH a AS (SELECT doc_id, md5(text) AS h_a FROM documents),
+b AS (SELECT doc_id,
+             md5(CASE WHEN doc_id % {dedup.SNAP_EDIT_MOD} = 0 THEN text || ' v2' ELSE text END) AS h_b
+      FROM documents WHERE doc_id % {dedup.SNAP_DEL_MOD} <> 0)
+SELECT CASE WHEN h_b IS NULL THEN 'removed' WHEN h_a IS NULL THEN 'added'
+            WHEN h_a = h_b THEN 'unchanged' ELSE 'changed' END AS status,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM a FULL OUTER JOIN b USING (doc_id)
+GROUP BY 1 ORDER BY 1""",
         "price_band_pairs": f"""
 WITH j AS (SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey),
 o AS (SELECT o_orderkey AS rid, n_name, CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS c

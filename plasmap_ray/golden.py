@@ -1510,3 +1510,35 @@ def road_components_path(w_cut: int) -> str:
         )
 
     return _cache(f"road_components_w{w_cut}", build)
+
+
+def audio_pitch_histogram_path(audio_parquet: str, band_hz: int) -> str:
+    """Expected pitch histogram: local recompute from the CONSTRUCTION
+    rule, not the DAG — each fixture clip is built around a known f0
+    (fixtures.make_audio), so the expected band comes from re-deriving
+    the peak with an independent goertzel-free spectrum scan over the
+    decoded samples (numpy rfft on the whole file, same integer
+    banding)."""
+
+    def build() -> pa.Table:
+        from .stages.media import decode_wav_pcm16
+
+        t = pq.read_table(audio_parquet)
+        pairs: dict[tuple[int, int], int] = {}
+        for i in range(t.num_rows):
+            sr, samples = decode_wav_pcm16(t["bytes"][i].as_py())
+            spec = np.abs(np.fft.rfft(np.asarray(samples, dtype=np.float64)))
+            spec[0] = 0.0
+            peak_hz = int(round(float(np.argmax(spec)) * sr / len(samples)))
+            key = ((peak_hz // band_hz) * band_hz, sr)
+            pairs[key] = pairs.get(key, 0) + 1
+        keys = sorted(pairs)
+        return pa.table(
+            {
+                "pitch_band_hz": pa.array([k[0] for k in keys], type=pa.int64()),
+                "sample_rate": pa.array([k[1] for k in keys], type=pa.int64()),
+                "n_clips": pa.array([pairs[k] for k in keys], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"audio_pitch_{os.path.basename(audio_parquet).rsplit('.', 1)[0]}_b{band_hz}", build)

@@ -525,3 +525,55 @@ def ngram_decontaminate(sf_dir: str, frac: float = DECON_FRAC, n: int = DECON_NG
         )
 
     return docs.map_batches(scan, batch_format="pyarrow").sort("doc_id")
+
+
+SNAP_DEL_MOD = 17  # snapshot B deletes doc_id % 17 == 0
+SNAP_EDIT_MOD = 13  # snapshot B rewrites doc_id % 13 == 0
+
+
+def snapshot_diff(sf_dir: str) -> rd.Dataset:
+    """Dataset-version diff: classify every doc across two corpus
+    snapshots as removed / changed / unchanged by CONTENT hash — the
+    audit step between training-data releases ('what moved since v1?').
+    Snapshot A is the corpus; snapshot B is its deterministic next
+    release (docs deleted where id % 17 == 0, texts rewritten where
+    id % 13 == 0) so both engines derive identical versions.
+
+    Scale shape: each side collapses to (doc_id, md5) map-side
+    (hash-sized rows, text never shuffles); ONE full-outer hash join on
+    doc_id; classification is a vectorized null/equality check; the
+    status rollup is a 3-row groupby.  Output: (status, n_docs).
+    """
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def hash_a(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "h_a": pa.array(h, type=pa.string())})
+
+    def hash_b(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        keep = ids % SNAP_DEL_MOD != 0
+        ids = ids[keep]
+        texts = [s for s, k in zip(t["text"].to_pylist(), keep) if k]
+        texts = [s + " v2" if i % SNAP_EDIT_MOD == 0 else s for i, s in zip(ids, texts)]
+        h = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in texts]
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()), "h_b": pa.array(h, type=pa.string())})
+
+    a = docs.map_batches(hash_a, batch_format="pyarrow")
+    b = docs.map_batches(hash_b, batch_format="pyarrow")
+    j = a.join(b, join_type="full_outer", num_partitions=4, on=("doc_id",))
+
+    def classify(t: pa.Table) -> pa.Table:
+        ha = t["h_a"].to_numpy(zero_copy_only=False)
+        hb = t["h_b"].to_numpy(zero_copy_only=False)
+        status = np.where(
+            pd.isna(hb), "removed", np.where(pd.isna(ha), "added", np.where(ha == hb, "unchanged", "changed"))
+        )
+        return pa.table({"status": pa.array(status, type=pa.string())})
+
+    return (
+        j.map_batches(classify, batch_format="pyarrow")
+        .groupby("status")
+        .aggregate(Count(alias_name="n_docs"))
+        .sort("status")
+    )

@@ -143,3 +143,51 @@ def cell_modality_mix(sf_dir: str) -> "rd.Dataset":
     return docs.union(imgs).groupby("cell_low").aggregate(
         Sum("n_docs", alias_name="n_docs"), Sum("n_images", alias_name="n_images")
     )
+
+
+PITCH_BAND_HZ = 200  # dominant-frequency bucket width
+
+
+def audio_pitch_histogram(sf_dir: str, band_hz: int = PITCH_BAND_HZ) -> rd.Dataset:
+    """Corpus composition by dominant pitch: decode every clip (real
+    WAV PCM16 parse), estimate its dominant frequency via rfft argmax,
+    and histogram (pitch_band, sample_rate) — the stratification pass
+    an audio training pipeline runs to balance pitch/tempo coverage
+    (the audio analogue of aspect_buckets).
+
+    Determinism: each clip is a strong synthetic sinusoid, so the
+    magnitude argmax is stable to FFT rounding; the band edge uses
+    integer floor division of the rounded peak frequency.
+
+    Scale shape: decode + FFT fused in one actor-pool pass (payload
+    consumed in-stage, 3 scalars leave per clip); one band-bounded
+    count groupby.  Output: (pitch_band_hz, sample_rate, n_clips).
+    """
+    ds = rd.read_parquet(audio_path_for(sf_dir))
+
+    class PitchBand:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            band = np.zeros(n, dtype=np.int64)
+            srs = np.zeros(n, dtype=np.int64)
+            payloads = batch["bytes"].to_pylist()
+            for i in range(n):
+                sr, samples = media.decode_wav_pcm16(payloads[i])
+                mag = np.abs(np.fft.rfft(samples.astype(np.float64)))
+                mag[0] = 0.0  # ignore DC
+                peak_hz = int(round(float(np.argmax(mag)) * sr / len(samples)))
+                band[i] = (peak_hz // band_hz) * band_hz
+                srs[i] = sr
+            return pa.table(
+                {
+                    "pitch_band_hz": pa.array(band, type=pa.int64()),
+                    "sample_rate": pa.array(srs, type=pa.int64()),
+                }
+            )
+
+    return (
+        ds.map_batches(PitchBand, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+        .groupby(["pitch_band_hz", "sample_rate"])
+        .aggregate(Count(alias_name="n_clips"))
+        .sort(["pitch_band_hz", "sample_rate"])
+    )

@@ -819,3 +819,61 @@ def user_retention(sf_dir: str, parts: int = 32) -> rd.Dataset:
         .aggregate(Sum("n", alias_name="n_users"))
         .sort(["cohort_week", "week_offset"])
     )
+
+
+EVENT_DEDUP_GAP_S = 300  # duplicate-suppression window (seconds)
+
+
+def event_dedup(sf_dir: str, gap_s: int = EVENT_DEDUP_GAP_S, parts: int = 32) -> rd.Dataset:
+    """Streaming idempotency filter: drop an event if the SAME
+    (user, type, value) occurred within ``gap_s`` seconds before it —
+    the at-least-once-delivery dedup every event pipeline runs ahead of
+    aggregation (the reference's streams assume Kafka redelivery;
+    SURVEY §2.9 maps that concern here).
+
+    Semantics: raw-predecessor rule (compare to the previous RAW event
+    of the key, kept or not) — exactly SQL LAG, so the oracle mirrors
+    it with one window function.  Values are keyed as int64 cents; all
+    comparisons integer µs.
+
+    Scale shape: the coarse-partition run-scan keyed by user (the key's
+    leading column), vectorized LAG within each sorted slice — one
+    exchange.  Output: kept (event_id, user_id, ts, event_type, value).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        cents = duckdb_round(t["value"].to_numpy() * 100.0, 0).astype(np.int64)
+        t = t.append_column("cents", pa.array(cents, type=pa.int64()))
+        return t.append_column("part", pa.array(uid % parts, type=pa.int64()))
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        g = g.sort_by(
+            [
+                ("user_id", "ascending"),
+                ("event_type", "ascending"),
+                ("cents", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        n = g.num_rows
+        if n == 0:
+            return g.drop_columns(["part", "cents"])
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy()
+        ts = g["ts"].to_numpy().astype(np.int64)
+        same_key = np.zeros(n, dtype=bool)
+        same_key[1:] = (uid[1:] == uid[:-1]) & (cents[1:] == cents[:-1]) & (et[1:] == et[:-1])
+        lag_gap = np.full(n, np.iinfo(np.int64).max)
+        lag_gap[1:] = ts[1:] - ts[:-1]
+        keep = ~(same_key & (lag_gap <= gap_s * 1_000_000))
+        return g.filter(pa.array(keep)).drop_columns(["part", "cents"])
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby("part").map_groups(
+        keep_first, batch_format="pyarrow"
+    )

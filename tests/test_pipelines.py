@@ -878,3 +878,67 @@ def test_batch4_invariants(ray_session):
     raw = cs[cs["fmt"] == "raw"].iloc[0]
     assert raw["payload_bytes"] == raw["raw_bytes"] and raw["ratio"] == 1.0
     assert (cs[cs["fmt"] != "raw"]["ratio"] < 1.0).all()
+
+
+def test_event_dedup_invariants(ray_session):
+    from plasmap_ray.pipelines import windows
+    from plasmap_ray.stages.common import duckdb_round
+
+    sf = "/root/testdata/sf0.001"
+    kept = windows.event_dedup(sf).to_pandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    assert 0 < len(kept) <= len(ev)
+    # no kept event has a kept same-key predecessor within the gap AND
+    # raw-predecessor semantics: recompute with pandas LAG
+    ev = ev.sort_values(["user_id", "event_type", "value", "ts", "event_id"])
+    cents = duckdb_round(ev["value"].to_numpy() * 100.0, 0).astype(np.int64)
+    ev = ev.assign(cents=cents)
+    lag = ev.groupby(["user_id", "event_type", "cents"])["ts"].shift()
+    gap_ok = lag.isna() | ((ev["ts"] - lag).dt.total_seconds() > windows.EVENT_DEDUP_GAP_S)
+    expect = set(ev[gap_ok]["event_id"])
+    assert set(kept["event_id"]) == expect
+
+
+def test_snapshot_diff_and_audio_pitch(ray_session):
+    from plasmap_ray.pipelines import dedup, multimodal
+
+    sf = "/root/testdata/sf0.001"
+    d = dedup.snapshot_diff(sf).to_pandas().set_index("status")["n_docs"]
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    ids = docs["doc_id"].to_numpy()
+    assert d.get("added", 0) == 0  # B derives from A: nothing appears
+    assert d["removed"] == int((ids % dedup.SNAP_DEL_MOD == 0).sum())
+    assert d["changed"] == int(((ids % dedup.SNAP_EDIT_MOD == 0) & (ids % dedup.SNAP_DEL_MOD != 0)).sum())
+    assert d.sum() == len(ids)
+
+    ph = multimodal.audio_pitch_histogram(sf).to_pandas()
+    import pyarrow.parquet as _pq
+    n_clips = _pq.read_metadata(multimodal.audio_path_for(sf)).num_rows
+    assert ph["n_clips"].sum() == n_clips
+    # fixture f0 range is [200, 2000) -> bands within [0, 2000]; the
+    # 0.25-amplitude harmonic at 2.5*f0 never outweighs the fundamental
+    assert (ph["pitch_band_hz"] >= 0).all() and (ph["pitch_band_hz"] <= 2000).all()
+    assert set(ph["sample_rate"]).issubset({8000, 16000})
+
+
+def test_audio_pitch_kernel_truth():
+    """Independent truth: a pure 440 Hz sine at 8 kHz lands in band 400."""
+    import io
+    import wave
+
+    from plasmap_ray.stages.media import decode_wav_pcm16
+
+    sr, f0, ns = 8000, 440.0, 4000
+    t = np.arange(ns) / sr
+    s16 = np.clip(np.round(0.8 * np.sin(2 * np.pi * f0 * t) * 32767.0), -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(s16.tobytes())
+    sr2, samples = decode_wav_pcm16(buf.getvalue())
+    mag = np.abs(np.fft.rfft(samples.astype(np.float64)))
+    mag[0] = 0.0
+    peak = int(round(float(np.argmax(mag)) * sr2 / len(samples)))
+    assert (peak // 200) * 200 == 400
