@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_dedup": windows.event_dedup,
         "ngram_decontaminate": dedup.ngram_decontaminate,
         "snapshot_diff": dedup.snapshot_diff,
+        "layout_pruning_stats": spatial.layout_pruning_stats,
         "audio_pitch_histogram": multimodal.audio_pitch_histogram,
         "price_band_pairs": relational.price_band_pairs,
         "compression_stats": images.compression_stats,
@@ -2040,6 +2041,29 @@ SELECT CASE WHEN h_b IS NULL THEN 'removed' WHEN h_a IS NULL THEN 'added'
        CAST(count(*) AS BIGINT) AS n_docs
 FROM a FULL OUTER JOIN b USING (doc_id)
 GROUP BY 1 ORDER BY 1""",
+        "layout_pruning_stats": f"""
+WITH base AS (SELECT event_id,
+  CAST(least(greatest(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {fixtures.LON_SPAN!r} * 256), 0), 255) AS BIGINT) AS cx,
+  (epoch_us(ts) // 86400000000) - {spatial.LAYOUT_DAY0} AS d8
+  FROM events),
+{oracle.sql_interleave_ctes('base', 'event_id, cx, d8', 'cx', 'd8', 'zval', 'z')},
+r AS (SELECT cx, d8, zval,
+             CASE WHEN cx BETWEEN {spatial.LAYOUT_CX[0]} AND {spatial.LAYOUT_CX[1]}
+                   AND d8 BETWEEN {spatial.LAYOUT_D[0]} AND {spatial.LAYOUT_D[1]} THEN 1 ELSE 0 END AS m
+      FROM z_out),
+u AS (
+  SELECT 'space' AS layout, cx >> 3 AS f, cx, d8, m FROM r
+  UNION ALL SELECT 'time', d8, cx, d8, m FROM r
+  UNION ALL SELECT 'zorder', zval >> 9, cx, d8, m FROM r),
+mf AS (SELECT layout, f, min(cx) AS mncx, max(cx) AS mxcx,
+              min(d8) AS mnd, max(d8) AS mxd, sum(m) AS nm
+       FROM u GROUP BY 1, 2)
+SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN mncx <= {spatial.LAYOUT_CX[1]} AND mxcx >= {spatial.LAYOUT_CX[0]}
+                      AND mnd <= {spatial.LAYOUT_D[1]} AND mxd >= {spatial.LAYOUT_D[0]}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_touched,
+       CAST(sum(CASE WHEN nm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+FROM mf GROUP BY 1 ORDER BY 1""",
         "price_band_pairs": f"""
 WITH j AS (SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey),
 o AS (SELECT o_orderkey AS rid, n_name, CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS c

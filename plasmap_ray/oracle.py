@@ -180,3 +180,29 @@ def sql_quadkey(z: int, x_col: str = "x", y_col: str = "y") -> str:
         for i in range(z)
     ]
     return " || ".join(digits)
+
+
+def sql_interleave_ctes(
+    source_cte: str,
+    key_cols: str,
+    x_col: str,
+    y_col: str,
+    out_col: str = "zval",
+    prefix: str = "z",
+) -> str:
+    """CTE chain interleaving two INTEGER columns (x even bits, y odd)
+    — the same spread steps as :func:`sql_morton_ctes` but starting
+    from already-quantized ints (cells.interleave's SQL mirror).
+    Select from ``{prefix}_out``."""
+    ctes = [f"{prefix}_xy AS (SELECT {key_cols}, {x_col} AS mx, {y_col} AS my FROM {source_cte})"]
+    prev = f"{prefix}_xy"
+    for i, (shift, mask) in enumerate(_SPREAD_STEPS):
+        name = f"{prefix}_s{i}"
+        ctes.append(
+            f"{name} AS (SELECT {key_cols}, "
+            f"((mx | (mx << {shift})) & {mask}) AS mx, "
+            f"((my | (my << {shift})) & {mask}) AS my FROM {prev})"
+        )
+        prev = name
+    ctes.append(f"{prefix}_out AS (SELECT {key_cols}, (mx | (my << 1)) AS {out_col} FROM {prev})")
+    return ",\n".join(ctes)

@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from .. import cells, fixtures
 from ..stages import geo
@@ -869,4 +869,121 @@ def tile_gini(sf_dir: str, z: int = GINI_Z) -> pa.Table:
             "n_images": pa.array([sx], type=pa.int64()),
             "gini": pa.array([g], type=pa.float64()),
         }
+    )
+
+
+# layout_pruning_stats constants: 8-bit lon grid, day offsets from the
+# fixture epoch, a quarter-of-space x one-week probe query
+LAYOUT_DAY0 = 19723  # floor(epoch_days('2024-01-01'))
+LAYOUT_CX = (96, 159)
+LAYOUT_D = (7, 13)
+
+
+def layout_pruning_stats(sf_dir: str) -> rd.Dataset:
+    """Data-LAYOUT evaluation: how many files would a (space x time)
+    range query touch under three clusterings of the same events —
+    time-ordered files, space-ordered files, and Z-ORDER (bit-
+    interleaved lon-cell x day) files?  This is the file-skipping
+    question that decides scan cost at 100 TB: the engine writes
+    per-file min/max stats (the parquet/Lance manifest), and a file is
+    TOUCHED when its [min,max] ranges overlap the predicate on BOTH
+    columns.
+
+    All columns are small ints (8-bit lon cell, day offset); files are
+    key-range buckets of each layout key, so the whole evaluation is
+    map-side partials + one (layout, file)-bounded min/max groupby —
+    bit-exact, no sort needed to ASSIGN files (the layout key IS the
+    order).  n_hit counts files holding actual matches: touched - hit
+    = false touches, the clustering's waste.
+
+    Output: (layout, n_files, n_touched, n_hit).
+    """
+    from .. import cells
+    from .hotspot import DAY_US
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"])
+    cx_lo, cx_hi = LAYOUT_CX
+    d_lo, d_hi = LAYOUT_D
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon = fixtures.derive_lon(ids)
+        n256 = np.int64(1) << 8
+        cx = np.clip(
+            np.floor((lon - fixtures.LON_MIN) / fixtures.LON_SPAN * n256).astype(np.int64), 0, n256 - 1
+        )
+        d8 = t["ts"].to_numpy().astype(np.int64) // DAY_US - LAYOUT_DAY0
+        z = cells.interleave(cx, d8)
+        match = ((cx >= cx_lo) & (cx <= cx_hi) & (d8 >= d_lo) & (d8 <= d_hi)).astype(np.int64)
+        out = {"layout": [], "file": [], "min_cx": [], "max_cx": [], "min_d": [], "max_d": [], "n_match": []}
+        for name, f in (("space", cx >> 3), ("time", d8), ("zorder", z >> 9)):
+            uf, inv = np.unique(f, return_inverse=True)
+            k = len(uf)
+            mn_cx = np.full(k, np.iinfo(np.int64).max)
+            mx_cx = np.full(k, np.iinfo(np.int64).min)
+            mn_d = np.full(k, np.iinfo(np.int64).max)
+            mx_d = np.full(k, np.iinfo(np.int64).min)
+            nm = np.zeros(k, dtype=np.int64)
+            np.minimum.at(mn_cx, inv, cx)
+            np.maximum.at(mx_cx, inv, cx)
+            np.minimum.at(mn_d, inv, d8)
+            np.maximum.at(mx_d, inv, d8)
+            np.add.at(nm, inv, match)
+            out["layout"] += [name] * k
+            out["file"] += uf.tolist()
+            out["min_cx"] += mn_cx.tolist()
+            out["max_cx"] += mx_cx.tolist()
+            out["min_d"] += mn_d.tolist()
+            out["max_d"] += mx_d.tolist()
+            out["n_match"] += nm.tolist()
+        return pa.table(
+            {
+                "layout": pa.array(out["layout"], type=pa.string()),
+                "file": pa.array(out["file"], type=pa.int64()),
+                "min_cx": pa.array(out["min_cx"], type=pa.int64()),
+                "max_cx": pa.array(out["max_cx"], type=pa.int64()),
+                "min_d": pa.array(out["min_d"], type=pa.int64()),
+                "max_d": pa.array(out["max_d"], type=pa.int64()),
+                "n_match": pa.array(out["n_match"], type=pa.int64()),
+            }
+        )
+
+    manifest = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["layout", "file"])
+        .aggregate(
+            Min("min_cx", alias_name="min_cx"),
+            Max("max_cx", alias_name="max_cx"),
+            Min("min_d", alias_name="min_d"),
+            Max("max_d", alias_name="max_d"),
+            Sum("n_match", alias_name="n_match"),
+        )
+    )
+
+    def roll(t: pa.Table) -> pa.Table:
+        touched = (
+            (t["min_cx"].to_numpy() <= cx_hi)
+            & (t["max_cx"].to_numpy() >= cx_lo)
+            & (t["min_d"].to_numpy() <= d_hi)
+            & (t["max_d"].to_numpy() >= d_lo)
+        ).astype(np.int64)
+        hit = (t["n_match"].to_numpy() > 0).astype(np.int64)
+        return pa.table(
+            {
+                "layout": t["layout"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64), type=pa.int64()),
+                "touched": pa.array(touched, type=pa.int64()),
+                "hit": pa.array(hit, type=pa.int64()),
+            }
+        )
+
+    return (
+        manifest.map_batches(roll, batch_format="pyarrow")
+        .groupby("layout")
+        .aggregate(
+            Sum("one", alias_name="n_files"),
+            Sum("touched", alias_name="n_touched"),
+            Sum("hit", alias_name="n_hit"),
+        )
+        .sort("layout")
     )

@@ -942,3 +942,16 @@ def test_audio_pitch_kernel_truth():
     mag[0] = 0.0
     peak = int(round(float(np.argmax(mag)) * sr2 / len(samples)))
     assert (peak // 200) * 200 == 400
+
+
+def test_layout_pruning_stats(ray_session):
+    from plasmap_ray.pipelines import spatial
+
+    st = spatial.layout_pruning_stats("/root/testdata/sf0.01").to_pandas().set_index("layout")
+    assert set(st.index) == {"space", "time", "zorder"}
+    assert (st["n_hit"] <= st["n_touched"]).all()
+    assert (st["n_touched"] <= st["n_files"]).all()
+    # the point of z-order: a 2-D range probe touches a SMALLER file
+    # fraction than either single-column clustering
+    frac = st["n_touched"] / st["n_files"]
+    assert frac["zorder"] < frac["space"] and frac["zorder"] < frac["time"]
