@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_decontaminate": dedup.ngram_decontaminate,
         "snapshot_diff": dedup.snapshot_diff,
         "layout_pruning_stats": spatial.layout_pruning_stats,
+        "matryoshka_fidelity": ann.matryoshka_fidelity,
         "audio_pitch_histogram": multimodal.audio_pitch_histogram,
         "price_band_pairs": relational.price_band_pairs,
         "compression_stats": images.compression_stats,
@@ -1962,6 +1963,17 @@ WITH uw AS (SELECT DISTINCT user_id,
 c AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1)
 SELECT cohort_week, wk - cohort_week AS week_offset, count(*) AS n_users
 FROM uw JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""",
+        "matryoshka_fidelity": f"""
+WITH u AS (SELECT vec_id, unnest(embedding) AS val, generate_subscripts(embedding, 1) AS dim
+           FROM embeddings),
+qq AS (SELECT vec_id, dim,
+              CAST(floor(CAST(val AS DOUBLE) * {ann.CENTROID_FP} + 0.5) AS BIGINT) AS q FROM u),
+m AS (SELECT vec_id,
+             CAST(sum(CASE WHEN dim <= {ann.MATRYOSHKA_HALF} THEN q * q ELSE 0 END) AS BIGINT) AS sh,
+             CAST(sum(q * q) AS BIGINT) AS sf
+      FROM qq GROUP BY 1)
+SELECT vec_id, round(sqrt(CAST(sh AS DOUBLE) / CAST(sf AS DOUBLE)), 6) AS trunc_cos
+FROM m ORDER BY vec_id""",
         "embedding_dim_stats": f"""
 WITH u AS (SELECT vec_id, unnest(embedding) AS val, generate_subscripts(embedding, 1) AS dim
            FROM embeddings),

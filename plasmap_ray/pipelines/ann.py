@@ -1166,3 +1166,37 @@ def embedding_dim_stats(sf_dir: str, fp: int = CENTROID_FP) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("dim")
+
+
+MATRYOSHKA_HALF = 32  # truncation width (full width is 64)
+
+
+def matryoshka_fidelity(sf_dir: str, half: int = MATRYOSHKA_HALF, fp: int = CENTROID_FP) -> rd.Dataset:
+    """Per-vector Matryoshka truncation fidelity: the cosine between
+    each embedding and its first-``half``-dims truncation (zero-padded)
+    — cos = sqrt(Σ_half q² / Σ_full q²) — the retrieval-quality-vs-
+    memory audit run before shipping truncated embeddings (MRL-style
+    dimensionality reduction).
+
+    Scale shape: map-ONLY — two per-row integer sums of squares over
+    the fixed-point grid; one float sqrt per row, mirrored verbatim.
+    Output: (vec_id, trunc_cos) rounded 6.
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_emb(sf_dir)
+
+    def fid(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)
+        q = np.floor(m * fp + 0.5).astype(np.int64)
+        sh = (q[:, :half] * q[:, :half]).sum(axis=1, dtype=np.int64).astype(np.float64)
+        sf = (q * q).sum(axis=1, dtype=np.int64).astype(np.float64)
+        cosv = duckdb_round(np.sqrt(sh / sf), 6)
+        return pa.table(
+            {
+                "vec_id": pa.array(t["vec_id"].to_numpy().astype(np.int64), type=pa.int64()),
+                "trunc_cos": pa.array(cosv, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fid, batch_format="pyarrow").sort("vec_id")

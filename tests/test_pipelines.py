@@ -955,3 +955,19 @@ def test_layout_pruning_stats(ray_session):
     # fraction than either single-column clustering
     frac = st["n_touched"] / st["n_files"]
     assert frac["zorder"] < frac["space"] and frac["zorder"] < frac["time"]
+
+
+def test_matryoshka_fidelity(ray_session):
+    from plasmap_ray.pipelines import ann
+
+    sf = "/root/testdata/sf0.001"
+    mf = ann.matryoshka_fidelity(sf).to_pandas()
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    assert len(mf) == len(emb) and mf["vec_id"].is_unique
+    assert ((mf["trunc_cos"] > 0) & (mf["trunc_cos"] <= 1.0)).all()
+    # independent recompute for one vector (unquantized; 1e-4 slack)
+    v = np.asarray(emb["embedding"].iloc[0], dtype=np.float64)
+    want = np.sqrt((v[:32] ** 2).sum() / (v**2).sum())
+    vid = int(emb["vec_id"].iloc[0])
+    got = float(mf[mf["vec_id"] == vid]["trunc_cos"].iloc[0])
+    assert abs(got - want) < 1e-4
