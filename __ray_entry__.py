@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": dedup.snapshot_diff,
         "layout_pruning_stats": spatial.layout_pruning_stats,
         "matryoshka_fidelity": ann.matryoshka_fidelity,
+        "hmm_map_match": snap.hmm_map_match,
         "audio_pitch_histogram": multimodal.audio_pitch_histogram,
         "price_band_pairs": relational.price_band_pairs,
         "compression_stats": images.compression_stats,
@@ -1226,6 +1227,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "pq_encode": f"SELECT * FROM read_parquet('{golden.pq_encode_path(SF001)}')",
         "pagerank": f"SELECT * FROM read_parquet('{golden.pagerank_path()}')",
         "road_components": f"SELECT * FROM read_parquet('{golden.road_components_path(routing.CHEAP_W_CUT)}')",
+        "hmm_map_match": f"SELECT * FROM read_parquet('{golden.hmm_map_match_path(SF001)}')",
         "way_assembly": f"SELECT * FROM read_parquet('{golden.way_assembly_path()}')",
         "way_lengths": f"SELECT * FROM read_parquet('{golden.way_lengths_path()}')",
         "zone_way_length": f"SELECT * FROM read_parquet('{golden.zone_way_length_path()}')",

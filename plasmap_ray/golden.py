@@ -1542,3 +1542,97 @@ def audio_pitch_histogram_path(audio_parquet: str, band_hz: int) -> str:
         )
 
     return _cache(f"audio_pitch_{os.path.basename(audio_parquet).rsplit('.', 1)[0]}_b{band_hz}", build)
+
+
+def hmm_map_match_path(sf_dir: str) -> str:
+    """Expected Viterbi map-matching: per-user recompute on the driver
+    with plain python loops (no vectorized DP, no Ray) over the same
+    integer cost model — pins the distributed candidate generation +
+    per-slice DP end to end."""
+
+    def build() -> pa.Table:
+        from . import fixtures
+        from .pipelines.snap import (
+            HMM_EMIT_FP,
+            HMM_K,
+            HMM_TRANS_SEG,
+            HMM_TRANS_WAY,
+            way_segments,
+        )
+
+        ev = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
+        ).to_pandas()
+        ev = ev.sort_values(["user_id", "ts", "event_id"])
+        st = way_segments()
+        x1, y1 = st["x1"].to_numpy(), st["y1"].to_numpy()
+        dx = st["x2"].to_numpy() - x1
+        dy = st["y2"].to_numpy() - y1
+        way = st["way_id"].to_numpy().astype(np.int64)
+        seg = st["seg_idx"].to_numpy().astype(np.int64)
+        m = len(x1)
+
+        def cands(lon: float, lat: float):
+            scored = []
+            for j in range(m):
+                t = ((lon - x1[j]) * dx[j] + (lat - y1[j]) * dy[j]) / (dx[j] * dx[j] + dy[j] * dy[j])
+                t = min(max(t, 0.0), 1.0)
+                qx, qy = x1[j] + t * dx[j], y1[j] + t * dy[j]
+                d2 = (lon - qx) * (lon - qx) + (lat - qy) * (lat - qy)
+                scored.append((d2, j))
+            scored.sort(key=lambda p: (p[0], p[1]))
+            top = scored[:HMM_K]
+            return [j for _, j in top], [int(np.floor(d2 * HMM_EMIT_FP + 0.5)) for d2, _ in top]
+
+        rows = {"event_id": [], "user_id": [], "way_id": [], "seg_idx": []}
+        for uid, grp in ev.groupby("user_id", sort=True):
+            ids = grp["event_id"].to_numpy()
+            lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+            idxs, emits = [], []
+            for p in range(len(ids)):
+                i_, e_ = cands(float(lon[p]), float(lat[p]))
+                idxs.append(i_)
+                emits.append(e_)
+            T = len(ids)
+            cost = list(emits[0])
+            back = [[0] * HMM_K for _ in range(T)]
+            for t in range(1, T):
+                new_cost = []
+                for c in range(HMM_K):
+                    best, arg = None, 0
+                    for p in range(HMM_K):
+                        jp, jc = idxs[t - 1][p], idxs[t][c]
+                        if way[jp] != way[jc]:
+                            tr = HMM_TRANS_WAY + HMM_TRANS_SEG
+                        elif seg[jp] != seg[jc]:
+                            tr = HMM_TRANS_SEG
+                        else:
+                            tr = 0
+                        v = cost[p] + tr
+                        if best is None or v < best:
+                            best, arg = v, p
+                    back[t][c] = arg
+                    new_cost.append(best + emits[t][c])
+                cost = new_cost
+            slot = min(range(HMM_K), key=lambda c: (cost[c], c))
+            path = [0] * T
+            path[-1] = slot
+            for t in range(T - 1, 0, -1):
+                path[t - 1] = back[t][path[t]]
+            for p in range(T):
+                j = idxs[p][path[p]]
+                rows["event_id"].append(int(ids[p]))
+                rows["user_id"].append(int(uid))
+                rows["way_id"].append(int(way[j]))
+                rows["seg_idx"].append(int(seg[j]))
+        out = pa.table(
+            {
+                "event_id": pa.array(rows["event_id"], type=pa.int64()),
+                "user_id": pa.array(rows["user_id"], type=pa.int64()),
+                "way_id": pa.array(rows["way_id"], type=pa.int64()),
+                "seg_idx": pa.array(rows["seg_idx"], type=pa.int64()),
+            }
+        )
+        return out.sort_by([("user_id", "ascending"), ("event_id", "ascending")])
+
+    return _cache(f"hmm_map_match_{_sf_tag(sf_dir)}", build)

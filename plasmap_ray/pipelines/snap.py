@@ -359,3 +359,125 @@ def route_corridor(sf_dir: str, way_ids: tuple[int, ...] = CORRIDOR_WAYS, radius
         )
 
     return ds.map_batches(corridor, batch_format="pyarrow")
+
+
+HMM_K = 3  # candidate segments per fix
+HMM_EMIT_FP = 10**12  # fixed-point scale for squared-degree emission cost
+HMM_TRANS_SEG = 10**10  # penalty: consecutive fixes on different segments
+HMM_TRANS_WAY = 2 * 10**10  # extra when the WAY changes too
+
+
+def _hmm_candidates(px: np.ndarray, py: np.ndarray, segs: dict, k: int):
+    """Per point: top-k candidate segments by clamped-projection dist2
+    with deterministic (dist2, table-order) ties.  Returns (idx, cost)
+    arrays of shape (n, k) — cost is int64 fixed-point."""
+    x1, y1, dx, dy = segs["x1"], segs["y1"], segs["dx"], segs["dy"]
+    tt = ((px[:, None] - x1) * dx + (py[:, None] - y1) * dy) / (dx * dx + dy * dy)
+    tt = np.minimum(np.maximum(tt, 0.0), 1.0)
+    qx = x1 + tt * dx
+    qy = y1 + tt * dy
+    d2 = (px[:, None] - qx) ** 2 + (py[:, None] - qy) ** 2
+    order = np.argsort(d2, axis=1, kind="stable")[:, :k]
+    rows = np.arange(len(px))[:, None]
+    cost = np.floor(d2[rows, order] * HMM_EMIT_FP + 0.5).astype(np.int64)
+    return order, cost
+
+
+def _viterbi_path(idx: np.ndarray, emit: np.ndarray, way: np.ndarray, seg: np.ndarray) -> np.ndarray:
+    """Integer Viterbi over one user's (T, K) candidate lattice; ties
+    break toward the LOWER candidate slot.  Returns the chosen
+    candidate slot per fix."""
+    T, K = idx.shape
+    cost = emit[0].copy()
+    back = np.zeros((T, K), dtype=np.int64)
+    for t in range(1, T):
+        pw, ps = way[idx[t - 1]], seg[idx[t - 1]]
+        cw, cs = way[idx[t]], seg[idx[t]]
+        trans = np.where(
+            pw[:, None] != cw[None, :],
+            HMM_TRANS_WAY + HMM_TRANS_SEG,
+            np.where(ps[:, None] != cs[None, :], HMM_TRANS_SEG, 0),
+        ).astype(np.int64)
+        tot = cost[:, None] + trans  # (K_prev, K_cur)
+        back[t] = np.argmin(tot, axis=0)  # first minimum = lower slot
+        cost = tot[back[t], np.arange(K)] + emit[t]
+    slot = np.zeros(T, dtype=np.int64)
+    slot[-1] = int(np.argmin(cost))
+    for t in range(T - 1, 0, -1):
+        slot[t - 1] = back[t, slot[t]]
+    return slot
+
+
+def hmm_map_match(sf_dir: str, k: int = HMM_K, parts: int = 32) -> rd.Dataset:
+    """HMM map-matching (Viterbi): assign every trajectory fix to a way
+    segment so the PATH is consistent — emission = clamped-projection
+    distance², transition = integer penalties for hopping segments/ways
+    — the sequence-aware upgrade of snap_to_ways that real GPS cleanup
+    needs (a noisy fix near an intersection snaps to the way its
+    neighbors are on, not the pointwise-nearest one).
+
+    Exactness: emission costs are fixed-point int64 and transition
+    penalties integers, so DP sums compare bit-identically anywhere;
+    ties break toward the lower candidate slot (candidates are ordered
+    by (dist2, segment table order)).  The golden oracle recomputes
+    every user's path locally.
+
+    Scale shape: the segment table broadcasts (ray.put once, grid
+    discipline of SegmentSnapActor); fixes take ONE user-keyed
+    coarse-partition exchange; each slice runs the O(T·K²) integer DP
+    per user.  Output: (event_id, user_id, way_id, seg_idx).
+    """
+    segs_t = way_segments()
+    segs = {
+        "x1": segs_t["x1"].to_numpy(),
+        "y1": segs_t["y1"].to_numpy(),
+        "dx": segs_t["x2"].to_numpy() - segs_t["x1"].to_numpy(),
+        "dy": segs_t["y2"].to_numpy() - segs_t["y1"].to_numpy(),
+        "way": segs_t["way_id"].to_numpy().astype(np.int64),
+        "seg": segs_t["seg_idx"].to_numpy().astype(np.int64),
+    }
+    ref = ray.put(segs)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        return t.append_column("part", pa.array(uid % parts, type=pa.int64()))
+
+    def match(g: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "way_id": pa.array([], type=pa.int64()),
+                    "seg_idx": pa.array([], type=pa.int64()),
+                }
+            )
+        ids = g["event_id"].to_numpy()
+        px, py = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        idx, emit = _hmm_candidates(px, py, s, k)
+        chosen = np.zeros(n, dtype=np.int64)
+        starts = np.concatenate([[0], np.nonzero(np.diff(uid))[0] + 1, [n]])
+        for a, b in zip(starts[:-1], starts[1:]):
+            slot = _viterbi_path(idx[a:b], emit[a:b], s["way"], s["seg"])
+            chosen[a:b] = idx[a:b][np.arange(b - a), slot]
+        return pa.table(
+            {
+                "event_id": pa.array(ids, type=pa.int64()),
+                "user_id": pa.array(uid, type=pa.int64()),
+                "way_id": pa.array(s["way"][chosen], type=pa.int64()),
+                "seg_idx": pa.array(s["seg"][chosen], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(match, batch_format="pyarrow")
+        .sort(["user_id", "event_id"])
+    )

@@ -971,3 +971,37 @@ def test_matryoshka_fidelity(ray_session):
     vid = int(emb["vec_id"].iloc[0])
     got = float(mf[mf["vec_id"] == vid]["trunc_cos"].iloc[0])
     assert abs(got - want) < 1e-4
+
+
+def test_hmm_map_match_invariants(ray_session):
+    from plasmap_ray.pipelines import snap
+
+    sf = "/root/testdata/sf0.001"
+    mm = snap.hmm_map_match(sf).to_pandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    assert len(mm) == len(ev)  # every fix is matched
+    # path consistency pays off: HMM switches segments no more often
+    # than pointwise nearest snapping
+    near = snap.snap_to_ways(sf).to_pandas()  # doc-based; recompute event-based nearest inline
+    from plasmap_ray import fixtures
+
+    st = snap.way_segments()
+    segs = {
+        "x1": st["x1"].to_numpy(), "y1": st["y1"].to_numpy(),
+        "dx": st["x2"].to_numpy() - st["x1"].to_numpy(),
+        "dy": st["y2"].to_numpy() - st["y1"].to_numpy(),
+        "way": st["way_id"].to_numpy().astype(np.int64),
+        "seg": st["seg_idx"].to_numpy().astype(np.int64),
+    }
+    ev_s = ev.sort_values(["user_id", "ts", "event_id"])
+    ids = ev_s["event_id"].to_numpy()
+    idx, _ = snap._hmm_candidates(fixtures.derive_lon(ids), fixtures.derive_lat(ids), segs, 1)
+    nearest = idx[:, 0]
+    mm_s = mm.set_index("event_id").loc[ids]
+    key_mm = mm_s["way_id"].to_numpy() * 1000 + mm_s["seg_idx"].to_numpy()
+    key_nn = segs["way"][nearest] * 1000 + segs["seg"][nearest]
+    uid = ev_s["user_id"].to_numpy()
+    same_user = uid[1:] == uid[:-1]
+    switches_mm = int(((key_mm[1:] != key_mm[:-1]) & same_user).sum())
+    switches_nn = int(((key_nn[1:] != key_nn[:-1]) & same_user).sum())
+    assert switches_mm <= switches_nn
