@@ -322,6 +322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "layout_pruning_stats": spatial.layout_pruning_stats,
         "matryoshka_fidelity": ann.matryoshka_fidelity,
         "hmm_map_match": snap.hmm_map_match,
+        "sequence_pattern_counts": windows.sequence_pattern_counts,
+        "ohlc_hourly": windows.ohlc_hourly,
         "audio_pitch_histogram": multimodal.audio_pitch_histogram,
         "price_band_pairs": relational.price_band_pairs,
         "compression_stats": images.compression_stats,
@@ -1951,6 +1953,25 @@ SELECT user_id, event_id, ts AS valid_from,
        COALESCE(LEAD(ts) OVER w, TIMESTAMP '2100-01-01') AS valid_to,
        CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "sequence_pattern_counts": f"""
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type, 1) OVER w AS e1, lead(event_type, 2) OVER w AS e2
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM s WHERE event_type = '{windows.SEQ_PATTERN[0]}' AND e1 = '{windows.SEQ_PATTERN[1]}'
+        AND e2 = '{windows.SEQ_PATTERN[2]}'
+GROUP BY 1""",
+        "ohlc_hourly": """
+WITH b AS (SELECT event_id, epoch_us(ts) AS tus, CAST(round(value * 100.0, 0) AS BIGINT) AS c,
+                  (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY hour_us ORDER BY tus, event_id) AS ra,
+             row_number() OVER (PARTITION BY hour_us ORDER BY tus DESC, event_id DESC) AS rd FROM b)
+SELECT make_timestamp(hour_us) AS hour_start,
+       CAST(max(CASE WHEN ra = 1 THEN c END) AS BIGINT) AS open_c,
+       CAST(max(c) AS BIGINT) AS high_c, CAST(min(c) AS BIGINT) AS low_c,
+       CAST(max(CASE WHEN rd = 1 THEN c END) AS BIGINT) AS close_c,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM r GROUP BY hour_us ORDER BY 1""",
         "event_dedup": f"""
 WITH k AS (SELECT event_id, user_id, ts, event_type, value,
                   epoch_us(ts) - lag(epoch_us(ts)) OVER (

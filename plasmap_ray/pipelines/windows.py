@@ -877,3 +877,125 @@ def event_dedup(sf_dir: str, gap_s: int = EVENT_DEDUP_GAP_S, parts: int = 32) ->
     return ds.map_batches(add_part, batch_format="pyarrow").groupby("part").map_groups(
         keep_first, batch_format="pyarrow"
     )
+
+
+SEQ_PATTERN = ("view", "click", "purchase")
+
+
+def sequence_pattern_counts(sf_dir: str, pattern: tuple[str, ...] = SEQ_PATTERN, parts: int = 32) -> rd.Dataset:
+    """MATCH_RECOGNIZE-style STRICT sequence detection: count, per
+    user, occurrences of the exact CONSECUTIVE event-type pattern
+    (view → click → purchase with nothing in between) — stricter than
+    conversion_funnel's eventually-ordered stages; the per-user
+    behavioral-motif counter (overlapping matches count).
+
+    Scale shape: the coarse-partition run-scan; the match test is a
+    vectorized triple-shift equality, all-integer ordering keys.
+    Output: (user_id, n_matches) for users with ≥ 1 match.
+    """
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    L = len(pattern)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        return t.append_column("part", pa.array(uid % parts, type=pa.int64()))
+
+    def count_matches(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        n = len(uid)
+        empty = pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "n_matches": pa.array([], type=pa.int64()),
+            }
+        )
+        if n < L:
+            return empty
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        ok = np.ones(n - L + 1, dtype=bool)
+        for j, p in enumerate(pattern):
+            ok &= et[j : n - L + 1 + j] == p
+        ok &= uid[: n - L + 1] == uid[L - 1 :]  # whole window inside one user run
+        if not ok.any():
+            return empty
+        u = uid[: n - L + 1][ok]
+        uu, cnt = np.unique(u, return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(uu, type=pa.int64()),
+                "n_matches": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby("part").map_groups(
+        count_matches, batch_format="pyarrow"
+    )
+
+
+def ohlc_hourly(sf_dir: str) -> rd.Dataset:
+    """OHLC resampling: per hour, the OPEN (first value by (ts,
+    event_id)), HIGH, LOW and CLOSE (last value) of the event value
+    stream in int64 cents — the bar-building resample every time-series
+    store runs, expressed with the od_matrix first/last discipline.
+
+    Scale shape: each batch collapses to ≤ 1 candidate row per hour
+    map-side (first/last picked by all-integer lexicographic order,
+    min/max/count folded), so the hour-keyed exchange moves hours ×
+    batches rows; the final reduce replays the same selection.
+    Output: (hour_start, open_c, high_c, low_c, close_c, n_events).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["event_id", "ts", "value"])
+    HOUR_US = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy().astype(np.int64)
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        cents = duckdb_round(t["value"].to_numpy() * 100.0, 0).astype(np.int64)
+        hour = ts // HOUR_US * HOUR_US
+        order = np.lexsort((eid, ts, hour))  # hour runs, (ts, event_id) within
+        hour, ts, eid, cents = hour[order], ts[order], eid[order], cents[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(hour))[0] + 1])
+        ends = np.concatenate([starts[1:], [len(hour)]]) - 1
+        mx = np.maximum.reduceat(cents, starts)
+        mn = np.minimum.reduceat(cents, starts)
+        cnt = (ends - starts + 1).astype(np.int64)
+        return pa.table(
+            {
+                "hour_us": pa.array(hour[starts], type=pa.int64()),
+                "o_ts": pa.array(ts[starts], type=pa.int64()),
+                "o_eid": pa.array(eid[starts], type=pa.int64()),
+                "open_c": pa.array(cents[starts], type=pa.int64()),
+                "c_ts": pa.array(ts[ends], type=pa.int64()),
+                "c_eid": pa.array(eid[ends], type=pa.int64()),
+                "close_c": pa.array(cents[ends], type=pa.int64()),
+                "high_c": pa.array(mx, type=pa.int64()),
+                "low_c": pa.array(mn, type=pa.int64()),
+                "n": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    def reduce_hour(g: pa.Table) -> pa.Table:
+        o = np.lexsort((g["o_eid"].to_numpy(), g["o_ts"].to_numpy()))[0]
+        c = np.lexsort((-g["c_eid"].to_numpy(), -g["c_ts"].to_numpy()))[0]
+        return pa.table(
+            {
+                "hour_start": pa.array(
+                    [g["hour_us"][0].as_py()], type=pa.int64()
+                ).cast(pa.timestamp("us")),
+                "open_c": pa.array([g["open_c"][o].as_py()], type=pa.int64()),
+                "high_c": pa.array([int(np.max(g["high_c"].to_numpy()))], type=pa.int64()),
+                "low_c": pa.array([int(np.min(g["low_c"].to_numpy()))], type=pa.int64()),
+                "close_c": pa.array([g["close_c"][c].as_py()], type=pa.int64()),
+                "n_events": pa.array([int(g["n"].to_numpy().sum())], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour_us")
+        .map_groups(reduce_hour, batch_format="pyarrow")
+        .sort("hour_start")
+    )

@@ -1005,3 +1005,25 @@ def test_hmm_map_match_invariants(ray_session):
     switches_mm = int(((key_mm[1:] != key_mm[:-1]) & same_user).sum())
     switches_nn = int(((key_nn[1:] != key_nn[:-1]) & same_user).sum())
     assert switches_mm <= switches_nn
+
+
+def test_sequence_and_ohlc(ray_session):
+    from plasmap_ray.pipelines import windows
+
+    sf = "/root/testdata/sf0.001"
+    sp = windows.sequence_pattern_counts(sf).to_pandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet").sort_values(["user_id", "ts", "event_id"])
+    # brute recompute
+    et = ev["event_type"].to_numpy()
+    uid = ev["user_id"].to_numpy()
+    brute = {}
+    for i in range(len(ev) - 2):
+        if uid[i] == uid[i + 2] and et[i] == "view" and et[i + 1] == "click" and et[i + 2] == "purchase":
+            brute[uid[i]] = brute.get(uid[i], 0) + 1
+    assert dict(zip(sp["user_id"], sp["n_matches"])) == brute
+
+    oh = windows.ohlc_hourly(sf).to_pandas()
+    assert oh["hour_start"].is_monotonic_increasing and oh["hour_start"].is_unique
+    assert (oh["low_c"] <= oh["open_c"]).all() and (oh["open_c"] <= oh["high_c"]).all()
+    assert (oh["low_c"] <= oh["close_c"]).all() and (oh["close_c"] <= oh["high_c"]).all()
+    assert oh["n_events"].sum() == len(ev)
