@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matryoshka_fidelity": ann.matryoshka_fidelity,
         "hmm_map_match": snap.hmm_map_match,
         "sequence_pattern_counts": windows.sequence_pattern_counts,
+        "doc_keywords": index.doc_keywords,
         "ohlc_hourly": windows.ohlc_hourly,
         "audio_pitch_histogram": multimodal.audio_pitch_histogram,
         "price_band_pairs": relational.price_band_pairs,
@@ -2054,6 +2055,15 @@ WITH bench AS (SELECT md5(text) AS h FROM documents
         < CAST({dedup.DECON_FRAC!r} AS DOUBLE))
 SELECT doc_id, lang, source FROM documents
 WHERE md5(text) NOT IN (SELECT h FROM bench)""",
+        "doc_keywords": """
+WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk FROM documents),
+tf AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT tk, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+sc AS (SELECT doc_id, tf.tk, CAST(tf AS DOUBLE) * ln(CAST(nd AS DOUBLE) / df) AS score
+       FROM tf JOIN df ON tf.tk = df.tk, n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tk) AS rn FROM sc)
+SELECT doc_id, tk AS keyword, round(score, 6) AS score FROM r WHERE rn = 1 ORDER BY doc_id""",
         "ngram_decontaminate": f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 gi AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {dedup.DECON_NGRAM_N - 1})) AS i FROM t),

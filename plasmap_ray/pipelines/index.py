@@ -286,3 +286,86 @@ def anti_search(sf_dir: str, token: str) -> rd.Dataset:
 
     docs = _read_docs(sf_dir, ["doc_id", "lang", "n_chars"])
     return docs.map_batches(anti, batch_format="pyarrow")
+
+
+def doc_keywords(sf_dir: str) -> rd.Dataset:
+    """Per-document keyword extraction: each doc's top token by
+    TF-IDF (tf · ln(N/df), ties broken token-ascending) — the labeling
+    pass behind corpus browsing and weak-supervision features
+    (search_ranked's scoring turned inside out: best TERM per doc
+    instead of best DOC per term).
+
+    Scale shape: per-batch (doc, token, tf) counts stream map-side;
+    the df table is token-bounded (one tiny aggregate broadcast back);
+    the per-doc argmax is a doc-keyed reduce over its own tokens.
+    Ranking compares the UNROUNDED score (identical float products in
+    both engines); output rounds to 6 dp.
+    Output: (doc_id, keyword, score).
+    """
+    import math
+
+    from ray.data.aggregate import Count
+
+    from ..stages.common import duckdb_round
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(batch["text"]), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy()
+        ids = np.repeat(batch["doc_id"].to_numpy(), lengths)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(ids.astype("U20"), "\x00"), flat.astype("U64"))
+        uk, idx, cnt = np.unique(key, return_index=True, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[idx], type=pa.int64()),
+                "token": pa.array(flat[idx], type=pa.string()),
+                "tf": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    tf_rows = docs.map_batches(term_counts, batch_format="pyarrow").materialize()
+    n_docs = docs.count()
+    dfs = {
+        r["token"]: r["n_docs"]
+        for r in tf_rows.groupby("token").aggregate(Count(alias_name="n_docs")).take_all()
+    }
+    idf = {t: math.log(n_docs / dfs[t]) for t in dfs}
+
+    def add_part(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        return t.append_column("part", pa.array(did % 32, type=pa.int64()))
+
+    def pick(g: pa.Table) -> pa.Table:
+        did = g["doc_id"].to_numpy().astype(np.int64)
+        if len(did) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "keyword": pa.array([], type=pa.string()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        toks = g["token"].to_numpy(zero_copy_only=False)
+        tf = g["tf"].to_numpy().astype(np.float64)
+        score = tf * np.array([idf[t] for t in toks], dtype=np.float64)
+        order = np.lexsort((toks, -score, did))  # doc, then score desc, token asc
+        did, toks, score = did[order], toks[order], score[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(did))[0] + 1])
+        return pa.table(
+            {
+                "doc_id": pa.array(did[starts], type=pa.int64()),
+                "keyword": pa.array(toks[starts], type=pa.string()),
+                "score": pa.array(duckdb_round(score[starts], 6), type=pa.float64()),
+            }
+        )
+
+    return (
+        tf_rows.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pick, batch_format="pyarrow")
+        .sort("doc_id")
+    )

@@ -1027,3 +1027,17 @@ def test_sequence_and_ohlc(ray_session):
     assert (oh["low_c"] <= oh["open_c"]).all() and (oh["open_c"] <= oh["high_c"]).all()
     assert (oh["low_c"] <= oh["close_c"]).all() and (oh["close_c"] <= oh["high_c"]).all()
     assert oh["n_events"].sum() == len(ev)
+
+
+def test_doc_keywords(ray_session):
+    from plasmap_ray.pipelines import index as idx
+
+    sf = "/root/testdata/sf0.001"
+    kw = idx.doc_keywords(sf).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    assert len(kw) == len(docs) and kw["doc_id"].is_unique
+    assert (kw["score"] >= 0).all()
+    # the keyword actually occurs in its document
+    text_of = dict(zip(docs["doc_id"], docs["text"]))
+    for _, r in kw.head(25).iterrows():
+        assert r["keyword"] in text_of[r["doc_id"]].lower().split(" ")
