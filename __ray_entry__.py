@@ -324,6 +324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hmm_map_match": snap.hmm_map_match,
         "sequence_pattern_counts": windows.sequence_pattern_counts,
         "doc_keywords": index.doc_keywords,
+        "iqr_outliers": stats.iqr_outliers,
+        "table_profile": stats.table_profile,
         "ohlc_hourly": windows.ohlc_hourly,
         "audio_pitch_histogram": multimodal.audio_pitch_histogram,
         "price_band_pairs": relational.price_band_pairs,
@@ -1954,6 +1956,40 @@ SELECT user_id, event_id, ts AS valid_from,
        COALESCE(LEAD(ts) OVER w, TIMESTAMP '2100-01-01') AS valid_to,
        CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "iqr_outliers": f"""
+WITH q AS (SELECT event_type, quantile_disc(value, 0.25) AS q1, quantile_disc(value, 0.75) AS q3
+           FROM events GROUP BY 1),
+f AS (SELECT event_type, q1 - {stats.IQR_MULT!r} * (q3 - q1) AS lo,
+             q3 + {stats.IQR_MULT!r} * (q3 - q1) AS hi FROM q)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM events e JOIN f USING (event_type) GROUP BY 1 ORDER BY 1""",
+        "table_profile": """
+SELECT tbl, col, CAST(n_rows AS BIGINT) AS n_rows, CAST(n_null AS BIGINT) AS n_null,
+       CAST(n_empty AS BIGINT) AS n_empty FROM (
+  SELECT 'documents' AS tbl, 'lang' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         CAST(sum(CASE WHEN lang = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty FROM documents
+  UNION ALL
+  SELECT 'documents', 'source', count(*), sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+         sum(CASE WHEN source = '' THEN 1 ELSE 0 END) FROM documents
+  UNION ALL
+  SELECT 'documents', 'text', count(*), sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+         sum(CASE WHEN text = '' THEN 1 ELSE 0 END) FROM documents
+  UNION ALL
+  SELECT 'events', 'event_type', count(*), sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+         sum(CASE WHEN event_type = '' THEN 1 ELSE 0 END) FROM events
+  UNION ALL
+  SELECT 'events', 'props', count(*), sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
+         sum(CASE WHEN props = '' THEN 1 ELSE 0 END) FROM events
+  UNION ALL
+  SELECT 'orders', 'o_orderpriority', count(*), sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+         sum(CASE WHEN o_orderpriority = '' THEN 1 ELSE 0 END) FROM orders
+  UNION ALL
+  SELECT 'orders', 'o_orderstatus', count(*), sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+         sum(CASE WHEN o_orderstatus = '' THEN 1 ELSE 0 END) FROM orders
+) ORDER BY tbl, col""",
         "sequence_pattern_counts": f"""
 WITH s AS (SELECT user_id, event_type,
                   lead(event_type, 1) OVER w AS e1, lead(event_type, 2) OVER w AS e2

@@ -421,3 +421,123 @@ def user_burstiness(sf_dir: str, parts: int = 32) -> rd.Dataset:
     return ds.map_batches(add_part, batch_format="pyarrow").groupby("part").map_groups(
         moments, batch_format="pyarrow"
     )
+
+
+IQR_MULT = 1.5
+
+
+def iqr_outliers(sf_dir: str, mult: float = IQR_MULT) -> rd.Dataset:
+    """Tukey-fence outlier audit per event type: count values outside
+    [q1 − mult·IQR, q3 + mult·IQR] where q1/q3 are the EXACT discrete
+    quartiles — the robust cleaning gate applied before loss weighting
+    (winsorize's detector sibling: report, don't clamp).
+
+    The fences are DERIVED thresholds: computed from the data (type-
+    bounded quantile reduce), broadcast back into a counting scan —
+    the two-phase shape of customer_high_value_counts.  The fence
+    expression q ± mult·(q3−q1) is the one float computation, mirrored
+    verbatim; quartiles themselves are exact data values.
+
+    Output: (event_type, n_total, n_low, n_high).
+    """
+    ds = _read_events(sf_dir, ["event_type", "value"])
+
+    def quartiles(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(), kind="stable")
+        n = len(v)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "q1": [float(v[_disc_rank(0.25, n) - 1])],
+                "q3": [float(v[_disc_rank(0.75, n) - 1])],
+            }
+        )
+
+    qt = ds.groupby("event_type").map_groups(quartiles, batch_format="pandas").to_pandas()
+    lo = {r.event_type: np.float64(r.q1) - mult * (np.float64(r.q3) - np.float64(r.q1)) for r in qt.itertuples()}
+    hi = {r.event_type: np.float64(r.q3) + mult * (np.float64(r.q3) - np.float64(r.q1)) for r in qt.itertuples()}
+
+    def count_out(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy()
+        lov = np.array([lo[x] for x in et])
+        hiv = np.array([hi[x] for x in et])
+        order = np.argsort(et, kind="stable")
+        et, v, lov, hiv = et[order], v[order], lov[order], hiv[order]
+        starts = np.concatenate([[0], np.nonzero(et[1:] != et[:-1])[0] + 1])
+        red = lambda x: np.add.reduceat(x.astype(np.int64), starts)  # noqa: E731
+        return pa.table(
+            {
+                "event_type": pa.array(et[starts], type=pa.string()),
+                "n_total": pa.array(red(np.ones(len(et))), type=pa.int64()),
+                "n_low": pa.array(red(v < lov), type=pa.int64()),
+                "n_high": pa.array(red(v > hiv), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(count_out, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_total", alias_name="n_total"),
+            Sum("n_low", alias_name="n_low"),
+            Sum("n_high", alias_name="n_high"),
+        )
+        .sort("event_type")
+    )
+
+
+def table_profile(sf_dir: str) -> rd.Dataset:
+    """Catalog data-quality profile: per (table, column) the row count,
+    null count and empty-string count over the profiled string/payload
+    columns — the dbt-style expectation report a pipeline opens with
+    (corpus_summary's row counts, deepened to column health).
+
+    Scale shape: each table is ONE projected scan emitting three int64
+    partials per column per batch; no joins, no wide shuffles.
+    Output: (tbl, col, n_rows, n_null, n_empty).
+    """
+    specs = {
+        "documents": ["text", "lang", "source"],
+        "events": ["event_type", "props"],
+        "orders": ["o_orderstatus", "o_orderpriority"],
+    }
+    pieces = []
+    for tbl, cols in specs.items():
+        ds = rd.read_parquet(os.path.join(sf_dir, f"{tbl}.parquet"), columns=cols)
+
+        def profile(t: pa.Table, tbl: str = tbl, cols: tuple = tuple(cols)) -> pa.Table:
+            rows = {"tbl": [], "col": [], "n_rows": [], "n_null": [], "n_empty": []}
+            for c in cols:
+                arr = t[c]
+                rows["tbl"].append(tbl)
+                rows["col"].append(c)
+                rows["n_rows"].append(t.num_rows)
+                rows["n_null"].append(arr.null_count)
+                import pyarrow.compute as pc
+
+                nonnull = arr.drop_null()
+                rows["n_empty"].append(int(pc.sum(pc.equal(nonnull, "")).as_py() or 0))
+            return pa.table(
+                {
+                    "tbl": pa.array(rows["tbl"], type=pa.string()),
+                    "col": pa.array(rows["col"], type=pa.string()),
+                    "n_rows": pa.array(rows["n_rows"], type=pa.int64()),
+                    "n_null": pa.array(rows["n_null"], type=pa.int64()),
+                    "n_empty": pa.array(rows["n_empty"], type=pa.int64()),
+                }
+            )
+
+        pieces.append(ds.map_batches(profile, batch_format="pyarrow"))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.union(p)
+    return (
+        out.groupby(["tbl", "col"])
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_null", alias_name="n_null"),
+            Sum("n_empty", alias_name="n_empty"),
+        )
+        .sort(["tbl", "col"])
+    )

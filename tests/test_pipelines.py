@@ -1041,3 +1041,27 @@ def test_doc_keywords(ray_session):
     text_of = dict(zip(docs["doc_id"], docs["text"]))
     for _, r in kw.head(25).iterrows():
         assert r["keyword"] in text_of[r["doc_id"]].lower().split(" ")
+
+
+def test_iqr_and_table_profile(ray_session):
+    from plasmap_ray.pipelines import stats
+
+    sf = "/root/testdata/sf0.001"
+    iq = stats.iqr_outliers(sf).to_pandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    assert iq["n_total"].sum() == len(ev)
+    assert ((iq["n_low"] + iq["n_high"]) <= iq["n_total"]).all()
+    # brute recompute for one type using the engine's discrete-quantile rule
+    et = iq["event_type"].iloc[0]
+    v = np.sort(ev[ev["event_type"] == et]["value"].to_numpy())
+    q1 = v[stats._disc_rank(0.25, len(v)) - 1]
+    q3 = v[stats._disc_rank(0.75, len(v)) - 1]
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    assert iq["n_low"].iloc[0] == (v < lo).sum()
+    assert iq["n_high"].iloc[0] == (v > hi).sum()
+
+    tp = stats.table_profile(sf).to_pandas()
+    assert len(tp) == 7
+    assert (tp["n_null"] == 0).all()  # fixtures carry no nulls
+    docs_rows = tp[tp["tbl"] == "documents"]["n_rows"].unique()
+    assert list(docs_rows) == [len(pd.read_parquet(f"{sf}/documents.parquet"))]
