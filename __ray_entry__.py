@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pattern_counts": windows.sequence_pattern_counts,
         "doc_keywords": index.doc_keywords,
         "iqr_outliers": stats.iqr_outliers,
+        "ann_recall_eval": lambda sf: ann.ann_recall_eval(sf, k=ANN_K, vec_ids=MULTI_VEC_IDS),
         "table_profile": stats.table_profile,
         "ohlc_hourly": windows.ohlc_hourly,
         "audio_pitch_histogram": multimodal.audio_pitch_histogram,
@@ -1233,6 +1234,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "pagerank": f"SELECT * FROM read_parquet('{golden.pagerank_path()}')",
         "road_components": f"SELECT * FROM read_parquet('{golden.road_components_path(routing.CHEAP_W_CUT)}')",
         "hmm_map_match": f"SELECT * FROM read_parquet('{golden.hmm_map_match_path(SF001)}')",
+        "ann_recall_eval": f"SELECT * FROM read_parquet('{golden.ann_recall_path(SF001, ANN_K, MULTI_VEC_IDS)}')",
         "way_assembly": f"SELECT * FROM read_parquet('{golden.way_assembly_path()}')",
         "way_lengths": f"SELECT * FROM read_parquet('{golden.way_lengths_path()}')",
         "zone_way_length": f"SELECT * FROM read_parquet('{golden.zone_way_length_path()}')",

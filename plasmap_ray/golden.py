@@ -1636,3 +1636,57 @@ def hmm_map_match_path(sf_dir: str) -> str:
         return out.sort_by([("user_id", "ascending"), ("event_id", "ascending")])
 
     return _cache(f"hmm_map_match_{_sf_tag(sf_dir)}", build)
+
+
+def ann_recall_path(sf_dir: str, k: int, vec_ids: tuple) -> str:
+    """Expected recall@k: local numpy recompute of BOTH retrieval paths
+    with the engine's exact float expressions (exact: (m@qn)/|m|; ivf:
+    (m/|m|)@qn after the same quantizer/probe selection) — no Ray."""
+
+    def build() -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        from .pipelines.ann import kmeans_centroids
+
+        t = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+        ids = np.asarray(t["vec_id"].to_numpy(), dtype=np.int64)
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        order = np.argsort(ids, kind="stable")
+        qsel = order[np.isin(ids[order], np.asarray(vec_ids, dtype=np.int64))]
+        qids = ids[qsel]
+        q = m[qsel]
+        qn = q / np.linalg.norm(q, axis=1)[:, None]
+        norms = np.linalg.norm(m, axis=1)
+
+        # exact side: (m @ qn.T) / |m| (MultiCosineTopK's expression)
+        sims_e = (m @ qn.T) / np.where(norms == 0, 1.0, norms)[:, None]
+        # ivf side: same quantizer, probes, then (m/|m|) @ qn.T
+        cents = kmeans_centroids(m, 16, iters=8, seed=5)
+        cn2 = (cents * cents).sum(axis=1)
+        d2 = cn2[None, :] - 2.0 * (m @ cents.T) + (m * m).sum(axis=1)[:, None]
+        cell = np.argmin(d2, axis=1)
+        qd = ((cents[None, :, :] - q[:, None, :]) ** 2).sum(axis=2)
+        probes = np.argsort(qd, axis=1, kind="stable")[:, :4]
+        mn = m / np.where(norms == 0, 1.0, norms)[:, None]
+        sims_a = mn @ qn.T
+
+        rows = []
+        for j, qid in enumerate(qids):
+            mask_e = ids != qid
+            top_e = np.lexsort((ids[mask_e], -sims_e[mask_e, j]))[:k]
+            e_set = set(ids[mask_e][top_e].tolist())
+            in_probe = np.isin(cell, probes[j])
+            mask_a = in_probe & (ids != qid)
+            top_a = np.lexsort((ids[mask_a], -sims_a[mask_a, j]))[:k]
+            a_set = set(ids[mask_a][top_a].tolist())
+            n = len(e_set & a_set)
+            rows.append((int(qid), n, np.float64(n) / np.float64(k)))
+        return pa.table(
+            {
+                "query_vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "n_overlap": pa.array([r[1] for r in rows], type=pa.int64()),
+                "recall": pa.array([r[2] for r in rows], type=pa.float64()),
+            }
+        )
+
+    return _cache(f"ann_recall_{_sf_tag(sf_dir)}_k{k}_q{len(vec_ids)}", build)

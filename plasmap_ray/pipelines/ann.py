@@ -1200,3 +1200,121 @@ def matryoshka_fidelity(sf_dir: str, half: int = MATRYOSHKA_HALF, fp: int = CENT
         )
 
     return ds.map_batches(fid, batch_format="pyarrow").sort("vec_id")
+
+
+def ivf_multi_topk(
+    sf_dir: str,
+    k: int = 10,
+    vec_ids: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8),
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 8,
+    seed: int = 5,
+) -> rd.Dataset:
+    """Batched IVF search: top-k for EVERY query in one corpus pass —
+    each batch assigns its vectors to the coarse quantizer once, then
+    each query scores only rows landing in its ``nprobe`` probed cells
+    (ivf_topk's pruning × ann_multi_topk's batching).
+    Output: (query_vec_id, sim_rank, vec_id).
+    """
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    t_all = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    sample = np.stack(t_all["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    cents = kmeans_centroids(sample, n_centroids, iters=iters, seed=seed)
+
+    tq = (
+        pads.dataset(_emb_path(sf_dir))
+        .to_table(columns=["vec_id", "embedding"], filter=pads.field("vec_id").isin(list(vec_ids)))
+        .sort_by("vec_id")
+    )
+    qids = np.asarray(tq["vec_id"].to_numpy(), dtype=np.int64)
+    q = np.stack(tq["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    qn = q / np.linalg.norm(q, axis=1)[:, None]
+    # per-query probe sets against the shared quantizer
+    qd = ((cents[None, :, :] - q[:, None, :]) ** 2).sum(axis=2)  # (Q, C)
+    probes = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
+    probe_mask = np.zeros((len(qids), len(cents)), dtype=bool)
+    probe_mask[np.arange(len(qids))[:, None], probes] = True
+    ref = ray.put((qids, qn, cents, probe_mask))
+
+    class IvfMultiScore:
+        def __init__(self):
+            self.qids, self.qn, self.c, self.pm = ray.get(ref)
+            self.cn2 = (self.c * self.c).sum(axis=1)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _emb_matrix(batch)
+            ids = batch["vec_id"].to_numpy().astype(np.int64)
+            d2 = self.cn2[None, :] - 2.0 * (m @ self.c.T) + (m * m).sum(axis=1)[:, None]
+            cell = np.argmin(d2, axis=1)  # (n,)
+            norms = np.linalg.norm(m, axis=1)
+            mn = m / np.where(norms == 0, 1.0, norms)[:, None]
+            sims = mn @ self.qn.T  # (n, Q)
+            keep = self.pm[:, cell].T  # (n, Q): row in query's probed cells
+            out_q, out_v, out_s = [], [], []
+            for j, qid in enumerate(self.qids):
+                kj = keep[:, j] & (ids != qid)
+                if not kj.any():
+                    continue
+                sj = sims[kj, j]
+                vj = ids[kj]
+                top = np.lexsort((vj, -sj))[: min(len(vj), 64)]
+                out_q.append(np.full(len(top), qid, dtype=np.int64))
+                out_v.append(vj[top])
+                out_s.append(sj[top])
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_vec_id": pa.array([], type=pa.int64()),
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "sim": pa.array([], type=pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_vec_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                    "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+                }
+            )
+
+    scored = _read_emb(sf_dir).map_batches(
+        IvfMultiScore, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+    def per_query_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
+        df["sim_rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["query_vec_id", "sim_rank", "vec_id"]]
+
+    return scored.groupby("query_vec_id").map_groups(per_query_rank, batch_format="pandas")
+
+
+def ann_recall_eval(sf_dir: str, k: int = 10, vec_ids: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8)) -> rd.Dataset:
+    """ANN quality harness: recall@k of the batched IVF search against
+    the exact batched search, per query — the measured-recall gate an
+    index rollout runs before switching retrieval paths (the number the
+    docstrings promise, emitted as a CHECKABLE result).
+
+    Both sides run their real distributed pipelines; the comparison
+    joins two (Q·k)-row tables driver-side (query-bounded).  recall is
+    the one mirrored float division.  Output: (query_vec_id, n_overlap,
+    recall).
+    """
+    exact = ann_multi_topk(sf_dir, k=k, vec_ids=vec_ids).to_pandas()
+    ivf = ivf_multi_topk(sf_dir, k=k, vec_ids=vec_ids).to_pandas()
+    rows = []
+    for qid in sorted(set(exact["query_vec_id"])):
+        e = set(exact[exact["query_vec_id"] == qid]["vec_id"])
+        a = set(ivf[ivf["query_vec_id"] == qid]["vec_id"])
+        n = len(e & a)
+        rows.append((int(qid), n, np.float64(n) / np.float64(k)))
+    return pa.table(
+        {
+            "query_vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "n_overlap": pa.array([r[1] for r in rows], type=pa.int64()),
+            "recall": pa.array([r[2] for r in rows], type=pa.float64()),
+        }
+    )

@@ -1065,3 +1065,15 @@ def test_iqr_and_table_profile(ray_session):
     assert (tp["n_null"] == 0).all()  # fixtures carry no nulls
     docs_rows = tp[tp["tbl"] == "documents"]["n_rows"].unique()
     assert list(docs_rows) == [len(pd.read_parquet(f"{sf}/documents.parquet"))]
+
+
+def test_ann_recall_eval(ray_session):
+    from plasmap_ray.pipelines import ann
+
+    out = ann.ann_recall_eval("/root/testdata/sf0.001", k=10, vec_ids=(1, 2, 3, 4))
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert list(df["query_vec_id"]) == [1, 2, 3, 4]
+    assert ((df["recall"] >= 0) & (df["recall"] <= 1)).all()
+    assert (df["n_overlap"] == (df["recall"] * 10).round()).all()
+    # IVF with nprobe=4/16 should keep most of the exact set
+    assert df["recall"].mean() >= 0.5
