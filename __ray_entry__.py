@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "iqr_outliers": stats.iqr_outliers,
         "ann_recall_eval": lambda sf: ann.ann_recall_eval(sf, k=ANN_K, vec_ids=MULTI_VEC_IDS),
         "table_profile": stats.table_profile,
+        "rfm_features": stats.rfm_features,
         "ohlc_hourly": windows.ohlc_hourly,
         "audio_pitch_histogram": multimodal.audio_pitch_histogram,
         "price_band_pairs": relational.price_band_pairs,
@@ -1958,6 +1959,12 @@ SELECT user_id, event_id, ts AS valid_from,
        COALESCE(LEAD(ts) OVER w, TIMESTAMP '2100-01-01') AS valid_to,
        CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "rfm_features": f"""
+SELECT user_id,
+       ({stats.RFM_ASOF_US} - epoch_us(max(ts))) // 86400000000 AS r_days,
+       CAST(count(*) AS BIGINT) AS f_events,
+       CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS m_cents
+FROM events GROUP BY 1 ORDER BY 1""",
         "iqr_outliers": f"""
 WITH q AS (SELECT event_type, quantile_disc(value, 0.25) AS q1, quantile_disc(value, 0.75) AS q3
            FROM events GROUP BY 1),

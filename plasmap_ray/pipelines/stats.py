@@ -541,3 +541,65 @@ def table_profile(sf_dir: str) -> rd.Dataset:
         )
         .sort(["tbl", "col"])
     )
+
+
+RFM_ASOF_US = 1_706_745_600_000_000  # 2024-02-01T00:00:00Z, just past the fixture window
+
+
+def rfm_features(sf_dir: str) -> rd.Dataset:
+    """RFM feature assembly: per user the Recency (whole days between a
+    fixed as-of instant and the last event), Frequency (event count)
+    and Monetary (int64 cents sum) — the canonical behavioral feature
+    vector a churn/LTV model trains on, built once per snapshot.
+
+    All-integer outputs: recency is integer µs floor-divided to days,
+    money is fixed-point cents — bit-exact under any batch split.
+
+    Scale shape: per-batch per-user combiner (max ts, count, cents sum
+    — 3 ints per user per batch) → ONE user-keyed groupby.
+    Output: (user_id, r_days, f_events, m_cents).
+    """
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read_events(sf_dir, ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..stages.common import duckdb_round
+
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        ts = t["ts"].to_numpy().astype(np.int64)
+        cents = duckdb_round(t["value"].to_numpy() * 100.0, 0).astype(np.int64)
+        order = np.argsort(uid, kind="stable")
+        uid, ts, cents = uid[order], ts[order], cents[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(uid))[0] + 1])
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], type=pa.int64()),
+                "max_ts": pa.array(np.maximum.reduceat(ts, starts), type=pa.int64()),
+                "n": pa.array(np.diff(np.concatenate([starts, [len(uid)]])), type=pa.int64()),
+                "cents": pa.array(np.add.reduceat(cents, starts), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max("max_ts", alias_name="max_ts"),
+            Sum("n", alias_name="f_events"),
+            Sum("cents", alias_name="m_cents"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = (RFM_ASOF_US - t["max_ts"].to_numpy()) // 86_400_000_000
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "r_days": pa.array(r, type=pa.int64()),
+                "f_events": pa.array(t["f_events"].to_numpy().astype(np.int64), type=pa.int64()),
+                "m_cents": pa.array(t["m_cents"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("user_id")

@@ -1077,3 +1077,18 @@ def test_ann_recall_eval(ray_session):
     assert (df["n_overlap"] == (df["recall"] * 10).round()).all()
     # IVF with nprobe=4/16 should keep most of the exact set
     assert df["recall"].mean() >= 0.5
+
+
+def test_rfm_features(ray_session):
+    from plasmap_ray.pipelines import stats
+
+    sf = "/root/testdata/sf0.001"
+    rfm = stats.rfm_features(sf).to_pandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    assert len(rfm) == ev["user_id"].nunique()
+    assert (rfm["r_days"] >= 1).all()  # as-of is past the fixture window
+    assert rfm["f_events"].sum() == len(ev)
+    u = int(rfm["user_id"].iloc[0])
+    mine = ev[ev["user_id"] == u]
+    assert rfm["f_events"].iloc[0] == len(mine)
+    assert rfm["m_cents"].iloc[0] == int(np.floor(mine["value"].to_numpy() * 100.0 + 0.5).sum())
