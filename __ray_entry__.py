@@ -328,6 +328,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall_eval": lambda sf: ann.ann_recall_eval(sf, k=ANN_K, vec_ids=MULTI_VEC_IDS),
         "table_profile": stats.table_profile,
         "rfm_features": stats.rfm_features,
+        "global_row_numbers": windows.global_row_numbers,
+        "hash_split_counts": dedup.hash_split_counts,
         "ohlc_hourly": windows.ohlc_hourly,
         "audio_pitch_histogram": multimodal.audio_pitch_histogram,
         "price_band_pairs": relational.price_band_pairs,
@@ -1959,6 +1961,15 @@ SELECT user_id, event_id, ts AS valid_from,
        COALESCE(LEAD(ts) OVER w, TIMESTAMP '2100-01-01') AS valid_to,
        CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "global_row_numbers": """
+SELECT event_id, CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS rn
+FROM events ORDER BY rn""",
+        "hash_split_counts": """
+WITH s AS (SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+                       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
+                       ELSE 'train' END AS split, lang FROM documents)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
         "rfm_features": f"""
 SELECT user_id,
        ({stats.RFM_ASOF_US} - epoch_us(max(ts))) // 86400000000 AS r_days,

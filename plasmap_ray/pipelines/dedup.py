@@ -577,3 +577,31 @@ def snapshot_diff(sf_dir: str) -> rd.Dataset:
         .aggregate(Count(alias_name="n_docs"))
         .sort("status")
     )
+
+
+SPLIT_OF_HEX = {**{c: "train" for c in "0123456789ab"}, "c": "val", "d": "val", "e": "test", "f": "test"}
+
+
+def hash_split_counts(sf_dir: str) -> rd.Dataset:
+    """Split-integrity audit: assign every document to train/val/test
+    by the first hex digit of md5(doc_id) (12/2/2 of 16 — the standard
+    content-stable hash split that survives re-shards and appends) and
+    report counts per (split, lang) — the class-balance-per-split check
+    run before training.
+
+    Scale shape: the split is a pure map (no state, no shuffle); ONE
+    (split, lang)-bounded count groupby.  Output: (split, lang, n_docs).
+    """
+    docs = _read_docs(sf_dir, ["doc_id", "lang"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        split = [SPLIT_OF_HEX[hashlib.md5(str(int(i)).encode()).hexdigest()[0]] for i in ids]
+        return pa.table({"split": pa.array(split, type=pa.string()), "lang": t["lang"]})
+
+    return (
+        docs.map_batches(assign, batch_format="pyarrow")
+        .groupby(["split", "lang"])
+        .aggregate(Count(alias_name="n_docs"))
+        .sort(["split", "lang"])
+    )

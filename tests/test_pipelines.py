@@ -1092,3 +1092,21 @@ def test_rfm_features(ray_session):
     mine = ev[ev["user_id"] == u]
     assert rfm["f_events"].iloc[0] == len(mine)
     assert rfm["m_cents"].iloc[0] == int(np.floor(mine["value"].to_numpy() * 100.0 + 0.5).sum())
+
+
+def test_global_row_numbers_and_hash_split(ray_session):
+    from plasmap_ray.pipelines import dedup, windows
+
+    sf = "/root/testdata/sf0.001"
+    rn = windows.global_row_numbers(sf).to_pandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    assert list(rn["rn"]) == list(range(1, len(ev) + 1))  # dense, contiguous, 1-based
+    want = ev.sort_values(["ts", "event_id"])["event_id"].to_numpy()
+    assert (rn["event_id"].to_numpy() == want).all()
+
+    hs = dedup.hash_split_counts(sf).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    assert hs["n_docs"].sum() == len(docs)
+    per_split = hs.groupby("split")["n_docs"].sum()
+    assert set(per_split.index) == {"train", "val", "test"}
+    assert per_split["train"] > per_split["val"] and per_split["train"] > per_split["test"]
