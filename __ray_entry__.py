@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": index.doc_keywords,
         "iqr_outliers": stats.iqr_outliers,
         "ann_recall_eval": lambda sf: ann.ann_recall_eval(sf, k=ANN_K, vec_ids=MULTI_VEC_IDS),
+        "minhash_accuracy_eval": dedup.minhash_accuracy_eval,
         "table_profile": stats.table_profile,
         "rfm_features": stats.rfm_features,
         "global_row_numbers": windows.global_row_numbers,
@@ -1238,6 +1239,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "road_components": f"SELECT * FROM read_parquet('{golden.road_components_path(routing.CHEAP_W_CUT)}')",
         "hmm_map_match": f"SELECT * FROM read_parquet('{golden.hmm_map_match_path(SF001)}')",
         "ann_recall_eval": f"SELECT * FROM read_parquet('{golden.ann_recall_path(SF001, ANN_K, MULTI_VEC_IDS)}')",
+        "minhash_accuracy_eval": f"SELECT * FROM read_parquet('{golden.minhash_accuracy_path(SF001, 0.8)}')",
         "way_assembly": f"SELECT * FROM read_parquet('{golden.way_assembly_path()}')",
         "way_lengths": f"SELECT * FROM read_parquet('{golden.way_lengths_path()}')",
         "zone_way_length": f"SELECT * FROM read_parquet('{golden.zone_way_length_path()}')",

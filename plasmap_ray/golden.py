@@ -1690,3 +1690,70 @@ def ann_recall_path(sf_dir: str, k: int, vec_ids: tuple) -> str:
         )
 
     return _cache(f"ann_recall_{_sf_tag(sf_dir)}_k{k}_q{len(vec_ids)}", build)
+
+
+def minhash_accuracy_path(sf_dir: str, sim_threshold: float) -> str:
+    """Expected MinHash accuracy table: brute-force local recompute —
+    ALL O(N²) candidate pairs via band-key equality (no sharded
+    run-scan, no Ray), then exact Jaccard from the kernel's shingle
+    hash sets."""
+
+    def build() -> pa.Table:
+        from .pipelines.dedup import BANDS, ROWS_PER_BAND, MinHashSignature
+
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]).to_pandas()
+        docs = docs.sort_values("doc_id").reset_index(drop=True)
+        kernel = MinHashSignature()
+        ids = docs["doc_id"].to_numpy().astype(np.int64)
+        shs = [set(kernel.shingle_hashes(t).tolist()) for t in docs["text"]]
+        sigs = np.stack([kernel.signature(t) for t in docs["text"]])  # (N, H) uint64
+        with np.errstate(over="ignore"):
+            mix = np.cumprod(np.full(ROWS_PER_BAND, np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64))
+            keys = np.stack(
+                [
+                    (sigs[:, b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND] * mix[None, :]).sum(
+                        axis=1, dtype=np.uint64
+                    )
+                    for b in range(BANDS)
+                ],
+                axis=1,
+            )  # (N, BANDS)
+        cand: set[tuple[int, int]] = set()
+        for b in range(BANDS):
+            buckets: dict[int, list[int]] = {}
+            for i, kv in enumerate(keys[:, b].tolist()):
+                buckets.setdefault(kv, []).append(i)
+            for members in buckets.values():
+                for x in range(len(members)):
+                    for y in range(x + 1, len(members)):
+                        cand.add((members[x], members[y]))
+        rows = []
+        for i, j in cand:
+            est = float((sigs[i] == sigs[j]).mean())
+            if est < sim_threshold:
+                continue
+            a, b2 = int(ids[i]), int(ids[j])
+            if a > b2:
+                a, b2, i2, j2 = b2, a, j, i
+            else:
+                i2, j2 = i, j
+            inter = len(shs[i2] & shs[j2])
+            union = len(shs[i2] | shs[j2])
+            exact = inter / np.float64(union)
+            est_r = float(np.round(est, 6))
+            exact_r = float(np.copysign(np.floor(np.abs(exact) * 1e6 + 0.5), exact) / 1e6)
+            err = abs(est_r - exact_r)
+            err_r = float(np.copysign(np.floor(np.abs(err) * 1e6 + 0.5), err) / 1e6)
+            rows.append((a, b2, est_r, exact_r, err_r))
+        rows.sort()
+        return pa.table(
+            {
+                "doc_a": pa.array([r[0] for r in rows], type=pa.int64()),
+                "doc_b": pa.array([r[1] for r in rows], type=pa.int64()),
+                "est_jaccard": pa.array([r[2] for r in rows], type=pa.float64()),
+                "exact_jaccard": pa.array([r[3] for r in rows], type=pa.float64()),
+                "abs_err": pa.array([r[4] for r in rows], type=pa.float64()),
+            }
+        )
+
+    return _cache(f"minhash_accuracy_{_sf_tag(sf_dir)}_t{sim_threshold!r}", build)

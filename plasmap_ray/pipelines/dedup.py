@@ -605,3 +605,73 @@ def hash_split_counts(sf_dir: str) -> rd.Dataset:
         .aggregate(Count(alias_name="n_docs"))
         .sort(["split", "lang"])
     )
+
+
+def minhash_accuracy_eval(sf_dir: str, sim_threshold: float = 0.8) -> rd.Dataset:
+    """MinHash quality harness: for every pair the LSH near-dup
+    pipeline reports, compare its signature-agreement ESTIMATE against
+    the EXACT shingle Jaccard — the measured-accuracy gate that turns
+    the sketch's error bound into a checked number (ann_recall_eval's
+    sibling for the text dedup path).
+
+    Scale shape: the reported pair set is bounded (near-dups), so the
+    involved-doc id list broadcasts; one corpus scan extracts shingle-
+    hash sets for ONLY those docs (searchsorted membership, map-side);
+    the exact Jaccards are computed on the pair-bounded result.
+    Output: (doc_a, doc_b, est_jaccard, exact_jaccard, abs_err).
+    """
+    import ray
+
+    from ..stages.common import duckdb_round
+
+    pairs = minhash_near_dup(sf_dir, sim_threshold).to_pandas()  # pair-bounded
+    if len(pairs) == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "est_jaccard": pa.array([], type=pa.float64()),
+                "exact_jaccard": pa.array([], type=pa.float64()),
+                "abs_err": pa.array([], type=pa.float64()),
+            }
+        )
+    involved = np.array(sorted(set(pairs["doc_a"]) | set(pairs["doc_b"])), dtype=np.int64)
+    iref = ray.put(involved)
+
+    def extract(t: pa.Table) -> pa.Table:
+        inv = ray.get(iref)
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        pos = np.minimum(np.searchsorted(inv, ids), len(inv) - 1)
+        keep = inv[pos] == ids
+        kernel = MinHashSignature()
+        out_id, out_h = [], []
+        for did, txt in zip(ids[keep], [s for s, k in zip(t["text"].to_pylist(), keep) if k]):
+            out_id.append(int(did))
+            out_h.append(kernel.shingle_hashes(txt).view(np.int64).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "hashes": pa.array(out_h, type=pa.list_(pa.int64())),
+            }
+        )
+
+    sh = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(extract, batch_format="pyarrow").to_pandas()
+    sets = {int(r.doc_id): set(r.hashes) for r in sh.itertuples()}
+    a = pairs["doc_a"].to_numpy().astype(np.int64)
+    b = pairs["doc_b"].to_numpy().astype(np.int64)
+    est = pairs["est_jaccard"].to_numpy().astype(np.float64)
+    exact = np.array(
+        [len(sets[int(x)] & sets[int(y)]) / np.float64(len(sets[int(x)] | sets[int(y)])) for x, y in zip(a, b)]
+    )
+    exact = duckdb_round(exact, 6)
+    err = duckdb_round(np.abs(est - exact), 6)
+    order = np.lexsort((b, a))
+    return pa.table(
+        {
+            "doc_a": pa.array(a[order], type=pa.int64()),
+            "doc_b": pa.array(b[order], type=pa.int64()),
+            "est_jaccard": pa.array(est[order], type=pa.float64()),
+            "exact_jaccard": pa.array(exact[order], type=pa.float64()),
+            "abs_err": pa.array(err[order], type=pa.float64()),
+        }
+    )

@@ -1110,3 +1110,16 @@ def test_global_row_numbers_and_hash_split(ray_session):
     per_split = hs.groupby("split")["n_docs"].sum()
     assert set(per_split.index) == {"train", "val", "test"}
     assert per_split["train"] > per_split["val"] and per_split["train"] > per_split["test"]
+
+
+def test_minhash_accuracy_eval(ray_session):
+    from plasmap_ray.pipelines import dedup
+
+    out = dedup.minhash_accuracy_eval("/root/testdata/sf0.001")
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert len(df) > 0  # the fixture plants near-dup docs
+    assert ((df["est_jaccard"] >= 0.8)).all()
+    assert ((df["exact_jaccard"] >= 0) & (df["exact_jaccard"] <= 1)).all()
+    # MinHash with 64 hashes: estimates should track exact Jaccard well
+    assert df["abs_err"].max() < 0.25
+    assert df["abs_err"].mean() < 0.1
