@@ -330,6 +330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": stats.table_profile,
         "rfm_features": stats.rfm_features,
         "global_row_numbers": windows.global_row_numbers,
+        "event_trigram_counts": windows.event_trigram_counts,
+        "weighted_sample": windows.weighted_sample,
         "hash_split_counts": dedup.hash_split_counts,
         "ohlc_hourly": windows.ohlc_hourly,
         "audio_pitch_histogram": multimodal.audio_pitch_histogram,
@@ -1963,6 +1965,20 @@ SELECT user_id, event_id, ts AS valid_from,
        COALESCE(LEAD(ts) OVER w, TIMESTAMP '2100-01-01') AS valid_to,
        CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "event_trigram_counts": """
+WITH s AS (SELECT event_type AS t0,
+                  lead(event_type, 1) OVER w AS t1, lead(event_type, 2) OVER w AS t2
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t0, t1, t2, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE t2 IS NOT NULL GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        "weighted_sample": f"""
+WITH u AS (SELECT event_id, value,
+                  ((event_id * {trajectory.SAMPLE_MULT} + {trajectory.SAMPLE_ADD}) % {trajectory.M31})
+                  / {trajectory.M31} AS uu
+           FROM events)
+SELECT event_id, value, round(-ln(uu) / value, 9) AS skey
+FROM u WHERE value > 0 AND uu > 0
+ORDER BY -ln(uu) / value, event_id LIMIT {windows.WSAMPLE_K}""",
         "global_row_numbers": """
 SELECT event_id, CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS rn
 FROM events ORDER BY rn""",

@@ -1062,3 +1062,107 @@ def global_row_numbers(sf_dir: str) -> rd.Dataset:
         .map_groups(number, batch_format="pyarrow")
         .sort("rn")
     )
+
+
+def event_trigram_counts(sf_dir: str, parts: int = 32) -> rd.Dataset:
+    """Behavioral motif census: counts of every CONSECUTIVE event-type
+    trigram per user stream (the full 5³ alphabet of
+    sequence_pattern_counts' single pattern) — the n-gram language
+    model of user behavior that sessionization dashboards rank.
+
+    Scale shape: run-scan emits per-batch (t0, t1, t2) combiner counts;
+    the groupby moves ≤ |alphabet|³ rows per partition.
+    Output: (t0, t1, t2, n) sorted.
+    """
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        return t.append_column("part", pa.array(uid % parts, type=pa.int64()))
+
+    def count_tris(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        n = len(uid)
+        empty = pa.table(
+            {
+                "t0": pa.array([], type=pa.string()),
+                "t1": pa.array([], type=pa.string()),
+                "t2": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+        if n < 3:
+            return empty
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        ok = uid[:-2] == uid[2:]
+        if not ok.any():
+            return empty
+        tri = np.char.add(np.char.add(np.char.add(et[:-2][ok].astype("U16"), "|"), np.char.add(et[1:-1][ok].astype("U16"), "|")), et[2:][ok].astype("U16"))
+        ut, cnt = np.unique(tri, return_counts=True)
+        sp = np.char.split(ut, "|")
+        return pa.table(
+            {
+                "t0": pa.array([x[0] for x in sp], type=pa.string()),
+                "t1": pa.array([x[1] for x in sp], type=pa.string()),
+                "t2": pa.array([x[2] for x in sp], type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_tris, batch_format="pyarrow")
+        .groupby(["t0", "t1", "t2"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["t0", "t1", "t2"])
+    )
+
+
+WSAMPLE_K = 100
+
+
+def weighted_sample(sf_dir: str, k: int = WSAMPLE_K) -> rd.Dataset:
+    """Deterministic weighted sampling (Efraimidis–Spirakis A-Res with
+    hash-derived uniforms): select the k events with the smallest
+    −ln(u)/w keys, where u is the id-keyed LCG uniform and w the event
+    value — importance sampling with inclusion probability ∝ weight,
+    reproducible under ANY partitioning (the key is a pure row
+    function; no RNG state).
+
+    Scale shape: key computation is map-side; selection is a per-batch
+    local top-k prune + one k-bounded final sort-limit (candidate rows
+    reaching the reduce = k × batches).
+    Output: (event_id, value, skey) ordered by skey asc.
+    """
+    from ..pipelines.trajectory import sample_u
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["event_id", "value"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy().astype(np.int64)
+        u = sample_u(ids)
+        w = t["value"].to_numpy(zero_copy_only=False)
+        ok = (w > 0) & (u > 0)
+        skey = -np.log(u[ok]) / w[ok]
+        out = pa.table(
+            {
+                "event_id": pa.array(ids[ok], type=pa.int64()),
+                "value": pa.array(w[ok], type=pa.float64()),
+                "skey": pa.array(skey, type=pa.float64()),
+            }
+        )
+        if out.num_rows > k:  # local prune: global top-k ⊆ union of local top-k
+            order = np.lexsort((ids[ok], skey))[:k]
+            out = out.take(pa.array(order))
+        return out
+
+    picked = ds.map_batches(keys, batch_format="pyarrow").sort(["skey", "event_id"]).limit(k)
+
+    def round_key(t: pa.Table) -> pa.Table:
+        sk = duckdb_round(t["skey"].to_numpy(), 9)
+        return t.drop_columns(["skey"]).append_column("skey", pa.array(sk, type=pa.float64()))
+
+    return picked.map_batches(round_key, batch_format="pyarrow")

@@ -1123,3 +1123,19 @@ def test_minhash_accuracy_eval(ray_session):
     # MinHash with 64 hashes: estimates should track exact Jaccard well
     assert df["abs_err"].max() < 0.25
     assert df["abs_err"].mean() < 0.1
+
+
+def test_trigrams_and_weighted_sample(ray_session):
+    from plasmap_ray.pipelines import windows
+
+    sf = "/root/testdata/sf0.001"
+    tri = windows.event_trigram_counts(sf).to_pandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    per_user = ev.groupby("user_id").size()
+    assert tri["n"].sum() == (per_user[per_user >= 3] - 2).sum()
+
+    ws = windows.weighted_sample(sf, k=50).to_pandas()
+    assert len(ws) == 50
+    assert ws["skey"].is_monotonic_increasing
+    # inclusion ∝ weight: the selected set should be value-biased high
+    assert ws["value"].mean() > ev["value"].mean()
