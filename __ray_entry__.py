@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_anti_join": spatial.pip_anti_join_pipeline,
         "tile_raster": lambda sf: raster.tile_raster_pipeline(sf, z=10),
         "raster_to_vector": lambda sf: raster.raster_to_vector(sf, z=10),
+        "raster_focal_mean": lambda sf: raster.raster_focal_mean(sf, z=10),
         "boundary_simplify": raster.boundary_simplify_query,
         "zonal_stats": lambda sf: raster.zonal_stats(sf, z=10),
         "cell_coverage_weights": raster.cell_coverage_weights,
@@ -467,6 +468,14 @@ WHERE (t.n_images <= {spatial.QUAD_THRESHOLD} OR t.z = 10)
       AND a.n_images <= {spatial.QUAD_THRESHOLD})""",
         "tile_raster": f"SELECT * FROM read_parquet('{golden.tile_raster_path(SF001, z=10)}')",
         "raster_to_vector": f"SELECT * FROM read_parquet('{golden.raster_vector_path(SF001, z=10)}')",
+        "raster_focal_mean": f"""
+WITH v AS (SELECT (x * 16 + px) AS gx0, (y * 16 + py) AS gy0, n_points
+           FROM read_parquet('{golden.raster_vector_path(SF001, z=10)}')),
+d(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+n AS (SELECT gx0 + dx AS gx, gy0 + dy AS gy, n_points FROM v CROSS JOIN d)
+SELECT gx, gy, CAST(sum(n_points) AS BIGINT) AS neigh_sum,
+       CAST(sum(n_points) AS DOUBLE) / 9.0 AS focal_mean
+FROM n GROUP BY 1, 2 ORDER BY 1, 2""",
         "boundary_simplify": (
             "SELECT * FROM read_parquet('"
             + golden.boundary_simplify_path(raster.SIMPLIFY_TOL, raster.DENSIFY_PER_EDGE)

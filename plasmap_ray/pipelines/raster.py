@@ -573,3 +573,59 @@ def areal_interpolation(sf_dir: str, eps: float = COVERAGE_EPS) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def raster_focal_mean(sf_dir: str, z: int = 10, tile_px: int = 16) -> rd.Dataset:
+    """Map-algebra focal statistic: the 3×3 neighborhood mean of the
+    rendered density raster (zero-padded — every cell in the dilated
+    support gets sum(neighbors)/9) — the smoothing/convolution pass GIS
+    raster calculators and heat-map renderers apply before contouring.
+
+    Scale shape: each nonzero pixel EXPLODES to its 9 neighbor
+    positions carrying its count (map-side, 9× the nonzero support —
+    sparse, never the full lattice); ONE (gx, gy)-keyed integer-sum
+    groupby; the /9 division is the single mirrored float op.  Tile and
+    pixel coords collapse into global lattice coords first, so tile
+    borders smooth correctly.
+    Output: (gx, gy, neigh_sum, focal_mean).
+    """
+    from ray.data.aggregate import Sum
+
+    v = raster_to_vector(sf_dir, z=z, tile_px=tile_px)
+
+    def explode_neighbors(t: pa.Table) -> pa.Table:
+        gx = t["x"].to_numpy().astype(np.int64) * tile_px + t["px"].to_numpy().astype(np.int64)
+        gy = t["y"].to_numpy().astype(np.int64) * tile_px + t["py"].to_numpy().astype(np.int64)
+        n = t["n_points"].to_numpy().astype(np.int64)
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                outs.append(
+                    pa.table(
+                        {
+                            "gx": pa.array(gx + dx, type=pa.int64()),
+                            "gy": pa.array(gy + dy, type=pa.int64()),
+                            "n": pa.array(n, type=pa.int64()),
+                        }
+                    )
+                )
+        return pa.concat_tables(outs)
+
+    agg = (
+        v.map_batches(explode_neighbors, batch_format="pyarrow")
+        .groupby(["gx", "gy"])
+        .aggregate(Sum("n", alias_name="neigh_sum"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["neigh_sum"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "gx": t["gx"],
+                "gy": t["gy"],
+                "neigh_sum": pa.array(s, type=pa.int64()),
+                "focal_mean": pa.array(s.astype(np.float64) / 9.0, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(["gx", "gy"])

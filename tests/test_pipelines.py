@@ -1139,3 +1139,20 @@ def test_trigrams_and_weighted_sample(ray_session):
     assert ws["skey"].is_monotonic_increasing
     # inclusion ∝ weight: the selected set should be value-biased high
     assert ws["value"].mean() > ev["value"].mean()
+
+
+def test_raster_focal_mean(ray_session):
+    from plasmap_ray.pipelines import raster
+
+    sf = "/root/testdata/sf0.001"
+    fm = raster.raster_focal_mean(sf).to_pandas()
+    v = raster.raster_to_vector(sf).to_pandas()
+    v["gx"] = v["x"] * 16 + v["px"]
+    v["gy"] = v["y"] * 16 + v["py"]
+    # mass conservation: Σ neigh_sum = 9 × Σ n_points (every count lands in 9 cells)
+    assert fm["neigh_sum"].sum() == 9 * v["n_points"].sum()
+    # spot-check one interior pixel against a brute 3x3 window
+    px = v.iloc[len(v) // 2]
+    win = v[(v["gx"].between(px["gx"] - 1, px["gx"] + 1)) & (v["gy"].between(px["gy"] - 1, px["gy"] + 1))]
+    got = fm[(fm["gx"] == px["gx"]) & (fm["gy"] == px["gy"])]["neigh_sum"].iloc[0]
+    assert got == win["n_points"].sum()
