@@ -284,6 +284,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "home_cells": trajectory.home_cells,
         "getis_ord_hotspots": hotspot.getis_ord_hotspots,
         "local_moran": hotspot.local_moran,
+        "global_moran": hotspot.global_moran,
+        "cell_adjacency_triangles": hotspot.cell_adjacency_triangles,
+        "turn_histogram": trajectory.turn_histogram,
         "kde_density": hotspot.kde_density,
         "cross_k": hotspot.cross_k,
         "nearest_neighbor": hotspot.nearest_neighbor,
@@ -1846,6 +1849,100 @@ SELECT cx, cy, n_own, nbr_sum, w,
             WHEN lag >= 0 THEN 'LH'
             ELSE 'LL' END AS quad
 FROM lagd""",
+        # mirrors hotspot.global_moran: integer partials (occupied cells
+        # only), closed-form lattice constants N / W, ONE float expression
+        # in the engine's exact association
+        "global_moran": f"""
+WITH {_epts},
+gcells AS (
+  SELECT CAST(floor((lon - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy
+  FROM epts),
+counts AS (SELECT cx, cy, count(*) AS n FROM gcells GROUP BY cx, cy),
+offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+scat AS (
+  SELECT cx + dx AS cx, cy + dy AS cy,
+         CASE WHEN dx = 0 AND dy = 0 THEN n ELSE 0 END AS n_own,
+         CASE WHEN dx = 0 AND dy = 0 THEN 0 ELSE n END AS n_nbr
+  FROM counts, offs
+  WHERE cx + dx BETWEEN 0 AND {hotspot.GI_GX - 1} AND cy + dy BETWEEN 0 AND {hotspot.GI_GY - 1}),
+mrg AS (SELECT cx, cy, CAST(sum(n_own) AS BIGINT) AS n_own, CAST(sum(n_nbr) AS BIGINT) AS nbr_sum
+        FROM scat GROUP BY cx, cy),
+part AS (
+  SELECT CAST(sum(CASE WHEN n_own > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_occupied,
+         CAST(sum(n_own) AS BIGINT) AS s1,
+         CAST(sum(n_own * n_own) AS BIGINT) AS s2,
+         CAST(sum(n_own * nbr_sum) AS BIGINT) AS s_cross,
+         CAST(sum(((least(cx + 1, {hotspot.GI_GX - 1}) - greatest(cx - 1, 0) + 1)
+                   * (least(cy + 1, {hotspot.GI_GY - 1}) - greatest(cy - 1, 0) + 1) - 1) * n_own) AS BIGINT) AS s_wrow
+  FROM mrg),
+m AS (SELECT *, CAST(s1 AS DOUBLE) / {float(hotspot.GI_NCELLS)!r} AS mean FROM part)
+SELECT n_occupied, s1, s2, s_cross, s_wrow,
+       round(({float(hotspot.GI_NCELLS)!r} / {float(hotspot.MORAN_W)!r})
+             * (CAST(s_cross AS DOUBLE) - 2.0 * mean * CAST(s_wrow AS DOUBLE)
+                + mean * mean * {float(hotspot.MORAN_W)!r})
+             / (CAST(s2 AS DOUBLE) - {float(hotspot.GI_NCELLS)!r} * mean * mean), 6) AS moran_i
+FROM m""",
+        # mirrors hotspot.cell_adjacency_triangles: 3-cliques of the
+        # occupied-lattice queen-adjacency graph via the canonical
+        # (a<b<c) three-edge join; wedges from degrees
+        "cell_adjacency_triangles": f"""
+WITH {_epts},
+gcells AS (
+  SELECT CAST(floor((lon - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy
+  FROM epts),
+occ AS (SELECT cx, cy, cx * {hotspot.GI_GY} + cy AS k FROM gcells GROUP BY cx, cy),
+offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+edges AS (
+  SELECT a.k AS ka, b.k AS kb
+  FROM occ a JOIN offs o ON true
+  JOIN occ b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  WHERE b.k > a.k),
+deg AS (
+  SELECT k, count(*) AS d
+  FROM (SELECT ka AS k FROM edges UNION ALL SELECT kb AS k FROM edges)
+  GROUP BY k),
+sc AS (
+  SELECT (SELECT count(*) FROM occ) AS n_vertices,
+         (SELECT count(*) FROM edges) AS n_edges,
+         (SELECT coalesce(CAST(sum(d * (d - 1) // 2) AS BIGINT), 0) FROM deg) AS n_wedges,
+         (SELECT count(*) FROM edges e1
+            JOIN edges e2 ON e2.ka = e1.ka AND e2.kb > e1.kb
+            JOIN edges e3 ON e3.ka = e1.kb AND e3.kb = e2.kb) AS n_triangles)
+SELECT n_vertices, n_edges, n_wedges, n_triangles,
+       round(CASE WHEN n_wedges > 0 THEN 3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE) ELSE 0.0 END, 6) AS transitivity
+FROM sc""",
+        # mirrors trajectory.turn_histogram: kept-segment octant stream
+        # per user (zero-move steps dropped), LAG over the stream, turn
+        # = octant difference mod 8
+        "turn_histogram": f"""
+WITH {_epts},
+seq AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, lon, lat,
+         lag(lon) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS plon,
+         lag(lat) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS plat
+  FROM epts),
+seg AS (
+  SELECT user_id, tus, event_id,
+         CASE
+           WHEN lon - plon >= 0 AND lat - plat >= 0 AND abs(lon - plon) >= abs(lat - plat) THEN 0
+           WHEN lon - plon >= 0 AND lat - plat >= 0 THEN 1
+           WHEN lon - plon < 0 AND lat - plat >= 0 AND abs(lat - plat) > abs(lon - plon) THEN 2
+           WHEN lon - plon < 0 AND lat - plat >= 0 THEN 3
+           WHEN lon - plon < 0 AND lat - plat < 0 AND abs(lon - plon) >= abs(lat - plat) THEN 4
+           WHEN lon - plon < 0 AND lat - plat < 0 THEN 5
+           WHEN lon - plon >= 0 AND lat - plat < 0 AND abs(lat - plat) > abs(lon - plon) THEN 6
+           ELSE 7
+         END AS oct
+  FROM seq
+  WHERE plon IS NOT NULL AND NOT (lon = plon AND lat = plat)),
+tr AS (
+  SELECT user_id, oct,
+         lag(oct) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS poct
+  FROM seg)
+SELECT user_id, (oct - poct + 8) % 8 AS turn, count(*) AS n_turns
+FROM tr WHERE poct IS NOT NULL GROUP BY 1, 2""",
         # min(floor(x)) == floor(min(x)) for monotone floor, so the
         # per-batch quantize-then-min order matches this global form
         "distance_raster": f"""

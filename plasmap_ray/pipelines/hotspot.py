@@ -1711,3 +1711,236 @@ def _daily_partial_factory(eps: float):
         )
 
     return partial
+
+
+# ---------------------------------------------------------------------------
+# global_moran (global spatial autocorrelation scalar)
+# ---------------------------------------------------------------------------
+
+# lattice constant: W = sum_i w_i where w_i = in-bounds 8-neighbors of
+# cell i.  sum over the grid of (3x3 window size) = (3*GX-2)*(3*GY-2),
+# minus one self per cell.
+MORAN_W = (3 * GI_GX - 2) * (3 * GI_GY - 2) - GI_NCELLS
+
+
+def global_moran(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
+    """Global Moran's I over the event lattice — the single-scalar
+    spatial-autocorrelation test (Moran 1950) that complements the
+    per-cell LISA decomposition of :func:`local_moran` (reference
+    analogue: the A3/A5 cell-counter layer feeding a corpus-level
+    clustering diagnostic).  Binary queen (8-neighbor) weights, empty
+    lattice cells included in the field:
+
+        I = (N / W) * SUM_ij w_ij z_i z_j / SUM_i z_i^2,   z_i = x_i - mean
+
+    Everything that touches data is INTEGER: with S1=SUM x, S2=SUM x^2,
+    Sc=SUM_ij w_ij x_i x_j, Sw=SUM_i w_i x_i (all int64, occupied cells
+    only) and the closed-form lattice constants N, W,
+
+        num = Sc - 2*mean*Sw + mean^2*W        (w symmetric)
+        den = S2 - N*mean^2
+
+    so the only floats are one mirrored final expression.  Exchange
+    volume is bounded by the LATTICE (<= 300 cells), never input rows:
+    the per-cell counts reuse the map-side combiner, the cross term is
+    ONE 9-key scatter + groupby (the local_moran shape), and the four
+    partial sums fold through a single-row aggregate.
+
+    Output: one row (n_occupied, s1, s2, s_cross, s_wrow, moran_i).
+    """
+    counts = _cell_counts(sf_dir, eps).materialize()  # <= GI_NCELLS rows
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cx = t["cx"].to_numpy()
+        cy = t["cy"].to_numpy()
+        n = t["n"].to_numpy()
+        zero = np.zeros_like(n)
+        outs = []
+        for dx, dy in _OFFSETS:
+            nx, ny = cx + dx, cy + dy
+            m = (nx >= 0) & (nx < GI_GX) & (ny >= 0) & (ny < GI_GY)
+            own = dx == 0 and dy == 0
+            outs.append(
+                pa.table(
+                    {
+                        "cx": pa.array(nx[m], type=pa.int64()),
+                        "cy": pa.array(ny[m], type=pa.int64()),
+                        "n_own": pa.array((n if own else zero)[m], type=pa.int64()),
+                        "n_nbr": pa.array((zero if own else n)[m], type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    merged = (
+        counts.map_batches(scatter, batch_format="pyarrow")
+        .groupby(["cx", "cy"])
+        .aggregate(Sum("n_own", alias_name="n_own"), Sum("n_nbr", alias_name="nbr_sum"))
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        cx = t["cx"].to_numpy()
+        cy = t["cy"].to_numpy()
+        own = t["n_own"].to_numpy().astype(np.int64)
+        nbr = t["nbr_sum"].to_numpy().astype(np.int64)
+        wx = np.minimum(cx + 1, GI_GX - 1) - np.maximum(cx - 1, 0) + 1
+        wy = np.minimum(cy + 1, GI_GY - 1) - np.maximum(cy - 1, 0) + 1
+        w = (wx * wy - 1).astype(np.int64)
+        one = np.ones(len(cx), dtype=np.int64)
+        return pa.table(
+            {
+                "occ": pa.array(np.where(own > 0, one, 0 * one), type=pa.int64()),
+                "s1": pa.array(own, type=pa.int64()),
+                "s2": pa.array(own * own, type=pa.int64()),
+                "sc": pa.array(own * nbr, type=pa.int64()),
+                "sw": pa.array(w * own, type=pa.int64()),
+            }
+        )
+
+    agg = merged.map_batches(partials, batch_format="pyarrow").aggregate(
+        Sum("occ", alias_name="n_occupied"),
+        Sum("s1", alias_name="s1"),
+        Sum("s2", alias_name="s2"),
+        Sum("sc", alias_name="s_cross"),
+        Sum("sw", alias_name="s_wrow"),
+    )
+    s1, s2 = float(agg["s1"]), float(agg["s2"])
+    sc, sw = float(agg["s_cross"]), float(agg["s_wrow"])
+    mean = s1 / float(GI_NCELLS)
+    num = sc - 2.0 * mean * sw + mean * mean * float(MORAN_W)
+    den = s2 - float(GI_NCELLS) * mean * mean
+    from ..stages.common import duckdb_round as _dr
+
+    i_val = float(_dr(np.array([(float(GI_NCELLS) / float(MORAN_W)) * num / den]), 6)[0])
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_occupied": pa.array([int(agg["n_occupied"])], type=pa.int64()),
+                "s1": pa.array([int(agg["s1"])], type=pa.int64()),
+                "s2": pa.array([int(agg["s2"])], type=pa.int64()),
+                "s_cross": pa.array([int(agg["s_cross"])], type=pa.int64()),
+                "s_wrow": pa.array([int(agg["s_wrow"])], type=pa.int64()),
+                "moran_i": pa.array([i_val], type=pa.float64()),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cell_adjacency_triangles (graph analytics on the occupancy lattice)
+# ---------------------------------------------------------------------------
+
+
+def cell_adjacency_triangles(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
+    """Triangle census of the occupancy graph: occupied lattice cells
+    are vertices, 8-neighbor (queen) adjacency between occupied cells
+    is an edge, and triangles are the 3-cliques — the clustering
+    primitive (triangle count / transitivity) over the spatial support
+    of the data, answering "does occupancy clump into locally dense
+    blobs or stretch into filaments?".
+
+    Distributed shape (the wedge-closing pattern, degree-bounded: every
+    vertex has <= 8 neighbors so wedge fan-out is O(1) per vertex):
+    - occupied cells from the map-side count combiner (lattice-bounded);
+    - scatter each cell to its 8 in-bounds neighbor keys, hash-join
+      against occupancy (the same one-exchange groupby that local_moran
+      uses) to learn each cell's occupied-neighbor list;
+    - per-center regroup emits each triangle once anchored at its
+      MINIMUM key (center < n1 < n2, n1-n2 adjacency is pure arithmetic);
+    - one integer fold: n_vertices, n_edges, n_triangles (+ closed-form
+      transitivity = 3*tri / wedges).
+
+    Output: one row (n_vertices, n_edges, n_wedges, n_triangles,
+    transitivity).
+    """
+    counts = _cell_counts(sf_dir, eps).materialize()
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cx = t["cx"].to_numpy()
+        cy = t["cy"].to_numpy()
+        outs = []
+        # own row marks occupancy; neighbor rows carry the originating key
+        outs.append(
+            pa.table(
+                {
+                    "cx": pa.array(cx, type=pa.int64()),
+                    "cy": pa.array(cy, type=pa.int64()),
+                    "src": pa.array(np.full(len(cx), -1, dtype=np.int64), type=pa.int64()),
+                }
+            )
+        )
+        for dx, dy in _OFFSETS:
+            if dx == 0 and dy == 0:
+                continue
+            nx, ny = cx + dx, cy + dy
+            m = (nx >= 0) & (nx < GI_GX) & (ny >= 0) & (ny < GI_GY)
+            outs.append(
+                pa.table(
+                    {
+                        "cx": pa.array(nx[m], type=pa.int64()),
+                        "cy": pa.array(ny[m], type=pa.int64()),
+                        "src": pa.array((cx[m] * GI_GY + cy[m]), type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    def close_wedges(g: pa.Table) -> pa.Table:
+        src = g["src"].to_numpy()
+        if not (src == -1).any():  # cell not occupied: probes with no home
+            return pa.table(
+                {
+                    "v": pa.array([], type=pa.int64()),
+                    "e": pa.array([], type=pa.int64()),
+                    "wedges": pa.array([], type=pa.int64()),
+                    "tri": pa.array([], type=pa.int64()),
+                }
+            )
+        center = int(g["cx"][0].as_py()) * GI_GY + int(g["cy"][0].as_py())
+        nbrs = np.sort(src[src >= 0])
+        deg = len(nbrs)
+        # anchored triangles: center < n1 < n2 and n1 adjacent n2
+        tri = 0
+        above = nbrs[nbrs > center]
+        for i in range(len(above)):
+            for j in range(i + 1, len(above)):
+                ax, ay = divmod(int(above[i]), GI_GY)
+                bx, by = divmod(int(above[j]), GI_GY)
+                if abs(ax - bx) <= 1 and abs(ay - by) <= 1:
+                    tri += 1
+        return pa.table(
+            {
+                "v": pa.array([1], type=pa.int64()),
+                "e": pa.array([int((nbrs > center).sum())], type=pa.int64()),
+                "wedges": pa.array([deg * (deg - 1) // 2], type=pa.int64()),
+                "tri": pa.array([tri], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        counts.map_batches(scatter, batch_format="pyarrow")
+        .groupby(["cx", "cy"])
+        .map_groups(close_wedges, batch_format="pyarrow")
+        .aggregate(
+            Sum("v", alias_name="n_vertices"),
+            Sum("e", alias_name="n_edges"),
+            Sum("wedges", alias_name="n_wedges"),
+            Sum("tri", alias_name="n_triangles"),
+        )
+    )
+    wedges = float(agg["n_wedges"])
+    tri = float(agg["n_triangles"])
+    from ..stages.common import duckdb_round as _dr
+
+    trans = float(_dr(np.array([3.0 * tri / wedges if wedges > 0 else 0.0]), 6)[0])
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_vertices": pa.array([int(agg["n_vertices"])], type=pa.int64()),
+                "n_edges": pa.array([int(agg["n_edges"])], type=pa.int64()),
+                "n_wedges": pa.array([int(agg["n_wedges"])], type=pa.int64()),
+                "n_triangles": pa.array([int(agg["n_triangles"])], type=pa.int64()),
+                "transitivity": pa.array([trans], type=pa.float64()),
+            }
+        )
+    )

@@ -1477,3 +1477,76 @@ def home_cells(sf_dir: str, pitch: float = COTRAVEL_PITCH) -> rd.Dataset:
         )
 
     return counts.groupby("user_id").map_groups(argmax, batch_format="pandas")
+
+
+def turn_histogram(sf_dir: str, parts: int = TRAJ_PARTS) -> rd.Dataset:
+    """Per-user TURN histogram: consecutive movement segments (zero-
+    displacement steps dropped, the heading_histogram stream) become
+    turn transitions — the octant difference (mod 8) between a segment
+    and the previous kept segment of the same user.  Turn 0 = straight
+    on, 4 = reversal; the turning-behavior feature (route complexity,
+    bot-like ping-ponging) mobility models consume beside headings.
+
+    Scale shape: identical to heading_histogram — ONE coarse-partition
+    exchange (user_id % parts), per-slice vectorized diff of the kept-
+    segment octant stream, per-group (user, turn) counts are already
+    global because a user lives wholly in one slice.
+
+    Output: (user_id, turn, n_turns), turn in 0..7.
+    """
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _derive_positions(t)
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, type=pa.int64()),
+                "event_id": t["event_id"],
+                "tus": pa.array(t["ts"].cast(pa.int64()).to_numpy(), type=pa.int64()),
+                "lon": t["lon"],
+                "lat": t["lat"],
+                "part": pa.array(uid % parts, type=pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "turn": pa.array([], type=pa.int64()),
+            "n_turns": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def turns(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("tus", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        if len(uid) < 3:
+            return empty
+        lon, lat = g["lon"].to_numpy(), g["lat"].to_numpy()
+        dx, dy = np.diff(lon), np.diff(lat)
+        keep = (np.diff(uid) == 0) & ~((dx == 0) & (dy == 0))
+        if keep.sum() < 2:
+            return empty
+        su = uid[1:][keep]
+        oc = _octants(dx[keep], dy[keep])
+        same = su[1:] == su[:-1]
+        if not same.any():
+            return empty
+        turn = (oc[1:] - oc[:-1]) % 8
+        u, tn = su[1:][same], turn[same]
+        key = u * 8 + tn
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq // 8, type=pa.int64()),
+                "turn": pa.array(uniq % 8, type=pa.int64()),
+                "n_turns": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(turns, batch_format="pyarrow")
+    )

@@ -439,3 +439,82 @@ def test_cell_trend_detects_planted_growth(ray_session):
     days, counts = np.unique(day[m], return_counts=True)
     slope = np.polyfit(days.astype(float), counts.astype(float), 1)[0]
     assert abs(slope - r["slope_num"] / r["slope_den"]) < 1e-9
+
+
+def test_global_moran_matches_dense_recompute(ray_session, event_ids):
+    lon, lat = fixtures.derive_lon(event_ids), fixtures.derive_lat(event_ids)
+    cx = np.floor((lon - fixtures.LON_MIN) / hotspot.GI_EPS).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / hotspot.GI_EPS).astype(np.int64)
+    dense = np.zeros((hotspot.GI_GX, hotspot.GI_GY), dtype=np.float64)
+    np.add.at(dense, (cx, cy), 1.0)
+    n = float(hotspot.GI_NCELLS)
+    mean = dense.sum() / n
+    z = dense - mean
+    # dense double-sum over the queen window (self excluded)
+    padded = np.zeros((hotspot.GI_GX + 2, hotspot.GI_GY + 2))
+    padded[1:-1, 1:-1] = z
+    lag = (
+        sum(
+            padded[1 + dx : hotspot.GI_GX + 1 + dx, 1 + dy : hotspot.GI_GY + 1 + dy]
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        - z
+    )
+    num = (z * lag).sum()
+    den = (z * z).sum()
+    expected = (n / hotspot.MORAN_W) * num / den
+
+    out = hotspot.global_moran(SF).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert abs(row["moran_i"] - expected) < 1e-6
+    # integer partials check against the dense field
+    assert row["s1"] == int(dense.sum())
+    assert row["s2"] == int((dense * dense).sum())
+    assert row["n_occupied"] == int((dense > 0).sum())
+    # the near-uniform fixture field clusters mildly positive
+    assert -1.0 < row["moran_i"] < 1.0
+
+
+def test_cell_adjacency_triangles_matches_bruteforce(ray_session, event_ids):
+    lon, lat = fixtures.derive_lon(event_ids), fixtures.derive_lat(event_ids)
+    cx = np.floor((lon - fixtures.LON_MIN) / hotspot.GI_EPS).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / hotspot.GI_EPS).astype(np.int64)
+    occ = sorted({(int(a), int(b)) for a, b in zip(cx, cy)})
+    keys = {c: c[0] * hotspot.GI_GY + c[1] for c in occ}
+    occ_set = set(occ)
+
+    def nbrs(c):
+        x, y = c
+        out = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                q = (x + dx, y + dy)
+                if q in occ_set:
+                    out.append(q)
+        return out
+
+    n_edges = sum(1 for c in occ for q in nbrs(c) if keys[q] > keys[c])
+    degs = {c: len(nbrs(c)) for c in occ}
+    n_wedges = sum(d * (d - 1) // 2 for d in degs.values())
+    n_tri = 0
+    for c in occ:
+        above = [q for q in nbrs(c) if keys[q] > keys[c]]
+        for i in range(len(above)):
+            for j in range(i + 1, len(above)):
+                a, b = above[i], above[j]
+                if abs(a[0] - b[0]) <= 1 and abs(a[1] - b[1]) <= 1:
+                    n_tri += 1
+
+    out = hotspot.cell_adjacency_triangles(SF).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["n_vertices"] == len(occ)
+    assert row["n_edges"] == n_edges
+    assert row["n_wedges"] == n_wedges
+    assert row["n_triangles"] == n_tri
+    assert n_tri > 0  # the fixture occupancy genuinely clumps
+    assert abs(row["transitivity"] - 3.0 * n_tri / n_wedges) < 1e-6

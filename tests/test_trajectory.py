@@ -477,3 +477,31 @@ def test_home_cells_share_and_coverage(ray_session, events):
     assert len(out) == len(np.unique(events["user_id"].to_numpy()))
     assert (out["share"] > 0).all() and (out["share"] <= 1).all()
     assert (out["n_pings"] <= out["n_total"]).all()
+
+
+def test_turn_histogram_matches_bruteforce(ray_session, events):
+    t = events.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+    uid = t["user_id"].to_numpy()
+    ids = t["event_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    dx, dy = np.diff(lon), np.diff(lat)
+    keep = (np.diff(uid) == 0) & ~((dx == 0) & (dy == 0))
+    su = uid[1:][keep]
+    oc = trajectory._octants(dx[keep], dy[keep])
+    expected = {}
+    for i in range(1, len(su)):
+        if su[i] == su[i - 1]:
+            k = (int(su[i]), int((oc[i] - oc[i - 1]) % 8))
+            expected[k] = expected.get(k, 0) + 1
+
+    out = trajectory.turn_histogram(SF).to_pandas()
+    got = {(int(a), int(b)): int(n) for a, b, n in zip(out["user_id"], out["turn"], out["n_turns"])}
+    assert got == expected
+    assert set(out["turn"]) <= set(range(8))
+    # per-user turn totals = kept segments - 1
+    seg_per_user = {}
+    for u in su.tolist():
+        seg_per_user[u] = seg_per_user.get(u, 0) + 1
+    totals = out.groupby("user_id")["n_turns"].sum()
+    for u, s in seg_per_user.items():
+        assert totals.get(u, 0) == s - 1
