@@ -344,6 +344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_hour_correlation": stats.value_hour_correlation,
         "label_class_weights": stats.label_class_weights,
         "image_augment": images.image_augment,
+        "image_blur_scores": images.image_blur_scores,
+        "image_dedup_survivor": images.image_dedup_survivor,
         "decontaminate": dedup.decontaminate,
         # --- map-matching / geofencing ---
         "snap_to_ways": snap.snap_to_ways,
@@ -1239,6 +1241,18 @@ FROM counts c JOIN ring ON ring.cell = c.hex_cell""",
         "zone_color_signature": f"SELECT * FROM read_parquet('{golden.zone_color_signature_path(SF001)}')",
         "image_format_migration": f"SELECT * FROM read_parquet('{golden.image_format_migration_path(SF001)}')",
         "image_augment": f"SELECT * FROM read_parquet('{golden.image_augment_path(images.images_path_for(SF001))}')",
+        "image_blur_scores": f"SELECT * FROM read_parquet('{golden.image_blur_scores_path(images.images_path_for(SF001))}')",
+        # survivorship: highest-resolution copy per phash cluster, ties
+        # to the smallest image_id (mirrors images.image_dedup_survivor)
+        "image_dedup_survivor": f"""
+WITH i AS (SELECT image_id, w, h, phash, CAST(w AS BIGINT) * CAST(h AS BIGINT) AS pixels FROM {img_pq}),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY phash ORDER BY pixels DESC, image_id) AS rk,
+         count(*) OVER (PARTITION BY phash) AS n_copies
+  FROM i)
+SELECT phash, CAST(n_copies AS BIGINT) AS n_copies, image_id AS survivor_id,
+       w AS survivor_w, h AS survivor_h
+FROM r WHERE rk = 1""",
         "corpus_summary": f"""
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
        (SELECT CAST(sum(octet_length(bytes)) AS BIGINT) FROM {img_pq}) AS image_bytes,

@@ -1757,3 +1757,49 @@ def minhash_accuracy_path(sf_dir: str, sim_threshold: float) -> str:
         )
 
     return _cache(f"minhash_accuracy_{_sf_tag(sf_dir)}_t{sim_threshold!r}", build)
+
+
+def image_blur_scores_path(images_parquet: str) -> str:
+    """Expected blur/sharpness signals: an INDEPENDENT driver recompute
+    with deliberately different numpy expressions from the engine
+    kernel — Laplacian as (c−up)+(c−down)+(c−left)+(c−right) here vs
+    4c−up−down−left−right there, gradients summed per-axis here vs one
+    fused |gx|+|gy| there — so a sign/axis/off-by-one bug in either
+    side breaks the match.  All-integer, hence bit-exact."""
+
+    def build() -> pa.Table:
+        from . import codecs
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(images_parquet, columns=["image_id", "bytes", "w", "h", "fmt"])
+        rows = {"image_id": [], "fmt": [], "ok": [], "n_interior": [], "lap_sq_sum": [], "grad_abs_sum": []}
+        for i in range(t.num_rows):
+            px = codecs.decode_image(
+                t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(), t["fmt"][i].as_py()
+            )
+            g = px.astype(np.int64).sum(axis=2)
+            c = g[1:-1, 1:-1]
+            lap = (c - g[:-2, 1:-1]) + (c - g[2:, 1:-1]) + (c - g[1:-1, :-2]) + (c - g[1:-1, 2:])
+            gx_mass = int(np.abs(g[1:-1, 2:] - g[1:-1, :-2]).sum())
+            gy_mass = int(np.abs(g[2:, 1:-1] - g[:-2, 1:-1]).sum())
+            rows["image_id"].append(t["image_id"][i].as_py())
+            rows["fmt"].append(t["fmt"][i].as_py())
+            rows["ok"].append(True)
+            rows["n_interior"].append(c.shape[0] * c.shape[1])
+            rows["lap_sq_sum"].append(int((lap * lap).sum()))
+            rows["grad_abs_sum"].append(gx_mass + gy_mass)
+        lapf = np.asarray(rows["lap_sq_sum"], dtype=np.float64)
+        den = np.maximum(np.asarray(rows["n_interior"], dtype=np.float64), 1.0)
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], type=pa.string()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "ok": pa.array(rows["ok"]),
+                "n_interior": pa.array(rows["n_interior"], type=pa.int64()),
+                "lap_sq_sum": pa.array(rows["lap_sq_sum"], type=pa.int64()),
+                "grad_abs_sum": pa.array(rows["grad_abs_sum"], type=pa.int64()),
+                "sharpness": pa.array(duckdb_round(lapf / den, 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"image_blur_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)

@@ -1199,3 +1199,105 @@ def compression_stats(sf_dir: str) -> rd.Dataset:
         return t.append_column("ratio", pa.array(ratio, type=pa.float64()))
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("fmt")
+
+
+def image_blur_scores(sf_dir: str) -> rd.Dataset:
+    """Blur/sharpness quality gate: per-image integer Laplacian energy
+    and gradient mass (stages.media.BlurSharpness) plus ONE mirrored
+    float ``sharpness = round(lap_sq_sum / n_interior, 6)`` — the
+    Laplacian-variance blur screen an image corpus runs before
+    training (blurry/flat images filtered by thresholding sharpness).
+
+    Scale shape: map-ONLY — decode fused with the two integer kernels
+    in the actor pool, payloads consumed in-stage, 3 int64s + metadata
+    per image leave the task; no exchange at all.  Oracle: a golden
+    driver recompute with deliberately different numpy expressions.
+
+    Output: (image_id, fmt, ok, n_interior, lap_sq_sum, grad_abs_sum,
+    sharpness).
+    """
+    from ..stages import media
+    from ..stages.common import duckdb_round
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    scored = ds.map_batches(
+        media.BlurSharpness, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        lap = t["lap_sq_sum"].to_numpy().astype(np.float64)
+        den = np.maximum(t["n_interior"].to_numpy().astype(np.float64), 1.0)
+        sharp = duckdb_round(lap / den, 6)
+        return t.append_column("sharpness", pa.array(sharp, type=pa.float64()))
+
+    return scored.map_batches(finish, batch_format="pyarrow").select_columns(
+        ["image_id", "fmt", "ok", "n_interior", "lap_sq_sum", "grad_abs_sum", "sharpness"]
+    )
+
+
+def image_dedup_survivor(sf_dir: str, parts: int = 32) -> rd.Dataset:
+    """Dedup SURVIVORSHIP over exact-phash clusters: for every phash,
+    keep the canonical copy — the highest-resolution image, ties broken
+    by smallest image_id — and report the cluster size.  This is the
+    policy step after phash_dedup: a dedup pass doesn't just count
+    copies, it must CHOOSE which bytes survive into the training set.
+
+    Scale shape: metadata-only read (bytes never leave storage);
+    per-batch combiner keeps ≤1 candidate row per phash per batch
+    (pixel-count argmax) so the single phash-keyed exchange carries
+    candidates + partial counts, never all rows; the per-slice regroup
+    is the coarse-partition run-scan (phash % parts — no one-task-per-
+    cluster dispatch).
+
+    Output: (phash, n_copies, survivor_id, survivor_w, survivor_h).
+    """
+    ds = read_images(sf_dir, columns=["image_id", "w", "h", "phash"])
+
+    def combiner(t: pa.Table) -> pa.Table:
+        ph = t["phash"].to_numpy()
+        w = t["w"].to_numpy().astype(np.int64)
+        h = t["h"].to_numpy().astype(np.int64)
+        iid = np.asarray(t["image_id"].to_pylist())
+        px = w * h
+        # sort: phash asc, pixels desc, image_id asc -> first row per run wins
+        order = np.lexsort((iid, -px, ph))
+        ph, w, h, iid, px = ph[order], w[order], h[order], iid[order], px[order]
+        starts = np.concatenate([[0], np.nonzero(ph[1:] != ph[:-1])[0] + 1])
+        runlen = np.diff(np.append(starts, len(ph)))
+        return pa.table(
+            {
+                "phash": pa.array(ph[starts], type=pa.int64()),
+                "image_id": pa.array(iid[starts], type=pa.string()),
+                "w": pa.array(w[starts].astype(np.int32), type=pa.int32()),
+                "h": pa.array(h[starts].astype(np.int32), type=pa.int32()),
+                "n": pa.array(runlen.astype(np.int64), type=pa.int64()),
+                "part": pa.array(ph[starts] % parts, type=pa.int64()),
+            }
+        )
+
+    def regroup(g: pa.Table) -> pa.Table:
+        ph = g["phash"].to_numpy()
+        w = g["w"].to_numpy().astype(np.int64)
+        h = g["h"].to_numpy().astype(np.int64)
+        iid = np.asarray(g["image_id"].to_pylist())
+        n = g["n"].to_numpy()
+        px = w * h
+        order = np.lexsort((iid, -px, ph))
+        ph, w, h, iid, n = ph[order], w[order], h[order], iid[order], n[order]
+        starts = np.concatenate([[0], np.nonzero(ph[1:] != ph[:-1])[0] + 1])
+        total = np.add.reduceat(n, starts)
+        return pa.table(
+            {
+                "phash": pa.array(ph[starts], type=pa.int64()),
+                "n_copies": pa.array(total.astype(np.int64), type=pa.int64()),
+                "survivor_id": pa.array(iid[starts], type=pa.string()),
+                "survivor_w": pa.array(w[starts].astype(np.int32), type=pa.int32()),
+                "survivor_h": pa.array(h[starts].astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    return (
+        ds.map_batches(combiner, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(regroup, batch_format="pyarrow")
+    )

@@ -210,3 +210,51 @@ class VideoFrameSampleStub:
                 "frame": pa.array(frames, type=pa.binary()),
             }
         )
+
+
+class BlurSharpness:
+    """Actor-pool stage: per-image INTEGER sharpness signals — the
+    blur/quality gate of an image training pipeline (Laplacian-variance
+    blur detection, Pech-Pacheco et al. 2000), kept all-integer so the
+    engine and the golden recompute agree bit-for-bit on any worker.
+
+    Per image, over the interior of the int64 gray field
+    g = r + g + b (no /3 — scaling cancels in a threshold gate):
+    - ``lap_sq_sum``  = Σ L², L = 4·c − up − down − left − right
+    - ``grad_abs_sum``= Σ |g(x+1,y) − g(x−1,y)| + |g(x,y+1) − g(x,y−1)|
+    - ``n_interior``  = (w−2)·(h−2)
+
+    Payload bytes are consumed in-stage (three int64s + metadata leave
+    the task, never pixels).  Decode failures flag ``ok=False`` rows
+    (M9 quarantine semantics) instead of failing the task.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        w = batch["w"].to_numpy()
+        h = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        lap_sq = np.zeros(n, dtype=np.int64)
+        grad_abs = np.zeros(n, dtype=np.int64)
+        n_int = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                px = codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
+                g = px.astype(np.int64).sum(axis=2)
+                c = g[1:-1, 1:-1]
+                lap = 4 * c - g[:-2, 1:-1] - g[2:, 1:-1] - g[1:-1, :-2] - g[1:-1, 2:]
+                gx = g[1:-1, 2:] - g[1:-1, :-2]
+                gy = g[2:, 1:-1] - g[:-2, 1:-1]
+                lap_sq[i] = int((lap * lap).sum())
+                grad_abs[i] = int((np.abs(gx) + np.abs(gy)).sum())
+                n_int[i] = c.shape[0] * c.shape[1]
+                ok[i] = True
+            except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
+                pass
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column("ok", pa.array(ok))
+        out = out.append_column("n_interior", pa.array(n_int, type=pa.int64()))
+        out = out.append_column("lap_sq_sum", pa.array(lap_sq, type=pa.int64()))
+        return out.append_column("grad_abs_sum", pa.array(grad_abs, type=pa.int64()))

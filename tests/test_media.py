@@ -228,3 +228,63 @@ def test_format_migration_lossless_roundtrip(ray_session):
     assert set(out["fmt"]) == {"raw", "pngz", "qnt8"}
     # the synthetic noise payloads barely compress — just pin sane totals
     assert (out["old_bytes"] > 0).all() and (out["new_bytes"] > 0).all()
+
+
+def test_blur_sharpness_matches_scalar_recompute(ray_session):
+    from plasmap_ray import codecs
+
+    t = fixtures.make_images(60, size_choices=(16, 32))
+    ds = rd.from_arrow(t)
+    out = (
+        ds.map_batches(media.BlurSharpness, batch_format="pyarrow", batch_size=16, concurrency=2)
+        .to_pandas()
+        .set_index("image_id")
+    )
+    assert len(out) == 60
+    assert out["ok"].all()
+    # scalar (per-pixel loop) recompute on a sample of rows
+    for i in (0, 7, 31, 59):
+        row = t.slice(i, 1)
+        px = codecs.decode_image(
+            row["bytes"][0].as_py(), row["w"][0].as_py(), row["h"][0].as_py(), row["fmt"][0].as_py()
+        )
+        g = px.astype(np.int64).sum(axis=2)
+        hh, ww = g.shape
+        lap_sq = grad = 0
+        for y in range(1, hh - 1):
+            for x in range(1, ww - 1):
+                l = 4 * g[y, x] - g[y - 1, x] - g[y + 1, x] - g[y, x - 1] - g[y, x + 1]
+                lap_sq += int(l * l)
+                grad += abs(int(g[y, x + 1]) - int(g[y, x - 1])) + abs(int(g[y + 1, x]) - int(g[y - 1, x]))
+        r = out.loc[row["image_id"][0].as_py()]
+        assert r["lap_sq_sum"] == lap_sq
+        assert r["grad_abs_sum"] == grad
+        assert r["n_interior"] == (hh - 2) * (ww - 2)
+
+
+def test_blur_sharpness_bad_payload_flagged(ray_session):
+    t = fixtures.make_images(10, size_choices=(16,))
+    bad = t.set_column(t.schema.get_field_index("bytes"), "bytes", pa.array([b"corrupt"] * 10, type=pa.binary()))
+    out = rd.from_arrow(bad).map_batches(media.BlurSharpness, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert (~out["ok"]).all()
+    assert (out["lap_sq_sum"] == 0).all()
+
+
+def test_image_dedup_survivor_picks_max_resolution(ray_session):
+    from plasmap_ray.pipelines import images as ip
+
+    out = ip.image_dedup_survivor("/root/testdata/sf0.001").to_pandas()
+    t = fixtures.make_images(ip.images_count_for("/root/testdata/sf0.001"))
+    df = t.select(["image_id", "w", "h", "phash"]).to_pandas()
+    df["pixels"] = df["w"].astype(np.int64) * df["h"].astype(np.int64)
+    expected = {}
+    for ph, g in df.groupby("phash"):
+        g = g.sort_values(["pixels", "image_id"], ascending=[False, True])
+        expected[int(ph)] = (len(g), g.iloc[0]["image_id"], int(g.iloc[0]["w"]), int(g.iloc[0]["h"]))
+    got = {
+        int(r["phash"]): (int(r["n_copies"]), r["survivor_id"], int(r["survivor_w"]), int(r["survivor_h"]))
+        for _, r in out.iterrows()
+    }
+    assert got == expected
+    # planted near-dups guarantee clusters with >1 copy exist
+    assert out["n_copies"].max() >= 2
