@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_cluster_sizes": ann.kmeans_cluster_sizes,
         "cluster_label_confusion": ann.cluster_label_confusion,
         "knn_classify": ann.knn_classify,
+        "knn_pr_curve": ann.knn_pr_curve,
         "tile_assign": lambda sf: spatial.tile_assign_pipeline(sf, z=TILE_Z),
         "tile_histogram": spatial.tile_histogram_pipeline,
         "tile_histogram_salted": lambda sf: spatial.tile_histogram_pipeline(sf, salted=True),
@@ -230,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup_by_key,
         "text_md5_dedup": dedup.text_md5_dedup,
+        "dedup_survivorship": dedup.dedup_survivorship,
         "minhash_near_dup": dedup.minhash_near_dup,
         "ngram_jaccard_near_dup": dedup.ngram_jaccard_near_dup,
         "simhash": dedup.simhash_pipeline,
@@ -974,6 +976,17 @@ FROM grams JOIN gc USING (g) GROUP BY doc_id""",
 SELECT doc_id % 400 AS dup_key, min(doc_id) AS first_doc_id, count(*) AS n_dups FROM documents GROUP BY 1""",
         "text_md5_dedup": """
 SELECT md5(text) AS text_md5, min(doc_id) AS first_doc_id, count(*) AS n_copies FROM documents GROUP BY 1""",
+        # mirrors dedup.dedup_survivorship: longest copy survives,
+        # ties to the smallest doc_id
+        "dedup_survivorship": """
+WITH d AS (SELECT doc_id, md5(text) AS text_md5, n_chars FROM documents),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY text_md5 ORDER BY n_chars DESC, doc_id) AS rk,
+         count(*) OVER (PARTITION BY text_md5) AS n_copies
+  FROM d)
+SELECT text_md5, CAST(n_copies AS BIGINT) AS n_copies, doc_id AS survivor_doc_id,
+       n_chars AS survivor_n_chars
+FROM r WHERE rk = 1""",
         "zone_embedding_centroid": f"""
 WITH ev AS (SELECT vec_id, {oracle.sql_derive_lon('vec_id')} AS lon,
                    {oracle.sql_derive_lat('vec_id')} AS lat FROM embeddings),
@@ -1025,6 +1038,35 @@ SELECT tlabel AS label, CAST(count(*) AS BIGINT) AS n_vecs,
        CAST(sum(CASE WHEN plabel = tlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
        round(sum(CASE WHEN plabel = tlabel THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS accuracy
 FROM pred WHERE vr = 1 GROUP BY 1 ORDER BY 1""",
+        # mirrors ann.knn_pr_curve: same neighbor discipline as
+        # knn_classify, one-vs-rest votes, integer tp/fp/fn per
+        # threshold, mirrored precision/recall expressions
+        "knn_pr_curve": f"""
+WITH pairs AS (
+  SELECT a.vec_id AS qid, CAST(a.label AS BIGINT) AS tlabel,
+         CAST(b.label AS BIGINT) AS nlabel, b.vec_id AS nid,
+         round(list_cosine_similarity(a.embedding, b.embedding), 6) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+r AS (SELECT qid, tlabel, nlabel,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM pairs),
+v AS (SELECT qid, nlabel AS label, count(*) AS votes FROM r WHERE rk <= 5 GROUP BY 1, 2),
+base AS (SELECT vec_id AS qid, CAST(label AS BIGINT) AS tlabel FROM embeddings),
+labs AS (SELECT DISTINCT CAST(label AS BIGINT) AS label FROM embeddings),
+lv AS (
+  SELECT b.qid, l.label, coalesce(v.votes, 0) AS votes,
+         CASE WHEN b.tlabel = l.label THEN 1 ELSE 0 END AS is_true
+  FROM base b CROSS JOIN labs l
+  LEFT JOIN v ON v.qid = b.qid AND v.label = l.label),
+c AS (
+  SELECT label, t.t AS threshold,
+         CAST(sum(CASE WHEN votes >= t.t AND is_true = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN votes >= t.t AND is_true = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN votes < t.t AND is_true = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM lv CROSS JOIN generate_series(1, 5) AS t(t) GROUP BY 1, 2)
+SELECT label, threshold, tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) ELSE 0.0 END AS "precision",
+       CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) ELSE 0.0 END AS recall
+FROM c""",
         "embedding_label_outliers": f"""
 WITH u AS (SELECT vec_id, CAST(label AS BIGINT) AS label, unnest(embedding) AS val,
                   generate_subscripts(embedding, 1) AS dim FROM embeddings),

@@ -1318,3 +1318,110 @@ def ann_recall_eval(sf_dir: str, k: int = 10, vec_ids: tuple[int, ...] = (1, 2, 
             "recall": pa.array([r[2] for r in rows], type=pa.float64()),
         }
     )
+
+
+def knn_pr_curve(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """One-vs-rest PRECISION/RECALL CURVE of the leave-one-out k-NN
+    classifier: for every label L and vote threshold t in 1..k, predict
+    "is L" when >= t of the k nearest other vectors carry L — the
+    operating-point evaluation (which threshold trades precision for
+    recall?) that turns :func:`knn_classify`'s single accuracy number
+    into a deployable decision curve.
+
+    Determinism: identical neighbor discipline to knn_classify (cosines
+    rounded to 6dp BEFORE ranking, vec_id tiebreak), so vote counts are
+    engine-independent; tp/fp/fn are exact integers and precision /
+    recall are mirrored float expressions.
+
+    Scale shape: corpus broadcasts once (IVF-probed candidates at real
+    scale); ONE GEMM per batch; per-batch (label, votes, is_true)
+    count combiner -> a (labels x (k+1) x 2)-bounded groupby -> the
+    threshold expansion runs on the aggregate only.
+
+    Output: (label, threshold, tp, fp, fn, precision, recall).
+    """
+    import pyarrow.parquet as _pq
+
+    from ray.data.aggregate import Sum as _Sum
+    from ..stages.common import duckdb_round as _dr
+
+    t = _pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding", "label"])
+    ids_all = np.asarray(t["vec_id"].to_numpy(), dtype=np.int64)
+    m_all = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    mn_all = m_all / np.linalg.norm(m_all, axis=1)[:, None]
+    lab_all = np.asarray(t["label"].to_numpy(), dtype=np.int64)
+    order = np.argsort(ids_all, kind="stable")
+    labels_uniq = np.unique(lab_all)
+    bref = ray.put((ids_all[order], mn_all[order], lab_all[order], labels_uniq))
+
+    def vote_counts(batch: pa.Table) -> pa.Table:
+        cids, cmat, clab, luniq = ray.get(bref)
+        m = _emb_matrix(batch)
+        mn = m / np.linalg.norm(m, axis=1)[:, None]
+        ids = np.asarray(batch["vec_id"].to_numpy(), dtype=np.int64)
+        lab = np.asarray(batch["label"].to_numpy(), dtype=np.int64)
+        sims = _dr(mn @ cmat.T, 6)
+        nl = len(luniq)
+        lpos = {int(v): i for i, v in enumerate(luniq)}
+        # count rows keyed (label_idx, votes, is_true)
+        counts = np.zeros((nl, k + 1, 2), dtype=np.int64)
+        for i in range(len(ids)):
+            s = sims[i].copy()
+            s[cids == ids[i]] = -np.inf  # leave-one-out
+            top = np.lexsort((cids, -s))[:k]
+            votes = np.zeros(nl, dtype=np.int64)
+            for v in clab[top]:
+                votes[lpos[int(v)]] += 1
+            ti = lpos[int(lab[i])]
+            counts[ti, votes[ti], 1] += 1  # truth row (always, even 0 votes)
+            for li in range(nl):
+                if li != ti and votes[li] > 0:
+                    counts[li, votes[li], 0] += 1
+        li, vo, tr = np.nonzero(counts)
+        return pa.table(
+            {
+                "label": pa.array(luniq[li], type=pa.int64()),
+                "votes": pa.array(vo.astype(np.int64), type=pa.int64()),
+                "is_true": pa.array(tr.astype(np.int64), type=pa.int64()),
+                "n": pa.array(counts[li, vo, tr], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding", "label"])
+        .map_batches(vote_counts, batch_format="pyarrow", concurrency=4)
+        .groupby(["label", "votes", "is_true"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: labels x (k+1) x 2
+    )
+
+    rows = {"label": [], "threshold": [], "tp": [], "fp": [], "fn": []}
+    for lb in sorted(agg["label"].unique()):
+        g = agg[agg["label"] == lb]
+        for t_ in range(1, k + 1):
+            tp = int(g[(g["votes"] >= t_) & (g["is_true"] == 1)]["n"].sum())
+            fp = int(g[(g["votes"] >= t_) & (g["is_true"] == 0)]["n"].sum())
+            fn = int(g[(g["votes"] < t_) & (g["is_true"] == 1)]["n"].sum())
+            rows["label"].append(int(lb))
+            rows["threshold"].append(t_)
+            rows["tp"].append(tp)
+            rows["fp"].append(fp)
+            rows["fn"].append(fn)
+    tp = np.asarray(rows["tp"], dtype=np.float64)
+    fp = np.asarray(rows["fp"], dtype=np.float64)
+    fn = np.asarray(rows["fn"], dtype=np.float64)
+    prec = np.where(tp + fp > 0, _dr(tp / np.maximum(tp + fp, 1.0), 6), 0.0)
+    rec = np.where(tp + fn > 0, _dr(tp / np.maximum(tp + fn, 1.0), 6), 0.0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "label": pa.array(rows["label"], type=pa.int64()),
+                "threshold": pa.array(rows["threshold"], type=pa.int64()),
+                "tp": pa.array(rows["tp"], type=pa.int64()),
+                "fp": pa.array(rows["fp"], type=pa.int64()),
+                "fn": pa.array(rows["fn"], type=pa.int64()),
+                "precision": pa.array(prec, type=pa.float64()),
+                "recall": pa.array(rec, type=pa.float64()),
+            }
+        )
+    )

@@ -675,3 +675,64 @@ def minhash_accuracy_eval(sf_dir: str, sim_threshold: float = 0.8) -> rd.Dataset
             "abs_err": pa.array(err[order], type=pa.float64()),
         }
     )
+
+
+def dedup_survivorship(sf_dir: str, parts: int = 32) -> rd.Dataset:
+    """Dedup SURVIVORSHIP over exact-content clusters: for every
+    md5(text) cluster, keep the canonical copy — the LONGEST document
+    (by n_chars), ties broken by smallest doc_id — and report cluster
+    size.  The policy step after text_md5_dedup: a training-set build
+    must decide WHICH copy's metadata/lineage survives, not only count
+    copies (the text twin of images.image_dedup_survivor).
+
+    Scale shape: md5 computed map-side (text never shuffles — only the
+    32-hex key + n_chars + doc_id move); per-batch <=1-candidate-per-
+    key argmax combiner; ONE key-coarsened exchange (md5 bucket %
+    parts) closed by a per-slice run-scan.
+
+    Output: (text_md5, n_copies, survivor_doc_id, survivor_n_chars).
+    """
+    ds = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def combiner(t: pa.Table) -> pa.Table:
+        h = np.asarray([hashlib.md5(s.encode("utf-8")).hexdigest() for s in t["text"].to_pylist()])
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        nch = t["n_chars"].to_numpy().astype(np.int64)
+        order = np.lexsort((did, -nch, h))
+        h, did, nch = h[order], did[order], nch[order]
+        starts = np.concatenate([[0], np.nonzero(h[1:] != h[:-1])[0] + 1])
+        runlen = np.diff(np.append(starts, len(h)))
+        bucket = np.asarray([int(x[:8], 16) for x in h[starts]], dtype=np.int64)
+        return pa.table(
+            {
+                "text_md5": pa.array(h[starts], type=pa.string()),
+                "doc_id": pa.array(did[starts], type=pa.int64()),
+                "n_chars": pa.array(nch[starts], type=pa.int64()),
+                "n": pa.array(runlen.astype(np.int64), type=pa.int64()),
+                "part": pa.array(bucket % parts, type=pa.int64()),
+            }
+        )
+
+    def regroup(g: pa.Table) -> pa.Table:
+        h = np.asarray(g["text_md5"].to_pylist())
+        did = g["doc_id"].to_numpy().astype(np.int64)
+        nch = g["n_chars"].to_numpy().astype(np.int64)
+        n = g["n"].to_numpy().astype(np.int64)
+        order = np.lexsort((did, -nch, h))
+        h, did, nch, n = h[order], did[order], nch[order], n[order]
+        starts = np.concatenate([[0], np.nonzero(h[1:] != h[:-1])[0] + 1])
+        total = np.add.reduceat(n, starts)
+        return pa.table(
+            {
+                "text_md5": pa.array(h[starts], type=pa.string()),
+                "n_copies": pa.array(total.astype(np.int64), type=pa.int64()),
+                "survivor_doc_id": pa.array(did[starts], type=pa.int64()),
+                "survivor_n_chars": pa.array(nch[starts], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(combiner, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(regroup, batch_format="pyarrow")
+    )
