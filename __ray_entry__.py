@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join_auto": spatial.pip_join_auto,
         "pip_count": spatial.pip_count_pipeline,
         "pip_anti_join": spatial.pip_anti_join_pipeline,
+        "zone_overlap_point_counts": spatial.zone_overlap_point_counts,
         "tile_raster": lambda sf: raster.tile_raster_pipeline(sf, z=10),
         "raster_to_vector": lambda sf: raster.raster_to_vector(sf, z=10),
         "raster_focal_mean": lambda sf: raster.raster_focal_mean(sf, z=10),
@@ -347,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_class_weights": stats.label_class_weights,
         "image_augment": images.image_augment,
         "image_blur_scores": images.image_blur_scores,
+        "caption_geo_alignment": images.caption_geo_alignment,
         "image_dedup_survivor": images.image_dedup_survivor,
         "decontaminate": dedup.decontaminate,
         # --- map-matching / geofencing ---
@@ -510,6 +512,18 @@ SELECT doc_id, lon, lat FROM pts
 WHERE NOT EXISTS (
   SELECT 1 FROM {rects}
   WHERE pts.lon >= b.lon_min AND pts.lon < b.lon_max AND pts.lat >= b.lat_min AND pts.lat < b.lat_max)""",
+        # mirrors spatial.zone_overlap_point_counts: double containment,
+        # ordered pair (rel_a < rel_b)
+        "zone_overlap_point_counts": f"""
+WITH {_pts_cte()}
+SELECT a.rel_id AS rel_a, c.rel_id AS rel_b, CAST(count(*) AS BIGINT) AS n_points
+FROM pts
+JOIN {oracle.sql_admin_rects_values().replace(") AS b(", ") AS a(")} 
+  ON pts.lon >= a.lon_min AND pts.lon < a.lon_max AND pts.lat >= a.lat_min AND pts.lat < a.lat_max
+JOIN {oracle.sql_admin_rects_values().replace(") AS b(", ") AS c(")} 
+  ON pts.lon >= c.lon_min AND pts.lon < c.lon_max AND pts.lat >= c.lat_min AND pts.lat < c.lat_max
+     AND c.rel_id > a.rel_id
+GROUP BY 1, 2""",
         "pip_join_auto": f"""
 WITH {_pts_cte()}
 SELECT doc_id, rel_id, admin_level FROM pts JOIN {rects}
@@ -1284,6 +1298,28 @@ FROM counts c JOIN ring ON ring.cell = c.hex_cell""",
         "image_format_migration": f"SELECT * FROM read_parquet('{golden.image_format_migration_path(SF001)}')",
         "image_augment": f"SELECT * FROM read_parquet('{golden.image_augment_path(images.images_path_for(SF001))}')",
         "image_blur_scores": f"SELECT * FROM read_parquet('{golden.image_blur_scores_path(images.images_path_for(SF001))}')",
+        # mirrors images.caption_geo_alignment: trailing "in <place>"
+        # clause vs the containing level-8 district (countryside when
+        # uncontained)
+        "caption_geo_alignment": f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 5, 12) AS BIGINT) AS img_id,
+         regexp_extract(caption, ' in (.+)$', 1) AS place
+  FROM {img_pq}),
+pts AS (
+  SELECT place, {oracle.sql_derive_lon('img_id')} AS lon, {oracle.sql_derive_lat('img_id')} AS lat
+  FROM img),
+j AS (
+  SELECT p.place, b.name
+  FROM pts p LEFT JOIN {oracle.sql_admin_rects_values(admin_level=8)}
+  ON p.lon >= b.lon_min AND p.lon < b.lon_max AND p.lat >= b.lat_min AND p.lat < b.lat_max)
+SELECT place, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(CASE WHEN (name IS NOT NULL AND place = name)
+                      OR (name IS NULL AND place = 'the countryside') THEN 1 ELSE 0 END) AS BIGINT) AS n_aligned,
+       round(CAST(sum(CASE WHEN (name IS NOT NULL AND place = name)
+                            OR (name IS NULL AND place = 'the countryside') THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS align_rate
+FROM j GROUP BY 1""",
         # survivorship: highest-resolution copy per phash cluster, ties
         # to the smallest image_id (mirrors images.image_dedup_survivor)
         "image_dedup_survivor": f"""

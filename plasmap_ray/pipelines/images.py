@@ -1301,3 +1301,93 @@ def image_dedup_survivor(sf_dir: str, parts: int = 32) -> rd.Dataset:
         .groupby("part")
         .map_groups(regroup, batch_format="pyarrow")
     )
+
+
+def caption_geo_alignment(sf_dir: str) -> rd.Dataset:
+    """Cross-modal consistency audit: does each image's CAPTION name the
+    district its COORDINATES land in?  Extract the trailing
+    "in <place>" clause, PiP-join the position against the level-8
+    boundary polygons, and score alignment per place — the
+    text-vs-geometry agreement gate a captioned geo corpus runs before
+    contrastive training (systematic misalignment = bad geocoding or
+    template captions).
+
+    Scale shape: map-ONLY — the regex extraction is vectorized Arrow,
+    the boundary index broadcasts once into the PiP actor pool, the
+    anti-join covers the uncontained ("the countryside") stream, and
+    only (place, n, n_aligned) partials reach the single bounded
+    groupby.
+
+    Output: (place, n_images, n_aligned, align_rate).
+    """
+    import pyarrow.compute as pc
+
+    from ..pipelines.spatial import boundary_index_ref
+    from ..stages import geo
+    from ..stages.common import duckdb_round
+
+    idx_ref = boundary_index_ref(admin_level=8)
+    ds = read_images(sf_dir, columns=["image_id", "caption"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4, 16), pa.int64()).to_numpy()
+        m = pc.extract_regex(t["caption"], r" in (?P<place>.+)$")
+        return pa.table(
+            {
+                "lon": pa.array(fixtures.derive_lon(ids), type=pa.float64()),
+                "lat": pa.array(fixtures.derive_lat(ids), type=pa.float64()),
+                "place": pc.struct_field(m, "place"),
+            }
+        )
+
+    pts = ds.map_batches(prep, batch_format="pyarrow")
+
+    def score_in(t: pa.Table) -> pa.Table:
+        place = t["place"].to_numpy(zero_copy_only=False)
+        name = t["admin_name"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "place": t["place"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64), type=pa.int64()),
+                "aligned": pa.array((place == name).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def score_out(t: pa.Table) -> pa.Table:
+        place = t["place"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "place": t["place"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64), type=pa.int64()),
+                "aligned": pa.array((place == "the countryside").astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    inside = pts.map_batches(
+        geo.PiPJoinActor,
+        fn_constructor_kwargs=dict(index_ref=idx_ref, keep_cols=("place",)),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=8192,
+    ).map_batches(score_in, batch_format="pyarrow")
+    outside = pts.map_batches(
+        geo.PiPAntiJoinActor,
+        fn_constructor_kwargs=dict(index_ref=idx_ref, keep_cols=("place",)),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=8192,
+    ).map_batches(score_out, batch_format="pyarrow")
+
+    agg = (
+        inside.union(outside)
+        .groupby("place")
+        .aggregate(Sum("one", alias_name="n_images"), Sum("aligned", alias_name="n_aligned"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        rate = duckdb_round(
+            t["n_aligned"].to_numpy().astype(np.float64) / t["n_images"].to_numpy().astype(np.float64), 6
+        )
+        return t.append_column("align_rate", pa.array(rate, type=pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -987,3 +987,88 @@ def layout_pruning_stats(sf_dir: str) -> rd.Dataset:
         )
         .sort("layout")
     )
+
+
+class _ZoneOverlapPairs:
+    """Actor-pool stage: PiP multi-assignment fused with ordered-pair
+    emission — for each point, every pair (rel_a < rel_b) of zones that
+    BOTH contain it, counted map-side.  The data-driven polygon-overlay
+    primitive (which admin areas actually share population?)."""
+
+    def __init__(self, index_ref):
+        import ray as _ray
+
+        from ..stages import geo as _geo
+
+        self.index: "_geo.PolygonIndex" = (
+            _ray.get(index_ref) if not isinstance(index_ref, _geo.PolygonIndex) else index_ref
+        )
+        self._rel_ids = np.array([p["rel_id"] for p in self.index.polygons], dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        pt_idx, poly_idx = self.index.query(lon, lat)
+        rel = self._rel_ids[poly_idx]
+        order = np.lexsort((rel, pt_idx))
+        p, r = pt_idx[order], rel[order]
+        pairs_a, pairs_b = [], []
+        if len(p):
+            # vectorized all-pairs within runs: for each stride k, rows i
+            # and i+k pair up iff they share a point id (containment
+            # degree is tiny — bounded by admin levels — so k stays small)
+            max_run = int(np.max(np.bincount(p))) if len(p) else 0
+            for k in range(1, max_run):
+                m = p[:-k] == p[k:]
+                if not m.any():
+                    break
+                pairs_a.append(r[:-k][m])
+                pairs_b.append(r[k:][m])
+        if not pairs_a:
+            return pa.table(
+                {
+                    "rel_a": pa.array([], type=pa.int64()),
+                    "rel_b": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        a = np.concatenate(pairs_a)
+        b = np.concatenate(pairs_b)
+        key = a * np.int64(1 << 32) + b  # rel ids are small positives
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "rel_a": pa.array(uniq // (1 << 32), type=pa.int64()),
+                "rel_b": pa.array(uniq % (1 << 32), type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+
+def zone_overlap_point_counts(sf_dir: str, source=points_from_documents) -> rd.Dataset:
+    """Polygon-OVERLAY counts driven by the data: for every ordered
+    zone pair (rel_a < rel_b) containing a common point, the number of
+    points in the overlap — the population-weighted intersection census
+    behind admin-hierarchy QA (district⊂city nesting) and genuine
+    overlay analysis when zones overlap.  At fixture scale overlaps are
+    the 18 district-in-city nestings; the operator is agnostic.
+
+    Scale shape: map-ONLY pair emission fused with the broadcast PiP
+    probe (pair fan-out bounded by per-point containment degree, never
+    zone count), per-batch combiner, one (pair)-bounded groupby.
+
+    Output: (rel_a, rel_b, n_points).
+    """
+    idx_ref = boundary_index_ref()
+    return (
+        source(sf_dir)
+        .map_batches(
+            _ZoneOverlapPairs,
+            fn_constructor_kwargs=dict(index_ref=idx_ref),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+            batch_size=8192,
+        )
+        .groupby(["rel_a", "rel_b"])
+        .aggregate(Sum("n", alias_name="n_points"))
+    )

@@ -1156,3 +1156,40 @@ def test_raster_focal_mean(ray_session):
     win = v[(v["gx"].between(px["gx"] - 1, px["gx"] + 1)) & (v["gy"].between(px["gy"] - 1, px["gy"] + 1))]
     got = fm[(fm["gx"] == px["gx"]) & (fm["gy"] == px["gy"])]["neigh_sum"].iloc[0]
     assert got == win["n_points"].sum()
+
+
+def test_zone_overlap_point_counts_matches_bruteforce(ray_session):
+    from plasmap_ray.pipelines import spatial
+
+    sf = "/root/testdata/sf0.001"
+    out = spatial.zone_overlap_point_counts(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+    ids = docs["doc_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    expected = {}
+    rects = fixtures.admin_rects()
+    for i in range(len(ids)):
+        inside = sorted(
+            r["rel_id"]
+            for r in rects
+            if r["lon_min"] <= lon[i] < r["lon_max"] and r["lat_min"] <= lat[i] < r["lat_max"]
+        )
+        for a in range(len(inside)):
+            for b in range(a + 1, len(inside)):
+                k = (inside[a], inside[b])
+                expected[k] = expected.get(k, 0) + 1
+    got = {(int(r["rel_a"]), int(r["rel_b"])): int(r["n_points"]) for _, r in out.iterrows()}
+    assert got == expected
+    assert len(got) > 0  # district-in-city nesting guarantees overlaps
+
+
+def test_caption_geo_alignment_fully_aligned(ray_session):
+    from plasmap_ray.pipelines import images as ip
+
+    out = ip.caption_geo_alignment("/root/testdata/sf0.001").to_pandas()
+    # captions are generated from the containing district, so the audit
+    # must find 100% alignment in every place bucket
+    assert (out["n_aligned"] == out["n_images"]).all()
+    assert (out["align_rate"] == 1.0).all()
+    assert out["n_images"].sum() == ip.images_count_for("/root/testdata/sf0.001")
+    assert "the countryside" in set(out["place"])
