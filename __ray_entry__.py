@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "areal_interpolation": raster.areal_interpolation,
         "segment_cell_lengths": raster.segment_cell_lengths,
         "cell_prefix_scan": spatial.cell_prefix_scan_pipeline,
+        "geohash_strings": spatial.geohash_strings,
         "convex_hull_per_area": spatial.convex_hull_per_area,
         # --- routing over the road graph (block-synchronous SSSP) ---
         "sssp_dists": routing.sssp_dists_query,
@@ -512,6 +513,22 @@ SELECT doc_id, lon, lat FROM pts
 WHERE NOT EXISTS (
   SELECT 1 FROM {rects}
   WHERE pts.lon >= b.lon_min AND pts.lon < b.lon_max AND pts.lat >= b.lat_min AND pts.lat < b.lat_max)""",
+        # mirrors spatial.geohash_strings: same quantization, the
+        # shared interleave CTE chain (lon even bits -> MSB pair leads
+        # with lon), base32 chars from 5-bit groups
+        "geohash_strings": f"""
+WITH {_pts_cte()},
+q AS (
+  SELECT doc_id,
+         CAST(floor((lon + 180.0) / 360.0 * 262144.0) AS BIGINT) AS lx,
+         CAST(floor((lat + 90.0) / 180.0 * 131072.0) AS BIGINT) AS ly
+  FROM pts),
+{oracle.sql_interleave_ctes('q', 'doc_id', 'lx', 'ly', out_col='code', prefix='g')},
+gh AS (
+  SELECT doc_id,
+         {" || ".join(f"substr('" + "0123456789bcdefghjkmnpqrstuvwxyz" + f"', CAST(((code >> {35 - 5 * (i + 1)}) & 31) AS INTEGER) + 1, 1)" for i in range(7))} AS geohash
+  FROM g_out)
+SELECT doc_id, geohash, substr(geohash, 1, 4) AS geohash4 FROM gh""",
         # mirrors spatial.zone_overlap_point_counts: double containment,
         # ordered pair (rel_a < rel_b)
         "zone_overlap_point_counts": f"""

@@ -164,3 +164,44 @@ def quadkey_str(code, precision: int) -> np.ndarray:
         chars[:, lvl] = (c & 3).astype(np.uint8) + ord("0")
         c >>= 2
     return np.ascontiguousarray(chars).view(f"S{precision}").ravel().astype(f"U{precision}")
+
+
+# ---------------------------------------------------------------------------
+# classic base32 geohash strings (interop encoding)
+# ---------------------------------------------------------------------------
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_ALPHA_ARR = np.array(list(GEOHASH_ALPHABET))
+
+
+def geohash_encode(lon: np.ndarray, lat: np.ndarray, chars: int = 7) -> np.ndarray:
+    """Classic base32 geohash strings (Niemeyer encoding; the string
+    form of the reference's ``GeoHash`` Long — geow interleaves the
+    same way, lon bit first).  ``chars`` characters = 5·chars bits,
+    lon gets ceil(bits/2), lat floor(bits/2).
+
+    Vectorized: quantize lon/lat to their bit budgets, one Morton
+    spread (lon at even LSB positions so the MSB pair starts with lon),
+    then 5-bit groups index the alphabet.
+    """
+    bits = 5 * chars
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lx = np.floor((lon + 180.0) / 360.0 * float(1 << lon_bits)).astype(np.int64)
+    ly = np.floor((lat + 90.0) / 180.0 * float(1 << lat_bits)).astype(np.int64)
+    lx = np.clip(lx, 0, (1 << lon_bits) - 1)
+    ly = np.clip(ly, 0, (1 << lat_bits) - 1)
+    # the MSB must be a LON bit: with an odd bit total the MSB sits at
+    # an even LSB position (lon even), with an even total at an odd one
+    # (lon odd) — parity flips with ``chars``
+    code = interleave(lx, ly) if bits % 2 == 1 else interleave(ly, lx)
+    idx = np.empty((len(code), chars), dtype=np.int64)
+    for i in range(chars):
+        idx[:, i] = (code >> (bits - 5 * (i + 1))) & 31
+    parts = _GH_ALPHA_ARR[idx]
+    out = parts[:, 0]
+    for i in range(1, chars):
+        out = np.char.add(out, parts[:, i])
+    return out.astype(object)

@@ -1072,3 +1072,33 @@ def zone_overlap_point_counts(sf_dir: str, source=points_from_documents) -> rd.D
         .groupby(["rel_a", "rel_b"])
         .aggregate(Sum("n", alias_name="n_points"))
     )
+
+
+def geohash_strings(sf_dir: str, chars: int = 7, source=points_from_documents) -> rd.Dataset:
+    """Classic base32 geohash encoding per point — the STRING form of
+    the spatial key (the reference's geow ``GeoHash`` Long rendered as
+    Niemeyer base32; interop with every system that indexes by geohash
+    prefix).  The 4-char prefix column doubles as the coarse cell for
+    prefix range scans (cell_prefix_scan's string sibling).
+
+    Scale shape: map-ONLY (one vectorized Morton spread + alphabet
+    gather per batch); no exchange.
+
+    Output: (doc_id, geohash, geohash4).
+    """
+    from .. import cells as _cells
+
+    def enc(t: pa.Table) -> pa.Table:
+        gh = _cells.geohash_encode(t["lon"].to_numpy(), t["lat"].to_numpy(), chars)
+        gh_arr = pa.array(gh, type=pa.string())
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "geohash": gh_arr,
+                "geohash4": pc.utf8_slice_codeunits(gh_arr, 0, 4),
+            }
+        )
+
+    return source(sf_dir).map_batches(enc, batch_format="pyarrow")

@@ -105,3 +105,41 @@ def test_tile_xy_multi_exact_shift_identity():
         x, y = tiles.tile_xy(lon, lat, z)
         assert np.array_equal(x, xy[z][0])
         assert np.array_equal(y, xy[z][1])
+
+
+def test_geohash_encode_known_vectors():
+    from plasmap_ray import cells
+
+    # canonical Niemeyer examples
+    assert cells.geohash_encode(np.array([-5.6]), np.array([42.6]), 5)[0] == "ezs42"
+    assert cells.geohash_encode(np.array([-0.1]), np.array([51.5]), 6)[0].startswith("gcpu")
+    # textbook per-bit refinement recompute over a grid
+    def ref(lon, lat, chars):
+        lo1, hi1, lo2, hi2 = -180.0, 180.0, -90.0, 90.0
+        b = []
+        for k in range(5 * chars):
+            if k % 2 == 0:
+                mid = (lo1 + hi1) / 2
+                b.append(1 if lon >= mid else 0)
+                if lon >= mid:
+                    lo1 = mid
+                else:
+                    hi1 = mid
+            else:
+                mid = (lo2 + hi2) / 2
+                b.append(1 if lat >= mid else 0)
+                if lat >= mid:
+                    lo2 = mid
+                else:
+                    hi2 = mid
+        return "".join(
+            cells.GEOHASH_ALPHABET[int("".join(map(str, b[5 * i : 5 * i + 5])), 2)] for i in range(chars)
+        )
+
+    lons = np.linspace(-179.9, 179.9, 23)
+    lats = np.linspace(-89.9, 89.9, 19)
+    gl, gt = np.meshgrid(lons, lats)
+    for chars in (5, 6, 7):  # both bit-total parities
+        got = cells.geohash_encode(gl.ravel(), gt.ravel(), chars)
+        for i, (x, y) in enumerate(zip(gl.ravel(), gt.ravel())):
+            assert got[i] == ref(float(x), float(y), chars)
