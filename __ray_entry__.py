@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "space_time_cube": hotspot.space_time_cube,
         "cell_entropy": hotspot.cell_entropy,
         "burst_cells": hotspot.burst_cells,
+        "quadrat_chi2": hotspot.quadrat_chi2,
         "cell_trend": hotspot.cell_trend,
         "dp_tile_counts": privacy.dp_tile_counts,
         "location_unicity": privacy.location_unicity,
@@ -351,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_blur_scores": images.image_blur_scores,
         "caption_geo_alignment": images.caption_geo_alignment,
         "image_dedup_survivor": images.image_dedup_survivor,
+        "image_quality_survivor": images.image_quality_survivor,
         "decontaminate": dedup.decontaminate,
         # --- map-matching / geofencing ---
         "snap_to_ways": snap.snap_to_ways,
@@ -1017,6 +1019,21 @@ r AS (
   FROM d)
 SELECT text_md5, CAST(n_copies AS BIGINT) AS n_copies, doc_id AS survivor_doc_id,
        n_chars AS survivor_n_chars
+FROM r WHERE rk = 1""",
+        # mirrors images.image_quality_survivor: per-phash survivor by
+        # the exact integer fixed-point per-pixel Laplacian energy
+        "image_quality_survivor": f"""
+WITH s AS (
+  SELECT g.image_id, i.phash,
+         (g.lap_sq_sum * 1048576) // greatest(g.n_interior, 1) AS score
+  FROM read_parquet('{golden.image_blur_scores_path(images.images_path_for(SF001))}') g
+  JOIN {img_pq} i ON g.image_id = i.image_id),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY phash ORDER BY score DESC, image_id) AS rk,
+         count(*) OVER (PARTITION BY phash) AS n_copies
+  FROM s)
+SELECT phash, CAST(n_copies AS BIGINT) AS n_copies, image_id AS survivor_id,
+       CAST(score AS BIGINT) AS survivor_score
 FROM r WHERE rk = 1""",
         "zone_embedding_centroid": f"""
 WITH ev AS (SELECT vec_id, {oracle.sql_derive_lon('vec_id')} AS lon,
@@ -1958,6 +1975,21 @@ SELECT cx, cy, n_own, nbr_sum, w,
             WHEN lag >= 0 THEN 'LH'
             ELSE 'LL' END AS quad
 FROM lagd""",
+        # mirrors hotspot.quadrat_chi2: integer moments over occupied
+        # cells, closed-form N, two mirrored float expressions
+        "quadrat_chi2": f"""
+WITH {_epts},
+gcells AS (
+  SELECT CAST(floor((lon - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy
+  FROM epts),
+counts AS (SELECT cx, cy, count(*) AS n FROM gcells GROUP BY cx, cy),
+mom AS (SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(sum(n * n) AS BIGINT) AS ssq FROM counts),
+m AS (SELECT tot, ssq, CAST(tot AS DOUBLE) / {float(hotspot.GI_NCELLS)!r} AS mean FROM mom)
+SELECT {hotspot.GI_NCELLS} AS n_quadrats, tot AS n_events, ssq,
+       round((CAST(ssq AS DOUBLE) - CAST(tot AS DOUBLE) * mean) / mean, 6) AS chi2,
+       round((CAST(ssq AS DOUBLE) / {float(hotspot.GI_NCELLS)!r} - mean * mean) / mean, 6) AS vmr
+FROM m""",
         # mirrors hotspot.global_moran: integer partials (occupied cells
         # only), closed-form lattice constants N / W, ONE float expression
         # in the engine's exact association

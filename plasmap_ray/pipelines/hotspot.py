@@ -1944,3 +1944,55 @@ def cell_adjacency_triangles(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
             }
         )
     )
+
+
+def quadrat_chi2(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
+    """Quadrat-count test of complete spatial randomness: the chi²
+    statistic and variance-to-mean ratio (index of dispersion) of the
+    per-lattice-cell event counts against the uniform expectation — the
+    third classic point-pattern diagnostic beside Moran's I (global
+    correlation) and Ripley's K (multi-scale clustering).  VMR > 1 =
+    clustered, < 1 = dispersed.
+
+    With integer tot = Σn and ssq = Σn² over occupied cells (empty
+    cells contribute via the closed-form N):
+
+        mean = tot / N
+        chi2 = (ssq - tot·mean) / mean          (= Σ(n_i - mean)²/mean)
+        vmr  = (ssq / N - mean²) / mean
+
+    Exchange volume: the cell-count combiner then ONE single-row fold —
+    two integers move, the two statistics are mirrored float
+    expressions.  Output: one row (n_quadrats, n_events, ssq, chi2, vmr).
+    """
+    from ..stages.common import duckdb_round as _dr
+
+    counts = _cell_counts(sf_dir, eps)
+
+    def moments(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy()
+        return pa.table(
+            {
+                "tot": pa.array([int(n.sum())], type=pa.int64()),
+                "ssq": pa.array([int((n * n).sum())], type=pa.int64()),
+            }
+        )
+
+    agg = counts.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("tot", alias_name="tot"), Sum("ssq", alias_name="ssq")
+    )
+    tot, ssq = float(agg["tot"]), float(agg["ssq"])
+    mean = tot / float(GI_NCELLS)
+    chi2 = float(_dr(np.array([(ssq - tot * mean) / mean]), 6)[0])
+    vmr = float(_dr(np.array([(ssq / float(GI_NCELLS) - mean * mean) / mean]), 6)[0])
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_quadrats": pa.array([GI_NCELLS], type=pa.int64()),
+                "n_events": pa.array([int(agg["tot"])], type=pa.int64()),
+                "ssq": pa.array([int(agg["ssq"])], type=pa.int64()),
+                "chi2": pa.array([chi2], type=pa.float64()),
+                "vmr": pa.array([vmr], type=pa.float64()),
+            }
+        )
+    )

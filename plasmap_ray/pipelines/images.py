@@ -1391,3 +1391,77 @@ def caption_geo_alignment(sf_dir: str) -> rd.Dataset:
         return t.append_column("align_rate", pa.array(rate, type=pa.float64()))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def image_quality_survivor(sf_dir: str, parts: int = 32) -> rd.Dataset:
+    """Quality-aware dedup survivorship: per exact-phash cluster keep
+    the SHARPEST copy (max Laplacian energy per interior pixel, ties to
+    smallest image_id) — the composition of the blur gate
+    (:func:`image_blur_scores`) with phash dedup that a curation
+    pipeline actually ships: among duplicates, keep the best-quality
+    bytes, not an arbitrary first.
+
+    Scale shape: decode + sharpness fused in the actor pool (pixels
+    never shuffle; the int64 pair (lap_sq_sum, n_interior) rides with
+    phash), per-batch ≤1-candidate-per-phash combiner, ONE bucketed
+    run-scan.  The ordering key is the exact integer fixed-point
+    per-pixel energy ``score = (lap_sq_sum << 20) // n_interior`` —
+    floor division, bit-identical in NumPy and the SQL mirror (no
+    float division in any ordering).
+
+    Output: (phash, n_copies, survivor_id, survivor_score).
+    """
+    from ..stages import media
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt", "phash"])
+    scored = ds.map_batches(
+        media.BlurSharpness, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
+    ).select_columns(["image_id", "phash", "lap_sq_sum", "n_interior"])
+
+    def _pick(ph, iid, score, n):
+        # survivor per phash run: descending integer score, ties
+        # ascending image_id (pure lexsort; runs then scanned)
+        order = np.lexsort((iid, -score, ph))
+        ph, iid, score, n = ph[order], iid[order], score[order], n[order]
+        starts = np.concatenate([[0], np.nonzero(ph[1:] != ph[:-1])[0] + 1])
+        total = np.add.reduceat(n, starts)
+        return ph[starts], iid[starts], score[starts], total.astype(np.int64)
+
+    def combiner(t: pa.Table) -> pa.Table:
+        ph = t["phash"].to_numpy()
+        iid = np.asarray(t["image_id"].to_pylist())
+        lap = t["lap_sq_sum"].to_numpy().astype(np.int64)
+        nint = np.maximum(t["n_interior"].to_numpy().astype(np.int64), 1)
+        score = (lap << 20) // nint
+        ones = np.ones(len(ph), dtype=np.int64)
+        kph, kid, kscore, ktot = _pick(ph, iid, score, ones)
+        return pa.table(
+            {
+                "phash": pa.array(kph, type=pa.int64()),
+                "image_id": pa.array(kid, type=pa.string()),
+                "score": pa.array(kscore, type=pa.int64()),
+                "n": pa.array(ktot, type=pa.int64()),
+                "part": pa.array(kph % parts, type=pa.int64()),
+            }
+        )
+
+    def regroup(g: pa.Table) -> pa.Table:
+        ph = g["phash"].to_numpy()
+        iid = np.asarray(g["image_id"].to_pylist())
+        score = g["score"].to_numpy().astype(np.int64)
+        n = g["n"].to_numpy().astype(np.int64)
+        kph, kid, kscore, ktot = _pick(ph, iid, score, n)
+        return pa.table(
+            {
+                "phash": pa.array(kph, type=pa.int64()),
+                "n_copies": pa.array(ktot, type=pa.int64()),
+                "survivor_id": pa.array(kid, type=pa.string()),
+                "survivor_score": pa.array(kscore, type=pa.int64()),
+            }
+        )
+
+    return (
+        scored.map_batches(combiner, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(regroup, batch_format="pyarrow")
+    )

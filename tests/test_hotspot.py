@@ -518,3 +518,22 @@ def test_cell_adjacency_triangles_matches_bruteforce(ray_session, event_ids):
     assert row["n_triangles"] == n_tri
     assert n_tri > 0  # the fixture occupancy genuinely clumps
     assert abs(row["transitivity"] - 3.0 * n_tri / n_wedges) < 1e-6
+
+
+def test_quadrat_chi2_matches_dense_recompute(ray_session, event_ids):
+    lon, lat = fixtures.derive_lon(event_ids), fixtures.derive_lat(event_ids)
+    cx = np.floor((lon - fixtures.LON_MIN) / hotspot.GI_EPS).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / hotspot.GI_EPS).astype(np.int64)
+    dense = np.zeros((hotspot.GI_GX, hotspot.GI_GY))
+    np.add.at(dense, (cx, cy), 1.0)
+    n = float(hotspot.GI_NCELLS)
+    mean = dense.sum() / n
+    chi2 = ((dense - mean) ** 2).sum() / mean
+    vmr = dense.var() / mean
+
+    out = hotspot.quadrat_chi2(SF).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["n_events"] == int(dense.sum())
+    assert abs(row["chi2"] - chi2) < 1e-4
+    assert abs(row["vmr"] - vmr) < 1e-6

@@ -288,3 +288,35 @@ def test_image_dedup_survivor_picks_max_resolution(ray_session):
     assert got == expected
     # planted near-dups guarantee clusters with >1 copy exist
     assert out["n_copies"].max() >= 2
+
+
+def test_image_quality_survivor_matches_bruteforce(ray_session):
+    from plasmap_ray import codecs
+    from plasmap_ray.pipelines import images as ip
+
+    sf = "/root/testdata/sf0.001"
+    out = ip.image_quality_survivor(sf).to_pandas()
+    t = fixtures.make_images(ip.images_count_for(sf))
+    expected = {}
+    for i in range(t.num_rows):
+        px = codecs.decode_image(
+            t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(), t["fmt"][i].as_py()
+        )
+        g = px.astype(np.int64).sum(axis=2)
+        c = g[1:-1, 1:-1]
+        lap = 4 * c - g[:-2, 1:-1] - g[2:, 1:-1] - g[1:-1, :-2] - g[1:-1, 2:]
+        score = (int((lap * lap).sum()) << 20) // max(c.shape[0] * c.shape[1], 1)
+        ph = t["phash"][i].as_py()
+        iid = t["image_id"][i].as_py()
+        cur = expected.get(ph)
+        if cur is None:
+            expected[ph] = [1, iid, score]
+        else:
+            cur[0] += 1
+            if score > cur[2] or (score == cur[2] and iid < cur[1]):
+                cur[1], cur[2] = iid, score
+    got = {
+        int(r["phash"]): [int(r["n_copies"]), r["survivor_id"], int(r["survivor_score"])]
+        for _, r in out.iterrows()
+    }
+    assert got == expected
