@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_cell_lengths": raster.segment_cell_lengths,
         "cell_prefix_scan": spatial.cell_prefix_scan_pipeline,
         "geohash_strings": spatial.geohash_strings,
+        "hilbert_index": spatial.hilbert_index,
+        "hilbert_locality_stats": spatial.hilbert_locality_stats,
         "convex_hull_per_area": spatial.convex_hull_per_area,
         # --- routing over the road graph (block-synchronous SSSP) ---
         "sssp_dists": routing.sssp_dists_query,
@@ -515,6 +517,8 @@ SELECT doc_id, lon, lat FROM pts
 WHERE NOT EXISTS (
   SELECT 1 FROM {rects}
   WHERE pts.lon >= b.lon_min AND pts.lon < b.lon_max AND pts.lat >= b.lat_min AND pts.lat < b.lat_max)""",
+        "hilbert_index": f"SELECT * FROM read_parquet('{golden.hilbert_index_path(SF001 + '/events.parquet')}')",
+        "hilbert_locality_stats": f"SELECT * FROM read_parquet('{golden.hilbert_locality_stats_path(SF001 + '/events.parquet')}')",
         # mirrors spatial.geohash_strings: same quantization, the
         # shared interleave CTE chain (lon even bits -> MSB pair leads
         # with lon), base32 chars from 5-bit groups

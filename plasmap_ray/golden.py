@@ -1803,3 +1803,98 @@ def image_blur_scores_path(images_parquet: str) -> str:
         )
 
     return _cache(f"image_blur_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
+
+
+def _hilbert_walk_grid(bits: int) -> "np.ndarray":
+    """Lookup grid built by the canonical INVERSE walk (Wikipedia
+    d2xy) — a genuinely independent derivation from the engine's
+    forward rotate-swap encode: walking d = 0..4^bits-1 and inverting
+    also proves the encode is a bijection."""
+    n = 1 << bits
+    grid = np.full((n, n), -1, dtype=np.int64)
+    for d in range(n * n):
+        x = y = 0
+        t = d
+        s = 1
+        while s < n:
+            rx = 1 & (t // 2)
+            ry = 1 & (t ^ rx)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            x += s * rx
+            y += s * ry
+            t //= 4
+            s *= 2
+        grid[x, y] = d
+    return grid
+
+
+def hilbert_index_path(events_parquet: str, bits: int = 8) -> str:
+    """Expected per-event Hilbert/Morton layout keys via the inverse-
+    walk lookup grid (independent of cells.hilbert_d)."""
+
+    def build() -> pa.Table:
+        from . import fixtures
+        from .pipelines.spatial import _layout_xy
+
+        grid = _hilbert_walk_grid(bits)
+        t = pq.read_table(events_parquet, columns=["event_id"])
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        hx, hy = _layout_xy(lon, lat, bits)
+        # Morton via an independent per-bit loop (not spread_bits)
+        mkey = np.zeros(len(ids), dtype=np.int64)
+        for b in range(bits - 1, -1, -1):
+            mkey = (mkey << 2) | (((hy >> b) & 1) << 1) | ((hx >> b) & 1)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "hx": pa.array(hx, type=pa.int64()),
+                "hy": pa.array(hy, type=pa.int64()),
+                "hkey": pa.array(grid[hx, hy], type=pa.int64()),
+                "mkey": pa.array(mkey, type=pa.int64()),
+            }
+        )
+
+    tag = os.path.basename(os.path.dirname(os.path.normpath(events_parquet)))
+    return _cache(f"hilbert_index_{tag}_b{bits}", build)
+
+
+def hilbert_locality_stats_path(events_parquet: str, bits: int = 8) -> str:
+    """Expected curve-locality rows from the same inverse-walk grid."""
+
+    def build() -> pa.Table:
+        from . import fixtures
+        from .pipelines.spatial import _layout_xy
+
+        grid = _hilbert_walk_grid(bits)
+        t = pq.read_table(events_parquet, columns=["event_id"])
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        hx, hy = _layout_xy(lon, lat, bits)
+        key = hx * np.int64(1 << bits) + hy
+        uniq = np.unique(key)
+        ux, uy = uniq // (1 << bits), uniq % (1 << bits)
+        mkey = np.zeros(len(uniq), dtype=np.int64)
+        for b in range(bits - 1, -1, -1):
+            mkey = (mkey << 2) | (((uy >> b) & 1) << 1) | ((ux >> b) & 1)
+        rows = []
+        for curve, k in (("hilbert", grid[ux, uy]), ("morton", mkey)):
+            order = np.argsort(k)
+            sx, sy = ux[order], uy[order]
+            steps = np.abs(np.diff(sx)) + np.abs(np.diff(sy))
+            rows.append((curve, len(uniq), int(steps.sum()), int(steps.max()) if len(steps) else 0))
+        return pa.table(
+            {
+                "curve": pa.array([r[0] for r in rows], type=pa.string()),
+                "n_cells": pa.array([r[1] for r in rows], type=pa.int64()),
+                "total_step": pa.array([r[2] for r in rows], type=pa.int64()),
+                "max_step": pa.array([r[3] for r in rows], type=pa.int64()),
+            }
+        )
+
+    tag = os.path.basename(os.path.dirname(os.path.normpath(events_parquet)))
+    return _cache(f"hilbert_locality_{tag}_b{bits}", build)

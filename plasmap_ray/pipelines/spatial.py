@@ -1102,3 +1102,97 @@ def geohash_strings(sf_dir: str, chars: int = 7, source=points_from_documents) -
         )
 
     return source(sf_dir).map_batches(enc, batch_format="pyarrow")
+
+
+HILBERT_BITS = 8  # 256 x 256 layout grid over the fixture bbox
+
+
+def _layout_xy(lon: np.ndarray, lat: np.ndarray, bits: int = HILBERT_BITS):
+    n = 1 << bits
+    hx = np.clip(((lon - fixtures.LON_MIN) / fixtures.LON_SPAN * n).astype(np.int64), 0, n - 1)
+    hy = np.clip(((lat - fixtures.LAT_MIN) / fixtures.LAT_SPAN * n).astype(np.int64), 0, n - 1)
+    return hx, hy
+
+
+def hilbert_index(sf_dir: str, bits: int = HILBERT_BITS) -> rd.Dataset:
+    """Hilbert-curve layout key per event beside its Morton key — the
+    scan-locality space-filling curve (consecutive keys are ALWAYS
+    edge-adjacent cells; Morton jumps quadrants) that decides file
+    ordering for range-scan-heavy layouts (the Z-order of
+    layout_pruning_stats upgraded).  Map-ONLY: one vectorized
+    rotate-swap pass per batch, no exchange.
+
+    Output: (event_id, hx, hy, hkey, mkey).
+    """
+    from .. import cells as _cells
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        hx, hy = _layout_xy(lon, lat, bits)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "hx": pa.array(hx, type=pa.int64()),
+                "hy": pa.array(hy, type=pa.int64()),
+                "hkey": pa.array(_cells.hilbert_d(hx, hy, bits), type=pa.int64()),
+                "mkey": pa.array(_cells.interleave(hx, hy), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def hilbert_locality_stats(sf_dir: str, bits: int = HILBERT_BITS) -> rd.Dataset:
+    """Measured LAYOUT-locality comparison: order the OCCUPIED layout
+    cells by Hilbert key vs Morton key and sum the Manhattan distance
+    of consecutive steps — the physical seek cost of a full scan in
+    each layout.  Hilbert's total is provably <= Morton's (every
+    Hilbert step on the full grid is 1); the row pair quantifies the
+    gap on the actual data support.
+
+    Scale shape: per-batch occupied-cell combiner -> one cell-bounded
+    groupby -> the step scan runs on the OCCUPIED-CELL table only
+    (output-bounded, like tile_gini's final sort).
+
+    Output: (curve, n_cells, total_step, max_step).
+    """
+    from .. import cells as _cells
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def cellp(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        hx, hy = _layout_xy(lon, lat, bits)
+        key = hx * np.int64(1 << bits) + hy
+        uniq = np.unique(key)
+        return pa.table({"key": pa.array(uniq, type=pa.int64()), "one": pa.array(np.ones(len(uniq), dtype=np.int64))})
+
+    occ = (
+        ds.map_batches(cellp, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(_Sum("one", alias_name="n"))
+        .to_pandas()  # output-bounded: occupied layout cells
+    )
+    key = occ["key"].to_numpy().astype(np.int64)
+    hx, hy = key // (1 << bits), key % (1 << bits)
+    rows = []
+    for curve, k in (("hilbert", _cells.hilbert_d(hx, hy, bits)), ("morton", _cells.interleave(hx, hy))):
+        order = np.argsort(k)
+        sx, sy = hx[order], hy[order]
+        steps = np.abs(np.diff(sx)) + np.abs(np.diff(sy))
+        rows.append((curve, len(key), int(steps.sum()), int(steps.max()) if len(steps) else 0))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "curve": pa.array([r[0] for r in rows], type=pa.string()),
+                "n_cells": pa.array([r[1] for r in rows], type=pa.int64()),
+                "total_step": pa.array([r[2] for r in rows], type=pa.int64()),
+                "max_step": pa.array([r[3] for r in rows], type=pa.int64()),
+            }
+        )
+    )

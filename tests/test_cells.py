@@ -143,3 +143,29 @@ def test_geohash_encode_known_vectors():
         got = cells.geohash_encode(gl.ravel(), gt.ravel(), chars)
         for i, (x, y) in enumerate(zip(gl.ravel(), gt.ravel())):
             assert got[i] == ref(float(x), float(y), chars)
+
+
+def test_hilbert_d_properties():
+    from plasmap_ray import cells
+
+    bits = 5
+    n = 1 << bits
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    d = cells.hilbert_d(xs.ravel(), ys.ravel(), bits)
+    # bijection onto [0, n^2)
+    assert sorted(d.tolist()) == list(range(n * n))
+    # defining locality: consecutive curve positions are edge-adjacent
+    order = np.argsort(d)
+    px, py = xs.ravel()[order], ys.ravel()[order]
+    steps = np.abs(np.diff(px)) + np.abs(np.diff(py))
+    assert steps.max() == 1
+    # canonical first corner: d=0 at (0,0)
+    assert d[(xs.ravel() == 0) & (ys.ravel() == 0)][0] == 0
+
+
+def test_hilbert_beats_morton_locality(ray_session):
+    from plasmap_ray.pipelines import spatial
+
+    out = spatial.hilbert_locality_stats("/root/testdata/sf0.001").to_pandas().set_index("curve")
+    assert out.loc["hilbert", "total_step"] < out.loc["morton", "total_step"]
+    assert out.loc["hilbert", "n_cells"] == out.loc["morton", "n_cells"]
