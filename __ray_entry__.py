@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": windows.distinct_users,
         "value_quantiles": stats.value_quantiles,
         "event_value_quantiles": stats.event_value_quantiles,
+        "interpolated_quantiles": stats.interpolated_quantiles,
+        "hour_type_pivot": stats.hour_type_pivot,
         "corpus_summary": stats.corpus_summary,
         "distinct_users_approx": windows.distinct_users_approx,
         # --- text analysis ---
@@ -353,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_augment": images.image_augment,
         "image_blur_scores": images.image_blur_scores,
         "caption_geo_alignment": images.caption_geo_alignment,
+        "contrastive_negatives": images.contrastive_negatives,
         "image_dedup_survivor": images.image_dedup_survivor,
         "image_quality_survivor": images.image_quality_survivor,
         "decontaminate": dedup.decontaminate,
@@ -939,6 +942,35 @@ UNION ALL SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events"""
 SELECT event_type, CAST(0.5 AS DOUBLE) AS q, quantile_disc(value, 0.5) AS value FROM events GROUP BY event_type
 UNION ALL SELECT event_type, CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events GROUP BY event_type
 UNION ALL SELECT event_type, CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events GROUP BY event_type""",
+        # mirrors stats.interpolated_quantiles: explicit rank selection
+        # + the verbatim interpolation expression (NOT quantile_cont, so
+        # the arithmetic is pinned on both sides)
+        "interpolated_quantiles": f"""
+WITH o AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.9)),
+sel AS (
+  SELECT DISTINCT o.event_type, qs.q, o.n,
+         CAST(floor(qs.q * (o.n - 1)) AS BIGINT) AS lo,
+         CAST(ceil(qs.q * (o.n - 1)) AS BIGINT) AS hi,
+         qs.q * (o.n - 1) - floor(qs.q * (o.n - 1)) AS frac
+  FROM (SELECT DISTINCT event_type, n FROM o) o CROSS JOIN qs),
+v AS (
+  SELECT s.event_type, s.q, s.n, a.value AS vlo, b.value AS vhi, s.frac
+  FROM sel s
+  JOIN o a ON a.event_type = s.event_type AND a.rk = s.lo
+  JOIN o b ON b.event_type = s.event_type AND b.rk = s.hi)
+SELECT event_type, q, CAST(n AS BIGINT) AS n, round(vlo + (vhi - vlo) * frac, 6) AS q_value
+FROM v""",
+        # mirrors stats.hour_type_pivot: conditional aggregation spread
+        # into 24 wide columns
+        "hour_type_pivot": f"""
+SELECT event_type,
+       {", ".join(f"CAST(sum(CASE WHEN CAST(epoch_us(ts) // 3600000000 AS BIGINT) % 24 = {h} THEN 1 ELSE 0 END) AS BIGINT) AS h{h:02d}" for h in range(24))}
+FROM events GROUP BY event_type""",
         "search_by_token": f"""
 SELECT doc_id, lang, n_chars FROM documents
 WHERE list_contains(string_split(lower(text), ' '), '{SEARCH_TOKEN}')""",
@@ -1336,6 +1368,24 @@ FROM counts c JOIN ring ON ring.cell = c.hex_cell""",
         "image_format_migration": f"SELECT * FROM read_parquet('{golden.image_format_migration_path(SF001)}')",
         "image_augment": f"SELECT * FROM read_parquet('{golden.image_augment_path(images.images_path_for(SF001))}')",
         "image_blur_scores": f"SELECT * FROM read_parquet('{golden.image_blur_scores_path(images.images_path_for(SF001))}')",
+        # mirrors images.contrastive_negatives: same modular negative
+        # derivation, self-collision step, place-equality flag
+        "contrastive_negatives": f"""
+WITH img AS (
+  SELECT CAST(substr(image_id, 5, 12) AS BIGINT) AS img_id,
+         regexp_extract(caption, ' in (.+)$', 1) AS place
+  FROM {img_pq}),
+neg AS (
+  SELECT i.img_id, j.j AS neg_rank,
+         CASE WHEN 1 + (i.img_id * {images.NEG_MULT} + j.j * {images.NEG_STEP}) % {images.images_count_for(SF001)} = i.img_id
+              THEN 1 + ((1 + (i.img_id * {images.NEG_MULT} + j.j * {images.NEG_STEP}) % {images.images_count_for(SF001)}) % {images.images_count_for(SF001)})
+              ELSE 1 + (i.img_id * {images.NEG_MULT} + j.j * {images.NEG_STEP}) % {images.images_count_for(SF001)} END AS neg_id,
+         i.place AS anchor_place
+  FROM img i CROSS JOIN generate_series(1, {images.NEG_K}) AS j(j))
+SELECT printf('img-%012d', n.img_id) AS image_id, n.neg_rank,
+       printf('img-%012d', n.neg_id) AS neg_image_id,
+       n.anchor_place = b.place AS same_district
+FROM neg n JOIN img b ON b.img_id = n.neg_id""",
         # mirrors images.caption_geo_alignment: trailing "in <place>"
         # clause vs the containing level-8 district (countryside when
         # uncontained)

@@ -1465,3 +1465,80 @@ def image_quality_survivor(sf_dir: str, parts: int = 32) -> rd.Dataset:
         .groupby("part")
         .map_groups(regroup, batch_format="pyarrow")
     )
+
+
+NEG_K = 2  # negatives per anchor
+NEG_MULT = 2654435761  # Knuth multiplicative constant
+NEG_STEP = 40503
+
+
+def contrastive_negatives(sf_dir: str, k: int = NEG_K) -> rd.Dataset:
+    """Deterministic NEGATIVE-SAMPLING plan for contrastive training:
+    for every anchor image, pick k pseudo-random negative images via
+    hash-derived indices (no RNG state — reproducible under any
+    partitioning, the weighted_sample discipline), join the negatives'
+    captions, and flag hard-negative collisions where anchor and
+    negative depict the SAME district (a contrastive batch builder must
+    know these: same-place pairs are label noise for geo-contrastive
+    objectives).
+
+    Scale shape: the negative ids are pure modular arithmetic map-side;
+    ONE hash join ships (id, place) pairs only — captions reduce to
+    their trailing place clause BEFORE the exchange, payload bytes are
+    never read.
+
+    Output: (image_id, neg_rank, neg_image_id, same_district).
+    """
+    import pyarrow.compute as pc
+
+    n = images_count_for(sf_dir)
+    ds = read_images(sf_dir, columns=["image_id", "caption"])
+
+    def place_of(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["caption"], r" in (?P<place>.+)$")
+        iid = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4, 16), pa.int64())
+        return pa.table({"img_id": iid, "place": pc.struct_field(m, "place")})
+
+    places = ds.map_batches(place_of, batch_format="pyarrow")
+
+    def expand(t: pa.Table) -> pa.Table:
+        img = t["img_id"].to_numpy()
+        out_anchor, out_rank, out_neg, out_place = [], [], [], []
+        for j in range(1, k + 1):
+            neg = 1 + (img * NEG_MULT + j * NEG_STEP) % n
+            # an anchor never samples itself: step once more on collision
+            neg = np.where(neg == img, 1 + (neg % n), neg)
+            out_anchor.append(img)
+            out_rank.append(np.full(len(img), j, dtype=np.int64))
+            out_neg.append(neg.astype(np.int64))
+            out_place.append(t["place"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "img_id": pa.array(np.concatenate(out_anchor), type=pa.int64()),
+                "neg_rank": pa.array(np.concatenate(out_rank), type=pa.int64()),
+                "neg_id": pa.array(np.concatenate(out_neg), type=pa.int64()),
+                "anchor_place": pa.array(np.concatenate(out_place), type=pa.string()),
+            }
+        )
+
+    anchors = places.map_batches(expand, batch_format="pyarrow")
+    neg_places = places.map_batches(
+        lambda t: t.rename_columns(["neg_id", "neg_place"]), batch_format="pyarrow"
+    )
+    j = anchors.join(neg_places, join_type="inner", num_partitions=8, on=("neg_id",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        a = t["anchor_place"].to_numpy(zero_copy_only=False)
+        b = t["neg_place"].to_numpy(zero_copy_only=False)
+        img = t["img_id"].to_numpy()
+        neg = t["neg_id"].to_numpy()
+        return pa.table(
+            {
+                "image_id": pa.array([f"img-{int(i):012d}" for i in img], type=pa.string()),
+                "neg_rank": t["neg_rank"],
+                "neg_image_id": pa.array([f"img-{int(i):012d}" for i in neg], type=pa.string()),
+                "same_district": pa.array((a == b), type=pa.bool_()),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")

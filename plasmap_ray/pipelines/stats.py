@@ -603,3 +603,84 @@ def rfm_features(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
+INTERP_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+def interpolated_quantiles(sf_dir: str, qs: tuple[float, ...] = INTERP_QS) -> rd.Dataset:
+    """Linearly INTERPOLATED per-type quantiles (the percentile_cont
+    definition: rank q·(n−1), value v_lo + (v_hi − v_lo)·frac) — the
+    continuous sibling of event_value_quantiles' discrete rank
+    selection, matching what most BI layers report.
+
+    Determinism: selection is on exact order statistics (ties in value
+    are value-equal so rank choice cannot change the picked values);
+    the ONE interpolation expression is mirrored verbatim in SQL and
+    rounded to 6dp on both sides.
+
+    Scale shape: type-keyed regroup (types are few; at 10^12 rows per
+    type swap in the histogram-refine two-pass of value_quantiles —
+    same output by exactness).  Output: (event_type, q, n, q_value).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["event_type", "value"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy().astype(np.float64))
+        n = len(v)
+        rows = []
+        for q in qs:
+            pos = q * (n - 1)
+            lo = int(np.floor(pos))
+            hi = int(np.ceil(pos))
+            frac = pos - np.floor(pos)
+            val = float(duckdb_round(np.array([v[lo] + (v[hi] - v[lo]) * frac]), 6)[0])
+            rows.append((g["event_type"].iloc[0], q, n, val))
+        return pd.DataFrame(rows, columns=["event_type", "q", "n", "q_value"])
+
+    return ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
+
+
+def hour_type_pivot(sf_dir: str) -> rd.Dataset:
+    """PIVOT: events counted per (type, hour-of-day), hours spread WIDE
+    into 24 integer columns — the reshape every reporting layer runs on
+    the hourly profile (and the engine's exercise of the
+    long-to-wide operator).
+
+    Scale shape: per-batch (type, hour) count combiner -> one
+    type×24-bounded groupby -> a stateless widen projection.
+
+    Output: (event_type, h00..h23).
+    """
+    ds = _read_events(sf_dir, ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hr = (t["ts"].to_numpy().astype("datetime64[h]").astype(np.int64) % 24).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": et, "hour": hr})
+        g = df.groupby(["event_type", "hour"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], type=pa.string()),
+                "hour": pa.array(g["hour"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(24, dtype=np.int64)
+        counts[g["hour"].to_numpy()] = g["n"].to_numpy()
+        row = {"event_type": g["event_type"].iloc[0]}
+        for h in range(24):
+            row[f"h{h:02d}"] = counts[h]
+        return pd.DataFrame([row])
+
+    return agg.groupby("event_type").map_groups(widen, batch_format="pandas")

@@ -249,3 +249,36 @@ def test_langid_confusion_marginals(ray_session):
     for lang, n in truth.items():
         assert int(rows[lang]) == int(n)
     assert cm["n_docs"].sum() == len(docs)
+
+
+def test_interpolated_quantiles_matches_numpy(ray_session):
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import stats
+
+    sf = "/root/testdata/sf0.01"
+    out = stats.interpolated_quantiles(sf).to_pandas()
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "value"]).to_pandas()
+    for (et, q), grp in out.groupby(["event_type", "q"]):
+        exp = np.quantile(ev[ev["event_type"] == et]["value"].to_numpy(), q, method="linear")
+        assert abs(grp["q_value"].iloc[0] - exp) < 1e-5, (et, q)
+    assert set(out["q"]) == {0.25, 0.5, 0.75, 0.9}
+
+
+def test_hour_type_pivot_row_sums(ray_session):
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import stats
+
+    sf = "/root/testdata/sf0.01"
+    out = stats.hour_type_pivot(sf).to_pandas()
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "ts"]).to_pandas()
+    totals = ev.groupby("event_type").size()
+    hcols = [f"h{h:02d}" for h in range(24)]
+    assert len(out.columns) == 25
+    for _, r in out.iterrows():
+        assert sum(int(r[c]) for c in hcols) == int(totals[r["event_type"]])
+    # spot-check one (type, hour) cell
+    hr = (ev["ts"].astype("datetime64[us]").astype("int64") // 3_600_000_000) % 24
+    et0 = out["event_type"].iloc[0]
+    assert int(out.set_index("event_type").loc[et0, "h05"]) == int(((ev["event_type"] == et0) & (hr == 5)).sum())
