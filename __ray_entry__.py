@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_near_dup": dedup.ngram_jaccard_near_dup,
         "simhash": dedup.simhash_pipeline,
         "near_dup_clusters": cluster.near_dup_clusters,
+        "st_dbscan": cluster.st_dbscan,
         "dbscan_clusters": cluster.dbscan_clusters,
         "bloom_dedup": lambda sf: cluster.bloom_dedup(sf, BLOOM_N, BLOOM_FP, BLOOM_PARTS),
         "heavy_hitters": lambda sf: text.heavy_hitters(sf, k=HH_K),
@@ -250,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_multi_topk": lambda sf: ann.ann_multi_topk(sf, k=ANN_K, vec_ids=MULTI_VEC_IDS),
         "ann_lsh_topk": lambda sf: ann.lsh_bucket_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
+        "ann_filtered_topk": lambda sf: ann.ann_filtered_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
         "pq_encode": ann.pq_encode,
         "embedding_top_pairs": lambda sf: ann.embedding_top_pairs(sf, k=EMB_TOP_PAIRS),
         "embedding_near_dup": lambda sf: ann.embedding_near_dup(sf, threshold=EMB_NEARDUP_T),
@@ -1185,6 +1187,16 @@ scored AS (SELECT e.vec_id, list_cosine_similarity(e.embedding, q.qv) AS sim FRO
            WHERE e.vec_id != {ANN_QUERY_ID})
 SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS sim_rank, vec_id
 FROM scored ORDER BY sim DESC, vec_id LIMIT {ANN_K}""",
+        # mirrors ann.ann_filtered_topk: label pre-filter, then the
+        # ann_topk ranking discipline
+        "ann_filtered_topk": f"""
+WITH q AS (SELECT embedding AS qv, label AS ql FROM embeddings WHERE vec_id = {ANN_QUERY_ID}),
+scored AS (
+  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+         list_cosine_similarity(e.embedding, q.qv) AS sim
+  FROM embeddings e, q WHERE e.vec_id != {ANN_QUERY_ID} AND e.label = q.ql)
+SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS sim_rank, vec_id, label
+FROM scored ORDER BY sim DESC, vec_id LIMIT {ANN_K}""",
         "embedding_top_pairs": f"""
 WITH scored AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_cosine_similarity(a.embedding, b.embedding) AS sim
@@ -1472,6 +1484,7 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
         "minhash_near_dup": f"SELECT * FROM read_parquet('{golden.minhash_near_dup_path(SF001)}')",
         "near_dup_clusters": f"SELECT * FROM read_parquet('{golden.near_dup_clusters_path(SF001)}')",
         "dbscan_clusters": f"SELECT * FROM read_parquet('{golden.dbscan_path(SF001, cluster.DBSCAN_EPS, cluster.DBSCAN_MIN_PTS)}')",
+        "st_dbscan": f"SELECT * FROM read_parquet('{golden.st_dbscan_path(SF001, cluster.ST_EPS, cluster.ST_EPS_T_US, cluster.ST_MIN_PTS)}')",
         "convex_hull_per_area": f"SELECT * FROM read_parquet('{golden.convex_hull_path(SF001)}')",
         "sssp_dists": f"SELECT * FROM read_parquet('{golden.sssp_dists_path()}')",
         "isochrone_bands": f"""

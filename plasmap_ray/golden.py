@@ -1898,3 +1898,70 @@ def hilbert_locality_stats_path(events_parquet: str, bits: int = 8) -> str:
 
     tag = os.path.basename(os.path.dirname(os.path.normpath(events_parquet)))
     return _cache(f"hilbert_locality_{tag}_b{bits}", build)
+
+
+def st_dbscan_path(sf_dir: str, eps: float, eps_t_us: int, min_pts: int) -> str:
+    """Expected ST-DBSCAN labels: independent recompute on the driver —
+    a TIME-SORTED sliding-window neighbor scan (no grid, no joins; a
+    completely different candidate structure from the engine's 3-D
+    bucket join) + python BFS over core-core adjacency, with the same
+    deterministic min-label border rule."""
+
+    def build() -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from . import fixtures
+
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"])
+        ids = t["event_id"].to_numpy()
+        tus = t["ts"].cast(pa.int64()).to_numpy()
+        order = np.argsort(tus, kind="stable")
+        ids, tus = ids[order], tus[order]
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        n = len(ids)
+        nbrs: list[list[int]] = [[] for _ in range(n)]
+        j0 = 0
+        for i in range(n):
+            while tus[i] - tus[j0] > eps_t_us:
+                j0 += 1
+            d2 = (lon[j0:i] - lon[i]) ** 2 + (lat[j0:i] - lat[i]) ** 2
+            for j in (np.nonzero(d2 <= eps * eps)[0] + j0).tolist():
+                nbrs[i].append(j)
+                nbrs[j].append(i)
+        is_core = np.array([len(v) + 1 >= min_pts for v in nbrs])
+        label = np.full(n, -1, dtype=np.int64)
+        seen = np.zeros(n, dtype=bool)
+        for s in range(n):
+            if not is_core[s] or seen[s]:
+                continue
+            comp = [s]
+            seen[s] = True
+            stack = [s]
+            while stack:
+                u = stack.pop()
+                for v in nbrs[u]:
+                    if is_core[v] and not seen[v]:
+                        seen[v] = True
+                        comp.append(v)
+                        stack.append(v)
+            lab = int(ids[comp].min())
+            label[comp] = lab
+        kind = np.full(n, "noise", dtype=object)
+        kind[is_core] = "core"
+        for i in range(n):
+            if is_core[i]:
+                continue
+            core_n = [v for v in nbrs[i] if is_core[v]]
+            if core_n:
+                kind[i] = "border"
+                label[i] = int(label[core_n].min()) if isinstance(core_n, np.ndarray) else int(min(label[v] for v in core_n))
+        return pa.table(
+            {
+                "event_id": pa.array(ids, type=pa.int64()),
+                "cluster_id": pa.array(label, type=pa.int64()),
+                "kind": pa.array(kind.tolist(), type=pa.string()),
+            }
+        )
+
+    tag = _sf_tag(sf_dir)
+    return _cache(f"st_dbscan_{tag}_e{eps}_t{eps_t_us}_m{min_pts}", build)

@@ -1425,3 +1425,33 @@ def knn_pr_curve(sf_dir: str, k: int = 5) -> rd.Dataset:
             }
         )
     )
+
+
+def ann_filtered_topk(sf_dir: str, k: int = 10, vec_id: int = 1, label: int | None = None) -> rd.Dataset:
+    """FILTERED vector search: global top-k most-similar vectors to the
+    query among vectors carrying a given LABEL — the metadata-
+    constrained ANN every vector store serves ("nearest images of class
+    c").  Filter pushes down BEFORE scoring (pre-filtering: exact
+    recall, unlike post-filter-then-truncate), so only the label's rows
+    are ever scored.
+
+    Defaults: the query vector's own label (self excluded).
+    Output: (sim_rank, vec_id, label).
+    """
+    import pyarrow.parquet as _pq
+
+    if label is None:
+        t = _pq.read_table(_emb_path(sf_dir), columns=["vec_id", "label"])
+        label = int(t["label"].to_numpy()[np.asarray(t["vec_id"].to_numpy()) == vec_id][0])
+    qref = ray.put(query_vector(sf_dir, vec_id))
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding", "label"]).filter(
+        expr=f"label == {label} and vec_id != {vec_id}"
+    )
+    scored = ds.map_batches(
+        CosineTopK, fn_constructor_kwargs=dict(query_ref=qref, k=k), batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+    def tag(t2: pa.Table) -> pa.Table:
+        return t2.append_column("label", pa.array(np.full(t2.num_rows, label, dtype=np.int64), type=pa.int64()))
+
+    return ranked_head(scored.map_batches(tag, batch_format="pyarrow"), ["sim", "vec_id"], "sim_rank", k, keep=["vec_id", "label"])

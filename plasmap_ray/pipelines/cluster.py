@@ -445,7 +445,15 @@ def dbscan_clusters(
 
     points = ds.map_batches(pts, batch_format="pyarrow")
     pairs = eps_pairs(points, "doc_id", eps, num_partitions).materialize()
+    return _dbscan_from_pairs(points, pairs, "doc_id", min_pts, num_partitions)
 
+
+def _dbscan_from_pairs(
+    points: rd.Dataset, pairs: rd.Dataset, id_col: str, min_pts: int, num_partitions: int
+) -> rd.Dataset:
+    """Shared DBSCAN tail: (points, eps-pairs) -> labeled rows.  Used by
+    the planar dbscan_clusters and the spatio-temporal st_dbscan — the
+    neighborhood predicate is entirely encoded in ``pairs``."""
     # degree per node (pair -> both endpoints), core = degree+1 >= min_pts
     from ray.data.aggregate import Count
 
@@ -493,29 +501,38 @@ def dbscan_clusters(
             }
         )
 
-    border_cand = p2.map_batches(border_rows, batch_format="pyarrow")
-    # a core neighbor with no core-core edge (isolated core) labels itself
-    b2 = border_cand.join(labels, join_type="left_outer", num_partitions=num_partitions, on=("cnode",), right_on=("node",))
+    border_cand = p2.map_batches(border_rows, batch_format="pyarrow").materialize()
+    if border_cand.count() == 0:
+        # zero borders (every pair endpoint core): Ray collapses empty
+        # typed blocks to schema-less ones, which would break the Arrow
+        # joins below — substitute a single never-matching sentinel row
+        # (node ids are positive), keeping every downstream join typed
+        border_labels = rd.from_arrow(
+            pa.table({"node": pa.array([-1], type=pa.int64()), "blabel": pa.array([-1], type=pa.int64())})
+        )
+    else:
+        # a core neighbor with no core-core edge (isolated core) labels itself
+        b2 = border_cand.join(labels, join_type="left_outer", num_partitions=num_partitions, on=("cnode",), right_on=("node",))
 
-    def own_core_label(t: pa.Table) -> pa.Table:
-        lab = pc.coalesce(pc.cast(t["label"], pa.int64()), t["cnode"])
-        return pa.table({"node": t["bnode"], "blabel": pc.cast(lab, pa.int64())})
+        def own_core_label(t: pa.Table) -> pa.Table:
+            lab = pc.coalesce(pc.cast(t["label"], pa.int64()), t["cnode"])
+            return pa.table({"node": t["bnode"], "blabel": pc.cast(lab, pa.int64())})
 
-    border_labels = (
-        b2.map_batches(own_core_label, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("blabel", alias_name="blabel"))
-        .repartition(num_partitions)
-        .materialize()
-    )
+        border_labels = (
+            b2.map_batches(own_core_label, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("blabel", alias_name="blabel"))
+            .repartition(num_partitions)
+            .materialize()
+        )
 
     # assemble: every point -> (cluster_id, kind)
-    j = points.join(core, join_type="left_outer", num_partitions=num_partitions, on=("doc_id",), right_on=("node",))
-    j = j.join(labels, join_type="left_outer", num_partitions=num_partitions, on=("doc_id",), right_on=("node",))
-    j = j.join(border_labels, join_type="left_outer", num_partitions=num_partitions, on=("doc_id",), right_on=("node",))
+    j = points.join(core, join_type="left_outer", num_partitions=num_partitions, on=(id_col,), right_on=("node",))
+    j = j.join(labels, join_type="left_outer", num_partitions=num_partitions, on=(id_col,), right_on=("node",))
+    j = j.join(border_labels, join_type="left_outer", num_partitions=num_partitions, on=(id_col,), right_on=("node",))
 
     def finish(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["doc_id"].to_numpy(), np.int64)
+        ids = np.asarray(t[id_col].to_numpy(), np.int64)
         is_core = np.asarray(t["is_core"].to_numpy(zero_copy_only=False) == True, bool)  # noqa: E712
         lab = t["label"].to_numpy(zero_copy_only=False)
         blab = t["blabel"].to_numpy(zero_copy_only=False)
@@ -531,7 +548,7 @@ def dbscan_clusters(
         kind[m_border] = "border"
         return pa.table(
             {
-                "doc_id": pa.array(ids, type=pa.int64()),
+                id_col: pa.array(ids, type=pa.int64()),
                 "cluster_id": pa.array(cluster, type=pa.int64()),
                 "kind": pa.array(kind.tolist(), type=pa.string()),
             }
@@ -667,3 +684,154 @@ def dissolve_zones(sf_dir: str | None = None, admin_level: int | None = None) ->
             Sum("area_fp", alias_name="area_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ST-DBSCAN (spatio-temporal density clustering over the event stream)
+# ---------------------------------------------------------------------------
+
+ST_EPS = 0.3  # planar degrees
+ST_EPS_T_US = 12 * 3600 * 1_000_000  # 12 h
+ST_MIN_PTS = 10
+
+
+def st_eps_pairs(
+    points: rd.Dataset, id_col: str, eps: float, eps_t_us: int, num_partitions: int = 8
+) -> rd.Dataset:
+    """All unordered point pairs within ``eps`` planar degrees AND
+    ``eps_t_us`` microseconds — eps_pairs lifted to the (x, y, t) grid
+    (13 half-space neighbor offsets instead of 4; candidates bounded by
+    local spatio-temporal density).  Output: (id_a, id_b), id_a < id_b.
+    """
+    import functools
+
+    from .. import fixtures
+
+    eps2 = eps * eps
+    # half-space of the 26 3-D neighbors: lexicographically positive
+    half = [
+        (dx, dy, dt)
+        for dt in (0, 1)
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+        if (dt, dy, dx) > (0, 0, 0)
+    ]
+
+    def key(cx, cy, ct):
+        return ((ct + 1) * (1 << 21) + (cx + 1)) * (1 << 21) + (cy + 1)
+
+    def keyed(t: pa.Table, side: str) -> pa.Table:
+        lon, lat = t["lon"].to_numpy(), t["lat"].to_numpy()
+        tus = t["tus"].to_numpy()
+        cx = np.floor((lon - fixtures.LON_MIN) / eps).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / eps).astype(np.int64)
+        ct = tus // eps_t_us
+        return pa.table(
+            {
+                f"id_{side}": t[id_col],
+                f"lon_{side}": t["lon"],
+                f"lat_{side}": t["lat"],
+                f"tus_{side}": t["tus"],
+                "cx": pa.array(cx, type=pa.int64()),
+                "cy": pa.array(cy, type=pa.int64()),
+                "ct": pa.array(ct, type=pa.int64()),
+            }
+        )
+
+    def own_cell(t: pa.Table) -> pa.Table:
+        ck = key(t["cx"].to_numpy(), t["cy"].to_numpy(), t["ct"].to_numpy())
+        return t.drop_columns(["cx", "cy", "ct"]).append_column("ck", pa.array(ck, type=pa.int64()))
+
+    def probe_expand(t: pa.Table) -> pa.Table:
+        cx, cy, ct = t["cx"].to_numpy(), t["cy"].to_numpy(), t["ct"].to_numpy()
+        t = t.drop_columns(["cx", "cy", "ct"])
+        out = []
+        for dx, dy, dt in [(0, 0, 0)] + half:
+            ck = key(cx + dx, cy + dy, ct + dt)
+            own = np.full(len(ck), 1 if (dx, dy, dt) == (0, 0, 0) else 0, dtype=np.int8)
+            out.append(
+                t.append_column("ck", pa.array(ck, type=pa.int64())).append_column(
+                    "own", pa.array(own, type=pa.int8())
+                )
+            )
+        return pa.concat_tables(out)
+
+    build = points.map_batches(functools.partial(keyed, side="b"), batch_format="pyarrow").map_batches(
+        own_cell, batch_format="pyarrow"
+    )
+    probe = points.map_batches(functools.partial(keyed, side="a"), batch_format="pyarrow").map_batches(
+        probe_expand, batch_format="pyarrow"
+    )
+    cand = probe.join(build, join_type="inner", num_partitions=num_partitions, on=("ck",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ia = np.asarray(t["id_a"].to_numpy(), np.int64)
+        ib = np.asarray(t["id_b"].to_numpy(), np.int64)
+        own = t["own"].to_numpy()
+        dlon = t["lon_b"].to_numpy() - t["lon_a"].to_numpy()
+        dlat = t["lat_b"].to_numpy() - t["lat_a"].to_numpy()
+        dt = np.abs(t["tus_b"].to_numpy() - t["tus_a"].to_numpy())
+        near = (dlon * dlon + dlat * dlat <= eps2) & (dt <= eps_t_us)
+        # own-cell candidates appear twice (both directions): keep a<b;
+        # neighbor-cell candidates once, orient canonically
+        m = near & np.where(own == 1, ia < ib, ia != ib)
+        a = np.minimum(ia[m], ib[m])
+        b = np.maximum(ia[m], ib[m])
+        key2 = a * np.int64(1 << 32) + b
+        uniq = np.unique(key2)
+        return pa.table(
+            {
+                "id_a": pa.array(uniq // (1 << 32), type=pa.int64()),
+                "id_b": pa.array(uniq % (1 << 32), type=pa.int64()),
+            }
+        )
+
+    # each unordered pair surfaces exactly once: a pair's cell delta is
+    # fixed and exactly one of (delta, -delta) lies in the half-space
+    # (own-cell pairs keep only the ia < ib direction), so no distinct
+    # pass is needed — the eps_pairs discipline in 3-D
+    return cand.map_batches(finish, batch_format="pyarrow")
+
+
+def st_dbscan(
+    sf_dir: str,
+    eps: float = ST_EPS,
+    eps_t_us: int = ST_EPS_T_US,
+    min_pts: int = ST_MIN_PTS,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """ST-DBSCAN (Birant & Kut 2007) over the event stream: density
+    clustering where the neighborhood is spatial (eps degrees) AND
+    temporal (eps_t) — the burst/gathering detector (protest, festival,
+    sensor fault) that plain DBSCAN smears across time.  Same
+    deterministic discipline as dbscan_clusters: min-label components
+    over core-core edges, border points take the MINIMUM core-neighbor
+    label, noise = -1.
+
+    Scale shape: the 3-D grid candidate join bounds pair fan-out by
+    local spatio-temporal density; everything downstream is the shared
+    _dbscan_from_pairs tail (degree reduce, component propagation,
+    three bounded hash joins).
+
+    Output: (event_id, cluster_id, kind).
+    """
+    import os
+
+    from .. import fixtures
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"])
+
+    def pts(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "lon": pa.array(fixtures.derive_lon(ids), type=pa.float64()),
+                "lat": pa.array(fixtures.derive_lat(ids), type=pa.float64()),
+                "tus": pa.array(t["ts"].cast(pa.int64()).to_numpy(), type=pa.int64()),
+            }
+        )
+
+    points = ds.map_batches(pts, batch_format="pyarrow")
+    pairs = st_eps_pairs(points, "event_id", eps, eps_t_us, num_partitions).materialize()
+    return _dbscan_from_pairs(points, pairs, "event_id", min_pts, num_partitions)

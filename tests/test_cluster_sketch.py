@@ -445,3 +445,54 @@ def test_cluster_label_confusion_marginals(ray_session):
     import pyarrow.parquet as pq
 
     assert cm["n_vecs"].sum() == pq.read_metadata(f"{sf}/embeddings.parquet").num_rows
+
+
+def test_st_dbscan_matches_bruteforce(ray_session):
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import cluster
+
+    sf = SF0001
+    eps, eps_t, min_pts = 0.4, 24 * 3600 * 1_000_000, 4
+    out = cluster.st_dbscan(sf, eps=eps, eps_t_us=eps_t, min_pts=min_pts).to_pandas()
+
+    t = pq.read_table(f"{sf}/events.parquet", columns=["event_id", "ts"])
+    ids = t["event_id"].to_numpy()
+    tus = t["ts"].cast("int64").to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    n = len(ids)
+    nbrs = [[] for _ in range(n)]
+    for i in range(n):
+        d2 = (lon - lon[i]) ** 2 + (lat - lat[i]) ** 2
+        dt = np.abs(tus - tus[i])
+        for j in np.nonzero((d2 <= eps * eps) & (dt <= eps_t))[0]:
+            if j != i:
+                nbrs[i].append(int(j))
+    is_core = np.array([len(v) + 1 >= min_pts for v in nbrs])
+    label = np.full(n, -1, dtype=np.int64)
+    seen = np.zeros(n, dtype=bool)
+    for s in range(n):
+        if not is_core[s] or seen[s]:
+            continue
+        comp, stack = [s], [s]
+        seen[s] = True
+        while stack:
+            u = stack.pop()
+            for v in nbrs[u]:
+                if is_core[v] and not seen[v]:
+                    seen[v] = True
+                    comp.append(v)
+                    stack.append(v)
+        label[comp] = int(ids[comp].min())
+    kind = np.where(is_core, "core", "noise").astype(object)
+    for i in range(n):
+        if is_core[i]:
+            continue
+        cn = [v for v in nbrs[i] if is_core[v]]
+        if cn:
+            kind[i] = "border"
+            label[i] = min(int(label[v]) for v in cn)
+
+    got = out.set_index("event_id").sort_index()
+    assert (got["cluster_id"].to_numpy() == label[np.argsort(ids)]).all()
+    assert (got["kind"].to_numpy() == kind[np.argsort(ids)]).all()
+    assert (got["kind"] == "core").sum() > 0 and (got["kind"] != "core").sum() > 0
