@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": stats.value_quantiles,
         "event_value_quantiles": stats.event_value_quantiles,
         "interpolated_quantiles": stats.interpolated_quantiles,
+        "mad_robust_stats": stats.mad_robust_stats,
         "hour_type_pivot": stats.hour_type_pivot,
         "corpus_summary": stats.corpus_summary,
         "distinct_users_approx": windows.distinct_users_approx,
@@ -967,6 +968,47 @@ v AS (
   JOIN o b ON b.event_type = s.event_type AND b.rk = s.hi)
 SELECT event_type, q, CAST(n AS BIGINT) AS n, round(vlo + (vhi - vlo) * frac, 6) AS q_value
 FROM v""",
+        # mirrors stats.mad_robust_stats: explicit rank selection for the
+        # median, a deviation pass on the UNROUNDED median, the same
+        # selection for the MAD
+        "mad_robust_stats": f"""
+WITH o AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+sel AS (
+  SELECT event_type, n,
+         CAST(floor(0.5 * (n - 1)) AS BIGINT) AS lo,
+         CAST(ceil(0.5 * (n - 1)) AS BIGINT) AS hi,
+         0.5 * (n - 1) - floor(0.5 * (n - 1)) AS frac
+  FROM (SELECT DISTINCT event_type, n FROM o)),
+med AS (
+  SELECT s.event_type, s.n, a.value + (b.value - a.value) * s.frac AS med
+  FROM sel s
+  JOIN o a ON a.event_type = s.event_type AND a.rk = s.lo
+  JOIN o b ON b.event_type = s.event_type AND b.rk = s.hi),
+d AS (
+  SELECT e.event_type, abs(e.value - m.med) AS dev
+  FROM events e JOIN med m ON m.event_type = e.event_type),
+o2 AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev) - 1 AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d),
+sel2 AS (
+  SELECT event_type, n,
+         CAST(floor(0.5 * (n - 1)) AS BIGINT) AS lo,
+         CAST(ceil(0.5 * (n - 1)) AS BIGINT) AS hi,
+         0.5 * (n - 1) - floor(0.5 * (n - 1)) AS frac
+  FROM (SELECT DISTINCT event_type, n FROM o2)),
+mad AS (
+  SELECT s.event_type, a.dev + (b.dev - a.dev) * s.frac AS mad
+  FROM sel2 s
+  JOIN o2 a ON a.event_type = s.event_type AND a.rk = s.lo
+  JOIN o2 b ON b.event_type = s.event_type AND b.rk = s.hi)
+SELECT m.event_type, CAST(m.n AS BIGINT) AS n, round(m.med, 6) AS median, round(x.mad, 6) AS mad
+FROM med m JOIN mad x ON x.event_type = m.event_type""",
         # mirrors stats.hour_type_pivot: conditional aggregation spread
         # into 24 wide columns
         "hour_type_pivot": f"""

@@ -684,3 +684,52 @@ def hour_type_pivot(sf_dir: str) -> rd.Dataset:
         return pd.DataFrame([row])
 
     return agg.groupby("event_type").map_groups(widen, batch_format="pandas")
+
+
+def mad_robust_stats(sf_dir: str) -> rd.Dataset:
+    """Robust location/scale per event type: the interpolated MEDIAN
+    and the MAD (median absolute deviation from it) — the
+    outlier-insensitive pair (median, 1.4826·MAD ≈ σ) robust cleaning
+    gates use where mean/std break under heavy tails (complement of
+    iqr_outliers' fences and winsorize's clamps).
+
+    Determinism: both selections are explicit order statistics with the
+    interpolated_quantiles arithmetic; the unrounded median feeds the
+    deviation pass and rounding happens once at the projection,
+    mirrored exactly in SQL.
+
+    Scale shape: type-keyed regroup (types few; the two-pass histogram
+    refine swaps in at 10^12 rows/type).  Output: (event_type, n,
+    median, mad).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["event_type", "value"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy().astype(np.float64))
+        n = len(v)
+
+        def interp_median(a: np.ndarray) -> float:
+            pos = 0.5 * (len(a) - 1)
+            lo = int(np.floor(pos))
+            hi = int(np.ceil(pos))
+            frac = pos - np.floor(pos)
+            return float(a[lo] + (a[hi] - a[lo]) * frac)
+
+        med = interp_median(v)
+        dev = np.sort(np.abs(v - med))
+        mad = interp_median(dev)
+        return pd.DataFrame(
+            [
+                (
+                    g["event_type"].iloc[0],
+                    n,
+                    float(duckdb_round(np.array([med]), 6)[0]),
+                    float(duckdb_round(np.array([mad]), 6)[0]),
+                )
+            ],
+            columns=["event_type", "n", "median", "mad"],
+        )
+
+    return ds.groupby("event_type").map_groups(per_type, batch_format="pandas")

@@ -282,3 +282,18 @@ def test_hour_type_pivot_row_sums(ray_session):
     hr = (ev["ts"].astype("datetime64[us]").astype("int64") // 3_600_000_000) % 24
     et0 = out["event_type"].iloc[0]
     assert int(out.set_index("event_type").loc[et0, "h05"]) == int(((ev["event_type"] == et0) & (hr == 5)).sum())
+
+
+def test_mad_robust_stats_matches_numpy(ray_session):
+    from plasmap_ray.pipelines import stats
+
+    sf = "/root/testdata/sf0.01"
+    out = stats.mad_robust_stats(sf).to_pandas().set_index("event_type")
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "value"]).to_pandas()
+    for et, g in ev.groupby("event_type"):
+        v = g["value"].to_numpy()
+        med = np.median(v)
+        mad = np.median(np.abs(v - med))
+        assert abs(out.loc[et, "median"] - med) < 1e-5
+        assert abs(out.loc[et, "mad"] - mad) < 1e-5
+        assert out.loc[et, "n"] == len(v)
