@@ -285,6 +285,8 @@ def test_hour_type_pivot_row_sums(ray_session):
 
 
 def test_mad_robust_stats_matches_numpy(ray_session):
+    import pyarrow.parquet as pq
+
     from plasmap_ray.pipelines import stats
 
     sf = "/root/testdata/sf0.01"
