@@ -1965,3 +1965,66 @@ def st_dbscan_path(sf_dir: str, eps: float, eps_t_us: int, min_pts: int) -> str:
 
     tag = _sf_tag(sf_dir)
     return _cache(f"st_dbscan_{tag}_e{eps}_t{eps_t_us}_m{min_pts}", build)
+
+
+def lsh_blocking_eval_path(sf_dir: str, sim_threshold: float, sample_mod: int) -> str:
+    """Expected blocking-eval row: fully independent local recompute —
+    dict-bucket candidate enumeration (vs the engine's groupby) and a
+    fresh brute-force exact-Jaccard truth pass."""
+
+    def build() -> pa.Table:
+        from .pipelines.dedup import BANDS, ROWS_PER_BAND, MinHashSignature
+
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]).to_pandas()
+        docs = docs[docs["doc_id"] % sample_mod == 0].sort_values("doc_id").reset_index(drop=True)
+        kernel = MinHashSignature()
+        ids = docs["doc_id"].to_numpy().astype(np.int64)
+        n = len(ids)
+        shs = [set(kernel.shingle_hashes(t).tolist()) for t in docs["text"]]
+        sigs = np.stack([kernel.signature(t) for t in docs["text"]])
+        with np.errstate(over="ignore"):
+            mix = np.cumprod(np.full(ROWS_PER_BAND, np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64))
+            keys = np.stack(
+                [
+                    (sigs[:, b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND] * mix[None, :]).sum(
+                        axis=1, dtype=np.uint64
+                    )
+                    for b in range(BANDS)
+                ],
+                axis=1,
+            )
+        buckets: dict = {}
+        for i in range(n):
+            for b in range(BANDS):
+                buckets.setdefault((b, int(keys[i, b])), []).append(i)
+        cand = set()
+        for members in buckets.values():
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    a, c = members[x], members[y]
+                    cand.add((int(ids[min(a, c)]), int(ids[max(a, c)])))
+        true_pairs = set()
+        for i in range(n):
+            for j in range(i + 1, n):
+                inter = len(shs[i] & shs[j])
+                if inter and inter / (len(shs[i]) + len(shs[j]) - inter) >= sim_threshold:
+                    true_pairs.add((int(ids[i]), int(ids[j])))
+        n_pairs = n * (n - 1) // 2
+        caught = len(true_pairs & cand)
+        comp = caught / len(true_pairs) if true_pairs else 1.0
+        red = 1.0 - (len(cand) / n_pairs if n_pairs else 0.0)
+        from .stages.common import duckdb_round
+
+        return pa.table(
+            {
+                "n_sample_docs": pa.array([n], type=pa.int64()),
+                "n_sample_pairs": pa.array([n_pairs], type=pa.int64()),
+                "n_true_pairs": pa.array([len(true_pairs)], type=pa.int64()),
+                "n_candidate_pairs": pa.array([len(cand)], type=pa.int64()),
+                "n_caught": pa.array([caught], type=pa.int64()),
+                "completeness": pa.array([float(duckdb_round(np.array([comp]), 6)[0])], type=pa.float64()),
+                "reduction_ratio": pa.array([float(duckdb_round(np.array([red]), 6)[0])], type=pa.float64()),
+            }
+        )
+
+    return _cache(f"lsh_blocking_{_sf_tag(sf_dir)}_t{sim_threshold}_m{sample_mod}", build)

@@ -481,3 +481,20 @@ def test_dedup_survivorship_matches_bruteforce(ray_session):
             for _, r in out2.iterrows()
         }
         assert got2 == exp2
+
+
+def test_lsh_blocking_eval_sane(ray_session):
+    from plasmap_ray.pipelines import dedup
+
+    out = dedup.lsh_blocking_eval(SF001).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_caught"] <= r["n_true_pairs"]
+    assert r["n_caught"] <= r["n_candidate_pairs"]
+    assert 0.0 <= r["completeness"] <= 1.0
+    # banded LSH with 8x8 bands catches >=99% of 0.8-Jaccard pairs in
+    # expectation; the planted near-dup corpus must be found
+    assert r["n_true_pairs"] > 0
+    assert r["completeness"] >= 0.9
+    # blocking must prune almost the whole quadratic space
+    assert r["reduction_ratio"] > 0.99
