@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_count": spatial.pip_count_pipeline,
         "pip_anti_join": spatial.pip_anti_join_pipeline,
         "zone_overlap_point_counts": spatial.zone_overlap_point_counts,
+        "tile_child_coverage": spatial.tile_child_coverage,
+        "zone_border_distance": spatial.zone_border_distance,
         "tile_raster": lambda sf: raster.tile_raster_pipeline(sf, z=10),
         "raster_to_vector": lambda sf: raster.raster_to_vector(sf, z=10),
         "raster_focal_mean": lambda sf: raster.raster_focal_mean(sf, z=10),
@@ -360,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_blur_scores": images.image_blur_scores,
         "caption_geo_alignment": images.caption_geo_alignment,
         "contrastive_negatives": images.contrastive_negatives,
+        "image_crop_manifest": images.image_crop_manifest,
         "image_dedup_survivor": images.image_dedup_survivor,
         "image_quality_survivor": images.image_quality_survivor,
         "decontaminate": dedup.decontaminate,
@@ -542,6 +545,33 @@ gh AS (
          {" || ".join(f"substr('" + "0123456789bcdefghjkmnpqrstuvwxyz" + f"', CAST(((code >> {35 - 5 * (i + 1)}) & 31) AS INTEGER) + 1, 1)" for i in range(7))} AS geohash
   FROM g_out)
 SELECT doc_id, geohash, substr(geohash, 1, 4) AS geohash4 FROM gh""",
+        # mirrors spatial.tile_child_coverage: distinct z12 children per
+        # z10 parent via the shared tile arithmetic
+        "tile_child_coverage": f"""
+WITH img AS (SELECT CAST(substr(image_id, 5, 12) AS BIGINT) AS img_id FROM {img_pq}),
+pts2 AS (SELECT {oracle.sql_derive_lon('img_id')} AS lon, {oracle.sql_derive_lat('img_id')} AS lat FROM img),
+ch AS (
+  SELECT {oracle.sql_tile_x('lon', 12)} AS cx, {oracle.sql_tile_y('lat', 12)} AS cy, count(*) AS n
+  FROM pts2 GROUP BY 1, 2)
+SELECT cx >> 2 AS px, cy >> 2 AS py,
+       CAST(count(*) AS BIGINT) AS n_children_occupied,
+       CAST(sum(n) AS BIGINT) AS n_images,
+       round(CAST(count(*) AS DOUBLE) / 16.0, 6) AS coverage
+FROM ch GROUP BY 1, 2""",
+        # mirrors spatial.zone_border_distance: four rect margins,
+        # fixed-point min/sum, one mirrored mean
+        "zone_border_distance": f"""
+WITH {_pts_cte()},
+j AS (
+  SELECT b.rel_id,
+         CAST(floor(least(pts.lon - b.lon_min, b.lon_max - pts.lon,
+                          pts.lat - b.lat_min, b.lat_max - pts.lat) * 1000000000.0 + 0.5) AS BIGINT) AS dfp
+  FROM pts JOIN {rects}
+  ON pts.lon >= b.lon_min AND pts.lon < b.lon_max AND pts.lat >= b.lat_min AND pts.lat < b.lat_max)
+SELECT rel_id, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(min(dfp) AS BIGINT) AS min_depth_fp,
+       round(CAST(sum(dfp) AS DOUBLE) / 1000000000.0 / CAST(count(*) AS DOUBLE), 6) AS mean_depth
+FROM j GROUP BY rel_id""",
         # mirrors spatial.zone_overlap_point_counts: double containment,
         # ordered pair (rel_a < rel_b)
         "zone_overlap_point_counts": f"""
@@ -1423,6 +1453,19 @@ FROM counts c JOIN ring ON ring.cell = c.hex_cell""",
         "image_format_migration": f"SELECT * FROM read_parquet('{golden.image_format_migration_path(SF001)}')",
         "image_augment": f"SELECT * FROM read_parquet('{golden.image_augment_path(images.images_path_for(SF001))}')",
         "image_blur_scores": f"SELECT * FROM read_parquet('{golden.image_blur_scores_path(images.images_path_for(SF001))}')",
+        # mirrors images.image_crop_manifest: the same integer modular
+        # offsets, side = 2/3 short side, no decode
+        "image_crop_manifest": f"""
+WITH img AS (
+  SELECT image_id, CAST(substr(image_id, 5, 12) AS BIGINT) AS img_id,
+         CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h
+  FROM {img_pq}),
+c AS (SELECT *, (least(w, h) * {images.CROP_FRAC_NUM}) // {images.CROP_FRAC_DEN} AS side FROM img)
+SELECT image_id, j.j AS crop_rank,
+       (img_id * {images.NEG_MULT} + j.j * 7919) % greatest(w - side + 1, 1) AS x0,
+       (img_id * {images.NEG_STEP} + j.j * 104729) % greatest(h - side + 1, 1) AS y0,
+       side
+FROM c CROSS JOIN generate_series(1, {images.CROP_K}) AS j(j)""",
         # mirrors images.contrastive_negatives: same modular negative
         # derivation, self-collision step, place-equality flag
         "contrastive_negatives": f"""

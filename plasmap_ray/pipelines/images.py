@@ -1542,3 +1542,50 @@ def contrastive_negatives(sf_dir: str, k: int = NEG_K) -> rd.Dataset:
         )
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+CROP_K = 3  # crops per image
+CROP_FRAC_NUM, CROP_FRAC_DEN = 2, 3  # crop side = 2/3 of the short side
+
+
+def image_crop_manifest(sf_dir: str, k: int = CROP_K) -> rd.Dataset:
+    """Deterministic CROP-SAMPLING plan for self-supervised pretraining:
+    k crop windows per image, side = 2/3 of the short side, offsets
+    hash-derived from (image_id, crop_rank) — all integer arithmetic,
+    reproducible under any partitioning, and emittable WITHOUT decoding
+    a single byte (metadata-only read: the crop planner runs before the
+    expensive decode stage and its output drives sharded crop workers).
+
+    Scale shape: map-ONLY integer arithmetic on (image_id, w, h); the
+    bytes column never leaves storage; no exchange.
+
+    Output: (image_id, crop_rank, x0, y0, side) with
+    0 <= x0 <= w - side, 0 <= y0 <= h - side.
+    """
+    import pyarrow.compute as pc
+
+    ds = read_images(sf_dir, columns=["image_id", "w", "h"])
+
+    def plan(t: pa.Table) -> pa.Table:
+        img = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4, 16), pa.int64()).to_numpy()
+        w = t["w"].to_numpy().astype(np.int64)
+        h = t["h"].to_numpy().astype(np.int64)
+        side = (np.minimum(w, h) * CROP_FRAC_NUM) // CROP_FRAC_DEN
+        out = []
+        for j in range(1, k + 1):
+            hx = (img * NEG_MULT + j * 7919) % np.maximum(w - side + 1, 1)
+            hy = (img * NEG_STEP + j * 104729) % np.maximum(h - side + 1, 1)
+            out.append(
+                pa.table(
+                    {
+                        "image_id": t["image_id"],
+                        "crop_rank": pa.array(np.full(len(img), j, dtype=np.int64), type=pa.int64()),
+                        "x0": pa.array(hx, type=pa.int64()),
+                        "y0": pa.array(hy, type=pa.int64()),
+                        "side": pa.array(side, type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    return ds.map_batches(plan, batch_format="pyarrow")

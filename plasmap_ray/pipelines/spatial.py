@@ -1196,3 +1196,147 @@ def hilbert_locality_stats(sf_dir: str, bits: int = HILBERT_BITS) -> rd.Dataset:
             }
         )
     )
+
+
+def tile_child_coverage(sf_dir: str, z_parent: int = 10, z_child: int = 12) -> rd.Dataset:
+    """Tile-pyramid COMPLETENESS audit: per occupied parent tile, how
+    many of its 4^(dz) child tiles hold data — the coverage-rate
+    question ("is this z10 tile uniformly photographed or one hot
+    corner?") that drives adaptive tiling and acquisition planning.
+
+    Scale shape: the child-tile count combiner (map-side), parent key
+    by bit shift, ONE parent-bounded groupby counting DISTINCT children
+    via the ≤1-row-per-child combiner output.
+
+    Output: (px, py, n_children_occupied, n_images, coverage).
+    """
+    from .. import fixtures as _fx
+    from .. import tiles as _tiles
+    from ..stages.common import duckdb_round as _dr
+    from .images import images_path_for
+
+    import pyarrow.compute as pc
+
+    dz = z_child - z_parent
+    ds = rd.read_parquet(images_path_for(sf_dir), columns=["image_id"])
+
+    def child_partial(t: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4, 16), pa.int64()).to_numpy()
+        x, y = _tiles.tile_xy(_fx.derive_lon(ids), _fx.derive_lat(ids), z_child)
+        key = x.astype(np.int64) * (1 << z_child) + y
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"ckey": pa.array(uniq, type=pa.int64()), "n": pa.array(cnt.astype(np.int64))})
+
+    per_child = (
+        ds.map_batches(child_partial, batch_format="pyarrow")
+        .groupby("ckey")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def parent_partial(t: pa.Table) -> pa.Table:
+        ckey = t["ckey"].to_numpy()
+        cx, cy = ckey // (1 << z_child), ckey % (1 << z_child)
+        px, py = cx >> dz, cy >> dz
+        return pa.table(
+            {
+                "px": pa.array(px, type=pa.int64()),
+                "py": pa.array(py, type=pa.int64()),
+                "one": pa.array(np.ones(len(ckey), dtype=np.int64), type=pa.int64()),
+                "n": t["n"],
+            }
+        )
+
+    agg = (
+        per_child.map_batches(parent_partial, batch_format="pyarrow")
+        .groupby(["px", "py"])
+        .aggregate(Sum("one", alias_name="n_children_occupied"), Sum("n", alias_name="n_images"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        occ = t["n_children_occupied"].to_numpy().astype(np.float64)
+        cov = _dr(occ / float(1 << (2 * dz)), 6)
+        return t.append_column("coverage", pa.array(cov, type=pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def zone_border_distance(sf_dir: str, source=points_from_documents) -> rd.Dataset:
+    """Depth-inside-zone statistics: for every point-in-zone pair, the
+    planar distance to the zone's nearest border edge
+    (min of the four rect margins), aggregated per zone — the
+    edge-effect diagnostic (are samples concentrated at boundaries,
+    where label noise from geocoding is worst?).
+
+    Fixed-point int64 margins (1e9 per degree) -> exact integer sums;
+    mean is ONE mirrored division.  Map-only against the broadcast
+    rects + one zone-bounded reduce.
+
+    Output: (rel_id, n_points, min_depth_fp, mean_depth).
+    """
+    import ray as _ray
+
+    from ..stages.common import duckdb_round as _dr
+
+    rects = fixtures.admin_rects()
+    rref = _ray.put(rects)
+    FP = 1_000_000_000
+
+    def margins(t: pa.Table) -> pa.Table:
+        rs = _ray.get(rref)
+        lon = t["lon"].to_numpy()
+        lat = t["lat"].to_numpy()
+        outs = []
+        for r in rs:
+            m = (lon >= r["lon_min"]) & (lon < r["lon_max"]) & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+            if not m.any():
+                continue
+            depth = np.minimum.reduce(
+                [
+                    lon[m] - r["lon_min"],
+                    r["lon_max"] - lon[m],
+                    lat[m] - r["lat_min"],
+                    r["lat_max"] - lat[m],
+                ]
+            )
+            dfp = np.floor(depth * FP + 0.5).astype(np.int64)
+            outs.append(
+                pa.table(
+                    {
+                        "rel_id": pa.array(np.full(int(m.sum()), r["rel_id"], dtype=np.int64), type=pa.int64()),
+                        "one": pa.array(np.ones(int(m.sum()), dtype=np.int64), type=pa.int64()),
+                        "dfp": pa.array(dfp, type=pa.int64()),
+                    }
+                )
+            )
+        if not outs:
+            return pa.table(
+                {
+                    "rel_id": pa.array([], type=pa.int64()),
+                    "one": pa.array([], type=pa.int64()),
+                    "dfp": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+    agg = (
+        source(sf_dir)
+        .map_batches(margins, batch_format="pyarrow")
+        .groupby("rel_id")
+        .aggregate(
+            Sum("one", alias_name="n_points"),
+            Min("dfp", alias_name="min_depth_fp"),
+            Sum("dfp", alias_name="sum_depth_fp"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        mean = _dr(
+            t["sum_depth_fp"].to_numpy().astype(np.float64)
+            / np.float64(FP)
+            / t["n_points"].to_numpy().astype(np.float64),
+            6,
+        )
+        out = t.drop_columns(["sum_depth_fp"])
+        return out.append_column("mean_depth", pa.array(mean, type=pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1193,3 +1193,52 @@ def test_caption_geo_alignment_fully_aligned(ray_session):
     assert (out["align_rate"] == 1.0).all()
     assert out["n_images"].sum() == ip.images_count_for("/root/testdata/sf0.001")
     assert "the countryside" in set(out["place"])
+
+
+def test_image_crop_manifest_bounds(ray_session):
+    from plasmap_ray.pipelines import images as ip
+
+    sf = "/root/testdata/sf0.001"
+    out = ip.image_crop_manifest(sf).to_pandas()
+    t = fixtures.make_images(ip.images_count_for(sf)).select(["image_id", "w", "h"]).to_pandas()
+    m = out.merge(t, on="image_id")
+    assert len(out) == ip.CROP_K * len(t)
+    assert (m["side"] == (np.minimum(m["w"], m["h"]).astype(np.int64) * 2) // 3).all()
+    assert ((m["x0"] >= 0) & (m["x0"] + m["side"] <= m["w"])).all()
+    assert ((m["y0"] >= 0) & (m["y0"] + m["side"] <= m["h"])).all()
+    # crops differ across ranks for almost all images (hash spread)
+    spread = m.groupby("image_id")[["x0", "y0"]].nunique().max(axis=1)
+    assert (spread > 1).mean() > 0.8
+
+
+def test_tile_child_coverage_consistency(ray_session):
+    from plasmap_ray.pipelines import images as ip
+    from plasmap_ray.pipelines import spatial
+
+    sf = "/root/testdata/sf0.001"
+    out = spatial.tile_child_coverage(sf).to_pandas()
+    assert ((out["n_children_occupied"] >= 1) & (out["n_children_occupied"] <= 16)).all()
+    assert (abs(out["coverage"] - out["n_children_occupied"] / 16.0) < 1e-9).all()
+    assert out["n_images"].sum() == ip.images_count_for(sf)
+
+
+def test_zone_border_distance_matches_bruteforce(ray_session):
+    from plasmap_ray.pipelines import spatial
+
+    sf = "/root/testdata/sf0.001"
+    out = spatial.zone_border_distance(sf).to_pandas().set_index("rel_id")
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+    ids = docs["doc_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    for r in fixtures.admin_rects():
+        m = (lon >= r["lon_min"]) & (lon < r["lon_max"]) & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+        if not m.any():
+            assert r["rel_id"] not in out.index
+            continue
+        depth = np.minimum.reduce(
+            [lon[m] - r["lon_min"], r["lon_max"] - lon[m], lat[m] - r["lat_min"], r["lat_max"] - lat[m]]
+        )
+        row = out.loc[r["rel_id"]]
+        assert row["n_points"] == int(m.sum())
+        assert row["min_depth_fp"] == int(np.floor(depth.min() * 1e9 + 0.5))
+        assert abs(row["mean_depth"] - depth.mean()) < 1e-6
