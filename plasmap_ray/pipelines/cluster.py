@@ -54,6 +54,7 @@ logger = logging.getLogger(__name__)
 
 CC_JOIN_PARTITIONS = 16
 CC_MAX_ITERS = 30
+CC_LOCAL_MAX_EDGES = 2_000_000  # below this, one union-find task beats the round loop
 
 
 def _sym_edges(pairs: rd.Dataset, a_col: str, b_col: str) -> rd.Dataset:
@@ -94,11 +95,54 @@ def connected_components(
     needs "changed vs unchanged").
     """
     edges = _sym_edges(pairs, a_col, b_col).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         # no edges -> no paired nodes; a typed empty (node, label) table
         # keeps downstream joins schema-stable
         return rd.from_arrow(
             pa.table({"node": pa.array([], type=pa.int64()), "label": pa.array([], type=pa.int64())})
+        )
+    if n_edges <= CC_LOCAL_MAX_EDGES:
+        # size-adaptive plan (the pip_join_auto discipline): a small
+        # edge set pays ~seconds of shuffle-round fixed cost per
+        # propagation round, while ONE union-find task finishes in
+        # milliseconds with the identical min-label result.  The
+        # threshold keeps per-task memory bounded (~32 MB of int64
+        # pairs); above it the O(log d) distributed rounds take over.
+        def local_cc(g: pa.Table) -> pa.Table:
+            src = g["src"].to_numpy()
+            dst = g["dst"].to_numpy()
+            nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+            parent = np.arange(len(nodes), dtype=np.int64)
+
+            def find(i: int) -> int:
+                while parent[i] != i:
+                    parent[i] = parent[parent[i]]
+                    i = parent[i]
+                return i
+
+            es, ed = inv[: len(src)], inv[len(src) :]
+            for a, b in zip(es.tolist(), ed.tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+            # component label = MIN node id; nodes sorted -> min root index
+            return pa.table(
+                {
+                    "node": pa.array(nodes, type=pa.int64()),
+                    "label": pa.array(nodes[roots], type=pa.int64()),
+                }
+            )
+
+        def tag_one(t: pa.Table) -> pa.Table:
+            return t.append_column("_g", pa.array(np.zeros(t.num_rows, dtype=np.int64)))
+
+        return (
+            edges.map_batches(tag_one, batch_format="pyarrow")
+            .groupby("_g")
+            .map_groups(lambda g: local_cc(g), batch_format="pyarrow")
+            .materialize()
         )
 
     labels = edges.groupby("src").aggregate(Min("dst", alias_name="nbr_min"))
