@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ast_pois_near_point": lambda sf: queryast.translate(
             queryast.PoisNearPoint(*AST_PT, radius_deg=0.2, category="cafe"), _ast_ctx(sf)
         ),
+        "ast_explain": lambda sf: queryast.explain(
+            queryast.PoisInArea(queryast.DistrictsOfArea(queryast.AreaByName("Essenheim")), "cafe")
+        ),
         "ast_pois_in_area": lambda sf: queryast.translate(
             queryast.PoisInArea(queryast.AreaByName("Duisheim"), "restaurant"), _ast_ctx(sf)
         ),
@@ -1295,6 +1298,17 @@ FROM {pois} ORDER BY 1 LIMIT {AST_K}""",
 WITH {_pts_cte()}
 SELECT doc_id, lon, lat FROM pts
 WHERE {oracle.sql_tile_x('lon', AST_TILE[0])} = {AST_TILE[1]} AND {oracle.sql_tile_y('lat', AST_TILE[0])} = {AST_TILE[2]}""",
+        # mirrors queryast.explain for the canonical nested AST: the plan
+        # is a SPEC, pinned as an inline VALUES table
+        "ast_explain": """
+SELECT * FROM (VALUES
+  (1, 'scan_boundaries', 'admin_level=any'),
+  (2, 'filter', 'name == ''Essenheim'''),
+  (3, 'scan_boundaries', 'admin_level=8'),
+  (4, 'containment_join', 'child within parent (exact, fuzzy>=0.9 fallback)'),
+  (5, 'scan_pois', 'category=cafe (tag pushdown)'),
+  (6, 'pip_join', 'pois within parent area')
+) AS t(step, op, detail)""",
         "ast_districts_of_area": f"""
 SELECT c.rel_id, c.name, c.admin_level FROM {rects} , {rects.replace(') AS b(', ') AS c(')}
 WHERE b.name = 'Essenheim' AND c.admin_level > b.admin_level

@@ -312,3 +312,61 @@ _DISPATCH = {
     PoisNearPoint: _pois_near,
     FeaturesInTile: _features_in_tile,
 }
+
+
+def explain(q: Query) -> pa.Table:
+    """Query-plan EXPLAIN: the deterministic operator tree the planner
+    will run for ``q``, one row per step in execution (post) order —
+    the rebuild of the reference's query-graph construction surface
+    (QueryTranslator.scala:1-210 translates each PMQuery node to a
+    dataflow stage; here each AST node maps to its Ray Data stage).
+
+    Rows: (step, op, detail).  Pure function of the AST — no data, no
+    Ray; the driver-side plan mirror of ``translate``.
+    """
+    rows: list[tuple[str, str]] = []
+
+    def emit(op: str, detail: str) -> None:
+        rows.append((op, detail))
+
+    def walk(node: Query) -> None:
+        if isinstance(node, ContainingAreas):
+            lvl = "any" if node.admin_level is None else str(node.admin_level)
+            emit("scan_boundaries", f"admin_level={lvl}")
+            emit("pip_probe", f"point=({node.lon!r}, {node.lat!r}) via broadcast PolygonIndex")
+        elif isinstance(node, AreaByName):
+            emit("scan_boundaries", "admin_level=any")
+            emit("filter", f"name == '{node.name}'")
+        elif isinstance(node, DistrictsOfArea):
+            walk(node.parent)
+            emit("scan_boundaries", "admin_level=8")
+            emit("containment_join", "child within parent (exact, fuzzy>=0.9 fallback)")
+        elif isinstance(node, PoisInArea):
+            walk(node.parent)
+            emit("scan_pois", f"category={node.category} (tag pushdown)")
+            emit("pip_join", "pois within parent area")
+        elif isinstance(node, NearestPois):
+            cat = "any" if node.category is None else node.category
+            emit("scan_pois", f"category={cat}")
+            emit("knn", f"k={node.k} around ({node.lon!r}, {node.lat!r}) via grid index")
+        elif isinstance(node, PoisNearPoint):
+            cat = "any" if node.category is None else node.category
+            emit("scan_pois", f"category={cat}")
+            emit("radius_filter", f"r={node.radius_deg!r} deg around ({node.lon!r}, {node.lat!r})")
+        elif isinstance(node, FeaturesInTile):
+            emit("scan_points", "cell-indexed features")
+            emit("tile_prefix_scan", f"z/x/y={node.z}/{node.x}/{node.y} (cell-prefix range)")
+        elif isinstance(node, TypedAreaAt):
+            emit("scan_boundaries", f"admin_level={node.admin_level}")
+            emit("pip_probe", f"point=({node.lon!r}, {node.lat!r}) via broadcast PolygonIndex")
+        else:  # pragma: no cover - future node kinds
+            emit("unknown", type(node).__name__)
+
+    walk(q)
+    return pa.table(
+        {
+            "step": pa.array(np.arange(1, len(rows) + 1, dtype=np.int64), type=pa.int64()),
+            "op": pa.array([r[0] for r in rows], type=pa.string()),
+            "detail": pa.array([r[1] for r in rows], type=pa.string()),
+        }
+    )

@@ -106,3 +106,27 @@ def test_pois_near_point_radius(ctx):
     assert (d2 <= 0.04 + 1e-15).all()
     # wire round trip includes the new node type
     assert queryast.from_json(queryast.to_json(q)) == q
+
+
+def test_explain_covers_every_node_kind():
+    from plasmap_ray import queryast as qa
+
+    cases = [
+        qa.ContainingAreas(6.5, 51.0),
+        qa.AreaByName("Essenheim"),
+        qa.DistrictsOfArea(qa.AreaByName("Essenheim")),
+        qa.PoisInArea(qa.AreaByName("Essenheim"), "cafe"),
+        qa.NearestPois(6.5, 51.0, k=3),
+        qa.PoisNearPoint(6.5, 51.0, radius_deg=0.2),
+        qa.FeaturesInTile(10, 1, 2),
+    ]
+    for q in cases:
+        t = qa.explain(q)
+        assert t.num_rows >= 1
+        assert t.column_names == ["step", "op", "detail"]
+        assert t["step"].to_pylist() == list(range(1, t.num_rows + 1))
+        assert "unknown" not in set(t["op"].to_pylist())
+    # nested plan lists parent steps before the join that consumes them
+    plan = qa.explain(qa.PoisInArea(qa.DistrictsOfArea(qa.AreaByName("x")), "cafe"))
+    ops = plan["op"].to_pylist()
+    assert ops.index("containment_join") < ops.index("pip_join")
