@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_overlap_point_counts": spatial.zone_overlap_point_counts,
         "tile_child_coverage": spatial.tile_child_coverage,
         "zone_border_distance": spatial.zone_border_distance,
+        "zone_median_center": spatial.zone_median_center,
         "tile_raster": lambda sf: raster.tile_raster_pipeline(sf, z=10),
         "raster_to_vector": lambda sf: raster.raster_to_vector(sf, z=10),
         "raster_focal_mean": lambda sf: raster.raster_focal_mean(sf, z=10),
@@ -530,6 +531,7 @@ SELECT doc_id, lon, lat FROM pts
 WHERE NOT EXISTS (
   SELECT 1 FROM {rects}
   WHERE pts.lon >= b.lon_min AND pts.lon < b.lon_max AND pts.lat >= b.lat_min AND pts.lat < b.lat_max)""",
+        "zone_median_center": f"SELECT * FROM read_parquet('{golden.zone_median_center_path(SF001)}')",
         "hilbert_index": f"SELECT * FROM read_parquet('{golden.hilbert_index_path(SF001 + '/events.parquet')}')",
         "hilbert_locality_stats": f"SELECT * FROM read_parquet('{golden.hilbert_locality_stats_path(SF001 + '/events.parquet')}')",
         # mirrors spatial.geohash_strings: same quantization, the

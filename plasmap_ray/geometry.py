@@ -434,3 +434,28 @@ def convex_hull(pts: "np.ndarray") -> "np.ndarray":
         upper.append(p[i])
     hull = lower[:-1] + upper[:-1]
     return np.asarray(hull, dtype=np.float64)
+
+
+def weiszfeld_fixed(lon: "np.ndarray", lat: "np.ndarray", iters: int = 8) -> tuple[float, float]:
+    """Geometric median (the L1 central feature) via a FIXED number of
+    Weiszfeld iterations — fixed iteration count + fixed input order
+    make the float sequence fully deterministic, so both engines run
+    the identical kernel on the identically-sorted points (the
+    pagerank/kmeans pinned-iteration discipline applied to a float
+    algorithm).  Coincidence with a data point is regularized by the
+    standard epsilon.
+
+    Inputs MUST be sorted by the caller's canonical order.
+    """
+    import numpy as _np
+
+    x = float(lon.mean())
+    y = float(lat.mean())
+    eps = 1e-12
+    for _ in range(iters):
+        d = _np.sqrt((lon - x) ** 2 + (lat - y) ** 2)
+        w = 1.0 / _np.maximum(d, eps)
+        sw = float(w.sum())
+        x = float((lon * w).sum() / sw)
+        y = float((lat * w).sum() / sw)
+    return x, y

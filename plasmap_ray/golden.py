@@ -2028,3 +2028,42 @@ def lsh_blocking_eval_path(sf_dir: str, sim_threshold: float, sample_mod: int) -
         )
 
     return _cache(f"lsh_blocking_{_sf_tag(sf_dir)}_t{sim_threshold}_m{sample_mod}", build)
+
+
+def zone_median_center_path(sf_dir: str, iters: int = 8) -> str:
+    """Expected per-zone geometric medians: zone assignment recomputed
+    independently from the rect table (no PolygonIndex), the same
+    pinned-iteration Weiszfeld kernel on the identically-sorted
+    points."""
+
+    def build() -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from . import fixtures, geometry
+
+        ids = np.sort(
+            pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])["doc_id"].to_numpy()
+        )
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        rows = {"rel_id": [], "n_points": [], "med_lon": [], "med_lat": []}
+        from .stages.common import duckdb_round
+
+        for r in fixtures.admin_rects():
+            m = (lon >= r["lon_min"]) & (lon < r["lon_max"]) & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+            if not m.any():
+                continue
+            x, y = geometry.weiszfeld_fixed(lon[m], lat[m], iters)
+            rows["rel_id"].append(r["rel_id"])
+            rows["n_points"].append(int(m.sum()))
+            rows["med_lon"].append(float(duckdb_round(np.array([x]), 6)[0]))
+            rows["med_lat"].append(float(duckdb_round(np.array([y]), 6)[0]))
+        return pa.table(
+            {
+                "rel_id": pa.array(rows["rel_id"], type=pa.int64()),
+                "n_points": pa.array(rows["n_points"], type=pa.int64()),
+                "med_lon": pa.array(rows["med_lon"], type=pa.float64()),
+                "med_lat": pa.array(rows["med_lat"], type=pa.float64()),
+            }
+        )
+
+    return _cache(f"zone_median_{_sf_tag(sf_dir)}_i{iters}", build)

@@ -1340,3 +1340,50 @@ def zone_border_distance(sf_dir: str, source=points_from_documents) -> rd.Datase
         return out.append_column("mean_depth", pa.array(mean, type=pa.float64()))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def zone_median_center(sf_dir: str, iters: int = 8, source=points_from_documents) -> rd.Dataset:
+    """Geometric MEDIAN center per admin zone (Weiszfeld, fixed 8
+    iterations): the robust central feature (unlike the mean center in
+    zone_dispersion, one outlying point cannot drag it) — the "where do
+    I pin the label / depot?" statistic of spatial analysis.
+
+    Determinism: per-zone points sort by doc_id before the fixed-
+    iteration kernel (geometry.weiszfeld_fixed), so the float sequence
+    is identical on any worker; the golden oracle re-runs the same
+    kernel on an INDEPENDENTLY recomputed zone assignment and ordering.
+
+    Scale shape: broadcast-PiP assignment, ONE zone-keyed regroup
+    (zones are few; per-zone points stream into one task each — at
+    larger zones swap in the weighted-coreset sketch).
+
+    Output: (rel_id, n_points, med_lon, med_lat).
+    """
+    from .. import geometry as _geom
+    from ..stages import geo as _geo
+    from ..stages.common import duckdb_round as _dr
+
+    idx_ref = boundary_index_ref()
+    joined = source(sf_dir).map_batches(
+        _geo.PiPJoinActor,
+        fn_constructor_kwargs=dict(index_ref=idx_ref, keep_cols=("doc_id", "lon", "lat")),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=8192,
+    )
+
+    def per_zone(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("doc_id", "ascending")])
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        x, y = _geom.weiszfeld_fixed(lon, lat, iters)
+        return pa.table(
+            {
+                "rel_id": pa.array([int(g["rel_id"][0].as_py())], type=pa.int64()),
+                "n_points": pa.array([g.num_rows], type=pa.int64()),
+                "med_lon": pa.array([float(_dr(np.array([x]), 6)[0])], type=pa.float64()),
+                "med_lat": pa.array([float(_dr(np.array([y]), 6)[0])], type=pa.float64()),
+            }
+        )
+
+    return joined.groupby("rel_id").map_groups(per_zone, batch_format="pyarrow")

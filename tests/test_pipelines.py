@@ -1242,3 +1242,33 @@ def test_zone_border_distance_matches_bruteforce(ray_session):
         assert row["n_points"] == int(m.sum())
         assert row["min_depth_fp"] == int(np.floor(depth.min() * 1e9 + 0.5))
         assert abs(row["mean_depth"] - depth.mean()) < 1e-6
+
+
+def test_zone_median_center_robustness(ray_session):
+    from plasmap_ray import geometry
+    from plasmap_ray.pipelines import spatial
+
+    sf = "/root/testdata/sf0.001"
+    out = spatial.zone_median_center(sf).to_pandas().set_index("rel_id")
+    # median center lies inside its zone and near (but generally not at)
+    # the mean center; total assignments match the PiP join
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+    ids = np.sort(docs["doc_id"].to_numpy())
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    for r in fixtures.admin_rects():
+        m = (lon >= r["lon_min"]) & (lon < r["lon_max"]) & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+        if not m.any():
+            continue
+        row = out.loc[r["rel_id"]]
+        assert row["n_points"] == int(m.sum())
+        assert r["lon_min"] <= row["med_lon"] <= r["lon_max"]
+        assert r["lat_min"] <= row["med_lat"] <= r["lat_max"]
+
+    # the kernel minimizes the L1 objective vs the mean center
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(200, 2))
+    pts[:20] += 50.0  # outlier cluster drags the mean, not the median
+    x, y = geometry.weiszfeld_fixed(np.sort(pts[:, 0]), pts[np.argsort(pts[:, 0]), 1], iters=32)
+    def l1(cx, cy):
+        return np.sqrt((pts[:, 0] - cx) ** 2 + (pts[:, 1] - cy) ** 2).sum()
+    assert l1(x, y) < l1(pts[:, 0].mean(), pts[:, 1].mean())
