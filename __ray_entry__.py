@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_approx": windows.distinct_users_approx,
         # --- text analysis ---
         "token_stats": text.token_stats,
+        "vocab_coverage_curve": text.vocab_coverage_curve,
         "lang_histogram": text.lang_histogram,
         "text_quality": text.quality_pipeline,
         "langid_confusion": text.langid_confusion,
@@ -1061,6 +1062,21 @@ WHERE NOT list_contains(string_split(lower(text), ' '), '{SEARCH_TOKEN}')""",
 WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
 d AS (SELECT token, count(DISTINCT doc_id) AS n_docs FROM toks GROUP BY token)
 SELECT token, n_docs FROM d WHERE n_docs >= 50""",
+        # mirrors text.vocab_coverage_curve: (count desc, token) ranking,
+        # cumulative coverage at the checkpoint Ks
+        "vocab_coverage_curve": """
+WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk FROM c),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS vocab FROM c),
+ks(k) AS (VALUES (16), (64), (256), (1024), (4096))
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(least(ks.k, tot.vocab) AS BIGINT) AS n_vocab_used,
+       CAST(coalesce(sum(CASE WHEN r.rk <= ks.k THEN r.n END), 0) AS BIGINT) AS covered,
+       tot.total,
+       round(CAST(coalesce(sum(CASE WHEN r.rk <= ks.k THEN r.n END), 0) AS DOUBLE) / CAST(tot.total AS DOUBLE), 6) AS coverage
+FROM ks CROSS JOIN tot LEFT JOIN r ON r.rk <= ks.k
+GROUP BY ks.k, tot.total, tot.vocab""",
         "token_stats": """
 SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars FROM documents""",
         "redact_pii": f"""

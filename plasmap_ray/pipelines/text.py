@@ -17,7 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Mean
+from ray.data.aggregate import Count, Mean, Sum
 
 
 def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
@@ -495,4 +495,69 @@ def langid_confusion(sf_dir: str) -> rd.Dataset:
         .groupby(["lang", "pred_lang"])
         .aggregate(_Count(alias_name="n_docs"))
         .sort(["lang", "pred_lang"])
+    )
+
+
+COVERAGE_KS = (16, 64, 256, 1024, 4096)
+
+
+def vocab_coverage_curve(sf_dir: str, ks: tuple[int, ...] = COVERAGE_KS) -> rd.Dataset:
+    """Tokenizer-planning COVERAGE CURVE: what fraction of all token
+    occurrences do the top-K vocabulary entries cover, at K = 16..4096
+    — the Heaps/Zipf summary that sizes a vocabulary before training a
+    tokenizer (complement of subword_stats' BPE-ish merge counts).
+
+    Scale shape: per-batch token-count combiner -> ONE vocab-bounded
+    groupby; the ranking runs on the AGGREGATE (distinct tokens), never
+    on occurrences.  Ties rank deterministically by (count desc, token
+    asc) in both engines.
+
+    Output: (k, n_vocab_used, covered, total, coverage).
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.common import duckdb_round
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(pc.utf8_lower(t["text"]), " "))
+        flat = pa.table({"token": toks})
+        g = flat.group_by("token").aggregate([("token", "count")])
+        return pa.table(
+            {
+                "token": g["token"],
+                "n": pa.array(g["token_count"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # vocab-bounded (distinct tokens)
+    )
+    order = np.lexsort((counts["token"].to_numpy(), -counts["n"].to_numpy()))
+    n_sorted = counts["n"].to_numpy()[order].astype(np.int64)
+    total = int(n_sorted.sum())
+    cum = np.cumsum(n_sorted)
+    rows = {"k": [], "n_vocab_used": [], "covered": [], "total": [], "coverage": []}
+    for k in ks:
+        used = min(k, len(n_sorted))
+        cov = int(cum[used - 1]) if used else 0
+        rows["k"].append(k)
+        rows["n_vocab_used"].append(used)
+        rows["covered"].append(cov)
+        rows["total"].append(total)
+        rows["coverage"].append(float(duckdb_round(np.array([cov / total]), 6)[0]))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(rows["k"], type=pa.int64()),
+                "n_vocab_used": pa.array(rows["n_vocab_used"], type=pa.int64()),
+                "covered": pa.array(rows["covered"], type=pa.int64()),
+                "total": pa.array(rows["total"], type=pa.int64()),
+                "coverage": pa.array(rows["coverage"], type=pa.float64()),
+            }
+        )
     )

@@ -299,3 +299,15 @@ def test_mad_robust_stats_matches_numpy(ray_session):
         assert abs(out.loc[et, "median"] - med) < 1e-5
         assert abs(out.loc[et, "mad"] - mad) < 1e-5
         assert out.loc[et, "n"] == len(v)
+
+
+def test_vocab_coverage_curve_monotone(ray_session):
+    from plasmap_ray.pipelines import text as tp
+
+    out = tp.vocab_coverage_curve("/root/testdata/sf0.01").to_pandas().sort_values("k")
+    assert list(out["k"]) == [16, 64, 256, 1024, 4096]
+    assert (np.diff(out["coverage"]) >= 0).all()
+    assert ((out["coverage"] > 0) & (out["coverage"] <= 1)).all()
+    assert (out["covered"] <= out["total"]).all()
+    # the Zipf head must dominate: top-4096 covers (almost) everything
+    assert out["coverage"].iloc[-1] > 0.9
