@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall_eval": lambda sf: ann.ann_recall_eval(sf, k=ANN_K, vec_ids=MULTI_VEC_IDS),
         "minhash_accuracy_eval": dedup.minhash_accuracy_eval,
         "lsh_blocking_eval": dedup.lsh_blocking_eval,
+        "dedup_manifest": dedup.dedup_manifest,
         "table_profile": stats.table_profile,
         "rfm_features": stats.rfm_features,
         "global_row_numbers": windows.global_row_numbers,
@@ -1565,6 +1566,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "ann_recall_eval": f"SELECT * FROM read_parquet('{golden.ann_recall_path(SF001, ANN_K, MULTI_VEC_IDS)}')",
         "minhash_accuracy_eval": f"SELECT * FROM read_parquet('{golden.minhash_accuracy_path(SF001, 0.8)}')",
         "lsh_blocking_eval": f"SELECT * FROM read_parquet('{golden.lsh_blocking_eval_path(SF001, 0.8, dedup.BLOCKING_SAMPLE_MOD)}')",
+        "dedup_manifest": f"SELECT * FROM read_parquet('{golden.dedup_manifest_path(SF001, 0.8)}')",
         "way_assembly": f"SELECT * FROM read_parquet('{golden.way_assembly_path()}')",
         "way_lengths": f"SELECT * FROM read_parquet('{golden.way_lengths_path()}')",
         "zone_way_length": f"SELECT * FROM read_parquet('{golden.zone_way_length_path()}')",

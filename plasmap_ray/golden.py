@@ -2067,3 +2067,49 @@ def zone_median_center_path(sf_dir: str, iters: int = 8) -> str:
         )
 
     return _cache(f"zone_median_{_sf_tag(sf_dir)}_i{iters}", build)
+
+
+def dedup_manifest_path(sf_dir: str, sim_threshold: float = 0.8) -> str:
+    """Expected keep/drop manifest: local union-find over the union of
+    exact md5 star-edges and the golden minhash pair set (both
+    recomputed without Ray)."""
+
+    def build() -> pa.Table:
+        import hashlib
+
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]).to_pandas()
+        ids = docs["doc_id"].to_numpy().astype(np.int64)
+        md5 = np.asarray([hashlib.md5(s.encode()).hexdigest() for s in docs["text"]])
+        parent: dict[int, int] = {int(i): int(i) for i in ids}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a: int, b: int) -> None:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        groups: dict[str, list[int]] = {}
+        for i, h in zip(ids.tolist(), md5.tolist()):
+            groups.setdefault(h, []).append(i)
+        for members in groups.values():
+            first = min(members)
+            for m in members:
+                union(first, m)
+        near = pq.read_table(minhash_near_dup_path(sf_dir, sim_threshold)).to_pandas()
+        for a, b in zip(near["doc_a"].astype(int), near["doc_b"].astype(int)):
+            union(a, b)
+        cluster = np.array([find(int(i)) for i in ids], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "cluster_id": pa.array(cluster, type=pa.int64()),
+                "keep": pa.array(ids == cluster, type=pa.bool_()),
+            }
+        )
+
+    return _cache(f"dedup_manifest_{_sf_tag(sf_dir)}_t{sim_threshold}", build)

@@ -821,3 +821,79 @@ def lsh_blocking_eval(sf_dir: str, sim_threshold: float = 0.8, sample_mod: int =
             }
         )
     )
+
+
+def dedup_manifest(sf_dir: str, sim_threshold: float = 0.8, num_partitions: int = 8) -> rd.Dataset:
+    """The curation CAPSTONE: one keep/drop manifest per document from
+    ALL dedup evidence combined — exact content clusters (md5) and
+    MinHash+LSH near-dup pairs union into one edge set, connected
+    components merge transitive duplicates ACROSS detectors (doc A
+    exact-dups B, B near-dups C -> one cluster), and the canonical
+    survivor (minimum doc_id) is kept.  This is the table a training
+    run actually consumes: every upstream detector feeds it.
+
+    Scale shape: md5 star-edges map-side (each doc pairs with its
+    group's min — groupby(md5).Min + one hash join back, no pairwise
+    blowup), LSH pairs from the sharded band run-scan, ONE component
+    propagation (size-adaptive union-find / min-label rounds), one
+    left join to mark singletons.
+
+    Output: (doc_id, cluster_id, keep).
+    """
+    from .cluster import connected_components
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def add_md5(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "text_md5": pa.array(h, type=pa.string())})
+
+    hashed = docs.map_batches(add_md5, batch_format="pyarrow").materialize()
+    firsts = hashed.groupby("text_md5").aggregate(Min("doc_id", alias_name="first_doc"))
+    star = hashed.join(firsts, join_type="inner", num_partitions=num_partitions, on=("text_md5",))
+
+    def star_edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        f = t["first_doc"].to_numpy().astype(np.int64)
+        m = d != f
+        return pa.table(
+            {
+                "doc_a": pa.array(f[m], type=pa.int64()),
+                "doc_b": pa.array(d[m], type=pa.int64()),
+            }
+        )
+
+    exact_edges = star.map_batches(star_edges, batch_format="pyarrow")
+
+    def near_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": pa.array(t["doc_a"].to_numpy().astype(np.int64), type=pa.int64()),
+                "doc_b": pa.array(t["doc_b"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    near = minhash_near_dup(sf_dir, sim_threshold=sim_threshold).map_batches(
+        near_edges, batch_format="pyarrow"
+    )
+    labels = connected_components(
+        exact_edges.union(near), a_col="doc_a", b_col="doc_b", num_partitions=num_partitions
+    )
+
+    assembled = hashed.select_columns(["doc_id"]).join(
+        labels, join_type="left_outer", num_partitions=num_partitions, on=("doc_id",), right_on=("node",)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cluster = np.where(np.isnan(lab), d, np.nan_to_num(lab)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, type=pa.int64()),
+                "cluster_id": pa.array(cluster, type=pa.int64()),
+                "keep": pa.array(d == cluster, type=pa.bool_()),
+            }
+        )
+
+    return assembled.map_batches(finish, batch_format="pyarrow")

@@ -498,3 +498,31 @@ def test_lsh_blocking_eval_sane(ray_session):
     assert r["completeness"] >= 0.9
     # blocking must prune almost the whole quadratic space
     assert r["reduction_ratio"] > 0.99
+
+
+def test_dedup_manifest_consistency(ray_session):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import dedup
+
+    out = dedup.dedup_manifest(SF001).to_pandas()
+    docs = pq.read_table(f"{SF001}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    assert len(out) == len(docs)
+    # cluster representative is kept, everything else dropped
+    assert (out["keep"] == (out["doc_id"] == out["cluster_id"])).all()
+    # cluster ids are cluster minima
+    mins = out.groupby("cluster_id")["doc_id"].min()
+    assert (mins.index == mins.values).all()
+    # exact dups always share a cluster
+    docs["md5"] = [hashlib.md5(s.encode()).hexdigest() for s in docs["text"]]
+    cl = out.set_index("doc_id")["cluster_id"]
+    for _, g in docs.groupby("md5"):
+        if len(g) > 1:
+            assert cl[g["doc_id"]].nunique() == 1
+    # near-dup pairs always share a cluster
+    near = dedup.minhash_near_dup(SF001).to_pandas()
+    assert (cl[near["doc_a"]].to_numpy() == cl[near["doc_b"]].to_numpy()).all()
+    # and some drops actually happen
+    assert (~out["keep"]).sum() > 0
