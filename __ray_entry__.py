@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational / aggregation ---
         "pricing_summary": relational.pricing_summary,
         "orders_by_nation": relational.orders_by_nation,
+        "part_cooccurrence": relational.part_cooccurrence,
         "topk_orders_per_customer": relational.topk_orders_per_customer,
         "filtered_part_stats": relational.filtered_stats,
         "top_unshipped_orders": relational.top_unshipped_orders,
@@ -205,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_gap_fill": windows.hourly_gap_fill,
         # --- stream-shaped ---
         "tumbling_window": windows.tumbling_window,
+        "daily_cusum": windows.daily_cusum,
         "sessionize": windows.sessionize,
         "sliding_window": windows.sliding_window,
         "sampled_event_stats": windows.sampled_event_stats,
@@ -979,6 +981,26 @@ SELECT COUNT(DISTINCT user_id) AS n_users FROM events""",
 SELECT CAST(0.5 AS DOUBLE) AS q, quantile_disc(value, 0.5) AS value FROM events
 UNION ALL SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events
 UNION ALL SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events""",
+        # mirrors relational.part_cooccurrence: distinct-part pairs per
+        # order via the canonical self-join
+        "part_cooccurrence": f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(count(*) AS BIGINT) AS support
+FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND b.l_partkey > a.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= {relational.COOC_MIN_SUPPORT}""",
+        # mirrors windows.daily_cusum: integer-scaled CUSUM over daily
+        # counts, argmax |S| flagged (smallest day wins ties, as numpy
+        # argmax does)
+        "daily_cusum": """
+WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS dd, CAST(sum(n_events) AS BIGINT) AS t FROM d),
+c AS (SELECT day, n_events,
+             CAST(sum(n_events * tot.dd - tot.t) OVER (ORDER BY day) AS BIGINT) AS cusum_scaled
+      FROM d, tot),
+pk AS (SELECT min(day) AS peak_day FROM c
+       WHERE abs(cusum_scaled) = (SELECT max(abs(cusum_scaled)) FROM c))
+SELECT c.day, c.n_events, c.cusum_scaled, c.day = pk.peak_day AS is_peak FROM c, pk""",
         "event_value_quantiles": """
 SELECT event_type, CAST(0.5 AS DOUBLE) AS q, quantile_disc(value, 0.5) AS value FROM events GROUP BY event_type
 UNION ALL SELECT event_type, CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events GROUP BY event_type

@@ -1582,3 +1582,79 @@ def price_band_pairs(sf_dir: str, band_cents: int = PRICE_BAND_CENTS) -> rd.Data
         .map_groups(count_pairs, batch_format="pyarrow")
         .sort("n_name")
     )
+
+
+COOC_MIN_SUPPORT = 2
+
+
+def part_cooccurrence(sf_dir: str, min_support: int = COOC_MIN_SUPPORT, parts: int = 32) -> rd.Dataset:
+    """Market-basket co-occurrence: part pairs bought together in the
+    same order, with support counts — the frequent-itemset primitive
+    (A-priori's first pass) behind recommendations and assortment
+    analysis.
+
+    Scale shape: the per-order pair explosion is bounded by ORDER SIZE
+    squared (orders hold a handful of lines, never the catalog), done
+    in the coarse-partition run-scan (order_key % parts); pair counts
+    combine map-side before ONE pair-keyed groupby.
+
+    Output: (part_a, part_b, support), part_a < part_b, support >=
+    min_support.
+    """
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "ok": pa.array(ok, type=pa.int64()),
+                "pk": pa.array(t["l_partkey"].to_numpy().astype(np.int64), type=pa.int64()),
+                "part": pa.array(ok % parts, type=pa.int64()),
+            }
+        )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ok = g["ok"].to_numpy()
+        pk = g["pk"].to_numpy()
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        starts = np.concatenate([[0], np.nonzero(ok[1:] != ok[:-1])[0] + 1])
+        ends = np.append(starts[1:], len(ok))
+        pa_, pb_ = [], []
+        for a, b in zip(starts, ends):
+            if b - a < 2:
+                continue
+            items = np.unique(pk[a:b])
+            if len(items) < 2:
+                continue
+            ia, ib = np.triu_indices(len(items), k=1)
+            pa_.append(items[ia])
+            pb_.append(items[ib])
+        if not pa_:
+            return pa.table(
+                {
+                    "part_a": pa.array([], type=pa.int64()),
+                    "part_b": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        a = np.concatenate(pa_)
+        b = np.concatenate(pb_)
+        key = a * np.int64(1 << 32) + b
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "part_a": pa.array(uniq // (1 << 32), type=pa.int64()),
+                "part_b": pa.array(uniq % (1 << 32), type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["part_a", "part_b"])
+        .aggregate(Sum("n", alias_name="support"))
+    )
+    return agg.filter(expr=f"support >= {min_support}")

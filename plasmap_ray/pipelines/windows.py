@@ -1166,3 +1166,58 @@ def weighted_sample(sf_dir: str, k: int = WSAMPLE_K) -> rd.Dataset:
         return t.drop_columns(["skey"]).append_column("skey", pa.array(sk, type=pa.float64()))
 
     return picked.map_batches(round_key, batch_format="pyarrow")
+
+
+def daily_cusum(sf_dir: str) -> rd.Dataset:
+    """Change-point MONITORING over the event stream: the CUSUM of
+    daily event counts against the uniform-rate expectation, ALL
+    INTEGER — with daily counts x_d, D days and total T, the statistic
+
+        S_d = Σ_{i<=d} (x_i · D − T)        (scaled by D to stay integer)
+
+    crosses its extremum at the most likely rate change point.  Flags
+    the argmax |S_d| row — the drift alarm a pipeline puts on ingest
+    volume.
+
+    Scale shape: per-batch daily-count combiner -> ONE day-bounded
+    groupby; the cumulative scan runs on the D-row aggregate.
+
+    Output: (day, n_events, cusum_scaled, is_peak).
+    """
+    from .hotspot import DAY_US
+
+    ds = _read_events(sf_dir, ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["ts"].cast(pa.int64()).to_numpy() // DAY_US
+        uniq, cnt = np.unique(day, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n_events"))
+        .to_pandas()  # day-bounded
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["n_events"].to_numpy().astype(np.int64)
+    d_count = np.int64(len(x))
+    total = np.int64(x.sum())
+    s = np.cumsum(x * d_count - total)
+    peak = int(np.argmax(np.abs(s)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(daily["day"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n_events": pa.array(x, type=pa.int64()),
+                "cusum_scaled": pa.array(s.astype(np.int64), type=pa.int64()),
+                "is_peak": pa.array(np.arange(len(x)) == peak, type=pa.bool_()),
+            }
+        )
+    )

@@ -1272,3 +1272,35 @@ def test_zone_median_center_robustness(ray_session):
     def l1(cx, cy):
         return np.sqrt((pts[:, 0] - cx) ** 2 + (pts[:, 1] - cy) ** 2).sum()
     assert l1(x, y) < l1(pts[:, 0].mean(), pts[:, 1].mean())
+
+
+def test_part_cooccurrence_matches_bruteforce(ray_session):
+    from plasmap_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    out = relational.part_cooccurrence(sf, min_support=1).to_pandas()
+    li = pq.read_table(f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]).to_pandas()
+    expected = {}
+    for _, g in li.groupby("l_orderkey"):
+        items = sorted(set(g["l_partkey"]))
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                k = (items[i], items[j])
+                expected[k] = expected.get(k, 0) + 1
+    got = {(int(r["part_a"]), int(r["part_b"])): int(r["support"]) for _, r in out.iterrows()}
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_daily_cusum_properties(ray_session):
+    from plasmap_ray.pipelines import windows
+
+    sf = "/root/testdata/sf0.01"
+    out = windows.daily_cusum(sf).to_pandas().sort_values("day")
+    # the scaled CUSUM telescopes to zero at the last day
+    assert int(out["cusum_scaled"].iloc[-1]) == 0
+    assert out["is_peak"].sum() == 1
+    peak = out[out["is_peak"]].iloc[0]
+    assert abs(peak["cusum_scaled"]) == out["cusum_scaled"].abs().max()
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["ts"])
+    assert out["n_events"].sum() == ev.num_rows
