@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": stats.event_value_quantiles,
         "interpolated_quantiles": stats.interpolated_quantiles,
         "mad_robust_stats": stats.mad_robust_stats,
+        "value_concentration": stats.value_concentration,
         "hour_type_pivot": stats.hour_type_pivot,
         "corpus_summary": stats.corpus_summary,
         "distinct_users_approx": windows.distinct_users_approx,
@@ -1028,6 +1029,24 @@ v AS (
   JOIN o b ON b.event_type = s.event_type AND b.rk = s.hi)
 SELECT event_type, q, CAST(n AS BIGINT) AS n, round(vlo + (vhi - vlo) * frac, 6) AS q_value
 FROM v""",
+        # mirrors stats.value_concentration: int64 cents per user, top
+        # ceil(n/10) by (cents desc, user_id), one mirrored share
+        "value_concentration": """
+WITH u AS (
+  SELECT event_type, user_id,
+         CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cents DESC, user_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n_users
+  FROM u),
+k AS (SELECT *, CAST((n_users + 9) // 10 AS BIGINT) AS top_k FROM r)
+SELECT event_type, CAST(n_users AS BIGINT) AS n_users, top_k,
+       CAST(sum(CASE WHEN rk <= top_k THEN cents ELSE 0 END) AS BIGINT) AS top_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       round(CAST(sum(CASE WHEN rk <= top_k THEN cents ELSE 0 END) AS DOUBLE)
+             / CAST(sum(cents) AS DOUBLE), 6) AS top_share
+FROM k GROUP BY 1, 2, 3""",
         # mirrors stats.mad_robust_stats: explicit rank selection for the
         # median, a deviation pass on the UNROUNDED median, the same
         # selection for the MAD

@@ -733,3 +733,61 @@ def mad_robust_stats(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
+
+
+def value_concentration(sf_dir: str) -> rd.Dataset:
+    """Behavioral INEQUALITY: per event type, the share of total value
+    contributed by the top decile of users — the 80/20 concentration
+    diagnostic (whale detection, abuse screening) that tile_gini
+    answers for space and this answers for users.
+
+    Exactness: user totals are int64 cents (duckdb_round to cents
+    before summing — exact under any accumulation order); the ONE
+    division is mirrored.  Rank ties break by user_id in both engines.
+
+    Scale shape: per-batch (type, user) cents combiner -> ONE
+    (type x users)-bounded groupby -> per-type regroup on the
+    aggregate only.  Output: (event_type, n_users, top_k, top_cents,
+    total_cents, top_share).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["event_type", "user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = duckdb_round(t["value"].to_numpy() * 100.0, 0).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "user_id": t["user_id"].to_numpy().astype(np.int64),
+                "cents": cents,
+            }
+        )
+        g = df.groupby(["event_type", "user_id"], sort=False)["cents"].sum().reset_index()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], type=pa.string()),
+                "user_id": pa.array(g["user_id"].to_numpy(), type=pa.int64()),
+                "cents": pa.array(g["cents"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    per_user = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cents", "user_id"], ascending=[False, True]).reset_index(drop=True)
+        n = len(g)
+        k = (n + 9) // 10  # ceil(n/10)
+        top = int(g["cents"].iloc[:k].sum())
+        tot = int(g["cents"].sum())
+        share = float(duckdb_round(np.array([top / tot]), 6)[0]) if tot else 0.0
+        return pd.DataFrame(
+            [(g["event_type"].iloc[0], n, k, top, tot, share)],
+            columns=["event_type", "n_users", "top_k", "top_cents", "total_cents", "top_share"],
+        )
+
+    return per_user.groupby("event_type").map_groups(per_type, batch_format="pandas")

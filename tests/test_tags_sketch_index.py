@@ -311,3 +311,26 @@ def test_vocab_coverage_curve_monotone(ray_session):
     assert (out["covered"] <= out["total"]).all()
     # the Zipf head must dominate: top-4096 covers (almost) everything
     assert out["coverage"].iloc[-1] > 0.9
+
+
+def test_value_concentration_matches_pandas(ray_session):
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import stats
+
+    sf = "/root/testdata/sf0.01"
+    out = stats.value_concentration(sf).to_pandas().set_index("event_type")
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "user_id", "value"]).to_pandas()
+    ev["cents"] = np.copysign(np.floor(np.abs(ev["value"] * 100.0) + 0.5), ev["value"]).astype(np.int64)
+    for et, g in ev.groupby("event_type"):
+        per = g.groupby("user_id")["cents"].sum().reset_index()
+        per = per.sort_values(["cents", "user_id"], ascending=[False, True])
+        n = len(per)
+        k = (n + 9) // 10
+        row = out.loc[et]
+        assert row["n_users"] == n and row["top_k"] == k
+        assert row["top_cents"] == int(per["cents"].iloc[:k].sum())
+        assert row["total_cents"] == int(per["cents"].sum())
+        assert abs(row["top_share"] - row["top_cents"] / row["total_cents"]) < 1e-6
+        # concentration must exceed the uniform share
+        assert row["top_share"] > k / n
