@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_moran": hotspot.local_moran,
         "global_moran": hotspot.global_moran,
         "cell_adjacency_triangles": hotspot.cell_adjacency_triangles,
+        "occupancy_kcore": hotspot.occupancy_kcore,
         "turn_histogram": trajectory.turn_histogram,
         "kde_density": hotspot.kde_density,
         "cross_k": hotspot.cross_k,
@@ -2204,6 +2205,7 @@ SELECT cx, cy, n_own, nbr_sum, w,
             WHEN lag >= 0 THEN 'LH'
             ELSE 'LL' END AS quad
 FROM lagd""",
+        "occupancy_kcore": f"SELECT * FROM read_parquet('{golden.occupancy_kcore_path(SF001)}')",
         # mirrors hotspot.quadrat_chi2: integer moments over occupied
         # cells, closed-form N, two mirrored float expressions
         "quadrat_chi2": f"""

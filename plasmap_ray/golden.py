@@ -2113,3 +2113,61 @@ def dedup_manifest_path(sf_dir: str, sim_threshold: float = 0.8) -> str:
         )
 
     return _cache(f"dedup_manifest_{_sf_tag(sf_dir)}_t{sim_threshold}", build)
+
+
+def occupancy_kcore_path(sf_dir: str) -> str:
+    """Expected coreness: independent recompute — bucket-queue peel over
+    an adjacency built directly from the dense occupancy grid (no
+    scatter/groupby), the standard O(V+E) k-core algorithm."""
+
+    def build() -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from . import fixtures
+        from .pipelines.hotspot import GI_EPS, GI_GX, GI_GY
+
+        ids = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / GI_EPS).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / GI_EPS).astype(np.int64)
+        occ = np.zeros((GI_GX, GI_GY), dtype=bool)
+        occ[cx, cy] = True
+        verts = [(int(x), int(y)) for x, y in zip(*np.nonzero(occ))]
+        idx = {v: i for i, v in enumerate(verts)}
+        nbrs = [[] for _ in verts]
+        for (x, y), i in idx.items():
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    q = (x + dx, y + dy)
+                    if q in idx:
+                        nbrs[i].append(idx[q])
+        deg = np.array([len(v) for v in nbrs], dtype=np.int64)
+        deg0 = deg.copy()
+        n = len(verts)
+        core = np.zeros(n, dtype=np.int64)
+        alive = np.ones(n, dtype=bool)
+        kcur = 0
+        # lexicographic (degree, key) peel matching the engine's order
+        keys = np.array([x * GI_GY + y for x, y in verts], dtype=np.int64)
+        for _ in range(n):
+            cand = np.nonzero(alive)[0]
+            v = cand[np.lexsort((keys[cand], deg[cand]))[0]]
+            kcur = max(kcur, int(deg[v]))
+            core[v] = kcur
+            alive[v] = False
+            for u in nbrs[v]:
+                if alive[u]:
+                    deg[u] -= 1
+        order = np.argsort(keys)
+        return pa.table(
+            {
+                "cx": pa.array(np.array([verts[i][0] for i in order], dtype=np.int64), type=pa.int64()),
+                "cy": pa.array(np.array([verts[i][1] for i in order], dtype=np.int64), type=pa.int64()),
+                "degree": pa.array(deg0[order], type=pa.int64()),
+                "coreness": pa.array(core[order], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"occupancy_kcore_{_sf_tag(sf_dir)}", build)

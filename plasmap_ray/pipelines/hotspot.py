@@ -1996,3 +1996,100 @@ def quadrat_chi2(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
             }
         )
     )
+
+
+def occupancy_kcore(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
+    """K-CORE decomposition of the occupancy graph (occupied lattice
+    cells, queen adjacency): each vertex's coreness = the largest k
+    such that it survives iterative removal of degree<k vertices — the
+    robust-density summary that separates genuinely dense occupancy
+    blobs from high-degree-by-accident cells (completes the graph
+    family: components, triangles, PageRank, SSSP, now cores).
+
+    Scale shape: the neighbor lists come from the SAME one-exchange
+    occupancy scatter as the triangle census; the peel itself runs on
+    the LATTICE-BOUNDED aggregate (<= 300 vertices at this pitch; at
+    finer pitches the standard distributed peel — iterate remove-below-k
+    with a degree reduce per round — swaps in, same result).
+
+    Output: (cx, cy, degree, coreness).
+    """
+    counts = _cell_counts(sf_dir, eps).materialize()
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cx = t["cx"].to_numpy()
+        cy = t["cy"].to_numpy()
+        outs = [
+            pa.table(
+                {
+                    "cx": pa.array(cx, type=pa.int64()),
+                    "cy": pa.array(cy, type=pa.int64()),
+                    "src": pa.array(np.full(len(cx), -1, dtype=np.int64), type=pa.int64()),
+                }
+            )
+        ]
+        for dx, dy in _OFFSETS:
+            if dx == 0 and dy == 0:
+                continue
+            nx, ny = cx + dx, cy + dy
+            m = (nx >= 0) & (nx < GI_GX) & (ny >= 0) & (ny < GI_GY)
+            outs.append(
+                pa.table(
+                    {
+                        "cx": pa.array(nx[m], type=pa.int64()),
+                        "cy": pa.array(ny[m], type=pa.int64()),
+                        "src": pa.array(cx[m] * GI_GY + cy[m], type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    def nbr_rows(g: pa.Table) -> pa.Table:
+        src = g["src"].to_numpy()
+        if not (src == -1).any():
+            return pa.table({"k": pa.array([], type=pa.int64()), "nbr": pa.array([], type=pa.int64())})
+        k = int(g["cx"][0].as_py()) * GI_GY + int(g["cy"][0].as_py())
+        nbrs = np.sort(src[src >= 0]).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(np.full(len(nbrs) + 1, k, dtype=np.int64), type=pa.int64()),
+                "nbr": pa.array(np.concatenate([[-1], nbrs]), type=pa.int64()),
+            }
+        )
+
+    adj = (
+        counts.map_batches(scatter, batch_format="pyarrow")
+        .groupby(["cx", "cy"])
+        .map_groups(nbr_rows, batch_format="pyarrow")
+        .to_pandas()  # lattice-bounded
+    )
+    nbrs: dict[int, set[int]] = {}
+    for k, nb in zip(adj["k"].astype(int), adj["nbr"].astype(int)):
+        nbrs.setdefault(k, set())
+        if nb >= 0:
+            nbrs[k].add(nb)
+    deg0 = {k: len(v) for k, v in nbrs.items()}
+    # Matula-Beck peel: repeatedly remove the minimum-degree vertex
+    core: dict[int, int] = {}
+    deg = dict(deg0)
+    alive = set(nbrs)
+    kcur = 0
+    while alive:
+        v = min(alive, key=lambda u: (deg[u], u))
+        kcur = max(kcur, deg[v])
+        core[v] = kcur
+        alive.discard(v)
+        for u in nbrs[v]:
+            if u in alive:
+                deg[u] -= 1
+    keys = sorted(nbrs)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "cx": pa.array([k // GI_GY for k in keys], type=pa.int64()),
+                "cy": pa.array([k % GI_GY for k in keys], type=pa.int64()),
+                "degree": pa.array([deg0[k] for k in keys], type=pa.int64()),
+                "coreness": pa.array([core[k] for k in keys], type=pa.int64()),
+            }
+        )
+    )

@@ -537,3 +537,21 @@ def test_quadrat_chi2_matches_dense_recompute(ray_session, event_ids):
     assert row["n_events"] == int(dense.sum())
     assert abs(row["chi2"] - chi2) < 1e-4
     assert abs(row["vmr"] - vmr) < 1e-6
+
+
+def test_occupancy_kcore_properties(ray_session, event_ids):
+    out = hotspot.occupancy_kcore(SF).to_pandas()
+    # coreness never exceeds degree; max coreness >= triangles imply k>=2
+    assert (out["coreness"] <= out["degree"]).all()
+    assert out["coreness"].max() >= 2
+    # coreness is subgraph-consistent: every vertex with coreness k has
+    # >= k neighbors of coreness >= k (defining property of the k-core)
+    cells = {(int(r["cx"]), int(r["cy"])): int(r["coreness"]) for _, r in out.iterrows()}
+    for (x, y), k in cells.items():
+        nb = [
+            cells[(x + dx, y + dy)]
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0) and (x + dx, y + dy) in cells
+        ]
+        assert sum(1 for c in nb if c >= k) >= k, ((x, y), k)
