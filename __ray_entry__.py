@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_crop_manifest": images.image_crop_manifest,
         "image_dedup_survivor": images.image_dedup_survivor,
         "image_quality_survivor": images.image_quality_survivor,
+        "phash_bit_stats": images.phash_bit_stats,
         "decontaminate": dedup.decontaminate,
         # --- map-matching / geofencing ---
         "snap_to_ways": snap.snap_to_ways,
@@ -1195,6 +1196,19 @@ r AS (
 SELECT text_md5, CAST(n_copies AS BIGINT) AS n_copies, doc_id AS survivor_doc_id,
        n_chars AS survivor_n_chars
 FROM r WHERE rk = 1""",
+        # mirrors images.phash_bit_stats: signed->unsigned bit probe via
+        # the arithmetic identity ((phash >> b) & 1) on two's complement
+        "phash_bit_stats": f"""
+WITH b AS (SELECT g.g AS bit FROM generate_series(0, 63) AS g(g)),
+s AS (
+  SELECT b.bit,
+         CAST(sum(CASE WHEN bit < 63 THEN (phash >> bit) & 1
+                       ELSE CASE WHEN phash < 0 THEN 1 ELSE 0 END END) AS BIGINT) AS n_set,
+         CAST(count(*) AS BIGINT) AS n_images
+  FROM b CROSS JOIN {img_pq} GROUP BY b.bit)
+SELECT bit, n_set, n_images,
+       round(CAST(n_set AS DOUBLE) / CAST(n_images AS DOUBLE), 6) AS set_frac
+FROM s""",
         # mirrors images.image_quality_survivor: per-phash survivor by
         # the exact integer fixed-point per-pixel Laplacian energy
         "image_quality_survivor": f"""

@@ -1589,3 +1589,49 @@ def image_crop_manifest(sf_dir: str, k: int = CROP_K) -> rd.Dataset:
         return pa.concat_tables(out)
 
     return ds.map_batches(plan, batch_format="pyarrow")
+
+
+def phash_bit_stats(sf_dir: str) -> rd.Dataset:
+    """Per-BIT bias audit of the perceptual hash: for each of the 64
+    phash bits, the fraction of images with that bit set — a healthy
+    hash sits near 0.5 everywhere; a stuck bit (≈0 or ≈1) carries no
+    discriminative information and silently weakens every Hamming-LSH
+    band built on it.  The hash-quality gate for the phash dedup family.
+
+    Scale shape: metadata-only read; per-batch popcount-per-bit
+    combiner (64 int64s per batch) -> ONE 64-row groupby; the fraction
+    is a mirrored division.
+
+    Output: (bit, n_set, n_images, set_frac).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = read_images(sf_dir, columns=["phash"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ph = t["phash"].to_numpy().astype(np.int64).view(np.uint64)
+        bits = np.arange(64, dtype=np.int64)
+        set_counts = np.array(
+            [int(((ph >> np.uint64(b)) & np.uint64(1)).sum()) for b in range(64)], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "bit": pa.array(bits, type=pa.int64()),
+                "n_set": pa.array(set_counts, type=pa.int64()),
+                "n": pa.array(np.full(64, len(ph), dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bit")
+        .aggregate(Sum("n_set", alias_name="n_set"), Sum("n", alias_name="n_images"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        frac = duckdb_round(
+            t["n_set"].to_numpy().astype(np.float64) / t["n_images"].to_numpy().astype(np.float64), 6
+        )
+        return t.append_column("set_frac", pa.array(frac, type=pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -320,3 +320,20 @@ def test_image_quality_survivor_matches_bruteforce(ray_session):
         for _, r in out.iterrows()
     }
     assert got == expected
+
+
+def test_phash_bit_stats_matches_numpy(ray_session):
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import images as ip
+
+    sf = "/root/testdata/sf0.001"
+    out = ip.phash_bit_stats(sf).to_pandas().set_index("bit").sort_index()
+    ph = pq.read_table(ip.images_path_for(sf), columns=["phash"])["phash"].to_numpy().view(np.uint64)
+    assert len(out) == 64
+    for b in (0, 7, 31, 62, 63):
+        exp = int(((ph >> np.uint64(b)) & np.uint64(1)).sum())
+        assert out.loc[b, "n_set"] == exp
+        assert out.loc[b, "n_images"] == len(ph)
+    # a healthy perceptual hash is not degenerate: most bits near 0.5
+    assert ((out["set_frac"] > 0.1) & (out["set_frac"] < 0.9)).mean() > 0.8
