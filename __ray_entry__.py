@@ -1621,7 +1621,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "hmm_map_match": f"SELECT * FROM read_parquet('{golden.hmm_map_match_path(SF001)}')",
         "ann_recall_eval": f"SELECT * FROM read_parquet('{golden.ann_recall_path(SF001, ANN_K, MULTI_VEC_IDS)}')",
         "minhash_accuracy_eval": f"SELECT * FROM read_parquet('{golden.minhash_accuracy_path(SF001, 0.8)}')",
-        "lsh_blocking_eval": f"SELECT * FROM read_parquet('{golden.lsh_blocking_eval_path(SF001, 0.8, dedup.BLOCKING_SAMPLE_MOD)}')",
+        "lsh_blocking_eval": f"SELECT * FROM read_parquet('{golden.lsh_blocking_eval_path(SF001, 0.8, dedup.resolve_blocking_mod(SF001))}')",
         "dedup_manifest": f"SELECT * FROM read_parquet('{golden.dedup_manifest_path(SF001, 0.8)}')",
         "way_assembly": f"SELECT * FROM read_parquet('{golden.way_assembly_path()}')",
         "way_lengths": f"SELECT * FROM read_parquet('{golden.way_lengths_path()}')",

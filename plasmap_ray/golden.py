@@ -1954,7 +1954,7 @@ def st_dbscan_path(sf_dir: str, eps: float, eps_t_us: int, min_pts: int) -> str:
             core_n = [v for v in nbrs[i] if is_core[v]]
             if core_n:
                 kind[i] = "border"
-                label[i] = int(label[core_n].min()) if isinstance(core_n, np.ndarray) else int(min(label[v] for v in core_n))
+                label[i] = int(min(label[v] for v in core_n))
         return pa.table(
             {
                 "event_id": pa.array(ids, type=pa.int64()),

@@ -738,10 +738,31 @@ def dedup_survivorship(sf_dir: str, parts: int = 32) -> rd.Dataset:
     )
 
 
-BLOCKING_SAMPLE_MOD = 2  # deterministic eval sample: doc_id % MOD == 0
+BLOCKING_SAMPLE_MOD = 2  # minimum mod (deterministic eval sample: doc_id % MOD == 0)
+BLOCKING_SAMPLE_TARGET = 250  # target sample SIZE; mod scales with corpus size
 
 
-def lsh_blocking_eval(sf_dir: str, sim_threshold: float = 0.8, sample_mod: int = BLOCKING_SAMPLE_MOD) -> rd.Dataset:
+def resolve_blocking_mod(sf_dir: str) -> int:
+    """Sample modulus targeting ~``BLOCKING_SAMPLE_TARGET`` docs
+    regardless of corpus size (parquet-footer count only — no data
+    read).  ``doc_id % mod == 0`` with a FIXED mod would select a
+    constant fraction, making the driver-side O(n²) exact-Jaccard truth
+    pass grow quadratically with the corpus; scaling the mod keeps the
+    eval bounded at any scale."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    n = sum(
+        _pq.ParquetFile(f).metadata.num_rows
+        for f in sorted(_glob.glob(_os.path.join(sf_dir, "documents*.parquet")))
+        or [_os.path.join(sf_dir, "documents.parquet")]
+    )
+    return max(BLOCKING_SAMPLE_MOD, -(-n // BLOCKING_SAMPLE_TARGET))
+
+
+def lsh_blocking_eval(sf_dir: str, sim_threshold: float = 0.8, sample_mod: int | None = None) -> rd.Dataset:
     """BLOCKING-quality evaluation of the banded-LSH candidate
     generator (record-linkage metrics): on a deterministic doc sample,
     compare the blocking's candidate pairs against exact-Jaccard truth
@@ -751,16 +772,21 @@ def lsh_blocking_eval(sf_dir: str, sim_threshold: float = 0.8, sample_mod: int =
     eval-harness quartet: ann recall, pixel verify, sketch error, and
     now blocking recall.
 
-    Scale discipline: the evaluation runs on a FIXED-SIZE sample
-    (doc_id % mod == 0, pushed into the scan) regardless of corpus
-    size — the sample's shingle sets are bounded, so the exact truth is
-    computable; the corpus-wide blocking quality is estimated by the
-    sample, exactly how production linkage pipelines audit blocking.
+    Scale discipline: the evaluation runs on a ~FIXED-SIZE sample —
+    ``doc_id % mod == 0`` with the mod SCALED to the corpus size
+    (:func:`resolve_blocking_mod`, targeting ~250 docs) — so the
+    driver-side exact-Jaccard truth pass and the ``to_pandas`` stay
+    bounded at any corpus size; the corpus-wide blocking quality is
+    estimated by the sample, exactly how production linkage pipelines
+    audit blocking.
 
     Output: one row (n_sample_docs, n_sample_pairs, n_true_pairs,
     n_candidate_pairs, n_caught, completeness, reduction_ratio).
     """
     from ..stages.common import duckdb_round
+
+    if sample_mod is None:
+        sample_mod = resolve_blocking_mod(sf_dir)
 
     def sample_filter(t: pa.Table) -> pa.Table:
         m = (t["doc_id"].to_numpy() % sample_mod) == 0

@@ -1432,6 +1432,14 @@ def image_quality_survivor(sf_dir: str, parts: int = 32) -> rd.Dataset:
         iid = np.asarray(t["image_id"].to_pylist())
         lap = t["lap_sq_sum"].to_numpy().astype(np.int64)
         nint = np.maximum(t["n_interior"].to_numpy().astype(np.int64), 1)
+        # <<20 overflows int64 once lap_sq_sum exceeds ~8.8e12 (≈0.94 MP of
+        # max-contrast content); numpy would wrap SILENTLY while the DuckDB
+        # mirror raises — fail loudly here so engine and oracle never diverge
+        if len(lap) and int(lap.max()) > ((1 << 63) - 1) >> 20:
+            raise OverflowError(
+                f"lap_sq_sum {int(lap.max())} exceeds the <<20 fixed-point headroom "
+                f"({((1 << 63) - 1) >> 20}); image too large/contrasty for this score"
+            )
         score = (lap << 20) // nint
         ones = np.ones(len(ph), dtype=np.int64)
         kph, kid, kscore, ktot = _pick(ph, iid, score, ones)

@@ -27,6 +27,7 @@ import time
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data.aggregate import Sum
 
@@ -86,24 +87,41 @@ def ingest_images(images_dir: str, out_root: str, zooms: tuple[int, ...] = (6, 1
         shutil.rmtree(os.path.join(out_root, sub), ignore_errors=True)
     os.makedirs(out_root, exist_ok=True)
 
-    ds = rd.read_parquet(files).map_batches(_with_position, batch_format="pyarrow")
-    # materialize once: five consumers (4 sinks + count) would otherwise
-    # each re-run the read+derive+encode DAG from scratch
-    ds = ds.map_batches(geo.cell_index, batch_format="pyarrow").materialize()
+    # Four sinks = four independent STREAMING passes, each pruned to the
+    # columns it needs at the read.  The wide `bytes` payload column
+    # leaves storage exactly ONCE (the data sink); the metadata-only
+    # sinks re-scan a few string/int columns, which parquet column
+    # pruning makes ~free.  No `.materialize()`: at 100 TB pinning the
+    # payload dataset in the object store to share it across sinks is
+    # an object-store-wide spill, and re-reading pruned columns is far
+    # cheaper than re-reading (or spilling) `bytes`.
 
-    # 1) data table: cell-partitioned payload rows (S6 cell-keyed layout)
+    def _positioned(columns):
+        return rd.read_parquet(files, columns=columns).map_batches(_with_position, batch_format="pyarrow")
+
+    # 1) data table: cell-partitioned payload rows (S6 cell-keyed layout).
+    #    The only pass that touches `bytes`.
     data_dir = os.path.join(out_root, "data")
-    ds.write_parquet(data_dir, partition_cols=["cell_verylow"])
+    _positioned(None).map_batches(geo.cell_index, batch_format="pyarrow").write_parquet(
+        data_dir, partition_cols=["cell_verylow"]
+    )
 
     # 2) mapping table: id -> principal cells (M6; the shared index that
     #    was MongoDB in the reference is now just a table)
     map_dir = os.path.join(out_root, "mappings")
-    ds.select_columns(["image_id", "cell_low", "cell_verylow"]).write_parquet(map_dir)
+    (
+        _positioned(["image_id"])
+        .map_batches(geo.cell_index, batch_format="pyarrow")
+        .select_columns(["image_id", "cell_low", "cell_verylow"])
+        .write_parquet(map_dir)
+    )
 
     # 3) inverted caption index (S11/M5)
     idx_dir = os.path.join(out_root, "index")
-    ds.select_columns(["image_id", "caption"]).map_batches(_caption_index, batch_format="pyarrow").write_parquet(
-        idx_dir
+    (
+        rd.read_parquet(files, columns=["image_id", "caption"])
+        .map_batches(_caption_index, batch_format="pyarrow")
+        .write_parquet(idx_dir)
     )
 
     # 4) per-tile counts at the index zooms (A5, combiner + tiny groupby)
@@ -111,13 +129,15 @@ def ingest_images(images_dir: str, out_root: str, zooms: tuple[int, ...] = (6, 1
 
     tiles_dir = os.path.join(out_root, "tiles")
     (
-        ds.map_batches(functools.partial(geo.tile_count_partial, zooms=zooms), batch_format="pyarrow")
+        _positioned(["image_id"])
+        .map_batches(functools.partial(geo.tile_count_partial, zooms=zooms), batch_format="pyarrow")
         .groupby(["z", "x", "y"])
         .aggregate(Sum("n_images", alias_name="n_images"))
         .write_parquet(tiles_dir)
     )
 
-    n_rows = ds.count()
+    # row count from parquet footers only — no data read
+    n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     manifest = {
         "inputs": files,
         "input_fingerprint": fp,

@@ -799,20 +799,33 @@ def radius_of_gyration(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
     (González et al., "Understanding individual human mobility
     patterns", Nature 453, 2008 — public).
 
-    Two passes, both exact: (1) per-user centroid from fixed-point
-    int64 coordinate sums (order-free, so the groupby tree can merge
-    partials in any order); (2) a HASH JOIN of events against the
-    (small) centroid table — never a driver-side collect — then
-    per-event squared deviations fixed-pointed BEFORE the final sum,
-    making the per-user reduction order-free too.  The only floats
-    cross exactly one mirrored expression each.
+    ONE user-sharded shuffle, no join: each hash shard holds its
+    users' complete event sets, so centroid (fixed-point int64 sums,
+    order-free) AND per-event squared deviations (fixed-pointed BEFORE
+    the final sum) are computed in a single vectorized run-scan.  The
+    only floats cross exactly one mirrored expression each.
+
+    Root-cause note (round-3 flake fix): the previous plan hash-joined
+    events against the centroid table with ``Dataset.join``; Ray
+    2.49.2's JoinOperator emits a ZERO-COLUMN, schema-less block for
+    every hash partition that received no rows
+    (``_internal/execution/operators/join.py`` finalize() builds both
+    sides from empty builders), and the streaming executor logs
+    "Operator produced a RefBundle with a different schema ... may
+    lead to unexpected behavior" as those bundles traverse downstream
+    aggregates — the rare full-suite-load mismatch tracked in round 2.
+    The run-scan plan has no join, no empty-partition bundles, and one
+    less shuffle.
 
     Output: (user_id, n_events, sum_d2_fp, rog) with rog rounded 6.
     """
+    from ..stages.common import duckdb_round as _rnd
+
     ds = _read_events(sf_dir, ["event_id", "user_id"])
 
     def fx(t: pa.Table) -> pa.Table:
         ids = t["event_id"].to_numpy()
+        uid = t["user_id"].to_numpy()
         lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
         return pa.table(
             {
@@ -821,50 +834,41 @@ def radius_of_gyration(sf_dir: str, num_partitions: int = 8) -> rd.Dataset:
                 "lat": pa.array(lat, type=pa.float64()),
                 "fxl": pa.array(np.floor((lon - fixtures.LON_MIN) * ROG_FP + 0.5).astype(np.int64), type=pa.int64()),
                 "fyl": pa.array(np.floor((lat - fixtures.LAT_MIN) * ROG_FP + 0.5).astype(np.int64), type=pa.int64()),
-                "one": pa.array(np.ones(len(ids), dtype=np.int64), type=pa.int64()),
+                "part": pa.array((uid % num_partitions).astype(np.int64), type=pa.int64()),
             }
         )
 
-    pts = ds.map_batches(fx, batch_format="pyarrow")
-    cent = (
-        pts.select_columns(["user_id", "fxl", "fyl", "one"])
-        .groupby("user_id")
-        .aggregate(Sum("one", alias_name="n"), Sum("fxl", alias_name="sx"), Sum("fyl", alias_name="sy"))
-    )
-    joined = pts.select_columns(["user_id", "lon", "lat"]).join(
-        cent, join_type="inner", num_partitions=num_partitions, on=("user_id",)
-    )
-
-    def dev(t: pa.Table) -> pa.Table:
-        n = t["n"].to_numpy().astype(np.float64)
-        mlon = fixtures.LON_MIN + t["sx"].to_numpy().astype(np.float64) / ROG_FP / n
-        mlat = fixtures.LAT_MIN + t["sy"].to_numpy().astype(np.float64) / ROG_FP / n
-        dlon = t["lon"].to_numpy() - mlon
-        dlat = t["lat"].to_numpy() - mlat
+    def scan(g: pa.Table) -> pa.Table:
+        # one hash shard of users; sort by user -> runs, all math
+        # vectorized over run boundaries (np.add.reduceat)
+        uid = g["user_id"].to_numpy()
+        order = np.argsort(uid, kind="stable")
+        uid = uid[order]
+        lon = g["lon"].to_numpy()[order]
+        lat = g["lat"].to_numpy()[order]
+        fxl = g["fxl"].to_numpy()[order]
+        fyl = g["fyl"].to_numpy()[order]
+        starts = np.concatenate([[0], np.nonzero(uid[1:] != uid[:-1])[0] + 1])
+        n = np.diff(np.append(starts, len(uid))).astype(np.int64)
+        sx = np.add.reduceat(fxl, starts)
+        sy = np.add.reduceat(fyl, starts)
+        mlon = fixtures.LON_MIN + sx.astype(np.float64) / ROG_FP / n
+        mlat = fixtures.LAT_MIN + sy.astype(np.float64) / ROG_FP / n
+        dlon = lon - np.repeat(mlon, n)
+        dlat = lat - np.repeat(mlat, n)
         d2fp = np.floor((dlon * dlon + dlat * dlat) * ROG_FP + 0.5).astype(np.int64)
+        sum_d2 = np.add.reduceat(d2fp, starts)
+        rog = _rnd(np.sqrt(sum_d2.astype(np.float64) / ROG_FP / n.astype(np.float64)), 6)
         return pa.table(
             {
-                "user_id": t["user_id"],
-                "one": pa.array(np.ones(len(n), dtype=np.int64), type=pa.int64()),
-                "d2fp": pa.array(d2fp, type=pa.int64()),
+                "user_id": pa.array(uid[starts], type=pa.int64()),
+                "n_events": pa.array(n, type=pa.int64()),
+                "sum_d2_fp": pa.array(sum_d2, type=pa.int64()),
+                "rog": pa.array(rog, type=pa.float64()),
             }
         )
 
-    agg = (
-        joined.map_batches(dev, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Sum("one", alias_name="n_events"), Sum("d2fp", alias_name="sum_d2_fp"))
-    )
-
-    from ..stages.common import duckdb_round as _rnd
-
-    def finish(t: pa.Table) -> pa.Table:
-        s = t["sum_d2_fp"].to_numpy().astype(np.float64)
-        n = t["n_events"].to_numpy().astype(np.float64)
-        rog = _rnd(np.sqrt(s / ROG_FP / n), 6)
-        return t.append_column("rog", pa.array(rog, type=pa.float64()))
-
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return ds.map_batches(fx, batch_format="pyarrow").groupby("part").map_groups(scan, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
