@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isochrone_bands": routing.isochrone_bands_query,
         "pagerank": routing.pagerank_query,
         "knn_pois": lambda sf: spatial.knn_pipeline(sf, k=KNN_K),
+        "knn_pois_shuffle": lambda sf: spatial.knn_shuffle_pipeline(sf, k=KNN_K),
+        "knn_pois_auto": lambda sf: spatial.knn_pois_auto(sf, k=KNN_K),
         "radius_join": lambda sf: spatial.radius_pipeline(sf, radius_deg=RADIUS_DEG),
         "poi_in_area": spatial.poi_in_area_pipeline,
         "flagship": spatial.flagship_pipeline,
@@ -610,6 +612,16 @@ SELECT rel_id, count(*) AS n_points FROM pts JOIN {rects}
 ON pts.lon >= b.lon_min AND pts.lon < b.lon_max AND pts.lat >= b.lat_min AND pts.lat < b.lat_max
 GROUP BY rel_id""",
         "knn_pois": f"""
+WITH {_pts_cte()},
+d AS (SELECT doc_id, p.poi_id, row_number() OVER (PARTITION BY doc_id ORDER BY {sqd}, p.poi_id) AS knn_rank
+      FROM pts CROSS JOIN {pois})
+SELECT doc_id, CAST(knn_rank AS INTEGER) AS knn_rank, poi_id FROM d WHERE knn_rank <= {KNN_K}""",
+        "knn_pois_shuffle": f"""
+WITH {_pts_cte()},
+d AS (SELECT doc_id, p.poi_id, row_number() OVER (PARTITION BY doc_id ORDER BY {sqd}, p.poi_id) AS knn_rank
+      FROM pts CROSS JOIN {pois})
+SELECT doc_id, CAST(knn_rank AS INTEGER) AS knn_rank, poi_id FROM d WHERE knn_rank <= {KNN_K}""",
+        "knn_pois_auto": f"""
 WITH {_pts_cte()},
 d AS (SELECT doc_id, p.poi_id, row_number() OVER (PARTITION BY doc_id ORDER BY {sqd}, p.poi_id) AS knn_rank
       FROM pts CROSS JOIN {pois})

@@ -23,6 +23,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
@@ -431,6 +432,235 @@ def knn_pipeline(sf_dir: str, k: int = 3) -> rd.Dataset:
         batch_size=8192,
     )
     return out.map_batches(lambda t: t.rename_columns(["doc_id", "knn_rank", "poi_id"]), batch_format="pyarrow")
+
+
+KNN_BROADCAST_MAX_POIS = 1_000_000  # grid index ~100 B/POI -> ~100 MB per worker ceiling
+KNN_SHUFFLE_SHARDS = 32
+
+
+def _knn_grid_precision(lon0: float, lat0: float, lon1: float, lat1: float, m: int) -> int:
+    """Grid precision so the POI bbox holds ~1 POI per cell — the same
+    sizing rule as the broadcast index (stages.geo.KnnJoinActor._build_grid),
+    so both kNN plans probe comparable candidate densities."""
+    p = 4
+    for p in range(4, cells.MAX_PRECISION):
+        n_cells = max(1, int((lon1 - lon0) / 360.0 * (1 << p))) * max(1, int((lat1 - lat0) / 180.0 * (1 << p)))
+        if n_cells >= m:
+            break
+    return p
+
+
+def knn_shuffle_pipeline(
+    sf_dir: str,
+    k: int = 3,
+    num_partitions: int = 8,
+    shards: int = KNN_SHUFFLE_SHARDS,
+    pois_table: "pa.Table | None" = None,
+) -> rd.Dataset:
+    """J7 kNN at POI-set scale: SHUFFLE kNN join — no broadcast index.
+
+    The broadcast grid (``knn_pipeline``) tops out when the POI side no
+    longer fits a per-worker index (~10^6 POIs).  The scalable plan
+    mirrors the reference's per-cell candidate fetch (J7 'nearby',
+    query-engine Queries.scala:211-262 — fetch the cell's objects, rank
+    locally) as a cell-keyed exchange:
+
+        round 1 (the common case, resolves ~all points):
+          POIs   -> explode x9 into their 3x3 neighbor cells    (map)
+          points -> own cell key                                (map)
+          points ⟕ exploded POIs ON cell                        (hash shuffle;
+                                                                 LEFT OUTER so
+                                                                 empty-neighborhood
+                                                                 points survive)
+          doc-sharded regroup -> vectorized per-point top-k     (one groupby;
+                                                                 lexsort runs,
+                                                                 no per-point task)
+
+        A point is RESOLVED when it saw >= k candidates and its k-th
+        distance is within the ring guarantee (any POI outside the
+        radius-r cell neighborhood is > r*min_cell_width away), or when
+        its candidate set was the whole POI table.  Unresolved points
+        (sparse neighborhoods) re-join in doubling-radius rounds with
+        the explosion INVERTED — the few remaining points explode into
+        their (2r+1)^2 cover cells and join POIs keyed by their OWN
+        cell, so the big side never duplicates again.
+
+    Exactness: identical to the broadcast plan and the SQL oracle —
+    float64 (dlon^2 + dlat^2), ties by poi_id; the ring guarantee makes
+    the candidate pruning provably lossless.  Per-round state is
+    OUTPUT-bounded (<= k+1 metadata rows per point, no payload), the
+    only thing materialized between rounds.
+
+    Output: (doc_id, knn_rank 1..k, poi_id) — same schema/oracle as
+    ``knn_pois``.
+    """
+    pois_t = fixtures.make_pois() if pois_table is None else pois_table
+    pois = rd.from_arrow(
+        pa.table(
+            {
+                "poi_id": pois_t["poi_id"],
+                "plon": pois_t["lon"],
+                "plat": pois_t["lat"],
+            }
+        )
+    )
+    # metadata pass: POI count + bbox — the ONLY full-POI-side aggregate,
+    # a tiny tree reduce (scalars per block)
+    st = pois.aggregate(
+        Min("plon", alias_name="lon0"),
+        Max("plon", alias_name="lon1"),
+        Min("plat", alias_name="lat0"),
+        Max("plat", alias_name="lat1"),
+        Count(alias_name="m"),
+    )
+    m_total = int(st["m"])
+    p = _knn_grid_precision(st["lon0"], st["lat0"], st["lon1"], st["lat1"], m_total)
+    sx, sy = 360.0 / (1 << p), 180.0 / (1 << p)
+    min_s = min(sx, sy)
+    nmax = (1 << p) - 1
+    k_eff = min(k, m_total)
+
+    def _cellkey(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        x, y = cells.lonlat_to_xy(lon, lat, p)
+        return (x.astype(np.int64) << np.int64(32)) | y.astype(np.int64)
+
+    def _explode(lon: np.ndarray, lat: np.ndarray, r: int) -> tuple[np.ndarray, np.ndarray]:
+        """(row_index, cellkey) pairs covering each row's (2r+1)^2
+        neighborhood, out-of-world cells dropped (vectorized)."""
+        x, y = cells.lonlat_to_xy(lon, lat, p)
+        offs = np.arange(-r, r + 1, dtype=np.int64)
+        dx = np.repeat(offs, len(offs))
+        dy = np.tile(offs, len(offs))
+        nx = x.astype(np.int64)[:, None] + dx[None, :]
+        ny = y.astype(np.int64)[:, None] + dy[None, :]
+        valid = (nx >= 0) & (nx <= nmax) & (ny >= 0) & (ny <= nmax)
+        rows = np.repeat(np.arange(len(x), dtype=np.int64), len(offs) * len(offs))[valid.ravel()]
+        key = ((nx << np.int64(32)) | ny).ravel()[valid.ravel()]
+        return rows, key
+
+    def pt_cell(t: pa.Table) -> pa.Table:
+        lon, lat = t["lon"].to_numpy(), t["lat"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lon": t["lon"],
+                "lat": t["lat"],
+                "ckey": pa.array(_cellkey(lon, lat), type=pa.int64()),
+            }
+        )
+
+    def poi_explode(t: pa.Table, r: int = 1) -> pa.Table:
+        rows, key = _explode(t["plon"].to_numpy(), t["plat"].to_numpy(), r)
+        sub = t.take(pa.array(rows))
+        return sub.append_column("ckey", pa.array(key, type=pa.int64()))
+
+    def pt_explode(t: pa.Table, r: int) -> pa.Table:
+        rows, key = _explode(t["lon"].to_numpy(), t["lat"].to_numpy(), r)
+        sub = t.select(["doc_id", "lon", "lat"]).take(pa.array(rows))
+        return sub.append_column("ckey", pa.array(key, type=pa.int64()))
+
+    def shard(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_shard", pa.array(t["doc_id"].to_numpy() % shards, type=pa.int64())
+        )
+
+    def scan(g: pa.Table, r: int) -> pa.Table:
+        """One doc-hash shard of joined candidates: vectorized run-scan
+        top-k per doc + ring-guarantee resolution test.  Emits the
+        top-k rows (knn_rank>=1) for resolved docs and ONE carry row
+        (knn_rank=0, poi_id=-1, lon/lat kept) per unresolved doc."""
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "lon": pa.array([], type=pa.float64()),
+                    "lat": pa.array([], type=pa.float64()),
+                    "knn_rank": pa.array([], type=pa.int32()),
+                    "poi_id": pa.array([], type=pa.int64()),
+                }
+            )
+        doc = g["doc_id"].to_numpy()
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        null = pc.is_null(g["poi_id"]).to_numpy(zero_copy_only=False)
+        poi = np.where(null, -1, g["poi_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        plon = np.where(null, 0.0, g["plon"].to_numpy(zero_copy_only=False).astype(np.float64))
+        plat = np.where(null, 0.0, g["plat"].to_numpy(zero_copy_only=False).astype(np.float64))
+        dlon = lon - plon
+        dlat = lat - plat
+        d = dlon * dlon + dlat * dlat
+        d[null] = np.inf
+        order = np.lexsort((poi, d, doc))
+        sd, sl, sa, sdist, spoi = doc[order], lon[order], lat[order], d[order], poi[order]
+        starts = np.concatenate([[0], np.nonzero(sd[1:] != sd[:-1])[0] + 1])
+        cnt = np.diff(np.append(starts, len(sd)))
+        n_valid = np.add.reduceat((~null[order]).astype(np.int64), starts)
+        # k-th distance per run (inf when fewer than k candidates)
+        kth = np.full(len(starts), np.inf)
+        has_k = n_valid >= k_eff
+        kth[has_k] = sdist[starts[has_k] + k_eff - 1]
+        bound = (r * min_s) ** 2
+        resolved = (has_k & (kth <= bound)) | (n_valid >= m_total)
+        take = np.where(resolved, np.minimum(k_eff, n_valid), 1).astype(np.int64)
+        idx = np.repeat(starts, take) + (np.arange(int(take.sum())) - np.repeat(np.cumsum(take) - take, take))
+        rank = (np.arange(int(take.sum())) - np.repeat(np.cumsum(take) - take, take) + 1).astype(np.int32)
+        rank[np.repeat(~resolved, take)] = 0
+        out_poi = spoi[idx]
+        out_poi[rank == 0] = -1
+        return pa.table(
+            {
+                "doc_id": pa.array(sd[idx], type=pa.int64()),
+                "lon": pa.array(sl[idx], type=pa.float64()),
+                "lat": pa.array(sa[idx], type=pa.float64()),
+                "knn_rank": pa.array(rank, type=pa.int32()),
+                "poi_id": pa.array(out_poi, type=pa.int64()),
+            }
+        )
+
+    pts = points_from_documents(sf_dir).map_batches(pt_cell, batch_format="pyarrow")
+    pois_exp = pois.map_batches(poi_explode, batch_format="pyarrow")
+    joined = pts.join(pois_exp, join_type="left_outer", num_partitions=num_partitions, on=("ckey",))
+    round_out = (
+        joined.map_batches(shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(functools.partial(scan, r=1), batch_format="pyarrow")
+        .materialize()  # output-bounded: <= k+1 metadata rows per point
+    )
+    results = [round_out.filter(expr="knn_rank >= 1").select_columns(["doc_id", "knn_rank", "poi_id"])]
+    unres = round_out.filter(expr="knn_rank == 0").select_columns(["doc_id", "lon", "lat"])
+    pois_keyed = pois.map_batches(
+        lambda t: t.append_column("ckey", pa.array(_cellkey(t["plon"].to_numpy(), t["plat"].to_numpy()), type=pa.int64())),
+        batch_format="pyarrow",
+    )
+    r = 1
+    while unres.count() > 0:
+        r *= 2
+        pts_exp = unres.map_batches(functools.partial(pt_explode, r=r), batch_format="pyarrow")
+        joined = pts_exp.join(pois_keyed, join_type="left_outer", num_partitions=num_partitions, on=("ckey",))
+        round_out = (
+            joined.map_batches(shard, batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(functools.partial(scan, r=r), batch_format="pyarrow")
+            .materialize()
+        )
+        results.append(round_out.filter(expr="knn_rank >= 1").select_columns(["doc_id", "knn_rank", "poi_id"]))
+        unres = round_out.filter(expr="knn_rank == 0").select_columns(["doc_id", "lon", "lat"])
+    out = results[0]
+    for extra in results[1:]:
+        out = out.union(extra)
+    return out
+
+
+def knn_pois_auto(sf_dir: str, k: int = 3, broadcast_max_pois: int = KNN_BROADCAST_MAX_POIS) -> rd.Dataset:
+    """Planner heuristic for J7 (the ``pip_join_auto`` discipline): the
+    broadcast grid-index kNN while the POI side fits a per-worker index
+    (<= ``broadcast_max_pois``, sized from the measured index footprint
+    in BASELINE.md), else the cell-keyed shuffle kNN.  Both plans are
+    oracle-identical — the choice is purely physical."""
+    pois = fixtures.make_pois()
+    if len(pois) <= broadcast_max_pois:
+        return knn_pipeline(sf_dir, k=k)
+    return knn_shuffle_pipeline(sf_dir, k=k, pois_table=pois)
 
 
 def radius_pipeline(sf_dir: str, radius_deg: float = 0.05) -> rd.Dataset:

@@ -170,6 +170,62 @@ def test_grid_knn_large_poi_set(ray_session):
         assert np.array_equal(big["poi_id"][order], got[r]), r
 
 
+def test_knn_shuffle_matches_broadcast(ray_session):
+    """The shuffle kNN plan (cell-keyed exchange, no broadcast index)
+    must emit EXACTLY the broadcast plan's rows — the huge-POI-set scale
+    path promised by SCALE.md round 2."""
+    from plasmap_ray.pipelines import spatial
+
+    sf = "/root/testdata/sf0.001"
+    a = spatial.knn_pipeline(sf, k=3).to_pandas().sort_values(["doc_id", "knn_rank"]).reset_index(drop=True)
+    b = (
+        spatial.knn_shuffle_pipeline(sf, k=3)
+        .to_pandas()
+        .sort_values(["doc_id", "knn_rank"])
+        .reset_index(drop=True)[["doc_id", "knn_rank", "poi_id"]]
+    )
+    assert len(a) == len(b) > 0
+    assert np.array_equal(a["doc_id"].to_numpy(), b["doc_id"].to_numpy())
+    assert np.array_equal(a["poi_id"].to_numpy(), b["poi_id"].to_numpy())
+
+
+def test_knn_shuffle_sparse_pois_multiround(ray_session):
+    """A sparse POI set (k > POIs per 3x3 neighborhood almost
+    everywhere) forces the doubling-radius fallback rounds; results must
+    stay exact vs brute force, covering the ring-guarantee logic."""
+    from plasmap_ray.pipelines import spatial
+
+    rng = np.random.default_rng(17)
+    m = 12
+    plon = fixtures.LON_MIN + rng.random(m) * fixtures.LON_SPAN
+    plat = fixtures.LAT_MIN + rng.random(m) * fixtures.LAT_SPAN
+    pois = pa.table(
+        {
+            "poi_id": pa.array(np.arange(1, m + 1, dtype=np.int64)),
+            "lon": pa.array(plon),
+            "lat": pa.array(plat),
+        }
+    )
+    sf = "/root/testdata/sf0.001"
+    out = (
+        spatial.knn_shuffle_pipeline(sf, k=5, pois_table=pois)
+        .to_pandas()
+        .sort_values(["doc_id", "knn_rank"])
+        .reset_index(drop=True)
+    )
+    pts = spatial.points_from_documents(sf).to_pandas()
+    d = (pts["lon"].to_numpy()[:, None] - plon[None, :]) ** 2 + (pts["lat"].to_numpy()[:, None] - plat[None, :]) ** 2
+    pid = np.arange(1, m + 1, dtype=np.int64)
+    got = out["poi_id"].to_numpy().reshape(-1, 5)
+    assert len(out) == len(pts) * 5
+    order_docs = out["doc_id"].to_numpy().reshape(-1, 5)[:, 0]
+    by_doc = {int(doc): i for i, doc in enumerate(pts["doc_id"].to_numpy())}
+    for r in range(got.shape[0]):
+        i = by_doc[int(order_docs[r])]
+        expect = pid[np.lexsort((pid, d[i]))[:5]]
+        assert np.array_equal(expect, got[r]), (r, order_docs[r])
+
+
 def test_tile_raster_render_roundtrip(ray_session):
     """Rendered heat tiles decode back (through the engine codec) to the
     exact per-pixel point counts, and the pipeline's metadata rows agree
