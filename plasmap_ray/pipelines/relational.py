@@ -27,6 +27,40 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+# Per-worker ceiling for a broadcast dimension lookup.  TPC-H dims grow
+# WITH the fact table (supplier = SF x 10k rows, part = SF x 200k), so
+# "it's a dimension" is not a broadcast licence at the 10^12-row design
+# point — the planner reads the pruned columns' byte size from parquet
+# FOOTERS (no data read) and flips to a hash join above the ceiling,
+# the ``pip_join_auto`` / ``knn_pois_auto`` physical-choice discipline.
+DIM_BROADCAST_MAX_BYTES = 64 << 20
+
+
+def dim_bytes(sf_dir: str, table: str, columns: list[str] | None = None) -> int:
+    """Uncompressed byte size of the pruned dimension columns, from
+    parquet footer metadata only — the planner's sizing statistic."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata
+    total = 0
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for c in range(g.num_columns):
+            col = g.column(c)
+            if columns is None or col.path_in_schema in columns:
+                total += col.total_uncompressed_size
+    return total
+
+
+def dim_strategy(
+    sf_dir: str, table: str, columns: list[str] | None = None, max_bytes: int = DIM_BROADCAST_MAX_BYTES
+) -> str:
+    """'broadcast' while the pruned dim fits a per-worker lookup,
+    else 'shuffle' (hash join).  Both plans are oracle-identical —
+    the choice is purely physical."""
+    return "broadcast" if dim_bytes(sf_dir, table, columns) <= max_bytes else "shuffle"
+
+
 from ..stages.common import round_columns as _round_cols  # noqa: E402
 
 
@@ -660,6 +694,7 @@ def market_share(
     ptype: str = "PROMO",
     y0: int = 1996,
     y1: int = 1997,
+    dim_max_bytes: int = DIM_BROADCAST_MAX_BYTES,
 ) -> rd.Dataset:
     """TPC-H Q8 shape: the target nation's share of the region's market
     for one part type, per order year.
@@ -667,9 +702,14 @@ def market_share(
     Join plan at scale: part(type) is a selective fact-side prune ->
     hash join on partkey (a planet-scale type slice outgrows broadcast);
     orders are date-pruned then hash-joined on orderkey; the customer
-    region test and the supplier->nation attach are BROADCAST sorted-key
-    lookups (both dimensions are bounded); the share divides two
-    identically-rounded group sums so the quotient is reproducible.
+    region test is a hash join; nation/region are FIXED-cardinality
+    (25/5 rows at every TPC-H SF) and stay driver-side; the
+    supplier->nation attach is SIZE-GUARDED (``dim_strategy``):
+    broadcast sorted-key lookup while the pruned supplier columns fit
+    ``dim_max_bytes``, hash join above (supplier = SF x 10k rows — it
+    outgrows a per-worker lookup at the design point).  The share
+    divides two identically-rounded group sums so the quotient is
+    reproducible under either plan.
     """
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
@@ -678,23 +718,41 @@ def market_share(
     name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
     rn_keys = ",".join(str(k) for k in region_nations) or "-1"
 
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas().sort_values("s_suppkey")
-    s_keys = supp["s_suppkey"].to_numpy(dtype=np.int64)
-    s_nat = supp["s_nationkey"].to_numpy(dtype=np.int64)
+    from ..stages.common import join_ready
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).filter(expr=f"p_type == '{ptype}'").select_columns(["p_partkey"])
+    part = join_ready(
+        _read(sf_dir, "part", ["p_partkey", "p_type"]).filter(expr=f"p_type == '{ptype}'").select_columns(["p_partkey"])
+    )
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
     li = li.join(part, join_type="inner", num_partitions=4, on=("l_partkey",), right_on=("p_partkey",))
 
-    def vol_nat(t: pa.Table) -> pa.Table:
-        vol = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        sk = t["l_suppkey"].to_numpy().astype(np.int64)
-        idx = np.minimum(np.searchsorted(s_keys, sk), len(s_keys) - 1)
-        nk = np.where(s_keys[idx] == sk, s_nat[idx], -1)
-        return pa.table({"l_orderkey": t["l_orderkey"], "volume": vol,
-                         "s_nationkey": pa.array(nk, type=pa.int64())})
+    supp_cols = ["s_suppkey", "s_nationkey"]
+    if dim_strategy(sf_dir, "supplier", supp_cols, dim_max_bytes) == "broadcast":
+        supp = _read(sf_dir, "supplier", supp_cols).to_pandas().sort_values("s_suppkey")
+        s_keys = supp["s_suppkey"].to_numpy(dtype=np.int64)
+        s_nat = supp["s_nationkey"].to_numpy(dtype=np.int64)
 
-    li = li.map_batches(vol_nat, batch_format="pyarrow").filter(expr="s_nationkey >= 0")
+        def vol_nat(t: pa.Table) -> pa.Table:
+            vol = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+            sk = t["l_suppkey"].to_numpy().astype(np.int64)
+            idx = np.minimum(np.searchsorted(s_keys, sk), len(s_keys) - 1)
+            nk = np.where(s_keys[idx] == sk, s_nat[idx], -1)
+            return pa.table({"l_orderkey": t["l_orderkey"], "volume": vol,
+                             "s_nationkey": pa.array(nk, type=pa.int64())})
+
+        li = li.map_batches(vol_nat, batch_format="pyarrow").filter(expr="s_nationkey >= 0")
+    else:
+        li = li.join(
+            _read(sf_dir, "supplier", supp_cols),
+            join_type="inner", num_partitions=4, on=("l_suppkey",), right_on=("s_suppkey",),
+        )
+
+        def vol_only(t: pa.Table) -> pa.Table:
+            vol = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+            return pa.table({"l_orderkey": t["l_orderkey"], "volume": vol,
+                             "s_nationkey": pc.cast(t["s_nationkey"], pa.int64())})
+
+        li = li.map_batches(vol_only, batch_format="pyarrow")
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
@@ -708,12 +766,14 @@ def market_share(
         })
 
     orders = orders.map_batches(year_window, batch_format="pyarrow")
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).filter(
-        expr=f"c_nationkey in [{rn_keys}]"
-    ).select_columns(["c_custkey"])
+    cust = join_ready(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).filter(
+            expr=f"c_nationkey in [{rn_keys}]"
+        ).select_columns(["c_custkey"])
+    )
     oc = orders.join(cust, join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",))
     j = li.join(
-        oc.select_columns(["o_orderkey", "o_year"]),
+        join_ready(oc.select_columns(["o_orderkey", "o_year"]), num_blocks=8),
         join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",),
     )
     target = int(next(k for k, v in name_of.items() if v == nation))
@@ -1148,35 +1208,56 @@ def customer_value_rank(sf_dir: str) -> rd.Dataset:
     return out.map_batches(cast_keys, batch_format="pyarrow")
 
 
-def bloom_semi_join(sf_dir: str, segment: str = "BUILDING", expected_n: int = 400, fp_rate: float = 0.01) -> rd.Dataset:
+def bloom_semi_join(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    expected_n: int = 400,
+    fp_rate: float = 0.01,
+    dim_max_bytes: int = DIM_BROADCAST_MAX_BYTES,
+) -> rd.Dataset:
     """Runtime-filter semi-join: per-nation order counts for customers of
-    one market segment, with a BLOOM prefilter of the (small) customer
-    key set pushed into the fact scan BEFORE the shuffle — the
-    runtime-filter optimization every distributed optimizer applies to
-    selective dimension joins.
+    one market segment, with a BLOOM prefilter of the customer key set
+    pushed into the fact scan BEFORE the shuffle — the runtime-filter
+    optimization every distributed optimizer applies to selective
+    dimension joins.
 
     Soundness by construction: a Bloom filter has no false NEGATIVES,
     so prefilter -> exact join ≡ exact join; the oracle computes the
     plain semi-join and the compare PROVES the optimized plan loses
     nothing (false positives only cost shuffle rows, removed by the
     exact join).  The filter is deterministic (splitmix64 double
-    hashing) and ~1.2 KB — broadcast once via the batch-fn closure.
+    hashing) and built DISTRIBUTED: per-block bit-packed partial
+    bitmaps OR-merged in Ray's aggregation tree — the driver receives
+    one m_bits/8-byte array, never the customer keys (a driver-side
+    key collect grows with the dimension; the bitmap does not).  The
+    exact attach is SIZE-GUARDED (``dim_strategy``): broadcast dict
+    while the filtered segment fits, hash join above.
 
     Output: (c_nationkey, n_orders).
     """
+    from ray.data.aggregate import AggregateFn
     from ray.data.aggregate import Count as _Count
 
     from .cluster import bloom_bit_positions, bloom_params
 
     m_bits, k_hashes = bloom_params(expected_n, fp_rate)
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"]).filter(
-        expr=f"c_mktsegment == '{segment}'"
+    cust_cols = ["c_custkey", "c_nationkey", "c_mktsegment"]
+    cust = _read(sf_dir, "customer", cust_cols).filter(expr=f"c_mktsegment == '{segment}'")
+
+    def bloom_accumulate(acc: np.ndarray, block: pa.Table) -> np.ndarray:
+        keys = block["c_custkey"].to_numpy().astype(np.uint64)
+        bits = np.unpackbits(acc).astype(bool)
+        bits[bloom_bit_positions(keys, m_bits, k_hashes).ravel()] = True
+        return np.packbits(bits)
+
+    bloom_agg = AggregateFn(
+        init=lambda _key: np.packbits(np.zeros(m_bits, dtype=bool)),
+        accumulate_block=bloom_accumulate,
+        merge=lambda a, b: np.bitwise_or(a, b),
+        finalize=lambda acc: acc,
+        name="bloom_bits",
     )
-    cust_df = cust.to_pandas()
-    keys = cust_df["c_custkey"].to_numpy().astype(np.uint64)
-    bits = np.zeros(m_bits, dtype=bool)
-    bits[bloom_bit_positions(keys, m_bits, k_hashes).ravel()] = True
-    nat_of = dict(zip(cust_df["c_custkey"].astype(np.int64), cust_df["c_nationkey"].astype(np.int64)))
+    bits = np.unpackbits(cust.aggregate(bloom_agg)["bloom_bits"]).astype(bool)[:m_bits]
 
     orders = _read(sf_dir, "orders", ["o_custkey"])
 
@@ -1188,23 +1269,164 @@ def bloom_semi_join(sf_dir: str, segment: str = "BUILDING", expected_n: int = 40
 
     pre = orders.map_batches(prefilter, batch_format="pyarrow")
 
-    def exact_attach(t: pa.Table) -> pa.Table:
-        # the exact join removes bloom false positives; the dim side is
-        # the already-filtered segment (bounded), attached via dict
-        ck = t["o_custkey"].to_numpy().astype(np.int64)
-        nk = np.array([nat_of.get(int(c), -1) for c in ck], dtype=np.int64)
-        keep = nk >= 0
-        return pa.table({"c_nationkey": pa.array(nk[keep], type=pa.int64())})
+    if dim_strategy(sf_dir, "customer", cust_cols, dim_max_bytes) == "broadcast":
+        cust_df = cust.to_pandas()
+        nat_of = dict(zip(cust_df["c_custkey"].astype(np.int64), cust_df["c_nationkey"].astype(np.int64)))
+
+        def exact_attach(t: pa.Table) -> pa.Table:
+            # the exact join removes bloom false positives
+            ck = t["o_custkey"].to_numpy().astype(np.int64)
+            nk = np.array([nat_of.get(int(c), -1) for c in ck], dtype=np.int64)
+            keep = nk >= 0
+            return pa.table({"c_nationkey": pa.array(nk[keep], type=pa.int64())})
+
+        matched = pre.map_batches(exact_attach, batch_format="pyarrow")
+    else:
+        def seg_filter(t: pa.Table) -> pa.Table:
+            # explicit filter+project: keeps schema on empty blocks (the
+            # Ray 2.49 filter(expr)+select_columns join-planner hazard)
+            m = pc.equal(t["c_mktsegment"], pa.scalar(segment))
+            return t.filter(m).select(["c_custkey", "c_nationkey"])
+
+        from ..stages.common import join_ready
+
+        cust_keys = join_ready(_read(sf_dir, "customer", cust_cols).map_batches(seg_filter, batch_format="pyarrow"))
+        matched = pre.join(
+            cust_keys,
+            join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",),
+        ).map_batches(
+            lambda t: pa.table({"c_nationkey": pc.cast(t["c_nationkey"], pa.int64())}),
+            batch_format="pyarrow",
+        )
 
     return (
-        pre.map_batches(exact_attach, batch_format="pyarrow")
-        .groupby("c_nationkey")
+        matched.groupby("c_nationkey")
         .aggregate(_Count(alias_name="n_orders"))
         .sort("c_nationkey")
     )
 
 
-def min_cost_supplier(sf_dir: str, size: int = 15, ptype: str = "SMALL", region: str = "EUROPE", k: int = 100) -> rd.Dataset:
+_MCS_EMPTY = {
+    "s_acctbal": pa.float64(), "s_name": pa.string(), "n_name": pa.string(),
+    "p_partkey": pa.int64(), "p_name": pa.string(), "min_cost": pa.float64(),
+}
+
+
+def _min_cost_supplier_shuffle(sf_dir: str, size: int, ptype: str, region: str, k: int) -> rd.Dataset:
+    """Hash-join plan for ``min_cost_supplier`` when the part/supplier
+    dimensions outgrow a driver-side lookup (part = SF x 200k rows,
+    supplier = SF x 10k — unbounded at the design point).  Only
+    nation/region (fixed 25/5 rows at every SF) stay driver-side; every
+    dim attach is a join, the correlated min joins back on partkey."""
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg[reg["r_name"] == region]["r_regionkey"].astype(int))
+    nat = nat[nat["n_regionkey"].isin(rkeys)]
+    nname_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    # NOTE: filter+project is ONE explicit Arrow map_batches per side —
+    # Ray 2.49's planner mis-tracks filter(expr)+select_columns schemas
+    # through a join's right side (ArrowInvalid: no match for key field
+    # when a block filters to zero rows); an explicit pa.Table return
+    # keeps the schema on empty blocks too.
+    nk_set = set(int(x) for x in nat["n_nationkey"])
+
+    def _part_filter(t: pa.Table, cols: list[str]) -> pa.Table:
+        m = pc.and_(pc.equal(t["p_size"], pa.scalar(size)), pc.equal(t["p_type"], pa.scalar(ptype)))
+        return t.filter(m).select(cols)
+
+    def _supp_filter(t: pa.Table, cols: list[str]) -> pa.Table:
+        m = pc.is_in(t["s_nationkey"], value_set=pa.array(sorted(nk_set), type=t["s_nationkey"].type))
+        return t.filter(m).select(cols)
+
+    from ..stages.common import join_ready
+
+    part_all = ["p_partkey", "p_name", "p_size", "p_type"]
+    supp_all = ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]
+    # filter-derived join inputs pass through join_ready (0-row blocks
+    # poison Ray 2.49's hash join — see stages/common.py)
+    partf = join_ready(_read(sf_dir, "part", part_all).map_batches(
+        functools.partial(_part_filter, cols=["p_partkey", "p_name"]), batch_format="pyarrow"
+    ))
+    part_keys = join_ready(_read(sf_dir, "part", part_all).map_batches(
+        functools.partial(_part_filter, cols=["p_partkey"]), batch_format="pyarrow"
+    ))
+    suppf = join_ready(_read(sf_dir, "supplier", supp_all).map_batches(
+        functools.partial(_supp_filter, cols=supp_all), batch_format="pyarrow"
+    ))
+    supp_keys = join_ready(_read(sf_dir, "supplier", supp_all).map_batches(
+        functools.partial(_supp_filter, cols=["s_suppkey"]), batch_format="pyarrow"
+    ))
+    if part_keys.count() == 0 or supp_keys.count() == 0:
+        return pa.table({c: pa.array([], type=t) for c, t in _MCS_EMPTY.items()})
+
+    li = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+        .join(part_keys, join_type="inner", num_partitions=4,
+              on=("l_partkey",), right_on=("p_partkey",))
+        .join(supp_keys, join_type="inner", num_partitions=4,
+              on=("l_suppkey",), right_on=("s_suppkey",))
+    )
+
+    def unit_cost(t: pa.Table) -> pa.Table:
+        cost = duckdb_round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) / t["l_quantity"].to_numpy(zero_copy_only=False), 2
+        )
+        return pa.table({
+            "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "unit_cost": pa.array(cost, type=pa.float64()),
+        })
+
+    pair_cost = (
+        li.map_batches(unit_cost, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Min("unit_cost", alias_name="unit_cost"))
+        .materialize()  # bounded by |parts_f| x |supps_f|; guards empty-schema loss
+    )
+    if pair_cost.count() == 0:
+        return pa.table({c: pa.array([], type=t) for c, t in _MCS_EMPTY.items()})
+
+    part_min = join_ready(pair_cost.groupby("l_partkey").aggregate(Min("unit_cost", alias_name="min_cost")))
+
+    def is_winner(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["unit_cost"], t["min_cost"]))
+
+    winners = (
+        join_ready(
+            join_ready(pair_cost)
+            .join(part_min, join_type="inner", num_partitions=4, on=("l_partkey",))
+            .map_batches(is_winner, batch_format="pyarrow")
+        )
+        .join(suppf, join_type="inner", num_partitions=4, on=("l_suppkey",), right_on=("s_suppkey",))
+    )
+    # a join OUTPUT can itself carry 0-row blocks into the next join
+    winners = join_ready(winners).join(
+        partf, join_type="inner", num_partitions=4, on=("l_partkey",), right_on=("p_partkey",)
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        nk = t["s_nationkey"].to_numpy().astype(np.int64)
+        return pa.table({
+            "s_acctbal": t["s_acctbal"],
+            "s_name": t["s_name"],
+            "n_name": pa.array([nname_of[int(x)] for x in nk], type=pa.string()),
+            "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "p_name": t["p_name"],
+            "min_cost": t["min_cost"],
+        })
+
+    return (
+        winners.map_batches(project, batch_format="pyarrow")
+        .sort(["s_acctbal", "n_name", "s_name", "p_partkey"], descending=[True, False, False, False])
+        .limit(k)
+    )
+
+
+def min_cost_supplier(
+    sf_dir: str, size: int = 15, ptype: str = "SMALL", region: str = "EUROPE", k: int = 100,
+    dim_max_bytes: int = DIM_BROADCAST_MAX_BYTES,
+) -> rd.Dataset:
     """TPC-H Q2 shape: per-part minimum-cost supplier with a correlated
     min subquery.  The schema has no partsupp table, so unit cost is
     DERIVED from observed trade: per (part, supplier), the minimum
@@ -1212,16 +1434,25 @@ def min_cost_supplier(sf_dir: str, size: int = 15, ptype: str = "SMALL", region:
     (division is IEEE-identical across engines; min of rounded values
     is order-independent, so no summation ulps).
 
-    Scale plan: both filters are broadcast small sides — the part
-    predicate (p_size, p_type) keeps a bounded id set, the region
-    keeps a bounded supplier set — applied INSIDE the fact scan (no
-    shuffle until the (part,supp) groupby, whose cardinality is
-    bounded by |parts_f| x |supps_f|, far below the fact).  The
-    correlated min is a second tiny groupby + equality join on partkey.
+    Scale plan: SIZE-GUARDED (``dim_strategy``).  While part and
+    supplier fit a per-worker lookup, their filtered id sets are
+    broadcast and applied INSIDE the fact scan (no shuffle until the
+    (part,supp) groupby, whose cardinality is bounded by |parts_f| x
+    |supps_f|, far below the fact); above the ceiling the plan flips to
+    ``_min_cost_supplier_shuffle`` — every dim attach a hash join, only
+    the fixed-cardinality nation/region staying driver-side.  The
+    correlated min is a second tiny groupby + equality join on partkey
+    under either plan.
 
     Output: (s_acctbal, s_name, n_name, p_partkey, p_name, min_cost)
     ordered by s_acctbal desc with full tiebreak, limit k.
     """
+    if (
+        dim_strategy(sf_dir, "part", ["p_partkey", "p_name", "p_size", "p_type"], dim_max_bytes) == "shuffle"
+        or dim_strategy(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"], dim_max_bytes)
+        == "shuffle"
+    ):
+        return _min_cost_supplier_shuffle(sf_dir, size, ptype, region, k)
     part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_size", "p_type"]).filter(
         expr=f"p_size == {size} and p_type == '{ptype}'"
     ).to_pandas()

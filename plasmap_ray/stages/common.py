@@ -38,3 +38,21 @@ def cast_columns(batch: pa.Table, casts: dict[str, pa.DataType]) -> pa.Table:
         i = batch.column_names.index(c)
         batch = batch.set_column(i, c, pc.cast(batch[c], typ))
     return batch
+
+
+def join_ready(ds, num_blocks: int = 4):
+    """Compact a Dataset so it is SAFE as a ``Dataset.join`` input.
+
+    Ray 2.49.2's hash-shuffle join breaks when ANY input block has 0
+    rows: the aggregator rebuilds that block's partition without a
+    schema, and Acero raises ``ArrowInvalid: No match or multiple
+    matches for key field reference ...`` (or, under load, silently
+    mismatches — the round-2 ``radius_of_gyration`` flake).  Partitions
+    that receive NO block at all are handled fine — only 0-row blocks
+    poison it, and any FILTER stage can emit them.  ``repartition``
+    merges empty blocks away, so every filter-derived join input must
+    pass through here.  An all-empty dataset still breaks — callers
+    guard that with a ``count() == 0`` early return where emptiness is
+    reachable.
+    """
+    return ds.repartition(num_blocks)

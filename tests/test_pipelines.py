@@ -1360,3 +1360,27 @@ def test_daily_cusum_properties(ray_session):
     assert abs(peak["cusum_scaled"]) == out["cusum_scaled"].abs().max()
     ev = pq.read_table(f"{sf}/events.parquet", columns=["ts"])
     assert out["n_events"].sum() == ev.num_rows
+
+
+def test_dim_join_planner_flips_on_size(ray_session):
+    """The size-guarded dim-join planner must flip broadcast->shuffle on
+    the byte threshold, and both physical plans must emit identical
+    rows (market_share / bloom_semi_join / min_cost_supplier)."""
+    import pandas as pd
+
+    from plasmap_ray.pipelines import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    assert R.dim_strategy(sf, "supplier", ["s_suppkey", "s_nationkey"]) == "broadcast"
+    assert R.dim_strategy(sf, "supplier", ["s_suppkey", "s_nationkey"], max_bytes=1) == "shuffle"
+    assert R.dim_bytes(sf, "supplier", ["s_suppkey"]) < R.dim_bytes(sf, "supplier")
+
+    def canon(x):
+        df = x if isinstance(x, pd.DataFrame) else x.to_pandas()
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for fn in (R.market_share, R.bloom_semi_join, R.min_cost_supplier):
+        a = canon(fn(sf))
+        b = canon(fn(sf, dim_max_bytes=1))  # force the shuffle plan
+        assert a.equals(b), fn.__name__
