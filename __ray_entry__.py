@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- image payload ---
         "image_fidelity": images.fidelity_pipeline,
         "image_format_migration": images.image_format_migration,
+        "image_lossy_migration": images.image_lossy_migration,
         "image_features": images.image_features,
         "image_thumbnails": images.image_thumbnails,
         "image_meta_stats": images.image_meta_stats,
@@ -1552,6 +1553,11 @@ FROM counts c JOIN ring ON ring.cell = c.hex_cell""",
         "tile_montage": f"SELECT * FROM read_parquet('{golden.tile_montage_path(SF001)}')",
         "zone_color_signature": f"SELECT * FROM read_parquet('{golden.zone_color_signature_path(SF001)}')",
         "image_format_migration": f"SELECT * FROM read_parquet('{golden.image_format_migration_path(SF001)}')",
+        # invariant mirror: dctq's quantization table proves PSNR >= 40
+        # on EVERY input (codecs._DCTQ_STEPS), so n_psnr40 == n_images
+        "image_lossy_migration": f"""
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_images, CAST(count(*) AS BIGINT) AS n_psnr40
+FROM {img_pq} GROUP BY fmt ORDER BY fmt""",
         "image_augment": f"SELECT * FROM read_parquet('{golden.image_augment_path(images.images_path_for(SF001))}')",
         "image_blur_scores": f"SELECT * FROM read_parquet('{golden.image_blur_scores_path(images.images_path_for(SF001))}')",
         # mirrors images.image_crop_manifest: the same integer modular

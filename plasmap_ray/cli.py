@@ -26,18 +26,16 @@ def _ray_session():
     return ray
 
 
-def cmd_query(args) -> int:
+def _build_context(sf_dir: str):
+    """Cold-start singleton for query serving: the point cloud, admin
+    polygons, and POI table load ONCE (ST4 discipline) and serve every
+    subsequent query."""
     import pyarrow as pa
-
-    from . import fixtures, queryast
-    from .sources import geojson
-
-    _ray_session()
-    q = queryast.from_json(args.ast)
-    import numpy as np
     import pyarrow.parquet as pq
 
-    docs = pq.read_table(f"{args.sf_dir}/documents.parquet", columns=["doc_id"])
+    from . import fixtures, queryast
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     ids = docs["doc_id"].to_numpy()
     points = pa.table(
         {
@@ -46,16 +44,98 @@ def cmd_query(args) -> int:
             "lat": pa.array(fixtures.derive_lat(ids)),
         }
     )
-    ctx = queryast.EngineContext(points=points)
-    result = queryast.translate(q, ctx)
-    if args.geojson and {"lon", "lat"} <= set(result.column_names):
+    return queryast.EngineContext(points=points)
+
+
+def _result_payload(result, want_geojson: bool) -> dict:
+    from .sources import geojson
+
+    if want_geojson and {"lon", "lat"} <= set(result.column_names):
         props = [
             {c: result[c][i].as_py() for c in result.column_names if c not in ("lon", "lat")}
             for i in range(result.num_rows)
         ]
-        print(geojson.points_to_geojson(result["lon"].to_numpy(), result["lat"].to_numpy(), props))
+        return {
+            "ok": True,
+            "rows": result.num_rows,
+            "geojson": json.loads(
+                geojson.points_to_geojson(result["lon"].to_numpy(), result["lat"].to_numpy(), props)
+            ),
+        }
+    return {"ok": True, "rows": result.num_rows, "result": result.to_pydict()}
+
+
+def cmd_query(args) -> int:
+    from . import queryast
+
+    _ray_session()
+    q = queryast.from_json(args.ast)
+    ctx = _build_context(args.sf_dir)
+    result = queryast.translate(q, ctx)
+    payload = _result_payload(result, args.geojson)
+    if "geojson" in payload:
+        print(json.dumps(payload["geojson"]))
     else:
-        print(json.dumps(result.to_pydict(), default=str))
+        print(json.dumps(payload["result"], default=str))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    """Long-lived query serving loop — S13 parity with the reference's
+    WebSocket server (WSServer.scala:43-79 + Flows.query,
+    Flows.scala:147-167): a stdlib TCP socket accepting JSON-line
+    requests and answering JSON / GeoJSON lines, with the engine
+    context (polygons, POIs, point cloud) initialised ONCE at bind
+    time — the serving analogue of the reference's storage/index/
+    mapping service singletons (WSServer.scala:53-55).
+
+    Protocol (one JSON object per line):
+      {"ast": {...}}                      -> {"ok": true, "rows": N, "result": {...}}
+      {"ast": {...}, "format": "geojson"} -> {"ok": true, "rows": N, "geojson": {...}}
+      {"cmd": "explain", "ast": {...}}    -> the planner's EXPLAIN table
+      {"cmd": "shutdown"}                 -> ack + server stops
+    Malformed input answers {"ok": false, "error": ...} and the loop
+    continues (the error-router discipline, M9).
+    """
+    import socketserver
+    import threading
+
+    from . import queryast
+
+    _ray_session()
+    ctx = _build_context(args.sf_dir)
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            for raw in self.rfile:
+                line = raw.strip()
+                if not line:
+                    continue
+                try:
+                    req = json.loads(line)
+                    if req.get("cmd") == "shutdown":
+                        self.wfile.write(b'{"ok": true, "bye": true}\n')
+                        self.wfile.flush()
+                        threading.Thread(target=self.server.shutdown, daemon=True).start()
+                        return
+                    q = queryast.from_json(json.dumps(req["ast"]))
+                    if req.get("cmd") == "explain":
+                        resp = {"ok": True, "result": queryast.explain(q).to_pydict()}
+                    else:
+                        resp = _result_payload(queryast.translate(q, ctx), req.get("format") == "geojson")
+                except Exception as e:  # noqa: BLE001 — bad requests routed, not fatal
+                    resp = {"ok": False, "error": str(e)}
+                self.wfile.write((json.dumps(resp, default=str) + "\n").encode())
+                self.wfile.flush()
+
+    socketserver.ThreadingTCPServer.allow_reuse_address = True
+    srv = socketserver.ThreadingTCPServer((args.host, args.port), Handler)
+    host, port = srv.server_address[:2]
+    print(json.dumps({"serving": True, "host": host, "port": port, "sf_dir": args.sf_dir}), flush=True)
+    try:
+        srv.serve_forever()
+    finally:
+        srv.server_close()
     return 0
 
 
@@ -99,6 +179,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--geojson", action="store_true", help="emit point results as GeoJSON")
     q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("serve", help="long-lived JSON-line query server (S13 WSServer parity)")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=0, help="0 = pick a free port (printed on stdout)")
+    s.set_defaults(fn=cmd_serve)
 
     t = sub.add_parser("tile", help="checkpointed tiling job (resumable)")
     t.add_argument("images_dir")

@@ -10,6 +10,11 @@ SURVEY.md §2.3).  Formats:
 - ``qnt8`` : 3-bit-per-channel quantized RGB packed in bytes then
              zlib-deflated (deterministic lossy — exercises the
              PSNR >= 40 dB fidelity gate from the driver input_hint)
+- ``dctq`` : 8x8 block DCT-II + frequency-weighted uniform quantization
+             + zlib (pure NumPy; a real transform codec in the JPEG
+             shape, losing information in the frequency domain).  The
+             quantization table is sized so the WORST-CASE pixel MSE
+             stays under the PSNR >= 40 dB gate (see ``_DCTQ_STEPS``).
 
 Per-row fidelity invariant (BASELINE.md): decode(bytes, fmt) must be
 byte-equal to reference pixels for lossless formats and reach
@@ -22,11 +27,76 @@ import zlib
 
 import numpy as np
 
-FORMATS = ("raw", "pngz", "qnt8")
+FORMATS = ("raw", "pngz", "qnt8", "dctq")
 
 # qnt8: keep the top QBITS of each channel, rounding to bucket centers.
 _QBITS = 6  # 6 bits/channel -> quantization MSE ~1.3 -> PSNR ~46 dB (>= 40 gate)
 _QSHIFT = 8 - _QBITS
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis (JPEG's transform).  Orthonormality
+    means the transform preserves L2 energy, so quantization error in
+    the frequency domain EQUALS pixel-domain MSE — which lets the step
+    table below carry a worst-case PSNR proof."""
+    k = np.arange(8)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    c[0] *= 1.0 / np.sqrt(2.0)
+    return c * 0.5
+
+
+_DCT_C = _dct_matrix()
+
+# Frequency-weighted uniform steps: step(u, v) = 2 + (u + v) // 3, i.e.
+# 2 (DC) .. 6 (highest diagonal) — the JPEG idea (coarser where the eye
+# cares less) at provably-high quality.  Worst-case per-coefficient
+# error is step/2, so worst-case pixel MSE = mean(step^2)/4 + 1/4
+# (uint8 re-rounding) ~= 5.3 -> PSNR >= 40.9 dB on ANY input: the
+# fidelity gate holds by construction, not by luck of the fixtures.
+_u, _v = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+_DCTQ_STEPS = (2 + (_u + _v) // 3).astype(np.float64)
+del _u, _v
+
+
+def _blocks(chan: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """(H, W) float64 -> (n_blocks, 8, 8) with edge-repeat padding."""
+    h, w = chan.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph or pw:
+        chan = np.pad(chan, ((0, ph), (0, pw)), mode="edge")
+    hb, wb = chan.shape[0] // 8, chan.shape[1] // 8
+    b = chan.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    return b, hb, wb
+
+
+def _unblocks(b: np.ndarray, hb: int, wb: int, h: int, w: int) -> np.ndarray:
+    chan = b.reshape(hb, wb, 8, 8).transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8)
+    return chan[:h, :w]
+
+
+def _dctq_encode(pixels: np.ndarray) -> bytes:
+    h, w = pixels.shape[:2]
+    out = []
+    for ch in range(3):
+        b, hb, wb = _blocks(pixels[:, :, ch].astype(np.float64) - 128.0)
+        coef = _DCT_C @ b @ _DCT_C.T  # batched 2-D DCT-II
+        q = np.floor(coef / _DCTQ_STEPS + 0.5).astype(np.int16)
+        out.append(q.tobytes())
+    return zlib.compress(b"".join(out), 6)
+
+
+def _dctq_decode(payload: bytes, w: int, h: int) -> np.ndarray:
+    hb, wb = (h + 7) // 8, (w + 7) // 8
+    n = hb * wb * 64
+    q = np.frombuffer(zlib.decompress(payload), dtype=np.int16).reshape(3, -1, 8, 8)
+    if q.shape[1] != hb * wb:
+        raise ValueError("dctq payload does not match (w, h)")
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    for ch in range(3):
+        coef = q[ch].astype(np.float64) * _DCTQ_STEPS
+        b = _DCT_C.T @ coef @ _DCT_C
+        img[:, :, ch] = np.clip(np.floor(_unblocks(b, hb, wb, h, w) + 128.0 + 0.5), 0, 255).astype(np.uint8)
+    return img
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
@@ -40,6 +110,8 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "qnt8":
         q = (pixels >> _QSHIFT).astype(np.uint8)
         return zlib.compress(q.tobytes(), 6)
+    if fmt == "dctq":
+        return _dctq_encode(pixels)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -53,6 +125,8 @@ def decode_image(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         q = np.frombuffer(zlib.decompress(payload), dtype=np.uint8)
         # reconstruct at bucket centers
         buf = ((q.astype(np.uint16) << _QSHIFT) + (1 << (_QSHIFT - 1))).clip(0, 255).astype(np.uint8)
+    elif fmt == "dctq":
+        return _dctq_decode(payload, w, h)
     else:
         raise ValueError(f"unknown fmt {fmt!r}")
     return buf.reshape(h, w, 3)

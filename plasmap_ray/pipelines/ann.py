@@ -31,6 +31,7 @@ import ray
 import ray.data as rd
 
 from ..stages.common import duckdb_round
+from ..stages.common import safe_join
 
 
 def _emb_path(sf_dir_or_path: str) -> str:
@@ -1003,7 +1004,7 @@ def cluster_label_confusion(sf_dir: str, k: int = 8, iters: int = 5) -> rd.Datas
 
     assigned = kmeans_embeddings(sf_dir, k=k, iters=iters)
     labels = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "label"])
-    j = assigned.join(labels, join_type="inner", num_partitions=2, on=("vec_id",))
+    j = safe_join(assigned, labels, join_type="inner", num_partitions=2, on=("vec_id",))
 
     def norm(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

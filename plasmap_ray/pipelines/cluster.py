@@ -49,6 +49,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from .. import cells, fixtures
+from ..stages.common import safe_join
 
 logger = logging.getLogger(__name__)
 
@@ -171,7 +172,7 @@ def connected_components(
 
     for it in range(max_iters):
         # one-hop propagation along edges ...
-        cand = edges.join(labels, join_type="inner", num_partitions=num_partitions, on=("src",), right_on=("node",))
+        cand = safe_join(edges, labels, join_type="inner", num_partitions=num_partitions, on=("src",), right_on=("node",))
         cand = cand.map_batches(relay, batch_format="pyarrow")
         # ... plus pointer jumping (label doubling): label(v) <-
         # label(label(v)).  Every label value is itself a node id, so
@@ -181,7 +182,7 @@ def connected_components(
         # round shape (join + groupby-min), just one more tiny join of
         # the labels table against itself.
         ptr = labels.map_batches(as_ptr, batch_format="pyarrow")
-        hop = labels.join(ptr, join_type="inner", num_partitions=num_partitions, on=("label",), right_on=("pnode",))
+        hop = safe_join(labels, ptr, join_type="inner", num_partitions=num_partitions, on=("label",), right_on=("pnode",))
         # materialized so the union's schema is concrete — an unknown
         # lazy join schema makes the aggregate emit zero-column blocks
         # for empty partitions, which poison next round's join
@@ -237,7 +238,7 @@ def near_dup_clusters(sf_dir: str, sim_threshold: float = 0.8) -> rd.Dataset:
             )
 
         return docs.map_batches(singletons, batch_format="pyarrow")
-    j = docs.join(
+    j = safe_join(docs, 
         cc, join_type="left_outer", num_partitions=CC_JOIN_PARTITIONS, on=("doc_id",), right_on=("node",)
     )
 
@@ -431,7 +432,7 @@ def eps_pairs(points: rd.Dataset, id_col: str, eps: float, num_partitions: int =
     probe = points.map_batches(functools.partial(keyed, side="a"), batch_format="pyarrow").map_batches(
         probe_expand, batch_format="pyarrow"
     )
-    cand = probe.join(build, join_type="inner", num_partitions=num_partitions, on=("ck",))
+    cand = safe_join(probe, build, join_type="inner", num_partitions=num_partitions, on=("ck",))
 
     def finish(t: pa.Table) -> pa.Table:
         ia = np.asarray(t["id_a"].to_numpy(), np.int64)
@@ -526,9 +527,9 @@ def _dbscan_from_pairs(
 
         return f
 
-    p1 = pairs.join(core, join_type="inner", num_partitions=num_partitions, on=("id_a",), right_on=("node",))
+    p1 = safe_join(pairs, core, join_type="inner", num_partitions=num_partitions, on=("id_a",), right_on=("node",))
     p1 = p1.map_batches(rn("is_core", "core_a"), batch_format="pyarrow")
-    p2 = p1.join(core, join_type="inner", num_partitions=num_partitions, on=("id_b",), right_on=("node",))
+    p2 = safe_join(p1, core, join_type="inner", num_partitions=num_partitions, on=("id_b",), right_on=("node",))
     p2 = p2.map_batches(rn("is_core", "core_b"), batch_format="pyarrow").materialize()
 
     cc_edges = p2.filter(expr="core_a and core_b")
@@ -561,7 +562,7 @@ def _dbscan_from_pairs(
         )
     else:
         # a core neighbor with no core-core edge (isolated core) labels itself
-        b2 = border_cand.join(labels, join_type="left_outer", num_partitions=num_partitions, on=("cnode",), right_on=("node",))
+        b2 = safe_join(border_cand, labels, join_type="left_outer", num_partitions=num_partitions, on=("cnode",), right_on=("node",))
 
         def own_core_label(t: pa.Table) -> pa.Table:
             lab = pc.coalesce(pc.cast(t["label"], pa.int64()), t["cnode"])
@@ -576,9 +577,9 @@ def _dbscan_from_pairs(
         )
 
     # assemble: every point -> (cluster_id, kind)
-    j = points.join(core, join_type="left_outer", num_partitions=num_partitions, on=(id_col,), right_on=("node",))
-    j = j.join(labels, join_type="left_outer", num_partitions=num_partitions, on=(id_col,), right_on=("node",))
-    j = j.join(border_labels, join_type="left_outer", num_partitions=num_partitions, on=(id_col,), right_on=("node",))
+    j = safe_join(points, core, join_type="left_outer", num_partitions=num_partitions, on=(id_col,), right_on=("node",))
+    j = safe_join(j, labels, join_type="left_outer", num_partitions=num_partitions, on=(id_col,), right_on=("node",))
+    j = safe_join(j, border_labels, join_type="left_outer", num_partitions=num_partitions, on=(id_col,), right_on=("node",))
 
     def finish(t: pa.Table) -> pa.Table:
         ids = np.asarray(t[id_col].to_numpy(), np.int64)
@@ -700,7 +701,7 @@ def dissolve_zones(sf_dir: str | None = None, admin_level: int | None = None) ->
     )
     labels = connected_components(pairs, a_col="src", b_col="dst")
 
-    j = zones.join(labels, join_type="left_outer", num_partitions=4, on=("rel_id",), right_on=("node",))
+    j = safe_join(zones, labels, join_type="left_outer", num_partitions=4, on=("rel_id",), right_on=("node",))
 
     def finish(t: pa.Table) -> pa.Table:
         rel = t["rel_id"].to_numpy()
@@ -811,7 +812,7 @@ def st_eps_pairs(
     probe = points.map_batches(functools.partial(keyed, side="a"), batch_format="pyarrow").map_batches(
         probe_expand, batch_format="pyarrow"
     )
-    cand = probe.join(build, join_type="inner", num_partitions=num_partitions, on=("ck",))
+    cand = safe_join(probe, build, join_type="inner", num_partitions=num_partitions, on=("ck",))
 
     def finish(t: pa.Table) -> pa.Table:
         ia = np.asarray(t["id_a"].to_numpy(), np.int64)

@@ -21,6 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Min
+from ..stages.common import safe_join
 
 
 def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
@@ -561,7 +562,7 @@ def snapshot_diff(sf_dir: str) -> rd.Dataset:
 
     a = docs.map_batches(hash_a, batch_format="pyarrow")
     b = docs.map_batches(hash_b, batch_format="pyarrow")
-    j = a.join(b, join_type="full_outer", num_partitions=4, on=("doc_id",))
+    j = safe_join(a, b, join_type="full_outer", num_partitions=4, on=("doc_id",))
 
     def classify(t: pa.Table) -> pa.Table:
         ha = t["h_a"].to_numpy(zero_copy_only=False)
@@ -876,7 +877,7 @@ def dedup_manifest(sf_dir: str, sim_threshold: float = 0.8, num_partitions: int 
 
     hashed = docs.map_batches(add_md5, batch_format="pyarrow").materialize()
     firsts = hashed.groupby("text_md5").aggregate(Min("doc_id", alias_name="first_doc"))
-    star = hashed.join(firsts, join_type="inner", num_partitions=num_partitions, on=("text_md5",))
+    star = safe_join(hashed, firsts, join_type="inner", num_partitions=num_partitions, on=("text_md5",))
 
     def star_edges(t: pa.Table) -> pa.Table:
         d = t["doc_id"].to_numpy().astype(np.int64)
@@ -906,7 +907,7 @@ def dedup_manifest(sf_dir: str, sim_threshold: float = 0.8, num_partitions: int 
         exact_edges.union(near), a_col="doc_a", b_col="doc_b", num_partitions=num_partitions
     )
 
-    assembled = hashed.select_columns(["doc_id"]).join(
+    assembled = safe_join(hashed.select_columns(["doc_id"]), 
         labels, join_type="left_outer", num_partitions=num_partitions, on=("doc_id",), right_on=("node",)
     )
 

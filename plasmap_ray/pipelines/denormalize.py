@@ -40,6 +40,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from .. import geometry
+from ..stages.common import safe_join
 
 WAY_REGROUP_PARTS = 64  # way_id % P shuffle key for the batched regroup
 REL_REGROUP_PARTS = 16
@@ -87,7 +88,7 @@ def assemble_ways(
     through — the engine's WKB-like transport form.
     """
     flat = ways.map_batches(explode_way_nds, batch_format="pyarrow")
-    joined = flat.join(nodes, join_type="inner", num_partitions=num_partitions, on=("node_id",))
+    joined = safe_join(flat, nodes, join_type="inner", num_partitions=num_partitions, on=("node_id",))
 
     def add_part(t: pa.Table) -> pa.Table:
         wid = t["way_id"].to_numpy()
@@ -349,10 +350,11 @@ def assemble_relations(
         return t.append_column("gshard", pa.array(np.asarray(k, np.int64) % parts, type=pa.int64()))
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
-        lookup = g[g["side"] == 1].set_index("gkey")["geom"]
-        out = g[g["side"] == 0].copy()
-        out["geom"] = out["gkey"].map(lookup)
-        out = out.dropna(subset=["geom"])  # inner semantics: unresolved refs drop
+        # index-aligned hash merge (vectorized) — gkeys are unique on
+        # the geometry side, so inner merge ≡ the old per-row
+        # .map(lookup) + dropna, at C speed
+        geo = g.loc[g["side"] == 1, ["gkey", "geom"]]
+        out = g.loc[g["side"] == 0].drop(columns=["geom"]).merge(geo, on="gkey", how="inner")
         return out[["rel_id", "kind", "mpos", "sub_mpos", "role", "sub_role", "geom"]]
 
     all_rows = (
@@ -650,7 +652,7 @@ def way_junctions_query(sf_dir: str) -> rd.Dataset:
         .aggregate(Count(alias_name="n_ways"))
         .filter(expr="n_ways >= 2")
     )
-    joined = deg.join(nodes, join_type="inner", num_partitions=4, on=("node_id",))
+    joined = safe_join(deg, nodes, join_type="inner", num_partitions=4, on=("node_id",))
     return joined.select_columns(["node_id", "n_ways", "lon", "lat"])
 
 

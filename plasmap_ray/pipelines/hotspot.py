@@ -43,6 +43,7 @@ from ray.data.aggregate import Sum
 
 from .. import fixtures
 from ..stages.common import duckdb_round
+from ..stages.common import safe_join
 
 GI_EPS = 0.1  # lattice pitch, planar degrees
 # lattice dimensions are fixed by the fixture world bounds: derive_lon
@@ -443,7 +444,7 @@ def ripley_k(sf_dir: str, radii: tuple[float, ...] = RIPLEY_RADII, num_partition
     probe = ds.map_batches(_ft.partial(keyed, side="a"), batch_format="pyarrow").map_batches(
         probe_expand, batch_format="pyarrow"
     )
-    cand = probe.join(build, join_type="inner", num_partitions=num_partitions, on=("ck",))
+    cand = safe_join(probe, build, join_type="inner", num_partitions=num_partitions, on=("ck",))
 
     def count_radii(t: pa.Table) -> pa.Table:
         ia = np.asarray(t["id_a"].to_numpy(), np.int64)
@@ -973,7 +974,7 @@ def cross_k(sf_dir: str, radii: tuple[float, ...] = RIPLEY_RADII, num_partitions
     probe = ds.map_batches(_ft.partial(keyed, side="a"), batch_format="pyarrow").map_batches(
         probe_expand, batch_format="pyarrow"
     )
-    cand = probe.join(build, join_type="inner", num_partitions=num_partitions, on=("ck",))
+    cand = safe_join(probe, build, join_type="inner", num_partitions=num_partitions, on=("ck",))
 
     def count_radii(t: pa.Table) -> pa.Table:
         import pandas as pd
@@ -1092,7 +1093,7 @@ def nearest_neighbor(sf_dir: str, radius: float = NN_RADIUS, num_partitions: int
     probe = ds.map_batches(_ft.partial(keyed, side="a"), batch_format="pyarrow").map_batches(
         probe_expand, batch_format="pyarrow"
     )
-    cand = probe.join(build, join_type="inner", num_partitions=num_partitions, on=("ck",))
+    cand = safe_join(probe, build, join_type="inner", num_partitions=num_partitions, on=("ck",))
 
     r2 = radius * radius
 
@@ -1540,7 +1541,7 @@ def idw_loocv(sf_dir: str, radius: float = LOOCV_RADIUS, num_partitions: int = 8
     probe = ds.map_batches(_ft.partial(keyed, side="a"), batch_format="pyarrow").map_batches(
         probe_expand, batch_format="pyarrow"
     )
-    cand = probe.join(build, join_type="inner", num_partitions=num_partitions, on=("ck",))
+    cand = safe_join(probe, build, join_type="inner", num_partitions=num_partitions, on=("ck",))
 
     def partial(t: pa.Table) -> pa.Table:
         ia = np.asarray(t["id_a"].to_numpy(), np.int64)

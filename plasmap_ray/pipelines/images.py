@@ -24,6 +24,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
 from .. import codecs, fixtures
+from ..stages.common import safe_join
 
 # images-per-scale policy: sized to keep test runtime sane while giving
 # each sf a distinct volume (documents.parquet doesn't scale with sf).
@@ -972,6 +973,7 @@ class FormatMigrate:
         old_b = np.empty(n, dtype=np.int64)
         new_b = np.empty(n, dtype=np.int64)
         lossless = np.zeros(n, dtype=bool)
+        psnr = np.full(n, np.inf)
         md5s = []
         for i in range(n):
             payload = batch["bytes"][i].as_py()
@@ -983,6 +985,7 @@ class FormatMigrate:
             old_b[i] = len(payload)
             new_b[i] = len(out)
             lossless[i] = bool(np.array_equal(px, back))
+            psnr[i] = self.codecs.psnr_db(px, back)
             md5s.append(hashlib.md5(out).hexdigest())
         return pa.table(
             {
@@ -991,6 +994,7 @@ class FormatMigrate:
                 "old_bytes": pa.array(old_b),
                 "new_bytes": pa.array(new_b),
                 "lossless": pa.array(lossless, type=pa.bool_()),
+                "psnr_db": pa.array(psnr, type=pa.float64()),
                 "new_md5": pa.array(md5s, type=pa.string()),
             }
         )
@@ -1031,6 +1035,46 @@ def image_format_migration(sf_dir: str, target_fmt: str = "pngz") -> rd.Dataset:
             Sum("old_bytes", alias_name="old_bytes"),
             Sum("new_bytes", alias_name="new_bytes"),
             Sum("is_lossless", alias_name="n_lossless"),
+        )
+        .sort("fmt")
+    )
+
+
+def image_lossy_migration(sf_dir: str, target_fmt: str = "dctq") -> rd.Dataset:
+    """Migration of the whole corpus to the LOSSY ``dctq`` transform
+    codec (8x8 DCT + frequency-weighted quantization, codecs.py) with
+    the PSNR >= 40 dB fidelity gate verified per row — the
+    quality-bounded recompression run (JPEG-shaped) a storage team
+    applies to a cold corpus.
+
+    Oracle: ``dctq``'s quantization table PROVES worst-case pixel MSE
+    stays under the 40 dB gate (codecs._DCTQ_STEPS), so every row must
+    pass — the SQL mirror states the invariant (n_psnr40 == n_images
+    per source format) and the driver compare verifies the distributed
+    decode -> DCT -> quantize -> decode -> PSNR path reproduces it.
+
+    Output: (fmt, n_images, n_psnr40).
+    """
+    from ray.data.aggregate import Count as _Count
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    migrated = ds.map_batches(
+        FormatMigrate, fn_constructor_kwargs=dict(target_fmt=target_fmt),
+        batch_format="pyarrow", batch_size=512, concurrency=(1, 8),
+    )
+
+    def gate(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = pc.or_(t["lossless"], pc.greater_equal(t["psnr_db"], pa.scalar(40.0)))
+        return pa.table({"fmt": t["fmt"], "psnr_ok": pc.cast(ok, pa.int64())})
+
+    return (
+        migrated.map_batches(gate, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(
+            _Count(alias_name="n_images"),
+            Sum("psnr_ok", alias_name="n_psnr40"),
         )
         .sort("fmt")
     )
@@ -1533,7 +1577,7 @@ def contrastive_negatives(sf_dir: str, k: int = NEG_K) -> rd.Dataset:
     neg_places = places.map_batches(
         lambda t: t.rename_columns(["neg_id", "neg_place"]), batch_format="pyarrow"
     )
-    j = anchors.join(neg_places, join_type="inner", num_partitions=8, on=("neg_id",))
+    j = safe_join(anchors, neg_places, join_type="inner", num_partitions=8, on=("neg_id",))
 
     def finish(t: pa.Table) -> pa.Table:
         a = t["anchor_place"].to_numpy(zero_copy_only=False)

@@ -30,6 +30,7 @@ import ray.data as rd
 
 from .. import codecs, tiles
 from .spatial import points_from_documents
+from ..stages.common import safe_join
 
 RASTER_PARTS = 16
 
@@ -539,7 +540,7 @@ def areal_interpolation(sf_dir: str, eps: float = COVERAGE_EPS) -> rd.Dataset:
         return t.append_column("key", pa.array(key, type=pa.int64()))
 
     cov = cov.map_batches(cov_key, batch_format="pyarrow")
-    j = cov.join(per_cell, join_type="inner", num_partitions=4, on=("key",))
+    j = safe_join(cov, per_cell, join_type="inner", num_partitions=4, on=("key",))
 
     def product(t: pa.Table) -> pa.Table:
         p = t["n"].to_numpy().astype(np.int64) * t["area_fp"].to_numpy().astype(np.int64)

@@ -21,6 +21,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..stages.common import cast_columns as _cast_cols
 from ..stages.common import duckdb_round
+from ..stages.common import safe_join
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -105,14 +106,14 @@ def orders_by_nation(sf_dir: str) -> rd.Dataset:
     """
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    joined = orders.join(cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+    joined = safe_join(orders, cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
     per_nation = joined.groupby("c_nationkey").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_revenue")
     )
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).map_batches(
         functools.partial(_cast_cols, casts={"n_nationkey": pa.int64()}), batch_format="pyarrow"
     )
-    out = per_nation.join(nation, join_type="inner", num_partitions=2, on=("c_nationkey",), right_on=("n_nationkey",))
+    out = safe_join(per_nation, nation, join_type="inner", num_partitions=2, on=("c_nationkey",), right_on=("n_nationkey",))
     return out.select_columns(["n_name", "n_orders", "total_revenue"]).map_batches(
         functools.partial(_round_cols, cols=("total_revenue",), ndigits=2), batch_format="pyarrow"
     )
@@ -176,8 +177,8 @@ def top_unshipped_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) ->
         return t.append_column("revenue", rev).select(["l_orderkey", "revenue"])
 
     li = li.map_batches(li_filter_revenue, batch_format="pyarrow")
-    oc = orders.join(cust, join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",))
-    j = li.join(
+    oc = safe_join(orders, cust, join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",))
+    j = safe_join(li, 
         oc.select_columns(["o_orderkey", "o_orderdate"]),
         join_type="inner",
         num_partitions=4,
@@ -198,7 +199,7 @@ def customer_high_value_counts(sf_dir: str, threshold: float = 400_000.0) -> rd.
         expr=f"o_totalprice > {threshold}"
     )
     per_cust = orders.groupby("o_custkey").aggregate(Count(alias_name="n_high"))
-    j = cust.join(per_cust, join_type="left_outer", num_partitions=4, on=("c_custkey",), right_on=("o_custkey",))
+    j = safe_join(cust, per_cust, join_type="left_outer", num_partitions=4, on=("c_custkey",), right_on=("o_custkey",))
 
     def coalesce(t: pa.Table) -> pa.Table:
         n = pc.coalesce(pc.cast(t["n_high"], pa.int64()), pa.scalar(0, type=pa.int64()))
@@ -240,7 +241,7 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA", year: int = 1996) -
         return t.select(["o_orderkey", "o_custkey"])
 
     orders = orders.map_batches(year_filter, batch_format="pyarrow")
-    oc = orders.join(cust, join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",))
+    oc = safe_join(orders, cust, join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",))
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
 
@@ -249,7 +250,7 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA", year: int = 1996) -
         return t.select(["l_orderkey", "l_suppkey"]).append_column("revenue", rev)
 
     li = li.map_batches(add_revenue, batch_format="pyarrow")
-    j = li.join(
+    j = safe_join(li, 
         oc.select_columns(["o_orderkey", "c_nationkey"]),
         join_type="inner",
         num_partitions=4,
@@ -259,7 +260,7 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA", year: int = 1996) -
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).filter(
         expr=f"s_nationkey in [{keys}]"
     )
-    j2 = j.join(supp, join_type="inner", num_partitions=4, on=("l_suppkey",), right_on=("s_suppkey",))
+    j2 = safe_join(j, supp, join_type="inner", num_partitions=4, on=("l_suppkey",), right_on=("s_suppkey",))
     j2 = j2.filter(expr="c_nationkey == s_nationkey")
 
     def name_nation(t: pa.Table) -> pa.Table:
@@ -447,7 +448,7 @@ def nation_trade_volume(
         return sel
 
     li = li.map_batches(date_rev_supp, batch_format="pyarrow")
-    j2 = li.join(oc, join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",))
+    j2 = safe_join(li, oc, join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",))
     j2 = j2.filter(expr="s_nationkey != c_nationkey")
 
     def name_pair(t: pa.Table) -> pa.Table:
@@ -500,7 +501,7 @@ def returned_revenue(sf_dir: str, date0: str = "1996-01-01", months: int = 3, k:
         return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
 
     li = li.map_batches(add_rev, batch_format="pyarrow")
-    j = li.join(orders, join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",))
+    j = safe_join(li, orders, join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",))
     per_cust = j.groupby("o_custkey").aggregate(Sum("revenue", alias_name="revenue"))
     per_cust = per_cust.map_batches(
         functools.partial(_round_cols, cols=("revenue",), ndigits=2), batch_format="pyarrow"
@@ -510,7 +511,7 @@ def returned_revenue(sf_dir: str, date0: str = "1996-01-01", months: int = 3, k:
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
-    out = topk.join(cust, join_type="inner", num_partitions=1, on=("o_custkey",), right_on=("c_custkey",))
+    out = safe_join(topk, cust, join_type="inner", num_partitions=1, on=("o_custkey",), right_on=("c_custkey",))
 
     def attach_nation(t: pa.Table) -> pa.Table:
         nn = pa.array([name_of[int(x)] for x in t["c_nationkey"].to_numpy()], type=pa.string())
@@ -553,7 +554,7 @@ def promo_revenue(sf_dir: str, month: str = "1996-09") -> "pa.Table":
 
     li = li.map_batches(date_rev, batch_format="pyarrow")
     part = _read(sf_dir, "part", ["p_partkey", "p_type"])
-    j = li.join(part, join_type="inner", num_partitions=4, on=("l_partkey",), right_on=("p_partkey",))
+    j = safe_join(li, part, join_type="inner", num_partitions=4, on=("l_partkey",), right_on=("p_partkey",))
 
     def split_rev(t: pa.Table) -> pa.Table:
         promo = pc.if_else(
@@ -586,9 +587,9 @@ def large_orders(sf_dir: str, threshold: float = 300.0) -> rd.Dataset:
         .filter(expr=f"sum_qty > {threshold!r}")
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
-    j = big.join(orders, join_type="inner", num_partitions=2, on=("l_orderkey",), right_on=("o_orderkey",))
+    j = safe_join(big, orders, join_type="inner", num_partitions=2, on=("l_orderkey",), right_on=("o_orderkey",))
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    j2 = j.join(cust, join_type="inner", num_partitions=2, on=("o_custkey",), right_on=("c_custkey",))
+    j2 = safe_join(j, cust, join_type="inner", num_partitions=2, on=("o_custkey",), right_on=("c_custkey",))
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -639,7 +640,7 @@ def order_priority_counts(sf_dir: str, date0: str = "1996-07-01", months: int = 
         .aggregate(Count(alias_name="_n"))
         .select_columns(["l_orderkey"])
     )
-    j = orders.join(returned, join_type="inner", num_partitions=2, on=("o_orderkey",), right_on=("l_orderkey",))
+    j = safe_join(orders, returned, join_type="inner", num_partitions=2, on=("o_orderkey",), right_on=("l_orderkey",))
     return (
         j.groupby("o_orderpriority")
         .aggregate(Count(alias_name="n_orders"))
@@ -718,13 +719,10 @@ def market_share(
     name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
     rn_keys = ",".join(str(k) for k in region_nations) or "-1"
 
-    from ..stages.common import join_ready
 
-    part = join_ready(
-        _read(sf_dir, "part", ["p_partkey", "p_type"]).filter(expr=f"p_type == '{ptype}'").select_columns(["p_partkey"])
-    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).filter(expr=f"p_type == '{ptype}'").select_columns(["p_partkey"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
-    li = li.join(part, join_type="inner", num_partitions=4, on=("l_partkey",), right_on=("p_partkey",))
+    li = safe_join(li, part, join_type="inner", num_partitions=4, on=("l_partkey",), right_on=("p_partkey",))
 
     supp_cols = ["s_suppkey", "s_nationkey"]
     if dim_strategy(sf_dir, "supplier", supp_cols, dim_max_bytes) == "broadcast":
@@ -742,7 +740,7 @@ def market_share(
 
         li = li.map_batches(vol_nat, batch_format="pyarrow").filter(expr="s_nationkey >= 0")
     else:
-        li = li.join(
+        li = safe_join(li, 
             _read(sf_dir, "supplier", supp_cols),
             join_type="inner", num_partitions=4, on=("l_suppkey",), right_on=("s_suppkey",),
         )
@@ -766,14 +764,12 @@ def market_share(
         })
 
     orders = orders.map_batches(year_window, batch_format="pyarrow")
-    cust = join_ready(
-        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).filter(
-            expr=f"c_nationkey in [{rn_keys}]"
-        ).select_columns(["c_custkey"])
-    )
-    oc = orders.join(cust, join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",))
-    j = li.join(
-        join_ready(oc.select_columns(["o_orderkey", "o_year"]), num_blocks=8),
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).filter(
+        expr=f"c_nationkey in [{rn_keys}]"
+    ).select_columns(["c_custkey"])
+    oc = safe_join(orders, cust, join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",))
+    j = safe_join(li, 
+        oc.select_columns(["o_orderkey", "o_year"]),
         join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",),
     )
     target = int(next(k for k, v in name_of.items() if v == nation))
@@ -862,7 +858,7 @@ def line_priority_counts(sf_dir: str) -> rd.Dataset:
     output: bit-exact, no rounding."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus"])
-    j = li.join(orders, join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",))
+    j = safe_join(li, orders, join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",))
 
     def split(t: pa.Table) -> pa.Table:
         crit = pc.or_(
@@ -903,7 +899,7 @@ def customer_distribution(sf_dir: str, since: str = "2001-01-01") -> rd.Dataset:
         .aggregate(Count(alias_name="c_count"))
     )
     cust = _read(sf_dir, "customer", ["c_custkey"])
-    j = cust.join(per_cust, join_type="left_outer", num_partitions=4, on=("c_custkey",), right_on=("o_custkey",))
+    j = safe_join(cust, per_cust, join_type="left_outer", num_partitions=4, on=("c_custkey",), right_on=("o_custkey",))
 
     def coalesce(t: pa.Table) -> pa.Table:
         n = pc.coalesce(pc.cast(t["c_count"], pa.int64()), pa.scalar(0, type=pa.int64()))
@@ -947,7 +943,7 @@ def top_supplier(sf_dir: str, date0: str = "1996-01-01", months: int = 3) -> rd.
     best = per_supp.aggregate(Max("total_revenue", alias_name="m"))["m"]
     winners = per_supp.filter(expr=f"total_revenue == {best!r}")
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
-    out = winners.join(supp, join_type="inner", num_partitions=1, on=("l_suppkey",), right_on=("s_suppkey",))
+    out = safe_join(winners, supp, join_type="inner", num_partitions=1, on=("l_suppkey",), right_on=("s_suppkey",))
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -968,7 +964,7 @@ def small_quantity_revenue(sf_dir: str, brand: str = "Brand#3") -> pa.Table:
     0.2*avg threshold cannot drift."""
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).filter(expr=f"p_brand == '{brand}'").select_columns(["p_partkey"])
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
-    sl = li.join(part, join_type="inner", num_partitions=4, on=("l_partkey",), right_on=("p_partkey",))
+    sl = safe_join(li, part, join_type="inner", num_partitions=4, on=("l_partkey",), right_on=("p_partkey",))
     sl = sl.materialize()  # brand slice reused: per-part avg AND the final filter
     per_part = sl.groupby("l_partkey").aggregate(
         Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n_lines")
@@ -979,7 +975,7 @@ def small_quantity_revenue(sf_dir: str, brand: str = "Brand#3") -> pa.Table:
         return pa.table({"avg_partkey": t["l_partkey"], "avg_qty": a})
 
     per_part = per_part.map_batches(avg, batch_format="pyarrow")
-    j = sl.join(per_part, join_type="inner", num_partitions=2, on=("l_partkey",), right_on=("avg_partkey",))
+    j = safe_join(sl, per_part, join_type="inner", num_partitions=2, on=("l_partkey",), right_on=("avg_partkey",))
 
     def below(t: pa.Table) -> pa.Table:
         m = pc.less(t["l_quantity"], pc.multiply(pa.scalar(0.2), t["avg_qty"]))
@@ -1006,7 +1002,7 @@ def disjunctive_revenue(sf_dir: str) -> pa.Table:
     brands = ",".join(f"'{b}'" for b, *_ in bands)
     part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).filter(expr=f"p_brand in [{brands}]")
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
-    j = li.join(part, join_type="inner", num_partitions=4, on=("l_partkey",), right_on=("p_partkey",))
+    j = safe_join(li, part, join_type="inner", num_partitions=4, on=("l_partkey",), right_on=("p_partkey",))
 
     def pred_rev(t: pa.Table) -> pa.Table:
         m = pa.array(np.zeros(t.num_rows, dtype=bool))
@@ -1055,12 +1051,12 @@ def exclusive_return_suppliers(sf_dir: str, k: int = 20) -> rd.Dataset:
         Count(alias_name="n_supp"), Sum("any_r", alias_name="n_returning")
     )
     culprits = per_order.filter(expr="n_supp > 1 and n_returning == 1").select_columns(["l_orderkey", "n_supp"])
-    j = pairs.filter(expr="any_r == 1").join(
+    j = safe_join(pairs.filter(expr="any_r == 1"), 
         culprits, join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("l_orderkey",)
     )
     per_supp = j.groupby("l_suppkey").aggregate(Count(alias_name="numwait"))
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
-    out = per_supp.join(supp, join_type="inner", num_partitions=1, on=("l_suppkey",), right_on=("s_suppkey",))
+    out = safe_join(per_supp, supp, join_type="inner", num_partitions=1, on=("l_suppkey",), right_on=("s_suppkey",))
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table({"s_name": t["s_name"], "numwait": t["numwait"]})
@@ -1097,7 +1093,7 @@ def idle_customers(sf_dir: str, since: str = "2001-01-01") -> rd.Dataset:
         return t.filter(pc.greater_equal(t["o_orderdate"], pa.scalar(np.datetime64(since, "us")))).select(["o_custkey"])
 
     active = orders.map_batches(recent, batch_format="pyarrow").groupby("o_custkey").aggregate(Count(alias_name="_n"))
-    j = rich.join(active, join_type="left_outer", num_partitions=4, on=("c_custkey",), right_on=("o_custkey",))
+    j = safe_join(rich, active, join_type="left_outer", num_partitions=4, on=("c_custkey",), right_on=("o_custkey",))
     idle = j.map_batches(lambda t: t.filter(pc.is_null(t["_n"])), batch_format="pyarrow")
 
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
@@ -1136,7 +1132,7 @@ def revenue_rollup(sf_dir: str) -> rd.Dataset:
 
     orders = orders.map_batches(year_of, batch_format="pyarrow")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    oc = orders.join(cust, join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",))
+    oc = safe_join(orders, cust, join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",))
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def add_rev(t: pa.Table) -> pa.Table:
@@ -1149,7 +1145,7 @@ def revenue_rollup(sf_dir: str) -> rd.Dataset:
         return pa.table({"l_orderkey": t["l_orderkey"], "cents": pa.array(cents, type=pa.int64())})
 
     li = li.map_batches(add_rev, batch_format="pyarrow")
-    j = li.join(
+    j = safe_join(li, 
         oc.select_columns(["o_orderkey", "o_year", "c_nationkey"]),
         join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",),
     )
@@ -1288,10 +1284,8 @@ def bloom_semi_join(
             m = pc.equal(t["c_mktsegment"], pa.scalar(segment))
             return t.filter(m).select(["c_custkey", "c_nationkey"])
 
-        from ..stages.common import join_ready
-
-        cust_keys = join_ready(_read(sf_dir, "customer", cust_cols).map_batches(seg_filter, batch_format="pyarrow"))
-        matched = pre.join(
+        cust_keys = _read(sf_dir, "customer", cust_cols).map_batches(seg_filter, batch_format="pyarrow")
+        matched = safe_join(pre, 
             cust_keys,
             join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",),
         ).map_batches(
@@ -1339,33 +1333,33 @@ def _min_cost_supplier_shuffle(sf_dir: str, size: int, ptype: str, region: str, 
         m = pc.is_in(t["s_nationkey"], value_set=pa.array(sorted(nk_set), type=t["s_nationkey"].type))
         return t.filter(m).select(cols)
 
-    from ..stages.common import join_ready
-
     part_all = ["p_partkey", "p_name", "p_size", "p_type"]
     supp_all = ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]
-    # filter-derived join inputs pass through join_ready (0-row blocks
-    # poison Ray 2.49's hash join — see stages/common.py)
-    partf = join_ready(_read(sf_dir, "part", part_all).map_batches(
+    # all join inputs are scrubbed inside safe_join (0-row blocks poison
+    # Ray 2.49's hash join — see stages/common.py)
+    partf = _read(sf_dir, "part", part_all).map_batches(
         functools.partial(_part_filter, cols=["p_partkey", "p_name"]), batch_format="pyarrow"
-    ))
-    part_keys = join_ready(_read(sf_dir, "part", part_all).map_batches(
+    )
+    part_keys = _read(sf_dir, "part", part_all).map_batches(
         functools.partial(_part_filter, cols=["p_partkey"]), batch_format="pyarrow"
-    ))
-    suppf = join_ready(_read(sf_dir, "supplier", supp_all).map_batches(
+    )
+    suppf = _read(sf_dir, "supplier", supp_all).map_batches(
         functools.partial(_supp_filter, cols=supp_all), batch_format="pyarrow"
-    ))
-    supp_keys = join_ready(_read(sf_dir, "supplier", supp_all).map_batches(
+    )
+    supp_keys = _read(sf_dir, "supplier", supp_all).map_batches(
         functools.partial(_supp_filter, cols=["s_suppkey"]), batch_format="pyarrow"
-    ))
+    )
     if part_keys.count() == 0 or supp_keys.count() == 0:
         return pa.table({c: pa.array([], type=t) for c, t in _MCS_EMPTY.items()})
 
-    li = (
-        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
-        .join(part_keys, join_type="inner", num_partitions=4,
-              on=("l_partkey",), right_on=("p_partkey",))
-        .join(supp_keys, join_type="inner", num_partitions=4,
-              on=("l_suppkey",), right_on=("s_suppkey",))
+    li = safe_join(
+        safe_join(
+            _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]),
+            part_keys, join_type="inner", num_partitions=4,
+            on=("l_partkey",), right_on=("p_partkey",),
+        ),
+        supp_keys, join_type="inner", num_partitions=4,
+        on=("l_suppkey",), right_on=("s_suppkey",),
     )
 
     def unit_cost(t: pa.Table) -> pa.Table:
@@ -1387,23 +1381,17 @@ def _min_cost_supplier_shuffle(sf_dir: str, size: int, ptype: str, region: str, 
     if pair_cost.count() == 0:
         return pa.table({c: pa.array([], type=t) for c, t in _MCS_EMPTY.items()})
 
-    part_min = join_ready(pair_cost.groupby("l_partkey").aggregate(Min("unit_cost", alias_name="min_cost")))
+    part_min = pair_cost.groupby("l_partkey").aggregate(Min("unit_cost", alias_name="min_cost"))
 
     def is_winner(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(t["unit_cost"], t["min_cost"]))
 
-    winners = (
-        join_ready(
-            join_ready(pair_cost)
-            .join(part_min, join_type="inner", num_partitions=4, on=("l_partkey",))
-            .map_batches(is_winner, batch_format="pyarrow")
-        )
-        .join(suppf, join_type="inner", num_partitions=4, on=("l_suppkey",), right_on=("s_suppkey",))
+    winners = safe_join(
+        safe_join(pair_cost, part_min, join_type="inner", num_partitions=4, on=("l_partkey",))
+        .map_batches(is_winner, batch_format="pyarrow"),
+        suppf, join_type="inner", num_partitions=4, on=("l_suppkey",), right_on=("s_suppkey",),
     )
-    # a join OUTPUT can itself carry 0-row blocks into the next join
-    winners = join_ready(winners).join(
-        partf, join_type="inner", num_partitions=4, on=("l_partkey",), right_on=("p_partkey",)
-    )
+    winners = safe_join(winners, partf, join_type="inner", num_partitions=4, on=("l_partkey",), right_on=("p_partkey",))
 
     def project(t: pa.Table) -> pa.Table:
         nk = t["s_nationkey"].to_numpy().astype(np.int64)
@@ -1729,7 +1717,7 @@ def dominant_part_suppliers(sf_dir: str, name_prefix: str = "red", year: int = 1
             "n_name": pa.array([], type=pa.string()),
         })
     per_part = per_pair.groupby("l_partkey").aggregate(Sum("supp_qc", alias_name="total_qc"))
-    joined = per_pair.join(per_part, join_type="inner", num_partitions=2, on=("l_partkey",))
+    joined = safe_join(per_pair, per_part, join_type="inner", num_partitions=2, on=("l_partkey",))
 
     def dominant(t: pa.Table) -> pa.Table:
         keep = 2 * t["supp_qc"].to_numpy() > t["total_qc"].to_numpy()

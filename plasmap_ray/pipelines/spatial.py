@@ -30,6 +30,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from .. import cells, fixtures
 from ..stages import geo
+from ..stages.common import safe_join
 
 DEFAULT_ZOOMS = (6, 10, 14)
 
@@ -619,7 +620,7 @@ def knn_shuffle_pipeline(
 
     pts = points_from_documents(sf_dir).map_batches(pt_cell, batch_format="pyarrow")
     pois_exp = pois.map_batches(poi_explode, batch_format="pyarrow")
-    joined = pts.join(pois_exp, join_type="left_outer", num_partitions=num_partitions, on=("ckey",))
+    joined = safe_join(pts, pois_exp, join_type="left_outer", num_partitions=num_partitions, on=("ckey",))
     round_out = (
         joined.map_batches(shard, batch_format="pyarrow")
         .groupby("_shard")
@@ -636,7 +637,7 @@ def knn_shuffle_pipeline(
     while unres.count() > 0:
         r *= 2
         pts_exp = unres.map_batches(functools.partial(pt_explode, r=r), batch_format="pyarrow")
-        joined = pts_exp.join(pois_keyed, join_type="left_outer", num_partitions=num_partitions, on=("ckey",))
+        joined = safe_join(pts_exp, pois_keyed, join_type="left_outer", num_partitions=num_partitions, on=("ckey",))
         round_out = (
             joined.map_batches(shard, batch_format="pyarrow")
             .groupby("_shard")
@@ -825,7 +826,7 @@ def pip_join_shuffle_pipeline(sf_dir: str, num_partitions: int = 8) -> rd.Datase
         ),
         batch_format="pyarrow",
     )
-    joined = pts.join(
+    joined = safe_join(pts, 
         rd.from_arrow(cover), join_type="inner", num_partitions=num_partitions, on=("cell",)
     )
 
@@ -1031,7 +1032,7 @@ def incremental_tile_counts(sf_dir: str, z: int = GINI_Z, cut: str = IVM_CUT) ->
     delta = ds.map_batches(_ft.partial(tile_partial, which="delta"), batch_format="pyarrow").groupby(
         "key"
     ).aggregate(_Sum("n", alias_name="n_delta"))
-    merged = base.join(delta, join_type="full_outer", num_partitions=4, on=("key",))
+    merged = safe_join(base, delta, join_type="full_outer", num_partitions=4, on=("key",))
 
     def finish(t: pa.Table) -> pa.Table:
         key = t["key"].to_numpy(zero_copy_only=False)

@@ -18,6 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Mean, Sum
+from ..stages.common import safe_join
 
 
 def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
@@ -349,7 +350,7 @@ def common_ngram_fraction(sf_dir: str) -> rd.Dataset:
 
     pairs = ds.map_batches(explode_distinct, batch_format="pyarrow").materialize()
     gram_docs = pairs.groupby("g").aggregate(_Count(alias_name="nd"))
-    tagged = pairs.join(gram_docs, join_type="inner", num_partitions=8, on=("g",), right_on=("g",))
+    tagged = safe_join(pairs, gram_docs, join_type="inner", num_partitions=8, on=("g",), right_on=("g",))
 
     def flag(t: pa.Table) -> pa.Table:
         common = pc.cast(pc.greater_equal(t["nd"], pa.scalar(2, type=pa.int64())), pa.int64())

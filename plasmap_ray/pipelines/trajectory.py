@@ -50,6 +50,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from .. import cells, fixtures
+from ..stages.common import safe_join
 
 FP_SCALE = 1e9  # fixed-point: 1e-9 deg ~ 0.1 mm — far below any ulp drift
 TRAJ_PARTS = 32  # coarse regroup partitions (≈ cluster cores at scale)
@@ -272,7 +273,7 @@ def spatial_self_join(
         probe_expand, batch_format="pyarrow"
     )
 
-    cand = probe.join(build, join_type="inner", num_partitions=num_partitions, on=("ck",))
+    cand = safe_join(probe, build, join_type="inner", num_partitions=num_partitions, on=("ck",))
 
     def finish(t: pa.Table) -> pa.Table:
         ia = np.asarray(t["id_a"].to_numpy(), np.int64)
@@ -758,7 +759,7 @@ def colocation_join(
     probe = ds.map_batches(functools.partial(keyed, side="a"), batch_format="pyarrow").map_batches(
         probe_expand, batch_format="pyarrow"
     )
-    cand = probe.join(build, join_type="inner", num_partitions=num_partitions, on=("ck",))
+    cand = safe_join(probe, build, join_type="inner", num_partitions=num_partitions, on=("ck",))
 
     def finish(t: pa.Table) -> pa.Table:
         ia = np.asarray(t["id_a"].to_numpy(), np.int64)

@@ -40,8 +40,8 @@ def cast_columns(batch: pa.Table, casts: dict[str, pa.DataType]) -> pa.Table:
     return batch
 
 
-def join_ready(ds, num_blocks: int = 4):
-    """Compact a Dataset so it is SAFE as a ``Dataset.join`` input.
+def join_ready(ds, batch_size: int = 8192, num_blocks: int | None = None):
+    """Scrub a Dataset so it is SAFE as a ``Dataset.join`` input.
 
     Ray 2.49.2's hash-shuffle join breaks when ANY input block has 0
     rows: the aggregator rebuilds that block's partition without a
@@ -49,10 +49,26 @@ def join_ready(ds, num_blocks: int = 4):
     matches for key field reference ...`` (or, under load, silently
     mismatches — the round-2 ``radius_of_gyration`` flake).  Partitions
     that receive NO block at all are handled fine — only 0-row blocks
-    poison it, and any FILTER stage can emit them.  ``repartition``
-    merges empty blocks away, so every filter-derived join input must
-    pass through here.  An all-empty dataset still breaks — callers
-    guard that with a ``count() == 0`` early return where emptiness is
-    reachable.
+    poison it, and FILTER stages, selective map stages, and prior JOIN
+    outputs can all emit them.  The scrub is an identity ``map_batches``
+    with a row-count batch target: Ray's batch formation BUNDLES blocks
+    until ``batch_size`` rows, so 0-row blocks merge into their
+    neighbors and never reach the join — a streaming pass (Arrow
+    slices, no repartition barrier), safe for fact-sized sides too.
+    An ALL-empty dataset still breaks — callers guard that with a
+    ``count() == 0`` early return where emptiness is reachable.
+    ``num_blocks`` is accepted for call-site compatibility and ignored
+    (the old repartition workaround).
     """
-    return ds.repartition(num_blocks)
+    return ds.map_batches(lambda t: t, batch_format="pyarrow", batch_size=batch_size)
+
+
+def safe_join(left, right, **kwargs):
+    """``left.join(right, ...)`` with BOTH inputs scrubbed through
+    :func:`join_ready`.  Every ``Dataset.join`` in this repo goes
+    through here: the 0-row-block poison (see ``join_ready``) can reach
+    a join from any filter, selective map, aggregate, or prior join on
+    EITHER side, and the failure is nondeterministic under load — the
+    scrub is one streaming identity pass per side (Arrow slicing, no
+    barrier), which is cheap insurance at any scale."""
+    return join_ready(left).join(join_ready(right), **kwargs)

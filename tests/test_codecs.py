@@ -75,3 +75,45 @@ def test_planted_near_dups_share_phash():
     ph = t["phash"].to_numpy()
     for i in range(fixtures.NEAR_DUP_STRIDE, 300, fixtures.NEAR_DUP_STRIDE):
         assert ph[i - 1] == ph[i - 2]  # row i duplicates row i-1 (1-based ids)
+
+
+def test_dctq_psnr_gate_by_construction():
+    """The dctq step table proves PSNR >= 40 dB on ANY input — check on
+    adversarial content (noise, checkerboard, hard edges), and that the
+    codec genuinely loses information (it is not secretly lossless)."""
+    rng = np.random.default_rng(0)
+    cases = [
+        rng.integers(0, 256, (37, 53, 3), dtype=np.uint8),
+        np.where(rng.random((40, 41, 3)) > 0.5, 255, 0).astype(np.uint8),
+        (np.linspace(0, 255, 48 * 48).reshape(48, 48)[..., None].repeat(3, axis=2)).astype(np.uint8),
+    ]
+    any_lossy = False
+    for img in cases:
+        payload = codecs.encode_image(img, "dctq")
+        out = codecs.decode_image(payload, img.shape[1], img.shape[0], "dctq")
+        assert codecs.psnr_db(img, out) >= 40.0
+        any_lossy |= not np.array_equal(img, out)
+    assert any_lossy
+
+
+def test_dctq_compresses_structure():
+    """Smooth content must compress well below raw (the transform
+    concentrates energy in few coefficients; zlib removes the zeros)."""
+    img = (np.linspace(0, 255, 64 * 64).reshape(64, 64)[..., None].repeat(3, axis=2)).astype(np.uint8)
+    payload = codecs.encode_image(img, "dctq")
+    assert len(payload) < img.nbytes // 10
+
+
+def test_dctq_fixture_corpus_distribution():
+    """Across the fixture corpus: every image passes the 40 dB gate and
+    a majority are genuinely lossy under dctq."""
+    t = fixtures.make_images(120)
+    n_lossy = 0
+    for j in range(t.num_rows):
+        w, h, fmt = t["w"][j].as_py(), t["h"][j].as_py(), t["fmt"][j].as_py()
+        px = codecs.decode_image(t["bytes"][j].as_py(), w, h, fmt)
+        payload = codecs.encode_image(px, "dctq")
+        back = codecs.decode_image(payload, w, h, "dctq")
+        assert codecs.psnr_db(px, back) >= 40.0
+        n_lossy += int(not np.array_equal(px, back))
+    assert n_lossy > 60

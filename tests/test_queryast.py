@@ -130,3 +130,72 @@ def test_explain_covers_every_node_kind():
     plan = qa.explain(qa.PoisInArea(qa.DistrictsOfArea(qa.AreaByName("x")), "cafe"))
     ops = plan["op"].to_pylist()
     assert ops.index("containment_join") < ops.index("pip_join")
+
+
+def test_serve_loop_canonical_queries():
+    """S13 parity: the long-lived serve loop answers the three canonical
+    SURVEY §7.2-11 queries (containing-polygon for point, features-in-
+    tile, nearest-k POIs) over ONE socket connection, plus GeoJSON
+    output, error routing, and clean shutdown — all against sf0.001."""
+    import json
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "plasmap_ray.cli", "serve", "--sf-dir", "/root/testdata/sf0.001"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd="/root/repo",
+    )
+    try:
+        hello = json.loads(proc.stdout.readline())
+        assert hello["serving"]
+        with socket.create_connection(("127.0.0.1", hello["port"]), timeout=60) as sk:
+            f = sk.makefile("rw")
+
+            def ask(req):
+                f.write(json.dumps(req) + "\n")
+                f.flush()
+                return json.loads(f.readline())
+
+            # 1) containing-polygon for point
+            r = ask({"ast": {"type": "ContainingAreas", "lon": 6.5561, "lat": 51.0423}})
+            assert r["ok"] and 100 in r["result"]["rel_id"]
+            # 2) features-in-tile z/x/y (any tile; schema is the contract)
+            r2 = ask({"ast": {"type": "FeaturesInTile", "z": 10, "x": 530, "y": 347}})
+            assert r2["ok"] and "doc_id" in r2["result"]
+            # 3) nearest-k POIs
+            r3 = ask({"ast": {"type": "NearestPois", "lon": 6.5561, "lat": 51.0423, "k": 3}})
+            assert r3["ok"] and r3["rows"] == 3 and len(r3["result"]["poi_id"]) == 3
+            # GeoJSON leg (the WS server's output format): radius query
+            rg = ask(
+                {
+                    "ast": {"type": "PoisNearPoint", "lon": 6.5561, "lat": 51.0423, "radius_deg": 0.5},
+                    "format": "geojson",
+                }
+            )
+            assert rg["ok"] and rg["rows"] >= 1
+            assert len(rg["geojson"]["features"]) == rg["rows"]
+            # composed query (the PMDistrictsFromArea(PMCityFromCoordinates) chain)
+            r4 = ask({"ast": {"type": "DistrictsOfArea", "parent": {"type": "AreaByName", "name": "Essenheim"}}})
+            assert r4["ok"] and sorted(r4["result"]["rel_id"]) == [101, 102, 103, 104, 105, 106]
+            # explain (the planner surface)
+            r5 = ask({"cmd": "explain", "ast": {"type": "NearestPois", "lon": 6.5, "lat": 51.0, "k": 3}})
+            assert r5["ok"]
+            # error routing: loop must survive a bad request
+            r6 = ask({"ast": {"type": "NoSuchQuery"}})
+            assert not r6["ok"] and "error" in r6
+            # still alive after the error
+            r7 = ask({"ast": {"type": "ContainingAreas", "lon": 6.5561, "lat": 51.0423, "admin_level": 6}})
+            assert r7["ok"] and r7["result"]["rel_id"] == [100]
+            # clean shutdown
+            r8 = ask({"cmd": "shutdown"})
+            assert r8["ok"]
+        proc.wait(timeout=60)
+        assert proc.returncode == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
