@@ -233,16 +233,59 @@ def tile_histogram_pipeline(sf_dir: str, zooms: tuple[int, ...] = DEFAULT_ZOOMS,
     """
     pts = points_from_documents(sf_dir)
     if salted:
-        exploded = pts.map_batches(
-            functools.partial(geo.tile_explode, zooms=zooms, key_cols=("doc_id",), with_quadkey=False),
-            batch_format="pyarrow",
-        )
-        salted_ds = exploded.map_batches(
-            functools.partial(geo.add_salt, key_col="quadkey", id_col="doc_id", factor=8), batch_format="pyarrow"
-        )
-        partial = salted_ds.groupby(["z", "x", "y", "salt"]).aggregate(Count(alias_name="n_images"))
-        return partial.groupby(["z", "x", "y"]).aggregate(Sum("n_images", alias_name="n_images"))
+        return tile_histogram_salted_from_points(pts, zooms)
     return tile_histogram_from_points(pts, zooms)
+
+
+def tile_histogram_salted_from_points(
+    pts: rd.Dataset, zooms: tuple[int, ...] = DEFAULT_ZOOMS, factor: int = 8
+) -> rd.Dataset:
+    """Skew-guarded two-phase tile aggregate over an arbitrary point
+    Dataset: per-batch (z, x, y, salt) partial counts (map-side
+    COMBINER — round-3 fix: the original salted plan shuffled raw
+    exploded rows, 6x slower than the combiner plan at sf0.01) ->
+    groupby (tile, salt) -> re-aggregate by tile.  Identical output to
+    the unsalted plan by construction; the salt bounds any single
+    reducer's share of a hot tile to 1/factor of it.
+
+    Measured honesty note (BENCH `tile_histogram_skew*` rows): for
+    ALGEBRAIC aggregates the combiner already absorbs single-tile skew
+    (each reducer receives one partial per upstream task, not per row),
+    so salting buys nothing here — its real target is the
+    per-key-ROWS shapes (regroups / holistic aggregates) where no
+    combiner exists."""
+    from .. import tiles
+
+    def partial(t: pa.Table, _zooms=tuple(zooms), _factor=factor) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        salt = (np.asarray(ids, dtype=np.int64) * np.int64(0x9E3779B1)) % _factor
+        lon = t["lon"].to_numpy()
+        lat = t["lat"].to_numpy()
+        xy = tiles.tile_xy_multi(lon, lat, _zooms)
+        zs, xs, ys, ss, ns = [], [], [], [], []
+        for z in _zooms:
+            x, y = xy[z]
+            key = (((x << np.int64(32)) | y) * np.int64(_factor)) + salt
+            u, c = np.unique(key, return_counts=True)
+            tile = u // _factor
+            zs.append(np.full(len(u), z, dtype=np.int32))
+            xs.append(tile >> np.int64(32))
+            ys.append(tile & np.int64(0xFFFFFFFF))
+            ss.append(u % _factor)
+            ns.append(c.astype(np.int64))
+        return pa.table(
+            {
+                "z": pa.array(np.concatenate(zs)),
+                "x": pa.array(np.concatenate(xs), type=pa.int64()),
+                "y": pa.array(np.concatenate(ys), type=pa.int64()),
+                "salt": pa.array(np.concatenate(ss), type=pa.int64()),
+                "n_images": pa.array(np.concatenate(ns), type=pa.int64()),
+            }
+        )
+
+    salted = pts.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+    phase1 = salted.groupby(["z", "x", "y", "salt"]).aggregate(Sum("n_images", alias_name="n_images"))
+    return phase1.groupby(["z", "x", "y"]).aggregate(Sum("n_images", alias_name="n_images"))
 
 
 def _pyramid_levels(sf_dir: str, z_base: int, z_top: int) -> dict[int, rd.Dataset]:
