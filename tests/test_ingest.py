@@ -79,3 +79,16 @@ def test_rerun_is_idempotent(ray_session, ingested):
     assert m2.get("skipped") is True
     data = pq.read_table(os.path.join(out, "data"), columns=["image_id"])
     assert data.num_rows == 600
+
+
+def test_ingest_plan_has_no_materialize():
+    """Round-3 regression guard: the four ingest sinks are four pruned
+    STREAMING passes; pinning the whole payload dataset in the object
+    store (`.materialize()`) was the round-2 scale-killer."""
+    import inspect
+
+    from plasmap_ray.pipelines import ingest
+
+    src = inspect.getsource(ingest.ingest_images)
+    code_lines = [ln.split("#", 1)[0] for ln in src.splitlines()]
+    assert not any(".materialize()" in ln for ln in code_lines)
