@@ -721,6 +721,12 @@ def market_share(
 
 
     part = _read(sf_dir, "part", ["p_partkey", "p_type"]).filter(expr=f"p_type == '{ptype}'").select_columns(["p_partkey"])
+    # ALL-EMPTY join sides break Ray 2.49 joins even through the
+    # safe_join scrub (the side loses its schema entirely) — guard the
+    # predicate-driven sides with a typed empty result (limit(1) probe:
+    # one block of execution, not a scan)
+    if not region_nations or part.limit(1).count() == 0:
+        return pa.table({"o_year": pa.array([], type=pa.int64()), "mkt_share": pa.array([], type=pa.float64())})
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
     li = safe_join(li, part, join_type="inner", num_partitions=4, on=("l_partkey",), right_on=("p_partkey",))
 
@@ -1239,6 +1245,10 @@ def bloom_semi_join(
     m_bits, k_hashes = bloom_params(expected_n, fp_rate)
     cust_cols = ["c_custkey", "c_nationkey", "c_mktsegment"]
     cust = _read(sf_dir, "customer", cust_cols).filter(expr=f"c_mktsegment == '{segment}'")
+    # typed-empty guard: an ALL-EMPTY segment would break the shuffle
+    # branch's join (Ray 2.49 loses the side's schema; see safe_join)
+    if cust.limit(1).count() == 0:
+        return pa.table({"c_nationkey": pa.array([], type=pa.int64()), "n_orders": pa.array([], type=pa.int64())})
 
     def bloom_accumulate(acc: np.ndarray, block: pa.Table) -> np.ndarray:
         keys = block["c_custkey"].to_numpy().astype(np.uint64)
@@ -1444,6 +1454,8 @@ def min_cost_supplier(
     part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_size", "p_type"]).filter(
         expr=f"p_size == {size} and p_type == '{ptype}'"
     ).to_pandas()
+    if len(part) == 0:  # empty to_pandas loses columns entirely — typed-empty early
+        return pa.table({c: pa.array([], type=t) for c, t in _MCS_EMPTY.items()})
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
     rkeys = set(reg[reg["r_name"] == region]["r_regionkey"].astype(int))

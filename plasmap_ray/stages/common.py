@@ -70,5 +70,11 @@ def safe_join(left, right, **kwargs):
     a join from any filter, selective map, aggregate, or prior join on
     EITHER side, and the failure is nondeterministic under load — the
     scrub is one streaming identity pass per side (Arrow slicing, no
-    barrier), which is cheap insurance at any scale."""
+    barrier), which is cheap insurance at any scale.
+
+    LIMIT: an ALL-empty side (0 rows total) still breaks — Ray loses
+    the side's schema entirely, so no scrub can restore it.  Sites
+    whose predicate parameters can legitimately select nothing guard
+    with a ``limit(1).count() == 0`` probe and a TYPED empty result
+    (see market_share / bloom_semi_join / min_cost_supplier)."""
     return join_ready(left).join(join_ready(right), **kwargs)

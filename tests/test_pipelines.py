@@ -1384,3 +1384,19 @@ def test_dim_join_planner_flips_on_size(ray_session):
         a = canon(fn(sf))
         b = canon(fn(sf, dim_max_bytes=1))  # force the shuffle plan
         assert a.equals(b), fn.__name__
+
+
+def test_empty_predicate_joins_return_typed_empty(ray_session):
+    """A predicate that selects nothing must yield a typed EMPTY result,
+    not an ArrowInvalid crash (the all-empty join side is the one case
+    safe_join's scrub cannot fix — Ray loses the side's schema)."""
+    from plasmap_ray.pipelines import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    ms = R.market_share(sf, ptype="NO_SUCH_TYPE")
+    ms = ms.to_pandas() if not hasattr(ms, "columns") else ms.to_pandas()
+    assert len(ms) == 0 and sorted(ms.columns) == ["mkt_share", "o_year"]
+    bj = R.bloom_semi_join(sf, segment="NO_SUCH_SEGMENT").to_pandas()
+    assert len(bj) == 0 and sorted(bj.columns) == ["c_nationkey", "n_orders"]
+    mc = R.min_cost_supplier(sf, ptype="NO_SUCH_TYPE").to_pandas()
+    assert len(mc) == 0 and "min_cost" in mc.columns
