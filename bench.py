@@ -263,11 +263,35 @@ def run_queries() -> dict:
     # too big to broadcast) on the same query points — its throughput
     # row quantifies the broadcast->shuffle switchover cost
     def knn_shuffle():
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as _rd
+
         from plasmap_ray.pipelines import spatial as _sp
 
         pois_t = fixtures.make_pois()
-        # same inputs as `knn`, different physical plan
-        return _sp.knn_shuffle_pipeline(SF_DIR, k=3, pois_table=pois_t).count()
+        # same point COUNT as `knn` but ids from rd.range: the shuffle
+        # plan keys its regroup on doc_id (a unique key by contract);
+        # the lineitem-derived bench ids collide (the synthetic table
+        # has duplicate (orderkey, linenumber) pairs)
+        n_points_total = counts.get("knn", 0) // 3 or 14_400_000
+
+        def fx(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_numpy().astype(np.int64) + 1
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "lon": pa.array(fixtures.derive_lon(ids), type=pa.float64()),
+                    "lat": pa.array(fixtures.derive_lat(ids), type=pa.float64()),
+                }
+            )
+
+        upts = _rd.range(n_points_total, override_num_blocks=max(16, NUM_CPUS * 2)).map_batches(
+            fx, batch_format="pyarrow", batch_size=16384
+        )
+        return _sp.knn_shuffle_pipeline(
+            SF_DIR, k=3, pois_table=pois_t, points=upts, num_partitions=NUM_CPUS
+        ).count()
 
     timed("knn_shuffle", knn_shuffle)
 

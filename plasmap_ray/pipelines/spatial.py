@@ -500,6 +500,7 @@ def knn_shuffle_pipeline(
     num_partitions: int = 8,
     shards: int = KNN_SHUFFLE_SHARDS,
     pois_table: "pa.Table | None" = None,
+    points: "rd.Dataset | None" = None,
 ) -> rd.Dataset:
     """J7 kNN at POI-set scale: SHUFFLE kNN join — no broadcast index.
 
@@ -516,18 +517,32 @@ def knn_shuffle_pipeline(
                                                                  LEFT OUTER so
                                                                  empty-neighborhood
                                                                  points survive)
+          per-batch per-doc top-k COMBINER (+ candidate count)  (map; the regroup
+                                                                 then moves ~k rows
+                                                                 per doc, not the
+                                                                 ~9-cell fan-out)
           doc-sharded regroup -> vectorized per-point top-k     (one groupby;
                                                                  lexsort runs,
                                                                  no per-point task)
 
+    ``doc_id`` is the regroup KEY and must be UNIQUE per query point
+    (true of every registered query; rows sharing a doc_id would
+    collapse into one result set — the broadcast plan, which treats
+    rows independently, has no such requirement).
+
         A point is RESOLVED when it saw >= k candidates and its k-th
         distance is within the ring guarantee (any POI outside the
         radius-r cell neighborhood is > r*min_cell_width away), or when
-        its candidate set was the whole POI table.  Unresolved points
-        (sparse neighborhoods) re-join in doubling-radius rounds with
-        the explosion INVERTED — the few remaining points explode into
-        their (2r+1)^2 cover cells and join POIs keyed by their OWN
-        cell, so the big side never duplicates again.
+        its candidate set was the whole POI table.  The INITIAL radius
+        is sized from the measured POI density (~3k expected candidates
+        per neighborhood), so round 1 resolves ~all points even on a
+        sparse POI side.  Unresolved points re-join with the explosion
+        INVERTED (the few remaining points explode, POIs key by their
+        OWN cell) at their PER-DOC needed radius — ceil(kth_dist /
+        cell_width) when k candidates exist (resolution next round is
+        then guaranteed), a bbox-distance jump when none — with the
+        explosion rectangle clipped to the POI bbox.  No blind
+        doubling cascade; rounds are ~2 in practice.
 
     Exactness: identical to the broadcast plan and the SQL oracle —
     float64 (dlon^2 + dlat^2), ties by poi_id; the ring guarantee makes
@@ -563,24 +578,24 @@ def knn_shuffle_pipeline(
     min_s = min(sx, sy)
     nmax = (1 << p) - 1
     k_eff = min(k, m_total)
+    rmax = 1 << p
+
+    # POI bbox in grid cells + density — sizes the INITIAL ring radius so
+    # round 1 already sees ~3k expected candidates per point (a sparse
+    # POI side with r=1 would leave most points unresolved and cascade
+    # into exploding doubling rounds — the round-3 OutOfDisk lesson)
+    _bx, _by = cells.lonlat_to_xy(
+        np.array([st["lon0"], st["lon1"]]), np.array([st["lat0"], st["lat1"]]), p
+    )
+    bx0, bx1 = int(_bx.min()), int(_bx.max())
+    by0, by1 = int(_by.min()), int(_by.max())
+    n_cells_bbox = (bx1 - bx0 + 1) * (by1 - by0 + 1)
+    density = m_total / max(1, n_cells_bbox)
+    r1 = int(max(1, min(16, np.ceil((np.sqrt(3.0 * max(1, k_eff) / max(density, 1e-12)) - 1.0) / 2.0))))
 
     def _cellkey(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
         x, y = cells.lonlat_to_xy(lon, lat, p)
         return (x.astype(np.int64) << np.int64(32)) | y.astype(np.int64)
-
-    def _explode(lon: np.ndarray, lat: np.ndarray, r: int) -> tuple[np.ndarray, np.ndarray]:
-        """(row_index, cellkey) pairs covering each row's (2r+1)^2
-        neighborhood, out-of-world cells dropped (vectorized)."""
-        x, y = cells.lonlat_to_xy(lon, lat, p)
-        offs = np.arange(-r, r + 1, dtype=np.int64)
-        dx = np.repeat(offs, len(offs))
-        dy = np.tile(offs, len(offs))
-        nx = x.astype(np.int64)[:, None] + dx[None, :]
-        ny = y.astype(np.int64)[:, None] + dy[None, :]
-        valid = (nx >= 0) & (nx <= nmax) & (ny >= 0) & (ny <= nmax)
-        rows = np.repeat(np.arange(len(x), dtype=np.int64), len(offs) * len(offs))[valid.ravel()]
-        key = ((nx << np.int64(32)) | ny).ravel()[valid.ravel()]
-        return rows, key
 
     def pt_cell(t: pa.Table) -> pa.Table:
         lon, lat = t["lon"].to_numpy(), t["lat"].to_numpy()
@@ -590,67 +605,207 @@ def knn_shuffle_pipeline(
                 "lon": t["lon"],
                 "lat": t["lat"],
                 "ckey": pa.array(_cellkey(lon, lat), type=pa.int64()),
+                "r": pa.array(np.full(t.num_rows, r1, dtype=np.int64), type=pa.int64()),
             }
         )
 
-    def poi_explode(t: pa.Table, r: int = 1) -> pa.Table:
-        rows, key = _explode(t["plon"].to_numpy(), t["plat"].to_numpy(), r)
+    def poi_explode(t: pa.Table, r: int) -> pa.Table:
+        """POIs explode into their (2r+1)^2 WORLD-clipped neighbor cells
+        (points can sit outside the POI bbox)."""
+        lon, lat = t["plon"].to_numpy(), t["plat"].to_numpy()
+        x, y = cells.lonlat_to_xy(lon, lat, p)
+        offs = np.arange(-r, r + 1, dtype=np.int64)
+        dx = np.repeat(offs, len(offs))
+        dy = np.tile(offs, len(offs))
+        nx = x.astype(np.int64)[:, None] + dx[None, :]
+        ny = y.astype(np.int64)[:, None] + dy[None, :]
+        valid = (nx >= 0) & (nx <= nmax) & (ny >= 0) & (ny <= nmax)
+        rows = np.repeat(np.arange(len(x), dtype=np.int64), len(offs) * len(offs))[valid.ravel()]
+        key = ((nx << np.int64(32)) | ny).ravel()[valid.ravel()]
         sub = t.take(pa.array(rows))
         return sub.append_column("ckey", pa.array(key, type=pa.int64()))
 
-    def pt_explode(t: pa.Table, r: int) -> pa.Table:
-        rows, key = _explode(t["lon"].to_numpy(), t["lat"].to_numpy(), r)
-        sub = t.select(["doc_id", "lon", "lat"]).take(pa.array(rows))
-        return sub.append_column("ckey", pa.array(key, type=pa.int64()))
+    _PTS_EXP_EMPTY = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "lon": pa.array([], type=pa.float64()),
+            "lat": pa.array([], type=pa.float64()),
+            "ckey": pa.array([], type=pa.int64()),
+            "r": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def pt_explode_var(t: pa.Table) -> pa.Table:
+        """Unresolved points explode into their PER-DOC needed radius
+        (carried in ``aux``), BBOX-clipped: POIs only exist in bbox
+        cells, so the explosion rectangle is [cx-r, cx+r] ∩ bbox — no
+        out-of-support fan-out, and a far point pays cells proportional
+        to the bbox overlap, not (2r+1)^2.  A DISJOINT overlap clamps
+        to the nearest bbox edge (1 cell): disjoint in x means every
+        POI is > r cells away in x, i.e. > r*min_s away — the ring test
+        for radius r is then vacuously sound whatever candidates the
+        edge cell contributes."""
+        if t.num_rows == 0:
+            return _PTS_EXP_EMPTY
+        r = np.minimum(t["aux"].to_numpy().astype(np.int64), rmax)
+        lon, lat = t["lon"].to_numpy(), t["lat"].to_numpy()
+        x, y = cells.lonlat_to_xy(lon, lat, p)
+        x = x.astype(np.int64)
+        y = y.astype(np.int64)
+        lox, hix = np.maximum(x - r, bx0), np.minimum(x + r, bx1)
+        ex = lox > hix
+        edge_x = np.where(x < bx0, bx0, bx1)
+        lox, hix = np.where(ex, edge_x, lox), np.where(ex, edge_x, hix)
+        loy, hiy = np.maximum(y - r, by0), np.minimum(y + r, by1)
+        ey = loy > hiy
+        edge_y = np.where(y < by0, by0, by1)
+        loy, hiy = np.where(ey, edge_y, loy), np.where(ey, edge_y, hiy)
+        wx = hix - lox + 1
+        cnt = wx * (hiy - loy + 1)
+        total = int(cnt.sum())
+        row = np.repeat(np.arange(len(r), dtype=np.int64), cnt)
+        base = np.cumsum(cnt) - cnt
+        e = np.arange(total, dtype=np.int64) - np.repeat(base, cnt)
+        wxr = wx[row]
+        nx = lox[row] + e % wxr
+        ny = loy[row] + e // wxr
+        sub = t.select(["doc_id", "lon", "lat"]).take(pa.array(row))
+        sub = sub.append_column("ckey", pa.array((nx << np.int64(32)) | ny, type=pa.int64()))
+        return sub.append_column("r", pa.array(r[row], type=pa.int64()))
 
     def shard(t: pa.Table) -> pa.Table:
         return t.append_column(
             "_shard", pa.array(t["doc_id"].to_numpy() % shards, type=pa.int64())
         )
 
-    def scan(g: pa.Table, r: int) -> pa.Table:
-        """One doc-hash shard of joined candidates: vectorized run-scan
-        top-k per doc + ring-guarantee resolution test.  Emits the
-        top-k rows (knn_rank>=1) for resolved docs and ONE carry row
-        (knn_rank=0, poi_id=-1, lon/lat kept) per unresolved doc."""
-        if g.num_rows == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "lon": pa.array([], type=pa.float64()),
-                    "lat": pa.array([], type=pa.float64()),
-                    "knn_rank": pa.array([], type=pa.int32()),
-                    "poi_id": pa.array([], type=pa.int64()),
-                }
-            )
-        doc = g["doc_id"].to_numpy()
-        lon = g["lon"].to_numpy()
-        lat = g["lat"].to_numpy()
-        null = pc.is_null(g["poi_id"]).to_numpy(zero_copy_only=False)
-        poi = np.where(null, -1, g["poi_id"].to_numpy(zero_copy_only=False).astype(np.int64))
-        plon = np.where(null, 0.0, g["plon"].to_numpy(zero_copy_only=False).astype(np.float64))
-        plat = np.where(null, 0.0, g["plat"].to_numpy(zero_copy_only=False).astype(np.float64))
+    _PARTIAL_EMPTY = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "lon": pa.array([], type=pa.float64()),
+            "lat": pa.array([], type=pa.float64()),
+            "d": pa.array([], type=pa.float64()),
+            "poi_id": pa.array([], type=pa.int64()),
+            "n_part": pa.array([], type=pa.int64()),
+            "r": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def _runs(doc: np.ndarray, d: np.ndarray, poi: np.ndarray):
+        order = np.lexsort((poi, d, doc))
+        sd = doc[order]
+        starts = np.concatenate([[0], np.nonzero(sd[1:] != sd[:-1])[0] + 1])
+        return order, sd, starts
+
+    def _take_idx(starts: np.ndarray, take: np.ndarray):
+        off = np.arange(int(take.sum())) - np.repeat(np.cumsum(take) - take, take)
+        return np.repeat(starts, take) + off, off
+
+    def local_partial(t: pa.Table) -> pa.Table:
+        """Map-side COMBINER: per-batch per-doc top-k candidates + the
+        batch-local valid-candidate count.  The doc-sharded regroup then
+        moves ~k rows per doc instead of the full ~9-cell candidate
+        fan-out — the same partial-aggregation discipline as the tile
+        combiner, applied to a top-k.  Lossless: the true top-k of a
+        union of partials is contained in the union of partial top-ks;
+        ``n_part`` (emitted once per run, 0 elsewhere) sums to the true
+        candidate count for the ring-guarantee test."""
+        if t.num_rows == 0:
+            return _PARTIAL_EMPTY
+        doc = t["doc_id"].to_numpy()
+        lon = t["lon"].to_numpy()
+        lat = t["lat"].to_numpy()
+        null = pc.is_null(t["poi_id"]).to_numpy(zero_copy_only=False)
+        poi = np.where(null, -1, t["poi_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        plon = np.where(null, 0.0, t["plon"].to_numpy(zero_copy_only=False).astype(np.float64))
+        plat = np.where(null, 0.0, t["plat"].to_numpy(zero_copy_only=False).astype(np.float64))
         dlon = lon - plon
         dlat = lat - plat
         d = dlon * dlon + dlat * dlat
         d[null] = np.inf
-        order = np.lexsort((poi, d, doc))
-        sd, sl, sa, sdist, spoi = doc[order], lon[order], lat[order], d[order], poi[order]
-        starts = np.concatenate([[0], np.nonzero(sd[1:] != sd[:-1])[0] + 1])
-        cnt = np.diff(np.append(starts, len(sd)))
+        order, sd, starts = _runs(doc, d, poi)
         n_valid = np.add.reduceat((~null[order]).astype(np.int64), starts)
-        # k-th distance per run (inf when fewer than k candidates)
+        # keep >= 1 row so an all-null (empty-neighborhood) doc survives
+        take = np.minimum(k_eff, np.maximum(n_valid, 1)).astype(np.int64)
+        idx, off = _take_idx(starts, take)
+        n_part = np.where(off == 0, np.repeat(n_valid, take), 0)
+        sel = order[idx]
+        rr = t["r"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[sel], type=pa.int64()),
+                "lon": pa.array(lon[sel], type=pa.float64()),
+                "lat": pa.array(lat[sel], type=pa.float64()),
+                "d": pa.array(d[sel], type=pa.float64()),
+                "poi_id": pa.array(poi[sel], type=pa.int64()),
+                "n_part": pa.array(n_part, type=pa.int64()),
+                "r": pa.array(rr[sel], type=pa.int64()),
+            }
+        )
+
+    _SCAN_EMPTY = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "lon": pa.array([], type=pa.float64()),
+            "lat": pa.array([], type=pa.float64()),
+            "knn_rank": pa.array([], type=pa.int32()),
+            "poi_id": pa.array([], type=pa.int64()),
+            "aux": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
+        """One doc-hash shard of combined partials: merge-run exact
+        top-k per doc + per-doc ring-guarantee resolution test.  Emits
+        the top-k rows (knn_rank>=1, aux=0) for resolved docs and ONE
+        carry row (knn_rank=0, poi_id=-1, aux=NEXT radius) per
+        unresolved doc.  The next radius is what the doc NEEDS, not a
+        blind double: ceil(kth_dist/min_s) when it has k candidates
+        (guaranteeing resolution next round), a bbox jump when it has
+        none, 2r otherwise.
+        NOTE: ``doc_id`` is the regroup KEY — it must be unique per
+        query point (it is, in every registered query; the broadcast
+        plan has no such requirement)."""
+        if g.num_rows == 0:
+            return _SCAN_EMPTY
+        doc = g["doc_id"].to_numpy()
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        d = g["d"].to_numpy()
+        poi = g["poi_id"].to_numpy()
+        npart = g["n_part"].to_numpy()
+        rr = g["r"].to_numpy()
+        order, sd, starts = _runs(doc, d, poi)
+        sl, sa, sdist, spoi = lon[order], lat[order], d[order], poi[order]
+        r_run = rr[order][starts].astype(np.int64)
+        n_valid = np.add.reduceat(npart[order], starts)
+        # k-th distance per run: partials retain >= min(k, n_valid) valid
+        # rows (sum over partials of min(k, n_i) >= min(k, sum n_i)), and
+        # valid rows sort before the inf-distance null carriers
         kth = np.full(len(starts), np.inf)
         has_k = n_valid >= k_eff
         kth[has_k] = sdist[starts[has_k] + k_eff - 1]
-        bound = (r * min_s) ** 2
+        bound = (r_run.astype(np.float64) * min_s) ** 2
         resolved = (has_k & (kth <= bound)) | (n_valid >= m_total)
+        # next radius per unresolved doc
+        with np.errstate(invalid="ignore"):
+            r_need = np.ceil(np.sqrt(np.where(has_k, kth, 0.0)) / min_s).astype(np.int64)
+        r_next = np.where(has_k, np.maximum(r_run + 1, r_need), 2 * r_run)
+        zero = n_valid == 0
+        if zero.any():
+            zx, zy = cells.lonlat_to_xy(sl[starts][zero], sa[starts][zero], p)
+            zx = zx.astype(np.int64)
+            zy = zy.astype(np.int64)
+            dx = np.maximum(np.maximum(bx0 - zx, zx - bx1), 0)
+            dy = np.maximum(np.maximum(by0 - zy, zy - by1), 0)
+            r_next[zero] = np.maximum(r_next[zero], np.maximum(dx, dy) + 1)
+        r_next = np.minimum(r_next, rmax)
         take = np.where(resolved, np.minimum(k_eff, n_valid), 1).astype(np.int64)
-        idx = np.repeat(starts, take) + (np.arange(int(take.sum())) - np.repeat(np.cumsum(take) - take, take))
-        rank = (np.arange(int(take.sum())) - np.repeat(np.cumsum(take) - take, take) + 1).astype(np.int32)
+        idx, off = _take_idx(starts, take)
+        rank = (off + 1).astype(np.int32)
         rank[np.repeat(~resolved, take)] = 0
         out_poi = spoi[idx]
         out_poi[rank == 0] = -1
+        aux = np.repeat(np.where(resolved, 0, r_next), take).astype(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(sd[idx], type=pa.int64()),
@@ -658,37 +813,39 @@ def knn_shuffle_pipeline(
                 "lat": pa.array(sa[idx], type=pa.float64()),
                 "knn_rank": pa.array(rank, type=pa.int32()),
                 "poi_id": pa.array(out_poi, type=pa.int64()),
+                "aux": pa.array(aux, type=pa.int64()),
             }
         )
 
-    pts = points_from_documents(sf_dir).map_batches(pt_cell, batch_format="pyarrow")
-    pois_exp = pois.map_batches(poi_explode, batch_format="pyarrow")
+    src = points_from_documents(sf_dir) if points is None else points
+    pts = src.map_batches(pt_cell, batch_format="pyarrow")
+    pois_exp = pois.map_batches(functools.partial(poi_explode, r=r1), batch_format="pyarrow")
     joined = safe_join(pts, pois_exp, join_type="left_outer", num_partitions=num_partitions, on=("ckey",))
     round_out = (
-        joined.map_batches(shard, batch_format="pyarrow")
+        joined.map_batches(local_partial, batch_format="pyarrow")
+        .map_batches(shard, batch_format="pyarrow")
         .groupby("_shard")
-        .map_groups(functools.partial(scan, r=1), batch_format="pyarrow")
+        .map_groups(scan, batch_format="pyarrow")
         .materialize()  # output-bounded: <= k+1 metadata rows per point
     )
     results = [round_out.filter(expr="knn_rank >= 1").select_columns(["doc_id", "knn_rank", "poi_id"])]
-    unres = round_out.filter(expr="knn_rank == 0").select_columns(["doc_id", "lon", "lat"])
+    unres = round_out.filter(expr="knn_rank == 0").select_columns(["doc_id", "lon", "lat", "aux"])
     pois_keyed = pois.map_batches(
         lambda t: t.append_column("ckey", pa.array(_cellkey(t["plon"].to_numpy(), t["plat"].to_numpy()), type=pa.int64())),
         batch_format="pyarrow",
     )
-    r = 1
     while unres.count() > 0:
-        r *= 2
-        pts_exp = unres.map_batches(functools.partial(pt_explode, r=r), batch_format="pyarrow")
+        pts_exp = unres.map_batches(pt_explode_var, batch_format="pyarrow")
         joined = safe_join(pts_exp, pois_keyed, join_type="left_outer", num_partitions=num_partitions, on=("ckey",))
         round_out = (
-            joined.map_batches(shard, batch_format="pyarrow")
+            joined.map_batches(local_partial, batch_format="pyarrow")
+            .map_batches(shard, batch_format="pyarrow")
             .groupby("_shard")
-            .map_groups(functools.partial(scan, r=r), batch_format="pyarrow")
+            .map_groups(scan, batch_format="pyarrow")
             .materialize()
         )
         results.append(round_out.filter(expr="knn_rank >= 1").select_columns(["doc_id", "knn_rank", "poi_id"]))
-        unres = round_out.filter(expr="knn_rank == 0").select_columns(["doc_id", "lon", "lat"])
+        unres = round_out.filter(expr="knn_rank == 0").select_columns(["doc_id", "lon", "lat", "aux"])
     out = results[0]
     for extra in results[1:]:
         out = out.union(extra)
