@@ -117,3 +117,35 @@ def test_dctq_fixture_corpus_distribution():
         assert codecs.psnr_db(px, back) >= 40.0
         n_lossy += int(not np.array_equal(px, back))
     assert n_lossy > 60
+
+
+# --- property-based (hypothesis) -------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    style=st.sampled_from(["noise", "flat", "gradient", "binary"]),
+)
+def test_dctq_psnr_gate_property(w, h, seed, style):
+    """PROPERTY: for any image size (including non-multiples of 8 down
+    to 1x1) and any content class, dctq round-trips above the 40 dB
+    gate — the worst-case-MSE proof, checked empirically."""
+    rng = np.random.default_rng(seed)
+    if style == "noise":
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    elif style == "flat":
+        img = np.full((h, w, 3), rng.integers(0, 256), dtype=np.uint8)
+    elif style == "gradient":
+        img = (np.linspace(0, 255, h * w).reshape(h, w)[..., None].repeat(3, axis=2)).astype(np.uint8)
+    else:
+        img = np.where(rng.random((h, w, 3)) > 0.5, 255, 0).astype(np.uint8)
+    payload = codecs.encode_image(img, "dctq")
+    out = codecs.decode_image(payload, w, h, "dctq")
+    assert out.shape == (h, w, 3)
+    assert codecs.psnr_db(img, out) >= 40.0
