@@ -872,18 +872,30 @@ def kde_density(sf_dir: str, h: float = KDE_H) -> rd.Dataset:
 
     n_sites = len(sx)
 
+    # per-point lattice window (the IDW round-3 optimization): a site
+    # can be in bandwidth only within ceil(h/eps)+1 lattice steps of
+    # the point's nearest site — (2R+1)^2 windowed candidates instead
+    # of the dense rows x 300 matrix; the surviving pairs' floats are
+    # the SAME expressions, so the fixed-point partials are identical
+    R = int(np.ceil(h / GI_EPS)) + 1
+    offs = np.arange(-R, R + 1, dtype=np.int64)
+
     def partial(t: pa.Table) -> pa.Table:
-        # kernel weights + fixed-point floors only on in-bandwidth pairs
-        # (the masked-IDW trick above) — bit-identical, the dense matrix
-        # only pays for the distance computation itself
         ids = t["event_id"].to_numpy()
         lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
-        dx = lon[:, None] - sx[None, :]
-        dy = lat[:, None] - sy[None, :]
-        d2 = dx * dx
-        d2 += dy * dy
-        pi, si = np.nonzero(d2 <= h2)
-        w = 1.0 - d2[pi, si] / h2
+        fx = (lon - fixtures.LON_MIN) / GI_EPS - 0.5
+        fy = (lat - fixtures.LAT_MIN) / GI_EPS - 0.5
+        ci = np.round(fx).astype(np.int64)[:, None] + offs[None, :]
+        cj = np.round(fy).astype(np.int64)[:, None] + offs[None, :]
+        vi = (ci >= 0) & (ci < GI_GX)
+        vj = (cj >= 0) & (cj < GI_GY)
+        dxw = lon[:, None] - (fixtures.LON_MIN + (ci + 0.5) * GI_EPS)
+        dyw = lat[:, None] - (fixtures.LAT_MIN + (cj + 0.5) * GI_EPS)
+        d2 = dxw[:, :, None] ** 2 + dyw[:, None, :] ** 2
+        mask = (d2 <= h2) & vi[:, :, None] & vj[:, None, :]
+        pi, ii, jj = np.nonzero(mask)
+        si = ci[pi, ii] * GI_GY + cj[pi, jj]
+        w = 1.0 - d2[pi, ii, jj] / h2
         fw = np.floor(w * KDE_FP + 0.5).astype(np.int64)
         n = np.bincount(si, minlength=n_sites).astype(np.int64)
         sum_w = np.zeros(n_sites, dtype=np.int64)
