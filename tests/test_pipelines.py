@@ -1400,3 +1400,41 @@ def test_empty_predicate_joins_return_typed_empty(ray_session):
     assert len(bj) == 0 and sorted(bj.columns) == ["c_nationkey", "n_orders"]
     mc = R.min_cost_supplier(sf, ptype="NO_SUCH_TYPE").to_pandas()
     assert len(mc) == 0 and "min_cost" in mc.columns
+
+
+def test_knn_shuffle_far_points_bbox_jump(ray_session):
+    """Adversarial geometry for the adaptive-radius rounds: every POI
+    in a tiny corner, query points spread across the world — round 1
+    finds zero candidates for most points, forcing the bbox-distance
+    jump and the bbox-clipped explosion.  Results must stay exact."""
+    from plasmap_ray.pipelines import spatial
+
+    rng = np.random.default_rng(23)
+    m = 20
+    plon = fixtures.LON_MIN + rng.random(m) * 0.2
+    plat = fixtures.LAT_MIN + rng.random(m) * 0.2
+    pois = pa.table(
+        {
+            "poi_id": pa.array(np.arange(1, m + 1, dtype=np.int64)),
+            "lon": pa.array(plon),
+            "lat": pa.array(plat),
+        }
+    )
+    sf = "/root/testdata/sf0.001"
+    out = (
+        spatial.knn_shuffle_pipeline(sf, k=4, pois_table=pois)
+        .to_pandas()
+        .sort_values(["doc_id", "knn_rank"])
+        .reset_index(drop=True)
+    )
+    pts = spatial.points_from_documents(sf).to_pandas()
+    d = (pts["lon"].to_numpy()[:, None] - plon[None, :]) ** 2 + (pts["lat"].to_numpy()[:, None] - plat[None, :]) ** 2
+    pid = np.arange(1, m + 1, dtype=np.int64)
+    assert len(out) == len(pts) * 4
+    got = out["poi_id"].to_numpy().reshape(-1, 4)
+    order_docs = out["doc_id"].to_numpy().reshape(-1, 4)[:, 0]
+    by_doc = {int(doc): i for i, doc in enumerate(pts["doc_id"].to_numpy())}
+    for r in range(got.shape[0]):
+        i = by_doc[int(order_docs[r])]
+        expect = pid[np.lexsort((pid, d[i]))[:4]]
+        assert np.array_equal(expect, got[r]), (r, order_docs[r])
