@@ -178,7 +178,7 @@ def tile_assign_pipeline(sf_dir: str, z: int = 12) -> rd.Dataset:
 
 
 def tile_histogram_from_points(
-    pts: rd.Dataset, zooms: tuple[int, ...] = DEFAULT_ZOOMS, batch_size: int | None = 16384
+    pts: rd.Dataset, zooms: tuple[int, ...] = DEFAULT_ZOOMS, batch_size: int | None = 131072
 ) -> rd.Dataset:
     """Per-tile counts across zooms via base-zoom partials + roll-up.
 
@@ -190,6 +190,13 @@ def tile_histogram_from_points(
     — the z14 partials dominate because scattered points barely
     compress at fine zooms.  The base aggregate is materialized: union
     branches do not share upstream plans.
+
+    ``batch_size`` sizes the COMBINER's compression: with ~10^4 touched
+    base-zoom tiles, a 16k-point batch cannot compress (>=1 partial row
+    per point) while a 131k-point batch compresses ~13x — measured
+    11.8 s -> 7.5 s at sf0.1/32 cpus.  Scale rule: batch_size >> touched
+    tiles per batch, bounded by the per-task heap (a 131k batch is
+    ~5 MB).
     """
     z_base = max(zooms)
     partial = pts.map_batches(
