@@ -410,6 +410,12 @@ def oracle_sql() -> dict[str, str]:
     sqd = oracle.sql_sqdist_deg("pts.lon", "pts.lat", "p.lon", "p.lat")
     img_pq = f"read_parquet('{images.images_path_for(SF001)}')"
 
+    _KNN_ORACLE_SQL = f"""
+WITH {_pts_cte()},
+d AS (SELECT doc_id, p.poi_id, row_number() OVER (PARTITION BY doc_id ORDER BY {sqd}, p.poi_id) AS knn_rank
+      FROM pts CROSS JOIN {pois})
+SELECT doc_id, CAST(knn_rank AS INTEGER) AS knn_rank, poi_id FROM d WHERE knn_rank <= {KNN_K}"""
+
     tile_hist = f"WITH {_pts_cte()}, u AS ({_tile_union()}) SELECT z, x, y, count(*) AS n_images FROM u GROUP BY z, x, y"
 
     # KDE raster CTE chain (shared by kde_density and kde_contours):
@@ -612,21 +618,12 @@ WITH {_pts_cte()}
 SELECT rel_id, count(*) AS n_points FROM pts JOIN {rects}
 ON pts.lon >= b.lon_min AND pts.lon < b.lon_max AND pts.lat >= b.lat_min AND pts.lat < b.lat_max
 GROUP BY rel_id""",
-        "knn_pois": f"""
-WITH {_pts_cte()},
-d AS (SELECT doc_id, p.poi_id, row_number() OVER (PARTITION BY doc_id ORDER BY {sqd}, p.poi_id) AS knn_rank
-      FROM pts CROSS JOIN {pois})
-SELECT doc_id, CAST(knn_rank AS INTEGER) AS knn_rank, poi_id FROM d WHERE knn_rank <= {KNN_K}""",
-        "knn_pois_shuffle": f"""
-WITH {_pts_cte()},
-d AS (SELECT doc_id, p.poi_id, row_number() OVER (PARTITION BY doc_id ORDER BY {sqd}, p.poi_id) AS knn_rank
-      FROM pts CROSS JOIN {pois})
-SELECT doc_id, CAST(knn_rank AS INTEGER) AS knn_rank, poi_id FROM d WHERE knn_rank <= {KNN_K}""",
-        "knn_pois_auto": f"""
-WITH {_pts_cte()},
-d AS (SELECT doc_id, p.poi_id, row_number() OVER (PARTITION BY doc_id ORDER BY {sqd}, p.poi_id) AS knn_rank
-      FROM pts CROSS JOIN {pois})
-SELECT doc_id, CAST(knn_rank AS INTEGER) AS knn_rank, poi_id FROM d WHERE knn_rank <= {KNN_K}""",
+        # ONE SQL string for all three kNN plans (broadcast / shuffle /
+        # auto) — the "both plans are oracle-identical" invariant is
+        # only checked if they literally share the mirror
+        "knn_pois": _KNN_ORACLE_SQL,
+        "knn_pois_shuffle": _KNN_ORACLE_SQL,
+        "knn_pois_auto": _KNN_ORACLE_SQL,
         "radius_join": f"""
 WITH {_pts_cte()}
 SELECT doc_id, p.poi_id FROM pts JOIN {pois} ON {sqd} <= {RADIUS_DEG * RADIUS_DEG!r}""",

@@ -529,7 +529,9 @@ def main() -> None:
         effs = sorted(w["eff"] for w in accepted)
         m = len(effs) // 2
         median_eff = effs[m] if len(effs) % 2 else round((effs[m - 1] + effs[m]) / 2, 3)
-        best = max(windows, key=lambda w: w["eff"])
+        # best over the SAME population as the median — a gate-rejected
+        # window must not supply the headline-adjacent stats
+        best = max(accepted, key=lambda w: w["eff"])
         print(
             json.dumps(
                 {

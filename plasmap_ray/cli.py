@@ -129,6 +129,9 @@ def cmd_serve(args) -> int:
                 self.wfile.flush()
 
     socketserver.ThreadingTCPServer.allow_reuse_address = True
+    # daemon handler threads: shutdown must not block joining a handler
+    # parked in a socket read on some OTHER still-open client connection
+    socketserver.ThreadingTCPServer.daemon_threads = True
     srv = socketserver.ThreadingTCPServer((args.host, args.port), Handler)
     host, port = srv.server_address[:2]
     print(json.dumps({"serving": True, "host": host, "port": port, "sf_dir": args.sf_dir}), flush=True)

@@ -47,14 +47,19 @@ def _dct_matrix() -> np.ndarray:
 
 _DCT_C = _dct_matrix()
 
-# Frequency-weighted uniform steps: step(u, v) = 2 + (u + v) // 3, i.e.
-# 2 (DC) .. 6 (highest diagonal) — the JPEG idea (coarser where the eye
-# cares less) at provably-high quality.  Worst-case per-coefficient
-# error is step/2, so worst-case pixel MSE = mean(step^2)/4 + 1/4
-# (uint8 re-rounding) ~= 5.3 -> PSNR >= 40.9 dB on ANY input: the
-# fidelity gate holds by construction, not by luck of the fixtures.
+# Frequency-weighted uniform steps: step(u, v) = 2 + (u + v) // 4, i.e.
+# 2 (DC) .. 5 (highest diagonal) — the JPEG idea (coarser where the eye
+# cares less) at provably-high quality.  Worst-case bound (the L2
+# triangle inequality, NOT an independence assumption): per-coefficient
+# error <= step/2, so the frequency-domain worst-case RMSE is
+# sqrt(mean((step/2)^2)) = sqrt(12.125)/2 ~= 1.741; Parseval carries it
+# to the pixel domain, and the uint8 re-rounding adds <= 0.5 per pixel,
+# so worst-case pixel MSE <= (1.741 + 0.5)^2 ~= 5.02 -> PSNR >= 41.1 dB
+# on ANY input: the fidelity gate holds by construction, not by luck of
+# the fixtures.  (The previous //3 table's combined bound was 39.93 dB
+# — marginally BELOW the gate; review finding, round 3.)
 _u, _v = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
-_DCTQ_STEPS = (2 + (_u + _v) // 3).astype(np.float64)
+_DCTQ_STEPS = (2 + (_u + _v) // 4).astype(np.float64)
 del _u, _v
 
 

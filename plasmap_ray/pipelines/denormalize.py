@@ -352,8 +352,12 @@ def assemble_relations(
     def attach(g: pd.DataFrame) -> pd.DataFrame:
         # index-aligned hash merge (vectorized) — gkeys are unique on
         # the geometry side, so inner merge ≡ the old per-row
-        # .map(lookup) + dropna, at C speed
+        # .map(lookup) + dropna, at C speed.  Uniqueness is ENFORCED:
+        # a duplicate gkey would silently duplicate every referencing
+        # member row where the old Series.map raised (review finding)
         geo = g.loc[g["side"] == 1, ["gkey", "geom"]]
+        if not geo["gkey"].is_unique:
+            raise ValueError("duplicate gkey on the geometry side of the cogroup")
         out = g.loc[g["side"] == 0].drop(columns=["geom"]).merge(geo, on="gkey", how="inner")
         return out[["rel_id", "kind", "mpos", "sub_mpos", "role", "sub_role", "geom"]]
 

@@ -1359,7 +1359,9 @@ def _min_cost_supplier_shuffle(sf_dir: str, size: int, ptype: str, region: str, 
     supp_keys = _read(sf_dir, "supplier", supp_all).map_batches(
         functools.partial(_supp_filter, cols=["s_suppkey"]), batch_format="pyarrow"
     )
-    if part_keys.count() == 0 or supp_keys.count() == 0:
+    # limit(1) probes, not full scans — these dims are LARGE in the
+    # shuffle regime by definition (review finding, round 3)
+    if part_keys.limit(1).count() == 0 or supp_keys.limit(1).count() == 0:
         return pa.table({c: pa.array([], type=t) for c, t in _MCS_EMPTY.items()})
 
     li = safe_join(

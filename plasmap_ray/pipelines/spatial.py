@@ -791,8 +791,12 @@ def knn_shuffle_pipeline(
         kth = np.full(len(starts), np.inf)
         has_k = n_valid >= k_eff
         kth[has_k] = sdist[starts[has_k] + k_eff - 1]
+        # STRICT inequality: an excluded POI can sit at EXACTLY r*min_s
+        # (dyadic cell widths are float64-exact), and the oracle's
+        # poi_id tiebreak could prefer it — a boundary tie must NOT
+        # resolve (review finding, round 3)
         bound = (r_run.astype(np.float64) * min_s) ** 2
-        resolved = (has_k & (kth <= bound)) | (n_valid >= m_total)
+        resolved = (has_k & (kth < bound)) | (n_valid >= m_total)
         # next radius per unresolved doc
         with np.errstate(invalid="ignore"):
             r_need = np.ceil(np.sqrt(np.where(has_k, kth, 0.0)) / min_s).astype(np.int64)
