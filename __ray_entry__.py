@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hex_bin_index": spatial.hex_bin_index_pipeline,
         "hex_hot_cells": spatial.hex_hot_cells_pipeline,
         "kmeans_clusters": ann.kmeans_embeddings,
+        "semantic_dedup": ann.semantic_dedup,
         "zone_embedding_centroid": ann.zone_embedding_centroid,
         "zone_embedding_dispersion": ann.zone_embedding_dispersion,
         "embedding_label_outliers": ann.embedding_label_outliers,
@@ -242,6 +243,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_ngram_fraction": text.common_ngram_fraction,
         "subword_stats": text.subword_stats,
         "bigram_pmi": text.bigram_pmi,
+        "domain_mixture_weights": text.domain_mixture_weights,
+        "domain_kl_matrix": text.domain_kl_matrix,
+        "balanced_shards": text.balanced_shards,
+        "dup_span_fraction": text.dup_span_fraction,
         "search_by_token": lambda sf: index.search_by_token(sf, SEARCH_TOKEN),
         "search_ranked": lambda sf: index.search_ranked(sf, tokens=SEARCH_TOKENS, k=SEARCH_K),
         "search_bm25": lambda sf: index.search_bm25(sf, tokens=SEARCH_TOKENS, k=SEARCH_K),
@@ -1147,6 +1152,42 @@ c2 AS (
 SELECT doc_id, n_emails, n_phones, CAST(length(t2) AS BIGINT) AS clean_len FROM c2""",
         "lang_histogram": """
 SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars FROM documents GROUP BY lang""",
+        "domain_mixture_weights": """
+WITH c AS (SELECT lang, count(*) AS n_docs, sum(len(string_split(text, ' '))) AS n_tokens
+           FROM documents GROUP BY lang)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share,
+       round(sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER (), 6) AS weight,
+       round((sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER ())
+             / (n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE)), 6) AS upsample
+FROM c""",
+        "domain_kl_matrix": """
+WITH toks AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+c AS (SELECT lang, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+t AS (SELECT lang, CAST(sum(cnt) AS DOUBLE) AS tot FROM c GROUP BY 1),
+p AS (SELECT lang, token, cnt / tot AS pr FROM c JOIN t USING (lang))
+SELECT a.lang AS lang_a, b.lang AS lang_b, CAST(count(*) AS BIGINT) AS n_common_tokens,
+       round(0.5 * (sum(a.pr * ln(2*a.pr/(a.pr+b.pr)) + b.pr * ln(2*b.pr/(a.pr+b.pr)))
+                    + ln(2) * ((1 - sum(a.pr)) + (1 - sum(b.pr)))), 6) AS js_divergence
+FROM p a JOIN p b ON a.token = b.token AND a.lang < b.lang
+GROUP BY 1, 2""",
+        "balanced_shards": f"""
+SELECT doc_id, lang, n_chars,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn,
+       CAST((row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) - 1)
+            % {text.BALANCED_SHARDS_N} AS BIGINT) AS shard
+FROM documents""",
+        "dup_span_fraction": f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS BIGINT), {text.DUP_SPAN_W}) AS g
+  FROM documents CROSS JOIN UNNEST(range(1, greatest(len(text) - {text.DUP_SPAN_W - 1}, 1) + 1,
+                                         {text.DUP_SPAN_STRIDE})) AS t(i)
+),
+c AS (SELECT g, count(*) AS nd FROM sh GROUP BY g)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(*) FILTER (nd >= 2) AS BIGINT) AS n_dup,
+       round(count(*) FILTER (nd >= 2) / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+FROM sh JOIN c USING (g) GROUP BY doc_id""",
         "repetition_ratio": """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
 grams AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
@@ -1523,6 +1564,7 @@ GROUP BY 1, 2""",
 SELECT s2_cell_coarse, count(*) AS n_points
 FROM read_parquet('{golden.s2_cells_path(SF001)}') GROUP BY s2_cell_coarse""",
         "kmeans_clusters": f"SELECT * FROM read_parquet('{golden.kmeans_clusters_path(SF001)}')",
+        "semantic_dedup": f"SELECT * FROM read_parquet('{golden.semantic_dedup_path(SF001, threshold=EMB_NEARDUP_T)}')",
         "cluster_label_confusion": f"""
 SELECT g.cluster, CAST(e.label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs
 FROM read_parquet('{golden.kmeans_clusters_path(SF001)}') g

@@ -374,6 +374,77 @@ def kmeans_clusters_path(sf_dir: str, k: int = 8, iters: int = 5) -> str:
     return _cache(f"kmeans_{_sf_tag(sf_dir)}_{k}_{iters}", build)
 
 
+def semantic_dedup_path(sf_dir: str, k: int = 8, iters: int = 5, threshold: float = 0.40) -> str:
+    """Expected (vec_id, cluster, rep_id, keep) of SemDeDup: sequential
+    numpy recompute of the fixed-point Lloyd clusters (bit-identical to
+    the engine — see kmeans_clusters_path), then per-cluster cosine
+    edges resolved to components by a PYTHON DSU (path-halving
+    union-find) vs the engine's vectorized min-label propagation —
+    independent component algorithms, same survivor rule (min vec_id)."""
+
+    def build() -> pa.Table:
+        scale = 1 << 20
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        sel = ids < k
+        sub_ids = ids[sel]
+        cents = m[sel][np.argsort(sub_ids, kind="stable")].copy()
+        assert cents.shape[0] == k
+        q = np.rint(m * scale).astype(np.int64)
+        for _ in range(iters):
+            dist = (cents * cents).sum(axis=1)[None, :] - 2.0 * (m @ cents.T)
+            assign = dist.argmin(axis=1)
+            counts = np.bincount(assign, minlength=k)
+            sums = np.zeros((k, m.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, q)
+            nonempty = counts > 0
+            upd = sums.astype(np.float64) / (scale * np.where(nonempty, counts, 1))[:, None]
+            cents = np.where(nonempty[:, None], upd, cents)
+        dist = (cents * cents).sum(axis=1)[None, :] - 2.0 * (m @ cents.T)
+        assign = dist.argmin(axis=1)
+
+        out = {"vec_id": [], "cluster": [], "rep_id": [], "keep": []}
+        for c in range(k):
+            mask = assign == c
+            cids = ids[mask]
+            order = np.argsort(cids, kind="stable")
+            cids = cids[order]
+            sub = m[mask][order]
+            norms = np.linalg.norm(sub, axis=1)
+            mn = sub / np.where(norms == 0, 1.0, norms)[:, None]
+            sims = mn @ mn.T
+            n = len(cids)
+            parent = list(range(n))
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+            for a, b in zip(ai.tolist(), bj.tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            rep = np.array([int(cids[find(i)]) for i in range(n)], dtype=np.int64)
+            out["vec_id"].extend(cids.tolist())
+            out["cluster"].extend([c] * n)
+            out["rep_id"].extend(rep.tolist())
+            out["keep"].extend((rep == cids).astype(np.int64).tolist())
+        return pa.table(
+            {
+                "vec_id": pa.array(out["vec_id"], type=pa.int64()),
+                "cluster": pa.array(out["cluster"], type=pa.int64()),
+                "rep_id": pa.array(out["rep_id"], type=pa.int64()),
+                "keep": pa.array(out["keep"], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"semantic_dedup_{_sf_tag(sf_dir)}_{k}_{iters}_{threshold!r}", build)
+
+
 def doc_fingerprint_path(sf_dir: str) -> str:
     def build() -> pa.Table:
         t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])

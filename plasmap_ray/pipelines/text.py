@@ -562,3 +562,304 @@ def vocab_coverage_curve(sf_dir: str, ks: tuple[int, ...] = COVERAGE_KS) -> rd.D
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-composition operators (domain mixing, shard balancing,
+# substring-level duplication) — the data-mixture half of a training-
+# data pipeline, alongside the per-doc quality/dedup filters above.
+# ---------------------------------------------------------------------------
+
+
+def domain_mixture_weights(sf_dir: str, alpha: float = 0.5) -> rd.Dataset:
+    """Temperature-based domain sampling weights: per language,
+    p(lang) ∝ n_tokens^alpha (the multilingual alpha-sampling rule of
+    XLM-R / mT5; alpha<1 upsamples low-resource domains).  Output per
+    lang: doc/token counts, natural token share, sampled weight, and
+    the implied upsample factor weight/share.
+
+    Shape: ONE combiner pass reduces the corpus to (lang, n_docs,
+    n_tokens) partials (pa.compute split-length, no Python loop), one
+    lang-keyed aggregate (≤ #langs rows), and the normalization runs
+    in a single map over that tiny table — nothing driver-side, no
+    second scan.  Token convention = single-space split, the same as
+    token_stats/unigram_logprob so the SQL mirror is bit-exact.
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(pc.list_value_length(pc.split_pattern(t["text"], " ")), pa.int64())
+        return pa.table({"lang": t["lang"], "one": pa.array(np.ones(t.num_rows, dtype=np.int64)), "n_tok": n_tok})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("one", alias_name="n_docs"), Sum("n_tok", alias_name="n_tokens"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].to_numpy().astype(np.float64)
+        share = n / n.sum()
+        w = np.sqrt(n) if alpha == 0.5 else np.power(n, alpha)
+        w = w / w.sum()
+        ups = w / share
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+                "token_share": pa.array(duckdb_round(share, 6), type=pa.float64()),
+                "weight": pa.array(duckdb_round(w, 6), type=pa.float64()),
+                "upsample": pa.array(duckdb_round(ups, 6), type=pa.float64()),
+            }
+        )
+
+    # normalization needs every lang row at once: ≤ #langs rows, one block
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def domain_kl_matrix(sf_dir: str) -> rd.Dataset:
+    """Pairwise Jensen–Shannon divergence between per-language unigram
+    distributions — the domain-similarity matrix behind mixture design
+    (which domains are near-duplicates of each other, which add real
+    diversity).  JS is computed over the token UNION; tokens absent
+    from one side contribute their full ln(2)-weighted mass, folded in
+    closed form: js = 0.5·(Σ_common[p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+    + ln2·((1−Σ_common p) + (1−Σ_common q))).
+
+    Shape: the corpus reduces to a (lang, token, count) table via
+    map-side Counter combiners (one vocab-bounded shuffle — the
+    unigram_logprob discipline); the pairwise fold then runs on that
+    vocab-sized table (L·V rows, L ≤ dozens), dense-pivoted in one
+    task.  Output: (lang_a, lang_b, n_common_tokens, js_divergence)
+    for lang_a < lang_b, pairs sharing ≥1 token.
+    """
+    from collections import Counter
+
+    from ..stages.common import duckdb_round
+
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        langs = t["lang"].to_pylist()
+        for lg, s in zip(langs, t["text"].to_pylist()):
+            for w in s.lower().split(" "):
+                c[(lg, w)] += 1
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in keys], type=pa.string()),
+                "token": pa.array([k[1] for k in keys], type=pa.string()),
+                "n": pa.array([c[k] for k in keys], type=pa.int64()),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def pairwise(t: pa.Table) -> pa.Table:
+        langs_col = t["lang"].to_pylist()
+        toks = t["token"].to_pylist()
+        cnt = t["n"].to_numpy().astype(np.float64)
+        langs = sorted(set(langs_col))
+        tok_ix = {w: i for i, w in enumerate(sorted(set(toks)))}
+        P = np.zeros((len(langs), len(tok_ix)), dtype=np.float64)
+        li = {lg: i for i, lg in enumerate(langs)}
+        for lg, w, c in zip(langs_col, toks, cnt):
+            P[li[lg], tok_ix[w]] = c
+        tot = P.sum(axis=1, keepdims=True)
+        P = P / tot  # pr = cnt / tot, per-element — same doubles as SQL
+        rows = {"lang_a": [], "lang_b": [], "n_common_tokens": [], "js_divergence": []}
+        for i in range(len(langs)):
+            for j in range(i + 1, len(langs)):
+                p, q = P[i], P[j]
+                both = (p > 0) & (q > 0)
+                if not both.any():
+                    continue
+                pb, qb = p[both], q[both]
+                core = (pb * np.log(2.0 * pb / (pb + qb)) + qb * np.log(2.0 * qb / (pb + qb))).sum()
+                js = 0.5 * (core + np.log(2.0) * ((1.0 - pb.sum()) + (1.0 - qb.sum())))
+                rows["lang_a"].append(langs[i])
+                rows["lang_b"].append(langs[j])
+                rows["n_common_tokens"].append(int(both.sum()))
+                rows["js_divergence"].append(float(duckdb_round(np.array([js]), 6)[0]))
+        return pa.table(
+            {
+                "lang_a": pa.array(rows["lang_a"], type=pa.string()),
+                "lang_b": pa.array(rows["lang_b"], type=pa.string()),
+                "n_common_tokens": pa.array(rows["n_common_tokens"], type=pa.int64()),
+                "js_divergence": pa.array(rows["js_divergence"], type=pa.float64()),
+            }
+        )
+
+    return vocab.repartition(1).map_batches(pairwise, batch_format="pyarrow")
+
+
+BALANCED_SHARDS_N = 16
+
+
+def balanced_shards(sf_dir: str, n_shards: int = BALANCED_SHARDS_N) -> rd.Dataset:
+    """Quality-stratified shard assignment: within each language, rank
+    documents by (n_chars DESC, doc_id ASC) and deal them round-robin
+    into ``n_shards`` training shards — every shard sees the same
+    quality distribution per language (no shard is all-short or
+    all-one-lang), the property a curriculum/mixture loader needs.
+
+    Distributed rank without a global sort (the global_row_numbers
+    two-pass): pass 1 histograms (lang, n_chars) — a key space bounded
+    by langs × char-lengths, KBs — whose within-lang descending cumsum
+    becomes broadcast rank OFFSETS; pass 2 regroups by that same
+    bounded key and ranks locally by doc_id.  Bit-equal to SQL
+    ROW_NUMBER; the only exchange is the (lang, n_chars)-keyed regroup.
+    Output: (doc_id, lang, n_chars, rn, shard).
+    """
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    bins = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    bins = bins.sort_values(["lang", "n_chars"], ascending=[True, False])
+    offs: dict[tuple[str, int], int] = {}
+    for lang, grp in bins.groupby("lang", sort=False):
+        cum = np.concatenate([[0], np.cumsum(grp["n"].to_numpy())[:-1]])
+        for (nc, off) in zip(grp["n_chars"].to_numpy(), cum):
+            offs[(lang, int(nc))] = int(off)
+
+    def number(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "lang": pa.array([], type=pa.string()),
+                    "n_chars": pa.array([], type=pa.int64()),
+                    "rn": pa.array([], type=pa.int64()),
+                    "shard": pa.array([], type=pa.int64()),
+                }
+            )
+        g = g.sort_by([("doc_id", "ascending")])
+        lang = g["lang"][0].as_py()
+        nc = int(g["n_chars"][0].as_py())
+        base = offs[(lang, nc)]
+        rn = base + 1 + np.arange(g.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(g["doc_id"], pa.int64()),
+                "lang": g["lang"],
+                "n_chars": pc.cast(g["n_chars"], pa.int64()),
+                "rn": pa.array(rn, type=pa.int64()),
+                "shard": pa.array((rn - 1) % n_shards, type=pa.int64()),
+            }
+        )
+
+    return ds.groupby(["lang", "n_chars"]).map_groups(number, batch_format="pyarrow")
+
+
+DUP_SPAN_W = 30  # shingle width (chars)
+DUP_SPAN_STRIDE = 10
+
+
+def dup_span_fraction(sf_dir: str, width: int = DUP_SPAN_W, stride: int = DUP_SPAN_STRIDE) -> rd.Dataset:
+    """Substring-level duplication audit (the Lee-et-al. "Deduplicating
+    Training Data" signal at shingle granularity): per document, the
+    fraction of its DISTINCT ``width``-char shingles (sampled every
+    ``stride`` chars) that also occur in ≥1 other document — catches
+    copied PARAGRAPHS inside otherwise-unique documents, which
+    doc-level MinHash misses.
+
+    Shape: shingles explode fully vectorized (one concatenated byte
+    buffer per batch, 2-D fancy-index gather — no per-doc slicing
+    loop on the ASCII fast path), per-batch distinct; one
+    shingle-keyed shuffle counts docs per shingle; hash join back +
+    doc-keyed reduce — the common_ngram_fraction pipeline shape at
+    character level.  At planet scale the 30-byte key would be
+    replaced by its 64-bit hash before the exchange; the raw string
+    is kept for the bit-exact SQL mirror (DuckDB substr is char-based
+    = byte-based on ASCII; non-ASCII batches fall back to per-doc
+    str slicing with identical semantics).
+    """
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.common import duckdb_round
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode_distinct(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        lens = np.array([len(s) for s in texts], dtype=np.int64)
+        # shingle count per doc: floor((len-W)/S)+1, min 1 (short docs
+        # emit themselves once — substr past the end truncates in SQL)
+        n_sh = np.maximum((lens - width) // stride + 1, 1)
+        if all(s.isascii() for s in texts):
+            buf = np.frombuffer(("".join(texts)).encode("ascii"), dtype=np.uint8)
+            doc_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            doc_ix = np.repeat(np.arange(len(texts)), n_sh)
+            local = (np.arange(int(n_sh.sum())) - np.repeat(np.concatenate([[0], np.cumsum(n_sh)[:-1]]), n_sh)) * stride
+            starts = doc_off[doc_ix] + local
+            # pad the buffer so short-doc windows can over-read, then trim
+            pad = np.zeros(width, dtype=np.uint8)
+            win = np.concatenate([buf, pad])[starts[:, None] + np.arange(width)]
+            grams = win.view(f"S{width}").ravel()
+            take = np.minimum(lens[doc_ix] - local, width)  # short docs: whole text
+            out_g = [g[:k].decode("ascii") for g, k in zip(grams.tolist(), take.tolist())]
+        else:
+            doc_ix_l, out_g = [], []
+            for i, s in enumerate(texts):
+                for j in range(int(n_sh[i])):
+                    doc_ix_l.append(i)
+                    out_g.append(s[j * stride : j * stride + width])
+            doc_ix = np.array(doc_ix_l, dtype=np.int64)
+        # per-batch distinct (doc_id, gram) pairs — hash dedup in C
+        df = pd.DataFrame({"doc_id": ids[doc_ix], "g": out_g}).drop_duplicates()
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), type=pa.int64()),
+                "g": pa.array(df["g"].tolist(), type=pa.string()),
+            }
+        )
+
+    pairs = ds.map_batches(explode_distinct, batch_format="pyarrow").materialize()
+    gram_docs = pairs.groupby("g").aggregate(_Count(alias_name="nd"))
+    tagged = safe_join(pairs, gram_docs, join_type="inner", num_partitions=8, on=("g",), right_on=("g",))
+
+    def flag(t: pa.Table) -> pa.Table:
+        dup = pc.cast(pc.greater_equal(t["nd"], pa.scalar(2, type=pa.int64())), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "is_dup": dup})
+
+    per_doc = (
+        tagged.map_batches(flag, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(_Count(alias_name="n_shingles"), _Sum("is_dup", alias_name="n_dup"))
+    )
+
+    def ratio(t: pa.Table) -> pa.Table:
+        f = t["n_dup"].to_numpy().astype(np.float64) / t["n_shingles"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_shingles": pc.cast(t["n_shingles"], pa.int64()),
+                "n_dup": pc.cast(t["n_dup"], pa.int64()),
+                "dup_frac": pa.array(duckdb_round(f, 6), type=pa.float64()),
+            }
+        )
+
+    return per_doc.map_batches(ratio, batch_format="pyarrow")

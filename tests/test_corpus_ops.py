@@ -1,0 +1,145 @@
+"""Corpus-composition operators: domain mixing, shard balancing,
+substring-level duplication, SemDeDup (round-3 additions)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from plasmap_ray import golden
+from plasmap_ray.pipelines import ann, text
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def test_domain_mixture_weights_invariants(ray_session):
+    df = text.domain_mixture_weights(SF0001).to_pandas().sort_values("n_tokens")
+    # probabilities: both share and weight sum to 1 (round-6 slack)
+    assert abs(df["token_share"].sum() - 1.0) < 1e-4
+    assert abs(df["weight"].sum() - 1.0) < 1e-4
+    # alpha=0.5 flattens: the lowest-resource lang is upsampled, the
+    # highest-resource downsampled, and upsample decreases with size
+    ups = df["upsample"].to_numpy()
+    assert ups[0] > 1.0 > ups[-1]
+    assert (np.diff(ups) <= 1e-9).all()
+
+
+def test_domain_kl_matrix_bounds(ray_session):
+    df = text.domain_kl_matrix(SF0001).to_pandas()
+    langs = {"en", "de", "fr", "es", "zh"}
+    assert len(df) == 10  # all C(5,2) pairs share tokens in this corpus
+    assert (df["lang_a"] < df["lang_b"]).all()
+    assert set(df["lang_a"]) | set(df["lang_b"]) == langs
+    # JS divergence is bounded: 0 <= js <= ln 2
+    assert (df["js_divergence"] >= 0).all()
+    assert (df["js_divergence"] <= np.log(2.0) + 1e-9).all()
+
+
+def test_domain_kl_matrix_identical_distributions_zero(ray_session, tmp_path):
+    # two langs with the SAME texts -> unigram distributions equal -> js == 0
+    texts = ["alpha beta gamma", "beta beta delta", "gamma alpha"]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+            "text": pa.array(texts + texts, type=pa.string()),
+            "lang": pa.array(["aa"] * 3 + ["bb"] * 3, type=pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    df = text.domain_kl_matrix(str(tmp_path)).to_pandas()
+    assert len(df) == 1
+    assert df["js_divergence"].iloc[0] == 0.0
+
+
+def test_balanced_shards_round_robin(ray_session):
+    df = text.balanced_shards(SF0001).to_pandas()
+    docs = pq.read_table(os.path.join(SF0001, "documents.parquet"), columns=["doc_id", "lang", "n_chars"]).to_pandas()
+    assert len(df) == len(docs)
+    for lang, grp in df.groupby("lang"):
+        n = len(grp)
+        # rn is a dense 1..n permutation within the lang
+        assert sorted(grp["rn"]) == list(range(1, n + 1))
+        # round-robin balance: shard sizes differ by at most 1
+        sizes = grp["shard"].value_counts()
+        assert sizes.max() - sizes.min() <= 1
+        # rank respects (n_chars DESC, doc_id ASC)
+        srt = grp.sort_values("rn")
+        nc = srt["n_chars"].to_numpy()
+        assert (np.diff(nc) <= 0).all()
+        ids = srt["doc_id"].to_numpy()
+        same = nc[1:] == nc[:-1]
+        assert (ids[1:][same] > ids[:-1][same]).all()
+
+
+def test_dup_span_fraction_planted_copies(ray_session, tmp_path):
+    # doc 1 copies doc 0 verbatim; doc 2 embeds doc 0's first 40 chars
+    # inside otherwise-unique text; doc 3 is fully unique
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    uniq = "zebra quartz vexing jackdaws my big sphinx of black quartz judge now " * 3
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array([base, base, base[:40] + uniq, "xyzzy plugh"], type=pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    df = text.dup_span_fraction(str(tmp_path)).to_pandas().set_index("doc_id")
+    # exact copies: every shingle duplicated
+    assert df.loc[0, "dup_frac"] == 1.0
+    assert df.loc[1, "dup_frac"] == 1.0
+    # partial copy: some but not all shingles duplicated
+    assert 0.0 < df.loc[2, "dup_frac"] < 1.0
+    # unique short doc: nothing duplicated
+    assert df.loc[3, "dup_frac"] == 0.0
+    assert df.loc[3, "n_shingles"] == 1  # shorter than one window
+
+
+def test_dup_span_fraction_matches_bruteforce(ray_session):
+    W, S = text.DUP_SPAN_W, text.DUP_SPAN_STRIDE
+    docs = pq.read_table(os.path.join(SF0001, "documents.parquet"), columns=["doc_id", "text"]).to_pandas()
+    per_doc = {}
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for _, r in docs.iterrows():
+        s = r["text"]
+        sh = {s[i : i + W] for i in range(0, max(len(s) - W, 0) + 1, S)}
+        per_doc[r["doc_id"]] = sh
+        counts.update(sh)
+    df = text.dup_span_fraction(SF0001).to_pandas().set_index("doc_id")
+    assert len(df) == len(docs)
+    for did, sh in per_doc.items():
+        n_dup = sum(1 for g in sh if counts[g] >= 2)
+        assert df.loc[did, "n_shingles"] == len(sh)
+        assert df.loc[did, "n_dup"] == n_dup
+
+
+def test_semantic_dedup_matches_golden(ray_session):
+    got = (
+        ann.semantic_dedup(SF0001, threshold=0.40)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pq.read_table(golden.semantic_dedup_path(SF0001, threshold=0.40))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp)
+    # survivorship sanity: reps are kept, rep <= member id, same cluster
+    assert (got.loc[got["keep"] == 1, "rep_id"] == got.loc[got["keep"] == 1, "vec_id"]).all()
+    assert (got["rep_id"] <= got["vec_id"]).all()
+    rep_cluster = got.set_index("vec_id")["cluster"]
+    assert (got["cluster"].to_numpy() == rep_cluster.loc[got["rep_id"]].to_numpy()).all()
+
+
+def test_semantic_dedup_within_cluster_only(ray_session):
+    got = ann.semantic_dedup(SF0001, threshold=0.40).to_pandas()
+    # at least one actual drop at this threshold in this corpus
+    assert (got["keep"] == 0).any()
+    # every cluster keeps at least one representative
+    assert got.groupby("cluster")["keep"].max().min() == 1
