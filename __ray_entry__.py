@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_count": spatial.pip_count_pipeline,
         "pip_anti_join": spatial.pip_anti_join_pipeline,
         "zone_overlap_point_counts": spatial.zone_overlap_point_counts,
+        "zone_overlay_area": lambda sf: spatial.zone_overlay_area(sf),
         "tile_child_coverage": spatial.tile_child_coverage,
         "zone_border_distance": spatial.zone_border_distance,
         "zone_median_center": spatial.zone_median_center,
@@ -598,6 +599,7 @@ SELECT rel_id, CAST(count(*) AS BIGINT) AS n_points,
        CAST(min(dfp) AS BIGINT) AS min_depth_fp,
        round(CAST(sum(dfp) AS DOUBLE) / 1000000000.0 / CAST(count(*) AS DOUBLE), 6) AS mean_depth
 FROM j GROUP BY rel_id""",
+        "zone_overlay_area": f"SELECT * FROM read_parquet('{golden.zone_overlay_area_path()}')",
         # mirrors spatial.zone_overlap_point_counts: double containment,
         # ordered pair (rel_a < rel_b)
         "zone_overlap_point_counts": f"""

@@ -445,6 +445,47 @@ def semantic_dedup_path(sf_dir: str, k: int = 8, iters: int = 5, threshold: floa
     return _cache(f"semantic_dedup_{_sf_tag(sf_dir)}_{k}_{iters}_{threshold!r}", build)
 
 
+def zone_overlay_area_path() -> str:
+    """Expected zone-pair overlay table: sequential O(Z²) loop over the
+    fixture polygons with the same geometry scalars (intersection_area
+    / polygon_area are deterministic single expressions, so engine and
+    golden are bit-equal) — what the oracle then verifies is the
+    DISTRIBUTED candidate generation: the cell-cover self-join must
+    find exactly the pairs the exhaustive loop finds."""
+
+    def build() -> pa.Table:
+        from . import fixtures, geometry
+
+        polys = sorted(fixtures.admin_polygons(), key=lambda p: p["rel_id"])
+        rows = {"rel_a": [], "rel_b": [], "area_a": [], "area_b": [], "inter_area": [], "iou": []}
+        for i in range(len(polys)):
+            for j in range(i + 1, len(polys)):
+                a, b = polys[i], polys[j]
+                inter = geometry.intersection_area(a["outer"], b["outer"], a["holes"], b["holes"])
+                if inter <= 0.0:
+                    continue
+                aa = geometry.polygon_area(a["outer"], a["holes"])
+                ab = geometry.polygon_area(b["outer"], b["holes"])
+                rows["rel_a"].append(a["rel_id"])
+                rows["rel_b"].append(b["rel_id"])
+                rows["area_a"].append(aa)
+                rows["area_b"].append(ab)
+                rows["inter_area"].append(inter)
+                rows["iou"].append(inter / (aa + ab - inter))
+        return pa.table(
+            {
+                "rel_a": pa.array(rows["rel_a"], type=pa.int64()),
+                "rel_b": pa.array(rows["rel_b"], type=pa.int64()),
+                "area_a": pa.array(rows["area_a"], type=pa.float64()),
+                "area_b": pa.array(rows["area_b"], type=pa.float64()),
+                "inter_area": pa.array(rows["inter_area"], type=pa.float64()),
+                "iou": pa.array(rows["iou"], type=pa.float64()),
+            }
+        )
+
+    return _cache("zone_overlay_area", build)
+
+
 def doc_fingerprint_path(sf_dir: str) -> str:
     def build() -> pa.Table:
         t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])

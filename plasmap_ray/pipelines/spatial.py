@@ -1516,6 +1516,91 @@ def zone_overlap_point_counts(sf_dir: str, source=points_from_documents) -> rd.D
     )
 
 
+def zone_overlay_area(sf_dir: str | None = None, precision: int = cells.PRECISION_VERY_LOW) -> rd.Dataset:
+    """Vector OVERLAY between zone layers: for every pair of admin
+    polygons that geometrically intersect, the exact intersection area
+    and IoU — the geometric complement of zone_overlap_point_counts'
+    point census, and the primitive under conflation/QA of two boundary
+    datasets (which districts straddle which cities, by how much).
+
+    Scale shape: each zone explodes to its coarse cover cells (the
+    M13 relation→cell-cover operator); a cell-keyed SELF-join proposes
+    candidate pairs (bounded by local zone density, never Z²), a
+    (pair)-keyed dedupe collapses multi-cell hits, and the exact
+    Sutherland–Hodgman / grid clip runs once per surviving pair in
+    the map stage against the ray.put-broadcast polygon table.  At
+    fixture scale Z=21, but the DAG never enumerates Z² — the same
+    shape runs against an assembled-boundary corpus.
+
+    Output: (rel_a, rel_b, area_a, area_b, inter_area, iou) for pairs
+    with inter_area > 0, rel_a < rel_b, areas in deg² (planar — the
+    fixture convention of fuzzy_within/areal_interpolation).
+    """
+    polys = fixtures.admin_polygons()
+    ids_l, cells_l = [], []
+    for p in polys:
+        for c in cells.cover_bbox(*p["bbox"], precision):
+            ids_l.append(p["rel_id"])
+            cells_l.append(int(c))
+    zone_cells = rd.from_arrow(
+        pa.table({"rel_id": pa.array(ids_l, type=pa.int64()), "cell": pa.array(cells_l, type=pa.int64())})
+    )
+    right = zone_cells.map_batches(
+        lambda t: pa.table({"rel_b": t["rel_id"], "cell": t["cell"]}), batch_format="pyarrow"
+    )
+    cand = safe_join(zone_cells, right, join_type="inner", num_partitions=4, on=("cell",))
+
+    def order(t: pa.Table) -> pa.Table:
+        a = t["rel_id"].to_numpy()
+        b = t["rel_b"].to_numpy()
+        m = a < b
+        return pa.table(
+            {"rel_a": pa.array(a[m], type=pa.int64()), "rel_b": pa.array(b[m], type=pa.int64())}
+        )
+
+    pairs = cand.map_batches(order, batch_format="pyarrow").groupby(["rel_a", "rel_b"]).aggregate(
+        Count(alias_name="_n")
+    )
+
+    pref = ray.put({p["rel_id"]: p for p in polys})
+
+    class Clip:
+        def __init__(self):
+            self.polys = ray.get(pref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from .. import geometry
+
+            ra = t["rel_a"].to_numpy()
+            rb = t["rel_b"].to_numpy()
+            rows = {"rel_a": [], "rel_b": [], "area_a": [], "area_b": [], "inter_area": [], "iou": []}
+            for a_id, b_id in zip(ra.tolist(), rb.tolist()):
+                a, b = self.polys[a_id], self.polys[b_id]
+                inter = geometry.intersection_area(a["outer"], b["outer"], a["holes"], b["holes"])
+                if inter <= 0.0:
+                    continue
+                aa = geometry.polygon_area(a["outer"], a["holes"])
+                ab = geometry.polygon_area(b["outer"], b["holes"])
+                rows["rel_a"].append(a_id)
+                rows["rel_b"].append(b_id)
+                rows["area_a"].append(aa)
+                rows["area_b"].append(ab)
+                rows["inter_area"].append(inter)
+                rows["iou"].append(inter / (aa + ab - inter))
+            return pa.table(
+                {
+                    "rel_a": pa.array(rows["rel_a"], type=pa.int64()),
+                    "rel_b": pa.array(rows["rel_b"], type=pa.int64()),
+                    "area_a": pa.array(rows["area_a"], type=pa.float64()),
+                    "area_b": pa.array(rows["area_b"], type=pa.float64()),
+                    "inter_area": pa.array(rows["inter_area"], type=pa.float64()),
+                    "iou": pa.array(rows["iou"], type=pa.float64()),
+                }
+            )
+
+    return pairs.drop_columns(["_n"]).map_batches(Clip, batch_format="pyarrow", concurrency=(1, 4))
+
+
 def geohash_strings(sf_dir: str, chars: int = 7, source=points_from_documents) -> rd.Dataset:
     """Classic base32 geohash encoding per point — the STRING form of
     the spatial key (the reference's geow ``GeoHash`` Long rendered as

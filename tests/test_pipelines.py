@@ -1438,3 +1438,26 @@ def test_knn_shuffle_far_points_bbox_jump(ray_session):
         i = by_doc[int(order_docs[r])]
         expect = pid[np.lexsort((pid, d[i]))[:4]]
         assert np.array_equal(expect, got[r]), (r, order_docs[r])
+
+
+def test_zone_overlay_area_matches_bruteforce(ray_session):
+    from plasmap_ray import geometry
+    from plasmap_ray.pipelines import spatial
+
+    out = spatial.zone_overlay_area().to_pandas()
+    polys = {p["rel_id"]: p for p in fixtures.admin_polygons()}
+    ids = sorted(polys)
+    expected = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = polys[ids[i]], polys[ids[j]]
+            inter = geometry.intersection_area(a["outer"], b["outer"], a["holes"], b["holes"])
+            if inter > 0:
+                expected[(ids[i], ids[j])] = inter
+    got = {(int(r["rel_a"]), int(r["rel_b"])): r["inter_area"] for _, r in out.iterrows()}
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert got[k] == v  # same scalar on same doubles: bit-equal
+    # IoU sanity: districts nest inside cities, so iou = area_district/area_city < 1
+    assert (out["iou"] > 0).all() and (out["iou"] <= 1).all()
+    assert ((out["inter_area"] <= out[["area_a", "area_b"]].min(axis=1) + 1e-15)).all()
