@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_location_histogram": images.caption_location_histogram,
         "zone_top_terms": images.zone_top_terms,
         "phash_dedup": images.phash_dedup,
+        "phash_quadrant_pairs": images.phash_quadrant_pairs,
         "phash_pixel_verify": images.phash_pixel_verify,
         "tile_montage": images.tile_montage,
         "phash_near_dup_pairs": images.phash_near_dup_pairs,
@@ -322,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_k": hotspot.cross_k,
         "nearest_neighbor": hotspot.nearest_neighbor,
         "k_anonymity": privacy.k_anonymity,
+        "l_diversity": privacy.l_diversity,
         "geo_inconsistent_dups": images.geo_inconsistent_dups,
         "caption_spam": images.caption_spam,
         "dissolve_zones": cluster.dissolve_zones,
@@ -1591,6 +1593,7 @@ ring AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_ring1 FROM scat GROUP BY cell)
 SELECT c.hex_cell, c.n AS n_points, ring.n_ring1
 FROM counts c JOIN ring ON ring.cell = c.hex_cell""",
         "phash_pixel_verify": f"SELECT * FROM read_parquet('{golden.phash_pixel_verify_path(SF001)}')",
+        "phash_quadrant_pairs": f"SELECT * FROM read_parquet('{golden.phash_quadrant_pairs_path(SF001)}')",
         "tile_montage": f"SELECT * FROM read_parquet('{golden.tile_montage_path(SF001)}')",
         "zone_color_signature": f"SELECT * FROM read_parquet('{golden.zone_color_signature_path(SF001)}')",
         "image_format_migration": f"SELECT * FROM read_parquet('{golden.image_format_migration_path(SF001)}')",
@@ -2467,6 +2470,16 @@ f AS (
          row_number() OVER (PARTITION BY event_id ORDER BY dist_fp, nn_id) AS rn
   FROM pr WHERE d2 <= {hotspot.NN_RADIUS * hotspot.NN_RADIUS!r})
 SELECT event_id, nn_id, dist_fp FROM f WHERE rn = 1""",
+        "l_diversity": f"""
+WITH tl AS (
+  SELECT CAST({oracle.sql_tile_x(oracle.sql_derive_lon('doc_id'), privacy.LDIV_Z)} AS BIGINT) AS x,
+         CAST({oracle.sql_tile_y(oracle.sql_derive_lat('doc_id'), privacy.LDIV_Z)} AS BIGINT) AS y,
+         lang
+  FROM documents)
+SELECT x, y, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT lang) >= {privacy.LDIV_L} AS BIGINT) AS meets_l
+FROM tl GROUP BY 1, 2""",
         "k_anonymity": f"""
 WITH {_pts_cte()},
 t12 AS (SELECT doc_id, {oracle.sql_tile_x('lon', privacy.KANON_ZOOMS[0])} AS x,

@@ -1217,6 +1217,55 @@ def sssp_dists_path(n: int = None, source: int = 1) -> str:
 # ---------------------------------------------------------------------------
 
 
+def phash_quadrant_pairs_path(sf_dir: str) -> str:
+    """Expected crop-resistant pair table: sequential decode of every
+    image, 5 slot hashes (4 quadrants + full frame, same codec
+    scalars), brute-force dict bucketing and per-pair match counting —
+    the driver compare then verifies the distributed decode/actor-pool/
+    bucket-shuffle path."""
+    from .pipelines.images import images_path_for
+
+    def build() -> pa.Table:
+        import collections
+
+        from . import codecs as _codecs
+
+        t = pq.read_table(images_path_for(sf_dir))
+        buckets: dict[int, list[str]] = collections.defaultdict(list)
+        for i in range(t.num_rows):
+            px = _codecs.decode_image(
+                t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(), t["fmt"][i].as_py()
+            )
+            hh, ww = px.shape[:2]
+            iid = t["image_id"][i].as_py()
+            for sub in (
+                px[: hh // 2, : ww // 2],
+                px[: hh // 2, ww // 2 :],
+                px[hh // 2 :, : ww // 2],
+                px[hh // 2 :, ww // 2 :],
+                px,
+            ):
+                buckets[_codecs.phash64(sub)].append(iid)
+        counts: dict[tuple[str, str], int] = collections.defaultdict(int)
+        for members in buckets.values():
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    if members[i] == members[j]:
+                        continue
+                    a, b = sorted((members[i], members[j]))
+                    counts[(a, b)] += 1
+        keys = sorted(counts)
+        return pa.table(
+            {
+                "image_id_a": pa.array([k[0] for k in keys], type=pa.string()),
+                "image_id_b": pa.array([k[1] for k in keys], type=pa.string()),
+                "n_slot_matches": pa.array([counts[k] for k in keys], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"phash_quadrant_pairs_{_sf_tag(sf_dir)}", build)
+
+
 def phash_pixel_verify_path(sf_dir: str, psnr_min: float = 40.0) -> str:
     """Golden pixel-level verification of every same-phash candidate
     pair: decode both payloads, integer-SSE PSNR (codecs.psnr_db — the

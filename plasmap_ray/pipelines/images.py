@@ -166,6 +166,77 @@ def phash_near_dup_pairs(sf_dir: str, max_dist: int = 3) -> rd.Dataset:
     return _dedup.hamming_pairs(ds, hash_col="phash", id_col="image_id", max_dist=max_dist)
 
 
+def phash_quadrant_pairs(sf_dir: str, ds: rd.Dataset | None = None) -> rd.Dataset:
+    """CROP-RESISTANT near-dup pairs (D4 extension): each image emits
+    five perceptual hashes — its four quadrants plus the full frame —
+    and two images pair whenever ANY of their slots hash-equal.  This
+    catches quarter-crops (a crop's FULL hash equals the source's
+    QUADRANT hash) that whole-image phash misses entirely, the standard
+    crop-robust trick in image-dedup pipelines.
+
+    Scale shape: decode + 5×phash in the actor pool (pixels never
+    leave the stage, 5 hash rows per image shuffle); one hash-keyed
+    groupby buckets candidates (bucket size = images sharing a slot
+    hash — measured max 3 on the fixture corpus); per-bucket pair
+    emission + one (pair)-keyed count reduce.  Output:
+    (image_id_a, image_id_b, n_slot_matches), a < b.
+    """
+    if ds is None:
+        ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    class QuadrantHashes:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, slots, hashes = [], [], []
+            w = batch["w"].to_numpy()
+            h = batch["h"].to_numpy()
+            fmts = batch["fmt"].to_pylist()
+            payloads = batch["bytes"].to_pylist()
+            im_ids = batch["image_id"].to_pylist()
+            for i in range(batch.num_rows):
+                px = codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
+                hh, ww = px.shape[:2]
+                subs = (
+                    px[: hh // 2, : ww // 2],
+                    px[: hh // 2, ww // 2 :],
+                    px[hh // 2 :, : ww // 2],
+                    px[hh // 2 :, ww // 2 :],
+                    px,
+                )
+                for s, sub in enumerate(subs):
+                    ids.append(im_ids[i])
+                    slots.append(s)
+                    hashes.append(codecs.phash64(sub))
+            return pa.table(
+                {
+                    "image_id": pa.array(ids, type=pa.string()),
+                    "slot": pa.array(slots, type=pa.int64()),
+                    "qhash": pa.array(hashes, type=pa.int64()),
+                }
+            )
+
+    hashes = ds.map_batches(QuadrantHashes, batch_format="pyarrow", batch_size=256, concurrency=(1, 8))
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g["image_id"].to_pylist()
+        a_l, b_l = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue  # two slots of the SAME image hash-equal
+                a, b = sorted((ids[i], ids[j]))
+                a_l.append(a)
+                b_l.append(b)
+        return pa.table(
+            {
+                "image_id_a": pa.array(a_l, type=pa.string()),
+                "image_id_b": pa.array(b_l, type=pa.string()),
+            }
+        )
+
+    pairs = hashes.groupby("qhash").map_groups(bucket_pairs, batch_format="pyarrow")
+    return pairs.groupby(["image_id_a", "image_id_b"]).aggregate(Count(alias_name="n_slot_matches"))
+
+
 def image_features(sf_dir: str) -> rd.Dataset:
     """Decode -> resize -> visual feature extraction (actor pool; ST5):
     per-image color/luminance/edge stats + recomputed phash."""

@@ -374,3 +374,68 @@ def location_unicity(sf_dir: str, pitch: float = UNICITY_PITCH, ks: tuple[int, .
         )
 
     return agg.map_batches(share, batch_format="pyarrow").sort("k")
+
+
+# ---------------------------------------------------------------------------
+# l_diversity (sensitive-attribute diversity per released cell)
+# ---------------------------------------------------------------------------
+
+LDIV_Z = 10
+LDIV_L = 3
+
+
+def l_diversity(sf_dir: str, z: int = LDIV_Z, l_min: int = LDIV_L) -> rd.Dataset:
+    """l-diversity audit: k-anonymity's sibling invariant — a released
+    cell is safe only if its members are diverse in the SENSITIVE
+    attribute (here: document language per z10 tile), not merely
+    numerous.  A tile with 50 points that are all one language still
+    leaks; this flags it.
+
+    Shape: map-side (x, y, lang) combiner (distinct triples per batch,
+    never rows), one lattice×langs-bounded groupby, then the per-tile
+    reduce counts distinct languages (exact — the combiner output IS
+    the distinct set).  Output: (x, y, n_points, n_langs, meets_l).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count as _Count
+
+    from .. import fixtures as _fx
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        x, y = tiles.tile_xy(_fx.derive_lon(ids), _fx.derive_lat(ids), z)
+        df = pd.DataFrame({"x": x, "y": y, "lang": t["lang"].to_pylist()})
+        g = df.groupby(["x", "y", "lang"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "x": pa.array(g["x"].to_numpy(), type=pa.int64()),
+                "y": pa.array(g["y"].to_numpy(), type=pa.int64()),
+                "lang": pa.array(g["lang"].tolist(), type=pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    per_lang = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["x", "y", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    per_tile = per_lang.groupby(["x", "y"]).aggregate(
+        Sum("n", alias_name="n_points"), _Count(alias_name="n_langs")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        meets = pc.cast(pc.greater_equal(t["n_langs"], pa.scalar(l_min, type=pa.int64())), pa.int64())
+        return pa.table(
+            {
+                "x": t["x"],
+                "y": t["y"],
+                "n_points": pc.cast(t["n_points"], pa.int64()),
+                "n_langs": pc.cast(t["n_langs"], pa.int64()),
+                "meets_l": meets,
+            }
+        )
+
+    return per_tile.map_batches(finish, batch_format="pyarrow")

@@ -337,3 +337,58 @@ def test_phash_bit_stats_matches_numpy(ray_session):
         assert out.loc[b, "n_images"] == len(ph)
     # a healthy perceptual hash is not degenerate: most bits near 0.5
     assert ((out["set_frac"] > 0.1) & (out["set_frac"] < 0.9)).mean() > 0.8
+
+
+def test_phash_quadrant_pairs_catches_planted_crop(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from plasmap_ray import codecs
+    from plasmap_ray.pipelines import images as im
+
+    rng = np.random.default_rng(7)
+    full = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    crop = full[:16, :16]  # exact TL quadrant
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    rows = [("img_full", full), ("img_crop", crop), ("img_other", other)]
+    t = pa.table(
+        {
+            "image_id": pa.array([r[0] for r in rows], type=pa.string()),
+            "bytes": pa.array([r[1].tobytes() for r in rows], type=pa.binary()),
+            "w": pa.array([r[1].shape[1] for r in rows], type=pa.int64()),
+            "h": pa.array([r[1].shape[0] for r in rows], type=pa.int64()),
+            "fmt": pa.array(["raw"] * 3, type=pa.string()),
+        }
+    )
+    out = im.phash_quadrant_pairs("", ds=rd.from_arrow(t)).to_pandas()
+    got = {(r["image_id_a"], r["image_id_b"]) for _, r in out.iterrows()}
+    # the crop's FULL hash equals the source's TL-QUADRANT hash
+    assert ("img_crop", "img_full") in got
+    # whole-image phash alone would NOT pair them
+    assert codecs.phash64(full) != codecs.phash64(crop)
+    # unrelated image pairs with nobody
+    assert not any("img_other" in p for p in got)
+
+
+def test_phash_quadrant_pairs_matches_golden(ray_session):
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import golden
+    from plasmap_ray.pipelines import images as im
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        im.phash_quadrant_pairs(sf)
+        .to_pandas()
+        .sort_values(["image_id_a", "image_id_b"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pq.read_table(golden.phash_quadrant_pairs_path(sf))
+        .to_pandas()
+        .sort_values(["image_id_a", "image_id_b"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp)
+    assert len(got) > 0  # planted duplicates guarantee full-frame matches

@@ -126,3 +126,29 @@ def test_location_unicity_monotone_in_k(ray_session):
     assert (out["n_users"] == n_users).all()
     assert (out["unicity"].diff().dropna() >= 0).all()
     assert out["unicity"].between(0, 1).all()
+
+
+def test_l_diversity_matches_bruteforce(ray_session):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import fixtures, tiles
+    from plasmap_ray.pipelines import privacy
+
+    sf = "/root/testdata/sf0.001"
+    out = privacy.l_diversity(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
+    ids = docs["doc_id"].to_numpy()
+    x, y = tiles.tile_xy(fixtures.derive_lon(ids), fixtures.derive_lat(ids), privacy.LDIV_Z)
+    expected = collections.defaultdict(set)
+    counts = collections.Counter()
+    for xi, yi, lg in zip(x, y, docs["lang"]):
+        expected[(int(xi), int(yi))].add(lg)
+        counts[(int(xi), int(yi))] += 1
+    got = {(int(r["x"]), int(r["y"])): (int(r["n_points"]), int(r["n_langs"]), int(r["meets_l"])) for _, r in out.iterrows()}
+    assert set(got) == set(expected)
+    for k, langs in expected.items():
+        assert got[k] == (counts[k], len(langs), int(len(langs) >= privacy.LDIV_L))
+    # both safe and leaking tiles exist at this scale, else the audit is vacuous
+    assert out["meets_l"].nunique() == 2
