@@ -21,7 +21,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from plasmap_ray import fixtures, golden, oracle, queryast  # noqa: E402
-from plasmap_ray.pipelines import ann, cluster, dedup, denormalize, hotspot, images, index, multimodal, privacy, raster, relational, routing, snap, spatial, stats, text, trajectory, windows  # noqa: E402
+from plasmap_ray.pipelines import ann, bpe, cluster, dedup, denormalize, hotspot, images, index, multimodal, privacy, raster, relational, routing, snap, spatial, stats, text, trajectory, windows  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 SF001 = "/root/testdata/sf0.01"
@@ -234,6 +234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ---
         "token_stats": text.token_stats,
         "vocab_coverage_curve": text.vocab_coverage_curve,
+        "bpe_merges": bpe.bpe_merges,
+        "bpe_encode_stats": bpe.bpe_encode_stats,
         "lang_histogram": text.lang_histogram,
         "text_quality": text.quality_pipeline,
         "langid_confusion": text.langid_confusion,
@@ -248,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_kl_matrix": text.domain_kl_matrix,
         "balanced_shards": text.balanced_shards,
         "dup_span_fraction": text.dup_span_fraction,
+        "dup_spans": text.dup_spans,
         "search_by_token": lambda sf: index.search_by_token(sf, SEARCH_TOKEN),
         "search_ranked": lambda sf: index.search_ranked(sf, tokens=SEARCH_TOKENS, k=SEARCH_K),
         "search_bm25": lambda sf: index.search_bm25(sf, tokens=SEARCH_TOKENS, k=SEARCH_K),
@@ -1127,6 +1130,8 @@ d AS (SELECT token, count(DISTINCT doc_id) AS n_docs FROM toks GROUP BY token)
 SELECT token, n_docs FROM d WHERE n_docs >= 50""",
         # mirrors text.vocab_coverage_curve: (count desc, token) ranking,
         # cumulative coverage at the checkpoint Ks
+        "bpe_merges": f"SELECT * FROM read_parquet('{golden.bpe_merges_path(SF001, bpe.BPE_N_MERGES)}')",
+        "bpe_encode_stats": f"SELECT * FROM read_parquet('{golden.bpe_encode_stats_path(SF001, bpe.BPE_N_MERGES)}')",
         "vocab_coverage_curve": """
 WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
 c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token),
@@ -1192,6 +1197,26 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
        CAST(count(*) FILTER (nd >= 2) AS BIGINT) AS n_dup,
        round(count(*) FILTER (nd >= 2) / CAST(count(*) AS DOUBLE), 6) AS dup_frac
 FROM sh JOIN c USING (g) GROUP BY doc_id""",
+        # gaps-and-islands over duplicated shingle positions: i is
+        # 1-based and i ≡ 1 (mod stride), so i // stride increments by
+        # exactly 1 per consecutive shingle — (i//stride − row_number)
+        # is constant per island
+        "dup_spans": f"""
+WITH sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, substr(text, CAST(i AS BIGINT), {text.DUP_SPAN_W}) AS g,
+         len(text) AS L
+  FROM documents CROSS JOIN UNNEST(range(1, greatest(len(text) - {text.DUP_SPAN_W - 1}, 1) + 1,
+                                         {text.DUP_SPAN_STRIDE})) AS t(i)
+),
+c AS (SELECT g, count(DISTINCT doc_id) AS nd FROM sh GROUP BY g),
+f AS (SELECT doc_id, i, L FROM sh JOIN c USING (g) WHERE nd >= 2),
+isl AS (SELECT doc_id, i, L,
+               i // {text.DUP_SPAN_STRIDE} - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM f)
+SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+       CAST(least(max(i) + {text.DUP_SPAN_W - 1}, any_value(L)) AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_shingles
+FROM isl GROUP BY doc_id, grp""",
         "repetition_ratio": """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
 grams AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g

@@ -1217,6 +1217,109 @@ def sssp_dists_path(n: int = None, source: int = 1) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _bpe_learn(texts: list[str], n_merges: int) -> list[tuple[str, str, int]]:
+    """Sequential BPE recompute: Counter-based pair recount each round
+    (vs the engine's dict-of-sequences fold), same deterministic spec:
+    (count DESC, left ASC, right ASC) selection, left-to-right
+    non-overlapping merge application."""
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for s in texts:
+        wc.update(s.lower().split(" "))
+    entries = [(list(w), c) for w, c in wc.items() if w]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pc_: Counter = Counter()
+        for syms, c in entries:
+            for i in range(len(syms) - 1):
+                pc_[(syms[i], syms[i + 1])] += c
+        if not pc_:
+            break
+        best_pair, best_n = None, 0
+        for pair, n in pc_.items():
+            if n > best_n or (n == best_n and (best_pair is None or pair < best_pair)):
+                best_pair, best_n = pair, n
+        if best_n < 2:
+            break
+        left, right = best_pair
+        merges.append((left, right, best_n))
+        for syms, _c in entries:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == left and syms[i + 1] == right:
+                    syms[i : i + 2] = [left + right]
+                i += 1
+        # (in-place splice: after a merge at i the scan continues at the
+        # merged token, which can never start another (left,right) pair
+        # unless left==left+right — impossible since right is non-empty)
+    return merges
+
+
+def bpe_merges_path(sf_dir: str, n_merges: int = 20) -> str:
+    """Expected BPE merge table from a sequential recompute."""
+
+    def build() -> pa.Table:
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+        merges = _bpe_learn(t["text"].to_pylist(), n_merges)
+        return pa.table(
+            {
+                "merge_rank": pa.array(np.arange(1, len(merges) + 1, dtype=np.int64)),
+                "left": pa.array([m[0] for m in merges], type=pa.string()),
+                "right": pa.array([m[1] for m in merges], type=pa.string()),
+                "pair_count": pa.array([m[2] for m in merges], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"bpe_merges_{_sf_tag(sf_dir)}_{n_merges}", build)
+
+
+def bpe_encode_stats_path(sf_dir: str, n_merges: int = 20) -> str:
+    """Expected per-lang fertility of the learned tokenizer (sequential
+    apply with a word memo, mirroring the engine's spec)."""
+
+    def build() -> pa.Table:
+        from .stages.common import duckdb_round as _dr
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"])
+        merges = [(m[0], m[1]) for m in _bpe_learn(t["text"].to_pylist(), n_merges)]
+        memo: dict[str, int] = {}
+
+        def enc(w: str) -> int:
+            v = memo.get(w)
+            if v is not None:
+                return v
+            syms = list(w)
+            for left, right in merges:
+                i = 0
+                while i < len(syms) - 1:
+                    if syms[i] == left and syms[i + 1] == right:
+                        syms[i : i + 2] = [left + right]
+                    i += 1
+            memo[w] = len(syms)
+            return len(syms)
+
+        agg: dict[str, list[int]] = {}
+        for lg, s in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            toks = s.lower().split(" ")
+            a = agg.setdefault(lg, [0, 0])
+            a[0] += len(toks)
+            a[1] += sum(enc(w) for w in toks)
+        langs = sorted(agg)
+        n_tok = np.array([agg[lg][0] for lg in langs], dtype=np.int64)
+        n_sub = np.array([agg[lg][1] for lg in langs], dtype=np.int64)
+        return pa.table(
+            {
+                "lang": pa.array(langs, type=pa.string()),
+                "n_tokens": pa.array(n_tok),
+                "n_subwords": pa.array(n_sub),
+                "subwords_per_token": pa.array(_dr(n_sub / n_tok.astype(np.float64), 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"bpe_encode_{_sf_tag(sf_dir)}_{n_merges}", build)
+
+
 def phash_quadrant_pairs_path(sf_dir: str) -> str:
     """Expected crop-resistant pair table: sequential decode of every
     image, 5 slot hashes (4 quadrants + full frame, same codec

@@ -863,3 +863,106 @@ def dup_span_fraction(sf_dir: str, width: int = DUP_SPAN_W, stride: int = DUP_SP
         )
 
     return per_doc.map_batches(ratio, batch_format="pyarrow")
+
+
+def dup_spans(sf_dir: str, width: int = DUP_SPAN_W, stride: int = DUP_SPAN_STRIDE, parts: int = 64) -> rd.Dataset:
+    """Merged duplicated SPANS per document — dup_span_fraction's
+    actionable output: instead of a per-doc ratio, the actual character
+    ranges [span_start, span_end] (1-based, inclusive) where this
+    document repeats content found in other documents, adjacent
+    duplicated shingles coalesced (the span-removal granularity of
+    Lee-et-al.-style substring dedup, where only the copied PART of a
+    document is cut).
+
+    Shape: positioned shingle explode (the dup_span_fraction gather,
+    plus the 1-based offset column) → gram-keyed distinct-doc count →
+    hash join back → doc-sharded run-scan that sorts each doc's dup
+    positions and merges stride-consecutive runs (gaps-and-islands,
+    vectorized: one np.diff per partition).  Output: (doc_id,
+    span_start, span_end, n_shingles), one row per island.
+    """
+    from ray.data.aggregate import Count as _Count
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode_pos(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        lens = np.array([len(s) for s in texts], dtype=np.int64)
+        n_sh = np.maximum((lens - width) // stride + 1, 1)
+        doc_ix = np.repeat(np.arange(len(texts)), n_sh)
+        local = (np.arange(int(n_sh.sum())) - np.repeat(np.concatenate([[0], np.cumsum(n_sh)[:-1]]), n_sh)) * stride
+        if all(s.isascii() for s in texts):
+            buf = np.frombuffer(("".join(texts)).encode("ascii"), dtype=np.uint8)
+            doc_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            starts = doc_off[doc_ix] + local
+            pad = np.zeros(width, dtype=np.uint8)
+            win = np.concatenate([buf, pad])[starts[:, None] + np.arange(width)]
+            grams = win.view(f"S{width}").ravel()
+            take = np.minimum(lens[doc_ix] - local, width)
+            out_g = [g[:k].decode("ascii") for g, k in zip(grams.tolist(), take.tolist())]
+        else:
+            out_g = [texts[d][j : j + width] for d, j in zip(doc_ix.tolist(), local.tolist())]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_ix], type=pa.int64()),
+                "i": pa.array(local + 1, type=pa.int64()),  # 1-based, matches SQL substr
+                "g": pa.array(out_g, type=pa.string()),
+                "L": pa.array(lens[doc_ix], type=pa.int64()),
+            }
+        )
+
+    positioned = ds.map_batches(explode_pos, batch_format="pyarrow").materialize()
+
+    def distinct_docs(t: pa.Table) -> pa.Table:
+        # all shingles of a doc live in one batch, so per-batch distinct
+        # (doc, g) pairs are globally distinct
+        df = pd.DataFrame({"doc_id": t["doc_id"].to_numpy(), "g": t["g"].to_pylist()}).drop_duplicates()
+        return pa.table({"g": pa.array(df["g"].tolist(), type=pa.string())})
+
+    gram_docs = (
+        positioned.map_batches(distinct_docs, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(_Count(alias_name="nd"))
+    )
+    tagged = safe_join(positioned, gram_docs, join_type="inner", num_partitions=8, on=("g",), right_on=("g",))
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        m = pc.greater_equal(t["nd"], pa.scalar(2, type=pa.int64()))
+        t = t.filter(m)
+        part = pc.cast(pc.bit_wise_and(t["doc_id"], pa.scalar(parts - 1, type=pa.int64())), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "i": t["i"], "L": t["L"], "part": part})
+
+    def islands(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "span_start": pa.array([], type=pa.int64()),
+                    "span_end": pa.array([], type=pa.int64()),
+                    "n_shingles": pa.array([], type=pa.int64()),
+                }
+            )
+        g = g.sort_by([("doc_id", "ascending"), ("i", "ascending")])
+        d = g["doc_id"].to_numpy()
+        i = g["i"].to_numpy()
+        L = g["L"].to_numpy()
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = (d[1:] != d[:-1]) | (i[1:] - i[:-1] != stride)
+        grp = np.cumsum(new) - 1
+        starts = np.nonzero(new)[0]
+        ends = np.concatenate([starts[1:] - 1, [len(d) - 1]])
+        return pa.table(
+            {
+                "doc_id": pa.array(d[starts], type=pa.int64()),
+                "span_start": pa.array(i[starts], type=pa.int64()),
+                "span_end": pa.array(np.minimum(i[ends] + width - 1, L[ends]), type=pa.int64()),
+                "n_shingles": pa.array(ends - starts + 1, type=pa.int64()),
+            }
+        )
+
+    return (
+        tagged.map_batches(dup_only, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(islands, batch_format="pyarrow")
+    )

@@ -143,3 +143,86 @@ def test_semantic_dedup_within_cluster_only(ray_session):
     assert (got["keep"] == 0).any()
     # every cluster keeps at least one representative
     assert got.groupby("cluster")["keep"].max().min() == 1
+
+
+def test_dup_spans_planted_copy_boundaries(ray_session, tmp_path):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    uniq = "zebra quartz vexing jackdaws my big sphinx of black quartz judge now " * 3
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array([base, base, base[:40] + uniq, "xyzzy plugh"], type=pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    df = text.dup_spans(str(tmp_path)).to_pandas()
+    spans = {d: [(int(r["span_start"]), int(r["span_end"])) for _, r in g.iterrows()] for d, g in df.groupby("doc_id")}
+    # full copies: ONE span covering the whole doc
+    assert spans[0] == [(1, len(base))]
+    assert spans[1] == [(1, len(base))]
+    # prefix copy: span covers exactly the copied region [1, 40]
+    # (last dup shingle starts at 11 -> 11 + 30 - 1 = 40)
+    assert spans[2] == [(1, 40)]
+    # unique doc: no spans at all
+    assert 3 not in spans
+
+
+def test_dup_spans_consistent_with_dup_span_fraction(ray_session):
+    spans = text.dup_spans(SF0001).to_pandas()
+    frac = text.dup_span_fraction(SF0001).to_pandas().set_index("doc_id")
+    # per doc, island shingle counts must sum to a value <= n_dup of the
+    # fraction view (islands count positions; the fraction counts
+    # DISTINCT grams — repeated grams in one doc collapse there)
+    per_doc = spans.groupby("doc_id")["n_shingles"].sum()
+    for did, n in per_doc.items():
+        assert n >= frac.loc[did, "n_dup"]
+    # every doc with a span has a nonzero dup fraction
+    assert (frac.loc[per_doc.index, "n_dup"] > 0).all()
+
+
+def test_bpe_merges_known_corpus(ray_session, tmp_path):
+    # classic BPE example: "low lower lowest" — first merges are (l,o), (lo,w)
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": pa.array(["low low low lower lower", "lowest low lower"], type=pa.string()),
+            "lang": pa.array(["en", "en"], type=pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    from plasmap_ray.pipelines import bpe
+
+    df = bpe.bpe_merges(str(tmp_path), n_merges=4).to_pandas().sort_values("merge_rank")
+    got = list(zip(df["left"], df["right"]))
+    # every word starts 'lo': (l,o) count 8 dominates, then (lo,w) 8 -> 'low'
+    assert got[0] == ("l", "o")
+    assert got[1] == ("lo", "w")
+    assert ("low", "e") in got  # lower/lowest continue merging
+
+
+def test_bpe_matches_golden_and_compresses(ray_session):
+    import pyarrow.parquet as pq_
+
+    from plasmap_ray.pipelines import bpe
+
+    got_m = bpe.bpe_merges(SF0001).to_pandas().reset_index(drop=True)
+    exp_m = pq_.read_table(golden.bpe_merges_path(SF0001, bpe.BPE_N_MERGES)).to_pandas().reset_index(drop=True)
+    assert got_m.equals(exp_m)
+    assert len(got_m) == bpe.BPE_N_MERGES  # corpus is rich enough to learn all
+    # counts are non-increasing in rank ONLY within a round's recount —
+    # but every count must be >= 2 (the learning floor)
+    assert (got_m["pair_count"] >= 2).all()
+
+    got_e = bpe.bpe_encode_stats(SF0001).to_pandas().sort_values("lang").reset_index(drop=True)
+    exp_e = (
+        pq_.read_table(golden.bpe_encode_stats_path(SF0001, bpe.BPE_N_MERGES))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    assert got_e.equals(exp_e)
+    # merges compress: fewer subwords than characters, more than tokens
+    assert (got_e["n_subwords"] >= got_e["n_tokens"]).all()
+    zero = bpe.bpe_encode_stats(SF0001, n_merges=0).to_pandas().set_index("lang")
+    for _, r in got_e.iterrows():
+        assert r["n_subwords"] < zero.loc[r["lang"], "n_subwords"]  # vs char-level
