@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hex_bin_index": spatial.hex_bin_index_pipeline,
         "hex_hot_cells": spatial.hex_hot_cells_pipeline,
         "kmeans_clusters": ann.kmeans_embeddings,
+        "pca_project": ann.pca_project,
+        "pca_explained_variance": ann.pca_explained_variance,
         "semantic_dedup": ann.semantic_dedup,
         "zone_embedding_centroid": ann.zone_embedding_centroid,
         "zone_embedding_dispersion": ann.zone_embedding_dispersion,
@@ -1593,6 +1595,8 @@ GROUP BY 1, 2""",
 SELECT s2_cell_coarse, count(*) AS n_points
 FROM read_parquet('{golden.s2_cells_path(SF001)}') GROUP BY s2_cell_coarse""",
         "kmeans_clusters": f"SELECT * FROM read_parquet('{golden.kmeans_clusters_path(SF001)}')",
+        "pca_project": f"SELECT * FROM read_parquet('{golden.pca_project_path(SF001, ann.PCA_K, ann.PCA_FP)}')",
+        "pca_explained_variance": f"SELECT * FROM read_parquet('{golden.pca_explained_variance_path(SF001, ann.PCA_K, ann.PCA_FP)}')",
         "semantic_dedup": f"SELECT * FROM read_parquet('{golden.semantic_dedup_path(SF001, threshold=EMB_NEARDUP_T)}')",
         "cluster_label_confusion": f"""
 SELECT g.cluster, CAST(e.label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs

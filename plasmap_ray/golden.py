@@ -1217,6 +1217,67 @@ def sssp_dists_path(n: int = None, source: int = 1) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _pca_basis_seq(sf_dir: str, k: int, fp: int):
+    """Sequential exact-moment PCA basis: same fixed-point integer sums
+    as the engine's aggregate tree (order-free, so bit-identical), same
+    eigh + sign convention."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    q = np.rint(m * fp).astype(np.int64)
+    n = m.shape[0]
+    s1 = q.sum(axis=0)
+    s2 = q.T @ q
+    mu = s1.astype(np.float64) / (fp * n)
+    ex2 = s2.astype(np.float64) / (fp * fp * n)
+    cov = ex2 - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    w, v = w[order], v[:, order]
+    for j in range(v.shape[1]):
+        i = int(np.argmax(np.abs(v[:, j])))
+        if v[i, j] < 0:
+            v[:, j] = -v[:, j]
+    return t, m, mu, w, v, cov
+
+
+def pca_project_path(sf_dir: str, k: int = 4, fp: int = 1 << 20) -> str:
+    """Expected PCA projections + residuals (sequential recompute)."""
+
+    def build() -> pa.Table:
+        from .stages.common import duckdb_round as _dr
+
+        t, m, mu, _w, v, _cov = _pca_basis_seq(sf_dir, k, fp)
+        c = m - mu
+        proj = c @ v
+        resid = (c * c).sum(axis=1) - (proj * proj).sum(axis=1)
+        cols = {"vec_id": t["vec_id"]}
+        for j in range(k):
+            cols[f"pc{j + 1}"] = pa.array(_dr(proj[:, j], 6), type=pa.float64())
+        cols["residual"] = pa.array(_dr(resid, 6), type=pa.float64())
+        return pa.table(cols)
+
+    return _cache(f"pca_project_{_sf_tag(sf_dir)}_{k}_{fp}", build)
+
+
+def pca_explained_variance_path(sf_dir: str, k: int = 4, fp: int = 1 << 20) -> str:
+    def build() -> pa.Table:
+        from .stages.common import duckdb_round as _dr
+
+        _t, _m, _mu, _w, _v, cov = _pca_basis_seq(sf_dir, k, fp)
+        w = np.linalg.eigvalsh(cov)[::-1]
+        top = w[:k]
+        cum = np.cumsum(top) / w.sum()
+        return pa.table(
+            {
+                "pc": pa.array(np.arange(1, k + 1, dtype=np.int64)),
+                "eigenvalue": pa.array(_dr(top, 9), type=pa.float64()),
+                "cum_explained": pa.array(_dr(cum, 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"pca_explvar_{_sf_tag(sf_dir)}_{k}_{fp}", build)
+
+
 def _bpe_learn(texts: list[str], n_merges: int) -> list[tuple[str, str, int]]:
     """Sequential BPE recompute: Counter-based pair recount each round
     (vs the engine's dict-of-sequences fold), same deterministic spec:

@@ -1537,3 +1537,123 @@ def ann_filtered_topk(sf_dir: str, k: int = 10, vec_id: int = 1, label: int | No
         return t2.append_column("label", pa.array(np.full(t2.num_rows, label, dtype=np.int64), type=pa.int64()))
 
     return ranked_head(scored.map_batches(tag, batch_format="pyarrow"), ["sim", "vec_id"], "sim_rank", k, keep=["vec_id", "label"])
+
+
+PCA_K = 4
+PCA_FP = 1 << 20  # fixed-point quantum for the exact moment sums
+
+
+def pca_moments(sf_dir: str, fp: int = PCA_FP) -> tuple[int, np.ndarray, np.ndarray]:
+    """Distributed exact second-moment accumulation: (n, Σq, Σ q qᵀ)
+    over fixed-point embeddings q = rint(x·fp), folded through Ray's
+    aggregate tree as one (1 + d + d²) int64 block — integer adds are
+    order-free, so the moments (hence the covariance, hence the
+    eigenbasis) are bit-identical regardless of merge order.
+
+    Headroom: Σ q_i q_j ≤ n·(fp·|x|max)² ≈ n·2^38 at unit scale — int64
+    holds to ~2^25 rows per accumulator; beyond that drop fp to 2^14
+    or shard the accumulator (the kmeans_embeddings discipline).
+    """
+    from ray.data.aggregate import AggregateFn
+
+    ds = _read_emb(sf_dir)
+    probe = ds.take_batch(1, batch_format="pyarrow")
+    d = _emb_matrix(probe).shape[1]
+
+    def accumulate(acc: np.ndarray, block: pa.Table) -> np.ndarray:
+        m = _emb_matrix(block)
+        if m.shape[0] == 0:
+            return acc
+        q = np.rint(m * fp).astype(np.int64)
+        acc = acc.copy()
+        acc[0] += m.shape[0]
+        acc[1 : 1 + d] += q.sum(axis=0)
+        acc[1 + d :] += (q.T @ q).ravel()
+        return acc
+
+    agg = AggregateFn(
+        init=lambda _key: np.zeros(1 + d + d * d, dtype=np.int64),
+        accumulate_block=accumulate,
+        merge=lambda a, b: a + b,
+        finalize=lambda acc: acc,
+        name="pca_moments",
+    )
+    out = ds.aggregate(agg)["pca_moments"]
+    n = int(out[0])
+    return n, out[1 : 1 + d].copy(), out[1 + d :].reshape(d, d).copy()
+
+
+def pca_basis(sf_dir: str, k: int = PCA_K, fp: int = PCA_FP) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(mean, top-k eigenvalues, top-k eigenvectors) of the embedding
+    covariance, from the exact integer moments.  Deterministic sign
+    convention: each eigenvector's largest-|component| entry is made
+    positive (eigh's sign is otherwise arbitrary)."""
+    n, s1, s2 = pca_moments(sf_dir, fp=fp)
+    mu = s1.astype(np.float64) / (fp * n)
+    ex2 = s2.astype(np.float64) / (fp * fp * n)
+    cov = ex2 - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    w, v = w[order], v[:, order]
+    for j in range(v.shape[1]):
+        i = int(np.argmax(np.abs(v[:, j])))
+        if v[i, j] < 0:
+            v[:, j] = -v[:, j]
+    return mu, w, v
+
+
+def pca_project(sf_dir: str, k: int = PCA_K, fp: int = PCA_FP) -> rd.Dataset:
+    """PCA dimensionality reduction of the embedding column — the
+    standard pre-indexing compaction of a vector pipeline (project to
+    the top-k principal axes, keep the per-vector residual as a
+    fidelity signal).  One aggregate-tree moment pass (pca_moments) +
+    one broadcast map pass; nothing row-bounded ever reaches the
+    driver.
+
+    Output: (vec_id, pc1..pck, residual) — projections and the exact
+    orthogonal-complement residual ‖x−μ‖² − Σ proj², all round-6.
+    """
+    from ..stages.common import duckdb_round
+
+    mu, _w, v = pca_basis(sf_dir, k=k, fp=fp)
+    bref = ray.put((mu, v))
+
+    class Project:
+        def __init__(self):
+            self.mu, self.v = ray.get(bref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _emb_matrix(batch) - self.mu
+            proj = m @ self.v
+            resid = (m * m).sum(axis=1) - (proj * proj).sum(axis=1)
+            cols = {"vec_id": batch["vec_id"]}
+            for j in range(proj.shape[1]):
+                cols[f"pc{j + 1}"] = pa.array(duckdb_round(proj[:, j], 6), type=pa.float64())
+            cols["residual"] = pa.array(duckdb_round(resid, 6), type=pa.float64())
+            return pa.table(cols)
+
+    return _read_emb(sf_dir).map_batches(Project, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def pca_explained_variance(sf_dir: str, k: int = PCA_K, fp: int = PCA_FP) -> rd.Dataset:
+    """Scree summary: per principal component, the eigenvalue and the
+    cumulative explained-variance share — the k-selection diagnostic."""
+    from ..stages.common import duckdb_round
+
+    n, s1, s2 = pca_moments(sf_dir, fp=fp)
+    mu = s1.astype(np.float64) / (fp * n)
+    ex2 = s2.astype(np.float64) / (fp * fp * n)
+    cov = ex2 - np.outer(mu, mu)
+    w = np.linalg.eigvalsh(cov)[::-1]
+    total = w.sum()
+    top = w[:k]
+    cum = np.cumsum(top) / total
+    return rd.from_arrow(
+        pa.table(
+            {
+                "pc": pa.array(np.arange(1, k + 1, dtype=np.int64)),
+                "eigenvalue": pa.array(duckdb_round(top, 9), type=pa.float64()),
+                "cum_explained": pa.array(duckdb_round(cum, 6), type=pa.float64()),
+            }
+        )
+    )

@@ -226,3 +226,24 @@ def test_bpe_matches_golden_and_compresses(ray_session):
     zero = bpe.bpe_encode_stats(SF0001, n_merges=0).to_pandas().set_index("lang")
     for _, r in got_e.iterrows():
         assert r["n_subwords"] < zero.loc[r["lang"], "n_subwords"]  # vs char-level
+
+
+def test_pca_project_properties(ray_session):
+    from plasmap_ray.pipelines import ann as ann_
+
+    df = ann_.pca_project(SF0001).to_pandas()
+    exp = pq.read_table(golden.pca_project_path(SF0001, ann_.PCA_K, ann_.PCA_FP)).to_pandas()
+    g = df.sort_values("vec_id").reset_index(drop=True)
+    x = exp.sort_values("vec_id").reset_index(drop=True)
+    assert g.equals(x)
+    # residual is the orthogonal complement: non-negative up to round-6 slack
+    assert (g["residual"] >= -1e-6).all()
+    # explained variance is a proper scree: positive, cumulative <= 1, increasing
+    ev = ann_.pca_explained_variance(SF0001).to_pandas().sort_values("pc")
+    assert (ev["eigenvalue"] > 0).all()
+    assert (np.diff(ev["eigenvalue"]) <= 1e-12).all()  # sorted desc
+    assert (np.diff(ev["cum_explained"]) > 0).all()
+    assert ev["cum_explained"].iloc[-1] <= 1.0 + 1e-9
+    # run-to-run determinism: a second execution is bit-identical
+    again = ann_.pca_project(SF0001).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert again.equals(g)
