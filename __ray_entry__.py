@@ -235,6 +235,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_approx": windows.distinct_users_approx,
         # --- text analysis ---
         "token_stats": text.token_stats,
+        "sequence_packing": text.sequence_packing,
+        "packing_stats": text.packing_stats,
+        "length_bucket_padding": text.length_bucket_padding,
         "vocab_coverage_curve": text.vocab_coverage_curve,
         "bpe_merges": bpe.bpe_merges,
         "bpe_encode_stats": bpe.bpe_encode_stats,
@@ -1149,6 +1152,29 @@ FROM ks CROSS JOIN tot LEFT JOIN r ON r.rk <= ks.k
 GROUP BY ks.k, tot.total, tot.vocab""",
         "token_stats": """
 SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars FROM documents""",
+        "sequence_packing": f"""
+WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+c AS (SELECT doc_id, n_tok, SUM(n_tok) OVER (ORDER BY doc_id) AS cum FROM t)
+SELECT doc_id, n_tok, CAST(cum - n_tok AS BIGINT) AS start_tok,
+       CAST((cum - n_tok) // {text.PACK_CTX} AS BIGINT) AS first_seq,
+       CAST((cum - 1) // {text.PACK_CTX} AS BIGINT) AS last_seq,
+       CAST((cum - 1) // {text.PACK_CTX} - (cum - n_tok) // {text.PACK_CTX} + 1 AS BIGINT) AS n_seqs
+FROM c ORDER BY doc_id""",
+        "packing_stats": f"""
+WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+c AS (SELECT doc_id, n_tok, SUM(n_tok) OVER (ORDER BY doc_id) AS cum FROM t)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST((sum(n_tok) + {text.PACK_CTX} - 1) // {text.PACK_CTX} AS BIGINT) AS n_seqs,
+       CAST(sum(CASE WHEN (cum - 1) // {text.PACK_CTX} > (cum - n_tok) // {text.PACK_CTX} THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+       CAST(((sum(n_tok) + {text.PACK_CTX} - 1) // {text.PACK_CTX}) * {text.PACK_CTX} - sum(n_tok) AS BIGINT) AS tail_pad
+FROM c""",
+        "length_bucket_padding": f"""
+WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+b AS (SELECT n_tok, ((n_tok + {text.PAD_MULTIPLE} - 1) // {text.PAD_MULTIPLE}) * {text.PAD_MULTIPLE} AS bucket_len FROM t)
+SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(bucket_len * count(*) - sum(n_tok) AS BIGINT) AS pad_tokens
+FROM b GROUP BY bucket_len ORDER BY bucket_len""",
         "redact_pii": f"""
 WITH c1 AS (
   SELECT doc_id,

@@ -966,3 +966,183 @@ def dup_spans(sf_dir: str, width: int = DUP_SPAN_W, stride: int = DUP_SPAN_STRID
         .groupby("part")
         .map_groups(islands, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concatenate-and-chunk) — the GPT-style pretraining
+# packer: the corpus token stream is conceptually concatenated in doc_id
+# order and sliced every PACK_CTX tokens into fixed-length training
+# sequences.  The manifest says, per document, where its tokens land.
+# ---------------------------------------------------------------------------
+
+PACK_CTX = 2048  # tokens per packed training sequence
+PACK_BIN_DOCS = 1024  # docs per prefix-scan bin (doc_id // PACK_BIN_DOCS)
+PAD_MULTIPLE = 128  # pad-to-multiple bucket width for unpacked batching
+
+
+def _doc_token_counts(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_tok, bin) with the single-space token convention
+    token_stats uses, so DuckDB ``len(string_split(text, ' '))``
+    mirrors it bit-for-bit."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.list_value_length(pc.split_pattern(t["text"], " ")), pa.int64())
+        doc = t["doc_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, type=pa.int64()),
+                "n_tok": n,
+                "bin": pa.array(doc // PACK_BIN_DOCS, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(toks, batch_format="pyarrow")
+
+
+def _pack_manifest(sf_dir: str, ctx: int) -> rd.Dataset:
+    """Distributed prefix scan over doc_id order (the global_row_numbers
+    two-pass shape): (1) per-bin token sums -> tiny bins-sized aggregate
+    whose cumsum is each bin's global token OFFSET (broadcast dict);
+    (2) bin-keyed regroup sorts locally and adds the offset.  The only
+    exchange is the bin regroup; nothing global ever sorts."""
+    tok = _doc_token_counts(sf_dir)
+
+    bins = (
+        tok.map_batches(
+            lambda t: pa.table(
+                {
+                    "bin": t["bin"],
+                    "n": t["n_tok"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bin")
+    )
+    offs = dict(
+        zip(
+            bins["bin"].astype(np.int64),
+            np.concatenate([[0], np.cumsum(bins["n"].to_numpy(np.int64))[:-1]]),
+        )
+    )
+
+    def number(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table(
+                {"doc_id": z, "n_tok": z, "start_tok": z, "first_seq": z, "last_seq": z, "n_seqs": z}
+            )
+        g = g.sort_by([("doc_id", "ascending")])
+        n = g["n_tok"].to_numpy().astype(np.int64)
+        base = int(offs[int(g["bin"][0].as_py())])
+        end = base + np.cumsum(n)
+        start = end - n
+        first = start // ctx
+        last = (end - 1) // ctx
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_tok": pa.array(n, type=pa.int64()),
+                "start_tok": pa.array(start, type=pa.int64()),
+                "first_seq": pa.array(first, type=pa.int64()),
+                "last_seq": pa.array(last, type=pa.int64()),
+                "n_seqs": pa.array(last - first + 1, type=pa.int64()),
+            }
+        )
+
+    return tok.groupby("bin").map_groups(number, batch_format="pyarrow")
+
+
+def sequence_packing(sf_dir: str, ctx: int = PACK_CTX) -> rd.Dataset:
+    """Per-document packing manifest: token offsets and the span of
+    fixed-length training sequences each document occupies after
+    concatenate-and-chunk at ``ctx`` tokens.
+
+    Scale shape: pass 1 is a combiner-style per-bin token-sum groupby
+    (bins = docs/1024 rows, KB-scale broadcast); pass 2 regroups by the
+    SAME bin key and runs one numpy cumsum per group.  No global sort,
+    no driver-side row data.  Output: (doc_id, n_tok, start_tok,
+    first_seq, last_seq, n_seqs) — int64 throughout.
+    """
+    return _pack_manifest(sf_dir, ctx)
+
+
+def packing_stats(sf_dir: str, ctx: int = PACK_CTX) -> rd.Dataset:
+    """One-row corpus packing audit: total tokens, number of packed
+    sequences, documents straddling a sequence boundary, and tail
+    padding — the numbers a pretraining data loader reports before a
+    run.  Derived from the manifest with a map-side partial + single
+    tiny aggregate."""
+    man = _pack_manifest(sf_dir, ctx)
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t["n_tok"].to_numpy().astype(np.int64)
+        spans = t["n_seqs"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "n_docs": pa.array([len(n)], type=pa.int64()),
+                "total_tokens": pa.array([int(n.sum())], type=pa.int64()),
+                "n_boundary_docs": pa.array([int((spans > 1).sum())], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        man.map_batches(partial, batch_format="pyarrow")
+        .sum(["n_docs", "total_tokens", "n_boundary_docs"])
+    )
+    total = int(agg["sum(total_tokens)"])
+    n_seqs = -(-total // ctx)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_docs": pa.array([int(agg["sum(n_docs)"])], type=pa.int64()),
+                "total_tokens": pa.array([total], type=pa.int64()),
+                "n_seqs": pa.array([n_seqs], type=pa.int64()),
+                "n_boundary_docs": pa.array([int(agg["sum(n_boundary_docs)"])], type=pa.int64()),
+                "tail_pad": pa.array([n_seqs * ctx - total], type=pa.int64()),
+            }
+        )
+    )
+
+
+def length_bucket_padding(sf_dir: str, multiple: int = PAD_MULTIPLE) -> rd.Dataset:
+    """Pad-to-multiple batching audit (the text sibling of
+    aspect_buckets): bucket every document at ceil(n_tok/multiple) *
+    multiple and report per-bucket doc counts, real tokens and padding
+    waste — what a variable-length fine-tuning loader pays per bucket.
+
+    Scale shape: map-side (bucket, count, tok_sum) combiner -> groupby
+    over ≤ max_len/multiple bucket rows per partition.  Output:
+    (bucket_len, n_docs, sum_tokens, pad_tokens) sorted by bucket_len.
+    """
+    tok = _doc_token_counts(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t["n_tok"].to_numpy().astype(np.int64)
+        b = -(-n // multiple) * multiple
+        ub, inv = np.unique(b, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        s = np.bincount(inv, weights=n).astype(np.int64)
+        return pa.table(
+            {
+                "bucket_len": pa.array(ub, type=pa.int64()),
+                "n_docs": pa.array(cnt, type=pa.int64()),
+                "sum_tokens": pa.array(s, type=pa.int64()),
+            }
+        )
+
+    out = (
+        tok.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket_len")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("sum_tokens", alias_name="sum_tokens"))
+    )
+
+    def pad(t: pa.Table) -> pa.Table:
+        waste = pc.subtract(pc.multiply(t["bucket_len"], t["n_docs"]), t["sum_tokens"])
+        return t.append_column("pad_tokens", pc.cast(waste, pa.int64()))
+
+    return out.map_batches(pad, batch_format="pyarrow").sort("bucket_len")

@@ -247,3 +247,56 @@ def test_pca_project_properties(ray_session):
     # run-to-run determinism: a second execution is bit-identical
     again = ann_.pca_project(SF0001).to_pandas().sort_values("vec_id").reset_index(drop=True)
     assert again.equals(g)
+
+
+def test_sequence_packing_matches_bruteforce(ray_session):
+    # brute-force: concatenate token counts in doc_id order, chunk at ctx
+    docs = pq.read_table(os.path.join(SF0001, "documents.parquet"), columns=["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    n_tok = docs["text"].str.split(" ").map(len).to_numpy(np.int64)
+    cum = np.cumsum(n_tok)
+    start = cum - n_tok
+    ctx = text.PACK_CTX
+    exp_first, exp_last = start // ctx, (cum - 1) // ctx
+
+    df = text.sequence_packing(SF0001).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (df["doc_id"].to_numpy() == docs["doc_id"].to_numpy()).all()
+    assert (df["n_tok"].to_numpy() == n_tok).all()
+    assert (df["start_tok"].to_numpy() == start).all()
+    assert (df["first_seq"].to_numpy() == exp_first).all()
+    assert (df["last_seq"].to_numpy() == exp_last).all()
+    assert (df["n_seqs"].to_numpy() == exp_last - exp_first + 1).all()
+
+
+def test_packing_stats_consistent_with_manifest(ray_session):
+    man = text.sequence_packing(SF0001).to_pandas()
+    st = text.packing_stats(SF0001).to_pandas()
+    assert len(st) == 1
+    row = st.iloc[0]
+    total = int(man["n_tok"].sum())
+    ctx = text.PACK_CTX
+    assert row["n_docs"] == len(man)
+    assert row["total_tokens"] == total
+    assert row["n_seqs"] == -(-total // ctx)
+    assert row["n_boundary_docs"] == int((man["n_seqs"] > 1).sum())
+    assert row["tail_pad"] == row["n_seqs"] * ctx - total
+    # packing invariant: offsets tile the stream with no gaps/overlaps
+    m = man.sort_values("doc_id")
+    ends = (m["start_tok"] + m["n_tok"]).to_numpy()
+    assert m["start_tok"].iloc[0] == 0
+    assert (m["start_tok"].to_numpy()[1:] == ends[:-1]).all()
+    assert ends[-1] == total
+
+
+def test_length_bucket_padding_invariants(ray_session):
+    df = text.length_bucket_padding(SF0001).to_pandas()
+    mult = text.PAD_MULTIPLE
+    assert (df["bucket_len"] % mult == 0).all()
+    assert (df["pad_tokens"] == df["bucket_len"] * df["n_docs"] - df["sum_tokens"]).all()
+    assert (df["pad_tokens"] >= 0).all()
+    # every doc pads less than one full multiple
+    assert (df["pad_tokens"] < df["n_docs"] * mult).all()
+    # totals reconcile with token_stats
+    tok = text.token_stats(SF0001).to_pandas()
+    assert df["n_docs"].sum() == len(tok)
+    assert df["sum_tokens"].sum() == tok["n_tokens"].sum()
