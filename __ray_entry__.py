@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_location_histogram": images.caption_location_histogram,
         "zone_top_terms": images.zone_top_terms,
         "phash_dedup": images.phash_dedup,
+        "split_leakage_phash": images.split_leakage_phash,
         "phash_quadrant_pairs": images.phash_quadrant_pairs,
         "phash_pixel_verify": images.phash_pixel_verify,
         "tile_montage": images.tile_montage,
@@ -381,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trigram_counts": windows.event_trigram_counts,
         "weighted_sample": windows.weighted_sample,
         "hash_split_counts": dedup.hash_split_counts,
+        "filter_funnel": text.filter_funnel,
         "ohlc_hourly": windows.ohlc_hourly,
         "audio_pitch_histogram": multimodal.audio_pitch_histogram,
         "price_band_pairs": relational.price_band_pairs,
@@ -1169,6 +1171,31 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN (cum - 1) // {text.PACK_CTX} > (cum - n_tok) // {text.PACK_CTX} THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
        CAST(((sum(n_tok) + {text.PACK_CTX} - 1) // {text.PACK_CTX}) * {text.PACK_CTX} - sum(n_tok) AS BIGINT) AS tail_pad
 FROM c""",
+        "filter_funnel": f"""
+WITH f AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         length(text) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+         regexp_matches(text, '[.!?]$') AS endp,
+         (contains(text, '{{') OR contains(lower(text), 'lorem ipsum')) AS spam
+  FROM documents),
+g AS (SELECT n_tok < {text.FUNNEL_MIN_TOK} AS r1,
+             n_tok > {text.FUNNEL_MAX_TOK} AS r2,
+             n_alpha * 2 < n_chars AS r3,
+             NOT endp AS r4, spam AS r5 FROM f),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN NOT r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+             CAST(sum(CASE WHEN NOT r1 AND NOT r2 AND r3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+             CAST(sum(CASE WHEN NOT r1 AND NOT r2 AND NOT r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+             CAST(sum(CASE WHEN NOT r1 AND NOT r2 AND NOT r3 AND NOT r4 AND r5 THEN 1 ELSE 0 END) AS BIGINT) AS d5
+      FROM g)
+SELECT CAST(1 AS BIGINT) AS rule_idx, 'too_short' AS rule, n AS n_in, d1 AS n_dropped, n - d1 AS n_out FROM a
+UNION ALL SELECT 2, 'too_long', n - d1, d2, n - d1 - d2 FROM a
+UNION ALL SELECT 3, 'low_alpha', n - d1 - d2, d3, n - d1 - d2 - d3 FROM a
+UNION ALL SELECT 4, 'no_terminal_punct', n - d1 - d2 - d3, d4, n - d1 - d2 - d3 - d4 FROM a
+UNION ALL SELECT 5, 'spam_markers', n - d1 - d2 - d3 - d4, d5, n - d1 - d2 - d3 - d4 - d5 FROM a
+ORDER BY rule_idx""",
         "length_bucket_padding": f"""
 WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
 b AS (SELECT n_tok, ((n_tok + {text.PAD_MULTIPLE} - 1) // {text.PAD_MULTIPLE}) * {text.PAD_MULTIPLE} AS bucket_len FROM t)
@@ -1585,6 +1612,16 @@ SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
 FROM {img_pq} GROUP BY 1 ORDER BY 1""",
         "phash_dedup": f"""
 SELECT phash, min(image_id) AS first_image_id, count(*) AS n_images FROM {img_pq} GROUP BY phash HAVING count(*) > 1""",
+        "split_leakage_phash": f"""
+WITH s AS (SELECT DISTINCT phash,
+                  CASE WHEN substr(md5(image_id), 1, 1) IN ('c', 'd') THEN 'val'
+                       WHEN substr(md5(image_id), 1, 1) IN ('e', 'f') THEN 'test'
+                       ELSE 'train' END AS split
+           FROM {img_pq}),
+p AS (SELECT a.split AS split_a, b.split AS split_b
+      FROM s a JOIN s b ON a.phash = b.phash AND a.split < b.split)
+SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_shared_phashes
+FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
         "geo_inconsistent_dups": f"""
 WITH iid AS (SELECT CAST(substr(image_id, 5, 12) AS BIGINT) AS img_id, phash FROM {img_pq}),
 ip AS (SELECT img_id, phash, {oracle.sql_derive_lon('img_id')} AS lon,

@@ -1758,3 +1758,67 @@ def phash_bit_stats(sf_dir: str) -> rd.Dataset:
         return t.append_column("set_frac", pa.array(frac, type=pa.float64()))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def split_leakage_phash(sf_dir: str) -> rd.Dataset:
+    """Cross-split eval-leakage audit: assign every image to
+    train/val/test by the first hex digit of md5(image_id) (the same
+    content-stable 12/2/2 convention as dedup.hash_split_counts) and
+    count perceptual-hash values that appear in MORE THAN ONE split —
+    each shared phash is an exact duplicate leaking across the
+    train/eval boundary, the image sibling of text decontamination.
+
+    Scale shape: split assignment is a pure map; ONE distinct pass over
+    (phash, split) (map-side np.unique combiner + groupby count, rows
+    bounded by distinct phashes x 3); the per-phash split-pair fan-out
+    is <= C(3,2)=3 rows; the final count groupby is 3-row bounded.
+    Output: (split_a, split_b, n_shared_phashes) sorted.
+    """
+    import hashlib
+
+    from .dedup import SPLIT_OF_HEX
+
+    ds = read_images(sf_dir, columns=["image_id", "phash"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        split = [SPLIT_OF_HEX[hashlib.md5(s.encode()).hexdigest()[0]] for s in ids]
+        ph = t["phash"].to_numpy().astype(np.int64)
+        # map-side distinct combiner: unique (phash, split) within batch
+        key = pa.table({"phash": pa.array(ph, type=pa.int64()), "split": pa.array(split, type=pa.string())})
+        df = key.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["phash", "split"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        s = sorted(g["split"].to_pylist())
+        if len(s) < 2:
+            return pa.table(
+                {
+                    "split_a": pa.array([], type=pa.string()),
+                    "split_b": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        a, b = zip(*[(s[i], s[j]) for i in range(len(s)) for j in range(i + 1, len(s))])
+        return pa.table(
+            {
+                "split_a": pa.array(a, type=pa.string()),
+                "split_b": pa.array(b, type=pa.string()),
+                "n": pa.array([1] * len(a), type=pa.int64()),
+            }
+        )
+
+    return (
+        distinct.groupby("phash")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["split_a", "split_b"])
+        .aggregate(Sum("n", alias_name="n_shared_phashes"))
+        .sort(["split_a", "split_b"])
+    )

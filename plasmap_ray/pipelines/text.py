@@ -1146,3 +1146,75 @@ def length_bucket_padding(sf_dir: str, multiple: int = PAD_MULTIPLE) -> rd.Datas
         return t.append_column("pad_tokens", pc.cast(waste, pa.int64()))
 
     return out.map_batches(pad, batch_format="pyarrow").sort("bucket_len")
+
+
+# ---------------------------------------------------------------------------
+# C4-style sequential quality-filter funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_MIN_TOK = 10
+FUNNEL_MAX_TOK = 5000
+FUNNEL_RULES = ("too_short", "too_long", "low_alpha", "no_terminal_punct", "spam_markers")
+
+
+def filter_funnel(sf_dir: str) -> rd.Dataset:
+    """Sequential quality-filter attrition audit (the C4 cleaning
+    recipe's reporting pass): five rules applied IN ORDER — too few /
+    too many tokens, alpha chars under half the text, no terminal
+    punctuation, spam markers ('{' or 'lorem ipsum') — each counted
+    only over the survivors of the rules before it, which is exactly
+    what a data-cleaning run log shows.
+
+    Scale shape: ONE corpus scan computing all five flags vectorized
+    (Arrow kernels, RE2), per-batch partial counts, one 6-int
+    aggregate; the 5-row funnel is assembled from those constants.
+    Output: (rule_idx, rule, n_in, n_dropped, n_out) in application
+    order.
+    """
+    ds = _read_docs(sf_dir, ["text"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        n_tok = pc.list_value_length(pc.split_pattern(txt, " ")).to_numpy().astype(np.int64)
+        n_chars = pc.utf8_length(txt).to_numpy().astype(np.int64)
+        n_alpha = pc.count_substring_regex(txt, "[A-Za-z]").to_numpy().astype(np.int64)
+        endp = pc.match_substring_regex(txt, r"[.!?]$").to_numpy(zero_copy_only=False)
+        spam = pc.or_(
+            pc.match_substring(txt, "{"),
+            pc.match_substring(pc.utf8_lower(txt), "lorem ipsum"),
+        ).to_numpy(zero_copy_only=False)
+        r1 = n_tok < FUNNEL_MIN_TOK
+        r2 = ~r1 & (n_tok > FUNNEL_MAX_TOK)
+        r3 = ~r1 & ~r2 & (n_alpha * 2 < n_chars)
+        r4 = ~r1 & ~r2 & ~r3 & ~endp
+        r5 = ~r1 & ~r2 & ~r3 & ~r4 & spam
+        return pa.table(
+            {
+                "n": pa.array([len(n_tok)], type=pa.int64()),
+                "d1": pa.array([int(r1.sum())], type=pa.int64()),
+                "d2": pa.array([int(r2.sum())], type=pa.int64()),
+                "d3": pa.array([int(r3.sum())], type=pa.int64()),
+                "d4": pa.array([int(r4.sum())], type=pa.int64()),
+                "d5": pa.array([int(r5.sum())], type=pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(flags, batch_format="pyarrow").sum(["n", "d1", "d2", "d3", "d4", "d5"])
+    n = int(agg["sum(n)"])
+    drops = [int(agg[f"sum(d{i})"]) for i in range(1, 6)]
+    n_in, rows = n, []
+    for i, (rule, d) in enumerate(zip(FUNNEL_RULES, drops), start=1):
+        rows.append((i, rule, n_in, d, n_in - d))
+        n_in -= d
+    idx, names, nin, nd, nout = zip(*rows)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "rule_idx": pa.array(idx, type=pa.int64()),
+                "rule": pa.array(names, type=pa.string()),
+                "n_in": pa.array(nin, type=pa.int64()),
+                "n_dropped": pa.array(nd, type=pa.int64()),
+                "n_out": pa.array(nout, type=pa.int64()),
+            }
+        )
+    )

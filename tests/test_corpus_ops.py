@@ -300,3 +300,54 @@ def test_length_bucket_padding_invariants(ray_session):
     tok = text.token_stats(SF0001).to_pandas()
     assert df["n_docs"].sum() == len(tok)
     assert df["sum_tokens"].sum() == tok["n_tokens"].sum()
+
+
+def test_filter_funnel_matches_bruteforce(ray_session):
+    docs = pq.read_table(os.path.join(SF0001, "documents.parquet"), columns=["text"]).to_pandas()
+    txt = docs["text"].astype(str)
+    n_tok = txt.str.split(" ").map(len).to_numpy(np.int64)
+    n_chars = txt.str.len().to_numpy(np.int64)
+    n_alpha = txt.str.count("[A-Za-z]").to_numpy(np.int64)
+    endp = txt.str.contains(r"[.!?]$", regex=True).to_numpy()
+    spam = (txt.str.contains("{", regex=False) | txt.str.lower().str.contains("lorem ipsum")).to_numpy()
+    import plasmap_ray.pipelines.text as text_mod
+
+    r1 = n_tok < text_mod.FUNNEL_MIN_TOK
+    r2 = ~r1 & (n_tok > text_mod.FUNNEL_MAX_TOK)
+    r3 = ~r1 & ~r2 & (n_alpha * 2 < n_chars)
+    r4 = ~r1 & ~r2 & ~r3 & ~endp
+    r5 = ~r1 & ~r2 & ~r3 & ~r4 & spam
+    exp_drops = [int(r.sum()) for r in (r1, r2, r3, r4, r5)]
+
+    df = text.filter_funnel(SF0001).to_pandas().sort_values("rule_idx").reset_index(drop=True)
+    assert list(df["rule"]) == list(text_mod.FUNNEL_RULES)
+    assert list(df["n_dropped"]) == exp_drops
+    # funnel chain: n_out of rule i == n_in of rule i+1; starts at corpus size
+    assert df["n_in"].iloc[0] == len(docs)
+    assert (df["n_out"].to_numpy()[:-1] == df["n_in"].to_numpy()[1:]).all()
+    assert (df["n_out"] == df["n_in"] - df["n_dropped"]).all()
+
+
+def test_split_leakage_phash_matches_bruteforce(ray_session):
+    import hashlib
+
+    from plasmap_ray.pipelines import images as img_p
+    from plasmap_ray.pipelines.dedup import SPLIT_OF_HEX
+
+    t = pq.read_table(img_p.images_path_for(SF0001), columns=["image_id", "phash"]).to_pandas()
+    t["split"] = [SPLIT_OF_HEX[hashlib.md5(s.encode()).hexdigest()[0]] for s in t["image_id"]]
+    d = t[["phash", "split"]].drop_duplicates()
+    from collections import Counter
+
+    exp = Counter()
+    for _, grp in d.groupby("phash"):
+        s = sorted(grp["split"])
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                exp[(s[i], s[j])] += 1
+
+    df = img_p.split_leakage_phash(SF0001).to_pandas()
+    got = {(r.split_a, r.split_b): r.n_shared_phashes for r in df.itertuples()}
+    assert got == dict(exp)
+    # the fixture corpus plants exact duplicates, so SOME leakage exists
+    assert sum(got.values()) > 0 or len(d) == len(t["phash"].unique())
