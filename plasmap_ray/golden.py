@@ -2496,3 +2496,56 @@ def occupancy_kcore_path(sf_dir: str) -> str:
         )
 
     return _cache(f"occupancy_kcore_{_sf_tag(sf_dir)}", build)
+
+
+def simplified_silhouette_path(sf_dir: str, k: int = 8, iters: int = 5) -> str:
+    """Expected (cluster, n_vecs, mean_silhouette) of the simplified
+    silhouette over the fixed-point Lloyd clusters: sequential numpy
+    recompute.  Bit-equality holds because per-row s is an independent
+    float64 formula (identical in both engines) and the per-cluster
+    fold is int64 fixed-point (round(s * 2^20)) — order-free."""
+
+    def build() -> pa.Table:
+        KMEANS_SCALE = 1 << 20
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        # sequential fixed-point Lloyd — identical to kmeans_clusters_path
+        sel = ids < k
+        cents = m[sel][np.argsort(ids[sel], kind="stable")].copy()
+        assert cents.shape[0] == k
+        q = np.rint(m * KMEANS_SCALE).astype(np.int64)
+        for _ in range(iters):
+            dist = (cents * cents).sum(axis=1)[None, :] - 2.0 * (m @ cents.T)
+            assign = dist.argmin(axis=1)
+            counts = np.bincount(assign, minlength=k)
+            sums = np.zeros((k, m.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, q)
+            nonempty = counts > 0
+            upd = sums.astype(np.float64) / (KMEANS_SCALE * np.where(nonempty, counts, 1))[:, None]
+            cents = np.where(nonempty[:, None], upd, cents)
+        cn2 = (cents * cents).sum(axis=1)
+        d2 = np.maximum(cn2[None, :] - 2.0 * (m @ cents.T) + (m * m).sum(axis=1)[:, None], 0.0)
+        own = d2.argmin(axis=1)
+        rows = np.arange(m.shape[0])
+        a = np.sqrt(d2[rows, own])
+        d2[rows, own] = np.inf
+        b = np.sqrt(d2.min(axis=1))
+        mx = np.maximum(a, b)
+        s = np.where(mx > 0, (b - a) / np.where(mx > 0, mx, 1.0), 0.0)
+        s_fp = np.rint(s * KMEANS_SCALE).astype(np.int64)
+        acc = np.zeros(k, dtype=np.int64)
+        np.add.at(acc, own, s_fp)
+        n = np.bincount(own, minlength=k).astype(np.int64)
+        keep = n > 0
+        clusters = np.nonzero(keep)[0].astype(np.int64)
+        mean = np.round(acc[keep] / (KMEANS_SCALE * n[keep].astype(np.float64)), 6)
+        return pa.table(
+            {
+                "cluster": pa.array(clusters, type=pa.int64()),
+                "n_vecs": pa.array(n[keep], type=pa.int64()),
+                "mean_silhouette": pa.array(mean, type=pa.float64()),
+            }
+        )
+
+    return _cache(f"silhouette_{_sf_tag(sf_dir)}_{k}_{iters}", build)

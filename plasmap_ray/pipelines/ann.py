@@ -1657,3 +1657,74 @@ def pca_explained_variance(sf_dir: str, k: int = PCA_K, fp: int = PCA_FP) -> rd.
             }
         )
     )
+
+
+def simplified_silhouette(sf_dir: str, k: int = 8, iters: int = 5) -> rd.Dataset:
+    """Per-cluster SIMPLIFIED silhouette of the distributed k-means —
+    the O(N·k) clustering-quality score (a = distance to own centroid,
+    b = distance to the nearest OTHER centroid, s = (b-a)/max(a,b))
+    that replaces the O(N²) exact silhouette at corpus scale; the
+    standard trainer-side check that k isn't mis-chosen.
+
+    Scale shape: centroids broadcast once (ray.put); ONE map pass emits
+    per-batch (cluster, n, s_fp) partials — s folded as FIXED-POINT
+    int64 (round(s * 2^20)), so the k-row groupby sum is exact integer
+    addition and the mean is bit-identical to the golden sequential
+    recompute regardless of batch/merge order.  Output: (cluster,
+    n_vecs, mean_silhouette) sorted by cluster.
+    """
+    from ray.data.aggregate import Sum
+
+    cents = lloyd_centroids(sf_dir, k=k, iters=iters)
+    cref = ray.put(cents)
+    ds = _read_emb(sf_dir)
+
+    class Partial:
+        def __init__(self):
+            self.c = ray.get(cref)
+            self.cn2 = (self.c * self.c).sum(axis=1)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _emb_matrix(batch)
+            if m.shape[0] == 0:
+                z = pa.array([], type=pa.int64())
+                return pa.table({"cluster": z, "n": z, "s_fp": z})
+            d2 = np.maximum(self.cn2[None, :] - 2.0 * (m @ self.c.T) + (m * m).sum(axis=1)[:, None], 0.0)
+            own = d2.argmin(axis=1)
+            rows = np.arange(m.shape[0])
+            a = np.sqrt(d2[rows, own])
+            d2[rows, own] = np.inf
+            b = np.sqrt(d2.min(axis=1))
+            mx = np.maximum(a, b)
+            s = np.where(mx > 0, (b - a) / np.where(mx > 0, mx, 1.0), 0.0)
+            s_fp = np.rint(s * KMEANS_SCALE).astype(np.int64)
+            uc = np.unique(own)
+            acc = np.zeros(k, dtype=np.int64)  # int64 fold, never float
+            np.add.at(acc, own, s_fp)
+            return pa.table(
+                {
+                    "cluster": pa.array(uc, type=pa.int64()),
+                    "n": pa.array(np.bincount(own, minlength=k)[uc].astype(np.int64), type=pa.int64()),
+                    "s_fp": pa.array(acc[uc], type=pa.int64()),
+                }
+            )
+
+    agg = (
+        ds.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("cluster")
+        .aggregate(Sum("n", alias_name="n_vecs"), Sum("s_fp", alias_name="s_fp"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["n_vecs"].to_numpy().astype(np.int64)
+        s = t["s_fp"].to_numpy().astype(np.int64)
+        mean = np.round(s / (KMEANS_SCALE * n.astype(np.float64)), 6)
+        return pa.table(
+            {
+                "cluster": t["cluster"],
+                "n_vecs": pa.array(n, type=pa.int64()),
+                "mean_silhouette": pa.array(mean, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("cluster")

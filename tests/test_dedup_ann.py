@@ -526,3 +526,20 @@ def test_dedup_manifest_consistency(ray_session):
     assert (cl[near["doc_a"]].to_numpy() == cl[near["doc_b"]].to_numpy()).all()
     # and some drops actually happen
     assert (~out["keep"]).sum() > 0
+
+
+def test_simplified_silhouette_bounds_and_consistency(ray_session):
+    sf = "/root/testdata/sf0.001"
+    df = ann.simplified_silhouette(sf).to_pandas()
+    # silhouette is bounded in [-1, 1]; clusters sorted and distinct
+    assert (df["mean_silhouette"] >= -1.0).all() and (df["mean_silhouette"] <= 1.0).all()
+    assert df["cluster"].is_monotonic_increasing and df["cluster"].is_unique
+    # member counts agree with the kmeans assignment
+    sizes = ann.kmeans_embeddings(sf).to_pandas().groupby("cluster").size()
+    got = dict(zip(df["cluster"], df["n_vecs"]))
+    assert got == sizes.to_dict()
+    assert df["n_vecs"].sum() == sizes.sum()
+    # a well-separated synthetic check: the overall mean is positive on
+    # the fixture corpus (clusters exist by construction)
+    w = (df["mean_silhouette"] * df["n_vecs"]).sum() / df["n_vecs"].sum()
+    assert w > 0.0
