@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "way_junctions": denormalize.way_junctions_query,
         "boundary_assembly": denormalize.boundary_assembly_query,
         "boundary_stats": denormalize.boundary_stats_query,
+        "boundary_geodesic_area": denormalize.boundary_geodesic_area_query,
         # --- relational / aggregation ---
         "pricing_summary": relational.pricing_summary,
         "orders_by_nation": relational.orders_by_nation,
@@ -1807,6 +1808,7 @@ SELECT rel_id, ring_idx, n_vertices, area_fp, cx_fp, cy_fp,
   CAST(cx_fp AS DOUBLE) / (3.0 * CAST(area_fp AS DOUBLE)) AS centroid_lon,
   CAST(cy_fp AS DOUBLE) / (3.0 * CAST(area_fp AS DOUBLE)) AS centroid_lat
 FROM s""",
+        "boundary_geodesic_area": f"SELECT * FROM read_parquet('{golden.boundary_geodesic_area_path()}')",
         "doc_fingerprint": f"SELECT * FROM read_parquet('{golden.doc_fingerprint_path(SF001)}')",
         "simhash": f"SELECT * FROM read_parquet('{golden.simhash_path(SF001)}')",
         "text_quality": f"SELECT * FROM read_parquet('{golden.text_quality_path(SF001)}')",

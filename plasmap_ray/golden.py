@@ -2549,3 +2549,39 @@ def simplified_silhouette_path(sf_dir: str, k: int = 8, iters: int = 5) -> str:
         )
 
     return _cache(f"silhouette_{_sf_tag(sf_dir)}_{k}_{iters}", build)
+
+
+def boundary_geodesic_area_path() -> str:
+    """Expected (rel_id, ring_idx, n_vertices, geod_fp, area_m2) of the
+    spherical-excess ring areas: numpy recompute over the construction
+    vertex table with the IDENTICAL Chamberlain–Duquette edge formula
+    and 1e9 fixed point (same float64 sin, so no libm skew), keeping
+    the assembly-DAG-vs-construction-truth compare of boundary_stats."""
+
+    def build() -> pa.Table:
+        from .pipelines.denormalize import EARTH_R_M, GEOD_FP
+
+        v = pq.read_table(boundary_vertices_path())
+        df = v.to_pandas().sort_values(["rel_id", "ring_idx", "vtx_idx"])
+        out = {k: [] for k in ("rel_id", "ring_idx", "n_vertices", "geod_fp")}
+        for (rel, ri), g in df.groupby(["rel_id", "ring_idx"], sort=True):
+            lam = np.radians(g["lon"].to_numpy(np.float64))
+            phi = np.radians(g["lat"].to_numpy(np.float64))
+            term = (np.roll(lam, -1) - lam) * (2.0 + np.sin(phi) + np.sin(np.roll(phi, -1)))
+            fp = np.floor(term * GEOD_FP + 0.5).astype(np.int64)
+            out["rel_id"].append(int(rel))
+            out["ring_idx"].append(int(ri))
+            out["n_vertices"].append(len(lam))
+            out["geod_fp"].append(int(fp.sum()))
+        g = np.asarray(out["geod_fp"], dtype=np.float64)
+        return pa.table(
+            {
+                "rel_id": pa.array(out["rel_id"], type=pa.int64()),
+                "ring_idx": pa.array(out["ring_idx"], type=pa.int64()),
+                "n_vertices": pa.array(out["n_vertices"], type=pa.int64()),
+                "geod_fp": pa.array(out["geod_fp"], type=pa.int64()),
+                "area_m2": pa.array(np.abs(g) / GEOD_FP * (EARTH_R_M * EARTH_R_M / 2.0), type=pa.float64()),
+            }
+        )
+
+    return _cache("boundary_geodesic_area", build)

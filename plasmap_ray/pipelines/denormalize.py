@@ -743,3 +743,62 @@ def zone_way_length_query(sf_dir: str) -> rd.Dataset:
         .aggregate(_Sum("n_segments", alias_name="n_segments"), _Sum("len_fp", alias_name="len_fp"))
         .sort("rel_id")
     )
+
+
+EARTH_R_M = 6371008.8  # mean Earth radius (IUGG)
+GEOD_FP = 1e9  # fixed-point quantum for per-edge spherical terms
+
+
+def boundary_geodesic_area_query(sf_dir: str) -> rd.Dataset:
+    """Spherical-excess (geodesic) ring areas — the planet-scale area
+    the planar shoelace (boundary_stats) gets wrong away from the
+    equator.  Per edge, the Chamberlain–Duquette term
+    ``(λ2-λ1)·(2 + sin φ1 + sin φ2)`` (radians) is computed in float64
+    and fixed-pointed (floor(v·1e9 + 0.5)) so the per-ring int64 sum is
+    edge-order-free; ``area_m2 = |Σ| / 1e9 · R²/2`` divides the summed
+    BIGINT identically in both engines.
+
+    Oracle: golden numpy recompute over the CONSTRUCTION-time vertex
+    table (not DuckDB trig — libm sin() can differ from numpy in the
+    last ulp, which a 1e9 fixed point would surface), so the compare
+    still verifies the assembled-ring DAG against pre-assembly truth.
+    Assumes rings do not cross the antimeridian (true of the fixture
+    world; normalize λ spans first where they can).
+
+    Output: (rel_id, ring_idx, n_vertices, geod_fp, area_m2).
+    """
+    from .. import fixtures
+
+    world = fixtures.boundary_world()
+    rings = boundaries_from_world(world)
+
+    def stats(t: pa.Table) -> pa.Table:
+        roles = t["role"].to_pylist()
+        lons = t["lons"].to_pylist()
+        lats = t["lats"].to_pylist()
+        rels = t["rel_id"].to_pylist()
+        ridx = t["ring_idx"].to_pylist()
+        out = {k: [] for k in ("rel_id", "ring_idx", "n_vertices", "geod_fp")}
+        for rel, ri, role, lo, la in zip(rels, ridx, roles, lons, lats):
+            if role not in ("outer", "inner") or len(lo) < 3:
+                continue
+            lam = np.radians(np.asarray(lo, dtype=np.float64))
+            phi = np.radians(np.asarray(la, dtype=np.float64))
+            term = (np.roll(lam, -1) - lam) * (2.0 + np.sin(phi) + np.sin(np.roll(phi, -1)))
+            fp = np.floor(term * GEOD_FP + 0.5).astype(np.int64)
+            out["rel_id"].append(rel)
+            out["ring_idx"].append(ri)
+            out["n_vertices"].append(len(lo))
+            out["geod_fp"].append(int(fp.sum()))
+        g = np.asarray(out["geod_fp"], dtype=np.float64)
+        return pa.table(
+            {
+                "rel_id": pa.array(out["rel_id"], type=pa.int64()),
+                "ring_idx": pa.array(out["ring_idx"], type=pa.int64()),
+                "n_vertices": pa.array(out["n_vertices"], type=pa.int64()),
+                "geod_fp": pa.array(out["geod_fp"], type=pa.int64()),
+                "area_m2": pa.array(np.abs(g) / GEOD_FP * (EARTH_R_M * EARTH_R_M / 2.0), type=pa.float64()),
+            }
+        )
+
+    return rings.map_batches(stats, batch_format="pyarrow")

@@ -200,3 +200,24 @@ def test_zone_way_length_conserves_inside_length(ray_session):
     lv = out["rel_id"].map(level_of)
     for level, g in out.groupby(lv):
         assert g["len_fp"].sum() / denormalize.ZWL_FP <= total * 1.000001
+
+
+def test_boundary_geodesic_area_matches_planar_at_small_extent(ray_session):
+    """For fixture-scale rings the spherical-excess area must agree with
+    the planar shoelace scaled by cos(lat) to first order."""
+    import numpy as np
+
+    from plasmap_ray.pipelines import denormalize
+
+    sf = "/root/testdata/sf0.001"
+    geod = denormalize.boundary_geodesic_area_query(sf).to_pandas().set_index(["rel_id", "ring_idx"])
+    plan = denormalize.boundary_stats_query(sf).to_pandas().set_index(["rel_id", "ring_idx"])
+    j = geod.join(plan, lsuffix="_g")
+    assert len(j) == len(geod) == len(plan) and len(j) > 0
+    r = 6371008.8
+    k = np.pi / 180.0
+    expected = j["area_deg2"].to_numpy() * (k * r) ** 2 * np.cos(np.radians(j["centroid_lat"].to_numpy()))
+    got = j["area_m2"].to_numpy()
+    # first-order agreement: within 1% at fixture ring extents
+    assert np.all(np.abs(got - expected) <= 0.01 * expected + 1.0)
+    assert (got > 0).all()
