@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_label_purity": ann.zone_label_purity,
         "kmeans_cluster_sizes": ann.kmeans_cluster_sizes,
         "simplified_silhouette": ann.simplified_silhouette,
+        "sq8_quantization_error": ann.sq8_quantization_error,
         "cluster_label_confusion": ann.cluster_label_confusion,
         "knn_classify": ann.knn_classify,
         "knn_pr_curve": ann.knn_pr_curve,
@@ -1661,6 +1662,7 @@ SELECT s2_cell_coarse, count(*) AS n_points
 FROM read_parquet('{golden.s2_cells_path(SF001)}') GROUP BY s2_cell_coarse""",
         "kmeans_clusters": f"SELECT * FROM read_parquet('{golden.kmeans_clusters_path(SF001)}')",
         "simplified_silhouette": f"SELECT * FROM read_parquet('{golden.simplified_silhouette_path(SF001)}')",
+        "sq8_quantization_error": f"SELECT * FROM read_parquet('{golden.sq8_quantization_error_path(SF001)}')",
         "pca_project": f"SELECT * FROM read_parquet('{golden.pca_project_path(SF001, ann.PCA_K, ann.PCA_FP)}')",
         "pca_explained_variance": f"SELECT * FROM read_parquet('{golden.pca_explained_variance_path(SF001, ann.PCA_K, ann.PCA_FP)}')",
         "semantic_dedup": f"SELECT * FROM read_parquet('{golden.semantic_dedup_path(SF001, threshold=EMB_NEARDUP_T)}')",

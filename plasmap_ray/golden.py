@@ -2585,3 +2585,38 @@ def boundary_geodesic_area_path() -> str:
         )
 
     return _cache("boundary_geodesic_area", build)
+
+
+def sq8_quantization_error_path(sf_dir: str) -> str:
+    """Expected per-dim SQ8 reconstruction-error table: sequential
+    numpy recompute with the identical per-element float64 formulas and
+    2^30 fixed point (min/max and int64 folds are order-free, so the
+    engine's tree merge matches this single pass bit-for-bit)."""
+
+    def build() -> pa.Table:
+        from .pipelines.ann import SQ8_FP
+
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        lo, hi = m.min(axis=0), m.max(axis=0)
+        scale = (hi - lo) / 255.0
+        safe = np.where(scale > 0, scale, 1.0)
+        q = np.clip(np.rint((m - lo) / safe), 0, 255)
+        recon = lo + q * scale
+        err = np.abs(m - recon)
+        sq_fp = np.floor(err * err * SQ8_FP + 0.5).astype(np.int64)
+        mx_fp = np.floor(err * SQ8_FP + 0.5).astype(np.int64)
+        d = m.shape[1]
+        n = m.shape[0]
+        return pa.table(
+            {
+                "dim_idx": pa.array(np.arange(d, dtype=np.int64), type=pa.int64()),
+                "min_v": pa.array(np.round(lo, 9), type=pa.float64()),
+                "max_v": pa.array(np.round(hi, 9), type=pa.float64()),
+                "scale": pa.array(np.round(scale, 9), type=pa.float64()),
+                "mse": pa.array(np.round(sq_fp.sum(axis=0) / (SQ8_FP * float(n)), 9), type=pa.float64()),
+                "max_abs_err": pa.array(np.round(mx_fp.max(axis=0) / SQ8_FP, 9), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"sq8_{_sf_tag(sf_dir)}", build)

@@ -1728,3 +1728,110 @@ def simplified_silhouette(sf_dir: str, k: int = 8, iters: int = 5) -> rd.Dataset
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow").sort("cluster")
+
+
+SQ8_FP = 1 << 30  # fixed-point quantum for squared-error sums
+
+
+def sq8_quantization_error(sf_dir: str) -> rd.Dataset:
+    """Scalar int8 quantization audit (the SQ8 compression every
+    vector store offers beside PQ): per dimension, learn (min, max)
+    from one aggregate pass, quantize to 256 levels, and measure the
+    reconstruction error — the numbers that decide whether 4× embedding
+    compression is safe for retrieval.
+
+    Scale shape: pass 1 folds a (d, 2) min/max array through the
+    aggregate tree (min/max are associative — order-free exactly);
+    the (min, max) matrix broadcasts via ray.put; pass 2 is map-only,
+    emitting per-batch (dim, n, sqerr_fp, maxerr_fp) int64 partials
+    (floor(v·2^30 + 0.5)) into a d-row groupby.  int64 headroom:
+    per-element sqerr·2^30 ≲ 2·10^4 at unit-scale embeddings, so sums
+    overflow past ~4·10^14 rows per dim — shard the accumulator beyond
+    (the kmeans discipline).  Output: (dim_idx, min_v, max_v, scale,
+    mse, max_abs_err) sorted by dim_idx, floats rounded to 9.
+    """
+    from ray.data.aggregate import AggregateFn, Max, Sum
+
+    ds = _read_emb(sf_dir)
+
+    def make_minmax():
+        def accumulate(acc, block: pa.Table):
+            m = _emb_matrix(block)
+            if m.shape[0] == 0:
+                return acc
+            if acc is None:
+                return np.stack([m.min(axis=0), m.max(axis=0)])
+            return np.stack([np.minimum(acc[0], m.min(axis=0)), np.maximum(acc[1], m.max(axis=0))])
+
+        def merge(a, b):
+            if a is None:
+                return b
+            if b is None:
+                return a
+            return np.stack([np.minimum(a[0], b[0]), np.maximum(a[1], b[1])])
+
+        return AggregateFn(
+            init=lambda _key: None,
+            accumulate_block=accumulate,
+            merge=merge,
+            finalize=lambda acc: acc,
+            name="minmax",
+        )
+
+    mm = ds.aggregate(make_minmax())["minmax"]
+    lo, hi = mm[0], mm[1]
+    scale = (hi - lo) / 255.0
+    safe = np.where(scale > 0, scale, 1.0)
+    bref = ray.put((lo, scale, safe))
+
+    class Partial:
+        def __init__(self):
+            self.lo, self.scale, self.safe = ray.get(bref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _emb_matrix(batch)
+            d = self.lo.shape[0]
+            if m.shape[0] == 0:
+                z = pa.array([], type=pa.int64())
+                return pa.table({"dim_idx": z, "n": z, "sqerr_fp": z, "maxerr_fp": z})
+            q = np.clip(np.rint((m - self.lo) / self.safe), 0, 255)
+            recon = self.lo + q * self.scale
+            err = np.abs(m - recon)
+            sq_fp = np.floor(err * err * SQ8_FP + 0.5).astype(np.int64)
+            mx_fp = np.floor(err * SQ8_FP + 0.5).astype(np.int64)
+            return pa.table(
+                {
+                    "dim_idx": pa.array(np.arange(d, dtype=np.int64), type=pa.int64()),
+                    "n": pa.array(np.full(d, m.shape[0], dtype=np.int64), type=pa.int64()),
+                    "sqerr_fp": pa.array(sq_fp.sum(axis=0), type=pa.int64()),
+                    "maxerr_fp": pa.array(mx_fp.max(axis=0), type=pa.int64()),
+                }
+            )
+
+    agg = (
+        ds.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("dim_idx")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sqerr_fp", alias_name="sqerr_fp"),
+            Max("maxerr_fp", alias_name="maxerr_fp"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        di = t["dim_idx"].to_numpy().astype(np.int64)
+        n = t["n"].to_numpy().astype(np.int64)
+        sq = t["sqerr_fp"].to_numpy().astype(np.int64)
+        mx = t["maxerr_fp"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "dim_idx": pa.array(di, type=pa.int64()),
+                "min_v": pa.array(np.round(lo[di], 9), type=pa.float64()),
+                "max_v": pa.array(np.round(hi[di], 9), type=pa.float64()),
+                "scale": pa.array(np.round(scale[di], 9), type=pa.float64()),
+                "mse": pa.array(np.round(sq / (SQ8_FP * n.astype(np.float64)), 9), type=pa.float64()),
+                "max_abs_err": pa.array(np.round(mx / SQ8_FP, 9), type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("dim_idx")

@@ -543,3 +543,17 @@ def test_simplified_silhouette_bounds_and_consistency(ray_session):
     # the fixture corpus (clusters exist by construction)
     w = (df["mean_silhouette"] * df["n_vecs"]).sum() / df["n_vecs"].sum()
     assert w > 0.0
+
+
+def test_sq8_quantization_error_bound(ray_session):
+    sf = "/root/testdata/sf0.001"
+    df = ann.sq8_quantization_error(sf).to_pandas()
+    emb = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    d = len(emb["embedding"][0].as_py())
+    assert list(df["dim_idx"]) == list(range(d))
+    # quantization error is bounded by half a level everywhere in-range
+    half = df["scale"].to_numpy() / 2.0
+    assert (df["max_abs_err"].to_numpy() <= half + 1e-9).all()
+    assert (df["mse"].to_numpy() <= half**2 + 1e-9).all()
+    assert (df["mse"] >= 0).all() and (df["scale"] >= 0).all()
+    assert (df["max_v"] >= df["min_v"]).all()
