@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ---
         "token_stats": text.token_stats,
         "sequence_packing": text.sequence_packing,
+        "corpus_flagship": text.corpus_flagship,
         "packing_stats": text.packing_stats,
         "length_bucket_padding": text.length_bucket_padding,
         "vocab_coverage_curve": text.vocab_coverage_curve,
@@ -1160,6 +1161,23 @@ SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars
         "sequence_packing": f"""
 WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
 c AS (SELECT doc_id, n_tok, SUM(n_tok) OVER (ORDER BY doc_id) AS cum FROM t)
+SELECT doc_id, n_tok, CAST(cum - n_tok AS BIGINT) AS start_tok,
+       CAST((cum - n_tok) // {text.PACK_CTX} AS BIGINT) AS first_seq,
+       CAST((cum - 1) // {text.PACK_CTX} AS BIGINT) AS last_seq,
+       CAST((cum - 1) // {text.PACK_CTX} - (cum - n_tok) // {text.PACK_CTX} + 1 AS BIGINT) AS n_seqs
+FROM c ORDER BY doc_id""",
+        "corpus_flagship": f"""
+WITH f AS (
+  SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         length(text) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+         (contains(text, '{{') OR contains(lower(text), 'lorem ipsum')) AS spam
+  FROM documents),
+k AS (SELECT doc_id, text, n_tok FROM f
+      WHERE n_tok >= {text.FUNNEL_MIN_TOK} AND n_tok <= {text.FUNNEL_MAX_TOK}
+        AND n_alpha * 2 >= n_chars AND NOT spam),
+d AS (SELECT md5(text) AS h, min(doc_id) AS doc_id, min(n_tok) AS n_tok FROM k GROUP BY 1),
+c AS (SELECT doc_id, n_tok, SUM(n_tok) OVER (ORDER BY doc_id) AS cum FROM d)
 SELECT doc_id, n_tok, CAST(cum - n_tok AS BIGINT) AS start_tok,
        CAST((cum - n_tok) // {text.PACK_CTX} AS BIGINT) AS first_seq,
        CAST((cum - 1) // {text.PACK_CTX} AS BIGINT) AS last_seq,

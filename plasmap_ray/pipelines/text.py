@@ -1001,12 +1001,16 @@ def _doc_token_counts(sf_dir: str) -> rd.Dataset:
 
 
 def _pack_manifest(sf_dir: str, ctx: int) -> rd.Dataset:
+    return _pack_manifest_from(_doc_token_counts(sf_dir), ctx)
+
+
+def _pack_manifest_from(tok: rd.Dataset, ctx: int) -> rd.Dataset:
     """Distributed prefix scan over doc_id order (the global_row_numbers
-    two-pass shape): (1) per-bin token sums -> tiny bins-sized aggregate
-    whose cumsum is each bin's global token OFFSET (broadcast dict);
-    (2) bin-keyed regroup sorts locally and adds the offset.  The only
-    exchange is the bin regroup; nothing global ever sorts."""
-    tok = _doc_token_counts(sf_dir)
+    two-pass shape) on any (doc_id, n_tok, bin) dataset: (1) per-bin
+    token sums -> tiny bins-sized aggregate whose cumsum is each bin's
+    global token OFFSET (broadcast dict); (2) bin-keyed regroup sorts
+    locally and adds the offset.  The only exchange is the bin regroup;
+    nothing global ever sorts."""
 
     bins = (
         tok.map_batches(
@@ -1021,8 +1025,15 @@ def _pack_manifest(sf_dir: str, ctx: int) -> rd.Dataset:
         .groupby("bin")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
-        .sort_values("bin")
     )
+    if len(bins) == 0:  # nothing survived upstream: typed empty manifest
+        z = pa.array([], type=pa.int64())
+        return rd.from_arrow(
+            pa.table(
+                {"doc_id": z, "n_tok": z, "start_tok": z, "first_seq": z, "last_seq": z, "n_seqs": z}
+            )
+        )
+    bins = bins.sort_values("bin")
     offs = dict(
         zip(
             bins["bin"].astype(np.int64),
@@ -1218,3 +1229,72 @@ def filter_funnel(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def corpus_flagship(sf_dir: str, ctx: int = PACK_CTX) -> rd.Dataset:
+    """The canonical pretraining-data pipeline as ONE streaming DAG:
+    quality filter (the four STRUCTURAL filter_funnel rules: token
+    bounds, alpha-majority, spam markers — the terminal-punctuation
+    style rule stays an audit-only signal, filter_funnel reports it
+    dropping 100% of this synthetic corpus) → exact content dedup
+    (md5(text), smallest doc_id survives) → concatenate-and-chunk
+    sequence-packing manifest over the survivors.  What a user of this
+    engine actually runs before a training job, end to end.
+
+    Scale shape: stage 1 is map-only (flags + md5 vectorized; text is
+    consumed in-stage and never shuffles); stage 2 shuffles 48-byte
+    (hash, doc_id, n_tok) rows once, and the aggregate IS the
+    survivorship (duplicates share n_tok by construction, so Min folds
+    both columns); stage 3 is the two-pass prefix scan (bin-bounded).
+    Output: the packing manifest (doc_id, n_tok, start_tok, first_seq,
+    last_seq, n_seqs) of the kept corpus.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Min
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def keep_and_hash(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        n_tok = pc.list_value_length(pc.split_pattern(txt, " ")).to_numpy().astype(np.int64)
+        n_chars = pc.utf8_length(txt).to_numpy().astype(np.int64)
+        n_alpha = pc.count_substring_regex(txt, "[A-Za-z]").to_numpy().astype(np.int64)
+        spam = pc.or_(
+            pc.match_substring(txt, "{"),
+            pc.match_substring(pc.utf8_lower(txt), "lorem ipsum"),
+        ).to_numpy(zero_copy_only=False)
+        keep = (
+            (n_tok >= FUNNEL_MIN_TOK)
+            & (n_tok <= FUNNEL_MAX_TOK)
+            & (n_alpha * 2 >= n_chars)
+            & ~spam
+        )
+        idx = np.nonzero(keep)[0]
+        sub = txt.take(pa.array(idx))
+        h = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in sub.to_pylist()]
+        return pa.table(
+            {
+                "h": pa.array(h, type=pa.string()),
+                "doc_id": t["doc_id"].take(pa.array(idx)),
+                "n_tok": pa.array(n_tok[idx], type=pa.int64()),
+            }
+        )
+
+    surv = (
+        ds.map_batches(keep_and_hash, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Min("n_tok", alias_name="n_tok"))
+    )
+
+    def to_tok(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, type=pa.int64()),
+                "n_tok": pc.cast(t["n_tok"], pa.int64()),
+                "bin": pa.array(doc // PACK_BIN_DOCS, type=pa.int64()),
+            }
+        )
+
+    return _pack_manifest_from(surv.map_batches(to_tok, batch_format="pyarrow"), ctx)

@@ -351,3 +351,39 @@ def test_split_leakage_phash_matches_bruteforce(ray_session):
     assert got == dict(exp)
     # the fixture corpus plants exact duplicates, so SOME leakage exists
     assert sum(got.values()) > 0 or len(d) == len(t["phash"].unique())
+
+
+def test_corpus_flagship_dedups_and_tiles(ray_session):
+    man = text.corpus_flagship(SF0001).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    docs = pq.read_table(os.path.join(SF0001, "documents.parquet"), columns=["doc_id", "text"]).to_pandas()
+    # survivors are a subset; exact duplicates collapse to the smallest doc_id
+    import hashlib
+
+    docs["h"] = docs["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest())
+    n_tok = docs["text"].str.split(" ").map(len)
+    keep = (n_tok >= text.FUNNEL_MIN_TOK) & (n_tok <= text.FUNNEL_MAX_TOK)
+    alpha = docs["text"].str.count("[A-Za-z]")
+    keep &= alpha * 2 >= docs["text"].str.len()
+    keep &= ~(docs["text"].str.contains("{", regex=False) | docs["text"].str.lower().str.contains("lorem ipsum"))
+    exp_ids = sorted(docs[keep].groupby("h")["doc_id"].min())
+    assert list(man["doc_id"]) == exp_ids
+    assert len(man) <= keep.sum()  # duplicates (if any at this SF) collapse
+    # manifest tiles the survivor stream with no gaps
+    ends = (man["start_tok"] + man["n_tok"]).to_numpy()
+    assert man["start_tok"].iloc[0] == 0
+    assert (man["start_tok"].to_numpy()[1:] == ends[:-1]).all()
+
+
+def test_pack_manifest_empty_input_is_typed(ray_session, tmp_path):
+    # a corpus where nothing survives must yield a typed empty manifest
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": pa.array(["a b", "c d"], type=pa.string()),  # too short
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    out = text.corpus_flagship(str(tmp_path))
+    assert out.count() == 0
+    # typed empty: schema survives even with zero rows
+    assert out.schema().names == ["doc_id", "n_tok", "start_tok", "first_seq", "last_seq", "n_seqs"]
