@@ -387,3 +387,32 @@ def test_pack_manifest_empty_input_is_typed(ray_session, tmp_path):
     assert out.count() == 0
     # typed empty: schema survives even with zero rows
     assert out.schema().names == ["doc_id", "n_tok", "start_tok", "first_seq", "last_seq", "n_seqs"]
+
+
+def test_packing_formula_property():
+    """Pure-kernel property: the closed-form (first_seq, last_seq) must
+    equal brute-force token-level chunk assignment for any token-count
+    sequence and any ctx."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=60),
+        st.integers(min_value=1, max_value=4096),
+    )
+    def check(n_toks, ctx):
+        n = np.asarray(n_toks, dtype=np.int64)
+        end = np.cumsum(n)
+        start = end - n
+        first, last = start // ctx, (end - 1) // ctx
+        # brute force: which chunk holds each doc's first and last token
+        stream = np.repeat(np.arange(len(n)), n)  # doc id per token
+        chunk = np.arange(len(stream)) // ctx
+        for i in range(len(n)):
+            toks = np.nonzero(stream == i)[0]
+            assert chunk[toks[0]] == first[i]
+            assert chunk[toks[-1]] == last[i]
+            assert last[i] - first[i] + 1 == len(np.unique(chunk[toks]))
+
+    check()
