@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": windows.weighted_sample,
         "hash_split_counts": dedup.hash_split_counts,
         "filter_funnel": text.filter_funnel,
+        "incremental_md5_dedup": dedup.incremental_md5_dedup,
         "ohlc_hourly": windows.ohlc_hourly,
         "audio_pitch_histogram": multimodal.audio_pitch_histogram,
         "price_band_pairs": relational.price_band_pairs,
@@ -1340,6 +1341,9 @@ FROM grams JOIN gc USING (g) GROUP BY doc_id""",
         "exact_dedup": """
 SELECT doc_id % 400 AS dup_key, min(doc_id) AS first_doc_id, count(*) AS n_dups FROM documents GROUP BY 1""",
         "text_md5_dedup": """
+SELECT md5(text) AS text_md5, min(doc_id) AS first_doc_id, count(*) AS n_copies FROM documents GROUP BY 1""",
+        # the incremental manifest-merge must equal the batch recompute
+        "incremental_md5_dedup": """
 SELECT md5(text) AS text_md5, min(doc_id) AS first_doc_id, count(*) AS n_copies FROM documents GROUP BY 1""",
         # mirrors dedup.dedup_survivorship: longest copy survives,
         # ties to the smallest doc_id

@@ -924,3 +924,45 @@ def dedup_manifest(sf_dir: str, sim_threshold: float = 0.8, num_partitions: int 
         )
 
     return assembled.map_batches(finish, batch_format="pyarrow")
+
+
+def incremental_md5_dedup(sf_dir: str) -> rd.Dataset:
+    """INCREMENTAL exact-dedup manifest merge — the daily-crawl shape:
+    the corpus arrives as an OLD shard (doc_id < split) whose manifest
+    already exists and a NEW increment; instead of recomputing over the
+    union, each shard builds its own (text_md5, first_doc_id, n_copies)
+    manifest and the two manifests merge with one hash-keyed aggregate
+    (Min folds first-wins, Sum folds counts).  The result must be
+    IDENTICAL to the batch recompute (text_md5_dedup's oracle verifies
+    exactly that), which is the invariant that makes manifest-merge a
+    safe substitute for full reprocessing at 100 TB.
+
+    Scale shape: per-shard manifests shuffle hash-keyed rows once each
+    (bounded by distinct content); the merge aggregate moves manifest
+    rows, never documents — an increment costs O(increment + manifest),
+    not O(corpus).  Split = half the id space (deterministic; stands in
+    for yesterday/today).
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    split = (int(ds.max("doc_id")) + 1) // 2
+
+    def shard_manifest(part: rd.Dataset) -> rd.Dataset:
+        def add_md5(t: pa.Table) -> pa.Table:
+            h = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t["text"].to_pylist()]
+            return t.drop_columns(["text"]).append_column("text_md5", pa.array(h, type=pa.string()))
+
+        return (
+            part.map_batches(add_md5, batch_format="pyarrow")
+            .groupby("text_md5")
+            .aggregate(Min("doc_id", alias_name="first_doc_id"), Count(alias_name="n_copies"))
+        )
+
+    old = shard_manifest(ds.filter(expr=f"doc_id < {split}"))
+    new = shard_manifest(ds.filter(expr=f"doc_id >= {split}"))
+    return (
+        old.union(new)
+        .groupby("text_md5")
+        .aggregate(Min("first_doc_id", alias_name="first_doc_id"), Sum("n_copies", alias_name="n_copies"))
+    )

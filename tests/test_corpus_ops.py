@@ -416,3 +416,32 @@ def test_packing_formula_property():
             assert last[i] - first[i] + 1 == len(np.unique(chunk[toks]))
 
     check()
+
+
+def test_incremental_md5_dedup_equals_batch(ray_session):
+    from plasmap_ray.pipelines import dedup
+
+    inc = dedup.incremental_md5_dedup(SF0001).to_pandas().sort_values("text_md5").reset_index(drop=True)
+    bat = dedup.text_md5_dedup(SF0001).to_pandas().sort_values("text_md5").reset_index(drop=True)
+    assert inc.equals(bat)
+
+
+def test_incremental_md5_dedup_cross_split_duplicate(ray_session, tmp_path):
+    # duplicate text straddles the old/new split: first-wins must come
+    # from the OLD shard and the counts must sum across shards
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),  # split = 2
+            "text": pa.array(["same text here", "unique old", "same text here", "unique new"], type=pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    from plasmap_ray.pipelines import dedup
+
+    df = dedup.incremental_md5_dedup(str(tmp_path)).to_pandas()
+    import hashlib
+
+    h = hashlib.md5(b"same text here").hexdigest()
+    row = df[df["text_md5"] == h].iloc[0]
+    assert row["first_doc_id"] == 0 and row["n_copies"] == 2
+    assert len(df) == 3
