@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_multi_topk": lambda sf: ann.ann_multi_topk(sf, k=ANN_K, vec_ids=MULTI_VEC_IDS),
         "ann_lsh_topk": lambda sf: ann.lsh_bucket_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
+        "ann_ivfpq_topk": lambda sf: ann.ivfpq_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
         "ann_filtered_topk": lambda sf: ann.ann_filtered_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
         "pq_encode": ann.pq_encode,
         "embedding_top_pairs": lambda sf: ann.embedding_top_pairs(sf, k=EMB_TOP_PAIRS),
@@ -1858,6 +1859,7 @@ WHERE dist <= {routing.ISO_BUDGET} GROUP BY band""",
         "ngram_jaccard_near_dup": f"SELECT * FROM read_parquet('{golden.ngram_jaccard_path(SF001)}')",
         "ann_lsh_topk": f"SELECT * FROM read_parquet('{golden.ann_lsh_topk_path(SF001, k=ANN_K, vec_id=ANN_QUERY_ID)}')",
         "ann_ivf_topk": f"SELECT * FROM read_parquet('{golden.ann_ivf_topk_path(SF001, k=ANN_K, vec_id=ANN_QUERY_ID)}')",
+        "ann_ivfpq_topk": f"SELECT * FROM read_parquet('{golden.ivfpq_topk_path(SF001, k=ANN_K, vec_id=ANN_QUERY_ID)}')",
         "embedding_near_dup_lsh": (
             "SELECT * FROM read_parquet('"
             + golden.embedding_near_dup_lsh_path(

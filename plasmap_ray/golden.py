@@ -2620,3 +2620,62 @@ def sq8_quantization_error_path(sf_dir: str) -> str:
         )
 
     return _cache(f"sq8_{_sf_tag(sf_dir)}", build)
+
+
+def ivfpq_topk_path(
+    sf_dir: str,
+    k: int = 10,
+    vec_id: int = 1,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 4,
+    ksub: int = 16,
+    iters: int = 8,
+    seed: int = 5,
+    rerank: int = 50,
+) -> str:
+    """Expected (sim_rank, vec_id) of the IVF-PQ composite: sequential
+    recompute with the engine's own Ray-free pure kernels
+    (kmeans_centroids / pq_codebooks / _pq_encode_matrix — the
+    ann_ivf_topk_path convention) and the identical ADC fixed point,
+    candidate cut and tie-breaks."""
+
+    def build() -> pa.Table:
+        from .pipelines.ann import _pq_encode_matrix, kmeans_centroids, pq_codebooks
+
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        cents = kmeans_centroids(m, n_centroids, iters=iters, seed=seed)
+        books = pq_codebooks(m, m=m_sub, ksub=ksub, iters=iters, seed=seed)
+        q = m[list(ids).index(vec_id)]
+        qd = ((cents - q[None, :]) ** 2).sum(axis=1)
+        probe = np.sort(np.argsort(qd, kind="stable")[:nprobe]).astype(np.int64)
+        d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (m @ cents.T)
+        mask = np.isin(d.argmin(axis=1), probe) & (ids != vec_id)
+        cand_ids, cand = ids[mask], m[mask]
+        codes, _ = _pq_encode_matrix(cand, books)
+        ds_sub = q.shape[0] // m_sub
+        lut = np.stack(
+            [((q[j * ds_sub : (j + 1) * ds_sub][None, :] - books[j]) ** 2).sum(axis=1) for j in range(m_sub)]
+        )
+        adc = np.zeros(cand.shape[0], dtype=np.float64)
+        for j in range(m_sub):
+            adc += lut[j][codes[:, j]]
+        adc_fp = np.floor(adc * 1e9 + 0.5).astype(np.int64)
+        keep = np.lexsort((cand_ids, adc_fp))[:rerank]
+        cand_ids, cand = cand_ids[keep], cand[keep]
+        norms = np.linalg.norm(cand, axis=1)
+        sims = (cand @ (q / np.linalg.norm(q))) / np.where(norms == 0, 1.0, norms)
+        order = np.lexsort((cand_ids, -sims))[:k]
+        return pa.table(
+            {
+                "sim_rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "vec_id": pa.array(cand_ids[order], type=pa.int64()),
+            }
+        )
+
+    return _cache(
+        f"ivfpq_{_sf_tag(sf_dir)}_k{k}_v{vec_id}_c{n_centroids}_p{nprobe}_m{m_sub}_q{ksub}_i{iters}_s{seed}_r{rerank}",
+        build,
+    )

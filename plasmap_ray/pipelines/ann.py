@@ -1835,3 +1835,107 @@ def sq8_quantization_error(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow").sort("dim_idx")
+
+
+IVFPQ_RERANK = 50  # ADC candidates kept for the exact re-rank
+
+
+def ivfpq_topk(
+    sf_dir: str,
+    k: int = 10,
+    vec_id: int = 1,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 8,
+    seed: int = 5,
+    rerank: int = IVFPQ_RERANK,
+) -> rd.Dataset:
+    """IVF-PQ composite ANN — the architecture every production vector
+    store runs: IVF coarse quantizer prunes to ``nprobe`` cells, PQ
+    asymmetric-distance (ADC) lookup tables score the survivors from
+    16-bit codes without touching floats, and only the ``rerank`` best
+    ADC candidates get an exact cosine pass.  (Deviation from classic
+    IVF-PQ: codes quantize the raw vectors, not per-cell residuals —
+    documented, keeps codebooks shared across cells.)
+
+    Scale shape: centroids + codebooks train on a driver-side sample
+    (the ivf_topk discipline) and broadcast with the (m, ksub) ADC
+    table; the probe+ADC pass is map-only and keeps ≤ rerank rows per
+    batch (embedding attached), so the only exchange is the tiny
+    candidate sort; the exact re-rank touches ≤ rerank vectors total.
+    Determinism: ADC distances are pure float64 formulas fixed-pointed
+    at 1e9 for the candidate cut, ties broken by vec_id everywhere.
+    Output: (sim_rank, vec_id) like ann_topk.
+    """
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(_emb_path(sf_dir), columns=["embedding"])
+    sample = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    cents = kmeans_centroids(sample, n_centroids, iters=iters, seed=seed)
+    books = pq_codebooks(sample, m=m, ksub=ksub, iters=iters, seed=seed)
+    q = query_vector(sf_dir, vec_id)
+    qd = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe = np.sort(np.argsort(qd, kind="stable")[:nprobe]).astype(np.int64)
+    ds_sub = q.shape[0] // m
+    lut = np.stack(
+        [((q[j * ds_sub : (j + 1) * ds_sub][None, :] - books[j]) ** 2).sum(axis=1) for j in range(m)]
+    )  # (m, ksub)
+    bref = ray.put((cents, books, lut, probe, q / np.linalg.norm(q)))
+
+    class ProbeADC:
+        def __init__(self):
+            self.c, self.books, self.lut, self.probe, self.qn = ray.get(bref)
+            self.cn2 = (self.c * self.c).sum(axis=1)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _emb_matrix(batch)
+            ids = batch["vec_id"].to_numpy().astype(np.int64)
+            d = self.cn2[None, :] - 2.0 * (mat @ self.c.T)
+            mask = np.isin(d.argmin(axis=1), self.probe) & (ids != vec_id)
+            ids, mat = ids[mask], mat[mask]
+            if mat.shape[0] == 0:
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "adc_fp": pa.array([], type=pa.int64()),
+                        "embedding": pa.array([], type=pa.list_(pa.float64())),
+                    }
+                )
+            codes, _ = _pq_encode_matrix(mat, self.books)
+            adc = np.zeros(mat.shape[0], dtype=np.float64)
+            for j in range(len(self.books)):
+                adc += self.lut[j][codes[:, j]]
+            adc_fp = np.floor(adc * 1e9 + 0.5).astype(np.int64)
+            # per-batch candidate cut: keep the rerank best (adc, vec_id)
+            order = np.lexsort((ids, adc_fp))[:rerank]
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids[order], type=pa.int64()),
+                    "adc_fp": pa.array(adc_fp[order], type=pa.int64()),
+                    "embedding": pa.array(list(mat[order]), type=pa.list_(pa.float64())),
+                }
+            )
+
+    cands = (
+        _read_emb(sf_dir)
+        .map_batches(ProbeADC, batch_format="pyarrow", concurrency=(1, 4))
+        .sort(["adc_fp", "vec_id"])
+        .limit(rerank)
+    )
+
+    def exact(batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        qn = q / np.linalg.norm(q)
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ qn) / np.where(norms == 0, 1.0, norms)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "sim": pa.array(sims, type=pa.float64()),
+            }
+        )
+
+    scored = cands.map_batches(exact, batch_format="pyarrow")
+    return ranked_head(scored, ["sim", "vec_id"], "sim_rank", k)

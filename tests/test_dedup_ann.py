@@ -557,3 +557,16 @@ def test_sq8_quantization_error_bound(ray_session):
     assert (df["mse"].to_numpy() <= half**2 + 1e-9).all()
     assert (df["mse"] >= 0).all() and (df["scale"] >= 0).all()
     assert (df["max_v"] >= df["min_v"]).all()
+
+
+def test_ivfpq_topk_recall_vs_exact(ray_session):
+    sf = "/root/testdata/sf0.001"
+    approx = ann.ivfpq_topk(sf, k=10, vec_id=1).to_pandas()
+    exact = ann.ann_topk(sf, k=10, vec_id=1).to_pandas()
+    assert list(approx.columns) == ["sim_rank", "vec_id"]
+    assert list(approx["sim_rank"]) == list(range(1, len(approx) + 1))
+    # recall@10 of the composite index against brute-force cosine
+    recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / len(exact)
+    assert recall >= 0.5  # coarse-probe + 16-bit codes + exact re-rank
+    # the top-1 survives quantization on this corpus
+    assert exact["vec_id"].iloc[0] in set(approx["vec_id"])
