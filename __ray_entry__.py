@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_counts": dedup.hash_split_counts,
         "filter_funnel": text.filter_funnel,
         "incremental_md5_dedup": dedup.incremental_md5_dedup,
+        "cdc_chunk_dedup": dedup.cdc_chunk_dedup,
         "ohlc_hourly": windows.ohlc_hourly,
         "audio_pitch_histogram": multimodal.audio_pitch_histogram,
         "price_band_pairs": relational.price_band_pairs,
@@ -1343,6 +1344,7 @@ FROM grams JOIN gc USING (g) GROUP BY doc_id""",
 SELECT doc_id % 400 AS dup_key, min(doc_id) AS first_doc_id, count(*) AS n_dups FROM documents GROUP BY 1""",
         "text_md5_dedup": """
 SELECT md5(text) AS text_md5, min(doc_id) AS first_doc_id, count(*) AS n_copies FROM documents GROUP BY 1""",
+        "cdc_chunk_dedup": f"SELECT * FROM read_parquet('{golden.cdc_chunk_dedup_path(SF001)}')",
         # the incremental manifest-merge must equal the batch recompute
         "incremental_md5_dedup": """
 SELECT md5(text) AS text_md5, min(doc_id) AS first_doc_id, count(*) AS n_copies FROM documents GROUP BY 1""",

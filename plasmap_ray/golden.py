@@ -2679,3 +2679,44 @@ def ivfpq_topk_path(
         f"ivfpq_{_sf_tag(sf_dir)}_k{k}_v{vec_id}_c{n_centroids}_p{nprobe}_m{m_sub}_q{ksub}_i{iters}_s{seed}_r{rerank}",
         build,
     )
+
+
+def cdc_chunk_dedup_path(sf_dir: str) -> str:
+    """Expected shared-chunk table of the content-defined chunking
+    dedup: sequential recompute using the engine's Ray-free boundary
+    kernel (`dedup._cdc_boundaries` — pure numpy, the
+    ann_ivf_topk_path shared-kernel convention) and the identical md5
+    chunk hashing and count folds."""
+
+    def build() -> pa.Table:
+        import hashlib as _hl
+        from collections import Counter, defaultdict
+
+        from .pipelines.dedup import _cdc_boundaries
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        occ: Counter = Counter()
+        docs = defaultdict(set)
+        size: dict[str, int] = {}
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            raw = s.encode("utf-8")
+            b = np.frombuffer(raw, dtype=np.uint8)
+            cuts = _cdc_boundaries(b)
+            starts = np.concatenate([[0], cuts])
+            ends = np.concatenate([cuts, [len(raw)]])
+            for st, en in zip(starts, ends):
+                h = _hl.md5(raw[st:en]).hexdigest()
+                occ[h] += 1
+                docs[h].add(did)
+                size[h] = max(size.get(h, 0), int(en - st))
+        keep = sorted(h for h, n in occ.items() if n > 1)
+        return pa.table(
+            {
+                "chunk_hash": pa.array(keep, type=pa.string()),
+                "n_occurrences": pa.array([occ[h] for h in keep], type=pa.int64()),
+                "n_docs": pa.array([len(docs[h]) for h in keep], type=pa.int64()),
+                "chunk_bytes": pa.array([size[h] for h in keep], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"cdc_{_sf_tag(sf_dir)}_w{16}_b{6}", build)

@@ -966,3 +966,86 @@ def incremental_md5_dedup(sf_dir: str) -> rd.Dataset:
         .groupby("text_md5")
         .aggregate(Min("first_doc_id", alias_name="first_doc_id"), Sum("n_copies", alias_name="n_copies"))
     )
+
+
+CDC_WINDOW = 16  # rolling-hash window bytes
+CDC_MASK_BITS = 6  # boundary when (h & mask) == 0 -> ~64-byte avg chunks
+CDC_P = np.uint64(1099511628211)  # FNV-ish odd multiplier (mod 2^64 ring)
+
+
+def _cdc_boundaries(b: np.ndarray) -> np.ndarray:
+    """Content-defined boundary positions for one byte array: a
+    polynomial rolling hash over CDC_WINDOW bytes in the mod-2^64 ring
+    (numpy uint64 wraparound IS the modulus), boundary wherever the low
+    CDC_MASK_BITS bits are zero.  Pure vectorized (sliding windows ×
+    precomputed power vector); no min/max clamp at fixture scale —
+    production FastCDC adds normalized chunking on the same hash."""
+    if len(b) < CDC_WINDOW:
+        return np.array([], dtype=np.int64)
+    pw = np.empty(CDC_WINDOW, dtype=np.uint64)
+    pw[-1] = np.uint64(1)
+    for j in range(CDC_WINDOW - 2, -1, -1):
+        pw[j] = pw[j + 1] * CDC_P
+    win = np.lib.stride_tricks.sliding_window_view(b.astype(np.uint64), CDC_WINDOW)
+    h = (win * pw[None, :]).sum(axis=1, dtype=np.uint64)
+    mask = np.uint64((1 << CDC_MASK_BITS) - 1)
+    # boundary AFTER the window end: cut points in (0, len)
+    pos = np.nonzero((h & mask) == np.uint64(0))[0] + CDC_WINDOW
+    return pos[pos < len(b)].astype(np.int64)
+
+
+def cdc_chunk_dedup(sf_dir: str) -> rd.Dataset:
+    """Storage-level dedup view: split every document at CONTENT-DEFINED
+    boundaries (rolling hash, so an insertion only reshapes chunks near
+    the edit — the property fixed-size blocks lack) and report chunks
+    appearing more than once across the corpus.  This is the
+    backup/blob-store dedup primitive beside the shingle (similarity)
+    view: shared chunks = byte ranges a chunk store would store once.
+
+    Scale shape: chunking + chunk-hashing is map-only (text consumed
+    in-stage); ONE (chunk_hash, doc_id)-keyed groupby collapses
+    within-doc repeats, then ONE chunk_hash groupby folds occurrence /
+    doc / byte counts — both exchanges carry 48-byte metadata rows
+    bounded by chunk count, never text.  Output: (chunk_hash,
+    n_occurrences, n_docs, chunk_bytes) for chunks with n_occurrences
+    > 1, sorted.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        out_h, out_d, out_b = [], [], []
+        ids = t["doc_id"].to_numpy()
+        for did, s in zip(ids, t["text"].to_pylist()):
+            raw = s.encode("utf-8")
+            b = np.frombuffer(raw, dtype=np.uint8)
+            cuts = _cdc_boundaries(b)
+            starts = np.concatenate([[0], cuts])
+            ends = np.concatenate([cuts, [len(raw)]])
+            for st, en in zip(starts, ends):
+                out_h.append(hashlib.md5(raw[st:en]).hexdigest())
+                out_d.append(int(did))
+                out_b.append(int(en - st))
+        return pa.table(
+            {
+                "chunk_hash": pa.array(out_h, type=pa.string()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "chunk_bytes": pa.array(out_b, type=pa.int64()),
+            }
+        )
+
+    per_doc = (
+        ds.map_batches(chunk, batch_format="pyarrow")
+        .groupby(["chunk_hash", "doc_id"])
+        .aggregate(Count(alias_name="n"), Max("chunk_bytes", alias_name="chunk_bytes"))
+    )
+    agg = (
+        per_doc.groupby("chunk_hash")
+        .aggregate(
+            Sum("n", alias_name="n_occurrences"),
+            Count(alias_name="n_docs"),
+            Max("chunk_bytes", alias_name="chunk_bytes"),
+        )
+    )
+    return agg.filter(expr="n_occurrences > 1").sort("chunk_hash")

@@ -445,3 +445,42 @@ def test_incremental_md5_dedup_cross_split_duplicate(ray_session, tmp_path):
     row = df[df["text_md5"] == h].iloc[0]
     assert row["first_doc_id"] == 0 and row["n_copies"] == 2
     assert len(df) == 3
+
+
+def test_cdc_boundaries_shift_invariance():
+    """The CDC property that motivates content-defined chunking: an
+    insertion near the front only moves boundaries locally — boundaries
+    far past the edit stay at the same CONTENT positions (fixed-size
+    blocks would all shift)."""
+    from plasmap_ray.pipelines.dedup import CDC_WINDOW, _cdc_boundaries
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=4000, dtype=np.uint8)
+    ins = rng.integers(0, 256, size=13, dtype=np.uint8)
+    edited = np.concatenate([base[:100], ins, base[100:]])
+    b0 = set(_cdc_boundaries(base).tolist())
+    b1 = set((_cdc_boundaries(edited) - 13).tolist())
+    far = {p for p in b0 if p > 100 + CDC_WINDOW}
+    # every far boundary survives the edit at its shifted position
+    assert far and far <= b1
+
+
+def test_cdc_chunk_dedup_finds_planted_shared_chunks(ray_session, tmp_path):
+    # two docs share a long middle; unique heads/tails -> the shared
+    # chunks must be reported with n_docs == 2
+    rng = np.random.default_rng(3)
+    mid = "".join(chr(65 + int(c)) for c in rng.integers(0, 26, size=2000))
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(["HEAD0 " + mid, "HEAD1111 " + mid, "totally unrelated"], type=pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    from plasmap_ray.pipelines import dedup as dd
+
+    df = dd.cdc_chunk_dedup(str(tmp_path)).to_pandas()
+    assert len(df) > 0
+    shared2 = df[df["n_docs"] == 2]
+    assert len(shared2) > 0  # interior chunks of the common middle
+    assert (df["n_occurrences"] >= df["n_docs"]).all()
