@@ -115,6 +115,64 @@ def ensure_bench_images(n: int) -> str:
     return root
 
 
+N_DOCS_BENCH = int(os.environ.get("GRAFT_BENCH_DOCS", "1000000"))
+
+
+def ensure_bench_docs(n: int) -> str:
+    """Generate-once (Ray-parallel) 1M-doc synthetic corpus under /tmp
+    for the text-flagship bench row: deterministic integer-hash word
+    sequences (vocab 1000, 50-350 tokens/doc), ~5% planted exact
+    duplicates (doc_id % 20 == 7 copies doc_id - 7), every text ending
+    without terminal punctuation is irrelevant here — corpus_flagship's
+    structural rules keep these docs.  Returns the directory usable as
+    an sf_dir (documents.parquet inside)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    root = f"/tmp/plasmap_fixtures/docs_bench_v1_n{n}"
+    marker = os.path.join(root, "_SUCCESS")
+    if os.path.exists(marker):
+        return root
+
+    # alphabetic words (digits would fail the alpha-majority rule)
+    VOCAB = np.array(
+        ["w" + chr(97 + i // 676) + chr(97 + (i // 26) % 26) + chr(97 + i % 26) for i in range(1000)]
+    )
+
+    def gen(t) -> "pa.Table":
+        ids = t["id"].to_numpy().astype(np.int64)
+        eff = np.where(ids % 20 == 7, ids - 7, ids)
+        texts = []
+        K1 = np.uint64(6364136223846793005)
+        K2 = np.uint64(1442695040888963407)
+        for e in eff:
+            L = 50 + int((e * 2654435761) % 300)
+            j = np.arange(L, dtype=np.uint64)
+            h = np.uint64(e) * K1 + j * K2  # mod-2^64 mix: texts distinct per id
+            h ^= h >> np.uint64(33)
+            texts.append(" ".join(VOCAB[(h % np.uint64(1000)).astype(np.int64)]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    import shutil
+
+    tmp = root + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    ds = rd.range(n, override_num_blocks=max(32, NUM_CPUS * 4)).map_batches(gen, batch_format="pyarrow")
+    ds.write_parquet(os.path.join(tmp, "documents.parquet"))
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    os.replace(tmp, root)
+    return root
+
+
 def run_queries() -> dict:
     import ray
     import ray.data as rd
@@ -313,6 +371,20 @@ def run_queries() -> dict:
         return dedup.minhash_near_dup(SF_DIR).count()
 
     timed("minhash_near_dup", minhash)
+
+    # LLM-corpus flagship at volume: quality filter -> md5 exact dedup
+    # -> sequence-packing manifest over a generated 1M-doc corpus
+    # (~200M tokens).  Generation is once-per-host and untimed, like
+    # the image table.
+    if not only or "corpus_flagship" in only:
+        docs_dir = ensure_bench_docs(N_DOCS_BENCH)
+
+        def corpus_flagship_row():
+            from plasmap_ray.pipelines import text
+
+            return text.corpus_flagship(docs_dir).count()
+
+        timed("corpus_flagship", corpus_flagship_row)
 
     # spatial-statistics family at volume: IDW field over the full
     # point cloud against the broadcast 300-site lattice (the rows ×

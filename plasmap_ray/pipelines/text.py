@@ -1190,10 +1190,8 @@ def filter_funnel(sf_dir: str) -> rd.Dataset:
         n_chars = pc.utf8_length(txt).to_numpy().astype(np.int64)
         n_alpha = pc.count_substring_regex(txt, "[A-Za-z]").to_numpy().astype(np.int64)
         endp = pc.match_substring_regex(txt, r"[.!?]$").to_numpy(zero_copy_only=False)
-        spam = pc.or_(
-            pc.match_substring(txt, "{"),
-            pc.match_substring(pc.utf8_lower(txt), "lorem ipsum"),
-        ).to_numpy(zero_copy_only=False)
+        # one RE2 scan == contains('{') OR contains(lower(text), 'lorem ipsum')
+        spam = pc.match_substring_regex(txt, r"\{|(?i)lorem ipsum").to_numpy(zero_copy_only=False)
         r1 = n_tok < FUNNEL_MIN_TOK
         r2 = ~r1 & (n_tok > FUNNEL_MAX_TOK)
         r3 = ~r1 & ~r2 & (n_alpha * 2 < n_chars)
@@ -1260,10 +1258,7 @@ def corpus_flagship(sf_dir: str, ctx: int = PACK_CTX) -> rd.Dataset:
         n_tok = pc.list_value_length(pc.split_pattern(txt, " ")).to_numpy().astype(np.int64)
         n_chars = pc.utf8_length(txt).to_numpy().astype(np.int64)
         n_alpha = pc.count_substring_regex(txt, "[A-Za-z]").to_numpy().astype(np.int64)
-        spam = pc.or_(
-            pc.match_substring(txt, "{"),
-            pc.match_substring(pc.utf8_lower(txt), "lorem ipsum"),
-        ).to_numpy(zero_copy_only=False)
+        spam = pc.match_substring_regex(txt, r"\{|(?i)lorem ipsum").to_numpy(zero_copy_only=False)
         keep = (
             (n_tok >= FUNNEL_MIN_TOK)
             & (n_tok <= FUNNEL_MAX_TOK)
@@ -1272,10 +1267,16 @@ def corpus_flagship(sf_dir: str, ctx: int = PACK_CTX) -> rd.Dataset:
         )
         idx = np.nonzero(keep)[0]
         sub = txt.take(pa.array(idx))
-        h = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in sub.to_pylist()]
+        # the hash never leaves this stage, so key on the two int64
+        # halves of the digest instead of the 32-char hex string — the
+        # same grouping with 4x smaller, integer-comparable sort keys
+        dig = [hashlib.md5(s.encode("utf-8")).digest() for s in sub.to_pylist()]
+        raw = np.frombuffer(b"".join(dig), dtype=">u8").reshape(-1, 2) if dig else np.empty((0, 2), dtype=">u8")
+        h12 = raw.astype(np.uint64).view(np.int64)
         return pa.table(
             {
-                "h": pa.array(h, type=pa.string()),
+                "h1": pa.array(h12[:, 0], type=pa.int64()),
+                "h2": pa.array(h12[:, 1], type=pa.int64()),
                 "doc_id": t["doc_id"].take(pa.array(idx)),
                 "n_tok": pa.array(n_tok[idx], type=pa.int64()),
             }
@@ -1283,7 +1284,7 @@ def corpus_flagship(sf_dir: str, ctx: int = PACK_CTX) -> rd.Dataset:
 
     surv = (
         ds.map_batches(keep_and_hash, batch_format="pyarrow")
-        .groupby("h")
+        .groupby(["h1", "h2"])
         .aggregate(Min("doc_id", alias_name="doc_id"), Min("n_tok", alias_name="n_tok"))
     )
 
@@ -1297,4 +1298,8 @@ def corpus_flagship(sf_dir: str, ctx: int = PACK_CTX) -> rd.Dataset:
             }
         )
 
-    return _pack_manifest_from(surv.map_batches(to_tok, batch_format="pyarrow"), ctx)
+    # materialize the (doc_id, n_tok, bin) survivor table (16 B/row —
+    # ~16 GB per 10^9 survivors, object-store-resident) so the prefix
+    # scan's two consumers don't re-run the md5 dedup DAG twice
+    tok = surv.map_batches(to_tok, batch_format="pyarrow").materialize()
+    return _pack_manifest_from(tok, ctx)
