@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_funnel": text.filter_funnel,
         "incremental_md5_dedup": dedup.incremental_md5_dedup,
         "cdc_chunk_dedup": dedup.cdc_chunk_dedup,
+        "cdc_savings": dedup.cdc_savings,
         "ohlc_hourly": windows.ohlc_hourly,
         "audio_pitch_histogram": multimodal.audio_pitch_histogram,
         "price_band_pairs": relational.price_band_pairs,
@@ -1345,6 +1346,7 @@ SELECT doc_id % 400 AS dup_key, min(doc_id) AS first_doc_id, count(*) AS n_dups 
         "text_md5_dedup": """
 SELECT md5(text) AS text_md5, min(doc_id) AS first_doc_id, count(*) AS n_copies FROM documents GROUP BY 1""",
         "cdc_chunk_dedup": f"SELECT * FROM read_parquet('{golden.cdc_chunk_dedup_path(SF001)}')",
+        "cdc_savings": f"SELECT * FROM read_parquet('{golden.cdc_savings_path(SF001)}')",
         # the incremental manifest-merge must equal the batch recompute
         "incremental_md5_dedup": """
 SELECT md5(text) AS text_md5, min(doc_id) AS first_doc_id, count(*) AS n_copies FROM documents GROUP BY 1""",

@@ -2720,3 +2720,44 @@ def cdc_chunk_dedup_path(sf_dir: str) -> str:
         )
 
     return _cache(f"cdc_{_sf_tag(sf_dir)}_w{16}_b{6}", build)
+
+
+def cdc_savings_path(sf_dir: str) -> str:
+    """Expected one-row CDC storage-savings summary (sequential
+    recompute, cdc_chunk_dedup_path's loop over the FULL census)."""
+
+    def build() -> pa.Table:
+        import hashlib as _hl
+        from collections import Counter
+
+        from .pipelines.dedup import _cdc_boundaries
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+        occ: Counter = Counter()
+        size: dict[str, int] = {}
+        n_chunks = 0
+        total_b = 0
+        for s in t["text"].to_pylist():
+            raw = s.encode("utf-8")
+            b = np.frombuffer(raw, dtype=np.uint8)
+            cuts = _cdc_boundaries(b)
+            starts = np.concatenate([[0], cuts])
+            ends = np.concatenate([cuts, [len(raw)]])
+            for st, en in zip(starts, ends):
+                h = _hl.md5(raw[st:en]).hexdigest()
+                occ[h] += 1
+                size[h] = max(size.get(h, 0), int(en - st))
+                n_chunks += 1
+                total_b += int(en - st)
+        uniq_b = sum(size.values())
+        return pa.table(
+            {
+                "n_chunks": pa.array([n_chunks], type=pa.int64()),
+                "n_unique_chunks": pa.array([len(occ)], type=pa.int64()),
+                "total_bytes": pa.array([total_b], type=pa.int64()),
+                "unique_bytes": pa.array([uniq_b], type=pa.int64()),
+                "dedup_ratio": pa.array([round(total_b / uniq_b, 6)], type=pa.float64()),
+            }
+        )
+
+    return _cache(f"cdc_savings_{_sf_tag(sf_dir)}", build)

@@ -1049,3 +1049,75 @@ def cdc_chunk_dedup(sf_dir: str) -> rd.Dataset:
         )
     )
     return agg.filter(expr="n_occurrences > 1").sort("chunk_hash")
+
+
+def cdc_savings(sf_dir: str) -> rd.Dataset:
+    """One-row storage-savings summary of the CDC view: how many bytes
+    a content-addressed chunk store would hold vs the raw corpus — the
+    number a storage-dedup report leads with.
+
+    Scale shape: the same map-only chunk stream as cdc_chunk_dedup;
+    totals fold map-side (2 ints/batch); uniques need ONE chunk_hash
+    groupby (metadata rows) followed by a 2-int fold.  Output:
+    (n_chunks, n_unique_chunks, total_bytes, unique_bytes,
+    dedup_ratio round 6).
+    """
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        out_h, out_b = [], []
+        for s in t["text"].to_pylist():
+            raw = s.encode("utf-8")
+            b = np.frombuffer(raw, dtype=np.uint8)
+            cuts = _cdc_boundaries(b)
+            starts = np.concatenate([[0], cuts])
+            ends = np.concatenate([cuts, [len(raw)]])
+            for st, en in zip(starts, ends):
+                out_h.append(hashlib.md5(raw[st:en]).hexdigest())
+                out_b.append(int(en - st))
+        return pa.table(
+            {
+                "chunk_hash": pa.array(out_h, type=pa.string()),
+                "chunk_bytes": pa.array(out_b, type=pa.int64()),
+            }
+        )
+
+    chunks = ds.map_batches(chunk, batch_format="pyarrow")
+
+    def totals(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], type=pa.int64()),
+                "b": pa.array([int(np.sum(t["chunk_bytes"].to_numpy()))], type=pa.int64()),
+            }
+        )
+
+    tot = chunks.map_batches(totals, batch_format="pyarrow").sum(["n", "b"])
+    uni = (
+        chunks.groupby("chunk_hash")
+        .aggregate(Max("chunk_bytes", alias_name="chunk_bytes"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array([t.num_rows], type=pa.int64()),
+                    "b": pa.array([int(np.sum(t["chunk_bytes"].to_numpy()))], type=pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sum(["n", "b"])
+    )
+    total_b, uniq_b = int(tot["sum(b)"]), int(uni["sum(b)"])
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_chunks": pa.array([int(tot["sum(n)"])], type=pa.int64()),
+                "n_unique_chunks": pa.array([int(uni["sum(n)"])], type=pa.int64()),
+                "total_bytes": pa.array([total_b], type=pa.int64()),
+                "unique_bytes": pa.array([uniq_b], type=pa.int64()),
+                "dedup_ratio": pa.array([round(total_b / uniq_b, 6)], type=pa.float64()),
+            }
+        )
+    )

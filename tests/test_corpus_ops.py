@@ -484,3 +484,16 @@ def test_cdc_chunk_dedup_finds_planted_shared_chunks(ray_session, tmp_path):
     shared2 = df[df["n_docs"] == 2]
     assert len(shared2) > 0  # interior chunks of the common middle
     assert (df["n_occurrences"] >= df["n_docs"]).all()
+
+
+def test_cdc_savings_consistency(ray_session):
+    from plasmap_ray.pipelines import dedup as dd
+
+    st = dd.cdc_savings(SF0001).to_pandas().iloc[0]
+    assert st["n_unique_chunks"] <= st["n_chunks"]
+    assert st["unique_bytes"] <= st["total_bytes"]
+    assert st["dedup_ratio"] >= 1.0
+    # totals reconcile with the raw corpus byte size
+    docs = pq.read_table(os.path.join(SF0001, "documents.parquet"), columns=["text"]).to_pandas()
+    raw = int(docs["text"].str.encode("utf-8").str.len().sum())
+    assert st["total_bytes"] == raw
