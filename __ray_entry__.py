@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": text.token_stats,
         "sequence_packing": text.sequence_packing,
         "corpus_flagship": text.corpus_flagship,
+        "shuffled_packing": text.shuffled_packing,
         "packing_stats": text.packing_stats,
         "length_bucket_padding": text.length_bucket_padding,
         "vocab_coverage_curve": text.vocab_coverage_curve,
@@ -1182,6 +1183,15 @@ k AS (SELECT doc_id, text, n_tok FROM f
         AND n_alpha * 2 >= n_chars AND NOT spam),
 d AS (SELECT md5(text) AS h, min(doc_id) AS doc_id, min(n_tok) AS n_tok FROM k GROUP BY 1),
 c AS (SELECT doc_id, n_tok, SUM(n_tok) OVER (ORDER BY doc_id) AS cum FROM d)
+SELECT doc_id, n_tok, CAST(cum - n_tok AS BIGINT) AS start_tok,
+       CAST((cum - n_tok) // {text.PACK_CTX} AS BIGINT) AS first_seq,
+       CAST((cum - 1) // {text.PACK_CTX} AS BIGINT) AS last_seq,
+       CAST((cum - 1) // {text.PACK_CTX} - (cum - n_tok) // {text.PACK_CTX} + 1 AS BIGINT) AS n_seqs
+FROM c ORDER BY doc_id""",
+        "shuffled_packing": f"""
+WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                  md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+c AS (SELECT doc_id, n_tok, SUM(n_tok) OVER (ORDER BY h, doc_id) AS cum FROM t)
 SELECT doc_id, n_tok, CAST(cum - n_tok AS BIGINT) AS start_tok,
        CAST((cum - n_tok) // {text.PACK_CTX} AS BIGINT) AS first_seq,
        CAST((cum - 1) // {text.PACK_CTX} AS BIGINT) AS last_seq,

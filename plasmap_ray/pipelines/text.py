@@ -1303,3 +1303,77 @@ def corpus_flagship(sf_dir: str, ctx: int = PACK_CTX) -> rd.Dataset:
     # scan's two consumers don't re-run the md5 dedup DAG twice
     tok = surv.map_batches(to_tok, batch_format="pyarrow").materialize()
     return _pack_manifest_from(tok, ctx)
+
+
+def shuffled_packing(sf_dir: str, ctx: int = PACK_CTX) -> rd.Dataset:
+    """Sequence packing in SHUFFLED order — what a pretraining run
+    actually does: documents are globally shuffled (here the
+    content-stable md5(doc_id) order, the hash_split_counts
+    convention: deterministic, reshard-proof, no RNG state), then
+    concatenated and chunked.  Demonstrates the prefix scan is
+    order-parametric: any total order with a cheap bin prefix works.
+
+    Scale shape: bins are the first two hex chars of the hash (256
+    buckets, hex string order == numeric order since '0'-'9' < 'a'-'f'
+    in ASCII), so pass 1 is a 256-row aggregate and pass 2 regroups by
+    hash prefix and sorts (h, doc_id) locally.  Output: the same
+    manifest columns as sequence_packing.
+    """
+    import hashlib
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.list_value_length(pc.split_pattern(t["text"], " ")), pa.int64())
+        doc = t["doc_id"].to_numpy().astype(np.int64)
+        h = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in doc]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, type=pa.int64()),
+                "n_tok": n,
+                "h": pa.array(h, type=pa.string()),
+                "bin": pa.array([int(x[:2], 16) for x in h], type=pa.int64()),
+            }
+        )
+
+    tok = ds.map_batches(toks, batch_format="pyarrow")
+
+    bins = (
+        tok.map_batches(lambda t: pa.table({"bin": t["bin"], "n": t["n_tok"]}), batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bin")
+    )
+    offs = dict(
+        zip(
+            bins["bin"].astype(np.int64),
+            np.concatenate([[0], np.cumsum(bins["n"].to_numpy(np.int64))[:-1]]),
+        )
+    )
+
+    def number(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table(
+                {"doc_id": z, "n_tok": z, "start_tok": z, "first_seq": z, "last_seq": z, "n_seqs": z}
+            )
+        g = g.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        n = g["n_tok"].to_numpy().astype(np.int64)
+        base = int(offs[int(g["bin"][0].as_py())])
+        end = base + np.cumsum(n)
+        start = end - n
+        first = start // ctx
+        last = (end - 1) // ctx
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_tok": pa.array(n, type=pa.int64()),
+                "start_tok": pa.array(start, type=pa.int64()),
+                "first_seq": pa.array(first, type=pa.int64()),
+                "last_seq": pa.array(last, type=pa.int64()),
+                "n_seqs": pa.array(last - first + 1, type=pa.int64()),
+            }
+        )
+
+    return tok.groupby("bin").map_groups(number, batch_format="pyarrow")

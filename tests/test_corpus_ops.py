@@ -497,3 +497,21 @@ def test_cdc_savings_consistency(ray_session):
     docs = pq.read_table(os.path.join(SF0001, "documents.parquet"), columns=["text"]).to_pandas()
     raw = int(docs["text"].str.encode("utf-8").str.len().sum())
     assert st["total_bytes"] == raw
+
+
+def test_shuffled_packing_is_a_permutation_of_sequential(ray_session):
+    sh = text.shuffled_packing(SF0001).to_pandas()
+    sq = text.sequence_packing(SF0001).to_pandas()
+    # same docs, same token counts, same total stream
+    assert sorted(sh["doc_id"]) == sorted(sq["doc_id"])
+    assert sh["n_tok"].sum() == sq["n_tok"].sum()
+    # the shuffled stream tiles with no gaps in HASH order
+    import hashlib
+
+    sh = sh.assign(h=[hashlib.md5(str(int(i)).encode()).hexdigest() for i in sh["doc_id"]])
+    sh = sh.sort_values(["h", "doc_id"]).reset_index(drop=True)
+    ends = (sh["start_tok"] + sh["n_tok"]).to_numpy()
+    assert sh["start_tok"].iloc[0] == 0
+    assert (sh["start_tok"].to_numpy()[1:] == ends[:-1]).all()
+    # and it is genuinely a different order than doc_id order
+    assert list(sh["doc_id"]) != sorted(sh["doc_id"])
