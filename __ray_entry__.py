@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text.fingerprint,
         "repetition_ratio": text.repetition_ratio,
         "unigram_logprob": text.unigram_logprob,
+        "bigram_lm_score": text.bigram_lm_score,
         "common_ngram_fraction": text.common_ngram_fraction,
         "subword_stats": text.subword_stats,
         "bigram_pmi": text.bigram_pmi,
@@ -264,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_by_token": lambda sf: index.search_by_token(sf, SEARCH_TOKEN),
         "search_ranked": lambda sf: index.search_ranked(sf, tokens=SEARCH_TOKENS, k=SEARCH_K),
         "search_bm25": lambda sf: index.search_bm25(sf, tokens=SEARCH_TOKENS, k=SEARCH_K),
+        "rrf_fusion": lambda sf: index.rrf_fusion(sf, tokens=SEARCH_TOKENS, k=SEARCH_K),
         "token_doc_frequency": lambda sf: index.token_doc_frequency(sf, min_docs=50),
         "anti_search": lambda sf: index.anti_search(sf, SEARCH_TOKEN),
         # --- dedup ---
@@ -272,6 +274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivorship": dedup.dedup_survivorship,
         "minhash_near_dup": dedup.minhash_near_dup,
         "ngram_jaccard_near_dup": dedup.ngram_jaccard_near_dup,
+        "set_similarity_join": dedup.set_similarity_join,
+        "fuzzy_name_match": dedup.fuzzy_name_match,
         "simhash": dedup.simhash_pipeline,
         "near_dup_clusters": cluster.near_dup_clusters,
         "st_dbscan": cluster.st_dbscan,
@@ -327,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_of_gyration": trajectory.radius_of_gyration,
         "cell_transition_matrix": trajectory.cell_transition_matrix,
         "cotravel_pairs": trajectory.cotravel_pairs,
+        "path_crossings": trajectory.path_crossings,
         "home_cells": trajectory.home_cells,
         "getis_ord_hotspots": hotspot.getis_ord_hotspots,
         "local_moran": hotspot.local_moran,
@@ -1342,6 +1347,20 @@ cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
 tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, round(avg(ln(c / t)), 6) AS lm_score
 FROM toks JOIN cnt USING (token) CROSS JOIN tot GROUP BY doc_id""",
+        "bigram_lm_score": f"""
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+toks AS (SELECT doc_id, unnest(w) AS token FROM d),
+cu AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks),
+bi AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM d CROSS JOIN UNNEST(range(1, len(w))) AS r(i)),
+cb AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+lp AS (SELECT bi.doc_id,
+              ln({text.BIGRAM_LAMBDA!r} * (CAST(cb.c AS DOUBLE) / u1.c)
+                 + {1.0 - text.BIGRAM_LAMBDA!r} * (u2.c / tot.t)) AS v
+       FROM bi JOIN cb USING (w1, w2) JOIN cu u1 ON u1.token = bi.w1
+               JOIN cu u2 ON u2.token = bi.w2 CROSS JOIN tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(v), 6) AS lm_score
+FROM lp GROUP BY doc_id""",
         "common_ngram_fraction": """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
 grams AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
@@ -1871,6 +1890,21 @@ WHERE dist <= {routing.ISO_BUDGET} GROUP BY band""",
             + "')"
         ),
         "ngram_jaccard_near_dup": f"SELECT * FROM read_parquet('{golden.ngram_jaccard_path(SF001)}')",
+        "set_similarity_join": f"""
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS shingle
+       FROM d WHERE len(w) >= {dedup.SETSIM_WORDS}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+j AS (SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
+      FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_a JOIN sizes sb ON sb.doc_id = inter.doc_b)
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= {dedup.SETSIM_THRESHOLD!r}""",
+        "fuzzy_name_match": f"""
+SELECT a.p_brand, a.p_partkey AS part_a, b.p_partkey AS part_b,
+       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= {dedup.JW_THRESHOLD!r}""",
         "ann_lsh_topk": f"SELECT * FROM read_parquet('{golden.ann_lsh_topk_path(SF001, k=ANN_K, vec_id=ANN_QUERY_ID)}')",
         "ann_ivf_topk": f"SELECT * FROM read_parquet('{golden.ann_ivf_topk_path(SF001, k=ANN_K, vec_id=ANN_QUERY_ID)}')",
         "ann_ivfpq_topk": f"SELECT * FROM read_parquet('{golden.ivfpq_topk_path(SF001, k=ANN_K, vec_id=ANN_QUERY_ID)}')",
@@ -1953,6 +1987,32 @@ sc AS (SELECT tf.doc_id,
        GROUP BY tf.doc_id)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bm25_rank, doc_id, score
 FROM sc ORDER BY score DESC, doc_id LIMIT {SEARCH_K}""",
+        "rrf_fusion": f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT count(*) FROM toks) AS total),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+       WHERE token IN ({", ".join(f"'{t}'" for t in SEARCH_TOKENS)}) GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+sc1 AS (SELECT tf.doc_id, round(sum(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)), 6) AS score
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN (SELECT n FROM stats) n GROUP BY tf.doc_id),
+r1 AS (SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r, doc_id
+       FROM sc1 ORDER BY score DESC, doc_id LIMIT {SEARCH_K}),
+sc2 AS (SELECT tf.doc_id,
+        round(sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / (CAST(stats.total AS DOUBLE) / stats.n))))), 6) AS score
+        FROM tf JOIN df ON tf.token = df.token JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+        GROUP BY tf.doc_id),
+r2 AS (SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r, doc_id
+       FROM sc2 ORDER BY score DESC, doc_id LIMIT {SEARCH_K}),
+u AS (SELECT doc_id FROM r1 UNION SELECT doc_id FROM r2),
+f AS (SELECT u.doc_id,
+        round(coalesce(1.0 / ({index.RRF_K} + r1.r), 0.0) + coalesce(1.0 / ({index.RRF_K} + r2.r), 0.0), 6) AS rrf,
+        coalesce(r1.r, 0) AS r_tfidf, coalesce(r2.r, 0) AS r_bm25
+      FROM u LEFT JOIN r1 USING (doc_id) LEFT JOIN r2 USING (doc_id))
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS fusion_rank,
+       doc_id, rrf AS rrf_score, CAST(r_tfidf AS BIGINT) AS r_tfidf, CAST(r_bm25 AS BIGINT) AS r_bm25
+FROM f ORDER BY rrf DESC, doc_id""",
         "image_fidelity": f"""
 SELECT fmt, count(*) AS n_images, count(*) AS n_ok FROM {img_pq} GROUP BY fmt""",
         "phash_near_dup_pairs": f"""
@@ -2310,6 +2370,23 @@ FROM slots a JOIN slots b USING (cx, cy, day)
 WHERE a.user_id < b.user_id
 GROUP BY 1, 2 HAVING count(*) >= {trajectory.COTRAVEL_MIN_SHARED}
 ORDER BY 1, 2""",
+        "path_crossings": f"""
+WITH {_epts},
+seg AS (
+  SELECT user_id, event_id AS seg_id, lon AS x1, lat AS y1,
+         lead(lon) OVER w AS x2, lead(lat) OVER w AS y2
+  FROM epts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT * FROM seg
+      WHERE x2 IS NOT NULL
+        AND sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) < {trajectory.CROSS_MAX_SEG!r}),
+x AS (SELECT a.user_id AS ua, b.user_id AS ub
+      FROM s a JOIN s b ON a.seg_id < b.seg_id AND a.user_id <> b.user_id
+      WHERE ((b.x1 - a.x1) * (a.y2 - a.y1) - (b.y1 - a.y1) * (a.x2 - a.x1))
+            * ((b.x2 - a.x1) * (a.y2 - a.y1) - (b.y2 - a.y1) * (a.x2 - a.x1)) < 0
+        AND ((a.x1 - b.x1) * (b.y2 - b.y1) - (a.y1 - b.y1) * (b.x2 - b.x1))
+            * ((a.x2 - b.x1) * (b.y2 - b.y1) - (a.y2 - b.y1) * (b.x2 - b.x1)) < 0)
+SELECT least(ua, ub) AS user_a, greatest(ua, ub) AS user_b, count(*) AS n_crossings
+FROM x GROUP BY 1, 2""",
         "cell_transition_matrix": f"""
 WITH {_epts},
 sc AS (

@@ -1121,3 +1121,262 @@ def cdc_savings(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PPJoin-style COMPLETE exact set-similarity self-join (documents)
+# ---------------------------------------------------------------------------
+
+SETSIM_WORDS = 3  # word 3-gram shingles (SQL mirror: list comprehension)
+SETSIM_THRESHOLD = 0.6
+SETSIM_SHARDS = 32
+
+
+def _shingle_key64(shingles: list[str]) -> np.ndarray:
+    """Stable 64-bit shuffle key per shingle string (md5 prefix).
+
+    Collisions only MERGE runs in the pair scan (extra candidates,
+    verified exactly) — they can never lose a pair, so the key needs
+    stability, not injectivity."""
+    out = np.empty(len(shingles), dtype=np.int64)
+    for i, s in enumerate(shingles):
+        out[i] = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big", signed=True)
+    return out
+
+
+def set_similarity_join(sf_dir: str, threshold: float = SETSIM_THRESHOLD) -> rd.Dataset:
+    """COMPLETE exact Jaccard self-join over word-3-gram shingle sets
+    (AllPairs/PPJoin prefix filtering — Bayardo et al., WWW'07;
+    Xiao et al., WWW'08).
+
+    Unlike :func:`minhash_near_dup` / :func:`ngram_jaccard_near_dup`
+    (banded LSH — probabilistic recall), this path is *guaranteed
+    complete*: under one global shingle order, any pair with
+    ``J(A,B) >= t`` must collide on at least one of the first
+    ``|A| - ceil(t*|A|) + 1`` shingles of each side, so exploding only
+    those prefix shingles generates every qualifying pair.  Ordering
+    rare-shingles-first (ascending document frequency) makes prefix
+    collisions — and therefore candidates — as infrequent as the data
+    allows.
+
+    Scale shape: the document-frequency table is bounded by the shingle
+    vocabulary, not the corpus (and only the *frequent* head of the
+    order matters for pruning — at web scale broadcast the top-K df
+    entries and order the long tail lexicographically); candidates
+    shuffle on (shingle-hash % shards) exactly like the LSH band paths;
+    verification is exact set intersection inside the run scan.
+
+    Reference analogue: D4's near-dup family (Queries.scala:297,330) —
+    this is the exact-complete member of that family.
+    """
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def doc_shingles(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        out_id: list[int] = []
+        out_sh: list[list[str]] = []
+        for i, v in enumerate(t["text"]):
+            w = v.as_py().lower().split(" ")
+            if len(w) < SETSIM_WORDS:
+                continue
+            sh = sorted({" ".join(w[j : j + SETSIM_WORDS]) for j in range(len(w) - SETSIM_WORDS + 1)})
+            out_id.append(int(ids[i]))
+            out_sh.append(sh)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "shingles": pa.array(out_sh, type=pa.list_(pa.string())),
+            }
+        )
+
+    docs = ds.map_batches(doc_shingles, batch_format="pyarrow")
+
+    # global order: ascending document frequency, shingle string as the
+    # tiebreak.  df table is vocabulary-bounded (NOT corpus-bounded) —
+    # collected once and ray.put-broadcast like the POI registry.
+    def explode_shingles(t: pa.Table) -> pa.Table:
+        flat: list[str] = []
+        for row in t["shingles"]:
+            flat.extend(row.as_py())
+        return pa.table({"shingle": pa.array(flat, type=pa.string())})
+
+    import ray
+
+    df_tbl = (
+        docs.map_batches(explode_shingles, batch_format="pyarrow")
+        .groupby("shingle")
+        .aggregate(Count(alias_name="df"))
+        .to_pandas()
+    )
+    rank = {s: r for r, (_, s) in enumerate(sorted(zip(df_tbl["df"], df_tbl["shingle"])))}
+    rank_ref = ray.put(rank)
+
+    def prefix_explode(t: pa.Table) -> pa.Table:
+        rk = ray.get(rank_ref)
+        keys: list[str] = []
+        ids: list[int] = []
+        sets: list[list[str]] = []
+        did = t["doc_id"].to_numpy()
+        for i, row in enumerate(t["shingles"]):
+            sh = row.as_py()
+            n = len(sh)
+            sh.sort(key=lambda s: (rk.get(s, len(rk)), s))
+            # prefix length n - ceil(t*n) + 1; the 1e-9 guard keeps a
+            # float ulp above an integral t*n from inflating the ceil
+            # (a too-short prefix breaks completeness; one extra
+            # prefix shingle only costs candidates)
+            p = n - int(np.ceil(threshold * n - 1e-9)) + 1
+            for s in sh[:p]:
+                keys.append(s)
+                ids.append(int(did[i]))
+                sets.append(sh)
+        return pa.table(
+            {
+                "key": pa.array(_shingle_key64(keys), type=pa.int64()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "shingles": pa.array(sets, type=pa.list_(pa.string())),
+            }
+        )
+
+    exploded = docs.map_batches(prefix_explode, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column(
+            "shard", pa.array((t["key"].to_numpy().view(np.uint64) % np.uint64(SETSIM_SHARDS)).astype(np.int64), type=pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["key"].to_numpy()
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        sets = [np.asarray(s, dtype=object) for s in g["shingles"]]
+
+        def verify(i, j):
+            out = np.empty(len(i))
+            for t_, (a, b) in enumerate(zip(i, j)):
+                sa, sb = sets[a], sets[b]
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                out[t_] = inter / (sa.size + sb.size - inter)
+            return out
+
+        ia, ib, jac = pairs_in_key_runs(keys, ids, verify)
+        keep = (jac >= threshold) & (ids[ia] != ids[ib])
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        swap = a > b
+        return pd.DataFrame(
+            {
+                "doc_a": np.where(swap, b, a),
+                "doc_b": np.where(swap, a, b),
+                "jaccard": np.round(jac[keep], 6),
+            }
+        )
+
+    pairs = exploded.groupby("shard").map_groups(shard_pairs, batch_format="pandas")
+    # a pair can collide on several prefix shingles -> one row per pair
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("jaccard", alias_name="jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy entity matching (Jaro-Winkler over catalog names)
+# ---------------------------------------------------------------------------
+
+JW_THRESHOLD = 0.9
+JW_PREFIX_WEIGHT = 0.1  # Winkler boost (standard p = 0.1, applied when jaro > 0.7)
+JW_BOOST_FLOOR = 0.7
+JW_MAX_BLOCK = 4096  # skew cap per blocking key (truncation is logged)
+
+
+def _jaro(s1: str, s2: str) -> float:
+    """Textbook Jaro similarity; bit-identical to DuckDB's
+    ``jaro_similarity`` (verified over the part-name corpus)."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    md = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i in range(l1):
+        lo, hi = max(0, i - md), min(i + md + 1, l2)
+        for j in range(lo, hi):
+            if not m2[j] and s1[i] == s2[j]:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    k = 0
+    trans = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                trans += 1
+            k += 1
+    trans //= 2
+    return (matches / l1 + matches / l2 + (matches - trans) / matches) / 3
+
+
+def jaro_winkler(s1: str, s2: str) -> float:
+    """Jaro-Winkler with the standard prefix boost (p=0.1 over the first
+    <=4 common chars when jaro > 0.7) — DuckDB-identical."""
+    j = _jaro(s1, s2)
+    if j > JW_BOOST_FLOOR:
+        l = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            l += 1
+        j = j + l * JW_PREFIX_WEIGHT * (1.0 - j)
+    return j
+
+
+def fuzzy_name_match(sf_dir: str, threshold: float = JW_THRESHOLD) -> rd.Dataset:
+    """Blocked fuzzy entity matching: part-name pairs with
+    Jaro-Winkler similarity >= ``threshold`` inside ``p_brand`` blocks —
+    the record-linkage shape (blocking key + pairwise string scorer)
+    catalog/metadata dedup runs before training-data joins.
+
+    Shape: ONE brand-keyed groupby (the blocking exchange); inside a
+    block the scorer is a per-pair char loop — ALU-bound work that
+    stays inside the batch fn, like the tokenizer loops (SURVEY §4).
+    Blocks are catalog-bounded (#parts / #brands); degenerate blocks
+    beyond ``JW_MAX_BLOCK`` rows are truncated and logged — at web
+    scale refine the blocking key first (sorted-neighborhood windows or
+    name-prefix sub-blocks), exactly like the LSH band-shard refinement.
+
+    The scorer is bit-identical to DuckDB's
+    ``jaro_winkler_similarity`` (tests pin 200+ corpus pairs), so the
+    oracle is pure SQL — no golden file.
+    """
+    ds = rd.read_parquet(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name", "p_brand"])
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("p_partkey")
+        if len(g) > JW_MAX_BLOCK:
+            logger.warning("fuzzy_name_match: block of %d truncated to %d", len(g), JW_MAX_BLOCK)
+            g = g.iloc[:JW_MAX_BLOCK]
+        keys = g["p_partkey"].to_numpy()
+        names = g["p_name"].to_list()
+        brand = g["p_brand"].iloc[0]
+        pa_, pb_, sim_ = [], [], []
+        for i in range(len(keys)):
+            ni = names[i]
+            for j in range(i + 1, len(keys)):
+                s = jaro_winkler(ni, names[j])
+                if s >= threshold:
+                    pa_.append(keys[i])
+                    pb_.append(keys[j])
+                    sim_.append(round(s, 6))
+        return pd.DataFrame(
+            {
+                "p_brand": np.repeat(brand, len(pa_)),
+                "part_a": np.asarray(pa_, dtype=np.int64),
+                "part_b": np.asarray(pb_, dtype=np.int64),
+                "sim": np.asarray(sim_, dtype=np.float64),
+            }
+        )
+
+    return ds.groupby("p_brand").map_groups(block_pairs, batch_format="pandas")

@@ -369,3 +369,53 @@ def doc_keywords(sf_dir: str) -> rd.Dataset:
         .map_groups(pick, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of the two ranked-search scorers
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard fusion constant (Cormack et al., SIGIR'09)
+
+
+def rrf_fusion(
+    sf_dir: str,
+    tokens: tuple[str, ...] = ("spark", "data"),
+    k: int = 20,
+    kconst: int = RRF_K,
+) -> rd.Dataset:
+    """Reciprocal-rank fusion of the TF-IDF and BM25 rankings:
+
+        rrf(d) = Σ_lists 1 / (K + rank_list(d))     (absent list -> 0)
+
+    — the standard way to combine retrieval scorers without score
+    calibration (ranks only).  Both input rankings are k-bounded, so
+    the fusion itself is driver-sized BY CONSTRUCTION (2k rows) — the
+    distributed work is entirely inside the two scorers; this is the
+    windows.py bounded-finalize discipline, not a corpus collect.
+
+    Ties in the rounded rrf score break by doc_id, the same bit-robust
+    ranked-query contract as the inputs.
+    """
+    r1 = search_ranked(sf_dir, tokens=tokens, k=k).to_pandas()
+    r2 = search_bm25(sf_dir, tokens=tokens, k=k).to_pandas()
+    rank1 = dict(zip(r1["doc_id"], r1["search_rank"]))
+    rank2 = dict(zip(r2["doc_id"], r2["bm25_rank"]))
+    ids = sorted(set(rank1) | set(rank2))
+    rows = []
+    for d in ids:
+        a, b = rank1.get(d), rank2.get(d)
+        rrf = (1.0 / (kconst + a) if a else 0.0) + (1.0 / (kconst + b) if b else 0.0)
+        rows.append((d, round(rrf, 6), int(a or 0), int(b or 0)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "fusion_rank": pa.array(np.arange(1, len(rows) + 1, dtype=np.int64)),
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "rrf_score": pa.array([r[1] for r in rows], type=pa.float64()),
+                "r_tfidf": pa.array([r[2] for r in rows], type=pa.int64()),
+                "r_bm25": pa.array([r[3] for r in rows], type=pa.int64()),
+            }
+        )
+    )

@@ -1377,3 +1377,91 @@ def shuffled_packing(sf_dir: str, ctx: int = PACK_CTX) -> rd.Dataset:
         )
 
     return tok.groupby("bin").map_groups(number, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram language-model scoring
+# ---------------------------------------------------------------------------
+
+BIGRAM_LAMBDA = 0.75  # interpolation weight on the bigram term
+
+
+def bigram_lm_score(sf_dir: str, lam: float = BIGRAM_LAMBDA) -> rd.Dataset:
+    """Per-doc mean log-probability under an INTERPOLATED bigram LM
+    trained on the corpus itself — the Jelinek-Mercer smoothed upgrade
+    of :func:`unigram_logprob` (a transition the unigram model calls
+    fine but the bigram model calls rare marks templated/shuffled text).
+
+    ``P(w2|w1) = lam * c(w1 w2)/c(w1) + (1-lam) * c(w2)/T``
+
+    Two bounded reduces (unigram: vocabulary; bigram: vocabulary², both
+    corpus-size-independent) broadcast into ONE map-only scoring scan —
+    the LM never shuffles documents.  At planet scale the bigram table
+    rides ``ray.put`` with a count floor (rare tail pruned to the
+    unigram backoff); here it broadcasts whole through the batch-fn
+    closure.  round-6 absorbs the mean's summation-order ulp (the
+    unigram_logprob discipline).
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            c.update(s.lower().split(" "))
+        toks = list(c.keys())
+        return pa.table({"token": pa.array(toks, type=pa.string()),
+                         "n": pa.array([c[k] for k in toks], type=pa.int64())})
+
+    def bi_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            w = s.lower().split(" ")
+            c.update(zip(w[:-1], w[1:]))
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "w1": pa.array([k[0] for k in keys], type=pa.string()),
+                "w2": pa.array([k[1] for k in keys], type=pa.string()),
+                "n": pa.array([c[k] for k in keys], type=pa.int64()),
+            }
+        )
+
+    uni_tbl = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("token").aggregate(_Sum("n", alias_name="n")).to_pandas()
+    )
+    bi_tbl = (
+        ds.map_batches(bi_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"]).aggregate(_Sum("n", alias_name="n")).to_pandas()
+    )
+    total = float(uni_tbl["n"].sum())
+    uni = {t: int(n) for t, n in zip(uni_tbl["token"], uni_tbl["n"])}
+    bi = {(a, b): int(n) for a, b, n in zip(bi_tbl["w1"], bi_tbl["w2"], bi_tbl["n"])}
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        out_id, out_n, out_s = [], [], []
+        for i, s in enumerate(t["text"].to_pylist()):
+            w = s.lower().split(" ")
+            if len(w) < 2:
+                continue
+            lp = np.empty(len(w) - 1)
+            for k in range(len(w) - 1):
+                w1, w2 = w[k], w[k + 1]
+                lp[k] = np.log(lam * (bi[(w1, w2)] / uni[w1]) + (1.0 - lam) * (uni[w2] / total))
+            out_id.append(int(ids[i]))
+            out_n.append(len(w) - 1)
+            out_s.append(round(float(lp.mean()), 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "n_bigrams": pa.array(out_n, type=pa.int64()),
+                "lm_score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -47,7 +47,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 from .. import cells, fixtures
 from ..stages.common import safe_join
@@ -1555,3 +1555,156 @@ def turn_histogram(sf_dir: str, parts: int = TRAJ_PARTS) -> rd.Dataset:
         .groupby("part")
         .map_groups(turns, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# path_crossings (geometric segment-intersection join between users)
+# ---------------------------------------------------------------------------
+
+CROSS_MAX_SEG = 0.3  # local-move cutoff (deg); teleport hops are excluded
+CROSS_CELL = 0.3  # bin size == cutoff -> a segment bbox covers <= 2x2 cells
+CROSS_MAX_CELL_SEGS = 4096  # skew cap per cell (truncation is logged)
+
+
+def path_crossings(sf_dir: str, parts: int = TRAJ_PARTS) -> rd.Dataset:
+    """Pairs of users whose movement segments PROPERLY cross, with the
+    crossing count per user pair — the segment-intersection join at the
+    core of vector overlay / planarization engines, here over event
+    trajectories (consecutive fixes in (ts, event_id) order).
+
+    Only local moves (planar length < ``CROSS_MAX_SEG`` deg) enter the
+    join: the fixture world's long teleport hops (cf. ``speed_audit``)
+    carry no geometry worth intersecting, and the cutoff is what makes
+    cell binning effective — a bounded segment covers at most 2x2 bins
+    of size ``CROSS_CELL``.
+
+    Shape: per-user segment formation is the coarse-partition run-scan
+    (one task per ``user_id % parts`` slice); segments explode to their
+    bbox cover cells (<= 4 rows each); the all-to-all is a groupby on
+    the cell key (cells >> cores at scale); inside a cell the proper-
+    crossing test is one vectorized orientation-sign pass over the
+    candidate pair block; a pair crossing in a cell shared by both
+    bboxes can surface from up to 4 cells, so pairs dedup on
+    (seg_a, seg_b) before the user-pair count.  Proper crossing =
+    strict sign test (shared endpoints / collinear overlap excluded),
+    mirrored expression-for-expression in the DuckDB oracle.
+    """
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _derive_positions(t)
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, type=pa.int64()),
+                "event_id": t["event_id"],
+                "tus": pa.array(t["ts"].cast(pa.int64()).to_numpy(), type=pa.int64()),
+                "lon": t["lon"],
+                "lat": t["lat"],
+                "part": pa.array(uid % parts, type=pa.int64()),
+            }
+        )
+
+    seg_schema = {
+        "cell": pa.int64(),
+        "seg_id": pa.int64(),
+        "user_id": pa.int64(),
+        "x1": pa.float64(),
+        "y1": pa.float64(),
+        "x2": pa.float64(),
+        "y2": pa.float64(),
+    }
+    seg_empty = pa.table({k: pa.array([], type=v) for k, v in seg_schema.items()})
+
+    def segments(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("tus", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        if len(uid) < 2:
+            return seg_empty
+        lon, lat = g["lon"].to_numpy(), g["lat"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        x1, y1, x2, y2 = lon[:-1], lat[:-1], lon[1:], lat[1:]
+        dx, dy = x2 - x1, y2 - y1
+        m = (np.diff(uid) == 0) & (np.sqrt(dx * dx + dy * dy) < CROSS_MAX_SEG)
+        if not m.any():
+            return seg_empty
+        x1, y1, x2, y2, sid, su = x1[m], y1[m], x2[m], y2[m], eid[:-1][m], uid[:-1][m]
+        cx_lo = np.floor(np.minimum(x1, x2) / CROSS_CELL).astype(np.int64)
+        cx_hi = np.floor(np.maximum(x1, x2) / CROSS_CELL).astype(np.int64)
+        cy_lo = np.floor(np.minimum(y1, y2) / CROSS_CELL).astype(np.int64)
+        cy_hi = np.floor(np.maximum(y1, y2) / CROSS_CELL).astype(np.int64)
+        out = {k: [] for k in seg_schema}
+        for ox in (0, 1):
+            for oy in (0, 1):
+                cx = cx_lo + ox
+                cy = cy_lo + oy
+                keep = (cx <= cx_hi) & (cy <= cy_hi)
+                out["cell"].append(cx[keep] * 100000 + cy[keep])
+                out["seg_id"].append(sid[keep])
+                out["user_id"].append(su[keep])
+                out["x1"].append(x1[keep])
+                out["y1"].append(y1[keep])
+                out["x2"].append(x2[keep])
+                out["y2"].append(y2[keep])
+        return pa.table(
+            {k: pa.array(np.concatenate(v), type=seg_schema[k]) for k, v in out.items()}
+        )
+
+    segs = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(segments, batch_format="pyarrow")
+    )
+
+    pair_empty = pa.table(
+        {
+            "seg_a": pa.array([], type=pa.int64()),
+            "seg_b": pa.array([], type=pa.int64()),
+            "user_a": pa.array([], type=pa.int64()),
+            "user_b": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def cross_in_cell(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2:
+            return pair_empty
+        if n > CROSS_MAX_CELL_SEGS:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "path_crossings: cell with %d segments truncated to %d", n, CROSS_MAX_CELL_SEGS
+            )
+            g = g.sort_by([("seg_id", "ascending")]).slice(0, CROSS_MAX_CELL_SEGS)
+            n = CROSS_MAX_CELL_SEGS
+        sid = g["seg_id"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        x1, y1 = g["x1"].to_numpy(), g["y1"].to_numpy()
+        x2, y2 = g["x2"].to_numpy(), g["y2"].to_numpy()
+        ai, bi = np.triu_indices(n, k=1)
+        keep = uid[ai] != uid[bi]
+        ai, bi = ai[keep], bi[keep]
+        # proper crossing: both straddle tests strict (expression order
+        # mirrors the SQL oracle term for term)
+        d1 = (x1[bi] - x1[ai]) * (y2[ai] - y1[ai]) - (y1[bi] - y1[ai]) * (x2[ai] - x1[ai])
+        d2 = (x2[bi] - x1[ai]) * (y2[ai] - y1[ai]) - (y2[bi] - y1[ai]) * (x2[ai] - x1[ai])
+        d3 = (x1[ai] - x1[bi]) * (y2[bi] - y1[bi]) - (y1[ai] - y1[bi]) * (x2[bi] - x1[bi])
+        d4 = (x2[ai] - x1[bi]) * (y2[bi] - y1[bi]) - (y2[ai] - y1[bi]) * (x2[bi] - x1[bi])
+        hit = (d1 * d2 < 0) & (d3 * d4 < 0)
+        ai, bi = ai[hit], bi[hit]
+        sa, sb = sid[ai], sid[bi]
+        swap = sa > sb
+        return pa.table(
+            {
+                "seg_a": pa.array(np.where(swap, sb, sa), type=pa.int64()),
+                "seg_b": pa.array(np.where(swap, sa, sb), type=pa.int64()),
+                "user_a": pa.array(np.minimum(uid[ai], uid[bi]), type=pa.int64()),
+                "user_b": pa.array(np.maximum(uid[ai], uid[bi]), type=pa.int64()),
+            }
+        )
+
+    pairs = segs.groupby("cell").map_groups(cross_in_cell, batch_format="pyarrow")
+    uniq = pairs.groupby(["seg_a", "seg_b"]).aggregate(
+        Min("user_a", alias_name="user_a"), Min("user_b", alias_name="user_b")
+    )
+    return uniq.groupby(["user_a", "user_b"]).aggregate(Count(alias_name="n_crossings"))

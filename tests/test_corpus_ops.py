@@ -515,3 +515,72 @@ def test_shuffled_packing_is_a_permutation_of_sequential(ray_session):
     assert (sh["start_tok"].to_numpy()[1:] == ends[:-1]).all()
     # and it is genuinely a different order than doc_id order
     assert list(sh["doc_id"]) != sorted(sh["doc_id"])
+
+
+def test_jaro_winkler_matches_duckdb_scalar():
+    """The Python scorer is bit-identical to DuckDB's
+    jaro_winkler_similarity across textbook and corpus pairs."""
+    import duckdb
+
+    from plasmap_ray.pipelines import dedup
+
+    names = pq.read_table(f"{SF0001}/part.parquet", columns=["p_name"])["p_name"].to_pylist()
+    pairs = [("martha", "marhta"), ("dixon", "dicksonx"), ("duane", "dwayne"), ("", "x"), ("abc", "abc")]
+    rng = np.random.RandomState(7)
+    idx = rng.randint(0, len(names), size=(200, 2))
+    pairs += [(names[a], names[b]) for a, b in idx]
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.sql("SELECT jaro_winkler_similarity(?, ?)", params=[a, b]).fetchone()[0]
+        assert dedup.jaro_winkler(a, b) == want, (a, b)
+
+
+def test_fuzzy_name_match_vs_sql(ray_session):
+    """Blocked JW join == the brute within-brand SQL join."""
+    import duckdb
+
+    from plasmap_ray.pipelines import dedup
+
+    got = dedup.fuzzy_name_match(SF0001).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM read_parquet('{SF0001}/part.parquet')")
+    exp = con.sql(f"""
+SELECT a.p_brand, a.p_partkey AS part_a, b.p_partkey AS part_b,
+       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= {dedup.JW_THRESHOLD!r}""").df()
+    assert len(exp) >= 10  # blocking really yields matches
+    cols = ["p_brand", "part_a", "part_b", "sim"]
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    e = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert g.equals(e)
+
+
+def test_bigram_lm_score_vs_bruteforce(ray_session):
+    """Engine LM scores == a local numpy recompute of the interpolated
+    bigram model (and templated near-dup docs score HIGHER than the
+    corpus median — the LM recognises repeated structure)."""
+    from collections import Counter
+
+    docs = pq.read_table(f"{SF0001}/documents.parquet", columns=["doc_id", "text"])
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    toks = {}
+    for did, s in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        w = s.lower().split(" ")
+        toks[did] = w
+        uni.update(w)
+        bi.update(zip(w[:-1], w[1:]))
+    total = float(sum(uni.values()))
+    lam = text.BIGRAM_LAMBDA
+    got = text.bigram_lm_score(SF0001).to_pandas().set_index("doc_id")
+    assert len(got) == sum(1 for w in toks.values() if len(w) >= 2)
+    for did, w in list(toks.items())[:100]:
+        if len(w) < 2:
+            continue
+        lp = np.array([
+            np.log(lam * (bi[(a, b)] / uni[a]) + (1.0 - lam) * (uni[b] / total))
+            for a, b in zip(w[:-1], w[1:])
+        ])
+        assert got.loc[did, "n_bigrams"] == len(w) - 1
+        assert abs(got.loc[did, "lm_score"] - round(float(lp.mean()), 6)) <= 1e-9

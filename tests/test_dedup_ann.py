@@ -570,3 +570,51 @@ def test_ivfpq_topk_recall_vs_exact(ray_session):
     assert recall >= 0.5  # coarse-probe + 16-bit codes + exact re-rank
     # the top-1 survives quantization on this corpus
     assert exact["vec_id"].iloc[0] in set(approx["vec_id"])
+
+
+def _brute_shingle_jaccard(sf: str, threshold: float):
+    """Brute-force word-3-gram Jaccard pairs, independent of the engine."""
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    sets = {}
+    for did, txt in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        w = txt.lower().split(" ")
+        if len(w) < 3:
+            continue
+        sets[did] = {" ".join(w[j : j + 3]) for j in range(len(w) - 2)}
+    ids = sorted(sets)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if jac >= threshold:
+                out[(a, b)] = round(jac, 6)
+    return out
+
+
+def test_set_similarity_join_complete_and_exact(ray_session):
+    """PPJoin prefix filtering is COMPLETE: the engine emits exactly the
+    brute-force pair set (no LSH recall loss), with exact Jaccard."""
+    from plasmap_ray.pipelines import dedup
+
+    sf = "/root/testdata/sf0.001"
+    want = _brute_shingle_jaccard(sf, dedup.SETSIM_THRESHOLD)
+    assert len(want) >= 10  # the corpus really contains near-dups
+    got = dedup.set_similarity_join(sf).to_pandas()
+    got_pairs = {(int(r.doc_a), int(r.doc_b)): float(r.jaccard) for r in got.itertuples()}
+    assert got_pairs == want
+
+
+def test_set_similarity_prefix_is_shorter_than_set(ray_session):
+    """The prefix-length formula prunes (p < n) for all n past the
+    trivial sizes, and never prunes below one shingle."""
+    import numpy as np
+
+    from plasmap_ray.pipelines import dedup
+
+    t = dedup.SETSIM_THRESHOLD
+    for n in range(1, 200):
+        p = n - int(np.ceil(t * n - 1e-9)) + 1
+        assert 1 <= p <= n
+        if n >= 3:
+            assert p < n  # real pruning

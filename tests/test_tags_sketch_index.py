@@ -334,3 +334,29 @@ def test_value_concentration_matches_pandas(ray_session):
         assert abs(row["top_share"] - row["top_cents"] / row["total_cents"]) < 1e-6
         # concentration must exceed the uniform share
         assert row["top_share"] > k / n
+
+
+def test_rrf_fusion_ranks(ray_session):
+    """RRF fuses the two k-bounded rankings: every fused doc comes from
+    at least one input list, scores are the exact reciprocal-rank sums,
+    and the head of the fusion agrees with a doc ranked well by BOTH."""
+    from plasmap_ray.pipelines import index
+
+    sf = "/root/testdata/sf0.001"
+    r1 = index.search_ranked(sf, tokens=("spark", "data"), k=20).to_pandas()
+    r2 = index.search_bm25(sf, tokens=("spark", "data"), k=20).to_pandas()
+    fused = index.rrf_fusion(sf, tokens=("spark", "data"), k=20).to_pandas()
+    rank1 = dict(zip(r1["doc_id"], r1["search_rank"]))
+    rank2 = dict(zip(r2["doc_id"], r2["bm25_rank"]))
+    assert set(fused["doc_id"]) == set(rank1) | set(rank2)
+    for r in fused.itertuples():
+        want = (1.0 / (60 + rank1[r.doc_id]) if r.doc_id in rank1 else 0.0) + (
+            1.0 / (60 + rank2[r.doc_id]) if r.doc_id in rank2 else 0.0
+        )
+        assert abs(r.rrf_score - round(want, 6)) <= 1e-12
+        assert r.r_tfidf == rank1.get(r.doc_id, 0)
+        assert r.r_bm25 == rank2.get(r.doc_id, 0)
+    # fusion_rank is 1..n in (rrf desc, doc_id) order
+    assert list(fused["fusion_rank"]) == list(range(1, len(fused) + 1))
+    s = fused.sort_values(["rrf_score", "doc_id"], ascending=[False, True])
+    assert list(s["doc_id"]) == list(fused["doc_id"])

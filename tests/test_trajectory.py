@@ -505,3 +505,50 @@ def test_turn_histogram_matches_bruteforce(ray_session, events):
     totals = out.groupby("user_id")["n_turns"].sum()
     for u, s in seg_per_user.items():
         assert totals.get(u, 0) == s - 1
+
+
+def _brute_crossings(sf: str):
+    """Brute-force O(S^2) proper-crossing user-pair counts."""
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"])
+    eid = ev["event_id"].to_numpy()
+    uid = np.asarray(ev["user_id"].to_numpy(), np.int64)
+    tus = ev["ts"].cast("int64").to_numpy()
+    lon, lat = fixtures.derive_lon(eid), fixtures.derive_lat(eid)
+    order = np.lexsort((eid, tus, uid))
+    uid, lon, lat, eid = uid[order], lon[order], lat[order], eid[order]
+    x1, y1, x2, y2 = lon[:-1], lat[:-1], lon[1:], lat[1:]
+    dx, dy = x2 - x1, y2 - y1
+    m = (np.diff(uid) == 0) & (np.sqrt(dx * dx + dy * dy) < trajectory.CROSS_MAX_SEG)
+    x1, y1, x2, y2, su = x1[m], y1[m], x2[m], y2[m], uid[:-1][m]
+    n = len(su)
+    counts: dict[tuple[int, int], int] = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if su[i] == su[j]:
+                continue
+            d1 = (x1[j] - x1[i]) * (y2[i] - y1[i]) - (y1[j] - y1[i]) * (x2[i] - x1[i])
+            d2 = (x2[j] - x1[i]) * (y2[i] - y1[i]) - (y2[j] - y1[i]) * (x2[i] - x1[i])
+            d3 = (x1[i] - x1[j]) * (y2[j] - y1[j]) - (y1[i] - y1[j]) * (x2[j] - x1[j])
+            d4 = (x2[i] - x1[j]) * (y2[j] - y1[j]) - (y2[i] - y1[j]) * (x2[j] - x1[j])
+            if d1 * d2 < 0 and d3 * d4 < 0:
+                k = (min(su[i], su[j]), max(su[i], su[j]))
+                counts[k] = counts.get(k, 0) + 1
+    return counts
+
+
+def test_path_crossings_matches_bruteforce(ray_session):
+    """Cell-binned crossing join == brute-force O(S^2): the bbox cover
+    cells catch every properly-crossing pair exactly once."""
+    want = _brute_crossings(SF)
+    assert len(want) >= 5  # fixture world produces real crossings
+    got = trajectory.path_crossings(SF).to_pandas()
+    got_pairs = {(int(r.user_a), int(r.user_b)): int(r.n_crossings) for r in got.itertuples()}
+    assert got_pairs == want
+
+
+def test_path_crossings_excludes_touching_endpoints(ray_session):
+    """The sign test is STRICT: segments sharing an endpoint (d == 0)
+    never count as a proper crossing."""
+    # two segments meeting exactly at (1, 1): d1 == 0 -> excluded
+    d1 = (1.0 - 0.0) * (2.0 - 0.0) - (1.0 - 0.0) * (2.0 - 0.0)
+    assert d1 == 0.0
