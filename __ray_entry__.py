@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hour_type_pivot": stats.hour_type_pivot,
         "corpus_summary": stats.corpus_summary,
         "distinct_users_approx": windows.distinct_users_approx,
+        "distinct_users_hll": windows.distinct_users_hll,
         # --- text analysis ---
         "token_stats": text.token_stats,
         "sequence_packing": text.sequence_packing,
@@ -1939,6 +1940,7 @@ WHERE (event_id * {windows.SAMPLE_MULT}) % {windows.SAMPLE_MOD} < {int(0.2 * win
 GROUP BY event_type""",
         "distinct_users_approx": """
 SELECT round(CAST(COUNT(DISTINCT user_id) AS DOUBLE), 1) AS n_users_approx FROM events""",
+        "distinct_users_hll": f"SELECT * FROM read_parquet('{golden.hll_distinct_path(SF001)}')",
         "embedding_near_dup": f"""
 WITH scored AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

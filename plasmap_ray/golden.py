@@ -2761,3 +2761,49 @@ def cdc_savings_path(sf_dir: str) -> str:
         )
 
     return _cache(f"cdc_savings_{_sf_tag(sf_dir)}", build)
+
+
+def hll_distinct_path(sf_dir: str, p: int = 12) -> str:
+    """Golden recompute of the HLL distinct-users audit row: identical
+    deterministic algorithm (splitmix64 -> register max -> HLL estimate
+    with LinearCounting small-range correction) run locally WITHOUT
+    Ray — the compare verifies the distributed register-max fold."""
+
+    def build() -> pa.Table:
+        import numpy as np
+
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+        vals = np.asarray(t["user_id"].to_numpy(), np.uint64)
+        # splitmix64 (the sketch-hash contract, stages/sketch.py)
+        x = vals.copy()
+        with np.errstate(over="ignore"):
+            x = (x + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        m = 1 << p
+        idx = (x >> np.uint64(64 - p)).astype(np.int64)
+        rem = x & np.uint64((1 << (64 - p)) - 1)
+        bl = np.zeros(len(rem), dtype=np.uint8)
+        tmp = rem.copy()
+        while tmp.any():
+            bl[tmp > 0] += np.uint8(1)
+            tmp >>= np.uint64(1)
+        rank = ((64 - p) - bl + 1).astype(np.uint8)
+        regs = np.zeros(m, dtype=np.uint8)
+        np.maximum.at(regs, idx, rank)
+        alpha = 0.7213 / (1.0 + 1.079 / float(m))
+        e = alpha * m * m / float(np.sum(np.power(2.0, -regs.astype(np.float64))))
+        v = int(np.count_nonzero(regs == 0))
+        if e <= 2.5 * m and v > 0:
+            e = m * float(np.log(m / v))
+        n_exact = len(np.unique(vals))
+        return pa.table(
+            {
+                "n_users": pa.array([int(n_exact)], type=pa.int64()),
+                "n_users_hll": pa.array([round(e, 1)], type=pa.float64()),
+                "rel_err": pa.array([round(abs(e - n_exact) / n_exact, 6)], type=pa.float64()),
+            }
+        )
+
+    return _cache(f"hll_distinct_{_sf_tag(sf_dir)}_p{p}", build)

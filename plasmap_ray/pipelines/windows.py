@@ -1221,3 +1221,32 @@ def daily_cusum(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def distinct_users_hll(sf_dir: str, p: int = 12) -> rd.Dataset:
+    """A4 (HLL variant): HyperLogLog distinct-user estimate beside the
+    exact count and its relative error — the sketch-accuracy audit row
+    (the KMV/ANN-recall/minhash-accuracy discipline applied to HLL).
+    Registers fold in the aggregation tree (2^p bytes per block, max
+    merge); the exact side is a user-keyed groupby count.  Oracle:
+    golden recompute of the identical deterministic algorithm."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as _rd
+    from ray.data.aggregate import Count
+
+    from ..stages.sketch import distinct_count_hll
+
+    ds = _read_events(sf_dir, ["user_id"])
+    est = distinct_count_hll(ds, "user_id", p=p)
+    n_exact = ds.groupby("user_id").aggregate(Count(alias_name="n")).count()
+    rel = abs(est - n_exact) / n_exact
+    return _rd.from_arrow(
+        pa.table(
+            {
+                "n_users": pa.array([int(n_exact)], type=pa.int64()),
+                "n_users_hll": pa.array([round(est, 1)], type=pa.float64()),
+                "rel_err": pa.array([round(rel, 6)], type=pa.float64()),
+            }
+        )
+    )

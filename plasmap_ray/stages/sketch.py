@@ -220,3 +220,62 @@ def distinct_count_approx(ds, column: str, k: int = 1024) -> float:
     )
     out = ds.aggregate(agg)
     return float(out["kmv_distinct"])
+
+
+class HLLSketch:
+    """Mergeable HyperLogLog register array over int64 keys (Flajolet
+    et al. 2007, with the small-range LinearCounting correction).
+
+    Same fold shape as :class:`KMVSketch`: one register array per
+    block, arrays merge by ELEMENTWISE MAX (associative + commutative +
+    idempotent — merge order can never change a register), the driver
+    receives one 2^p-byte array.  Unlike KMV, the estimate is biased
+    at every n, so the oracle is a golden recompute of the identical
+    deterministic algorithm, not an exact COUNT(DISTINCT)."""
+
+    def __init__(self, p: int = 12, regs: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.regs = np.zeros(self.m, dtype=np.uint8) if regs is None else regs
+
+    def update(self, values: np.ndarray) -> "HLLSketch":
+        h = _hash64(values)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rem = h & np.uint64((1 << (64 - self.p)) - 1)
+        # rank = leading zeros of the (64-p)-bit remainder + 1
+        bl = np.zeros(len(rem), dtype=np.uint8)  # bit length of rem
+        tmp = rem.copy()
+        while tmp.any():
+            bl[tmp > 0] += np.uint8(1)
+            tmp >>= np.uint64(1)
+        rank = (64 - self.p) - bl + 1
+        np.maximum.at(self.regs, idx, rank.astype(np.uint8))
+        return self
+
+    def merge(self, other: "HLLSketch") -> "HLLSketch":
+        return HLLSketch(self.p, np.maximum(self.regs, other.regs))
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        e = alpha * m * m / float(np.sum(np.power(2.0, -self.regs.astype(np.float64))))
+        v = int(np.count_nonzero(self.regs == 0))
+        if e <= 2.5 * m and v > 0:
+            e = m * float(np.log(m / v))  # LinearCounting small-range
+        return e
+
+
+def distinct_count_hll(ds, column: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT column) via HLL registers folded in
+    Ray's aggregation tree — the constant-memory (2^p bytes) sibling of
+    :func:`distinct_count_approx`; relative error ~ 1.04/sqrt(2^p)."""
+    from ray.data.aggregate import AggregateFn
+
+    agg = AggregateFn(
+        init=lambda _key: HLLSketch(p),
+        accumulate_block=lambda acc, block: acc.update(block[column].to_numpy()),
+        merge=lambda a, b: a.merge(b),
+        finalize=lambda acc: acc.estimate(),
+        name="hll_distinct",
+    )
+    return float(ds.aggregate(agg)["hll_distinct"])

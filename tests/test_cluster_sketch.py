@@ -496,3 +496,40 @@ def test_st_dbscan_matches_bruteforce(ray_session):
     assert (got["cluster_id"].to_numpy() == label[np.argsort(ids)]).all()
     assert (got["kind"].to_numpy() == kind[np.argsort(ids)]).all()
     assert (got["kind"] == "core").sum() > 0 and (got["kind"] != "core").sum() > 0
+
+
+def test_hll_sketch_accuracy_and_merge():
+    """HLL registers: merge == rebuild (order-free max), estimate within
+    ~3 sigma of truth at both small and saturated regimes."""
+    import numpy as np
+
+    from plasmap_ray.stages.sketch import HLLSketch
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 1 << 62, size=200_000).astype(np.int64)
+    truth = len(np.unique(vals))
+    whole = HLLSketch(12).update(vals)
+    parts = [HLLSketch(12).update(c) for c in np.array_split(vals, 7)]
+    merged = parts[0]
+    for s in parts[1:]:
+        merged = merged.merge(s)
+    assert np.array_equal(merged.regs, whole.regs)  # fold == one-shot
+    err = abs(whole.estimate() - truth) / truth
+    assert err < 3 * 1.04 / np.sqrt(4096), err
+    # small-range regime (LinearCounting branch)
+    small = HLLSketch(12).update(np.arange(500, dtype=np.int64))
+    assert abs(small.estimate() - 500) / 500 < 0.05
+
+
+def test_distinct_users_hll_query(ray_session):
+    """The distributed fold equals the golden local recompute."""
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import golden
+    from plasmap_ray.pipelines import windows
+
+    sf = "/root/testdata/sf0.001"
+    got = windows.distinct_users_hll(sf).to_pandas()
+    exp = pq.read_table(golden.hll_distinct_path(sf)).to_pandas()
+    assert got.equals(exp)
+    assert got["rel_err"].iloc[0] < 0.1
