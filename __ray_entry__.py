@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_fidelity": images.fidelity_pipeline,
         "image_format_migration": images.image_format_migration,
         "image_lossy_migration": images.image_lossy_migration,
+        "image_ssim_audit": images.image_ssim_audit,
         "image_features": images.image_features,
         "image_thumbnails": images.image_thumbnails,
         "image_meta_stats": images.image_meta_stats,
@@ -1756,6 +1757,7 @@ FROM counts c JOIN ring ON ring.cell = c.hex_cell""",
         "image_lossy_migration": f"""
 SELECT fmt, CAST(count(*) AS BIGINT) AS n_images, CAST(count(*) AS BIGINT) AS n_psnr40
 FROM {img_pq} GROUP BY fmt ORDER BY fmt""",
+        "image_ssim_audit": f"SELECT * FROM read_parquet('{golden.ssim_audit_path(SF001)}')",
         "image_augment": f"SELECT * FROM read_parquet('{golden.image_augment_path(images.images_path_for(SF001))}')",
         "image_blur_scores": f"SELECT * FROM read_parquet('{golden.image_blur_scores_path(images.images_path_for(SF001))}')",
         # mirrors images.image_crop_manifest: the same integer modular

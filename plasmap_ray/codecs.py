@@ -199,3 +199,43 @@ def hamming64(a, b) -> np.ndarray:
     """Vectorized Hamming distance between int64 hash arrays."""
     x = np.bitwise_xor(np.asarray(a, dtype=np.int64), np.asarray(b, dtype=np.int64)).view(np.uint64)
     return popcount64(x)
+
+
+# ---------------------------------------------------------------------------
+# SSIM (structural similarity) — 8x8 non-overlapping windows
+# ---------------------------------------------------------------------------
+
+_SSIM_C1 = (0.01 * 255.0) ** 2
+_SSIM_C2 = (0.03 * 255.0) ** 2
+
+
+def ssim8x8(a: np.ndarray, b: np.ndarray) -> float:
+    """Mean SSIM between two (h, w, 3) uint8 images over NON-OVERLAPPING
+    8x8 luma windows (Wang et al. 2004, uniform window instead of the
+    11x11 Gaussian — the block variant matching the dctq codec's grid).
+
+    Luma is the exact integer channel sum / 3.0 (the phash64 grayscale
+    contract).  Images are cropped to the 8-multiple so every window is
+    complete; all statistics are float64 with a fixed expression order,
+    shared verbatim by the engine stage and the golden recompute."""
+    h = (a.shape[0] // 8) * 8
+    w = (a.shape[1] // 8) * 8
+    if h == 0 or w == 0:
+        return 1.0 if np.array_equal(a, b) else 0.0
+
+    def luma_blocks(px: np.ndarray) -> np.ndarray:
+        s = px[:h, :w, 0].astype(np.int16) + px[:h, :w, 1] + px[:h, :w, 2]
+        g = s.astype(np.float64) / 3.0
+        return g.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 64)
+
+    x = luma_blocks(a)
+    y = luma_blocks(b)
+    mx = x.mean(axis=1)
+    my = y.mean(axis=1)
+    vx = ((x - mx[:, None]) ** 2).mean(axis=1)
+    vy = ((y - my[:, None]) ** 2).mean(axis=1)
+    cxy = ((x - mx[:, None]) * (y - my[:, None])).mean(axis=1)
+    s = ((2.0 * mx * my + _SSIM_C1) * (2.0 * cxy + _SSIM_C2)) / (
+        (mx * mx + my * my + _SSIM_C1) * (vx + vy + _SSIM_C2)
+    )
+    return float(s.mean())

@@ -2807,3 +2807,37 @@ def hll_distinct_path(sf_dir: str, p: int = 12) -> str:
         )
 
     return _cache(f"hll_distinct_{_sf_tag(sf_dir)}_p{p}", build)
+
+
+def ssim_audit_path(sf_dir: str, target_fmt: str = "dctq") -> str:
+    """Golden recompute of the SSIM fidelity audit (identical kernel,
+    run locally WITHOUT Ray — verifies the distributed decode ->
+    round-trip -> fixed-point fold)."""
+    from .pipelines.images import images_path_for
+
+    def build() -> pa.Table:
+        import numpy as np
+
+        from .codecs import decode_image, encode_image, ssim8x8
+
+        t = pq.read_table(images_path_for(sf_dir), columns=["bytes", "w", "h", "fmt"])
+        acc: dict[str, list[int]] = {}
+        for payload, w, h, fmt in zip(
+            t["bytes"].to_pylist(), t["w"].to_numpy(), t["h"].to_numpy(), t["fmt"].to_pylist()
+        ):
+            px = decode_image(payload, int(w), int(h), fmt)
+            rt = decode_image(encode_image(px, target_fmt), int(w), int(h), target_fmt)
+            acc.setdefault(fmt, []).append(int(np.floor(ssim8x8(px, rt) * 1e9 + 0.5)))
+        rows = sorted(acc)
+        return pa.table(
+            {
+                "fmt": pa.array(rows, type=pa.string()),
+                "n_images": pa.array([len(acc[f]) for f in rows], type=pa.int64()),
+                "mean_ssim": pa.array(
+                    [round(sum(acc[f]) / len(acc[f]) / 1e9, 6) for f in rows], type=pa.float64()
+                ),
+                "min_ssim": pa.array([round(min(acc[f]) / 1e9, 6) for f in rows], type=pa.float64()),
+            }
+        )
+
+    return _cache(f"ssim_audit_{_sf_tag(sf_dir)}_{target_fmt}", build)

@@ -1822,3 +1822,69 @@ def split_leakage_phash(sf_dir: str) -> rd.Dataset:
         .aggregate(Sum("n", alias_name="n_shared_phashes"))
         .sort(["split_a", "split_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# SSIM fidelity audit of the lossy codec
+# ---------------------------------------------------------------------------
+
+SSIM_FP = 1e9  # fixed-point scale: per-image SSIM -> int64 before the sum
+
+
+def image_ssim_audit(sf_dir: str, target_fmt: str = "dctq") -> rd.Dataset:
+    """Structural-similarity audit of the lossy ``dctq`` recompression:
+    per source format, the mean and minimum 8x8-window SSIM between the
+    original pixels and a decode(encode(px, dctq)) round trip — the
+    perceptual metric beside image_lossy_migration's PSNR gate (PSNR
+    measures energy, SSIM structure; flat-field noise can pass one and
+    fail the other).
+
+    Per-image SSIM is fixed-pointed to int64 (``floor(s*1e9+0.5)``)
+    before the aggregate, so the per-format mean is an ORDER-FREE
+    integer sum — the trajectory/k-means partial-sum discipline.
+    Pixels never leave the stage; only (fmt, fp) rows shuffle.
+    Oracle: golden local recompute of the identical kernel.
+    """
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Min as _Min
+
+    from ..codecs import decode_image, encode_image, ssim8x8
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    def score(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy()
+        h = t["h"].to_numpy()
+        fmts = t["fmt"].to_pylist()
+        payloads = t["bytes"].to_pylist()
+        fp = np.empty(t.num_rows, dtype=np.int64)
+        for i in range(t.num_rows):
+            px = decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
+            rt = decode_image(encode_image(px, target_fmt), int(w[i]), int(h[i]), target_fmt)
+            fp[i] = np.int64(np.floor(ssim8x8(px, rt) * SSIM_FP + 0.5))
+        return pa.table({"fmt": pa.array(fmts, type=pa.string()), "fp": pa.array(fp, type=pa.int64())})
+
+    agg = (
+        ds.map_batches(score, batch_format="pyarrow", batch_size=512, concurrency=8)
+        .groupby("fmt")
+        .aggregate(
+            _Count(alias_name="n_images"),
+            Sum("fp", alias_name="fp_sum"),
+            _Min("fp", alias_name="fp_min"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_images"].to_numpy()
+        fsum = t["fp_sum"].to_numpy()
+        fmin = t["fp_min"].to_numpy()
+        return pa.table(
+            {
+                "fmt": t["fmt"],
+                "n_images": pa.array(n.astype(np.int64)),
+                "mean_ssim": pa.array(np.round(fsum / n / SSIM_FP, 6), type=pa.float64()),
+                "min_ssim": pa.array(np.round(fmin / SSIM_FP, 6), type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("fmt")

@@ -149,3 +149,44 @@ def test_dctq_psnr_gate_property(w, h, seed, style):
     out = codecs.decode_image(payload, w, h, "dctq")
     assert out.shape == (h, w, 3)
     assert codecs.psnr_db(img, out) >= 40.0
+
+
+def test_ssim_identity_and_bounds():
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(32, 40, 3), dtype=np.uint8)
+    assert codecs.ssim8x8(px, px) == 1.0
+    # lossy round trip: structurally close but not identical
+    rt = codecs.decode_image(codecs.encode_image(px, "dctq"), 40, 32, "dctq")
+    s = codecs.ssim8x8(px, rt)
+    assert 0.0 < s <= 1.0
+    # structured content survives dctq far better than noise floor 0
+    smooth = np.tile(np.linspace(0, 255, 40, dtype=np.uint8)[None, :, None], (32, 1, 3))
+    s2 = codecs.ssim8x8(smooth, codecs.decode_image(codecs.encode_image(smooth, "dctq"), 40, 32, "dctq"))
+    assert s2 > 0.95
+
+
+def test_ssim_detects_structural_damage():
+    """A constant-luma shift barely moves SSIM; shuffling 8x8 blocks
+    destroys it — the structure-vs-energy property PSNR lacks."""
+    rng = np.random.RandomState(12)
+    base = rng.randint(40, 200, size=(32, 32, 3), dtype=np.uint8)
+    shifted = np.clip(base.astype(np.int16) + 10, 0, 255).astype(np.uint8)
+    blocks = base.reshape(4, 8, 4, 8, 3).transpose(0, 2, 1, 3, 4).reshape(16, 8, 8, 3)
+    perm = rng.permutation(16)
+    shuffled = blocks[perm].reshape(4, 4, 8, 8, 3).transpose(0, 2, 1, 3, 4).reshape(32, 32, 3)
+    assert codecs.ssim8x8(base, shifted) > 0.9
+    assert codecs.ssim8x8(base, shuffled) < 0.5
+
+
+def test_image_ssim_audit_vs_golden(ray_session):
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import golden
+    from plasmap_ray.pipelines import images
+
+    sf = "/root/testdata/sf0.001"
+    got = images.image_ssim_audit(sf).to_pandas().reset_index(drop=True)
+    exp = pq.read_table(golden.ssim_audit_path(sf)).to_pandas()
+    assert got.equals(exp)
+    # the dctq quantizer keeps structure on every fixture format
+    assert (got["mean_ssim"] > 0.8).all()
