@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_summary": stats.corpus_summary,
         "distinct_users_approx": windows.distinct_users_approx,
         "distinct_users_hll": windows.distinct_users_hll,
+        "seasonal_decompose": windows.seasonal_decompose,
         # --- text analysis ---
         "token_stats": text.token_stats,
         "sequence_packing": text.sequence_packing,
@@ -255,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_ratio": text.repetition_ratio,
         "unigram_logprob": text.unigram_logprob,
         "bigram_lm_score": text.bigram_lm_score,
+        "zipf_fit": text.zipf_fit,
         "common_ngram_fraction": text.common_ngram_fraction,
         "subword_stats": text.subword_stats,
         "bigram_pmi": text.bigram_pmi,
@@ -1943,6 +1945,31 @@ GROUP BY event_type""",
         "distinct_users_approx": """
 SELECT round(CAST(COUNT(DISTINCT user_id) AS DOUBLE), 1) AS n_users_approx FROM events""",
         "distinct_users_hll": f"SELECT * FROM read_parquet('{golden.hll_distinct_path(SF001)}')",
+        "zipf_fit": """
+WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+cnt AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+rk AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS DOUBLE) AS r,
+              CAST(n AS DOUBLE) AS f FROM cnt),
+s AS (SELECT count(*) AS n, sum(ln(r)) AS sx, sum(ln(f)) AS sy,
+             sum(ln(r) * ln(r)) AS sxx, sum(ln(f) * ln(f)) AS syy, sum(ln(r) * ln(f)) AS sxy
+      FROM rk)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s""",
+        "seasonal_decompose": """
+WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day_idx,
+                  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events),
+daily AS (SELECT day_idx, CAST(sum(c) AS BIGINT) AS x FROM e GROUP BY day_idx),
+tr AS (SELECT day_idx, x,
+         avg(CAST(x AS DOUBLE)) OVER w AS trend, count(*) OVER w AS nw
+       FROM daily WINDOW w AS (ORDER BY day_idx ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+dt AS (SELECT day_idx, x, trend, x - trend AS detr, day_idx % 7 AS wd FROM tr WHERE nw = 7),
+se AS (SELECT *, avg(detr) OVER (PARTITION BY wd) AS seasonal FROM dt)
+SELECT day_idx, x, round(trend, 6) AS trend, round(seasonal, 6) AS seasonal,
+       round(detr - seasonal, 6) AS resid
+FROM se""",
         "embedding_near_dup": f"""
 WITH scored AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -1465,3 +1465,52 @@ def bigram_lm_score(sf_dir: str, lam: float = BIGRAM_LAMBDA) -> rd.Dataset:
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def zipf_fit(sf_dir: str) -> rd.Dataset:
+    """Zipf's-law fit of the token frequency spectrum: OLS slope of
+    ln(freq) on ln(rank) over the (frequency desc, token asc)-ranked
+    vocabulary, with R² — the one-row corpus-health scalar (natural
+    text sits near slope -1; templated/synthetic corpora flatten or
+    steepen it; cf. vocab_coverage_curve for the cumulative view).
+
+    ONE vocabulary-bounded reduce (the unigram_logprob combiner); the
+    regression runs on the aggregate (driver-sized by construction).
+    Slope/R² use the explicit closed-form sums, written identically in
+    the SQL mirror; round-6 absorbs summation-order ulp.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            c.update(s.lower().split(" "))
+        toks = list(c.keys())
+        return pa.table({"token": pa.array(toks, type=pa.string()),
+                         "n": pa.array([c[k] for k in toks], type=pa.int64())})
+
+    vocab = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("token").aggregate(_Sum("n", alias_name="n")).to_pandas()
+    )
+    vocab = vocab.sort_values(["n", "token"], ascending=[False, True]).reset_index(drop=True)
+    x = np.log(np.arange(1, len(vocab) + 1, dtype=np.float64))
+    y = np.log(vocab["n"].to_numpy().astype(np.float64))
+    n = float(len(x))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx, syy, sxy = float((x * x).sum()), float((y * y).sum()), float((x * y).sum())
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_tokens": pa.array([len(vocab)], type=pa.int64()),
+                "zipf_slope": pa.array([round(slope, 6)], type=pa.float64()),
+                "r2": pa.array([round(r2, 6)], type=pa.float64()),
+            }
+        )
+    )

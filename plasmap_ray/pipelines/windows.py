@@ -1250,3 +1250,66 @@ def distinct_users_hll(sf_dir: str, p: int = 12) -> rd.Dataset:
             }
         )
     )
+
+
+def seasonal_decompose(sf_dir: str) -> rd.Dataset:
+    """Classical additive seasonal decomposition of the daily value
+    series: trend = centered 7-day moving average (full windows only),
+    seasonal = weekday mean of the detrended series, residual = rest —
+    the anomaly-detection preprocessor (a spike is judged against
+    trend+season, not the raw series; cf. daily_cusum's level-shift
+    alarm).
+
+    Values are fixed-pointed to cents BEFORE the daily sum (int64,
+    order-free); the decomposition itself runs on the DAY-BOUNDED
+    aggregate (30 rows here, years at most in practice) — the
+    bounded-finalize discipline, not a corpus collect.  Day index and
+    weekday are pure integer epoch-day arithmetic in both engines
+    (``day_idx % 7`` — no locale weekday convention to mismatch).
+    Assumes a gapless day series (ROWS frames == calendar windows);
+    gap-filling is :func:`hourly_gap_fill`'s job upstream.
+    """
+    import pyarrow as pa
+
+    ds = _read_events(sf_dir, ["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        tus = t["ts"].cast(pa.int64()).to_numpy()
+        day = tus // 86_400_000_000
+        cents = np.floor(t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"day_idx": pa.array(day, type=pa.int64()), "c": pa.array(cents, type=pa.int64())})
+
+    daily = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("day_idx")
+        .aggregate(Sum("c", alias_name="x"))
+        .to_pandas()
+        .sort_values("day_idx")
+        .reset_index(drop=True)
+    )
+    day = daily["day_idx"].to_numpy()
+    x = daily["x"].to_numpy().astype(np.float64)
+    n = len(day)
+    rows = []
+    trend = np.full(n, np.nan)
+    for i in range(3, n - 3):
+        trend[i] = x[i - 3 : i + 4].sum() / 7.0
+    keep = ~np.isnan(trend)
+    detr = x[keep] - trend[keep]
+    wd = day[keep] % 7
+    seasonal = np.empty(len(detr))
+    for w in range(7):
+        m = wd == w
+        if m.any():
+            seasonal[m] = detr[m].mean()
+    return rd.from_arrow(
+        pa.table(
+            {
+                "day_idx": pa.array(day[keep], type=pa.int64()),
+                "x": pa.array(daily["x"].to_numpy()[keep], type=pa.int64()),
+                "trend": pa.array(np.round(trend[keep], 6), type=pa.float64()),
+                "seasonal": pa.array(np.round(seasonal, 6), type=pa.float64()),
+                "resid": pa.array(np.round(detr - seasonal, 6), type=pa.float64()),
+            }
+        )
+    )

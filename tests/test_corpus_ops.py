@@ -584,3 +584,26 @@ def test_bigram_lm_score_vs_bruteforce(ray_session):
         ])
         assert got.loc[did, "n_bigrams"] == len(w) - 1
         assert abs(got.loc[did, "lm_score"] - round(float(lp.mean()), 6)) <= 1e-9
+
+
+def test_zipf_fit_brute(ray_session):
+    """Slope/R² equal the closed-form OLS on a local recount; the
+    word-soup fixture corpus is flat (|slope| < 1) but well-fit."""
+    from collections import Counter
+
+    got = text.zipf_fit(SF0001).to_pandas().iloc[0]
+    docs = pq.read_table(f"{SF0001}/documents.parquet", columns=["text"])
+    c: Counter = Counter()
+    for s in docs["text"].to_pylist():
+        c.update(s.lower().split(" "))
+    freqs = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    x = np.log(np.arange(1, len(freqs) + 1, dtype=float))
+    y = np.log(np.array([f for _, f in freqs], dtype=float))
+    n = float(len(x))
+    sx, sy, sxx, syy, sxy = x.sum(), y.sum(), (x * x).sum(), (y * y).sum(), (x * y).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert got["n_tokens"] == len(freqs)
+    assert abs(got["zipf_slope"] - round(slope, 6)) <= 1e-9
+    assert abs(got["r2"] - round(r2, 6)) <= 1e-9
+    assert -5 < got["zipf_slope"] < 0 and 0 <= got["r2"] <= 1

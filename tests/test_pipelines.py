@@ -1461,3 +1461,23 @@ def test_zone_overlay_area_matches_bruteforce(ray_session):
     # IoU sanity: districts nest inside cities, so iou = area_district/area_city < 1
     assert (out["iou"] > 0).all() and (out["iou"] <= 1).all()
     assert ((out["inter_area"] <= out[["area_a", "area_b"]].min(axis=1) + 1e-15)).all()
+
+
+def test_seasonal_decompose_reconstruction(ray_session):
+    """trend + seasonal + resid reconstructs the daily series exactly
+    (up to the rounding applied per column), full-window rows only,
+    and each weekday's seasonal offsets are constant."""
+    import numpy as np
+
+    from plasmap_ray.pipelines import windows
+
+    df = windows.seasonal_decompose("/root/testdata/sf0.001").to_pandas()
+    assert len(df) >= 20  # 30-day fixture -> 24 full-window days
+    recon = df["trend"] + df["seasonal"] + df["resid"]
+    assert np.allclose(recon, df["x"].astype(float), atol=2e-6)
+    for wd, g in df.groupby(df["day_idx"] % 7):
+        assert g["seasonal"].nunique() == 1
+    # seasonal offsets are small relative to the series level (they are
+    # deviations from trend, not the level itself)
+    wd_vals = df.assign(wd=df["day_idx"] % 7).drop_duplicates("wd")["seasonal"]
+    assert wd_vals.abs().max() < df["x"].abs().max()
