@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": text.unigram_logprob,
         "bigram_lm_score": text.bigram_lm_score,
         "zipf_fit": text.zipf_fit,
+        "curriculum_buckets": text.curriculum_buckets,
         "common_ngram_fraction": text.common_ngram_fraction,
         "subword_stats": text.subword_stats,
         "bigram_pmi": text.bigram_pmi,
@@ -1945,6 +1946,22 @@ GROUP BY event_type""",
         "distinct_users_approx": """
 SELECT round(CAST(COUNT(DISTINCT user_id) AS DOUBLE), 1) AS n_users_approx FROM events""",
         "distinct_users_hll": f"SELECT * FROM read_parquet('{golden.hll_distinct_path(SF001)}')",
+        "curriculum_buckets": f"""
+WITH d AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+toks AS (SELECT doc_id, unnest(w) AS token FROM d),
+cu AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks),
+bi AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM d CROSS JOIN UNNEST(range(1, len(w))) AS r(i)),
+cb AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+lp AS (SELECT bi.doc_id,
+              ln({text.BIGRAM_LAMBDA!r} * (CAST(cb.c AS DOUBLE) / u1.c)
+                 + {1.0 - text.BIGRAM_LAMBDA!r} * (u2.c / tot.t)) AS v
+       FROM bi JOIN cb USING (w1, w2) JOIN cu u1 ON u1.token = bi.w1
+               JOIN cu u2 ON u2.token = bi.w2 CROSS JOIN tot),
+sc AS (SELECT doc_id, round(avg(v), 6) AS lm_score FROM lp GROUP BY doc_id),
+r AS (SELECT sc.doc_id, d.lang, ntile({text.CURRICULUM_TIERS}) OVER (ORDER BY lm_score, sc.doc_id) AS tier
+      FROM sc JOIN d ON d.doc_id = sc.doc_id)
+SELECT tier, lang, count(*) AS n_docs FROM r GROUP BY tier, lang""",
         "zipf_fit": """
 WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
 cnt AS (SELECT token, count(*) AS n FROM toks GROUP BY token),

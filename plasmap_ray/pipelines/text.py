@@ -1514,3 +1514,123 @@ def zipf_fit(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+CURRICULUM_TIERS = 4
+
+
+def curriculum_buckets(sf_dir: str, tiers: int = CURRICULUM_TIERS, lam: float = BIGRAM_LAMBDA) -> rd.Dataset:
+    """Curriculum manifest: NTILE(``tiers``) of the corpus by bigram-LM
+    score (ascending — tier 1 = hardest/most surprising text), counted
+    per (tier, lang).  The difficulty-bucketed sampling plan curriculum
+    training consumes, built as a DISTRIBUTED NTILE: no global sort.
+
+    Shape (the global_row_numbers two-phase, keyed on the score instead
+    of time): per-batch histogram over the ROUNDED score (6 dp — the
+    score's own output resolution, so bins are exact fixed-point keys)
+    → one bins-sized aggregate whose cumsums are rank offsets → a
+    score-keyed regroup assigns rank = offset + local (doc_id) position
+    → tier from the exact NTILE split (first N%T tiles get one extra).
+    At web scale coarsen the histogram key to score quantile sketches;
+    here distinct rounded scores are corpus-bounded and tiny.
+    """
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    from collections import Counter
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            c.update(s.lower().split(" "))
+        toks = list(c.keys())
+        return pa.table({"token": pa.array(toks, type=pa.string()),
+                         "n": pa.array([c[k] for k in toks], type=pa.int64())})
+
+    def bi_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            w = s.lower().split(" ")
+            c.update(zip(w[:-1], w[1:]))
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "w1": pa.array([k[0] for k in keys], type=pa.string()),
+                "w2": pa.array([k[1] for k in keys], type=pa.string()),
+                "n": pa.array([c[k] for k in keys], type=pa.int64()),
+            }
+        )
+
+    uni_tbl = ds.map_batches(uni_partial, batch_format="pyarrow").groupby("token").aggregate(_Sum("n", alias_name="n")).to_pandas()
+    bi_tbl = ds.map_batches(bi_partial, batch_format="pyarrow").groupby(["w1", "w2"]).aggregate(_Sum("n", alias_name="n")).to_pandas()
+    total = float(uni_tbl["n"].sum())
+    uni = {t: int(n) for t, n in zip(uni_tbl["token"], uni_tbl["n"])}
+    bi = {(a, b): int(n) for a, b, n in zip(bi_tbl["w1"], bi_tbl["w2"], bi_tbl["n"])}
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        langs = t["lang"].to_pylist()
+        out_id, out_lang, out_fp = [], [], []
+        for i, s in enumerate(t["text"].to_pylist()):
+            w = s.lower().split(" ")
+            if len(w) < 2:
+                continue
+            lp = np.empty(len(w) - 1)
+            for k in range(len(w) - 1):
+                w1, w2 = w[k], w[k + 1]
+                lp[k] = np.log(lam * (bi[(w1, w2)] / uni[w1]) + (1.0 - lam) * (uni[w2] / total))
+            out_id.append(int(ids[i]))
+            out_lang.append(langs[i])
+            # the 6-dp score itself, as an exact fixed-point bin key
+            out_fp.append(int(np.int64(round(round(float(lp.mean()), 6) * 1e6))))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "lang": pa.array(out_lang, type=pa.string()),
+                "fp": pa.array(out_fp, type=pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    hist = (
+        scored.map_batches(
+            lambda t: pa.table(
+                {
+                    "fp": pa.array(np.unique(t["fp"].to_numpy()), type=pa.int64()),
+                    "n": pa.array(
+                        np.unique(t["fp"].to_numpy(), return_counts=True)[1].astype(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("fp")
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("fp")
+    )
+    n_total = int(hist["n"].sum())
+    offs = dict(zip(hist["fp"].astype(np.int64), np.concatenate([[0], np.cumsum(hist["n"].to_numpy())[:-1]])))
+    q, r = divmod(n_total, tiers)
+
+    def tier_of(rank: np.ndarray) -> np.ndarray:
+        # NTILE: first r tiles hold q+1 rows, the rest q
+        cut = r * (q + 1)
+        small = rank <= cut
+        t = np.where(small, (rank - 1) // (q + 1) + 1, r + (rank - cut - 1) // max(q, 1) + 1)
+        return t.astype(np.int64)
+
+    def assign(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("doc_id", "ascending")])
+        base = int(offs[int(g["fp"][0].as_py())])
+        rank = base + 1 + np.arange(g.num_rows, dtype=np.int64)
+        return pa.table({"tier": pa.array(tier_of(rank), type=pa.int64()), "lang": g["lang"]})
+
+    return (
+        scored.groupby("fp")
+        .map_groups(assign, batch_format="pyarrow")
+        .groupby(["tier", "lang"])
+        .aggregate(_Count(alias_name="n_docs"))
+    )

@@ -607,3 +607,24 @@ def test_zipf_fit_brute(ray_session):
     assert abs(got["zipf_slope"] - round(slope, 6)) <= 1e-9
     assert abs(got["r2"] - round(r2, 6)) <= 1e-9
     assert -5 < got["zipf_slope"] < 0 and 0 <= got["r2"] <= 1
+
+
+def test_curriculum_buckets_ntile_exact(ray_session):
+    """Distributed NTILE == pandas qcut-free brute: tier sizes differ by
+    at most one, tiers ordered by score, per-(tier,lang) counts match a
+    local recompute from the engine's own scores."""
+    got = text.curriculum_buckets(SF0001).to_pandas()
+    scores = text.bigram_lm_score(SF0001).to_pandas()
+    docs = pq.read_table(f"{SF0001}/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
+    m = scores.merge(docs, on="doc_id").sort_values(["lm_score", "doc_id"]).reset_index(drop=True)
+    n, t = len(m), text.CURRICULUM_TIERS
+    q, r = divmod(n, t)
+    tiers = np.concatenate([np.full(q + (1 if i < r else 0), i + 1, dtype=np.int64) for i in range(t)])
+    m["tier"] = tiers
+    want = m.groupby(["tier", "lang"]).size().reset_index(name="n_docs")
+    g = got.sort_values(["tier", "lang"]).reset_index(drop=True)
+    w = want.sort_values(["tier", "lang"]).reset_index(drop=True)
+    assert g["n_docs"].astype("int64").tolist() == w["n_docs"].astype("int64").tolist()
+    assert list(g["tier"]) == list(w["tier"]) and list(g["lang"]) == list(w["lang"])
+    sizes = got.groupby("tier")["n_docs"].sum()
+    assert sizes.max() - sizes.min() <= 1
