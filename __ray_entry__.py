@@ -359,6 +359,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_cells": hotspot.burst_cells,
         "quadrat_chi2": hotspot.quadrat_chi2,
         "cell_trend": hotspot.cell_trend,
+        "theil_sen_cell_trend": hotspot.theil_sen_cell_trend,
+        "eb_shrunk_rates": hotspot.eb_shrunk_rates,
+        "benford_audit": stats.benford_audit,
+        "lineitem_corr_matrix": stats.lineitem_corr_matrix,
+        "acf_hourly": windows.acf_hourly,
         "dp_tile_counts": privacy.dp_tile_counts,
         "location_unicity": privacy.location_unicity,
         "latest_event_per_user": windows.latest_event_per_user,
@@ -3100,6 +3105,91 @@ SELECT cx, cy, n_days,
        n_days * sx2 - sx * sx AS slope_den,
        round(CAST(n_days * sxy - sx * sy AS DOUBLE) / CAST(n_days * sx2 - sx * sx AS DOUBLE), 9) AS slope
 FROM m WHERE n_days >= {hotspot.TREND_MIN_DAYS} AND n_days * sx2 - sx * sx > 0""",
+        "theil_sen_cell_trend": f"""
+WITH ec AS (
+  SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy,
+         CAST(floor(epoch_us(ts) / {hotspot.DAY_US}) AS BIGINT) AS day
+  FROM events),
+d AS (SELECT cx, cy, day, CAST(count(*) AS BIGINT) AS y FROM ec GROUP BY 1, 2, 3),
+nd AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_days FROM d GROUP BY 1, 2
+       HAVING count(*) >= {hotspot.TREND_MIN_DAYS}),
+p AS (SELECT a.cx, a.cy, CAST(b.y - a.y AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+      FROM d a JOIN d b ON a.cx = b.cx AND a.cy = b.cy AND b.day > a.day)
+SELECT p.cx, p.cy, nd.n_days, round(median(p.slope), 6) AS ts_slope
+FROM p JOIN nd ON p.cx = nd.cx AND p.cy = nd.cy
+GROUP BY p.cx, p.cy, nd.n_days""",
+        "eb_shrunk_rates": f"""
+WITH ec AS (
+  SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+  FROM events),
+c AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS x
+      FROM ec GROUP BY 1, 2),
+g AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(x) AS BIGINT) AS xt FROM c)
+SELECT cx, cy, n, x,
+       round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+       round((CAST(x AS DOUBLE) + {hotspot.EB_PRIOR_M!r} * (CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)))
+             / (CAST(n AS DOUBLE) + {hotspot.EB_PRIOR_M!r}), 6) AS shrunk_rate
+FROM c CROSS JOIN g""",
+        "benford_audit": """
+WITH v AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) AS x FROM lineitem),
+d AS (SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM v),
+c AS (SELECT dg.digit, CAST(count(d.digit) AS BIGINT) AS n
+      FROM (SELECT unnest(generate_series(1, 9)) AS digit) dg
+      LEFT JOIN d ON d.digit = dg.digit GROUP BY dg.digit),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / tot, 6) AS obs_frac,
+       round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6) AS exp_frac,
+       round(pow(CAST(n AS DOUBLE) - tot * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)), 2)
+             / (tot * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))), 6) AS chi2_term
+FROM c CROSS JOIN t""",
+        "lineitem_corr_matrix": """
+WITH f AS (SELECT CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS q,
+                  CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS p,
+                  CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS d,
+                  CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) AS t FROM lineitem),
+s AS (SELECT count(*) AS n,
+             sum(q) AS sq, sum(p) AS sp, sum(d) AS sd, sum(t) AS st,
+             sum(q*q) AS sqq, sum(q*p) AS sqp, sum(q*d) AS sqd, sum(q*t) AS sqt,
+             sum(p*p) AS spp, sum(p*d) AS spd, sum(p*t) AS spt,
+             sum(d*d) AS sdd, sum(d*t) AS sdt, sum(t*t) AS stt FROM f)
+SELECT * FROM (
+  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, CAST(n AS BIGINT) AS n,
+         round(CAST(n*sqp - sq*sp AS DOUBLE) / sqrt(CAST(n*sqq - sq*sq AS DOUBLE) * CAST(n*spp - sp*sp AS DOUBLE)), 6) AS pearson_r FROM s
+  UNION ALL
+  SELECT 'l_quantity', 'l_discount', CAST(n AS BIGINT),
+         round(CAST(n*sqd - sq*sd AS DOUBLE) / sqrt(CAST(n*sqq - sq*sq AS DOUBLE) * CAST(n*sdd - sd*sd AS DOUBLE)), 6) FROM s
+  UNION ALL
+  SELECT 'l_quantity', 'l_tax', CAST(n AS BIGINT),
+         round(CAST(n*sqt - sq*st AS DOUBLE) / sqrt(CAST(n*sqq - sq*sq AS DOUBLE) * CAST(n*stt - st*st AS DOUBLE)), 6) FROM s
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
+         round(CAST(n*spd - sp*sd AS DOUBLE) / sqrt(CAST(n*spp - sp*sp AS DOUBLE) * CAST(n*sdd - sd*sd AS DOUBLE)), 6) FROM s
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_tax', CAST(n AS BIGINT),
+         round(CAST(n*spt - sp*st AS DOUBLE) / sqrt(CAST(n*spp - sp*sp AS DOUBLE) * CAST(n*stt - st*st AS DOUBLE)), 6) FROM s
+  UNION ALL
+  SELECT 'l_discount', 'l_tax', CAST(n AS BIGINT),
+         round(CAST(n*sdt - sd*st AS DOUBLE) / sqrt(CAST(n*sdd - sd*sd AS DOUBLE) * CAST(n*stt - st*st AS DOUBLE)), 6) FROM s
+)""",
+        "acf_hourly": """
+WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h FROM events),
+c AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY h),
+b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+g AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+dense AS (SELECT g.h, coalesce(c.n, 0) AS n FROM g LEFT JOIN c ON g.h = c.h),
+s AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(n) AS BIGINT) AS tot FROM dense),
+dev AS (SELECT h, n * nn - tot AS dx FROM dense CROSS JOIN s),
+den AS (SELECT sum(dx * dx) AS s0 FROM dev),
+lags AS (SELECT unnest(generate_series(1, 24)) AS k),
+num AS (SELECT l.k, sum(a.dx * b2.dx) AS sk
+        FROM lags l JOIN dev a ON TRUE JOIN dev b2 ON a.h = b2.h + l.k
+        GROUP BY l.k)
+SELECT num.k AS lag, round(CAST(num.sk AS DOUBLE) / CAST(den.s0 AS DOUBLE), 6) AS acf
+FROM num CROSS JOIN den""",
         "incremental_tile_counts": f"""
 WITH tc AS (
   SELECT CAST({oracle.sql_tile_x(oracle.sql_derive_lon('event_id'), spatial.GINI_Z)} AS BIGINT) AS x,

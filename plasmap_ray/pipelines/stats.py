@@ -791,3 +791,154 @@ def value_concentration(sf_dir: str) -> rd.Dataset:
         )
 
     return per_user.groupby("event_type").map_groups(per_type, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# benford_audit (first-digit law conformance of a monetary column)
+# ---------------------------------------------------------------------------
+
+
+def benford_audit(sf_dir: str) -> rd.Dataset:
+    """Benford first-digit audit of ``l_extendedprice`` — per digit
+    1..9: observed count, observed fraction, the Benford expectation
+    log10(1 + 1/d), and the chi-square contribution.  The classic
+    synthetic-data / fraud screen a corpus audit runs over every
+    monetary column before trusting it as a training signal.
+
+    Exactness: the leading digit is pure int64 arithmetic (floor the
+    price, then repeated //10 — a bounded <=19-step vectorized loop, no
+    string round-trips, no log10-of-float edge cases near powers of
+    ten).  Counts are exact int64 in any accumulation order; the three
+    float outputs are each ONE expression over (n, total, digit),
+    mirrored verbatim in the SQL oracle.
+
+    Scale shape: map-side combiner (9-row bincount partial per batch)
+    -> one 9-key groupby -> driver finalize on 9 rows.  Nothing but
+    the 9-row partials ever shuffles.  Output: (digit, n, obs_frac,
+    exp_frac, chi2_term).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"])
+    digits = np.arange(1, 10, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.floor(t["l_extendedprice"].to_numpy()).astype(np.int64)
+        while (v >= 10).any():
+            v = np.where(v >= 10, v // 10, v)
+        counts = np.bincount(v, minlength=10)[1:10].astype(np.int64)
+        return pa.table({"digit": pa.array(digits), "n": pa.array(counts)})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    n = agg["n"].to_numpy().astype(np.int64)
+    d = agg["digit"].to_numpy().astype(np.float64)
+    tot = float(n.sum())
+    exp_frac = np.log(1.0 + 1.0 / d) / np.log(10.0)
+    obs_frac = n.astype(np.float64) / tot
+    chi2 = (n.astype(np.float64) - tot * exp_frac) ** 2 / (tot * exp_frac)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "digit": pa.array(agg["digit"].to_numpy(), type=pa.int64()),
+                "n": pa.array(n, type=pa.int64()),
+                "obs_frac": pa.array(duckdb_round(obs_frac, 6), type=pa.float64()),
+                "exp_frac": pa.array(duckdb_round(exp_frac, 6), type=pa.float64()),
+                "chi2_term": pa.array(duckdb_round(chi2, 6), type=pa.float64()),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_corr_matrix (pairwise Pearson over the numeric fact columns)
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_SHORT = ("q", "p", "d", "t")
+
+
+def lineitem_corr_matrix(sf_dir: str) -> rd.Dataset:
+    """Pairwise Pearson correlation matrix over the four numeric
+    lineitem columns — the feature-redundancy screen run before using
+    fact columns as model inputs.
+
+    Exactness via the int128-as-two-int64 discipline: every value is
+    fixed-pointed to cents (exact int64), and every moment sum
+    SUM(x*y) is carried as TWO int64 sums (hi = sum(x*y >> 30),
+    lo = sum(x*y & (2^30-1))) because SUM(price_cents^2) overflows
+    int64 already at sf0.1 (~6e19).  The driver reassembles the exact
+    int128 with unbounded Python ints; DuckDB's SUM(BIGINT) is
+    HUGEINT-exact natively, so both engines divide the SAME integers.
+    This is the documented 10^12-row path for moment sums (cf.
+    value_hour_correlation's hi/lo note) implemented for real.
+
+    Scale shape: one 29-int partial row per batch -> a single global
+    aggregate (no key) -> 6-row driver finalize.  Output:
+    (col_a, col_b, n, pearson_r).
+    """
+    import itertools
+    import math
+
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"), columns=list(_CORR_COLS))
+    pairs = list(itertools.combinations_with_replacement(range(4), 2))
+    mask = np.int64((1 << 30) - 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        arrs = [
+            np.floor(t[c].to_numpy() * 100.0 + 0.5).astype(np.int64) for c in _CORR_COLS
+        ]
+        out: dict[str, pa.Array] = {
+            "n": pa.array([np.int64(t.num_rows)], type=pa.int64())
+        }
+        for i, s in enumerate(_CORR_SHORT):
+            out[f"s_{s}"] = pa.array([arrs[i].sum()], type=pa.int64())
+        for i, j in pairs:
+            prod = arrs[i] * arrs[j]  # per element <= ~1e14, exact int64
+            key = _CORR_SHORT[i] + _CORR_SHORT[j]
+            out[f"hi_{key}"] = pa.array([np.int64((prod >> 30).sum())], type=pa.int64())
+            out[f"lo_{key}"] = pa.array([np.int64((prod & mask).sum())], type=pa.int64())
+        return pa.table(out)
+
+    aggs = [Sum("n", alias_name="n")]
+    aggs += [Sum(f"s_{s}", alias_name=f"s_{s}") for s in _CORR_SHORT]
+    for i, j in pairs:
+        key = _CORR_SHORT[i] + _CORR_SHORT[j]
+        aggs += [Sum(f"hi_{key}", alias_name=f"hi_{key}"), Sum(f"lo_{key}", alias_name=f"lo_{key}")]
+    tot = ds.map_batches(partial, batch_format="pyarrow").aggregate(*aggs)
+
+    n = int(tot["n"])
+    s1 = {s: int(tot[f"s_{s}"]) for s in _CORR_SHORT}
+    s2 = {}
+    for i, j in pairs:
+        key = _CORR_SHORT[i] + _CORR_SHORT[j]
+        s2[key] = (int(tot[f"hi_{key}"]) << 30) + int(tot[f"lo_{key}"])  # exact int128
+
+    rows_a, rows_b, rs = [], [], []
+    for i, j in itertools.combinations(range(4), 2):
+        a, b = _CORR_SHORT[i], _CORR_SHORT[j]
+        num = n * s2[a + b] - s1[a] * s1[b]
+        den_a = n * s2[a + a] - s1[a] * s1[a]
+        den_b = n * s2[b + b] - s1[b] * s1[b]
+        r = float(num) / math.sqrt(float(den_a) * float(den_b))
+        rows_a.append(_CORR_COLS[i])
+        rows_b.append(_CORR_COLS[j])
+        rs.append(float(duckdb_round(np.array([r]), 6)[0]))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "col_a": pa.array(rows_a, type=pa.string()),
+                "col_b": pa.array(rows_b, type=pa.string()),
+                "n": pa.array([n] * 6, type=pa.int64()),
+                "pearson_r": pa.array(rs, type=pa.float64()),
+            }
+        )
+    )

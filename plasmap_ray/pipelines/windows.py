@@ -1313,3 +1313,60 @@ def seasonal_decompose(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def acf_hourly(sf_dir: str, max_lag: int = 24) -> rd.Dataset:
+    """Autocorrelation function of the hourly event-count series at
+    lags 1..24 — the periodicity detector that justifies (or refutes)
+    seasonal_decompose's fixed weekly period choice.
+
+    The series is densified over [min_hour, max_hour] (missing hours
+    count 0 — ACF over a gappy index is meaningless), then the classic
+    estimator r_k = sum_t (x_t - mean)(x_{t-k} - mean) / sum_t (x_t -
+    mean)^2 is computed on EXACT integers: with S = sum(x) and nn =
+    series length, nn*(x_t - mean) = x_t*nn - S is an integer, and r_k
+    = sum(dx_t * dx_{t-k}) / sum(dx^2) with the nn^2 factors cancelling
+    — both engines divide the same two int64s (headroom to ~3e18 at
+    sf0.1; hi/lo-split the products beyond, cf. lineitem_corr_matrix).
+
+    Scale shape: per-batch (hour, count) combiner -> hour-keyed groupby
+    (bounded: hours in the observation window, ~720 here, ~10^5 for a
+    decade) -> driver finalize on the bounded dense series.  Output:
+    (lag, acf).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = t["ts"].cast(pa.int64()).to_numpy() // 3_600_000_000
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u, type=pa.int64()), "n": pa.array(c.astype(np.int64))})
+
+    hourly = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    h = hourly["h"].to_numpy().astype(np.int64)
+    lo, hi = int(h.min()), int(h.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[h - lo] = hourly["n"].to_numpy().astype(np.int64)
+    nn = np.int64(len(dense))
+    s = np.int64(dense.sum())
+    dx = dense * nn - s
+    den = int((dx * dx).sum())
+    lags = np.arange(1, max_lag + 1, dtype=np.int64)
+    acf = np.empty(max_lag, dtype=np.float64)
+    for idx, k in enumerate(lags):
+        num = int((dx[k:] * dx[:-k]).sum())
+        acf[idx] = float(num) / float(den)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lag": pa.array(lags, type=pa.int64()),
+                "acf": pa.array(duckdb_round(acf, 6), type=pa.float64()),
+            }
+        )
+    )

@@ -1,0 +1,103 @@
+"""Brute-force recompute tests for the corpus-audit statistics added in
+round 3: Benford first-digit audit, exact-int128 Pearson matrix, hourly
+ACF, Theil-Sen robust cell trend, EB-shrunk cell rates."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from plasmap_ray import fixtures
+from plasmap_ray.pipelines import hotspot, stats, windows
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_benford_digits_from_bruteforce(ray_session):
+    out = stats.benford_audit(SF).to_pandas().sort_values("digit").reset_index(drop=True)
+    prices = pq.read_table(os.path.join(SF, "lineitem.parquet"))["l_extendedprice"].to_numpy()
+    lead = np.array([int(str(int(np.floor(p)))[0]) for p in prices])
+    want = np.bincount(lead, minlength=10)[1:10]
+    assert list(out["digit"]) == list(range(1, 10))
+    assert (out["n"].to_numpy() == want).all()
+    # fractions sum to 1 (within rounding) and Benford expectation is a pmf
+    assert abs(out["obs_frac"].sum() - 1.0) < 1e-4
+    assert abs(out["exp_frac"].sum() - 1.0) < 1e-4
+    assert (out["chi2_term"].to_numpy() >= 0).all()
+
+
+def test_corr_matrix_matches_numpy(ray_session):
+    out = stats.lineitem_corr_matrix(SF).to_pandas()
+    t = pq.read_table(os.path.join(SF, "lineitem.parquet"), columns=list(stats._CORR_COLS))
+    cents = {
+        c: np.floor(t[c].to_numpy() * 100.0 + 0.5).astype(np.int64) for c in stats._CORR_COLS
+    }
+    assert len(out) == 6
+    for _, row in out.iterrows():
+        a, b = cents[row["col_a"]], cents[row["col_b"]]
+        want = np.corrcoef(a.astype(np.float64), b.astype(np.float64))[0, 1]
+        # engine output is rounded to 6 decimals; allow the rounding grid
+        assert abs(row["pearson_r"] - want) < 5.1e-7, (row["col_a"], row["col_b"])
+    assert (out["pearson_r"].abs() <= 1.0).all()
+
+
+def test_acf_hourly_matches_dense_recompute(ray_session):
+    out = windows.acf_hourly(SF).to_pandas().sort_values("lag").reset_index(drop=True)
+    ts = pq.read_table(os.path.join(SF, "events.parquet"), columns=["ts"])["ts"]
+    h = ts.cast("int64").to_numpy() // 3_600_000_000
+    lo, hi = h.min(), h.max()
+    dense = np.bincount((h - lo).astype(np.int64), minlength=int(hi - lo + 1)).astype(np.float64)
+    dx = dense - dense.mean()
+    den = (dx * dx).sum()
+    for _, row in out.iterrows():
+        k = int(row["lag"])
+        want = (dx[k:] * dx[:-k]).sum() / den
+        assert abs(row["acf"] - want) < 1e-6, k
+    assert list(out["lag"]) == list(range(1, 25))
+    assert (out["acf"].abs() <= 1.0 + 1e-9).all()
+
+
+def test_theil_sen_matches_bruteforce(ray_session):
+    out = hotspot.theil_sen_cell_trend(SF).to_pandas()
+    ids = pq.read_table(os.path.join(SF, "events.parquet"), columns=["event_id", "ts"])
+    ev = ids["event_id"].to_numpy()
+    day = ids["ts"].cast("int64").to_numpy() // hotspot.DAY_US
+    lon, lat = fixtures.derive_lon(ev), fixtures.derive_lat(ev)
+    cx = np.floor((lon - fixtures.LON_MIN) / hotspot.GI_EPS).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / hotspot.GI_EPS).astype(np.int64)
+    df = pd.DataFrame({"cx": cx, "cy": cy, "day": day})
+    counts = df.groupby(["cx", "cy", "day"]).size().reset_index(name="y")
+    want_rows = 0
+    got = {(int(r["cx"]), int(r["cy"])): r for _, r in out.iterrows()}
+    for (gx, gy), g in counts.groupby(["cx", "cy"]):
+        d = g["day"].to_numpy()
+        y = g["y"].to_numpy()
+        if len(d) < hotspot.TREND_MIN_DAYS:
+            assert (gx, gy) not in got
+            continue
+        want_rows += 1
+        o = np.argsort(d)
+        d, y = d[o], y[o]
+        i, j = np.triu_indices(len(d), k=1)
+        slopes = (y[j] - y[i]) / (d[j] - d[i]).astype(np.float64)
+        row = got[(gx, gy)]
+        assert row["n_days"] == len(d)
+        assert abs(row["ts_slope"] - np.median(slopes)) < 1e-6
+    assert len(out) == want_rows
+
+
+def test_eb_shrinkage_pulls_toward_global(ray_session):
+    out = hotspot.eb_shrunk_rates(SF).to_pandas()
+    p = out["x"].sum() / out["n"].sum()
+    # shrunk rate lies strictly between the raw rate and the global rate
+    # (or equals both when they coincide)
+    lo = np.minimum(out["rate"], p) - 1e-6
+    hi = np.maximum(out["rate"], p) + 1e-6
+    assert ((out["shrunk_rate"] >= lo) & (out["shrunk_rate"] <= hi)).all()
+    # small-n cells shrink more: |shrunk - rate| decreasing in n on average
+    gap = (out["shrunk_rate"] - out["rate"]).abs()
+    small = gap[out["n"] < out["n"].median()].mean()
+    large = gap[out["n"] >= out["n"].median()].mean()
+    assert small >= large
