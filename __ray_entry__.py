@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_packing": text.sequence_packing,
         "corpus_flagship": text.corpus_flagship,
         "shuffled_packing": text.shuffled_packing,
+        "token_budget_sample": text.token_budget_sample,
         "packing_stats": text.packing_stats,
         "length_bucket_padding": text.length_bucket_padding,
         "vocab_coverage_curve": text.vocab_coverage_curve,
@@ -1212,6 +1213,13 @@ SELECT doc_id, n_tok, CAST(cum - n_tok AS BIGINT) AS start_tok,
        CAST((cum - 1) // {text.PACK_CTX} AS BIGINT) AS last_seq,
        CAST((cum - 1) // {text.PACK_CTX} - (cum - n_tok) // {text.PACK_CTX} + 1 AS BIGINT) AS n_seqs
 FROM c ORDER BY doc_id""",
+        "token_budget_sample": f"""
+WITH t AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                  md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+c AS (SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum FROM t)
+SELECT doc_id, source, n_tok, CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= {text.TOKEN_BUDGET}""",
         "packing_stats": f"""
 WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
 c AS (SELECT doc_id, n_tok, SUM(n_tok) OVER (ORDER BY doc_id) AS cum FROM t)

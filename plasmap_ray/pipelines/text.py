@@ -1634,3 +1634,100 @@ def curriculum_buckets(sf_dir: str, tiers: int = CURRICULUM_TIERS, lam: float = 
         .groupby(["tier", "lang"])
         .aggregate(_Count(alias_name="n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# token_budget_sample (per-source token-budget subsampling manifest)
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 800  # per-source token budget (tokens kept per source)
+
+
+def token_budget_sample(sf_dir: str, budget: int = TOKEN_BUDGET) -> rd.Dataset:
+    """Deterministic per-source token-budget subsample: walk each
+    source's documents in content-stable md5(doc_id) order and keep
+    documents while the source's running token total stays within
+    ``budget`` — the data-mixing primitive that turns
+    domain_mixture_weights into an actual training manifest (take
+    exactly B_s tokens of source s, reproducibly, with no RNG state).
+
+    A document is kept iff its INCLUSIVE cumulative total <= budget
+    (no overshoot; the first too-big doc and everything after it in
+    hash order is dropped).
+
+    Scale shape: the shuffled_packing two-pass prefix scan partitioned
+    by source — pass 1 aggregates (source, hash-prefix-bin) token sums
+    (bounded: sources x 256 rows) whose per-source cumulative sums
+    become bin offsets; pass 2 regroups by (source, bin), sorts (h,
+    doc_id) locally, and applies the budget cut.  Bins whose offset
+    already exceeds the budget emit nothing (the scan is effectively
+    a prefix-prune at planet scale).  Output: (doc_id, source, n_tok,
+    cum_tokens) for kept docs.
+    """
+    import hashlib
+
+    ds = _read_docs(sf_dir, ["doc_id", "source", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.list_value_length(pc.split_pattern(t["text"], " ")), pa.int64())
+        doc = t["doc_id"].to_numpy().astype(np.int64)
+        h = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in doc]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, type=pa.int64()),
+                "source": t["source"],
+                "n_tok": n,
+                "h": pa.array(h, type=pa.string()),
+                "bin": pa.array([int(x[:2], 16) for x in h], type=pa.int64()),
+            }
+        )
+
+    tok = ds.map_batches(toks, batch_format="pyarrow")
+
+    bins = (
+        tok.map_batches(
+            lambda t: pa.table({"source": t["source"], "bin": t["bin"], "n": t["n_tok"]}),
+            batch_format="pyarrow",
+        )
+        .groupby(["source", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["source", "bin"])
+    )
+    offs: dict[tuple[str, int], int] = {}
+    for src, g in bins.groupby("source", sort=False):
+        cum = np.concatenate([[0], np.cumsum(g["n"].to_numpy(np.int64))[:-1]])
+        for b, o in zip(g["bin"].astype(np.int64), cum):
+            offs[(str(src), int(b))] = int(o)
+
+    def cut(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "source": pa.array([], type=pa.string()),
+                "n_tok": pa.array([], type=pa.int64()),
+                "cum_tokens": pa.array([], type=pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        src = str(g["source"][0].as_py())
+        base = offs[(src, int(g["bin"][0].as_py()))]
+        if base >= budget:  # whole bin is past the cut: prefix-prune
+            return empty
+        g = g.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        n = g["n_tok"].to_numpy().astype(np.int64)
+        cum = base + np.cumsum(n)
+        keep = cum <= budget
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "doc_id": g["doc_id"].filter(pa.array(keep)),
+                "source": g["source"].filter(pa.array(keep)),
+                "n_tok": pa.array(n[keep], type=pa.int64()),
+                "cum_tokens": pa.array(cum[keep], type=pa.int64()),
+            }
+        )
+
+    return tok.groupby(["source", "bin"]).map_groups(cut, batch_format="pyarrow")

@@ -628,3 +628,27 @@ def test_curriculum_buckets_ntile_exact(ray_session):
     assert list(g["tier"]) == list(w["tier"]) and list(g["lang"]) == list(w["lang"])
     sizes = got.groupby("tier")["n_docs"].sum()
     assert sizes.max() - sizes.min() <= 1
+
+
+def test_token_budget_sample_invariants(ray_session):
+    """Budget respected per source; kept set is an exact hash-order
+    prefix (the first dropped doc would overshoot the budget)."""
+    import hashlib
+
+    got = text.token_budget_sample(SF0001).to_pandas()
+    docs = pq.read_table(f"{SF0001}/documents.parquet", columns=["doc_id", "source", "text"]).to_pandas()
+    docs["n_tok"] = docs["text"].str.split(" ").str.len()
+    docs["h"] = docs["doc_id"].map(lambda i: hashlib.md5(str(int(i)).encode()).hexdigest())
+    kept_tot = got.groupby("source")["n_tok"].sum()
+    assert (kept_tot <= text.TOKEN_BUDGET).all()
+    for src, g in docs.groupby("source"):
+        g = g.sort_values(["h", "doc_id"]).reset_index(drop=True)
+        cum = g["n_tok"].cumsum()
+        want = set(g.loc[cum <= text.TOKEN_BUDGET, "doc_id"])
+        have = set(got.loc[got["source"] == src, "doc_id"])
+        assert have == want, src
+        # greedy-prefix property: first excluded doc would overshoot
+        dropped = g.loc[~g["doc_id"].isin(want)]
+        if len(dropped):
+            first = dropped.index.min()
+            assert cum.iloc[first] > text.TOKEN_BUDGET
