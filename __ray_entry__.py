@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_matrix": trajectory.od_matrix,
         "od_gravity": trajectory.od_gravity,
         "speed_audit": trajectory.speed_audit,
+        "displacement_histogram": trajectory.displacement_histogram,
         "spatial_self_join": trajectory.spatial_self_join,
         "colocation_join": trajectory.colocation_join,
         "stay_points": trajectory.stay_points,
@@ -2130,6 +2131,17 @@ SELECT o_cell, d_cell, n_users, n_o, n_d, expected,
   CAST(n_users AS DOUBLE) - expected AS resid,
   (CAST(n_users AS DOUBLE) - expected) * (CAST(n_users AS DOUBLE) - expected) / expected AS chi2
 FROM e""",
+        "displacement_histogram": f"""
+WITH {_epts},
+w AS (SELECT user_id, lon, lat,
+        lag(lon) OVER uw AS plon, lag(lat) OVER uw AS plat
+      FROM epts WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT CAST(floor(sqrt((lon - plon) * (lon - plon) + (lat - plat) * (lat - plat)) * 1000000000.0 + 0.5) AS BIGINT) AS dist_fp
+      FROM w WHERE plon IS NOT NULL),
+m AS (SELECT CASE WHEN dist_fp = 0 THEN 0 ELSE length(CAST(dist_fp AS VARCHAR)) END AS mag FROM s),
+c AS (SELECT CAST(mag AS BIGINT) AS mag, CAST(count(*) AS BIGINT) AS n_steps FROM m GROUP BY mag),
+t AS (SELECT CAST(sum(n_steps) AS DOUBLE) AS tot FROM c)
+SELECT mag, n_steps, round(CAST(n_steps AS DOUBLE) / tot, 6) AS frac FROM c CROSS JOIN t""",
         "speed_audit": f"""
 WITH {_epts},
 w AS (SELECT user_id, lon, lat,

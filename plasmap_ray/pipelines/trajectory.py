@@ -1708,3 +1708,78 @@ def path_crossings(sf_dir: str, parts: int = TRAJ_PARTS) -> rd.Dataset:
         Min("user_a", alias_name="user_a"), Min("user_b", alias_name="user_b")
     )
     return uniq.groupby(["user_a", "user_b"]).aggregate(Count(alias_name="n_crossings"))
+
+
+# ---------------------------------------------------------------------------
+# displacement_histogram (Lévy-flight magnitude census over steps)
+# ---------------------------------------------------------------------------
+
+
+def displacement_histogram(sf_dir: str, parts: int = TRAJ_PARTS) -> rd.Dataset:
+    """Order-of-magnitude census of consecutive-step displacements —
+    the Lévy-flight / scale-free-mobility audit: human movement shows a
+    heavy-tailed step-length distribution, so the per-decade fractions
+    (not the mean, which the tail dominates) are the stable descriptor
+    a mobility model is validated against.
+
+    Buckets are DECIMAL-DIGIT COUNTS of the fixed-point step length
+    (1e-9 deg units): mag = number of digits of dist_fp, 0 for a
+    zero-length step — pure integer arithmetic on both engines (no
+    log2/log10-of-float boundary hazard at exact powers).
+
+    Scale shape: the speed_audit coarse-partition run-scan emits
+    per-partition (mag, n) combiner rows; a <=20-key groupby and a
+    20-row driver finalize follow.  Output: (mag, n_steps, frac).
+    """
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _derive_positions(t)
+        uid = t["user_id"].to_numpy()
+        tus = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        t = t.drop_columns(["ts"]).append_column("tus", pa.array(tus, type=pa.int64()))
+        return t.append_column("part", pa.array(np.asarray(uid, np.int64) % parts, type=pa.int64()))
+
+    empty = pa.table({"mag": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())})
+
+    def census(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("tus", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        if len(uid) < 2:
+            return empty
+        m = np.diff(uid) == 0
+        if not m.any():
+            return empty
+        lon, lat = g["lon"].to_numpy(), g["lat"].to_numpy()
+        dist_fp = _seg_fp(np.diff(lon), np.diff(lat))[m]
+        mag = np.zeros(len(dist_fp), dtype=np.int64)
+        x = dist_fp.copy()
+        while (x > 0).any():  # digit count: bounded 19-step vectorized loop
+            mag += (x > 0).astype(np.int64)
+            x //= 10
+        u, c = np.unique(mag, return_counts=True)
+        return pa.table({"mag": pa.array(u, type=pa.int64()), "n": pa.array(c.astype(np.int64))})
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(census, batch_format="pyarrow")
+        .groupby("mag")
+        .aggregate(Sum("n", alias_name="n_steps"))
+        .to_pandas()
+        .sort_values("mag")
+        .reset_index(drop=True)
+    )
+    from ..stages.common import duckdb_round
+
+    n = agg["n_steps"].to_numpy().astype(np.int64)
+    tot = float(n.sum())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "mag": pa.array(agg["mag"].to_numpy(), type=pa.int64()),
+                "n_steps": pa.array(n, type=pa.int64()),
+                "frac": pa.array(duckdb_round(n.astype(np.float64) / tot, 6), type=pa.float64()),
+            }
+        )
+    )

@@ -552,3 +552,28 @@ def test_path_crossings_excludes_touching_endpoints(ray_session):
     # two segments meeting exactly at (1, 1): d1 == 0 -> excluded
     d1 = (1.0 - 0.0) * (2.0 - 0.0) - (1.0 - 0.0) * (2.0 - 0.0)
     assert d1 == 0.0
+
+
+def test_displacement_histogram_bruteforce(ray_session):
+    """Magnitude census == pandas lag recompute; fractions sum to 1."""
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import trajectory
+
+    sf = "/root/testdata/sf0.001"
+    got = trajectory.displacement_histogram(sf).to_pandas().sort_values("mag").reset_index(drop=True)
+    t = pq.read_table(f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]).to_pandas()
+    t["lon"] = fixtures.derive_lon(t["event_id"].to_numpy())
+    t["lat"] = fixtures.derive_lat(t["event_id"].to_numpy())
+    t = t.sort_values(["user_id", "ts", "event_id"])
+    same = t["user_id"].to_numpy()[1:] == t["user_id"].to_numpy()[:-1]
+    dlon = np.diff(t["lon"].to_numpy())[same]
+    dlat = np.diff(t["lat"].to_numpy())[same]
+    fp = np.floor(np.sqrt(dlon * dlon + dlat * dlat) * 1e9 + 0.5).astype(np.int64)
+    mag = np.array([0 if v == 0 else len(str(v)) for v in fp])
+    import collections
+
+    want = collections.Counter(mag)
+    assert dict(zip(got["mag"], got["n_steps"])) == dict(want)
+    assert abs(got["frac"].sum() - 1.0) < 1e-4
