@@ -329,6 +329,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_gravity": trajectory.od_gravity,
         "speed_audit": trajectory.speed_audit,
         "displacement_histogram": trajectory.displacement_histogram,
+        "transition_entropy": trajectory.transition_entropy,
+        "user_mobility_entropy": trajectory.user_mobility_entropy,
         "spatial_self_join": trajectory.spatial_self_join,
         "colocation_join": trajectory.colocation_join,
         "stay_points": trajectory.stay_points,
@@ -2131,6 +2133,43 @@ SELECT o_cell, d_cell, n_users, n_o, n_d, expected,
   CAST(n_users AS DOUBLE) - expected AS resid,
   (CAST(n_users AS DOUBLE) - expected) * (CAST(n_users AS DOUBLE) - expected) / expected AS chi2
 FROM e""",
+        "transition_entropy": f"""
+WITH {_epts},
+sc AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+         CAST(floor((lon - {fixtures.LON_MIN!r}) / {trajectory.TRANS_PITCH!r}) AS BIGINT) AS cx,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) / {trajectory.TRANS_PITCH!r}) AS BIGINT) AS cy
+       FROM epts),
+st AS (SELECT cx, cy,
+         lag(cx) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS px,
+         lag(cy) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS py
+       FROM sc),
+tr AS (SELECT px AS fx, py AS fy, CAST(count(*) AS BIGINT) AS ni
+       FROM st WHERE px IS NOT NULL GROUP BY px, py, cx, cy),
+fpt AS (SELECT fx, fy, ni,
+          CAST(floor(ni * ln(CAST(ni AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS f
+        FROM tr),
+agg AS (SELECT fx, fy, CAST(sum(ni) AS BIGINT) AS n_steps,
+               CAST(count(*) AS BIGINT) AS n_dests, CAST(sum(f) AS BIGINT) AS sfp
+        FROM fpt GROUP BY fx, fy)
+SELECT fx, fy, n_steps, n_dests,
+       round(ln(CAST(n_steps AS DOUBLE)) - (CAST(sfp AS DOUBLE) / 1000000000.0) / CAST(n_steps AS DOUBLE), 6) AS entropy
+FROM agg""",
+        "user_mobility_entropy": f"""
+WITH {_epts},
+sc AS (SELECT user_id,
+         CAST(floor((lon - {fixtures.LON_MIN!r}) / {trajectory.TRANS_PITCH!r}) AS BIGINT) AS cx,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) / {trajectory.TRANS_PITCH!r}) AS BIGINT) AS cy
+       FROM epts),
+ct AS (SELECT user_id, cx, cy, CAST(count(*) AS BIGINT) AS ni FROM sc GROUP BY 1, 2, 3),
+fpt AS (SELECT user_id, ni,
+          CAST(floor(ni * ln(CAST(ni AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS f
+        FROM ct),
+agg AS (SELECT user_id, CAST(sum(ni) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(f) AS BIGINT) AS sfp
+        FROM fpt GROUP BY user_id)
+SELECT user_id, n_events, n_cells,
+       round(ln(CAST(n_events AS DOUBLE)) - (CAST(sfp AS DOUBLE) / 1000000000.0) / CAST(n_events AS DOUBLE), 6) AS entropy
+FROM agg""",
         "displacement_histogram": f"""
 WITH {_epts},
 w AS (SELECT user_id, lon, lat,

@@ -1783,3 +1783,150 @@ def displacement_histogram(sf_dir: str, parts: int = TRAJ_PARTS) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transition_entropy (per-origin-cell entropy of the Markov kernel row)
+# ---------------------------------------------------------------------------
+
+ENTROPY_FP = 1e9  # fixed-point pitch for n·ln(n) terms (cell_entropy discipline)
+
+
+def transition_entropy(sf_dir: str, pitch: float = TRANS_PITCH) -> rd.Dataset:
+    """Per-origin-cell Shannon entropy of the OUTGOING transition
+    distribution — the row-wise uncertainty of the empirical Markov
+    kernel (cell_transition_matrix): H ≈ 0 means movement from this
+    cell is predictable, H ≈ ln(k) means uniform over k destinations.
+    The mobility-predictability screen (Song et al.'s Ω) at cell grain.
+
+    Order discipline (cell_entropy's): each (from, to) row fixes
+    n·ln(n) to int64 ONCE; the per-origin sums are then exact-integer
+    in any accumulation order, and H = ln(n) − (Σ nᵢ ln nᵢ)/n is one
+    mirrored float expression.
+
+    Scale shape: one (from, to)-keyed count shuffle (the kernel,
+    lattice²-bounded) → one origin-keyed integer reduce.  Output:
+    (fx, fy, n_steps, n_dests, entropy).
+    """
+    from ..stages.common import duckdb_round
+
+    trans = cell_transition_matrix(sf_dir, pitch=pitch)
+
+    def nlogn(t: pa.Table) -> pa.Table:
+        ni = t["n_steps"].to_numpy().astype(np.int64)
+        f = np.floor(ni * np.log(ni.astype(np.float64)) * ENTROPY_FP + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "fx": t["fx"],
+                "fy": t["fy"],
+                "ni": pa.array(ni, type=pa.int64()),
+                "one": pa.array(np.ones(len(ni), dtype=np.int64)),
+                "f": pa.array(f, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        trans.map_batches(nlogn, batch_format="pyarrow")
+        .groupby(["fx", "fy"])
+        .aggregate(
+            Sum("ni", alias_name="n_steps"),
+            Sum("one", alias_name="n_dests"),
+            Sum("f", alias_name="sum_nlogn_fp"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_steps"].to_numpy().astype(np.float64)
+        sfp = t["sum_nlogn_fp"].to_numpy().astype(np.float64)
+        h = duckdb_round(np.log(n) - (sfp / ENTROPY_FP) / n, 6)
+        return pa.table(
+            {
+                "fx": t["fx"],
+                "fy": t["fy"],
+                "n_steps": t["n_steps"],
+                "n_dests": t["n_dests"],
+                "entropy": pa.array(h, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# user_mobility_entropy (per-user visited-cell entropy)
+# ---------------------------------------------------------------------------
+
+
+def user_mobility_entropy(sf_dir: str, pitch: float = TRANS_PITCH) -> rd.Dataset:
+    """Per-user location-visit entropy: H over the distribution of the
+    user's event cells — the standard mobility-predictability feature
+    (low H = home-work routine, high H = exploratory), the per-user
+    companion to transition_entropy's per-cell view.
+
+    Same exact-integer n·ln(n) discipline; the (user, cell) count
+    shuffle is the only data-sized exchange, the user-keyed reduce
+    moves one row per (user, visited cell).  Output: (user_id,
+    n_events, n_cells, entropy).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["event_id", "user_id"])
+    gy = int(round(fixtures.LAT_SPAN / pitch))
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / pitch).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / pitch).astype(np.int64)
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        key = uid * np.int64(1 << 32) + (cx * gy + cy)
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uniq, type=pa.int64()),
+                "ni": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("ni", alias_name="ni"))
+    )
+
+    def nlogn(t: pa.Table) -> pa.Table:
+        ni = t["ni"].to_numpy().astype(np.int64)
+        f = np.floor(ni * np.log(ni.astype(np.float64)) * ENTROPY_FP + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(t["key"].to_numpy() >> 32, type=pa.int64()),
+                "ni": pa.array(ni, type=pa.int64()),
+                "one": pa.array(np.ones(len(ni), dtype=np.int64)),
+                "f": pa.array(f, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        counts.map_batches(nlogn, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("ni", alias_name="n_events"),
+            Sum("one", alias_name="n_cells"),
+            Sum("f", alias_name="sum_nlogn_fp"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_events"].to_numpy().astype(np.float64)
+        sfp = t["sum_nlogn_fp"].to_numpy().astype(np.float64)
+        h = duckdb_round(np.log(n) - (sfp / ENTROPY_FP) / n, 6)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_events": t["n_events"],
+                "n_cells": t["n_cells"],
+                "entropy": pa.array(h, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -577,3 +577,47 @@ def test_displacement_histogram_bruteforce(ray_session):
     want = collections.Counter(mag)
     assert dict(zip(got["mag"], got["n_steps"])) == dict(want)
     assert abs(got["frac"].sum() - 1.0) < 1e-4
+
+
+def test_entropy_ops_bruteforce(ray_session):
+    """Both entropy operators match a pandas/scipy-free recompute."""
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import trajectory
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]).to_pandas()
+    t["lon"] = fixtures.derive_lon(t["event_id"].to_numpy())
+    t["lat"] = fixtures.derive_lat(t["event_id"].to_numpy())
+    p = trajectory.TRANS_PITCH
+    t["cx"] = np.floor((t["lon"] - fixtures.LON_MIN) / p).astype(np.int64)
+    t["cy"] = np.floor((t["lat"] - fixtures.LAT_MIN) / p).astype(np.int64)
+
+    def ent(counts):
+        n = counts.sum()
+        pr = counts / n
+        return -(pr * np.log(pr)).sum()
+
+    # per-user entropy
+    got = trajectory.user_mobility_entropy(sf).to_pandas().set_index("user_id")
+    for uid, g in t.groupby("user_id"):
+        c = g.groupby(["cx", "cy"]).size().to_numpy().astype(np.float64)
+        row = got.loc[uid]
+        assert row["n_events"] == c.sum() and row["n_cells"] == len(c)
+        assert abs(row["entropy"] - ent(c)) < 1e-5, uid
+
+    # per-origin transition entropy
+    t = t.sort_values(["user_id", "ts", "event_id"])
+    same = t["user_id"].to_numpy()[1:] == t["user_id"].to_numpy()[:-1]
+    fx, fy = t["cx"].to_numpy()[:-1][same], t["cy"].to_numpy()[:-1][same]
+    tx, ty = t["cx"].to_numpy()[1:][same], t["cy"].to_numpy()[1:][same]
+    import pandas as pd
+
+    tr = pd.DataFrame({"fx": fx, "fy": fy, "tx": tx, "ty": ty})
+    got2 = trajectory.transition_entropy(sf).to_pandas().set_index(["fx", "fy"])
+    for (gx, gy), g in tr.groupby(["fx", "fy"]):
+        c = g.groupby(["tx", "ty"]).size().to_numpy().astype(np.float64)
+        row = got2.loc[(gx, gy)]
+        assert row["n_steps"] == c.sum() and row["n_dests"] == len(c)
+        assert abs(row["entropy"] - ent(c)) < 1e-5, (gx, gy)
