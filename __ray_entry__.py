@@ -419,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_class_weights": stats.label_class_weights,
         "image_augment": images.image_augment,
         "image_blur_scores": images.image_blur_scores,
+        "image_entropy": images.image_entropy,
         "caption_geo_alignment": images.caption_geo_alignment,
         "contrastive_negatives": images.contrastive_negatives,
         "image_crop_manifest": images.image_crop_manifest,
@@ -1779,6 +1780,7 @@ FROM {img_pq} GROUP BY fmt ORDER BY fmt""",
         "image_ssim_audit": f"SELECT * FROM read_parquet('{golden.ssim_audit_path(SF001)}')",
         "image_augment": f"SELECT * FROM read_parquet('{golden.image_augment_path(images.images_path_for(SF001))}')",
         "image_blur_scores": f"SELECT * FROM read_parquet('{golden.image_blur_scores_path(images.images_path_for(SF001))}')",
+        "image_entropy": f"SELECT * FROM read_parquet('{golden.image_entropy_path(images.images_path_for(SF001))}')",
         # mirrors images.image_crop_manifest: the same integer modular
         # offsets, side = 2/3 short side, no decode
         "image_crop_manifest": f"""

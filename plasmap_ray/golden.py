@@ -2841,3 +2841,49 @@ def ssim_audit_path(sf_dir: str, target_fmt: str = "dctq") -> str:
         )
 
     return _cache(f"ssim_audit_{_sf_tag(sf_dir)}_{target_fmt}", build)
+
+
+def image_entropy_path(images_parquet: str) -> str:
+    """Expected per-image pixel-value entropy: independent driver
+    recompute — histogram via np.unique(return_counts) here vs the
+    engine's np.bincount, per-image scalar loop here vs the engine's
+    vectorized batch kernel.  The n·ln(n) fixed-point pivot (floor to
+    1e-9) is the shared DEFINITION, so any histogram/axis bug on
+    either side breaks the match bit-for-bit."""
+
+    def build() -> pa.Table:
+        from . import codecs
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(images_parquet, columns=["image_id", "bytes", "w", "h", "fmt"])
+        fp = 1e9
+        rows = {"image_id": [], "fmt": [], "ok": [], "n_samples": [], "n_distinct": [], "sfp": []}
+        for i in range(t.num_rows):
+            px = codecs.decode_image(
+                t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(), t["fmt"][i].as_py()
+            )
+            _, counts = np.unique(px.ravel(), return_counts=True)
+            counts = counts.astype(np.int64)
+            sfp = 0
+            for c in counts:
+                sfp += int(np.floor(float(c) * np.log(float(c)) * fp + 0.5))
+            rows["image_id"].append(t["image_id"][i].as_py())
+            rows["fmt"].append(t["fmt"][i].as_py())
+            rows["ok"].append(True)
+            rows["n_samples"].append(int(counts.sum()))
+            rows["n_distinct"].append(len(counts))
+            rows["sfp"].append(sfp)
+        n = np.maximum(np.asarray(rows["n_samples"], dtype=np.float64), 1.0)
+        sfp_arr = np.asarray(rows["sfp"], dtype=np.float64)
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], type=pa.string()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "ok": pa.array(rows["ok"]),
+                "n_samples": pa.array(rows["n_samples"], type=pa.int64()),
+                "n_distinct": pa.array(rows["n_distinct"], type=pa.int64()),
+                "entropy": pa.array(duckdb_round(np.log(n) - (sfp_arr / fp) / n, 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"image_entropy_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)

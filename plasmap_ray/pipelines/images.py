@@ -1888,3 +1888,42 @@ def image_ssim_audit(sf_dir: str, target_fmt: str = "dctq") -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("fmt")
+
+
+def image_entropy(sf_dir: str) -> rd.Dataset:
+    """Per-image pixel-value entropy audit (stages.media.PixelEntropy):
+    the flat/synthetic screen — near-zero H marks solid fills and hard
+    banding, maximal H marks noise — run beside the blur gate before
+    an image corpus trains anything.
+
+    Scale shape: map-ONLY — decode fused with the histogram kernel in
+    the actor pool, payloads consumed in-stage, three int64s + metadata
+    per image leave the task; no exchange at all.  Oracle: golden
+    driver recompute with independent histogram/entropy expressions.
+
+    Output: (image_id, fmt, ok, n_samples, n_distinct, entropy).
+    """
+    from ..stages import media
+    from ..stages.common import duckdb_round
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    scored = ds.map_batches(
+        media.PixelEntropy, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = np.maximum(t["n_samples"].to_numpy().astype(np.float64), 1.0)
+        sfp = t["sum_nlogn_fp"].to_numpy().astype(np.float64)
+        ent = duckdb_round(np.log(n) - (sfp / media.PixelEntropy.FP) / n, 6)
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "fmt": t["fmt"],
+                "ok": t["ok"],
+                "n_samples": t["n_samples"],
+                "n_distinct": t["n_distinct"],
+                "entropy": pa.array(ent, type=pa.float64()),
+            }
+        )
+
+    return scored.map_batches(finish, batch_format="pyarrow")

@@ -258,3 +258,55 @@ class BlurSharpness:
         out = out.append_column("n_interior", pa.array(n_int, type=pa.int64()))
         out = out.append_column("lap_sq_sum", pa.array(lap_sq, type=pa.int64()))
         return out.append_column("grad_abs_sum", pa.array(grad_abs, type=pa.int64()))
+
+
+class PixelEntropy:
+    """Actor-pool stage: per-image Shannon entropy of the pixel-value
+    histogram (all channels pooled) — the flat/synthetic-image screen
+    of an image corpus audit (near-zero entropy = solid fills / banding,
+    near-8-bit-max = noise), complementing BlurSharpness' edge energy.
+
+    Exact-integer discipline: the 256-bin histogram is int64; each
+    occupied bin fixes n·ln(n) to int64 ONCE (fp pitch 1e9), so the
+    per-image sum is order-free and the final
+    H = ln(N) − (Σ n·ln n)/N is one mirrored float expression.
+
+    Payloads are consumed in-stage; 3 int64s + metadata leave the task.
+    Decode failures flag ok=False (M9 quarantine semantics).
+    """
+
+    FP = 1e9
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        w = batch["w"].to_numpy()
+        h = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        n_samples = np.zeros(n, dtype=np.int64)
+        n_distinct = np.zeros(n, dtype=np.int64)
+        sum_fp = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                px = codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
+                hist = np.bincount(px.ravel(), minlength=256).astype(np.int64)
+                nz = hist[hist > 0]
+                n_samples[i] = int(hist.sum())
+                n_distinct[i] = len(nz)
+                sum_fp[i] = int(
+                    np.floor(nz * np.log(nz.astype(np.float64)) * self.FP + 0.5).astype(np.int64).sum()
+                )
+                ok[i] = True
+            except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
+                pass
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "fmt": batch["fmt"],
+                "ok": pa.array(ok),
+                "n_samples": pa.array(n_samples, type=pa.int64()),
+                "n_distinct": pa.array(n_distinct, type=pa.int64()),
+                "sum_nlogn_fp": pa.array(sum_fp, type=pa.int64()),
+            }
+        )

@@ -392,3 +392,34 @@ def test_phash_quadrant_pairs_matches_golden(ray_session):
     )
     assert got.equals(exp)
     assert len(got) > 0  # planted duplicates guarantee full-frame matches
+
+
+def test_pixel_entropy_known_images(ray_session):
+    """Entropy semantics: a solid image scores 0; a uniform 256-value
+    ramp scores ln(256); engine rows match the golden recompute."""
+    import numpy as np
+    import pyarrow as pa
+
+    from plasmap_ray.stages.media import PixelEntropy
+
+    solid = np.full((8, 8, 3), 77, dtype=np.uint8)
+    ramp = np.arange(256, dtype=np.uint8).reshape(16, 16)[:, :, None].repeat(3, axis=2)
+    from plasmap_ray import codecs
+
+    batch = pa.table(
+        {
+            "image_id": pa.array(["solid", "ramp"]),
+            "fmt": pa.array(["raw", "raw"]),
+            "w": pa.array([8, 16], type=pa.int32()),
+            "h": pa.array([8, 16], type=pa.int32()),
+            "bytes": pa.array([codecs.encode_image(solid, "raw"), codecs.encode_image(ramp, "raw")]),
+        }
+    )
+    out = PixelEntropy()(batch)
+    ent = np.log(np.maximum(out["n_samples"].to_numpy().astype(float), 1)) - (
+        out["sum_nlogn_fp"].to_numpy().astype(float) / PixelEntropy.FP
+    ) / np.maximum(out["n_samples"].to_numpy().astype(float), 1)
+    assert out["ok"].to_pylist() == [True, True]
+    assert abs(ent[0] - 0.0) < 1e-6
+    assert abs(ent[1] - np.log(256.0)) < 1e-6
+    assert out["n_distinct"].to_pylist() == [1, 256]
