@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_raster": lambda sf: raster.tile_raster_pipeline(sf, z=10),
         "raster_to_vector": lambda sf: raster.raster_to_vector(sf, z=10),
         "raster_focal_mean": lambda sf: raster.raster_focal_mean(sf, z=10),
+        "raster_hillshade": lambda sf: raster.raster_hillshade(sf, z=10),
         "boundary_simplify": raster.boundary_simplify_query,
         "zonal_stats": lambda sf: raster.zonal_stats(sf, z=10),
         "cell_coverage_weights": raster.cell_coverage_weights,
@@ -559,6 +560,23 @@ WHERE (t.n_images <= {spatial.QUAD_THRESHOLD} OR t.z = 10)
       AND a.n_images <= {spatial.QUAD_THRESHOLD})""",
         "tile_raster": f"SELECT * FROM read_parquet('{golden.tile_raster_path(SF001, z=10)}')",
         "raster_to_vector": f"SELECT * FROM read_parquet('{golden.raster_vector_path(SF001, z=10)}')",
+        "raster_hillshade": f"""
+WITH v AS (SELECT (x * 16 + px) AS gx0, (y * 16 + py) AS gy0, n_points
+           FROM read_parquet('{golden.raster_vector_path(SF001, z=10)}')),
+d(ox, oy, wx, wy) AS (VALUES
+  (-1,-1,-1,-1),(-1,0,-2,0),(-1,1,-1,1),(0,-1,0,-2),(0,1,0,2),
+  (1,-1,1,-1),(1,0,2,0),(1,1,1,1)),
+n AS (SELECT gx0 - ox AS gx, gy0 - oy AS gy, wx * n_points AS sx, wy * n_points AS sy
+      FROM v CROSS JOIN d),
+a AS (SELECT gx, gy, CAST(sum(sx) AS BIGINT) AS dzdx_num, CAST(sum(sy) AS BIGINT) AS dzdy_num
+      FROM n GROUP BY 1, 2),
+f AS (SELECT gx, gy, dzdx_num, dzdy_num,
+        CAST(dzdx_num AS DOUBLE) / 8.0 AS dx, CAST(dzdy_num AS DOUBLE) / 8.0 AS dy FROM a)
+SELECT gx, gy, dzdx_num, dzdy_num,
+       round(cos(pi() / 4.0) * cos(atan(sqrt(dx * dx + dy * dy)))
+             + sin(pi() / 4.0) * sin(atan(sqrt(dx * dx + dy * dy)))
+               * cos(7.0 * pi() / 4.0 - atan2(dy, -dx)), 6) AS hillshade
+FROM f ORDER BY gx, gy""",
         "raster_focal_mean": f"""
 WITH v AS (SELECT (x * 16 + px) AS gx0, (y * 16 + py) AS gy0, n_points
            FROM read_parquet('{golden.raster_vector_path(SF001, z=10)}')),

@@ -630,3 +630,85 @@ def raster_focal_mean(sf_dir: str, z: int = 10, tile_px: int = 16) -> rd.Dataset
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort(["gx", "gy"])
+
+
+def raster_hillshade(sf_dir: str, z: int = 10, tile_px: int = 16) -> rd.Dataset:
+    """Map-algebra hillshade of the density raster (counts as
+    elevation): Horn-method 8-neighbor gradients, then the standard
+    illumination model (sun azimuth 315°, altitude 45°) — the
+    cartographic relief pass every terrain/heat renderer applies, and
+    the second derivative-stencil operator beside raster_focal_mean's
+    smoothing stencil.
+
+    Exactness: the two Horn gradient NUMERATORS are exact int64
+    (weighted ±1/±2 sums of counts, zero-padded), shuffled as integers;
+    slope/aspect/illumination is ONE mirrored float expression over
+    them (atan/atan2/cos/sin agree between numpy and DuckDB's libm —
+    verified by the oracle gate).
+
+    Scale shape: each nonzero pixel explodes to its 8 Horn neighbors
+    (sparse support, never the lattice); ONE (gx, gy)-keyed integer
+    groupby; trig runs on the aggregate.  Output: (gx, gy, dzdx_num,
+    dzdy_num, hillshade).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.common import duckdb_round
+
+    v = raster_to_vector(sf_dir, z=z, tile_px=tile_px)
+
+    # source offset (ox, oy) relative to target -> Horn weights
+    # dz/dx numerator = sum over right column (+1,{-1,0,1}) with weights
+    # (1,2,1) minus left column; dz/dy symmetric in rows.
+    offsets = []
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            wx = ox * (2 if oy == 0 else 1)
+            wy = oy * (2 if ox == 0 else 1)
+            if wx or wy:
+                offsets.append((ox, oy, wx, wy))
+
+    def explode_horn(t: pa.Table) -> pa.Table:
+        gx = t["x"].to_numpy().astype(np.int64) * tile_px + t["px"].to_numpy().astype(np.int64)
+        gy = t["y"].to_numpy().astype(np.int64) * tile_px + t["py"].to_numpy().astype(np.int64)
+        n = t["n_points"].to_numpy().astype(np.int64)
+        outs = []
+        for ox, oy, wx, wy in offsets:
+            outs.append(
+                pa.table(
+                    {
+                        # source at s contributes to target s - offset
+                        "gx": pa.array(gx - ox, type=pa.int64()),
+                        "gy": pa.array(gy - oy, type=pa.int64()),
+                        "sx": pa.array(wx * n, type=pa.int64()),
+                        "sy": pa.array(wy * n, type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    agg = (
+        v.map_batches(explode_horn, batch_format="pyarrow")
+        .groupby(["gx", "gy"])
+        .aggregate(Sum("sx", alias_name="dzdx_num"), Sum("sy", alias_name="dzdy_num"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        dx = t["dzdx_num"].to_numpy().astype(np.float64) / 8.0
+        dy = t["dzdy_num"].to_numpy().astype(np.float64) / 8.0
+        slope = np.arctan(np.sqrt(dx * dx + dy * dy))
+        aspect = np.arctan2(dy, -dx)
+        zen = np.pi / 4.0
+        az = 7.0 * np.pi / 4.0
+        hs = np.cos(zen) * np.cos(slope) + np.sin(zen) * np.sin(slope) * np.cos(az - aspect)
+        return pa.table(
+            {
+                "gx": t["gx"],
+                "gy": t["gy"],
+                "dzdx_num": t["dzdx_num"],
+                "dzdy_num": t["dzdy_num"],
+                "hillshade": pa.array(duckdb_round(hs, 6), type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(["gx", "gy"])

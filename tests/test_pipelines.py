@@ -1481,3 +1481,42 @@ def test_seasonal_decompose_reconstruction(ray_session):
     # deviations from trend, not the level itself)
     wd_vals = df.assign(wd=df["day_idx"] % 7).drop_duplicates("wd")["seasonal"]
     assert wd_vals.abs().max() < df["x"].abs().max()
+
+
+def test_raster_hillshade_dense_recompute(ray_session):
+    """Horn gradients + illumination == dense-lattice numpy recompute."""
+    from plasmap_ray.pipelines import raster
+
+    sf = "/root/testdata/sf0.001"
+    v = raster.raster_to_vector(sf, z=10, tile_px=16).to_pandas()
+    gx = v["x"].to_numpy() * 16 + v["px"].to_numpy()
+    gy = v["y"].to_numpy() * 16 + v["py"].to_numpy()
+    n = v["n_points"].to_numpy().astype(np.int64)
+    x0, y0 = gx.min() - 2, gy.min() - 2
+    W, H = gx.max() - x0 + 3, gy.max() - y0 + 3
+    dense = np.zeros((W, H), dtype=np.int64)
+    dense[gx - x0, gy - y0] = n
+    c = dense
+    dzdx = (
+        (c[2:, :-2] + 2 * c[2:, 1:-1] + c[2:, 2:])
+        - (c[:-2, :-2] + 2 * c[:-2, 1:-1] + c[:-2, 2:])
+    )
+    dzdy = (
+        (c[:-2, 2:] + 2 * c[1:-1, 2:] + c[2:, 2:])
+        - (c[:-2, :-2] + 2 * c[1:-1, :-2] + c[2:, :-2])
+    )
+    got = raster.raster_hillshade(sf, z=10).to_pandas()
+    for _, r in got.iterrows():
+        ix, iy = int(r["gx"]) - x0 - 1, int(r["gy"]) - y0 - 1
+        assert dzdx[ix, iy] == r["dzdx_num"], (r["gx"], r["gy"])
+        assert dzdy[ix, iy] == r["dzdy_num"]
+        dx, dy = r["dzdx_num"] / 8.0, r["dzdy_num"] / 8.0
+        slope = np.arctan(np.hypot(dx, dy))
+        hs = np.cos(np.pi / 4) * np.cos(slope) + np.sin(np.pi / 4) * np.sin(slope) * np.cos(
+            7 * np.pi / 4 - np.arctan2(dy, -dx)
+        )
+        assert abs(r["hillshade"] - hs) < 1e-5
+    # flat support far from any point: hillshade of zero gradient = cos(zen)
+    zero = got[(got["dzdx_num"] == 0) & (got["dzdy_num"] == 0)]
+    if len(zero):
+        assert (abs(zero["hillshade"] - np.cos(np.pi / 4)) < 1e-6).all()
