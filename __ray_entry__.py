@@ -365,6 +365,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quadrat_chi2": hotspot.quadrat_chi2,
         "cell_trend": hotspot.cell_trend,
         "theil_sen_cell_trend": hotspot.theil_sen_cell_trend,
+        "mann_kendall_cells": hotspot.mann_kendall_cells,
+        "semivariogram": hotspot.semivariogram,
         "eb_shrunk_rates": hotspot.eb_shrunk_rates,
         "benford_audit": stats.benford_audit,
         "lineitem_corr_matrix": stats.lineitem_corr_matrix,
@@ -3198,6 +3200,45 @@ p AS (SELECT a.cx, a.cy, CAST(b.y - a.y AS DOUBLE) / CAST(b.day - a.day AS DOUBL
 SELECT p.cx, p.cy, nd.n_days, round(median(p.slope), 6) AS ts_slope
 FROM p JOIN nd ON p.cx = nd.cx AND p.cy = nd.cy
 GROUP BY p.cx, p.cy, nd.n_days""",
+        "semivariogram": f"""
+WITH ec AS (
+  SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events),
+c AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sc
+      FROM ec GROUP BY 1, 2),
+m AS (SELECT cx, cy, CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS z FROM c),
+p AS (SELECT CAST(floor(sqrt(CAST((a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) * (a.cy - b.cy) AS DOUBLE))) AS BIGINT) AS lag,
+             CAST(floor((a.z - b.z) * (a.z - b.z) * {hotspot.VAR_FP!r} + 0.5) AS BIGINT) AS fp
+      FROM m a JOIN m b ON a.cx < b.cx OR (a.cx = b.cx AND a.cy < b.cy)),
+g AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(fp) AS BIGINT) AS sfp
+      FROM p WHERE lag >= 1 GROUP BY lag)
+SELECT lag, n_pairs,
+       round((CAST(sfp AS DOUBLE) / {hotspot.VAR_FP!r}) / (2.0 * CAST(n_pairs AS DOUBLE)), 6) AS gamma
+FROM g""",
+        "mann_kendall_cells": f"""
+WITH ec AS (
+  SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy,
+         CAST(floor(epoch_us(ts) / {hotspot.DAY_US}) AS BIGINT) AS day
+  FROM events),
+d AS (SELECT cx, cy, day, CAST(count(*) AS BIGINT) AS y FROM ec GROUP BY 1, 2, 3),
+nd AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_days FROM d GROUP BY 1, 2
+       HAVING count(*) >= {hotspot.TREND_MIN_DAYS}),
+p AS (SELECT a.cx, a.cy,
+        CAST(sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+      FROM d a JOIN d b ON a.cx = b.cx AND a.cy = b.cy AND b.day > a.day GROUP BY 1, 2),
+ties AS (SELECT cx, cy, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+         FROM (SELECT cx, cy, y, CAST(count(*) AS BIGINT) AS t FROM d GROUP BY 1, 2, 3)
+         GROUP BY 1, 2)
+SELECT nd.cx, nd.cy, nd.n_days, p.s AS mk_s,
+       CASE WHEN nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) - ties.tt > 0 AND p.s <> 0
+            THEN round((p.s - sign(p.s))
+                       / sqrt((nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) - ties.tt) / 18.0), 6)
+            ELSE 0.0 END AS mk_z
+FROM nd JOIN p ON nd.cx = p.cx AND nd.cy = p.cy
+JOIN ties ON nd.cx = ties.cx AND nd.cy = ties.cy""",
         "eb_shrunk_rates": f"""
 WITH ec AS (
   SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,

