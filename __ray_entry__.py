@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen_cell_trend": hotspot.theil_sen_cell_trend,
         "mann_kendall_cells": hotspot.mann_kendall_cells,
         "semivariogram": hotspot.semivariogram,
+        "kriging_field": hotspot.kriging_field,
         "eb_shrunk_rates": hotspot.eb_shrunk_rates,
         "benford_audit": stats.benford_audit,
         "lineitem_corr_matrix": stats.lineitem_corr_matrix,
@@ -3200,6 +3201,7 @@ p AS (SELECT a.cx, a.cy, CAST(b.y - a.y AS DOUBLE) / CAST(b.day - a.day AS DOUBL
 SELECT p.cx, p.cy, nd.n_days, round(median(p.slope), 6) AS ts_slope
 FROM p JOIN nd ON p.cx = nd.cx AND p.cy = nd.cy
 GROUP BY p.cx, p.cy, nd.n_days""",
+        "kriging_field": f"SELECT * FROM read_parquet('{golden.kriging_field_path(SF001)}')",
         "semivariogram": f"""
 WITH ec AS (
   SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,

