@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall_cells": hotspot.mann_kendall_cells,
         "semivariogram": hotspot.semivariogram,
         "kriging_field": hotspot.kriging_field,
+        "knox_statistic": hotspot.knox_statistic,
         "eb_shrunk_rates": hotspot.eb_shrunk_rates,
         "benford_audit": stats.benford_audit,
         "lineitem_corr_matrix": stats.lineitem_corr_matrix,
@@ -3202,6 +3203,23 @@ SELECT p.cx, p.cy, nd.n_days, round(median(p.slope), 6) AS ts_slope
 FROM p JOIN nd ON p.cx = nd.cx AND p.cy = nd.cy
 GROUP BY p.cx, p.cy, nd.n_days""",
         "kriging_field": f"SELECT * FROM read_parquet('{golden.kriging_field_path(SF001)}')",
+        "knox_statistic": f"""
+WITH {_epts},
+s AS (SELECT count(*) AS n_space,
+        CAST(sum(CASE WHEN abs(epoch_us(b.ts) - epoch_us(a.ts)) <= {hotspot.KNOX_TAU_US} THEN 1 ELSE 0 END) AS BIGINT) AS n_st
+      FROM epts a JOIN epts b ON a.event_id < b.event_id
+      AND b.lon >= a.lon - {hotspot.KNOX_R!r} AND b.lon <= a.lon + {hotspot.KNOX_R!r}
+      AND b.lat >= a.lat - {hotspot.KNOX_R!r} AND b.lat <= a.lat + {hotspot.KNOX_R!r}
+      AND (b.lon - a.lon) * (b.lon - a.lon) + (b.lat - a.lat) * (b.lat - a.lat) <= {hotspot.KNOX_R!r} * {hotspot.KNOX_R!r}),
+t AS (SELECT count(*) AS n_time FROM epts a JOIN epts b ON a.event_id < b.event_id
+      AND epoch_us(b.ts) >= epoch_us(a.ts) - {hotspot.KNOX_TAU_US}
+      AND epoch_us(b.ts) <= epoch_us(a.ts) + {hotspot.KNOX_TAU_US}),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM epts)
+SELECT n * (n - 1) // 2 AS n_pairs, CAST(n_space AS BIGINT) AS n_space,
+       CAST(n_time AS BIGINT) AS n_time, n_st AS n_spacetime,
+       round(CAST(n_space AS DOUBLE) * CAST(n_time AS DOUBLE) / CAST(n * (n - 1) // 2 AS DOUBLE), 6) AS expected,
+       round(CAST(n_st AS DOUBLE) / (CAST(n_space AS DOUBLE) * CAST(n_time AS DOUBLE) / CAST(n * (n - 1) // 2 AS DOUBLE)), 6) AS knox_ratio
+FROM s CROSS JOIN t CROSS JOIN c""",
         "semivariogram": f"""
 WITH ec AS (
   SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,

@@ -2501,3 +2501,160 @@ def _ok_solve(ox: np.ndarray, oy: np.ndarray, z: np.ndarray, gamma_fn, refine: i
     rhs[:n, :] = gamma_fn(dp)
     w = np.linalg.solve(lhs, rhs)
     return z @ w[:n, :]
+
+
+# ---------------------------------------------------------------------------
+# knox_statistic (space-time interaction test)
+# ---------------------------------------------------------------------------
+
+KNOX_R = 0.05  # spatial closeness radius (planar degrees)
+KNOX_TAU_US = 3_600_000_000  # temporal closeness window (1 hour, µs)
+
+
+def knox_statistic(sf_dir: str, r: float = KNOX_R, tau_us: int = KNOX_TAU_US, num_partitions: int = 8) -> rd.Dataset:
+    """Knox space-time interaction: are events that are close in SPACE
+    also close in TIME more often than independence predicts?  The
+    epidemiology/crime-analysis contagion screen: X = pairs close in
+    both, E[X] = N_s·N_t/N_p under independence, ratio > 1 ⇒
+    spatio-temporal clustering (outbreaks, aftershock-style cascades).
+
+    All three pair counts are EXACT integers from bounded-candidate
+    joins — never O(N²):
+    - N_s and X ride ONE ripley_k-style bucket join at pitch r (the
+      half-neighborhood probe expansion yields each unordered pair
+      exactly once), with the |Δt| ≤ τ mask folded into the same scan;
+    - N_t rides the 1-D analogue: bin = t // τ, probe expands to
+      {bin, bin+1}, so every pair within τ meets in exactly one task.
+    The final row is driver arithmetic over four ints; expected and
+    ratio are ONE mirrored float expression each.
+
+    Output: (n_pairs, n_space, n_time, n_spacetime, expected, knox_ratio).
+    """
+    import functools as _ft
+
+    ds = _read_events(sf_dir, ["event_id", "ts"])
+
+    def keyed(t: pa.Table, side: str) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / r).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / r).astype(np.int64)
+        return pa.table(
+            {
+                f"id_{side}": t["event_id"],
+                f"lon_{side}": pa.array(lon, type=pa.float64()),
+                f"lat_{side}": pa.array(lat, type=pa.float64()),
+                f"tus_{side}": pa.array(t["ts"].cast(pa.int64()).to_numpy(), type=pa.int64()),
+                "cx": pa.array(cx, type=pa.int64()),
+                "cy": pa.array(cy, type=pa.int64()),
+            }
+        )
+
+    def own_key(t: pa.Table) -> pa.Table:
+        ck = (t["cx"].to_numpy() + 1) * (1 << 21) + (t["cy"].to_numpy() + 1)
+        return t.drop_columns(["cx", "cy"]).append_column("ck", pa.array(ck, type=pa.int64()))
+
+    def probe_expand(t: pa.Table) -> pa.Table:
+        cx, cy = t["cx"].to_numpy(), t["cy"].to_numpy()
+        t = t.drop_columns(["cx", "cy"])
+        out = []
+        for dx, dy in ((0, 0),) + _HALF_2D:
+            ck = (cx + dx + 1) * (1 << 21) + (cy + dy + 1)
+            own = np.full(len(ck), 1 if (dx, dy) == (0, 0) else 0, dtype=np.int8)
+            out.append(
+                t.append_column("ck", pa.array(ck, type=pa.int64())).append_column(
+                    "own", pa.array(own, type=pa.int8())
+                )
+            )
+        return pa.concat_tables(out)
+
+    build = ds.map_batches(_ft.partial(keyed, side="b"), batch_format="pyarrow").map_batches(
+        own_key, batch_format="pyarrow"
+    )
+    probe = ds.map_batches(_ft.partial(keyed, side="a"), batch_format="pyarrow").map_batches(
+        probe_expand, batch_format="pyarrow"
+    )
+    cand = safe_join(probe, build, join_type="inner", num_partitions=num_partitions, on=("ck",))
+
+    def count_space(t: pa.Table) -> pa.Table:
+        ia = np.asarray(t["id_a"].to_numpy(), np.int64)
+        ib = np.asarray(t["id_b"].to_numpy(), np.int64)
+        own = t["own"].to_numpy()
+        dlon = t["lon_b"].to_numpy() - t["lon_a"].to_numpy()
+        dlat = t["lat_b"].to_numpy() - t["lat_a"].to_numpy()
+        d2 = dlon * dlon + dlat * dlat
+        base = ((own == 0) | (ia < ib)) & (d2 <= r * r)
+        dt = np.abs(t["tus_b"].to_numpy() - t["tus_a"].to_numpy())
+        return pa.table(
+            {
+                "n_space": pa.array([np.int64(base.sum())], type=pa.int64()),
+                "n_st": pa.array([np.int64((base & (dt <= tau_us)).sum())], type=pa.int64()),
+            }
+        )
+
+    sp = cand.map_batches(count_space, batch_format="pyarrow").aggregate(
+        Sum("n_space", alias_name="n_space"), Sum("n_st", alias_name="n_st")
+    )
+
+    # 1-D temporal pair count: bin width = tau, probe expands {bin, bin+1}
+    def tkey(t: pa.Table, side: str) -> pa.Table:
+        tus = t["ts"].cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                f"id_{side}": t["event_id"],
+                f"tus_{side}": pa.array(tus, type=pa.int64()),
+                "tb": pa.array(tus // tau_us, type=pa.int64()),
+            }
+        )
+
+    def t_probe(t: pa.Table) -> pa.Table:
+        tb = t["tb"].to_numpy()
+        t = t.drop_columns(["tb"])
+        outs = []
+        for off, own_flag in ((0, 1), (1, 0)):
+            outs.append(
+                t.append_column("tb", pa.array(tb + off, type=pa.int64())).append_column(
+                    "own", pa.array(np.full(len(tb), own_flag, dtype=np.int8))
+                )
+            )
+        return pa.concat_tables(outs)
+
+    tb_build = ds.map_batches(_ft.partial(tkey, side="b"), batch_format="pyarrow")
+    tb_probe = ds.map_batches(_ft.partial(tkey, side="a"), batch_format="pyarrow").map_batches(
+        t_probe, batch_format="pyarrow"
+    )
+    tcand = safe_join(tb_probe, tb_build, join_type="inner", num_partitions=num_partitions, on=("tb",))
+
+    def count_time(t: pa.Table) -> pa.Table:
+        ia = np.asarray(t["id_a"].to_numpy(), np.int64)
+        ib = np.asarray(t["id_b"].to_numpy(), np.int64)
+        own = t["own"].to_numpy()
+        dt = np.abs(t["tus_b"].to_numpy() - t["tus_a"].to_numpy())
+        # own-bin pairs arrive both orders (+ self): ia < ib dedups;
+        # adjacent-bin pairs arrive exactly once via the +1 offset
+        base = ((own == 1) & (ia < ib)) | (own == 0)
+        n = int((base & (dt <= tau_us)).sum())
+        return pa.table({"n_time": pa.array([np.int64(n)], type=pa.int64())})
+
+    tm = tcand.map_batches(count_time, batch_format="pyarrow").aggregate(Sum("n_time", alias_name="n_time"))
+
+    n_events = _read_events(sf_dir, ["event_id"]).count()
+    n_pairs = n_events * (n_events - 1) // 2
+    n_space, n_st = int(sp["n_space"]), int(sp["n_st"])
+    n_time = int(tm["n_time"])
+    from ..stages.common import duckdb_round
+
+    expected = float(n_space) * float(n_time) / float(n_pairs)
+    ratio = float(n_st) / expected if expected > 0 else 0.0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_pairs": pa.array([n_pairs], type=pa.int64()),
+                "n_space": pa.array([n_space], type=pa.int64()),
+                "n_time": pa.array([n_time], type=pa.int64()),
+                "n_spacetime": pa.array([n_st], type=pa.int64()),
+                "expected": pa.array(duckdb_round(np.array([expected]), 6), type=pa.float64()),
+                "knox_ratio": pa.array(duckdb_round(np.array([ratio]), 6), type=pa.float64()),
+            }
+        )
+    )

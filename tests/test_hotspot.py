@@ -655,3 +655,26 @@ def test_kriging_exact_interpolation_property(ray_session):
     # the field stays within the observed value envelope (no wild weights)
     assert got.min() >= z.min() - (z.max() - z.min())
     assert got.max() <= z.max() + (z.max() - z.min())
+
+
+def test_knox_statistic_bruteforce(ray_session):
+    """All four Knox pair counts equal an O(n^2) recompute at sf0.001."""
+    import pyarrow.parquet as pq2
+
+    out = hotspot.knox_statistic(SF).to_pandas().iloc[0]
+    t = pq2.read_table(os.path.join(SF, "events.parquet"), columns=["event_id", "ts"]).to_pandas()
+    ids = t["event_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    tus = t["ts"].astype("int64").to_numpy()
+    n = len(ids)
+    i, j = np.triu_indices(n, k=1)
+    d2 = (lon[i] - lon[j]) ** 2 + (lat[i] - lat[j]) ** 2
+    dt = np.abs(tus[i] - tus[j])
+    close_s = d2 <= hotspot.KNOX_R * hotspot.KNOX_R
+    close_t = dt <= hotspot.KNOX_TAU_US
+    assert out["n_pairs"] == n * (n - 1) // 2
+    assert out["n_space"] == int(close_s.sum())
+    assert out["n_time"] == int(close_t.sum())
+    assert out["n_spacetime"] == int((close_s & close_t).sum())
+    exp = out["n_space"] * out["n_time"] / out["n_pairs"]
+    assert abs(out["expected"] - exp) < 1e-4
