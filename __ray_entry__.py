@@ -239,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_approx": windows.distinct_users_approx,
         "distinct_users_hll": windows.distinct_users_hll,
         "seasonal_decompose": windows.seasonal_decompose,
+        "time_to_convert": windows.time_to_convert,
+        "event_transition_lift": windows.event_transition_lift,
         # --- text analysis ---
         "token_stats": text.token_stats,
         "sequence_packing": text.sequence_packing,
@@ -2015,6 +2017,29 @@ SELECT CAST(n AS BIGINT) AS n_tokens,
        round((n * sxy - sx * sy) * (n * sxy - sx * sy)
              / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
 FROM s""",
+        "time_to_convert": """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events
+           WHERE event_type IN ('signup', 'purchase')),
+s AS (SELECT user_id, CAST(min(tus) AS BIGINT) AS signup_tus FROM e
+      WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT e.user_id, CAST(min(e.tus) AS BIGINT) AS purchase_tus
+      FROM e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.tus >= s.signup_tus GROUP BY e.user_id)
+SELECT s.user_id, s.signup_tus, p.purchase_tus,
+       (p.purchase_tus - s.signup_tus) // 1000000 AS delta_s
+FROM s JOIN p ON s.user_id = p.user_id""",
+        "event_transition_lift": """
+WITH w AS (SELECT event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+m AS (SELECT prev AS prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+      FROM w WHERE prev IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS rn FROM m GROUP BY 1),
+c AS (SELECT next_type, CAST(sum(n) AS BIGINT) AS cn FROM m GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM m)
+SELECT m.prev_type, m.next_type, m.n,
+       round(CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / tot, 6) AS expected,
+       round(CAST(m.n AS DOUBLE) / (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / tot), 6) AS lift
+FROM m JOIN r USING (prev_type) JOIN c USING (next_type) CROSS JOIN t""",
         "seasonal_decompose": """
 WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day_idx,
                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events),

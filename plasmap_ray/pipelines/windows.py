@@ -1370,3 +1370,173 @@ def acf_hourly(sf_dir: str, max_lag: int = 24) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# time_to_convert (first signup -> first subsequent purchase per user)
+# ---------------------------------------------------------------------------
+
+
+def time_to_convert(sf_dir: str, parts: int = 32) -> rd.Dataset:
+    """Conversion latency: for every user with a signup, the time from
+    their FIRST signup to their FIRST purchase at-or-after it — the
+    activation metric behind "median time to convert" dashboards, and
+    the windowed-join shape (first event, then first qualifying event
+    AFTER it) that plain groupby cannot express.
+
+    Scale shape: the coarse-partition run-scan (user_id % parts) sorts
+    each slice once by (user, ts, event_id) and walks it vectorized —
+    first-signup and first-purchase-after are two searchsorted lookups
+    per user run, no per-user tasks, no driver loop.  Only converting
+    users emit a row.  Output: (user_id, signup_tus, purchase_tus,
+    delta_s) with delta_s = (purchase − signup) // 1_000_000 integer
+    seconds.
+    """
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "signup") | (et == "purchase")
+        return pa.table(
+            {
+                "user_id": pa.array(uid[keep], type=pa.int64()),
+                "event_id": pa.array(t["event_id"].to_numpy()[keep], type=pa.int64()),
+                "tus": pa.array(t["ts"].cast(pa.int64()).to_numpy()[keep], type=pa.int64()),
+                "is_signup": pa.array((et[keep] == "signup"), type=pa.bool_()),
+                "part": pa.array(uid[keep] % parts, type=pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "signup_tus": pa.array([], type=pa.int64()),
+            "purchase_tus": pa.array([], type=pa.int64()),
+            "delta_s": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def convert(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        g = g.sort_by([("user_id", "ascending"), ("tus", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        tus = g["tus"].to_numpy()
+        sg = g["is_signup"].to_numpy(zero_copy_only=False)
+        bounds = np.nonzero(np.diff(uid))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(uid)]])
+        rows = {"user_id": [], "signup_tus": [], "purchase_tus": [], "delta_s": []}
+        for s, e in zip(starts, ends):
+            run_sg = sg[s:e]
+            sg_idx = np.nonzero(run_sg)[0]
+            if not len(sg_idx):
+                continue
+            t0 = tus[s + sg_idx[0]]
+            pu_idx = np.nonzero(~run_sg & (tus[s:e] >= t0))[0]
+            if not len(pu_idx):
+                continue
+            t1 = tus[s + pu_idx[0]]
+            rows["user_id"].append(int(uid[s]))
+            rows["signup_tus"].append(int(t0))
+            rows["purchase_tus"].append(int(t1))
+            rows["delta_s"].append(int((t1 - t0) // 1_000_000))
+        if not rows["user_id"]:
+            return empty
+        return pa.table({k: pa.array(v, type=pa.int64()) for k, v in rows.items()})
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(convert, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# event_transition_lift (behavioral Markov lift matrix)
+# ---------------------------------------------------------------------------
+
+
+def event_transition_lift(sf_dir: str, parts: int = 32) -> rd.Dataset:
+    """Per (prev_type → next_type) transition LIFT: observed
+    consecutive-pair count over the independence expectation
+    row_total·col_total/grand_total — the behavioral analogue of
+    od_gravity's residual screen (lift ≫ 1 marks funnel edges, lift ≪ 1
+    marks dead ends), computed over same-user consecutive events.
+
+    Scale shape: coarse-partition run-scan emits per-slice (prev, next)
+    combiner counts (alphabet²-bounded); marginals derive from the
+    aggregated matrix itself (no second pass).  Output: (prev_type,
+    next_type, n, expected, lift) — expected/lift are each ONE mirrored
+    float expression over exact int64 counts.
+    """
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, type=pa.int64()),
+                "event_id": t["event_id"],
+                "tus": pa.array(t["ts"].cast(pa.int64()).to_numpy(), type=pa.int64()),
+                "event_type": t["event_type"],
+                "part": pa.array(uid % parts, type=pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "prev_type": pa.array([], type=pa.string()),
+            "next_type": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return empty
+        g = g.sort_by([("user_id", "ascending"), ("tus", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        m = uid[1:] == uid[:-1]
+        if not m.any():
+            return empty
+        import pandas as pd
+
+        df = pd.DataFrame({"prev_type": et[:-1][m], "next_type": et[1:][m]})
+        c = df.groupby(["prev_type", "next_type"], sort=True).size().reset_index(name="n")
+        return pa.table(
+            {
+                "prev_type": pa.array(c["prev_type"], type=pa.string()),
+                "next_type": pa.array(c["next_type"], type=pa.string()),
+                "n": pa.array(c["n"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    mat = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    from ..stages.common import duckdb_round
+
+    tot = float(mat["n"].sum())
+    row = mat.groupby("prev_type")["n"].transform("sum").to_numpy().astype(np.float64)
+    col = mat.groupby("next_type")["n"].transform("sum").to_numpy().astype(np.float64)
+    n = mat["n"].to_numpy().astype(np.float64)
+    expected = row * col / tot
+    return rd.from_arrow(
+        pa.table(
+            {
+                "prev_type": pa.array(mat["prev_type"], type=pa.string()),
+                "next_type": pa.array(mat["next_type"], type=pa.string()),
+                "n": pa.array(mat["n"].to_numpy().astype(np.int64), type=pa.int64()),
+                "expected": pa.array(duckdb_round(expected, 6), type=pa.float64()),
+                "lift": pa.array(duckdb_round(n / expected, 6), type=pa.float64()),
+            }
+        )
+    )

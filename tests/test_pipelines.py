@@ -1520,3 +1520,36 @@ def test_raster_hillshade_dense_recompute(ray_session):
     zero = got[(got["dzdx_num"] == 0) & (got["dzdy_num"] == 0)]
     if len(zero):
         assert (abs(zero["hillshade"] - np.cos(np.pi / 4)) < 1e-6).all()
+
+
+def test_time_to_convert_bruteforce(ray_session):
+    """Per-user first-signup -> first-qualifying-purchase equals a
+    pandas recompute; non-converters emit nothing."""
+    import pandas as pd
+    import pyarrow.parquet as pq2
+
+    from plasmap_ray.pipelines import windows
+
+    sf = "/root/testdata/sf0.001"
+    got = windows.time_to_convert(sf).to_pandas().set_index("user_id")
+    t = pq2.read_table(
+        f"{sf}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    ).to_pandas()
+    t["tus"] = t["ts"].astype("int64")
+    n_expected = 0
+    for uid, g in t.groupby("user_id"):
+        sg = g[g["event_type"] == "signup"]
+        if not len(sg):
+            assert uid not in got.index
+            continue
+        t0 = sg["tus"].min()
+        pu = g[(g["event_type"] == "purchase") & (g["tus"] >= t0)]
+        if not len(pu):
+            assert uid not in got.index
+            continue
+        t1 = pu["tus"].min()
+        row = got.loc[uid]
+        assert row["signup_tus"] == t0 and row["purchase_tus"] == t1
+        assert row["delta_s"] == (t1 - t0) // 1_000_000
+        n_expected += 1
+    assert len(got) == n_expected
