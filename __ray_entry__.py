@@ -240,6 +240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": windows.distinct_users_hll,
         "seasonal_decompose": windows.seasonal_decompose,
         "time_to_convert": windows.time_to_convert,
+        "value_percent_rank": windows.value_percent_rank,
+        "kaplan_meier": windows.kaplan_meier,
         "event_transition_lift": windows.event_transition_lift,
         # --- text analysis ---
         "token_stats": text.token_stats,
@@ -2017,6 +2019,36 @@ SELECT CAST(n AS BIGINT) AS n_tokens,
        round((n * sxy - sx * sy) * (n * sxy - sx * sy)
              / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
 FROM s""",
+        "kaplan_meier": """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events
+           WHERE event_type IN ('signup', 'purchase')),
+tend AS (SELECT max(epoch_us(ts)) AS te FROM events),
+s AS (SELECT user_id, CAST(min(tus) AS BIGINT) AS signup_tus FROM e
+      WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT e.user_id, CAST(min(e.tus) AS BIGINT) AS purchase_tus
+      FROM e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.tus >= s.signup_tus GROUP BY e.user_id),
+u AS (SELECT s.user_id,
+        CASE WHEN p.user_id IS NULL THEN (te - s.signup_tus) // 3600000000
+             ELSE (p.purchase_tus - s.signup_tus) // 3600000000 END AS t,
+        CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS ev
+      FROM s LEFT JOIN p ON s.user_id = p.user_id CROSS JOIN tend),
+d AS (SELECT t, CAST(count(*) AS BIGINT) AS n_users, CAST(sum(ev) AS BIGINT) AS n_events
+      FROM u GROUP BY t),
+r AS (SELECT t, n_events,
+        CAST(sum(n_users) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+      FROM d)
+SELECT t AS t_hours, n_risk, n_events,
+       CASE WHEN max(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+            THEN 0.0
+            ELSE round(exp(sum(CASE WHEN n_events >= n_risk THEN 0.0
+                                    ELSE ln(1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)) END)
+                           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) END AS survival
+FROM r WHERE n_events > 0 ORDER BY t""",
+        "value_percent_rank": """
+WITH e AS (SELECT event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events)
+SELECT event_id, cents, round(percent_rank() OVER (ORDER BY cents), 6) AS pct_rank FROM e""",
         "time_to_convert": """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events
            WHERE event_type IN ('signup', 'purchase')),

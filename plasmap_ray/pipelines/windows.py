@@ -1540,3 +1540,214 @@ def event_transition_lift(sf_dir: str, parts: int = 32) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# value_percent_rank (distributed PERCENT_RANK over the value column)
+# ---------------------------------------------------------------------------
+
+PCTR_BIN_CENTS = 500  # value-histogram bin width (5.00 units) for rank offsets
+
+
+def value_percent_rank(sf_dir: str) -> rd.Dataset:
+    """Distributed SQL PERCENT_RANK() over every event value:
+    (rank − 1)/(n − 1) where rank = 1 + count of STRICTLY smaller
+    values (ties share a rank) — the global-CDF position feature
+    (outlier percentile, calibration) that needs a total order Ray
+    Data has no primitive for, built with the global_row_numbers
+    two-pass shape keyed by VALUE instead of time.
+
+    Pass 1 histograms fixed-point cents into width-{bin} bins (one
+    bins-sized aggregate → cumulative offsets = how many values sit in
+    all lower bins).  Pass 2 regroups by bin and ranks locally: a
+    value's strict-rank = bin offset + strictly-smaller count inside
+    its bin (searchsorted on the bin's sorted cents).  Ties land in
+    one bin by construction, so ranks are exact.  All-integer until
+    the single mirrored division.
+
+    Output: (event_id, cents, pct_rank).
+    """
+    ds = _read_events(sf_dir, ["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "cents": pa.array(cents, type=pa.int64()),
+                "bin": pa.array(cents // PCTR_BIN_CENTS, type=pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(prep, batch_format="pyarrow")
+
+    def hist(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["bin"].to_numpy(), return_counts=True)
+        return pa.table({"bin": pa.array(u, type=pa.int64()), "n": pa.array(c.astype(np.int64))})
+
+    bins = (
+        tagged.map_batches(hist, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bin")
+    )
+    total = int(bins["n"].sum())
+    offs = dict(
+        zip(
+            bins["bin"].astype(np.int64),
+            np.concatenate([[0], np.cumsum(bins["n"].to_numpy(np.int64))[:-1]]),
+        )
+    )
+    from ..stages.common import duckdb_round
+
+    def rank(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "cents": pa.array([], type=pa.int64()),
+                    "pct_rank": pa.array([], type=pa.float64()),
+                }
+            )
+        cents = g["cents"].to_numpy()
+        base = int(offs[int(g["bin"][0].as_py())])
+        s = np.sort(cents)
+        smaller = np.searchsorted(s, cents, side="left").astype(np.int64)
+        pr = (base + smaller).astype(np.float64) / float(total - 1)
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "cents": pa.array(cents, type=pa.int64()),
+                "pct_rank": pa.array(duckdb_round(pr, 6), type=pa.float64()),
+            }
+        )
+
+    return tagged.groupby("bin").map_groups(rank, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier (conversion survival curve with right-censoring)
+# ---------------------------------------------------------------------------
+
+
+def kaplan_meier(sf_dir: str, parts: int = 32) -> rd.Dataset:
+    """Kaplan-Meier survival curve of conversion latency: S(t) = Π_{tᵢ≤t}
+    (1 − dᵢ/nᵢ) over hours-to-purchase, where users who signed up but
+    never purchased are RIGHT-CENSORED at the end of observation — the
+    statistically-honest "how long until users convert" curve
+    (time_to_convert alone silently drops non-converters, biasing the
+    distribution fast).
+
+    Scale shape: the time_to_convert run-scan generalized to emit one
+    (t_hours, event?) row per signed-up user (converted: purchase
+    latency; censored: observation end − signup); an hour-keyed count
+    reduce (observation-window-bounded) feeds the driver-side product,
+    expressed as exp(cumsum(ln(1 − d/n))) so the float sequence is
+    verbatim-mirrored by the SQL window.  Output: (t_hours, n_risk,
+    n_events, survival) at each conversion time.
+    """
+    from ray.data.aggregate import Max
+
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    te = int(
+        ds.map_batches(
+            lambda t: pa.table({"tus": pa.array([t["ts"].cast(pa.int64()).to_numpy().max()], type=pa.int64())}),
+            batch_format="pyarrow",
+        ).aggregate(Max("tus", alias_name="te"))["te"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "signup") | (et == "purchase")
+        return pa.table(
+            {
+                "user_id": pa.array(uid[keep], type=pa.int64()),
+                "event_id": pa.array(t["event_id"].to_numpy()[keep], type=pa.int64()),
+                "tus": pa.array(t["ts"].cast(pa.int64()).to_numpy()[keep], type=pa.int64()),
+                "is_signup": pa.array((et[keep] == "signup"), type=pa.bool_()),
+                "part": pa.array(uid[keep] % parts, type=pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "t": pa.array([], type=pa.int64()),
+            "n_users": pa.array([], type=pa.int64()),
+            "n_ev": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def outcomes(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        g = g.sort_by([("user_id", "ascending"), ("tus", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        tus = g["tus"].to_numpy()
+        sg = g["is_signup"].to_numpy(zero_copy_only=False)
+        bounds = np.nonzero(np.diff(uid))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(uid)]])
+        ts_, ev_ = [], []
+        for s, e in zip(starts, ends):
+            run_sg = sg[s:e]
+            sg_idx = np.nonzero(run_sg)[0]
+            if not len(sg_idx):
+                continue
+            t0 = tus[s + sg_idx[0]]
+            pu_idx = np.nonzero(~run_sg & (tus[s:e] >= t0))[0]
+            if len(pu_idx):
+                ts_.append(int((tus[s + pu_idx[0]] - t0) // 3_600_000_000))
+                ev_.append(1)
+            else:
+                ts_.append(int((te - t0) // 3_600_000_000))
+                ev_.append(0)
+        if not ts_:
+            return empty
+        import pandas as pd
+
+        df = pd.DataFrame({"t": ts_, "ev": ev_})
+        c = df.groupby("t").agg(n_users=("ev", "size"), n_ev=("ev", "sum")).reset_index()
+        return pa.table(
+            {
+                "t": pa.array(c["t"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n_users": pa.array(c["n_users"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n_ev": pa.array(c["n_ev"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(outcomes, batch_format="pyarrow")
+        .groupby("t")
+        .aggregate(Sum("n_users", alias_name="n_users"), Sum("n_ev", alias_name="n_events"))
+        .to_pandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    t = agg["t"].to_numpy().astype(np.int64)
+    nu = agg["n_users"].to_numpy().astype(np.int64)
+    ne = agg["n_events"].to_numpy().astype(np.int64)
+    n_risk = nu[::-1].cumsum()[::-1]  # users with outcome time >= t
+    keep = ne > 0
+    d = ne[keep].astype(np.float64)
+    n = n_risk[keep].astype(np.float64)
+    # terminal exhaustion (d == n at the last event time) sends S to
+    # exactly 0; guard the log so both engines emit 0.0 instead of -inf
+    degen = d >= n
+    terms = np.where(degen, 0.0, np.log(1.0 - d / n))
+    surv = np.where(np.cumsum(degen) > 0, 0.0, np.exp(np.cumsum(terms)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "t_hours": pa.array(t[keep], type=pa.int64()),
+                "n_risk": pa.array(n_risk[keep].astype(np.int64), type=pa.int64()),
+                "n_events": pa.array(ne[keep], type=pa.int64()),
+                "survival": pa.array(duckdb_round(surv, 6), type=pa.float64()),
+            }
+        )
+    )

@@ -1553,3 +1553,38 @@ def test_time_to_convert_bruteforce(ray_session):
         assert row["delta_s"] == (t1 - t0) // 1_000_000
         n_expected += 1
     assert len(got) == n_expected
+
+
+def test_kaplan_meier_and_pct_rank_invariants(ray_session):
+    """KM curve: monotone nonincreasing from <=1, n_risk nonincreasing,
+    matches a driver lifelines-free recompute; percent_rank: min 0,
+    max (n_distinct-ties)/(n-1) behavior via direct formula check."""
+    import pandas as pd
+    import pyarrow.parquet as pq2
+
+    from plasmap_ray.pipelines import windows
+
+    sf = "/root/testdata/sf0.001"
+    km = windows.kaplan_meier(sf).to_pandas().sort_values("t_hours").reset_index(drop=True)
+    assert (km["survival"].diff().dropna() <= 1e-9).all()
+    assert km["survival"].iloc[0] <= 1.0 and (km["survival"] >= 0).all()
+    assert (km["n_risk"].diff().dropna() <= 0).all()
+    # recompute S stepwise
+    s = 1.0
+    for _, r in km.iterrows():
+        if r["n_events"] >= r["n_risk"]:
+            s = 0.0
+        else:
+            s *= 1.0 - r["n_events"] / r["n_risk"]
+        assert abs(r["survival"] - s) < 1e-4
+
+    pr = windows.value_percent_rank(sf).to_pandas()
+    t = pq2.read_table(f"{sf}/events.parquet", columns=["event_id", "value"]).to_pandas()
+    cents = np.floor(t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    n = len(cents)
+    order = np.sort(cents)
+    want = pd.Series(np.searchsorted(order, cents, side="left") / (n - 1), index=t["event_id"])
+    got = pr.set_index("event_id")["pct_rank"]
+    assert len(got) == n
+    diff = (got - want.reindex(got.index)).abs()
+    assert diff.max() < 1e-5
