@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_part_suppliers": relational.dominant_part_suppliers,
         "revenue_rollup": relational.revenue_rollup,
         "customer_value_rank": relational.customer_value_rank,
+        "blame_suppliers": relational.blame_suppliers,
         "window_distinct_users": windows.window_distinct_users,
         "bloom_semi_join": relational.bloom_semi_join,
         "hourly_gap_fill": windows.hourly_gap_fill,
@@ -2046,6 +2047,21 @@ SELECT t AS t_hours, n_risk, n_events,
                                     ELSE ln(1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)) END)
                            OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) END AS survival
 FROM r WHERE n_events > 0 ORDER BY t""",
+        "blame_suppliers": f"""
+WITH f AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + {relational.BLAME_LATE_DAYS} * 86400000000 THEN 1 ELSE 0 END) AS supp_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY l.l_orderkey, l.l_suppkey),
+oc AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp, CAST(sum(supp_late) AS BIGINT) AS n_late
+       FROM f GROUP BY l_orderkey),
+cr AS (SELECT f.l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+       FROM f JOIN oc ON f.l_orderkey = oc.l_orderkey
+       WHERE oc.n_supp >= 2 AND oc.n_late = 1 AND f.supp_late = 1
+       GROUP BY f.l_suppkey)
+SELECT cr.s_suppkey, s.s_name, cr.numwait
+FROM cr JOIN supplier s ON cr.s_suppkey = s.s_suppkey
+ORDER BY cr.numwait DESC, cr.s_suppkey LIMIT {relational.BLAME_K}""",
         "value_percent_rank": """
 WITH e AS (SELECT event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events)
 SELECT event_id, cents, round(percent_rank() OVER (ORDER BY cents), 6) AS pct_rank FROM e""",

@@ -1891,3 +1891,114 @@ def part_cooccurrence(sf_dir: str, min_support: int = COOC_MIN_SUPPORT, parts: i
         .aggregate(Sum("n", alias_name="support"))
     )
     return agg.filter(expr=f"support >= {min_support}")
+
+
+# ---------------------------------------------------------------------------
+# blame_suppliers (TPC-H Q21 shape: the semi+anti join combo)
+# ---------------------------------------------------------------------------
+
+BLAME_LATE_DAYS = 90  # a line is late if shipped > this many days after order
+BLAME_K = 20
+
+
+def blame_suppliers(sf_dir: str, late_days: int = BLAME_LATE_DAYS, k: int = BLAME_K) -> rd.Dataset:
+    """Suppliers Who Kept Orders Waiting (TPC-H Q21's shape re-expressed
+    on this schema): count, per supplier, the multi-supplier orders in
+    which THIS supplier shipped late (l_shipdate > o_orderdate +
+    late_days) while EVERY other participating supplier shipped all of
+    their lines on time — the EXISTS + NOT-EXISTS correlated-subquery
+    combo, the hardest TPC-H join pattern, done as pure dataflow.
+
+    Dataflow: lineitem ⋈ orders (orderkey, date only) → per
+    (orderkey, suppkey) late-flag reduce → per orderkey count
+    (suppliers, late suppliers) → keep orders with ≥2 suppliers and
+    EXACTLY one late supplier → credit that supplier → top-k by
+    (count DESC, suppkey).  Both correlated subqueries collapse into
+    ONE order-keyed aggregate — no per-order probing, no driver loop.
+
+    Output: (s_suppkey, s_name, numwait) — top k.
+    """
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    od = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderdate"]
+    )
+    j = safe_join(
+        li,
+        od,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy()
+        odt = t["o_orderdate"].cast(pa.int64()).to_numpy()
+        late = (ship > odt + np.int64(late_days) * 86_400_000_000).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "late": pa.array(late, type=pa.int64()),
+            }
+        )
+
+    per_os = (
+        j.map_batches(flag, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Max("late", alias_name="supp_late"))
+    )
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        late = t["supp_late"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "supp_late": pa.array(late, type=pa.int64()),
+                # when EXACTLY one supplier is late this recovers their
+                # key from the same aggregate — no join-back needed
+                "late_key": pa.array(late * t["l_suppkey"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    per_order = (
+        per_os.map_batches(order_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(
+            Sum("one", alias_name="n_supp"),
+            Sum("supp_late", alias_name="n_late"),
+            Max("late_key", alias_name="late_key"),
+        )
+    )
+
+    def credit(t: pa.Table) -> pa.Table:
+        keep = (t["n_supp"].to_numpy() >= 2) & (t["n_late"].to_numpy() == 1)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(t["late_key"].to_numpy()[keep], type=pa.int64()),
+                "n": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+            }
+        )
+
+    counts = (
+        per_order.map_batches(credit, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("n", alias_name="numwait"))
+    )
+    sup = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"])
+    out = safe_join(counts, sup, join_type="inner", num_partitions=4, on=("s_suppkey",))
+    df = out.to_pandas()
+    df = df.sort_values(["numwait", "s_suppkey"], ascending=[False, True], kind="mergesort").head(k)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "s_suppkey": pa.array(df["s_suppkey"].to_numpy().astype(np.int64), type=pa.int64()),
+                "s_name": pa.array(df["s_name"], type=pa.string()),
+                "numwait": pa.array(df["numwait"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+    )

@@ -1588,3 +1588,35 @@ def test_kaplan_meier_and_pct_rank_invariants(ray_session):
     assert len(got) == n
     diff = (got - want.reindex(got.index)).abs()
     assert diff.max() < 1e-5
+
+
+def test_blame_suppliers_bruteforce(ray_session):
+    """Q21-shape: engine equals a pandas recompute of the exactly-one-
+    late-supplier rule on multi-supplier orders."""
+    import pandas as pd
+    import pyarrow.parquet as pq2
+
+    from plasmap_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    got = relational.blame_suppliers(sf).to_pandas()
+    li = pq2.read_table(
+        f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).to_pandas()
+    od = pq2.read_table(f"{sf}/orders.parquet", columns=["o_orderkey", "o_orderdate"]).to_pandas()
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    late_us = relational.BLAME_LATE_DAYS * 86_400_000_000
+    j["late"] = (j["l_shipdate"].astype("int64") > j["o_orderdate"].astype("int64") + late_us).astype(int)
+    f = j.groupby(["l_orderkey", "l_suppkey"])["late"].max().reset_index(name="supp_late")
+    oc = f.groupby("l_orderkey").agg(n_supp=("supp_late", "size"), n_late=("supp_late", "sum"))
+    f = f.join(oc, on="l_orderkey")
+    cr = (
+        f[(f["n_supp"] >= 2) & (f["n_late"] == 1) & (f["supp_late"] == 1)]
+        .groupby("l_suppkey")
+        .size()
+        .reset_index(name="numwait")
+        .sort_values(["numwait", "l_suppkey"], ascending=[False, True], kind="mergesort")
+        .head(relational.BLAME_K)
+    )
+    assert list(got["s_suppkey"]) == list(cr["l_suppkey"])
+    assert list(got["numwait"]) == list(cr["numwait"])
