@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall_cells": hotspot.mann_kendall_cells,
         "semivariogram": hotspot.semivariogram,
         "kriging_field": hotspot.kriging_field,
+        "huff_model": hotspot.huff_model,
         "knox_statistic": hotspot.knox_statistic,
         "eb_shrunk_rates": hotspot.eb_shrunk_rates,
         "benford_audit": stats.benford_audit,
@@ -3276,6 +3277,26 @@ SELECT p.cx, p.cy, nd.n_days, round(median(p.slope), 6) AS ts_slope
 FROM p JOIN nd ON p.cx = nd.cx AND p.cy = nd.cy
 GROUP BY p.cx, p.cy, nd.n_days""",
         "kriging_field": f"SELECT * FROM read_parquet('{golden.kriging_field_path(SF001)}')",
+        "huff_model": f"""
+WITH ec AS (
+  SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy
+  FROM events),
+c AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n FROM ec GROUP BY 1, 2),
+ctr AS (SELECT cx, cy, n,
+          {fixtures.LON_MIN!r} + (CAST(cx AS DOUBLE) + 0.5) * {hotspot.GI_EPS!r} AS clon,
+          {fixtures.LAT_MIN!r} + (CAST(cy AS DOUBLE) + 0.5) * {hotspot.GI_EPS!r} AS clat
+        FROM c),
+pj AS (SELECT poi_id, lon, lat, CAST(1 + poi_id % 3 AS DOUBLE) AS attr
+       FROM {pois} WHERE value = '{hotspot.HUFF_VALUE}'),
+w AS (SELECT ctr.cx, ctr.cy, ctr.n, pj.poi_id,
+        CAST(floor(attr / ((clon - lon) * (clon - lon) + (clat - lat) * (clat - lat) + {hotspot.HUFF_SOFT!r}) * {hotspot.HUFF_FP!r} + 0.5) AS BIGINT) AS wfp
+      FROM ctr CROSS JOIN pj),
+sw AS (SELECT cx, cy, CAST(sum(wfp) AS BIGINT) AS sw FROM w GROUP BY 1, 2)
+SELECT w.cx, w.cy, w.poi_id, w.n AS n_events,
+       round(CAST(wfp AS DOUBLE) / CAST(sw.sw AS DOUBLE), 6) AS prob,
+       round(CAST(w.n * wfp AS DOUBLE) / CAST(sw.sw AS DOUBLE), 6) AS expected
+FROM w JOIN sw ON w.cx = sw.cx AND w.cy = sw.cy""",
         "knox_statistic": f"""
 WITH {_epts},
 s AS (SELECT count(*) AS n_space,

@@ -2658,3 +2658,85 @@ def knox_statistic(sf_dir: str, r: float = KNOX_R, tau_us: int = KNOX_TAU_US, nu
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# huff_model (gravity catchment probabilities cell -> POI)
+# ---------------------------------------------------------------------------
+
+HUFF_VALUE = "cafe"  # POI category the catchment competes over
+HUFF_SOFT = 1e-4  # distance softening (coincident-center guard)
+HUFF_FP = 1e9  # fixed-point pitch for gravity weights
+
+
+def huff_model(sf_dir: str, eps: float = GI_EPS, poi_value: str = HUFF_VALUE, soft: float = HUFF_SOFT) -> rd.Dataset:
+    """Huff gravity catchment: for every occupied demand cell i and
+    every POI j of one category, the visit probability
+    P(i→j) = w_ij / Σ_k w_ik with w = A_j / (d²_ij + soft) and a
+    deterministic capacity tier A_j = 1 + poi_id % 3 — the retail
+    trade-area model (which cafés capture this block's demand?), plus
+    the expected visit volume n_i·P(i→j).
+
+    Exactness: each gravity weight is fixed to int64 ONCE (pitch 1e9),
+    so per-cell denominators are exact in any order; prob and expected
+    are each ONE mirrored float division over exact ints (n_i·w_fp
+    stays < 2^63 at bench scale; hi/lo-split beyond, cf.
+    lineitem_corr_matrix).
+
+    Scale shape: one cell-keyed count reduce (the demand field), then
+    a lattice×category-bounded broadcast expansion on the driver —
+    corpus-size-independent.  Output: (cx, cy, poi_id, n_events, prob,
+    expected).
+    """
+    ds = _read_events(sf_dir, ["event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / eps).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / eps).astype(np.int64)
+        key = cx * GI_GY + cy
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    key = cells["key"].to_numpy().astype(np.int64)
+    cx, cy = key // GI_GY, key % GI_GY
+    n = cells["n"].to_numpy().astype(np.int64)
+    clon = fixtures.LON_MIN + (cx.astype(np.float64) + 0.5) * eps
+    clat = fixtures.LAT_MIN + (cy.astype(np.float64) + 0.5) * eps
+
+    pois = fixtures.make_pois()
+    pm = pois.filter(pa.compute.equal(pois["value"], poi_value))
+    pid = pm["poi_id"].to_numpy().astype(np.int64)
+    plon, plat = pm["lon"].to_numpy(), pm["lat"].to_numpy()
+    attr = (1 + pid % 3).astype(np.float64)
+
+    d2 = (clon[:, None] - plon[None, :]) ** 2 + (clat[:, None] - plat[None, :]) ** 2
+    wfp = np.floor(attr[None, :] / (d2 + soft) * HUFF_FP + 0.5).astype(np.int64)
+    sw = wfp.sum(axis=1)
+    prob = wfp.astype(np.float64) / sw[:, None].astype(np.float64)
+    expected = (n[:, None] * wfp).astype(np.float64) / sw[:, None].astype(np.float64)
+    nc, nj = len(key), len(pid)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "cx": pa.array(np.repeat(cx, nj), type=pa.int64()),
+                "cy": pa.array(np.repeat(cy, nj), type=pa.int64()),
+                "poi_id": pa.array(np.tile(pid, nc), type=pa.int64()),
+                "n_events": pa.array(np.repeat(n, nj), type=pa.int64()),
+                "prob": pa.array(duckdb_round(prob.ravel(), 6), type=pa.float64()),
+                "expected": pa.array(duckdb_round(expected.ravel(), 6), type=pa.float64()),
+            }
+        )
+    )

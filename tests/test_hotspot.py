@@ -678,3 +678,31 @@ def test_knox_statistic_bruteforce(ray_session):
     assert out["n_spacetime"] == int((close_s & close_t).sum())
     exp = out["n_space"] * out["n_time"] / out["n_pairs"]
     assert abs(out["expected"] - exp) < 1e-4
+
+
+def test_huff_model_invariants(ray_session):
+    """Per-cell probabilities sum to 1; closer+stronger POIs dominate;
+    expected visits total the cell demand."""
+    out = hotspot.huff_model(SF).to_pandas()
+    g = out.groupby(["cx", "cy"])
+    sums = g["prob"].sum()
+    assert (np.abs(sums - 1.0) < 1e-3).all()
+    ev = g["expected"].sum()
+    n = g["n_events"].first()
+    assert (np.abs(ev - n) < max(1e-2, 1e-4 * n.max())).all()
+    # monotone in weight: within one cell, prob ordering follows wfp
+    # ordering == attr/(d2+soft) ordering; spot-check the top cell
+    cx0, cy0 = out.loc[out["n_events"].idxmax(), ["cx", "cy"]]
+    sub = out[(out["cx"] == cx0) & (out["cy"] == cy0)]
+    pois = fixtures.make_pois()
+    import pyarrow.compute as pc2
+
+    pm = pois.filter(pc2.equal(pois["value"], hotspot.HUFF_VALUE))
+    pid = pm["poi_id"].to_numpy()
+    clon = fixtures.LON_MIN + (cx0 + 0.5) * hotspot.GI_EPS
+    clat = fixtures.LAT_MIN + (cy0 + 0.5) * hotspot.GI_EPS
+    d2 = (pm["lon"].to_numpy() - clon) ** 2 + (pm["lat"].to_numpy() - clat) ** 2
+    w = (1 + pid % 3) / (d2 + hotspot.HUFF_SOFT)
+    want_order = pid[np.argsort(-w, kind="stable")]
+    got_order = sub.sort_values(["prob", "poi_id"], ascending=[False, True])["poi_id"].to_numpy()
+    assert got_order[0] == want_order[0]
