@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_to_convert": windows.time_to_convert,
         "value_percent_rank": windows.value_percent_rank,
         "kaplan_meier": windows.kaplan_meier,
+        "did_uplift": windows.did_uplift,
         "event_transition_lift": windows.event_transition_lift,
         # --- text analysis ---
         "token_stats": text.token_stats,
@@ -374,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semivariogram": hotspot.semivariogram,
         "kriging_field": hotspot.kriging_field,
         "huff_model": hotspot.huff_model,
+        "poi_accessibility": hotspot.poi_accessibility,
         "knox_statistic": hotspot.knox_statistic,
         "eb_shrunk_rates": hotspot.eb_shrunk_rates,
         "benford_audit": stats.benford_audit,
@@ -499,6 +501,7 @@ sw AS (
          CAST(sum(CAST(floor(w * {hotspot.KDE_FP!r} + 0.5) AS BIGINT)) AS BIGINT) AS sum_w_fp
   FROM pw GROUP BY cx, cy)"""
 
+    _r0 = fixtures.admin_rects()[0]  # DiD treatment zone (first city rect)
     # event points with user/ts carried (trajectory family)
     _epts = (
         f"epts AS (SELECT event_id, user_id, ts, {oracle.sql_derive_lon('event_id')} AS lon, "
@@ -2021,6 +2024,25 @@ SELECT CAST(n AS BIGINT) AS n_tokens,
        round((n * sxy - sx * sy) * (n * sxy - sx * sy)
              / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
 FROM s""",
+        "did_uplift": f"""
+WITH epts AS (SELECT event_type, ts, {oracle.sql_derive_lon('event_id')} AS lon,
+                     {oracle.sql_derive_lat('event_id')} AS lat FROM events),
+cls AS (SELECT event_type,
+          lon >= {_r0['lon_min']!r} AND lon < {_r0['lon_max']!r}
+          AND lat >= {_r0['lat_min']!r} AND lat < {_r0['lat_max']!r} AS inside,
+          ts >= TIMESTAMP '{windows.DID_CUT}' AS aft
+        FROM epts),
+agg AS (SELECT event_type,
+          CAST(sum(CASE WHEN inside AND NOT aft THEN 1 ELSE 0 END) AS BIGINT) AS t_before,
+          CAST(sum(CASE WHEN inside AND aft THEN 1 ELSE 0 END) AS BIGINT) AS t_after,
+          CAST(sum(CASE WHEN NOT inside AND NOT aft THEN 1 ELSE 0 END) AS BIGINT) AS c_before,
+          CAST(sum(CASE WHEN NOT inside AND aft THEN 1 ELSE 0 END) AS BIGINT) AS c_after
+        FROM cls GROUP BY event_type)
+SELECT event_type, t_before, t_after, c_before, c_after,
+       (t_after - t_before) - (c_after - c_before) AS did,
+       round((CAST(t_after AS DOUBLE) / CAST(t_before AS DOUBLE))
+             / (CAST(c_after AS DOUBLE) / CAST(c_before AS DOUBLE)), 6) AS lift
+FROM agg""",
         "kaplan_meier": """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events
            WHERE event_type IN ('signup', 'purchase')),
@@ -3277,6 +3299,34 @@ SELECT p.cx, p.cy, nd.n_days, round(median(p.slope), 6) AS ts_slope
 FROM p JOIN nd ON p.cx = nd.cx AND p.cy = nd.cy
 GROUP BY p.cx, p.cy, nd.n_days""",
         "kriging_field": f"SELECT * FROM read_parquet('{golden.kriging_field_path(SF001)}')",
+        "poi_accessibility": f"""
+WITH ec AS (
+  SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy
+  FROM events),
+c AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n FROM ec GROUP BY 1, 2),
+ctr AS (SELECT cx, cy, n,
+          {fixtures.LON_MIN!r} + (CAST(cx AS DOUBLE) + 0.5) * {hotspot.GI_EPS!r} AS clon,
+          {fixtures.LAT_MIN!r} + (CAST(cy AS DOUBLE) + 0.5) * {hotspot.GI_EPS!r} AS clat
+        FROM c),
+pj AS (SELECT poi_id, lon, lat, CAST(1 + poi_id % 3 AS DOUBLE) AS cap
+       FROM {pois} WHERE value = '{hotspot.HUFF_VALUE}'),
+x AS (SELECT ctr.cx, ctr.cy, ctr.n, pj.poi_id, pj.cap,
+        (clon - lon) * (clon - lon) + (clat - lat) * (clat - lat) <= {hotspot.SFCA_D0!r} * {hotspot.SFCA_D0!r} AS reach
+      FROM ctr CROSS JOIN pj),
+dem AS (SELECT poi_id, cap, CAST(sum(CASE WHEN reach THEN n ELSE 0 END) AS BIGINT) AS demand
+        FROM x GROUP BY poi_id, cap),
+rj AS (SELECT poi_id,
+         CASE WHEN demand > 0
+              THEN CAST(floor(cap / CAST(demand AS DOUBLE) * {hotspot.SFCA_FP!r} + 0.5) AS BIGINT)
+              ELSE 0 END AS rj_fp
+       FROM dem)
+SELECT x.cx, x.cy, x.n AS n_events,
+       CAST(sum(CASE WHEN x.reach THEN 1 ELSE 0 END) AS BIGINT) AS n_pois_in_reach,
+       CAST(sum(CASE WHEN x.reach THEN rj.rj_fp ELSE 0 END) AS BIGINT) AS access_fp,
+       round(CAST(sum(CASE WHEN x.reach THEN rj.rj_fp ELSE 0 END) AS DOUBLE) / {hotspot.SFCA_FP!r}, 6) AS accessibility
+FROM x JOIN rj ON x.poi_id = rj.poi_id
+GROUP BY x.cx, x.cy, x.n""",
         "huff_model": f"""
 WITH ec AS (
   SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,

@@ -2740,3 +2740,88 @@ def huff_model(sf_dir: str, eps: float = GI_EPS, poi_value: str = HUFF_VALUE, so
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# poi_accessibility (two-step floating catchment accessibility, 2SFCA)
+# ---------------------------------------------------------------------------
+
+SFCA_D0 = 0.4  # catchment radius (planar degrees)
+SFCA_FP = 1e12  # fixed-point pitch for supply ratios
+
+
+def poi_accessibility(sf_dir: str, eps: float = GI_EPS, d0: float = SFCA_D0, poi_value: str = HUFF_VALUE) -> rd.Dataset:
+    """Two-step floating catchment accessibility (2SFCA, Luo & Wang):
+    step 1 gives every POI j a supply ratio R_j = capacity_j / Σ
+    demand n_i over cells within d0; step 2 scores every cell i as
+    A_i = Σ R_j over POIs within d0 — the provider-per-capita
+    accessibility surface health-equity and site-planning studies run
+    (huff_model's normative cousin: not "where will demand go" but
+    "who is underserved").
+
+    Exactness: demand sums are exact int64; each R_j is fixed to int64
+    ONCE (pitch 1e12) so the step-2 sums are order-free; capacity is
+    the deterministic 1 + poi_id % 3 tier.  In-catchment tests are
+    d² ≤ d0² on IEEE-identical doubles.
+
+    Scale shape: one cell-keyed count reduce; both catchment steps run
+    on the lattice×category-bounded cross table (corpus-size-
+    independent).  Output: (cx, cy, n_events, n_pois_in_reach,
+    access_fp, accessibility).
+    """
+    ds = _read_events(sf_dir, ["event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / eps).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / eps).astype(np.int64)
+        key = cx * GI_GY + cy
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    key = cells["key"].to_numpy().astype(np.int64)
+    cx, cy = key // GI_GY, key % GI_GY
+    n = cells["n"].to_numpy().astype(np.int64)
+    clon = fixtures.LON_MIN + (cx.astype(np.float64) + 0.5) * eps
+    clat = fixtures.LAT_MIN + (cy.astype(np.float64) + 0.5) * eps
+
+    pois = fixtures.make_pois()
+    pm = pois.filter(pa.compute.equal(pois["value"], poi_value))
+    pid = pm["poi_id"].to_numpy().astype(np.int64)
+    plon, plat = pm["lon"].to_numpy(), pm["lat"].to_numpy()
+    cap = (1 + pid % 3).astype(np.float64)
+
+    d2 = (clon[:, None] - plon[None, :]) ** 2 + (clat[:, None] - plat[None, :]) ** 2
+    reach = d2 <= d0 * d0  # (cells, pois)
+    demand = (n[:, None] * reach).sum(axis=0).astype(np.int64)  # per-POI demand
+    rj_fp = np.zeros(len(pid), dtype=np.int64)
+    served = demand > 0
+    rj_fp[served] = np.floor(cap[served] / demand[served].astype(np.float64) * SFCA_FP + 0.5).astype(np.int64)
+    access_fp = (reach * rj_fp[None, :]).sum(axis=1).astype(np.int64)
+    n_reach = reach.sum(axis=1).astype(np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "cx": pa.array(cx, type=pa.int64()),
+                "cy": pa.array(cy, type=pa.int64()),
+                "n_events": pa.array(n, type=pa.int64()),
+                "n_pois_in_reach": pa.array(n_reach, type=pa.int64()),
+                "access_fp": pa.array(access_fp, type=pa.int64()),
+                "accessibility": pa.array(
+                    duckdb_round(access_fp.astype(np.float64) / SFCA_FP, 6), type=pa.float64()
+                ),
+            }
+        )
+    )

@@ -1751,3 +1751,90 @@ def kaplan_meier(sf_dir: str, parts: int = 32) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# did_uplift (difference-in-differences across the zone/time 2x2)
+# ---------------------------------------------------------------------------
+
+DID_CUT = "2024-01-20"  # intervention date (spatial.IVM_CUT convention)
+
+
+def did_uplift(sf_dir: str, cut: str = DID_CUT) -> rd.Dataset:
+    """Difference-in-differences screen: per event type, the 2×2
+    (treatment zone × before/after) count table and the DiD contrast
+    (T_a − T_b) − (C_a − C_b) plus the ratio-of-ratios lift
+    (T_a/T_b)/(C_a/C_b) — the quasi-experimental readout for "did the
+    intervention inside the zone change behaviour beyond the global
+    trend?".  Treatment = events inside the first fixture city rect
+    (the dwell_in_zone half-open containment), cut = the incremental
+    demo's base/delta date.
+
+    Scale shape: map-ONLY classification (derive, two comparisons)
+    into a 2×2×|alphabet| combiner, ONE bounded groupby.  DiD is
+    integer; the lift is ONE mirrored float expression.  Output:
+    (event_type, t_before, t_after, c_before, c_after, did, lift).
+    """
+    from .. import fixtures as fx
+
+    rect = fx.admin_rects()[0]
+    cut_us = np.datetime64(cut, "us").astype(np.int64)
+
+    ds = _read_events(sf_dir, ["event_id", "ts", "event_type"])
+
+    def classify(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fx.derive_lon(ids), fx.derive_lat(ids)
+        inside = (
+            (lon >= rect["lon_min"]) & (lon < rect["lon_max"]) & (lat >= rect["lat_min"]) & (lat < rect["lat_max"])
+        )
+        after = t["ts"].cast(pa.int64()).to_numpy() >= cut_us
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        import pandas as pd
+
+        df = pd.DataFrame({"event_type": et, "inside": inside, "after": after})
+        c = df.groupby(["event_type", "inside", "after"], sort=True).size().reset_index(name="n")
+        return pa.table(
+            {
+                "event_type": pa.array(c["event_type"], type=pa.string()),
+                "tb": pa.array((c["inside"] & ~c["after"]).to_numpy() * c["n"].to_numpy(), type=pa.int64()),
+                "ta": pa.array((c["inside"] & c["after"]).to_numpy() * c["n"].to_numpy(), type=pa.int64()),
+                "cb": pa.array((~c["inside"] & ~c["after"]).to_numpy() * c["n"].to_numpy(), type=pa.int64()),
+                "ca": pa.array((~c["inside"] & c["after"]).to_numpy() * c["n"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(classify, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("tb", alias_name="t_before"),
+            Sum("ta", alias_name="t_after"),
+            Sum("cb", alias_name="c_before"),
+            Sum("ca", alias_name="c_after"),
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    from ..stages.common import duckdb_round
+
+    tb = agg["t_before"].to_numpy().astype(np.int64)
+    ta = agg["t_after"].to_numpy().astype(np.int64)
+    cb = agg["c_before"].to_numpy().astype(np.int64)
+    ca = agg["c_after"].to_numpy().astype(np.int64)
+    did = (ta - tb) - (ca - cb)
+    lift = (ta.astype(np.float64) / tb.astype(np.float64)) / (ca.astype(np.float64) / cb.astype(np.float64))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(agg["event_type"], type=pa.string()),
+                "t_before": pa.array(tb, type=pa.int64()),
+                "t_after": pa.array(ta, type=pa.int64()),
+                "c_before": pa.array(cb, type=pa.int64()),
+                "c_after": pa.array(ca, type=pa.int64()),
+                "did": pa.array(did, type=pa.int64()),
+                "lift": pa.array(duckdb_round(lift, 6), type=pa.float64()),
+            }
+        )
+    )

@@ -1620,3 +1620,38 @@ def test_blame_suppliers_bruteforce(ray_session):
     )
     assert list(got["s_suppkey"]) == list(cr["l_suppkey"])
     assert list(got["numwait"]) == list(cr["numwait"])
+
+
+def test_did_and_accessibility_invariants(ray_session):
+    """DiD 2x2 cells total the corpus; 2SFCA conserves supply:
+    sum over cells of n_i*R_j-weighted access equals total capacity of
+    reachable POIs (Luo-Wang conservation)."""
+    import pyarrow.parquet as pq2
+
+    from plasmap_ray.pipelines import hotspot, windows
+
+    sf = "/root/testdata/sf0.001"
+    did = windows.did_uplift(sf).to_pandas()
+    total = did[["t_before", "t_after", "c_before", "c_after"]].to_numpy().sum()
+    n_events = pq2.read_metadata(f"{sf}/events.parquet").num_rows
+    assert total == n_events
+    assert (did["did"] == (did["t_after"] - did["t_before"]) - (did["c_after"] - did["c_before"])).all()
+
+    acc = hotspot.poi_accessibility(sf).to_pandas()
+    # conservation: sum_i n_i * A_i == sum_j cap_j over POIs whose
+    # catchment contains at least one occupied cell (R_j definition)
+    lhs = (acc["n_events"] * acc["access_fp"] / hotspot.SFCA_FP).sum()
+    from plasmap_ray import fixtures as fx
+    import pyarrow.compute as pc2
+
+    pois = fx.make_pois()
+    pm = pois.filter(pc2.equal(pois["value"], hotspot.HUFF_VALUE))
+    pid = pm["poi_id"].to_numpy()
+    plon, plat = pm["lon"].to_numpy(), pm["lat"].to_numpy()
+    clon = fx.LON_MIN + (acc["cx"].to_numpy() + 0.5) * hotspot.GI_EPS
+    clat = fx.LAT_MIN + (acc["cy"].to_numpy() + 0.5) * hotspot.GI_EPS
+    d2 = (clon[:, None] - plon[None, :]) ** 2 + (clat[:, None] - plat[None, :]) ** 2
+    reach = d2 <= hotspot.SFCA_D0 ** 2
+    served = reach.any(axis=0)
+    rhs = (1 + pid[served] % 3).sum()
+    assert abs(lhs - rhs) < 0.01 * rhs
