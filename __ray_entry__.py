@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kriging_field": hotspot.kriging_field,
         "huff_model": hotspot.huff_model,
         "poi_accessibility": hotspot.poi_accessibility,
+        "hot_cell_clusters": hotspot.hot_cell_clusters,
         "knox_statistic": hotspot.knox_statistic,
         "eb_shrunk_rates": hotspot.eb_shrunk_rates,
         "benford_audit": stats.benford_audit,
@@ -3299,6 +3300,23 @@ SELECT p.cx, p.cy, nd.n_days, round(median(p.slope), 6) AS ts_slope
 FROM p JOIN nd ON p.cx = nd.cx AND p.cy = nd.cy
 GROUP BY p.cx, p.cy, nd.n_days""",
         "kriging_field": f"SELECT * FROM read_parquet('{golden.kriging_field_path(SF001)}')",
+        "hot_cell_clusters": f"""
+WITH RECURSIVE ec AS (
+  SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy
+  FROM events),
+c AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n FROM ec GROUP BY 1, 2),
+hot AS (SELECT cx, cy, n, cx * {hotspot.GI_GY} + cy AS key FROM c WHERE n >= {hotspot.PERC_MIN_EVENTS}),
+e AS (SELECT a.key AS u, b.key AS v FROM hot a JOIN hot b
+      ON abs(a.cx - b.cx) + abs(a.cy - b.cy) <= 1),
+r(u, lbl) AS (
+  SELECT key, key FROM hot
+  UNION
+  SELECT e.u, r.lbl FROM e JOIN r ON e.v = r.u),
+m AS (SELECT u, CAST(min(lbl) AS BIGINT) AS cluster_id FROM r GROUP BY u),
+sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM m GROUP BY cluster_id)
+SELECT hot.cx, hot.cy, hot.n AS n_events, m.cluster_id, sz.cluster_size
+FROM hot JOIN m ON hot.key = m.u JOIN sz ON m.cluster_id = sz.cluster_id""",
         "poi_accessibility": f"""
 WITH ec AS (
   SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,

@@ -2825,3 +2825,87 @@ def poi_accessibility(sf_dir: str, eps: float = GI_EPS, d0: float = SFCA_D0, poi
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hot_cell_clusters (lattice percolation: components of hot cells)
+# ---------------------------------------------------------------------------
+
+PERC_MIN_EVENTS = 30  # a cell is "hot" at or above this count
+
+
+def hot_cell_clusters(sf_dir: str, eps: float = GI_EPS, theta: int = PERC_MIN_EVENTS) -> rd.Dataset:
+    """Percolation clusters of HOT lattice cells: threshold the
+    per-cell count field at θ, connect 4-adjacent hot cells, and label
+    connected components — "how do hotspots coalesce into regions?",
+    the percolation view that single-cell Gi* scores can't give (one
+    giant spanning cluster vs many islands is THE phase signature).
+
+    Engine shape: one cell-keyed count reduce, a map-side 4-adjacency
+    edge build (each undirected edge emitted once via the half
+    neighborhood), then cluster.connected_components — the SAME
+    distributed min-label machinery the dedup manifest uses, here on a
+    lattice graph.  Isolated hot cells are their own singleton cluster.
+    Output: (cx, cy, n_events, cluster_id, cluster_size) with
+    cluster_id = min cell key in the component.
+    """
+    from . import cluster as cl
+
+    ds = _read_events(sf_dir, ["event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / eps).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / eps).astype(np.int64)
+        key = cx * GI_GY + cy
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    hot = cells[cells["n"] >= theta].reset_index(drop=True)
+    key = hot["key"].to_numpy().astype(np.int64)
+    n = hot["n"].to_numpy().astype(np.int64)
+    hotset = set(int(k) for k in key)
+    # half-neighborhood edges: (cx+1, cy) and (cx, cy+1) — each
+    # undirected 4-adjacency emitted exactly once
+    ea, eb = [], []
+    for k in key:
+        cx, cy = int(k) // GI_GY, int(k) % GI_GY
+        for nk in (k + GI_GY, k + 1) if cy + 1 < GI_GY else (k + GI_GY,):
+            if int(nk) in hotset:
+                ea.append(int(k))
+                eb.append(int(nk))
+    if ea:
+        pairs = rd.from_arrow(
+            pa.table({"doc_a": pa.array(ea, type=pa.int64()), "doc_b": pa.array(eb, type=pa.int64())})
+        )
+        labels = cl.connected_components(pairs).to_pandas()
+        lab = dict(zip(labels["node"].astype(np.int64), labels["label"].astype(np.int64)))
+    else:
+        lab = {}
+    cid = np.array([lab.get(int(k), int(k)) for k in key], dtype=np.int64)
+    import pandas as pd
+
+    sizes = pd.Series(cid).value_counts()
+    return rd.from_arrow(
+        pa.table(
+            {
+                "cx": pa.array(key // GI_GY, type=pa.int64()),
+                "cy": pa.array(key % GI_GY, type=pa.int64()),
+                "n_events": pa.array(n, type=pa.int64()),
+                "cluster_id": pa.array(cid, type=pa.int64()),
+                "cluster_size": pa.array(sizes[cid].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+    )

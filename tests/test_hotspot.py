@@ -706,3 +706,40 @@ def test_huff_model_invariants(ray_session):
     want_order = pid[np.argsort(-w, kind="stable")]
     got_order = sub.sort_values(["prob", "poi_id"], ascending=[False, True])["poi_id"].to_numpy()
     assert got_order[0] == want_order[0]
+
+
+def test_hot_cell_clusters_bruteforce(ray_session):
+    """Component labels match a BFS recompute on the thresholded lattice."""
+    import collections
+
+    import pyarrow.parquet as pq2
+
+    out = hotspot.hot_cell_clusters(SF).to_pandas()
+    ids = pq2.read_table(os.path.join(SF, "events.parquet"), columns=["event_id"])["event_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    cx = np.floor((lon - fixtures.LON_MIN) / hotspot.GI_EPS).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / hotspot.GI_EPS).astype(np.int64)
+    dense = collections.Counter(zip(cx, cy))
+    hot = {c for c, v in dense.items() if v >= hotspot.PERC_MIN_EVENTS}
+    # BFS labeling with min-key labels
+    label = {}
+    for start in sorted(hot, key=lambda c: c[0] * hotspot.GI_GY + c[1]):
+        if start in label:
+            continue
+        comp, queue = [], [start]
+        seen = {start}
+        while queue:
+            u = queue.pop()
+            comp.append(u)
+            for d in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                v = (u[0] + d[0], u[1] + d[1])
+                if v in hot and v not in seen:
+                    seen.add(v)
+                    queue.append(v)
+        lbl = min(c[0] * hotspot.GI_GY + c[1] for c in comp)
+        for c in comp:
+            label[c] = (lbl, len(comp))
+    assert len(out) == len(hot)
+    for _, row in out.iterrows():
+        lbl, size = label[(row["cx"], row["cy"])]
+        assert row["cluster_id"] == lbl and row["cluster_size"] == size
