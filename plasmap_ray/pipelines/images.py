@@ -1927,3 +1927,69 @@ def image_entropy(sf_dir: str) -> rd.Dataset:
         )
 
     return scored.map_batches(finish, batch_format="pyarrow")
+
+
+def caption_conflict_dups(sf_dir: str) -> rd.Dataset:
+    """Cross-modal dedup conflict: captions attached to MORE THAN ONE
+    distinct image (same caption text, different phash) — the
+    text-image misalignment screen an image-caption corpus runs before
+    training (a caption reused across unrelated pixels is a label
+    conflict; exact-dup pixels under one caption are fine and handled
+    by phash_dedup).
+
+    Scale shape: metadata-only read (bytes never leave storage); the
+    distinct count is the two-level reduce — per-batch unique
+    (caption, phash) pairs, a (caption, phash)-keyed count groupby,
+    then a caption-keyed fold of (copies, distinct-phash) — no
+    count-distinct shuffle of raw rows.  Output: (caption, n_images,
+    n_phashes) for conflicted captions only.
+    """
+    ds = read_images(sf_dir, columns=["caption", "phash"])
+
+    def pair_combiner(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"caption": t["caption"].to_numpy(zero_copy_only=False), "phash": t["phash"].to_numpy()}
+        )
+        c = df.groupby(["caption", "phash"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "caption": pa.array(c["caption"], type=pa.string()),
+                "phash": pa.array(c["phash"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n": pa.array(c["n"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    per_pair = (
+        ds.map_batches(pair_combiner, batch_format="pyarrow")
+        .groupby(["caption", "phash"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "caption": t["caption"],
+                "n": t["n"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    agg = (
+        per_pair.map_batches(fold, batch_format="pyarrow")
+        .groupby("caption")
+        .aggregate(Sum("n", alias_name="n_images"), Sum("one", alias_name="n_phashes"))
+    )
+
+    def keep_conflicts(t: pa.Table) -> pa.Table:
+        m = (t["n_images"].to_numpy() > 1) & (t["n_phashes"].to_numpy() > 1)
+        return pa.table(
+            {
+                "caption": t["caption"].filter(pa.array(m)),
+                "n_images": pa.array(t["n_images"].to_numpy()[m], type=pa.int64()),
+                "n_phashes": pa.array(t["n_phashes"].to_numpy()[m], type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(keep_conflicts, batch_format="pyarrow")

@@ -423,3 +423,21 @@ def test_pixel_entropy_known_images(ray_session):
     assert abs(ent[0] - 0.0) < 1e-6
     assert abs(ent[1] - np.log(256.0)) < 1e-6
     assert out["n_distinct"].to_pylist() == [1, 256]
+
+
+def test_caption_conflict_dups_bruteforce(ray_session):
+    """Conflicted-caption set equals a pandas recompute at sf0.001."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import images
+
+    sf = "/root/testdata/sf0.001"
+    got = images.caption_conflict_dups(sf).to_pandas()
+    t = pq.read_table(images.images_path_for(sf), columns=["caption", "phash"]).to_pandas()
+    g = t.groupby("caption").agg(n_images=("phash", "size"), n_phashes=("phash", "nunique"))
+    want = g[(g["n_images"] > 1) & (g["n_phashes"] > 1)]
+    assert set(got["caption"]) == set(want.index)
+    m = got.set_index("caption")
+    assert (m["n_images"] == want["n_images"]).all()
+    assert (m["n_phashes"] == want["n_phashes"]).all()
