@@ -377,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "huff_model": hotspot.huff_model,
         "poi_accessibility": hotspot.poi_accessibility,
         "hot_cell_clusters": hotspot.hot_cell_clusters,
+        "cell_mad_outliers": hotspot.cell_mad_outliers,
         "knox_statistic": hotspot.knox_statistic,
         "eb_shrunk_rates": hotspot.eb_shrunk_rates,
         "benford_audit": stats.benford_audit,
@@ -3306,6 +3307,20 @@ SELECT p.cx, p.cy, nd.n_days, round(median(p.slope), 6) AS ts_slope
 FROM p JOIN nd ON p.cx = nd.cx AND p.cy = nd.cy
 GROUP BY p.cx, p.cy, nd.n_days""",
         "kriging_field": f"SELECT * FROM read_parquet('{golden.kriging_field_path(SF001)}')",
+        "cell_mad_outliers": f"""
+WITH ec AS (
+  SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy,
+         CAST(floor(epoch_us(ts) / {hotspot.DAY_US}) AS BIGINT) AS day
+  FROM events),
+d AS (SELECT cx, cy, day, CAST(count(*) AS BIGINT) AS y FROM ec GROUP BY 1, 2, 3),
+st AS (SELECT cx, cy, median(CAST(y AS DOUBLE)) AS med FROM d GROUP BY 1, 2),
+md AS (SELECT d.cx, d.cy, median(abs(CAST(d.y AS DOUBLE) - st.med)) AS mad
+       FROM d JOIN st ON d.cx = st.cx AND d.cy = st.cy GROUP BY 1, 2)
+SELECT d.cx, d.cy, d.day, d.y, round(st.med, 6) AS med, round(md.mad, 6) AS mad
+FROM d JOIN st ON d.cx = st.cx AND d.cy = st.cy
+JOIN md ON d.cx = md.cx AND d.cy = md.cy
+WHERE abs(CAST(d.y AS DOUBLE) - st.med) > {hotspot.MAD_K!r} * md.mad""",
         "hot_cell_clusters": f"""
 WITH RECURSIVE ec AS (
   SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,

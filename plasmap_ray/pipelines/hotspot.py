@@ -2909,3 +2909,69 @@ def hot_cell_clusters(sf_dir: str, eps: float = GI_EPS, theta: int = PERC_MIN_EV
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cell_mad_outliers (robust per-cell anomalous-day detection)
+# ---------------------------------------------------------------------------
+
+MAD_K = 3.0  # flag days beyond K robust deviations
+
+
+def cell_mad_outliers(sf_dir: str, eps: float = GI_EPS, k: float = MAD_K) -> rd.Dataset:
+    """Robust anomalous-day screen: per cell, flag days whose event
+    count deviates from the cell's MEDIAN by more than K× the cell's
+    MAD — the outlier detector that a burst day cannot poison (unlike
+    burst_cells' mean/std z-score, median and MAD barely move when the
+    anomaly itself is in the window; running both and diffing is the
+    classic masking check).
+
+    Determinism: median/MAD are DuckDB quantile_cont(0.5) convention
+    (average of two middles) over exact int64 counts — numpy's
+    np.median matches bit-for-bit; the flag test |y − med| > K·mad is
+    one mirrored float comparison.
+
+    Scale shape: the (cell, day) count shuffle, then cell-keyed
+    map_groups over day-bounded groups.  Output: (cx, cy, day, y, med,
+    mad) for flagged days only.
+    """
+    import pandas as pd
+
+    daily = (
+        _read_events(sf_dir, ["event_id", "ts"])
+        .map_batches(_daily_partial_factory(eps), batch_format="pyarrow")
+        .groupby(["key", "day"])
+        .aggregate(Sum("n", alias_name="y"))
+    )
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        y = g["y"].to_numpy().astype(np.float64)
+        med = float(np.median(y))
+        mad = float(np.median(np.abs(y - med)))
+        m = np.abs(y - med) > k * mad
+        if not m.any():
+            return pd.DataFrame(columns=["cx", "cy", "day", "y", "med", "mad"]).astype(
+                {
+                    "cx": np.int64,
+                    "cy": np.int64,
+                    "day": np.int64,
+                    "y": np.int64,
+                    "med": np.float64,
+                    "mad": np.float64,
+                }
+            )
+        key = int(g["key"].iloc[0])
+        medr = float(duckdb_round(np.array([med]), 6)[0])
+        madr = float(duckdb_round(np.array([mad]), 6)[0])
+        return pd.DataFrame(
+            {
+                "cx": np.full(int(m.sum()), key // GI_GY, dtype=np.int64),
+                "cy": np.full(int(m.sum()), key % GI_GY, dtype=np.int64),
+                "day": g["day"].to_numpy().astype(np.int64)[m],
+                "y": g["y"].to_numpy().astype(np.int64)[m],
+                "med": np.full(int(m.sum()), medr),
+                "mad": np.full(int(m.sum()), madr),
+            }
+        )
+
+    return daily.groupby("key").map_groups(per_cell, batch_format="pandas")

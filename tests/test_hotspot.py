@@ -743,3 +743,37 @@ def test_hot_cell_clusters_bruteforce(ray_session):
     for _, row in out.iterrows():
         lbl, size = label[(row["cx"], row["cy"])]
         assert row["cluster_id"] == lbl and row["cluster_size"] == size
+
+
+def test_cell_mad_outliers_bruteforce(ray_session):
+    """Flagged (cell, day) set equals a pandas median/MAD recompute."""
+    import pandas as pd
+    import pyarrow.parquet as pq2
+
+    # sf0.001 flags nothing (2-3 events/cell/day); use sf0.01 where the
+    # screen fires, and pin the all-empty case separately below
+    sf01 = "/root/testdata/sf0.01"
+    empty = hotspot.cell_mad_outliers(SF).to_pandas()
+    assert len(empty) == 0
+    out = hotspot.cell_mad_outliers(sf01).to_pandas()
+    t = pq2.read_table(os.path.join(sf01, "events.parquet"), columns=["event_id", "ts"]).to_pandas()
+    ids = t["event_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    df = pd.DataFrame(
+        {
+            "cx": np.floor((lon - fixtures.LON_MIN) / hotspot.GI_EPS).astype(np.int64),
+            "cy": np.floor((lat - fixtures.LAT_MIN) / hotspot.GI_EPS).astype(np.int64),
+            "day": t["ts"].astype("int64").to_numpy() // hotspot.DAY_US,
+        }
+    )
+    daily = df.groupby(["cx", "cy", "day"]).size().reset_index(name="y")
+    want = set()
+    for (gx, gy), g in daily.groupby(["cx", "cy"]):
+        y = g["y"].to_numpy().astype(float)
+        med = np.median(y)
+        mad = np.median(np.abs(y - med))
+        for d, yy in zip(g["day"], y):
+            if abs(yy - med) > hotspot.MAD_K * mad:
+                want.add((gx, gy, d))
+    got = set(zip(out["cx"], out["cy"], out["day"]))
+    assert got == want
