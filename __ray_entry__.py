@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "speed_audit": trajectory.speed_audit,
         "displacement_histogram": trajectory.displacement_histogram,
         "transition_entropy": trajectory.transition_entropy,
+        "gravity_decay_fit": trajectory.gravity_decay_fit,
         "user_mobility_entropy": trajectory.user_mobility_entropy,
         "spatial_self_join": trajectory.spatial_self_join,
         "colocation_join": trajectory.colocation_join,
@@ -2261,6 +2262,37 @@ SELECT o_cell, d_cell, n_users, n_o, n_d, expected,
   CAST(n_users AS DOUBLE) - expected AS resid,
   (CAST(n_users AS DOUBLE) - expected) * (CAST(n_users AS DOUBLE) - expected) / expected AS chi2
 FROM e""",
+        "gravity_decay_fit": f"""
+WITH {_epts},
+sc AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+         CAST(floor((lon - {fixtures.LON_MIN!r}) / {trajectory.TRANS_PITCH!r}) AS BIGINT) AS cx,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) / {trajectory.TRANS_PITCH!r}) AS BIGINT) AS cy
+       FROM epts),
+st AS (SELECT cx, cy,
+         lag(cx) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS px,
+         lag(cy) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS py
+       FROM sc),
+tr AS (SELECT px AS fx, py AS fy, cx AS tx, cy AS ty, CAST(count(*) AS BIGINT) AS n
+       FROM st WHERE px IS NOT NULL GROUP BY px, py, cx, cy),
+ll AS (SELECT ln(sqrt(CAST((fx - tx) * (fx - tx) + (fy - ty) * (fy - ty) AS DOUBLE))) AS lx,
+              ln(CAST(n AS DOUBLE)) AS ly
+       FROM tr WHERE (fx - tx) * (fx - tx) + (fy - ty) * (fy - ty) > 0),
+t AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        CAST(sum(CAST(floor(lx * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+        CAST(sum(CAST(floor(ly * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+        CAST(sum(CAST(floor(lx * lx * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sxx,
+        CAST(sum(CAST(floor(lx * ly * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+        CAST(sum(CAST(floor(ly * ly * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS syy
+      FROM ll),
+f AS (SELECT CAST(m AS DOUBLE) AS fm,
+        CAST(sx AS DOUBLE) / 1000000000000.0 AS fsx, CAST(sy AS DOUBLE) / 1000000000000.0 AS fsy,
+        CAST(sxx AS DOUBLE) / 1000000000000.0 AS fsxx, CAST(sxy AS DOUBLE) / 1000000000000.0 AS fsxy,
+        CAST(syy AS DOUBLE) / 1000000000000.0 AS fsyy, m FROM t)
+SELECT m AS n_pairs,
+       round((fm * fsxy - fsx * fsy) / (fm * fsxx - fsx * fsx), 6) AS beta,
+       round((fsy - ((fm * fsxy - fsx * fsy) / (fm * fsxx - fsx * fsx)) * fsx) / fm, 6) AS intercept,
+       round(pow(fm * fsxy - fsx * fsy, 2) / ((fm * fsxx - fsx * fsx) * (fm * fsyy - fsy * fsy)), 6) AS r2
+FROM f""",
         "transition_entropy": f"""
 WITH {_epts},
 sc AS (SELECT user_id, epoch_us(ts) AS tus, event_id,

@@ -1930,3 +1930,66 @@ def user_mobility_entropy(sf_dir: str, pitch: float = TRANS_PITCH) -> rd.Dataset
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# gravity_decay_fit (calibrate the distance-decay exponent)
+# ---------------------------------------------------------------------------
+
+GRAV_FP = 1e12  # fixed-point pitch for log-log OLS moment terms
+
+
+def gravity_decay_fit(sf_dir: str, pitch: float = TRANS_PITCH) -> rd.Dataset:
+    """Calibrate the gravity model's distance-decay exponent from the
+    observed Markov kernel: OLS of ln(flow) on ln(distance) over all
+    non-self (from → to) transitions — the empirical β that od_gravity
+    ASSUMES and huff_model hard-codes as d⁻²; fitting it closes the
+    loop (β ≈ −2 validates those models, β ≈ 0 refutes distance decay).
+
+    Order discipline: each OD row fixes its five OLS moment terms
+    (x, y, x², xy, y² with x = ln d, y = ln n) to int64 ONCE (pitch
+    1e12), so the kernel-bounded sums are exact in any order and both
+    engines evaluate the identical closed-form slope/intercept/R².
+
+    Scale shape: rides cell_transition_matrix's one (from, to) count
+    shuffle; the fit runs on the lattice²-bounded aggregate.  Output:
+    one row (n_pairs, beta, intercept, r2).
+    """
+    from ..stages.common import duckdb_round
+
+    trans = cell_transition_matrix(sf_dir, pitch=pitch).to_pandas()
+    fx, fy = trans["fx"].to_numpy(np.int64), trans["fy"].to_numpy(np.int64)
+    tx, ty = trans["tx"].to_numpy(np.int64), trans["ty"].to_numpy(np.int64)
+    n = trans["n_steps"].to_numpy(np.int64)
+    d2 = (fx - tx) ** 2 + (fy - ty) ** 2
+    keep = d2 > 0
+    x = np.log(np.sqrt(d2[keep].astype(np.float64)))
+    y = np.log(n[keep].astype(np.float64))
+
+    def fp(v: np.ndarray) -> np.ndarray:
+        return np.floor(v * GRAV_FP + 0.5).astype(np.int64)
+
+    m = len(x)
+    sx, sy = int(fp(x).sum()), int(fp(y).sum())
+    sxx, sxy, syy = int(fp(x * x).sum()), int(fp(x * y).sum()), int(fp(y * y).sum())
+    fm = float(m)
+    fsx, fsy, fsxx, fsxy, fsyy = (
+        sx / GRAV_FP,
+        sy / GRAV_FP,
+        sxx / GRAV_FP,
+        sxy / GRAV_FP,
+        syy / GRAV_FP,
+    )
+    beta = (fm * fsxy - fsx * fsy) / (fm * fsxx - fsx * fsx)
+    intercept = (fsy - beta * fsx) / fm
+    r2 = (fm * fsxy - fsx * fsy) ** 2 / ((fm * fsxx - fsx * fsx) * (fm * fsyy - fsy * fsy))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_pairs": pa.array([m], type=pa.int64()),
+                "beta": pa.array(duckdb_round(np.array([beta]), 6), type=pa.float64()),
+                "intercept": pa.array(duckdb_round(np.array([intercept]), 6), type=pa.float64()),
+                "r2": pa.array(duckdb_round(np.array([r2]), 6), type=pa.float64()),
+            }
+        )
+    )

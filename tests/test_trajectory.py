@@ -621,3 +621,26 @@ def test_entropy_ops_bruteforce(ray_session):
         row = got2.loc[(gx, gy)]
         assert row["n_steps"] == c.sum() and row["n_dests"] == len(c)
         assert abs(row["entropy"] - ent(c)) < 1e-5, (gx, gy)
+
+
+def test_gravity_decay_fit_bruteforce(ray_session):
+    """beta/intercept/r2 match a numpy polyfit-free OLS recompute."""
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import trajectory
+
+    sf = "/root/testdata/sf0.001"
+    got = trajectory.gravity_decay_fit(sf).to_pandas().iloc[0]
+    tr = trajectory.cell_transition_matrix(sf).to_pandas()
+    d2 = (tr["fx"] - tr["tx"]) ** 2 + (tr["fy"] - tr["ty"]) ** 2
+    keep = d2 > 0
+    x = np.log(np.sqrt(d2[keep].astype(float)))
+    y = np.log(tr["n_steps"][keep].astype(float))
+    assert got["n_pairs"] == int(keep.sum())
+    beta = ((x - x.mean()) * (y - y.mean())).sum() / ((x - x.mean()) ** 2).sum()
+    inter = y.mean() - beta * x.mean()
+    r = np.corrcoef(x, y)[0, 1]
+    assert abs(got["beta"] - beta) < 1e-5
+    assert abs(got["intercept"] - inter) < 1e-5
+    assert abs(got["r2"] - r * r) < 1e-5
