@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poi_accessibility": hotspot.poi_accessibility,
         "hot_cell_clusters": hotspot.hot_cell_clusters,
         "cell_mad_outliers": hotspot.cell_mad_outliers,
+        "p_median_greedy": hotspot.p_median_greedy,
         "knox_statistic": hotspot.knox_statistic,
         "eb_shrunk_rates": hotspot.eb_shrunk_rates,
         "benford_audit": stats.benford_audit,
@@ -3339,6 +3340,38 @@ SELECT p.cx, p.cy, nd.n_days, round(median(p.slope), 6) AS ts_slope
 FROM p JOIN nd ON p.cx = nd.cx AND p.cy = nd.cy
 GROUP BY p.cx, p.cy, nd.n_days""",
         "kriging_field": f"SELECT * FROM read_parquet('{golden.kriging_field_path(SF001)}')",
+        "p_median_greedy": f"""
+WITH ec AS (
+  SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy
+  FROM events),
+c AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n FROM ec GROUP BY 1, 2),
+ctr AS (SELECT cx * {hotspot.GI_GY} + cy AS ck, n,
+          {fixtures.LON_MIN!r} + (CAST(cx AS DOUBLE) + 0.5) * {hotspot.GI_EPS!r} AS clon,
+          {fixtures.LAT_MIN!r} + (CAST(cy AS DOUBLE) + 0.5) * {hotspot.GI_EPS!r} AS clat
+        FROM c),
+pj AS (SELECT poi_id, lon, lat FROM {pois} WHERE value = '{hotspot.HUFF_VALUE}'),
+x AS (SELECT ctr.ck, ctr.n, pj.poi_id,
+        CAST(floor(sqrt((clon - lon) * (clon - lon) + (clat - lat) * (clat - lat)) * {hotspot.PMED_FP!r} + 0.5) AS BIGINT) AS dfp
+      FROM ctr CROSS JOIN pj),
+cost1 AS (SELECT poi_id, CAST(sum(n * dfp) AS BIGINT) AS cost FROM x GROUP BY poi_id),
+pick1 AS (SELECT poi_id, cost FROM cost1 ORDER BY cost, poi_id LIMIT 1),
+best1 AS (SELECT x.ck, x.dfp AS b FROM x JOIN pick1 ON x.poi_id = pick1.poi_id),
+cost2 AS (SELECT x.poi_id, CAST(sum(x.n * least(b.b, x.dfp)) AS BIGINT) AS cost
+          FROM x JOIN best1 b ON x.ck = b.ck
+          WHERE x.poi_id NOT IN (SELECT poi_id FROM pick1) GROUP BY x.poi_id),
+pick2 AS (SELECT poi_id, cost FROM cost2 ORDER BY cost, poi_id LIMIT 1),
+best2 AS (SELECT b.ck, least(b.b, x.dfp) AS b
+          FROM best1 b JOIN x ON x.ck = b.ck JOIN pick2 ON x.poi_id = pick2.poi_id),
+cost3 AS (SELECT x.poi_id, CAST(sum(x.n * least(b.b, x.dfp)) AS BIGINT) AS cost
+          FROM x JOIN best2 b ON x.ck = b.ck
+          WHERE x.poi_id NOT IN (SELECT poi_id FROM pick1 UNION ALL SELECT poi_id FROM pick2)
+          GROUP BY x.poi_id),
+pick3 AS (SELECT poi_id, cost FROM cost3 ORDER BY cost, poi_id LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS step, poi_id, cost AS total_cost_fp,
+       round(CAST(cost AS DOUBLE) / {hotspot.PMED_FP!r}, 6) AS total_cost FROM pick1
+UNION ALL SELECT CAST(2 AS BIGINT), poi_id, cost, round(CAST(cost AS DOUBLE) / {hotspot.PMED_FP!r}, 6) FROM pick2
+UNION ALL SELECT CAST(3 AS BIGINT), poi_id, cost, round(CAST(cost AS DOUBLE) / {hotspot.PMED_FP!r}, 6) FROM pick3""",
         "cell_mad_outliers": f"""
 WITH ec AS (
   SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,

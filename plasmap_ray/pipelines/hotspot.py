@@ -2975,3 +2975,98 @@ def cell_mad_outliers(sf_dir: str, eps: float = GI_EPS, k: float = MAD_K) -> rd.
         )
 
     return daily.groupby("key").map_groups(per_cell, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# p_median_greedy (facility location: greedy demand-weighted p-median)
+# ---------------------------------------------------------------------------
+
+PMED_P = 3  # number of facilities to site
+PMED_FP = 1e9  # fixed-point pitch for distances
+
+
+def p_median_greedy(sf_dir: str, eps: float = GI_EPS, p: int = PMED_P, poi_value: str = HUFF_VALUE) -> rd.Dataset:
+    """Greedy p-median facility location: choose p POI sites (from one
+    category's candidates) one at a time, each minimizing the total
+    demand-weighted distance Σᵢ nᵢ·min_s d(i, s) to the already-chosen
+    set — the classic (1 − 1/e)-approximation every siting study runs
+    (where do p new depots/clinics go?), and huff/2SFCA's prescriptive
+    sibling.
+
+    Exactness: distances are fixed to int64 ONCE (pitch 1e9), demand
+    weights are exact counts, so every candidate's total cost is an
+    exact integer — the argmin (ties by poi_id) is unambiguous and the
+    greedy trace is bit-reproducible in both engines.
+
+    Scale shape: one cell-keyed count reduce; the greedy runs p rounds
+    over the lattice×category-bounded cost table (corpus-size-
+    independent).  Output: (step, poi_id, total_cost_fp, total_cost)
+    — one row per chosen site, cost = demand-weighted distance after
+    adding it.
+    """
+    ds = _read_events(sf_dir, ["event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / eps).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / eps).astype(np.int64)
+        key = cx * GI_GY + cy
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    key = cells["key"].to_numpy().astype(np.int64)
+    n = cells["n"].to_numpy().astype(np.int64)
+    clon = fixtures.LON_MIN + ((key // GI_GY).astype(np.float64) + 0.5) * eps
+    clat = fixtures.LAT_MIN + ((key % GI_GY).astype(np.float64) + 0.5) * eps
+
+    pois = fixtures.make_pois()
+    pm = pois.filter(pa.compute.equal(pois["value"], poi_value))
+    pid = pm["poi_id"].to_numpy().astype(np.int64)
+    plon, plat = pm["lon"].to_numpy(), pm["lat"].to_numpy()
+
+    d = np.sqrt((clon[:, None] - plon[None, :]) ** 2 + (clat[:, None] - plat[None, :]) ** 2)
+    dfp = np.floor(d * PMED_FP + 0.5).astype(np.int64)  # (cells, pois)
+
+    chosen: list[int] = []
+    # "infinity" sentinel just above the largest distance: keeps every
+    # n*min(best, dfp) product far inside int64 (no overflow at step 1)
+    best = np.full(len(key), int(dfp.max()) + 1, dtype=np.int64)
+    steps, ids_out, costs = [], [], []
+    from ..stages.common import duckdb_round
+
+    for step in range(1, p + 1):
+        # candidate j cost = sum_i n_i * min(best_i, dfp[i, j])
+        cand_cost = (n[:, None] * np.minimum(best[:, None], dfp)).sum(axis=0)
+        for c in chosen:
+            cand_cost[int(np.where(pid == c)[0][0])] = np.iinfo(np.int64).max
+        order = np.lexsort((pid, cand_cost))
+        j = order[0]
+        chosen.append(int(pid[j]))
+        best = np.minimum(best, dfp[:, j])
+        steps.append(step)
+        ids_out.append(int(pid[j]))
+        costs.append(int(cand_cost[j]))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "step": pa.array(steps, type=pa.int64()),
+                "poi_id": pa.array(ids_out, type=pa.int64()),
+                "total_cost_fp": pa.array(costs, type=pa.int64()),
+                "total_cost": pa.array(
+                    duckdb_round(np.array(costs, dtype=np.float64) / PMED_FP, 6), type=pa.float64()
+                ),
+            }
+        )
+    )

@@ -777,3 +777,43 @@ def test_cell_mad_outliers_bruteforce(ray_session):
                 want.add((gx, gy, d))
     got = set(zip(out["cx"], out["cy"], out["day"]))
     assert got == want
+
+
+def test_p_median_greedy_bruteforce(ray_session):
+    """Greedy trace matches an exhaustive per-step argmin recompute;
+    costs strictly decrease as facilities are added."""
+    import pyarrow.parquet as pq2
+
+    out = hotspot.p_median_greedy(SF).to_pandas().sort_values("step")
+    ids = pq2.read_table(os.path.join(SF, "events.parquet"), columns=["event_id"])["event_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    cx = np.floor((lon - fixtures.LON_MIN) / hotspot.GI_EPS).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / hotspot.GI_EPS).astype(np.int64)
+    key = cx * hotspot.GI_GY + cy
+    uniq, n = np.unique(key, return_counts=True)
+    clon = fixtures.LON_MIN + ((uniq // hotspot.GI_GY) + 0.5) * hotspot.GI_EPS
+    clat = fixtures.LAT_MIN + ((uniq % hotspot.GI_GY) + 0.5) * hotspot.GI_EPS
+    import pyarrow.compute as pc2
+
+    pois = fixtures.make_pois()
+    pm = pois.filter(pc2.equal(pois["value"], hotspot.HUFF_VALUE))
+    pid = pm["poi_id"].to_numpy()
+    dfp = np.floor(
+        np.sqrt(
+            (clon[:, None] - pm["lon"].to_numpy()[None, :]) ** 2
+            + (clat[:, None] - pm["lat"].to_numpy()[None, :]) ** 2
+        )
+        * hotspot.PMED_FP
+        + 0.5
+    ).astype(np.int64)
+    best = np.full(len(uniq), dfp.max() + 1, dtype=np.int64)
+    chosen = []
+    for _, row in out.iterrows():
+        costs = (n[:, None] * np.minimum(best[:, None], dfp)).sum(axis=0)
+        for c in chosen:
+            costs[np.where(pid == c)[0][0]] = np.iinfo(np.int64).max
+        j = np.lexsort((pid, costs))[0]
+        assert row["poi_id"] == pid[j] and row["total_cost_fp"] == costs[j]
+        chosen.append(pid[j])
+        best = np.minimum(best, dfp[:, j])
+    assert (np.diff(out["total_cost_fp"].to_numpy()) < 0).all()
