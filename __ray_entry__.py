@@ -384,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eb_shrunk_rates": hotspot.eb_shrunk_rates,
         "benford_audit": stats.benford_audit,
         "lineitem_corr_matrix": stats.lineitem_corr_matrix,
+        "discount_elasticity": stats.discount_elasticity,
         "acf_hourly": windows.acf_hourly,
         "dp_tile_counts": privacy.dp_tile_counts,
         "location_unicity": privacy.location_unicity,
@@ -3534,6 +3535,20 @@ SELECT digit, n,
        round(pow(CAST(n AS DOUBLE) - tot * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)), 2)
              / (tot * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))), 6) AS chi2_term
 FROM c CROSS JOIN t""",
+        "discount_elasticity": """
+WITH f AS (SELECT p.p_brand,
+                  CAST(floor(l.l_discount * 100.0 + 0.5) AS BIGINT) AS x,
+                  CAST(floor(l.l_quantity * 100.0 + 0.5) AS BIGINT) AS y
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+s AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+             CAST(sum(y*y) AS BIGINT) AS syy
+      FROM f GROUP BY p_brand)
+SELECT p_brand, n,
+       round(CAST(n*sxy - sx*sy AS DOUBLE)
+             / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS pearson_r
+FROM s""",
         "lineitem_corr_matrix": """
 WITH f AS (SELECT CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS q,
                   CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS p,

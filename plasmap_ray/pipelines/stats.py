@@ -942,3 +942,85 @@ def lineitem_corr_matrix(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# discount_elasticity (grouped Pearson: discount vs quantity per brand)
+# ---------------------------------------------------------------------------
+
+
+def discount_elasticity(sf_dir: str) -> rd.Dataset:
+    """Per-brand correlation between discount depth and quantity sold
+    — the demand-response screen ("do discounts move volume for this
+    brand?") that needs a DIM JOIN before the grouped moment reduce,
+    extending lineitem_corr_matrix's global matrix to per-group grain.
+
+    Dataflow: lineitem(partkey, discount, quantity) ⋈ part(brand) —
+    the dim side is read with two columns only — then the
+    value_hour_correlation discipline per brand: cents-exact int64
+    moment partials per batch, ONE brand-keyed reduce, r as one
+    mirrored float expression.  Output: (p_brand, n, pearson_r).
+    """
+    from ..stages.common import safe_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_discount", "l_quantity"],
+    )
+    pt = rd.read_parquet(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"])
+    j = safe_join(li, pt, join_type="inner", num_partitions=8, on=("l_partkey",), right_on=("p_partkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        q = np.floor(t["l_quantity"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        br = t["p_brand"].to_numpy(zero_copy_only=False)
+        order = np.argsort(br, kind="stable")
+        br, d, q = br[order], d[order], q[order]
+        bounds = np.nonzero(br[1:] != br[:-1])[0] + 1
+        starts = np.concatenate([[0], bounds])
+        red = lambda v: np.add.reduceat(v, starts)  # noqa: E731
+        ones = np.ones(len(br), dtype=np.int64)
+        return pa.table(
+            {
+                "p_brand": pa.array(br[starts], type=pa.string()),
+                "n": pa.array(red(ones), type=pa.int64()),
+                "sx": pa.array(red(d), type=pa.int64()),
+                "sy": pa.array(red(q), type=pa.int64()),
+                "sxy": pa.array(red(d * q), type=pa.int64()),
+                "sxx": pa.array(red(d * d), type=pa.int64()),
+                "syy": pa.array(red(q * q), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        from ..stages.common import duckdb_round
+
+        n = t["n"].to_numpy().astype(np.float64)
+        sx = t["sx"].to_numpy().astype(np.float64)
+        sy = t["sy"].to_numpy().astype(np.float64)
+        sxy = t["sxy"].to_numpy().astype(np.float64)
+        sxx = t["sxx"].to_numpy().astype(np.float64)
+        syy = t["syy"].to_numpy().astype(np.float64)
+        r = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy))
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "n": t["n"],
+                "pearson_r": pa.array(duckdb_round(r, 6), type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

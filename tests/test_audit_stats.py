@@ -101,3 +101,20 @@ def test_eb_shrinkage_pulls_toward_global(ray_session):
     small = gap[out["n"] < out["n"].median()].mean()
     large = gap[out["n"] >= out["n"].median()].mean()
     assert small >= large
+
+
+def test_discount_elasticity_bruteforce(ray_session):
+    """Per-brand r equals a pandas merge + corrcoef recompute."""
+    got = stats.discount_elasticity(SF).to_pandas().set_index("p_brand")
+    li = pq.read_table(
+        os.path.join(SF, "lineitem.parquet"), columns=["l_partkey", "l_discount", "l_quantity"]
+    ).to_pandas()
+    pt = pq.read_table(os.path.join(SF, "part.parquet"), columns=["p_partkey", "p_brand"]).to_pandas()
+    j = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    j["x"] = np.floor(j["l_discount"] * 100.0 + 0.5).astype(np.int64)
+    j["y"] = np.floor(j["l_quantity"] * 100.0 + 0.5).astype(np.int64)
+    for brand, g in j.groupby("p_brand"):
+        want = np.corrcoef(g["x"].astype(float), g["y"].astype(float))[0, 1]
+        row = got.loc[brand]
+        assert row["n"] == len(g)
+        assert abs(row["pearson_r"] - want) < 5.1e-7, brand
