@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hot_cell_clusters": hotspot.hot_cell_clusters,
         "cell_mad_outliers": hotspot.cell_mad_outliers,
         "p_median_greedy": hotspot.p_median_greedy,
+        "fractal_dimension": hotspot.fractal_dimension,
         "knox_statistic": hotspot.knox_statistic,
         "eb_shrunk_rates": hotspot.eb_shrunk_rates,
         "benford_audit": stats.benford_audit,
@@ -3341,6 +3342,41 @@ SELECT p.cx, p.cy, nd.n_days, round(median(p.slope), 6) AS ts_slope
 FROM p JOIN nd ON p.cx = nd.cx AND p.cy = nd.cy
 GROUP BY p.cx, p.cy, nd.n_days""",
         "kriging_field": f"SELECT * FROM read_parquet('{golden.kriging_field_path(SF001)}')",
+        "fractal_dimension": f"""
+WITH sc AS (
+SELECT CAST(0 AS BIGINT) AS si, CAST(0.8 AS DOUBLE) AS eps, CAST(count(*) AS BIGINT) AS n_cells FROM (
+  SELECT DISTINCT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / 0.8) AS BIGINT) AS gx,
+                  CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / 0.8) AS BIGINT) AS gy
+  FROM events)
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS si, CAST(0.4 AS DOUBLE) AS eps, CAST(count(*) AS BIGINT) AS n_cells FROM (
+  SELECT DISTINCT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / 0.4) AS BIGINT) AS gx,
+                  CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / 0.4) AS BIGINT) AS gy
+  FROM events)
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS si, CAST(0.2 AS DOUBLE) AS eps, CAST(count(*) AS BIGINT) AS n_cells FROM (
+  SELECT DISTINCT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / 0.2) AS BIGINT) AS gx,
+                  CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / 0.2) AS BIGINT) AS gy
+  FROM events)
+UNION ALL
+SELECT CAST(3 AS BIGINT) AS si, CAST(0.1 AS DOUBLE) AS eps, CAST(count(*) AS BIGINT) AS n_cells FROM (
+  SELECT DISTINCT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / 0.1) AS BIGINT) AS gx,
+                  CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / 0.1) AS BIGINT) AS gy
+  FROM events)
+UNION ALL
+SELECT CAST(4 AS BIGINT) AS si, CAST(0.05 AS DOUBLE) AS eps, CAST(count(*) AS BIGINT) AS n_cells FROM (
+  SELECT DISTINCT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / 0.05) AS BIGINT) AS gx,
+                  CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / 0.05) AS BIGINT) AS gy
+  FROM events)),
+t AS (SELECT CAST(count(*) AS DOUBLE) AS m,
+        CAST(sum(CAST(floor(ln(1.0 / eps) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS fsx,
+        CAST(sum(CAST(floor(ln(CAST(n_cells AS DOUBLE)) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS fsy,
+        CAST(sum(CAST(floor(ln(1.0 / eps) * ln(1.0 / eps) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS fsxx,
+        CAST(sum(CAST(floor(ln(1.0 / eps) * ln(CAST(n_cells AS DOUBLE)) * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS fsxy
+      FROM sc)
+SELECT sc.eps, sc.n_cells,
+       round((t.m * t.fsxy - t.fsx * t.fsy) / (t.m * t.fsxx - t.fsx * t.fsx), 6) AS fractal_d
+FROM sc CROSS JOIN t""",
         "p_median_greedy": f"""
 WITH ec AS (
   SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,

@@ -39,7 +39,7 @@ import os
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
 
 from .. import fixtures
 from ..stages.common import duckdb_round
@@ -3067,6 +3067,93 @@ def p_median_greedy(sf_dir: str, eps: float = GI_EPS, p: int = PMED_P, poi_value
                 "total_cost": pa.array(
                     duckdb_round(np.array(costs, dtype=np.float64) / PMED_FP, 6), type=pa.float64()
                 ),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fractal_dimension (box-counting dimension of the point pattern)
+# ---------------------------------------------------------------------------
+
+FRACTAL_SCALES = (0.8, 0.4, 0.2, 0.1, 0.05)
+FRACTAL_FP = 1e12  # fixed-point pitch for the log-log OLS terms
+
+
+def fractal_dimension(sf_dir: str, scales: tuple[float, ...] = FRACTAL_SCALES) -> rd.Dataset:
+    """Box-counting (Minkowski) dimension of the event point pattern:
+    count occupied grid cells N(ε) at a ladder of box sizes and fit
+    ln N(ε) ~ D·ln(1/ε) — THE scale-invariance summary of a spatial
+    distribution (D→2 space-filling, D→1 curve-like/network-bound,
+    D→0 a few isolated clumps); urban-morphology and settlement
+    studies report exactly this slope.
+
+    Scale shape: ONE pass emits (scale_idx, cell_key) pairs for all
+    ladder rungs (per-batch unique first), a (scale, key)-keyed
+    distinct reduce, then a 5-row count per scale — the OLS runs on
+    the ladder-bounded aggregate with each log term fixed to int64
+    ONCE (gravity_decay_fit discipline: order-free, bit-mirrored).
+    Output: (eps, n_cells, fractal_d) — fractal_d repeated per row.
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["event_id"])
+    eps_arr = np.array(scales, dtype=np.float64)
+
+    def keys(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        outs = []
+        for si, e in enumerate(eps_arr):
+            gx = np.floor((lon - fixtures.LON_MIN) / e).astype(np.int64)
+            gy = np.floor((lat - fixtures.LAT_MIN) / e).astype(np.int64)
+            k = np.unique(gx * np.int64(1 << 20) + gy)
+            outs.append(
+                pa.table(
+                    {
+                        "si": pa.array(np.full(len(k), si, dtype=np.int64)),
+                        "key": pa.array(k, type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    counts = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby(["si", "key"])
+        .aggregate(Count(alias_name="c"))
+        .map_batches(
+            lambda t: pa.table(
+                {"si": t["si"], "one": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("si")
+        .aggregate(Sum("one", alias_name="n_cells"))
+        .to_pandas()
+        .sort_values("si")
+        .reset_index(drop=True)
+    )
+    n_cells = counts["n_cells"].to_numpy().astype(np.int64)
+    x = np.log(1.0 / eps_arr)
+    y = np.log(n_cells.astype(np.float64))
+
+    def fp(v: np.ndarray) -> np.ndarray:
+        return np.floor(v * FRACTAL_FP + 0.5).astype(np.int64)
+
+    m = float(len(x))
+    fsx = int(fp(x).sum()) / FRACTAL_FP
+    fsy = int(fp(y).sum()) / FRACTAL_FP
+    fsxx = int(fp(x * x).sum()) / FRACTAL_FP
+    fsxy = int(fp(x * y).sum()) / FRACTAL_FP
+    d = (m * fsxy - fsx * fsy) / (m * fsxx - fsx * fsx)
+    dr = float(duckdb_round(np.array([d]), 6)[0])
+    return rd.from_arrow(
+        pa.table(
+            {
+                "eps": pa.array(eps_arr, type=pa.float64()),
+                "n_cells": pa.array(n_cells, type=pa.int64()),
+                "fractal_d": pa.array(np.full(len(eps_arr), dr), type=pa.float64()),
             }
         )
     )

@@ -817,3 +817,22 @@ def test_p_median_greedy_bruteforce(ray_session):
         chosen.append(pid[j])
         best = np.minimum(best, dfp[:, j])
     assert (np.diff(out["total_cost_fp"].to_numpy()) < 0).all()
+
+
+def test_fractal_dimension_bruteforce(ray_session):
+    """N(eps) counts equal set-based recomputes; D in (0, 2]; a
+    space-filling uniform pattern at coarse scales pushes D toward 2."""
+    import pyarrow.parquet as pq2
+
+    out = hotspot.fractal_dimension(SF).to_pandas().sort_values("eps", ascending=False)
+    ids = pq2.read_table(os.path.join(SF, "events.parquet"), columns=["event_id"])["event_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    for _, row in out.iterrows():
+        e = row["eps"]
+        gx = np.floor((lon - fixtures.LON_MIN) / e).astype(np.int64)
+        gy = np.floor((lat - fixtures.LAT_MIN) / e).astype(np.int64)
+        assert row["n_cells"] == len(set(zip(gx, gy)))
+    d = out["fractal_d"].iloc[0]
+    assert 0.0 < d <= 2.0 + 1e-6
+    # monotone: finer boxes never decrease the occupied count
+    assert (np.diff(out["n_cells"].to_numpy()) >= 0).all()
