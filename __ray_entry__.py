@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_by_token": lambda sf: index.search_by_token(sf, SEARCH_TOKEN),
         "search_ranked": lambda sf: index.search_ranked(sf, tokens=SEARCH_TOKENS, k=SEARCH_K),
         "search_bm25": lambda sf: index.search_bm25(sf, tokens=SEARCH_TOKENS, k=SEARCH_K),
+        "rbo_rankings": lambda sf: index.rbo_rankings(sf, tokens=SEARCH_TOKENS, k=SEARCH_K),
         "rrf_fusion": lambda sf: index.rrf_fusion(sf, tokens=SEARCH_TOKENS, k=SEARCH_K),
         "token_doc_frequency": lambda sf: index.token_doc_frequency(sf, min_docs=50),
         "anti_search": lambda sf: index.anti_search(sf, SEARCH_TOKEN),
@@ -536,7 +537,7 @@ u AS (SELECT user_id, max(flon) AS flon, max(flat) AS flat,
 {oracle.sql_morton_ctes('mo_out', 'user_id, o_cell', trajectory.OD_PRECISION, 'd_cell', lon_col='llon', lat_col='llat', prefix='md')}
 SELECT o_cell, d_cell, count(*) AS n_users FROM md_out GROUP BY o_cell, d_cell"""
 
-    return {
+    d = {
         "cell_index": f"""
 WITH {_pts_cte()},
 {oracle.sql_morton_ctes('pts', 'doc_id', low, 'cell_low')}
@@ -3698,3 +3699,19 @@ WHERE s.dd >= {hotspot.BURST_MIN_DAYS} AND d.n_events * s.dd - s.ss > 0
   AND (d.n_events * s.dd - s.ss) * (d.n_events * s.dd - s.ss)
       > {hotspot.BURST_K * hotspot.BURST_K} * (s.qq * s.dd - s.ss * s.ss)""",
     }
+    d["rbo_rankings"] = f"""
+WITH a AS ({d["search_ranked"]}),
+b AS ({d["search_bm25"]}),
+dep AS (SELECT unnest(generate_series(1, {SEARCH_K})) AS dd),
+o AS (SELECT dep.dd AS depth,
+        (SELECT CAST(count(*) AS BIGINT) FROM a JOIN b ON a.doc_id = b.doc_id
+          WHERE a.search_rank <= dep.dd AND b.bm25_rank <= dep.dd) AS overlap
+      FROM dep),
+t AS (SELECT CAST(sum(CAST(floor(pow({index.RBO_P!r}, depth - 1)
+        * (CAST(overlap AS DOUBLE) / CAST(depth AS DOUBLE)) * {index.RBO_FP!r} + 0.5) AS BIGINT)) AS BIGINT) AS sfp
+      FROM o)
+SELECT o.depth, o.overlap,
+       round(CAST(o.overlap AS DOUBLE) / CAST(o.depth AS DOUBLE), 6) AS agreement,
+       round((1.0 - {index.RBO_P!r}) * (CAST(t.sfp AS DOUBLE) / {index.RBO_FP!r}), 6) AS rbo
+FROM o CROSS JOIN t"""
+    return d

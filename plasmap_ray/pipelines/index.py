@@ -419,3 +419,54 @@ def rrf_fusion(
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rbo_rankings (Rank-Biased Overlap between the two ranked retrievers)
+# ---------------------------------------------------------------------------
+
+RBO_P = 0.9  # persistence: expected viewing depth 1/(1-p) = 10
+RBO_FP = 1e12  # fixed-point pitch for the per-depth weighted terms
+
+
+def rbo_rankings(sf_dir: str, tokens: tuple[str, ...] = ("spark", "data"), k: int = 20, p: float = RBO_P) -> rd.Dataset:
+    """Rank-Biased Overlap (Webber et al. 2010, truncated form) between
+    the TF-IDF and BM25 rankings of the same query:
+    RBO = (1−p)·Σ_{d=1..k} p^{d−1}·|A_d ∩ B_d|/d — the top-weighted
+    ranking-agreement score that tells a search migration whether the
+    two scorers actually order results differently where users look
+    (rrf_fusion composes the rankings; this EVALUATES their divergence).
+
+    Exactness: per-depth overlaps are exact integers from the two
+    k-bounded rankings; each weighted term is fixed to int64 ONCE
+    (pitch 1e12) so the truncated sum is order-free and bit-mirrored.
+
+    Scale shape: all distributed work lives in the two retrievers it
+    composes (corpus-scale TF/DF reduces); the RBO arithmetic is
+    2k-bounded driver math.  Output: (depth, overlap, agreement, rbo)
+    — rbo repeated per depth row.
+    """
+    from ..stages.common import duckdb_round
+
+    a = search_ranked(sf_dir, tokens=tokens, k=k).to_pandas()
+    b = search_bm25(sf_dir, tokens=tokens, k=k).to_pandas()
+    a_ids = a.sort_values("search_rank")["doc_id"].to_numpy()
+    b_ids = b.sort_values("bm25_rank")["doc_id"].to_numpy()
+    depths = np.arange(1, k + 1, dtype=np.int64)
+    overlap = np.array(
+        [len(set(a_ids[:d]) & set(b_ids[:d])) for d in depths], dtype=np.int64
+    )
+    agreement = overlap.astype(np.float64) / depths.astype(np.float64)
+    terms_fp = np.floor(p ** (depths - 1).astype(np.float64) * agreement * RBO_FP + 0.5).astype(np.int64)
+    rbo = (1.0 - p) * (int(terms_fp.sum()) / RBO_FP)
+    rbor = float(duckdb_round(np.array([rbo]), 6)[0])
+    return rd.from_arrow(
+        pa.table(
+            {
+                "depth": pa.array(depths, type=pa.int64()),
+                "overlap": pa.array(overlap, type=pa.int64()),
+                "agreement": pa.array(duckdb_round(agreement, 6), type=pa.float64()),
+                "rbo": pa.array(np.full(k, rbor), type=pa.float64()),
+            }
+        )
+    )

@@ -360,3 +360,27 @@ def test_rrf_fusion_ranks(ray_session):
     assert list(fused["fusion_rank"]) == list(range(1, len(fused) + 1))
     s = fused.sort_values(["rrf_score", "doc_id"], ascending=[False, True])
     assert list(s["doc_id"]) == list(fused["doc_id"])
+
+
+def test_rbo_rankings_properties(ray_session):
+    """RBO in [0,1]; identical rankings give RBO == truncated-weight
+    total; engine overlaps equal a set recompute of its own inputs."""
+    import numpy as np
+
+    from plasmap_ray.pipelines import index
+
+    sf = "/root/testdata/sf0.001"
+    out = index.rbo_rankings(sf).to_pandas().sort_values("depth").reset_index(drop=True)
+    k = len(out)
+    a = index.search_ranked(sf, k=k).to_pandas().sort_values("search_rank")["doc_id"].to_numpy()
+    b = index.search_bm25(sf, k=k).to_pandas().sort_values("bm25_rank")["doc_id"].to_numpy()
+    for _, r in out.iterrows():
+        d = int(r["depth"])
+        assert r["overlap"] == len(set(a[:d]) & set(b[:d]))
+    rbo = out["rbo"].iloc[0]
+    p = index.RBO_P
+    max_rbo = (1 - p) * sum(p ** (d - 1) for d in range(1, k + 1))
+    assert 0.0 <= rbo <= max_rbo + 1e-9
+    # self-RBO sanity: overlap == depth everywhere would hit max_rbo
+    if (out["overlap"].to_numpy() == out["depth"].to_numpy()).all():
+        assert abs(rbo - max_rbo) < 1e-4
