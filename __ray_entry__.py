@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_audit": stats.benford_audit,
         "lineitem_corr_matrix": stats.lineitem_corr_matrix,
         "discount_elasticity": stats.discount_elasticity,
+        "kmv_overlap_eval": stats.kmv_overlap_eval,
         "acf_hourly": windows.acf_hourly,
         "dp_tile_counts": privacy.dp_tile_counts,
         "location_unicity": privacy.location_unicity,
@@ -3572,6 +3573,34 @@ SELECT digit, n,
        round(pow(CAST(n AS DOUBLE) - tot * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)), 2)
              / (tot * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))), 6) AS chi2_term
 FROM c CROSS JOIN t""",
+        "kmv_overlap_eval": f"""
+WITH m AS (SELECT DISTINCT CASE WHEN event_type = '{stats.KMVO_SET_A}' THEN 1 ELSE 0 END AS s, user_id
+           FROM events WHERE event_type IN ('{stats.KMVO_SET_A}', '{stats.KMVO_SET_B}')),
+a AS (SELECT user_id FROM m WHERE s = 1), b AS (SELECT user_id FROM m WHERE s = 0),
+ha AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM a),
+hb AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM b),
+hu AS (SELECT h FROM ha UNION SELECT h FROM hb),
+ea AS (SELECT CASE WHEN count(*) <= {stats.KMVO_K} THEN CAST(count(*) AS DOUBLE)
+               ELSE ({stats.KMVO_K} - 1) / (CAST(CAST(concat('0x', substr(min(CASE WHEN rn = {stats.KMVO_K} THEN h END), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0)
+             END AS v
+       FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha)),
+eb AS (SELECT CASE WHEN count(*) <= {stats.KMVO_K} THEN CAST(count(*) AS DOUBLE)
+               ELSE ({stats.KMVO_K} - 1) / (CAST(CAST(concat('0x', substr(min(CASE WHEN rn = {stats.KMVO_K} THEN h END), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0)
+             END AS v
+       FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb)),
+eu AS (SELECT CASE WHEN count(*) <= {stats.KMVO_K} THEN CAST(count(*) AS DOUBLE)
+               ELSE ({stats.KMVO_K} - 1) / (CAST(CAST(concat('0x', substr(min(CASE WHEN rn = {stats.KMVO_K} THEN h END), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0)
+             END AS v
+       FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hu)),
+x AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+             (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+             (SELECT CAST(count(*) AS BIGINT) FROM a JOIN b USING (user_id)) AS n_inter,
+             ea.v AS est_a, eb.v AS est_b, eu.v AS est_union
+      FROM ea CROSS JOIN eb CROSS JOIN eu)
+SELECT n_a, n_b, n_inter, round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
+       round(est_union, 6) AS est_union, round(est_a + est_b - est_union, 6) AS est_inter,
+       round(abs(est_a + est_b - est_union - CAST(n_inter AS DOUBLE)), 6) AS abs_err
+FROM x""",
         "discount_elasticity": """
 WITH f AS (SELECT p.p_brand,
                   CAST(floor(l.l_discount * 100.0 + 0.5) AS BIGINT) AS x,

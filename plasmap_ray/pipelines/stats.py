@@ -1024,3 +1024,92 @@ def discount_elasticity(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# kmv_overlap_eval (theta-style set-overlap estimate, error-audited)
+# ---------------------------------------------------------------------------
+
+KMVO_K = 128
+KMVO_SET_A = "purchase"
+KMVO_SET_B = "view"
+
+
+def kmv_overlap_eval(sf_dir: str, k: int = KMVO_K) -> rd.Dataset:
+    """Audited KMV set-OVERLAP estimate: |A ∩ B| of two user sets (A =
+    purchasers, B = viewers) via inclusion-exclusion over three KMV
+    sketches (est A + est B − est A∪B) — the theta-sketch workload
+    (audience overlap, campaign reach dedup) with its error CHECKED
+    against the exact intersection, extending the sketch-audit family
+    (KMV count, HLL, Space-Saving) to binary set algebra.
+
+    Hashing is md5(user_id-as-string), lexicographic order — the
+    hash_split_counts convention, bit-identical in SQL — and the
+    estimator is the textbook (K−1)/frac(h_(K)) with first-8-hex-chars
+    as the unit fraction; sets smaller than K fall back to exact.
+
+    Scale shape: this is an EVAL op — the error audit NEEDS the exact
+    truth, so the (set, user) distinct reduce runs regardless and the
+    estimate is computed on its bounded output (members ≤ |users|);
+    the production estimate-only path keeps per-batch K-smallest
+    partials instead (stages.sketch.KMVSketch fold).  Output: one row
+    (n_a, n_b, n_inter, est_a, est_b, est_union, est_inter, abs_err).
+    """
+    import hashlib
+
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["user_id", "event_type"])
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        keep = (et == KMVO_SET_A) | (et == KMVO_SET_B)
+        et, uid = et[keep], uid[keep]
+        import pandas as pd
+
+        df = pd.DataFrame({"s": (et == KMVO_SET_A).astype(np.int64), "user_id": uid}).drop_duplicates()
+        return pa.table(
+            {
+                "s": pa.array(df["s"].to_numpy(), type=pa.int64()),
+                "user_id": pa.array(df["user_id"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    members = (
+        ds.map_batches(dedup_pairs, batch_format="pyarrow")
+        .groupby(["s", "user_id"])
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+    )
+    ua = set(members.loc[members["s"] == 1, "user_id"].astype(int))
+    ub = set(members.loc[members["s"] == 0, "user_id"].astype(int))
+    n_a, n_b, n_inter = len(ua), len(ub), len(ua & ub)
+
+    def kmv_est(users: set[int]) -> float:
+        hs = sorted(hashlib.md5(str(u).encode()).hexdigest() for u in users)
+        if len(hs) <= k:
+            return float(len(hs))
+        kth = hs[k - 1]
+        frac = int(kth[:8], 16) / 4294967296.0
+        return (k - 1) / frac
+
+    est_a, est_b = kmv_est(ua), kmv_est(ub)
+    est_u = kmv_est(ua | ub)
+    est_inter = est_a + est_b - est_u
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_a": pa.array([n_a], type=pa.int64()),
+                "n_b": pa.array([n_b], type=pa.int64()),
+                "n_inter": pa.array([n_inter], type=pa.int64()),
+                "est_a": pa.array(duckdb_round(np.array([est_a]), 6), type=pa.float64()),
+                "est_b": pa.array(duckdb_round(np.array([est_b]), 6), type=pa.float64()),
+                "est_union": pa.array(duckdb_round(np.array([est_u]), 6), type=pa.float64()),
+                "est_inter": pa.array(duckdb_round(np.array([est_inter]), 6), type=pa.float64()),
+                "abs_err": pa.array(
+                    duckdb_round(np.array([abs(est_inter - n_inter)]), 6), type=pa.float64()
+                ),
+            }
+        )
+    )

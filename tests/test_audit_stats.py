@@ -118,3 +118,27 @@ def test_discount_elasticity_bruteforce(ray_session):
         row = got.loc[brand]
         assert row["n"] == len(g)
         assert abs(row["pearson_r"] - want) < 5.1e-7, brand
+
+
+def test_kmv_overlap_eval_bruteforce(ray_session):
+    """Exact counts match set algebra; estimates within 25% of truth
+    at K=128 (|err| ~ 1/sqrt(K) per sketch); estimator formula pinned."""
+    import hashlib
+
+    got = stats.kmv_overlap_eval(SF).to_pandas().iloc[0]
+    ev = pq.read_table(os.path.join(SF, "events.parquet"), columns=["user_id", "event_type"]).to_pandas()
+    ua = set(ev.loc[ev["event_type"] == stats.KMVO_SET_A, "user_id"].astype(int))
+    ub = set(ev.loc[ev["event_type"] == stats.KMVO_SET_B, "user_id"].astype(int))
+    assert got["n_a"] == len(ua) and got["n_b"] == len(ub)
+    assert got["n_inter"] == len(ua & ub)
+
+    def est(users):
+        hs = sorted(hashlib.md5(str(u).encode()).hexdigest() for u in users)
+        if len(hs) <= stats.KMVO_K:
+            return float(len(hs))
+        return (stats.KMVO_K - 1) / (int(hs[stats.KMVO_K - 1][:8], 16) / 4294967296.0)
+
+    assert abs(got["est_a"] - est(ua)) < 1e-4
+    assert abs(got["est_union"] - est(ua | ub)) < 1e-4
+    if len(ua) > 2 * stats.KMVO_K:
+        assert abs(got["est_a"] - len(ua)) / len(ua) < 0.25
