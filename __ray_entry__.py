@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_trend": hotspot.cell_trend,
         "theil_sen_cell_trend": hotspot.theil_sen_cell_trend,
         "mann_kendall_cells": hotspot.mann_kendall_cells,
+        "mann_kendall_fdr": hotspot.mann_kendall_fdr,
         "semivariogram": hotspot.semivariogram,
         "kriging_field": hotspot.kriging_field,
         "huff_model": hotspot.huff_model,
@@ -3728,6 +3729,25 @@ WHERE s.dd >= {hotspot.BURST_MIN_DAYS} AND d.n_events * s.dd - s.ss > 0
   AND (d.n_events * s.dd - s.ss) * (d.n_events * s.dd - s.ss)
       > {hotspot.BURST_K * hotspot.BURST_K} * (s.qq * s.dd - s.ss * s.ss)""",
     }
+    d["mann_kendall_fdr"] = f"""
+WITH mk AS ({d["mann_kendall_cells"]}),
+pv AS (SELECT cx, cy, mk_z,
+         (1.0 / (1.0 + 0.3275911 * (abs(mk_z) / sqrt(2.0)))) AS t,
+         abs(mk_z) / sqrt(2.0) AS e
+       FROM mk),
+pp AS (SELECT cx, cy, mk_z,
+         (t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))))
+           * exp(-e * e) AS p
+       FROM pv),
+rk AS (SELECT cx, cy, mk_z, p,
+         CAST(row_number() OVER (ORDER BY p, cx, cy) AS BIGINT) AS p_rank,
+         CAST(count(*) OVER () AS BIGINT) AS m
+       FROM pp),
+fl AS (SELECT *, p <= {hotspot.FDR_Q!r} * p_rank / CAST(m AS DOUBLE) AS flag FROM rk),
+ct AS (SELECT coalesce(max(CASE WHEN flag THEN p_rank END), 0) AS cutoff FROM fl)
+SELECT fl.cx, fl.cy, fl.mk_z, round(fl.p, 6) AS p_value, fl.p_rank,
+       fl.p_rank <= ct.cutoff AS discovery
+FROM fl CROSS JOIN ct"""
     d["rbo_rankings"] = f"""
 WITH a AS ({d["search_ranked"]}),
 b AS ({d["search_bm25"]}),

@@ -3157,3 +3157,56 @@ def fractal_dimension(sf_dir: str, scales: tuple[float, ...] = FRACTAL_SCALES) -
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall_fdr (Benjamini-Hochberg correction over the cell tests)
+# ---------------------------------------------------------------------------
+
+FDR_Q = 0.10  # accepted false-discovery rate
+
+
+def mann_kendall_fdr(sf_dir: str, eps: float = GI_EPS, q: float = FDR_Q) -> rd.Dataset:
+    """Benjamini-Hochberg FDR control over the per-cell Mann-Kendall
+    tests: convert each mk_z to a two-sided p-value and keep the
+    largest rank i with p_(i) ≤ q·i/m — the multiple-testing discipline
+    an emerging-hot-spot map NEEDS (300 simultaneous trend tests at
+    α=0.05 expect 15 false alarms; BH caps the false-discovery RATE).
+
+    The normal CDF tail uses the Abramowitz-Stegun 7.1.26 polynomial
+    erfc approximation written as ONE explicit arithmetic expression —
+    bit-identical in NumPy and the SQL mirror (DuckDB has no erf).
+    Everything after mann_kendall_cells' shuffle is lattice-bounded.
+
+    Output: (cx, cy, mk_z, p_value, p_rank, discovery).
+    """
+    mk = mann_kendall_cells(sf_dir, eps=eps).to_pandas()
+    z = np.abs(mk["mk_z"].to_numpy().astype(np.float64))
+    e = z / np.sqrt(2.0)
+    t = 1.0 / (1.0 + 0.3275911 * e)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    p = poly * np.exp(-e * e)  # two-sided p = erfc(|z|/sqrt(2))
+    mk = mk.assign(p_value=p)
+    mk = mk.sort_values(["p_value", "cx", "cy"], kind="mergesort").reset_index(drop=True)
+    m = len(mk)
+    rank = np.arange(1, m + 1, dtype=np.int64)
+    flag = mk["p_value"].to_numpy() <= q * rank.astype(np.float64) / float(m)
+    cutoff = int(rank[flag].max()) if flag.any() else 0
+    disc = rank <= cutoff
+    from ..stages.common import duckdb_round
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "cx": pa.array(mk["cx"].to_numpy().astype(np.int64), type=pa.int64()),
+                "cy": pa.array(mk["cy"].to_numpy().astype(np.int64), type=pa.int64()),
+                "mk_z": pa.array(mk["mk_z"].to_numpy(), type=pa.float64()),
+                "p_value": pa.array(duckdb_round(mk["p_value"].to_numpy(), 6), type=pa.float64()),
+                "p_rank": pa.array(rank, type=pa.int64()),
+                "discovery": pa.array(disc, type=pa.bool_()),
+            }
+        )
+    )

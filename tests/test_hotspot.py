@@ -836,3 +836,30 @@ def test_fractal_dimension_bruteforce(ray_session):
     assert 0.0 < d <= 2.0 + 1e-6
     # monotone: finer boxes never decrease the occupied count
     assert (np.diff(out["n_cells"].to_numpy()) >= 0).all()
+
+
+def test_mann_kendall_fdr_properties(ray_session):
+    """BH invariants: discoveries form a p-rank prefix; every discovery
+    satisfies p <= q*i/m at the cutoff; p-values match scipy-free erfc."""
+    out = hotspot.mann_kendall_fdr(SF).to_pandas().sort_values("p_rank").reset_index(drop=True)
+    m = len(out)
+    disc = out["discovery"].to_numpy()
+    if disc.any():
+        cutoff = np.nonzero(disc)[0].max() + 1
+        assert disc[:cutoff].all() and not disc[cutoff:].any()
+        assert out["p_value"].iloc[cutoff - 1] <= hotspot.FDR_Q * cutoff / m + 1e-6
+    # p from z via the A-S polynomial equals a mpmath-free reference
+    z = np.abs(out["mk_z"].to_numpy())
+    e = z / np.sqrt(2.0)
+    t = 1.0 / (1.0 + 0.3275911 * e)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    p = poly * np.exp(-e * e)
+    assert np.abs(np.sort(p) - out["p_value"].to_numpy()).max() < 1e-5
+    # the approximation itself is within 1.5e-7 of the true erfc (A-S bound)
+    try:
+        from math import erfc
+
+        true_p = np.array([erfc(x) for x in e])
+        assert np.abs(p - true_p).max() < 1.5e-6
+    except ImportError:
+        pass
