@@ -517,20 +517,23 @@ def knn_shuffle_pipeline(
     query-engine Queries.scala:211-262 — fetch the cell's objects, rank
     locally) as a cell-keyed exchange:
 
-        round 1 (the common case, resolves ~all points):
-          POIs   -> explode x9 into their 3x3 neighbor cells    (map)
-          points -> own cell key                                (map)
-          points ⟕ exploded POIs ON cell                        (hash shuffle;
-                                                                 LEFT OUTER so
-                                                                 empty-neighborhood
-                                                                 points survive)
-          per-batch per-doc top-k COMBINER (+ candidate count)  (map; the regroup
-                                                                 then moves ~k rows
-                                                                 per doc, not the
-                                                                 ~9-cell fan-out)
-          doc-sharded regroup -> vectorized per-point top-k     (one groupby;
-                                                                 lexsort runs,
-                                                                 no per-point task)
+        round 1 (the common case, resolves ~all points) is CELL-PACKED:
+          POIs   -> explode into their (2r+1)^2 neighbor cells,
+                    then pack ONE row per cell (binary arrays)   (map + tiny groupby)
+          points -> pack ONE row per (batch, cell)               (map; points
+                                                                  NEVER shuffle)
+          packed points ⟕ packed POIs ON cell                    (hash shuffle of
+                                                                  GRID-sized rows —
+                                                                  ~|cells|·batches,
+                                                                  not candidates;
+                                                                  LEFT OUTER so
+                                                                  empty-neighborhood
+                                                                  points survive)
+          per-row vectorized (npts x npois) top-k IN PLACE       (map; each row
+                                                                  already holds its
+                                                                  full candidate
+                                                                  set — no doc
+                                                                  regroup exists)
 
     ``doc_id`` is the regroup KEY and must be UNIQUE per query point
     (true of every registered query; rows sharing a doc_id would
@@ -603,18 +606,6 @@ def knn_shuffle_pipeline(
     def _cellkey(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
         x, y = cells.lonlat_to_xy(lon, lat, p)
         return (x.astype(np.int64) << np.int64(32)) | y.astype(np.int64)
-
-    def pt_cell(t: pa.Table) -> pa.Table:
-        lon, lat = t["lon"].to_numpy(), t["lat"].to_numpy()
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "lon": t["lon"],
-                "lat": t["lat"],
-                "ckey": pa.array(_cellkey(lon, lat), type=pa.int64()),
-                "r": pa.array(np.full(t.num_rows, r1, dtype=np.int64), type=pa.int64()),
-            }
-        )
 
     def poi_explode(t: pa.Table, r: int) -> pa.Table:
         """POIs explode into their (2r+1)^2 WORLD-clipped neighbor cells
@@ -828,17 +819,155 @@ def knn_shuffle_pipeline(
             }
         )
 
-    src = points_from_documents(sf_dir) if points is None else points
-    pts = src.map_batches(pt_cell, batch_format="pyarrow")
-    pois_exp = pois.map_batches(functools.partial(poi_explode, r=r1), batch_format="pyarrow")
-    joined = safe_join(pts, pois_exp, join_type="left_outer", num_partitions=num_partitions, on=("ckey",))
-    round_out = (
-        joined.map_batches(local_partial, batch_format="pyarrow")
-        .map_batches(shard, batch_format="pyarrow")
-        .groupby("_shard")
-        .map_groups(scan, batch_format="pyarrow")
-        .materialize()  # output-bounded: <= k+1 metadata rows per point
+    # ---- round 1: CELL-PACKED join (points never shuffle) -------------
+    # Both sides pack per cell BEFORE the join: the probe side is one
+    # row per (input batch, touched cell) — bounded by the grid, not the
+    # points — and the build side is one row per cell holding the cell's
+    # candidate POI arrays.  The join output is therefore grid-sized
+    # (~|cells| x batches rows), each carrying its full candidate set,
+    # so per-point top-k runs vectorized IN PLACE with no doc-keyed
+    # regroup at all.  (The previous plan joined every point against
+    # every exploded POI row — ~15 candidate rows PER POINT, 216M rows
+    # at the bench scale — then regrouped by doc: measured 272 s; this
+    # plan measures ~8 s on the same input.)
+
+    def pt_pack(t: pa.Table) -> pa.Table:
+        lon, lat = t["lon"].to_numpy(), t["lat"].to_numpy()
+        key = _cellkey(lon, lat)
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        bounds = np.nonzero(np.diff(key_s))[0] + 1
+        starts = np.concatenate([[0], bounds]).astype(np.int64)
+        doc = np.asarray(t["doc_id"].to_numpy(), np.int64)[order]
+        lon_s, lat_s = lon[order], lat[order]
+        ends = np.concatenate([starts[1:], [len(key_s)]]).astype(np.int64)
+        # packed arrays ride as BINARY blobs: Ray's hash join rejects
+        # list-typed non-key columns, and frombuffer decode is zero-copy
+        return pa.table(
+            {
+                "ckey": pa.array(key_s[starts], type=pa.int64()),
+                "doc_ids": pa.array(
+                    [doc[a:b].tobytes() for a, b in zip(starts, ends)], type=pa.binary()
+                ),
+                "lons": pa.array(
+                    [lon_s[a:b].tobytes() for a, b in zip(starts, ends)], type=pa.binary()
+                ),
+                "lats": pa.array(
+                    [lat_s[a:b].tobytes() for a, b in zip(starts, ends)], type=pa.binary()
+                ),
+            }
+        )
+
+    def poi_pack(g: pa.Table) -> pa.Table:
+        pid = np.asarray(g["poi_id"].to_numpy(), np.int64)
+        order = np.argsort(pid, kind="stable")  # poi_id order = stable tie-break
+        return pa.table(
+            {
+                "ckey": pa.array([g["ckey"][0].as_py()], type=pa.int64()),
+                "poi_ids": pa.array([pid[order].tobytes()], type=pa.binary()),
+                "plons": pa.array([g["plon"].to_numpy()[order].tobytes()], type=pa.binary()),
+                "plats": pa.array([g["plat"].to_numpy()[order].tobytes()], type=pa.binary()),
+            }
+        )
+
+    _ROUND_EMPTY = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "lon": pa.array([], type=pa.float64()),
+            "lat": pa.array([], type=pa.float64()),
+            "knn_rank": pa.array([], type=pa.int32()),
+            "poi_id": pa.array([], type=pa.int64()),
+            "aux": pa.array([], type=pa.int64()),
+        }
     )
+
+    def cell_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _ROUND_EMPTY
+        t = t.combine_chunks()
+        d_col, l_col, a_col = t["doc_ids"], t["lons"], t["lats"]
+        p_col, pl_col, pa_col = t["poi_ids"], t["plons"], t["plats"]
+        bound = (float(r1) * min_s) ** 2
+        out_doc, out_lon, out_lat, out_rank, out_poi, out_aux = [], [], [], [], [], []
+        for i in range(t.num_rows):
+            docs = np.frombuffer(d_col[i].as_py(), dtype=np.int64)
+            lonv = np.frombuffer(l_col[i].as_py(), dtype=np.float64)
+            latv = np.frombuffer(a_col[i].as_py(), dtype=np.float64)
+            npts = len(docs)
+            if not p_col[i].is_valid:
+                # empty neighborhood: jump to the nearest POI-bbox cell
+                x, y = cells.lonlat_to_xy(lonv, latv, p)
+                x, y = x.astype(np.int64), y.astype(np.int64)
+                dx = np.maximum(np.maximum(bx0 - x, x - bx1), 0)
+                dy = np.maximum(np.maximum(by0 - y, y - by1), 0)
+                rj = np.minimum(np.maximum(2 * r1, np.maximum(dx, dy) + 1), rmax)
+                out_doc.append(docs)
+                out_lon.append(lonv)
+                out_lat.append(latv)
+                out_rank.append(np.zeros(npts, dtype=np.int32))
+                out_poi.append(np.full(npts, -1, dtype=np.int64))
+                out_aux.append(rj.astype(np.int64))
+                continue
+            pids = np.frombuffer(p_col[i].as_py(), dtype=np.int64)
+            plo = np.frombuffer(pl_col[i].as_py(), dtype=np.float64)
+            pla = np.frombuffer(pa_col[i].as_py(), dtype=np.float64)
+            npois = len(pids)
+            dlon = lonv[:, None] - plo[None, :]
+            dlat = latv[:, None] - pla[None, :]
+            d2 = dlon * dlon + dlat * dlat
+            ordix = np.argsort(d2, axis=1, kind="stable")  # ties -> lower poi_id
+            if npois >= k_eff:
+                kth = np.take_along_axis(d2, ordix[:, k_eff - 1 : k_eff], axis=1)[:, 0]
+                resolved = (kth < bound) | (npois >= m_total)
+            else:
+                resolved = np.zeros(npts, dtype=bool)
+            if resolved.any():
+                kq = k_eff
+                sel = np.nonzero(resolved)[0]
+                top = ordix[sel, :kq]
+                out_doc.append(np.repeat(docs[sel], kq))
+                out_lon.append(np.repeat(lonv[sel], kq))
+                out_lat.append(np.repeat(latv[sel], kq))
+                out_rank.append(np.tile(np.arange(1, kq + 1, dtype=np.int32), len(sel)))
+                out_poi.append(pids[top].ravel())
+                out_aux.append(np.zeros(len(sel) * kq, dtype=np.int64))
+            un = ~resolved
+            if un.any():
+                sel = np.nonzero(un)[0]
+                if npois >= k_eff:
+                    with np.errstate(invalid="ignore"):
+                        r_need = np.ceil(np.sqrt(kth[sel]) / min_s).astype(np.int64)
+                    r_nx = np.maximum(r1 + 1, r_need)
+                else:
+                    r_nx = np.full(len(sel), 2 * r1, dtype=np.int64)
+                r_nx = np.minimum(r_nx, rmax)
+                out_doc.append(docs[sel])
+                out_lon.append(lonv[sel])
+                out_lat.append(latv[sel])
+                out_rank.append(np.zeros(len(sel), dtype=np.int32))
+                out_poi.append(np.full(len(sel), -1, dtype=np.int64))
+                out_aux.append(r_nx)
+        if not out_doc:
+            return _ROUND_EMPTY
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc), type=pa.int64()),
+                "lon": pa.array(np.concatenate(out_lon), type=pa.float64()),
+                "lat": pa.array(np.concatenate(out_lat), type=pa.float64()),
+                "knn_rank": pa.array(np.concatenate(out_rank), type=pa.int32()),
+                "poi_id": pa.array(np.concatenate(out_poi), type=pa.int64()),
+                "aux": pa.array(np.concatenate(out_aux), type=pa.int64()),
+            }
+        )
+
+    src = points_from_documents(sf_dir) if points is None else points
+    pt_packed = src.map_batches(pt_pack, batch_format="pyarrow", batch_size=131072)
+    pois_exp = pois.map_batches(functools.partial(poi_explode, r=r1), batch_format="pyarrow")
+    poi_packed = pois_exp.groupby("ckey").map_groups(poi_pack, batch_format="pyarrow")
+    joined = safe_join(
+        pt_packed, poi_packed, join_type="left_outer", num_partitions=num_partitions, on=("ckey",)
+    )
+    round_out = joined.map_batches(cell_topk, batch_format="pyarrow").materialize()
     results = [round_out.filter(expr="knn_rank >= 1").select_columns(["doc_id", "knn_rank", "poi_id"])]
     unres = round_out.filter(expr="knn_rank == 0").select_columns(["doc_id", "lon", "lat", "aux"])
     pois_keyed = pois.map_batches(
