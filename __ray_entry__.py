@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_matrix": stats.lineitem_corr_matrix,
         "discount_elasticity": stats.discount_elasticity,
         "kmv_overlap_eval": stats.kmv_overlap_eval,
+        "ks_weekend_test": stats.ks_weekend_test,
         "acf_hourly": windows.acf_hourly,
         "dp_tile_counts": privacy.dp_tile_counts,
         "location_unicity": privacy.location_unicity,
@@ -3574,6 +3575,27 @@ SELECT digit, n,
        round(pow(CAST(n AS DOUBLE) - tot * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)), 2)
              / (tot * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))), 6) AS chi2_term
 FROM c CROSS JOIN t""",
+        "ks_weekend_test": """
+WITH e AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+                  CASE WHEN (epoch_us(ts) // 86400000000) % 7 IN (2, 3) THEN 1 ELSE 0 END AS we
+           FROM events),
+c AS (SELECT cents, CAST(sum(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS BIGINT) AS wd,
+             CAST(sum(we) AS BIGINT) AS wee FROM e GROUP BY cents),
+t AS (SELECT CAST(sum(wd) AS BIGINT) AS m, CAST(sum(wee) AS BIGINT) AS n FROM c),
+cum AS (SELECT cents,
+          CAST(sum(wd) OVER (ORDER BY cents) AS BIGINT) AS cwd,
+          CAST(sum(wee) OVER (ORDER BY cents) AS BIGINT) AS cwe
+        FROM c),
+d AS (SELECT cum.cents, abs(cum.cwe * t.m - cum.cwd * t.n) AS dn FROM cum CROSS JOIN t),
+best AS (SELECT cents, dn FROM d ORDER BY dn DESC, cents LIMIT 1)
+SELECT t.m AS n_weekday, t.n AS n_weekend,
+       round(CAST(best.dn AS DOUBLE) / (CAST(t.m AS DOUBLE) * CAST(t.n AS DOUBLE)), 6) AS d_stat,
+       round(least(1.0, 2.0 * exp(-2.0
+             * (CAST(best.dn AS DOUBLE) / (CAST(t.m AS DOUBLE) * CAST(t.n AS DOUBLE)))
+             * (CAST(best.dn AS DOUBLE) / (CAST(t.m AS DOUBLE) * CAST(t.n AS DOUBLE)))
+             * (t.m * t.n / CAST(t.m + t.n AS DOUBLE)))), 6) AS ks_p,
+       best.cents AS at_cents
+FROM best CROSS JOIN t""",
         "kmv_overlap_eval": f"""
 WITH m AS (SELECT DISTINCT CASE WHEN event_type = '{stats.KMVO_SET_A}' THEN 1 ELSE 0 END AS s, user_id
            FROM events WHERE event_type IN ('{stats.KMVO_SET_A}', '{stats.KMVO_SET_B}')),

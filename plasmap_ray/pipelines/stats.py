@@ -1113,3 +1113,81 @@ def kmv_overlap_eval(sf_dir: str, k: int = KMVO_K) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ks_weekend_test (two-sample Kolmogorov-Smirnov over fixed-point values)
+# ---------------------------------------------------------------------------
+
+KS_FP = 1e12  # fixed-point pitch for the CDF-difference terms
+
+
+def ks_weekend_test(sf_dir: str) -> rd.Dataset:
+    """Two-sample Kolmogorov-Smirnov: does the event-value distribution
+    differ between weekend and weekday traffic?  D = sup_x |F_we(x) −
+    F_wd(x)| with the asymptotic two-sided p ≈ 2·exp(−2·D²·mn/(m+n)) —
+    the distribution-shift detector (mix drift, bot traffic, pricing
+    change) that mean/quantile screens miss.
+
+    Exactness: values fixed-point to cents; the sup runs over the
+    DISTINCT-cents aggregate (bounded by the value domain, not the
+    corpus) where both CDFs are exact integer ratios — each |difference|
+    is ONE float expression fixed to int64 for an order-free argmax
+    (ties resolve to the smallest cents).  The p-value is one mirrored
+    expression over (D, m, n).
+
+    Scale shape: map-side (cents, is_weekend) count combiner -> ONE
+    domain-bounded groupby -> driver cumsum/argmax.  Output: one row
+    (n_weekday, n_weekend, d_stat, ks_p, at_cents).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["ts"].cast(pa.int64()).to_numpy() // 86_400_000_000
+        # epoch 1970-01-01 was a THURSDAY: day%7 == 2 is Saturday, 3 is Sunday
+        we = ((day % 7 == 2) | (day % 7 == 3)).astype(np.int64)
+        cents = np.floor(t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        import pandas as pd
+
+        df = pd.DataFrame({"cents": cents, "we": we})
+        c = df.groupby(["cents", "we"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "cents": pa.array(c["cents"].to_numpy(), type=pa.int64()),
+                "we": pa.array(c["we"].to_numpy(), type=pa.int64()),
+                "n": pa.array(c["n"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cents", "we"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    piv = agg.pivot_table(index="cents", columns="we", values="n", aggfunc="sum", fill_value=0).sort_index()
+    wd = piv.get(0, pd.Series(dtype=np.int64)).to_numpy().astype(np.int64)
+    we_ = piv.get(1, pd.Series(dtype=np.int64)).to_numpy().astype(np.int64)
+    m, n = int(wd.sum()), int(we_.sum())
+    cwd, cwe = np.cumsum(wd), np.cumsum(we_)
+    # |F_we - F_wd| at each distinct value, exact-integer argmax:
+    # |cwe*m - cwd*n| (common denominator m*n), ties -> smallest cents
+    diff = np.abs(cwe.astype(object) * m - cwd.astype(object) * n)  # exact big ints
+    best = int(np.argmax(diff == max(diff)))
+    d_num = int(diff[best])
+    d = float(d_num) / (float(m) * float(n))
+    p = 2.0 * np.exp(-2.0 * d * d * (m * n / float(m + n)))
+    cents_idx = piv.index.to_numpy().astype(np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_weekday": pa.array([m], type=pa.int64()),
+                "n_weekend": pa.array([n], type=pa.int64()),
+                "d_stat": pa.array(duckdb_round(np.array([d]), 6), type=pa.float64()),
+                "ks_p": pa.array(duckdb_round(np.array([min(1.0, p)]), 6), type=pa.float64()),
+                "at_cents": pa.array([int(cents_idx[best])], type=pa.int64()),
+            }
+        )
+    )

@@ -142,3 +142,24 @@ def test_kmv_overlap_eval_bruteforce(ray_session):
     assert abs(got["est_union"] - est(ua | ub)) < 1e-4
     if len(ua) > 2 * stats.KMVO_K:
         assert abs(got["est_a"] - len(ua)) / len(ua) < 0.25
+
+
+def test_ks_weekend_matches_scipy_free_recompute(ray_session):
+    """D equals the brute-force sup over merged CDFs (scipy-free)."""
+    got = stats.ks_weekend_test(SF).to_pandas().iloc[0]
+    t = pq.read_table(os.path.join(SF, "events.parquet"), columns=["ts", "value"]).to_pandas()
+    day = t["ts"].astype("int64").to_numpy() // 86_400_000_000
+    we = (day % 7 == 2) | (day % 7 == 3)
+    cents = np.floor(t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    a = np.sort(cents[~we])
+    b = np.sort(cents[we])
+    assert got["n_weekday"] == len(a) and got["n_weekend"] == len(b)
+    grid = np.unique(cents)
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    d = np.abs(fb - fa)
+    assert abs(got["d_stat"] - d.max()) < 1e-6
+    assert 0.0 <= got["ks_p"] <= 1.0
+    # the reported argmax location attains the sup
+    i = np.searchsorted(grid, got["at_cents"])
+    assert abs(d[i] - d.max()) < 1e-12
