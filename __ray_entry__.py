@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_mad_outliers": hotspot.cell_mad_outliers,
         "p_median_greedy": hotspot.p_median_greedy,
         "fractal_dimension": hotspot.fractal_dimension,
+        "cell_peak_hours": hotspot.cell_peak_hours,
         "knox_statistic": hotspot.knox_statistic,
         "eb_shrunk_rates": hotspot.eb_shrunk_rates,
         "benford_audit": stats.benford_audit,
@@ -3381,6 +3382,20 @@ t AS (SELECT CAST(count(*) AS DOUBLE) AS m,
 SELECT sc.eps, sc.n_cells,
        round((t.m * t.fsxy - t.fsx * t.fsy) / (t.m * t.fsxx - t.fsx * t.fsx), 6) AS fractal_d
 FROM sc CROSS JOIN t""",
+        "cell_peak_hours": f"""
+WITH ec AS (
+  SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour
+  FROM events),
+c AS (SELECT cx, cy, hour, CAST(count(*) AS BIGINT) AS n FROM ec GROUP BY 1, 2, 3),
+r AS (SELECT cx, cy, hour, n,
+        row_number() OVER (PARTITION BY cx, cy ORDER BY n DESC, hour) AS rk,
+        CAST(sum(n) OVER (PARTITION BY cx, cy) AS BIGINT) AS n_total
+      FROM c)
+SELECT cx, cy, hour AS peak_hour, n AS n_peak, n_total,
+       round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS peak_share
+FROM r WHERE rk = 1""",
         "p_median_greedy": f"""
 WITH ec AS (
   SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,

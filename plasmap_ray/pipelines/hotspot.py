@@ -3210,3 +3210,73 @@ def mann_kendall_fdr(sf_dir: str, eps: float = GI_EPS, q: float = FDR_Q) -> rd.D
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cell_peak_hours (diurnal signature per cell)
+# ---------------------------------------------------------------------------
+
+
+def cell_peak_hours(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
+    """Per-cell diurnal peak: the hour-of-day with the most events,
+    its count, and its share of the cell's traffic — the day-rhythm
+    fingerprint that separates office cells (peak 14h) from nightlife
+    cells (peak 23h); the per-cell drill-down of hour_type_pivot's
+    global reshape.
+
+    Exactness: pure integer counts; the argmax ties to the SMALLEST
+    hour in both engines; share is one mirrored division.
+
+    Scale shape: map-side (cell, hour) combiner -> ONE
+    lattice×24-bounded groupby -> bounded finalize.  Output:
+    (cx, cy, peak_hour, n_peak, n_total, peak_share).
+    """
+    ds = _read_events(sf_dir, ["event_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / eps).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / eps).astype(np.int64)
+        hour = (t["ts"].cast(pa.int64()).to_numpy() // 3_600_000_000) % 24
+        key = (cx * GI_GY + cy) * np.int64(24) + hour
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    from ..stages.common import duckdb_round
+
+    key = agg["key"].to_numpy().astype(np.int64)
+    n = agg["n"].to_numpy().astype(np.int64)
+    cell = key // 24
+    hour = key % 24
+    order = np.lexsort((hour, -n, cell))  # per cell: n desc, hour asc
+    cell_s, hour_s, n_s = cell[order], hour[order], n[order]
+    first = np.concatenate([[True], cell_s[1:] != cell_s[:-1]])
+    tot = np.zeros(int(first.sum()), dtype=np.int64)
+    np.add.at(tot, np.cumsum(first) - 1, n_s)
+    pc_, ph, pn = cell_s[first], hour_s[first], n_s[first]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "cx": pa.array(pc_ // GI_GY, type=pa.int64()),
+                "cy": pa.array(pc_ % GI_GY, type=pa.int64()),
+                "peak_hour": pa.array(ph, type=pa.int64()),
+                "n_peak": pa.array(pn, type=pa.int64()),
+                "n_total": pa.array(tot, type=pa.int64()),
+                "peak_share": pa.array(
+                    duckdb_round(pn.astype(np.float64) / tot.astype(np.float64), 6), type=pa.float64()
+                ),
+            }
+        )
+    )

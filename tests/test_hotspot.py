@@ -863,3 +863,29 @@ def test_mann_kendall_fdr_properties(ray_session):
         assert np.abs(p - true_p).max() < 1.5e-6
     except ImportError:
         pass
+
+
+def test_cell_peak_hours_bruteforce(ray_session):
+    """Peak (hour, count, total) per cell equals a pandas recompute."""
+    import pandas as pd
+    import pyarrow.parquet as pq2
+
+    out = hotspot.cell_peak_hours(SF).to_pandas().set_index(["cx", "cy"])
+    t = pq2.read_table(os.path.join(SF, "events.parquet"), columns=["event_id", "ts"]).to_pandas()
+    ids = t["event_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    df = pd.DataFrame(
+        {
+            "cx": np.floor((lon - fixtures.LON_MIN) / hotspot.GI_EPS).astype(np.int64),
+            "cy": np.floor((lat - fixtures.LAT_MIN) / hotspot.GI_EPS).astype(np.int64),
+            "hour": (t["ts"].astype("int64").to_numpy() // 3_600_000_000) % 24,
+        }
+    )
+    c = df.groupby(["cx", "cy", "hour"]).size().reset_index(name="n")
+    for (gx, gy), g in c.groupby(["cx", "cy"]):
+        g = g.sort_values(["n", "hour"], ascending=[False, True], kind="mergesort")
+        row = out.loc[(gx, gy)]
+        assert row["peak_hour"] == g["hour"].iloc[0]
+        assert row["n_peak"] == g["n"].iloc[0]
+        assert row["n_total"] == g["n"].sum()
+    assert len(out) == c.groupby(["cx", "cy"]).ngroups
