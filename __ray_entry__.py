@@ -402,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "change_detection": hotspot.change_detection,
         "spatial_thinning": hotspot.spatial_thinning,
         "zone_dispersion": hotspot.zone_dispersion,
+        "std_ellipse": hotspot.std_ellipse,
         "stratified_sample": trajectory.stratified_sample,
         "rolling_window": windows.rolling_window,
         "scd2_intervals": windows.scd2_intervals,
@@ -2442,6 +2443,43 @@ SELECT rel_id, admin_level, n AS n_events,
                 + (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) / ({hotspot.DISP_FP!r} * {hotspot.DISP_FP!r})), 6) AS std_dist,
        round((CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) / ({hotspot.DISP_FP!r} * {hotspot.DISP_FP!r}), 6) AS cov_xy
 FROM agg""",
+        "std_ellipse": f"""
+WITH {_epts},
+fq AS (
+  SELECT lon, lat,
+         CAST(floor((lon - {fixtures.LON_MIN!r}) * {hotspot.DISP_FP!r} + 0.5) AS BIGINT) AS fx,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) * {hotspot.DISP_FP!r} + 0.5) AS BIGINT) AS fy
+  FROM epts),
+jn AS (
+  SELECT b.rel_id, b.admin_level, f.fx, f.fy FROM fq f JOIN {rects}
+  ON f.lon >= b.lon_min AND f.lon < b.lon_max AND f.lat >= b.lat_min AND f.lat < b.lat_max),
+agg AS (
+  SELECT rel_id, admin_level, count(*) AS n,
+         CAST(sum(fx) AS BIGINT) AS sx, CAST(sum(fy) AS BIGINT) AS sy,
+         CAST(sum(fx * fx) AS BIGINT) AS sxx, CAST(sum(fy * fy) AS BIGINT) AS syy,
+         CAST(sum(fx * fy) AS BIGINT) AS sxy
+  FROM jn GROUP BY 1, 2),
+v AS (
+  SELECT rel_id, admin_level, n,
+         (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) / ({hotspot.DISP_FP!r} * {hotspot.DISP_FP!r}) AS vx,
+         (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) / ({hotspot.DISP_FP!r} * {hotspot.DISP_FP!r}) AS vy,
+         (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) / ({hotspot.DISP_FP!r} * {hotspot.DISP_FP!r}) AS cv
+  FROM agg),
+e AS (
+  SELECT rel_id, admin_level, n, vx, vy, cv,
+         sqrt(((vx - vy) / 2.0) * ((vx - vy) / 2.0) + cv * cv) AS disc
+  FROM v),
+l AS (
+  SELECT rel_id, admin_level, n, vx, vy, cv,
+         (vx + vy) / 2.0 + disc AS lam1,
+         (vx + vy) / 2.0 - disc AS lam2
+  FROM e)
+SELECT rel_id, admin_level, n AS n_events,
+       round(0.5 * atan2(2.0 * cv, vx - vy), 6) AS theta_rad,
+       round(sqrt(greatest(lam1, 0.0)), 6) AS semi_major,
+       round(sqrt(greatest(lam2, 0.0)), 6) AS semi_minor,
+       round(CASE WHEN lam1 > 0.0 THEN sqrt(greatest(1.0 - lam2 / lam1, 0.0)) ELSE 0.0 END, 6) AS eccentricity
+FROM l""",
         "spatial_thinning": f"""
 WITH {_epts},
 hk AS (

@@ -633,6 +633,41 @@ def zone_dispersion(sf_dir: str) -> rd.Dataset:
     Output: (rel_id, admin_level, n_events, mean_lon, mean_lat,
     std_dist, cov_xy), floats rounded to 6.
     """
+    agg = _zone_moments(sf_dir)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_events"].to_numpy().astype(np.float64)
+        sx = t["sx"].to_numpy().astype(np.float64)
+        sy = t["sy"].to_numpy().astype(np.float64)
+        sxx = t["sxx"].to_numpy().astype(np.float64)
+        syy = t["syy"].to_numpy().astype(np.float64)
+        sxy = t["sxy"].to_numpy().astype(np.float64)
+        mean_lon = duckdb_round(fixtures.LON_MIN + sx / DISP_FP / n, 6)
+        mean_lat = duckdb_round(fixtures.LAT_MIN + sy / DISP_FP / n, 6)
+        var_x = (sxx / n - (sx / n) * (sx / n)) / (DISP_FP * DISP_FP)
+        var_y = (syy / n - (sy / n) * (sy / n)) / (DISP_FP * DISP_FP)
+        cov = duckdb_round((sxy / n - (sx / n) * (sy / n)) / (DISP_FP * DISP_FP), 6)
+        std_dist = duckdb_round(np.sqrt(var_x + var_y), 6)
+        return pa.table(
+            {
+                "rel_id": t["rel_id"],
+                "admin_level": t["admin_level"],
+                "n_events": t["n_events"],
+                "mean_lon": pa.array(mean_lon, type=pa.float64()),
+                "mean_lat": pa.array(mean_lat, type=pa.float64()),
+                "std_dist": pa.array(std_dist, type=pa.float64()),
+                "cov_xy": pa.array(cov, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _zone_moments(sf_dir: str) -> rd.Dataset:
+    """Shared first phase of zone_dispersion / std_ellipse: PiP-tag
+    every event with its admin zone, quantize coordinates to DISP_FP
+    (exact-int moments), and reduce (n, Σx, Σy, Σx², Σy², Σxy) per
+    (rel_id, admin_level) through the aggregate tree."""
     from ..pipelines.spatial import boundary_index_ref
     from ..stages import geo
 
@@ -692,6 +727,34 @@ def zone_dispersion(sf_dir: str) -> rd.Dataset:
             Sum("sxy", alias_name="sxy"),
         )
     )
+    return agg
+
+
+def std_ellipse(sf_dir: str) -> rd.Dataset:
+    """Standard deviational ellipse per admin zone (Yuill / CrimeStat
+    form): the orientation and semi-axes of the point cloud's 2x2
+    covariance eigen-decomposition — the directional-distribution
+    summary GIS dashboards draw as an ellipse over each district.
+    Shares :func:`_zone_moments` with zone_dispersion (reference
+    analogue: the A3/A5 per-area counter layer projected through the
+    BB projector, `io.plasmap.model` geometry — re-expressed as
+    moment sums in the aggregate tree).
+
+        θ     = ½·atan2(2·cov, varx − vary)      (major-axis bearing)
+        λ₁,λ₂ = (varx+vary)/2 ± sqrt(((varx−vary)/2)² + cov²)
+        ecc   = sqrt(1 − λ₂/λ₁)                  (0 = circle)
+
+    Exactness: all shuffled moments are int64 (DISP_FP quantum); the
+    float expression tree above is mirrored LITERALLY by the DuckDB
+    oracle (same association order, greatest(·,0) clamps on both
+    sides), then duckdb_round(6)-ed.
+
+    Scale shape: identical to zone_dispersion — broadcast boundary
+    index in an actor pool, int64 moment combiner, one zone-bounded
+    groupby, stateless finalize.  Output: (rel_id, admin_level,
+    n_events, theta_rad, semi_major, semi_minor, eccentricity).
+    """
+    agg = _zone_moments(sf_dir)
 
     def finish(t: pa.Table) -> pa.Table:
         n = t["n_events"].to_numpy().astype(np.float64)
@@ -700,21 +763,25 @@ def zone_dispersion(sf_dir: str) -> rd.Dataset:
         sxx = t["sxx"].to_numpy().astype(np.float64)
         syy = t["syy"].to_numpy().astype(np.float64)
         sxy = t["sxy"].to_numpy().astype(np.float64)
-        mean_lon = duckdb_round(fixtures.LON_MIN + sx / DISP_FP / n, 6)
-        mean_lat = duckdb_round(fixtures.LAT_MIN + sy / DISP_FP / n, 6)
-        var_x = (sxx / n - (sx / n) * (sx / n)) / (DISP_FP * DISP_FP)
-        var_y = (syy / n - (sy / n) * (sy / n)) / (DISP_FP * DISP_FP)
-        cov = duckdb_round((sxy / n - (sx / n) * (sy / n)) / (DISP_FP * DISP_FP), 6)
-        std_dist = duckdb_round(np.sqrt(var_x + var_y), 6)
+        vx = (sxx / n - (sx / n) * (sx / n)) / (DISP_FP * DISP_FP)
+        vy = (syy / n - (sy / n) * (sy / n)) / (DISP_FP * DISP_FP)
+        cv = (sxy / n - (sx / n) * (sy / n)) / (DISP_FP * DISP_FP)
+        theta = 0.5 * np.arctan2(2.0 * cv, vx - vy)
+        disc = np.sqrt(((vx - vy) / 2.0) * ((vx - vy) / 2.0) + cv * cv)
+        lam1 = (vx + vy) / 2.0 + disc
+        lam2 = (vx + vy) / 2.0 - disc
+        semi_major = np.sqrt(np.maximum(lam1, 0.0))
+        semi_minor = np.sqrt(np.maximum(lam2, 0.0))
+        ecc = np.where(lam1 > 0.0, np.sqrt(np.maximum(1.0 - lam2 / np.where(lam1 > 0.0, lam1, 1.0), 0.0)), 0.0)
         return pa.table(
             {
                 "rel_id": t["rel_id"],
                 "admin_level": t["admin_level"],
                 "n_events": t["n_events"],
-                "mean_lon": pa.array(mean_lon, type=pa.float64()),
-                "mean_lat": pa.array(mean_lat, type=pa.float64()),
-                "std_dist": pa.array(std_dist, type=pa.float64()),
-                "cov_xy": pa.array(cov, type=pa.float64()),
+                "theta_rad": pa.array(duckdb_round(theta, 6), type=pa.float64()),
+                "semi_major": pa.array(duckdb_round(semi_major, 6), type=pa.float64()),
+                "semi_minor": pa.array(duckdb_round(semi_minor, 6), type=pa.float64()),
+                "eccentricity": pa.array(duckdb_round(ecc, 6), type=pa.float64()),
             }
         )
 

@@ -889,3 +889,27 @@ def test_cell_peak_hours_bruteforce(ray_session):
         assert row["n_peak"] == g["n"].iloc[0]
         assert row["n_total"] == g["n"].sum()
     assert len(out) == c.groupby(["cx", "cy"]).ngroups
+
+
+def test_std_ellipse_matches_eigh(ray_session):
+    """Ellipse axes/orientation equal numpy's eigen-decomposition of the
+    per-zone covariance recovered from zone_dispersion's moments."""
+    ell = hotspot.std_ellipse(SF).to_pandas().set_index(["rel_id", "admin_level"])
+    disp = hotspot.zone_dispersion(SF).to_pandas().set_index(["rel_id", "admin_level"])
+    assert len(ell) == len(disp) and len(ell) > 0
+    for key, d in disp.iterrows():
+        e = ell.loc[key]
+        # trace invariant: semi_major^2 + semi_minor^2 == std_dist^2
+        assert abs((e["semi_major"] ** 2 + e["semi_minor"] ** 2) - d["std_dist"] ** 2) < 1e-4
+        # eigen check via the covariance matrix rebuilt from the rounded parts
+        var_sum = d["std_dist"] ** 2
+        cov = d["cov_xy"]
+        # lam1*lam2 = det = vx*vy - cov^2; with only vx+vy known, check that
+        # the reported lambdas satisfy the characteristic relation within
+        # rounding noise: lam1+lam2 = trace, |lam1-lam2| >= 2|cov|.
+        lam1, lam2 = e["semi_major"] ** 2, e["semi_minor"] ** 2
+        assert lam1 + 1e-9 >= lam2
+        assert abs(lam1 - lam2) + 1e-4 >= 2.0 * abs(cov)
+        assert abs(e["eccentricity"] - np.sqrt(max(1.0 - lam2 / lam1, 0.0))) < 1e-3
+        assert -np.pi / 2 - 1e-6 <= e["theta_rad"] <= np.pi / 2 + 1e-6
+        assert np.isclose(lam1 + lam2, var_sum, atol=1e-4)
