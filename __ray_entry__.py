@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knox_statistic": hotspot.knox_statistic,
         "eb_shrunk_rates": hotspot.eb_shrunk_rates,
         "benford_audit": stats.benford_audit,
+        "chi2_independence": stats.chi2_independence,
         "lineitem_corr_matrix": stats.lineitem_corr_matrix,
         "discount_elasticity": stats.discount_elasticity,
         "kmv_overlap_eval": stats.kmv_overlap_eval,
@@ -1198,6 +1199,33 @@ FROM med m JOIN mad x ON x.event_type = m.event_type""",
 SELECT event_type,
        {", ".join(f"CAST(sum(CASE WHEN CAST(epoch_us(ts) // 3600000000 AS BIGINT) % 24 = {h} THEN 1 ELSE 0 END) AS BIGINT) AS h{h:02d}" for h in range(24))}
 FROM events GROUP BY event_type""",
+        "chi2_independence": """
+WITH c AS (
+  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) % 24 AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS rn FROM c GROUP BY 1),
+col AS (SELECT hour, CAST(sum(n) AS BIGINT) AS cn FROM c GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(count(DISTINCT hour) AS BIGINT) AS n_hours
+        FROM c),
+x AS (
+  SELECT coalesce(c.n, 0) AS n, r.rn, col.cn
+  FROM r CROSS JOIN col
+  LEFT JOIN c ON c.event_type = r.event_type AND c.hour = col.hour),
+s AS (
+  SELECT sum(
+    (CAST(x.n AS DOUBLE) - CAST(x.rn AS DOUBLE) * CAST(x.cn AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+    * (CAST(x.n AS DOUBLE) - CAST(x.rn AS DOUBLE) * CAST(x.cn AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+    / (CAST(x.rn AS DOUBLE) * CAST(x.cn AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+  ) AS chi2
+  FROM x CROSS JOIN tot)
+SELECT tot.nt AS n_total, tot.n_types, tot.n_hours,
+       (tot.n_types - 1) * (tot.n_hours - 1) AS dof,
+       round(s.chi2, 6) AS chi2,
+       round(sqrt(s.chi2 / (CAST(tot.nt AS DOUBLE) * CAST(least(tot.n_types - 1, tot.n_hours - 1) AS DOUBLE))), 6) AS cramers_v
+FROM s CROSS JOIN tot""",
         "search_by_token": f"""
 SELECT doc_id, lang, n_chars FROM documents
 WHERE list_contains(string_split(lower(text), ' '), '{SEARCH_TOKEN}')""",

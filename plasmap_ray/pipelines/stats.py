@@ -1191,3 +1191,83 @@ def ks_weekend_test(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# chi2_independence (event_type × hour-of-day contingency test)
+# ---------------------------------------------------------------------------
+
+
+def chi2_independence(sf_dir: str) -> rd.Dataset:
+    """Pearson chi-square test of independence between event_type and
+    hour-of-day, plus Cramér's V effect size — the categorical
+    dependence audit run before trusting a diurnal-mix feature
+    (companion of hour_type_pivot's reshape; reference analogue: the
+    A1/A3 counter layer, `io.plasmap.query.engine` aggregates,
+    re-expressed as a contingency reduce).
+
+        e_ij = r_i·c_j / N
+        χ²   = Σ_ij (n_ij − e_ij)² / e_ij     (full observed grid)
+        V    = sqrt(χ² / (N·min(R−1, C−1)))
+
+    Exactness: the contingency table is exact int64 through the
+    aggregate tree; the χ² float sum runs over a types×24-bounded grid
+    (≤ few hundred terms, same-magnitude) so the 6dp rounding is
+    engine-independent; every float expression is mirrored in SQL.
+
+    Scale shape: per-batch (type, hour) count combiner -> ONE bounded
+    groupby -> driver finalize on the tiny grid.  Output: one row
+    (n_total, n_types, n_hours, dof, chi2, cramers_v).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hr = (t["ts"].cast(pa.int64()).to_numpy() // 3_600_000_000) % 24
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": et, "hour": hr})
+        g = df.groupby(["event_type", "hour"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], type=pa.string()),
+                "hour": pa.array(g["hour"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+    types = np.sort(agg["event_type"].unique())
+    hours = np.sort(agg["hour"].unique())
+    ti = {t: i for i, t in enumerate(types)}
+    grid = np.zeros((len(types), len(hours.tolist())), dtype=np.int64)
+    hi = {h: j for j, h in enumerate(hours)}
+    for t, h, n in agg.itertuples(index=False):
+        grid[ti[t], hi[h]] = n
+    N = int(grid.sum())
+    rn = grid.sum(axis=1).astype(np.float64)  # row totals
+    cn = grid.sum(axis=0).astype(np.float64)  # col totals
+    e = rn[:, None] * cn[None, :] / float(N)
+    d = grid.astype(np.float64) - e
+    chi2 = float((d * d / e).sum())
+    dof = (len(types) - 1) * (len(hours) - 1)
+    denom = float(N) * float(min(len(types) - 1, len(hours) - 1))
+    v = math.sqrt(chi2 / denom) if denom > 0 else 0.0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_total": pa.array([N], type=pa.int64()),
+                "n_types": pa.array([len(types)], type=pa.int64()),
+                "n_hours": pa.array([len(hours)], type=pa.int64()),
+                "dof": pa.array([dof], type=pa.int64()),
+                "chi2": pa.array(duckdb_round(np.array([chi2]), 6), type=pa.float64()),
+                "cramers_v": pa.array(duckdb_round(np.array([v]), 6), type=pa.float64()),
+            }
+        )
+    )

@@ -163,3 +163,20 @@ def test_ks_weekend_matches_scipy_free_recompute(ray_session):
     # the reported argmax location attains the sup
     i = np.searchsorted(grid, got["at_cents"])
     assert abs(d[i] - d.max()) < 1e-12
+
+
+def test_chi2_independence_matches_scipy_formula(ray_session):
+    """chi2/dof/cramers_v equal a dense pandas-crosstab recompute."""
+    out = stats.chi2_independence(SF).to_pandas().iloc[0]
+    t = pq.read_table(os.path.join(SF, "events.parquet"), columns=["event_type", "ts"]).to_pandas()
+    hr = (t["ts"].astype("int64").to_numpy() // 3_600_000_000) % 24
+    ct = pd.crosstab(t["event_type"], hr).to_numpy().astype(np.float64)
+    N = ct.sum()
+    e = ct.sum(axis=1)[:, None] * ct.sum(axis=0)[None, :] / N
+    chi2 = ((ct - e) ** 2 / e).sum()
+    R, C = ct.shape
+    assert out["n_total"] == N
+    assert out["n_types"] == R and out["n_hours"] == C
+    assert out["dof"] == (R - 1) * (C - 1)
+    assert abs(out["chi2"] - chi2) < 1e-4
+    assert abs(out["cramers_v"] - np.sqrt(chi2 / (N * min(R - 1, C - 1)))) < 1e-6
