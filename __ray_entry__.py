@@ -384,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p_median_greedy": hotspot.p_median_greedy,
         "fractal_dimension": hotspot.fractal_dimension,
         "cell_peak_hours": hotspot.cell_peak_hours,
+        "join_count_stats": hotspot.join_count_stats,
         "knox_statistic": hotspot.knox_statistic,
         "eb_shrunk_rates": hotspot.eb_shrunk_rates,
         "benford_audit": stats.benford_audit,
@@ -3448,6 +3449,33 @@ t AS (SELECT CAST(count(*) AS DOUBLE) AS m,
 SELECT sc.eps, sc.n_cells,
        round((t.m * t.fsxy - t.fsx * t.fsy) / (t.m * t.fsxx - t.fsx * t.fsx), 6) AS fractal_d
 FROM sc CROSS JOIN t""",
+        "join_count_stats": f"""
+WITH {_epts},
+ec AS (
+  SELECT CAST(floor((lon - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy
+  FROM epts),
+c AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n FROM ec GROUP BY 1, 2),
+m AS (SELECT CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
+             CAST(count(*) AS BIGINT) AS nc FROM c),
+f AS (SELECT cx, cy, CASE WHEN CAST(n AS DOUBLE) > m.mean THEN 1 ELSE 0 END AS b
+      FROM c CROSS JOIN m),
+e AS (SELECT a.b AS b1, x.b AS b2 FROM f a JOIN f x
+      ON (x.cx = a.cx + 1 AND x.cy = a.cy) OR (x.cx = a.cx AND x.cy = a.cy + 1)),
+j AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(CASE WHEN b1 = 1 AND b2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bb,
+             CAST(sum(CASE WHEN b1 = 0 AND b2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ww,
+             CAST(sum(CASE WHEN b1 <> b2 THEN 1 ELSE 0 END) AS BIGINT) AS bw
+      FROM e),
+k AS (SELECT CAST(sum(b) AS BIGINT) AS n_black FROM f),
+p AS (SELECT CAST(k.n_black AS DOUBLE) / CAST(m.nc AS DOUBLE) AS pb,
+             CAST(m.nc - k.n_black AS DOUBLE) / CAST(m.nc AS DOUBLE) AS pw
+      FROM k CROSS JOIN m)
+SELECT m.nc AS n_cells, k.n_black, j.n_edges, j.bb, j.ww, j.bw,
+       round(CAST(j.n_edges AS DOUBLE) * p.pb * p.pb, 6) AS e_bb,
+       round(CAST(j.n_edges AS DOUBLE) * p.pw * p.pw, 6) AS e_ww,
+       round(2.0 * CAST(j.n_edges AS DOUBLE) * p.pb * p.pw, 6) AS e_bw
+FROM m CROSS JOIN k CROSS JOIN j CROSS JOIN p""",
         "cell_peak_hours": f"""
 WITH ec AS (
   SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,

@@ -3347,3 +3347,93 @@ def cell_peak_hours(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# join_count_stats (binary join-count spatial autocorrelation)
+# ---------------------------------------------------------------------------
+
+
+def join_count_stats(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
+    """Binary join-count statistics (Cliff & Ord) on the event lattice:
+    classify each OCCUPIED cell Black (count > occupied-cell mean) or
+    White, count BB / WW / BW joins over rook-adjacent occupied pairs,
+    and compare with the free-sampling expectation — the classic
+    yes/no clumping test that complements Moran's interval statistics
+    (reference analogue: the A3/A5 per-cell counter layer).
+
+        p_B  = n_black / n_cells
+        E[BB] = J·p_B²,  E[WW] = J·p_W²,  E[BW] = 2·J·p_B·p_W
+
+    Exactness: counts, flags and join tallies are exact integers (the
+    B threshold compares int64 counts with the single mirrored mean);
+    the three expectation expressions are mirrored literally.
+
+    Scale shape: per-batch cell combiner -> ONE lattice-bounded
+    groupby -> finalize on the fixed-size lattice table (adjacency by
+    key arithmetic, no quadratic join).  Output: one row (n_cells,
+    n_black, n_edges, bb, ww, bw, e_bb, e_ww, e_bw).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / eps).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / eps).astype(np.int64)
+        key = cx * GI_GY + cy
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+    key = np.sort(agg["key"].to_numpy().astype(np.int64))
+    n = agg.set_index("key").loc[key, "n"].to_numpy().astype(np.int64)
+    nc = len(key)
+    mean = float(n.sum()) / float(nc)
+    black = n.astype(np.float64) > mean
+    cx, cy = key // GI_GY, key % GI_GY
+    bb = ww = bw = edges = 0
+    # rook adjacency, each undirected pair once (right / up neighbor)
+    for dk, ok in ((GI_GY, cx + 1 < GI_GX), (1, cy + 1 < GI_GY)):
+        nbr = key + dk
+        present = np.isin(nbr, key) & ok
+        a = black[present]
+        b = black[np.searchsorted(key, nbr[present])]
+        edges += int(present.sum())
+        bb += int((a & b).sum())
+        ww += int((~a & ~b).sum())
+        bw += int((a != b).sum())
+    nb_black = int(black.sum())
+    p_b = nb_black / nc
+    p_w = (nc - nb_black) / nc
+    e_bb = edges * p_b * p_b
+    e_ww = edges * p_w * p_w
+    e_bw = 2.0 * edges * p_b * p_w
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_cells": pa.array([nc], type=pa.int64()),
+                "n_black": pa.array([nb_black], type=pa.int64()),
+                "n_edges": pa.array([edges], type=pa.int64()),
+                "bb": pa.array([bb], type=pa.int64()),
+                "ww": pa.array([ww], type=pa.int64()),
+                "bw": pa.array([bw], type=pa.int64()),
+                "e_bb": pa.array(duckdb_round(np.array([e_bb]), 6), type=pa.float64()),
+                "e_ww": pa.array(duckdb_round(np.array([e_ww]), 6), type=pa.float64()),
+                "e_bw": pa.array(duckdb_round(np.array([e_bw]), 6), type=pa.float64()),
+            }
+        )
+    )

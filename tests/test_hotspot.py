@@ -913,3 +913,33 @@ def test_std_ellipse_matches_eigh(ray_session):
         assert abs(e["eccentricity"] - np.sqrt(max(1.0 - lam2 / lam1, 0.0))) < 1e-3
         assert -np.pi / 2 - 1e-6 <= e["theta_rad"] <= np.pi / 2 + 1e-6
         assert np.isclose(lam1 + lam2, var_sum, atol=1e-4)
+
+
+def test_join_count_stats_bruteforce(ray_session, event_ids):
+    """BB/WW/BW joins equal a dense-lattice recompute."""
+    lon, lat = fixtures.derive_lon(event_ids), fixtures.derive_lat(event_ids)
+    cx = np.floor((lon - fixtures.LON_MIN) / hotspot.GI_EPS).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / hotspot.GI_EPS).astype(np.int64)
+    dense = np.zeros((hotspot.GI_GX, hotspot.GI_GY), dtype=np.int64)
+    np.add.at(dense, (cx, cy), 1)
+    occ = dense > 0
+    mean = dense[occ].sum() / occ.sum()
+    black = (dense > mean) & occ
+    bb = ww = bw = edges = 0
+    for gx in range(hotspot.GI_GX):
+        for gy in range(hotspot.GI_GY):
+            if not occ[gx, gy]:
+                continue
+            for nx, ny in ((gx + 1, gy), (gx, gy + 1)):
+                if nx < hotspot.GI_GX and ny < hotspot.GI_GY and occ[nx, ny]:
+                    edges += 1
+                    a, b = black[gx, gy], black[nx, ny]
+                    bb += a and b
+                    ww += (not a) and (not b)
+                    bw += a != b
+    out = hotspot.join_count_stats(SF).to_pandas().iloc[0]
+    assert out["n_cells"] == occ.sum()
+    assert out["n_black"] == black.sum()
+    assert (out["n_edges"], out["bb"], out["ww"], out["bw"]) == (edges, bb, ww, bw)
+    pb = black.sum() / occ.sum()
+    assert abs(out["e_bb"] - edges * pb * pb) < 1e-5
