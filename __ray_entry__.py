@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_neighbor": hotspot.nearest_neighbor,
         "k_anonymity": privacy.k_anonymity,
         "l_diversity": privacy.l_diversity,
+        "t_closeness": privacy.t_closeness,
         "geo_inconsistent_dups": images.geo_inconsistent_dups,
         "caption_spam": images.caption_spam,
         "dissolve_zones": cluster.dissolve_zones,
@@ -3040,6 +3041,28 @@ SELECT x, y, CAST(count(*) AS BIGINT) AS n_points,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
        CAST(count(DISTINCT lang) >= {privacy.LDIV_L} AS BIGINT) AS meets_l
 FROM tl GROUP BY 1, 2""",
+        "t_closeness": f"""
+WITH tl AS (
+  SELECT CAST({oracle.sql_tile_x(oracle.sql_derive_lon('doc_id'), privacy.TCLOSE_Z)} AS BIGINT) AS x,
+         CAST({oracle.sql_tile_y(oracle.sql_derive_lat('doc_id'), privacy.TCLOSE_Z)} AS BIGINT) AS y,
+         lang
+  FROM documents),
+c AS (SELECT x, y, lang, CAST(count(*) AS BIGINT) AS n FROM tl GROUP BY 1, 2, 3),
+g AS (SELECT lang, CAST(count(*) AS BIGINT) AS gn FROM tl GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS gt FROM tl),
+nt AS (SELECT x, y, CAST(sum(n) AS BIGINT) AS n_points FROM c GROUP BY 1, 2),
+xp AS (
+  SELECT nt.x, nt.y, nt.n_points, g.gn, coalesce(c.n, 0) AS n
+  FROM nt CROSS JOIN g
+  LEFT JOIN c ON c.x = nt.x AND c.y = nt.y AND c.lang = g.lang),
+s AS (
+  SELECT x, y, n_points,
+         0.5 * sum(abs(CAST(n AS DOUBLE) / CAST(n_points AS DOUBLE)
+                     - CAST(gn AS DOUBLE) / CAST(tot.gt AS DOUBLE))) AS tvd
+  FROM xp CROSS JOIN tot GROUP BY 1, 2, 3)
+SELECT x, y, n_points, round(tvd, 6) AS tvd,
+       CAST(tvd <= {privacy.TCLOSE_T!r} AS BIGINT) AS meets_t
+FROM s""",
         "k_anonymity": f"""
 WITH {_pts_cte()},
 t12 AS (SELECT doc_id, {oracle.sql_tile_x('lon', privacy.KANON_ZOOMS[0])} AS x,

@@ -439,3 +439,84 @@ def l_diversity(sf_dir: str, z: int = LDIV_Z, l_min: int = LDIV_L) -> rd.Dataset
         )
 
     return per_tile.map_batches(finish, batch_format="pyarrow")
+
+
+TCLOSE_Z = 10
+TCLOSE_T = 0.15
+
+
+def t_closeness(sf_dir: str, z: int = TCLOSE_Z, t_max: float = TCLOSE_T) -> rd.Dataset:
+    """t-closeness audit: the strictest of the k/l/t release ladder —
+    a tile is safe only if its sensitive-attribute DISTRIBUTION (lang
+    per z10 tile) stays within ``t_max`` of the corpus-wide
+    distribution.  For a categorical attribute the earth-mover
+    distance reduces to total variation:
+
+        tvd(tile) = ½ · Σ_lang |p_tile(lang) − p_global(lang)|
+
+    (absent langs contribute their full global mass).  Flags the
+    tiles l_diversity misses: diverse-but-skewed cells that still
+    leak via distribution shift.
+
+    Exactness: all counts are int64 through the aggregate tree; the
+    TVD sum runs over the bounded global lang set with each term
+    mirrored in SQL; the threshold compares the UNROUNDED tvd on both
+    sides.
+
+    Scale shape: the l_diversity (x, y, lang) combiner -> one
+    tiles×langs-bounded groupby; the global lang vector is a second
+    tiny reduce broadcast into the per-tile finalize (map_groups
+    keyed by tile — exchange bounded by tiles×langs, never rows).
+    Output: (x, y, n_points, tvd, meets_t).
+    """
+    from .. import fixtures as _fx
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        x, y = tiles.tile_xy(_fx.derive_lon(ids), _fx.derive_lat(ids), z)
+        df = pd.DataFrame({"x": x, "y": y, "lang": t["lang"].to_pylist()})
+        g = df.groupby(["x", "y", "lang"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "x": pa.array(g["x"].to_numpy(), type=pa.int64()),
+                "y": pa.array(g["y"].to_numpy(), type=pa.int64()),
+                "lang": pa.array(g["lang"].tolist(), type=pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    per_lang = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["x", "y", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    # global lang distribution: a second tiny reduce over the combiner output
+    gdf = per_lang.groupby("lang").aggregate(Sum("n", alias_name="gn")).to_pandas()
+    gdf = gdf.sort_values("lang").reset_index(drop=True)
+    langs = gdf["lang"].tolist()
+    gn = gdf["gn"].to_numpy().astype(np.float64)
+    gt = float(gn.sum())
+    pg = gn / gt
+    lang_pos = {l: i for i, l in enumerate(langs)}
+
+    def per_tile(g: pd.DataFrame) -> pd.DataFrame:
+        nt = float(g["n"].sum())
+        pt = np.zeros(len(langs), dtype=np.float64)
+        idx = np.fromiter((lang_pos[l] for l in g["lang"]), dtype=np.int64, count=len(g))
+        pt[idx] = g["n"].to_numpy().astype(np.float64) / nt
+        tvd = 0.5 * np.abs(pt - pg).sum()
+        return pd.DataFrame(
+            {
+                "x": [np.int64(g["x"].iloc[0])],
+                "y": [np.int64(g["y"].iloc[0])],
+                "n_points": [np.int64(g["n"].sum())],
+                "tvd": duckdb_round(np.array([tvd]), 6),
+                "meets_t": [np.int64(tvd <= t_max)],
+            }
+        )
+
+    return per_lang.groupby(["x", "y"]).map_groups(per_tile, batch_format="pandas")

@@ -152,3 +152,27 @@ def test_l_diversity_matches_bruteforce(ray_session):
         assert got[k] == (counts[k], len(langs), int(len(langs) >= privacy.LDIV_L))
     # both safe and leaking tiles exist at this scale, else the audit is vacuous
     assert out["meets_l"].nunique() == 2
+
+
+def test_t_closeness_matches_bruteforce(ray_session):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import fixtures, tiles
+    from plasmap_ray.pipelines import privacy
+
+    sf = "/root/testdata/sf0.001"
+    out = privacy.t_closeness(sf).to_pandas().set_index(["x", "y"])
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
+    ids = docs["doc_id"].to_numpy()
+    x, y = tiles.tile_xy(fixtures.derive_lon(ids), fixtures.derive_lat(ids), privacy.TCLOSE_Z)
+    df = pd.DataFrame({"x": x, "y": y, "lang": docs["lang"]})
+    pg = df["lang"].value_counts(normalize=True).sort_index()
+    for (xi, yi), g in df.groupby(["x", "y"]):
+        pt = g["lang"].value_counts(normalize=True).reindex(pg.index, fill_value=0.0)
+        tvd = 0.5 * (pt - pg).abs().sum()
+        row = out.loc[(xi, yi)]
+        assert row["n_points"] == len(g)
+        assert abs(row["tvd"] - tvd) < 1e-6
+        assert row["meets_t"] == int(tvd <= privacy.TCLOSE_T)
+    assert len(out) == df.groupby(["x", "y"]).ngroups
