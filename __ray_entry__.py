@@ -21,6 +21,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from plasmap_ray import fixtures, golden, oracle, queryast  # noqa: E402
+from plasmap_ray.stages import sketch  # noqa: E402
 from plasmap_ray.pipelines import ann, bpe, cluster, dedup, denormalize, hotspot, images, index, multimodal, privacy, raster, relational, routing, snap, spatial, stats, text, trajectory, windows  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
@@ -238,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hour_type_pivot": stats.hour_type_pivot,
         "corpus_summary": stats.corpus_summary,
         "distinct_users_approx": windows.distinct_users_approx,
+        "count_min_eval": windows.count_min_eval,
         "distinct_users_hll": windows.distinct_users_hll,
         "seasonal_decompose": windows.seasonal_decompose,
         "time_to_convert": windows.time_to_convert,
@@ -2040,6 +2042,23 @@ WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= {dedup.JW_THRESHOLD!r}""",
 SELECT event_type, count(*) AS n_sampled FROM events
 WHERE (event_id * {windows.SAMPLE_MULT}) % {windows.SAMPLE_MOD} < {int(0.2 * windows.SAMPLE_MOD)}
 GROUP BY event_type""",
+        "count_min_eval": f"""
+WITH cms AS (
+  {" UNION ALL ".join(f'''SELECT {r} AS r, (({a} * user_id + {b}) % {sketch.CMS_M31}) % {sketch.CMS_W} AS c, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 2''' for r, (a, b) in enumerate(zip(sketch.CMS_A, sketch.CMS_B)))}),
+tops AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact FROM events
+  GROUP BY 1 ORDER BY n_exact DESC, user_id LIMIT {windows.CMS_TOP_K}),
+rk AS (
+  SELECT user_id, n_exact,
+         CAST(row_number() OVER (ORDER BY n_exact DESC, user_id) AS BIGINT) AS rank
+  FROM tops),
+est AS (
+  SELECT rk.rank, rk.user_id, rk.n_exact, CAST(min(cms.n) AS BIGINT) AS n_est
+  FROM rk JOIN cms
+    ON cms.c = (((CASE cms.r {" ".join(f"WHEN {r} THEN {a}" for r, a in enumerate(sketch.CMS_A))} END) * rk.user_id
+               + (CASE cms.r {" ".join(f"WHEN {r} THEN {b}" for r, b in enumerate(sketch.CMS_B))} END)) % {sketch.CMS_M31}) % {sketch.CMS_W}
+  GROUP BY 1, 2, 3)
+SELECT rank, user_id, n_exact, n_est, n_est - n_exact AS overestimate FROM est""",
         "distinct_users_approx": """
 SELECT round(CAST(COUNT(DISTINCT user_id) AS DOUBLE), 1) AS n_users_approx FROM events""",
         "distinct_users_hll": f"SELECT * FROM read_parquet('{golden.hll_distinct_path(SF001)}')",

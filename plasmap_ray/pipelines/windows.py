@@ -1838,3 +1838,92 @@ def did_uplift(sf_dir: str, cut: str = DID_CUT) -> rd.Dataset:
             }
         )
     )
+
+
+CMS_TOP_K = 20
+
+
+def count_min_eval(sf_dir: str, k: int = CMS_TOP_K) -> rd.Dataset:
+    """Count-Min frequency sketch with an EXACT error audit: build a
+    d×w CMS over event user_ids folded in the aggregate tree, then
+    report, for the top-k exact heavy users, the exact count, the CMS
+    point estimate and its (always ≥ 0) overestimate — the
+    one-sided-error contract that makes CMS safe for rate limiting
+    (companion of heavy_hitters' Space-Saving and the KMV/HLL
+    distinct family; reference analogue: the A4 sketch layer,
+    groupby-test.sc:1-19).
+
+    Determinism: the d row-hashes are fixed minstd LCGs mod M31 mod w
+    (exact int64 in both engines, stages/sketch.cms_cols); counts and
+    estimates are exact integers; ranking ties break on user_id.
+
+    Scale shape: per-batch (row, col) combiner -> ONE d×w-bounded
+    groupby (≤ 4096 rows leave the data, regardless of input size);
+    the exact side reuses the per-user count reduce + global top-k
+    sort; estimates attach driver-side on the k-row result.
+    Output: (rank, user_id, n_exact, n_est, overestimate).
+    """
+    import pyarrow as pa
+
+    from ..pipelines.ann import ranked_head
+    from ..stages.sketch import CMS_D, CMS_W, cms_cols
+
+    ds = _read_events(sf_dir, ["user_id"])
+
+    def cms_partial(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy()
+        rs, cs, ns = [], [], []
+        for r in range(CMS_D):
+            uniq, cnt = np.unique(cms_cols(keys, r), return_counts=True)
+            rs.append(np.full(len(uniq), r, dtype=np.int64))
+            cs.append(uniq.astype(np.int64))
+            ns.append(cnt.astype(np.int64))
+        return pa.table(
+            {
+                "r": pa.array(np.concatenate(rs), type=pa.int64()),
+                "c": pa.array(np.concatenate(cs), type=pa.int64()),
+                "n": pa.array(np.concatenate(ns), type=pa.int64()),
+            }
+        )
+
+    cms_tbl = (
+        ds.map_batches(cms_partial, batch_format="pyarrow")
+        .groupby(["r", "c"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    counts[cms_tbl["r"].to_numpy(), cms_tbl["c"].to_numpy()] = cms_tbl["n"].to_numpy()
+
+    def user_partial(t: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(t["user_id"].to_numpy(), return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    exact = (
+        ds.map_batches(user_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    top = ranked_head(exact, ["n", "user_id"], "rank", k, keep=["user_id", "n"]).to_pandas()
+
+    uid = top["user_id"].to_numpy().astype(np.int64)
+    est = np.full(len(uid), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(CMS_D):
+        est = np.minimum(est, counts[r][cms_cols(uid, r)])
+    n_exact = top["n"].to_numpy().astype(np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array(top["rank"].to_numpy().astype(np.int64), type=pa.int64()),
+                "user_id": pa.array(uid, type=pa.int64()),
+                "n_exact": pa.array(n_exact, type=pa.int64()),
+                "n_est": pa.array(est, type=pa.int64()),
+                "overestimate": pa.array(est - n_exact, type=pa.int64()),
+            }
+        )
+    )

@@ -279,3 +279,49 @@ def distinct_count_hll(ds, column: str, p: int = 12) -> float:
         name="hll_distinct",
     )
     return float(ds.aggregate(agg)["hll_distinct"])
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (mergeable frequency estimator)
+# ---------------------------------------------------------------------------
+
+CMS_M31 = 2_147_483_647  # 2^31-1, the modulus the fixture LCGs already use
+CMS_A = (16807, 48271, 69621, 40692)  # classic minstd multipliers, one per row
+CMS_B = (12345, 50505, 11213, 28411)
+CMS_D = len(CMS_A)
+CMS_W = 1024
+
+
+def cms_cols(keys: np.ndarray, row: int, w: int = CMS_W) -> np.ndarray:
+    """Row ``row``'s bucket for each int64 key: ((a·k + b) mod M31) mod w.
+
+    int64-safe for keys < 2^63 / max(a) ≈ 1.3e14 — comfortably above any
+    fixture id space; assert guards the bound so overflow fails loudly.
+    """
+    k = np.asarray(keys, dtype=np.int64)
+    assert k.size == 0 or (k.min() >= 0 and k.max() < (1 << 63) // max(CMS_A)), "cms key out of int64-safe range"
+    return ((CMS_A[row] * k + CMS_B[row]) % CMS_M31) % w
+
+
+class CountMinSketch:
+    """d×w Count-Min: update adds 1 per key per row; merge is elementwise
+    add (associative + commutative -> safe in the aggregate tree); the
+    point estimate min_r counts[r, h_r(k)] NEVER underestimates."""
+
+    def __init__(self, d: int = CMS_D, w: int = CMS_W, counts: np.ndarray | None = None):
+        self.d, self.w = d, w
+        self.counts = np.zeros((d, w), dtype=np.int64) if counts is None else counts
+
+    def update(self, keys: np.ndarray) -> "CountMinSketch":
+        for r in range(self.d):
+            np.add.at(self.counts[r], cms_cols(keys, r, self.w), 1)
+        return self
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        return CountMinSketch(self.d, self.w, self.counts + other.counts)
+
+    def estimate(self, keys: np.ndarray) -> np.ndarray:
+        est = np.full(len(np.asarray(keys)), np.iinfo(np.int64).max, dtype=np.int64)
+        for r in range(self.d):
+            est = np.minimum(est, self.counts[r][cms_cols(keys, r, self.w)])
+        return est

@@ -533,3 +533,31 @@ def test_distinct_users_hll_query(ray_session):
     exp = pq.read_table(golden.hll_distinct_path(sf)).to_pandas()
     assert got.equals(exp)
     assert got["rel_err"].iloc[0] < 0.1
+
+
+def test_count_min_never_underestimates(ray_session):
+    """CMS point estimates are >= exact counts; merge order cannot change
+    the sketch (elementwise adds commute); top-k audit rows agree with a
+    pandas recompute."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import windows
+    from plasmap_ray.stages.sketch import CountMinSketch, cms_cols
+
+    sf = "/root/testdata/sf0.001"
+    out = windows.count_min_eval(sf).to_pandas()
+    users = pq.read_table(f"{sf}/events.parquet", columns=["user_id"])["user_id"].to_numpy()
+    exact = pd.Series(users).value_counts()
+    # engine top-k matches exact counts and one-sided error holds
+    assert (out["overestimate"] >= 0).all()
+    for _, r in out.iterrows():
+        assert exact[r["user_id"]] == r["n_exact"]
+    # sketch built in one shot equals the engine's tree-folded counts
+    cms = CountMinSketch().update(users)
+    est = cms.estimate(out["user_id"].to_numpy())
+    assert (est == out["n_est"].to_numpy()).all()
+    # ranking: exact desc, user_id asc
+    sorted_ref = out.sort_values(["n_exact", "user_id"], ascending=[False, True])
+    assert (sorted_ref["rank"].to_numpy() == np.arange(1, len(out) + 1)).all()
