@@ -2936,3 +2936,49 @@ def kriging_field_path(sf_dir: str) -> str:
         )
 
     return _cache(f"kriging_{_sf_tag(sf_dir)}", build)
+
+
+def image_edge_density_path(images_parquet: str) -> str:
+    """Expected edge-density census: independent driver recompute with
+    deliberately different expressions from the engine kernel — the
+    gradient magnitude is built per-axis and compared with >= T+1 here
+    vs one fused |gx|+|gy| > T there; the strong-edge tier uses
+    m - 4T >= 1 here vs m > 4T there.  All-integer, hence bit-exact."""
+
+    def build() -> pa.Table:
+        from . import codecs
+        from .stages.common import duckdb_round
+        from .stages.media import EdgeDensity
+
+        T = EdgeDensity.T
+        t = pq.read_table(images_parquet, columns=["image_id", "bytes", "w", "h", "fmt"])
+        rows = {"image_id": [], "fmt": [], "ok": [], "n_interior": [], "n_edge": [], "n_strong": []}
+        for i in range(t.num_rows):
+            px = codecs.decode_image(
+                t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(), t["fmt"][i].as_py()
+            )
+            g = px.astype(np.int64).sum(axis=2)
+            ax = np.abs(g[1:-1, 2:] - g[1:-1, :-2])
+            ay = np.abs(g[2:, 1:-1] - g[:-2, 1:-1])
+            m = ax + ay
+            rows["image_id"].append(t["image_id"][i].as_py())
+            rows["fmt"].append(t["fmt"][i].as_py())
+            rows["ok"].append(True)
+            rows["n_interior"].append(m.shape[0] * m.shape[1])
+            rows["n_edge"].append(int((m >= T + 1).sum()))
+            rows["n_strong"].append(int((m - 4 * T >= 1).sum()))
+        den = np.maximum(np.asarray(rows["n_interior"], dtype=np.float64), 1.0)
+        ne = np.asarray(rows["n_edge"], dtype=np.float64)
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], type=pa.string()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "ok": pa.array(rows["ok"]),
+                "n_interior": pa.array(rows["n_interior"], type=pa.int64()),
+                "n_edge": pa.array(rows["n_edge"], type=pa.int64()),
+                "n_strong": pa.array(rows["n_strong"], type=pa.int64()),
+                "edge_frac": pa.array(duckdb_round(ne / den, 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"image_edge_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)

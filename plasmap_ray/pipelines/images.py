@@ -1993,3 +1993,34 @@ def caption_conflict_dups(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(keep_conflicts, batch_format="pyarrow")
+
+
+def image_edge_density(sf_dir: str) -> rd.Dataset:
+    """Per-image edge-pixel density audit (stages.media.EdgeDensity):
+    the texture screen — edge_frac near 0 marks flat fills, near 1
+    marks dithered noise, the photographic mid-range survives — run
+    beside the blur gate and the entropy screen before an image corpus
+    trains anything (reference analogue: the ST5/M9 image gate layer).
+
+    Scale shape: map-ONLY — decode fused with the gradient kernel in
+    the actor pool, payloads consumed in-stage, three int64s +
+    metadata per image leave the task; no exchange at all.  Oracle:
+    golden driver recompute with an independent per-image scalar loop.
+
+    Output: (image_id, fmt, ok, n_interior, n_edge, n_strong,
+    edge_frac).
+    """
+    from ..stages import media
+    from ..stages.common import duckdb_round
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    scored = ds.map_batches(
+        media.EdgeDensity, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = np.maximum(t["n_interior"].to_numpy().astype(np.float64), 1.0)
+        frac = duckdb_round(t["n_edge"].to_numpy().astype(np.float64) / n, 6)
+        return t.append_column("edge_frac", pa.array(frac, type=pa.float64()))
+
+    return scored.map_batches(finish, batch_format="pyarrow")

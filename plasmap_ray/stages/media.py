@@ -310,3 +310,55 @@ class PixelEntropy:
                 "sum_nlogn_fp": pa.array(sum_fp, type=pa.int64()),
             }
         )
+
+
+class EdgeDensity:
+    """Actor-pool stage: per-image thresholded edge-pixel census — the
+    texture/flatness screen of an image corpus audit (a photo has a
+    mid-range edge fraction; solid fills ≈ 0; dithered noise ≈ 1),
+    complementing BlurSharpness' unthresholded energy sums.
+
+    Per interior pixel of the int64 gray field g = r + g + b, the L1
+    gradient m = |g(x+1,y) − g(x−1,y)| + |g(x,y+1) − g(x,y−1)| is an
+    exact integer; the stage counts m > T (edge) and m > 4T (strong
+    edge).  All-integer -> bit-identical on any worker.
+
+    Payloads are consumed in-stage (three int64s + metadata leave the
+    task).  Decode failures flag ok=False (M9 quarantine semantics).
+    """
+
+    T = 96  # on the summed-channel field: ≈ 32 gray levels per channel
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        w = batch["w"].to_numpy()
+        h = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        n_int = np.zeros(n, dtype=np.int64)
+        n_edge = np.zeros(n, dtype=np.int64)
+        n_strong = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                px = codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
+                g = px.astype(np.int64).sum(axis=2)
+                gx = g[1:-1, 2:] - g[1:-1, :-2]
+                gy = g[2:, 1:-1] - g[:-2, 1:-1]
+                m = np.abs(gx) + np.abs(gy)
+                n_int[i] = m.shape[0] * m.shape[1]
+                n_edge[i] = int((m > self.T).sum())
+                n_strong[i] = int((m > 4 * self.T).sum())
+                ok[i] = True
+            except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
+                pass
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "fmt": batch["fmt"],
+                "ok": pa.array(ok),
+                "n_interior": pa.array(n_int, type=pa.int64()),
+                "n_edge": pa.array(n_edge, type=pa.int64()),
+                "n_strong": pa.array(n_strong, type=pa.int64()),
+            }
+        )

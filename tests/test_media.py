@@ -441,3 +441,54 @@ def test_caption_conflict_dups_bruteforce(ray_session):
     m = got.set_index("caption")
     assert (m["n_images"] == want["n_images"]).all()
     assert (m["n_phashes"] == want["n_phashes"]).all()
+
+
+def test_edge_density_known_images(ray_session):
+    """Edge semantics: a solid image has zero edges; a hard vertical
+    step has edges exactly on the 2-px band around the step."""
+    import numpy as np
+    import pyarrow as pa
+
+    from plasmap_ray import codecs
+    from plasmap_ray.stages.media import EdgeDensity
+
+    solid = np.full((8, 8, 3), 77, dtype=np.uint8)
+    step = np.zeros((8, 8, 3), dtype=np.uint8)
+    step[:, 4:, :] = 255  # vertical step at x=4
+    batch = pa.table(
+        {
+            "image_id": pa.array(["solid", "step"]),
+            "fmt": pa.array(["raw", "raw"]),
+            "w": pa.array([8, 8], type=pa.int32()),
+            "h": pa.array([8, 8], type=pa.int32()),
+            "bytes": pa.array([codecs.encode_image(solid, "raw"), codecs.encode_image(step, "raw")]),
+        }
+    )
+    out = EdgeDensity()(batch)
+    assert out["ok"].to_pylist() == [True, True]
+    assert out["n_interior"].to_pylist() == [36, 36]
+    assert out["n_edge"].to_pylist()[0] == 0
+    # central-difference gx fires at interior x in {3, 4}: 2 cols x 6 rows
+    assert out["n_edge"].to_pylist()[1] == 12
+    assert out["n_strong"].to_pylist()[1] == 12  # |gx| = 765 > 4T = 384
+
+
+def test_image_edge_density_matches_golden(ray_session):
+    """Engine pipeline rows equal the independent golden recompute at sf0.001."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import golden
+    from plasmap_ray.pipelines import images
+
+    sf = "/root/testdata/sf0.001"
+    got = images.image_edge_density(sf).to_pandas().sort_values("image_id").reset_index(drop=True)
+    exp = (
+        pq.read_table(golden.image_edge_density_path(images.images_path_for(sf)))
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])
+    # the synthetic corpus spans smoother and highly textured images
+    assert got["edge_frac"].min() < 0.2 and got["edge_frac"].max() > 0.7
