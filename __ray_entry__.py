@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_audit": stats.benford_audit,
         "chi2_independence": stats.chi2_independence,
         "lineitem_corr_matrix": stats.lineitem_corr_matrix,
+        "rank_correlation": relational.rank_correlation,
         "discount_elasticity": stats.discount_elasticity,
         "kmv_overlap_eval": stats.kmv_overlap_eval,
         "ks_weekend_test": stats.ks_weekend_test,
@@ -3791,6 +3792,42 @@ SELECT p_brand, n,
        round(CAST(n*sxy - sx*sy AS DOUBLE)
              / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS pearson_r
 FROM s""",
+        "rank_correlation": """
+WITH h AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS d,
+         CAST(count(*) AS HUGEINT) AS n
+  FROM lineitem GROUP BY 1, 2),
+rm AS (SELECT q, CAST(sum(n) AS HUGEINT) AS rn FROM h GROUP BY 1),
+cm AS (SELECT d, CAST(sum(n) AS HUGEINT) AS cn FROM h GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS HUGEINT) AS nt FROM h),
+rx AS (SELECT q, rn,
+         2 * (SELECT coalesce(sum(rn), 0) FROM rm r2 WHERE r2.q < rm.q) + rn + 1 AS x
+       FROM rm),
+ry AS (SELECT d, cn,
+         2 * (SELECT coalesce(sum(cn), 0) FROM cm c2 WHERE c2.d < cm.d) + cn + 1 AS y
+       FROM cm),
+mom AS (SELECT
+  (SELECT CAST(sum(rn * x) AS HUGEINT) FROM rx) AS sx,
+  (SELECT CAST(sum(cn * y) AS HUGEINT) FROM ry) AS sy,
+  (SELECT CAST(sum(rn * x * x) AS HUGEINT) FROM rx) AS sxx,
+  (SELECT CAST(sum(cn * y * y) AS HUGEINT) FROM ry) AS syy,
+  (SELECT CAST(sum(h.n * rx.x * ry.y) AS HUGEINT)
+   FROM h JOIN rx ON rx.q = h.q JOIN ry ON ry.d = h.d) AS sxy),
+cd AS (SELECT
+  (SELECT CAST(coalesce(sum(a.n * b.n), 0) AS HUGEINT) FROM h a JOIN h b ON b.q < a.q AND b.d < a.d) AS conc,
+  (SELECT CAST(coalesce(sum(a.n * b.n), 0) AS HUGEINT) FROM h a JOIN h b ON b.q < a.q AND b.d > a.d) AS disc),
+ties AS (SELECT
+  (SELECT CAST(sum(rn * (rn - 1) // 2) AS HUGEINT) FROM rm) AS n1,
+  (SELECT CAST(sum(cn * (cn - 1) // 2) AS HUGEINT) FROM cm) AS n2,
+  (SELECT nt * (nt - 1) // 2 FROM tot) AS n0)
+SELECT CAST(tot.nt AS BIGINT) AS n,
+       round(CAST(tot.nt * mom.sxy - mom.sx * mom.sy AS DOUBLE)
+             / (sqrt(CAST(tot.nt * mom.sxx - mom.sx * mom.sx AS DOUBLE))
+                * sqrt(CAST(tot.nt * mom.syy - mom.sy * mom.sy AS DOUBLE))), 6) AS spearman_rho,
+       round(CAST(cd.conc - cd.disc AS DOUBLE)
+             / (sqrt(CAST(ties.n0 - ties.n1 AS DOUBLE)) * sqrt(CAST(ties.n0 - ties.n2 AS DOUBLE))), 6) AS kendall_tau
+FROM tot CROSS JOIN mom CROSS JOIN cd CROSS JOIN ties""",
         "lineitem_corr_matrix": """
 WITH f AS (SELECT CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS q,
                   CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS p,

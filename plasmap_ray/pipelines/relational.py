@@ -2002,3 +2002,125 @@ def blame_suppliers(sf_dir: str, late_days: int = BLAME_LATE_DAYS, k: int = BLAM
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rank_correlation (Spearman rho + Kendall tau-b, exact via joint histogram)
+# ---------------------------------------------------------------------------
+
+
+def rank_correlation(sf_dir: str) -> rd.Dataset:
+    """Spearman's rho and Kendall's tau-b between l_quantity and
+    l_discount, computed EXACTLY from the bounded joint value
+    histogram — the monotone-dependence audit that complements
+    lineitem_corr_matrix's linear Pearson (both variables are heavily
+    tied, where naive rank formulas silently break).
+
+    Method (scale-exact): quantity has ≤ 50 distinct values, discount
+    ≤ 11 cents-quantized — so ONE (q, d)-keyed count reduce (≤ 550
+    rows leave the data, independent of input size) carries complete
+    rank information:
+    - average ranks from the marginal cumulative counts (ties get the
+      midrank; doubled to stay integer);
+    - rho = Pearson over the histogram with midrank coordinates — all
+      moment sums exact Python-int (int128 mirrored by DuckDB
+      HUGEINT), ONE mirrored float expression at the end;
+    - tau-b from exact concordant/discordant pair counts via 2-D
+      prefix sums over the 50×11 grid, tie terms from the marginals.
+
+    Output: one row (n, spearman_rho, kendall_tau).
+    """
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy().astype(np.int64)
+        d = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        key = q * 100 + d
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    key = agg["key"].to_numpy().astype(np.int64)
+    n = agg["n"].to_numpy().astype(np.int64)
+    qv, dv = key // 100, key % 100
+
+    qs = np.sort(np.unique(qv))
+    dss = np.sort(np.unique(dv))
+    qi = np.searchsorted(qs, qv)
+    di = np.searchsorted(dss, dv)
+    grid = np.zeros((len(qs), len(dss)), dtype=object)
+    for a, b, c in zip(qi, di, n):
+        grid[a, b] = grid[a, b] + int(c)
+    rmarg = grid.sum(axis=1)  # python ints
+    cmarg = grid.sum(axis=0)
+    N = int(rmarg.sum())
+
+    def midrank2(marg) -> list[int]:
+        """2× the average rank of each distinct value (exact int)."""
+        out, cum = [], 0
+        for c in marg:
+            out.append(2 * cum + int(c) + 1)  # 2*(cum + (c+1)/2)
+            cum += int(c)
+        return out
+
+    rx = midrank2(rmarg)
+    ry = midrank2(cmarg)
+    # exact int moment sums over the histogram (2x-scaled ranks)
+    Sx = sum(int(r) * x for r, x in zip(rmarg, rx))
+    Sy = sum(int(c) * y for c, y in zip(cmarg, ry))
+    Sxx = sum(int(r) * x * x for r, x in zip(rmarg, rx))
+    Syy = sum(int(c) * y * y for c, y in zip(cmarg, ry))
+    Sxy = 0
+    for a in range(len(qs)):
+        for b in range(len(dss)):
+            if grid[a, b]:
+                Sxy += int(grid[a, b]) * rx[a] * ry[b]
+    num = N * Sxy - Sx * Sy
+    va = N * Sxx - Sx * Sx
+    vb = N * Syy - Sy * Sy
+    import math as _math
+
+    rho = float(num) / (_math.sqrt(float(va)) * _math.sqrt(float(vb)))
+
+    # Kendall: concordant/discordant via exact 2-D prefix sums
+    C = D = 0
+    # prefix[a][b] = sum of grid[<a][<b]
+    pref = np.zeros((len(qs) + 1, len(dss) + 1), dtype=object)
+    for a in range(len(qs)):
+        row_run = 0
+        for b in range(len(dss)):
+            row_run = row_run + int(grid[a, b])
+            pref[a + 1, b + 1] = int(pref[a, b + 1]) + row_run
+    for a in range(len(qs)):
+        for b in range(len(dss)):
+            g = int(grid[a, b])
+            if not g:
+                continue
+            lt_lt = int(pref[a, b])  # q' < q and d' < d
+            lt_gt = int(pref[a, len(dss)]) - int(pref[a, b + 1])  # q' < q and d' > d
+            C += g * lt_lt
+            D += g * lt_gt
+    n0 = N * (N - 1) // 2
+    n1 = sum(int(r) * (int(r) - 1) // 2 for r in rmarg)
+    n2 = sum(int(c) * (int(c) - 1) // 2 for c in cmarg)
+    tau = float(C - D) / (_math.sqrt(float(n0 - n1)) * _math.sqrt(float(n0 - n2)))
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([N], type=pa.int64()),
+                "spearman_rho": pa.array(duckdb_round(np.array([rho]), 6), type=pa.float64()),
+                "kendall_tau": pa.array(duckdb_round(np.array([tau]), 6), type=pa.float64()),
+            }
+        )
+    )

