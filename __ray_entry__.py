@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fractal_dimension": hotspot.fractal_dimension,
         "cell_peak_hours": hotspot.cell_peak_hours,
         "join_count_stats": hotspot.join_count_stats,
+        "emerging_hotspots": hotspot.emerging_hotspots,
         "knox_statistic": hotspot.knox_statistic,
         "eb_shrunk_rates": hotspot.eb_shrunk_rates,
         "benford_audit": stats.benford_audit,
@@ -3680,6 +3681,60 @@ g AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(fp) AS BIGINT) A
 SELECT lag, n_pairs,
        round((CAST(sfp AS DOUBLE) / {hotspot.VAR_FP!r}) / (2.0 * CAST(n_pairs AS DOUBLE)), 6) AS gamma
 FROM g""",
+        "emerging_hotspots": f"""
+WITH ec AS (
+  SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy,
+         CAST(floor(epoch_us(ts) / {hotspot.DAY_US}) AS BIGINT) AS day
+  FROM events),
+d AS (SELECT cx, cy, day, CAST(count(*) AS BIGINT) AS y FROM ec GROUP BY 1, 2, 3),
+gm AS (SELECT day, CAST(sum(y) AS DOUBLE) AS tot, CAST(sum(y * y) AS DOUBLE) AS ssq FROM d GROUP BY 1),
+offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+scat AS (
+  SELECT cx + dx AS cx, cy + dy AS cy, day, y FROM d, offs
+  WHERE cx + dx BETWEEN 0 AND {hotspot.GI_GX - 1} AND cy + dy BETWEEN 0 AND {hotspot.GI_GY - 1}),
+nbr AS (SELECT cx, cy, day, CAST(sum(y) AS BIGINT) AS nbr_sum FROM scat GROUP BY 1, 2, 3),
+wct AS (
+  SELECT cx, cy, day, nbr_sum,
+         (least(cx + 1, {hotspot.GI_GX - 1}) - greatest(cx - 1, 0) + 1)
+         * (least(cy + 1, {hotspot.GI_GY - 1}) - greatest(cy - 1, 0) + 1) AS w
+  FROM nbr),
+zt AS (
+  SELECT wct.cx, wct.cy, wct.day,
+         round((CAST(nbr_sum AS DOUBLE) - (gm.tot / {float(hotspot.GI_NCELLS)!r}) * CAST(w AS DOUBLE))
+               / (sqrt(gm.ssq / {float(hotspot.GI_NCELLS)!r}
+                       - (gm.tot / {float(hotspot.GI_NCELLS)!r}) * (gm.tot / {float(hotspot.GI_NCELLS)!r}))
+                  * sqrt(({float(hotspot.GI_NCELLS)!r} * CAST(w AS DOUBLE) - CAST(w AS DOUBLE) * CAST(w AS DOUBLE))
+                         / {float(hotspot.GI_NCELLS - 1)!r})), 6) AS z
+  FROM wct JOIN gm ON gm.day = wct.day),
+nd AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_days,
+              CAST(sum(CASE WHEN z >= {hotspot.EHS_HOT_Z!r} THEN 1 ELSE 0 END) AS BIGINT) AS hot_days
+       FROM zt GROUP BY 1, 2 HAVING count(*) >= {hotspot.TREND_MIN_DAYS}),
+lastz AS (SELECT cx, cy, z AS last_z FROM (
+            SELECT cx, cy, z, row_number() OVER (PARTITION BY cx, cy ORDER BY day DESC) AS rk FROM zt)
+          WHERE rk = 1),
+p AS (SELECT a.cx, a.cy,
+        CAST(sum(CASE WHEN b.z > a.z THEN 1 WHEN b.z < a.z THEN -1 ELSE 0 END) AS BIGINT) AS s
+      FROM zt a JOIN zt b ON a.cx = b.cx AND a.cy = b.cy AND b.day > a.day GROUP BY 1, 2),
+ties AS (SELECT cx, cy, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+         FROM (SELECT cx, cy, z, CAST(count(*) AS BIGINT) AS t FROM zt GROUP BY 1, 2, 3)
+         GROUP BY 1, 2),
+mk AS (SELECT nd.cx, nd.cy, nd.n_days, nd.hot_days, p.s,
+        CASE WHEN nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) - ties.tt > 0 AND p.s <> 0
+             THEN round((p.s - sign(p.s))
+                        / sqrt((nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) - ties.tt) / 18.0), 6)
+             ELSE 0.0 END AS mk_z
+       FROM nd JOIN p ON p.cx = nd.cx AND p.cy = nd.cy
+       JOIN ties ON ties.cx = nd.cx AND ties.cy = nd.cy)
+SELECT mk.cx, mk.cy, mk.n_days, mk.hot_days, l.last_z, mk.s AS mk_s, mk.mk_z,
+       CASE WHEN l.last_z >= {hotspot.EHS_HOT_Z!r} THEN
+              CASE WHEN mk.mk_z > {hotspot.EHS_TREND_Z!r} THEN 'intensifying_hot'
+                   WHEN mk.mk_z < -{hotspot.EHS_TREND_Z!r} THEN 'diminishing_hot'
+                   WHEN CAST(mk.hot_days AS DOUBLE) >= {hotspot.EHS_PERSIST!r} * CAST(mk.n_days AS DOUBLE) THEN 'persistent_hot'
+                   ELSE 'sporadic_hot' END
+            WHEN mk.hot_days > 0 THEN 'historical_hot'
+            ELSE 'none' END AS category
+FROM mk JOIN lastz l ON l.cx = mk.cx AND l.cy = mk.cy""",
         "mann_kendall_cells": f"""
 WITH ec AS (
   SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,

@@ -3437,3 +3437,164 @@ def join_count_stats(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# emerging_hotspots (per-day Gi* + Mann-Kendall trend classification)
+# ---------------------------------------------------------------------------
+
+EHS_HOT_Z = 1.96  # per-day Gi* hot threshold (95%)
+EHS_TREND_Z = 1.645  # Mann-Kendall trend threshold (90%)
+EHS_PERSIST = 0.9  # hot-day fraction for "persistent"
+
+
+def emerging_hotspots(sf_dir: str, eps: float = GI_EPS, min_days: int = TREND_MIN_DAYS) -> rd.Dataset:
+    """Emerging-hot-spot analysis (the ESRI space-time pattern tool,
+    re-expressed): per-DAY Gi* z-scores over the lattice, then a
+    Mann-Kendall trend test on each cell's z time series, classified
+    into intensifying / diminishing / persistent / sporadic /
+    historical hot — the time-aware upgrade of getis_ord_hotspots
+    that distinguishes a growing hotspot from a fading one.
+
+    Determinism: per-day z is the getis_ord expression rounded to 6dp
+    on BOTH engines before any comparison, so the hot flags, the MK
+    sign census and its tie correction all operate on bit-identical
+    doubles; category rules are pure threshold tests on those values.
+
+    Scale shape: (cell, day) count reduce -> per-day global moments
+    (days-bounded table to the driver, broadcast back) -> ONE
+    9-offset scatter with day carried -> (cell, day)-bounded groupby
+    -> cell-keyed map_groups with an O(days²) sign census.  Exchange
+    volume is lattice×days-bounded, never input rows.
+
+    Output: (cx, cy, n_days, hot_days, last_z, mk_s, mk_z, category)
+    for cells whose window is occupied on ≥ min_days days.
+    """
+    import pandas as pd
+
+    daily = (
+        _read_events(sf_dir, ["event_id", "ts"])
+        .map_batches(_daily_partial_factory(eps), batch_format="pyarrow")
+        .groupby(["key", "day"])
+        .aggregate(Sum("n", alias_name="y"))
+        .materialize()  # lattice x days bounded (<= NCELLS*days rows) and read twice below
+    )
+
+    # per-day global moments over the lattice (days-bounded)
+    def mom_partial(t: pa.Table) -> pa.Table:
+        y = t["y"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "day": t["day"],
+                "tot": pa.array(y, type=pa.int64()),
+                "ssq": pa.array(y * y, type=pa.int64()),
+            }
+        )
+
+    mom = (
+        daily.map_batches(mom_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("tot", alias_name="tot"), Sum("ssq", alias_name="ssq"))
+        .to_pandas()
+    )
+    day_mean = {}
+    day_s = {}
+    for day, tot, ssq in mom.itertuples(index=False):
+        m = float(tot) / float(GI_NCELLS)
+        day_mean[int(day)] = m
+        day_s[int(day)] = np.sqrt(float(ssq) / float(GI_NCELLS) - m * m)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        day = t["day"].to_numpy()
+        y = t["y"].to_numpy()
+        cx, cy = key // GI_GY, key % GI_GY
+        outs = []
+        for dx, dy in _OFFSETS:
+            nx, ny = cx + dx, cy + dy
+            m = (nx >= 0) & (nx < GI_GX) & (ny >= 0) & (ny < GI_GY)
+            outs.append(
+                pa.table(
+                    {
+                        "key": pa.array(nx[m] * GI_GY + ny[m], type=pa.int64()),
+                        "day": pa.array(day[m], type=pa.int64()),
+                        "y": pa.array(y[m], type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    nbr = (
+        daily.map_batches(scatter, batch_format="pyarrow")
+        .groupby(["key", "day"])
+        .aggregate(Sum("y", alias_name="nbr_sum"))
+    )
+
+    def zscore(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        day = t["day"].to_numpy()
+        snb = t["nbr_sum"].to_numpy().astype(np.float64)
+        cx, cy = key // GI_GY, key % GI_GY
+        wx = np.minimum(cx + 1, GI_GX - 1) - np.maximum(cx - 1, 0) + 1
+        wy = np.minimum(cy + 1, GI_GY - 1) - np.maximum(cy - 1, 0) + 1
+        wf = (wx * wy).astype(np.float64)
+        mean = np.array([day_mean[int(d)] for d in day], dtype=np.float64)
+        s = np.array([day_s[int(d)] for d in day], dtype=np.float64)
+        num = snb - mean * wf
+        den = s * np.sqrt((float(GI_NCELLS) * wf - wf * wf) / float(GI_NCELLS - 1))
+        z = duckdb_round(num / den, 6)
+        return pa.table(
+            {
+                "key": pa.array(key, type=pa.int64()),
+                "day": pa.array(day, type=pa.int64()),
+                "z": pa.array(z, type=pa.float64()),
+            }
+        )
+
+    zs = nbr.map_batches(zscore, batch_format="pyarrow")
+
+    cols = ["cx", "cy", "n_days", "hot_days", "last_z", "mk_s", "mk_z", "category"]
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["day"].to_numpy().astype(np.int64)
+        if len(d) < min_days:
+            return pd.DataFrame(columns=cols).astype(
+                {
+                    "cx": np.int64, "cy": np.int64, "n_days": np.int64, "hot_days": np.int64,
+                    "last_z": np.float64, "mk_s": np.int64, "mk_z": np.float64, "category": object,
+                }
+            )
+        o = np.argsort(d)
+        z = g["z"].to_numpy().astype(np.float64)[o]
+        n = len(z)
+        i, j = np.triu_indices(n, k=1)
+        s = int(np.sign(z[j] - z[i]).sum())
+        _, tc = np.unique(z, return_counts=True)
+        var18 = n * (n - 1) * (2 * n + 5) - int((tc * (tc - 1) * (2 * tc + 5)).sum())
+        if var18 > 0 and s != 0:
+            mz = (s - int(np.sign(s))) / np.sqrt(var18 / 18.0)
+        else:
+            mz = 0.0
+        mz = float(duckdb_round(np.array([mz]), 6)[0])
+        hot = z >= EHS_HOT_Z
+        hot_days = int(hot.sum())
+        last_z = float(z[-1])
+        if hot[-1]:
+            if mz > EHS_TREND_Z:
+                cat = "intensifying_hot"
+            elif mz < -EHS_TREND_Z:
+                cat = "diminishing_hot"
+            elif hot_days >= EHS_PERSIST * n:
+                cat = "persistent_hot"
+            else:
+                cat = "sporadic_hot"
+        elif hot_days > 0:
+            cat = "historical_hot"
+        else:
+            cat = "none"
+        key = int(g["key"].iloc[0])
+        return pd.DataFrame(
+            [(key // GI_GY, key % GI_GY, n, hot_days, last_z, s, mz, cat)], columns=cols
+        )
+
+    return zs.groupby("key").map_groups(per_cell, batch_format="pandas")

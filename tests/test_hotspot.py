@@ -943,3 +943,55 @@ def test_join_count_stats_bruteforce(ray_session, event_ids):
     assert (out["n_edges"], out["bb"], out["ww"], out["bw"]) == (edges, bb, ww, bw)
     pb = black.sum() / occ.sum()
     assert abs(out["e_bb"] - edges * pb * pb) < 1e-5
+
+
+def test_emerging_hotspots_bruteforce(ray_session, event_ids):
+    """Per-day Gi* + MK classification equals a dense numpy recompute."""
+    import pandas as pd
+    import pyarrow.parquet as pq2
+
+    t = pq2.read_table(os.path.join(SF, "events.parquet"), columns=["event_id", "ts"]).to_pandas()
+    ids = t["event_id"].to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    cx = np.floor((lon - fixtures.LON_MIN) / hotspot.GI_EPS).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / hotspot.GI_EPS).astype(np.int64)
+    day = t["ts"].astype("int64").to_numpy() // hotspot.DAY_US
+    days = np.sort(np.unique(day))
+    NC = float(hotspot.GI_NCELLS)
+    series = {}
+    for dv in days:
+        dense = np.zeros((hotspot.GI_GX, hotspot.GI_GY), dtype=np.int64)
+        sel = day == dv
+        np.add.at(dense, (cx[sel], cy[sel]), 1)
+        mean = dense.sum() / NC
+        s = np.sqrt((dense.astype(np.float64) ** 2).sum() / NC - mean * mean)
+        for gx in range(hotspot.GI_GX):
+            for gy in range(hotspot.GI_GY):
+                x0, x1 = max(gx - 1, 0), min(gx + 1, hotspot.GI_GX - 1)
+                y0, y1 = max(gy - 1, 0), min(gy + 1, hotspot.GI_GY - 1)
+                win = dense[x0 : x1 + 1, y0 : y1 + 1]
+                if win.sum() == 0:
+                    continue
+                w = float(win.size)
+                z = (win.sum() - mean * w) / (s * np.sqrt((NC * w - w * w) / (NC - 1.0)))
+                series.setdefault((gx, gy), []).append((dv, round(z, 6)))
+    out = hotspot.emerging_hotspots(SF).to_pandas().set_index(["cx", "cy"])
+    n_checked = 0
+    for (gx, gy), zs in series.items():
+        if len(zs) < hotspot.TREND_MIN_DAYS:
+            assert (gx, gy) not in out.index
+            continue
+        zs.sort()
+        z = np.array([v for _, v in zs])
+        row = out.loc[(gx, gy)]
+        assert row["n_days"] == len(z)
+        assert row["hot_days"] == int((z >= hotspot.EHS_HOT_Z).sum())
+        assert abs(row["last_z"] - z[-1]) < 1e-9
+        i, j = np.triu_indices(len(z), k=1)
+        assert row["mk_s"] == int(np.sign(z[j] - z[i]).sum())
+        n_checked += 1
+    assert n_checked == len(out) and n_checked > 50
+    assert set(out["category"].unique()) <= {
+        "intensifying_hot", "diminishing_hot", "persistent_hot",
+        "sporadic_hot", "historical_hot", "none",
+    }
