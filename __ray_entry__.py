@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": text.redact_pii,
         "doc_fingerprint": text.fingerprint,
         "repetition_ratio": text.repetition_ratio,
+        "lz78_complexity": text.lz78_complexity,
         "unigram_logprob": text.unigram_logprob,
         "bigram_lm_score": text.bigram_lm_score,
         "zipf_fit": text.zipf_fit,
@@ -1246,6 +1247,7 @@ SELECT token, n_docs FROM d WHERE n_docs >= 50""",
         # mirrors text.vocab_coverage_curve: (count desc, token) ranking,
         # cumulative coverage at the checkpoint Ks
         "bpe_merges": f"SELECT * FROM read_parquet('{golden.bpe_merges_path(SF001, bpe.BPE_N_MERGES)}')",
+        "lz78_complexity": f"SELECT * FROM read_parquet('{golden.lz78_complexity_path(SF001)}')",
         "bpe_encode_stats": f"SELECT * FROM read_parquet('{golden.bpe_encode_stats_path(SF001, bpe.BPE_N_MERGES)}')",
         "vocab_coverage_curve": """
 WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),

@@ -2982,3 +2982,44 @@ def image_edge_density_path(images_parquet: str) -> str:
         )
 
     return _cache(f"image_edge_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
+
+
+def lz78_complexity_path(sf_dir: str) -> str:
+    """Expected LZ78 phrase counts: independent recompute with a
+    string-keyed trie (accumulated-phrase dictionary) vs the engine's
+    (prefix_id, char)-keyed integer dict — a divergence in either
+    parser's reset/extend logic breaks the match on real text."""
+
+    def build() -> pa.Table:
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        n_chars, phrases = [], []
+        for s in texts:
+            seen: set[str] = set()
+            cur = ""
+            count = 0
+            for ch in s:
+                cur += ch
+                if cur not in seen:
+                    seen.add(cur)
+                    count += 1
+                    cur = ""
+            if cur:
+                count += 1  # trailing partial phrase
+            n_chars.append(len(s))
+            phrases.append(count)
+        nc = np.asarray(n_chars, dtype=np.float64)
+        ph = np.asarray(phrases, dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_chars": pa.array(n_chars, type=pa.int64()),
+                "lz78_phrases": pa.array(phrases, type=pa.int64()),
+                "lz_ratio": pa.array(duckdb_round(ph / np.maximum(nc, 1.0), 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"lz78_{_sf_tag(sf_dir)}", build)

@@ -1731,3 +1731,61 @@ def token_budget_sample(sf_dir: str, budget: int = TOKEN_BUDGET) -> rd.Dataset:
         )
 
     return tok.groupby(["source", "bin"]).map_groups(cut, batch_format="pyarrow")
+
+
+def lz78_complexity(sf_dir: str) -> rd.Dataset:
+    """Per-document LZ78 phrase count — the compressibility audit a
+    training corpus runs to catch machine-generated / templated text
+    (low phrase-to-char ratio = highly compressible = repetitive),
+    complementing repetition_ratio's fixed-window trigram screen with
+    a parser that adapts its window.
+
+    The LZ78 parse is deterministic (greedy longest-known-prefix over
+    the char stream; each miss mints one phrase), so the phrase count
+    is engine-independent.  Oracle: golden driver recompute with an
+    INDEPENDENT dictionary structure (string-keyed trie there,
+    (prefix_id, char)-keyed dict here).
+
+    Scale shape: map-ONLY — the per-doc parse is an ALU-bound loop
+    inside the batch fn (no exchange at all); three scalars per doc
+    leave the task.  Output: (doc_id, n_chars, lz78_phrases,
+    lz_ratio).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_chars = np.zeros(len(texts), dtype=np.int64)
+        phrases = np.zeros(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):
+            n_chars[i] = len(s)
+            d: dict[tuple[int, str], int] = {}
+            node = 0  # 0 = root
+            nxt = 1
+            count = 0
+            for ch in s:
+                key = (node, ch)
+                child = d.get(key)
+                if child is None:
+                    d[key] = nxt
+                    nxt += 1
+                    count += 1
+                    node = 0
+                else:
+                    node = child
+            if node != 0:
+                count += 1  # trailing partial phrase
+            phrases[i] = count
+        ratio = duckdb_round(phrases.astype(np.float64) / np.maximum(n_chars.astype(np.float64), 1.0), 6)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array(n_chars, type=pa.int64()),
+                "lz78_phrases": pa.array(phrases, type=pa.int64()),
+                "lz_ratio": pa.array(ratio, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(per_doc, batch_format="pyarrow")

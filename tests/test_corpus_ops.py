@@ -652,3 +652,45 @@ def test_token_budget_sample_invariants(ray_session):
         if len(dropped):
             first = dropped.index.min()
             assert cum.iloc[first] > text.TOKEN_BUDGET
+
+
+def test_lz78_complexity_known_strings(ray_session):
+    """LZ78 parse counts on textbook cases + repetitive text compresses."""
+    import pyarrow as pa
+
+    from plasmap_ray.pipelines import text as text_mod
+
+    # classic example: 'aaaa...' parses as a, aa, aaa, ... (triangular)
+    batch = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                      "text": pa.array(["aaaaaa", "abcdef", "ababababab"])})
+    # drive the pipeline on a temp parquet
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(batch, os.path.join(td, "documents.parquet"))
+        out = text_mod.lz78_complexity(td).to_pandas().set_index("doc_id")
+    # 'aaaaaa' -> a, aa, aaa (6 chars exactly) = 3 phrases
+    assert out.loc[1, "lz78_phrases"] == 3
+    # all-distinct chars: every char is its own phrase
+    assert out.loc[2, "lz78_phrases"] == 6
+    # 'ababababab' -> a, b, ab, aba, ba, b(trailing)... recompute by hand:
+    # a | b | ab | aba | ba | b -> 6 phrases over 10 chars
+    assert out.loc[3, "lz78_phrases"] == 6
+    # repetitive text has lower ratio than random-ish text
+    assert out.loc[1, "lz_ratio"] < out.loc[2, "lz_ratio"]
+
+
+def test_lz78_matches_golden(ray_session):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import golden
+    from plasmap_ray.pipelines import text as text_mod
+
+    sf = "/root/testdata/sf0.001"
+    got = text_mod.lz78_complexity(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = pq.read_table(golden.lz78_complexity_path(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])
