@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_to_vector": lambda sf: raster.raster_to_vector(sf, z=10),
         "raster_focal_mean": lambda sf: raster.raster_focal_mean(sf, z=10),
         "raster_hillshade": lambda sf: raster.raster_hillshade(sf, z=10),
+        "flow_accumulation": lambda sf: raster.flow_accumulation(sf, z=10),
         "boundary_simplify": raster.boundary_simplify_query,
         "zonal_stats": lambda sf: raster.zonal_stats(sf, z=10),
         "cell_coverage_weights": raster.cell_coverage_weights,
@@ -612,6 +613,34 @@ SELECT gx, gy, dzdx_num, dzdy_num,
              + sin(pi() / 4.0) * sin(atan(sqrt(dx * dx + dy * dy)))
                * cos(7.0 * pi() / 4.0 - atan2(dy, -dx)), 6) AS hillshade
 FROM f ORDER BY gx, gy""",
+        "flow_accumulation": f"""
+WITH RECURSIVE
+v AS (SELECT (x * 16 + px) AS gx, (y * 16 + py) AS gy, n_points
+      FROM read_parquet('{golden.raster_vector_path(SF001, z=10)}')),
+d(dir, ox, oy, wt) AS (VALUES {", ".join(f"({i},{dx},{dy},{wt})" for i, dx, dy, wt in raster.D8_DIRS)}),
+nb AS (
+  SELECT a.gx, a.gy, d.dir, b.gx AS tgx, b.gy AS tgy,
+         (a.n_points - b.n_points) * d.wt AS score
+  FROM v a CROSS JOIN d JOIN v b ON b.gx = a.gx + d.ox AND b.gy = a.gy + d.oy
+  WHERE b.n_points < a.n_points),
+pick AS (
+  SELECT gx, gy, tgx, tgy,
+         row_number() OVER (PARTITION BY gx, gy ORDER BY score DESC, dir) AS rk
+  FROM nb),
+flow AS (
+  SELECT v.gx, v.gy, v.n_points,
+         coalesce(p.tgx, v.gx) AS to_gx, coalesce(p.tgy, v.gy) AS to_gy,
+         CAST(p.gx IS NULL AS BIGINT) AS is_sink
+  FROM v LEFT JOIN (SELECT * FROM pick WHERE rk = 1) p ON p.gx = v.gx AND p.gy = v.gy),
+walk(sgx, sgy, gx, gy) AS (
+  SELECT gx, gy, gx, gy FROM flow
+  UNION ALL
+  SELECT w.sgx, w.sgy, f.to_gx, f.to_gy
+  FROM walk w JOIN flow f ON f.gx = w.gx AND f.gy = w.gy WHERE f.is_sink = 0)
+SELECT f.gx, f.gy, f.n_points, f.to_gx, f.to_gy, f.is_sink,
+       CAST(c.n AS BIGINT) AS n_upstream
+FROM flow f JOIN (SELECT gx, gy, count(*) AS n FROM walk GROUP BY 1, 2) c
+  ON c.gx = f.gx AND c.gy = f.gy""",
         "raster_focal_mean": f"""
 WITH v AS (SELECT (x * 16 + px) AS gx0, (y * 16 + py) AS gy0, n_points
            FROM read_parquet('{golden.raster_vector_path(SF001, z=10)}')),

@@ -712,3 +712,95 @@ def raster_hillshade(sf_dir: str, z: int = 10, tile_px: int = 16) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort(["gx", "gy"])
+
+
+# D8 direction table: (dir, dx, dy, weight); weight 10 ~ 1/dist for
+# orthogonal moves, 7 ~ 10/sqrt(2) for diagonals (integer slope proxy)
+D8_DIRS = (
+    (0, -1, -1, 7), (1, -1, 0, 10), (2, -1, 1, 7), (3, 0, -1, 10),
+    (4, 0, 1, 10), (5, 1, -1, 7), (6, 1, 0, 10), (7, 1, 1, 7),
+)
+
+
+def flow_accumulation(sf_dir: str, z: int = 10, tile_px: int = 16) -> rd.Dataset:
+    """D8 flow accumulation over the density raster (map-algebra's
+    hydrology classic, O'Callaghan & Mark 1984, run on point density
+    instead of elevation): each occupied pixel points at its
+    steepest-DESCENT occupied neighbor (integer slope proxy
+    drop×10 orthogonal / drop×7 diagonal, ties to the smallest
+    direction index); accumulation counts the cells whose descent
+    path passes through each pixel — the drainage/funnel structure of
+    the density surface.
+
+    Determinism: flow pointers are exact integer argmaxes with a fixed
+    tie order; the pointer graph is acyclic (strictly decreasing
+    values), so path counts are unique integers.  The DuckDB mirror
+    recomputes the walk with a RECURSIVE CTE.
+
+    Scale shape: the distributed render/decode produces the sparse
+    raster (support-bounded); the pointer+walk finalize runs on that
+    bounded table driver-side (at a planetary lattice swap in the
+    pointer-jumping label propagation of cluster.connected_components
+    — same exchange shape, documented).  Output: (gx, gy, n_points,
+    to_gx, to_gy, is_sink, n_upstream).
+    """
+    v = raster_to_vector(sf_dir, z=z, tile_px=tile_px)
+
+    def collapse(t: pa.Table) -> pa.Table:
+        gx = t["x"].to_numpy().astype(np.int64) * tile_px + t["px"].to_numpy().astype(np.int64)
+        gy = t["y"].to_numpy().astype(np.int64) * tile_px + t["py"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "gx": pa.array(gx, type=pa.int64()),
+                "gy": pa.array(gy, type=pa.int64()),
+                "n_points": t["n_points"],
+            }
+        )
+
+    tbl = v.map_batches(collapse, batch_format="pyarrow").to_pandas()
+    gx = tbl["gx"].to_numpy().astype(np.int64)
+    gy = tbl["gy"].to_numpy().astype(np.int64)
+    n = tbl["n_points"].to_numpy().astype(np.int64)
+    # key by a wide stride so (gx, gy) packs collision-free
+    stride = np.int64(1 << 22)
+    key = gx * stride + gy
+    order = np.argsort(key)
+    gx, gy, n, key = gx[order], gy[order], n[order], key[order]
+    pos = {int(k): i for i, k in enumerate(key)}
+
+    m = len(gx)
+    to = np.arange(m, dtype=np.int64)  # default: self (sink)
+    best = np.full(m, -1, dtype=np.int64)  # best score so far
+    for dir_i, dx, dy, wt in D8_DIRS:
+        nk = (gx + dx) * stride + (gy + dy)
+        idx = np.array([pos.get(int(k2), -1) for k2 in nk], dtype=np.int64)
+        ok = idx >= 0
+        drop = np.where(ok, n - n[np.where(ok, idx, 0)], 0)
+        score = drop * wt
+        better = ok & (drop > 0) & (score > best)  # strict '>': earlier dir wins ties
+        to = np.where(better, idx, to)
+        best = np.where(better, score, best)
+
+    is_sink = (to == np.arange(m)).astype(np.int64)
+    acc = np.zeros(m, dtype=np.int64)
+    for start in range(m):
+        c = start
+        while True:
+            acc[c] += 1
+            if to[c] == c:
+                break
+            c = int(to[c])
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "gx": pa.array(gx, type=pa.int64()),
+                "gy": pa.array(gy, type=pa.int64()),
+                "n_points": pa.array(n, type=pa.int64()),
+                "to_gx": pa.array(gx[to], type=pa.int64()),
+                "to_gy": pa.array(gy[to], type=pa.int64()),
+                "is_sink": pa.array(is_sink, type=pa.int64()),
+                "n_upstream": pa.array(acc, type=pa.int64()),
+            }
+        )
+    )

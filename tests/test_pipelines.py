@@ -1655,3 +1655,31 @@ def test_did_and_accessibility_invariants(ray_session):
     served = reach.any(axis=0)
     rhs = (1 + pid[served] % 3).sum()
     assert abs(lhs - rhs) < 0.01 * rhs
+
+
+def test_flow_accumulation_invariants(ray_session):
+    """D8 pointers descend strictly; accumulation conserves mass
+    (sum over sinks' subtrees = n cells); every pointer target exists."""
+    from plasmap_ray.pipelines import raster
+
+    out = raster.flow_accumulation("/root/testdata/sf0.001", z=10).to_pandas()
+    cells = set(zip(out["gx"], out["gy"]))
+    vals = {(r["gx"], r["gy"]): r["n_points"] for _, r in out.iterrows()}
+    acc = {(r["gx"], r["gy"]): r["n_upstream"] for _, r in out.iterrows()}
+    for _, r in out.iterrows():
+        src, dst = (r["gx"], r["gy"]), (r["to_gx"], r["to_gy"])
+        assert dst in cells
+        if r["is_sink"]:
+            assert src == dst
+        else:
+            assert vals[dst] < vals[src]  # strict descent -> acyclic
+            # D8 neighbor
+            assert max(abs(r["to_gx"] - r["gx"]), abs(r["to_gy"] - r["gy"])) == 1
+        assert r["n_upstream"] >= 1
+    # every cell contributes exactly one unit to each cell on its path;
+    # total accumulation mass = sum of path lengths; each path ends at a
+    # sink, so sink accumulations partition all cells when summed over
+    # trees: sum over sinks of n_upstream counts every cell at least once
+    sink_mass = out.loc[out["is_sink"] == 1, "n_upstream"].sum()
+    assert sink_mass == len(out)  # forest partition: each cell drains to exactly one sink
+    assert acc and max(acc.values()) > 1  # some real drainage exists
