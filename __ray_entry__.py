@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frechet_conformance": trajectory.frechet_conformance,
         "radius_of_gyration": trajectory.radius_of_gyration,
         "cell_transition_matrix": trajectory.cell_transition_matrix,
+        "zone_modularity": trajectory.zone_modularity,
         "cotravel_pairs": trajectory.cotravel_pairs,
         "path_crossings": trajectory.path_crossings,
         "home_cells": trajectory.home_cells,
@@ -2789,6 +2790,44 @@ x AS (SELECT a.user_id AS ua, b.user_id AS ub
             * ((a.x2 - b.x1) * (b.y2 - b.y1) - (a.y2 - b.y1) * (b.x2 - b.x1)) < 0)
 SELECT least(ua, ub) AS user_a, greatest(ua, ub) AS user_b, count(*) AS n_crossings
 FROM x GROUP BY 1, 2""",
+        "zone_modularity": f"""
+WITH {_epts},
+sc AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id,
+         CAST(floor((lon - {fixtures.LON_MIN!r}) / {trajectory.MODULARITY_PITCH!r}) AS BIGINT) AS cx,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) / {trajectory.MODULARITY_PITCH!r}) AS BIGINT) AS cy
+  FROM epts),
+st AS (
+  SELECT cx, cy,
+         lag(cx) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS px,
+         lag(cy) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS py
+  FROM sc),
+tr AS (SELECT px AS fx, py AS fy, cx AS tx, cy AS ty, CAST(count(*) AS BIGINT) AS n
+       FROM st WHERE px IS NOT NULL GROUP BY 1, 2, 3, 4),
+cells AS (SELECT fx AS cx, fy AS cy FROM tr UNION SELECT tx, ty FROM tr),
+zc AS (
+  SELECT c.cx, c.cy, coalesce(max(b.rel_id), -1) AS zid
+  FROM cells c LEFT JOIN {oracle.sql_admin_rects_values(admin_level=8)}
+    ON {fixtures.LON_MIN!r} + (c.cx + 0.5) * {trajectory.MODULARITY_PITCH!r} >= b.lon_min
+   AND {fixtures.LON_MIN!r} + (c.cx + 0.5) * {trajectory.MODULARITY_PITCH!r} < b.lon_max
+   AND {fixtures.LAT_MIN!r} + (c.cy + 0.5) * {trajectory.MODULARITY_PITCH!r} >= b.lat_min
+   AND {fixtures.LAT_MIN!r} + (c.cy + 0.5) * {trajectory.MODULARITY_PITCH!r} < b.lat_max
+  GROUP BY 1, 2),
+e AS (SELECT a.zid AS zf, bb.zid AS zt, tr.n
+      FROM tr JOIN zc a ON a.cx = tr.fx AND a.cy = tr.fy
+              JOIN zc bb ON bb.cx = tr.tx AND bb.cy = tr.ty),
+m AS (SELECT CAST(sum(n) AS DOUBLE) AS mt FROM e),
+z AS (SELECT zid FROM zc GROUP BY 1),
+per AS (
+  SELECT z.zid,
+         CAST(coalesce(sum(CASE WHEN e.zf = z.zid AND e.zt = z.zid THEN e.n END), 0) AS BIGINT) AS n_within,
+         CAST(coalesce(sum(CASE WHEN e.zf = z.zid THEN e.n END), 0) AS BIGINT) AS w_out,
+         CAST(coalesce(sum(CASE WHEN e.zt = z.zid THEN e.n END), 0) AS BIGINT) AS w_in
+  FROM z CROSS JOIN e GROUP BY 1)
+SELECT zid AS rel_id, n_within, w_out, w_in,
+       round(CAST(n_within AS DOUBLE) / m.mt
+             - (CAST(w_out AS DOUBLE) / m.mt) * (CAST(w_in AS DOUBLE) / m.mt), 6) AS q_term
+FROM per CROSS JOIN m""",
         "cell_transition_matrix": f"""
 WITH {_epts},
 sc AS (

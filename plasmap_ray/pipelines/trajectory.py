@@ -1993,3 +1993,73 @@ def gravity_decay_fit(sf_dir: str, pitch: float = TRANS_PITCH) -> rd.Dataset:
             }
         )
     )
+
+
+MODULARITY_PITCH = 0.1  # fine lattice so districts resolve
+
+
+def zone_modularity(sf_dir: str, pitch: float = MODULARITY_PITCH) -> rd.Dataset:
+    """Directed weighted modularity of the admin-DISTRICT partition
+    over the mobility transition graph: for each district c (cell
+    centers assigned by containment; -1 = outside any district),
+
+        q_c = e_c/m − (out_c/m)·(in_c/m)
+
+    where e_c = step weight staying inside c, out_c/in_c = total
+    from/to weight, m = total steps.  Σ q_c is Newman's Q — positive
+    when mobility respects district borders, ~0 when borders are
+    administrative fiction (the graph-theoretic version of
+    dwell_in_zone's occupancy view).
+
+    Exactness: the transition matrix and all marginals are exact int64
+    through the run-scan reduce; zone assignment is rect containment
+    of exact cell centers; q_c is one mirrored float expression.
+
+    Scale shape: reuses cell_transition_matrix's coarse-partition
+    run-scan (exchange = distinct transitions, lattice²-bounded);
+    the zone fold runs on that bounded table driver-side (swap in a
+    keyed groupby at a planetary lattice — same shape).  Output:
+    (rel_id, n_within, w_out, w_in, q_term).
+    """
+    from ..stages.common import duckdb_round
+
+    tr = cell_transition_matrix(sf_dir, pitch=pitch).to_pandas()
+    fx = tr["fx"].to_numpy().astype(np.int64)
+    fy = tr["fy"].to_numpy().astype(np.int64)
+    tx = tr["tx"].to_numpy().astype(np.int64)
+    ty = tr["ty"].to_numpy().astype(np.int64)
+    n = tr["n_steps"].to_numpy().astype(np.int64)
+
+    rects = [r for r in fixtures.admin_rects() if r["admin_level"] == 8]
+
+    def zone_of(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+        lon = fixtures.LON_MIN + (cx.astype(np.float64) + 0.5) * pitch
+        lat = fixtures.LAT_MIN + (cy.astype(np.float64) + 0.5) * pitch
+        z = np.full(len(cx), -1, dtype=np.int64)
+        for r in rects:
+            m = (lon >= r["lon_min"]) & (lon < r["lon_max"]) & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+            z[m] = r["rel_id"]
+        return z
+
+    zf = zone_of(fx, fy)
+    zt = zone_of(tx, ty)
+    m_tot = float(n.sum())
+    zones = np.unique(np.concatenate([zf, zt]))
+    rows = []
+    for z in zones:
+        within = int(n[(zf == z) & (zt == z)].sum())
+        out_w = int(n[zf == z].sum())
+        in_w = int(n[zt == z].sum())
+        q = within / m_tot - (out_w / m_tot) * (in_w / m_tot)
+        rows.append((int(z), within, out_w, in_w, q))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "rel_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "n_within": pa.array([r[1] for r in rows], type=pa.int64()),
+                "w_out": pa.array([r[2] for r in rows], type=pa.int64()),
+                "w_in": pa.array([r[3] for r in rows], type=pa.int64()),
+                "q_term": pa.array(duckdb_round(np.array([r[4] for r in rows]), 6), type=pa.float64()),
+            }
+        )
+    )

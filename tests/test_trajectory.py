@@ -644,3 +644,41 @@ def test_gravity_decay_fit_bruteforce(ray_session):
     assert abs(got["beta"] - beta) < 1e-5
     assert abs(got["intercept"] - inter) < 1e-5
     assert abs(got["r2"] - r * r) < 1e-5
+
+
+def test_zone_modularity_invariants(ray_session):
+    """Marginals are consistent and Q matches a direct recompute from
+    the transition matrix."""
+    import numpy as np
+
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import trajectory
+
+    sf = "/root/testdata/sf0.001"
+    out = trajectory.zone_modularity(sf).to_pandas()
+    tr = trajectory.cell_transition_matrix(sf, pitch=trajectory.MODULARITY_PITCH).to_pandas()
+    m = tr["n_steps"].sum()
+    # marginal conservation: out-weights and in-weights both sum to m
+    assert out["w_out"].sum() == m and out["w_in"].sum() == m
+    assert (out["n_within"] <= out[["w_out", "w_in"]].min(axis=1)).all()
+    # Q via an independent dense recompute
+    rects = [r for r in fixtures.admin_rects() if r["admin_level"] == 8]
+
+    def zone(cx, cy):
+        lon = fixtures.LON_MIN + (cx + 0.5) * trajectory.MODULARITY_PITCH
+        lat = fixtures.LAT_MIN + (cy + 0.5) * trajectory.MODULARITY_PITCH
+        for r in reversed(rects):
+            if r["lon_min"] <= lon < r["lon_max"] and r["lat_min"] <= lat < r["lat_max"]:
+                return r["rel_id"]
+        return -1
+
+    q_ref = 0.0
+    zf = tr.apply(lambda r: zone(r["fx"], r["fy"]), axis=1)
+    zt = tr.apply(lambda r: zone(r["tx"], r["ty"]), axis=1)
+    for z in set(zf) | set(zt):
+        e = tr.loc[(zf == z) & (zt == z), "n_steps"].sum() / m
+        a_o = tr.loc[zf == z, "n_steps"].sum() / m
+        a_i = tr.loc[zt == z, "n_steps"].sum() / m
+        q_ref += e - a_o * a_i
+    assert abs(out["q_term"].sum() - q_ref) < 1e-4
+    assert len(out) > 3  # several districts observed
