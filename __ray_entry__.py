@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_filtered_topk": lambda sf: ann.ann_filtered_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
         "pq_encode": ann.pq_encode,
         "embedding_top_pairs": lambda sf: ann.embedding_top_pairs(sf, k=EMB_TOP_PAIRS),
+        "knn_graph_reciprocity": ann.knn_graph_reciprocity,
         "embedding_near_dup": lambda sf: ann.embedding_near_dup(sf, threshold=EMB_NEARDUP_T),
         "embedding_near_dup_lsh": lambda sf: ann.embedding_near_dup_lsh(sf, threshold=EMB_NEARDUP_T),
         # --- image payload ---
@@ -1675,6 +1676,24 @@ scored AS (
   FROM embeddings e, q WHERE e.vec_id != {ANN_QUERY_ID} AND e.label = q.ql)
 SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS sim_rank, vec_id, label
 FROM scored ORDER BY sim DESC, vec_id LIMIT {ANN_K}""",
+        "knn_graph_reciprocity": f"""
+WITH s AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, a.label,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+r AS (SELECT src, dst, label,
+             row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
+      FROM s),
+e AS (SELECT src, dst, label FROM r WHERE rk <= {ann.KNN_GRAPH_K}),
+rec AS (SELECT e.src, e.label,
+               CASE WHEN e2.src IS NOT NULL THEN 1 ELSE 0 END AS recip
+        FROM e LEFT JOIN e e2 ON e2.src = e.dst AND e2.dst = e.src)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(recip) AS BIGINT) AS n_reciprocal,
+       round(CAST(sum(recip) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS reciprocity
+FROM rec GROUP BY 1""",
         "embedding_top_pairs": f"""
 WITH scored AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_cosine_similarity(a.embedding, b.embedding) AS sim

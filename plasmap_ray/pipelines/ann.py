@@ -1939,3 +1939,93 @@ def ivfpq_topk(
 
     scored = cands.map_batches(exact, batch_format="pyarrow")
     return ranked_head(scored, ["sim", "vec_id"], "sim_rank", k)
+
+
+KNN_GRAPH_K = 5
+
+
+def knn_graph_reciprocity(sf_dir: str, k: int = KNN_GRAPH_K) -> rd.Dataset:
+    """k-NN-graph reciprocity per label: build the exact cosine k-NN
+    digraph over the embedding table and report, per class label, the
+    fraction of edges whose reverse edge also exists — the standard
+    hubness/asymmetry diagnostic run before trusting a kNN graph for
+    graph-based semi-supervised labeling or diffusion dedup (low
+    reciprocity = hub-dominated space).
+
+    Determinism: neighbor ranking uses UNROUNDED sims with vec_id
+    tie-break (the embedding_top_pairs contract — identical planted
+    duplicates tie-break identically in both engines).
+
+    Scale shape: per-batch GEMM against the BROADCAST matrix (tiny
+    here; at 10⁹ vectors swap the candidate generation to the
+    hyperplane-LSH band shuffle of embedding_near_dup_lsh and keep
+    this exact ranking per candidate set — same output contract on
+    the candidates).  The edge table is n×k-bounded; the reciprocity
+    fold is one self-join on it.  Output: (label, n_nodes, n_edges,
+    n_reciprocal, reciprocity).
+    """
+    import pyarrow.parquet as _pq
+
+    from ..stages.common import duckdb_round
+
+    full = _pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding", "label"])
+    ids_all = full["vec_id"].to_numpy().astype(np.int64)
+    labels_all = full["label"].to_numpy().astype(np.int64)
+    mat = _emb_matrix(full)
+    norms = np.linalg.norm(mat, axis=1)
+    mat_ref = ray.put((ids_all, mat / np.where(norms == 0, 1.0, norms)[:, None]))
+
+    ds = _read_emb(sf_dir)
+
+    class TopK:
+        def __init__(self):
+            self.ids, self.m = ray.get(mat_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            q = _emb_matrix(batch)
+            qn = np.linalg.norm(q, axis=1)
+            q = q / np.where(qn == 0, 1.0, qn)[:, None]
+            sims = q @ self.m.T
+            src = batch["vec_id"].to_numpy().astype(np.int64)
+            srcs, dsts = [], []
+            for i in range(len(src)):
+                s = sims[i]
+                # exclude self, rank by (-sim, vec_id)
+                order = np.lexsort((self.ids, -s))
+                order = order[self.ids[order] != src[i]][:k]
+                srcs.append(np.full(len(order), src[i], dtype=np.int64))
+                dsts.append(self.ids[order])
+            return pa.table(
+                {
+                    "src": pa.array(np.concatenate(srcs), type=pa.int64()),
+                    "dst": pa.array(np.concatenate(dsts), type=pa.int64()),
+                }
+            )
+
+    edges = ds.map_batches(TopK, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)).to_pandas()
+    eset = set(zip(edges["src"], edges["dst"]))
+    lab = dict(zip(ids_all.tolist(), labels_all.tolist()))
+    rows: dict[int, list[int]] = {}
+    for s, d in eset:
+        r = rows.setdefault(lab[s], [0, 0])
+        r[0] += 1
+        r[1] += 1 if (d, s) in eset else 0
+    n_nodes = {}
+    for s in edges["src"].unique():
+        n_nodes[lab[int(s)]] = n_nodes.get(lab[int(s)], 0) + 1
+    labs = sorted(rows)
+    ne = np.array([rows[l][0] for l in labs], dtype=np.int64)
+    nr = np.array([rows[l][1] for l in labs], dtype=np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "label": pa.array(labs, type=pa.int64()),
+                "n_nodes": pa.array([n_nodes[l] for l in labs], type=pa.int64()),
+                "n_edges": pa.array(ne, type=pa.int64()),
+                "n_reciprocal": pa.array(nr, type=pa.int64()),
+                "reciprocity": pa.array(
+                    duckdb_round(nr.astype(np.float64) / ne.astype(np.float64), 6), type=pa.float64()
+                ),
+            }
+        )
+    )

@@ -618,3 +618,38 @@ def test_set_similarity_prefix_is_shorter_than_set(ray_session):
         assert 1 <= p <= n
         if n >= 3:
             assert p < n  # real pruning
+
+
+def test_knn_graph_reciprocity_bruteforce(ray_session):
+    """Edges and reciprocal counts equal a dense numpy recompute."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import ann
+
+    sf = "/root/testdata/sf0.001"
+    out = ann.knn_graph_reciprocity(sf).to_pandas().set_index("label")
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    lab = t["label"].to_numpy().astype(np.int64)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    k = ann.KNN_GRAPH_K
+    eset = set()
+    for i in range(len(ids)):
+        order = np.lexsort((ids, -sims[i]))
+        order = order[ids[order] != ids[i]][:k]
+        for j in order:
+            eset.add((ids[i], ids[j]))
+    per = {}
+    for s, d in eset:
+        li = lab[np.searchsorted(ids, s)] if ids[np.searchsorted(ids, s)] == s else None
+        row = per.setdefault(int(li), [0, 0])
+        row[0] += 1
+        row[1] += (d, s) in eset
+    for l, (ne, nr) in per.items():
+        assert out.loc[l, "n_edges"] == ne
+        assert out.loc[l, "n_reciprocal"] == nr
+    assert out["n_edges"].sum() == len(eset)
+    assert (out["reciprocity"] <= 1.0).all() and (out["reciprocity"] > 0.0).all()
