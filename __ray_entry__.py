@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_near_dup_pairs": images.phash_near_dup_pairs,
         # --- audio / video payloads (real WAV decode; raw frame sampling) ---
         "audio_features": multimodal.audio_features,
+        "audio_clipping": multimodal.audio_clipping,
         "cell_modality_mix": multimodal.cell_modality_mix,
         "video_frame_stats": multimodal.video_frame_stats,
         # --- trajectory / movement analytics ---
@@ -2086,6 +2087,9 @@ WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= {dedup.JW_THRESHOLD!r}""",
         ),
         "video_frame_stats": (
             "SELECT * FROM read_parquet('" + golden.video_frame_stats_path(multimodal.video_path_for(SF001)) + "')"
+        ),
+        "audio_clipping": (
+            "SELECT * FROM read_parquet('" + golden.audio_clipping_path(multimodal.audio_path_for(SF001)) + "')"
         ),
         "audio_pitch_histogram": (
             "SELECT * FROM read_parquet('"

@@ -3023,3 +3023,60 @@ def lz78_complexity_path(sf_dir: str) -> str:
         )
 
     return _cache(f"lz78_{_sf_tag(sf_dir)}", build)
+
+
+def audio_clipping_path(audio_parquet: str) -> str:
+    """Expected clipping census: independent recompute — run count via
+    a Python state-machine scan here vs the engine's vectorized
+    transition/gap-diff expressions; a boundary bug in either breaks
+    the match."""
+
+    def build() -> pa.Table:
+        from .stages.common import duckdb_round
+        from .stages.media import AudioClipping, decode_wav_pcm16
+
+        T = AudioClipping.CLIP_T
+        t = pq.read_table(audio_parquet, columns=["media_id", "bytes", "fmt"])
+        rows = {"media_id": [], "fmt": [], "ok": [], "n_samples": [], "n_clipped": [], "n_clip_runs": [], "max_clip_run": []}
+        for i in range(t.num_rows):
+            fmt = t["fmt"][i].as_py()
+            mid = t["media_id"][i].as_py()
+            rows["media_id"].append(mid)
+            rows["fmt"].append(fmt)
+            if fmt != "wav-pcm16":
+                rows["ok"].append(False)
+                for k in ("n_samples", "n_clipped", "n_clip_runs", "max_clip_run"):
+                    rows[k].append(0)
+                continue
+            _, s16 = decode_wav_pcm16(t["bytes"][i].as_py())
+            n_clip = runs = cur = best = 0
+            for v in s16.tolist():
+                if v >= T or v <= -T:
+                    n_clip += 1
+                    cur += 1
+                    if cur == 1:
+                        runs += 1
+                    best = max(best, cur)
+                else:
+                    cur = 0
+            rows["ok"].append(True)
+            rows["n_samples"].append(len(s16))
+            rows["n_clipped"].append(n_clip)
+            rows["n_clip_runs"].append(runs)
+            rows["max_clip_run"].append(best)
+        nc = np.asarray(rows["n_clipped"], dtype=np.float64)
+        ns = np.maximum(np.asarray(rows["n_samples"], dtype=np.float64), 1.0)
+        return pa.table(
+            {
+                "media_id": pa.array(rows["media_id"], type=pa.string()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "ok": pa.array(rows["ok"]),
+                "n_samples": pa.array(rows["n_samples"], type=pa.int64()),
+                "n_clipped": pa.array(rows["n_clipped"], type=pa.int64()),
+                "n_clip_runs": pa.array(rows["n_clip_runs"], type=pa.int64()),
+                "max_clip_run": pa.array(rows["max_clip_run"], type=pa.int64()),
+                "clip_frac": pa.array(duckdb_round(nc / ns, 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"audio_clip_{os.path.basename(audio_parquet).rsplit('.', 1)[0]}", build)

@@ -191,3 +191,28 @@ def audio_pitch_histogram(sf_dir: str, band_hz: int = PITCH_BAND_HZ) -> rd.Datas
         .aggregate(Count(alias_name="n_clips"))
         .sort(["pitch_band_hz", "sample_rate"])
     )
+
+
+def audio_clipping(sf_dir: str) -> rd.Dataset:
+    """Per-clip clipping audit (stages.media.AudioClipping): count of
+    full-scale samples, clipped-run census and the longest run — run
+    beside audio_features' rms/zcr screen before an audio corpus
+    trains anything (reference analogue: the ST5/M9 media gate layer).
+
+    Scale shape: map-ONLY — decode fused with the census in the actor
+    pool, payloads consumed in-stage, four int64s + metadata per clip
+    leave the task.  Oracle: golden driver recompute with independent
+    run-finding (transition scan there vs gap-diff here).
+
+    Output: (media_id, fmt, ok, n_samples, n_clipped, n_clip_runs,
+    max_clip_run, clip_frac).
+    """
+    ds = rd.read_parquet(audio_path_for(sf_dir))
+    scored = ds.map_batches(media.AudioClipping, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = np.maximum(t["n_samples"].to_numpy().astype(np.float64), 1.0)
+        frac = duckdb_round(t["n_clipped"].to_numpy().astype(np.float64) / n, 6)
+        return t.append_column("clip_frac", pa.array(frac, type=pa.float64()))
+
+    return scored.map_batches(finish, batch_format="pyarrow")

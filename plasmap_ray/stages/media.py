@@ -362,3 +362,65 @@ class EdgeDensity:
                 "n_strong": pa.array(n_strong, type=pa.int64()),
             }
         )
+
+
+class AudioClipping:
+    """Actor-pool stage: per-clip clipping census over PCM16 samples —
+    the recording-quality screen (clipped / near-clipped audio
+    corrupts both training targets and spectral features).  A sample
+    counts as hot when |s| ≥ CLIP_T; runs are maximal consecutive hot
+    stretches.  The threshold sits just under the synthetic corpus's
+    peak band (≈ 0.84 full scale) so the census exercises real run
+    structure; on a true recording set it to 32760 (full-scale minus
+    8 LSB).  All-integer -> bit-identical on any worker.
+
+    Only 'wav-pcm16' decodes here; other fmts flag ok=False (the
+    fake-pcm synthetic path never clips by construction and is
+    excluded the same way the codec stubs are).
+    """
+
+    CLIP_T = 27500  # near-full-scale threshold (see docstring)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        n_samp = np.zeros(n, dtype=np.int64)
+        n_clip = np.zeros(n, dtype=np.int64)
+        n_runs = np.zeros(n, dtype=np.int64)
+        max_run = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            if fmts[i] != "wav-pcm16":
+                continue
+            try:
+                _, s16 = decode_wav_pcm16(payloads[i])
+                flag = np.abs(s16.astype(np.int64)) >= self.CLIP_T
+                n_samp[i] = len(s16)
+                n_clip[i] = int(flag.sum())
+                if flag.any():
+                    # run boundaries via transitions
+                    d = np.diff(flag.astype(np.int8))
+                    starts = int((d == 1).sum()) + int(flag[0])
+                    n_runs[i] = starts
+                    # longest run via cumulative reset trick
+                    idx = np.flatnonzero(~flag)
+                    if len(idx) == 0:
+                        max_run[i] = len(flag)
+                    else:
+                        gaps = np.diff(np.concatenate([[-1], idx, [len(flag)]])) - 1
+                        max_run[i] = int(gaps.max())
+                ok[i] = True
+            except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
+                pass
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "fmt": batch["fmt"],
+                "ok": pa.array(ok),
+                "n_samples": pa.array(n_samp, type=pa.int64()),
+                "n_clipped": pa.array(n_clip, type=pa.int64()),
+                "n_clip_runs": pa.array(n_runs, type=pa.int64()),
+                "max_clip_run": pa.array(max_run, type=pa.int64()),
+            }
+        )

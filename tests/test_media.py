@@ -492,3 +492,59 @@ def test_image_edge_density_matches_golden(ray_session):
     pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])
     # the synthetic corpus spans smoother and highly textured images
     assert got["edge_frac"].min() < 0.2 and got["edge_frac"].max() > 0.7
+
+
+def test_audio_clipping_known_signal(ray_session):
+    """Run census on a hand-built PCM16 WAV with known hot runs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from plasmap_ray.stages.media import AudioClipping, decode_wav_pcm16
+
+    # hand-build: [hot x3][quiet x2][hot x1][quiet x4] at T=27500
+    s = np.array([30000, -30000, 28000, 0, 100, -29000, 5, 5, 5, 5], dtype=np.int16)
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(s.tobytes())
+    payload = buf.getvalue()
+    sr, back = decode_wav_pcm16(payload)
+    assert (back == s).all()
+    batch = pa.table(
+        {
+            "media_id": pa.array(["clip1"]),
+            "fmt": pa.array(["wav-pcm16"]),
+            "bytes": pa.array([payload], type=pa.binary()),
+        }
+    )
+    out = AudioClipping()(batch)
+    assert out["ok"].to_pylist() == [True]
+    assert out["n_samples"].to_pylist() == [10]
+    assert out["n_clipped"].to_pylist() == [4]
+    assert out["n_clip_runs"].to_pylist() == [2]
+    assert out["max_clip_run"].to_pylist() == [3]
+
+
+def test_audio_clipping_matches_golden(ray_session):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import golden
+    from plasmap_ray.pipelines import multimodal
+
+    sf = "/root/testdata/sf0.001"
+    got = multimodal.audio_clipping(sf).to_pandas().sort_values("media_id").reset_index(drop=True)
+    exp = (
+        pq.read_table(golden.audio_clipping_path(multimodal.audio_path_for(sf)))
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])
+    assert got["n_clip_runs"].max() > 1  # real run structure exercised
