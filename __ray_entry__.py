@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_clipping": multimodal.audio_clipping,
         "cell_modality_mix": multimodal.cell_modality_mix,
         "video_frame_stats": multimodal.video_frame_stats,
+        "video_temporal_smoothness": multimodal.video_temporal_smoothness,
         # --- trajectory / movement analytics ---
         "trajectory_stats": trajectory.trajectory_stats,
         "trip_stats": trajectory.trip_stats,
@@ -2090,6 +2091,9 @@ WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= {dedup.JW_THRESHOLD!r}""",
         ),
         "audio_clipping": (
             "SELECT * FROM read_parquet('" + golden.audio_clipping_path(multimodal.audio_path_for(SF001)) + "')"
+        ),
+        "video_temporal_smoothness": (
+            "SELECT * FROM read_parquet('" + golden.video_smoothness_path(multimodal.video_path_for(SF001)) + "')"
         ),
         "audio_pitch_histogram": (
             "SELECT * FROM read_parquet('"

@@ -3080,3 +3080,66 @@ def audio_clipping_path(audio_parquet: str) -> str:
         )
 
     return _cache(f"audio_clip_{os.path.basename(audio_parquet).rsplit('.', 1)[0]}", build)
+
+
+def video_smoothness_path(video_parquet: str) -> str:
+    """Expected inter-frame SAD census: independent recompute — the
+    engine diffs a (n_frames, frame_bytes) int16 view in one vectorized
+    pass; this oracle walks frame PAIRS one at a time and sums |a−b|
+    per pair via int64 casts, so a stride/reshape/overflow bug in
+    either side breaks the match."""
+
+    def build() -> pa.Table:
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(video_parquet, columns=["media_id", "bytes", "w", "h", "n_frames", "fmt"])
+        cols: dict[str, list] = {
+            k: [] for k in ("media_id", "fmt", "ok", "frame_bytes", "n_pairs", "total_sad",
+                            "min_pair_sad", "max_pair_sad", "n_frozen_pairs")
+        }
+        for i in range(t.num_rows):
+            fmt = t["fmt"][i].as_py()
+            w = t["w"][i].as_py()
+            h = t["h"][i].as_py()
+            nf = t["n_frames"][i].as_py()
+            fb = w * h * 3
+            cols["media_id"].append(t["media_id"][i].as_py())
+            cols["fmt"].append(fmt)
+            cols["frame_bytes"].append(fb)
+            payload = t["bytes"][i].as_py()
+            if fmt != "fake-raw" or nf < 2 or len(payload) != fb * nf:
+                cols["ok"].append(False)
+                for k in ("n_pairs", "total_sad", "min_pair_sad", "max_pair_sad", "n_frozen_pairs"):
+                    cols[k].append(0)
+                continue
+            sads = []
+            for k in range(nf - 1):
+                a = np.frombuffer(payload[k * fb : (k + 1) * fb], dtype=np.uint8).astype(np.int64)
+                b = np.frombuffer(payload[(k + 1) * fb : (k + 2) * fb], dtype=np.uint8).astype(np.int64)
+                sads.append(int(np.abs(b - a).sum()))
+            cols["ok"].append(True)
+            cols["n_pairs"].append(len(sads))
+            cols["total_sad"].append(sum(sads))
+            cols["min_pair_sad"].append(min(sads))
+            cols["max_pair_sad"].append(max(sads))
+            cols["n_frozen_pairs"].append(sum(1 for s in sads if s == 0))
+        npairs = np.asarray(cols["n_pairs"], dtype=np.float64)
+        fbs = np.asarray(cols["frame_bytes"], dtype=np.float64)
+        tot = np.asarray(cols["total_sad"], dtype=np.float64)
+        mean = duckdb_round(tot / np.maximum(npairs * fbs, 1.0), 6)
+        return pa.table(
+            {
+                "media_id": pa.array(cols["media_id"], type=pa.string()),
+                "fmt": pa.array(cols["fmt"], type=pa.string()),
+                "ok": pa.array(cols["ok"]),
+                "frame_bytes": pa.array(cols["frame_bytes"], type=pa.int64()),
+                "n_pairs": pa.array(cols["n_pairs"], type=pa.int64()),
+                "total_sad": pa.array(cols["total_sad"], type=pa.int64()),
+                "min_pair_sad": pa.array(cols["min_pair_sad"], type=pa.int64()),
+                "max_pair_sad": pa.array(cols["max_pair_sad"], type=pa.int64()),
+                "n_frozen_pairs": pa.array(cols["n_frozen_pairs"], type=pa.int64()),
+                "mean_sad_per_byte": pa.array(mean, type=pa.float64()),
+            }
+        )
+
+    return _cache(f"video_sad_{os.path.basename(video_parquet).rsplit('.', 1)[0]}", build)

@@ -216,3 +216,32 @@ def audio_clipping(sf_dir: str) -> rd.Dataset:
         return t.append_column("clip_frac", pa.array(frac, type=pa.float64()))
 
     return scored.map_batches(finish, batch_format="pyarrow")
+
+
+def video_temporal_smoothness(sf_dir: str) -> rd.Dataset:
+    """Per-clip inter-frame SAD census (stages.media
+    .VideoTemporalSmoothness): total/min/max consecutive-pair SAD and
+    the frozen-pair count — the stuck-encoder / splice screen a video
+    corpus runs before frame-sampling anything (reference analogue:
+    the ST5/M9 media gate layer beside audio_clipping).
+
+    Scale shape: map-ONLY — raw-frame decode fused with the SAD
+    reduction in the actor pool, payloads consumed in-stage, six
+    int64s + metadata per clip leave the task; no shuffle at all.
+    Oracle: golden driver recompute with an independent per-pair
+    Python loop (vs the engine's vectorized diff).
+
+    Output: (media_id, fmt, ok, frame_bytes, n_pairs, total_sad,
+    min_pair_sad, max_pair_sad, n_frozen_pairs, mean_sad_per_byte).
+    """
+    ds = rd.read_parquet(video_path_for(sf_dir))
+    scored = ds.map_batches(
+        media.VideoTemporalSmoothness, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        denom = np.maximum((t["n_pairs"].to_numpy() * t["frame_bytes"].to_numpy()).astype(np.float64), 1.0)
+        mean = duckdb_round(t["total_sad"].to_numpy().astype(np.float64) / denom, 6)
+        return t.append_column("mean_sad_per_byte", pa.array(mean, type=pa.float64()))
+
+    return scored.map_batches(finish, batch_format="pyarrow")

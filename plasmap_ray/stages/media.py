@@ -424,3 +424,64 @@ class AudioClipping:
                 "max_clip_run": pa.array(max_run, type=pa.int64()),
             }
         )
+
+
+class VideoTemporalSmoothness:
+    """Actor-pool stage: per-clip inter-frame SAD census — the
+    frozen/corrupt-clip screen of a video training pipeline (a clip
+    whose consecutive frames are identical, or whose SAD spikes, is a
+    stuck encoder or a splice; reference analogue: the ST5/M9 media
+    gate layer).
+
+    Per clip of n_frames raw RGB frames, over the n_frames-1
+    consecutive pairs: SAD(k) = Σ |frame[k+1] − frame[k]| (int64,
+    exact).  Emits total/min/max pair SAD and the count of zero-SAD
+    (frozen) pairs.  Kernel is a single vectorized |diff| over the
+    (n_frames, w·h·3) uint8 view — no per-pixel Python.
+
+    Payloads consumed in-stage; five int64s + metadata leave the task.
+    Non-raw fmts / short clips flag ok=False (M9 quarantine semantics).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        w = batch["w"].to_numpy()
+        h = batch["h"].to_numpy()
+        nf = batch["n_frames"].to_numpy()
+        n_pairs = np.zeros(n, dtype=np.int64)
+        total = np.zeros(n, dtype=np.int64)
+        mn = np.zeros(n, dtype=np.int64)
+        mx = np.zeros(n, dtype=np.int64)
+        frozen = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            if fmts[i] != "fake-raw" or int(nf[i]) < 2:
+                continue
+            fb = int(w[i]) * int(h[i]) * 3
+            arr = np.frombuffer(payloads[i], dtype=np.uint8)
+            if len(arr) != fb * int(nf[i]):
+                continue  # truncated payload → quarantine
+            frames = arr.reshape(int(nf[i]), fb).astype(np.int16)
+            sads = np.abs(np.diff(frames, axis=0)).sum(axis=1, dtype=np.int64)
+            n_pairs[i] = len(sads)
+            total[i] = int(sads.sum())
+            mn[i] = int(sads.min())
+            mx[i] = int(sads.max())
+            frozen[i] = int((sads == 0).sum())
+            ok[i] = True
+        fb_out = (w.astype(np.int64) * h.astype(np.int64) * 3).astype(np.int64)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "fmt": batch["fmt"],
+                "ok": pa.array(ok),
+                "frame_bytes": pa.array(fb_out, type=pa.int64()),
+                "n_pairs": pa.array(n_pairs, type=pa.int64()),
+                "total_sad": pa.array(total, type=pa.int64()),
+                "min_pair_sad": pa.array(mn, type=pa.int64()),
+                "max_pair_sad": pa.array(mx, type=pa.int64()),
+                "n_frozen_pairs": pa.array(frozen, type=pa.int64()),
+            }
+        )

@@ -548,3 +548,62 @@ def test_audio_clipping_matches_golden(ray_session):
     )
     pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])
     assert got["n_clip_runs"].max() > 1  # real run structure exercised
+
+
+def test_video_smoothness_known_clip(ray_session):
+    """Kernel on a hand-built 3-frame 2x1 clip with known SADs,
+    one fully frozen clip, and one truncated payload."""
+    import numpy as np
+    import pyarrow as pa
+
+    from plasmap_ray.stages.media import VideoTemporalSmoothness
+
+    # frame_bytes = 2*1*3 = 6; frames chosen so pair SADs are 6*1=6 and 6*255
+    f0 = bytes([0] * 6)
+    f1 = bytes([1] * 6)
+    f2 = bytes([255, 0, 255, 0, 255, 0])  # SAD vs f1: 254*3 + 1*3 = 765
+    moving = f0 + f1 + f2
+    frozen = f1 + f1 + f1
+    batch = pa.table(
+        {
+            "media_id": pa.array(["mov", "frz", "bad"]),
+            "fmt": pa.array(["fake-raw"] * 3),
+            "bytes": pa.array([moving, frozen, moving[:10]], type=pa.binary()),
+            "w": pa.array([2, 2, 2], type=pa.int32()),
+            "h": pa.array([1, 1, 1], type=pa.int32()),
+            "n_frames": pa.array([3, 3, 3], type=pa.int32()),
+        }
+    )
+    out = VideoTemporalSmoothness()(batch)
+    assert out["ok"].to_pylist() == [True, True, False]
+    assert out["n_pairs"].to_pylist() == [2, 2, 0]
+    assert out["total_sad"].to_pylist() == [6 + 765, 0, 0]
+    assert out["min_pair_sad"].to_pylist() == [6, 0, 0]
+    assert out["max_pair_sad"].to_pylist() == [765, 0, 0]
+    assert out["n_frozen_pairs"].to_pylist() == [0, 2, 0]
+
+
+def test_video_smoothness_matches_golden(ray_session):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import golden
+    from plasmap_ray.pipelines import multimodal
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        multimodal.video_temporal_smoothness(sf)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pq.read_table(golden.video_smoothness_path(multimodal.video_path_for(sf)))
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])
+    # the gradient fixture always moves between frames — no frozen pairs
+    assert got["ok"].all() and (got["n_frozen_pairs"] == 0).all()
+    assert (got["total_sad"] > 0).all()
