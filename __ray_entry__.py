@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kde_density": hotspot.kde_density,
         "cross_k": hotspot.cross_k,
         "nearest_neighbor": hotspot.nearest_neighbor,
+        "clark_evans": hotspot.clark_evans,
         "k_anonymity": privacy.k_anonymity,
         "l_diversity": privacy.l_diversity,
         "t_closeness": privacy.t_closeness,
@@ -3151,6 +3152,39 @@ f AS (
          row_number() OVER (PARTITION BY event_id ORDER BY dist_fp, nn_id) AS rn
   FROM pr WHERE d2 <= {hotspot.NN_RADIUS * hotspot.NN_RADIUS!r})
 SELECT event_id, nn_id, dist_fp FROM f WHERE rn = 1""",
+        "clark_evans": f"""
+WITH {_epts},
+pr AS (
+  SELECT a.event_id AS event_id, b.event_id AS nn_id,
+         {_fp_sql('(b.lon - a.lon)', '(b.lat - a.lat)')} AS dist_fp,
+         (b.lon - a.lon) * (b.lon - a.lon) + (b.lat - a.lat) * (b.lat - a.lat) AS d2
+  FROM epts a JOIN epts b
+  ON a.event_id <> b.event_id
+  AND b.lon >= a.lon - {hotspot.NN_RADIUS!r} AND b.lon <= a.lon + {hotspot.NN_RADIUS!r}
+  AND b.lat >= a.lat - {hotspot.NN_RADIUS!r} AND b.lat <= a.lat + {hotspot.NN_RADIUS!r}),
+f AS (
+  SELECT event_id, dist_fp,
+         row_number() OVER (PARTITION BY event_id ORDER BY dist_fp, nn_id) AS rn
+  FROM pr WHERE d2 <= {hotspot.NN_RADIUS * hotspot.NN_RADIUS!r}),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nn, CAST(sum(dist_fp) AS BIGINT) AS sum_fp
+       FROM f WHERE rn = 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM events)
+SELECT n_total AS n_points, n_nn AS n_with_nn,
+       round((CAST(sum_fp AS DOUBLE) / {trajectory.FP_SCALE!r})
+             / greatest(CAST(n_nn AS DOUBLE), 1.0), 6) AS mean_nn_dist,
+       round(0.5 / sqrt(CAST(n_total AS DOUBLE) / {fixtures.LON_SPAN * fixtures.LAT_SPAN!r}), 6)
+           AS expected_nn_dist,
+       round(((CAST(sum_fp AS DOUBLE) / {trajectory.FP_SCALE!r})
+              / greatest(CAST(n_nn AS DOUBLE), 1.0))
+             / (0.5 / sqrt(CAST(n_total AS DOUBLE) / {fixtures.LON_SPAN * fixtures.LAT_SPAN!r})), 6)
+           AS clark_evans_r,
+       round((((CAST(sum_fp AS DOUBLE) / {trajectory.FP_SCALE!r})
+               / greatest(CAST(n_nn AS DOUBLE), 1.0))
+              - 0.5 / sqrt(CAST(n_total AS DOUBLE) / {fixtures.LON_SPAN * fixtures.LAT_SPAN!r}))
+             / (0.26136 / sqrt(CAST(n_total AS DOUBLE)
+                               * (CAST(n_total AS DOUBLE) / {fixtures.LON_SPAN * fixtures.LAT_SPAN!r}))), 6)
+           AS z_score
+FROM nn CROSS JOIN tot""",
         "l_diversity": f"""
 WITH tl AS (
   SELECT CAST({oracle.sql_tile_x(oracle.sql_derive_lon('doc_id'), privacy.LDIV_Z)} AS BIGINT) AS x,

@@ -1236,6 +1236,89 @@ def nearest_neighbor(sf_dir: str, radius: float = NN_RADIUS, num_partitions: int
 
 
 # ---------------------------------------------------------------------------
+# clark_evans (nearest-neighbor dispersion test vs CSR)
+# ---------------------------------------------------------------------------
+
+
+def clark_evans(sf_dir: str, radius: float = NN_RADIUS) -> rd.Dataset:
+    """Clark–Evans nearest-neighbor test (Clark & Evans 1954): the
+    ratio R of the observed mean NN distance to the mean expected
+    under complete spatial randomness at the same density — R<1
+    clustered, R≈1 random, R>1 dispersed — plus the normal z-score.
+    The one-number dispersion summary run before any hotspot hunt
+    (reference analogue: J7's self-NN primitive, aggregated).
+
+    Semantics under the radius bound: the observed mean is taken over
+    events that HAVE a neighbor within ``radius`` (the same contract
+    as nearest_neighbor; at fixture densities that is every event),
+    while density λ = n_total/A uses ALL events over the fixed
+    planar extent A = LON_SPAN·LAT_SPAN.  Expected mean = 0.5/√λ;
+    SE = 0.26136/√(n_total·λ) (standard CSR constants).
+
+    Scale shape: the NN pipeline's per-event best rows and a pruned
+    events scan both collapse to single-key integer partials (count,
+    Σdist_fp) — ONE tiny union + groupby-sum; only three int64s reach
+    the finish step.  Output one row: (n_points, n_with_nn,
+    mean_nn_dist, expected_nn_dist, clark_evans_r, z_score).
+    """
+    from .trajectory import FP_SCALE
+
+    nn = nearest_neighbor(sf_dir, radius=radius)
+
+    def nn_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "n_total": pa.array([0], type=pa.int64()),
+                "n_nn": pa.array([t.num_rows], type=pa.int64()),
+                "sum_fp": pa.array([int(t["dist_fp"].to_numpy().sum())], type=pa.int64()),
+            }
+        )
+
+    def ev_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "n_total": pa.array([t.num_rows], type=pa.int64()),
+                "n_nn": pa.array([0], type=pa.int64()),
+                "sum_fp": pa.array([0], type=pa.int64()),
+            }
+        )
+
+    ev = _read_events(sf_dir, ["event_id"]).map_batches(ev_partial, batch_format="pyarrow")
+    parts = nn.map_batches(nn_partial, batch_format="pyarrow").union(ev)
+    agg = parts.groupby("k").aggregate(
+        Sum("n_total", alias_name="n_total"),
+        Sum("n_nn", alias_name="n_nn"),
+        Sum("sum_fp", alias_name="sum_fp"),
+    )
+
+    area = fixtures.LON_SPAN * fixtures.LAT_SPAN
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_total = t["n_total"].to_numpy().astype(np.float64)
+        n_nn = np.maximum(t["n_nn"].to_numpy().astype(np.float64), 1.0)
+        mean_nn = (t["sum_fp"].to_numpy().astype(np.float64) / FP_SCALE) / n_nn
+        lam = n_total / area
+        expected = 0.5 / np.sqrt(lam)
+        r = mean_nn / expected
+        se = 0.26136 / np.sqrt(n_total * lam)
+        z = (mean_nn - expected) / se
+        return pa.table(
+            {
+                "n_points": t["n_total"].cast(pa.int64()),
+                "n_with_nn": t["n_nn"].cast(pa.int64()),
+                "mean_nn_dist": pa.array(duckdb_round(mean_nn, 6), type=pa.float64()),
+                "expected_nn_dist": pa.array(duckdb_round(expected, 6), type=pa.float64()),
+                "clark_evans_r": pa.array(duckdb_round(r, 6), type=pa.float64()),
+                "z_score": pa.array(duckdb_round(z, 6), type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # burst_cells (temporal anomaly detection per lattice cell)
 # ---------------------------------------------------------------------------
 

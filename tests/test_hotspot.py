@@ -995,3 +995,35 @@ def test_emerging_hotspots_bruteforce(ray_session, event_ids):
         "intensifying_hot", "diminishing_hot", "persistent_hot",
         "sporadic_hot", "historical_hot", "none",
     }
+
+
+def test_clark_evans_matches_bruteforce(ray_session, event_ids):
+    from plasmap_ray.pipelines.trajectory import FP_SCALE
+
+    lon, lat = fixtures.derive_lon(event_ids), fixtures.derive_lat(event_ids)
+    d2 = (lon[:, None] - lon) ** 2 + (lat[:, None] - lat) ** 2
+    np.fill_diagonal(d2, np.inf)
+    r2 = hotspot.NN_RADIUS * hotspot.NN_RADIUS
+    nn_fp = []
+    for i in range(len(event_ids)):
+        best = d2[i].min()
+        if best <= r2:
+            nn_fp.append(int(np.floor(np.sqrt(best) * FP_SCALE + 0.5)))
+    n_total = float(len(event_ids))
+    mean_nn = (sum(nn_fp) / FP_SCALE) / max(len(nn_fp), 1)
+    area = fixtures.LON_SPAN * fixtures.LAT_SPAN
+    lam = n_total / area
+    expected = 0.5 / np.sqrt(lam)
+
+    out = hotspot.clark_evans(SF).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row.n_points == len(event_ids)
+    assert row.n_with_nn == len(nn_fp)
+    assert abs(row.mean_nn_dist - mean_nn) < 1e-6
+    assert abs(row.expected_nn_dist - expected) < 1e-6
+    assert abs(row.clark_evans_r - mean_nn / expected) < 1e-5
+    # the fixture plants hotspot clusters (fixtures.py hot-rect squeeze), so
+    # the field must read CLUSTERED: R well below 1 with a large-negative z
+    assert 0.0 < row.clark_evans_r < 1.0
+    assert row.z_score < -2.0
