@@ -459,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_augment": images.image_augment,
         "image_blur_scores": images.image_blur_scores,
         "image_entropy": images.image_entropy,
+        "image_channel_correlation": images.image_channel_correlation,
         "image_edge_density": images.image_edge_density,
         "caption_conflict_dups": images.caption_conflict_dups,
         "caption_geo_alignment": images.caption_geo_alignment,
@@ -1914,6 +1915,7 @@ FROM {img_pq} GROUP BY fmt ORDER BY fmt""",
         "image_augment": f"SELECT * FROM read_parquet('{golden.image_augment_path(images.images_path_for(SF001))}')",
         "image_blur_scores": f"SELECT * FROM read_parquet('{golden.image_blur_scores_path(images.images_path_for(SF001))}')",
         "image_entropy": f"SELECT * FROM read_parquet('{golden.image_entropy_path(images.images_path_for(SF001))}')",
+        "image_channel_correlation": f"SELECT * FROM read_parquet('{golden.image_channel_corr_path(images.images_path_for(SF001))}')",
         "image_edge_density": f"SELECT * FROM read_parquet('{golden.image_edge_density_path(images.images_path_for(SF001))}')",
         "caption_conflict_dups": f"""
 SELECT caption, CAST(count(*) AS BIGINT) AS n_images,

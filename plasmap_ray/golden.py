@@ -2889,6 +2889,70 @@ def image_entropy_path(images_parquet: str) -> str:
     return _cache(f"image_entropy_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
 
 
+def image_channel_corr_path(images_parquet: str) -> str:
+    """Expected per-image channel correlations: independent moment
+    computation — flattened-channel Python-int dot products here vs
+    the engine's 2-D int64 array sums — sharing only the DEFINITION
+    (the num/sqrt(va·vb) float expression over exact integer moments
+    and the Σ(a−b)²==0 grayscale test), so an axis/overflow bug on
+    either side breaks the match bit-for-bit."""
+
+    def build() -> pa.Table:
+        from . import codecs
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(images_parquet, columns=["image_id", "bytes", "w", "h", "fmt"])
+        rows: dict[str, list] = {k: [] for k in ("image_id", "fmt", "ok", "n_px")}
+        moms: list[dict[str, int]] = []
+        for i in range(t.num_rows):
+            px = codecs.decode_image(
+                t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(), t["fmt"][i].as_py()
+            )
+            r = px[:, :, 0].ravel().astype(object)  # Python-int arithmetic (no wrap possible)
+            g = px[:, :, 1].ravel().astype(object)
+            b = px[:, :, 2].ravel().astype(object)
+            m = {
+                "n": len(r),
+                "s_r": int(sum(r)), "s_g": int(sum(g)), "s_b": int(sum(b)),
+                "s_rr": int(sum(r * r)), "s_gg": int(sum(g * g)), "s_bb": int(sum(b * b)),
+                "s_rg": int(sum(r * g)), "s_gb": int(sum(g * b)), "s_rb": int(sum(r * b)),
+            }
+            moms.append(m)
+            rows["image_id"].append(t["image_id"][i].as_py())
+            rows["fmt"].append(t["fmt"][i].as_py())
+            rows["ok"].append(True)
+            rows["n_px"].append(m["n"])
+
+        def corr(m, a, b, aa, bb, ab):
+            num = float(m["n"] * m[ab] - m[a] * m[b])
+            va = float(m["n"] * m[aa] - m[a] * m[a])
+            vb = float(m["n"] * m[bb] - m[b] * m[b])
+            den = np.sqrt(np.float64(va) * np.float64(vb))
+            return float(num / den) if den > 0.0 else 0.0
+
+        rg = np.array([corr(m, "s_r", "s_g", "s_rr", "s_gg", "s_rg") for m in moms])
+        gb = np.array([corr(m, "s_g", "s_b", "s_gg", "s_bb", "s_gb") for m in moms])
+        rb = np.array([corr(m, "s_r", "s_b", "s_rr", "s_bb", "s_rb") for m in moms])
+        gray = [
+            (m["s_rr"] - 2 * m["s_rg"] + m["s_gg"] == 0) and (m["s_gg"] - 2 * m["s_gb"] + m["s_bb"] == 0)
+            for m in moms
+        ]
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], type=pa.string()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "ok": pa.array(rows["ok"]),
+                "n_px": pa.array(rows["n_px"], type=pa.int64()),
+                "corr_rg": pa.array(duckdb_round(rg, 6), type=pa.float64()),
+                "corr_gb": pa.array(duckdb_round(gb, 6), type=pa.float64()),
+                "corr_rb": pa.array(duckdb_round(rb, 6), type=pa.float64()),
+                "is_grayscale": pa.array(gray),
+            }
+        )
+
+    return _cache(f"image_chcorr_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
+
+
 def kriging_field_path(sf_dir: str) -> str:
     """Expected ordinary-kriging field: the observation table is
     recomputed INDEPENDENTLY (DuckDB SQL aggregation over the raw

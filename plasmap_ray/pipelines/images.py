@@ -2024,3 +2024,62 @@ def image_edge_density(sf_dir: str) -> rd.Dataset:
         return t.append_column("edge_frac", pa.array(frac, type=pa.float64()))
 
     return scored.map_batches(finish, batch_format="pyarrow")
+
+
+def image_channel_correlation(sf_dir: str) -> rd.Dataset:
+    """Per-image channel-pair Pearson correlations + an EXACT grayscale
+    flag (stages.media.ChannelMoments) — the grayscale / palette-render
+    screen of an image corpus audit: grayscale ⟺ Σ(r−g)² = Σ(g−b)² = 0
+    (integer, no epsilon), synthetic palette renders show near-±1
+    correlations, photographs sit in between.  Run beside the entropy
+    and edge screens before an image corpus trains anything (reference
+    analogue: the ST5/M9 image gate layer).
+
+    Determinism: the moments are exact int64 (overflow-guarded in the
+    stage); each correlation is ONE mirrored float expression
+    num/sqrt(va·vb) with integer num/va/vb, so the engine and the
+    golden oracle agree bit-for-bit before the shared round(6).
+
+    Scale shape: map-ONLY — decode fused with the moment kernel in the
+    actor pool, payloads consumed in-stage, 8 int64s + metadata per
+    image leave the task; no exchange at all.
+
+    Output: (image_id, fmt, ok, n_px, corr_rg, corr_gb, corr_rb,
+    is_grayscale).
+    """
+    from ..stages import media
+    from ..stages.common import duckdb_round
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    scored = ds.map_batches(
+        media.ChannelMoments, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_px"].to_numpy()
+        s = {k: t[k].to_numpy() for k in ("s_r", "s_g", "s_b", "s_rr", "s_gg", "s_bb", "s_rg", "s_gb", "s_rb")}
+
+        def corr(sa, sb, saa, sbb, sab):
+            num = (n * sab - sa * sb).astype(np.float64)
+            va = (n * saa - sa * sa).astype(np.float64)
+            vb = (n * sbb - sb * sb).astype(np.float64)
+            den = np.sqrt(va * vb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = np.where(den > 0.0, num / den, 0.0)
+            return duckdb_round(c, 6)
+
+        gray = ((s["s_rr"] - 2 * s["s_rg"] + s["s_gg"]) == 0) & ((s["s_gg"] - 2 * s["s_gb"] + s["s_bb"]) == 0)
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "fmt": t["fmt"],
+                "ok": t["ok"],
+                "n_px": t["n_px"],
+                "corr_rg": pa.array(corr(s["s_r"], s["s_g"], s["s_rr"], s["s_gg"], s["s_rg"]), type=pa.float64()),
+                "corr_gb": pa.array(corr(s["s_g"], s["s_b"], s["s_gg"], s["s_bb"], s["s_gb"]), type=pa.float64()),
+                "corr_rb": pa.array(corr(s["s_r"], s["s_b"], s["s_rr"], s["s_bb"], s["s_rb"]), type=pa.float64()),
+                "is_grayscale": pa.array(gray & t["ok"].to_numpy(zero_copy_only=False)),
+            }
+        )
+
+    return scored.map_batches(finish, batch_format="pyarrow")

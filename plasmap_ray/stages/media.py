@@ -364,6 +364,61 @@ class EdgeDensity:
         )
 
 
+class ChannelMoments:
+    """Actor-pool stage: per-image exact integer channel moments — the
+    raw material of the channel-correlation grayscale/synthetic screen
+    (a grayscale image has r==g==b → all pairwise correlations 1; a
+    palette-mapped synthetic render shows near-±1 structure; photos
+    sit in between), complementing the entropy and edge screens.
+
+    Per image: n_px and, per channel pair (r,g), (g,b), (r,b), the
+    int64 sums Σc, Σc², Σab — all exact (n_px ≤ ~10⁶, c ≤ 255 ⇒
+    Σab ≤ 6.6e10, and the n·Σab cross terms the finish step forms
+    stay < 2⁶³ for images under ~1.2e8 px, asserted here so the
+    engine fails loudly rather than wrapping).
+
+    Payloads consumed in-stage (8 int64s + metadata leave the task).
+    Decode failures flag ok=False (M9 quarantine semantics).
+    """
+
+    MAX_PX = 100_000_000  # int64-overflow guard for n·Σc² (see docstring)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        w = batch["w"].to_numpy()
+        h = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        cols = {
+            k: np.zeros(n, dtype=np.int64)
+            for k in ("n_px", "s_r", "s_g", "s_b", "s_rr", "s_gg", "s_bb", "s_rg", "s_gb", "s_rb")
+        }
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                px = codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i]).astype(np.int64)
+                npx = px.shape[0] * px.shape[1]
+                assert npx <= self.MAX_PX, f"image too large for exact int64 moments: {npx} px"
+                r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+                cols["n_px"][i] = npx
+                cols["s_r"][i] = int(r.sum())
+                cols["s_g"][i] = int(g.sum())
+                cols["s_b"][i] = int(b.sum())
+                cols["s_rr"][i] = int((r * r).sum())
+                cols["s_gg"][i] = int((g * g).sum())
+                cols["s_bb"][i] = int((b * b).sum())
+                cols["s_rg"][i] = int((r * g).sum())
+                cols["s_gb"][i] = int((g * b).sum())
+                cols["s_rb"][i] = int((r * b).sum())
+                ok[i] = True
+            except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
+                pass
+        out = {"image_id": batch["image_id"], "fmt": batch["fmt"], "ok": pa.array(ok)}
+        for k, v in cols.items():
+            out[k] = pa.array(v, type=pa.int64())
+        return pa.table(out)
+
+
 class AudioClipping:
     """Actor-pool stage: per-clip clipping census over PCM16 samples —
     the recording-quality screen (clipped / near-clipped audio

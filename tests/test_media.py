@@ -607,3 +607,69 @@ def test_video_smoothness_matches_golden(ray_session):
     # the gradient fixture always moves between frames — no frozen pairs
     assert got["ok"].all() and (got["n_frozen_pairs"] == 0).all()
     assert (got["total_sad"] > 0).all()
+
+
+def test_channel_moments_known_images(ray_session):
+    """Kernel on hand-built raw images: exact grayscale, perfect
+    anti-correlation, and a zero-variance channel."""
+    from plasmap_ray.stages.media import ChannelMoments
+
+    # 2x2 grayscale: r==g==b everywhere
+    gray_px = np.zeros((2, 2, 3), dtype=np.uint8)
+    gray_px[:, :, :] = np.array([[10, 200], [60, 130]], dtype=np.uint8)[:, :, None]
+    # 2x2 anti-correlated: g = 255 - r, b constant (zero variance)
+    anti_px = np.zeros((2, 2, 3), dtype=np.uint8)
+    r = np.array([[0, 255], [100, 40]], dtype=np.uint8)
+    anti_px[:, :, 0] = r
+    anti_px[:, :, 1] = 255 - r
+    anti_px[:, :, 2] = 7
+    batch = pa.table(
+        {
+            "image_id": pa.array(["gray", "anti"]),
+            "fmt": pa.array(["raw", "raw"]),
+            "bytes": pa.array([gray_px.tobytes(), anti_px.tobytes()], type=pa.binary()),
+            "w": pa.array([2, 2], type=pa.int32()),
+            "h": pa.array([2, 2], type=pa.int32()),
+        }
+    )
+    out = ChannelMoments()(batch)
+    assert out["ok"].to_pylist() == [True, True]
+    # run the finish formula through the public pipeline shape
+    import pandas as pd
+
+    n = out["n_px"].to_numpy()
+    s = {k: out[k].to_numpy() for k in ("s_r", "s_g", "s_rr", "s_gg", "s_rg", "s_bb", "s_gb")}
+    # grayscale test: sum (r-g)^2 == 0 and (g-b)^2 == 0
+    gray_flag = ((s["s_rr"] - 2 * s["s_rg"] + s["s_gg"]) == 0) & (
+        (s["s_gg"] - 2 * s["s_gb"] + s["s_bb"]) == 0
+    )
+    assert gray_flag.tolist() == [True, False]
+    # anti image: corr(r,g) must be exactly -1 up to float
+    num = float(n[1] * s["s_rg"][1] - s["s_r"][1] * s["s_g"][1])
+    va = float(n[1] * s["s_rr"][1] - s["s_r"][1] ** 2)
+    vb = float(n[1] * s["s_gg"][1] - s["s_g"][1] ** 2)
+    assert abs(num / np.sqrt(va * vb) + 1.0) < 1e-12
+
+
+def test_image_channel_correlation_matches_golden(ray_session):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import golden
+    from plasmap_ray.pipelines import images
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        images.image_channel_correlation(sf)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pq.read_table(golden.image_channel_corr_path(images.images_path_for(sf)))
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])
+    assert got["ok"].all()
