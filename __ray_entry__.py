@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- audio / video payloads (real WAV decode; raw frame sampling) ---
         "audio_features": multimodal.audio_features,
         "audio_clipping": multimodal.audio_clipping,
+        "audio_silence_trim": multimodal.audio_silence_trim,
         "cell_modality_mix": multimodal.cell_modality_mix,
         "video_frame_stats": multimodal.video_frame_stats,
         "video_temporal_smoothness": multimodal.video_temporal_smoothness,
@@ -2097,6 +2098,9 @@ WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= {dedup.JW_THRESHOLD!r}""",
         ),
         "video_temporal_smoothness": (
             "SELECT * FROM read_parquet('" + golden.video_smoothness_path(multimodal.video_path_for(SF001)) + "')"
+        ),
+        "audio_silence_trim": (
+            "SELECT * FROM read_parquet('" + golden.audio_silence_trim_path(multimodal.audio_path_for(SF001)) + "')"
         ),
         "audio_pitch_histogram": (
             "SELECT * FROM read_parquet('"

@@ -3146,6 +3146,66 @@ def audio_clipping_path(audio_parquet: str) -> str:
     return _cache(f"audio_clip_{os.path.basename(audio_parquet).rsplit('.', 1)[0]}", build)
 
 
+def audio_silence_trim_path(audio_parquet: str) -> str:
+    """Expected trim manifest: independent recompute — forward and
+    backward per-sample Python scans here vs the engine's vectorized
+    flatnonzero first/last bounds; an off-by-one at either clip edge
+    breaks the match."""
+
+    def build() -> pa.Table:
+        from .stages.common import duckdb_round
+        from .stages.media import AudioSilenceTrim, decode_wav_pcm16
+
+        T = AudioSilenceTrim.QUIET_T
+        t = pq.read_table(audio_parquet, columns=["media_id", "bytes", "fmt"])
+        rows: dict[str, list] = {
+            k: [] for k in ("media_id", "fmt", "ok", "n_samples", "trim_start", "trim_end", "n_quiet")
+        }
+        for i in range(t.num_rows):
+            fmt = t["fmt"][i].as_py()
+            rows["media_id"].append(t["media_id"][i].as_py())
+            rows["fmt"].append(fmt)
+            if fmt != "wav-pcm16":
+                rows["ok"].append(False)
+                for k in ("n_samples", "trim_start", "trim_end", "n_quiet"):
+                    rows[k].append(0)
+                continue
+            _, s16 = decode_wav_pcm16(t["bytes"][i].as_py())
+            vals = s16.tolist()
+            ns = len(vals)
+            lead = 0
+            while lead < ns and abs(vals[lead]) < T:
+                lead += 1
+            trail = ns
+            while trail > lead and abs(vals[trail - 1]) < T:
+                trail -= 1
+            nq = sum(1 for v in vals if abs(v) < T)
+            rows["ok"].append(True)
+            rows["n_samples"].append(ns)
+            rows["trim_start"].append(lead if lead < ns else ns)
+            rows["trim_end"].append(trail if lead < ns else 0)
+            rows["n_quiet"].append(nq)
+        ns_a = np.maximum(np.asarray(rows["n_samples"], dtype=np.float64), 1.0)
+        qf = duckdb_round(np.asarray(rows["n_quiet"], dtype=np.float64) / ns_a, 6)
+        kept = np.maximum(np.asarray(rows["trim_end"]) - np.asarray(rows["trim_start"]), 0)
+        kf = duckdb_round(kept.astype(np.float64) / ns_a, 6)
+        return pa.table(
+            {
+                "media_id": pa.array(rows["media_id"], type=pa.string()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "ok": pa.array(rows["ok"]),
+                "n_samples": pa.array(rows["n_samples"], type=pa.int64()),
+                "trim_start": pa.array(rows["trim_start"], type=pa.int64()),
+                "trim_end": pa.array(rows["trim_end"], type=pa.int64()),
+                "n_quiet": pa.array(rows["n_quiet"], type=pa.int64()),
+                "quiet_frac": pa.array(qf, type=pa.float64()),
+                "kept_frac": pa.array(kf, type=pa.float64()),
+            }
+        )
+
+    return _cache(f"audio_trim_{os.path.basename(audio_parquet).rsplit('.', 1)[0]}", build)
+
+
 def video_smoothness_path(video_parquet: str) -> str:
     """Expected inter-frame SAD census: independent recompute — the
     engine diffs a (n_frames, frame_bytes) int16 view in one vectorized

@@ -218,6 +218,36 @@ def audio_clipping(sf_dir: str) -> rd.Dataset:
     return scored.map_batches(finish, batch_format="pyarrow")
 
 
+def audio_silence_trim(sf_dir: str) -> rd.Dataset:
+    """Per-clip silence-trim manifest (stages.media.AudioSilenceTrim):
+    the (trim_start, trim_end) span an audio pipeline cuts to before
+    featurizing, plus the interior quiet fraction — run beside the
+    clipping census in the media gate layer (reference analogue:
+    ST5/M9).  quiet_frac near 1 marks broken takes, not trim input.
+
+    Scale shape: map-ONLY — decode fused with the trim scan in the
+    actor pool, payloads consumed in-stage, four int64s + metadata per
+    clip leave the task.  Oracle: golden driver recompute with an
+    independent forward/backward Python scan (vs the engine's
+    flatnonzero bounds).
+
+    Output: (media_id, fmt, ok, n_samples, trim_start, trim_end,
+    n_quiet, quiet_frac, kept_frac).
+    """
+    ds = rd.read_parquet(audio_path_for(sf_dir))
+    scored = ds.map_batches(media.AudioSilenceTrim, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ns = np.maximum(t["n_samples"].to_numpy().astype(np.float64), 1.0)
+        qf = duckdb_round(t["n_quiet"].to_numpy().astype(np.float64) / ns, 6)
+        kept = np.maximum(t["trim_end"].to_numpy() - t["trim_start"].to_numpy(), 0)
+        kf = duckdb_round(kept.astype(np.float64) / ns, 6)
+        out = t.append_column("quiet_frac", pa.array(qf, type=pa.float64()))
+        return out.append_column("kept_frac", pa.array(kf, type=pa.float64()))
+
+    return scored.map_batches(finish, batch_format="pyarrow")
+
+
 def video_temporal_smoothness(sf_dir: str) -> rd.Dataset:
     """Per-clip inter-frame SAD census (stages.media
     .VideoTemporalSmoothness): total/min/max consecutive-pair SAD and

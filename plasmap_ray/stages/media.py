@@ -364,6 +364,64 @@ class EdgeDensity:
         )
 
 
+class AudioSilenceTrim:
+    """Actor-pool stage: per-clip silence-trim manifest — the offsets
+    an audio training pipeline cuts to before featurizing (leading /
+    trailing quiet runs at |s| < QUIET_T) plus the interior quiet
+    fraction (a clip that is mostly quiet inside is a broken take,
+    not a trim candidate).
+
+    Per clip: trim_start = length of the leading quiet run,
+    trim_end = n_samples − trailing quiet run, n_quiet = total quiet
+    samples, all int64-exact.  A fully quiet clip trims to the empty
+    span (trim_start = n_samples, trim_end = 0).
+
+    Payloads consumed in-stage (4 int64s + metadata leave the task).
+    Non-WAV fmts flag ok=False (M9 quarantine semantics).
+    """
+
+    QUIET_T = 3000  # |PCM16| below this is "quiet" (~ -21 dBFS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        n_samp = np.zeros(n, dtype=np.int64)
+        t_start = np.zeros(n, dtype=np.int64)
+        t_end = np.zeros(n, dtype=np.int64)
+        n_quiet = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            if fmts[i] != "wav-pcm16":
+                continue
+            try:
+                _, s16 = decode_wav_pcm16(payloads[i])
+                loud = np.abs(s16.astype(np.int64)) >= self.QUIET_T
+                ns = len(s16)
+                n_samp[i] = ns
+                n_quiet[i] = ns - int(loud.sum())
+                idx = np.flatnonzero(loud)
+                if len(idx) == 0:
+                    t_start[i], t_end[i] = ns, 0  # fully quiet: empty span
+                else:
+                    t_start[i] = int(idx[0])
+                    t_end[i] = int(idx[-1]) + 1
+                ok[i] = True
+            except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
+                pass
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "fmt": batch["fmt"],
+                "ok": pa.array(ok),
+                "n_samples": pa.array(n_samp, type=pa.int64()),
+                "trim_start": pa.array(t_start, type=pa.int64()),
+                "trim_end": pa.array(t_end, type=pa.int64()),
+                "n_quiet": pa.array(n_quiet, type=pa.int64()),
+            }
+        )
+
+
 class ChannelMoments:
     """Actor-pool stage: per-image exact integer channel moments — the
     raw material of the channel-correlation grayscale/synthetic screen

@@ -673,3 +673,59 @@ def test_image_channel_correlation_matches_golden(ray_session):
     )
     pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])
     assert got["ok"].all()
+
+
+def test_audio_silence_trim_known_signal(ray_session):
+    """Trim kernel on hand-built WAVs: quiet lead/tail, loud interior,
+    and a fully quiet clip."""
+    import io
+    import wave
+
+    from plasmap_ray.stages.media import AudioSilenceTrim
+
+    def wav(vals):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(np.asarray(vals, dtype=np.int16).tobytes())
+        return buf.getvalue()
+
+    # [quiet x2][loud x3][quiet x1]  (T=3000)
+    trimmed = wav([0, 100, 5000, -4000, 3000, 10])
+    silent = wav([0, 1, -2, 5])
+    batch = pa.table(
+        {
+            "media_id": pa.array(["a", "b"]),
+            "fmt": pa.array(["wav-pcm16", "wav-pcm16"]),
+            "bytes": pa.array([trimmed, silent], type=pa.binary()),
+        }
+    )
+    out = AudioSilenceTrim()(batch)
+    assert out["ok"].to_pylist() == [True, True]
+    assert out["trim_start"].to_pylist() == [2, 4]
+    assert out["trim_end"].to_pylist() == [5, 0]
+    assert out["n_quiet"].to_pylist() == [3, 4]
+
+
+def test_audio_silence_trim_matches_golden(ray_session):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import golden
+    from plasmap_ray.pipelines import multimodal
+
+    sf = "/root/testdata/sf0.001"
+    got = multimodal.audio_silence_trim(sf).to_pandas().sort_values("media_id").reset_index(drop=True)
+    exp = (
+        pq.read_table(golden.audio_silence_trim_path(multimodal.audio_path_for(sf)))
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])
+    # two-tone fixture: loud throughout (phase-1.0 second harmonic is hot at
+    # t=0), interior zero-crossings give a small but nonzero quiet fraction
+    assert got["ok"].all() and (got["kept_frac"] > 0.5).all()
+    assert (got["quiet_frac"] > 0.0).all() and (got["quiet_frac"] < 0.5).all()
