@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_union": windows.union_event_streams,
         "distinct_users": windows.distinct_users,
         "value_quantiles": stats.value_quantiles,
+        "hist_quantile_eval": stats.hist_quantile_eval,
         "event_value_quantiles": stats.event_value_quantiles,
         "interpolated_quantiles": stats.interpolated_quantiles,
         "mad_robust_stats": stats.mad_robust_stats,
@@ -1131,6 +1132,32 @@ SELECT COUNT(DISTINCT user_id) AS n_users FROM events""",
 SELECT CAST(0.5 AS DOUBLE) AS q, quantile_disc(value, 0.5) AS value FROM events
 UNION ALL SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events
 UNION ALL SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events""",
+        # mirrors stats.hist_quantile_eval: bin = floor((v-vmin)/width)
+        # clipped, est = upper bin edge, rank audit on the UNROUNDED est
+        "hist_quantile_eval": """
+WITH v AS (SELECT value FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n, min(value) AS vmin, max(value) AS vmax,
+             (max(value) - min(value)) / 512.0 AS width FROM v),
+qs AS (SELECT CAST(0.5 AS DOUBLE) AS q UNION ALL SELECT 0.9 UNION ALL SELECT 0.99),
+h AS (SELECT greatest(least(CAST(floor((value - s.vmin) / s.width) AS BIGINT), 511), 0) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM v, s GROUP BY 1),
+c AS (SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM h),
+tgt AS (SELECT q, greatest(1, CAST(ceil(q * s.n) AS BIGINT)) AS k FROM qs, s),
+eb AS (SELECT t.q, min(c.bin) AS bin FROM tgt t JOIN c ON c.cum >= t.k GROUP BY 1),
+est AS (SELECT eb.q, s.n, s.vmin + CAST(eb.bin + 1 AS DOUBLE) * s.width AS est_value FROM eb, s),
+ex AS (SELECT CAST(0.5 AS DOUBLE) AS q, quantile_disc(value, 0.5) AS exact_value FROM v
+       UNION ALL SELECT 0.9, quantile_disc(value, 0.9) FROM v
+       UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM v),
+rk AS (SELECT e.q, CAST(count(*) AS BIGINT) AS n_le
+       FROM est e JOIN v ON v.value <= e.est_value GROUP BY 1)
+SELECT e.q, e.n AS n_values,
+       round(e.est_value, 6) AS est_value,
+       round(ex.exact_value, 6) AS exact_value,
+       round(e.est_value - ex.exact_value, 6) AS value_err,
+       round(CAST(rk.n_le AS DOUBLE) / CAST(e.n AS DOUBLE), 6) AS rank_frac,
+       round(CAST(rk.n_le AS DOUBLE) / CAST(e.n AS DOUBLE) - e.q, 6) AS rank_err
+FROM est e JOIN ex ON ex.q = e.q JOIN rk ON rk.q = e.q""",
         # mirrors relational.part_cooccurrence: distinct-part pairs per
         # order via the canonical self-join
         "part_cooccurrence": f"""

@@ -127,6 +127,108 @@ def value_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99), bins:
     )
 
 
+def hist_quantile_eval(
+    sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99), bins: int = 512
+) -> rd.Dataset:
+    """ONE-pass histogram-sketch quantile estimate with an EXACT error
+    audit — the approximate companion of value_quantiles the same way
+    count_min_eval audits heavy_hitters: the sketch answer (upper edge
+    of the bin holding the ceil(q·n)-th value) is compared against the
+    exact quantile_disc value AND against its realized rank, verifying
+    the 1/bins rank-error guarantee a mergeable histogram sketch ships
+    with (the answer a pipeline uses when it can't afford the refine
+    pass).
+
+    Scale shape: the sketch is the per-batch histogram combiner → ONE
+    bins-bounded groupby (≤ 512 rows leave the data); the exact side
+    reuses value_quantiles' bin-refine; the rank audit is one more
+    pruned pass of per-batch ≤-counts folded in the aggregate tree.
+    Driver state: ≤ bins + |qs| rows, never data.
+
+    Determinism: bin = floor((v−vmin)/width) clipped (truncation ==
+    floor for v ≥ vmin), est = vmin + (bin+1)·width — both mirrored
+    literally in the SQL oracle.
+
+    Output: (q, n_values, est_value, exact_value, value_err,
+    rank_frac, rank_err), rounded 6.
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["value"])
+
+    def drop_invalid(t: pa.Table) -> pa.Table:
+        v = t["value"]
+        mask = pa.compute.and_(pa.compute.is_valid(v), pa.compute.invert(pa.compute.is_nan(v)))
+        return t.filter(mask)
+
+    ds = ds.map_batches(drop_invalid, batch_format="pyarrow")
+    st = ds.aggregate(Count(), Min("value"), Max("value"))
+    n, vmin, vmax = int(st["count()"]), float(st["min(value)"]), float(st["max(value)"])
+    width = (vmax - vmin) / bins or 1.0
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        b = np.clip(((v - vmin) / width).astype(np.int64), 0, bins - 1)
+        counts = np.bincount(b, minlength=bins)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {"bin": pa.array(nz.astype(np.int64)), "n_rows": pa.array(counts[nz].astype(np.int64))}
+        )
+
+    hist = {
+        int(r["bin"]): int(r["n_rows"])
+        for r in ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n_rows", alias_name="n_rows"))
+        .take_all()
+    }
+    ests = []
+    for q in qs:
+        k = _disc_rank(q, n)
+        cum = 0
+        for b in range(bins):
+            cum += hist.get(b, 0)
+            if cum >= k:
+                ests.append(vmin + float(b + 1) * width)
+                break
+
+    exact = {float(r["q"]): float(r["value"]) for r in value_quantiles(sf_dir, qs, bins).take_all()}
+
+    est_arr = np.asarray(ests, dtype=np.float64)
+
+    def rank_partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        cnt = np.array([int((v <= e).sum()) for e in est_arr], dtype=np.int64)
+        return pa.table(
+            {"qi": pa.array(np.arange(len(est_arr), dtype=np.int64)), "n_le": pa.array(cnt)}
+        )
+
+    ranks = {
+        int(r["qi"]): int(r["n_le"])
+        for r in ds.map_batches(rank_partial, batch_format="pyarrow")
+        .groupby("qi")
+        .aggregate(Sum("n_le", alias_name="n_le"))
+        .take_all()
+    }
+
+    qa = np.asarray(qs, dtype=np.float64)
+    exact_arr = np.asarray([exact[float(q)] for q in qs], dtype=np.float64)
+    rank_frac = np.asarray([ranks[i] for i in range(len(qs))], dtype=np.float64) / float(n)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "q": pa.array(qa, type=pa.float64()),
+                "n_values": pa.array(np.full(len(qs), n, dtype=np.int64)),
+                "est_value": pa.array(duckdb_round(est_arr, 6), type=pa.float64()),
+                "exact_value": pa.array(duckdb_round(exact_arr, 6), type=pa.float64()),
+                "value_err": pa.array(duckdb_round(est_arr - exact_arr, 6), type=pa.float64()),
+                "rank_frac": pa.array(duckdb_round(rank_frac, 6), type=pa.float64()),
+                "rank_err": pa.array(duckdb_round(rank_frac - qa, 6), type=pa.float64()),
+            }
+        )
+    )
+
+
 def event_value_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> rd.Dataset:
     """Per-event-type exact quantiles (key-partitioned map_groups; the
     per-key row count bounds task memory).  Output (event_type, q, value)."""

@@ -561,3 +561,31 @@ def test_count_min_never_underestimates(ray_session):
     # ranking: exact desc, user_id asc
     sorted_ref = out.sort_values(["n_exact", "user_id"], ascending=[False, True])
     assert (sorted_ref["rank"].to_numpy() == np.arange(1, len(out) + 1)).all()
+
+
+def test_hist_quantile_eval_guarantee(ray_session):
+    """Sketch estimate vs bruteforce: the bin upper edge must sit at or
+    above the exact quantile, and the rank error within 1/bins + slack
+    of per-bin mass."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import stats
+
+    sf = "/root/testdata/sf0.001"
+    out = stats.hist_quantile_eval(sf).to_pandas().sort_values("q").reset_index(drop=True)
+    v = pq.read_table(sf + "/events.parquet", columns=["value"])["value"].to_numpy()
+    v = np.sort(v[~np.isnan(v)])
+    n = len(v)
+    assert (out["n_values"] == n).all()
+    for row in out.itertuples():
+        k = max(1, int(np.ceil(row.q * n)))
+        exact = v[k - 1]
+        assert abs(row.exact_value - round(exact, 6)) < 1e-9
+        # upper-edge estimate can never undershoot the exact value
+        assert row.est_value >= row.exact_value - 1e-9
+        # realized rank of the estimate must be >= q (one-sided)
+        assert row.rank_err >= -1e-9
+        # and within the histogram resolution guarantee (max bin mass)
+        counts, _ = np.histogram(v, bins=512)
+        assert row.rank_err <= counts.max() / n + 1e-9
