@@ -439,6 +439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": index.doc_keywords,
         "iqr_outliers": stats.iqr_outliers,
         "ann_recall_eval": lambda sf: ann.ann_recall_eval(sf, k=ANN_K, vec_ids=MULTI_VEC_IDS),
+        "binary_hamming_topk": lambda sf: ann.binary_hamming_topk(sf, k=ANN_K, vec_ids=MULTI_VEC_IDS),
+        "binary_embedding_eval": lambda sf: ann.binary_embedding_eval(sf, k=ANN_K, vec_ids=MULTI_VEC_IDS),
         "minhash_accuracy_eval": dedup.minhash_accuracy_eval,
         "lsh_blocking_eval": dedup.lsh_blocking_eval,
         "dedup_manifest": dedup.dedup_manifest,
@@ -2028,6 +2030,8 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "road_components": f"SELECT * FROM read_parquet('{golden.road_components_path(routing.CHEAP_W_CUT)}')",
         "hmm_map_match": f"SELECT * FROM read_parquet('{golden.hmm_map_match_path(SF001)}')",
         "ann_recall_eval": f"SELECT * FROM read_parquet('{golden.ann_recall_path(SF001, ANN_K, MULTI_VEC_IDS)}')",
+        "binary_hamming_topk": f"SELECT * FROM read_parquet('{golden.binary_hamming_topk_path(SF001, ANN_K, MULTI_VEC_IDS)}')",
+        "binary_embedding_eval": f"SELECT * FROM read_parquet('{golden.binary_recall_path(SF001, ANN_K, MULTI_VEC_IDS)}')",
         "minhash_accuracy_eval": f"SELECT * FROM read_parquet('{golden.minhash_accuracy_path(SF001, 0.8)}')",
         "lsh_blocking_eval": f"SELECT * FROM read_parquet('{golden.lsh_blocking_eval_path(SF001, 0.8, dedup.resolve_blocking_mod(SF001))}')",
         "dedup_manifest": f"SELECT * FROM read_parquet('{golden.dedup_manifest_path(SF001, 0.8)}')",

@@ -2017,6 +2017,78 @@ def ann_recall_path(sf_dir: str, k: int, vec_ids: tuple) -> str:
     return _cache(f"ann_recall_{_sf_tag(sf_dir)}_k{k}_q{len(vec_ids)}", build)
 
 
+def _binary_sides(sf_dir: str, k: int, vec_ids: tuple):
+    """Shared local recompute of the exact-cosine and sign-bit-Hamming
+    top-k sides (per-pair XOR-count here vs the engine's two-GEMM
+    identity — independent arithmetic paths)."""
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_numpy(), dtype=np.int64)
+    m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    order = np.argsort(ids, kind="stable")
+    qsel = order[np.isin(ids[order], np.asarray(vec_ids, dtype=np.int64))]
+    qids = ids[qsel]
+    q = m[qsel]
+    qn = q / np.linalg.norm(q, axis=1)[:, None]
+    norms = np.linalg.norm(m, axis=1)
+    sims_e = (m @ qn.T) / np.where(norms == 0, 1.0, norms)[:, None]
+    bits = m > 0.0
+    qbits = q > 0.0
+    exact, binry = {}, {}
+    for j, qid in enumerate(qids):
+        mask = ids != qid
+        top_e = np.lexsort((ids[mask], -sims_e[mask, j]))[:k]
+        exact[int(qid)] = ids[mask][top_e].tolist()
+        ham = np.array([int(np.count_nonzero(row != qbits[j])) for row in bits[mask]], dtype=np.int64)
+        top_h = np.lexsort((ids[mask], ham))[:k]
+        binry[int(qid)] = list(zip(ids[mask][top_h].tolist(), ham[top_h].tolist()))
+    return qids, exact, binry
+
+
+def binary_hamming_topk_path(sf_dir: str, k: int, vec_ids: tuple) -> str:
+    """Expected sign-bit Hamming top-k (per-pair XOR-count recompute)."""
+
+    def build() -> pa.Table:
+        qids, _, binry = _binary_sides(sf_dir, k, vec_ids)
+        rows = []
+        for qid in qids:
+            for r, (vid, h) in enumerate(binry[int(qid)], start=1):
+                rows.append((int(qid), r, int(vid), int(h)))
+        return pa.table(
+            {
+                "query_vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ham_rank": pa.array([r[1] for r in rows], type=pa.int64()),
+                "vec_id": pa.array([r[2] for r in rows], type=pa.int64()),
+                "hamming": pa.array([r[3] for r in rows], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"bin_hamming_{_sf_tag(sf_dir)}_k{k}_q{len(vec_ids)}", build)
+
+
+def binary_recall_path(sf_dir: str, k: int, vec_ids: tuple) -> str:
+    """Expected binary-retrieval recall@k vs exact cosine."""
+
+    def build() -> pa.Table:
+        qids, exact, binry = _binary_sides(sf_dir, k, vec_ids)
+        rows = []
+        for qid in qids:
+            e = set(exact[int(qid)])
+            a = {vid for vid, _ in binry[int(qid)]}
+            n = len(e & a)
+            rows.append((int(qid), n, np.float64(n) / np.float64(k)))
+        return pa.table(
+            {
+                "query_vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "n_overlap": pa.array([r[1] for r in rows], type=pa.int64()),
+                "recall": pa.array([r[2] for r in rows], type=pa.float64()),
+            }
+        )
+
+    return _cache(f"bin_recall_{_sf_tag(sf_dir)}_k{k}_q{len(vec_ids)}", build)
+
+
 def minhash_accuracy_path(sf_dir: str, sim_threshold: float) -> str:
     """Expected MinHash accuracy table: brute-force local recompute —
     ALL O(N²) candidate pairs via band-key equality (no sharded

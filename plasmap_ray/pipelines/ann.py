@@ -1402,6 +1402,114 @@ def ann_recall_eval(sf_dir: str, k: int = 10, vec_ids: tuple[int, ...] = (1, 2, 
     )
 
 
+class MultiHammingTopK:
+    """Actor-pool stage: per-batch HAMMING distance over sign-binarized
+    embeddings vs a broadcast query-bit matrix — the 1-bit-per-dim
+    retrieval path (32× memory cut vs float32) whose quality
+    binary_embedding_eval audits.
+
+    Bits = (e_j > 0); Hamming via two GEMMs (matches = b·qᵀ +
+    (1−b)·(1−q)ᵀ, ham = D − matches) — no per-pair Python.  Local
+    prune uses the SAME composite order as the global selection
+    (ham asc, vec_id asc) so the prune is tie-safe.
+    """
+
+    def __init__(self, qref, k: int = 10):
+        qids, qbits = ray.get(qref) if not isinstance(qref, tuple) else qref
+        self.qids = qids  # (Q,) int64
+        self.qbits = qbits.astype(np.int64)  # (Q, D) 0/1
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        ids = np.asarray(batch["vec_id"].to_numpy(), dtype=np.int64)
+        b = (m > 0.0).astype(np.int64)
+        d = b.shape[1]
+        matches = b @ self.qbits.T + (1 - b) @ (1 - self.qbits).T  # (n, Q)
+        ham = d - matches
+        out_q, out_id, out_h = [], [], []
+        for qi, qid in enumerate(self.qids):
+            mask = ids != qid
+            cand_ids, cand_h = ids[mask], ham[mask, qi]
+            top = np.lexsort((cand_ids, cand_h))[: self.k]
+            out_q.append(np.full(len(top), qid, dtype=np.int64))
+            out_id.append(cand_ids[top])
+            out_h.append(cand_h[top])
+        return pa.table(
+            {
+                "query_vec_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                "hamming": pa.array(np.concatenate(out_h).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+
+def binary_hamming_topk(
+    sf_dir: str, k: int = 10, vec_ids: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8)
+) -> rd.Dataset:
+    """Batched top-k retrieval over SIGN-BINARIZED embeddings: Hamming
+    distance to each broadcast query's bit vector, one corpus pass
+    (ann_multi_topk's shape at 1 bit/dim).  Output: (query_vec_id,
+    ham_rank, vec_id, hamming)."""
+    import pyarrow.dataset as pads
+
+    t = (
+        pads.dataset(_emb_path(sf_dir))
+        .to_table(columns=["vec_id", "embedding"], filter=pads.field("vec_id").isin(list(vec_ids)))
+        .sort_by("vec_id")
+    )
+    qids = np.asarray(t["vec_id"].to_numpy(), dtype=np.int64)
+    q = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    qbits = (q > 0.0)
+    qref = ray.put((qids, qbits))
+
+    scored = _read_emb(sf_dir).map_batches(
+        MultiHammingTopK,
+        fn_constructor_kwargs=dict(qref=qref, k=k),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def per_query_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["hamming", "vec_id"], ascending=[True, True]).head(k).reset_index(drop=True)
+        df["ham_rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["query_vec_id", "ham_rank", "vec_id", "hamming"]]
+
+    return scored.groupby("query_vec_id").map_groups(per_query_rank, batch_format="pandas")
+
+
+def binary_embedding_eval(
+    sf_dir: str, k: int = 10, vec_ids: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8)
+) -> rd.Dataset:
+    """Binary-embedding retrieval audit: recall@k of sign-bit Hamming
+    search against exact float cosine search, per query — the
+    quality-vs-32×-memory number a retrieval stack measures before
+    shipping binarized embeddings (companion of ann_recall_eval's IVF
+    audit and matryoshka_fidelity's truncation audit).
+
+    Both sides run their real distributed pipelines; the comparison
+    joins two (Q·k)-row tables driver-side (query-bounded).
+    Output: (query_vec_id, n_overlap, recall).
+    """
+    exact = ann_multi_topk(sf_dir, k=k, vec_ids=vec_ids).to_pandas()
+    binry = binary_hamming_topk(sf_dir, k=k, vec_ids=vec_ids).to_pandas()
+    rows = []
+    for qid in sorted(set(exact["query_vec_id"])):
+        e = set(exact[exact["query_vec_id"] == qid]["vec_id"])
+        a = set(binry[binry["query_vec_id"] == qid]["vec_id"])
+        n = len(e & a)
+        rows.append((int(qid), n, np.float64(n) / np.float64(k)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "query_vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "n_overlap": pa.array([r[1] for r in rows], type=pa.int64()),
+                "recall": pa.array([r[2] for r in rows], type=pa.float64()),
+            }
+        )
+    )
+
+
 def knn_pr_curve(sf_dir: str, k: int = 5) -> rd.Dataset:
     """One-vs-rest PRECISION/RECALL CURVE of the leave-one-out k-NN
     classifier: for every label L and vote threshold t in 1..k, predict

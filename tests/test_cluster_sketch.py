@@ -589,3 +589,38 @@ def test_hist_quantile_eval_guarantee(ray_session):
         # and within the histogram resolution guarantee (max bin mass)
         counts, _ = np.histogram(v, bins=512)
         assert row.rank_err <= counts.max() / n + 1e-9
+
+
+def test_binary_hamming_topk_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import ann
+
+    sf = "/root/testdata/sf0.001"
+    k, vec_ids = 5, (1, 2, 3)
+    got = ann.binary_hamming_topk(sf, k=k, vec_ids=vec_ids).to_pandas()
+
+    t = pq.read_table(sf + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_numpy(), dtype=np.int64)
+    m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    bits = m > 0.0
+    for qid in vec_ids:
+        qb = bits[ids == qid][0]
+        mask = ids != qid
+        ham = (bits[mask] != qb).sum(axis=1)
+        top = np.lexsort((ids[mask], ham))[:k]
+        exp = list(zip(ids[mask][top].tolist(), ham[top].tolist()))
+        g = got[got["query_vec_id"] == qid].sort_values("ham_rank")
+        assert list(zip(g["vec_id"], g["hamming"])) == exp
+
+
+def test_binary_embedding_eval_range(ray_session):
+    from plasmap_ray.pipelines import ann
+
+    out = ann.binary_embedding_eval("/root/testdata/sf0.001", k=10).to_pandas()
+    assert len(out) == 8
+    assert ((out["recall"] >= 0.0) & (out["recall"] <= 1.0)).all()
+    assert (out["n_overlap"] == (out["recall"] * 10).round().astype(int)).all()
+    # sign bits at dim 32 retain SOME signal on average
+    assert out["recall"].mean() > 0.2
