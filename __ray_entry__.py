@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_modality_mix": multimodal.cell_modality_mix,
         "video_frame_stats": multimodal.video_frame_stats,
         "video_temporal_smoothness": multimodal.video_temporal_smoothness,
+        "video_keyframes": multimodal.video_keyframes,
         # --- trajectory / movement analytics ---
         "trajectory_stats": trajectory.trajectory_stats,
         "trip_stats": trajectory.trip_stats,
@@ -2132,6 +2133,9 @@ WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= {dedup.JW_THRESHOLD!r}""",
         ),
         "audio_silence_trim": (
             "SELECT * FROM read_parquet('" + golden.audio_silence_trim_path(multimodal.audio_path_for(SF001)) + "')"
+        ),
+        "video_keyframes": (
+            "SELECT * FROM read_parquet('" + golden.video_keyframes_path(multimodal.video_path_for(SF001)) + "')"
         ),
         "audio_pitch_histogram": (
             "SELECT * FROM read_parquet('"

@@ -3278,6 +3278,52 @@ def audio_silence_trim_path(audio_parquet: str) -> str:
     return _cache(f"audio_trim_{os.path.basename(audio_parquet).rsplit('.', 1)[0]}", build)
 
 
+def video_keyframes_path(video_parquet: str) -> str:
+    """Expected keyframe selection: independent recompute — explicit
+    max-tracking loop with a strict-> comparison (first max wins) here
+    vs the engine's np.argmax; per-pair byte loops vs the vectorized
+    diff."""
+
+    def build() -> pa.Table:
+        t = pq.read_table(video_parquet, columns=["media_id", "bytes", "w", "h", "n_frames", "fmt"])
+        cols: dict[str, list] = {k: [] for k in ("media_id", "fmt", "ok", "n_frames", "keyframe_idx", "keyframe_sad")}
+        for i in range(t.num_rows):
+            fmt = t["fmt"][i].as_py()
+            w, h, nf = t["w"][i].as_py(), t["h"][i].as_py(), t["n_frames"][i].as_py()
+            fb = w * h * 3
+            payload = t["bytes"][i].as_py()
+            cols["media_id"].append(t["media_id"][i].as_py())
+            cols["fmt"].append(fmt)
+            cols["n_frames"].append(nf)
+            if fmt != "fake-raw" or nf < 2 or len(payload) != fb * nf:
+                cols["ok"].append(False)
+                cols["keyframe_idx"].append(0)
+                cols["keyframe_sad"].append(0)
+                continue
+            best_j, best_sad = 0, -1
+            for k in range(nf - 1):
+                a = np.frombuffer(payload[k * fb : (k + 1) * fb], dtype=np.uint8).astype(np.int64)
+                b = np.frombuffer(payload[(k + 1) * fb : (k + 2) * fb], dtype=np.uint8).astype(np.int64)
+                s = int(np.abs(b - a).sum())
+                if s > best_sad:
+                    best_j, best_sad = k, s
+            cols["ok"].append(True)
+            cols["keyframe_idx"].append(best_j + 1)
+            cols["keyframe_sad"].append(best_sad)
+        return pa.table(
+            {
+                "media_id": pa.array(cols["media_id"], type=pa.string()),
+                "fmt": pa.array(cols["fmt"], type=pa.string()),
+                "ok": pa.array(cols["ok"]),
+                "n_frames": pa.array(cols["n_frames"], type=pa.int64()),
+                "keyframe_idx": pa.array(cols["keyframe_idx"], type=pa.int64()),
+                "keyframe_sad": pa.array(cols["keyframe_sad"], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"video_kf_{os.path.basename(video_parquet).rsplit('.', 1)[0]}", build)
+
+
 def video_smoothness_path(video_parquet: str) -> str:
     """Expected inter-frame SAD census: independent recompute — the
     engine diffs a (n_frames, frame_bytes) int16 view in one vectorized

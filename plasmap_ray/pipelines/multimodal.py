@@ -145,6 +145,60 @@ def cell_modality_mix(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def video_keyframes(sf_dir: str) -> rd.Dataset:
+    """Per-clip keyframe selection: the frame whose SAD to its
+    predecessor is LARGEST (the cut/scene-change candidate a video
+    sampling pipeline keeps when it can afford one frame per clip,
+    beyond frame 0) — built on the same raw-frame SAD kernel as
+    video_temporal_smoothness but emitting the argmax instead of the
+    census.  Ties break on the SMALLEST frame index (first cut wins),
+    mirrored in the golden oracle.
+
+    Scale shape: map-ONLY — decode + SAD + argmax fused in the actor
+    pool, payloads consumed in-stage, three int64s + metadata per clip
+    leave the task.  Output: (media_id, fmt, ok, n_frames,
+    keyframe_idx, keyframe_sad).
+    """
+
+    class KeyFrame:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            fmts = batch["fmt"].to_pylist()
+            payloads = batch["bytes"].to_pylist()
+            w = batch["w"].to_numpy()
+            h = batch["h"].to_numpy()
+            nf = batch["n_frames"].to_numpy()
+            kf = np.zeros(n, dtype=np.int64)
+            sad = np.zeros(n, dtype=np.int64)
+            ok = np.zeros(n, dtype=bool)
+            for i in range(n):
+                if fmts[i] != "fake-raw" or int(nf[i]) < 2:
+                    continue
+                fb = int(w[i]) * int(h[i]) * 3
+                arr = np.frombuffer(payloads[i], dtype=np.uint8)
+                if len(arr) != fb * int(nf[i]):
+                    continue
+                frames = arr.reshape(int(nf[i]), fb).astype(np.int16)
+                sads = np.abs(np.diff(frames, axis=0)).sum(axis=1, dtype=np.int64)
+                j = int(np.argmax(sads))  # first max wins (np.argmax contract)
+                kf[i] = j + 1  # sads[j] is the jump INTO frame j+1
+                sad[i] = int(sads[j])
+                ok[i] = True
+            return pa.table(
+                {
+                    "media_id": batch["media_id"],
+                    "fmt": batch["fmt"],
+                    "ok": pa.array(ok),
+                    "n_frames": pa.array(nf.astype(np.int64), type=pa.int64()),
+                    "keyframe_idx": pa.array(kf, type=pa.int64()),
+                    "keyframe_sad": pa.array(sad, type=pa.int64()),
+                }
+            )
+
+    ds = rd.read_parquet(video_path_for(sf_dir))
+    return ds.map_batches(KeyFrame, batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+
+
 PITCH_BAND_HZ = 200  # dominant-frequency bucket width
 
 

@@ -729,3 +729,24 @@ def test_audio_silence_trim_matches_golden(ray_session):
     # t=0), interior zero-crossings give a small but nonzero quiet fraction
     assert got["ok"].all() and (got["kept_frac"] > 0.5).all()
     assert (got["quiet_frac"] > 0.0).all() and (got["quiet_frac"] < 0.5).all()
+
+
+def test_video_keyframes_matches_golden(ray_session):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import golden
+    from plasmap_ray.pipelines import multimodal
+
+    sf = "/root/testdata/sf0.001"
+    got = multimodal.video_keyframes(sf).to_pandas().sort_values("media_id").reset_index(drop=True)
+    exp = (
+        pq.read_table(golden.video_keyframes_path(multimodal.video_path_for(sf)))
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])
+    assert got["ok"].all()
+    # keyframe index must point INTO the clip (never frame 0, never past end)
+    assert ((got["keyframe_idx"] >= 1) & (got["keyframe_idx"] < got["n_frames"])).all()
