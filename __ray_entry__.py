@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transition_lift": windows.event_transition_lift,
         # --- text analysis ---
         "token_stats": text.token_stats,
+        "readability_scores": text.readability_scores,
         "sequence_packing": text.sequence_packing,
         "corpus_flagship": text.corpus_flagship,
         "shuffled_packing": text.shuffled_packing,
@@ -1330,6 +1331,36 @@ FROM ks CROSS JOIN tot LEFT JOIN r ON r.rk <= ks.k
 GROUP BY ks.k, tot.total, tot.vocab""",
         "token_stats": """
 SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars FROM documents""",
+        # mirrors text.readability_scores: vowel-run syllables floored
+        # at 1/word, [.!?] sentence marks floored at 1/doc
+        "readability_scores": """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+ws AS (SELECT doc_id,
+              greatest(1, len(regexp_extract_all(word, '[aeiouy]+'))) AS syl
+       FROM w WHERE word <> ''),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(syl) AS BIGINT) AS n_syllables
+        FROM ws GROUP BY 1),
+sen AS (SELECT doc_id,
+               CAST(greatest(1, len(regexp_extract_all(text, '[.!?]'))) AS BIGINT) AS n_sentences
+        FROM documents)
+SELECT d.doc_id,
+       coalesce(per.n_words, 0) AS n_words,
+       sen.n_sentences,
+       coalesce(per.n_syllables, 0) AS n_syllables,
+       round(206.835
+             - 1.015 * (CAST(greatest(coalesce(per.n_words, 0), 1) AS DOUBLE)
+                        / CAST(sen.n_sentences AS DOUBLE))
+             - 84.6 * (CAST(coalesce(per.n_syllables, 0) AS DOUBLE)
+                       / CAST(greatest(coalesce(per.n_words, 0), 1) AS DOUBLE)), 6) AS flesch_ease,
+       round(0.39 * (CAST(greatest(coalesce(per.n_words, 0), 1) AS DOUBLE)
+                     / CAST(sen.n_sentences AS DOUBLE))
+             + 11.8 * (CAST(coalesce(per.n_syllables, 0) AS DOUBLE)
+                       / CAST(greatest(coalesce(per.n_words, 0), 1) AS DOUBLE))
+             - 15.59, 6) AS fk_grade
+FROM documents d
+LEFT JOIN per ON per.doc_id = d.doc_id
+JOIN sen ON sen.doc_id = d.doc_id""",
         "sequence_packing": f"""
 WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
 c AS (SELECT doc_id, n_tok, SUM(n_tok) OVER (ORDER BY doc_id) AS cum FROM t)

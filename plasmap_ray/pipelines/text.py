@@ -39,6 +39,61 @@ def token_stats(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+_VOWEL_RUN = re.compile(r"[aeiouy]+")
+_SENT_MARK = re.compile(r"[.!?]")
+
+
+def readability_scores(sf_dir: str) -> rd.Dataset:
+    """Per-document Flesch reading-ease + Flesch–Kincaid grade from
+    the classic surface statistics (words / sentences / vowel-run
+    syllable heuristic, each word floored at 1 syllable) — the
+    readability stratification column a text-curation pipeline buckets
+    on (Flesch 1948; Kincaid et al. 1975).
+
+    Definition shared with the SQL oracle: words = non-empty
+    single-space tokens; syllables(word) = max(1, count of [aeiouy]+
+    runs); sentences = max(1, count of [.!?] marks); both scores are
+    ONE mirrored float expression over these integers.
+
+    Scale shape: map-ONLY — per-doc token loop inside the batch fn
+    (ALU-bound, compiled regex), three int64s + two floats per doc
+    leave the task.  Output: (doc_id, n_words, n_sentences,
+    n_syllables, flesch_ease, fk_grade).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n = len(texts)
+        n_words = np.zeros(n, dtype=np.int64)
+        n_syl = np.zeros(n, dtype=np.int64)
+        n_sent = np.zeros(n, dtype=np.int64)
+        for i, s in enumerate(texts):
+            words = [w for w in s.split(" ") if w]
+            n_words[i] = len(words)
+            n_syl[i] = sum(max(1, len(_VOWEL_RUN.findall(w))) for w in words)
+            n_sent[i] = max(1, len(_SENT_MARK.findall(s)))
+        w = np.maximum(n_words, 1).astype(np.float64)
+        sent = n_sent.astype(np.float64)
+        syl = n_syl.astype(np.float64)
+        ease = 206.835 - 1.015 * (w / sent) - 84.6 * (syl / w)
+        grade = 0.39 * (w / sent) + 11.8 * (syl / w) - 15.59
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_words, type=pa.int64()),
+                "n_sentences": pa.array(n_sent, type=pa.int64()),
+                "n_syllables": pa.array(n_syl, type=pa.int64()),
+                "flesch_ease": pa.array(duckdb_round(ease, 6), type=pa.float64()),
+                "fk_grade": pa.array(duckdb_round(grade, 6), type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def lang_histogram(sf_dir: str) -> rd.Dataset:
     """Document counts + mean length per language tag (A3 analogue)."""
     ds = _read_docs(sf_dir, ["lang", "n_chars"])

@@ -694,3 +694,40 @@ def test_lz78_matches_golden(ray_session):
     got = text_mod.lz78_complexity(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
     exp = pq.read_table(golden.lz78_complexity_path(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])
+
+
+def test_readability_scores_known_text(ray_session):
+    """Hand-checked Flesch arithmetic on tiny docs routed through the
+    real pipeline batch fn."""
+    import numpy as np
+    import pyarrow as pa
+
+    from plasmap_ray.pipelines.text import _SENT_MARK, _VOWEL_RUN
+
+    # "the cat sat. it ran!" -> 5 words, syllables 1 each, 2 sentences
+    s = "the cat sat. it ran!"
+    words = [w for w in s.split(" ") if w]
+    assert len(words) == 5
+    syl = sum(max(1, len(_VOWEL_RUN.findall(w))) for w in words)
+    assert syl == 5
+    assert len(_SENT_MARK.findall(s)) == 2
+    ease = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+    assert abs(ease - 119.6975) < 1e-9
+
+
+def test_readability_scores_pipeline(ray_session):
+    from plasmap_ray.pipelines import text as text_p
+
+    out = text_p.readability_scores("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert (out["n_words"] > 0).all()
+    # fixture docs are unpunctuated word soup: one "sentence" each, so
+    # the ease score is dominated by the words-per-sentence penalty
+    assert (out["n_sentences"] == 1).all()
+    assert (out["n_syllables"] >= out["n_words"]).all()
+    recomputed = (
+        206.835
+        - 1.015 * (out["n_words"] / out["n_sentences"])
+        - 84.6 * (out["n_syllables"] / out["n_words"])
+    )
+    assert np.allclose(out["flesch_ease"], recomputed.round(6), atol=1e-6)
