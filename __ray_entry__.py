@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- spatial core (cell index / tiles / PiP / kNN) ---
         "cell_index": spatial.cell_index_pipeline,
+        "theil_decomposition": spatial.theil_decomposition,
         "s2_cell_index": spatial.s2_cell_index_pipeline,
         "s2_cell_histogram": spatial.s2_cell_histogram_pipeline,
         "hex_bin_index": spatial.hex_bin_index_pipeline,
@@ -569,6 +570,33 @@ SELECT o_cell, d_cell, count(*) AS n_users FROM md_out GROUP BY o_cell, d_cell""
 WITH {_pts_cte()},
 {oracle.sql_morton_ctes('pts', 'doc_id', low, 'cell_low')}
 SELECT doc_id, cell_low, (cell_low >> 4) AS cell_verylow FROM m_out""",
+        # mirrors spatial.theil_decomposition: fixed-point n·ln(n) terms
+        # pinned once per cell/region, identity T_total = T_b + T_w
+        "theil_decomposition": f"""
+WITH ev AS (SELECT event_id, {oracle.sql_derive_lon('event_id')} AS lon,
+                   {oracle.sql_derive_lat('event_id')} AS lat FROM events),
+{oracle.sql_morton_ctes('ev', 'event_id', low, 'cell_low', prefix='tm')},
+c AS (SELECT cell_low AS cell, CAST(count(*) AS BIGINT) AS x FROM tm_out GROUP BY 1),
+ct AS (SELECT (cell >> 4) AS grp, x,
+              CAST(floor(CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS s1
+       FROM c),
+g AS (SELECT grp, CAST(sum(x) AS BIGINT) AS xg, CAST(sum(s1) AS BIGINT) AS s1,
+             CAST(count(*) AS BIGINT) AS ng FROM ct GROUP BY 1),
+gt AS (SELECT xg, s1, ng,
+              CAST(floor(CAST(xg AS DOUBLE) * ln(CAST(xg AS DOUBLE) / CAST(ng AS DOUBLE))
+                         * 1000000000.0 + 0.5) AS BIGINT) AS s2
+       FROM g),
+tot AS (SELECT CAST(sum(xg) AS BIGINT) AS total_events, CAST(sum(s1) AS BIGINT) AS s1,
+               CAST(sum(s2) AS BIGINT) AS s2, CAST(sum(ng) AS BIGINT) AS n_cells,
+               CAST(count(*) AS BIGINT) AS n_groups FROM gt)
+SELECT n_cells, n_groups, total_events,
+       round((CAST(s1 AS DOUBLE) / 1000000000.0) / CAST(total_events AS DOUBLE)
+             - ln(CAST(total_events AS DOUBLE) / CAST(n_cells AS DOUBLE)), 6) AS theil_total,
+       round((CAST(s2 AS DOUBLE) / 1000000000.0) / CAST(total_events AS DOUBLE)
+             - ln(CAST(total_events AS DOUBLE) / CAST(n_cells AS DOUBLE)), 6) AS theil_between,
+       round((CAST(s1 AS DOUBLE) / 1000000000.0) / CAST(total_events AS DOUBLE)
+             - (CAST(s2 AS DOUBLE) / 1000000000.0) / CAST(total_events AS DOUBLE), 6) AS theil_within
+FROM tot""",
         "spatial_split": f"""
 WITH {_pts_cte()},
 {oracle.sql_morton_ctes('pts', 'doc_id', low, 'cell_low')}

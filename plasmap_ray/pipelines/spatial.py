@@ -1393,6 +1393,123 @@ def incremental_tile_counts(sf_dir: str, z: int = GINI_Z, cut: str = IVM_CUT) ->
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+THEIL_FP = 1000000000.0  # fixed-point pitch for n·ln(n) terms (1e-9)
+
+
+def theil_decomposition(sf_dir: str) -> rd.Dataset:
+    """Theil-T inequality of per-cell event activity, DECOMPOSED into
+    between-region and within-region components over the engine-wide
+    Morton lattice (fine = PRECISION_LOW cells, regions = their
+    PRECISION_VERY_LOW parents, the cell_index convention) — answers
+    "is the unevenness regional structure or local texture?", the
+    additive sibling of tile_gini's single concentration scalar
+    (Theil 1967; T_total = T_between + T_within by construction).
+
+    Exact arithmetic: with occupied-cell counts x_i, the identity
+    T_total = S1/(FP·X) − ln(X/n), T_between = S2/(FP·X) − ln(X/n),
+    T_within = S1/(FP·X) − S2/(FP·X), where S1 = Σ fp(x_i·ln x_i) and
+    S2 = Σ_g fp(X_g·ln(X_g/n_g)) are int64 fixed-point sums (each term
+    pinned ONCE, so the fold is shuffle-order-free) and X, n, n_groups
+    are exact counts.  All float projections are single mirrored
+    expressions.
+
+    Scale shape: per-batch (cell, count) combiner → ONE lattice-bounded
+    groupby; the region fold reduces THAT table (never input rows);
+    three scalars + two fixed-point sums reach the one-row finish.
+    Output: (n_cells, n_groups, total_events, theil_total,
+    theil_between, theil_within).
+    """
+    from ..stages.common import duckdb_round as _dr
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        cell = cells.encode(fixtures.derive_lon(ids), fixtures.derive_lat(ids), cells.PRECISION_LOW)
+        uniq, cnt = np.unique(cell, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(uniq.astype(np.int64)), "x": pa.array(cnt.astype(np.int64))}
+        )
+
+    per_cell = (
+        ds.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("x", alias_name="x"))
+    )
+
+    def cell_terms(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy().astype(np.int64)
+        xf = x.astype(np.float64)
+        s1 = np.floor(xf * np.log(xf) * THEIL_FP + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "grp": pa.array((t["cell"].to_numpy() >> 4).astype(np.int64)),
+                "x": pa.array(x),
+                "s1": pa.array(s1),
+                "one": pa.array(np.ones(len(x), dtype=np.int64)),
+            }
+        )
+
+    by_grp = (
+        per_cell.map_batches(cell_terms, batch_format="pyarrow")
+        .groupby("grp")
+        .aggregate(
+            Sum("x", alias_name="xg"),
+            Sum("s1", alias_name="s1"),
+            Sum("one", alias_name="ng"),
+        )
+    )
+
+    def grp_terms(t: pa.Table) -> pa.Table:
+        xg = t["xg"].to_numpy().astype(np.float64)
+        ng = t["ng"].to_numpy().astype(np.float64)
+        s2 = np.floor(xg * np.log(xg / ng) * THEIL_FP + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "x": t["xg"],
+                "s1": t["s1"],
+                "s2": pa.array(s2),
+                "n_cells": pa.array(t["ng"].to_numpy().astype(np.int64)),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    tot = (
+        by_grp.map_batches(grp_terms, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            Sum("x", alias_name="total_events"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+            Sum("n_cells", alias_name="n_cells"),
+            Sum("one", alias_name="n_groups"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        x = t["total_events"].to_numpy().astype(np.float64)
+        n = t["n_cells"].to_numpy().astype(np.float64)
+        s1 = t["s1"].to_numpy().astype(np.float64)
+        s2 = t["s2"].to_numpy().astype(np.float64)
+        ln_xn = np.log(x / n)
+        t_total = (s1 / THEIL_FP) / x - ln_xn
+        t_between = (s2 / THEIL_FP) / x - ln_xn
+        t_within = (s1 / THEIL_FP) / x - (s2 / THEIL_FP) / x
+        return pa.table(
+            {
+                "n_cells": t["n_cells"].cast(pa.int64()),
+                "n_groups": t["n_groups"].cast(pa.int64()),
+                "total_events": t["total_events"].cast(pa.int64()),
+                "theil_total": pa.array(_dr(t_total, 6), type=pa.float64()),
+                "theil_between": pa.array(_dr(t_between, 6), type=pa.float64()),
+                "theil_within": pa.array(_dr(t_within, 6), type=pa.float64()),
+            }
+        )
+
+    return tot.map_batches(finish, batch_format="pyarrow")
+
+
 def tile_gini(sf_dir: str, z: int = GINI_Z) -> pa.Table:
     """Spatial concentration: the Gini coefficient of per-tile image
     counts — ONE scalar describing how unevenly the corpus covers the

@@ -1683,3 +1683,32 @@ def test_flow_accumulation_invariants(ray_session):
     sink_mass = out.loc[out["is_sink"] == 1, "n_upstream"].sum()
     assert sink_mass == len(out)  # forest partition: each cell drains to exactly one sink
     assert acc and max(acc.values()) > 1  # some real drainage exists
+
+
+def test_theil_decomposition_identity_and_bruteforce(ray_session):
+    """T_total == T_between + T_within, and the total matches a local
+    float recompute of the Theil-T definition (within fixed-point
+    pitch)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import cells, fixtures
+    from plasmap_ray.pipelines import spatial
+
+    sf = "/root/testdata/sf0.001"
+    out = spatial.theil_decomposition(sf).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert abs(row.theil_total - (row.theil_between + row.theil_within)) < 2e-6
+
+    ids = pq.read_table(sf + "/events.parquet", columns=["event_id"])["event_id"].to_numpy()
+    cell = cells.encode(fixtures.derive_lon(ids), fixtures.derive_lat(ids), cells.PRECISION_LOW)
+    _, x = np.unique(cell, return_counts=True)
+    X, n = x.sum(), len(x)
+    assert row.n_cells == n and row.total_events == X
+    share = x / X
+    t_total = float((share * np.log(share * n)).sum())
+    assert abs(row.theil_total - t_total) < 1e-5
+    # fixture plants regional hotspots: some inequality must register
+    assert row.theil_total > 0.01
+    assert row.theil_between >= 0.0 and row.theil_within >= 0.0
