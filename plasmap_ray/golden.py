@@ -3118,6 +3118,68 @@ def image_entropy_path(images_parquet: str) -> str:
     return _cache(f"image_entropy_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
 
 
+def image_blob_count_path(images_parquet: str) -> str:
+    """Expected bright-blob census: BFS FLOOD FILL here (explicit
+    queue, visited set) vs the engine's union-find — two different CC
+    algorithms that must agree on every integer."""
+
+    def build() -> pa.Table:
+        from collections import deque
+
+        from . import codecs
+        from .stages.common import duckdb_round
+        from .stages.media import BlobCount
+
+        T = BlobCount.T
+        t = pq.read_table(images_parquet, columns=["image_id", "bytes", "w", "h", "fmt"])
+        rows: dict[str, list] = {k: [] for k in ("image_id", "fmt", "ok", "n_bright", "n_blobs", "largest_blob")}
+        for i in range(t.num_rows):
+            px = codecs.decode_image(
+                t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(), t["fmt"][i].as_py()
+            )
+            mask = px.astype(np.int64).sum(axis=2) > T
+            hh, ww = mask.shape
+            visited = np.zeros_like(mask)
+            n_blobs = largest = 0
+            for y in range(hh):
+                for x in range(ww):
+                    if not mask[y, x] or visited[y, x]:
+                        continue
+                    n_blobs += 1
+                    size = 0
+                    dq = deque([(y, x)])
+                    visited[y, x] = True
+                    while dq:
+                        cy, cx = dq.popleft()
+                        size += 1
+                        for ny, nx in ((cy - 1, cx), (cy + 1, cx), (cy, cx - 1), (cy, cx + 1)):
+                            if 0 <= ny < hh and 0 <= nx < ww and mask[ny, nx] and not visited[ny, nx]:
+                                visited[ny, nx] = True
+                                dq.append((ny, nx))
+                    largest = max(largest, size)
+            rows["image_id"].append(t["image_id"][i].as_py())
+            rows["fmt"].append(t["fmt"][i].as_py())
+            rows["ok"].append(True)
+            rows["n_bright"].append(int(mask.sum()))
+            rows["n_blobs"].append(n_blobs)
+            rows["largest_blob"].append(largest)
+        nb = np.maximum(np.asarray(rows["n_bright"], dtype=np.float64), 1.0)
+        frag = duckdb_round(np.asarray(rows["n_blobs"], dtype=np.float64) / nb, 6)
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], type=pa.string()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "ok": pa.array(rows["ok"]),
+                "n_bright": pa.array(rows["n_bright"], type=pa.int64()),
+                "n_blobs": pa.array(rows["n_blobs"], type=pa.int64()),
+                "largest_blob": pa.array(rows["largest_blob"], type=pa.int64()),
+                "fragmentation": pa.array(frag, type=pa.float64()),
+            }
+        )
+
+    return _cache(f"image_blobs_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
+
+
 def image_channel_corr_path(images_parquet: str) -> str:
     """Expected per-image channel correlations: independent moment
     computation — flattened-channel Python-int dot products here vs

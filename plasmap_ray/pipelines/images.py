@@ -2026,6 +2026,37 @@ def image_edge_density(sf_dir: str) -> rd.Dataset:
     return scored.map_batches(finish, batch_format="pyarrow")
 
 
+def image_blob_count(sf_dir: str) -> rd.Dataset:
+    """Per-image bright-region census (stages.media.BlobCount):
+    connected components of gray > T at 4-connectivity — object-count
+    fragmentation screen (1 blob = solid fill, few = photographic,
+    thousands = dither/noise), run beside the edge and entropy gates
+    (reference analogue: the ST5/M9 image gate layer).
+
+    Scale shape: map-ONLY — decode fused with the union-find census
+    in the actor pool, payloads consumed in-stage, three int64s +
+    metadata per image leave the task.  Oracle: golden BFS flood-fill
+    recompute (different CC algorithm, same integer answer).
+
+    Output: (image_id, fmt, ok, n_bright, n_blobs, largest_blob,
+    fragmentation), fragmentation = n_blobs / max(n_bright, 1).
+    """
+    from ..stages import media
+    from ..stages.common import duckdb_round
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    scored = ds.map_batches(
+        media.BlobCount, batch_format="pyarrow", batch_size=128, concurrency=(1, 8)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nb = np.maximum(t["n_bright"].to_numpy().astype(np.float64), 1.0)
+        frag = duckdb_round(t["n_blobs"].to_numpy().astype(np.float64) / nb, 6)
+        return t.append_column("fragmentation", pa.array(frag, type=pa.float64()))
+
+    return scored.map_batches(finish, batch_format="pyarrow")
+
+
 def image_channel_correlation(sf_dir: str) -> rd.Dataset:
     """Per-image channel-pair Pearson correlations + an EXACT grayscale
     flag (stages.media.ChannelMoments) — the grayscale / palette-render

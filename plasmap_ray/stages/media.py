@@ -477,6 +477,86 @@ class ChannelMoments:
         return pa.table(out)
 
 
+class BlobCount:
+    """Actor-pool stage: per-image connected-component census of
+    BRIGHT pixels (gray = r+g+b > T, 4-connectivity) — the
+    object-count / fragmentation screen of an image corpus audit
+    (a photo has a handful of coherent bright regions; dithered noise
+    fragments into thousands; solid fills give exactly one), the
+    morphological sibling of EdgeDensity's gradient census.
+
+    Kernel: two-pass row-scan union-find over the boolean mask
+    (path-halving finds, row-major merge order) — all integer, so
+    (n_bright, n_blobs, largest_blob) are worker-invariant and the
+    golden BFS flood-fill recompute matches exactly.
+
+    Payloads consumed in-stage (3 int64s + metadata leave the task).
+    Decode failures flag ok=False (M9 quarantine semantics).
+    """
+
+    T = 384  # on the summed-channel field: mean channel > 128
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        w = batch["w"].to_numpy()
+        h = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        n_bright = np.zeros(n, dtype=np.int64)
+        n_blobs = np.zeros(n, dtype=np.int64)
+        largest = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                px = codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
+                mask = px.astype(np.int64).sum(axis=2) > self.T
+                n_bright[i] = int(mask.sum())
+                if n_bright[i]:
+                    n_blobs[i], largest[i] = _blob_census(mask)
+                ok[i] = True
+            except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
+                pass
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "fmt": batch["fmt"],
+                "ok": pa.array(ok),
+                "n_bright": pa.array(n_bright, type=pa.int64()),
+                "n_blobs": pa.array(n_blobs, type=pa.int64()),
+                "largest_blob": pa.array(largest, type=pa.int64()),
+            }
+        )
+
+
+def _blob_census(mask: np.ndarray) -> tuple[int, int]:
+    """(n_components, largest_size) of True pixels, 4-connectivity —
+    flat union-find with path halving; merges left & up neighbors."""
+    hh, ww = mask.shape
+    flat = mask.ravel()
+    idx = np.flatnonzero(flat)
+    parent = np.arange(flat.size, dtype=np.int64)
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for p in idx:
+        x = p % ww
+        if x > 0 and flat[p - 1]:
+            ra, rb = find(p), find(p - 1)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        if p >= ww and flat[p - ww]:
+            ra, rb = find(p), find(p - ww)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(p) for p in idx], dtype=np.int64)
+    _, counts = np.unique(roots, return_counts=True)
+    return len(counts), int(counts.max())
+
+
 class AudioClipping:
     """Actor-pool stage: per-clip clipping census over PCM16 samples —
     the recording-quality screen (clipped / near-clipped audio

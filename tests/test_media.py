@@ -750,3 +750,56 @@ def test_video_keyframes_matches_golden(ray_session):
     assert got["ok"].all()
     # keyframe index must point INTO the clip (never frame 0, never past end)
     assert ((got["keyframe_idx"] >= 1) & (got["keyframe_idx"] < got["n_frames"])).all()
+
+
+def test_blob_count_known_patterns(ray_session):
+    """Union-find census on hand-built masks routed through the real
+    kernel: two separated squares, a ring, and all-dark."""
+    from plasmap_ray.stages.media import BlobCount, _blob_census
+
+    # direct kernel checks on masks
+    m = np.zeros((6, 6), dtype=bool)
+    m[0:2, 0:2] = True  # blob of 4
+    m[4:6, 4:6] = True  # blob of 4 (diagonal-separated: 4-conn keeps them apart)
+    assert _blob_census(m) == (2, 4)
+    ring = np.zeros((5, 5), dtype=bool)
+    ring[0, :] = ring[-1, :] = ring[:, 0] = ring[:, -1] = True
+    assert _blob_census(ring) == (1, 16)
+
+    # full stage on a raw image: bright cross on dark ground
+    px = np.zeros((5, 5, 3), dtype=np.uint8)
+    px[2, :, :] = 200  # gray=600 > 384
+    px[:, 2, :] = 200
+    batch = pa.table(
+        {
+            "image_id": pa.array(["cross"]),
+            "fmt": pa.array(["raw"]),
+            "bytes": pa.array([px.tobytes()], type=pa.binary()),
+            "w": pa.array([5], type=pa.int32()),
+            "h": pa.array([5], type=pa.int32()),
+        }
+    )
+    out = BlobCount()(batch)
+    assert out["ok"].to_pylist() == [True]
+    assert out["n_bright"].to_pylist() == [9]
+    assert out["n_blobs"].to_pylist() == [1]
+    assert out["largest_blob"].to_pylist() == [9]
+
+
+def test_image_blob_count_matches_golden(ray_session):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import golden
+    from plasmap_ray.pipelines import images
+
+    sf = "/root/testdata/sf0.001"
+    got = images.image_blob_count(sf).to_pandas().sort_values("image_id").reset_index(drop=True)
+    exp = (
+        pq.read_table(golden.image_blob_count_path(images.images_path_for(sf)))
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])
+    assert got["ok"].all()
