@@ -370,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "getis_ord_hotspots": hotspot.getis_ord_hotspots,
         "local_moran": hotspot.local_moran,
         "global_moran": hotspot.global_moran,
+        "geary_c": hotspot.geary_c,
         "cell_adjacency_triangles": hotspot.cell_adjacency_triangles,
         "occupancy_kcore": hotspot.occupancy_kcore,
         "turn_histogram": trajectory.turn_histogram,
@@ -3120,6 +3121,39 @@ SELECT n_occupied, s1, s2, s_cross, s_wrow,
              * (CAST(s_cross AS DOUBLE) - 2.0 * mean * CAST(s_wrow AS DOUBLE)
                 + mean * mean * {float(hotspot.MORAN_W)!r})
              / (CAST(s2 AS DOUBLE) - {float(hotspot.GI_NCELLS)!r} * mean * mean), 6) AS moran_i
+FROM m""",
+        # mirrors hotspot.geary_c: same scatter, squared-difference form
+        # via 2(Sw2 - Sc)
+        "geary_c": f"""
+WITH {_epts},
+gcells AS (
+  SELECT CAST(floor((lon - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy
+  FROM epts),
+counts AS (SELECT cx, cy, count(*) AS n FROM gcells GROUP BY cx, cy),
+offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+scat AS (
+  SELECT cx + dx AS cx, cy + dy AS cy,
+         CASE WHEN dx = 0 AND dy = 0 THEN n ELSE 0 END AS n_own,
+         CASE WHEN dx = 0 AND dy = 0 THEN 0 ELSE n END AS n_nbr
+  FROM counts, offs
+  WHERE cx + dx BETWEEN 0 AND {hotspot.GI_GX - 1} AND cy + dy BETWEEN 0 AND {hotspot.GI_GY - 1}),
+mrg AS (SELECT cx, cy, CAST(sum(n_own) AS BIGINT) AS n_own, CAST(sum(n_nbr) AS BIGINT) AS nbr_sum
+        FROM scat GROUP BY cx, cy),
+part AS (
+  SELECT CAST(sum(CASE WHEN n_own > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_occupied,
+         CAST(sum(n_own) AS BIGINT) AS s1,
+         CAST(sum(n_own * n_own) AS BIGINT) AS s2,
+         CAST(sum(n_own * nbr_sum) AS BIGINT) AS s_cross,
+         CAST(sum(((least(cx + 1, {hotspot.GI_GX - 1}) - greatest(cx - 1, 0) + 1)
+                   * (least(cy + 1, {hotspot.GI_GY - 1}) - greatest(cy - 1, 0) + 1) - 1)
+                  * n_own * n_own) AS BIGINT) AS s_w2
+  FROM mrg),
+m AS (SELECT *, CAST(s1 AS DOUBLE) / {float(hotspot.GI_NCELLS)!r} AS mean FROM part)
+SELECT n_occupied, s2, s_cross, s_w2,
+       round(({float(hotspot.GI_NCELLS - 1)!r} / {float(2 * hotspot.MORAN_W)!r})
+             * (2.0 * (CAST(s_w2 AS DOUBLE) - CAST(s_cross AS DOUBLE)))
+             / (CAST(s2 AS DOUBLE) - {float(hotspot.GI_NCELLS)!r} * mean * mean), 6) AS geary_c
 FROM m""",
         # mirrors hotspot.cell_adjacency_triangles: 3-cliques of the
         # occupied-lattice queen-adjacency graph via the canonical

