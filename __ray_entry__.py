@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- spatial core (cell index / tiles / PiP / kNN) ---
         "cell_index": spatial.cell_index_pipeline,
         "theil_decomposition": spatial.theil_decomposition,
+        "segregation_index": spatial.segregation_index,
         "s2_cell_index": spatial.s2_cell_index_pipeline,
         "s2_cell_histogram": spatial.s2_cell_histogram_pipeline,
         "hex_bin_index": spatial.hex_bin_index_pipeline,
@@ -575,6 +576,30 @@ SELECT o_cell, d_cell, count(*) AS n_users FROM md_out GROUP BY o_cell, d_cell""
 WITH {_pts_cte()},
 {oracle.sql_morton_ctes('pts', 'doc_id', low, 'cell_low')}
 SELECT doc_id, cell_low, (cell_low >> 4) AS cell_verylow FROM m_out""",
+        # mirrors spatial.segregation_index: |a·B − b·A| integer terms,
+        # absent cells folded via (T − Σ_present t)·A
+        "segregation_index": f"""
+WITH dpts AS (SELECT doc_id, lang, {oracle.sql_derive_lon('doc_id')} AS lon,
+                     {oracle.sql_derive_lat('doc_id')} AS lat FROM documents),
+{oracle.sql_morton_ctes('dpts', 'doc_id, lang', low, 'cell', prefix='sg')},
+cl AS (SELECT cell, lang, CAST(count(*) AS BIGINT) AS a FROM sg_out GROUP BY 1, 2),
+ct AS (SELECT cell, CAST(sum(a) AS BIGINT) AS t_cell FROM cl GROUP BY 1),
+lt AS (SELECT lang, CAST(sum(a) AS BIGINT) AS a_tot FROM cl GROUP BY 1),
+tot AS (SELECT CAST(sum(a) AS BIGINT) AS t_all FROM cl),
+tm AS (SELECT cl.lang,
+              CAST(sum(abs(cl.a * (tot.t_all - lt.a_tot) - (ct.t_cell - cl.a) * lt.a_tot)) AS BIGINT) AS num,
+              CAST(sum(ct.t_cell) AS BIGINT) AS t_present,
+              CAST(count(*) AS BIGINT) AS n_cells_present
+       FROM cl JOIN ct USING (cell) JOIN lt ON lt.lang = cl.lang CROSS JOIN tot
+       GROUP BY 1),
+f AS (SELECT tm.lang, lt.a_tot AS n_lang, tm.n_cells_present,
+             CAST(tm.num + (tot.t_all - tm.t_present) * lt.a_tot AS DOUBLE) AS num_f,
+             CAST(lt.a_tot AS DOUBLE) AS a_f,
+             CAST(tot.t_all - lt.a_tot AS DOUBLE) AS b_f
+      FROM tm JOIN lt ON lt.lang = tm.lang CROSS JOIN tot)
+SELECT lang, n_lang, n_cells_present,
+       round(num_f / (2.0 * a_f * b_f), 6) AS dissimilarity
+FROM f ORDER BY lang""",
         # mirrors spatial.theil_decomposition: fixed-point n·ln(n) terms
         # pinned once per cell/region, identity T_total = T_b + T_w
         "theil_decomposition": f"""

@@ -1510,6 +1510,114 @@ def theil_decomposition(sf_dir: str) -> rd.Dataset:
     return tot.map_batches(finish, batch_format="pyarrow")
 
 
+def segregation_index(sf_dir: str) -> rd.Dataset:
+    """Duncan dissimilarity index per language over the Morton cell
+    lattice (Duncan & Duncan 1955): D = ½·Σ_i |a_i/A − b_i/B| — the
+    fraction of a language's documents that would have to MOVE cells
+    to match the rest of the corpus's spatial layout (0 = identical
+    distribution, 1 = total separation); the corpus-balance screen a
+    multilingual geo-pipeline runs beside cell_modality_mix.
+
+    EXACT-integer core: over the common denominator A·B the per-cell
+    term is |a_i·B − b_i·A| (int64, order-free sum; bound asserted),
+    cells where the language is ABSENT contribute t_i·A without being
+    enumerated: their fold is (T − Σ_present t_i)·A — so the exchange
+    is (cell, lang)-bounded and no lang×lattice cross join exists.
+    One final mirrored float division per lang.
+
+    Scale shape: per-batch (cell, lang) combiner → ONE groupby; cell
+    totals join back on the lattice-bounded table; lang totals are a
+    ≤|langs|-row broadcast.  Output: (lang, n_lang, n_cells_present,
+    dissimilarity).
+    """
+    from ..stages.common import duckdb_round as _dr
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"])
+
+    def cell_lang_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = t["doc_id"].to_numpy()
+        cell = cells.encode(fixtures.derive_lon(ids), fixtures.derive_lat(ids), cells.PRECISION_LOW)
+        df = pd.DataFrame({"cell": cell, "lang": t["lang"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["cell", "lang"], sort=False).size().reset_index(name="a")
+        return pa.table(
+            {
+                "cell": pa.array(g["cell"].to_numpy().astype(np.int64)),
+                "lang": pa.array(g["lang"], type=pa.string()),
+                "a": pa.array(g["a"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    cl = (
+        ds.map_batches(cell_lang_partial, batch_format="pyarrow")
+        .groupby(["cell", "lang"])
+        .aggregate(Sum("a", alias_name="a"))
+    )
+
+    def cell_total(t: pa.Table) -> pa.Table:
+        return pa.table({"cell": t["cell"], "t_cell": t["a"]})
+
+    totals = (
+        cl.map_batches(cell_total, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("t_cell", alias_name="t_cell"))
+    )
+
+    # lang totals: <= |langs| rows -> safe to collect and broadcast
+    lang_tot = {
+        str(r["lang"]): int(r["a"])
+        for r in cl.groupby("lang").aggregate(Sum("a", alias_name="a")).take_all()
+    }
+    T = sum(lang_tot.values())
+
+    joined = safe_join(cl, totals, join_type="inner", num_partitions=4, on=("cell",))
+
+    def terms(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        a = t["a"].to_numpy().astype(np.int64)
+        tc = t["t_cell"].to_numpy().astype(np.int64)
+        A = np.array([lang_tot[s] for s in langs], dtype=np.int64)
+        B = T - A
+        assert (a.astype(object) * B.astype(object) < 2**63).all(), "a_i*B overflows int64"
+        num = np.abs(a * B - (tc - a) * A)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "num": pa.array(num, type=pa.int64()),
+                "t_present": pa.array(tc, type=pa.int64()),
+                "one": pa.array(np.ones(len(a), dtype=np.int64)),
+            }
+        )
+
+    agg = (
+        joined.map_batches(terms, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("num", alias_name="num"),
+            Sum("t_present", alias_name="t_present"),
+            Sum("one", alias_name="n_cells_present"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        A = np.array([lang_tot[s] for s in langs], dtype=np.int64)
+        B = T - A
+        num = t["num"].to_numpy().astype(np.int64) + (T - t["t_present"].to_numpy()) * A
+        d = num.astype(np.float64) / (2.0 * A.astype(np.float64) * B.astype(np.float64))
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_lang": pa.array(A, type=pa.int64()),
+                "n_cells_present": t["n_cells_present"].cast(pa.int64()),
+                "dissimilarity": pa.array(_dr(d, 6), type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("lang")
+
+
 def tile_gini(sf_dir: str, z: int = GINI_Z) -> pa.Table:
     """Spatial concentration: the Gini coefficient of per-tile image
     counts — ONE scalar describing how unevenly the corpus covers the

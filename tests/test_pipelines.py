@@ -1712,3 +1712,34 @@ def test_theil_decomposition_identity_and_bruteforce(ray_session):
     # fixture plants regional hotspots: some inequality must register
     assert row.theil_total > 0.01
     assert row.theil_between >= 0.0 and row.theil_within >= 0.0
+
+
+def test_segregation_index_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import cells, fixtures
+    from plasmap_ray.pipelines import spatial
+
+    sf = "/root/testdata/sf0.001"
+    out = spatial.segregation_index(sf).to_pandas().set_index("lang")
+
+    t = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "lang"])
+    ids = t["doc_id"].to_numpy()
+    langs = np.array(t["lang"].to_pylist())
+    cell = cells.encode(fixtures.derive_lon(ids), fixtures.derive_lat(ids), cells.PRECISION_LOW)
+    T = len(ids)
+    for lang in np.unique(langs):
+        is_l = langs == lang
+        A, B = int(is_l.sum()), int(T - is_l.sum())
+        d = 0.0
+        for c in np.unique(cell):
+            in_c = cell == c
+            a = int((in_c & is_l).sum())
+            b = int(in_c.sum()) - a
+            d += abs(a / A - b / B)
+        d *= 0.5
+        assert abs(out.loc[lang, "dissimilarity"] - d) < 1e-6
+        assert out.loc[lang, "n_lang"] == A
+    # index is a proper fraction for every language
+    assert ((out["dissimilarity"] >= 0) & (out["dissimilarity"] <= 1)).all()
