@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_mad_outliers": hotspot.cell_mad_outliers,
         "p_median_greedy": hotspot.p_median_greedy,
         "fractal_dimension": hotspot.fractal_dimension,
+        "lacunarity": hotspot.lacunarity,
         "cell_peak_hours": hotspot.cell_peak_hours,
         "join_count_stats": hotspot.join_count_stats,
         "emerging_hotspots": hotspot.emerging_hotspots,
@@ -3758,6 +3759,23 @@ SELECT p.cx, p.cy, nd.n_days, round(median(p.slope), 6) AS ts_slope
 FROM p JOIN nd ON p.cx = nd.cx AND p.cy = nd.cy
 GROUP BY p.cx, p.cy, nd.n_days""",
         "kriging_field": f"SELECT * FROM read_parquet('{golden.kriging_field_path(SF001)}')",
+        # mirrors hotspot.lacunarity: per-scale occupied-box mass moments
+        "lacunarity": " UNION ALL ".join(
+            f"""
+SELECT CAST({e!r} AS DOUBLE) AS eps, n_boxes, sum_mass, sum_mass_sq,
+       round(CAST(n_boxes AS DOUBLE) * CAST(sum_mass_sq AS DOUBLE)
+             / (CAST(sum_mass AS DOUBLE) * CAST(sum_mass AS DOUBLE)), 6) AS lacunarity
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_boxes, CAST(sum(m) AS BIGINT) AS sum_mass,
+         CAST(sum(m * m) AS BIGINT) AS sum_mass_sq
+  FROM (
+    SELECT count(*) AS m FROM (
+      SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {e!r}) AS BIGINT) AS gx,
+             CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / {e!r}) AS BIGINT) AS gy
+      FROM events)
+    GROUP BY gx, gy))"""
+            for e in hotspot.FRACTAL_SCALES
+        ),
         "fractal_dimension": f"""
 WITH sc AS (
 SELECT CAST(0 AS BIGINT) AS si, CAST(0.8 AS DOUBLE) AS eps, CAST(count(*) AS BIGINT) AS n_cells FROM (

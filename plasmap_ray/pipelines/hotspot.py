@@ -3327,6 +3327,89 @@ FRACTAL_SCALES = (0.8, 0.4, 0.2, 0.1, 0.05)
 FRACTAL_FP = 1e12  # fixed-point pitch for the log-log OLS terms
 
 
+def lacunarity(sf_dir: str, scales: tuple[float, ...] = FRACTAL_SCALES) -> rd.Dataset:
+    """Box-counting lacunarity of the event pattern: Λ(ε) = N·ΣM² /
+    (ΣM)² over the occupied boxes at each ladder scale — the
+    "gappiness" companion of fractal_dimension (two patterns can share
+    D yet differ in Λ: translucent vs clumped texture; Allain & Cloitre
+    1991, fixed-grid box variant over occupied boxes).
+
+    Exact core: per-scale box masses M are int64 (the per-batch (si,
+    key, n) combiner → ONE (scale, key) groupby, ladder×lattice
+    bounded); N, ΣM, ΣM² fold per scale; Λ is one mirrored float
+    expression.  Output: (eps, n_boxes, sum_mass, sum_mass_sq,
+    lacunarity) per ladder rung.
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["event_id"])
+    eps_arr = np.array(scales, dtype=np.float64)
+
+    def keys(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        outs = []
+        for si, e in enumerate(eps_arr):
+            gx = np.floor((lon - fixtures.LON_MIN) / e).astype(np.int64)
+            gy = np.floor((lat - fixtures.LAT_MIN) / e).astype(np.int64)
+            k, c = np.unique(gx * np.int64(1 << 20) + gy, return_counts=True)
+            outs.append(
+                pa.table(
+                    {
+                        "si": pa.array(np.full(len(k), si, dtype=np.int64)),
+                        "key": pa.array(k, type=pa.int64()),
+                        "n": pa.array(c.astype(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    per_box = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby(["si", "key"])
+        .aggregate(Sum("n", alias_name="m"))
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        m = t["m"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "si": t["si"],
+                "one": pa.array(np.ones(len(m), dtype=np.int64)),
+                "m": pa.array(m),
+                "m2": pa.array(m * m),
+            }
+        )
+
+    agg = (
+        per_box.map_batches(moments, batch_format="pyarrow")
+        .groupby("si")
+        .aggregate(
+            Sum("one", alias_name="n_boxes"),
+            Sum("m", alias_name="sum_mass"),
+            Sum("m2", alias_name="sum_mass_sq"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        si = t["si"].to_numpy()
+        nb = t["n_boxes"].to_numpy().astype(np.float64)
+        s1 = t["sum_mass"].to_numpy().astype(np.float64)
+        s2 = t["sum_mass_sq"].to_numpy().astype(np.float64)
+        lam = duckdb_round(nb * s2 / (s1 * s1), 6)
+        return pa.table(
+            {
+                "eps": pa.array(eps_arr[si], type=pa.float64()),
+                "n_boxes": t["n_boxes"].cast(pa.int64()),
+                "sum_mass": t["sum_mass"].cast(pa.int64()),
+                "sum_mass_sq": t["sum_mass_sq"].cast(pa.int64()),
+                "lacunarity": pa.array(lam, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("eps")
+
+
 def fractal_dimension(sf_dir: str, scales: tuple[float, ...] = FRACTAL_SCALES) -> rd.Dataset:
     """Box-counting (Minkowski) dimension of the event point pattern:
     count occupied grid cells N(ε) at a ladder of box sizes and fit

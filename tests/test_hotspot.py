@@ -1062,3 +1062,22 @@ def test_geary_c_matches_bruteforce(ray_session, event_ids):
     # sparse background, so pairwise contrasts (Geary) read >1 even
     # though covariance (Moran) reads clustered — both match bruteforce
     assert 0.0 < out.iloc[0].geary_c < 3.0
+
+
+def test_lacunarity_matches_bruteforce(ray_session, event_ids):
+    from plasmap_ray.pipelines.hotspot import FRACTAL_SCALES
+
+    lon, lat = fixtures.derive_lon(event_ids), fixtures.derive_lat(event_ids)
+    out = hotspot.lacunarity(SF).to_pandas().set_index("eps").sort_index()
+    assert len(out) == len(FRACTAL_SCALES)
+    for e in FRACTAL_SCALES:
+        gx = np.floor((lon - fixtures.LON_MIN) / e).astype(np.int64)
+        gy = np.floor((lat - fixtures.LAT_MIN) / e).astype(np.int64)
+        _, m = np.unique(gx * (1 << 20) + gy, return_counts=True)
+        lam = len(m) * float((m.astype(np.int64) ** 2).sum()) / float(m.sum()) ** 2
+        assert out.loc[e, "n_boxes"] == len(m)
+        assert out.loc[e, "sum_mass"] == m.sum()
+        assert abs(out.loc[e, "lacunarity"] - lam) < 1e-6
+    # lacunarity >= 1 always (Cauchy-Schwarz), and grows as boxes shrink
+    # into the clumped fixture texture
+    assert (out["lacunarity"] >= 1.0 - 1e-9).all()
