@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": routing.pagerank_query,
         "betweenness_sampled": routing.betweenness_sampled,
         "harmonic_centrality": routing.harmonic_centrality,
+        "percolation_curve": routing.percolation_curve,
         "graph_eccentricity": routing.graph_eccentricity,
         "knn_pois": lambda sf: spatial.knn_pipeline(sf, k=KNN_K),
         "knn_pois_shuffle": lambda sf: spatial.knn_shuffle_pipeline(sf, k=KNN_K),
@@ -2121,6 +2122,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "pagerank": f"SELECT * FROM read_parquet('{golden.pagerank_path()}')",
         "betweenness_sampled": f"SELECT * FROM read_parquet('{golden.betweenness_path(routing.BTW_SOURCES)}')",
         "harmonic_centrality": f"SELECT * FROM read_parquet('{golden.harmonic_path(routing.BTW_SOURCES)}')",
+        "percolation_curve": f"SELECT * FROM read_parquet('{golden.percolation_path(routing.PERC_CUTS)}')",
         "graph_eccentricity": f"SELECT * FROM read_parquet('{golden.eccentricity_path(routing.BTW_SOURCES)}')",
         "road_components": f"SELECT * FROM read_parquet('{golden.road_components_path(routing.CHEAP_W_CUT)}')",
         "hmm_map_match": f"SELECT * FROM read_parquet('{golden.hmm_map_match_path(SF001)}')",

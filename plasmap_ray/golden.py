@@ -1690,6 +1690,66 @@ def _bf_dists(adj_edges, n_nodes: int, src: int) -> dict[int, int]:
     return {int(v): int(dist[v]) for v in range(1, n_nodes + 1) if dist[v] < INF}
 
 
+def percolation_path(cuts: tuple, n: int | None = None) -> str:
+    """Golden percolation sweep: local union-find with union-by-size
+    (vs the engine's distributed min-label propagation)."""
+
+    def build() -> pa.Table:
+        from . import fixtures
+        from .stages.common import duckdb_round
+
+        nn = n or fixtures.ROAD_N
+        e = fixtures.road_world(nn)["edges"]
+        src, dst, w = e["src"].to_numpy(), e["dst"].to_numpy(), e["w"].to_numpy()
+        rows = []
+        for cut in cuts:
+            m = w < cut
+            s, d = src[m], dst[m]
+            parent: dict[int, int] = {}
+            size: dict[int, int] = {}
+
+            def find(a: int) -> int:
+                while parent[a] != a:
+                    parent[a] = parent[parent[a]]
+                    a = parent[a]
+                return a
+
+            for a, b in zip(s.tolist(), d.tolist()):
+                for v in (a, b):
+                    if v not in parent:
+                        parent[v] = v
+                        size[v] = 1
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if size[ra] < size[rb]:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+                    size[ra] += size[rb]
+            comps: dict[int, int] = {}
+            for v in parent:
+                comps[find(v)] = comps.get(find(v), 0) + 1
+            n_nodes = sum(comps.values())
+            giant = max(comps.values()) if comps else 0
+            rows.append(
+                (cut, int(m.sum()), n_nodes, len(comps), giant, (giant / n_nodes) if n_nodes else 0.0)
+            )
+        return pa.table(
+            {
+                "w_cut": pa.array([r[0] for r in rows], type=pa.int64()),
+                "n_edges": pa.array([r[1] for r in rows], type=pa.int64()),
+                "n_nodes": pa.array([r[2] for r in rows], type=pa.int64()),
+                "n_components": pa.array([r[3] for r in rows], type=pa.int64()),
+                "giant_nodes": pa.array([r[4] for r in rows], type=pa.int64()),
+                "giant_frac": pa.array(
+                    duckdb_round(np.array([r[5] for r in rows], dtype=np.float64), 6),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return _cache(f"percolation_n{n or 0}_c{'_'.join(str(c) for c in cuts)}", build)
+
+
 def harmonic_path(k: int, n: int | None = None) -> str:
     """Golden sampled harmonic centrality via Bellman-Ford distances
     (vs the engine's Dijkstra) with the identical exact 1/d pin."""

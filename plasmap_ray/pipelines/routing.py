@@ -630,3 +630,59 @@ def road_cheap_components(sf_dir: str, w_cut: int = CHEAP_W_CUT) -> rd.Dataset:
         )
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+PERC_CUTS = (1150, 1300, 1450, 1600, 1750)  # weight-threshold ladder
+
+
+def percolation_curve(sf_dir: str, cuts: tuple[int, ...] = PERC_CUTS) -> rd.Dataset:
+    """Bond-percolation sweep of the road network: for a ladder of
+    weight thresholds keep only edges with w < cut and measure the
+    fragment structure — n_components, nodes touched, and the GIANT
+    COMPONENT fraction — the curve whose knee locates the percolation
+    transition (the resilience question "how much of the network
+    survives if only cheap links are usable?", the sweep form of
+    road_components' single cut).
+
+    Scale shape: each rung is a map-only edge filter + the distributed
+    min-label connected components (O(diameter) rounds of bounded
+    joins); the per-rung reduction is label-keyed counts.  Rungs run
+    sequentially (each is itself fully parallel).  Output: (w_cut,
+    n_edges, n_nodes, n_components, giant_nodes, giant_frac).
+    """
+    from ray.data.aggregate import Count, Max
+
+    from ..stages.common import duckdb_round as _dr
+
+    from .cluster import connected_components
+
+    e = fixtures.road_world()["edges"]
+    rows = []
+    for cut in cuts:
+        pairs = rd.from_arrow(e).filter(expr=f"w < {cut}")
+        n_edges = pairs.count()
+        if n_edges == 0:
+            rows.append((cut, 0, 0, 0, 0, 0.0))
+            continue
+        labels = connected_components(pairs, a_col="src", b_col="dst", num_partitions=2)
+        sizes = labels.groupby("label").aggregate(Count(alias_name="n_nodes"))
+        comp = sizes.to_pandas()  # component-size table: <= touched-node rows, never edges
+        n_nodes = int(comp["n_nodes"].sum())
+        giant = int(comp["n_nodes"].max())
+        rows.append((cut, n_edges, n_nodes, len(comp), giant, giant / n_nodes))
+    import pyarrow as _pa
+
+    return rd.from_arrow(
+        _pa.table(
+            {
+                "w_cut": _pa.array([r[0] for r in rows], type=_pa.int64()),
+                "n_edges": _pa.array([r[1] for r in rows], type=_pa.int64()),
+                "n_nodes": _pa.array([r[2] for r in rows], type=_pa.int64()),
+                "n_components": _pa.array([r[3] for r in rows], type=_pa.int64()),
+                "giant_nodes": _pa.array([r[4] for r in rows], type=_pa.int64()),
+                "giant_frac": _pa.array(
+                    _dr(np.array([r[5] for r in rows], dtype=np.float64), 6), type=_pa.float64()
+                ),
+            }
+        )
+    )

@@ -176,3 +176,19 @@ def test_harmonic_and_eccentricity_consistency(ray_session):
     # harmonic mass is positive and bounded by K * max 1/min_dist
     assert (h["harmonic"] > 0).all()
     assert h["harmonic"].max() <= routing.BTW_SOURCES / fixtures.ROAD_BASE_W + 1e-9
+
+
+def test_percolation_curve_shape(ray_session):
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import routing
+
+    out = routing.percolation_curve("/root/testdata/sf0.001").to_pandas()
+    assert list(out["w_cut"]) == list(routing.PERC_CUTS)
+    # monotone: more edges, fewer fragments, bigger giant as the cut rises
+    assert out["n_edges"].is_monotonic_increasing
+    assert out["giant_frac"].is_monotonic_increasing
+    assert (out["giant_nodes"] <= out["n_nodes"]).all()
+    # the top rung keeps ~3/4 of edge weights [1000,1977): near-full lattice
+    n = fixtures.ROAD_N
+    assert out.iloc[-1]["giant_frac"] > 0.9
+    assert out.iloc[-1]["n_nodes"] <= n * n
