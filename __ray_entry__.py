@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_adjacency_triangles": hotspot.cell_adjacency_triangles,
         "occupancy_kcore": hotspot.occupancy_kcore,
         "turn_histogram": trajectory.turn_histogram,
+        "rayleigh_test": trajectory.rayleigh_test,
         "kde_density": hotspot.kde_density,
         "cross_k": hotspot.cross_k,
         "nearest_neighbor": hotspot.nearest_neighbor,
@@ -2670,6 +2671,39 @@ SELECT user_id,
        END AS octant,
        count(*) AS n_segments
 FROM seg GROUP BY 1, 2""",
+        # mirrors trajectory.rayleigh_test: unit-vector components pinned
+        # once to int64 fixed-point per segment, z = n * r_bar^2
+        "rayleigh_test": f"""
+WITH {_epts},
+seq AS (
+  SELECT user_id, lon, lat,
+         lag(lon) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS plon,
+         lag(lat) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS plat
+  FROM epts),
+seg AS (
+  SELECT user_id, lon - plon AS dx, lat - plat AS dy,
+         sqrt((lon - plon) * (lon - plon) + (lat - plat) * (lat - plat)) AS nrm
+  FROM seq
+  WHERE plon IS NOT NULL AND NOT (lon = plon AND lat = plat)),
+pins AS (
+  SELECT user_id,
+         CAST(floor(dx / nrm * {trajectory.FP_SCALE!r} + 0.5) AS BIGINT) AS cfp,
+         CAST(floor(dy / nrm * {trajectory.FP_SCALE!r} + 0.5) AS BIGINT) AS sfp
+  FROM seg WHERE nrm > 0.0),
+agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(sum(cfp) AS BIGINT) AS sum_cos_fp, CAST(sum(sfp) AS BIGINT) AS sum_sin_fp
+  FROM pins GROUP BY 1),
+f AS (
+  SELECT *, CAST(sum_cos_fp AS DOUBLE) / {trajectory.FP_SCALE!r} AS c,
+            CAST(sum_sin_fp AS DOUBLE) / {trajectory.FP_SCALE!r} AS s,
+            CAST(n_segments AS DOUBLE) AS nf
+  FROM agg WHERE n_segments >= 2)
+SELECT user_id, n_segments, sum_cos_fp, sum_sin_fp,
+       round(sqrt(c * c + s * s) / greatest(nf, 1.0), 6) AS mean_resultant,
+       round(nf * ((sqrt(c * c + s * s) / greatest(nf, 1.0))
+                   * (sqrt(c * c + s * s) / greatest(nf, 1.0))), 6) AS rayleigh_z
+FROM f""",
         "zone_dispersion": f"""
 WITH {_epts},
 fq AS (

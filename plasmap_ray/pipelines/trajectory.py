@@ -1484,6 +1484,115 @@ def home_cells(sf_dir: str, pitch: float = COTRAVEL_PITCH) -> rd.Dataset:
     return counts.groupby("user_id").map_groups(argmax, batch_format="pandas")
 
 
+def rayleigh_test(sf_dir: str, parts: int = TRAJ_PARTS) -> rd.Dataset:
+    """Per-user Rayleigh test of directional uniformity (circular
+    statistics): movement unit vectors from consecutive fixes give the
+    mean resultant length r̄ and z = n·r̄² — z large ⇒ the user's
+    travel has a preferred bearing (commuter), z≈0 ⇒ isotropic wander;
+    the circular-stats sibling of heading_histogram's octant counts
+    (Mardia & Jupp 2000 §6.3).
+
+    Determinism: each segment's unit components are pinned ONCE to
+    int64 fixed-point (floor(u·FP + 0.5)) inside the run-scan task, so
+    the per-user Σcos/Σsin are exact integer sums and r̄/z are single
+    mirrored float expressions over them.  Zero-displacement steps
+    are dropped (no direction), users with <2 moving segments too.
+
+    Scale shape: the coarse-partition run-scan (user_id % parts tasks);
+    per-user int64 triples leave the task, one user-keyed fold.
+    Output: (user_id, n_segments, sum_cos_fp, sum_sin_fp,
+    mean_resultant, rayleigh_z).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.common import duckdb_round as _dr
+
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _derive_positions(t)
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, type=pa.int64()),
+                "event_id": t["event_id"],
+                "tus": pa.array(t["ts"].cast(pa.int64()).to_numpy(), type=pa.int64()),
+                "lon": t["lon"],
+                "lat": t["lat"],
+                "part": pa.array(uid % parts, type=pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "n_segments": pa.array([], type=pa.int64()),
+            "sum_cos_fp": pa.array([], type=pa.int64()),
+            "sum_sin_fp": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("tus", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        if len(uid) < 2:
+            return empty
+        lon, lat = g["lon"].to_numpy(), g["lat"].to_numpy()
+        dx, dy = np.diff(lon), np.diff(lat)
+        same = uid[1:] == uid[:-1]
+        norm = np.sqrt(dx * dx + dy * dy)
+        m = same & (norm > 0.0)
+        if not m.any():
+            return empty
+        u = uid[1:][m]
+        cfp = np.floor(dx[m] / norm[m] * FP_SCALE + 0.5).astype(np.int64)
+        sfp = np.floor(dy[m] / norm[m] * FP_SCALE + 0.5).astype(np.int64)
+        import pandas as pd
+
+        df = pd.DataFrame({"u": u, "c": cfp, "s": sfp})
+        gsum = df.groupby("u", sort=True).agg(n=("c", "size"), c=("c", "sum"), s=("s", "sum"))
+        return pa.table(
+            {
+                "user_id": pa.array(gsum.index.to_numpy().astype(np.int64)),
+                "n_segments": pa.array(gsum["n"].to_numpy().astype(np.int64)),
+                "sum_cos_fp": pa.array(gsum["c"].to_numpy().astype(np.int64)),
+                "sum_sin_fp": pa.array(gsum["s"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            _Sum("n_segments", alias_name="n_segments"),
+            _Sum("sum_cos_fp", alias_name="sum_cos_fp"),
+            _Sum("sum_sin_fp", alias_name="sum_sin_fp"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_segments"].to_numpy().astype(np.float64)
+        c = t["sum_cos_fp"].to_numpy().astype(np.float64) / FP_SCALE
+        s = t["sum_sin_fp"].to_numpy().astype(np.float64) / FP_SCALE
+        keep = n >= 2
+        r_bar = np.sqrt(c * c + s * s) / np.maximum(n, 1.0)
+        z = n * (r_bar * r_bar)
+        return pa.table(
+            {
+                "user_id": t["user_id"].filter(pa.array(keep)),
+                "n_segments": pa.array(t["n_segments"].to_numpy()[keep], type=pa.int64()),
+                "sum_cos_fp": pa.array(t["sum_cos_fp"].to_numpy()[keep], type=pa.int64()),
+                "sum_sin_fp": pa.array(t["sum_sin_fp"].to_numpy()[keep], type=pa.int64()),
+                "mean_resultant": pa.array(_dr(r_bar[keep], 6), type=pa.float64()),
+                "rayleigh_z": pa.array(_dr(z[keep], 6), type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def turn_histogram(sf_dir: str, parts: int = TRAJ_PARTS) -> rd.Dataset:
     """Per-user TURN histogram: consecutive movement segments (zero-
     displacement steps dropped, the heading_histogram stream) become

@@ -682,3 +682,44 @@ def test_zone_modularity_invariants(ray_session):
         q_ref += e - a_o * a_i
     assert abs(out["q_term"].sum() - q_ref) < 1e-4
     assert len(out) > 3  # several districts observed
+
+
+def test_rayleigh_test_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import trajectory as tj
+
+    sf = "/root/testdata/sf0.001"
+    out = tj.rayleigh_test(sf).to_pandas().set_index("user_id")
+
+    t = pq.read_table(sf + "/events.parquet", columns=["event_id", "user_id", "ts"])
+    ids = t["event_id"].to_numpy()
+    uid = t["user_id"].to_numpy()
+    ts = t["ts"].cast("int64").to_numpy()
+    lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+    order = np.lexsort((ids, ts, uid))
+    uid, lon, lat = uid[order], lon[order], lat[order]
+    dx, dy = np.diff(lon), np.diff(lat)
+    same = uid[1:] == uid[:-1]
+    norm = np.sqrt(dx * dx + dy * dy)
+    m = same & (norm > 0)
+    cfp = np.floor(dx[m] / norm[m] * tj.FP_SCALE + 0.5).astype(np.int64)
+    sfp = np.floor(dy[m] / norm[m] * tj.FP_SCALE + 0.5).astype(np.int64)
+    u = uid[1:][m]
+    for user in np.unique(u):
+        um = u == user
+        n = int(um.sum())
+        if n < 2:
+            assert user not in out.index
+            continue
+        c = cfp[um].sum() / tj.FP_SCALE
+        s = sfp[um].sum() / tj.FP_SCALE
+        r = np.sqrt(c * c + s * s) / n
+        row = out.loc[user]
+        assert row.n_segments == n
+        assert abs(row.mean_resultant - r) < 1e-6
+        assert abs(row.rayleigh_z - n * r * r) < 1e-5
+    # mean resultant is a proper fraction
+    assert ((out["mean_resultant"] >= 0) & (out["mean_resultant"] <= 1 + 1e-9)).all()
