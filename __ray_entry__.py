@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_focal_mean": lambda sf: raster.raster_focal_mean(sf, z=10),
         "raster_hillshade": lambda sf: raster.raster_hillshade(sf, z=10),
         "flow_accumulation": lambda sf: raster.flow_accumulation(sf, z=10),
+        "viewshed": lambda sf: raster.viewshed(sf, z=10),
         "boundary_simplify": raster.boundary_simplify_query,
         "zonal_stats": lambda sf: raster.zonal_stats(sf, z=10),
         "cell_coverage_weights": raster.cell_coverage_weights,
@@ -686,6 +687,7 @@ SELECT gx, gy, dzdx_num, dzdy_num,
              + sin(pi() / 4.0) * sin(atan(sqrt(dx * dx + dy * dy)))
                * cos(7.0 * pi() / 4.0 - atan2(dy, -dx)), 6) AS hillshade
 FROM f ORDER BY gx, gy""",
+        "viewshed": f"SELECT * FROM read_parquet('{golden.viewshed_path(SF001, 10, 16)}')",
         "flow_accumulation": f"""
 WITH RECURSIVE
 v AS (SELECT (x * 16 + px) AS gx, (y * 16 + py) AS gy, n_points

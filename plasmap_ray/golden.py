@@ -1690,6 +1690,57 @@ def _bf_dists(adj_edges, n_nodes: int, src: int) -> dict[int, int]:
     return {int(v): int(dist[v]) for v in range(1, n_nodes + 1) if dist[v] < INF}
 
 
+def viewshed_path(sf_dir: str, z: int, tile_px: int) -> str:
+    """Expected viewshed: same canonical sightline (los_cells is the
+    shared DEFINITION) but slope comparisons as exact Fractions of the
+    monotone transform sign(a)·a²/d² — independent arithmetic from the
+    engine's sign-cased integer cross-multiplication."""
+
+    def build() -> pa.Table:
+        from fractions import Fraction
+
+        from .pipelines.raster import los_cells, raster_to_vector
+
+        import ray as _ray
+
+        ds = raster_to_vector(sf_dir, z=z, tile_px=tile_px).to_pandas()
+        gx = (ds["x"].to_numpy().astype(np.int64) * tile_px + ds["px"].to_numpy().astype(np.int64))
+        gy = (ds["y"].to_numpy().astype(np.int64) * tile_px + ds["py"].to_numpy().astype(np.int64))
+        n = ds["n_points"].to_numpy().astype(np.int64)
+        best = np.lexsort((gy, gx, -n))[0]
+        vx, vy, zv = int(gx[best]), int(gy[best]), int(n[best])
+        elev = {(int(a), int(b)): int(c) for a, b, c in zip(gx, gy, n)}
+
+        def key(a: int, d2: int) -> Fraction:
+            s = 1 if a >= 0 else -1
+            return Fraction(s * a * a, d2) if d2 else Fraction(1 << 62)
+
+        rows = []
+        for tx, ty, zt in zip(gx.tolist(), gy.tolist(), n.tolist()):
+            a_t = zt - zv
+            d2_t = (tx - vx) ** 2 + (ty - vy) ** 2
+            vis = True
+            for cx, cy in los_cells(vx, vy, tx, ty):
+                a_i = elev.get((cx, cy), 0) - zv
+                d2_i = (cx - vx) ** 2 + (cy - vy) ** 2
+                if key(a_i, d2_i) >= key(a_t, d2_t):
+                    vis = False
+                    break
+            rows.append((tx, ty, zt, max(abs(tx - vx), abs(ty - vy)), vis))
+        rows.sort()
+        return pa.table(
+            {
+                "gx": pa.array([r[0] for r in rows], type=pa.int64()),
+                "gy": pa.array([r[1] for r in rows], type=pa.int64()),
+                "n_points": pa.array([r[2] for r in rows], type=pa.int64()),
+                "chebyshev_d": pa.array([r[3] for r in rows], type=pa.int64()),
+                "visible": pa.array([r[4] for r in rows]),
+            }
+        )
+
+    return _cache(f"viewshed_{_sf_tag(sf_dir)}_z{z}_p{tile_px}", build)
+
+
 def percolation_path(cuts: tuple, n: int | None = None) -> str:
     """Golden percolation sweep: local union-find with union-by-size
     (vs the engine's distributed min-label propagation)."""

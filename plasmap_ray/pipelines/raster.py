@@ -804,3 +804,123 @@ def flow_accumulation(sf_dir: str, z: int = 10, tile_px: int = 16) -> rd.Dataset
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# viewshed (exact-integer line-of-sight over the density raster)
+# ---------------------------------------------------------------------------
+
+
+def los_cells(vx: int, vy: int, tx: int, ty: int) -> list:
+    """Canonical intermediate-cell sequence for the sightline
+    (ENDPOINTS EXCLUDED): m = Chebyshev distance; step k = 1..m-1
+    lands at (vx + rhu(k·dx/m), vy + rhu(k·dy/m)) with rhu the exact
+    integer round-half-up floor((2kd + m) // (2m)).  This is the
+    DEFINITION of the sightline shared by the engine and the golden
+    oracle (their slope comparisons differ)."""
+    dx, dy = tx - vx, ty - vy
+    m = max(abs(dx), abs(dy))
+    out = []
+    for k in range(1, m):
+        cx = vx + (2 * k * dx + m) // (2 * m)
+        cy = vy + (2 * k * dy + m) // (2 * m)
+        out.append((cx, cy))
+    return out
+
+
+def viewshed(sf_dir: str, z: int = 10, tile_px: int = 16) -> rd.Dataset:
+    """Viewshed over the density raster (counts as elevation): which
+    occupied pixels are VISIBLE from the tallest pixel (max count,
+    ties to smallest (gx, gy))?  The classic terrain-analysis operator
+    (line-of-sight R3 variant) run on the point-density surface —
+    "from the densest hub, which other hotspots have an unobstructed
+    sight line?" — beside hillshade's illumination and
+    flow_accumulation's drainage.
+
+    EXACT-integer visibility: a target t is blocked iff some
+    intermediate cell i on the canonical sightline (``los_cells``)
+    satisfies slope_i ≥ slope_t where slope = (z_cell − z_view)/√d².
+    The engine compares via sign-cased cross-multiplied squares in
+    PYTHON ints (no overflow); the golden oracle compares
+    sign(a)·a²/d² as exact Fractions — same definition, independent
+    arithmetic.  Empty cells carry elevation 0 and CAN block a
+    below-horizon target.
+
+    Scale shape: the sparse raster (support-bounded) broadcasts once
+    via ray.put; targets stream through an actor pool that walks each
+    sightline (O(grid-span) ints per target).  Output: (gx, gy,
+    n_points, chebyshev_d, visible).
+    """
+    v = raster_to_vector(sf_dir, z=z, tile_px=tile_px)
+
+    def collapse(t: pa.Table) -> pa.Table:
+        gx = t["x"].to_numpy().astype(np.int64) * tile_px + t["px"].to_numpy().astype(np.int64)
+        gy = t["y"].to_numpy().astype(np.int64) * tile_px + t["py"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "gx": pa.array(gx, type=pa.int64()),
+                "gy": pa.array(gy, type=pa.int64()),
+                "n_points": t["n_points"],
+            }
+        )
+
+    pixels = v.map_batches(collapse, batch_format="pyarrow")
+    # support-bounded collect to pick the viewpoint + broadcast the
+    # elevation dict (the flow_accumulation finalize precedent)
+    tbl = pixels.to_pandas()
+    gx = tbl["gx"].to_numpy().astype(np.int64)
+    gy = tbl["gy"].to_numpy().astype(np.int64)
+    n = tbl["n_points"].to_numpy().astype(np.int64)
+    best = np.lexsort((gy, gx, -n))[0]
+    vx, vy, zv = int(gx[best]), int(gy[best]), int(n[best])
+    elev = {(int(a), int(b)): int(c) for a, b, c in zip(gx, gy, n)}
+    import ray as _ray
+
+    ref = _ray.put((vx, vy, zv, elev))
+
+    class LineOfSight:
+        def __init__(self, ref):
+            self.vx, self.vy, self.zv, self.elev = _ray.get(ref) if not isinstance(ref, tuple) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            txs = t["gx"].to_numpy().astype(np.int64)
+            tys = t["gy"].to_numpy().astype(np.int64)
+            zs = t["n_points"].to_numpy().astype(np.int64)
+            vis = np.zeros(len(txs), dtype=bool)
+            cheb = np.maximum(np.abs(txs - self.vx), np.abs(tys - self.vy)).astype(np.int64)
+            for i in range(len(txs)):
+                tx, ty, zt = int(txs[i]), int(tys[i]), int(zs[i])
+                a_t = zt - self.zv
+                d2_t = (tx - self.vx) ** 2 + (ty - self.vy) ** 2
+                blocked = False
+                for cx, cy in los_cells(self.vx, self.vy, tx, ty):
+                    a_i = self.elev.get((cx, cy), 0) - self.zv
+                    d2_i = (cx - self.vx) ** 2 + (cy - self.vy) ** 2
+                    if a_i >= 0 and a_t < 0:
+                        blocked = True
+                    elif a_i < 0 and a_t >= 0:
+                        blocked = False
+                    elif a_i >= 0 and a_t >= 0:
+                        blocked = a_i * a_i * d2_t >= a_t * a_t * d2_i
+                    else:
+                        blocked = a_i * a_i * d2_t <= a_t * a_t * d2_i
+                    if blocked:
+                        break
+                vis[i] = not blocked
+            return pa.table(
+                {
+                    "gx": pa.array(txs, type=pa.int64()),
+                    "gy": pa.array(tys, type=pa.int64()),
+                    "n_points": pa.array(zs, type=pa.int64()),
+                    "chebyshev_d": pa.array(cheb, type=pa.int64()),
+                    "visible": pa.array(vis),
+                }
+            )
+
+    return pixels.map_batches(
+        LineOfSight,
+        fn_constructor_kwargs=dict(ref=ref),
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(1, 8),
+    ).sort(["gx", "gy"])

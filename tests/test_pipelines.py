@@ -1743,3 +1743,69 @@ def test_segregation_index_matches_bruteforce(ray_session):
         assert out.loc[lang, "n_lang"] == A
     # index is a proper fraction for every language
     assert ((out["dissimilarity"] >= 0) & (out["dissimilarity"] <= 1)).all()
+
+
+def test_los_cells_properties():
+    from plasmap_ray.pipelines.raster import los_cells
+
+    # straight horizontal line: intermediates are exactly the between-cells
+    assert los_cells(0, 0, 4, 0) == [(1, 0), (2, 0), (3, 0)]
+    # perfect diagonal
+    assert los_cells(0, 0, 3, 3) == [(1, 1), (2, 2)]
+    # adjacent / same cell: no intermediates
+    assert los_cells(0, 0, 1, 1) == []
+    assert los_cells(2, 2, 2, 2) == []
+    # symmetry of the midpoint rule on a knight-ish line
+    cells_f = los_cells(0, 0, 6, 3)
+    assert len(cells_f) == 5
+    assert all(0 < cx < 6 for cx, _ in cells_f)
+
+
+def test_viewshed_toy_terrain(ray_session):
+    """Direct kernel check on a 1-D ridge: a tall wall hides what's
+    behind it, the wall itself is visible."""
+    import numpy as np
+
+    from plasmap_ray.pipelines.raster import los_cells
+
+    # viewpoint at (0,0) z=10; wall at (2,0) z=8; target behind at (4,0) z=5
+    elev = {(0, 0): 10, (2, 0): 8, (4, 0): 5, (1, 0): 1}
+    vx, vy, zv = 0, 0, 10
+
+    def visible(tx, ty, zt):
+        a_t, d2_t = zt - zv, (tx - vx) ** 2 + (ty - vy) ** 2
+        for cx, cy in los_cells(vx, vy, tx, ty):
+            a_i = elev.get((cx, cy), 0) - zv
+            d2_i = (cx - vx) ** 2 + (cy - vy) ** 2
+            if a_i >= 0 and a_t < 0:
+                return False
+            if a_i < 0 and a_t >= 0:
+                continue
+            if a_i >= 0 and a_t >= 0:
+                if a_i * a_i * d2_t >= a_t * a_t * d2_i:
+                    return False
+            elif a_i * a_i * d2_t <= a_t * a_t * d2_i:
+                return False
+        return True
+
+    assert visible(2, 0, 8)  # the wall: slope (8-10)/2 beats (1-10)/1 behind it
+    # behind the wall: wall slope -2/2=-1 vs target slope (5-10)/4=-1.25 -> blocked
+    assert not visible(4, 0, 5)
+    # high target above the wall line is visible
+    assert visible(4, 0, 30)
+
+
+def test_viewshed_pipeline_matches_golden(ray_session):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from plasmap_ray import golden
+    from plasmap_ray.pipelines import raster
+
+    sf = "/root/testdata/sf0.001"
+    got = raster.viewshed(sf, z=10).to_pandas().reset_index(drop=True)
+    exp = pq.read_table(golden.viewshed_path(sf, 10, 16)).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])
+    # the viewpoint row itself is visible at distance 0, and some pixels hide
+    assert got[got["chebyshev_d"] == 0]["visible"].all()
+    assert got["visible"].any() and (~got["visible"]).any()
