@@ -2357,6 +2357,104 @@ def binary_recall_path(sf_dir: str, k: int, vec_ids: tuple) -> str:
     return _cache(f"bin_recall_{_sf_tag(sf_dir)}_k{k}_q{len(vec_ids)}", build)
 
 
+def _lev_banded(a: str, b: str, k: int) -> int:
+    """Ukkonen k-banded Levenshtein: exact distance if <= k, else any
+    value > k — a deliberately different algorithm from the engine's
+    full row-vectorized DP."""
+    x, y = a.encode("utf-8"), b.encode("utf-8")
+    n, m = len(x), len(y)
+    if abs(n - m) > k:
+        return k + 1
+    INF = k + 1
+    prev = {j: j for j in range(0, min(m, k) + 1)}
+    for i in range(1, n + 1):
+        cur: dict[int, int] = {}
+        lo, hi = max(0, i - k), min(m, i + k)
+        for j in range(lo, hi + 1):
+            best = INF
+            if j > 0:
+                best = min(best, cur.get(j - 1, INF) + 1, prev.get(j - 1, INF) + (x[i - 1] != y[j - 1]))
+            elif j == 0:
+                best = i
+            if j in prev:
+                best = min(best, prev[j] + 1)
+            cur[j] = min(best, INF)
+        prev = cur
+        if min(prev.values()) > k:
+            return k + 1
+    return prev.get(m, INF)
+
+
+def edit_distance_verify_path(sf_dir: str) -> str:
+    """Expected Levenshtein verify table: ALL band-key candidate pairs
+    regenerated locally (the minhash_accuracy construction), the same
+    integer prefilter/keep rules, distances via the k-banded scan."""
+
+    def build() -> pa.Table:
+        from .pipelines.dedup import (
+            BANDS,
+            LEV_EST_HALF,
+            LEV_SIM_DEN,
+            ROWS_PER_BAND,
+            MinHashSignature,
+        )
+
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]).to_pandas()
+        docs = docs.sort_values("doc_id").reset_index(drop=True)
+        kernel = MinHashSignature()
+        ids = docs["doc_id"].to_numpy().astype(np.int64)
+        texts = list(docs["text"])
+        sigs = np.stack([kernel.signature(t) for t in texts])
+        n_sig = sigs.shape[1]
+        with np.errstate(over="ignore"):
+            mix = np.cumprod(np.full(ROWS_PER_BAND, np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64))
+            keys = np.stack(
+                [
+                    (sigs[:, b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND] * mix[None, :]).sum(
+                        axis=1, dtype=np.uint64
+                    )
+                    for b in range(BANDS)
+                ],
+                axis=1,
+            )
+        cand: set[tuple[int, int]] = set()
+        for b in range(BANDS):
+            buckets: dict[int, list[int]] = {}
+            for i, kv in enumerate(keys[:, b].tolist()):
+                buckets.setdefault(kv, []).append(i)
+            for grp in buckets.values():
+                for ii in range(len(grp)):
+                    for jj in range(ii + 1, len(grp)):
+                        a, b2 = grp[ii], grp[jj]
+                        cand.add((min(a, b2), max(a, b2)))
+        rows = []
+        for a, b2 in sorted(cand):
+            eq = int((sigs[a] == sigs[b2]).sum())
+            if LEV_EST_HALF * eq < n_sig:
+                continue
+            ml = max(len(texts[a]), len(texts[b2]))
+            kmax = ml // LEV_SIM_DEN
+            lev = _lev_banded(texts[a], texts[b2], kmax)
+            if lev * LEV_SIM_DEN > ml:
+                continue
+            da, db = int(ids[a]), int(ids[b2])
+            if da > db:
+                da, db = db, da
+            rows.append((da, db, lev, ml, round(1.0 - lev / ml, 6)))
+        rows.sort()
+        return pa.table(
+            {
+                "doc_a": pa.array([r[0] for r in rows], type=pa.int64()),
+                "doc_b": pa.array([r[1] for r in rows], type=pa.int64()),
+                "lev_dist": pa.array([r[2] for r in rows], type=pa.int64()),
+                "max_len": pa.array([r[3] for r in rows], type=pa.int64()),
+                "sim": pa.array([r[4] for r in rows], type=pa.float64()),
+            }
+        )
+
+    return _cache(f"lev_verify_{_sf_tag(sf_dir)}", build)
+
+
 def minhash_accuracy_path(sf_dir: str, sim_threshold: float) -> str:
     """Expected MinHash accuracy table: brute-force local recompute —
     ALL O(N²) candidate pairs via band-key equality (no sharded

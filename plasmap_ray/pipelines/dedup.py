@@ -293,6 +293,115 @@ def ngram_jaccard_near_dup(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("jaccard", alias_name="jaccard"))
 
 
+# edit-distance (Levenshtein) verify of LSH candidates ----------------------
+
+LEV_SIM_DEN = 5  # keep iff lev*5 <= maxlen  (normalized similarity >= 0.8)
+LEV_EST_HALF = 2  # prefilter: signature agreement 2*eq >= n_sig (est >= 0.5)
+
+
+def levenshtein_rows(a: str, b: str) -> int:
+    """Exact Levenshtein distance via the two-row DP with the
+    left-dependency resolved by a running-minimum transform — every
+    row is pure NumPy (cur[j] = min(cur[j], min_{k<j} cur[k] + (j−k))
+    computed as accumulate(cur − j) + j), no per-cell Python."""
+    if a == b:
+        return 0
+    x = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
+    y = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
+    if len(x) == 0 or len(y) == 0:
+        return max(len(x), len(y))
+    idx = np.arange(1, len(y) + 1, dtype=np.int64)
+    prev = np.arange(len(y) + 1, dtype=np.int64)
+    for i in range(1, len(x) + 1):
+        sub = prev[:-1] + (y != x[i - 1])
+        cur = np.minimum(prev[1:] + 1, sub)
+        # resolve insertions (left dependency) exactly:
+        cur = np.minimum(cur, np.minimum.accumulate(cur - idx) + idx)
+        prev = np.concatenate(([i], cur))
+    return int(prev[-1])
+
+
+def edit_distance_verify(sf_dir: str) -> rd.Dataset:
+    """Record-linkage verify pass: LSH candidate pairs re-scored with
+    EXACT Levenshtein distance — the character-level duplicate
+    confirmation (OCR noise, near-identical boilerplate) that n-gram
+    Jaccard's set view can miss or over-credit; Jaro-Winkler
+    (fuzzy_name_match) covers short names, this covers documents.
+
+    Shared integer contract with the golden oracle: candidates come
+    from the SAME banded/sharded LSH exchange as minhash_near_dup,
+    prefiltered by signature agreement (2·eq ≥ n_sig) and kept iff
+    5·lev ≤ max(len_a, len_b) (= similarity ≥ 0.8, no float in the
+    decision).  The engine's DP is row-vectorized NumPy (running-min
+    transform); the oracle's is a k-banded Ukkonen scan — independent
+    algorithms, identical integers.
+
+    Scale shape: texts travel only INTO the (band, shard) verify task
+    (like ngram_jaccard_near_dup's shingle sets); per-pair work is
+    O(len²/SIMD); output pairs dedupe via one keyed Min.
+    Output: (doc_a, doc_b, lev_dist, max_len, sim) rounded 6.
+    """
+
+    class SignatureAndTextCols(MinHashSignature):
+        def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+            sigs = np.empty((batch.num_rows, len(self.a)), dtype=np.uint64)
+            for i, v in enumerate(batch["text"]):
+                sigs[i] = self.signature(v.as_py())
+            return batch.append_column(
+                "minhash", pa.array(list(sigs.view(np.int64)), type=pa.list_(pa.int64(), len(self.a)))
+            )
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    sigs = ds.map_batches(SignatureAndTextCols, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8))
+    exploded = sigs.map_batches(_band_explode, batch_format="pyarrow").map_batches(
+        _shard_band_key, batch_format="pyarrow"
+    )
+
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["band_key"].to_numpy()
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        texts = list(g["text"])
+        sig = np.stack([np.asarray(s, dtype=np.int64) for s in g["minhash"]])
+        n_sig = sig.shape[1]
+
+        def verify(i, j):
+            out = np.full(len(i), -1.0)
+            for t, (a, b) in enumerate(zip(i, j)):
+                eq = int((sig[a] == sig[b]).sum())
+                if LEV_EST_HALF * eq < n_sig:  # signature-agreement prefilter
+                    continue
+                lev = levenshtein_rows(texts[a], texts[b])
+                ml = max(len(texts[a]), len(texts[b]))
+                out[t] = lev * 100000.0 + ml
+            return out
+
+        ia, ib, val = pairs_in_key_runs(keys, ids, verify)
+        ok = val >= 0
+        lev = (val[ok] // 100000.0).astype(np.int64)
+        ml = (val[ok] % 100000.0).astype(np.int64)
+        keep = lev * LEV_SIM_DEN <= ml
+        a = ids[ia[ok][keep]]
+        b = ids[ib[ok][keep]]
+        swap = a > b
+        sim = np.round(1.0 - lev[keep].astype(np.float64) / ml[keep], 6)
+        return pd.DataFrame(
+            {
+                "doc_a": np.where(swap, b, a),
+                "doc_b": np.where(swap, a, b),
+                "lev_dist": lev[keep],
+                "max_len": ml[keep],
+                "sim": sim,
+            }
+        )
+
+    pairs = exploded.groupby(["band", "shard"]).map_groups(band_pairs, batch_format="pandas")
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("lev_dist", alias_name="lev_dist"),
+        Min("max_len", alias_name="max_len"),
+        Min("sim", alias_name="sim"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (documents)
 # ---------------------------------------------------------------------------

@@ -653,3 +653,45 @@ def test_knn_graph_reciprocity_bruteforce(ray_session):
         assert out.loc[l, "n_reciprocal"] == nr
     assert out["n_edges"].sum() == len(eset)
     assert (out["reciprocity"] <= 1.0).all() and (out["reciprocity"] > 0.0).all()
+
+
+def test_levenshtein_rows_known_strings():
+    from plasmap_ray.pipelines.dedup import levenshtein_rows
+
+    assert levenshtein_rows("kitten", "sitting") == 3
+    assert levenshtein_rows("", "abc") == 3
+    assert levenshtein_rows("abc", "") == 3
+    assert levenshtein_rows("same", "same") == 0
+    assert levenshtein_rows("flaw", "lawn") == 2
+    assert levenshtein_rows("a" * 100, "a" * 99 + "b") == 1
+    # cross-check vs classic full-matrix DP on random-ish pairs
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    alpha = "abcdef "
+    for _ in range(25):
+        a = "".join(rng.choice(list(alpha), size=rng.integers(0, 40)))
+        b = "".join(rng.choice(list(alpha), size=rng.integers(0, 40)))
+        n, m = len(a), len(b)
+        dp = [[0] * (m + 1) for _ in range(n + 1)]
+        for i in range(n + 1):
+            dp[i][0] = i
+        for j in range(m + 1):
+            dp[0][j] = j
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                dp[i][j] = min(
+                    dp[i - 1][j] + 1, dp[i][j - 1] + 1, dp[i - 1][j - 1] + (a[i - 1] != b[j - 1])
+                )
+        assert levenshtein_rows(a, b) == dp[n][m], (a, b)
+
+
+def test_edit_distance_verify_finds_planted_dups(ray_session):
+    from plasmap_ray.pipelines import dedup as dd
+
+    out = dd.edit_distance_verify("/root/testdata/sf0.001").to_pandas()
+    # planted near-dups must survive the exact character-level verify
+    assert len(out) > 0
+    assert (out["sim"] >= 0.8 - 1e-9).all()
+    assert (out["lev_dist"] * dd.LEV_SIM_DEN <= out["max_len"]).all()
+    assert (out["doc_a"] < out["doc_b"]).all()
