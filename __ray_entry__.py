@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ---
         "token_stats": text.token_stats,
         "readability_scores": text.readability_scores,
+        "mtld_diversity": text.mtld_diversity,
         "sequence_packing": text.sequence_packing,
         "corpus_flagship": text.corpus_flagship,
         "shuffled_packing": text.shuffled_packing,
@@ -1395,6 +1396,7 @@ FROM ks CROSS JOIN tot LEFT JOIN r ON r.rk <= ks.k
 GROUP BY ks.k, tot.total, tot.vocab""",
         "token_stats": """
 SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars FROM documents""",
+        "mtld_diversity": f"SELECT * FROM read_parquet('{golden.mtld_path(SF001)}')",
         # mirrors text.readability_scores: vowel-run syllables floored
         # at 1/word, [.!?] sentence marks floored at 1/doc
         "readability_scores": """

@@ -3589,6 +3589,73 @@ def lz78_complexity_path(sf_dir: str) -> str:
     return _cache(f"lz78_{_sf_tag(sf_dir)}", build)
 
 
+def mtld_path(sf_dir: str) -> str:
+    """Expected MTLD table: per-position dict-count bookkeeping (types
+    tracked by a counts dict with explicit deletion on reset) vs the
+    engine's set-based scan — same integer boundary rule, different
+    state machine; rounding mirrored."""
+
+    def build() -> pa.Table:
+        from .pipelines.text import MTLD_DEN, MTLD_NUM
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+        def one_pass(toks):
+            factors = 0
+            counts: dict = {}
+            types = 0
+            n = 0
+            for w in toks:
+                n += 1
+                c = counts.get(w, 0)
+                counts[w] = c + 1
+                if c == 0:
+                    types += 1
+                if MTLD_DEN * types < MTLD_NUM * n:
+                    factors += 1
+                    counts = {}
+                    types = 0
+                    n = 0
+            partial = 0.0
+            if n:
+                partial = (1.0 - types / n) / (1.0 - MTLD_NUM / MTLD_DEN)
+            return factors, partial
+
+        rows: dict[str, list] = {k: [] for k in ("doc_id", "n_tokens", "factors_fwd", "factors_bwd", "mtld_fwd", "mtld_bwd")}
+        for i in range(t.num_rows):
+            toks = [w for w in t["text"][i].as_py().split(" ") if w]
+            rows["doc_id"].append(t["doc_id"][i].as_py())
+            rows["n_tokens"].append(len(toks))
+            if not toks:
+                for k in ("factors_fwd", "factors_bwd"):
+                    rows[k].append(0)
+                rows["mtld_fwd"].append(0.0)
+                rows["mtld_bwd"].append(0.0)
+                continue
+            ff, pf = one_pass(toks)
+            fb, pb = one_pass(list(reversed(toks)))
+            rows["factors_fwd"].append(ff)
+            rows["factors_bwd"].append(fb)
+            rows["mtld_fwd"].append(len(toks) / (ff + pf) if (ff + pf) > 0 else 0.0)
+            rows["mtld_bwd"].append(len(toks) / (fb + pb) if (fb + pb) > 0 else 0.0)
+        mf = np.asarray(rows["mtld_fwd"], dtype=np.float64)
+        mb = np.asarray(rows["mtld_bwd"], dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+                "n_tokens": pa.array(rows["n_tokens"], type=pa.int64()),
+                "factors_fwd": pa.array(rows["factors_fwd"], type=pa.int64()),
+                "factors_bwd": pa.array(rows["factors_bwd"], type=pa.int64()),
+                "mtld_fwd": pa.array(duckdb_round(mf, 6), type=pa.float64()),
+                "mtld_bwd": pa.array(duckdb_round(mb, 6), type=pa.float64()),
+                "mtld": pa.array(duckdb_round((mf + mb) / 2.0, 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"mtld_{_sf_tag(sf_dir)}", build)
+
+
 def audio_clipping_path(audio_parquet: str) -> str:
     """Expected clipping census: independent recompute — run count via
     a Python state-machine scan here vs the engine's vectorized

@@ -94,6 +94,87 @@ def readability_scores(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+MTLD_NUM, MTLD_DEN = 72, 100  # factor completes when 100·types < 72·tokens
+
+
+def _mtld_factors(tokens: list) -> tuple[int, float]:
+    """One directional MTLD pass: (complete_factors, partial) with the
+    INTEGER threshold rule 100·types < 72·tokens (no float compare).
+    Partial = (1 − TTR_end)/(1 − 0.72) over the trailing fragment."""
+    factors = 0
+    seen: set = set()
+    n_tok = 0
+    for w in tokens:
+        n_tok += 1
+        seen.add(w)
+        if MTLD_DEN * len(seen) < MTLD_NUM * n_tok:
+            factors += 1
+            seen.clear()
+            n_tok = 0
+    partial = 0.0
+    if n_tok:
+        ttr = len(seen) / n_tok
+        partial = (1.0 - ttr) / (1.0 - MTLD_NUM / MTLD_DEN)
+    return factors, partial
+
+
+def mtld_diversity(sf_dir: str) -> rd.Dataset:
+    """Per-document MTLD lexical diversity (McCarthy & Jarvis 2010):
+    mean length of sequential token stretches that keep type-token
+    ratio above 0.72, averaged over forward and backward passes — the
+    length-robust vocabulary-richness column a curation pipeline
+    buckets on where raw TTR collapses with document length
+    (complements lz78_complexity's character view with a token view).
+
+    Shared definition with the golden oracle: single-space non-empty
+    tokens; the factor boundary is the INTEGER rule 100·types <
+    72·tokens; partial factor (1−TTR)/(0.28); mtld_dir =
+    n_tokens/(factors+partial); mtld = (fwd+bwd)/2.  The oracle
+    recomputes with per-position dict bookkeeping (different state
+    machine).
+
+    Scale shape: map-ONLY per-doc scan (compiled-free, ALU-bound in
+    the batch fn).  Output: (doc_id, n_tokens, factors_fwd,
+    factors_bwd, mtld_fwd, mtld_bwd, mtld) rounded 6.
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n = len(texts)
+        n_tok = np.zeros(n, dtype=np.int64)
+        f_f = np.zeros(n, dtype=np.int64)
+        f_b = np.zeros(n, dtype=np.int64)
+        m_f = np.zeros(n, dtype=np.float64)
+        m_b = np.zeros(n, dtype=np.float64)
+        for i, s in enumerate(texts):
+            toks = [w for w in s.split(" ") if w]
+            n_tok[i] = len(toks)
+            if not toks:
+                continue
+            ff, pf = _mtld_factors(toks)
+            fb, pb = _mtld_factors(toks[::-1])
+            f_f[i], f_b[i] = ff, fb
+            m_f[i] = len(toks) / (ff + pf) if (ff + pf) > 0 else 0.0
+            m_b[i] = len(toks) / (fb + pb) if (fb + pb) > 0 else 0.0
+        mt = (m_f + m_b) / 2.0
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+                "factors_fwd": pa.array(f_f, type=pa.int64()),
+                "factors_bwd": pa.array(f_b, type=pa.int64()),
+                "mtld_fwd": pa.array(duckdb_round(m_f, 6), type=pa.float64()),
+                "mtld_bwd": pa.array(duckdb_round(m_b, 6), type=pa.float64()),
+                "mtld": pa.array(duckdb_round(mt, 6), type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def lang_histogram(sf_dir: str) -> rd.Dataset:
     """Document counts + mean length per language tag (A3 analogue)."""
     ds = _read_docs(sf_dir, ["lang", "n_chars"])

@@ -731,3 +731,34 @@ def test_readability_scores_pipeline(ray_session):
         - 84.6 * (out["n_syllables"] / out["n_words"])
     )
     assert np.allclose(out["flesch_ease"], recomputed.round(6), atol=1e-6)
+
+
+def test_mtld_factors_known_sequence(ray_session):
+    """Hand-traced MTLD pass: a fully repetitive stream fragments into
+    many factors; an all-distinct stream never completes one."""
+    from plasmap_ray.pipelines.text import _mtld_factors
+
+    # all same token: TTR after 2 tokens = 1/2 < 0.72 -> factor every 2
+    f, p = _mtld_factors(["x"] * 10)
+    assert f == 5 and p == 0.0
+    # all distinct: TTR stays 1.0, one partial with TTR 1 -> partial 0
+    f, p = _mtld_factors([str(i) for i in range(10)])
+    assert f == 0 and p == 0.0
+    # boundary check: types=7, tokens=10 -> 100*7 < 72*10 -> factor
+    toks = list("abcdefg") + ["a", "b", "c"]
+    f, p = _mtld_factors(toks)
+    assert f == 1 and p == 0.0
+
+
+def test_mtld_pipeline_sane(ray_session):
+    from plasmap_ray.pipelines import text as text_p
+
+    out = text_p.mtld_diversity("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0 and (out["n_tokens"] > 0).all()
+    assert (out["mtld"] >= 0).all()
+    # a short diverse doc EXTRAPOLATES beyond its own length via the
+    # partial factor (that's the MTLD length-robustness by design), but
+    # with >=1 complete factor the estimate is bounded by n_tokens
+    both = (out["factors_fwd"] >= 1) & (out["factors_bwd"] >= 1)
+    assert (out.loc[both, "mtld"] <= out.loc[both, "n_tokens"] + 1e-9).all()
+    assert np.allclose(out["mtld"], ((out["mtld_fwd"] + out["mtld_bwd"]) / 2).round(6), atol=2e-6)
