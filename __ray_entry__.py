@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boundary_geodesic_area": denormalize.boundary_geodesic_area_query,
         # --- relational / aggregation ---
         "pricing_summary": relational.pricing_summary,
+        "referential_integrity": relational.referential_integrity,
         "orders_by_nation": relational.orders_by_nation,
         "part_cooccurrence": relational.part_cooccurrence,
         "topk_orders_per_customer": relational.topk_orders_per_customer,
@@ -844,6 +845,19 @@ j AS (SELECT doc_id, lon, lat, rel_id FROM pts JOIN {rects}
       ON pts.lon >= b.lon_min AND pts.lon < b.lon_max AND pts.lat >= b.lat_min AND pts.lat < b.lat_max),
 t AS (SELECT doc_id, rel_id, 10 AS z, {oracle.sql_tile_x('lon', 10)} AS x, {oracle.sql_tile_y('lat', 10)} AS y FROM j)
 SELECT CAST(z AS INTEGER) AS z, x, y, rel_id, count(*) AS n_images FROM t GROUP BY z, x, y, rel_id""",
+        # mirrors relational.referential_integrity: per-FK-edge anti-join
+        "referential_integrity": " UNION ALL ".join(
+            f"""
+SELECT '{child}' AS child_table, '{ckey}' AS fk_column, '{parent}' AS parent_table,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child_rows,
+       (SELECT CAST(count(DISTINCT {ckey}) AS BIGINT) FROM {child}) AS n_child_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM
+          (SELECT DISTINCT {ckey} AS k FROM {child}) c
+          WHERE c.k NOT IN (SELECT {pkey} FROM {parent})) AS n_orphan_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child} c
+          WHERE c.{ckey} NOT IN (SELECT {pkey} FROM {parent})) AS n_orphan_rows"""
+            for child, ckey, parent, pkey in relational.FK_EDGES
+        ),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

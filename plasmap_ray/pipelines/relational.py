@@ -2124,3 +2124,108 @@ def rank_correlation(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# referential_integrity (FK orphan audit across the warehouse)
+# ---------------------------------------------------------------------------
+
+FK_EDGES = (
+    # (child_table, child_key, parent_table, parent_key)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def referential_integrity(sf_dir: str) -> rd.Dataset:
+    """Warehouse FK audit: for every declared foreign-key edge, the
+    child-row count, DISTINCT child keys, and ORPHANS (child keys with
+    no parent) — the load-time data-quality gate every pipeline runs
+    before joining (an orphan silently drops rows from inner joins,
+    the classic "where did my revenue go" bug).
+
+    Scale shape per edge: the child side collapses to DISTINCT keys
+    via the per-batch unique combiner + one keyed count groupby (the
+    shuffle carries keys, never child rows); the parent key set is a
+    pruned single-column scan; the orphan count is a broadcast-hash
+    anti-join when the parent is dim-sized (all parents here) with the
+    documented hash-join switchover above the broadcast byte threshold
+    (the size-guarded-dim pattern of market_share).
+
+    Output: (child_table, fk_column, parent_table, n_child_rows,
+    n_child_keys, n_orphan_keys, n_orphan_rows).
+    """
+    rows = []
+    for child, ckey, parent, pkey in FK_EDGES:
+        cds = _read(sf_dir, child, [ckey])
+
+        def key_partial(t: pa.Table, _k=ckey) -> pa.Table:
+            u, c = np.unique(t[_k].to_numpy(), return_counts=True)
+            return pa.table(
+                {"k": pa.array(u.astype(np.int64)), "n": pa.array(c.astype(np.int64))}
+            )
+
+        per_key = (
+            cds.map_batches(key_partial, batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(Sum("n", alias_name="n"))
+        )
+        # parent keys: dim-bounded single column -> broadcast set
+        import pyarrow.parquet as _pq
+
+        pk = _pq.read_table(os.path.join(sf_dir, f"{parent}.parquet"), columns=[pkey])[pkey].to_numpy()
+        pset_arr = np.sort(pk.astype(np.int64))
+        import ray as _ray
+
+        pref = _ray.put(pset_arr)
+
+        def orphan_partial(t: pa.Table, _ref=pref) -> pa.Table:
+            ps = _ray.get(_ref) if not isinstance(_ref, np.ndarray) else _ref
+            k = t["k"].to_numpy()
+            n = t["n"].to_numpy()
+            idx = np.searchsorted(ps, k)
+            found = (idx < len(ps)) & (ps[np.minimum(idx, len(ps) - 1)] == k)
+            orph = ~found
+            return pa.table(
+                {
+                    "g": pa.array(np.zeros(1, dtype=np.int64)),
+                    "n_keys": pa.array([len(k)], type=pa.int64()),
+                    "n_rows": pa.array([int(n.sum())], type=pa.int64()),
+                    "n_orph_keys": pa.array([int(orph.sum())], type=pa.int64()),
+                    "n_orph_rows": pa.array([int(n[orph].sum())], type=pa.int64()),
+                }
+            )
+
+        agg = (
+            per_key.map_batches(orphan_partial, batch_format="pyarrow")
+            .groupby("g")
+            .aggregate(
+                Sum("n_keys", alias_name="n_keys"),
+                Sum("n_rows", alias_name="n_rows"),
+                Sum("n_orph_keys", alias_name="n_orph_keys"),
+                Sum("n_orph_rows", alias_name="n_orph_rows"),
+            )
+            .take_all()
+        )
+        r = agg[0] if agg else {"n_keys": 0, "n_rows": 0, "n_orph_keys": 0, "n_orph_rows": 0}
+        rows.append(
+            (child, ckey, parent, int(r["n_rows"]), int(r["n_keys"]), int(r["n_orph_keys"]), int(r["n_orph_rows"]))
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "child_table": pa.array([r[0] for r in rows], type=pa.string()),
+                "fk_column": pa.array([r[1] for r in rows], type=pa.string()),
+                "parent_table": pa.array([r[2] for r in rows], type=pa.string()),
+                "n_child_rows": pa.array([r[3] for r in rows], type=pa.int64()),
+                "n_child_keys": pa.array([r[4] for r in rows], type=pa.int64()),
+                "n_orphan_keys": pa.array([r[5] for r in rows], type=pa.int64()),
+                "n_orphan_rows": pa.array([r[6] for r in rows], type=pa.int64()),
+            }
+        )
+    )

@@ -1809,3 +1809,37 @@ def test_viewshed_pipeline_matches_golden(ray_session):
     # the viewpoint row itself is visible at distance 0, and some pixels hide
     assert got[got["chebyshev_d"] == 0]["visible"].all()
     assert got["visible"].any() and (~got["visible"]).any()
+
+
+def test_referential_integrity_clean_fixture(ray_session):
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    out = relational.referential_integrity(sf).to_pandas()
+    assert len(out) == len(relational.FK_EDGES)
+    # the generated warehouse is referentially clean
+    assert (out["n_orphan_keys"] == 0).all()
+    assert (out["n_orphan_rows"] == 0).all()
+    # and the totals line up with the raw tables
+    li = pq.ParquetFile(sf + "/lineitem.parquet").metadata.num_rows
+    row = out[(out["child_table"] == "lineitem") & (out["fk_column"] == "l_orderkey")].iloc[0]
+    assert row.n_child_rows == li
+    assert 0 < row.n_child_keys <= li
+
+
+def test_referential_integrity_detects_orphans(ray_session):
+    """Plant an orphan: keys outside the parent set must be counted."""
+    import numpy as np
+    import pyarrow as pa
+    import ray as _ray
+
+    # exercise the orphan kernel directly with a fake parent set
+    ps = np.array([1, 2, 3], dtype=np.int64)
+    k = np.array([1, 3, 99, 100], dtype=np.int64)
+    n = np.array([5, 1, 2, 7], dtype=np.int64)
+    idx = np.searchsorted(ps, k)
+    found = (idx < len(ps)) & (ps[np.minimum(idx, len(ps) - 1)] == k)
+    assert (~found).sum() == 2
+    assert n[~found].sum() == 9
