@@ -1741,6 +1741,48 @@ def viewshed_path(sf_dir: str, z: int, tile_px: int) -> str:
     return _cache(f"viewshed_{_sf_tag(sf_dir)}_z{z}_p{tile_px}", build)
 
 
+def alt_eval_path(n_pairs: int, n: int | None = None) -> str:
+    """Golden ALT-bound audit via Bellman-Ford distances (vs the
+    engine's Dijkstra pool), same landmark/pair construction."""
+
+    def build() -> pa.Table:
+        from . import fixtures
+        from .pipelines.routing import ALT_LANDMARKS, _btw_sources
+        from .stages.common import duckdb_round
+
+        nn = n or fixtures.ROAD_N
+        e = fixtures.road_world(nn)["edges"]
+        s0, d0, w0 = e["src"].to_numpy(), e["dst"].to_numpy(), e["w"].to_numpy()
+        s = np.concatenate([s0, d0])
+        d = np.concatenate([d0, s0])
+        w = np.concatenate([w0, w0])
+        n_nodes = nn * nn
+        us = _btw_sources(n_nodes, n_pairs)
+        vs = ((us * 7919 + 131) % n_nodes + 1).astype(np.int64)
+        vs = np.where(vs == us, (vs % n_nodes) + 1, vs)
+        srcs = sorted(set(ALT_LANDMARKS) | set(us.tolist()))
+        dist = {src: _bf_dists((s, d, w), n_nodes, src) for src in srcs}
+        rows = []
+        for u, v in zip(us.tolist(), vs.tolist()):
+            true = dist[u][v]
+            bound = max(abs(dist[L][u] - dist[L][v]) for L in ALT_LANDMARKS)
+            rows.append((u, v, true, bound))
+        true_a = np.array([r[2] for r in rows], dtype=np.float64)
+        bound_a = np.array([r[3] for r in rows], dtype=np.float64)
+        tight = duckdb_round(bound_a / np.maximum(true_a, 1.0), 6)
+        return pa.table(
+            {
+                "src": pa.array([r[0] for r in rows], type=pa.int64()),
+                "dst": pa.array([r[1] for r in rows], type=pa.int64()),
+                "true_dist": pa.array([r[2] for r in rows], type=pa.int64()),
+                "alt_bound": pa.array([r[3] for r in rows], type=pa.int64()),
+                "tightness": pa.array(tight, type=pa.float64()),
+            }
+        )
+
+    return _cache(f"alt_eval_n{n or 0}_p{n_pairs}", build)
+
+
 def percolation_path(cuts: tuple, n: int | None = None) -> str:
     """Golden percolation sweep: local union-find with union-by-size
     (vs the engine's distributed min-label propagation)."""

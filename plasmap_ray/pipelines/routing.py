@@ -543,6 +543,96 @@ def graph_eccentricity(sf_dir: str, k: int = BTW_SOURCES) -> rd.Dataset:
     ).sort("source")
 
 
+ALT_LANDMARKS = (1, 24, 553, 576, 288)  # corners + center of the 24x24 grid
+ALT_PAIRS = 64  # evaluated (u, v) pairs (deterministic stride sample)
+
+
+def alt_heuristic_eval(sf_dir: str, n_pairs: int = ALT_PAIRS) -> rd.Dataset:
+    """ALT (A*, Landmarks, Triangle inequality; Goldberg & Harrelson
+    2005) heuristic-quality audit: for sampled (u, v) pairs, the
+    landmark lower bound max_L |d(L,u) − d(L,v)| against the true
+    shortest-path distance — the tightness ratio that decides whether
+    goal-directed search will actually prune (bound/true → 1 = strong
+    pruning, → 0 = useless landmarks); the measured-quality harness
+    the engine ships beside ann_recall_eval and count_min_eval.
+
+    Scale shape: one Dijkstra per landmark (actor pool, broadcast
+    edges) builds the landmark-distance columns; the evaluated pairs'
+    true distances come from per-source Dijkstras on the same pool;
+    the comparison joins landmark-bounded tables driver-side.  All
+    distances exact int64.  Output: (src, dst, true_dist, alt_bound,
+    tightness) rounded 6.
+    """
+    from ..stages.common import duckdb_round as _dr
+
+    n = fixtures.ROAD_N
+    e = fixtures.road_world(n)["edges"]
+    edges_ref = ray.put(
+        {"src": e["src"].to_numpy(), "dst": e["dst"].to_numpy(), "w": e["w"].to_numpy()}
+    )
+    n_nodes = n * n
+    # deterministic (u, v) pair sample: strided, u < v
+    us = _btw_sources(n_nodes, n_pairs)
+    vs = ((us * 7919 + 131) % n_nodes + 1).astype(np.int64)  # spread partners
+    vs = np.where(vs == us, (vs % n_nodes) + 1, vs)
+
+    # distances FROM each landmark and FROM each evaluated source, all
+    # through the same Dijkstra actor pool (undirected graph: d(L,u)
+    # from L's run serves both directions)
+    srcs = sorted(set(ALT_LANDMARKS) | set(us.tolist()))
+    src_ds = rd.from_arrow(pa.table({"source": pa.array(srcs, type=pa.int64())}))
+
+    class DistRows(DijkstraSource):
+        def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+            out_s, out_v, out_d = [], [], []
+            for s in batch["source"].to_pylist():
+                for v, d in self._dists(s).items():
+                    out_s.append(s)
+                    out_v.append(v)
+                    out_d.append(d)
+            return pa.table(
+                {
+                    "source": pa.array(out_s, type=pa.int64()),
+                    "node": pa.array(out_v, type=pa.int64()),
+                    "dist": pa.array(out_d, type=pa.int64()),
+                }
+            )
+
+    dist_tbl = (
+        src_ds.map_batches(
+            DistRows,
+            fn_constructor_kwargs=dict(edges_ref=edges_ref),
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+    dmap: dict[tuple[int, int], int] = {
+        (int(s), int(v)): int(d)
+        for s, v, d in zip(dist_tbl["source"], dist_tbl["node"], dist_tbl["dist"])
+    }
+    rows = []
+    for u, v in zip(us.tolist(), vs.tolist()):
+        true = dmap[(u, v)] if (u, v) in dmap else dmap[(v, u)]
+        bound = max(abs(dmap[(L, u)] - dmap[(L, v)]) for L in ALT_LANDMARKS)
+        rows.append((u, v, true, bound))
+    true_a = np.array([r[2] for r in rows], dtype=np.float64)
+    bound_a = np.array([r[3] for r in rows], dtype=np.float64)
+    tight = _dr(bound_a / np.maximum(true_a, 1.0), 6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([r[0] for r in rows], type=pa.int64()),
+                "dst": pa.array([r[1] for r in rows], type=pa.int64()),
+                "true_dist": pa.array([r[2] for r in rows], type=pa.int64()),
+                "alt_bound": pa.array([r[3] for r in rows], type=pa.int64()),
+                "tightness": pa.array(tight, type=pa.float64()),
+            }
+        )
+    )
+
+
 def betweenness_sampled(sf_dir: str, k: int = BTW_SOURCES) -> rd.Dataset:
     """Sampled betweenness centrality of the road network (Brandes
     source sampling): the "which junctions carry the traffic"

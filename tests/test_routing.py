@@ -192,3 +192,15 @@ def test_percolation_curve_shape(ray_session):
     n = fixtures.ROAD_N
     assert out.iloc[-1]["giant_frac"] > 0.9
     assert out.iloc[-1]["n_nodes"] <= n * n
+
+
+def test_alt_heuristic_eval_bounds(ray_session):
+    from plasmap_ray.pipelines import routing
+
+    out = routing.alt_heuristic_eval("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == routing.ALT_PAIRS
+    # triangle inequality: the landmark bound NEVER exceeds the truth
+    assert (out["alt_bound"] <= out["true_dist"]).all()
+    assert ((out["tightness"] >= 0) & (out["tightness"] <= 1.0 + 1e-9)).all()
+    # corner landmarks on a grid give a useful bound on average
+    assert out["tightness"].mean() > 0.5
