@@ -377,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_moran": hotspot.local_moran,
         "global_moran": hotspot.global_moran,
         "geary_c": hotspot.geary_c,
+        "occupancy_closing": hotspot.occupancy_closing,
         "cell_adjacency_triangles": hotspot.cell_adjacency_triangles,
         "occupancy_kcore": hotspot.occupancy_kcore,
         "turn_histogram": trajectory.turn_histogram,
@@ -3206,6 +3207,31 @@ SELECT n_occupied, s1, s2, s_cross, s_wrow,
                 + mean * mean * {float(hotspot.MORAN_W)!r})
              / (CAST(s2 AS DOUBLE) - {float(hotspot.GI_NCELLS)!r} * mean * mean), 6) AS moran_i
 FROM m""",
+        # mirrors hotspot.occupancy_closing: dilate votes, erode by
+        # full-window vote counts
+        "occupancy_closing": f"""
+WITH {_epts},
+occ AS (
+  SELECT DISTINCT CAST(floor((lon - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+                  CAST(floor((lat - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy
+  FROM epts),
+offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+dil AS (
+  SELECT DISTINCT cx + dx AS cx, cy + dy AS cy FROM occ, offs
+  WHERE cx + dx BETWEEN 0 AND {hotspot.GI_GX - 1} AND cy + dy BETWEEN 0 AND {hotspot.GI_GY - 1}),
+votes AS (
+  SELECT cx + dx AS cx, cy + dy AS cy, CAST(count(*) AS BIGINT) AS n FROM dil, offs
+  WHERE cx + dx BETWEEN 0 AND {hotspot.GI_GX - 1} AND cy + dy BETWEEN 0 AND {hotspot.GI_GY - 1}
+  GROUP BY 1, 2),
+cl AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_closed FROM votes
+  WHERE n = (least(cx + 1, {hotspot.GI_GX - 1}) - greatest(cx - 1, 0) + 1)
+            * (least(cy + 1, {hotspot.GI_GY - 1}) - greatest(cy - 1, 0) + 1))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM occ) AS n_occupied,
+       (SELECT CAST(count(*) AS BIGINT) FROM dil) AS n_dilated,
+       cl.n_closed,
+       cl.n_closed - (SELECT CAST(count(*) AS BIGINT) FROM occ) AS n_filled
+FROM cl""",
         # mirrors hotspot.geary_c: same scatter, squared-difference form
         # via 2(Sw2 - Sc)
         "geary_c": f"""

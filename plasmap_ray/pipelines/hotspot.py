@@ -2100,6 +2100,109 @@ def geary_c(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
     )
 
 
+def occupancy_closing(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
+    """Morphological CLOSING of the occupancy lattice (dilate by the
+    queen structuring element, then erode): fills pinholes and channels
+    narrower than one cell — the footprint-regularization step a
+    coverage map runs before area accounting (the lattice analogue of
+    polygon buffering in/out; Serra 1982).  Reports the occupied /
+    dilated / closed cell counts and the holes the closing filled.
+
+    Definitions (mirrored in the SQL oracle): dilated(c) ⟺ some
+    in-bounds queen neighbor of c (or c itself) is occupied;
+    closed(c) ⟺ EVERY in-bounds queen neighbor of c (and c) is
+    dilated; filled = closed − occupied (closing is extensive:
+    closed ⊇ occupied, verified by the oracle equality).
+
+    Scale shape: two scatter+groupby rounds over the LATTICE-bounded
+    occupancy table (the global_moran exchange, never input rows).
+    Output: one row (n_occupied, n_dilated, n_closed, n_filled).
+    """
+    counts = _cell_counts(sf_dir, eps).materialize()  # <= GI_NCELLS rows
+
+    def scatter_any(t: pa.Table) -> pa.Table:
+        cx = t["cx"].to_numpy()
+        cy = t["cy"].to_numpy()
+        outs = []
+        for dx, dy in _OFFSETS:
+            nx, ny = cx + dx, cy + dy
+            m = (nx >= 0) & (nx < GI_GX) & (ny >= 0) & (ny < GI_GY)
+            outs.append(
+                pa.table(
+                    {
+                        "cx": pa.array(nx[m], type=pa.int64()),
+                        "cy": pa.array(ny[m], type=pa.int64()),
+                        "one": pa.array(np.ones(int(m.sum()), dtype=np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    dilated = (
+        counts.map_batches(scatter_any, batch_format="pyarrow")
+        .groupby(["cx", "cy"])
+        .aggregate(Sum("one", alias_name="n_hits"))
+        .materialize()
+    )
+
+    def scatter_dilated(t: pa.Table) -> pa.Table:
+        # a dilated cell votes for each in-bounds neighbor; a cell is
+        # CLOSED when its vote count equals its in-bounds window size
+        cx = t["cx"].to_numpy()
+        cy = t["cy"].to_numpy()
+        outs = []
+        for dx, dy in _OFFSETS:
+            nx, ny = cx + dx, cy + dy
+            m = (nx >= 0) & (nx < GI_GX) & (ny >= 0) & (ny < GI_GY)
+            outs.append(
+                pa.table(
+                    {
+                        "cx": pa.array(nx[m], type=pa.int64()),
+                        "cy": pa.array(ny[m], type=pa.int64()),
+                        "one": pa.array(np.ones(int(m.sum()), dtype=np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    votes = (
+        dilated.map_batches(scatter_dilated, batch_format="pyarrow")
+        .groupby(["cx", "cy"])
+        .aggregate(Sum("one", alias_name="n_votes"))
+    )
+
+    def closed_partial(t: pa.Table) -> pa.Table:
+        cx = t["cx"].to_numpy()
+        cy = t["cy"].to_numpy()
+        wx = np.minimum(cx + 1, GI_GX - 1) - np.maximum(cx - 1, 0) + 1
+        wy = np.minimum(cy + 1, GI_GY - 1) - np.maximum(cy - 1, 0) + 1
+        closed = (t["n_votes"].to_numpy() == wx * wy).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(len(cx), dtype=np.int64)),
+                "n_closed": pa.array(closed, type=pa.int64()),
+            }
+        )
+
+    n_closed = int(
+        votes.map_batches(closed_partial, batch_format="pyarrow").sum("n_closed")
+    )
+    n_occupied = counts.count()
+    n_dilated = dilated.count()
+    from ..stages.common import duckdb_round as _dr  # noqa: F401 — counts are exact ints
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_occupied": pa.array([n_occupied], type=pa.int64()),
+                "n_dilated": pa.array([n_dilated], type=pa.int64()),
+                "n_closed": pa.array([n_closed], type=pa.int64()),
+                "n_filled": pa.array([n_closed - n_occupied], type=pa.int64()),
+            }
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # cell_adjacency_triangles (graph analytics on the occupancy lattice)
 # ---------------------------------------------------------------------------

@@ -1081,3 +1081,50 @@ def test_lacunarity_matches_bruteforce(ray_session, event_ids):
     # lacunarity >= 1 always (Cauchy-Schwarz), and grows as boxes shrink
     # into the clumped fixture texture
     assert (out["lacunarity"] >= 1.0 - 1e-9).all()
+
+
+def test_occupancy_closing_matches_scipy_free_bruteforce(ray_session, event_ids):
+    """Dense-lattice recompute of dilate->erode with numpy shifts."""
+    from plasmap_ray.pipelines.hotspot import GI_EPS, GI_GX, GI_GY
+
+    lon, lat = fixtures.derive_lon(event_ids), fixtures.derive_lat(event_ids)
+    cx = np.floor((lon - fixtures.LON_MIN) / GI_EPS).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / GI_EPS).astype(np.int64)
+    occ = np.zeros((GI_GX, GI_GY), dtype=bool)
+    occ[cx, cy] = True
+
+    def queen_any(a):
+        out = np.zeros_like(a)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                sx = slice(max(dx, 0), GI_GX + min(dx, 0))
+                tx = slice(max(-dx, 0), GI_GX + min(-dx, 0))
+                sy = slice(max(dy, 0), GI_GY + min(dy, 0))
+                ty = slice(max(-dy, 0), GI_GY + min(-dy, 0))
+                out[tx, ty] |= a[sx, sy]
+        return out
+
+    def queen_all(a):
+        # all in-bounds neighbors true: count hits == in-bounds window
+        cnt = np.zeros(a.shape, dtype=np.int64)
+        win = np.zeros(a.shape, dtype=np.int64)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                sx = slice(max(dx, 0), GI_GX + min(dx, 0))
+                tx = slice(max(-dx, 0), GI_GX + min(-dx, 0))
+                sy = slice(max(dy, 0), GI_GY + min(dy, 0))
+                ty = slice(max(-dy, 0), GI_GY + min(-dy, 0))
+                cnt[tx, ty] += a[sx, sy]
+                win[tx, ty] += 1
+        return cnt == win
+
+    dil = queen_any(occ)
+    closed = queen_all(dil)
+
+    out = hotspot.occupancy_closing(SF).to_pandas().iloc[0]
+    assert out.n_occupied == int(occ.sum())
+    assert out.n_dilated == int(dil.sum())
+    assert out.n_closed == int(closed.sum())
+    assert out.n_filled == int(closed.sum()) - int(occ.sum())
+    # closing is extensive and bounded by the dilation
+    assert out.n_occupied <= out.n_closed <= out.n_dilated
