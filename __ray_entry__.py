@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_moran": hotspot.global_moran,
         "geary_c": hotspot.geary_c,
         "occupancy_closing": hotspot.occupancy_closing,
+        "radiation_model": hotspot.radiation_model,
         "cell_adjacency_triangles": hotspot.cell_adjacency_triangles,
         "occupancy_kcore": hotspot.occupancy_kcore,
         "turn_histogram": trajectory.turn_histogram,
@@ -3207,6 +3208,31 @@ SELECT n_occupied, s1, s2, s_cross, s_wrow,
                 + mean * mean * {float(hotspot.MORAN_W)!r})
              / (CAST(s2 AS DOUBLE) - {float(hotspot.GI_NCELLS)!r} * mean * mean), 6) AS moran_i
 FROM m""",
+        # mirrors hotspot.radiation_model: strict-< intervening mass,
+        # endpoints excluded, T_i = m_i
+        "radiation_model": f"""
+WITH {_epts},
+gcells AS (
+  SELECT CAST(floor((lon - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy
+  FROM epts),
+counts AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n FROM gcells GROUP BY 1, 2),
+org AS (SELECT cx AS ocx, cy AS ocy, n AS m_o FROM counts
+        ORDER BY n DESC, cx, cy LIMIT {hotspot.RADIATION_TOP_K}),
+pr AS (
+  SELECT o.ocx, o.ocy, d.cx AS dcx, d.cy AS dcy, o.m_o, d.n AS m_d,
+         (d.cx - o.ocx) * (d.cx - o.ocx) + (d.cy - o.ocy) * (d.cy - o.ocy) AS d2
+  FROM org o JOIN counts d ON NOT (d.cx = o.ocx AND d.cy = o.ocy)),
+sij AS (
+  SELECT p.*, (SELECT coalesce(sum(c.n), 0) FROM counts c
+               WHERE (c.cx - p.ocx) * (c.cx - p.ocx) + (c.cy - p.ocy) * (c.cy - p.ocy) < p.d2)
+              - p.m_o AS s_ij
+  FROM pr p)
+SELECT ocx, ocy, dcx, dcy, m_o, m_d, CAST(s_ij AS BIGINT) AS s_ij,
+       round((CAST(m_o AS DOUBLE) * (CAST(m_o AS DOUBLE) * CAST(m_d AS DOUBLE)))
+             / ((CAST(m_o AS DOUBLE) + CAST(s_ij AS DOUBLE))
+                * (CAST(m_o AS DOUBLE) + CAST(m_d AS DOUBLE) + CAST(s_ij AS DOUBLE))), 6) AS flux
+FROM sij""",
         # mirrors hotspot.occupancy_closing: dilate votes, erode by
         # full-window vote counts
         "occupancy_closing": f"""

@@ -2100,6 +2100,68 @@ def geary_c(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
     )
 
 
+RADIATION_TOP_K = 10  # strongest origin cells evaluated
+
+
+def radiation_model(sf_dir: str, eps: float = GI_EPS, k: int = RADIATION_TOP_K) -> rd.Dataset:
+    """Radiation model of spatial interaction (Simini et al. 2012):
+    parameter-free expected flux between lattice cells,
+    T_ij = T_i · m_i·m_j / ((m_i+s_ij)·(m_i+m_j+s_ij)), where s_ij is
+    the total mass STRICTLY closer to i than j (excluding both
+    endpoints) — the zero-calibration alternative to the fitted
+    gravity kernel (od_gravity / huff_model), evaluated from the
+    ``k`` strongest origin cells to every other occupied cell.
+
+    Exactness: cell masses and the intervening-opportunity sums s_ij
+    are int64 over INTEGER squared lattice distances (strict <, so
+    ties on a ring count as NOT intervening — mirrored); the flux is
+    one mirrored float expression with T_i = m_i.
+
+    Scale shape: the occupied-cell table is lattice-bounded; origins
+    broadcast against it in one map (k·cells pair rows, never events).
+    Output: (ocx, ocy, dcx, dcy, m_o, m_d, s_ij, flux) rounded 6.
+    """
+    from ..stages.common import duckdb_round as _dr
+
+    counts = _cell_counts(sf_dir, eps).materialize()
+    tbl = counts.to_pandas()  # lattice-bounded
+    cx = tbl["cx"].to_numpy().astype(np.int64)
+    cy = tbl["cy"].to_numpy().astype(np.int64)
+    m = tbl["n"].to_numpy().astype(np.int64)
+    top = np.lexsort((cy, cx, -m))[:k]
+
+    rows = []
+    for oi in top:
+        d2 = (cx - cx[oi]) ** 2 + (cy - cy[oi]) ** 2
+        order_mass_total = m.sum()
+        for dj in range(len(cx)):
+            if dj == oi:
+                continue
+            # s_ij: mass strictly closer to i than j, endpoints excluded
+            closer = d2 < d2[dj]
+            s = int(m[closer].sum()) - int(m[oi])  # oi has d2=0 (always in)
+            mo, md = int(m[oi]), int(m[dj])
+            mo_f, md_f, s_f = float(mo), float(md), float(s)
+            flux = (mo_f * (mo_f * md_f)) / ((mo_f + s_f) * (mo_f + md_f + s_f))
+            rows.append((int(cx[oi]), int(cy[oi]), int(cx[dj]), int(cy[dj]), mo, md, s, flux))
+        del order_mass_total
+    fluxes = _dr(np.array([r[7] for r in rows], dtype=np.float64), 6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "ocx": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ocy": pa.array([r[1] for r in rows], type=pa.int64()),
+                "dcx": pa.array([r[2] for r in rows], type=pa.int64()),
+                "dcy": pa.array([r[3] for r in rows], type=pa.int64()),
+                "m_o": pa.array([r[4] for r in rows], type=pa.int64()),
+                "m_d": pa.array([r[5] for r in rows], type=pa.int64()),
+                "s_ij": pa.array([r[6] for r in rows], type=pa.int64()),
+                "flux": pa.array(fluxes, type=pa.float64()),
+            }
+        )
+    )
+
+
 def occupancy_closing(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
     """Morphological CLOSING of the occupancy lattice (dilate by the
     queen structuring element, then erode): fills pinholes and channels

@@ -1128,3 +1128,33 @@ def test_occupancy_closing_matches_scipy_free_bruteforce(ray_session, event_ids)
     assert out.n_filled == int(closed.sum()) - int(occ.sum())
     # closing is extensive and bounded by the dilation
     assert out.n_occupied <= out.n_closed <= out.n_dilated
+
+
+def test_radiation_model_properties(ray_session, event_ids):
+    from plasmap_ray.pipelines.hotspot import GI_EPS, RADIATION_TOP_K
+
+    out = hotspot.radiation_model(SF).to_pandas()
+    n_orig = out[["ocx", "ocy"]].drop_duplicates().shape[0]
+    assert n_orig == RADIATION_TOP_K
+    # flux is a positive fraction of the origin mass
+    assert (out["flux"] > 0).all()
+    assert (out["flux"] <= out["m_o"] + 1e-9).all()
+    # zero intervening mass: T = T_i·m_i·m_j/(m_i·(m_i+m_j)) = m_i·m_j/(m_i+m_j)
+    z = out[out["s_ij"] == 0]
+    if len(z):
+        expect = z["m_o"] * z["m_d"] / (z["m_o"] + z["m_d"])
+        assert np.allclose(z["flux"], expect.round(6), atol=2e-6)
+    # spot-check s_ij against a bruteforce for the heaviest origin
+    lon, lat = fixtures.derive_lon(event_ids), fixtures.derive_lat(event_ids)
+    cx = np.floor((lon - fixtures.LON_MIN) / GI_EPS).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / GI_EPS).astype(np.int64)
+    import collections
+
+    mass = collections.Counter(zip(cx.tolist(), cy.tolist()))
+    (ocx, ocy) = max(mass, key=lambda c: (mass[c], -c[0], -c[1]))
+    sub = out[(out["ocx"] == ocx) & (out["ocy"] == ocy)]
+    assert len(sub) == len(mass) - 1
+    for r in sub.sample(n=min(20, len(sub)), random_state=5).itertuples():
+        d2t = (r.dcx - ocx) ** 2 + (r.dcy - ocy) ** 2
+        s = sum(m for (a, b), m in mass.items() if (a - ocx) ** 2 + (b - ocy) ** 2 < d2t) - mass[(ocx, ocy)]
+        assert r.s_ij == s
