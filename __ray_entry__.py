@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational / aggregation ---
         "pricing_summary": relational.pricing_summary,
         "referential_integrity": relational.referential_integrity,
+        "association_rules": relational.association_rules,
         "orders_by_nation": relational.orders_by_nation,
         "part_cooccurrence": relational.part_cooccurrence,
         "topk_orders_per_customer": relational.topk_orders_per_customer,
@@ -848,6 +849,22 @@ j AS (SELECT doc_id, lon, lat, rel_id FROM pts JOIN {rects}
       ON pts.lon >= b.lon_min AND pts.lon < b.lon_max AND pts.lat >= b.lat_min AND pts.lat < b.lat_max),
 t AS (SELECT doc_id, rel_id, 10 AS z, {oracle.sql_tile_x('lon', 10)} AS x, {oracle.sql_tile_y('lat', 10)} AS y FROM j)
 SELECT CAST(z AS INTEGER) AS z, x, y, rel_id, count(*) AS n_images FROM t GROUP BY z, x, y, rel_id""",
+        # mirrors relational.association_rules: both directed rules per
+        # supported pair; confidence = s/n_a, lift = conf/(n_b/n_orders)
+        "association_rules": f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc AS (SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS n FROM lp GROUP BY 1),
+no AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lp),
+pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(count(*) AS BIGINT) AS support
+          FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND b.l_partkey > a.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= {relational.COOC_MIN_SUPPORT}),
+r AS (SELECT part_a AS antecedent, part_b AS consequent, support FROM pairs
+      UNION ALL SELECT part_b, part_a, support FROM pairs)
+SELECT r.antecedent, r.consequent, r.support, ca.n AS n_a, cb.n AS n_b,
+       round(CAST(r.support AS DOUBLE) / CAST(ca.n AS DOUBLE), 6) AS confidence,
+       round((CAST(r.support AS DOUBLE) / CAST(ca.n AS DOUBLE))
+             / (CAST(cb.n AS DOUBLE) / CAST(no.n_orders AS DOUBLE)), 6) AS lift
+FROM r JOIN pc ca ON ca.p = r.antecedent JOIN pc cb ON cb.p = r.consequent CROSS JOIN no""",
         # mirrors relational.referential_integrity: per-FK-edge anti-join
         "referential_integrity": " UNION ALL ".join(
             f"""

@@ -2229,3 +2229,77 @@ def referential_integrity(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def association_rules(sf_dir: str, min_support: int = COOC_MIN_SUPPORT, parts: int = 32) -> rd.Dataset:
+    """Market-basket ASSOCIATION RULES over the co-occurrence pairs:
+    for every supported unordered part pair, both directed rules with
+    support / confidence / lift (Agrawal & Srikant 1994) — the ranking
+    layer on top of part_cooccurrence's frequent-pair primitive
+    (confidence = P(B|A), lift >1 = genuinely associated, <1 =
+    substitutes).
+
+    Determinism: supports and per-part basket counts are exact int64;
+    n_orders is an exact count; confidence and lift are single
+    mirrored float expressions over four integers.
+
+    Scale shape: pair supports reuse the run-scan + pair-keyed groupby
+    of part_cooccurrence; per-part basket counts are one distinct-key
+    combiner + groupby; both join on dim-bounded keys (catalog-sized,
+    the size-guarded broadcast).  Output: (antecedent, consequent,
+    support, n_a, n_b, confidence, lift) rounded 6.
+    """
+    pairs = part_cooccurrence(sf_dir, min_support=min_support, parts=parts)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def order_part_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"o": t["l_orderkey"].to_numpy(), "p": t["l_partkey"].to_numpy()}
+        ).drop_duplicates()
+        return pa.table(
+            {"o": pa.array(df["o"].to_numpy().astype(np.int64)), "p": pa.array(df["p"].to_numpy().astype(np.int64))}
+        )
+
+    op = (
+        li.map_batches(order_part_partial, batch_format="pyarrow")
+        .groupby(["o", "p"])
+        .aggregate(Count(alias_name="dup"))
+    )
+    part_counts = {
+        int(r["p"]): int(r["n"])
+        for r in op.groupby("p").aggregate(Count(alias_name="n")).take_all()
+    }  # catalog-bounded broadcast
+    n_orders = int(
+        op.groupby("o").aggregate(Count(alias_name="k")).count()
+    )
+
+    def rules(t: pa.Table) -> pa.Table:
+        a = t["part_a"].to_numpy().astype(np.int64)
+        b = t["part_b"].to_numpy().astype(np.int64)
+        sup = t["support"].to_numpy().astype(np.int64)
+        na = np.array([part_counts[int(x)] for x in a], dtype=np.int64)
+        nb = np.array([part_counts[int(x)] for x in b], dtype=np.int64)
+        # both directions: A->B and B->A
+        ante = np.concatenate([a, b])
+        cons = np.concatenate([b, a])
+        n_ante = np.concatenate([na, nb]).astype(np.float64)
+        n_cons = np.concatenate([nb, na]).astype(np.float64)
+        s2 = np.concatenate([sup, sup])
+        conf = s2.astype(np.float64) / n_ante
+        lift = conf / (n_cons / float(n_orders))
+        return pa.table(
+            {
+                "antecedent": pa.array(ante, type=pa.int64()),
+                "consequent": pa.array(cons, type=pa.int64()),
+                "support": pa.array(s2, type=pa.int64()),
+                "n_a": pa.array(np.concatenate([na, nb]), type=pa.int64()),
+                "n_b": pa.array(np.concatenate([nb, na]), type=pa.int64()),
+                "confidence": pa.array(duckdb_round(conf, 6), type=pa.float64()),
+                "lift": pa.array(duckdb_round(lift, 6), type=pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(rules, batch_format="pyarrow")

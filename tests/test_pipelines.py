@@ -1843,3 +1843,36 @@ def test_referential_integrity_detects_orphans(ray_session):
     found = (idx < len(ps)) & (ps[np.minimum(idx, len(ps) - 1)] == k)
     assert (~found).sum() == 2
     assert n[~found].sum() == 9
+
+
+def test_association_rules_matches_bruteforce(ray_session):
+    import collections
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    out = relational.association_rules(sf).to_pandas()
+    t = pq.read_table(sf + "/lineitem.parquet", columns=["l_orderkey", "l_partkey"]).to_pandas()
+    baskets = t.drop_duplicates().groupby("l_orderkey")["l_partkey"].apply(set)
+    part_n = collections.Counter()
+    pair_n = collections.Counter()
+    for parts in baskets:
+        for p in parts:
+            part_n[p] += 1
+        for a, b in itertools.combinations(sorted(parts), 2):
+            pair_n[(a, b)] += 1
+    n_orders = len(baskets)
+    kept = {k: v for k, v in pair_n.items() if v >= relational.COOC_MIN_SUPPORT}
+    assert len(out) == 2 * len(kept)
+    got = {(r.antecedent, r.consequent): r for r in out.itertuples()}
+    for (a, b), s in list(kept.items())[:50]:
+        for x, y in ((a, b), (b, a)):
+            r = got[(x, y)]
+            assert r.support == s
+            assert r.n_a == part_n[x] and r.n_b == part_n[y]
+            conf = s / part_n[x]
+            assert abs(r.confidence - conf) < 1e-6
+            assert abs(r.lift - conf / (part_n[y] / n_orders)) < 1e-4
