@@ -90,6 +90,19 @@ def _dctq_encode(pixels: np.ndarray) -> bytes:
     return zlib.compress(b"".join(out), 6)
 
 
+def dctq_quantized(pixels: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 -> quantized DCT coefficients (3, n_blocks, 8, 8)
+    int16 — the EXACT integers _dctq_encode stores (shared kernel for
+    the energy-compaction profile; both the engine and its golden
+    oracle call this and aggregate independently)."""
+    out = []
+    for ch in range(3):
+        b, _, _ = _blocks(pixels[:, :, ch].astype(np.float64) - 128.0)
+        coef = _DCT_C @ b @ _DCT_C.T
+        out.append(np.floor(coef / _DCTQ_STEPS + 0.5).astype(np.int16))
+    return np.stack(out)
+
+
 def _dctq_decode(payload: bytes, w: int, h: int) -> np.ndarray:
     hb, wb = (h + 7) // 8, (w + 7) // 8
     n = hb * wb * 64

@@ -3369,6 +3369,48 @@ def image_entropy_path(images_parquet: str) -> str:
     return _cache(f"image_entropy_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
 
 
+def dct_energy_profile_path(images_parquet: str) -> str:
+    """Expected DCT band-energy profile: the SAME quantized-integer
+    kernel (codecs.dctq_quantized) aggregated through an independent
+    per-block, per-coefficient Python accumulation (vs the engine's
+    vectorized boolean-mask sums)."""
+
+    def build() -> pa.Table:
+        from . import codecs
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(images_parquet, columns=["image_id", "bytes", "w", "h", "fmt"])
+        energy = [0] * 15
+        nz = [0] * 15
+        n_coef = [0] * 15
+        for i in range(t.num_rows):
+            px = codecs.decode_image(
+                t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(), t["fmt"][i].as_py()
+            )
+            q = codecs.dctq_quantized(px)
+            for ch in range(3):
+                for blk in q[ch]:
+                    for u in range(8):
+                        for v in range(8):
+                            band = u + v
+                            val = int(blk[u, v])
+                            energy[band] += val * val
+                            nz[band] += val != 0
+                            n_coef[band] += 1
+        e = np.asarray(energy, dtype=np.float64)
+        return pa.table(
+            {
+                "band": pa.array(np.arange(15, dtype=np.int64)),
+                "n_coeffs": pa.array(n_coef, type=pa.int64()),
+                "n_nonzero": pa.array(nz, type=pa.int64()),
+                "energy": pa.array(energy, type=pa.int64()),
+                "energy_frac": pa.array(duckdb_round(e / e.sum(), 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"dct_profile_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
+
+
 def image_blob_count_path(images_parquet: str) -> str:
     """Expected bright-blob census: BFS FLOOD FILL here (explicit
     queue, visited set) vs the engine's union-find — two different CC

@@ -2026,6 +2026,86 @@ def image_edge_density(sf_dir: str) -> rd.Dataset:
     return scored.map_batches(finish, batch_format="pyarrow")
 
 
+def dct_energy_profile(sf_dir: str) -> rd.Dataset:
+    """Corpus-wide DCT energy-compaction profile of the ``dctq`` codec:
+    per zigzag band (u+v = 0..14), the exact quantized-coefficient
+    energy Σq², coefficient counts and sparsity — the measurement
+    behind the codec's step table (how much signal lives in each
+    frequency band decides where quantization can afford to be coarse;
+    the JPEG design question answered on THIS corpus).
+
+    Exactness: the quantized coefficients are the SHARED integer kernel
+    (codecs.dctq_quantized — the exact ints _dctq_encode stores);
+    band energies are int64 sums, order-free; only the energy
+    fractions are floats, mirrored.  The golden oracle aggregates the
+    same integers through an independent per-block Python path.
+
+    Scale shape: decode + transform + band reduction fused in the
+    actor pool (15 int64 triples per image leave the task), ONE
+    15-row groupby.  Output: (band, n_coeffs, n_nonzero, energy,
+    energy_frac) rounded 6, sorted by band.
+    """
+    from .. import codecs as _codecs
+    from ..stages.common import duckdb_round
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    band_of = (np.arange(8)[:, None] + np.arange(8)[None, :]).ravel()  # zigzag band per (u, v)
+
+    class BandEnergy:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            w = t["w"].to_numpy()
+            h = t["h"].to_numpy()
+            fmts = t["fmt"].to_pylist()
+            payloads = t["bytes"].to_pylist()
+            energy = np.zeros(15, dtype=np.int64)
+            nz = np.zeros(15, dtype=np.int64)
+            n_coef = np.zeros(15, dtype=np.int64)
+            for i in range(t.num_rows):
+                px = _codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
+                q = _codecs.dctq_quantized(px).astype(np.int64)  # (3, nb, 8, 8)
+                flat = q.reshape(-1, 64)
+                for band in range(15):
+                    cols = band_of == band
+                    sub = flat[:, cols]
+                    energy[band] += int((sub * sub).sum())
+                    nz[band] += int((sub != 0).sum())
+                    n_coef[band] += sub.size
+            return pa.table(
+                {
+                    "band": pa.array(np.arange(15, dtype=np.int64)),
+                    "energy": pa.array(energy),
+                    "n_nonzero": pa.array(nz),
+                    "n_coeffs": pa.array(n_coef),
+                }
+            )
+
+    agg = (
+        ds.map_batches(BandEnergy, batch_format="pyarrow", batch_size=128, concurrency=(1, 8))
+        .groupby("band")
+        .aggregate(
+            Sum("energy", alias_name="energy"),
+            Sum("n_nonzero", alias_name="n_nonzero"),
+            Sum("n_coeffs", alias_name="n_coeffs"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.sort_by("band")
+        e = t["energy"].to_numpy().astype(np.float64)
+        frac = duckdb_round(e / e.sum(), 6)
+        return pa.table(
+            {
+                "band": t["band"].cast(pa.int64()),
+                "n_coeffs": t["n_coeffs"].cast(pa.int64()),
+                "n_nonzero": t["n_nonzero"].cast(pa.int64()),
+                "energy": t["energy"].cast(pa.int64()),
+                "energy_frac": pa.array(frac, type=pa.float64()),
+            }
+        )
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
 def image_blob_count(sf_dir: str) -> rd.Dataset:
     """Per-image bright-region census (stages.media.BlobCount):
     connected components of gray > T at 4-connectivity — object-count

@@ -803,3 +803,34 @@ def test_image_blob_count_matches_golden(ray_session):
     )
     pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])
     assert got["ok"].all()
+
+
+def test_dctq_quantized_roundtrip_consistency(ray_session):
+    """The shared kernel's integers are exactly what the encoder
+    stores (parse the payload back and compare)."""
+    import zlib
+
+    from plasmap_ray import codecs, fixtures
+
+    t = fixtures.make_images(4, size_choices=(16, 24))
+    for i in range(4):
+        px = codecs.decode_image(
+            t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(), t["fmt"][i].as_py()
+        )
+        q = codecs.dctq_quantized(px)
+        stored = np.frombuffer(
+            zlib.decompress(codecs.encode_image(px, "dctq")), dtype=np.int16
+        ).reshape(3, -1, 8, 8)
+        assert np.array_equal(q, stored)
+
+
+def test_dct_energy_profile_compaction(ray_session):
+    from plasmap_ray.pipelines import images as img_p
+
+    out = img_p.dct_energy_profile("/root/testdata/sf0.001").to_pandas()
+    assert list(out["band"]) == list(range(15))
+    assert abs(out["energy_frac"].sum() - 1.0) < 1e-4
+    # DCT compacts: the DC band dominates any single high band
+    assert out.loc[0, "energy_frac"] > out.loc[14, "energy_frac"]
+    # band sizes follow the zigzag counts: band b has min(b+1, 15-b) diag cells * 64ths
+    assert (out["n_nonzero"] <= out["n_coeffs"]).all()
