@@ -485,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_channel_correlation": images.image_channel_correlation,
         "image_blob_count": images.image_blob_count,
         "dct_energy_profile": images.dct_energy_profile,
+        "image_palette": images.image_palette,
         "image_edge_density": images.image_edge_density,
         "caption_conflict_dups": images.caption_conflict_dups,
         "caption_geo_alignment": images.caption_geo_alignment,
@@ -2081,6 +2082,7 @@ FROM {img_pq} GROUP BY fmt ORDER BY fmt""",
         "image_channel_correlation": f"SELECT * FROM read_parquet('{golden.image_channel_corr_path(images.images_path_for(SF001))}')",
         "image_blob_count": f"SELECT * FROM read_parquet('{golden.image_blob_count_path(images.images_path_for(SF001))}')",
         "dct_energy_profile": f"SELECT * FROM read_parquet('{golden.dct_energy_profile_path(images.images_path_for(SF001))}')",
+        "image_palette": f"SELECT * FROM read_parquet('{golden.image_palette_path(images.images_path_for(SF001))}')",
         "image_edge_density": f"SELECT * FROM read_parquet('{golden.image_edge_density_path(images.images_path_for(SF001))}')",
         "caption_conflict_dups": f"""
 SELECT caption, CAST(count(*) AS BIGINT) AS n_images,

@@ -3369,6 +3369,60 @@ def image_entropy_path(images_parquet: str) -> str:
     return _cache(f"image_entropy_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
 
 
+def image_palette_path(images_parquet: str) -> str:
+    """Expected palette census: Python Counter bookkeeping with
+    explicit (count desc, code asc) tie-sort vs the engine's bincount
+    argmax — independent arithmetic, same integers."""
+
+    def build() -> pa.Table:
+        import collections
+
+        from . import codecs
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(images_parquet, columns=["image_id", "bytes", "w", "h", "fmt"])
+        rows: dict[str, list] = {
+            k: [] for k in ("image_id", "fmt", "ok", "n_px", "n_codes", "top_code", "top_n", "second_code", "second_n")
+        }
+        for i in range(t.num_rows):
+            px = codecs.decode_image(
+                t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(), t["fmt"][i].as_py()
+            )
+            c = collections.Counter()
+            for r, g, b in px.reshape(-1, 3).tolist():
+                c[((r >> 4) << 8) | ((g >> 4) << 4) | (b >> 4)] += 1
+            ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            rows["image_id"].append(t["image_id"][i].as_py())
+            rows["fmt"].append(t["fmt"][i].as_py())
+            rows["ok"].append(True)
+            rows["n_px"].append(px.shape[0] * px.shape[1])
+            rows["n_codes"].append(len(ranked))
+            rows["top_code"].append(ranked[0][0])
+            rows["top_n"].append(ranked[0][1])
+            rows["second_code"].append(ranked[1][0] if len(ranked) > 1 else 0)
+            rows["second_n"].append(ranked[1][1] if len(ranked) > 1 else 0)
+        npx = np.maximum(np.asarray(rows["n_px"], dtype=np.float64), 1.0)
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], type=pa.string()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "ok": pa.array(rows["ok"]),
+                "n_px": pa.array(rows["n_px"], type=pa.int64()),
+                "n_codes": pa.array(rows["n_codes"], type=pa.int64()),
+                "top_code": pa.array(rows["top_code"], type=pa.int64()),
+                "top_frac": pa.array(
+                    duckdb_round(np.asarray(rows["top_n"], dtype=np.int64) / npx, 6), type=pa.float64()
+                ),
+                "second_code": pa.array(rows["second_code"], type=pa.int64()),
+                "second_frac": pa.array(
+                    duckdb_round(np.asarray(rows["second_n"], dtype=np.int64) / npx, 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return _cache(f"palette_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
+
+
 def dct_energy_profile_path(images_parquet: str) -> str:
     """Expected DCT band-energy profile: the SAME quantized-integer
     kernel (codecs.dctq_quantized) aggregated through an independent

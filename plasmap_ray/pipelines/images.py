@@ -2026,6 +2026,71 @@ def image_edge_density(sf_dir: str) -> rd.Dataset:
     return scored.map_batches(finish, batch_format="pyarrow")
 
 
+def image_palette(sf_dir: str) -> rd.Dataset:
+    """Per-image dominant-color census over the 12-bit palette code
+    (top 4 bits of each channel → 4096 cells): top-2 codes, their
+    pixel fractions, and the distinct-code count — the color-metadata
+    column an image catalog filters on (near-monochrome detection,
+    palette-based grouping), beside the grayscale flag and entropy.
+
+    Exactness: codes and counts are integers (bincount over the 4096
+    cells); ties on the argmax break to the SMALLER code (mirrored);
+    only the two fractions are floats, mirrored.
+
+    Scale shape: map-ONLY in the decode pool; five int64s + two floats
+    per image leave the task.  Output: (image_id, fmt, ok, n_px,
+    n_codes, top_code, top_frac, second_code, second_frac).
+    """
+    from .. import codecs as _codecs
+    from ..stages.common import duckdb_round
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    class Palette:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            w = t["w"].to_numpy()
+            h = t["h"].to_numpy()
+            fmts = t["fmt"].to_pylist()
+            payloads = t["bytes"].to_pylist()
+            cols = {k: np.zeros(n, dtype=np.int64) for k in ("n_px", "n_codes", "top_code", "top_n", "second_code", "second_n")}
+            ok = np.zeros(n, dtype=bool)
+            for i in range(n):
+                try:
+                    px = _codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i]).astype(np.int64)
+                    code = ((px[:, :, 0] >> 4) << 8) | ((px[:, :, 1] >> 4) << 4) | (px[:, :, 2] >> 4)
+                    hist = np.bincount(code.ravel(), minlength=4096)
+                    cols["n_px"][i] = code.size
+                    cols["n_codes"][i] = int((hist > 0).sum())
+                    top = int(np.argmax(hist))  # first max = smallest code
+                    cols["top_code"][i] = top
+                    cols["top_n"][i] = int(hist[top])
+                    hist[top] = -1
+                    if cols["n_codes"][i] > 1:
+                        second = int(np.argmax(hist))
+                        cols["second_code"][i] = second
+                        cols["second_n"][i] = int(hist[second])
+                    ok[i] = True
+                except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
+                    pass
+            npx = np.maximum(cols["n_px"].astype(np.float64), 1.0)
+            return pa.table(
+                {
+                    "image_id": t["image_id"],
+                    "fmt": t["fmt"],
+                    "ok": pa.array(ok),
+                    "n_px": pa.array(cols["n_px"], type=pa.int64()),
+                    "n_codes": pa.array(cols["n_codes"], type=pa.int64()),
+                    "top_code": pa.array(cols["top_code"], type=pa.int64()),
+                    "top_frac": pa.array(duckdb_round(cols["top_n"] / npx, 6), type=pa.float64()),
+                    "second_code": pa.array(cols["second_code"], type=pa.int64()),
+                    "second_frac": pa.array(duckdb_round(cols["second_n"] / npx, 6), type=pa.float64()),
+                }
+            )
+
+    return ds.map_batches(Palette, batch_format="pyarrow", batch_size=256, concurrency=(1, 8))
+
+
 def dct_energy_profile(sf_dir: str) -> rd.Dataset:
     """Corpus-wide DCT energy-compaction profile of the ``dctq`` codec:
     per zigzag band (u+v = 0..14), the exact quantized-coefficient
