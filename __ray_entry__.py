@@ -459,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall_eval": lambda sf: ann.ann_recall_eval(sf, k=ANN_K, vec_ids=MULTI_VEC_IDS),
         "binary_hamming_topk": lambda sf: ann.binary_hamming_topk(sf, k=ANN_K, vec_ids=MULTI_VEC_IDS),
         "binary_embedding_eval": lambda sf: ann.binary_embedding_eval(sf, k=ANN_K, vec_ids=MULTI_VEC_IDS),
+        "mmd_two_sample": ann.mmd_two_sample,
         "minhash_accuracy_eval": dedup.minhash_accuracy_eval,
         "edit_distance_verify": dedup.edit_distance_verify,
         "lsh_blocking_eval": dedup.lsh_blocking_eval,
@@ -2174,6 +2175,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "ann_recall_eval": f"SELECT * FROM read_parquet('{golden.ann_recall_path(SF001, ANN_K, MULTI_VEC_IDS)}')",
         "binary_hamming_topk": f"SELECT * FROM read_parquet('{golden.binary_hamming_topk_path(SF001, ANN_K, MULTI_VEC_IDS)}')",
         "binary_embedding_eval": f"SELECT * FROM read_parquet('{golden.binary_recall_path(SF001, ANN_K, MULTI_VEC_IDS)}')",
+        "mmd_two_sample": f"SELECT * FROM read_parquet('{golden.mmd_two_sample_path(SF001, ann.MMD_FP)}')",
         "minhash_accuracy_eval": f"SELECT * FROM read_parquet('{golden.minhash_accuracy_path(SF001, 0.8)}')",
         "edit_distance_verify": f"SELECT * FROM read_parquet('{golden.edit_distance_verify_path(SF001)}')",
         "lsh_blocking_eval": f"SELECT * FROM read_parquet('{golden.lsh_blocking_eval_path(SF001, 0.8, dedup.resolve_blocking_mod(SF001))}')",

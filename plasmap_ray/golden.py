@@ -2327,6 +2327,55 @@ def ann_recall_path(sf_dir: str, k: int, vec_ids: tuple) -> str:
     return _cache(f"ann_recall_{_sf_tag(sf_dir)}_k{k}_q{len(vec_ids)}", build)
 
 
+def mmd_two_sample_path(sf_dir: str, fp: int) -> str:
+    """Expected polynomial-kernel MMD²: EXPLICIT all-pairs Σ(x·y)² in
+    Python big ints (vs the engine's second-moment-matrix contraction
+    — the Gram identity is what's being verified), identical fixed-
+    point pins and final float expression."""
+
+    def build() -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        from .stages.common import duckdb_round
+
+        t = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding", "label"])
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        q = np.floor(m * fp + 0.5).astype(np.int64)
+        labels = np.asarray(t["label"].to_numpy(), dtype=np.int64)
+        groups = {int(lab): q[labels == lab] for lab in np.unique(labels)}
+
+        def pair_sum(A: np.ndarray, B: np.ndarray) -> int:
+            s = 0
+            for x in A.tolist():
+                for y in B.tolist():
+                    d = sum(a * b for a, b in zip(x, y))
+                    s += d * d
+            return s
+
+        labs = sorted(groups)
+        rows = []
+        fp4 = float(fp) ** 4
+        for ii in range(len(labs)):
+            for jj in range(ii + 1, len(labs)):
+                A, B = groups[labs[ii]], groups[labs[jj]]
+                sxx, syy, sxy = pair_sum(A, A), pair_sum(B, B), pair_sum(A, B)
+                na, nb = float(len(A)), float(len(B))
+                mmd2 = (sxx / fp4) / (na * na) + (syy / fp4) / (nb * nb) - 2.0 * (sxy / fp4) / (na * nb)
+                rows.append((labs[ii], labs[jj], len(A), len(B), mmd2))
+        vals = duckdb_round(np.array([r[4] for r in rows], dtype=np.float64), 6)
+        return pa.table(
+            {
+                "label_a": pa.array([r[0] for r in rows], type=pa.int64()),
+                "label_b": pa.array([r[1] for r in rows], type=pa.int64()),
+                "n_a": pa.array([r[2] for r in rows], type=pa.int64()),
+                "n_b": pa.array([r[3] for r in rows], type=pa.int64()),
+                "mmd2": pa.array(vals, type=pa.float64()),
+            }
+        )
+
+    return _cache(f"mmd2_{_sf_tag(sf_dir)}_fp{fp}", build)
+
+
 def _binary_sides(sf_dir: str, k: int, vec_ids: tuple):
     """Shared local recompute of the exact-cosine and sign-bit-Hamming
     top-k sides (per-pair XOR-count here vs the engine's two-GEMM

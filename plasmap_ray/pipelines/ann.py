@@ -2137,3 +2137,107 @@ def knn_graph_reciprocity(sf_dir: str, k: int = KNN_GRAPH_K) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mmd_two_sample (exact-integer polynomial-kernel MMD between labels)
+# ---------------------------------------------------------------------------
+
+MMD_FP = 1000  # per-element fixed-point pitch for the kernel moments
+
+
+def mmd_two_sample(sf_dir: str, fp: int = MMD_FP) -> rd.Dataset:
+    """Maximum Mean Discrepancy (biased V-statistic) between every
+    PAIR of embedding label groups under the degree-2 polynomial
+    kernel k(x, y) = (x·y)² — the distribution-shift test a training
+    pipeline runs to ask "are these two slices drawn from the same
+    embedding distribution?" (Gretton et al. 2012), done EXACTLY:
+
+        Σ_{x∈A, y∈B} (x·y)²  =  ⟨M_A, M_B⟩,   M_G = Σ_{x∈G} x xᵀ
+
+    so the all-pairs kernel sums collapse to second-moment matrices —
+    fixed-point int64 entries (pinned once per vector, order-free) —
+    and the quadratic pair work NEVER happens: the exchange is one
+    d×d integer matrix per label.  The final contraction runs in
+    arbitrary-precision Python ints (it can exceed int64 by design),
+    and MMD² = Sxx/n_a² + Syy/n_b² − 2·Sxy/(n_a·n_b) over FP⁴ is one
+    mirrored float expression.
+
+    Scale shape: per-batch (label, M-partial) combiner → ONE
+    label-keyed groupby of d² int64 columns; label-pair contraction is
+    |labels|²-bounded driver work.  Output: (label_a, label_b, n_a,
+    n_b, mmd2) rounded 6 for label_a < label_b.
+    """
+    from ..stages.common import duckdb_round as _dr
+
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["embedding", "label"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)
+        q = np.floor(m * fp + 0.5).astype(np.int64)  # (n, d)
+        labels = t["label"].to_numpy()
+        out_rows = {"label": [], "n": []}
+        mats = []
+        for lab in np.unique(labels):
+            sub = q[labels == lab]
+            mats.append((sub.T @ sub).ravel())  # d*d int64 partial
+            out_rows["label"].append(int(lab))
+            out_rows["n"].append(sub.shape[0])
+        d2 = mats[0].shape[0] if mats else 0
+        tbl = {
+            "label": pa.array(out_rows["label"], type=pa.int64()),
+            "n": pa.array(out_rows["n"], type=pa.int64()),
+        }
+        mat_arr = np.stack(mats) if mats else np.zeros((0, d2), dtype=np.int64)
+        tbl["m_flat"] = pa.array(list(mat_arr), type=pa.list_(pa.int64(), d2 if d2 else 1))
+        return pa.table(tbl)
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        mats = np.stack([np.asarray(x, dtype=np.int64) for x in g["m_flat"]])
+        return pd.DataFrame(
+            {
+                "label": [int(g["label"].iloc[0])],
+                "n": [int(g["n"].sum())],
+                "m_flat": [mats.sum(axis=0)],
+            }
+        )
+
+    per_label = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )  # |labels| rows — bounded
+    labs = per_label["label"].to_numpy().astype(np.int64)
+    ns = per_label["n"].to_numpy().astype(np.int64)
+    mats = [np.asarray(x, dtype=np.int64).astype(object) for x in per_label["m_flat"]]
+
+    def contract(a: np.ndarray, b: np.ndarray) -> int:
+        return int((a * b).sum())  # object ints: exact beyond int64
+
+    order = np.argsort(labs)
+    rows = []
+    fp4 = float(fp) ** 4
+    for ii in range(len(order)):
+        for jj in range(ii + 1, len(order)):
+            i, j = order[ii], order[jj]
+            sxx = contract(mats[i], mats[i])
+            syy = contract(mats[j], mats[j])
+            sxy = contract(mats[i], mats[j])
+            na, nb = float(ns[i]), float(ns[j])
+            mmd2 = (sxx / fp4) / (na * na) + (syy / fp4) / (nb * nb) - 2.0 * (sxy / fp4) / (na * nb)
+            rows.append((int(labs[i]), int(labs[j]), int(ns[i]), int(ns[j]), mmd2))
+    vals = _dr(np.array([r[4] for r in rows], dtype=np.float64), 6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "label_a": pa.array([r[0] for r in rows], type=pa.int64()),
+                "label_b": pa.array([r[1] for r in rows], type=pa.int64()),
+                "n_a": pa.array([r[2] for r in rows], type=pa.int64()),
+                "n_b": pa.array([r[3] for r in rows], type=pa.int64()),
+                "mmd2": pa.array(vals, type=pa.float64()),
+            }
+        )
+    )
