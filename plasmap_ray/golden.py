@@ -2327,6 +2327,53 @@ def ann_recall_path(sf_dir: str, k: int, vec_ids: tuple) -> str:
     return _cache(f"ann_recall_{_sf_tag(sf_dir)}_k{k}_q{len(vec_ids)}", build)
 
 
+def knn_calibration_path(sf_dir: str, k: int) -> str:
+    """Expected reliability table: full local N×N cosine recompute
+    (rounded 6dp pre-rank, vec_id tiebreak — knn_classify's contract)
+    with per-sample Python vote counting vs the engine's batched GEMM."""
+
+    def build() -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        from .stages.common import duckdb_round
+
+        t = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding", "label"])
+        ids = np.asarray(t["vec_id"].to_numpy(), dtype=np.int64)
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        mn = m / np.linalg.norm(m, axis=1)[:, None]
+        lab = np.asarray(t["label"].to_numpy(), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        cids, cmat, clab = ids[order], mn[order], lab[order]
+        sims = duckdb_round(mn @ cmat.T, 6)
+        bins: dict[int, list[int]] = {}
+        for i in range(len(ids)):
+            s = sims[i].copy()
+            s[cids == ids[i]] = -np.inf
+            top = np.lexsort((cids, -s))[:k]
+            votes = clab[top]
+            uniq, cnt = np.unique(votes, return_counts=True)
+            best = np.lexsort((uniq, -cnt))[0]
+            bins.setdefault(int(cnt[best]), []).append(int(uniq[best] == lab[i]))
+        rows = sorted(bins)
+        n = np.array([len(bins[v]) for v in rows], dtype=np.float64)
+        c = np.array([sum(bins[v]) for v in rows], dtype=np.float64)
+        v = np.array(rows, dtype=np.float64)
+        conf = v / float(k)
+        acc = c / n
+        return pa.table(
+            {
+                "n_votes": pa.array(rows, type=pa.int64()),
+                "n_samples": pa.array(n.astype(np.int64), type=pa.int64()),
+                "n_correct": pa.array(c.astype(np.int64), type=pa.int64()),
+                "confidence": pa.array(duckdb_round(conf, 6), type=pa.float64()),
+                "accuracy": pa.array(duckdb_round(acc, 6), type=pa.float64()),
+                "abs_gap": pa.array(duckdb_round(np.abs(conf - acc), 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"knn_calib_{_sf_tag(sf_dir)}_k{k}", build)
+
+
 def mmd_two_sample_path(sf_dir: str, fp: int) -> str:
     """Expected polynomial-kernel MMD²: EXPLICIT all-pairs Σ(x·y)² in
     Python big ints (vs the engine's second-moment-matrix contraction

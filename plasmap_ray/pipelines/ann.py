@@ -2241,3 +2241,88 @@ def mmd_two_sample(sf_dir: str, fp: int = MMD_FP) -> rd.Dataset:
             }
         )
     )
+
+
+def knn_calibration(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Reliability table of the leave-one-out k-NN classifier: samples
+    bucketed by the winning label's VOTE COUNT (the classifier's
+    confidence, an exact integer 1..k) with empirical accuracy per
+    bucket — the calibration audit (is 4/5 votes really ~80% right?)
+    behind every "use model confidence to filter training data"
+    decision; per-bucket |confidence − accuracy| is the ECE integrand
+    (Guo et al. 2017).
+
+    Determinism: neighbor sets use knn_classify's contract (cosines
+    rounded 6dp BEFORE ranking, vec_id tiebreak); votes/correct are
+    integers; confidence/accuracy/gap are mirrored float expressions.
+
+    Scale shape: broadcast corpus + one GEMM per batch (knn_classify's
+    stage shape); the reliability reduce is ONE ≤k-row groupby.
+    Output: (n_votes, n_samples, n_correct, confidence, accuracy,
+    abs_gap) rounded 6, sorted by n_votes.
+    """
+    import pyarrow.parquet as _pq
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.common import duckdb_round as _dr
+
+    t = _pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding", "label"])
+    ids_all = np.asarray(t["vec_id"].to_numpy(), dtype=np.int64)
+    m_all = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    mn_all = m_all / np.linalg.norm(m_all, axis=1)[:, None]
+    lab_all = np.asarray(t["label"].to_numpy(), dtype=np.int64)
+    order = np.argsort(ids_all, kind="stable")
+    bref = ray.put((ids_all[order], mn_all[order], lab_all[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cids, cmat, clab = ray.get(bref)
+        m = _emb_matrix(batch)
+        mn = m / np.linalg.norm(m, axis=1)[:, None]
+        ids = np.asarray(batch["vec_id"].to_numpy(), dtype=np.int64)
+        lab = np.asarray(batch["label"].to_numpy(), dtype=np.int64)
+        sims = _dr(mn @ cmat.T, 6)
+        votes_out = np.empty(len(ids), dtype=np.int64)
+        correct = np.empty(len(ids), dtype=np.int64)
+        for i in range(len(ids)):
+            s = sims[i].copy()
+            s[cids == ids[i]] = -np.inf
+            top = np.lexsort((cids, -s))[:k]
+            votes = clab[top]
+            uniq, cnt = np.unique(votes, return_counts=True)
+            best = np.lexsort((uniq, -cnt))[0]
+            votes_out[i] = cnt[best]
+            correct[i] = int(uniq[best] == lab[i])
+        return pa.table(
+            {
+                "n_votes": pa.array(votes_out, type=pa.int64()),
+                "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+                "correct": pa.array(correct, type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding", "label"])
+    agg = (
+        ds.map_batches(score, batch_format="pyarrow", concurrency=4)
+        .groupby("n_votes")
+        .aggregate(_Sum("one", alias_name="n_samples"), _Sum("correct", alias_name="n_correct"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = t["n_votes"].to_numpy().astype(np.float64)
+        n = t["n_samples"].to_numpy().astype(np.float64)
+        c = t["n_correct"].to_numpy().astype(np.float64)
+        conf = v / float(k)
+        acc = c / n
+        return pa.table(
+            {
+                "n_votes": t["n_votes"].cast(pa.int64()),
+                "n_samples": t["n_samples"].cast(pa.int64()),
+                "n_correct": t["n_correct"].cast(pa.int64()),
+                "confidence": pa.array(_dr(conf, 6), type=pa.float64()),
+                "accuracy": pa.array(_dr(acc, 6), type=pa.float64()),
+                "abs_gap": pa.array(_dr(np.abs(conf - acc), 6), type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("n_votes")

@@ -678,3 +678,23 @@ def test_mmd_two_sample_pipeline(ray_session):
     assert (out["label_a"] < out["label_b"]).all()
     # MMD^2 under the biased V-statistic is non-negative
     assert (out["mmd2"] >= -1e-9).all()
+
+
+def test_knn_calibration_consistency(ray_session):
+    from plasmap_ray.pipelines import ann
+
+    out = ann.knn_calibration("/root/testdata/sf0.001", k=5).to_pandas()
+    # vote counts span a subset of 1..5 (majority needs >= ceil(5/len?) but
+    # with 10 labels a 1-vote plurality is possible)
+    assert out["n_votes"].between(1, 5).all()
+    assert (out["n_correct"] <= out["n_samples"]).all()
+    # total samples = corpus size
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile("/root/testdata/sf0.001/embeddings.parquet").metadata.num_rows
+    assert out["n_samples"].sum() == n
+    # abs_gap is exactly |confidence - accuracy| (the ECE integrand);
+    # no monotonicity is asserted — miscalibration is what's measured
+    # (the fixture's planted near-dup clusters produce unanimous-but-
+    # wrong neighborhoods, a real label-noise signature)
+    assert np.allclose(out["abs_gap"], (out["confidence"] - out["accuracy"]).abs().round(6), atol=2e-6)
