@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": relational.pricing_summary,
         "referential_integrity": relational.referential_integrity,
         "association_rules": relational.association_rules,
+        "duplicate_orders": relational.duplicate_orders,
         "orders_by_nation": relational.orders_by_nation,
         "part_cooccurrence": relational.part_cooccurrence,
         "topk_orders_per_customer": relational.topk_orders_per_customer,
@@ -853,6 +854,22 @@ j AS (SELECT doc_id, lon, lat, rel_id FROM pts JOIN {rects}
       ON pts.lon >= b.lon_min AND pts.lon < b.lon_max AND pts.lat >= b.lat_min AND pts.lat < b.lat_max),
 t AS (SELECT doc_id, rel_id, 10 AS z, {oracle.sql_tile_x('lon', 10)} AS x, {oracle.sql_tile_y('lat', 10)} AS y FROM j)
 SELECT CAST(z AS INTEGER) AS z, x, y, rel_id, count(*) AS n_images FROM t GROUP BY z, x, y, rel_id""",
+        # mirrors relational.duplicate_orders: (customer, exact cents)
+        # blocking + date-window verify
+        "duplicate_orders": f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) // {relational.DUP_ORDER_BAND_CENTS} AS band,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day
+  FROM orders)
+SELECT a.o_custkey, a.band,
+       least(a.o_orderkey, b.o_orderkey) AS order_a,
+       greatest(a.o_orderkey, b.o_orderkey) AS order_b,
+       abs(a.day - b.day) AS day_gap
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.band = b.band
+ AND a.o_orderkey < b.o_orderkey
+ AND abs(a.day - b.day) <= {relational.DUP_ORDER_WINDOW_DAYS}""",
         # mirrors relational.association_rules: both directed rules per
         # supported pair; confidence = s/n_a, lift = conf/(n_b/n_orders)
         "association_rules": f"""

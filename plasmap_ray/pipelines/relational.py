@@ -14,6 +14,7 @@ import functools
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -2303,3 +2304,79 @@ def association_rules(sf_dir: str, min_support: int = COOC_MIN_SUPPORT, parts: i
         )
 
     return pairs.map_batches(rules, batch_format="pyarrow")
+
+
+DUP_ORDER_WINDOW_DAYS = 30
+DUP_ORDER_BAND_CENTS = 100_000  # $1000 price bands
+
+
+def duplicate_orders(
+    sf_dir: str,
+    window_days: int = DUP_ORDER_WINDOW_DAYS,
+    band_cents: int = DUP_ORDER_BAND_CENTS,
+) -> rd.Dataset:
+    """Suspicious duplicate-order pairs: same customer, total price in
+    the same ``band_cents`` band, order dates within ``window_days`` —
+    the double-billing / replayed-submission screen a payments
+    pipeline runs nightly (entity-resolution's transactional cousin:
+    the blocking key is (customer, amount-band), the verify is the
+    date window).
+
+    Determinism: prices band as exact integer CENTS (floor(p·100 +
+    0.5) // band); dates as integer epoch days; pair order (a < b by
+    orderkey).
+
+    Scale shape: ONE custkey-keyed regroup (pair generation inside
+    sorted (customer, band) runs — the LSH-bucket discipline, bounded
+    by per-customer order multiplicity); no all-to-all beyond that
+    single groupby.  Output: (o_custkey, band, order_a, order_b,
+    day_gap).
+    """
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        band = (np.floor(t["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)) // band_cents
+        day = (t["o_orderdate"].cast(pa.int64()).to_numpy() // 86_400_000_000).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "band": pa.array(band, type=pa.int64()),
+                "o_orderkey": t["o_orderkey"],
+                "day": pa.array(day, type=pa.int64()),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "band", "o_orderkey"])
+        out = {"o_custkey": [], "band": [], "order_a": [], "order_b": [], "day_gap": []}
+        for (_, _), grp in g.groupby(["o_custkey", "band"], sort=False):
+            if len(grp) < 2:
+                continue
+            ok = grp["o_orderkey"].to_numpy()
+            dy = grp["day"].to_numpy()
+            for i in range(len(ok)):
+                for j in range(i + 1, len(ok)):
+                    gap = abs(int(dy[i]) - int(dy[j]))
+                    if gap <= window_days:
+                        out["o_custkey"].append(int(grp["o_custkey"].iloc[0]))
+                        out["band"].append(int(grp["band"].iloc[0]))
+                        out["order_a"].append(int(min(ok[i], ok[j])))
+                        out["order_b"].append(int(max(ok[i], ok[j])))
+                        out["day_gap"].append(gap)
+        return pd.DataFrame(out)
+
+    empty_hint = pd.DataFrame(
+        {"o_custkey": pd.Series(dtype="int64"), "band": pd.Series(dtype="int64"),
+         "order_a": pd.Series(dtype="int64"), "order_b": pd.Series(dtype="int64"),
+         "day_gap": pd.Series(dtype="int64")}
+    )
+
+    def pairs_safe(g: pd.DataFrame) -> pd.DataFrame:
+        r = pairs(g)
+        return r if len(r) else empty_hint
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(pairs_safe, batch_format="pandas")
+    )

@@ -1876,3 +1876,31 @@ def test_association_rules_matches_bruteforce(ray_session):
             conf = s / part_n[x]
             assert abs(r.confidence - conf) < 1e-6
             assert abs(r.lift - conf / (part_n[y] / n_orders)) < 1e-4
+
+
+def test_duplicate_orders_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.01"
+    out = relational.duplicate_orders(sf).to_pandas()
+    t = pq.read_table(sf + "/orders.parquet").to_pandas()
+    import pandas as pd
+
+    band = (np.floor(t.o_totalprice * 100 + 0.5).astype("int64") // relational.DUP_ORDER_BAND_CENTS)
+    day = ((t.o_orderdate - pd.Timestamp(0)) // pd.Timedelta(days=1)).astype("int64")
+    expected = set()
+    df = t.assign(band=band, day=day)
+    for (_, _), grp in df.groupby(["o_custkey", "band"]):
+        ok = grp["o_orderkey"].to_numpy()
+        dy = grp["day"].to_numpy()
+        for i in range(len(ok)):
+            for j in range(i + 1, len(ok)):
+                gap = abs(int(dy[i]) - int(dy[j]))
+                if gap <= relational.DUP_ORDER_WINDOW_DAYS:
+                    expected.add((min(ok[i], ok[j]), max(ok[i], ok[j]), gap))
+    got = {(r.order_a, r.order_b, r.day_gap) for r in out.itertuples()}
+    assert got == expected
+    assert len(expected) > 0  # the blocking actually fires on this fixture
