@@ -427,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_overlap_eval": stats.kmv_overlap_eval,
         "ks_weekend_test": stats.ks_weekend_test,
         "acf_hourly": windows.acf_hourly,
+        "ccf_event_types": windows.ccf_event_types,
         "dp_tile_counts": privacy.dp_tile_counts,
         "location_unicity": privacy.location_unicity,
         "latest_event_per_user": windows.latest_event_per_user,
@@ -4394,6 +4395,29 @@ num AS (SELECT l.k, sum(a.dx * b2.dx) AS sk
         FROM lags l JOIN dev a ON TRUE JOIN dev b2 ON a.h = b2.h + l.k
         GROUP BY l.k)
 SELECT num.k AS lag, round(CAST(num.sk AS DOUBLE) / CAST(den.s0 AS DOUBLE), 6) AS acf
+FROM num CROSS JOIN den""",
+        # mirrors windows.ccf_event_types: ccf(k) = corr(a_t, b_{{t-k}})
+        "ccf_event_types": f"""
+WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h, event_type FROM events
+           WHERE event_type IN ('{windows.CCF_TYPE_A}', '{windows.CCF_TYPE_B}')),
+c AS (SELECT h,
+             CAST(sum(CASE WHEN event_type = '{windows.CCF_TYPE_A}' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN event_type = '{windows.CCF_TYPE_B}' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM e GROUP BY h),
+bnd AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+g AS (SELECT unnest(generate_series(lo, hi)) AS h FROM bnd),
+dense AS (SELECT g.h, coalesce(c.n_a, 0) AS n_a, coalesce(c.n_b, 0) AS n_b
+          FROM g LEFT JOIN c ON g.h = c.h),
+s AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(n_a) AS BIGINT) AS sa,
+             CAST(sum(n_b) AS BIGINT) AS sb FROM dense),
+dev AS (SELECT h, n_a * nn - sa AS da, n_b * nn - sb AS db FROM dense CROSS JOIN s),
+den AS (SELECT sqrt(CAST(sum(da * da) AS DOUBLE) * CAST((SELECT sum(db * db) FROM dev) AS DOUBLE)) AS d0
+        FROM dev),
+lags AS (SELECT unnest(generate_series(-24, 24)) AS k),
+num AS (SELECT l.k, CAST(sum(a.da * b2.db) AS BIGINT) AS sk
+        FROM lags l JOIN dev a ON TRUE JOIN dev b2 ON a.h = b2.h + l.k
+        GROUP BY l.k)
+SELECT num.k AS lag, round(CAST(num.sk AS DOUBLE) / den.d0, 6) AS ccf
 FROM num CROSS JOIN den""",
         "incremental_tile_counts": f"""
 WITH tc AS (

@@ -1927,3 +1927,79 @@ def count_min_eval(sf_dir: str, k: int = CMS_TOP_K) -> rd.Dataset:
             }
         )
     )
+
+
+CCF_TYPE_A, CCF_TYPE_B = "click", "view"
+
+
+def ccf_event_types(sf_dir: str, max_lag: int = 24) -> rd.Dataset:
+    """Cross-correlation function between two event types' hourly
+    count series at lags −max_lag..+max_lag — "does VIEW activity lead
+    CLICK activity, and by how many hours?" (the lead/lag detector
+    behind attribution windows; positive-lag peak ⇒ A lags B).
+
+    Exactness: acf_hourly's integer-deviation trick on BOTH series
+    (nn·(x_t − mean) = x_t·nn − S is an int64); every lag numerator is
+    an exact integer sum, the denominator is one mirrored
+    sqrt(denA·denB) float expression.
+
+    Scale shape: ONE (hour, type-indicator) combiner → hour-keyed
+    groupby (observation-window bounded); the lag loop runs on the
+    dense driver-side series (≤10^5 hours for a decade).
+    Output: (lag, ccf) rounded 6.
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = t["ts"].cast(pa.int64()).to_numpy() // 3_600_000_000
+        typ = np.asarray(t["event_type"].to_pylist())
+        rows = []
+        for name, col in ((CCF_TYPE_A, "n_a"), (CCF_TYPE_B, "n_b")):
+            hh = h[typ == name]
+            u, c = np.unique(hh, return_counts=True)
+            rows.append((u, c, col))
+        out_h = np.concatenate([r[0] for r in rows])
+        na = np.concatenate([rows[0][1], np.zeros(len(rows[1][0]), dtype=np.int64)])
+        nb = np.concatenate([np.zeros(len(rows[0][0]), dtype=np.int64), rows[1][1]])
+        return pa.table(
+            {
+                "h": pa.array(out_h, type=pa.int64()),
+                "n_a": pa.array(na.astype(np.int64)),
+                "n_b": pa.array(nb.astype(np.int64)),
+            }
+        )
+
+    hourly = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("n_a", alias_name="n_a"), Sum("n_b", alias_name="n_b"))
+        .to_pandas()
+    )
+    h = hourly["h"].to_numpy().astype(np.int64)
+    lo, hi = int(h.min()), int(h.max())
+    a = np.zeros(hi - lo + 1, dtype=np.int64)
+    b = np.zeros(hi - lo + 1, dtype=np.int64)
+    a[h - lo] = hourly["n_a"].to_numpy().astype(np.int64)
+    b[h - lo] = hourly["n_b"].to_numpy().astype(np.int64)
+    nn = np.int64(len(a))
+    da = a * nn - np.int64(a.sum())
+    db = b * nn - np.int64(b.sum())
+    den = np.sqrt(float(int((da * da).sum())) * float(int((db * db).sum())))
+    lags = np.arange(-max_lag, max_lag + 1, dtype=np.int64)
+    vals = np.empty(len(lags), dtype=np.float64)
+    for i, k in enumerate(lags):
+        if k >= 0:
+            num = int((da[k:] * db[: len(db) - k]).sum()) if k else int((da * db).sum())
+        else:
+            num = int((db[-k:] * da[: len(da) + k]).sum())
+        vals[i] = float(num) / den
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lag": pa.array(lags, type=pa.int64()),
+                "ccf": pa.array(duckdb_round(vals, 6), type=pa.float64()),
+            }
+        )
+    )

@@ -1,0 +1,35 @@
+
+
+def test_ccf_event_types_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import windows as w
+
+    sf = "/root/testdata/sf0.001"
+    out = w.ccf_event_types(sf).to_pandas().set_index("lag")
+    assert len(out) == 49
+    t = pq.read_table(sf + "/events.parquet", columns=["ts", "event_type"]).to_pandas()
+    t = t[t.event_type.isin([w.CCF_TYPE_A, w.CCF_TYPE_B])].reset_index(drop=True)
+    h = ((t.ts - pd.Timestamp(0)) // pd.Timedelta(hours=1)).astype("int64")
+    lo, hi = h.min(), h.max()
+    a = np.zeros(hi - lo + 1, dtype=np.int64)
+    b = np.zeros(hi - lo + 1, dtype=np.int64)
+    for hh in h[t.event_type == w.CCF_TYPE_A]:
+        a[hh - lo] += 1
+    for hh in h[t.event_type == w.CCF_TYPE_B]:
+        b[hh - lo] += 1
+    nn = len(a)
+    da = a * nn - a.sum()
+    db = b * nn - b.sum()
+    den = np.sqrt(float((da * da).sum()) * float((db * db).sum()))
+    # numpy full cross-correlation at a few spot lags
+    for k in (-5, 0, 3, 24):
+        if k >= 0:
+            num = (da[k:] * db[: nn - k]).sum() if k else (da * db).sum()
+        else:
+            num = (db[-k:] * da[: nn + k]).sum()
+        assert abs(out.loc[k, "ccf"] - num / den) < 1e-6
+    # CCF(0) equals Pearson correlation of the two dense series
+    assert abs(out.loc[0, "ccf"] - np.corrcoef(a, b)[0, 1]) < 1e-6
