@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frechet_conformance": trajectory.frechet_conformance,
         "radius_of_gyration": trajectory.radius_of_gyration,
         "cell_transition_matrix": trajectory.cell_transition_matrix,
+        "transition_stationary": trajectory.transition_stationary,
         "zone_modularity": trajectory.zone_modularity,
         "cotravel_pairs": trajectory.cotravel_pairs,
         "path_crossings": trajectory.path_crossings,
@@ -2620,6 +2621,7 @@ SELECT m AS n_pairs,
        round((fsy - ((fm * fsxy - fsx * fsy) / (fm * fsxx - fsx * fsx)) * fsx) / fm, 6) AS intercept,
        round(pow(fm * fsxy - fsx * fsy, 2) / ((fm * fsxx - fsx * fsx) * (fm * fsyy - fsy * fsy)), 6) AS r2
 FROM f""",
+        "transition_stationary": f"SELECT * FROM read_parquet('{golden.transition_stationary_path(SF001, trajectory.TRANS_PITCH, trajectory.STAT_ITERS)}')",
         "transition_entropy": f"""
 WITH {_epts},
 sc AS (SELECT user_id, epoch_us(ts) AS tus, event_id,

@@ -2327,6 +2327,60 @@ def ann_recall_path(sf_dir: str, k: int, vec_ids: tuple) -> str:
     return _cache(f"ann_recall_{_sf_tag(sf_dir)}_k{k}_q{len(vec_ids)}", build)
 
 
+def transition_stationary_path(sf_dir: str, pitch: float, iters: int) -> str:
+    """Expected stationary mass: the kernel is REBUILT from raw events
+    (per-user sorted scan, independent of cell_transition_matrix's
+    distributed run-scan) and the identical integer iteration runs on
+    dict bookkeeping in Python ints."""
+
+    def build() -> pa.Table:
+        from . import fixtures
+        from .pipelines.trajectory import STAT_SCALE
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"])
+        ids = t["event_id"].to_numpy()
+        uid = np.asarray(t["user_id"].to_numpy(), dtype=np.int64)
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / pitch).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / pitch).astype(np.int64)
+        order = np.lexsort((ids, ts, uid))
+        uid, cx, cy = uid[order], cx[order], cy[order]
+        same = uid[1:] == uid[:-1]
+        kern: dict[tuple[int, int, int, int], int] = {}
+        for f_x, f_y, t_x, t_y in zip(cx[:-1][same], cy[:-1][same], cx[1:][same], cy[1:][same]):
+            k = (int(f_x), int(f_y), int(t_x), int(t_y))
+            kern[k] = kern.get(k, 0) + 1
+        cells = sorted({(k[0], k[1]) for k in kern} | {(k[2], k[3]) for k in kern})
+        row_tot: dict[tuple[int, int], int] = {}
+        for (a, b, _, _), n in kern.items():
+            row_tot[(a, b)] = row_tot.get((a, b), 0) + n
+        n_cells = len(cells)
+        pi = {c: STAT_SCALE // n_cells for c in cells}
+        for c in cells[: STAT_SCALE % n_cells]:
+            pi[c] += 1
+        for _ in range(iters):
+            nxt = dict(pi)
+            for (a, b, c, d), n in kern.items():
+                moved = (pi[(a, b)] * n) // row_tot[(a, b)]
+                nxt[(a, b)] -= moved
+                nxt[(c, d)] += moved
+            pi = nxt
+        pis = np.array([pi[c] for c in cells], dtype=np.int64)
+        return pa.table(
+            {
+                "fx": pa.array([c[0] for c in cells], type=pa.int64()),
+                "fy": pa.array([c[1] for c in cells], type=pa.int64()),
+                "n_out_steps": pa.array([row_tot.get(c, 0) for c in cells], type=pa.int64()),
+                "pi_fp": pa.array(pis, type=pa.int64()),
+                "pi": pa.array(duckdb_round(pis.astype(np.float64) / float(STAT_SCALE), 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"stationary_{_sf_tag(sf_dir)}_p{pitch}_i{iters}", build)
+
+
 def knn_calibration_path(sf_dir: str, k: int) -> str:
     """Expected reliability table: full local N×N cosine recompute
     (rounded 6dp pre-rank, vec_id tiebreak — knn_classify's contract)

@@ -2172,3 +2172,78 @@ def zone_modularity(sf_dir: str, pitch: float = MODULARITY_PITCH) -> rd.Dataset:
             }
         )
     )
+
+
+STAT_SCALE = 10**12  # stationary-mass fixed-point scale (pagerank discipline)
+STAT_ITERS = 20
+
+
+def transition_stationary(sf_dir: str, pitch: float = TRANS_PITCH, iters: int = STAT_ITERS) -> rd.Dataset:
+    """Stationary distribution of the empirical mobility Markov kernel
+    (cell_transition_matrix): where does a long random walk over the
+    observed transitions spend its time?  The equilibrium view that
+    complements transition_entropy's per-row uncertainty and pagerank's
+    damped variant on the road graph (no damping here — the kernel is
+    used as measured; cells without outgoing steps hold their mass,
+    i.e. self-loop, documented).
+
+    INTEGER-EXACT power iteration (routing.pagerank's discipline):
+    mass lives as int64 fixed-point; each iteration moves
+    (π_i · n_ij) // n_i along every transition row (floor division —
+    deterministic in any order since per-edge shares are computed from
+    the SAME π snapshot); flooring residue stays at the origin cell,
+    so total mass is conserved exactly and the fixpoint is bit-stable.
+
+    Scale shape: the kernel is ONE (from, to)-keyed count shuffle
+    (lattice²-bounded, sparse); iterations run on that bounded
+    aggregate (driver-side here — at a planetary lattice the same
+    update is the pagerank join+groupby loop, documented).
+    Output: (fx, fy, n_out_steps, pi_fp, pi) sorted by (fx, fy).
+    """
+    from ..stages.common import duckdb_round
+
+    kern = cell_transition_matrix(sf_dir, pitch=pitch).to_pandas()  # lattice²-bounded
+    fx = kern["fx"].to_numpy().astype(np.int64)
+    fy = kern["fy"].to_numpy().astype(np.int64)
+    tx = kern["tx"].to_numpy().astype(np.int64)
+    ty = kern["ty"].to_numpy().astype(np.int64)
+    ns = kern["n_steps"].to_numpy().astype(np.int64)
+
+    stride = np.int64(1 << 21)
+    fkey = fx * stride + fy
+    tkey = tx * stride + ty
+    cells = np.unique(np.concatenate([fkey, tkey]))
+    pos = {int(k): i for i, k in enumerate(cells)}
+    fi = np.array([pos[int(k)] for k in fkey], dtype=np.int64)
+    ti = np.array([pos[int(k)] for k in tkey], dtype=np.int64)
+    n_cells = len(cells)
+    row_tot = np.zeros(n_cells, dtype=np.int64)
+    np.add.at(row_tot, fi, ns)
+
+    # uniform start: equal floor shares, remainder to the lowest keys
+    pi = np.full(n_cells, STAT_SCALE // n_cells, dtype=np.int64)
+    pi[: STAT_SCALE % n_cells] += 1
+    for _ in range(iters):
+        # per-edge share from the SAME pi snapshot (order-free)
+        moved = (pi[fi] * ns) // row_tot[fi]
+        nxt = pi.copy()
+        np.subtract.at(nxt, fi, moved)  # mass leaves origins (residue stays)
+        np.add.at(nxt, ti, moved)
+        pi = nxt
+    out_fx = (cells // stride).astype(np.int64)
+    out_fy = (cells % stride).astype(np.int64)
+    order = np.lexsort((out_fy, out_fx))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "fx": pa.array(out_fx[order], type=pa.int64()),
+                "fy": pa.array(out_fy[order], type=pa.int64()),
+                "n_out_steps": pa.array(row_tot[order], type=pa.int64()),
+                "pi_fp": pa.array(pi[order], type=pa.int64()),
+                "pi": pa.array(
+                    duckdb_round(pi[order].astype(np.float64) / float(STAT_SCALE), 6),
+                    type=pa.float64(),
+                ),
+            }
+        )
+    )

@@ -723,3 +723,18 @@ def test_rayleigh_test_matches_bruteforce(ray_session):
         assert abs(row.rayleigh_z - n * r * r) < 1e-5
     # mean resultant is a proper fraction
     assert ((out["mean_resultant"] >= 0) & (out["mean_resultant"] <= 1 + 1e-9)).all()
+
+
+def test_transition_stationary_conserves_mass(ray_session):
+    from plasmap_ray.pipelines import trajectory as tj
+
+    out = tj.transition_stationary("/root/testdata/sf0.001").to_pandas()
+    # exact mass conservation: the integer iteration never creates or
+    # destroys fixed-point mass
+    assert out["pi_fp"].sum() == tj.STAT_SCALE
+    assert (out["pi_fp"] >= 0).all()
+    # the walk concentrates: the top cell holds more than uniform share
+    assert out["pi_fp"].max() > tj.STAT_SCALE // len(out)
+    # cells with no outgoing steps exist only as destinations
+    sinks = out[out["n_out_steps"] == 0]
+    assert (sinks["pi_fp"] >= 0).all()
