@@ -1783,6 +1783,59 @@ def alt_eval_path(n_pairs: int, n: int | None = None) -> str:
     return _cache(f"alt_eval_n{n or 0}_p{n_pairs}", build)
 
 
+def bridge_edges_path(w_cut: int, n: int | None = None) -> str:
+    """Golden bridges: per-edge REMOVAL + BFS reachability test — the
+    definitional check (O(E·(V+E)), cached), entirely independent of
+    the engine's Tarjan low-link pass."""
+
+    def build() -> pa.Table:
+        from collections import deque
+
+        from . import fixtures
+
+        nn = n or fixtures.ROAD_N
+        e = fixtures.road_world(nn)["edges"]
+        w = e["w"].to_numpy()
+        m = w < w_cut
+        src = e["src"].to_numpy()[m]
+        dst = e["dst"].to_numpy()[m]
+        ww = w[m]
+        adj: dict[int, set[int]] = {}
+        for a, b in zip(src.tolist(), dst.tolist()):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+
+        def reachable(s: int, t: int, skip: tuple[int, int]) -> bool:
+            seen = {s}
+            dq = deque([s])
+            while dq:
+                v = dq.popleft()
+                if v == t:
+                    return True
+                for u in adj[v]:
+                    if (v, u) == skip or (u, v) == skip:
+                        continue
+                    if u not in seen:
+                        seen.add(u)
+                        dq.append(u)
+            return False
+
+        rows = []
+        for a, b, wt in zip(src.tolist(), dst.tolist(), ww.tolist()):
+            if not reachable(a, b, (a, b)):
+                rows.append((min(a, b), max(a, b), int(wt)))
+        rows.sort()
+        return pa.table(
+            {
+                "src": pa.array([r[0] for r in rows], type=pa.int64()),
+                "dst": pa.array([r[1] for r in rows], type=pa.int64()),
+                "w": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"bridges_n{n or 0}_w{w_cut}", build)
+
+
 def percolation_path(cuts: tuple, n: int | None = None) -> str:
     """Golden percolation sweep: local union-find with union-by-size
     (vs the engine's distributed min-label propagation)."""

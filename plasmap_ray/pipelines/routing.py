@@ -776,3 +776,84 @@ def percolation_curve(sf_dir: str, cuts: tuple[int, ...] = PERC_CUTS) -> rd.Data
             }
         )
     )
+
+
+def bridge_edges(sf_dir: str) -> rd.Dataset:
+    """Bridge (cut-edge) census of the road network: edges whose
+    removal disconnects their endpoints (Tarjan 1974 low-link over an
+    iterative DFS) — the single-point-of-failure audit beside the
+    percolation sweep (a bridge is infrastructure no rerouting can
+    absorb).  The full lattice has none (it's 2-edge-connected); the
+    audit runs on the CHEAP subgraph (w < CHEAP_W_CUT), whose
+    percolation islands genuinely grow bridges.
+
+    Scale shape: the cheap edge filter is map-only; the low-link pass
+    runs on the broadcast subgraph in ONE task (fixture-sized; at
+    broadcast-breaking scale the standard swap-in is spanning-forest +
+    chain decomposition over the same partitioned exchanges as
+    connected_components — documented).  Golden oracle: per-edge
+    removal-BFS (a different algorithm entirely).
+
+    Output: (src, dst, w) for bridges only, src < dst, sorted.
+    """
+    e = fixtures.road_world()["edges"]
+    w = e["w"].to_numpy()
+    m = w < CHEAP_W_CUT
+    src = e["src"].to_numpy()[m]
+    dst = e["dst"].to_numpy()[m]
+    ww = w[m]
+
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for i, (a, b) in enumerate(zip(src.tolist(), dst.tolist())):
+        adj.setdefault(a, []).append((b, i))
+        adj.setdefault(b, []).append((a, i))
+    for v in adj:
+        adj[v].sort()
+
+    disc: dict[int, int] = {}
+    low: dict[int, int] = {}
+    timer = 0
+    bridges: list[int] = []
+    for root in sorted(adj):
+        if root in disc:
+            continue
+        stack: list[tuple[int, int, int]] = [(root, -1, 0)]  # (node, in-edge idx, child ptr)
+        disc[root] = low[root] = timer
+        timer += 1
+        while stack:
+            v, pe, ptr = stack[-1]
+            if ptr < len(adj[v]):
+                stack[-1] = (v, pe, ptr + 1)
+                u, ei = adj[v][ptr]
+                if ei == pe:
+                    continue
+                if u in disc:
+                    low[v] = min(low[v], disc[u])
+                else:
+                    disc[u] = low[u] = timer
+                    timer += 1
+                    stack.append((u, ei, 0))
+            else:
+                stack.pop()
+                if stack:
+                    p = stack[-1][0]
+                    low[p] = min(low[p], low[v])
+                    if low[v] > disc[p]:
+                        bridges.append(pe)
+
+    bridges_sorted = sorted(bridges)
+    bs = src[bridges_sorted]
+    bd = dst[bridges_sorted]
+    bw = ww[bridges_sorted]
+    a = np.minimum(bs, bd)
+    b = np.maximum(bs, bd)
+    order = np.lexsort((b, a))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(a[order], type=pa.int64()),
+                "dst": pa.array(b[order], type=pa.int64()),
+                "w": pa.array(bw[order], type=pa.int64()),
+            }
+        )
+    )

@@ -204,3 +204,42 @@ def test_alt_heuristic_eval_bounds(ray_session):
     assert ((out["tightness"] >= 0) & (out["tightness"] <= 1.0 + 1e-9)).all()
     # corner landmarks on a grid give a useful bound on average
     assert out["tightness"].mean() > 0.5
+
+
+def test_bridge_edges_known_graph(ray_session):
+    """Tarjan kernel sanity on the cheap subgraph: every reported
+    bridge disconnects its endpoints; at least one exists (the cheap
+    percolation islands grow trees); none exists in the full lattice
+    (2-edge-connected)."""
+    import numpy as np
+
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import routing
+
+    out = routing.bridge_edges("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert (out["src"] < out["dst"]).all()
+    assert (out["w"] < routing.CHEAP_W_CUT).all()
+    # spot-verify 5 bridges by removal + BFS
+    e = fixtures.road_world()["edges"]
+    w = e["w"].to_numpy()
+    m = w < routing.CHEAP_W_CUT
+    src, dst = e["src"].to_numpy()[m], e["dst"].to_numpy()[m]
+    adj = {}
+    for a, b in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    from collections import deque
+
+    for r in out.head(5).itertuples():
+        seen = {r.src}
+        dq = deque([r.src])
+        while dq:
+            v = dq.popleft()
+            for u in adj[v]:
+                if {v, u} == {r.src, r.dst}:
+                    continue
+                if u not in seen:
+                    seen.add(u)
+                    dq.append(u)
+        assert r.dst not in seen  # removal really disconnects
