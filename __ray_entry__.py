@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall_cells": hotspot.mann_kendall_cells,
         "mann_kendall_fdr": hotspot.mann_kendall_fdr,
         "semivariogram": hotspot.semivariogram,
+        "anisotropy_variogram": hotspot.anisotropy_variogram,
         "kriging_field": hotspot.kriging_field,
         "huff_model": hotspot.huff_model,
         "poi_accessibility": hotspot.poi_accessibility,
@@ -4152,6 +4153,31 @@ p AS (SELECT CAST(floor(sqrt(CAST((a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) 
 g AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(fp) AS BIGINT) AS sfp
       FROM p WHERE lag >= 1 GROUP BY lag)
 SELECT lag, n_pairs,
+       round((CAST(sfp AS DOUBLE) / {hotspot.VAR_FP!r}) / (2.0 * CAST(n_pairs AS DOUBLE)), 6) AS gamma
+FROM g""",
+        # mirrors hotspot.anisotropy_variogram: orientation-invariant
+        # integer sector rules on top of the same pair census
+        "anisotropy_variogram": f"""
+WITH ec AS (
+  SELECT CAST(floor(({oracle.sql_derive_lon('event_id')} - {fixtures.LON_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cx,
+         CAST(floor(({oracle.sql_derive_lat('event_id')} - {fixtures.LAT_MIN!r}) / {hotspot.GI_EPS!r}) AS BIGINT) AS cy,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events),
+c AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sc
+      FROM ec GROUP BY 1, 2),
+m AS (SELECT cx, cy, CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS z FROM c),
+p AS (SELECT b.cx - a.cx AS dx, b.cy - a.cy AS dy,
+             CAST(floor(sqrt(CAST((a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) * (a.cy - b.cy) AS DOUBLE))) AS BIGINT) AS lag,
+             CAST(floor((a.z - b.z) * (a.z - b.z) * {hotspot.VAR_FP!r} + 0.5) AS BIGINT) AS fp
+      FROM m a JOIN m b ON a.cx < b.cx OR (a.cx = b.cx AND a.cy < b.cy)),
+d AS (SELECT CASE WHEN 2 * abs(dy) <= abs(dx) THEN 'EW'
+                  WHEN 2 * abs(dx) <= abs(dy) THEN 'NS'
+                  WHEN dx * dy > 0 THEN 'NE' ELSE 'NW' END AS direction,
+             lag, fp
+      FROM p WHERE lag >= 1),
+g AS (SELECT direction, lag, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(fp) AS BIGINT) AS sfp
+      FROM d GROUP BY 1, 2)
+SELECT direction, lag, n_pairs,
        round((CAST(sfp AS DOUBLE) / {hotspot.VAR_FP!r}) / (2.0 * CAST(n_pairs AS DOUBLE)), 6) AS gamma
 FROM g""",
         "emerging_hotspots": f"""

@@ -2722,6 +2722,83 @@ def mann_kendall_cells(sf_dir: str, eps: float = GI_EPS, min_days: int = TREND_M
 VAR_FP = 1e4  # fixed-point pitch for squared-difference terms
 
 
+def anisotropy_variogram(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
+    """DIRECTIONAL semivariograms of the per-cell mean event value:
+    γ(h) computed separately in four integer-exact direction sectors —
+    EW (2|dy| ≤ |dx|), NS (2|dx| ≤ |dy|), NE (dx·dy > 0), NW (rest) —
+    the anisotropy diagnostic geostatistics runs before fitting ANY
+    variogram model (a range that differs by direction means the
+    kriging kernel needs an anisotropy ratio; Isaaks & Srivastava ch.
+    7).  Sector rules are orientation-invariant pure-integer
+    comparisons, mirrored in SQL.
+
+    Exactness & shape: identical to :func:`semivariogram` (int64 cell
+    sums → lattice-bounded pair census with (Δz)² pinned once) plus
+    the sector key.  Output: (direction, lag, n_pairs, gamma).
+    """
+    ds = _read_events(sf_dir, ["event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / eps).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / eps).astype(np.int64)
+        key = cx * GI_GY + cy
+        cents = np.floor(t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "key": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(np.bincount(inv).astype(np.int64), type=pa.int64()),
+                "sc": pa.array(np.bincount(inv, weights=cents).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"), Sum("sc", alias_name="sc"))
+        .to_pandas()
+    )
+    key = cells["key"].to_numpy().astype(np.int64)
+    cx, cy = key // GI_GY, key % GI_GY
+    z = cells["sc"].to_numpy().astype(np.float64) / cells["n"].to_numpy().astype(np.float64)
+    i, j = np.triu_indices(len(key), k=1)
+    dx = cx[j] - cx[i]
+    dy = cy[j] - cy[i]
+    d2 = dx * dx + dy * dy
+    lag = np.floor(np.sqrt(d2.astype(np.float64))).astype(np.int64)
+    diff = z[i] - z[j]
+    fp = np.floor(diff * diff * VAR_FP + 0.5).astype(np.int64)
+    adx, ady = np.abs(dx), np.abs(dy)
+    sector = np.where(
+        2 * ady <= adx, 0, np.where(2 * adx <= ady, 1, np.where(dx * dy > 0, 2, 3))
+    ).astype(np.int64)
+    names = np.array(["EW", "NS", "NE", "NW"])
+    keep = lag >= 1
+    lag, fp, sector = lag[keep], fp[keep], sector[keep]
+    import pandas as pd
+
+    df = pd.DataFrame({"s": sector, "lag": lag, "fp": fp})
+    g = df.groupby(["s", "lag"], sort=True).agg(n_pairs=("fp", "size"), sfp=("fp", "sum"))
+    g = g.reset_index()
+    gamma = duckdb_round(
+        (g["sfp"].to_numpy().astype(np.float64) / VAR_FP)
+        / (2.0 * g["n_pairs"].to_numpy().astype(np.float64)),
+        6,
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "direction": pa.array(names[g["s"].to_numpy()], type=pa.string()),
+                "lag": pa.array(g["lag"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n_pairs": pa.array(g["n_pairs"].to_numpy().astype(np.int64), type=pa.int64()),
+                "gamma": pa.array(gamma, type=pa.float64()),
+            }
+        )
+    )
+
+
 def semivariogram(sf_dir: str, eps: float = GI_EPS) -> rd.Dataset:
     """Empirical semivariogram of the per-cell mean event value:
     γ(h) = Σ_{pairs at lag h} (z_i − z_j)² / (2·N_h) over occupied

@@ -1158,3 +1158,19 @@ def test_radiation_model_properties(ray_session, event_ids):
         d2t = (r.dcx - ocx) ** 2 + (r.dcy - ocy) ** 2
         s = sum(m for (a, b), m in mass.items() if (a - ocx) ** 2 + (b - ocy) ** 2 < d2t) - mass[(ocx, ocy)]
         assert r.s_ij == s
+
+
+def test_anisotropy_variogram_consistency(ray_session, event_ids):
+    """Direction sectors partition all pairs: the per-(direction, lag)
+    pair counts sum to the omnidirectional semivariogram's counts."""
+    omni = hotspot.semivariogram(SF).to_pandas().set_index("lag")
+    aniso = hotspot.anisotropy_variogram(SF).to_pandas()
+    assert set(aniso["direction"]) <= {"EW", "NS", "NE", "NW"}
+    per_lag = aniso.groupby("lag")["n_pairs"].sum()
+    for lag, n in per_lag.items():
+        assert omni.loc[lag, "n_pairs"] == n
+    # the weighted mean of sector gammas reproduces the omni gamma
+    aniso["w"] = aniso["n_pairs"] * aniso["gamma"]
+    recon = aniso.groupby("lag").apply(lambda g: g["w"].sum() / g["n_pairs"].sum())
+    for lag in list(per_lag.index)[:10]:
+        assert abs(recon[lag] - omni.loc[lag, "gamma"]) < 1e-4
