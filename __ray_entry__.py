@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": text.token_stats,
         "readability_scores": text.readability_scores,
         "mtld_diversity": text.mtld_diversity,
+        "heaps_law": text.heaps_law,
         "sequence_packing": text.sequence_packing,
         "corpus_flagship": text.corpus_flagship,
         "shuffled_packing": text.shuffled_packing,
@@ -1456,6 +1457,27 @@ GROUP BY ks.k, tot.total, tot.vocab""",
         "token_stats": """
 SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars FROM documents""",
         "mtld_diversity": f"SELECT * FROM read_parquet('{golden.mtld_path(SF001)}')",
+        # mirrors text.heaps_law: prefix deciles, first-appearance
+        # vocabulary growth, zipf-style closed-form OLS
+        "heaps_law": f"""
+WITH md AS (SELECT CAST(count(*) AS BIGINT) AS max_doc FROM documents),
+cut AS (SELECT k, (md.max_doc * k) // {text.HEAPS_POINTS} AS cutoff
+        FROM (SELECT unnest(generate_series(1, {text.HEAPS_POINTS})) AS k), md),
+w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+f AS (SELECT tok, CAST(min(doc_id) AS BIGINT) AS first_doc FROM w GROUP BY 1),
+vv AS (SELECT c.k, CAST(count(*) AS BIGINT) AS v FROM cut c JOIN f ON f.first_doc <= c.cutoff GROUP BY 1),
+dn AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ntok FROM documents),
+nn AS (SELECT c.k, CAST(sum(dn.ntok) AS BIGINT) AS n FROM cut c JOIN dn ON dn.doc_id <= c.cutoff GROUP BY 1),
+pts AS (SELECT vv.k, nn.n, vv.v, ln(CAST(nn.n AS DOUBLE)) AS x, ln(CAST(vv.v AS DOUBLE)) AS y
+        FROM vv JOIN nn ON nn.k = vv.k),
+fit AS (SELECT CAST(count(*) AS DOUBLE) AS nf, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy FROM pts)
+SELECT round(CAST(c.cutoff AS DOUBLE) / CAST(md.max_doc AS DOUBLE), 6) AS prefix_frac,
+       nn.n AS n_tokens_total, vv.v AS n_distinct,
+       round((fit.nf * fit.sxy - fit.sx * fit.sy) / (fit.nf * fit.sxx - fit.sx * fit.sx), 6) AS heaps_beta,
+       round((fit.sy - ((fit.nf * fit.sxy - fit.sx * fit.sy) / (fit.nf * fit.sxx - fit.sx * fit.sx)) * fit.sx)
+             / fit.nf, 6) AS heaps_log_k
+FROM cut c JOIN vv ON vv.k = c.k JOIN nn ON nn.k = c.k CROSS JOIN fit CROSS JOIN md""",
         # mirrors text.readability_scores: vowel-run syllables floored
         # at 1/word, [.!?] sentence marks floored at 1/doc
         "readability_scores": """

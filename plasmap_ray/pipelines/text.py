@@ -1925,3 +1925,120 @@ def lz78_complexity(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(per_doc, batch_format="pyarrow")
+
+
+HEAPS_POINTS = 10  # prefix deciles
+
+
+def heaps_law(sf_dir: str, points: int = HEAPS_POINTS) -> rd.Dataset:
+    """Heaps'-law fit of vocabulary growth: distinct tokens V against
+    corpus size N over doc_id-prefix deciles, with the OLS fit
+    V ≈ K·N^β in log space — the "how fast does new vocabulary keep
+    arriving" scalar that sizes tokenizers and dedup dictionaries
+    (β ≈ 0.4-0.6 for natural text; β → 1 flags unique-id pollution;
+    β → 0 flags CLOSED-vocabulary templated text — which is exactly
+    what it detects on the synthetic fixture corpus, tested in both
+    regimes).  Completes the corpus-spectrum trio with zipf_fit and
+    vocab_coverage_curve.
+
+    Scale shape: token first-appearance = ONE vocabulary-bounded
+    groupby-min over doc_id; prefix token totals = ONE ≤points-row
+    bucket reduce; the 10-point OLS runs on the aggregate with
+    zipf_fit's explicit closed-form sums (round-6 absorbs ulp).
+    Output: (prefix_frac, n_tokens_total, n_distinct, heaps_beta,
+    heaps_log_k) — fit columns repeated per row.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Min as _Min
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.common import duckdb_round
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    import pyarrow.parquet as _pq
+
+    max_doc = int(
+        _pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    )  # doc ids are 1..N contiguous (fixture contract, asserted by tests)
+    cutoffs = np.array([(max_doc * k) // points for k in range(1, points + 1)], dtype=np.int64)
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        first: dict[str, int] = {}
+        ids = t["doc_id"].to_numpy()
+        for did, s in zip(ids, t["text"].to_pylist()):
+            for w in s.lower().split(" "):
+                prev = first.get(w)
+                if prev is None or did < prev:
+                    first[w] = int(did)
+        toks = list(first.keys())
+        return pa.table(
+            {
+                "token": pa.array(toks, type=pa.string()),
+                "first_doc": pa.array([first[k] for k in toks], type=pa.int64()),
+            }
+        )
+
+    firsts = (
+        ds.map_batches(first_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(_Min("first_doc", alias_name="first_doc"))
+    )
+
+    def v_partial(t: pa.Table) -> pa.Table:
+        fd = t["first_doc"].to_numpy()
+        b = np.searchsorted(cutoffs, fd)  # bucket where the token first counts
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(u.astype(np.int64)), "v": pa.array(c.astype(np.int64))})
+
+    v_buckets = {
+        int(r["b"]): int(r["v"])
+        for r in firsts.map_batches(v_partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(_Sum("v", alias_name="v"))
+        .take_all()
+    }
+
+    def n_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        ntok = np.array([len(s.lower().split(" ")) for s in t["text"].to_pylist()], dtype=np.int64)
+        b = np.searchsorted(cutoffs, ids)
+        out_n = np.zeros(points, dtype=np.int64)
+        np.add.at(out_n, np.minimum(b, points - 1), ntok)
+        return pa.table(
+            {"b": pa.array(np.arange(points, dtype=np.int64)), "n": pa.array(out_n)}
+        )
+
+    n_buckets = {
+        int(r["b"]): int(r["n"])
+        for r in ds.map_batches(n_partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(_Sum("n", alias_name="n"))
+        .take_all()
+    }
+
+    V = np.cumsum([v_buckets.get(b, 0) for b in range(points)]).astype(np.float64)
+    N = np.cumsum([n_buckets.get(b, 0) for b in range(points)]).astype(np.float64)
+    x = np.log(N)
+    y = np.log(V)
+    nf = float(points)
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx, sxy = float((x * x).sum()), float((x * y).sum())
+    beta = (nf * sxy - sx * sy) / (nf * sxx - sx * sx)
+    logk = (sy - beta * sx) / nf
+    fracs = cutoffs.astype(np.float64) / float(max_doc)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "prefix_frac": pa.array(duckdb_round(fracs, 6), type=pa.float64()),
+                "n_tokens_total": pa.array(N.astype(np.int64), type=pa.int64()),
+                "n_distinct": pa.array(V.astype(np.int64), type=pa.int64()),
+                "heaps_beta": pa.array(
+                    duckdb_round(np.full(points, beta), 6), type=pa.float64()
+                ),
+                "heaps_log_k": pa.array(
+                    duckdb_round(np.full(points, logk), 6), type=pa.float64()
+                ),
+            }
+        )
+    )

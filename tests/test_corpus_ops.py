@@ -762,3 +762,59 @@ def test_mtld_pipeline_sane(ray_session):
     both = (out["factors_fwd"] >= 1) & (out["factors_bwd"] >= 1)
     assert (out.loc[both, "mtld"] <= out.loc[both, "n_tokens"] + 1e-9).all()
     assert np.allclose(out["mtld"], ((out["mtld_fwd"] + out["mtld_bwd"]) / 2).round(6), atol=2e-6)
+
+
+def test_heaps_law_monotone_and_fit(ray_session):
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import text as text_p
+
+    sf = "/root/testdata/sf0.001"
+    out = text_p.heaps_law(sf).to_pandas()
+    assert len(out) == text_p.HEAPS_POINTS
+    # both curves are nondecreasing and end at the full-corpus totals
+    assert out["n_tokens_total"].is_monotonic_increasing
+    assert out["n_distinct"].is_monotonic_increasing
+    t = pq.read_table(sf + "/documents.parquet", columns=["text"])
+    all_toks = []
+    for s in t["text"].to_pylist():
+        all_toks.extend(s.lower().split(" "))
+    assert out["n_tokens_total"].iloc[-1] == len(all_toks)
+    assert out["n_distinct"].iloc[-1] == len(set(all_toks))
+    # the fixture corpus is CLOSED-vocabulary word soup (31 tokens):
+    # Heaps beta == 0 is the correct templated-text detection
+    assert out["heaps_beta"].iloc[0] == 0.0
+    assert out["n_distinct"].nunique() == 1
+
+
+def test_heaps_law_open_vocabulary(ray_session, tmp_path):
+    """A corpus that keeps minting new tokens fits 0 < beta <= 1."""
+    import numpy as np
+    import pyarrow as pa
+
+    from plasmap_ray.pipelines import text as text_p
+
+    rng = np.random.default_rng(7)
+    texts = []
+    minted = 0
+    for d in range(60):
+        toks = []
+        for _ in range(40):
+            if rng.random() < 0.3:
+                minted += 1
+                toks.append(f"new{minted}")
+            else:
+                toks.append(f"common{int(rng.integers(0, 20))}")
+        texts.append(" ".join(toks))
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(1, 61, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    out = text_p.heaps_law(str(tmp_path)).to_pandas()
+    beta = out["heaps_beta"].iloc[0]
+    assert 0.0 < beta <= 1.0
+    assert out["n_distinct"].is_monotonic_increasing
+    assert out["n_distinct"].iloc[-1] > out["n_distinct"].iloc[0]
