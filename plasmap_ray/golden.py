@@ -2434,6 +2434,53 @@ def transition_stationary_path(sf_dir: str, pitch: float, iters: int) -> str:
     return _cache(f"stationary_{_sf_tag(sf_dir)}_p{pitch}_i{iters}", build)
 
 
+def intrinsic_dimension_path(sf_dir: str) -> str:
+    """Expected TwoNN estimate: full local N×N distance matrix (the
+    SHARED norm-expansion expression rounded 6dp pre-rank) with
+    per-vector Python selection and the identical ln-μ pins — engine's
+    batched GEMM vs one local matrix, same integers."""
+
+    def build() -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        from .pipelines.ann import TWONN_FP
+        from .stages.common import duckdb_round
+
+        t = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+        ids = np.asarray(t["vec_id"].to_numpy(), dtype=np.int64)
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        order = np.argsort(ids, kind="stable")
+        cids, cmat = ids[order], m[order]
+        cn2 = (cmat * cmat).sum(axis=1)
+        n2 = (m * m).sum(axis=1)
+        d2 = duckdb_round(n2[:, None] + cn2[None, :] - 2.0 * (m @ cmat.T), 6)
+        used = zero = 0
+        s_fp = 0
+        for i in range(len(ids)):
+            d = d2[i].copy()
+            d[cids == ids[i]] = np.inf
+            top = np.lexsort((cids, d))[:2]
+            r1sq, r2sq = float(d[top[0]]), float(d[top[1]])
+            if r1sq <= 0.0:
+                zero += 1
+                continue
+            lnmu = (np.log(r2sq) - np.log(r1sq)) / 2.0
+            s_fp += int(np.floor(lnmu * TWONN_FP + 0.5))
+            used += 1
+        dim = float(duckdb_round(np.array([used / max(s_fp / TWONN_FP, 1e-12)]), 6)[0])
+        return pa.table(
+            {
+                "n_vectors": pa.array([len(ids)], type=pa.int64()),
+                "n_used": pa.array([used], type=pa.int64()),
+                "n_zero_r1": pa.array([zero], type=pa.int64()),
+                "sum_lnmu_fp": pa.array([s_fp], type=pa.int64()),
+                "intrinsic_dim": pa.array([dim], type=pa.float64()),
+            }
+        )
+
+    return _cache(f"twonn_{_sf_tag(sf_dir)}", build)
+
+
 def knn_calibration_path(sf_dir: str, k: int) -> str:
     """Expected reliability table: full local N×N cosine recompute
     (rounded 6dp pre-rank, vec_id tiebreak — knn_classify's contract)

@@ -2326,3 +2326,97 @@ def knn_calibration(sf_dir: str, k: int = 5) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("n_votes")
+
+
+TWONN_FP = 10**9  # fixed-point pitch for per-vector ln(mu) pins
+
+
+def intrinsic_dimension(sf_dir: str) -> rd.Dataset:
+    """TwoNN intrinsic-dimension estimate of the embedding manifold
+    (Facco et al. 2017): with r1 ≤ r2 the two nearest-neighbor
+    distances of each vector, μ = r2/r1 follows Pareto(id) on a
+    locally-uniform manifold, so the MLE is id = n / Σ ln μ — the
+    "how many degrees of freedom do these embeddings actually use"
+    diagnostic run before choosing PCA/PQ/Matryoshka budgets.
+
+    Determinism: squared distances use ONE shared expression
+    (‖x‖² + ‖y‖² − 2x·y, rounded 6dp before ranking with vec_id
+    tiebreak — the knn_classify contract); each vector's ln μ =
+    (ln r2² − ln r1²)/2 pins ONCE to int64, so the global sum is
+    order-free.  Exact-duplicate pairs (r1² = 0) are excluded and
+    counted (their μ is undefined), mirrored.
+
+    Scale shape: broadcast corpus + one GEMM per batch (the ANN stage
+    shape); one single-key integer fold.  Output: one row (n_vectors,
+    n_used, n_zero_r1, sum_lnmu_fp, intrinsic_dim) rounded 6.
+    """
+    import pyarrow.parquet as _pq
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.common import duckdb_round as _dr
+
+    t = _pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    ids_all = np.asarray(t["vec_id"].to_numpy(), dtype=np.int64)
+    m_all = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    order = np.argsort(ids_all, kind="stable")
+    bref = ray.put((ids_all[order], m_all[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cids, cmat = ray.get(bref)
+        cn2 = (cmat * cmat).sum(axis=1)
+        m = _emb_matrix(batch)
+        ids = np.asarray(batch["vec_id"].to_numpy(), dtype=np.int64)
+        n2 = (m * m).sum(axis=1)
+        d2 = _dr(n2[:, None] + cn2[None, :] - 2.0 * (m @ cmat.T), 6)
+        used = np.zeros(1, dtype=np.int64)
+        zero = np.zeros(1, dtype=np.int64)
+        s_fp = np.zeros(1, dtype=np.int64)
+        for i in range(len(ids)):
+            d = d2[i].copy()
+            d[cids == ids[i]] = np.inf
+            top = np.lexsort((cids, d))[:2]
+            r1sq, r2sq = float(d[top[0]]), float(d[top[1]])
+            if r1sq <= 0.0:
+                zero[0] += 1
+                continue
+            lnmu = (np.log(r2sq) - np.log(r1sq)) / 2.0
+            s_fp[0] += int(np.floor(lnmu * TWONN_FP + 0.5))
+            used[0] += 1
+        return pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "n_vectors": pa.array([len(ids)], type=pa.int64()),
+                "n_used": pa.array(used),
+                "n_zero_r1": pa.array(zero),
+                "sum_lnmu_fp": pa.array(s_fp),
+            }
+        )
+
+    ds = rd.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    agg = (
+        ds.map_batches(score, batch_format="pyarrow", concurrency=4)
+        .groupby("k")
+        .aggregate(
+            _Sum("n_vectors", alias_name="n_vectors"),
+            _Sum("n_used", alias_name="n_used"),
+            _Sum("n_zero_r1", alias_name="n_zero_r1"),
+            _Sum("sum_lnmu_fp", alias_name="sum_lnmu_fp"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nu = t["n_used"].to_numpy().astype(np.float64)
+        s = t["sum_lnmu_fp"].to_numpy().astype(np.float64) / float(TWONN_FP)
+        dim = _dr(nu / np.maximum(s, 1e-12), 6)
+        return pa.table(
+            {
+                "n_vectors": t["n_vectors"].cast(pa.int64()),
+                "n_used": t["n_used"].cast(pa.int64()),
+                "n_zero_r1": t["n_zero_r1"].cast(pa.int64()),
+                "sum_lnmu_fp": t["sum_lnmu_fp"].cast(pa.int64()),
+                "intrinsic_dim": pa.array(dim, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

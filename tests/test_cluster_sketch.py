@@ -698,3 +698,40 @@ def test_knn_calibration_consistency(ray_session):
     # (the fixture's planted near-dup clusters produce unanimous-but-
     # wrong neighborhoods, a real label-noise signature)
     assert np.allclose(out["abs_gap"], (out["confidence"] - out["accuracy"]).abs().round(6), atol=2e-6)
+
+
+def test_intrinsic_dimension_planted_manifold(ray_session, tmp_path):
+    """Vectors on a known low-dim manifold embedded in high-d recover
+    approximately that dimension."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import ann
+
+    rng = np.random.default_rng(5)
+    n, d_int, d_amb = 400, 3, 16
+    basis = rng.normal(0, 1, (d_int, d_amb))
+    pts = rng.normal(0, 1, (n, d_int)) @ basis  # a 3-dim linear manifold
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, r)) for r in pts],
+                                  type=pa.list_(pa.float32(), d_amb)),
+        }
+    )
+    path = os.path.join(tmp_path, "embeddings.parquet")
+    pq.write_table(t, path)
+    out = ann.intrinsic_dimension(str(path)).to_pandas().iloc[0]
+    assert out.n_used == n
+    # TwoNN on 400 samples of a 3-manifold: expect ~3 (generous band)
+    assert 1.8 < out.intrinsic_dim < 4.5
+
+
+def test_intrinsic_dimension_fixture(ray_session):
+    from plasmap_ray.pipelines import ann
+
+    out = ann.intrinsic_dimension("/root/testdata/sf0.001").to_pandas().iloc[0]
+    assert out.n_vectors == out.n_used + out.n_zero_r1
+    assert out.intrinsic_dim > 0
