@@ -530,30 +530,26 @@ class BlobCount:
 
 def _blob_census(mask: np.ndarray) -> tuple[int, int]:
     """(n_components, largest_size) of True pixels, 4-connectivity —
-    flat union-find with path halving; merges left & up neighbors."""
+    VECTORIZED min-label propagation (each pass takes the elementwise
+    min over the 4-neighborhood; fixpoint = connected components keyed
+    by their minimum flat index).  No per-pixel Python: every pass is
+    whole-array NumPy, iterations bounded by the longest in-component
+    path (small for the ≤128-px fixture tiles; a two-pass union-find
+    swap-in is the documented fallback for pathological snakes)."""
     hh, ww = mask.shape
-    flat = mask.ravel()
-    idx = np.flatnonzero(flat)
-    parent = np.arange(flat.size, dtype=np.int64)
-
-    def find(a: int) -> int:
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
-    for p in idx:
-        x = p % ww
-        if x > 0 and flat[p - 1]:
-            ra, rb = find(p), find(p - 1)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        if p >= ww and flat[p - ww]:
-            ra, rb = find(p), find(p - ww)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-    roots = np.array([find(p) for p in idx], dtype=np.int64)
-    _, counts = np.unique(roots, return_counts=True)
+    big = np.int64(hh * ww)
+    lbl = np.where(mask, np.arange(hh * ww, dtype=np.int64).reshape(hh, ww), big)
+    while True:
+        nxt = lbl.copy()
+        nxt[1:, :] = np.minimum(nxt[1:, :], lbl[:-1, :])
+        nxt[:-1, :] = np.minimum(nxt[:-1, :], lbl[1:, :])
+        nxt[:, 1:] = np.minimum(nxt[:, 1:], lbl[:, :-1])
+        nxt[:, :-1] = np.minimum(nxt[:, :-1], lbl[:, 1:])
+        nxt = np.where(mask, nxt, big)
+        if np.array_equal(nxt, lbl):
+            break
+        lbl = nxt
+    _, counts = np.unique(lbl[mask], return_counts=True)
     return len(counts), int(counts.max())
 
 
