@@ -454,20 +454,20 @@ class ChannelMoments:
         ok = np.zeros(n, dtype=bool)
         for i in range(n):
             try:
-                px = codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i]).astype(np.int64)
+                px = codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
                 npx = px.shape[0] * px.shape[1]
                 assert npx <= self.MAX_PX, f"image too large for exact int64 moments: {npx} px"
-                r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+                c = px.reshape(-1, 3).astype(np.int64)
+                gram = c.T @ c  # ONE integer GEMM: all six second moments
+                s = c.sum(axis=0)
                 cols["n_px"][i] = npx
-                cols["s_r"][i] = int(r.sum())
-                cols["s_g"][i] = int(g.sum())
-                cols["s_b"][i] = int(b.sum())
-                cols["s_rr"][i] = int((r * r).sum())
-                cols["s_gg"][i] = int((g * g).sum())
-                cols["s_bb"][i] = int((b * b).sum())
-                cols["s_rg"][i] = int((r * g).sum())
-                cols["s_gb"][i] = int((g * b).sum())
-                cols["s_rb"][i] = int((r * b).sum())
+                cols["s_r"][i], cols["s_g"][i], cols["s_b"][i] = int(s[0]), int(s[1]), int(s[2])
+                cols["s_rr"][i] = int(gram[0, 0])
+                cols["s_gg"][i] = int(gram[1, 1])
+                cols["s_bb"][i] = int(gram[2, 2])
+                cols["s_rg"][i] = int(gram[0, 1])
+                cols["s_gb"][i] = int(gram[1, 2])
+                cols["s_rb"][i] = int(gram[0, 2])
                 ok[i] = True
             except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
                 pass
