@@ -2129,12 +2129,12 @@ def dct_energy_profile(sf_dir: str) -> rd.Dataset:
                 px = _codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
                 q = _codecs.dctq_quantized(px).astype(np.int64)  # (3, nb, 8, 8)
                 flat = q.reshape(-1, 64)
-                for band in range(15):
-                    cols = band_of == band
-                    sub = flat[:, cols]
-                    energy[band] += int((sub * sub).sum())
-                    nz[band] += int((sub != 0).sum())
-                    n_coef[band] += sub.size
+                # per-coefficient reductions once, then a 64->15 band fold
+                e64 = (flat * flat).sum(axis=0)
+                nz64 = (flat != 0).sum(axis=0)
+                np.add.at(energy, band_of, e64)
+                np.add.at(nz, band_of, nz64)
+                np.add.at(n_coef, band_of, np.full(64, flat.shape[0], dtype=np.int64))
             return pa.table(
                 {
                     "band": pa.array(np.arange(15, dtype=np.int64)),
