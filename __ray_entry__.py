@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": windows.distinct_users,
         "value_quantiles": stats.value_quantiles,
         "hist_quantile_eval": stats.hist_quantile_eval,
+        "hill_tail_index": stats.hill_tail_index,
         "event_value_quantiles": stats.event_value_quantiles,
         "interpolated_quantiles": stats.interpolated_quantiles,
         "mad_robust_stats": stats.mad_robust_stats,
@@ -1262,6 +1263,23 @@ SELECT COUNT(DISTINCT user_id) AS n_users FROM events""",
 SELECT CAST(0.5 AS DOUBLE) AS q, quantile_disc(value, 0.5) AS value FROM events
 UNION ALL SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events
 UNION ALL SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events""",
+        # mirrors stats.hill_tail_index: exact top-(k+1) order stats,
+        # ln-ratio pins at 1e-9
+        "hill_tail_index": f"""
+WITH v AS (SELECT value FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+t2 AS (SELECT value, row_number() OVER (ORDER BY value DESC) AS rn FROM v),
+top AS (SELECT value, rn FROM t2 WHERE rn <= {stats.HILL_K} + 1),
+xk AS (SELECT value AS x_k1 FROM top WHERE rn = {stats.HILL_K} + 1),
+pins AS (SELECT CAST(floor(ln(top.value / xk.x_k1) * 1000000000.0 + 0.5) AS BIGINT) AS p,
+                top.value
+         FROM top, xk WHERE top.rn <= {stats.HILL_K}),
+agg AS (SELECT CAST(sum(p) AS BIGINT) AS s, avg(value) AS mean_top FROM pins)
+SELECT {stats.HILL_K} AS k,
+       round(xk.x_k1, 6) AS x_k1,
+       agg.s AS sum_ln_fp,
+       round(CAST({stats.HILL_K} AS DOUBLE) / (CAST(agg.s AS DOUBLE) / 1000000000.0), 6) AS hill_alpha,
+       round(agg.mean_top - xk.x_k1, 6) AS mean_excess
+FROM agg, xk""",
         # mirrors stats.hist_quantile_eval: bin = floor((v-vmin)/width)
         # clipped, est = upper bin edge, rank audit on the UNROUNDED est
         "hist_quantile_eval": """

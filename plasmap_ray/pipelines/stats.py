@@ -1373,3 +1373,56 @@ def chi2_independence(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+HILL_K = 100  # tail order statistics used
+
+
+def hill_tail_index(sf_dir: str, k: int = HILL_K) -> rd.Dataset:
+    """Hill estimator of the value distribution's tail index
+    (Hill 1975): over the top-(k+1) order statistics x₍₁₎ ≥ … ≥
+    x₍ₖ₊₁₎, α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) — the heavy-tail exponent
+    behind "is a p99.99 spike plausible or corrupt?" capacity and
+    fraud questions (finite variance needs α > 2); the extreme-value
+    sibling of zipf_fit's rank-frequency slope.
+
+    Determinism: the tail set is an exact top-(k+1) selection (value
+    DESC, then ROW deterministic by value alone — ties contribute
+    identical ln terms so tie order is irrelevant); the k ln-ratio
+    terms are each pinned once at 1e-9 and summed as int64.
+
+    Scale shape: per-batch local top-(k+1) prune (the ranked-head
+    combiner) → ONE k-bounded global selection; the estimator runs on
+    k+1 driver rows.  Output: one row (k, x_k1, sum_ln_fp, hill_alpha,
+    mean_excess) rounded 6.
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["value"])
+
+    def local_top(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        v = v[~np.isnan(v)]
+        if len(v) > k + 1:
+            v = np.partition(v, len(v) - (k + 1))[-(k + 1):]
+        return pa.table({"value": pa.array(np.sort(v)[::-1], type=pa.float64())})
+
+    top = ds.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    v = np.sort(top["value"].to_numpy())[::-1][: k + 1]
+    xk1 = float(v[k])
+    fp = 1e9
+    pins = np.floor(np.log(v[:k] / xk1) * fp + 0.5).astype(np.int64)
+    s = int(pins.sum())
+    alpha = float(k) / (s / fp)
+    mean_excess = float(duckdb_round(np.array([(v[:k] - xk1).mean()]), 6)[0])
+    return rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([k], type=pa.int64()),
+                "x_k1": pa.array([float(duckdb_round(np.array([xk1]), 6)[0])], type=pa.float64()),
+                "sum_ln_fp": pa.array([s], type=pa.int64()),
+                "hill_alpha": pa.array([float(duckdb_round(np.array([alpha]), 6)[0])], type=pa.float64()),
+                "mean_excess": pa.array([mean_excess], type=pa.float64()),
+            }
+        )
+    )

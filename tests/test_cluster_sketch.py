@@ -735,3 +735,36 @@ def test_intrinsic_dimension_fixture(ray_session):
     out = ann.intrinsic_dimension("/root/testdata/sf0.001").to_pandas().iloc[0]
     assert out.n_vectors == out.n_used + out.n_zero_r1
     assert out.intrinsic_dim > 0
+
+
+def test_hill_tail_index_pareto_recovery(ray_session, tmp_path):
+    """On planted Pareto(alpha) data the Hill estimator recovers alpha."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import stats as stats_p
+
+    rng = np.random.default_rng(9)
+    alpha = 2.5
+    n = 20000
+    vals = (1.0 / rng.random(n)) ** (1.0 / alpha)  # Pareto(alpha), xm=1
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "value": pa.array(vals, type=pa.float64()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = stats_p.hill_tail_index(str(tmp_path)).to_pandas().iloc[0]
+    assert 1.8 < out.hill_alpha < 3.3  # k=100 sampling noise band
+    assert out.x_k1 > 1.0 and out.mean_excess > 0
+
+
+def test_hill_tail_index_fixture(ray_session):
+    from plasmap_ray.pipelines import stats as stats_p
+
+    out = stats_p.hill_tail_index("/root/testdata/sf0.001").to_pandas().iloc[0]
+    assert out.k == stats_p.HILL_K
+    assert out.sum_ln_fp > 0 and out.hill_alpha > 0
