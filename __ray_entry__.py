@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_pixel_verify": images.phash_pixel_verify,
         "tile_montage": images.tile_montage,
         "phash_near_dup_pairs": images.phash_near_dup_pairs,
+        "phash_dedup_eval": images.phash_dedup_eval,
         # --- audio / video payloads (real WAV decode; raw frame sampling) ---
         "audio_features": multimodal.audio_features,
         "audio_clipping": multimodal.audio_clipping,
@@ -2147,6 +2148,7 @@ FROM {img_pq} GROUP BY fmt ORDER BY fmt""",
         "image_blob_count": f"SELECT * FROM read_parquet('{golden.image_blob_count_path(images.images_path_for(SF001))}')",
         "dct_energy_profile": f"SELECT * FROM read_parquet('{golden.dct_energy_profile_path(images.images_path_for(SF001))}')",
         "image_palette": f"SELECT * FROM read_parquet('{golden.image_palette_path(images.images_path_for(SF001))}')",
+        "phash_dedup_eval": f"SELECT * FROM read_parquet('{golden.phash_dedup_eval_path(SF001, 3)}')",
         "image_edge_density": f"SELECT * FROM read_parquet('{golden.image_edge_density_path(images.images_path_for(SF001))}')",
         "caption_conflict_dups": f"""
 SELECT caption, CAST(count(*) AS BIGINT) AS n_images,

@@ -2434,6 +2434,52 @@ def transition_stationary_path(sf_dir: str, pitch: float, iters: int) -> str:
     return _cache(f"stationary_{_sf_tag(sf_dir)}_p{pitch}_i{iters}", build)
 
 
+def phash_dedup_eval_path(sf_dir: str, max_dist: int) -> str:
+    """Expected phash dedup audit: the detector side recomputed as the
+    COMPLETE O(N²) blockwise Hamming census (no LSH — also proving the
+    banded detector's exact-recall claim), truth from the planting
+    rule, same compare arithmetic."""
+
+    def build() -> pa.Table:
+        from . import fixtures as _fx
+        from .pipelines.images import images_count_for, images_path_for
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(images_path_for(sf_dir), columns=["image_id", "phash"])
+        ids = np.array([int(s[4:16]) for s in t["image_id"].to_pylist()], dtype=np.int64)
+        ph = t["phash"].to_numpy().astype(np.uint64)
+        det = set()
+        B = 2048
+        for lo in range(0, len(ph), B):
+            a = ph[lo : lo + B]
+            x = a[:, None] ^ ph[None, :]
+            # popcount via 8x unpackbits on the byte view
+            d = np.unpackbits(x.view(np.uint8).reshape(len(a), len(ph), 8), axis=2).sum(axis=2)
+            ii, jj = np.nonzero(d <= max_dist)
+            for i2, j2 in zip(ii.tolist(), jj.tolist()):
+                gi, gj = int(ids[lo + i2]), int(ids[j2])
+                if gi < gj:
+                    det.add((gi, gj))
+        n = images_count_for(sf_dir)
+        truth = {
+            (i - 1, i) for i in range(_fx.NEAR_DUP_STRIDE, n + 1, _fx.NEAR_DUP_STRIDE) if i > 1
+        }
+        hit = len(truth & det)
+        recall = hit / max(len(truth), 1)
+        share = hit / max(len(det), 1)
+        return pa.table(
+            {
+                "n_truth": pa.array([len(truth)], type=pa.int64()),
+                "n_detected": pa.array([len(det)], type=pa.int64()),
+                "n_hit": pa.array([hit], type=pa.int64()),
+                "recall": pa.array(duckdb_round(np.array([recall]), 6), type=pa.float64()),
+                "planted_share": pa.array(duckdb_round(np.array([share]), 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"phash_eval_{_sf_tag(sf_dir)}_d{max_dist}", build)
+
+
 def intrinsic_dimension_path(sf_dir: str) -> str:
     """Expected TwoNN estimate: full local N×N distance matrix (the
     SHARED norm-expansion expression rounded 6dp pre-rank) with

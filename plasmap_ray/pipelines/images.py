@@ -2259,3 +2259,53 @@ def image_channel_correlation(sf_dir: str) -> rd.Dataset:
         )
 
     return scored.map_batches(finish, batch_format="pyarrow")
+
+
+def phash_dedup_eval(sf_dir: str, max_dist: int = 3) -> rd.Dataset:
+    """End-to-end precision/recall audit of the phash near-dup
+    detector against the corpus's PLANTED ground truth (every
+    NEAR_DUP_STRIDE-th image reuses its predecessor's pixels —
+    fixtures.make_images) — the measured-quality harness for the image
+    dedup family, exactly what lsh_blocking_eval is for text: recall
+    says the planted copies are found, precision counts how much
+    hash-collision noise rides along (phash collisions on small tiles
+    are EXPECTED extra pairs — they are near-dups by the hash's own
+    definition, so precision here reads as "planted share", not error).
+
+    Scale shape: the detector side is the real banded Hamming-LSH
+    pipeline; the truth side is a pure id-arithmetic map (no pixels);
+    the comparison joins two pair tables driver-side (pair-bounded).
+    Output: one row (n_truth, n_detected, n_hit, recall,
+    planted_share) rounded 6.
+    """
+    from .. import fixtures as _fx
+    from ..stages.common import duckdb_round
+
+    detected = phash_near_dup_pairs(sf_dir, max_dist=max_dist).to_pandas()
+    ia = detected["image_id_a"].map(lambda s: int(str(s)[4:16])).to_numpy()
+    ib = detected["image_id_b"].map(lambda s: int(str(s)[4:16])).to_numpy()
+    det = {(int(a), int(b)) for a, b in zip(np.minimum(ia, ib), np.maximum(ia, ib))}
+    n = images_count_for(sf_dir)
+    truth = {
+        (i - 1, i)
+        for i in range(_fx.NEAR_DUP_STRIDE, n + 1, _fx.NEAR_DUP_STRIDE)
+        if i > 1
+    }
+    hit = len(truth & det)
+    recall = hit / max(len(truth), 1)
+    share = hit / max(len(det), 1)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_truth": pa.array([len(truth)], type=pa.int64()),
+                "n_detected": pa.array([len(det)], type=pa.int64()),
+                "n_hit": pa.array([hit], type=pa.int64()),
+                "recall": pa.array(
+                    duckdb_round(np.array([recall]), 6), type=pa.float64()
+                ),
+                "planted_share": pa.array(
+                    duckdb_round(np.array([share]), 6), type=pa.float64()
+                ),
+            }
+        )
+    )

@@ -891,3 +891,16 @@ def test_image_palette_matches_golden(ray_session):
     assert got["ok"].all()
     assert ((got["top_frac"] > 0) & (got["top_frac"] <= 1)).all()
     assert (got["top_frac"] >= got["second_frac"]).all()
+
+
+def test_phash_dedup_eval_full_recall(ray_session):
+    """The banded detector at max_dist=3 finds EVERY planted copy
+    (exact-recall regime): recall == 1.0 on the fixture truth."""
+    from plasmap_ray.pipelines import images as img_p
+
+    out = img_p.phash_dedup_eval("/root/testdata/sf0.001").to_pandas().iloc[0]
+    assert out.n_truth > 0
+    assert out.recall == 1.0
+    assert out.n_hit == out.n_truth
+    assert out.n_detected >= out.n_truth  # hash-definition extras allowed
+    assert 0.0 < out.planted_share <= 1.0
