@@ -434,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_weekend_test": stats.ks_weekend_test,
         "acf_hourly": windows.acf_hourly,
         "ccf_event_types": windows.ccf_event_types,
+        "dau_wau_ratio": windows.dau_wau_ratio,
         "dp_tile_counts": privacy.dp_tile_counts,
         "location_unicity": privacy.location_unicity,
         "latest_event_per_user": windows.latest_event_per_user,
@@ -4470,6 +4471,18 @@ num AS (SELECT l.k, sum(a.dx * b2.dx) AS sk
         GROUP BY l.k)
 SELECT num.k AS lag, round(CAST(num.sk AS DOUBLE) / CAST(den.s0 AS DOUBLE), 6) AS acf
 FROM num CROSS JOIN den""",
+        # mirrors windows.dau_wau_ratio: distinct (day,user) base table,
+        # week folds, stickiness = (sum_dau/n_days)/wau
+        "dau_wau_ratio": """
+WITH du AS (SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, user_id FROM events),
+dau AS (SELECT day // 7 AS week, day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1, 2),
+wau AS (SELECT day // 7 AS week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM du GROUP BY 1),
+df AS (SELECT week, CAST(count(*) AS BIGINT) AS n_days, CAST(sum(dau) AS BIGINT) AS sum_dau
+       FROM dau GROUP BY 1)
+SELECT df.week, df.n_days, wau.wau, df.sum_dau,
+       round((CAST(df.sum_dau AS DOUBLE) / CAST(df.n_days AS DOUBLE)) / CAST(wau.wau AS DOUBLE), 6)
+           AS stickiness
+FROM df JOIN wau ON wau.week = df.week ORDER BY df.week""",
         # mirrors windows.ccf_event_types: ccf(k) = corr(a_t, b_{{t-k}})
         "ccf_event_types": f"""
 WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h, event_type FROM events

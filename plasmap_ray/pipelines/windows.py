@@ -21,6 +21,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from ..stages.common import round_columns
+from ..stages.common import safe_join
 
 SESSION_GAP_MIN = 30
 
@@ -2003,3 +2004,113 @@ def ccf_event_types(sf_dir: str, max_lag: int = 24) -> rd.Dataset:
             }
         )
     )
+
+
+def dau_wau_ratio(sf_dir: str) -> rd.Dataset:
+    """Weekly stickiness: per epoch-week, the mean number of DISTINCT
+    daily users divided by the week's distinct users (DAU/WAU — the
+    classic engagement ratio; 1/7 = everyone shows once, 1.0 =
+    everyone active daily).
+
+    Exactness: distinct counts via the two-level reduce used across
+    this repo (per-batch unique (day, user) pairs → pair-keyed groupby
+    → day- and week-keyed folds), all int64; the ratio is one mirrored
+    float expression avg_dau / wau with avg_dau = Σ dau / n_days
+    observed in that week.
+
+    Scale shape: the (day, user) distinct table is the only exchange
+    (bounded by active users × days); week folds reduce THAT table.
+    Output: (week, n_days, wau, sum_dau, stickiness) rounded 6.
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["ts", "user_id"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        day = (t["ts"].cast(pa.int64()).to_numpy() // 86_400_000_000).astype(np.int64)
+        uid = np.asarray(t["user_id"].to_numpy(), dtype=np.int64)
+        key = day * np.int64(1 << 40) + uid  # uids < 2^40 (fixture contract)
+        u = np.unique(key)
+        return pa.table(
+            {
+                "day": pa.array((u >> 40).astype(np.int64)),
+                "user_id": pa.array((u & ((1 << 40) - 1)).astype(np.int64)),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="dup"))
+    )
+
+    def day_week(t: pa.Table) -> pa.Table:
+        day = t["day"].to_numpy()
+        return pa.table(
+            {
+                "week": pa.array((day // 7).astype(np.int64)),
+                "day": t["day"],
+                "user_id": t["user_id"],
+            }
+        )
+
+    dw = pairs.map_batches(day_week, batch_format="pyarrow")
+    dau = (
+        dw.groupby(["week", "day"])
+        .aggregate(Count(alias_name="dau"))
+    )
+
+    def week_user(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"week": t["week"].to_numpy(), "user_id": t["user_id"].to_numpy()}
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "week": pa.array(df["week"].to_numpy().astype(np.int64)),
+                "user_id": pa.array(df["user_id"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    wau = (
+        dw.map_batches(week_user, batch_format="pyarrow")
+        .groupby(["week", "user_id"])
+        .aggregate(Count(alias_name="dup"))
+        .groupby("week")
+        .aggregate(Count(alias_name="wau"))
+    )
+
+    day_fold = (
+        dau.map_batches(
+            lambda t: pa.table(
+                {
+                    "week": t["week"],
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "dau": t["dau"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("week")
+        .aggregate(Sum("one", alias_name="n_days"), Sum("dau", alias_name="sum_dau"))
+    )
+
+    joined = safe_join(day_fold, wau, join_type="inner", num_partitions=2, on=("week",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t["n_days"].to_numpy().astype(np.float64)
+        sd = t["sum_dau"].to_numpy().astype(np.float64)
+        w = t["wau"].to_numpy().astype(np.float64)
+        stick = duckdb_round((sd / nd) / w, 6)
+        return pa.table(
+            {
+                "week": t["week"].cast(pa.int64()),
+                "n_days": t["n_days"].cast(pa.int64()),
+                "wau": t["wau"].cast(pa.int64()),
+                "sum_dau": t["sum_dau"].cast(pa.int64()),
+                "stickiness": pa.array(stick, type=pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("week")

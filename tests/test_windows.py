@@ -33,3 +33,27 @@ def test_ccf_event_types_matches_numpy(ray_session):
         assert abs(out.loc[k, "ccf"] - num / den) < 1e-6
     # CCF(0) equals Pearson correlation of the two dense series
     assert abs(out.loc[0, "ccf"] - np.corrcoef(a, b)[0, 1]) < 1e-6
+
+
+def test_dau_wau_ratio_bounds_and_bruteforce(ray_session):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import windows as w
+
+    sf = "/root/testdata/sf0.001"
+    out = w.dau_wau_ratio(sf).to_pandas().set_index("week")
+    t = pq.read_table(sf + "/events.parquet", columns=["ts", "user_id"]).to_pandas()
+    day = ((t.ts - pd.Timestamp(0)) // pd.Timedelta(days=1)).astype("int64")
+    df = pd.DataFrame({"day": day, "user": t.user_id}).drop_duplicates()
+    df["week"] = df["day"] // 7
+    for week, grp in df.groupby("week"):
+        dau = grp.groupby("day")["user"].nunique()
+        wau = grp["user"].nunique()
+        row = out.loc[week]
+        assert row.n_days == len(dau)
+        assert row.wau == wau
+        assert row.sum_dau == dau.sum()
+        assert abs(row.stickiness - (dau.sum() / len(dau)) / wau) < 1e-6
+    # bounds: stickiness in (0, 1]; with <=7 observed days it's >= 1/7-ish
+    assert ((out["stickiness"] > 0) & (out["stickiness"] <= 1.0 + 1e-9)).all()
