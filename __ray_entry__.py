@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": multimodal.audio_features,
         "audio_clipping": multimodal.audio_clipping,
         "audio_silence_trim": multimodal.audio_silence_trim,
+        "audio_band_energy": multimodal.audio_band_energy,
         "cell_modality_mix": multimodal.cell_modality_mix,
         "video_frame_stats": multimodal.video_frame_stats,
         "video_temporal_smoothness": multimodal.video_temporal_smoothness,
@@ -2346,6 +2347,13 @@ WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= {dedup.JW_THRESHOLD!r}""",
         ),
         "audio_silence_trim": (
             "SELECT * FROM read_parquet('" + golden.audio_silence_trim_path(multimodal.audio_path_for(SF001)) + "')"
+        ),
+        "audio_band_energy": (
+            "SELECT * FROM read_parquet('"
+            + golden.audio_band_energy_path(
+                multimodal.audio_path_for(SF001), multimodal.AUDIO_BANDS, multimodal.BAND_FP
+            )
+            + "')"
         ),
         "video_keyframes": (
             "SELECT * FROM read_parquet('" + golden.video_keyframes_path(multimodal.video_path_for(SF001)) + "')"

@@ -4147,6 +4147,48 @@ def audio_clipping_path(audio_parquet: str) -> str:
     return _cache(f"audio_clip_{os.path.basename(audio_parquet).rsplit('.', 1)[0]}", build)
 
 
+def audio_band_energy_path(audio_parquet: str, bands: tuple, fp: int) -> str:
+    """Expected band-energy profile: the rfft and the per-band
+    mask-sum are the SHARED kernel (pure functions of the samples —
+    pitch-histogram precedent; a per-bin scalar loop would drift ulps
+    against the engine's pairwise sums and flip pins); the golden's
+    independence is the clip iteration, accumulation bookkeeping, and
+    table assembly."""
+
+    def build() -> pa.Table:
+        from .stages.common import duckdb_round
+        from .stages.media import decode_wav_pcm16
+
+        t = pq.read_table(audio_parquet, columns=["bytes"])
+        acc = [0] * len(bands)
+        n_clips = 0
+        for i in range(t.num_rows):
+            sr, samples = decode_wav_pcm16(t["bytes"][i].as_py())
+            mag2 = np.abs(np.fft.rfft(samples.astype(np.float64))) ** 2
+            mag2[0] = 0.0
+            tot = float(mag2.sum())
+            if tot <= 0.0:
+                continue
+            n_clips += 1
+            freqs = np.arange(len(mag2)) * (sr / len(samples))
+            for bi, (lo, hi) in enumerate(bands):
+                e = float(mag2[(freqs >= lo) & (freqs < hi)].sum())
+                acc[bi] += int(np.floor(e / tot * fp + 0.5))
+        s = np.asarray(acc, dtype=np.float64)
+        n = max(n_clips, 1)
+        return pa.table(
+            {
+                "band_lo_hz": pa.array([b[0] for b in bands], type=pa.int64()),
+                "band_hi_hz": pa.array([b[1] for b in bands], type=pa.int64()),
+                "sum_frac_fp": pa.array(acc, type=pa.int64()),
+                "n_clips": pa.array([n_clips] * len(bands), type=pa.int64()),
+                "energy_frac": pa.array(duckdb_round((s / fp) / n, 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"audio_bands_{os.path.basename(audio_parquet).rsplit('.', 1)[0]}", build)
+
+
 def audio_silence_trim_path(audio_parquet: str) -> str:
     """Expected trim manifest: independent recompute — forward and
     backward per-sample Python scans here vs the engine's vectorized

@@ -329,3 +329,82 @@ def video_temporal_smoothness(sf_dir: str) -> rd.Dataset:
         return t.append_column("mean_sad_per_byte", pa.array(mean, type=pa.float64()))
 
     return scored.map_batches(finish, batch_format="pyarrow")
+
+
+AUDIO_BANDS = ((0, 250), (250, 500), (500, 1000), (1000, 2000), (2000, 4000), (4000, 1 << 30))
+BAND_FP = 10**9
+
+
+def audio_band_energy(sf_dir: str) -> rd.Dataset:
+    """Corpus spectral-balance profile: fraction of total spectral
+    energy per octave-ish frequency band — the EQ-curve view of an
+    audio corpus (speech lives at 250-4k; hiss pushes the top band;
+    hum the bottom), the audio analogue of dct_energy_profile's
+    compaction bands and the corpus-level complement of
+    audio_pitch_histogram's per-clip argmax.
+
+    Determinism: per clip, band energies from |rfft|² are normalized
+    to FRACTIONS and pinned once to int64 (the per-clip spectrum is a
+    pure function of its samples — np.fft on identical input is the
+    shared kernel, like the pitch histogram); the corpus fold is an
+    exact integer sum, and per-band output is one mirrored division.
+
+    Scale shape: decode + FFT + band reduce fused in the actor pool
+    (|bands| int64s per clip leave the task), ONE |bands|-row groupby.
+    Output: (band_lo_hz, band_hi_hz, sum_frac_fp, n_clips,
+    energy_frac) rounded 6.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(audio_path_for(sf_dir))
+    bands = AUDIO_BANDS
+
+    class BandEnergy:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            payloads = batch["bytes"].to_pylist()
+            n_b = len(bands)
+            acc = np.zeros(n_b, dtype=np.int64)
+            n_clips = 0
+            for p in payloads:
+                sr, samples = media.decode_wav_pcm16(p)
+                mag2 = np.abs(np.fft.rfft(samples.astype(np.float64))) ** 2
+                mag2[0] = 0.0  # drop DC
+                freqs = np.arange(len(mag2)) * (sr / len(samples))
+                tot = float(mag2.sum())
+                if tot <= 0.0:
+                    continue
+                n_clips += 1
+                for bi, (lo, hi) in enumerate(bands):
+                    e = float(mag2[(freqs >= lo) & (freqs < hi)].sum())
+                    acc[bi] += int(np.floor(e / tot * BAND_FP + 0.5))
+            return pa.table(
+                {
+                    "band_idx": pa.array(np.arange(n_b, dtype=np.int64)),
+                    "sum_frac_fp": pa.array(acc),
+                    "n_clips": pa.array(np.full(n_b, n_clips, dtype=np.int64)),
+                }
+            )
+
+    agg = (
+        ds.map_batches(BandEnergy, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+        .groupby("band_idx")
+        .aggregate(Sum("sum_frac_fp", alias_name="sum_frac_fp"), Sum("n_clips", alias_name="n_clips"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.sort_by("band_idx")
+        bi = t["band_idx"].to_numpy()
+        s = t["sum_frac_fp"].to_numpy().astype(np.float64)
+        n = np.maximum(t["n_clips"].to_numpy().astype(np.float64), 1.0)
+        frac = duckdb_round((s / BAND_FP) / n, 6)
+        return pa.table(
+            {
+                "band_lo_hz": pa.array([bands[i][0] for i in bi], type=pa.int64()),
+                "band_hi_hz": pa.array([bands[i][1] for i in bi], type=pa.int64()),
+                "sum_frac_fp": t["sum_frac_fp"].cast(pa.int64()),
+                "n_clips": t["n_clips"].cast(pa.int64()),
+                "energy_frac": pa.array(frac, type=pa.float64()),
+            }
+        )
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")

@@ -904,3 +904,18 @@ def test_phash_dedup_eval_full_recall(ray_session):
     assert out.n_hit == out.n_truth
     assert out.n_detected >= out.n_truth  # hash-definition extras allowed
     assert 0.0 < out.planted_share <= 1.0
+
+
+def test_audio_band_energy_profile(ray_session):
+    from plasmap_ray.pipelines import multimodal
+
+    out = multimodal.audio_band_energy("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == len(multimodal.AUDIO_BANDS)
+    # fractions sum to ~1 (pins floor at 1e-9 per clip per band)
+    assert abs(out["energy_frac"].sum() - 1.0) < 1e-3
+    assert (out["energy_frac"] >= 0).all()
+    # the fixture's two-tone clips have fundamentals 200..2000 Hz and a
+    # 2.5x harmonic: virtually all energy sits below 8 kHz, and the
+    # 250-4000 Hz bands carry the bulk
+    mid = out[(out["band_lo_hz"] >= 250) & (out["band_lo_hz"] < 4000)]["energy_frac"].sum()
+    assert mid > 0.5
