@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acf_hourly": windows.acf_hourly,
         "ccf_event_types": windows.ccf_event_types,
         "dau_wau_ratio": windows.dau_wau_ratio,
+        "follows_latency": windows.follows_latency,
         "dp_tile_counts": privacy.dp_tile_counts,
         "location_unicity": privacy.location_unicity,
         "latest_event_per_user": windows.latest_event_per_user,
@@ -4479,6 +4480,21 @@ num AS (SELECT l.k, sum(a.dx * b2.dx) AS sk
         GROUP BY l.k)
 SELECT num.k AS lag, round(CAST(num.sk AS DOUBLE) / CAST(den.s0 AS DOUBLE), 6) AS acf
 FROM num CROSS JOIN den""",
+        # mirrors windows.follows_latency: same-user lag pairs, median =
+        # quantile_disc element, mean = sum/n
+        "follows_latency": """
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus,
+         lag(event_type) OVER w AS prev_type,
+         lag(epoch_us(ts)) OVER w AS ptus
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+p AS (SELECT prev_type, event_type AS next_type, CAST(tus - ptus AS BIGINT) AS delta
+      FROM seq WHERE prev_type IS NOT NULL)
+SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(delta, 0.5) AS BIGINT) AS p50_delta_us,
+       round(CAST(sum(delta) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_delta_us
+FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
         # mirrors windows.dau_wau_ratio: distinct (day,user) base table,
         # week folds, stickiness = (sum_dau/n_days)/wau
         "dau_wau_ratio": """

@@ -2114,3 +2114,93 @@ def dau_wau_ratio(sf_dir: str) -> rd.Dataset:
         )
 
     return joined.map_batches(finish, batch_format="pyarrow").sort("week")
+
+
+def follows_latency(sf_dir: str, parts: int = 32) -> rd.Dataset:
+    """Directly-follows LATENCY matrix (process mining's performance
+    view): for every same-user consecutive (prev_type → next_type)
+    edge, the count, exact MEDIAN inter-event delay and the mean —
+    event_transition_lift tells you WHICH edges exist; this tells you
+    how LONG each takes (the bottleneck readout of a discovered
+    process map).
+
+    Determinism: deltas are exact int64 microseconds; the median is
+    quantile_disc's element-selection (rank ceil(n/2) over the sorted
+    deltas — an ELEMENT, no interpolation); the mean is one mirrored
+    float division of an int64 sum.
+
+    Scale shape: the coarse-partition run-scan emits (prev, next,
+    delta) rows; ONE alphabet²-keyed regroup computes rank statistics
+    per edge (per-edge volume bounded by the pair counts).  Output:
+    (prev_type, next_type, n, p50_delta_us, mean_delta_us) rounded 6.
+    """
+    import math
+
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, type=pa.int64()),
+                "event_id": t["event_id"],
+                "tus": pa.array(t["ts"].cast(pa.int64()).to_numpy(), type=pa.int64()),
+                "event_type": t["event_type"],
+                "part": pa.array(uid % parts, type=pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "prev_type": pa.array([], type=pa.string()),
+            "next_type": pa.array([], type=pa.string()),
+            "delta": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def deltas(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return empty
+        g = g.sort_by([("user_id", "ascending"), ("tus", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        tus = g["tus"].to_numpy()
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        m = uid[1:] == uid[:-1]
+        if not m.any():
+            return empty
+        return pa.table(
+            {
+                "prev_type": pa.array(et[:-1][m], type=pa.string()),
+                "next_type": pa.array(et[1:][m], type=pa.string()),
+                "delta": pa.array((tus[1:] - tus[:-1])[m], type=pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(prep, batch_format="pyarrow").groupby("part").map_groups(
+        deltas, batch_format="pyarrow"
+    )
+
+    def edge_stats(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"prev_type": [], "next_type": [], "n": [], "p50_delta_us": [], "sum_delta": []}
+        for (p, nx), grp in g.groupby(["prev_type", "next_type"], sort=True):
+            d = np.sort(grp["delta"].to_numpy())
+            n = len(d)
+            out["prev_type"].append(p)
+            out["next_type"].append(nx)
+            out["n"].append(n)
+            out["p50_delta_us"].append(int(d[max(1, math.ceil(0.5 * n)) - 1]))
+            out["sum_delta"].append(int(d.sum()))
+        return pd.DataFrame(out)
+
+    agg = rows.groupby("prev_type").map_groups(edge_stats, batch_format="pandas")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.float64)
+        s = t["sum_delta"].to_numpy().astype(np.float64)
+        mean = duckdb_round(s / n, 6)
+        out = t.drop_columns(["sum_delta"])
+        return out.append_column("mean_delta_us", pa.array(mean, type=pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(["prev_type", "next_type"])

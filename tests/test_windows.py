@@ -57,3 +57,31 @@ def test_dau_wau_ratio_bounds_and_bruteforce(ray_session):
         assert abs(row.stickiness - (dau.sum() / len(dau)) / wau) < 1e-6
     # bounds: stickiness in (0, 1]; with <=7 observed days it's >= 1/7-ish
     assert ((out["stickiness"] > 0) & (out["stickiness"] <= 1.0 + 1e-9)).all()
+
+
+def test_follows_latency_matches_bruteforce(ray_session):
+    import math
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import windows as w
+
+    sf = "/root/testdata/sf0.001"
+    out = w.follows_latency(sf).to_pandas().set_index(["prev_type", "next_type"])
+    t = pq.read_table(sf + "/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]).to_pandas()
+    t["tus"] = (t.ts - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+    t = t.sort_values(["user_id", "tus", "event_id"])
+    same = t.user_id.to_numpy()[1:] == t.user_id.to_numpy()[:-1]
+    prev = t.event_type.to_numpy()[:-1][same]
+    nxt = t.event_type.to_numpy()[1:][same]
+    delta = (t.tus.to_numpy()[1:] - t.tus.to_numpy()[:-1])[same]
+    df = pd.DataFrame({"p": prev, "n": nxt, "d": delta})
+    assert len(out) == df.groupby(["p", "n"]).ngroups
+    for (p, nx), grp in df.groupby(["p", "n"]):
+        d = np.sort(grp["d"].to_numpy())
+        row = out.loc[(p, nx)]
+        assert row.n == len(d)
+        assert row.p50_delta_us == d[max(1, math.ceil(0.5 * len(d))) - 1]
+        assert abs(row.mean_delta_us - d.sum() / len(d)) < 1e-3
+    assert (out["p50_delta_us"] > 0).all()
