@@ -62,6 +62,7 @@ def test_dau_wau_ratio_bounds_and_bruteforce(ray_session):
 def test_follows_latency_matches_bruteforce(ray_session):
     import math
 
+    import numpy as np
     import pandas as pd
     import pyarrow.parquet as pq
 
