@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolation_curve": routing.percolation_curve,
         "alt_heuristic_eval": routing.alt_heuristic_eval,
         "bridge_edges": routing.bridge_edges,
+        "detour_ratio": routing.detour_ratio,
         "graph_eccentricity": routing.graph_eccentricity,
         "knn_pois": lambda sf: spatial.knn_pipeline(sf, k=KNN_K),
         "knn_pois_shuffle": lambda sf: spatial.knn_shuffle_pipeline(sf, k=KNN_K),
@@ -2238,6 +2239,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "percolation_curve": f"SELECT * FROM read_parquet('{golden.percolation_path(routing.PERC_CUTS)}')",
         "alt_heuristic_eval": f"SELECT * FROM read_parquet('{golden.alt_eval_path(routing.ALT_PAIRS)}')",
         "bridge_edges": f"SELECT * FROM read_parquet('{golden.bridge_edges_path(routing.CHEAP_W_CUT)}')",
+        "detour_ratio": f"SELECT * FROM read_parquet('{golden.detour_ratio_path(routing.ALT_PAIRS)}')",
         "graph_eccentricity": f"SELECT * FROM read_parquet('{golden.eccentricity_path(routing.BTW_SOURCES)}')",
         "road_components": f"SELECT * FROM read_parquet('{golden.road_components_path(routing.CHEAP_W_CUT)}')",
         "hmm_map_match": f"SELECT * FROM read_parquet('{golden.hmm_map_match_path(SF001)}')",

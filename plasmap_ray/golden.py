@@ -1836,6 +1836,50 @@ def bridge_edges_path(w_cut: int, n: int | None = None) -> str:
     return _cache(f"bridges_n{n or 0}_w{w_cut}", build)
 
 
+def detour_ratio_path(n_pairs: int, n: int | None = None) -> str:
+    """Golden circuity table via Bellman-Ford network distances and the
+    identical euclidean pin."""
+
+    def build() -> pa.Table:
+        from . import fixtures
+        from .pipelines.routing import DETOUR_FP, _btw_sources
+        from .stages.common import duckdb_round
+
+        nn = n or fixtures.ROAD_N
+        e = fixtures.road_world(nn)["edges"]
+        s0, d0, w0 = e["src"].to_numpy(), e["dst"].to_numpy(), e["w"].to_numpy()
+        s = np.concatenate([s0, d0])
+        d = np.concatenate([d0, s0])
+        w = np.concatenate([w0, w0])
+        n_nodes = nn * nn
+        us = _btw_sources(n_nodes, n_pairs)
+        vs = ((us * 7919 + 131) % n_nodes + 1).astype(np.int64)
+        vs = np.where(vs == us, (vs % n_nodes) + 1, vs)
+        dist = {src: _bf_dists((s, d, w), n_nodes, src) for src in sorted(set(us.tolist()))}
+        rows = []
+        for u, v in zip(us.tolist(), vs.tolist()):
+            sx, sy = (u - 1) % nn, (u - 1) // nn
+            dx, dy = (v - 1) % nn, (v - 1) // nn
+            d2 = (sx - dx) ** 2 + (sy - dy) ** 2
+            efp = int(np.floor(np.sqrt(float(d2)) * float(fixtures.ROAD_BASE_W) * DETOUR_FP + 0.5))
+            rows.append((u, v, dist[u][v], efp))
+        rows.sort()
+        net = np.array([r[2] for r in rows], dtype=np.float64)
+        efp = np.array([r[3] for r in rows], dtype=np.int64)
+        det = duckdb_round(net / (efp.astype(np.float64) / DETOUR_FP), 6)
+        return pa.table(
+            {
+                "src": pa.array([r[0] for r in rows], type=pa.int64()),
+                "dst": pa.array([r[1] for r in rows], type=pa.int64()),
+                "net_dist": pa.array([r[2] for r in rows], type=pa.int64()),
+                "eucl_fp": pa.array(efp, type=pa.int64()),
+                "detour": pa.array(det, type=pa.float64()),
+            }
+        )
+
+    return _cache(f"detour_n{n or 0}_p{n_pairs}", build)
+
+
 def percolation_path(cuts: tuple, n: int | None = None) -> str:
     """Golden percolation sweep: local union-find with union-by-size
     (vs the engine's distributed min-label propagation)."""

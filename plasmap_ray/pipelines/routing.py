@@ -857,3 +857,91 @@ def bridge_edges(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+DETOUR_FP = 10**9  # fixed-point pitch for the euclidean denominator
+
+
+def detour_ratio(sf_dir: str, n_pairs: int = ALT_PAIRS) -> rd.Dataset:
+    """Network circuity (detour ratio) for the sampled OD pairs:
+    network shortest distance over straight-line grid distance — the
+    "how much longer than the crow flies" factor transport planning
+    reports per corridor (well-connected grids sit near 1.2-1.4;
+    spikes flag barriers).  Reuses alt_heuristic_eval's deterministic
+    pair sample and the same Dijkstra actor pool.
+
+    Determinism: network distances are exact int64; the euclidean
+    denominator uses exact integer grid coordinates and unit edge
+    cost ROAD_BASE_W (the weight floor — documented normalization:
+    ratios are >= 1 only up to the weight spread), pinned once per
+    pair at DETOUR_FP.  Output: (src, dst, net_dist, eucl_fp,
+    detour) rounded 6.
+    """
+    from ..stages.common import duckdb_round as _dr
+
+    n = fixtures.ROAD_N
+    e = fixtures.road_world(n)["edges"]
+    edges_ref = ray.put(
+        {"src": e["src"].to_numpy(), "dst": e["dst"].to_numpy(), "w": e["w"].to_numpy()}
+    )
+    n_nodes = n * n
+    us = _btw_sources(n_nodes, n_pairs)
+    vs = ((us * 7919 + 131) % n_nodes + 1).astype(np.int64)
+    vs = np.where(vs == us, (vs % n_nodes) + 1, vs)
+    srcs = sorted(set(us.tolist()))
+    src_ds = rd.from_arrow(pa.table({"source": pa.array(srcs, type=pa.int64())}))
+
+    class PairDist(DijkstraSource):
+        def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+            out_s, out_v, out_d = [], [], []
+            want: dict[int, list[int]] = {}
+            for u, v in zip(us.tolist(), vs.tolist()):
+                want.setdefault(u, []).append(v)
+            for s in batch["source"].to_pylist():
+                dist = self._dists(s)
+                for v in want.get(s, ()):
+                    out_s.append(s)
+                    out_v.append(v)
+                    out_d.append(dist[v])
+            return pa.table(
+                {
+                    "src": pa.array(out_s, type=pa.int64()),
+                    "dst": pa.array(out_v, type=pa.int64()),
+                    "net_dist": pa.array(out_d, type=pa.int64()),
+                }
+            )
+
+    tbl = src_ds.map_batches(
+        PairDist,
+        fn_constructor_kwargs=dict(edges_ref=edges_ref),
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=(1, 8),
+    ).to_pandas()
+
+    def grid_xy(node: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        return (node - 1) % n, (node - 1) // n
+
+    sx, sy = grid_xy(tbl["src"].to_numpy().astype(np.int64))
+    dx, dy = grid_xy(tbl["dst"].to_numpy().astype(np.int64))
+    d2 = (sx - dx) ** 2 + (sy - dy) ** 2
+    eucl_fp = np.floor(
+        np.sqrt(d2.astype(np.float64)) * float(fixtures.ROAD_BASE_W) * DETOUR_FP + 0.5
+    ).astype(np.int64)
+    detour = _dr(
+        tbl["net_dist"].to_numpy().astype(np.float64)
+        / (eucl_fp.astype(np.float64) / DETOUR_FP),
+        6,
+    )
+    order = np.lexsort((tbl["dst"].to_numpy(), tbl["src"].to_numpy()))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(tbl["src"].to_numpy()[order], type=pa.int64()),
+                "dst": pa.array(tbl["dst"].to_numpy()[order], type=pa.int64()),
+                "net_dist": pa.array(tbl["net_dist"].to_numpy()[order], type=pa.int64()),
+                "eucl_fp": pa.array(eucl_fp[order], type=pa.int64()),
+                "detour": pa.array(detour[order], type=pa.float64()),
+            }
+        )
+    )

@@ -243,3 +243,16 @@ def test_bridge_edges_known_graph(ray_session):
                     seen.add(u)
                     dq.append(u)
         assert r.dst not in seen  # removal really disconnects
+
+
+def test_detour_ratio_bounds(ray_session):
+    from plasmap_ray.pipelines import routing
+
+    out = routing.detour_ratio("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == routing.ALT_PAIRS
+    # network path >= base-weight * euclidean straight line (grid metric:
+    # Manhattan >= Euclidean, every edge costs >= ROAD_BASE_W)
+    assert (out["detour"] >= 1.0 - 1e-9).all()
+    # grid circuity is bounded: Manhattan/Euclidean <= sqrt(2), plus the
+    # weight spread (max w / base < 2) -> detour < 2*sqrt(2)
+    assert (out["detour"] < 2.9).all()
