@@ -369,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_entropy": trajectory.transition_entropy,
         "gravity_decay_fit": trajectory.gravity_decay_fit,
         "user_mobility_entropy": trajectory.user_mobility_entropy,
+        "predictability_bound": trajectory.predictability_bound,
         "spatial_self_join": trajectory.spatial_self_join,
         "colocation_join": trajectory.colocation_join,
         "stay_points": trajectory.stay_points,
@@ -2681,6 +2682,7 @@ SELECT m AS n_pairs,
        round(pow(fm * fsxy - fsx * fsy, 2) / ((fm * fsxx - fsx * fsx) * (fm * fsyy - fsy * fsy)), 6) AS r2
 FROM f""",
         "transition_stationary": f"SELECT * FROM read_parquet('{golden.transition_stationary_path(SF001, trajectory.TRANS_PITCH, trajectory.STAT_ITERS)}')",
+        "predictability_bound": f"SELECT * FROM read_parquet('{golden.predictability_bound_path(SF001, trajectory.TRANS_PITCH)}')",
         "transition_entropy": f"""
 WITH {_epts},
 sc AS (SELECT user_id, epoch_us(ts) AS tus, event_id,

@@ -2424,6 +2424,49 @@ def ann_recall_path(sf_dir: str, k: int, vec_ids: tuple) -> str:
     return _cache(f"ann_recall_{_sf_tag(sf_dir)}_k{k}_q{len(vec_ids)}", build)
 
 
+def predictability_bound_path(sf_dir: str, pitch: float) -> str:
+    """Expected Fano predictability ceiling: per-user visit histograms
+    recomputed independently (dict bookkeeping), the SAME n·ln(n) pin
+    and round-6 entropy, then the SHARED fixed-depth bisection (a pure
+    (H, N) function — the definition, not an implementation choice)."""
+
+    def build() -> pa.Table:
+        from . import fixtures
+        from .pipelines.trajectory import ENTROPY_FP, _fano_pi_max
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id"])
+        ids = t["event_id"].to_numpy()
+        uid = np.asarray(t["user_id"].to_numpy(), dtype=np.int64)
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / pitch).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / pitch).astype(np.int64)
+        gy = int(round(fixtures.LAT_SPAN / pitch))
+        visits: dict[int, dict[int, int]] = {}
+        for u, c in zip(uid.tolist(), (cx * gy + cy).tolist()):
+            visits.setdefault(u, {}).setdefault(c, 0)
+            visits[u][c] += 1
+        rows = []
+        for u in sorted(visits):
+            cnts = visits[u]
+            n = sum(cnts.values())
+            sfp = sum(int(np.floor(k * np.log(float(k)) * ENTROPY_FP + 0.5)) for k in cnts.values())
+            h = float(duckdb_round(np.array([np.log(float(n)) - (sfp / ENTROPY_FP) / n]), 6)[0])
+            pi = float(duckdb_round(np.array([_fano_pi_max(h, len(cnts))]), 6)[0])
+            rows.append((u, n, len(cnts), h, pi))
+        return pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "n_events": pa.array([r[1] for r in rows], type=pa.int64()),
+                "n_cells": pa.array([r[2] for r in rows], type=pa.int64()),
+                "entropy": pa.array([r[3] for r in rows], type=pa.float64()),
+                "pi_max": pa.array([r[4] for r in rows], type=pa.float64()),
+            }
+        )
+
+    return _cache(f"pimax_{_sf_tag(sf_dir)}_p{pitch}", build)
+
+
 def transition_stationary_path(sf_dir: str, pitch: float, iters: int) -> str:
     """Expected stationary mass: the kernel is REBUILT from raw events
     (per-user sorted scan, independent of cell_transition_matrix's

@@ -2247,3 +2247,63 @@ def transition_stationary(sf_dir: str, pitch: float = TRANS_PITCH, iters: int = 
             }
         )
     )
+
+
+PRED_BISECT_ITERS = 40  # fixed bisection depth (deterministic)
+
+
+def _fano_pi_max(h: float, n_cells: int, iters: int = PRED_BISECT_ITERS) -> float:
+    """Solve Fano's equality H = H_b(Π) + (1−Π)·ln(N−1) for the maximum
+    predictability Π ∈ [1/N, 1] by FIXED-depth bisection (pure function
+    of (h, n_cells) — identical on any worker and in the oracle).
+    N = 1 or H <= 0 → perfectly predictable (Π = 1)."""
+    import math
+
+    if n_cells <= 1 or h <= 0.0:
+        return 1.0
+
+    def rhs(p: float) -> float:
+        e = 0.0
+        if 0.0 < p < 1.0:
+            e = -p * math.log(p) - (1.0 - p) * math.log(1.0 - p)
+        return e + (1.0 - p) * math.log(n_cells - 1)
+
+    lo, hi = 1.0 / n_cells, 1.0
+    if h >= rhs(lo):
+        return lo  # entropy saturates the bound
+    for _ in range(iters):
+        mid = (lo + hi) / 2.0
+        if rhs(mid) > h:
+            lo = mid
+        else:
+            hi = mid
+    return hi
+
+
+def predictability_bound(sf_dir: str, pitch: float = TRANS_PITCH) -> rd.Dataset:
+    """Per-user MAXIMUM predictability Π_max (Song, Qu, Blumm &
+    Barabási 2010): the Fano-inequality ceiling on how often ANY
+    algorithm can guess the user's next cell, derived from the visit
+    entropy — the honest upper bound a next-location model is graded
+    against (accuracy above Π_max means leakage, not skill).
+
+    Determinism: H comes from user_mobility_entropy's exact n·ln(n)
+    pins; Π solves the Fano equality by FIXED-depth bisection — a pure
+    (H, N) function shared with the oracle, no float drift surface.
+
+    Scale shape: identical to user_mobility_entropy (one (user, cell)
+    shuffle, one user-keyed reduce); the bisection is O(40) flops per
+    user inside the finish map.  Output: (user_id, n_events, n_cells,
+    entropy, pi_max) rounded 6.
+    """
+    from ..stages.common import duckdb_round
+
+    base = user_mobility_entropy(sf_dir, pitch=pitch)
+
+    def finish(t: pa.Table) -> pa.Table:
+        h = t["entropy"].to_numpy()
+        nc = t["n_cells"].to_numpy()
+        pi = np.array([_fano_pi_max(float(a), int(b)) for a, b in zip(h, nc)])
+        return t.append_column("pi_max", pa.array(duckdb_round(pi, 6), type=pa.float64()))
+
+    return base.map_batches(finish, batch_format="pyarrow")

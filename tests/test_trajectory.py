@@ -738,3 +738,37 @@ def test_transition_stationary_conserves_mass(ray_session):
     # cells with no outgoing steps exist only as destinations
     sinks = out[out["n_out_steps"] == 0]
     assert (sinks["pi_fp"] >= 0).all()
+
+
+def test_fano_pi_max_known_values(ray_session):
+    import numpy as np
+
+    from plasmap_ray.pipelines.trajectory import _fano_pi_max
+
+    # zero entropy or a single cell: perfectly predictable
+    assert _fano_pi_max(0.0, 5) == 1.0
+    assert _fano_pi_max(1.3, 1) == 1.0
+    # maximal entropy over N cells -> the uniform floor 1/N
+    for N in (2, 5, 10):
+        assert abs(_fano_pi_max(np.log(N), N) - 1.0 / N) < 1e-6
+    # Fano identity holds at the returned point (interior case)
+    h, N = 0.9, 8
+    p = _fano_pi_max(h, N)
+    hb = -p * np.log(p) - (1 - p) * np.log(1 - p)
+    assert abs(hb + (1 - p) * np.log(N - 1) - h) < 1e-9
+    # monotone: more entropy, less predictability
+    assert _fano_pi_max(0.5, 8) > _fano_pi_max(1.5, 8)
+
+
+def test_predictability_bound_pipeline(ray_session):
+    from plasmap_ray.pipelines import trajectory as tj
+
+    out = tj.predictability_bound("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert ((out["pi_max"] > 0) & (out["pi_max"] <= 1.0)).all()
+    # the floor 1/N is respected
+    assert (out["pi_max"] >= 1.0 / out["n_cells"] - 1e-9).all()
+    # single-cell users are perfectly predictable
+    ones = out[out["n_cells"] == 1]
+    if len(ones):
+        assert (ones["pi_max"] == 1.0).all()
