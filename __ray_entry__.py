@@ -475,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmd_two_sample": ann.mmd_two_sample,
         "knn_calibration": ann.knn_calibration,
         "intrinsic_dimension": ann.intrinsic_dimension,
+        "kcenter_coreset": ann.kcenter_coreset,
         "minhash_accuracy_eval": dedup.minhash_accuracy_eval,
         "edit_distance_verify": dedup.edit_distance_verify,
         "lsh_blocking_eval": dedup.lsh_blocking_eval,
@@ -2250,6 +2251,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "mmd_two_sample": f"SELECT * FROM read_parquet('{golden.mmd_two_sample_path(SF001, ann.MMD_FP)}')",
         "knn_calibration": f"SELECT * FROM read_parquet('{golden.knn_calibration_path(SF001, 5)}')",
         "intrinsic_dimension": f"SELECT * FROM read_parquet('{golden.intrinsic_dimension_path(SF001)}')",
+        "kcenter_coreset": f"SELECT * FROM read_parquet('{golden.kcenter_coreset_path(SF001, ann.KCENTER_K)}')",
         "minhash_accuracy_eval": f"SELECT * FROM read_parquet('{golden.minhash_accuracy_path(SF001, 0.8)}')",
         "edit_distance_verify": f"SELECT * FROM read_parquet('{golden.edit_distance_verify_path(SF001)}')",
         "lsh_blocking_eval": f"SELECT * FROM read_parquet('{golden.lsh_blocking_eval_path(SF001, 0.8, dedup.resolve_blocking_mod(SF001))}')",

@@ -2567,6 +2567,45 @@ def phash_dedup_eval_path(sf_dir: str, max_dist: int) -> str:
     return _cache(f"phash_eval_{_sf_tag(sf_dir)}_d{max_dist}", build)
 
 
+def kcenter_coreset_path(sf_dir: str, k: int) -> str:
+    """Expected greedy k-center trace: the FULL rounded distance
+    matrix is materialized up front and mins recomputed from scratch
+    over the chosen set each round (vs the engine's incremental
+    min-update) — same definition, independent bookkeeping."""
+
+    def build() -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        from .stages.common import duckdb_round
+
+        t = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+        ids = np.asarray(t["vec_id"].to_numpy(), dtype=np.int64)
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        order = np.argsort(ids, kind="stable")
+        ids, m = ids[order], m[order]
+        n2 = (m * m).sum(axis=1)
+        D = duckdb_round(n2[:, None] + n2[None, :] - 2.0 * (m @ m.T), 6)
+        chosen = [0]
+        rows = []
+        for r in range(1, k + 1):
+            mind = D[:, chosen].min(axis=1)
+            far = np.lexsort((ids, -mind))[0]
+            rows.append((r, int(ids[chosen[r - 1]]), float(np.sqrt(max(mind[far], 0.0)))))
+            if r < k:
+                chosen.append(int(far))
+        return pa.table(
+            {
+                "rank": pa.array([x[0] for x in rows], type=pa.int64()),
+                "vec_id": pa.array([x[1] for x in rows], type=pa.int64()),
+                "covering_radius": pa.array(
+                    duckdb_round(np.array([x[2] for x in rows]), 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return _cache(f"kcenter_{_sf_tag(sf_dir)}_k{k}", build)
+
+
 def intrinsic_dimension_path(sf_dir: str) -> str:
     """Expected TwoNN estimate: full local N×N distance matrix (the
     SHARED norm-expansion expression rounded 6dp pre-rank) with

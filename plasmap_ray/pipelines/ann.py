@@ -2420,3 +2420,64 @@ def intrinsic_dimension(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+KCENTER_K = 32
+
+
+def kcenter_coreset(sf_dir: str, k: int = KCENTER_K) -> rd.Dataset:
+    """Greedy k-center coreset (Gonzalez 1985): iteratively pick the
+    vector FARTHEST from the chosen set — the classic 2-approximation
+    diversity selection a data-curation pipeline uses to seed labeling
+    / active learning / dedup canopies; covering_radius(r) certifies
+    "every vector is within R of one of the first r picks".
+
+    Determinism: Euclidean d² via the shared norm-expansion expression
+    rounded 6dp before comparisons; argmax ties break to the SMALLEST
+    vec_id; the seed is the smallest vec_id.  The golden oracle runs
+    the same definition with an independent distance bookkeeping
+    (full matrix vs the engine's incremental min).
+
+    Scale shape: the corpus matrix broadcasts once (the knn_classify
+    stage contract); each of the k rounds is one vectorized min-update
+    (at broadcast-breaking scale each round is ONE map_batches argmax
+    sweep — same contract, documented).  Output: (rank, vec_id,
+    covering_radius) rounded 6.
+    """
+    import pyarrow.parquet as _pq
+
+    from ..stages.common import duckdb_round as _dr
+
+    t = _pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_numpy(), dtype=np.int64)
+    m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, m = ids[order], m[order]
+    n2 = (m * m).sum(axis=1)
+
+    def d2_to(center_idx: int) -> np.ndarray:
+        c = m[center_idx]
+        return _dr(n2 + float((c * c).sum()) - 2.0 * (m @ c), 6)
+
+    chosen = [0]  # smallest vec_id seeds
+    mind = d2_to(0)
+    ranks, radii = [1], []
+    for r in range(1, k):
+        # covering radius BEFORE the next pick = current max min-dist
+        far = np.lexsort((ids, -mind))[0]
+        radii.append(float(np.sqrt(max(mind[far], 0.0))))
+        chosen.append(int(far))
+        ranks.append(r + 1)
+        mind = np.minimum(mind, d2_to(int(far)))
+    radii.append(float(np.sqrt(max(mind[np.lexsort((ids, -mind))[0]], 0.0))))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array(ranks, type=pa.int64()),
+                "vec_id": pa.array(ids[chosen], type=pa.int64()),
+                "covering_radius": pa.array(
+                    _dr(np.array(radii), 6), type=pa.float64()
+                ),
+            }
+        )
+    )

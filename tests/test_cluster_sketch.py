@@ -768,3 +768,27 @@ def test_hill_tail_index_fixture(ray_session):
     out = stats_p.hill_tail_index("/root/testdata/sf0.001").to_pandas().iloc[0]
     assert out.k == stats_p.HILL_K
     assert out.sum_ln_fp > 0 and out.hill_alpha > 0
+
+
+def test_kcenter_coreset_properties(ray_session):
+    from plasmap_ray.pipelines import ann
+
+    out = ann.kcenter_coreset("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == ann.KCENTER_K
+    assert out["rank"].tolist() == list(range(1, ann.KCENTER_K + 1))
+    # greedy k-center radii are NON-INCREASING (each pick can only
+    # shrink the worst covering distance)
+    r = out["covering_radius"].to_numpy()
+    assert (np.diff(r) <= 1e-9).all()
+    assert r[-1] >= 0
+    # centers are distinct
+    assert out["vec_id"].nunique() == len(out)
+    # verify the final radius by bruteforce
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    centers = m[np.isin(ids, out["vec_id"].to_numpy())]
+    d2 = ((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+    assert abs(np.sqrt(d2.max()) - r[-1]) < 1e-4
