@@ -435,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_elasticity": stats.discount_elasticity,
         "kmv_overlap_eval": stats.kmv_overlap_eval,
         "ks_weekend_test": stats.ks_weekend_test,
+        "mann_whitney_u": stats.mann_whitney_u,
         "acf_hourly": windows.acf_hourly,
         "ccf_event_types": windows.ccf_event_types,
         "dau_wau_ratio": windows.dau_wau_ratio,
@@ -4364,6 +4365,29 @@ SELECT t.m AS n_weekday, t.n AS n_weekend,
              * (t.m * t.n / CAST(t.m + t.n AS DOUBLE)))), 6) AS ks_p,
        best.cents AS at_cents
 FROM best CROSS JOIN t""",
+        "mann_whitney_u": """
+WITH e AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+                  CASE WHEN (epoch_us(ts) // 86400000000) % 7 IN (2, 3) THEN 1 ELSE 0 END AS we
+           FROM events),
+c AS (SELECT cents, CAST(sum(1 - we) AS HUGEINT) AS wd, CAST(sum(we) AS HUGEINT) AS wee
+      FROM e GROUP BY cents),
+cum AS (SELECT cents, wd, wee, wd + wee AS tv,
+          coalesce(sum(wd + wee) OVER (ORDER BY cents
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM c),
+t AS (SELECT CAST(sum(wd) AS HUGEINT) AS m, CAST(sum(wee) AS HUGEINT) AS n,
+             CAST(sum(wee * (2 * cb + tv + 1)) AS HUGEINT) AS r2,
+             CAST(sum(tv * tv * tv - tv) AS HUGEINT) AS tie
+      FROM cum)
+SELECT CAST(m AS BIGINT) AS n_weekday, CAST(n AS BIGINT) AS n_weekend,
+       CAST(r2 - n * (n + 1) AS BIGINT) AS u2_weekend,
+       round((CAST(r2 - n * (n + 1) AS DOUBLE) / 2.0
+              - CAST(m AS DOUBLE) * CAST(n AS DOUBLE) / 2.0)
+             / sqrt(CAST(m AS DOUBLE) * CAST(n AS DOUBLE) / 12.0
+                    * (CAST(m + n + 1 AS DOUBLE)
+                       - CAST(tie AS DOUBLE)
+                         / (CAST(m + n AS DOUBLE) * CAST(m + n - 1 AS DOUBLE)))), 6) AS z
+FROM t""",
         "kmv_overlap_eval": f"""
 WITH m AS (SELECT DISTINCT CASE WHEN event_type = '{stats.KMVO_SET_A}' THEN 1 ELSE 0 END AS s, user_id
            FROM events WHERE event_type IN ('{stats.KMVO_SET_A}', '{stats.KMVO_SET_B}')),

@@ -1426,3 +1426,85 @@ def hill_tail_index(sf_dir: str, k: int = HILL_K) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mann_whitney_u (rank-sum shift test, weekend vs weekday)
+# ---------------------------------------------------------------------------
+
+
+def mann_whitney_u(sf_dir: str) -> rd.Dataset:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: is the weekend
+    event-value distribution stochastically shifted vs weekdays?  The
+    nonparametric sibling of ks_weekend_test — KS feels any shape
+    difference, U specifically detects a location shift, which is the
+    usual question behind "did the pricing change move the weekend
+    mix?" (reference analogue: the A1/A3 counter layer re-expressed as
+    a rank reduce).
+
+        R₂  = Σ_v n_we(v) · midrank(v)          (midranks over ties)
+        U   = R₂ − n_we(n_we+1)/2
+        σ²  = m·n/12 · [(N+1) − Σ(t³−t)/(N(N−1))]   (tie-corrected)
+        z   = (U − m·n/2) / σ
+
+    Exactness: values fixed-point to cents; midranks carry a ×2 factor
+    so every rank quantity is an exact integer (midrank2 = 2·cum_before
+    + t_v + 1); R₂, U×2 and the tie term Σ(t³−t) are exact Python ints
+    (HUGEINT in the SQL mirror — t³ sums exceed int64 past ~2M ties per
+    value); z is ONE mirrored float expression over those integers.
+
+    Scale shape: map-side (cents, is_weekend) count combiner -> ONE
+    domain-bounded groupby (distinct cents × 2 rows, never input rows)
+    -> driver rank scan on the tiny aggregate.  Output: one row
+    (n_weekday, n_weekend, u2_weekend, z).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["ts"].cast(pa.int64()).to_numpy() // 86_400_000_000
+        # epoch 1970-01-01 was a THURSDAY: day%7 == 2 is Saturday, 3 is Sunday
+        we = ((day % 7 == 2) | (day % 7 == 3)).astype(np.int64)
+        cents = np.floor(t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"cents": cents, "we": we})
+        c = df.groupby(["cents", "we"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "cents": pa.array(c["cents"].to_numpy(), type=pa.int64()),
+                "we": pa.array(c["we"].to_numpy(), type=pa.int64()),
+                "n": pa.array(c["n"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cents", "we"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    piv = agg.pivot_table(index="cents", columns="we", values="n", aggfunc="sum", fill_value=0).sort_index()
+    wd = piv.get(0, pd.Series(dtype=np.int64)).to_numpy().astype(np.int64)
+    we_ = piv.get(1, pd.Series(dtype=np.int64)).to_numpy().astype(np.int64)
+    m, n = int(wd.sum()), int(we_.sum())
+    tv = (wd + we_).astype(object)  # exact big-int arithmetic from here
+    cum_before = np.concatenate(([0], np.cumsum(tv)[:-1]))
+    midrank2 = 2 * cum_before + tv + 1
+    r2 = int((we_.astype(object) * midrank2).sum())
+    u2 = r2 - n * (n + 1)  # 2·U, exact
+    tie = int((tv**3 - tv).sum())
+    N = m + n
+    sigma = math.sqrt(
+        float(m) * float(n) / 12.0 * (float(N + 1) - float(tie) / (float(N) * float(N - 1)))
+    )
+    z = (float(u2) / 2.0 - float(m) * float(n) / 2.0) / sigma
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_weekday": pa.array([m], type=pa.int64()),
+                "n_weekend": pa.array([n], type=pa.int64()),
+                "u2_weekend": pa.array([u2], type=pa.int64()),
+                "z": pa.array(duckdb_round(np.array([z]), 6), type=pa.float64()),
+            }
+        )
+    )

@@ -206,3 +206,23 @@ def test_rank_correlation_matches_scipy_definition(ray_session):
     except ImportError:
         pass
     assert -1.0 <= out["kendall_tau"] <= 1.0
+
+
+def test_mann_whitney_matches_bruteforce_ranks(ray_session):
+    """U and z equal a dense midrank recompute (scipy-free)."""
+    got = stats.mann_whitney_u(SF).to_pandas().iloc[0]
+    t = pq.read_table(os.path.join(SF, "events.parquet"), columns=["ts", "value"]).to_pandas()
+    day = t["ts"].astype("int64").to_numpy() // 86_400_000_000
+    we = (day % 7 == 2) | (day % 7 == 3)
+    cents = np.floor(t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    ranks = pd.Series(cents).rank(method="average").to_numpy()
+    m, n = int((~we).sum()), int(we.sum())
+    assert got["n_weekday"] == m and got["n_weekend"] == n
+    r_we = float(ranks[we].sum())
+    u = r_we - n * (n + 1) / 2.0
+    assert abs(got["u2_weekend"] / 2.0 - u) < 1e-6
+    _, counts = np.unique(cents, return_counts=True)
+    tie = float((counts.astype(np.float64) ** 3 - counts).sum())
+    N = m + n
+    sigma = np.sqrt(m * n / 12.0 * ((N + 1) - tie / (N * (N - 1))))
+    assert abs(got["z"] - (u - m * n / 2.0) / sigma) < 1e-5
