@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_overlap_eval": stats.kmv_overlap_eval,
         "ks_weekend_test": stats.ks_weekend_test,
         "mann_whitney_u": stats.mann_whitney_u,
+        "hbos_outliers": stats.hbos_outliers,
         "acf_hourly": windows.acf_hourly,
         "ccf_event_types": windows.ccf_event_types,
         "dau_wau_ratio": windows.dau_wau_ratio,
@@ -4365,6 +4366,20 @@ SELECT t.m AS n_weekday, t.n AS n_weekend,
              * (t.m * t.n / CAST(t.m + t.n AS DOUBLE)))), 6) AS ks_p,
        best.cents AS at_cents
 FROM best CROSS JOIN t""",
+        "hbos_outliers": f"""
+WITH f AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+                  CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS disc_cents,
+                  CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) // {stats.HBOS_PRICE_BIN_CENTS} AS price_bin
+           FROM lineitem),
+c AS (SELECT qty, disc_cents, price_bin, CAST(count(*) AS BIGINT) AS n_rows
+      FROM f GROUP BY 1, 2, 3),
+mq AS (SELECT qty, CAST(sum(n_rows) AS BIGINT) AS n_qty FROM c GROUP BY 1),
+md AS (SELECT disc_cents, CAST(sum(n_rows) AS BIGINT) AS n_disc FROM c GROUP BY 1),
+mp AS (SELECT price_bin, CAST(sum(n_rows) AS BIGINT) AS n_price FROM c GROUP BY 1)
+SELECT c.qty, c.disc_cents, c.price_bin, c.n_rows, mq.n_qty, md.n_disc, mp.n_price,
+       CAST(CAST(mq.n_qty AS HUGEINT) * md.n_disc * mp.n_price AS BIGINT) AS score
+FROM c JOIN mq USING (qty) JOIN md USING (disc_cents) JOIN mp USING (price_bin)
+ORDER BY score, c.qty, c.disc_cents, c.price_bin LIMIT {stats.HBOS_TOPK}""",
         "mann_whitney_u": """
 WITH e AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
                   CASE WHEN (epoch_us(ts) // 86400000000) % 7 IN (2, 3) THEN 1 ELSE 0 END AS we

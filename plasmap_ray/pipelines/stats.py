@@ -1508,3 +1508,84 @@ def mann_whitney_u(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hbos_outliers (histogram-based outlier score, exact-integer variant)
+# ---------------------------------------------------------------------------
+
+HBOS_TOPK = 20
+HBOS_PRICE_BIN_CENTS = 100_000  # $1000-wide price bins
+
+
+def hbos_outliers(sf_dir: str, topk: int = HBOS_TOPK) -> rd.Dataset:
+    """HBOS (Goldstein & Dengel 2012) outlier screen over lineitem's
+    (quantity, discount, price-bin) marginals — the O(N) anomaly
+    detector run where pairwise methods (kNN/LOF) cannot: a row is
+    outlying when EVERY marginal histogram bin it falls in is rare.
+    The classical score Σ log(1/p_i) is a monotone transform of the
+    marginal-count PRODUCT, so this variant ranks by the exact integer
+    n_qty·n_disc·n_price ascending — same order, no float logs, bit-
+    stable across engines (reference analogue: the A1/A3 counter layer
+    re-expressed as a marginal-independence screen).
+
+    Exactness: features fixed-point (qty int, discount cents, price
+    cents // 100000); counts are exact int64 through the aggregate
+    tree; the score product stays < 2^63 up to ~2×10^6 rows per
+    marginal bin — beyond that widen to HUGEINT/object (the SQL mirror
+    already computes in HUGEINT).  Ties break on (qty, disc, bin).
+
+    Scale shape: map-side (qty, disc, bin) count combiner -> ONE
+    domain-bounded groupby (distinct combos ≤ |qty|·|disc|·|bins|,
+    never input rows); the three marginals + score join run on that
+    tiny combo table driver-side.  Output: topk rows (qty, disc_cents,
+    price_bin, n_rows, n_qty, n_disc, n_price, score).
+    """
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_discount", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy().astype(np.int64)
+        disc = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        pbin = np.floor(t["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype(np.int64) // HBOS_PRICE_BIN_CENTS
+        df = pd.DataFrame({"qty": qty, "disc_cents": disc, "price_bin": pbin})
+        c = df.groupby(["qty", "disc_cents", "price_bin"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "qty": pa.array(c["qty"].to_numpy(), type=pa.int64()),
+                "disc_cents": pa.array(c["disc_cents"].to_numpy(), type=pa.int64()),
+                "price_bin": pa.array(c["price_bin"].to_numpy(), type=pa.int64()),
+                "n": pa.array(c["n"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    combos = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["qty", "disc_cents", "price_bin"])
+        .aggregate(Sum("n", alias_name="n_rows"))
+        .to_pandas()
+    )
+    mq = combos.groupby("qty")["n_rows"].sum().rename("n_qty")
+    md = combos.groupby("disc_cents")["n_rows"].sum().rename("n_disc")
+    mp = combos.groupby("price_bin")["n_rows"].sum().rename("n_price")
+    c = combos.join(mq, on="qty").join(md, on="disc_cents").join(mp, on="price_bin")
+    score = c["n_qty"].astype(object) * c["n_disc"].astype(object) * c["n_price"].astype(object)
+    assert int(max(score)) < 2**63, "HBOS score exceeds int64 — widen to object/HUGEINT"
+    c["score"] = score.astype(np.int64)
+    c = c.sort_values(["score", "qty", "disc_cents", "price_bin"]).head(topk)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "qty": pa.array(c["qty"].to_numpy().astype(np.int64), type=pa.int64()),
+                "disc_cents": pa.array(c["disc_cents"].to_numpy().astype(np.int64), type=pa.int64()),
+                "price_bin": pa.array(c["price_bin"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n_rows": pa.array(c["n_rows"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n_qty": pa.array(c["n_qty"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n_disc": pa.array(c["n_disc"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n_price": pa.array(c["n_price"].to_numpy().astype(np.int64), type=pa.int64()),
+                "score": pa.array(c["score"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+    )

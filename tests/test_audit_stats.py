@@ -226,3 +226,34 @@ def test_mann_whitney_matches_bruteforce_ranks(ray_session):
     N = m + n
     sigma = np.sqrt(m * n / 12.0 * ((N + 1) - tie / (N * (N - 1))))
     assert abs(got["z"] - (u - m * n / 2.0) / sigma) < 1e-5
+
+
+def test_hbos_outliers_matches_dense_recompute(ray_session):
+    """Top-k combos equal a dense pandas marginal-product recompute."""
+    got = stats.hbos_outliers(SF).to_pandas()
+    t = pq.read_table(
+        os.path.join(SF, "lineitem.parquet"),
+        columns=["l_quantity", "l_discount", "l_extendedprice"],
+    ).to_pandas()
+    df = pd.DataFrame(
+        {
+            "qty": t["l_quantity"].astype(np.int64),
+            "disc_cents": np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64),
+            "price_bin": np.floor(t["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+            // stats.HBOS_PRICE_BIN_CENTS,
+        }
+    )
+    c = df.groupby(["qty", "disc_cents", "price_bin"]).size().reset_index(name="n_rows")
+    for col in ("qty", "disc_cents", "price_bin"):
+        c = c.join(df.groupby(col).size().rename("n_" + col.split("_")[0]), on=col)
+    c = c.rename(columns={"n_disc_cents": "n_disc", "n_price_bin": "n_price"})
+    c["score"] = c["n_qty"] * c["n_disc"] * c["n_price"]
+    exp = c.sort_values(["score", "qty", "disc_cents", "price_bin"]).head(stats.HBOS_TOPK)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype("int64"),
+        exp[got.columns].reset_index(drop=True).astype("int64"),
+    )
+    # every reported combo is rarer (by product) than any unreported one
+    rest = c.sort_values(["score"]).iloc[stats.HBOS_TOPK:]
+    if len(rest):
+        assert got["score"].max() <= rest["score"].min()
