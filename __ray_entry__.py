@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_matrix": trajectory.od_matrix,
         "od_gravity": trajectory.od_gravity,
         "speed_audit": trajectory.speed_audit,
+        "mode_segmentation": trajectory.mode_segmentation,
         "displacement_histogram": trajectory.displacement_histogram,
         "transition_entropy": trajectory.transition_entropy,
         "gravity_decay_fit": trajectory.gravity_decay_fit,
@@ -2747,6 +2748,29 @@ SELECT user_id, count(*) AS n_steps,
   CAST(sum(CASE WHEN dist_fp * {trajectory.US_PER_S} > {trajectory.SPEED_VMAX_FP} * dt_us THEN 1 ELSE 0 END) AS BIGINT) AS n_teleports,
   CAST(max(CASE WHEN dist_fp * {trajectory.US_PER_S} > {trajectory.SPEED_VMAX_FP} * dt_us THEN dist_fp ELSE 0 END) AS BIGINT) AS max_jump_fp
 FROM s GROUP BY user_id""",
+        "mode_segmentation": f"""
+WITH {_epts},
+w AS (SELECT user_id, lon, lat,
+        lag(lon) OVER uw AS plon, lag(lat) OVER uw AS plat,
+        epoch_us(ts) - lag(epoch_us(ts)) OVER uw AS dt_us
+      FROM epts WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, {_fp_sql('(lon - plon)', '(lat - plat)')} AS dist_fp, dt_us
+      FROM w WHERE plon IS NOT NULL),
+m AS (SELECT user_id,
+        CASE WHEN dist_fp * {trajectory.US_PER_S} <= {trajectory.MODE_WALK_FP} * dt_us THEN 0
+             WHEN dist_fp * {trajectory.US_PER_S} <= {trajectory.MODE_BIKE_FP} * dt_us THEN 1
+             ELSE 2 END AS mode
+      FROM s),
+a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_steps,
+        CAST(sum(CASE WHEN mode = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_walk,
+        CAST(sum(CASE WHEN mode = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bike,
+        CAST(sum(CASE WHEN mode = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_drive
+      FROM m GROUP BY user_id)
+SELECT user_id, n_steps, n_walk, n_bike, n_drive,
+       CASE WHEN n_walk >= n_bike AND n_walk >= n_drive THEN 'walk'
+            WHEN n_bike >= n_drive THEN 'bike' ELSE 'drive' END AS dominant,
+       round(CAST(n_walk AS DOUBLE) / CAST(n_steps AS DOUBLE), 6) AS walk_frac
+FROM a""",
         "spatial_self_join": f"""
 WITH {_epts}
 SELECT a.event_id AS id_a, b.event_id AS id_b,

@@ -2307,3 +2307,113 @@ def predictability_bound(sf_dir: str, pitch: float = TRANS_PITCH) -> rd.Dataset:
         return t.append_column("pi_max", pa.array(duckdb_round(pi, 6), type=pa.float64()))
 
     return base.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# mode_segmentation (per-step travel-mode classification)
+# ---------------------------------------------------------------------------
+
+# fixed-point deg/s thresholds (1e9 scale).  ~2.2 m/s and ~6.6 m/s N-S:
+# walk / bike / drive cut the fixture world's step-speed distribution
+# into a non-trivial three-way mix (SPEED_VMAX_FP=1e5 is ~p80).
+MODE_WALK_FP = 20_000
+MODE_BIKE_FP = 60_000
+
+
+def mode_segmentation(
+    sf_dir: str,
+    walk_fp: int = MODE_WALK_FP,
+    bike_fp: int = MODE_BIKE_FP,
+    parts: int = TRAJ_PARTS,
+) -> rd.Dataset:
+    """Per-user travel-mode segmentation: every consecutive step is
+    classified walk / bike / drive by its implied speed, then each
+    user gets mode counts, the dominant mode, and the walk share —
+    the trip-purpose feature every mobility model starts from (Zheng
+    et al.'s GeoLife mode-inference pipeline, the speed-rule stage).
+
+    The mode test reuses speed_audit's pure-int64 cross-multiplication
+    (``dist_fp * 1e6 <=> thr_fp * dt_us`` — no division, no float
+    speed), so the engine and the SQL mirror classify the identical
+    step set; a zero-duration step with nonzero distance is 'drive'
+    (the teleport convention).  Dominant-mode ties resolve to the
+    slower mode (walk ≥ bike ≥ drive), mirrored in CASE order.
+
+    Scale shape: the trajectory_stats coarse-partition run-scan — one
+    task per ``user_id % parts`` slice, per-user dispatch amortized;
+    output is one row per user with ≥ 1 step.  Output: (user_id,
+    n_steps, n_walk, n_bike, n_drive, dominant, walk_frac).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _derive_positions(t)
+        uid = t["user_id"].to_numpy()
+        tus = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        t = t.drop_columns(["ts"]).append_column("tus", pa.array(tus, type=pa.int64()))
+        return t.append_column("part", pa.array(np.asarray(uid, np.int64) % parts, type=pa.int64()))
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "n_steps": pa.array([], type=pa.int64()),
+            "n_walk": pa.array([], type=pa.int64()),
+            "n_bike": pa.array([], type=pa.int64()),
+            "n_drive": pa.array([], type=pa.int64()),
+            "dominant": pa.array([], type=pa.string()),
+            "walk_frac": pa.array([], type=pa.float64()),
+        }
+    )
+
+    def segment(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("tus", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        if len(uid) < 2:
+            return empty
+        m = np.diff(uid) == 0
+        if not m.any():
+            return empty
+        lon, lat = g["lon"].to_numpy(), g["lat"].to_numpy()
+        dist_fp = _seg_fp(np.diff(lon), np.diff(lat))[m]
+        dt_us = np.diff(g["tus"].to_numpy())[m]
+        lhs = dist_fp * US_PER_S
+        walk = lhs <= walk_fp * dt_us
+        bike = ~walk & (lhs <= bike_fp * dt_us)
+        su = uid[:-1][m]
+        bounds = np.nonzero(np.diff(su))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(su)]])
+
+        def runsum(flags: np.ndarray) -> np.ndarray:
+            cs = np.concatenate([[0], np.cumsum(flags.astype(np.int64))])
+            return cs[ends] - cs[starts]
+
+        n_steps = (ends - starts).astype(np.int64)
+        n_walk = runsum(walk)
+        n_bike = runsum(bike)
+        n_drive = n_steps - n_walk - n_bike
+        dom = np.where(
+            (n_walk >= n_bike) & (n_walk >= n_drive),
+            "walk",
+            np.where(n_bike >= n_drive, "bike", "drive"),
+        )
+        frac = duckdb_round(n_walk.astype(np.float64) / n_steps.astype(np.float64), 6)
+        return pa.table(
+            {
+                "user_id": pa.array(su[starts], type=pa.int64()),
+                "n_steps": pa.array(n_steps, type=pa.int64()),
+                "n_walk": pa.array(n_walk, type=pa.int64()),
+                "n_bike": pa.array(n_bike, type=pa.int64()),
+                "n_drive": pa.array(n_drive, type=pa.int64()),
+                "dominant": pa.array(dom, type=pa.string()),
+                "walk_frac": pa.array(frac, type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(segment, batch_format="pyarrow")
+    )

@@ -772,3 +772,45 @@ def test_predictability_bound_pipeline(ray_session):
     ones = out[out["n_cells"] == 1]
     if len(ones):
         assert (ones["pi_max"] == 1.0).all()
+
+
+def test_mode_segmentation_matches_bruteforce(ray_session, events):
+    out = trajectory.mode_segmentation(SF).to_pandas().sort_values("user_id").reset_index(drop=True)
+
+    df = events.to_pandas()
+    df["lon"] = fixtures.derive_lon(df["event_id"].to_numpy())
+    df["lat"] = fixtures.derive_lat(df["event_id"].to_numpy())
+    df["tus"] = df["ts"].astype("datetime64[us]").astype("int64")
+    df = df.sort_values(["user_id", "tus", "event_id"]).reset_index(drop=True)
+    uid = df["user_id"].to_numpy()
+    same = uid[:-1] == uid[1:]
+    dist_fp = trajectory._seg_fp(np.diff(df["lon"].to_numpy()), np.diff(df["lat"].to_numpy()))[same]
+    dt_us = np.diff(df["tus"].to_numpy())[same]
+    lhs = dist_fp * trajectory.US_PER_S
+    walk = lhs <= trajectory.MODE_WALK_FP * dt_us
+    bike = ~walk & (lhs <= trajectory.MODE_BIKE_FP * dt_us)
+    import pandas as pd
+
+    exp = (
+        pd.DataFrame(
+            {"user_id": uid[:-1][same], "walk": walk.astype(np.int64), "bike": bike.astype(np.int64)}
+        )
+        .groupby("user_id")
+        .agg(n_steps=("walk", "size"), n_walk=("walk", "sum"), n_bike=("bike", "sum"))
+        .reset_index()
+    )
+    exp["n_drive"] = exp["n_steps"] - exp["n_walk"] - exp["n_bike"]
+    assert len(out) == len(exp)
+    for col in ("n_steps", "n_walk", "n_bike", "n_drive"):
+        assert (out[col].to_numpy() == exp[col].to_numpy()).all(), col
+    # dominant mode = argmax with slower-mode tie priority
+    for r, e in zip(out.itertuples(), exp.itertuples()):
+        if e.n_walk >= e.n_bike and e.n_walk >= e.n_drive:
+            assert r.dominant == "walk"
+        elif e.n_bike >= e.n_drive:
+            assert r.dominant == "bike"
+        else:
+            assert r.dominant == "drive"
+    # the thresholds split the corpus into a non-trivial mix
+    tot = out[["n_walk", "n_bike", "n_drive"]].sum()
+    assert (tot > 0).all()
