@@ -4482,3 +4482,65 @@ def video_smoothness_path(video_parquet: str) -> str:
         )
 
     return _cache(f"video_sad_{os.path.basename(video_parquet).rsplit('.', 1)[0]}", build)
+
+
+def image_orientation_path(images_parquet: str) -> str:
+    """Expected gradient-orientation census: per-pixel Python if/elif
+    octant chain here vs the engine's vectorized np.select rule — two
+    different branch structures that must agree on every count."""
+
+    def build() -> pa.Table:
+        from . import codecs
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(images_parquet, columns=["image_id", "bytes", "w", "h", "fmt"])
+        rows: dict[str, list] = {k: [] for k in ("image_id", "fmt", "ok", "n_flat")}
+        octs_all: list[list[int]] = []
+        for i in range(t.num_rows):
+            px = codecs.decode_image(
+                t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(), t["fmt"][i].as_py()
+            )
+            g = px.astype(np.int64).sum(axis=2)
+            hh, ww = g.shape
+            octs = [0] * 8
+            n_flat = 0
+            for y in range(1, hh - 1):
+                for x in range(1, ww - 1):
+                    gx = int(g[y, x + 1]) - int(g[y, x - 1])
+                    gy = int(g[y + 1, x]) - int(g[y - 1, x])
+                    if gx == 0 and gy == 0:
+                        n_flat += 1
+                        continue
+                    ax, ay = abs(gx), abs(gy)
+                    if gx >= 0 and gy >= 0:
+                        o = 0 if ax >= ay else 1
+                    elif gx < 0 and gy >= 0:
+                        o = 2 if ay > ax else 3
+                    elif gx < 0 and gy < 0:
+                        o = 4 if ax >= ay else 5
+                    else:
+                        o = 6 if ay > ax else 7
+                    octs[o] += 1
+            rows["image_id"].append(t["image_id"][i].as_py())
+            rows["fmt"].append(t["fmt"][i].as_py())
+            rows["ok"].append(True)
+            rows["n_flat"].append(n_flat)
+            octs_all.append(octs)
+        oc = np.asarray(octs_all, dtype=np.int64).reshape(-1, 8)
+        n_grad = oc.sum(axis=1)
+        dominant = oc.argmax(axis=1).astype(np.int64)
+        aniso = duckdb_round(oc.max(axis=1) / np.maximum(n_grad, 1).astype(np.float64), 6)
+        out = {
+            "image_id": pa.array(rows["image_id"], type=pa.string()),
+            "fmt": pa.array(rows["fmt"], type=pa.string()),
+            "ok": pa.array(rows["ok"]),
+        }
+        for k in range(8):
+            out[f"o{k}"] = pa.array(oc[:, k], type=pa.int64())
+        out["n_flat"] = pa.array(rows["n_flat"], type=pa.int64())
+        out["n_grad"] = pa.array(n_grad, type=pa.int64())
+        out["dominant"] = pa.array(dominant, type=pa.int64())
+        out["anisotropy"] = pa.array(aniso, type=pa.float64())
+        return pa.table(out)
+
+    return _cache(f"image_orient_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)

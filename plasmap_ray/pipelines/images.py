@@ -2309,3 +2309,47 @@ def phash_dedup_eval(sf_dir: str, max_dist: int = 3) -> rd.Dataset:
             }
         )
     )
+
+
+def image_orientation_histogram(sf_dir: str) -> rd.Dataset:
+    """Per-image gradient-orientation census (stages.media.
+    OrientationHistogram): the HOG descriptor's exact-integer core —
+    8 octant counts over central-difference gradients, the dominant
+    octant, and the anisotropy share — the texture-directionality
+    screen (synthetic axis-aligned renders spike one octant pair;
+    photographs spread) run beside the edge / entropy / blur gates
+    (reference analogue: the ST5/M9 image gate layer).
+
+    Determinism: octants come from sign/magnitude comparisons only
+    (no atan2); the dominant octant is an integer argmax with ties to
+    the smallest index (mirrored in the golden oracle's if/elif
+    recompute); anisotropy = round(max_count / n_grad, 6) is the only
+    float.
+
+    Scale shape: map-ONLY — decode fused with the gradient kernel in
+    the actor pool, payloads consumed in-stage, ten int64s + metadata
+    per image leave the task; no exchange at all.
+
+    Output: (image_id, fmt, ok, o0..o7, n_flat, n_grad, dominant,
+    anisotropy).
+    """
+    from ..stages import media
+    from ..stages.common import duckdb_round
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    scored = ds.map_batches(
+        media.OrientationHistogram, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        octs = np.stack([t[f"o{k}"].to_numpy() for k in range(8)], axis=1)
+        n_grad = octs.sum(axis=1)
+        dominant = octs.argmax(axis=1).astype(np.int64)  # first max = smallest octant
+        aniso = duckdb_round(
+            octs.max(axis=1).astype(np.float64) / np.maximum(n_grad, 1).astype(np.float64), 6
+        )
+        t = t.append_column("n_grad", pa.array(n_grad, type=pa.int64()))
+        t = t.append_column("dominant", pa.array(dominant, type=pa.int64()))
+        return t.append_column("anisotropy", pa.array(aniso, type=pa.float64()))
+
+    return scored.map_batches(finish, batch_format="pyarrow")

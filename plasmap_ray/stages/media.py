@@ -364,6 +364,71 @@ class EdgeDensity:
         )
 
 
+class OrientationHistogram:
+    """Actor-pool stage: per-image 8-sector gradient-orientation
+    census — the HOG building block (Dalal & Triggs 2005) reduced to
+    its exact-integer core: central-difference gradients (gx, gy) on
+    the summed-channel gray field, binned into octants by SIGN /
+    MAGNITUDE comparisons only (no atan2 — libm differs across
+    engines by ulps; the comparison rule is bit-exact everywhere,
+    same convention as the trajectory heading octants).  Texture
+    anisotropy screens: a sinusoid pattern concentrates mass in two
+    opposite octants, noise spreads it flat, axis-aligned synthetic
+    renders spike octants 0/2/4/6.
+
+    Octant 0 = E..NE counter-clockwise; zero-gradient pixels are
+    counted separately as n_flat.  All-integer counts -> worker-
+    invariant; the golden oracle recomputes per-pixel with an
+    if/elif chain (different algorithm, same integers).
+
+    Payloads consumed in-stage (10 int64s + metadata leave the task).
+    Decode failures flag ok=False (M9 quarantine semantics).
+    """
+
+    @staticmethod
+    def octants(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+        px, py = gx >= 0, gy >= 0
+        ax, ay = np.abs(gx), np.abs(gy)
+        conds = [
+            px & py & (ax >= ay),
+            px & py,
+            ~px & py & (ay > ax),
+            ~px & py,
+            ~px & ~py & (ax >= ay),
+            ~px & ~py,
+            px & ~py & (ay > ax),
+        ]
+        return np.select(conds, list(range(7)), default=7).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        w = batch["w"].to_numpy()
+        h = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        octs = np.zeros((n, 8), dtype=np.int64)
+        n_flat = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                px = codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
+                g = px.astype(np.int64).sum(axis=2)
+                gx = g[1:-1, 2:] - g[1:-1, :-2]
+                gy = g[2:, 1:-1] - g[:-2, 1:-1]
+                flat = (gx == 0) & (gy == 0)
+                n_flat[i] = int(flat.sum())
+                o = self.octants(gx[~flat], gy[~flat])
+                octs[i] = np.bincount(o, minlength=8)
+                ok[i] = True
+            except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
+                pass
+        out = {"image_id": batch["image_id"], "fmt": batch["fmt"], "ok": pa.array(ok)}
+        for k in range(8):
+            out[f"o{k}"] = pa.array(octs[:, k], type=pa.int64())
+        out["n_flat"] = pa.array(n_flat, type=pa.int64())
+        return pa.table(out)
+
+
 class AudioSilenceTrim:
     """Actor-pool stage: per-clip silence-trim manifest — the offsets
     an audio training pipeline cuts to before featurizing (leading /

@@ -919,3 +919,69 @@ def test_audio_band_energy_profile(ray_session):
     # 250-4000 Hz bands carry the bulk
     mid = out[(out["band_lo_hz"] >= 250) & (out["band_lo_hz"] < 4000)]["energy_frac"].sum()
     assert mid > 0.5
+
+
+def test_orientation_histogram_planted_gradients(ray_session):
+    """Known gradient fields land in the expected octants."""
+    import pyarrow as pa
+
+    from plasmap_ray.stages.media import OrientationHistogram
+
+    # horizontal ramp: gray rises with x -> gx > 0, gy = 0 -> octant 0
+    w = h = 16
+    ramp = np.tile(np.arange(w, dtype=np.uint8) * 3, (h, 1))
+    px = np.stack([ramp] * 3, axis=2)
+    batch = pa.table(
+        {
+            "image_id": ["img-a"],
+            "bytes": [px.tobytes()],
+            "w": [w],
+            "h": [h],
+            "fmt": ["raw"],
+        }
+    )
+    out = OrientationHistogram()(batch)
+    interior = (w - 2) * (h - 2)
+    assert out["o0"].to_pylist() == [interior]
+    assert sum(out[f"o{k}"].to_pylist()[0] for k in range(1, 8)) == 0
+
+    # vertical ramp DOWN: gy < 0, gx = 0 -> |gy| > |gx| -> octant 6
+    rampv = np.tile((255 - np.arange(h, dtype=np.int64) * 3).astype(np.uint8)[:, None], (1, w))
+    pxv = np.stack([rampv] * 3, axis=2)
+    batch2 = pa.table(
+        {
+            "image_id": ["img-b"],
+            "bytes": [pxv.tobytes()],
+            "w": [w],
+            "h": [h],
+            "fmt": ["raw"],
+        }
+    )
+    out2 = OrientationHistogram()(batch2)
+    assert out2["o6"].to_pylist() == [interior]
+
+    # flat fill: every interior gradient is zero
+    flat = np.full((h, w, 3), 7, dtype=np.uint8)
+    batch3 = pa.table(
+        {
+            "image_id": ["img-c"],
+            "bytes": [flat.tobytes()],
+            "w": [w],
+            "h": [h],
+            "fmt": ["raw"],
+        }
+    )
+    out3 = OrientationHistogram()(batch3)
+    assert out3["n_flat"].to_pylist() == [interior]
+    assert sum(out3[f"o{k}"].to_pylist()[0] for k in range(8)) == 0
+
+
+def test_orientation_histogram_pipeline_columns(ray_session):
+    from plasmap_ray.pipelines import images as I
+
+    out = I.image_orientation_histogram("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0 and out["ok"].all()
+    oc = out[[f"o{k}" for k in range(8)]].to_numpy()
+    assert (oc.sum(axis=1) == out["n_grad"].to_numpy()).all()
+    assert (oc.argmax(axis=1) == out["dominant"].to_numpy()).all()
+    assert ((out["anisotropy"] >= 1 / 8 - 1e-9) & (out["anisotropy"] <= 1.0)).all()
