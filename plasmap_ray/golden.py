@@ -4544,3 +4544,60 @@ def image_orientation_path(images_parquet: str) -> str:
         return pa.table(out)
 
     return _cache(f"image_orient_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
+
+
+def image_haar_energy_path(images_parquet: str) -> str:
+    """Expected Haar subband energies: per-2×2-block Python loop with
+    scalar int arithmetic here vs the engine's strided-slice NumPy —
+    the same integers through two different traversals."""
+
+    def build() -> pa.Table:
+        from . import codecs
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(images_parquet, columns=["image_id", "bytes", "w", "h", "fmt"])
+        rows: dict[str, list] = {
+            k: [] for k in ("image_id", "fmt", "ok", "n_blocks", "e_ll", "e_lh", "e_hl", "e_hh")
+        }
+        for i in range(t.num_rows):
+            px = codecs.decode_image(
+                t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(), t["fmt"][i].as_py()
+            )
+            g = px.astype(np.int64).sum(axis=2)
+            hh2, ww2 = (g.shape[0] // 2) * 2, (g.shape[1] // 2) * 2
+            e = [0, 0, 0, 0]
+            nb = 0
+            for y in range(0, hh2, 2):
+                for x in range(0, ww2, 2):
+                    a, b = int(g[y, x]), int(g[y, x + 1])
+                    c, d = int(g[y + 1, x]), int(g[y + 1, x + 1])
+                    for j, coef in enumerate((a + b + c + d, a - b + c - d, a + b - c - d, a - b - c + d)):
+                        e[j] += coef * coef
+                    nb += 1
+            rows["image_id"].append(t["image_id"][i].as_py())
+            rows["fmt"].append(t["fmt"][i].as_py())
+            rows["ok"].append(True)
+            rows["n_blocks"].append(nb)
+            for j, k in enumerate(("e_ll", "e_lh", "e_hl", "e_hh")):
+                rows[k].append(e[j])
+        det = (
+            np.asarray(rows["e_lh"], dtype=np.float64)
+            + np.asarray(rows["e_hl"])
+            + np.asarray(rows["e_hh"])
+        )
+        tot = np.maximum(det + np.asarray(rows["e_ll"]), 1.0)
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], type=pa.string()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "ok": pa.array(rows["ok"]),
+                "n_blocks": pa.array(rows["n_blocks"], type=pa.int64()),
+                "e_ll": pa.array(rows["e_ll"], type=pa.int64()),
+                "e_lh": pa.array(rows["e_lh"], type=pa.int64()),
+                "e_hl": pa.array(rows["e_hl"], type=pa.int64()),
+                "e_hh": pa.array(rows["e_hh"], type=pa.int64()),
+                "detail_frac": pa.array(duckdb_round(det / tot, 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"image_haar_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)

@@ -2353,3 +2353,42 @@ def image_orientation_histogram(sf_dir: str) -> rd.Dataset:
         return t.append_column("anisotropy", pa.array(aniso, type=pa.float64()))
 
     return scored.map_batches(finish, batch_format="pyarrow")
+
+
+def image_haar_energy(sf_dir: str) -> rd.Dataset:
+    """Per-image Haar wavelet subband-energy audit (stages.media.
+    HaarEnergy): exact-integer LL/LH/HL/HH energies over 2×2 blocks
+    plus the detail share — the wavelet-domain compaction screen
+    beside dct_energy_profile's frequency bands (reference analogue:
+    the ST5 codec-table layer).
+
+    Determinism: the four energies are exact int64; detail_frac =
+    round((e_lh+e_hl+e_hh)/total, 6) is the only float, mirrored in
+    the golden per-block recompute.
+
+    Scale shape: map-ONLY — decode fused with the transform in the
+    actor pool, payloads consumed in-stage, five int64s + metadata per
+    image leave the task; no exchange at all.
+
+    Output: (image_id, fmt, ok, n_blocks, e_ll, e_lh, e_hl, e_hh,
+    detail_frac).
+    """
+    from ..stages import media
+    from ..stages.common import duckdb_round
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    scored = ds.map_batches(
+        media.HaarEnergy, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        det = (
+            t["e_lh"].to_numpy().astype(np.float64)
+            + t["e_hl"].to_numpy()
+            + t["e_hh"].to_numpy()
+        )
+        tot = np.maximum(det + t["e_ll"].to_numpy(), 1.0)
+        frac = duckdb_round(det / tot, 6)
+        return t.append_column("detail_frac", pa.array(frac, type=pa.float64()))
+
+    return scored.map_batches(finish, batch_format="pyarrow")

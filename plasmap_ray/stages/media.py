@@ -429,6 +429,66 @@ class OrientationHistogram:
         return pa.table(out)
 
 
+class HaarEnergy:
+    """Actor-pool stage: per-image 1-level 2-D Haar subband energy —
+    the wavelet compaction audit (the JPEG2000 sibling of the dctq
+    band profile): over non-overlapping 2×2 blocks (a b / c d) of the
+    summed-channel gray field, the unnormalized Haar coefficients
+
+        LL = a+b+c+d   LH = a−b+c−d   HL = a+b−c−d   HH = a−b−c+d
+
+    are exact integers; the stage sums coef² per subband (int64 — the
+    worst case 3060²·(wh/4) stays < 2^63 up to ~60-gigapixel images).
+    detail share ≈ 0 marks flat fills, ≈ uniform marks dither noise;
+    photographs concentrate detail in LH/HL along dominant edges.
+
+    Odd trailing row/col is truncated (blocks = floor(h/2)·floor(w/2),
+    mirrored in the golden per-block loop).  Payloads consumed
+    in-stage (5 int64s + metadata leave the task).  Decode failures
+    flag ok=False (M9 quarantine semantics).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        w = batch["w"].to_numpy()
+        h = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        e = np.zeros((n, 4), dtype=np.int64)  # LL, LH, HL, HH
+        n_blocks = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                px = codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
+                g = px.astype(np.int64).sum(axis=2)
+                hh2, ww2 = (g.shape[0] // 2) * 2, (g.shape[1] // 2) * 2
+                a = g[0:hh2:2, 0:ww2:2]
+                b = g[0:hh2:2, 1:ww2:2]
+                c = g[1:hh2:2, 0:ww2:2]
+                d = g[1:hh2:2, 1:ww2:2]
+                ll = a + b + c + d
+                lh = a - b + c - d
+                hl = a + b - c - d
+                hhb = a - b - c + d
+                e[i] = [int((x * x).sum()) for x in (ll, lh, hl, hhb)]
+                n_blocks[i] = a.shape[0] * a.shape[1]
+                ok[i] = True
+            except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
+                pass
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "fmt": batch["fmt"],
+                "ok": pa.array(ok),
+                "n_blocks": pa.array(n_blocks, type=pa.int64()),
+                "e_ll": pa.array(e[:, 0], type=pa.int64()),
+                "e_lh": pa.array(e[:, 1], type=pa.int64()),
+                "e_hl": pa.array(e[:, 2], type=pa.int64()),
+                "e_hh": pa.array(e[:, 3], type=pa.int64()),
+            }
+        )
+
+
 class AudioSilenceTrim:
     """Actor-pool stage: per-clip silence-trim manifest — the offsets
     an audio training pipeline cuts to before featurizing (leading /

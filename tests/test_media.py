@@ -985,3 +985,34 @@ def test_orientation_histogram_pipeline_columns(ray_session):
     assert (oc.sum(axis=1) == out["n_grad"].to_numpy()).all()
     assert (oc.argmax(axis=1) == out["dominant"].to_numpy()).all()
     assert ((out["anisotropy"] >= 1 / 8 - 1e-9) & (out["anisotropy"] <= 1.0)).all()
+
+
+def test_haar_energy_parseval_and_planted(ray_session):
+    """Haar energies satisfy the 2x2-block Parseval identity and known
+    patterns land in the expected subbands."""
+    import pyarrow as pa
+
+    from plasmap_ray.stages.media import HaarEnergy
+
+    w = h = 16
+    # vertical stripes of period 2: a!=b, c!=d alternating -> pure LH
+    col = (np.arange(w) % 2) * 85
+    stripes = np.tile(col.astype(np.uint8), (h, 1))
+    px = np.stack([stripes] * 3, axis=2)
+    batch = pa.table(
+        {"image_id": ["img-s"], "bytes": [px.tobytes()], "w": [w], "h": [h], "fmt": ["raw"]}
+    )
+    out = HaarEnergy()(batch)
+    assert out["e_lh"].to_pylist()[0] > 0
+    assert out["e_hl"].to_pylist()[0] == 0 and out["e_hh"].to_pylist()[0] == 0
+
+    # Parseval: 4*sum(g^2) == e_ll + e_lh + e_hl + e_hh (orthogonal rows, |row|^2 = 4)
+    rng = np.random.default_rng(7)
+    rand = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    batch2 = pa.table(
+        {"image_id": ["img-r"], "bytes": [rand.tobytes()], "w": [w], "h": [h], "fmt": ["raw"]}
+    )
+    out2 = HaarEnergy()(batch2)
+    g = rand.astype(np.int64).sum(axis=2)
+    total = sum(out2[k].to_pylist()[0] for k in ("e_ll", "e_lh", "e_hl", "e_hh"))
+    assert total == 4 * int((g * g).sum())
