@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_clipping": multimodal.audio_clipping,
         "audio_silence_trim": multimodal.audio_silence_trim,
         "audio_band_energy": multimodal.audio_band_energy,
+        "audio_fingerprint": multimodal.audio_fingerprint,
         "cell_modality_mix": multimodal.cell_modality_mix,
         "video_frame_stats": multimodal.video_frame_stats,
         "video_temporal_smoothness": multimodal.video_temporal_smoothness,
@@ -2366,6 +2367,11 @@ WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= {dedup.JW_THRESHOLD!r}""",
             + golden.audio_band_energy_path(
                 multimodal.audio_path_for(SF001), multimodal.AUDIO_BANDS, multimodal.BAND_FP
             )
+            + "')"
+        ),
+        "audio_fingerprint": (
+            "SELECT * FROM read_parquet('"
+            + golden.audio_fingerprint_path(multimodal.audio_path_for(SF001), multimodal.FP_MIN_SHARED)
             + "')"
         ),
         "video_keyframes": (

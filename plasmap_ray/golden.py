@@ -4601,3 +4601,60 @@ def image_haar_energy_path(images_parquet: str) -> str:
         )
 
     return _cache(f"image_haar_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
+
+
+def audio_fingerprint_path(audio_parquet: str, min_shared: int) -> str:
+    """Expected constellation-match pairs: per-frame sorted() peak
+    selection + brute-force O(C^2) set intersections here vs the
+    engine's stable-argsort + hash-keyed shuffle join."""
+
+    def build() -> pa.Table:
+        from .pipelines.multimodal import FP_FAN_DT, FP_HOP, FP_PEAKS, FP_WIN
+        from .stages.media import decode_wav_pcm16
+
+        t = pq.read_table(audio_parquet, columns=["media_id", "bytes", "fmt"])
+        sets: dict[str, set[int]] = {}
+        for i in range(t.num_rows):
+            if t["fmt"][i].as_py() != "wav-pcm16":
+                continue
+            sr, samples = decode_wav_pcm16(t["bytes"][i].as_py())
+            ns = len(samples)
+            n_frames = (ns - FP_WIN) // FP_HOP + 1 if ns >= FP_WIN else 0
+            if n_frames < 2:
+                continue
+            frame_peaks: list[list[int]] = []
+            for f in range(n_frames):
+                seg = samples[f * FP_HOP : f * FP_HOP + FP_WIN].astype(np.float64)
+                mag = np.abs(np.fft.rfft(seg))
+                mag[0] = 0.0
+                ranked = sorted(range(len(mag)), key=lambda b: (-mag[b], b))[:FP_PEAKS]
+                frame_peaks.append(sorted(ranked))
+            hs: set[int] = set()
+            for f in range(n_frames):
+                for dt in range(1, FP_FAN_DT + 1):
+                    if f + dt >= n_frames:
+                        break
+                    for f1 in frame_peaks[f]:
+                        for f2 in frame_peaks[f + dt]:
+                            hs.add(f1 * (1 << 24) + f2 * (1 << 8) + dt)
+            sets[t["media_id"][i].as_py()] = hs
+        ids = sorted(sets)
+        rows = {"media_a": [], "media_b": [], "n_shared": []}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                n = len(sets[ids[i]] & sets[ids[j]])
+                if n >= min_shared:
+                    rows["media_a"].append(ids[i])
+                    rows["media_b"].append(ids[j])
+                    rows["n_shared"].append(n)
+        return pa.table(
+            {
+                "media_a": pa.array(rows["media_a"], type=pa.string()),
+                "media_b": pa.array(rows["media_b"], type=pa.string()),
+                "n_shared": pa.array(rows["n_shared"], type=pa.int64()),
+            }
+        )
+
+    return _cache(
+        f"audio_fp_{os.path.basename(audio_parquet).rsplit('.', 1)[0]}_{min_shared}", build
+    )

@@ -408,3 +408,120 @@ def audio_band_energy(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# audio_fingerprint (constellation-hash duplicate detection)
+# ---------------------------------------------------------------------------
+
+FP_WIN = 1024  # analysis window (samples)
+FP_HOP = 512  # hop
+FP_PEAKS = 3  # peaks kept per frame
+FP_FAN_DT = 3  # anchor pairs reach dt = 1..FP_FAN_DT frames ahead
+FP_MIN_SHARED = 8  # pair-match threshold (shared distinct hashes)
+FP_BUCKET_CAP = 4096  # degenerate-hash bucket truncation (logged)
+
+
+def _fp_clip_hashes(samples: np.ndarray, sr: int) -> np.ndarray:
+    """Distinct constellation hashes of one clip (Wang 2003): per
+    512-hop 1024-sample frame, the FP_PEAKS strongest non-DC rfft bins
+    (ties -> smaller bin); every anchor peak pairs with every peak
+    1..FP_FAN_DT frames ahead; hash packs (f1, f2, dt) into int64.
+    Frequencies stay in BIN units so equal-pitch clips match only at
+    equal sample rate (a resampled copy is a different recording)."""
+    ns = len(samples)
+    n_frames = (ns - FP_WIN) // FP_HOP + 1 if ns >= FP_WIN else 0
+    if n_frames < 2:
+        return np.empty(0, dtype=np.int64)
+    idx = np.arange(FP_WIN)[None, :] + (np.arange(n_frames) * FP_HOP)[:, None]
+    mag = np.abs(np.fft.rfft(samples[idx].astype(np.float64), axis=1))
+    mag[:, 0] = 0.0
+    # top-P bins per frame, ties to the smaller bin: lexsort on (bin) then
+    # stable argsort on -mag keeps the smaller bin first among equals
+    order = np.argsort(-mag, axis=1, kind="stable")[:, :FP_PEAKS]
+    peaks = np.sort(order, axis=1)  # canonical per-frame order (set semantics)
+    hashes: list[np.ndarray] = []
+    for dt in range(1, FP_FAN_DT + 1):
+        if n_frames <= dt:
+            break
+        f1 = np.repeat(peaks[:-dt], FP_PEAKS, axis=1).reshape(-1)
+        f2 = np.tile(peaks[dt:], (1, FP_PEAKS)).reshape(-1)
+        hashes.append(f1 * (1 << 24) + f2 * (1 << 8) + dt)
+    return np.unique(np.concatenate(hashes)) if hashes else np.empty(0, dtype=np.int64)
+
+
+def audio_fingerprint(sf_dir: str, min_shared: int = FP_MIN_SHARED) -> rd.Dataset:
+    """Constellation-fingerprint duplicate detection over the audio
+    corpus (Wang 2003, the Shazam landmark scheme): clips that share
+    >= min_shared distinct (peak, peak, dt) landmark hashes are
+    re-encodes / re-uploads of the same recording — the audio leg of
+    the dedup family (exact_dedup / phash_dedup / minhash cover text
+    and images; this covers sound).
+
+    Determinism: the FFT is a pure function of the samples (identical
+    input -> identical np.fft floats on any worker); peak selection is
+    a stable argsort with ties to the smaller bin; everything after
+    the peak lists is exact integer.  The golden oracle recomputes
+    per-frame with an independent sorted()-based traversal and
+    brute-force O(C^2) set intersections.
+
+    Scale shape: decode + FFT + landmark extraction fused in the actor
+    pool (payload consumed in-stage; <= ~hundreds of 8-byte hashes per
+    clip leave the task) -> (hash)-keyed groupby with the LSH bucket
+    discipline (pair fan-out bounded by bucket size; degenerate
+    buckets > FP_BUCKET_CAP truncate, logged) -> (pair)-keyed count ->
+    threshold filter.  Landmark hashes, never samples, shuffle.
+
+    Output: (media_a, media_b, n_shared) for matched pairs.
+    """
+    ds = rd.read_parquet(audio_path_for(sf_dir), columns=["media_id", "bytes", "fmt"])
+
+    class Landmarks:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids: list[str] = []
+            hs: list[np.ndarray] = []
+            mids = batch["media_id"].to_pylist()
+            payloads = batch["bytes"].to_pylist()
+            fmts = batch["fmt"].to_pylist()
+            for i in range(batch.num_rows):
+                if fmts[i] != "wav-pcm16":
+                    continue
+                sr, samples = media.decode_wav_pcm16(payloads[i])
+                h = _fp_clip_hashes(samples, sr)
+                ids.extend([mids[i]] * len(h))
+                hs.append(h)
+            return pa.table(
+                {
+                    "media_id": pa.array(ids, type=pa.string()),
+                    "h": pa.array(
+                        np.concatenate(hs) if hs else np.empty(0, dtype=np.int64), type=pa.int64()
+                    ),
+                }
+            )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = sorted(g["media_id"].to_pylist())
+        if len(ids) > FP_BUCKET_CAP:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "audio_fingerprint: hash bucket truncated %d -> %d", len(ids), FP_BUCKET_CAP
+            )
+            ids = ids[:FP_BUCKET_CAP]
+        if len(ids) < 2:
+            return pa.table(
+                {"media_a": pa.array([], type=pa.string()), "media_b": pa.array([], type=pa.string())}
+            )
+        a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))])
+        return pa.table(
+            {"media_a": pa.array(a, type=pa.string()), "media_b": pa.array(b, type=pa.string())}
+        )
+
+    pairs = (
+        ds.map_batches(Landmarks, batch_format="pyarrow", batch_size=128, concurrency=(1, 4))
+        .groupby("h")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["media_a", "media_b"])
+        .aggregate(Count(alias_name="n_shared"))
+    )
+    return pairs.filter(expr=f"n_shared >= {min_shared}")

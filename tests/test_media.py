@@ -1016,3 +1016,31 @@ def test_haar_energy_parseval_and_planted(ray_session):
     g = rand.astype(np.int64).sum(axis=2)
     total = sum(out2[k].to_pylist()[0] for k in ("e_ll", "e_lh", "e_hl", "e_hh"))
     assert total == 4 * int((g * g).sum())
+
+
+def test_audio_fingerprint_pairs_match_set_intersections(ray_session):
+    """Every reported pair's n_shared equals the exact landmark-set
+    intersection, and identical signals fingerprint identically."""
+    import pyarrow.parquet as pq2
+
+    from plasmap_ray.pipelines import multimodal
+    from plasmap_ray.pipelines.multimodal import FP_MIN_SHARED, _fp_clip_hashes
+    from plasmap_ray.stages.media import decode_wav_pcm16
+
+    out = multimodal.audio_fingerprint("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    t = pq2.read_table(multimodal.audio_path_for("/root/testdata/sf0.001"))
+    sets = {}
+    for i in range(t.num_rows):
+        sr, s = decode_wav_pcm16(t["bytes"][i].as_py())
+        sets[t["media_id"][i].as_py()] = set(_fp_clip_hashes(s, sr).tolist())
+    for r in out.itertuples():
+        assert len(sets[r.media_a] & sets[r.media_b]) == r.n_shared >= FP_MIN_SHARED
+
+    # identical samples -> identical fingerprints (self-match is total)
+    sr = 8000
+    tt = np.arange(4000) / sr
+    s16 = np.clip(np.round(0.6 * np.sin(2 * np.pi * 440 * tt) * 32767), -32768, 32767).astype(np.int16)
+    h1 = _fp_clip_hashes(s16, sr)
+    h2 = _fp_clip_hashes(s16.copy(), sr)
+    assert len(h1) > 0 and np.array_equal(h1, h2)
