@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_gravity": trajectory.od_gravity,
         "speed_audit": trajectory.speed_audit,
         "mode_segmentation": trajectory.mode_segmentation,
+        "hits_scores": trajectory.hits_scores,
         "displacement_histogram": trajectory.displacement_histogram,
         "transition_entropy": trajectory.transition_entropy,
         "gravity_decay_fit": trajectory.gravity_decay_fit,
@@ -2758,6 +2759,7 @@ SELECT user_id, count(*) AS n_steps,
   CAST(sum(CASE WHEN dist_fp * {trajectory.US_PER_S} > {trajectory.SPEED_VMAX_FP} * dt_us THEN 1 ELSE 0 END) AS BIGINT) AS n_teleports,
   CAST(max(CASE WHEN dist_fp * {trajectory.US_PER_S} > {trajectory.SPEED_VMAX_FP} * dt_us THEN dist_fp ELSE 0 END) AS BIGINT) AS max_jump_fp
 FROM s GROUP BY user_id""",
+        "hits_scores": f"SELECT * FROM read_parquet('{golden.hits_scores_path(SF001)}')",
         "mode_segmentation": f"""
 WITH {_epts},
 w AS (SELECT user_id, lon, lat,

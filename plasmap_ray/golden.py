@@ -4658,3 +4658,55 @@ def audio_fingerprint_path(audio_parquet: str, min_shared: int) -> str:
     return _cache(
         f"audio_fp_{os.path.basename(audio_parquet).rsplit('.', 1)[0]}_{min_shared}", build
     )
+
+
+def hits_scores_path(sf_dir: str) -> str:
+    """Golden HITS recompute: transitions rebuilt with a pandas
+    sort + per-user diff (vs the engine's coarse-partition run-scan)
+    and the power iteration run with per-edge Python-int dict updates
+    (vs the engine's np.add.at) — same integers either way."""
+
+    def build() -> pa.Table:
+        from . import fixtures
+        from .pipelines.trajectory import HITS_ITERS, HITS_SCALE, TRANS_PITCH
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
+        )
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        ids = df["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / TRANS_PITCH).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / TRANS_PITCH).astype(np.int64)
+        uid = df["user_id"].to_numpy()
+        same = uid[:-1] == uid[1:]
+        w: dict[tuple[int, int], int] = {}
+        for f, g in zip(
+            zip(cx[:-1][same].tolist(), cy[:-1][same].tolist()),
+            zip(cx[1:][same].tolist(), cy[1:][same].tolist()),
+        ):
+            w[(f, g)] = w.get((f, g), 0) + 1
+        nodes = sorted({k[0] for k in w} | {k[1] for k in w})
+        h = {v: HITS_SCALE for v in nodes}
+        a = {v: 0 for v in nodes}
+        for _ in range(HITS_ITERS):
+            a = {v: 0 for v in nodes}
+            for (u, v), wt in w.items():
+                a[v] += wt * h[u]
+            am = max(max(a.values()), 1)
+            a = {v: x * HITS_SCALE // am for v, x in a.items()}
+            h = {v: 0 for v in nodes}
+            for (u, v), wt in w.items():
+                h[u] += wt * a[v]
+            hm = max(max(h.values()), 1)
+            h = {v: x * HITS_SCALE // hm for v, x in h.items()}
+        return pa.table(
+            {
+                "cx": pa.array([v[0] for v in nodes], type=pa.int64()),
+                "cy": pa.array([v[1] for v in nodes], type=pa.int64()),
+                "hub_fp": pa.array([h[v] for v in nodes], type=pa.int64()),
+                "auth_fp": pa.array([a[v] for v in nodes], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"hits_{_sf_tag(sf_dir)}", build)

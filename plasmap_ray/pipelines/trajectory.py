@@ -2417,3 +2417,65 @@ def mode_segmentation(
         .groupby("part")
         .map_groups(segment, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# hits_scores (hubs & authorities on the mobility transition graph)
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 10
+HITS_SCALE = 1_000_000  # integer max-normalization pitch
+
+
+def hits_scores(sf_dir: str, iters: int = HITS_ITERS, pitch: float = TRANS_PITCH) -> rd.Dataset:
+    """HITS (Kleinberg 1999) on the directed mobility graph: cells are
+    nodes, the step-count transition matrix is the weighted adjacency;
+    authority = where trips converge, hub = where trips originate —
+    the origin/destination centrality pair behind "which places feed
+    which" (the eigenvector sibling of od_gravity's marginals).
+
+    INTEGER-EXACT power iteration (the pagerank discipline): scores
+    live as int64 fixed-point; each round is two weighted sums over
+    the edge list followed by integer max-normalization
+    ``x * SCALE // max(x)`` — every op is integer, so the vectors
+    after any round count are bit-identical in any engine and under
+    any sum order (weights ≤ steps, scores ≤ SCALE: per-edge products
+    ≤ ~2^50 at planet scale, headroom documented).
+
+    Scale shape: the transition matrix is the cell_transition_matrix
+    aggregate — ONE per-user run-scan + (from,to)-keyed combiner
+    shuffle; everything after is proportional to OCCUPIED LATTICE
+    EDGES, never input rows (the chi2/Gi* finalize discipline), so
+    the iteration runs on the driver over the bounded aggregate.  At
+    continental lattices swap the finalize for per-round edge⋈score
+    joins (the pagerank loop shape — same integers).
+
+    Output: (cx, cy, hub_fp, auth_fp) for every cell with degree ≥ 1.
+    """
+    edges = cell_transition_matrix(sf_dir, pitch=pitch).to_pandas()
+    src = edges["fx"].to_numpy() * 1_000_000 + edges["fy"].to_numpy()
+    dst = edges["tx"].to_numpy() * 1_000_000 + edges["ty"].to_numpy()
+    w = edges["n_steps"].to_numpy().astype(np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    si = np.array([idx[int(v)] for v in src], dtype=np.int64)
+    di = np.array([idx[int(v)] for v in dst], dtype=np.int64)
+    h = np.full(len(nodes), HITS_SCALE, dtype=np.int64)
+    a = np.zeros(len(nodes), dtype=np.int64)
+    for _ in range(iters):
+        a[:] = 0
+        np.add.at(a, di, w * h[si])
+        a = a * HITS_SCALE // max(int(a.max()), 1)
+        h[:] = 0
+        np.add.at(h, si, w * a[di])
+        h = h * HITS_SCALE // max(int(h.max()), 1)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "cx": pa.array(nodes // 1_000_000, type=pa.int64()),
+                "cy": pa.array(nodes % 1_000_000, type=pa.int64()),
+                "hub_fp": pa.array(h, type=pa.int64()),
+                "auth_fp": pa.array(a, type=pa.int64()),
+            }
+        )
+    )

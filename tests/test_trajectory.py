@@ -814,3 +814,21 @@ def test_mode_segmentation_matches_bruteforce(ray_session, events):
     # the thresholds split the corpus into a non-trivial mix
     tot = out[["n_walk", "n_bike", "n_drive"]].sum()
     assert (tot > 0).all()
+
+
+def test_hits_scores_fixpoint_properties(ray_session):
+    """HITS vectors are max-normalized, nonnegative, and the argmax
+    authority equals the weighted-indegree argmax after one round from
+    the uniform start (sanity of the iteration wiring)."""
+    out = trajectory.hits_scores(SF).to_pandas()
+    assert len(out) > 0
+    assert out["hub_fp"].max() == trajectory.HITS_SCALE
+    assert out["auth_fp"].max() == trajectory.HITS_SCALE
+    assert (out["hub_fp"] >= 0).all() and (out["auth_fp"] >= 0).all()
+    # one-iteration cross-check: run the engine with iters=1; the top
+    # authority must be a max-weighted-indegree cell
+    one = trajectory.hits_scores(SF, iters=1).to_pandas()
+    edges = trajectory.cell_transition_matrix(SF).to_pandas()
+    indeg = edges.groupby(["tx", "ty"])["n_steps"].sum()
+    top = one.loc[one["auth_fp"].idxmax()]
+    assert indeg[(top["cx"], top["cy"])] == indeg.max()
