@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "speed_audit": trajectory.speed_audit,
         "mode_segmentation": trajectory.mode_segmentation,
         "hits_scores": trajectory.hits_scores,
+        "label_propagation_communities": trajectory.label_propagation_communities,
         "displacement_histogram": trajectory.displacement_histogram,
         "transition_entropy": trajectory.transition_entropy,
         "gravity_decay_fit": trajectory.gravity_decay_fit,
@@ -2760,6 +2761,7 @@ SELECT user_id, count(*) AS n_steps,
   CAST(max(CASE WHEN dist_fp * {trajectory.US_PER_S} > {trajectory.SPEED_VMAX_FP} * dt_us THEN dist_fp ELSE 0 END) AS BIGINT) AS max_jump_fp
 FROM s GROUP BY user_id""",
         "hits_scores": f"SELECT * FROM read_parquet('{golden.hits_scores_path(SF001)}')",
+        "label_propagation_communities": f"SELECT * FROM read_parquet('{golden.lpa_communities_path(SF001)}')",
         "mode_segmentation": f"""
 WITH {_epts},
 w AS (SELECT user_id, lon, lat,

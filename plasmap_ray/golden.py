@@ -4710,3 +4710,61 @@ def hits_scores_path(sf_dir: str) -> str:
         )
 
     return _cache(f"hits_{_sf_tag(sf_dir)}", build)
+
+
+def lpa_communities_path(sf_dir: str) -> str:
+    """Golden LPA recompute: transitions from a pandas sort + diff,
+    votes tallied per node with Python dicts (vs the engine's lexsort
+    run-scan) — synchronous rounds, ties to the smallest label."""
+
+    def build() -> pa.Table:
+        from . import fixtures
+        from .pipelines.trajectory import LPA_ROUNDS, TRANS_PITCH
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
+        )
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        ids = df["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / TRANS_PITCH).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / TRANS_PITCH).astype(np.int64)
+        uid = df["user_id"].to_numpy()
+        same = uid[:-1] == uid[1:]
+        packed_f = cx[:-1][same] * 1_000_000 + cy[:-1][same]
+        packed_t = cx[1:][same] * 1_000_000 + cy[1:][same]
+        w: dict[tuple[int, int], int] = {}
+        for a, b in zip(packed_f.tolist(), packed_t.tolist()):
+            w[(a, b)] = w.get((a, b), 0) + 1
+        adj: dict[int, dict[int, int]] = {}
+        nodes = sorted({k[0] for k in w} | {k[1] for k in w})
+        for (a, b), wt in w.items():
+            if a == b:
+                continue
+            adj.setdefault(b, {})[a] = adj.setdefault(b, {}).get(a, 0) + wt
+            adj.setdefault(a, {})[b] = adj.setdefault(a, {}).get(b, 0) + wt
+        label = {v: v for v in nodes}
+        for _ in range(LPA_ROUNDS):
+            new = dict(label)
+            for v in nodes:
+                votes: dict[int, int] = {}
+                for nb, wt in adj.get(v, {}).items():
+                    lv = label[nb]
+                    votes[lv] = votes.get(lv, 0) + wt
+                if votes:
+                    best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                    new[v] = best[0]
+            label = new
+        from collections import Counter
+
+        sizes = Counter(label.values())
+        return pa.table(
+            {
+                "cx": pa.array([v // 1_000_000 for v in nodes], type=pa.int64()),
+                "cy": pa.array([v % 1_000_000 for v in nodes], type=pa.int64()),
+                "community": pa.array([label[v] for v in nodes], type=pa.int64()),
+                "community_size": pa.array([sizes[label[v]] for v in nodes], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"lpa_{_sf_tag(sf_dir)}", build)

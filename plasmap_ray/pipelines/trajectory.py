@@ -2479,3 +2479,83 @@ def hits_scores(sf_dir: str, iters: int = HITS_ITERS, pitch: float = TRANS_PITCH
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# label_propagation_communities (deterministic synchronous LPA)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 5
+
+
+def label_propagation_communities(
+    sf_dir: str, rounds: int = LPA_ROUNDS, pitch: float = TRANS_PITCH
+) -> rd.Dataset:
+    """Community detection on the SYMMETRIZED mobility graph via
+    label propagation (Raghavan et al. 2007), made deterministic the
+    way a reproducible engine must: SYNCHRONOUS updates, a FIXED round
+    count, and every node adopting the neighbor label with the highest
+    total edge weight, ties to the SMALLEST label — no RNG, no
+    arrival-order dependence, bit-identical on any worker layout.
+    Communities = travel basins (clusters of cells that exchange more
+    trips internally than externally), the unsupervised sibling of
+    zone_modularity's fixed zoning.
+
+    Scale shape: the exchange-heavy part is the cell_transition_matrix
+    aggregate (per-user run-scan + (from,to) combiner shuffle); the
+    propagation runs on the OCCUPIED-LATTICE edge aggregate (the
+    chi2/Gi*/HITS finalize discipline — edges ≪ input rows).  At
+    continental lattices the same rounds run as per-round
+    edge⋈label joins + (node,label) weight groupby + per-node argmax
+    (the pagerank loop shape), same integers.
+
+    Output: (cx, cy, community, community_size); community is the
+    packed min-label of the converged basin.
+    """
+    edges = cell_transition_matrix(sf_dir, pitch=pitch).to_pandas()
+    src = edges["fx"].to_numpy() * 1_000_000 + edges["fy"].to_numpy()
+    dst = edges["tx"].to_numpy() * 1_000_000 + edges["ty"].to_numpy()
+    w = edges["n_steps"].to_numpy().astype(np.int64)
+    keep = src != dst  # LPA votes come from NEIGHBORS only
+    u = np.concatenate([src[keep], dst[keep]])
+    v = np.concatenate([dst[keep], src[keep]])
+    ww = np.concatenate([w[keep], w[keep]])
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(x): i for i, x in enumerate(nodes)}
+    ui = np.array([idx[int(x)] for x in u], dtype=np.int64)
+    vi = np.array([idx[int(x)] for x in v], dtype=np.int64)
+    label = nodes.copy()  # init: own packed id
+    for _ in range(rounds):
+        new = label.copy()
+        # per target node: total weight per neighbor label, argmax with
+        # ties to the smallest label — vectorized via lexsort runs
+        lab_v = label[ui]  # the label each edge VOTES for, at node vi
+        order = np.lexsort((lab_v, vi))
+        tv, tl, tw = vi[order], lab_v[order], ww[order]
+        grp = np.concatenate([[True], (tv[1:] != tv[:-1]) | (tl[1:] != tl[:-1])])
+        gstart = np.nonzero(grp)[0]
+        gnode = tv[gstart]
+        glab = tl[gstart]
+        csum = np.concatenate([[0], np.cumsum(tw)])
+        gend = np.concatenate([gstart[1:], [len(tv)]])
+        gw = csum[gend] - csum[gstart]
+        # per node: argmax weight, ties -> smallest label (lexsort puts
+        # smaller labels first within a node, so strict > keeps them)
+        best_w = np.full(len(nodes), -1, dtype=np.int64)
+        for k in range(len(gnode)):  # grouped rows ≤ occupied edges — lattice-bounded
+            n_i, l_i, w_i = gnode[k], glab[k], gw[k]
+            if w_i > best_w[n_i]:
+                best_w[n_i] = w_i
+                new[n_i] = l_i
+        label = new
+    uniq_lab, inv, counts = np.unique(label, return_inverse=True, return_counts=True)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "cx": pa.array(nodes // 1_000_000, type=pa.int64()),
+                "cy": pa.array(nodes % 1_000_000, type=pa.int64()),
+                "community": pa.array(label, type=pa.int64()),
+                "community_size": pa.array(counts[inv].astype(np.int64), type=pa.int64()),
+            }
+        )
+    )

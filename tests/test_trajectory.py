@@ -832,3 +832,18 @@ def test_hits_scores_fixpoint_properties(ray_session):
     indeg = edges.groupby(["tx", "ty"])["n_steps"].sum()
     top = one.loc[one["auth_fp"].idxmax()]
     assert indeg[(top["cx"], top["cy"])] == indeg.max()
+
+
+def test_label_propagation_deterministic_and_partitioned(ray_session):
+    """Synchronous LPA: same result on repeat runs; labels are members
+    of the node set; sizes are consistent with the label column."""
+    a = trajectory.label_propagation_communities(SF).to_pandas().sort_values(["cx", "cy"]).reset_index(drop=True)
+    b = trajectory.label_propagation_communities(SF).to_pandas().sort_values(["cx", "cy"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 0
+    packed = a["cx"].to_numpy() * 1_000_000 + a["cy"].to_numpy()
+    assert np.isin(a["community"].to_numpy(), packed).all()
+    sizes = a.groupby("community").size()
+    assert (a["community_size"].to_numpy() == sizes.loc[a["community"]].to_numpy()).all()
+    # the trip graph is connected enough that propagation merges cells
+    assert a["community"].nunique() < len(a)
