@@ -444,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acf_hourly": windows.acf_hourly,
         "ccf_event_types": windows.ccf_event_types,
         "dau_wau_ratio": windows.dau_wau_ratio,
+        "binseg_changepoints": windows.binseg_changepoints,
         "follows_latency": windows.follows_latency,
         "dp_tile_counts": privacy.dp_tile_counts,
         "location_unicity": privacy.location_unicity,
@@ -2761,6 +2762,7 @@ SELECT user_id, count(*) AS n_steps,
   CAST(max(CASE WHEN dist_fp * {trajectory.US_PER_S} > {trajectory.SPEED_VMAX_FP} * dt_us THEN dist_fp ELSE 0 END) AS BIGINT) AS max_jump_fp
 FROM s GROUP BY user_id""",
         "hits_scores": f"SELECT * FROM read_parquet('{golden.hits_scores_path(SF001)}')",
+        "binseg_changepoints": f"SELECT * FROM read_parquet('{golden.binseg_changepoints_path(SF001)}')",
         "label_propagation_communities": f"SELECT * FROM read_parquet('{golden.lpa_communities_path(SF001)}')",
         "mode_segmentation": f"""
 WITH {_epts},

@@ -4768,3 +4768,75 @@ def lpa_communities_path(sf_dir: str) -> str:
         )
 
     return _cache(f"lpa_{_sf_tag(sf_dir)}", build)
+
+
+def binseg_changepoints_path(sf_dir: str) -> str:
+    """Golden binary-segmentation recompute: daily sums via DuckDB SQL
+    and gains compared with fractions.Fraction (vs the engine's
+    cross-multiplied Python ints) — the same split sequence exactly."""
+
+    def build() -> pa.Table:
+        import duckdb
+        from fractions import Fraction
+
+        from .pipelines.windows import BINSEG_K, BINSEG_MIN_SEG
+        from .stages.common import duckdb_round
+
+        daily = duckdb.sql(
+            f"""SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                FROM read_parquet('{os.path.join(sf_dir, "orders.parquet")}')
+                GROUP BY day ORDER BY day"""
+        ).df()
+        days = daily["day"].to_numpy().astype(np.int64)
+        x = [int(v) for v in daily["cents"].to_numpy()]
+        pre = [0]
+        for v in x:
+            pre.append(pre[-1] + v)
+
+        segments = [(0, len(x))]
+        chosen = []
+        for rank in range(1, BINSEG_K + 1):
+            best = None
+            for a, b in segments:
+                s = pre[b] - pre[a]
+                n = b - a
+                base = Fraction(s * s, n)
+                for k in range(a + BINSEG_MIN_SEG, b - BINSEG_MIN_SEG + 1):
+                    sl, nl = pre[k] - pre[a], k - a
+                    sr, nr = s - sl, b - k
+                    gain = Fraction(sl * sl, nl) + Fraction(sr * sr, nr) - base
+                    if best is None or gain > best[0]:
+                        best = (gain, k, a, b)
+            if best is None or best[0] <= 0:
+                break
+            _, k, a, b = best
+            chosen.append((rank, k))
+            segments.remove((a, b))
+            segments.extend([(a, k), (k, b)])
+
+        cuts = sorted(k for _, k in chosen)
+        rows = {c: [] for c in ("rank", "split_day", "n_left", "n_right", "mean_left", "mean_right")}
+        for rank, k in chosen:
+            lo = max([c for c in cuts if c < k], default=0)
+            hi = min([c for c in cuts if c > k], default=len(x))
+            sl, nl = sum(x[lo:k]), k - lo
+            sr, nr = sum(x[k:hi]), hi - k
+            rows["rank"].append(rank)
+            rows["split_day"].append(int(days[k]))
+            rows["n_left"].append(nl)
+            rows["n_right"].append(nr)
+            rows["mean_left"].append(float(duckdb_round(np.array([sl / nl / 100.0]), 6)[0]))
+            rows["mean_right"].append(float(duckdb_round(np.array([sr / nr / 100.0]), 6)[0]))
+        return pa.table(
+            {
+                "rank": pa.array(rows["rank"], type=pa.int64()),
+                "split_day": pa.array(rows["split_day"], type=pa.int64()),
+                "n_left": pa.array(rows["n_left"], type=pa.int64()),
+                "n_right": pa.array(rows["n_right"], type=pa.int64()),
+                "mean_left": pa.array(rows["mean_left"], type=pa.float64()),
+                "mean_right": pa.array(rows["mean_right"], type=pa.float64()),
+            }
+        )
+
+    return _cache(f"binseg_{_sf_tag(sf_dir)}", build)

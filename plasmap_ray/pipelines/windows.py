@@ -2204,3 +2204,127 @@ def follows_latency(sf_dir: str, parts: int = 32) -> rd.Dataset:
         return out.append_column("mean_delta_us", pa.array(mean, type=pa.float64()))
 
     return agg.map_batches(finish, batch_format="pyarrow").sort(["prev_type", "next_type"])
+
+
+# ---------------------------------------------------------------------------
+# binseg_changepoints (exact-rational binary segmentation)
+# ---------------------------------------------------------------------------
+
+BINSEG_K = 5  # splits reported
+BINSEG_MIN_SEG = 7  # days per side, minimum
+
+
+def _binseg_gains(x: list[int]) -> list[tuple[int, int]]:
+    """Greedy binary segmentation over an integer series: returns the
+    chosen (rank, split_index) list.  The SSE gain of splitting [a,b)
+    at k is  S_l²/n_l + S_r²/n_r − S²/n  (Σx² cancels), compared as
+    EXACT RATIONALS via Python-int cross-multiplication — no float
+    enters the argmax, so the split sequence is engine-invariant.
+    Ties break to the smallest split index, then smallest segment
+    start.  Splits keep both sides ≥ BINSEG_MIN_SEG."""
+    pre = [0]
+    for v in x:
+        pre.append(pre[-1] + int(v))
+
+    def seg_sum(a: int, b: int) -> int:
+        return pre[b] - pre[a]
+
+    segments = [(0, len(x))]
+    chosen: list[tuple[int, int]] = []
+    for rank in range(1, BINSEG_K + 1):
+        best = None  # (gain_num, gain_den) maximal; ties -> smaller k, then a
+        for a, b in segments:
+            s = seg_sum(a, b)
+            n = b - a
+            for k in range(a + BINSEG_MIN_SEG, b - BINSEG_MIN_SEG + 1):
+                sl, nl = seg_sum(a, k), k - a
+                sr, nr = s - sl, b - k
+                # gain = sl²/nl + sr²/nr − s²/n  over common den nl·nr·n
+                num = sl * sl * nr * n + sr * sr * nl * n - s * s * nl * nr
+                den = nl * nr * n
+                if best is None or num * best[1] > best[0] * den:
+                    best = (num, den, k, a, b)
+        if best is None or best[0] <= 0:
+            break
+        _, _, k, a, b = best
+        chosen.append((rank, k))
+        segments.remove((a, b))
+        segments.extend([(a, k), (k, b)])
+    return chosen
+
+
+def binseg_changepoints(sf_dir: str) -> rd.Dataset:
+    """Offline change-point detection on the daily revenue series:
+    greedy binary segmentation (Scott & Knott 1974 lineage; the
+    batch sibling of daily_cusum's online alarm) with the variance-
+    reduction gain computed as an EXACT RATIONAL over integer cents —
+    the level-shift finder behind "when did the order mix actually
+    change?".
+
+    Determinism: daily sums are exact int64 cents through the
+    aggregate tree; every gain comparison is Python-big-int cross
+    multiplication (no float ever ranks a split); only the reported
+    segment means divide, each ONE mirrored float expression.
+
+    Scale shape: per-batch (day, cents) combiner -> ONE day-bounded
+    groupby; the segmentation runs on the D-row aggregate (D = days,
+    never order rows — the daily_cusum discipline).
+
+    Output: one row per chosen split (rank, split_day, n_left,
+    n_right, mean_left, mean_right) where left/right are the adjacent
+    runs between neighboring changepoints.
+    """
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].cast(pa.int64()).to_numpy() // 86_400_000_000
+        cents = np.floor(t["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"day": day, "cents": cents})
+        g = df.groupby("day", sort=False)["cents"].sum().reset_index()
+        return pa.table(
+            {
+                "day": pa.array(g["day"].to_numpy(), type=pa.int64()),
+                "cents": pa.array(g["cents"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    days = daily["day"].to_numpy().astype(np.int64)
+    x = [int(v) for v in daily["cents"].to_numpy()]
+    chosen = _binseg_gains(x)
+    cuts = sorted(k for _, k in chosen)
+    rows = {"rank": [], "split_day": [], "n_left": [], "n_right": [], "mean_left": [], "mean_right": []}
+    for rank, k in chosen:
+        lo = max([c for c in cuts if c < k], default=0)
+        hi = min([c for c in cuts if c > k], default=len(x))
+        sl, nl = sum(x[lo:k]), k - lo
+        sr, nr = sum(x[k:hi]), hi - k
+        rows["rank"].append(rank)
+        rows["split_day"].append(int(days[k]))  # first day of the right run
+        rows["n_left"].append(nl)
+        rows["n_right"].append(nr)
+        rows["mean_left"].append(float(duckdb_round(np.array([sl / nl / 100.0]), 6)[0]))
+        rows["mean_right"].append(float(duckdb_round(np.array([sr / nr / 100.0]), 6)[0]))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array(rows["rank"], type=pa.int64()),
+                "split_day": pa.array(rows["split_day"], type=pa.int64()),
+                "n_left": pa.array(rows["n_left"], type=pa.int64()),
+                "n_right": pa.array(rows["n_right"], type=pa.int64()),
+                "mean_left": pa.array(rows["mean_left"], type=pa.float64()),
+                "mean_right": pa.array(rows["mean_right"], type=pa.float64()),
+            }
+        )
+    )

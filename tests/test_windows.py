@@ -86,3 +86,29 @@ def test_follows_latency_matches_bruteforce(ray_session):
         assert row.p50_delta_us == d[max(1, math.ceil(0.5 * len(d))) - 1]
         assert abs(row.mean_delta_us - d.sum() / len(d)) < 1e-3
     assert (out["p50_delta_us"] > 0).all()
+
+
+def test_binseg_gains_planted_shift(ray_session):
+    """A planted level shift is found first, exactly at the jump."""
+    from plasmap_ray.pipelines.windows import BINSEG_MIN_SEG, _binseg_gains
+
+    x = [100] * 30 + [500] * 30
+    chosen = _binseg_gains(x)
+    assert chosen and chosen[0] == (1, 30)
+    # constant series: no positive gain, no splits
+    assert _binseg_gains([7] * 40) == []
+    # min-segment guard: splits never land within BINSEG_MIN_SEG of an edge
+    for _, k in _binseg_gains([1, 2, 3] * 20):
+        assert BINSEG_MIN_SEG <= k <= 60 - BINSEG_MIN_SEG
+
+
+def test_binseg_changepoints_pipeline(ray_session):
+    from plasmap_ray.pipelines import windows as W
+
+    out = W.binseg_changepoints("/root/testdata/sf0.001").to_pandas()
+    # fixture revenue is near-uniform daily; whatever splits emerge must
+    # be ranked 1..k with positive run lengths
+    if len(out):
+        assert list(out["rank"]) == list(range(1, len(out) + 1))
+        assert (out["n_left"] >= W.BINSEG_MIN_SEG).all()
+        assert (out["n_right"] >= W.BINSEG_MIN_SEG).all()
