@@ -432,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emerging_hotspots": hotspot.emerging_hotspots,
         "knox_statistic": hotspot.knox_statistic,
         "eb_shrunk_rates": hotspot.eb_shrunk_rates,
+        "moran_correlogram": hotspot.moran_correlogram,
         "benford_audit": stats.benford_audit,
         "chi2_independence": stats.chi2_independence,
         "lineitem_corr_matrix": stats.lineitem_corr_matrix,
@@ -2762,6 +2763,7 @@ SELECT user_id, count(*) AS n_steps,
   CAST(max(CASE WHEN dist_fp * {trajectory.US_PER_S} > {trajectory.SPEED_VMAX_FP} * dt_us THEN dist_fp ELSE 0 END) AS BIGINT) AS max_jump_fp
 FROM s GROUP BY user_id""",
         "hits_scores": f"SELECT * FROM read_parquet('{golden.hits_scores_path(SF001)}')",
+        "moran_correlogram": f"SELECT * FROM read_parquet('{golden.moran_correlogram_path(SF001)}')",
         "binseg_changepoints": f"SELECT * FROM read_parquet('{golden.binseg_changepoints_path(SF001)}')",
         "label_propagation_communities": f"SELECT * FROM read_parquet('{golden.lpa_communities_path(SF001)}')",
         "mode_segmentation": f"""

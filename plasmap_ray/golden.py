@@ -4840,3 +4840,62 @@ def binseg_changepoints_path(sf_dir: str) -> str:
         )
 
     return _cache(f"binseg_{_sf_tag(sf_dir)}", build)
+
+
+def moran_correlogram_path(sf_dir: str) -> str:
+    """Golden correlogram recompute: dense-lattice grid + explicit
+    per-ring double loops (vs the engine's scatter/groupby) — the same
+    integer partials, then the same mirrored float expression."""
+
+    def build() -> pa.Table:
+        from . import fixtures
+        from .pipelines.hotspot import CORR_BANDS, GI_EPS, GI_GX, GI_GY, GI_NCELLS, _band_w_constant
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / GI_EPS).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / GI_EPS).astype(np.int64)
+        grid = np.zeros((GI_GX, GI_GY), dtype=np.int64)
+        np.add.at(grid, (cx, cy), 1)
+        s1 = int(grid.sum())
+        s2 = int((grid * grid).sum())
+        mean = s1 / GI_NCELLS
+        den = s2 - GI_NCELLS * mean * mean
+        rows = {k: [] for k in ("band", "w_band", "s_cross", "s_wrow", "moran_i")}
+        for d in range(1, CORR_BANDS + 1):
+            sc = sw = 0
+            for x in range(GI_GX):
+                for y in range(GI_GY):
+                    if grid[x, y] == 0:
+                        continue
+                    w_i = 0
+                    for dx in range(-d, d + 1):
+                        for dy in range(-d, d + 1):
+                            if max(abs(dx), abs(dy)) != d:
+                                continue
+                            nx, ny = x + dx, y + dy
+                            if 0 <= nx < GI_GX and 0 <= ny < GI_GY:
+                                w_i += 1
+                                sc += int(grid[x, y]) * int(grid[nx, ny])
+                    sw += w_i * int(grid[x, y])
+            wd = _band_w_constant(d)
+            num = float(sc) - 2.0 * mean * float(sw) + mean * mean * float(wd)
+            i_val = float(duckdb_round(np.array([(float(GI_NCELLS) / float(wd)) * num / den]), 6)[0])
+            rows["band"].append(d)
+            rows["w_band"].append(wd)
+            rows["s_cross"].append(sc)
+            rows["s_wrow"].append(sw)
+            rows["moran_i"].append(i_val)
+        return pa.table(
+            {
+                "band": pa.array(rows["band"], type=pa.int64()),
+                "w_band": pa.array(rows["w_band"], type=pa.int64()),
+                "s_cross": pa.array(rows["s_cross"], type=pa.int64()),
+                "s_wrow": pa.array(rows["s_wrow"], type=pa.int64()),
+                "moran_i": pa.array(rows["moran_i"], type=pa.float64()),
+            }
+        )
+
+    return _cache(f"moran_corr_{_sf_tag(sf_dir)}", build)

@@ -4103,3 +4103,140 @@ def emerging_hotspots(sf_dir: str, eps: float = GI_EPS, min_days: int = TREND_MI
         )
 
     return zs.groupby("key").map_groups(per_cell, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# moran_correlogram (distance-banded spatial autocorrelation profile)
+# ---------------------------------------------------------------------------
+
+CORR_BANDS = 4  # Chebyshev distance bands 1..4
+
+
+def _band_w_constant(d: int) -> int:
+    """W_d = Σ over ALL lattice cells of the in-bounds ring-|d| size
+    (Chebyshev ring: box(d) − box(d−1)) — closed-form over the fixed
+    GI_GX×GI_GY lattice, exact int."""
+    xs = np.arange(GI_GX)[:, None]
+    ys = np.arange(GI_GY)[None, :]
+
+    def box(r: int) -> np.ndarray:
+        wx = np.minimum(xs + r, GI_GX - 1) - np.maximum(xs - r, 0) + 1
+        wy = np.minimum(ys + r, GI_GY - 1) - np.maximum(ys - r, 0) + 1
+        return wx * wy
+
+    return int((box(d) - box(d - 1)).sum())
+
+
+def moran_correlogram(sf_dir: str, eps: float = GI_EPS, bands: int = CORR_BANDS) -> rd.Dataset:
+    """Moran's I per Chebyshev distance band d = 1..bands — the
+    spatial-autocorrelation RANGE profile (how far does clustering
+    reach before I decays to CSR?), the correlogram every geostatistics
+    text pairs with the variogram (anisotropy_variogram is the
+    directional sibling; global_moran is band 1's queen special case).
+
+    Same integer discipline as global_moran, per band:
+
+        I_d = (N / W_d) * (Sc_d − 2·mean·Sw_d + mean²·W_d) / (S2 − N·mean²)
+
+    with Sc_d = Σ_ij w_ij x_i x_j over the ring-d pairs and Sw_d the
+    count-weighted in-bounds ring sizes — all int64 through the
+    aggregate tree; one mirrored float expression per band.
+
+    Scale shape: per-cell counts reuse the map-side combiner; ONE
+    scatter fans each occupied cell to its ≤ 8d ring offsets for all
+    bands (rows ≤ occupied·Σ8d — lattice-bounded); one (band, cell)
+    groupby; the per-band finalize runs on ≤ bands·lattice rows.
+
+    Output: one row per band (band, w_band, s_cross, s_wrow, moran_i).
+    """
+    counts = _cell_counts(sf_dir, eps).materialize()
+
+    ring_offsets: list[tuple[int, int, int]] = []
+    for d in range(1, bands + 1):
+        for dx in range(-d, d + 1):
+            for dy in range(-d, d + 1):
+                if max(abs(dx), abs(dy)) == d:
+                    ring_offsets.append((d, dx, dy))
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cx = t["cx"].to_numpy()
+        cy = t["cy"].to_numpy()
+        n = t["n"].to_numpy().astype(np.int64)
+        outs = []
+        for d, dx, dy in ring_offsets:
+            nx, ny = cx + dx, cy + dy
+            m = (nx >= 0) & (nx < GI_GX) & (ny >= 0) & (ny < GI_GY)
+            outs.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(int(m.sum()), d), type=pa.int64()),
+                        "cx": pa.array(nx[m], type=pa.int64()),
+                        "cy": pa.array(ny[m], type=pa.int64()),
+                        "n_nbr": pa.array(n[m], type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    nbr = (
+        counts.map_batches(scatter, batch_format="pyarrow")
+        .groupby(["band", "cx", "cy"])
+        .aggregate(Sum("n_nbr", alias_name="nbr_sum"))
+    )
+    own = {(int(r["cx"]), int(r["cy"])): int(r["n"]) for r in counts.take_all()}  # lattice-bounded
+
+    def partials(t: pa.Table) -> pa.Table:
+        cx = t["cx"].to_numpy()
+        cy = t["cy"].to_numpy()
+        band = t["band"].to_numpy()
+        nbrs = t["nbr_sum"].to_numpy().astype(np.int64)
+        own_n = np.array([own.get((int(a), int(b)), 0) for a, b in zip(cx, cy)], dtype=np.int64)
+        # in-bounds ring size at this cell/band (w_i contribution)
+        def boxw(r: np.ndarray) -> np.ndarray:
+            wx = np.minimum(cx + r, GI_GX - 1) - np.maximum(cx - r, 0) + 1
+            wy = np.minimum(cy + r, GI_GY - 1) - np.maximum(cy - r, 0) + 1
+            return wx * wy
+
+        w_i = boxw(band) - boxw(band - 1)
+        return pa.table(
+            {
+                "band": pa.array(band, type=pa.int64()),
+                "sc": pa.array(own_n * nbrs, type=pa.int64()),
+                "sw": pa.array(w_i * own_n, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        nbr.map_batches(partials, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Sum("sc", alias_name="s_cross"), Sum("sw", alias_name="s_wrow"))
+        .to_pandas()
+        .sort_values("band")
+    )
+    s1 = sum(own.values())
+    s2 = sum(v * v for v in own.values())
+    mean = float(s1) / float(GI_NCELLS)
+    from ..stages.common import duckdb_round as _dr
+
+    rows = {"band": [], "w_band": [], "s_cross": [], "s_wrow": [], "moran_i": []}
+    den = float(s2) - float(GI_NCELLS) * mean * mean
+    for r in agg.itertuples():
+        wd = _band_w_constant(int(r.band))
+        num = float(r.s_cross) - 2.0 * mean * float(r.s_wrow) + mean * mean * float(wd)
+        i_val = float(_dr(np.array([(float(GI_NCELLS) / float(wd)) * num / den]), 6)[0])
+        rows["band"].append(int(r.band))
+        rows["w_band"].append(wd)
+        rows["s_cross"].append(int(r.s_cross))
+        rows["s_wrow"].append(int(r.s_wrow))
+        rows["moran_i"].append(i_val)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "band": pa.array(rows["band"], type=pa.int64()),
+                "w_band": pa.array(rows["w_band"], type=pa.int64()),
+                "s_cross": pa.array(rows["s_cross"], type=pa.int64()),
+                "s_wrow": pa.array(rows["s_wrow"], type=pa.int64()),
+                "moran_i": pa.array(rows["moran_i"], type=pa.float64()),
+            }
+        )
+    )

@@ -1174,3 +1174,30 @@ def test_anisotropy_variogram_consistency(ray_session, event_ids):
     recon = aniso.groupby("lag").apply(lambda g: g["w"].sum() / g["n_pairs"].sum())
     for lag in list(per_lag.index)[:10]:
         assert abs(recon[lag] - omni.loc[lag, "gamma"]) < 1e-4
+
+
+def test_moran_correlogram_band1_consistent_and_decaying(ray_session, event_ids):
+    """Band-1 partials reconcile with a dense recompute (queen ring =
+    global_moran's neighborhood) and the profile is a valid correlogram."""
+    out = hotspot.moran_correlogram(SF).to_pandas().sort_values("band").reset_index(drop=True)
+    assert list(out["band"]) == [1, 2, 3, 4]
+    # dense recompute of band 1
+    lon = fixtures.derive_lon(event_ids)
+    lat = fixtures.derive_lat(event_ids)
+    cx = np.floor((lon - fixtures.LON_MIN) / hotspot.GI_EPS).astype(np.int64)
+    cy = np.floor((lat - fixtures.LAT_MIN) / hotspot.GI_EPS).astype(np.int64)
+    grid = np.zeros((hotspot.GI_GX, hotspot.GI_GY), dtype=np.int64)
+    np.add.at(grid, (cx, cy), 1)
+    sc = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            a = grid[max(0, -dx): hotspot.GI_GX - max(0, dx), max(0, -dy): hotspot.GI_GY - max(0, dy)]
+            b = grid[max(0, dx): hotspot.GI_GX - max(0, -dx), max(0, dy): hotspot.GI_GY - max(0, -dy)]
+            sc += int((a * b).sum())
+    assert out.loc[0, "s_cross"] == sc
+    assert out.loc[0, "w_band"] == hotspot.MORAN_W
+    # w_band grows with ring size; the I profile stays finite
+    assert (np.diff(out["w_band"]) > 0).all()
+    assert np.isfinite(out["moran_i"]).all()
