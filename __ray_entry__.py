@@ -369,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_segmentation": trajectory.mode_segmentation,
         "hits_scores": trajectory.hits_scores,
         "label_propagation_communities": trajectory.label_propagation_communities,
+        "flow_divergence": trajectory.flow_divergence,
         "displacement_histogram": trajectory.displacement_histogram,
         "transition_entropy": trajectory.transition_entropy,
         "gravity_decay_fit": trajectory.gravity_decay_fit,
@@ -2766,6 +2767,25 @@ FROM s GROUP BY user_id""",
         "moran_correlogram": f"SELECT * FROM read_parquet('{golden.moran_correlogram_path(SF001)}')",
         "binseg_changepoints": f"SELECT * FROM read_parquet('{golden.binseg_changepoints_path(SF001)}')",
         "label_propagation_communities": f"SELECT * FROM read_parquet('{golden.lpa_communities_path(SF001)}')",
+        "flow_divergence": f"""
+WITH {_epts},
+sc AS (SELECT user_id, event_id, ts,
+         CAST(floor((lon - {fixtures.LON_MIN!r}) / {trajectory.TRANS_PITCH!r}) AS BIGINT) AS cx,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) / {trajectory.TRANS_PITCH!r}) AS BIGINT) AS cy
+       FROM epts),
+w AS (SELECT cx, cy,
+        lag(cx) OVER uw AS pcx, lag(cy) OVER uw AS pcy
+      FROM sc WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT pcx AS fx, pcy AS fy, cx AS tx, cy AS ty FROM w
+      WHERE pcx IS NOT NULL AND (pcx <> cx OR pcy <> cy)),
+u AS (SELECT fx AS cx, fy AS cy, 1 AS outn, 0 AS inn FROM s
+      UNION ALL
+      SELECT tx AS cx, ty AS cy, 0 AS outn, 1 AS inn FROM s),
+a AS (SELECT cx, cy, CAST(sum(outn) AS BIGINT) AS outflow, CAST(sum(inn) AS BIGINT) AS inflow
+      FROM u GROUP BY cx, cy)
+SELECT cx, cy, outflow, inflow, outflow - inflow AS divergence,
+       round(CAST(outflow - inflow AS DOUBLE) / greatest(outflow + inflow, 1), 6) AS imbalance
+FROM a""",
         "mode_segmentation": f"""
 WITH {_epts},
 w AS (SELECT user_id, lon, lat,

@@ -2559,3 +2559,63 @@ def label_propagation_communities(
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# flow_divergence (per-cell net mobility flow: sources vs sinks)
+# ---------------------------------------------------------------------------
+
+
+def flow_divergence(sf_dir: str, pitch: float = TRANS_PITCH) -> rd.Dataset:
+    """Per-cell net flow over the mobility graph: outflow − inflow of
+    CROSS-CELL steps — positive cells are trip SOURCES (residential
+    morning load), negative are SINKS (attractors); the divergence
+    field every fleet-rebalancing / demand model starts from (the
+    scalar-field reduction of cell_transition_matrix; od_gravity
+    models the pairs, this nets them per node).
+
+    Exactness: pure integer counts end-to-end; the only float is the
+    mirrored imbalance share div / (outflow + inflow).
+
+    Scale shape: cell_transition_matrix is the only row-bounded
+    exchange (per-user run-scan + (from,to) combiner); each surviving
+    transition edge scatters TWO ±rows and ONE cell-keyed groupby
+    nets them — everything after the first combiner is proportional
+    to occupied transitions, never input rows.
+
+    Output: (cx, cy, outflow, inflow, divergence, imbalance).
+    """
+    from ..stages.common import duckdb_round
+
+    edges = cell_transition_matrix(sf_dir, pitch=pitch)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        fx, fy = t["fx"].to_numpy(), t["fy"].to_numpy()
+        tx, ty = t["tx"].to_numpy(), t["ty"].to_numpy()
+        n = t["n_steps"].to_numpy().astype(np.int64)
+        m = (fx != tx) | (fy != ty)  # self-loops carry no net flow
+        zero = np.zeros(int(m.sum()), dtype=np.int64)
+        return pa.table(
+            {
+                "cx": pa.array(np.concatenate([fx[m], tx[m]]), type=pa.int64()),
+                "cy": pa.array(np.concatenate([fy[m], ty[m]]), type=pa.int64()),
+                "outn": pa.array(np.concatenate([n[m], zero]), type=pa.int64()),
+                "inn": pa.array(np.concatenate([zero, n[m]]), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        edges.map_batches(scatter, batch_format="pyarrow")
+        .groupby(["cx", "cy"])
+        .aggregate(Sum("outn", alias_name="outflow"), Sum("inn", alias_name="inflow"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = t["outflow"].to_numpy().astype(np.int64)
+        inn = t["inflow"].to_numpy().astype(np.int64)
+        div = out - inn
+        imb = duckdb_round(div.astype(np.float64) / np.maximum(out + inn, 1).astype(np.float64), 6)
+        t = t.append_column("divergence", pa.array(div, type=pa.int64()))
+        return t.append_column("imbalance", pa.array(imb, type=pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

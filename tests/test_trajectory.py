@@ -847,3 +847,18 @@ def test_label_propagation_deterministic_and_partitioned(ray_session):
     assert (a["community_size"].to_numpy() == sizes.loc[a["community"]].to_numpy()).all()
     # the trip graph is connected enough that propagation merges cells
     assert a["community"].nunique() < len(a)
+
+
+def test_flow_divergence_conservation(ray_session):
+    """Net flow sums to zero corpus-wide and matches the transition
+    matrix reduced by hand."""
+    out = trajectory.flow_divergence(SF).to_pandas()
+    assert out["divergence"].sum() == 0
+    assert out["outflow"].sum() == out["inflow"].sum()
+    edges = trajectory.cell_transition_matrix(SF).to_pandas()
+    cross = edges[(edges["fx"] != edges["tx"]) | (edges["fy"] != edges["ty"])]
+    assert out["outflow"].sum() == cross["n_steps"].sum()
+    o = cross.groupby(["fx", "fy"])["n_steps"].sum()
+    got = out.set_index(["cx", "cy"])["outflow"]
+    for k, v in o.items():
+        assert got[k] == v
