@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_silence_trim": multimodal.audio_silence_trim,
         "audio_band_energy": multimodal.audio_band_energy,
         "audio_fingerprint": multimodal.audio_fingerprint,
+        "video_shot_segmentation": multimodal.video_shot_segmentation,
         "cell_modality_mix": multimodal.cell_modality_mix,
         "video_frame_stats": multimodal.video_frame_stats,
         "video_temporal_smoothness": multimodal.video_temporal_smoothness,
@@ -2377,6 +2378,11 @@ WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= {dedup.JW_THRESHOLD!r}""",
         "audio_fingerprint": (
             "SELECT * FROM read_parquet('"
             + golden.audio_fingerprint_path(multimodal.audio_path_for(SF001), multimodal.FP_MIN_SHARED)
+            + "')"
+        ),
+        "video_shot_segmentation": (
+            "SELECT * FROM read_parquet('"
+            + golden.video_shots_path(multimodal.video_path_for(SF001))
             + "')"
         ),
         "video_keyframes": (

@@ -4899,3 +4899,57 @@ def moran_correlogram_path(sf_dir: str) -> str:
         )
 
     return _cache(f"moran_corr_{_sf_tag(sf_dir)}", build)
+
+
+def video_shots_path(video_parquet: str) -> str:
+    """Expected shot segmentation: per-frame scalar Python SAD loop +
+    sorted()-median here vs the engine's vectorized diff +
+    np.partition selection — the same cuts exactly."""
+
+    def build() -> pa.Table:
+        from .pipelines.multimodal import SHOT_CUT_DEN, SHOT_CUT_NUM
+
+        t = pq.read_table(video_parquet)
+        rows = {k: [] for k in ("media_id", "fmt", "ok", "n_frames", "med_sad", "n_cuts", "n_shots", "longest_shot")}
+        for i in range(t.num_rows):
+            fmt = t["fmt"][i].as_py()
+            nf = int(t["n_frames"][i].as_py())
+            w, h = int(t["w"][i].as_py()), int(t["h"][i].as_py())
+            rows["media_id"].append(t["media_id"][i].as_py())
+            rows["fmt"].append(fmt)
+            rows["n_frames"].append(nf)
+            if fmt != "fake-raw" or nf < 2:
+                rows["ok"].append(False)
+                for k in ("med_sad", "n_cuts", "longest_shot"):
+                    rows[k].append(0)
+                rows["n_shots"].append(1)
+                continue
+            fb = w * h * 3
+            arr = np.frombuffer(t["bytes"][i].as_py(), dtype=np.uint8)
+            sads = []
+            for f in range(1, nf):
+                a = arr[(f - 1) * fb : f * fb].astype(np.int64)
+                b = arr[f * fb : (f + 1) * fb].astype(np.int64)
+                sads.append(int(np.abs(b - a).sum()))
+            m = sorted(sads)[(len(sads) - 1) // 2]
+            cuts = [j + 1 for j, s in enumerate(sads) if s * SHOT_CUT_DEN > SHOT_CUT_NUM * m]
+            bounds = [0] + cuts + [nf]
+            rows["ok"].append(True)
+            rows["med_sad"].append(m)
+            rows["n_cuts"].append(len(cuts))
+            rows["n_shots"].append(len(cuts) + 1)
+            rows["longest_shot"].append(max(bounds[j + 1] - bounds[j] for j in range(len(bounds) - 1)))
+        return pa.table(
+            {
+                "media_id": pa.array(rows["media_id"], type=pa.string()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "ok": pa.array(rows["ok"]),
+                "n_frames": pa.array(rows["n_frames"], type=pa.int64()),
+                "med_sad": pa.array(rows["med_sad"], type=pa.int64()),
+                "n_cuts": pa.array(rows["n_cuts"], type=pa.int64()),
+                "n_shots": pa.array(rows["n_shots"], type=pa.int64()),
+                "longest_shot": pa.array(rows["longest_shot"], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"video_shots_{os.path.basename(video_parquet).rsplit('.', 1)[0]}", build)

@@ -525,3 +525,79 @@ def audio_fingerprint(sf_dir: str, min_shared: int = FP_MIN_SHARED) -> rd.Datase
         .aggregate(Count(alias_name="n_shared"))
     )
     return pairs.filter(expr=f"n_shared >= {min_shared}")
+
+
+# ---------------------------------------------------------------------------
+# video_shot_segmentation (SAD-threshold cut detection)
+# ---------------------------------------------------------------------------
+
+SHOT_CUT_NUM = 3  # cut iff sad * DEN > NUM * median_sad
+SHOT_CUT_DEN = 2
+
+
+def video_shot_segmentation(sf_dir: str) -> rd.Dataset:
+    """Per-clip shot segmentation: a CUT lands before frame j+1 when
+    its SAD to frame j exceeds 1.5× the clip's median inter-frame SAD
+    — the adaptive-threshold scene splitter (the multi-cut extension
+    of video_keyframes' single argmax; TransNet-style pipelines start
+    from exactly this census).
+
+    Determinism: SADs are exact int64; the median is the LOWER median
+    by exact selection (k = (n−1)//2 smallest, ties irrelevant on
+    ints); the threshold test is the integer cross-multiplication
+    ``sad * 2 > 3 * med`` — no float ever decides a cut, so the
+    engine and the golden per-frame recompute agree cut-for-cut.
+
+    Scale shape: map-ONLY — decode + SAD + cut scan fused in the
+    actor pool, payloads consumed in-stage, five int64s + metadata
+    per clip leave the task.
+
+    Output: (media_id, fmt, ok, n_frames, med_sad, n_cuts, n_shots,
+    longest_shot).
+    """
+
+    class Shots:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            fmts = batch["fmt"].to_pylist()
+            payloads = batch["bytes"].to_pylist()
+            w = batch["w"].to_numpy()
+            h = batch["h"].to_numpy()
+            nf = batch["n_frames"].to_numpy()
+            med = np.zeros(n, dtype=np.int64)
+            ncut = np.zeros(n, dtype=np.int64)
+            longest = np.zeros(n, dtype=np.int64)
+            ok = np.zeros(n, dtype=bool)
+            for i in range(n):
+                if fmts[i] != "fake-raw" or int(nf[i]) < 2:
+                    continue
+                fb = int(w[i]) * int(h[i]) * 3
+                arr = np.frombuffer(payloads[i], dtype=np.uint8)
+                if len(arr) != fb * int(nf[i]):
+                    continue
+                frames = arr.reshape(int(nf[i]), fb).astype(np.int16)
+                sads = np.abs(np.diff(frames, axis=0)).sum(axis=1, dtype=np.int64)
+                m = int(np.partition(sads, (len(sads) - 1) // 2)[(len(sads) - 1) // 2])
+                cuts = sads * SHOT_CUT_DEN > SHOT_CUT_NUM * m
+                med[i] = m
+                ncut[i] = int(cuts.sum())
+                # shot lengths: frames between cuts (cut before frame j+1)
+                idx = np.nonzero(cuts)[0] + 1
+                bounds = np.concatenate([[0], idx, [int(nf[i])]])
+                longest[i] = int(np.diff(bounds).max())
+                ok[i] = True
+            return pa.table(
+                {
+                    "media_id": batch["media_id"],
+                    "fmt": batch["fmt"],
+                    "ok": pa.array(ok),
+                    "n_frames": pa.array(nf.astype(np.int64), type=pa.int64()),
+                    "med_sad": pa.array(med, type=pa.int64()),
+                    "n_cuts": pa.array(ncut, type=pa.int64()),
+                    "n_shots": pa.array(ncut + 1, type=pa.int64()),
+                    "longest_shot": pa.array(longest, type=pa.int64()),
+                }
+            )
+
+    ds = rd.read_parquet(video_path_for(sf_dir))
+    return ds.map_batches(Shots, batch_format="pyarrow", batch_size=64, concurrency=(1, 4))

@@ -1044,3 +1044,42 @@ def test_audio_fingerprint_pairs_match_set_intersections(ray_session):
     h1 = _fp_clip_hashes(s16, sr)
     h2 = _fp_clip_hashes(s16.copy(), sr)
     assert len(h1) > 0 and np.array_equal(h1, h2)
+
+
+def test_video_shot_segmentation_planted_cut(ray_session):
+    """A clip with one huge inter-frame jump yields exactly one cut
+    and the right shot lengths."""
+    import pyarrow as pa
+
+    from plasmap_ray.pipelines import multimodal
+
+    w = h = 8
+    fb = w * h * 3
+    smooth = [np.full(fb, 10 + f, dtype=np.uint8) for f in range(4)]  # SAD = fb each step
+    jump = np.full(fb, 200, dtype=np.uint8)  # SAD = fb*190 >> 1.5*med
+    frames = smooth[:3] + [jump, jump.copy() + 1]
+    payload = b"".join(f.tobytes() for f in frames)
+    batch = pa.table(
+        {
+            "media_id": ["vid-x"],
+            "bytes": [payload],
+            "w": [w],
+            "h": [h],
+            "n_frames": [len(frames)],
+            "fmt": ["fake-raw"],
+        }
+    )
+    assert batch.num_rows == 1
+    from plasmap_ray.pipelines.multimodal import SHOT_CUT_DEN, SHOT_CUT_NUM
+
+    arr = np.frombuffer(payload, dtype=np.uint8).reshape(len(frames), fb).astype(np.int16)
+    sads = np.abs(np.diff(arr, axis=0)).sum(axis=1, dtype=np.int64)
+    med = int(np.partition(sads, (len(sads) - 1) // 2)[(len(sads) - 1) // 2])
+    cuts = sads * SHOT_CUT_DEN > SHOT_CUT_NUM * med
+    assert cuts.tolist() == [False, False, True, False]
+    # pipeline on the fixture corpus: ok everywhere, shot algebra holds
+    res = multimodal.video_shot_segmentation("/root/testdata/sf0.001").to_pandas()
+    assert res["ok"].all()
+    assert (res["n_shots"] == res["n_cuts"] + 1).all()
+    assert (res["longest_shot"] <= res["n_frames"]).all()
+    assert (res["longest_shot"] >= 1).all()
