@@ -4953,3 +4953,48 @@ def video_shots_path(video_parquet: str) -> str:
         )
 
     return _cache(f"video_shots_{os.path.basename(video_parquet).rsplit('.', 1)[0]}", build)
+
+
+def image_dynamic_range_path(images_parquet: str) -> str:
+    """Expected dynamic-range audit: sorted()-list rank selection here
+    vs the engine's histogram-cumsum searchsorted — the same order
+    statistics exactly."""
+
+    def build() -> pa.Table:
+        from . import codecs
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(images_parquet, columns=["image_id", "bytes", "w", "h", "fmt"])
+        rows: dict[str, list] = {k: [] for k in ("image_id", "fmt", "ok", "g_min", "g_max", "p05", "p95")}
+        for i in range(t.num_rows):
+            px = codecs.decode_image(
+                t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(), t["fmt"][i].as_py()
+            )
+            g = sorted(int(v) for v in px.astype(np.int64).sum(axis=2).ravel())
+            npx = len(g)
+            k_lo = max(1, -(-npx * 5 // 100))
+            k_hi = max(1, -(-npx * 95 // 100))
+            rows["image_id"].append(t["image_id"][i].as_py())
+            rows["fmt"].append(t["fmt"][i].as_py())
+            rows["ok"].append(True)
+            rows["g_min"].append(g[0])
+            rows["g_max"].append(g[-1])
+            rows["p05"].append(g[k_lo - 1])
+            rows["p95"].append(g[k_hi - 1])
+        util = duckdb_round(
+            (np.asarray(rows["p95"], dtype=np.int64) - np.asarray(rows["p05"])) / 765.0, 6
+        )
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], type=pa.string()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "ok": pa.array(rows["ok"]),
+                "g_min": pa.array(rows["g_min"], type=pa.int64()),
+                "g_max": pa.array(rows["g_max"], type=pa.int64()),
+                "p05": pa.array(rows["p05"], type=pa.int64()),
+                "p95": pa.array(rows["p95"], type=pa.int64()),
+                "range_util": pa.array(util, type=pa.float64()),
+            }
+        )
+
+    return _cache(f"image_dynrange_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)

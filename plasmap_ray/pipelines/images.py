@@ -2392,3 +2392,39 @@ def image_haar_energy(sf_dir: str) -> rd.Dataset:
         return t.append_column("detail_frac", pa.array(frac, type=pa.float64()))
 
     return scored.map_batches(finish, batch_format="pyarrow")
+
+
+def image_dynamic_range(sf_dir: str) -> rd.Dataset:
+    """Per-image dynamic-range / contrast audit (stages.media.
+    DynamicRange): exact min/max and p05/p95 gray order statistics
+    plus the robust range-utilization share — the exposure screen
+    (narrow-band = washed-out scan, pinned tails = over-processed)
+    beside the entropy / edge / blur gates (reference analogue: the
+    ST5/M9 image gate layer).
+
+    Determinism: order statistics by exact integer histogram rank
+    selection (quantile_disc convention); range_util = round((p95 −
+    p05)/765, 6) is the only float, mirrored in the golden sorted()
+    recompute.
+
+    Scale shape: map-ONLY — decode fused with the histogram kernel in
+    the actor pool, payloads consumed in-stage, six int64s + metadata
+    per image leave the task; no exchange at all.
+
+    Output: (image_id, fmt, ok, g_min, g_max, p05, p95, range_util).
+    """
+    from ..stages import media
+    from ..stages.common import duckdb_round
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    scored = ds.map_batches(
+        media.DynamicRange, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        util = duckdb_round(
+            (t["p95"].to_numpy() - t["p05"].to_numpy()).astype(np.float64) / 765.0, 6
+        )
+        return t.append_column("range_util", pa.array(util, type=pa.float64()))
+
+    return scored.map_batches(finish, batch_format="pyarrow")

@@ -489,6 +489,55 @@ class HaarEnergy:
         )
 
 
+class DynamicRange:
+    """Actor-pool stage: per-image dynamic-range audit over the
+    summed-channel gray field (0..765) — exact order statistics via a
+    766-bin integer histogram: min, max, and the p05/p95 ranks under
+    the quantile_disc convention (k-th smallest, k = max(1,
+    ceil(q·n))) — the contrast screen (washed-out scans sit in a
+    narrow band; over-processed renders pin both tails) run beside
+    the entropy / edge / blur gates.
+
+    All-integer selection -> worker-invariant; the golden oracle
+    recomputes with sorted() over the raw pixel list (different
+    selection algorithm, same integers).
+
+    Payloads consumed in-stage (6 int64s + metadata leave the task).
+    Decode failures flag ok=False (M9 quarantine semantics).
+    """
+
+    Q_LO, Q_HI = 0.05, 0.95
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        w = batch["w"].to_numpy()
+        h = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        cols = {k: np.zeros(n, dtype=np.int64) for k in ("g_min", "g_max", "p05", "p95")}
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                px = codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
+                g = px.astype(np.int64).sum(axis=2).ravel()
+                hist = np.bincount(g, minlength=766)
+                cum = np.cumsum(hist)
+                npx = len(g)
+                k_lo = max(1, -(-npx * 5 // 100))  # ceil(0.05 n)
+                k_hi = max(1, -(-npx * 95 // 100))
+                cols["g_min"][i] = int(g.min())
+                cols["g_max"][i] = int(g.max())
+                cols["p05"][i] = int(np.searchsorted(cum, k_lo))
+                cols["p95"][i] = int(np.searchsorted(cum, k_hi))
+                ok[i] = True
+            except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
+                pass
+        out = {"image_id": batch["image_id"], "fmt": batch["fmt"], "ok": pa.array(ok)}
+        for k, v in cols.items():
+            out[k] = pa.array(v, type=pa.int64())
+        return pa.table(out)
+
+
 class AudioSilenceTrim:
     """Actor-pool stage: per-clip silence-trim manifest — the offsets
     an audio training pipeline cuts to before featurizing (leading /

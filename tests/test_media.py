@@ -1083,3 +1083,35 @@ def test_video_shot_segmentation_planted_cut(ray_session):
     assert (res["n_shots"] == res["n_cuts"] + 1).all()
     assert (res["longest_shot"] <= res["n_frames"]).all()
     assert (res["longest_shot"] >= 1).all()
+
+
+def test_dynamic_range_known_fields(ray_session):
+    """Rank selection matches numpy percentile-by-sorting on planted
+    fields, including the degenerate flat image."""
+    import pyarrow as pa
+
+    from plasmap_ray.stages.media import DynamicRange
+
+    w = h = 16
+    flat = np.full((h, w, 3), 9, dtype=np.uint8)
+    ramp = np.tile(np.arange(w, dtype=np.uint8), (h, 1))
+    rampx = np.stack([ramp] * 3, axis=2)
+    batch = pa.table(
+        {
+            "image_id": ["img-flat", "img-ramp"],
+            "bytes": [flat.tobytes(), rampx.tobytes()],
+            "w": [w, w],
+            "h": [h, h],
+            "fmt": ["raw", "raw"],
+        }
+    )
+    out = DynamicRange()(batch)
+    # flat: all stats identical
+    assert out["g_min"].to_pylist()[0] == out["g_max"].to_pylist()[0] == 27
+    assert out["p05"].to_pylist()[0] == out["p95"].to_pylist()[0] == 27
+    # ramp: exact ranks against sorted selection
+    g = sorted(rampx.astype(np.int64).sum(axis=2).ravel().tolist())
+    npx = len(g)
+    assert out["p05"].to_pylist()[1] == g[max(1, -(-npx * 5 // 100)) - 1]
+    assert out["p95"].to_pylist()[1] == g[max(1, -(-npx * 95 // 100)) - 1]
+    assert out["g_min"].to_pylist()[1] == 0 and out["g_max"].to_pylist()[1] == 45
