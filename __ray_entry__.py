@@ -444,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_weekend_test": stats.ks_weekend_test,
         "mann_whitney_u": stats.mann_whitney_u,
         "hbos_outliers": stats.hbos_outliers,
+        "interpurchase_intervals": relational.interpurchase_intervals,
         "acf_hourly": windows.acf_hourly,
         "ccf_event_types": windows.ccf_event_types,
         "dau_wau_ratio": windows.dau_wau_ratio,
@@ -4450,6 +4451,16 @@ SELECT c.qty, c.disc_cents, c.price_bin, c.n_rows, mq.n_qty, md.n_disc, mp.n_pri
        CAST(CAST(mq.n_qty AS HUGEINT) * md.n_disc * mp.n_price AS BIGINT) AS score
 FROM c JOIN mq USING (qty) JOIN md USING (disc_cents) JOIN mp USING (price_bin)
 ORDER BY score, c.qty, c.disc_cents, c.price_bin LIMIT {stats.HBOS_TOPK}""",
+        "interpurchase_intervals": """
+WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day,
+                  lag(epoch_us(o_orderdate) // 86400000000)
+                    OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey) AS pday
+           FROM orders),
+g AS (SELECT (day - pday) // 7 AS week_bucket FROM o WHERE pday IS NOT NULL),
+c AS (SELECT week_bucket, CAST(count(*) AS BIGINT) AS n_gaps FROM g GROUP BY week_bucket),
+t AS (SELECT CAST(sum(n_gaps) AS DOUBLE) AS tot FROM c)
+SELECT week_bucket, n_gaps, round(CAST(n_gaps AS DOUBLE) / tot, 6) AS frac
+FROM c CROSS JOIN t ORDER BY week_bucket""",
         "mann_whitney_u": """
 WITH e AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
                   CASE WHEN (epoch_us(ts) // 86400000000) % 7 IN (2, 3) THEN 1 ELSE 0 END AS we

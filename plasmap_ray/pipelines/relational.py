@@ -2380,3 +2380,86 @@ def duplicate_orders(
         .groupby("o_custkey")
         .map_groups(pairs_safe, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# interpurchase_intervals (per-customer order-gap distribution)
+# ---------------------------------------------------------------------------
+
+IPI_WEEK_DAYS = 7
+
+
+def interpurchase_intervals(sf_dir: str, parts: int = 32) -> rd.Dataset:
+    """Inter-purchase-time distribution: for every customer with ≥ 2
+    orders, the day gaps between consecutive orders ((o_orderdate,
+    o_orderkey) total order), histogrammed by week bucket — the CRM
+    repurchase-cadence feature (churn models threshold exactly this
+    distribution; rfm_features carries the per-customer recency, this
+    is the corpus-wide cadence law).
+
+    Exactness: gaps are exact integer day differences; bucket = gap //
+    7; counts fold through the aggregate tree; frac is the one
+    mirrored float.
+
+    Scale shape: the sessionize discipline — customers shard by
+    ``o_custkey % parts``, each task sorts ONE coarse partition and
+    run-scans consecutive orders (per-customer dispatch amortized);
+    the week histogram is a bucket-bounded groupby.
+
+    Output: (week_bucket, n_gaps, frac) sorted by bucket.
+    """
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        cust = t["o_custkey"].to_numpy()
+        day = t["o_orderdate"].cast(pa.int64()).to_numpy() // 86_400_000_000
+        return pa.table(
+            {
+                "cust": pa.array(cust, type=pa.int64()),
+                "okey": t["o_orderkey"],
+                "day": pa.array(day, type=pa.int64()),
+                "part": pa.array(cust % parts, type=pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {"week_bucket": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())}
+    )
+
+    def gaps(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("cust", "ascending"), ("day", "ascending"), ("okey", "ascending")])
+        cust = g["cust"].to_numpy()
+        if len(cust) < 2:
+            return empty
+        m = np.diff(cust) == 0
+        if not m.any():
+            return empty
+        gap = np.diff(g["day"].to_numpy())[m]
+        bucket = gap // IPI_WEEK_DAYS
+        uniq, cnt = np.unique(bucket, return_counts=True)
+        return pa.table(
+            {
+                "week_bucket": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gaps, batch_format="pyarrow")
+        .groupby("week_bucket")
+        .aggregate(Sum("n", alias_name="n_gaps"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.sort_by("week_bucket")
+        n = t["n_gaps"].to_numpy().astype(np.float64)
+        frac = duckdb_round(n / n.sum(), 6)
+        return t.append_column("frac", pa.array(frac, type=pa.float64()))
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")

@@ -1904,3 +1904,22 @@ def test_duplicate_orders_matches_bruteforce(ray_session):
     got = {(r.order_a, r.order_b, r.day_gap) for r in out.itertuples()}
     assert got == expected
     assert len(expected) > 0  # the blocking actually fires on this fixture
+
+
+def test_interpurchase_intervals_matches_pandas_recompute(ray_session):
+    from plasmap_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    out = relational.interpurchase_intervals(sf).to_pandas()
+    o = pq.read_table(
+        os.path.join(sf, "orders.parquet"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).to_pandas()
+    o["day"] = o["o_orderdate"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+    o = o.sort_values(["o_custkey", "day", "o_orderkey"])
+    cust = o["o_custkey"].to_numpy()
+    same = cust[:-1] == cust[1:]
+    gaps = np.diff(o["day"].to_numpy())[same]
+    exp = pd.Series(gaps // 7).value_counts().sort_index()
+    assert list(out["week_bucket"]) == list(exp.index)
+    assert list(out["n_gaps"]) == list(exp.values)
+    assert abs(out["frac"].sum() - 1.0) < 1e-4
