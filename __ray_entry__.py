@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": lambda sf: ann.lsh_bucket_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
         "ann_ivfpq_topk": lambda sf: ann.ivfpq_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
+        "jl_projection_audit": ann.jl_projection_audit,
         "ann_filtered_topk": lambda sf: ann.ann_filtered_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
         "pq_encode": ann.pq_encode,
         "embedding_top_pairs": lambda sf: ann.embedding_top_pairs(sf, k=EMB_TOP_PAIRS),
@@ -2773,6 +2774,7 @@ SELECT user_id, count(*) AS n_steps,
   CAST(max(CASE WHEN dist_fp * {trajectory.US_PER_S} > {trajectory.SPEED_VMAX_FP} * dt_us THEN dist_fp ELSE 0 END) AS BIGINT) AS max_jump_fp
 FROM s GROUP BY user_id""",
         "hits_scores": f"SELECT * FROM read_parquet('{golden.hits_scores_path(SF001)}')",
+        "jl_projection_audit": f"SELECT * FROM read_parquet('{golden.jl_projection_audit_path(SF001)}')",
         "moran_correlogram": f"SELECT * FROM read_parquet('{golden.moran_correlogram_path(SF001)}')",
         "binseg_changepoints": f"SELECT * FROM read_parquet('{golden.binseg_changepoints_path(SF001)}')",
         "label_propagation_communities": f"SELECT * FROM read_parquet('{golden.lpa_communities_path(SF001)}')",

@@ -4998,3 +4998,53 @@ def image_dynamic_range_path(images_parquet: str) -> str:
         )
 
     return _cache(f"image_dynrange_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
+
+
+def jl_projection_audit_path(sf_dir: str) -> str:
+    """Expected JL distortion pairs: per-pair scalar Python loops over
+    the same deterministic sign hash (vs the engine's GEMM + hash
+    join) — identical integers, one shared float expression."""
+
+    def build() -> pa.Table:
+        from .pipelines.ann import JL_FP, JL_K, JL_MOD, JL_STRIDE, _jl_sign
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+        q = np.floor(X * JL_FP + 0.5).astype(np.int64)
+        d = q.shape[1]
+        sign = np.array(
+            [[int(_jl_sign(np.array([k]), np.array([i]))[0]) for i in range(d)] for k in range(JL_K)],
+            dtype=np.int64,
+        )
+        byid = {int(v): j for j, v in enumerate(ids)}
+        rows = {k: [] for k in ("vec_a", "vec_b", "d2_orig", "d2_proj", "ratio")}
+        for a in sorted(byid):
+            if a % JL_MOD != 0 or (a + JL_STRIDE) not in byid:
+                continue
+            ia, ib = byid[a], byid[a + JL_STRIDE]
+            d2o = sum((int(q[ia, i]) - int(q[ib, i])) ** 2 for i in range(d))
+            d2p = 0
+            for k in range(JL_K):
+                ya = sum(int(sign[k, i]) * int(q[ia, i]) for i in range(d))
+                yb = sum(int(sign[k, i]) * int(q[ib, i]) for i in range(d))
+                d2p += (ya - yb) ** 2
+            rows["vec_a"].append(a)
+            rows["vec_b"].append(a + JL_STRIDE)
+            rows["d2_orig"].append(d2o)
+            rows["d2_proj"].append(d2p)
+            rows["ratio"].append(
+                float(duckdb_round(np.array([d2p / (float(JL_K) * max(d2o, 1))]), 6)[0])
+            )
+        return pa.table(
+            {
+                "vec_a": pa.array(rows["vec_a"], type=pa.int64()),
+                "vec_b": pa.array(rows["vec_b"], type=pa.int64()),
+                "d2_orig": pa.array(rows["d2_orig"], type=pa.int64()),
+                "d2_proj": pa.array(rows["d2_proj"], type=pa.int64()),
+                "ratio": pa.array(rows["ratio"], type=pa.float64()),
+            }
+        )
+
+    return _cache(f"jl_audit_{_sf_tag(sf_dir)}", build)

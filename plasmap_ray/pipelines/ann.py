@@ -2481,3 +2481,121 @@ def kcenter_coreset(sf_dir: str, k: int = KCENTER_K) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# jl_projection_audit (Johnson-Lindenstrauss distortion measurement)
+# ---------------------------------------------------------------------------
+
+JL_K = 8  # projected dims
+JL_FP = 1 << 20  # vector quantization pitch
+JL_STRIDE = 1  # pair = (vec_id, vec_id + STRIDE)
+JL_MOD = 3  # sampled anchors: vec_id % MOD == 0
+
+
+def _jl_sign(k: np.ndarray, i: np.ndarray) -> np.ndarray:
+    """Deterministic Rademacher sign s(k, i) ∈ {+1, −1} from a 64-bit
+    mix hash — no RNG state, reshard-proof, identical on any worker."""
+    h = (
+        k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        + i.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+    )
+    h ^= h >> np.uint64(31)
+    h *= np.uint64(0x94D049BB133111EB)
+    return np.where((h >> np.uint64(63)) == 0, 1, -1).astype(np.int64)
+
+
+def jl_projection_audit(sf_dir: str) -> rd.Dataset:
+    """Johnson-Lindenstrauss distortion audit: project every sampled
+    vector to JL_K dims with a DETERMINISTIC ±1 (Rademacher) matrix
+    (Achlioptas 2003 — database-friendly random projections) and
+    measure, on sampled pairs, how well scaled projected squared
+    distances preserve the originals: ratio = d²_proj / (K · d²_orig),
+    E[ratio] = 1.  The measured-accuracy row for every sketch that
+    rides a random projection (the ann_recall_eval / minhash_accuracy
+    discipline applied to JL).
+
+    Exactness: vectors quantize to int64 at 2^20; projections are
+    exact integer sign-sums; both squared distances are exact int64;
+    ratio is ONE mirrored float division rounded 6 — no float enters
+    before the final expression (a float GEMM would drift ulps across
+    engines; integer sums cannot).
+
+    Scale shape: quantize + project is map-ONLY (K ints per row leave
+    the actor pool); pairs form by ONE hash join on the anchor key
+    (vec_id vs vec_id − STRIDE over the MOD-sampled anchors) — no
+    all-pairs blowup, sample size is corpus-proportional but the join
+    is key-partitioned.
+
+    Output: (vec_a, vec_b, d2_orig, d2_proj, ratio) per sampled pair.
+    """
+    ds = _read_emb(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        X = _emb_matrix(t)
+        q = np.floor(X * JL_FP + 0.5).astype(np.int64)
+        d = q.shape[1]
+        S = _jl_sign(
+            np.repeat(np.arange(JL_K, dtype=np.int64), d).reshape(JL_K, d),
+            np.tile(np.arange(d, dtype=np.int64), JL_K).reshape(JL_K, d),
+        )
+        y = q @ S.T  # exact int64: |q| <= 2^21, d = 32 -> |y| <= 2^26
+        out = {"vec_id": t["vec_id"]}
+        for k in range(JL_K):
+            out[f"y{k}"] = pa.array(y[:, k], type=pa.int64())
+        # original self-moment needed for the pair distance: ship the
+        # quantized vector too, PACKED as binary (Ray's hash join
+        # rejects list payload columns; the pip_join_shuffle discipline)
+        out["q"] = pa.array([row.tobytes() for row in q], type=pa.binary())
+        return pa.table(out)
+
+    proj = ds.map_batches(project, batch_format="pyarrow")
+
+    def anchor_only(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["vec_id"].to_numpy() % JL_MOD == 0))
+
+    left = proj.map_batches(anchor_only, batch_format="pyarrow")
+
+    def shift_key(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "akey", pa.array(t["vec_id"].to_numpy() - JL_STRIDE, type=pa.int64())
+        )
+        return t.filter(pa.array(t["akey"].to_numpy() % JL_MOD == 0))
+
+    right = proj.map_batches(shift_key, batch_format="pyarrow")
+    right = right.rename_columns(
+        {c: (c if c in ("akey",) else c + "_b") for c in right.columns()}
+    )
+    j = safe_join(left, right, join_type="inner", num_partitions=4, on=("vec_id",), right_on=("akey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], type=pa.int64()),
+                    "vec_b": pa.array([], type=pa.int64()),
+                    "d2_orig": pa.array([], type=pa.int64()),
+                    "d2_proj": pa.array([], type=pa.int64()),
+                    "ratio": pa.array([], type=pa.float64()),
+                }
+            )
+        qa = np.stack([np.frombuffer(v, dtype=np.int64) for v in t["q"].to_pylist()])
+        qb = np.stack([np.frombuffer(v, dtype=np.int64) for v in t["q_b"].to_pylist()])
+        d2o = ((qa - qb) ** 2).sum(axis=1)
+        ya = np.stack([t[f"y{k}"].to_numpy() for k in range(JL_K)], axis=1)
+        yb = np.stack([t[f"y{k}_b"].to_numpy() for k in range(JL_K)], axis=1)
+        d2p = ((ya - yb) ** 2).sum(axis=1)
+        ratio = duckdb_round(
+            d2p.astype(np.float64) / (float(JL_K) * np.maximum(d2o, 1).astype(np.float64)), 6
+        )
+        return pa.table(
+            {
+                "vec_a": t["vec_id"].cast(pa.int64()),
+                "vec_b": t["vec_id_b"].cast(pa.int64()),
+                "d2_orig": pa.array(d2o, type=pa.int64()),
+                "d2_proj": pa.array(d2p, type=pa.int64()),
+                "ratio": pa.array(ratio, type=pa.float64()),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")

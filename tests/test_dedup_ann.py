@@ -695,3 +695,27 @@ def test_edit_distance_verify_finds_planted_dups(ray_session):
     assert (out["sim"] >= 0.8 - 1e-9).all()
     assert (out["lev_dist"] * dd.LEV_SIM_DEN <= out["max_len"]).all()
     assert (out["doc_a"] < out["doc_b"]).all()
+
+
+def test_jl_projection_audit_unbiased_and_exact(ray_session):
+    """Pair distances reconcile with a dense recompute; the mean ratio
+    is near 1 (JL unbiasedness) and the sign matrix is balanced."""
+    out = ann.jl_projection_audit(SF0001).to_pandas().sort_values("vec_a").reset_index(drop=True)
+    assert len(out) > 0
+    t = pq.read_table(SF0001 + "/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    q = {
+        int(r.vec_id): np.floor(np.asarray(r.embedding, dtype=np.float64) * ann.JL_FP + 0.5).astype(np.int64)
+        for r in t.itertuples()
+    }
+    for r in out.head(20).itertuples():
+        d2o = int(((q[r.vec_a] - q[r.vec_b]) ** 2).sum())
+        assert d2o == r.d2_orig
+    # unbiasedness: E[d2_proj] = K * d2_orig -> mean ratio near 1
+    assert 0.5 < out["ratio"].mean() < 1.5
+    # deterministic sign hash is roughly balanced over the K x d matrix
+    d = len(next(iter(q.values())))
+    S = ann._jl_sign(
+        np.repeat(np.arange(ann.JL_K), d).reshape(ann.JL_K, d),
+        np.tile(np.arange(d), ann.JL_K).reshape(ann.JL_K, d),
+    )
+    assert abs(int(S.sum())) < ann.JL_K * d // 3
