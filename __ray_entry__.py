@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": text.langid_confusion,
         "redact_pii": text.redact_pii,
         "doc_fingerprint": text.fingerprint,
+        "winnowing_overlap": text.winnowing_overlap,
         "repetition_ratio": text.repetition_ratio,
         "lz78_complexity": text.lz78_complexity,
         "unigram_logprob": text.unigram_logprob,
@@ -2774,6 +2775,7 @@ SELECT user_id, count(*) AS n_steps,
   CAST(max(CASE WHEN dist_fp * {trajectory.US_PER_S} > {trajectory.SPEED_VMAX_FP} * dt_us THEN dist_fp ELSE 0 END) AS BIGINT) AS max_jump_fp
 FROM s GROUP BY user_id""",
         "hits_scores": f"SELECT * FROM read_parquet('{golden.hits_scores_path(SF001)}')",
+        "winnowing_overlap": f"SELECT * FROM read_parquet('{golden.winnowing_overlap_path(SF001, text.WIN_MIN_SHARED)}')",
         "jl_projection_audit": f"SELECT * FROM read_parquet('{golden.jl_projection_audit_path(SF001)}')",
         "moran_correlogram": f"SELECT * FROM read_parquet('{golden.moran_correlogram_path(SF001)}')",
         "binseg_changepoints": f"SELECT * FROM read_parquet('{golden.binseg_changepoints_path(SF001)}')",

@@ -5048,3 +5048,37 @@ def jl_projection_audit_path(sf_dir: str) -> str:
         )
 
     return _cache(f"jl_audit_{_sf_tag(sf_dir)}", build)
+
+
+def winnowing_overlap_path(sf_dir: str, min_shared: int) -> str:
+    """Expected winnowed-fingerprint pairs: dict-of-buckets pair
+    accumulation here (Counter over co-bucket pairs) vs the engine's
+    distributed hash-keyed groupby — same pairs, same counts."""
+
+    def build() -> pa.Table:
+        from collections import Counter
+
+        from .pipelines.text import _winnow_doc
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        buckets: dict[int, list[int]] = {}
+        for i in range(t.num_rows):
+            did = int(t["doc_id"][i].as_py())
+            for h in _winnow_doc(t["text"][i].as_py().encode("utf-8")).tolist():
+                buckets.setdefault(h, []).append(did)
+        cnt: Counter = Counter()
+        for ids in buckets.values():
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    cnt[(ids[i], ids[j])] += 1
+        pairs = sorted((a, b, n) for (a, b), n in cnt.items() if n >= min_shared)
+        return pa.table(
+            {
+                "doc_a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                "doc_b": pa.array([p[1] for p in pairs], type=pa.int64()),
+                "n_shared": pa.array([p[2] for p in pairs], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"winnow_{_sf_tag(sf_dir)}_{min_shared}", build)

@@ -2042,3 +2042,100 @@ def heaps_law(sf_dir: str, points: int = HEAPS_POINTS) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing_overlap (MOSS-style fingerprint sharing between documents)
+# ---------------------------------------------------------------------------
+
+WIN_K = 8  # k-gram length (bytes)
+WIN_W = 4  # winnowing window (k-gram hashes per window)
+WIN_MIN_SHARED = 60  # pair-match threshold (shared distinct fingerprints)
+WIN_BUCKET_CAP = 4096  # degenerate-hash bucket truncation (logged)
+_WIN_B = np.uint64(1099511628211)  # FNV prime, the fingerprint() base
+
+
+def _winnow_doc(data: bytes) -> np.ndarray:
+    """Distinct winnowed fingerprints of one document (Schleimer,
+    Wilkerson & Aiken 2003): polynomial k-gram hashes mod 2^64, then
+    per length-w window the MINIMUM hash, RIGHTMOST occurrence on
+    ties (robust winnowing) — guarantees any shared substring of
+    length ≥ w+k−1 yields a shared fingerprint."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    if len(b) < WIN_K + WIN_W - 1:
+        return np.empty(0, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        powers = np.cumprod(np.full(WIN_K, _WIN_B, dtype=np.uint64))[::-1]
+        grams = np.lib.stride_tricks.sliding_window_view(b, WIN_K)
+        hashes = (grams * powers).sum(axis=1, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(hashes, WIN_W)
+    # rightmost min: argmin over the REVERSED window, mapped back
+    rev_arg = np.argmin(win[:, ::-1], axis=1)
+    sel = win[np.arange(len(win)), WIN_W - 1 - rev_arg]
+    return np.unique(sel.view(np.int64))
+
+
+def winnowing_overlap(sf_dir: str, min_shared: int = WIN_MIN_SHARED) -> rd.Dataset:
+    """Document-pair overlap via winnowed fingerprints — the MOSS
+    plagiarism/boilerplate detector: docs sharing ≥ min_shared
+    winnowed k-gram hashes contain substantial common substrings
+    (every shared run of ≥ WIN_W+WIN_K−1 bytes is guaranteed
+    represented), sitting between exact dedup (whole-content hash)
+    and minhash (set-resemblance) in the dedup family.
+
+    Determinism: hashes are mod-2^64 integer arithmetic; the
+    rightmost-min window rule is exact; everything after is the
+    audio_fingerprint exchange verbatim.
+
+    Scale shape: fingerprint extraction is map-ONLY (text consumed
+    in-stage; ~len/w 8-byte hashes per doc leave) -> (hash)-keyed
+    groupby with the LSH bucket discipline (> WIN_BUCKET_CAP
+    truncates, logged) -> (pair)-keyed count -> threshold filter.
+    Fingerprints, never text, shuffle.
+
+    Output: (doc_a, doc_b, n_shared) for matched pairs.
+    """
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fingerprints(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        hs: list[np.ndarray] = []
+        for did, txt in zip(t["doc_id"].to_numpy(), t["text"].to_pylist()):
+            h = _winnow_doc(txt.encode("utf-8"))
+            ids.extend([int(did)] * len(h))
+            hs.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "h": pa.array(
+                    np.concatenate(hs) if hs else np.empty(0, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = sorted(g["doc_id"].to_pylist())
+        if len(ids) > WIN_BUCKET_CAP:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "winnowing_overlap: hash bucket truncated %d -> %d", len(ids), WIN_BUCKET_CAP
+            )
+            ids = ids[:WIN_BUCKET_CAP]
+        if len(ids) < 2:
+            return pa.table(
+                {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
+            )
+        a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))])
+        return pa.table(
+            {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
+        )
+
+    pairs = (
+        ds.map_batches(fingerprints, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_shared"))
+    )
+    return pairs.filter(expr=f"n_shared >= {min_shared}")

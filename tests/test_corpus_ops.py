@@ -818,3 +818,33 @@ def test_heaps_law_open_vocabulary(ray_session, tmp_path):
     assert 0.0 < beta <= 1.0
     assert out["n_distinct"].is_monotonic_increasing
     assert out["n_distinct"].iloc[-1] > out["n_distinct"].iloc[0]
+
+
+def test_winnowing_guarantee_and_pairs(ray_session):
+    """Winnowing's coverage guarantee: any shared substring of length
+    >= W+K-1 yields a shared fingerprint; reported pairs match exact
+    set intersections."""
+    from plasmap_ray.pipelines.text import WIN_K, WIN_W, _winnow_doc, winnowing_overlap
+
+    shared = b"the quick brown fox jumps over the lazy dog once more"
+    a = b"PREFIX-A " + shared + b" SUFFIX-A"
+    b_ = b"other lead-in text " + shared + b" different tail"
+    fa, fb = set(_winnow_doc(a).tolist()), set(_winnow_doc(b_).tolist())
+    assert len(shared) >= WIN_W + WIN_K - 1
+    assert fa & fb  # guaranteed shared fingerprint
+    # disjoint byte alphabets -> no shared fingerprints
+    fc = set(_winnow_doc(b"0123456789" * 10).tolist())
+    fd = set(_winnow_doc(b"abcdefghij" * 10).tolist())
+    assert not (fc & fd)
+
+    out = winnowing_overlap("/root/testdata/sf0.001").to_pandas()
+    import pyarrow.parquet as pq2
+
+    t = pq2.read_table("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+    sets = {
+        int(t["doc_id"][i].as_py()): set(_winnow_doc(t["text"][i].as_py().encode()).tolist())
+        for i in range(t.num_rows)
+    }
+    assert len(out) > 0
+    for r in out.itertuples():
+        assert len(sets[r.doc_a] & sets[r.doc_b]) == r.n_shared
