@@ -451,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccf_event_types": windows.ccf_event_types,
         "dau_wau_ratio": windows.dau_wau_ratio,
         "binseg_changepoints": windows.binseg_changepoints,
+        "peak_concurrency": windows.peak_concurrency,
         "follows_latency": windows.follows_latency,
         "dp_tile_counts": privacy.dp_tile_counts,
         "location_unicity": privacy.location_unicity,
@@ -4465,6 +4466,23 @@ c AS (SELECT week_bucket, CAST(count(*) AS BIGINT) AS n_gaps FROM g GROUP BY wee
 t AS (SELECT CAST(sum(n_gaps) AS DOUBLE) AS tot FROM c)
 SELECT week_bucket, n_gaps, round(CAST(n_gaps AS DOUBLE) / tot, 6) AS frac
 FROM c CROSS JOIN t ORDER BY week_bucket""",
+        "peak_concurrency": """
+WITH lagd AS (
+  SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+flags AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM lagd),
+sess AS (
+  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM flags),
+sw AS (SELECT user_id, session_id, epoch_us(min(ts)) AS s0, epoch_us(max(ts)) AS s1
+       FROM sess GROUP BY 1, 2),
+b AS (SELECT s0 AS tus, 1 AS delta FROM sw UNION ALL SELECT s1 AS tus, -1 AS delta FROM sw),
+run AS (SELECT tus, CAST(sum(delta) OVER (ORDER BY tus, delta DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+        FROM b),
+pk AS (SELECT max(conc) AS peak FROM run)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM sw) AS n_sessions,
+       pk.peak AS peak,
+       (SELECT min(tus) FROM run WHERE conc = pk.peak) AS at_us
+FROM pk""",
         "mann_whitney_u": """
 WITH e AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
                   CASE WHEN (epoch_us(ts) // 86400000000) % 7 IN (2, 3) THEN 1 ELSE 0 END AS we

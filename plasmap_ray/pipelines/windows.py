@@ -2328,3 +2328,91 @@ def binseg_changepoints(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# peak_concurrency (sweep-line max of overlapping sessions)
+# ---------------------------------------------------------------------------
+
+PEAK_BIN_US = 3_600_000_000  # 1-hour prefix-scan bins
+
+
+def peak_concurrency(sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> rd.Dataset:
+    """Peak concurrent sessions: the sweep-line maximum of sessions
+    active simultaneously (a session is active on [start, end]
+    inclusive) — THE capacity-planning number behind connection pools
+    and autoscaler floors, computed WITHOUT a global sort via the
+    global_row_numbers two-pass prefix discipline.
+
+    Boundary convention: +1 at start, −1 at end; at equal timestamps
+    arrivals count BEFORE departures (sort key (t, −delta)), so a
+    back-to-back handoff at the same microsecond counts as 2 — the
+    inclusive-interval standard.  at_us reports the EARLIEST time the
+    peak is attained.
+
+    Scale shape: sessions from the sessionize groupby; each session
+    emits 2 boundary rows; pass 1 folds per-HOUR-bin delta sums (bins
+    rows, KB-scale) whose driver cumsum gives each bin's entering
+    concurrency; pass 2 regroups boundaries by bin and scans each bin
+    locally with its offset — no all-to-all sort, per-task memory one
+    bin.  The final reduce takes the max over per-bin peaks.
+
+    Output: one row (n_sessions, peak, at_us).
+    """
+    sess = sessionize(sf_dir, gap_min=gap_min).materialize()  # session-bounded
+    n_sessions = sess.count()
+
+    def boundaries(t: pa.Table) -> pa.Table:
+        s = t["session_start"].cast(pa.int64()).to_numpy()
+        e = t["session_end"].cast(pa.int64()).to_numpy()
+        tus = np.concatenate([s, e])
+        delta = np.concatenate([np.ones(len(s), np.int64), -np.ones(len(e), np.int64)])
+        return pa.table(
+            {
+                "tus": pa.array(tus, type=pa.int64()),
+                "delta": pa.array(delta, type=pa.int64()),
+                "bin": pa.array(tus // PEAK_BIN_US, type=pa.int64()),
+            }
+        )
+
+    bounds = sess.map_batches(boundaries, batch_format="pyarrow").materialize()
+    bin_sums = (
+        bounds.groupby("bin").aggregate(Sum("delta", alias_name="dsum")).to_pandas().sort_values("bin")
+    )
+    # entering concurrency of each bin = cumsum of all PRIOR bins
+    offsets = dict(
+        zip(
+            bin_sums["bin"].to_numpy(),
+            np.concatenate([[0], np.cumsum(bin_sums["dsum"].to_numpy())[:-1]]).astype(np.int64),
+        )
+    )
+
+    empty = pa.table(
+        {"peak": pa.array([], type=pa.int64()), "at_us": pa.array([], type=pa.int64())}
+    )
+
+    def scan_bin(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        tus = g["tus"].to_numpy()
+        delta = g["delta"].to_numpy()
+        order = np.lexsort((-delta, tus))  # arrivals before departures at equal t
+        run = np.cumsum(delta[order]) + offsets[int(g["bin"][0].as_py())]
+        peak = int(run.max())
+        at = int(tus[order][int(np.argmax(run == peak))])
+        return pa.table(
+            {"peak": pa.array([peak], type=pa.int64()), "at_us": pa.array([at], type=pa.int64())}
+        )
+
+    per_bin = bounds.groupby("bin").map_groups(scan_bin, batch_format="pyarrow").to_pandas()
+    peak = int(per_bin["peak"].max())
+    at_us = int(per_bin.loc[per_bin["peak"] == peak, "at_us"].min())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_sessions": pa.array([n_sessions], type=pa.int64()),
+                "peak": pa.array([peak], type=pa.int64()),
+                "at_us": pa.array([at_us], type=pa.int64()),
+            }
+        )
+    )

@@ -112,3 +112,26 @@ def test_binseg_changepoints_pipeline(ray_session):
         assert list(out["rank"]) == list(range(1, len(out) + 1))
         assert (out["n_left"] >= W.BINSEG_MIN_SEG).all()
         assert (out["n_right"] >= W.BINSEG_MIN_SEG).all()
+
+
+def test_peak_concurrency_matches_global_sweep(ray_session):
+    """The binned two-pass scan equals a single global sweep-line."""
+    import numpy as np
+
+    from plasmap_ray.pipelines import windows as W
+
+    sf = "/root/testdata/sf0.001"
+    got = W.peak_concurrency(sf).to_pandas().iloc[0]
+    sess = W.sessionize(sf).to_pandas()
+    s0 = sess["session_start"].astype("datetime64[us]").astype("int64").to_numpy()
+    s1 = sess["session_end"].astype("datetime64[us]").astype("int64").to_numpy()
+    tus = np.concatenate([s0, s1])
+    delta = np.concatenate([np.ones(len(s0), np.int64), -np.ones(len(s1), np.int64)])
+    order = np.lexsort((-delta, tus))
+    run = np.cumsum(delta[order])
+    peak = int(run.max())
+    assert got["n_sessions"] == len(sess)
+    assert got["peak"] == peak
+    at = int(tus[order][int(np.argmax(run == peak))])
+    assert got["at_us"] == at
+    assert 1 <= peak <= len(sess)
