@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": trajectory.hits_scores,
         "label_propagation_communities": trajectory.label_propagation_communities,
         "flow_divergence": trajectory.flow_divergence,
+        "ipf_od_balancing": trajectory.ipf_od_balancing,
         "displacement_histogram": trajectory.displacement_histogram,
         "transition_entropy": trajectory.transition_entropy,
         "gravity_decay_fit": trajectory.gravity_decay_fit,
@@ -2776,6 +2777,7 @@ SELECT user_id, count(*) AS n_steps,
   CAST(max(CASE WHEN dist_fp * {trajectory.US_PER_S} > {trajectory.SPEED_VMAX_FP} * dt_us THEN dist_fp ELSE 0 END) AS BIGINT) AS max_jump_fp
 FROM s GROUP BY user_id""",
         "hits_scores": f"SELECT * FROM read_parquet('{golden.hits_scores_path(SF001)}')",
+        "ipf_od_balancing": f"SELECT * FROM read_parquet('{golden.ipf_od_balancing_path(SF001)}')",
         "winnowing_overlap": f"SELECT * FROM read_parquet('{golden.winnowing_overlap_path(SF001, text.WIN_MIN_SHARED)}')",
         "jl_projection_audit": f"SELECT * FROM read_parquet('{golden.jl_projection_audit_path(SF001)}')",
         "moran_correlogram": f"SELECT * FROM read_parquet('{golden.moran_correlogram_path(SF001)}')",

@@ -5082,3 +5082,77 @@ def winnowing_overlap_path(sf_dir: str, min_shared: int) -> str:
         )
 
     return _cache(f"winnow_{_sf_tag(sf_dir)}_{min_shared}", build)
+
+
+def ipf_od_balancing_path(sf_dir: str) -> str:
+    """Golden IPF recompute: OD flows from a pandas first/last scan
+    and the sweeps run with per-pair Python dict updates (vs the
+    engine's np.add.at object arrays) — same big-int sequence."""
+
+    def build() -> pa.Table:
+        from . import cells as _cells
+        from . import fixtures
+        from .pipelines.trajectory import IPF_FP, IPF_ITERS, OD_PRECISION
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
+        )
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        first = df.groupby("user_id").head(1)
+        last = df.groupby("user_id").tail(1)
+        o_cell = _cells.encode(
+            fixtures.derive_lon(first["event_id"].to_numpy()),
+            fixtures.derive_lat(first["event_id"].to_numpy()),
+            OD_PRECISION,
+        )
+        d_cell = _cells.encode(
+            fixtures.derive_lon(last["event_id"].to_numpy()),
+            fixtures.derive_lat(last["event_id"].to_numpy()),
+            OD_PRECISION,
+        )
+        from collections import Counter
+
+        flows = Counter(zip(o_cell.tolist(), d_cell.tolist()))
+        pairs = sorted(flows)
+        n = {p: flows[p] for p in pairs}
+        row_t: dict[int, int] = {}
+        col_t: dict[int, int] = {}
+        for (a, b), v in n.items():
+            row_t[a] = row_t.get(a, 0) + v
+            col_t[b] = col_t.get(b, 0) + v
+        ox, oy = _cells.deinterleave(np.array([p[0] for p in pairs], dtype=np.uint64))
+        dx, dy = _cells.deinterleave(np.array([p[1] for p in pairs], dtype=np.uint64))
+        cheb = np.maximum(
+            np.abs(ox.astype(np.int64) - dx.astype(np.int64)),
+            np.abs(oy.astype(np.int64) - dy.astype(np.int64)),
+        )
+        seed = {
+            p: (row_t[p[0]] * col_t[p[1]] * IPF_FP) // (1 + int(c) * int(c))
+            for p, c in zip(pairs, cheb)
+        }
+        tt = dict(seed)
+        fp2 = IPF_FP * IPF_FP
+        for _ in range(IPF_ITERS):
+            rs: dict[int, int] = {}
+            for (a, b), v in tt.items():
+                rs[a] = rs.get(a, 0) + v
+            fac = {a: row_t[a] * IPF_FP * fp2 // max(s, 1) for a, s in rs.items()}
+            tt = {p: v * fac[p[0]] // fp2 for p, v in tt.items()}
+            cs: dict[int, int] = {}
+            for (a, b), v in tt.items():
+                cs[b] = cs.get(b, 0) + v
+            gac = {b: col_t[b] * IPF_FP * fp2 // max(s, 1) for b, s in cs.items()}
+            tt = {p: v * gac[p[1]] // fp2 for p, v in tt.items()}
+        cap = np.iinfo(np.int64).max
+        return pa.table(
+            {
+                "o_cell": pa.array([p[0] for p in pairs], type=pa.int64()),
+                "d_cell": pa.array([p[1] for p in pairs], type=pa.int64()),
+                "n_users": pa.array([n[p] for p in pairs], type=pa.int64()),
+                "seed_fp": pa.array([min(seed[p], cap) for p in pairs], type=pa.int64()),
+                "fitted_fp": pa.array([tt[p] for p in pairs], type=pa.int64()),
+                "resid_fp": pa.array([tt[p] - n[p] * IPF_FP for p in pairs], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"ipf_{_sf_tag(sf_dir)}", build)

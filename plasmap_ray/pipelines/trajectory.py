@@ -2619,3 +2619,94 @@ def flow_divergence(sf_dir: str, pitch: float = TRANS_PITCH) -> rd.Dataset:
         return t.append_column("imbalance", pa.array(imb, type=pa.float64()))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# ipf_od_balancing (doubly-constrained gravity via deterministic IPF)
+# ---------------------------------------------------------------------------
+
+IPF_ITERS = 10
+IPF_FP = 1 << 20  # flow fixed-point pitch
+
+
+def ipf_od_balancing(sf_dir: str, precision: int = OD_PRECISION, iters: int = IPF_ITERS) -> rd.Dataset:
+    """Doubly-constrained gravity model via iterative proportional
+    fitting (Deming & Stephan 1940; Sinkhorn's theorem guarantees
+    convergence): seed T⁰ = n_o·n_d / (1 + cheb²) (a Chebyshev-
+    distance-decay kernel over the cells' deinterleaved grid coords),
+    then alternately rescale rows to the observed origin marginals and
+    columns to the observed destination marginals — the transport-
+    demand calibration behind every four-step travel model; od_gravity
+    screens the independence model, this FITS the constrained one.
+
+    Determinism: flows live as fixed-point (×2^20) PYTHON BIG INTS —
+    each IPF rescale is the exact integer expression ``t · (target·FP·FP²
+    // rowsum) // FP²``, so the fitted matrix after any round count is
+    bit-identical anywhere (the pagerank discipline without int64
+    overflow: the seed's transient n_o·n_d·FP magnitude exceeds 2^63
+    already at sf0.01); the fitted values return to target·FP
+    magnitude and emit as int64 (seed_fp min-capped for the report).
+
+    Scale shape: od_matrix is the only row-bounded exchange; the IPF
+    sweeps run on the OBSERVED-PAIR aggregate (chi2/Gi*/HITS finalize
+    discipline — pairs ≪ input rows; at continental lattices each
+    sweep is one groupby-sum + broadcast-factor map over the pair
+    table, same integers).
+
+    Output: (o_cell, d_cell, n_users, seed_fp, fitted_fp, resid_fp =
+    fitted − n_users·FP).
+    """
+    od = od_matrix(sf_dir, precision=precision).to_pandas()
+    o = od["o_cell"].to_numpy()
+    d = od["d_cell"].to_numpy()
+    n = od["n_users"].to_numpy().astype(np.int64)
+    ox, oy = cells.deinterleave(o.astype(np.uint64))
+    dx, dy = cells.deinterleave(d.astype(np.uint64))
+    cheb = np.maximum(
+        np.abs(ox.astype(np.int64) - dx.astype(np.int64)),
+        np.abs(oy.astype(np.int64) - dy.astype(np.int64)),
+    )
+    ouniq, oinv = np.unique(o, return_inverse=True)
+    duniq, dinv = np.unique(d, return_inverse=True)
+    row_target = np.zeros(len(ouniq), dtype=np.int64)
+    np.add.at(row_target, oinv, n)
+    col_target = np.zeros(len(duniq), dtype=np.int64)
+    np.add.at(col_target, dinv, n)
+    n_o = row_target[oinv]
+    n_d = col_target[dinv]
+    # big-int (object) arithmetic: the sweep is exact at ANY magnitude —
+    # int64 would overflow in the transient first rescale at sf >= 0.01
+    seed = (n_o.astype(object) * n_d.astype(object) * IPF_FP) // (1 + cheb * cheb).astype(object)
+    t = seed.copy()
+    fp2 = IPF_FP * IPF_FP
+    for _ in range(iters):
+        rs = np.zeros(len(ouniq), dtype=object)
+        np.add.at(rs, oinv, t)
+        f = np.array(
+            [int(rt) * IPF_FP * fp2 // max(int(s), 1) for rt, s in zip(row_target, rs)],
+            dtype=object,
+        )
+        t = (t * f[oinv]) // fp2
+        cs = np.zeros(len(duniq), dtype=object)
+        np.add.at(cs, dinv, t)
+        g = np.array(
+            [int(ct) * IPF_FP * fp2 // max(int(s), 1) for ct, s in zip(col_target, cs)],
+            dtype=object,
+        )
+        t = (t * g[dinv]) // fp2
+    # fitted row/col sums now sit within 1 fp-ulp·pairs of target·FP;
+    # values are back at target·FP magnitude -> int64-safe to emit
+    t = t.astype(np.int64)
+    seed_out = np.minimum(seed, np.iinfo(np.int64).max).astype(np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "o_cell": pa.array(o, type=pa.int64()),
+                "d_cell": pa.array(d, type=pa.int64()),
+                "n_users": pa.array(n, type=pa.int64()),
+                "seed_fp": pa.array(seed_out, type=pa.int64()),
+                "fitted_fp": pa.array(t, type=pa.int64()),
+                "resid_fp": pa.array(t - n * IPF_FP, type=pa.int64()),
+            }
+        )
+    )

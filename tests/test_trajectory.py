@@ -862,3 +862,19 @@ def test_flow_divergence_conservation(ray_session):
     got = out.set_index(["cx", "cy"])["outflow"]
     for k, v in o.items():
         assert got[k] == v
+
+
+def test_ipf_marginals_converge(ray_session):
+    """After the sweeps, fitted row/col sums match the observed
+    marginals to within one fp-ulp per pair (Sinkhorn convergence)."""
+    out = trajectory.ipf_od_balancing(SF).to_pandas()
+    FP = trajectory.IPF_FP
+    col = out.groupby("d_cell").agg(fit=("fitted_fp", "sum"), obs=("n_users", "sum"))
+    # the column rescale ran LAST -> column marginals are tight
+    err = (col["fit"] - col["obs"] * FP).abs()
+    pairs_per_col = out.groupby("d_cell").size()
+    assert (err <= pairs_per_col.loc[col.index].to_numpy() + 1).all()
+    row = out.groupby("o_cell").agg(fit=("fitted_fp", "sum"), obs=("n_users", "sum"))
+    rel = ((row["fit"] - row["obs"] * FP).abs() / (row["obs"] * FP)).max()
+    assert rel < 0.05  # rows converge too (one sweep behind)
+    assert (out["fitted_fp"] >= 0).all()
