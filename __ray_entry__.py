@@ -448,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_whitney_u": stats.mann_whitney_u,
         "hbos_outliers": stats.hbos_outliers,
         "interpurchase_intervals": relational.interpurchase_intervals,
+        "bootstrap_ci": stats.bootstrap_ci,
         "acf_hourly": windows.acf_hourly,
         "ccf_event_types": windows.ccf_event_types,
         "dau_wau_ratio": windows.dau_wau_ratio,
@@ -2777,6 +2778,7 @@ SELECT user_id, count(*) AS n_steps,
   CAST(max(CASE WHEN dist_fp * {trajectory.US_PER_S} > {trajectory.SPEED_VMAX_FP} * dt_us THEN dist_fp ELSE 0 END) AS BIGINT) AS max_jump_fp
 FROM s GROUP BY user_id""",
         "hits_scores": f"SELECT * FROM read_parquet('{golden.hits_scores_path(SF001)}')",
+        "bootstrap_ci": f"SELECT * FROM read_parquet('{golden.bootstrap_ci_path(SF001)}')",
         "ipf_od_balancing": f"SELECT * FROM read_parquet('{golden.ipf_od_balancing_path(SF001)}')",
         "winnowing_overlap": f"SELECT * FROM read_parquet('{golden.winnowing_overlap_path(SF001, text.WIN_MIN_SHARED)}')",
         "jl_projection_audit": f"SELECT * FROM read_parquet('{golden.jl_projection_audit_path(SF001)}')",

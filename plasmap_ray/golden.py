@@ -5156,3 +5156,60 @@ def ipf_od_balancing_path(sf_dir: str) -> str:
         )
 
     return _cache(f"ipf_{_sf_tag(sf_dir)}", build)
+
+
+def bootstrap_ci_path(sf_dir: str) -> str:
+    """Golden Poisson-bootstrap recompute: per-row scalar hash loop
+    (vs the engine's vectorized batch partials) — identical weights,
+    identical replicate sums, same rank selections."""
+
+    def build() -> pa.Table:
+        from .pipelines.stats import BOOT_B, _BOOT_THRESH
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+        )
+        ids = t["o_orderkey"].to_numpy()
+        cents = np.floor(t["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        thresh = [int(x) for x in _BOOT_THRESH]
+        M1 = 0x9E3779B97F4A7C15
+        M2 = 0xBF58476D1CE4E5B9
+        M3 = 0x94D049BB133111EB
+        mask = (1 << 64) - 1
+        means = []
+        for b in range(BOOT_B):
+            sw = swx = 0
+            for i, c in zip(ids.tolist(), cents.tolist()):
+                h = (i * M1 + (b + 1) * M2) & mask
+                h ^= h >> 31
+                h = (h * M3) & mask
+                h ^= h >> 29
+                u = h >> 1
+                w = 0
+                while w < len(thresh) and u >= thresh[w]:
+                    w += 1
+                sw += w
+                swx += w * c
+            means.append(swx / max(sw, 1) / 100.0)
+        ms = np.sort(np.array(means))
+        import math as m
+
+        k_lo = max(1, m.ceil(0.025 * BOOT_B))
+        k_hi = max(1, m.ceil(0.975 * BOOT_B))
+        n = len(ids)
+        return pa.table(
+            {
+                "n_orders": pa.array([n], type=pa.int64()),
+                "mean_value": pa.array(
+                    duckdb_round(np.array([int(cents.sum()) / n / 100.0]), 6), type=pa.float64()
+                ),
+                "ci_lo": pa.array(duckdb_round(np.array([ms[k_lo - 1]]), 6), type=pa.float64()),
+                "ci_hi": pa.array(duckdb_round(np.array([ms[k_hi - 1]]), 6), type=pa.float64()),
+                "se_boot": pa.array(
+                    duckdb_round(np.array([float(np.std(ms, ddof=1))]), 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return _cache(f"bootstrap_{_sf_tag(sf_dir)}", build)

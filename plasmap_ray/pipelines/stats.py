@@ -1589,3 +1589,119 @@ def hbos_outliers(sf_dir: str, topk: int = HBOS_TOPK) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_ci (deterministic Poisson bootstrap of the mean)
+# ---------------------------------------------------------------------------
+
+BOOT_B = 200  # bootstrap replicates
+# integer inverse-CDF thresholds for Poisson(1): floor(cum_k * 2^63)
+# (k = 0..8; the tail beyond 8 has probability < 1e-9 and rounds in)
+_BOOT_CUM = []
+_acc = 0.0
+_fact = 1.0
+import math as _math  # noqa: E402
+
+for _k in range(9):
+    if _k:
+        _fact *= _k
+    _acc += _math.exp(-1.0) / _fact
+    _BOOT_CUM.append(min(int(_acc * (1 << 63)), (1 << 63) - 1))
+_BOOT_THRESH = np.array(_BOOT_CUM, dtype=np.int64)
+
+
+def _boot_weights(ids: np.ndarray, b: int) -> np.ndarray:
+    """Poisson(1) draw count of each row in replicate ``b`` — a pure
+    integer hash of (id, b) compared against integer CDF thresholds:
+    no RNG state, reshard-proof, identical on any worker."""
+    h = (
+        ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        + np.uint64(b + 1) * np.uint64(0xBF58476D1CE4E5B9)
+    )
+    h ^= h >> np.uint64(31)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(29)
+    u = (h >> np.uint64(1)).astype(np.int64)  # uniform in [0, 2^63)
+    return np.searchsorted(_BOOT_THRESH, u, side="left").astype(np.int64)
+
+
+def bootstrap_ci(sf_dir: str, b_reps: int = BOOT_B) -> rd.Dataset:
+    """Percentile-bootstrap 95% CI for the mean order value via the
+    POISSON bootstrap (Chamandy et al. 2012 — the resampling scheme
+    that works on partitioned data: each row enters replicate b
+    Poisson(1) times, independently per row, so no replicate ever
+    needs a global sample).  The uncertainty row every KPI dashboard
+    should carry next to its point estimate.
+
+    Determinism: draw counts come from an integer hash of (o_orderkey,
+    b) against integer Poisson CDF thresholds — no RNG state; per-
+    replicate (Σw·cents, Σw) fold as exact int64 through the aggregate
+    tree; each replicate mean is ONE mirrored float division; the CI
+    bounds are exact rank selections (quantile_disc convention) over
+    the B means.
+
+    Scale shape: ONE scan emitting B-row partials per batch (map-side
+    combiner over replicates) -> a B-row groupby -> driver rank
+    selection over B rows.  B is constant — nothing scales with input.
+
+    Output: one row (n_orders, mean_value, ci_lo, ci_hi, se_boot).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["o_orderkey"].to_numpy()
+        cents = np.floor(t["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        reps = np.arange(b_reps, dtype=np.int64)
+        sw = np.empty(b_reps, dtype=np.int64)
+        swx = np.empty(b_reps, dtype=np.int64)
+        for b in range(b_reps):
+            w = _boot_weights(ids, b)
+            sw[b] = int(w.sum())
+            swx[b] = int((w * cents).sum())
+        return pa.table(
+            {
+                "b": pa.array(reps, type=pa.int64()),
+                "sw": pa.array(sw, type=pa.int64()),
+                "swx": pa.array(swx, type=pa.int64()),
+                "n": pa.array(np.full(b_reps, len(ids), dtype=np.int64), type=pa.int64()),
+                "sx": pa.array(np.full(b_reps, int(cents.sum()), dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(
+            Sum("sw", alias_name="sw"),
+            Sum("swx", alias_name="swx"),
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+        )
+        .to_pandas()
+        .sort_values("b")
+    )
+    means = agg["swx"].to_numpy().astype(np.float64) / np.maximum(
+        agg["sw"].to_numpy(), 1
+    ).astype(np.float64) / 100.0
+    n = int(agg["n"].iloc[0])
+    mean = float(agg["sx"].iloc[0]) / n / 100.0
+    ms = np.sort(means)
+    k_lo = max(1, math.ceil(0.025 * b_reps))
+    k_hi = max(1, math.ceil(0.975 * b_reps))
+    se = float(np.std(ms, ddof=1))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_orders": pa.array([n], type=pa.int64()),
+                "mean_value": pa.array(duckdb_round(np.array([mean]), 6), type=pa.float64()),
+                "ci_lo": pa.array(duckdb_round(np.array([ms[k_lo - 1]]), 6), type=pa.float64()),
+                "ci_hi": pa.array(duckdb_round(np.array([ms[k_hi - 1]]), 6), type=pa.float64()),
+                "se_boot": pa.array(duckdb_round(np.array([se]), 6), type=pa.float64()),
+            }
+        )
+    )

@@ -257,3 +257,17 @@ def test_hbos_outliers_matches_dense_recompute(ray_session):
     rest = c.sort_values(["score"]).iloc[stats.HBOS_TOPK:]
     if len(rest):
         assert got["score"].max() <= rest["score"].min()
+
+
+def test_bootstrap_ci_brackets_mean_and_weights_poisson(ray_session):
+    """CI brackets the point estimate; hash weights average ~1 and are
+    batch-invariant (the partition-independence Poisson bootstrap needs)."""
+    got = stats.bootstrap_ci(SF).to_pandas().iloc[0]
+    assert got["ci_lo"] <= got["mean_value"] <= got["ci_hi"]
+    assert got["se_boot"] > 0
+    ids = np.arange(1, 20001, dtype=np.int64)
+    w = stats._boot_weights(ids, 7)
+    assert abs(w.mean() - 1.0) < 0.05  # Poisson(1) mass
+    assert w.max() <= 8
+    # reshard-proof: weights depend only on (id, b), not array position
+    assert (stats._boot_weights(ids[::-1], 7)[::-1] == w).all()
