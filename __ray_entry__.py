@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": text.redact_pii,
         "doc_fingerprint": text.fingerprint,
         "winnowing_overlap": text.winnowing_overlap,
+        "ndcg_eval": index.ndcg_eval,
         "repetition_ratio": text.repetition_ratio,
         "lz78_complexity": text.lz78_complexity,
         "unigram_logprob": text.unigram_logprob,
@@ -2778,6 +2779,7 @@ SELECT user_id, count(*) AS n_steps,
   CAST(max(CASE WHEN dist_fp * {trajectory.US_PER_S} > {trajectory.SPEED_VMAX_FP} * dt_us THEN dist_fp ELSE 0 END) AS BIGINT) AS max_jump_fp
 FROM s GROUP BY user_id""",
         "hits_scores": f"SELECT * FROM read_parquet('{golden.hits_scores_path(SF001)}')",
+        "ndcg_eval": f"SELECT * FROM read_parquet('{golden.ndcg_eval_path(SF001, ('spark', 'data'), 20)}')",
         "bootstrap_ci": f"SELECT * FROM read_parquet('{golden.bootstrap_ci_path(SF001)}')",
         "ipf_od_balancing": f"SELECT * FROM read_parquet('{golden.ipf_od_balancing_path(SF001)}')",
         "winnowing_overlap": f"SELECT * FROM read_parquet('{golden.winnowing_overlap_path(SF001, text.WIN_MIN_SHARED)}')",

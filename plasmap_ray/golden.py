@@ -5213,3 +5213,55 @@ def bootstrap_ci_path(sf_dir: str) -> str:
         )
 
     return _cache(f"bootstrap_{_sf_tag(sf_dir)}", build)
+
+
+def ndcg_eval_path(sf_dir: str, tokens: tuple, k: int) -> str:
+    """Golden NDCG recompute: relevance by scalar token loops, the
+    ideal head by a full sorted() (vs the engine's combiner prune),
+    retrieved rankings replayed through the same retriever surfaces."""
+
+    def build() -> pa.Table:
+        from .pipelines.index import NDCG_FP, search_bm25, search_ranked
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        tok_set = set(tokens)
+        rel_map: dict[int, int] = {}
+        for i in range(t.num_rows):
+            r = sum(1 for w in t["text"][i].as_py().split(" ") if w in tok_set)
+            if r:
+                rel_map[int(t["doc_id"][i].as_py())] = r
+        ideal = [r for _, r in sorted(rel_map.items(), key=lambda kv: (-kv[1], kv[0]))[:k]]
+
+        def dcg_fp(seq) -> int:
+            tot = 0
+            for i, r in enumerate(seq, start=1):
+                tot += int(np.floor(r / np.log2(i + 1.0) * NDCG_FP + 0.5))
+            return tot
+
+        idcg = dcg_fp(ideal)
+        rows = {"retriever": [], "k": [], "n_rel_docs": [], "dcg": [], "idcg": [], "ndcg": []}
+        for name, ranked, col in (
+            ("tfidf", search_ranked(sf_dir, tokens=tokens, k=k).to_pandas(), "search_rank"),
+            ("bm25", search_bm25(sf_dir, tokens=tokens, k=k).to_pandas(), "bm25_rank"),
+        ):
+            ids = ranked.sort_values(col)["doc_id"].to_numpy()
+            dcg = dcg_fp([rel_map.get(int(i), 0) for i in ids])
+            rows["retriever"].append(name)
+            rows["k"].append(k)
+            rows["n_rel_docs"].append(len(rel_map))
+            rows["dcg"].append(float(duckdb_round(np.array([dcg / NDCG_FP]), 6)[0]))
+            rows["idcg"].append(float(duckdb_round(np.array([idcg / NDCG_FP]), 6)[0]))
+            rows["ndcg"].append(float(duckdb_round(np.array([dcg / max(idcg, 1)]), 6)[0]))
+        return pa.table(
+            {
+                "retriever": pa.array(rows["retriever"], type=pa.string()),
+                "k": pa.array(rows["k"], type=pa.int64()),
+                "n_rel_docs": pa.array(rows["n_rel_docs"], type=pa.int64()),
+                "dcg": pa.array(rows["dcg"], type=pa.float64()),
+                "idcg": pa.array(rows["idcg"], type=pa.float64()),
+                "ndcg": pa.array(rows["ndcg"], type=pa.float64()),
+            }
+        )
+
+    return _cache(f"ndcg_{_sf_tag(sf_dir)}_{'_'.join(tokens)}_{k}", build)

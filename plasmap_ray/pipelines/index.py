@@ -470,3 +470,109 @@ def rbo_rankings(sf_dir: str, tokens: tuple[str, ...] = ("spark", "data"), k: in
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ndcg_eval (graded-relevance ranking quality of both retrievers)
+# ---------------------------------------------------------------------------
+
+NDCG_FP = 1e12  # fixed-point pitch for per-rank discounted terms
+
+
+def _rel_counts(sf_dir: str, tokens: tuple[str, ...]) -> rd.Dataset:
+    """(doc_id, rel) for docs with rel > 0: rel = exact count of
+    whitespace tokens equal to any query token — the graded-relevance
+    truth an offline eval judges rankings against."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    tok_set = set(tokens)
+
+    def rel(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        out_i, out_r = [], []
+        for did, txt in zip(ids, t["text"].to_pylist()):
+            r = sum(1 for w in txt.split(" ") if w in tok_set)
+            if r:
+                out_i.append(int(did))
+                out_r.append(r)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_i, type=pa.int64()),
+                "rel": pa.array(out_r, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rel, batch_format="pyarrow")
+
+
+def ndcg_eval(sf_dir: str, tokens: tuple[str, ...] = ("spark", "data"), k: int = 20) -> rd.Dataset:
+    """NDCG@k of the TF-IDF and BM25 retrievers against an EXACT
+    graded-relevance truth (rel(doc) = query-token occurrence count):
+    DCG = Σ rel_i/log2(i+1) over the retrieved ranking, IDCG the same
+    sum over the corpus-ideal top-k — the offline ranking-quality
+    number a search migration gates on (rbo_rankings measures the two
+    rankings' AGREEMENT; this scores each against ground truth).
+
+    Exactness: relevances are exact integer counts; the ideal top-k is
+    an exact (rel DESC, doc_id ASC) selection via the ranked-head
+    combiner; each discounted term pins at 1e12 once so both sums are
+    order-free int64 and bit-mirrored in the golden recompute.
+
+    Scale shape: ONE corpus scan emits (doc_id, rel>0) rows; the ideal
+    head is a per-batch local top-k prune -> tiny global selection
+    (the hill_tail_index combiner); retrieved ids are k-bounded driver
+    state from the retrievers' own corpus-scale DAGs.
+
+    Output: (retriever, k, n_rel_docs, dcg, idcg, ndcg) — two rows.
+    """
+    from ..stages.common import duckdb_round
+
+    rels = _rel_counts(sf_dir, tokens).materialize()
+    n_rel = rels.count()
+
+    def local_top(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas().sort_values(["rel", "doc_id"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    top = (
+        rels.map_batches(local_top, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["rel", "doc_id"], ascending=[False, True])
+        .head(k)
+    )
+    ideal = top["rel"].to_numpy().astype(np.int64)
+    rel_map = dict(zip(rels.to_pandas()["doc_id"], rels.to_pandas()["rel"]))
+
+    def dcg_fp(rel_seq: np.ndarray) -> int:
+        d = np.arange(1, len(rel_seq) + 1, dtype=np.float64)
+        terms = rel_seq.astype(np.float64) / np.log2(d + 1.0)
+        return int(np.floor(terms * NDCG_FP + 0.5).astype(np.int64).sum())
+
+    idcg = dcg_fp(ideal)
+    rows = {"retriever": [], "k": [], "n_rel_docs": [], "dcg": [], "idcg": [], "ndcg": []}
+    for name, ranked, rank_col in (
+        ("tfidf", search_ranked(sf_dir, tokens=tokens, k=k).to_pandas(), "search_rank"),
+        ("bm25", search_bm25(sf_dir, tokens=tokens, k=k).to_pandas(), "bm25_rank"),
+    ):
+        ids = ranked.sort_values(rank_col)["doc_id"].to_numpy()
+        rel_seq = np.array([rel_map.get(int(i), 0) for i in ids], dtype=np.int64)
+        dcg = dcg_fp(rel_seq)
+        rows["retriever"].append(name)
+        rows["k"].append(k)
+        rows["n_rel_docs"].append(n_rel)
+        rows["dcg"].append(float(duckdb_round(np.array([dcg / NDCG_FP]), 6)[0]))
+        rows["idcg"].append(float(duckdb_round(np.array([idcg / NDCG_FP]), 6)[0]))
+        rows["ndcg"].append(float(duckdb_round(np.array([dcg / max(idcg, 1)]), 6)[0]))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "retriever": pa.array(rows["retriever"], type=pa.string()),
+                "k": pa.array(rows["k"], type=pa.int64()),
+                "n_rel_docs": pa.array(rows["n_rel_docs"], type=pa.int64()),
+                "dcg": pa.array(rows["dcg"], type=pa.float64()),
+                "idcg": pa.array(rows["idcg"], type=pa.float64()),
+                "ndcg": pa.array(rows["ndcg"], type=pa.float64()),
+            }
+        )
+    )

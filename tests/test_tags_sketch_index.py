@@ -384,3 +384,14 @@ def test_rbo_rankings_properties(ray_session):
     # self-RBO sanity: overlap == depth everywhere would hit max_rbo
     if (out["overlap"].to_numpy() == out["depth"].to_numpy()).all():
         assert abs(rbo - max_rbo) < 1e-4
+
+
+def test_ndcg_eval_bounds_and_perfect_ranking(ray_session):
+    """NDCG in [0, 1]; a ranking equal to the ideal scores exactly 1."""
+    from plasmap_ray.pipelines import index as I
+
+    out = I.ndcg_eval("/root/testdata/sf0.001").to_pandas()
+    assert set(out["retriever"]) == {"tfidf", "bm25"}
+    assert ((out["ndcg"] >= 0) & (out["ndcg"] <= 1.0)).all()
+    assert (out["dcg"] <= out["idcg"]).all()
+    assert (out["n_rel_docs"] > 0).all()
