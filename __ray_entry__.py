@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hbos_outliers": stats.hbos_outliers,
         "interpurchase_intervals": relational.interpurchase_intervals,
         "bootstrap_ci": stats.bootstrap_ci,
+        "expectations_audit": stats.expectations_audit,
         "acf_hourly": windows.acf_hourly,
         "ccf_event_types": windows.ccf_event_types,
         "dau_wau_ratio": windows.dau_wau_ratio,
@@ -4489,6 +4490,27 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM sw) AS n_sessions,
        pk.peak AS peak,
        (SELECT min(tus) FROM run WHERE conc = pk.peak) AS at_us
 FROM pk""",
+        "expectations_audit": f"""
+WITH f AS (SELECT
+  CASE WHEN l_quantity >= 1.0 AND l_quantity <= 50.0 THEN 1 ELSE 0 END AS r1,
+  CASE WHEN l_discount >= 0.0 AND l_discount <= 0.10 THEN 1 ELSE 0 END AS r2,
+  CASE WHEN l_tax >= 0.0 THEN 1 ELSE 0 END AS r3,
+  CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1 ELSE 0 END AS r4,
+  CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END AS r5,
+  CASE WHEN l_extendedprice > 0.0 THEN 1 ELSE 0 END AS r6
+  FROM lineitem),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r1) AS BIGINT) AS p1, CAST(sum(r2) AS BIGINT) AS p2,
+             CAST(sum(r3) AS BIGINT) AS p3, CAST(sum(r4) AS BIGINT) AS p4,
+             CAST(sum(r5) AS BIGINT) AS p5, CAST(sum(r6) AS BIGINT) AS p6
+      FROM f)
+SELECT r.rule_id, r.rule, a.n AS n_rows,
+       CASE r.rule_id WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3
+            WHEN 4 THEN p4 WHEN 5 THEN p5 ELSE p6 END AS n_pass,
+       a.n - CASE r.rule_id WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3
+            WHEN 4 THEN p4 WHEN 5 THEN p5 ELSE p6 END AS n_fail
+FROM (VALUES {", ".join(f"({i}, '{r}')" for i, r in stats.EXPECT_RULES)}) AS r(rule_id, rule)
+CROSS JOIN a ORDER BY r.rule_id""",
         "mann_whitney_u": """
 WITH e AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
                   CASE WHEN (epoch_us(ts) // 86400000000) % 7 IN (2, 3) THEN 1 ELSE 0 END AS we

@@ -1705,3 +1705,94 @@ def bootstrap_ci(sf_dir: str, b_reps: int = BOOT_B) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# expectations_audit (declarative data-contract rules, one fused scan)
+# ---------------------------------------------------------------------------
+
+# (rule_id, human-readable rule) — the lineitem data contract.  Rules
+# are vectorized Arrow kernels in the engine and CASE sums in the SQL
+# mirror; adding a rule is one row in each.
+EXPECT_RULES = (
+    (1, "l_quantity between 1 and 50"),
+    (2, "l_discount between 0.00 and 0.10"),
+    (3, "l_tax >= 0"),
+    (4, "l_returnflag in (A, N, R)"),
+    (5, "l_shipdate not null"),
+    (6, "l_extendedprice > 0"),
+)
+
+
+def expectations_audit(sf_dir: str) -> rd.Dataset:
+    """Great-Expectations-style data-contract audit: every contract
+    rule evaluated over lineitem in ONE fused scan — the ingest gate a
+    warehouse runs before anything downstream trusts a load (the
+    declarative sibling of referential_integrity's key checks and
+    table_profile's summary stats).
+
+    Exactness: each rule is a boolean Arrow kernel; per-rule pass
+    counts fold as int64 through the aggregate tree; no floats at all.
+
+    Scale shape: map-side per-batch (rule, n, n_pass) partials -> ONE
+    rule-bounded groupby (6 rows regardless of input).  A failed rule
+    reports counts, not rows — the row-level quarantine is the M9
+    error-router's job, this is the summary gate.
+
+    Output: (rule_id, rule, n_rows, n_pass, n_fail) sorted by rule_id.
+    """
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_discount", "l_tax", "l_returnflag", "l_shipdate", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        q = t["l_quantity"]
+        disc = t["l_discount"]
+        checks = {
+            1: pc.and_(pc.greater_equal(q, 1.0), pc.less_equal(q, 50.0)),
+            2: pc.and_(pc.greater_equal(disc, 0.0), pc.less_equal(disc, 0.10)),
+            3: pc.greater_equal(t["l_tax"], 0.0),
+            4: pc.is_in(t["l_returnflag"], value_set=pa.array(["A", "N", "R"])),
+            5: pc.is_valid(t["l_shipdate"]),
+            6: pc.greater(t["l_extendedprice"], 0.0),
+        }
+        rid, n, npass = [], [], []
+        for k, mask in checks.items():
+            rid.append(k)
+            n.append(t.num_rows)
+            npass.append(int(pc.sum(pc.fill_null(mask, False)).as_py() or 0))
+        return pa.table(
+            {
+                "rule_id": pa.array(rid, type=pa.int64()),
+                "n": pa.array(n, type=pa.int64()),
+                "n_pass": pa.array(npass, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("rule_id")
+        .aggregate(Sum("n", alias_name="n_rows"), Sum("n_pass", alias_name="n_pass"))
+    )
+
+    rules = dict(EXPECT_RULES)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.sort_by("rule_id")
+        rid = t["rule_id"].to_numpy()
+        return pa.table(
+            {
+                "rule_id": pa.array(rid, type=pa.int64()),
+                "rule": pa.array([rules[int(r)] for r in rid], type=pa.string()),
+                "n_rows": t["n_rows"].cast(pa.int64()),
+                "n_pass": t["n_pass"].cast(pa.int64()),
+                "n_fail": pa.array(
+                    t["n_rows"].to_numpy() - t["n_pass"].to_numpy(), type=pa.int64()
+                ),
+            }
+        )
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")

@@ -271,3 +271,24 @@ def test_bootstrap_ci_brackets_mean_and_weights_poisson(ray_session):
     assert w.max() <= 8
     # reshard-proof: weights depend only on (id, b), not array position
     assert (stats._boot_weights(ids[::-1], 7)[::-1] == w).all()
+
+
+def test_expectations_audit_counts(ray_session):
+    """Per-rule pass counts equal a dense pandas recompute; the clean
+    fixture passes its own contract."""
+    out = stats.expectations_audit(SF).to_pandas()
+    assert list(out["rule_id"]) == [r for r, _ in stats.EXPECT_RULES]
+    t = pq.read_table(os.path.join(SF, "lineitem.parquet")).to_pandas()
+    n = len(t)
+    assert (out["n_rows"] == n).all()
+    exp = {
+        1: int(((t["l_quantity"] >= 1) & (t["l_quantity"] <= 50)).sum()),
+        2: int(((t["l_discount"] >= 0) & (t["l_discount"] <= 0.10)).sum()),
+        3: int((t["l_tax"] >= 0).sum()),
+        4: int(t["l_returnflag"].isin(["A", "N", "R"]).sum()),
+        5: int(t["l_shipdate"].notna().sum()),
+        6: int((t["l_extendedprice"] > 0).sum()),
+    }
+    for r in out.itertuples():
+        assert r.n_pass == exp[r.rule_id], r.rule
+        assert r.n_fail == n - exp[r.rule_id]
