@@ -451,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interpurchase_intervals": relational.interpurchase_intervals,
         "bootstrap_ci": stats.bootstrap_ci,
         "expectations_audit": stats.expectations_audit,
+        "neyman_allocation": stats.neyman_allocation,
         "acf_hourly": windows.acf_hourly,
         "ccf_event_types": windows.ccf_event_types,
         "dau_wau_ratio": windows.dau_wau_ratio,
@@ -4511,6 +4512,20 @@ SELECT r.rule_id, r.rule, a.n AS n_rows,
             WHEN 4 THEN p4 WHEN 5 THEN p5 ELSE p6 END AS n_fail
 FROM (VALUES {", ".join(f"({i}, '{r}')" for i, r in stats.EXPECT_RULES)}) AS r(rule_id, rule)
 CROSS JOIN a ORDER BY r.rule_id""",
+        "neyman_allocation": f"""
+WITH e AS (SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+      FROM e GROUP BY event_type),
+w AS (SELECT event_type, n,
+        sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd
+      FROM s),
+t AS (SELECT sum(CAST(n AS DOUBLE) * sd) AS tot FROM w)
+SELECT event_type, n AS n_rows, round(sd, 6) AS stddev_cents,
+       round(CAST(n AS DOUBLE) * sd, 6) AS weight,
+       CAST(floor({stats.NEYMAN_BUDGET} * (CAST(n AS DOUBLE) * sd) / t.tot + 0.5) AS BIGINT) AS n_alloc
+FROM w CROSS JOIN t ORDER BY event_type""",
         "mann_whitney_u": """
 WITH e AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
                   CASE WHEN (epoch_us(ts) // 86400000000) % 7 IN (2, 3) THEN 1 ELSE 0 END AS we

@@ -1796,3 +1796,75 @@ def expectations_audit(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# neyman_allocation (optimal stratified-sampling design)
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 10_000
+
+
+def neyman_allocation(sf_dir: str, budget: int = NEYMAN_BUDGET) -> rd.Dataset:
+    """Neyman-optimal allocation of a sampling budget across event-type
+    strata: n_h ∝ N_h·S_h (Neyman 1934) — minimum-variance stratified
+    design for estimating mean event value; the design table
+    stratified_sample should be parameterized by instead of flat rates
+    (strata with more rows AND more spread earn more of the budget).
+
+    Exactness: per-stratum (N, Σcents, Σcents²) fold as exact int64
+    through the aggregate tree; S_h = sqrt((N·s2 − s1²)/(N·(N−1))) is
+    one mirrored expression (IEEE sqrt is correctly rounded — engine-
+    invariant); the allocation floor(budget·w_h/Σw + 0.5) is mirrored
+    in the SQL CROSS JOIN.
+
+    Scale shape: map-side (type, count, sum, sumsq) combiner -> ONE
+    type-bounded groupby -> driver finalize on the strata rows.
+
+    Output: (event_type, n_rows, stddev_cents, weight, n_alloc).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        cents = np.floor(t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"event_type": et, "c": cents})
+        g = df.groupby("event_type", sort=False).agg(
+            n=("c", "size"), s1=("c", "sum"), s2=("c", lambda x: int((x.astype(object) ** 2).sum()))
+        ).reset_index()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], type=pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), type=pa.int64()),
+                "s1": pa.array(g["s1"].to_numpy().astype(np.int64), type=pa.int64()),
+                "s2": pa.array(g["s2"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"), Sum("s2", alias_name="s2"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    n = agg["n"].to_numpy().astype(np.float64)
+    s1 = agg["s1"].to_numpy().astype(np.float64)
+    s2 = agg["s2"].to_numpy().astype(np.float64)
+    sd = np.sqrt((n * s2 - s1 * s1) / (n * (n - 1.0)))
+    w = n * sd
+    alloc = np.floor(budget * w / w.sum() + 0.5).astype(np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(agg["event_type"], type=pa.string()),
+                "n_rows": pa.array(agg["n"].to_numpy().astype(np.int64), type=pa.int64()),
+                "stddev_cents": pa.array(duckdb_round(sd, 6), type=pa.float64()),
+                "weight": pa.array(duckdb_round(w, 6), type=pa.float64()),
+                "n_alloc": pa.array(alloc, type=pa.int64()),
+            }
+        )
+    )

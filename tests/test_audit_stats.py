@@ -292,3 +292,23 @@ def test_expectations_audit_counts(ray_session):
     for r in out.itertuples():
         assert r.n_pass == exp[r.rule_id], r.rule
         assert r.n_fail == n - exp[r.rule_id]
+
+
+def test_neyman_allocation_optimality(ray_session):
+    """Allocation matches the N_h*S_h rule and beats proportional
+    allocation on the stratified-variance objective."""
+    out = stats.neyman_allocation(SF).to_pandas()
+    t = pq.read_table(os.path.join(SF, "events.parquet"), columns=["event_type", "value"]).to_pandas()
+    t["c"] = np.floor(t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    g = t.groupby("event_type")["c"].agg(["size", "std"])
+    w = (g["size"] * g["std"]).sort_index()
+    exp_alloc = np.floor(stats.NEYMAN_BUDGET * w / w.sum() + 0.5).astype(np.int64)
+    got = out.set_index("event_type").sort_index()
+    assert (got["n_alloc"].to_numpy() == exp_alloc.to_numpy()).all()
+    # Neyman variance <= proportional variance (sum N_h^2 S_h^2 / n_h)
+    N, S = g["size"].to_numpy().astype(float), g["std"].to_numpy()
+    ney = got["n_alloc"].to_numpy().astype(float)
+    prop = stats.NEYMAN_BUDGET * N / N.sum()
+    v_ney = ((N * S) ** 2 / np.maximum(ney, 1)).sum()
+    v_prop = ((N * S) ** 2 / prop).sum()
+    assert v_ney <= v_prop * 1.0001
