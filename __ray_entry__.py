@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_whitney_u": stats.mann_whitney_u,
         "hbos_outliers": stats.hbos_outliers,
         "interpurchase_intervals": relational.interpurchase_intervals,
+        "cohort_ltv": relational.cohort_ltv,
         "bootstrap_ci": stats.bootstrap_ci,
         "expectations_audit": stats.expectations_audit,
         "neyman_allocation": stats.neyman_allocation,
@@ -4526,6 +4527,21 @@ SELECT event_type, n AS n_rows, round(sd, 6) AS stddev_cents,
        round(CAST(n AS DOUBLE) * sd, 6) AS weight,
        CAST(floor({stats.NEYMAN_BUDGET} * (CAST(n AS DOUBLE) * sd) / t.tot + 0.5) AS BIGINT) AS n_alloc
 FROM w CROSS JOIN t ORDER BY event_type""",
+        "cohort_ltv": """
+WITH o AS (SELECT o_custkey AS cust,
+                  CAST(date_part('year', o_orderdate) * 12 + date_part('month', o_orderdate) - 1 AS BIGINT) AS em,
+                  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+f AS (SELECT cust, min(em) AS cohort_em FROM o GROUP BY cust),
+jx AS (SELECT o.cust, f.cohort_em, o.em - f.cohort_em AS age, o.cents
+       FROM o JOIN f USING (cust)),
+a AS (SELECT cohort_em, age, CAST(count(DISTINCT cust) AS BIGINT) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM jx GROUP BY cohort_em, age)
+SELECT cohort_em AS cohort_month, age AS age_months, n_customers, revenue_cents,
+       CAST(sum(revenue_cents) OVER (PARTITION BY cohort_em ORDER BY age
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents
+FROM a ORDER BY cohort_month, age_months""",
         "mann_whitney_u": """
 WITH e AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
                   CASE WHEN (epoch_us(ts) // 86400000000) % 7 IN (2, 3) THEN 1 ELSE 0 END AS we

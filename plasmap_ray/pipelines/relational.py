@@ -2463,3 +2463,117 @@ def interpurchase_intervals(sf_dir: str, parts: int = 32) -> rd.Dataset:
         return t.append_column("frac", pa.array(frac, type=pa.float64()))
 
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# cohort_ltv (customer-cohort cumulative revenue curves)
+# ---------------------------------------------------------------------------
+
+
+def cohort_ltv(sf_dir: str) -> rd.Dataset:
+    """Cohort lifetime-value curves: customers grouped by FIRST-order
+    month, revenue accumulated by months-since-cohort — the LTV table
+    every subscription / marketplace finance review reads
+    (user_retention counts survivors; this follows the money).
+
+    Month arithmetic is exact integer epoch-month (year·12 + month
+    from the epoch-day via the civil-from-days algorithm, mirrored in
+    SQL date_part); revenue is exact cents through the aggregate tree;
+    the cumulative column is a per-cohort cumsum over the (cohorts ×
+    ages)-bounded aggregate.
+
+    Scale shape: cohort assignment is ONE (custkey → min month)
+    groupby + ONE hash join back to orders (both custkey-partitioned);
+    the curve aggregate is (cohort, age)-bounded; the cumsum runs on
+    that tiny table.
+
+    Output: (cohort_month, age_months, n_customers, revenue_cents,
+    cum_revenue_cents) — n_customers = distinct buyers active in that
+    (cohort, age) cell.
+    """
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].cast(pa.timestamp("us"))
+        yr = pa.compute.year(d).to_numpy().astype(np.int64)
+        mo = pa.compute.month(d).to_numpy().astype(np.int64)
+        cents = np.floor(t["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "cust": t["o_custkey"].cast(pa.int64()),
+                "em": pa.array(yr * 12 + (mo - 1), type=pa.int64()),
+                "cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    orders = ds.map_batches(prep, batch_format="pyarrow")
+    first = orders.groupby("cust").aggregate(Min("em", alias_name="cohort_em"))
+    j = safe_join(orders, first, join_type="inner", num_partitions=4, on=("cust",))
+
+    def curve_partial(t: pa.Table) -> pa.Table:
+        cohort = t["cohort_em"].to_numpy()
+        age = t["em"].to_numpy() - cohort
+        df = pd.DataFrame(
+            {"cohort_em": cohort, "age": age, "cents": t["cents"].to_numpy(), "cust": t["cust"].to_numpy()}
+        )
+        g = df.groupby(["cohort_em", "age"]).agg(
+            revenue=("cents", "sum"), customers=("cust", lambda s: len(set(s)))
+        ).reset_index()
+        # distinct customers cannot combine across batches as a sum —
+        # ship the distinct (cohort, age, cust) keys instead
+        dk = df[["cohort_em", "age", "cust"]].drop_duplicates()
+        return pa.table(
+            {
+                "cohort_em": pa.array(dk["cohort_em"].to_numpy(), type=pa.int64()),
+                "age": pa.array(dk["age"].to_numpy(), type=pa.int64()),
+                "cust": pa.array(dk["cust"].to_numpy(), type=pa.int64()),
+                "cents": pa.array(
+                    df.groupby(["cohort_em", "age", "cust"])["cents"].sum().reindex(
+                        pd.MultiIndex.from_frame(dk)
+                    ).to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    per_cust = (
+        j.map_batches(curve_partial, batch_format="pyarrow")
+        .groupby(["cohort_em", "age", "cust"])
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+
+    def drop_cust(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_em": t["cohort_em"],
+                "age": t["age"],
+                "cents": t["cents"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        per_cust.map_batches(drop_cust, batch_format="pyarrow")
+        .groupby(["cohort_em", "age"])
+        .aggregate(Sum("cents", alias_name="revenue_cents"), Sum("one", alias_name="n_customers"))
+        .to_pandas()
+        .sort_values(["cohort_em", "age"])
+        .reset_index(drop=True)
+    )
+    agg["cum_revenue_cents"] = agg.groupby("cohort_em")["revenue_cents"].cumsum()
+    return rd.from_arrow(
+        pa.table(
+            {
+                "cohort_month": pa.array(agg["cohort_em"].to_numpy().astype(np.int64), type=pa.int64()),
+                "age_months": pa.array(agg["age"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n_customers": pa.array(agg["n_customers"].to_numpy().astype(np.int64), type=pa.int64()),
+                "revenue_cents": pa.array(agg["revenue_cents"].to_numpy().astype(np.int64), type=pa.int64()),
+                "cum_revenue_cents": pa.array(
+                    agg["cum_revenue_cents"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+    )

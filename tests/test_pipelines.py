@@ -1923,3 +1923,28 @@ def test_interpurchase_intervals_matches_pandas_recompute(ray_session):
     assert list(out["week_bucket"]) == list(exp.index)
     assert list(out["n_gaps"]) == list(exp.values)
     assert abs(out["frac"].sum() - 1.0) < 1e-4
+
+
+def test_cohort_ltv_algebra(ray_session):
+    from plasmap_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    out = relational.cohort_ltv(sf).to_pandas()
+    o = pq.read_table(
+        os.path.join(sf, "orders.parquet"), columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    ).to_pandas()
+    o["em"] = o["o_orderdate"].dt.year * 12 + o["o_orderdate"].dt.month - 1
+    o["cents"] = np.floor(o["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    o["cohort"] = o.groupby("o_custkey")["em"].transform("min")
+    o["age"] = o["em"] - o["cohort"]
+    exp = o.groupby(["cohort", "age"]).agg(
+        n_customers=("o_custkey", "nunique"), revenue_cents=("cents", "sum")
+    ).reset_index().sort_values(["cohort", "age"])
+    got = out.sort_values(["cohort_month", "age_months"]).reset_index(drop=True)
+    assert (got["n_customers"].to_numpy() == exp["n_customers"].to_numpy()).all()
+    assert (got["revenue_cents"].to_numpy() == exp["revenue_cents"].to_numpy()).all()
+    # cumulative column is the running per-cohort sum
+    cum = got.groupby("cohort_month")["revenue_cents"].cumsum()
+    assert (got["cum_revenue_cents"].to_numpy() == cum.to_numpy()).all()
+    # age 0 exists for every cohort (the first order defines it)
+    assert (got.groupby("cohort_month")["age_months"].min() == 0).all()
