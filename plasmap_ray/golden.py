@@ -5265,3 +5265,46 @@ def ndcg_eval_path(sf_dir: str, tokens: tuple, k: int) -> str:
         )
 
     return _cache(f"ndcg_{_sf_tag(sf_dir)}_{'_'.join(tokens)}_{k}", build)
+
+
+def phash_scale_stability_path(images_parquet: str, side: int) -> str:
+    """Expected scale-stability rows: scalar per-image recompute with
+    an explicit per-bit popcount loop (vs the engine's bin().count)."""
+
+    def build() -> pa.Table:
+        from . import codecs
+        from .stages.media import resize_nearest
+
+        t = pq.read_table(images_parquet, columns=["image_id", "bytes", "w", "h", "fmt"])
+        rows = {k: [] for k in ("image_id", "fmt", "ok", "phash_full", "phash_thumb", "hamming")}
+        for i in range(t.num_rows):
+            px = codecs.decode_image(
+                t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(), t["fmt"][i].as_py()
+            )
+            a = codecs.phash64(px)
+            b = codecs.phash64(resize_nearest(px, side, side))
+            x = (a ^ b) & ((1 << 64) - 1)
+            d = 0
+            while x:
+                d += x & 1
+                x >>= 1
+            rows["image_id"].append(t["image_id"][i].as_py())
+            rows["fmt"].append(t["fmt"][i].as_py())
+            rows["ok"].append(True)
+            rows["phash_full"].append(a)
+            rows["phash_thumb"].append(b)
+            rows["hamming"].append(d)
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], type=pa.string()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "ok": pa.array(rows["ok"]),
+                "phash_full": pa.array(rows["phash_full"], type=pa.int64()),
+                "phash_thumb": pa.array(rows["phash_thumb"], type=pa.int64()),
+                "hamming": pa.array(rows["hamming"], type=pa.int64()),
+            }
+        )
+
+    return _cache(
+        f"phash_scale_{os.path.basename(images_parquet).rsplit('.', 1)[0]}_{side}", build
+    )

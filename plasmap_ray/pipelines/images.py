@@ -2428,3 +2428,66 @@ def image_dynamic_range(sf_dir: str) -> rd.Dataset:
         return t.append_column("range_util", pa.array(util, type=pa.float64()))
 
     return scored.map_batches(finish, batch_format="pyarrow")
+
+
+PHASH_THUMB_SIDE = 8  # worst-case thumbnail (the hash's own block grid)
+
+
+def phash_scale_stability(sf_dir: str, side: int = PHASH_THUMB_SIDE) -> rd.Dataset:
+    """Perceptual-hash scale-stability audit: Hamming distance between
+    phash64 of the ORIGINAL pixels and phash64 of a nearest-neighbor
+    thumbnail — the invariance property every thumbnail-dedup shortcut
+    silently assumes (hash the 8×8 preview, trust it matches the
+    full-res hash).  A corpus whose distances are large cannot dedup
+    on thumbnails (reference analogue: the ST5 codec/phash layer).
+
+    Determinism: both hashes are the exact phash64 kernel; the
+    thumbnail is integer-index nearest-neighbor resize; Hamming is a
+    popcount of the XOR — all integers.
+
+    Scale shape: map-ONLY — decode + resize + two hashes fused in the
+    actor pool, payloads consumed in-stage, three int64s + metadata
+    per image leave; the distance histogram is a (dist)-bounded
+    groupby mirrored from the per-image rows driver-side.
+
+    Output: (image_id, fmt, ok, phash_full, phash_thumb, hamming).
+    """
+    from .. import codecs as _codecs
+    from ..stages import media
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    class ScaleStab:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            w = t["w"].to_numpy()
+            h = t["h"].to_numpy()
+            fmts = t["fmt"].to_pylist()
+            payloads = t["bytes"].to_pylist()
+            pf = np.zeros(n, dtype=np.int64)
+            pt = np.zeros(n, dtype=np.int64)
+            ham = np.zeros(n, dtype=np.int64)
+            ok = np.zeros(n, dtype=bool)
+            for i in range(n):
+                try:
+                    px = _codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
+                    thumb = media.resize_nearest(px, side, side)
+                    a = _codecs.phash64(px)
+                    b = _codecs.phash64(thumb)
+                    pf[i], pt[i] = a, b
+                    ham[i] = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+                    ok[i] = True
+                except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
+                    pass
+            return pa.table(
+                {
+                    "image_id": t["image_id"],
+                    "fmt": t["fmt"],
+                    "ok": pa.array(ok),
+                    "phash_full": pa.array(pf, type=pa.int64()),
+                    "phash_thumb": pa.array(pt, type=pa.int64()),
+                    "hamming": pa.array(ham, type=pa.int64()),
+                }
+            )
+
+    return ds.map_batches(ScaleStab, batch_format="pyarrow", batch_size=256, concurrency=(1, 8))

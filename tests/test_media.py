@@ -1115,3 +1115,22 @@ def test_dynamic_range_known_fields(ray_session):
     assert out["p05"].to_pylist()[1] == g[max(1, -(-npx * 5 // 100)) - 1]
     assert out["p95"].to_pylist()[1] == g[max(1, -(-npx * 95 // 100)) - 1]
     assert out["g_min"].to_pylist()[1] == 0 and out["g_max"].to_pylist()[1] == 45
+
+
+def test_phash_scale_stability_identity_and_bounds(ray_session):
+    """An image that IS its own 8x8 thumbnail has distance 0; corpus
+    distances are valid Hamming values."""
+    from plasmap_ray import codecs
+    from plasmap_ray.pipelines import images as I
+    from plasmap_ray.stages.media import resize_nearest
+
+    tiny = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    assert codecs.phash64(tiny) == codecs.phash64(resize_nearest(tiny, 8, 8))
+
+    out = I.phash_scale_stability("/root/testdata/sf0.001").to_pandas()
+    assert out["ok"].all()
+    assert ((out["hamming"] >= 0) & (out["hamming"] <= 64)).all()
+    # per-row: hamming equals the XOR popcount of the reported hashes
+    x = (out["phash_full"].to_numpy().astype(np.uint64) ^ out["phash_thumb"].to_numpy().astype(np.uint64))
+    pop = np.array([bin(int(v)).count("1") for v in x])
+    assert (pop == out["hamming"].to_numpy()).all()
