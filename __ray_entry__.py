@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation_communities": trajectory.label_propagation_communities,
         "flow_divergence": trajectory.flow_divergence,
         "ipf_od_balancing": trajectory.ipf_od_balancing,
+        "place_ppr": trajectory.place_ppr,
         "displacement_histogram": trajectory.displacement_histogram,
         "transition_entropy": trajectory.transition_entropy,
         "gravity_decay_fit": trajectory.gravity_decay_fit,
@@ -2784,6 +2785,7 @@ SELECT user_id, count(*) AS n_steps,
   CAST(max(CASE WHEN dist_fp * {trajectory.US_PER_S} > {trajectory.SPEED_VMAX_FP} * dt_us THEN dist_fp ELSE 0 END) AS BIGINT) AS max_jump_fp
 FROM s GROUP BY user_id""",
         "hits_scores": f"SELECT * FROM read_parquet('{golden.hits_scores_path(SF001)}')",
+        "place_ppr": f"SELECT * FROM read_parquet('{golden.place_ppr_path(SF001)}')",
         "ndcg_eval": f"SELECT * FROM read_parquet('{golden.ndcg_eval_path(SF001, ('spark', 'data'), 20)}')",
         "bootstrap_ci": f"SELECT * FROM read_parquet('{golden.bootstrap_ci_path(SF001)}')",
         "ipf_od_balancing": f"SELECT * FROM read_parquet('{golden.ipf_od_balancing_path(SF001)}')",

@@ -5308,3 +5308,57 @@ def phash_scale_stability_path(images_parquet: str, side: int) -> str:
     return _cache(
         f"phash_scale_{os.path.basename(images_parquet).rsplit('.', 1)[0]}_{side}", build
     )
+
+
+def place_ppr_path(sf_dir: str) -> str:
+    """Golden PPR recompute: transitions from a pandas sort + diff,
+    per-edge Python-int dict transfer (vs the engine's np.add.at)."""
+
+    def build() -> pa.Table:
+        from . import fixtures
+        from .pipelines.trajectory import (
+            PPR_ALPHA_DEN,
+            PPR_ALPHA_NUM,
+            PPR_ITERS,
+            PPR_SCALE,
+            TRANS_PITCH,
+        )
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
+        )
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        ids = df["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / TRANS_PITCH).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / TRANS_PITCH).astype(np.int64)
+        uid = df["user_id"].to_numpy()
+        same = uid[:-1] == uid[1:]
+        pf = (cx[:-1][same] * 1_000_000 + cy[:-1][same]).tolist()
+        pt = (cx[1:][same] * 1_000_000 + cy[1:][same]).tolist()
+        w: dict[tuple[int, int], int] = {}
+        for a, b in zip(pf, pt):
+            w[(a, b)] = w.get((a, b), 0) + 1
+        nodes = sorted({k[0] for k in w} | {k[1] for k in w})
+        deg: dict[int, int] = {}
+        for (a, _), wt in w.items():
+            deg[a] = deg.get(a, 0) + wt
+        seed = max(nodes, key=lambda v: (deg.get(v, 0), -v))
+        restart = PPR_SCALE * (PPR_ALPHA_DEN - PPR_ALPHA_NUM) // PPR_ALPHA_DEN
+        r = {v: 0 for v in nodes}
+        r[seed] = PPR_SCALE
+        for _ in range(PPR_ITERS):
+            nxt = {v: (restart if v == seed else 0) for v in nodes}
+            for (a, b), wt in w.items():
+                nxt[b] += (wt * r[a] * PPR_ALPHA_NUM) // (deg[a] * PPR_ALPHA_DEN)
+            r = nxt
+        return pa.table(
+            {
+                "cx": pa.array([v // 1_000_000 for v in nodes], type=pa.int64()),
+                "cy": pa.array([v % 1_000_000 for v in nodes], type=pa.int64()),
+                "ppr_fp": pa.array([r[v] for v in nodes], type=pa.int64()),
+                "is_seed": pa.array([v == seed for v in nodes], type=pa.bool_()),
+            }
+        )
+
+    return _cache(f"ppr_{_sf_tag(sf_dir)}", build)

@@ -878,3 +878,18 @@ def test_ipf_marginals_converge(ray_session):
     rel = ((row["fit"] - row["obs"] * FP).abs() / (row["obs"] * FP)).max()
     assert rel < 0.05  # rows converge too (one sweep behind)
     assert (out["fitted_fp"] >= 0).all()
+
+
+def test_place_ppr_seed_and_mass(ray_session):
+    """The seed is the max-outdegree cell; restart keeps total mass
+    bounded by the seed injection; seed ranks first."""
+    out = trajectory.place_ppr(SF).to_pandas()
+    assert out["is_seed"].sum() == 1
+    edges = trajectory.cell_transition_matrix(SF).to_pandas()
+    outdeg = edges.groupby(["fx", "fy"])["n_steps"].sum()
+    seed = out.loc[out["is_seed"], ["cx", "cy"]].iloc[0]
+    assert outdeg[(seed["cx"], seed["cy"])] == outdeg.max()
+    # total mass stays within the geometric-series bound Σα^k·restart + seed
+    assert 0 < out["ppr_fp"].sum() <= trajectory.PPR_SCALE * (trajectory.PPR_ITERS + 2)
+    # the seed carries the largest score (restart injects only there)
+    assert out.loc[out["ppr_fp"].idxmax(), "is_seed"]
