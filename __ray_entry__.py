@@ -454,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_ci": stats.bootstrap_ci,
         "expectations_audit": stats.expectations_audit,
         "neyman_allocation": stats.neyman_allocation,
+        "runs_test": stats.runs_test,
         "acf_hourly": windows.acf_hourly,
         "ccf_event_types": windows.ccf_event_types,
         "dau_wau_ratio": windows.dau_wau_ratio,
@@ -4546,6 +4547,21 @@ SELECT cohort_em AS cohort_month, age AS age_months, n_customers, revenue_cents,
        CAST(sum(revenue_cents) OVER (PARTITION BY cohort_em ORDER BY age
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents
 FROM a ORDER BY cohort_month, age_months""",
+        "runs_test": """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY day),
+m AS (SELECT quantile_disc(cents, 0.5) AS med FROM (SELECT cents FROM d)),
+s AS (SELECT day, CASE WHEN cents > (SELECT med FROM m) THEN 1 ELSE 0 END AS ab FROM d),
+lagd AS (SELECT ab, lag(ab) OVER (ORDER BY day) AS pab FROM s),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(ab) AS BIGINT) AS n1,
+               CAST(1 + sum(CASE WHEN pab IS NOT NULL AND ab <> pab THEN 1 ELSE 0 END) AS BIGINT) AS r
+        FROM lagd)
+SELECT n AS n_days, n1 AS n_above, n - n1 AS n_below, r AS n_runs,
+       round((CAST(r AS DOUBLE) - (1.0 + 2.0 * n1 * (n - n1) / CAST(n AS DOUBLE)))
+             / sqrt(2.0 * n1 * (n - n1) * (2.0 * n1 * (n - n1) - n)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) AS z
+FROM agg""",
         "mann_whitney_u": """
 WITH e AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
                   CASE WHEN (epoch_us(ts) // 86400000000) % 7 IN (2, 3) THEN 1 ELSE 0 END AS we

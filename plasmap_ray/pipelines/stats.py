@@ -1868,3 +1868,79 @@ def neyman_allocation(sf_dir: str, budget: int = NEYMAN_BUDGET) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# runs_test (Wald-Wolfowitz randomness of the daily revenue series)
+# ---------------------------------------------------------------------------
+
+
+def runs_test(sf_dir: str) -> rd.Dataset:
+    """Wald-Wolfowitz runs test: is the daily-revenue series random
+    around its median, or does it trend/cycle?  Too FEW runs of
+    above/below-median days = persistence (drift the mean-reverting
+    forecasts miss); too MANY = oscillation.  The classic
+    distribution-free serial-dependence check beside acf_hourly's
+    parametric lags.
+
+        n₁, n₂ = days above / below-or-equal the median
+        R      = observed runs;  μ = 1 + 2n₁n₂/N;
+        σ²     = 2n₁n₂(2n₁n₂ − N) / (N²(N−1));   z = (R − μ)/σ
+
+    Exactness: daily sums are exact cents; the median is an exact
+    rank selection (lower median, quantile_disc convention); run
+    boundaries are integer comparisons; μ, σ, z are mirrored float
+    expressions over (n1, n2, R).
+
+    Scale shape: per-batch (day, cents) combiner -> ONE day-bounded
+    groupby; the run scan is a length-D driver pass (daily_cusum
+    discipline).  Output: one row (n_days, n_above, n_below, n_runs,
+    z).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].cast(pa.int64()).to_numpy() // 86_400_000_000
+        cents = np.floor(t["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"day": day, "cents": cents})
+        g = df.groupby("day", sort=False)["cents"].sum().reset_index()
+        return pa.table(
+            {
+                "day": pa.array(g["day"].to_numpy(), type=pa.int64()),
+                "cents": pa.array(g["cents"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["cents"].to_numpy().astype(np.int64)
+    n = len(x)
+    med = int(np.partition(x, (n - 1) // 2)[(n - 1) // 2])  # lower median, exact
+    above = x > med
+    n1 = int(above.sum())
+    n2 = n - n1
+    runs = 1 + int((above[1:] != above[:-1]).sum())
+    mu = 1.0 + 2.0 * n1 * n2 / float(n)
+    sigma = math.sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (float(n) * float(n) * (n - 1.0)))
+    z = (runs - mu) / sigma
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_days": pa.array([n], type=pa.int64()),
+                "n_above": pa.array([n1], type=pa.int64()),
+                "n_below": pa.array([n2], type=pa.int64()),
+                "n_runs": pa.array([runs], type=pa.int64()),
+                "z": pa.array(duckdb_round(np.array([z]), 6), type=pa.float64()),
+            }
+        )
+    )

@@ -312,3 +312,26 @@ def test_neyman_allocation_optimality(ray_session):
     v_ney = ((N * S) ** 2 / np.maximum(ney, 1)).sum()
     v_prop = ((N * S) ** 2 / prop).sum()
     assert v_ney <= v_prop * 1.0001
+
+
+def test_runs_test_formula_and_planted_patterns(ray_session):
+    """Engine matches the textbook formula; planted alternating /
+    blocked sequences land on the right z sign."""
+    got = stats.runs_test(SF).to_pandas().iloc[0]
+    assert got["n_above"] + got["n_below"] == got["n_days"]
+    assert 1 <= got["n_runs"] <= got["n_days"]
+    n1, n2, n = got["n_above"], got["n_below"], got["n_days"]
+    mu = 1 + 2 * n1 * n2 / n
+    sig = np.sqrt(2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1)))
+    assert abs(got["z"] - (got["n_runs"] - mu) / sig) < 1e-5
+    # planted: alternating -> many runs (z >> 0); blocked -> few (z << 0)
+    def z_of(seq):
+        ab = np.asarray(seq, dtype=bool)
+        n = len(ab)
+        n1 = int(ab.sum()); n2 = n - n1
+        r = 1 + int((ab[1:] != ab[:-1]).sum())
+        mu = 1 + 2 * n1 * n2 / n
+        sig = np.sqrt(2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1)))
+        return (r - mu) / sig
+    assert z_of([0, 1] * 30) > 5
+    assert z_of([0] * 30 + [1] * 30) < -5
