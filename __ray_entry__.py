@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_band_energy": multimodal.audio_band_energy,
         "audio_fingerprint": multimodal.audio_fingerprint,
         "video_shot_segmentation": multimodal.video_shot_segmentation,
+        "audio_dedup_manifest": multimodal.audio_dedup_manifest,
         "cell_modality_mix": multimodal.cell_modality_mix,
         "video_frame_stats": multimodal.video_frame_stats,
         "video_temporal_smoothness": multimodal.video_temporal_smoothness,
@@ -2399,6 +2400,11 @@ WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= {dedup.JW_THRESHOLD!r}""",
         "video_shot_segmentation": (
             "SELECT * FROM read_parquet('"
             + golden.video_shots_path(multimodal.video_path_for(SF001))
+            + "')"
+        ),
+        "audio_dedup_manifest": (
+            "SELECT * FROM read_parquet('"
+            + golden.audio_dedup_manifest_path(multimodal.audio_path_for(SF001), multimodal.FP_MIN_SHARED)
             + "')"
         ),
         "video_keyframes": (

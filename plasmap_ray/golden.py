@@ -5362,3 +5362,40 @@ def place_ppr_path(sf_dir: str) -> str:
         )
 
     return _cache(f"ppr_{_sf_tag(sf_dir)}", build)
+
+
+def audio_dedup_manifest_path(audio_parquet: str, min_shared: int) -> str:
+    """Expected audio dedup manifest: the golden fingerprint pairs fed
+    through a scalar union-find (vs the engine's distributed min-label
+    CC) — same components, same keep flags."""
+
+    def build() -> pa.Table:
+        pairs = pq.read_table(audio_fingerprint_path(audio_parquet, min_shared)).to_pydict()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs["media_a"], pairs["media_b"]):
+            ia, ib = int(a.split("-")[1]), int(b.split("-")[1])
+            ra, rb = find(ia), find(ib)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        t = pq.read_table(audio_parquet, columns=["media_id"])
+        ids = t["media_id"].to_pylist()
+        nums = [int(s.split("-")[1]) for s in ids]
+        cluster = [find(v) if v in parent else v for v in nums]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.string()),
+                "cluster": pa.array(cluster, type=pa.int64()),
+                "keep": pa.array([c == v for c, v in zip(cluster, nums)]),
+            }
+        )
+
+    return _cache(
+        f"audio_manifest_{os.path.basename(audio_parquet).rsplit('.', 1)[0]}_{min_shared}", build
+    )

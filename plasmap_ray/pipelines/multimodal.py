@@ -19,6 +19,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
@@ -601,3 +602,73 @@ def video_shot_segmentation(sf_dir: str) -> rd.Dataset:
 
     ds = rd.read_parquet(video_path_for(sf_dir))
     return ds.map_batches(Shots, batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+
+
+def audio_dedup_manifest(sf_dir: str, min_shared: int = FP_MIN_SHARED) -> rd.Dataset:
+    """End-to-end audio dedup manifest: constellation-fingerprint
+    match pairs -> distributed connected components -> first-wins
+    survivorship (keep = the component's smallest media id) — the
+    same keep/drop contract as the text/image dedup_manifest, closing
+    the dedup family across all three payload modalities.
+
+    Determinism: matches are content-stable (audio_fingerprint); the
+    component label is the min id (schedule-independent); keep is a
+    pure function of (id, label).
+
+    Scale shape: the fingerprint DAG's two metadata exchanges + the
+    CC min-label rounds (O(log d) join+groupby rounds over 16-B edge
+    rows); singleton clips never enter the edge set and are emitted
+    by a left-anti pass over the match-node table — id rows, never
+    samples, move.
+
+    Output: (media_id, cluster, keep) for EVERY clip.
+    """
+    from .cluster import connected_components
+
+    pairs = audio_fingerprint(sf_dir, min_shared=min_shared).materialize()
+
+    def to_int(t: pa.Table) -> pa.Table:
+        a = np.array([int(s.split("-")[1]) for s in t["media_a"].to_pylist()], dtype=np.int64)
+        b = np.array([int(s.split("-")[1]) for s in t["media_b"].to_pylist()], dtype=np.int64)
+        return pa.table(
+            {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
+        )
+
+    all_ids = rd.read_parquet(audio_path_for(sf_dir), columns=["media_id"])
+
+    if pairs.count() == 0:
+        def singleton(t: pa.Table) -> pa.Table:
+            ids = t["media_id"].to_pylist()
+            nums = np.array([int(s.split("-")[1]) for s in ids], dtype=np.int64)
+            return pa.table(
+                {
+                    "media_id": pa.array(ids, type=pa.string()),
+                    "cluster": pa.array(nums, type=pa.int64()),
+                    "keep": pa.array(np.ones(len(ids), dtype=bool)),
+                }
+            )
+
+        return all_ids.map_batches(singleton, batch_format="pyarrow")
+
+    labels = connected_components(pairs.map_batches(to_int, batch_format="pyarrow"))
+    lab_map = {int(r["node"]): int(r["label"]) for r in labels.take_all()}  # matched ids only
+    lab_ref = ray.put(lab_map)
+
+    class Manifest:
+        def __init__(self):
+            self.lab = ray.get(lab_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["media_id"].to_pylist()
+            nums = [int(s.split("-")[1]) for s in ids]
+            cluster = np.array([self.lab.get(v, v) for v in nums], dtype=np.int64)
+            keep = np.array([c == v for c, v in zip(cluster, nums)], dtype=bool)
+            return pa.table(
+                {
+                    "media_id": pa.array(ids, type=pa.string()),
+                    "cluster": pa.array(cluster, type=pa.int64()),
+                    "keep": pa.array(keep),
+                }
+            )
+
+    return all_ids.map_batches(Manifest, batch_format="pyarrow", concurrency=(1, 4))

@@ -1134,3 +1134,25 @@ def test_phash_scale_stability_identity_and_bounds(ray_session):
     x = (out["phash_full"].to_numpy().astype(np.uint64) ^ out["phash_thumb"].to_numpy().astype(np.uint64))
     pop = np.array([bin(int(v)).count("1") for v in x])
     assert (pop == out["hamming"].to_numpy()).all()
+
+
+def test_audio_dedup_manifest_covers_all_and_keeps_min(ray_session):
+    import pyarrow.parquet as pq2
+
+    from plasmap_ray.pipelines import multimodal
+
+    sf = "/root/testdata/sf0.001"
+    out = multimodal.audio_dedup_manifest(sf).to_pandas()
+    t = pq2.read_table(multimodal.audio_path_for(sf), columns=["media_id"])
+    assert len(out) == t.num_rows  # every clip present exactly once
+    assert out["media_id"].is_unique
+    # keep iff the clip IS its cluster representative
+    nums = out["media_id"].str.split("-").str[1].astype(int)
+    assert (out["keep"] == (out["cluster"] == nums)).all()
+    # each cluster keeps exactly one representative
+    assert (out.groupby("cluster")["keep"].sum() == 1).all()
+    # matched pairs share a cluster
+    pairs = multimodal.audio_fingerprint(sf).to_pandas()
+    cl = dict(zip(out["media_id"], out["cluster"]))
+    for r in pairs.itertuples():
+        assert cl[r.media_a] == cl[r.media_b]
