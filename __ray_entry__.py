@@ -461,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dau_wau_ratio": windows.dau_wau_ratio,
         "binseg_changepoints": windows.binseg_changepoints,
         "peak_concurrency": windows.peak_concurrency,
+        "markov_attribution": windows.markov_attribution,
         "follows_latency": windows.follows_latency,
         "dp_tile_counts": privacy.dp_tile_counts,
         "location_unicity": privacy.location_unicity,
@@ -2792,6 +2793,7 @@ SELECT user_id, count(*) AS n_steps,
   CAST(max(CASE WHEN dist_fp * {trajectory.US_PER_S} > {trajectory.SPEED_VMAX_FP} * dt_us THEN dist_fp ELSE 0 END) AS BIGINT) AS max_jump_fp
 FROM s GROUP BY user_id""",
         "hits_scores": f"SELECT * FROM read_parquet('{golden.hits_scores_path(SF001)}')",
+        "markov_attribution": f"SELECT * FROM read_parquet('{golden.markov_attribution_path(SF001)}')",
         "place_ppr": f"SELECT * FROM read_parquet('{golden.place_ppr_path(SF001)}')",
         "ndcg_eval": f"SELECT * FROM read_parquet('{golden.ndcg_eval_path(SF001, ('spark', 'data'), 20)}')",
         "bootstrap_ci": f"SELECT * FROM read_parquet('{golden.bootstrap_ci_path(SF001)}')",

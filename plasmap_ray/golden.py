@@ -5399,3 +5399,74 @@ def audio_dedup_manifest_path(audio_parquet: str, min_shared: int) -> str:
     return _cache(
         f"audio_manifest_{os.path.basename(audio_parquet).rsplit('.', 1)[0]}_{min_shared}", build
     )
+
+
+def markov_attribution_path(sf_dir: str) -> str:
+    """Golden attribution recompute: the journey walk re-run as ONE
+    scalar pass over the fully sorted events table (vs the engine's
+    coarse-partition run-scans + groupby), then the SAME integer
+    absorbing-chain fixpoint (deterministic pure function)."""
+
+    def build() -> pa.Table:
+        from .pipelines.windows import ATTR_CONV, _attr_conv_prob
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts", "event_type"],
+        )
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        trans: dict[tuple[str, str], int] = {}
+
+        def add(a: str, b: str) -> None:
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+
+        prev = "START"
+        last_uid = None
+        for uid, et in zip(df["user_id"].to_numpy(), df["event_type"].to_list()):
+            if last_uid is not None and uid != last_uid:
+                if prev != "START":
+                    add(prev, "NULL")
+                prev = "START"
+            last_uid = uid
+            if et == ATTR_CONV:
+                add(prev, "CONV")
+                prev = "START"
+            else:
+                add(prev, et)
+                prev = et
+        if last_uid is not None and prev != "START":
+            add(prev, "NULL")
+
+        p_full = _attr_conv_prob(trans)
+        channels = sorted({a for a, _ in trans} - {"START"})
+        rows = {k: [] for k in ("channel", "n_touches", "p_full", "p_without", "removal_effect")}
+        for c in channels:
+            t2: dict[tuple[str, str], int] = {}
+            for (a, b), v in trans.items():
+                if a == c:
+                    continue
+                b2 = "NULL" if b == c else b
+                t2[(a, b2)] = t2.get((a, b2), 0) + v
+            p_wo = _attr_conv_prob(t2)
+            rows["channel"].append(c)
+            rows["n_touches"].append(sum(v for (a, _), v in trans.items() if a == c))
+            rows["p_full"].append(p_full)
+            rows["p_without"].append(p_wo)
+            rows["removal_effect"].append(
+                float(duckdb_round(np.array([1.0 - p_wo / max(p_full, 1)]), 6)[0])
+            )
+        tot = sum(rows["removal_effect"])
+        attr = duckdb_round(np.array(rows["removal_effect"]) / tot, 6)
+        return pa.table(
+            {
+                "channel": pa.array(rows["channel"], type=pa.string()),
+                "n_touches": pa.array(rows["n_touches"], type=pa.int64()),
+                "p_full": pa.array(rows["p_full"], type=pa.int64()),
+                "p_without": pa.array(rows["p_without"], type=pa.int64()),
+                "removal_effect": pa.array(rows["removal_effect"], type=pa.float64()),
+                "attribution": pa.array(attr, type=pa.float64()),
+            }
+        )
+
+    return _cache(f"attribution_{_sf_tag(sf_dir)}", build)

@@ -2416,3 +2416,162 @@ def peak_concurrency(sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# markov_attribution (removal-effect channel attribution)
+# ---------------------------------------------------------------------------
+
+ATTR_FP = 10**9
+ATTR_ITERS = 40
+ATTR_CONV = "purchase"
+
+
+def _attr_transitions(g: pa.Table) -> pa.Table:
+    """Per-partition journey walk: ordered per-user events become
+    (from_state → to_state) counts with START/CONV/NULL sentinels —
+    a purchase absorbs the journey and restarts it; end-of-user
+    absorbs to NULL.  Pure run-scan, no per-user tasks."""
+    g = g.sort_by([("user_id", "ascending"), ("tus", "ascending"), ("event_id", "ascending")])
+    uid = g["user_id"].to_numpy()
+    et = g["event_type"].to_pylist()
+    counts: dict[tuple[str, str], int] = {}
+
+    def add(a: str, b: str) -> None:
+        counts[(a, b)] = counts.get((a, b), 0) + 1
+
+    prev = "START"
+    for i in range(len(uid)):
+        if i > 0 and uid[i] != uid[i - 1]:
+            if prev != "START":
+                add(prev, "NULL")
+            prev = "START"
+        if et[i] == ATTR_CONV:
+            add(prev, "CONV")
+            prev = "START"
+        else:
+            add(prev, et[i])
+            prev = et[i]
+    if len(uid) and prev != "START":
+        add(prev, "NULL")
+    ks = sorted(counts)
+    return pa.table(
+        {
+            "from_state": pa.array([k[0] for k in ks], type=pa.string()),
+            "to_state": pa.array([k[1] for k in ks], type=pa.string()),
+            "n": pa.array([counts[k] for k in ks], type=pa.int64()),
+        }
+    )
+
+
+def _attr_conv_prob(trans: dict[tuple[str, str], int]) -> int:
+    """P(absorb at CONV | START) as ATTR_FP fixed-point by ATTR_ITERS
+    rounds of the absorbing-chain fixpoint — pure integer ops."""
+    outs: dict[str, int] = {}
+    for (a, _), v in trans.items():
+        outs[a] = outs.get(a, 0) + v
+    states = sorted(outs)
+    p = {s: 0 for s in states}
+    for _ in range(ATTR_ITERS):
+        nxt = {}
+        for s in states:
+            acc = 0
+            for (a, b), v in trans.items():
+                if a != s:
+                    continue
+                if b == "CONV":
+                    acc += v * ATTR_FP
+                elif b != "NULL" and b in p:
+                    acc += v * p[b]
+            nxt[s] = acc // outs[s]
+        p = nxt
+    return p.get("START", 0)
+
+
+def markov_attribution(sf_dir: str, parts: int = 32) -> rd.Dataset:
+    """Markov removal-effect attribution (Anderl et al. 2016): model
+    user journeys as an absorbing Markov chain over touch channels,
+    then credit each channel by how much the START→CONV probability
+    DROPS when that channel is removed (redirected to NULL) — the
+    data-driven alternative to last-click that marketing mix reviews
+    actually trust.
+
+    Journey rule (mirrored exactly in the golden walk): per user in
+    (ts, event_id) order, a purchase absorbs the journey to CONV and
+    restarts at START; end-of-user absorbs to NULL; every other event
+    is a touch state.  Removal of channel c deletes c's outgoing rows
+    and redirects its incoming rows to NULL.
+
+    Determinism: transition counts are exact int64 through the
+    aggregate tree; each conversion probability is ATTR_ITERS rounds
+    of the integer fixpoint ``p(s) = (Σ n(s→t)·p(t) + n(s→CONV)·FP)
+    // n(s)`` — no float enters until the mirrored removal-effect
+    ratios.
+
+    Scale shape: the sessionize coarse-partition run-scan emits
+    (from, to, n) combiner rows; ONE states²-bounded groupby; the
+    chain solves run on the ≤ (channels+1)² aggregate driver-side.
+
+    Output: (channel, n_touches, p_full, p_without, removal_effect,
+    attribution) — attribution = removal share, summing to ~1.
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, type=pa.int64()),
+                "event_id": t["event_id"],
+                "tus": pa.array(t["ts"].cast(pa.int64()).to_numpy(), type=pa.int64()),
+                "event_type": t["event_type"],
+                "part": pa.array(uid % parts, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_attr_transitions, batch_format="pyarrow")
+        .groupby(["from_state", "to_state"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    trans = {
+        (r.from_state, r.to_state): int(r.n) for r in agg.itertuples()
+    }
+    p_full = _attr_conv_prob(trans)
+    channels = sorted({a for a, _ in trans} - {"START"})
+    touches = {c: sum(v for (a, _), v in trans.items() if a == c) for c in channels}
+    rows = {k: [] for k in ("channel", "n_touches", "p_full", "p_without", "removal_effect")}
+    for c in channels:
+        t2: dict[tuple[str, str], int] = {}
+        for (a, b), v in trans.items():
+            if a == c:
+                continue
+            b2 = "NULL" if b == c else b
+            t2[(a, b2)] = t2.get((a, b2), 0) + v
+        p_wo = _attr_conv_prob(t2)
+        rows["channel"].append(c)
+        rows["n_touches"].append(touches[c])
+        rows["p_full"].append(p_full)
+        rows["p_without"].append(p_wo)
+        rows["removal_effect"].append(
+            float(duckdb_round(np.array([1.0 - p_wo / max(p_full, 1)]), 6)[0])
+        )
+    tot_re = sum(rows["removal_effect"])
+    attr = duckdb_round(np.array(rows["removal_effect"]) / tot_re, 6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "channel": pa.array(rows["channel"], type=pa.string()),
+                "n_touches": pa.array(rows["n_touches"], type=pa.int64()),
+                "p_full": pa.array(rows["p_full"], type=pa.int64()),
+                "p_without": pa.array(rows["p_without"], type=pa.int64()),
+                "removal_effect": pa.array(rows["removal_effect"], type=pa.float64()),
+                "attribution": pa.array(attr, type=pa.float64()),
+            }
+        )
+    )

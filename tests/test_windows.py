@@ -135,3 +135,22 @@ def test_peak_concurrency_matches_global_sweep(ray_session):
     at = int(tus[order][int(np.argmax(run == peak))])
     assert got["at_us"] == at
     assert 1 <= peak <= len(sess)
+
+
+def test_markov_attribution_planted_chain(ray_session):
+    """On a hand-built chain the removal effects are exact: a channel
+    on EVERY converting path owns the full effect."""
+    from plasmap_ray.pipelines.windows import ATTR_FP, _attr_conv_prob, markov_attribution
+
+    # START -> a -> CONV (7 journeys), START -> b -> NULL (3 journeys)
+    trans = {("START", "a"): 7, ("a", "CONV"): 7, ("START", "b"): 3, ("b", "NULL"): 3}
+    p = _attr_conv_prob(trans)
+    assert abs(p - ATTR_FP * 7 // 10) <= 2  # 0.7 in fixed point
+    # removing 'a' kills all conversion
+    t2 = {("START", "NULL"): 7, ("START", "b"): 3, ("b", "NULL"): 3}
+    assert _attr_conv_prob(t2) == 0
+
+    out = markov_attribution("/root/testdata/sf0.001").to_pandas()
+    assert set(out["channel"]) <= {"click", "error", "signup", "view"}
+    assert (out["p_without"] <= out["p_full"]).all() or (out["removal_effect"] >= -1e-6).all()
+    assert abs(out["attribution"].sum() - 1.0) < 1e-3
