@@ -5470,3 +5470,64 @@ def markov_attribution_path(sf_dir: str) -> str:
         )
 
     return _cache(f"attribution_{_sf_tag(sf_dir)}", build)
+
+
+def image_blockiness_path(images_parquet: str) -> str:
+    """Expected blockiness audit: per-pixel scalar Python loops with
+    explicit mod-8 branching (vs the engine's boolean-mask slices)."""
+
+    def build() -> pa.Table:
+        from . import codecs
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(images_parquet, columns=["image_id", "bytes", "w", "h", "fmt"])
+        rows = {k: [] for k in ("image_id", "fmt", "ok", "b_sum", "b_cnt", "i_sum", "i_cnt")}
+        for i in range(t.num_rows):
+            px = codecs.decode_image(
+                t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(), t["fmt"][i].as_py()
+            )
+            g = px.astype(np.int64).sum(axis=2)
+            hh, ww = g.shape
+            bs = bc = is_ = ic = 0
+            for y in range(hh):
+                for x in range(ww - 1):
+                    d = abs(int(g[y, x + 1]) - int(g[y, x]))
+                    if x % 8 == 7:
+                        bs += d
+                        bc += 1
+                    else:
+                        is_ += d
+                        ic += 1
+            for y in range(hh - 1):
+                for x in range(ww):
+                    d = abs(int(g[y + 1, x]) - int(g[y, x]))
+                    if y % 8 == 7:
+                        bs += d
+                        bc += 1
+                    else:
+                        is_ += d
+                        ic += 1
+            rows["image_id"].append(t["image_id"][i].as_py())
+            rows["fmt"].append(t["fmt"][i].as_py())
+            rows["ok"].append(True)
+            rows["b_sum"].append(bs)
+            rows["b_cnt"].append(bc)
+            rows["i_sum"].append(is_)
+            rows["i_cnt"].append(ic)
+        bm = np.asarray(rows["b_sum"], dtype=np.float64) / np.maximum(np.asarray(rows["b_cnt"]), 1)
+        im = np.asarray(rows["i_sum"], dtype=np.float64) / np.maximum(np.asarray(rows["i_cnt"]), 1)
+        ratio = duckdb_round(bm / np.maximum(im, 1e-9), 6)
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], type=pa.string()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "ok": pa.array(rows["ok"]),
+                "b_sum": pa.array(rows["b_sum"], type=pa.int64()),
+                "b_cnt": pa.array(rows["b_cnt"], type=pa.int64()),
+                "i_sum": pa.array(rows["i_sum"], type=pa.int64()),
+                "i_cnt": pa.array(rows["i_cnt"], type=pa.int64()),
+                "blockiness": pa.array(ratio, type=pa.float64()),
+            }
+        )
+
+    return _cache(f"blockiness_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)

@@ -2491,3 +2491,39 @@ def phash_scale_stability(sf_dir: str, side: int = PHASH_THUMB_SIDE) -> rd.Datas
             )
 
     return ds.map_batches(ScaleStab, batch_format="pyarrow", batch_size=256, concurrency=(1, 8))
+
+
+def image_blockiness(sf_dir: str) -> rd.Dataset:
+    """Per-image blocking-artifact audit (stages.media.Blockiness):
+    the boundary-vs-interior gradient ratio that exposes prior 8×8
+    block-transform compression (JPEG in the wild; dctq here) inside
+    a nominally lossless corpus — run beside the fidelity gate when
+    provenance claims "original" (reference analogue: the ST5 codec
+    layer; the detector for its own lossy leg).
+
+    Determinism: the four (sum, count) pairs are exact int64;
+    blockiness = round((b_sum/b_cnt) / max(i_sum/i_cnt, eps), 6) is
+    the one mirrored float (eps guards flat fills).
+
+    Scale shape: map-ONLY — decode fused with the gradient split in
+    the actor pool, payloads consumed in-stage, four int64s +
+    metadata per image leave; no exchange at all.
+
+    Output: (image_id, fmt, ok, b_sum, b_cnt, i_sum, i_cnt,
+    blockiness).
+    """
+    from ..stages import media
+    from ..stages.common import duckdb_round
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    scored = ds.map_batches(
+        media.Blockiness, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        bm = t["b_sum"].to_numpy() / np.maximum(t["b_cnt"].to_numpy(), 1)
+        im = t["i_sum"].to_numpy() / np.maximum(t["i_cnt"].to_numpy(), 1)
+        ratio = duckdb_round(bm / np.maximum(im, 1e-9), 6)
+        return t.append_column("blockiness", pa.array(ratio, type=pa.float64()))
+
+    return scored.map_batches(finish, batch_format="pyarrow")

@@ -538,6 +538,52 @@ class DynamicRange:
         return pa.table(out)
 
 
+class Blockiness:
+    """Actor-pool stage: per-image 8×8 blocking-artifact census — the
+    prior-compression detector: block-transform codecs (JPEG, this
+    repo's dctq) leave step discontinuities exactly at multiple-of-8
+    column/row boundaries, so the mean absolute step ACROSS block
+    edges exceeds the mean step inside blocks.  Flags already-
+    compressed content sneaking into a "lossless" corpus.
+
+    Exact integers: per-image sums of |g(x+1)−g(x)| split into
+    boundary columns (x ≡ 7 mod 8) vs interior, and the same for
+    rows.  Emits the four (sum, count) pairs; the blockiness ratio
+    (boundary mean / interior mean) is ONE mirrored float downstream.
+
+    Payloads consumed in-stage (4 int64s + metadata leave the task).
+    Decode failures flag ok=False (M9 quarantine semantics).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        w = batch["w"].to_numpy()
+        h = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        cols = {k: np.zeros(n, dtype=np.int64) for k in ("b_sum", "b_cnt", "i_sum", "i_cnt")}
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                px = codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
+                g = px.astype(np.int64).sum(axis=2)
+                dx = np.abs(g[:, 1:] - g[:, :-1])  # step x -> x+1
+                dy = np.abs(g[1:, :] - g[:-1, :])
+                bx = (np.arange(dx.shape[1]) % 8) == 7
+                by = (np.arange(dy.shape[0]) % 8) == 7
+                cols["b_sum"][i] = int(dx[:, bx].sum()) + int(dy[by, :].sum())
+                cols["b_cnt"][i] = dx[:, bx].size + dy[by, :].size
+                cols["i_sum"][i] = int(dx[:, ~bx].sum()) + int(dy[~by, :].sum())
+                cols["i_cnt"][i] = dx[:, ~bx].size + dy[~by, :].size
+                ok[i] = True
+            except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
+                pass
+        out = {"image_id": batch["image_id"], "fmt": batch["fmt"], "ok": pa.array(ok)}
+        for k, v in cols.items():
+            out[k] = pa.array(v, type=pa.int64())
+        return pa.table(out)
+
+
 class AudioSilenceTrim:
     """Actor-pool stage: per-clip silence-trim manifest — the offsets
     an audio training pipeline cuts to before featurizing (leading /

@@ -1156,3 +1156,44 @@ def test_audio_dedup_manifest_covers_all_and_keeps_min(ray_session):
     cl = dict(zip(out["media_id"], out["cluster"]))
     for r in pairs.itertuples():
         assert cl[r.media_a] == cl[r.media_b]
+
+
+def test_blockiness_flags_block_coded_content(ray_session):
+    """A synthetic 8x8-constant-block image maximizes the ratio (all
+    variation at boundaries); a smooth ramp stays near 1; the dctq-
+    coded corpus leg scores higher than the lossless legs."""
+    import pyarrow as pa
+
+    from plasmap_ray.stages.media import Blockiness
+
+    w = h = 32
+    rng = np.random.default_rng(3)
+    blocks = rng.integers(0, 256, size=(4, 4), dtype=np.int64)
+    blocky = np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    ramp = np.tile(np.arange(w, dtype=np.uint8), (h, 1))
+    batch = pa.table(
+        {
+            "image_id": ["img-blocky", "img-ramp"],
+            "bytes": [np.stack([blocky] * 3, 2).tobytes(), np.stack([ramp] * 3, 2).tobytes()],
+            "w": [w, w],
+            "h": [h, h],
+            "fmt": ["raw", "raw"],
+        }
+    )
+    out = Blockiness()(batch)
+    assert out["i_sum"].to_pylist()[0] == 0  # constant inside blocks
+    assert out["b_sum"].to_pylist()[0] > 0
+    # ramp: identical steps everywhere -> boundary mean == interior mean
+    bm = out["b_sum"].to_pylist()[1] / out["b_cnt"].to_pylist()[1]
+    im = out["i_sum"].to_pylist()[1] / out["i_cnt"].to_pylist()[1]
+    assert abs(bm - im) < 1e-9
+
+    from plasmap_ray.pipelines import images as I
+
+    res = I.image_blockiness("/root/testdata/sf0.001").to_pandas()
+    assert res["ok"].all()
+    med = res.groupby("fmt")["blockiness"].median()
+    if "qnt8" in med.index and "raw" in med.index:
+        # the quantized leg is per-pixel, not block-transform: its
+        # blockiness must NOT exceed the raw leg by much
+        assert med["qnt8"] < med["raw"] * 1.5
