@@ -125,10 +125,11 @@ def main() -> int:
             status = f"ERROR {repr(ex)[:200]}"
         print(f"{name:32s} {status}   [{time.time() - t0:.1f}s]", flush=True)
 
-    with open("/tmp/oracle_check.json", "w") as f:
+    out_path = os.environ.get("ORACLE_CHECK_OUT", "/tmp/oracle_check.json")
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     n_fail = sum(1 for r in results.values() if r["hash_match"] is False)
-    print(f"\n{n_pass} pass / {n_fail} fail / {len(results)} total -> /tmp/oracle_check.json")
+    print(f"\n{n_pass} pass / {n_fail} fail / {len(results)} total -> {out_path}")
     ray.shutdown()
     return 1 if n_fail else 0
 
