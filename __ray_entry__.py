@@ -530,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dynamic_range": images.image_dynamic_range,
         "phash_scale_stability": images.phash_scale_stability,
         "image_blockiness": images.image_blockiness,
+        "image_saliency_centroid": images.image_saliency_centroid,
         "dct_energy_profile": images.dct_energy_profile,
         "image_palette": images.image_palette,
         "image_edge_density": images.image_edge_density,
@@ -2185,6 +2186,7 @@ FROM {img_pq} GROUP BY fmt ORDER BY fmt""",
         "image_haar_energy": f"SELECT * FROM read_parquet('{golden.image_haar_energy_path(images.images_path_for(SF001))}')",
         "image_dynamic_range": f"SELECT * FROM read_parquet('{golden.image_dynamic_range_path(images.images_path_for(SF001))}')",
         "image_blockiness": f"SELECT * FROM read_parquet('{golden.image_blockiness_path(images.images_path_for(SF001))}')",
+        "image_saliency_centroid": f"SELECT * FROM read_parquet('{golden.image_saliency_centroid_path(images.images_path_for(SF001))}')",
         "phash_scale_stability": f"SELECT * FROM read_parquet('{golden.phash_scale_stability_path(images.images_path_for(SF001), images.PHASH_THUMB_SIDE)}')",
         "dct_energy_profile": f"SELECT * FROM read_parquet('{golden.dct_energy_profile_path(images.images_path_for(SF001))}')",
         "image_palette": f"SELECT * FROM read_parquet('{golden.image_palette_path(images.images_path_for(SF001))}')",

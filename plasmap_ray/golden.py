@@ -5531,3 +5531,57 @@ def image_blockiness_path(images_parquet: str) -> str:
         )
 
     return _cache(f"blockiness_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
+
+
+def image_saliency_centroid_path(images_parquet: str) -> str:
+    """Expected saliency centroids: per-pixel scalar moment loops (vs
+    the engine's mgrid products) — identical integers, one shared
+    float offset expression."""
+
+    def build() -> pa.Table:
+        import math as m
+
+        from . import codecs
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(images_parquet, columns=["image_id", "bytes", "w", "h", "fmt"])
+        rows = {k: [] for k in ("image_id", "fmt", "ok", "m_sum", "mx_sum", "my_sum")}
+        offs = []
+        for i in range(t.num_rows):
+            w, h = t["w"][i].as_py(), t["h"][i].as_py()
+            px = codecs.decode_image(t["bytes"][i].as_py(), w, h, t["fmt"][i].as_py())
+            g = px.astype(np.int64).sum(axis=2)
+            ms = mx = my = 0
+            for y in range(1, h - 1):
+                for x in range(1, w - 1):
+                    mm = abs(int(g[y, x + 1]) - int(g[y, x - 1])) + abs(
+                        int(g[y + 1, x]) - int(g[y - 1, x])
+                    )
+                    ms += mm
+                    mx += mm * x
+                    my += mm * y
+            rows["image_id"].append(t["image_id"][i].as_py())
+            rows["fmt"].append(t["fmt"][i].as_py())
+            rows["ok"].append(True)
+            rows["m_sum"].append(ms)
+            rows["mx_sum"].append(mx)
+            rows["my_sum"].append(my)
+            if ms:
+                cx, cy = mx / ms, my / ms
+                dx, dy = cx - (w - 1) / 2.0, cy - (h - 1) / 2.0
+                offs.append(m.hypot(dx, dy) / m.hypot((w - 1) / 2.0, (h - 1) / 2.0))
+            else:
+                offs.append(0.0)
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], type=pa.string()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "ok": pa.array(rows["ok"]),
+                "m_sum": pa.array(rows["m_sum"], type=pa.int64()),
+                "mx_sum": pa.array(rows["mx_sum"], type=pa.int64()),
+                "my_sum": pa.array(rows["my_sum"], type=pa.int64()),
+                "offset_norm": pa.array(duckdb_round(np.array(offs), 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"saliency_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)

@@ -1197,3 +1197,30 @@ def test_blockiness_flags_block_coded_content(ray_session):
         # the quantized leg is per-pixel, not block-transform: its
         # blockiness must NOT exceed the raw leg by much
         assert med["qnt8"] < med["raw"] * 1.5
+
+
+def test_saliency_centroid_planted_fields(ray_session):
+    """A right-half-textured field pulls the gradient centroid right;
+    the engine run's moments reproduce its own offset column."""
+    import math
+
+    from plasmap_ray.pipelines import images as I
+
+    w = h = 32
+    rng = np.random.default_rng(5)
+    half = np.full((h, w), 100, dtype=np.int64)
+    half[:, w // 2:] = rng.integers(0, 256, size=(h, w // 2))
+    g = half * 3
+    gx = np.abs(g[1:-1, 2:] - g[1:-1, :-2])
+    gy = np.abs(g[2:, 1:-1] - g[:-2, 1:-1])
+    m = gx + gy
+    ys, xs = np.mgrid[1 : h - 1, 1 : w - 1]
+    cx = (m * xs).sum() / m.sum()
+    assert cx > (w - 1) / 2.0 + 3  # centroid pulled into the textured half
+
+    res = I.image_saliency_centroid("/root/testdata/sf0.001").to_pandas()
+    assert res["ok"].all() and (res["m_sum"] > 0).all()
+    assert ((res["offset_norm"] >= 0) & (res["offset_norm"] <= 1.0)).all()
+    # the centered-sinusoid corpus keeps its detail mass well inside
+    # the frame
+    assert res["offset_norm"].median() < 0.5
