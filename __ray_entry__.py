@@ -452,6 +452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hbos_outliers": stats.hbos_outliers,
         "interpurchase_intervals": relational.interpurchase_intervals,
         "cohort_ltv": relational.cohort_ltv,
+        "ship_delay_quantiles": relational.ship_delay_quantiles,
+        "supplier_ontime_wilson": relational.supplier_ontime_wilson,
         "bootstrap_ci": stats.bootstrap_ci,
         "expectations_audit": stats.expectations_audit,
         "neyman_allocation": stats.neyman_allocation,
@@ -4574,6 +4576,36 @@ SELECT n AS n_days, n1 AS n_above, n - n1 AS n_below, r AS n_runs,
              / sqrt(2.0 * n1 * (n - n1) * (2.0 * n1 * (n - n1) - n)
                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) AS z
 FROM agg""",
+        "ship_delay_quantiles": """
+WITH fs AS (SELECT l_orderkey, min(epoch_us(l_shipdate) // 86400000000) AS sday
+            FROM lineitem GROUP BY l_orderkey),
+d AS (SELECT o.o_orderpriority, fs.sday - epoch_us(o.o_orderdate) // 86400000000 AS delay
+      FROM orders o JOIN fs ON fs.l_orderkey = o.o_orderkey),
+a AS (SELECT o_orderpriority,
+        CAST(quantile_disc(delay, 0.5) AS BIGINT) AS p50,
+        CAST(quantile_disc(delay, 0.9) AS BIGINT) AS p90,
+        CAST(quantile_disc(delay, 0.99) AS BIGINT) AS p99
+      FROM d GROUP BY o_orderpriority)
+SELECT o_orderpriority, 0.5 AS q, p50 AS delay_days FROM a
+UNION ALL SELECT o_orderpriority, 0.9, p90 FROM a
+UNION ALL SELECT o_orderpriority, 0.99, p99 FROM a""",
+        "supplier_ontime_wilson": f"""
+WITH j AS (SELECT l.l_suppkey,
+             CASE WHEN epoch_us(l.l_shipdate) // 86400000000
+                       - epoch_us(o.o_orderdate) // 86400000000 <= {relational.ONTIME_DAYS}
+                  THEN 1 ELSE 0 END AS ontime
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+a AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(ontime) AS BIGINT) AS n_ontime
+      FROM j GROUP BY l_suppkey),
+w AS (SELECT *, CAST(n_ontime AS DOUBLE) / CAST(n_lines AS DOUBLE) AS p,
+        CAST(n_lines AS DOUBLE) AS nd FROM a)
+SELECT l_suppkey, n_lines, n_ontime, round(p, 6) AS rate,
+       round((p + {relational.WILSON_Z}*{relational.WILSON_Z} / (2.0 * nd)
+              - {relational.WILSON_Z} * sqrt(p * (1.0 - p) / nd
+                    + {relational.WILSON_Z}*{relational.WILSON_Z} / (4.0 * nd * nd)))
+             / (1.0 + {relational.WILSON_Z}*{relational.WILSON_Z} / nd), 6) AS wilson_lo
+FROM w ORDER BY wilson_lo DESC, l_suppkey LIMIT 15""",
         "mann_whitney_u": """
 WITH e AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
                   CASE WHEN (epoch_us(ts) // 86400000000) % 7 IN (2, 3) THEN 1 ELSE 0 END AS we

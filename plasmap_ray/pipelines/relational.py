@@ -2577,3 +2577,184 @@ def cohort_ltv(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ship_delay_quantiles (per-priority fulfillment-latency SLA table)
+# ---------------------------------------------------------------------------
+
+SLA_QS = (0.5, 0.9, 0.99)
+
+
+def ship_delay_quantiles(sf_dir: str, qs: tuple[float, ...] = SLA_QS) -> rd.Dataset:
+    """Per-priority fulfillment-latency SLA: exact p50/p90/p99 of the
+    order→ship delay in days, one row per (o_orderpriority, q) — the
+    SLA table an ops review reads before promising delivery windows
+    (blame_suppliers names the laggards; this quantifies the promise).
+
+    Exactness: delays are exact integer day differences (first
+    lineitem ship date per order minus order date); per-priority
+    quantiles are exact rank selections (quantile_disc convention) in
+    key-partitioned map_groups — per-key rows bound task memory, the
+    event_value_quantiles contract.
+
+    Scale shape: ONE orderkey hash join (lineitem min-shipdate per
+    order ⋈ orders) + ONE priority-keyed map_groups; at 10^12 rows the
+    per-priority groups recurse the histogram+refine pattern instead
+    of an in-task sort (the value_quantiles discipline).
+
+    Output: (o_orderpriority, q, delay_days).
+    """
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def ship_partial(t: pa.Table) -> pa.Table:
+        day = t["l_shipdate"].cast(pa.int64()).to_numpy() // 86_400_000_000
+        df = pd.DataFrame({"l_orderkey": t["l_orderkey"].to_numpy(), "sday": day})
+        g = df.groupby("l_orderkey", sort=False)["sday"].min().reset_index()
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"].to_numpy(), type=pa.int64()),
+                "sday": pa.array(g["sday"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    first_ship = (
+        li.map_batches(ship_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Min("sday", alias_name="sday"))
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def oday(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].cast(pa.int64()).to_numpy() // 86_400_000_000
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "oday": pa.array(d, type=pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    j = safe_join(
+        orders.map_batches(oday, batch_format="pyarrow"),
+        first_ship,
+        join_type="inner",
+        num_partitions=4,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def delay(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "delay": pa.array(
+                    t["sday"].to_numpy() - t["oday"].to_numpy(), type=pa.int64()
+                ),
+            }
+        )
+
+    def per_prio(g: pd.DataFrame) -> pd.DataFrame:
+        import math as m
+
+        v = np.sort(g["delay"].to_numpy(), kind="stable")
+        n = len(v)
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["o_orderpriority"].iloc[0]] * len(qs),
+                "q": np.asarray(qs, dtype=np.float64),
+                "delay_days": [int(v[max(1, m.ceil(q * n)) - 1]) for q in qs],
+            }
+        )
+
+    return (
+        j.map_batches(delay, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(per_prio, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# supplier_ontime_wilson (reliability ranking with shrinkage-safe CI)
+# ---------------------------------------------------------------------------
+
+WILSON_Z = 1.96
+ONTIME_DAYS = 60  # a line shipped within 60 days of its order is on time
+
+
+def supplier_ontime_wilson(sf_dir: str, k: int = 15) -> rd.Dataset:
+    """Supplier reliability ranked by the WILSON lower bound of the
+    on-time-ship rate (Wilson 1927; the "how not to sort by average
+    rating" fix): a 3/3 supplier must not outrank a 97/100 one, so the
+    ranking key is the 95% lower confidence bound, not the raw rate —
+    the shrinkage-safe leaderboard behind supplier scorecards
+    (eb_shrunk_rates is the Bayesian sibling on cells; this is the
+    frequentist one on suppliers).
+
+    Exactness: (n, on_time) counts are exact int64; rate and the
+    Wilson bound are mirrored float expressions; ranking is (bound
+    DESC, suppkey ASC) — deterministic.
+
+    Scale shape: ONE orderkey hash join (order dates onto lineitem) +
+    map-side (supplier, n, on) combiner -> supplier-bounded groupby ->
+    driver top-k on the bounded supplier table.
+
+    Output: top-k rows (l_suppkey, n_lines, n_ontime, rate,
+    wilson_lo).
+    """
+    from ..stages.common import duckdb_round
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderdate"]
+    )
+    j = safe_join(li, orders, join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        sday = t["l_shipdate"].cast(pa.int64()).to_numpy() // 86_400_000_000
+        oday = t["o_orderdate"].cast(pa.int64()).to_numpy() // 86_400_000_000
+        on = (sday - oday <= ONTIME_DAYS).astype(np.int64)
+        df = pd.DataFrame({"s": t["l_suppkey"].to_numpy(), "on": on})
+        g = df.groupby("s", sort=False).agg(n=("on", "size"), on=("on", "sum")).reset_index()
+        return pa.table(
+            {
+                "l_suppkey": pa.array(g["s"].to_numpy(), type=pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), type=pa.int64()),
+                "on": pa.array(g["on"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("n", alias_name="n_lines"), Sum("on", alias_name="n_ontime"))
+        .to_pandas()
+    )
+    n = agg["n_lines"].to_numpy().astype(np.float64)
+    p = agg["n_ontime"].to_numpy().astype(np.float64) / n
+    z2 = WILSON_Z * WILSON_Z
+    lo = (p + z2 / (2.0 * n) - WILSON_Z * np.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))) / (
+        1.0 + z2 / n
+    )
+    agg["rate"] = duckdb_round(p, 6)
+    agg["wilson_lo"] = duckdb_round(lo, 6)
+    agg = agg.sort_values(["wilson_lo", "l_suppkey"], ascending=[False, True]).head(k)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "l_suppkey": pa.array(agg["l_suppkey"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n_lines": pa.array(agg["n_lines"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n_ontime": pa.array(agg["n_ontime"].to_numpy().astype(np.int64), type=pa.int64()),
+                "rate": pa.array(agg["rate"].to_numpy(), type=pa.float64()),
+                "wilson_lo": pa.array(agg["wilson_lo"].to_numpy(), type=pa.float64()),
+            }
+        )
+    )

@@ -1948,3 +1948,40 @@ def test_cohort_ltv_algebra(ray_session):
     assert (got["cum_revenue_cents"].to_numpy() == cum.to_numpy()).all()
     # age 0 exists for every cohort (the first order defines it)
     assert (got.groupby("cohort_month")["age_months"].min() == 0).all()
+
+
+def test_ship_delay_quantiles_exact_ranks(ray_session):
+    from plasmap_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    out = relational.ship_delay_quantiles(sf).to_pandas()
+    li = pq.read_table(os.path.join(sf, "lineitem.parquet"), columns=["l_orderkey", "l_shipdate"]).to_pandas()
+    o = pq.read_table(os.path.join(sf, "orders.parquet"), columns=["o_orderkey", "o_orderdate", "o_orderpriority"]).to_pandas()
+    li["sday"] = li["l_shipdate"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+    fs = li.groupby("l_orderkey")["sday"].min()
+    o["oday"] = o["o_orderdate"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+    o = o[o["o_orderkey"].isin(fs.index)]
+    o["delay"] = fs.loc[o["o_orderkey"]].to_numpy() - o["oday"].to_numpy()
+    import math
+
+    for (prio, q), grp in out.set_index(["o_orderpriority", "q"]).iterrows():
+        v = np.sort(o.loc[o["o_orderpriority"] == prio, "delay"].to_numpy())
+        assert grp["delay_days"] == v[max(1, math.ceil(q * len(v))) - 1]
+    assert (out.groupby("o_orderpriority").size() == 3).all()
+
+
+def test_supplier_ontime_wilson_ordering_property(ray_session):
+    from plasmap_ray.pipelines import relational
+
+    out = relational.supplier_ontime_wilson("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    # bound below the rate, both in [0, 1]; ranking is by the bound
+    assert (out["wilson_lo"] <= out["rate"] + 1e-9).all()
+    assert ((out["wilson_lo"] >= 0) & (out["rate"] <= 1.0)).all()
+    assert (np.diff(out["wilson_lo"].to_numpy()) <= 1e-12).all()
+    # a tiny perfect supplier cannot beat a large near-perfect one:
+    # wilson(3/3) < wilson(97/100)
+    def wilson(on, n, z=relational.WILSON_Z):
+        p = on / n
+        return (p + z * z / (2 * n) - z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) / (1 + z * z / n)
+    assert wilson(3, 3) < wilson(97, 100)
