@@ -458,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expectations_audit": stats.expectations_audit,
         "neyman_allocation": stats.neyman_allocation,
         "runs_test": stats.runs_test,
+        "ols_regression": stats.ols_regression,
         "acf_hourly": windows.acf_hourly,
         "ccf_event_types": windows.ccf_event_types,
         "dau_wau_ratio": windows.dau_wau_ratio,
@@ -4657,6 +4658,33 @@ SELECT n_a, n_b, n_inter, round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
        round(est_union, 6) AS est_union, round(est_a + est_b - est_union, 6) AS est_inter,
        round(abs(est_a + est_b - est_union - CAST(n_inter AS DOUBLE)), 6) AS abs_err
 FROM x""",
+        "ols_regression": """
+WITH f AS (SELECT l_returnflag,
+                  CAST(floor(l_quantity + 0.5) AS HUGEINT) AS x1,
+                  CAST(floor(l_discount * 100.0 + 0.5) AS HUGEINT) AS x2,
+                  CAST(floor(l_extendedprice + 0.5) AS HUGEINT) AS y
+           FROM lineitem),
+s AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+             sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+             sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+             sum(x1*y) AS s1y, sum(x2*y) AS s2y, sum(y*y) AS syy
+      FROM f GROUP BY l_returnflag),
+d AS (SELECT *,
+             n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+             sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS det0,
+             n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS det1,
+             n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS det2
+      FROM s),
+b AS (SELECT *,
+             CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS b0,
+             CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS b1,
+             CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS b2
+      FROM d)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+       round(1.0 - (CAST(syy AS DOUBLE) - b0 * CAST(sy AS DOUBLE) - b1 * CAST(s1y AS DOUBLE) - b2 * CAST(s2y AS DOUBLE))
+                   / (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS r2
+FROM b""",
         "discount_elasticity": """
 WITH f AS (SELECT p.p_brand,
                   CAST(floor(l.l_discount * 100.0 + 0.5) AS BIGINT) AS x,

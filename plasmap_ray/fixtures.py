@@ -515,7 +515,7 @@ def images_parquet_path(n: int, seed: int = SEED, skew_hot_frac: float = 0.0, ro
     tag = f"images_v2_n{n}_s{seed}" + (f"_hot{skew_hot_frac}" if skew_hot_frac else "")
     path = os.path.join(root, tag + ".parquet")
     if not os.path.exists(path):
-        tmp = path + ".tmp"
+        tmp = f"{path}.tmp.{os.getpid()}"  # per-PID: concurrent builders must not share a temp name
         pq.write_table(make_images(n, seed=seed, skew_hot_frac=skew_hot_frac), tmp)
         os.replace(tmp, path)
     return path
@@ -596,7 +596,7 @@ def media_parquet_path(kind: str, n: int, root: str = "/tmp/plasmap_fixtures") -
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, f"{kind}_v1_n{n}.parquet")
     if not os.path.exists(path):
-        tmp = path + ".tmp"
+        tmp = f"{path}.tmp.{os.getpid()}"  # per-PID: concurrent builders must not share a temp name
         pq.write_table(make_audio(n) if kind == "audio" else make_video(n), tmp)
         os.replace(tmp, path)
     return path
@@ -634,7 +634,7 @@ def embeddings_parquet_path(
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, f"embdup_n{n}_d{dim}_e{dup_every}_s{seed}.parquet")
     if not os.path.exists(path):
-        tmp = path + ".tmp"
+        tmp = f"{path}.tmp.{os.getpid()}"  # per-PID: concurrent builders must not share a temp name
         pq.write_table(make_embeddings(n, dim, dup_every, seed), tmp)
         os.replace(tmp, path)
     return path

@@ -44,7 +44,12 @@ def _cache(name: str, build) -> str:
     os.makedirs(GOLDEN_ROOT, exist_ok=True)
     path = os.path.join(GOLDEN_ROOT, f"{name}_{GOLDEN_VERSION}.parquet")
     if not os.path.exists(path):
-        tmp = path + ".tmp"
+        # per-PID temp name: two processes may build the same golden
+        # concurrently (pytest beside oracle_check); a SHARED tmp name
+        # makes the loser's os.replace raise FileNotFoundError after
+        # the winner renames it away.  Last atomic rename wins; both
+        # builds are deterministic so the content is identical.
+        tmp = f"{path}.tmp.{os.getpid()}"
         pq.write_table(build(), tmp)
         os.replace(tmp, path)
     return path

@@ -1944,3 +1944,113 @@ def runs_test(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ols_regression (multiple linear regression via exact normal equations)
+# ---------------------------------------------------------------------------
+
+
+def ols_regression(sf_dir: str) -> rd.Dataset:
+    """Per-returnflag MULTIPLE linear regression — price ~ quantity +
+    discount — solved by exact-integer normal equations + Cramer's
+    rule.  The one-pass distributed OLS: no gradient iterations, no
+    driver-side rows, just ten moment sums per group.
+
+        y  = rounded dollars of l_extendedprice
+        x1 = l_quantity (integral in TPC-H)
+        x2 = discount percentage points (floor(d*100+0.5))
+
+    Normal equations  X'X b = X'y  for X = [1, x1, x2] reduce to a 3x3
+    integer system per group; both engine and oracle evaluate the SAME
+    exact integer determinants (Python big-int here, HUGEINT in
+    DuckDB) so b0/b1/b2 agree bit-for-bit before the shared round(.,6).
+    R^2 comes from the sum identity SSE = syy - b0*sy - b1*s1y - b2*s2y
+    (valid only at the OLS optimum), evaluated in the same float order
+    on both sides.
+
+    Scale shape: map-ONLY ten-sum partials per batch (np.add.reduceat
+    over the batch-sorted group key) -> ONE bounded groupby (3 flags)
+    -> O(1) driver solve per group.  This is the canonical "learning
+    as aggregation" pattern: at 10^12 rows the network carries thirty
+    int64s.  Headroom: dollar-grain y keeps syy partials < 2^63 up to
+    ~10^8 rows per flag; beyond that split each sum into (hi, lo)
+    int64 pairs (the exact-int128 corr-matrix discipline,
+    lineitem_corr_matrix).
+
+    Output: (l_returnflag, n, b0, b1, b2, r2).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        flag = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        x1 = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        x2 = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        y = np.floor(t["l_extendedprice"].to_numpy() + 0.5).astype(np.int64)
+        order = np.argsort(flag, kind="stable")
+        flag, x1, x2, y = flag[order], x1[order], x2[order], y[order]
+        bounds = np.nonzero(flag[1:] != flag[:-1])[0] + 1
+        starts = np.concatenate([[0], bounds])
+        red = lambda v: np.add.reduceat(v, starts)  # noqa: E731
+        ones = np.ones(len(flag), dtype=np.int64)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(flag[starts], type=pa.string()),
+                "n": pa.array(red(ones), type=pa.int64()),
+                "s1": pa.array(red(x1), type=pa.int64()),
+                "s2": pa.array(red(x2), type=pa.int64()),
+                "sy": pa.array(red(y), type=pa.int64()),
+                "s11": pa.array(red(x1 * x1), type=pa.int64()),
+                "s12": pa.array(red(x1 * x2), type=pa.int64()),
+                "s22": pa.array(red(x2 * x2), type=pa.int64()),
+                "s1y": pa.array(red(x1 * y), type=pa.int64()),
+                "s2y": pa.array(red(x2 * y), type=pa.int64()),
+                "syy": pa.array(red(y * y), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        rows = {c: [] for c in ("l_returnflag", "n", "b0", "b1", "b2", "r2")}
+        for i in range(t.num_rows):
+            n, s1, s2, sy, s11, s12, s22, s1y, s2y, syy = (
+                int(t[c][i].as_py()) for c in ("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")
+            )
+            # exact big-int 3x3 Cramer: det [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]
+            det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+            det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)
+            det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)
+            det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)
+            b0 = float(det0) / float(det)
+            b1 = float(det1) / float(det)
+            b2 = float(det2) / float(det)
+            sse = float(syy) - b0 * float(sy) - b1 * float(s1y) - b2 * float(s2y)
+            sst = float(syy) - float(sy) * float(sy) / float(n)
+            rows["l_returnflag"].append(t["l_returnflag"][i].as_py())
+            rows["n"].append(n)
+            rows["b0"].append(b0)
+            rows["b1"].append(b1)
+            rows["b2"].append(b2)
+            rows["r2"].append(1.0 - sse / sst)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(rows["l_returnflag"], type=pa.string()),
+                "n": pa.array(rows["n"], type=pa.int64()),
+                "b0": pa.array(duckdb_round(np.array(rows["b0"]), 6), type=pa.float64()),
+                "b1": pa.array(duckdb_round(np.array(rows["b1"]), 6), type=pa.float64()),
+                "b2": pa.array(duckdb_round(np.array(rows["b2"]), 6), type=pa.float64()),
+                "r2": pa.array(duckdb_round(np.array(rows["r2"]), 6), type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -335,3 +335,29 @@ def test_runs_test_formula_and_planted_patterns(ray_session):
         return (r - mu) / sig
     assert z_of([0, 1] * 30) > 5
     assert z_of([0] * 30 + [1] * 30) < -5
+
+
+def test_ols_regression_matches_lstsq(ray_session):
+    out = stats.ols_regression(SF).to_pandas().set_index("l_returnflag").sort_index()
+    t = pq.read_table(
+        os.path.join(SF, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    flag = t["l_returnflag"].to_numpy(zero_copy_only=False)
+    x1 = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+    x2 = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    y = np.floor(t["l_extendedprice"].to_numpy() + 0.5).astype(np.int64)
+    for f in np.unique(flag):
+        m = flag == f
+        X = np.column_stack([np.ones(m.sum()), x1[m], x2[m]]).astype(np.float64)
+        beta, _, _, _ = np.linalg.lstsq(X, y[m].astype(np.float64), rcond=None)
+        row = out.loc[f]
+        assert int(row["n"]) == int(m.sum())
+        assert abs(row["b0"] - beta[0]) < 1e-3
+        assert abs(row["b1"] - beta[1]) < 1e-3
+        assert abs(row["b2"] - beta[2]) < 1e-3
+        pred = X @ beta
+        resid = y[m] - pred
+        sst = ((y[m] - y[m].mean()) ** 2).sum()
+        assert abs(row["r2"] - (1.0 - (resid**2).sum() / sst)) < 1e-5
+        assert 0.0 <= row["r2"] <= 1.0
