@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_dists": routing.sssp_dists_query,
         "isochrone_bands": routing.isochrone_bands_query,
         "pagerank": routing.pagerank_query,
+        "mst_boruvka": routing.mst_boruvka_query,
         "betweenness_sampled": routing.betweenness_sampled,
         "harmonic_centrality": routing.harmonic_centrality,
         "percolation_curve": routing.percolation_curve,
@@ -2275,6 +2276,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "frechet_conformance": f"SELECT * FROM read_parquet('{golden.frechet_conformance_path(SF001)}')",
         "pq_encode": f"SELECT * FROM read_parquet('{golden.pq_encode_path(SF001)}')",
         "pagerank": f"SELECT * FROM read_parquet('{golden.pagerank_path()}')",
+        "mst_boruvka": f"SELECT * FROM read_parquet('{golden.mst_boruvka_path()}')",
         "betweenness_sampled": f"SELECT * FROM read_parquet('{golden.betweenness_path(routing.BTW_SOURCES)}')",
         "harmonic_centrality": f"SELECT * FROM read_parquet('{golden.harmonic_path(routing.BTW_SOURCES)}')",
         "percolation_curve": f"SELECT * FROM read_parquet('{golden.percolation_path(routing.PERC_CUTS)}')",

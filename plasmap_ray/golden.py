@@ -5590,3 +5590,45 @@ def image_saliency_centroid_path(images_parquet: str) -> str:
         )
 
     return _cache(f"saliency_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
+
+
+def mst_boruvka_path(n: int | None = None) -> str:
+    """Golden MST recompute (local, no Ray): KRUSKAL with union-find
+    over edges totally ordered by (w, src, dst) — a different
+    algorithm than the engine's distributed Borůvka, same unique MST."""
+
+    def build() -> pa.Table:
+        from . import fixtures
+
+        nn = n or fixtures.ROAD_N
+        e = fixtures.road_world(nn)["edges"]
+        src = e["src"].to_numpy()
+        dst = e["dst"].to_numpy()
+        w = e["w"].to_numpy()
+        order = np.lexsort((dst, src, w))
+        parent = list(range(nn * nn + 1))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        keep = []
+        for i in order.tolist():
+            a, b = find(int(src[i])), find(int(dst[i]))
+            if a != b:
+                parent[a] = b
+                keep.append(i)
+        keep_idx = np.array(keep, dtype=np.int64)
+        out_order = np.lexsort((dst[keep_idx], src[keep_idx]))
+        keep_idx = keep_idx[out_order]
+        return pa.table(
+            {
+                "src": pa.array(src[keep_idx], type=pa.int64()),
+                "dst": pa.array(dst[keep_idx], type=pa.int64()),
+                "w": pa.array(w[keep_idx], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"mst_boruvka_n{n or 'def'}", build)

@@ -38,7 +38,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min
+from ray.data.aggregate import Count, Min
 
 from .. import fixtures
 
@@ -945,3 +945,191 @@ def detour_ratio(sf_dir: str, n_pairs: int = ALT_PAIRS) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mst_boruvka (distributed minimum spanning tree)
+# ---------------------------------------------------------------------------
+
+MST_MAX_ROUNDS = 32
+
+
+def _mst_pack(w: np.ndarray, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Total-order edge key (w, src, dst) packed into one int64 so a
+    plain Min aggregate picks the lexicographic minimum.  Bounds:
+    w < 2^22, node ids < 2^20 (fixture: w < 2^11, ids < 2^10).  At
+    planet scale swap for a two-column (w, edge_id) struct min — the
+    shape is identical."""
+    return (w << np.int64(40)) | (src << np.int64(20)) | dst
+
+
+def mst_boruvka(n: int | None = None, num_partitions: int = NUM_PARTS) -> rd.Dataset:
+    """Minimum spanning tree of the road graph by DISTRIBUTED Borůvka
+    — the one MST algorithm whose rounds are pure data-parallel
+    reduces (no priority queue, no sequential edge scan), which is why
+    every Pregel/MapReduce-era graph library used it.
+
+    Round structure (all Ray Data exchanges, no driver graph state):
+      1. attach current component labels to both edge endpoints
+         (two hash joins against the (node, comp) table);
+      2. drop intra-component edges; if none remain -> forest done;
+      3. per-component minimum outgoing edge: explode each surviving
+         edge to (comp_a, ekey) and (comp_b, ekey) rows, ONE
+         groupby(comp).min(ekey) — the classic "find cheapest hook";
+      4. the chosen edges join the forest (distinct ekey: the same
+         edge may be picked from both sides — that is Borůvka's
+         correctness core, not an error);
+      5. contract: connected components over the chosen
+         (comp_a, comp_b) graph (plus (c, c) self-rows so the mapping
+         is total) relabel every node — the pointer-jumping CC is the
+         same distributed kernel the dedup manifest uses.
+
+    Components at least halve per round, so rounds <= log2(V); each
+    round's exchanges are edge-linear.  Tie-break: edges are totally
+    ordered by (w, src, dst) — packed into one int64 key — so the MST
+    is UNIQUE and bit-identical to the golden Kruskal recompute
+    (golden.mst_boruvka_path), which is a deliberately different
+    algorithm over the same total order.
+
+    Output: the V-1 tree edges (src, dst, w), int64.
+    """
+    from .cluster import connected_components
+
+    if n is None:
+        n = fixtures.ROAD_N
+    e = fixtures.road_world(n)["edges"]
+    src0 = e["src"].to_numpy()
+    dst0 = e["dst"].to_numpy()
+    w0 = e["w"].to_numpy()
+    ekey0 = _mst_pack(w0, src0, dst0)
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "esrc": pa.array(src0, type=pa.int64()),
+                "edst": pa.array(dst0, type=pa.int64()),
+                "ekey": pa.array(ekey0, type=pa.int64()),
+            }
+        )
+    ).repartition(num_partitions)
+    node_ids = np.arange(1, n * n + 1, dtype=np.int64)
+    labels = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(node_ids, type=pa.int64()),
+                "comp": pa.array(node_ids, type=pa.int64()),
+            }
+        )
+    ).repartition(num_partitions)
+
+    from ..stages.common import safe_join
+
+    chosen_parts: list[rd.Dataset] = []
+    for _ in range(MST_MAX_ROUNDS):
+        # 1-2: label both endpoints, keep cross-component edges
+        ja = safe_join(
+            edges,
+            labels.map_batches(
+                lambda t: pa.table({"node": t["node"], "ca": t["comp"]}),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("esrc",),
+            right_on=("node",),
+        )
+        jb = safe_join(
+            ja,
+            labels.map_batches(
+                lambda t: pa.table({"node": t["node"], "cb": t["comp"]}),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("edst",),
+            right_on=("node",),
+        ).filter(expr="ca != cb")
+        cross = jb.materialize()
+        if cross.count() == 0:
+            break
+        # 3: cheapest outgoing edge per component
+        def explode(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "comp": pa.array(
+                        np.concatenate([t["ca"].to_numpy(), t["cb"].to_numpy()]),
+                        type=pa.int64(),
+                    ),
+                    "ekey": pa.array(
+                        np.concatenate([t["ekey"].to_numpy(), t["ekey"].to_numpy()]),
+                        type=pa.int64(),
+                    ),
+                }
+            )
+
+        picked = (
+            cross.map_batches(explode, batch_format="pyarrow")
+            .groupby("comp")
+            .aggregate(Min("ekey", alias_name="ekey"))
+        )
+        # 4: distinct chosen edges -> forest; recover endpoints' comps
+        chosen = picked.groupby("ekey").aggregate(Min("comp", alias_name="_c")).drop_columns(["_c"])
+        chosen_parts.append(chosen)
+        hook = safe_join(
+            chosen,
+            cross.map_batches(
+                lambda t: pa.table({"ekey": t["ekey"], "ca": t["ca"], "cb": t["cb"]}),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("ekey",),
+        )
+        # 5: contract the component graph (self-rows make the map total)
+        comp_pairs = hook.map_batches(
+            lambda t: pa.table({"a": t["ca"], "b": t["cb"]}), batch_format="pyarrow"
+        ).union(
+            labels.map_batches(
+                lambda t: pa.table({"a": t["comp"], "b": t["comp"]}),
+                batch_format="pyarrow",
+            )
+        )
+        cmap = connected_components(comp_pairs, a_col="a", b_col="b")
+        labels = safe_join(
+            labels,
+            cmap.map_batches(
+                lambda t: pa.table({"oldc": t["node"], "newc": t["label"]}),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("comp",),
+            right_on=("oldc",),
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "comp": t["newc"]}),
+            batch_format="pyarrow",
+        ).materialize()
+
+    forest = chosen_parts[0]
+    for part in chosen_parts[1:]:
+        forest = forest.union(part)
+    forest = forest.groupby("ekey").aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["ekey"].to_numpy()
+        return pa.table(
+            {
+                "src": pa.array((k >> np.int64(20)) & np.int64((1 << 20) - 1), type=pa.int64()),
+                "dst": pa.array(k & np.int64((1 << 20) - 1), type=pa.int64()),
+                "w": pa.array(k >> np.int64(40), type=pa.int64()),
+            }
+        )
+
+    return forest.map_batches(unpack, batch_format="pyarrow")
+
+
+def mst_boruvka_query(sf_dir: str) -> rd.Dataset:
+    """queries() surface: the unique tie-broken MST edge table,
+    golden-oracled against a Kruskal recompute (a different algorithm
+    over the same total order — equal output is an algorithmic
+    cross-proof, not a replay)."""
+    return mst_boruvka()

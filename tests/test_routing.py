@@ -256,3 +256,31 @@ def test_detour_ratio_bounds(ray_session):
     # grid circuity is bounded: Manhattan/Euclidean <= sqrt(2), plus the
     # weight spread (max w / base < 2) -> detour < 2*sqrt(2)
     assert (out["detour"] < 2.9).all()
+
+
+def test_mst_boruvka_is_the_kruskal_tree(ray_session):
+    out = (
+        routing.mst_boruvka()
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    want = pq.read_table(golden.mst_boruvka_path()).to_pandas()
+    n_nodes = fixtures.ROAD_N * fixtures.ROAD_N
+    # a spanning tree of the connected grid: exactly V-1 edges
+    assert len(out) == n_nodes - 1
+    # bit-identical to the Kruskal golden (unique MST under the
+    # (w, src, dst) total order)
+    assert out[["src", "dst", "w"]].equals(want[["src", "dst", "w"]])
+    # and it actually spans: union-find over the output reaches one root
+    parent = list(range(n_nodes + 1))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in out.itertuples():
+        parent[find(int(r.src))] = find(int(r.dst))
+    assert len({find(v) for v in range(1, n_nodes + 1)}) == 1
