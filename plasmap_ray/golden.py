@@ -5632,3 +5632,65 @@ def mst_boruvka_path(n: int | None = None) -> str:
         )
 
     return _cache(f"mst_boruvka_n{n or 'def'}", build)
+
+
+def image_otsu_path(images_parquet: str) -> str:
+    """Expected per-image Otsu threshold: independent driver recompute
+    — np.unique-based histogram vs the engine's bincount, and a
+    Fraction-based exact argmax vs the engine's int cross-multiply.
+    Same integers by definition; any cumsum/bin/tie bug breaks it."""
+
+    def build() -> pa.Table:
+        from fractions import Fraction
+
+        from . import codecs
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(images_parquet, columns=["image_id", "bytes", "w", "h", "fmt"])
+        rows = {"image_id": [], "fmt": [], "ok": [], "threshold": [], "n_px": [], "n_fg": []}
+        for i in range(t.num_rows):
+            px = codecs.decode_image(
+                t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(), t["fmt"][i].as_py()
+            )
+            gray = px.astype(np.int64).sum(axis=2).ravel()
+            vals, counts = np.unique(gray, return_counts=True)
+            npx = int(counts.sum())
+            st = int((vals * counts).sum())
+            best_t, best = -1, Fraction(0)
+            w0 = 0
+            s0 = 0
+            vi = 0
+            for tt in range(765):
+                while vi < len(vals) and int(vals[vi]) <= tt:
+                    w0 += int(counts[vi])
+                    s0 += int(vals[vi]) * int(counts[vi])
+                    vi += 1
+                den = w0 * (npx - w0)
+                if den == 0:
+                    continue
+                nu = s0 * npx - w0 * st
+                f = Fraction(nu * nu, den)
+                if f > best:
+                    best_t, best = tt, f
+            n_fg = int(counts[vals > best_t].sum()) if best_t >= 0 else 0
+            rows["image_id"].append(t["image_id"][i].as_py())
+            rows["fmt"].append(t["fmt"][i].as_py())
+            rows["ok"].append(True)
+            rows["threshold"].append(best_t)
+            rows["n_px"].append(npx)
+            rows["n_fg"].append(n_fg)
+        npx_f = np.maximum(np.asarray(rows["n_px"], dtype=np.float64), 1.0)
+        frac = duckdb_round(np.asarray(rows["n_fg"], dtype=np.float64) / npx_f, 6)
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], type=pa.string()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "ok": pa.array(rows["ok"]),
+                "threshold": pa.array(rows["threshold"], type=pa.int64()),
+                "n_px": pa.array(rows["n_px"], type=pa.int64()),
+                "n_fg": pa.array(rows["n_fg"], type=pa.int64()),
+                "fg_frac": pa.array(frac, type=pa.float64()),
+            }
+        )
+
+    return _cache(f"image_otsu_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)

@@ -2603,3 +2603,35 @@ def image_saliency_centroid(sf_dir: str) -> rd.Dataset:
             )
 
     return ds.map_batches(Saliency, batch_format="pyarrow", batch_size=256, concurrency=(1, 8))
+
+
+def image_otsu(sf_dir: str) -> rd.Dataset:
+    """Per-image Otsu threshold + foreground fraction
+    (stages.media.OtsuThreshold): the bimodality/separability audit —
+    scans, slides and rendered figures binarize cleanly (high fg/bg
+    separation at a stable threshold) while natural photos don't; a
+    captioned-image corpus uses it to route document-like images away
+    from the photo pipeline.
+
+    Scale shape: map-ONLY — decode fused with the histogram + exact
+    integer argmax in the actor pool, payloads consumed in-stage,
+    three int64s + metadata per image leave the task; no exchange.
+    Oracle: golden driver recompute with Fraction-based argmax
+    (different comparison arithmetic, same integers).
+
+    Output: (image_id, fmt, ok, threshold, n_px, n_fg, fg_frac).
+    """
+    from ..stages import media
+    from ..stages.common import duckdb_round
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    scored = ds.map_batches(
+        media.OtsuThreshold, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        npx = np.maximum(t["n_px"].to_numpy().astype(np.float64), 1.0)
+        frac = duckdb_round(t["n_fg"].to_numpy().astype(np.float64) / npx, 6)
+        return t.append_column("fg_frac", pa.array(frac, type=pa.float64()))
+
+    return scored.map_batches(finish, batch_format="pyarrow")

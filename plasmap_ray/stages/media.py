@@ -894,3 +894,71 @@ class VideoTemporalSmoothness:
                 "n_frozen_pairs": pa.array(frozen, type=pa.int64()),
             }
         )
+
+
+class OtsuThreshold:
+    """Actor-pool stage: per-image Otsu binarization threshold over the
+    pooled-gray histogram g = r + g + b (766 bins) — the
+    foreground/background separability audit (documents/solid graphics
+    split cleanly; natural photos don't), the classic first step of any
+    scan/figure-detection pass over an image corpus.
+
+    Exact-integer discipline: the histogram and its cumulative sums
+    (W0, S0) are int64; Otsu's between-class variance ratio
+    num(t)^2 / den(t) with num = S0·N − W0·S_T (|num| < 2^35 at the
+    fixture pixel budget) and den = W0·(N−W0) is argmax'd with exact
+    PYTHON-INT cross-multiplication (num² needs ~70 bits — past
+    int64), smallest t on ties, so the threshold is bit-stable and the
+    golden recompute (different comparison arithmetic: Fractions) must
+    agree exactly.
+
+    Payloads are consumed in-stage; 3 int64s + metadata leave the task.
+    Decode failures flag ok=False (M9 quarantine semantics).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        w = batch["w"].to_numpy()
+        h = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        thresh = np.zeros(n, dtype=np.int64)
+        n_px = np.zeros(n, dtype=np.int64)
+        n_fg = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                px = codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
+                gray = px.astype(np.int64).sum(axis=2).ravel()
+                hist = np.bincount(gray, minlength=766).astype(np.int64)
+                npx = int(hist.sum())
+                w0 = np.cumsum(hist)  # pixels <= t
+                s0 = np.cumsum(hist * np.arange(766, dtype=np.int64))
+                st = int(s0[-1])
+                num = s0 * npx - w0 * st
+                den = w0 * (npx - w0)
+                best_t, best_num, best_den = -1, 0, 1
+                for t in range(765):  # t = 765 leaves no foreground
+                    d = int(den[t])
+                    if d == 0:
+                        continue
+                    nu = int(num[t])
+                    # exact fraction compare: nu^2/d > best_num^2/best_den
+                    if nu * nu * best_den > best_num * best_num * d:
+                        best_t, best_num, best_den = t, nu, d
+                thresh[i] = best_t
+                n_px[i] = npx
+                n_fg[i] = int(hist[best_t + 1 :].sum()) if best_t >= 0 else 0
+                ok[i] = True
+            except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
+                pass
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "fmt": batch["fmt"],
+                "ok": pa.array(ok),
+                "threshold": pa.array(thresh, type=pa.int64()),
+                "n_px": pa.array(n_px, type=pa.int64()),
+                "n_fg": pa.array(n_fg, type=pa.int64()),
+            }
+        )

