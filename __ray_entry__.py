@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": text.quality_pipeline,
         "langid_confusion": text.langid_confusion,
         "redact_pii": text.redact_pii,
+        "gopher_rules": text.gopher_rules,
         "doc_fingerprint": text.fingerprint,
         "winnowing_overlap": text.winnowing_overlap,
         "ndcg_eval": index.ndcg_eval,
@@ -1650,6 +1651,54 @@ b AS (SELECT n_tok, ((n_tok + {text.PAD_MULTIPLE} - 1) // {text.PAD_MULTIPLE}) *
 SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
        CAST(bucket_len * count(*) - sum(n_tok) AS BIGINT) AS pad_tokens
 FROM b GROUP BY bucket_len ORDER BY bucket_len""",
+        "gopher_rules": r"""
+WITH d AS (SELECT row_number() OVER () AS rid, lower(text) AS low FROM documents),
+t AS (SELECT rid, unnest(string_split(low, ' ')) AS word FROM d),
+a AS (SELECT rid, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(count(*) FILTER (WHERE regexp_matches(word, '[a-z]')) AS BIGINT) AS n_alpha
+      FROM t GROUP BY rid),
+f AS (SELECT d.rid, a.n_words,
+             CAST(length(d.low) AS BIGINT) - (a.n_words - 1) AS sum_wl,
+             CAST(length(d.low) - length(replace(d.low, '#', '')) AS BIGINT) AS n_hash,
+             CAST((length(d.low) - length(replace(d.low, '...', ''))) // 3 AS BIGINT) AS n_ell,
+             a.n_alpha,
+             (CASE WHEN regexp_matches(d.low, '\bthe\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(d.low, '\bbe\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(d.low, '\bto\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(d.low, '\bof\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(d.low, '\band\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(d.low, '\bthat\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(d.low, '\bhave\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(d.low, '\bwith\b') THEN 1 ELSE 0 END) AS n_stop
+      FROM d JOIN a ON d.rid = a.rid),
+g AS (SELECT rid,
+             CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END AS f_wc,
+             CASE WHEN 3 * n_words > sum_wl OR sum_wl > 10 * n_words THEN 1 ELSE 0 END AS f_mwl,
+             CASE WHEN 10 * n_hash > n_words THEN 1 ELSE 0 END AS f_hash,
+             CASE WHEN 10 * n_ell > 3 * n_words THEN 1 ELSE 0 END AS f_ell,
+             CASE WHEN 10 * n_alpha < 8 * n_words THEN 1 ELSE 0 END AS f_alpha,
+             CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_stop
+      FROM f),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(f_wc) AS BIGINT) AS f_word_count,
+             CAST(sum(f_mwl) AS BIGINT) AS f_mean_word_len,
+             CAST(sum(f_hash) AS BIGINT) AS f_hash_ratio,
+             CAST(sum(f_ell) AS BIGINT) AS f_ellipsis_ratio,
+             CAST(sum(f_alpha) AS BIGINT) AS f_alpha_words,
+             CAST(sum(f_stop) AS BIGINT) AS f_stopwords,
+             CAST(sum(CASE WHEN f_wc + f_mwl + f_hash + f_ell + f_alpha + f_stop = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      FROM g)
+SELECT rule, n_docs, n_fail, round(CAST(n_fail AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS fail_rate
+FROM (
+  SELECT 'word_count' AS rule, n_docs, f_word_count AS n_fail FROM s
+  UNION ALL SELECT 'mean_word_len', n_docs, f_mean_word_len FROM s
+  UNION ALL SELECT 'hash_ratio', n_docs, f_hash_ratio FROM s
+  UNION ALL SELECT 'ellipsis_ratio', n_docs, f_ellipsis_ratio FROM s
+  UNION ALL SELECT 'alpha_words', n_docs, f_alpha_words FROM s
+  UNION ALL SELECT 'stopwords', n_docs, f_stopwords FROM s
+  UNION ALL SELECT 'pass_all', n_docs, n_docs - n_pass FROM s
+)""",
         "redact_pii": f"""
 WITH c1 AS (
   SELECT doc_id,

@@ -2139,3 +2139,118 @@ def winnowing_overlap(sf_dir: str, min_shared: int = WIN_MIN_SHARED) -> rd.Datas
         .aggregate(Count(alias_name="n_shared"))
     )
     return pairs.filter(expr=f"n_shared >= {min_shared}")
+
+
+# ---------------------------------------------------------------------------
+# gopher_rules (published MassiveText/Gopher quality-filter audit)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_RULES = (
+    "word_count",      # n_words in [50, 100000]
+    "mean_word_len",   # mean word length in [3, 10]
+    "hash_ratio",      # '#' per word <= 0.1
+    "ellipsis_ratio",  # '...' per word <= 0.3
+    "alpha_words",     # >= 80% of words contain a letter
+    "stopwords",       # >= 2 distinct common stopwords present
+)
+
+
+def gopher_rules(sf_dir: str) -> rd.Dataset:
+    """Corpus audit against the PUBLISHED Gopher/MassiveText quality
+    heuristics (Rae et al. 2021, §A1.1): the standard pre-training
+    text filter, reported as per-rule fail counts plus the all-rules
+    pass count — the number a data curator reads before committing a
+    crawl slice to the mixture.
+
+    Every rule is evaluated in EXACT integer arithmetic (e.g. the
+    mean-word-length band 3 <= sum_len/n <= 10 becomes
+    3n <= sum_len <= 10n) so the engine and the DuckDB mirror agree
+    bit-for-bit with no float thresholds.  Word grain: single-space
+    split, the corpus convention shared by heavy_hitters and the
+    token oracles; substring counts use the replace-length formula —
+    non-overlapping, left-to-right — on both sides.
+
+    Scale shape: map-ONLY vectorized Arrow kernels (split offsets +
+    reduceat for the per-word letter test; no Python row loop) ->
+    8-int64 per-batch partial -> ONE constant-key groupby; the
+    finalize reshapes to (rule, n_docs, n_fail, fail_rate).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        low = pc.utf8_lower(text)
+        words = pc.split_pattern(low, " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n_words = pc.list_value_length(words).to_numpy().astype(np.int64)
+        len_txt = pc.utf8_length(low).to_numpy().astype(np.int64)
+        sum_wl = len_txt - (n_words - 1)  # single-space split identity
+        n_hash = len_txt - pc.utf8_length(pc.replace_substring(low, "#", "")).to_numpy().astype(np.int64)
+        n_ell = (
+            len_txt - pc.utf8_length(pc.replace_substring(low, "...", "")).to_numpy().astype(np.int64)
+        ) // 3
+        flat = words.flatten()
+        has_alpha = pc.match_substring_regex(flat, "[a-z]").to_numpy(zero_copy_only=False)
+        offs = words.offsets.to_numpy()
+        n_alpha = np.add.reduceat(
+            np.concatenate([has_alpha.astype(np.int64), [0]]), offs[:-1]
+        ) * (n_words > 0)
+        n_stop = np.zeros(len(n_words), dtype=np.int64)
+        for sw in GOPHER_STOPWORDS:
+            n_stop += pc.match_substring_regex(low, rf"\b{sw}\b").to_numpy(zero_copy_only=False).astype(np.int64)
+        fail_wc = (n_words < 50) | (n_words > 100_000)
+        fail_mwl = (3 * n_words > sum_wl) | (sum_wl > 10 * n_words)
+        fail_hash = 10 * n_hash > n_words
+        fail_ell = 10 * n_ell > 3 * n_words
+        fail_alpha = 10 * n_alpha < 8 * n_words
+        fail_stop = n_stop < 2
+        pass_all = ~(fail_wc | fail_mwl | fail_hash | fail_ell | fail_alpha | fail_stop)
+        cols = {
+            "n_docs": len(n_words),
+            "f_word_count": int(fail_wc.sum()),
+            "f_mean_word_len": int(fail_mwl.sum()),
+            "f_hash_ratio": int(fail_hash.sum()),
+            "f_ellipsis_ratio": int(fail_ell.sum()),
+            "f_alpha_words": int(fail_alpha.sum()),
+            "f_stopwords": int(fail_stop.sum()),
+            "n_pass": int(pass_all.sum()),
+        }
+        return pa.table({k: pa.array([v], type=pa.int64()) for k, v in cols.items()}).append_column(
+            "_g", pa.array([0], type=pa.int64())
+        )
+
+    cols = [
+        "n_docs",
+        "f_word_count",
+        "f_mean_word_len",
+        "f_hash_ratio",
+        "f_ellipsis_ratio",
+        "f_alpha_words",
+        "f_stopwords",
+        "n_pass",
+    ]
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_g")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = int(t["n_docs"][0].as_py())
+        rules = list(GOPHER_RULES) + ["pass_all"]
+        fails = [int(t[f"f_{r}"][0].as_py()) for r in GOPHER_RULES] + [nd - int(t["n_pass"][0].as_py())]
+        rate = duckdb_round(np.asarray(fails, dtype=np.float64) / float(nd), 6)
+        return pa.table(
+            {
+                "rule": pa.array(rules, type=pa.string()),
+                "n_docs": pa.array([nd] * len(rules), type=pa.int64()),
+                "n_fail": pa.array(fails, type=pa.int64()),
+                "fail_rate": pa.array(rate, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -848,3 +848,38 @@ def test_winnowing_guarantee_and_pairs(ray_session):
     assert len(out) > 0
     for r in out.itertuples():
         assert len(sets[r.doc_a] & sets[r.doc_b]) == r.n_shared
+
+
+def test_gopher_rules_bruteforce(ray_session):
+    """Per-rule fail counts recomputed with a plain Python loop."""
+    import re
+
+    from plasmap_ray.pipelines import text as text_mod
+
+    out = text_mod.gopher_rules(SF0001).to_pandas().set_index("rule")
+    docs = pq.read_table(os.path.join(SF0001, "documents.parquet"), columns=["text"])["text"].to_pylist()
+    fails = {r: 0 for r in text_mod.GOPHER_RULES}
+    n_pass = 0
+    for txt in docs:
+        low = txt.lower()
+        words = low.split(" ")
+        nw = len(words)
+        sum_wl = sum(len(w) for w in words)
+        n_hash = low.count("#")
+        n_ell = low.count("...")  # str.count is non-overlapping, same as replace-len
+        n_alpha = sum(1 for w in words if re.search("[a-z]", w))
+        n_stop = sum(1 for sw in text_mod.GOPHER_STOPWORDS if re.search(rf"\b{sw}\b", low))
+        f = {
+            "word_count": nw < 50 or nw > 100_000,
+            "mean_word_len": 3 * nw > sum_wl or sum_wl > 10 * nw,
+            "hash_ratio": 10 * n_hash > nw,
+            "ellipsis_ratio": 10 * n_ell > 3 * nw,
+            "alpha_words": 10 * n_alpha < 8 * nw,
+            "stopwords": n_stop < 2,
+        }
+        for r, v in f.items():
+            fails[r] += int(v)
+        n_pass += int(not any(f.values()))
+    for r in text_mod.GOPHER_RULES:
+        assert int(out.loc[r, "n_fail"]) == fails[r], r
+    assert int(out.loc["pass_all", "n_fail"]) == len(docs) - n_pass
