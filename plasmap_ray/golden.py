@@ -5694,3 +5694,54 @@ def image_otsu_path(images_parquet: str) -> str:
         )
 
     return _cache(f"image_otsu_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
+
+
+def dtw_profiles_path(sf_dir: str) -> str:
+    """Golden DTW recompute (local, no Ray): DuckDB builds the hourly
+    profiles, a FULL-matrix (not rolling-row) int DP computes DTW —
+    independent dataflow and DP layout, same exact integers."""
+
+    def build() -> pa.Table:
+        import duckdb
+
+        con = duckdb.connect()
+        prof = con.execute(
+            f"""
+            SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, CAST(count(*) AS BIGINT) AS n
+            FROM read_parquet('{os.path.join(sf_dir, "events.parquet")}')
+            GROUP BY 1, 2
+            """
+        ).fetchdf()
+        types = sorted(prof["event_type"].unique())
+        vec = {}
+        for ty in types:
+            v = np.zeros(24, dtype=np.int64)
+            sub = prof[prof["event_type"] == ty]
+            v[sub["hod"].to_numpy().astype(np.int64)] = sub["n"].to_numpy().astype(np.int64)
+            vec[ty] = v
+        rows = {"type_a": [], "type_b": [], "l1_dist": [], "dtw_dist": []}
+        for i, ta in enumerate(types):
+            for tb in types[i + 1 :]:
+                a, b = vec[ta], vec[tb]
+                n, m = len(a), len(b)
+                big = 1 << 60
+                D = np.full((n + 1, m + 1), big, dtype=np.int64)
+                D[0, 0] = 0
+                for ii in range(1, n + 1):
+                    for jj in range(1, m + 1):
+                        c = abs(int(a[ii - 1]) - int(b[jj - 1]))
+                        D[ii, jj] = c + min(int(D[ii - 1, jj - 1]), int(D[ii - 1, jj]), int(D[ii, jj - 1]))
+                rows["type_a"].append(ta)
+                rows["type_b"].append(tb)
+                rows["l1_dist"].append(int(np.abs(a - b).sum()))
+                rows["dtw_dist"].append(int(D[n, m]))
+        return pa.table(
+            {
+                "type_a": pa.array(rows["type_a"], type=pa.string()),
+                "type_b": pa.array(rows["type_b"], type=pa.string()),
+                "l1_dist": pa.array(rows["l1_dist"], type=pa.int64()),
+                "dtw_dist": pa.array(rows["dtw_dist"], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"dtw_profiles_{_sf_tag(sf_dir)}", build)

@@ -2575,3 +2575,94 @@ def markov_attribution(sf_dir: str, parts: int = 32) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dtw_profiles (dynamic-time-warping distance between diurnal profiles)
+# ---------------------------------------------------------------------------
+
+
+def dtw_profiles(sf_dir: str) -> rd.Dataset:
+    """Pairwise DTW distance between the hour-of-day (0..23) count
+    profiles of every event-type pair — "do these event streams share
+    a daily rhythm up to a phase shift/stretch?", the
+    elastic-alignment upgrade of ccf_event_types' fixed-lag linear
+    correlation (DTW aligns a late-peaking type to an early one
+    without choosing a single lag).
+
+    Exactness: profiles are int64 counts; the DP cost |a - b| and all
+    cumulative cells are exact integers, so dtw_dist is bit-stable and
+    the L1 upper bound (diagonal path) gives the invariant
+    dtw_dist <= l1_dist checked by the pytest and implied by the
+    golden.
+
+    Scale shape: per-batch (type, hour-of-day) combiner -> ONE
+    bounded groupby (types x 24 rows); the O(types^2 * 24^2) DP runs
+    on the driver over the aggregate — corpus-size-INDEPENDENT
+    (bounded-finalize discipline).  At a million series the pair DP
+    itself becomes the map stage: ship profile pairs through
+    map_batches — the aggregation shape is unchanged.
+
+    Output: (type_a, type_b, l1_dist, dtw_dist), pairs a < b.
+    """
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hod = (t["ts"].cast(pa.int64()).to_numpy() // 3_600_000_000) % 24
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": et, "hod": hod})
+        g = df.groupby(["event_type", "hod"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], type=pa.string()),
+                "hod": pa.array(g["hod"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    prof = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hod"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    types = sorted(prof["event_type"].unique())
+    vec = {}
+    for ty in types:
+        v = np.zeros(24, dtype=np.int64)
+        sub = prof[prof["event_type"] == ty]
+        v[sub["hod"].to_numpy().astype(np.int64)] = sub["n"].to_numpy().astype(np.int64)
+        vec[ty] = v
+    rows = {"type_a": [], "type_b": [], "l1_dist": [], "dtw_dist": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            a, b = vec[ta], vec[tb]
+            rows["type_a"].append(ta)
+            rows["type_b"].append(tb)
+            rows["l1_dist"].append(int(np.abs(a - b).sum()))
+            rows["dtw_dist"].append(dtw_int(a, b))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "type_a": pa.array(rows["type_a"], type=pa.string()),
+                "type_b": pa.array(rows["type_b"], type=pa.string()),
+                "l1_dist": pa.array(rows["l1_dist"], type=pa.int64()),
+                "dtw_dist": pa.array(rows["dtw_dist"], type=pa.int64()),
+            }
+        )
+    )
+
+
+def dtw_int(a: np.ndarray, b: np.ndarray) -> int:
+    """Classic unconstrained DTW with |a-b| step cost, exact int64 DP."""
+    n, m = len(a), len(b)
+    big = 1 << 60
+    prev = np.full(m + 1, big, dtype=np.int64)
+    prev[0] = 0
+    for i in range(1, n + 1):
+        cur = np.full(m + 1, big, dtype=np.int64)
+        cost = np.abs(a[i - 1] - b)
+        for j in range(1, m + 1):
+            cur[j] = cost[j - 1] + min(prev[j - 1], prev[j], cur[j - 1])
+        prev = cur
+    return int(prev[m])

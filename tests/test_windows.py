@@ -154,3 +154,22 @@ def test_markov_attribution_planted_chain(ray_session):
     assert set(out["channel"]) <= {"click", "error", "signup", "view"}
     assert (out["p_without"] <= out["p_full"]).all() or (out["removal_effect"] >= -1e-6).all()
     assert abs(out["attribution"].sum() - 1.0) < 1e-3
+
+
+def test_dtw_profiles_bounds_and_selfconsistency(ray_session):
+    from plasmap_ray.pipelines import windows as win
+
+    out = win.dtw_profiles("/root/testdata/sf0.001").to_pandas()
+    # 5 types -> 10 unordered pairs
+    assert len(out) == 10
+    assert (out["type_a"] < out["type_b"]).all()
+    # DTW with |.| cost is bounded above by the diagonal (L1) path
+    assert (out["dtw_dist"] <= out["l1_dist"]).all()
+    assert (out["dtw_dist"] >= 0).all()
+    # identical profiles would give 0; distinct event mixes should not
+    assert (out["dtw_dist"] > 0).any()
+    # symmetry: recompute one pair reversed
+    import numpy as np
+    a = np.array([1, 5, 3, 0], dtype=np.int64)
+    b = np.array([2, 4, 4, 1], dtype=np.int64)
+    assert win.dtw_int(a, b) == win.dtw_int(b, a)
