@@ -461,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neyman_allocation": stats.neyman_allocation,
         "runs_test": stats.runs_test,
         "ols_regression": stats.ols_regression,
+        "decision_stump": stats.decision_stump,
         "acf_hourly": windows.acf_hourly,
         "dtw_profiles": windows.dtw_profiles,
         "ccf_event_types": windows.ccf_event_types,
@@ -4713,6 +4714,36 @@ SELECT n_a, n_b, n_inter, round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
        round(est_union, 6) AS est_union, round(est_a + est_b - est_union, 6) AS est_inter,
        round(abs(est_a + est_b - est_union - CAST(n_inter AS DOUBLE)), 6) AS abs_err
 FROM x""",
+        "decision_stump": """
+WITH f AS (
+  SELECT 'quantity' AS feature, CAST(floor(l_quantity + 0.5) AS BIGINT) AS v,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem
+  UNION ALL
+  SELECT 'discount_pct', CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT),
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem
+  UNION ALL
+  SELECT 'ship_month', CAST(month(l_shipdate) AS BIGINT),
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem),
+g AS (SELECT feature, v, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+      FROM f GROUP BY 1, 2),
+c AS (SELECT feature, v,
+             CAST(sum(n) OVER w AS BIGINT) AS n_le,
+             CAST(sum(pos) OVER w AS BIGINT) AS pos_le,
+             CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS n_tot,
+             CAST(sum(pos) OVER (PARTITION BY feature) AS BIGINT) AS pos_tot
+      FROM g WINDOW w AS (PARTITION BY feature ORDER BY v)),
+s AS (SELECT feature, v AS threshold, n_le, pos_le, n_tot - n_le AS n_gt, pos_tot - pos_le AS pos_gt, n_tot
+      FROM c WHERE n_le > 0 AND n_le < n_tot),
+e AS (SELECT feature, threshold, n_le, pos_le, n_gt, pos_gt,
+             round((CAST(n_le AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                   * (1.0 - pow(CAST(pos_le AS DOUBLE) / CAST(n_le AS DOUBLE), 2)
+                          - pow(CAST(n_le - pos_le AS DOUBLE) / CAST(n_le AS DOUBLE), 2))
+                 + (CAST(n_gt AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                   * (1.0 - pow(CAST(pos_gt AS DOUBLE) / CAST(n_gt AS DOUBLE), 2)
+                          - pow(CAST(n_gt - pos_gt AS DOUBLE) / CAST(n_gt AS DOUBLE), 2)), 6) AS gini
+      FROM s),
+r AS (SELECT *, row_number() OVER (PARTITION BY feature ORDER BY gini, threshold) AS rk FROM e)
+SELECT feature, threshold, n_le, pos_le, n_gt, pos_gt, gini FROM r WHERE rk = 1""",
         "ols_regression": """
 WITH f AS (SELECT l_returnflag,
                   CAST(floor(l_quantity + 0.5) AS HUGEINT) AS x1,

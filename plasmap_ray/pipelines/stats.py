@@ -2054,3 +2054,111 @@ def ols_regression(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# decision_stump (distributed best-split search, the tree-learner core)
+# ---------------------------------------------------------------------------
+
+STUMP_FEATURES = ("quantity", "discount_pct", "ship_month")
+
+
+def decision_stump(sf_dir: str) -> rd.Dataset:
+    """Best one-feature decision stump predicting l_returnflag = 'R'
+    — the inner loop of every tree/GBM learner (find the (feature,
+    threshold) split minimizing weighted Gini impurity) expressed as
+    histogram aggregation, the way distributed GBM engines
+    (XGBoost-on-Spark, LightGBM parallel) actually do it.
+
+    Scale shape: per-batch (feature, value, n, pos) histogram combiner
+    (features x bounded integer value grids: qty <= 50, disc <= 10,
+    month <= 12) -> ONE small groupby -> the cumulative split scan +
+    Gini argmin runs on the <=126-row aggregate, corpus-size-
+    independent.  The raw table never shuffles; adding features or
+    quantized bins widens the histogram, never the exchange.
+
+    Determinism: counts are exact int64; the Gini expression is
+    mirrored float arithmetic rounded to 6, and the per-feature argmin
+    orders by (rounded gini, threshold) so engine and oracle pick the
+    same split even under float ties.
+
+    Output: (feature, threshold, n_le, pos_le, n_gt, pos_gt, gini) —
+    one row per feature, the best split of each.
+    """
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_discount", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = (np.asarray(t["l_returnflag"].to_numpy(zero_copy_only=False)) == "R").astype(np.int64)
+        qty = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        disc = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[M]")
+        month = (sd.astype(np.int64) % 12) + 1
+        frames = []
+        for name, v in (("quantity", qty), ("discount_pct", disc), ("ship_month", month)):
+            df = pd.DataFrame({"v": v, "y": y}).groupby("v", sort=False).agg(
+                n=("y", "size"), pos=("y", "sum")
+            ).reset_index()
+            df.insert(0, "feature", name)
+            frames.append(df)
+        allf = pd.concat(frames, ignore_index=True)
+        return pa.table(
+            {
+                "feature": pa.array(allf["feature"], type=pa.string()),
+                "v": pa.array(allf["v"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n": pa.array(allf["n"].to_numpy().astype(np.int64), type=pa.int64()),
+                "pos": pa.array(allf["pos"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["feature", "v"])
+        .aggregate(Sum("n", alias_name="n"), Sum("pos", alias_name="pos"))
+        .to_pandas()
+    )
+    rows = {"feature": [], "threshold": [], "n_le": [], "pos_le": [], "n_gt": [], "pos_gt": [], "gini": []}
+    for feat in sorted(hist["feature"].unique()):
+        sub = hist[hist["feature"] == feat].sort_values("v")
+        n = sub["n"].to_numpy().astype(np.int64)
+        pos = sub["pos"].to_numpy().astype(np.int64)
+        v = sub["v"].to_numpy().astype(np.int64)
+        n_tot, pos_tot = int(n.sum()), int(pos.sum())
+        n_le = np.cumsum(n)
+        pos_le = np.cumsum(pos)
+        valid = (n_le > 0) & (n_le < n_tot)
+        nl = n_le[valid].astype(np.float64)
+        pl = pos_le[valid].astype(np.float64)
+        ng = n_tot - nl
+        pg = pos_tot - pl
+        nt = float(n_tot)
+        gini = (nl / nt) * (1.0 - (pl / nl) ** 2 - ((nl - pl) / nl) ** 2) + (ng / nt) * (
+            1.0 - (pg / ng) ** 2 - ((ng - pg) / ng) ** 2
+        )
+        gini = duckdb_round(gini, 6)
+        thr = v[valid]
+        best = np.lexsort((thr, gini))[0]
+        rows["feature"].append(feat)
+        rows["threshold"].append(int(thr[best]))
+        rows["n_le"].append(int(n_le[valid][best]))
+        rows["pos_le"].append(int(pos_le[valid][best]))
+        rows["n_gt"].append(n_tot - int(n_le[valid][best]))
+        rows["pos_gt"].append(pos_tot - int(pos_le[valid][best]))
+        rows["gini"].append(float(gini[best]))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "feature": pa.array(rows["feature"], type=pa.string()),
+                "threshold": pa.array(rows["threshold"], type=pa.int64()),
+                "n_le": pa.array(rows["n_le"], type=pa.int64()),
+                "pos_le": pa.array(rows["pos_le"], type=pa.int64()),
+                "n_gt": pa.array(rows["n_gt"], type=pa.int64()),
+                "pos_gt": pa.array(rows["pos_gt"], type=pa.int64()),
+                "gini": pa.array(rows["gini"], type=pa.float64()),
+            }
+        )
+    )

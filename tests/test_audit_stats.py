@@ -361,3 +361,35 @@ def test_ols_regression_matches_lstsq(ray_session):
         sst = ((y[m] - y[m].mean()) ** 2).sum()
         assert abs(row["r2"] - (1.0 - (resid**2).sum() / sst)) < 1e-5
         assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_decision_stump_bruteforce(ray_session):
+    """Best split per feature recomputed by scanning every threshold."""
+    out = stats.decision_stump(SF).to_pandas().set_index("feature")
+    t = pq.read_table(
+        os.path.join(SF, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_discount", "l_shipdate"],
+    )
+    y = (np.asarray(t["l_returnflag"].to_numpy(zero_copy_only=False)) == "R").astype(np.int64)
+    qty = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+    disc = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[M]")
+    month = (sd.astype(np.int64) % 12) + 1
+    for name, v in (("quantity", qty), ("discount_pct", disc), ("ship_month", month)):
+        best = (2.0, None)
+        for thr in np.unique(v)[:-1]:
+            le = v <= thr
+            nl, pl = le.sum(), y[le].sum()
+            ng, pg = (~le).sum(), y[~le].sum()
+            nt = len(v)
+            g = (nl / nt) * (1 - (pl / nl) ** 2 - ((nl - pl) / nl) ** 2) + (ng / nt) * (
+                1 - (pg / ng) ** 2 - ((ng - pg) / ng) ** 2
+            )
+            g = round(g, 6)
+            if g < best[0] or (g == best[0] and thr < best[1]):
+                best = (g, int(thr))
+        row = out.loc[name]
+        assert int(row["threshold"]) == best[1], name
+        assert abs(row["gini"] - best[0]) < 1e-9, name
+        assert int(row["n_le"]) + int(row["n_gt"]) == len(v)
+        assert int(row["pos_le"]) + int(row["pos_gt"]) == int(y.sum())
