@@ -462,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "runs_test": stats.runs_test,
         "ols_regression": stats.ols_regression,
         "decision_stump": stats.decision_stump,
+        "logistic_newton": stats.logistic_newton,
         "acf_hourly": windows.acf_hourly,
         "dtw_profiles": windows.dtw_profiles,
         "ccf_event_types": windows.ccf_event_types,
@@ -2330,6 +2331,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "pq_encode": f"SELECT * FROM read_parquet('{golden.pq_encode_path(SF001)}')",
         "pagerank": f"SELECT * FROM read_parquet('{golden.pagerank_path()}')",
         "dtw_profiles": f"SELECT * FROM read_parquet('{golden.dtw_profiles_path(SF001)}')",
+        "logistic_newton": f"SELECT * FROM read_parquet('{golden.logistic_newton_path(SF001)}')",
         "mst_boruvka": f"SELECT * FROM read_parquet('{golden.mst_boruvka_path()}')",
         "betweenness_sampled": f"SELECT * FROM read_parquet('{golden.betweenness_path(routing.BTW_SOURCES)}')",
         "harmonic_centrality": f"SELECT * FROM read_parquet('{golden.harmonic_path(routing.BTW_SOURCES)}')",

@@ -5745,3 +5745,56 @@ def dtw_profiles_path(sf_dir: str) -> str:
         )
 
     return _cache(f"dtw_profiles_{_sf_tag(sf_dir)}", build)
+
+
+def logistic_newton_path(sf_dir: str, iters: int = 8) -> str:
+    """Golden logistic-IRLS recompute (local, no Ray): the identical
+    per-row quantized iteration over the whole column at once — the
+    pagerank-golden convention: partials are exact int64 by
+    construction, so any partitioning of the engine's passes must
+    reproduce these bits."""
+
+    def build() -> pa.Table:
+        from .pipelines.stats import LOGIT_FP, _logit_partial
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_quantity", "l_discount"],
+        )
+        n_rows = t.num_rows
+        fp = float(LOGIT_FP)
+        beta = np.zeros(3, dtype=np.float64)
+        final = None
+        grad = hess = None
+        for _ in range(iters + 1):
+            s = _logit_partial(t, beta)
+            grad = np.array([float(s[0]), float(s[1]), float(s[2])]) / fp
+            hess = (
+                np.array(
+                    [
+                        [float(s[3]), float(s[4]), float(s[5])],
+                        [float(s[4]), float(s[6]), float(s[7])],
+                        [float(s[5]), float(s[7]), float(s[8])],
+                    ]
+                )
+                / fp
+            )
+            final = (float(s[9]) / fp / n_rows, int(s[10]))
+            beta = beta + np.linalg.solve(hess, grad)
+        beta = beta - np.linalg.solve(hess, grad)
+        loss, n_correct = final
+        return pa.table(
+            {
+                "n": pa.array([n_rows], type=pa.int64()),
+                "b0": pa.array(duckdb_round(np.array([beta[0]]), 6), type=pa.float64()),
+                "b1": pa.array(duckdb_round(np.array([beta[1]]), 6), type=pa.float64()),
+                "b2": pa.array(duckdb_round(np.array([beta[2]]), 6), type=pa.float64()),
+                "log_loss": pa.array(duckdb_round(np.array([loss]), 6), type=pa.float64()),
+                "accuracy": pa.array(
+                    duckdb_round(np.array([n_correct / n_rows]), 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return _cache(f"logistic_newton_{_sf_tag(sf_dir)}_i{iters}", build)

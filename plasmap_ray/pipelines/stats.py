@@ -2162,3 +2162,125 @@ def decision_stump(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# logistic_newton (distributed IRLS logistic regression)
+# ---------------------------------------------------------------------------
+
+LOGIT_FP = np.int64(1) << np.int64(30)  # gradient/Hessian quantum
+LOGIT_ITERS = 8
+
+
+def _logit_design(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    y = (np.asarray(t["l_returnflag"].to_numpy(zero_copy_only=False)) == "R").astype(np.float64)
+    x1 = np.floor(t["l_quantity"].to_numpy() + 0.5)
+    x2 = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5)
+    return y, x1, x2
+
+
+def _logit_partial(t: pa.Table, beta: np.ndarray) -> np.ndarray:
+    """Exact int64 (grad[3], upper-tri hess[6], loss, n, n_correct)
+    partial for one batch.  Every per-row term is an ELEMENTWISE float
+    expression quantized to int64 BEFORE summation, so partials are
+    batching- and merge-order-independent — the lloyd_centroids
+    discipline applied to IRLS."""
+    y, x1, x2 = _logit_design(t)
+    z = beta[0] + beta[1] * x1 + beta[2] * x2
+    p = 1.0 / (1.0 + np.exp(-z))
+    fp = float(LOGIT_FP)
+    q = lambda v: np.floor(v * fp + 0.5).astype(np.int64)  # noqa: E731
+    r = y - p
+    w = p * (1.0 - p)
+    out = np.empty(11, dtype=np.int64)
+    out[0] = q(r).sum()
+    out[1] = q(r * x1).sum()
+    out[2] = q(r * x2).sum()
+    out[3] = q(w).sum()
+    out[4] = q(w * x1).sum()
+    out[5] = q(w * x2).sum()
+    out[6] = q(w * x1 * x1).sum()
+    out[7] = q(w * x1 * x2).sum()
+    out[8] = q(w * x2 * x2).sum()
+    # log loss, clipped like the golden: -[y ln p + (1-y) ln(1-p)]
+    eps = 1e-12
+    out[9] = q(-(y * np.log(p + eps) + (1.0 - y) * np.log(1.0 - p + eps))).sum()
+    out[10] = int(((p > 0.5) == (y > 0.5)).sum())
+    return out
+
+
+def logistic_newton(sf_dir: str, iters: int = LOGIT_ITERS) -> rd.Dataset:
+    """Distributed logistic regression (returnflag='R' ~ quantity +
+    discount) by full-batch Newton/IRLS: each iteration is ONE
+    streaming pass emitting an 11-int64 fixed-point partial per batch;
+    the 3x3 Newton solve runs on the exact global sums.  The
+    "iterative learning as repeated aggregation" pattern — the same
+    shape as distributed L-BFGS/IRLS in MLlib, with bit-stable
+    results because per-row float terms are quantized BEFORE the
+    merge-order-dependent summation (lloyd_centroids discipline).
+
+    Scale shape: the design matrix never materializes; per pass the
+    network carries 11 int64s per block.  Headroom: Hessian quanta
+    bound ~2^40/row at the TPC-H feature ranges -> int64 safe to
+    ~10^8 rows/pass; lower LOGIT_FP or hi/lo-split beyond.
+
+    Output: one row (n, b0, b1, b2, log_loss, accuracy); golden
+    replays the identical quantized iteration locally
+    (pagerank-golden convention for iterative fixed-point ops).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    ).materialize()  # 3 pruned columns; re-read per pass at planet scale
+    n_rows = ds.count()
+    beta = np.zeros(3, dtype=np.float64)
+    fp = float(LOGIT_FP)
+    final = None
+    for _ in range(iters + 1):
+        def partial(t: pa.Table, beta=beta.copy()) -> pa.Table:
+            v = _logit_partial(t, beta)
+            return pa.table(
+                {"_g": pa.array([0], type=pa.int64())}
+                | {f"c{i}": pa.array([int(v[i])], type=pa.int64()) for i in range(11)}
+            )
+
+        agg = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_g")
+            .aggregate(*[Sum(f"c{i}", alias_name=f"c{i}") for i in range(11)])
+            .to_pandas()
+        )
+        s = np.array([int(agg[f"c{i}"][0]) for i in range(11)], dtype=object)
+        grad = np.array([float(s[0]), float(s[1]), float(s[2])]) / fp
+        hess = (
+            np.array(
+                [
+                    [float(s[3]), float(s[4]), float(s[5])],
+                    [float(s[4]), float(s[6]), float(s[7])],
+                    [float(s[5]), float(s[7]), float(s[8])],
+                ]
+            )
+            / fp
+        )
+        final = (float(s[9]) / fp / n_rows, int(s[10]))
+        beta = beta + np.linalg.solve(hess, grad)
+    # the last loop turn only evaluates loss/accuracy at the converged
+    # beta (its update is discarded) — iters Newton steps total
+    beta = beta - np.linalg.solve(hess, grad)
+    loss, n_correct = final
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([n_rows], type=pa.int64()),
+                "b0": pa.array(duckdb_round(np.array([beta[0]]), 6), type=pa.float64()),
+                "b1": pa.array(duckdb_round(np.array([beta[1]]), 6), type=pa.float64()),
+                "b2": pa.array(duckdb_round(np.array([beta[2]]), 6), type=pa.float64()),
+                "log_loss": pa.array(duckdb_round(np.array([loss]), 6), type=pa.float64()),
+                "accuracy": pa.array(
+                    duckdb_round(np.array([n_correct / n_rows]), 6), type=pa.float64()
+                ),
+            }
+        )
+    )

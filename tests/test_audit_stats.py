@@ -393,3 +393,26 @@ def test_decision_stump_bruteforce(ray_session):
         assert abs(row["gini"] - best[0]) < 1e-9, name
         assert int(row["n_le"]) + int(row["n_gt"]) == len(v)
         assert int(row["pos_le"]) + int(row["pos_gt"]) == int(y.sum())
+
+
+def test_logistic_newton_is_a_stationary_point(ray_session):
+    """The fitted beta must satisfy the logistic score equations
+    (gradient ~ 0) under an independent float recompute, and beat the
+    intercept-only model on log loss."""
+    out = stats.logistic_newton(SF).to_pandas().iloc[0]
+    t = pq.read_table(
+        os.path.join(SF, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+    y = (np.asarray(t["l_returnflag"].to_numpy(zero_copy_only=False)) == "R").astype(np.float64)
+    x1 = np.floor(t["l_quantity"].to_numpy() + 0.5)
+    x2 = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5)
+    beta = np.array([out["b0"], out["b1"], out["b2"]])
+    p = 1.0 / (1.0 + np.exp(-(beta[0] + beta[1] * x1 + beta[2] * x2)))
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    grad = X.T @ (y - p) / len(y)
+    assert np.abs(grad).max() < 1e-3
+    base = y.mean()
+    base_loss = -(y * np.log(base) + (1 - y) * np.log(1 - base)).mean()
+    assert out["log_loss"] <= base_loss + 1e-9
+    assert 0.0 <= out["accuracy"] <= 1.0
