@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_focal_mean": lambda sf: raster.raster_focal_mean(sf, z=10),
         "raster_hillshade": lambda sf: raster.raster_hillshade(sf, z=10),
         "flow_accumulation": lambda sf: raster.flow_accumulation(sf, z=10),
+        "watershed_basins": lambda sf: raster.watershed_basins(sf, z=10),
         "viewshed": lambda sf: raster.viewshed(sf, z=10),
         "boundary_simplify": raster.boundary_simplify_query,
         "zonal_stats": lambda sf: raster.zonal_stats(sf, z=10),
@@ -753,6 +754,36 @@ SELECT gx, gy, dzdx_num, dzdy_num,
                * cos(7.0 * pi() / 4.0 - atan2(dy, -dx)), 6) AS hillshade
 FROM f ORDER BY gx, gy""",
         "viewshed": f"SELECT * FROM read_parquet('{golden.viewshed_path(SF001, 10, 16)}')",
+        "watershed_basins": f"""
+WITH RECURSIVE
+v AS (SELECT (x * 16 + px) AS gx, (y * 16 + py) AS gy, n_points
+      FROM read_parquet('{golden.raster_vector_path(SF001, z=10)}')),
+d(dir, ox, oy, wt) AS (VALUES {", ".join(f"({i},{dx},{dy},{wt})" for i, dx, dy, wt in raster.D8_DIRS)}),
+nb AS (
+  SELECT a.gx, a.gy, d.dir, b.gx AS tgx, b.gy AS tgy,
+         (a.n_points - b.n_points) * d.wt AS score
+  FROM v a CROSS JOIN d JOIN v b ON b.gx = a.gx + d.ox AND b.gy = a.gy + d.oy
+  WHERE b.n_points < a.n_points),
+pick AS (
+  SELECT gx, gy, tgx, tgy,
+         row_number() OVER (PARTITION BY gx, gy ORDER BY score DESC, dir) AS rk
+  FROM nb),
+flow AS (
+  SELECT v.gx, v.gy,
+         coalesce(p.tgx, v.gx) AS to_gx, coalesce(p.tgy, v.gy) AS to_gy,
+         CAST(p.gx IS NULL AS BIGINT) AS is_sink
+  FROM v LEFT JOIN (SELECT * FROM pick WHERE rk = 1) p ON p.gx = v.gx AND p.gy = v.gy),
+walk(gx, gy, cx, cy) AS (
+  SELECT gx, gy, gx, gy FROM flow
+  UNION ALL
+  SELECT w.gx, w.gy, f.to_gx, f.to_gy
+  FROM walk w JOIN flow f ON f.gx = w.cx AND f.gy = w.cy WHERE f.is_sink = 0),
+lab AS (
+  SELECT w.gx, w.gy, w.cx AS basin_gx, w.cy AS basin_gy
+  FROM walk w JOIN flow f2 ON f2.gx = w.cx AND f2.gy = w.cy WHERE f2.is_sink = 1)
+SELECT l.gx, l.gy, l.basin_gx, l.basin_gy, CAST(s.n AS BIGINT) AS basin_size
+FROM lab l JOIN (SELECT basin_gx, basin_gy, count(*) AS n FROM lab GROUP BY 1, 2) s
+  ON s.basin_gx = l.basin_gx AND s.basin_gy = l.basin_gy""",
         "flow_accumulation": f"""
 WITH RECURSIVE
 v AS (SELECT (x * 16 + px) AS gx, (y * 16 + py) AS gy, n_points

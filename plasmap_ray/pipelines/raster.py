@@ -924,3 +924,133 @@ def viewshed(sf_dir: str, z: int = 10, tile_px: int = 16) -> rd.Dataset:
         batch_size=512,
         concurrency=(1, 8),
     ).sort(["gx", "gy"])
+
+
+# ---------------------------------------------------------------------------
+# watershed_basins (distributed pointer-jumping drainage-basin labels)
+# ---------------------------------------------------------------------------
+
+WS_STRIDE = np.int64(1 << 22)
+WS_MAX_ROUNDS = 32
+
+
+def _d8_pointer_table(sf_dir: str, z: int, tile_px: int) -> "pd.DataFrame":
+    """Sparse density raster + D8 steepest-descent pointer per cell
+    (the flow_accumulation pointer rule verbatim: integer drop x wt
+    score, strict '>' so the earlier direction wins ties, sinks point
+    at themselves).  Returns (gx, gy, n_points, key, to_key)."""
+    v = raster_to_vector(sf_dir, z=z, tile_px=tile_px)
+
+    def collapse(t: pa.Table) -> pa.Table:
+        gx = t["x"].to_numpy().astype(np.int64) * tile_px + t["px"].to_numpy().astype(np.int64)
+        gy = t["y"].to_numpy().astype(np.int64) * tile_px + t["py"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "gx": pa.array(gx, type=pa.int64()),
+                "gy": pa.array(gy, type=pa.int64()),
+                "n_points": t["n_points"],
+            }
+        )
+
+    tbl = v.map_batches(collapse, batch_format="pyarrow").to_pandas()
+    gx = tbl["gx"].to_numpy().astype(np.int64)
+    gy = tbl["gy"].to_numpy().astype(np.int64)
+    n = tbl["n_points"].to_numpy().astype(np.int64)
+    key = gx * WS_STRIDE + gy
+    order = np.argsort(key)
+    gx, gy, n, key = gx[order], gy[order], n[order], key[order]
+    pos = {int(k): i for i, k in enumerate(key)}
+    m = len(gx)
+    to = np.arange(m, dtype=np.int64)
+    best = np.full(m, -1, dtype=np.int64)
+    for dir_i, dx, dy, wt in D8_DIRS:
+        nk = (gx + dx) * WS_STRIDE + (gy + dy)
+        idx = np.array([pos.get(int(k2), -1) for k2 in nk], dtype=np.int64)
+        ok = idx >= 0
+        drop = np.where(ok, n - n[np.where(ok, idx, 0)], 0)
+        score = drop * wt
+        better = ok & (drop > 0) & (score > best)
+        to = np.where(better, idx, to)
+        best = np.where(better, score, best)
+    return pd.DataFrame({"gx": gx, "gy": gy, "n_points": n, "key": key, "to_key": key[to]})
+
+
+def watershed_basins(sf_dir: str, z: int = 10, tile_px: int = 16) -> rd.Dataset:
+    """Drainage-basin labeling of the density raster: every occupied
+    cell is labeled with the TERMINAL SINK its D8 steepest-descent
+    path reaches — flow_accumulation answers "how much drains THROUGH
+    here", this answers "where does everything HERE end up" (the
+    catchment partition hydrology, sales-territory and
+    basin-of-attraction analyses all use).
+
+    The label pass is DISTRIBUTED POINTER JUMPING over Ray Data: the
+    (cell, next) pointer table self-joins each round (next <- next of
+    next), halving the remaining path depth — O(log depth) rounds of
+    hash joins, the Wei-et-al successor-doubling pattern; no driver
+    walk (contrast flow_accumulation's bounded driver finalize — this
+    is the shape that survives a planetary lattice).  The pointer
+    graph is acyclic (strictly decreasing density), so the fixpoint is
+    exact and unique; changed-row count is the convergence proof.
+
+    Output: (gx, gy, basin_gx, basin_gy, basin_size); mirrored by a
+    RECURSIVE-CTE walk to the sink in DuckDB.
+    """
+    from ray.data.aggregate import Count
+
+    from ..stages.common import safe_join
+
+    ptr_df = _d8_pointer_table(sf_dir, z, tile_px)
+    ptrs = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(ptr_df["key"].to_numpy(), type=pa.int64()),
+                "nxt": pa.array(ptr_df["to_key"].to_numpy(), type=pa.int64()),
+            }
+        )
+    ).repartition(8)
+    for _ in range(WS_MAX_ROUNDS):
+        hop = safe_join(
+            ptrs,
+            ptrs.map_batches(
+                lambda t: pa.table({"pnode": t["node"], "pnxt": t["nxt"]}),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=8,
+            on=("nxt",),
+            right_on=("pnode",),
+        ).materialize()
+        changed = hop.filter(expr="nxt != pnxt").count()
+        ptrs = hop.map_batches(
+            lambda t: pa.table({"node": t["node"], "nxt": t["pnxt"]}),
+            batch_format="pyarrow",
+        ).materialize()
+        if changed == 0:
+            break
+    sizes = ptrs.groupby("nxt").aggregate(Count(alias_name="basin_size"))
+    labeled = safe_join(
+        ptrs,
+        sizes.map_batches(
+            lambda t: pa.table({"snxt": t["nxt"], "basin_size": t["basin_size"]}),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=8,
+        on=("nxt",),
+        right_on=("snxt",),
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy()
+        lab = t["nxt"].to_numpy()
+        return pa.table(
+            {
+                "gx": pa.array(node // WS_STRIDE, type=pa.int64()),
+                "gy": pa.array(node % WS_STRIDE, type=pa.int64()),
+                "basin_gx": pa.array(lab // WS_STRIDE, type=pa.int64()),
+                "basin_gy": pa.array(lab % WS_STRIDE, type=pa.int64()),
+                "basin_size": t["basin_size"],
+            }
+        )
+
+    return labeled.map_batches(unpack, batch_format="pyarrow")

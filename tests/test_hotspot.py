@@ -1201,3 +1201,28 @@ def test_moran_correlogram_band1_consistent_and_decaying(ray_session, event_ids)
     # w_band grows with ring size; the I profile stays finite
     assert (np.diff(out["w_band"]) > 0).all()
     assert np.isfinite(out["moran_i"]).all()
+
+
+def test_watershed_basins_consistent_with_flow(ray_session):
+    """Basin labels must agree with a driver-side walk of the same
+    D8 pointers, and sinks must label themselves."""
+    from plasmap_ray.pipelines import raster
+
+    SF = "/root/testdata/sf0.001"
+    out = raster.watershed_basins(SF, z=10).to_pandas()
+    ptr = raster._d8_pointer_table(SF, 10, 16)
+    pos = {int(k): int(t) for k, t in zip(ptr["key"], ptr["to_key"])}
+    want = {}
+    for k in pos:
+        c = k
+        while pos[c] != c:
+            c = pos[c]
+        want[k] = c
+    got = {
+        int(gx) * int(raster.WS_STRIDE) + int(gy): int(bgx) * int(raster.WS_STRIDE) + int(bgy)
+        for gx, gy, bgx, bgy in zip(out["gx"], out["gy"], out["basin_gx"], out["basin_gy"])
+    }
+    assert got == want
+    # basin sizes partition the raster
+    sizes = out.groupby(["basin_gx", "basin_gy"])["basin_size"].first()
+    assert int(sizes.sum()) == len(out)
