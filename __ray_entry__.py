@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frechet_conformance": trajectory.frechet_conformance,
         "radius_of_gyration": trajectory.radius_of_gyration,
         "cell_transition_matrix": trajectory.cell_transition_matrix,
+        "link_prediction": trajectory.link_prediction,
         "transition_stationary": trajectory.transition_stationary,
         "zone_modularity": trajectory.zone_modularity,
         "cotravel_pairs": trajectory.cotravel_pairs,
@@ -3355,6 +3356,35 @@ SELECT zid AS rel_id, n_within, w_out, w_in,
        round(CAST(n_within AS DOUBLE) / m.mt
              - (CAST(w_out AS DOUBLE) / m.mt) * (CAST(w_in AS DOUBLE) / m.mt), 6) AS q_term
 FROM per CROSS JOIN m""",
+        "link_prediction": f"""
+WITH {_epts},
+sc0 AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id,
+         CAST(floor((lon - {fixtures.LON_MIN!r}) / {trajectory.LP_PITCH!r}) AS BIGINT) AS cx,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) / {trajectory.LP_PITCH!r}) AS BIGINT) AS cy
+  FROM epts),
+st AS (
+  SELECT cx, cy,
+         lag(cx) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS px,
+         lag(cy) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS py
+  FROM sc0),
+e0 AS (
+  SELECT DISTINCT least(px * 2097152 + py, cx * 2097152 + cy) AS a,
+                  greatest(px * 2097152 + py, cx * 2097152 + cy) AS b
+  FROM st WHERE px IS NOT NULL AND (px != cx OR py != cy)),
+sym AS (SELECT a AS z, b AS nb FROM e0 UNION ALL SELECT b AS z, a AS nb FROM e0),
+deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY z),
+w AS (SELECT z, CAST(floor({trajectory.LP_FP!r} / ln(CAST(deg AS DOUBLE)) + 0.5) AS BIGINT) AS w_fp
+      FROM deg WHERE deg >= 2),
+wdg AS (SELECT l.nb AS na, r.nb AS nb2, l.z AS z FROM sym l JOIN sym r ON l.z = r.z WHERE l.nb < r.nb),
+opn AS (SELECT w2.na, w2.nb2, w2.z FROM wdg w2
+        LEFT JOIN e0 e ON e.a = w2.na AND e.b = w2.nb2 WHERE e.a IS NULL),
+scr AS (SELECT na, nb2, CAST(count(*) AS BIGINT) AS cn, CAST(sum(w_fp) AS BIGINT) AS aa_fp
+        FROM opn JOIN w USING (z) GROUP BY 1, 2),
+u AS (SELECT na // 2097152 AS ax, na % 2097152 AS ay, nb2 // 2097152 AS bx, nb2 % 2097152 AS by,
+             cn, aa_fp FROM scr),
+r AS (SELECT *, row_number() OVER (ORDER BY aa_fp DESC, ax, ay, bx, by) AS lp_rank FROM u)
+SELECT lp_rank, ax, ay, bx, by, cn, aa_fp FROM r WHERE lp_rank <= {trajectory.LP_TOPK!r}""",
         "cell_transition_matrix": f"""
 WITH {_epts},
 sc AS (

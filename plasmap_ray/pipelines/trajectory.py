@@ -2774,3 +2774,137 @@ def place_ppr(sf_dir: str, iters: int = PPR_ITERS, pitch: float = TRANS_PITCH) -
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# link_prediction (common-neighbor / Adamic-Adar over the mobility graph)
+# ---------------------------------------------------------------------------
+
+LP_FP = 10**12  # Adamic-Adar 1/ln(deg) fixed-point quantum
+LP_PITCH = TRANS_PITCH / 4  # finer grid: the 0.5-deg graph is near-complete (no open wedges to predict)
+LP_TOPK = 50
+LP_STRIDE = np.int64(1 << 21)
+
+
+def link_prediction(sf_dir: str, k: int = LP_TOPK) -> rd.Dataset:
+    """Top-k predicted NEW links of the cell-transition graph by
+    Adamic-Adar score — "which two zones that never exchanged a trip
+    share the most (rarity-weighted) mutual neighbors?", the classic
+    link-prediction baseline (Liben-Nowell & Kleinberg 2003) that
+    road/transit planners read as latent-demand pairs.
+
+    Graph: distinct undirected non-self edges of
+    cell_transition_matrix.  Score for a non-adjacent pair (a, b):
+    AA = sum over common neighbors z of 1/ln(deg(z)) — each z's weight
+    is fixed to int64 ONCE (floor(FP/ln deg + 0.5)), so the pair sum
+    is order-free and the SQL mirror adds the same integers.
+
+    Scale shape: the wedge self-join (edges ⋈ edges on the shared
+    endpoint) is THE triangle/wedge exchange every social-graph engine
+    runs — hash-partitioned on z, output bounded by Σ deg²(z) (cap hub
+    degrees at planet scale, the standard mitigation, documented);
+    existing edges drop via one left-outer + null filter; ONE
+    (a, b)-keyed reduce folds (cn, aa_fp); ranked_head keeps the
+    k-bounded head.
+
+    Output: (lp_rank, ax, ay, bx, by, cn, aa_fp).
+    """
+    from ray.data.aggregate import Count as AggCount
+
+    from .ann import ranked_head
+
+    trans = cell_transition_matrix(sf_dir, pitch=LP_PITCH)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        f = t["fx"].to_numpy() * LP_STRIDE + t["fy"].to_numpy()
+        to = t["tx"].to_numpy() * LP_STRIDE + t["ty"].to_numpy()
+        m = f != to
+        a = np.minimum(f[m], to[m])
+        b = np.maximum(f[m], to[m])
+        # pairwise unique WITHOUT packing a*b into one int64 (cell keys
+        # are ~2^27; a a*2^42+b pack would overflow and corrupt edges)
+        u = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table(
+            {
+                "a": pa.array(u[:, 0], type=pa.int64()),
+                "b": pa.array(u[:, 1], type=pa.int64()),
+            }
+        )
+
+    edges = (
+        trans.map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(AggCount(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        return pa.table(
+            {
+                "z": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "nb": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            }
+        )
+
+    symm = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    deg = symm.groupby("z").aggregate(AggCount(alias_name="deg"))
+
+    def weight(t: pa.Table) -> pa.Table:
+        d = t["deg"].to_numpy().astype(np.float64)
+        w = np.floor(LP_FP / np.log(d) + 0.5).astype(np.int64)
+        return pa.table({"wz": t["z"], "w_fp": pa.array(w, type=pa.int64())})
+
+    wtab = deg.filter(expr="deg >= 2").map_batches(weight, batch_format="pyarrow")
+
+    # wedges: (z, a) x (z, b) with a < b
+    left = symm.map_batches(
+        lambda t: pa.table({"z": t["z"], "na": t["nb"]}), batch_format="pyarrow"
+    )
+    right = symm.map_batches(
+        lambda t: pa.table({"z2": t["z"], "nb2": t["nb"]}), batch_format="pyarrow"
+    )
+    # materialize between the chained hash-shuffle joins: Ray 2.49's
+    # join aggregator pool can starve when several shuffle stages
+    # co-schedule under a small CPU budget (the 4-cpu test session) —
+    # the barrier costs one bounded table and serializes the shuffles
+    wedges = safe_join(
+        left, right, join_type="inner", num_partitions=8, on=("z",), right_on=("z2",)
+    ).filter(expr="na < nb2").materialize()
+    # drop already-connected pairs
+    open_w = safe_join(
+        wedges,
+        edges.map_batches(
+            lambda t: pa.table(
+                {"ea": t["a"], "eb": t["b"], "_hit": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+            ),
+            batch_format="pyarrow",
+        ),
+        join_type="left_outer",
+        num_partitions=8,
+        on=("na", "nb2"),
+        right_on=("ea", "eb"),
+    ).map_batches(lambda t: t.filter(pc.is_null(t["_hit"])), batch_format="pyarrow").materialize()
+    # attach the common neighbor's AA weight, fold per pair
+    scored = safe_join(
+        open_w, wtab, join_type="inner", num_partitions=8, on=("z",), right_on=("wz",)
+    )
+    folded = (
+        scored.groupby(["na", "nb2"])
+        .aggregate(AggCount(alias_name="cn"), Sum("w_fp", alias_name="aa_fp"))
+    )
+
+    def unpack(df: pd.DataFrame) -> pd.DataFrame:
+        s = int(LP_STRIDE)
+        df["ax"] = (df["na"] // s).astype(np.int64)
+        df["ay"] = (df["na"] % s).astype(np.int64)
+        df["bx"] = (df["nb2"] // s).astype(np.int64)
+        df["by"] = (df["nb2"] % s).astype(np.int64)
+        return df[["ax", "ay", "bx", "by", "cn", "aa_fp"]]
+
+    flat = folded.map_batches(unpack, batch_format="pandas")
+    return ranked_head(
+        flat, ["aa_fp", "ax", "ay", "bx", "by"], "lp_rank", k, keep=["ax", "ay", "bx", "by", "cn", "aa_fp"]
+    )

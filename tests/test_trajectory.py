@@ -893,3 +893,29 @@ def test_place_ppr_seed_and_mass(ray_session):
     assert 0 < out["ppr_fp"].sum() <= trajectory.PPR_SCALE * (trajectory.PPR_ITERS + 2)
     # the seed carries the largest score (restart injects only there)
     assert out.loc[out["ppr_fp"].idxmax(), "is_seed"]
+
+
+def test_link_prediction_scores_open_pairs_only(ray_session):
+    """Predicted pairs must be non-adjacent, scored by exact AA sums."""
+    from plasmap_ray.pipelines import trajectory as traj
+
+    out = traj.link_prediction("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert list(out["lp_rank"]) == list(range(1, len(out) + 1))
+    # ranks ordered by (aa_fp desc, coords asc)
+    aa = out["aa_fp"].to_numpy()
+    assert (aa[:-1] >= aa[1:]).all()
+    assert (out["cn"] >= 1).all()
+    # rebuild the edge set locally and assert no predicted pair is an edge
+    trans = traj.cell_transition_matrix(
+        "/root/testdata/sf0.001", pitch=traj.LP_PITCH
+    ).to_pandas()
+    S = int(traj.LP_STRIDE)
+    f = trans["fx"].to_numpy() * S + trans["fy"].to_numpy()
+    t = trans["tx"].to_numpy() * S + trans["ty"].to_numpy()
+    m = f != t
+    edges = set(zip(np.minimum(f[m], t[m]).tolist(), np.maximum(f[m], t[m]).tolist()))
+    for r in out.itertuples():
+        a = int(r.ax) * S + int(r.ay)
+        b = int(r.bx) * S + int(r.by)
+        assert (min(a, b), max(a, b)) not in edges
