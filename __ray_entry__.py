@@ -467,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logistic_newton": stats.logistic_newton,
         "acf_hourly": windows.acf_hourly,
         "dtw_profiles": windows.dtw_profiles,
+        "pacf_durbin": windows.pacf_durbin,
         "ccf_event_types": windows.ccf_event_types,
         "dau_wau_ratio": windows.dau_wau_ratio,
         "binseg_changepoints": windows.binseg_changepoints,
@@ -2363,6 +2364,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "pq_encode": f"SELECT * FROM read_parquet('{golden.pq_encode_path(SF001)}')",
         "pagerank": f"SELECT * FROM read_parquet('{golden.pagerank_path()}')",
         "dtw_profiles": f"SELECT * FROM read_parquet('{golden.dtw_profiles_path(SF001)}')",
+        "pacf_durbin": f"SELECT * FROM read_parquet('{golden.pacf_durbin_path(SF001)}')",
         "logistic_newton": f"SELECT * FROM read_parquet('{golden.logistic_newton_path(SF001)}')",
         "mst_boruvka": f"SELECT * FROM read_parquet('{golden.mst_boruvka_path()}')",
         "betweenness_sampled": f"SELECT * FROM read_parquet('{golden.betweenness_path(routing.BTW_SOURCES)}')",

@@ -5798,3 +5798,38 @@ def logistic_newton_path(sf_dir: str, iters: int = 8) -> str:
         )
 
     return _cache(f"logistic_newton_{_sf_tag(sf_dir)}_i{iters}", build)
+
+
+def pacf_durbin_path(sf_dir: str, max_lag: int = 24) -> str:
+    """Golden ACF+PACF recompute (local, no Ray): DuckDB hourly counts,
+    then the SAME exact-int ACF and Durbin-Levinson recursion — the
+    distributed part is the aggregation, which DuckDB replays
+    independently."""
+
+    def build() -> pa.Table:
+        import duckdb
+
+        from .pipelines.windows import _acf_pacf_from_series
+        from .stages.common import duckdb_round
+
+        con = duckdb.connect()
+        df = con.execute(
+            f"""
+            SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS n
+            FROM read_parquet('{os.path.join(sf_dir, "events.parquet")}') GROUP BY 1
+            """
+        ).fetchdf()
+        h = df["h"].to_numpy().astype(np.int64)
+        lo, hi = int(h.min()), int(h.max())
+        dense = np.zeros(hi - lo + 1, dtype=np.int64)
+        dense[h - lo] = df["n"].to_numpy().astype(np.int64)
+        acf, pacf = _acf_pacf_from_series(dense, max_lag)
+        return pa.table(
+            {
+                "lag": pa.array(np.arange(1, max_lag + 1, dtype=np.int64), type=pa.int64()),
+                "acf": pa.array(duckdb_round(acf, 6), type=pa.float64()),
+                "pacf": pa.array(duckdb_round(pacf, 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"pacf_durbin_{_sf_tag(sf_dir)}_l{max_lag}", build)

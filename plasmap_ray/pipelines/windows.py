@@ -2666,3 +2666,76 @@ def dtw_int(a: np.ndarray, b: np.ndarray) -> int:
             cur[j] = cost[j - 1] + min(prev[j - 1], prev[j], cur[j - 1])
         prev = cur
     return int(prev[m])
+
+
+def pacf_durbin(sf_dir: str, max_lag: int = 24) -> rd.Dataset:
+    """Partial autocorrelation of the hourly event-count series at lags
+    1..max_lag via the Durbin-Levinson recursion — the Box-Jenkins
+    companion of acf_hourly (ACF tails off / PACF cuts off picks AR
+    order; both charts together are the ARIMA identification page).
+
+    The distributed part is IDENTICAL to acf_hourly (per-batch (hour,
+    count) combiner -> hour-bounded groupby): PACF is pure driver math
+    on the bounded exact-integer ACF — phi_{k,k} from the recursion
+        phi_{k,k} = (r_k - sum_j phi_{k-1,j} r_{k-j}) / (1 - sum_j phi_{k-1,j} r_j)
+    evaluated in float64 from ACF values that are ratios of exact
+    int64 sums, so the golden's identical recursion reproduces the
+    bits (pagerank-golden convention).
+
+    Output: (lag, acf, pacf).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = t["ts"].cast(pa.int64()).to_numpy() // 3_600_000_000
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u, type=pa.int64()), "n": pa.array(c.astype(np.int64))})
+
+    hourly = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    h = hourly["h"].to_numpy().astype(np.int64)
+    lo, hi = int(h.min()), int(h.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[h - lo] = hourly["n"].to_numpy().astype(np.int64)
+    acf, pacf = _acf_pacf_from_series(dense, max_lag)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lag": pa.array(np.arange(1, max_lag + 1, dtype=np.int64), type=pa.int64()),
+                "acf": pa.array(duckdb_round(acf, 6), type=pa.float64()),
+                "pacf": pa.array(duckdb_round(pacf, 6), type=pa.float64()),
+            }
+        )
+    )
+
+
+def _acf_pacf_from_series(dense: np.ndarray, max_lag: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-int ACF (acf_hourly's estimator) + Durbin-Levinson PACF."""
+    nn = np.int64(len(dense))
+    s = np.int64(dense.sum())
+    dx = dense * nn - s
+    den = int((dx * dx).sum())
+    r = np.empty(max_lag + 1, dtype=np.float64)
+    r[0] = 1.0
+    for k in range(1, max_lag + 1):
+        r[k] = float(int((dx[k:] * dx[:-k]).sum())) / float(den)
+    pacf = np.empty(max_lag, dtype=np.float64)
+    phi_prev = np.zeros(0, dtype=np.float64)
+    for k in range(1, max_lag + 1):
+        if k == 1:
+            phi_kk = r[1]
+            phi = np.array([phi_kk])
+        else:
+            num = r[k] - float((phi_prev * r[k - 1 : 0 : -1]).sum())
+            dnm = 1.0 - float((phi_prev * r[1:k]).sum())
+            phi_kk = num / dnm
+            phi = np.concatenate([phi_prev - phi_kk * phi_prev[::-1], [phi_kk]])
+        pacf[k - 1] = phi_kk
+        phi_prev = phi
+    return r[1:], pacf

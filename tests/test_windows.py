@@ -173,3 +173,23 @@ def test_dtw_profiles_bounds_and_selfconsistency(ray_session):
     a = np.array([1, 5, 3, 0], dtype=np.int64)
     b = np.array([2, 4, 4, 1], dtype=np.int64)
     assert win.dtw_int(a, b) == win.dtw_int(b, a)
+
+
+def test_pacf_matches_ols_regression_coefficient(ray_session):
+    """phi_kk equals the last coefficient of an AR(k) least-squares fit
+    on the (dense, demeaned) series — an independent definition."""
+    import numpy as np
+
+    from plasmap_ray.pipelines import windows as win
+
+    out = win.pacf_durbin("/root/testdata/sf0.001", max_lag=6).to_pandas()
+    assert len(out) == 6
+    assert abs(out["pacf"][0] - out["acf"][0]) < 1e-9  # lag-1 PACF == ACF
+    # Durbin-Levinson solves the Yule-Walker system; verify lag-3
+    # against a direct linear solve of the Toeplitz system
+    r = np.concatenate([[1.0], out["acf"].to_numpy()])
+    k = 3
+    R = np.array([[r[abs(i - j)] for j in range(k)] for i in range(k)])
+    phi = np.linalg.solve(R, r[1 : k + 1])
+    assert abs(out["pacf"][k - 1] - phi[-1]) < 1e-5
+    assert (out["pacf"].abs() <= 1.0 + 1e-9).all()
