@@ -535,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_blur_scores": images.image_blur_scores,
         "image_entropy": images.image_entropy,
         "image_otsu": images.image_otsu,
+        "image_quadtree": images.image_quadtree,
         "image_channel_correlation": images.image_channel_correlation,
         "image_blob_count": images.image_blob_count,
         "image_orientation_histogram": images.image_orientation_histogram,
@@ -2271,6 +2272,7 @@ FROM {img_pq} GROUP BY fmt ORDER BY fmt""",
         "image_blur_scores": f"SELECT * FROM read_parquet('{golden.image_blur_scores_path(images.images_path_for(SF001))}')",
         "image_entropy": f"SELECT * FROM read_parquet('{golden.image_entropy_path(images.images_path_for(SF001))}')",
         "image_otsu": f"SELECT * FROM read_parquet('{golden.image_otsu_path(images.images_path_for(SF001))}')",
+        "image_quadtree": f"SELECT * FROM read_parquet('{golden.image_quadtree_path(images.images_path_for(SF001))}')",
         "image_channel_correlation": f"SELECT * FROM read_parquet('{golden.image_channel_corr_path(images.images_path_for(SF001))}')",
         "image_blob_count": f"SELECT * FROM read_parquet('{golden.image_blob_count_path(images.images_path_for(SF001))}')",
         "image_orientation_histogram": f"SELECT * FROM read_parquet('{golden.image_orientation_path(images.images_path_for(SF001))}')",

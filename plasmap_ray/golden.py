@@ -5833,3 +5833,65 @@ def pacf_durbin_path(sf_dir: str, max_lag: int = 24) -> str:
         )
 
     return _cache(f"pacf_durbin_{_sf_tag(sf_dir)}_l{max_lag}", build)
+
+
+def image_quadtree_path(images_parquet: str) -> str:
+    """Expected quadtree census: BFS with DIRECT numpy block sums (no
+    summed-area table) vs the engine's DFS + SAT — independent
+    arithmetic path, identical integer split decisions."""
+
+    def build() -> pa.Table:
+        from collections import deque
+
+        from . import codecs
+        from .stages.media import QuadtreeCensus
+
+        t = pq.read_table(images_parquet, columns=["image_id", "bytes", "w", "h", "fmt"])
+        thr = int(QuadtreeCensus.THR)
+        rows = {"image_id": [], "fmt": [], "ok": [], "n_leaves": [], "max_depth": [], "n_split": []}
+        for i in range(t.num_rows):
+            px = codecs.decode_image(
+                t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(), t["fmt"][i].as_py()
+            )
+            g = px.astype(np.int64).sum(axis=2)
+            leaves = splits = deepest = 0
+            q = deque([(0, 0, g.shape[0], g.shape[1], 0)])
+            while q:
+                y0, x0, y1, x1, d = q.popleft()
+                blk = g[y0:y1, x0:x1]
+                npx = blk.size
+                s1 = int(blk.sum())
+                s2 = int((blk * blk).sum())
+                bh, bw = y1 - y0, x1 - x0
+                if bh >= 2 and bw >= 2 and npx * s2 - s1 * s1 > thr * npx * npx:
+                    splits += 1
+                    my, mx = y0 + bh // 2, x0 + bw // 2
+                    q.extend(
+                        [
+                            (y0, x0, my, mx, d + 1),
+                            (y0, mx, my, x1, d + 1),
+                            (my, x0, y1, mx, d + 1),
+                            (my, mx, y1, x1, d + 1),
+                        ]
+                    )
+                else:
+                    leaves += 1
+                    deepest = max(deepest, d)
+            rows["image_id"].append(t["image_id"][i].as_py())
+            rows["fmt"].append(t["fmt"][i].as_py())
+            rows["ok"].append(True)
+            rows["n_leaves"].append(leaves)
+            rows["max_depth"].append(deepest)
+            rows["n_split"].append(splits)
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], type=pa.string()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "ok": pa.array(rows["ok"]),
+                "n_leaves": pa.array(rows["n_leaves"], type=pa.int64()),
+                "max_depth": pa.array(rows["max_depth"], type=pa.int64()),
+                "n_split": pa.array(rows["n_split"], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"image_quadtree_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)

@@ -2635,3 +2635,26 @@ def image_otsu(sf_dir: str) -> rd.Dataset:
         return t.append_column("fg_frac", pa.array(frac, type=pa.float64()))
 
     return scored.map_batches(finish, batch_format="pyarrow")
+
+
+def image_quadtree(sf_dir: str) -> rd.Dataset:
+    """Per-image adaptive quadtree census (stages.media.QuadtreeCensus):
+    leaf/depth structure of the variance-split decomposition — the
+    local-detail screen a compression-aware curator reads next to
+    entropy and blur (few leaves = flat/synthetic, max-depth everywhere
+    = noise).
+
+    Scale shape: map-ONLY actor-pool pass, decode fused with the
+    summed-area tables and the integer split recursion; payloads
+    consumed in-stage, three int64s + metadata leave per image.
+    Oracle: golden recompute with DIRECT per-block numpy sums (no SAT)
+    and BFS order — different arithmetic path, same integers.
+
+    Output: (image_id, fmt, ok, n_leaves, max_depth, n_split).
+    """
+    from ..stages import media
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    return ds.map_batches(
+        media.QuadtreeCensus, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
+    )

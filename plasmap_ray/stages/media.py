@@ -962,3 +962,85 @@ class OtsuThreshold:
                 "n_fg": pa.array(n_fg, type=pa.int64()),
             }
         )
+
+
+class QuadtreeCensus:
+    """Actor-pool stage: per-image adaptive quadtree decomposition over
+    the pooled-gray field (g = r + g + b) — split a block while its
+    EXACT integer variance test  n·Σg² − (Σg)² > THR·n²  holds and
+    both sides are >= 2 px.  Leaf count / depth measure local detail
+    the way a compression codec does (flat posters collapse to a few
+    leaves, busy photos explode) — the structural complement of
+    entropy (global histogram) and blur (global energy).
+
+    Block sums are O(1) via per-image summed-area tables (int64; the
+    4096-px fixture budget keeps n·Σg² < 2^44).  The recursion is a
+    Python stack over at most n_px/4 blocks — ALU-bound, inside the
+    batch fn (the tokenizer-loop discipline).  Payloads consumed
+    in-stage; three int64s + metadata leave per image.
+    """
+
+    THR = 1000  # variance threshold in (gray-sum)^2 units
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        w = batch["w"].to_numpy()
+        h = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        n_leaves = np.zeros(n, dtype=np.int64)
+        max_depth = np.zeros(n, dtype=np.int64)
+        n_split = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        thr = int(self.THR)
+        for i in range(n):
+            try:
+                px = codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
+                g = px.astype(np.int64).sum(axis=2)
+                ii = np.zeros((g.shape[0] + 1, g.shape[1] + 1), dtype=np.int64)
+                ii[1:, 1:] = g.cumsum(axis=0).cumsum(axis=1)
+                ii2 = np.zeros_like(ii)
+                ii2[1:, 1:] = (g * g).cumsum(axis=0).cumsum(axis=1)
+
+                def bsum(tab, y0, x0, y1, x1):  # half-open
+                    return int(tab[y1, x1] - tab[y0, x1] - tab[y1, x0] + tab[y0, x0])
+
+                leaves = splits = 0
+                deepest = 0
+                stack = [(0, 0, g.shape[0], g.shape[1], 0)]
+                while stack:
+                    y0, x0, y1, x1, d = stack.pop()
+                    bh, bw = y1 - y0, x1 - x0
+                    npx = bh * bw
+                    s1 = bsum(ii, y0, x0, y1, x1)
+                    s2 = bsum(ii2, y0, x0, y1, x1)
+                    if bh >= 2 and bw >= 2 and npx * s2 - s1 * s1 > thr * npx * npx:
+                        splits += 1
+                        my, mx = y0 + bh // 2, x0 + bw // 2
+                        stack.extend(
+                            [
+                                (y0, x0, my, mx, d + 1),
+                                (y0, mx, my, x1, d + 1),
+                                (my, x0, y1, mx, d + 1),
+                                (my, mx, y1, x1, d + 1),
+                            ]
+                        )
+                    else:
+                        leaves += 1
+                        deepest = max(deepest, d)
+                n_leaves[i] = leaves
+                max_depth[i] = deepest
+                n_split[i] = splits
+                ok[i] = True
+            except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
+                pass
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "fmt": batch["fmt"],
+                "ok": pa.array(ok),
+                "n_leaves": pa.array(n_leaves, type=pa.int64()),
+                "max_depth": pa.array(max_depth, type=pa.int64()),
+                "n_split": pa.array(n_split, type=pa.int64()),
+            }
+        )

@@ -1254,3 +1254,35 @@ def test_image_otsu_separates_a_synthetic_bimodal(ray_session):
     assert 30 <= t < 600
     assert out["n_fg"][0].as_py() == 32
     assert out["ok"][0].as_py()
+
+
+def test_image_quadtree_flat_vs_noisy(ray_session):
+    """A uniform image is one leaf; a checkerboard splits to the
+    2px floor; the leaf identity 3*splits + 1 == leaves holds."""
+    import numpy as np
+    import pyarrow as pa
+
+    from plasmap_ray import codecs
+    from plasmap_ray.stages.media import QuadtreeCensus
+
+    flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+    noisy = np.zeros((16, 16, 3), dtype=np.uint8)
+    noisy[(np.arange(16)[:, None] + np.arange(16)[None, :]) % 2 == 0] = 255
+    batch = pa.table(
+        {
+            "image_id": pa.array(["flat", "noisy"]),
+            "bytes": pa.array([codecs.encode_image(flat, "raw"), codecs.encode_image(noisy, "raw")], type=pa.binary()),
+            "w": pa.array([16, 16], type=pa.int32()),
+            "h": pa.array([16, 16], type=pa.int32()),
+            "fmt": pa.array(["raw", "raw"]),
+        }
+    )
+    out = QuadtreeCensus()(batch).to_pandas().set_index("image_id")
+    assert out.loc["flat", "n_leaves"] == 1 and out.loc["flat", "max_depth"] == 0
+    # checkerboard: every 2x2 block still has variance -> splits to 2px
+    # blocks (depth 3), then 2x2 blocks with all-equal? no: 2x2 of the
+    # checkerboard has variance > THR and size 2 -> splits to 1px leaves
+    assert out.loc["noisy", "max_depth"] == 4
+    assert out.loc["noisy", "n_leaves"] == 256
+    for r in out.itertuples():
+        assert r.n_leaves == 3 * r.n_split + 1
