@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": text.langid_confusion,
         "redact_pii": text.redact_pii,
         "gopher_rules": text.gopher_rules,
+        "naive_bayes_domain": text.naive_bayes_domain,
         "doc_fingerprint": text.fingerprint,
         "winnowing_overlap": text.winnowing_overlap,
         "ndcg_eval": index.ndcg_eval,
@@ -1688,6 +1689,28 @@ b AS (SELECT n_tok, ((n_tok + {text.PAD_MULTIPLE} - 1) // {text.PAD_MULTIPLE}) *
 SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
        CAST(bucket_len * count(*) - sum(n_tok) AS BIGINT) AS pad_tokens
 FROM b GROUP BY bucket_len ORDER BY bucket_len""",
+        "naive_bayes_domain": """
+WITH t AS (SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+cls AS (SELECT source AS c, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+cnt AS (SELECT source AS c, word, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),
+totc AS (SELECT c, CAST(sum(n) AS BIGINT) AS tc FROM cnt GROUP BY 1),
+vocab AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM t),
+w AS (SELECT cnt.c, cnt.word,
+             CAST(floor(ln(CAST(cnt.n + 1 AS DOUBLE) / CAST(totc.tc + vocab.v AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS w_fp
+      FROM cnt JOIN totc USING (c) CROSS JOIN vocab),
+defw AS (SELECT totc.c, CAST(floor(ln(1.0 / CAST(totc.tc + vocab.v AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS def_fp
+         FROM totc CROSS JOIN vocab),
+prior AS (SELECT cls.c, CAST(floor(ln(CAST(cls.n_docs AS DOUBLE) / CAST(tot.n AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS p_fp
+          FROM cls CROSS JOIN tot),
+sc AS (SELECT tt.doc_id, tt.source AS true_source, cw.c, p.p_fp + sum(coalesce(w.w_fp, cw.def_fp)) AS score
+       FROM t tt CROSS JOIN defw cw
+       LEFT JOIN w ON w.c = cw.c AND w.word = tt.word
+       JOIN prior p ON p.c = cw.c
+       GROUP BY tt.doc_id, tt.source, cw.c, p.p_fp),
+r AS (SELECT doc_id, true_source, c, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rk FROM sc)
+SELECT true_source, c AS pred_source, CAST(count(*) AS BIGINT) AS n_docs
+FROM r WHERE rk = 1 GROUP BY 1, 2""",
         "gopher_rules": r"""
 WITH d AS (SELECT row_number() OVER () AS rid, lower(text) AS low FROM documents),
 t AS (SELECT rid, unnest(string_split(low, ' ')) AS word FROM d),

@@ -2254,3 +2254,130 @@ def gopher_rules(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# naive_bayes_domain (multinomial NB source classifier, trained + scored
+# in-engine — "learning as aggregation" with a full SQL oracle)
+# ---------------------------------------------------------------------------
+
+NB_FP = 10**9  # log-weight fixed-point quantum
+
+
+def naive_bayes_domain(sf_dir: str) -> rd.Dataset:
+    """Train a Laplace-smoothed multinomial naive-Bayes classifier
+    predicting each document's ``source`` from its tokens, score the
+    corpus with it, and report the confusion matrix — the classic
+    domain/provenance classifier a mixture curator runs to ask "are
+    sources even distinguishable?" (high confusion = homogeneous
+    corpus, a clean diagonal = strong domain signal).
+
+    Exactness: every model parameter — class prior ln(n_c/N) and
+    token weight ln((cnt+1)/(tot_c+V)) — is fixed to int64 ONCE
+    (floor(·FP+0.5)); a document's class score is then an INTEGER sum
+    over its token occurrences, so argmax (score desc, class asc) is
+    bit-stable and the DuckDB mirror adds the same integers.
+
+    Scale shape: model training is two bounded aggregations (class
+    doc-counts; (class, token) counts — vocab x classes, the quantity
+    every NB trainer ships); the model broadcasts once (ray.put) into
+    a map-ONLY scoring pass (searchsorted token->row, reduceat per
+    doc, one (V+1) x C weight GEMM-free lookup); the confusion matrix
+    is ONE classes²-bounded groupby.  Docs never shuffle.
+
+    Output: (true_source, pred_source, n_docs).
+    """
+    import ray
+
+    from ray.data.aggregate import Count as AggCount
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "source"])
+
+    # --- training aggregations -------------------------------------------
+    def tok_partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.utf8_lower(t["text"]), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten().to_numpy(zero_copy_only=False)
+        n_per = pc.list_value_length(words).to_numpy().astype(np.int64)
+        src = np.repeat(t["source"].to_numpy(zero_copy_only=False), n_per)
+        df = pd.DataFrame({"source": src, "word": flat})
+        g = df.groupby(["source", "word"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "source": pa.array(g["source"], type=pa.string()),
+                "word": pa.array(g["word"], type=pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby(["source", "word"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    doc_counts = (
+        ds.map_batches(
+            lambda t: pa.table({"source": t["source"]}), batch_format="pyarrow"
+        )
+        .groupby("source")
+        .aggregate(AggCount(alias_name="n_docs"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    classes = doc_counts["source"].tolist()
+    n_total = int(doc_counts["n_docs"].sum())
+    vocab = np.array(sorted(counts["word"].unique()))
+    V = len(vocab)
+    C = len(classes)
+    cnt = np.zeros((V, C), dtype=np.int64)
+    widx = {w: i for i, w in enumerate(vocab)}
+    cidx = {c: i for i, c in enumerate(classes)}
+    for s, w, nn in zip(counts["source"], counts["word"], counts["n"]):
+        cnt[widx[w], cidx[s]] = int(nn)
+    tot_c = cnt.sum(axis=0)
+    fp = float(NB_FP)
+    # (V+1, C): last row is the unseen-token default per class
+    W = np.empty((V + 1, C), dtype=np.int64)
+    W[:V] = np.floor(np.log((cnt + 1).astype(np.float64) / (tot_c + V).astype(np.float64)) * fp + 0.5).astype(np.int64)
+    W[V] = np.floor(np.log(1.0 / (tot_c + V).astype(np.float64)) * fp + 0.5).astype(np.int64)
+    prior = np.floor(
+        np.log(doc_counts["n_docs"].to_numpy().astype(np.float64) / float(n_total)) * fp + 0.5
+    ).astype(np.int64)
+    model_ref = ray.put({"vocab": vocab, "W": W, "prior": prior, "classes": np.array(classes)})
+
+    # --- scoring pass -----------------------------------------------------
+    class Score:
+        def __init__(self):
+            m = ray.get(model_ref)
+            self.vocab, self.W, self.prior, self.classes = m["vocab"], m["W"], m["prior"], m["classes"]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            words = pc.split_pattern(pc.utf8_lower(t["text"]), " ")
+            if isinstance(words, pa.ChunkedArray):
+                words = words.combine_chunks()
+            flat = words.flatten().to_numpy(zero_copy_only=False)
+            offs = words.offsets.to_numpy().astype(np.int64)
+            pos = np.searchsorted(self.vocab, flat)
+            pos = np.where((pos < len(self.vocab)) & (self.vocab[np.minimum(pos, len(self.vocab) - 1)] == flat), pos, len(self.vocab))
+            tw = self.W[pos]  # (n_tokens, C) int64
+            padded = np.concatenate([tw, np.zeros((1, tw.shape[1]), dtype=np.int64)])
+            scores = np.add.reduceat(padded, offs[:-1], axis=0)
+            empty = np.diff(offs) == 0
+            scores[empty] = 0
+            scores = scores + self.prior[None, :]
+            pred = self.classes[np.argmax(scores, axis=1)]
+            return pa.table(
+                {
+                    "true_source": t["source"],
+                    "pred_source": pa.array(pred, type=pa.string()),
+                }
+            )
+
+    return (
+        ds.map_batches(Score, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4))
+        .groupby(["true_source", "pred_source"])
+        .aggregate(AggCount(alias_name="n_docs"))
+    )

@@ -883,3 +883,43 @@ def test_gopher_rules_bruteforce(ray_session):
     for r in text_mod.GOPHER_RULES:
         assert int(out.loc[r, "n_fail"]) == fails[r], r
     assert int(out.loc["pass_all", "n_fail"]) == len(docs) - n_pass
+
+
+def test_naive_bayes_domain_bruteforce(ray_session):
+    """Confusion matrix recomputed with a plain dict-based NB."""
+    import math
+    from collections import Counter, defaultdict
+
+    from plasmap_ray.pipelines import text as text_mod
+
+    out = (
+        text_mod.naive_bayes_domain(SF0001)
+        .to_pandas()
+        .set_index(["true_source", "pred_source"])["n_docs"]
+        .to_dict()
+    )
+    t = pq.read_table(os.path.join(SF0001, "documents.parquet"), columns=["text", "source"])
+    docs = [(txt.lower().split(" "), s) for txt, s in zip(t["text"].to_pylist(), t["source"].to_pylist())]
+    cnt = defaultdict(Counter)
+    ndocs = Counter()
+    vocab = set()
+    for words, s in docs:
+        ndocs[s] += 1
+        cnt[s].update(words)
+        vocab.update(words)
+    V = len(vocab)
+    classes = sorted(ndocs)
+    FP = text_mod.NB_FP
+    q = lambda x: math.floor(x * FP + 0.5)  # noqa: E731
+    want = Counter()
+    for words, s in docs:
+        best = None
+        for c in classes:
+            tot = sum(cnt[c].values())
+            score = q(math.log(ndocs[c] / len(docs)))
+            for w in words:
+                score += q(math.log((cnt[c][w] + 1) / (tot + V)))
+            if best is None or score > best[0]:
+                best = (score, c)
+        want[(s, best[1])] += 1
+    assert out == dict(want)
