@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isochrone_bands": routing.isochrone_bands_query,
         "pagerank": routing.pagerank_query,
         "mst_boruvka": routing.mst_boruvka_query,
+        "tsp_tours": routing.tsp_tours_query,
         "betweenness_sampled": routing.betweenness_sampled,
         "harmonic_centrality": routing.harmonic_centrality,
         "percolation_curve": routing.percolation_curve,
@@ -285,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": text.redact_pii,
         "gopher_rules": text.gopher_rules,
         "naive_bayes_domain": text.naive_bayes_domain,
+        "huffman_code_lengths": text.huffman_code_lengths,
         "doc_fingerprint": text.fingerprint,
         "winnowing_overlap": text.winnowing_overlap,
         "ndcg_eval": index.ndcg_eval,
@@ -2392,6 +2394,8 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "pacf_durbin": f"SELECT * FROM read_parquet('{golden.pacf_durbin_path(SF001)}')",
         "logistic_newton": f"SELECT * FROM read_parquet('{golden.logistic_newton_path(SF001)}')",
         "mst_boruvka": f"SELECT * FROM read_parquet('{golden.mst_boruvka_path()}')",
+        "tsp_tours": f"SELECT * FROM read_parquet('{golden.tsp_tours_path()}')",
+        "huffman_code_lengths": f"SELECT * FROM read_parquet('{golden.huffman_code_lengths_path(SF001)}')",
         "betweenness_sampled": f"SELECT * FROM read_parquet('{golden.betweenness_path(routing.BTW_SOURCES)}')",
         "harmonic_centrality": f"SELECT * FROM read_parquet('{golden.harmonic_path(routing.BTW_SOURCES)}')",
         "percolation_curve": f"SELECT * FROM read_parquet('{golden.percolation_path(routing.PERC_CUTS)}')",

@@ -5895,3 +5895,83 @@ def image_quadtree_path(images_parquet: str) -> str:
         )
 
     return _cache(f"image_quadtree_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
+
+
+def huffman_code_lengths_path(sf_dir: str) -> str:
+    """Golden Huffman recompute (local, no Ray): DuckDB token counts +
+    the identical deterministic (count, sorted-token-seq) tree build —
+    the aggregation is the distributed part, replayed independently."""
+
+    def build() -> pa.Table:
+        import duckdb
+
+        from .pipelines.text import huffman_tree_lengths
+
+        con = duckdb.connect()
+        df = con.execute(
+            f"""
+            SELECT word AS token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+                  FROM read_parquet('{os.path.join(sf_dir, "documents.parquet")}'))
+            GROUP BY 1 ORDER BY 1
+            """
+        ).fetchdf()
+        depths = huffman_tree_lengths(df["token"].tolist(), df["n"].tolist())
+        lens = np.array([depths[t] for t in df["token"]], dtype=np.int64)
+        return pa.table(
+            {
+                "token": pa.array(df["token"], type=pa.string()),
+                "n": pa.array(df["n"].to_numpy().astype(np.int64), type=pa.int64()),
+                "code_len": pa.array(lens, type=pa.int64()),
+            }
+        )
+
+    return _cache(f"huffman_{_sf_tag(sf_dir)}", build)
+
+
+def tsp_tours_path() -> str:
+    """Golden per-district tour recompute (local, no Ray): identical
+    fixed-point NN + 2-opt descent over the fixture POI layer."""
+
+    def build() -> pa.Table:
+        from . import fixtures
+        from .pipelines.routing import _tsp_dist_fp, _tsp_tour
+
+        pois = fixtures.make_pois()
+        lon = pois["lon"].to_numpy()
+        lat = pois["lat"].to_numpy()
+        pid = pois["poi_id"].to_numpy()
+        rows = {"rel_id": [], "n_pois": [], "nn_len_fp": [], "tour_len_fp": [], "n_improve": []}
+        for r in fixtures.admin_rects():
+            if r["admin_level"] != 8:
+                continue
+            m = (
+                (lon >= r["lon_min"]) & (lon < r["lon_max"]) & (lat >= r["lat_min"]) & (lat < r["lat_max"])
+            )
+            if not m.any():
+                continue  # engine emits rows only for districts with POIs
+            order = np.argsort(pid[m])
+            zl, zt = lon[m][order], lat[m][order]
+            rows["rel_id"].append(int(r["rel_id"]))
+            rows["n_pois"].append(int(m.sum()))
+            if m.sum() < 2:
+                rows["nn_len_fp"].append(0)
+                rows["tour_len_fp"].append(0)
+                rows["n_improve"].append(0)
+                continue
+            d = _tsp_dist_fp(zl, zt)
+            _, nn_len, tour_len, improves = _tsp_tour(d)
+            rows["nn_len_fp"].append(nn_len)
+            rows["tour_len_fp"].append(tour_len)
+            rows["n_improve"].append(improves)
+        return pa.table(
+            {
+                "rel_id": pa.array(rows["rel_id"], type=pa.int64()),
+                "n_pois": pa.array(rows["n_pois"], type=pa.int64()),
+                "nn_len_fp": pa.array(rows["nn_len_fp"], type=pa.int64()),
+                "tour_len_fp": pa.array(rows["tour_len_fp"], type=pa.int64()),
+                "n_improve": pa.array(rows["n_improve"], type=pa.int64()),
+            }
+        )
+
+    return _cache("tsp_tours", build)

@@ -1133,3 +1133,147 @@ def mst_boruvka_query(sf_dir: str) -> rd.Dataset:
     over the same total order — equal output is an algorithmic
     cross-proof, not a replay)."""
     return mst_boruvka()
+
+
+# ---------------------------------------------------------------------------
+# tsp_tours (per-zone greedy + 2-opt patrol tours)
+# ---------------------------------------------------------------------------
+
+TSP_FP = 1e9  # fixed-point planar distance quantum (trajectory.FP_SCALE convention)
+TSP_MAX_PASSES = 10
+
+
+def _tsp_dist_fp(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    """Pairwise planar distances fixed to int64 ONCE — every tour
+    comparison afterwards is exact integer arithmetic."""
+    dl = lon[:, None] - lon[None, :]
+    dt = lat[:, None] - lat[None, :]
+    return np.floor(np.sqrt(dl * dl + dt * dt) * TSP_FP + 0.5).astype(np.int64)
+
+
+def _tsp_tour(d: np.ndarray) -> tuple[np.ndarray, int, int, int]:
+    """Deterministic nearest-neighbor tour from node 0 + 2-opt descent.
+    Returns (order, nn_len, tour_len, n_improve); all lengths are
+    CLOSED-tour exact int64 sums of the fixed-point matrix."""
+    n = d.shape[0]
+    unvisited = list(range(1, n))
+    order = [0]
+    while unvisited:
+        cur = order[-1]
+        best = min(unvisited, key=lambda j: (int(d[cur, j]), j))
+        order.append(best)
+        unvisited.remove(best)
+    tour = np.array(order, dtype=np.int64)
+
+    def closed_len(t: np.ndarray) -> int:
+        return int(d[t, np.roll(t, -1)].sum())
+
+    nn_len = closed_len(tour)
+    improves = 0
+    for _ in range(TSP_MAX_PASSES):
+        improved = False
+        for i in range(n - 1):
+            for j in range(i + 2, n):
+                if i == 0 and j == n - 1:
+                    continue  # would reverse the whole tour
+                a, b = int(tour[i]), int(tour[i + 1])
+                c, e = int(tour[j]), int(tour[(j + 1) % n])
+                if int(d[a, b]) + int(d[c, e]) > int(d[a, c]) + int(d[b, e]):
+                    tour[i + 1 : j + 1] = tour[i + 1 : j + 1][::-1]
+                    improves += 1
+                    improved = True
+        if not improved:
+            break
+    return tour, nn_len, closed_len(tour), improves
+
+
+def tsp_tours(sf_dir: str) -> rd.Dataset:
+    """Per-district patrol tours over the POI layer: deterministic
+    nearest-neighbor construction + exact-integer 2-opt descent, one
+    tour per level-8 admin district — the route-planning primitive
+    (inspection rounds, delivery loops) a geo platform answers after
+    "which POIs are in this zone".
+
+    Scale shape: POI→district assignment is a map-only pass against
+    the broadcast rect table; ONE district-keyed groupby co-locates
+    each zone's POIs; the O(n²)-per-zone tour DP runs inside
+    map_groups (per-zone n is city-block-bounded — the sessionize
+    per-key contract; cap + log at planetary POI densities).  All
+    pairwise distances are fixed to int64 ONCE, so NN choices, 2-opt
+    accepts and final lengths are bit-stable (golden replays the
+    identical descent).
+
+    Output: (rel_id, n_pois, nn_len_fp, tour_len_fp, n_improve) —
+    2-opt never lengthens: tour_len_fp <= nn_len_fp.
+    """
+    from ray.data.aggregate import Count as AggCount  # noqa: F401  (symmetry with siblings)
+
+    rects = [r for r in fixtures.admin_rects() if r["admin_level"] == 8]
+    lon_min = np.array([r["lon_min"] for r in rects])
+    lon_max = np.array([r["lon_max"] for r in rects])
+    lat_min = np.array([r["lat_min"] for r in rects])
+    lat_max = np.array([r["lat_max"] for r in rects])
+    rel_ids = np.array([r["rel_id"] for r in rects], dtype=np.int64)
+
+    pois = rd.from_arrow(fixtures.make_pois())
+
+    def assign(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy()
+        lat = t["lat"].to_numpy()
+        inside = (
+            (lon[:, None] >= lon_min[None, :])
+            & (lon[:, None] < lon_max[None, :])
+            & (lat[:, None] >= lat_min[None, :])
+            & (lat[:, None] < lat_max[None, :])
+        )
+        hit = inside.any(axis=1)
+        zone = rel_ids[np.argmax(inside, axis=1)]
+        return pa.table(
+            {
+                "rel_id": pa.array(zone[hit], type=pa.int64()),
+                "poi_id": pa.array(t["poi_id"].to_numpy()[hit], type=pa.int64()),
+                "lon": pa.array(lon[hit], type=pa.float64()),
+                "lat": pa.array(lat[hit], type=pa.float64()),
+            }
+        )
+
+    def tour_group(g: pa.Table) -> pa.Table:
+        order = np.argsort(g["poi_id"].to_numpy())
+        lon = g["lon"].to_numpy()[order]
+        lat = g["lat"].to_numpy()[order]
+        rel = int(g["rel_id"][0].as_py())
+        n = len(lon)
+        if n < 2:
+            return pa.table(
+                {
+                    "rel_id": pa.array([rel], type=pa.int64()),
+                    "n_pois": pa.array([n], type=pa.int64()),
+                    "nn_len_fp": pa.array([0], type=pa.int64()),
+                    "tour_len_fp": pa.array([0], type=pa.int64()),
+                    "n_improve": pa.array([0], type=pa.int64()),
+                }
+            )
+        d = _tsp_dist_fp(lon, lat)
+        _, nn_len, tour_len, improves = _tsp_tour(d)
+        return pa.table(
+            {
+                "rel_id": pa.array([rel], type=pa.int64()),
+                "n_pois": pa.array([n], type=pa.int64()),
+                "nn_len_fp": pa.array([nn_len], type=pa.int64()),
+                "tour_len_fp": pa.array([tour_len], type=pa.int64()),
+                "n_improve": pa.array([improves], type=pa.int64()),
+            }
+        )
+
+    return (
+        pois.map_batches(assign, batch_format="pyarrow")
+        .groupby("rel_id")
+        .map_groups(tour_group, batch_format="pyarrow")
+    )
+
+
+def tsp_tours_query(sf_dir: str) -> rd.Dataset:
+    """queries() surface (POI layer is the fixture table, sf-invariant
+    like the other POI queries); golden replays the identical
+    fixed-point descent locally."""
+    return tsp_tours(sf_dir)

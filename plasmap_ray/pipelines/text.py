@@ -2381,3 +2381,93 @@ def naive_bayes_domain(sf_dir: str) -> rd.Dataset:
         .groupby(["true_source", "pred_source"])
         .aggregate(AggCount(alias_name="n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# huffman_code_lengths (optimal prefix-code audit of the corpus vocabulary)
+# ---------------------------------------------------------------------------
+
+
+def huffman_tree_lengths(tokens: list, counts: list) -> dict:
+    """Deterministic Huffman code lengths: leaves enter the heap as
+    (count, seq) with seq = index in TOKEN-SORTED order; merged nodes
+    take the next seq — a total order that pins the tree shape, so
+    engine and golden agree on LENGTHS exactly (not just their sum)."""
+    import heapq
+
+    order = sorted(range(len(tokens)), key=lambda i: tokens[i])
+    heap = []
+    for seq, i in enumerate(order):
+        heap.append((int(counts[i]), seq, ("leaf", tokens[i])))
+    heapq.heapify(heap)
+    nxt = len(heap)
+    depth: dict = {}
+    if len(heap) == 1:
+        return {heap[0][2][1]: 1}
+    while len(heap) > 1:
+        c1, s1, n1 = heapq.heappop(heap)
+        c2, s2, n2 = heapq.heappop(heap)
+        heapq.heappush(heap, (c1 + c2, nxt, ("node", n1, n2)))
+        nxt += 1
+    stack = [(heap[0][2], 0)]
+    while stack:
+        node, d = stack.pop()
+        if node[0] == "leaf":
+            depth[node[1]] = d
+        else:
+            stack.append((node[1], d + 1))
+            stack.append((node[2], d + 1))
+    return depth
+
+
+def huffman_code_lengths(sf_dir: str) -> rd.Dataset:
+    """Optimal prefix-code table for the corpus token distribution —
+    the information-theoretic capstone of the compression-audit family:
+    Huffman lengths are the ACHIEVABLE integer-bit encoding
+    (entropy <= avg_bits < entropy + 1), so comparing them against
+    zipf_fit / compression_stats says how much of the corpus'
+    compressibility a token-level code captures.
+
+    Scale shape: ONE vocabulary-bounded token-count reduce (the
+    token_doc_frequency exchange); the O(V log V) tree build runs on
+    the aggregate — corpus-size-independent.  Determinism: heap
+    entries are (count, sorted-token-seq), a total order, so the tree
+    and every code length are bit-stable; golden replays the identical
+    construction from DuckDB counts.
+
+    Output: (token, n, code_len), one row per vocabulary token.
+    """
+    ds = _read_docs(sf_dir, ["text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.utf8_lower(t["text"]), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten().to_numpy(zero_copy_only=False)
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(u, type=pa.string()),
+                "n": pa.array(c.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(tok, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    depths = huffman_tree_lengths(counts["token"].tolist(), counts["n"].tolist())
+    lens = np.array([depths[t] for t in counts["token"]], dtype=np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "token": pa.array(counts["token"], type=pa.string()),
+                "n": pa.array(counts["n"].to_numpy().astype(np.int64), type=pa.int64()),
+                "code_len": pa.array(lens, type=pa.int64()),
+            }
+        )
+    )

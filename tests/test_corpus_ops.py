@@ -923,3 +923,22 @@ def test_naive_bayes_domain_bruteforce(ray_session):
                 best = (score, c)
         want[(s, best[1])] += 1
     assert out == dict(want)
+
+
+def test_huffman_kraft_and_optimality(ray_session):
+    """Kraft equality for a full binary tree + entropy optimality band."""
+    from plasmap_ray.pipelines import text as text_mod
+
+    out = text_mod.huffman_code_lengths(SF0001).to_pandas()
+    assert len(out) > 1
+    # Kraft: sum 2^-len == 1 exactly for a Huffman (full) tree
+    from fractions import Fraction
+
+    kraft = sum(Fraction(1, 2 ** int(l)) for l in out["code_len"])
+    assert kraft == 1
+    # entropy <= avg bits < entropy + 1
+    n = out["n"].to_numpy().astype(np.float64)
+    p = n / n.sum()
+    ent = -(p * np.log2(p)).sum()
+    avg = (p * out["code_len"].to_numpy()).sum()
+    assert ent - 1e-9 <= avg < ent + 1.0

@@ -284,3 +284,18 @@ def test_mst_boruvka_is_the_kruskal_tree(ray_session):
     for r in out.itertuples():
         parent[find(int(r.src))] = find(int(r.dst))
     assert len({find(v) for v in range(1, n_nodes + 1)}) == 1
+
+
+def test_tsp_tours_two_opt_never_lengthens(ray_session):
+    out = routing.tsp_tours("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert (out["tour_len_fp"] <= out["nn_len_fp"]).all()
+    assert (out["n_pois"] >= 1).all()
+    # a closed tour over >=2 points has positive length
+    multi = out[out["n_pois"] >= 2]
+    assert (multi["tour_len_fp"] > 0).all()
+    # matches the golden exactly (identical fixed-point descent)
+    want = pq.read_table(golden.tsp_tours_path()).to_pandas()
+    got = out.sort_values("rel_id").reset_index(drop=True)
+    want = want.sort_values("rel_id").reset_index(drop=True)
+    assert got.equals(want)
