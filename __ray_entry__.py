@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": text.gopher_rules,
         "naive_bayes_domain": text.naive_bayes_domain,
         "huffman_code_lengths": text.huffman_code_lengths,
+        "good_turing_unseen": text.good_turing_unseen,
         "doc_fingerprint": text.fingerprint,
         "winnowing_overlap": text.winnowing_overlap,
         "ndcg_eval": index.ndcg_eval,
@@ -1691,6 +1692,18 @@ b AS (SELECT n_tok, ((n_tok + {text.PAD_MULTIPLE} - 1) // {text.PAD_MULTIPLE}) *
 SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
        CAST(bucket_len * count(*) - sum(n_tok) AS BIGINT) AS pad_tokens
 FROM b GROUP BY bucket_len ORDER BY bucket_len""",
+        "good_turing_unseen": """
+WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+c AS (SELECT source, word, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),
+s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS vocab,
+             CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS f1,
+             CAST(count(*) FILTER (WHERE n = 2) AS BIGINT) AS f2
+      FROM c GROUP BY 1)
+SELECT source, n_tokens, vocab, f1, f2,
+       round(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS unseen_mass,
+       round(CAST(vocab AS DOUBLE) + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+             / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) AS chao1
+FROM s""",
         "naive_bayes_domain": """
 WITH t AS (SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS word FROM documents),
 cls AS (SELECT source AS c, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),

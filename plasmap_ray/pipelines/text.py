@@ -2471,3 +2471,101 @@ def huffman_code_lengths(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# good_turing_unseen (unseen-mass / richness estimate per source)
+# ---------------------------------------------------------------------------
+
+
+def good_turing_unseen(sf_dir: str) -> rd.Dataset:
+    """Per-source Good-Turing unseen-probability mass and Chao1
+    richness — "how much of this domain's vocabulary have we NOT seen
+    yet?", the coverage question a crawl planner asks before deciding
+    whether another pass over a source is worth it (high f1/N = the
+    domain is far from exhausted; Chao1 projects the asymptotic
+    vocabulary).
+
+        unseen_mass = f1 / N          (Good 1953)
+        chao1       = V + f1*(f1-1) / (2*(f2+1))   (bias-corrected)
+
+    Scale shape: per-batch (source, token) combiner -> ONE
+    (source, token)-keyed count reduce (the NB-training exchange) ->
+    a frequency-of-frequencies fold per source (rows = sources x
+    distinct counts, bounded) -> driver finalize on the source-bounded
+    table.  All counts exact int64; the two ratios are mirrored float
+    expressions rounded to 6.
+
+    Output: (source, n_tokens, vocab, f1, f2, unseen_mass, chao1).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_docs(sf_dir, ["text", "source"])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.utf8_lower(t["text"]), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten().to_numpy(zero_copy_only=False)
+        n_per = pc.list_value_length(words).to_numpy().astype(np.int64)
+        src = np.repeat(t["source"].to_numpy(zero_copy_only=False), n_per)
+        df = pd.DataFrame({"source": src, "word": flat})
+        g = df.groupby(["source", "word"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "source": pa.array(g["source"], type=pa.string()),
+                "word": pa.array(g["word"], type=pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby(["source", "word"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def fof(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"source": t["source"].to_numpy(zero_copy_only=False), "n": t["n"].to_numpy()}
+        )
+        g = df.groupby("source", sort=False).agg(
+            n_tokens=("n", "sum"),
+            vocab=("n", "size"),
+            f1=("n", lambda s: int((s == 1).sum())),
+            f2=("n", lambda s: int((s == 2).sum())),
+        ).reset_index()
+        return pa.table(
+            {
+                "source": pa.array(g["source"], type=pa.string()),
+                "n_tokens": pa.array(g["n_tokens"].to_numpy().astype(np.int64), type=pa.int64()),
+                "vocab": pa.array(g["vocab"].to_numpy().astype(np.int64), type=pa.int64()),
+                "f1": pa.array(g["f1"].to_numpy().astype(np.int64), type=pa.int64()),
+                "f2": pa.array(g["f2"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    per_src = (
+        counts.map_batches(fof, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("vocab", alias_name="vocab"),
+            Sum("f1", alias_name="f1"),
+            Sum("f2", alias_name="f2"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].to_numpy().astype(np.float64)
+        v = t["vocab"].to_numpy().astype(np.float64)
+        f1 = t["f1"].to_numpy().astype(np.float64)
+        f2 = t["f2"].to_numpy().astype(np.float64)
+        unseen = duckdb_round(f1 / n, 6)
+        chao1 = duckdb_round(v + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0)), 6)
+        return (
+            t.append_column("unseen_mass", pa.array(unseen, type=pa.float64()))
+            .append_column("chao1", pa.array(chao1, type=pa.float64()))
+        )
+
+    return per_src.map_batches(finish, batch_format="pyarrow")

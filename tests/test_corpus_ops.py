@@ -942,3 +942,24 @@ def test_huffman_kraft_and_optimality(ray_session):
     ent = -(p * np.log2(p)).sum()
     avg = (p * out["code_len"].to_numpy()).sum()
     assert ent - 1e-9 <= avg < ent + 1.0
+
+
+def test_good_turing_bruteforce(ray_session):
+    from collections import Counter
+
+    from plasmap_ray.pipelines import text as text_mod
+
+    out = text_mod.good_turing_unseen(SF0001).to_pandas().set_index("source")
+    t = pq.read_table(os.path.join(SF0001, "documents.parquet"), columns=["text", "source"])
+    per = {}
+    for txt, s in zip(t["text"].to_pylist(), t["source"].to_pylist()):
+        per.setdefault(s, Counter()).update(txt.lower().split(" "))
+    for s, cnt in per.items():
+        row = out.loc[s]
+        assert int(row["n_tokens"]) == sum(cnt.values())
+        assert int(row["vocab"]) == len(cnt)
+        f1 = sum(1 for v in cnt.values() if v == 1)
+        f2 = sum(1 for v in cnt.values() if v == 2)
+        assert int(row["f1"]) == f1 and int(row["f2"]) == f2
+        assert abs(row["unseen_mass"] - round(f1 / sum(cnt.values()), 6)) < 1e-9
+        assert row["chao1"] >= len(cnt) - 1e-9  # projection never below observed
