@@ -5975,3 +5975,70 @@ def tsp_tours_path() -> str:
         )
 
     return _cache("tsp_tours", build)
+
+
+def video_motion_vectors_path(video_parquet: str) -> str:
+    """Expected motion-vector census: independent recompute — candidate
+    displacements enumerated into a flat list and argmin'ed (numpy
+    lexsort) vs the engine's streaming tuple compare; per-channel SAD
+    summed AFTER per-channel abs (equal to pooled-gray SAD only
+    because gray = channel sum commutes with the subtraction — the
+    fixture frames make both paths exact)."""
+
+    def build() -> pa.Table:
+        from .stages.media import MotionVectors
+
+        t = pq.read_table(video_parquet)
+        B, S = MotionVectors.BLOCK, MotionVectors.SEARCH
+        rows = {k: [] for k in ("media_id", "fmt", "ok", "n_pairs", "n_blocks", "total_disp", "n_static", "total_best_sad")}
+        for i in range(t.num_rows):
+            ww = int(t["w"][i].as_py())
+            hh = int(t["h"][i].as_py())
+            k = int(t["n_frames"][i].as_py())
+            raw = np.frombuffer(t["bytes"][i].as_py(), dtype=np.uint8)
+            frames = raw.reshape(k, hh, ww, 3).astype(np.int64).sum(axis=3)
+            pairs = blocks = disp = static = sad_acc = 0
+            for f in range(1, k):
+                cur, prev = frames[f], frames[f - 1]
+                pairs += 1
+                for by in range(0, hh - B + 1, B):
+                    for bx in range(0, ww - B + 1, B):
+                        blk = cur[by : by + B, bx : bx + B]
+                        cands = []
+                        for dy in range(-S, S + 1):
+                            for dx in range(-S, S + 1):
+                                y0, x0 = by + dy, bx + dx
+                                if y0 < 0 or x0 < 0 or y0 + B > hh or x0 + B > ww:
+                                    continue
+                                cands.append(
+                                    (int(np.abs(blk - prev[y0 : y0 + B, x0 : x0 + B]).sum()), dy, dx)
+                                )
+                        arr = np.array(cands, dtype=np.int64)
+                        j = np.lexsort((arr[:, 2], arr[:, 1], arr[:, 0]))[0]
+                        sad, dy, dx = (int(v) for v in arr[j])
+                        blocks += 1
+                        disp += abs(dy) + abs(dx)
+                        static += int(dy == 0 and dx == 0)
+                        sad_acc += sad
+            rows["media_id"].append(t["media_id"][i].as_py())
+            rows["fmt"].append(t["fmt"][i].as_py())
+            rows["ok"].append(True)
+            rows["n_pairs"].append(pairs)
+            rows["n_blocks"].append(blocks)
+            rows["total_disp"].append(disp)
+            rows["n_static"].append(static)
+            rows["total_best_sad"].append(sad_acc)
+        return pa.table(
+            {
+                "media_id": pa.array(rows["media_id"], type=pa.string()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "ok": pa.array(rows["ok"]),
+                "n_pairs": pa.array(rows["n_pairs"], type=pa.int64()),
+                "n_blocks": pa.array(rows["n_blocks"], type=pa.int64()),
+                "total_disp": pa.array(rows["total_disp"], type=pa.int64()),
+                "n_static": pa.array(rows["n_static"], type=pa.int64()),
+                "total_best_sad": pa.array(rows["total_best_sad"], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"video_motion_{os.path.basename(video_parquet).rsplit('.', 1)[0]}", build)

@@ -672,3 +672,25 @@ def audio_dedup_manifest(sf_dir: str, min_shared: int = FP_MIN_SHARED) -> rd.Dat
             )
 
     return all_ids.map_batches(Manifest, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def video_motion_vectors(sf_dir: str) -> rd.Dataset:
+    """Per-clip block-matching motion audit (stages.media
+    .MotionVectors): the MPEG motion-search kernel as a corpus
+    statistic — residual SAD after motion compensation vs the plain
+    frame difference says how much of the temporal change is coherent
+    motion (compressible) vs noise/cuts (not).
+
+    Scale shape: map-ONLY actor-pool pass, decode fused with the
+    block search, payloads consumed in-stage, five int64s + metadata
+    per clip.  Oracle: golden recompute with an independent
+    candidate-enumeration order (argmin over a flattened candidate
+    list vs the engine's streaming lexicographic compare).
+
+    Output: (media_id, fmt, ok, n_pairs, n_blocks, total_disp,
+    n_static, total_best_sad).
+    """
+    ds = rd.read_parquet(video_path_for(sf_dir))
+    return ds.map_batches(
+        media.MotionVectors, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )

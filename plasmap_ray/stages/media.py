@@ -1044,3 +1044,83 @@ class QuadtreeCensus:
                 "n_split": pa.array(n_split, type=pa.int64()),
             }
         )
+
+
+class MotionVectors:
+    """Actor-pool stage: per-clip block-matching motion estimation —
+    the MPEG-style motion-search kernel run as a corpus audit: for
+    every consecutive frame pair, each 4x4 gray block searches a +-2 px
+    window in the PREVIOUS frame for its minimum-SAD displacement
+    (ties -> lexicographically smallest (sad, dy, dx), so the vector
+    field is bit-stable).  Static clips report all-zero vectors; cuts
+    and high motion push total displacement and residual SAD up — the
+    "how compressible is this video, really" number beside the plain
+    frame-difference census (VideoTemporalSmoothness).
+
+    Exact integers throughout (gray = r+g+b, SAD of int64).  Payloads
+    consumed in-stage; five int64s + metadata leave per clip.
+    """
+
+    BLOCK = 4
+    SEARCH = 2
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        w = batch["w"].to_numpy()
+        h = batch["h"].to_numpy()
+        nf = batch["n_frames"].to_numpy()
+        payloads = batch["bytes"].to_pylist()
+        n_pairs = np.zeros(n, dtype=np.int64)
+        n_blocks = np.zeros(n, dtype=np.int64)
+        total_disp = np.zeros(n, dtype=np.int64)
+        n_static = np.zeros(n, dtype=np.int64)
+        total_sad = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        B, S = self.BLOCK, self.SEARCH
+        for i in range(n):
+            try:
+                ww, hh, k = int(w[i]), int(h[i]), int(nf[i])
+                raw = np.frombuffer(payloads[i], dtype=np.uint8)
+                frames = raw.reshape(k, hh, ww, 3).astype(np.int64).sum(axis=3)
+                pairs = blocks = disp = static = sad_acc = 0
+                for f in range(1, k):
+                    cur, prev = frames[f], frames[f - 1]
+                    pairs += 1
+                    for by in range(0, hh - B + 1, B):
+                        for bx in range(0, ww - B + 1, B):
+                            blk = cur[by : by + B, bx : bx + B]
+                            best = None
+                            for dy in range(-S, S + 1):
+                                for dx in range(-S, S + 1):
+                                    y0, x0 = by + dy, bx + dx
+                                    if y0 < 0 or x0 < 0 or y0 + B > hh or x0 + B > ww:
+                                        continue
+                                    sad = int(np.abs(blk - prev[y0 : y0 + B, x0 : x0 + B]).sum())
+                                    cand = (sad, dy, dx)
+                                    if best is None or cand < best:
+                                        best = cand
+                            sad, dy, dx = best
+                            blocks += 1
+                            disp += abs(dy) + abs(dx)
+                            static += int(dy == 0 and dx == 0)
+                            sad_acc += sad
+                n_pairs[i] = pairs
+                n_blocks[i] = blocks
+                total_disp[i] = disp
+                n_static[i] = static
+                total_sad[i] = sad_acc
+                ok[i] = True
+            except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
+                pass
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "fmt": batch["fmt"],
+                "ok": pa.array(ok),
+                "n_pairs": pa.array(n_pairs, type=pa.int64()),
+                "n_blocks": pa.array(n_blocks, type=pa.int64()),
+                "total_disp": pa.array(total_disp, type=pa.int64()),
+                "n_static": pa.array(n_static, type=pa.int64()),
+                "total_best_sad": pa.array(total_sad, type=pa.int64()),
+            }
+        )

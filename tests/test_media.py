@@ -1286,3 +1286,35 @@ def test_image_quadtree_flat_vs_noisy(ray_session):
     assert out.loc["noisy", "n_leaves"] == 256
     for r in out.itertuples():
         assert r.n_leaves == 3 * r.n_split + 1
+
+
+def test_motion_vectors_track_a_pure_translation(ray_session):
+    """A synthetic clip whose second frame is the first shifted right
+    by 1 px must yield dx=+? — every interior block finds the shift
+    with zero residual SAD."""
+    import numpy as np
+    import pyarrow as pa
+
+    from plasmap_ray.stages.media import MotionVectors
+
+    rng = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    f0 = (rng * 37 % 251).astype(np.uint8)
+    f1 = np.roll(f0, 1, axis=1)  # shift right 1 px
+    payload = f0.tobytes() + f1.tobytes()
+    batch = pa.table(
+        {
+            "media_id": pa.array(["clip"]),
+            "bytes": pa.array([payload], type=pa.binary()),
+            "w": pa.array([16], type=pa.int32()),
+            "h": pa.array([16], type=pa.int32()),
+            "n_frames": pa.array([2], type=pa.int32()),
+            "fmt": pa.array(["fake-raw"]),
+        }
+    )
+    out = MotionVectors()(batch).to_pandas().iloc[0]
+    assert out["ok"] and out["n_pairs"] == 1 and out["n_blocks"] == 16
+    # interior blocks (bx >= 4): exact match at dx=-1 with SAD 0; the
+    # wrapped first column makes bx=0 blocks imperfect
+    assert out["n_static"] == 0
+    assert out["total_best_sad"] < np.abs(f1.astype(int) - f0.astype(int)).sum()
+    assert out["total_disp"] >= 12  # at least the 12 interior blocks moved by 1
