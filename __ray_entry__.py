@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_filtered_topk": lambda sf: ann.ann_filtered_topk(sf, k=ANN_K, vec_id=ANN_QUERY_ID),
         "pq_encode": ann.pq_encode,
         "embedding_top_pairs": lambda sf: ann.embedding_top_pairs(sf, k=EMB_TOP_PAIRS),
+        "mutual_nn_pairs": ann.mutual_nn_pairs,
         "knn_graph_reciprocity": ann.knn_graph_reciprocity,
         "embedding_near_dup": lambda sf: ann.embedding_near_dup(sf, threshold=EMB_NEARDUP_T),
         "embedding_near_dup_lsh": lambda sf: ann.embedding_near_dup_lsh(sf, threshold=EMB_NEARDUP_T),
@@ -2093,6 +2094,15 @@ SELECT CAST(label AS BIGINT) AS label,
        CAST(sum(recip) AS BIGINT) AS n_reciprocal,
        round(CAST(sum(recip) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS reciprocity
 FROM rec GROUP BY 1""",
+        "mutual_nn_pairs": """
+WITH s AS (
+  SELECT a.vec_id AS qa, b.vec_id AS qb, list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+nn AS (SELECT qa, qb FROM (
+  SELECT qa, qb, row_number() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rk FROM s) WHERE rk = 1)
+SELECT n1.qa AS vec_a, n1.qb AS vec_b
+FROM nn n1 JOIN nn n2 ON n1.qb = n2.qa AND n2.qb = n1.qa
+WHERE n1.qa < n1.qb""",
         "embedding_top_pairs": f"""
 WITH scored AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_cosine_similarity(a.embedding, b.embedding) AS sim

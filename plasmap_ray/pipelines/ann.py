@@ -2599,3 +2599,71 @@ def jl_projection_audit(sf_dir: str) -> rd.Dataset:
         )
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# mutual_nn_pairs (reciprocal nearest neighbors — the correspondence rule)
+# ---------------------------------------------------------------------------
+
+
+def mutual_nn_pairs(sf_dir: str) -> rd.Dataset:
+    """Reciprocal-nearest-neighbor pairs over the embedding table:
+    (a, b) such that b is a's cosine NN AND a is b's — the
+    high-precision correspondence rule used for bitext mining
+    (Artetxe & Schwenk 2019), cross-modal matching and conservative
+    near-dup pairing: mutuality filters out hubs that are "everyone's
+    neighbor" without being anyone's match.
+
+    Scale shape: ONE map pass with the normalized matrix broadcast
+    (ray.put; at 10^9 vectors swap the broadcast for the IVF/LSH
+    bucket exchange of ann_* — the mutuality join is unchanged); each
+    batch computes a GEMM row-argmax (sim desc, vec_id asc tie-break)
+    -> an (id, nn) table; mutual pairs are ONE self hash-join on the
+    reversed key + a < b filter.  Vectors never shuffle — only the
+    (id, nn) pointer table does.
+
+    Output: (vec_a, vec_b), the mutual pairs, rank-free (float sims
+    stay out of the result — the embedding_top_pairs discipline).
+    """
+    import ray
+
+    from ..stages.common import safe_join
+
+    ds = _read_emb(sf_dir)
+    full = ds.to_pandas()
+    order = np.argsort(full["vec_id"].to_numpy())
+    ids = full["vec_id"].to_numpy()[order].astype(np.int64)
+    m = np.stack(full["embedding"].to_numpy()[order]).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ref = ray.put({"ids": ids, "m": m})
+
+    class NN:
+        def __init__(self):
+            d = ray.get(ref)
+            self.ids, self.m = d["ids"], d["m"]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            q = _emb_matrix(t)
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ self.m.T
+            qid = t["vec_id"].to_numpy().astype(np.int64)
+            self_col = np.searchsorted(self.ids, qid)
+            sims[np.arange(len(qid)), self_col] = -np.inf
+            nn = self.ids[np.argmax(sims, axis=1)]
+            return pa.table(
+                {
+                    "vid": pa.array(qid, type=pa.int64()),
+                    "nn": pa.array(nn, type=pa.int64()),
+                }
+            )
+
+    ptr = ds.map_batches(NN, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)).materialize()
+    rev = ptr.map_batches(
+        lambda t: pa.table({"rnn": t["vid"], "rvid": t["nn"]}), batch_format="pyarrow"
+    )
+    mutual = safe_join(
+        ptr, rev, join_type="inner", num_partitions=8, on=("vid", "nn"), right_on=("rvid", "rnn")
+    ).filter(expr="vid < nn")
+    return mutual.map_batches(
+        lambda t: pa.table({"vec_a": t["vid"], "vec_b": t["nn"]}), batch_format="pyarrow"
+    )

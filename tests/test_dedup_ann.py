@@ -719,3 +719,31 @@ def test_jl_projection_audit_unbiased_and_exact(ray_session):
         np.tile(np.arange(d), ann.JL_K).reshape(ann.JL_K, d),
     )
     assert abs(int(S.sum())) < ann.JL_K * d // 3
+
+
+def test_mutual_nn_pairs_bruteforce(ray_session):
+    """Mutual pairs recomputed from the full cosine matrix."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from plasmap_ray.pipelines import ann as ann_mod
+
+    out = ann_mod.mutual_nn_pairs(SF0001).to_pandas()
+    t = pq.read_table(ann_mod._emb_path(SF0001))
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[order]).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    nn = ids[np.argmax(sims, axis=1)]
+    nn_of = dict(zip(ids.tolist(), nn.tolist()))
+    want = sorted(
+        (int(a), int(nn_of[a]))
+        for a in ids.tolist()
+        if nn_of[nn_of[a]] == a and a < nn_of[a]
+    )
+    got = sorted(zip(out["vec_a"].tolist(), out["vec_b"].tolist()))
+    assert got == want
+    assert len(got) > 0  # the planted duplicates guarantee mutual pairs
