@@ -471,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ols_regression": stats.ols_regression,
         "decision_stump": stats.decision_stump,
         "logistic_newton": stats.logistic_newton,
+        "psi_drift": stats.psi_drift,
         "acf_hourly": windows.acf_hourly,
         "dtw_profiles": windows.dtw_profiles,
         "pacf_durbin": windows.pacf_durbin,
@@ -4835,6 +4836,34 @@ SELECT n_a, n_b, n_inter, round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
        round(est_union, 6) AS est_union, round(est_a + est_b - est_union, 6) AS est_inter,
        round(abs(est_a + est_b - est_union - CAST(n_inter AS DOUBLE)), 6) AS abs_err
 FROM x""",
+        "psi_drift": """
+WITH f AS (
+  SELECT 'quantity' AS feature, CAST(floor(l_quantity + 0.5) AS BIGINT) // 5 AS b,
+         CASE WHEN l_shipdate >= DATE '1995-01-01' THEN 1 ELSE 0 END AS late FROM lineitem
+  UNION ALL
+  SELECT 'discount_pct', CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT),
+         CASE WHEN l_shipdate >= DATE '1995-01-01' THEN 1 ELSE 0 END FROM lineitem
+  UNION ALL
+  SELECT 'price_10k', CAST(floor(l_extendedprice + 0.5) AS BIGINT) // 10000,
+         CASE WHEN l_shipdate >= DATE '1995-01-01' THEN 1 ELSE 0 END FROM lineitem),
+h AS (SELECT feature, b, late, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1, 2, 3),
+bins AS (SELECT DISTINCT feature, b FROM h),
+per AS (SELECT bins.feature, bins.b, p.late, coalesce(h.n, 0) + 1 AS n
+        FROM bins CROSS JOIN (SELECT 0 AS late UNION ALL SELECT 1) p
+        LEFT JOIN h ON h.feature = bins.feature AND h.b = bins.b AND h.late = p.late),
+tot AS (SELECT feature, late, CAST(sum(n) AS BIGINT) AS tot FROM per GROUP BY 1, 2),
+pp AS (SELECT per.feature, per.b, per.late, CAST(per.n AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS p
+       FROM per JOIN tot USING (feature, late)),
+w AS (SELECT a.feature, a.b, a.p AS p_a, l.p AS p_b
+      FROM pp a JOIN pp l ON a.feature = l.feature AND a.b = l.b AND a.late = 0 AND l.late = 1),
+raw AS (SELECT feature,
+               CAST(coalesce(sum(n) FILTER (WHERE late = 0), 0) AS BIGINT) AS n_early,
+               CAST(coalesce(sum(n) FILTER (WHERE late = 1), 0) AS BIGINT) AS n_late
+        FROM h GROUP BY 1)
+SELECT w.feature, raw.n_early, raw.n_late,
+       round(sum((w.p_a - w.p_b) * ln(w.p_a / w.p_b)), 6) AS psi
+FROM w JOIN raw ON raw.feature = w.feature
+GROUP BY w.feature, raw.n_early, raw.n_late""",
         "decision_stump": """
 WITH f AS (
   SELECT 'quantity' AS feature, CAST(floor(l_quantity + 0.5) AS BIGINT) AS v,

@@ -2284,3 +2284,95 @@ def logistic_newton(sf_dir: str, iters: int = LOGIT_ITERS) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# psi_drift (population stability index between shipping eras)
+# ---------------------------------------------------------------------------
+
+PSI_SPLIT_DATE = "1995-01-01"
+PSI_FEATURES = ("quantity", "discount_pct", "price_10k")
+
+
+def psi_drift(sf_dir: str) -> rd.Dataset:
+    """Population Stability Index of lineitem feature distributions
+    between the early (< 1995) and late (>= 1995) shipping eras — the
+    ML-ops drift gate (PSI < 0.1 stable / 0.1-0.25 shifting / > 0.25
+    retrain) run exactly as a model monitor would: fixed bins, two
+    period histograms, one number per feature.
+
+        PSI = sum_bins (p_a - p_b) * ln(p_a / p_b)
+
+    with +1 Laplace smoothing per (bin, period) so empty bins stay
+    finite (documented; both sides smooth identically).  Bins are
+    FIXED integer grids (quantity // 5, discount pct, price // 10k) —
+    drift monitors pin bins at training time for exactly this
+    reproducibility reason.
+
+    Scale shape: ONE map pass computes per-batch (feature, bin,
+    period) count partials over the bounded grids -> ONE small
+    groupby -> driver PSI on the bins-bounded aggregate.  Counts
+    exact int64; PSI is one mirrored float expression rounded to 6.
+
+    Output: (feature, n_early, n_late, psi).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_quantity", "l_discount", "l_extendedprice"],
+    )
+    split = np.datetime64(PSI_SPLIT_DATE)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        late = (sd >= split).astype(np.int64)
+        qty = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64) // 5
+        disc = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        price = np.floor(t["l_extendedprice"].to_numpy() + 0.5).astype(np.int64) // 10_000
+        frames = []
+        for name, v in (("quantity", qty), ("discount_pct", disc), ("price_10k", price)):
+            df = pd.DataFrame({"b": v, "late": late}).groupby(["b", "late"], sort=False).size().reset_index(name="n")
+            df.insert(0, "feature", name)
+            frames.append(df)
+        allf = pd.concat(frames, ignore_index=True)
+        return pa.table(
+            {
+                "feature": pa.array(allf["feature"], type=pa.string()),
+                "b": pa.array(allf["b"].to_numpy().astype(np.int64), type=pa.int64()),
+                "late": pa.array(allf["late"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n": pa.array(allf["n"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["feature", "b", "late"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = {"feature": [], "n_early": [], "n_late": [], "psi": []}
+    for feat in sorted(hist["feature"].unique()):
+        sub = hist[hist["feature"] == feat]
+        bins = np.sort(sub["b"].unique())
+        ea = sub[sub["late"] == 0].set_index("b")["n"]
+        la = sub[sub["late"] == 1].set_index("b")["n"]
+        a = np.array([int(ea.get(b, 0)) for b in bins], dtype=np.int64) + 1
+        l = np.array([int(la.get(b, 0)) for b in bins], dtype=np.int64) + 1
+        pa_ = a.astype(np.float64) / a.sum()
+        pb_ = l.astype(np.float64) / l.sum()
+        psi = float(((pa_ - pb_) * np.log(pa_ / pb_)).sum())
+        rows["feature"].append(feat)
+        rows["n_early"].append(int(a.sum() - len(bins)))
+        rows["n_late"].append(int(l.sum() - len(bins)))
+        rows["psi"].append(psi)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "feature": pa.array(rows["feature"], type=pa.string()),
+                "n_early": pa.array(rows["n_early"], type=pa.int64()),
+                "n_late": pa.array(rows["n_late"], type=pa.int64()),
+                "psi": pa.array(duckdb_round(np.array(rows["psi"]), 6), type=pa.float64()),
+            }
+        )
+    )

@@ -416,3 +416,29 @@ def test_logistic_newton_is_a_stationary_point(ray_session):
     base_loss = -(y * np.log(base) + (1 - y) * np.log(1 - base)).mean()
     assert out["log_loss"] <= base_loss + 1e-9
     assert 0.0 <= out["accuracy"] <= 1.0
+
+
+def test_psi_drift_bruteforce(ray_session):
+    out = stats.psi_drift(SF).to_pandas().set_index("feature")
+    t = pq.read_table(
+        os.path.join(SF, "lineitem.parquet"),
+        columns=["l_shipdate", "l_quantity", "l_discount", "l_extendedprice"],
+    )
+    sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
+    late = sd >= np.datetime64(stats.PSI_SPLIT_DATE)
+    feats = {
+        "quantity": np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64) // 5,
+        "discount_pct": np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64),
+        "price_10k": np.floor(t["l_extendedprice"].to_numpy() + 0.5).astype(np.int64) // 10_000,
+    }
+    for name, v in feats.items():
+        bins = np.unique(v)
+        a = np.array([(v[~late] == b).sum() for b in bins]) + 1
+        l = np.array([(v[late] == b).sum() for b in bins]) + 1
+        p, q = a / a.sum(), l / l.sum()
+        psi = ((p - q) * np.log(p / q)).sum()
+        row = out.loc[name]
+        assert int(row["n_early"]) == int((~late).sum())
+        assert int(row["n_late"]) == int(late.sum())
+        assert abs(row["psi"] - psi) < 1e-6
+        assert row["psi"] >= 0.0  # PSI is a symmetrized KL: nonnegative
