@@ -6042,3 +6042,85 @@ def video_motion_vectors_path(video_parquet: str) -> str:
         )
 
     return _cache(f"video_motion_{os.path.basename(video_parquet).rsplit('.', 1)[0]}", build)
+
+
+def first_passage_time_path(sf_dir: str) -> str:
+    """Golden MFPT recompute (local, no Ray): DuckDB builds the step
+    kernel, reachability via BFS (vs the engine's DFS), and the
+    absorbing system is solved with np.linalg.lstsq on the SAME
+    matrix — independent dataflow, identical equations."""
+
+    def build() -> pa.Table:
+        import duckdb
+
+        from . import fixtures
+        from .oracle import sql_derive_lat, sql_derive_lon
+        from .pipelines.trajectory import TRANS_PITCH
+        from .stages.common import duckdb_round
+
+        con = duckdb.connect()
+        kern = con.execute(
+            f"""
+            WITH epts AS (SELECT event_id, user_id, ts, {sql_derive_lon('event_id')} AS lon,
+                          {sql_derive_lat('event_id')} AS lat
+                          FROM read_parquet('{os.path.join(sf_dir, "events.parquet")}')),
+            sc AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+                   CAST(floor((lon - {fixtures.LON_MIN!r}) / {TRANS_PITCH!r}) AS BIGINT) AS cx,
+                   CAST(floor((lat - {fixtures.LAT_MIN!r}) / {TRANS_PITCH!r}) AS BIGINT) AS cy FROM epts),
+            st AS (SELECT cx, cy, lag(cx) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS px,
+                   lag(cy) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS py FROM sc)
+            SELECT px AS fx, py AS fy, cx AS tx, cy AS ty, CAST(count(*) AS BIGINT) AS n_steps
+            FROM st WHERE px IS NOT NULL GROUP BY 1, 2, 3, 4
+            """
+        ).fetchdf()
+        from collections import deque
+
+        stride = np.int64(1 << 21)
+        fkey = kern["fx"].to_numpy().astype(np.int64) * stride + kern["fy"].to_numpy().astype(np.int64)
+        tkey = kern["tx"].to_numpy().astype(np.int64) * stride + kern["ty"].to_numpy().astype(np.int64)
+        ns = kern["n_steps"].to_numpy().astype(np.int64)
+        cells = np.unique(np.concatenate([fkey, tkey]))
+        pos = {int(k): i for i, k in enumerate(cells)}
+        fi = np.array([pos[int(k)] for k in fkey], dtype=np.int64)
+        ti = np.array([pos[int(k)] for k in tkey], dtype=np.int64)
+        n = len(cells)
+        row_tot = np.zeros(n, dtype=np.int64)
+        np.add.at(row_tot, fi, ns)
+        hub = int(np.lexsort((cells, -row_tot))[0])
+        radj: dict[int, list[int]] = {}
+        for a, b in zip(fi.tolist(), ti.tolist()):
+            radj.setdefault(b, []).append(a)
+        reach = np.zeros(n, dtype=bool)
+        dq = deque([hub])
+        reach[hub] = True
+        while dq:
+            v = dq.popleft()
+            for u in radj.get(v, ()):
+                if not reach[u]:
+                    reach[u] = True
+                    dq.append(u)
+        idx = np.nonzero(reach)[0]
+        sub = {int(c): i for i, c in enumerate(idx)}
+        k = len(idx)
+        A = np.eye(k, dtype=np.float64)
+        for a, b, w in zip(fi.tolist(), ti.tolist(), ns.tolist()):
+            if a == hub or not reach[a] or not reach[b] or b == hub:
+                continue
+            A[sub[a], sub[b]] -= w / float(row_tot[a])
+        rhs = np.ones(k, dtype=np.float64)
+        rhs[sub[hub]] = 0.0
+        A[sub[hub], :] = 0.0
+        A[sub[hub], sub[hub]] = 1.0
+        m = np.linalg.solve(A, rhs)
+        mfpt = np.full(n, -1.0)
+        mfpt[idx] = m
+        return pa.table(
+            {
+                "fx": pa.array(cells // stride, type=pa.int64()),
+                "fy": pa.array(cells % stride, type=pa.int64()),
+                "reachable": pa.array(reach.astype(np.int64), type=pa.int64()),
+                "mfpt": pa.array(duckdb_round(mfpt, 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"first_passage_{_sf_tag(sf_dir)}", build)

@@ -2908,3 +2908,96 @@ def link_prediction(sf_dir: str, k: int = LP_TOPK) -> rd.Dataset:
     return ranked_head(
         flat, ["aa_fp", "ax", "ay", "bx", "by"], "lp_rank", k, keep=["ax", "ay", "bx", "by", "cn", "aa_fp"]
     )
+
+
+# ---------------------------------------------------------------------------
+# first_passage_time (mean hitting time to the top hub)
+# ---------------------------------------------------------------------------
+
+
+def first_passage_time(sf_dir: str, pitch: float = TRANS_PITCH) -> rd.Dataset:
+    """Mean first-passage time (in steps) from every cell to the TOP
+    HUB of the empirical mobility kernel — the absorbing-chain "how
+    far is everywhere from the center, in behavior rather than
+    distance" metric (accessibility planning, store-placement, and
+    the MFPT centrality literature), completing the Markov family
+    beside transition_stationary (equilibrium), place_ppr (damped
+    visitation) and markov_attribution (removal effect).
+
+    Hub = cell with the largest total outgoing steps (ties -> lowest
+    cell key).  For reachable cells the absorbing-chain system
+    m = 1 + Q m  is solved on the lattice-bounded aggregate
+    driver-side (the kriging LAPACK discipline — corpus-size-
+    independent); cells that cannot reach the hub report mfpt = -1
+    (flagged, not dropped).  Cells without outgoing steps self-loop
+    (transition_stationary's convention) and are thus unreachable
+    unless they ARE the hub.  Precision note: transitions from a
+    reachable cell INTO a hub-unreachable cell are censored from Q
+    (the classical expectation is infinite whenever escape has
+    positive probability); the reported value is the MFPT of the
+    escape-censored sub-chain — deterministic, finite, and the
+    standard practical choice (taboo-probability MFPT).
+
+    Scale shape: the ONLY data-scale exchange is the (from, to)-keyed
+    count shuffle of cell_transition_matrix; everything after runs on
+    the lattice²-bounded kernel.  Output: (fx, fy, reachable, mfpt)
+    rounded 6, hub row mfpt = 0.
+    """
+    from ..stages.common import duckdb_round
+
+    kern = cell_transition_matrix(sf_dir, pitch=pitch).to_pandas()
+    fx = kern["fx"].to_numpy().astype(np.int64)
+    fy = kern["fy"].to_numpy().astype(np.int64)
+    tx = kern["tx"].to_numpy().astype(np.int64)
+    ty = kern["ty"].to_numpy().astype(np.int64)
+    ns = kern["n_steps"].to_numpy().astype(np.int64)
+    stride = np.int64(1 << 21)
+    fkey = fx * stride + fy
+    tkey = tx * stride + ty
+    cells = np.unique(np.concatenate([fkey, tkey]))
+    pos = {int(k): i for i, k in enumerate(cells)}
+    fi = np.array([pos[int(k)] for k in fkey], dtype=np.int64)
+    ti = np.array([pos[int(k)] for k in tkey], dtype=np.int64)
+    n = len(cells)
+    row_tot = np.zeros(n, dtype=np.int64)
+    np.add.at(row_tot, fi, ns)
+    hub = int(np.lexsort((cells, -row_tot))[0])
+    # reverse-reachability to the hub over the directed kernel (cells
+    # with no out-steps self-loop -> they reach nothing but themselves)
+    radj: dict[int, list[int]] = {}
+    for a, b in zip(fi.tolist(), ti.tolist()):
+        radj.setdefault(b, []).append(a)
+    reach = np.zeros(n, dtype=bool)
+    stack = [hub]
+    reach[hub] = True
+    while stack:
+        v = stack.pop()
+        for u in radj.get(v, ()):
+            if not reach[u]:
+                reach[u] = True
+                stack.append(u)
+    idx = np.nonzero(reach)[0]
+    sub = {int(c): i for i, c in enumerate(idx)}
+    k = len(idx)
+    A = np.eye(k, dtype=np.float64)
+    for a, b, w in zip(fi.tolist(), ti.tolist(), ns.tolist()):
+        if a == hub or not reach[a] or not reach[b] or b == hub:
+            continue
+        A[sub[a], sub[b]] -= w / float(row_tot[a])
+    rhs = np.ones(k, dtype=np.float64)
+    rhs[sub[hub]] = 0.0
+    A[sub[hub], :] = 0.0
+    A[sub[hub], sub[hub]] = 1.0
+    m = np.linalg.solve(A, rhs)
+    mfpt = np.full(n, -1.0)
+    mfpt[idx] = m
+    return rd.from_arrow(
+        pa.table(
+            {
+                "fx": pa.array(cells // stride, type=pa.int64()),
+                "fy": pa.array(cells % stride, type=pa.int64()),
+                "reachable": pa.array(reach.astype(np.int64), type=pa.int64()),
+                "mfpt": pa.array(duckdb_round(mfpt, 6), type=pa.float64()),
+            }
+        )
+    )

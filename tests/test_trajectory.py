@@ -919,3 +919,42 @@ def test_link_prediction_scores_open_pairs_only(ray_session):
         a = int(r.ax) * S + int(r.ay)
         b = int(r.bx) * S + int(r.by)
         assert (min(a, b), max(a, b)) not in edges
+
+
+def test_first_passage_time_satisfies_the_recurrence(ray_session):
+    """m(i) = 1 + sum_j P(i,j) m(j) for every reachable non-hub cell,
+    verified against an independently rebuilt kernel."""
+    from plasmap_ray.pipelines import trajectory as traj
+
+    out = traj.first_passage_time("/root/testdata/sf0.001").to_pandas()
+    kern = traj.cell_transition_matrix("/root/testdata/sf0.001").to_pandas()
+    S = 1 << 21
+    m = {
+        (int(r.fx), int(r.fy)): float(r.mfpt)
+        for r in out.itertuples()
+        if r.reachable == 1
+    }
+    tot = kern.groupby(["fx", "fy"])["n_steps"].sum()
+    hub_row = out.loc[out["mfpt"] == 0.0]
+    assert len(hub_row) == 1
+    hub = (int(hub_row["fx"].iloc[0]), int(hub_row["fy"].iloc[0]))
+    checked = 0
+    for (fx, fy), n_out in tot.items():
+        src = (int(fx), int(fy))
+        if src == hub or src not in m:
+            continue
+        sub = kern[(kern["fx"] == fx) & (kern["fy"] == fy)]
+        exp = 1.0
+        okrow = True
+        for r in sub.itertuples():
+            dstc = (int(r.tx), int(r.ty))
+            mj = 0.0 if dstc == hub else m.get(dstc)
+            if mj is None:
+                okrow = False  # transitions into unreachable cells can't happen if src reaches hub via them
+                break
+            exp += (r.n_steps / n_out) * mj
+        if okrow:
+            assert abs(m[src] - exp) < 1e-3, src
+            checked += 1
+    assert checked > 0
+    assert (out.loc[out["reachable"] == 0, "mfpt"] == -1.0).all()
