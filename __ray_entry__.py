@@ -473,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decision_stump": stats.decision_stump,
         "logistic_newton": stats.logistic_newton,
         "psi_drift": stats.psi_drift,
+        "conformal_interval": stats.conformal_interval,
         "acf_hourly": windows.acf_hourly,
         "dtw_profiles": windows.dtw_profiles,
         "pacf_durbin": windows.pacf_durbin,
@@ -4838,6 +4839,34 @@ SELECT n_a, n_b, n_inter, round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
        round(est_union, 6) AS est_union, round(est_a + est_b - est_union, 6) AS est_inter,
        round(abs(est_a + est_b - est_union - CAST(n_inter AS DOUBLE)), 6) AS abs_err
 FROM x""",
+        "conformal_interval": """
+WITH f AS (SELECT CAST(floor(l_quantity + 0.5) AS HUGEINT) AS x1,
+                  CAST(floor(l_discount * 100.0 + 0.5) AS HUGEINT) AS x2,
+                  CAST(floor(l_extendedprice + 0.5) AS HUGEINT) AS y
+           FROM lineitem),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+             sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+             sum(x1*y) AS s1y, sum(x2*y) AS s2y FROM f),
+d AS (SELECT *,
+             n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+             sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS det0,
+             n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS det1,
+             n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS det2
+      FROM s),
+b AS (SELECT CAST(n AS BIGINT) AS n,
+             CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS b0,
+             CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS b1,
+             CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS b2 FROM d),
+r AS (SELECT CAST(floor(abs(CAST(f.y AS DOUBLE) - (b.b0 + b.b1 * CAST(f.x1 AS DOUBLE) + b.b2 * CAST(f.x2 AS DOUBLE))) * 100.0 + 0.5) AS BIGINT) AS rc
+      FROM f CROSS JOIN b),
+k AS (SELECT least(n, CAST(ceil((n + 1) * 0.9) AS BIGINT)) AS rank, n FROM b),
+q AS (SELECT rc AS q_cents FROM (SELECT rc, row_number() OVER (ORDER BY rc) AS rn FROM r) t
+      WHERE rn = (SELECT rank FROM k)),
+w AS (SELECT CAST(count(*) AS BIGINT) AS n_within FROM r CROSS JOIN q WHERE r.rc <= q.q_cents)
+SELECT b.n, round(b.b0, 6) AS b0, round(b.b1, 6) AS b1, round(b.b2, 6) AS b2,
+       q.q_cents, w.n_within,
+       round(CAST(w.n_within AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS coverage
+FROM b CROSS JOIN q CROSS JOIN w""",
         "psi_drift": """
 WITH f AS (
   SELECT 'quantity' AS feature, CAST(floor(l_quantity + 0.5) AS BIGINT) // 5 AS b,

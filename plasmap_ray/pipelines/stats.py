@@ -2376,3 +2376,126 @@ def psi_drift(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# conformal_interval (distribution-free prediction interval for the OLS fit)
+# ---------------------------------------------------------------------------
+
+CONF_ALPHA = 0.1
+CONF_BINS = 512
+
+
+def conformal_interval(sf_dir: str, alpha: float = CONF_ALPHA) -> rd.Dataset:
+    """Split-conformal prediction interval for the global OLS fit
+    price ~ quantity + discount: the distribution-free guarantee
+    ("90% of future residuals fall within ±q") that needs NO
+    normality assumption — the uncertainty-quantification capstone
+    over ols_regression (Vovk et al.; Lei et al. 2018).
+
+        q = the ceil((n+1)(1-alpha))-th smallest |residual|
+
+    Exactness: the fit is the exact big-int Cramer solve (one global
+    group); residuals are mirrored float expressions quantized to
+    CENTS once (int64), so the conformal quantile is an exact integer
+    rank selection and coverage is an exact integer count.
+
+    Scale shape: four streaming passes, none materializing rows —
+    (1) ten-sum OLS partials; (2) Max(|r_cents|); (3) CONF_BINS
+    histogram partials; (4) refine scan of ONLY the target bin
+    (value_quantiles' bin-refine discipline) which also finishes the
+    exact coverage count.  At 10^12 rows each pass ships a bounded
+    partial per block.
+
+    Output: (n, b0, b1, b2, q_cents, n_within, coverage).
+    """
+    from ray.data.aggregate import Max as AggMax
+
+    from ..stages.common import duckdb_round
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"), columns=cols).materialize()
+
+    def design(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        x1 = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        x2 = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        y = np.floor(t["l_extendedprice"].to_numpy() + 0.5).astype(np.int64)
+        return x1, x2, y
+
+    # pass 1: exact OLS sums (single group)
+    def sums(t: pa.Table) -> pa.Table:
+        x1, x2, y = design(t)
+        vals = {
+            "n": len(y), "s1": x1.sum(), "s2": x2.sum(), "sy": y.sum(),
+            "s11": (x1 * x1).sum(), "s12": (x1 * x2).sum(), "s22": (x2 * x2).sum(),
+            "s1y": (x1 * y).sum(), "s2y": (x2 * y).sum(),
+        }
+        return pa.table({"_g": pa.array([0], type=pa.int64())} | {k: pa.array([int(v)], type=pa.int64()) for k, v in vals.items()})
+
+    agg = (
+        ds.map_batches(sums, batch_format="pyarrow").groupby("_g")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y")])
+        .to_pandas()
+    )
+    n, s1, s2, sy, s11, s12, s22, s1y, s2y = (int(agg[c][0]) for c in ("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y"))
+    det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+    det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)
+    det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)
+    det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)
+    b0, b1, b2 = float(det0) / float(det), float(det1) / float(det), float(det2) / float(det)
+
+    def rcents(t: pa.Table) -> np.ndarray:
+        x1, x2, y = design(t)
+        r = y.astype(np.float64) - (b0 + b1 * x1.astype(np.float64) + b2 * x2.astype(np.float64))
+        return np.floor(np.abs(r) * 100.0 + 0.5).astype(np.int64)
+
+    # pass 2: range
+    rmax = int(
+        ds.map_batches(
+            lambda t: pa.table({"m": pa.array([int(rcents(t).max(initial=0))], type=pa.int64())}),
+            batch_format="pyarrow",
+        ).aggregate(AggMax("m", alias_name="m"))["m"]
+    )
+    width = rmax // CONF_BINS + 1
+
+    # pass 3: histogram
+    def hist(t: pa.Table) -> pa.Table:
+        b = rcents(t) // width
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(u, type=pa.int64()), "c": pa.array(c.astype(np.int64))})
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow").groupby("b").aggregate(Sum("c", alias_name="c"))
+        .to_pandas().sort_values("b").reset_index(drop=True)
+    )
+    rank = min(n, math.ceil((n + 1) * (1.0 - alpha)))  # 1-indexed conformal rank
+    cum = h["c"].cumsum()
+    bi = int(np.searchsorted(cum.to_numpy(), rank))
+    target_bin = int(h["b"][bi])
+    below = int(cum[bi - 1]) if bi > 0 else 0
+
+    # pass 4: refine the target bin; also finish the exact coverage count
+    def refine(t: pa.Table) -> pa.Table:
+        rc = rcents(t)
+        sel = rc[rc // width == target_bin]
+        return pa.table({"v": pa.array(np.sort(sel), type=pa.int64())})
+
+    vals = np.sort(
+        ds.map_batches(refine, batch_format="pyarrow").to_pandas()["v"].to_numpy()
+    )
+    q_cents = int(vals[rank - below - 1])
+    n_within = below + int((vals <= q_cents).sum())
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([n], type=pa.int64()),
+                "b0": pa.array(duckdb_round(np.array([b0]), 6), type=pa.float64()),
+                "b1": pa.array(duckdb_round(np.array([b1]), 6), type=pa.float64()),
+                "b2": pa.array(duckdb_round(np.array([b2]), 6), type=pa.float64()),
+                "q_cents": pa.array([q_cents], type=pa.int64()),
+                "n_within": pa.array([n_within], type=pa.int64()),
+                "coverage": pa.array(duckdb_round(np.array([n_within / n]), 6), type=pa.float64()),
+            }
+        )
+    )

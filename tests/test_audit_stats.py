@@ -442,3 +442,27 @@ def test_psi_drift_bruteforce(ray_session):
         assert int(row["n_late"]) == int(late.sum())
         assert abs(row["psi"] - psi) < 1e-6
         assert row["psi"] >= 0.0  # PSI is a symmetrized KL: nonnegative
+
+
+def test_conformal_interval_guarantee(ray_session):
+    """The conformal rank must deliver >= 1-alpha empirical coverage,
+    and q must be an actual residual value (exact rank selection)."""
+    out = stats.conformal_interval(SF).to_pandas().iloc[0]
+    n = int(out["n"])
+    assert out["coverage"] >= 1.0 - stats.CONF_ALPHA - 1e-9
+    # exactness: recompute residual cents and confirm q is the k-th smallest
+    t = pq.read_table(
+        os.path.join(SF, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    x1 = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+    x2 = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    y = np.floor(t["l_extendedprice"].to_numpy() + 0.5).astype(np.int64)
+    r = y.astype(np.float64) - (out["b0"] + out["b1"] * x1 + out["b2"] * x2)
+    rc = np.sort(np.floor(np.abs(r) * 100.0 + 0.5).astype(np.int64))
+    import math as _math
+
+    k = min(n, _math.ceil((n + 1) * (1.0 - stats.CONF_ALPHA)))
+    # b is rounded to 6 in the output, so allow the rank neighborhood
+    assert abs(int(out["q_cents"]) - int(rc[k - 1])) <= 200
+    assert int(out["n_within"]) >= k
