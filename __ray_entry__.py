@@ -401,6 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_transition_matrix": trajectory.cell_transition_matrix,
         "link_prediction": trajectory.link_prediction,
         "first_passage_time": trajectory.first_passage_time,
+        "spectral_partition": trajectory.spectral_partition,
         "transition_stationary": trajectory.transition_stationary,
         "zone_modularity": trajectory.zone_modularity,
         "cotravel_pairs": trajectory.cotravel_pairs,
@@ -2420,6 +2421,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "dtw_profiles": f"SELECT * FROM read_parquet('{golden.dtw_profiles_path(SF001)}')",
         "pacf_durbin": f"SELECT * FROM read_parquet('{golden.pacf_durbin_path(SF001)}')",
         "first_passage_time": f"SELECT * FROM read_parquet('{golden.first_passage_time_path(SF001)}')",
+        "spectral_partition": f"SELECT * FROM read_parquet('{golden.spectral_partition_path(SF001)}')",
         "logistic_newton": f"SELECT * FROM read_parquet('{golden.logistic_newton_path(SF001)}')",
         "mst_boruvka": f"SELECT * FROM read_parquet('{golden.mst_boruvka_path()}')",
         "tsp_tours": f"SELECT * FROM read_parquet('{golden.tsp_tours_path()}')",

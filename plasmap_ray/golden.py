@@ -6124,3 +6124,81 @@ def first_passage_time_path(sf_dir: str) -> str:
         )
 
     return _cache(f"first_passage_{_sf_tag(sf_dir)}", build)
+
+
+def spectral_partition_path(sf_dir: str) -> str:
+    """Golden Fiedler-partition recompute (local, no Ray): DuckDB
+    builds the step kernel; union-find (vs the engine's label
+    contraction) finds the main component; the SAME symmetric integer
+    W feeds np.linalg.eigh — identical matrix, identical LAPACK."""
+
+    def build() -> pa.Table:
+        import duckdb
+
+        from . import fixtures
+        from .oracle import sql_derive_lat, sql_derive_lon
+        from .pipelines.trajectory import TRANS_PITCH
+
+        con = duckdb.connect()
+        kern = con.execute(
+            f"""
+            WITH epts AS (SELECT event_id, user_id, ts, {sql_derive_lon('event_id')} AS lon,
+                          {sql_derive_lat('event_id')} AS lat
+                          FROM read_parquet('{os.path.join(sf_dir, "events.parquet")}')),
+            sc AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+                   CAST(floor((lon - {fixtures.LON_MIN!r}) / {TRANS_PITCH!r}) AS BIGINT) AS cx,
+                   CAST(floor((lat - {fixtures.LAT_MIN!r}) / {TRANS_PITCH!r}) AS BIGINT) AS cy FROM epts),
+            st AS (SELECT cx, cy, lag(cx) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS px,
+                   lag(cy) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS py FROM sc)
+            SELECT px AS fx, py AS fy, cx AS tx, cy AS ty, CAST(count(*) AS BIGINT) AS n_steps
+            FROM st WHERE px IS NOT NULL GROUP BY 1, 2, 3, 4
+            """
+        ).fetchdf()
+        stride = np.int64(1 << 21)
+        fkey = kern["fx"].to_numpy().astype(np.int64) * stride + kern["fy"].to_numpy().astype(np.int64)
+        tkey = kern["tx"].to_numpy().astype(np.int64) * stride + kern["ty"].to_numpy().astype(np.int64)
+        ns = kern["n_steps"].to_numpy().astype(np.int64)
+        m = fkey != tkey
+        fkey, tkey, ns = fkey[m], tkey[m], ns[m]
+        cells = np.unique(np.concatenate([fkey, tkey]))
+        pos = {int(k): i for i, k in enumerate(cells)}
+        fi = np.array([pos[int(k)] for k in fkey], dtype=np.int64)
+        ti = np.array([pos[int(k)] for k in tkey], dtype=np.int64)
+        n = len(cells)
+        W = np.zeros((n, n), dtype=np.int64)
+        np.add.at(W, (fi, ti), ns)
+        W = W + W.T
+        parent = list(range(n))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(fi.tolist(), ti.tolist()):
+            parent[find(a)] = find(b)
+        roots = np.array([find(i) for i in range(n)])
+        uniq, counts = np.unique(roots, return_counts=True)
+        main = uniq[np.argmax(counts)]
+        keep = np.nonzero(roots == main)[0]
+        Wm = W[np.ix_(keep, keep)].astype(np.float64)
+        L = np.diag(Wm.sum(axis=1)) - Wm
+        _, evecs = np.linalg.eigh(L)
+        fied = evecs[:, 1]
+        if fied[0] < 0 or (fied[0] == 0 and fied[fied != 0][0] < 0):
+            fied = -fied
+        side_main = (fied < 0).astype(np.int64)
+        side = np.full(n, -1, dtype=np.int64)
+        side[keep] = side_main
+        cut = int(W[np.ix_(keep[side_main == 0], keep[side_main == 1])].sum())
+        return pa.table(
+            {
+                "fx": pa.array(cells // stride, type=pa.int64()),
+                "fy": pa.array(cells % stride, type=pa.int64()),
+                "side": pa.array(side, type=pa.int64()),
+                "cut_weight": pa.array(np.full(n, cut, dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    return _cache(f"spectral_partition_{_sf_tag(sf_dir)}", build)

@@ -3001,3 +3001,82 @@ def first_passage_time(sf_dir: str, pitch: float = TRANS_PITCH) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# spectral_partition (Fiedler bipartition of the mobility graph)
+# ---------------------------------------------------------------------------
+
+
+def spectral_partition(sf_dir: str, pitch: float = TRANS_PITCH) -> rd.Dataset:
+    """Two-way spectral partition of the undirected mobility graph:
+    the sign pattern of the Fiedler vector (second-smallest
+    eigenvector of the unnormalized Laplacian L = D − W, W = symmetric
+    step counts) — the classic minimum-ratio-cut relaxation (Fiedler
+    1973; Shi-Malik's ancestor), giving the travel-flow bisection that
+    LPA's label dynamics and zone_modularity's score both approximate.
+
+    Determinism: W is exact int64 (w_ij = steps i→j + steps j→i);
+    the lattice-bounded eigensolve runs driver-side (np.linalg.eigh —
+    LAPACK on the same matrix is bit-deterministic; the golden replays
+    it on a kernel built by DuckDB instead of Ray).  Sign anchor: the
+    partition flips so the lowest cell key lands on side 0 — the
+    eigenvector's global sign is arbitrary, membership is not (up to
+    exact zero entries, absent in a connected component with
+    non-degenerate lambda_2).  Only the LARGEST connected component is
+    partitioned; satellites report side = -1 (documented).
+
+    Scale shape: the one data-scale exchange is the (from, to)-keyed
+    count shuffle of cell_transition_matrix; the eigensolve is
+    lattice²-bounded driver math (kriging discipline).  At a
+    planetary lattice swap eigh for distributed orthogonal iteration
+    (power method + the pagerank join-groupby loop), documented.
+
+    Output: (fx, fy, side, cut_weight) — cut_weight repeated per row
+    is the total inter-side edge weight (the number the cut
+    minimizes), an exact int64.
+    """
+    kern = cell_transition_matrix(sf_dir, pitch=pitch).to_pandas()
+    stride = np.int64(1 << 21)
+    fkey = kern["fx"].to_numpy().astype(np.int64) * stride + kern["fy"].to_numpy().astype(np.int64)
+    tkey = kern["tx"].to_numpy().astype(np.int64) * stride + kern["ty"].to_numpy().astype(np.int64)
+    ns = kern["n_steps"].to_numpy().astype(np.int64)
+    m = fkey != tkey
+    fkey, tkey, ns = fkey[m], tkey[m], ns[m]
+    cells = np.unique(np.concatenate([fkey, tkey]))
+    pos = {int(k): i for i, k in enumerate(cells)}
+    fi = np.array([pos[int(k)] for k in fkey], dtype=np.int64)
+    ti = np.array([pos[int(k)] for k in tkey], dtype=np.int64)
+    n = len(cells)
+    W = np.zeros((n, n), dtype=np.int64)
+    np.add.at(W, (fi, ti), ns)
+    W = W + W.T
+    # largest connected component (undirected)
+    label = np.arange(n)
+    for a, b in zip(fi.tolist(), ti.tolist()):
+        ra, rb = label[a], label[b]
+        if ra != rb:
+            label[label == max(ra, rb)] = min(ra, rb)
+    uniq, counts = np.unique(label, return_counts=True)
+    main = uniq[np.argmax(counts)]
+    keep = np.nonzero(label == main)[0]
+    Wm = W[np.ix_(keep, keep)].astype(np.float64)
+    L = np.diag(Wm.sum(axis=1)) - Wm
+    evals, evecs = np.linalg.eigh(L)
+    fied = evecs[:, 1]
+    if fied[0] < 0 or (fied[0] == 0 and fied[fied != 0][0] < 0):
+        fied = -fied
+    side_main = (fied < 0).astype(np.int64)
+    side = np.full(n, -1, dtype=np.int64)
+    side[keep] = side_main
+    cut = int(W[np.ix_(keep[side_main == 0], keep[side_main == 1])].sum())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "fx": pa.array(cells // stride, type=pa.int64()),
+                "fy": pa.array(cells % stride, type=pa.int64()),
+                "side": pa.array(side, type=pa.int64()),
+                "cut_weight": pa.array(np.full(n, cut, dtype=np.int64), type=pa.int64()),
+            }
+        )
+    )

@@ -958,3 +958,22 @@ def test_first_passage_time_satisfies_the_recurrence(ray_session):
             checked += 1
     assert checked > 0
     assert (out.loc[out["reachable"] == 0, "mfpt"] == -1.0).all()
+
+
+def test_spectral_partition_is_a_balanced_cut(ray_session):
+    from plasmap_ray.pipelines import trajectory as traj
+
+    out = traj.spectral_partition("/root/testdata/sf0.001").to_pandas()
+    sides = out["side"].value_counts().to_dict()
+    # both sides populated in the main component
+    assert sides.get(0, 0) > 0 and sides.get(1, 0) > 0
+    # cut weight: recompute from the kernel and the emitted sides
+    kern = traj.cell_transition_matrix("/root/testdata/sf0.001").to_pandas()
+    side_of = {(int(r.fx), int(r.fy)): int(r.side) for r in out.itertuples()}
+    cut = 0
+    for r in kern.itertuples():
+        a = side_of.get((int(r.fx), int(r.fy)), -1)
+        b = side_of.get((int(r.tx), int(r.ty)), -1)
+        if a >= 0 and b >= 0 and a != b:
+            cut += int(r.n_steps)  # each undirected edge counted once per direction
+    assert int(out["cut_weight"].iloc[0]) == cut
