@@ -6202,3 +6202,78 @@ def spectral_partition_path(sf_dir: str) -> str:
         )
 
     return _cache(f"spectral_partition_{_sf_tag(sf_dir)}", build)
+
+
+def image_harris_corners_path(images_parquet: str) -> str:
+    """Expected Harris census: vectorized padded-array NMS (compare
+    against 8 shifted copies, exact object ints) vs the engine's
+    sparse per-candidate loop — independent evaluation, equal bits."""
+
+    def build() -> pa.Table:
+        from . import codecs
+        from .stages.media import HarrisCorners
+
+        t = pq.read_table(images_parquet, columns=["image_id", "bytes", "w", "h", "fmt"])
+        thr = int(HarrisCorners.THR)
+        rows = {"image_id": [], "fmt": [], "ok": [], "n_corners": [], "max_r20": [], "sum_gx2": []}
+        for i in range(t.num_rows):
+            px = codecs.decode_image(
+                t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(), t["fmt"][i].as_py()
+            )
+            g = px.astype(np.int64).sum(axis=2)
+            gx = np.zeros_like(g)
+            gy = np.zeros_like(g)
+            gx[1:-1, 1:-1] = (
+                (g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:])
+                - (g[:-2, :-2] + 2 * g[1:-1, :-2] + g[2:, :-2])
+            )
+            gy[1:-1, 1:-1] = (
+                (g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:])
+                - (g[:-2, :-2] + 2 * g[:-2, 1:-1] + g[:-2, 2:])
+            )
+            xx, yy, xy = gx * gx, gy * gy, gx * gy
+
+            def box3(a: np.ndarray) -> np.ndarray:
+                s = np.zeros((a.shape[0] + 1, a.shape[1] + 1), dtype=np.int64)
+                s[1:, 1:] = a.cumsum(axis=0).cumsum(axis=1)
+                return s[3:, 3:] - s[:-3, 3:] - s[3:, :-3] + s[:-3, :-3]
+
+            sxx = box3(xx).astype(object)
+            syy = box3(yy).astype(object)
+            sxy = box3(xy).astype(object)
+            r20 = 20 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+            hh_, ww_ = r20.shape
+            neg_inf = -(1 << 200)
+            pad = np.full((hh_ + 2, ww_ + 2), neg_inf, dtype=object)
+            pad[1:-1, 1:-1] = r20
+            nb_max = pad[0:-2, 0:-2]
+            for dy in range(3):
+                for dx in range(3):
+                    if dy == 1 and dx == 1:
+                        continue
+                    cand = pad[dy : dy + hh_, dx : dx + ww_]
+                    nb_max = np.where(cand > nb_max, cand, nb_max)
+            strong = np.frompyfunc(lambda v: v > thr, 1, 1)(r20).astype(bool)
+            is_max = np.frompyfunc(lambda v, mx: v > mx, 2, 1)(r20, nb_max).astype(bool)
+            corners = int((strong & is_max).sum())
+            best = 0
+            if strong.any():
+                best = int(min(max(r20[strong]), 1 << 62))
+            rows["image_id"].append(t["image_id"][i].as_py())
+            rows["fmt"].append(t["fmt"][i].as_py())
+            rows["ok"].append(True)
+            rows["n_corners"].append(corners)
+            rows["max_r20"].append(best)
+            rows["sum_gx2"].append(int(xx.sum()))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], type=pa.string()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "ok": pa.array(rows["ok"]),
+                "n_corners": pa.array(rows["n_corners"], type=pa.int64()),
+                "max_r20": pa.array(rows["max_r20"], type=pa.int64()),
+                "sum_gx2": pa.array(rows["sum_gx2"], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"image_harris_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)

@@ -2658,3 +2658,27 @@ def image_quadtree(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(
         media.QuadtreeCensus, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
     )
+
+
+def image_harris_corners(sf_dir: str) -> rd.Dataset:
+    """Per-image Harris interest-point census (stages.media
+    .HarrisCorners): exact-integer structure-tensor response with
+    non-max suppression — the texture/structure screen of the
+    feature-matching front end (photos of scenes score hundreds,
+    flat fills and pure gradients zero).
+
+    Scale shape: map-ONLY actor-pool pass, decode fused with Sobel +
+    summed-area structure tensors + sparse NMS; payloads consumed
+    in-stage, three int64s + metadata leave per image.  Oracle:
+    golden recompute with a padded-array vectorized NMS (vs the
+    engine's sparse per-candidate loop) — different evaluation path,
+    identical integers.
+
+    Output: (image_id, fmt, ok, n_corners, max_r20, sum_gx2).
+    """
+    from ..stages import media
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    return ds.map_batches(
+        media.HarrisCorners, batch_format="pyarrow", batch_size=128, concurrency=(1, 8)
+    )

@@ -1124,3 +1124,106 @@ class MotionVectors:
                 "total_best_sad": pa.array(total_sad, type=pa.int64()),
             }
         )
+
+
+class HarrisCorners:
+    """Actor-pool stage: per-image Harris corner census in EXACT
+    integer arithmetic — the interest-point density that separates
+    textured/structured photos (many stable corners) from flat fills
+    and pure gradients (none), the classical front end of every
+    feature-matching pipeline.
+
+    Sobel gradients gx, gy on the pooled-gray field are integers; the
+    structure tensor over a 3x3 window (Sxx, Syy, Sxy — summed-area
+    tables) is integer; the Harris response with k = 1/20 scales to
+        R20 = 20·(Sxx·Syy − Sxy²) − (Sxx + Syy)²
+    an exact int (Python bigint accumulate — Sxx ~ 2^23 keeps R20
+    within int64 at the fixture sizes; the engine still promotes via
+    object dtype only where needed).  A pixel is a corner when
+    R20 > THR·400 (mirroring R > THR/20 at scale 20·400... the
+    threshold is applied to R20 directly) and R20 is the strict 3x3
+    neighborhood maximum (non-max suppression, ties keep none —
+    bit-stable).
+
+    Output: (image_id, fmt, ok, n_corners, max_r20, sum_gx2).
+    """
+
+    THR = 10**10  # R20 threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        w = batch["w"].to_numpy()
+        h = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        n_corners = np.zeros(n, dtype=np.int64)
+        max_r = np.zeros(n, dtype=np.int64)
+        sgx2 = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                px = codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
+                g = px.astype(np.int64).sum(axis=2)
+                gx = np.zeros_like(g)
+                gy = np.zeros_like(g)
+                gx[1:-1, 1:-1] = (
+                    (g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:])
+                    - (g[:-2, :-2] + 2 * g[1:-1, :-2] + g[2:, :-2])
+                )
+                gy[1:-1, 1:-1] = (
+                    (g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:])
+                    - (g[:-2, :-2] + 2 * g[:-2, 1:-1] + g[:-2, 2:])
+                )
+                xx, yy, xy = gx * gx, gy * gy, gx * gy
+
+                def box3(a: np.ndarray) -> np.ndarray:
+                    s = np.zeros((a.shape[0] + 1, a.shape[1] + 1), dtype=np.int64)
+                    s[1:, 1:] = a.cumsum(axis=0).cumsum(axis=1)
+                    return (
+                        s[3:, 3:] - s[:-3, 3:] - s[3:, :-3] + s[:-3, :-3]
+                    )  # 3x3 sums, valid region
+
+                sxx, syy, sxy = box3(xx), box3(yy), box3(xy)
+                # object dtype: R20 can exceed int64 at large gradients
+                sxxo = sxx.astype(object)
+                syyo = syy.astype(object)
+                sxyo = sxy.astype(object)
+                r20 = 20 * (sxxo * syyo - sxyo * sxyo) - (sxxo + syyo) ** 2
+                thr = int(self.THR)
+                strong = np.frompyfunc(lambda v: v > thr, 1, 1)(r20).astype(bool)
+                corners = 0
+                best = 0
+                hh_, ww_ = r20.shape
+                for y, x in np.argwhere(strong):  # sparse: only candidates pay the NMS loop
+                    y, x = int(y), int(x)
+                    v = r20[y, x]
+                    if v > best:
+                        best = int(min(v, (1 << 62)))
+                    is_max = True
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            if dy == 0 and dx == 0:
+                                continue
+                            yy2, xx2 = y + dy, x + dx
+                            if 0 <= yy2 < hh_ and 0 <= xx2 < ww_ and r20[yy2, xx2] >= v:
+                                is_max = False
+                                break
+                        if not is_max:
+                            break
+                    corners += int(is_max)
+                n_corners[i] = corners
+                max_r[i] = best
+                sgx2[i] = int(xx.sum())
+                ok[i] = True
+            except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
+                pass
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "fmt": batch["fmt"],
+                "ok": pa.array(ok),
+                "n_corners": pa.array(n_corners, type=pa.int64()),
+                "max_r20": pa.array(max_r, type=pa.int64()),
+                "sum_gx2": pa.array(sgx2, type=pa.int64()),
+            }
+        )

@@ -1318,3 +1318,37 @@ def test_motion_vectors_track_a_pure_translation(ray_session):
     assert out["n_static"] == 0
     assert out["total_best_sad"] < np.abs(f1.astype(int) - f0.astype(int)).sum()
     assert out["total_disp"] >= 12  # at least the 12 interior blocks moved by 1
+
+
+def test_harris_corners_checkerboard_vs_gradient(ray_session):
+    """A checkerboard has interior corners; a pure linear gradient has
+    none (structure tensor is rank-1 everywhere)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from plasmap_ray import codecs
+    from plasmap_ray.stages.media import HarrisCorners
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    # +small deterministic dither: an IDEAL checkerboard produces
+    # plateau ties that strict NMS (ties keep none) rejects entirely
+    board = ((((yy // 8 + xx // 8) % 2) * 200) + (xx * 3 + yy * 7) % 5 * 10).astype(np.uint8)
+    board = np.stack([board] * 3, axis=2)
+    grad = np.clip(xx * 8, 0, 255).astype(np.uint8)
+    grad = np.stack([grad] * 3, axis=2)
+    batch = pa.table(
+        {
+            "image_id": pa.array(["board", "grad"]),
+            "bytes": pa.array(
+                [codecs.encode_image(board, "raw"), codecs.encode_image(grad, "raw")],
+                type=pa.binary(),
+            ),
+            "w": pa.array([32, 32], type=pa.int32()),
+            "h": pa.array([32, 32], type=pa.int32()),
+            "fmt": pa.array(["raw", "raw"]),
+        }
+    )
+    out = HarrisCorners()(batch).to_pandas().set_index("image_id")
+    assert out.loc["board", "n_corners"] >= 5  # interior checker crossings
+    assert out.loc["grad", "n_corners"] == 0
+    assert out.loc["board", "max_r20"] > 0
