@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_stats": multimodal.video_frame_stats,
         "video_temporal_smoothness": multimodal.video_temporal_smoothness,
         "video_motion_vectors": multimodal.video_motion_vectors,
+        "audio_harmonicity": multimodal.audio_harmonicity,
         "video_keyframes": multimodal.video_keyframes,
         # --- trajectory / movement analytics ---
         "trajectory_stats": trajectory.trajectory_stats,
@@ -2545,6 +2546,9 @@ WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= {dedup.JW_THRESHOLD!r}""",
         ),
         "video_motion_vectors": (
             "SELECT * FROM read_parquet('" + golden.video_motion_vectors_path(multimodal.video_path_for(SF001)) + "')"
+        ),
+        "audio_harmonicity": (
+            "SELECT * FROM read_parquet('" + golden.audio_harmonicity_path(multimodal.audio_path_for(SF001)) + "')"
         ),
         "audio_silence_trim": (
             "SELECT * FROM read_parquet('" + golden.audio_silence_trim_path(multimodal.audio_path_for(SF001)) + "')"

@@ -6277,3 +6277,50 @@ def image_harris_corners_path(images_parquet: str) -> str:
         )
 
     return _cache(f"image_harris_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
+
+
+def audio_harmonicity_path(audio_parquet: str) -> str:
+    """Expected harmonicity: identical FFT kernel (the shared-kernel
+    audio convention), window membership recomputed with an
+    independent per-bin loop instead of boolean masks."""
+
+    def build() -> pa.Table:
+        from .pipelines.multimodal import HARM_FP, HARM_TOL
+        from .stages.common import duckdb_round
+        from .stages.media import decode_wav_pcm16
+
+        t = pq.read_table(audio_parquet)
+        rows = {"media_id": [], "sample_rate": [], "f0_hz": [], "harm_frac_fp": []}
+        for i in range(t.num_rows):
+            sr, samples = decode_wav_pcm16(t["bytes"][i].as_py())
+            mag2 = np.abs(np.fft.rfft(samples.astype(np.float64))) ** 2
+            mag2[0] = 0.0
+            hz_per_bin = sr / len(samples)
+            peak = int(np.argmax(mag2))
+            f0 = peak * hz_per_bin
+            tot = float(mag2.sum())
+            harm = 0.0
+            if tot > 0.0 and peak > 0:
+                for b in range(len(mag2)):
+                    fb = b * hz_per_bin
+                    for k in range(1, 5):
+                        if k * f0 * (1 - HARM_TOL) <= fb <= k * f0 * (1 + HARM_TOL):
+                            harm += float(mag2[b])
+                            break
+                harm = min(harm, tot)
+            rows["media_id"].append(t["media_id"][i].as_py())
+            rows["sample_rate"].append(sr)
+            rows["f0_hz"].append(int(round(f0)))
+            rows["harm_frac_fp"].append(int(np.floor(harm / tot * HARM_FP + 0.5)) if tot > 0 else 0)
+        fr = duckdb_round(np.asarray(rows["harm_frac_fp"], dtype=np.float64) / HARM_FP, 6)
+        return pa.table(
+            {
+                "media_id": pa.array(rows["media_id"], type=pa.string()),
+                "sample_rate": pa.array(rows["sample_rate"], type=pa.int64()),
+                "f0_hz": pa.array(rows["f0_hz"], type=pa.int64()),
+                "harm_frac_fp": pa.array(rows["harm_frac_fp"], type=pa.int64()),
+                "harm_frac": pa.array(fr, type=pa.float64()),
+            }
+        )
+
+    return _cache(f"audio_harmonicity_{os.path.basename(audio_parquet).rsplit('.', 1)[0]}", build)

@@ -694,3 +694,74 @@ def video_motion_vectors(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(
         media.MotionVectors, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
     )
+
+
+HARM_FP = 10**9
+HARM_TOL = 0.03  # relative half-width of each harmonic acceptance window
+
+
+def audio_harmonicity(sf_dir: str) -> rd.Dataset:
+    """Per-clip harmonicity audit: fraction of spectral energy at the
+    fundamental's harmonic series k·f0 (k = 1..4, ±3% windows) vs
+    everywhere else — the tonality/HNR-style screen an audio corpus
+    runs to separate harmonic content (speech vowels, music) from
+    inharmonic partials and noise.  The fixture's 2.5·f0 partial is
+    deliberately INHARMONIC, so harm_frac sits visibly below 1 — the
+    audit can actually see something.
+
+    Determinism: |rfft|² of identical samples is the shared kernel
+    (the audio_band_energy convention); per-clip fractions are pinned
+    to int64 once (floor(frac·FP + 0.5)); f0 is an integer-rounded
+    argmax (DC dropped).
+
+    Scale shape: decode + FFT + window sums fused in the actor pool —
+    map-ONLY, payloads consumed in-stage, four scalars leave per
+    clip.  Output: (media_id, sample_rate, f0_hz, harm_frac_fp,
+    harm_frac).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(audio_path_for(sf_dir))
+
+    class Harmonicity:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            payloads = batch["bytes"].to_pylist()
+            mids = batch["media_id"].to_pylist()
+            f0s = np.zeros(n, dtype=np.int64)
+            srs = np.zeros(n, dtype=np.int64)
+            fr_fp = np.zeros(n, dtype=np.int64)
+            for i in range(n):
+                sr, samples = media.decode_wav_pcm16(payloads[i])
+                mag2 = np.abs(np.fft.rfft(samples.astype(np.float64))) ** 2
+                mag2[0] = 0.0
+                hz_per_bin = sr / len(samples)
+                peak = int(np.argmax(mag2))
+                f0 = peak * hz_per_bin
+                tot = float(mag2.sum())
+                harm = 0.0
+                if tot > 0.0 and peak > 0:
+                    freqs = np.arange(len(mag2)) * hz_per_bin
+                    for k in range(1, 5):
+                        lo, hi = k * f0 * (1 - HARM_TOL), k * f0 * (1 + HARM_TOL)
+                        harm += float(mag2[(freqs >= lo) & (freqs <= hi)].sum())
+                    harm = min(harm, tot)
+                f0s[i] = int(round(f0))
+                srs[i] = sr
+                fr_fp[i] = int(np.floor(harm / tot * HARM_FP + 0.5)) if tot > 0 else 0
+            return pa.table(
+                {
+                    "media_id": pa.array(mids, type=pa.string()),
+                    "sample_rate": pa.array(srs, type=pa.int64()),
+                    "f0_hz": pa.array(f0s, type=pa.int64()),
+                    "harm_frac_fp": pa.array(fr_fp, type=pa.int64()),
+                }
+            )
+
+    scored = ds.map_batches(Harmonicity, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+
+    def finish(t: pa.Table) -> pa.Table:
+        fr = duckdb_round(t["harm_frac_fp"].to_numpy().astype(np.float64) / HARM_FP, 6)
+        return t.append_column("harm_frac", pa.array(fr, type=pa.float64()))
+
+    return scored.map_batches(finish, batch_format="pyarrow")

@@ -1352,3 +1352,18 @@ def test_harris_corners_checkerboard_vs_gradient(ray_session):
     assert out.loc["board", "n_corners"] >= 5  # interior checker crossings
     assert out.loc["grad", "n_corners"] == 0
     assert out.loc["board", "max_r20"] > 0
+
+
+def test_audio_harmonicity_flags_the_inharmonic_partial(ray_session):
+    """Fixture clips carry 0.6·sin(f0) + 0.25·sin(2.5·f0): the 2.5·f0
+    partial is inharmonic, so harm_frac must sit clearly below 1 but
+    well above the f0-only share."""
+    from plasmap_ray.pipelines import multimodal as mm
+
+    out = mm.audio_harmonicity("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert (out["harm_frac"] <= 1.0).all() and (out["harm_frac"] >= 0.0).all()
+    # the f0 peak alone carries ~0.6^2/(0.6^2+0.25^2) ≈ 0.85 of energy
+    assert (out["harm_frac"] > 0.5).all()
+    assert (out["harm_frac"] < 0.999).mean() > 0.5  # the 2.5f0 partial is visible
+    assert (out["f0_hz"] > 0).all()
