@@ -476,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logistic_newton": stats.logistic_newton,
         "psi_drift": stats.psi_drift,
         "conformal_interval": stats.conformal_interval,
+        "mutual_info_rank": stats.mutual_info_rank,
         "acf_hourly": windows.acf_hourly,
         "dtw_profiles": windows.dtw_profiles,
         "pacf_durbin": windows.pacf_durbin,
@@ -4847,6 +4848,27 @@ SELECT n_a, n_b, n_inter, round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
        round(est_union, 6) AS est_union, round(est_a + est_b - est_union, 6) AS est_inter,
        round(abs(est_a + est_b - est_union - CAST(n_inter AS DOUBLE)), 6) AS abs_err
 FROM x""",
+        "mutual_info_rank": """
+WITH f AS (
+  SELECT 'quantity5' AS feature, CAST(floor(l_quantity + 0.5) AS BIGINT) // 5 AS b, l_returnflag AS y FROM lineitem
+  UNION ALL
+  SELECT 'discount_pct', CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT), l_returnflag FROM lineitem
+  UNION ALL
+  SELECT 'ship_month', CAST(month(l_shipdate) AS BIGINT), l_returnflag FROM lineitem),
+c AS (SELECT feature, b, y, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1, 2, 3),
+nx AS (SELECT feature, b, CAST(sum(n) AS BIGINT) AS nx FROM c GROUP BY 1, 2),
+ny AS (SELECT feature, y, CAST(sum(n) AS BIGINT) AS ny FROM c GROUP BY 1, 2),
+nt AS (SELECT feature, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY 1),
+bb AS (SELECT feature, CAST(count(DISTINCT b) AS BIGINT) AS n_bins FROM c GROUP BY 1)
+SELECT c.feature, bb.n_bins,
+       round(sum((CAST(c.n AS DOUBLE) / nt.nt)
+                 * ln(CAST(nt.nt AS DOUBLE) * c.n / (CAST(nx.nx AS DOUBLE) * ny.ny))), 6) AS mi_nats
+FROM c
+JOIN nx ON nx.feature = c.feature AND nx.b = c.b
+JOIN ny ON ny.feature = c.feature AND ny.y = c.y
+JOIN nt ON nt.feature = c.feature
+JOIN bb ON bb.feature = c.feature
+GROUP BY c.feature, bb.n_bins""",
         "conformal_interval": """
 WITH f AS (SELECT CAST(floor(l_quantity + 0.5) AS HUGEINT) AS x1,
                   CAST(floor(l_discount * 100.0 + 0.5) AS HUGEINT) AS x2,

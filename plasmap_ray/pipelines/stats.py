@@ -2499,3 +2499,85 @@ def conformal_interval(sf_dir: str, alpha: float = CONF_ALPHA) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mutual_info_rank (filter-style feature relevance by mutual information)
+# ---------------------------------------------------------------------------
+
+
+def mutual_info_rank(sf_dir: str) -> rd.Dataset:
+    """Mutual information I(X; returnflag) for each candidate feature
+    over its bounded integer grid — the model-free feature-relevance
+    ranking (the "filter method" of feature selection) that
+    complements decision_stump's single-best-split view and
+    chi2_independence's null test with an information-theoretic
+    effect size in nats.
+
+        I = sum_xy  n_xy/N * ln( N*n_xy / (n_x * n_y) )
+
+    computed from EXACT int64 contingency counts; the log expression
+    is mirrored verbatim in SQL and rounded to 6.
+
+    Scale shape: the decision_stump exchange — per-batch (feature,
+    bin, class) count partials over bounded grids -> ONE small
+    groupby -> driver MI on the contingency aggregate.  Output:
+    (feature, n_bins, mi_nats), ranked by nothing (the driver sorts
+    by name; consumers rank by mi_nats).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_discount", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = np.asarray(t["l_returnflag"].to_numpy(zero_copy_only=False))
+        qty = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64) // 5
+        disc = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[M]")
+        month = (sd.astype(np.int64) % 12) + 1
+        frames = []
+        for name, v in (("quantity5", qty), ("discount_pct", disc), ("ship_month", month)):
+            df = pd.DataFrame({"b": v, "y": y}).groupby(["b", "y"], sort=False).size().reset_index(name="n")
+            df.insert(0, "feature", name)
+            frames.append(df)
+        allf = pd.concat(frames, ignore_index=True)
+        return pa.table(
+            {
+                "feature": pa.array(allf["feature"], type=pa.string()),
+                "b": pa.array(allf["b"].to_numpy().astype(np.int64), type=pa.int64()),
+                "y": pa.array(allf["y"], type=pa.string()),
+                "n": pa.array(allf["n"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["feature", "b", "y"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = {"feature": [], "n_bins": [], "mi_nats": []}
+    for feat in sorted(hist["feature"].unique()):
+        sub = hist[hist["feature"] == feat]
+        nn = sub["n"].to_numpy().astype(np.int64)
+        ntot = int(nn.sum())
+        nx = sub.groupby("b")["n"].sum()
+        ny = sub.groupby("y")["n"].sum()
+        mi = 0.0
+        for b, yv, cnt in zip(sub["b"], sub["y"], nn):
+            mi += (int(cnt) / ntot) * np.log(ntot * int(cnt) / (int(nx[b]) * int(ny[yv])))
+        rows["feature"].append(feat)
+        rows["n_bins"].append(int(sub["b"].nunique()))
+        rows["mi_nats"].append(mi)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "feature": pa.array(rows["feature"], type=pa.string()),
+                "n_bins": pa.array(rows["n_bins"], type=pa.int64()),
+                "mi_nats": pa.array(duckdb_round(np.array(rows["mi_nats"]), 6), type=pa.float64()),
+            }
+        )
+    )

@@ -466,3 +466,30 @@ def test_conformal_interval_guarantee(ray_session):
     # b is rounded to 6 in the output, so allow the rank neighborhood
     assert abs(int(out["q_cents"]) - int(rc[k - 1])) <= 200
     assert int(out["n_within"]) >= k
+
+
+def test_mutual_info_rank_bruteforce(ray_session):
+    out = stats.mutual_info_rank(SF).to_pandas().set_index("feature")
+    t = pq.read_table(
+        os.path.join(SF, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_discount", "l_shipdate"],
+    )
+    y = np.asarray(t["l_returnflag"].to_numpy(zero_copy_only=False))
+    qty = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64) // 5
+    disc = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[M]")
+    month = (sd.astype(np.int64) % 12) + 1
+    for name, v in (("quantity5", qty), ("discount_pct", disc), ("ship_month", month)):
+        n = len(v)
+        mi = 0.0
+        for b in np.unique(v):
+            for c in np.unique(y):
+                nxy = int(((v == b) & (y == c)).sum())
+                if nxy == 0:
+                    continue
+                nx, ny = int((v == b).sum()), int((y == c).sum())
+                mi += (nxy / n) * np.log(n * nxy / (nx * ny))
+        row = out.loc[name]
+        assert abs(row["mi_nats"] - mi) < 1e-6, name
+        assert row["mi_nats"] >= -1e-9  # MI is nonnegative
+        assert int(row["n_bins"]) == len(np.unique(v))
