@@ -549,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_otsu": images.image_otsu,
         "image_quadtree": images.image_quadtree,
         "image_harris_corners": images.image_harris_corners,
+        "image_border_detect": images.image_border_detect,
         "image_channel_correlation": images.image_channel_correlation,
         "image_blob_count": images.image_blob_count,
         "image_orientation_histogram": images.image_orientation_histogram,
@@ -2330,6 +2331,7 @@ FROM {img_pq} GROUP BY fmt ORDER BY fmt""",
         "image_otsu": f"SELECT * FROM read_parquet('{golden.image_otsu_path(images.images_path_for(SF001))}')",
         "image_quadtree": f"SELECT * FROM read_parquet('{golden.image_quadtree_path(images.images_path_for(SF001))}')",
         "image_harris_corners": f"SELECT * FROM read_parquet('{golden.image_harris_corners_path(images.images_path_for(SF001))}')",
+        "image_border_detect": f"SELECT * FROM read_parquet('{golden.image_border_detect_path(images.images_path_for(SF001))}')",
         "image_channel_correlation": f"SELECT * FROM read_parquet('{golden.image_channel_corr_path(images.images_path_for(SF001))}')",
         "image_blob_count": f"SELECT * FROM read_parquet('{golden.image_blob_count_path(images.images_path_for(SF001))}')",
         "image_orientation_histogram": f"SELECT * FROM read_parquet('{golden.image_orientation_path(images.images_path_for(SF001))}')",

@@ -6324,3 +6324,65 @@ def audio_harmonicity_path(audio_parquet: str) -> str:
         )
 
     return _cache(f"audio_harmonicity_{os.path.basename(audio_parquet).rsplit('.', 1)[0]}", build)
+
+
+def image_border_detect_path(images_parquet: str) -> str:
+    """Expected border census: prefix-uniformity arrays (vectorized
+    per-row/col max-deviation then argmin of the violation mask) vs
+    the engine's inward while-loops — independent scan logic, equal
+    integers."""
+
+    def build() -> pa.Table:
+        from . import codecs
+        from .pipelines.images import image_border_detect  # noqa: F401  (doc link)
+        from .stages.common import duckdb_round
+        from .stages.media import BorderDetect
+
+        t = pq.read_table(images_parquet, columns=["image_id", "bytes", "w", "h", "fmt"])
+        tol = int(BorderDetect.TOL)
+        rows = {k: [] for k in ("image_id", "fmt", "ok", "top", "bottom", "left", "right", "n_px", "bf")}
+        for i in range(t.num_rows):
+            ww = int(t["w"][i].as_py())
+            hh = int(t["h"][i].as_py())
+            px = codecs.decode_image(t["bytes"][i].as_py(), ww, hh, t["fmt"][i].as_py())
+            g = px.astype(np.int64).sum(axis=2)
+
+            def run_len(dev_ok: np.ndarray) -> int:
+                # leading-True run length
+                bad = np.nonzero(~dev_ok)[0]
+                return int(bad[0]) if len(bad) else len(dev_ok)
+
+            row_ok_top = (np.abs(g - g[0, 0]).max(axis=1) <= tol)
+            top = run_len(row_ok_top)
+            row_ok_bot = (np.abs(g[::-1] - g[hh - 1, 0]).max(axis=1) <= tol)
+            bottom = min(run_len(row_ok_bot), hh - top)
+            col_ok_left = (np.abs(g - g[0, 0]).max(axis=0) <= tol)
+            left = run_len(col_ok_left)
+            col_ok_right = (np.abs(g[:, ::-1] - g[0, ww - 1]).max(axis=0) <= tol)
+            right = min(run_len(col_ok_right), ww - left)
+            inner = max(hh - top - bottom, 0) * max(ww - left - right, 0)
+            bf = (hh * ww - inner) / (hh * ww)
+            rows["image_id"].append(t["image_id"][i].as_py())
+            rows["fmt"].append(t["fmt"][i].as_py())
+            rows["ok"].append(True)
+            rows["top"].append(top)
+            rows["bottom"].append(bottom)
+            rows["left"].append(left)
+            rows["right"].append(right)
+            rows["n_px"].append(hh * ww)
+            rows["bf"].append(bf)
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], type=pa.string()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "ok": pa.array(rows["ok"]),
+                "top": pa.array(rows["top"], type=pa.int64()),
+                "bottom": pa.array(rows["bottom"], type=pa.int64()),
+                "left": pa.array(rows["left"], type=pa.int64()),
+                "right": pa.array(rows["right"], type=pa.int64()),
+                "n_px": pa.array(rows["n_px"], type=pa.int64()),
+                "border_frac": pa.array(duckdb_round(np.asarray(rows["bf"]), 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"image_border_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)

@@ -2682,3 +2682,74 @@ def image_harris_corners(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(
         media.HarrisCorners, batch_format="pyarrow", batch_size=128, concurrency=(1, 8)
     )
+
+
+def image_border_detect(sf_dir: str) -> rd.Dataset:
+    """Per-image uniform-border census (stages.media.BorderDetect):
+    letterbox/pillarbox/scan-margin detection with a crop suggestion —
+    the free-pixel audit run before any training crop (a border-heavy
+    corpus wastes resolution budget on constant pixels).
+
+    Scale shape: map-ONLY actor-pool pass, decode fused with the
+    inward edge scans; payloads consumed in-stage; five int64s +
+    metadata leave per image.  Oracle: golden recompute scanning with
+    cumulative-uniformity prefix logic (vs the engine's while-loops).
+
+    Output: (image_id, fmt, ok, top, bottom, left, right, n_px,
+    border_frac).
+    """
+    from ..stages import media
+    from ..stages.common import duckdb_round
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    scored = ds.map_batches(
+        media.BorderDetect, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
+    )
+
+    # the fraction needs (w, h): join the metadata columns back in
+    meta = read_images(sf_dir, columns=["image_id", "w", "h"])
+    from ..stages.common import safe_join
+
+    def meta_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "mid": t["image_id"],
+                "iw": pa.array(t["w"].to_numpy().astype(np.int64), type=pa.int64()),
+                "ih": pa.array(t["h"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    joined = safe_join(
+        scored,
+        meta.map_batches(meta_cols, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=8,
+        on=("image_id",),
+        right_on=("mid",),
+    )
+
+    def finish2(t: pa.Table) -> pa.Table:
+        iw = t["iw"].to_numpy().astype(np.int64)
+        ih = t["ih"].to_numpy().astype(np.int64)
+        top = t["top"].to_numpy()
+        bottom = t["bottom"].to_numpy()
+        left = t["left"].to_numpy()
+        right = t["right"].to_numpy()
+        inner = np.maximum(ih - top - bottom, 0) * np.maximum(iw - left - right, 0)
+        border = ih * iw - inner
+        bf = duckdb_round(border.astype(np.float64) / np.maximum(ih * iw, 1).astype(np.float64), 6)
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "fmt": t["fmt"],
+                "ok": t["ok"],
+                "top": t["top"],
+                "bottom": t["bottom"],
+                "left": t["left"],
+                "right": t["right"],
+                "n_px": t["n_px"],
+                "border_frac": pa.array(bf, type=pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish2, batch_format="pyarrow")

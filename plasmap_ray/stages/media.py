@@ -1227,3 +1227,67 @@ class HarrisCorners:
                 "sum_gx2": pa.array(sgx2, type=pa.int64()),
             }
         )
+
+
+class BorderDetect:
+    """Actor-pool stage: per-image uniform-border (letterbox/pillarbox)
+    detection — scan inward from each edge while the full row/column
+    stays within +-TOL of the EDGE-CORNER color (exact integer gray
+    comparison), the crop-suggestion pass a thumbnail/scan corpus runs
+    before training (borders are free pixels that dilute every crop).
+
+    Output per image: border widths (top, bottom, left, right) and
+    the border area fraction, all exact integers except the mirrored
+    rounded fraction.
+    """
+
+    TOL = 8 * 3  # max |gray - corner_gray| for a border row/col (gray = r+g+b)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        w = batch["w"].to_numpy()
+        h = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        tb = np.zeros((n, 4), dtype=np.int64)  # top, bottom, left, right
+        n_px = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        tol = int(self.TOL)
+        for i in range(n):
+            try:
+                px = codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
+                g = px.astype(np.int64).sum(axis=2)
+                hh, ww = g.shape
+
+                def uniform(vec: np.ndarray, ref: int) -> bool:
+                    return bool(np.abs(vec - ref).max(initial=0) <= tol)
+
+                top = 0
+                while top < hh and uniform(g[top], int(g[0, 0])):
+                    top += 1
+                bottom = 0
+                while bottom < hh - top and uniform(g[hh - 1 - bottom], int(g[hh - 1, 0])):
+                    bottom += 1
+                left = 0
+                while left < ww and uniform(g[:, left], int(g[0, 0])):
+                    left += 1
+                right = 0
+                while right < ww - left and uniform(g[:, ww - 1 - right], int(g[0, ww - 1])):
+                    right += 1
+                tb[i] = (top, bottom, left, right)
+                n_px[i] = hh * ww
+                ok[i] = True
+            except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
+                pass
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "fmt": batch["fmt"],
+                "ok": pa.array(ok),
+                "top": pa.array(tb[:, 0], type=pa.int64()),
+                "bottom": pa.array(tb[:, 1], type=pa.int64()),
+                "left": pa.array(tb[:, 2], type=pa.int64()),
+                "right": pa.array(tb[:, 3], type=pa.int64()),
+                "n_px": pa.array(n_px, type=pa.int64()),
+            }
+        )

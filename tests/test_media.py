@@ -1367,3 +1367,29 @@ def test_audio_harmonicity_flags_the_inharmonic_partial(ray_session):
     assert (out["harm_frac"] > 0.5).all()
     assert (out["harm_frac"] < 0.999).mean() > 0.5  # the 2.5f0 partial is visible
     assert (out["f0_hz"] > 0).all()
+
+
+def test_border_detect_finds_a_planted_letterbox(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from plasmap_ray import codecs
+    from plasmap_ray.stages.media import BorderDetect
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    img = ((xx * 11 + yy * 5) % 200 + 40).astype(np.uint8)
+    img = np.stack([img] * 3, axis=2)
+    img[:3, :, :] = 0  # 3-row top letterbox
+    img[-2:, :, :] = 0  # 2-row bottom
+    batch = pa.table(
+        {
+            "image_id": pa.array(["lb"]),
+            "bytes": pa.array([codecs.encode_image(img, "raw")], type=pa.binary()),
+            "w": pa.array([24], type=pa.int32()),
+            "h": pa.array([24], type=pa.int32()),
+            "fmt": pa.array(["raw"]),
+        }
+    )
+    out = BorderDetect()(batch).to_pandas().iloc[0]
+    assert out["top"] == 3 and out["bottom"] == 2
+    assert out["left"] == 0 and out["right"] == 0
