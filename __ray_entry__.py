@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "naive_bayes_domain": text.naive_bayes_domain,
         "huffman_code_lengths": text.huffman_code_lengths,
         "good_turing_unseen": text.good_turing_unseen,
+        "stratified_kfold": text.stratified_kfold,
         "doc_fingerprint": text.fingerprint,
         "winnowing_overlap": text.winnowing_overlap,
         "ndcg_eval": index.ndcg_eval,
@@ -1702,6 +1703,14 @@ b AS (SELECT n_tok, ((n_tok + {text.PAD_MULTIPLE} - 1) // {text.PAD_MULTIPLE}) *
 SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
        CAST(bucket_len * count(*) - sum(n_tok) AS BIGINT) AS pad_tokens
 FROM b GROUP BY bucket_len ORDER BY bucket_len""",
+        "stratified_kfold": """
+WITH r AS (SELECT source, lang,
+                  (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) % 5 AS fold
+           FROM documents),
+l AS (SELECT source, fold, lang, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY 1, 2, 3)
+SELECT source, CAST(fold AS BIGINT) AS fold, CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs
+FROM l GROUP BY 1, 2""",
         "good_turing_unseen": """
 WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS word FROM documents),
 c AS (SELECT source, word, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),

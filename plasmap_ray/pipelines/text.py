@@ -2569,3 +2569,82 @@ def good_turing_unseen(sf_dir: str) -> rd.Dataset:
         )
 
     return per_src.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# stratified_kfold (deterministic stratified cross-validation manifest)
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+
+
+def stratified_kfold(sf_dir: str, k: int = KFOLD_K) -> rd.Dataset:
+    """Deterministic stratified k-fold assignment over documents:
+    fold = (rank of doc_id within its source) mod k — every fold gets
+    an equal share of EVERY source (the stratification guarantee),
+    reproducible with no RNG (the hash_split_counts discipline, but
+    rank-based so strata split exactly even instead of only in
+    expectation).  Reported as the (source, fold) count matrix plus
+    per-fold language balance — the audit a curator reads to confirm
+    folds are exchangeable before cross-validation.
+
+    Scale shape: ranks come from a source-keyed groupby (per-stratum
+    rows co-locate; per-key size is the per-source doc count — the
+    sessionize contract; at web scale switch to the
+    global_row_numbers two-phase rank, documented); the audit is ONE
+    (source, fold)-bounded count reduce joined with a lang-bounded
+    fold profile.
+
+    Output: (source, fold, n_docs, n_langs).
+    """
+    from ray.data.aggregate import Count as AggCount
+
+    ds = _read_docs(sf_dir, ["doc_id", "source", "lang"])
+
+    def assign(g: pa.Table) -> pa.Table:
+        order = np.argsort(g["doc_id"].to_numpy())
+        fold = np.empty(g.num_rows, dtype=np.int64)
+        fold[order] = np.arange(g.num_rows, dtype=np.int64) % k
+        return pa.table(
+            {
+                "source": g["source"],
+                "lang": g["lang"],
+                "fold": pa.array(fold, type=pa.int64()),
+            }
+        )
+
+    folded = ds.groupby("source").map_groups(assign, batch_format="pyarrow")
+
+    # distinct-language count via the two-level reduce (the
+    # caption_conflict_dups discipline — robust to any re-batching of
+    # the map_groups output): (source, fold, lang) counts first, then
+    # fold the lang axis
+    per_lang = (
+        folded.groupby(["source", "fold", "lang"]).aggregate(AggCount(alias_name="n"))
+    )
+
+    def fold_axis(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_numpy(zero_copy_only=False),
+                "fold": t["fold"].to_numpy(),
+                "n": t["n"].to_numpy(),
+            }
+        )
+        g = df.groupby(["source", "fold"], sort=False).agg(
+            n_docs=("n", "sum"), n_langs=("n", "size")
+        ).reset_index()
+        return pa.table(
+            {
+                "source": pa.array(g["source"], type=pa.string()),
+                "fold": pa.array(g["fold"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n_docs": pa.array(g["n_docs"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n_langs": pa.array(g["n_langs"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        per_lang.map_batches(fold_axis, batch_format="pyarrow")
+        .groupby(["source", "fold"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_langs", alias_name="n_langs"))
+    )

@@ -963,3 +963,19 @@ def test_good_turing_bruteforce(ray_session):
         assert int(row["f1"]) == f1 and int(row["f2"]) == f2
         assert abs(row["unseen_mass"] - round(f1 / sum(cnt.values()), 6)) < 1e-9
         assert row["chao1"] >= len(cnt) - 1e-9  # projection never below observed
+
+
+def test_stratified_kfold_balance(ray_session):
+    from plasmap_ray.pipelines import text as text_mod
+
+    out = text_mod.stratified_kfold(SF0001).to_pandas()
+    k = text_mod.KFOLD_K
+    # stratification: within every source, fold sizes differ by <= 1
+    for s, grp in out.groupby("source"):
+        sizes = grp.set_index("fold")["n_docs"]
+        assert sizes.max() - sizes.min() <= 1, s
+        assert set(grp["fold"]) <= set(range(k))
+    # totals: every document assigned exactly once
+    docs = pq.read_table(os.path.join(SF0001, "documents.parquet"), columns=["source"])
+    assert int(out["n_docs"].sum()) == docs.num_rows
+    assert (out["n_langs"] >= 1).all()
