@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": routing.pagerank_query,
         "mst_boruvka": routing.mst_boruvka_query,
         "tsp_tours": routing.tsp_tours_query,
+        "traffic_assignment": routing.traffic_assignment,
         "betweenness_sampled": routing.betweenness_sampled,
         "harmonic_centrality": routing.harmonic_centrality,
         "percolation_curve": routing.percolation_curve,
@@ -2440,6 +2441,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "logistic_newton": f"SELECT * FROM read_parquet('{golden.logistic_newton_path(SF001)}')",
         "mst_boruvka": f"SELECT * FROM read_parquet('{golden.mst_boruvka_path()}')",
         "tsp_tours": f"SELECT * FROM read_parquet('{golden.tsp_tours_path()}')",
+        "traffic_assignment": f"SELECT * FROM read_parquet('{golden.traffic_assignment_path(SF001)}')",
         "huffman_code_lengths": f"SELECT * FROM read_parquet('{golden.huffman_code_lengths_path(SF001)}')",
         "betweenness_sampled": f"SELECT * FROM read_parquet('{golden.betweenness_path(routing.BTW_SOURCES)}')",
         "harmonic_centrality": f"SELECT * FROM read_parquet('{golden.harmonic_path(routing.BTW_SOURCES)}')",

@@ -6386,3 +6386,121 @@ def image_border_detect_path(images_parquet: str) -> str:
         )
 
     return _cache(f"image_border_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
+
+
+def traffic_assignment_path(sf_dir: str) -> str:
+    """Golden AON assignment (local, no Ray): DuckDB window functions
+    pick each user's first/last event; Bellman-Ford distances (vs the
+    engine's Dijkstra) + the SAME smallest-optimal-in-neighbor
+    predecessor rule reproduce the unique path tree; flows accumulate
+    in a plain dict."""
+
+    def build() -> pa.Table:
+        import duckdb
+
+        from . import fixtures
+        from .oracle import sql_derive_lat, sql_derive_lon
+        from .pipelines.routing import _ta_paths_for_source, nearest_road_node
+
+        n = fixtures.ROAD_N
+        con = duckdb.connect()
+        od = con.execute(
+            f"""
+            WITH epts AS (SELECT event_id, user_id, ts, {sql_derive_lon('event_id')} AS lon,
+                          {sql_derive_lat('event_id')} AS lat
+                          FROM read_parquet('{os.path.join(sf_dir, "events.parquet")}')),
+            r AS (SELECT user_id, lon, lat,
+                         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                         count(*) OVER (PARTITION BY user_id) AS cnt
+                  FROM epts),
+            f AS (SELECT user_id, lon AS flon, lat AS flat FROM r WHERE rn = 1),
+            l AS (SELECT user_id, lon AS llon, lat AS llat FROM r WHERE rn = cnt)
+            SELECT f.flon, f.flat, l.llon, l.llat FROM f JOIN l USING (user_id)
+            """
+        ).fetchdf()
+        o_node = nearest_road_node(od["flon"].to_numpy(), od["flat"].to_numpy(), n)
+        d_node = nearest_road_node(od["llon"].to_numpy(), od["llat"].to_numpy(), n)
+        import collections
+
+        demand = collections.Counter(
+            (int(a), int(b)) for a, b in zip(o_node, d_node) if a != b
+        )
+        e = fixtures.road_world(n)["edges"]
+        src0 = e["src"].to_numpy()
+        dst0 = e["dst"].to_numpy()
+        w0 = e["w"].to_numpy()
+        # Bellman-Ford per source (different algorithm than the engine)
+        src_all = np.concatenate([src0, dst0])
+        dst_all = np.concatenate([dst0, src0])
+        w_all = np.concatenate([w0, w0])
+        order = np.lexsort((dst_all, src_all))
+        src_all, dst_all, w_all = src_all[order], dst_all[order], w_all[order]
+        uniq, starts = np.unique(src_all, return_index=True)
+        ends = np.append(starts[1:], len(src_all))
+        adj = {
+            "index": {int(u): (int(a), int(b)) for u, a, b in zip(uniq, starts, ends)},
+            "dst": dst_all,
+            "w": w_all,
+        }
+        by_src: dict[int, list] = {}
+        for (a, b), dem in demand.items():
+            by_src.setdefault(a, []).append((b, dem))
+        flows: dict[tuple[int, int], int] = {}
+        n_nodes = n * n
+        INF_ = 1 << 62
+        for s, pairs in by_src.items():
+            # Bellman-Ford distances
+            dist = np.full(n_nodes + 1, INF_, dtype=np.int64)
+            dist[s] = 0
+            for _ in range(n_nodes):
+                relax = np.where(dist[src_all] < INF_, dist[src_all] + w_all, INF_)
+                cand = np.full(n_nodes + 1, INF_, dtype=np.int64)
+                np.minimum.at(cand, dst_all, relax)
+                new = np.minimum(dist, cand)
+                if np.array_equal(new, dist):
+                    break
+                dist = new
+            ddict = {int(v): int(dist[v]) for v in range(1, n_nodes + 1) if dist[v] < INF_}
+            # reuse the SAME predecessor+walk rule via the shared helper,
+            # seeded with a fake heap-free dist: _ta_paths_for_source
+            # recomputes Dijkstra internally, so instead walk here:
+            pred_cache: dict[int, int] = {}
+
+            def pred(v: int) -> int:
+                p = pred_cache.get(v)
+                if p is not None:
+                    return p
+                best = -1
+                rng = adj["index"].get(v)
+                if rng is not None:
+                    a0, b0 = rng
+                    for k in range(a0, b0):
+                        u = int(adj["dst"][k])
+                        if u in ddict and ddict[u] + int(adj["w"][k]) == ddict.get(v, -1) and (best < 0 or u < best):
+                            best = u
+                pred_cache[v] = best
+                return best
+
+            for d, dem in pairs:
+                v = int(d)
+                if v not in ddict or v == s:
+                    continue
+                while v != s:
+                    u = pred(v)
+                    if u < 0:
+                        break
+                    a0, b0 = (u, v) if u < v else (v, u)
+                    flows[(a0, b0)] = flows.get((a0, b0), 0) + int(dem)
+                    v = u
+        wmap = {(int(a), int(b)): int(ww) for a, b, ww in zip(src0, dst0, w0)}
+        ab = np.array(sorted(flows), dtype=np.int64).reshape(-1, 2)
+        return pa.table(
+            {
+                "src": pa.array(ab[:, 0], type=pa.int64()),
+                "dst": pa.array(ab[:, 1], type=pa.int64()),
+                "w": pa.array([wmap[(int(a), int(b))] for a, b in ab], type=pa.int64()),
+                "flow": pa.array([flows[(int(a), int(b))] for a, b in ab], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"traffic_assignment_{_sf_tag(sf_dir)}", build)

@@ -1277,3 +1277,224 @@ def tsp_tours_query(sf_dir: str) -> rd.Dataset:
     like the other POI queries); golden replays the identical
     fixed-point descent locally."""
     return tsp_tours(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# traffic_assignment (all-or-nothing OD flow loading)
+# ---------------------------------------------------------------------------
+
+_TA_EDGES_CACHE: dict = {}  # per-worker: ref hex -> symmetrized adjacency
+
+
+def _ta_adj(edges_ref) -> dict:
+    key = getattr(edges_ref, "hex", lambda: id(edges_ref))()
+    adj = _TA_EDGES_CACHE.get(key)
+    if adj is None:
+        e = ray.get(edges_ref) if not isinstance(edges_ref, dict) else edges_ref
+        src = np.concatenate([e["src"], e["dst"]])
+        dst = np.concatenate([e["dst"], e["src"]])
+        w = np.concatenate([e["w"], e["w"]])
+        order = np.lexsort((dst, src))
+        src, dst, w = src[order], dst[order], w[order]
+        uniq, starts = np.unique(src, return_index=True)
+        ends = np.append(starts[1:], len(src))
+        adj = {
+            "index": {int(u): (int(a), int(b)) for u, a, b in zip(uniq, starts, ends)},
+            "dst": dst,
+            "w": w,
+        }
+        _TA_EDGES_CACHE[key] = adj
+    return adj
+
+
+def _ta_paths_for_source(adj: dict, source: int, dests: np.ndarray, demands: np.ndarray) -> dict:
+    """Dijkstra from ``source`` with the DETERMINISTIC predecessor rule
+    pred(v) = min{ u : dist[u] + w(u,v) == dist[v] } (argmin over the
+    sorted adjacency — a pure function of the exact int distances, so
+    any implementation reproduces the same unique path tree).  Loads
+    ``demands`` onto the tree edges of each dest's path; returns
+    {(a, b) undirected-normalized: flow}."""
+    import heapq
+
+    INF_ = 1 << 62
+    dist: dict[int, int] = {source: 0}
+    heap = [(0, source)]
+    while heap:
+        du, u = heapq.heappop(heap)
+        if du > dist.get(u, INF_):
+            continue
+        rng = adj["index"].get(u)
+        if rng is None:
+            continue
+        a, b = rng
+        for k in range(a, b):
+            v = int(adj["dst"][k])
+            nd = du + int(adj["w"][k])
+            if nd < dist.get(v, INF_):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    # deterministic predecessor: smallest optimal in-neighbor
+    flows: dict[tuple[int, int], int] = {}
+    pred_cache: dict[int, int] = {}
+
+    def pred(v: int) -> int:
+        p = pred_cache.get(v)
+        if p is not None:
+            return p
+        best = -1
+        rng = adj["index"].get(v)
+        if rng is not None:
+            a, b = rng
+            for k in range(a, b):
+                u = int(adj["dst"][k])
+                if u in dist and dist[u] + int(adj["w"][k]) == dist[v] and (best < 0 or u < best):
+                    best = u
+        pred_cache[v] = best
+        return best
+
+    for d, dem in zip(dests.tolist(), demands.tolist()):
+        v = int(d)
+        if v not in dist or v == source:
+            continue
+        while v != source:
+            u = pred(v)
+            if u < 0:
+                break
+            a, b = (u, v) if u < v else (v, u)
+            flows[(a, b)] = flows.get((a, b), 0) + int(dem)
+            v = u
+    return flows
+
+
+def nearest_road_node(lon: np.ndarray, lat: np.ndarray, n: int) -> np.ndarray:
+    """Exact nearest lattice node (the road grid is uniform over the
+    world bbox, so 'nearest' is integer rounding — no search)."""
+    gx = np.clip(np.floor((lon - fixtures.LON_MIN) / fixtures.LON_SPAN * (n - 1) + 0.5), 0, n - 1)
+    gy = np.clip(np.floor((lat - fixtures.LAT_MIN) / fixtures.LAT_SPAN * (n - 1) + 0.5), 0, n - 1)
+    return (gy.astype(np.int64) * n + gx.astype(np.int64) + 1)
+
+
+def traffic_assignment(sf_dir: str, parts: int = 32) -> rd.Dataset:
+    """All-or-nothing traffic assignment: every user's (first event ->
+    last event) trip, snapped to the road lattice, loads its demand
+    onto the exact shortest path — the edge-flow map ("which road
+    segments carry the traffic") that closes the loop between the
+    mobility layer (od_matrix) and the road layer (sssp/betweenness):
+    transport modeling's AON step, the inner loop of Frank-Wolfe
+    equilibrium assignment.
+
+    Determinism: integer weights make shortest distances exact; the
+    predecessor rule (smallest optimal in-neighbor) makes the path
+    TREE unique, so edge flows are exact integers any implementation
+    reproduces (golden: Bellman-Ford distances + the same rule).
+
+    Scale shape: the OD extraction is od_matrix's two-stage extreme
+    scan (per-batch first/last combiner -> user-sharded run-scan);
+    OD pairs groupby the SOURCE node so each actor task loads one
+    source's paths against the broadcast graph (edges ship once per
+    worker, the betweenness_sampled shape); the edge fold is ONE
+    (a, b)-keyed Sum.  Output: (src, dst, w, flow) for loaded edges.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    from .trajectory import _derive_positions, _read_events
+
+    n = fixtures.ROAD_N
+    e = fixtures.road_world(n)["edges"]
+    edges_ref = ray.put(
+        {"src": e["src"].to_numpy(), "dst": e["dst"].to_numpy(), "w": e["w"].to_numpy()}
+    )
+    wmap = {(int(a), int(b)): int(ww) for a, b, ww in zip(e["src"].to_numpy(), e["dst"].to_numpy(), e["w"].to_numpy())}
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def extremes(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+        uid = t["user_id"].to_numpy()
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "ts": pa.array([], type=pa.timestamp("us")),
+                    "part": pa.array([], type=pa.int64()),
+                }
+            )
+        bounds = np.nonzero(np.diff(uid))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(uid)]])
+        keep = np.unique(np.concatenate([starts, ends - 1]))
+        t = t.select(["event_id", "user_id", "ts"]).take(pa.array(keep))
+        part = np.asarray(t["user_id"].to_numpy(), np.int64) % parts
+        return t.append_column("part", pa.array(part, type=pa.int64()))
+
+    def od_nodes(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")])
+        g = _derive_positions(g)
+        uid = g["user_id"].to_numpy()
+        if len(uid) == 0:
+            return pa.table(
+                {"o_node": pa.array([], type=pa.int64()), "d_node": pa.array([], type=pa.int64())}
+            )
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        node = nearest_road_node(lon, lat, n)
+        bounds = np.nonzero(np.diff(uid))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(uid)]]) - 1
+        return pa.table(
+            {
+                "o_node": pa.array(node[starts], type=pa.int64()),
+                "d_node": pa.array(node[ends], type=pa.int64()),
+            }
+        )
+
+    od = (
+        ds.map_batches(extremes, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(od_nodes, batch_format="pyarrow")
+        .groupby(["o_node", "d_node"])
+        .aggregate(Count(alias_name="demand"))
+        .filter(expr="o_node != d_node")
+    )
+
+    def load_source(g: pa.Table) -> pa.Table:
+        adj = _ta_adj(edges_ref)
+        src = int(g["o_node"][0].as_py())
+        flows = _ta_paths_for_source(
+            adj, src, g["d_node"].to_numpy(), g["demand"].to_numpy()
+        )
+        if not flows:
+            return pa.table(
+                {"ea": pa.array([], type=pa.int64()), "eb": pa.array([], type=pa.int64()), "flow": pa.array([], type=pa.int64())}
+            )
+        ab = np.array(sorted(flows), dtype=np.int64)
+        fl = np.array([flows[(int(a), int(b))] for a, b in ab], dtype=np.int64)
+        return pa.table(
+            {
+                "ea": pa.array(ab[:, 0], type=pa.int64()),
+                "eb": pa.array(ab[:, 1], type=pa.int64()),
+                "flow": pa.array(fl, type=pa.int64()),
+            }
+        )
+
+    loaded = (
+        od.groupby("o_node")
+        .map_groups(load_source, batch_format="pyarrow")
+        .groupby(["ea", "eb"])
+        .aggregate(_Sum("flow", alias_name="flow"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        a = t["ea"].to_numpy()
+        b = t["eb"].to_numpy()
+        w = np.array([wmap[(int(x), int(y))] for x, y in zip(a, b)], dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(a, type=pa.int64()),
+                "dst": pa.array(b, type=pa.int64()),
+                "w": pa.array(w, type=pa.int64()),
+                "flow": t["flow"],
+            }
+        )
+
+    return loaded.map_batches(finish, batch_format="pyarrow")

@@ -299,3 +299,60 @@ def test_tsp_tours_two_opt_never_lengthens(ray_session):
     got = out.sort_values("rel_id").reset_index(drop=True)
     want = want.sort_values("rel_id").reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_traffic_assignment_conserves_demand(ray_session):
+    """Flow on edges incident to a source equals the demand leaving it
+    (for a source that is nobody else's through-node is hard to pick;
+    instead check global conservation: total flow-weighted path length
+    equals the sum of OD shortest distances times demand)."""
+    import heapq
+
+    out = routing.traffic_assignment("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert (out["flow"] > 0).all()
+    # rebuild OD demand exactly as the engine defines it
+    import pyarrow.parquet as pq2
+
+    ev = pq2.read_table(
+        "/root/testdata/sf0.001/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).to_pandas()
+    from plasmap_ray import oracle as orc
+
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    first = ev.groupby("user_id").first().reset_index()
+    last = ev.groupby("user_id").last().reset_index()
+    n = fixtures.ROAD_N
+    lon_f = fixtures.derive_lon(first["event_id"].to_numpy())
+    lat_f = fixtures.derive_lat(first["event_id"].to_numpy())
+    lon_l = fixtures.derive_lon(last["event_id"].to_numpy())
+    lat_l = fixtures.derive_lat(last["event_id"].to_numpy())
+    o = routing.nearest_road_node(lon_f, lat_f, n)
+    d = routing.nearest_road_node(lon_l, lat_l, n)
+    from collections import Counter
+
+    demand = Counter((int(a), int(b)) for a, b in zip(o, d) if a != b)
+    # shortest distances via Dijkstra per source
+    e = fixtures.road_world(n)["edges"]
+    adj = {}
+    for a, b, w in zip(e["src"].to_numpy(), e["dst"].to_numpy(), e["w"].to_numpy()):
+        adj.setdefault(int(a), []).append((int(b), int(w)))
+        adj.setdefault(int(b), []).append((int(a), int(w)))
+    want_cost = 0
+    for s in {a for a, _ in demand}:
+        dist = {s: 0}
+        heap = [(0, s)]
+        while heap:
+            du, u = heapq.heappop(heap)
+            if du > dist.get(u, 1 << 62):
+                continue
+            for v, w in adj.get(u, ()):
+                nd = du + w
+                if nd < dist.get(v, 1 << 62):
+                    dist[v] = nd
+                    heapq.heappush(heap, (nd, v))
+        for (a, b), dem in demand.items():
+            if a == s and b in dist:
+                want_cost += dist[b] * dem
+    got_cost = int((out["w"] * out["flow"]).sum())
+    assert got_cost == want_cost
