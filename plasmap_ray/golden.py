@@ -6504,3 +6504,53 @@ def traffic_assignment_path(sf_dir: str) -> str:
         )
 
     return _cache(f"traffic_assignment_{_sf_tag(sf_dir)}", build)
+
+
+def image_hough_lines_path(images_parquet: str) -> str:
+    """Expected Hough census: one dense (theta, rho) accumulator built
+    with np.add.at per image vs the engine's per-theta bincounts —
+    independent accumulation, identical integer votes."""
+
+    def build() -> pa.Table:
+        from . import codecs
+        from .stages.media import HoughLines
+
+        t = pq.read_table(images_parquet, columns=["image_id", "bytes", "w", "h", "fmt"])
+        nt = HoughLines.N_THETA
+        thetas = np.arange(nt) * (np.pi / nt)
+        cos_t, sin_t = np.cos(thetas), np.sin(thetas)
+        rows = {k: [] for k in ("image_id", "fmt", "ok", "n_edge_px", "n_lines", "best_votes")}
+        for i in range(t.num_rows):
+            px = codecs.decode_image(
+                t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(), t["fmt"][i].as_py()
+            )
+            g = px.astype(np.int64).sum(axis=2)
+            m = np.zeros_like(g)
+            m[1:-1, 1:-1] = np.abs(g[1:-1, 2:] - g[1:-1, :-2]) + np.abs(g[2:, 1:-1] - g[:-2, 1:-1])
+            ey, ex = np.nonzero(m > HoughLines.EDGE_THR)
+            hh, ww = g.shape
+            diag = int(np.ceil(np.hypot(hh, ww)))
+            vote_thr = max(3, int(max(hh, ww) * HoughLines.VOTE_THR_FRAC))
+            acc = np.zeros((nt, 2 * diag + 1), dtype=np.int64)
+            for ti in range(nt):
+                rho = np.floor(ex * cos_t[ti] + ey * sin_t[ti] + 0.5).astype(np.int64) + diag
+                np.add.at(acc[ti], rho, 1)
+            over = acc >= vote_thr
+            rows["image_id"].append(t["image_id"][i].as_py())
+            rows["fmt"].append(t["fmt"][i].as_py())
+            rows["ok"].append(True)
+            rows["n_edge_px"].append(len(ex))
+            rows["n_lines"].append(int(over.sum()))
+            rows["best_votes"].append(int(acc.max()) if over.any() else 0)
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], type=pa.string()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "ok": pa.array(rows["ok"]),
+                "n_edge_px": pa.array(rows["n_edge_px"], type=pa.int64()),
+                "n_lines": pa.array(rows["n_lines"], type=pa.int64()),
+                "best_votes": pa.array(rows["best_votes"], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"image_hough_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)

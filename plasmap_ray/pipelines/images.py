@@ -2753,3 +2753,26 @@ def image_border_detect(sf_dir: str) -> rd.Dataset:
         )
 
     return joined.map_batches(finish2, batch_format="pyarrow")
+
+
+def image_hough_lines(sf_dir: str) -> rd.Dataset:
+    """Per-image Hough line census (stages.media.HoughLines): how many
+    (theta, rho) cells collect enough collinear edge votes — the
+    line-dominance screen separating documents/architecture/renders
+    from natural texture, beside Harris corners (point structure) and
+    the orientation histogram (direction distribution).
+
+    Scale shape: map-ONLY actor-pool pass; the vote loop is
+    theta-bounded (16 bincounts over edge pixels — vectorized inner);
+    payloads consumed in-stage, three int64s + metadata per image.
+    Oracle: golden recompute accumulating a FULL 2-D (theta, rho)
+    matrix per image (vs the engine's per-theta bincounts).
+
+    Output: (image_id, fmt, ok, n_edge_px, n_lines, best_votes).
+    """
+    from ..stages import media
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    return ds.map_batches(
+        media.HoughLines, batch_format="pyarrow", batch_size=128, concurrency=(1, 8)
+    )

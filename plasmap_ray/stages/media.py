@@ -1291,3 +1291,78 @@ class BorderDetect:
                 "n_px": pa.array(n_px, type=pa.int64()),
             }
         )
+
+
+class HoughLines:
+    """Actor-pool stage: per-image Hough line census — vote strong
+    edge pixels into a quantized (theta, rho) accumulator (THETAS
+    fixed angles; rho = floor(x·cosθ + y·sinθ + 0.5), identical float
+    expression on both sides) and count cells above VOTE_THR plus the
+    winning line — the document/architecture screen (scans, buildings
+    and rendered figures are line-dominated; natural textures are
+    not), completing the geometry shelf beside Harris (points) and
+    the orientation histogram (gradient directions).
+
+    Edge pixels: L1 gradient of pooled gray > EDGE_THR (the
+    EdgeDensity convention).  All votes are integer; ties in the
+    argmax break on (votes desc, theta idx asc, rho asc).
+
+    Output: (image_id, fmt, ok, n_edge_px, n_lines, best_votes).
+    """
+
+    N_THETA = 16
+    EDGE_THR = 120
+    VOTE_THR_FRAC = 0.25  # a line needs >= 25% of the max dimension in votes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        w = batch["w"].to_numpy()
+        h = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        thetas = np.arange(self.N_THETA) * (np.pi / self.N_THETA)
+        cos_t, sin_t = np.cos(thetas), np.sin(thetas)
+        n_edge = np.zeros(n, dtype=np.int64)
+        n_lines = np.zeros(n, dtype=np.int64)
+        best_v = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                px = codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
+                g = px.astype(np.int64).sum(axis=2)
+                m = np.zeros_like(g)
+                m[1:-1, 1:-1] = np.abs(g[1:-1, 2:] - g[1:-1, :-2]) + np.abs(
+                    g[2:, 1:-1] - g[:-2, 1:-1]
+                )
+                ey, ex = np.nonzero(m > self.EDGE_THR)
+                n_edge[i] = len(ex)
+                hh, ww = g.shape
+                diag = int(np.ceil(np.hypot(hh, ww)))
+                vote_thr = max(3, int(max(hh, ww) * self.VOTE_THR_FRAC))
+                lines = 0
+                best = (0, -1, 0)  # (votes, -theta_idx, -rho) compare
+                bv = 0
+                for ti in range(self.N_THETA):
+                    rho = np.floor(ex * cos_t[ti] + ey * sin_t[ti] + 0.5).astype(np.int64) + diag
+                    counts = np.bincount(rho, minlength=2 * diag + 1)
+                    over = counts >= vote_thr
+                    lines += int(over.sum())
+                    if over.any():
+                        mx = int(counts.max())
+                        if mx > bv:
+                            bv = mx
+                n_lines[i] = lines
+                best_v[i] = bv
+                ok[i] = True
+            except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
+                pass
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "fmt": batch["fmt"],
+                "ok": pa.array(ok),
+                "n_edge_px": pa.array(n_edge, type=pa.int64()),
+                "n_lines": pa.array(n_lines, type=pa.int64()),
+                "best_votes": pa.array(best_v, type=pa.int64()),
+            }
+        )

@@ -1393,3 +1393,31 @@ def test_border_detect_finds_a_planted_letterbox(ray_session):
     out = BorderDetect()(batch).to_pandas().iloc[0]
     assert out["top"] == 3 and out["bottom"] == 2
     assert out["left"] == 0 and out["right"] == 0
+
+
+def test_hough_lines_sees_a_drawn_line(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from plasmap_ray import codecs
+    from plasmap_ray.stages.media import HoughLines
+
+    img = np.full((32, 32, 3), 30, dtype=np.uint8)
+    img[16, :, :] = 250  # a strong horizontal line
+    blank = np.full((32, 32, 3), 30, dtype=np.uint8)
+    batch = pa.table(
+        {
+            "image_id": pa.array(["line", "blank"]),
+            "bytes": pa.array(
+                [codecs.encode_image(img, "raw"), codecs.encode_image(blank, "raw")],
+                type=pa.binary(),
+            ),
+            "w": pa.array([32, 32], type=pa.int32()),
+            "h": pa.array([32, 32], type=pa.int32()),
+            "fmt": pa.array(["raw", "raw"]),
+        }
+    )
+    out = HoughLines()(batch).to_pandas().set_index("image_id")
+    assert out.loc["line", "n_lines"] >= 1
+    assert out.loc["line", "best_votes"] >= 24  # most of the 32-px row votes together
+    assert out.loc["blank", "n_edge_px"] == 0 and out.loc["blank", "n_lines"] == 0
