@@ -479,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_drift": stats.psi_drift,
         "conformal_interval": stats.conformal_interval,
         "mutual_info_rank": stats.mutual_info_rank,
+        "quantile_regression": stats.quantile_regression,
         "acf_hourly": windows.acf_hourly,
         "dtw_profiles": windows.dtw_profiles,
         "pacf_durbin": windows.pacf_durbin,
@@ -2440,6 +2441,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "pacf_durbin": f"SELECT * FROM read_parquet('{golden.pacf_durbin_path(SF001)}')",
         "first_passage_time": f"SELECT * FROM read_parquet('{golden.first_passage_time_path(SF001)}')",
         "spectral_partition": f"SELECT * FROM read_parquet('{golden.spectral_partition_path(SF001)}')",
+        "quantile_regression": f"SELECT * FROM read_parquet('{golden.quantile_regression_path(SF001)}')",
         "logistic_newton": f"SELECT * FROM read_parquet('{golden.logistic_newton_path(SF001)}')",
         "mst_boruvka": f"SELECT * FROM read_parquet('{golden.mst_boruvka_path()}')",
         "tsp_tours": f"SELECT * FROM read_parquet('{golden.tsp_tours_path()}')",

@@ -6554,3 +6554,54 @@ def image_hough_lines_path(images_parquet: str) -> str:
         )
 
     return _cache(f"image_hough_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
+
+
+def quantile_regression_path(sf_dir: str) -> str:
+    """Golden pinball-IRLS recompute (local, no Ray): identical
+    quantized iteration over the whole column at once (the
+    logistic_newton golden convention)."""
+
+    def build() -> pa.Table:
+        from .pipelines.stats import QR_FP, QR_ITERS, QR_TAUS, _qr_partial
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_quantity", "l_extendedprice", "l_discount"],
+        )
+        fp = float(QR_FP)
+        rows = {"tau": [], "n": [], "b0": [], "b1": [], "b2": [], "pinball": []}
+        for tau in QR_TAUS:
+            beta = np.zeros(3, dtype=np.float64)
+            final_loss = 0.0
+            n_rows = 0
+            for _ in range(QR_ITERS):
+                s = [int(v) for v in _qr_partial(t, beta, tau)]
+                A = np.array(
+                    [[s[0], s[1], s[2]], [s[1], s[4], s[5]], [s[2], s[5], s[6]]],
+                    dtype=np.float64,
+                ) / fp
+                b = np.array([s[3], s[7], s[8]], dtype=np.float64) / fp
+                final_loss = float(s[9]) / fp / max(int(s[10]), 1)
+                n_rows = int(s[10])
+                beta = np.linalg.solve(A, b)
+            rows["tau"].append(tau)
+            rows["n"].append(n_rows)
+            rows["b0"].append(beta[0])
+            rows["b1"].append(beta[1])
+            rows["b2"].append(beta[2])
+            rows["pinball"].append(final_loss)
+        return pa.table(
+            {
+                "tau": pa.array(rows["tau"], type=pa.float64()),
+                "n": pa.array(rows["n"], type=pa.int64()),
+                "b0": pa.array(duckdb_round(np.array(rows["b0"]), 6), type=pa.float64()),
+                "b1": pa.array(duckdb_round(np.array(rows["b1"]), 6), type=pa.float64()),
+                "b2": pa.array(duckdb_round(np.array(rows["b2"]), 6), type=pa.float64()),
+                "pinball": pa.array(duckdb_round(np.array(rows["pinball"]), 6), type=pa.float64()),
+            }
+        )
+
+    from .pipelines.stats import QR_ITERS as _qr_iters
+
+    return _cache(f"quantile_regression_{_sf_tag(sf_dir)}_i{_qr_iters}", build)

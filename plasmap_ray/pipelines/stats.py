@@ -2581,3 +2581,121 @@ def mutual_info_rank(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# quantile_regression (pinball IRLS — conditional quantile fits)
+# ---------------------------------------------------------------------------
+
+QR_TAUS = (0.5, 0.9)
+QR_ITERS = 60  # pinball IRLS converges slowly from beta=0; ~60 passes calibrates both taus (warm-starting from OLS would roughly halve this — noted, not needed at the pass cost measured)
+QR_EPS = 1.0  # residual floor (dollars) in the IRLS weight
+QR_FP = np.int64(1) << np.int64(20)
+
+
+def _qr_design(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    x1 = np.floor(t["l_quantity"].to_numpy() + 0.5)
+    x2 = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5)
+    y = np.floor(t["l_extendedprice"].to_numpy() + 0.5)
+    return x1, x2, y
+
+
+def _qr_partial(t: pa.Table, beta: np.ndarray, tau: float) -> np.ndarray:
+    """Exact int64 partial of the weighted normal equations + pinball
+    loss for one batch at the CURRENT beta: per-row float terms
+    quantized before summation (order-proof, the logistic_newton
+    discipline).  Layout: [wn, w1, w2, wy, w11, w12, w22, w1y, w2y,
+    loss, n]."""
+    x1, x2, y = _qr_design(t)
+    r = y - (beta[0] + beta[1] * x1 + beta[2] * x2)
+    w = np.where(r > 0, tau / np.maximum(r, QR_EPS), (1.0 - tau) / np.maximum(-r, QR_EPS))
+    fp = float(QR_FP)
+    q = lambda v: np.floor(v * fp + 0.5).astype(np.int64)  # noqa: E731
+    out = np.empty(11, dtype=np.int64)
+    out[0] = q(w).sum()
+    out[1] = q(w * x1).sum()
+    out[2] = q(w * x2).sum()
+    out[3] = q(w * y).sum()
+    out[4] = q(w * x1 * x1).sum()
+    out[5] = q(w * x1 * x2).sum()
+    out[6] = q(w * x2 * x2).sum()
+    out[7] = q(w * x1 * y).sum()
+    out[8] = q(w * x2 * y).sum()
+    out[9] = q(np.maximum(tau * r, (tau - 1.0) * r)).sum()
+    out[10] = len(y)
+    return out
+
+
+def quantile_regression(sf_dir: str, taus: tuple = QR_TAUS, iters: int = QR_ITERS) -> rd.Dataset:
+    """Conditional-quantile regression (price ~ quantity + discount at
+    tau = 0.5 and 0.9) by pinball-loss IRLS — the heteroscedasticity
+    lens OLS cannot give: the spread between the median and 0.9 fits
+    IS the conditional dispersion (pricing bands, SLA tails), and the
+    median fit is the robust counterpart of ols_regression.
+
+    Each iteration is ONE streaming pass emitting an 11-int64
+    order-proof partial (per-row weighted terms quantized to 2^-20
+    before the merge-order-dependent sum — logistic_newton's
+    discipline); the 3x3 weighted normal solve runs on exact global
+    sums; iterations are FIXED (no data-dependent stopping), so the
+    trajectory is bit-stable and the golden replays it locally.
+
+    Output: one row per tau (tau, n, b0, b1, b2, pinball).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+    ).materialize()  # 3 pruned cols; re-scan per pass at planet scale
+    fp = float(QR_FP)
+    rows = {"tau": [], "n": [], "b0": [], "b1": [], "b2": [], "pinball": []}
+    for tau in taus:
+        beta = np.zeros(3, dtype=np.float64)
+        final_loss = 0.0
+        n_rows = 0
+        for _ in range(iters):
+            def partial(t: pa.Table, beta=beta.copy(), tau=tau) -> pa.Table:
+                v = _qr_partial(t, beta, tau)
+                return pa.table(
+                    {"_g": pa.array([0], type=pa.int64())}
+                    | {f"c{i}": pa.array([int(v[i])], type=pa.int64()) for i in range(11)}
+                )
+
+            agg = (
+                ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("_g")
+                .aggregate(*[Sum(f"c{i}", alias_name=f"c{i}") for i in range(11)])
+                .to_pandas()
+            )
+            s = [int(agg[f"c{i}"][0]) for i in range(11)]
+            A = np.array(
+                [
+                    [s[0], s[1], s[2]],
+                    [s[1], s[4], s[5]],
+                    [s[2], s[5], s[6]],
+                ],
+                dtype=np.float64,
+            ) / fp
+            b = np.array([s[3], s[7], s[8]], dtype=np.float64) / fp
+            final_loss = float(s[9]) / fp / max(int(s[10]), 1)
+            n_rows = int(s[10])
+            beta = np.linalg.solve(A, b)
+        rows["tau"].append(tau)
+        rows["n"].append(n_rows)
+        rows["b0"].append(beta[0])
+        rows["b1"].append(beta[1])
+        rows["b2"].append(beta[2])
+        rows["pinball"].append(final_loss)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "tau": pa.array(rows["tau"], type=pa.float64()),
+                "n": pa.array(rows["n"], type=pa.int64()),
+                "b0": pa.array(duckdb_round(np.array(rows["b0"]), 6), type=pa.float64()),
+                "b1": pa.array(duckdb_round(np.array(rows["b1"]), 6), type=pa.float64()),
+                "b2": pa.array(duckdb_round(np.array(rows["b2"]), 6), type=pa.float64()),
+                "pinball": pa.array(duckdb_round(np.array(rows["pinball"]), 6), type=pa.float64()),
+            }
+        )
+    )

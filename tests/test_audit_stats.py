@@ -493,3 +493,26 @@ def test_mutual_info_rank_bruteforce(ray_session):
         assert abs(row["mi_nats"] - mi) < 1e-6, name
         assert row["mi_nats"] >= -1e-9  # MI is nonnegative
         assert int(row["n_bins"]) == len(np.unique(v))
+
+
+def test_quantile_regression_orders_and_calibrates(ray_session):
+    """tau=0.9 plane sits above tau=0.5 on average, and the fraction of
+    points below each fitted plane approximates tau."""
+    out = stats.quantile_regression(SF).to_pandas().set_index("tau")
+    t = pq.read_table(
+        os.path.join(SF, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    x1 = np.floor(t["l_quantity"].to_numpy() + 0.5)
+    x2 = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5)
+    y = np.floor(t["l_extendedprice"].to_numpy() + 0.5)
+    fracs = {}
+    preds = {}
+    for tau in (0.5, 0.9):
+        r = out.loc[tau]
+        pred = r["b0"] + r["b1"] * x1 + r["b2"] * x2
+        preds[tau] = pred
+        fracs[tau] = float((y <= pred).mean())
+    assert (preds[0.9] >= preds[0.5]).mean() > 0.95
+    assert abs(fracs[0.5] - 0.5) < 0.05
+    assert abs(fracs[0.9] - 0.9) < 0.05
