@@ -480,6 +480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conformal_interval": stats.conformal_interval,
         "mutual_info_rank": stats.mutual_info_rank,
         "quantile_regression": stats.quantile_regression,
+        "isotonic_calibration": stats.isotonic_calibration,
+        "tail_dependence": stats.tail_dependence,
         "acf_hourly": windows.acf_hourly,
         "dtw_profiles": windows.dtw_profiles,
         "pacf_durbin": windows.pacf_durbin,
@@ -2442,6 +2444,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "first_passage_time": f"SELECT * FROM read_parquet('{golden.first_passage_time_path(SF001)}')",
         "spectral_partition": f"SELECT * FROM read_parquet('{golden.spectral_partition_path(SF001)}')",
         "quantile_regression": f"SELECT * FROM read_parquet('{golden.quantile_regression_path(SF001)}')",
+        "isotonic_calibration": f"SELECT * FROM read_parquet('{golden.isotonic_calibration_path(SF001)}')",
         "logistic_newton": f"SELECT * FROM read_parquet('{golden.logistic_newton_path(SF001)}')",
         "mst_boruvka": f"SELECT * FROM read_parquet('{golden.mst_boruvka_path()}')",
         "tsp_tours": f"SELECT * FROM read_parquet('{golden.tsp_tours_path()}')",
@@ -4865,6 +4868,25 @@ SELECT n_a, n_b, n_inter, round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
        round(est_union, 6) AS est_union, round(est_a + est_b - est_union, 6) AS est_inter,
        round(abs(est_a + est_b - est_union - CAST(n_inter AS DOUBLE)), 6) AS abs_err
 FROM x""",
+        "tail_dependence": f"""
+WITH f AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+                  CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y FROM lineitem),
+qs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              quantile_disc(x, {stats.TAIL_Q!r}) AS qx_hi, quantile_disc(y, {stats.TAIL_Q!r}) AS qy_hi,
+              quantile_disc(x, {1.0 - stats.TAIL_Q!r}) AS qx_lo, quantile_disc(y, {1.0 - stats.TAIL_Q!r}) AS qy_lo
+       FROM f),
+c AS (SELECT qs.n, qs.qx_hi, qs.qy_hi, qs.qx_lo, qs.qy_lo,
+             CAST(count(*) FILTER (WHERE f.x > qs.qx_hi) AS BIGINT) AS n_xhi,
+             CAST(count(*) FILTER (WHERE f.x > qs.qx_hi AND f.y > qs.qy_hi) AS BIGINT) AS n_joint_hi,
+             CAST(count(*) FILTER (WHERE f.x <= qs.qx_lo) AS BIGINT) AS n_xlo,
+             CAST(count(*) FILTER (WHERE f.x <= qs.qx_lo AND f.y <= qs.qy_lo) AS BIGINT) AS n_joint_lo
+      FROM f CROSS JOIN qs
+      GROUP BY qs.n, qs.qx_hi, qs.qy_hi, qs.qx_lo, qs.qy_lo)
+SELECT n, qx_hi, qy_hi, n_xhi, n_joint_hi,
+       round(CAST(n_joint_hi AS DOUBLE) / CAST(greatest(n_xhi, 1) AS DOUBLE), 6) AS lambda_upper,
+       qx_lo, qy_lo, n_xlo, n_joint_lo,
+       round(CAST(n_joint_lo AS DOUBLE) / CAST(greatest(n_xlo, 1) AS DOUBLE), 6) AS lambda_lower
+FROM c""",
         "mutual_info_rank": """
 WITH f AS (
   SELECT 'quantity5' AS feature, CAST(floor(l_quantity + 0.5) AS BIGINT) // 5 AS b, l_returnflag AS y FROM lineitem

@@ -6605,3 +6605,70 @@ def quantile_regression_path(sf_dir: str) -> str:
     from .pipelines.stats import QR_ITERS as _qr_iters
 
     return _cache(f"quantile_regression_{_sf_tag(sf_dir)}_i{_qr_iters}", build)
+
+
+def isotonic_calibration_path(sf_dir: str) -> str:
+    """Golden PAVA recompute: DuckDB contingency + a DIFFERENT PAVA
+    formulation (repeated full-scan merge passes until monotone,
+    Fractions for the rate compare) vs the engine's stack version."""
+
+    def build() -> pa.Table:
+        from fractions import Fraction
+
+        import duckdb
+
+        from .stages.common import duckdb_round
+
+        con = duckdb.connect()
+        g = con.execute(
+            f"""
+            SELECT CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+            FROM read_parquet('{os.path.join(sf_dir, "lineitem.parquet")}')
+            GROUP BY 1 ORDER BY 1
+            """
+        ).fetchdf()
+        blocks = [
+            {"ds": [int(d)], "n": int(n), "pos": int(p)}
+            for d, n, p in zip(g["d"], g["n"], g["pos"])
+        ]
+        changed = True
+        while changed:
+            changed = False
+            out = []
+            i = 0
+            while i < len(blocks):
+                if (
+                    i + 1 < len(blocks)
+                    and Fraction(blocks[i]["pos"], blocks[i]["n"])
+                    > Fraction(blocks[i + 1]["pos"], blocks[i + 1]["n"])
+                ):
+                    merged = {
+                        "ds": blocks[i]["ds"] + blocks[i + 1]["ds"],
+                        "n": blocks[i]["n"] + blocks[i + 1]["n"],
+                        "pos": blocks[i]["pos"] + blocks[i + 1]["pos"],
+                    }
+                    out.append(merged)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(blocks[i])
+                    i += 1
+            blocks = out
+        rate_of = {}
+        for b in blocks:
+            r = b["pos"] / b["n"]
+            for d in b["ds"]:
+                rate_of[d] = r
+        iso = duckdb_round(np.array([rate_of[int(d)] for d in g["d"]]), 6)
+        return pa.table(
+            {
+                "discount_pct": pa.array(g["d"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n_returns": pa.array(g["pos"].to_numpy().astype(np.int64), type=pa.int64()),
+                "iso_rate": pa.array(iso, type=pa.float64()),
+            }
+        )
+
+    return _cache(f"isotonic_{_sf_tag(sf_dir)}", build)

@@ -2699,3 +2699,223 @@ def quantile_regression(sf_dir: str, taus: tuple = QR_TAUS, iters: int = QR_ITER
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# isotonic_calibration (PAVA monotone fit of return rate vs discount)
+# ---------------------------------------------------------------------------
+
+
+def isotonic_calibration(sf_dir: str) -> rd.Dataset:
+    """Isotonic (monotone non-decreasing) calibration of the return
+    probability as a function of discount depth, by exact
+    pool-adjacent-violators — the assumption-free dose-response fit
+    ("do deeper discounts ship more returns?") and the standard
+    probability-calibration post-processor for any scorer.
+
+    Exactness: the input is the bounded (discount_pct, n, n_returns)
+    contingency aggregate; PAVA pools are merged by EXACT FRACTION
+    comparison (cross-multiplied int64 — no float rate ever drives a
+    merge decision), so the block structure is bit-stable; the fitted
+    rate is one rounded division per output row.
+
+    Scale shape: map-only count partials over the 11-value discount
+    grid -> ONE tiny groupby -> O(grid) driver PAVA (corpus-size-
+    independent).  Output: (discount_pct, n, n_returns, iso_rate).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_discount", "l_returnflag"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        r = (np.asarray(t["l_returnflag"].to_numpy(zero_copy_only=False)) == "R").astype(np.int64)
+        df = pd.DataFrame({"d": d, "r": r}).groupby("d", sort=False).agg(
+            n=("r", "size"), pos=("r", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "d": pa.array(df["d"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n": pa.array(df["n"].to_numpy().astype(np.int64), type=pa.int64()),
+                "pos": pa.array(df["pos"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("d")
+        .aggregate(Sum("n", alias_name="n"), Sum("pos", alias_name="pos"))
+        .to_pandas()
+        .sort_values("d")
+        .reset_index(drop=True)
+    )
+    # PAVA with exact fraction compares: pool while rate[i] > rate[i+1]
+    blocks = [[int(d), int(n), int(p)] for d, n, p in zip(g["d"], g["n"], g["pos"])]
+    stack: list[list[int]] = []
+    for blk in blocks:
+        stack.append(list(blk) + [blk[0]])  # [d_lo, n, pos, d_hi]
+        while len(stack) >= 2 and stack[-2][2] * stack[-1][1] > stack[-1][2] * stack[-2][1]:
+            d_lo, n1, p1, _ = stack[-2]
+            _, n2, p2, d_hi = stack[-1]
+            stack.pop()
+            stack.pop()
+            stack.append([d_lo, n1 + n2, p1 + p2, d_hi])
+    out_d, out_rate = [], []
+    rate_of: dict[int, float] = {}
+    for d_lo, n_, p_, d_hi in stack:
+        r = p_ / n_
+        for d, _, _ in blocks:
+            if d_lo <= d <= d_hi:
+                rate_of[d] = r
+    iso = duckdb_round(np.array([rate_of[int(d)] for d in g["d"]]), 6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "discount_pct": pa.array(g["d"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n_returns": pa.array(g["pos"].to_numpy().astype(np.int64), type=pa.int64()),
+                "iso_rate": pa.array(iso, type=pa.float64()),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# tail_dependence (copula-style joint-extremes audit)
+# ---------------------------------------------------------------------------
+
+TAIL_Q = 0.9
+
+
+def tail_dependence(sf_dir: str, q: float = TAIL_Q) -> rd.Dataset:
+    """Empirical tail-dependence of (quantity, extendedprice): the
+    probability that one variable is extreme GIVEN the other is —
+    lambda_upper = P(Y > q90_Y | X > q90_X) and the mirrored lower
+    version — the copula-style dependence-in-the-tails audit that a
+    correlation matrix cannot see (independence baseline: 1 - q; a
+    common-shock structure pushes it toward 1).
+
+    Exactness: both thresholds are exact rank selections
+    (quantile_disc convention — elements of the data): quantity from
+    its bounded 1..50 histogram, price dollars via the bin-refine
+    passes (value_quantiles discipline); tail counts are one exact
+    integer pass; the two lambdas are mirrored rounded divisions.
+
+    Scale shape: histogram partials + Max (price range) + ONE refine
+    scan + ONE counting pass — all streaming, bounded partials per
+    block.  Output: one row (n, qx_hi, qy_hi, n_xhi, n_joint_hi,
+    lambda_upper, qx_lo, qy_lo, n_xlo, n_joint_lo, lambda_lower).
+    """
+    from ray.data.aggregate import Max as AggMax
+
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_quantity", "l_extendedprice"]
+    ).materialize()
+
+    def cols(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        x = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        y = np.floor(t["l_extendedprice"].to_numpy() + 0.5).astype(np.int64)
+        return x, y
+
+    # joint histogram pass: bounded qty grid + price max
+    def hpart(t: pa.Table) -> pa.Table:
+        x, y = cols(t)
+        u, c = np.unique(x, return_counts=True)
+        return pa.table(
+            {
+                "v": pa.array(u, type=pa.int64()),
+                "c": pa.array(c.astype(np.int64), type=pa.int64()),
+                "ymax": pa.array(np.full(len(u), int(y.max(initial=0)), dtype=np.int64)),
+            }
+        )
+
+    h = (
+        ds.map_batches(hpart, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"), AggMax("ymax", alias_name="ymax"))
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    n = int(h["c"].sum())
+    ymax = int(h["ymax"].max())
+    cum = h["c"].cumsum().to_numpy()
+
+    def disc_value(rank: int) -> int:
+        return int(h["v"][int(np.searchsorted(cum, rank))])
+
+    rk_hi = _disc_rank(q, n)
+    rk_lo = _disc_rank(1.0 - q, n)
+    qx_hi = disc_value(rk_hi)
+    qx_lo = disc_value(rk_lo)
+
+    # price quantiles via bin histogram + refine (exact rank selection)
+    width = ymax // CONF_BINS + 1
+
+    def ypart(t: pa.Table) -> pa.Table:
+        _, y = cols(t)
+        u, c = np.unique(y // width, return_counts=True)
+        return pa.table({"b": pa.array(u, type=pa.int64()), "c": pa.array(c.astype(np.int64))})
+
+    yh = (
+        ds.map_batches(ypart, batch_format="pyarrow").groupby("b").aggregate(Sum("c", alias_name="c"))
+        .to_pandas().sort_values("b").reset_index(drop=True)
+    )
+    ycum = yh["c"].cumsum().to_numpy()
+
+    def y_quantile(rank: int) -> int:
+        bi = int(np.searchsorted(ycum, rank))
+        target = int(yh["b"][bi])
+        below = int(ycum[bi - 1]) if bi > 0 else 0
+
+        def refine(t: pa.Table) -> pa.Table:
+            _, y = cols(t)
+            sel = y[y // width == target]
+            return pa.table({"v": pa.array(sel, type=pa.int64())})
+
+        vals = np.sort(ds.map_batches(refine, batch_format="pyarrow").to_pandas()["v"].to_numpy())
+        return int(vals[rank - below - 1])
+
+    qy_hi = y_quantile(rk_hi)
+    qy_lo = y_quantile(rk_lo)
+
+    # exact tail counting pass
+    def count_part(t: pa.Table) -> pa.Table:
+        x, y = cols(t)
+        vals = {
+            "n_xhi": int((x > qx_hi).sum()),
+            "n_jhi": int(((x > qx_hi) & (y > qy_hi)).sum()),
+            "n_xlo": int((x <= qx_lo).sum()),
+            "n_jlo": int(((x <= qx_lo) & (y <= qy_lo)).sum()),
+        }
+        return pa.table({"_g": pa.array([0], type=pa.int64())} | {k: pa.array([v], type=pa.int64()) for k, v in vals.items()})
+
+    c = (
+        ds.map_batches(count_part, batch_format="pyarrow").groupby("_g")
+        .aggregate(*[Sum(k, alias_name=k) for k in ("n_xhi", "n_jhi", "n_xlo", "n_jlo")])
+        .to_pandas()
+    )
+    n_xhi, n_jhi, n_xlo, n_jlo = (int(c[k][0]) for k in ("n_xhi", "n_jhi", "n_xlo", "n_jlo"))
+    lu = duckdb_round(np.array([n_jhi / max(n_xhi, 1)]), 6)
+    ll = duckdb_round(np.array([n_jlo / max(n_xlo, 1)]), 6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([n], type=pa.int64()),
+                "qx_hi": pa.array([qx_hi], type=pa.int64()),
+                "qy_hi": pa.array([qy_hi], type=pa.int64()),
+                "n_xhi": pa.array([n_xhi], type=pa.int64()),
+                "n_joint_hi": pa.array([n_jhi], type=pa.int64()),
+                "lambda_upper": pa.array(lu, type=pa.float64()),
+                "qx_lo": pa.array([qx_lo], type=pa.int64()),
+                "qy_lo": pa.array([qy_lo], type=pa.int64()),
+                "n_xlo": pa.array([n_xlo], type=pa.int64()),
+                "n_joint_lo": pa.array([n_jlo], type=pa.int64()),
+                "lambda_lower": pa.array(ll, type=pa.float64()),
+            }
+        )
+    )

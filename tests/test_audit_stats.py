@@ -516,3 +516,19 @@ def test_quantile_regression_orders_and_calibrates(ray_session):
     assert (preds[0.9] >= preds[0.5]).mean() > 0.95
     assert abs(fracs[0.5] - 0.5) < 0.05
     assert abs(fracs[0.9] - 0.9) < 0.05
+
+
+def test_isotonic_and_tail_dependence(ray_session):
+    iso = stats.isotonic_calibration(SF).to_pandas()
+    # monotone non-decreasing fitted rates; pooled mean preserved
+    r = iso["iso_rate"].to_numpy()
+    assert (np.diff(r) >= -1e-12).all()
+    total_pred = float((iso["n"] * iso["iso_rate"]).sum())
+    assert abs(total_pred - iso["n_returns"].sum()) < 1.0  # mean-preserving up to rounding
+    td = stats.tail_dependence(SF).to_pandas().iloc[0]
+    # quantiles are data elements; tails hold ~10% of rows
+    assert 0.05 < td["n_xhi"] / td["n"] < 0.15
+    assert 0.0 <= td["lambda_upper"] <= 1.0 and 0.0 <= td["lambda_lower"] <= 1.0
+    # synthetic TPC-H quantity/price are near-independent: both lambdas
+    # should sit near the 1-q = 0.1 baseline, far from comonotone 1.0
+    assert td["lambda_upper"] < 0.3 and td["lambda_lower"] < 0.3
