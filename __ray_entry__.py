@@ -482,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_regression": stats.quantile_regression,
         "isotonic_calibration": stats.isotonic_calibration,
         "tail_dependence": stats.tail_dependence,
+        "gmm_em": stats.gmm_em,
         "acf_hourly": windows.acf_hourly,
         "dtw_profiles": windows.dtw_profiles,
         "pacf_durbin": windows.pacf_durbin,
@@ -2445,6 +2446,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "spectral_partition": f"SELECT * FROM read_parquet('{golden.spectral_partition_path(SF001)}')",
         "quantile_regression": f"SELECT * FROM read_parquet('{golden.quantile_regression_path(SF001)}')",
         "isotonic_calibration": f"SELECT * FROM read_parquet('{golden.isotonic_calibration_path(SF001)}')",
+        "gmm_em": f"SELECT * FROM read_parquet('{golden.gmm_em_path(SF001)}')",
         "logistic_newton": f"SELECT * FROM read_parquet('{golden.logistic_newton_path(SF001)}')",
         "mst_boruvka": f"SELECT * FROM read_parquet('{golden.mst_boruvka_path()}')",
         "tsp_tours": f"SELECT * FROM read_parquet('{golden.tsp_tours_path()}')",

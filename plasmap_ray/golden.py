@@ -6672,3 +6672,48 @@ def isotonic_calibration_path(sf_dir: str) -> str:
         )
 
     return _cache(f"isotonic_{_sf_tag(sf_dir)}", build)
+
+
+def gmm_em_path(sf_dir: str) -> str:
+    """Golden GMM-EM recompute (local, no Ray): identical quantized
+    iteration over the whole column (logistic_newton golden
+    convention), init from the same exact rank-selected quartiles."""
+
+    def build() -> pa.Table:
+        from .pipelines.stats import GMM_FP, GMM_ITERS, _disc_rank, _gmm_partial
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"])
+        y = np.floor(t["l_extendedprice"].to_numpy() + 0.5).astype(np.int64)
+        n = len(y)
+        ys = np.sort(y)
+        q25 = int(ys[_disc_rank(0.25, n) - 1])
+        q75 = int(ys[_disc_rank(0.75, n) - 1])
+        params = (0.5, float(np.log(q25)), 1.0, 0.5, float(np.log(q75)), 1.0)
+        fp = float(GMM_FP)
+        loglik = 0.0
+        for _ in range(GMM_ITERS):
+            s = [int(v) for v in _gmm_partial(t, params)]
+            n1, sx1, sxx1 = s[0] / fp, s[1] / fp, s[2] / fp
+            n2, sx2, sxx2 = s[3] / fp, s[4] / fp, s[5] / fp
+            loglik = s[6] / fp / n
+            mu1, mu2 = sx1 / n1, sx2 / n2
+            v1 = max(sxx1 / n1 - mu1 * mu1, 1e-6)
+            v2 = max(sxx2 / n2 - mu2 * mu2, 1e-6)
+            params = (n1 / n, mu1, float(np.sqrt(v1)), n2 / n, mu2, float(np.sqrt(v2)))
+        w1, mu1, s1, w2, mu2, s2 = params
+        return pa.table(
+            {
+                "component": pa.array([1, 2], type=pa.int64()),
+                "weight": pa.array(duckdb_round(np.array([w1, w2]), 6), type=pa.float64()),
+                "mu": pa.array(duckdb_round(np.array([mu1, mu2]), 6), type=pa.float64()),
+                "sigma": pa.array(duckdb_round(np.array([s1, s2]), 6), type=pa.float64()),
+                "loglik_per_row": pa.array(
+                    duckdb_round(np.array([loglik, loglik]), 6), type=pa.float64()
+                ),
+            }
+        )
+
+    from .pipelines.stats import GMM_ITERS as _gmm_iters
+
+    return _cache(f"gmm_em_{_sf_tag(sf_dir)}_i{_gmm_iters}", build)

@@ -2919,3 +2919,149 @@ def tail_dependence(sf_dir: str, q: float = TAIL_Q) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# gmm_em (two-component Gaussian mixture on log price)
+# ---------------------------------------------------------------------------
+
+GMM_ITERS = 25
+GMM_FP = np.int64(1) << np.int64(30)
+
+
+def _gmm_partial(t: pa.Table, params: tuple) -> np.ndarray:
+    """Exact int64 E+M partial for one batch at the CURRENT params:
+    [sr1, sr1x, sr1xx, sr2, sr2x, sr2xx, loglik, n] with every
+    per-row float term quantized pre-sum (order-proof)."""
+    w1, mu1, s1, w2, mu2, s2 = params
+    y = np.floor(t["l_extendedprice"].to_numpy() + 0.5)
+    x = np.log(y)
+    fp = float(GMM_FP)
+    q = lambda v: np.floor(v * fp + 0.5).astype(np.int64)  # noqa: E731
+
+    def dens(mu, s):
+        return np.exp(-0.5 * ((x - mu) / s) ** 2) / (s * np.sqrt(2.0 * np.pi))
+
+    p1 = w1 * dens(mu1, s1)
+    p2 = w2 * dens(mu2, s2)
+    tot = np.maximum(p1 + p2, 1e-300)
+    r1 = p1 / tot
+    r2 = 1.0 - r1
+    out = np.empty(8, dtype=np.int64)
+    out[0] = q(r1).sum()
+    out[1] = q(r1 * x).sum()
+    out[2] = q(r1 * x * x).sum()
+    out[3] = q(r2).sum()
+    out[4] = q(r2 * x).sum()
+    out[5] = q(r2 * x * x).sum()
+    out[6] = q(np.log(tot)).sum()
+    out[7] = len(x)
+    return out
+
+
+def gmm_em(sf_dir: str, iters: int = GMM_ITERS) -> rd.Dataset:
+    """Two-component Gaussian mixture of ln(extendedprice) by
+    distributed EM — the soft-clustering / density-modeling canon
+    (is the price distribution one population or two?), rounding out
+    the "iterative learning as repeated aggregation" family beside
+    k-means (hard assignments), logistic (supervised) and pinball
+    IRLS (quantiles).
+
+    Each EM iteration is ONE streaming pass emitting an 8-int64
+    order-proof partial (responsibilities and their moments quantized
+    to 2^-30 pre-sum); M-step closed forms run on the exact global
+    sums.  Deterministic init — mu at the exact 25th/75th percentile
+    dollars (rank selection on the bounded histogram), sigma 1,
+    weights 1/2 — and FIXED iterations make the whole trajectory
+    bit-stable (golden replays it locally).
+
+    Output: (component, weight, mu, sigma, loglik_per_row).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
+    ).materialize()
+
+    # deterministic init: exact q25/q75 dollars via bin-refine
+    def hmax(t: pa.Table) -> pa.Table:
+        y = np.floor(t["l_extendedprice"].to_numpy() + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "_g": pa.array([0], type=pa.int64()),
+                "m": pa.array([int(y.max(initial=0))], type=pa.int64()),
+                "n": pa.array([len(y)], type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max as AggMax
+
+    mm = (
+        ds.map_batches(hmax, batch_format="pyarrow").groupby("_g")
+        .aggregate(AggMax("m", alias_name="m"), Sum("n", alias_name="n")).to_pandas()
+    )
+    ymax, n = int(mm["m"][0]), int(mm["n"][0])
+    width = ymax // CONF_BINS + 1
+
+    def hist(t: pa.Table) -> pa.Table:
+        y = np.floor(t["l_extendedprice"].to_numpy() + 0.5).astype(np.int64)
+        u, c = np.unique(y // width, return_counts=True)
+        return pa.table({"b": pa.array(u, type=pa.int64()), "c": pa.array(c.astype(np.int64))})
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow").groupby("b").aggregate(Sum("c", alias_name="c"))
+        .to_pandas().sort_values("b").reset_index(drop=True)
+    )
+    cum = h["c"].cumsum().to_numpy()
+
+    def rank_value(rank: int) -> int:
+        bi = int(np.searchsorted(cum, rank))
+        target = int(h["b"][bi])
+        below = int(cum[bi - 1]) if bi > 0 else 0
+
+        def refine(t: pa.Table) -> pa.Table:
+            y = np.floor(t["l_extendedprice"].to_numpy() + 0.5).astype(np.int64)
+            return pa.table({"v": pa.array(y[y // width == target], type=pa.int64())})
+
+        vals = np.sort(ds.map_batches(refine, batch_format="pyarrow").to_pandas()["v"].to_numpy())
+        return int(vals[rank - below - 1])
+
+    q25 = rank_value(_disc_rank(0.25, n))
+    q75 = rank_value(_disc_rank(0.75, n))
+    params = (0.5, float(np.log(q25)), 1.0, 0.5, float(np.log(q75)), 1.0)
+    fp = float(GMM_FP)
+    loglik = 0.0
+    for _ in range(iters):
+        def partial(t: pa.Table, params=params) -> pa.Table:
+            v = _gmm_partial(t, params)
+            return pa.table(
+                {"_g": pa.array([0], type=pa.int64())}
+                | {f"c{i}": pa.array([int(v[i])], type=pa.int64()) for i in range(8)}
+            )
+
+        agg = (
+            ds.map_batches(partial, batch_format="pyarrow").groupby("_g")
+            .aggregate(*[Sum(f"c{i}", alias_name=f"c{i}") for i in range(8)]).to_pandas()
+        )
+        s = [int(agg[f"c{i}"][0]) for i in range(8)]
+        n1, sx1, sxx1 = s[0] / fp, s[1] / fp, s[2] / fp
+        n2, sx2, sxx2 = s[3] / fp, s[4] / fp, s[5] / fp
+        loglik = s[6] / fp / n
+        mu1, mu2 = sx1 / n1, sx2 / n2
+        v1 = max(sxx1 / n1 - mu1 * mu1, 1e-6)
+        v2 = max(sxx2 / n2 - mu2 * mu2, 1e-6)
+        params = (n1 / n, mu1, float(np.sqrt(v1)), n2 / n, mu2, float(np.sqrt(v2)))
+    w1, mu1, s1, w2, mu2, s2 = params
+    return rd.from_arrow(
+        pa.table(
+            {
+                "component": pa.array([1, 2], type=pa.int64()),
+                "weight": pa.array(duckdb_round(np.array([w1, w2]), 6), type=pa.float64()),
+                "mu": pa.array(duckdb_round(np.array([mu1, mu2]), 6), type=pa.float64()),
+                "sigma": pa.array(duckdb_round(np.array([s1, s2]), 6), type=pa.float64()),
+                "loglik_per_row": pa.array(
+                    duckdb_round(np.array([loglik, loglik]), 6), type=pa.float64()
+                ),
+            }
+        )
+    )

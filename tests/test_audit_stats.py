@@ -532,3 +532,17 @@ def test_isotonic_and_tail_dependence(ray_session):
     # synthetic TPC-H quantity/price are near-independent: both lambdas
     # should sit near the 1-q = 0.1 baseline, far from comonotone 1.0
     assert td["lambda_upper"] < 0.3 and td["lambda_lower"] < 0.3
+
+
+def test_gmm_em_is_a_proper_mixture(ray_session):
+    out = stats.gmm_em(SF).to_pandas()
+    assert len(out) == 2
+    assert abs(out["weight"].sum() - 1.0) < 1e-6
+    assert (out["sigma"] > 0).all()
+    # log-likelihood must beat a single-Gaussian fit (more parameters,
+    # same family nested inside)
+    t = pq.read_table(os.path.join(SF, "lineitem.parquet"), columns=["l_extendedprice"])
+    x = np.log(np.floor(t["l_extendedprice"].to_numpy() + 0.5))
+    mu, sd = x.mean(), x.std()
+    single = float(np.mean(-0.5 * ((x - mu) / sd) ** 2 - np.log(sd * np.sqrt(2 * np.pi))))
+    assert out["loglik_per_row"].iloc[0] >= single - 1e-6
