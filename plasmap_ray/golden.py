@@ -6717,3 +6717,70 @@ def gmm_em_path(sf_dir: str) -> str:
     from .pipelines.stats import GMM_ITERS as _gmm_iters
 
     return _cache(f"gmm_em_{_sf_tag(sf_dir)}_i{_gmm_iters}", build)
+
+
+def lof_outliers_path(sf_dir: str, radius: float | None = None) -> str:
+    """Golden LOF recompute (local, no Ray): per-point brute force over
+    the SAME 3x3-cell candidate contract — full pairwise numpy per
+    point vs the engine's distributed top-k combiner/joins; identical
+    integers by the fixed-point pins."""
+
+    def build() -> pa.Table:
+        from . import fixtures
+        from .pipelines.hotspot import LOF_K, LOF_RADIUS, LRD_FP
+
+        rad = radius if radius is not None else LOF_RADIUS
+        from .pipelines.trajectory import FP_SCALE
+        from .stages.common import duckdb_round
+
+        ids = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])[
+            "event_id"
+        ].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        k = LOF_K
+        cx = np.floor((lon - fixtures.LON_MIN) / rad).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / rad).astype(np.int64)
+        cell = {}
+        for i in range(len(ids)):
+            cell.setdefault((int(cx[i]), int(cy[i])), []).append(i)
+        knn: dict[int, list] = {}
+        for i in range(len(ids)):
+            cands = []
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    cands.extend(cell.get((int(cx[i]) + dx, int(cy[i]) + dy), ()))
+            cands = np.array([c for c in cands if c != i], dtype=np.int64)
+            d2 = (lon[cands] - lon[i]) ** 2 + (lat[cands] - lat[i]) ** 2
+            m = d2 <= rad * rad
+            cands, d2 = cands[m], d2[m]
+            if len(cands) < k:
+                continue
+            dfp = np.floor(np.sqrt(d2) * FP_SCALE + 0.5).astype(np.int64)
+            order = np.lexsort((ids[cands], dfp))[:k]
+            knn[int(ids[i])] = [(int(dfp[j]), int(ids[cands[j]])) for j in order]
+        kdist = {p: max(d for d, _ in nb) for p, nb in knn.items()}
+        lrd = {}
+        for p, nb in knn.items():
+            if any(o not in kdist for _, o in nb):
+                continue
+            sr = sum(max(d, kdist[o]) for d, o in nb)
+            lrd[p] = (k * int(LRD_FP)) // max(sr, 1)
+        rows = {"event_id": [], "kdist_fp": [], "lrd_fp": [], "lof": []}
+        for p, nb in knn.items():
+            if p not in lrd or any(o not in lrd for _, o in nb):
+                continue
+            s = sum(lrd[o] for _, o in nb)
+            rows["event_id"].append(p)
+            rows["kdist_fp"].append(kdist[p])
+            rows["lrd_fp"].append(lrd[p])
+            rows["lof"].append(s / (k * lrd[p]))
+        return pa.table(
+            {
+                "event_id": pa.array(rows["event_id"], type=pa.int64()),
+                "kdist_fp": pa.array(rows["kdist_fp"], type=pa.int64()),
+                "lrd_fp": pa.array(rows["lrd_fp"], type=pa.int64()),
+                "lof": pa.array(duckdb_round(np.asarray(rows["lof"]), 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"lof_{_sf_tag(sf_dir)}_r{radius if radius is not None else 'def'}", build)

@@ -4240,3 +4240,243 @@ def moran_correlogram(sf_dir: str, eps: float = GI_EPS, bands: int = CORR_BANDS)
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# lof_outliers (Local Outlier Factor — the density-outlier canon)
+# ---------------------------------------------------------------------------
+
+LOF_K = 5
+LOF_RADIUS = 0.02  # candidate bound: 99% of events have >= k neighbors inside
+LRD_FP = np.int64(10**15)
+
+
+def lof_outliers(sf_dir: str, k: int = LOF_K, radius: float = LOF_RADIUS, num_partitions: int = 8) -> rd.Dataset:
+    """Local Outlier Factor (Breunig et al. 2000) over the event
+    point cloud — the density-RELATIVE outlier score that a global
+    threshold (iqr/mad/hbos) cannot give: a point is anomalous if its
+    local density is low COMPARED TO its neighbors', so sparse-region
+    points surrounded by equally sparse neighbors score ~1 while a
+    point just outside a tight cluster scores >> 1.
+
+    Deterministic variant, pinned for oracle-exactness: the kNN set is
+    the exact k smallest (dist_fp, neighbor_id) pairs among candidates
+    within ``radius`` (bucket-join contract); points with fewer than k
+    in-radius neighbors — or whose neighbors lack full neighborhoods —
+    drop out (the "core subgraph" contract, documented; 99% of the
+    fixture qualifies).  reach-dist, lrd (fixed-point 1e15) and the
+    final LOF ratio are exact integer operations with ONE rounded
+    division at the end.
+
+    Scale shape: the nearest_neighbor bucket join (pitch-radius cells,
+    3x3 probe) with a per-batch top-k combiner -> per-event top-k
+    reduce; then THREE bounded exchanges on (point, neighbor) keys:
+    k-distance attach, reach-sum fold, lrd attach + LOF fold — each a
+    hash join + keyed Sum over k·N rows, never candidates.
+
+    Output: (event_id, kdist_fp, lrd_fp, lof) — lof rounded 6.
+    """
+    from .trajectory import FP_SCALE
+
+    ds = _read_events(sf_dir, ["event_id"])
+
+    def keyed(t: pa.Table, side: str) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        lon, lat = fixtures.derive_lon(ids), fixtures.derive_lat(ids)
+        cx = np.floor((lon - fixtures.LON_MIN) / radius).astype(np.int64)
+        cy = np.floor((lat - fixtures.LAT_MIN) / radius).astype(np.int64)
+        return pa.table(
+            {
+                f"id_{side}": t["event_id"],
+                f"lon_{side}": pa.array(lon, type=pa.float64()),
+                f"lat_{side}": pa.array(lat, type=pa.float64()),
+                "cx": pa.array(cx, type=pa.int64()),
+                "cy": pa.array(cy, type=pa.int64()),
+            }
+        )
+
+    def own_key(t: pa.Table) -> pa.Table:
+        ck = (t["cx"].to_numpy() + 1) * (1 << 21) + (t["cy"].to_numpy() + 1)
+        return t.drop_columns(["cx", "cy"]).append_column("ck", pa.array(ck, type=pa.int64()))
+
+    def probe_expand(t: pa.Table) -> pa.Table:
+        cx, cy = t["cx"].to_numpy(), t["cy"].to_numpy()
+        t = t.drop_columns(["cx", "cy"])
+        out = []
+        for dx, dy in _FULL_2D:
+            ck = (cx + dx + 1) * (1 << 21) + (cy + dy + 1)
+            out.append(t.append_column("ck", pa.array(ck, type=pa.int64())))
+        return pa.concat_tables(out)
+
+    import functools as _ft
+
+    build = ds.map_batches(_ft.partial(keyed, side="b"), batch_format="pyarrow").map_batches(
+        own_key, batch_format="pyarrow"
+    )
+    probe = ds.map_batches(_ft.partial(keyed, side="a"), batch_format="pyarrow").map_batches(
+        probe_expand, batch_format="pyarrow"
+    )
+    cand = safe_join(probe, build, join_type="inner", num_partitions=num_partitions, on=("ck",))
+    r2 = radius * radius
+
+    def _topk(ia, ib, dfp):
+        order = np.lexsort((ib, dfp, ia))
+        ia, ib, dfp = ia[order], ib[order], dfp[order]
+        if len(ia) == 0:
+            return ia, ib, dfp
+        first = np.concatenate([[True], np.diff(ia) != 0])
+        gidx = np.cumsum(first) - 1
+        starts = np.nonzero(first)[0]
+        within = np.arange(len(ia)) - starts[gidx]
+        keep = within < k
+        return ia[keep], ib[keep], dfp[keep]
+
+    def topk_batch(t: pa.Table) -> pa.Table:
+        ia = np.asarray(t["id_a"].to_numpy(), np.int64)
+        ib = np.asarray(t["id_b"].to_numpy(), np.int64)
+        dlon = t["lon_b"].to_numpy() - t["lon_a"].to_numpy()
+        dlat = t["lat_b"].to_numpy() - t["lat_a"].to_numpy()
+        d2 = dlon * dlon + dlat * dlat
+        m = (ia != ib) & (d2 <= r2)
+        ia, ib, d2 = ia[m], ib[m], d2[m]
+        dfp = np.floor(np.sqrt(d2) * FP_SCALE + 0.5).astype(np.int64)
+        ia, ib, dfp = _topk(ia, ib, dfp)
+        return pa.table(
+            {
+                "p": pa.array(ia, type=pa.int64()),
+                "o": pa.array(ib, type=pa.int64()),
+                "d": pa.array(dfp, type=pa.int64()),
+                "part": pa.array(ia % num_partitions, type=pa.int64()),
+            }
+        )
+
+    def topk_reduce(g: pa.Table) -> pa.Table:
+        ia, ib, dfp = _topk(g["p"].to_numpy(), g["o"].to_numpy(), g["d"].to_numpy())
+        return pa.table(
+            {
+                "p": pa.array(ia, type=pa.int64()),
+                "o": pa.array(ib, type=pa.int64()),
+                "d": pa.array(dfp, type=pa.int64()),
+            }
+        )
+
+    knn = (
+        cand.map_batches(topk_batch, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(topk_reduce, batch_format="pyarrow")
+        .repartition(num_partitions)  # densify: sparse groups leave schema-less empty blocks
+        .materialize()
+    )
+    from ray.data.aggregate import Max as AggMax
+
+    kd = (
+        knn.groupby("p")
+        .aggregate(AggMax("d", alias_name="kdist"), Count(alias_name="nk"))
+        .filter(expr=f"nk == {k}")
+        .drop_columns(["nk"])
+        .repartition(4)  # densify: filter leaves 0-row blocks that poison later joins
+        .materialize()
+    )
+    if kd.count() == 0:
+        # radius too small for the point density: no point has k
+        # in-radius neighbors — typed empty result (safe_join's
+        # ALL-empty guard contract)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "kdist_fp": pa.array([], type=pa.int64()),
+                    "lrd_fp": pa.array([], type=pa.int64()),
+                    "lof": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    # reach-dist: pair (p,o) with o's kdist
+    reach = safe_join(
+        knn,
+        kd.map_batches(
+            lambda t: pa.table({"op": t["p"], "okd": t["kdist"]}), batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o",),
+        right_on=("op",),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "p": t["p"],
+                "o": t["o"],
+                "reach": pa.array(
+                    np.maximum(t["d"].to_numpy(), t["okd"].to_numpy()), type=pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    lrd = (
+        reach.groupby("p")
+        .aggregate(Sum("reach", alias_name="sum_reach"), Count(alias_name="nk"))
+        .filter(expr=f"nk == {k}")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "p": t["p"],
+                    "lrd_fp": pa.array(
+                        (int(k) * LRD_FP) // np.maximum(t["sum_reach"].to_numpy(), 1),
+                        type=pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(4)  # densify (same 0-row-block guard)
+        .materialize()
+    )
+    nbr_lrd = safe_join(
+        knn,
+        lrd.map_batches(lambda t: pa.table({"op": t["p"], "olrd": t["lrd_fp"]}), batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o",),
+        right_on=("op",),
+    )
+    folded = (
+        nbr_lrd.groupby("p")
+        .aggregate(Sum("olrd", alias_name="sum_olrd"), Count(alias_name="nk"))
+        .filter(expr=f"nk == {k}")
+    )
+    both = safe_join(
+        folded,
+        lrd.map_batches(lambda t: pa.table({"pp": t["p"], "plrd": t["lrd_fp"]}), batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("p",),
+        right_on=("pp",),
+    )
+    out = safe_join(
+        both,
+        kd.map_batches(lambda t: pa.table({"pk": t["p"], "kdist_fp": t["kdist"]}), batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("p",),
+        right_on=("pk",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        from ..stages.common import duckdb_round
+
+        lof = duckdb_round(
+            t["sum_olrd"].to_numpy().astype(np.float64)
+            / (float(k) * t["plrd"].to_numpy().astype(np.float64)),
+            6,
+        )
+        return pa.table(
+            {
+                "event_id": t["p"],
+                "kdist_fp": t["kdist_fp"],
+                "lrd_fp": t["plrd"],
+                "lof": pa.array(lof, type=pa.float64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
