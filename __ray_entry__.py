@@ -558,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_harris_corners": images.image_harris_corners,
         "image_border_detect": images.image_border_detect,
         "image_hough_lines": images.image_hough_lines,
+        "image_glcm": images.image_glcm,
         "image_channel_correlation": images.image_channel_correlation,
         "image_blob_count": images.image_blob_count,
         "image_orientation_histogram": images.image_orientation_histogram,
@@ -2349,6 +2350,7 @@ FROM {img_pq} GROUP BY fmt ORDER BY fmt""",
         "image_harris_corners": f"SELECT * FROM read_parquet('{golden.image_harris_corners_path(images.images_path_for(SF001))}')",
         "image_border_detect": f"SELECT * FROM read_parquet('{golden.image_border_detect_path(images.images_path_for(SF001))}')",
         "image_hough_lines": f"SELECT * FROM read_parquet('{golden.image_hough_lines_path(images.images_path_for(SF001))}')",
+        "image_glcm": f"SELECT * FROM read_parquet('{golden.image_glcm_path(images.images_path_for(SF001))}')",
         "image_channel_correlation": f"SELECT * FROM read_parquet('{golden.image_channel_corr_path(images.images_path_for(SF001))}')",
         "image_blob_count": f"SELECT * FROM read_parquet('{golden.image_blob_count_path(images.images_path_for(SF001))}')",
         "image_orientation_histogram": f"SELECT * FROM read_parquet('{golden.image_orientation_path(images.images_path_for(SF001))}')",

@@ -6784,3 +6784,53 @@ def lof_outliers_path(sf_dir: str, radius: float | None = None) -> str:
         )
 
     return _cache(f"lof_{_sf_tag(sf_dir)}_r{radius if radius is not None else 'def'}", build)
+
+
+def image_glcm_path(images_parquet: str) -> str:
+    """Expected GLCM census: bincount over packed (a·16+b) keys vs the
+    engine's 2-D add.at — independent accumulation, equal integers."""
+
+    def build() -> pa.Table:
+        from . import codecs
+        from .stages.common import duckdb_round
+        from .stages.media import GLCMTexture
+
+        t = pq.read_table(images_parquet, columns=["image_id", "bytes", "w", "h", "fmt"])
+        lv = int(GLCMTexture.LEVELS)
+        rows = {k: [] for k in ("image_id", "fmt", "ok", "n_pairs", "contrast", "energy", "n_diag")}
+        for i in range(t.num_rows):
+            px = codecs.decode_image(
+                t["bytes"][i].as_py(), t["w"][i].as_py(), t["h"][i].as_py(), t["fmt"][i].as_py()
+            )
+            g = px.astype(np.int64).sum(axis=2)
+            q = g * lv // 766
+            a = q[:, :-1].ravel()
+            b = q[:, 1:].ravel()
+            flat = np.bincount(a * lv + b, minlength=lv * lv).reshape(lv, lv)
+            ii, jj = np.mgrid[0:lv, 0:lv]
+            rows["image_id"].append(t["image_id"][i].as_py())
+            rows["fmt"].append(t["fmt"][i].as_py())
+            rows["ok"].append(True)
+            rows["n_pairs"].append(int(flat.sum()))
+            rows["contrast"].append(int((flat * (ii - jj) ** 2).sum()))
+            rows["energy"].append(int((flat * flat).sum()))
+            rows["n_diag"].append(int(np.trace(flat)))
+        hr = duckdb_round(
+            np.asarray(rows["n_diag"], dtype=np.float64)
+            / np.maximum(np.asarray(rows["n_pairs"], dtype=np.float64), 1.0),
+            6,
+        )
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], type=pa.string()),
+                "fmt": pa.array(rows["fmt"], type=pa.string()),
+                "ok": pa.array(rows["ok"]),
+                "n_pairs": pa.array(rows["n_pairs"], type=pa.int64()),
+                "contrast": pa.array(rows["contrast"], type=pa.int64()),
+                "energy": pa.array(rows["energy"], type=pa.int64()),
+                "n_diag": pa.array(rows["n_diag"], type=pa.int64()),
+                "homogeneity_ratio": pa.array(hr, type=pa.float64()),
+            }
+        )
+
+    return _cache(f"image_glcm_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)

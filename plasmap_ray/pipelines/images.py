@@ -2776,3 +2776,37 @@ def image_hough_lines(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(
         media.HoughLines, batch_format="pyarrow", batch_size=128, concurrency=(1, 8)
     )
+
+
+def image_glcm(sf_dir: str) -> rd.Dataset:
+    """Per-image GLCM texture census (stages.media.GLCMTexture):
+    Haralick contrast / energy / diagonal mass over the 16-level
+    horizontal co-occurrence matrix — the between-pixels structure
+    view the histogram, gradient and frequency audits miss.
+
+    Scale shape: map-ONLY actor-pool pass, decode fused with the
+    integer co-occurrence accumulation; payloads consumed in-stage,
+    four int64s + metadata + one rounded ratio per image.  Oracle:
+    golden recompute accumulating the GLCM with a bincount over
+    packed (a*16+b) keys (vs the engine's 2-D add.at).
+
+    Output: (image_id, fmt, ok, n_pairs, contrast, energy, n_diag,
+    homogeneity_ratio = n_diag / n_pairs rounded 6).
+    """
+    from ..stages import media
+    from ..stages.common import duckdb_round
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    scored = ds.map_batches(
+        media.GLCMTexture, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        hr = duckdb_round(
+            t["n_diag"].to_numpy().astype(np.float64)
+            / np.maximum(t["n_pairs"].to_numpy().astype(np.float64), 1.0),
+            6,
+        )
+        return t.append_column("homogeneity_ratio", pa.array(hr, type=pa.float64()))
+
+    return scored.map_batches(finish, batch_format="pyarrow")

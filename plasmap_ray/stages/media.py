@@ -1366,3 +1366,62 @@ class HoughLines:
                 "best_votes": pa.array(best_v, type=pa.int64()),
             }
         )
+
+
+class GLCMTexture:
+    """Actor-pool stage: per-image gray-level co-occurrence (GLCM)
+    texture features — the Haralick census run exactly: quantize gray
+    to 16 levels, count horizontal neighbor pairs (offset (0,1)),
+    and report contrast Σ n_ij (i−j)², homogeneity-numerator and
+    energy Σ n_ij² as EXACT integers (the usual normalized float
+    features are these divided by the pair count — one rounded
+    division downstream keeps everything else integral).
+
+    Texture is the between-pixels structure that the histogram
+    (entropy), gradient (blur/edges) and frequency (DCT) views all
+    miss: a checkerboard and a smooth ramp can share all three yet
+    differ maximally here.
+    """
+
+    LEVELS = 16
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        w = batch["w"].to_numpy()
+        h = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        lv = int(self.LEVELS)
+        contrast = np.zeros(n, dtype=np.int64)
+        energy = np.zeros(n, dtype=np.int64)
+        n_pairs = np.zeros(n, dtype=np.int64)
+        diag = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                px = codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
+                g = px.astype(np.int64).sum(axis=2)  # 0..765
+                q = g * lv // 766  # exact integer quantization to 0..15
+                a = q[:, :-1].ravel()
+                b = q[:, 1:].ravel()
+                glcm = np.zeros((lv, lv), dtype=np.int64)
+                np.add.at(glcm, (a, b), 1)
+                ii, jj = np.mgrid[0:lv, 0:lv]
+                contrast[i] = int((glcm * (ii - jj) ** 2).sum())
+                energy[i] = int((glcm * glcm).sum())
+                n_pairs[i] = int(glcm.sum())
+                diag[i] = int(np.trace(glcm))
+                ok[i] = True
+            except Exception:  # noqa: BLE001 — bad rows flagged, not fatal (M9)
+                pass
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "fmt": batch["fmt"],
+                "ok": pa.array(ok),
+                "n_pairs": pa.array(n_pairs, type=pa.int64()),
+                "contrast": pa.array(contrast, type=pa.int64()),
+                "energy": pa.array(energy, type=pa.int64()),
+                "n_diag": pa.array(diag, type=pa.int64()),
+            }
+        )

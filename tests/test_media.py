@@ -1421,3 +1421,36 @@ def test_hough_lines_sees_a_drawn_line(ray_session):
     assert out.loc["line", "n_lines"] >= 1
     assert out.loc["line", "best_votes"] >= 24  # most of the 32-px row votes together
     assert out.loc["blank", "n_edge_px"] == 0 and out.loc["blank", "n_lines"] == 0
+
+
+def test_glcm_checkerboard_vs_flat(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from plasmap_ray import codecs
+    from plasmap_ray.stages.media import GLCMTexture
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    board = (((yy + xx) % 2) * 255).astype(np.uint8)
+    board = np.stack([board] * 3, axis=2)
+    flat = np.full((16, 16, 3), 100, dtype=np.uint8)
+    batch = pa.table(
+        {
+            "image_id": pa.array(["board", "flat"]),
+            "bytes": pa.array(
+                [codecs.encode_image(board, "raw"), codecs.encode_image(flat, "raw")],
+                type=pa.binary(),
+            ),
+            "w": pa.array([16, 16], type=pa.int32()),
+            "h": pa.array([16, 16], type=pa.int32()),
+            "fmt": pa.array(["raw", "raw"]),
+        }
+    )
+    out = GLCMTexture()(batch).to_pandas().set_index("image_id")
+    # 1px checkerboard: EVERY horizontal pair crosses levels -> max contrast, zero diagonal
+    assert out.loc["board", "n_diag"] == 0
+    assert out.loc["board", "contrast"] == out.loc["board", "n_pairs"] * 15**2
+    # flat: everything on the diagonal, zero contrast, energy = n_pairs^2
+    assert out.loc["flat", "contrast"] == 0
+    assert out.loc["flat", "n_diag"] == out.loc["flat", "n_pairs"]
+    assert out.loc["flat", "energy"] == out.loc["flat", "n_pairs"] ** 2
