@@ -487,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acf_hourly": windows.acf_hourly,
         "dtw_profiles": windows.dtw_profiles,
         "pacf_durbin": windows.pacf_durbin,
+        "granger_causality": windows.granger_causality,
         "ccf_event_types": windows.ccf_event_types,
         "dau_wau_ratio": windows.dau_wau_ratio,
         "binseg_changepoints": windows.binseg_changepoints,
@@ -2445,6 +2446,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "pagerank": f"SELECT * FROM read_parquet('{golden.pagerank_path()}')",
         "dtw_profiles": f"SELECT * FROM read_parquet('{golden.dtw_profiles_path(SF001)}')",
         "pacf_durbin": f"SELECT * FROM read_parquet('{golden.pacf_durbin_path(SF001)}')",
+        "granger_causality": f"SELECT * FROM read_parquet('{golden.granger_causality_path(SF001)}')",
         "first_passage_time": f"SELECT * FROM read_parquet('{golden.first_passage_time_path(SF001)}')",
         "spectral_partition": f"SELECT * FROM read_parquet('{golden.spectral_partition_path(SF001)}')",
         "quantile_regression": f"SELECT * FROM read_parquet('{golden.quantile_regression_path(SF001)}')",

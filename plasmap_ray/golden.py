@@ -6834,3 +6834,55 @@ def image_glcm_path(images_parquet: str) -> str:
         )
 
     return _cache(f"image_glcm_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build)
+
+
+def granger_causality_path(sf_dir: str) -> str:
+    """Golden Granger recompute (local, no Ray): DuckDB hourly counts,
+    the SAME big-int Cramer fits (sums are exact, so any faithful
+    implementation reproduces the bits)."""
+
+    def build() -> pa.Table:
+        import duckdb
+
+        from .pipelines.windows import GRANGER_PAIR, _granger_fit
+        from .stages.common import duckdb_round
+
+        pair = GRANGER_PAIR
+        con = duckdb.connect()
+        df = con.execute(
+            f"""
+            SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM read_parquet('{os.path.join(sf_dir, "events.parquet")}')
+            WHERE event_type IN ('{pair[0]}', '{pair[1]}')
+            GROUP BY 1, 2
+            """
+        ).fetchdf()
+        lo, hi = int(df["h"].min()), int(df["h"].max())
+        series = {}
+        for ty in pair:
+            v = np.zeros(hi - lo + 1, dtype=np.int64)
+            sub = df[df["event_type"] == ty]
+            v[sub["h"].to_numpy().astype(np.int64) - lo] = sub["n"].to_numpy().astype(np.int64)
+            series[ty] = v
+        rows = {"cause": [], "effect": [], "n_obs": [], "rss_r": [], "rss_u": [], "f_stat": []}
+        for cause, effect in ((pair[1], pair[0]), (pair[0], pair[1])):
+            n, rss_r, rss_u, f = _granger_fit(series[effect], series[cause])
+            rows["cause"].append(cause)
+            rows["effect"].append(effect)
+            rows["n_obs"].append(n)
+            rows["rss_r"].append(rss_r)
+            rows["rss_u"].append(rss_u)
+            rows["f_stat"].append(f)
+        return pa.table(
+            {
+                "cause": pa.array(rows["cause"], type=pa.string()),
+                "effect": pa.array(rows["effect"], type=pa.string()),
+                "n_obs": pa.array(rows["n_obs"], type=pa.int64()),
+                "rss_r": pa.array(duckdb_round(np.array(rows["rss_r"]), 6), type=pa.float64()),
+                "rss_u": pa.array(duckdb_round(np.array(rows["rss_u"]), 6), type=pa.float64()),
+                "f_stat": pa.array(duckdb_round(np.array(rows["f_stat"]), 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"granger_{_sf_tag(sf_dir)}", build)

@@ -2739,3 +2739,130 @@ def _acf_pacf_from_series(dense: np.ndarray, max_lag: int) -> tuple[np.ndarray, 
         pacf[k - 1] = phi_kk
         phi_prev = phi
     return r[1:], pacf
+
+
+# ---------------------------------------------------------------------------
+# granger_causality (lagged-predictability test between event streams)
+# ---------------------------------------------------------------------------
+
+GRANGER_PAIR = ("purchase", "view")
+
+
+def _granger_fit(x: np.ndarray, y: np.ndarray) -> tuple:
+    """Restricted (x_t ~ 1 + x_{t-1}) vs unrestricted (+ y_{t-1}) OLS
+    on EXACT integer sums (2x2 / 3x3 Cramer with Python big-ints),
+    RSS via the sum identity at the optimum — all floats mirrored.
+    Returns (n_obs, rss_r, rss_u, f_stat)."""
+    xt = x[1:].astype(object)
+    x1 = x[:-1].astype(object)
+    y1 = y[:-1].astype(object)
+    n = len(xt)
+    s_x1, s_y1, s_t = sum(x1), sum(y1), sum(xt)
+    s_11 = sum(a * a for a in x1)
+    s_1y = sum(a * b for a, b in zip(x1, y1))
+    s_yy = sum(b * b for b in y1)
+    s_1t = sum(a * b for a, b in zip(x1, xt))
+    s_yt = sum(b * c for b, c in zip(y1, xt))
+    s_tt = sum(c * c for c in xt)
+    # restricted: [n, s_x1; s_x1, s_11] b = [s_t; s_1t]
+    det_r = n * s_11 - s_x1 * s_x1
+    b0r = float(s_t * s_11 - s_x1 * s_1t) / float(det_r)
+    b1r = float(n * s_1t - s_x1 * s_t) / float(det_r)
+    rss_r = float(s_tt) - b0r * float(s_t) - b1r * float(s_1t)
+    # unrestricted 3x3: A=[[n,s_x1,s_y1],[s_x1,s_11,s_1y],[s_y1,s_1y,s_yy]], rhs=[s_t,s_1t,s_yt]
+    det = (
+        n * (s_11 * s_yy - s_1y * s_1y)
+        - s_x1 * (s_x1 * s_yy - s_1y * s_y1)
+        + s_y1 * (s_x1 * s_1y - s_11 * s_y1)
+    )
+    det0 = (
+        s_t * (s_11 * s_yy - s_1y * s_1y)
+        - s_x1 * (s_1t * s_yy - s_1y * s_yt)
+        + s_y1 * (s_1t * s_1y - s_11 * s_yt)
+    )
+    det1 = (
+        n * (s_1t * s_yy - s_1y * s_yt)
+        - s_t * (s_x1 * s_yy - s_1y * s_y1)
+        + s_y1 * (s_x1 * s_yt - s_1t * s_y1)
+    )
+    det2 = (
+        n * (s_11 * s_yt - s_1t * s_1y)
+        - s_x1 * (s_x1 * s_yt - s_1t * s_y1)
+        + s_t * (s_x1 * s_1y - s_11 * s_y1)
+    )
+    b0, b1, b2 = (float(d) / float(det) for d in (det0, det1, det2))
+    rss_u = float(s_tt) - b0 * float(s_t) - b1 * float(s_1t) - b2 * float(s_yt)
+    f = (rss_r - rss_u) / (rss_u / (n - 3))
+    return n, rss_r, rss_u, f
+
+
+def granger_causality(sf_dir: str, pair: tuple = GRANGER_PAIR) -> rd.Dataset:
+    """Granger lagged-predictability test between two event streams:
+    does yesterday's VIEW count help predict today's PURCHASE count
+    beyond purchases' own history (and vice versa)?  The classic
+    lead-lag attribution test — the hypothesis-test upgrade of
+    ccf_event_types' raw cross-correlation.
+
+    Exactness: hourly counts are exact int64; BOTH model fits reduce
+    to Cramer solves on Python big-int sums; RSS and F are mirrored
+    float expressions rounded to 6.
+
+    Scale shape: per-batch (type, hour) combiner -> ONE
+    window-bounded groupby; the two 3x3 fits run on the dense bounded
+    series driver-side (acf/pacf discipline).  Output: one row per
+    direction (cause, effect, n_obs, rss_r, rss_u, f_stat).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["ts", "event_type"]).filter(
+        expr=f"event_type in [{pair[0]!r}, {pair[1]!r}]"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = t["ts"].cast(pa.int64()).to_numpy() // 3_600_000_000
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": et, "h": h}).groupby(
+            ["event_type", "h"], sort=False
+        ).size().reset_index(name="n")
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"], type=pa.string()),
+                "h": pa.array(df["h"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n": pa.array(df["n"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    hourly = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "h"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    lo, hi = int(hourly["h"].min()), int(hourly["h"].max())
+    series = {}
+    for ty in pair:
+        v = np.zeros(hi - lo + 1, dtype=np.int64)
+        sub = hourly[hourly["event_type"] == ty]
+        v[sub["h"].to_numpy().astype(np.int64) - lo] = sub["n"].to_numpy().astype(np.int64)
+        series[ty] = v
+    rows = {"cause": [], "effect": [], "n_obs": [], "rss_r": [], "rss_u": [], "f_stat": []}
+    for cause, effect in ((pair[1], pair[0]), (pair[0], pair[1])):
+        n, rss_r, rss_u, f = _granger_fit(series[effect], series[cause])
+        rows["cause"].append(cause)
+        rows["effect"].append(effect)
+        rows["n_obs"].append(n)
+        rows["rss_r"].append(rss_r)
+        rows["rss_u"].append(rss_u)
+        rows["f_stat"].append(f)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "cause": pa.array(rows["cause"], type=pa.string()),
+                "effect": pa.array(rows["effect"], type=pa.string()),
+                "n_obs": pa.array(rows["n_obs"], type=pa.int64()),
+                "rss_r": pa.array(duckdb_round(np.array(rows["rss_r"]), 6), type=pa.float64()),
+                "rss_u": pa.array(duckdb_round(np.array(rows["rss_u"]), 6), type=pa.float64()),
+                "f_stat": pa.array(duckdb_round(np.array(rows["f_stat"]), 6), type=pa.float64()),
+            }
+        )
+    )

@@ -193,3 +193,36 @@ def test_pacf_matches_ols_regression_coefficient(ray_session):
     phi = np.linalg.solve(R, r[1 : k + 1])
     assert abs(out["pacf"][k - 1] - phi[-1]) < 1e-5
     assert (out["pacf"].abs() <= 1.0 + 1e-9).all()
+
+
+def test_granger_matches_lstsq_f_stat(ray_session):
+    """F statistic re-derived from two numpy lstsq fits."""
+    import numpy as np
+
+    from plasmap_ray.pipelines import windows as win
+
+    out = win.granger_causality("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 2
+    assert (out["rss_u"] <= out["rss_r"] + 1e-6).all()  # nested models
+    # independently: rebuild hourly series and fit with lstsq
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet", columns=["ts", "event_type"]).to_pandas()
+    ev = ev[ev["event_type"].isin(win.GRANGER_PAIR)]
+    h = (ev["ts"].astype("int64") // 3_600_000_000).to_numpy()  # us -> hour
+    lo, hi = h.min(), h.max()
+    series = {}
+    for ty in win.GRANGER_PAIR:
+        v = np.zeros(hi - lo + 1, dtype=np.int64)
+        hh = h[(ev["event_type"] == ty).to_numpy()]
+        np.add.at(v, hh - lo, 1)
+        series[ty] = v
+    for r in out.itertuples():
+        x, y = series[r.effect].astype(float), series[r.cause].astype(float)
+        xt, x1, y1 = x[1:], x[:-1], y[:-1]
+        Xr = np.column_stack([np.ones_like(x1), x1])
+        Xu = np.column_stack([np.ones_like(x1), x1, y1])
+        rss = lambda X: float(((xt - X @ np.linalg.lstsq(X, xt, rcond=None)[0]) ** 2).sum())  # noqa: E731
+        rr, ru = rss(Xr), rss(Xu)
+        f = (rr - ru) / (ru / (len(xt) - 3))
+        assert abs(r.f_stat - f) < 1e-3
