@@ -6886,3 +6886,48 @@ def granger_causality_path(sf_dir: str) -> str:
         )
 
     return _cache(f"granger_{_sf_tag(sf_dir)}", build)
+
+
+def cca_analysis_path(sf_dir: str) -> str:
+    """Golden CCA: DuckDB computes the SAME exact integer moment sums;
+    the shared cca_from_sums turns them into correlations — the
+    distributed part (the reduce) is what the mirror replays."""
+
+    def build() -> pa.Table:
+        import duckdb
+
+        from .pipelines.stats import cca_from_sums
+        from .stages.common import duckdb_round
+
+        con = duckdb.connect()
+        row = con.execute(
+            f"""
+            WITH f AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x1,
+                              CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS x2,
+                              CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y1,
+                              CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) AS y2
+                       FROM read_parquet('{os.path.join(sf_dir, "lineitem.parquet")}'))
+            SELECT count(*) AS n,
+                   sum(x1) AS s_x1, sum(x2) AS s_x2, sum(y1) AS s_y1, sum(y2) AS s_y2,
+                   sum(x1*x1) AS s_x1x1, sum(x1*x2) AS s_x1x2, sum(x1*y1) AS s_x1y1, sum(x1*y2) AS s_x1y2,
+                   sum(x2*x2) AS s_x2x2, sum(x2*y1) AS s_x2y1, sum(x2*y2) AS s_x2y2,
+                   sum(y1*y1) AS s_y1y1, sum(y1*y2) AS s_y1y2, sum(y2*y2) AS s_y2y2
+            FROM f
+            """
+        ).fetchone()
+        cols = [
+            "n", "s_x1", "s_x2", "s_y1", "s_y2",
+            "s_x1x1", "s_x1x2", "s_x1y1", "s_x1y2",
+            "s_x2x2", "s_x2y1", "s_x2y2",
+            "s_y1y1", "s_y1y2", "s_y2y2",
+        ]
+        s = {k: int(v) for k, v in zip(cols, row)}
+        corrs = cca_from_sums(s)
+        return pa.table(
+            {
+                "component": pa.array([1, 2], type=pa.int64()),
+                "can_corr": pa.array(duckdb_round(corrs, 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"cca_{_sf_tag(sf_dir)}", build)

@@ -3065,3 +3065,92 @@ def gmm_em(sf_dir: str, iters: int = GMM_ITERS) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cca_analysis (canonical correlations between variable blocks)
+# ---------------------------------------------------------------------------
+
+CCA_X = ("quantity", "discount_pct")
+CCA_Y = ("price_dollars", "tax_pct")
+
+
+def cca_analysis(sf_dir: str) -> rd.Dataset:
+    """Canonical correlation analysis between the order-side block
+    (quantity, discount) and the money-side block (price, tax): the
+    strongest linear relationships BETWEEN groups of variables — what
+    a correlation matrix shows pairwise, CCA shows blockwise (the
+    multivariate capstone over lineitem_corr_matrix and pca).
+
+    Scale shape: ONE map pass of 14 exact int64 moment sums (the
+    ten-sum OLS partial widened to two blocks) -> ONE global reduce
+    -> driver 2x2 eigensolve of Sxx^-1 Sxy Syy^-1 Syx (corpus-size-
+    independent).  Canonical correlations are sqrt of its
+    eigenvalues, rounded 6; golden replays the identical solve on
+    DuckDB-computed sums (exact ints -> identical float matrices).
+
+    Output: (component, can_corr).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_discount", "l_extendedprice", "l_tax"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x1 = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        x2 = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        y1 = np.floor(t["l_extendedprice"].to_numpy() + 0.5).astype(np.int64)
+        y2 = np.floor(t["l_tax"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        cols = {"x1": x1, "x2": x2, "y1": y1, "y2": y2}
+        vals = {"n": len(x1)}
+        names = list(cols)
+        for i, a in enumerate(names):
+            vals[f"s_{a}"] = int(cols[a].sum())
+            for b in names[i:]:
+                vals[f"s_{a}{b}"] = int((cols[a] * cols[b]).sum())
+        return pa.table(
+            {"_g": pa.array([0], type=pa.int64())}
+            | {k: pa.array([int(v)], type=pa.int64()) for k, v in vals.items()}
+        )
+
+    keys = ["n"] + [f"s_{a}" for a in ("x1", "x2", "y1", "y2")] + [
+        f"s_{a}{b}"
+        for i, a in enumerate(("x1", "x2", "y1", "y2"))
+        for b in ("x1", "x2", "y1", "y2")[i:]
+    ]
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_g")
+        .aggregate(*[Sum(k, alias_name=k) for k in keys])
+        .to_pandas()
+    )
+    s = {k: int(agg[k][0]) for k in keys}
+    corrs = cca_from_sums(s)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "component": pa.array([1, 2], type=pa.int64()),
+                "can_corr": pa.array(duckdb_round(corrs, 6), type=pa.float64()),
+            }
+        )
+    )
+
+
+def cca_from_sums(s: dict) -> np.ndarray:
+    """Canonical correlations from exact integer moment sums (shared
+    by the engine and the golden — sums in, floats out, one path)."""
+    n = float(s["n"])
+    names = ("x1", "x2", "y1", "y2")
+
+    def cov(a: str, b: str) -> float:
+        key = f"s_{a}{b}" if f"s_{a}{b}" in s else f"s_{b}{a}"
+        return (float(s[key]) - float(s[f"s_{a}"]) * float(s[f"s_{b}"]) / n) / n
+
+    C = np.array([[cov(a, b) for b in names] for a in names])
+    Sxx, Sxy = C[:2, :2], C[:2, 2:]
+    Syx, Syy = C[2:, :2], C[2:, 2:]
+    M = np.linalg.solve(Sxx, Sxy) @ np.linalg.solve(Syy, Syx)
+    ev = np.sort(np.linalg.eigvals(M).real)[::-1]
+    return np.sqrt(np.clip(ev, 0.0, 1.0))

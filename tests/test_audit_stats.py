@@ -546,3 +546,25 @@ def test_gmm_em_is_a_proper_mixture(ray_session):
     mu, sd = x.mean(), x.std()
     single = float(np.mean(-0.5 * ((x - mu) / sd) ** 2 - np.log(sd * np.sqrt(2 * np.pi))))
     assert out["loglik_per_row"].iloc[0] >= single - 1e-6
+
+
+def test_cca_bounds_and_pairwise_floor(ray_session):
+    """Canonical correlations lie in [0,1] and the FIRST one dominates
+    every pairwise |corr| between the blocks (CCA optimality)."""
+    out = stats.cca_analysis(SF).to_pandas()
+    assert len(out) == 2
+    cc = out["can_corr"].to_numpy()
+    assert (cc >= 0).all() and (cc <= 1.0).all()
+    assert cc[0] >= cc[1] - 1e-12
+    t = pq.read_table(
+        os.path.join(SF, "lineitem.parquet"),
+        columns=["l_quantity", "l_discount", "l_extendedprice", "l_tax"],
+    )
+    x1 = np.floor(t["l_quantity"].to_numpy() + 0.5)
+    x2 = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5)
+    y1 = np.floor(t["l_extendedprice"].to_numpy() + 0.5)
+    y2 = np.floor(t["l_tax"].to_numpy() * 100.0 + 0.5)
+    best_pair = max(
+        abs(np.corrcoef(a, b)[0, 1]) for a in (x1, x2) for b in (y1, y2)
+    )
+    assert cc[0] >= best_pair - 1e-6
