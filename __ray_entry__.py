@@ -485,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gmm_em": stats.gmm_em,
         "lof_outliers": hotspot.lof_outliers,
         "cca_analysis": stats.cca_analysis,
+        "perceptron_averaging": stats.perceptron_averaging,
         "acf_hourly": windows.acf_hourly,
         "dtw_profiles": windows.dtw_profiles,
         "pacf_durbin": windows.pacf_durbin,
@@ -2455,6 +2456,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "gmm_em": f"SELECT * FROM read_parquet('{golden.gmm_em_path(SF001)}')",
         "lof_outliers": f"SELECT * FROM read_parquet('{golden.lof_outliers_path(SF001)}')",
         "cca_analysis": f"SELECT * FROM read_parquet('{golden.cca_analysis_path(SF001)}')",
+        "perceptron_averaging": f"SELECT * FROM read_parquet('{golden.perceptron_averaging_path(SF001)}')",
         "logistic_newton": f"SELECT * FROM read_parquet('{golden.logistic_newton_path(SF001)}')",
         "mst_boruvka": f"SELECT * FROM read_parquet('{golden.mst_boruvka_path()}')",
         "tsp_tours": f"SELECT * FROM read_parquet('{golden.tsp_tours_path()}')",

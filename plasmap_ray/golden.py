@@ -6931,3 +6931,57 @@ def cca_analysis_path(sf_dir: str) -> str:
         )
 
     return _cache(f"cca_{_sf_tag(sf_dir)}", build)
+
+
+def perceptron_averaging_path(sf_dir: str) -> str:
+    """Golden parameter-averaging recompute: identical shard split
+    (key % shards), identical deterministic in-shard order, plain
+    Python training loops — the distribution is the only thing the
+    engine adds, so bit-equality proves the shards/ordering."""
+
+    def build() -> pa.Table:
+        from .pipelines.stats import PERC_FP, PERC_SHARDS
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_discount", "l_shipdate"],
+        )
+        key = t["l_orderkey"].to_numpy().astype(np.int64) * 10 + t["l_linenumber"].to_numpy().astype(np.int64)
+        y = np.where(np.asarray(t["l_returnflag"].to_numpy(zero_copy_only=False)) == "R", 1, -1).astype(np.int64)
+        x1 = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        x2 = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[M]")
+        x3 = (sd.astype(np.int64) % 12) + 1
+        X = np.column_stack([np.ones(len(y), dtype=np.int64), x1, x2, x3])
+        shards = key % PERC_SHARDS
+        ws = []
+        for s in sorted(set(shards.tolist())):
+            m = shards == s
+            order = np.lexsort((y[m], x3[m], x2[m], x1[m], key[m]))
+            Xs, ys = X[m][order], y[m][order]
+            w = np.zeros(4, dtype=np.int64)
+            for i in range(len(ys)):
+                if int(ys[i]) * int(Xs[i] @ w) <= 0:
+                    w = w + ys[i] * Xs[i]
+            ws.append(w)
+        ws = np.stack(ws)
+        w_fp = np.array([int(ws[:, j].sum()) * int(PERC_FP) // len(ws) for j in range(4)], dtype=np.int64)
+        z = w_fp[0] + w_fp[1] * x1 + w_fp[2] * x2 + w_fp[3] * x3
+        pred = np.where(z > 0, 1, -1)
+        acc = float((pred == y).sum()) / len(y)
+        return pa.table(
+            {
+                "n_shards": pa.array([len(ws)], type=pa.int64()),
+                "n_rows": pa.array([len(y)], type=pa.int64()),
+                **{
+                    f"w{j}": pa.array(
+                        duckdb_round(np.array([w_fp[j] / float(PERC_FP)]), 6), type=pa.float64()
+                    )
+                    for j in range(4)
+                },
+                "accuracy": pa.array(duckdb_round(np.array([acc]), 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"perceptron_{_sf_tag(sf_dir)}", build)

@@ -3154,3 +3154,137 @@ def cca_from_sums(s: dict) -> np.ndarray:
     M = np.linalg.solve(Sxx, Sxy) @ np.linalg.solve(Syy, Syx)
     ev = np.sort(np.linalg.eigvals(M).real)[::-1]
     return np.sqrt(np.clip(ev, 0.0, 1.0))
+
+
+# ---------------------------------------------------------------------------
+# perceptron_averaging (shard-local online training + parameter averaging)
+# ---------------------------------------------------------------------------
+
+PERC_SHARDS = 16
+PERC_FP = np.int64(10**6)  # averaged-weight fixed point
+
+
+def perceptron_averaging(sf_dir: str, shards: int = PERC_SHARDS) -> rd.Dataset:
+    """One-shot parameter averaging (McDonald et al. 2010 — the
+    embarrassingly-parallel training pattern behind federated
+    averaging): each shard trains a LOCAL online perceptron over its
+    rows in a deterministic order (orderkey*10+linenumber), the
+    integer weight vectors average, and one scoring pass evaluates
+    the averaged model — predicting returnflag='R' from (quantity,
+    discount, month).
+
+    Why it matters here: this is the third distributed-training
+    topology in the repo — full-batch closed form (ols/cca), repeated
+    global passes (logistic/IRLS/EM), and now LOCAL sequential state
+    with ONE communication round.  The perceptron update (w += y·x on
+    mistakes) is INTEGER, so each shard's final weights are exact and
+    the average is a fixed-point rational — bit-stable end to end
+    with no float in training.
+
+    Scale shape: shard-keyed groupby co-locates rows; per-shard
+    training is a sorted ALU-bound scan (sessionize contract); the
+    "communication round" is a shards×4-int64 table; scoring is one
+    map pass against the broadcast averaged weights.  Output: one row
+    (n_shards, n_rows, w0..w3 rounded, accuracy).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_discount", "l_shipdate"],
+    ).materialize()
+
+    def design(t: pa.Table):
+        key = t["l_orderkey"].to_numpy().astype(np.int64) * 10 + t["l_linenumber"].to_numpy().astype(np.int64)
+        yy = np.where(
+            np.asarray(t["l_returnflag"].to_numpy(zero_copy_only=False)) == "R", 1, -1
+        ).astype(np.int64)
+        x1 = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        x2 = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[M]")
+        x3 = (sd.astype(np.int64) % 12) + 1
+        return key, yy, x1, x2, x3
+
+    def shard_tag(t: pa.Table) -> pa.Table:
+        key, yy, x1, x2, x3 = design(t)
+        return pa.table(
+            {
+                "key": pa.array(key, type=pa.int64()),
+                "y": pa.array(yy, type=pa.int64()),
+                "x1": pa.array(x1, type=pa.int64()),
+                "x2": pa.array(x2, type=pa.int64()),
+                "x3": pa.array(x3, type=pa.int64()),
+                "shard": pa.array(key % shards, type=pa.int64()),
+            }
+        )
+
+    def train_shard(g: pa.Table) -> pa.Table:
+        # the fixture's (orderkey, linenumber) is NOT unique: order by
+        # the FULL row tuple so ties are only between identical rows
+        # (whose processing order cannot change the weights)
+        order = np.lexsort(
+            (g["y"].to_numpy(), g["x3"].to_numpy(), g["x2"].to_numpy(), g["x1"].to_numpy(), g["key"].to_numpy())
+        )
+        y = g["y"].to_numpy()[order]
+        X = np.column_stack(
+            [np.ones(len(y), dtype=np.int64)]
+            + [g[c].to_numpy()[order] for c in ("x1", "x2", "x3")]
+        )
+        w = np.zeros(4, dtype=np.int64)
+        for i in range(len(y)):
+            if int(y[i]) * int(X[i] @ w) <= 0:
+                w = w + y[i] * X[i]
+        return pa.table(
+            {
+                "shard": pa.array([int(g["shard"][0].as_py())], type=pa.int64()),
+                "n": pa.array([len(y)], type=pa.int64()),
+                **{f"w{j}": pa.array([int(w[j])], type=pa.int64()) for j in range(4)},
+            }
+        )
+
+    tagged = ds.map_batches(shard_tag, batch_format="pyarrow").materialize()
+    local = (
+        tagged.groupby("shard").map_groups(train_shard, batch_format="pyarrow").to_pandas()
+    )
+    n_rows = int(local["n"].sum())
+    # fixed-point average: floor(sum(w_s) * FP / shards)
+    w_fp = np.array(
+        [int(local[f"w{j}"].sum()) * int(PERC_FP) // len(local) for j in range(4)], dtype=np.int64
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        _, yy, x1, x2, x3 = design(t)
+        z = (
+            w_fp[0]
+            + w_fp[1] * x1
+            + w_fp[2] * x2
+            + w_fp[3] * x3
+        )
+        pred = np.where(z > 0, 1, -1)
+        return pa.table(
+            {
+                "_g": pa.array([0], type=pa.int64()),
+                "correct": pa.array([int((pred == yy).sum())], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(score, batch_format="pyarrow").groupby("_g")
+        .aggregate(Sum("correct", alias_name="correct")).to_pandas()
+    )
+    acc = int(agg["correct"][0]) / n_rows
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_shards": pa.array([len(local)], type=pa.int64()),
+                "n_rows": pa.array([n_rows], type=pa.int64()),
+                **{
+                    f"w{j}": pa.array(
+                        duckdb_round(np.array([w_fp[j] / float(PERC_FP)]), 6), type=pa.float64()
+                    )
+                    for j in range(4)
+                },
+                "accuracy": pa.array(duckdb_round(np.array([acc]), 6), type=pa.float64()),
+            }
+        )
+    )
