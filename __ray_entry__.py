@@ -405,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction": trajectory.link_prediction,
         "first_passage_time": trajectory.first_passage_time,
         "spectral_partition": trajectory.spectral_partition,
+        "trajectory_simplify": trajectory.trajectory_simplify,
         "transition_stationary": trajectory.transition_stationary,
         "zone_modularity": trajectory.zone_modularity,
         "cotravel_pairs": trajectory.cotravel_pairs,
@@ -2452,6 +2453,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "first_passage_time": f"SELECT * FROM read_parquet('{golden.first_passage_time_path(SF001)}')",
         "spectral_partition": f"SELECT * FROM read_parquet('{golden.spectral_partition_path(SF001)}')",
         "quantile_regression": f"SELECT * FROM read_parquet('{golden.quantile_regression_path(SF001)}')",
+        "trajectory_simplify": f"SELECT * FROM read_parquet('{golden.trajectory_simplify_path(SF001)}')",
         "isotonic_calibration": f"SELECT * FROM read_parquet('{golden.isotonic_calibration_path(SF001)}')",
         "gmm_em": f"SELECT * FROM read_parquet('{golden.gmm_em_path(SF001)}')",
         "lof_outliers": f"SELECT * FROM read_parquet('{golden.lof_outliers_path(SF001)}')",

@@ -6985,3 +6985,56 @@ def perceptron_averaging_path(sf_dir: str) -> str:
         )
 
     return _cache(f"perceptron_{_sf_tag(sf_dir)}", build)
+
+
+def trajectory_simplify_path(sf_dir: str) -> str:
+    """Golden DP-simplification recompute: DuckDB orders per-user runs,
+    the shared exact-integer keep-mask does the geometry (sums in,
+    ints out — the distribution is what the engine adds)."""
+
+    def build() -> pa.Table:
+        import duckdb
+
+        from .oracle import sql_derive_lat, sql_derive_lon
+        from .pipelines.trajectory import TS_FP, TS_TOL, _dp_keep_mask
+        from .stages.common import duckdb_round
+
+        con = duckdb.connect()
+        df = con.execute(
+            f"""
+            SELECT user_id, epoch_us(ts) AS tus, event_id,
+                   CAST(floor({sql_derive_lon('event_id')} * {float(TS_FP)!r} + 0.5) AS BIGINT) AS fx,
+                   CAST(floor({sql_derive_lat('event_id')} * {float(TS_FP)!r} + 0.5) AS BIGINT) AS fy
+            FROM read_parquet('{os.path.join(sf_dir, "events.parquet")}')
+            ORDER BY user_id, tus, event_id
+            """
+        ).fetchdf()
+        tol_fp = int(np.floor(TS_TOL * float(TS_FP) + 0.5))
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        fx = df["fx"].to_numpy().astype(np.int64)
+        fy = df["fy"].to_numpy().astype(np.int64)
+        bounds = np.nonzero(np.diff(uid))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(uid)]])
+        rows = {"user_id": [], "n_points": [], "n_kept": []}
+        for a, b in zip(starts, ends):
+            npts = int(b - a)
+            kept = npts if npts < 3 else int(_dp_keep_mask(fx[a:b], fy[a:b], tol_fp).sum())
+            rows["user_id"].append(int(uid[a]))
+            rows["n_points"].append(npts)
+            rows["n_kept"].append(kept)
+        kf = duckdb_round(
+            np.asarray(rows["n_kept"], dtype=np.float64)
+            / np.maximum(np.asarray(rows["n_points"], dtype=np.float64), 1.0),
+            6,
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(rows["user_id"], type=pa.int64()),
+                "n_points": pa.array(rows["n_points"], type=pa.int64()),
+                "n_kept": pa.array(rows["n_kept"], type=pa.int64()),
+                "kept_frac": pa.array(kf, type=pa.float64()),
+            }
+        )
+
+    return _cache(f"traj_simplify_{_sf_tag(sf_dir)}", build)

@@ -3080,3 +3080,144 @@ def spectral_partition(sf_dir: str, pitch: float = TRANS_PITCH) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# trajectory_simplify (per-user exact-integer Douglas-Peucker)
+# ---------------------------------------------------------------------------
+
+TS_FP = np.int64(10**7)  # coordinate fixed point (1e-7 deg)
+TS_TOL = 0.05  # simplification tolerance, planar degrees
+
+
+def _dp_keep_mask(fx: np.ndarray, fy: np.ndarray, tol_fp: int) -> np.ndarray:
+    """Douglas-Peucker keep-mask with EXACT integer decisions: the
+    split test compares cross² > tol²·|ab|² in Python big-ints (no
+    sqrt, no float), so the kept set is bit-stable.  Farthest-point
+    ties break on the lowest index."""
+    n = len(fx)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    tol2 = int(tol_fp) * int(tol_fp)
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        ax, ay, bx, by = int(fx[a]), int(fy[a]), int(fx[b]), int(fy[b])
+        dx, dy = bx - ax, by - ay
+        ab2 = dx * dx + dy * dy
+        best_i, best_c2 = -1, -1
+        for i in range(a + 1, b):
+            cr = dx * (int(fy[i]) - ay) - dy * (int(fx[i]) - ax)
+            c2 = cr * cr
+            if ab2 == 0:
+                # degenerate segment: fall back to distance from a
+                ddx, ddy = int(fx[i]) - ax, int(fy[i]) - ay
+                c2 = (ddx * ddx + ddy * ddy) * 1  # compare vs tol2 directly
+                if c2 > best_c2:
+                    best_i, best_c2 = i, c2
+                continue
+            if c2 > best_c2:
+                best_i, best_c2 = i, c2
+        if best_i < 0:
+            continue
+        over = (best_c2 > tol2 * ab2) if ab2 > 0 else (best_c2 > tol2)
+        if over:
+            keep[best_i] = True
+            stack.append((a, best_i))
+            stack.append((best_i, b))
+    return keep
+
+
+def trajectory_simplify(sf_dir: str, tol: float = TS_TOL, parts: int = TRAJ_PARTS) -> rd.Dataset:
+    """Per-user Douglas-Peucker trajectory simplification census: how
+    many of each user's points survive at tolerance ``tol`` — the
+    polyline-compression step every track store runs before archiving
+    (the boundary_simplify kernel lifted from rings to per-user runs),
+    reported as a compression manifest.
+
+    Determinism: coordinates pin to 1e-7-degree ints ONCE; every DP
+    split decision is an exact big-int comparison (cross² vs
+    tol²·|ab|²); within-user order is (ts, event_id).
+
+    Scale shape: the coarse-partition run-scan (user_id % parts)
+    sorts each slice once and walks users vectorized-outside /
+    ALU-bound-inside (sessionize contract); output is one row per
+    user.  Output: (user_id, n_points, n_kept, kept_frac).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _derive_positions(t)
+        uid = np.asarray(t["user_id"].to_numpy(), np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, type=pa.int64()),
+                "event_id": t["event_id"],
+                "tus": pa.array(t["ts"].cast(pa.int64()).to_numpy(), type=pa.int64()),
+                "fx": pa.array(
+                    np.floor(t["lon"].to_numpy() * float(TS_FP) + 0.5).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "fy": pa.array(
+                    np.floor(t["lat"].to_numpy() * float(TS_FP) + 0.5).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "part": pa.array(uid % parts, type=pa.int64()),
+            }
+        )
+
+    tol_fp = int(np.floor(tol * float(TS_FP) + 0.5))
+
+    def simplify(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("tus", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy()
+        fx = g["fx"].to_numpy()
+        fy = g["fy"].to_numpy()
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n_points": pa.array([], type=pa.int64()),
+                    "n_kept": pa.array([], type=pa.int64()),
+                }
+            )
+        bounds = np.nonzero(np.diff(uid))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(uid)]])
+        rows = {"user_id": [], "n_points": [], "n_kept": []}
+        for a, b in zip(starts, ends):
+            npts = int(b - a)
+            if npts < 3:
+                kept = npts
+            else:
+                kept = int(_dp_keep_mask(fx[a:b], fy[a:b], tol_fp).sum())
+            rows["user_id"].append(int(uid[a]))
+            rows["n_points"].append(npts)
+            rows["n_kept"].append(kept)
+        return pa.table(
+            {
+                "user_id": pa.array(rows["user_id"], type=pa.int64()),
+                "n_points": pa.array(rows["n_points"], type=pa.int64()),
+                "n_kept": pa.array(rows["n_kept"], type=pa.int64()),
+            }
+        )
+
+    per_user = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(simplify, batch_format="pyarrow")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        kf = duckdb_round(
+            t["n_kept"].to_numpy().astype(np.float64)
+            / np.maximum(t["n_points"].to_numpy().astype(np.float64), 1.0),
+            6,
+        )
+        return t.append_column("kept_frac", pa.array(kf, type=pa.float64()))
+
+    return per_user.map_batches(finish, batch_format="pyarrow")

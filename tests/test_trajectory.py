@@ -977,3 +977,19 @@ def test_spectral_partition_is_a_balanced_cut(ray_session):
         if a >= 0 and b >= 0 and a != b:
             cut += int(r.n_steps)  # each undirected edge counted once per direction
     assert int(out["cut_weight"].iloc[0]) == cut
+
+
+def test_trajectory_simplify_endpoints_and_tolerance(ray_session):
+    from plasmap_ray.pipelines import trajectory as traj
+
+    out = traj.trajectory_simplify("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    # endpoints always kept: n_kept >= min(n_points, 2)
+    assert (out["n_kept"] >= np.minimum(out["n_points"], 2)).all()
+    assert (out["n_kept"] <= out["n_points"]).all()
+    # tolerance monotonicity: a looser tolerance never keeps more points
+    loose = traj.trajectory_simplify("/root/testdata/sf0.001", tol=0.5).to_pandas()
+    j = out.merge(loose, on="user_id", suffixes=("_t", "_l"))
+    assert (j["n_kept_l"] <= j["n_kept_t"]).all()
+    # something is actually simplified at the default tolerance
+    assert (out["n_kept"] < out["n_points"]).any()
