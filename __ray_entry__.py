@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "huffman_code_lengths": text.huffman_code_lengths,
         "good_turing_unseen": text.good_turing_unseen,
         "stratified_kfold": text.stratified_kfold,
+        "word_burstiness": text.word_burstiness,
         "doc_fingerprint": text.fingerprint,
         "winnowing_overlap": text.winnowing_overlap,
         "ndcg_eval": index.ndcg_eval,
@@ -487,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lof_outliers": hotspot.lof_outliers,
         "cca_analysis": stats.cca_analysis,
         "perceptron_averaging": stats.perceptron_averaging,
+        "simpsons_paradox": stats.simpsons_paradox,
         "acf_hourly": windows.acf_hourly,
         "dtw_profiles": windows.dtw_profiles,
         "pacf_durbin": windows.pacf_durbin,
@@ -1715,6 +1717,17 @@ b AS (SELECT n_tok, ((n_tok + {text.PAD_MULTIPLE} - 1) // {text.PAD_MULTIPLE}) *
 SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
        CAST(bucket_len * count(*) - sum(n_tok) AS BIGINT) AS pad_tokens
 FROM b GROUP BY bucket_len ORDER BY bucket_len""",
+        "word_burstiness": """
+WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+pd AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS k FROM t GROUP BY 1, 2),
+s AS (SELECT token, CAST(sum(k) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS df
+      FROM pd GROUP BY 1),
+d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT s.token, s.n, s.df,
+       round(CAST(d.n_docs AS DOUBLE) * (1.0 - exp(-CAST(s.n AS DOUBLE) / CAST(d.n_docs AS DOUBLE))), 6) AS df_expected,
+       round(CAST(d.n_docs AS DOUBLE) * (1.0 - exp(-CAST(s.n AS DOUBLE) / CAST(d.n_docs AS DOUBLE)))
+             / CAST(s.df AS DOUBLE), 6) AS burstiness
+FROM s CROSS JOIN d WHERE s.n >= 20""",
         "stratified_kfold": """
 WITH r AS (SELECT source, lang,
                   (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) % 5 AS fold
@@ -5008,6 +5021,25 @@ e AS (SELECT feature, threshold, n_le, pos_le, n_gt, pos_gt,
       FROM s),
 r AS (SELECT *, row_number() OVER (PARTITION BY feature ORDER BY gini, threshold) AS rk FROM e)
 SELECT feature, threshold, n_le, pos_le, n_gt, pos_gt, gini FROM r WHERE rk = 1""",
+        "simpsons_paradox": """
+WITH f AS (SELECT p.p_brand,
+                  CAST(floor(l.l_discount * 100.0 + 0.5) AS HUGEINT) AS x,
+                  CAST(floor(l.l_quantity + 0.5) AS HUGEINT) AS y
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+s AS (SELECT p_brand, CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy
+      FROM f GROUP BY 1),
+g AS (SELECT sum(n) AS gn, sum(sx) AS gx, sum(sy) AS gy, sum(sxy) AS gxy FROM s),
+t AS (SELECT s.p_brand, CAST(s.n AS BIGINT) AS n,
+             CASE WHEN s.n * s.sxy - s.sx * s.sy > 0 THEN 1
+                  WHEN s.n * s.sxy - s.sx * s.sy < 0 THEN -1 ELSE 0 END AS slope_num_sign,
+             CASE WHEN g.gn * g.gxy - g.gx * g.gy > 0 THEN 1
+                  WHEN g.gn * g.gxy - g.gx * g.gy < 0 THEN -1 ELSE 0 END AS global_sign
+      FROM s CROSS JOIN g)
+SELECT p_brand, n, CAST(slope_num_sign AS BIGINT) AS slope_num_sign,
+       CAST(global_sign AS BIGINT) AS global_sign,
+       CAST(CASE WHEN slope_num_sign != 0 AND slope_num_sign != global_sign THEN 1 ELSE 0 END AS BIGINT) AS reversed
+FROM t""",
         "ols_regression": """
 WITH f AS (SELECT l_returnflag,
                   CAST(floor(l_quantity + 0.5) AS HUGEINT) AS x1,

@@ -3288,3 +3288,80 @@ def perceptron_averaging(sf_dir: str, shards: int = PERC_SHARDS) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# simpsons_paradox (aggregate-vs-stratified slope-sign reversal audit)
+# ---------------------------------------------------------------------------
+
+
+def simpsons_paradox(sf_dir: str) -> rd.Dataset:
+    """Simpson's-paradox screen on the discount -> quantity relation:
+    does the GLOBAL regression slope sign disagree with the
+    per-brand (stratified) slopes?  The classic aggregation trap —
+    a mixture of brands can reverse a within-brand trend — reported
+    as the per-brand sign table plus reversal counts.
+
+    Exactness: an OLS slope's SIGN is the sign of the integer
+    numerator  n·Σxy − Σx·Σy  — no division, no floats anywhere: the
+    audit is EXACT end to end (ties: numerator 0 = 'flat').
+
+    Scale shape: the discount_elasticity exchange (brand-keyed
+    six-sum moment reduce, dims joined once); global sums fold from
+    the same partials; the sign table is brand-bounded.  Output:
+    (p_brand, n, slope_num_sign, global_sign, reversed).
+    """
+    from ..stages.common import safe_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_discount", "l_quantity"],
+    )
+    pt = rd.read_parquet(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"])
+    j = safe_join(li, pt, join_type="inner", num_partitions=8, on=("l_partkey",), right_on=("p_partkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        q = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        br = t["p_brand"].to_numpy(zero_copy_only=False)
+        order = np.argsort(br, kind="stable")
+        br, d, q = br[order], d[order], q[order]
+        bounds = np.nonzero(br[1:] != br[:-1])[0] + 1
+        starts = np.concatenate([[0], bounds])
+        red = lambda v: np.add.reduceat(v, starts)  # noqa: E731
+        ones = np.ones(len(br), dtype=np.int64)
+        return pa.table(
+            {
+                "p_brand": pa.array(br[starts], type=pa.string()),
+                "n": pa.array(red(ones), type=pa.int64()),
+                "sx": pa.array(red(d), type=pa.int64()),
+                "sy": pa.array(red(q), type=pa.int64()),
+                "sxy": pa.array(red(d * q), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy")])
+        .to_pandas()
+    )
+    num = agg["n"].astype(object) * agg["sxy"].astype(object) - agg["sx"].astype(object) * agg["sy"].astype(object)
+    sign = np.array([0 if v == 0 else (1 if v > 0 else -1) for v in num], dtype=np.int64)
+    gn = int(agg["n"].sum())
+    gx = int(agg["sx"].sum())
+    gy = int(agg["sy"].sum())
+    gxy = int(agg["sxy"].sum())
+    gnum = gn * gxy - gx * gy
+    gsign = 0 if gnum == 0 else (1 if gnum > 0 else -1)
+    rev = (sign != 0) & (sign != gsign)
+    out = pd.DataFrame(
+        {
+            "p_brand": agg["p_brand"],
+            "n": agg["n"].astype(np.int64),
+            "slope_num_sign": sign,
+            "global_sign": np.full(len(agg), gsign, dtype=np.int64),
+            "reversed": rev.astype(np.int64),
+        }
+    ).sort_values("p_brand")
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))

@@ -2648,3 +2648,83 @@ def stratified_kfold(sf_dir: str, k: int = KFOLD_K) -> rd.Dataset:
         .groupby(["source", "fold"])
         .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_langs", alias_name="n_langs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# word_burstiness (Church-Gale contagion audit per token)
+# ---------------------------------------------------------------------------
+
+BURST_MIN_N = 20
+
+
+def word_burstiness(sf_dir: str, min_n: int = BURST_MIN_N) -> rd.Dataset:
+    """Per-token burstiness: observed document frequency vs the
+    Poisson expectation  D·(1 − e^(−n/D))  — Church & Gale's classic
+    observation that content words are CONTAGIOUS (they repeat within
+    few documents; df_obs << df_poisson) while function words spread
+    evenly.  The beyond-frequency lexical statistic a mixture curator
+    uses to find topical/templated vocabulary that plain counts hide.
+
+    Exactness: n (total occurrences), df (documents containing) and D
+    (corpus size) are exact int64 from two bounded reduces (the
+    token_doc_frequency exchanges); the expectation and the ratio are
+    mirrored float expressions rounded to 6.
+
+    Scale shape: (token, doc) distinct combiner -> token-keyed count
+    for df; token-keyed sum for n; ONE vocabulary-bounded join of the
+    two aggregates.  Output: (token, n, df, df_expected, burstiness)
+    for tokens with n >= min_n, burstiness = df_expected / df (>1 =
+    bursty/contagious).
+    """
+    from ray.data.aggregate import Count as AggCount
+
+    from ..stages.common import duckdb_round, safe_join
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def tok(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.utf8_lower(t["text"]), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten().to_numpy(zero_copy_only=False)
+        n_per = pc.list_value_length(words).to_numpy().astype(np.int64)
+        did = np.repeat(t["doc_id"].to_numpy(), n_per)
+        df = pd.DataFrame({"doc_id": did, "token": flat})
+        g = df.groupby(["doc_id", "token"], sort=False).size().reset_index(name="k")
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy().astype(np.int64), type=pa.int64()),
+                "token": pa.array(g["token"], type=pa.string()),
+                "k": pa.array(g["k"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    per_doc = (
+        ds.map_batches(tok, batch_format="pyarrow")
+        .groupby(["doc_id", "token"])
+        .aggregate(Sum("k", alias_name="k"))
+        .materialize()
+    )
+    stats_tbl = (
+        per_doc.groupby("token")
+        .aggregate(Sum("k", alias_name="n"), AggCount(alias_name="df"))
+        .filter(expr=f"n >= {min_n}")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.float64)
+        df = t["df"].to_numpy().astype(np.float64)
+        d = float(n_docs)
+        exp_df = d * (1.0 - np.exp(-n / d))
+        return pa.table(
+            {
+                "token": t["token"],
+                "n": t["n"],
+                "df": t["df"],
+                "df_expected": pa.array(duckdb_round(exp_df, 6), type=pa.float64()),
+                "burstiness": pa.array(duckdb_round(exp_df / df, 6), type=pa.float64()),
+            }
+        )
+
+    return stats_tbl.map_batches(finish, batch_format="pyarrow")

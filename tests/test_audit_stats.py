@@ -580,3 +580,21 @@ def test_perceptron_averaging_deterministic_and_useful(ray_session):
     # one-pass linear model on weak features; at least both classes are
     # separable above chance-coin level
     assert 0.3 <= row["accuracy"] <= 1.0
+
+
+def test_simpsons_paradox_signs_exact(ray_session):
+    out = stats.simpsons_paradox(SF).to_pandas()
+    assert set(out["global_sign"]) <= {-1, 0, 1}
+    assert len(set(out["global_sign"])) == 1  # one global sign repeated
+    # recompute one brand's sign exactly
+    li = pq.read_table(os.path.join(SF, "lineitem.parquet"), columns=["l_partkey", "l_discount", "l_quantity"]).to_pandas()
+    pt = pq.read_table(os.path.join(SF, "part.parquet"), columns=["p_partkey", "p_brand"]).to_pandas()
+    j = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    brand = out["p_brand"].iloc[0]
+    sub = j[j["p_brand"] == brand]
+    x = np.floor(sub["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    y = np.floor(sub["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+    num = int(len(x)) * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+    want = 0 if num == 0 else (1 if num > 0 else -1)
+    assert int(out[out["p_brand"] == brand]["slope_num_sign"].iloc[0]) == want
+    assert int(out[out["p_brand"] == brand]["n"].iloc[0]) == len(sub)

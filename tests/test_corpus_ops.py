@@ -979,3 +979,24 @@ def test_stratified_kfold_balance(ray_session):
     docs = pq.read_table(os.path.join(SF0001, "documents.parquet"), columns=["source"])
     assert int(out["n_docs"].sum()) == docs.num_rows
     assert (out["n_langs"] >= 1).all()
+
+
+def test_word_burstiness_function_vs_content(ray_session):
+    from plasmap_ray.pipelines import text as text_mod
+
+    out = text_mod.word_burstiness(SF0001).to_pandas()
+    assert len(out) > 0
+    # df can never exceed the Poisson ceiling by much: expected >= df
+    # is not guaranteed, but burstiness must be positive and df <= n
+    assert (out["df"] <= out["n"]).all()
+    assert (out["burstiness"] > 0).all()
+    # exact recompute for one token
+    import collections
+
+    t = pq.read_table(os.path.join(SF0001, "documents.parquet"), columns=["text"])
+    docs = [txt.lower().split(" ") for txt in t["text"].to_pylist()]
+    tok = out["token"].iloc[0]
+    n = sum(d.count(tok) for d in docs)
+    df = sum(1 for d in docs if tok in d)
+    row = out[out["token"] == tok].iloc[0]
+    assert int(row["n"]) == n and int(row["df"]) == df
