@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_passage_time": trajectory.first_passage_time,
         "spectral_partition": trajectory.spectral_partition,
         "trajectory_simplify": trajectory.trajectory_simplify,
+        "degree_assortativity": trajectory.degree_assortativity,
         "transition_stationary": trajectory.transition_stationary,
         "zone_modularity": trajectory.zone_modularity,
         "cotravel_pairs": trajectory.cotravel_pairs,
@@ -493,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dtw_profiles": windows.dtw_profiles,
         "pacf_durbin": windows.pacf_durbin,
         "granger_causality": windows.granger_causality,
+        "hurst_exponent": windows.hurst_exponent,
         "ccf_event_types": windows.ccf_event_types,
         "dau_wau_ratio": windows.dau_wau_ratio,
         "binseg_changepoints": windows.binseg_changepoints,
@@ -2463,6 +2465,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "dtw_profiles": f"SELECT * FROM read_parquet('{golden.dtw_profiles_path(SF001)}')",
         "pacf_durbin": f"SELECT * FROM read_parquet('{golden.pacf_durbin_path(SF001)}')",
         "granger_causality": f"SELECT * FROM read_parquet('{golden.granger_causality_path(SF001)}')",
+        "hurst_exponent": f"SELECT * FROM read_parquet('{golden.hurst_exponent_path(SF001)}')",
         "first_passage_time": f"SELECT * FROM read_parquet('{golden.first_passage_time_path(SF001)}')",
         "spectral_partition": f"SELECT * FROM read_parquet('{golden.spectral_partition_path(SF001)}')",
         "quantile_regression": f"SELECT * FROM read_parquet('{golden.quantile_regression_path(SF001)}')",
@@ -3474,6 +3477,33 @@ SELECT zid AS rel_id, n_within, w_out, w_in,
        round(CAST(n_within AS DOUBLE) / m.mt
              - (CAST(w_out AS DOUBLE) / m.mt) * (CAST(w_in AS DOUBLE) / m.mt), 6) AS q_term
 FROM per CROSS JOIN m""",
+        "degree_assortativity": f"""
+WITH {_epts},
+sc0 AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id,
+         CAST(floor((lon - {fixtures.LON_MIN!r}) / {trajectory.LP_PITCH!r}) AS BIGINT) AS cx,
+         CAST(floor((lat - {fixtures.LAT_MIN!r}) / {trajectory.LP_PITCH!r}) AS BIGINT) AS cy
+  FROM epts),
+st AS (
+  SELECT cx, cy,
+         lag(cx) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS px,
+         lag(cy) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS py
+  FROM sc0),
+e0 AS (
+  SELECT DISTINCT least(px * 2097152 + py, cx * 2097152 + cy) AS a,
+                  greatest(px * 2097152 + py, cx * 2097152 + cy) AS b
+  FROM st WHERE px IS NOT NULL AND (px != cx OR py != cy)),
+sym AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+j AS (SELECT du.deg AS x, dv.deg AS y FROM sym
+      JOIN deg du ON du.u = sym.u JOIN deg dv ON dv.u = sym.v),
+s AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+      FROM j)
+SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+       round(CAST(m*sxy - sx*sy AS DOUBLE)
+             / (sqrt(CAST(m*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(m*syy - sy*sy AS DOUBLE))), 6) AS r
+FROM s""",
         "link_prediction": f"""
 WITH {_epts},
 sc0 AS (

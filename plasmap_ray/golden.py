@@ -7038,3 +7038,67 @@ def trajectory_simplify_path(sf_dir: str) -> str:
         )
 
     return _cache(f"traj_simplify_{_sf_tag(sf_dir)}", build)
+
+
+def hurst_exponent_path(sf_dir: str) -> str:
+    """Golden R/S recompute: DuckDB hourly counts + the identical
+    block ladder (the aggregation is the distributed part)."""
+
+    def build() -> pa.Table:
+        import duckdb
+
+        from .pipelines.windows import HURST_WINDOWS
+        from .stages.common import duckdb_round
+
+        con = duckdb.connect()
+        df = con.execute(
+            f"""
+            SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS n
+            FROM read_parquet('{os.path.join(sf_dir, "events.parquet")}') GROUP BY 1
+            """
+        ).fetchdf()
+        h = df["h"].to_numpy().astype(np.int64)
+        lo, hi = int(h.min()), int(h.max())
+        dense = np.zeros(hi - lo + 1, dtype=np.int64)
+        dense[h - lo] = df["n"].to_numpy().astype(np.int64)
+        rows = {"window": [], "n_blocks": [], "mean_rs": []}
+        xs, ys = [], []
+        for w in HURST_WINDOWS:
+            nb = len(dense) // w
+            if nb < 2:
+                continue
+            rs_vals = []
+            for b in range(nb):
+                seg = dense[b * w : (b + 1) * w].astype(np.float64)
+                dev = seg - seg.mean()
+                z = np.cumsum(dev)
+                r = float(z.max() - z.min())
+                s = float(seg.std())
+                if s > 0:
+                    rs_vals.append(r / s)
+            if not rs_vals:
+                continue
+            mean_rs = float(np.mean(rs_vals))
+            rows["window"].append(w)
+            rows["n_blocks"].append(nb)
+            rows["mean_rs"].append(mean_rs)
+            xs.append(np.log(float(w)))
+            ys.append(np.log(mean_rs))
+        xs_a, ys_a = np.array(xs), np.array(ys)
+        n = len(xs_a)
+        hcoef = float(
+            (n * (xs_a * ys_a).sum() - xs_a.sum() * ys_a.sum())
+            / (n * (xs_a * xs_a).sum() - xs_a.sum() ** 2)
+        )
+        rows["window"].append(0)
+        rows["n_blocks"].append(len(dense))
+        rows["mean_rs"].append(hcoef)
+        return pa.table(
+            {
+                "window": pa.array(rows["window"], type=pa.int64()),
+                "n_blocks": pa.array(rows["n_blocks"], type=pa.int64()),
+                "mean_rs": pa.array(duckdb_round(np.array(rows["mean_rs"]), 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"hurst_{_sf_tag(sf_dir)}", build)

@@ -3221,3 +3221,117 @@ def trajectory_simplify(sf_dir: str, tol: float = TS_TOL, parts: int = TRAJ_PART
         return t.append_column("kept_frac", pa.array(kf, type=pa.float64()))
 
     return per_user.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# degree_assortativity (degree-degree correlation of the mobility graph)
+# ---------------------------------------------------------------------------
+
+
+def degree_assortativity(sf_dir: str, pitch: float = LP_PITCH) -> rd.Dataset:
+    """Degree assortativity of the undirected mobility graph (Newman
+    2002): the Pearson correlation of endpoint degrees over edges —
+    do hubs connect to hubs (assortative, r > 0, social-network-like)
+    or to leaves (disassortative, r < 0, infrastructure-like)?  The
+    one-scalar topology fingerprint beside hits/pagerank's node
+    rankings.
+
+    Exactness: degrees are exact int64 counts; the edge-level moment
+    sums are exact integers (the discount_elasticity partial shape on
+    the symmetric edge list — each undirected edge contributes both
+    orientations, the standard convention); r is ONE mirrored float
+    expression rounded 6.
+
+    Scale shape: the (from, to)-keyed kernel shuffle; degree attach =
+    two hash joins against the degree aggregate; the moment fold is a
+    six-int64 global reduce.  Grid: the finer LP_PITCH lattice (the
+    0.5-deg graph is near-regular — zero degree variance makes r
+    undefined).  Output: one row (n_edges, r).
+    """
+    from ..stages.common import duckdb_round, safe_join
+
+    kern = cell_transition_matrix(sf_dir, pitch=pitch)
+    stride = np.int64(1 << 21)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        f = t["fx"].to_numpy() * stride + t["fy"].to_numpy()
+        to = t["tx"].to_numpy() * stride + t["ty"].to_numpy()
+        m = f != to
+        a = np.minimum(f[m], to[m])
+        b = np.maximum(f[m], to[m])
+        u = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table(
+            {"a": pa.array(u[:, 0], type=pa.int64()), "b": pa.array(u[:, 1], type=pa.int64())}
+        )
+
+    edges = (
+        kern.map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "v": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            }
+        )
+
+    symm = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    deg = symm.groupby("u").aggregate(Count(alias_name="deg")).materialize()
+    ju = safe_join(
+        symm,
+        deg.map_batches(lambda t: pa.table({"du_node": t["u"], "du": t["deg"]}), batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=8,
+        on=("u",),
+        right_on=("du_node",),
+    )
+    jv = safe_join(
+        ju,
+        deg.map_batches(lambda t: pa.table({"dv_node": t["u"], "dv": t["deg"]}), batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=8,
+        on=("v",),
+        right_on=("dv_node",),
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t["du"].to_numpy().astype(np.int64)
+        y = t["dv"].to_numpy().astype(np.int64)
+        vals = {
+            "m": len(x),
+            "sx": int(x.sum()),
+            "sy": int(y.sum()),
+            "sxy": int((x * y).sum()),
+            "sxx": int((x * x).sum()),
+            "syy": int((y * y).sum()),
+        }
+        return pa.table(
+            {"_g": pa.array([0], type=pa.int64())}
+            | {k: pa.array([v], type=pa.int64()) for k, v in vals.items()}
+        )
+
+    agg = (
+        jv.map_batches(moments, batch_format="pyarrow")
+        .groupby("_g")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("m", "sx", "sy", "sxy", "sxx", "syy")])
+        .to_pandas()
+    )
+    m, sx, sy, sxy, sxx, syy = (int(agg[c][0]) for c in ("m", "sx", "sy", "sxy", "sxx", "syy"))
+    r = (m * sxy - sx * sy) / (
+        np.sqrt(float(m * sxx - sx * sx)) * np.sqrt(float(m * syy - sy * sy))
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_edges": pa.array([m // 2], type=pa.int64()),
+                "r": pa.array(duckdb_round(np.array([r]), 6), type=pa.float64()),
+            }
+        )
+    )

@@ -2866,3 +2866,91 @@ def granger_causality(sf_dir: str, pair: tuple = GRANGER_PAIR) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hurst_exponent (rescaled-range long-memory estimate)
+# ---------------------------------------------------------------------------
+
+HURST_WINDOWS = (8, 16, 32, 64, 128)
+
+
+def hurst_exponent(sf_dir: str, windows_: tuple = HURST_WINDOWS) -> rd.Dataset:
+    """Hurst exponent of the hourly event-count series by classic
+    rescaled-range (R/S) analysis: slope of log(R/S) vs log(window) —
+    the long-memory scalar (H > 0.5 persistent / < 0.5 anti-
+    persistent / = 0.5 memoryless) that ACF's fixed lags cannot
+    summarize; the capacity-planning question "do busy hours clump at
+    EVERY scale?" in one number.
+
+    Determinism: the hourly series is exact int64 (acf_hourly's
+    exchange); per-window R/S uses float demeaned cumsums in a FIXED
+    window order (non-overlapping blocks, remainder dropped), and the
+    final slope is the exact-sum OLS closed form — all mirrored
+    expressions, golden replays them on DuckDB counts.
+
+    Scale shape: ONE hour-keyed bounded reduce; the R/S ladder is
+    O(len · |windows|) driver math on the bounded series.  Output:
+    (window, n_blocks, mean_rs) per rung + one (0, n, H) summary row
+    (window = 0 marks the fit row).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_events(sf_dir, ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = t["ts"].cast(pa.int64()).to_numpy() // 3_600_000_000
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u, type=pa.int64()), "n": pa.array(c.astype(np.int64))})
+
+    hourly = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    h = hourly["h"].to_numpy().astype(np.int64)
+    lo, hi = int(h.min()), int(h.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[h - lo] = hourly["n"].to_numpy().astype(np.int64)
+    rows = {"window": [], "n_blocks": [], "mean_rs": []}
+    xs, ys = [], []
+    for w in windows_:
+        nb = len(dense) // w
+        if nb < 2:
+            continue
+        rs_vals = []
+        for b in range(nb):
+            seg = dense[b * w : (b + 1) * w].astype(np.float64)
+            dev = seg - seg.mean()
+            z = np.cumsum(dev)
+            r = float(z.max() - z.min())
+            s = float(seg.std())
+            if s > 0:
+                rs_vals.append(r / s)
+        if not rs_vals:
+            continue
+        mean_rs = float(np.mean(rs_vals))
+        rows["window"].append(w)
+        rows["n_blocks"].append(nb)
+        rows["mean_rs"].append(mean_rs)
+        xs.append(np.log(float(w)))
+        ys.append(np.log(mean_rs))
+    xs_a, ys_a = np.array(xs), np.array(ys)
+    n = len(xs_a)
+    hcoef = float(
+        (n * (xs_a * ys_a).sum() - xs_a.sum() * ys_a.sum())
+        / (n * (xs_a * xs_a).sum() - xs_a.sum() ** 2)
+    )
+    rows["window"].append(0)
+    rows["n_blocks"].append(len(dense))
+    rows["mean_rs"].append(hcoef)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "window": pa.array(rows["window"], type=pa.int64()),
+                "n_blocks": pa.array(rows["n_blocks"], type=pa.int64()),
+                "mean_rs": pa.array(duckdb_round(np.array(rows["mean_rs"]), 6), type=pa.float64()),
+            }
+        )
+    )

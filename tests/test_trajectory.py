@@ -993,3 +993,29 @@ def test_trajectory_simplify_endpoints_and_tolerance(ray_session):
     assert (j["n_kept_l"] <= j["n_kept_t"]).all()
     # something is actually simplified at the default tolerance
     assert (out["n_kept"] < out["n_points"]).any()
+
+
+def test_degree_assortativity_matches_numpy(ray_session):
+    from plasmap_ray.pipelines import trajectory as traj
+
+    out = traj.degree_assortativity("/root/testdata/sf0.001").to_pandas().iloc[0]
+    kern = traj.cell_transition_matrix("/root/testdata/sf0.001", pitch=traj.LP_PITCH).to_pandas()
+    S = 1 << 21
+    f = kern["fx"].to_numpy() * S + kern["fy"].to_numpy()
+    t = kern["tx"].to_numpy() * S + kern["ty"].to_numpy()
+    m = f != t
+    pairs = {(int(a), int(b)) for a, b in zip(np.minimum(f[m], t[m]), np.maximum(f[m], t[m]))}
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    xs, ys = [], []
+    for a, b in pairs:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    r = np.corrcoef(np.array(xs, float), np.array(ys, float))[0, 1]
+    assert int(out["n_edges"]) == len(pairs)
+    assert abs(out["r"] - r) < 1e-6
+    assert -1.0 <= out["r"] <= 1.0

@@ -226,3 +226,20 @@ def test_granger_matches_lstsq_f_stat(ray_session):
         rr, ru = rss(Xr), rss(Xu)
         f = (rr - ru) / (ru / (len(xt) - 3))
         assert abs(r.f_stat - f) < 1e-3
+
+
+def test_hurst_exponent_range_and_fit_row(ray_session):
+    import numpy as np
+
+    from plasmap_ray.pipelines import windows as win
+
+    out = win.hurst_exponent("/root/testdata/sf0.001").to_pandas()
+    fit = out[out["window"] == 0]
+    assert len(fit) == 1
+    H = float(fit["mean_rs"].iloc[0])
+    assert 0.0 < H < 1.0  # valid R/S exponent range
+    rungs = out[out["window"] > 0]
+    assert len(rungs) >= 3
+    # R/S grows with window size (long-or-short memory, never shrinking)
+    rs = rungs.sort_values("window")["mean_rs"].to_numpy()
+    assert (np.diff(rs) > 0).all()
