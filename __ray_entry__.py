@@ -490,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cca_analysis": stats.cca_analysis,
         "perceptron_averaging": stats.perceptron_averaging,
         "simpsons_paradox": stats.simpsons_paradox,
+        "als_factorization": stats.als_factorization,
         "acf_hourly": windows.acf_hourly,
         "dtw_profiles": windows.dtw_profiles,
         "pacf_durbin": windows.pacf_durbin,
@@ -2475,6 +2476,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "lof_outliers": f"SELECT * FROM read_parquet('{golden.lof_outliers_path(SF001)}')",
         "cca_analysis": f"SELECT * FROM read_parquet('{golden.cca_analysis_path(SF001)}')",
         "perceptron_averaging": f"SELECT * FROM read_parquet('{golden.perceptron_averaging_path(SF001)}')",
+        "als_factorization": f"SELECT * FROM read_parquet('{golden.als_factorization_path(SF001)}')",
         "logistic_newton": f"SELECT * FROM read_parquet('{golden.logistic_newton_path(SF001)}')",
         "mst_boruvka": f"SELECT * FROM read_parquet('{golden.mst_boruvka_path()}')",
         "tsp_tours": f"SELECT * FROM read_parquet('{golden.tsp_tours_path()}')",

@@ -7102,3 +7102,62 @@ def hurst_exponent_path(sf_dir: str) -> str:
         )
 
     return _cache(f"hurst_{_sf_tag(sf_dir)}", build)
+
+
+def als_factorization_path(sf_dir: str) -> str:
+    """Golden ALS recompute: full-matrix replay of the identical
+    quantized alternation (per-user math is elementwise, partials are
+    exact ints — sharding cannot change the bits)."""
+
+    def build() -> pa.Table:
+        import duckdb
+
+        from .pipelines.stats import ALS_FP, ALS_ITERS, ALS_K, ALS_REG, _als_user_solve
+        from .stages.common import duckdb_round
+
+        k = ALS_K
+        con = duckdb.connect()
+        df = con.execute(
+            f"""
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM read_parquet('{os.path.join(sf_dir, "events.parquet")}') GROUP BY 1, 2
+            """
+        ).fetchdf()
+        types = sorted(df["event_type"].unique())
+        tidx = {t: i for i, t in enumerate(types)}
+        T = len(types)
+        users = np.sort(df["user_id"].unique())
+        uidx = {u: i for i, u in enumerate(users)}
+        rmat = np.zeros((len(users), T), dtype=np.float64)
+        for u, t, n in zip(df["user_id"], df["event_type"], df["n"]):
+            rmat[uidx[u], tidx[t]] = float(n)
+        V = ((np.arange(T)[:, None] + 1) * (np.arange(k)[None, :] + 1)).astype(np.float64) / 10.0
+        fp = float(ALS_FP)
+        q = lambda v: np.floor(v * fp + 0.5).astype(np.int64)  # noqa: E731
+        rmse = 0.0
+        for _ in range(ALS_ITERS):
+            U = _als_user_solve(rmat, V, ALS_REG)
+            G = np.empty((k, k))
+            for a in range(k):
+                for b in range(a, k):
+                    G[a, b] = G[b, a] = int(q(U[:, a] * U[:, b]).sum()) / fp
+            P = np.array(
+                [[int(q(U[:, a] * rmat[:, t2]).sum()) / fp for t2 in range(T)] for a in range(k)]
+            )
+            err = rmat - U @ V.T
+            rmse = float(np.sqrt(int(q(err * err).sum()) / fp / (len(users) * T)))
+            V = np.linalg.solve(G + ALS_REG * np.eye(k), P).T
+        rows_t = types + ["__rmse__"]
+        v0 = list(V[:, 0]) + [rmse]
+        v1 = list(V[:, 1]) + [float(ALS_ITERS)]
+        return pa.table(
+            {
+                "event_type": pa.array(rows_t, type=pa.string()),
+                "v0": pa.array(duckdb_round(np.array(v0), 6), type=pa.float64()),
+                "v1": pa.array(duckdb_round(np.array(v1), 6), type=pa.float64()),
+            }
+        )
+
+    from .pipelines.stats import ALS_ITERS as _als_iters
+
+    return _cache(f"als_{_sf_tag(sf_dir)}_i{_als_iters}", build)

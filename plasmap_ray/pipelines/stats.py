@@ -3365,3 +3365,150 @@ def simpsons_paradox(sf_dir: str) -> rd.Dataset:
         }
     ).sort_values("p_brand")
     return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+# ---------------------------------------------------------------------------
+# als_factorization (alternating least squares on the user x type matrix)
+# ---------------------------------------------------------------------------
+
+ALS_K = 2
+ALS_ITERS = 10
+ALS_REG = 0.1
+ALS_FP = np.int64(1) << np.int64(30)
+
+
+def _als_user_solve(rmat: np.ndarray, V: np.ndarray, reg: float) -> np.ndarray:
+    """Closed-form user factors for a dense block of rating rows:
+    U = R V (V'V + reg I)^-1 — one small solve shared by every user
+    (the per-user Gram is identical when all items are observed,
+    which the dense count matrix guarantees)."""
+    k = V.shape[1]
+    G = V.T @ V + reg * np.eye(k)
+    return rmat @ V @ np.linalg.inv(G)
+
+
+def als_factorization(sf_dir: str, k: int = ALS_K, iters: int = ALS_ITERS) -> rd.Dataset:
+    """ALS matrix factorization of the user x event-type count matrix
+    — the collaborative-filtering canon (Koren/Hu-Koren-Volinsky) in
+    its DISTRIBUTED topology: item factors broadcast, user factors
+    solved row-locally in closed form (map-only), item-side normal
+    equations re-assembled from an order-proof quantized reduce.  The
+    FOURTH training topology in the repo (closed-form / global-pass /
+    parameter-averaging / alternating).
+
+    Determinism: the rating matrix is exact int64 counts; V inits
+    from a fixed integer ramp; per-user float solves are elementwise
+    (batching-independent); the V-step partials (U'U, U'R per type)
+    quantize to 2^-30 per user BEFORE the merge-order-dependent sum.
+
+    Scale shape: ONE (user, type) count shuffle builds the matrix;
+    each iteration = one map pass (user solves + quantized partials)
+    + one 5·(k²+k)-int64 reduce; users never leave their shards.
+
+    Output: per type (event_type, v0, v1) + one summary row
+    (event_type='__rmse__', v0=rmse, v1=iters).
+    """
+    from ray.data.aggregate import Count as AggCount
+
+    from ..stages.common import duckdb_round
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"])
+
+    def cpart(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(),
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            }
+        ).groupby(["user_id", "event_type"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy().astype(np.int64), type=pa.int64()),
+                "event_type": pa.array(df["event_type"], type=pa.string()),
+                "n": pa.array(df["n"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        ev.map_batches(cpart, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    types = sorted(
+        counts.groupby("event_type").aggregate(AggCount(alias_name="_c")).to_pandas()["event_type"]
+    )
+    tidx = {t: i for i, t in enumerate(types)}
+    T = len(types)
+    V = ((np.arange(T)[:, None] + 1) * (np.arange(k)[None, :] + 1)).astype(np.float64) / 10.0
+    fp = float(ALS_FP)
+    n_users = None
+    rmse = 0.0
+    for _ in range(iters):
+        def vstep(t: pa.Table, V=V.copy()) -> pa.Table:
+            df = pd.DataFrame(
+                {
+                    "u": t["user_id"].to_numpy(),
+                    "ti": [tidx[x] for x in t["event_type"].to_pylist()],
+                    "n": t["n"].to_numpy(),
+                }
+            )
+            piv = df.pivot_table(index="u", columns="ti", values="n", fill_value=0, aggfunc="sum")
+            rmat = np.zeros((len(piv), T), dtype=np.float64)
+            rmat[:, piv.columns.to_numpy()] = piv.to_numpy(dtype=np.float64)
+            U = _als_user_solve(rmat, V, ALS_REG)
+            q = lambda v: np.floor(v * fp + 0.5).astype(np.int64)  # noqa: E731
+            cols = {"n_users": len(piv)}
+            # per-user quantized partials: U'U (k x k) and U'R (k x T), SSE
+            for a in range(k):
+                for b in range(a, k):
+                    cols[f"g{a}{b}"] = int(q(U[:, a] * U[:, b]).sum())
+                for t2 in range(T):
+                    cols[f"p{a}_{t2}"] = int(q(U[:, a] * rmat[:, t2]).sum())
+            err = rmat - U @ V.T
+            cols["sse"] = int(q(err * err).sum())
+            return pa.table(
+                {"_g": pa.array([0], type=pa.int64())}
+                | {kk: pa.array([int(vv)], type=pa.int64()) for kk, vv in cols.items()}
+            )
+
+        keys = (
+            ["n_users", "sse"]
+            + [f"g{a}{b}" for a in range(k) for b in range(a, k)]
+            + [f"p{a}_{t2}" for a in range(k) for t2 in range(T)]
+        )
+        # CAVEAT: a user's rows must co-locate for the pivot — shard by user
+        agg = (
+            counts.map_batches(
+                lambda t: t.append_column(
+                    "_shard", pa.array(t["user_id"].to_numpy() % 16, type=pa.int64())
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("_shard")
+            .map_groups(vstep, batch_format="pyarrow")
+            .groupby("_g")
+            .aggregate(*[Sum(kk, alias_name=kk) for kk in keys])
+            .to_pandas()
+        )
+        s = {kk: int(agg[kk][0]) for kk in keys}
+        n_users = s["n_users"]
+        G = np.empty((k, k))
+        for a in range(k):
+            for b in range(a, k):
+                G[a, b] = G[b, a] = s[f"g{a}{b}"] / fp
+        P = np.array([[s[f"p{a}_{t2}"] / fp for t2 in range(T)] for a in range(k)])
+        rmse = float(np.sqrt(s["sse"] / fp / (n_users * T)))
+        V = np.linalg.solve(G + ALS_REG * np.eye(k), P).T
+    rows_t = types + ["__rmse__"]
+    v0 = list(V[:, 0]) + [rmse]
+    v1 = list(V[:, 1]) + [float(iters)]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(rows_t, type=pa.string()),
+                "v0": pa.array(duckdb_round(np.array(v0), 6), type=pa.float64()),
+                "v1": pa.array(duckdb_round(np.array(v1), 6), type=pa.float64()),
+            }
+        )
+    )

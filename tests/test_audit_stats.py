@@ -598,3 +598,16 @@ def test_simpsons_paradox_signs_exact(ray_session):
     want = 0 if num == 0 else (1 if num > 0 else -1)
     assert int(out[out["p_brand"] == brand]["slope_num_sign"].iloc[0]) == want
     assert int(out[out["p_brand"] == brand]["n"].iloc[0]) == len(sub)
+
+
+def test_als_reconstructs_better_than_mean(ray_session):
+    out = stats.als_factorization(SF).to_pandas()
+    rmse = float(out[out["event_type"] == "__rmse__"]["v0"].iloc[0])
+    # baseline: per-type column-mean reconstruction RMSE
+    t = pq.read_table(os.path.join(SF, "events.parquet"), columns=["user_id", "event_type"]).to_pandas()
+    piv = t.groupby(["user_id", "event_type"]).size().unstack(fill_value=0)
+    R = piv.to_numpy(dtype=float)
+    base = np.sqrt(((R - R.mean(axis=0)) ** 2).mean())
+    assert rmse < base  # rank-2 fit beats the rank-1 column-mean model
+    assert rmse > 0
+    assert len(out) == piv.shape[1] + 1
