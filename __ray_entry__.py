@@ -496,6 +496,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pacf_durbin": windows.pacf_durbin,
         "granger_causality": windows.granger_causality,
         "hurst_exponent": windows.hurst_exponent,
+        "kalman_smooth": windows.kalman_smooth,
+        "kleinberg_bursts": windows.kleinberg_bursts,
         "ccf_event_types": windows.ccf_event_types,
         "dau_wau_ratio": windows.dau_wau_ratio,
         "binseg_changepoints": windows.binseg_changepoints,
@@ -2467,6 +2469,8 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "pacf_durbin": f"SELECT * FROM read_parquet('{golden.pacf_durbin_path(SF001)}')",
         "granger_causality": f"SELECT * FROM read_parquet('{golden.granger_causality_path(SF001)}')",
         "hurst_exponent": f"SELECT * FROM read_parquet('{golden.hurst_exponent_path(SF001)}')",
+        "kalman_smooth": f"SELECT * FROM read_parquet('{golden.kalman_smooth_path(SF001)}')",
+        "kleinberg_bursts": f"SELECT * FROM read_parquet('{golden.kleinberg_bursts_path(SF001)}')",
         "first_passage_time": f"SELECT * FROM read_parquet('{golden.first_passage_time_path(SF001)}')",
         "spectral_partition": f"SELECT * FROM read_parquet('{golden.spectral_partition_path(SF001)}')",
         "quantile_regression": f"SELECT * FROM read_parquet('{golden.quantile_regression_path(SF001)}')",

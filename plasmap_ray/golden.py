@@ -7161,3 +7161,88 @@ def als_factorization_path(sf_dir: str) -> str:
     from .pipelines.stats import ALS_ITERS as _als_iters
 
     return _cache(f"als_{_sf_tag(sf_dir)}_i{_als_iters}", build)
+
+
+def kalman_smooth_path(sf_dir: str) -> str:
+    """Golden Kalman replay: DuckDB daily sums + the identical fixed-
+    parameter recursion (pure function of exact inputs)."""
+
+    def build() -> pa.Table:
+        import duckdb
+
+        from .pipelines.windows import KALMAN_Q, KALMAN_R
+        from .stages.common import duckdb_round
+
+        con = duckdb.connect()
+        df = con.execute(
+            f"""
+            SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+            FROM read_parquet('{os.path.join(sf_dir, "orders.parquet")}') GROUP BY 1 ORDER BY 1
+            """
+        ).fetchdf()
+        days = df["day"].to_numpy().astype(np.int64)
+        obs = df["cents"].to_numpy().astype(np.int64)
+        scale = float(max(int(np.median(obs)), 1))
+        q = KALMAN_Q * scale * scale
+        r = KALMAN_R * scale * scale
+        x = float(obs[0])
+        p = r
+        levels = np.empty(len(obs))
+        gains = np.empty(len(obs))
+        for i, z in enumerate(obs.astype(np.float64)):
+            p = p + q
+            kg = p / (p + r)
+            x = x + kg * (z - x)
+            p = (1.0 - kg) * p
+            levels[i] = x
+            gains[i] = kg
+        return pa.table(
+            {
+                "day": pa.array(days, type=pa.int64()),
+                "obs_cents": pa.array(obs, type=pa.int64()),
+                "level": pa.array(duckdb_round(levels, 6), type=pa.float64()),
+                "gain": pa.array(duckdb_round(gains, 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"kalman_{_sf_tag(sf_dir)}", build)
+
+
+def kleinberg_bursts_path(sf_dir: str) -> str:
+    """Golden burst decode: DuckDB hourly counts + the shared Viterbi
+    kernel (pure function of exact inputs)."""
+
+    def build() -> pa.Table:
+        import duckdb
+
+        from .pipelines.windows import BURST_FACTOR, BURST_GAMMA, _kleinberg_states
+
+        con = duckdb.connect()
+        df = con.execute(
+            f"""
+            SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS n
+            FROM read_parquet('{os.path.join(sf_dir, "events.parquet")}') GROUP BY 1
+            """
+        ).fetchdf()
+        h = df["h"].to_numpy().astype(np.int64)
+        lo, hi = int(h.min()), int(h.max())
+        dense = np.zeros(hi - lo + 1, dtype=np.int64)
+        dense[h - lo] = df["n"].to_numpy().astype(np.int64)
+        states = _kleinberg_states(dense, BURST_FACTOR, BURST_GAMMA)
+        burst = states == 1
+        edges = np.diff(np.concatenate([[0], burst.astype(np.int64), [0]]))
+        starts = np.nonzero(edges == 1)[0]
+        ends = np.nonzero(edges == -1)[0]
+        episodes = len(starts)
+        longest = int((ends - starts).max()) if episodes else 0
+        return pa.table(
+            {
+                "n_hours": pa.array([len(dense)], type=pa.int64()),
+                "n_burst_hours": pa.array([int(burst.sum())], type=pa.int64()),
+                "n_episodes": pa.array([episodes], type=pa.int64()),
+                "longest_episode": pa.array([longest], type=pa.int64()),
+            }
+        )
+
+    return _cache(f"kleinberg_{_sf_tag(sf_dir)}", build)

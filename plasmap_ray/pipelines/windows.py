@@ -2954,3 +2954,172 @@ def hurst_exponent(sf_dir: str, windows_: tuple = HURST_WINDOWS) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# kalman_smooth (constant-level Kalman filter on daily revenue)
+# ---------------------------------------------------------------------------
+
+KALMAN_Q = 0.01  # process variance (relative scale)
+KALMAN_R = 1.0  # observation variance (relative scale)
+
+
+def kalman_smooth(sf_dir: str) -> rd.Dataset:
+    """Local-level Kalman filter over the daily revenue series — the
+    state-space denoiser (level + gain trajectory) that exponential
+    smoothing approximates: the posted filter is the optimal linear
+    tracker under the (q, r) noise model, and the steady-state gain
+    it converges to IS the EWMA alpha this series deserves.
+
+    Determinism: daily sums are exact cents (the runs_test combiner);
+    the filter recursion runs in float64 over the day-bounded series
+    with FIXED (q, r) — a pure function of the exact inputs, replayed
+    identically by the golden.
+
+    Scale shape: per-batch (day, cents) combiner -> day-bounded
+    groupby -> O(days) driver recursion (daily_cusum discipline).
+    Output: (day, obs_cents, level, gain) per day, rounded 6.
+    """
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["o_orderdate"].cast(pa.int64()).to_numpy() // 86_400_000_000
+        cents = np.floor(t["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"day": day, "cents": cents}).groupby("day", sort=False)["cents"].sum().reset_index()
+        return pa.table(
+            {
+                "day": pa.array(df["day"].to_numpy(), type=pa.int64()),
+                "cents": pa.array(df["cents"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    days = daily["day"].to_numpy().astype(np.int64)
+    obs = daily["cents"].to_numpy().astype(np.int64)
+    scale = float(max(int(np.median(obs)), 1))  # relative noise scales
+    q = KALMAN_Q * scale * scale
+    r = KALMAN_R * scale * scale
+    x = float(obs[0])
+    p = r
+    levels = np.empty(len(obs))
+    gains = np.empty(len(obs))
+    for i, z in enumerate(obs.astype(np.float64)):
+        p = p + q
+        kgain = p / (p + r)
+        x = x + kgain * (z - x)
+        p = (1.0 - kgain) * p
+        levels[i] = x
+        gains[i] = kgain
+    return rd.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(days, type=pa.int64()),
+                "obs_cents": pa.array(obs, type=pa.int64()),
+                "level": pa.array(duckdb_round(levels, 6), type=pa.float64()),
+                "gain": pa.array(duckdb_round(gains, 6), type=pa.float64()),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# kleinberg_bursts (two-state burst automaton over hourly counts)
+# ---------------------------------------------------------------------------
+
+BURST_FACTOR = 2.0  # burst-state rate multiplier
+BURST_GAMMA = 1.0  # state-transition cost
+
+
+def kleinberg_bursts(sf_dir: str) -> rd.Dataset:
+    """Kleinberg's two-state burst automaton (KDD 2002) over the
+    hourly event-count series: a Viterbi decode between a base-rate
+    state and an elevated (x BURST_FACTOR) state with transition cost
+    gamma — THE principled "when was it bursting" segmentation that a
+    fixed threshold cannot give (short spikes pay the transition toll,
+    sustained elevation flips the state).
+
+    Determinism: hourly counts are exact; Poisson log-likelihoods and
+    the DP run in float64 over the bounded series with fixed
+    parameters; ties prefer the base state (explicit <, documented) —
+    a pure function of exact inputs, replayed by the golden.
+
+    Scale shape: the acf_hourly exchange; O(hours) driver DP.
+    Output: (n_hours, n_burst_hours, n_episodes, longest_episode).
+    """
+    ds = _read_events(sf_dir, ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = t["ts"].cast(pa.int64()).to_numpy() // 3_600_000_000
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u, type=pa.int64()), "n": pa.array(c.astype(np.int64))})
+
+    hourly = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    h = hourly["h"].to_numpy().astype(np.int64)
+    lo, hi = int(h.min()), int(h.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[h - lo] = hourly["n"].to_numpy().astype(np.int64)
+    states = _kleinberg_states(dense, BURST_FACTOR, BURST_GAMMA)
+    burst = states == 1
+    edges = np.diff(np.concatenate([[0], burst.astype(np.int64), [0]]))
+    starts = np.nonzero(edges == 1)[0]
+    ends = np.nonzero(edges == -1)[0]
+    episodes = len(starts)
+    longest = int((ends - starts).max()) if episodes else 0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_hours": pa.array([len(dense)], type=pa.int64()),
+                "n_burst_hours": pa.array([int(burst.sum())], type=pa.int64()),
+                "n_episodes": pa.array([episodes], type=pa.int64()),
+                "longest_episode": pa.array([longest], type=pa.int64()),
+            }
+        )
+    )
+
+
+def _kleinberg_states(dense: np.ndarray, factor: float, gamma: float) -> np.ndarray:
+    """Two-state Viterbi with Poisson emissions at rates (mean,
+    mean*factor).  The n! emission term cancels BETWEEN states, so
+    per-hour state scores need only n·ln(rate) − rate; ties prefer
+    the base state (strict < on the burst branch)."""
+    mean = float(dense.mean())
+    lam = np.array([mean, mean * factor])
+    n = dense.astype(np.float64)
+    # emission log-likelihood per (hour, state), n! dropped (common)
+    ll = n[:, None] * np.log(lam)[None, :] - lam[None, :]
+    neg_inf = -1e18
+    best = np.array([ll[0, 0], ll[0, 1] - gamma])
+    back = np.zeros((len(n), 2), dtype=np.int64)
+    for i in range(1, len(n)):
+        new_best = np.empty(2)
+        for s in (0, 1):
+            stay = best[s]
+            flip = best[1 - s] - gamma
+            if flip > stay:  # strict: ties keep the current state
+                back[i, s] = 1 - s
+                new_best[s] = flip + ll[i, s]
+            else:
+                back[i, s] = s
+                new_best[s] = stay + ll[i, s]
+        best = new_best
+    states = np.zeros(len(n), dtype=np.int64)
+    states[-1] = 0 if best[0] >= best[1] else 1  # tie -> base
+    for i in range(len(n) - 1, 0, -1):
+        states[i - 1] = back[i, states[i]]
+    return states

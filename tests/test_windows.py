@@ -243,3 +243,29 @@ def test_hurst_exponent_range_and_fit_row(ray_session):
     # R/S grows with window size (long-or-short memory, never shrinking)
     rs = rungs.sort_values("window")["mean_rs"].to_numpy()
     assert (np.diff(rs) > 0).all()
+
+
+def test_kalman_and_kleinberg_sanity(ray_session):
+    import numpy as np
+
+    from plasmap_ray.pipelines import windows as win
+
+    k = win.kalman_smooth("/root/testdata/sf0.001").to_pandas()
+    assert len(k) > 10
+    # gains decrease toward the steady state and stay in (0, 1)
+    g = k["gain"].to_numpy()
+    assert (g > 0).all() and (g < 1).all()
+    assert g[-1] <= g[0] + 1e-12
+    # level tracks the data: bounded by observed range
+    assert k["level"].max() <= k["obs_cents"].max() + 1e-6
+    assert k["level"].min() >= k["obs_cents"].min() - 1e-6
+    b = win.kleinberg_bursts("/root/testdata/sf0.001").to_pandas().iloc[0]
+    assert 0 <= b["n_burst_hours"] <= b["n_hours"]
+    assert b["n_episodes"] >= 0
+    if b["n_episodes"] > 0:
+        assert b["longest_episode"] >= 1
+        assert b["n_burst_hours"] >= b["n_episodes"]
+    # synthetic check: a planted burst is found by the shared kernel
+    dense = np.array([5] * 50 + [15] * 10 + [5] * 50, dtype=np.int64)
+    st = win._kleinberg_states(dense, 2.0, 1.0)
+    assert st[55] == 1 and st[5] == 0 and st[-5] == 0
