@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "good_turing_unseen": text.good_turing_unseen,
         "stratified_kfold": text.stratified_kfold,
         "word_burstiness": text.word_burstiness,
+        "ams_f2_eval": text.ams_f2_eval,
         "doc_fingerprint": text.fingerprint,
         "winnowing_overlap": text.winnowing_overlap,
         "ndcg_eval": index.ndcg_eval,
@@ -491,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perceptron_averaging": stats.perceptron_averaging,
         "simpsons_paradox": stats.simpsons_paradox,
         "als_factorization": stats.als_factorization,
+        "jackknife_se": stats.jackknife_se,
         "acf_hourly": windows.acf_hourly,
         "dtw_profiles": windows.dtw_profiles,
         "pacf_durbin": windows.pacf_durbin,
@@ -2470,6 +2472,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "granger_causality": f"SELECT * FROM read_parquet('{golden.granger_causality_path(SF001)}')",
         "hurst_exponent": f"SELECT * FROM read_parquet('{golden.hurst_exponent_path(SF001)}')",
         "kalman_smooth": f"SELECT * FROM read_parquet('{golden.kalman_smooth_path(SF001)}')",
+        "ams_f2_eval": f"SELECT * FROM read_parquet('{golden.ams_f2_eval_path(SF001)}')",
         "kleinberg_bursts": f"SELECT * FROM read_parquet('{golden.kleinberg_bursts_path(SF001)}')",
         "first_passage_time": f"SELECT * FROM read_parquet('{golden.first_passage_time_path(SF001)}')",
         "spectral_partition": f"SELECT * FROM read_parquet('{golden.spectral_partition_path(SF001)}')",
@@ -5057,6 +5060,21 @@ e AS (SELECT feature, threshold, n_le, pos_le, n_gt, pos_gt,
       FROM s),
 r AS (SELECT *, row_number() OVER (PARTITION BY feature ORDER BY gini, threshold) AS rk FROM e)
 SELECT feature, threshold, n_le, pos_le, n_gt, pos_gt, gini FROM r WHERE rk = 1""",
+        "jackknife_se": f"""
+WITH s AS (SELECT o_orderkey % {stats.JACK_SHARDS} AS g,
+                  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sg,
+                  CAST(count(*) AS BIGINT) AS ng
+           FROM orders GROUP BY 1),
+t AS (SELECT CAST(sum(sg) AS BIGINT) AS S, CAST(sum(ng) AS BIGINT) AS N, CAST(count(*) AS BIGINT) AS G FROM s),
+l AS (SELECT CAST(t.S - s.sg AS DOUBLE) / CAST(t.N - s.ng AS DOUBLE) AS loo, t.G AS G, t.S AS S, t.N AS N
+      FROM s CROSS JOIN t),
+m AS (SELECT avg(loo) AS tb, G, S, N FROM l GROUP BY G, S, N)
+SELECT m.N AS n,
+       round(CAST(m.S AS DOUBLE) / CAST(m.N AS DOUBLE), 6) AS mean_cents,
+       round(sqrt(CAST(m.G - 1 AS DOUBLE) / CAST(m.G AS DOUBLE)
+                  * (SELECT sum((l2.loo - m.tb) * (l2.loo - m.tb)) FROM l l2)), 6) AS se_cents,
+       m.G AS g
+FROM m""",
         "simpsons_paradox": """
 WITH f AS (SELECT p.p_brand,
                   CAST(floor(l.l_discount * 100.0 + 0.5) AS HUGEINT) AS x,

@@ -7246,3 +7246,43 @@ def kleinberg_bursts_path(sf_dir: str) -> str:
         )
 
     return _cache(f"kleinberg_{_sf_tag(sf_dir)}", build)
+
+
+def ams_f2_eval_path(sf_dir: str) -> str:
+    """Golden AMS audit: DuckDB token counts + the SHARED hash/sign
+    kernels applied to the vocabulary aggregate (linearity makes the
+    engine's per-batch split provably equivalent)."""
+
+    def build() -> pa.Table:
+        import duckdb
+
+        from .pipelines.text import AMS_ROWS, _ams_sign, _tok_hash64
+        from .stages.common import duckdb_round
+
+        con = duckdb.connect()
+        df = con.execute(
+            f"""
+            SELECT word AS token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+                  FROM read_parquet('{os.path.join(sf_dir, "documents.parquet")}'))
+            GROUP BY 1 ORDER BY 1
+            """
+        ).fetchdf()
+        u = df["token"].to_numpy()
+        c = df["n"].to_numpy().astype(np.int64)
+        th = _tok_hash64(u)
+        zs = [int((c * _ams_sign(th, r)).sum()) for r in range(AMS_ROWS)]
+        f2_exact = int(sum(int(v) * int(v) for v in c))
+        f2_est = float(sum(z * z for z in zs)) / AMS_ROWS
+        rel = abs(f2_est - f2_exact) / f2_exact
+        return pa.table(
+            {
+                "n_tokens": pa.array([int(c.sum())], type=pa.int64()),
+                "vocab": pa.array([len(c)], type=pa.int64()),
+                "f2_exact": pa.array([f2_exact], type=pa.int64()),
+                "f2_est": pa.array(duckdb_round(np.array([f2_est]), 6), type=pa.float64()),
+                "rel_err": pa.array(duckdb_round(np.array([rel]), 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"ams_f2_{_sf_tag(sf_dir)}", build)

@@ -3512,3 +3512,73 @@ def als_factorization(sf_dir: str, k: int = ALS_K, iters: int = ALS_ITERS) -> rd
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# jackknife_se (delete-one-shard variance of the mean)
+# ---------------------------------------------------------------------------
+
+JACK_SHARDS = 32
+
+
+def jackknife_se(sf_dir: str, shards: int = JACK_SHARDS) -> rd.Dataset:
+    """Delete-one-GROUP jackknife standard error of mean order value —
+    the survey-statistics uncertainty estimate (delete-a-group
+    jackknife, used by the Census and BLS) that needs only per-shard
+    sums: SE² = (G-1)/G · Σ_g (θ_(g) − θ̄)², with θ_(g) the mean
+    computed without shard g.  The deterministic sibling of
+    bootstrap_ci: no replication weights, just the shard partition
+    the data already has.
+
+    Exactness: shard sums and counts are exact int64 (orderkey-hash
+    sharding); every leave-one-out mean is a ratio of exact integers;
+    the SE is one mirrored float expression.
+
+    Scale shape: ONE shard-keyed (sum, count) reduce — G rows leave
+    the data; the jackknife combination is O(G) driver math.
+    Output: one row (n, mean_cents, se_cents, g).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t["o_orderkey"].to_numpy().astype(np.int64)
+        cents = np.floor(t["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        g = key % shards
+        df = pd.DataFrame({"g": g, "c": cents}).groupby("g", sort=False).agg(
+            s=("c", "sum"), n=("c", "size")
+        ).reset_index()
+        return pa.table(
+            {
+                "g": pa.array(df["g"].to_numpy().astype(np.int64), type=pa.int64()),
+                "s": pa.array(df["s"].to_numpy().astype(np.int64), type=pa.int64()),
+                "n": pa.array(df["n"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    S = int(agg["s"].sum())
+    N = int(agg["n"].sum())
+    G = len(agg)
+    theta = S / N
+    loo = (S - agg["s"].to_numpy().astype(np.float64)) / (N - agg["n"].to_numpy().astype(np.float64))
+    theta_bar = loo.mean()
+    se = np.sqrt((G - 1) / G * ((loo - theta_bar) ** 2).sum())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([N], type=pa.int64()),
+                "mean_cents": pa.array(duckdb_round(np.array([theta]), 6), type=pa.float64()),
+                "se_cents": pa.array(duckdb_round(np.array([se]), 6), type=pa.float64()),
+                "g": pa.array([G], type=pa.int64()),
+            }
+        )
+    )

@@ -2728,3 +2728,107 @@ def word_burstiness(sf_dir: str, min_n: int = BURST_MIN_N) -> rd.Dataset:
         )
 
     return stats_tbl.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# ams_f2_eval (AMS second-moment sketch, error-audited)
+# ---------------------------------------------------------------------------
+
+AMS_ROWS = 64
+
+
+def _ams_sign(tok_hash: np.ndarray, row: int) -> np.ndarray:
+    """Deterministic ±1 sign per (token, estimator row): murmur-style
+    integer mix — the 4-wise-independent hash family stand-in, pinned
+    identically in engine and golden."""
+    with np.errstate(over="ignore"):
+        mix = np.uint64(row) * np.uint64(0x9E3779B97F4A7C15)  # wraparound is the modulus
+        h = (tok_hash ^ mix) * np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return np.where((h & np.uint64(1)) == 1, 1, -1).astype(np.int64)
+
+
+def _tok_hash64(tokens: np.ndarray) -> np.ndarray:
+    """FNV-1a 64-bit of utf-8 token bytes, vectorized per token."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = np.uint64(0xCBF29CE484222325)
+        for b in t.encode("utf-8"):
+            h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
+        out[i] = h
+    return out
+
+
+def ams_f2_eval(sf_dir: str, rows: int = AMS_ROWS) -> rd.Dataset:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996),
+    error-audited against the exact F2 = Σ n_t² — the join-size /
+    self-join-cardinality estimator every planner wants, completing
+    the sketch-audit family (KMV distinct, Space-Saving heavy
+    hitters, Count-Min point queries, HLL registers).
+
+    Exactness: each estimator row's sketch Z_i = Σ_t n_t·s_i(t) is a
+    LINEAR functional of token counts -> per-batch int64 partials are
+    merge-order-proof; Z_i² and the exact F2 are integers; only the
+    mean-of-squares and relative error are rounded floats.
+
+    Scale shape: ONE pass computes all 64 sketch partials (token
+    hashes once per batch, signs by integer mix) + the exact-side
+    (token, n) reduce for F2; network carries 64+vocab ints.
+    Output: one row (n_tokens, vocab, f2_exact, f2_est, rel_err).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.utf8_lower(t["text"]), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten().to_numpy(zero_copy_only=False)
+        u, c = np.unique(flat, return_counts=True)
+        th = _tok_hash64(u)
+        cols = {"n_tok": int(c.sum())}
+        for r in range(rows):
+            cols[f"z{r}"] = int((c.astype(np.int64) * _ams_sign(th, r)).sum())
+        tbl = pa.table(
+            {"_g": pa.array([0], type=pa.int64())}
+            | {k2: pa.array([v], type=pa.int64()) for k2, v in cols.items()}
+        )
+        return tbl
+
+    sketch = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_g")
+        .aggregate(*[Sum(k2, alias_name=k2) for k2 in ["n_tok"] + [f"z{r}" for r in range(rows)]])
+        .to_pandas()
+    )
+    # exact side: vocabulary-bounded count reduce
+    def tok(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.utf8_lower(t["text"]), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten().to_numpy(zero_copy_only=False)
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table(
+            {"token": pa.array(u, type=pa.string()), "n": pa.array(c.astype(np.int64))}
+        )
+
+    counts = (
+        ds.map_batches(tok, batch_format="pyarrow").groupby("token").aggregate(Sum("n", alias_name="n")).to_pandas()
+    )
+    nv = counts["n"].to_numpy().astype(object)
+    f2_exact = int(sum(v * v for v in nv))
+    zs = np.array([int(sketch[f"z{r}"][0]) for r in range(rows)], dtype=object)
+    f2_est = float(sum(z * z for z in zs)) / rows
+    rel = abs(f2_est - f2_exact) / f2_exact
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_tokens": pa.array([int(sketch["n_tok"][0])], type=pa.int64()),
+                "vocab": pa.array([len(counts)], type=pa.int64()),
+                "f2_exact": pa.array([f2_exact], type=pa.int64()),
+                "f2_est": pa.array(duckdb_round(np.array([f2_est]), 6), type=pa.float64()),
+                "rel_err": pa.array(duckdb_round(np.array([rel]), 6), type=pa.float64()),
+            }
+        )
+    )

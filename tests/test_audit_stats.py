@@ -611,3 +611,19 @@ def test_als_reconstructs_better_than_mean(ray_session):
     assert rmse < base  # rank-2 fit beats the rank-1 column-mean model
     assert rmse > 0
     assert len(out) == piv.shape[1] + 1
+
+
+def test_jackknife_and_ams(ray_session):
+    from plasmap_ray.pipelines import text as text_mod
+
+    jk = stats.jackknife_se(SF).to_pandas().iloc[0]
+    # jackknife SE of a mean ~ classical SE for iid shards: same order
+    t = pq.read_table(os.path.join(SF, "orders.parquet"), columns=["o_totalprice"])
+    cents = np.floor(t["o_totalprice"].to_numpy() * 100.0 + 0.5)
+    classical = cents.std(ddof=1) / np.sqrt(len(cents))
+    assert 0.5 * classical < jk["se_cents"] < 2.0 * classical
+    assert abs(jk["mean_cents"] - cents.mean()) < 1.0
+    ams = text_mod.ams_f2_eval(SF).to_pandas().iloc[0]
+    # 64 estimator rows: relative error should be modest for this skew
+    assert ams["rel_err"] < 0.5
+    assert ams["f2_exact"] > ams["n_tokens"]  # skewed counts push F2 above N
