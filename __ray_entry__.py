@@ -473,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_ltv": relational.cohort_ltv,
         "ship_delay_quantiles": relational.ship_delay_quantiles,
         "supplier_ontime_wilson": relational.supplier_ontime_wilson,
+        "pps_sample": relational.pps_sample,
         "bootstrap_ci": stats.bootstrap_ci,
         "expectations_audit": stats.expectations_audit,
         "neyman_allocation": stats.neyman_allocation,
@@ -5060,6 +5061,20 @@ e AS (SELECT feature, threshold, n_le, pos_le, n_gt, pos_gt,
       FROM s),
 r AS (SELECT *, row_number() OVER (PARTITION BY feature ORDER BY gini, threshold) AS rk FROM e)
 SELECT feature, threshold, n_le, pos_le, n_gt, pos_gt, gini FROM r WHERE rk = 1""",
+        "pps_sample": """
+WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+                  CAST(abs(floor(s_acctbal * 100.0 + 0.5)) AS BIGINT) AS size_cents
+           FROM supplier),
+c AS (SELECT s_suppkey, size_cents,
+             CAST(coalesce(sum(size_cents) OVER (ORDER BY s_suppkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+             CAST(sum(size_cents) OVER (ORDER BY s_suppkey) AS BIGINT) AS cum_incl
+      FROM s),
+t AS (SELECT CAST(sum(size_cents) AS HUGEINT) AS total FROM s),
+k AS (SELECT CAST(range AS BIGINT) AS k FROM range(10))
+SELECT k.k, c.s_suppkey, c.size_cents, c.cum_before AS cum_before_cents
+FROM k CROSS JOIN t JOIN c
+  ON CAST(c.cum_before AS HUGEINT) * 20 <= (2 * k.k + 1) * t.total
+ AND (2 * k.k + 1) * t.total < CAST(c.cum_incl AS HUGEINT) * 20""",
         "jackknife_se": f"""
 WITH s AS (SELECT o_orderkey % {stats.JACK_SHARDS} AS g,
                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sg,

@@ -2758,3 +2758,74 @@ def supplier_ontime_wilson(sf_dir: str, k: int = 15) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pps_sample (systematic probability-proportional-to-size selection)
+# ---------------------------------------------------------------------------
+
+PPS_N = 10
+
+
+def pps_sample(sf_dir: str, n_sel: int = PPS_N) -> rd.Dataset:
+    """Systematic PPS sample of suppliers, selection probability
+    proportional to |account balance| — the survey-sampling workhorse
+    (audit sampling, monetary-unit sampling in accounting): walk the
+    cumulative size axis and select the unit containing each of n
+    equally-spaced thresholds.  Deterministic variant: thresholds at
+    the STRATUM MIDPOINTS ((2k+1)·T / 2n, no RNG — the fixtures-wide
+    no-randomness rule), selection decided by EXACT integer
+    cross-multiplication (cum_prev·2n <= (2k+1)·T < cum_i·2n).
+
+    Large units may be selected multiple times (certainty units —
+    reported once per threshold, the MUS convention).
+
+    Scale shape: sizes reduce once; the cumulative axis is the
+    global_row_numbers two-phase pattern (per-shard sums -> offsets
+    broadcast -> local cumsum); threshold containment is a binary
+    search per k on the shard-bounded table (driver-side here, the
+    supplier dim is bounded; at fact scale ship thresholds to shards).
+    Output: (k, s_suppkey, size_cents, cum_before_cents).
+    """
+    sup = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_acctbal"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.abs(np.floor(t["s_acctbal"].to_numpy() * 100.0 + 0.5)).astype(np.int64)
+        return pa.table(
+            {
+                "s_suppkey": t["s_suppkey"].cast(pa.int64()),
+                "size_cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    tbl = (
+        sup.map_batches(prep, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+    sizes = tbl["size_cents"].to_numpy().astype(object)
+    cum = np.concatenate([[0], np.cumsum(sizes)])
+    total = int(cum[-1])
+    rows = {"k": [], "s_suppkey": [], "size_cents": [], "cum_before_cents": []}
+    for k in range(n_sel):
+        # unit i selected iff cum[i]·2n <= (2k+1)·T < cum[i+1]·2n
+        target = (2 * k + 1) * total
+        i = int(np.searchsorted(np.array([int(c) * 2 * n_sel for c in cum]), target, side="right")) - 1
+        i = min(max(i, 0), len(tbl) - 1)
+        rows["k"].append(k)
+        rows["s_suppkey"].append(int(tbl["s_suppkey"][i]))
+        rows["size_cents"].append(int(tbl["size_cents"][i]))
+        rows["cum_before_cents"].append(int(cum[i]))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(rows["k"], type=pa.int64()),
+                "s_suppkey": pa.array(rows["s_suppkey"], type=pa.int64()),
+                "size_cents": pa.array(rows["size_cents"], type=pa.int64()),
+                "cum_before_cents": pa.array(rows["cum_before_cents"], type=pa.int64()),
+            }
+        )
+    )

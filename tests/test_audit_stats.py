@@ -627,3 +627,20 @@ def test_jackknife_and_ams(ray_session):
     # 64 estimator rows: relative error should be modest for this skew
     assert ams["rel_err"] < 0.5
     assert ams["f2_exact"] > ams["n_tokens"]  # skewed counts push F2 above N
+
+
+def test_pps_sample_thresholds_and_pps_property(ray_session):
+    from plasmap_ray.pipelines import relational
+
+    out = relational.pps_sample(SF).to_pandas()
+    assert list(out["k"]) == list(range(relational.PPS_N))
+    sup = pq.read_table(os.path.join(SF, "supplier.parquet"), columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    sup = sup.sort_values("s_suppkey").reset_index(drop=True)
+    sizes = np.abs(np.floor(sup["s_acctbal"].to_numpy() * 100.0 + 0.5)).astype(np.int64)
+    total = int(sizes.sum())
+    cum = np.concatenate([[0], np.cumsum(sizes)])
+    n = relational.PPS_N
+    for r in out.itertuples():
+        i = int(np.nonzero(sup["s_suppkey"].to_numpy() == r.s_suppkey)[0][0])
+        target = (2 * int(r.k) + 1) * total
+        assert int(cum[i]) * 2 * n <= target < int(cum[i + 1]) * 2 * n
