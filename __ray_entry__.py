@@ -494,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simpsons_paradox": stats.simpsons_paradox,
         "als_factorization": stats.als_factorization,
         "jackknife_se": stats.jackknife_se,
+        "capture_recapture": stats.capture_recapture,
         "acf_hourly": windows.acf_hourly,
         "dtw_profiles": windows.dtw_profiles,
         "pacf_durbin": windows.pacf_durbin,
@@ -5061,6 +5062,19 @@ e AS (SELECT feature, threshold, n_le, pos_le, n_gt, pos_gt,
       FROM s),
 r AS (SELECT *, row_number() OVER (PARTITION BY feature ORDER BY gini, threshold) AS rk FROM e)
 SELECT feature, threshold, n_le, pos_le, n_gt, pos_gt, gini FROM r WHERE rk = 1""",
+        "capture_recapture": f"""
+WITH f AS (SELECT user_id,
+                  CAST(max(CASE WHEN epoch_us(ts) < {stats.CR_SPLIT_US} THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                  CAST(max(CASE WHEN epoch_us(ts) >= {stats.CR_SPLIT_US} THEN 1 ELSE 0 END) AS BIGINT) AS b
+           FROM events GROUP BY user_id),
+s AS (SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2,
+             CAST(sum(a * b) AS BIGINT) AS m FROM f)
+SELECT n1, n2, m,
+       round((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0) / (CAST(m AS DOUBLE) + 1.0) - 1.0, 6) AS n_hat,
+       round(sqrt((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+                  * (CAST(n1 - m AS DOUBLE)) * (CAST(n2 - m AS DOUBLE))
+                  / (pow(CAST(m AS DOUBLE) + 1.0, 2) * (CAST(m AS DOUBLE) + 2.0))), 6) AS se_hat
+FROM s""",
         "pps_sample": """
 WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
                   CAST(abs(floor(s_acctbal * 100.0 + 0.5)) AS BIGINT) AS size_cents

@@ -3582,3 +3582,88 @@ def jackknife_se(sf_dir: str, shards: int = JACK_SHARDS) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# capture_recapture (Chapman population estimate from two windows)
+# ---------------------------------------------------------------------------
+
+CR_SPLIT_US = 1705363200000000  # 2024-01-16, the fixture window midpoint
+
+
+def capture_recapture(sf_dir: str, split_us: int = CR_SPLIT_US) -> rd.Dataset:
+    """Capture-recapture estimate of the TOTAL user population from
+    two observation windows (events before/after the split date):
+    Chapman's bias-corrected Lincoln-Petersen
+        N̂ = (n1+1)(n2+1)/(m+1) − 1
+    — the ecology/epidemiology census trick that answers "how many
+    users exist, including the ones we never saw?" from overlap alone
+    (the behavioral sibling of Good-Turing's unseen-vocabulary mass).
+
+    Exactness: n1, n2, m are exact distinct counts (two-level
+    distinct reduce per window + an intersection via the same
+    per-user flags — ONE user-keyed aggregate carries both flags);
+    N̂ and the closed-form variance are mirrored float expressions.
+
+    Scale shape: per-batch (user, window) flag combiner -> ONE
+    user-keyed Max-fold -> three exact counts; O(1) driver math.
+    Output: one row (n1, n2, m, n_hat, se_hat).
+    """
+    from ray.data.aggregate import Max as AggMax
+
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        tus = t["ts"].cast(pa.int64()).to_numpy()
+        early = (tus < split_us).astype(np.int64)
+        late = 1 - early
+        df = pd.DataFrame({"u": u, "a": early, "b": late}).groupby("u", sort=False).agg(
+            a=("a", "max"), b=("b", "max")
+        ).reset_index()
+        return pa.table(
+            {
+                "u": pa.array(df["u"].to_numpy().astype(np.int64), type=pa.int64()),
+                "a": pa.array(df["a"].to_numpy().astype(np.int64), type=pa.int64()),
+                "b": pa.array(df["b"].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    per_user = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(AggMax("a", alias_name="a"), AggMax("b", alias_name="b"))
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        return pa.table(
+            {
+                "_g": pa.array([0], type=pa.int64()),
+                "n1": pa.array([int(a.sum())], type=pa.int64()),
+                "n2": pa.array([int(b.sum())], type=pa.int64()),
+                "m": pa.array([int((a & b).sum())], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        per_user.map_batches(counts, batch_format="pyarrow").groupby("_g")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n1", "n2", "m")]).to_pandas()
+    )
+    n1, n2, m = int(agg["n1"][0]), int(agg["n2"][0]), int(agg["m"][0])
+    n_hat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    var = (n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m) / ((m + 1.0) ** 2 * (m + 2.0))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n1": pa.array([n1], type=pa.int64()),
+                "n2": pa.array([n2], type=pa.int64()),
+                "m": pa.array([m], type=pa.int64()),
+                "n_hat": pa.array(duckdb_round(np.array([n_hat]), 6), type=pa.float64()),
+                "se_hat": pa.array(duckdb_round(np.array([np.sqrt(var)]), 6), type=pa.float64()),
+            }
+        )
+    )

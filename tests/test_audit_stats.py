@@ -644,3 +644,13 @@ def test_pps_sample_thresholds_and_pps_property(ray_session):
         i = int(np.nonzero(sup["s_suppkey"].to_numpy() == r.s_suppkey)[0][0])
         target = (2 * int(r.k) + 1) * total
         assert int(cum[i]) * 2 * n <= target < int(cum[i + 1]) * 2 * n
+
+
+def test_capture_recapture_estimates_true_population(ray_session):
+    out = stats.capture_recapture(SF).to_pandas().iloc[0]
+    t = pq.read_table(os.path.join(SF, "events.parquet"), columns=["user_id"])
+    true_n = len(np.unique(t["user_id"].to_numpy()))
+    # both windows observed and overlap; the estimate lands near truth
+    assert out["m"] >= 1
+    assert out["n_hat"] >= max(out["n1"], out["n2"]) - 1e-9
+    assert abs(out["n_hat"] - true_n) / true_n < 0.2
