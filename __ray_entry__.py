@@ -574,6 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_border_detect": images.image_border_detect,
         "image_hough_lines": images.image_hough_lines,
         "image_glcm": images.image_glcm,
+        "caption_complexity_corr": images.caption_complexity_corr,
         "image_channel_correlation": images.image_channel_correlation,
         "image_blob_count": images.image_blob_count,
         "image_orientation_histogram": images.image_orientation_histogram,
@@ -2377,6 +2378,7 @@ FROM {img_pq} GROUP BY fmt ORDER BY fmt""",
         "image_border_detect": f"SELECT * FROM read_parquet('{golden.image_border_detect_path(images.images_path_for(SF001))}')",
         "image_hough_lines": f"SELECT * FROM read_parquet('{golden.image_hough_lines_path(images.images_path_for(SF001))}')",
         "image_glcm": f"SELECT * FROM read_parquet('{golden.image_glcm_path(images.images_path_for(SF001))}')",
+        "caption_complexity_corr": f"SELECT * FROM read_parquet('{golden.caption_complexity_corr_path(images.images_path_for(SF001))}')",
         "image_channel_correlation": f"SELECT * FROM read_parquet('{golden.image_channel_corr_path(images.images_path_for(SF001))}')",
         "image_blob_count": f"SELECT * FROM read_parquet('{golden.image_blob_count_path(images.images_path_for(SF001))}')",
         "image_orientation_histogram": f"SELECT * FROM read_parquet('{golden.image_orientation_path(images.images_path_for(SF001))}')",

@@ -7286,3 +7286,33 @@ def ams_f2_eval_path(sf_dir: str) -> str:
         )
 
     return _cache(f"ams_f2_{_sf_tag(sf_dir)}", build)
+
+
+def caption_complexity_corr_path(images_parquet: str) -> str:
+    """Expected cross-modal correlation: per-image driver recompute of
+    the edge census (shared stage kernel on identical pixels) +
+    caption token counts, full-array moments — the engine's batching
+    cannot change exact integer sums."""
+
+    def build() -> pa.Table:
+        from .stages.media import EdgeDensity
+        from .stages.common import duckdb_round
+
+        t = pq.read_table(images_parquet, columns=["image_id", "bytes", "w", "h", "fmt", "caption"])
+        scored = EdgeDensity()(t.select(["image_id", "bytes", "w", "h", "fmt"]))
+        x = scored["n_edge"].to_numpy().astype(np.int64)
+        y = np.array([len(c.split(" ")) for c in t["caption"].to_pylist()], dtype=np.int64)
+        n = float(len(x))
+        sx, sy = float(x.sum()), float(y.sum())
+        sxy, sxx, syy = float((x * y).sum()), float((x * x).sum()), float((y * y).sum())
+        r = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy))
+        return pa.table(
+            {
+                "n_images": pa.array([int(n)], type=pa.int64()),
+                "pearson_r": pa.array(duckdb_round(np.array([r]), 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(
+        f"caption_complexity_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build
+    )

@@ -2810,3 +2810,66 @@ def image_glcm(sf_dir: str) -> rd.Dataset:
         return t.append_column("homogeneity_ratio", pa.array(hr, type=pa.float64()))
 
     return scored.map_batches(finish, batch_format="pyarrow")
+
+
+def caption_complexity_corr(sf_dir: str) -> rd.Dataset:
+    """Cross-modal audit: Pearson correlation between CAPTION length
+    (tokens) and IMAGE visual complexity (thresholded edge-pixel
+    count, stages.media.EdgeDensity) — do longer captions accompany
+    busier images?  A captioned corpus where description length is
+    independent of visual content smells of templated captions; a
+    strong positive correlation is the healthy signature
+    (caption_geo_alignment's sibling on the text-vs-pixels axis).
+
+    Exactness: both variables are exact int64 (token count via
+    single-space split; edge census integer); the moment partials and
+    the mirrored r expression follow value_hour_correlation verbatim.
+
+    Scale shape: ONE actor-pool decode pass fused with the edge
+    census AND the caption tokenization (both columns ride the same
+    batch — no join at all); six int64s per batch leave the task.
+    Output: one row (n_images, pearson_r).
+    """
+    from ..stages import media
+    from ..stages.common import duckdb_round
+
+    ds = read_images(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt", "caption"])
+
+    class Fused:
+        def __init__(self):
+            self.edge = media.EdgeDensity()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            scored = self.edge(t.select(["image_id", "bytes", "w", "h", "fmt"]))
+            x = scored["n_edge"].to_numpy().astype(np.int64)
+            cap = t["caption"].to_pylist()
+            y = np.array([len(c.split(" ")) for c in cap], dtype=np.int64)
+            vals = {
+                "n": len(x),
+                "sx": int(x.sum()),
+                "sy": int(y.sum()),
+                "sxy": int((x * y).sum()),
+                "sxx": int((x * x).sum()),
+                "syy": int((y * y).sum()),
+            }
+            return pa.table(
+                {"_g": pa.array([0], type=pa.int64())}
+                | {k: pa.array([v], type=pa.int64()) for k, v in vals.items()}
+            )
+
+    agg = (
+        ds.map_batches(Fused, batch_format="pyarrow", batch_size=256, concurrency=(1, 8))
+        .groupby("_g")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
+        .to_pandas()
+    )
+    n, sx, sy, sxy, sxx, syy = (float(int(agg[c][0])) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    r = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_images": pa.array([int(n)], type=pa.int64()),
+                "pearson_r": pa.array(duckdb_round(np.array([r]), 6), type=pa.float64()),
+            }
+        )
+    )

@@ -1454,3 +1454,11 @@ def test_glcm_checkerboard_vs_flat(ray_session):
     assert out.loc["flat", "contrast"] == 0
     assert out.loc["flat", "n_diag"] == out.loc["flat", "n_pairs"]
     assert out.loc["flat", "energy"] == out.loc["flat", "n_pairs"] ** 2
+
+
+def test_caption_complexity_corr_bounds(ray_session):
+    from plasmap_ray.pipelines import images as img
+
+    out = img.caption_complexity_corr("/root/testdata/sf0.001").to_pandas().iloc[0]
+    assert -1.0 <= out["pearson_r"] <= 1.0
+    assert out["n_images"] > 0
