@@ -489,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tail_dependence": stats.tail_dependence,
         "gmm_em": stats.gmm_em,
         "lof_outliers": hotspot.lof_outliers,
+        "scan_statistic": hotspot.scan_statistic,
         "cca_analysis": stats.cca_analysis,
         "perceptron_averaging": stats.perceptron_averaging,
         "simpsons_paradox": stats.simpsons_paradox,
@@ -2485,6 +2486,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "isotonic_calibration": f"SELECT * FROM read_parquet('{golden.isotonic_calibration_path(SF001)}')",
         "gmm_em": f"SELECT * FROM read_parquet('{golden.gmm_em_path(SF001)}')",
         "lof_outliers": f"SELECT * FROM read_parquet('{golden.lof_outliers_path(SF001)}')",
+        "scan_statistic": f"SELECT * FROM read_parquet('{golden.scan_statistic_path(SF001)}')",
         "cca_analysis": f"SELECT * FROM read_parquet('{golden.cca_analysis_path(SF001)}')",
         "perceptron_averaging": f"SELECT * FROM read_parquet('{golden.perceptron_averaging_path(SF001)}')",
         "als_factorization": f"SELECT * FROM read_parquet('{golden.als_factorization_path(SF001)}')",

@@ -7316,3 +7316,47 @@ def caption_complexity_corr_path(images_parquet: str) -> str:
     return _cache(
         f"caption_complexity_{os.path.basename(images_parquet).rsplit('.', 1)[0]}", build
     )
+
+
+def scan_statistic_path(sf_dir: str) -> str:
+    """Golden scan recompute: DuckDB builds the (cell, day) cube; the
+    shared cylinder scan ranks — the count shuffle is the distributed
+    part, replayed independently."""
+
+    def build() -> pa.Table:
+        import duckdb
+        import pandas as pd
+
+        from .oracle import sql_derive_lat, sql_derive_lon
+        from .pipelines.hotspot import GI_EPS, SCAN_TOPK, _scan_cylinders
+        from . import fixtures
+        from .stages.common import duckdb_round
+
+        con = duckdb.connect()
+        cube = con.execute(
+            f"""
+            WITH e AS (SELECT event_id, ts, {sql_derive_lon('event_id')} AS lon,
+                       {sql_derive_lat('event_id')} AS lat
+                       FROM read_parquet('{os.path.join(sf_dir, "events.parquet")}'))
+            SELECT CAST(floor((lon - {fixtures.LON_MIN!r}) / {GI_EPS!r}) AS BIGINT) AS cx,
+                   CAST(floor((lat - {fixtures.LAT_MIN!r}) / {GI_EPS!r}) AS BIGINT) AS cy,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e GROUP BY 1, 2, 3
+            """
+        ).fetchdf()
+        rows = _scan_cylinders(cube, SCAN_TOPK)
+        return pa.table(
+            {
+                "rank": pa.array(rows["rank"], type=pa.int64()),
+                "cx": pa.array(rows["cx"], type=pa.int64()),
+                "cy": pa.array(rows["cy"], type=pa.int64()),
+                "day_start": pa.array(rows["day_start"], type=pa.int64()),
+                "win_days": pa.array(rows["win_days"], type=pa.int64()),
+                "n_in": pa.array(rows["n_in"], type=pa.int64()),
+                "mu": pa.array(duckdb_round(np.array(rows["mu"]), 6), type=pa.float64()),
+                "llr": pa.array(duckdb_round(np.array(rows["llr"]), 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"scan_stat_{_sf_tag(sf_dir)}", build)

@@ -1249,3 +1249,17 @@ def test_lof_scores_cluster_edges_above_interiors(ray_session):
     got = out.sort_values("event_id").reset_index(drop=True)
     want = want.sort_values("event_id").reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_scan_statistic_llr_properties(ray_session):
+    from plasmap_ray.pipelines import hotspot as hs
+
+    out = hs.scan_statistic("/root/testdata/sf0.001").to_pandas()
+    assert 1 <= len(out) <= hs.SCAN_TOPK
+    assert (out["llr"] > 0).all()
+    # ranked descending
+    llr = out["llr"].to_numpy()
+    assert (llr[:-1] >= llr[1:]).all()
+    # every reported cylinder is genuinely elevated: n_in > mu
+    assert (out["n_in"] > out["mu"]).all()
+    assert set(out["win_days"]) <= set(hs.SCAN_WINDOWS)
