@@ -496,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "als_factorization": stats.als_factorization,
         "jackknife_se": stats.jackknife_se,
         "capture_recapture": stats.capture_recapture,
+        "mediation_analysis": stats.mediation_analysis,
         "acf_hourly": windows.acf_hourly,
         "dtw_profiles": windows.dtw_profiles,
         "pacf_durbin": windows.pacf_durbin,
@@ -5066,6 +5067,28 @@ e AS (SELECT feature, threshold, n_le, pos_le, n_gt, pos_gt,
       FROM s),
 r AS (SELECT *, row_number() OVER (PARTITION BY feature ORDER BY gini, threshold) AS rk FROM e)
 SELECT feature, threshold, n_le, pos_le, n_gt, pos_gt, gini FROM r WHERE rk = 1""",
+        "mediation_analysis": """
+WITH f AS (SELECT CAST(floor(l_discount * 100.0 + 0.5) AS HUGEINT) AS x,
+                  CAST(floor(l_quantity + 0.5) AS HUGEINT) AS m,
+                  CAST(floor(l_extendedprice + 0.5) AS HUGEINT) AS y
+           FROM lineitem),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(m) AS sm, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(x*m) AS sxm, sum(x*y) AS sxy,
+             sum(m*m) AS smm, sum(m*y) AS smy FROM f),
+d AS (SELECT *,
+             n*(sxx*smm - sxm*sxm) - sx*(sx*smm - sxm*sm) + sm*(sx*sxm - sxx*sm) AS det,
+             n*(sxy*smm - sxm*smy) - sy*(sx*smm - sxm*sm) + sm*(sx*smy - sxy*sm) AS det_c,
+             n*(sxx*smy - sxy*sxm) - sx*(sx*smy - sxy*sm) + sy*(sx*sxm - sxx*sm) AS det_b
+      FROM s),
+b AS (SELECT CAST(n AS BIGINT) AS n,
+             CAST(n*sxm - sx*sm AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS a,
+             CAST(det_b AS DOUBLE) / CAST(det AS DOUBLE) AS b,
+             CAST(det_c AS DOUBLE) / CAST(det AS DOUBLE) AS c_prime,
+             CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS total
+      FROM d)
+SELECT n, round(a, 6) AS a, round(b, 6) AS b, round(c_prime, 6) AS c_prime,
+       round(total, 6) AS total, round(a * b, 6) AS indirect
+FROM b""",
         "capture_recapture": f"""
 WITH f AS (SELECT user_id,
                   CAST(max(CASE WHEN epoch_us(ts) < {stats.CR_SPLIT_US} THEN 1 ELSE 0 END) AS BIGINT) AS a,

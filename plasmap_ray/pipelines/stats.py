@@ -3667,3 +3667,87 @@ def capture_recapture(sf_dir: str, split_us: int = CR_SPLIT_US) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mediation_analysis (Baron-Kenny effect decomposition)
+# ---------------------------------------------------------------------------
+
+
+def mediation_analysis(sf_dir: str) -> rd.Dataset:
+    """Baron-Kenny mediation decomposition of the discount -> revenue
+    relation through quantity:  total = direct + indirect, with
+        a  = slope(quantity ~ discount)
+        (b, c') from revenue ~ discount + quantity
+        indirect = a·b,  total = slope(revenue ~ discount)
+    and the OLS identity  total = c' + a·b  holding EXACTLY (it is an
+    algebraic property of least squares, not an approximation) — the
+    causal-mechanism question ("does discounting move revenue by
+    moving volume?") answered with three regressions that all reduce
+    to the same ten exact integer sums.
+
+    Scale shape: ONE map pass of ten int64 moment partials -> ONE
+    global reduce -> driver Cramer solves; floats mirrored, rounded 6.
+    Output: one row (n, a, b, c_prime, total, indirect).
+    """
+    from ..stages.common import duckdb_round
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.floor(t["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        m = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        y = np.floor(t["l_extendedprice"].to_numpy() + 0.5).astype(np.int64)
+        vals = {
+            "n": len(x), "sx": x.sum(), "sm": m.sum(), "sy": y.sum(),
+            "sxx": (x * x).sum(), "sxm": (x * m).sum(), "sxy": (x * y).sum(),
+            "smm": (m * m).sum(), "smy": (m * y).sum(),
+        }
+        return pa.table(
+            {"_g": pa.array([0], type=pa.int64())}
+            | {k: pa.array([int(v)], type=pa.int64()) for k, v in vals.items()}
+        )
+
+    keys = ("n", "sx", "sm", "sy", "sxx", "sxm", "sxy", "smm", "smy")
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow").groupby("_g")
+        .aggregate(*[Sum(k, alias_name=k) for k in keys]).to_pandas()
+    )
+    n, sx, sm, sy, sxx, sxm, sxy, smm, smy = (int(agg[k][0]) for k in keys)
+    # a = slope(M ~ X), total = slope(Y ~ X): exact integer numerators
+    a = float(n * sxm - sx * sm) / float(n * sxx - sx * sx)
+    total = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    # (b, c') from Y ~ 1 + X + M: 3x3 Cramer on exact ints
+    det = (
+        n * (sxx * smm - sxm * sxm)
+        - sx * (sx * smm - sxm * sm)
+        + sm * (sx * sxm - sxx * sm)
+    )
+    det_c = (
+        n * (sxy * smm - sxm * smy)
+        - sy * (sx * smm - sxm * sm)
+        + sm * (sx * smy - sxy * sm)
+    )
+    det_b = (
+        n * (sxx * smy - sxy * sxm)
+        - sx * (sx * smy - sxy * sm)
+        + sy * (sx * sxm - sxx * sm)
+    )
+    c_prime = float(det_c) / float(det)
+    b = float(det_b) / float(det)
+    indirect = a * b
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([n], type=pa.int64()),
+                "a": pa.array(duckdb_round(np.array([a]), 6), type=pa.float64()),
+                "b": pa.array(duckdb_round(np.array([b]), 6), type=pa.float64()),
+                "c_prime": pa.array(duckdb_round(np.array([c_prime]), 6), type=pa.float64()),
+                "total": pa.array(duckdb_round(np.array([total]), 6), type=pa.float64()),
+                "indirect": pa.array(duckdb_round(np.array([indirect]), 6), type=pa.float64()),
+            }
+        )
+    )

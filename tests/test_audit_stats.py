@@ -654,3 +654,10 @@ def test_capture_recapture_estimates_true_population(ray_session):
     assert out["m"] >= 1
     assert out["n_hat"] >= max(out["n1"], out["n2"]) - 1e-9
     assert abs(out["n_hat"] - true_n) / true_n < 0.2
+
+
+def test_mediation_identity_holds_exactly(ray_session):
+    """total = c' + a·b is an algebraic OLS identity, not an estimate."""
+    out = stats.mediation_analysis(SF).to_pandas().iloc[0]
+    assert abs(out["total"] - (out["c_prime"] + out["indirect"])) < 1e-4
+    assert out["n"] > 0
