@@ -7360,3 +7360,34 @@ def scan_statistic_path(sf_dir: str) -> str:
         )
 
     return _cache(f"scan_stat_{_sf_tag(sf_dir)}", build)
+
+
+def sax_motifs_path(sf_dir: str) -> str:
+    """Golden SAX census: DuckDB hourly counts + the shared kernel."""
+
+    def build() -> pa.Table:
+        import duckdb
+
+        from .pipelines.windows import _sax_words
+
+        con = duckdb.connect()
+        df = con.execute(
+            f"""
+            SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS n
+            FROM read_parquet('{os.path.join(sf_dir, "events.parquet")}') GROUP BY 1
+            """
+        ).fetchdf()
+        h = df["h"].to_numpy().astype(np.int64)
+        lo, hi = int(h.min()), int(h.max())
+        dense = np.zeros(hi - lo + 1, dtype=np.int64)
+        dense[h - lo] = df["n"].to_numpy().astype(np.int64)
+        words = _sax_words(dense)
+        u, c = np.unique(words, return_counts=True)
+        return pa.table(
+            {
+                "word": pa.array(u, type=pa.string()),
+                "n": pa.array(c.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return _cache(f"sax_{_sf_tag(sf_dir)}", build)

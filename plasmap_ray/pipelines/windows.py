@@ -3123,3 +3123,74 @@ def _kleinberg_states(dense: np.ndarray, factor: float, gamma: float) -> np.ndar
     for i in range(len(n) - 1, 0, -1):
         states[i - 1] = back[i, states[i]]
     return states
+
+
+# ---------------------------------------------------------------------------
+# sax_motifs (symbolic aggregate approximation + motif census)
+# ---------------------------------------------------------------------------
+
+SAX_WORD = 3  # motif length (symbols)
+SAX_PAA = 4  # hours per symbol
+# Gaussian breakpoints for a 4-letter alphabet (published SAX table)
+SAX_BREAKS = (-0.6744897501960817, 0.0, 0.6744897501960817)
+
+
+def sax_motifs(sf_dir: str) -> rd.Dataset:
+    """SAX (Lin et al. 2003) symbolic discretization of the hourly
+    count series + sliding-window motif census: PAA-average 4-hour
+    blocks, z-normalize against the global mean/std, map through the
+    published Gaussian breakpoints to letters a-d, and count every
+    3-letter word — the time-series-as-text trick that turns motif
+    discovery into n-gram counting (the repo's text machinery applied
+    to a numeric series).
+
+    Determinism: the hourly series and its sums are exact ints; the
+    z-scores and breakpoint comparisons are mirrored float
+    expressions on exact inputs; words and counts are then integers.
+
+    Scale shape: the acf_hourly exchange; PAA + wording is O(hours)
+    driver math (at a billion-hour archive the PAA itself is a
+    map_batches window kernel — documented).  Output: (word, n) for
+    every observed 3-letter motif.
+    """
+    ds = _read_events(sf_dir, ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = t["ts"].cast(pa.int64()).to_numpy() // 3_600_000_000
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u, type=pa.int64()), "n": pa.array(c.astype(np.int64))})
+
+    hourly = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    h = hourly["h"].to_numpy().astype(np.int64)
+    lo, hi = int(h.min()), int(h.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[h - lo] = hourly["n"].to_numpy().astype(np.int64)
+    words = _sax_words(dense)
+    u, c = np.unique(words, return_counts=True)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "word": pa.array(u, type=pa.string()),
+                "n": pa.array(c.astype(np.int64), type=pa.int64()),
+            }
+        )
+    )
+
+
+def _sax_words(dense: np.ndarray) -> np.ndarray:
+    """Shared SAX kernel: PAA -> z-normalize -> letters -> 3-grams."""
+    n_blocks = len(dense) // SAX_PAA
+    paa = dense[: n_blocks * SAX_PAA].reshape(n_blocks, SAX_PAA).mean(axis=1)
+    mu, sd = float(paa.mean()), float(paa.std())
+    z = (paa - mu) / sd
+    letters = np.full(n_blocks, "a", dtype="<U1")
+    for i, bp in enumerate(SAX_BREAKS):
+        letters[z > bp] = "abcd"[i + 1]
+    return np.array(
+        ["".join(letters[i : i + SAX_WORD]) for i in range(n_blocks - SAX_WORD + 1)]
+    )

@@ -269,3 +269,21 @@ def test_kalman_and_kleinberg_sanity(ray_session):
     dense = np.array([5] * 50 + [15] * 10 + [5] * 50, dtype=np.int64)
     st = win._kleinberg_states(dense, 2.0, 1.0)
     assert st[55] == 1 and st[5] == 0 and st[-5] == 0
+
+
+def test_sax_motifs_cover_the_series(ray_session):
+    from plasmap_ray.pipelines import windows as win
+
+    out = win.sax_motifs("/root/testdata/sf0.001").to_pandas()
+    assert len(out) >= 1
+    assert all(len(w) == win.SAX_WORD for w in out["word"])
+    assert all(set(w) <= set("abcd") for w in out["word"])
+    # total motif count = n_blocks - word + 1
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet", columns=["ts"])
+    h = ev["ts"].cast("int64").to_numpy() // 3_600_000_000
+    n_hours = int(h.max() - h.min() + 1)
+    n_blocks = n_hours // win.SAX_PAA
+    assert int(out["n"].sum()) == n_blocks - win.SAX_WORD + 1
