@@ -505,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kalman_smooth": windows.kalman_smooth,
         "kleinberg_bursts": windows.kleinberg_bursts,
         "sax_motifs": windows.sax_motifs,
+        "theil_u_eval": windows.theil_u_eval,
         "ccf_event_types": windows.ccf_event_types,
         "dau_wau_ratio": windows.dau_wau_ratio,
         "binseg_changepoints": windows.binseg_changepoints,
@@ -2482,6 +2483,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {img_pq}) AS n_images,
         "ams_f2_eval": f"SELECT * FROM read_parquet('{golden.ams_f2_eval_path(SF001)}')",
         "kleinberg_bursts": f"SELECT * FROM read_parquet('{golden.kleinberg_bursts_path(SF001)}')",
         "sax_motifs": f"SELECT * FROM read_parquet('{golden.sax_motifs_path(SF001)}')",
+        "theil_u_eval": f"SELECT * FROM read_parquet('{golden.theil_u_eval_path(SF001)}')",
         "first_passage_time": f"SELECT * FROM read_parquet('{golden.first_passage_time_path(SF001)}')",
         "spectral_partition": f"SELECT * FROM read_parquet('{golden.spectral_partition_path(SF001)}')",
         "quantile_regression": f"SELECT * FROM read_parquet('{golden.quantile_regression_path(SF001)}')",

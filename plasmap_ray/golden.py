@@ -7391,3 +7391,28 @@ def sax_motifs_path(sf_dir: str) -> str:
         )
 
     return _cache(f"sax_{_sf_tag(sf_dir)}", build)
+
+
+def theil_u_eval_path(sf_dir: str) -> str:
+    """Golden Theil-U2: recompute from the kalman_smooth golden table
+    (shared recursion), independent RMSE arithmetic."""
+
+    def build() -> pa.Table:
+        from .stages.common import duckdb_round
+
+        k = pq.read_table(kalman_smooth_path(sf_dir)).to_pandas().sort_values("day")
+        obs = k["obs_cents"].to_numpy().astype(np.float64)
+        level = k["level"].to_numpy()
+        actual = obs[1:]
+        rmse_m = float(np.sqrt(np.mean((actual - level[:-1]) ** 2)))
+        rmse_n = float(np.sqrt(np.mean((actual - obs[:-1]) ** 2)))
+        return pa.table(
+            {
+                "n_days": pa.array([len(obs)], type=pa.int64()),
+                "rmse_model": pa.array(duckdb_round(np.array([rmse_m]), 6), type=pa.float64()),
+                "rmse_naive": pa.array(duckdb_round(np.array([rmse_n]), 6), type=pa.float64()),
+                "theil_u2": pa.array(duckdb_round(np.array([rmse_m / rmse_n]), 6), type=pa.float64()),
+            }
+        )
+
+    return _cache(f"theil_u_{_sf_tag(sf_dir)}", build)

@@ -3194,3 +3194,38 @@ def _sax_words(dense: np.ndarray) -> np.ndarray:
     return np.array(
         ["".join(letters[i : i + SAX_WORD]) for i in range(n_blocks - SAX_WORD + 1)]
     )
+
+
+def theil_u_eval(sf_dir: str) -> rd.Dataset:
+    """Theil's U2 forecast-quality audit of the Kalman level tracker:
+    one-step-ahead RMSE of the filter (predict today = yesterday's
+    posterior level) divided by the naive no-change forecast's RMSE —
+    U2 < 1 means the tracker genuinely beats persistence, the
+    minimum bar every forecasting dashboard should print and most
+    skip.
+
+    Determinism: reuses kalman_smooth's exact daily series and fixed
+    recursion; both RMSEs are mirrored float expressions over exact
+    inputs.  Scale shape: the day-keyed cents reduce; O(days) driver
+    math.  Output: one row (n_days, rmse_model, rmse_naive, theil_u2).
+    """
+    from ..stages.common import duckdb_round
+
+    k = kalman_smooth(sf_dir).to_pandas().sort_values("day").reset_index(drop=True)
+    obs = k["obs_cents"].to_numpy().astype(np.float64)
+    level = k["level"].to_numpy()
+    pred_model = level[:-1]  # yesterday's posterior predicts today
+    pred_naive = obs[:-1]
+    actual = obs[1:]
+    rmse_m = float(np.sqrt(np.mean((actual - pred_model) ** 2)))
+    rmse_n = float(np.sqrt(np.mean((actual - pred_naive) ** 2)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_days": pa.array([len(obs)], type=pa.int64()),
+                "rmse_model": pa.array(duckdb_round(np.array([rmse_m]), 6), type=pa.float64()),
+                "rmse_naive": pa.array(duckdb_round(np.array([rmse_n]), 6), type=pa.float64()),
+                "theil_u2": pa.array(duckdb_round(np.array([rmse_m / rmse_n]), 6), type=pa.float64()),
+            }
+        )
+    )

@@ -287,3 +287,11 @@ def test_sax_motifs_cover_the_series(ray_session):
     n_hours = int(h.max() - h.min() + 1)
     n_blocks = n_hours // win.SAX_PAA
     assert int(out["n"].sum()) == n_blocks - win.SAX_WORD + 1
+
+
+def test_theil_u_consistency(ray_session):
+    from plasmap_ray.pipelines import windows as win
+
+    out = win.theil_u_eval("/root/testdata/sf0.001").to_pandas().iloc[0]
+    assert out["rmse_model"] > 0 and out["rmse_naive"] > 0
+    assert abs(out["theil_u2"] - out["rmse_model"] / out["rmse_naive"]) < 1e-5
