@@ -363,34 +363,28 @@ def nation_trade_volume(
     nation_b: str = "NATION_2",
     y0: int = 1996,
     y1: int = 1997,
+    dim_max_bytes: int = DIM_BROADCAST_MAX_BYTES,
 ) -> rd.Dataset:
     """TPC-H Q7 shape: shipped revenue between two nations by direction
     and ship year — customer in one nation, supplier in the other.
 
-    Scale plan: the two-nation filter makes supplier and customer
-    BOUNDED small sides (2/25 of their tables), so both attach as
-    broadcast sorted-key lookups (np.searchsorted inside map_batches —
-    the repo's standard small-side discipline; swap to the hash join
-    when the filtered side outgrows worker heaps).  lineitem is
-    date-pruned at the read boundary; the one remaining exchange is the
-    fact-fact hash join on orderkey.  Output: (supp_nation,
-    cust_nation, l_year, revenue).
+    Scale plan: the two-nation slices of supplier and customer are
+    ~8% of their tables — SF-proportional, so both attaches are
+    SIZE-GUARDED via ``dim_strategy`` (sized on the FULL pruned dim,
+    a conservative over-estimate of the slice): broadcast sorted-key
+    lookups while the pruned columns fit ``dim_max_bytes``,
+    distributed hash joins (``safe_join``) above.  lineitem is
+    date-pruned at the read boundary; the one always-present exchange
+    is the fact-fact hash join on orderkey.  Both physical plans are
+    oracle-identical.  Output: (supp_nation, cust_nation, l_year,
+    revenue).
     """
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
     keys = sorted(int(k) for k, v in name_of.items() if v in (nation_a, nation_b))
-    key_list = ",".join(str(k) for k in keys) or "-1"
+    key_list = ",".join(str(k) for k in keys)
 
-    def _dim(table: str, cols: list[str], key_col: str, filt: str) -> tuple[np.ndarray, np.ndarray]:
-        df = _read(sf_dir, table, cols).filter(expr=filt).to_pandas()
-        if len(df) == 0:  # an empty Dataset drops its schema in to_pandas
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        df = df.sort_values(key_col)
-        return df[cols[0]].to_numpy(dtype=np.int64), df[cols[1]].to_numpy(dtype=np.int64)
-
-    s_keys, s_nat = _dim("supplier", ["s_suppkey", "s_nationkey"], "s_suppkey", f"s_nationkey in [{key_list}]")
-    c_keys, c_nat = _dim("customer", ["c_custkey", "c_nationkey"], "c_custkey", f"c_nationkey in [{key_list}]")
-    if len(s_keys) == 0 or len(c_keys) == 0:
+    def _empty() -> pa.Table:
         # no supplier/customer in the two nations: empty result, returned
         # as a pa.Table so the schema survives (an all-empty join side
         # loses its schema inside Ray's hash join, and an empty Dataset
@@ -404,6 +398,21 @@ def nation_trade_volume(
             }
         )
 
+    if not keys:
+        return _empty()
+
+    supp_cols = ["s_suppkey", "s_nationkey"]
+    cust_cols = ["c_custkey", "c_nationkey"]
+    s_bcast = dim_strategy(sf_dir, "supplier", supp_cols, dim_max_bytes) == "broadcast"
+    c_bcast = dim_strategy(sf_dir, "customer", cust_cols, dim_max_bytes) == "broadcast"
+
+    def _dim(table: str, cols: list[str], key_col: str, filt: str) -> tuple[np.ndarray, np.ndarray]:
+        df = _read(sf_dir, table, cols).filter(expr=filt).to_pandas()
+        if len(df) == 0:  # an empty Dataset drops its schema in to_pandas
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        df = df.sort_values(key_col)
+        return df[cols[0]].to_numpy(dtype=np.int64), df[cols[1]].to_numpy(dtype=np.int64)
+
     def _lookup(vals: np.ndarray, keys_arr: np.ndarray, out_arr: np.ndarray):
         """vals -> (mask, out) via sorted-key binary search (semi-join +
         attach in one vectorized pass; misses masked out)."""
@@ -415,40 +424,78 @@ def nation_trade_volume(
         return mask, out_arr[idx_c[mask]]
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    if c_bcast:
+        c_keys, c_nat = _dim("customer", cust_cols, "c_custkey", f"c_nationkey in [{key_list}]")
+        if len(c_keys) == 0:
+            return _empty()
 
-    def attach_cust(t: pa.Table) -> pa.Table:
-        mask, nk = _lookup(t["o_custkey"].to_numpy().astype(np.int64), c_keys, c_nat)
-        return pa.table(
-            {
-                "o_orderkey": pa.array(t["o_orderkey"].to_numpy()[mask]),
-                "c_nationkey": pa.array(nk, type=pa.int64()),
-            }
+        def attach_cust(t: pa.Table) -> pa.Table:
+            mask, nk = _lookup(t["o_custkey"].to_numpy().astype(np.int64), c_keys, c_nat)
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(t["o_orderkey"].to_numpy()[mask]),
+                    "c_nationkey": pa.array(nk, type=pa.int64()),
+                }
+            )
+
+        oc = orders.map_batches(attach_cust, batch_format="pyarrow")
+    else:
+        cust_ds = _read(sf_dir, "customer", cust_cols).filter(expr=f"c_nationkey in [{key_list}]")
+        if cust_ds.limit(1).count() == 0:
+            return _empty()
+        oc = safe_join(
+            orders, cust_ds, join_type="inner", num_partitions=4,
+            on=("o_custkey",), right_on=("c_custkey",),
+        ).select_columns(["o_orderkey", "c_nationkey"]).map_batches(
+            functools.partial(_cast_cols, casts={"c_nationkey": pa.int64()}), batch_format="pyarrow"
         )
-
-    oc = orders.map_batches(attach_cust, batch_format="pyarrow")
 
     li = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
     )
 
-    def date_rev_supp(t: pa.Table) -> pa.Table:
+    def date_rev(t: pa.Table) -> pa.Table:
         lo = pa.scalar(np.datetime64(f"{y0}-01-01", "us"))
         hi = pa.scalar(np.datetime64(f"{y1 + 1}-01-01", "us"))
         t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)))
-        mask, nk = _lookup(t["l_suppkey"].to_numpy().astype(np.int64), s_keys, s_nat)
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         year = pc.cast(pc.year(t["l_shipdate"]), pa.int64())
-        sel = pa.table(
-            {
-                "l_orderkey": pa.array(t["l_orderkey"].to_numpy()[mask]),
-                "s_nationkey": pa.array(nk, type=pa.int64()),
-                "revenue": pa.array(rev.to_numpy(zero_copy_only=False)[mask], type=pa.float64()),
-                "l_year": pa.array(year.to_numpy(zero_copy_only=False)[mask], type=pa.int64()),
-            }
-        )
-        return sel
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "revenue": pc.cast(rev, pa.float64()),
+            "l_year": year,
+        })
 
-    li = li.map_batches(date_rev_supp, batch_format="pyarrow")
+    if s_bcast:
+        s_keys, s_nat = _dim("supplier", supp_cols, "s_suppkey", f"s_nationkey in [{key_list}]")
+        if len(s_keys) == 0:
+            return _empty()
+
+        def attach_supp(t: pa.Table) -> pa.Table:
+            t = date_rev(t)
+            mask, nk = _lookup(t["l_suppkey"].to_numpy().astype(np.int64), s_keys, s_nat)
+            return pa.table(
+                {
+                    "l_orderkey": pa.array(t["l_orderkey"].to_numpy()[mask]),
+                    "s_nationkey": pa.array(nk, type=pa.int64()),
+                    "revenue": pa.array(t["revenue"].to_numpy()[mask], type=pa.float64()),
+                    "l_year": pa.array(t["l_year"].to_numpy()[mask], type=pa.int64()),
+                }
+            )
+
+        li = li.map_batches(attach_supp, batch_format="pyarrow")
+    else:
+        supp_ds = _read(sf_dir, "supplier", supp_cols).filter(expr=f"s_nationkey in [{key_list}]")
+        if supp_ds.limit(1).count() == 0:
+            return _empty()
+        li = safe_join(
+            li.map_batches(date_rev, batch_format="pyarrow"), supp_ds,
+            join_type="inner", num_partitions=4,
+            on=("l_suppkey",), right_on=("s_suppkey",),
+        ).select_columns(["l_orderkey", "s_nationkey", "revenue", "l_year"]).map_batches(
+            functools.partial(_cast_cols, casts={"s_nationkey": pa.int64()}), batch_format="pyarrow"
+        )
     j2 = safe_join(li, oc, join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",))
     j2 = j2.filter(expr="s_nationkey != c_nationkey")
 
@@ -1548,7 +1595,12 @@ def min_cost_supplier(
     )
 
 
-def product_profit(sf_dir: str, name_sub: str = "bolt", cost_frac: float = 0.6) -> rd.Dataset:
+def product_profit(
+    sf_dir: str,
+    name_sub: str = "bolt",
+    cost_frac: float = 0.6,
+    dim_max_bytes: int = DIM_BROADCAST_MAX_BYTES,
+) -> rd.Dataset:
     """TPC-H Q9 shape: profit by supplier nation and order year for parts
     whose name contains a substring.  No partsupp.ps_supplycost exists in
     the schema; the documented stand-in is cost = cost_frac *
@@ -1559,46 +1611,108 @@ def product_profit(sf_dir: str, name_sub: str = "bolt", cost_frac: float = 0.6) 
     divided by 100 in the final projection — the repo's standard
     fixed-point discipline for multi-engine sum equality.
 
-    Scale plan: part attributes (name filter + retailprice) broadcast
-    as sorted arrays into the fact scan; supplier→nation broadcast; the
-    only exchange is the fact↔orders hash join on orderkey, then a
-    25x|years| groupby.
+    Scale plan: part (SF x 200k rows) and supplier (SF x 10k) are
+    SIZE-GUARDED via ``dim_strategy`` — broadcast sorted-key lookups
+    while the pruned columns fit ``dim_max_bytes``, distributed hash
+    joins above (both grow with SF, so "it's a dimension" is not a
+    broadcast licence at the 10^12-row design point); nation is FIXED
+    25 rows and stays driver-side.  The fact↔orders exchange is a
+    ``safe_join`` on orderkey (the name filter can produce the 0-row
+    blocks that poison Ray 2.49's raw hash join), then a 25x|years|
+    groupby.  Both physical plans are oracle-identical.
     """
-    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
-    part = part[part["p_name"].str.contains(name_sub, regex=False)]
-    pk = part["p_partkey"].to_numpy(dtype=np.int64)
-    order_idx = np.argsort(pk)
-    pk = pk[order_idx]
-    pprice = part["p_retailprice"].to_numpy(dtype=np.float64)[order_idx]
-
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
-    s_idx = np.argsort(sk)
-    sk = sk[s_idx]
-    snat = supp["s_nationkey"].to_numpy(dtype=np.int64)[s_idx]
 
+    part_cols = ["p_partkey", "p_name", "p_retailprice"]
+    supp_cols = ["s_suppkey", "s_nationkey"]
     li = _read(
         sf_dir, "lineitem",
         ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_quantity"],
     )
 
+    def _empty() -> pa.Table:
+        return pa.table({
+            "n_name": pa.array([], type=pa.string()),
+            "o_year": pa.array([], type=pa.int64()),
+            "profit": pa.array([], type=pa.float64()),
+        })
+
+    if dim_strategy(sf_dir, "part", part_cols, dim_max_bytes) == "broadcast":
+        part = _read(sf_dir, "part", part_cols).to_pandas()
+        part = part[part["p_name"].str.contains(name_sub, regex=False)]
+        if len(part) == 0:
+            return _empty()
+        pk = part["p_partkey"].to_numpy(dtype=np.int64)
+        order_idx = np.argsort(pk)
+        pk = pk[order_idx]
+        pprice = part["p_retailprice"].to_numpy(dtype=np.float64)[order_idx]
+
+        def attach_price(t: pa.Table) -> pa.Table:
+            p = t["l_partkey"].to_numpy().astype(np.int64)
+            i = np.minimum(np.searchsorted(pk, p), len(pk) - 1)
+            keep = pk[i] == p
+            t = t.filter(pa.array(keep)).drop_columns(["l_partkey"])
+            return t.append_column("p_retailprice", pa.array(pprice[i[keep]], type=pa.float64()))
+
+        li = li.map_batches(attach_price, batch_format="pyarrow")
+    else:
+        part_ds = (
+            _read(sf_dir, "part", part_cols)
+            .map_batches(
+                lambda t: t.filter(pc.match_substring(t["p_name"], name_sub)).drop_columns(["p_name"]),
+                batch_format="pyarrow",
+            )
+        )
+        # an ALL-empty join side loses its schema inside Ray's hash
+        # join (safe_join's documented limit) — probe with one block
+        if part_ds.limit(1).count() == 0:
+            return _empty()
+        li = safe_join(
+            li, part_ds, join_type="inner", num_partitions=4,
+            on=("l_partkey",), right_on=("p_partkey",),
+        ).map_batches(
+            lambda t: t.drop_columns([c for c in ("l_partkey", "p_partkey") if c in t.column_names]),
+            batch_format="pyarrow",
+        )
+
+    if dim_strategy(sf_dir, "supplier", supp_cols, dim_max_bytes) == "broadcast":
+        supp = _read(sf_dir, "supplier", supp_cols).to_pandas()
+        sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
+        s_idx = np.argsort(sk)
+        sk = sk[s_idx]
+        snat = supp["s_nationkey"].to_numpy(dtype=np.int64)[s_idx]
+
+        def attach_nat(t: pa.Table) -> pa.Table:
+            s = t["l_suppkey"].to_numpy().astype(np.int64)
+            j = np.minimum(np.searchsorted(sk, s), len(sk) - 1)
+            t = t.drop_columns(["l_suppkey"])
+            return t.append_column(
+                "s_nationkey", pa.array(snat[j], type=pa.int64())
+            )
+
+        li = li.map_batches(attach_nat, batch_format="pyarrow")
+    else:
+        li = safe_join(
+            li, _read(sf_dir, "supplier", supp_cols),
+            join_type="inner", num_partitions=4,
+            on=("l_suppkey",), right_on=("s_suppkey",),
+        ).map_batches(
+            lambda t: t.drop_columns([c for c in ("l_suppkey", "s_suppkey") if c in t.column_names]),
+            batch_format="pyarrow",
+        )
+
     def amount_cents(t: pa.Table) -> pa.Table:
-        p = t["l_partkey"].to_numpy().astype(np.int64)
-        i = np.minimum(np.searchsorted(pk, p), len(pk) - 1) if len(pk) else np.zeros(len(p), dtype=np.int64)
-        keep = (pk[i] == p) if len(pk) else np.zeros(len(p), dtype=bool)
-        price = pprice[i[keep]] if len(pk) else np.empty(0)
-        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
-        disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
-        qty = t["l_quantity"].to_numpy(zero_copy_only=False)[keep]
-        s = t["l_suppkey"].to_numpy().astype(np.int64)[keep]
-        j = np.minimum(np.searchsorted(sk, s), len(sk) - 1)
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        price = t["p_retailprice"].to_numpy(zero_copy_only=False)
         amount = ext * (1.0 - disc) - cost_frac * price * qty
         cents = duckdb_round(amount * 100.0, 0).astype(np.int64)
+        snk = t["s_nationkey"].to_numpy(zero_copy_only=False)
         return pa.table({
-            "l_orderkey": pa.array(t["l_orderkey"].to_numpy()[keep]),
-            "n_name": pa.array([name_of[int(x)] for x in snat[j]], type=pa.string()),
+            "l_orderkey": t["l_orderkey"],
+            "n_name": pa.array([name_of[int(x)] for x in snk], type=pa.string()),
             "cents": pa.array(cents, type=pa.int64()),
         })
 
@@ -1611,7 +1725,8 @@ def product_profit(sf_dir: str, name_sub: str = "bolt", cost_frac: float = 0.6) 
             "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
         })
 
-    j = facts.join(
+    j = safe_join(
+        facts,
         orders.map_batches(year_of, batch_format="pyarrow"),
         join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",),
     )

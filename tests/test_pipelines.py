@@ -1380,10 +1380,14 @@ def test_dim_join_planner_flips_on_size(ray_session):
         df = df[sorted(df.columns)]
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
-    for fn in (R.market_share, R.bloom_semi_join, R.min_cost_supplier):
+    for fn in (R.market_share, R.bloom_semi_join, R.min_cost_supplier,
+               R.product_profit, R.nation_trade_volume):
         a = canon(fn(sf))
         b = canon(fn(sf, dim_max_bytes=1))  # force the shuffle plan
         assert a.equals(b), fn.__name__
+    # product_profit exercises REAL rows under both plans at this SF
+    pp = canon(R.product_profit(sf, dim_max_bytes=1))
+    assert len(pp) > 0
 
 
 def test_empty_predicate_joins_return_typed_empty(ray_session):
@@ -1398,6 +1402,12 @@ def test_empty_predicate_joins_return_typed_empty(ray_session):
     assert len(ms) == 0 and sorted(ms.columns) == ["mkt_share", "o_year"]
     bj = R.bloom_semi_join(sf, segment="NO_SUCH_SEGMENT").to_pandas()
     assert len(bj) == 0 and sorted(bj.columns) == ["c_nationkey", "n_orders"]
+    for kw in ({}, {"dim_max_bytes": 1}):  # both physical plans guard
+        pp = R.product_profit(sf, name_sub="NO_SUCH_PART", **kw).to_pandas()
+        assert len(pp) == 0 and sorted(pp.columns) == ["n_name", "o_year", "profit"]
+        nt = R.nation_trade_volume(sf, nation_a="XX", nation_b="YY", **kw).to_pandas()
+        assert len(nt) == 0 and sorted(nt.columns) == [
+            "cust_nation", "l_year", "revenue", "supp_nation"]
     mc = R.min_cost_supplier(sf, ptype="NO_SUCH_TYPE").to_pandas()
     assert len(mc) == 0 and "min_cost" in mc.columns
 
