@@ -2152,7 +2152,8 @@ SELECT CAST(label AS BIGINT) AS label,
 FROM rec GROUP BY 1""",
         "mutual_nn_pairs": """
 WITH s AS (
-  SELECT a.vec_id AS qa, b.vec_id AS qb, list_cosine_similarity(a.embedding, b.embedding) AS sim
+  SELECT a.vec_id AS qa, b.vec_id AS qb,
+         floor(list_cosine_similarity(a.embedding, b.embedding) * 1e12 + 0.5) AS sim
   FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
 nn AS (SELECT qa, qb FROM (
   SELECT qa, qb, row_number() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rk FROM s) WHERE rk = 1)

@@ -16,6 +16,21 @@ Where practical the recompute is algorithmically independent too:
 engine's vectorized cumprod; ``simhash`` a per-token Python loop vs the
 engine's bit-matrix numpy; assembly goldens read construction-time
 world tables, never the assembly DAG.
+
+KERNEL-REPLAY goldens (weaker oracle — stated explicitly): for the
+iterative fixed-point ops (logistic_newton, quantile_regression,
+gmm_em, als_factorization, tsp_tours, kalman_smooth, kleinberg_bursts,
+sax_motifs, scan_statistic, cca_analysis, huffman) the golden imports
+the engine's per-row partial kernel and replays it over the WHOLE
+column at once — so the oracle check proves the DISTRIBUTED layer
+(partition invariance, exact-integer merge order, shuffle/schema) but
+NOT the kernel's own math.  The kernel math is covered separately by
+property-based pytest cross-proofs (stationary-point score equations
+for logistic_newton, Kraft-inequality + optimality for huffman,
+two-opt never-lengthens invariants for tsp_tours, sanity/whiteness
+checks for kalman_smooth and kleinberg_bursts); ops with neither an
+independent golden nor a cross-proof carry the note in their builder
+docstring.
 """
 
 from __future__ import annotations
@@ -34,7 +49,7 @@ GOLDEN_ROOT = "/tmp/plasmap_fixtures/golden"
 # bump when ANY golden builder's algorithm changes: the parquet cache is
 # write-once, and a stale expected table makes oracle checks pass/fail
 # for the wrong reason
-GOLDEN_VERSION = "g2"
+GOLDEN_VERSION = "g3"
 
 M64 = 1 << 64
 
@@ -6356,9 +6371,14 @@ def image_border_detect_path(images_parquet: str) -> str:
             top = run_len(row_ok_top)
             row_ok_bot = (np.abs(g[::-1] - g[hh - 1, 0]).max(axis=1) <= tol)
             bottom = min(run_len(row_ok_bot), hh - top)
-            col_ok_left = (np.abs(g - g[0, 0]).max(axis=0) <= tol)
+            # left/right: scan only the rows inside the letterbox band,
+            # anchored at a corner pixel inside that band (engine mirror)
+            r0, r1 = top, hh - bottom
+            gi = g[r0:r1] if r0 < r1 else g
+            ref_row = r0 if r0 < r1 else 0
+            col_ok_left = (np.abs(gi - g[ref_row, 0]).max(axis=0) <= tol)
             left = run_len(col_ok_left)
-            col_ok_right = (np.abs(g[:, ::-1] - g[0, ww - 1]).max(axis=0) <= tol)
+            col_ok_right = (np.abs(gi[:, ::-1] - g[ref_row, ww - 1]).max(axis=0) <= tol)
             right = min(run_len(col_ok_right), ww - left)
             inner = max(hh - top - bottom, 0) * max(ww - left - right, 0)
             bf = (hh * ww - inner) / (hh * ww)

@@ -2630,7 +2630,7 @@ def mutual_nn_pairs(sf_dir: str) -> rd.Dataset:
     from ..stages.common import safe_join
 
     ds = _read_emb(sf_dir)
-    full = ds.to_pandas()
+    full = ds.to_pandas()  # bounded: broadcast build of the dim-bounded embedding table (IVF/LSH bucket swap at 1e9 vectors, see docstring)
     order = np.argsort(full["vec_id"].to_numpy())
     ids = full["vec_id"].to_numpy()[order].astype(np.int64)
     m = np.stack(full["embedding"].to_numpy()[order]).astype(np.float64)
@@ -2645,7 +2645,12 @@ def mutual_nn_pairs(sf_dir: str) -> rd.Dataset:
         def __call__(self, t: pa.Table) -> pa.Table:
             q = _emb_matrix(t)
             q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ self.m.T
+            # fixed-point grid BEFORE the argmax: near-tie similarities
+            # (abundant with planted near-duplicates) are BLAS-order
+            # dependent in the last ulp; quantizing to 1e-12 on both
+            # engines makes the (sim desc, vec_id asc) winner stable
+            # (np.argmax takes the FIRST max; ids are sorted asc)
+            sims = np.floor((q @ self.m.T) * 1e12 + 0.5)
             qid = t["vec_id"].to_numpy().astype(np.int64)
             self_col = np.searchsorted(self.ids, qid)
             sims[np.arange(len(qid)), self_col] = -np.inf

@@ -151,7 +151,7 @@ def bpe_encode_stats(sf_dir: str, n_merges: int = BPE_N_MERGES) -> rd.Dataset:
     """
     from ..stages.common import duckdb_round
 
-    wc = word_counts(sf_dir).to_pandas()
+    wc = word_counts(sf_dir).to_pandas()  # bounded: distinct-word vocabulary (sublinear in corpus)
     merges = [(m[0], m[1]) for m in learn_merges(wc["word"].tolist(), wc["n"].tolist(), n_merges)]
     mref = ray.put(merges)
 

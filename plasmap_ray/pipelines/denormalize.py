@@ -240,7 +240,7 @@ def assemble_relations(
 
     present = {
         r["member_type"]
-        for r in members.groupby("member_type").aggregate(_Count(alias_name="n")).take_all()
+        for r in members.groupby("member_type").aggregate(_Count(alias_name="n")).take_all()  # bounded: <= 3 member_type groups
     }
 
     # --- geometry requests -------------------------------------------------

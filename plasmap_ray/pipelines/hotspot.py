@@ -3,7 +3,8 @@ cell lattice.
 
 The classic "where are the statistically hot tiles" question a tiling
 engine answers before rendering heatmaps (reference analogue: the
-per-cell counters of A3/A5, `counter/src/main/scala` — this adds the
+per-cell counters of A3/A5, processing/src/main/scala/io/plasmap/geo/
+preprocessing/OsmPreprocessor.scala:116-119 — this adds the
 inferential layer on top).  Gi* for cell i with a 3x3 neighborhood
 window:
 
@@ -1080,8 +1081,8 @@ def cross_k(sf_dir: str, radii: tuple[float, ...] = RIPLEY_RADII, num_partitions
         d2 = dlon * dlon + dlat * dlat
         base = ia != ib
         frames = []
-        ta = t["type_a"].to_pandas()
-        tb = t["type_b"].to_pandas()
+        ta = t["type_a"].to_pandas()  # bounded: per-batch Arrow column view (inside map, not a driver collect)
+        tb = t["type_b"].to_pandas()  # bounded: per-batch Arrow column view (inside map, not a driver collect)
         for r in radii:
             m = base & (d2 <= r * r)
             if not m.any():
@@ -3361,7 +3362,7 @@ def hot_cell_clusters(sf_dir: str, eps: float = GI_EPS, theta: int = PERC_MIN_EV
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("key")
         .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
+        .to_pandas()  # bounded: occupied-cell lattice partials
     )
     hot = cells[cells["n"] >= theta].reset_index(drop=True)
     key = hot["key"].to_numpy().astype(np.int64)
@@ -3380,7 +3381,7 @@ def hot_cell_clusters(sf_dir: str, eps: float = GI_EPS, theta: int = PERC_MIN_EV
         pairs = rd.from_arrow(
             pa.table({"doc_a": pa.array(ea, type=pa.int64()), "doc_b": pa.array(eb, type=pa.int64())})
         )
-        labels = cl.connected_components(pairs).to_pandas()
+        labels = cl.connected_components(pairs).to_pandas()  # bounded: pair-graph node labels (near-dup candidates only)
         lab = dict(zip(labels["node"].astype(np.int64), labels["label"].astype(np.int64)))
     else:
         lab = {}

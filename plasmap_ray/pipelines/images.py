@@ -1787,7 +1787,7 @@ def split_leakage_phash(sf_dir: str) -> rd.Dataset:
         ph = t["phash"].to_numpy().astype(np.int64)
         # map-side distinct combiner: unique (phash, split) within batch
         key = pa.table({"phash": pa.array(ph, type=pa.int64()), "split": pa.array(split, type=pa.string())})
-        df = key.to_pandas().drop_duplicates()
+        df = key.to_pandas().drop_duplicates()  # bounded: per-batch distinct combiner (inside map, not a driver collect)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     distinct = (
@@ -2861,7 +2861,7 @@ def caption_complexity_corr(sf_dir: str) -> rd.Dataset:
         ds.map_batches(Fused, batch_format="pyarrow", batch_size=256, concurrency=(1, 8))
         .groupby("_g")
         .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
-        .to_pandas()
+        .to_pandas()  # bounded: single-group moment rows
     )
     n, sx, sy, sxy, sxx, syy = (float(int(agg[c][0])) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
     r = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy))

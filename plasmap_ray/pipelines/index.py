@@ -128,7 +128,7 @@ def search_ranked(sf_dir: str, tokens: tuple[str, ...] = ("spark", "data"), k: i
 
     tf_rows = docs.map_batches(term_counts, batch_format="pyarrow").materialize()
     n_docs = docs.count()
-    dfs = {r["token"]: r["n_docs"] for r in tf_rows.groupby("token").aggregate(Count(alias_name="n_docs")).take_all()}
+    dfs = {r["token"]: r["n_docs"] for r in tf_rows.groupby("token").aggregate(Count(alias_name="n_docs")).take_all()}  # bounded: vocabulary-sized document frequencies
     idf = {t: math.log(n_docs / dfs[t]) for t in dfs}
 
     def score(batch: pa.Table) -> pa.Table:
@@ -228,7 +228,7 @@ def search_bm25(
     n_docs = docs.count()
     total_tokens = int(docs.map_batches(dl_partial, batch_format="pyarrow").sum("dl"))
     avgdl = total_tokens / n_docs  # exact ints -> one float64 division
-    dfs = {r["token"]: r["n_docs"] for r in tf_rows.groupby("token").aggregate(Count(alias_name="n_docs")).take_all()}
+    dfs = {r["token"]: r["n_docs"] for r in tf_rows.groupby("token").aggregate(Count(alias_name="n_docs")).take_all()}  # bounded: vocabulary-sized document frequencies
     idf = {t: math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0) for t in dfs}
 
     def score(batch: pa.Table) -> pa.Table:
@@ -532,7 +532,7 @@ def ndcg_eval(sf_dir: str, tokens: tuple[str, ...] = ("spark", "data"), k: int =
     def local_top(t: pa.Table) -> pa.Table:
         import pandas as pd
 
-        df = t.to_pandas().sort_values(["rel", "doc_id"], ascending=[False, True]).head(k)
+        df = t.to_pandas().sort_values(["rel", "doc_id"], ascending=[False, True]).head(k)  # bounded: per-batch top-k prune (inside map, not a driver collect)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     top = (

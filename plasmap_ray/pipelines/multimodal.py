@@ -651,7 +651,7 @@ def audio_dedup_manifest(sf_dir: str, min_shared: int = FP_MIN_SHARED) -> rd.Dat
         return all_ids.map_batches(singleton, batch_format="pyarrow")
 
     labels = connected_components(pairs.map_batches(to_int, batch_format="pyarrow"))
-    lab_map = {int(r["node"]): int(r["label"]) for r in labels.take_all()}  # matched ids only
+    lab_map = {int(r["node"]): int(r["label"]) for r in labels.take_all()}  # matched ids only  # bounded: matched ids only
     lab_ref = ray.put(lab_map)
 
     class Manifest:

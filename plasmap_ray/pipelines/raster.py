@@ -952,7 +952,7 @@ def _d8_pointer_table(sf_dir: str, z: int, tile_px: int) -> "pd.DataFrame":
             }
         )
 
-    tbl = v.map_batches(collapse, batch_format="pyarrow").to_pandas()
+    tbl = v.map_batches(collapse, batch_format="pyarrow").to_pandas()  # bounded: vectorized-cell lattice
     gx = tbl["gx"].to_numpy().astype(np.int64)
     gy = tbl["gy"].to_numpy().astype(np.int64)
     n = tbl["n_points"].to_numpy().astype(np.int64)

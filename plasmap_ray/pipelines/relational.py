@@ -379,7 +379,7 @@ def nation_trade_volume(
     oracle-identical.  Output: (supp_nation, cust_nation, l_year,
     revenue).
     """
-    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()  # bounded: nation = 25 rows (fixed)
     name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
     keys = sorted(int(k) for k, v in name_of.items() if v in (nation_a, nation_b))
     key_list = ",".join(str(k) for k in keys)
@@ -407,7 +407,7 @@ def nation_trade_volume(
     c_bcast = dim_strategy(sf_dir, "customer", cust_cols, dim_max_bytes) == "broadcast"
 
     def _dim(table: str, cols: list[str], key_col: str, filt: str) -> tuple[np.ndarray, np.ndarray]:
-        df = _read(sf_dir, table, cols).filter(expr=filt).to_pandas()
+        df = _read(sf_dir, table, cols).filter(expr=filt).to_pandas()  # bounded: dim_strategy-guarded broadcast branch (caller)
         if len(df) == 0:  # an empty Dataset drops its schema in to_pandas
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         df = df.sort_values(key_col)
@@ -760,8 +760,8 @@ def market_share(
     divides two identically-rounded group sums so the quotient is
     reproducible under either plan.
     """
-    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
-    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()  # bounded: nation = 25 rows (fixed)
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()  # bounded: region = 5 rows (fixed)
     rkeys = set(reg[reg["r_name"] == region]["r_regionkey"])
     region_nations = sorted(int(k) for k, rk in zip(nat["n_nationkey"], nat["n_regionkey"]) if rk in rkeys)
     name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
@@ -780,7 +780,7 @@ def market_share(
 
     supp_cols = ["s_suppkey", "s_nationkey"]
     if dim_strategy(sf_dir, "supplier", supp_cols, dim_max_bytes) == "broadcast":
-        supp = _read(sf_dir, "supplier", supp_cols).to_pandas().sort_values("s_suppkey")
+        supp = _read(sf_dir, "supplier", supp_cols).to_pandas().sort_values("s_suppkey")  # bounded: dim_strategy-guarded broadcast branch
         s_keys = supp["s_suppkey"].to_numpy(dtype=np.int64)
         s_nat = supp["s_nationkey"].to_numpy(dtype=np.int64)
 
@@ -884,7 +884,7 @@ def important_parts(sf_dir: str, frac: float = 0.00075) -> rd.Dataset:
     # move the whole dimension for a few hundred keys (and Ray's hash
     # join chokes on the schema-less empty blocks a sparse filter
     # produces).
-    big = per_part.filter(expr=f"revenue > {thr!r}").to_pandas()
+    big = per_part.filter(expr=f"revenue > {thr!r}").to_pandas()  # bounded: survivors < 1/frac by construction
     if len(big) == 0:  # empty to_pandas loses columns: rebuild schema
         return pa.table({
             "p_partkey": pa.array([], type=pa.int64()),
@@ -896,7 +896,7 @@ def important_parts(sf_dir: str, frac: float = 0.00075) -> rd.Dataset:
         os.path.join(sf_dir, "part.parquet"),
         columns=["p_partkey", "p_name"],
         filter=pc.field("p_partkey").isin(keys),
-    ).to_pandas().set_index("p_partkey")["p_name"]
+    ).to_pandas().set_index("p_partkey")["p_name"]  # bounded: < 1/frac survivor keys (pushdown read)
     big = big.sort_values(["revenue", "l_partkey"], ascending=[False, True])
     return pa.table({
         "p_partkey": pa.array(big["l_partkey"].to_numpy(dtype=np.int64)),
@@ -1150,7 +1150,7 @@ def idle_customers(sf_dir: str, since: str = "2001-01-01") -> rd.Dataset:
     j = safe_join(rich, active, join_type="left_outer", num_partitions=4, on=("c_custkey",), right_on=("o_custkey",))
     idle = j.map_batches(lambda t: t.filter(pc.is_null(t["_n"])), batch_format="pyarrow")
 
-    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()  # bounded: nation = 25 rows (fixed)
     name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
 
     def attach(t: pa.Table) -> pa.Table:
@@ -1203,9 +1203,9 @@ def revenue_rollup(sf_dir: str) -> rd.Dataset:
         oc.select_columns(["o_orderkey", "o_year", "c_nationkey"]),
         join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",),
     )
-    fine = j.groupby(["c_nationkey", "o_year"]).aggregate(Sum("cents", alias_name="cents")).to_pandas()
+    fine = j.groupby(["c_nationkey", "o_year"]).aggregate(Sum("cents", alias_name="cents")).to_pandas()  # bounded: 25 nations x |years| groups
 
-    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()  # bounded: nation = 25 rows (fixed)
     name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
 
     fine["n_name"] = [name_of[int(k)] for k in fine["c_nationkey"]]
@@ -1324,7 +1324,7 @@ def bloom_semi_join(
     pre = orders.map_batches(prefilter, batch_format="pyarrow")
 
     if dim_strategy(sf_dir, "customer", cust_cols, dim_max_bytes) == "broadcast":
-        cust_df = cust.to_pandas()
+        cust_df = cust.to_pandas()  # bounded: dim_strategy-guarded broadcast branch
         nat_of = dict(zip(cust_df["c_custkey"].astype(np.int64), cust_df["c_nationkey"].astype(np.int64)))
 
         def exact_attach(t: pa.Table) -> pa.Table:
@@ -1621,7 +1621,7 @@ def product_profit(
     blocks that poison Ray 2.49's raw hash join), then a 25x|years|
     groupby.  Both physical plans are oracle-identical.
     """
-    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()  # bounded: nation = 25 rows (fixed)
     name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
 
     part_cols = ["p_partkey", "p_name", "p_retailprice"]
@@ -1639,7 +1639,7 @@ def product_profit(
         })
 
     if dim_strategy(sf_dir, "part", part_cols, dim_max_bytes) == "broadcast":
-        part = _read(sf_dir, "part", part_cols).to_pandas()
+        part = _read(sf_dir, "part", part_cols).to_pandas()  # bounded: dim_strategy-guarded broadcast branch
         part = part[part["p_name"].str.contains(name_sub, regex=False)]
         if len(part) == 0:
             return _empty()
@@ -1677,7 +1677,7 @@ def product_profit(
         )
 
     if dim_strategy(sf_dir, "supplier", supp_cols, dim_max_bytes) == "broadcast":
-        supp = _read(sf_dir, "supplier", supp_cols).to_pandas()
+        supp = _read(sf_dir, "supplier", supp_cols).to_pandas()  # bounded: dim_strategy-guarded broadcast branch
         sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
         s_idx = np.argsort(sk)
         sk = sk[s_idx]
@@ -1798,7 +1798,12 @@ def supplier_part_variety(sf_dir: str, excl_brand: str = "Brand#1", sizes: tuple
     return out.select_columns(["p_brand", "p_type", "p_size", "supplier_cnt"])
 
 
-def dominant_part_suppliers(sf_dir: str, name_prefix: str = "red", year: int = 1996) -> rd.Dataset:
+def dominant_part_suppliers(
+    sf_dir: str,
+    name_prefix: str = "red",
+    year: int = 1996,
+    dim_max_bytes: int = DIM_BROADCAST_MAX_BYTES,
+) -> rd.Dataset:
     """TPC-H Q20 shape: suppliers holding a dominant position in a part
     family during one year.  ps_availqty is absent; the stand-in
     predicate keeps suppliers whose shipped quantity of a filtered part
@@ -1809,35 +1814,58 @@ def dominant_part_suppliers(sf_dir: str, name_prefix: str = "red", year: int = 1
     (duckdb_round(q*100)), so the >0.5*total compare is integer math
     (2*supp > total) — immune to float summation order in both engines.
 
+    Scale plan: the part-name prune is ``dim_strategy``-guarded
+    (broadcast key lookup vs a distributed semi-join — part grows with
+    SF); the supplier/nation attach joins the AGGREGATED dominant-id
+    side (small by construction) against the supplier table with
+    ``safe_join``, so no SF-growing table is ever collected.
+
     Output: distinct (s_suppkey, s_name, n_name) ordered by s_suppkey.
     """
-    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
-    part = part[part["p_name"].str.startswith(name_prefix)]
-    pk = np.sort(part["p_partkey"].to_numpy(dtype=np.int64))
-    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()  # bounded: nation = 25 rows (fixed)
     name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
-    sinfo = {int(r.s_suppkey): (r.s_name, name_of[int(r.s_nationkey)]) for r in supp.itertuples()}
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
 
-    def filt(t: pa.Table) -> pa.Table:
+    def date_qc(t: pa.Table) -> pa.Table:
         lo = pa.scalar(np.datetime64(f"{year}-01-01", "us"))
         hi = pa.scalar(np.datetime64(f"{year + 1}-01-01", "us"))
         t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)))
-        p = t["l_partkey"].to_numpy().astype(np.int64)
-        if len(pk) == 0:
-            keep = np.zeros(len(p), dtype=bool)
-        else:
-            keep = pk[np.minimum(np.searchsorted(pk, p), len(pk) - 1)] == p
-        qc = duckdb_round(t["l_quantity"].to_numpy(zero_copy_only=False)[keep] * 100.0, 0).astype(np.int64)
+        qc = duckdb_round(t["l_quantity"].to_numpy(zero_copy_only=False) * 100.0, 0).astype(np.int64)
         return pa.table({
-            "l_partkey": pa.array(p[keep], type=pa.int64()),
-            "l_suppkey": pa.array(t["l_suppkey"].to_numpy()[keep], type=pa.int64()),
+            "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
             "qc": pa.array(qc, type=pa.int64()),
         })
 
-    facts = li.map_batches(filt, batch_format="pyarrow")
+    if dim_strategy(sf_dir, "part", ["p_partkey", "p_name"], dim_max_bytes) == "broadcast":
+        part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()  # bounded: dim_strategy-guarded broadcast branch
+        part = part[part["p_name"].str.startswith(name_prefix)]
+        pk = np.sort(part["p_partkey"].to_numpy(dtype=np.int64))
+
+        def filt(t: pa.Table) -> pa.Table:
+            t = date_qc(t)
+            p = t["l_partkey"].to_numpy()
+            if len(pk) == 0:
+                keep = np.zeros(len(p), dtype=bool)
+            else:
+                keep = pk[np.minimum(np.searchsorted(pk, p), len(pk) - 1)] == p
+            return t.filter(pa.array(keep))
+
+        facts = li.map_batches(filt, batch_format="pyarrow")
+    else:
+        part_ds = _read(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+            lambda t: t.filter(pc.starts_with(t["p_name"], name_prefix)).select(["p_partkey"]),
+            batch_format="pyarrow",
+        )
+        if part_ds.limit(1).count() == 0:
+            facts = li.limit(0).map_batches(date_qc, batch_format="pyarrow")
+        else:
+            facts = safe_join(
+                li.map_batches(date_qc, batch_format="pyarrow"), part_ds,
+                join_type="inner", num_partitions=4,
+                on=("l_partkey",), right_on=("p_partkey",),
+            ).select_columns(["l_partkey", "l_suppkey", "qc"])
     per_pair = facts.groupby(["l_partkey", "l_suppkey"]).aggregate(Sum("qc", alias_name="supp_qc"))
     per_pair = per_pair.materialize()  # bounded (part,supp) side; see min_cost_supplier
     if per_pair.count() == 0:
@@ -1855,16 +1883,23 @@ def dominant_part_suppliers(sf_dir: str, name_prefix: str = "red", year: int = 1
 
     dom = joined.map_batches(dominant, batch_format="pyarrow")
     supp_ids = dom.groupby("l_suppkey").aggregate(Count(alias_name="_n"))
+    # supplier attach: hash join against the aggregated (small) dominant
+    # side — the supplier table itself never collects driver-side
+    out = safe_join(
+        supp_ids, _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]),
+        join_type="inner", num_partitions=2, on=("l_suppkey",), right_on=("s_suppkey",),
+    )
 
     def attach(t: pa.Table) -> pa.Table:
         s = t["l_suppkey"].to_numpy().astype(np.int64)
+        nk = t["s_nationkey"].to_numpy().astype(np.int64)
         return pa.table({
             "s_suppkey": pa.array(s, type=pa.int64()),
-            "s_name": pa.array([sinfo[int(x)][0] for x in s], type=pa.string()),
-            "n_name": pa.array([sinfo[int(x)][1] for x in s], type=pa.string()),
+            "s_name": pc.cast(t["s_name"], pa.string()),
+            "n_name": pa.array([name_of[int(x)] for x in nk], type=pa.string()),
         })
 
-    return supp_ids.map_batches(attach, batch_format="pyarrow").sort("s_suppkey")
+    return out.map_batches(attach, batch_format="pyarrow").sort("s_suppkey")
 
 
 PRICE_BAND_CENTS = 1_000_000  # $10,000 band half-width in cents
@@ -2107,7 +2142,7 @@ def blame_suppliers(sf_dir: str, late_days: int = BLAME_LATE_DAYS, k: int = BLAM
     )
     sup = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"])
     out = safe_join(counts, sup, join_type="inner", num_partitions=4, on=("s_suppkey",))
-    df = out.to_pandas()
+    df = out.to_pandas()  # bounded: per-supplier wait counts (dim-sized); head(k) follows
     df = df.sort_values(["numwait", "s_suppkey"], ascending=[False, True], kind="mergesort").head(k)
     return rd.from_arrow(
         pa.table(
@@ -2326,7 +2361,7 @@ def referential_integrity(sf_dir: str) -> rd.Dataset:
                 Sum("n_orph_keys", alias_name="n_orph_keys"),
                 Sum("n_orph_rows", alias_name="n_orph_rows"),
             )
-            .take_all()
+            .take_all()  # bounded: single-group orphan-count row
         )
         r = agg[0] if agg else {"n_keys": 0, "n_rows": 0, "n_orph_keys": 0, "n_orph_rows": 0}
         rows.append(

@@ -917,7 +917,7 @@ def detour_ratio(sf_dir: str, n_pairs: int = ALT_PAIRS) -> rd.Dataset:
         batch_format="pyarrow",
         batch_size=4,
         concurrency=(1, 8),
-    ).to_pandas()
+    ).to_pandas()  # bounded: |sources| x k candidate rows
 
     def grid_xy(node: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         return (node - 1) % n, (node - 1) // n
@@ -960,6 +960,12 @@ def _mst_pack(w: np.ndarray, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     w < 2^22, node ids < 2^20 (fixture: w < 2^11, ids < 2^10).  At
     planet scale swap for a two-column (w, edge_id) struct min — the
     shape is identical."""
+    # enforce the packing bounds loudly: a silent overflow would make
+    # keys collide and corrupt the MST (the link_prediction lesson)
+    assert len(w) == 0 or (
+        int(w.max()) < (1 << 22) and int(src.max()) < (1 << 20) and int(dst.max()) < (1 << 20)
+        and int(w.min()) >= 0 and int(src.min()) >= 0 and int(dst.min()) >= 0
+    ), "mst_pack bounds exceeded: need w < 2^22, node ids < 2^20"
     return (w << np.int64(40)) | (src << np.int64(20)) | dst
 
 

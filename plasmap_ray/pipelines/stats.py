@@ -82,7 +82,7 @@ def value_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99), bins:
         for r in ds.map_batches(hist_partial, batch_format="pyarrow")
         .groupby("bin")
         .aggregate(Sum("n_rows", alias_name="n_rows"))
-        .take_all()
+        .take_all()  # bounded: fixed histogram bins
     }
     cum = 0
     cum_before: dict[int, int] = {}
@@ -109,7 +109,7 @@ def value_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99), bins:
             {"bin": pa.array(b[mask].astype(np.int64)), "value": pa.array(v[mask], type=pa.float64())}
         )
 
-    small = ds.map_batches(refine, batch_format="pyarrow").to_pandas()
+    small = ds.map_batches(refine, batch_format="pyarrow").to_pandas()  # bounded: single refined quantile bin
     out_q, out_v = [], []
     for b in needed:
         vals = np.sort(small[small["bin"] == b]["value"].to_numpy(), kind="stable")
@@ -273,7 +273,7 @@ def winsorize_stats(sf_dir: str, lo: float = WINSOR_LO, hi: float = WINSOR_HI) -
 
     from ..stages.common import round_columns as _rc
 
-    qdf = value_quantiles(sf_dir, qs=(lo, hi)).to_pandas().set_index("q")["value"]
+    qdf = value_quantiles(sf_dir, qs=(lo, hi)).to_pandas().set_index("q")["value"]  # bounded: 2 quantile rows
     vlo, vhi = float(qdf[lo]), float(qdf[hi])
 
     ds = _read_events(sf_dir, ["event_type", "value"])
@@ -1682,7 +1682,7 @@ def bootstrap_ci(sf_dir: str, b_reps: int = BOOT_B) -> rd.Dataset:
             Sum("n", alias_name="n"),
             Sum("sx", alias_name="sx"),
         )
-        .to_pandas()
+        .to_pandas()  # bounded: fixed bootstrap/bin groups
         .sort_values("b")
     )
     means = agg["swx"].to_numpy().astype(np.float64) / np.maximum(
@@ -2250,7 +2250,7 @@ def logistic_newton(sf_dir: str, iters: int = LOGIT_ITERS) -> rd.Dataset:
             ds.map_batches(partial, batch_format="pyarrow")
             .groupby("_g")
             .aggregate(*[Sum(f"c{i}", alias_name=f"c{i}") for i in range(11)])
-            .to_pandas()
+            .to_pandas()  # bounded: single-group moment rows
         )
         s = np.array([int(agg[f"c{i}"][0]) for i in range(11)], dtype=object)
         grad = np.array([float(s[0]), float(s[1]), float(s[2])]) / fp
@@ -2666,7 +2666,7 @@ def quantile_regression(sf_dir: str, taus: tuple = QR_TAUS, iters: int = QR_ITER
                 ds.map_batches(partial, batch_format="pyarrow")
                 .groupby("_g")
                 .aggregate(*[Sum(f"c{i}", alias_name=f"c{i}") for i in range(11)])
-                .to_pandas()
+                .to_pandas()  # bounded: single-group moment rows
             )
             s = [int(agg[f"c{i}"][0]) for i in range(11)]
             A = np.array(
@@ -2877,7 +2877,7 @@ def tail_dependence(sf_dir: str, q: float = TAIL_Q) -> rd.Dataset:
             sel = y[y // width == target]
             return pa.table({"v": pa.array(sel, type=pa.int64())})
 
-        vals = np.sort(ds.map_batches(refine, batch_format="pyarrow").to_pandas()["v"].to_numpy())
+        vals = np.sort(ds.map_batches(refine, batch_format="pyarrow").to_pandas()["v"].to_numpy())  # bounded: single refined quantile bin
         return int(vals[rank - below - 1])
 
     qy_hi = y_quantile(rk_hi)
@@ -3023,7 +3023,7 @@ def gmm_em(sf_dir: str, iters: int = GMM_ITERS) -> rd.Dataset:
             y = np.floor(t["l_extendedprice"].to_numpy() + 0.5).astype(np.int64)
             return pa.table({"v": pa.array(y[y // width == target], type=pa.int64())})
 
-        vals = np.sort(ds.map_batches(refine, batch_format="pyarrow").to_pandas()["v"].to_numpy())
+        vals = np.sort(ds.map_batches(refine, batch_format="pyarrow").to_pandas()["v"].to_numpy())  # bounded: single refined quantile bin
         return int(vals[rank - below - 1])
 
     q25 = rank_value(_disc_rank(0.25, n))
@@ -3124,7 +3124,7 @@ def cca_analysis(sf_dir: str) -> rd.Dataset:
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("_g")
         .aggregate(*[Sum(k, alias_name=k) for k in keys])
-        .to_pandas()
+        .to_pandas()  # bounded: single-group moment rows
     )
     s = {k: int(agg[k][0]) for k in keys}
     corrs = cca_from_sums(s)
@@ -3244,7 +3244,7 @@ def perceptron_averaging(sf_dir: str, shards: int = PERC_SHARDS) -> rd.Dataset:
 
     tagged = ds.map_batches(shard_tag, batch_format="pyarrow").materialize()
     local = (
-        tagged.groupby("shard").map_groups(train_shard, batch_format="pyarrow").to_pandas()
+        tagged.groupby("shard").map_groups(train_shard, batch_format="pyarrow").to_pandas()  # bounded: fixed shard count of per-shard parameter rows
     )
     n_rows = int(local["n"].sum())
     # fixed-point average: floor(sum(w_s) * FP / shards)
@@ -3270,7 +3270,7 @@ def perceptron_averaging(sf_dir: str, shards: int = PERC_SHARDS) -> rd.Dataset:
 
     agg = (
         ds.map_batches(score, batch_format="pyarrow").groupby("_g")
-        .aggregate(Sum("correct", alias_name="correct")).to_pandas()
+        .aggregate(Sum("correct", alias_name="correct")).to_pandas()  # bounded: single-group accuracy row
     )
     acc = int(agg["correct"][0]) / n_rows
     return rd.from_arrow(
@@ -3436,7 +3436,7 @@ def als_factorization(sf_dir: str, k: int = ALS_K, iters: int = ALS_ITERS) -> rd
         .materialize()
     )
     types = sorted(
-        counts.groupby("event_type").aggregate(AggCount(alias_name="_c")).to_pandas()["event_type"]
+        counts.groupby("event_type").aggregate(AggCount(alias_name="_c")).to_pandas()["event_type"]  # bounded: event-type vocabulary
     )
     tidx = {t: i for i, t in enumerate(types)}
     T = len(types)
@@ -3489,7 +3489,7 @@ def als_factorization(sf_dir: str, k: int = ALS_K, iters: int = ALS_ITERS) -> rd
             .map_groups(vstep, batch_format="pyarrow")
             .groupby("_g")
             .aggregate(*[Sum(kk, alias_name=kk) for kk in keys])
-            .to_pandas()
+            .to_pandas()  # bounded: single-group moment rows
         )
         s = {kk: int(agg[kk][0]) for kk in keys}
         n_users = s["n_users"]
@@ -3561,7 +3561,7 @@ def jackknife_se(sf_dir: str, shards: int = JACK_SHARDS) -> rd.Dataset:
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("g")
         .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
-        .to_pandas()
+        .to_pandas()  # bounded: fixed group count of moment rows
         .sort_values("g")
         .reset_index(drop=True)
     )
@@ -3651,7 +3651,7 @@ def capture_recapture(sf_dir: str, split_us: int = CR_SPLIT_US) -> rd.Dataset:
 
     agg = (
         per_user.map_batches(counts, batch_format="pyarrow").groupby("_g")
-        .aggregate(*[Sum(c, alias_name=c) for c in ("n1", "n2", "m")]).to_pandas()
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n1", "n2", "m")]).to_pandas()  # bounded: single-group count rows
     )
     n1, n2, m = int(agg["n1"][0]), int(agg["n2"][0]), int(agg["m"][0])
     n_hat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
@@ -3714,7 +3714,7 @@ def mediation_analysis(sf_dir: str) -> rd.Dataset:
     keys = ("n", "sx", "sm", "sy", "sxx", "sxm", "sxy", "smm", "smy")
     agg = (
         ds.map_batches(partial, batch_format="pyarrow").groupby("_g")
-        .aggregate(*[Sum(k, alias_name=k) for k in keys]).to_pandas()
+        .aggregate(*[Sum(k, alias_name=k) for k in keys]).to_pandas()  # bounded: single-group moment rows
     )
     n, sx, sm, sy, sxx, sxm, sxy, smm, smy = (int(agg[k][0]) for k in keys)
     # a = slope(M ~ X), total = slope(Y ~ X): exact integer numerators

@@ -1160,7 +1160,7 @@ def _pack_manifest_from(tok: rd.Dataset, ctx: int) -> rd.Dataset:
         )
         .groupby("bin")
         .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
+        .to_pandas()  # bounded: fixed length-bin groups
     )
     if len(bins) == 0:  # nothing survived upstream: typed empty manifest
         z = pa.array([], type=pa.int64())
@@ -1478,7 +1478,7 @@ def shuffled_packing(sf_dir: str, ctx: int = PACK_CTX) -> rd.Dataset:
         tok.map_batches(lambda t: pa.table({"bin": t["bin"], "n": t["n_tok"]}), batch_format="pyarrow")
         .groupby("bin")
         .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
+        .to_pandas()  # bounded: fixed length-bin groups
         .sort_values("bin")
     )
     offs = dict(
@@ -2800,7 +2800,7 @@ def ams_f2_eval(sf_dir: str, rows: int = AMS_ROWS) -> rd.Dataset:
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("_g")
         .aggregate(*[Sum(k2, alias_name=k2) for k2 in ["n_tok"] + [f"z{r}" for r in range(rows)]])
-        .to_pandas()
+        .to_pandas()  # bounded: single-group sketch rows
     )
     # exact side: vocabulary-bounded count reduce
     def tok(t: pa.Table) -> pa.Table:
@@ -2814,7 +2814,7 @@ def ams_f2_eval(sf_dir: str, rows: int = AMS_ROWS) -> rd.Dataset:
         )
 
     counts = (
-        ds.map_batches(tok, batch_format="pyarrow").groupby("token").aggregate(Sum("n", alias_name="n")).to_pandas()
+        ds.map_batches(tok, batch_format="pyarrow").groupby("token").aggregate(Sum("n", alias_name="n")).to_pandas()  # bounded: token vocabulary
     )
     nv = counts["n"].to_numpy().astype(object)
     f2_exact = int(sum(v * v for v in nv))

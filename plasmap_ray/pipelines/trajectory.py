@@ -1386,7 +1386,7 @@ def cotravel_pairs(
         # batch-local distinct before the shuffle
         import pandas as _pd
 
-        df = tbl.to_pandas().drop_duplicates()
+        df = tbl.to_pandas().drop_duplicates()  # bounded: per-batch distinct combiner (inside map, not a driver collect)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     distinct = (
@@ -1875,7 +1875,7 @@ def displacement_histogram(sf_dir: str, parts: int = TRAJ_PARTS) -> rd.Dataset:
         .map_groups(census, batch_format="pyarrow")
         .groupby("mag")
         .aggregate(Sum("n", alias_name="n_steps"))
-        .to_pandas()
+        .to_pandas()  # bounded: per-part partials (fixed partition count)
         .sort_values("mag")
         .reset_index(drop=True)
     )
@@ -2512,7 +2512,7 @@ def label_propagation_communities(
     Output: (cx, cy, community, community_size); community is the
     packed min-label of the converged basin.
     """
-    edges = cell_transition_matrix(sf_dir, pitch=pitch).to_pandas()
+    edges = cell_transition_matrix(sf_dir, pitch=pitch).to_pandas()  # bounded: occupied-cell transition lattice
     src = edges["fx"].to_numpy() * 1_000_000 + edges["fy"].to_numpy()
     dst = edges["tx"].to_numpy() * 1_000_000 + edges["ty"].to_numpy()
     w = edges["n_steps"].to_numpy().astype(np.int64)
@@ -3321,7 +3321,7 @@ def degree_assortativity(sf_dir: str, pitch: float = LP_PITCH) -> rd.Dataset:
         jv.map_batches(moments, batch_format="pyarrow")
         .groupby("_g")
         .aggregate(*[Sum(c, alias_name=c) for c in ("m", "sx", "sy", "sxy", "sxx", "syy")])
-        .to_pandas()
+        .to_pandas()  # bounded: single-group moment rows
     )
     m, sx, sy, sxy, sxx, syy = (int(agg[c][0]) for c in ("m", "sx", "sy", "sxy", "sxx", "syy"))
     r = (m * sxy - sx * sy) / (

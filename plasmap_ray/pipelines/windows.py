@@ -272,7 +272,7 @@ def late_event_stats(sf_dir: str, lag_min: int = 60, parts: int = 32) -> rd.Data
     # TWO consumers below (the max aggregate and the grouped scan):
     # materialize once, don't re-run the read+map DAG per consumer
     parted = ds.map_batches(add_part, batch_format="pyarrow").materialize()
-    maxes = {r["part"]: r["max_ts"] for r in parted.groupby("part").aggregate(Max("ts_us", alias_name="max_ts")).take_all()}
+    maxes = {r["part"]: r["max_ts"] for r in parted.groupby("part").aggregate(Max("ts_us", alias_name="max_ts")).take_all()}  # bounded: fixed partition count
     sentinel = np.iinfo(np.int64).min
     base = np.full(parts + 1, sentinel, dtype=np.int64)
     for p in range(parts):
@@ -1590,7 +1590,7 @@ def value_percent_rank(sf_dir: str) -> rd.Dataset:
         tagged.map_batches(hist, batch_format="pyarrow")
         .groupby("bin")
         .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
+        .to_pandas()  # bounded: fixed histogram bins
         .sort_values("bin")
     )
     total = int(bins["n"].sum())
@@ -2377,7 +2377,7 @@ def peak_concurrency(sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> rd.Dataset:
 
     bounds = sess.map_batches(boundaries, batch_format="pyarrow").materialize()
     bin_sums = (
-        bounds.groupby("bin").aggregate(Sum("delta", alias_name="dsum")).to_pandas().sort_values("bin")
+        bounds.groupby("bin").aggregate(Sum("delta", alias_name="dsum")).to_pandas().sort_values("bin")  # bounded: fixed session bins
     )
     # entering concurrency of each bin = cumsum of all PRIOR bins
     offsets = dict(
@@ -2404,7 +2404,7 @@ def peak_concurrency(sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> rd.Dataset:
             {"peak": pa.array([peak], type=pa.int64()), "at_us": pa.array([at], type=pa.int64())}
         )
 
-    per_bin = bounds.groupby("bin").map_groups(scan_bin, batch_format="pyarrow").to_pandas()
+    per_bin = bounds.groupby("bin").map_groups(scan_bin, batch_format="pyarrow").to_pandas()  # bounded: fixed session bins (one peak row each)
     peak = int(per_bin["peak"].max())
     at_us = int(per_bin.loc[per_bin["peak"] == peak, "at_us"].min())
     return rd.from_arrow(
@@ -3164,7 +3164,7 @@ def sax_motifs(sf_dir: str) -> rd.Dataset:
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
+        .to_pandas()  # bounded: hour-grid groups
     )
     h = hourly["h"].to_numpy().astype(np.int64)
     lo, hi = int(h.min()), int(h.max())
@@ -3211,7 +3211,7 @@ def theil_u_eval(sf_dir: str) -> rd.Dataset:
     """
     from ..stages.common import duckdb_round
 
-    k = kalman_smooth(sf_dir).to_pandas().sort_values("day").reset_index(drop=True)
+    k = kalman_smooth(sf_dir).to_pandas().sort_values("day").reset_index(drop=True)  # bounded: day-grid rows
     obs = k["obs_cents"].to_numpy().astype(np.float64)
     level = k["level"].to_numpy()
     pred_model = level[:-1]  # yesterday's posterior predicts today

@@ -2,7 +2,7 @@
 macro-generated POI typeclass instances.
 
 The reference generates 60+ POI query types via macros
-(query-engine-macros/src/main/scala/io/plasmap/query/engine/Macros.scala:109-130)
+(query-engine-macros/src/main/scala/io/plasmap/queryengine/macros/Macros.scala:109-130)
 registered at query-engine/.../POIs.scala:42-253, each bound to an OSM
 (key, value) tag pair; Gym is a custom multi-tag instance
 (POIs.scala:150-172).  Here the registry is a dict: category name ->

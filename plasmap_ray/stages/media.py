@@ -1268,11 +1268,19 @@ class BorderDetect:
                 bottom = 0
                 while bottom < hh - top and uniform(g[hh - 1 - bottom], int(g[hh - 1, 0])):
                     bottom += 1
+                # left/right scan ONLY the rows inside the detected
+                # letterbox band and reference a corner pixel inside
+                # that band — a pillarbox of a different color under a
+                # letterbox is invisible to a full-column scan anchored
+                # at g[0,0] (the letterbox rows fail the tolerance)
+                r0, r1 = top, hh - bottom
+                rows = slice(r0, r1) if r0 < r1 else slice(0, hh)
+                ref_row = r0 if r0 < r1 else 0
                 left = 0
-                while left < ww and uniform(g[:, left], int(g[0, 0])):
+                while left < ww and uniform(g[rows, left], int(g[ref_row, 0])):
                     left += 1
                 right = 0
-                while right < ww - left and uniform(g[:, ww - 1 - right], int(g[0, ww - 1])):
+                while right < ww - left and uniform(g[rows, ww - 1 - right], int(g[ref_row, ww - 1])):
                     right += 1
                 tb[i] = (top, bottom, left, right)
                 n_px[i] = hh * ww

@@ -735,7 +735,7 @@ def test_mutual_nn_pairs_bruteforce(ray_session):
     ids = ids[order]
     m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[order]).astype(np.float64)
     m = m / np.linalg.norm(m, axis=1, keepdims=True)
-    sims = m @ m.T
+    sims = np.floor((m @ m.T) * 1e12 + 0.5)  # engine's fixed-point grid
     np.fill_diagonal(sims, -np.inf)
     nn = ids[np.argmax(sims, axis=1)]
     nn_of = dict(zip(ids.tolist(), nn.tolist()))
