@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_silence_trim": multimodal.audio_silence_trim,
         "audio_band_energy": multimodal.audio_band_energy,
         "audio_fingerprint": multimodal.audio_fingerprint,
+        "audio_lossy_migration": multimodal.audio_lossy_migration,
         "video_shot_segmentation": multimodal.video_shot_segmentation,
         "audio_dedup_manifest": multimodal.audio_dedup_manifest,
         "cell_modality_mix": multimodal.cell_modality_mix,
@@ -2373,6 +2374,10 @@ FROM counts c JOIN ring ON ring.cell = c.hex_cell""",
         "image_lossy_migration": f"""
 SELECT fmt, CAST(count(*) AS BIGINT) AS n_images, CAST(count(*) AS BIGINT) AS n_psnr40
 FROM {img_pq} GROUP BY fmt ORDER BY fmt""",
+        "audio_lossy_migration": (
+            "SELECT fmt, CAST(count(*) AS BIGINT) AS n_clips, CAST(count(*) AS BIGINT) AS n_psnr40 "
+            f"FROM read_parquet('{multimodal.audio_path_for(SF001)}') GROUP BY fmt ORDER BY fmt"
+        ),
         "image_ssim_audit": f"SELECT * FROM read_parquet('{golden.ssim_audit_path(SF001)}')",
         "image_augment": f"SELECT * FROM read_parquet('{golden.image_augment_path(images.images_path_for(SF001))}')",
         "image_blur_scores": f"SELECT * FROM read_parquet('{golden.image_blur_scores_path(images.images_path_for(SF001))}')",

@@ -252,3 +252,111 @@ def ssim8x8(a: np.ndarray, b: np.ndarray) -> float:
         (mx * mx + my * my + _SSIM_C1) * (vx + vy + _SSIM_C2)
     )
     return float(s.mean())
+
+
+# ---------------------------------------------------------------------------
+# Audio codec: mdctq — pure-NumPy MDCT + quantization + zlib (the lossy
+# AUDIO sibling of dctq; closes the ST5 lossy-audio leg the mp3 stub
+# cannot, since no compressed-audio decoder ships in this container).
+# ---------------------------------------------------------------------------
+
+AUDIO_FORMATS = ("pcm16", "mdctq")
+
+MDCTQ_N = 256  # hop size; frames are 2N samples with 50% overlap
+
+
+def _mdct_matrix(n: int = MDCTQ_N) -> np.ndarray:
+    """Orthonormal windowed MDCT analysis matrix (n x 2n): row k is
+    sqrt(2/n) * w[t] * cos(pi/n * (t + 0.5 + n/2) * (k + 0.5)) with the
+    sine window w[t] = sin(pi/(2n) * (t + 0.5)).  The sine window
+    satisfies the Princen-Bradley condition, so frames hopped by n
+    overlap-add to PERFECT reconstruction (TDAC), and the family of all
+    frame basis functions is orthonormal — coefficient-domain L2 error
+    equals time-domain L2 error (the Parseval argument dctq uses)."""
+    t = np.arange(2 * n)
+    k = np.arange(n)
+    w = np.sin(np.pi / (2 * n) * (t + 0.5))
+    return np.sqrt(2.0 / n) * w[None, :] * np.cos(
+        np.pi / n * (t[None, :] + 0.5 + n / 2.0) * (k[:, None] + 0.5)
+    )
+
+
+_MDCT_M = _mdct_matrix()
+
+# Frequency-weighted uniform steps: 64 * (1 + k // 64) = 64..256 over the
+# 256 bins (coarser where hearing is less acute — the MP3/AAC idea at
+# provably-high quality).  Worst-case bound: per-coefficient error
+# <= step/2; the basis family is orthonormal, so time-domain error
+# energy over the padded signal = coefficient error energy, i.e. MSE
+# <= ((T+1)/T) * mean_k((step_k/2)^2) = 2 * 7680 at the T=1 worst case,
+# plus <= 0.5 LSB int16 re-rounding: PSNR vs the 32768 peak >=
+# 10*log10(32768^2 / (sqrt(15360)+0.5)^2) ~= 48.3 dB on ANY input — the
+# 40 dB fidelity gate holds by construction, not by luck of fixtures.
+_MDCTQ_STEPS = (64.0 * (1 + np.arange(MDCTQ_N) // 64)).astype(np.float64)
+
+
+def _mdct_frames(x: np.ndarray, n: int = MDCTQ_N) -> tuple[np.ndarray, int]:
+    """float64 signal -> (T, 2n) overlapped frame matrix with n-sample
+    zero padding at both ends (boundary frames fold against silence)."""
+    L = x.size
+    T = (L + n - 1) // n + 1  # frames so that (T+1)*n >= L + 2n
+    total = (T + 1) * n
+    xp = np.zeros(total, dtype=np.float64)
+    xp[n : n + L] = x
+    idx = np.arange(2 * n)[None, :] + (np.arange(T) * n)[:, None]
+    return xp[idx], T
+
+
+def encode_audio_mdctq(s16: np.ndarray) -> bytes:
+    """int16 PCM -> mdctq payload (uint32 n_samples header + zlib'd
+    int16 quantized MDCT coefficients)."""
+    if s16.dtype != np.int16 or s16.ndim != 1:
+        raise ValueError("samples must be 1-D int16 PCM")
+    frames, _ = _mdct_frames(s16.astype(np.float64))
+    coef = frames @ _MDCT_M.T  # (T, n)
+    # |coef| <= 32768 * sqrt(n) = 524288; / min step 64 -> 8192: int16-safe
+    q = np.floor(coef / _MDCTQ_STEPS[None, :] + 0.5).astype(np.int16)
+    header = np.array([s16.size], dtype="<u4").tobytes()
+    return header + zlib.compress(q.tobytes(), 6)
+
+
+def decode_audio_mdctq(payload: bytes) -> np.ndarray:
+    """mdctq payload -> int16 PCM (length restored from the header)."""
+    n = MDCTQ_N
+    if len(payload) < 4:
+        raise ValueError("mdctq payload too short")
+    L = int(np.frombuffer(payload[:4], dtype="<u4")[0])
+    try:
+        raw = zlib.decompress(payload[4:])
+    except zlib.error as e:
+        raise ValueError(f"mdctq payload corrupt: {e}") from e
+    if len(raw) % (2 * n):
+        raise ValueError("mdctq payload does not match frame size")
+    q = np.frombuffer(raw, dtype=np.int16).reshape(-1, n)
+    T = q.shape[0]
+    if T != (L + n - 1) // n + 1:
+        raise ValueError("mdctq payload does not match n_samples")
+    rec = (q.astype(np.float64) * _MDCTQ_STEPS[None, :]) @ _MDCT_M  # (T, 2n)
+    total = (T + 1) * n
+    y = np.zeros(total, dtype=np.float64)
+    for half in (0, 1):  # overlap-add without scatter collisions
+        y[half * n : half * n + T * n] += rec[:, half * n : (half + 1) * n].reshape(-1)
+    out = y[n : n + L]
+    return np.clip(np.floor(out + 0.5), -32768, 32767).astype(np.int16)
+
+
+def audio_psnr_db(a: np.ndarray, b: np.ndarray) -> float:
+    """PSNR between two int16 PCM signals against the 32768 full-scale
+    peak; inf when byte-equal.  Integer sum of squares (every square
+    <= 65536^2 and every partial < 2^53 is exact — the psnr_db
+    discipline)."""
+    if a.shape != b.shape:
+        raise ValueError("length mismatch")
+    if a.size == 0:
+        return float("inf")
+    d = a.astype(np.int64) - b.astype(np.int64)
+    sq = int((d * d).sum())
+    if sq == 0:
+        return float("inf")
+    mse = sq / a.size
+    return float(10.0 * np.log10(32768.0 * 32768.0 / mse))

@@ -1462,3 +1462,55 @@ def test_caption_complexity_corr_bounds(ray_session):
     out = img.caption_complexity_corr("/root/testdata/sf0.001").to_pandas().iloc[0]
     assert -1.0 <= out["pearson_r"] <= 1.0
     assert out["n_images"] > 0
+
+
+def test_mdctq_roundtrip_psnr_and_compression():
+    """The lossy audio codec must (a) reconstruct EXACTLY (1e-10) with
+    quantization disabled — the TDAC/orthonormality proof in code —
+    (b) clear the 40 dB gate on adversarial white noise (the worst
+    case for a transform codec), (c) actually compress tonal audio."""
+    from plasmap_ray import codecs
+
+    rng = np.random.default_rng(11)
+    # (a) orthonormal basis: unquantized analysis->synthesis is exact
+    x = rng.standard_normal(1000)
+    frames, T = codecs._mdct_frames(x)
+    c = frames @ codecs._mdct_matrix().T
+    n = codecs.MDCTQ_N
+    rec = c @ codecs._mdct_matrix()
+    y = np.zeros((T + 1) * n)
+    for half in (0, 1):
+        y[half * n : half * n + T * n] += rec[:, half * n : (half + 1) * n].reshape(-1)
+    assert np.abs(y[n : n + 1000] - x).max() < 1e-10
+    assert abs((c ** 2).sum() / (x ** 2).sum() - 1.0) < 1e-12  # Parseval
+
+    # (b) worst-case-ish inputs all clear the gate
+    for L in (1, 255, 256, 4097, 16000):
+        s = (rng.uniform(-1, 1, L) * 32767).astype(np.int16)
+        back = codecs.decode_audio_mdctq(codecs.encode_audio_mdctq(s))
+        assert codecs.audio_psnr_db(s, back) >= 40.0, L
+
+    # (c) tonal audio (the fixture shape) compresses well
+    t = np.arange(16000) / 16000.0
+    tone = np.clip(np.round(0.6 * np.sin(2 * np.pi * 440 * t) * 32767), -32768, 32767).astype(np.int16)
+    payload = codecs.encode_audio_mdctq(tone)
+    assert len(payload) < 0.5 * tone.size * 2
+    assert codecs.audio_psnr_db(tone, codecs.decode_audio_mdctq(payload)) >= 40.0
+
+    # header guard: truncated/mismatched payload raises
+    with pytest.raises(ValueError):
+        codecs.decode_audio_mdctq(payload[:4] + payload[4:][: len(payload) // 2])
+
+
+def test_audio_lossy_migration_all_rows_pass_gate(ray_session):
+    """Every fixture clip must clear the PSNR >= 40 dB gate (the codec
+    proves it worst-case; the pipeline must reproduce it distributed)."""
+    import pyarrow.parquet as pq2
+
+    from plasmap_ray.pipelines import multimodal
+
+    sf = "/root/testdata/sf0.001"
+    out = multimodal.audio_lossy_migration(sf).to_pandas()
+    n_clips = pq2.read_metadata(multimodal.audio_path_for(sf)).num_rows
+    assert out["n_clips"].sum() == n_clips
+    assert (out["n_clips"] == out["n_psnr40"]).all()
