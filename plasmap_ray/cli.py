@@ -47,22 +47,46 @@ def _build_context(sf_dir: str):
     return queryast.EngineContext(points=points)
 
 
-def _result_payload(result, want_geojson: bool) -> dict:
+# Per-response row ceiling: a full-table AST query must not serialize
+# the whole result into one JSON line (the reference streams chunked
+# TextMessages, Flows.scala:92-123 — the batch analogue is a bounded
+# page + a stateless continuation cursor the client replays).
+SERVE_MAX_ROWS = 1000
+
+
+def _result_payload(
+    result,
+    want_geojson: bool,
+    offset: int = 0,
+    limit: int | None = None,
+    cap: int = SERVE_MAX_ROWS,
+) -> dict:
     from .sources import geojson
 
+    total = result.num_rows
+    offset = max(0, min(int(offset), total))
+    eff = cap if limit is None else max(0, min(int(limit), cap))
+    window = result.slice(offset, eff)
+    nxt = offset + window.num_rows
+    page = {
+        "rows": window.num_rows,
+        "total_rows": total,
+        "offset": offset,
+        "next_offset": nxt if nxt < total else None,
+    }
     if want_geojson and {"lon", "lat"} <= set(result.column_names):
         props = [
-            {c: result[c][i].as_py() for c in result.column_names if c not in ("lon", "lat")}
-            for i in range(result.num_rows)
+            {c: window[c][i].as_py() for c in window.column_names if c not in ("lon", "lat")}
+            for i in range(window.num_rows)
         ]
         return {
             "ok": True,
-            "rows": result.num_rows,
+            **page,
             "geojson": json.loads(
-                geojson.points_to_geojson(result["lon"].to_numpy(), result["lat"].to_numpy(), props)
+                geojson.points_to_geojson(window["lon"].to_numpy(), window["lat"].to_numpy(), props)
             ),
         }
-    return {"ok": True, "rows": result.num_rows, "result": result.to_pydict()}
+    return {"ok": True, **page, "result": window.to_pydict()}
 
 
 def cmd_query(args) -> int:
@@ -96,6 +120,14 @@ def cmd_serve(args) -> int:
       {"cmd": "shutdown"}                 -> ack + server stops
     Malformed input answers {"ok": false, "error": ...} and the loop
     continues (the error-router discipline, M9).
+
+    Large results are PAGED: every response carries at most
+    ``--max-rows`` rows plus (total_rows, offset, next_offset); the
+    client continues with {"ast": ..., "offset": next_offset} until
+    next_offset is null — the bounded-line analogue of the reference's
+    streamed TextMessage chunks (Flows.scala:92-123).  The cursor is
+    stateless (recomputed per page), so any client can resume any page
+    on any connection.
     """
     import socketserver
     import threading
@@ -122,7 +154,13 @@ def cmd_serve(args) -> int:
                     if req.get("cmd") == "explain":
                         resp = {"ok": True, "result": queryast.explain(q).to_pydict()}
                     else:
-                        resp = _result_payload(queryast.translate(q, ctx), req.get("format") == "geojson")
+                        resp = _result_payload(
+                            queryast.translate(q, ctx),
+                            req.get("format") == "geojson",
+                            offset=req.get("offset", 0),
+                            limit=req.get("limit"),
+                            cap=args.max_rows,
+                        )
                 except Exception as e:  # noqa: BLE001 — bad requests routed, not fatal
                     resp = {"ok": False, "error": str(e)}
                 self.wfile.write((json.dumps(resp, default=str) + "\n").encode())
@@ -187,6 +225,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=0, help="0 = pick a free port (printed on stdout)")
+    s.add_argument(
+        "--max-rows", type=int, default=SERVE_MAX_ROWS,
+        help="per-response row ceiling; larger results page via next_offset",
+    )
     s.set_defaults(fn=cmd_serve)
 
     t = sub.add_parser("tile", help="checkpointed tiling job (resumable)")

@@ -199,3 +199,78 @@ def test_serve_loop_canonical_queries():
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_serve_loop_concurrent_clients_and_paging():
+    """S13 parity-plus (VERDICT r3 directive 4): (a) two sockets drive
+    queries CONCURRENTLY against one server (threaded handlers must not
+    serialize or cross-wire responses); (b) a result bigger than
+    --max-rows pages via the stateless next_offset cursor, and the
+    concatenated pages equal the full result."""
+    import json
+    import socket
+    import subprocess
+    import sys
+    import threading
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "plasmap_ray.cli", "serve",
+         "--sf-dir", "/root/testdata/sf0.001", "--max-rows", "100"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd="/root/repo",
+    )
+    try:
+        hello = json.loads(proc.stdout.readline())
+        port = hello["port"]
+
+        def client(k, out, idx):
+            with socket.create_connection(("127.0.0.1", port), timeout=60) as sk:
+                f = sk.makefile("rw")
+                for _ in range(5):  # hammer to overlap with the other client
+                    f.write(json.dumps(
+                        {"ast": {"type": "NearestPois", "lon": 6.5561, "lat": 51.0423, "k": k}}
+                    ) + "\n")
+                    f.flush()
+                    out[idx].append(json.loads(f.readline()))
+
+        results = {0: [], 1: []}
+        t1 = threading.Thread(target=client, args=(3, results, 0))
+        t2 = threading.Thread(target=client, args=(7, results, 1))
+        t1.start(); t2.start(); t1.join(60); t2.join(60)
+        assert all(r["ok"] and r["rows"] == 3 for r in results[0]) and len(results[0]) == 5
+        assert all(r["ok"] and r["rows"] == 7 for r in results[1]) and len(results[1]) == 5
+
+        # paging: a whole-world tile returns every fixture point, capped
+        # at 100 rows/line, pages stitched by the next_offset cursor
+        with socket.create_connection(("127.0.0.1", port), timeout=60) as sk:
+            f = sk.makefile("rw")
+
+            def ask(req):
+                f.write(json.dumps(req) + "\n")
+                f.flush()
+                return json.loads(f.readline())
+
+            ast = {"type": "FeaturesInTile", "z": 0, "x": 0, "y": 0}
+            seen: list[int] = []
+            first = ask({"ast": ast})
+            total = first["total_rows"]
+            assert total > 100  # the cap is actually exercised
+            assert first["rows"] == 100 and first["offset"] == 0
+            page = first
+            while True:
+                seen.extend(page["result"]["doc_id"])
+                if page["next_offset"] is None:
+                    break
+                page = ask({"ast": ast, "offset": page["next_offset"]})
+                assert page["rows"] <= 100
+            assert len(seen) == total and len(set(seen)) == total
+            # explicit limit below the cap is honored
+            lim = ask({"ast": ast, "limit": 7})
+            assert lim["rows"] == 7 and lim["next_offset"] == 7
+            ask({"cmd": "shutdown"})
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
