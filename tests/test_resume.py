@@ -125,3 +125,78 @@ def test_task_retry_after_worker_crash_is_exact(ray_session, tmp_path):
     got = sorted(r["sq"] for r in rd.range(5000, override_num_blocks=8).map_batches(crashy, batch_format="pyarrow").take_all())
     assert os.path.exists(sentinel)  # the crash really happened
     assert got == want
+
+
+def _canon_table(path: str):
+    import pandas as pd  # noqa: F401
+
+    t = pq.read_table(path)
+    df = t.to_pandas()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if str(df[c].dtype) == "category":  # hive partition cols
+            df[c] = df[c].astype(str)
+        elif df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], bytes):
+            df[c] = df[c].map(hash)  # payload bytes: compare by hash
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_worker_sigkill_mid_ingest_is_exact(ray_session, images_dir, tmp_path):
+    """VERDICT r3 directive 5: SIGKILL a Ray WORKER PROCESS while
+    ingest_images is streaming, and assert the job still completes with
+    output tables content-identical to an undisturbed run — the task
+    retry discipline that makes lineage recovery safe when a node dies
+    mid-job at cluster scale.  (test_task_retry_after_worker_crash
+    covers an in-task os._exit; this kills the OS process from OUTSIDE,
+    the way a preempted node does.)"""
+    import os
+    import signal
+    import threading
+    import time
+
+    from plasmap_ray.pipelines import ingest
+
+    out_a = str(tmp_path / "undisturbed")
+    out_b = str(tmp_path / "killed")
+
+    ref = ingest.ingest_images(images_dir, out_a)
+    assert ref["rows"] == 800
+
+    killed = {"pid": None}
+    stop = threading.Event()
+
+    def killer():
+        # poll /proc for a worker actively running a task (title
+        # "ray::<Task>"; skip ray::IDLE) and SIGKILL the first one seen
+        while not stop.is_set():
+            for pid in os.listdir("/proc"):
+                if not pid.isdigit():
+                    continue
+                try:
+                    with open(f"/proc/{pid}/cmdline", "rb") as f:
+                        cmd = f.read().decode(errors="replace")
+                except OSError:
+                    continue
+                if cmd.startswith("ray::") and not cmd.startswith("ray::IDLE"):
+                    try:
+                        os.kill(int(pid), signal.SIGKILL)
+                    except OSError:
+                        continue
+                    killed["pid"] = int(pid)
+                    return
+            time.sleep(0.02)
+
+    th = threading.Thread(target=killer)
+    th.start()
+    try:
+        got = ingest.ingest_images(images_dir, out_b)
+    finally:
+        stop.set()
+        th.join(10)
+
+    assert killed["pid"] is not None, "no busy ray:: worker appeared to kill"
+    assert got["rows"] == ref["rows"]
+    for sub in ("data", "mappings", "index", "tiles"):
+        a = _canon_table(os.path.join(out_a, sub))
+        b = _canon_table(os.path.join(out_b, sub))
+        assert a.equals(b), f"{sub} differs after worker SIGKILL"
