@@ -556,7 +556,96 @@ def run_queries() -> dict:
     return result
 
 
+def knn_crossover() -> None:
+    """Measure the broadcast-vs-shuffle kNN cost curves at three POI
+    sizes (1e5 / 1e6 / 1e7) over a fixed 1M-point probe load, to set
+    ``KNN_BROADCAST_MAX_POIS`` from a MEASURED crossover instead of a
+    guessed index-footprint constant (VERDICT r3 directive 9).  Prints
+    one JSON line; the derived constant + curve live in SCALE.md."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import spatial as sp
+    from plasmap_ray.stages import geo
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR")
+    rd.DataContext.get_current().enable_progress_bars = False
+    n_points = int(os.environ.get("GRAFT_KNN_POINTS", "1000000"))
+    sizes = [int(s) for s in os.environ.get("GRAFT_KNN_SIZES", "100000,1000000,10000000").split(",")]
+
+    def points():
+        def fx(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_numpy().astype(np.int64) + 1
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "lon": pa.array(fixtures.derive_lon(ids), type=pa.float64()),
+                    "lat": pa.array(fixtures.derive_lat(ids), type=pa.float64()),
+                }
+            )
+
+        return rd.range(n_points, override_num_blocks=max(16, NUM_CPUS * 2)).map_batches(
+            fx, batch_format="pyarrow", batch_size=16384
+        )
+
+    rows = []
+    for m in sizes:
+        ids = np.arange(1, m + 1, dtype=np.int64)
+        pois = pa.table(
+            {
+                "poi_id": pa.array(ids, type=pa.int64()),
+                "lon": pa.array(fixtures.derive_poi_lon(ids), type=pa.float64()),
+                "lat": pa.array(fixtures.derive_poi_lat(ids), type=pa.float64()),
+            }
+        )
+        # broadcast leg: ray.put + per-actor grid build + probe (the
+        # build cost is PAID PER ACTOR — that duplication is exactly
+        # what stops scaling on a big POI side)
+        t0 = time.perf_counter()
+        pois_ref = ray.put({c: pois[c].to_numpy() for c in ("poi_id", "lon", "lat")})
+        n_b = (
+            points()
+            .map_batches(
+                geo.KnnJoinActor,
+                fn_constructor_kwargs=dict(pois_ref=pois_ref, k=3, metric="sqdeg", keep_cols=("doc_id",)),
+                batch_format="pyarrow",
+                concurrency=(1, POOL),
+                batch_size=8192,
+            )
+            .count()
+        )
+        b_s = round(time.perf_counter() - t0, 2)
+        log(f"knn_crossover n_pois={m} broadcast {b_s}s ({n_b} rows)")
+        # shuffle leg: cell-packed exchange, no broadcast
+        t0 = time.perf_counter()
+        n_s = sp.knn_shuffle_pipeline(
+            SF_DIR, k=3, pois_table=pois, points=points(), num_partitions=NUM_CPUS
+        ).count()
+        s_s = round(time.perf_counter() - t0, 2)
+        log(f"knn_crossover n_pois={m} shuffle {s_s}s ({n_s} rows)")
+        assert n_b == n_s == 3 * n_points, (n_b, n_s)
+        rows.append({"n_pois": m, "broadcast_s": b_s, "shuffle_s": s_s})
+    print(
+        json.dumps(
+            {
+                "metric": "knn broadcast-vs-shuffle crossover (1M probe points, k=3)",
+                "unit": "sec",
+                "n_points": n_points,
+                "curves": rows,
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+    ray.shutdown()
+
+
 def main() -> None:
+    if "--knn-crossover" in sys.argv:
+        knn_crossover()
+        return
     if "--scaling" in sys.argv:
         # LOAD-GATED window protocol (round-3 discipline): each window is
         # an ALIGNED lo-then-hi pair of fresh-process runs; the 1-minute
