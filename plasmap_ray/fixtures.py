@@ -394,12 +394,20 @@ def _image_pixels(i: int, w: int, h: int, seed: int) -> "np.ndarray":
     u, v = _uv_grid(w, h)
     # in-place formulation of 127 + amp*sin(2π(fx·u + fy·v) + phase) + noise:
     # identical float64 operations in the same order (mult commutes, int
-    # adds exact) -> byte-identical pixels, ~half the temporaries
+    # adds exact) -> byte-identical pixels, ~half the temporaries.
+    # The 9 per-channel uniform() draws are ONE random(12) call scaled
+    # by hand with uniform()'s exact expression (low + (high-low)*r over
+    # the same 12-double PCG stream) — byte-identical values, ~15us less
+    # per-image Generator dispatch (the flagship regen is the bench's
+    # hottest loop); clip is the two in-place ufuncs (np.clip's wrapper
+    # re-checks errstate per call).
+    r12 = rng.random(12)
     base = np.empty((h, w, 3), dtype=np.float64)
     for c in range(3):
-        fx, fy = rng.uniform(0.5, 3.5, 2)
-        phase = rng.uniform(0, 2 * np.pi)
-        amp = rng.uniform(60, 110)
+        fx = 0.5 + 3.0 * r12[4 * c]
+        fy = 0.5 + 3.0 * r12[4 * c + 1]
+        phase = 2 * np.pi * r12[4 * c + 2]
+        amp = 60.0 + 50.0 * r12[4 * c + 3]
         arg = fx * u
         arg += fy * v
         arg *= 2 * np.pi
@@ -410,7 +418,8 @@ def _image_pixels(i: int, w: int, h: int, seed: int) -> "np.ndarray":
         base[:, :, c] = arg
     noise = rng.integers(-20, 21, size=(h, w, 3))
     base += noise
-    np.clip(base, 0, 255, out=base)
+    np.maximum(base, 0.0, out=base)
+    np.minimum(base, 255.0, out=base)
     return base.astype(np.uint8)
 
 
@@ -494,15 +503,21 @@ def make_images(
     )
 
 
+def reference_pixels_int(i: int, w: int, h: int, seed: int = SEED) -> "np.ndarray":
+    """Integer-id fast path of :func:`reference_pixels` — the flagship
+    kernel already holds parsed int64 ids, so the string format/split
+    round trip is pure overhead in the hottest loop."""
+    if i > 1 and i % NEAR_DUP_STRIDE == 0:
+        i -= 1
+    return _image_pixels(i, w, h, seed)
+
+
 def reference_pixels(image_id: str, w: int, h: int, seed: int = SEED) -> "np.ndarray":
     """Regenerate the golden pixels for an image id (fidelity oracle).
 
     Near-dup rows (id % NEAR_DUP_STRIDE == 0) reuse predecessor pixels.
     """
-    i = int(image_id.split("-")[1])
-    if i > 1 and i % NEAR_DUP_STRIDE == 0:
-        return reference_pixels(f"img-{i-1:012d}", w, h, seed)
-    return _image_pixels(i, w, h, seed)
+    return reference_pixels_int(int(image_id.split("-")[1]), w, h, seed)
 
 
 def images_parquet_path(n: int, seed: int = SEED, skew_hot_frac: float = 0.0, root: str = "/tmp/plasmap_fixtures") -> str:

@@ -626,6 +626,27 @@ class RadiusJoinActor:
         return out
 
 
+def _binary_views(col) -> list:
+    """Zero-copy per-row memoryviews over an Arrow binary column
+    (ChunkedArray or Array).  ``to_pylist()`` copies every value into a
+    Python bytes object; the decoders downstream accept any buffer, so
+    slicing the Arrow data buffer directly avoids re-streaming the
+    whole payload column through DRAM once per batch."""
+    import pyarrow as _pa
+
+    chunks = col.chunks if isinstance(col, _pa.ChunkedArray) else [col]
+    out: list = []
+    for ch in chunks:
+        bufs = ch.buffers()
+        if len(bufs) != 3 or bufs[2] is None or not _pa.types.is_binary(ch.type):
+            out.extend(ch.to_pylist())  # fallback: unexpected layout
+            continue
+        offs = np.frombuffer(bufs[1], dtype=np.int32)[ch.offset : ch.offset + len(ch) + 1]
+        data = memoryview(bufs[2])
+        out.extend(data[offs[j] : offs[j + 1]] for j in range(len(ch)))
+    return out
+
+
 class ImageFlagshipFusedActor:
     """Fused IMAGE flagship (the north-star pipeline shape): decode the
     image payload, verify its perceptual hash, derive the geo-tag,
@@ -659,8 +680,11 @@ class ImageFlagshipFusedActor:
         h = batch["h"].to_numpy()
         ph = batch["phash"].to_numpy()
         fmts = batch["fmt"].to_pylist()
-        img_ids = batch["image_id"].to_pylist()
-        payloads = batch["bytes"].to_pylist()
+        # ZERO-COPY payload views: to_pylist() would copy every payload
+        # byte into a fresh Python bytes object — at bench scale that is
+        # the single largest avoidable DRAM stream in this kernel (the
+        # decoders accept any buffer: np.frombuffer / zlib.decompress)
+        payloads = _binary_views(batch["bytes"])
         ok = np.zeros(n, dtype=bool)
         for i in range(n):
             try:
@@ -673,7 +697,7 @@ class ImageFlagshipFusedActor:
                     # still checks phash64(px) == phash explicitly, and
                     # that pipeline is oracle-gated), PSNR >= 40 dB for
                     # the lossy one
-                    ref = fixtures.reference_pixels(img_ids[i], int(w[i]), int(h[i]))
+                    ref = fixtures.reference_pixels_int(int(ids[i]), int(w[i]), int(h[i]))
                     if fmts[i] == "qnt8":
                         ok[i] = self.codecs.psnr_db(px, ref) >= 40.0
                     else:
