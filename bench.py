@@ -591,6 +591,9 @@ def knn_crossover() -> None:
             fx, batch_format="pyarrow", batch_size=16384
         )
 
+    bcast_cap_s = float(os.environ.get("GRAFT_KNN_BCAST_CAP", "300"))
+    bcast_dead = False
+    pb_dead = False
     rows = []
     for m in sizes:
         ids = np.arange(1, m + 1, dtype=np.int64)
@@ -603,22 +606,61 @@ def knn_crossover() -> None:
         )
         # broadcast leg: ray.put + per-actor grid build + probe (the
         # build cost is PAID PER ACTOR — that duplication is exactly
-        # what stops scaling on a big POI side)
-        t0 = time.perf_counter()
-        pois_ref = ray.put({c: pois[c].to_numpy() for c in ("poi_id", "lon", "lat")})
-        n_b = (
-            points()
-            .map_batches(
-                geo.KnnJoinActor,
-                fn_constructor_kwargs=dict(pois_ref=pois_ref, k=3, metric="sqdeg", keep_cols=("doc_id",)),
-                batch_format="pyarrow",
-                concurrency=(1, POOL),
-                batch_size=8192,
+        # what stops scaling on a big POI side).  Once a size's
+        # broadcast leg exceeds GRAFT_KNN_BCAST_CAP seconds, larger
+        # sizes skip it and record the DNF: past the crossover the
+        # curve's exact height is irrelevant, only that it left the
+        # feasible region.
+        if bcast_dead:
+            b_s, n_b = None, 3 * n_points
+            log(f"knn_crossover n_pois={m} broadcast SKIPPED (previous size > {bcast_cap_s}s cap)")
+        else:
+            t0 = time.perf_counter()
+            pois_ref = ray.put({c: pois[c].to_numpy() for c in ("poi_id", "lon", "lat")})
+            n_b = (
+                points()
+                .map_batches(
+                    geo.KnnJoinActor,
+                    fn_constructor_kwargs=dict(pois_ref=pois_ref, k=3, metric="sqdeg", keep_cols=("doc_id",)),
+                    batch_format="pyarrow",
+                    concurrency=(1, POOL),
+                    batch_size=8192,
+                )
+                .count()
             )
-            .count()
-        )
-        b_s = round(time.perf_counter() - t0, 2)
-        log(f"knn_crossover n_pois={m} broadcast {b_s}s ({n_b} rows)")
+            b_s = round(time.perf_counter() - t0, 2)
+            log(f"knn_crossover n_pois={m} broadcast {b_s}s ({n_b} rows)")
+            if b_s > bcast_cap_s:
+                bcast_dead = True
+        # broadcast-prebuilt leg: grid built ONCE on the driver (timed,
+        # included), BUILT state ray.put — actors restore O(1); this is
+        # the production broadcast shape (KnnJoinActor.to_state)
+        if pb_dead:
+            pb_s = None
+            log(f"knn_crossover n_pois={m} broadcast_prebuilt SKIPPED (> {bcast_cap_s}s cap)")
+        else:
+            t0 = time.perf_counter()
+            state_ref = ray.put(
+                geo.KnnJoinActor(
+                    {c: pois[c].to_numpy() for c in ("poi_id", "lon", "lat")}, k=3, metric="sqdeg"
+                ).to_state()
+            )
+            n_p = (
+                points()
+                .map_batches(
+                    geo.KnnJoinActor,
+                    fn_constructor_kwargs=dict(pois_ref=state_ref, k=3, metric="sqdeg", keep_cols=("doc_id",)),
+                    batch_format="pyarrow",
+                    concurrency=(1, POOL),
+                    batch_size=8192,
+                )
+                .count()
+            )
+            pb_s = round(time.perf_counter() - t0, 2)
+            log(f"knn_crossover n_pois={m} broadcast_prebuilt {pb_s}s ({n_p} rows)")
+            assert n_p == 3 * n_points
+            if pb_s > bcast_cap_s:
+                pb_dead = True
         # shuffle leg: cell-packed exchange, no broadcast
         t0 = time.perf_counter()
         n_s = sp.knn_shuffle_pipeline(
@@ -627,7 +669,7 @@ def knn_crossover() -> None:
         s_s = round(time.perf_counter() - t0, 2)
         log(f"knn_crossover n_pois={m} shuffle {s_s}s ({n_s} rows)")
         assert n_b == n_s == 3 * n_points, (n_b, n_s)
-        rows.append({"n_pois": m, "broadcast_s": b_s, "shuffle_s": s_s})
+        rows.append({"n_pois": m, "broadcast_s": b_s, "broadcast_prebuilt_s": pb_s, "shuffle_s": s_s})
     print(
         json.dumps(
             {

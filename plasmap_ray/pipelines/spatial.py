@@ -472,12 +472,22 @@ def pip_count_pipeline(sf_dir: str) -> rd.Dataset:
 
 
 def knn_pipeline(sf_dir: str, k: int = 3) -> rd.Dataset:
-    """k nearest POIs per point (J7 kNN form; planar metric, oracle-exact)."""
+    """k nearest POIs per point (J7 kNN form; planar metric, oracle-exact).
+
+    The grid index is built ONCE on the driver and the BUILT state is
+    broadcast (``KnnJoinActor.to_state`` + ``ray.put``): every pool
+    actor restores in O(1) from shared memory instead of re-running the
+    O(m) build — the duplicated per-actor build is what makes a big
+    broadcast side infeasible (measured: SCALE.md kNN crossover)."""
     pois = fixtures.make_pois()
-    pois_ref = ray.put({c: pois[c].to_numpy() for c in ("poi_id", "lon", "lat")})
+    pois_dict = {c: pois[c].to_numpy() for c in ("poi_id", "lon", "lat")}
+    try:
+        state_ref = ray.put(geo.KnnJoinActor(pois_dict, k=k, metric="sqdeg").to_state())
+    except ValueError:  # tiny POI set: no grid built, brute path is fine
+        state_ref = ray.put(pois_dict)
     out = points_from_documents(sf_dir).map_batches(
         geo.KnnJoinActor,
-        fn_constructor_kwargs=dict(pois_ref=pois_ref, k=k, metric="sqdeg", keep_cols=("doc_id",)),
+        fn_constructor_kwargs=dict(pois_ref=state_ref, k=k, metric="sqdeg", keep_cols=("doc_id",)),
         batch_format="pyarrow",
         concurrency=(1, 8),
         batch_size=8192,

@@ -300,6 +300,27 @@ class KnnJoinActor:
         self.k = k
         self.metric = metric
         self.keep_cols = keep_cols
+        if "state_k" in pois:
+            # PREBUILT index state (build once on the driver, ray.put the
+            # BUILT structure): restoring is an O(1) attribute bind over
+            # the shared-memory arrays instead of an O(m) per-actor grid
+            # rebuild — at 10^6+ POIs the duplicated build is what kills
+            # the broadcast plan (measured: SCALE.md kNN crossover).
+            if k > pois["state_k"]:
+                raise ValueError(f"prebuilt kNN state covers k <= {pois['state_k']}, got {k}")
+            if metric != pois["metric"]:
+                raise ValueError("prebuilt kNN state metric mismatch")
+            self.poi_id = pois["poi_id"]
+            self.poi_lon = pois["lon"]
+            self.poi_lat = pois["lat"]
+            self._c = pois["c"]
+            self._P4 = pois["P4"]
+            self._grid_p = pois["grid_p"]
+            self._gcells = pois["gcells"]
+            self._goffs = pois["goffs"]
+            self._gcand = pois["gcand"]
+            self._grid = "packed"
+            return
         self.poi_id = np.asarray(pois["poi_id"], dtype=np.int64)
         self.poi_lon = np.asarray(pois["lon"], dtype=np.float64)
         self.poi_lat = np.asarray(pois["lat"], dtype=np.float64)
@@ -397,6 +418,48 @@ class KnnJoinActor:
             keep = d <= lim * lim
             self._grid[int(c)] = cand[keep].astype(np.int64)
 
+    def to_state(self) -> dict:
+        """Serialize the BUILT grid index into flat arrays for one
+        ``ray.put`` (a dict of ~m tiny arrays pickles pathologically;
+        three packed arrays ship zero-copy).  Restorable by passing the
+        state dict (or its ObjectRef) as ``pois_ref`` — valid for any
+        ``k' <= k`` (candidate lists are supersets of smaller top-k)."""
+        if not isinstance(self._grid, dict):
+            raise ValueError("to_state requires a freshly built grid index")
+        n_cells = len(self._grid)
+        gcells = np.fromiter(self._grid.keys(), dtype=np.int64, count=n_cells)
+        order = np.argsort(gcells)
+        gcells = gcells[order]
+        lists = list(self._grid.values())
+        lens = np.array([len(lists[i]) for i in order], dtype=np.int64)
+        goffs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
+        gcand = (
+            np.concatenate([lists[i] for i in order]).astype(np.int64)
+            if n_cells
+            else np.empty(0, np.int64)
+        )
+        return {
+            "state_k": self.k,
+            "metric": self.metric,
+            "poi_id": self.poi_id,
+            "lon": self.poi_lon,
+            "lat": self.poi_lat,
+            "c": self._c,
+            "P4": self._P4,
+            "grid_p": self._grid_p,
+            "gcells": gcells,
+            "goffs": goffs,
+            "gcand": gcand,
+        }
+
+    def _grid_lookup(self, c: int):
+        if isinstance(self._grid, dict):
+            return self._grid.get(c)
+        j = int(np.searchsorted(self._gcells, c))
+        if j < len(self._gcells) and self._gcells[j] == c:
+            return self._gcand[self._goffs[j] : self._goffs[j + 1]]
+        return None
+
     def _dists_approx(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
         """Candidate distances: one float32 GEMM (abs. error ~1e-6 deg^2)."""
         if self.metric != "sqdeg":
@@ -442,7 +505,7 @@ class KnnJoinActor:
             miss: list[np.ndarray] = []
             for i in range(len(uniq)):
                 pts_idx = order[starts[i] : bounds[i + 1]]
-                cand = self._grid.get(int(uniq[i]))
+                cand = self._grid_lookup(int(uniq[i]))
                 if cand is None:
                     miss.append(pts_idx)
                 else:
