@@ -347,9 +347,23 @@ class KnnJoinActor:
         POIs within (k-th NN distance of cell center + cell diagonal),
         a radius that provably covers the top-k of every interior point.
 
-        Built via POI grid buckets + expanding-ring search per cell —
-        memory stays O(m + cells), never the dense (cells x m) matrix
-        (which would be 149 GiB at 100k POIs / 200k cells)."""
+        FULLY VECTORIZED (round 4): the round-3 per-cell Python loop
+        cost ~450 us/cell — 450 s at 10^6 POIs, which made the
+        broadcast kNN plan die on BUILD time, not probe time (measured:
+        SCALE.md kNN crossover).  This build does the same three stages
+        with array ops only:
+          A. minimal ring radius per cell via a summed-area table of
+             POI counts (one O(cells) pass per radius step);
+          B. exact k-th center distance per cell via one grouped gather
+             + one lexsort over the ring candidates;
+          C. final candidate gather at the per-cell needed radius +
+             exact center-distance filter, packed straight into the
+             (gcells, goffs, gcand) searchsorted layout ``to_state``
+             ships.
+        Candidate lists are supersets of round 3's (identical center
+        rule, identical provable cover); the probe re-ranks exactly, so
+        query results are unchanged.  Memory stays O(m + candidates) —
+        never the dense (cells x m) matrix."""
         m = len(self.poi_id)
         lon0, lon1 = float(self.poi_lon.min()), float(self.poi_lon.max())
         lat0, lat1 = float(self.poi_lat.min()), float(self.poi_lat.max())
@@ -361,62 +375,118 @@ class KnnJoinActor:
         sx = 360.0 / (1 << p)
         sy = 180.0 / (1 << p)
         diag = float(np.hypot(sx, sy))
+        min_s = min(sx, sy)
         k = min(self.k, m)
 
-        # POI buckets keyed by grid (x, y)
         px, py = cells.lonlat_to_xy(self.poi_lon, self.poi_lat, p)
-        pkey = (px << np.int64(32)) | py
-        order = np.argsort(pkey, kind="stable")
-        sk = pkey[order]
-        starts = np.concatenate([[0], np.nonzero(np.diff(sk))[0] + 1])
-        ends = np.concatenate([starts[1:], [len(sk)]])
-        buckets: dict[int, np.ndarray] = {
-            int(sk[s]): order[s:e] for s, e in zip(starts, ends)
-        }
+        x0, x1 = int(px.min()), int(px.max())
+        y0, y1 = int(py.min()), int(py.max())
+        nx, ny = x1 - x0 + 1, y1 - y0 + 1
+        rx, ry = px - x0, py - y0
 
-        def gather_rings(cx: int, cy: int, r_max: int) -> np.ndarray:
-            found = []
-            for r in range(r_max + 1):
-                if r == 0:
-                    keys = [(cx, cy)]
-                else:
-                    xs = range(cx - r, cx + r + 1)
-                    keys = [(x, cy - r) for x in xs] + [(x, cy + r) for x in xs]
-                    keys += [(cx - r, y) for y in range(cy - r + 1, cy + r)]
-                    keys += [(cx + r, y) for y in range(cy - r + 1, cy + r)]
-                for x, y in keys:
-                    b = buckets.get((int(x) << 32) | int(y))
-                    if b is not None:
-                        found.append(b)
-            return np.concatenate(found) if found else np.empty(0, np.int64)
+        # POI bucket table over the dense linear key (row-major x*ny+y)
+        lin = rx * ny + ry
+        order = np.argsort(lin, kind="stable")
+        sl = lin[order]
+        uk, sstarts = np.unique(sl, return_index=True)
+        sends = np.append(sstarts[1:], m)
 
-        cover = cells.cover_bbox(lon0, lat0, lon1, lat1, p)
-        ccx, ccy = cells.deinterleave(cover)
-        clon, clat = cells.decode_center(cover, p)
-        min_s = min(sx, sy)
-        self._grid = {}
-        for i, c in enumerate(cover):
-            cx, cy = int(ccx[i]), int(ccy[i])
-            # expand rings until >= k POIs found (rings <= r hold every POI
-            # within r*min_s of the center, so the k-th NN distance from
-            # the CENTER is bounded once k POIs are inside the ring set)
-            r = 0
-            cand = gather_rings(cx, cy, r)
-            while len(cand) < k:
-                r += 1
-                cand = gather_rings(cx, cy, r)
-            d = (self.poi_lon[cand] - clon[i]) ** 2 + (self.poi_lat[cand] - clat[i]) ** 2
-            rk = float(np.sqrt(np.partition(d, k - 1)[k - 1]))
-            # POIs outside rings <= r can still be closer than rk only if
-            # within rk of the center; widen the ring set to cover radius
-            # rk + diag, then filter exactly by the center-based rule
-            lim = rk + diag
-            r_need = int(np.ceil(lim / min_s)) + 1
-            if r_need > r:
-                cand = gather_rings(cx, cy, r_need)
-                d = (self.poi_lon[cand] - clon[i]) ** 2 + (self.poi_lat[cand] - clat[i]) ** 2
-            keep = d <= lim * lim
-            self._grid[int(c)] = cand[keep].astype(np.int64)
+        # summed-area table of per-cell POI counts (1-padded)
+        C = np.zeros((ny + 1, nx + 1), dtype=np.int64)
+        np.add.at(C, (ry + 1, rx + 1), 1)
+        S = C.cumsum(0).cumsum(1)
+
+        def rect_count(cx: np.ndarray, cy: np.ndarray, r: int) -> np.ndarray:
+            xa = np.clip(cx - r, 0, nx)
+            xb = np.clip(cx + r + 1, 0, nx)
+            ya = np.clip(cy - r, 0, ny)
+            yb = np.clip(cy + r + 1, 0, ny)
+            return S[yb, xb] - S[ya, xb] - S[yb, xa] + S[ya, xa]
+
+        # every cell in the cover rectangle, rel coords + exact centers
+        gx = np.repeat(np.arange(nx, dtype=np.int64), ny)
+        gy = np.tile(np.arange(ny, dtype=np.int64), nx)
+        n_cells = nx * ny
+        code = cells.interleave(gx + x0, gy + y0)
+        clon, clat = cells.decode_center(code, p)
+
+        # A: minimal r with >= k POIs in the (2r+1)^2 window
+        r_min = np.zeros(n_cells, dtype=np.int64)
+        active = np.ones(n_cells, dtype=bool)
+        r = 0
+        r_cap = max(nx, ny)
+        while active.any() and r <= r_cap:
+            idx = np.nonzero(active)[0]
+            done = rect_count(gx[idx], gy[idx], r) >= k
+            r_min[idx[done]] = r
+            active[idx[done]] = False
+            r += 1
+
+        def gather(cell_idx: np.ndarray, rad: np.ndarray):
+            """All POIs in each cell's (2r+1)^2 window -> (cell_row,
+            poi_bucket_pos) pairs, chunked so intermediates stay small.
+            cell_row indexes into cell_idx."""
+            out_cells: list[np.ndarray] = []
+            out_pos: list[np.ndarray] = []
+            for rv in np.unique(rad):
+                rows = np.nonzero(rad == rv)[0]
+                w = 2 * int(rv) + 1
+                chunk = max(1, int(1e7) // (w * w))
+                for s0 in range(0, len(rows), chunk):
+                    sub = rows[s0 : s0 + chunk]
+                    ci = cell_idx[sub]
+                    dx = np.arange(-int(rv), int(rv) + 1, dtype=np.int64)
+                    kx = gx[ci][:, None, None] + dx[None, :, None]
+                    ky = gy[ci][:, None, None] + dx[None, None, :]
+                    valid = (kx >= 0) & (kx < nx) & (ky >= 0) & (ky < ny)
+                    lin_n = (kx * ny + ky).ravel()
+                    v = valid.ravel()
+                    pos = np.searchsorted(uk, lin_n)
+                    pos_c = np.minimum(pos, max(len(uk) - 1, 0))
+                    hit = v & (uk[pos_c] == lin_n)
+                    st = np.where(hit, sstarts[pos_c], 0)
+                    cnt = np.where(hit, sends[pos_c] - sstarts[pos_c], 0)
+                    tot = int(cnt.sum())
+                    if tot == 0:
+                        continue
+                    base = np.cumsum(cnt) - cnt
+                    expand = np.arange(tot, dtype=np.int64) - np.repeat(base, cnt)
+                    out_pos.append(np.repeat(st, cnt) + expand)
+                    rowbase = np.repeat(sub, w * w)  # aligned with lin_n
+                    out_cells.append(np.repeat(rowbase, cnt))
+            if not out_pos:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            return np.concatenate(out_cells), np.concatenate(out_pos)
+
+        # B: exact k-th center distance over the minimal-ring candidates
+        crow, cpos = gather(np.arange(n_cells, dtype=np.int64), r_min)
+        pidx = order[cpos]
+        d2 = (self.poi_lon[pidx] - clon[crow]) ** 2 + (self.poi_lat[pidx] - clat[crow]) ** 2
+        so = np.lexsort((d2, crow))
+        crow_s = crow[so]
+        seg_cells, seg_starts = np.unique(crow_s, return_index=True)
+        # stage A guarantees >= k candidates per cell
+        rk = np.sqrt(d2[so][seg_starts + (k - 1)])
+        rk_all = np.empty(n_cells, dtype=np.float64)
+        rk_all[seg_cells] = rk
+
+        # C: regather at the needed radius, exact filter, pack
+        lim = rk_all + diag
+        r_need = np.maximum(np.ceil(lim / min_s).astype(np.int64) + 1, r_min)
+        crow, cpos = gather(np.arange(n_cells, dtype=np.int64), r_need)
+        pidx = order[cpos]
+        d2 = (self.poi_lon[pidx] - clon[crow]) ** 2 + (self.poi_lat[pidx] - clat[crow]) ** 2
+        keep = d2 <= lim[crow] * lim[crow]
+        crow = crow[keep]
+        pidx = pidx[keep]
+        # pack sorted by Morton cell code (the probe's searchsorted key)
+        kc = code[crow]
+        so = np.argsort(kc, kind="stable")
+        self._gcand = pidx[so].astype(np.int64)
+        gcells, counts = np.unique(kc[so], return_counts=True)
+        self._gcells = gcells
+        self._goffs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])
+        self._grid = "packed"
 
     def to_state(self) -> dict:
         """Serialize the BUILT grid index into flat arrays for one
@@ -424,20 +494,23 @@ class KnnJoinActor:
         three packed arrays ship zero-copy).  Restorable by passing the
         state dict (or its ObjectRef) as ``pois_ref`` — valid for any
         ``k' <= k`` (candidate lists are supersets of smaller top-k)."""
-        if not isinstance(self._grid, dict):
-            raise ValueError("to_state requires a freshly built grid index")
-        n_cells = len(self._grid)
-        gcells = np.fromiter(self._grid.keys(), dtype=np.int64, count=n_cells)
-        order = np.argsort(gcells)
-        gcells = gcells[order]
-        lists = list(self._grid.values())
-        lens = np.array([len(lists[i]) for i in order], dtype=np.int64)
-        goffs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
-        gcand = (
-            np.concatenate([lists[i] for i in order]).astype(np.int64)
-            if n_cells
-            else np.empty(0, np.int64)
-        )
+        if self._grid is None:
+            raise ValueError("to_state requires a built grid index")
+        if isinstance(self._grid, dict):  # legacy dict layout (tests)
+            n_cells = len(self._grid)
+            gcells = np.fromiter(self._grid.keys(), dtype=np.int64, count=n_cells)
+            order = np.argsort(gcells)
+            gcells = gcells[order]
+            lists = list(self._grid.values())
+            lens = np.array([len(lists[i]) for i in order], dtype=np.int64)
+            goffs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
+            gcand = (
+                np.concatenate([lists[i] for i in order]).astype(np.int64)
+                if n_cells
+                else np.empty(0, np.int64)
+            )
+        else:
+            gcells, goffs, gcand = self._gcells, self._goffs, self._gcand
         return {
             "state_k": self.k,
             "metric": self.metric,
