@@ -641,9 +641,9 @@ def knn_crossover() -> None:
         else:
             t0 = time.perf_counter()
             state_ref = ray.put(
-                geo.KnnJoinActor(
-                    {c: pois[c].to_numpy() for c in ("poi_id", "lon", "lat")}, k=3, metric="sqdeg"
-                ).to_state()
+                geo.build_knn_state(
+                    {c: pois[c].to_numpy() for c in ("poi_id", "lon", "lat")}, k=3, n_tasks=POOL
+                )
             )
             n_p = (
                 points()

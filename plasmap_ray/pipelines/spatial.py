@@ -482,8 +482,8 @@ def knn_pipeline(sf_dir: str, k: int = 3) -> rd.Dataset:
     pois = fixtures.make_pois()
     pois_dict = {c: pois[c].to_numpy() for c in ("poi_id", "lon", "lat")}
     try:
-        state_ref = ray.put(geo.KnnJoinActor(pois_dict, k=k, metric="sqdeg").to_state())
-    except ValueError:  # tiny POI set: no grid built, brute path is fine
+        state_ref = ray.put(geo.build_knn_state(pois_dict, k=k))
+    except ValueError:  # tiny POI set: no grid regime, brute path is fine
         state_ref = ray.put(pois_dict)
     out = points_from_documents(sf_dir).map_batches(
         geo.KnnJoinActor,

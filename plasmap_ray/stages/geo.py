@@ -269,6 +269,245 @@ class PiPAntiJoinActor:
         return batch.select(keep).filter(pa.array(~covered))
 
 
+def _knn_grid_precision_for(poi_lon: np.ndarray, poi_lat: np.ndarray, m: int) -> int:
+    """Grid precision so the POI bbox holds ~1 POI per cell (shared by
+    the single-process build, the parallel build, and the shuffle
+    plan's sizing rule)."""
+    lon0, lon1 = float(poi_lon.min()), float(poi_lon.max())
+    lat0, lat1 = float(poi_lat.min()), float(poi_lat.max())
+    p = 4
+    for p in range(4, cells.MAX_PRECISION):
+        n_cells = max(1, int((lon1 - lon0) / 360.0 * (1 << p))) * max(1, int((lat1 - lat0) / 180.0 * (1 << p)))
+        if n_cells >= m:
+            break
+    return p
+
+
+def _pack_knn_strip(
+    poi_lon: np.ndarray,
+    poi_lat: np.ndarray,
+    k: int,
+    p: int,
+    cx_lo: int | None = None,
+    cx_hi: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """FULLY VECTORIZED kNN grid pack for the cells whose x-coordinate
+    lies in [cx_lo, cx_hi) (defaults: the whole POI bbox).  The round-3
+    per-cell Python loop cost ~450 us/cell — 450 s at 10^6 POIs, which
+    made the broadcast kNN plan die on BUILD time, not probe time
+    (measured: SCALE.md kNN crossover).  Three stages, array ops only:
+      A. minimal ring radius per cell via a summed-area table of POI
+         counts (one O(strip) pass per radius step);
+      B. exact k-th center distance per cell via one grouped gather +
+         one lexsort over the ring candidates;
+      C. final gather at the per-cell needed radius + exact
+         center-distance filter, packed into the (gcells, goffs,
+         gcand) searchsorted layout ``to_state`` ships.
+    Candidate lists are supersets of the round-3 build's (identical
+    center rule, identical provable cover); the probe re-ranks exactly,
+    so query results are unchanged.  Neighbor gathers read the FULL POI
+    table, so disjoint strips concatenate into exactly the one-process
+    result — the property ``build_knn_state`` uses to parallelize.
+    Memory stays O(m + strip candidates)."""
+    m = len(poi_lon)
+    sx = 360.0 / (1 << p)
+    sy = 180.0 / (1 << p)
+    diag = float(np.hypot(sx, sy))
+    min_s = min(sx, sy)
+
+    px, py = cells.lonlat_to_xy(poi_lon, poi_lat, p)
+    x0, x1 = int(px.min()), int(px.max())
+    y0, y1 = int(py.min()), int(py.max())
+    nx, ny = x1 - x0 + 1, y1 - y0 + 1
+    rx, ry = px - x0, py - y0
+    cx_lo = 0 if cx_lo is None else max(0, int(cx_lo))
+    cx_hi = nx if cx_hi is None else min(nx, int(cx_hi))
+
+    # POI bucket table over the dense linear key (row-major x*ny+y)
+    lin = rx * ny + ry
+    order = np.argsort(lin, kind="stable")
+    sl = lin[order]
+    uk, sstarts = np.unique(sl, return_index=True)
+    sends = np.append(sstarts[1:], m)
+
+    # summed-area table of per-cell POI counts (1-padded)
+    C = np.zeros((ny + 1, nx + 1), dtype=np.int64)
+    np.add.at(C, (ry + 1, rx + 1), 1)
+    S = C.cumsum(0).cumsum(1)
+
+    def rect_count(cx: np.ndarray, cy: np.ndarray, r: int) -> np.ndarray:
+        xa = np.clip(cx - r, 0, nx)
+        xb = np.clip(cx + r + 1, 0, nx)
+        ya = np.clip(cy - r, 0, ny)
+        yb = np.clip(cy + r + 1, 0, ny)
+        return S[yb, xb] - S[ya, xb] - S[yb, xa] + S[ya, xa]
+
+    # the strip's cells, rel coords + exact centers
+    gx = np.repeat(np.arange(cx_lo, cx_hi, dtype=np.int64), ny)
+    gy = np.tile(np.arange(ny, dtype=np.int64), cx_hi - cx_lo)
+    n_cells = (cx_hi - cx_lo) * ny
+    if n_cells == 0:
+        z = np.empty(0, np.int64)
+        return z, np.zeros(1, dtype=np.int64), z
+    code = cells.interleave(gx + x0, gy + y0)
+    clon, clat = cells.decode_center(code, p)
+
+    # A: minimal r with >= k POIs in the (2r+1)^2 window
+    r_min = np.zeros(n_cells, dtype=np.int64)
+    active = np.ones(n_cells, dtype=bool)
+    r = 0
+    r_cap = max(nx, ny)
+    while active.any() and r <= r_cap:
+        idx = np.nonzero(active)[0]
+        done = rect_count(gx[idx], gy[idx], r) >= k
+        r_min[idx[done]] = r
+        active[idx[done]] = False
+        r += 1
+
+    def gather(cell_idx: np.ndarray, rad: np.ndarray):
+        """All POIs in each cell's (2r+1)^2 window -> (cell_row,
+        poi_bucket_pos) pairs, chunked so intermediates stay small.
+        cell_row indexes into cell_idx."""
+        out_cells: list[np.ndarray] = []
+        out_pos: list[np.ndarray] = []
+        for rv in np.unique(rad):
+            rows = np.nonzero(rad == rv)[0]
+            w = 2 * int(rv) + 1
+            chunk = max(1, int(1e7) // (w * w))
+            for s0 in range(0, len(rows), chunk):
+                sub = rows[s0 : s0 + chunk]
+                ci = cell_idx[sub]
+                dx = np.arange(-int(rv), int(rv) + 1, dtype=np.int64)
+                kx = gx[ci][:, None, None] + dx[None, :, None]
+                ky = gy[ci][:, None, None] + dx[None, None, :]
+                valid = (kx >= 0) & (kx < nx) & (ky >= 0) & (ky < ny)
+                lin_n = (kx * ny + ky).ravel()
+                v = valid.ravel()
+                pos = np.searchsorted(uk, lin_n)
+                pos_c = np.minimum(pos, max(len(uk) - 1, 0))
+                hit = v & (uk[pos_c] == lin_n)
+                st = np.where(hit, sstarts[pos_c], 0)
+                cnt = np.where(hit, sends[pos_c] - sstarts[pos_c], 0)
+                tot = int(cnt.sum())
+                if tot == 0:
+                    continue
+                base = np.cumsum(cnt) - cnt
+                expand = np.arange(tot, dtype=np.int64) - np.repeat(base, cnt)
+                out_pos.append(np.repeat(st, cnt) + expand)
+                rowbase = np.repeat(sub, w * w)  # aligned with lin_n
+                out_cells.append(np.repeat(rowbase, cnt))
+        if not out_pos:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(out_cells), np.concatenate(out_pos)
+
+    # B: exact k-th center distance over the minimal-ring candidates
+    crow, cpos = gather(np.arange(n_cells, dtype=np.int64), r_min)
+    pidx = order[cpos]
+    d2 = (poi_lon[pidx] - clon[crow]) ** 2 + (poi_lat[pidx] - clat[crow]) ** 2
+    so = np.lexsort((d2, crow))
+    seg_cells, seg_starts = np.unique(crow[so], return_index=True)
+    # stage A guarantees >= k candidates per cell
+    rk = np.sqrt(d2[so][seg_starts + (k - 1)])
+    rk_all = np.empty(n_cells, dtype=np.float64)
+    rk_all[seg_cells] = rk
+
+    # C: regather at the needed radius, exact filter, pack
+    lim = rk_all + diag
+    r_need = np.maximum(np.ceil(lim / min_s).astype(np.int64) + 1, r_min)
+    crow, cpos = gather(np.arange(n_cells, dtype=np.int64), r_need)
+    pidx = order[cpos]
+    d2 = (poi_lon[pidx] - clon[crow]) ** 2 + (poi_lat[pidx] - clat[crow]) ** 2
+    keep = d2 <= lim[crow] * lim[crow]
+    crow = crow[keep]
+    pidx = pidx[keep]
+    # pack sorted by Morton cell code (the probe's searchsorted key)
+    kc = code[crow]
+    so = np.argsort(kc, kind="stable")
+    gcand = pidx[so].astype(np.int64)
+    gcells, counts = np.unique(kc[so], return_counts=True)
+    goffs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])
+    return gcells, goffs, gcand
+
+
+def build_knn_state(
+    pois: dict, k: int = 3, metric: str = "sqdeg", n_tasks: int | None = None
+) -> dict:
+    """Driver API: build the packed kNN grid state, DATA-PARALLEL over
+    x-strips of the cell cover when ``n_tasks > 1`` — the index build
+    itself is a data-parallel job (each Ray task packs a disjoint strip
+    against the shared full POI table, one ``ray.put``), which is what
+    keeps the broadcast plan's build wall-time flat as the POI side
+    grows (measured: SCALE.md kNN crossover — the single-process build
+    was the broadcast plan's real ceiling, not the probe).
+
+    Strips concatenate by global Morton order into exactly the
+    one-process result; the returned dict is ``KnnJoinActor``-restorable
+    (pass it, or its ObjectRef, as ``pois_ref``)."""
+    import ray
+
+    poi_id = np.asarray(pois["poi_id"], dtype=np.int64)
+    poi_lon = np.asarray(pois["lon"], dtype=np.float64)
+    poi_lat = np.asarray(pois["lat"], dtype=np.float64)
+    m = len(poi_id)
+    if metric != "sqdeg" or m <= 2 * k:
+        raise ValueError("build_knn_state requires the sqdeg grid regime (m > 2k)")
+    p = _knn_grid_precision_for(poi_lon, poi_lat, m)
+
+    if n_tasks is None:
+        n_tasks = 1 if m < 200_000 else 16
+    px, _ = cells.lonlat_to_xy(poi_lon, poi_lat, p)
+    x0, x1 = int(px.min()), int(px.max())
+    nx = x1 - x0 + 1
+    n_tasks = max(1, min(int(n_tasks), nx))
+
+    if n_tasks == 1 or not ray.is_initialized():
+        gcells, goffs, gcand = _pack_knn_strip(poi_lon, poi_lat, min(k, m), p)
+    else:
+        lon_ref = ray.put(poi_lon)
+        lat_ref = ray.put(poi_lat)
+
+        @ray.remote(num_cpus=1)
+        def strip(lo: int, hi: int, lon=lon_ref, lat=lat_ref):
+            return _pack_knn_strip(lon, lat, min(k, m), p, cx_lo=lo, cx_hi=hi)
+
+        bounds = np.linspace(0, nx, n_tasks + 1).astype(np.int64)
+        parts = ray.get([strip.remote(int(bounds[i]), int(bounds[i + 1])) for i in range(n_tasks)])
+        parts = [t for t in parts if len(t[0])]
+        all_cells = np.concatenate([t[0] for t in parts])
+        all_counts = np.concatenate([np.diff(t[1]) for t in parts])
+        all_cand = np.concatenate([t[2] for t in parts])
+        # strips are cx-contiguous but Morton order interleaves x/y —
+        # merge segments into one globally sorted packed layout
+        seg_order = np.argsort(all_cells, kind="stable")
+        seg_starts = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(all_counts)])[:-1]
+        tot = int(all_counts.sum())
+        take_cnt = all_counts[seg_order]
+        base = np.cumsum(take_cnt) - take_cnt
+        expand = np.arange(tot, dtype=np.int64) - np.repeat(base, take_cnt)
+        gcand = all_cand[np.repeat(seg_starts[seg_order], take_cnt) + expand]
+        gcells = all_cells[seg_order]
+        goffs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(take_cnt)])
+
+    # centered float32 GEMM companions (the brute/fallback path state)
+    c = (float(poi_lon.mean()), float(poi_lat.mean())) if m else (0.0, 0.0)
+    cpx = poi_lon - c[0]
+    cpy = poi_lat - c[1]
+    p4 = np.stack([-2.0 * cpx, -2.0 * cpy, np.ones_like(cpx), cpx**2 + cpy**2]).astype(np.float32)
+    return {
+        "state_k": k,
+        "metric": metric,
+        "poi_id": poi_id,
+        "lon": poi_lon,
+        "lat": poi_lat,
+        "c": c,
+        "P4": p4,
+        "grid_p": p,
+        "gcells": gcells,
+        "goffs": goffs,
+        "gcand": gcand,
+    }
+
+
 class KnnJoinActor:
     """Actor-pool stage: k-nearest-POI join against a broadcast POI set.
 
@@ -346,146 +585,14 @@ class KnnJoinActor:
         holds roughly one POI per cell; each cell's candidate list =
         POIs within (k-th NN distance of cell center + cell diagonal),
         a radius that provably covers the top-k of every interior point.
-
-        FULLY VECTORIZED (round 4): the round-3 per-cell Python loop
-        cost ~450 us/cell — 450 s at 10^6 POIs, which made the
-        broadcast kNN plan die on BUILD time, not probe time (measured:
-        SCALE.md kNN crossover).  This build does the same three stages
-        with array ops only:
-          A. minimal ring radius per cell via a summed-area table of
-             POI counts (one O(cells) pass per radius step);
-          B. exact k-th center distance per cell via one grouped gather
-             + one lexsort over the ring candidates;
-          C. final candidate gather at the per-cell needed radius +
-             exact center-distance filter, packed straight into the
-             (gcells, goffs, gcand) searchsorted layout ``to_state``
-             ships.
-        Candidate lists are supersets of round 3's (identical center
-        rule, identical provable cover); the probe re-ranks exactly, so
-        query results are unchanged.  Memory stays O(m + candidates) —
-        never the dense (cells x m) matrix."""
+        Delegates to the vectorized strip packer (full x-range);
+        ``build_knn_state`` fans the same packer out over Ray tasks."""
         m = len(self.poi_id)
-        lon0, lon1 = float(self.poi_lon.min()), float(self.poi_lon.max())
-        lat0, lat1 = float(self.poi_lat.min()), float(self.poi_lat.max())
-        for p in range(4, cells.MAX_PRECISION):
-            n_cells = max(1, int((lon1 - lon0) / 360.0 * (1 << p))) * max(1, int((lat1 - lat0) / 180.0 * (1 << p)))
-            if n_cells >= m:
-                break
+        p = _knn_grid_precision_for(self.poi_lon, self.poi_lat, m)
         self._grid_p = p
-        sx = 360.0 / (1 << p)
-        sy = 180.0 / (1 << p)
-        diag = float(np.hypot(sx, sy))
-        min_s = min(sx, sy)
-        k = min(self.k, m)
-
-        px, py = cells.lonlat_to_xy(self.poi_lon, self.poi_lat, p)
-        x0, x1 = int(px.min()), int(px.max())
-        y0, y1 = int(py.min()), int(py.max())
-        nx, ny = x1 - x0 + 1, y1 - y0 + 1
-        rx, ry = px - x0, py - y0
-
-        # POI bucket table over the dense linear key (row-major x*ny+y)
-        lin = rx * ny + ry
-        order = np.argsort(lin, kind="stable")
-        sl = lin[order]
-        uk, sstarts = np.unique(sl, return_index=True)
-        sends = np.append(sstarts[1:], m)
-
-        # summed-area table of per-cell POI counts (1-padded)
-        C = np.zeros((ny + 1, nx + 1), dtype=np.int64)
-        np.add.at(C, (ry + 1, rx + 1), 1)
-        S = C.cumsum(0).cumsum(1)
-
-        def rect_count(cx: np.ndarray, cy: np.ndarray, r: int) -> np.ndarray:
-            xa = np.clip(cx - r, 0, nx)
-            xb = np.clip(cx + r + 1, 0, nx)
-            ya = np.clip(cy - r, 0, ny)
-            yb = np.clip(cy + r + 1, 0, ny)
-            return S[yb, xb] - S[ya, xb] - S[yb, xa] + S[ya, xa]
-
-        # every cell in the cover rectangle, rel coords + exact centers
-        gx = np.repeat(np.arange(nx, dtype=np.int64), ny)
-        gy = np.tile(np.arange(ny, dtype=np.int64), nx)
-        n_cells = nx * ny
-        code = cells.interleave(gx + x0, gy + y0)
-        clon, clat = cells.decode_center(code, p)
-
-        # A: minimal r with >= k POIs in the (2r+1)^2 window
-        r_min = np.zeros(n_cells, dtype=np.int64)
-        active = np.ones(n_cells, dtype=bool)
-        r = 0
-        r_cap = max(nx, ny)
-        while active.any() and r <= r_cap:
-            idx = np.nonzero(active)[0]
-            done = rect_count(gx[idx], gy[idx], r) >= k
-            r_min[idx[done]] = r
-            active[idx[done]] = False
-            r += 1
-
-        def gather(cell_idx: np.ndarray, rad: np.ndarray):
-            """All POIs in each cell's (2r+1)^2 window -> (cell_row,
-            poi_bucket_pos) pairs, chunked so intermediates stay small.
-            cell_row indexes into cell_idx."""
-            out_cells: list[np.ndarray] = []
-            out_pos: list[np.ndarray] = []
-            for rv in np.unique(rad):
-                rows = np.nonzero(rad == rv)[0]
-                w = 2 * int(rv) + 1
-                chunk = max(1, int(1e7) // (w * w))
-                for s0 in range(0, len(rows), chunk):
-                    sub = rows[s0 : s0 + chunk]
-                    ci = cell_idx[sub]
-                    dx = np.arange(-int(rv), int(rv) + 1, dtype=np.int64)
-                    kx = gx[ci][:, None, None] + dx[None, :, None]
-                    ky = gy[ci][:, None, None] + dx[None, None, :]
-                    valid = (kx >= 0) & (kx < nx) & (ky >= 0) & (ky < ny)
-                    lin_n = (kx * ny + ky).ravel()
-                    v = valid.ravel()
-                    pos = np.searchsorted(uk, lin_n)
-                    pos_c = np.minimum(pos, max(len(uk) - 1, 0))
-                    hit = v & (uk[pos_c] == lin_n)
-                    st = np.where(hit, sstarts[pos_c], 0)
-                    cnt = np.where(hit, sends[pos_c] - sstarts[pos_c], 0)
-                    tot = int(cnt.sum())
-                    if tot == 0:
-                        continue
-                    base = np.cumsum(cnt) - cnt
-                    expand = np.arange(tot, dtype=np.int64) - np.repeat(base, cnt)
-                    out_pos.append(np.repeat(st, cnt) + expand)
-                    rowbase = np.repeat(sub, w * w)  # aligned with lin_n
-                    out_cells.append(np.repeat(rowbase, cnt))
-            if not out_pos:
-                return np.empty(0, np.int64), np.empty(0, np.int64)
-            return np.concatenate(out_cells), np.concatenate(out_pos)
-
-        # B: exact k-th center distance over the minimal-ring candidates
-        crow, cpos = gather(np.arange(n_cells, dtype=np.int64), r_min)
-        pidx = order[cpos]
-        d2 = (self.poi_lon[pidx] - clon[crow]) ** 2 + (self.poi_lat[pidx] - clat[crow]) ** 2
-        so = np.lexsort((d2, crow))
-        crow_s = crow[so]
-        seg_cells, seg_starts = np.unique(crow_s, return_index=True)
-        # stage A guarantees >= k candidates per cell
-        rk = np.sqrt(d2[so][seg_starts + (k - 1)])
-        rk_all = np.empty(n_cells, dtype=np.float64)
-        rk_all[seg_cells] = rk
-
-        # C: regather at the needed radius, exact filter, pack
-        lim = rk_all + diag
-        r_need = np.maximum(np.ceil(lim / min_s).astype(np.int64) + 1, r_min)
-        crow, cpos = gather(np.arange(n_cells, dtype=np.int64), r_need)
-        pidx = order[cpos]
-        d2 = (self.poi_lon[pidx] - clon[crow]) ** 2 + (self.poi_lat[pidx] - clat[crow]) ** 2
-        keep = d2 <= lim[crow] * lim[crow]
-        crow = crow[keep]
-        pidx = pidx[keep]
-        # pack sorted by Morton cell code (the probe's searchsorted key)
-        kc = code[crow]
-        so = np.argsort(kc, kind="stable")
-        self._gcand = pidx[so].astype(np.int64)
-        gcells, counts = np.unique(kc[so], return_counts=True)
-        self._gcells = gcells
-        self._goffs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(counts)])
+        self._gcells, self._goffs, self._gcand = _pack_knn_strip(
+            self.poi_lon, self.poi_lat, min(self.k, m), p
+        )
         self._grid = "packed"
 
     def to_state(self) -> dict:

@@ -1995,3 +1995,35 @@ def test_supplier_ontime_wilson_ordering_property(ray_session):
         p = on / n
         return (p + z * z / (2 * n) - z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) / (1 + z * z / n)
     assert wilson(3, 3) < wilson(97, 100)
+
+
+def test_knn_state_parallel_build_matches_serial(ray_session):
+    """The x-strip data-parallel kNN index build must concatenate into
+    EXACTLY the one-process packed state (disjoint strips over a shared
+    POI table), and a restored actor must answer identically."""
+    import numpy as np
+    import pyarrow as pa
+
+    from plasmap_ray import fixtures
+    from plasmap_ray.stages import geo
+
+    ids = np.arange(1, 60001, dtype=np.int64)
+    pois = {
+        "poi_id": ids,
+        "lon": fixtures.derive_poi_lon(ids),
+        "lat": fixtures.derive_poi_lat(ids),
+    }
+    a = geo.build_knn_state(pois, k=3, n_tasks=1)
+    b = geo.build_knn_state(pois, k=3, n_tasks=5)
+    assert a["grid_p"] == b["grid_p"]
+    for key in ("gcells", "goffs", "gcand"):
+        assert np.array_equal(a[key], b[key]), key
+    qa = geo.KnnJoinActor(a, k=3, keep_cols=("doc_id",))
+    qb = geo.KnnJoinActor(b, k=3, keep_cols=("doc_id",))
+    q = np.arange(1, 5001, dtype=np.int64)
+    batch = pa.table({
+        "doc_id": pa.array(q),
+        "lon": pa.array(fixtures.derive_lon(q)),
+        "lat": pa.array(fixtures.derive_lat(q)),
+    })
+    assert qa(batch).equals(qb(batch))
