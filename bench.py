@@ -91,14 +91,19 @@ def ensure_bench_images(n: int) -> str:
 
     from plasmap_ray import fixtures
 
-    root = f"/tmp/plasmap_fixtures/images_bench_v2_n{n}"
+    root = f"/tmp/plasmap_fixtures/images_bench_v3_n{n}"
     marker = os.path.join(root, "_SUCCESS")
     if os.path.exists(marker):
         return root
 
     def gen(t: pa.Table) -> pa.Table:
         ids = t["id"].to_numpy() + 1
-        return fixtures.make_images_for_ids(np.asarray(ids, dtype=np.int64), size_choices=(16, 32))
+        # v3: + ref_crc stored-digest column (production checksum
+        # discipline — the fidelity invariant for lossless rows is a
+        # digest compare, not a reference regeneration)
+        return fixtures.make_images_for_ids(
+            np.asarray(ids, dtype=np.int64), size_choices=(16, 32), with_ref_crc=True
+        )
 
     # write to a tmp dir, rename atomically: a crashed prior run must not
     # leave half-written shards that a retry would append to (dup rows)

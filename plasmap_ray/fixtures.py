@@ -660,11 +660,24 @@ def make_images_range(lo: int, hi: int, seed: int = SEED, size_choices: tuple[in
     return make_images_for_ids(np.arange(lo, hi, dtype=np.int64), seed=seed, size_choices=size_choices)
 
 
-def make_images_for_ids(ids: "np.ndarray", seed: int = SEED, size_choices: tuple[int, ...] = _SIZE_CHOICES) -> pa.Table:
+def make_images_for_ids(
+    ids: "np.ndarray",
+    seed: int = SEED,
+    size_choices: tuple[int, ...] = _SIZE_CHOICES,
+    with_ref_crc: bool = False,
+) -> pa.Table:
     """Images-table rows for arbitrary ids — the stateless shard form of
     :func:`make_images` (identical rows), usable from parallel Ray tasks.
     The near-dup rule (id %% NEAR_DUP_STRIDE == 0 copies id-1's pixels)
-    is honored statelessly by regenerating the predecessor's pixels."""
+    is honored statelessly by regenerating the predecessor's pixels.
+
+    ``with_ref_crc`` appends ``ref_crc:int64`` = crc32 of the REFERENCE
+    pixel bytes — the stored-digest column a production corpus carries
+    so integrity verification doesn't require regenerating (or
+    re-reading) originals.  The bench table uses it; the sf fixture
+    tables keep the reference's 7-column schema."""
+    import zlib as _zlib
+
     ids = np.asarray(ids, dtype=np.int64)
     n = len(ids)
     lon = derive_lon(ids)
@@ -677,6 +690,7 @@ def make_images_for_ids(ids: "np.ndarray", seed: int = SEED, size_choices: tuple
 
     payloads: list[bytes] = []
     phashes = np.empty(n, dtype=np.int64)
+    ref_crcs = np.empty(n, dtype=np.int64)
     captions: list[str] = []
     fmts: list[str] = []
     for j in range(n):
@@ -691,22 +705,24 @@ def make_images_for_ids(ids: "np.ndarray", seed: int = SEED, size_choices: tuple
             pixels = _image_pixels(i, int(w[j]), int(h[j]), seed)
         payloads.append(_codecs.encode_image(pixels, fmt))
         phashes[j] = _codecs.phash64(pixels)
+        ref_crcs[j] = _zlib.crc32(pixels)
         fmts.append(fmt)
         kind = POI_KINDS[int(kind_idx[j])][1]
         where = district[j] if district[j] else "the countryside"
         captions.append(f"a photo of {kind} in {where}")
 
-    return pa.table(
-        {
-            "image_id": pa.array([f"img-{int(i):012d}" for i in ids], type=pa.string()),
-            "bytes": pa.array(payloads, type=pa.binary()),
-            "w": pa.array(w, type=pa.int32()),
-            "h": pa.array(h, type=pa.int32()),
-            "fmt": pa.array(fmts, type=pa.string()),
-            "caption": pa.array(captions, type=pa.string()),
-            "phash": pa.array(phashes, type=pa.int64()),
-        }
-    )
+    cols = {
+        "image_id": pa.array([f"img-{int(i):012d}" for i in ids], type=pa.string()),
+        "bytes": pa.array(payloads, type=pa.binary()),
+        "w": pa.array(w, type=pa.int32()),
+        "h": pa.array(h, type=pa.int32()),
+        "fmt": pa.array(fmts, type=pa.string()),
+        "caption": pa.array(captions, type=pa.string()),
+        "phash": pa.array(phashes, type=pa.int64()),
+    }
+    if with_ref_crc:
+        cols["ref_crc"] = pa.array(ref_crcs, type=pa.int64())
+    return pa.table(cols)
 
 
 # ---------------------------------------------------------------------------
