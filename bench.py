@@ -91,16 +91,18 @@ def ensure_bench_images(n: int) -> str:
 
     from plasmap_ray import fixtures
 
-    root = f"/tmp/plasmap_fixtures/images_bench_v3_n{n}"
+    root = f"/tmp/plasmap_fixtures/images_bench_v4_n{n}"
     marker = os.path.join(root, "_SUCCESS")
     if os.path.exists(marker):
         return root
 
     def gen(t: pa.Table) -> pa.Table:
         ids = t["id"].to_numpy() + 1
-        # v3: + ref_crc stored-digest column (production checksum
-        # discipline — the fidelity invariant for lossless rows is a
-        # digest compare, not a reference regeneration)
+        # v4: + ref_crc stored-digest column and ref_bytes stored
+        # lossless master for lossy rows (production provenance — the
+        # fidelity invariant is a digest compare for lossless rows and
+        # a LIVE PSNR against the stored original for lossy rows;
+        # nothing regenerates references from generative seeds)
         return fixtures.make_images_for_ids(
             np.asarray(ids, dtype=np.int64), size_choices=(16, 32), with_ref_crc=True
         )

@@ -671,11 +671,18 @@ def make_images_for_ids(
     The near-dup rule (id %% NEAR_DUP_STRIDE == 0 copies id-1's pixels)
     is honored statelessly by regenerating the predecessor's pixels.
 
-    ``with_ref_crc`` appends ``ref_crc:int64`` = crc32 of the REFERENCE
-    pixel bytes — the stored-digest column a production corpus carries
-    so integrity verification doesn't require regenerating (or
-    re-reading) originals.  The bench table uses it; the sf fixture
-    tables keep the reference's 7-column schema."""
+    ``with_ref_crc`` appends two production-provenance columns the
+    bench table carries (sf fixture tables keep the reference's
+    7-column schema):
+    - ``ref_crc:int64`` = crc32 of the REFERENCE pixel bytes — the
+      stored digest that verifies a lossless decode without
+      regenerating or re-reading the original;
+    - ``ref_bytes:binary`` = the zlib'd reference pixels for LOSSY
+      rows only (empty for lossless rows, whose payload IS the
+      reference) — the stored lossless master a production pipeline
+      reads to compute a LIVE PSNR against, instead of regenerating
+      the original from its generative seed (~40 KB of float64 DRAM
+      traffic per 768 B image)."""
     import zlib as _zlib
 
     ids = np.asarray(ids, dtype=np.int64)
@@ -691,6 +698,7 @@ def make_images_for_ids(
     payloads: list[bytes] = []
     phashes = np.empty(n, dtype=np.int64)
     ref_crcs = np.empty(n, dtype=np.int64)
+    ref_bytes: list[bytes] = []
     captions: list[str] = []
     fmts: list[str] = []
     for j in range(n):
@@ -706,6 +714,7 @@ def make_images_for_ids(
         payloads.append(_codecs.encode_image(pixels, fmt))
         phashes[j] = _codecs.phash64(pixels)
         ref_crcs[j] = _zlib.crc32(pixels)
+        ref_bytes.append(_zlib.compress(pixels.tobytes(), 6) if fmt == "qnt8" else b"")
         fmts.append(fmt)
         kind = POI_KINDS[int(kind_idx[j])][1]
         where = district[j] if district[j] else "the countryside"
@@ -722,6 +731,7 @@ def make_images_for_ids(
     }
     if with_ref_crc:
         cols["ref_crc"] = pa.array(ref_crcs, type=pa.int64())
+        cols["ref_bytes"] = pa.array(ref_bytes, type=pa.binary())
     return pa.table(cols)
 
 

@@ -940,12 +940,28 @@ class ImageFlagshipFusedActor:
         ref_crc = (
             batch["ref_crc"].to_numpy() if "ref_crc" in batch.column_names else None
         )
+        # stored lossless master for lossy rows: live PSNR against the
+        # STORED original (one zlib inflate, ~1 KB read) instead of a
+        # float64 regeneration from the generative seed
+        ref_views = (
+            _binary_views(batch["ref_bytes"]) if "ref_bytes" in batch.column_names else None
+        )
         ok = np.zeros(n, dtype=bool)
         for i in range(n):
             try:
                 px = self.codecs.decode_image(payloads[i], int(w[i]), int(h[i]), fmts[i])
                 if self.check_reference and ref_crc is not None and fmts[i] != "qnt8":
                     ok[i] = (zlib.crc32(px) & 0xFFFFFFFF) == (int(ref_crc[i]) & 0xFFFFFFFF)
+                elif (
+                    self.check_reference
+                    and ref_views is not None
+                    and fmts[i] == "qnt8"
+                    and len(ref_views[i])
+                ):
+                    ref = np.frombuffer(zlib.decompress(ref_views[i]), dtype=np.uint8).reshape(
+                        int(h[i]), int(w[i]), 3
+                    )
+                    ok[i] = self.codecs.psnr_db(px, ref) >= 40.0
                 elif self.check_reference:
                     # full per-row fidelity invariant (driver input_hint):
                     # byte-exact vs reference pixels for lossless formats
