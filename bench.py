@@ -707,6 +707,16 @@ def main() -> None:
         # hidden.  Falls back to all windows if the host never quiets.
         lo, hi = int(os.environ.get("GRAFT_SCALE_LO", "8")), int(os.environ.get("GRAFT_SCALE_HI", "32"))
         reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
+        # scaling legs default to LONG windows (6M images, best-of-2):
+        # the flagship kernel is now fast enough that a 600k-image leg
+        # lasts ~3 s at 32 cpus, and a single co-tenant burst or the
+        # ~1.1 s fixed dataset-startup term (measured, BASELINE.md
+        # round 4) dominates the ratio.  A ~20 s leg amortizes both —
+        # the single-node analogue of "size the job to the cluster".
+        if "GRAFT_BENCH_IMAGES" not in os.environ:
+            os.environ["GRAFT_BENCH_IMAGES"] = "6000000"
+        if "GRAFT_BENCH_REPS" not in os.environ:
+            os.environ["GRAFT_BENCH_REPS"] = "2"
         load_max = float(os.environ.get("GRAFT_LOAD_MAX", "4.0"))
         settle_max = float(os.environ.get("GRAFT_SETTLE_MAX", "300"))
         # settle threshold is STRICTER than the accept gate: after a hi
@@ -715,6 +725,17 @@ def main() -> None:
         # while actually contended (windows 44-48 in BASELINE.md).  The
         # gate itself is unchanged — this only spaces runs out.
         settle_load = float(os.environ.get("GRAFT_SETTLE_LOAD", "1.0"))
+        # pre-generate the bench fixture at FULL parallelism: the first
+        # leg is the LO-cpu one, and generating a 6M-image table at 8
+        # cpus would cost ~30 min of untimed-but-real wall clock
+        gen_code = (
+            "import sys; sys.path.insert(0, %r); import ray, bench; "
+            "ray.init(address='local', num_cpus=%d, include_dashboard=False, logging_level='ERROR'); "
+            "import ray.data as rd; rd.DataContext.get_current().enable_progress_bars=False; "
+            "bench.ensure_bench_images(int(__import__('os').environ.get('GRAFT_BENCH_IMAGES', '600000'))); "
+            "ray.shutdown()"
+        ) % (os.path.dirname(os.path.abspath(__file__)), hi)
+        subprocess.run([sys.executable, "-c", gen_code], check=True, capture_output=True)
         windows = []
         for rep in range(reps):
             w = {"rep": rep, "accepted": True}
