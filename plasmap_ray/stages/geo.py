@@ -469,11 +469,14 @@ def build_knn_state(
         lat_ref = ray.put(poi_lat)
 
         @ray.remote(num_cpus=1)
-        def strip(lo: int, hi: int, lon=lon_ref, lat=lat_ref):
+        def strip(lo: int, hi: int, lon, lat):
             return _pack_knn_strip(lon, lat, min(k, m), p, cx_lo=lo, cx_hi=hi)
 
         bounds = np.linspace(0, nx, n_tasks + 1).astype(np.int64)
-        parts = ray.get([strip.remote(int(bounds[i]), int(bounds[i + 1])) for i in range(n_tasks)])
+        # refs passed as CALL arguments so Ray resolves them in-task
+        parts = ray.get(
+            [strip.remote(int(bounds[i]), int(bounds[i + 1]), lon_ref, lat_ref) for i in range(n_tasks)]
+        )
         parts = [t for t in parts if len(t[0])]
         all_cells = np.concatenate([t[0] for t in parts])
         all_counts = np.concatenate([np.diff(t[1]) for t in parts])
