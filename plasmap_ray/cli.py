@@ -65,6 +65,10 @@ def _result_payload(
 
     total = result.num_rows
     offset = max(0, min(int(offset), total))
+    # a non-positive cap would make the window empty while next_offset
+    # stays non-null — a paging client following the documented
+    # protocol would loop forever without progress
+    cap = max(1, int(cap))
     eff = cap if limit is None else max(0, min(int(limit), cap))
     window = result.slice(offset, eff)
     nxt = offset + window.num_rows
@@ -96,7 +100,9 @@ def cmd_query(args) -> int:
     q = queryast.from_json(args.ast)
     ctx = _build_context(args.sf_dir)
     result = queryast.translate(q, ctx)
-    payload = _result_payload(result, args.geojson)
+    # one-shot path: no page ceiling — the caller asked for the whole
+    # result on stdout (paging only protects the long-lived serve loop)
+    payload = _result_payload(result, args.geojson, cap=max(1, result.num_rows))
     if "geojson" in payload:
         print(json.dumps(payload["geojson"]))
     else:

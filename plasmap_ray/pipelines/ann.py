@@ -981,21 +981,23 @@ def embedding_label_outliers(sf_dir: str, k: int = OUTLIER_K, fp: int = CENTROID
     )
     labels = sorted(set(int(x) for x in cen["label"]))
     dims = cen["dim"].max() + 1
-    n_of = {}
-    s_of = {}
-    for lb in labels:
+    # label-indexed gather tables: row r of s_mat is label labs_sorted[r]'s
+    # per-dim int64 moment sum, so the scoring pass is pure matrix ops
+    labs_sorted = np.array(labels, dtype=np.int64)
+    n_by_label = np.empty(len(labels), dtype=np.int64)
+    s_by_label = np.empty((len(labels), int(dims)), dtype=np.int64)
+    for r, lb in enumerate(labels):
         g = cen[cen["label"] == lb]
-        n_of[lb] = int(g["n"].iloc[0])
-        s_of[lb] = g["s"].to_numpy().astype(np.int64)
+        n_by_label[r] = int(g["n"].iloc[0])
+        s_by_label[r] = g["s"].to_numpy().astype(np.int64)
 
     def score(t: pa.Table) -> pa.Table:
         m = _emb_matrix(t)
         q = np.floor(m * fp + 0.5).astype(np.int64)
         lab = t["label"].to_numpy().astype(np.int64)
-        d2 = np.empty(len(lab), dtype=np.int64)
-        for i, lb in enumerate(lab):
-            diff = n_of[int(lb)] * q[i] - s_of[int(lb)]
-            d2[i] = int((diff * diff).sum())
+        li = np.searchsorted(labs_sorted, lab)
+        diff = n_by_label[li][:, None] * q - s_by_label[li]
+        d2 = (diff * diff).sum(axis=1)
         return pa.table(
             {
                 "label": pa.array(lab, type=pa.int64()),

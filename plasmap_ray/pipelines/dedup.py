@@ -754,14 +754,48 @@ def minhash_accuracy_eval(sf_dir: str, sim_threshold: float = 0.8) -> rd.Dataset
         pos = np.minimum(np.searchsorted(inv, ids), len(inv) - 1)
         keep = inv[pos] == ids
         kernel = MinHashSignature()
-        out_id, out_h = [], []
-        for did, txt in zip(ids[keep], [s for s, k in zip(t["text"].to_pylist(), keep) if k]):
-            out_id.append(int(did))
-            out_h.append(kernel.shingle_hashes(txt).view(np.int64).tolist())
+        S = kernel.shingle
+        kept_ids = ids[keep]
+        texts = [s for s, k in zip(t["text"].to_pylist(), keep) if k]
+        if not texts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "hashes": pa.array([], type=pa.list_(pa.int64())),
+                }
+            )
+        # one flattened pass over ALL kept docs: hash every S-byte window
+        # of the concatenated buffer, drop windows spanning a doc
+        # boundary, then segment-unique per doc — identical values to
+        # the per-doc shingle_hashes() (same pad byte, same uint64
+        # Horner weights, same uint64 sort order before the int64 view)
+        enc = [s.encode("utf-8") for s in texts]
+        enc = [e if len(e) >= S else e + b" " * (S - len(e)) for e in enc]
+        lens = np.array([len(e) for e in enc], dtype=np.int64)
+        buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(buf, S)
+        with np.errstate(over="ignore"):
+            h = (win * kernel.pw[None, :]).sum(axis=1, dtype=np.uint64)
+        doc_of = np.repeat(np.arange(len(enc), dtype=np.int64), lens)
+        starts = np.arange(len(h))
+        valid = doc_of[starts] == doc_of[starts + S - 1]
+        d, hv = doc_of[starts][valid], h[valid]
+        order = np.lexsort((hv, d))
+        d, hv = d[order], hv[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (hv[1:] != hv[:-1])
+        d, hv = d[first], hv[first]
+        # every padded doc yields >= 1 valid window, so counts cover all
+        counts = np.bincount(d, minlength=len(enc))
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        hashes = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(hv.view(np.int64), type=pa.int64()),
+        )
         return pa.table(
             {
-                "doc_id": pa.array(out_id, type=pa.int64()),
-                "hashes": pa.array(out_h, type=pa.list_(pa.int64())),
+                "doc_id": pa.array(kept_ids, type=pa.int64()),
+                "hashes": hashes,
             }
         )
 

@@ -790,8 +790,11 @@ class AudioFormatMigrate:
         from .. import codecs
 
         n = batch.num_rows
-        old_b = np.empty(n, dtype=np.int64)
-        new_b = np.empty(n, dtype=np.int64)
+        # zeros, not empty: rows whose decode raises keep these slots,
+        # and uninitialized memory would leak nondeterministic values
+        # into ok=False rows (reproducibility of partial aggregates)
+        old_b = np.zeros(n, dtype=np.int64)
+        new_b = np.zeros(n, dtype=np.int64)
         psnr = np.full(n, np.inf)
         ok = np.zeros(n, dtype=bool)
         md5s = []

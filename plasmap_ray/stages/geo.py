@@ -886,8 +886,17 @@ def _binary_views(col) -> list:
     out: list = []
     for ch in chunks:
         bufs = ch.buffers()
-        if len(bufs) != 3 or bufs[2] is None or not _pa.types.is_binary(ch.type):
-            out.extend(ch.to_pylist())  # fallback: unexpected layout
+        if (
+            len(bufs) != 3
+            or bufs[2] is None
+            or not _pa.types.is_binary(ch.type)
+            or ch.null_count
+        ):
+            # fallback: unexpected layout, or nulls present — a null
+            # slot sliced from the data buffer would read as b'' and
+            # silently turn "missing payload" into "zero-byte payload";
+            # to_pylist() keeps the None semantics
+            out.extend(ch.to_pylist())
             continue
         offs = np.frombuffer(bufs[1], dtype=np.int32)[ch.offset : ch.offset + len(ch) + 1]
         data = memoryview(bufs[2])
