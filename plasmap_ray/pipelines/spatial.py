@@ -495,8 +495,54 @@ def knn_pipeline(sf_dir: str, k: int = 3) -> rd.Dataset:
     return out.map_batches(lambda t: t.rename_columns(["doc_id", "knn_rank", "poi_id"]), batch_format="pyarrow")
 
 
-KNN_BROADCAST_MAX_POIS = 1_000_000  # grid index ~100 B/POI -> ~100 MB per worker ceiling
+# Legacy count ceiling, kept as the no-Ray fallback pin: the round-4
+# crossover (SCALE.md) measured broadcast >= shuffle up to well past
+# 1e6 POIs once the build went parallel, with STATE RESIDENCY (not
+# build or probe) ending the regime at ~1e7.  The planner now flips on
+# a packed-state BYTE estimate against the live object store (below);
+# this constant only pins the flip point when no store size is known.
+KNN_BROADCAST_MAX_POIS = 1_000_000
 KNN_SHUFFLE_SHARDS = 32
+
+# Measured packed-state coefficients (SCALE.md round-4 crossover):
+# state = poi_id/lon/lat (24 B/POI) + float32 P4 GEMM companion
+# (16 B/POI) + grid arrays: gcells+goffs (~16 B/cell, ~1 cell/POI by
+# the precision rule) + gcand (8 B/candidate, measured ~64 avg
+# candidates/cell at 1e6-1e7 POIs => ~0.59 GB @ 1e6, ~5.6 GB @ 1e7,
+# matching the measured 0.59 GB / ~5 GB residencies).
+KNN_STATE_BYTES_PER_POI_FIXED = 24 + 16 + 16
+KNN_STATE_AVG_CAND_PER_CELL = 64
+# The broadcast state is ONE plasma copy per node (mmap-shared by
+# every actor), but it must not crowd out the streaming blocks: allow
+# at most this fraction of the object store before flipping to the
+# cell-keyed shuffle plan.  0.1 puts the measured 1e7 state (~5.6 GB)
+# past the flip on this sandbox's ~38 GB store while 1e6 (~0.6 GB)
+# stays comfortably broadcast — the measured crossover's conclusion.
+KNN_BROADCAST_STORE_FRACTION = 0.1
+
+
+def knn_state_bytes_estimate(m: int, k: int = 3, avg_cand: int = KNN_STATE_AVG_CAND_PER_CELL) -> int:
+    """Predicted ``build_knn_state`` footprint in bytes for an m-POI
+    side — the planner's flip input (VERDICT r4 directive 4: flip on a
+    size estimate, not a POI count).  Coefficients above are measured,
+    not guessed; ``avg_cand`` rises with k (the per-cell candidate list
+    must cover r_k + diagonal), folded in as a k/3 scale."""
+    per_cell_cand = max(int(avg_cand * max(k, 1) / 3.0), 2 * k)
+    return int(m * (KNN_STATE_BYTES_PER_POI_FIXED + 8 * per_cell_cand))
+
+
+def _object_store_bytes() -> int | None:
+    """Live object-store capacity (bytes) of the current Ray cluster,
+    or None when Ray isn't up (planner falls back to the measured
+    POI-count pin)."""
+    try:
+        if ray.is_initialized():
+            v = ray.cluster_resources().get("object_store_memory")
+            if v:
+                return int(v)
+    except Exception:  # pragma: no cover - resource introspection only
+        pass
+    return None
 
 
 def _knn_grid_precision(lon0: float, lat0: float, lon1: float, lat1: float, m: int) -> int:
@@ -1002,14 +1048,30 @@ def knn_shuffle_pipeline(
     return out
 
 
-def knn_pois_auto(sf_dir: str, k: int = 3, broadcast_max_pois: int = KNN_BROADCAST_MAX_POIS) -> rd.Dataset:
-    """Planner heuristic for J7 (the ``pip_join_auto`` discipline): the
-    broadcast grid-index kNN while the POI side fits a per-worker index
-    (<= ``broadcast_max_pois``, sized from the measured index footprint
-    in BASELINE.md), else the cell-keyed shuffle kNN.  Both plans are
-    oracle-identical — the choice is purely physical."""
+def knn_pois_auto(
+    sf_dir: str, k: int = 3, broadcast_max_pois: int | None = None
+) -> rd.Dataset:
+    """Planner heuristic for J7 (the ``pip_join_auto`` discipline):
+    broadcast grid-index kNN while the PREDICTED packed-state footprint
+    (``knn_state_bytes_estimate`` — measured coefficients, SCALE.md)
+    fits ``KNN_BROADCAST_STORE_FRACTION`` of the live object store,
+    else the cell-keyed shuffle kNN.  The flip is MEMORY-AWARE because
+    the measured 1e5/1e6/1e7 crossover showed state residency, not
+    build or probe time, ends the broadcast regime (~5.6 GB/node at
+    1e7).  ``broadcast_max_pois`` remains as an explicit override (and
+    the no-Ray fallback pin).  Both plans are oracle-identical — the
+    choice is purely physical."""
     pois = fixtures.make_pois()
-    if len(pois) <= broadcast_max_pois:
+    m = len(pois)
+    if broadcast_max_pois is not None:
+        use_broadcast = m <= broadcast_max_pois
+    else:
+        store = _object_store_bytes()
+        if store is None:
+            use_broadcast = m <= KNN_BROADCAST_MAX_POIS
+        else:
+            use_broadcast = knn_state_bytes_estimate(m, k) <= KNN_BROADCAST_STORE_FRACTION * store
+    if use_broadcast:
         return knn_pipeline(sf_dir, k=k)
     return knn_shuffle_pipeline(sf_dir, k=k, pois_table=pois)
 

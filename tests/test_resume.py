@@ -141,6 +141,34 @@ def _canon_table(path: str):
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def _kill_first_busy_worker(stop, killed):
+    """Poll /proc for a Ray worker actively running a task (process
+    title "ray::<Task>"; skip ray::IDLE) and SIGKILL the first one
+    seen — an OS-level kill from OUTSIDE the process, the way a
+    preempted or failed node dies."""
+    import os
+    import signal
+    import time
+
+    while not stop.is_set():
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().decode(errors="replace")
+            except OSError:
+                continue
+            if cmd.startswith("ray::") and not cmd.startswith("ray::IDLE"):
+                try:
+                    os.kill(int(pid), signal.SIGKILL)
+                except OSError:
+                    continue
+                killed["pid"] = int(pid)
+                return
+        time.sleep(0.02)
+
+
 def test_worker_sigkill_mid_ingest_is_exact(ray_session, images_dir, tmp_path):
     """VERDICT r3 directive 5: SIGKILL a Ray WORKER PROCESS while
     ingest_images is streaming, and assert the job still completes with
@@ -164,29 +192,7 @@ def test_worker_sigkill_mid_ingest_is_exact(ray_session, images_dir, tmp_path):
 
     killed = {"pid": None}
     stop = threading.Event()
-
-    def killer():
-        # poll /proc for a worker actively running a task (title
-        # "ray::<Task>"; skip ray::IDLE) and SIGKILL the first one seen
-        while not stop.is_set():
-            for pid in os.listdir("/proc"):
-                if not pid.isdigit():
-                    continue
-                try:
-                    with open(f"/proc/{pid}/cmdline", "rb") as f:
-                        cmd = f.read().decode(errors="replace")
-                except OSError:
-                    continue
-                if cmd.startswith("ray::") and not cmd.startswith("ray::IDLE"):
-                    try:
-                        os.kill(int(pid), signal.SIGKILL)
-                    except OSError:
-                        continue
-                    killed["pid"] = int(pid)
-                    return
-            time.sleep(0.02)
-
-    th = threading.Thread(target=killer)
+    th = threading.Thread(target=_kill_first_busy_worker, args=(stop, killed))
     th.start()
     try:
         got = ingest.ingest_images(images_dir, out_b)
@@ -200,3 +206,38 @@ def test_worker_sigkill_mid_ingest_is_exact(ray_session, images_dir, tmp_path):
         a = _canon_table(os.path.join(out_a, sub))
         b = _canon_table(os.path.join(out_b, sub))
         assert a.equals(b), f"{sub} differs after worker SIGKILL"
+
+
+def test_worker_sigkill_mid_shuffle_is_exact(ray_session):
+    """VERDICT r4 directive 5: SIGKILL a worker process while a SHUFFLE
+    pipeline (tile_histogram: map partials -> groupby exchange ->
+    roll-up union) is executing, and assert the output is row-for-row
+    identical to an undisturbed run.  The mid-ingest sibling above
+    covers map-only + sinks; the riskier 100x-scale recovery path is a
+    worker dying mid-exchange, where Ray must reconstruct lost shuffle
+    blocks from lineage."""
+    import threading
+
+    from plasmap_ray.pipelines import spatial
+
+    sf = "/root/testdata/sf0.01"
+
+    def run():
+        df = spatial.tile_histogram_pipeline(sf).to_pandas()
+        return df.sort_values(["z", "x", "y"]).reset_index(drop=True)
+
+    ref = run()
+    assert len(ref) > 0
+
+    killed = {"pid": None}
+    stop = threading.Event()
+    th = threading.Thread(target=_kill_first_busy_worker, args=(stop, killed))
+    th.start()
+    try:
+        got = run()
+    finally:
+        stop.set()
+        th.join(10)
+
+    assert killed["pid"] is not None, "no busy ray:: worker appeared to kill"
+    assert got.equals(ref), "tile_histogram output differs after worker SIGKILL mid-shuffle"
