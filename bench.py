@@ -256,8 +256,12 @@ def run_queries() -> dict:
     # read dataset hoisted OUT of the rep loop: re-creating it per rep
     # re-pays the driver-side fragment listing + metadata sampling —
     # part of the measured ~1.1 s fixed startup term (BASELINE.md
-    # round 4); the lazy plan re-executes per rep either way
-    img_base = rd.read_parquet(img_dir, override_num_blocks=64)
+    # round 4); the lazy plan re-executes per rep either way.  Block
+    # count scales with the image count (~50k images/task): 64 blocks
+    # was measured-best at 600k but costs ~1.5 s of wave quantization
+    # at 6M (6 s tasks, 2 waves), where 96-128 blocks run 13.4 -> 12.2 s
+    img_blocks = max(64, min(256, N_IMAGES_BENCH // 50_000))
+    img_base = rd.read_parquet(img_dir, override_num_blocks=img_blocks)
 
     def image_flagship():
         from ray.data.aggregate import Sum

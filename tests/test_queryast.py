@@ -274,3 +274,36 @@ def test_serve_loop_concurrent_clients_and_paging():
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_result_payload_cap_clamp_and_uncapped_oneshot():
+    """ADVICE r4: (a) a non-positive cap must not produce an empty
+    window with a non-null next_offset (a paging client would loop
+    forever without progress); (b) the one-shot cmd_query path passes
+    cap=num_rows, so a >SERVE_MAX_ROWS result is NOT silently
+    truncated."""
+    import pyarrow as pa
+
+    from plasmap_ray import cli
+
+    t = pa.table({"doc_id": pa.array(list(range(5000)), type=pa.int64())})
+
+    # (a) cap=0 clamps to 1: pages always advance and terminate
+    seen = 0
+    offset = 0
+    while True:
+        p = cli._result_payload(t, False, offset=offset, cap=0)
+        assert p["rows"] >= 1
+        seen += p["rows"]
+        if p["next_offset"] is None:
+            break
+        assert p["next_offset"] > offset  # strict progress
+        offset = p["next_offset"]
+        if seen > 5000:
+            raise AssertionError("paged past the table")
+    assert seen == 5000
+
+    # (b) the one-shot convention returns the whole result in one page
+    full = cli._result_payload(t, False, cap=max(1, t.num_rows))
+    assert full["rows"] == 5000 and full["next_offset"] is None
+    assert len(full["result"]["doc_id"]) == 5000
