@@ -1206,8 +1206,9 @@ def tsp_tours(sf_dir: str) -> rd.Dataset:
     map_groups (per-zone n is city-block-bounded — the sessionize
     per-key contract; cap + log at planetary POI densities).  All
     pairwise distances are fixed to int64 ONCE, so NN choices, 2-opt
-    accepts and final lengths are bit-stable (golden replays the
-    identical descent).
+    accepts and final lengths are bit-stable; the golden re-derives
+    the descent independently and Held-Karp-checks each zone
+    (opt <= tour_len <= nn_len).
 
     Output: (rel_id, n_pois, nn_len_fp, tour_len_fp, n_improve) —
     2-opt never lengthens: tour_len_fp <= nn_len_fp.
@@ -1280,8 +1281,9 @@ def tsp_tours(sf_dir: str) -> rd.Dataset:
 
 def tsp_tours_query(sf_dir: str) -> rd.Dataset:
     """queries() surface (POI layer is the fixture table, sf-invariant
-    like the other POI queries); golden replays the identical
-    fixed-point descent locally."""
+    like the other POI queries); the golden re-derives the
+    fixed-point descent independently with a Held-Karp optimum
+    cross-check per zone."""
     return tsp_tours(sf_dir)
 
 

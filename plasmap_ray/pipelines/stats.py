@@ -2224,9 +2224,10 @@ def logistic_newton(sf_dir: str, iters: int = LOGIT_ITERS) -> rd.Dataset:
     bound ~2^40/row at the TPC-H feature ranges -> int64 safe to
     ~10^8 rows/pass; lower LOGIT_FP or hi/lo-split beyond.
 
-    Output: one row (n, b0, b1, b2, log_loss, accuracy); golden
-    replays the identical quantized iteration locally
-    (pagerank-golden convention for iterative fixed-point ops).
+    Output: one row (n, b0, b1, b2, log_loss, accuracy); the golden
+    is an INDEPENDENT exact-float64 IRLS (no fixed-point kernel) —
+    matching at 6 decimals proves the distributed layer AND that the
+    quantization does not distort the converged fit.
     """
     from ..stages.common import duckdb_round
 
@@ -2638,7 +2639,9 @@ def quantile_regression(sf_dir: str, taus: tuple = QR_TAUS, iters: int = QR_ITER
     before the merge-order-dependent sum — logistic_newton's
     discipline); the 3x3 weighted normal solve runs on exact global
     sums; iterations are FIXED (no data-dependent stopping), so the
-    trajectory is bit-stable and the golden replays it locally.
+    trajectory is bit-stable; the golden re-codes this recurrence
+    independently from the spec and cross-checks the achieved pinball
+    loss against an exact-float64 IRLS at build time.
 
     Output: one row per tau (tau, n, b0, b1, b2, pinball).
     """
@@ -2973,7 +2976,8 @@ def gmm_em(sf_dir: str, iters: int = GMM_ITERS) -> rd.Dataset:
     sums.  Deterministic init — mu at the exact 25th/75th percentile
     dollars (rank selection on the bounded histogram), sigma 1,
     weights 1/2 — and FIXED iterations make the whole trajectory
-    bit-stable (golden replays it locally).
+    bit-stable; the golden is an INDEPENDENT exact-float64 EM whose
+    6-decimal match also proves the quantization distortion-free.
 
     Output: (component, weight, mu, sigma, loglik_per_row).
     """
@@ -3086,8 +3090,8 @@ def cca_analysis(sf_dir: str) -> rd.Dataset:
     ten-sum OLS partial widened to two blocks) -> ONE global reduce
     -> driver 2x2 eigensolve of Sxx^-1 Sxy Syy^-1 Syx (corpus-size-
     independent).  Canonical correlations are sqrt of its
-    eigenvalues, rounded 6; golden replays the identical solve on
-    DuckDB-computed sums (exact ints -> identical float matrices).
+    eigenvalues, rounded 6; the golden solves INDEPENDENTLY — SVD of
+    the whitened cross-covariance on DuckDB-computed exact sums.
 
     Output: (component, can_corr).
     """

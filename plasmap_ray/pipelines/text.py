@@ -2432,8 +2432,9 @@ def huffman_code_lengths(sf_dir: str) -> rd.Dataset:
     token_doc_frequency exchange); the O(V log V) tree build runs on
     the aggregate — corpus-size-independent.  Determinism: heap
     entries are (count, sorted-token-seq), a total order, so the tree
-    and every code length are bit-stable; golden replays the identical
-    construction from DuckDB counts.
+    and every code length are bit-stable; the golden builds the same
+    tree with the INDEPENDENT two-queue algorithm from DuckDB counts
+    (per-token depth agreement, not just the Kraft-optimal total).
 
     Output: (token, n, code_len), one row per vocabulary token.
     """
