@@ -609,7 +609,11 @@ def knn_crossover() -> None:
         )
 
     bcast_cap_s = float(os.environ.get("GRAFT_KNN_BCAST_CAP", "300"))
-    bcast_dead = False
+    # GRAFT_KNN_SKIP_BCAST=1 skips the per-actor-build leg entirely —
+    # for re-measuring only the prebuilt/shuffle legs at sizes where
+    # the per-actor build is already measured DNF (SCALE.md: ~450 s
+    # build per actor at 1e6; running it again teaches nothing)
+    bcast_dead = os.environ.get("GRAFT_KNN_SKIP_BCAST", "") == "1"
     pb_dead = False
     rows = []
     for m in sizes:
