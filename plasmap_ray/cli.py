@@ -113,8 +113,12 @@ def cmd_query(args) -> int:
 def cmd_serve(args) -> int:
     """Long-lived query serving loop — S13 parity with the reference's
     WebSocket server (WSServer.scala:43-79 + Flows.query,
-    Flows.scala:147-167): a stdlib TCP socket accepting JSON-line
-    requests and answering JSON / GeoJSON lines, with the engine
+    Flows.scala:147-167).  Two wire modes: default JSON lines over a
+    stdlib TCP socket, or ``--ws`` for TRUE RFC 6455 WebSocket framing
+    (HTTP upgrade + Sec-WebSocket-Accept + masked text frames,
+    ping/pong/close — plasmap_ray.ws), matching the reference's
+    upgrade endpoint rather than just its message protocol.  Either
+    way requests answer JSON / GeoJSON, with the engine
     context (polygons, POIs, point cloud) initialised ONCE at bind
     time — the serving analogue of the reference's storage/index/
     mapping service singletons (WSServer.scala:53-55).
@@ -138,10 +142,33 @@ def cmd_serve(args) -> int:
     import socketserver
     import threading
 
-    from . import queryast
+    from . import queryast, ws
 
     _ray_session()
     ctx = _build_context(args.sf_dir)
+
+    def answer(line: str, server) -> str | None:
+        """One request -> one JSON response string; None = shutdown
+        was requested (the caller acks and stops the server)."""
+        try:
+            req = json.loads(line)
+            if req.get("cmd") == "shutdown":
+                threading.Thread(target=server.shutdown, daemon=True).start()
+                return None
+            q = queryast.from_json(json.dumps(req["ast"]))
+            if req.get("cmd") == "explain":
+                resp = {"ok": True, "result": queryast.explain(q).to_pydict()}
+            else:
+                resp = _result_payload(
+                    queryast.translate(q, ctx),
+                    req.get("format") == "geojson",
+                    offset=req.get("offset", 0),
+                    limit=req.get("limit"),
+                    cap=args.max_rows,
+                )
+        except Exception as e:  # noqa: BLE001 — bad requests routed, not fatal
+            resp = {"ok": False, "error": str(e)}
+        return json.dumps(resp, default=str)
 
     class Handler(socketserver.StreamRequestHandler):
         def handle(self):
@@ -149,36 +176,65 @@ def cmd_serve(args) -> int:
                 line = raw.strip()
                 if not line:
                     continue
-                try:
-                    req = json.loads(line)
-                    if req.get("cmd") == "shutdown":
-                        self.wfile.write(b'{"ok": true, "bye": true}\n')
-                        self.wfile.flush()
-                        threading.Thread(target=self.server.shutdown, daemon=True).start()
+                out = answer(line, self.server)
+                if out is None:
+                    self.wfile.write(b'{"ok": true, "bye": true}\n')
+                    self.wfile.flush()
+                    return
+                self.wfile.write((out + "\n").encode())
+                self.wfile.flush()
+
+    class WsHandler(socketserver.StreamRequestHandler):
+        """RFC 6455 server handler (S13 true-framing parity with the
+        reference's upgrade endpoint, WSServer.scala:62-67): HTTP
+        upgrade handshake, then one JSON request per masked text
+        frame, one JSON response per unmasked text frame; ping/pong
+        and close handled in ws.read_message."""
+
+        def handle(self):
+            headers = ws.read_handshake(self.rfile)
+            if headers is None:
+                return
+            resp = ws.handshake_response(headers)
+            self.wfile.write(resp)
+            self.wfile.flush()
+            if not resp.startswith(b"HTTP/1.1 101"):
+                return  # bad handshake answered with 400, like the reference's non-upgrade branch
+            while True:
+                line = ws.read_message(self.rfile, self.wfile)
+                if line is None or not line.strip():
+                    if line is None:
                         return
-                    q = queryast.from_json(json.dumps(req["ast"]))
-                    if req.get("cmd") == "explain":
-                        resp = {"ok": True, "result": queryast.explain(q).to_pydict()}
-                    else:
-                        resp = _result_payload(
-                            queryast.translate(q, ctx),
-                            req.get("format") == "geojson",
-                            offset=req.get("offset", 0),
-                            limit=req.get("limit"),
-                            cap=args.max_rows,
-                        )
-                except Exception as e:  # noqa: BLE001 — bad requests routed, not fatal
-                    resp = {"ok": False, "error": str(e)}
-                self.wfile.write((json.dumps(resp, default=str) + "\n").encode())
+                    continue
+                out = answer(line.strip(), self.server)
+                if out is None:
+                    self.wfile.write(ws.encode_text('{"ok": true, "bye": true}'))
+                    self.wfile.write(ws.encode_close())
+                    self.wfile.flush()
+                    return
+                self.wfile.write(ws.encode_text(out))
                 self.wfile.flush()
 
     socketserver.ThreadingTCPServer.allow_reuse_address = True
     # daemon handler threads: shutdown must not block joining a handler
     # parked in a socket read on some OTHER still-open client connection
     socketserver.ThreadingTCPServer.daemon_threads = True
-    srv = socketserver.ThreadingTCPServer((args.host, args.port), Handler)
+    srv = socketserver.ThreadingTCPServer(
+        (args.host, args.port), WsHandler if args.ws else Handler
+    )
     host, port = srv.server_address[:2]
-    print(json.dumps({"serving": True, "host": host, "port": port, "sf_dir": args.sf_dir}), flush=True)
+    print(
+        json.dumps(
+            {
+                "serving": True,
+                "host": host,
+                "port": port,
+                "sf_dir": args.sf_dir,
+                "protocol": "websocket" if args.ws else "json-lines",
+            }
+        ),
+        flush=True,
+    )
     try:
         srv.serve_forever()
     finally:
@@ -234,6 +290,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument(
         "--max-rows", type=int, default=SERVE_MAX_ROWS,
         help="per-response row ceiling; larger results page via next_offset",
+    )
+    s.add_argument(
+        "--ws", action="store_true",
+        help="speak RFC 6455 WebSocket framing (HTTP upgrade + text frames) instead of raw JSON lines",
     )
     s.set_defaults(fn=cmd_serve)
 
