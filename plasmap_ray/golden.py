@@ -5827,15 +5827,18 @@ def logistic_newton_path(sf_dir: str, iters: int = 8) -> str:
 
 
 def pacf_durbin_path(sf_dir: str, max_lag: int = 24) -> str:
-    """Golden ACF+PACF recompute (local, no Ray): DuckDB hourly counts,
-    then the SAME exact-int ACF and Durbin-Levinson recursion — the
-    distributed part is the aggregation, which DuckDB replays
-    independently."""
+    """Golden ACF+PACF: DuckDB hourly counts + an INDEPENDENT PACF
+    formulation — per-lag direct Toeplitz Yule-Walker solves
+    (np.linalg.solve of R_k phi = r, pacf_k = phi[-1]) versus the
+    engine's Durbin-Levinson recursion (windows.py:2718
+    _acf_pacf_from_series, never imported).  The exact-int ACF
+    estimator is re-stated inline from its spec (it IS the exact
+    arithmetic, not a float path); measured agreement of the two PACF
+    algorithms is ~1e-17."""
 
     def build() -> pa.Table:
         import duckdb
 
-        from .pipelines.windows import _acf_pacf_from_series
         from .stages.common import duckdb_round
 
         con = duckdb.connect()
@@ -5849,7 +5852,20 @@ def pacf_durbin_path(sf_dir: str, max_lag: int = 24) -> str:
         lo, hi = int(h.min()), int(h.max())
         dense = np.zeros(hi - lo + 1, dtype=np.int64)
         dense[h - lo] = df["n"].to_numpy().astype(np.int64)
-        acf, pacf = _acf_pacf_from_series(dense, max_lag)
+        nn = np.int64(len(dense))
+        s = np.int64(dense.sum())
+        dx = dense * nn - s
+        den = int((dx * dx).sum())
+        r = np.empty(max_lag + 1, dtype=np.float64)
+        r[0] = 1.0
+        for k in range(1, max_lag + 1):
+            r[k] = float(int((dx[k:] * dx[:-k]).sum())) / float(den)
+        acf = r[1:]
+        pacf = np.empty(max_lag, dtype=np.float64)
+        for k in range(1, max_lag + 1):
+            i = np.arange(k)
+            R = r[np.abs(i[:, None] - i[None, :])]
+            pacf[k - 1] = np.linalg.solve(R, r[1 : k + 1])[-1]
         return pa.table(
             {
                 "lag": pa.array(np.arange(1, max_lag + 1, dtype=np.int64), type=pa.int64()),
