@@ -705,9 +705,74 @@ def knn_crossover() -> None:
     ray.shutdown()
 
 
+def startup_term() -> None:
+    """Measure the flagship's fixed per-execution startup term by the
+    intercept method: t(n) = F + c*n over hoisted-read legs at 600k
+    and 6M images, F = (10*t_600k - t_6M)/9 (best-of-3 per size).
+    Makes BASELINE.md's F claim reproducible as one JSON line
+    (VERDICT r4 directive 3 evidence)."""
+    import functools
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from plasmap_ray import fixtures
+    from plasmap_ray.pipelines import spatial
+    from plasmap_ray.stages import geo
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR")
+    rd.DataContext.get_current().enable_progress_bars = False
+    idx_ref = spatial.boundary_index_ref()
+    pois = fixtures.make_pois()
+    pois_ref = ray.put({c: pois[c].to_numpy() for c in ("poi_id", "lon", "lat")})
+    sizes = (600_000, 6_000_000)
+    dirs = {n: ensure_bench_images(n) for n in sizes}
+    rd.read_parquet(dirs[sizes[0]]).limit(4096).map_batches(
+        functools.partial(geo.fused_image_flagship_fn, index_ref=idx_ref, pois_ref=pois_ref, z=10),
+        batch_format="pyarrow",
+        batch_size=1024,
+    ).count()  # warm: workers, page cache, per-worker kernel caches
+
+    def leg(base) -> float:
+        t0 = time.perf_counter()
+        base.map_batches(
+            functools.partial(geo.fused_image_flagship_fn, index_ref=idx_ref, pois_ref=pois_ref, z=10),
+            batch_format="pyarrow",
+            batch_size=4096,
+        ).groupby(["z", "x", "y", "rel_id"]).aggregate(Sum("n_images", alias_name="n_images")).count()
+        return time.perf_counter() - t0
+
+    best = {}
+    for n in sizes:
+        base = rd.read_parquet(dirs[n], override_num_blocks=max(64, min(256, n // 50_000)))
+        ts = [leg(base) for _ in range(3)]
+        best[n] = min(ts)
+        log(f"startup_term n={n}: legs {[round(t, 3) for t in ts]}")
+    F = (10 * best[sizes[0]] - best[sizes[1]]) / 9
+    c = (best[sizes[1]] - best[sizes[0]]) / (sizes[1] - sizes[0])
+    print(
+        json.dumps(
+            {
+                "metric": "flagship fixed startup term (intercept over 600k/6M hoisted legs)",
+                "value": round(F, 3),
+                "unit": "sec",
+                "best_600k_s": round(best[sizes[0]], 3),
+                "best_6m_s": round(best[sizes[1]], 3),
+                "per_image_us": round(c * 1e6, 4),
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+    ray.shutdown()
+
+
 def main() -> None:
     if "--knn-crossover" in sys.argv:
         knn_crossover()
+        return
+    if "--startup-term" in sys.argv:
+        startup_term()
         return
     if "--scaling" in sys.argv:
         # LOAD-GATED window protocol (round-3 discipline): each window is
