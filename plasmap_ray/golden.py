@@ -6578,7 +6578,7 @@ def traffic_assignment_path(sf_dir: str) -> str:
 
         from . import fixtures
         from .oracle import sql_derive_lat, sql_derive_lon
-        from .pipelines.routing import _ta_paths_for_source, nearest_road_node
+        from .pipelines.routing import nearest_road_node
 
         n = fixtures.ROAD_N
         con = duckdb.connect()

@@ -30,6 +30,7 @@ FORBIDDEN = {
     "cca_from_sums",        # cca_analysis -> SVD-whitened solve
     "_acf_pacf_from_series",# pacf_durbin -> Toeplitz Yule-Walker solves
     "_granger_fit",         # granger_causality -> lstsq on the lag design
+    "_ta_paths_for_source", # traffic_assignment -> Bellman-Ford + pred walk
 }
 
 
